@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local pre-check replicating the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  - reads <outDir>/<name>/ parquet (Spark result) for each query
+  - reads <outDir>/oracle_sql.json, runs each SQL in DuckDB with views over
+    <sfDir>/*.parquet
+  - compares: schema (column names sorted), row count, and values
+    (columns sorted by name, rows sorted, exact + approx compare)
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def load_spark(outdir, name):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        return None
+    import pyarrow as pa
+    tabs = [pq.read_table(f) for f in files]
+    return pa.concat_tables(tabs)
+
+def normalize(table):
+    cols = sorted(table.column_names)
+    rows = []
+    for i in range(table.num_rows):
+        row = []
+        for c in cols:
+            v = table.column(c)[i].as_py()
+            row.append(v)
+        rows.append(tuple(row))
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+def vals_eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b
+    return a == b
+
+def vals_close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(vals_close(x, y) for x, y in zip(a, b))
+    return vals_eq(a, b)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracles.items()):
+        spark_tab = load_spark(outdir, name)
+        if spark_tab is None:
+            results[name] = "MISSING_SPARK_RESULT"
+            continue
+        try:
+            duck_tab = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        scols, srows = normalize(spark_tab)
+        dcols, drows = normalize(duck_tab)
+        if scols != dcols:
+            results[name] = f"SCHEMA_MISMATCH spark={scols} duck={dcols}"
+            continue
+        if len(srows) != len(drows):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} duck={len(drows)}"
+            continue
+        exact = all(all(vals_eq(a, b) for a, b in zip(r1, r2))
+                    for r1, r2 in zip(srows, drows))
+        close = exact or all(all(vals_close(a, b) for a, b in zip(r1, r2))
+                             for r1, r2 in zip(srows, drows))
+        if exact:
+            results[name] = "OK_EXACT"
+        elif close:
+            results[name] = "OK_APPROX (exact hash may fail!)"
+        else:
+            bad = next(((i, a, b) for i, (r1, r2) in enumerate(zip(srows, drows))
+                        for a, b in zip(r1, r2) if not vals_close(a, b)), None)
+            results[name] = f"VALUE_MISMATCH first_diff={bad}"
+    # report queries with no oracle (rows-only check)
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name not in oracles:
+            t = load_spark(outdir, name)
+            n = t.num_rows if t is not None else 0
+            results[name] = f"ROWS_ONLY rows={n}" + (" (EMPTY!)" if n == 0 else "")
+    ok = True
+    for name, r in sorted(results.items()):
+        flag = "PASS" if r.startswith("OK") or (r.startswith("ROWS_ONLY") and "EMPTY" not in r) else "FAIL"
+        if flag == "FAIL": ok = False
+        print(f"[{flag}] {name}: {r}")
+    sys.exit(0 if ok else 1)
+
+main()
