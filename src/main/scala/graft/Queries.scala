@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.adapters.EventsAdapter
+import graft.operators.{AsOfJoin, LabelMatcher, Matchers, SensorOps}
 
 /** Registry of driver-checked queries.
   *
@@ -54,6 +56,226 @@ object Queries {
           dsum(col("l_extendedprice")).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---------------------------------------------------------------------
+    // P1/W2: time-range + limit scan for one sensor
+    // (reference: src/storage/sqlite/storage.rs:663-704).
+    q(
+      "q2_range_scan",
+      """SELECT epoch_us(ts) AS timestamp_us, value
+        |FROM events
+        |WHERE event_type = 'view' AND user_id = 7
+        |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
+        |ORDER BY timestamp_us LIMIT 100"""
+    ) { (s, d) =>
+      SensorOps.rangeScan(
+        EventsAdapter.samples(s, d), "view 7",
+        Some(1704412800000000L), Some(1705708800000000L), 100)
+        .select("timestamp_us", "value")
+    },
+
+    // W1: per-sensor ordered top-N via window row_number
+    // (reference: src/storage/postgresql/batch_queries.rs:193-205).
+    q(
+      "q3_per_sensor_limit",
+      """SELECT sensor_name, user_tag, timestamp_us, value FROM (
+        |  SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
+        |         epoch_us(ts) AS timestamp_us, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, user_id ORDER BY ts) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY sensor_name, user_tag, timestamp_us"""
+    ) { (s, d) =>
+      SensorOps.perSensorLimit(EventsAdapter.samples(s, d), 3)
+        .select(col("sensor_name"), col("user").as("user_tag"),
+          col("timestamp_us"), col("value"))
+        .orderBy("sensor_name", "user_tag", "timestamp_us")
+    },
+
+    // A1: metrics summary over the sensor catalog
+    // (reference: metrics_summary view, 20250819144000 migrations).
+    q(
+      "q4_metrics_summary",
+      """SELECT event_type AS name, 'Float' AS type, CAST(NULL AS VARCHAR) AS unit,
+        |  COUNT(DISTINCT user_id) AS series_count, 'user' AS label_keys
+        |FROM events GROUP BY event_type ORDER BY name"""
+    ) { (s, d) =>
+      SensorOps.metricsSummary(EventsAdapter.sensors(s, d))
+        .select(col("name"), col("type"), col("unit"), col("series_count"),
+          array_join(col("label_keys"), ",").as("label_keys"))
+    },
+
+    // Q1-Q5: Prometheus-style label matchers (regex on __name__, != on a
+    // label) over the catalog (reference: src/storage/sqlite/matchers.rs).
+    q(
+      "q5_label_match",
+      """SELECT DISTINCT event_type AS name, CAST(user_id AS VARCHAR) AS user_tag
+        |FROM events
+        |WHERE regexp_matches(event_type, '(click|view)')
+        |  AND CAST(user_id AS VARCHAR) <> '7'
+        |ORDER BY name, user_tag"""
+    ) { (s, d) =>
+      Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), Seq(
+        LabelMatcher.Re(LabelMatcher.NameLabel, "(click|view)"),
+        LabelMatcher.NotEq("user", "7")))
+        .select(col("name"), col("labels").getItem("user").as("user_tag"))
+        .orderBy("name", "user_tag")
+    },
+
+    // Tumbling time-bucket aggregation (our composite-sensor resampling
+    // primitive; reference only documents it: docs/DATAMODEL.md:125-131).
+    q(
+      "q6_time_bucket",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type AS name,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+          col("event_type").as("name"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket_us", "name")
+    },
+
+    // W2: global ordered top-k (TakeOrderedAndProject — no full sort).
+    q(
+      "q7_global_topk",
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 50"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select("event_id", "event_type", "value")
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(50)
+    },
+
+    // S15: exact dedup on (sensor_id, timestamp_us, value)
+    // (reference: src/storage/sqlite/storage.rs:632-661).
+    q(
+      "q8_dedup",
+      """SELECT name, COUNT(*) AS n FROM (
+        |  SELECT DISTINCT event_type AS name, user_id, epoch_us(ts), value
+        |  FROM events)
+        |GROUP BY name ORDER BY name"""
+    ) { (s, d) =>
+      SensorOps.dedup(EventsAdapter.samples(s, d))
+        .groupBy(col("sensor_name").as("name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("name")
+    },
+
+    // J-series: broadcast equi-join + aggregation.
+    q(
+      "q9_join_broadcast",
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // J4-flavor: left-semi join (EXISTS).
+    q(
+      "q10_semi_join",
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // J4-flavor: left-anti join (NOT EXISTS) — absent-label analog.
+    q(
+      "q11_anti_join",
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Grouping sets (free in Spark; reference has no rollup at all).
+    q(
+      "q12_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // Set op: UNION ALL of two filtered subsets (SURVEY §2.7).
+    q(
+      "q13_union",
+      """SELECT * FROM (
+        |  SELECT 'high' AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE value > 10
+        |  UNION ALL
+        |  SELECT 'low' AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE value <= 10
+        |) ORDER BY bucket"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def side(name: String, pred: Column): DataFrame =
+        ev.filter(pred).agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+          .select(lit(name).as("bucket"), col("n"), col("sum_value"))
+      side("high", col("value") > 10)
+        .unionByName(side("low", col("value") <= 10))
+        .orderBy("bucket")
+    },
+
+    // As-of join (doc-only in the reference: docs/DATAMODEL.md:125-131):
+    // for each purchase, the user's most recent click at-or-before it.
+    q(
+      "q14_asof_join",
+      """SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
+        |  epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, ts_us"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("click_value"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", Seq("click_value"))
+        .select(col("user_id"), col("ts_us"), col("purchase_value"),
+          col("right_ts").as("click_ts_us"), col("click_value"))
+        .orderBy("user_id", "ts_us")
     }
   )
 

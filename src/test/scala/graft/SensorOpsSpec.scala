@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{AsOfJoin, SensorOps}
+import org.apache.spark.sql.functions._
+
+class SensorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val samples = Seq(
+    ("a", 100L, 1.0), ("a", 200L, 2.0), ("a", 300L, 3.0), ("a", 400L, 4.0),
+    ("b", 150L, 5.0), ("b", 250L, 6.0),
+    ("b", 250L, 6.0) // exact duplicate
+  ).toDF("sensor_id", "timestamp_us", "value")
+
+  test("rangeScan filters bounds inclusively, orders, limits") {
+    val got = SensorOps.rangeScan(samples, "a", Some(200L), Some(400L), 2)
+      .select("timestamp_us").as[Long].collect().toSeq
+    assert(got == Seq(200L, 300L))
+    // open bounds
+    val all = SensorOps.rangeScan(samples, "a", None, None)
+      .count()
+    assert(all == 4)
+  }
+
+  test("perSensorLimit keeps each sensor's earliest n") {
+    val got = SensorOps.perSensorLimit(samples.dropDuplicates(), 2)
+      .select("sensor_id", "timestamp_us").as[(String, Long)]
+      .collect().toSet
+    assert(got == Set(("a", 100L), ("a", 200L), ("b", 150L), ("b", 250L)))
+  }
+
+  test("dedup removes exact (sensor, ts, value) duplicates") {
+    assert(SensorOps.dedup(samples).count() == 6)
+  }
+
+  test("asOf picks latest right at-or-before left ts, inner semantics") {
+    val left = Seq((1L, 100L, "p1"), (1L, 300L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 100L, 10.0), (1L, 250L, 20.0), (2L, 60L, 30.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("v"))
+      .select("k", "t", "payload", "right_ts", "v")
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, "p1", 100L, 10.0), // exact-tie matches
+      (1L, 300L, "p2", 250L, 20.0)
+      // (2, 50, p3) dropped: no right row at or before 50
+    ))
+  }
+
+  test("metricsSummary aggregates label keys and series counts") {
+    val sensors = Seq(
+      ("u1", "temp", "Float", Map("env" -> "prod", "site" -> "a")),
+      ("u2", "temp", "Float", Map("env" -> "dev")),
+      ("u3", "hum", "Integer", Map.empty[String, String]))
+      .toDF("uuid", "name", "type", "labels")
+      .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+    val got = SensorOps.metricsSummary(sensors)
+      .select("name", "series_count", "label_keys")
+      .as[(String, Long, Seq[String])].collect().toSet
+    assert(got == Set(
+      ("hum", 1L, Seq()),
+      ("temp", 2L, Seq("env", "site"))))
+  }
+}
