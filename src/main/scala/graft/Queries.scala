@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.adapters.EventsAdapter
+import graft.exporters.Exporters
 import graft.operators.{AsOfJoin, LabelMatcher, Matchers, SensorOps}
+import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
 
 /** Registry of driver-checked queries.
   *
@@ -276,6 +278,99 @@ object Queries {
         .select(col("user_id"), col("ts_us"), col("purchase_value"),
           col("right_ts").as("click_ts_us"), col("click_value"))
         .orderBy("user_id", "ts_us")
+    },
+
+    // ---------------------------------------------------------------------
+    // S7→S1 roundtrip: export one series to CSV text, re-import through the
+    // inference pipeline (datetime detection, wide-format dispatch), and
+    // recover the samples. Oracle is the raw samples at ms precision (the
+    // reference's ISO8601 path keeps milliseconds).
+    q(
+      "q15_csv_roundtrip",
+      """SELECT epoch_ms(ts) * 1000 AS timestamp_us, value
+        |FROM events WHERE event_type = 'click' AND user_id = 3
+        |ORDER BY timestamp_us"""
+    ) { (s, d) =>
+      val samples = EventsAdapter.samples(s, d)
+        .filter(col("sensor_id") === "click 3")
+        .select("timestamp_us", "value")
+      val lines = Exporters.toCsv(samples)
+      val raw = lines.toDF("line").select(
+        substring_index(col("line"), ",", 1).as("timestamp"),
+        substring_index(col("line"), ",", -1).as("value"))
+      val batch = CsvImporter.importFrames(s, raw)
+      batch.samples(graft.model.SensorType.Float)
+        .select(col("timestamp_us"), col("value"))
+        .orderBy("timestamp_us")
+    },
+
+    // S9→S2 roundtrip: export one series to SenML records, reassemble the
+    // JSON array, re-import with base-field resolution.
+    q(
+      "q16_senml_roundtrip",
+      """SELECT epoch_ms(ts) * 1000 AS timestamp_us, value
+        |FROM events WHERE event_type = 'purchase' AND user_id = 5
+        |ORDER BY timestamp_us"""
+    ) { (s, d) =>
+      import s.implicits._
+      val samples = EventsAdapter.samples(s, d)
+        .filter(col("sensor_id") === "purchase 5")
+        .select("timestamp_us", "value")
+      val doc = SenML.exportFloatSeries(
+        samples, "uuid-q16", "purchase", None, Map.empty)
+        .agg(concat(lit("["), concat_ws(",", collect_list(col("value"))),
+          lit("]")).as("doc"))
+        .as[String]
+      SenML.importJson(doc)(graft.model.SensorType.Float)
+        .select(col("timestamp_us"), col("value"))
+        .orderBy("timestamp_us")
+    },
+
+    // S10 roundtrip: JSONL export parsed back (µs-exact timestamps).
+    q(
+      "q17_jsonl_roundtrip",
+      """SELECT 'error' AS sensor_name, epoch_us(ts) AS timestamp_us, value
+        |FROM events WHERE event_type = 'error' AND user_id = 2
+        |ORDER BY timestamp_us"""
+    ) { (s, d) =>
+      val samples = EventsAdapter.samples(s, d)
+        .filter(col("sensor_id") === "error 2")
+        .select("timestamp_us", "value")
+      val lines = Exporters.toJsonl(samples, "uuid-q17", "error", "float",
+        Map.empty)
+      lines.toDF("line")
+        .select(from_json(col("line"), org.apache.spark.sql.types.StructType
+          .fromDDL("sensor_name STRING, timestamp STRING, value DOUBLE")).as("r"))
+        .select(col("r.sensor_name").as("sensor_name"),
+          unix_micros(to_timestamp(col("r.timestamp"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("timestamp_us"),
+          col("r.value").as("value"))
+        .orderBy("timestamp_us")
+    },
+
+    // S4: InfluxDB line-protocol — lines synthesized from events, parsed
+    // distributed, aggregated per label.
+    q(
+      "q18_influx_parse",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY user_tag ORDER BY user_tag"""
+    ) { (s, d) =>
+      import s.implicits._
+      val lines = Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(concat(
+          lit("views,user="), col("user_id"),
+          lit(" value="), col("value").cast("string"),
+          lit(" "), (unix_micros(col("ts")) * 1000).cast("string")).as("line"))
+        .as[String]
+      InfluxLineProtocol.parse(lines, "bkt", "org", "ns")
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("double_value"))
+        .groupBy("user_tag")
+        .agg(count(lit(1)).as("n"), dsum(col("double_value")).as("sum_value"))
+        .orderBy("user_tag")
     }
   )
 

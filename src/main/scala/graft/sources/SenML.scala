@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.SensorType
+
+/** SenML (RFC 8428) import + export (S2/S9).
+  *
+  * Import resolves base fields (`bn`/`bt`/`bu`) Spark-side: posexplode the
+  * record array, then `last(_, ignoreNulls)` over the record-position
+  * window carries each base forward — the streaming-friendly equivalent of
+  * the reference's sequential resolver
+  * (reference: src/importers/senml.rs:16-95). Type is inferred from the
+  * first record of each series: `v`→Float, `vs`→String, `vb`→Boolean,
+  * `vd`→Blob, absent→Float (reference: src/importers/senml.rs:105-116).
+  */
+object SenML {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("bn", StringType), StructField("bt", DoubleType),
+    StructField("bu", StringType), StructField("bver", IntegerType),
+    StructField("n", StringType), StructField("u", StringType),
+    StructField("t", DoubleType), StructField("v", DoubleType),
+    StructField("vs", StringType), StructField("vb", BooleanType),
+    StructField("vd", StringType)))
+
+  /** Parse a dataset of SenML JSON documents (each a full record array)
+    * into resolved rows: name, unit, timestamp_us, typed value columns.
+    */
+  def parse(docs: Dataset[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val exploded = docs.toDF("json")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .select(col("doc_id"),
+        posexplode(from_json(col("json"), ArrayType(recordSchema)))
+          .as(Seq("pos", "r")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exploded.select(
+      col("doc_id"), col("pos"),
+      last(col("r.bn"), ignoreNulls = true).over(w).as("base_name"),
+      last(col("r.bt"), ignoreNulls = true).over(w).as("base_time"),
+      last(col("r.bu"), ignoreNulls = true).over(w).as("base_unit"),
+      col("r.n").as("n"), col("r.u").as("u"), col("r.t").as("t"),
+      col("r.v").as("v"), col("r.vs").as("vs"), col("r.vb").as("vb"),
+      col("r.vd").as("vd"))
+      .select(
+        concat(coalesce(col("base_name"), lit("")),
+          coalesce(col("n"), lit(""))).as("name"),
+        coalesce(col("u"), col("base_unit")).as("unit"),
+        // round, don't truncate: (ms/1000)*1e6 can land 0.25µs under the
+        // integer in double arithmetic
+        round((coalesce(col("base_time"), lit(0.0)) + coalesce(col("t"), lit(0.0)))
+          * 1e6).cast(LongType).as("timestamp_us"),
+        col("v"), col("vs"), col("vb"), col("vd"), col("doc_id"), col("pos"))
+  }
+
+  /** Series-level type resolution + per-type sample frames. */
+  def importJson(docs: Dataset[String]): Map[SensorType, DataFrame] = {
+    val resolved = parse(docs).cache()
+    val w = Window.partitionBy(col("name")).orderBy(col("doc_id"), col("pos"))
+    val withType = resolved
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("first_type",
+        first(
+          when(col("v").isNotNull, SensorType.Float.displayName)
+            .when(col("vs").isNotNull, SensorType.Str.displayName)
+            .when(col("vb").isNotNull, SensorType.Boolean.displayName)
+            .when(col("vd").isNotNull, SensorType.Blob.displayName)
+            .otherwise(SensorType.Float.displayName))
+          .over(Window.partitionBy(col("name")).orderBy(col("doc_id"), col("pos"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    Map(
+      SensorType.Float -> withType
+        .filter(col("first_type") === SensorType.Float.displayName)
+        .select(col("name").as("sensor_id"), col("timestamp_us"),
+          coalesce(col("v"), lit(0.0)).as("value"), col("unit")),
+      SensorType.Str -> withType
+        .filter(col("first_type") === SensorType.Str.displayName)
+        .select(col("name").as("sensor_id"), col("timestamp_us"),
+          coalesce(col("vs"), lit("")).as("value"), col("unit")),
+      SensorType.Boolean -> withType
+        .filter(col("first_type") === SensorType.Boolean.displayName)
+        .select(col("name").as("sensor_id"), col("timestamp_us"),
+          coalesce(col("vb"), lit(false)).as("value"), col("unit")),
+      SensorType.Blob -> withType
+        .filter(col("first_type") === SensorType.Blob.displayName)
+        .select(col("name").as("sensor_id"), col("timestamp_us"),
+          unbase64(coalesce(col("vd"), lit(""))).as("value"), col("unit")))
+  }
+
+  /** Export a single series to SenML records (one JSON object string per
+    * row, in sample order). First record carries the base fields
+    * (`bn`=uuid, `_name`, `bt`=first-sample seconds at ms precision,
+    * `bver`=10, optional `bu`, `_labels`); the rest carry relative `t`
+    * (reference: src/exporters/senml.rs:16-157). Spark's `to_json` drops
+    * null fields, which gives the reference's field-presence behavior.
+    *
+    * @param samples (timestamp_us, value: Double) rows for ONE sensor
+    */
+  def exportFloatSeries(
+      samples: DataFrame,
+      uuid: String,
+      name: String,
+      unit: Option[String],
+      labels: Map[String, String]): Dataset[String] = {
+    import samples.sparkSession.implicits._
+    val w = Window.orderBy(col("timestamp_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // base time at millisecond precision (reference: datetime_to_ms)
+    val withBase = samples
+      .withColumn("__bt_ms", (first(col("timestamp_us")).over(w)
+        .cast(LongType) / 1000).cast(LongType))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("timestamp_us"))))
+    val labelsJson =
+      if (labels.isEmpty) lit(null).cast(StringType)
+      else to_json(map(labels.toSeq.sorted.flatMap {
+        case (k, v) => Seq(lit(k), lit(v))
+      }: _*))
+    withBase.select(
+      when(col("__rn") === 1, lit(uuid)).as("bn"),
+      when(col("__rn") === 1, lit(name)).as("_name"),
+      when(col("__rn") === 1, col("__bt_ms").cast(DoubleType) / 1000.0).as("bt"),
+      when(col("__rn") === 1, lit(10)).as("bver"),
+      when(col("__rn") === 1, unit.map(lit).getOrElse(lit(null).cast(StringType))).as("bu"),
+      when(col("__rn") === 1 && labelsJson.isNotNull, labelsJson).as("_labels"),
+      when(col("__rn") === 1, lit(0.0)).otherwise(
+        ((col("timestamp_us") / 1000).cast(LongType) - col("__bt_ms"))
+          .cast(DoubleType) / 1000.0).as("t"),
+      col("value").as("v"),
+      col("__rn"))
+      .orderBy(col("__rn"))
+      .select(to_json(struct(
+        col("bn"), col("_name"), col("bt"), col("bver"), col("bu"),
+        col("_labels"), col("t"), col("v"))).as("value")).as[String]
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.model.SensorType
+import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
+import org.apache.spark.sql.functions._
+
+class ImportersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTemp(name: String, content: String): String = {
+    val f = java.nio.file.Files.createTempFile(name, ".csv")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  test("CSV long format import (FIXTURES.md §1)") {
+    val path = writeTemp("long", """datetime,sensor_name,value,unit
+      |2024-01-01T00:00:00Z,temperature_1,20.5,C
+      |2024-01-01T00:01:00Z,temperature_1,21.0,C
+      |2024-01-01T00:00:00Z,humidity_1,65.0,pct
+      |""".stripMargin)
+    val batch = CsvImporter.importCsv(spark, path)
+    assert(batch.samples.keySet == Set(SensorType.Float))
+    val samples = batch.samples(SensorType.Float)
+    assert(samples.count() == 3)
+    val sensors = batch.sensors.collect()
+    assert(sensors.length == 2)
+    val units = sensors.map(r => r.getString(1) -> r.getStruct(3).getString(0)).toMap
+    assert(units == Map("temperature_1" -> "C", "humidity_1" -> "pct"))
+    // timestamps microsecond-exact
+    val ts = samples.select(min("timestamp_us")).as[Long].head()
+    assert(ts == 1704067200000000L)
+  }
+
+  test("CSV wide format import (FIXTURES.md §2)") {
+    val path = writeTemp("wide", """datetime,temperature,humidity,status
+      |2024-01-01T00:00:00Z,20.5,65,ok
+      |2024-01-01T00:01:00Z,21.0,64,bad
+      |""".stripMargin)
+    val batch = CsvImporter.importCsv(spark, path)
+    // temperature Float, humidity Integer, status String
+    assert(batch.samples.keySet ==
+      Set(SensorType.Float, SensorType.Integer, SensorType.Str))
+    assert(batch.sensors.count() == 3)
+    assert(batch.samples(SensorType.Float).count() == 2)
+    assert(batch.samples(SensorType.Integer)
+      .select(sum("value")).as[Long].head() == 129)
+  }
+
+  test("SenML import resolves bases and types (RFC 8428)") {
+    val doc = """[
+      {"bn":"urn:dev:temp1:","bt":1700000000.0,"bu":"Cel","n":"t","v":22.5},
+      {"n":"t","t":10.0,"v":23.0},
+      {"n":"status","vs":"ok"},
+      {"bn":"urn:dev:sw:","n":"on","vb":true}
+    ]"""
+    val byType = SenML.importJson(Seq(doc).toDS())
+    val floats = byType(SensorType.Float)
+      .select("sensor_id", "timestamp_us", "value")
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    assert(floats.toSeq == Seq(
+      ("urn:dev:temp1:t", 1700000000000000L, 22.5),
+      ("urn:dev:temp1:t", 1700000010000000L, 23.0)))
+    val strs = byType(SensorType.Str)
+      .select("sensor_id", "value").as[(String, String)].collect()
+    assert(strs.toSeq == Seq(("urn:dev:temp1:status", "ok")))
+    val bools = byType(SensorType.Boolean)
+      .select("sensor_id", "value").as[(String, Boolean)].collect()
+    assert(bools.toSeq == Seq(("urn:dev:sw:on", true)))
+    // unit resolution: bu carries forward
+    val unit = byType(SensorType.Float).select("unit").distinct()
+      .as[String].collect()
+    assert(unit.toSeq == Seq("Cel"))
+  }
+
+  test("SenML export: first record carries base fields, rest relative t") {
+    val samples = Seq(
+      (1700000000000000L, 1.5), (1700000001500000L, 2.5))
+      .toDF("timestamp_us", "value")
+    val lines = SenML.exportFloatSeries(
+      samples, "uuid-1", "temp", Some("Cel"), Map("env" -> "prod"))
+      .collect()
+    assert(lines.length == 2)
+    assert(lines(0).contains(""""bn":"uuid-1""""))
+    assert(lines(0).contains(""""bt":1.7E9""") || lines(0).contains(""""bt":1700000000.0"""))
+    assert(lines(0).contains(""""bver":10"""))
+    assert(lines(0).contains(""""v":1.5"""))
+    assert(!lines(1).contains("bn"))
+    assert(lines(1).contains(""""t":1.5"""))
+    assert(lines(1).contains(""""v":2.5"""))
+  }
+
+  test("Influx line protocol: types, escapes, precision, naming") {
+    val lines = Seq(
+      """cpu,host=A,region=west usage_system=64.2 1590488773254420000""",
+      """mem free=42i,total=100u,ok=t,name="srv 1"""",
+      """weird\ measure,tag\,key=va\=lue f=1.0""").toDS()
+    val df = InfluxLineProtocol.parse(lines, "b1", "o1", "ns")
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val cpu = df.filter($"sensor_name" === "cpu usage_system").collect().head
+    assert(cpu.getAs[Map[String, String]]("labels") ==
+      Map("influxdb_bucket" -> "b1", "influxdb_org" -> "o1",
+        "host" -> "A", "region" -> "west"))
+    assert(cpu.getAs[Long]("timestamp_us") == 1590488773254420L)
+    // no tags -> no labels at all (reference behavior)
+    val mem = df.filter($"sensor_name" === "mem free").collect().head
+    assert(mem.getAs[Map[String, String]]("labels").isEmpty)
+    assert(mem.getAs[Long]("long_value") == 42L)
+    val str = df.filter($"sensor_name" === "mem name").collect().head
+    assert(str.getAs[String]("string_value") == "srv 1")
+    // escapes + urlencoding
+    assert(df.filter($"sensor_name" === "weird%20measure f").count() == 1)
+    val weird = df.filter($"sensor_name" === "weird%20measure f").collect().head
+    assert(weird.getAs[Map[String, String]]("labels")("tag,key") == "va=lue")
+  }
+
+  test("Influx precision variants") {
+    def ts(p: String, t: String): Long =
+      InfluxLineProtocol.parse(Seq(s"m f=1 $t").toDS(), "b", "o", p)
+        .select("timestamp_us").as[Long].head()
+    assert(ts("s", "1700000000") == 1700000000000000L)
+    assert(ts("ms", "1700000000123") == 1700000000123000L)
+    assert(ts("us", "1700000000123456") == 1700000000123456L)
+    assert(ts("ns", "1700000000123456789") == 1700000000123456L)
+  }
+
+  test("Influx u64 overflow rejected") {
+    intercept[Exception] {
+      InfluxLineProtocol.parse(
+        Seq("m f=18446744073709551615u").toDS(), "b", "o", "ns").collect()
+    }
+  }
+}
