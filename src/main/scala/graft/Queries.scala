@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.adapters.EventsAdapter
 import graft.exporters.Exporters
 import graft.operators.{AsOfJoin, LabelMatcher, Matchers, SensorOps}
+import graft.prometheus.{PrometheusRemote, XorChunk}
+import graft.promql.SimplePromQL
 import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
 
 /** Registry of driver-checked queries.
@@ -371,6 +373,113 @@ object Queries {
         .groupBy("user_tag")
         .agg(count(lit(1)).as("n"), dsum(col("double_value")).as("sum_value"))
         .orderBy("user_tag")
+    },
+
+    // ---------------------------------------------------------------------
+    // §3.1: restricted PromQL end-to-end — parse `view{user="7"}[31d]` at a
+    // pinned evaluation time, compile matchers to a catalog predicate,
+    // range-scan the samples (reference: src/ingestors/http/
+    // simple_promql.rs:258-324). now = 2024-02-01T00:00:00Z.
+    q(
+      "q19_promql",
+      """SELECT epoch_us(ts) AS timestamp_us, value
+        |FROM events
+        |WHERE event_type = 'view' AND user_id = 7
+        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
+        |ORDER BY timestamp_us"""
+    ) { (s, d) =>
+      val parsed = SimplePromQL.parse("""view{user="7"}[31d]""",
+        1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(col("name"), col("labels").getItem("user").as("user"))
+      EventsAdapter.samples(s, d)
+        .join(broadcast(selected),
+          Seq("user")) // user + matching name
+        .filter(col("sensor_name") === col("name"))
+        .filter(col("timestamp_us").between(parsed.startUs, parsed.endUs))
+        .select("timestamp_us", "value")
+        .orderBy("timestamp_us")
+    },
+
+    // S13: Gorilla/XOR chunk encode→decode roundtrip, one chunk per sensor,
+    // distributed via groupByKey (reference:
+    // src/parsing/prometheus/chunk_encoder.rs:19-74). Oracle is the raw
+    // samples at Prometheus ms precision.
+    q(
+      "q20_gorilla_roundtrip",
+      """SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
+        |  epoch_ms(ts) AS timestamp_ms, value
+        |FROM events ORDER BY sensor_name, user_tag, timestamp_ms"""
+    ) { (s, d) =>
+      import s.implicits._
+      EventsAdapter.samples(s, d)
+        .select(col("sensor_name"), col("user"),
+          (col("timestamp_us") / 1000).cast("long").as("timestamp_ms"),
+          col("value"))
+        .as[(String, String, Long, Double)]
+        .groupByKey { case (name, user, _, _) => (name, user) }
+        .flatMapGroups { (key: (String, String),
+            rows: Iterator[(String, String, Long, Double)]) =>
+          val samples = rows.toSeq.sortBy(_._3)
+            .map(r => XorChunk.Sample(r._3, r._4))
+          XorChunk.decode(XorChunk.encode(samples))
+            .map(x => (key._1, key._2, x.timestampMs, x.value))
+        }
+        .toDF("sensor_name", "user_tag", "timestamp_ms", "value")
+        .orderBy("sensor_name", "user_tag", "timestamp_ms")
+    },
+
+    // S5/S12: Prometheus remote-write bytes (protobuf + snappy) built per
+    // series, then decompressed and parsed back — the full ingest codec
+    // path, distributed (reference:
+    // src/ingestors/http/prometheus_write.rs:100-180).
+    q(
+      "q21_remote_write_roundtrip",
+      """SELECT sensor_name, user_tag, timestamp_ms, value FROM (
+        |  SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
+        |    epoch_ms(ts) AS timestamp_ms, value
+        |  FROM events WHERE event_type IN ('signup', 'error'))
+        |ORDER BY sensor_name, user_tag, timestamp_ms"""
+    ) { (s, d) =>
+      import s.implicits._
+      EventsAdapter.samples(s, d)
+        .filter(col("sensor_name").isin("signup", "error"))
+        .select(col("sensor_name"), col("user"),
+          (col("timestamp_us") / 1000).cast("long").as("timestamp_ms"),
+          col("value"))
+        .as[(String, String, Long, Double)]
+        .groupByKey { case (name, user, _, _) => (name, user) }
+        .flatMapGroups { (key: (String, String),
+            rows: Iterator[(String, String, Long, Double)]) =>
+          import PrometheusRemote._
+          val (name, user) = key
+          // encode one WriteRequest per series
+          val w = new ProtoWriter
+          val tsw = new ProtoWriter
+          Seq(Label("__name__", name), Label("user", user))
+            .foreach { l =>
+              val lw = new ProtoWriter
+              lw.string(1, l.name); lw.string(2, l.value)
+              tsw.message(1, lw)
+            }
+          rows.toSeq.sortBy(_._3).foreach { r =>
+            val sw = new ProtoWriter
+            sw.double(1, r._4); sw.int64(2, r._3)
+            tsw.message(2, sw)
+          }
+          w.message(1, tsw)
+          val wire = snappyCompressLiteral(w.result())
+          // decode path: snappy + protobuf parse
+          val req = parseWriteRequest(snappyDecompress(wire))
+          req.timeseries.flatMap { ts =>
+            val n = ts.labels.find(_.name == "__name__").map(_.value).get
+            val u = ts.labels.find(_.name == "user").map(_.value).get
+            ts.samples.map(sm => (n, u, sm.timestampMs, sm.value))
+          }
+        }
+        .toDF("sensor_name", "user_tag", "timestamp_ms", "value")
+        .orderBy("sensor_name", "user_tag", "timestamp_ms")
     }
   )
 

@@ -1,0 +1,115 @@
+package graft
+
+import graft.prometheus.{PrometheusRemote, XorChunk}
+import graft.prometheus.XorChunk.Sample
+import org.scalatest.funsuite.AnyFunSuite
+
+class XorChunkSpec extends AnyFunSuite {
+
+  test("golden header: count + first sample layout") {
+    val bytes = XorChunk.encode(Seq(Sample(1000, 1.0)))
+    // 2-byte BE count = 1
+    assert(bytes(0) == 0 && bytes(1) == 1)
+    // varint(zigzag(1000)) = zigzag -> 2000 -> [0xD0, 0x0F]
+    assert((bytes(2) & 0xff) == 0xd0 && (bytes(3) & 0xff) == 0x0f)
+    // 8 raw value bytes MSB-first: 1.0 = 0x3FF0000000000000
+    assert((bytes(4) & 0xff) == 0x3f && (bytes(5) & 0xff) == 0xf0)
+  }
+
+  test("roundtrip: constant series (xor==0 path)") {
+    val in = (0 until 100).map(i => Sample(1700000000000L + i * 15000L, 42.0))
+    assert(XorChunk.decode(XorChunk.encode(in)) == in)
+  }
+
+  test("roundtrip: varying values and irregular deltas") {
+    val rnd = new scala.util.Random(7)
+    var t = 1700000000000L
+    val in = (0 until 500).map { _ =>
+      t += 1 + rnd.nextInt(100000)
+      Sample(t, rnd.nextDouble() * math.pow(10, rnd.nextInt(10)))
+    }
+    assert(XorChunk.decode(XorChunk.encode(in)) == in)
+  }
+
+  test("roundtrip: negative values, NaN bits, extreme dod buckets") {
+    val in = Seq(
+      Sample(0, -1.5), Sample(1, Double.MaxValue),
+      Sample(1000000, Double.MinPositiveValue),
+      Sample(1000001, 0.0), Sample(5000000000L, -0.0),
+      Sample(5000000001L, Double.NaN))
+    val out = XorChunk.decode(XorChunk.encode(in))
+    assert(out.map(_.timestampMs) == in.map(_.timestampMs))
+    assert(out.zip(in).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a.value) ==
+        java.lang.Double.doubleToLongBits(b.value)
+    })
+  }
+
+  test("empty and single-sample chunks") {
+    assert(XorChunk.decode(XorChunk.encode(Nil)).isEmpty)
+    val one = Seq(Sample(123456789L, 3.14))
+    assert(XorChunk.decode(XorChunk.encode(one)) == one)
+  }
+
+  test("snappy literal compress/decompress roundtrip") {
+    val data = Array.tabulate[Byte](100000)(i => (i % 251).toByte)
+    val c = PrometheusRemote.snappyCompressLiteral(data)
+    assert(PrometheusRemote.snappyDecompress(c).toSeq == data.toSeq)
+  }
+
+  test("snappy copy-op decompression (RLE pattern)") {
+    // hand-built: uncompressed len 8, literal [a b], copy offset 2 len 6
+    // 1-byte-offset copy: tag = (len-4)<<2 | 1, offset high 3 bits in tag
+    val input = Array[Byte](
+      8, // uvarint length
+      (1 << 2).toByte, 'a'.toByte, 'b'.toByte, // literal len 2
+      (((6 - 4) << 2) | 1).toByte, 2 // copy len 6 offset 2
+    )
+    assert(new String(PrometheusRemote.snappyDecompress(input)) == "abababab")
+  }
+
+  test("WriteRequest protobuf roundtrip through our writer/reader") {
+    import PrometheusRemote._
+    // build a WriteRequest using the ProtoWriter (mirrors prompb schema)
+    val w = new ProtoWriter
+    val ts = new ProtoWriter
+    val l1 = new ProtoWriter
+    l1.string(1, "__name__"); l1.string(2, "cpu")
+    ts.message(1, l1)
+    val l2 = new ProtoWriter
+    l2.string(1, "host"); l2.string(2, "a")
+    ts.message(1, l2)
+    val s1 = new ProtoWriter
+    s1.double(1, 0.5); s1.int64(2, 1700000000000L)
+    ts.message(2, s1)
+    w.message(1, ts)
+    val parsed = parseWriteRequest(w.result())
+    assert(parsed.timeseries.length == 1)
+    assert(parsed.timeseries.head.labels ==
+      Seq(Label("__name__", "cpu"), Label("host", "a")))
+    assert(parsed.timeseries.head.samples ==
+      Seq(PrometheusRemote.Sample(0.5, 1700000000000L)))
+  }
+
+  test("chunked response frame: varint length + CRC32C + payload") {
+    val frame = PrometheusRemote.encodeChunkedResponse(0,
+      Seq((Seq(PrometheusRemote.Label("__name__", "cpu")),
+        Seq(XorChunk.Sample(1000, 1.0), XorChunk.Sample(2000, 2.0)))))
+    // varint length first
+    var i = 0
+    var len = 0L
+    var shift = 0
+    var b = 0
+    while ({ b = frame(i) & 0xff; i += 1; (b & 0x80) != 0 }) {
+      len |= (b & 0x7fL) << shift; shift += 7
+    }
+    len |= b.toLong << shift
+    assert(len == frame.length - i - 4)
+    val crc = new java.util.zip.CRC32C
+    crc.update(frame, i + 4, frame.length - i - 4)
+    val expected = crc.getValue
+    val got = ((frame(i) & 0xffL) << 24) | ((frame(i + 1) & 0xffL) << 16) |
+      ((frame(i + 2) & 0xffL) << 8) | (frame(i + 3) & 0xffL)
+    assert(got == expected)
+  }
+}
