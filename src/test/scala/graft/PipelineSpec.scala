@@ -1,0 +1,127 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("languageId identifies real multilingual text") {
+    val docs = Seq(
+      ("en", "the cat sat on the mat and it was happy"),
+      ("fr", "le chat est sur le tapis et il est pour la vie"),
+      ("de", "der Hund ist nicht auf der Matte und das ist gut"),
+      ("es", "el perro es feliz y la casa es grande para el"),
+      ("zh", "我 是 一个 在 中 国 的 人 他 们 不 来"),
+      ("und", "zxqv wvut qqq")).toDF("expected", "text")
+    val got = docs.select(col("expected"),
+      TextAnalysis.languageId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("quality metrics") {
+    val m = Seq("The quick, brown fox!").toDF("text")
+      .select(TextAnalysis.qualityMetrics(col("text")).as("m"))
+      .select("m.*").collect().head
+    assert(m.getAs[Int]("n_chars") == 21)
+    assert(m.getAs[Int]("n_tokens") == 4)
+    assert(m.getAs[Double]("punct_ratio") > 0) // the comma
+    assert(m.getAs[Double]("stopword_ratio") == 0.25) // "the"
+  }
+
+  test("shingles: n-gram generation and short-doc guard") {
+    val got = Seq("a b c d", "a b").toDF("text")
+      .select(TextAnalysis.shingles(
+        TextAnalysis.whitespaceTokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("exact n-gram jaccard finds hand-built near-dups") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"), // one token changed
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 1L && pairs.head._2 == 2L)
+    // 8 shingles each; only the last shingle (w8 w9 w10/w11) differs
+    // -> common 7, union 9
+    assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on testdata") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5, 64, 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain near-dup pairs")
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide, near-dups are close") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val hashes = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force cosine top-k on known vectors") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "vec")
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("query_id", "qvec")
+    val got = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("rank", "vec_id", "cosine")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(3L, 2L, 4L))
+    assert(math.abs(got(0)._3 - math.sqrt(2) / 2) < 1e-12)
+    assert(got(1)._3 == 0.0 && got(2)._3 == -1.0)
+  }
+
+  test("LSH top-k achieves high recall vs brute force on testdata") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(queries, e, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // isotropic random vectors are LSH's worst case; 4 bits with 2-bit
+    // multi-probe gives p_candidate ≈ 0.8 for ~65° true neighbors
+    val approx = Similarity.lshTopK(queries, e, 5, bits = 4, probeHamming = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("multimodal decode: batch shape, determinism, feature contract") {
+    val media = Multimodal.mediaFromDocuments(
+      spark, Tables.documents(spark, sf))
+    val feats = Multimodal.decode(media).collect()
+    assert(feats.length == media.count())
+    assert(feats.forall(_.feature.length == 8))
+    // deterministic: second run identical
+    val again = Multimodal.decode(media).collect()
+    assert(feats.map(f => (f.media_id, f.checksum)).toSet ==
+      again.map(f => (f.media_id, f.checksum)).toSet)
+    // n_bytes matches source text length (ASCII corpus)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .as[(Long, Long)].collect().toMap
+    assert(feats.forall(f => f.n_bytes == lens(f.media_id)))
+  }
+}
