@@ -657,6 +657,65 @@ object Queries {
       Multimodal.decode(media)
         .select(col("media_id"), col("n_bytes"), col("n_frames"))
         .orderBy("media_id")
+    },
+
+    // ---------------------------------------------------------------------
+    // T-series: Structured Streaming windowed resample (the doc-only
+    // composite-sensor operator), run as a real streaming query over the
+    // events files with a memory sink, compared against the batch oracle.
+    q(
+      "q32_stream_window",
+      """SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+        |  event_type || ' ' || CAST(user_id AS VARCHAR) AS sensor_id,
+        |  COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) =>
+      // the file stream source requires a directory; expose the single
+      // events.parquet file through a temp dir symlink
+      val streamDir = java.nio.file.Files.createTempDirectory("q32_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val streamSamples =
+        (if (stream.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else stream)
+          .select(concat(col("event_type"), lit(" "), col("user_id"))
+            .as("sensor_id"), col("ts"), col("value"))
+      val agg = graft.streaming.StreamingIngest
+        .windowedResample(streamSamples, "1 day", "1 hour")
+        .drop("avg_value")
+      val name = s"q32_out_${System.nanoTime()}"
+      val query = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name)
+        .orderBy("window_start_us", "sensor_id")
+    },
+
+    // S6: SensorStore write/read roundtrip — month-partitioned sorted
+    // parquet publish, then a pruned range scan over the store.
+    q(
+      "q33_store_roundtrip",
+      """SELECT epoch_us(ts) AS timestamp_us, value
+        |FROM events
+        |WHERE event_type = 'view' AND user_id = 7
+        |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
+        |ORDER BY timestamp_us LIMIT 100"""
+    ) { (s, d) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store").toString
+      val store = new graft.store.SensorStore(s, root)
+      store.publishSamples(graft.model.SensorType.Float,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+      SensorOps.rangeScan(
+        store.samples(graft.model.SensorType.Float), "view 7",
+        Some(1704412800000000L), Some(1705708800000000L), 100)
+        .select("timestamp_us", "value")
     }
   )
 

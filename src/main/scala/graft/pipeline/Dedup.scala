@@ -38,7 +38,7 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    val g = shingleTable(docs, idCol, textCol, n)
+    val g = shingleTable(docs, idCol, textCol, n).cache()
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = g.as("a").join(g.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -53,20 +53,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: k hash functions as salted xxhash64 over distinct
-    * shingles; per-(doc, hash-index) min. Returns (id, pos, minhash).
+  /** Element-wise minimum aggregator over Long arrays — one buffer of k
+    * mins per group instead of a k-way row explosion (k× less shuffle
+    * volume than posexplode+min).
     */
-  def minHashSignatures(
+  private final class ElementwiseMin(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = reduce(b1, b2)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** MinHash signature arrays: k salted xxhash64 values per distinct
+    * shingle, element-wise min per doc. Returns (id, sig: array<long>).
+    * Map-side partial aggregation keeps the shuffle at one k-array per
+    * (doc, partition).
+    */
+  def minHashSignatureArrays(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
     val g = shingleTable(docs, idCol, textCol, n)
-    g.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
-          i => xxhash64(concat(col("sh"), lit("#"), i.cast("string")))))
-          .as(Seq("pos", "h")))
-      .groupBy(col("id"), col("pos"))
-      .agg(min(col("h")).as("minhash"))
+    val hashes = g.select(col("id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => xxhash64(concat(col("sh"), lit("#"), i.cast("string"))))
+        .as("hashes"))
+    val ewMin = udaf(new ElementwiseMin(numHashes))
+    hashes.groupBy(col("id")).agg(ewMin(col("hashes")).as("sig"))
   }
+
+  /** MinHash signatures in long form (id, pos, minhash) — kept as the
+    * row-oriented view of [[minHashSignatureArrays]].
+    */
+  def minHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    minHashSignatureArrays(docs, idCol, textCol, n, numHashes)
+      .select(col("id"), posexplode(col("sig")).as(Seq("pos", "minhash")))
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), bucket-join on (band, band-hash), then verify
@@ -79,14 +111,15 @@ object Dedup {
       n: Int, tau: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
-    val bandHashes = sigs
-      .withColumn("band", (col("pos") / r).cast("int"))
-      .groupBy(col("id"), col("band"))
-      // order rows within the band by pos before hashing the concatenation
-      .agg(xxhash64(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("pos"), col("minhash")))),
-          s => s.getField("minhash").cast("string")))).as("band_hash"))
+    val sigs = minHashSignatureArrays(docs, idCol, textCol, n, numHashes)
+    // band hashes sliced straight out of the signature array — no
+    // collect_list regrouping
+    val bandHashes = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * r + 1, lit(r)),
+            x => x.cast("string"))))))
+        .as(Seq("band", "band_hash")))
     val candidates = bandHashes.as("a").join(bandHashes.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -94,7 +127,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact verification of candidates only
-    val g = shingleTable(docs, idCol, textCol, n)
+    val g = shingleTable(docs, idCol, textCol, n).cache()
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = g.as("ga").join(candidates, col("ga.id") === col("id_a"))
       .join(g.as("gb"),

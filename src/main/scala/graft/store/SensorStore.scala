@@ -1,0 +1,106 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Schemas, SensorType}
+
+/** Parquet-backed sensor store (S6/S14): the Spark-native analog of the
+  * reference's per-type value tables + sensors catalog
+  * (reference: src/storage/sqlite/migrations/20240110093153_init.sql).
+  *
+  * Physical design for scale (SURVEY §4):
+  *  - one directory per value type, partitioned by `month` (yyyyMM of the
+  *    sample timestamp) — the ClickHouse monthly-partition analog; time-
+  *    range predicates prune partitions before any IO
+  *    (reference: src/storage/clickhouse/migrations/
+  *    20240223133248_init.sql:33-115);
+  *  - rows sorted within files by (sensor_id, timestamp_us) via
+  *    sortWithinPartitions — parquet min/max row-group stats then act as
+  *    the (sensor_id, timestamp_us) index for pushed-down filters;
+  *  - the sensors catalog is a small parquet table deduped on uuid at
+  *    publish time (latest metadata wins), always broadcastable.
+  */
+final class SensorStore(spark: SparkSession, root: String) {
+
+  private def valueDir(t: SensorType) = s"$root/values_${t.displayName.toLowerCase}"
+  private val catalogDir = s"$root/sensors"
+
+  /** Append samples of one type. `samples`: (sensor_id, timestamp_us,
+    * value) in the canonical layout.
+    */
+  def publishSamples(t: SensorType, samples: DataFrame): Unit =
+    samples
+      .withColumn("month",
+        date_format(timestamp_micros(col("timestamp_us")), "yyyyMM"))
+      .repartition(col("month"), col("sensor_id"))
+      .sortWithinPartitions("sensor_id", "timestamp_us")
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("month")
+      .parquet(valueDir(t))
+
+  /** Merge sensors into the catalog: dedup on uuid, existing row wins
+    * (metadata is immutable given content-addressed uuids).
+    */
+  def publishSensors(sensors: DataFrame): Unit = {
+    val merged = (if (exists(catalogDir))
+      spark.read.parquet(catalogDir).unionByName(sensors)
+    else sensors)
+      .dropDuplicates("uuid")
+      .cache()
+    merged.count() // materialize before overwriting the source
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$catalogDir.tmp")
+    merged.unpersist()
+    // atomic-ish swap (same filesystem)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(catalogDir)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$catalogDir.tmp"), dst)
+  }
+
+  def sensors: DataFrame =
+    if (exists(catalogDir)) spark.read.parquet(catalogDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.sensors)
+
+  /** Typed sample scan; Catalyst prunes `month` partitions from pushed
+    * timestamp predicates applied by callers.
+    */
+  def samples(t: SensorType): DataFrame =
+    if (exists(valueDir(t)))
+      spark.read.parquet(valueDir(t)).drop("month")
+    else {
+      val schema = Schemas.samples(t)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Vacuum (S14): compact each month partition of a value table to
+    * size-targeted files, keeping the (sensor_id, timestamp_us) sort
+    * (reference: src/storage/sqlite/storage.rs:79-86 — SQLite VACUUM /
+    * ClickHouse OPTIMIZE TABLE analog).
+    */
+  def vacuum(t: SensorType, targetPartitions: Int = 1): Unit = {
+    if (!exists(valueDir(t))) return
+    val dir = valueDir(t)
+    val df = spark.read.parquet(dir).cache()
+    df.count()
+    df.repartition(targetPartitions, col("month"))
+      .sortWithinPartitions("sensor_id", "timestamp_us")
+      .write.mode(SaveMode.Overwrite).partitionBy("month")
+      .parquet(s"$dir.tmp")
+    df.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir.tmp"), dst)
+  }
+
+  private def exists(path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path))
+  }
+}

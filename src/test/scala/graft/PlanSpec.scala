@@ -1,0 +1,66 @@
+package graft
+
+import graft.adapters.EventsAdapter
+import graft.operators.SensorOps
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: these pin the *scale* properties, not just
+  * results — filters reach the parquet scan, small dims broadcast,
+  * rank<=k becomes WindowGroupLimit, projections prune the read schema.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("range scan pushes sensor and time predicates into the parquet scan") {
+    val store = new graft.store.SensorStore(spark,
+      java.nio.file.Files.createTempDirectory("plan_store").toString)
+    store.publishSamples(graft.model.SensorType.Float,
+      EventsAdapter.samples(spark, sf)
+        .select("sensor_id", "timestamp_us", "value"))
+    val plan = planOf(SensorOps.rangeScan(
+      store.samples(graft.model.SensorType.Float), "view 7",
+      Some(0L), Some(Long.MaxValue / 2), 10))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("IsNotNull(sensor_id)") ||
+      plan.contains("EqualTo(sensor_id,view 7)"), plan)
+    // plan text truncates long filter lists; match the prefix
+    assert(plan.contains("GreaterThanOrEqual(tim"), plan)
+  }
+
+  test("catalog join broadcasts the small side") {
+    val q = Queries.all("q9_join_broadcast")(spark, sf)
+    assert(planOf(q).contains("BroadcastHashJoin"), planOf(q))
+  }
+
+  test("per-sensor limit plans WindowGroupLimit (no full per-group sort)") {
+    val q = SensorOps.perSensorLimit(EventsAdapter.samples(spark, sf), 3)
+    assert(planOf(q).contains("WindowGroupLimit"), planOf(q))
+  }
+
+  test("global top-k plans TakeOrderedAndProject (no total sort)") {
+    val q = Queries.all("q7_global_topk")(spark, sf)
+    assert(planOf(q).contains("TakeOrderedAndProject"), planOf(q))
+  }
+
+  test("aggregation prunes the read schema to referenced columns") {
+    val q = Queries.all("q1_agg")(spark, sf)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"), scan)
+    // only the 4 referenced lineitem columns are read
+    assert(!scan.contains("l_shipdate"), "unreferenced column in scan")
+    assert(!scan.contains("l_partkey"), "unreferenced column in scan")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    // codegen stages render as "*(n)" prefixes, but only in the FINAL
+    // adaptive plan — run the query first
+    val q = Queries.all("q1_agg")(spark, sf)
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("*(1)"), finalPlan)
+  }
+}
