@@ -716,6 +716,35 @@ object Queries {
         store.samples(graft.model.SensorType.Float), "view 7",
         Some(1704412800000000L), Some(1705708800000000L), 100)
         .select("timestamp_us", "value")
+    },
+
+    // S3/S11: Arrow IPC export→import roundtrip, one IPC file per sensor,
+    // distributed (reference: src/exporters/arrow/mod.rs:17-105,
+    // src/importers/arrow.rs:26-52). Oracle is the raw samples (µs-exact —
+    // Arrow timestamps are µs-native).
+    q(
+      "q34_arrow_roundtrip",
+      """SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
+        |  epoch_us(ts) AS timestamp_us, value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |ORDER BY sensor_name, user_tag, timestamp_us"""
+    ) { (s, d) =>
+      import s.implicits._
+      EventsAdapter.samples(s, d)
+        .filter(col("sensor_name").isin("click", "purchase"))
+        .select(col("sensor_name"), col("user"), col("timestamp_us"),
+          col("value"))
+        .as[(String, String, Long, Double)]
+        .groupByKey { case (name, user, _, _) => (name, user) }
+        .flatMapGroups { (key: (String, String),
+            rows: Iterator[(String, String, Long, Double)]) =>
+          val samples = rows.toSeq.sortBy(_._3).map(r => (r._3, r._4))
+          val bytes = graft.sources.ArrowIO.encodeFloatSeries(samples)
+          graft.sources.ArrowIO.decodeFloatSeries(bytes)
+            .map(x => (key._1, key._2, x._1, x._2))
+        }
+        .toDF("sensor_name", "user_tag", "timestamp_us", "value")
+        .orderBy("sensor_name", "user_tag", "timestamp_us")
     }
   )
 

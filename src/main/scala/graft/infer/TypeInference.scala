@@ -250,7 +250,7 @@ object TypeInference {
 }
 
 /** Minimal strict JSON validity check (no external deps). */
-private[infer] object JsonMini {
+private[graft] object JsonMini {
   def isValid(s: String): Boolean = {
     val p = new Parser(s)
     try { p.skipWs(); p.value(); p.skipWs(); p.done } catch { case _: Exception => false }

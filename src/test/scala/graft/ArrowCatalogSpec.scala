@@ -1,0 +1,114 @@
+package graft
+
+import graft.adapters.EventsAdapter
+import graft.catalog.Catalog
+import graft.operators.{LabelMatcher, SensorOps}
+import graft.prometheus.RemoteRead
+import graft.sources.ArrowIO
+import org.apache.spark.sql.functions._
+
+class ArrowCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Arrow IPC float series roundtrip (S3/S11)") {
+    val in = Seq((1700000000000000L, 1.5), (1700000001000000L, -2.5),
+      (1700000002000000L, Double.MaxValue))
+    assert(ArrowIO.decodeFloatSeries(ArrowIO.encodeFloatSeries(in)) == in)
+  }
+
+  test("Arrow IPC long-format multi-series roundtrip") {
+    val in = Seq(
+      ArrowIO.LongRow(1700000000000000L, "u1", "temp", "20.5", "float",
+        """{"env":"prod"}"""),
+      ArrowIO.LongRow(1700000001000000L, "u2", "hum", "65", "integer", "{}"))
+    assert(ArrowIO.decodeLongFormat(ArrowIO.encodeLongFormat(in)) == in)
+  }
+
+  test("Arrow import requires timestamp and value columns") {
+    val bad = ArrowIO.encodeLongFormat(Seq(
+      ArrowIO.LongRow(0L, "a", "b", "c", "d", "e")))
+    intercept[IllegalArgumentException](ArrowIO.decodeFloatSeries(bad))
+  }
+
+  test("metric filters: substring, regex, type (P3)") {
+    val metrics = SensorOps.metricsSummary(EventsAdapter.sensors(spark, sf))
+    assert(Catalog.filterMetrics(metrics, nameSubstring = Some("CLICK"))
+      .select("name").as[String].collect().toSeq == Seq("click"))
+    assert(Catalog.filterMetrics(metrics, nameRegex = Some("^(view|error)$"))
+      .count() == 2)
+    assert(Catalog.filterMetrics(metrics, sensorType = Some("float"))
+      .count() == 5)
+    assert(Catalog.filterMetrics(metrics, sensorType = Some("integer"))
+      .count() == 0)
+  }
+
+  test("selector parsing: bare braces and metric-with-labels") {
+    assert(Catalog.parseSelector("""{env="prod"}""") ==
+      Seq(LabelMatcher.Eq("env", "prod")))
+    // metric name is ignored for series filtering
+    assert(Catalog.parseSelector("""cpu{env=~"pr.*"}""") ==
+      Seq(LabelMatcher.Re("env", "pr.*")))
+  }
+
+  test("DCAT series dataset shape") {
+    val ds = Catalog.seriesDatasets(EventsAdapter.sensors(spark, sf))
+      .select("dataset").as[String].head()
+    assert(ds.contains(""""@type":"dcat:Dataset""""))
+    assert(ds.contains(""""dcat:downloadURL""""))
+    assert(ds.contains("format=senml"))
+    assert(ds.contains(""""dcat:keyword":["sensor","IoT","time-series","float","user"]"""))
+    // prometheus-style @id with labels
+    assert(ds.contains("""{user=\""""))
+  }
+
+  test("DCAT metrics dataset + catalog document") {
+    val metrics = SensorOps.metricsSummary(EventsAdapter.sensors(spark, sf))
+    val ds = Catalog.metricsDatasets(metrics)
+      .select("dataset").as[String].collect()
+    assert(ds.length == 5)
+    assert(ds.forall(_.contains(""""sensor:seriesCount"""")))
+    val doc = Catalog.catalogDocument(ds.toSeq, "sensapp_metrics_catalog",
+      "SensApp Metrics Catalog", "Catalog of aggregated metrics")
+    assert(doc.contains(""""@type":"dcat:Catalog""""))
+    // whole document parses as JSON
+    assert(graft.infer.JsonMini.isValid(doc))
+  }
+
+  test("remote read end-to-end: SAMPLES and chunked frames (§3.3)") {
+    val sensors = EventsAdapter.sensors(spark, sf)
+    val samples = EventsAdapter.samples(spark, sf)
+      .select(
+        concat(col("sensor_name"), lit(" "), col("user")).as("__ignore"),
+        col("sensor_id"), col("timestamp_us"), col("value"))
+      .drop("__ignore")
+    // samples use "name user" ids; remote read joins on catalog uuid, so
+    // re-key samples by uuid via the catalog
+    val keyed = EventsAdapter.samples(spark, sf)
+      .join(broadcast(sensors.select(col("uuid"),
+        col("name").as("sensor_name"),
+        col("labels").getItem("user").as("user"))),
+        Seq("sensor_name", "user"))
+      .select(col("uuid").as("sensor_id"), col("timestamp_us"), col("value"))
+    val q = RemoteRead.Query(0L, 4102444800000L,
+      Seq(LabelMatcher.Eq("__name__", "view"), LabelMatcher.Eq("user", "7")))
+    val series = RemoteRead.collectSeries(
+      RemoteRead.plan(sensors, keyed, q))
+    assert(series.length == 1)
+    val (labels, ss) = series.head
+    assert(labels.map(_.name) == Seq("__name__", "user"))
+    assert(ss.nonEmpty)
+    val bytes = RemoteRead.samplesResponse(sensors, keyed, Seq(q))
+    assert(bytes.nonEmpty)
+    val chunked = RemoteRead.chunkedResponse(sensors, keyed, Seq(q))
+    assert(chunked.nonEmpty)
+    // chunked payload decodes back to the same sample count
+    var i = 0; var len = 0L; var shift = 0; var b = 0
+    while ({ b = chunked(i) & 0xff; i += 1; (b & 0x80) != 0 }) {
+      len |= (b & 0x7fL) << shift; shift += 7
+    }
+    len |= b.toLong << shift
+    assert(len == chunked.length - i - 4) // single frame
+  }
+}
