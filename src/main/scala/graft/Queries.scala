@@ -556,8 +556,10 @@ object Queries {
         |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
+      // 8 bands × 4 rows: P[miss] at j≈0.98 is (1-j⁴)^8 ≈ 1e-9, false-
+      // candidate rate at j≈0.2 ≈ 1%, at half the signature cost of 64
       Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, tau = 0.5, numHashes = 64, bands = 16)
+        n = 3, tau = 0.5, numHashes = 32, bands = 8)
         .orderBy("id_a", "id_b")
     },
 
@@ -745,6 +747,106 @@ object Queries {
         }
         .toDF("sensor_name", "user_tag", "timestamp_us", "value")
         .orderBy("sensor_name", "user_tag", "timestamp_us")
+    },
+
+    // ---------------------------------------------------------------------
+    // Json value type (§1.2): label/property extraction from JSON columns
+    // with Spark's JSON functions (the reference stores Json samples as
+    // canonical JSON text — SURVEY §1.2).
+    q(
+      "q35_json_props",
+      """SELECT event_type AS name, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+        |FROM events GROUP BY name ORDER BY name"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type").as("name"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"))
+        .orderBy("name")
+    },
+
+    // Location value type (§1.2): lat/lon struct samples exported to the
+    // reference's `timestamp,latitude,longitude` CSV shape (S7) and parsed
+    // back. Coordinates derived deterministically from the data.
+    q(
+      "q36_location_csv",
+      """SELECT epoch_ms(ts) * 1000 AS timestamp_us,
+        |  value % 90 AS latitude, (value * 2) % 180 AS longitude
+        |FROM events WHERE event_type = 'signup' AND user_id = 11
+        |ORDER BY timestamp_us"""
+    ) { (s, d) =>
+      val locs = EventsAdapter.samples(s, d)
+        .filter(col("sensor_id") === "signup 11")
+        .select(col("timestamp_us"),
+          (col("value") % 90).as("latitude"),
+          ((col("value") * 2) % 180).as("longitude"))
+      // S7 Location CSV: timestamp,latitude,longitude
+      val lines = locs.orderBy("timestamp_us")
+        .select(concat_ws(",",
+          Exporters.rfc3339(col("timestamp_us")),
+          col("latitude").cast("string"),
+          col("longitude").cast("string")).as("line"))
+      val raw = lines.select(
+        split(col("line"), ",").getItem(0).as("timestamp"),
+        split(col("line"), ",").getItem(1).as("latitude"),
+        split(col("line"), ",").getItem(2).as("longitude"))
+      val batch = CsvImporter.importFrames(s, raw)
+      // wide import: latitude and longitude become two Float sensors;
+      // join them back into Location structs on the timestamp
+      val f = batch.samples(graft.model.SensorType.Float)
+      val lat = f.filter(col("sensor_id") ===
+        graft.model.Sensor.deriveUuid("latitude", graft.model.SensorType.Float))
+        .select(col("timestamp_us"), col("value").as("latitude"))
+      val lon = f.filter(col("sensor_id") ===
+        graft.model.Sensor.deriveUuid("longitude", graft.model.SensorType.Float))
+        .select(col("timestamp_us"), col("value").as("longitude"))
+      lat.join(lon, "timestamp_us").orderBy("timestamp_us")
+    },
+
+    // All-typed store roundtrip (§1.2): Integer/Boolean/Numeric tables
+    // derived from events, published through SensorStore, aggregated per
+    // type on read-back.
+    q(
+      "q37_typed_store",
+      """SELECT * FROM (
+        |  SELECT 'Integer' AS type, COUNT(*) AS n,
+        |    CAST(SUM(user_id) AS DOUBLE) AS agg FROM events
+        |  UNION ALL
+        |  SELECT 'Boolean' AS type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS DOUBLE) AS agg
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'Numeric' AS type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS agg FROM events
+        |) ORDER BY type"""
+    ) { (s, d) =>
+      import graft.model.SensorType
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_typed_store").toString
+      val store = new graft.store.SensorStore(s, root)
+      val base = EventsAdapter.samples(s, d)
+      store.publishSamples(SensorType.Integer,
+        base.select(col("sensor_id"), col("timestamp_us"),
+          col("user").cast("long").as("value")))
+      store.publishSamples(SensorType.Boolean,
+        base.select(col("sensor_id"), col("timestamp_us"),
+          (col("value") > 10).as("value")))
+      store.publishSamples(SensorType.Numeric,
+        base.select(col("sensor_id"), col("timestamp_us"),
+          col("value").cast("decimal(38,18)").as("value")))
+      def aggOf(t: SensorType, agg: Column): DataFrame =
+        store.samples(t).agg(count(lit(1)).as("n"), agg.as("agg"))
+          .select(lit(t.displayName).as("type"), col("n"), col("agg"))
+      aggOf(SensorType.Integer, sum(col("value")).cast("double"))
+        .unionByName(aggOf(SensorType.Boolean,
+          sum(when(col("value"), 1).otherwise(0)).cast("double")))
+        .unionByName(aggOf(SensorType.Numeric,
+          sum(col("value").cast("decimal(18,2)")).cast("double")))
+        .orderBy("type")
     }
   )
 

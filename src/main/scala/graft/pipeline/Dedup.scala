@@ -83,6 +83,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
     val g = shingleTable(docs, idCol, textCol, n)
+    // salted string hashing: measured fastest of three variants (numeric
+    // re-hash schemes run slower because HOF lambdas are interpreted, and
+    // a linear h1+i*h2 scheme loses LSH recall)
     val hashes = g.select(col("id"),
       transform(sequence(lit(0), lit(numHashes - 1)),
         i => xxhash64(concat(col("sh"), lit("#"), i.cast("string"))))
