@@ -847,6 +847,56 @@ object Queries {
         .unionByName(aggOf(SensorType.Numeric,
           sum(col("value").cast("decimal(18,2)")).cast("double")))
         .orderBy("type")
+    },
+
+    // S8: multi-series long CSV with the sorted union of label keys as
+    // columns (reference: src/exporters/csv.rs:125-172) — exported, parsed
+    // back, aggregated.
+    q(
+      "q38_csv_multi",
+      """SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type IN ('error', 'signup') AND user_id < 20
+        |GROUP BY sensor_name, user_tag ORDER BY sensor_name, user_tag"""
+    ) { (s, d) =>
+      val long = EventsAdapter.samples(s, d)
+        .filter(col("sensor_name").isin("error", "signup") &&
+          col("user").cast("int") < 20)
+        .select(col("timestamp_us"), col("sensor_id"), col("sensor_name"),
+          col("value").cast("string").as("value"),
+          lit("Float").as("type"),
+          map(lit("user"), col("user")).as("labels"))
+      val (header, lines) = Exporters.toCsvMulti(long)
+      require(header == "timestamp,sensor_id,sensor_name,value,type,user")
+      lines.toDF("line")
+        .select(split(col("line"), ",").as("f"))
+        .select(col("f").getItem(2).as("sensor_name"),
+          col("f").getItem(5).as("user_tag"),
+          col("f").getItem(3).cast("double").as("value"))
+        .groupBy(col("sensor_name"), col("user_tag"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("sensor_name", "user_tag")
+    },
+
+    // S7 Blob/base64 edge (reference: src/exporters/csv.rs:101-112): text
+    // bytes as blobs, base64-encoded into CSV cells, decoded back.
+    q(
+      "q39_blob_base64",
+      """SELECT doc_id, length(text) AS n_chars, substring(text, 1, 10) AS head
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+    ) { (s, d) =>
+      val blobs = Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      // CSV cell: base64(blob); decode path recovers the payload
+      val cells = blobs.select(col("doc_id"), base64(col("blob")).as("cell"))
+      cells
+        .select(col("doc_id"),
+          decode(unbase64(col("cell")), "UTF-8").as("text"))
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          substring(col("text"), 1, 10).as("head"))
+        .orderBy("doc_id")
     }
   )
 
