@@ -74,21 +74,27 @@ object Dedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** MinHash signature arrays: k salted xxhash64 values per distinct
-    * shingle, element-wise min per doc. Returns (id, sig: array<long>).
+  /** MinHash signature arrays: k xxhash64 values per distinct shingle,
+    * element-wise min per doc. Returns (id, sig: array<long>).
     * Map-side partial aggregation keeps the shuffle at one k-array per
     * (doc, partition).
     */
   def minHashSignatureArrays(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame = {
-    val g = shingleTable(docs, idCol, textCol, n)
-    // salted string hashing: measured fastest of three variants (numeric
-    // re-hash schemes run slower because HOF lambdas are interpreted, and
-    // a linear h1+i*h2 scheme loses LSH recall)
-    val hashes = g.select(col("id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => xxhash64(concat(col("sh"), lit("#"), i.cast("string"))))
+      n: Int, numHashes: Int): DataFrame =
+    signaturesFromShingles(
+      shingleTable(docs, idCol, textCol, n), numHashes)
+
+  /** Hash each shingle string ONCE to a long, then derive the k family
+    * members as codegen'd `xxhash64(h, i)` in an explicit `array(...)`
+    * — a `transform` HOF lambda would be interpreted per element, and
+    * re-reading the string k times is k× the bytes. (A linear h1+i*h2
+    * scheme would be cheaper still but loses LSH recall.)
+    */
+  private def signaturesFromShingles(g: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = g.select(col("id"), xxhash64(col("sh")).as("h"))
+    val hashes = hashed.select(col("id"),
+      array((0 until numHashes).map(i => xxhash64(col("h"), lit(i))): _*)
         .as("hashes"))
     val ewMin = udaf(new ElementwiseMin(numHashes))
     hashes.groupBy(col("id")).agg(ewMin(col("hashes")).as("sig"))
@@ -114,14 +120,14 @@ object Dedup {
       n: Int, tau: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatureArrays(docs, idCol, textCol, n, numHashes)
-    // band hashes sliced straight out of the signature array — no
-    // collect_list regrouping
+    // one shingle table feeds both signatures and verification
+    val g = shingleTable(docs, idCol, textCol, n).cache()
+    val sigs = signaturesFromShingles(g, numHashes)
+    // band hashes sliced straight out of the signature array; xxhash64
+    // hashes the long-array slice directly (codegen'd, no string concat)
     val bandHashes = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * r + 1, lit(r)),
-            x => x.cast("string"))))))
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))): _*))
         .as(Seq("band", "band_hash")))
     val candidates = bandHashes.as("a").join(bandHashes.as("b"),
         col("a.band") === col("b.band") &&
@@ -129,11 +135,15 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification of candidates only
-    val g = shingleTable(docs, idCol, textCol, n).cache()
-    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = g.as("ga").join(candidates, col("ga.id") === col("id_a"))
-      .join(g.as("gb"),
+    // exact verification of candidates only: restrict the shingle table to
+    // docs that appear in a candidate pair (AQE broadcasts the tiny id set)
+    // so the pair-count join shuffles candidate shingles, not the corpus
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val gc = g.join(candIds, Seq("id"), "left_semi")
+    val sizes = gc.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = gc.as("ga").join(candidates, col("ga.id") === col("id_a"))
+      .join(gc.as("gb"),
         col("gb.id") === col("id_b") && col("ga.sh") === col("gb.sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))

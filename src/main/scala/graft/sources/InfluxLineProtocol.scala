@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** InfluxDB line-protocol ingest (S4):
@@ -145,14 +145,72 @@ object InfluxLineProtocol {
     case p => throw new IllegalArgumentException(s"Invalid precision: $p")
   }
 
-  /** Distributed parse of a dataset of lines into the normalized long
-    * layout: sensor_name, labels entries, timestamp_us, typed values.
+  /** Fast-path line shape: unreserved-char measurement/field keys (so
+    * urlencode is the identity), no escapes, no quoted strings, numeric or
+    * boolean field values only, optional integer timestamp. Anything else
+    * — escapes, strings, u64 near overflow, weird floats, reserved label
+    * keys — falls back to the strict recursive parser.
     */
-  def parse(
+  private val FastVal =
+    """(?:-?\d+i|\d{1,18}u|(?i:t|true|f|false)|[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"""
+  private val FastLine =
+    """^[A-Za-z0-9._~-]+(?:,[^,= \\"]+=[^,= \\"]+)* +""" +
+      s"""[A-Za-z0-9._~-]+=$FastVal(?:,[A-Za-z0-9._~-]+=$FastVal)*(?: +-?\\d+)?$$"""
+
+  private def usExpr(raw: Column, precision: String): Column = precision match {
+    // DIV is integral long division (truncates toward zero, same as the
+    // strict path's `_ / 1000`); a double divide would lose precision on
+    // ns epochs > 2^53
+    case "ns" => call_function("div", raw.cast("long"), lit(1000L))
+    case "us" => raw.cast("long")
+    case "ms" => raw.cast("long") * 1000
+    case "s" => raw.cast("long") * 1000000L
+    case p => throw new IllegalArgumentException(s"Invalid precision: $p")
+  }
+
+  /** Codegen'd columnar parse of fast-path lines: split/str_to_map/rlike
+    * Column ops end to end, no per-row Scala objects.
+    */
+  private def parseColumnar(
+      df: DataFrame, bucket: String, org: String, precision: String): DataFrame = {
+    val t = trim(col("line"))
+    val parts = split(t, " +")
+    val head = parts.getItem(0)
+    val comma = locate(",", head)
+    val labels = when(comma > 0,
+      map_concat(
+        map(lit("influxdb_bucket"), lit(bucket), lit("influxdb_org"), lit(org)),
+        str_to_map(head.substr(comma + 1, length(head)), lit(","), lit("="))))
+      .otherwise(map().cast("map<string,string>"))
+    val ts = when(size(parts) >= 3, usExpr(parts.getItem(2), precision))
+    val withKv = df.select(
+      head.as("head0"), labels.as("labels"), ts.as("timestamp_us"),
+      explode(split(parts.getItem(1), ",")).as("kv"))
+    val k = substring_index(col("kv"), "=", 1)
+    val v = expr("substring(kv, instr(kv, '=') + 1)")
+    val vtype = when(v.rlike("^(-?\\d+i|\\d{1,18}u)$"), "Integer")
+      .when(v.rlike("^(?i:t|true|f|false)$"), "Boolean")
+      .otherwise("Float")
+    withKv.select(
+      concat(substring_index(col("head0"), ",", 1), lit(" "), k).as("sensor_name"),
+      col("labels"), col("timestamp_us"),
+      vtype.as("type"),
+      when(vtype === "Integer",
+        regexp_replace(v, "[iu]$", "").cast("long")).as("long_value"),
+      when(vtype === "Float", v.cast("double")).as("double_value"),
+      lit(null).cast("string").as("string_value"),
+      when(vtype === "Boolean", lower(v).startsWith("t")).as("bool_value"))
+  }
+
+  /** Strict recursive-descent parse via `flatMap` — handles escapes,
+    * quoted strings, u64 range checks, and raises on malformed lines
+    * exactly like the reference handler.
+    */
+  private def parseFlatMap(
       lines: Dataset[String],
       bucket: String,
       org: String,
-      precision: String = "ns"): DataFrame = {
+      precision: String): DataFrame = {
     import lines.sparkSession.implicits._
     val toUs = precisionToMicros(precision)
     lines.flatMap { line =>
@@ -167,5 +225,30 @@ object InfluxLineProtocol {
       }
     }.toDF("sensor_name", "labels", "timestamp_us", "type",
       "long_value", "double_value", "string_value", "bool_value")
+  }
+
+  /** Distributed parse of a dataset of lines into the normalized long
+    * layout: sensor_name, labels entries, timestamp_us, typed values.
+    * Well-formed simple lines take the codegen'd columnar path; the rest
+    * go through the strict parser (which also raises on malformed input).
+    */
+  def parse(
+      lines: Dataset[String],
+      bucket: String,
+      org: String,
+      precision: String = "ns"): DataFrame = {
+    precisionToMicros(precision) // validate precision eagerly
+    val df = lines.toDF("line")
+    val t = trim(col("line"))
+    val nonEmpty = length(t) > 0 && !t.startsWith("#")
+    // reserved label keys and duplicate tag keys need last-wins map merge
+    // (str_to_map would raise under the default dedup policy) — strict path
+    val fast = t.rlike(FastLine) && !t.rlike(",influxdb_(bucket|org)=") &&
+      !t.rlike(""",([^,= \\"]+)=[^,= \\"]*.*[, ]\1=""")
+    import lines.sparkSession.implicits._
+    parseColumnar(df.filter(nonEmpty && fast), bucket, org, precision)
+      .unionByName(parseFlatMap(
+        df.filter(nonEmpty && !fast).select(col("line")).as[String],
+        bucket, org, precision))
   }
 }

@@ -131,4 +131,35 @@ class ImportersSpec extends SparkSpec {
         Seq("m f=18446744073709551615u").toDS(), "b", "o", "ns").collect()
     }
   }
+
+  test("Influx columnar fast path agrees with the strict parser") {
+    // all fast-path shaped; the differential oracle is parseLine itself
+    val lines = Seq(
+      "cpu,host=A usage=64.2 1590488773254420000",
+      "m x=2i,y=3.5,z=TRUE,w=f 1700000000123456789",
+      "m0 v=1e-3",
+      "m.sub_1,a=1,b=2 f0=-42i,f1=.5,f2=9.0e2",
+      "tilde~ok f=0.0 -1",
+      "m f=9223372036854775807i")
+    val got = InfluxLineProtocol.parse(lines.toDS(), "b", "o", "ns")
+      .select("sensor_name", "labels", "timestamp_us", "type",
+        "long_value", "double_value", "string_value", "bool_value")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Map[String, String]](1),
+        Option(r.get(2)), r.getString(3), Option(r.get(4)),
+        Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+      .toSet
+    val expected = lines.flatMap(InfluxLineProtocol.parseLine).map { f =>
+      val name = InfluxLineProtocol.urlencode(f.measurement) + " " +
+        InfluxLineProtocol.urlencode(f.fieldKey)
+      val labels: Map[String, String] =
+        if (f.tags.isEmpty) Map.empty
+        else (Seq("influxdb_bucket" -> "b", "influxdb_org" -> "o")
+          ++ f.tags).toMap
+      (name, labels, f.timestamp.map(_ / 1000): Option[Any], f.valueType,
+        f.longValue: Option[Any], f.doubleValue: Option[Any],
+        f.stringValue: Option[Any], f.boolValue: Option[Any])
+    }.toSet
+    assert(got == expected)
+  }
 }
