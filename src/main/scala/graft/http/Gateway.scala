@@ -1,0 +1,516 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.catalog.Catalog
+import graft.exporters.Exporters
+import graft.infer.TypeInference
+import graft.model.{Sensor, SensorType}
+import graft.operators.{LabelMatcher, Matchers, SensorOps}
+import graft.prometheus.{PrometheusRemote, RemoteRead}
+import graft.promql.SimplePromQL
+import graft.sources.{BodyCodec, CsvImporter, InfluxLineProtocol, SenML}
+import graft.store.SensorStore
+
+/** HTTP gateway over the query/store layer, reproducing the reference's
+  * route surface (reference: src/ingestors/http/server.rs:82-114):
+  * catalog (`/metrics`, `/series`), series data, publish (CSV/SenML),
+  * InfluxDB write, Prometheus remote write/read, simple PromQL, vacuum,
+  * health. Built on the JDK's com.sun.net.httpserver — the HTTP edge is
+  * deliberately thin: every handler composes a DataFrame plan and collects
+  * only the response payload.
+  */
+final class Gateway(
+    spark: SparkSession,
+    store: SensorStore,
+    name: String = "SensApp Spark") {
+
+  private var server: HttpServer = _
+
+  /** Bind and start; port 0 picks an ephemeral port. Returns bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    route("/", (x, _) => respond(x, 200, "application/json", "\"" + name + "\""))
+    route("/health/live", (x, _) => respond(x, 200, "text/plain", "ok"))
+    route("/health/ready", (x, _) => respond(x, 200, "text/plain", "ok"))
+    route("/metrics", handleMetrics)
+    route("/series", handleSeries) // also /series/{uuid}
+    route("/publish", handlePublish)
+    route("/api/v2/write", handleInfluxWrite)
+    route("/api/v1/prometheus_remote_write", handleRemoteWrite)
+    route("/api/v1/prometheus_remote_read", handleRemoteRead)
+    route("/api/v1/query", handlePromql)
+    route("/api/v1/admin/vacuum", handleVacuum)
+    server.setExecutor(null) // serial; the reference handles one spark job at a time anyway
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------------- plumbing
+
+  private def route(path: String, h: (HttpExchange, Map[String, String]) => Unit): Unit =
+    server.createContext(path, new HttpHandler {
+      override def handle(x: HttpExchange): Unit =
+        try h(x, queryParams(x))
+        catch {
+          case e: SimplePromQL.PromQLError => respondError(x, 400, e.getMessage)
+          case e: IllegalArgumentException => respondError(x, 400, e.getMessage)
+          case e: NoSuchElementException => respondError(x, 404, e.getMessage)
+          case e: Exception => respondError(x, 500, String.valueOf(e.getMessage))
+        } finally x.close()
+    })
+
+  private def queryParams(x: HttpExchange): Map[String, String] = {
+    val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case Array(k) => Some(dec(k) -> "")
+        case _ => None
+      }
+    }.toMap
+  }
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  private def respond(
+      x: HttpExchange, code: Int, contentType: String, body: String): Unit =
+    respondBytes(x, code, contentType, body.getBytes(StandardCharsets.UTF_8))
+
+  private def respondBytes(
+      x: HttpExchange, code: Int, contentType: String, body: Array[Byte]): Unit = {
+    x.getResponseHeaders.set("content-type", contentType)
+    if (body.isEmpty) x.sendResponseHeaders(code, -1)
+    else x.sendResponseHeaders(code, body.length)
+    if (body.nonEmpty) x.getResponseBody.write(body)
+  }
+
+  private def respondError(x: HttpExchange, code: Int, msg: String): Unit =
+    respond(x, code, "application/json",
+      s"""{"error":${jsonStr(msg)}}""")
+
+  private def jsonStr(s: String): String =
+    "\"" + String.valueOf(s).flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def body(x: HttpExchange): Array[Byte] =
+    x.getRequestBody.readAllBytes()
+
+  private def header(x: HttpExchange, k: String): Option[String] =
+    Option(x.getRequestHeaders.getFirst(k))
+
+  /** RFC3339/ISO8601 start/end params → epoch µs
+    * (reference: src/ingestors/http/crud.rs:53-57).
+    */
+  private def parseTime(p: Map[String, String], key: String): Option[Long] =
+    p.get(key).map { s =>
+      TypeInference.parseDateTimeUs(s).getOrElse(
+        throw new IllegalArgumentException(s"Invalid $key datetime: $s"))
+    }
+
+  // ------------------------------------------------------------- catalog
+
+  private def handleMetrics(x: HttpExchange, p: Map[String, String]): Unit = {
+    val filtered = Catalog.filterMetrics(
+      SensorOps.metricsSummary(store.sensors),
+      p.get("name_contains"), p.get("name_regex"), p.get("type"))
+    val datasets = Catalog.metricsDatasets(filtered)
+      .select("dataset").collect().map(_.getString(0)).toSeq
+    respond(x, 200, "application/json", Catalog.catalogDocument(
+      datasets, "/metrics", s"$name Metrics Catalog",
+      "Aggregated metrics across all time series"))
+  }
+
+  private def handleSeries(x: HttpExchange, p: Map[String, String]): Unit = {
+    val path = x.getRequestURI.getPath
+    if (path == "/series" || path == "/series/") {
+      val sensors = p.get("selector") match {
+        case Some(sel) =>
+          Matchers.sensorsByLabels(store.sensors, Catalog.parseSelector(sel))
+        case None => store.sensors
+      }
+      val datasets = Catalog.seriesDatasets(sensors.orderBy("uuid"))
+        .select("dataset").collect().map(_.getString(0)).toSeq
+      respond(x, 200, "application/json", Catalog.catalogDocument(
+        datasets, "/series", s"$name Series Catalog",
+        "All time series datasets"))
+    } else handleSeriesData(x, p, path.stripPrefix("/series/"))
+  }
+
+  // --------------------------------------------------------- series data
+
+  private def handleSeriesData(
+      x: HttpExchange, p: Map[String, String], uuid: String): Unit = {
+    if (!uuid.matches("[0-9a-fA-F-]{36}"))
+      throw new IllegalArgumentException(s"Invalid UUID format: '$uuid'")
+    val meta = store.sensors.filter(col("uuid") === uuid).collect()
+    if (meta.isEmpty)
+      throw new NoSuchElementException(s"Series with UUID '$uuid' not found")
+    val row = meta.head
+    val sType = SensorType.fromString(row.getString(2)).get
+    val unit = Option(row.getStruct(3)).map(_.getString(0))
+    val labels = Option(row.getMap[String, String](4))
+      .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
+    val limit = p.get("limit").map(_.toInt).getOrElse(SensorOps.DefaultQueryLimit)
+    val scan = SensorOps.rangeScan(store.samples(sType), uuid,
+      parseTime(p, "start"), parseTime(p, "end"), limit)
+    p.getOrElse("format", "senml") match {
+      case "senml" =>
+        val lines = SenML.exportSeries(
+          scan, uuid, row.getString(1), unit, labels, sType).collect()
+        respond(x, 200, "application/senml+json",
+          lines.mkString("[", ",", "]"))
+      case "csv" =>
+        val lines = Exporters.toCsv(renderedValues(scan, sType)).collect()
+        respond(x, 200, "text/csv",
+          (Seq("timestamp,value") ++ lines).mkString("", "\n", "\n"))
+      case "jsonl" =>
+        val lines = Exporters.toJsonl(renderedValues(scan, sType), uuid,
+          row.getString(1), sType.displayName.toLowerCase, labels).collect()
+        respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl")
+    }
+  }
+
+  /** Text rendering of typed values for CSV/JSONL (blob → base64, location
+    * → lat,lon json; reference: src/exporters/csv.rs:90-112).
+    */
+  private def renderedValues(scan: DataFrame, t: SensorType): DataFrame = {
+    val v = t match {
+      case SensorType.Blob => base64(col("value"))
+      case SensorType.Location => to_json(col("value"))
+      case _ => col("value").cast(StringType)
+    }
+    scan.select(col("timestamp_us"), v.as("value"))
+  }
+
+  // -------------------------------------------------------------- publish
+
+  private def handlePublish(x: HttpExchange, p: Map[String, String]): Unit = {
+    val ct = header(x, "content-type").getOrElse("text/csv")
+    val raw = body(x)
+    if (ct.contains("application/json")) publishSenml(raw)
+    else if (ct.contains("application/vnd.apache.arrow.file"))
+      publishArrow(raw)
+    else publishCsv(raw) // CSV is the default content type
+    respond(x, 200, "text/plain", "ok")
+  }
+
+  private def publishCsv(bytes: Array[Byte]): Unit = {
+    import spark.implicits._
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    val ds = spark.createDataset(text.linesIterator.toSeq.filter(_.nonEmpty))
+    val raw = spark.read.option("header", "true").option("inferSchema", "false")
+      .csv(ds)
+    val batch = CsvImporter.importFrames(spark, raw)
+    store.publishSensors(batch.sensors)
+    batch.samples.foreach { case (t, samples) =>
+      store.publishSamples(t, samples.select("sensor_id", "timestamp_us", "value"))
+    }
+  }
+
+  private def publishSenml(bytes: Array[Byte]): Unit = {
+    import spark.implicits._
+    val docs = spark.createDataset(
+      Seq(new String(bytes, StandardCharsets.UTF_8)))
+    SenML.importJson(docs).foreach { case (t, df) =>
+      val named = df.cache()
+      if (named.limit(1).count() > 0) {
+        val sensors = named
+          .groupBy(col("sensor_id").as("name"))
+          .agg(first(col("unit"), ignoreNulls = true).as("unit_name"))
+          .select(
+            Sensor.uuidUdf(col("name"), lit(t.displayName), col("unit_name"),
+              lit(null).cast(MapType(StringType, StringType))).as("uuid"),
+            col("name"), lit(t.displayName).as("type"),
+            when(col("unit_name").isNotNull,
+              struct(col("unit_name").as("name"),
+                lit(null).cast(StringType).as("description"))).as("unit"),
+            lit(null).cast(MapType(StringType, StringType)).as("labels"))
+        store.publishSensors(sensors)
+        store.publishSamples(t, named
+          .join(broadcast(sensors.select(col("name").as("sensor_id"), col("uuid"))),
+            Seq("sensor_id"))
+          .select(col("uuid").as("sensor_id"), col("timestamp_us"), col("value")))
+      }
+      named.unpersist()
+    }
+  }
+
+  private def publishArrow(bytes: Array[Byte]): Unit = {
+    // long-format IPC (the reference's multi-series schema); values all
+    // strings, type column names the sensor type
+    val rows = graft.sources.ArrowIO.decodeLongFormat(bytes)
+    import spark.implicits._
+    val df = rows.map(r =>
+        (r.timestampUs, r.sensorName, r.value, r.valueType, r.labelsJson))
+      .toDF("timestamp_us", "sensor_name", "value", "type", "labels_json")
+      .withColumn("labels", from_json(col("labels_json"),
+        MapType(StringType, StringType)))
+    publishLong(df)
+  }
+
+  /** Publish the normalized long layout (sensor_name, labels, timestamp_us,
+    * type, value-as-string): derive uuids distributed, split per type.
+    */
+  private def publishLong(df: DataFrame): Unit = {
+    val withUuid = df
+      .withColumn("uuid", Sensor.uuidUdf(col("sensor_name"), col("type"),
+        lit(null).cast(StringType), col("labels")))
+      .cache()
+    val present = withUuid.select("type").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val sensors = withUuid
+      .select(col("uuid"), col("sensor_name").as("name"), col("type"),
+        lit(null).cast(graft.model.Schemas.sensors("unit").dataType).as("unit"),
+        col("labels"))
+      .dropDuplicates("uuid")
+    store.publishSensors(sensors)
+    present.foreach { tn =>
+      val t = SensorType.fromString(tn).getOrElse(
+        throw new IllegalArgumentException(s"bad type: $tn"))
+      store.publishSamples(t, withUuid.filter(col("type") === tn)
+        .select(col("uuid").as("sensor_id"), col("timestamp_us"),
+          col("value").cast(t.sparkType).as("value")))
+    }
+    withUuid.unpersist()
+  }
+
+  // -------------------------------------------------------------- influx
+
+  private def handleInfluxWrite(x: HttpExchange, p: Map[String, String]): Unit = {
+    import spark.implicits._
+    val text = BodyCodec.decodeBody(body(x), header(x, "content-encoding"))
+    val bucket = p.getOrElse("bucket", "")
+    val org = p.getOrElse("org", p.getOrElse("orgID", ""))
+    val precision = p.getOrElse("precision", "ns")
+    val parsed = InfluxLineProtocol.parse(
+      spark.createDataset(text.linesIterator.toSeq), bucket, org, precision)
+      .cache()
+    // typed long layout → one publish per present type
+    val present = parsed.select("type").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val sensors = parsed
+      .select(col("sensor_name"), col("type"), col("labels"))
+      .dropDuplicates("sensor_name", "type")
+      .select(
+        Sensor.uuidUdf(col("sensor_name"), col("type"),
+          lit(null).cast(StringType), col("labels")).as("uuid"),
+        col("sensor_name").as("name"), col("type"),
+        lit(null).cast(graft.model.Schemas.sensors("unit").dataType).as("unit"),
+        col("labels"))
+    store.publishSensors(sensors)
+    present.foreach { tn =>
+      val t = SensorType.fromString(tn).get
+      val valueCol = t match {
+        case SensorType.Integer => col("long_value")
+        case SensorType.Float => col("double_value")
+        case SensorType.Str => col("string_value")
+        case SensorType.Boolean => col("bool_value")
+        case _ => col("double_value")
+      }
+      store.publishSamples(t, parsed.filter(col("type") === tn)
+        .withColumn("uuid", Sensor.uuidUdf(col("sensor_name"), col("type"),
+          lit(null).cast(StringType), col("labels")))
+        .select(col("uuid").as("sensor_id"), col("timestamp_us"),
+          valueCol.as("value")))
+    }
+    parsed.unpersist()
+    respondBytes(x, 204, "text/plain", Array.emptyByteArray)
+  }
+
+  // ---------------------------------------------------------- prometheus
+
+  private def handleRemoteWrite(x: HttpExchange, p: Map[String, String]): Unit = {
+    val decompressed = PrometheusRemote.snappyDecompress(body(x))
+    val wr = PrometheusRemote.parseWriteRequest(decompressed)
+    if (wr.timeseries.isEmpty) {
+      respondBytes(x, 204, "text/plain", Array.emptyByteArray)
+      return
+    }
+    import spark.implicits._
+    val rows = wr.timeseries.flatMap { ts =>
+      val labels = ts.labels.map(l => l.name -> l.value).toMap
+      val sname = labels.getOrElse("__name__",
+        throw new IllegalArgumentException(
+          "A time serie is missing its __name__ label"))
+      val unit = labels.get("unit")
+      ts.samples.map(s =>
+        (sname, labels, unit.orNull, s.timestampMs * 1000L, s.value))
+    }
+    val df = rows.toDF("sensor_name", "labels", "unit_name", "timestamp_us", "value")
+    val withUuid = df.withColumn("uuid",
+      Sensor.uuidUdf(col("sensor_name"), lit("Float"), col("unit_name"),
+        col("labels"))).cache()
+    store.publishSensors(withUuid
+      .select(col("uuid"), col("sensor_name").as("name"),
+        lit("Float").as("type"),
+        when(col("unit_name").isNotNull,
+          struct(col("unit_name").as("name"),
+            lit(null).cast(StringType).as("description"))).as("unit"),
+        col("labels"))
+      .dropDuplicates("uuid"))
+    store.publishSamples(SensorType.Float, withUuid
+      .select(col("uuid").as("sensor_id"), col("timestamp_us"), col("value")))
+    withUuid.unpersist()
+    respondBytes(x, 204, "text/plain", Array.emptyByteArray)
+  }
+
+  private def handleRemoteRead(x: HttpExchange, p: Map[String, String]): Unit = {
+    // strict header validation (reference: prometheus_read.rs:25-78)
+    header(x, "content-encoding").map(_.toLowerCase) match {
+      case Some("snappy") => ()
+      case Some(_) => throw new IllegalArgumentException(
+        "Unsupported content-encoding, must be snappy")
+      case None => throw new IllegalArgumentException(
+        "Missing content-encoding header")
+    }
+    header(x, "content-type").map(_.toLowerCase) match {
+      case Some("application/x-protobuf") => ()
+      case Some(_) => throw new IllegalArgumentException(
+        "Unsupported content-type, must be application/x-protobuf")
+      case None => throw new IllegalArgumentException(
+        "Missing content-type header")
+    }
+    header(x, "x-prometheus-remote-read-version") match {
+      case Some("0.1.0") => ()
+      case Some(_) => throw new IllegalArgumentException(
+        "Unsupported x-prometheus-remote-read-version, must be 0.1.0")
+      case None => throw new IllegalArgumentException(
+        "Missing x-prometheus-remote-read-version header")
+    }
+    val decompressed = PrometheusRemote.snappyDecompress(body(x))
+    val (queries, accepted) = PrometheusRemote.parseReadRequest(decompressed)
+    val rq = queries.map { q =>
+      RemoteRead.Query(q.startMs, q.endMs, q.matchers.map(m => m.mtype match {
+        case 0 => LabelMatcher.eq_(m.name, m.value)
+        case 1 => LabelMatcher.neq(m.name, m.value)
+        case 2 => LabelMatcher.regex(m.name, m.value)
+        case 3 => LabelMatcher.notRegex(m.name, m.value)
+        case other =>
+          throw new IllegalArgumentException(s"bad matcher type: $other")
+      }))
+    }
+    val sensors = store.sensors
+    val samples = numericFloatView()
+    if (accepted.contains(1)) { // STREAMED_XOR_CHUNKS
+      x.getResponseHeaders.set("content-type",
+        "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+      val bytes = RemoteRead.chunkedResponse(sensors, samples, rq)
+      x.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+    } else {
+      val payload = RemoteRead.samplesResponse(sensors, samples, rq)
+      x.getResponseHeaders.set("content-encoding", "snappy")
+      respondBytes(x, 200, "application/x-protobuf",
+        PrometheusRemote.snappyCompressLiteral(payload))
+    }
+  }
+
+  /** All numeric samples as doubles (Prometheus sees Int/Numeric/Float
+    * coerced to f64; reference: src/parsing/prometheus/converter.rs:87-110).
+    */
+  private def numericFloatView(): DataFrame =
+    Seq(SensorType.Float, SensorType.Integer, SensorType.Numeric)
+      .map(t => store.samples(t)
+        .select(col("sensor_id"), col("timestamp_us"),
+          col("value").cast("double").as("value")))
+      .reduce(_ unionByName _)
+
+  // -------------------------------------------------------------- promql
+
+  private def handlePromql(x: HttpExchange, p: Map[String, String]): Unit = {
+    val query = p.getOrElse("query",
+      throw new IllegalArgumentException("missing query parameter"))
+    val parsed = SimplePromQL.parse(query,
+      nowUs = System.currentTimeMillis() * 1000L)
+    val matched = Matchers.sensorsByLabels(store.sensors, parsed.matchers)
+      .collect()
+    val fmt = p.getOrElse("format", "senml")
+    fmt match {
+      case "senml" =>
+        val arrays = matched.toSeq.map { row =>
+          val t = SensorType.fromString(row.getString(2)).get
+          val scan = SensorOps.rangeScan(store.samples(t), row.getString(0),
+            Some(parsed.startUs), Some(parsed.endUs))
+          val labels = Option(row.getMap[String, String](4))
+            .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
+          SenML.exportSeries(scan, row.getString(0), row.getString(1),
+            Option(row.getStruct(3)).map(_.getString(0)), labels, t)
+            .collect().toSeq
+        }
+        respond(x, 200, "application/senml+json",
+          arrays.flatten.mkString("[", ",", "]"))
+      case "csv" | "jsonl" =>
+        val long = longView(matched.toSeq, parsed.startUs, parsed.endUs)
+        if (fmt == "csv") {
+          val (hdr, lines) = Exporters.toCsvMulti(long)
+          respond(x, 200, "text/csv",
+            (Seq(hdr) ++ lines.collect()).mkString("", "\n", "\n"))
+        } else {
+          val lines = long.orderBy("sensor_id", "timestamp_us")
+            .select(to_json(struct(
+              col("sensor_id").as("sensor_uuid"), col("sensor_name"),
+              Exporters.rfc3339(col("timestamp_us")).as("timestamp"),
+              col("value"), lower(col("type")).as("type"),
+              coalesce(col("labels"), map().cast(MapType(StringType, StringType)))
+                .as("labels"))))
+            .collect().map(_.getString(0))
+          respond(x, 200, "application/x-ndjson",
+            lines.mkString("", "\n", "\n"))
+        }
+      case other => throw new IllegalArgumentException(
+        s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl")
+    }
+  }
+
+  /** Batch-per-type long view over the matched sensors: one scan per value
+    * type joined to the (broadcast) selected catalog — the reference's
+    * per-type batch-query strategy (src/storage/sqlite/batch_queries.rs).
+    */
+  private def longView(
+      matched: Seq[org.apache.spark.sql.Row],
+      startUs: Long, endUs: Long): DataFrame = {
+    val byType = matched.groupBy(_.getString(2))
+    byType.map { case (tn, rows) =>
+      val t = SensorType.fromString(tn).get
+      val ids = rows.map(_.getString(0))
+      val sel = store.sensors
+        .filter(col("uuid").isin(ids: _*))
+        .select(col("uuid").as("sensor_id"), col("name").as("sensor_name"),
+          col("labels"))
+      store.samples(t)
+        .filter(col("sensor_id").isin(ids: _*) &&
+          col("timestamp_us").between(startUs, endUs))
+        .join(broadcast(sel), "sensor_id")
+        .select(col("timestamp_us"), col("sensor_id"), col("sensor_name"),
+          (t match {
+            case SensorType.Blob => base64(col("value"))
+            case SensorType.Location => to_json(col("value"))
+            case _ => col("value").cast(StringType)
+          }).as("value"),
+          lit(t.displayName).as("type"), col("labels"))
+    }.reduce(_ unionByName _)
+  }
+
+  // --------------------------------------------------------------- admin
+
+  private def handleVacuum(x: HttpExchange, p: Map[String, String]): Unit = {
+    SensorType.all.foreach(t => store.vacuum(t))
+    respond(x, 200, "text/plain", "ok")
+  }
+}

@@ -89,6 +89,22 @@ object Sensor {
       s"${hex.substring(16, 20)}-${hex.substring(20, 32)}"
   }
 
+  /** Distributed UUID derivation over
+    * (name, type displayName, unit name|null, labels map|null) columns —
+    * the ingest-path analog of [[deriveUuid]]. Deterministic, so safe to
+    * evaluate anywhere in the plan.
+    */
+  def uuidUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf {
+      (name: String, typeName: String, unitName: String,
+          labels: Map[String, String]) =>
+        deriveUuid(name,
+          SensorType.fromString(typeName).getOrElse(
+            throw new IllegalArgumentException(s"bad type: $typeName")),
+          Option(unitName).map(SensorUnit(_)),
+          Option(labels).map(_.toSeq).getOrElse(Nil))
+    }
+
   def create(
       name: String,
       sensorType: SensorType,

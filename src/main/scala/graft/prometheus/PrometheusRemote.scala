@@ -137,6 +137,63 @@ object PrometheusRemote {
     WriteRequest(series.toSeq)
   }
 
+  /** One matcher from a remote-read Query; `mtype` is the protobuf enum
+    * (0=EQ, 1=NEQ, 2=RE, 3=NRE).
+    */
+  final case class ReadMatcher(mtype: Int, name: String, value: String)
+  final case class ReadQuery(
+      startMs: Long, endMs: Long, matchers: Seq[ReadMatcher])
+
+  /** Decode a remote-read ReadRequest: (queries, accepted_response_types)
+    * (reference: src/parsing/prometheus/remote_read_models.rs:11-100 —
+    * ReadRequest{queries=1, accepted_response_types=2},
+    * Query{start_ms=1, end_ms=2, matchers=3, hints=4(ignored)},
+    * LabelMatcher{type=1, name=2, value=3}).
+    */
+  def parseReadRequest(bytes: Array[Byte]): (Seq[ReadQuery], Seq[Int]) = {
+    val queries = ArrayBuffer.empty[ReadQuery]
+    val accepted = ArrayBuffer.empty[Int]
+    val r = new ProtoReader(bytes, 0, bytes.length)
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val (qf, qt) = r.lenDelimited()
+        val qr = new ProtoReader(bytes, qf, qt)
+        var startMs = 0L
+        var endMs = 0L
+        val ms = ArrayBuffer.empty[ReadMatcher]
+        while (qr.hasMore) qr.tag() match {
+          case (1, 0) => startMs = qr.uvarint()
+          case (2, 0) => endMs = qr.uvarint()
+          case (3, 2) =>
+            val (mf, mt) = qr.lenDelimited()
+            val mr = new ProtoReader(bytes, mf, mt)
+            var t = 0
+            var n = ""
+            var v = ""
+            while (mr.hasMore) mr.tag() match {
+              case (1, 0) => t = mr.uvarint().toInt
+              case (2, 2) =>
+                val (f, to) = mr.lenDelimited()
+                n = new String(mr.slice(f, to), "UTF-8")
+              case (3, 2) =>
+                val (f, to) = mr.lenDelimited()
+                v = new String(mr.slice(f, to), "UTF-8")
+              case (_, w) => mr.skip(w)
+            }
+            ms += ReadMatcher(t, n, v)
+          case (_, w) => qr.skip(w) // hints (4) logged-and-ignored upstream
+        }
+        queries += ReadQuery(startMs, endMs, ms.toSeq)
+      case (2, 0) => accepted += r.uvarint().toInt
+      case (2, 2) => // packed enum list
+        val (f, t) = r.lenDelimited()
+        val pr = new ProtoReader(bytes, f, t)
+        while (pr.hasMore) accepted += pr.uvarint().toInt
+      case (_, w) => r.skip(w)
+    }
+    (queries.toSeq, accepted.toSeq)
+  }
+
   /** Encode a remote-read SAMPLES ReadResponse: labels sorted by name,
     * one QueryResult per query.
     */

@@ -105,8 +105,30 @@ object SenML {
       uuid: String,
       name: String,
       unit: Option[String],
-      labels: Map[String, String]): Dataset[String] = {
+      labels: Map[String, String]): Dataset[String] =
+    exportSeries(samples, uuid, name, unit, labels, SensorType.Float)
+
+  /** Typed-series export: the value lands in the SenML field for its type —
+    * `v` for numeric, `vs` for strings/JSON text, `vb` for booleans, `vd`
+    * (base64) for blobs (reference: src/exporters/senml.rs:46-157).
+    */
+  def exportSeries(
+      samples: DataFrame,
+      uuid: String,
+      name: String,
+      unit: Option[String],
+      labels: Map[String, String],
+      sensorType: SensorType): Dataset[String] = {
     import samples.sparkSession.implicits._
+    val (field, valueCol) = sensorType match {
+      case SensorType.Integer | SensorType.Numeric | SensorType.Float =>
+        ("v", col("value").cast(DoubleType))
+      case SensorType.Boolean => ("vb", col("value"))
+      case SensorType.Blob => ("vd", base64(col("value")))
+      case SensorType.Location =>
+        ("vs", to_json(col("value"))) // {"lat":..,"lon":..} JSON text
+      case _ => ("vs", col("value").cast(StringType))
+    }
     val w = Window.orderBy(col("timestamp_us"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // base time at millisecond precision (reference: datetime_to_ms)
@@ -129,11 +151,11 @@ object SenML {
       when(col("__rn") === 1, lit(0.0)).otherwise(
         ((col("timestamp_us") / 1000).cast(LongType) - col("__bt_ms"))
           .cast(DoubleType) / 1000.0).as("t"),
-      col("value").as("v"),
+      valueCol.as(field),
       col("__rn"))
       .orderBy(col("__rn"))
       .select(to_json(struct(
         col("bn"), col("_name"), col("bt"), col("bver"), col("bu"),
-        col("_labels"), col("t"), col("v"))).as("value")).as[String]
+        col("_labels"), col("t"), col(field))).as("value")).as[String]
   }
 }

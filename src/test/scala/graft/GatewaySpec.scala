@@ -1,0 +1,179 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import graft.http.Gateway
+import graft.model.{Sensor, SensorType, SensorUnit}
+import graft.prometheus.PrometheusRemote
+import graft.sources.BodyCodec
+import graft.store.SensorStore
+
+/** End-to-end HTTP tests over a real socket: the reference's integration
+  * matrix shape (tests/ingestion.rs, tests/crud_dcat_api.rs,
+  * tests/prometheus_remote_read_integration.rs) against our gateway.
+  */
+class GatewaySpec extends SparkSpec {
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft_gateway").toString
+  private lazy val store = new SensorStore(spark, root)
+  private lazy val gateway = new Gateway(spark, store, "test-gateway")
+  private lazy val port = gateway.start(0)
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def url(path: String) = new URI(s"http://127.0.0.1:$port$path")
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(url(path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(
+      path: String, body: Array[Byte],
+      headers: Map[String, String]): HttpResponse[Array[Byte]] = {
+    var b = HttpRequest.newBuilder(url(path))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  test("health and frontpage") {
+    assert(get("/health/live").statusCode() == 200)
+    assert(get("/health/ready").statusCode() == 200)
+    assert(get("/").body() == "\"test-gateway\"")
+  }
+
+  test("CSV publish → catalog → series data in all formats") {
+    val csv =
+      "datetime,sensor_name,value\n" +
+        "2024-01-01T00:00:00Z,temp,1.5\n" +
+        "2024-01-01T00:00:01Z,temp,2.5\n" +
+        "2024-01-01T00:00:02Z,temp,3.5\n"
+    val r = post("/publish", csv.getBytes(StandardCharsets.UTF_8),
+      Map("content-type" -> "text/csv"))
+    assert(r.statusCode() == 200)
+    assert(new String(r.body(), "UTF-8") == "ok")
+
+    val metrics = get("/metrics")
+    assert(metrics.statusCode() == 200)
+    assert(metrics.body().contains("\"dct:title\":\"temp\""))
+
+    val series = get("/series")
+    assert(series.statusCode() == 200)
+    val uuid = Sensor.deriveUuid("temp", SensorType.Float, None, Nil)
+    assert(series.body().contains(uuid))
+
+    val senml = get(s"/series/$uuid")
+    assert(senml.statusCode() == 200)
+    assert(senml.body().startsWith("["))
+    assert(senml.body().contains("\"bn\":\"" + uuid + "\""))
+    assert(senml.body().contains("\"v\":1.5"))
+
+    val csvOut = get(s"/series/$uuid?format=csv")
+    assert(csvOut.body().startsWith("timestamp,value\n"))
+    assert(csvOut.body().contains("2024-01-01T00:00:01.000000Z,2.5"))
+
+    val jsonl = get(s"/series/$uuid?format=jsonl")
+    assert(jsonl.body().linesIterator.size == 3)
+
+    // time-range + limit narrowing
+    val ranged = get(s"/series/$uuid?start=2024-01-01T00:00:01Z&limit=1&format=csv")
+    val lines = ranged.body().trim.linesIterator.toSeq
+    assert(lines == Seq("timestamp,value", "2024-01-01T00:00:01.000000Z,2.5"))
+
+    // 404 on unknown uuid, 400 on bad uuid / bad format
+    assert(get("/series/00000000-0000-8000-8000-000000000000").statusCode() == 404)
+    assert(get("/series/nonsense").statusCode() == 400)
+    assert(get(s"/series/$uuid?format=exotic").statusCode() == 400)
+  }
+
+  test("Influx write with gzip body → samples queryable") {
+    val lines =
+      "weather,site=oslo temperature=11.5 1704067200000000000\n" +
+        "weather,site=oslo temperature=12.5 1704067260000000000\n"
+    val r = post("/api/v2/write?bucket=b1&org=o1&precision=ns",
+      BodyCodec.gzip(lines),
+      Map("content-encoding" -> "gzip"))
+    assert(r.statusCode() == 204)
+
+    val uuid = Sensor.deriveUuid("weather temperature", SensorType.Float, None,
+      Seq("influxdb_bucket" -> "b1", "influxdb_org" -> "o1", "site" -> "oslo"))
+    val got = get(s"/series/$uuid?format=csv")
+    assert(got.statusCode() == 200)
+    assert(got.body().contains("11.5") && got.body().contains("12.5"))
+  }
+
+  test("Prometheus remote write → remote read roundtrip (SAMPLES)") {
+    import PrometheusRemote._
+    val wr = WriteRequest(Seq(TimeSeries(
+      Seq(Label("__name__", "http_requests"), Label("job", "api")),
+      Seq(Sample(1.0, 1704067200000L), Sample(2.0, 1704067260000L)))))
+    // encode WriteRequest with the writer (field 1 = timeseries)
+    val w = new ProtoWriter
+    wr.timeseries.foreach { ts =>
+      val tw = new ProtoWriter
+      ts.labels.foreach { l =>
+        val lw = new ProtoWriter
+        lw.string(1, l.name); lw.string(2, l.value)
+        tw.message(1, lw)
+      }
+      ts.samples.foreach { s =>
+        val sw = new ProtoWriter
+        sw.double(1, s.value); sw.int64(2, s.timestampMs)
+        tw.message(2, sw)
+      }
+      w.message(1, tw)
+    }
+    val rw = post("/api/v1/prometheus_remote_write",
+      snappyCompressLiteral(w.result()), Map.empty)
+    assert(rw.statusCode() == 204)
+
+    // read it back: Query{start=1, end=2, matchers=[{EQ,__name__,...}]}
+    val mq = new ProtoWriter
+    mq.int64(1, 1704067100000L)
+    mq.int64(2, 1704067300000L)
+    val mw = new ProtoWriter
+    mw.int64(1, 0); mw.string(2, "__name__"); mw.string(3, "http_requests")
+    mq.message(3, mw)
+    val rr = new ProtoWriter
+    rr.message(1, mq)
+    val headers = Map(
+      "content-encoding" -> "snappy",
+      "content-type" -> "application/x-protobuf",
+      "x-prometheus-remote-read-version" -> "0.1.0")
+    val resp = post("/api/v1/prometheus_remote_read",
+      snappyCompressLiteral(rr.result()), headers)
+    assert(resp.statusCode() == 200)
+    val payload = snappyDecompress(resp.body())
+    // sanity: response protobuf carries both sample values and the labels
+    val s = payload.map(b => if (b >= 32 && b < 127) b.toChar else '.').mkString
+    assert(s.contains("http_requests") && s.contains("job") && s.contains("api"))
+
+    // header enforcement
+    assert(post("/api/v1/prometheus_remote_read", Array.emptyByteArray,
+      headers - "content-encoding").statusCode() == 400)
+    assert(post("/api/v1/prometheus_remote_read", Array.emptyByteArray,
+      headers + ("x-prometheus-remote-read-version" -> "9.9")).statusCode() == 400)
+  }
+
+  test("simple PromQL endpoint with formats and rejection") {
+    // data from the CSV test (sensor temp) has no labels; query by name.
+    // instant query would use now-lookback; our data is in 2024, so use a
+    // range long enough from now — instead query with matcher selector via
+    // /series/{uuid} covered above; here exercise format dispatch + errors.
+    val bad = get("/api/v1/query?query=sum(temp)")
+    assert(bad.statusCode() == 400)
+    val badFmt = get("/api/v1/query?query=temp&format=exotic")
+    assert(badFmt.statusCode() == 400)
+    val ok = get("/api/v1/query?query=temp")
+    assert(ok.statusCode() == 200)
+    assert(ok.body().startsWith("[")) // empty senml array (data outside lookback)
+  }
+
+  test("vacuum endpoint") {
+    assert(get("/api/v1/admin/vacuum").statusCode() == 405 ||
+      post("/api/v1/admin/vacuum", Array.emptyByteArray, Map.empty)
+        .statusCode() == 200)
+  }
+}

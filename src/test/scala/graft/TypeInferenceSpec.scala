@@ -105,3 +105,61 @@ class TypeInferenceSpec extends AnyFunSuite {
     assert(!TypeInference.isHeader(Nil))
   }
 }
+
+class GeoGuesserSpec extends AnyFunSuite {
+  import graft.infer.GeoGuesser
+  import graft.infer.GeoGuesser.{Latitude, Longitude}
+  import graft.infer.TypeInference.ColumnType._
+
+  // score vectors pinned from reference src/infer/geo_guesser.rs:140-187
+  test("lat_long_guesser scores match the reference vectors") {
+    val floats = Seq("0.0", "1.0", "2.0")
+    assert(GeoGuesser.latLongGuesser(Latitude, "lat", FloatC, floats) == 199)
+    assert(GeoGuesser.latLongGuesser(Longitude, "lon", FloatC, floats) == 199)
+    assert(GeoGuesser.latLongGuesser(Longitude, "geo_longitude", FloatC, floats) == 199)
+    assert(GeoGuesser.latLongGuesser(Longitude, "geoloc_lng", FloatC, floats) == 199)
+    assert(GeoGuesser.latLongGuesser(Longitude, "speed", FloatC, floats) == -101)
+    assert(GeoGuesser.latLongGuesser(Longitude, "altitude", FloatC, floats) == -101)
+
+    val outOfRange = Seq("0.0", "1.0", "2.0", "200.0")
+    assert(GeoGuesser.latLongGuesser(Latitude, "lat", FloatC, outOfRange) == -1)
+    assert(GeoGuesser.latLongGuesser(Longitude, "lon", FloatC, outOfRange) == -1)
+    assert(GeoGuesser.latLongGuesser(Longitude, "speed", FloatC, outOfRange) == -301)
+
+    val nums = Seq("0", "1", "2")
+    assert(GeoGuesser.latLongGuesser(Latitude, "lat", NumericC, nums) == 198)
+    assert(GeoGuesser.latLongGuesser(Longitude, "lon", NumericC, nums) == 198)
+    val numsOut = Seq("0", "1", "2", "200")
+    assert(GeoGuesser.latLongGuesser(Latitude, "lat", NumericC, numsOut) == -2)
+
+    val bools = Seq("true", "false", "true")
+    assert(GeoGuesser.latLongGuesser(Latitude, "lat", BooleanC, bools) == -3)
+    assert(GeoGuesser.latLongGuesser(Longitude, "ready", BooleanC, bools) == -303)
+  }
+
+  test("likely_geo_columns picks matching-score pairs only") {
+    val floats = Seq("0.0", "1.0", "2.0")
+    val cols = Seq(floats, floats, floats, floats)
+    assert(GeoGuesser.likelyGeoColumns(
+      Seq("lat", "lon", "speed", "altitude"), cols) == Some(("lat", "lon")))
+    assert(GeoGuesser.likelyGeoColumns(
+      Seq("weight", "height", "speed", "altitude"), cols).isEmpty)
+    // lat float (199) vs lon numeric-only shape mismatch -> None needs
+    // unequal scores; emulate with one out-of-range longitude column
+    assert(GeoGuesser.likelyGeoColumns(
+      Seq("lat", "height", "speed", "altitude"), cols).isEmpty)
+  }
+}
+
+class BodyCodecSpec extends AnyFunSuite {
+  import graft.sources.BodyCodec
+
+  test("gzip body decode roundtrip; plain passthrough; unknown rejected") {
+    val s = "cpu,host=A usage=64.2 1590488773254420000\n"
+    assert(BodyCodec.decodeBody(BodyCodec.gzip(s), Some("gzip")) == s)
+    assert(BodyCodec.decodeBody(s.getBytes("UTF-8"), None) == s)
+    intercept[IllegalArgumentException] {
+      BodyCodec.decodeBody(s.getBytes("UTF-8"), Some("br"))
+    }
+  }
+}
