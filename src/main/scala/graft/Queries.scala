@@ -897,6 +897,19 @@ object Queries {
         .select(col("doc_id"), length(col("text")).as("n_chars"),
           substring(col("text"), 1, 10).as("head"))
         .orderBy("doc_id")
+    },
+
+    // IVF ANN (the alternative 100 TB scale path to hyperplane LSH:
+    // k-means-lite lists + nprobe search; shuffle on centroid id).
+    // Approximate by construction — rows-only; recall vs brute force is
+    // pinned in PipelineSpec.
+    qNoOracle("q40_ann_ivf") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      Similarity.ivfTopK(queries, e, k = 5, nlist = 8, nprobe = 4)
+        .orderBy("query_id", "rank")
     }
   )
 

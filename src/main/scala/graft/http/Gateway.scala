@@ -353,20 +353,7 @@ final class Gateway(
         (sname, labels, unit.orNull, s.timestampMs * 1000L, s.value))
     }
     val df = rows.toDF("sensor_name", "labels", "unit_name", "timestamp_us", "value")
-    val withUuid = df.withColumn("uuid",
-      Sensor.uuidUdf(col("sensor_name"), lit("Float"), col("unit_name"),
-        col("labels"))).cache()
-    store.publishSensors(withUuid
-      .select(col("uuid"), col("sensor_name").as("name"),
-        lit("Float").as("type"),
-        when(col("unit_name").isNotNull,
-          struct(col("unit_name").as("name"),
-            lit(null).cast(StringType).as("description"))).as("unit"),
-        col("labels"))
-      .dropDuplicates("uuid"))
-    store.publishSamples(SensorType.Float, withUuid
-      .select(col("uuid").as("sensor_id"), col("timestamp_us"), col("value")))
-    withUuid.unpersist()
+    graft.streaming.StreamingIngest.publishRemoteWriteRows(store, df)
     respondBytes(x, 204, "text/plain", Array.emptyByteArray)
   }
 

@@ -76,26 +76,51 @@ final class SensorStore(spark: SparkSession, root: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
-  /** Vacuum (S14): compact each month partition of a value table to
+  /** Vacuum (S14): compact month partitions of a value table to
     * size-targeted files, keeping the (sensor_id, timestamp_us) sort
     * (reference: src/storage/sqlite/storage.rs:79-86 — SQLite VACUUM /
     * ClickHouse OPTIMIZE TABLE analog).
+    *
+    * Incremental and partition-local: only month partitions holding more
+    * than `maxFilesPerPartition` files are rewritten, one partition at a
+    * time — at 100 TB a full-table rewrite is not an option, and appends
+    * land in the current month so old months stay compacted forever.
     */
-  def vacuum(t: SensorType, targetPartitions: Int = 1): Unit = {
+  def vacuum(
+      t: SensorType,
+      targetPartitions: Int = 1,
+      maxFilesPerPartition: Int = 1): Unit = {
     if (!exists(valueDir(t))) return
     val dir = valueDir(t)
-    val df = spark.read.parquet(dir).cache()
-    df.count()
-    df.repartition(targetPartitions, col("month"))
-      .sortWithinPartitions("sensor_id", "timestamp_us")
-      .write.mode(SaveMode.Overwrite).partitionBy("month")
-      .parquet(s"$dir.tmp")
-    df.unpersist()
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir.tmp"), dst)
+    val monthDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("month="))
+    monthDirs.foreach { m =>
+      val files = fs.listStatus(m.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFilesPerPartition)
+        compactPartition(fs, m.getPath, targetPartitions)
+    }
+  }
+
+  /** Rewrite one `month=` partition directory: coalesce to
+    * `targetPartitions` sorted files, then swap the directory.
+    */
+  private def compactPartition(
+      fs: org.apache.hadoop.fs.FileSystem,
+      partDir: org.apache.hadoop.fs.Path,
+      targetPartitions: Int): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      partDir.getParent, s".${partDir.getName}.compact.tmp")
+    val df = spark.read.parquet(partDir.toString).cache()
+    df.count() // materialize before touching the source files
+    df.repartition(targetPartitions)
+      .sortWithinPartitions("sensor_id", "timestamp_us")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    df.unpersist()
+    fs.delete(partDir, true)
+    fs.rename(tmp, partDir)
   }
 
   private def exists(path: String): Boolean = {

@@ -42,6 +42,85 @@ object StreamingIngest {
       .start()
   }
 
+  /** Stream a directory of Prometheus remote-write frames (one
+    * snappy-compressed WriteRequest protobuf per file — the wire payload
+    * the HTTP endpoint receives) into the store. The decode runs
+    * distributed in `flatMap`; sensor identity (content-addressed uuid
+    * from name+labels) is derived per row with the Blake3 UDF; each
+    * micro-batch commits catalog + Float samples in `foreachBatch`
+    * (reference ingest semantics: src/ingestors/http/
+    * prometheus_write.rs:100-180).
+    */
+  def remoteWriteStream(
+      spark: SparkSession,
+      sourceDir: String,
+      store: SensorStore,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    import graft.prometheus.PrometheusRemote
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .load(sourceDir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes: Array[Byte] =>
+        val wr = PrometheusRemote.parseWriteRequest(
+          PrometheusRemote.snappyDecompress(bytes))
+        wr.timeseries.flatMap { ts =>
+          val labels = ts.labels.map(l => l.name -> l.value).toMap
+          val name = labels.getOrElse("__name__",
+            throw new IllegalArgumentException(
+              "A time serie is missing its __name__ label"))
+          ts.samples.map(s =>
+            (name, labels, labels.get("unit").orNull,
+              s.timestampMs * 1000L, s.value))
+        }
+      }
+      .toDF("sensor_name", "labels", "unit_name", "timestamp_us", "value")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        publishRemoteWriteRows(store, batch)
+      }
+      .start()
+  }
+
+  /** Publish normalized remote-write rows (sensor_name, labels, unit_name,
+    * timestamp_us, value) as Float series.
+    */
+  def publishRemoteWriteRows(store: SensorStore, df: DataFrame): Unit = {
+    import org.apache.spark.sql.types.StringType
+    val withUuid = df.withColumn("uuid",
+      graft.model.Sensor.uuidUdf(col("sensor_name"), lit("Float"),
+        col("unit_name"), col("labels"))).cache()
+    try {
+      if (withUuid.limit(1).count() == 0) return
+      store.publishSensors(withUuid
+        .select(col("uuid"), col("sensor_name").as("name"),
+          lit("Float").as("type"),
+          when(col("unit_name").isNotNull,
+            struct(col("unit_name").as("name"),
+              lit(null).cast(StringType).as("description"))).as("unit"),
+          col("labels"))
+        .dropDuplicates("uuid"))
+      store.publishSamples(SensorType.Float, withUuid
+        .select(col("uuid").as("sensor_id"), col("timestamp_us"),
+          col("value")))
+    } finally withUuid.unpersist()
+  }
+
   /** Event-time windowed resampling with a watermark: per sensor, tumbling
     * windows of `windowDur`, emitting count/avg/min/max — the composite-
     * sensor resampler as a streaming aggregation. Late data beyond

@@ -2,15 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
-import graft.adapters.EventsAdapter
-import graft.sources.InfluxLineProtocol
+import graft.pipeline.Similarity
 
 /** Temporary profiling harness — not part of the library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     val d = "/root/testdata/sf0.1"
-    import spark.implicits._
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -19,30 +17,25 @@ object Scratch {
       r
     }
 
-    val mkLines = () => Tables.events(spark, d)
-      .filter(col("event_type") === "view")
-      .select(concat(
-        lit("views,user="), col("user_id"),
-        lit(" value="), col("value").cast("string"),
-        lit(" "), (unix_micros(col("ts")) * 1000).cast("string")).as("line"))
-      .as[String]
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .cache()
+    println(s"SCRATCH corpus ${e.count()} dim ${e.select(size(col("vec"))).first().getInt(0)}")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
 
-    // warm
-    time("warm: line gen count")(mkLines().count())
-    val n = time("line gen count")(mkLines().count())
-    println(s"SCRATCH n_lines $n")
-    time("parse full agg") {
-      InfluxLineProtocol.parse(mkLines(), "bkt", "org", "ns")
-        .agg(count(lit(1)), sum("double_value")).collect()
+    val cs = time("ivfCentroids(8, iters=2)") {
+      Similarity.ivfCentroids(e, 8, 2)
     }
-    time("parse full agg (2nd)") {
-      InfluxLineProtocol.parse(mkLines(), "bkt", "org", "ns")
-        .agg(count(lit(1)), sum("double_value")).collect()
+    time("assign corpus (count)") {
+      e.withColumn("cid", Similarity.nearestCentroid(col("vec"), cs))
+        .groupBy("cid").count().collect()
     }
-    // regex cost alone
-    time("rlike fast pred only") {
-      mkLines().toDF("line").filter(trim(col("line")).rlike(
-        """^[A-Za-z0-9._~-]+(?:,[^,= \\"]+=[^,= \\"]+)* +.*""")).count()
+    time("full ivfTopK") {
+      Similarity.ivfTopK(queries, e, 5, nlist = 8, nprobe = 4).count()
+    }
+    time("full ivfTopK (2nd)") {
+      Similarity.ivfTopK(queries, e, 5, nlist = 8, nprobe = 4).count()
     }
     spark.stop()
   }

@@ -108,6 +108,44 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF top-k achieves high recall vs brute force on testdata") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(queries, e, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // nprobe/nlist = 1/2 of the lists searched; isotropic vectors again
+    // the worst case (clustered real embeddings concentrate in few lists)
+    val approx = Similarity.ivfTopK(queries, e, 5, nlist = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("IVF centroids are deterministic and Lloyd steps reduce inertia") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val c1 = Similarity.ivfCentroids(e, nlist = 4, iters = 2)
+    val c2 = Similarity.ivfCentroids(e, nlist = 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    def inertia(cs: Array[Array[Double]]): Double = {
+      val assigned = e.select(
+        Similarity.nearestCentroid(col("vec"), cs).as("cid"), col("vec"))
+      cs.indices.map { i =>
+        assigned.filter(col("cid") === i)
+          .select(org.apache.spark.sql.functions.aggregate(
+            zip_with(col("vec"), array(cs(i).map(lit): _*),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("d"))
+          .agg(sum("d")).collect()(0).getDouble(0)
+      }.sum
+    }
+    val i0 = inertia(Similarity.ivfCentroids(e, nlist = 4, iters = 0))
+    val i2 = inertia(c1)
+    assert(i2 <= i0, s"Lloyd steps should not increase inertia: $i0 -> $i2")
+  }
+
   test("multimodal decode: batch shape, determinism, feature contract") {
     val media = Multimodal.mediaFromDocuments(
       spark, Tables.documents(spark, sf))

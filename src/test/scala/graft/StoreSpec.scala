@@ -51,6 +51,32 @@ class StoreSpec extends SparkSpec {
     assert(after.count() == 6)
   }
 
+  test("vacuum is incremental: only multi-file partitions are rewritten") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
+    store.publishSamples(SensorType.Float, sampleData)
+    store.publishSamples(SensorType.Float, sampleData)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def monthFiles(): Map[String, Seq[(String, Long)]] = {
+      val base = new org.apache.hadoop.fs.Path(s"$root/values_float")
+      fs.listStatus(base).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getModificationTime)).toSeq
+      }.toMap
+    }
+    val before = monthFiles()
+    assert(before.values.exists(_.size > 1), "setup should double-append")
+    store.vacuum(SensorType.Float)
+    val after = monthFiles()
+    assert(after.values.forall(_.size == 1), s"not compacted: $after")
+    assert(store.samples(SensorType.Float).count() == 6)
+    // second vacuum is a no-op: single-file partitions keep their files
+    store.vacuum(SensorType.Float)
+    assert(monthFiles() == after)
+  }
+
   test("empty store returns empty frames with canonical schemas") {
     val store = new SensorStore(spark, tempDir())
     assert(store.sensors.count() == 0)
@@ -68,6 +94,45 @@ class StoreSpec extends SparkSpec {
       tempDir() + "/ckpt")
     q.awaitTermination() // AvailableNow terminates when caught up
     assert(store.samples(SensorType.Float).count() == 3)
+  }
+
+  test("remote-write frame stream ingests into the store") {
+    import graft.prometheus.PrometheusRemote._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rw_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rw_ckpt")
+    val root = java.nio.file.Files.createTempDirectory("graft_rw_store")
+    def frame(name: String, job: String, values: Seq[(Double, Long)]): Array[Byte] = {
+      val w = new ProtoWriter
+      val tw = new ProtoWriter
+      Seq("__name__" -> name, "job" -> job).foreach { case (k, v) =>
+        val lw = new ProtoWriter
+        lw.string(1, k); lw.string(2, v)
+        tw.message(1, lw)
+      }
+      values.foreach { case (v, ts) =>
+        val sw = new ProtoWriter
+        sw.double(1, v); sw.int64(2, ts)
+        tw.message(2, sw)
+      }
+      w.message(1, tw)
+      snappyCompressLiteral(w.result())
+    }
+    java.nio.file.Files.write(dir.resolve("f1.bin"),
+      frame("cpu_load", "node", Seq((0.5, 1704067200000L), (0.7, 1704067260000L))))
+    java.nio.file.Files.write(dir.resolve("f2.bin"),
+      frame("mem_free", "node", Seq((123.0, 1704067200000L))))
+    val store = new SensorStore(spark, root.toString)
+    val q = StreamingIngest.remoteWriteStream(
+      spark, dir.toString, store, ckpt.toString)
+    q.awaitTermination(60000)
+    val sensors = store.sensors.orderBy("name").collect()
+    assert(sensors.map(_.getString(1)).toSeq == Seq("cpu_load", "mem_free"))
+    val floats = store.samples(graft.model.SensorType.Float)
+    assert(floats.count() == 3)
+    val uuid = graft.model.Sensor.deriveUuid("cpu_load",
+      graft.model.SensorType.Float, None,
+      Seq("__name__" -> "cpu_load", "job" -> "node"))
+    assert(floats.filter(col("sensor_id") === uuid).count() == 2)
   }
 
   test("windowed resample (batch mode) aggregates per tumbling window") {
