@@ -156,26 +156,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** SimHash bit-counter aggregator: folds per-token 64-bit hashes into 64
+    * signed counters (+1/-1 per bit), sign-folded to the final hash. One
+    * 64-int buffer per (doc, partition) with map-side partial aggregation —
+    * replaces a collect_list of per-token arrays and interpreted HOF math
+    * (which made simhash the slowest text operator).
+    */
+  private object SimHashAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) b(i) += 1 else b(i) -= 1
+        i += 1
+      }
+      b
+    }
+    def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Int]): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 64) {
+        if (b(i) > 0) out |= (1L << i)
+        i += 1
+      }
+      out
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** 64-bit SimHash over whitespace tokens (per-token xxhash64, ±1 per bit,
-    * sign fold). Column-only implementation: explode tokens, aggregate the
-    * 64 bit-counters with element-wise array addition, fold signs.
+    * sign fold). Token hashing stays codegen'd Column math; the bit-counter
+    * fold is a typed Aggregator.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.whitespaceTokens(col(textCol))).as("tok"))
-    val contrib = tokens.select(col("id"),
-      transform(sequence(lit(0), lit(63)),
-        b => when(call_function("shiftright", xxhash64(col("tok")), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as("bits"))
-    contrib.groupBy(col("id"))
-      .agg(aggregate(collect_list(col("bits")),
-        transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("counts"))
-      .select(col("id"),
-        aggregate(
-          zip_with(col("counts"), sequence(lit(0), lit(63)),
-            (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-          lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+    val agg = udaf(SimHashAgg)
+    tokens.select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("id"))
+      .agg(agg(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates via 4×16-bit band equality (any

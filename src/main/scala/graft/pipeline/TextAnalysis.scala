@@ -91,10 +91,33 @@ object TextAnalysis {
     * than n tokens yield no shingles (guard: Spark's `sequence(0,-1)`
     * would count DOWN, not produce an empty array).
     */
-  def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  def shingles(tokens: Column, n: Int): Column = {
+    // a UDF loop, not transform(sequence(...), slice+concat): HOF lambdas
+    // are interpreted per element and dominated the dedup pipelines
+    // (order matches array_distinct: first occurrence wins)
+    val f = udf { toks: Seq[String] =>
+      if (toks == null || toks.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        val last = toks.length - n
+        while (i <= last) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
+    f(tokens)
+  }
 }

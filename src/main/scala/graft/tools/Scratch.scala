@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
-import graft.pipeline.Similarity
+import graft.pipeline.{Dedup, TextAnalysis}
 
 /** Temporary profiling harness — not part of the library surface. */
 object Scratch {
@@ -17,25 +17,27 @@ object Scratch {
       r
     }
 
-    val e = Tables.embeddings(spark, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      .cache()
-    println(s"SCRATCH corpus ${e.count()} dim ${e.select(size(col("vec"))).first().getInt(0)}")
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val docs = Tables.documents(spark, d).cache()
+    println(s"SCRATCH docs ${docs.count()}")
 
-    val cs = time("ivfCentroids(8, iters=2)") {
-      Similarity.ivfCentroids(e, 8, 2)
+    val g = docs.select(col("doc_id").as("id"),
+      explode(TextAnalysis.shingles(
+        TextAnalysis.whitespaceTokens(col("text")), 3)).as("sh"))
+    time("shingle table count")(g.count())
+    time("signatures k=32") {
+      Dedup.minHashSignatureArrays(docs, "doc_id", "text", 3, 32).count()
     }
-    time("assign corpus (count)") {
-      e.withColumn("cid", Similarity.nearestCentroid(col("vec"), cs))
-        .groupBy("cid").count().collect()
+    time("lsh full") {
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5, 32, 8).count()
     }
-    time("full ivfTopK") {
-      Similarity.ivfTopK(queries, e, 5, nlist = 8, nprobe = 4).count()
+    time("lsh full (2nd)") {
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5, 32, 8).count()
     }
-    time("full ivfTopK (2nd)") {
-      Similarity.ivfTopK(queries, e, 5, nlist = 8, nprobe = 4).count()
+    time("ngram jaccard") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("simhash full") {
+      Dedup.simHashPairs(docs, "doc_id", "text", 16).count()
     }
     spark.stop()
   }
