@@ -910,6 +910,59 @@ object Queries {
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
       Similarity.ivfTopK(queries, e, k = 5, nlist = 8, nprobe = 4)
         .orderBy("query_id", "rank")
+    },
+
+    // PromQL analytical extension (§2.5's flagged extension point — the
+    // reference REJECTS aggregations; here they evaluate natively):
+    // per-series range aggregation, count_over_time at a pinned eval time.
+    q(
+      "q41_promql_count_over_time",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag, COUNT(*) AS n
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
+        |GROUP BY user_tag ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "count_over_time(view[31d])", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value").cast("long").as("n"))
+        .orderBy("user_tag")
+    },
+
+    // Instant-vector aggregation `sum by (user) (view)`: each series
+    // contributes its latest sample in the 1h lookback; groups are single
+    // series here so the double sum is exact.
+    q(
+      "q42_promql_instant_agg",
+      """SELECT user_tag, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_tag, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
+        |) WHERE rn = 1 ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "sum by (user) (view)", 1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("group_labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
     }
   )
 

@@ -45,6 +45,7 @@ final class Gateway(
     route("/api/v1/prometheus_remote_write", handleRemoteWrite)
     route("/api/v1/prometheus_remote_read", handleRemoteRead)
     route("/api/v1/query", handlePromql)
+    route("/api/v1/query_extended", handlePromqlExtended)
     route("/api/v1/admin/vacuum", handleVacuum)
     server.setExecutor(null) // serial; the reference handles one spark job at a time anyway
     server.start()
@@ -463,6 +464,25 @@ final class Gateway(
       case other => throw new IllegalArgumentException(
         s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl")
     }
+  }
+
+  /** PromQL analytical extension endpoint: aggregations and *_over_time
+    * functions the reference rejects, evaluated as DataFrame aggregations
+    * (strict reference behavior stays on `/api/v1/query`). JSONL out.
+    */
+  private def handlePromqlExtended(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    import graft.promql.ExtendedPromQL
+    val query = p.getOrElse("query",
+      throw new IllegalArgumentException("missing query parameter"))
+    val parsed = ExtendedPromQL.parse(query,
+      nowUs = System.currentTimeMillis() * 1000L)
+    val selected = Matchers.sensorsByLabels(store.sensors, parsed.matchers,
+      numericOnly = true)
+      .select(col("uuid").as("sensor_id"), col("labels"))
+    val result = ExtendedPromQL.eval(parsed, selected, numericFloatView())
+    val lines = result.toJSON.collect()
+    respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
   }
 
   /** Batch-per-type long view over the matched sensors: one scan per value

@@ -1,0 +1,207 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.LabelMatcher
+
+/** PromQL analytical extension — the operations the reference *rejects*
+  * with 400s (reference: src/ingestors/http/simple_promql.rs:150-171) and
+  * explicitly delegates to the storage backend as future work
+  * (SURVEY §2.5). Here the backend is Spark, so they evaluate natively:
+  *
+  *  - `<agg>_over_time(sel[range])` — per-series aggregation over the
+  *    range window (sum/avg/count/min/max/last);
+  *  - `<agg> by (l1,...) (sel)` / `<agg> without (...) (sel)` /
+  *    bare `<agg>(sel)` — instant-vector aggregation across series: each
+  *    series contributes its latest sample in the lookback window, grouped
+  *    by the label clause (sum/avg/count/min/max).
+  *
+  * Selector parsing (matchers, ranges, durations, rejection of binary ops
+  * etc.) is delegated to [[SimplePromQL]], so reference-compatible
+  * selector semantics — 1h default lookback, inclusive bounds — carry
+  * over. [[SimplePromQL]] itself keeps the reference's strict rejection
+  * behavior; this evaluator is the opt-in extension.
+  */
+object ExtendedPromQL {
+
+  val OverTimeOps = Set("sum", "avg", "count", "min", "max", "last")
+  val InstantAggOps = Set("sum", "avg", "count", "min", "max")
+
+  sealed trait Query {
+    def matchers: Seq[LabelMatcher]
+    def startUs: Long
+    def endUs: Long
+  }
+  /** Plain selector — identical to the restricted endpoint's semantics. */
+  final case class SelectorQ(
+      matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
+  /** `<op>_over_time(sel[range])`. */
+  final case class OverTimeQ(
+      op: String, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
+      extends Query
+  /** `<op> [by|without (labels)] (sel)`. */
+  final case class InstantAggQ(
+      op: String, by: Seq[String], without: Boolean,
+      matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
+
+  import SimplePromQL.PromQLError
+
+  def parse(query: String, nowUs: Long): Query = {
+    val s = query.trim
+    val headRe = """^([a-zA-Z_:][a-zA-Z0-9_:]*)""".r
+    headRe.findPrefixMatchOf(s) match {
+      case Some(m) =>
+        val head = m.matched
+        val after = s.substring(head.length)
+        if (head.endsWith("_over_time")) {
+          val op = head.stripSuffix("_over_time")
+          if (!OverTimeOps.contains(op))
+            throw PromQLError(s"Unsupported function: $head")
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          if (!inner.contains("["))
+            throw PromQLError(
+              s"$head expects a range selector (like metric[5m])")
+          val sel = SimplePromQL.parse(inner, nowUs)
+          OverTimeQ(op, sel.matchers, sel.startUs, sel.endUs)
+        } else if (InstantAggOps.contains(head)) {
+          // clause may precede or follow the parenthesized body
+          var t = after.trim
+          var by = Seq.empty[String]
+          var without = false
+          var haveClause = false
+          if (t.startsWith("by") || t.startsWith("without")) {
+            without = t.startsWith("without")
+            haveClause = true
+            val (ls, rest) = parenGroup(
+              t.stripPrefix(if (without) "without" else "by").trim, s)
+            by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            t = rest.trim
+          }
+          val (inner, rest0) = parenGroup(t, s)
+          var rest = rest0.trim
+          if (!haveClause && (rest.startsWith("by") || rest.startsWith("without"))) {
+            without = rest.startsWith("without")
+            val (ls, r2) = parenGroup(
+              rest.stripPrefix(if (without) "without" else "by").trim, s)
+            by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            rest = r2.trim
+          }
+          if (rest.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          if (inner.contains("["))
+            throw PromQLError(
+              s"$head aggregates an instant vector; use ${head}_over_time " +
+                "for range windows")
+          val sel = SimplePromQL.parse(inner, nowUs)
+          InstantAggQ(head, by, without, sel.matchers, sel.startUs, sel.endUs)
+        } else {
+          val sel = SimplePromQL.parse(s, nowUs)
+          SelectorQ(sel.matchers, sel.startUs, sel.endUs)
+        }
+      case None =>
+        val sel = SimplePromQL.parse(s, nowUs)
+        SelectorQ(sel.matchers, sel.startUs, sel.endUs)
+    }
+  }
+
+  /** Extract a balanced `(...)` group from the head of `t`; returns
+    * (inner, rest).
+    */
+  private def parenGroup(t: String, whole: String): (String, String) = {
+    if (!t.startsWith("("))
+      throw PromQLError(s"Failed to parse PromQL query at: '$t'")
+    var depth = 0
+    var i = 0
+    var inStr = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (t.substring(1, i), t.substring(i + 1))
+        case _ => ()
+      }
+      i += 1
+    }
+    throw PromQLError("Failed to parse PromQL query: unbalanced parentheses")
+  }
+
+  // -------------------------------------------------------------- evaluate
+
+  private def aggCol(op: String, c: Column): Column = op match {
+    case "sum" => sum(c)
+    case "avg" => avg(c)
+    case "count" => count(c)
+    case "min" => min(c)
+    case "max" => max(c)
+    case other => throw PromQLError(s"Unsupported aggregation: $other")
+  }
+
+  /** Evaluate against a selected-series frame and its samples.
+    *
+    * @param selected (sensor_id, labels: map) — the matcher-selected
+    *                 series (callers produce it via
+    *                 `Matchers.sensorsByLabels`)
+    * @param samples  (sensor_id, timestamp_us, value)
+    * @return OverTimeQ → (sensor_id, labels, value);
+    *         InstantAggQ → (group_labels, value);
+    *         SelectorQ → (sensor_id, labels, timestamp_us, value)
+    */
+  def eval(q: Query, selected: DataFrame, samples: DataFrame): DataFrame = {
+    val inWindow = samples
+      .filter(col("timestamp_us").between(q.startUs, q.endUs))
+      .join(broadcast(selected), "sensor_id")
+    q match {
+      case SelectorQ(_, _, _) =>
+        inWindow.select("sensor_id", "labels", "timestamp_us", "value")
+      case OverTimeQ(op, _, _, _) =>
+        val c = if (op == "last") null else aggCol(op, col("value"))
+        if (op == "last") lastInWindow(inWindow)
+          .select(col("sensor_id"), col("labels"), col("value"))
+        else inWindow.groupBy(col("sensor_id"))
+          .agg(first(col("labels")).as("labels"), c.as("value"))
+          .select("sensor_id", "labels", "value")
+      case InstantAggQ(op, by, without, _, _, _) =>
+        val latest = lastInWindow(inWindow)
+        val groupLabels =
+          if (by.isEmpty && !without)
+            map().cast("map<string,string>") // aggregate everything
+          else {
+            val keys = array(by.map(lit): _*)
+            val entries = map_entries(coalesce(col("labels"),
+              map().cast("map<string,string>")))
+            val kept =
+              if (without)
+                filter(entries, e => !array_contains(keys, e.getField("key")))
+              else
+                filter(entries, e => array_contains(keys, e.getField("key")))
+            map_from_entries(kept)
+          }
+        latest
+          .withColumn("group_labels", groupLabels)
+          .groupBy(col("group_labels"))
+          .agg(aggCol(op, col("value")).as("value"))
+    }
+  }
+
+  /** Each series' latest sample in the window (deterministic tie-break on
+    * value) — PromQL instant-vector semantics at the evaluation timestamp.
+    */
+  private def lastInWindow(inWindow: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sensor_id"))
+      .orderBy(col("timestamp_us").desc, col("value").desc)
+    inWindow
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

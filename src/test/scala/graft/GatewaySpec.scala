@@ -171,6 +171,18 @@ class GatewaySpec extends SparkSpec {
     assert(ok.body().startsWith("[")) // empty senml array (data outside lookback)
   }
 
+  test("extended PromQL endpoint aggregates; strict endpoint still rejects") {
+    // uses the remote-write data (http_requests with job=api, 2024-01)
+    val q = java.net.URLEncoder.encode(
+      "sum_over_time(http_requests[31d])", "UTF-8")
+    val ok = get(s"/api/v1/query_extended?query=$q")
+    assert(ok.statusCode() == 200)
+    // window is now-31d (2026) — empty result, but the endpoint accepts it
+    assert(get("/api/v1/query?query=" + q).statusCode() == 400)
+    assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
+      "1 + 2", "UTF-8")).statusCode() == 400)
+  }
+
   test("vacuum endpoint") {
     assert(get("/api/v1/admin/vacuum").statusCode() == 405 ||
       post("/api/v1/admin/vacuum", Array.emptyByteArray, Map.empty)

@@ -98,3 +98,88 @@ class PromQLSpec extends AnyFunSuite {
     intercept[PromQLError](SimplePromQL.parseDurationMs("5x"))
   }
 }
+
+class ExtendedPromQLSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.{col, element_at}
+  import graft.promql.ExtendedPromQL
+  import graft.promql.ExtendedPromQL._
+  import graft.promql.SimplePromQL.PromQLError
+  import graft.operators.LabelMatcher
+
+  private val now = 1706745600000000L
+
+  test("parses over_time functions with range") {
+    ExtendedPromQL.parse("sum_over_time(view[31d])", now) match {
+      case OverTimeQ("sum", ms, s, e) =>
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
+        assert(e == now && s == now - 31L * 86400 * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("sum_over_time(view)", now) // needs range
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("median_over_time(view[5m])", now)
+    }
+  }
+
+  test("parses instant aggregations with by/without clauses") {
+    ExtendedPromQL.parse("sum by (user) (view)", now) match {
+      case InstantAggQ("sum", Seq("user"), false, ms, s, e) =>
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
+        assert(e == now && s == now - 3600L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("""avg(view{user="7"}) without (user)""", now) match {
+      case InstantAggQ("avg", Seq("user"), true, ms, _, _) =>
+        assert(ms.contains(LabelMatcher.Eq("user", "7")))
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("sum(view[5m])", now) // range in instant agg
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("sum by (user) (view) extra", now)
+    }
+  }
+
+  test("plain selectors pass through with reference semantics") {
+    ExtendedPromQL.parse("""view{user="7"}[5m]""", now) match {
+      case SelectorQ(ms, s, e) =>
+        assert(ms.size == 2 && e == now && s == now - 300L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    // rejections still apply to non-aggregate junk
+    intercept[PromQLError] { ExtendedPromQL.parse("1 + 2", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("rate(view[5m])", now) }
+  }
+
+  test("evaluator: over_time per series and instant agg across series") {
+    import spark.implicits._
+    val selected = Seq(
+      ("a 1", Map("user" -> "1")),
+      ("a 2", Map("user" -> "2"))).toDF("sensor_id", "labels")
+    val samples = Seq(
+      ("a 1", 1000000L, 1.0), ("a 1", 2000000L, 2.0),
+      ("a 2", 1500000L, 10.0), ("a 2", 9999999999L, 99.0) // out of window
+    ).toDF("sensor_id", "timestamp_us", "value")
+    val ot = ExtendedPromQL.eval(
+      OverTimeQ("sum", Nil, 0L, 3000000L), selected, samples)
+      .select("sensor_id", "value").as[(String, Double)].collect().toMap
+    assert(ot == Map("a 1" -> 3.0, "a 2" -> 10.0))
+
+    // instant: last sample per series in window, summed over all (empty by)
+    val inst = ExtendedPromQL.eval(
+      InstantAggQ("sum", Nil, false, Nil, 0L, 3000000L), selected, samples)
+      .select("value").as[Double].collect()
+    assert(inst.toSeq == Seq(12.0)) // 2.0 (last of a1) + 10.0 (last of a2)
+
+    // grouped: by (user) keeps each series separate here
+    val byUser = ExtendedPromQL.eval(
+      InstantAggQ("max", Seq("user"), false, Nil, 0L, 3000000L),
+      selected, samples)
+      .select(element_at(col("group_labels"), "user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(byUser == Map("1" -> 2.0, "2" -> 10.0))
+  }
+}
