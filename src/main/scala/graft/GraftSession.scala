@@ -7,6 +7,7 @@ object GraftSession {
 
   /** Confs any session running graft queries must carry. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS); read as Long ns
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -181,9 +181,30 @@ final class Gateway(
         val lines = Exporters.toJsonl(renderedValues(scan, sType), uuid,
           row.getString(1), sType.displayName.toLowerCase, labels).collect()
         respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
+      case "arrow" =>
+        // Float series use the typed schema; other types the long all-
+        // string schema (the reference's two Arrow export contracts:
+        // src/exporters/arrow/mod.rs:17-105)
+        val bytes = sType match {
+          case SensorType.Float =>
+            val rows = scan.select(col("timestamp_us"), col("value"))
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+            graft.sources.ArrowIO.encodeFloatSeries(rows)
+          case _ =>
+            val labelsJson = if (labels.isEmpty) "{}"
+              else labels.toSeq.sorted
+                .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+                .mkString("{", ",", "}")
+            val rows = renderedValues(scan, sType).collect().map(r =>
+              graft.sources.ArrowIO.LongRow(r.getLong(0), uuid,
+                row.getString(1), r.getString(1), sType.displayName,
+                labelsJson)).toSeq
+            graft.sources.ArrowIO.encodeLongFormat(rows)
+        }
+        respondBytes(x, 200, "application/vnd.apache.arrow.file", bytes)
       case other =>
         throw new IllegalArgumentException(
-          s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl")
+          s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl, arrow")
     }
   }
 
@@ -235,7 +256,7 @@ final class Gateway(
           .groupBy(col("sensor_id").as("name"))
           .agg(first(col("unit"), ignoreNulls = true).as("unit_name"))
           .select(
-            Sensor.uuidUdf(col("name"), lit(t.displayName), col("unit_name"),
+            call_function("sensor_uuid", col("name"), lit(t.displayName), col("unit_name"),
               lit(null).cast(MapType(StringType, StringType))).as("uuid"),
             col("name"), lit(t.displayName).as("type"),
             when(col("unit_name").isNotNull,
@@ -270,7 +291,7 @@ final class Gateway(
     */
   private def publishLong(df: DataFrame): Unit = {
     val withUuid = df
-      .withColumn("uuid", Sensor.uuidUdf(col("sensor_name"), col("type"),
+      .withColumn("uuid", call_function("sensor_uuid", col("sensor_name"), col("type"),
         lit(null).cast(StringType), col("labels")))
       .cache()
     val present = withUuid.select("type").distinct().collect()
@@ -309,7 +330,7 @@ final class Gateway(
       .select(col("sensor_name"), col("type"), col("labels"))
       .dropDuplicates("sensor_name", "type")
       .select(
-        Sensor.uuidUdf(col("sensor_name"), col("type"),
+        call_function("sensor_uuid", col("sensor_name"), col("type"),
           lit(null).cast(StringType), col("labels")).as("uuid"),
         col("sensor_name").as("name"), col("type"),
         lit(null).cast(graft.model.Schemas.sensors("unit").dataType).as("unit"),
@@ -325,7 +346,7 @@ final class Gateway(
         case _ => col("double_value")
       }
       store.publishSamples(t, parsed.filter(col("type") === tn)
-        .withColumn("uuid", Sensor.uuidUdf(col("sensor_name"), col("type"),
+        .withColumn("uuid", call_function("sensor_uuid", col("sensor_name"), col("type"),
           lit(null).cast(StringType), col("labels")))
         .select(col("uuid").as("sensor_id"), col("timestamp_us"),
           valueCol.as("value")))
@@ -461,8 +482,21 @@ final class Gateway(
           respond(x, 200, "application/x-ndjson",
             lines.mkString("", "\n", "\n"))
         }
+      case "arrow" =>
+        // multi-series export always uses the long all-string schema
+        val rows = longView(matched.toSeq, parsed.startUs, parsed.endUs)
+          .orderBy("sensor_id", "timestamp_us")
+          .select(col("timestamp_us"), col("sensor_id"), col("sensor_name"),
+            col("value"), col("type"),
+            to_json(coalesce(col("labels"),
+              map().cast(MapType(StringType, StringType)))).as("labels_json"))
+          .collect().map(r => graft.sources.ArrowIO.LongRow(
+            r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getString(4), r.getString(5))).toSeq
+        respondBytes(x, 200, "application/vnd.apache.arrow.file",
+          graft.sources.ArrowIO.encodeLongFormat(rows))
       case other => throw new IllegalArgumentException(
-        s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl")
+        s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl, arrow")
     }
   }
 

@@ -46,7 +46,7 @@ object StreamingIngest {
     * snappy-compressed WriteRequest protobuf per file — the wire payload
     * the HTTP endpoint receives) into the store. The decode runs
     * distributed in `flatMap`; sensor identity (content-addressed uuid
-    * from name+labels) is derived per row with the Blake3 UDF; each
+    * from name+labels) is derived per row with the codegen'd sensor_uuid expression; each
     * micro-batch commits catalog + Float samples in `foreachBatch`
     * (reference ingest semantics: src/ingestors/http/
     * prometheus_write.rs:100-180).
@@ -103,7 +103,7 @@ object StreamingIngest {
   def publishRemoteWriteRows(store: SensorStore, df: DataFrame): Unit = {
     import org.apache.spark.sql.types.StringType
     val withUuid = df.withColumn("uuid",
-      graft.model.Sensor.uuidUdf(col("sensor_name"), lit("Float"),
+      call_function("sensor_uuid", col("sensor_name"), lit("Float"),
         col("unit_name"), col("labels"))).cache()
     try {
       if (withUuid.limit(1).count() == 0) return

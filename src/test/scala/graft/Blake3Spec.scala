@@ -45,3 +45,53 @@ class Blake3Spec extends AnyFunSuite {
     }
   }
 }
+
+class SensorUuidExpressionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.model.{Sensor, SensorType}
+
+  test("sensor_uuid expression matches driver-side derivation and the UDF") {
+    import spark.implicits._
+    val df = Seq(
+      ("temp", "Float", null.asInstanceOf[String], Map.empty[String, String]),
+      ("cpu", "Integer", "celsius", Map("host" -> "a", "dc" -> "b")))
+      .toDF("name", "type_name", "unit_name", "labels")
+    val got = df.select(
+      call_function("sensor_uuid", col("name"), col("type_name"),
+        col("unit_name"), col("labels")).as("uuid"),
+      Sensor.uuidUdf(col("name"), col("type_name"), col("unit_name"),
+        col("labels")).as("uuid_udf"))
+      .collect()
+    val expected0 = Sensor.deriveUuid("temp", SensorType.Float, None, Nil)
+    val expected1 = Sensor.deriveUuid("cpu", SensorType.Integer,
+      Some(graft.model.SensorUnit("celsius")),
+      Seq("host" -> "a", "dc" -> "b"))
+    assert(got(0).getString(0) == expected0)
+    assert(got(1).getString(0) == expected1)
+    assert(got(0).getString(0) == got(0).getString(1))
+    assert(got(1).getString(0) == got(1).getString(1))
+    // null name -> null uuid (expression only; the UDF would NPE)
+    val nulls = Seq(("Float", 1)).toDF("t", "x").select(
+      call_function("sensor_uuid", lit(null).cast("string"), col("t"),
+        lit(null).cast("string"),
+        lit(null).cast("map<string,string>")).as("uuid"))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
+  test("sensor_uuid works from SQL and inside whole-stage codegen") {
+    // range source prevents constant folding so the codegen path runs
+    spark.range(3).createOrReplaceTempView("uuid_in")
+    val rows = spark.sql(
+      """SELECT sensor_uuid(concat('m', id), 'Float', CAST(NULL AS STRING),
+        |  CAST(NULL AS MAP<STRING,STRING>)) AS u FROM uuid_in
+        |ORDER BY u""".stripMargin)
+    val got = rows.collect().map(_.getString(0)).toSet
+    val expected = (0 until 3).map(i => graft.model.Sensor.deriveUuid(
+      s"m$i", SensorType.Float, None, Nil)).toSet
+    assert(got == expected)
+    // AQE plan strings mark codegen stages as `*(n)` spans
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [sensoruuidexpression"), plan)
+  }
+}

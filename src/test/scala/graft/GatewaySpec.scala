@@ -171,6 +171,18 @@ class GatewaySpec extends SparkSpec {
     assert(ok.body().startsWith("[")) // empty senml array (data outside lookback)
   }
 
+  test("arrow export roundtrips through ArrowIO") {
+    // float series written by the CSV publish test
+    val uuid = Sensor.deriveUuid("temp", SensorType.Float, None, Nil)
+    val resp = client.send(
+      HttpRequest.newBuilder(url(s"/series/$uuid?format=arrow")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(resp.statusCode() == 200)
+    val rows = graft.sources.ArrowIO.decodeFloatSeries(resp.body())
+    assert(rows.map(_._2) == Seq(1.5, 2.5, 3.5))
+    assert(rows.head._1 == 1704067200000000L)
+  }
+
   test("extended PromQL endpoint aggregates; strict endpoint still rejects") {
     // uses the remote-write data (http_requests with job=api, 2024-01)
     val q = java.net.URLEncoder.encode(
