@@ -142,4 +142,86 @@ object StreamingIngest {
         unix_micros(col("window.start")).as("window_start_us"),
         col("sensor_id"), col("n"), col("avg_value"), col("min_value"),
         col("max_value"))
+
+  /** The resampler's sink half: stream canonical long-layout sample files
+    * through [[windowedResample]] and persist each closed window as
+    * samples of *derived* Float series in the store — one series per
+    * source series × statistic, content-addressed from the source
+    * metadata plus `__resample__`/`__aggregate__` labels. Re-running the
+    * stream (or two streams over the same source) therefore converges on
+    * the same derived uuids, and because append mode only ever emits
+    * finalized windows, the at-least-once foreachBatch sink never writes
+    * a window twice within one checkpointed run.
+    */
+  def resampleStreamToStore(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: org.apache.spark.sql.types.StructType, // sensor_id, timestamp_us, value
+      store: SensorStore,
+      windowDur: String,
+      watermarkDur: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val src = spark.readStream
+      .schema(sourceSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("sensor_id"),
+        timestamp_micros(col("timestamp_us")).as("ts"),
+        col("value").cast("double").as("value"))
+    windowedResample(src, windowDur, watermarkDur)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        publishResampledRows(store, batch, windowDur)
+      }
+      .start()
+  }
+
+  /** Publish one micro-batch of closed resample windows as derived Float
+    * series. Source metadata comes from a broadcast catalog join; series
+    * missing from the catalog fall back to the raw sensor_id as the name.
+    */
+  def publishResampledRows(
+      store: SensorStore, batch: DataFrame, windowDur: String): Unit = {
+    import org.apache.spark.sql.types.StringType
+    if (batch.limit(1).count() == 0) return
+    val catalog = store.sensors.select(
+      col("uuid"), col("name").as("src_name"),
+      col("unit.name").as("unit_name"), col("labels").as("src_labels"))
+    val emptyLabels = expr("cast(map() as map<string,string>)")
+    val rows = batch
+      .select(col("window_start_us"), col("sensor_id"),
+        expr("""stack(4,
+          'count', cast(n as double),
+          'avg', avg_value,
+          'min', min_value,
+          'max', max_value) as (stat, value)"""))
+      .join(broadcast(catalog), col("sensor_id") === col("uuid"), "left")
+      .withColumn("derived_name", coalesce(col("src_name"), col("sensor_id")))
+      .withColumn("derived_labels", map_concat(
+        map_filter(coalesce(col("src_labels"), emptyLabels),
+          (k, _) => !k.isin("__resample__", "__aggregate__")),
+        map(lit("__resample__"), lit(windowDur),
+          lit("__aggregate__"), col("stat"))))
+      .withColumn("derived_uuid",
+        call_function("sensor_uuid", col("derived_name"), lit("Float"),
+          col("unit_name"), col("derived_labels")))
+      .cache()
+    try {
+      store.publishSensors(rows
+        .select(col("derived_uuid").as("uuid"),
+          col("derived_name").as("name"), lit("Float").as("type"),
+          when(col("unit_name").isNotNull,
+            struct(col("unit_name").as("name"),
+              lit(null).cast(StringType).as("description"))).as("unit"),
+          col("derived_labels").as("labels"))
+        .dropDuplicates("uuid"))
+      store.publishSamples(SensorType.Float, rows
+        .select(col("derived_uuid").as("sensor_id"),
+          col("window_start_us").as("timestamp_us"), col("value")))
+    } finally rows.unpersist()
+  }
 }

@@ -135,6 +135,63 @@ class StoreSpec extends SparkSpec {
     assert(floats.filter(col("sensor_id") === uuid).count() == 2)
   }
 
+  test("resample stream persists derived series into the store") {
+    import scala.jdk.CollectionConverters._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rs_src")
+    val store = new SensorStore(spark, tempDir())
+    // source series metadata in the catalog
+    val srcUuid = graft.model.Sensor.deriveUuid(
+      "temp", SensorType.Float, None, Seq("room" -> "a"))
+    store.publishSensors(Seq((srcUuid, "temp", "Float"))
+      .toDF("uuid", "name", "type")
+      .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+      .withColumn("labels", typedLit(Map("room" -> "a"))))
+    // two files so the watermark advances between micro-batches and the
+    // first window closes (append mode only emits finalized windows)
+    val t0 = 1704067200000000L // 2024-01-01 00:00 UTC
+    val fileSeq = new java.util.concurrent.atomic.AtomicLong(0)
+    def writeFile(name: String, rows: Seq[(String, Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rs_part")
+      rows.toDF("sensor_id", "timestamp_us", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, srcDir.resolve(name))
+      // the file source orders batches by modification time; make the
+      // ordering deterministic so f1's window closes under f2's watermark
+      java.nio.file.Files.setLastModifiedTime(srcDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + fileSeq.getAndIncrement() * 60000L))
+    }
+    writeFile("f1.parquet",
+      Seq((srcUuid, t0 + 600L * 1000000, 1.0),
+        (srcUuid, t0 + 1200L * 1000000, 3.0)))
+    writeFile("f2.parquet", Seq((srcUuid, t0 + 3L * 3600L * 1000000, 5.0)))
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = StreamingIngest.resampleStreamToStore(
+      spark, srcDir.toString, schema, store,
+      "1 hour", "1 hour", tempDir() + "/ckpt")
+    q.awaitTermination()
+    // the 00:00-01:00 window closed: 4 derived series, one sample each
+    val derived = store.sensors.filter(
+      col("labels")("__resample__") === "1 hour")
+    assert(derived.count() == 4)
+    val avgUuid = graft.model.Sensor.deriveUuid(
+      "temp", SensorType.Float, None,
+      Seq("room" -> "a", "__resample__" -> "1 hour", "__aggregate__" -> "avg"))
+    val avgRows = store.samples(SensorType.Float)
+      .filter(col("sensor_id") === avgUuid)
+      .select("timestamp_us", "value").as[(Long, Double)].collect()
+    assert(avgRows.toSeq == Seq((t0, 2.0)))
+    // re-publishing through a second run converges on the same uuids
+    StreamingIngest.publishResampledRows(store,
+      Seq((t0, srcUuid, 2L, 2.0, 1.0, 3.0)).toDF(
+        "window_start_us", "sensor_id", "n", "avg_value",
+        "min_value", "max_value"), "1 hour")
+    assert(store.sensors.filter(
+      col("labels")("__resample__") === "1 hour").count() == 4)
+  }
+
   test("windowed resample (batch mode) aggregates per tumbling window") {
     val df = Seq(
       ("s1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
