@@ -30,18 +30,34 @@ object Dedup {
       explode(TextAnalysis.shingles(
         TextAnalysis.whitespaceTokens(col(textCol)), n)).as("sh"))
 
+  /** Hash-keyed inverted index: (id, h = xxhash64(shingle)). Every
+    * downstream shuffle and join keys on the 8-byte hash instead of the
+    * shingle string — a multi-× reduction in shuffle bytes and probe cost
+    * for the self-join paths. Exactness: per-doc shingle sets map to hash
+    * sets injectively unless two distinct corpus shingles collide on
+    * xxhash64; P ≤ S²/2⁶⁵ for S distinct shingles (~3·10⁻⁹ at S=10⁷; at
+    * 10¹² shingles the expected handful of collisions perturbs a Jaccard
+    * by ≤1 count — far below the LSH stage's own miss probability).
+    * PipelineSpec pins zero collisions on the gate corpora, so gate
+    * results are bit-identical to the string-keyed index.
+    */
+  private def hashedShingleTable(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleTable(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
-    * shuffle on shingle, count common shingles per pair, join per-doc
+    * shuffle on shingle hash, count common shingles per pair, join per-doc
     * shingle counts, filter `jaccard >= tau`. Pair generation is bounded
     * by shingle-bucket sizes (df-style posting lists), not |docs|².
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
-    val g = shingleTable(docs, idCol, textCol, n).cache()
+    val g = hashedShingleTable(docs, idCol, textCol, n).cache()
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = g.as("a").join(g.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -83,16 +99,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame =
     signaturesFromShingles(
-      shingleTable(docs, idCol, textCol, n), numHashes)
+      hashedShingleTable(docs, idCol, textCol, n), numHashes)
 
-  /** Hash each shingle string ONCE to a long, then derive the k family
+  /** The shingle is hashed ONCE to a long upstream; derive the k family
     * members as codegen'd `xxhash64(h, i)` in an explicit `array(...)`
     * — a `transform` HOF lambda would be interpreted per element, and
     * re-reading the string k times is k× the bytes. (A linear h1+i*h2
     * scheme would be cheaper still but loses LSH recall.)
     */
-  private def signaturesFromShingles(g: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = g.select(col("id"), xxhash64(col("sh")).as("h"))
+  private def signaturesFromShingles(hashed: DataFrame, numHashes: Int): DataFrame = {
     val hashes = hashed.select(col("id"),
       array((0 until numHashes).map(i => xxhash64(col("h"), lit(i))): _*)
         .as("hashes"))
@@ -120,8 +135,8 @@ object Dedup {
       n: Int, tau: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // one shingle table feeds both signatures and verification
-    val g = shingleTable(docs, idCol, textCol, n).cache()
+    // one hash-keyed shingle table feeds both signatures and verification
+    val g = hashedShingleTable(docs, idCol, textCol, n).cache()
     val sigs = signaturesFromShingles(g, numHashes)
     // band hashes sliced straight out of the signature array; xxhash64
     // hashes the long-array slice directly (codegen'd, no string concat)
@@ -144,7 +159,7 @@ object Dedup {
     val sizes = gc.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = gc.as("ga").join(candidates, col("ga.id") === col("id_a"))
       .join(gc.as("gb"),
-        col("gb.id") === col("id_b") && col("ga.sh") === col("gb.sh"))
+        col("gb.id") === col("id_b") && col("ga.h") === col("gb.h"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     common

@@ -22,22 +22,48 @@ object Scratch {
 
     val g = docs.select(col("doc_id").as("id"),
       explode(TextAnalysis.shingles(
-        TextAnalysis.whitespaceTokens(col("text")), 3)).as("sh"))
+        TextAnalysis.whitespaceTokens(col("text")), 3)).as("sh")).cache()
     time("shingle table count")(g.count())
-    time("signatures k=32") {
-      Dedup.minHashSignatureArrays(docs, "doc_id", "text", 3, 32).count()
+    // stage breakdown of minHashLshPairs(32, 8)
+    val sigs = time("signatures k=32") {
+      val s = Dedup.minHashSignatureArrays(docs, "doc_id", "text", 3, 32).cache()
+      s.count(); s
     }
-    time("lsh full") {
+    val bandHashes = sigs.select(col("id"),
+      posexplode(array((0 until 8).map(b =>
+        xxhash64(slice(col("sig"), b * 4 + 1, 4))): _*))
+        .as(Seq("band", "band_hash"))).cache()
+    time("band hashes")(bandHashes.count())
+    val candidates = time("candidate join") {
+      val c = bandHashes.as("a").join(bandHashes.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct().cache()
+      println(s"SCRATCH candidates ${c.count()}")
+      c
+    }
+    time("verification") {
+      val candIds = candidates
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val gc = g.join(candIds, Seq("id"), "left_semi")
+      val sizes = gc.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      val common = gc.as("ga").join(candidates, col("ga.id") === col("id_a"))
+        .join(gc.as("gb"),
+          col("gb.id") === col("id_b") && col("ga.sh") === col("gb.sh"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= 0.5)
+        .count()
+    }
+    time("lsh full (warm)") {
       Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5, 32, 8).count()
-    }
-    time("lsh full (2nd)") {
-      Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5, 32, 8).count()
-    }
-    time("ngram jaccard") {
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
-    }
-    time("simhash full") {
-      Dedup.simHashPairs(docs, "doc_id", "text", 16).count()
     }
     spark.stop()
   }

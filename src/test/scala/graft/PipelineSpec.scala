@@ -55,6 +55,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-12)
   }
 
+  test("shingle xxhash64 is collision-free on the gate corpora") {
+    // pins the hash-keyed inverted index's exactness argument (Dedup
+    // scaladoc): zero xxhash64 collisions among distinct shingles at the
+    // correctness-gate scales, so hash-keyed Jaccard == string-keyed
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val counts = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.shingles(
+          TextAnalysis.whitespaceTokens(col("text")), 3)).as("sh"))
+        .distinct()
+        .agg(count(lit(1)).as("n_sh"),
+          countDistinct(xxhash64(col("sh"))).as("n_h"))
+        .as[(Long, Long)].collect().head
+      assert(counts._1 == counts._2,
+        s"$dir: ${counts._1} shingles, ${counts._2} distinct hashes")
+    }
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on testdata") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
