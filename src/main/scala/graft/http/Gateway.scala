@@ -47,6 +47,7 @@ final class Gateway(
     route("/api/v1/query", handlePromql)
     route("/api/v1/query_extended", handlePromqlExtended)
     route("/api/v1/admin/vacuum", handleVacuum)
+    route("/api/v1/admin/resample", handleResample)
     server.setExecutor(null) // serial; the reference handles one spark job at a time anyway
     server.start()
     server.getAddress.getPort
@@ -552,6 +553,37 @@ final class Gateway(
 
   private def handleVacuum(x: HttpExchange, p: Map[String, String]): Unit = {
     SensorType.all.foreach(t => store.vacuum(t))
+    respond(x, 200, "text/plain", "ok")
+  }
+
+  /** Batch resample over the store: window the numeric samples of the
+    * selected series (`selector` like /series, default all numeric) and
+    * publish each window as derived content-addressed Float series —
+    * the batch twin of `StreamingIngest.resampleStreamToStore`, sharing
+    * its publish half so gateway-triggered and streaming resamples
+    * converge on the same derived uuids.
+    */
+  private def handleResample(x: HttpExchange, p: Map[String, String]): Unit = {
+    val window = p.getOrElse("window", "1 hour")
+    val selected = (p.get("selector") match {
+      case Some(sel) =>
+        Matchers.sensorsByLabels(store.sensors, Catalog.parseSelector(sel))
+      case None => store.sensors
+    }).filter(col("type").isin("Float", "Integer", "Numeric"))
+      // never re-resample derived series into themselves
+      .filter(coalesce(col("labels")("__resample__"), lit("")) === "")
+    val ids = selected.select(col("uuid").as("sensor_id"))
+    val startUs = parseTime(p, "start").getOrElse(Long.MinValue)
+    val endUs = parseTime(p, "end").getOrElse(Long.MaxValue)
+    val src = numericFloatView()
+      .filter(col("timestamp_us").between(startUs, endUs))
+      .join(broadcast(ids), "sensor_id")
+      .select(col("sensor_id"),
+        timestamp_micros(col("timestamp_us")).as("ts"), col("value"))
+    // batch mode: the watermark is a no-op, every window is final
+    val agg = graft.streaming.StreamingIngest
+      .windowedResample(src, window, window)
+    graft.streaming.StreamingIngest.publishResampledRows(store, agg, window)
     respond(x, 200, "text/plain", "ok")
   }
 }

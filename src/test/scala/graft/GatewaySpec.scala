@@ -200,4 +200,19 @@ class GatewaySpec extends SparkSpec {
       post("/api/v1/admin/vacuum", Array.emptyByteArray, Map.empty)
         .statusCode() == 200)
   }
+
+  test("admin resample publishes derived series queryable over HTTP") {
+    assert(get("/api/v1/admin/resample?window=1+hour").statusCode() == 200)
+    val avgUuid = Sensor.deriveUuid("temp", SensorType.Float, None,
+      Seq("__resample__" -> "1 hour", "__aggregate__" -> "avg"))
+    val senml = get(s"/series/$avgUuid")
+    assert(senml.statusCode() == 200)
+    assert(senml.body().contains("\"bn\":\"" + avgUuid + "\""))
+    assert(senml.body().contains("\"v\":2.5")) // avg of 1.5, 2.5, 3.5
+    // derived series are excluded from re-resampling: a second run
+    // converges on the same uuids instead of minting derived-of-derived
+    val sensorsAfterFirst = store.sensors.count()
+    assert(get("/api/v1/admin/resample?window=1+hour").statusCode() == 200)
+    assert(store.sensors.count() == sensorsAfterFirst)
+  }
 }
