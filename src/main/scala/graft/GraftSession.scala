@@ -12,6 +12,10 @@ object GraftSession {
     // events.parquet carries TIMESTAMP(NANOS); read as Long ns
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
+    // last-wins map keys match the reference's insert-overwrites label
+    // semantics (influx duplicate tag keys, reserved bucket/org labels)
+    // and let str_to_map/map_concat run without pre-dedup regex guards
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -241,10 +241,11 @@ object InfluxLineProtocol {
     val df = lines.toDF("line")
     val t = trim(col("line"))
     val nonEmpty = length(t) > 0 && !t.startsWith("#")
-    // reserved label keys and duplicate tag keys need last-wins map merge
-    // (str_to_map would raise under the default dedup policy) — strict path
-    val fast = t.rlike(FastLine) && !t.rlike(",influxdb_(bucket|org)=") &&
-      !t.rlike(""",([^,= \\"]+)=[^,= \\"]*.*[, ]\1=""")
+    // reserved bucket/org keys and duplicate tag keys are fine on the
+    // columnar path: the session's LAST_WIN map-key policy gives
+    // str_to_map/map_concat the same insert-overwrites semantics as the
+    // strict parser's `.toMap` (one regex per line instead of three)
+    val fast = t.rlike(FastLine)
     import lines.sparkSession.implicits._
     parseColumnar(df.filter(nonEmpty && fast), bucket, org, precision)
       .unionByName(parseFlatMap(

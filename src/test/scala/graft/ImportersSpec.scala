@@ -140,7 +140,10 @@ class ImportersSpec extends SparkSpec {
       "m0 v=1e-3",
       "m.sub_1,a=1,b=2 f0=-42i,f1=.5,f2=9.0e2",
       "tilde~ok f=0.0 -1",
-      "m f=9223372036854775807i")
+      "m f=9223372036854775807i",
+      // duplicate tag key and reserved label key: last-wins on both paths
+      "m1,a=1,a=2 f=1",
+      "m2,influxdb_bucket=x,c=3 f=2")
     val got = InfluxLineProtocol.parse(lines.toDS(), "b", "o", "ns")
       .select("sensor_name", "labels", "timestamp_us", "type",
         "long_value", "double_value", "string_value", "bool_value")
