@@ -100,19 +100,24 @@ object Dedup {
       n: Int, numHashes: Int): DataFrame =
     signaturesFromShingles(
       hashedShingleTable(docs, idCol, textCol, n), numHashes)
+      .select("id", "sig")
 
   /** The shingle is hashed ONCE to a long upstream; derive the k family
     * members as codegen'd `xxhash64(h, i)` in an explicit `array(...)`
     * — a `transform` HOF lambda would be interpreted per element, and
     * re-reading the string k times is k× the bytes. (A linear h1+i*h2
     * scheme would be cheaper still but loses LSH recall.)
+    * Output: (id, sig, n_sh) — the per-doc distinct-shingle count rides
+    * along in the same aggregation pass, so Jaccard denominators never
+    * need a second scan of the shingle table.
     */
   private def signaturesFromShingles(hashed: DataFrame, numHashes: Int): DataFrame = {
     val hashes = hashed.select(col("id"),
       array((0 until numHashes).map(i => xxhash64(col("h"), lit(i))): _*)
         .as("hashes"))
     val ewMin = udaf(new ElementwiseMin(numHashes))
-    hashes.groupBy(col("id")).agg(ewMin(col("hashes")).as("sig"))
+    hashes.groupBy(col("id"))
+      .agg(ewMin(col("hashes")).as("sig"), count(lit(1)).as("n_sh"))
   }
 
   /** MinHash signatures in long form (id, pos, minhash) — kept as the
@@ -135,9 +140,11 @@ object Dedup {
       n: Int, tau: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // one hash-keyed shingle table feeds both signatures and verification
+    // one hash-keyed shingle table feeds both signatures and verification;
+    // sigs is one row per doc (with n_sh riding along) — cached because
+    // banding and Jaccard denominators both read it
     val g = hashedShingleTable(docs, idCol, textCol, n).cache()
-    val sigs = signaturesFromShingles(g, numHashes)
+    val sigs = signaturesFromShingles(g, numHashes).cache()
     // band hashes sliced straight out of the signature array; xxhash64
     // hashes the long-array slice directly (codegen'd, no string concat)
     val bandHashes = sigs.select(col("id"),
@@ -156,7 +163,7 @@ object Dedup {
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val gc = g.join(candIds, Seq("id"), "left_semi")
-    val sizes = gc.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = sigs.select(col("id"), col("n_sh"))
     val common = gc.as("ga").join(candidates, col("ga.id") === col("id_a"))
       .join(gc.as("gb"),
         col("gb.id") === col("id_b") && col("ga.h") === col("gb.h"))
