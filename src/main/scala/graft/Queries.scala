@@ -715,7 +715,8 @@ object Queries {
         EventsAdapter.samples(s, d)
           .select("sensor_id", "timestamp_us", "value"))
       SensorOps.rangeScan(
-        store.samples(graft.model.SensorType.Float), "view 7",
+        store.samplesInRange(graft.model.SensorType.Float,
+          Some(1704412800000000L), Some(1705708800000000L)), "view 7",
         Some(1704412800000000L), Some(1705708800000000L), 100)
         .select("timestamp_us", "value")
     },

@@ -166,8 +166,9 @@ final class Gateway(
     val labels = Option(row.getMap[String, String](4))
       .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
     val limit = p.get("limit").map(_.toInt).getOrElse(SensorOps.DefaultQueryLimit)
-    val scan = SensorOps.rangeScan(store.samples(sType), uuid,
-      parseTime(p, "start"), parseTime(p, "end"), limit)
+    val (startUs, endUs) = (parseTime(p, "start"), parseTime(p, "end"))
+    val scan = SensorOps.rangeScan(
+      store.samplesInRange(sType, startUs, endUs), uuid, startUs, endUs, limit)
     p.getOrElse("format", "senml") match {
       case "senml" =>
         val lines = SenML.exportSeries(
@@ -416,7 +417,10 @@ final class Gateway(
       }))
     }
     val sensors = store.sensors
-    val samples = numericFloatView()
+    // the scan envelope across all queries; each query re-filters its own
+    // exact range in RemoteRead.plan
+    val samples = numericFloatView(
+      rq.map(_.startMs * 1000L).minOption, rq.map(_.endMs * 1000L).maxOption)
     if (accepted.contains(1)) { // STREAMED_XOR_CHUNKS
       x.getResponseHeaders.set("content-type",
         "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
@@ -433,10 +437,12 @@ final class Gateway(
 
   /** All numeric samples as doubles (Prometheus sees Int/Numeric/Float
     * coerced to f64; reference: src/parsing/prometheus/converter.rs:87-110).
+    * Time bounds, when known, prune month partitions at the scan.
     */
-  private def numericFloatView(): DataFrame =
+  private def numericFloatView(
+      startUs: Option[Long] = None, endUs: Option[Long] = None): DataFrame =
     Seq(SensorType.Float, SensorType.Integer, SensorType.Numeric)
-      .map(t => store.samples(t)
+      .map(t => store.samplesInRange(t, startUs, endUs)
         .select(col("sensor_id"), col("timestamp_us"),
           col("value").cast("double").as("value")))
       .reduce(_ unionByName _)
@@ -455,8 +461,9 @@ final class Gateway(
       case "senml" =>
         val arrays = matched.toSeq.map { row =>
           val t = SensorType.fromString(row.getString(2)).get
-          val scan = SensorOps.rangeScan(store.samples(t), row.getString(0),
-            Some(parsed.startUs), Some(parsed.endUs))
+          val scan = SensorOps.rangeScan(
+            store.samplesInRange(t, Some(parsed.startUs), Some(parsed.endUs)),
+            row.getString(0), Some(parsed.startUs), Some(parsed.endUs))
           val labels = Option(row.getMap[String, String](4))
             .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
           SenML.exportSeries(scan, row.getString(0), row.getString(1),
@@ -515,7 +522,8 @@ final class Gateway(
     val selected = Matchers.sensorsByLabels(store.sensors, parsed.matchers,
       numericOnly = true)
       .select(col("uuid").as("sensor_id"), col("labels"))
-    val result = ExtendedPromQL.eval(parsed, selected, numericFloatView())
+    val result = ExtendedPromQL.eval(parsed, selected,
+      numericFloatView(Some(parsed.startUs), Some(parsed.endUs)))
     val lines = result.toJSON.collect()
     respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
   }
@@ -535,9 +543,8 @@ final class Gateway(
         .filter(col("uuid").isin(ids: _*))
         .select(col("uuid").as("sensor_id"), col("name").as("sensor_name"),
           col("labels"))
-      store.samples(t)
-        .filter(col("sensor_id").isin(ids: _*) &&
-          col("timestamp_us").between(startUs, endUs))
+      store.samplesInRange(t, Some(startUs), Some(endUs))
+        .filter(col("sensor_id").isin(ids: _*))
         .join(broadcast(sel), "sensor_id")
         .select(col("timestamp_us"), col("sensor_id"), col("sensor_name"),
           (t match {
@@ -573,10 +580,7 @@ final class Gateway(
       // never re-resample derived series into themselves
       .filter(coalesce(col("labels")("__resample__"), lit("")) === "")
     val ids = selected.select(col("uuid").as("sensor_id"))
-    val startUs = parseTime(p, "start").getOrElse(Long.MinValue)
-    val endUs = parseTime(p, "end").getOrElse(Long.MaxValue)
-    val src = numericFloatView()
-      .filter(col("timestamp_us").between(startUs, endUs))
+    val src = numericFloatView(parseTime(p, "start"), parseTime(p, "end"))
       .join(broadcast(ids), "sensor_id")
       .select(col("sensor_id"),
         timestamp_micros(col("timestamp_us")).as("ts"), col("value"))

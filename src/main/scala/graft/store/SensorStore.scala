@@ -64,8 +64,10 @@ final class SensorStore(spark: SparkSession, root: String) {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.sensors)
 
-  /** Typed sample scan; Catalyst prunes `month` partitions from pushed
-    * timestamp predicates applied by callers.
+  /** Typed sample scan in the canonical 3-column layout. Timestamp
+    * predicates applied by callers reach the parquet row-group stats but
+    * CANNOT prune `month=` directories (the partition column is dropped
+    * here); time-bounded reads should go through [[samplesInRange]].
     */
   def samples(t: SensorType): DataFrame =
     if (exists(valueDir(t)))
@@ -75,6 +77,37 @@ final class SensorStore(spark: SparkSession, root: String) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  /** Canonical-layout scan restricted to `[startUs, endUs]`: derives the
+    * `month` partition predicate from the time bounds so Catalyst prunes
+    * `month=` directories before any IO — the ClickHouse monthly-partition
+    * index analog this layout exists for — then applies the row-level
+    * timestamp filters (which parquet min/max stats serve within the
+    * surviving partitions).
+    */
+  def samplesInRange(
+      t: SensorType,
+      startUs: Option[Long],
+      endUs: Option[Long]): DataFrame =
+    if (!exists(valueDir(t))) samples(t)
+    else {
+      var df = spark.read.parquet(valueDir(t))
+      startUs.foreach(s => df = df
+        .filter(col("month") >= monthOf(s) && col("timestamp_us") >= s))
+      endUs.foreach(e => df = df
+        .filter(col("month") <= monthOf(e) && col("timestamp_us") <= e))
+      df.drop("month")
+    }
+
+  /** yyyyMM (UTC) of a µs epoch as an int — partition directory values are
+    * type-inferred integers on read.
+    */
+  private def monthOf(us: Long): Int = {
+    val d = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L)),
+      java.time.ZoneOffset.UTC)
+    d.getYear * 100 + d.getMonthValue
+  }
 
   /** Vacuum (S14): compact month partitions of a value table to
     * size-targeted files, keeping the (sensor_id, timestamp_us) sort

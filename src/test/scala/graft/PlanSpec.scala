@@ -31,6 +31,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(tim"), plan)
   }
 
+  test("time-bounded store scan prunes month partitions") {
+    val store = new graft.store.SensorStore(spark,
+      java.nio.file.Files.createTempDirectory("plan_store_prune").toString)
+    import spark.implicits._
+    store.publishSamples(graft.model.SensorType.Float, Seq(
+      ("s1", 1704067200000000L, 1.0), // 2024-01
+      ("s1", 1706745600000000L, 2.0), // 2024-02
+      ("s1", 1709251200000000L, 3.0)) // 2024-03
+      .toDF("sensor_id", "timestamp_us", "value"))
+    val plan = planOf(store.samplesInRange(graft.model.SensorType.Float,
+      Some(1704067200000000L), Some(1705000000000000L)))
+    // the derived month predicate must reach PartitionFilters (a plain
+    // timestamp filter cannot prune month= directories)
+    assert(plan.contains("PartitionFilters: [isnotnull(month"), plan)
+    assert(plan.contains("(month") && plan.contains("202401"), plan)
+    // and the row-level timestamp bounds still reach the parquet scan
+    // (plan text truncates long filter lists; match the prefix)
+    assert(plan.contains("GreaterThanOrEqual(tim"), plan)
+    val rows = store.samplesInRange(graft.model.SensorType.Float,
+      Some(1704067200000000L), Some(1705000000000000L)).collect()
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0))
+  }
+
   test("catalog join broadcasts the small side") {
     val q = Queries.all("q9_join_broadcast")(spark, sf)
     assert(planOf(q).contains("BroadcastHashJoin"), planOf(q))
