@@ -132,6 +132,66 @@ class ImportersSpec extends SparkSpec {
     }
   }
 
+  test("Influx randomized differential: parse() == strict parseLine on 300 lines") {
+    // seeded generator spanning the grammar: escapes, quoted strings,
+    // duplicate/reserved tag keys, every field type, all timestamp signs.
+    // The oracle is parseLine itself, so this pins the fast-path dispatch
+    // (and the LAST_WIN map semantics) against the strict grammar.
+    val rnd = new scala.util.Random(20260812L)
+    val measurements = Seq("m", "m.sub_1", "tilde~ok", """weird\ measure""",
+      """comma\,m""", "CPU")
+    val tagKeys = Seq("a", "b", "host", "influxdb_bucket", """tag\,key""")
+    val tagVals = Seq("1", "2", "west", """va\=lue""", "x")
+    val fieldKeys = Seq("f", "f0", "usage", "ok", "name")
+    def fieldVal(): String = rnd.nextInt(6) match {
+      case 0 => s"${rnd.nextInt(100000) - 50000}i"
+      case 1 => s"${rnd.nextInt(1000000)}u"
+      case 2 => Seq("t", "f", "true", "false", "TRUE", "False")(rnd.nextInt(6))
+      case 3 => Seq("1e-3", ".5", "-42.0", "9.0e2", "3.14")(rnd.nextInt(5))
+      case 4 => s"${rnd.nextDouble() * 1000 - 500}"
+      case 5 => "\"" + Seq("srv 1", """a\"b""", "plain")(rnd.nextInt(3)) + "\""
+    }
+    def line(): String = {
+      val m = measurements(rnd.nextInt(measurements.length))
+      val nTags = rnd.nextInt(4)
+      val tags = Seq.fill(nTags)(
+        s"${tagKeys(rnd.nextInt(tagKeys.length))}=${tagVals(rnd.nextInt(tagVals.length))}")
+      val nFields = 1 + rnd.nextInt(3)
+      // duplicate field keys are last-wins per the map; keep keys unique
+      // so row-set comparison stays well-defined
+      val fks = rnd.shuffle(fieldKeys).take(nFields)
+      val fields = fks.map(k => s"$k=${fieldVal()}")
+      val ts = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => s" ${1700000000000000000L + rnd.nextInt(1000000)}"
+        case 2 => s" -${rnd.nextInt(1000000)}"
+      }
+      (Seq(m + tags.map("," + _).mkString) ++ Seq(fields.mkString(",")))
+        .mkString(" ") + ts
+    }
+    val lines = Seq.fill(300)(line())
+    val got = InfluxLineProtocol.parse(lines.toDS(), "b", "o", "ns")
+      .select("sensor_name", "labels", "timestamp_us", "type",
+        "long_value", "double_value", "string_value", "bool_value")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Map[String, String]](1),
+        Option(r.get(2)), r.getString(3), Option(r.get(4)),
+        Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val expected = lines.flatMap(InfluxLineProtocol.parseLine).map { f =>
+      val name = InfluxLineProtocol.urlencode(f.measurement) + " " +
+        InfluxLineProtocol.urlencode(f.fieldKey)
+      val labels: Map[String, String] =
+        if (f.tags.isEmpty) Map.empty
+        else (Seq("influxdb_bucket" -> "b", "influxdb_org" -> "o")
+          ++ f.tags).toMap
+      (name, labels, f.timestamp.map(_ / 1000): Option[Any], f.valueType,
+        f.longValue: Option[Any], f.doubleValue: Option[Any],
+        f.stringValue: Option[Any], f.boolValue: Option[Any])
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == expected)
+  }
+
   test("Influx columnar fast path agrees with the strict parser") {
     // all fast-path shaped; the differential oracle is parseLine itself
     val lines = Seq(
