@@ -964,6 +964,76 @@ object Queries {
         .select(element_at(col("group_labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("user_tag")
+    },
+
+    // Counter rate over the range: per-series sum of consecutive positive
+    // deltas (reset-aware, no extrapolation) divided by the range seconds.
+    // Deltas are 2-decimal-exact, so both sides sum them in DECIMAL and
+    // divide by the same double literal (31d = 2678400 s).
+    q(
+      "q43_promql_rate",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
+        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  CAST(SUM(CAST(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) / 2678400.0 AS value
+        |FROM s GROUP BY user_id
+        |HAVING SUM(CAST(CASE WHEN prev IS NULL THEN NULL
+        |  WHEN value >= prev THEN value - prev
+        |  ELSE value END AS DECIMAL(18,2))) IS NOT NULL
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "rate(view[31d])", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
+    },
+
+    // Gauge delta over the range: last − first per series, extrema taken
+    // lexicographically on (ts, value) so timestamp ties stay deterministic.
+    q(
+      "q44_promql_delta",
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rl,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, value ASC) AS rf,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
+        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  MAX(CASE WHEN rl = 1 THEN value END)
+        |    - MAX(CASE WHEN rf = 1 THEN value END) AS value
+        |FROM w WHERE n >= 2 GROUP BY user_id ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "delta(view[31d])", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
     }
   )
 

@@ -28,6 +28,7 @@ object ExtendedPromQL {
 
   val OverTimeOps = Set("sum", "avg", "count", "min", "max", "last")
   val InstantAggOps = Set("sum", "avg", "count", "min", "max")
+  val RangeFnOps = Set("rate", "increase", "delta")
 
   sealed trait Query {
     def matchers: Seq[LabelMatcher]
@@ -45,6 +46,17 @@ object ExtendedPromQL {
   final case class InstantAggQ(
       op: String, by: Seq[String], without: Boolean,
       matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
+  /** `rate/increase/delta(sel[range])` — counter/gauge range functions.
+    * Simplified Prometheus semantics (no boundary extrapolation, which
+    * Prometheus itself documents as an approximation): `increase` sums
+    * consecutive positive deltas and counts the full new value after a
+    * counter reset, `rate` divides that by the range in seconds, `delta`
+    * is last−first. Series with fewer than two samples yield no result,
+    * matching PromQL.
+    */
+  final case class RangeFnQ(
+      op: String, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
+      extends Query
 
   import SimplePromQL.PromQLError
 
@@ -67,6 +79,15 @@ object ExtendedPromQL {
               s"$head expects a range selector (like metric[5m])")
           val sel = SimplePromQL.parse(inner, nowUs)
           OverTimeQ(op, sel.matchers, sel.startUs, sel.endUs)
+        } else if (RangeFnOps.contains(head) && after.trim.startsWith("(")) {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          if (!inner.contains("["))
+            throw PromQLError(
+              s"$head expects a range selector (like metric[5m])")
+          val sel = SimplePromQL.parse(inner, nowUs)
+          RangeFnQ(head, sel.matchers, sel.startUs, sel.endUs)
         } else if (InstantAggOps.contains(head)) {
           // clause may precede or follow the parenthesized body
           var t = after.trim
@@ -152,7 +173,7 @@ object ExtendedPromQL {
     *                 series (callers produce it via
     *                 `Matchers.sensorsByLabels`)
     * @param samples  (sensor_id, timestamp_us, value)
-    * @return OverTimeQ → (sensor_id, labels, value);
+    * @return OverTimeQ / RangeFnQ → (sensor_id, labels, value);
     *         InstantAggQ → (group_labels, value);
     *         SelectorQ → (sensor_id, labels, timestamp_us, value)
     */
@@ -170,6 +191,45 @@ object ExtendedPromQL {
         else inWindow.groupBy(col("sensor_id"))
           .agg(first(col("labels")).as("labels"), c.as("value"))
           .select("sensor_id", "labels", "value")
+      case RangeFnQ(op, _, startUs, endUs) =>
+        // one shuffle on sensor_id (the storage sort key); the lag order
+        // includes value so ties on timestamp stay deterministic
+        val ord = Window.partitionBy(col("sensor_id"))
+          .orderBy(col("timestamp_us"), col("value"))
+        op match {
+          case "delta" =>
+            // last − first via lexicographic (ts, value) struct extrema —
+            // deterministic under timestamp ties, no summation involved
+            inWindow.groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                (max(struct(col("timestamp_us"), col("value")))
+                  .getField("value") -
+                  min(struct(col("timestamp_us"), col("value")))
+                    .getField("value")).as("value"),
+                count(lit(1)).as("__n"))
+              .filter(col("__n") >= 2)
+              .select("sensor_id", "labels", "value")
+          case _ => // increase | rate
+            val d = inWindow
+              .withColumn("__prev", lag(col("value"), 1).over(ord))
+              .withColumn("__d",
+                when(col("__prev").isNull, lit(null).cast("double"))
+                  .when(col("value") >= col("__prev"),
+                    col("value") - col("__prev"))
+                  .otherwise(col("value")))
+            // sum the (2-decimal-exact) deltas in decimal so the result is
+            // independent of summation order (same trick as the oracles)
+            val agg = d.groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                sum(col("__d").cast("decimal(18,2)")).cast("double")
+                  .as("value"))
+              .filter(col("value").isNotNull) // <2 samples ⇒ no result
+            if (op == "rate")
+              agg.withColumn("value",
+                col("value") / lit((endUs - startUs) / 1e6))
+                .select("sensor_id", "labels", "value")
+            else agg.select("sensor_id", "labels", "value")
+        }
       case InstantAggQ(op, by, without, _, _, _) =>
         val latest = lastInWindow(inWindow)
         val groupLabels =

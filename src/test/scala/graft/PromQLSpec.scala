@@ -151,7 +151,46 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
     // rejections still apply to non-aggregate junk
     intercept[PromQLError] { ExtendedPromQL.parse("1 + 2", now) }
-    intercept[PromQLError] { ExtendedPromQL.parse("rate(view[5m])", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("irate(view[5m])", now) }
+  }
+
+  test("parses range functions (rate/increase/delta)") {
+    ExtendedPromQL.parse("rate(view[5m])", now) match {
+      case RangeFnQ("rate", ms, s, e) =>
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
+        assert(e == now && s == now - 300L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("rate(view)", now) // needs range
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("increase(view[5m]) extra", now)
+    }
+  }
+
+  test("evaluator: rate/increase handle counter resets, delta is last-first") {
+    import spark.implicits._
+    val selected = Seq(("c 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    // counter: 1 -> 4 -> reset to 2 -> 5; increases 3 + 2 + 3 = 8
+    val samples = Seq(
+      ("c 1", 1000000L, 1.0), ("c 1", 2000000L, 4.0),
+      ("c 1", 3000000L, 2.0), ("c 1", 4000000L, 5.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    def evalOne(op: String): Double =
+      ExtendedPromQL.eval(RangeFnQ(op, Nil, 0L, 10000000L),
+        selected, samples).select("value").as[Double].collect().head
+    assert(evalOne("increase") == 8.0)
+    assert(evalOne("rate") == 8.0 / 10.0) // 10-second range
+    assert(evalOne("delta") == 4.0) // 5.0 - 1.0
+    // a single-sample series yields no result (PromQL needs two points)
+    val one = Seq(("c 1", 1000000L, 1.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    assert(ExtendedPromQL.eval(RangeFnQ("rate", Nil, 0L, 10000000L),
+      selected, one).count() == 0)
+    assert(ExtendedPromQL.eval(RangeFnQ("delta", Nil, 0L, 10000000L),
+      selected, one).count() == 0)
   }
 
   test("evaluator: over_time per series and instant agg across series") {
