@@ -193,6 +193,10 @@ class GatewaySpec extends SparkSpec {
     assert(get("/api/v1/query?query=" + q).statusCode() == 400)
     assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
       "1 + 2", "UTF-8")).statusCode() == 400)
+    // range functions flow through the same endpoint
+    val rateQ = java.net.URLEncoder.encode("rate(http_requests[31d])", "UTF-8")
+    assert(get(s"/api/v1/query_extended?query=$rateQ").statusCode() == 200)
+    assert(get(s"/api/v1/query?query=$rateQ").statusCode() == 400)
   }
 
   test("vacuum endpoint") {
