@@ -129,6 +129,10 @@ object SenML {
         ("vs", to_json(col("value"))) // {"lat":..,"lon":..} JSON text
       case _ => ("vs", col("value").cast(StringType))
     }
+    // the input is ONE series, already range/limit-bounded by the query
+    // layer — the single-partition window IS the per-series semantics
+    // (WindowExec's global-window warning is expected and harmless here;
+    // a constant partition key would be folded away by the optimizer)
     val w = Window.orderBy(col("timestamp_us"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // base time at millisecond precision (reference: datetime_to_ms)
