@@ -1034,6 +1034,29 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("user_tag")
+    },
+
+    // Virtual composite sensor (doc-only in the reference,
+    // docs/DATAMODEL.md:125-131): two series resampled onto a shared
+    // 1-day tumbling window, one column each; windows where a series is
+    // silent stay null. Sums are DECIMAL-exact on both sides.
+    q(
+      "q45_composite_sensor",
+      """SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+        |  CAST(SUM(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_7,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_7
+        |FROM events
+        |WHERE user_id = 7 AND event_type IN ('view', 'click')
+        |GROUP BY 1 ORDER BY 1"""
+    ) { (s, d) =>
+      SensorOps.compositeSensor(
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"),
+        Seq("view 7", "click 7"), "1 day", "sum")
+        .select(col("window_start_us"),
+          col("view 7").as("view_7"), col("click 7").as("click_7"))
     }
   )
 

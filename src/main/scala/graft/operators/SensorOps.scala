@@ -87,4 +87,43 @@ object SensorOps {
     */
   def dedup(samples: DataFrame): DataFrame =
     samples.dropDuplicates(Seq("sensor_id", "timestamp_us", "value"))
+
+  /** Virtual composite sensor (documented-but-unimplemented in the
+    * reference: docs/DATAMODEL.md:125-131): join several series on a
+    * tumbling time window into one wide frame — one column per source
+    * series carrying the window aggregate ("sum", "min", "max", "count",
+    * or "avg"). One shuffle on the window bucket; the pivot is an
+    * explicit column list (never a discovery pass), so the plan is a
+    * single hash aggregation regardless of corpus size. Windows where a
+    * series has no samples yield null in that series' column (the
+    * resampling gap the reference's design sketch calls out).
+    *
+    * Note "sum" aggregates in DECIMAL(18,2) and returns double — exact
+    * and order-independent for 2-decimal data; "avg" is plain double avg
+    * (documented as order-sensitive at the ULP level).
+    */
+  def compositeSensor(
+      samples: DataFrame, // (sensor_id, timestamp_us, value)
+      sensorIds: Seq[String],
+      windowDur: String,
+      agg: String = "sum"): DataFrame = {
+    require(sensorIds.nonEmpty, "compositeSensor needs at least one series")
+    val aggCol = agg match {
+      case "sum" => sum(col("value").cast("decimal(18,2)")).cast("double")
+      case "avg" => avg(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case "count" => count(col("value"))
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported aggregate: $other")
+    }
+    samples
+      .filter(col("sensor_id").isin(sensorIds: _*))
+      .groupBy(window(timestamp_micros(col("timestamp_us")), windowDur))
+      .pivot("sensor_id", sensorIds)
+      .agg(aggCol)
+      .select(unix_micros(col("window.start")).as("window_start_us") +:
+        sensorIds.map(col): _*)
+      .orderBy("window_start_us")
+  }
 }

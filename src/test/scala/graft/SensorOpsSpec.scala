@@ -62,4 +62,22 @@ class SensorOpsSpec extends SparkSpec {
       ("hum", 1L, Seq()),
       ("temp", 2L, Seq("env", "site"))))
   }
+
+  test("compositeSensor pivots series onto a shared window with null gaps") {
+    val hourUs = 3600L * 1000000L
+    val s = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 2.0), // window 0
+      ("b", 20L, 5.0), // window 0
+      ("a", hourUs + 1L, 4.0)) // window 1: b silent
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = SensorOps.compositeSensor(s, Seq("a", "b"), "1 hour", "sum")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (0L, Some(3.0), Some(5.0)),
+      (hourUs, Some(4.0), None)))
+    // unknown aggregate rejected
+    intercept[IllegalArgumentException] {
+      SensorOps.compositeSensor(s, Seq("a"), "1 hour", "median")
+    }
+  }
 }
