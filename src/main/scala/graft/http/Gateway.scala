@@ -459,15 +459,18 @@ final class Gateway(
     val fmt = p.getOrElse("format", "senml")
     fmt match {
       case "senml" =>
-        val arrays = matched.toSeq.map { row =>
+        val arrays = matched.toSeq.zipWithIndex.map { case (row, i) =>
           val t = SensorType.fromString(row.getString(2)).get
           val scan = SensorOps.rangeScan(
             store.samplesInRange(t, Some(parsed.startUs), Some(parsed.endUs)),
             row.getString(0), Some(parsed.startUs), Some(parsed.endUs))
           val labels = Option(row.getMap[String, String](4))
             .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
+          // bver only on the first record of the whole multi-series
+          // document (reference: src/exporters/senml.rs:31-36)
           SenML.exportSeries(scan, row.getString(0), row.getString(1),
-            Option(row.getStruct(3)).map(_.getString(0)), labels, t)
+            Option(row.getStruct(3)).map(_.getString(0)), labels, t,
+            includeBver = i == 0)
             .collect().toSeq
         }
         respond(x, 200, "application/senml+json",

@@ -111,6 +111,10 @@ object SenML {
   /** Typed-series export: the value lands in the SenML field for its type —
     * `v` for numeric, `vs` for strings/JSON text, `vb` for booleans, `vd`
     * (base64) for blobs (reference: src/exporters/senml.rs:46-157).
+    *
+    * `includeBver=false` drops the `bver` field — multi-series documents
+    * carry it only on the very first record of the whole array
+    * (reference: src/exporters/senml.rs:31-36).
     */
   def exportSeries(
       samples: DataFrame,
@@ -118,7 +122,8 @@ object SenML {
       name: String,
       unit: Option[String],
       labels: Map[String, String],
-      sensorType: SensorType): Dataset[String] = {
+      sensorType: SensorType,
+      includeBver: Boolean = true): Dataset[String] = {
     import samples.sparkSession.implicits._
     val (field, valueCol) = sensorType match {
       case SensorType.Integer | SensorType.Numeric | SensorType.Float =>
@@ -149,7 +154,7 @@ object SenML {
       when(col("__rn") === 1, lit(uuid)).as("bn"),
       when(col("__rn") === 1, lit(name)).as("_name"),
       when(col("__rn") === 1, col("__bt_ms").cast(DoubleType) / 1000.0).as("bt"),
-      when(col("__rn") === 1, lit(10)).as("bver"),
+      when(col("__rn") === 1 && lit(includeBver), lit(10)).as("bver"),
       when(col("__rn") === 1, unit.map(lit).getOrElse(lit(null).cast(StringType))).as("bu"),
       when(col("__rn") === 1 && labelsJson.isNotNull, labelsJson).as("_labels"),
       when(col("__rn") === 1, lit(0.0)).otherwise(

@@ -88,6 +88,14 @@ class ImportersSpec extends SparkSpec {
     assert(!lines(1).contains("bn"))
     assert(lines(1).contains(""""t":1.5"""))
     assert(lines(1).contains(""""v":2.5"""))
+    // multi-series documents carry bver only on the very first record of
+    // the whole array (reference: src/exporters/senml.rs:31-36): the
+    // non-first series is exported without it
+    val second = SenML.exportSeries(samples, "uuid-2", "hum", None,
+      Map.empty, graft.model.SensorType.Float, includeBver = false)
+      .collect()
+    assert(second(0).contains(""""bn":"uuid-2""""))
+    assert(!second.exists(_.contains("bver")))
   }
 
   test("Influx line protocol: types, escapes, precision, naming") {
