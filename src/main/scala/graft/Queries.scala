@@ -1057,6 +1057,31 @@ object Queries {
         Seq("view 7", "click 7"), "1 day", "sum")
         .select(col("window_start_us"),
           col("view 7").as("view_7"), col("click 7").as("click_7"))
+    },
+
+    // Embedding-cosine near-dup pairs, exact variant (bits=0 → single
+    // bucket) over a bounded vector subset — the exact path is quadratic
+    // by definition, so the oracled query caps the corpus slice the same
+    // way q27 caps its query set; the LSH-bucketed scale path's behavior
+    // is pinned in PipelineSpec. Closest corpus cosine sits ~1e-4 from
+    // the 0.4 threshold, so the cut is ULP-safe across engines.
+    q(
+      "q46_cosine_neardup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id < 600)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id_a, id_b"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 600)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      graft.pipeline.Similarity.cosineNearDupPairs(e, tau = 0.4, bits = 0)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
     }
   )
 

@@ -6,18 +6,41 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`): brute-force
   * cosine top-k baseline + seeded random-hyperplane LSH for the scale path.
-  * All vector math is `zip_with`/`aggregate` Column expressions in double
-  * precision — codegen'd, no UDFs.
+  * Vector math is a tight scalar-UDF dot product in double precision —
+  * Spark's higher-order array functions (`zip_with`/`aggregate`) are
+  * interpreted per element and were the dominant cost; the UDF keeps the
+  * same left-to-right fold order. Pair joins precompute per-vector norms
+  * so each candidate pair evaluates exactly one dot product.
   */
 object Similarity {
 
-  /** Sequential left-to-right dot product (deterministic fp order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-to-right dot product (deterministic fp order — the
+    * same fold a HOF `aggregate(zip_with(...))` performs, but as a tight
+    * UDF loop: Spark's higher-order array functions are interpreted per
+    * element, which made pairwise cosines the dominant similarity cost.
+    */
+  private val dotFn = org.apache.spark.sql.functions.udf {
+    (a: Seq[Double], b: Seq[Double]) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+  }
+
+  def dot(a: Column, b: Column): Column = dotFn(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine with norms precomputed per side — pair joins evaluate ONE dot
+    * per pair instead of three (the per-vector norms are computed once per
+    * row before the join, not once per candidate pair).
+    */
+  private def cosinePrenormed(
+      a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The corpus scan stays partition-parallel; the
@@ -29,8 +52,10 @@ object Similarity {
       corpus: DataFrame, // (vec_id, vec: array<double>)
       k: Int,
       includeSelf: Boolean = false): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+    val joined = corpus.withColumn("__nv", norm(col("vec")))
+      .crossJoin(broadcast(queries.withColumn("__nq", norm(col("qvec")))))
+      .withColumn("cosine", cosinePrenormed(
+        col("qvec"), col("vec"), col("__nq"), col("__nv")))
     val filtered =
       if (includeSelf) joined
       else joined.filter(col("query_id") =!= col("vec_id"))
@@ -76,11 +101,13 @@ object Similarity {
     val dim = corpus.select(size(col("vec"))).first().getInt(0)
     val planes = hyperplanes(dim, bits, seed)
     val corpusB = corpus.withColumn("bucket", lshBucket(col("vec"), planes))
+      .withColumn("__nv", norm(col("vec")))
     val probes = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
       .map(lit)
     val queriesB = queries
       .withColumn("qbucket", lshBucket(col("qvec"), planes))
+      .withColumn("__nq", norm(col("qvec")))
       .withColumn("bucket",
         explode(array_distinct(array(probes.map(p =>
           col("qbucket").bitwiseXOR(p)): _*))))
@@ -88,7 +115,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     corpusB.join(queriesB, "bucket")
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("cosine", cosinePrenormed(
+        col("qvec"), col("vec"), col("__nq"), col("__nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
@@ -190,14 +218,17 @@ object Similarity {
     val centroids = ivfCentroids(corpus, nlist, iters, seed)
     val corpusA = corpus
       .withColumn("cid", nearestCentroid(col("vec"), centroids))
+      .withColumn("__nv", norm(col("vec")))
     val queriesA = queries
+      .withColumn("__nq", norm(col("qvec")))
       .withColumn("cid",
         explode(probeCentroids(col("qvec"), centroids, nprobe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     corpusA.join(queriesA, "cid")
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("cosine", cosinePrenormed(
+        col("qvec"), col("vec"), col("__nq"), col("__nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
@@ -205,19 +236,26 @@ object Similarity {
 
   /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     * with verification (the embedding-cosine member of the dedup family).
+    * `bits=0` degenerates to one bucket — the exact all-pairs variant
+    * (use only when the corpus fits a single join partition; the bucketed
+    * form is the scale path, trading recall for candidate count).
     */
   def cosineNearDupPairs(
       vectors: DataFrame, // (vec_id, vec)
       tau: Double,
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = vectors.select(size(col("vec"))).first().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
-    val b = vectors.withColumn("bucket", lshBucket(col("vec"), planes))
+    val bucketCol = if (bits == 0) lit(0L) else {
+      val dim = vectors.select(size(col("vec"))).first().getInt(0)
+      lshBucket(col("vec"), hyperplanes(dim, bits, seed))
+    }
+    val b = vectors.withColumn("bucket", bucketCol)
+      .withColumn("__n", norm(col("vec")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cosine", cosinePrenormed(
+        col("a.vec"), col("b.vec"), col("a.__n"), col("b.__n")))
       .filter(col("cosine") >= tau)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("cosine"))

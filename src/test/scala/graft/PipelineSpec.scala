@@ -72,6 +72,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup: bits=0 is exact; bucketed path is a subset") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val exact = Similarity.cosineNearDupPairs(e, tau = 0.3, bits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain cosine near-dups")
+    // every bucketed pair is a verified true pair (precision 1); recall
+    // is data-dependent and traded for candidate count
+    val bucketed = Similarity.cosineNearDupPairs(e, tau = 0.3, bits = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on testdata") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
