@@ -1082,6 +1082,25 @@ object Queries {
       graft.pipeline.Similarity.cosineNearDupPairs(e, tau = 0.4, bits = 0)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
+    },
+
+    // Multimodal frame sampling: every 3rd frame of each media payload
+    // (frame count follows the stub decoder's bytes/1000+1 heuristic, so
+    // the oracle derives the same counts from octet lengths).
+    q(
+      "q47_frame_sample",
+      """SELECT doc_id AS media_id,
+        |  (octet_length(encode(text)) // 1000) // 3 + 1 AS n_sampled,
+        |  ((octet_length(encode(text)) // 1000) // 3) * 3 AS last_frame
+        |FROM documents ORDER BY media_id"""
+    ) { (s, d) =>
+      import graft.pipeline.Multimodal
+      Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), every = 3)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_index")).cast("long").as("last_frame"))
+        .orderBy("media_id")
     }
   )
 

@@ -87,4 +87,87 @@ object Multimodal {
       lit(0).as("meta_width"),
       lit(0).as("meta_height")).as[MediaRow]
   }
+
+  // ------------------------------------------------------- resize
+
+  /** Batch resize contract (image scaling lives behind it). */
+  trait Resizer extends Serializable {
+    def resizeBatch(rows: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow]
+  }
+
+  /** STUB resizer: deterministic payload transform (truncate/pad toward
+    * w*h bytes) + metadata update — a real implementation decodes,
+    * scales, and re-encodes per batch.
+    */
+  object FakeResizer extends Resizer {
+    def resizeBatch(rows: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow] =
+      rows.map { r =>
+        val target = math.max(1, w * h)
+        val out = java.util.Arrays.copyOf(r.media, target)
+        r.copy(media = out, meta_width = w, meta_height = h)
+      }
+  }
+
+  /** Distributed batch resize — same DecodeBatchSize batch iteration as
+    * [[decode]]; 1:1 row contract.
+    */
+  def resize(
+      media: Dataset[MediaRow],
+      w: Int,
+      h: Int,
+      resizer: Resizer = FakeResizer): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(batch =>
+        resizer.resizeBatch(batch.toSeq, w, h))
+    }
+  }
+
+  // ------------------------------------------------------- frame sampling
+
+  final case class FrameRow(
+      media_id: Long,
+      frame_index: Int,
+      frame: Array[Byte])
+
+  /** Batch frame-sampler contract: one media row fans out to every
+    * `every`-th frame (the 1:N shape a video sampler has).
+    */
+  trait FrameSampler extends Serializable {
+    def sampleBatch(rows: Seq[MediaRow], every: Int): Seq[FrameRow]
+  }
+
+  /** STUB sampler: frame count follows [[FakeDecoder]]'s byte-length
+    * heuristic (len/1000 + 1); each sampled frame carries a deterministic
+    * 1000-byte slice of the payload standing in for a decoded frame.
+    */
+  object FakeFrameSampler extends FrameSampler {
+    def sampleBatch(rows: Seq[MediaRow], every: Int): Seq[FrameRow] =
+      rows.flatMap { r =>
+        val nFrames = (r.media.length / 1000) + 1
+        (0 until nFrames by every).map { f =>
+          val from = math.min(f * 1000, r.media.length)
+          val until = math.min(from + 1000, r.media.length)
+          FrameRow(r.media_id, f,
+            java.util.Arrays.copyOfRange(r.media, from, until))
+        }
+      }
+  }
+
+  /** Distributed frame sampling: every `every`-th frame of each media row,
+    * batch-iterated like [[decode]]. Output grows 1:N — partition counts
+    * carry over from the input, so upstream partitioning bounds the fan-out
+    * per task.
+    */
+  def frameSample(
+      media: Dataset[MediaRow],
+      every: Int,
+      sampler: FrameSampler = FakeFrameSampler): Dataset[FrameRow] = {
+    require(every >= 1, "frame step must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(batch =>
+        sampler.sampleBatch(batch.toSeq, every))
+    }
+  }
 }

@@ -193,4 +193,26 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(feats.forall(f => f.n_bytes == lens(f.media_id)))
   }
+
+  test("multimodal resize and frame sampling keep their contracts") {
+    val media = Multimodal.mediaFromDocuments(
+      spark, Tables.documents(spark, sf))
+    val n = media.count()
+    // resize: 1:1 rows, metadata updated, payload sized to w*h
+    val resized = Multimodal.resize(media, 4, 3).collect()
+    assert(resized.length == n)
+    assert(resized.forall(r => r.meta_width == 4 && r.meta_height == 3))
+    assert(resized.forall(_.media.length == 12))
+    // frame sampling: every 3rd frame of bytes/1000+1 frames, indices
+    // multiples of 3, frame payloads at most 1000 bytes
+    val frames = Multimodal.frameSample(media, every = 3).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.keySet.size == n)
+    assert(frames.forall(_.frame_index % 3 == 0))
+    assert(frames.forall(_.frame.length <= 1000))
+    val firstDoc = media.filter(col("media_id") === frames.head.media_id)
+      .collect().head
+    val expFrames = (firstDoc.media.length / 1000) + 1
+    assert(byId(frames.head.media_id).length == (expFrames - 1) / 3 + 1)
+  }
 }
