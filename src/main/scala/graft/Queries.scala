@@ -1101,6 +1101,23 @@ object Queries {
         .agg(count(lit(1)).as("n_sampled"),
           max(col("frame_index")).cast("long").as("last_frame"))
         .orderBy("media_id")
+    },
+
+    // Winnowing (rolling-hash) document fingerprint overlap: pairs sharing
+    // >= 5 selected k-gram hashes. Fingerprint selection is document-local
+    // (UDF loop, no shuffle); the overlap join shuffles 8-byte hashes.
+    // Not SQL-expressible (rolling hash + sliding min) — rows-only; the
+    // winnowing guarantee and normalization are pinned in PipelineSpec.
+    qNoOracle("q48_winnow_overlap") { (s, d) =>
+      val fp = Tables.documents(s, d).select(col("doc_id").as("id"),
+        explode(graft.pipeline.TextAnalysis.winnowingFingerprints(
+          col("text"), k = 10, w = 50)).as("fp"))
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .orderBy("id_a", "id_b")
     }
   )
 

@@ -87,6 +87,72 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (the MOSS scheme): polynomial rolling hash
+    * over character k-grams of the normalized text, then the minimum hash
+    * of each sliding window of `w` consecutive k-gram hashes (rightmost
+    * minimum wins ties), deduplicated and sorted. Guarantees every match
+    * of length ≥ w+k−1 between two documents shares a fingerprint, at
+    * density ~2/(w+1). Document-local (a tight UDF loop, no shuffle);
+    * downstream overlap joins shuffle on the 8-byte fingerprint.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val f = udf { s: String =>
+      if (s == null) Array.empty[Long]
+      else {
+        val t = s.trim.toLowerCase.replaceAll("\\s+", " ")
+        val n = t.length
+        if (n < k) Array.empty[Long]
+        else {
+          val B = 1000003L
+          var bPow = 1L // B^(k-1)
+          var i = 1
+          while (i < k) { bPow *= B; i += 1 }
+          val m = n - k + 1
+          val hashes = new Array[Long](m)
+          var h = 0L
+          i = 0
+          while (i < k) { h = h * B + t.charAt(i); i += 1 }
+          hashes(0) = h
+          i = 1
+          while (i < m) {
+            h = (h - t.charAt(i - 1) * bPow) * B + t.charAt(i + k - 1)
+            hashes(i) = h
+            i += 1
+          }
+          // sliding-window minimum, rightmost tie — emit once per window
+          // position change (standard winnowing selection)
+          val selected = new java.util.TreeSet[java.lang.Long]()
+          var minIdx = -1
+          var start = 0
+          val lastStart = math.max(0, m - w)
+          while (start <= lastStart) {
+            val end = math.min(start + w, m)
+            if (minIdx < start) {
+              minIdx = start
+              var j = start + 1
+              while (j < end) {
+                if (hashes(j) <= hashes(minIdx)) minIdx = j
+                j += 1
+              }
+            } else {
+              val j = end - 1
+              if (hashes(j) <= hashes(minIdx)) minIdx = j
+            }
+            selected.add(hashes(minIdx))
+            start += 1
+          }
+          val out = new Array[Long](selected.size())
+          val it = selected.iterator()
+          i = 0
+          while (it.hasNext) { out(i) = it.next(); i += 1 }
+          out
+        }
+      }
+    }
+    f(text)
+  }
+
   /** Distinct word n-gram shingles as an array column. Documents shorter
     * than n tokens yield no shingles (guard: Spark's `sequence(0,-1)`
     * would count DOWN, not produce an empty array).

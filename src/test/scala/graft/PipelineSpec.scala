@@ -72,6 +72,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("winnowing fingerprints: guarantee, determinism, normalization") {
+    val fp = TextAnalysis.winnowingFingerprints(col("text"), 8, 4)
+    def fps(texts: String*): Seq[Set[Long]] =
+      texts.toDF("text").select(fp.as("f"))
+        .as[Seq[Long]].collect().toSeq.map(_.toSet)
+    // identical (modulo whitespace/case) docs → identical sets
+    val Seq(a, b) = fps("The quick brown fox jumps over the lazy dog",
+      "the  QUICK brown fox jumps over the lazy dog")
+    assert(a == b && a.nonEmpty)
+    // winnowing guarantee: a shared substring of length >= w+k-1 (11)
+    // yields at least one shared fingerprint
+    val Seq(c, d) = fps(
+      "prefix one UNIQUESHAREDRUN tail alpha",
+      "other text UNIQUESHAREDRUN something else")
+    assert((c intersect d).nonEmpty)
+    // unrelated docs share nothing; sub-k docs yield empty sets
+    val Seq(e, f) = fps("aaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbb")
+    assert((e intersect f).isEmpty)
+    assert(fps("short").head.isEmpty)
+  }
+
   test("cosine near-dup: bits=0 is exact; bucketed path is a subset") {
     import graft.pipeline.Similarity
     val e = Tables.embeddings(spark, sf)
