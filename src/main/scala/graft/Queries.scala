@@ -1118,6 +1118,18 @@ object Queries {
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 5)
         .orderBy("id_a", "id_b")
+    },
+
+    // Deadband ingest compression: keep a sample iff it moved more than
+    // eps from the last KEPT sample of its series — a sequential
+    // recurrence on the last kept value that no window function (or
+    // practical SQL) expresses, so rows-only; semantics (incl. streaming
+    // state across micro-batches) are pinned in DeadbandSpec.
+    qNoOracle("q49_deadband") { (s, d) =>
+      graft.streaming.Deadband.compress(
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"), eps = 5.0)
+        .orderBy("sensor_id", "timestamp_us")
     }
   )
 

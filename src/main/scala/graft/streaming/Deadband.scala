@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Deadband compression — the classic TSDB ingest reducer: a sample is
+  * kept iff it moved more than `eps` from the last KEPT sample of its
+  * series (the first sample of a series is always kept). Flat stretches
+  * of a signal collapse to their first point, which is the dominant
+  * storage win for slow-moving sensors.
+  *
+  * The keep-decision depends on the last *kept* value, not the previous
+  * row — a sequential recurrence no window function expresses — so both
+  * forms carry explicit per-series state:
+  *  - batch: one shuffle on sensor_id + per-partition sequential sweep
+  *    over the (sensor_id, timestamp_us)-sorted rows;
+  *  - streaming: `flatMapGroupsWithState` with the last kept value as
+  *    the group state, surviving across micro-batches.
+  */
+object Deadband {
+
+  final case class Sample(sensor_id: String, timestamp_us: Long, value: Double)
+
+  /** Batch deadband: repartition by series, sort within partitions by
+    * (series, time), sweep sequentially. Exactly one shuffle; state never
+    * leaves the executor.
+    */
+  def compress(samples: DataFrame, eps: Double): DataFrame = {
+    import samples.sparkSession.implicits._
+    val ds = samples
+      .select(col("sensor_id").cast("string"),
+        col("timestamp_us").cast("long"),
+        col("value").cast("double"))
+      .as[Sample]
+      .repartition(col("sensor_id"))
+      .sortWithinPartitions("sensor_id", "timestamp_us")
+    ds.mapPartitions { it =>
+      var currentId: String = null
+      var lastKept = 0.0
+      it.flatMap { s =>
+        if (s.sensor_id != currentId || math.abs(s.value - lastKept) > eps) {
+          currentId = s.sensor_id
+          lastKept = s.value
+          Some(s)
+        } else None
+      }
+    }.toDF("sensor_id", "timestamp_us", "value")
+  }
+
+  /** Streaming deadband: per-series last-kept value as group state, kept
+    * across micro-batches (so a flat signal stays suppressed over any
+    * number of batches). Batch-local rows are sorted by event time before
+    * the sweep — cross-batch ordering is the source's responsibility (the
+    * usual at-least-once ingest contract).
+    */
+  def compressStream(
+      samples: Dataset[Sample], eps: Double): Dataset[Sample] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.sensor_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Sample], state: GroupState[Double]) =>
+          val sorted = rows.toSeq.sortBy(s => (s.timestamp_us, s.value))
+          val kept = scala.collection.mutable.ArrayBuffer.empty[Sample]
+          var last = if (state.exists) Some(state.get) else None
+          sorted.foreach { s =>
+            if (last.forall(v => math.abs(s.value - v) > eps)) {
+              kept += s
+              last = Some(s.value)
+            }
+          }
+          last.foreach(state.update)
+          kept.iterator
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.Deadband
+import graft.streaming.Deadband.Sample
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class DeadbandSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch deadband keeps first sample and >eps moves only") {
+    val df = Seq(
+      ("s1", 1L, 10.0), ("s1", 2L, 10.05), ("s1", 3L, 10.2),
+      ("s1", 4L, 10.21), ("s1", 5L, 9.0),
+      ("s2", 1L, 1.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Deadband.compress(df, eps = 0.1)
+      .orderBy("sensor_id", "timestamp_us")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 1L, 10.0), ("s1", 3L, 10.2), ("s1", 5L, 9.0),
+      ("s2", 1L, 1.0)))
+  }
+
+  test("streaming deadband state survives across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val name = s"deadband_out_${System.nanoTime()}"
+    val q = Deadband.compressStream(in.toDS(), eps = 0.1)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Sample("s1", 1L, 10.0), Sample("s1", 2L, 10.05))
+      q.processAllAvailable()
+      // second batch: 10.06 is within eps of the KEPT 10.0 (not of
+      // 10.05, which was suppressed) — only 10.3 passes
+      in.addData(Sample("s1", 3L, 10.06), Sample("s1", 4L, 10.3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).orderBy("timestamp_us")
+      .as[Sample].collect().toSeq
+    assert(got == Seq(Sample("s1", 1L, 10.0), Sample("s1", 4L, 10.3)))
+  }
+}
