@@ -226,9 +226,22 @@ object PrometheusRemote {
     */
   def encodeChunkedResponse(
       queryIndex: Long,
-      series: Seq[(Seq[Label], Seq[XorChunk.Sample])]): Array[Byte] = {
+      series: Seq[(Seq[Label], Seq[XorChunk.Sample])]): Array[Byte] =
+    encodeChunkedResponsePre(queryIndex, series.filter(_._2.nonEmpty).map {
+      case (labels, samples) =>
+        (labels, XorChunk.encode(samples),
+          samples.head.timestampMs, samples.last.timestampMs)
+    })
+
+  /** Same framing over pre-encoded chunks — the distributed path hands in
+    * (labels, chunkBytes, minTsMs, maxTsMs) already folded per series on
+    * the executors.
+    */
+  def encodeChunkedResponsePre(
+      queryIndex: Long,
+      series: Seq[(Seq[Label], Array[Byte], Long, Long)]): Array[Byte] = {
     val w = new ProtoWriter
-    series.filter(_._2.nonEmpty).foreach { case (labels, samples) =>
+    series.foreach { case (labels, chunk, minTs, maxTs) =>
       val sw = new ProtoWriter
       labels.sortBy(_.name).foreach { l =>
         val lw = new ProtoWriter
@@ -236,10 +249,10 @@ object PrometheusRemote {
         sw.message(1, lw)
       }
       val cw = new ProtoWriter
-      cw.int64(1, samples.head.timestampMs)
-      cw.int64(2, samples.last.timestampMs)
+      cw.int64(1, minTs)
+      cw.int64(2, maxTs)
       cw.int64(3, 1) // Encoding.XOR
-      cw.bytes(4, XorChunk.encode(samples))
+      cw.bytes(4, chunk)
       sw.message(2, cw)
       w.message(1, sw)
     }

@@ -84,19 +84,61 @@ object RemoteRead {
     PrometheusRemote.encodeReadResponse(results)
   }
 
+  /** Distributed per-series Gorilla/XOR encode: repartition on series,
+    * sort within partitions by (series, time), fold each consecutive run
+    * into its chunk ON THE EXECUTORS — the driver collects only
+    * `(series metadata, chunk bytes, min/max ts)`, so the response
+    * payload crosses the wire already reduced by the chunk compression
+    * ratio instead of as raw samples. Returned in sensor_id order.
+    */
+  def collectEncodedSeries(planned: DataFrame): Seq[
+      (Seq[PrometheusRemote.Label], Array[Byte], Long, Long)] = {
+    import planned.sparkSession.implicits._
+    val rows = planned
+      .select(col("sensor_id").cast("string"), col("name").cast("string"),
+        coalesce(col("labels"), map().cast("map<string,string>")).as("labels"),
+        (col("timestamp_us") / 1000).cast("long").as("ts_ms"),
+        col("value").cast("double").as("value"))
+      .as[(String, String, Map[String, String], Long, Double)]
+      .repartition(col("sensor_id"))
+      .sortWithinPartitions("sensor_id", "ts_ms")
+    val encoded = rows.mapPartitions {
+      (it: Iterator[(String, String, Map[String, String], Long, Double)]) =>
+        val src = it.buffered
+        new Iterator[(String, String, Map[String, String], Array[Byte], Long, Long)] {
+          def hasNext: Boolean = src.hasNext
+          def next(): (String, String, Map[String, String], Array[Byte], Long, Long) = {
+            val head = src.head
+            val id = head._1
+            val samples = scala.collection.mutable.ArrayBuffer.empty[XorChunk.Sample]
+            while (src.hasNext && src.head._1 == id) {
+              val r = src.next()
+              samples += XorChunk.Sample(r._4, r._5)
+            }
+            (id, head._2, head._3, XorChunk.encode(samples.toSeq),
+              samples.head.timestampMs, samples.last.timestampMs)
+          }
+        }
+    }.collect()
+    encoded.sortBy(_._1).toSeq.map { case (_, name, labels, chunk, minTs, maxTs) =>
+      val ls = (PrometheusRemote.Label("__name__", name) +:
+        labels.toSeq.map { case (k, v) => PrometheusRemote.Label(k, v) })
+        .sortBy(_.name)
+      (ls, chunk, minTs, maxTs)
+    }
+  }
+
   /** STREAMED_XOR_CHUNKS framed stream: one framed ChunkedReadResponse per
     * query (empty queries skipped, like the reference stream writer).
+    * Chunks are encoded distributed ([[collectEncodedSeries]]).
     */
   def chunkedResponse(
       sensors: DataFrame, samples: DataFrame, queries: Seq[Query]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     queries.zipWithIndex.foreach { case (q, i) =>
-      val series = collectSeries(plan(sensors, samples, q)).map {
-        case (labels, ss) =>
-          (labels, ss.map(s => XorChunk.Sample(s.timestampMs, s.value)))
-      }
+      val series = collectEncodedSeries(plan(sensors, samples, q))
       if (series.nonEmpty)
-        out.write(PrometheusRemote.encodeChunkedResponse(i.toLong, series))
+        out.write(PrometheusRemote.encodeChunkedResponsePre(i.toLong, series))
     }
     out.toByteArray
   }
