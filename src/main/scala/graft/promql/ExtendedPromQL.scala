@@ -21,8 +21,10 @@ import graft.operators.LabelMatcher
   * Selector parsing (matchers, ranges, durations, rejection of binary ops
   * etc.) is delegated to [[SimplePromQL]], so reference-compatible
   * selector semantics — 1h default lookback, inclusive bounds — carry
-  * over. [[SimplePromQL]] itself keeps the reference's strict rejection
-  * behavior; this evaluator is the opt-in extension.
+  * over; the `offset <dur>` modifier (also absent from the reference) is
+  * handled here by shifting the evaluation window. [[SimplePromQL]]
+  * itself keeps the reference's strict rejection behavior; this
+  * evaluator is the opt-in extension.
   */
 object ExtendedPromQL {
 
@@ -60,6 +62,24 @@ object ExtendedPromQL {
 
   import SimplePromQL.PromQLError
 
+  /** Selector parse with the PromQL `offset` modifier (absent from the
+    * reference's restricted endpoint): `sel [offset <dur>]` shifts the
+    * whole evaluation window back by the duration. The greedy prefix
+    * regex requires the query to END with the duration, so an `offset`
+    * inside a quoted label value (always followed by `"}`) never
+    * matches.
+    */
+  private val OffsetRe = """(?s)^(.*)\s+offset\s+([0-9a-z]+)\s*$""".r
+
+  private def parseSelector(s: String, nowUs: Long): SimplePromQL.ParsedQuery =
+    s.trim match {
+      case OffsetRe(inner, dur) =>
+        val shiftUs = SimplePromQL.parseDurationMs(dur) * 1000L
+        val sel = SimplePromQL.parse(inner.trim, nowUs)
+        sel.copy(startUs = sel.startUs - shiftUs, endUs = sel.endUs - shiftUs)
+      case other => SimplePromQL.parse(other, nowUs)
+    }
+
   def parse(query: String, nowUs: Long): Query = {
     val s = query.trim
     val headRe = """^([a-zA-Z_:][a-zA-Z0-9_:]*)""".r
@@ -77,7 +97,7 @@ object ExtendedPromQL {
           if (!inner.contains("["))
             throw PromQLError(
               s"$head expects a range selector (like metric[5m])")
-          val sel = SimplePromQL.parse(inner, nowUs)
+          val sel = parseSelector(inner, nowUs)
           OverTimeQ(op, sel.matchers, sel.startUs, sel.endUs)
         } else if (RangeFnOps.contains(head) && after.trim.startsWith("(")) {
           val (inner, rest) = parenGroup(after.trim, s)
@@ -86,7 +106,7 @@ object ExtendedPromQL {
           if (!inner.contains("["))
             throw PromQLError(
               s"$head expects a range selector (like metric[5m])")
-          val sel = SimplePromQL.parse(inner, nowUs)
+          val sel = parseSelector(inner, nowUs)
           RangeFnQ(head, sel.matchers, sel.startUs, sel.endUs)
         } else if (InstantAggOps.contains(head)) {
           // clause may precede or follow the parenthesized body
@@ -117,14 +137,14 @@ object ExtendedPromQL {
             throw PromQLError(
               s"$head aggregates an instant vector; use ${head}_over_time " +
                 "for range windows")
-          val sel = SimplePromQL.parse(inner, nowUs)
+          val sel = parseSelector(inner, nowUs)
           InstantAggQ(head, by, without, sel.matchers, sel.startUs, sel.endUs)
         } else {
-          val sel = SimplePromQL.parse(s, nowUs)
+          val sel = parseSelector(s, nowUs)
           SelectorQ(sel.matchers, sel.startUs, sel.endUs)
         }
       case None =>
-        val sel = SimplePromQL.parse(s, nowUs)
+        val sel = parseSelector(s, nowUs)
         SelectorQ(sel.matchers, sel.startUs, sel.endUs)
     }
   }

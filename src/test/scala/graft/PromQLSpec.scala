@@ -154,6 +154,31 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] { ExtendedPromQL.parse("irate(view[5m])", now) }
   }
 
+  test("offset modifier shifts the evaluation window") {
+    ExtendedPromQL.parse("view[5m] offset 1h", now) match {
+      case SelectorQ(_, s, e) =>
+        assert(e == now - 3600L * 1000000L)
+        assert(s == now - (3600L + 300L) * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("sum_over_time(view[5m] offset 30m)", now) match {
+      case OverTimeQ("sum", _, s, e) =>
+        assert(e == now - 1800L * 1000000L)
+        assert(s == now - (1800L + 300L) * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    // an `offset` inside a quoted label value is not a modifier
+    ExtendedPromQL.parse("""view{note="x offset 5m"}""", now) match {
+      case SelectorQ(ms, _, e) =>
+        assert(e == now)
+        assert(ms.contains(LabelMatcher.Eq("note", "x offset 5m")))
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("view offset banana", now)
+    }
+  }
+
   test("parses range functions (rate/increase/delta)") {
     ExtendedPromQL.parse("rate(view[5m])", now) match {
       case RangeFnQ("rate", ms, s, e) =>
