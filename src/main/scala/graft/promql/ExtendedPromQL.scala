@@ -28,8 +28,9 @@ import graft.operators.LabelMatcher
   */
 object ExtendedPromQL {
 
-  val OverTimeOps = Set("sum", "avg", "count", "min", "max", "last")
-  val InstantAggOps = Set("sum", "avg", "count", "min", "max")
+  val OverTimeOps =
+    Set("sum", "avg", "count", "min", "max", "last", "stddev", "stdvar")
+  val InstantAggOps = Set("sum", "avg", "count", "min", "max", "stddev", "stdvar")
   val RangeFnOps = Set("rate", "increase", "delta")
 
   sealed trait Query {
@@ -184,6 +185,9 @@ object ExtendedPromQL {
     case "count" => count(c)
     case "min" => min(c)
     case "max" => max(c)
+    // Prometheus stddev/stdvar are population statistics
+    case "stddev" => stddev_pop(c)
+    case "stdvar" => var_pop(c)
     case other => throw PromQLError(s"Unsupported aggregation: $other")
   }
 

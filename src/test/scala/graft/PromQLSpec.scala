@@ -194,6 +194,22 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
   }
 
+  test("stddev/stdvar are population statistics (Prometheus semantics)") {
+    import spark.implicits._
+    val selected = Seq(("a 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    val samples = Seq(("a 1", 1L, 2.0), ("a 1", 2L, 4.0), ("a 1", 3L, 6.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val v = ExtendedPromQL.eval(
+      OverTimeQ("stdvar", Nil, 0L, 10L), selected, samples)
+      .select("value").as[Double].collect().head
+    assert(math.abs(v - 8.0 / 3.0) < 1e-12) // population variance
+    val sd = ExtendedPromQL.eval(
+      OverTimeQ("stddev", Nil, 0L, 10L), selected, samples)
+      .select("value").as[Double].collect().head
+    assert(math.abs(sd - math.sqrt(8.0 / 3.0)) < 1e-12)
+  }
+
   test("evaluator: rate/increase handle counter resets, delta is last-first") {
     import spark.implicits._
     val selected = Seq(("c 1", Map("user" -> "1")))
