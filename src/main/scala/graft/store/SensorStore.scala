@@ -99,6 +99,20 @@ final class SensorStore(spark: SparkSession, root: String) {
       df.drop("month")
     }
 
+  /** Register the store as Spark SQL temp views — `<prefix>_sensors` and
+    * `<prefix>_values_<type>` per value type (empty types get their
+    * canonical empty frame) — so the whole store is queryable with plain
+    * `spark.sql`. Views are lazy plans over the parquet layout: filters
+    * written in SQL get the same pushdown/pruning as the DataFrame API.
+    */
+  def registerViews(prefix: String = "graft"): Unit = {
+    sensors.createOrReplaceTempView(s"${prefix}_sensors")
+    SensorType.all.foreach { t =>
+      samples(t).createOrReplaceTempView(
+        s"${prefix}_values_${t.displayName.toLowerCase}")
+    }
+  }
+
   /** yyyyMM (UTC) of a µs epoch as an int — partition directory values are
     * type-inferred integers on read.
     */

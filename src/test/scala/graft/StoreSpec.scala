@@ -77,6 +77,22 @@ class StoreSpec extends SparkSpec {
     assert(monthFiles() == after)
   }
 
+  test("registerViews exposes the store to spark.sql") {
+    val store = new SensorStore(spark, tempDir())
+    store.publishSamples(SensorType.Float, sampleData)
+    store.publishSensors(Seq(("u1", "temp", "Float")).toDF("uuid", "name", "type")
+      .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+      .withColumn("labels", lit(null).cast("map<string,string>")))
+    store.registerViews("t")
+    assert(spark.sql("SELECT count(*) FROM t_sensors").head().getLong(0) == 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM t_values_float WHERE sensor_id = 's1'")
+      .head().getLong(0) == 2)
+    // empty types still resolve with the canonical schema
+    assert(spark.sql("SELECT sensor_id, timestamp_us, value FROM t_values_integer")
+      .count() == 0)
+  }
+
   test("empty store returns empty frames with canonical schemas") {
     val store = new SensorStore(spark, tempDir())
     assert(store.sensors.count() == 0)
