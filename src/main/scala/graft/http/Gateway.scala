@@ -459,22 +459,15 @@ final class Gateway(
     val fmt = p.getOrElse("format", "senml")
     fmt match {
       case "senml" =>
-        val arrays = matched.toSeq.zipWithIndex.map { case (row, i) =>
-          val t = SensorType.fromString(row.getString(2)).get
-          val scan = SensorOps.rangeScan(
-            store.samplesInRange(t, Some(parsed.startUs), Some(parsed.endUs)),
-            row.getString(0), Some(parsed.startUs), Some(parsed.endUs))
-          val labels = Option(row.getMap[String, String](4))
-            .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
-          // bver only on the first record of the whole multi-series
-          // document (reference: src/exporters/senml.rs:31-36)
-          SenML.exportSeries(scan, row.getString(0), row.getString(1),
-            Option(row.getStruct(3)).map(_.getString(0)), labels, t,
-            includeBver = i == 0)
-            .collect().toSeq
-        }
+        // ONE plan for all matched series (per-type scans unioned), not a
+        // query loop per series; exportMulti assigns base fields per
+        // series and bver to the document's first record
+        val lines =
+          if (matched.isEmpty) Array.empty[String]
+          else SenML.exportMulti(senmlLongView(
+            matched.toSeq, parsed.startUs, parsed.endUs)).collect()
         respond(x, 200, "application/senml+json",
-          arrays.flatten.mkString("[", ",", "]"))
+          lines.mkString("[", ",", "]"))
       case "csv" | "jsonl" =>
         val long = longView(matched.toSeq, parsed.startUs, parsed.endUs)
         if (fmt == "csv") {
@@ -529,6 +522,43 @@ final class Gateway(
       numericFloatView(Some(parsed.startUs), Some(parsed.endUs)))
     val lines = result.toJSON.collect()
     respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
+  }
+
+  /** SenML-typed long view: like [[longView]] but the value is routed to
+    * its SenML field (`v` numeric, `vb` boolean, `vd` base64 blob, `vs`
+    * text/JSON/location) so [[SenML.exportMulti]] renders every series in
+    * one plan.
+    */
+  private def senmlLongView(
+      matched: Seq[org.apache.spark.sql.Row],
+      startUs: Long, endUs: Long): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType}
+    val byType = matched.groupBy(_.getString(2))
+    byType.map { case (tn, rows) =>
+      val t = SensorType.fromString(tn).get
+      val ids = rows.map(_.getString(0))
+      val sel = store.sensors
+        .filter(col("uuid").isin(ids: _*))
+        .select(col("uuid").as("sensor_id"), col("name").as("sensor_name"),
+          col("unit.name").as("unit_name"), col("labels"))
+      val nullD = lit(null).cast(DoubleType)
+      val nullS = lit(null).cast(StringType)
+      val nullB = lit(null).cast(BooleanType)
+      val (v, vs, vb, vd) = t match {
+        case SensorType.Integer | SensorType.Numeric | SensorType.Float =>
+          (col("value").cast(DoubleType), nullS, nullB, nullS)
+        case SensorType.Boolean => (nullD, nullS, col("value"), nullS)
+        case SensorType.Blob => (nullD, nullS, nullB, base64(col("value")))
+        case SensorType.Location => (nullD, to_json(col("value")), nullB, nullS)
+        case _ => (nullD, col("value").cast(StringType), nullB, nullS)
+      }
+      store.samplesInRange(t, Some(startUs), Some(endUs))
+        .filter(col("sensor_id").isin(ids: _*))
+        .join(broadcast(sel), "sensor_id")
+        .select(col("sensor_id"), col("sensor_name"), col("unit_name"),
+          col("labels"), col("timestamp_us"),
+          v.as("v"), vs.as("vs"), vb.as("vb"), vd.as("vd"))
+    }.reduce(_ unionByName _)
   }
 
   /** Batch-per-type long view over the matched sensors: one scan per value

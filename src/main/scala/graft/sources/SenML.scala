@@ -91,6 +91,56 @@ object SenML {
           unbase64(coalesce(col("vd"), lit(""))).as("value"), col("unit")))
   }
 
+  /** Multi-series SenML export as ONE plan (reference
+    * to_senml_json_multi: src/exporters/senml.rs:24-44): the input long
+    * frame carries every selected series' samples with the typed SenML
+    * value already routed to its field. Per-series windows assign the
+    * base fields (`bn`/`_name`/`bt`/`bu`/`_labels`) to each series' first
+    * record; `bver`=10 lands only on the document's first record overall.
+    * Replaces a per-series query loop — N series cost one job, not N.
+    *
+    * @param long (sensor_id, sensor_name, unit_name, labels: map,
+    *             timestamp_us, v, vs, vb, vd) — exactly one value column
+    *             non-null per row, chosen by the series' type
+    */
+  def exportMulti(long: DataFrame): Dataset[String] = {
+    import long.sparkSession.implicits._
+    val wSeries = Window.partitionBy(col("sensor_id"))
+      .orderBy(col("timestamp_us"))
+    val wSeriesAll = wSeries
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // global order = response order; the output is the already-bounded
+    // HTTP payload, so the single-partition window is fine (same
+    // reasoning as the single-series exporter)
+    val wAll = Window.orderBy(col("sensor_id"), col("timestamp_us"))
+    val withBase = long
+      .withColumn("__bt_ms", (first(col("timestamp_us")).over(wSeriesAll)
+        .cast(LongType) / 1000).cast(LongType))
+      .withColumn("__rn_s", row_number().over(wSeries))
+      .withColumn("__rn_all", row_number().over(wAll))
+    val labelsJson = when(
+      size(coalesce(col("labels"), map().cast("map<string,string>"))) > 0,
+      to_json(map_from_entries(array_sort(map_entries(col("labels"))))))
+    withBase.select(
+      when(col("__rn_s") === 1, col("sensor_id")).as("bn"),
+      when(col("__rn_s") === 1, col("sensor_name")).as("_name"),
+      when(col("__rn_s") === 1,
+        col("__bt_ms").cast(DoubleType) / 1000.0).as("bt"),
+      when(col("__rn_all") === 1, lit(10)).as("bver"),
+      when(col("__rn_s") === 1, col("unit_name")).as("bu"),
+      when(col("__rn_s") === 1, labelsJson).as("_labels"),
+      when(col("__rn_s") === 1, lit(0.0)).otherwise(
+        ((col("timestamp_us") / 1000).cast(LongType) - col("__bt_ms"))
+          .cast(DoubleType) / 1000.0).as("t"),
+      col("v"), col("vs"), col("vb"), col("vd"),
+      col("__rn_all"))
+      .orderBy(col("__rn_all"))
+      .select(to_json(struct(
+        col("bn"), col("_name"), col("bt"), col("bver"), col("bu"),
+        col("_labels"), col("t"), col("v"), col("vs"), col("vb"),
+        col("vd"))).as("value")).as[String]
+  }
+
   /** Export a single series to SenML records (one JSON object string per
     * row, in sample order). First record carries the base fields
     * (`bn`=uuid, `_name`, `bt`=first-sample seconds at ms precision,

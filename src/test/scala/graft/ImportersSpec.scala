@@ -98,6 +98,26 @@ class ImportersSpec extends SparkSpec {
     assert(!second.exists(_.contains("bver")))
   }
 
+  test("SenML multi export: one plan, bver once, per-series base fields") {
+    val long = Seq(
+      ("u1", "temp", "Cel", 1700000000000000L, 1.5),
+      ("u1", "temp", "Cel", 1700000001500000L, 2.5),
+      ("u2", "hum", null.asInstanceOf[String], 1700000002000000L, 0.5))
+      .toDF("sensor_id", "sensor_name", "unit_name", "timestamp_us", "v")
+      .withColumn("labels", typedLit(Map.empty[String, String]))
+      .withColumn("vs", lit(null).cast("string"))
+      .withColumn("vb", lit(null).cast("boolean"))
+      .withColumn("vd", lit(null).cast("string"))
+    val lines = SenML.exportMulti(long).collect()
+    assert(lines.length == 3)
+    assert(lines(0).contains(""""bn":"u1"""") &&
+      lines(0).contains(""""bver":10""") && lines(0).contains(""""bu":"Cel""""))
+    assert(lines(1).contains(""""t":1.5""") && !lines(1).contains("bn"))
+    // second series: fresh base fields but NO bver (document-first only)
+    assert(lines(2).contains(""""bn":"u2"""") && !lines(2).contains("bver"))
+    assert(lines(2).contains(""""t":0.0"""))
+  }
+
   test("Influx line protocol: types, escapes, precision, naming") {
     val lines = Seq(
       """cpu,host=A,region=west usage_system=64.2 1590488773254420000""",
