@@ -40,14 +40,21 @@ final class SensorStore(spark: SparkSession, root: String) {
       .parquet(valueDir(t))
 
   /** Merge sensors into the catalog: dedup on uuid, existing row wins
-    * (metadata is immutable given content-addressed uuids).
+    * (metadata is immutable given content-addressed uuids). Steady state
+    * is the fast path: content-addressed uuids mean almost every publish
+    * re-announces known sensors, so when the anti-join finds nothing new
+    * the catalog is left untouched — no rewrite per micro-batch.
     */
   def publishSensors(sensors: DataFrame): Unit = {
-    val merged = (if (exists(catalogDir))
-      spark.read.parquet(catalogDir).unionByName(sensors)
-    else sensors)
-      .dropDuplicates("uuid")
-      .cache()
+    val incoming = sensors.dropDuplicates("uuid")
+    val merged =
+      if (exists(catalogDir)) {
+        val existing = spark.read.parquet(catalogDir)
+        val novel = incoming
+          .join(existing.select("uuid"), Seq("uuid"), "left_anti")
+        if (novel.limit(1).count() == 0) return
+        existing.unionByName(novel).cache()
+      } else incoming.cache()
     merged.count() // materialize before overwriting the source
     merged.write.mode(SaveMode.Overwrite).parquet(s"$catalogDir.tmp")
     merged.unpersist()

@@ -30,15 +30,28 @@ class StoreSpec extends SparkSpec {
   }
 
   test("catalog merge dedups on uuid, existing wins") {
-    val store = new SensorStore(spark, tempDir())
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
     val s1 = Seq(("u1", "temp", "Float")).toDF("uuid", "name", "type")
       .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
       .withColumn("labels", lit(null).cast("map<string,string>"))
     store.publishSensors(s1)
+    // re-announcing known uuids is the steady state: no catalog rewrite
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def catalogFiles(): Set[(String, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/sensors"))
+        .filter(_.isFile).map(f =>
+          (f.getPath.getName, f.getModificationTime)).toSet
+    val before = catalogFiles()
     store.publishSensors(s1.withColumn("name", lit("other")))
+    assert(catalogFiles() == before, "known-uuid publish must not rewrite")
     val cat = store.sensors.collect()
     assert(cat.length == 1)
     assert(cat.head.getString(1) == "temp") // first publish wins
+    // genuinely new uuid still merges
+    store.publishSensors(s1.withColumn("uuid", lit("u2")))
+    assert(store.sensors.count() == 2)
   }
 
   test("vacuum compacts while preserving data and sort") {
