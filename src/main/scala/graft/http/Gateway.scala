@@ -48,6 +48,7 @@ final class Gateway(
     route("/api/v1/query_extended", handlePromqlExtended)
     route("/api/v1/admin/vacuum", handleVacuum)
     route("/api/v1/admin/resample", handleResample)
+    route("/api/v1/admin/resample_stream", handleResampleStream)
     server.setExecutor(null) // serial; the reference handles one spark job at a time anyway
     server.start()
     server.getAddress.getPort
@@ -622,5 +623,54 @@ final class Gateway(
       .windowedResample(src, window, window)
     graft.streaming.StreamingIngest.publishResampledRows(store, agg, window)
     respond(x, 200, "text/plain", "ok")
+  }
+
+  /** Streaming resample job management over
+    * [[graft.streaming.StreamingIngest.resampleStreamToStore]]:
+    * `?action=start&source=<dir>&window=...&watermark=...&checkpoint=<dir>`
+    * starts a job and returns its id; `?action=stop&id=...` stops it;
+    * `?action=list` returns `id active` lines. Jobs run until stopped or
+    * the source is exhausted; state restarts from the checkpoint.
+    */
+  private val resampleJobs =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.streaming.StreamingQuery]()
+
+  private def handleResampleStream(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    p.getOrElse("action", "list") match {
+      case "start" =>
+        val source = p.getOrElse("source",
+          throw new IllegalArgumentException("missing source parameter"))
+        val window = p.getOrElse("window", "1 hour")
+        val watermark = p.getOrElse("watermark", window)
+        val checkpoint = p.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("graft_rs_ckpt").toString)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sensor_id", StringType),
+          org.apache.spark.sql.types.StructField("timestamp_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val q = graft.streaming.StreamingIngest.resampleStreamToStore(
+          spark, source, schema, store, window, watermark, checkpoint)
+        val id = q.id.toString
+        resampleJobs.put(id, q)
+        respond(x, 200, "text/plain", id)
+      case "stop" =>
+        val id = p.getOrElse("id",
+          throw new IllegalArgumentException("missing id parameter"))
+        val q = Option(resampleJobs.remove(id)).getOrElse(
+          throw new NoSuchElementException(s"no resample job '$id'"))
+        q.stop()
+        respond(x, 200, "text/plain", "stopped")
+      case "list" =>
+        import scala.jdk.CollectionConverters._
+        val lines = resampleJobs.asScala.toSeq.sortBy(_._1)
+          .map { case (id, q) => s"$id ${q.isActive}" }
+        respond(x, 200, "text/plain", lines.mkString("", "\n", "\n"))
+      case other => throw new IllegalArgumentException(
+        s"Unknown action '$other'. Supported: start, stop, list")
+    }
   }
 }

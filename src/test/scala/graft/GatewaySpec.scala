@@ -205,6 +205,39 @@ class GatewaySpec extends SparkSpec {
         .statusCode() == 200)
   }
 
+  test("resample stream jobs: start, list, stop lifecycle") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // a source dir with one plain parquet file
+    val srcDir = java.nio.file.Files.createTempDirectory("gw_rs_src")
+    val tmp = java.nio.file.Files.createTempDirectory("gw_rs_part")
+    Seq(("s1", 1704067200000000L, 1.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator()
+    var p: java.nio.file.Path = null
+    while (part.hasNext) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) p = f
+    }
+    java.nio.file.Files.copy(p, srcDir.resolve("f1.parquet"))
+    val enc = java.net.URLEncoder.encode(srcDir.toString, "UTF-8")
+    val started = get(
+      s"/api/v1/admin/resample_stream?action=start&source=$enc&window=1+hour")
+    assert(started.statusCode() == 200)
+    val id = started.body().trim
+    assert(id.nonEmpty)
+    assert(get("/api/v1/admin/resample_stream?action=list").body()
+      .contains(id))
+    assert(get(
+      s"/api/v1/admin/resample_stream?action=stop&id=$id").statusCode() == 200)
+    assert(get(
+      s"/api/v1/admin/resample_stream?action=stop&id=$id").statusCode() == 404)
+    assert(get(
+      "/api/v1/admin/resample_stream?action=bogus").statusCode() == 400)
+  }
+
   test("admin resample publishes derived series queryable over HTTP") {
     assert(get("/api/v1/admin/resample?window=1+hour").statusCode() == 200)
     val avgUuid = Sensor.deriveUuid("temp", SensorType.Float, None,
