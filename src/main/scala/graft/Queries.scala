@@ -1130,6 +1130,33 @@ object Queries {
         EventsAdapter.samples(s, d)
           .select("sensor_id", "timestamp_us", "value"), eps = 5.0)
         .orderBy("sensor_id", "timestamp_us")
+    },
+
+    // quantile_over_time: exact per-series 0.9-quantile with linear
+    // interpolation — Spark's exact `percentile` and DuckDB's
+    // quantile_cont share the definition; ROUND(6) absorbs ULP drift in
+    // the interpolation arithmetic.
+    q(
+      "q50_promql_quantile",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
+        |GROUP BY user_id ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "quantile_over_time(0.9, view[31d])", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
     }
   )
 

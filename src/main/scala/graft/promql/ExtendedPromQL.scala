@@ -60,6 +60,13 @@ object ExtendedPromQL {
   final case class RangeFnQ(
       op: String, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
       extends Query
+  /** `quantile_over_time(φ, sel[range])` — exact per-series φ-quantile
+    * with linear interpolation (Prometheus semantics; evaluated with
+    * Spark's exact `percentile`, which sorts per series).
+    */
+  final case class QuantileOverTimeQ(
+      phi: Double, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
+      extends Query
 
   import SimplePromQL.PromQLError
 
@@ -88,7 +95,29 @@ object ExtendedPromQL {
       case Some(m) =>
         val head = m.matched
         val after = s.substring(head.length)
-        if (head.endsWith("_over_time")) {
+        if (head == "quantile_over_time") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val comma = inner.indexOf(',')
+          if (comma < 0)
+            throw PromQLError(
+              "quantile_over_time expects (φ, metric[range])")
+          val phi =
+            try inner.substring(0, comma).trim.toDouble
+            catch { case _: NumberFormatException =>
+              throw PromQLError(
+                s"Bad quantile value '${inner.substring(0, comma).trim}'")
+            }
+          if (phi < 0.0 || phi > 1.0)
+            throw PromQLError(s"Quantile $phi out of [0, 1]")
+          val selStr = inner.substring(comma + 1).trim
+          if (!selStr.contains("["))
+            throw PromQLError(
+              "quantile_over_time expects a range selector (like metric[5m])")
+          val sel = parseSelector(selStr, nowUs)
+          QuantileOverTimeQ(phi, sel.matchers, sel.startUs, sel.endUs)
+        } else if (head.endsWith("_over_time")) {
           val op = head.stripSuffix("_over_time")
           if (!OverTimeOps.contains(op))
             throw PromQLError(s"Unsupported function: $head")
@@ -214,6 +243,11 @@ object ExtendedPromQL {
           .select(col("sensor_id"), col("labels"), col("value"))
         else inWindow.groupBy(col("sensor_id"))
           .agg(first(col("labels")).as("labels"), c.as("value"))
+          .select("sensor_id", "labels", "value")
+      case QuantileOverTimeQ(phi, _, _, _) =>
+        inWindow.groupBy(col("sensor_id"))
+          .agg(first(col("labels")).as("labels"),
+            percentile(col("value"), lit(phi)).as("value"))
           .select("sensor_id", "labels", "value")
       case RangeFnQ(op, _, startUs, endUs) =>
         // one shuffle on sensor_id (the storage sort key); the lag order

@@ -194,6 +194,30 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
   }
 
+  test("quantile_over_time parses two-arg form and evaluates exactly") {
+    import spark.implicits._
+    ExtendedPromQL.parse("quantile_over_time(0.5, view[5m])", now) match {
+      case QuantileOverTimeQ(phi, ms, _, e) =>
+        assert(phi == 0.5 && e == now)
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("quantile_over_time(1.5, view[5m])", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("quantile_over_time(view[5m])", now)
+    }
+    val selected = Seq(("a 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    val samples = Seq(("a 1", 1L, 1.0), ("a 1", 2L, 2.0), ("a 1", 3L, 10.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val v = ExtendedPromQL.eval(
+      QuantileOverTimeQ(0.5, Nil, 0L, 10L), selected, samples)
+      .select("value").as[Double].collect().head
+    assert(v == 2.0) // exact median
+  }
+
   test("stddev/stdvar are population statistics (Prometheus semantics)") {
     import spark.implicits._
     val selected = Seq(("a 1", Map("user" -> "1")))
