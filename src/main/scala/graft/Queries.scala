@@ -488,9 +488,9 @@ object Queries {
     q(
       "q22_text_stats",
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(length(text)) AS sum_chars,
-        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
-        |  SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
         |FROM documents GROUP BY source ORDER BY source"""
     ) { (s, d) =>
       Tables.documents(s, d)
@@ -630,9 +630,9 @@ object Queries {
     q(
       "q30_quality",
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(length(text)) AS sum_chars,
-        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
-        |  SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS sum_alpha
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha
         |FROM documents GROUP BY source ORDER BY source"""
     ) { (s, d) =>
       Tables.documents(s, d)
@@ -757,7 +757,7 @@ object Queries {
     q(
       "q35_json_props",
       """SELECT event_type AS name, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
         |FROM events GROUP BY name ORDER BY name"""
     ) { (s, d) =>

@@ -71,6 +71,21 @@ def main():
         if scols != dcols:
             results[name] = f"SCHEMA_MISMATCH spark={scols} duck={dcols}"
             continue
+        # the driver's hash is type-sensitive: DuckDB HUGEINT/DECIMAL sums
+        # vs Spark BIGINT hash differently even when values are equal.
+        def kind(t):
+            s = str(t)
+            if s.startswith("int") or s.startswith("uint"): return "int"
+            if s.startswith("decimal"): return "decimal"
+            if s in ("float", "double", "halffloat"): return "float"
+            if s in ("string", "large_string"): return "str"
+            return s
+        tmis = [(c, str(spark_tab.schema.field(c).type), str(duck_tab.schema.field(c).type))
+                for c in scols
+                if kind(spark_tab.schema.field(c).type) != kind(duck_tab.schema.field(c).type)]
+        if tmis:
+            results[name] = f"TYPE_KIND_MISMATCH (driver hash will fail) {tmis}"
+            continue
         if len(srows) != len(drows):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} duck={len(drows)}"
             continue
