@@ -15,9 +15,14 @@ import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
   * Conventions for oracle (DuckDB) hash parity:
   *  - every computed column is aliased identically on both sides;
   *  - result rows carry an unambiguous ORDER BY on both sides;
-  *  - double aggregates are computed over exact DECIMAL casts and only
-  *    converted back to DOUBLE at the end, so the sum is associative and
-  *    bitwise identical regardless of partitioning / evaluation order.
+  *  - double aggregates computed HERE (the oracle layer) use exact
+  *    DECIMAL casts converted back to DOUBLE at the end, so the sum is
+  *    associative and bitwise identical regardless of partitioning /
+  *    evaluation order. Library operators sum plain f64 (quantizing
+  *    inside the engine would corrupt generic callers — ADVICE r1);
+  *    queries exercising those operators ROUND on both sides instead;
+  *  - DuckDB integer SUMs are cast to BIGINT (they default to HUGEINT,
+  *    which the driver's type-sensitive hash treats as a decimal).
   */
 object Queries {
 
@@ -967,9 +972,9 @@ object Queries {
     },
 
     // Counter rate over the range: per-series sum of consecutive positive
-    // deltas (reset-aware, no extrapolation) divided by the range seconds.
-    // Deltas are 2-decimal-exact, so both sides sum them in DECIMAL and
-    // divide by the same double literal (31d = 2678400 s).
+    // deltas (reset-aware, no extrapolation) divided by the range seconds
+    // (31d = 2678400 s). The evaluator sums plain f64; both sides ROUND(9)
+    // so the exact compare is immune to summation-order ULP drift.
     q(
       "q43_promql_rate",
       """WITH s AS (
@@ -980,13 +985,13 @@ object Queries {
         |  WHERE event_type = 'view'
         |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
         |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  CAST(SUM(CAST(CASE WHEN prev IS NULL THEN NULL
+        |  ROUND(SUM(CASE WHEN prev IS NULL THEN NULL
         |    WHEN value >= prev THEN value - prev
-        |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) / 2678400.0 AS value
+        |    ELSE value END) / 2678400.0, 9) AS value
         |FROM s GROUP BY user_id
-        |HAVING SUM(CAST(CASE WHEN prev IS NULL THEN NULL
+        |HAVING SUM(CASE WHEN prev IS NULL THEN NULL
         |  WHEN value >= prev THEN value - prev
-        |  ELSE value END AS DECIMAL(18,2))) IS NOT NULL
+        |  ELSE value END) IS NOT NULL
         |ORDER BY user_tag"""
     ) { (s, d) =>
       val parsed = graft.promql.ExtendedPromQL.parse(
@@ -995,11 +1000,13 @@ object Queries {
         EventsAdapter.sensors(s, d), parsed.matchers)
         .select(concat(col("name"), lit(" "),
           col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      // the evaluator sums f64 (Prometheus semantics); ROUND(9) on both
+      // sides absorbs summation-order ULP drift for the exact compare
       graft.promql.ExtendedPromQL.eval(parsed, selected,
         EventsAdapter.samples(s, d)
           .select("sensor_id", "timestamp_us", "value"))
         .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
+          round(col("value"), 9).as("value"))
         .orderBy("user_tag")
     },
 
@@ -1039,14 +1046,15 @@ object Queries {
     // Virtual composite sensor (doc-only in the reference,
     // docs/DATAMODEL.md:125-131): two series resampled onto a shared
     // 1-day tumbling window, one column each; windows where a series is
-    // silent stay null. Sums are DECIMAL-exact on both sides.
+    // silent stay null. The library sums f64; ROUND(4) on both sides
+    // absorbs summation-order ULP drift (true sums are 2-decimal values).
     q(
       "q45_composite_sensor",
       """SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
-        |  CAST(SUM(CASE WHEN event_type = 'view'
-        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_7,
-        |  CAST(SUM(CASE WHEN event_type = 'click'
-        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_7
+        |  ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4)
+        |    AS view_7,
+        |  ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4)
+        |    AS click_7
         |FROM events
         |WHERE user_id = 7 AND event_type IN ('view', 'click')
         |GROUP BY 1 ORDER BY 1"""
@@ -1056,7 +1064,8 @@ object Queries {
           .select("sensor_id", "timestamp_us", "value"),
         Seq("view 7", "click 7"), "1 day", "sum")
         .select(col("window_start_us"),
-          col("view 7").as("view_7"), col("click 7").as("click_7"))
+          round(col("view 7"), 4).as("view_7"),
+          round(col("click 7"), 4).as("click_7"))
     },
 
     // Embedding-cosine near-dup pairs, exact variant (bits=0 → single

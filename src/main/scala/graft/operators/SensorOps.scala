@@ -98,9 +98,10 @@ object SensorOps {
     * series has no samples yield null in that series' column (the
     * resampling gap the reference's design sketch calls out).
     *
-    * Note "sum" aggregates in DECIMAL(18,2) and returns double — exact
-    * and order-independent for 2-decimal data; "avg" is plain double avg
-    * (documented as order-sensitive at the ULP level).
+    * All aggregates are plain f64 ("sum"/"avg" are order-sensitive at the
+    * ULP level, like any distributed double aggregation); callers that
+    * need an order-independent comparison should round or quantize at
+    * their own layer rather than here.
     */
   def compositeSensor(
       samples: DataFrame, // (sensor_id, timestamp_us, value)
@@ -109,7 +110,7 @@ object SensorOps {
       agg: String = "sum"): DataFrame = {
     require(sensorIds.nonEmpty, "compositeSensor needs at least one series")
     val aggCol = agg match {
-      case "sum" => sum(col("value").cast("decimal(18,2)")).cast("double")
+      case "sum" => sum(col("value"))
       case "avg" => avg(col("value"))
       case "min" => min(col("value"))
       case "max" => max(col("value"))

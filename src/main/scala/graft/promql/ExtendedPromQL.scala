@@ -275,12 +275,13 @@ object ExtendedPromQL {
                   .when(col("value") >= col("__prev"),
                     col("value") - col("__prev"))
                   .otherwise(col("value")))
-            // sum the (2-decimal-exact) deltas in decimal so the result is
-            // independent of summation order (same trick as the oracles)
+            // plain f64 summation — Prometheus values are f64, and any
+            // quantization here (e.g. a decimal cast) would corrupt
+            // fractional counter deltas for generic callers; callers that
+            // need order-independent comparison round at their own layer
             val agg = d.groupBy(col("sensor_id"))
               .agg(first(col("labels")).as("labels"),
-                sum(col("__d").cast("decimal(18,2)")).cast("double")
-                  .as("value"))
+                sum(col("__d")).as("value"))
               .filter(col("value").isNotNull) // <2 samples ⇒ no result
             if (op == "rate")
               agg.withColumn("value",

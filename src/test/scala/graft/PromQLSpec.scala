@@ -258,6 +258,26 @@ class ExtendedPromQLSpec extends SparkSpec {
       selected, one).count() == 0)
   }
 
+  test("evaluator: rate/increase keep sub-cent counter deltas (f64 sum)") {
+    import spark.implicits._
+    val selected = Seq(("c 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    // counter stepping by 0.004 per scrape: any per-sample quantization
+    // (e.g. DECIMAL(18,2)) would round each delta to 0 and report
+    // increase = 0 — a 100% error
+    val samples = (0 to 5).map(i => ("c 1", i * 1000000L, i * 0.004))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val inc = ExtendedPromQL.eval(RangeFnQ("increase", Nil, 0L, 10000000L),
+      selected, samples).select("value").as[Double].collect().head
+    assert(math.abs(inc - 0.02) < 1e-12)
+    // and huge deltas don't overflow to null / drop out of the sum
+    val big = Seq(("c 1", 1000000L, 0.0), ("c 1", 2000000L, 4e16))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val incBig = ExtendedPromQL.eval(RangeFnQ("increase", Nil, 0L, 10000000L),
+      selected, big).select("value").as[Double].collect().head
+    assert(incBig == 4e16)
+  }
+
   test("evaluator: over_time per series and instant agg across series") {
     import spark.implicits._
     val selected = Seq(

@@ -80,4 +80,13 @@ class SensorOpsSpec extends SparkSpec {
       SensorOps.compositeSensor(s, Seq("a"), "1 hour", "median")
     }
   }
+
+  test("compositeSensor sum keeps sub-cent precision (no quantization)") {
+    val s = Seq(("a", 0L, 0.0001), ("a", 10L, 0.0002))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = SensorOps.compositeSensor(s, Seq("a"), "1 hour", "sum")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(got.size == 1)
+    assert(math.abs(got.head._2.get - 0.0003) < 1e-15)
+  }
 }
