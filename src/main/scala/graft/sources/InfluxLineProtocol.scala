@@ -241,12 +241,22 @@ object InfluxLineProtocol {
     val df = lines.toDF("line")
     val t = trim(col("line"))
     val nonEmpty = length(t) > 0 && !t.startsWith("#")
-    // reserved bucket/org keys and duplicate tag keys are fine on the
-    // columnar path: the session's LAST_WIN map-key policy gives
-    // str_to_map/map_concat the same insert-overwrites semantics as the
-    // strict parser's `.toMap` (one regex per line instead of three)
-    val fast = t.rlike(FastLine)
     import lines.sparkSession.implicits._
+    // Reserved bucket/org keys and duplicate tag keys are only safe on the
+    // columnar path under LAST_WIN map-key semantics, which give
+    // str_to_map/map_concat the same insert-overwrites behavior as the
+    // strict parser's `.toMap` (one regex per line instead of three).
+    // GraftSession sets that policy; on a session without it (default
+    // EXCEPTION) the fast path would *throw* on such lines instead of
+    // falling back, so route everything through the strict parser there.
+    val lastWin = lines.sparkSession.conf
+      .get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+      .equalsIgnoreCase("LAST_WIN")
+    if (!lastWin)
+      return parseFlatMap(
+        df.filter(nonEmpty).select(col("line")).as[String],
+        bucket, org, precision)
+    val fast = t.rlike(FastLine)
     parseColumnar(df.filter(nonEmpty && fast), bucket, org, precision)
       .unionByName(parseFlatMap(
         df.filter(nonEmpty && !fast).select(col("line")).as[String],

@@ -23,8 +23,11 @@ object Deadband {
   final case class Sample(sensor_id: String, timestamp_us: Long, value: Double)
 
   /** Batch deadband: repartition by series, sort within partitions by
-    * (series, time), sweep sequentially. Exactly one shuffle; state never
-    * leaves the executor.
+    * (series, time, value), sweep sequentially. Exactly one shuffle; state
+    * never leaves the executor. The value tie-break makes the kept set
+    * deterministic under duplicate timestamps and matches
+    * [[compressStream]]'s ordering, so batch and streaming sweeps of the
+    * same input keep the same samples.
     */
   def compress(samples: DataFrame, eps: Double): DataFrame = {
     import samples.sparkSession.implicits._
@@ -34,7 +37,7 @@ object Deadband {
         col("value").cast("double"))
       .as[Sample]
       .repartition(col("sensor_id"))
-      .sortWithinPartitions("sensor_id", "timestamp_us")
+      .sortWithinPartitions("sensor_id", "timestamp_us", "value")
     ds.mapPartitions { it =>
       var currentId: String = null
       var lastKept = 0.0

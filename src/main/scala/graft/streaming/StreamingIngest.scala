@@ -183,6 +183,16 @@ object StreamingIngest {
   /** Publish one micro-batch of closed resample windows as derived Float
     * series. Source metadata comes from a broadcast catalog join; series
     * missing from the catalog fall back to the raw sensor_id as the name.
+    *
+    * Idempotent at the sample level: derived rows whose
+    * (sensor_id, timestamp_us) already exist in the store are skipped, so
+    * re-running a batch resample (or restarting a stream with a fresh
+    * checkpoint) converges instead of appending duplicates. First write
+    * wins — if the source data changed since the earlier run, the earlier
+    * derived value is kept, matching the append-only store's contract.
+    * The existence probe reads only the month partitions covering the
+    * batch's window range and joins broadcast-small key sets, so it never
+    * shuffles the store.
     */
   def publishResampledRows(
       store: SensorStore, batch: DataFrame, windowDur: String): Unit = {
@@ -219,9 +229,39 @@ object StreamingIngest {
               lit(null).cast(StringType).as("description"))).as("unit"),
           col("derived_labels").as("labels"))
         .dropDuplicates("uuid"))
-      store.publishSamples(SensorType.Float, rows
+      val derived = rows
         .select(col("derived_uuid").as("sensor_id"),
-          col("window_start_us").as("timestamp_us"), col("value")))
+          col("window_start_us").as("timestamp_us"), col("value"))
+      store.publishSamples(SensorType.Float, antiJoinExisting(store, derived))
     } finally rows.unpersist()
+  }
+
+  /** Drop derived rows whose (sensor_id, timestamp_us) key already exists
+    * in the Float table. The probe is bounded: month pruning restricts the
+    * store scan to the batch's time range, the batch's key set is
+    * broadcast into a semi-join against that scan (no store shuffle), and
+    * the surviving conflict keys — at most the batch size — are broadcast
+    * back into the anti-join. Batches larger than `maxBroadcastKeys` fall
+    * back to a plain shuffle anti-join rather than an oversized broadcast.
+    */
+  private[graft] def antiJoinExisting(
+      store: SensorStore,
+      derived: DataFrame, // (sensor_id, timestamp_us, value)
+      maxBroadcastKeys: Long = 1L << 20): DataFrame = {
+    val keyCols = Seq("sensor_id", "timestamp_us")
+    val bounds = derived.agg(
+      min(col("timestamp_us")), max(col("timestamp_us")), count(lit(1)))
+      .first()
+    if (bounds.isNullAt(0)) return derived
+    val existing = store
+      .samplesInRange(SensorType.Float, Some(bounds.getLong(0)),
+        Some(bounds.getLong(1)))
+      .select(keyCols.map(col): _*)
+    if (bounds.getLong(2) <= maxBroadcastKeys) {
+      val keys = derived.select(keyCols.map(col): _*)
+      val conflicts = existing
+        .join(broadcast(keys), keyCols, "left_semi")
+      derived.join(broadcast(conflicts), keyCols, "left_anti")
+    } else derived.join(existing, keyCols, "left_anti")
   }
 }

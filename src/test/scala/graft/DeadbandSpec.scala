@@ -21,6 +21,19 @@ class DeadbandSpec extends SparkSpec {
       ("s2", 1L, 1.0)))
   }
 
+  test("batch deadband is deterministic under duplicate timestamps") {
+    // two samples share timestamp 1: the (ts, value) sort visits 5.0
+    // first — the same order compressStream uses — so the kept set is
+    // stable across runs and matches the streaming sweep
+    val df = Seq(
+      ("s1", 1L, 9.0), ("s1", 1L, 5.0), ("s1", 2L, 9.05))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Deadband.compress(df, eps = 0.1)
+      .orderBy("timestamp_us", "value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 1L, 5.0), ("s1", 1L, 9.0)))
+  }
+
   test("streaming deadband state survives across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Sample]

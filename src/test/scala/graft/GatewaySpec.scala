@@ -249,7 +249,12 @@ class GatewaySpec extends SparkSpec {
     // derived series are excluded from re-resampling: a second run
     // converges on the same uuids instead of minting derived-of-derived
     val sensorsAfterFirst = store.sensors.count()
+    val samplesAfterFirst = store.samples(SensorType.Float).count()
     assert(get("/api/v1/admin/resample?window=1+hour").statusCode() == 200)
     assert(store.sensors.count() == sensorsAfterFirst)
+    // ... and idempotent at the sample level too: the second run anti-joins
+    // its derived rows against the store instead of re-appending them
+    assert(store.samples(SensorType.Float).count() == samplesAfterFirst)
+    assert(get(s"/series/$avgUuid").body().contains("\"v\":2.5"))
   }
 }

@@ -253,4 +253,24 @@ class ImportersSpec extends SparkSpec {
     }.toSet
     assert(got == expected)
   }
+
+  test("influx parse survives sessions without LAST_WIN map-key policy") {
+    import spark.implicits._
+    // duplicate tag key + reserved label key: under the default EXCEPTION
+    // policy the columnar fast path's str_to_map/map_concat would throw,
+    // so parse() must route everything through the strict parser instead
+    val lines = Seq("m1,a=1,a=2 f=1", "m2,influxdb_bucket=x,c=3 f=2")
+    val prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try {
+      val got = InfluxLineProtocol.parse(lines.toDS(), "b", "o", "ns")
+        .select("sensor_name", "labels").collect()
+        .map(r => (r.getString(0), r.getAs[Map[String, String]](1))).toSet
+      assert(got == Set(
+        ("m1 f", Map("influxdb_bucket" -> "b", "influxdb_org" -> "o",
+          "a" -> "2")),
+        ("m2 f", Map("influxdb_bucket" -> "x", "influxdb_org" -> "o",
+          "c" -> "3"))))
+    } finally spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+  }
 }
