@@ -33,14 +33,18 @@ object Bench {
       val warm = timed(fn)
       name -> (cold, warm)
     }
+    // The driver captures only the tail of this process's output, so the
+    // final JSON line must stay short: 3-decimal rounding, and the verbose
+    // cold per-query breakdown goes on an EARLIER line (truncated first).
+    def r3(d: Double): String = f"$d%.3f"
     def json(sel: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
+      results.map { case (k, v) => "\"" + k + "\":" + r3(sel(v)) }
         .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).sum
     val coldTotal = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
-      s""""queries":${json(_._2)},"cold_total":$coldTotal,""" +
-      s""""cold_queries":${json(_._1)},"sf":"$sfDir"}""")
+    println(s"""{"cold_queries":${json(_._1)}}""")
+    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec",""" +
+      s""""queries":${json(_._2)},"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
