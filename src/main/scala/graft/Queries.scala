@@ -45,6 +45,44 @@ object Queries {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Oracle SQL for q28: replays the seeded random-hyperplane LSH in
+    * DuckDB. The 4×64 hyperplane components from
+    * `Similarity.hyperplanes(64, 4, 42)` are inlined as full-precision
+    * literals (`Double.toString` round-trips through DuckDB's parser), so
+    * bucket assignment, Hamming-≤2 multiprobe, and the per-query top-5
+    * are all exact replays of the Spark plan. Sign flips would need a
+    * dot product within ~1 ULP of zero — not reachable on this data.
+    */
+  private lazy val lshOracleSql: String = {
+    val planes = graft.pipeline.Similarity.hyperplanes(dim = 64, bits = 4)
+    def arr(p: Array[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ",", "]")
+    def bucketExpr(v: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    // masks with popcount <= 2 over 4 bits, in the probe order the Spark
+    // side generates (ascending mask value is irrelevant: the probe set is
+    // a set — the join is on the XOR result)
+    val masks = (0L until 16L).filter(java.lang.Long.bitCount(_) <= 2)
+      .mkString("[", ",", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketExpr("v")} AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+       |      FROM b WHERE vec_id < 10),
+       |qp AS (SELECT query_id, qv, xor(qbucket, mask) AS bucket
+       |       FROM q, (SELECT unnest($masks) AS mask)),
+       |cand AS (
+       |  SELECT qp.query_id, qp.qv, b.vec_id, b.v
+       |  FROM qp JOIN b USING (bucket) WHERE b.vec_id <> qp.query_id)
+       |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val registry: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------------
@@ -568,11 +606,51 @@ object Queries {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup (no SQL-expressible oracle — rows-only check; the
-    // operator's semantics are pinned in DedupSpec).
-    qNoOracle("q26_simhash") { (s, d) =>
+    // SimHash near-dup with the md5-derived token hash, which DuckDB can
+    // replay bit-for-bit: per-token 64-bit hash from md5 hex, ±1 per bit
+    // sign fold, 4×16-bit band candidates, popcount verify. The xxhash64
+    // scale path keeps its semantics pinned in DedupSpec.
+    q(
+      "q26_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN h32 >= 2147483648 THEN h32 - 4294967296 ELSE h32 END)
+        |      * 4294967296 + l32 AS h
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5(tok),1,8))::BIGINT AS h32,
+        |          ('0x' || substr(md5(tok),9,8))::BIGINT AS l32
+        |        FROM toks)),
+        |counts AS (
+        |  SELECT doc_id, bt,
+        |    SUM(CASE WHEN (h >> bt) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM th, (SELECT unnest(range(64)) AS bt)
+        |  GROUP BY doc_id, bt),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+        |      AS simhash
+        |  FROM (SELECT doc_id,
+        |          SUM(CASE WHEN c > 0 THEN 1::HUGEINT << bt
+        |              ELSE 0::HUGEINT END) AS s
+        |        FROM counts GROUP BY doc_id)),
+        |banded AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bv
+        |  FROM sh, (SELECT unnest(range(4)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS h_a, b.simhash AS h_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16
+        |ORDER BY id_a, id_b"""
+    ) { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 16, tokenHash = Dedup.md5TokenHash)
         .orderBy("id_a", "id_b")
     },
 
@@ -599,14 +677,17 @@ object Queries {
     },
 
     // LSH-bucketed ANN (the 100 TB path: shuffle on hyperplane bucket, not
-    // a cross join). Approximate by construction — rows-only here; recall
-    // vs the brute-force baseline is pinned in SimilaritySpec.
-    qNoOracle("q28_ann_lsh") { (s, d) =>
+    // a cross join). Approximate by construction but DETERMINISTIC: the
+    // seeded hyperplanes are embedded as full-precision literals in the
+    // oracle SQL (Double.toString round-trips, so DuckDB parses the exact
+    // same doubles), which replays bucketing + multiprobe + top-k exactly.
+    q("q28_ann_lsh", lshOracleSql) { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
       Similarity.lshTopK(queries, e, k = 5, bits = 4, probeHamming = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     },
 
@@ -906,15 +987,48 @@ object Queries {
     },
 
     // IVF ANN (the alternative 100 TB scale path to hyperplane LSH:
-    // k-means-lite lists + nprobe search; shuffle on centroid id).
-    // Approximate by construction — rows-only; recall vs brute force is
-    // pinned in PipelineSpec.
-    qNoOracle("q40_ann_ivf") { (s, d) =>
+    // coarse-quantizer lists + nprobe search; shuffle on centroid id).
+    // The driver query passes deterministic centroids (the first 8
+    // vectors by id) through ivfTopKWith, so DuckDB replays assignment,
+    // probing and top-k exactly; the seeded k-means index build
+    // (ivfCentroids) stays the scale path, recall pinned in PipelineSpec.
+    q(
+      "q40_ann_ivf",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.cv), c.cid) AS rnk
+        |  FROM e, c),
+        |corpus AS (
+        |  SELECT a.vec_id, a.cid, e.v
+        |  FROM assign a JOIN e USING (vec_id) WHERE a.rnk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q.query_id, q.qv, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, c.cv), c.cid) AS rnk
+        |  FROM q, c),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, co.vec_id, co.v
+        |  FROM probes p JOIN corpus co ON co.cid = p.cid
+        |  WHERE p.rnk <= 4 AND co.vec_id <> p.query_id)
+        |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY query_id, rank"""
+    ) { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      Similarity.ivfTopK(queries, e, k = 5, nlist = 8, nprobe = 4)
+      val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("vec").collect().map(_.getSeq[Double](0).toArray)
+      Similarity.ivfTopKWith(queries, e, k = 5, centroids, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     },
 
@@ -1112,14 +1226,37 @@ object Queries {
         .orderBy("media_id")
     },
 
-    // Winnowing (rolling-hash) document fingerprint overlap: pairs sharing
-    // >= 5 selected k-gram hashes. Fingerprint selection is document-local
-    // (UDF loop, no shuffle); the overlap join shuffles 8-byte hashes.
-    // Not SQL-expressible (rolling hash + sliding min) — rows-only; the
-    // winnowing guarantee and normalization are pinned in PipelineSpec.
-    qNoOracle("q48_winnow_overlap") { (s, d) =>
+    // Winnowing document fingerprint overlap: pairs sharing >= 5 selected
+    // k-gram hashes. The md5-derived k-gram hash (60 bits from the md5
+    // hex prefix) makes the window-minimum selection replayable in SQL:
+    // the fingerprint SET per doc is the distinct min of each w-window,
+    // which DuckDB computes with a forward-frame window MIN. The rolling-
+    // hash variant stays the scale path, pinned in PipelineSpec.
+    q(
+      "q48_winnow_overlap",
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, t, len(t) - 10 + 1 AS m FROM norm WHERE len(t) >= 10),
+        |h AS (
+        |  SELECT doc_id, m, p,
+        |    ('0x' || substr(md5(substr(t, p::INT + 1, 10)), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT doc_id, m, t, unnest(range(m)) AS p FROM kg)),
+        |wmin AS (
+        |  SELECT doc_id, p, m,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS fp
+        |  FROM h),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= greatest(0, m - 50))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY id_a, id_b HAVING COUNT(*) >= 5
+        |ORDER BY id_a, id_b"""
+    ) { (s, d) =>
       val fp = Tables.documents(s, d).select(col("doc_id").as("id"),
-        explode(graft.pipeline.TextAnalysis.winnowingFingerprints(
+        explode(graft.pipeline.TextAnalysis.winnowingFingerprintsMd5(
           col("text"), k = 10, w = 50)).as("fp"))
       fp.as("a").join(fp.as("b"),
           col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
@@ -1131,10 +1268,32 @@ object Queries {
 
     // Deadband ingest compression: keep a sample iff it moved more than
     // eps from the last KEPT sample of its series — a sequential
-    // recurrence on the last kept value that no window function (or
-    // practical SQL) expresses, so rows-only; semantics (incl. streaming
-    // state across micro-batches) are pinned in DeadbandSpec.
-    qNoOracle("q49_deadband") { (s, d) =>
+    // recurrence on the last kept value. No window function expresses it,
+    // but a recursive CTE does: each iteration advances every series'
+    // frontier to its next kept sample (first later row whose |Δ| > eps),
+    // exactly the batch sweep's recurrence. Streaming state semantics
+    // stay pinned in DeadbandSpec.
+    q(
+      "q49_deadband",
+      """WITH RECURSIVE src AS (
+        |  SELECT event_type || ' ' || user_id AS sensor_id,
+        |         epoch_us(ts) AS timestamp_us, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type || ' ' || user_id
+        |                            ORDER BY epoch_us(ts), value) AS rn
+        |  FROM events),
+        |kept AS (
+        |  SELECT sensor_id, timestamp_us, value, rn FROM src WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.sensor_id, n.timestamp_us, n.value, n.rn
+        |  FROM kept k, LATERAL (
+        |    SELECT s.sensor_id, s.timestamp_us, s.value, s.rn
+        |    FROM src s
+        |    WHERE s.sensor_id = k.sensor_id AND s.rn > k.rn
+        |      AND abs(s.value - k.value) > 5.0
+        |    ORDER BY s.rn LIMIT 1) n)
+        |SELECT sensor_id, timestamp_us, value FROM kept
+        |ORDER BY sensor_id, timestamp_us"""
+    ) { (s, d) =>
       graft.streaming.Deadband.compress(
         EventsAdapter.samples(s, d)
           .select("sensor_id", "timestamp_us", "value"), eps = 5.0)

@@ -216,15 +216,30 @@ object Dedup {
       org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** 64-bit SimHash over whitespace tokens (per-token xxhash64, ±1 per bit,
-    * sign fold). Token hashing stays codegen'd Column math; the bit-counter
-    * fold is a typed Aggregator.
+  /** 64-bit token hash assembled from the first 16 hex chars of md5 —
+    * engine-portable (md5 of the UTF-8 bytes computes identically in any
+    * SQL engine, so an external oracle can replay the simhash bit-for-
+    * bit). Default token hash stays xxhash64 (cheaper; one hash pass vs
+    * md5's full digest).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  val md5TokenHash: Column => Column = { c =>
+    val hx = md5(c.cast("binary"))
+    shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (per-token hash, ±1 per bit,
+    * sign fold). Token hashing stays codegen'd Column math; the bit-counter
+    * fold is a typed Aggregator. `tokenHash` defaults to xxhash64; pass
+    * [[md5TokenHash]] when the signature must be reproducible outside the
+    * JVM.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.whitespaceTokens(col(textCol))).as("tok"))
     val agg = udaf(SimHashAgg)
-    tokens.select(col("id"), xxhash64(col("tok")).as("h"))
+    tokens.select(col("id"), tokenHash(col("tok")).as("h"))
       .groupBy(col("id"))
       .agg(agg(col("h")).as("simhash"))
   }
@@ -235,8 +250,9 @@ object Dedup {
     */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(docs, idCol, textCol)
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val sh = simHash(docs, idCol, textCol, tokenHash)
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xffffL)))

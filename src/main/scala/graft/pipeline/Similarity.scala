@@ -214,8 +214,21 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(corpus, nlist, iters, seed)
+      seed: Long = 42L): DataFrame =
+    ivfTopKWith(queries, corpus, k,
+      ivfCentroids(corpus, nlist, iters, seed), nprobe)
+
+  /** [[ivfTopK]] with caller-supplied centroids — the index build and the
+    * probe search are separable (a real deployment trains centroids once
+    * and reuses them across queries; a correctness harness can pass
+    * deterministic centroids recoverable by an external oracle).
+    */
+  def ivfTopKWith(
+      queries: DataFrame, // (query_id, qvec)
+      corpus: DataFrame, // (vec_id, vec)
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
     val corpusA = corpus
       .withColumn("cid", nearestCentroid(col("vec"), centroids))
       .withColumn("__nv", norm(col("vec")))

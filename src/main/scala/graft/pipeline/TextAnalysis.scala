@@ -87,6 +87,60 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** [[winnowingFingerprints]] with an md5-derived k-gram hash instead of
+    * the rolling polynomial: each k-gram hashes to the first 15 hex chars
+    * of its md5 (60 bits, non-negative), so the selected fingerprint set
+    * is reproducible by any engine with an md5 function — same selection
+    * guarantee, ~k× the per-gram hash cost (no rolling reuse). Use the
+    * rolling variant at scale; this one where cross-engine replay matters.
+    */
+  def winnowingFingerprintsMd5(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val f = udf { s: String =>
+      if (s == null) Array.empty[Long]
+      else {
+        val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+        val n = t.length
+        if (n < k) Array.empty[Long]
+        else {
+          val m = n - k + 1
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = "0123456789abcdef"
+          val hashes = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            md.reset()
+            val dig = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+            // first 15 hex chars = 60 bits: 7 full bytes + high nibble
+            var h = 0L
+            var j = 0
+            while (j < 7) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
+            h = (h << 4) | ((dig(7) & 0xf0L) >>> 4)
+            hashes(i) = h
+            i += 1
+          }
+          val selected = new java.util.TreeSet[java.lang.Long]()
+          val lastStart = math.max(0, m - w)
+          var start = 0
+          while (start <= lastStart) {
+            val end = math.min(start + w, m)
+            var mn = hashes(start)
+            var j = start + 1
+            while (j < end) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+            selected.add(mn)
+            start += 1
+          }
+          val out = new Array[Long](selected.size())
+          val it = selected.iterator()
+          i = 0
+          while (it.hasNext) { out(i) = it.next(); i += 1 }
+          out
+        }
+      }
+    }
+    f(text)
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): polynomial rolling hash
     * over character k-grams of the normalized text, then the minimum hash
     * of each sliding window of `w` consecutive k-gram hashes (rightmost
