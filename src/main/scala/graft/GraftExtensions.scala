@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SensorUuidExpression
+import graft.functions.{DotProductExpression, SensorUuidExpression}
 
 /** Engine extensions registered via `SparkSessionExtensions` (the custom-
-  * expression extension path): `sensor_uuid(name, type, unit, labels)` as
-  * a codegen'd Catalyst expression, usable from SQL and `call_function`.
+  * expression extension path): `sensor_uuid(name, type, unit, labels)`
+  * and `vec_dot(a, b)` as codegen'd Catalyst expressions, usable from
+  * SQL and `call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -19,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 4,
           "sensor_uuid(name, type_name, unit_name, labels) takes 4 arguments")
         SensorUuidExpression(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpression].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b) takes 2 arguments")
+        DotProductExpression(args(0), args(1))
       }))
   }
 }

@@ -577,7 +577,11 @@ object Queries {
         |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+      // repartition: spread the single-split documents scan before the
+      // shingling explode (otherwise the first stage runs on one core)
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", 3, 0.5)
         .orderBy("id_a", "id_b")
     },
 
@@ -601,7 +605,8 @@ object Queries {
     ) { (s, d) =>
       // 8 bands × 4 rows: P[miss] at j≈0.98 is (1-j⁴)^8 ≈ 1e-9, false-
       // candidate rate at j≈0.2 ≈ 1%, at half the signature cost of 64
-      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.minHashLshPairs(
+        Tables.documents(s, d).repartition(col("doc_id")), "doc_id", "text",
         n = 3, tau = 0.5, numHashes = 32, bands = 8)
         .orderBy("id_a", "id_b")
     },
@@ -649,7 +654,10 @@ object Queries {
         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
-      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+      // repartition: the single-split documents scan would otherwise run
+      // the tokenize+hash stage serially
+      Dedup.simHashPairs(
+        Tables.documents(s, d).repartition(col("doc_id")), "doc_id", "text",
         maxHamming = 16, tokenHash = Dedup.md5TokenHash)
         .orderBy("id_a", "id_b")
     },
@@ -705,7 +713,9 @@ object Queries {
         |  COUNT(*) AS n
         |FROM documents GROUP BY source, pred_lang ORDER BY source, pred_lang"""
     ) { (s, d) =>
-      Tables.documents(s, d)
+      // repartition: the language-ID expression is wide (per-profile token
+      // scans) and the documents file is one input split
+      Tables.documents(s, d).repartition(col("doc_id"))
         .select(col("source"), TextAnalysis.languageId(col("text")).as("pred_lang"))
         .groupBy(col("source"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
@@ -1255,9 +1265,12 @@ object Queries {
         |GROUP BY id_a, id_b HAVING COUNT(*) >= 5
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
-      val fp = Tables.documents(s, d).select(col("doc_id").as("id"),
-        explode(graft.pipeline.TextAnalysis.winnowingFingerprintsMd5(
-          col("text"), k = 10, w = 50)).as("fp"))
+      // repartition before the per-doc digest UDF: the documents file is a
+      // single input split, and the fingerprint work would run serially
+      val fp = Tables.documents(s, d).repartition(col("doc_id"))
+        .select(col("doc_id").as("id"),
+          explode(graft.pipeline.TextAnalysis.winnowingFingerprintsMd5(
+            col("text"), k = 10, w = 50)).as("fp"))
       fp.as("a").join(fp.as("b"),
           col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -15,20 +15,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential left-to-right dot product (deterministic fp order — the
-    * same fold a HOF `aggregate(zip_with(...))` performs, but as a tight
-    * UDF loop: Spark's higher-order array functions are interpreted per
-    * element, which made pairwise cosines the dominant similarity cost.
+    * same fold a HOF `aggregate(zip_with(...))` performs), as a codegen'd
+    * Catalyst expression: a UDF pays an encoder round-trip per call
+    * (boxed Seq per array, ~µs/pair on 64-dim vectors), and HOF lambdas
+    * are interpreted per element; [[graft.functions.DotProductExpression]]
+    * reads internal ArrayData unboxed inside whole-stage codegen.
     */
-  private val dotFn = org.apache.spark.sql.functions.udf {
-    (a: Seq[Double], b: Seq[Double]) =>
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-  }
-
-  def dot(a: Column, b: Column): Column = dotFn(a, b)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -253,16 +246,65 @@ object Similarity {
     * (use only when the corpus fits a single join partition; the bucketed
     * form is the scale path, trading recall for candidate count).
     */
+  /** Exact all-pairs cosine (the bits=0 contract bounds the corpus to
+    * broadcast size). An equi-join on the constant bucket key would
+    * collapse to one shuffle partition AND pay the per-pair UDF
+    * array-conversion tax (~µs/pair); this kernel broadcasts the corpus
+    * as primitive arrays once and loops pairs partition-parallel with a
+    * fused dot (~ns/pair). FP identical to the join path: same
+    * left-to-right dot fold, same dot/(na*nb) expression shape.
+    * Requires an integral `vec_id` (the embeddings contract).
+    */
+  private def cosineAllPairsKernel(vectors: DataFrame, tau: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val ds = vectors
+      .select(col("vec_id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val all = ds.collect()
+    val ids = all.map(_._1)
+    val vecs = all.map(_._2)
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    ds.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (ids, vecs, norms) = bc.value
+        it.flatMap { case (ida, va) =>
+          var sa = 0.0; var i = 0
+          while (i < va.length) { sa += va(i) * va(i); i += 1 }
+          val na = math.sqrt(sa)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < ids.length) {
+            if (ids(j) > ida) {
+              val vb = vecs(j)
+              var s = 0.0; var k = 0
+              val n = math.min(va.length, vb.length)
+              while (k < n) { s += va(k) * vb(k); k += 1 }
+              val c = s / (na * norms(j))
+              if (c >= tau) out += ((ida, ids(j), c))
+            }
+            j += 1
+          }
+          out
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
   def cosineNearDupPairs(
       vectors: DataFrame, // (vec_id, vec)
       tau: Double,
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val bucketCol = if (bits == 0) lit(0L) else {
-      val dim = vectors.select(size(col("vec"))).first().getInt(0)
-      lshBucket(col("vec"), hyperplanes(dim, bits, seed))
-    }
-    val b = vectors.withColumn("bucket", bucketCol)
+    if (bits == 0) return cosineAllPairsKernel(vectors, tau)
+    val dim = vectors.select(size(col("vec"))).first().getInt(0)
+    val b = vectors
+      .withColumn("bucket", lshBucket(col("vec"), hyperplanes(dim, bits, seed)))
       .withColumn("__n", norm(col("vec")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
