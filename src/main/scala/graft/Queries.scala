@@ -1237,11 +1237,16 @@ object Queries {
     },
 
     // Winnowing document fingerprint overlap: pairs sharing >= 5 selected
-    // k-gram hashes. The md5-derived k-gram hash (60 bits from the md5
-    // hex prefix) makes the window-minimum selection replayable in SQL:
-    // the fingerprint SET per doc is the distinct min of each w-window,
-    // which DuckDB computes with a forward-frame window MIN. The rolling-
-    // hash variant stays the scale path, pinned in PipelineSpec.
+    // k-gram hashes, IGNORING fingerprints present in more than 50
+    // documents (the standard MOSS common-substring suppression: a
+    // boilerplate fingerprint carries no overlap signal, and its df²
+    // pair explosion is what breaks the join at corpus scale — on this
+    // corpus the hottest fingerprint sits in >500 docs). The md5-derived
+    // k-gram hash (60 bits from the md5 hex prefix) makes the window-
+    // minimum selection replayable in SQL: the fingerprint SET per doc
+    // is the distinct min of each w-window, which DuckDB computes with a
+    // forward-frame window MIN. The rolling-hash variant stays the scale
+    // path, pinned in PipelineSpec.
     q(
       "q48_winnow_overlap",
       """WITH norm AS (
@@ -1259,9 +1264,11 @@ object Queries {
         |      ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS fp
         |  FROM h),
         |fps AS (
-        |  SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= greatest(0, m - 50))
+        |  SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= greatest(0, m - 50)),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+        |fpr AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY id_a, id_b HAVING COUNT(*) >= 5
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
@@ -1271,7 +1278,11 @@ object Queries {
         .select(col("doc_id").as("id"),
           explode(graft.pipeline.TextAnalysis.winnowingFingerprintsMd5(
             col("text"), k = 10, w = 50)).as("fp"))
-      fp.as("a").join(fp.as("b"),
+        .persist() // both join sides + the df filter read it
+      val rare = fp.groupBy("fp")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
+      val fpr = fp.join(rare, Seq("fp"), "left_semi")
+      fpr.as("a").join(fpr.as("b"),
           col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .agg(count(lit(1)).as("shared"))
