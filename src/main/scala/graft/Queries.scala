@@ -1349,6 +1349,80 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           round(col("value"), 6).as("value"))
         .orderBy("user_tag")
+    },
+
+    // topk: the k series with the largest latest sample in the lookback
+    // window — ranked deterministically by (value desc, sensor_id), and
+    // planned as TakeOrderedAndProject over one-row-per-series input
+    // (never a full sort). Another operation the reference 400s.
+    q(
+      "q51_promql_topk",
+      """SELECT rank, sensor_id, value FROM (
+        |  SELECT sensor_id, value,
+        |    ROW_NUMBER() OVER (ORDER BY value DESC, sensor_id ASC) AS rank
+        |  FROM (
+        |    SELECT 'view ' || user_id AS sensor_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'view'
+        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |  WHERE rn = 1)
+        |WHERE rank <= 5 ORDER BY rank"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "topk(5, view)", 1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select("rank", "sensor_id", "value")
+        .orderBy("rank")
+    },
+
+    // Binary operator between two instant vectors with one-to-one label
+    // matching (the labels map joins on its canonical sorted-entries
+    // form): per-user ratio of view rate to click rate. Both operands
+    // evaluate as independent per-series rate() plans; ROUND(6) absorbs
+    // f64 summation-order ULP drift inside each rate.
+    q(
+      "q52_promql_binary",
+      """WITH s AS (
+        |  SELECT event_type, user_id, value,
+        |    lag(value) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |r AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CASE WHEN prev IS NULL THEN NULL
+        |      WHEN value >= prev THEN value - prev
+        |      ELSE value END) / 2678400.0 AS rate
+        |  FROM s GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) IS NOT NULL)
+        |SELECT CAST(v.user_id AS VARCHAR) AS user_tag,
+        |  ROUND(v.rate / c.rate, 6) AS value
+        |FROM r v JOIN r c ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "rate(view[31d]) / rate(click[31d])", 1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
     }
   )
 

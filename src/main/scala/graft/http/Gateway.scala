@@ -516,10 +516,11 @@ final class Gateway(
       throw new IllegalArgumentException("missing query parameter"))
     val parsed = ExtendedPromQL.parse(query,
       nowUs = System.currentTimeMillis() * 1000L)
-    val selected = Matchers.sensorsByLabels(store.sensors, parsed.matchers,
-      numericOnly = true)
-      .select(col("uuid").as("sensor_id"), col("labels"))
-    val result = ExtendedPromQL.eval(parsed, selected,
+    // evalWith: binary vector queries select each operand's series
+    // independently (two matcher sets); other queries match once
+    val result = ExtendedPromQL.evalWith(parsed,
+      ms => Matchers.sensorsByLabels(store.sensors, ms, numericOnly = true)
+        .select(col("uuid").as("sensor_id"), col("labels")),
       numericFloatView(Some(parsed.startUs), Some(parsed.endUs)))
     val lines = result.toJSON.collect()
     respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))

@@ -16,7 +16,13 @@ import graft.operators.LabelMatcher
   *  - `<agg> by (l1,...) (sel)` / `<agg> without (...) (sel)` /
   *    bare `<agg>(sel)` — instant-vector aggregation across series: each
   *    series contributes its latest sample in the lookback window, grouped
-  *    by the label clause (sum/avg/count/min/max).
+  *    by the label clause (sum/avg/count/min/max);
+  *  - `topk(k, sel)` / `bottomk(k, sel)` — deterministic global ranking
+  *    of the instant vector (TakeOrderedAndProject, never a full sort);
+  *  - binary expressions `vec ⊙ vec` (one-to-one label matching on the
+  *    canonical sorted-entries form of the labels map) and `vec ⊙ scalar`
+  *    for + - * /, with selectors and per-series range functions as
+  *    operands (`rate(a[5m]) / rate(b[5m])`).
   *
   * Selector parsing (matchers, ranges, durations, rejection of binary ops
   * etc.) is delegated to [[SimplePromQL]], so reference-compatible
@@ -67,6 +73,41 @@ object ExtendedPromQL {
   final case class QuantileOverTimeQ(
       phi: Double, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
       extends Query
+  /** `topk(k, sel)` / `bottomk(k, sel)` — the k series with the
+    * largest/smallest latest sample in the lookback window, ranked
+    * deterministically ((value desc|asc), sensor_id). Global (no `by`
+    * clause); the ranking input is one row per SERIES, so the final
+    * top-k is `TakeOrderedAndProject`, never a full sort.
+    */
+  final case class TopKQ(
+      op: String, k: Int, matchers: Seq[LabelMatcher],
+      startUs: Long, endUs: Long) extends Query
+  /** `sel <op> scalar` / `scalar <op> sel` for + - * / — arithmetic on
+    * an instant vector (each series' latest sample, or a range
+    * function's per-series result).
+    */
+  final case class BinScalarQ(
+      op: Char, scalar: Double, scalarOnLeft: Boolean, inner: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
+  /** `vec1 <op> vec2` for + - * / — one-to-one vector matching on the
+    * FULL label set (Prometheus semantics with the metric name excluded;
+    * labels here never include the name). Operands are selectors or
+    * per-series functions (`rate(a[5m]) / rate(b[5m])`); aggregations as
+    * operands are rejected. Duplicate label sets on a side produce a
+    * many-to-many join — callers needing Prometheus's hard error should
+    * validate cardinality beforehand. Evaluate via [[evalWith]] (two
+    * independent matcher sets need two catalog selections).
+    */
+  final case class BinVectorQ(op: Char, left: Query, right: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = left.matchers
+    def startUs: Long = math.min(left.startUs, right.startUs)
+    def endUs: Long = math.max(left.endUs, right.endUs)
+  }
 
   import SimplePromQL.PromQLError
 
@@ -88,14 +129,97 @@ object ExtendedPromQL {
       case other => SimplePromQL.parse(other, nowUs)
     }
 
+  /** First binary operator (+ - * /) at top level — outside quotes and
+    * all bracket kinds; '-' at position 0 is a scalar sign, not an
+    * operator. Metric names cannot contain these characters and duration
+    * literals live inside `[...]`, so a hit is unambiguous.
+    */
+  private def topLevelOp(s: String): Option[Int] = {
+    var par = 0; var br = 0; var brace = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1 else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '(' => par += 1
+        case ')' => par -= 1
+        case '[' => br += 1
+        case ']' => br -= 1
+        case '{' => brace += 1
+        case '}' => brace -= 1
+        case '+' | '*' | '/' if par == 0 && br == 0 && brace == 0 =>
+          return Some(i)
+        case '-' if par == 0 && br == 0 && brace == 0 && i > 0 =>
+          return Some(i)
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def parseScalar(s: String): Option[Double] =
+    try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
+
+  /** Operand kinds that evaluate to one row per series. */
+  private def requireVectorOperand(q: Query, side: String): Query = q match {
+    case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ => q
+    case _ => throw PromQLError(
+      s"Binary operator $side operand must be a selector or per-series " +
+        "function (aggregations are not matchable operands)")
+  }
+
   def parse(query: String, nowUs: Long): Query = {
     val s = query.trim
+    topLevelOp(s) match {
+      case Some(i) =>
+        val op = s.charAt(i)
+        val (ls, rs) = (s.substring(0, i).trim, s.substring(i + 1).trim)
+        if (ls.isEmpty || rs.isEmpty)
+          throw PromQLError(s"Binary operator '$op' is missing an operand")
+        return (parseScalar(ls), parseScalar(rs)) match {
+          case (Some(_), Some(_)) =>
+            throw PromQLError("Scalar-scalar expressions are not supported")
+          case (Some(v), None) =>
+            BinScalarQ(op, v, scalarOnLeft = true,
+              requireVectorOperand(parse(rs, nowUs), "right"))
+          case (None, Some(v)) =>
+            BinScalarQ(op, v, scalarOnLeft = false,
+              requireVectorOperand(parse(ls, nowUs), "left"))
+          case (None, None) =>
+            BinVectorQ(op,
+              requireVectorOperand(parse(ls, nowUs), "left"),
+              requireVectorOperand(parse(rs, nowUs), "right"))
+        }
+      case None => ()
+    }
     val headRe = """^([a-zA-Z_:][a-zA-Z0-9_:]*)""".r
     headRe.findPrefixMatchOf(s) match {
       case Some(m) =>
         val head = m.matched
         val after = s.substring(head.length)
-        if (head == "quantile_over_time") {
+        if (head == "topk" || head == "bottomk") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val comma = inner.indexOf(',')
+          if (comma < 0)
+            throw PromQLError(s"$head expects (k, selector)")
+          val k =
+            try inner.substring(0, comma).trim.toInt
+            catch { case _: NumberFormatException =>
+              throw PromQLError(s"Bad k value '${inner.substring(0, comma).trim}'")
+            }
+          if (k < 1) throw PromQLError(s"$head needs k >= 1, got $k")
+          val selStr = inner.substring(comma + 1).trim
+          if (selStr.contains("["))
+            throw PromQLError(
+              s"$head ranks an instant vector, not a range selector")
+          val sel = parseSelector(selStr, nowUs)
+          TopKQ(head, k, sel.matchers, sel.startUs, sel.endUs)
+        } else if (head == "quantile_over_time") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
@@ -230,11 +354,77 @@ object ExtendedPromQL {
     *         InstantAggQ → (group_labels, value);
     *         SelectorQ → (sensor_id, labels, timestamp_us, value)
     */
+  /** [[eval]] generalized over catalog selection: binary vector queries
+    * carry TWO independent matcher sets, so the caller provides the
+    * matcher→selected-series mapping instead of one pre-selected frame.
+    * Single-selector queries delegate to [[eval]] unchanged.
+    */
+  def evalWith(
+      q: Query,
+      selectFor: Seq[LabelMatcher] => DataFrame,
+      samples: DataFrame): DataFrame = q match {
+    case BinVectorQ(op, left, right) =>
+      val canon = (c: Column) => array_sort(map_entries(
+        coalesce(c, map().cast("map<string,string>"))))
+      val lv = sideVector(left, selectFor(left.matchers), samples)
+        .select(canon(col("labels")).as("__k"), col("labels"),
+          col("value").as("__lv"))
+      val rv = sideVector(right, selectFor(right.matchers), samples)
+        .select(canon(col("labels")).as("__k"), col("value").as("__rv"))
+      lv.join(rv, "__k")
+        .select(col("labels"), binCol(op, col("__lv"), col("__rv")).as("value"))
+    case other => eval(other, selectFor(other.matchers), samples)
+  }
+
+  private def binCol(op: Char, l: Column, r: Column): Column = op match {
+    case '+' => l + r
+    case '-' => l - r
+    case '*' => l * r
+    case '/' => l / r
+    case other => throw PromQLError(s"Unsupported binary operator: $other")
+  }
+
+  /** Evaluate an operand to its instant vector (one row per series:
+    * sensor_id, labels, value): a plain selector contributes each
+    * series' latest sample in the window; per-series functions
+    * contribute their result.
+    */
+  private def sideVector(
+      q: Query, selected: DataFrame, samples: DataFrame): DataFrame =
+    q match {
+      case s: SelectorQ =>
+        lastInWindow(samples
+          .filter(col("timestamp_us").between(s.startUs, s.endUs))
+          .join(broadcast(selected), "sensor_id"))
+          .select("sensor_id", "labels", "value")
+      case other => eval(other, selected, samples)
+    }
+
   def eval(q: Query, selected: DataFrame, samples: DataFrame): DataFrame = {
     val inWindow = samples
       .filter(col("timestamp_us").between(q.startUs, q.endUs))
       .join(broadcast(selected), "sensor_id")
     q match {
+      case b: BinScalarQ =>
+        val v = sideVector(b.inner, selected, samples)
+        val expr =
+          if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
+          else binCol(b.op, col("value"), lit(b.scalar))
+        v.withColumn("value", expr)
+      case TopKQ(op, k, _, _, _) =>
+        val latest = lastInWindow(inWindow)
+        val ordered =
+          if (op == "topk")
+            latest.orderBy(col("value").desc, col("sensor_id").asc)
+          else latest.orderBy(col("value").asc, col("sensor_id").asc)
+        // limit first: TakeOrderedAndProject bounds the sort to k rows;
+        // the rank window then runs over k rows, not the full vector
+        val w = Window.orderBy(
+          if (op == "topk") col("value").desc else col("value").asc,
+          col("sensor_id").asc)
+        ordered.limit(k)
+          .withColumn("rank", row_number().over(w))
+          .select("rank", "sensor_id", "labels", "value")
       case SelectorQ(_, _, _) =>
         inWindow.select("sensor_id", "labels", "timestamp_us", "value")
       case OverTimeQ(op, _, _, _) =>
@@ -309,6 +499,9 @@ object ExtendedPromQL {
           .withColumn("group_labels", groupLabels)
           .groupBy(col("group_labels"))
           .agg(aggCol(op, col("value")).as("value"))
+      case _: BinVectorQ =>
+        throw PromQLError(
+          "binary vector queries carry two matcher sets — evaluate via evalWith")
     }
   }
 

@@ -306,4 +306,87 @@ class ExtendedPromQLSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(byUser == Map("1" -> 2.0, "2" -> 10.0))
   }
+
+  test("parses topk/bottomk and binary expressions") {
+    ExtendedPromQL.parse("topk(3, view)", now) match {
+      case TopKQ("topk", 3, ms, _, e) =>
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
+        assert(e == now)
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] { ExtendedPromQL.parse("topk(0, view)", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("topk(banana, view)", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("topk(3, view[5m])", now) }
+    ExtendedPromQL.parse("rate(a[5m]) / rate(b[5m])", now) match {
+      case BinVectorQ('/', RangeFnQ("rate", lm, _, _), RangeFnQ("rate", rm, _, _)) =>
+        assert(lm == Seq(LabelMatcher.Eq("__name__", "a")))
+        assert(rm == Seq(LabelMatcher.Eq("__name__", "b")))
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("view * 2", now) match {
+      case BinScalarQ('*', 2.0, false, _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("-2 + view", now) match {
+      case BinScalarQ('+', -2.0, true, _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // operator chars inside label values / ranges are not operators
+    ExtendedPromQL.parse("""view{note="a+b"}""", now) match {
+      case SelectorQ(ms, _, _) =>
+        assert(ms.contains(LabelMatcher.Eq("note", "a+b")))
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] { // aggregations are not matchable operands
+      ExtendedPromQL.parse("sum(view) / sum(click)", now)
+    }
+  }
+
+  test("evaluator: topk ranks latest samples, binary ops match on labels") {
+    import spark.implicits._
+    val selected = Seq(
+      ("a 1", Map("user" -> "1")),
+      ("a 2", Map("user" -> "2")),
+      ("a 3", Map("user" -> "3"))).toDF("sensor_id", "labels")
+    val samples = Seq(
+      ("a 1", 1000000L, 5.0), ("a 1", 2000000L, 1.0), // latest = 1.0
+      ("a 2", 1000000L, 7.0), // latest = 7.0
+      ("a 3", 1500000L, 4.0) // latest = 4.0
+    ).toDF("sensor_id", "timestamp_us", "value")
+    val top2 = ExtendedPromQL.eval(
+      TopKQ("topk", 2, Nil, 0L, 3000000L), selected, samples)
+      .select("rank", "sensor_id", "value")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(top2 == Seq((1, "a 2", 7.0), (2, "a 3", 4.0)))
+    val bottom1 = ExtendedPromQL.eval(
+      TopKQ("bottomk", 1, Nil, 0L, 3000000L), selected, samples)
+      .select("rank", "sensor_id", "value")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(bottom1 == Seq((1, "a 1", 1.0)))
+
+    // scalar op on an instant vector
+    val scaled = ExtendedPromQL.eval(
+      BinScalarQ('*', 10.0, scalarOnLeft = false,
+        SelectorQ(Nil, 0L, 3000000L)), selected, samples)
+      .select("sensor_id", "value").as[(String, Double)].collect().toMap
+    assert(scaled == Map("a 1" -> 10.0, "a 2" -> 70.0, "a 3" -> 40.0))
+
+    // vector/vector: one-to-one on the full label set; unmatched series
+    // (user 3 only on the left) drop out, Prometheus-style
+    val selB = Seq(
+      ("b 1", Map("user" -> "1")),
+      ("b 2", Map("user" -> "2"))).toDF("sensor_id", "labels")
+    val samplesB = Seq(
+      ("b 1", 1000000L, 2.0), ("b 2", 1000000L, 4.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val q = BinVectorQ('/',
+      SelectorQ(Nil, 0L, 3000000L), SelectorQ(Seq(LabelMatcher.Eq("x", "y")),
+        0L, 3000000L))
+    val ratio = ExtendedPromQL.evalWith(q,
+      ms => if (ms.isEmpty) selected else selB,
+      samples.unionByName(samplesB))
+      .select(element_at(col("labels"), "user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(ratio == Map("1" -> 0.5, "2" -> 1.75))
+  }
 }
