@@ -1423,6 +1423,29 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           round(col("value"), 6).as("value"))
         .orderBy("user_tag")
+    },
+
+    // Arrow bulk export roundtrip: every series encoded to its own IPC
+    // payload ON THE EXECUTORS (shuffle on sensor_id; the driver never
+    // holds raw samples — the Flight-style bulk path the reference's
+    // single-request Arrow exporter stops short of), then decoded back
+    // and aggregated. The oracle aggregates the source directly: the
+    // roundtrip must be the identity.
+    q(
+      "q53_arrow_bulk",
+      """SELECT event_type || ' ' || user_id AS sensor_id,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY sensor_id ORDER BY sensor_id"""
+    ) { (s, d) =>
+      import graft.sources.ArrowIO
+      val samples = EventsAdapter.samples(s, d)
+        .select("sensor_id", "timestamp_us", "value")
+      val decoded = ArrowIO.decodeSeriesDistributed(
+        ArrowIO.encodeSeriesDistributed(samples))
+      decoded.groupBy(col("sensor_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("sensor_id")
     }
   )
 
