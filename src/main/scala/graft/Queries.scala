@@ -577,9 +577,12 @@ object Queries {
         |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
+      // prefix-filtered (AllPairs/ppjoin) exact Jaccard: identical output
+      // to the full inverted-index join (PipelineSpec pins equality),
+      // with candidates drawn only from rarest-first shingle prefixes.
       // repartition: spread the single-split documents scan before the
       // shingling explode (otherwise the first stage runs on one core)
-      Dedup.ngramJaccardPairs(
+      Dedup.ngramJaccardPairsPrefix(
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", 3, 0.5)
         .orderBy("id_a", "id_b")

@@ -157,13 +157,22 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification of candidates only: restrict the shingle table to
-    // docs that appear in a candidate pair (AQE broadcasts the tiny id set)
-    // so the pair-count join shuffles candidate shingles, not the corpus
+    verifiedJaccard(g, sigs.select(col("id"), col("n_sh")), candidates, tau)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: restrict the shingle
+    * table to docs that appear in a candidate pair (AQE broadcasts the
+    * tiny id set) so the pair-count join shuffles candidate shingles, not
+    * the corpus; count common shingles, join per-doc sizes, threshold.
+    */
+  private def verifiedJaccard(
+      g: DataFrame, // (id, h)
+      sizes: DataFrame, // (id, n_sh)
+      candidates: DataFrame, // (id_a, id_b)
+      tau: Double): DataFrame = {
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val gc = g.join(candIds, Seq("id"), "left_semi")
-    val sizes = sigs.select(col("id"), col("n_sh"))
     val common = gc.as("ga").join(candidates, col("ga.id") === col("id_a"))
       .join(gc.as("gb"),
         col("gb.id") === col("id_b") && col("ga.h") === col("gb.h"))
@@ -176,6 +185,42 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard via PREFIX FILTERING (AllPairs/ppjoin): shingles
+    * take a global rarest-first order (df asc, hash asc); a doc's prefix
+    * is its first `n_sh − ceil(tau·n_sh) + 1` shingles in that order, and
+    * any pair with J ≥ tau must share a prefix shingle on BOTH sides
+    * (pigeonhole on the minimum common shingle in the global order: a
+    * valid pair needs overlap ≥ ceil(tau·|x|), and x's suffix holds only
+    * ceil(tau·|x|) − 1 shingles — so the smallest common shingle lies in
+    * both prefixes). Candidates therefore come from ~(1−tau) of each
+    * posting list, rarest shingles first — hot boilerplate shingles (the
+    * df² blowup) mostly fall OUTSIDE prefixes — plus the size filter
+    * tau·|x| ≤ |y| ≤ |x|/tau. Exact verification recomputes true Jaccard
+    * over candidates only: same output as [[ngramJaccardPairs]], strictly
+    * less shuffle at corpus scale.
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = hashedShingleTable(docs, idCol, textCol, n).cache()
+    val df = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val pos = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefix = g.join(df, "h")
+      .withColumn("pos", row_number().over(pos))
+      .join(sizes, "id")
+      .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * tau) + lit(1))
+      .select(col("id"), col("h"), col("n_sh"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.n_sh") >= col("a.n_sh") * tau &&
+          col("a.n_sh") >= col("b.n_sh") * tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifiedJaccard(g, sizes, candidates, tau)
   }
 
   /** SimHash bit-counter aggregator: folds per-token 64-bit hashes into 64

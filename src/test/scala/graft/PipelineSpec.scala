@@ -55,6 +55,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-12)
   }
 
+  test("prefix-filtered jaccard == full inverted-index jaccard") {
+    // prefix filtering (AllPairs/ppjoin) is a candidate pruner, not an
+    // approximation: outputs must be identical on the gate corpus
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val full = norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    val pref = norm(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5))
+    assert(full.nonEmpty)
+    assert(pref == full)
+    // and at a lower threshold (longer prefixes, more candidates)
+    val full3 = norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3))
+    val pref3 = norm(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3))
+    assert(pref3 == full3 && full3.size >= full.size)
+  }
+
   test("shingle xxhash64 is collision-free on the gate corpora") {
     // pins the hash-keyed inverted index's exactness argument (Dedup
     // scaladoc): zero xxhash64 collisions among distinct shingles at the
