@@ -577,12 +577,13 @@ object Queries {
         |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
-      // prefix-filtered (AllPairs/ppjoin) exact Jaccard: identical output
-      // to the full inverted-index join (PipelineSpec pins equality),
-      // with candidates drawn only from rarest-first shingle prefixes.
+      // full inverted-index join: at this corpus size its single
+      // shuffle beats the prefix-filtered variant's extra stages
+      // (ngramJaccardPairsPrefix is the huge-posting-list scale path;
+      // PipelineSpec pins that both produce identical output).
       // repartition: spread the single-split documents scan before the
       // shingling explode (otherwise the first stage runs on one core)
-      Dedup.ngramJaccardPairsPrefix(
+      Dedup.ngramJaccardPairs(
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", 3, 0.5)
         .orderBy("id_a", "id_b")

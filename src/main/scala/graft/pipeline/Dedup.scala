@@ -170,6 +170,9 @@ object Dedup {
       sizes: DataFrame, // (id, n_sh)
       candidates: DataFrame, // (id_a, id_b)
       tau: Double): DataFrame = {
+    // the candidate subtree is read three times below (id set + both pair
+    // join inputs) — without a cache the whole generation plan re-runs
+    candidates.cache()
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val gc = g.join(candIds, Seq("id"), "left_semi")
@@ -198,8 +201,12 @@ object Dedup {
     * posting list, rarest shingles first — hot boilerplate shingles (the
     * df² blowup) mostly fall OUTSIDE prefixes — plus the size filter
     * tau·|x| ≤ |y| ≤ |x|/tau. Exact verification recomputes true Jaccard
-    * over candidates only: same output as [[ngramJaccardPairs]], strictly
-    * less shuffle at corpus scale.
+    * over candidates only: same output as [[ngramJaccardPairs]]
+    * (PipelineSpec pins equality). Trade-off: several extra stages
+    * (df counts, rank window, size joins) buy a candidate set bounded by
+    * PREFIX posting lists — pure overhead on small corpora where full
+    * posting lists already fit a join, decisive when hot shingles make
+    * df² pair generation the bottleneck. Pick by posting-list profile.
     */
   def ngramJaccardPairsPrefix(
       docs: DataFrame, idCol: String, textCol: String,
@@ -214,6 +221,7 @@ object Dedup {
       .join(sizes, "id")
       .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * tau) + lit(1))
       .select(col("id"), col("h"), col("n_sh"))
+      .cache() // both sides of the candidate self-join read it
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n_sh") >= col("a.n_sh") * tau &&
