@@ -1450,6 +1450,105 @@ object Queries {
       decoded.groupBy(col("sensor_id"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("sensor_id")
+    },
+
+    // Canonical-document assignment: every doc maps to the lowest id of
+    // its exact-duplicate group (identical normalized text) — the
+    // keep/drop decision after exact dedup. The engine keys the window
+    // on the 64-bit fingerprint; the oracle partitions by the normalized
+    // text itself (identical given the collision-free pin in
+    // PipelineSpec).
+    q(
+      "q54_dedup_assign",
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS canonical_id,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS is_canonical
+        |FROM documents ORDER BY doc_id"""
+    ) { (s, d) =>
+      Dedup.assignCanonical(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic keyed sampling: a row is kept iff the top 60 bits of
+    // md5(salt || id) fall below fraction·2⁶⁰ — the same subset on every
+    // run and every engine (rand()/sample() are neither), as a pure
+    // per-row codegen'd predicate with no shuffle. The oracle replays
+    // the md5 threshold bit-for-bit.
+    q(
+      "q55_deterministic_sample",
+      s"""SELECT source, COUNT(*) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ('0x' || substr(md5('s42:' || doc_id), 1, 15))::BIGINT
+         |  < ${(0.2 * (1L << 60).toDouble).toLong}
+         |GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      graft.pipeline.Sampling.deterministicSample(
+        Tables.documents(s, d), "doc_id", fraction = 0.2, salt = "s42:")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source")
+    },
+
+    // Corpus vocabulary: top-20 tokens by frequency with deterministic
+    // tie-break — map-side partial counts, TakeOrderedAndProject top-k
+    // (never a full sort of the vocabulary).
+    q(
+      "q56_vocabulary",
+      """SELECT token, n FROM (
+        |  SELECT token, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rnk
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY token)
+        |WHERE rnk <= 20 ORDER BY n DESC, token"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.topTokens(
+        Tables.documents(s, d).repartition(col("doc_id")), "text", 20)
+        .orderBy(col("n").desc, col("token"))
+    },
+
+    // Near-duplicate clusters: exact Jaccard pairs as edges, connected
+    // components (iterative min-label propagation) as the assignment —
+    // transitively-connected near-dups form one cluster; a pipeline
+    // keeps one doc per cluster. The oracle computes the same components
+    // with a recursive-CTE reachability closure over the same edge set.
+    q(
+      "q57_dedup_clusters",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t),
+        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
+        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS id_a, db AS id_b
+        |  FROM p JOIN sizes sa ON p.da = sa.doc_id
+        |         JOIN sizes sb ON p.db = sb.doc_id
+        |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a)
+        |SELECT d.doc_id AS id,
+        |  COALESCE(LEAST(c.id, c.mn), d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY id"""
+    ) { (s, d) =>
+      Dedup.nearDupClusters(
+        Tables.documents(s, d).repartition(col("doc_id")),
+        "doc_id", "text", n = 3, tau = 0.5)
+        .orderBy("id")
     }
   )
 

@@ -21,6 +21,68 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Canonical-document assignment: every doc maps to the lowest id in
+    * its exact-duplicate group (identical normalized text), with an
+    * `is_canonical` flag — the keep/drop decision a training pipeline
+    * applies after exact dedup. One shuffle on the 64-bit fingerprint;
+    * the window min never materializes a per-group sort (running min).
+    */
+  def assignCanonical(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.fingerprint(col(textCol)))
+    docs.select(col(idCol),
+      min(col(idCol)).over(w).as("canonical_id"))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation — the dedup endgame: transitively-connected
+    * near-duplicates form one cluster, and a pipeline keeps one doc per
+    * cluster. Each iteration is two joins (labels into the symmetric
+    * edge list, min per node); iteration count is the graph diameter
+    * (near-dup clusters are shallow). `localCheckpoint` truncates the
+    * growing lineage each round — the standard Spark iterative-graph
+    * hygiene. Nodes with no edges keep their own id as the cluster id.
+    */
+  def connectedComponents(
+      nodes: DataFrame, // (id)
+      edges: DataFrame): DataFrame = { // (id_a, id_b)
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym
+        .join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("__nl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+        .filter(col("cluster_id") =!= col("__old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: exact n-gram Jaccard pairs at `tau` as the
+    * edge set, connected components as the cluster assignment. Returns
+    * (id, cluster_id) for EVERY doc (singletons cluster with themselves).
+    */
+  def nearDupClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val edges = ngramJaccardPairs(docs, idCol, textCol, n, tau)
+      .select("id_a", "id_b")
+    connectedComponents(docs.select(col(idCol).as("id")), edges)
+  }
+
   /** Distinct n-gram shingle table: (id, shingle) — the inverted-index
     * input shared by the Jaccard paths.
     */

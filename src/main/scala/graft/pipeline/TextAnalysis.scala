@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -86,6 +86,18 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Corpus vocabulary: the k most frequent lowercase whitespace tokens,
+    * deterministically tie-broken by token. Map-side partial counts keep
+    * the shuffle at one row per (token, partition); the final top-k is
+    * `TakeOrderedAndProject` — no full sort at any vocabulary size.
+    */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(whitespaceTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
 
   /** [[winnowingFingerprints]] with an md5-derived k-gram hash instead of
     * the rolling polynomial: each k-gram hashes to the first 15 hex chars

@@ -55,6 +55,50 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-12)
   }
 
+  test("assignCanonical: duplicate groups map to their lowest id") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same   TEXT"), // dup after normalization
+      (3L, "other")).toDF("doc_id", "text")
+    val m = Dedup.assignCanonical(docs, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(m == Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+  }
+
+  test("connectedComponents: min-label propagation over chains") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 (transitive), pair 4-5, singleton 6
+    val edges = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L)))
+  }
+
+  test("deterministicSample: reproducible, engine-portable, ~fraction") {
+    import graft.pipeline.Sampling
+    val ids = (0L until 2000L).toDF("id")
+    val a = Sampling.deterministicSample(ids, "id", 0.25, "s1:")
+      .as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids, "id", 0.25, "s1:")
+      .as[Long].collect().toSet
+    assert(a == b) // same subset on every run
+    assert(math.abs(a.size / 2000.0 - 0.25) < 0.05) // uniform-ish
+    val other = Sampling.deterministicSample(ids, "id", 0.25, "s2:")
+      .as[Long].collect().toSet
+    assert(other != a) // independent draw per salt
+    // growing the fraction only ADDS rows (nested samples: a threshold
+    // predicate over the same hash)
+    val bigger = Sampling.deterministicSample(ids, "id", 0.5, "s1:")
+      .as[Long].collect().toSet
+    assert(a.subsetOf(bigger))
+  }
+
+  test("topTokens: frequency ranking with deterministic ties") {
+    val docs = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTokens(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 3L), ("b", 2L)))
+  }
+
   test("prefix-filtered jaccard == full inverted-index jaccard") {
     // prefix filtering (AllPairs/ppjoin) is a candidate pruner, not an
     // approximation: outputs must be identical on the gate corpus
