@@ -1549,6 +1549,75 @@ object Queries {
         Tables.documents(s, d).repartition(col("doc_id")),
         "doc_id", "text", n = 3, tau = 0.5)
         .orderBy("id")
+    },
+
+    // Decontamination scan: the deterministic md5 sampler carves a 10%
+    // eval split; each eval doc reports the fraction of its distinct
+    // 3-gram shingles found anywhere in the train split. The train side
+    // collapses to its DISTINCT shingle set before the join (a shingle
+    // in a million train docs is one row), so the scan shuffles eval
+    // shingles against train vocabulary — never doc pairs.
+    q(
+      "q58_contamination",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |           FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(generate_series(1, len(toks)-2),
+         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |      FROM t),
+         |ev AS (SELECT doc_id FROM documents
+         |       WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 15))::BIGINT
+         |         < ${(0.1 * (1L << 60).toDouble).toLong}),
+         |tr_sh AS (SELECT DISTINCT sh FROM g
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |e_sh AS (SELECT g.doc_id, g.sh FROM g JOIN ev USING (doc_id))
+         |SELECT e.doc_id, COUNT(*) AS n_sh,
+         |  CAST(SUM(CASE WHEN t2.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contained,
+         |  SUM(CASE WHEN t2.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+         |    AS containment
+         |FROM e_sh e LEFT JOIN tr_sh t2 USING (sh)
+         |GROUP BY e.doc_id ORDER BY doc_id"""
+    ) { (s, d) =>
+      import graft.pipeline.Sampling
+      val docs = Tables.documents(s, d).repartition(col("doc_id"))
+      val isEval = Sampling.hash60(col("doc_id"), "eval:") <
+        lit((0.1 * (1L << 60).toDouble).toLong)
+      Dedup.contamination(
+        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // PII scrub audit: emails redacted to [EMAIL] with an RE2-compatible
+    // pattern (a pure codegen'd regexp_replace in the scan stage). The
+    // synthetic corpus carries no emails, so each doc gets one appended
+    // deterministically — both engines replay construction, count, and
+    // redacted length.
+    q(
+      "q59_redaction",
+      """SELECT source,
+        |  CAST(SUM(len(regexp_extract_all(
+        |    text || ' contact: user' || doc_id || '@example.com',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(SUM(length(regexp_replace(
+        |    text || ' contact: user' || doc_id || '@example.com',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g'))) AS BIGINT) AS sum_redacted_chars
+        |FROM documents GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      import graft.pipeline.TextAnalysis
+      val withEmail = concat(col("text"), lit(" contact: user"),
+        col("doc_id").cast("string"), lit("@example.com"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextAnalysis.emailCount(withEmail).as("n_emails"),
+          length(TextAnalysis.redactEmails(withEmail)).as("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_emails")).cast("long").as("n_emails"),
+          sum(col("n_chars")).cast("long").as("sum_redacted_chars"))
+        .orderBy("source")
     }
   )
 

@@ -83,6 +83,31 @@ object Dedup {
     connectedComponents(docs.select(col(idCol).as("id")), edges)
   }
 
+  /** Train/eval contamination (decontamination scan): for each eval doc,
+    * the fraction of its distinct n-gram shingles that appear ANYWHERE
+    * in the training corpus — containment ≥ threshold flags an eval
+    * example as leaked into training. The train side collapses to its
+    * DISTINCT shingle-hash set before the join (df-independent: a
+    * shingle in a million training docs is one row), so the semi-join
+    * shuffles eval shingles against train's vocabulary, never doc pairs.
+    * Returns (id, n_sh, n_contained, containment) per eval doc with at
+    * least one shingle.
+    */
+  def contamination(
+      trainDocs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val trainSh = hashedShingleTable(trainDocs, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val evalSh = hashedShingleTable(evalDocs, idCol, textCol, n)
+    evalSh
+      .join(trainSh.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sh"),
+        count(col("__hit")).as("n_contained"))
+      .withColumn("containment",
+        col("n_contained").cast("double") / col("n_sh"))
+  }
+
   /** Distinct n-gram shingle table: (id, shingle) — the inverted-index
     * input shared by the Jaccard paths.
     */

@@ -87,6 +87,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Email-address redaction pattern — deliberately RE2-compatible (no
+    * backrefs/lookarounds) so external engines replay it byte-for-byte.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrub: replace every email address with `[EMAIL]`. A pure
+    * codegen'd `regexp_replace` — the scrub runs in the scan stage at
+    * full scan parallelism.
+    */
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, EmailPattern, "[EMAIL]")
+
+  /** Count of email addresses in a document (audit metric for the
+    * scrub).
+    */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
   /** Corpus vocabulary: the k most frequent lowercase whitespace tokens,
     * deterministically tie-broken by token. Map-side partial counts keep
     * the shuffle at one row per (token, partition); the final top-k is

@@ -99,6 +99,31 @@ class PipelineSpec extends SparkSpec {
     assert(top == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("contamination: eval shingle containment against train vocabulary") {
+    val train = Seq(
+      (1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b c d e"), // fully contained (3 shingles, all in train)
+      (11L, "a b c x y"), // 1 of 3 shingles contained ("a b c")
+      (12L, "p q r s t")) // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval_, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (10L, 3L, 3L, 1.0), (11L, 3L, 1L, 1.0 / 3.0), (12L, 3L, 0L, 0.0)))
+  }
+
+  test("email redaction: RE2-compatible pattern, count and scrub agree") {
+    val t = "reach me at jo.do+x@sub.example.org or admin@ex.co, thanks"
+    val df = Seq((1L, t)).toDF("doc_id", "text")
+    val (n, redacted) = df.select(
+      TextAnalysis.emailCount(col("text")),
+      TextAnalysis.redactEmails(col("text")))
+      .as[(Int, String)].collect().head
+    assert(n == 2)
+    assert(redacted == "reach me at [EMAIL] or [EMAIL], thanks")
+  }
+
   test("prefix-filtered jaccard == full inverted-index jaccard") {
     // prefix filtering (AllPairs/ppjoin) is a candidate pruner, not an
     // approximation: outputs must be identical on the gate corpus
