@@ -197,6 +197,18 @@ class GatewaySpec extends SparkSpec {
     val rateQ = java.net.URLEncoder.encode("rate(http_requests[31d])", "UTF-8")
     assert(get(s"/api/v1/query_extended?query=$rateQ").statusCode() == 200)
     assert(get(s"/api/v1/query?query=$rateQ").statusCode() == 400)
+    // topk and binary expressions route through evalWith (two matcher
+    // sets for the binary case); the strict endpoint still rejects both
+    val topkQ = java.net.URLEncoder.encode("topk(2, http_requests)", "UTF-8")
+    assert(get(s"/api/v1/query_extended?query=$topkQ").statusCode() == 200)
+    assert(get(s"/api/v1/query?query=$topkQ").statusCode() == 400)
+    val binQ = java.net.URLEncoder.encode(
+      "rate(http_requests[31d]) / rate(http_requests[31d])", "UTF-8")
+    assert(get(s"/api/v1/query_extended?query=$binQ").statusCode() == 200)
+    assert(get(s"/api/v1/query?query=$binQ").statusCode() == 400)
+    // aggregations are rejected as binary operands even on the extension
+    assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
+      "sum(a) / sum(b)", "UTF-8")).statusCode() == 400)
   }
 
   test("vacuum endpoint") {
