@@ -86,4 +86,31 @@ class PlanSpec extends SparkSpec {
     val finalPlan = q.queryExecution.executedPlan.toString
     assert(finalPlan.contains("*(1)"), finalPlan)
   }
+
+  test("vec_dot stays inside whole-stage codegen (no UDF eval node)") {
+    val vs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("vec"))
+    val q = vs.select(graft.pipeline.Similarity.dot(col("vec"), col("vec")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen'd stage
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+  }
+
+  test("vocabulary and PromQL topk plan TakeOrderedAndProject") {
+    val vocab = graft.pipeline.TextAnalysis.topTokens(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", 5)
+    assert(planOf(vocab).contains("TakeOrderedAndProject"), planOf(vocab))
+    val topk = Queries.all("q51_promql_topk")(spark, sf)
+    assert(planOf(topk).contains("TakeOrderedAndProject"), planOf(topk))
+  }
+
+  test("deterministic sampling is a shuffle-free scan-stage predicate") {
+    val q = graft.pipeline.Sampling.deterministicSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", 0.2)
+    val plan = planOf(q)
+    assert(!plan.contains("Exchange"), plan) // pure per-row filter
+    assert(plan.contains("Filter"), plan)
+  }
 }
