@@ -1618,6 +1618,84 @@ object Queries {
         .agg(sum(col("n_emails")).cast("long").as("n_emails"),
           sum(col("n_chars")).cast("long").as("sum_redacted_chars"))
         .orderBy("source")
+    },
+
+    // on() matching modifier: the view series carry an extra synthetic
+    // `parity` label, so FULL-set matching would find nothing — on(user)
+    // restricts the one-to-one join key to the shared label and the
+    // result equals the plain per-user ratio (q52's oracle verbatim).
+    q(
+      "q60_promql_on_binary",
+      """WITH s AS (
+        |  SELECT event_type, user_id, value,
+        |    lag(value) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |r AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CASE WHEN prev IS NULL THEN NULL
+        |      WHEN value >= prev THEN value - prev
+        |      ELSE value END) / 2678400.0 AS rate
+        |  FROM s GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) IS NOT NULL)
+        |SELECT CAST(v.user_id AS VARCHAR) AS user_tag,
+        |  ROUND(v.rate / c.rate, 6) AS value
+        |FROM r v JOIN r c ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "rate(view[31d]) / on(user) rate(click[31d])", 1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => {
+          val base = Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+            .select(concat(col("name"), lit(" "),
+              col("labels").getItem("user")).as("sensor_id"),
+              col("name"), col("labels"))
+          // views get a synthetic parity label the clicks lack
+          base.select(col("sensor_id"),
+            when(col("name") === "view", map_concat(col("labels"),
+              map(lit("parity"),
+                (col("labels")("user").cast("long") % 2).cast("string"))))
+              .otherwise(col("labels")).as("labels"))
+        },
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
+    },
+
+    // count_values: frequency of each distinct latest sample across the
+    // instant vector (Prometheus semantics; the value's string form
+    // becomes a fresh label).
+    q(
+      "q61_promql_count_values",
+      """SELECT CAST(value AS VARCHAR) AS val_tag, COUNT(*) AS n FROM (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |WHERE rn = 1 GROUP BY value ORDER BY val_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        """count_values("val", view)""", 1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("group_labels"), "val").as("val_tag"),
+          col("value").as("n"))
+        .orderBy("val_tag")
     }
   )
 

@@ -93,21 +93,38 @@ object ExtendedPromQL {
     def startUs: Long = inner.startUs
     def endUs: Long = inner.endUs
   }
-  /** `vec1 <op> vec2` for + - * / — one-to-one vector matching on the
-    * FULL label set (Prometheus semantics with the metric name excluded;
-    * labels here never include the name). Operands are selectors or
-    * per-series functions (`rate(a[5m]) / rate(b[5m])`); aggregations as
-    * operands are rejected. Duplicate label sets on a side produce a
-    * many-to-many join — callers needing Prometheus's hard error should
-    * validate cardinality beforehand. Evaluate via [[evalWith]] (two
-    * independent matcher sets need two catalog selections).
+  /** `vec1 <op> [on(...)|ignoring(...)] vec2` for + - * / — one-to-one
+    * vector matching on the FULL label set by default (Prometheus
+    * semantics with the metric name excluded; labels here never include
+    * the name), restricted to `on` labels or the complement of
+    * `ignoring` labels when a modifier is present. Output labels are the
+    * matching labels (Prometheus one-to-one semantics). Operands are
+    * selectors or per-series functions (`rate(a[5m]) / rate(b[5m])`);
+    * aggregations as operands are rejected. Duplicate match-label sets
+    * on a side produce a many-to-many join — callers needing
+    * Prometheus's hard error should validate cardinality beforehand.
+    * Evaluate via [[evalWith]] (two independent matcher sets need two
+    * catalog selections).
     */
-  final case class BinVectorQ(op: Char, left: Query, right: Query)
+  final case class BinVectorQ(
+      op: Char, left: Query, right: Query,
+      matchOn: Seq[String] = Nil, ignoring: Boolean = false)
       extends Query {
     def matchers: Seq[LabelMatcher] = left.matchers
     def startUs: Long = math.min(left.startUs, right.startUs)
     def endUs: Long = math.max(left.endUs, right.endUs)
   }
+  /** `count_values("label", sel)` — frequency of each distinct latest
+    * value across the instant vector, keyed as a one-entry labels map.
+    */
+  final case class CountValuesQ(
+      label: String, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
+      extends Query
+  /** `absent(sel)` — a single row with value 1.0 when NO series matches
+    * (or none has a sample in the window); empty result otherwise.
+    */
+  final case class AbsentQ(
+      matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
 
   import SimplePromQL.PromQLError
 
@@ -189,9 +206,21 @@ object ExtendedPromQL {
             BinScalarQ(op, v, scalarOnLeft = false,
               requireVectorOperand(parse(ls, nowUs), "left"))
           case (None, None) =>
+            // optional matching modifier between the operator and the
+            // right operand: on(l1,...) or ignoring(l1,...)
+            val ModRe = """(?s)^(on|ignoring)\s*\((.*?)\)\s*(.*)$""".r
+            val (matchOn, ignoring, rs2) = rs match {
+              case ModRe(kind, ls0, rest) =>
+                (ls0.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+                  kind == "ignoring", rest)
+              case _ => (Seq.empty[String], false, rs)
+            }
+            if (rs2.isEmpty)
+              throw PromQLError(s"Binary operator '$op' is missing an operand")
             BinVectorQ(op,
               requireVectorOperand(parse(ls, nowUs), "left"),
-              requireVectorOperand(parse(rs, nowUs), "right"))
+              requireVectorOperand(parse(rs2, nowUs), "right"),
+              matchOn, ignoring)
         }
       case None => ()
     }
@@ -200,7 +229,28 @@ object ExtendedPromQL {
       case Some(m) =>
         val head = m.matched
         val after = s.substring(head.length)
-        if (head == "topk" || head == "bottomk") {
+        if (head == "count_values") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val ArgRe = """(?s)^\s*"([^"]*)"\s*,\s*(.*)$""".r
+          inner match {
+            case ArgRe(label, selStr) =>
+              if (selStr.contains("["))
+                throw PromQLError(
+                  "count_values aggregates an instant vector")
+              val sel = parseSelector(selStr, nowUs)
+              CountValuesQ(label, sel.matchers, sel.startUs, sel.endUs)
+            case _ =>
+              throw PromQLError("count_values expects (\"label\", selector)")
+          }
+        } else if (head == "absent") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val sel = parseSelector(inner, nowUs)
+          AbsentQ(sel.matchers, sel.startUs, sel.endUs)
+        } else if (head == "topk" || head == "bottomk") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
@@ -363,16 +413,31 @@ object ExtendedPromQL {
       q: Query,
       selectFor: Seq[LabelMatcher] => DataFrame,
       samples: DataFrame): DataFrame = q match {
-    case BinVectorQ(op, left, right) =>
-      val canon = (c: Column) => array_sort(map_entries(
-        coalesce(c, map().cast("map<string,string>"))))
+    case BinVectorQ(op, left, right, matchOn, ignoring) =>
+      // the join key is the canonical (sorted-entries) form of the
+      // MATCHING labels: all of them, the on() subset, or everything
+      // but the ignoring() subset; output labels = matching labels
+      // (Prometheus one-to-one semantics)
+      val matched = (c: Column) => {
+        val entries = map_entries(coalesce(c, map().cast("map<string,string>")))
+        val kept =
+          if (matchOn.isEmpty && !ignoring) entries
+          else {
+            val keys = array(matchOn.map(lit): _*)
+            if (ignoring)
+              filter(entries, e => !array_contains(keys, e.getField("key")))
+            else
+              filter(entries, e => array_contains(keys, e.getField("key")))
+          }
+        array_sort(kept)
+      }
       val lv = sideVector(left, selectFor(left.matchers), samples)
-        .select(canon(col("labels")).as("__k"), col("labels"),
-          col("value").as("__lv"))
+        .select(matched(col("labels")).as("__k"), col("value").as("__lv"))
       val rv = sideVector(right, selectFor(right.matchers), samples)
-        .select(canon(col("labels")).as("__k"), col("value").as("__rv"))
+        .select(matched(col("labels")).as("__k"), col("value").as("__rv"))
       lv.join(rv, "__k")
-        .select(col("labels"), binCol(op, col("__lv"), col("__rv")).as("value"))
+        .select(map_from_entries(col("__k")).as("labels"),
+          binCol(op, col("__lv"), col("__rv")).as("value"))
     case other => eval(other, selectFor(other.matchers), samples)
   }
 
@@ -499,6 +564,21 @@ object ExtendedPromQL {
           .withColumn("group_labels", groupLabels)
           .groupBy(col("group_labels"))
           .agg(aggCol(op, col("value")).as("value"))
+      case CountValuesQ(label, _, _, _) =>
+        // Prometheus count_values: one output series per distinct latest
+        // value, keyed by a fresh label carrying the value's string form
+        lastInWindow(inWindow)
+          .groupBy(col("value").as("__v"))
+          .agg(count(lit(1)).as("__n"))
+          .select(map(lit(label), col("__v").cast("string"))
+            .as("group_labels"), col("__n").as("value"))
+      case AbsentQ(_, _, _) =>
+        val spark = samples.sparkSession
+        import spark.implicits._
+        val present = inWindow.limit(1).count() > 0
+        if (present) Seq.empty[(Map[String, String], Double)]
+          .toDF("labels", "value")
+        else Seq((Map.empty[String, String], 1.0)).toDF("labels", "value")
       case _: BinVectorQ =>
         throw PromQLError(
           "binary vector queries carry two matcher sets — evaluate via evalWith")

@@ -318,9 +318,31 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] { ExtendedPromQL.parse("topk(banana, view)", now) }
     intercept[PromQLError] { ExtendedPromQL.parse("topk(3, view[5m])", now) }
     ExtendedPromQL.parse("rate(a[5m]) / rate(b[5m])", now) match {
-      case BinVectorQ('/', RangeFnQ("rate", lm, _, _), RangeFnQ("rate", rm, _, _)) =>
+      case BinVectorQ('/', RangeFnQ("rate", lm, _, _),
+          RangeFnQ("rate", rm, _, _), Nil, false) =>
         assert(lm == Seq(LabelMatcher.Eq("__name__", "a")))
         assert(rm == Seq(LabelMatcher.Eq("__name__", "b")))
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("rate(a[5m]) / on(user) rate(b[5m])", now) match {
+      case BinVectorQ('/', _, _, Seq("user"), false) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("a * ignoring(env, zone) b", now) match {
+      case BinVectorQ('*', _, _, Seq("env", "zone"), true) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("""count_values("v", view)""", now) match {
+      case CountValuesQ("v", ms, _, _) =>
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("count_values(view)", now)
+    }
+    ExtendedPromQL.parse("absent(view)", now) match {
+      case AbsentQ(ms, _, _) =>
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("view * 2", now) match {
@@ -388,5 +410,55 @@ class ExtendedPromQLSpec extends SparkSpec {
       .select(element_at(col("labels"), "user"), col("value"))
       .as[(String, Double)].collect().toMap
     assert(ratio == Map("1" -> 0.5, "2" -> 1.75))
+  }
+
+  test("evaluator: on()/ignoring() matching, count_values, absent") {
+    import spark.implicits._
+    // left carries an extra label; full-set matching would find nothing,
+    // on(user) matches, ignoring(env) matches too
+    val selL = Seq(
+      ("a 1", Map("user" -> "1", "env" -> "prod")),
+      ("a 2", Map("user" -> "2", "env" -> "dev"))).toDF("sensor_id", "labels")
+    val selR = Seq(
+      ("b 1", Map("user" -> "1")),
+      ("b 2", Map("user" -> "2"))).toDF("sensor_id", "labels")
+    val samples = Seq(
+      ("a 1", 1L, 4.0), ("a 2", 1L, 9.0),
+      ("b 1", 1L, 2.0), ("b 2", 1L, 4.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    def run(q: Query): Map[String, Double] =
+      ExtendedPromQL.evalWith(q,
+        ms => if (ms.isEmpty) selL else selR, samples)
+        .select(element_at(col("labels"), "user"), col("value"))
+        .as[(String, Double)].collect().toMap
+    val l = SelectorQ(Nil, 0L, 10L)
+    val r = SelectorQ(Seq(LabelMatcher.Eq("x", "y")), 0L, 10L)
+    assert(run(BinVectorQ('/', l, r)) == Map.empty) // full-set: no match
+    assert(run(BinVectorQ('/', l, r, Seq("user"), false)) ==
+      Map("1" -> 2.0, "2" -> 2.25))
+    assert(run(BinVectorQ('/', l, r, Seq("env"), true)) ==
+      Map("1" -> 2.0, "2" -> 2.25))
+    // output labels are the MATCHING labels only
+    val outLabels = ExtendedPromQL.evalWith(
+      BinVectorQ('/', l, r, Seq("user"), false),
+      ms => if (ms.isEmpty) selL else selR, samples)
+      .select(col("labels")).as[Map[String, String]].collect().toSet
+    assert(outLabels == Set(Map("user" -> "1"), Map("user" -> "2")))
+
+    // count_values: frequency of distinct latest values
+    val cv = ExtendedPromQL.eval(
+      CountValuesQ("v", Nil, 0L, 10L),
+      selL.unionByName(selR), samples)
+      .select(element_at(col("group_labels"), "v"), col("value"))
+      .as[(String, Long)].collect().toMap
+    assert(cv == Map("4.0" -> 2L, "9.0" -> 1L, "2.0" -> 1L))
+
+    // absent: empty when series exist, one row of 1.0 when none do
+    assert(ExtendedPromQL.eval(AbsentQ(Nil, 0L, 10L), selL, samples)
+      .count() == 0)
+    val none = samples.filter(col("timestamp_us") > 100L)
+    val ab = ExtendedPromQL.eval(AbsentQ(Nil, 0L, 10L), selL, none)
+      .select("value").as[Double].collect().toSeq
+    assert(ab == Seq(1.0))
   }
 }
