@@ -47,6 +47,7 @@ final class Gateway(
     route("/api/v1/query", handlePromql)
     route("/api/v1/query_extended", handlePromqlExtended)
     route("/api/v1/admin/vacuum", handleVacuum)
+    route("/api/v1/admin/export_bulk", handleExportBulk)
     route("/api/v1/admin/resample", handleResample)
     route("/api/v1/admin/resample_stream", handleResampleStream)
     server.setExecutor(null) // serial; the reference handles one spark job at a time anyway
@@ -434,6 +435,46 @@ final class Gateway(
       respondBytes(x, 200, "application/x-protobuf",
         PrometheusRemote.snappyCompressLiteral(payload))
     }
+  }
+
+  /** Flight-style bulk export: match series with a PromQL selector,
+    * encode each to a standalone Arrow IPC file payload ON THE EXECUTORS
+    * ([[graft.sources.ArrowIO.encodeSeriesDistributed]]), and have each
+    * partition write its series' files directly into the server-side
+    * `dir` — the driver collects only the manifest (id, rows, path,
+    * bytes), never sample data. `GET /api/v1/admin/export_bulk?query=
+    * <selector>&dir=<path>` → JSON manifest.
+    */
+  private def handleExportBulk(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    val query = p.getOrElse("query",
+      throw new IllegalArgumentException("missing query parameter"))
+    val dir = p.getOrElse("dir",
+      throw new IllegalArgumentException("missing dir parameter"))
+    val parsed = SimplePromQL.parse(query,
+      nowUs = System.currentTimeMillis() * 1000L)
+    val matched = Matchers.sensorsByLabels(store.sensors, parsed.matchers,
+      numericOnly = true).select(col("uuid").as("sensor_id"))
+    val samples = numericFloatView(Some(parsed.startUs), Some(parsed.endUs))
+      .filter(col("timestamp_us").between(parsed.startUs, parsed.endUs))
+      .join(broadcast(matched), "sensor_id")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val enc = graft.sources.ArrowIO.encodeSeriesDistributed(samples)
+    val spark2 = spark
+    import spark2.implicits._
+    val manifest = enc.as[(String, Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, n, bytes) =>
+        val safe = java.net.URLEncoder.encode(id, "UTF-8")
+        val path = java.nio.file.Paths.get(dir, s"$safe.arrow")
+        java.nio.file.Files.write(path, bytes)
+        (id, n, path.toString, bytes.length.toLong)
+      }
+    }.collect()
+    val json = manifest.sortBy(_._1).map { case (id, n, path, sz) =>
+      s"""{"sensor_id":${jsonStr(id)},"n_samples":$n,""" +
+        s""""file":${jsonStr(path)},"bytes":$sz}"""
+    }.mkString("[", ",", "]")
+    respond(x, 200, "application/json", json)
   }
 
   /** All numeric samples as doubles (Prometheus sees Int/Numeric/Float

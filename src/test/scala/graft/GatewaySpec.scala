@@ -211,6 +211,28 @@ class GatewaySpec extends SparkSpec {
       "sum(a) / sum(b)", "UTF-8")).statusCode() == 400)
   }
 
+  test("bulk export: per-series IPC files + manifest, no data on driver path") {
+    val dir = java.nio.file.Files.createTempDirectory("gw_bulk").toString
+    // http_requests samples live at 2024-01 (remote-write fixture) —
+    // selector windows are now-relative, so use a wide matrix range
+    val q = java.net.URLEncoder.encode("http_requests[1500w]", "UTF-8")
+    val d = java.net.URLEncoder.encode(dir, "UTF-8")
+    val resp = get(s"/api/v1/admin/export_bulk?query=$q&dir=$d")
+    assert(resp.statusCode() == 200, resp.body())
+    val body = resp.body()
+    assert(body.startsWith("[") && body.contains("\"sensor_id\""), body)
+    assert(body.contains("\"n_samples\"") && body.contains(".arrow"), body)
+    // the manifest's files exist and decode as standalone IPC payloads
+    val FileRe = """"file":"([^"]+)"""".r
+    val files = FileRe.findAllMatchIn(body).map(_.group(1)).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      assert(graft.sources.ArrowIO.decodeFloatSeries(bytes).nonEmpty)
+    }
+    assert(get(s"/api/v1/admin/export_bulk?query=$q").statusCode() == 400)
+  }
+
   test("vacuum endpoint") {
     assert(get("/api/v1/admin/vacuum").statusCode() == 405 ||
       post("/api/v1/admin/vacuum", Array.emptyByteArray, Map.empty)
