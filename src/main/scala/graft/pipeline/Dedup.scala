@@ -51,7 +51,11 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+    // only edge-incident nodes can ever change labels — loop over them
+    // alone (typically a small fraction of the corpus) and append the
+    // untouched singletons once at the end
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -68,7 +72,10 @@ object Dedup {
         .filter(col("cluster_id") =!= col("__old")).count()
       labels = next
     }
-    labels
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id"))
+        .as("cluster_id"))
   }
 
   /** Near-duplicate clusters: exact n-gram Jaccard pairs at `tau` as the
