@@ -1696,6 +1696,63 @@ object Queries {
         .select(element_at(col("group_labels"), "val").as("val_tag"),
           col("value").as("n"))
         .orderBy("val_tag")
+    },
+
+    // histogram_quantile over le-labeled cumulative buckets: per-user
+    // view values bucketed at (10, 20, 50, +Inf] over 31 days, then the
+    // Prometheus linear interpolation inside the covering bucket. The
+    // oracle replays bucket counts and the interpolation arithmetic
+    // (mul before div, the same FP order) branch by branch.
+    q(
+      "q62_promql_histogram_quantile",
+      """WITH c AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END)::DOUBLE AS c10,
+        |    SUM(CASE WHEN value <= 20 THEN 1 ELSE 0 END)::DOUBLE AS c20,
+        |    SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END)::DOUBLE AS c50,
+        |    COUNT(*)::DOUBLE AS cinf
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
+        |  GROUP BY user_id)
+        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  ROUND(CASE
+        |    WHEN 0.9*cinf <= c10 THEN 0 + (10 - 0) * (0.9*cinf - 0) / (c10 - 0)
+        |    WHEN 0.9*cinf <= c20 THEN 10 + (20 - 10) * (0.9*cinf - c10) / (c20 - c10)
+        |    WHEN 0.9*cinf <= c50 THEN 20 + (50 - 20) * (0.9*cinf - c20) / (c50 - c20)
+        |    ELSE 50 END, 6) AS value
+        |FROM c WHERE cinf > 0 ORDER BY user_tag"""
+    ) { (s, d) =>
+      val endUs = 1706745600000000L
+      val startUs = 1704067200000000L
+      // synthesize the cumulative bucket series a Prometheus client
+      // would publish: one (user, le) series per boundary
+      val les = Seq("10" -> 10.0, "20" -> 20.0, "50" -> 50.0,
+        "+Inf" -> Double.PositiveInfinity)
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "view" &&
+          unix_micros(col("ts")).between(startUs, endUs))
+        .select(col("user_id").cast("string").as("user"), col("value"))
+      val buckets = les.map { case (tag, bound) =>
+        ev.groupBy(col("user"))
+          .agg(sum(when(col("value") <= bound, 1).otherwise(0))
+            .cast("double").as("value"))
+          .select(col("user"), lit(tag).as("le"), col("value"))
+      }.reduce(_ unionByName _)
+      val samples = buckets.select(
+        concat(lit("view_bucket "), col("user"), lit(" "), col("le"))
+          .as("sensor_id"),
+        lit(endUs).as("timestamp_us"), col("value"))
+      val selected = buckets.select(
+        concat(lit("view_bucket "), col("user"), lit(" "), col("le"))
+          .as("sensor_id"),
+        map(lit("user"), col("user"), lit("le"), col("le")).as("labels"))
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "histogram_quantile(0.9, view_bucket)", endUs)
+      graft.promql.ExtendedPromQL.eval(parsed, selected, samples)
+        .select(element_at(col("group_labels"), "user").as("user_tag"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
     }
   )
 

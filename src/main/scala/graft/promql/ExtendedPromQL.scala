@@ -125,6 +125,17 @@ object ExtendedPromQL {
     */
   final case class AbsentQ(
       matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
+  /** `histogram_quantile(φ, sel)` — Prometheus histogram interpolation
+    * over `le`-labeled cumulative bucket series: per group (labels minus
+    * `le`), rank = φ·total, find the first bucket whose cumulative count
+    * covers the rank, interpolate linearly inside it (first bucket's
+    * lower bound is 0; the +Inf bucket resolves to the highest finite
+    * `le`). Groups whose total is 0 drop out. Assumes monotone bucket
+    * counts (no NaN repair pass).
+    */
+  final case class HistogramQuantileQ(
+      phi: Double, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
+      extends Query
 
   import SimplePromQL.PromQLError
 
@@ -250,6 +261,27 @@ object ExtendedPromQL {
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
           val sel = parseSelector(inner, nowUs)
           AbsentQ(sel.matchers, sel.startUs, sel.endUs)
+        } else if (head == "histogram_quantile") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val comma = inner.indexOf(',')
+          if (comma < 0)
+            throw PromQLError("histogram_quantile expects (φ, selector)")
+          val phi =
+            try inner.substring(0, comma).trim.toDouble
+            catch { case _: NumberFormatException =>
+              throw PromQLError(
+                s"Bad quantile value '${inner.substring(0, comma).trim}'")
+            }
+          if (phi < 0.0 || phi > 1.0)
+            throw PromQLError(s"Quantile $phi out of [0, 1]")
+          val selStr = inner.substring(comma + 1).trim
+          if (selStr.contains("["))
+            throw PromQLError(
+              "histogram_quantile aggregates an instant vector of buckets")
+          val sel = parseSelector(selStr, nowUs)
+          HistogramQuantileQ(phi, sel.matchers, sel.startUs, sel.endUs)
         } else if (head == "topk" || head == "bottomk") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
@@ -564,6 +596,23 @@ object ExtendedPromQL {
           .withColumn("group_labels", groupLabels)
           .groupBy(col("group_labels"))
           .agg(aggCol(op, col("value")).as("value"))
+      case HistogramQuantileQ(phi, _, _, _) =>
+        // buckets per group = labels minus `le`; arrays are tiny (one
+        // entry per bucket boundary), so the interpolation runs as a
+        // per-group scalar fold
+        val latest = lastInWindow(inWindow)
+          .withColumn("__le", element_at(col("labels"), "le"))
+          .filter(col("__le").isNotNull)
+          .withColumn("group_labels",
+            map_from_entries(filter(map_entries(col("labels")),
+              e => e.getField("key") =!= "le")))
+        latest
+          .groupBy(col("group_labels"))
+          .agg(collect_list(struct(col("__le").as("le"),
+            col("value").as("cum"))).as("__bs"))
+          .select(col("group_labels"),
+            histInterp(col("__bs"), lit(phi)).as("value"))
+          .filter(col("value").isNotNull)
       case CountValuesQ(label, _, _, _) =>
         // Prometheus count_values: one output series per distinct latest
         // value, keyed by a fresh label carrying the value's string form
@@ -583,6 +632,44 @@ object ExtendedPromQL {
         throw PromQLError(
           "binary vector queries carry two matcher sets — evaluate via evalWith")
     }
+  }
+
+  /** Prometheus bucket interpolation: sort buckets by `le` ("+Inf" →
+    * ∞), rank = φ·total, walk to the covering bucket, interpolate
+    * `lo + (hi − lo)·(rank − cumPrev)/(cum − cumPrev)` (mul before div,
+    * the order an external SQL replay also produces). First bucket's
+    * lower bound is 0; an infinite covering bucket yields the highest
+    * finite `le`; total ≤ 0 or unparsable input yields null.
+    */
+  private val histInterp = udf {
+    (bs: Seq[org.apache.spark.sql.Row], phi: Double) =>
+      def parseLe(s: String): Double =
+        if (s == "+Inf" || s == "inf" || s == "Inf") Double.PositiveInfinity
+        else s.toDouble
+      val parsed = bs.map(r => (parseLe(r.getString(0)), r.getDouble(1)))
+        .sortBy(_._1)
+      if (parsed.isEmpty) null.asInstanceOf[java.lang.Double]
+      else {
+        val total = parsed.last._2
+        if (total <= 0.0) null.asInstanceOf[java.lang.Double]
+        else {
+          val rank = phi * total
+          var prevLe = 0.0
+          var prevCum = 0.0
+          var res: java.lang.Double = null
+          var i = 0
+          while (i < parsed.length && res == null) {
+            val (le, cum) = parsed(i)
+            if (cum >= rank) {
+              res =
+                if (le.isPosInfinity) prevLe
+                else prevLe + (le - prevLe) * (rank - prevCum) / (cum - prevCum)
+            } else { prevLe = le; prevCum = cum }
+            i += 1
+          }
+          res
+        }
+      }
   }
 
   /** Each series' latest sample in the window (deterministic tie-break on

@@ -461,4 +461,43 @@ class ExtendedPromQLSpec extends SparkSpec {
       .select("value").as[Double].collect().toSeq
     assert(ab == Seq(1.0))
   }
+
+  test("histogram_quantile: bucket interpolation, +Inf, empty groups") {
+    import spark.implicits._
+    ExtendedPromQL.parse("histogram_quantile(0.9, m_bucket)", now) match {
+      case HistogramQuantileQ(phi, ms, _, _) =>
+        assert(phi == 0.9)
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "m_bucket")))
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("histogram_quantile(2, m_bucket)", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("histogram_quantile(0.5, m_bucket[5m])", now)
+    }
+    // cumulative buckets: 10 obs <= 1, 30 <= 2, 40 total
+    val sel = Seq(
+      ("b 1 1", Map("user" -> "1", "le" -> "1")),
+      ("b 1 2", Map("user" -> "1", "le" -> "2")),
+      ("b 1 inf", Map("user" -> "1", "le" -> "+Inf")),
+      ("z 2", Map("user" -> "2", "le" -> "+Inf")) // only +Inf: no finite le
+    ).toDF("sensor_id", "labels")
+    val samples = Seq(
+      ("b 1 1", 1L, 10.0), ("b 1 2", 1L, 30.0), ("b 1 inf", 1L, 40.0),
+      ("z 2", 1L, 0.0)) // zero total drops out
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = ExtendedPromQL.eval(
+      HistogramQuantileQ(0.5, Nil, 0L, 10L), sel, samples)
+      .select(element_at(col("group_labels"), "user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    // rank = 0.5*40 = 20; covering bucket (1,2]: 1 + 1*(20-10)/(30-10) = 1.5
+    assert(got == Map("1" -> 1.5))
+    // phi high enough to land in +Inf -> highest finite le
+    val inf = ExtendedPromQL.eval(
+      HistogramQuantileQ(0.99, Nil, 0L, 10L), sel, samples)
+      .select(element_at(col("group_labels"), "user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(inf == Map("1" -> 2.0)) // 0.99*40=39.6 > 30 -> +Inf bucket
+  }
 }
