@@ -930,15 +930,18 @@ object Queries {
         .createTempDirectory("graft_typed_store").toString
       val store = new graft.store.SensorStore(s, root)
       val base = EventsAdapter.samples(s, d)
-      store.publishSamples(SensorType.Integer,
-        base.select(col("sensor_id"), col("timestamp_us"),
-          col("user").cast("long").as("value")))
-      store.publishSamples(SensorType.Boolean,
-        base.select(col("sensor_id"), col("timestamp_us"),
-          (col("value") > 10).as("value")))
-      store.publishSamples(SensorType.Numeric,
-        base.select(col("sensor_id"), col("timestamp_us"),
-          col("value").cast("decimal(38,18)").as("value")))
+      // one multi-type publish: the three typed writes land as
+      // concurrent jobs on the shared executors (wall ≈ max, not sum)
+      store.publishSamplesMulti(Map(
+        SensorType.Integer ->
+          base.select(col("sensor_id"), col("timestamp_us"),
+            col("user").cast("long").as("value")),
+        SensorType.Boolean ->
+          base.select(col("sensor_id"), col("timestamp_us"),
+            (col("value") > 10).as("value")),
+        SensorType.Numeric ->
+          base.select(col("sensor_id"), col("timestamp_us"),
+            col("value").cast("decimal(38,18)").as("value"))))
       def aggOf(t: SensorType, agg: Column): DataFrame =
         store.samples(t).agg(count(lit(1)).as("n"), agg.as("agg"))
           .select(lit(t.displayName).as("type"), col("n"), col("agg"))

@@ -39,6 +39,24 @@ final class SensorStore(spark: SparkSession, root: String) {
       .partitionBy("month")
       .parquet(valueDir(t))
 
+  /** Publish several typed batches CONCURRENTLY — each type writes to
+    * its own table directory, so the jobs are independent and Spark
+    * schedules them onto the shared executors in parallel (wall time ≈
+    * the largest batch, not the sum). This is the multi-type ingest
+    * shape: a mixed batch (reference: one `publish` transaction across
+    * per-type tables) lands in one call.
+    */
+  def publishSamplesMulti(batches: Map[SensorType, DataFrame]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(batches.toSeq.map { case (t, df) =>
+        Future(publishSamples(t, df))
+      }), Duration.Inf)
+    ()
+  }
+
   /** Merge sensors into the catalog: dedup on uuid, existing row wins
     * (metadata is immutable given content-addressed uuids). Steady state
     * is the fast path: content-addressed uuids mean almost every publish

@@ -29,6 +29,19 @@ class StoreSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("multi-type publish lands every batch (concurrent jobs)") {
+    import spark.implicits._
+    val store = new SensorStore(spark, tempDir())
+    val ints = Seq(("s1", 1704067200000000L, 1L), ("s1", 1704067201000000L, 2L))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val bools = Seq(("s2", 1704067200000000L, true))
+      .toDF("sensor_id", "timestamp_us", "value")
+    store.publishSamplesMulti(Map(
+      SensorType.Integer -> ints, SensorType.Boolean -> bools))
+    assert(store.samples(SensorType.Integer).count() == 2)
+    assert(store.samples(SensorType.Boolean).count() == 1)
+  }
+
   test("catalog merge dedups on uuid, existing wins") {
     val root = tempDir()
     val store = new SensorStore(spark, root)
