@@ -1675,17 +1675,21 @@ object Queries {
 
     // count_values: frequency of each distinct latest sample across the
     // instant vector (Prometheus semantics; the value's string form
-    // becomes a fresh label).
+    // becomes a fresh label). The driver query feeds DECIMAL(18,2)
+    // values (exact for this corpus) so the string keying is
+    // engine-stable at any magnitude — raw double rendering diverges
+    // between engines outside [1e-3, 1e7) (scientific vs plain form).
     q(
       "q61_promql_count_values",
-      """SELECT CAST(value AS VARCHAR) AS val_tag, COUNT(*) AS n FROM (
+      """SELECT CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS val_tag,
+        |  COUNT(*) AS n FROM (
         |  SELECT user_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
         |  FROM events
         |  WHERE event_type = 'view'
         |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |WHERE rn = 1 GROUP BY value ORDER BY val_tag"""
+        |WHERE rn = 1 GROUP BY 1 ORDER BY val_tag"""
     ) { (s, d) =>
       val parsed = graft.promql.ExtendedPromQL.parse(
         """count_values("val", view)""", 1706659200000000L)
@@ -1695,7 +1699,8 @@ object Queries {
           col("labels").getItem("user")).as("sensor_id"), col("labels"))
       graft.promql.ExtendedPromQL.eval(parsed, selected,
         EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
+          .select(col("sensor_id"), col("timestamp_us"),
+            col("value").cast("decimal(18,2)").as("value")))
         .select(element_at(col("group_labels"), "val").as("val_tag"),
           col("value").as("n"))
         .orderBy("val_tag")

@@ -23,6 +23,25 @@ case class DotProductExpression(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // no ExpectsInputTypes (AbstractDataType is private[sql] in Spark 4):
+  // reject non-double arrays explicitly — toDoubleArray on an int array
+  // would reinterpret raw bytes and return silent garbage
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.ArrayType
+    def isDoubleArray(t: org.apache.spark.sql.types.DataType): Boolean =
+      t match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+    if (Seq(left, right).forall(e => isDoubleArray(e.dataType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects (array<double>, array<double>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProductExpression.dot(
       a.asInstanceOf[ArrayData].toDoubleArray(),

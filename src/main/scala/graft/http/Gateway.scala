@@ -440,10 +440,16 @@ final class Gateway(
   /** Flight-style bulk export: match series with a PromQL selector,
     * encode each to a standalone Arrow IPC file payload ON THE EXECUTORS
     * ([[graft.sources.ArrowIO.encodeSeriesDistributed]]), and have each
-    * partition write its series' files directly into the server-side
-    * `dir` — the driver collects only the manifest (id, rows, path,
-    * bytes), never sample data. `GET /api/v1/admin/export_bulk?query=
-    * <selector>&dir=<path>` → JSON manifest.
+    * partition write its series' files directly into `dir` — the driver
+    * collects only the manifest (id, rows, path, bytes), never sample
+    * data. `GET /api/v1/admin/export_bulk?query=<selector>&dir=<path>`
+    * → JSON manifest.
+    *
+    * Contract: `dir` must be on storage shared by driver and executors
+    * (the same requirement as every Spark sink path — on a cluster that
+    * means a distributed filesystem, not executor-local disk), and this
+    * is an ADMIN route: the path is trusted operator input, so deploy it
+    * behind the same access boundary as vacuum/resample.
     */
   private def handleExportBulk(
       x: HttpExchange, p: Map[String, String]): Unit = {

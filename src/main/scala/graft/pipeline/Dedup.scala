@@ -310,16 +310,24 @@ object Dedup {
     val df = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val pos = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    // FP guard: n·tau can land one ULP ABOVE the exact product (e.g.
+    // 25·0.28 = 7.000000000000001), which would over-shorten the prefix
+    // and over-tighten the size filter — both silently DROP qualifying
+    // pairs. Nudge the threshold down by a relative epsilon: a slightly
+    // longer prefix / looser filter only admits extra candidates, which
+    // exact verification then discards.
+    val eps = 1e-9
     val prefix = g.join(df, "h")
       .withColumn("pos", row_number().over(pos))
       .join(sizes, "id")
-      .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * tau) + lit(1))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(col("n_sh") * tau - eps) + lit(1))
       .select(col("id"), col("h"), col("n_sh"))
       .cache() // both sides of the candidate self-join read it
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("b.n_sh") >= col("a.n_sh") * tau &&
-          col("a.n_sh") >= col("b.n_sh") * tau)
+          col("b.n_sh") >= col("a.n_sh") * tau - eps &&
+          col("a.n_sh") >= col("b.n_sh") * tau - eps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifiedJaccard(g, sizes, candidates, tau)

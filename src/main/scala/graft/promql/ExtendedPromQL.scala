@@ -177,6 +177,10 @@ object ExtendedPromQL {
         case ']' => br -= 1
         case '{' => brace += 1
         case '}' => brace -= 1
+        case '+' | '-' if par == 0 && br == 0 && brace == 0 && i > 0 &&
+            (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E') &&
+            i > 1 && (s.charAt(i - 2).isDigit || s.charAt(i - 2) == '.') =>
+          () // exponent sign inside a scientific-notation scalar (1e-3)
         case '+' | '*' | '/' if par == 0 && br == 0 && brace == 0 =>
           return Some(i)
         case '-' if par == 0 && br == 0 && brace == 0 && i > 0 =>
@@ -622,12 +626,13 @@ object ExtendedPromQL {
           .select(map(lit(label), col("__v").cast("string"))
             .as("group_labels"), col("__n").as("value"))
       case AbsentQ(_, _, _) =>
-        val spark = samples.sparkSession
-        import spark.implicits._
-        val present = inWindow.limit(1).count() > 0
-        if (present) Seq.empty[(Map[String, String], Double)]
-          .toDF("labels", "value")
-        else Seq((Map.empty[String, String], 1.0)).toDF("labels", "value")
+        // lazy: a global count that keeps its row only when zero — no
+        // Spark job runs at plan-construction time (eval stays a pure
+        // plan builder on every branch)
+        inWindow.agg(count(lit(1)).as("__n"))
+          .filter(col("__n") === 0)
+          .select(map().cast("map<string,string>").as("labels"),
+            lit(1.0).as("value"))
       case _: BinVectorQ =>
         throw PromQLError(
           "binary vector queries carry two matcher sets — evaluate via evalWith")
@@ -643,31 +648,37 @@ object ExtendedPromQL {
     */
   private val histInterp = udf {
     (bs: Seq[org.apache.spark.sql.Row], phi: Double) =>
-      def parseLe(s: String): Double =
-        if (s == "+Inf" || s == "inf" || s == "Inf") Double.PositiveInfinity
-        else s.toDouble
-      val parsed = bs.map(r => (parseLe(r.getString(0)), r.getDouble(1)))
-        .sortBy(_._1)
-      if (parsed.isEmpty) null.asInstanceOf[java.lang.Double]
+      def parseLe(s: String): Option[Double] =
+        if (s == "+Inf" || s == "inf" || s == "Inf")
+          Some(Double.PositiveInfinity)
+        else s.toDoubleOption
+      val les = bs.map(r => parseLe(r.getString(0)).map((_, r.getDouble(1))))
+      // unparsable le, no finite bucket, or zero total ⇒ null (dropped)
+      if (les.exists(_.isEmpty)) null.asInstanceOf[java.lang.Double]
       else {
-        val total = parsed.last._2
-        if (total <= 0.0) null.asInstanceOf[java.lang.Double]
+        val parsed = les.flatten.sortBy(_._1)
+        if (parsed.isEmpty || !parsed.head._1.isFinite)
+          null.asInstanceOf[java.lang.Double]
         else {
-          val rank = phi * total
-          var prevLe = 0.0
-          var prevCum = 0.0
-          var res: java.lang.Double = null
-          var i = 0
-          while (i < parsed.length && res == null) {
-            val (le, cum) = parsed(i)
-            if (cum >= rank) {
-              res =
-                if (le.isPosInfinity) prevLe
-                else prevLe + (le - prevLe) * (rank - prevCum) / (cum - prevCum)
-            } else { prevLe = le; prevCum = cum }
-            i += 1
+          val total = parsed.last._2
+          if (total <= 0.0) null.asInstanceOf[java.lang.Double]
+          else {
+            val rank = phi * total
+            var prevLe = 0.0
+            var prevCum = 0.0
+            var res: java.lang.Double = null
+            var i = 0
+            while (i < parsed.length && res == null) {
+              val (le, cum) = parsed(i)
+              if (cum >= rank) {
+                res =
+                  if (le.isPosInfinity) prevLe
+                  else prevLe + (le - prevLe) * (rank - prevCum) / (cum - prevCum)
+              } else { prevLe = le; prevCum = cum }
+              i += 1
+            }
+            res
           }
-          res
         }
       }
   }

@@ -141,6 +141,17 @@ class PipelineSpec extends SparkSpec {
     val pref3 = norm(
       Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3))
     assert(pref3 == full3 && full3.size >= full.size)
+    // FP-boundary regression: 25 shingles × tau=0.28 computes
+    // 7.000000000000001 in f64 — without the epsilon guard the prefix
+    // is one short and the size filter rejects 7 >= 7, dropping this
+    // exactly-at-threshold pair (J = 7/25 = 0.28)
+    val a = (1 to 27).map(i => s"w$i").mkString(" ") // 25 shingles
+    val b = (1 to 9).map(i => s"w$i").mkString(" ") // 7, all within a
+    val fp28 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pref28 = norm(
+      Dedup.ngramJaccardPairsPrefix(fp28, "doc_id", "text", 3, 0.28))
+    val full28 = norm(Dedup.ngramJaccardPairs(fp28, "doc_id", "text", 3, 0.28))
+    assert(full28.size == 1 && pref28 == full28)
   }
 
   test("shingle xxhash64 is collision-free on the gate corpora") {
