@@ -1761,6 +1761,46 @@ object Queries {
         .select(element_at(col("group_labels"), "user").as("user_tag"),
           round(col("value"), 6).as("value"))
         .orderBy("user_tag")
+    },
+
+    // label_replace: derive a decade label from the user id (regex must
+    // match the WHOLE value, $1 expansion), then aggregate over the new
+    // label — an instant sum over rewritten series. The oracle computes
+    // the same latest-per-user sum grouped by the id's leading digits.
+    q(
+      "q63_promql_label_replace",
+      """SELECT decade,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value FROM (
+        |  SELECT user_id, value,
+        |    CASE WHEN length(CAST(user_id AS VARCHAR)) > 1
+        |      THEN substr(CAST(user_id AS VARCHAR), 1,
+        |        length(CAST(user_id AS VARCHAR)) - 1)
+        |      ELSE '' END AS decade,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |WHERE rn = 1 AND decade <> ''
+        |GROUP BY decade ORDER BY decade"""
+    ) { (s, d) =>
+      // decade = user id minus its last digit ("42" -> "4"); ids with one
+      // digit expand to "" which DROPS the label (Prometheus rule), so
+      // those series fall out of the by-decade aggregation below
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        """label_replace(view, "decade", "$1", "user", "([0-9]+)[0-9]")""",
+        1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .filter(element_at(col("labels"), "decade").isNotNull)
+        .groupBy(element_at(col("labels"), "decade").as("decade"))
+        .agg(dsum(col("value")).as("value"))
+        .orderBy("decade")
     }
   )
 

@@ -125,6 +125,30 @@ object ExtendedPromQL {
     */
   final case class AbsentQ(
       matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
+  /** `label_replace(vec, dst, replacement, src, regex)` — when `regex`
+    * FULLY matches the `src` label's value (absent ⇒ empty string), set
+    * `dst` to the expansion of `replacement` ($1… group refs); series
+    * that don't match pass through unchanged; an empty expansion drops
+    * `dst`. Operand rules follow the binary-op operands (selectors /
+    * per-series functions).
+    */
+  final case class LabelReplaceQ(
+      dst: String, replacement: String, src: String, regex: String,
+      inner: Query) extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
+  /** `label_join(vec, dst, sep, src1, src2, ...)` — `dst` becomes the
+    * `sep`-joined values of the source labels (absent ⇒ empty string).
+    */
+  final case class LabelJoinQ(
+      dst: String, sep: String, srcs: Seq[String], inner: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
   /** `histogram_quantile(φ, sel)` — Prometheus histogram interpolation
     * over `le`-labeled cumulative bucket series: per group (labels minus
     * `le`), rank = φ·total, find the first bucket whose cumulative count
@@ -197,7 +221,8 @@ object ExtendedPromQL {
 
   /** Operand kinds that evaluate to one row per series. */
   private def requireVectorOperand(q: Query, side: String): Query = q match {
-    case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ => q
+    case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
+        _: LabelReplaceQ | _: LabelJoinQ => q
     case _ => throw PromQLError(
       s"Binary operator $side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
@@ -244,7 +269,35 @@ object ExtendedPromQL {
       case Some(m) =>
         val head = m.matched
         val after = s.substring(head.length)
-        if (head == "count_values") {
+        if (head == "label_replace" || head == "label_join") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val args = splitArgs(inner)
+          def str(a: String, what: String): String = {
+            val t = a.trim
+            if (t.length < 2 || t.head != '"' || t.last != '"')
+              throw PromQLError(s"$head expects a quoted string for $what")
+            t.substring(1, t.length - 1)
+          }
+          val vec = requireVectorOperand(
+            parse(args.headOption.getOrElse(
+              throw PromQLError(s"$head expects a vector first argument")),
+              nowUs), "vector")
+          if (head == "label_replace") {
+            if (args.length != 5)
+              throw PromQLError(
+                "label_replace expects (vec, dst, replacement, src, regex)")
+            LabelReplaceQ(str(args(1), "dst"), str(args(2), "replacement"),
+              str(args(3), "src"), str(args(4), "regex"), vec)
+          } else {
+            if (args.length < 3)
+              throw PromQLError(
+                "label_join expects (vec, dst, sep, src...)")
+            LabelJoinQ(str(args(1), "dst"), str(args(2), "sep"),
+              args.drop(3).map(str(_, "src label")), vec)
+          }
+        } else if (head == "count_values") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
@@ -387,6 +440,38 @@ object ExtendedPromQL {
         val sel = parseSelector(s, nowUs)
         SelectorQ(sel.matchers, sel.startUs, sel.endUs)
     }
+  }
+
+  /** Split a function argument list on top-level commas (outside quotes
+    * and all bracket kinds) — selectors like `view{a="1",b="2"}` stay one
+    * argument.
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var par = 0; var br = 0; var brace = 0; var inStr = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1 else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '(' => par += 1
+        case ')' => par -= 1
+        case '[' => br += 1
+        case ']' => br -= 1
+        case '{' => brace += 1
+        case '}' => brace -= 1
+        case ',' if par == 0 && br == 0 && brace == 0 =>
+          out += s.substring(start, i).trim
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.result()
   }
 
   /** Extract a balanced `(...)` group from the head of `t`; returns
@@ -600,6 +685,21 @@ object ExtendedPromQL {
           .withColumn("group_labels", groupLabels)
           .groupBy(col("group_labels"))
           .agg(aggCol(op, col("value")).as("value"))
+      case lr: LabelReplaceQ =>
+        val v = sideVector(lr.inner, selected, samples)
+        // Prometheus: regex must match the WHOLE src value; non-matching
+        // series pass through; an empty expansion drops dst
+        val anchored = "^(?:" + lr.regex + ")$"
+        val srcVal = coalesce(element_at(col("labels"), lr.src), lit(""))
+        val expanded = regexp_replace(srcVal, anchored, lr.replacement)
+        v.withColumn("labels",
+          when(srcVal.rlike(anchored),
+            labelsWith(lr.dst, expanded)).otherwise(col("labels")))
+      case lj: LabelJoinQ =>
+        val v = sideVector(lj.inner, selected, samples)
+        val joined = concat_ws(lj.sep, lj.srcs.map(sl =>
+          coalesce(element_at(col("labels"), sl), lit(""))): _*)
+        v.withColumn("labels", labelsWith(lj.dst, joined))
       case HistogramQuantileQ(phi, _, _, _) =>
         // buckets per group = labels minus `le`; arrays are tiny (one
         // entry per bucket boundary), so the interpolation runs as a
@@ -681,6 +781,17 @@ object ExtendedPromQL {
           }
         }
       }
+  }
+
+  /** Labels map with `dst` set to `value` — or removed when `value` is
+    * the empty string (Prometheus's empty-label-means-absent rule).
+    */
+  private def labelsWith(dst: String, value: Column): Column = {
+    val without = map_from_entries(filter(
+      map_entries(coalesce(col("labels"), map().cast("map<string,string>"))),
+      e => e.getField("key") =!= dst))
+    when(value === "", without)
+      .otherwise(map_concat(without, map(lit(dst), value)))
   }
 
   /** Each series' latest sample in the window (deterministic tie-break on

@@ -462,6 +462,43 @@ class ExtendedPromQLSpec extends SparkSpec {
     assert(ab == Seq(1.0))
   }
 
+  test("label_replace and label_join rewrite instant-vector labels") {
+    import spark.implicits._
+    ExtendedPromQL.parse(
+      """label_replace(view{user="7"}, "grp", "$1", "user", "([0-9]).*")""",
+      now) match {
+      case LabelReplaceQ("grp", "$1", "user", "([0-9]).*", _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse(
+      """label_join(view, "uid", "-", "user", "env")""", now) match {
+      case LabelJoinQ("uid", "-", Seq("user", "env"), _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("""label_replace(view, "a", "b")""", now)
+    }
+    val sel = Seq(
+      ("a 42", Map("user" -> "42")),
+      ("a x", Map("user" -> "x"))). // regex won't match -> unchanged
+      toDF("sensor_id", "labels")
+    val samples = Seq(("a 42", 1L, 1.0), ("a x", 1L, 2.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val lr = ExtendedPromQL.eval(
+      LabelReplaceQ("grp", "$1", "user", "([0-9]).*",
+        SelectorQ(Nil, 0L, 10L)), sel, samples)
+      .select(col("sensor_id"), col("labels"))
+      .as[(String, Map[String, String])].collect().toMap
+    assert(lr("a 42") == Map("user" -> "42", "grp" -> "4"))
+    assert(lr("a x") == Map("user" -> "x")) // no full match: untouched
+    val lj = ExtendedPromQL.eval(
+      LabelJoinQ("uid", "-", Seq("user", "missing"),
+        SelectorQ(Nil, 0L, 10L)), sel, samples)
+      .select(col("sensor_id"), col("labels"))
+      .as[(String, Map[String, String])].collect().toMap
+    assert(lj("a 42") == Map("user" -> "42", "uid" -> "42-"))
+  }
+
   test("histogram_quantile: bucket interpolation, +Inf, empty groups") {
     import spark.implicits._
     ExtendedPromQL.parse("histogram_quantile(0.9, m_bucket)", now) match {
