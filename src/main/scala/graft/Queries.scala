@@ -1801,6 +1801,58 @@ object Queries {
         .groupBy(element_at(col("labels"), "decade").as("decade"))
         .agg(dsum(col("value")).as("value"))
         .orderBy("decade")
+    },
+
+    // group_left many-to-one matching: views carry an extra parity
+    // label, clicks don't — on(user) group_left keeps the LEFT side's
+    // full label set, so the per-user ratio comes back with its parity
+    // label intact (the oracle recomputes parity as user_id % 2).
+    q(
+      "q64_promql_group_left",
+      """WITH s AS (
+        |  SELECT event_type, user_id, value,
+        |    lag(value) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |r AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CASE WHEN prev IS NULL THEN NULL
+        |      WHEN value >= prev THEN value - prev
+        |      ELSE value END) / 2678400.0 AS rate
+        |  FROM s GROUP BY 1, 2
+        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) IS NOT NULL)
+        |SELECT CAST(v.user_id AS VARCHAR) AS user_tag,
+        |  CAST(v.user_id % 2 AS VARCHAR) AS parity,
+        |  ROUND(v.rate / c.rate, 6) AS value
+        |FROM r v JOIN r c ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "rate(view[31d]) / on(user) group_left rate(click[31d])",
+        1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => {
+          val base = Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+            .select(concat(col("name"), lit(" "),
+              col("labels").getItem("user")).as("sensor_id"),
+              col("name"), col("labels"))
+          base.select(col("sensor_id"),
+            when(col("name") === "view", map_concat(col("labels"),
+              map(lit("parity"),
+                (col("labels")("user").cast("long") % 2).cast("string"))))
+              .otherwise(col("labels")).as("labels"))
+        },
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          element_at(col("labels"), "parity").as("parity"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
     }
   )
 

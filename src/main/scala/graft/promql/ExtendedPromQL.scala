@@ -108,7 +108,8 @@ object ExtendedPromQL {
     */
   final case class BinVectorQ(
       op: Char, left: Query, right: Query,
-      matchOn: Seq[String] = Nil, ignoring: Boolean = false)
+      matchOn: Seq[String] = Nil, ignoring: Boolean = false,
+      grouping: Option[String] = None) // Some("left") | Some("right")
       extends Query {
     def matchers: Seq[LabelMatcher] = left.matchers
     def startUs: Long = math.min(left.startUs, right.startUs)
@@ -247,20 +248,26 @@ object ExtendedPromQL {
               requireVectorOperand(parse(ls, nowUs), "left"))
           case (None, None) =>
             // optional matching modifier between the operator and the
-            // right operand: on(l1,...) or ignoring(l1,...)
+            // right operand: on(l1,...) or ignoring(l1,...), optionally
+            // followed by group_left/group_right (many-to-one matching)
             val ModRe = """(?s)^(on|ignoring)\s*\((.*?)\)\s*(.*)$""".r
-            val (matchOn, ignoring, rs2) = rs match {
+            val (matchOn, ignoring, rs1) = rs match {
               case ModRe(kind, ls0, rest) =>
                 (ls0.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
                   kind == "ignoring", rest)
               case _ => (Seq.empty[String], false, rs)
+            }
+            val GroupRe = """(?s)^group_(left|right)\s+(.*)$""".r
+            val (grouping, rs2) = rs1 match {
+              case GroupRe(side, rest) => (Some(side), rest)
+              case _ => (None, rs1)
             }
             if (rs2.isEmpty)
               throw PromQLError(s"Binary operator '$op' is missing an operand")
             BinVectorQ(op,
               requireVectorOperand(parse(ls, nowUs), "left"),
               requireVectorOperand(parse(rs2, nowUs), "right"),
-              matchOn, ignoring)
+              matchOn, ignoring, grouping)
         }
       case None => ()
     }
@@ -534,11 +541,13 @@ object ExtendedPromQL {
       q: Query,
       selectFor: Seq[LabelMatcher] => DataFrame,
       samples: DataFrame): DataFrame = q match {
-    case BinVectorQ(op, left, right, matchOn, ignoring) =>
+    case BinVectorQ(op, left, right, matchOn, ignoring, grouping) =>
       // the join key is the canonical (sorted-entries) form of the
       // MATCHING labels: all of them, the on() subset, or everything
-      // but the ignoring() subset; output labels = matching labels
-      // (Prometheus one-to-one semantics)
+      // but the ignoring() subset. Output labels: the matching labels
+      // (one-to-one), or the MANY side's full labels under
+      // group_left/group_right (many-to-one matching — the "one" side's
+      // uniqueness per key is the caller's contract, as in Prometheus)
       val matched = (c: Column) => {
         val entries = map_entries(coalesce(c, map().cast("map<string,string>")))
         val kept =
@@ -553,11 +562,18 @@ object ExtendedPromQL {
         array_sort(kept)
       }
       val lv = sideVector(left, selectFor(left.matchers), samples)
-        .select(matched(col("labels")).as("__k"), col("value").as("__lv"))
+        .select(matched(col("labels")).as("__k"),
+          col("labels").as("__ll"), col("value").as("__lv"))
       val rv = sideVector(right, selectFor(right.matchers), samples)
-        .select(matched(col("labels")).as("__k"), col("value").as("__rv"))
+        .select(matched(col("labels")).as("__k"),
+          col("labels").as("__rl"), col("value").as("__rv"))
+      val outLabels = grouping match {
+        case Some("left") => col("__ll")
+        case Some("right") => col("__rl")
+        case _ => map_from_entries(col("__k"))
+      }
       lv.join(rv, "__k")
-        .select(map_from_entries(col("__k")).as("labels"),
+        .select(outLabels.as("labels"),
           binCol(op, col("__lv"), col("__rv")).as("value"))
     case other => eval(other, selectFor(other.matchers), samples)
   }

@@ -319,17 +319,17 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] { ExtendedPromQL.parse("topk(3, view[5m])", now) }
     ExtendedPromQL.parse("rate(a[5m]) / rate(b[5m])", now) match {
       case BinVectorQ('/', RangeFnQ("rate", lm, _, _),
-          RangeFnQ("rate", rm, _, _), Nil, false) =>
+          RangeFnQ("rate", rm, _, _), Nil, false, None) =>
         assert(lm == Seq(LabelMatcher.Eq("__name__", "a")))
         assert(rm == Seq(LabelMatcher.Eq("__name__", "b")))
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("rate(a[5m]) / on(user) rate(b[5m])", now) match {
-      case BinVectorQ('/', _, _, Seq("user"), false) => ()
+      case BinVectorQ('/', _, _, Seq("user"), false, None) => ()
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("a * ignoring(env, zone) b", now) match {
-      case BinVectorQ('*', _, _, Seq("env", "zone"), true) => ()
+      case BinVectorQ('*', _, _, Seq("env", "zone"), true, None) => ()
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("""count_values("v", view)""", now) match {
@@ -444,6 +444,22 @@ class ExtendedPromQLSpec extends SparkSpec {
       ms => if (ms.isEmpty) selL else selR, samples)
       .select(col("labels")).as[Map[String, String]].collect().toSet
     assert(outLabels == Set(Map("user" -> "1"), Map("user" -> "2")))
+
+    // group_left: many-to-one — left keeps its FULL labels (env), right
+    // is unique per match key
+    ExtendedPromQL.parse(
+      "a / on(user) group_left b", now) match {
+      case BinVectorQ('/', _, _, Seq("user"), false, Some("left")) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    val gl = ExtendedPromQL.evalWith(
+      BinVectorQ('/', l, r, Seq("user"), false, Some("left")),
+      ms => if (ms.isEmpty) selL else selR, samples)
+      .select(col("labels"), col("value"))
+      .as[(Map[String, String], Double)].collect().toSet
+    assert(gl == Set(
+      (Map("user" -> "1", "env" -> "prod"), 2.0),
+      (Map("user" -> "2", "env" -> "dev"), 2.25)))
 
     // count_values: frequency of distinct latest values
     val cv = ExtendedPromQL.eval(
