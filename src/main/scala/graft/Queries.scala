@@ -1853,6 +1853,46 @@ object Queries {
           element_at(col("labels"), "parity").as("parity"),
           round(col("value"), 6).as("value"))
         .orderBy("user_tag")
+    },
+
+    // Set operator: view rates UNLESS users whose id contains an even
+    // digit (the right operand selects those via a regex matcher —
+    // UNANCHORED substring semantics, as the reference pins for its
+    // matchers) — an anti join on the full label set. The oracle keeps
+    // users with all-odd-digit ids.
+    q(
+      "q65_promql_unless",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
+        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  ROUND(SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) / 2678400.0, 9) AS value
+        |FROM s
+        |WHERE NOT regexp_matches(CAST(user_id AS VARCHAR), '[02468]')
+        |GROUP BY user_id
+        |HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |  WHEN value >= prev THEN value - prev
+        |  ELSE value END) IS NOT NULL
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        """rate(view[31d]) unless rate(click{user=~".*[02468]"}[31d])""",
+        1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 9).as("value"))
+        .orderBy("user_tag")
     }
   )
 

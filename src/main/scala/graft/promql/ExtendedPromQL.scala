@@ -115,6 +115,19 @@ object ExtendedPromQL {
     def startUs: Long = math.min(left.startUs, right.startUs)
     def endUs: Long = math.max(left.endUs, right.endUs)
   }
+  /** `vec1 and|or|unless vec2` — Prometheus set operators between
+    * instant vectors, matching on the FULL label set: `and` keeps left
+    * rows whose label set also appears on the right (semi join),
+    * `unless` keeps those that don't (anti join), `or` returns the left
+    * plus right rows whose label set has no left row. Values and labels
+    * always come from the contributing side. Evaluate via [[evalWith]].
+    */
+  final case class BinSetQ(op: String, left: Query, right: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = left.matchers
+    def startUs: Long = math.min(left.startUs, right.startUs)
+    def endUs: Long = math.max(left.endUs, right.endUs)
+  }
   /** `count_values("label", sel)` — frequency of each distinct latest
     * value across the instant vector, keyed as a one-entry labels map.
     */
@@ -220,6 +233,42 @@ object ExtendedPromQL {
   private def parseScalar(s: String): Option[Double] =
     try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
 
+  /** First top-level set operator (`and` / `or` / `unless` as whole
+    * words outside quotes/brackets); returns (opIndex, opLength).
+    */
+  private def topLevelSetOp(s: String): Option[(Int, Int)] = {
+    var par = 0; var br = 0; var brace = 0; var inStr = false
+    var i = 0
+    // metric-name chars (letters, digits, '_', ':') bound the word —
+    // `foo_and_bar` or `band` must not read as operators
+    def isNameChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == ':'
+    def wordAt(i: Int, w: String): Boolean =
+      s.regionMatches(i, w, 0, w.length) &&
+        (i == 0 || !isNameChar(s.charAt(i - 1))) &&
+        (i + w.length >= s.length || !isNameChar(s.charAt(i + w.length)))
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1 else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '(' => par += 1
+        case ')' => par -= 1
+        case '[' => br += 1
+        case ']' => br -= 1
+        case '{' => brace += 1
+        case '}' => brace -= 1
+        case _ if par == 0 && br == 0 && brace == 0 && i > 0 =>
+          for (w <- Seq("and", "or", "unless"))
+            if (wordAt(i, w)) return Some((i, w.length))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
+
   /** Operand kinds that evaluate to one row per series. */
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
@@ -231,6 +280,17 @@ object ExtendedPromQL {
 
   def parse(query: String, nowUs: Long): Query = {
     val s = query.trim
+    topLevelSetOp(s) match {
+      case Some((i, len)) =>
+        val op = s.substring(i, i + len)
+        val (ls, rs) = (s.substring(0, i).trim, s.substring(i + len).trim)
+        if (ls.isEmpty || rs.isEmpty)
+          throw PromQLError(s"Set operator '$op' is missing an operand")
+        return BinSetQ(op,
+          requireVectorOperand(parse(ls, nowUs), "left"),
+          requireVectorOperand(parse(rs, nowUs), "right"))
+      case None => ()
+    }
     topLevelOp(s) match {
       case Some(i) =>
         val op = s.charAt(i)
@@ -575,6 +635,23 @@ object ExtendedPromQL {
       lv.join(rv, "__k")
         .select(outLabels.as("labels"),
           binCol(op, col("__lv"), col("__rv")).as("value"))
+    case BinSetQ(op, left, right) =>
+      val canon = (c: Column) => array_sort(map_entries(
+        coalesce(c, map().cast("map<string,string>"))))
+      val lv = sideVector(left, selectFor(left.matchers), samples)
+        .withColumn("__k", canon(col("labels")))
+      val rv = sideVector(right, selectFor(right.matchers), samples)
+        .withColumn("__k", canon(col("labels")))
+      val out = op match {
+        case "and" =>
+          lv.join(rv.select(col("__k")).distinct(), Seq("__k"), "left_semi")
+        case "unless" =>
+          lv.join(rv.select(col("__k")).distinct(), Seq("__k"), "left_anti")
+        case _ => // or
+          lv.unionByName(
+            rv.join(lv.select(col("__k")).distinct(), Seq("__k"), "left_anti"))
+      }
+      out.select("sensor_id", "labels", "value")
     case other => eval(other, selectFor(other.matchers), samples)
   }
 
@@ -749,7 +826,7 @@ object ExtendedPromQL {
           .filter(col("__n") === 0)
           .select(map().cast("map<string,string>").as("labels"),
             lit(1.0).as("value"))
-      case _: BinVectorQ =>
+      case _: BinVectorQ | _: BinSetQ =>
         throw PromQLError(
           "binary vector queries carry two matcher sets — evaluate via evalWith")
     }

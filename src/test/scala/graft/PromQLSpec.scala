@@ -461,6 +461,34 @@ class ExtendedPromQLSpec extends SparkSpec {
       (Map("user" -> "1", "env" -> "prod"), 2.0),
       (Map("user" -> "2", "env" -> "dev"), 2.25)))
 
+    // set operators: and = semi, unless = anti, or = union-preferring-left
+    ExtendedPromQL.parse("a and b", now) match {
+      case BinSetQ("and", _: SelectorQ, _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // word boundaries: names containing the word are not operators
+    ExtendedPromQL.parse("band_width", now) match {
+      case _: SelectorQ => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("foo_and_bar", now) match {
+      case _: SelectorQ => ()
+      case other => fail(s"unexpected: $other")
+    }
+    def runSet(op: String): Set[(String, Double)] =
+      ExtendedPromQL.evalWith(
+        BinSetQ(op, SelectorQ(Nil, 0L, 10L),
+          SelectorQ(Seq(LabelMatcher.Eq("x", "y")), 0L, 10L)),
+        ms => if (ms.isEmpty) selL else selR, samples)
+        .select(element_at(col("labels"), "user"), col("value"))
+        .as[(String, Double)].collect().toSet
+    // full label sets differ (left carries env), so nothing matches:
+    // `and` drops everything, `unless` keeps the left side whole
+    assert(runSet("and") == Set.empty)
+    assert(runSet("unless") == Set(("1", 4.0), ("2", 9.0)))
+    assert(runSet("or") ==
+      Set(("1", 4.0), ("2", 9.0), ("1", 2.0), ("2", 4.0)))
+
     // count_values: frequency of distinct latest values
     val cv = ExtendedPromQL.eval(
       CountValuesQ("v", Nil, 0L, 10L),
