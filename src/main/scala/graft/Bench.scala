@@ -34,11 +34,14 @@ object Bench {
       name -> (cold, warm)
     }
     // The driver captures only the tail of this process's output, so the
-    // final JSON line must stay short: 3-decimal rounding, and the verbose
-    // cold per-query breakdown goes on an EARLIER line (truncated first).
+    // final JSON line must stay short: 2-decimal per-query rounding
+    // (3 for the totals), and the verbose cold per-query breakdown goes
+    // on an EARLIER line (truncated first). At 65+ queries the line sits
+    // ~1670 of the ~1900 usable chars — keep checking len on growth.
     def r3(d: Double): String = f"$d%.3f"
+    def r2(d: Double): String = f"$d%.2f"
     def json(sel: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + r3(sel(v)) }
+      results.map { case (k, v) => "\"" + k + "\":" + r2(sel(v)) }
         .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).sum
     val coldTotal = results.values.map(_._1).sum

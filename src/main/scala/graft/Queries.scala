@@ -1893,6 +1893,46 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           round(col("value"), 9).as("value"))
         .orderBy("user_tag")
+    },
+
+    // Comparison filter: per-user view rates above a threshold —
+    // Prometheus drops failing series and survivors keep their value.
+    // The predicate evaluates on the unrounded f64 rate on both sides
+    // (identical arithmetic), ROUND(9) only formats the survivors.
+    q(
+      "q66_promql_threshold",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |r AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN prev IS NULL THEN NULL
+        |      WHEN value >= prev THEN value - prev
+        |      ELSE value END) / 2678400.0 AS rate
+        |  FROM s GROUP BY user_id
+        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) IS NOT NULL)
+        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  ROUND(rate, 9) AS value
+        |FROM r WHERE rate > 0.00003 ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "rate(view[31d]) > 0.00003", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 9).as("value"))
+        .orderBy("user_tag")
     }
   )
 

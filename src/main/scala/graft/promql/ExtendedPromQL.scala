@@ -115,6 +115,18 @@ object ExtendedPromQL {
     def startUs: Long = math.min(left.startUs, right.startUs)
     def endUs: Long = math.max(left.endUs, right.endUs)
   }
+  /** `vec <cmp> scalar` (or `scalar <cmp> vec`) for > >= < <= == != —
+    * Prometheus comparison filtering: series failing the predicate drop
+    * out and survivors keep their value; with the `bool` modifier every
+    * series survives with value 1.0/0.0 instead.
+    */
+  final case class BinCmpQ(
+      op: String, scalar: Double, scalarOnLeft: Boolean, bool: Boolean,
+      inner: Query) extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
   /** `vec1 and|or|unless vec2` — Prometheus set operators between
     * instant vectors, matching on the FULL label set: `and` keeps left
     * rows whose label set also appears on the right (semi join),
@@ -233,16 +245,49 @@ object ExtendedPromQL {
   private def parseScalar(s: String): Option[Double] =
     try Some(s.trim.toDouble) catch { case _: NumberFormatException => None }
 
+  // metric-name chars (letters, digits, '_', ':') bound operator words —
+  // `foo_and_bar` or `band` must not read as operators
+  private def isNameChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == ':'
+
+  /** First top-level comparison operator (> >= < <= == !=) outside
+    * quotes/brackets; returns (index, operator).
+    */
+  private def topLevelCmpOp(s: String): Option[(Int, String)] = {
+    var par = 0; var br = 0; var brace = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+      if (inStr) {
+        if (c == '\\') i += 1 else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '(' => par += 1
+        case ')' => par -= 1
+        case '[' => br += 1
+        case ']' => br -= 1
+        case '{' => brace += 1
+        case '}' => brace -= 1
+        case '>' | '<' if par == 0 && br == 0 && brace == 0 =>
+          return Some((i, if (next == '=') s"$c=" else c.toString))
+        case '=' if next == '=' && par == 0 && br == 0 && brace == 0 =>
+          return Some((i, "=="))
+        case '!' if next == '=' && par == 0 && br == 0 && brace == 0 =>
+          return Some((i, "!="))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
+
   /** First top-level set operator (`and` / `or` / `unless` as whole
     * words outside quotes/brackets); returns (opIndex, opLength).
     */
   private def topLevelSetOp(s: String): Option[(Int, Int)] = {
     var par = 0; var br = 0; var brace = 0; var inStr = false
     var i = 0
-    // metric-name chars (letters, digits, '_', ':') bound the word —
-    // `foo_and_bar` or `band` must not read as operators
-    def isNameChar(c: Char): Boolean =
-      c.isLetterOrDigit || c == '_' || c == ':'
     def wordAt(i: Int, w: String): Boolean =
       s.regionMatches(i, w, 0, w.length) &&
         (i == 0 || !isNameChar(s.charAt(i - 1))) &&
@@ -289,6 +334,34 @@ object ExtendedPromQL {
         return BinSetQ(op,
           requireVectorOperand(parse(ls, nowUs), "left"),
           requireVectorOperand(parse(rs, nowUs), "right"))
+      case None => ()
+    }
+    topLevelCmpOp(s) match {
+      case Some((i, op)) =>
+        val ls = s.substring(0, i).trim
+        var rs = s.substring(i + op.length).trim
+        var bool = false
+        if (rs.startsWith("bool") &&
+            (rs.length == 4 || !isNameChar(rs.charAt(4)))) {
+          bool = true
+          rs = rs.substring(4).trim
+        }
+        if (ls.isEmpty || rs.isEmpty)
+          throw PromQLError(s"Comparison '$op' is missing an operand")
+        return (parseScalar(ls), parseScalar(rs)) match {
+          case (Some(_), Some(_)) =>
+            throw PromQLError("Scalar-scalar expressions are not supported")
+          case (Some(v), None) =>
+            BinCmpQ(op, v, scalarOnLeft = true, bool,
+              requireVectorOperand(parse(rs, nowUs), "right"))
+          case (None, Some(v)) =>
+            BinCmpQ(op, v, scalarOnLeft = false, bool,
+              requireVectorOperand(parse(ls, nowUs), "left"))
+          case (None, None) =>
+            throw PromQLError(
+              "vector-vector comparisons are not supported — compare " +
+                "against a scalar")
+        }
       case None => ()
     }
     topLevelOp(s) match {
@@ -690,6 +763,22 @@ object ExtendedPromQL {
           if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
           else binCol(b.op, col("value"), lit(b.scalar))
         v.withColumn("value", expr)
+      case b: BinCmpQ =>
+        val v = sideVector(b.inner, selected, samples)
+        val (l, r) =
+          if (b.scalarOnLeft) (lit(b.scalar), col("value"))
+          else (col("value"), lit(b.scalar))
+        val pred = b.op match {
+          case ">" => l > r
+          case ">=" => l >= r
+          case "<" => l < r
+          case "<=" => l <= r
+          case "==" => l === r
+          case "!=" => l =!= r
+          case other => throw PromQLError(s"Unsupported comparison: $other")
+        }
+        if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
+        else v.filter(pred)
       case TopKQ(op, k, _, _, _) =>
         val latest = lastInWindow(inWindow)
         val ordered =

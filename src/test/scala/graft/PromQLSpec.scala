@@ -461,6 +461,29 @@ class ExtendedPromQLSpec extends SparkSpec {
       (Map("user" -> "1", "env" -> "prod"), 2.0),
       (Map("user" -> "2", "env" -> "dev"), 2.25)))
 
+    // comparison filters: drop failing series, or 0/1 with `bool`
+    ExtendedPromQL.parse("view > 5", now) match {
+      case BinCmpQ(">", 5.0, false, false, _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("view >= bool 5", now) match {
+      case BinCmpQ(">=", 5.0, false, true, _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError] { ExtendedPromQL.parse("a > b", now) }
+    val cmpKeep = ExtendedPromQL.eval(
+      BinCmpQ(">", 5.0, scalarOnLeft = false, bool = false,
+        SelectorQ(Nil, 0L, 10L)), selL, samples)
+      .select(element_at(col("labels"), "user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(cmpKeep == Map("2" -> 9.0)) // 4.0 filtered out
+    val cmpBool = ExtendedPromQL.eval(
+      BinCmpQ(">", 5.0, scalarOnLeft = false, bool = true,
+        SelectorQ(Nil, 0L, 10L)), selL, samples)
+      .select(element_at(col("labels"), "user"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(cmpBool == Map("1" -> 0.0, "2" -> 1.0))
+
     // set operators: and = semi, unless = anti, or = union-preferring-left
     ExtendedPromQL.parse("a and b", now) match {
       case BinSetQ("and", _: SelectorQ, _: SelectorQ) => ()
