@@ -189,20 +189,27 @@ object ExtendedPromQL {
 
   import SimplePromQL.PromQLError
 
-  /** Selector parse with the PromQL `offset` modifier (absent from the
-    * reference's restricted endpoint): `sel [offset <dur>]` shifts the
-    * whole evaluation window back by the duration. The greedy prefix
-    * regex requires the query to END with the duration, so an `offset`
-    * inside a quoted label value (always followed by `"}`) never
-    * matches.
+  /** Selector parse with the PromQL `offset` and `@` modifiers (both
+    * absent from the reference's restricted endpoint): `sel [offset
+    * <dur>]` shifts the whole evaluation window back by the duration;
+    * `sel @ <unix_seconds>` pins the evaluation time absolutely (so a
+    * client can replay historical instants against the serving
+    * endpoint, whose default reference is wall-clock now). `@` binds
+    * the reference time first; an `offset` inside then shifts relative
+    * to it. The greedy prefix regexes require the query to END with the
+    * modifier, so the keywords inside quoted label values (always
+    * followed by `"}`) never match.
     */
   private val OffsetRe = """(?s)^(.*)\s+offset\s+([0-9a-z]+)\s*$""".r
+  private val AtRe = """(?s)^(.*)\s@\s*([0-9]+(?:\.[0-9]+)?)\s*$""".r
 
   private def parseSelector(s: String, nowUs: Long): SimplePromQL.ParsedQuery =
     s.trim match {
+      case AtRe(inner, ts) =>
+        parseSelector(inner.trim, (ts.toDouble * 1e6).toLong)
       case OffsetRe(inner, dur) =>
         val shiftUs = SimplePromQL.parseDurationMs(dur) * 1000L
-        val sel = SimplePromQL.parse(inner.trim, nowUs)
+        val sel = parseSelector(inner.trim, nowUs)
         sel.copy(startUs = sel.startUs - shiftUs, endUs = sel.endUs - shiftUs)
       case other => SimplePromQL.parse(other, nowUs)
     }

@@ -179,6 +179,32 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
   }
 
+  test("@ modifier pins the evaluation time absolutely") {
+    // 1706659200 s = 2024-01-31T00:00:00Z; instant lookback from there
+    ExtendedPromQL.parse("view @ 1706659200", now) match {
+      case SelectorQ(_, s, e) =>
+        assert(e == 1706659200000000L)
+        assert(s == 1706659200000000L - 3600L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    // composes under functions and with offset (offset shifts relative
+    // to the pinned time)
+    ExtendedPromQL.parse(
+      "sum_over_time(view[5m] offset 10m @ 1706659200)", now) match {
+      case OverTimeQ("sum", _, s, e) =>
+        assert(e == 1706659200000000L - 600L * 1000000L)
+        assert(s == e - 300L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    // an @ inside a quoted label value is not a modifier
+    ExtendedPromQL.parse("""view{note="a @ 5"}""", now) match {
+      case SelectorQ(ms, _, e) =>
+        assert(e == now)
+        assert(ms.contains(LabelMatcher.Eq("note", "a @ 5")))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
   test("parses range functions (rate/increase/delta)") {
     ExtendedPromQL.parse("rate(view[5m])", now) match {
       case RangeFnQ("rate", ms, s, e) =>
