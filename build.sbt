@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness tails this process's combined output and
+// parses the FINAL line as JSON. Two sbt behaviors break that: the
+// default LoggedOutput strategy prefixes every forked-stdout line with
+// "[info] ", and sbt prints "[success] Total time..." after the run.
+// StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess drops the trailing success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,9 +45,16 @@ object Bench {
         .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).sum
     val coldTotal = results.values.map(_._1).sum
-    println(s"""{"cold_queries":${json(_._1)}}""")
-    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec",""" +
-      s""""queries":${json(_._2)},"cold_total":${r3(coldTotal)},"sf":"$sfDir"}""")
+    val coldLine = s"""{"cold_queries":${json(_._1)}}"""
+    val summary = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec",""" +
+      s""""queries":${json(_._2)},"cold_total":${r3(coldTotal)},"sf":"$sfDir"}"""
+    // Stop Spark BEFORE emitting the summary: the driver parses the final
+    // line of the process tail as JSON, so no shutdown log line may land
+    // after it. (build.sbt passes forked stdout through verbatim and
+    // suppresses sbt's "[success]" banner for the same reason.)
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(coldLine)
+    println(summary)
   }
 }
