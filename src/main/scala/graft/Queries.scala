@@ -1289,12 +1289,13 @@ object Queries {
       val rare = fp.groupBy("fp")
         .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
       val fpr = fp.join(rare, Seq("fp"), "left_semi")
-      fpr.as("a").join(fpr.as("b"),
-          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5)
-        .orderBy("id_a", "id_b")
+      graft.pipeline.PipelineCache.materialize(fp)(
+        fpr.as("a").join(fpr.as("b"),
+            col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 5)
+          .orderBy("id_a", "id_b"))
     },
 
     // Deadband ingest compression: keep a sample iff it moved more than

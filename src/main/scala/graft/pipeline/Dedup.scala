@@ -39,11 +39,20 @@ object Dedup {
   /** Connected components over a near-dup pair graph by iterative
     * min-label propagation — the dedup endgame: transitively-connected
     * near-duplicates form one cluster, and a pipeline keeps one doc per
-    * cluster. Each iteration is two joins (labels into the symmetric
-    * edge list, min per node); iteration count is the graph diameter
-    * (near-dup clusters are shallow). `localCheckpoint` truncates the
-    * growing lineage each round — the standard Spark iterative-graph
-    * hygiene. Nodes with no edges keep their own id as the cluster id.
+    * cluster. Iteration count is the graph diameter (near-dup clusters
+    * are shallow). Nodes with no edges keep their own id as the cluster
+    * id.
+    *
+    * Each round is ONE job: the propagation join carries a `__changed`
+    * flag, the new labels are marked as a LAZY local checkpoint, and the
+    * convergence count both materializes the checkpoint blocks (lineage
+    * truncation — standard iterative-graph hygiene) and returns the
+    * number of labels that moved, so there is no separate
+    * label-comparison job. The previous round's checkpoint blocks are
+    * released as soon as the new round is materialized; the returned
+    * frame reads only the FINAL label checkpoint (edge-incident nodes,
+    * typically a small fraction of the corpus) — release it with
+    * [[PipelineCache.free]] once the assignment has been consumed.
     */
   def connectedComponents(
       nodes: DataFrame, // (id)
@@ -51,43 +60,52 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    // only edge-incident nodes can ever change labels — loop over them
-    // alone (typically a small fraction of the corpus) and append the
-    // untouched singletons once at the end
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val prop = sym
-        .join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster_id")).as("__nl"))
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
-            .as("cluster_id"))
+    try {
+      // only edge-incident nodes can ever change labels — loop over them
+      // alone and append the untouched singletons once at the end
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
-        .filter(col("cluster_id") =!= col("__old")).count()
-      labels = next
-    }
-    nodes.select(col("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id"))
-        .as("cluster_id"))
+      var changed = 1L
+      while (changed > 0) {
+        val prop = sym
+          .join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("cluster_id")).as("__nl"))
+        val next = labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
+              .as("cluster_id"),
+            coalesce(col("__nl") < col("cluster_id"), lit(false))
+              .as("__changed"))
+          .localCheckpoint(eager = false)
+        // the round's single job: materializes `next`'s checkpoint as a
+        // side effect and returns the moved-label count
+        changed = next.filter(col("__changed")).count()
+        PipelineCache.free(labels)
+        labels = next.select("id", "cluster_id")
+      }
+      nodes.select(col("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id"))
+          .as("cluster_id"))
+    } finally sym.unpersist(false) // loop done; the result never reads sym
   }
 
   /** Near-duplicate clusters: exact n-gram Jaccard pairs at `tau` as the
     * edge set, connected components as the cluster assignment. Returns
     * (id, cluster_id) for EVERY doc (singletons cluster with themselves).
+    * The pair stage's checkpoint is released here (the label loop has
+    * consumed it by the time the loop converges); the returned frame
+    * keeps only the final label checkpoint — see [[connectedComponents]].
     */
   def nearDupClusters(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
     val edges = ngramJaccardPairs(docs, idCol, textCol, n, tau)
       .select("id_a", "id_b")
-    connectedComponents(docs.select(col(idCol).as("id")), edges)
+    try connectedComponents(docs.select(col(idCol).as("id")), edges)
+    finally PipelineCache.free(edges)
   }
 
   /** Train/eval contamination (decontamination scan): for each eval doc,
@@ -148,19 +166,21 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
+    // the shingle table feeds three subplans (both self-join sides and the
+    // size table) — cached while the pair set materializes, then released
     val g = hashedShingleTable(docs, idCol, textCol, n).cache()
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = g.as("a").join(g.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    PipelineCache.materialize(g)(common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard"))
   }
 
   /** Element-wise minimum aggregator over Long arrays — one buffer of k
@@ -245,28 +265,31 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * r + 1, r))): _*))
         .as(Seq("band", "band_hash")))
+    // the candidate subtree is read three times in verification (id set +
+    // both pair-join inputs) — without a cache the generation plan re-runs
     val candidates = bandHashes.as("a").join(bandHashes.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifiedJaccard(g, sigs.select(col("id"), col("n_sh")), candidates, tau)
+      .cache()
+    PipelineCache.materialize(g, sigs, candidates)(
+      verifiedJaccard(g, sigs.select(col("id"), col("n_sh")), candidates, tau))
   }
 
   /** Exact-Jaccard verification of candidate pairs: restrict the shingle
     * table to docs that appear in a candidate pair (AQE broadcasts the
     * tiny id set) so the pair-count join shuffles candidate shingles, not
     * the corpus; count common shingles, join per-doc sizes, threshold.
+    * Callers cache `candidates` (it is read three times here) and release
+    * it alongside their other temps.
     */
   private def verifiedJaccard(
       g: DataFrame, // (id, h)
       sizes: DataFrame, // (id, n_sh)
       candidates: DataFrame, // (id_a, id_b)
       tau: Double): DataFrame = {
-    // the candidate subtree is read three times below (id set + both pair
-    // join inputs) — without a cache the whole generation plan re-runs
-    candidates.cache()
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val gc = g.join(candIds, Seq("id"), "left_semi")
@@ -330,7 +353,9 @@ object Dedup {
           col("a.n_sh") >= col("b.n_sh") * tau - eps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifiedJaccard(g, sizes, candidates, tau)
+      .cache() // read three times in verification
+    PipelineCache.materialize(g, prefix, candidates)(
+      verifiedJaccard(g, sizes, candidates, tau))
   }
 
   /** SimHash bit-counter aggregator: folds per-token 64-bit hashes into 64

@@ -265,7 +265,7 @@ object ExtendedPromQL {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      val next = if (i + 1 < s.length) s.charAt(i + 1) else ' '
+      val next = if (i + 1 < s.length) s.charAt(i + 1) else '\u0000'
       if (inStr) {
         if (c == '\\') i += 1 else if (c == '"') inStr = false
       } else c match {

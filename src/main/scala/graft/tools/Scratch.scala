@@ -1,15 +1,11 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-import graft.{GraftSession, Tables}
-import graft.adapters.EventsAdapter
-import graft.sources.InfluxLineProtocol
+import graft.GraftSession
 
 /** Temporary profiling harness — not part of the library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
-    import spark.implicits._
     val d = "/root/testdata/sf0.1"
 
     def time[A](label: String)(f: => A): A = {
@@ -19,23 +15,13 @@ object Scratch {
       r
     }
 
-    println(s"SCRATCH events rows ${Tables.events(spark, d).count()}")
-    val lines = Tables.events(spark, d)
-      .filter(col("event_type") === "view")
-      .select(concat(
-        lit("views,user="), col("user_id"),
-        lit(" value="), col("value").cast("string"),
-        lit(" "), (unix_micros(col("ts")) * 1000).cast("string")).as("line"))
-      .as[String]
-    time("synthesize lines")(lines.count())
-    time("parse only") {
-      InfluxLineProtocol.parse(lines, "bkt", "org", "ns").count()
+    val names = if (args.nonEmpty) args.toSeq else Seq("q57_dedup_clusters")
+    for (n <- names) {
+      time(s"$n cold")(graft.Queries.all(n)(spark, d).count())
+      time(s"$n warm")(graft.Queries.all(n)(spark, d).count())
     }
-    time("parse+agg (full q18)") {
-      graft.Queries.all("q18_influx_parse")(spark, d).count()
-    }
-    time("parse+agg 2nd")(
-      graft.Queries.all("q18_influx_parse")(spark, d).count())
+    println(s"SCRATCH persistent RDDs after: " +
+      spark.sparkContext.getPersistentRDDs.size)
     spark.stop()
   }
 }

@@ -154,6 +154,30 @@ class PipelineSpec extends SparkSpec {
     assert(full28.size == 1 && pref28 == full28)
   }
 
+  test("cache hygiene: pair/cluster ops leave only a freeable checkpoint") {
+    import graft.pipeline.PipelineCache
+    val sc = spark.sparkContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = sc.getPersistentRDDs.keySet
+    val results = Seq(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5),
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5),
+      Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.5))
+    results.foreach(_.collect()) // consume each result fully
+    // after consumption, the only storage an op may hold is its own
+    // result checkpoint (internal shingle/signature/candidate caches and
+    // per-round label checkpoints must already be gone) ...
+    val held = sc.getPersistentRDDs.keySet -- before
+    assert(held.size <= results.size,
+      s"internal caches leaked: ${held.size} persistent RDDs for ${results.size} ops")
+    // ... and free() releases that too — the steady state is zero
+    results.foreach(PipelineCache.free)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs after free: $leaked")
+  }
+
   test("shingle xxhash64 is collision-free on the gate corpora") {
     // pins the hash-keyed inverted index's exactness argument (Dedup
     // scaladoc): zero xxhash64 collisions among distinct shingles at the
