@@ -36,22 +36,36 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人",
       "他", "们", "中", "来", "上", "大", "为", "个"))
 
+  /** Whole-token stopword counter: one linear regex scan of the lowered
+    * text per profile — `(?:^|\s)(?:w1|w2|…)(?=\s|$)` counts every
+    * whitespace-delimited token equal to a profile word, repeats
+    * included, exactly like a per-token membership filter but codegen'd
+    * (a `filter` HOF lambda is interpreted per token and was the slowest
+    * pure-scan cost in the text family). Longest-first alternation keeps
+    * the match greedy without backtracking; the lookahead leaves the
+    * trailing separator for the next match, so consecutive stopwords all
+    * count.
+    */
+  private def stopwordHits(loweredText: Column, words: Seq[String]): Column = {
+    val pat = "(?:^|\\s)(?:" +
+      words.sortBy(w => (-w.length, w)).mkString("|") + ")(?=\\s|$)"
+    size(regexp_extract_all(loweredText, lit(pat), lit(0)))
+  }
+
   /** Coarse language ID: the profile with the highest stopword hit-ratio
     * wins; ties resolve by profile priority (list order, `en` first).
     * Returns the 2-letter code, or "und" when nothing matches.
     */
   def languageId(text: Column): Column = {
-    val toks = transform(whitespaceTokens(text), t => lower(t))
+    val lowered = lower(trim(text))
+    val nToks = size(whitespaceTokens(text))
     val n = stopwordProfiles.length
     val scored = stopwordProfiles.zipWithIndex.map { case ((lang, words), i) =>
-      val hits = size(array_intersect(toks,
-        array(words.map(lit): _*)))
-      // count matches including repeats: filter is more faithful than
-      // intersect for ratio scoring
-      val hitCount = size(filter(toks, t =>
-        t.isin(words.map(x => x: Any): _*)))
+      // count matches including repeats: a membership count is more
+      // faithful than a distinct intersect for ratio scoring
+      val hitCount = stopwordHits(lowered, words)
       struct(
-        (hitCount.cast("double") / greatest(size(toks), lit(1))).as("score"),
+        (hitCount.cast("double") / greatest(nToks, lit(1))).as("score"),
         lit(n - i).as("prio"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
@@ -70,8 +84,7 @@ object TextAnalysis {
       greatest(nToks, lit(1))
     val punct = length(regexp_replace(text, "[^.!?,;:]", ""))
     val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
-    val stops = size(filter(transform(toks, t => lower(t)),
-      t => t.isin(stopwordProfiles.head._2.map(x => x: Any): _*)))
+    val stops = stopwordHits(lower(trim(text)), stopwordProfiles.head._2)
     struct(
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
