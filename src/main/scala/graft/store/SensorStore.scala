@@ -61,33 +61,71 @@ final class SensorStore(spark: SparkSession, root: String) {
     * (metadata is immutable given content-addressed uuids). Steady state
     * is the fast path: content-addressed uuids mean almost every publish
     * re-announces known sensors, so when the anti-join finds nothing new
-    * the catalog is left untouched — no rewrite per micro-batch.
+    * the catalog is left untouched — no write per micro-batch.
+    *
+    * Novel rows APPEND as new parquet files — publish cost is O(new
+    * sensors), never an O(catalog) rewrite, and since committed files
+    * land by atomic rename and the existing files are never touched, a
+    * reader racing a publish sees either the complete old catalog or
+    * old + new — never an empty or partial one. The concurrent-writer
+    * race (two publishes appending the same novel uuid) is absorbed by
+    * [[sensors]]' dedup-on-read; duplicate rows are bit-identical
+    * because the uuids are content-addressed.
     */
   def publishSensors(sensors: DataFrame): Unit = {
     val incoming = sensors.dropDuplicates("uuid")
-    val merged =
+    val novel =
       if (exists(catalogDir)) {
         val existing = spark.read.parquet(catalogDir)
-        val novel = incoming
+        val n = incoming
           .join(existing.select("uuid"), Seq("uuid"), "left_anti")
-        if (novel.limit(1).count() == 0) return
-        existing.unionByName(novel).cache()
-      } else incoming.cache()
-    merged.count() // materialize before overwriting the source
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$catalogDir.tmp")
-    merged.unpersist()
-    // atomic-ish swap (same filesystem)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(catalogDir)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$catalogDir.tmp"), dst)
+        if (n.limit(1).count() == 0) return
+        n
+      } else incoming
+    novel.write.mode(SaveMode.Append).parquet(catalogDir)
   }
 
+  /** The catalog, deduped on uuid at read time — the invariant that makes
+    * every publish/compaction intermediate state (old files, old + new,
+    * new only) read correctly. Always broadcastable by design, so the
+    * dedup aggregation is a footnote in any plan that joins it.
+    */
   def sensors: DataFrame =
-    if (exists(catalogDir)) spark.read.parquet(catalogDir)
+    if (exists(catalogDir))
+      spark.read.parquet(catalogDir).dropDuplicates("uuid")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.sensors)
+
+  /** Compact the catalog's accumulated publish files into one. Ordered so
+    * a concurrent reader is correct at every step under dedup-on-read:
+    * the compacted file is ADDED first (readers see old, or old + new =
+    * duplicates that dedup away), the replaced files are deleted after
+    * (readers see new + a suffix of old — still complete). Never a
+    * window with missing rows or an empty directory.
+    */
+  def compactCatalog(): Unit = {
+    if (!exists(catalogDir)) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(catalogDir)
+    val old = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (old.length <= 1) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$catalogDir.compact.tmp")
+    val compacted = spark.read
+      .parquet(old.map(_.toString): _*).dropDuplicates("uuid").coalesce(1)
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val stamp = System.currentTimeMillis()
+    fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(dir, s"compact-$stamp-$i.parquet"))
+      }
+    old.foreach(fs.delete(_, false))
+    fs.delete(tmp, true)
+  }
 
   /** Typed sample scan in the canonical 3-column layout. Timestamp
     * predicates applied by callers reach the parquet row-group stats but

@@ -67,6 +67,48 @@ class StoreSpec extends SparkSpec {
     assert(store.sensors.count() == 2)
   }
 
+  test("catalog publish is append-only and never empties the directory") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
+    def sensorRow(u: String) =
+      Seq((u, s"name_$u", "Float")).toDF("uuid", "name", "type")
+        .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+        .withColumn("labels", lit(null).cast("map<string,string>"))
+    store.publishSensors(sensorRow("u1"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/sensors"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
+    val initial = files()
+    // a novel-sensor publish ADDS files; the old ones are never touched,
+    // so a reader mid-publish always has a complete catalog to read
+    store.publishSensors(sensorRow("u2"))
+    val after = files()
+    assert(initial.subsetOf(after), "publish must not rewrite existing files")
+    assert(after.size > initial.size, "novel rows append as new files")
+    // O(new sensors): the appended files hold ONLY the novel row
+    val appended = spark.read.parquet(
+      (after -- initial).map(n => s"$root/sensors/$n").toSeq: _*)
+    assert(appended.collect().map(_.getString(0)).toSeq == Seq("u2"))
+    // dedup-on-read: a racing double-publish of the same novel uuid (or a
+    // mid-compaction old+new overlap) reads as one row
+    val dup = s"$root/sensors/dup-copy.parquet"
+    val src = (after -- initial).head
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/sensors/$src"), fs,
+      new org.apache.hadoop.fs.Path(dup), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(store.sensors.count() == 2, "duplicate rows must dedup on read")
+    // compaction adds before it deletes (any intermediate state is
+    // complete under dedup-on-read) and converges to one file
+    store.compactCatalog()
+    assert(files().size == 1)
+    assert(store.sensors.count() == 2)
+    assert(store.sensors.collect().map(_.getString(0)).toSet == Set("u1", "u2"))
+  }
+
   test("vacuum compacts while preserving data and sort") {
     val store = new SensorStore(spark, tempDir())
     store.publishSamples(SensorType.Float, sampleData)
