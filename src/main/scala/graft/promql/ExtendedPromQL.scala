@@ -186,6 +186,35 @@ object ExtendedPromQL {
   final case class HistogramQuantileQ(
       phi: Double, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
       extends Query
+  /** `<op>_over_time(<inner>[range:step])` — a PromQL SUBQUERY (rejected
+    * by the reference alongside every other function: src/ingestors/http/
+    * simple_promql.rs:150-171, and previously unsupported here too): the
+    * inner expression is evaluated as an instant vector at every
+    * step-aligned timestamp in `[end − range, end]` (Prometheus
+    * alignment: evaluation times are the multiples of `step` inside the
+    * range), and the outer `<op>_over_time` folds each series' step
+    * values. `phi` carries quantile_over_time's φ.
+    *
+    * Inner expressions evaluate per (series, step) with the window
+    * re-anchored to the step: selectors contribute their latest sample
+    * in the lookback window ending at the step, `<agg>_over_time` /
+    * `quantile_over_time` / rate / increase / delta their window result,
+    * and scalar arithmetic / comparison wrappers apply per step value.
+    * An inner `offset` shifts every step window back uniformly
+    * (`innerShiftUs`); `innerSpanUs` is the inner window length (the
+    * lookback for plain selectors, the bracketed range otherwise).
+    * Cross-series aggregations inside a subquery are rejected.
+    */
+  final case class SubqueryOverTimeQ(
+      op: String, phi: Option[Double], inner: Query,
+      rangeUs: Long, stepUs: Long, evalEndUs: Long,
+      innerShiftUs: Long, innerSpanUs: Long) extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    // the scan span: earliest window start of the first step through the
+    // latest window end of the last step (both shifted by inner offset)
+    def startUs: Long = evalEndUs - rangeUs - innerShiftUs - innerSpanUs
+    def endUs: Long = evalEndUs - innerShiftUs
+  }
 
   import SimplePromQL.PromQLError
 
@@ -328,6 +357,45 @@ object ExtendedPromQL {
     case _ => throw PromQLError(
       s"Binary operator $side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
+  }
+
+  /** `[range:step]` at the tail of an expression — the subquery form. The
+    * greedy prefix keeps the LAST bracket group, so an inner selector
+    * range (`rate(x[5m])[1h:5m]`) splits at the subquery brackets.
+    */
+  private val SubqueryRe = """(?s)^(.*)\[([0-9a-z]+):([0-9a-z]+)\]\s*$""".r
+
+  private def validSubqueryInner(q: Query): Boolean = q match {
+    case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ =>
+      true
+    case b: BinScalarQ => validSubqueryInner(b.inner)
+    case b: BinCmpQ => validSubqueryInner(b.inner)
+    case _ => false
+  }
+
+  /** Parse `body` as `<inner>[range:step]` when it has the subquery tail;
+    * None otherwise (plain range selectors have no `:`).
+    */
+  private def parseSubquery(
+      op: String, phi: Option[Double], body: String,
+      nowUs: Long): Option[Query] = body.trim match {
+    case SubqueryRe(innerStr, rangeD, stepD) =>
+      val rangeUs = SimplePromQL.parseDurationMs(rangeD) * 1000L
+      val stepUs = SimplePromQL.parseDurationMs(stepD) * 1000L
+      if (rangeUs <= 0 || stepUs <= 0)
+        throw PromQLError("Subquery range and step must be positive")
+      if (rangeUs / stepUs > 100000L)
+        throw PromQLError(
+          s"Subquery [$rangeD:$stepD] resolves to more than 100000 steps")
+      val inner = parse(innerStr.trim, nowUs)
+      if (!validSubqueryInner(inner))
+        throw PromQLError(
+          "Subquery inner expression must be a selector or a per-series " +
+            "function (cross-series aggregations are not subquery operands)")
+      Some(SubqueryOverTimeQ(op, phi, inner, rangeUs, stepUs, nowUs,
+        innerShiftUs = nowUs - inner.endUs,
+        innerSpanUs = inner.endUs - inner.startUs))
+    case _ => None
   }
 
   def parse(query: String, nowUs: Long): Query = {
@@ -522,11 +590,13 @@ object ExtendedPromQL {
           if (phi < 0.0 || phi > 1.0)
             throw PromQLError(s"Quantile $phi out of [0, 1]")
           val selStr = inner.substring(comma + 1).trim
-          if (!selStr.contains("["))
-            throw PromQLError(
-              "quantile_over_time expects a range selector (like metric[5m])")
-          val sel = parseSelector(selStr, nowUs)
-          QuantileOverTimeQ(phi, sel.matchers, sel.startUs, sel.endUs)
+          parseSubquery("quantile", Some(phi), selStr, nowUs).getOrElse {
+            if (!selStr.contains("["))
+              throw PromQLError(
+                "quantile_over_time expects a range selector (like metric[5m])")
+            val sel = parseSelector(selStr, nowUs)
+            QuantileOverTimeQ(phi, sel.matchers, sel.startUs, sel.endUs)
+          }
         } else if (head.endsWith("_over_time")) {
           val op = head.stripSuffix("_over_time")
           if (!OverTimeOps.contains(op))
@@ -534,11 +604,13 @@ object ExtendedPromQL {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
-          if (!inner.contains("["))
-            throw PromQLError(
-              s"$head expects a range selector (like metric[5m])")
-          val sel = parseSelector(inner, nowUs)
-          OverTimeQ(op, sel.matchers, sel.startUs, sel.endUs)
+          parseSubquery(op, None, inner, nowUs).getOrElse {
+            if (!inner.contains("["))
+              throw PromQLError(
+                s"$head expects a range selector (like metric[5m])")
+            val sel = parseSelector(inner, nowUs)
+            OverTimeQ(op, sel.matchers, sel.startUs, sel.endUs)
+          }
         } else if (RangeFnOps.contains(head) && after.trim.startsWith("(")) {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
@@ -743,6 +815,28 @@ object ExtendedPromQL {
     case other => throw PromQLError(s"Unsupported binary operator: $other")
   }
 
+  private def cmpPred(op: String, l: Column, r: Column): Column = op match {
+    case ">" => l > r
+    case ">=" => l >= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case "==" => l === r
+    case "!=" => l =!= r
+    case other => throw PromQLError(s"Unsupported comparison: $other")
+  }
+
+  /** Prometheus subquery step alignment: evaluation timestamps are the
+    * multiples of `step` (since the Unix epoch) inside
+    * `[end − range, end]`.
+    */
+  private def stepTimestamps(
+      rangeUs: Long, stepUs: Long, endUs: Long): Seq[Long] = {
+    val start = endUs - rangeUs
+    val floor = Math.floorDiv(start, stepUs) * stepUs
+    val first = if (floor < start) floor + stepUs else floor
+    (first to endUs by stepUs).toList
+  }
+
   /** Evaluate an operand to its instant vector (one row per series:
     * sensor_id, labels, value): a plain selector contributes each
     * series' latest sample in the window; per-series functions
@@ -775,15 +869,7 @@ object ExtendedPromQL {
         val (l, r) =
           if (b.scalarOnLeft) (lit(b.scalar), col("value"))
           else (col("value"), lit(b.scalar))
-        val pred = b.op match {
-          case ">" => l > r
-          case ">=" => l >= r
-          case "<" => l < r
-          case "<=" => l <= r
-          case "==" => l === r
-          case "!=" => l =!= r
-          case other => throw PromQLError(s"Unsupported comparison: $other")
-        }
+        val pred = cmpPred(b.op, l, r)
         if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
         else v.filter(pred)
       case TopKQ(op, k, _, _, _) =>
@@ -854,6 +940,97 @@ object ExtendedPromQL {
                 .select("sensor_id", "labels", "value")
             else agg.select("sensor_id", "labels", "value")
         }
+      case sq: SubqueryOverTimeQ =>
+        import samples.sparkSession.implicits._
+        val steps = stepTimestamps(sq.rangeUs, sq.stepUs, sq.evalEndUs)
+        if (steps.isEmpty)
+          throw PromQLError("Subquery range contains no step timestamps")
+        // ONE pass over the scan: the (tiny) step frame broadcasts into a
+        // range join that lands each sample in every step window holding
+        // it (≤ span/step + 1 steps), then the inner evaluates per
+        // (series, step) group — never a per-step job loop
+        val stepsDf = steps.toDF("__t")
+        val lo = col("__t") - lit(sq.innerShiftUs + sq.innerSpanUs)
+        val hi = col("__t") - lit(sq.innerShiftUs)
+        val j = inWindow.join(broadcast(stepsDf),
+          col("timestamp_us") >= lo && col("timestamp_us") <= hi)
+        def grouped = j.groupBy(col("sensor_id"), col("__t"))
+        // latest sample in the step window, ties on timestamp resolved by
+        // value like lastInWindow's (ts desc, value desc) ordering
+        def lastAtStep: DataFrame = grouped
+          .agg(first(col("labels")).as("labels"),
+            max(struct(col("timestamp_us"), col("value")))
+              .getField("value").as("value"))
+        def stepValues(q0: Query): DataFrame = q0 match {
+          case _: SelectorQ => lastAtStep
+          case OverTimeQ("last", _, _, _) => lastAtStep
+          case OverTimeQ(op2, _, _, _) =>
+            grouped.agg(first(col("labels")).as("labels"),
+              aggCol(op2, col("value")).as("value"))
+          case QuantileOverTimeQ(phi, _, _, _) =>
+            grouped.agg(first(col("labels")).as("labels"),
+              percentile(col("value"), lit(phi)).as("value"))
+          case RangeFnQ("delta", _, _, _) =>
+            grouped.agg(first(col("labels")).as("labels"),
+              (max(struct(col("timestamp_us"), col("value")))
+                .getField("value") -
+                min(struct(col("timestamp_us"), col("value")))
+                  .getField("value")).as("value"),
+              count(lit(1)).as("__n"))
+              .filter(col("__n") >= 2)
+              .select(col("sensor_id"), col("__t"), col("labels"),
+                col("value"))
+          case RangeFnQ(op2, _, _, _) => // increase | rate
+            val ord = Window.partitionBy(col("sensor_id"), col("__t"))
+              .orderBy(col("timestamp_us"), col("value"))
+            val d = j.withColumn("__prev", lag(col("value"), 1).over(ord))
+              .withColumn("__d",
+                when(col("__prev").isNull, lit(null).cast("double"))
+                  .when(col("value") >= col("__prev"),
+                    col("value") - col("__prev"))
+                  .otherwise(col("value")))
+            val agg = d.groupBy(col("sensor_id"), col("__t"))
+              .agg(first(col("labels")).as("labels"),
+                sum(col("__d")).as("value"))
+              .filter(col("value").isNotNull)
+            if (op2 == "rate")
+              agg.withColumn("value",
+                col("value") / lit(sq.innerSpanUs / 1e6))
+            else agg
+          case b: BinScalarQ =>
+            val v = stepValues(b.inner)
+            val e =
+              if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
+              else binCol(b.op, col("value"), lit(b.scalar))
+            v.withColumn("value", e)
+          case b: BinCmpQ =>
+            val v = stepValues(b.inner)
+            val (l, r) =
+              if (b.scalarOnLeft) (lit(b.scalar), col("value"))
+              else (col("value"), lit(b.scalar))
+            val pred = cmpPred(b.op, l, r)
+            if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
+            else v.filter(pred)
+          case _ =>
+            throw PromQLError("Unsupported subquery inner expression")
+        }
+        val sv = stepValues(sq.inner)
+        val folded = (sq.op, sq.phi) match {
+          case ("quantile", Some(phi)) =>
+            sv.groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                percentile(col("value"), lit(phi)).as("value"))
+          case ("last", _) =>
+            sv.groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                max(struct(col("__t"), col("value")))
+                  .getField("value").as("value"))
+          case (op2, _) =>
+            sv.groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                aggCol(op2, col("value")).as("value"))
+        }
+        folded.select("sensor_id", "labels", "value")
       case InstantAggQ(op, by, without, _, _, _) =>
         val latest = lastInWindow(inWindow)
         val groupLabels =

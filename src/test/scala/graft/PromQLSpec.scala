@@ -333,6 +333,97 @@ class ExtendedPromQLSpec extends SparkSpec {
     assert(byUser == Map("1" -> 2.0, "2" -> 10.0))
   }
 
+  test("subquery parse: [range:step] forms, alignment, rejections") {
+    ExtendedPromQL.parse("max_over_time(view[1h:15m])", now) match {
+      case SubqueryOverTimeQ("max", None, _: SelectorQ, r, st, e, sh, sp) =>
+        assert(r == 3600000000L && st == 900000000L && e == now)
+        assert(sh == 0L && sp == 3600000000L) // selector lookback
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("sum_over_time(rate(view[5m])[1h:5m])", now) match {
+      case SubqueryOverTimeQ("sum", None, RangeFnQ("rate", _, _, _),
+          _, _, _, sh, sp) =>
+        assert(sh == 0L && sp == 300000000L) // inner range, not lookback
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse(
+      "quantile_over_time(0.5, view[30m:5m])", now) match {
+      case SubqueryOverTimeQ("quantile", Some(phi), _, _, _, _, _, _) =>
+        assert(phi == 0.5)
+      case other => fail(s"unexpected: $other")
+    }
+    // an inner offset shifts every step window uniformly
+    ExtendedPromQL.parse("max_over_time(view offset 1h[1h:15m])", now) match {
+      case SubqueryOverTimeQ("max", None, _, _, _, _, sh, sp) =>
+        assert(sh == 3600000000L && sp == 3600000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    // cross-series aggregations are not per-series subquery operands
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("max_over_time(sum(view)[1h:5m])", now)
+    }
+    // a bare subquery is still not a selector (reference parity)
+    intercept[PromQLError] { ExtendedPromQL.parse("view[1h:5m]", now) }
+    intercept[PromQLError] { // zero step
+      ExtendedPromQL.parse("max_over_time(view[1h:0s])", now)
+    }
+  }
+
+  test("subquery eval: per-step last sample, alignment, inner rate") {
+    import spark.implicits._
+    val selected = Seq(("v 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    // two samples: the step windows (1h lookback, 15m steps over 1h)
+    // see no data at now-1h, value 1 at the middle steps, value 5 once
+    // the later sample enters the lookback
+    val samples = Seq(
+      ("v 1", now - 3500000000L, 1.0),
+      ("v 1", now - 1000000000L, 5.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    def run(q: String): Map[String, Double] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("sensor_id", "value").as[(String, Double)].collect().toMap
+    assert(run("max_over_time(view[1h:15m])") == Map("v 1" -> 5.0))
+    assert(run("min_over_time(view[1h:15m])") == Map("v 1" -> 1.0))
+    // 5 aligned steps; the earliest window holds no sample -> 4 points
+    assert(run("count_over_time(view[1h:15m])") == Map("v 1" -> 4.0))
+    assert(run("avg_over_time(view[1h:15m])") == Map("v 1" -> 3.0))
+    assert(run("last_over_time(view[1h:15m])") == Map("v 1" -> 5.0))
+    assert(run("quantile_over_time(0.5, view[1h:15m])") == Map("v 1" -> 3.0))
+    // scalar arithmetic applies per step value, before the outer fold
+    assert(run("sum_over_time(view * 2[1h:15m])") == Map("v 1" -> 24.0))
+    // comparison filtering drops step points below the threshold
+    assert(run("count_over_time(view > 2[1h:15m])") == Map("v 1" -> 2.0))
+    // unaligned range start: first step rounds UP to the next multiple
+    // of step (Prometheus alignment) -> 4 steps, all holding the sample
+    val aligned = Seq(("v 1", now - 2700000000L, 7.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val n = ExtendedPromQL.eval(
+      ExtendedPromQL.parse("count_over_time(view[50m:15m])", now),
+      selected, aligned)
+      .select("value").as[Double].collect().head
+    assert(n == 4.0)
+  }
+
+  test("subquery eval: inner rate per step window") {
+    import spark.implicits._
+    val selected = Seq(("c 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    // counter +1 every 5s: rate over any [t-10s, t] window with 3
+    // samples is 0.2/s; the earliest step window holds one sample only
+    val samples = (0 to 6).map(i =>
+      ("c 1", now - 30000000L + i * 5000000L, i.toDouble))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val q = ExtendedPromQL.parse("max_over_time(rate(view[10s])[30s:10s])", now)
+    val got = ExtendedPromQL.eval(q, selected, samples)
+      .select("value").as[Double].collect().head
+    assert(math.abs(got - 0.2) < 1e-12)
+    val cnt = ExtendedPromQL.eval(
+      ExtendedPromQL.parse("count_over_time(rate(view[10s])[30s:10s])", now),
+      selected, samples).select("value").as[Double].collect().head
+    assert(cnt == 3.0) // 4 steps, first has a single sample -> no rate
+  }
+
   test("parses topk/bottomk and binary expressions") {
     ExtendedPromQL.parse("topk(3, view)", now) match {
       case TopKQ("topk", 3, ms, _, e) =>
