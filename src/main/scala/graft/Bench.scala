@@ -3,18 +3,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query steady-state seconds.
   *
-  * Methodology: each query runs twice — the first (cold) run carries
-  * Catalyst analysis + whole-stage codegen compilation of a fresh plan,
-  * the second (warm) run is the serving steady state (a gateway executes
+  * Methodology: each query runs once cold, then THREE warm rounds; the
+  * published per-query number is the MEDIAN of the warm samples. The
+  * cold run carries Catalyst analysis + whole-stage codegen compilation
+  * of a fresh plan; warm is the serving steady state (a gateway executes
   * the same plan shapes continuously, so warm time is what a user sees;
-  * JIT-warmup exclusion is standard practice, e.g. JMH). `queries`/
-  * `value` report warm times; the cold run is published alongside under
-  * `cold_queries`/`cold_total` for transparency.
+  * JIT-warmup exclusion is standard practice, e.g. JMH). Medians rather
+  * than single samples: past rounds showed single warm samples swinging
+  * >3x on untouched queries under host load, which a median of three
+  * absorbs. `queries`/`value` report the medians; the cold run and the
+  * raw warm samples are published on EARLIER lines (`cold_queries`,
+  * `warm_samples`) for transparency — the driver parses only the final
+  * line, so the verbose lines are safely truncated first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -25,29 +31,52 @@ object Bench {
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // free any result checkpoint the op pinned (Dedup/Similarity
+      // materialize their answer as an eager localCheckpoint) — without
+      // this every invocation leaks blocks for the JVM's lifetime, and
+      // the 4-runs-per-query loop below would hoard 4x the storage
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        graft.pipeline.PipelineCache.free(df)
+      } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val cold = timed(fn)
-      val warm = timed(fn)
-      name -> (cold, warm)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val cold = names.map(n => n -> timed(SparkEntry.queries(n))).toMap
+    // warm samples round-robin (all queries once, then again) rather than
+    // back-to-back, so a transient host-load spike degrades one sample of
+    // many queries instead of all samples of one query
+    val warm: Map[String, Seq[Double]] = {
+      val rounds = (1 to warmRounds).map { _ =>
+        names.map(n => n -> timed(SparkEntry.queries(n))).toMap
+      }
+      names.map(n => n -> rounds.map(_(n))).toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val med = names.map(n => n -> median(warm(n))).toMap
     // The driver captures only the tail of this process's output, so the
     // final JSON line must stay short: 2-decimal per-query rounding
-    // (3 for the totals), and the verbose cold per-query breakdown goes
-    // on an EARLIER line (truncated first). At 65+ queries the line sits
-    // ~1670 of the ~1900 usable chars — keep checking len on growth.
+    // (3 for the totals); verbose cold/per-sample breakdowns go on
+    // EARLIER lines (truncated first). At 67 queries the summary sits
+    // ~1700 of the ~1900 usable chars — keep checking len on growth.
     def r3(d: Double): String = f"$d%.3f"
     def r2(d: Double): String = f"$d%.2f"
-    def json(sel: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + r2(sel(v)) }
-        .mkString("{", ",", "}")
-    val warmTotal = results.values.map(_._2).sum
-    val coldTotal = results.values.map(_._1).sum
-    val coldLine = s"""{"cold_queries":${json(_._1)}}"""
+    def json(m: Map[String, Double]): String =
+      names.map(n => "\"" + n + "\":" + r2(m(n))).mkString("{", ",", "}")
+    val warmTotal = names.map(med).sum
+    val coldTotal = names.map(cold).sum
+    val coldLine = s"""{"cold_queries":${json(cold)}}"""
+    val samplesLine = names.map { n =>
+      "\"" + n + "\":[" + warm(n).map(r2).mkString(",") + "]"
+    }.mkString("""{"warm_samples":{""", ",", "}}")
     val summary = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec",""" +
-      s""""queries":${json(_._2)},"cold_total":${r3(coldTotal)},"sf":"$sfDir"}"""
+      s""""queries":${json(med)},"cold_total":${r3(coldTotal)},""" +
+      s""""warm_rounds":$warmRounds,"stat":"median","sf":"$sfDir"}"""
     // Stop Spark BEFORE emitting the summary: the driver parses the final
     // line of the process tail as JSON, so no shutdown log line may land
     // after it. (build.sbt passes forked stdout through verbatim and
@@ -55,6 +84,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(coldLine)
+    println(samplesLine)
     println(summary)
   }
 }

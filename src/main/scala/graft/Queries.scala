@@ -584,7 +584,7 @@ object Queries {
       // repartition: spread the single-split documents scan before the
       // shingling explode (otherwise the first stage runs on one core)
       Dedup.ngramJaccardPairs(
-        Tables.documents(s, d).repartition(col("doc_id")),
+        Tables.spread(s, Tables.documents(s, d)),
         "doc_id", "text", 3, 0.5)
         .orderBy("id_a", "id_b")
     },
@@ -610,7 +610,7 @@ object Queries {
       // 8 bands × 4 rows: P[miss] at j≈0.98 is (1-j⁴)^8 ≈ 1e-9, false-
       // candidate rate at j≈0.2 ≈ 1%, at half the signature cost of 64
       Dedup.minHashLshPairs(
-        Tables.documents(s, d).repartition(col("doc_id")), "doc_id", "text",
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
         n = 3, tau = 0.5, numHashes = 32, bands = 8)
         .orderBy("id_a", "id_b")
     },
@@ -661,7 +661,7 @@ object Queries {
       // repartition: the single-split documents scan would otherwise run
       // the tokenize+hash stage serially
       Dedup.simHashPairs(
-        Tables.documents(s, d).repartition(col("doc_id")), "doc_id", "text",
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
         maxHamming = 16, tokenHash = Dedup.md5TokenHash)
         .orderBy("id_a", "id_b")
     },
@@ -717,9 +717,11 @@ object Queries {
         |  COUNT(*) AS n
         |FROM documents GROUP BY source, pred_lang ORDER BY source, pred_lang"""
     ) { (s, d) =>
-      // repartition: the language-ID expression is wide (per-profile token
-      // scans) and the documents file is one input split
-      Tables.documents(s, d).repartition(col("doc_id"))
+      // spread (GUARDED repartition): the per-profile regex scans are the
+      // cost here (measured 3x faster 32-way than single-task), but the
+      // widening exchange must disappear at corpus scale where the scan
+      // already has enough splits — Tables.spread does exactly that
+      Tables.spread(s, Tables.documents(s, d))
         .select(col("source"), TextAnalysis.languageId(col("text")).as("pred_lang"))
         .groupBy(col("source"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
@@ -1281,7 +1283,7 @@ object Queries {
     ) { (s, d) =>
       // repartition before the per-doc digest UDF: the documents file is a
       // single input split, and the fingerprint work would run serially
-      val fp = Tables.documents(s, d).repartition(col("doc_id"))
+      val fp = Tables.spread(s, Tables.documents(s, d))
         .select(col("doc_id").as("id"),
           explode(graft.pipeline.TextAnalysis.winnowingFingerprintsMd5(
             col("text"), k = 10, w = 50)).as("fp"))
@@ -1511,7 +1513,7 @@ object Queries {
         |WHERE rnk <= 20 ORDER BY n DESC, token"""
     ) { (s, d) =>
       graft.pipeline.TextAnalysis.topTokens(
-        Tables.documents(s, d).repartition(col("doc_id")), "text", 20)
+        Tables.spread(s, Tables.documents(s, d)), "text", 20)
         .orderBy(col("n").desc, col("token"))
     },
 
@@ -1550,7 +1552,7 @@ object Queries {
         |ORDER BY id"""
     ) { (s, d) =>
       Dedup.nearDupClusters(
-        Tables.documents(s, d).repartition(col("doc_id")),
+        Tables.spread(s, Tables.documents(s, d)),
         "doc_id", "text", n = 3, tau = 0.5)
         .orderBy("id")
     },
@@ -1584,7 +1586,7 @@ object Queries {
          |GROUP BY e.doc_id ORDER BY doc_id"""
     ) { (s, d) =>
       import graft.pipeline.Sampling
-      val docs = Tables.documents(s, d).repartition(col("doc_id"))
+      val docs = Tables.spread(s, Tables.documents(s, d))
       val isEval = Sampling.hash60(col("doc_id"), "eval:") <
         lit((0.1 * (1L << 60).toDouble).toLong)
       Dedup.contamination(
@@ -1924,6 +1926,59 @@ object Queries {
     ) { (s, d) =>
       val parsed = graft.promql.ExtendedPromQL.parse(
         "rate(view[31d]) > 0.00003", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 9).as("value"))
+        .orderBy("user_tag")
+    },
+
+    // PromQL subquery `max_over_time(rate(view[1d])[31d:1d])`: the inner
+    // rate evaluates at every day-aligned step in [end-31d, end] (step
+    // timestamps are the multiples of the step since the Unix epoch —
+    // here Jan 1 .. Feb 1 2024, 32 steps), each over the 1-day window
+    // ending at the step; the outer max folds the per-series step rates.
+    // The oracle replays the step grid with generate_series and the same
+    // reset-aware delta sum per (user, step) window. Both step windows
+    // are closed on both ends (this engine's documented inclusive
+    // between() convention). ROUND(9) absorbs summation-order ULP drift,
+    // as q43 does for the plain rate.
+    q(
+      "q67_promql_subquery",
+      """WITH steps AS (
+        |  SELECT t AS step_us FROM generate_series(
+        |    1704067200000000, 1706745600000000, 86400000000) s(t)),
+        |w AS (
+        |  SELECT st.step_us, e.user_id, e.value, epoch_us(e.ts) AS ts_us
+        |  FROM events e JOIN steps st
+        |    ON epoch_us(e.ts)
+        |      BETWEEN st.step_us - 86400000000 AND st.step_us
+        |  WHERE e.event_type = 'view'),
+        |l AS (
+        |  SELECT step_us, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id, step_us
+        |      ORDER BY ts_us, value) AS prev
+        |  FROM w),
+        |r AS (
+        |  SELECT step_us, user_id,
+        |    SUM(CASE WHEN prev IS NULL THEN NULL
+        |      WHEN value >= prev THEN value - prev
+        |      ELSE value END) / 86400.0 AS rate
+        |  FROM l GROUP BY step_us, user_id
+        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) IS NOT NULL)
+        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  ROUND(MAX(rate), 9) AS value
+        |FROM r GROUP BY user_id ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "max_over_time(rate(view[1d])[31d:1d])", 1706745600000000L)
       val selected = Matchers.sensorsByLabels(
         EventsAdapter.sensors(s, d), parsed.matchers)
         .select(concat(col("name"), lit(" "),

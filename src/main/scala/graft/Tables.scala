@@ -33,4 +33,18 @@ object Tables {
     normalizeEvents(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Widen a narrow scan to the session's parallelism before an
+    * expression/UDF-heavy stage. The driver testdata is a single parquet
+    * row group, which Spark cannot split below file level — without this
+    * one task runs the whole stage (measured 3x slower than the widened
+    * plan for the language-ID scan, despite the extra exchange). The
+    * round-robin repartition moves the full rows, so it is GUARDED: at
+    * corpus scale the store emits many row groups, the scan already has
+    * enough splits, and the exchange stays out of the plan entirely.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
 }

@@ -47,8 +47,13 @@ object TextAnalysis {
     * count.
     */
   private def stopwordHits(loweredText: Column, words: Seq[String]): Column = {
+    // Pattern.quote each word: current profiles are plain letters, but a
+    // future word containing a regex metacharacter (apostrophe-d forms,
+    // '.') must stay a literal, not silently change matching semantics
     val pat = "(?:^|\\s)(?:" +
-      words.sortBy(w => (-w.length, w)).mkString("|") + ")(?=\\s|$)"
+      words.sortBy(w => (-w.length, w))
+        .map(java.util.regex.Pattern.quote)
+        .mkString("|") + ")(?=\\s|$)"
     size(regexp_extract_all(loweredText, lit(pat), lit(0)))
   }
 

@@ -204,6 +204,13 @@ object ExtendedPromQL {
     * (`innerShiftUs`); `innerSpanUs` is the inner window length (the
     * lookback for plain selectors, the bracketed range otherwise).
     * Cross-series aggregations inside a subquery are rejected.
+    *
+    * Boundary convention: each step window is CLOSED ON BOTH ENDS
+    * (`timestamp_us >= lo && <= hi`), matching this engine's pervasive
+    * inclusive `between()` convention — a sample sitting exactly on a
+    * step boundary therefore contributes to both adjacent step windows.
+    * This is a deliberate, documented deviation from upstream
+    * Prometheus, whose range windows are left-open.
     */
   final case class SubqueryOverTimeQ(
       op: String, phi: Option[Double], inner: Query,

@@ -20,7 +20,9 @@ import graft.model.{Schemas, SensorType}
   *  - the sensors catalog is a small parquet table deduped on uuid at
   *    publish time (latest metadata wins), always broadcastable.
   */
-final class SensorStore(spark: SparkSession, root: String) {
+final class SensorStore(
+    spark: SparkSession, root: String,
+    catalogCompactThreshold: Int = 16) {
 
   private def valueDir(t: SensorType) = s"$root/values_${t.displayName.toLowerCase}"
   private val catalogDir = s"$root/sensors"
@@ -74,15 +76,38 @@ final class SensorStore(spark: SparkSession, root: String) {
     */
   def publishSensors(sensors: DataFrame): Unit = {
     val incoming = sensors.dropDuplicates("uuid")
-    val novel =
-      if (exists(catalogDir)) {
-        val existing = spark.read.parquet(catalogDir)
-        val n = incoming
-          .join(existing.select("uuid"), Seq("uuid"), "left_anti")
-        if (n.limit(1).count() == 0) return
-        n
-      } else incoming
-    novel.write.mode(SaveMode.Append).parquet(catalogDir)
+    if (!exists(catalogDir)) {
+      incoming.write.mode(SaveMode.Append).parquet(catalogDir)
+      return
+    }
+    val existing = spark.read.parquet(catalogDir)
+    // one catalog-read job per publish: the anti-join materializes ONCE
+    // as an eager local checkpoint; the emptiness probe and the write
+    // both run off its blocks (previously each ran the catalog scan)
+    val novel = incoming
+      .join(existing.select("uuid"), Seq("uuid"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      if (novel.isEmpty) return
+      novel.write.mode(SaveMode.Append).parquet(catalogDir)
+      // bound the publish-file accumulation: each novel-sensor publish
+      // appends a file forever unless compacted — fold them back into
+      // one once the count crosses the threshold (read-safe at every
+      // step under dedup-on-read, see compactCatalog)
+      if (parquetFiles(catalogDir).length > catalogCompactThreshold)
+        compactCatalog()
+    } finally graft.pipeline.PipelineCache.free(novel)
+  }
+
+  private def parquetFiles(
+      dir: String): Array[org.apache.hadoop.fs.Path] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
   }
 
   /** The catalog, deduped on uuid at read time — the invariant that makes
@@ -102,29 +127,53 @@ final class SensorStore(spark: SparkSession, root: String) {
     * duplicates that dedup away), the replaced files are deleted after
     * (readers see new + a suffix of old — still complete). Never a
     * window with missing rows or an empty directory.
+    *
+    * Failure safety: every rename's result is CHECKED — if moving a
+    * compacted file in fails, the already-moved ones are withdrawn
+    * (duplicates under dedup, safe to remove) and the old files are left
+    * untouched, so a failed compaction never loses catalog data. The tmp
+    * dir and the compacted names carry a UUID, so two racing compactions
+    * cannot collide on paths (the loser fails its renames and aborts).
+    *
+    * Remaining reader caveat (single-process stores won't see it): Spark
+    * lists files eagerly but reads them lazily, so a reader that listed
+    * before the old-file delete can still fault on a vanished file at
+    * scan time; such readers should set
+    * `spark.sql.files.ignoreMissingFiles` (safe here — the compacted
+    * file is a superset under dedup-on-read).
     */
   def compactCatalog(): Unit = {
     if (!exists(catalogDir)) return
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(catalogDir)
-    val old = fs.listStatus(dir)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
+    val old = parquetFiles(catalogDir)
     if (old.length <= 1) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$catalogDir.compact.tmp")
+    val stamp = s"${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$catalogDir.compact.$stamp.tmp")
     val compacted = spark.read
       .parquet(old.map(_.toString): _*).dropDuplicates("uuid").coalesce(1)
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val stamp = System.currentTimeMillis()
-    fs.listStatus(tmp)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(dir, s"compact-$stamp-$i.parquet"))
+    try {
+      val moved = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
+      val ok = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.forall { case (f, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            dir, s"compact-$stamp-$i.parquet")
+          val renamed = fs.rename(f.getPath, target)
+          if (renamed) moved += target
+          renamed
+        }
+      if (!ok) {
+        // abort: withdraw the partial move-in, keep old files intact
+        moved.foreach(fs.delete(_, false))
+        return
       }
-    old.foreach(fs.delete(_, false))
-    fs.delete(tmp, true)
+      old.foreach(fs.delete(_, false))
+    } finally fs.delete(tmp, true)
   }
 
   /** Typed sample scan in the canonical 3-column layout. Timestamp
@@ -214,23 +263,62 @@ final class SensorStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Rewrite one `month=` partition directory: coalesce to
-    * `targetPartitions` sorted files, then swap the directory.
+  /** Rewrite one `month=` partition directory to `targetPartitions`
+    * sorted files — same move-in-beside-then-delete standard as
+    * [[compactCatalog]], so the month directory NEVER disappears
+    * mid-compaction (the previous delete-then-rename left a window where
+    * a racing reader saw a missing month).
+    *
+    * Mid-state visibility contract: a reader listing during the swap
+    * sees old files, old + compacted (every row doubled), or compacted +
+    * a suffix of old — always a SUPERSET of the true rows, never a
+    * missing or empty month. Readers needing exact counts while a
+    * vacuum runs should read through the exact-dedup operator (S15,
+    * `SensorOps.dedup`), which makes every mid-state exact — the
+    * same dedup-on-read contract the catalog relies on. Rename results
+    * are checked; on failure the partial move-in is withdrawn and the
+    * old files stay, so a failed vacuum never loses samples.
+    *
+    * A reader that LISTED before the final delete but scans after will
+    * fault on the vanished file — for value tables that fault must stay
+    * LOUD (retry the read): unlike the catalog, these scans have no
+    * dedup-on-read, so `spark.sql.files.ignoreMissingFiles` would
+    * silently drop the listed-but-deleted files and show an EMPTY month
+    * instead. A retried read re-lists and sees the compacted files.
     */
   private def compactPartition(
       fs: org.apache.hadoop.fs.FileSystem,
       partDir: org.apache.hadoop.fs.Path,
       targetPartitions: Int): Unit = {
+    val stamp = s"${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(
-      partDir.getParent, s".${partDir.getName}.compact.tmp")
-    val df = spark.read.parquet(partDir.toString).cache()
-    df.count() // materialize before touching the source files
-    df.repartition(targetPartitions)
+      partDir.getParent, s".${partDir.getName}.compact.$stamp.tmp")
+    val old = fs.listStatus(partDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    spark.read.parquet(partDir.toString)
+      .repartition(targetPartitions)
       .sortWithinPartitions("sensor_id", "timestamp_us")
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    df.unpersist()
-    fs.delete(partDir, true)
-    fs.rename(tmp, partDir)
+    try {
+      val moved = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
+      val ok = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.forall { case (f, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            partDir, s"compact-$stamp-$i.parquet")
+          val renamed = fs.rename(f.getPath, target)
+          if (renamed) moved += target
+          renamed
+        }
+      if (!ok) {
+        moved.foreach(fs.delete(_, false))
+        return
+      }
+      old.foreach(fs.delete(_, false))
+    } finally fs.delete(tmp, true)
   }
 
   private def exists(path: String): Boolean = {

@@ -145,6 +145,103 @@ class StoreSpec extends SparkSpec {
     assert(monthFiles() == after)
   }
 
+  test("a reader racing vacuum never sees a missing or empty month") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
+    // several files per month so both months need compaction
+    (1 to 4).foreach(_ => store.publishSamples(SensorType.Float, sampleData))
+    val trueCount = 12L
+    // fixed schema: production readers carry the table schema (as
+    // samples()/samplesInRange() effectively do); schema inference would
+    // add an unrelated footer-read race to the loop
+    val schemaOnRead = spark.read.parquet(s"$root/values_float").schema
+    @volatile var vacuumDone = false
+    val vacuumThread = new Thread(() => {
+      try store.vacuum(SensorType.Float) finally { vacuumDone = true }
+    })
+    vacuumThread.start()
+    // contract under the move-in-beside-then-delete swap: a read either
+    // SUCCEEDS seeing both months as a superset of the true rows (old,
+    // old+new, or new+suffix-of-old — never a missing or partial month),
+    // or fails LOUDLY on a listed-then-deleted file and is retried
+    // (ignoreMissingFiles would instead silently skip those files and
+    // fabricate an empty month — kept OFF for value tables by design)
+    var successes = 0
+    var retried = 0
+    while (!vacuumDone || successes == 0) {
+      try {
+        val byMonth = spark.read.schema(schemaOnRead)
+          .parquet(s"$root/values_float")
+          .groupBy("month").count().collect()
+          .map(r => r.get(0).toString -> r.getLong(1)).toMap
+        assert(byMonth.keySet == Set("202401", "202402"),
+          s"month vanished mid-vacuum: $byMonth")
+        assert(byMonth("202401") >= 8 && byMonth("202402") >= 4,
+          s"partial month mid-vacuum: $byMonth")
+        successes += 1
+      } catch {
+        case e: org.apache.spark.SparkException
+            if e.getMessage != null &&
+              (e.getMessage.contains("FileNotFound") ||
+                e.getMessage.contains("does not exist")) =>
+          retried += 1 // transient listed-before-delete fault: retry
+      }
+    }
+    vacuumThread.join()
+    assert(successes > 0)
+    // terminal state: exact rows, compacted
+    assert(store.samples(SensorType.Float).count() == trueCount)
+    // and under exact-dedup READ SEMANTICS (S15) every mid-state is
+    // exact: a hand-built old+new overlap dedups to the same distinct
+    // rows as the true table (sampleData has 3 distinct rows, published
+    // 4x)
+    val overlap = store.samples(SensorType.Float)
+      .union(store.samples(SensorType.Float))
+    assert(graft.operators.SensorOps.dedup(overlap).count() ==
+      graft.operators.SensorOps.dedup(store.samples(SensorType.Float)).count())
+  }
+
+  test("publishSensors runs one catalog read and leaves no cached blocks") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
+    def sensorRow(u: String) =
+      Seq((u, s"name_$u", "Float")).toDF("uuid", "name", "type")
+        .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+        .withColumn("labels", lit(null).cast("map<string,string>"))
+    store.publishSensors(sensorRow("u1"))
+    // the anti-join materializes once as a local checkpoint shared by the
+    // emptiness probe and the write; the finally must free its blocks
+    store.publishSensors(sensorRow("u2"))           // novel path
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "publish leaked checkpoint blocks (novel path)")
+    store.publishSensors(sensorRow("u2"))           // steady-state path
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "publish leaked checkpoint blocks (steady state)")
+    assert(store.sensors.count() == 2)
+  }
+
+  test("catalog auto-compacts when publish files cross the threshold") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root, catalogCompactThreshold = 3)
+    def sensorRow(u: String) =
+      Seq((u, s"name_$u", "Float")).toDF("uuid", "name", "type")
+        .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+        .withColumn("labels", lit(null).cast("map<string,string>"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def fileCount(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/sensors"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (1 to 8).foreach { i =>
+      store.publishSensors(sensorRow(s"u$i"))
+      assert(fileCount() <= 4,
+        s"publish #$i left ${fileCount()} files — auto-compaction missing")
+    }
+    assert(store.sensors.count() == 8)
+    assert(store.sensors.collect().map(_.getString(0)).toSet ==
+      (1 to 8).map(i => s"u$i").toSet)
+  }
+
   test("registerViews exposes the store to spark.sql") {
     val store = new SensorStore(spark, tempDir())
     store.publishSamples(SensorType.Float, sampleData)
