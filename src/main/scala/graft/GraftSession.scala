@@ -16,6 +16,11 @@ object GraftSession {
     // semantics (influx duplicate tag keys, reserved bucket/org labels)
     // and let str_to_map/map_concat run without pre-dedup regex guards
     .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // FAIR across scheduler pools: the gateway assigns one pool per
+    // worker thread so concurrent requests share executors instead of
+    // queueing behind a long scan; single-tenant batch runs (bench,
+    // verify) never set a pool and are unaffected
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

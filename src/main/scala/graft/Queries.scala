@@ -1989,6 +1989,74 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           round(col("value"), 9).as("value"))
         .orderBy("user_tag")
+    },
+
+    // S4 Numeric mode (reference: src/ingestors/http/influxdb.rs:63-125):
+    // i64 and f64 fields land as EXACT decimals — the sums below are
+    // exact decimal arithmetic on both sides, no ROUND crutch needed.
+    // Both engines recover the wire literal via the shortest decimal
+    // rendering of the double (Spark double→decimal cast; DuckDB
+    // double→VARCHAR→decimal), so `80.4` is exactly 80.4.
+    q(
+      "q68_influx_numeric",
+      """SELECT 'ev cnt' AS sensor_name,
+        |  SUM(CAST(CAST(user_id AS BIGINT) AS DECIMAL(38,18))) AS total
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'ev value' AS sensor_name,
+        |  SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS total
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY sensor_name"""
+    ) { (s, d) =>
+      import s.implicits._
+      val lines = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(concat(
+          lit("ev,user="), col("user_id"),
+          lit(" value="), col("value").cast("string"),
+          lit(",cnt="), col("user_id").cast("string"), lit("i"),
+          lit(" "), (unix_micros(col("ts")) * 1000).cast("string")).as("line"))
+        .as[String]
+      InfluxLineProtocol.parse(lines, "bkt", "org", "ns", withNumeric = true)
+        .groupBy(col("sensor_name"))
+        .agg(sum(col("numeric_value")).as("total"))
+        .orderBy("sensor_name")
+    },
+
+    // Multimodal resize plumbing: the stub resizer's byte-level transform
+    // (truncate/zero-pad to w*h octets + metadata update) is replayed in
+    // DuckDB with octet arithmetic, so the batch contract, 1:1 row
+    // mapping, payload BYTES and metadata all hash-match — the same
+    // full-content check q31/q47 pin for decode/frame-sample. Documents
+    // are pure ASCII (verified: octet_length == length for every row),
+    // so VARCHAR truncation == byte truncation on the oracle side.
+    // Spark's base64 is the MIME encoder (76-char CRLF lines); the
+    // regexp strips the line breaks to match DuckDB's to_base64.
+    q(
+      "q69_media_resize",
+      """SELECT media_id, octet_length(resized) AS n_bytes,
+        |  24 AS meta_width, 10 AS meta_height,
+        |  to_base64(resized) AS payload_b64
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN length(text) >= 240
+        |      THEN encode(substring(text, 1, 240))
+        |      ELSE encode(text)
+        |        || repeat('\x00'::BLOB, 240 - length(text)) END AS resized
+        |  FROM documents)
+        |ORDER BY media_id"""
+    ) { (s, d) =>
+      import graft.pipeline.Multimodal
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)),
+        w = 24, h = 10)
+        .toDF()
+        .select(col("media_id"),
+          length(col("media")).cast("long").as("n_bytes"),
+          col("meta_width"), col("meta_height"),
+          regexp_replace(base64(col("media")), "[\\r\\n]", "")
+            .as("payload_b64"))
+        .orderBy("media_id")
     }
   )
 

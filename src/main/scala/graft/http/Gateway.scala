@@ -28,9 +28,11 @@ import graft.store.SensorStore
 final class Gateway(
     spark: SparkSession,
     store: SensorStore,
-    name: String = "SensApp Spark") {
+    name: String = "SensApp Spark",
+    workers: Int = 8) {
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Bind and start; port 0 picks an ephemeral port. Returns bound port. */
   def start(port: Int = 0): Int = {
@@ -50,25 +52,53 @@ final class Gateway(
     route("/api/v1/admin/export_bulk", handleExportBulk)
     route("/api/v1/admin/resample", handleResample)
     route("/api/v1/admin/resample_stream", handleResampleStream)
-    server.setExecutor(null) // serial; the reference handles one spark job at a time anyway
+    // Concurrent serving: Spark happily runs simultaneous jobs from
+    // multiple threads (each handler thread submits independent jobs to
+    // the shared scheduler), so the HTTP edge must not serialize them.
+    // Bounded pool: `workers` concurrent requests, the rest queue in the
+    // server's accept backlog — backpressure instead of unbounded Spark
+    // job pileup.
+    val seq = new java.util.concurrent.atomic.AtomicLong
+    pool = java.util.concurrent.Executors.newFixedThreadPool(
+      workers,
+      (r: Runnable) => {
+        val t = new Thread(r, s"gateway-${seq.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   // ------------------------------------------------------------- plumbing
 
   private def route(path: String, h: (HttpExchange, Map[String, String]) => Unit): Unit =
     server.createContext(path, new HttpHandler {
       override def handle(x: HttpExchange): Unit =
-        try h(x, queryParams(x))
-        catch {
+        try {
+          // one FAIR pool per worker thread: concurrent requests share
+          // executors fairly instead of queueing behind a long scan
+          // (GraftSession sets spark.scheduler.mode=FAIR; under FIFO
+          // the property is harmlessly ignored). Local properties are
+          // thread-local, so handler threads don't clobber each other.
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", Thread.currentThread().getName)
+          h(x, queryParams(x))
+        } catch {
           case e: SimplePromQL.PromQLError => respondError(x, 400, e.getMessage)
           case e: IllegalArgumentException => respondError(x, 400, e.getMessage)
           case e: NoSuchElementException => respondError(x, 404, e.getMessage)
           case e: Exception => respondError(x, 500, String.valueOf(e.getMessage))
-        } finally x.close()
+        } finally {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          x.close()
+        }
     })
 
   private def queryParams(x: HttpExchange): Map[String, String] = {
@@ -91,6 +121,9 @@ final class Gateway(
   private def respondBytes(
       x: HttpExchange, code: Int, contentType: String, body: Array[Byte]): Unit = {
     x.getResponseHeaders.set("content-type", contentType)
+    // observability for the concurrent-serving contract (and its test):
+    // which pool worker handled this exchange
+    x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
     if (body.isEmpty) x.sendResponseHeaders(code, -1)
     else x.sendResponseHeaders(code, body.length)
     if (body.nonEmpty) x.getResponseBody.write(body)

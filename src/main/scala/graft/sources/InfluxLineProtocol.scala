@@ -227,16 +227,56 @@ object InfluxLineProtocol {
       "long_value", "double_value", "string_value", "bool_value")
   }
 
+  /** Numeric-mode projection (reference: src/ingestors/http/influxdb.rs:
+    * 63-125, the handler's `with_numeric` option): i64/u64 and f64
+    * fields map to the exact Numeric type — `DecimalType(38,18)`, SURVEY
+    * §1.2 — instead of Integer/Float; strings and booleans pass through.
+    * Doubles convert via their shortest decimal representation (Spark's
+    * double→decimal cast path), so a wire literal like `1.05` lands as
+    * exactly 1.05 — where the reference round-trips the f64 through
+    * `Decimal::from_f64_retain` (keeping the binary value's long
+    * expansion), the engine recovers the human-written literal. Values
+    * needing more than 20 integer digits overflow to null (the decimal's
+    * capacity); line-protocol i64/u64 always fit.
+    */
+  private def toNumeric(parsed: DataFrame): DataFrame = {
+    val isNum = col("type") === "Integer" || col("type") === "Float"
+    parsed.select(
+      col("sensor_name"), col("labels"), col("timestamp_us"),
+      when(isNum, lit("Numeric")).otherwise(col("type")).as("type"),
+      lit(null).cast("long").as("long_value"),
+      lit(null).cast("double").as("double_value"),
+      col("string_value"), col("bool_value"),
+      when(col("type") === "Integer",
+        col("long_value").cast("decimal(38,18)"))
+        .when(col("type") === "Float",
+          col("double_value").cast("decimal(38,18)"))
+        .as("numeric_value"))
+  }
+
   /** Distributed parse of a dataset of lines into the normalized long
     * layout: sensor_name, labels entries, timestamp_us, typed values.
     * Well-formed simple lines take the codegen'd columnar path; the rest
     * go through the strict parser (which also raises on malformed input).
+    * `withNumeric = true` is the reference handler's Numeric mode: the
+    * output gains a `numeric_value` DecimalType(38,18) column and
+    * integer/float fields report type `Numeric` (see [[toNumeric]]).
     */
   def parse(
       lines: Dataset[String],
       bucket: String,
       org: String,
-      precision: String = "ns"): DataFrame = {
+      precision: String = "ns",
+      withNumeric: Boolean = false): DataFrame = {
+    val base = parseTyped(lines, bucket, org, precision)
+    if (withNumeric) toNumeric(base) else base
+  }
+
+  private def parseTyped(
+      lines: Dataset[String],
+      bucket: String,
+      org: String,
+      precision: String): DataFrame = {
     precisionToMicros(precision) // validate precision eagerly
     val df = lines.toDF("line")
     val t = trim(col("line"))

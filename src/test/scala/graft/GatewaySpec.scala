@@ -88,6 +88,42 @@ class GatewaySpec extends SparkSpec {
     assert(get(s"/series/$uuid?format=exotic").statusCode() == 400)
   }
 
+  test("concurrent requests are served in parallel, not serially") {
+    // publish something queryable first
+    val csv =
+      "datetime,sensor_name,value\n" +
+        "2024-03-01T00:00:00Z,conc,1.0\n" +
+        "2024-03-01T00:00:01Z,conc,2.0\n"
+    assert(post("/publish", csv.getBytes(StandardCharsets.UTF_8),
+      Map("content-type" -> "text/csv")).statusCode() == 200)
+    // N simultaneous Spark-job-running queries through the pool
+    // executor: all must complete, and the x-served-by header must show
+    // MORE THAN ONE worker thread — a serial executor (the pre-round-5
+    // setExecutor(null)) stamps every response with the same dispatcher
+    // thread
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val callers = Executors.newFixedThreadPool(6)
+    try {
+      val started = new CountDownLatch(6)
+      val futures = (1 to 6).map { _ =>
+        callers.submit(new java.util.concurrent.Callable[(Int, String)] {
+          def call(): (Int, String) = {
+            started.countDown()
+            started.await(10, TimeUnit.SECONDS)
+            val r = get("/series")
+            (r.statusCode(),
+              r.headers().firstValue("x-served-by").orElse("?"))
+          }
+        })
+      }
+      val results = futures.map(_.get(120, TimeUnit.SECONDS))
+      assert(results.forall(_._1 == 200))
+      val threads = results.map(_._2).toSet
+      assert(threads.size > 1 && threads.forall(_.startsWith("gateway-")),
+        s"expected multiple pool workers, saw $threads")
+    } finally callers.shutdown()
+  }
+
   test("Influx write with gzip body → samples queryable") {
     val lines =
       "weather,site=oslo temperature=11.5 1704067200000000000\n" +

@@ -143,6 +143,40 @@ class ImportersSpec extends SparkSpec {
     assert(weird.getAs[Map[String, String]]("labels")("tag,key") == "va=lue")
   }
 
+  test("Influx Numeric mode: exact decimals on both parse paths") {
+    // first line is fast-path; the escaped measurement forces the strict
+    // flatMap path — numeric projection must behave identically on both
+    val lines = Seq(
+      """m,host=A v=1.05,c=42i,big=9007199254740993i,ok=t,s="x"""",
+      """weird\ measure v=80.4,c=-7i""").toDS()
+    val df = InfluxLineProtocol.parse(lines, "b", "o", "ns",
+      withNumeric = true)
+    def num(sensor: String): java.math.BigDecimal =
+      df.filter($"sensor_name" === sensor)
+        .select("numeric_value").collect().head.getDecimal(0)
+    // shortest-decimal recovery: the wire literal, not the f64 expansion
+    assert(num("m v").compareTo(new java.math.BigDecimal("1.05")) == 0)
+    assert(num("weird%20measure v")
+      .compareTo(new java.math.BigDecimal("80.4")) == 0)
+    // i64 exactness beyond double's 2^53 mantissa — the reason Numeric
+    // mode exists (a Float ingest would land on ...992)
+    assert(num("m big")
+      .compareTo(new java.math.BigDecimal("9007199254740993")) == 0)
+    assert(num("m c").compareTo(new java.math.BigDecimal("42")) == 0)
+    assert(num("weird%20measure c")
+      .compareTo(new java.math.BigDecimal("-7")) == 0)
+    // numerics report type Numeric with long/double nulled; strings and
+    // booleans pass through untouched
+    val types = df.select("sensor_name", "type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("m v") == "Numeric" && types("m big") == "Numeric")
+    assert(types("m ok") == "Boolean" && types("m s") == "String")
+    assert(df.filter($"long_value".isNotNull || $"double_value".isNotNull)
+      .count() == 0)
+    assert(df.filter($"sensor_name" === "m s")
+      .select("string_value").as[String].head() == "x")
+  }
+
   test("Influx precision variants") {
     def ts(p: String, t: String): Long =
       InfluxLineProtocol.parse(Seq(s"m f=1 $t").toDS(), "b", "o", p)
