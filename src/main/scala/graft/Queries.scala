@@ -23,6 +23,13 @@ import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
   *    queries exercising those operators ROUND on both sides instead;
   *  - DuckDB integer SUMs are cast to BIGINT (they default to HUGEINT,
   *    which the driver's type-sensitive hash treats as a decimal).
+  *
+  * Storage note: the dedup/similarity/winnowing entries return frames
+  * backed by an eager local checkpoint (see `PipelineCache.materialize`)
+  * — consume the frame, then release its blocks with
+  * `PipelineCache.free(df)`, as `Bench`/`Verify` do after every run;
+  * otherwise each invocation pins executor storage for the JVM's
+  * lifetime (the checkpointed result cannot be recomputed once freed).
   */
 object Queries {
 

@@ -106,6 +106,26 @@ class PlanSpec extends SparkSpec {
     assert(planOf(topk).contains("TakeOrderedAndProject"), planOf(topk))
   }
 
+  test("spread widens narrow scans but is a no-op at scale") {
+    import spark.implicits._
+    // the driver testdata is a single unsplittable row group: widen
+    val docs = graft.Tables.documents(spark, sf)
+    assert(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+    val widened = graft.Tables.spread(spark, docs)
+    assert(widened.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(planOf(widened).contains("Exchange"), planOf(widened))
+    // a frame that already has cluster parallelism must pass through
+    // with NO exchange in the plan — this is the 100x-scale contract
+    // (the store emits many row groups; re-shuffling full text there
+    // would be the regression)
+    val wide = spark.range(0, 1000,
+      1, spark.sparkContext.defaultParallelism).toDF("doc_id")
+    val passed = graft.Tables.spread(spark, wide)
+    assert(passed.rdd.getNumPartitions == wide.rdd.getNumPartitions)
+    assert(!planOf(passed).contains("Exchange"), planOf(passed))
+  }
+
   test("deterministic sampling is a shuffle-free scan-stage predicate") {
     val q = graft.pipeline.Sampling.deterministicSample(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", 0.2)
