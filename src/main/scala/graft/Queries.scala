@@ -2064,6 +2064,63 @@ object Queries {
           regexp_replace(base64(col("media")), "[\\r\\n]", "")
             .as("payload_b64"))
         .orderBy("media_id")
+    },
+
+    // Stratified deterministic sampling (training-mix shape): per-source
+    // keep fractions via the same engine-portable md5 predicate as q55 —
+    // the oracle replays the CASE thresholds bit-for-bit. Still a pure
+    // scan-stage predicate: no shuffle, no join.
+    q(
+      "q70_stratified_sample",
+      s"""SELECT source, COUNT(*) AS n
+         |FROM documents
+         |WHERE ('0x' || substr(md5('mix1:' || doc_id), 1, 15))::BIGINT
+         |  < CASE source
+         |      WHEN 'src3' THEN ${(1.0 * (1L << 60).toDouble).toLong}
+         |      WHEN 'src7' THEN ${(0.5 * (1L << 60).toDouble).toLong}
+         |      WHEN 'src12' THEN ${(0.1 * (1L << 60).toDouble).toLong}
+         |      ELSE ${(0.25 * (1L << 60).toDouble).toLong} END
+         |GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      import graft.pipeline.Sampling
+      Sampling.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "source",
+        Map("src3" -> 1.0, "src7" -> 0.5, "src12" -> 0.1),
+        defaultFraction = 0.25, salt = "mix1:")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    },
+
+    // Gopher-style repetition signal: most frequent bigram per document
+    // + the fraction of bigram occurrences it covers. Exact replay: same
+    // tokenization as q30, tie-break to the smallest gram on both sides,
+    // identical double division + ROUND(6).
+    q(
+      "q71_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t)),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g
+        |      GROUP BY doc_id, gram),
+        |r AS (
+        |  SELECT doc_id, gram, n,
+        |    SUM(n) OVER (PARTITION BY doc_id) AS n_grams,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY n DESC, gram ASC) AS rnk
+        |  FROM c)
+        |SELECT doc_id AS id, gram AS top_gram, CAST(n AS BIGINT) AS top_n,
+        |  CAST(n_grams AS BIGINT) AS n_grams,
+        |  ROUND(n::DOUBLE / n_grams::DOUBLE, 6) AS top_frac
+        |FROM r WHERE rnk = 1 ORDER BY id"""
+    ) { (s, d) =>
+      TextAnalysis.repetitionMetrics(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", n = 2)
+        .orderBy("id")
     }
   )
 

@@ -29,4 +29,33 @@ object Sampling {
     val threshold = (fraction * (1L << 60).toDouble).toLong
     df.filter(hash60(col(idCol), salt) < threshold)
   }
+
+  /** Stratified deterministic sampling: per-stratum keep fractions (the
+    * training-mix shape — e.g. keep 100% of books, 10% of common-crawl),
+    * same engine-portable md5 predicate as [[deterministicSample]]. The
+    * per-row threshold comes from a codegen'd CASE over the stratum
+    * column — still a pure scan-stage predicate: no shuffle, no join, no
+    * broadcast, pushes into the source read. Strata absent from
+    * `fractions` fall back to `defaultFraction`. Rows keep/drop
+    * INDEPENDENTLY of partitioning and of other strata, and adding a
+    * stratum later never changes which rows of existing strata survive
+    * (each row's draw depends only on (salt, id)).
+    *
+    * For thousands of strata prefer joining a broadcast quota table
+    * instead of a CASE chain; at the usual training-mix scale (tens of
+    * sources) the CASE wins — zero extra plan nodes.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = "s0:"): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, "fractions must be in [0,1]"))
+    def thr(f: Double): Long = (f * (1L << 60).toDouble).toLong
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(thr(defaultFraction))) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, lit(thr(f))).otherwise(acc)
+    }
+    df.filter(hash60(col(idCol), salt) < threshold)
+  }
 }

@@ -255,6 +255,64 @@ object TextAnalysis {
     f(text)
   }
 
+  /** ALL word n-grams (repeats kept) as an array column — the repetition
+    * family needs occurrence counts, where [[shingles]] dedups for set
+    * similarity. Same UDF-loop rationale as [[shingles]]: HOF lambdas
+    * are interpreted per element.
+    */
+  def ngramsAll(tokens: Column, n: Int): Column = {
+    val f = udf { toks: Seq[String] =>
+      if (toks == null || toks.length < n) Array.empty[String]
+      else {
+        val out = new Array[String](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
+    f(tokens)
+  }
+
+  /** Gopher-style repetition signal: the most frequent word n-gram per
+    * document and the fraction of the document's n-gram occurrences it
+    * accounts for (a high top-bigram fraction marks boilerplate/looping
+    * text; the standard repetitive-content filter family). Ties resolve
+    * to the lexicographically smallest gram, so results are
+    * deterministic and engine-replayable. Two shuffles, both keyed —
+    * (doc, gram) count then per-doc argmax — no corpus-wide state;
+    * documents shorter than n tokens yield no row.
+    * Output: (id, top_gram, top_n, n_grams, top_frac).
+    */
+  def repetitionMetrics(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(ngramsAll(whitespaceTokens(col(textCol)), n)).as("gram"))
+    val counts = grams.groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    // min(struct(-n, gram)) = argmax by count, smallest gram on ties —
+    // one hash aggregate, no per-doc sort or window
+    counts.groupBy(col("id"))
+      .agg(min(struct((-col("n")).as("neg"), col("gram").as("gram")))
+        .as("top"),
+        sum(col("n")).as("n_grams"))
+      .select(col("id"), col("top.gram").as("top_gram"),
+        (-col("top.neg")).as("top_n"), col("n_grams"),
+        round((-col("top.neg")).cast("double") / col("n_grams"), 6)
+          .as("top_frac"))
+  }
+
   /** Distinct word n-gram shingles as an array column. Documents shorter
     * than n tokens yield no shingles (guard: Spark's `sequence(0,-1)`
     * would count DOWN, not produce an empty array).

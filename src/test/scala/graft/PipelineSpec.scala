@@ -92,6 +92,46 @@ class PipelineSpec extends SparkSpec {
     assert(a.subsetOf(bigger))
   }
 
+  test("stratifiedSample: per-stratum quotas, stable across mix changes") {
+    import graft.pipeline.Sampling
+    val rows = (0L until 3000L).map(i => (i, s"s${i % 3}"))
+      .toDF("id", "src")
+    val kept = Sampling.stratifiedSample(rows, "id", "src",
+      Map("s0" -> 1.0, "s1" -> 0.2), defaultFraction = 0.0, salt = "m:")
+      .as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("s0") == 1000) // fraction 1.0 keeps everything
+    assert(math.abs(bySrc.getOrElse("s1", 0) / 1000.0 - 0.2) < 0.06)
+    assert(!bySrc.contains("s2")) // default 0.0 drops the rest
+    // a row's draw depends only on (salt, id): re-weighting OTHER strata
+    // never changes which s1 rows survive (training-mix stability)
+    val reMixed = Sampling.stratifiedSample(rows, "id", "src",
+      Map("s0" -> 0.1, "s1" -> 0.2, "s2" -> 0.9), 0.0, salt = "m:")
+      .as[(Long, String)].collect()
+    assert(reMixed.filter(_._2 == "s1").map(_._1).toSet ==
+      kept.filter(_._2 == "s1").map(_._1).toSet)
+    // and the stratum fraction nests like the flat sampler
+    val half = Sampling.stratifiedSample(rows, "id", "src",
+      Map("s1" -> 0.1), 0.0, salt = "m:")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(half.subsetOf(kept.filter(_._2 == "s1").map(_._1).toSet))
+  }
+
+  test("repetitionMetrics: top gram, deterministic ties, short docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b" x3, "b a" x2 -> top frac 3/5
+      (2L, "x y z"),         // all grams unique; tie -> smallest gram
+      (3L, "one"),           // < n tokens -> no row
+      (4L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text", n = 2)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(m.map(_._1) == Seq(1L, 2L))
+    val d1 = m.head
+    assert(d1._2 == "a b" && d1._3 == 3L && d1._4 == 5L && d1._5 == 0.6)
+    val d2 = m(1)
+    assert(d2._2 == "x y" && d2._3 == 1L && d2._4 == 2L && d2._5 == 0.5)
+  }
+
   test("topTokens: frequency ranking with deterministic ties") {
     val docs = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
     val top = TextAnalysis.topTokens(docs, "text", 2)
