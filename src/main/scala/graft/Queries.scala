@@ -1744,19 +1744,28 @@ object Queries {
       val endUs = 1706745600000000L
       val startUs = 1704067200000000L
       // synthesize the cumulative bucket series a Prometheus client
-      // would publish: one (user, le) series per boundary
-      val les = Seq("10" -> 10.0, "20" -> 20.0, "50" -> 50.0,
-        "+Inf" -> Double.PositiveInfinity)
+      // would publish: ONE aggregation pass computes every boundary
+      // count, then an explode unpivots to one (user, le) series per
+      // boundary — the previous per-boundary union scanned events once
+      // per bucket
       val ev = Tables.events(s, d)
         .filter(col("event_type") === "view" &&
           unix_micros(col("ts")).between(startUs, endUs))
         .select(col("user_id").cast("string").as("user"), col("value"))
-      val buckets = les.map { case (tag, bound) =>
-        ev.groupBy(col("user"))
-          .agg(sum(when(col("value") <= bound, 1).otherwise(0))
-            .cast("double").as("value"))
-          .select(col("user"), lit(tag).as("le"), col("value"))
-      }.reduce(_ unionByName _)
+      val agg = ev.groupBy(col("user"))
+        .agg(
+          sum(when(col("value") <= 10.0, 1).otherwise(0))
+            .cast("double").as("c10"),
+          sum(when(col("value") <= 20.0, 1).otherwise(0))
+            .cast("double").as("c20"),
+          sum(when(col("value") <= 50.0, 1).otherwise(0))
+            .cast("double").as("c50"),
+          count(lit(1)).cast("double").as("cinf"))
+      val buckets = agg.select(col("user"),
+        explode(map(
+          lit("10"), col("c10"), lit("20"), col("c20"),
+          lit("50"), col("c50"), lit("+Inf"), col("cinf")))
+          .as(Seq("le", "value")))
       val samples = buckets.select(
         concat(lit("view_bucket "), col("user"), lit(" "), col("le"))
           .as("sensor_id"),
@@ -2121,6 +2130,50 @@ object Queries {
       TextAnalysis.repetitionMetrics(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", n = 2)
         .orderBy("id")
+    },
+
+    // PromQL math functions: round-to-step then clamp over a counter
+    // rate. `round(v, to)` is floor(v/to + 0.5)*to (Prometheus ties-up
+    // rounding) — after it, values are exact multiples of `to` computed
+    // identically on both sides, so no output ROUND crutch is needed;
+    // clamp clips into [2e-5, 3e-5] with LEAST/GREATEST in the oracle.
+    q(
+      "q72_promql_math",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |r AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN prev IS NULL THEN NULL
+        |      WHEN value >= prev THEN value - prev
+        |      ELSE value END) / 2678400.0 AS rate
+        |  FROM s GROUP BY user_id
+        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) IS NOT NULL)
+        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  LEAST(GREATEST(
+        |    floor(rate / 0.000001 + 0.5) * 0.000001, 0.00002), 0.00003)
+        |    AS value
+        |FROM r ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "clamp(round(rate(view[31d]), 0.000001), 0.00002, 0.00003)",
+        1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
     }
   )
 

@@ -38,6 +38,16 @@ object ExtendedPromQL {
     Set("sum", "avg", "count", "min", "max", "last", "stddev", "stdvar")
   val InstantAggOps = Set("sum", "avg", "count", "min", "max", "stddev", "stdvar")
   val RangeFnOps = Set("rate", "increase", "delta")
+  /** Per-value math functions (PromQL's scalar function family): name →
+    * number of scalar args AFTER the vector operand (round's step is
+    * optional, so it carries a range).
+    */
+  val MathFnArity: Map[String, Range] = Map(
+    "abs" -> (0 to 0), "ceil" -> (0 to 0), "floor" -> (0 to 0),
+    "sqrt" -> (0 to 0), "exp" -> (0 to 0), "ln" -> (0 to 0),
+    "log2" -> (0 to 0), "log10" -> (0 to 0), "sgn" -> (0 to 0),
+    "round" -> (0 to 1), "clamp_min" -> (1 to 1), "clamp_max" -> (1 to 1),
+    "clamp" -> (2 to 2))
 
   sealed trait Query {
     def matchers: Seq[LabelMatcher]
@@ -88,6 +98,22 @@ object ExtendedPromQL {
     */
   final case class BinScalarQ(
       op: Char, scalar: Double, scalarOnLeft: Boolean, inner: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
+  /** `abs/ceil/floor/sqrt/exp/ln/log2/log10/sgn/round/clamp*(vec, ...)`
+    * — PromQL's per-value math functions over an instant vector; scalar
+    * arguments (round's step, clamp's bounds) follow the vector operand.
+    * Prometheus float semantics: `ln(0) = -Inf`, `ln(x<0) = NaN` (and
+    * likewise log2/log10), `sqrt(x<0) = NaN`, `round` resolves ties
+    * upward (`floor(v/to + 0.5) * to`), `clamp` with min > max yields
+    * NaN. Deviations: `ceil`/`floor`/`round` pass through a 64-bit
+    * integer stage, so inputs beyond ±2^63 overflow (Prometheus floats
+    * that large are already integral, so only absurd magnitudes differ).
+    */
+  final case class MathFnQ(fn: String, args: Seq[Double], inner: Query)
       extends Query {
     def matchers: Seq[LabelMatcher] = inner.matchers
     def startUs: Long = inner.startUs
@@ -360,7 +386,7 @@ object ExtendedPromQL {
   /** Operand kinds that evaluate to one row per series. */
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
-        _: LabelReplaceQ | _: LabelJoinQ => q
+        _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ => q
     case _ => throw PromQLError(
       s"Binary operator $side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
@@ -377,6 +403,7 @@ object ExtendedPromQL {
       true
     case b: BinScalarQ => validSubqueryInner(b.inner)
     case b: BinCmpQ => validSubqueryInner(b.inner)
+    case m: MathFnQ => validSubqueryInner(m.inner)
     case _ => false
   }
 
@@ -627,6 +654,24 @@ object ExtendedPromQL {
               s"$head expects a range selector (like metric[5m])")
           val sel = parseSelector(inner, nowUs)
           RangeFnQ(head, sel.matchers, sel.startUs, sel.endUs)
+        } else if (MathFnArity.contains(head) && after.trim.startsWith("(")) {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val args = splitArgs(inner)
+          if (args.isEmpty)
+            throw PromQLError(s"$head expects a vector first argument")
+          val arity = MathFnArity(head)
+          val scalars = args.tail.map(a => parseScalar(a).getOrElse(
+            throw PromQLError(s"$head expects scalar arguments, got '$a'")))
+          if (!arity.contains(scalars.length))
+            throw PromQLError(s"$head expects ${arity.min}" +
+              (if (arity.min == arity.max) "" else s"..${arity.max}") +
+              s" scalar argument(s) after the vector, got ${scalars.length}")
+          if (head == "round" && scalars.headOption.exists(_ <= 0.0))
+            throw PromQLError("round step must be positive")
+          MathFnQ(head, scalars,
+            requireVectorOperand(parse(args.head, nowUs), "vector"))
         } else if (InstantAggOps.contains(head)) {
           // clause may precede or follow the parenthesized body
           var t = after.trim
@@ -822,6 +867,38 @@ object ExtendedPromQL {
     case other => throw PromQLError(s"Unsupported binary operator: $other")
   }
 
+  /** Per-value math column (see [[MathFnQ]] for the float-semantics
+    * contract). All codegen'd built-ins — no UDFs.
+    */
+  private def mathCol(fn: String, args: Seq[Double], v: Column): Column =
+    fn match {
+      case "abs" => abs(v)
+      case "ceil" => ceil(v).cast("double")
+      case "floor" => floor(v).cast("double")
+      case "sqrt" => sqrt(v) // Spark: NaN below zero, same as Prometheus
+      case "exp" => exp(v)
+      // Spark's log family returns null outside the domain; Prometheus
+      // wants -Inf at 0 and NaN below — spell the branches out
+      case "ln" => logWithDomain(log(v), v)
+      case "log2" => logWithDomain(log2(v), v)
+      case "log10" => logWithDomain(log10(v), v)
+      case "sgn" => signum(v)
+      case "round" =>
+        val to = args.headOption.getOrElse(1.0)
+        floor(v / lit(to) + lit(0.5)).cast("double") * lit(to)
+      case "clamp_min" => greatest(v, lit(args.head))
+      case "clamp_max" => least(v, lit(args.head))
+      case "clamp" =>
+        if (args.head > args(1)) lit(Double.NaN)
+        else least(greatest(v, lit(args.head)), lit(args(1)))
+      case other => throw PromQLError(s"Unsupported math function: $other")
+    }
+
+  private def logWithDomain(logged: Column, v: Column): Column =
+    when(v > 0, logged)
+      .when(v === 0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
+
   private def cmpPred(op: String, l: Column, r: Column): Column = op match {
     case ">" => l > r
     case ">=" => l >= r
@@ -871,6 +948,9 @@ object ExtendedPromQL {
           if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
           else binCol(b.op, col("value"), lit(b.scalar))
         v.withColumn("value", expr)
+      case m: MathFnQ =>
+        sideVector(m.inner, selected, samples)
+          .withColumn("value", mathCol(m.fn, m.args, col("value")))
       case b: BinCmpQ =>
         val v = sideVector(b.inner, selected, samples)
         val (l, r) =
@@ -1010,6 +1090,9 @@ object ExtendedPromQL {
               if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
               else binCol(b.op, col("value"), lit(b.scalar))
             v.withColumn("value", e)
+          case m: MathFnQ =>
+            stepValues(m.inner)
+              .withColumn("value", mathCol(m.fn, m.args, col("value")))
           case b: BinCmpQ =>
             val v = stepValues(b.inner)
             val (l, r) =

@@ -721,4 +721,51 @@ class ExtendedPromQLSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(inf == Map("1" -> 2.0)) // 0.99*40=39.6 > 30 -> +Inf bucket
   }
+
+  test("math functions: per-value semantics, domains, nesting") {
+    import spark.implicits._
+    val selected = Seq(
+      ("m 1", Map("user" -> "1")), ("m 2", Map("user" -> "2")),
+      ("m 3", Map("user" -> "3"))).toDF("sensor_id", "labels")
+    def samplesOf(vs: (String, Double)*) =
+      vs.map { case (sid, v) => (sid, now - 1000L, v) }
+        .toDF("sensor_id", "timestamp_us", "value")
+    def run(q: String, vs: (String, Double)*): Map[String, Double] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now),
+        selected, samplesOf(vs: _*))
+        .select("sensor_id", "value").as[(String, Double)].collect().toMap
+    assert(run("abs(m)", "m 1" -> -2.5, "m 2" -> 3.0) ==
+      Map("m 1" -> 2.5, "m 2" -> 3.0))
+    assert(run("ceil(m)", "m 1" -> 1.2, "m 2" -> -1.2) ==
+      Map("m 1" -> 2.0, "m 2" -> -1.0))
+    assert(run("floor(m)", "m 1" -> 1.8, "m 2" -> -1.2) ==
+      Map("m 1" -> 1.0, "m 2" -> -2.0))
+    assert(run("sgn(m)", "m 1" -> -7.0, "m 2" -> 0.0, "m 3" -> 2.0) ==
+      Map("m 1" -> -1.0, "m 2" -> 0.0, "m 3" -> 1.0))
+    // Prometheus ties-up rounding: 2.5 -> 3, -2.5 -> -2; step rounding
+    assert(run("round(m)", "m 1" -> 2.5, "m 2" -> -2.5) ==
+      Map("m 1" -> 3.0, "m 2" -> -2.0))
+    assert(run("round(m, 0.5)", "m 1" -> 1.26) == Map("m 1" -> 1.5))
+    // log domains: -Inf at zero, NaN below
+    val ln = run("ln(m)", "m 1" -> math.E, "m 2" -> 0.0, "m 3" -> -1.0)
+    assert(ln("m 1") == 1.0 && ln("m 2").isNegInfinity && ln("m 3").isNaN)
+    assert(run("sqrt(m)", "m 1" -> 9.0, "m 2" -> -1.0)("m 2").isNaN)
+    assert(run("clamp(m, 2, 4)",
+      "m 1" -> 1.0, "m 2" -> 3.0, "m 3" -> 9.0) ==
+      Map("m 1" -> 2.0, "m 2" -> 3.0, "m 3" -> 4.0))
+    assert(run("clamp(m, 4, 2)", "m 1" -> 3.0)("m 1").isNaN) // min > max
+    assert(run("clamp_min(m, 2)", "m 1" -> 1.0) == Map("m 1" -> 2.0))
+    assert(run("clamp_max(m, 2)", "m 1" -> 3.0) == Map("m 1" -> 2.0))
+    // nests inside binaries and subqueries; composes with functions
+    assert(run("abs(m) * 2", "m 1" -> -2.0) == Map("m 1" -> 4.0))
+    assert(run("max_over_time(abs(m)[1h:15m])", "m 1" -> -2.0) ==
+      Map("m 1" -> 2.0))
+    assert(run("clamp_max(last_over_time(m[1h]), 1)", "m 1" -> 5.0) ==
+      Map("m 1" -> 1.0))
+    // arity and domain rejections
+    intercept[PromQLError] { ExtendedPromQL.parse("clamp(m, 1)", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("round(m, 0)", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("abs(m, 1)", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("clamp_min(m, x)", now) }
+  }
 }
