@@ -2174,6 +2174,44 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("user_tag")
+    },
+
+    // The canonical PromQL reduction `sum(rate(...))` — a cross-series
+    // aggregation over a function result, which the previous parser
+    // rejected (only plain-selector aggregation existed). One global
+    // group: the per-user view rates fold into a single total. ROUND(9)
+    // on both sides absorbs the two-level summation-order ULP drift
+    // (per-series delta sums, then the cross-series fold).
+    q(
+      "q73_promql_sum_rate",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), value) AS prev
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |r AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN prev IS NULL THEN NULL
+        |      WHEN value >= prev THEN value - prev
+        |      ELSE value END) / 2678400.0 AS rate
+        |  FROM s GROUP BY user_id
+        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN value >= prev THEN value - prev
+        |    ELSE value END) IS NOT NULL)
+        |SELECT ROUND(SUM(rate), 9) AS value FROM r"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "sum(rate(view[31d]))", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(round(col("value"), 9).as("value"))
     }
   )
 

@@ -65,6 +65,20 @@ object ExtendedPromQL {
   final case class InstantAggQ(
       op: String, by: Seq[String], without: Boolean,
       matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
+  /** `<op> [by|without (labels)] (<per-series expr>)` — cross-series
+    * aggregation over a FUNCTION result: `sum(rate(x[5m]))`, the
+    * canonical PromQL reduction (the reference rejects every
+    * aggregation; the plain-selector form is [[InstantAggQ]]). The inner
+    * evaluates to one row per series; the fold groups by the kept
+    * labels — one extra shuffle keyed on the (tiny) group-label map.
+    */
+  final case class InstantAggVecQ(
+      op: String, by: Seq[String], without: Boolean, inner: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
   /** `rate/increase/delta(sel[range])` — counter/gauge range functions.
     * Simplified Prometheus semantics (no boundary extrapolation, which
     * Prometheus itself documents as an approximation): `increase` sums
@@ -383,12 +397,16 @@ object ExtendedPromQL {
     None
   }
 
-  /** Operand kinds that evaluate to one row per series. */
+  /** Operand kinds that evaluate to one row per series (scalar-op'd and
+    * comparison-filtered vectors keep their series identity, so they
+    * qualify too — `(a * 2) + b` is valid PromQL).
+    */
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
-        _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ => q
+        _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ | _: BinScalarQ |
+        _: BinCmpQ => q
     case _ => throw PromQLError(
-      s"Binary operator $side operand must be a selector or per-series " +
+      s"$side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
   }
 
@@ -697,12 +715,27 @@ object ExtendedPromQL {
           }
           if (rest.nonEmpty)
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
-          if (inner.contains("["))
-            throw PromQLError(
-              s"$head aggregates an instant vector; use ${head}_over_time " +
-                "for range windows")
-          val sel = parseSelector(inner, nowUs)
-          InstantAggQ(head, by, without, sel.matchers, sel.startUs, sel.endUs)
+          // plain selector -> the classic InstantAggQ; anything else
+          // (rate(x[5m]), abs(m), m * 2, nested math) -> aggregation
+          // over the per-series vector it evaluates to
+          if (inner.contains("[")) {
+            if (inner.trim.endsWith("]") && !inner.contains("("))
+              throw PromQLError(
+                s"$head aggregates an instant vector; use " +
+                  s"${head}_over_time for range windows")
+            InstantAggVecQ(head, by, without,
+              requireVectorOperand(parse(inner, nowUs), "aggregated"))
+          } else {
+            try {
+              val sel = parseSelector(inner, nowUs)
+              InstantAggQ(head, by, without,
+                sel.matchers, sel.startUs, sel.endUs)
+            } catch {
+              case _: PromQLError =>
+                InstantAggVecQ(head, by, without,
+                  requireVectorOperand(parse(inner, nowUs), "aggregated"))
+            }
+          }
         } else {
           val sel = parseSelector(s, nowUs)
           SelectorQ(sel.matchers, sel.startUs, sel.endUs)
@@ -898,6 +931,25 @@ object ExtendedPromQL {
     when(v > 0, logged)
       .when(v === 0, lit(Double.NegativeInfinity))
       .otherwise(lit(Double.NaN))
+
+  /** The label set an aggregation groups on: everything collapses to an
+    * empty map without a clause, otherwise the `by` labels (or the
+    * complement under `without`).
+    */
+  private def groupLabelsCol(by: Seq[String], without: Boolean): Column =
+    if (by.isEmpty && !without)
+      map().cast("map<string,string>") // aggregate everything
+    else {
+      val keys = array(by.map(lit): _*)
+      val entries = map_entries(coalesce(col("labels"),
+        map().cast("map<string,string>")))
+      val kept =
+        if (without)
+          filter(entries, e => !array_contains(keys, e.getField("key")))
+        else
+          filter(entries, e => array_contains(keys, e.getField("key")))
+      map_from_entries(kept)
+    }
 
   private def cmpPred(op: String, l: Column, r: Column): Column = op match {
     case ">" => l > r
@@ -1122,25 +1174,15 @@ object ExtendedPromQL {
         }
         folded.select("sensor_id", "labels", "value")
       case InstantAggQ(op, by, without, _, _, _) =>
-        val latest = lastInWindow(inWindow)
-        val groupLabels =
-          if (by.isEmpty && !without)
-            map().cast("map<string,string>") // aggregate everything
-          else {
-            val keys = array(by.map(lit): _*)
-            val entries = map_entries(coalesce(col("labels"),
-              map().cast("map<string,string>")))
-            val kept =
-              if (without)
-                filter(entries, e => !array_contains(keys, e.getField("key")))
-              else
-                filter(entries, e => array_contains(keys, e.getField("key")))
-            map_from_entries(kept)
-          }
-        latest
-          .withColumn("group_labels", groupLabels)
+        lastInWindow(inWindow)
+          .withColumn("group_labels", groupLabelsCol(by, without))
           .groupBy(col("group_labels"))
           .agg(aggCol(op, col("value")).as("value"))
+      case a: InstantAggVecQ =>
+        sideVector(a.inner, selected, samples)
+          .withColumn("group_labels", groupLabelsCol(a.by, a.without))
+          .groupBy(col("group_labels"))
+          .agg(aggCol(a.op, col("value")).as("value"))
       case lr: LabelReplaceQ =>
         val v = sideVector(lr.inner, selected, samples)
         // Prometheus: regex must match the WHOLE src value; non-matching

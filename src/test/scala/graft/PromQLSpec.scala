@@ -768,4 +768,40 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] { ExtendedPromQL.parse("abs(m, 1)", now) }
     intercept[PromQLError] { ExtendedPromQL.parse("clamp_min(m, x)", now) }
   }
+
+  test("aggregation over function results: sum(rate(...)), by clauses") {
+    import spark.implicits._
+    ExtendedPromQL.parse("sum(rate(view[5m]))", now) match {
+      case InstantAggVecQ("sum", Nil, false, RangeFnQ("rate", _, _, _)) =>
+      case other => fail(s"unexpected: $other")
+    }
+    // plain selectors keep the classic node (and its eval path)
+    ExtendedPromQL.parse("sum by (user) (view)", now) match {
+      case _: InstantAggQ =>
+      case other => fail(s"unexpected: $other")
+    }
+    // bare range selector still directs to the _over_time family
+    intercept[PromQLError] { ExtendedPromQL.parse("sum(view[5m])", now) }
+    val selected = Seq(
+      ("v 1", Map("user" -> "1", "dc" -> "a")),
+      ("v 2", Map("user" -> "2", "dc" -> "a")),
+      ("v 3", Map("user" -> "3", "dc" -> "b")))
+      .toDF("sensor_id", "labels")
+    // counters: per-series increase over [0, now] = 2, 4, 10
+    val samples = Seq(
+      ("v 1", now - 2000L, 1.0), ("v 1", now - 1000L, 3.0),
+      ("v 2", now - 2000L, 0.0), ("v 2", now - 1000L, 4.0),
+      ("v 3", now - 2000L, 5.0), ("v 3", now - 1000L, 15.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    def run(q: String): Map[Map[String, String], Double] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("group_labels", "value")
+        .as[(Map[String, String], Double)].collect().toMap
+    assert(run("sum(increase(view[1h]))") == Map(Map.empty -> 16.0))
+    assert(run("sum by (dc) (increase(view[1h]))") ==
+      Map(Map("dc" -> "a") -> 6.0, Map("dc" -> "b") -> 10.0))
+    assert(run("count without (user) (increase(view[1h]))") ==
+      Map(Map("dc" -> "a") -> 2.0, Map("dc" -> "b") -> 1.0))
+    assert(run("max(abs(view * -1))") == Map(Map.empty -> 15.0))
+  }
 }
