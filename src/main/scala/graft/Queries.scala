@@ -2212,6 +2212,33 @@ object Queries {
         EventsAdapter.samples(s, d)
           .select("sensor_id", "timestamp_us", "value"))
         .select(round(col("value"), 9).as("value"))
+    },
+
+    // Streaming ingest-time dedup: the q23 semantics as a REAL streaming
+    // query (file source -> stateful dropDuplicates on the content
+    // fingerprint, scoped per source -> complete-mode aggregation), the
+    // shape a training pipeline runs before anything lands in storage.
+    // The batch oracle counts distinct normalized texts per source.
+    q(
+      "q74_stream_dedup",
+      """SELECT source,
+        |  COUNT(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    AS n_kept
+        |FROM documents GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("q74_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val kept = Dedup.dedupStream(stream, "text", scopeCols = Seq("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val name = s"q74_out_${System.nanoTime()}"
+      val query = kept.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(name).orderBy("source")
     }
   )
 

@@ -21,6 +21,31 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** STREAMING exact dedup: keep the first document per content
+    * fingerprint as the corpus arrives (the ingest-time dedup a training
+    * pipeline runs before anything lands in storage). Scope columns
+    * (e.g. the source) extend the key — dedup-within-source stays
+    * deterministic under any arrival order, where global first-wins
+    * depends on it. With an event-time column + delay the state store
+    * is BOUNDED (`dropDuplicatesWithinWatermark` evicts fingerprints
+    * older than the watermark — the 100 TB always-on shape); without,
+    * exact global dedup holds one 8-byte fingerprint per distinct
+    * document in state.
+    */
+  def dedupStream(
+      docs: DataFrame, textCol: String, scopeCols: Seq[String] = Nil,
+      eventTime: Option[(String, String)] = None): DataFrame = {
+    val withFp = docs.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    val keys = scopeCols :+ "__fp"
+    (eventTime match {
+      case Some((tsCol, delay)) =>
+        withFp.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      case None => withFp.dropDuplicates(keys.head, keys.tail: _*)
+    }).drop("__fp")
+  }
+
   /** Canonical-document assignment: every doc maps to the lowest id in
     * its exact-duplicate group (identical normalized text), with an
     * `is_canonical` flag — the keep/drop decision a training pipeline

@@ -92,6 +92,38 @@ class PipelineSpec extends SparkSpec {
     assert(a.subsetOf(bigger))
   }
 
+  test("dedupStream: scoped first-wins, watermark variant bounds state") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    // docs 1/2 are exact dups within source a; doc 3 has the same
+    // NORMALIZED text but lives in source b (scope keeps it); doc 4 is
+    // distinct
+    val docs = Seq(
+      (1L, "a", "same text"), (2L, "a", "same text"),
+      (3L, "b", "same  text"), (4L, "a", "other"))
+      .toDF("doc_id", "source", "text")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    def run(withWatermark: Boolean): Seq[(String, Long)] = {
+      val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      val src =
+        if (withWatermark) stream.withColumn("ts", current_timestamp())
+        else stream
+      val kept = Dedup.dedupStream(src, "text", scopeCols = Seq("source"),
+        eventTime = if (withWatermark) Some(("ts", "10 minutes")) else None)
+      val name = s"dedup_stream_${System.nanoTime()}"
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).groupBy("source").count()
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+    }
+    // exact variant: source a keeps one of {1,2} plus doc 4; b keeps 3
+    assert(run(withWatermark = false) == Seq(("a", 2L), ("b", 1L)))
+    // bounded-state variant (dropDuplicatesWithinWatermark): same
+    // answer when every duplicate arrives inside the delay
+    assert(run(withWatermark = true) == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("stratifiedSample: per-stratum quotas, stable across mix changes") {
     import graft.pipeline.Sampling
     val rows = (0L until 3000L).map(i => (i, s"s${i % 3}"))
