@@ -357,8 +357,13 @@ final class Gateway(
     val bucket = p.getOrElse("bucket", "")
     val org = p.getOrElse("org", p.getOrElse("orgID", ""))
     val precision = p.getOrElse("precision", "ns")
+    // Numeric mode (reference: src/ingestors/http/influxdb.rs:63-125):
+    // ?numeric=true lands i64/f64 fields as exact Numeric samples
+    val withNumeric = p.get("numeric").exists(v =>
+      v.isEmpty || v.equalsIgnoreCase("true"))
     val parsed = InfluxLineProtocol.parse(
-      spark.createDataset(text.linesIterator.toSeq), bucket, org, precision)
+      spark.createDataset(text.linesIterator.toSeq), bucket, org, precision,
+      withNumeric)
       .cache()
     // typed long layout → one publish per present type
     val present = parsed.select("type").distinct().collect()
@@ -380,6 +385,7 @@ final class Gateway(
         case SensorType.Float => col("double_value")
         case SensorType.Str => col("string_value")
         case SensorType.Boolean => col("bool_value")
+        case SensorType.Numeric => col("numeric_value")
         case _ => col("double_value")
       }
       store.publishSamples(t, parsed.filter(col("type") === tn)

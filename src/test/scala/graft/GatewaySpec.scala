@@ -140,6 +140,36 @@ class GatewaySpec extends SparkSpec {
     assert(got.body().contains("11.5") && got.body().contains("12.5"))
   }
 
+  test("Influx write ?numeric=true lands exact Numeric samples") {
+    val lines =
+      "power,site=kyoto watts=1.05 1704067200000000000\n" +
+        "power,site=kyoto pulses=9007199254740993i 1704067200000000000\n"
+    val r = post("/api/v2/write?bucket=b2&org=o2&numeric=true",
+      lines.getBytes(StandardCharsets.UTF_8), Map.empty)
+    assert(r.statusCode() == 204)
+    // both fields land as Numeric series (type participates in the uuid)
+    val labels = Seq("influxdb_bucket" -> "b2", "influxdb_org" -> "o2",
+      "site" -> "kyoto")
+    import org.apache.spark.sql.functions.col
+    val numeric = store.samples(graft.model.SensorType.Numeric)
+    val watts = Sensor.deriveUuid("power watts",
+      graft.model.SensorType.Numeric, None, labels)
+    val pulses = Sensor.deriveUuid("power pulses",
+      graft.model.SensorType.Numeric, None, labels)
+    val w = numeric.filter(col("sensor_id") === watts)
+      .select("value").collect()
+    assert(w.length == 1)
+    // exact decimal: the wire literal, not the f64 expansion
+    assert(w.head.getDecimal(0).compareTo(
+      new java.math.BigDecimal("1.05")) == 0)
+    val pc = numeric.filter(col("sensor_id") === pulses)
+      .select("value").collect()
+    assert(pc.length == 1)
+    // i64 exactness beyond double's 2^53 mantissa
+    assert(pc.head.getDecimal(0).compareTo(
+      new java.math.BigDecimal("9007199254740993")) == 0)
+  }
+
   test("Prometheus remote write → remote read roundtrip (SAMPLES)") {
     import PrometheusRemote._
     val wr = WriteRequest(Seq(TimeSeries(
