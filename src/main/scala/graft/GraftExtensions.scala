@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpression, SensorUuidExpression}
+import graft.functions.{DotProductExpression, SensorUuidExpression,
+  VecDot8Expression, VecQuantize8Expression}
 
 /** Engine extensions registered via `SparkSessionExtensions` (the custom-
   * expression extension path): `sensor_uuid(name, type, unit, labels)`
@@ -27,6 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes 2 arguments")
         DotProductExpression(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_q8"),
+      new ExpressionInfo(classOf[VecQuantize8Expression].getName, "vec_q8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_q8(v) takes 1 argument")
+        VecQuantize8Expression(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot8"),
+      new ExpressionInfo(classOf[VecDot8Expression].getName, "vec_dot8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot8(a, b) takes 2 arguments")
+        VecDot8Expression(args(0), args(1))
       }))
   }
 }

@@ -2239,6 +2239,47 @@ object Queries {
         .format("memory").queryName(name).start()
       try query.processAllAvailable() finally query.stop()
       s.table(name).orderBy("source")
+    },
+
+    // Int8-quantized ANN first pass (vec_q8 / vec_dot8 codegen'd
+    // Expressions): 8x smaller vectors, integer ranking dot. The oracle
+    // replays quantization (floor half-up — spelled out because round()
+    // disagrees between engines on negative halves), the exact integer
+    // dot, and the dequantized score with the same multiply order, so
+    // ranks AND both score columns hash-match bit-for-bit.
+    q(
+      "q75_ann_quantized",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+        |  CASE WHEN amax = 0
+        |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v,
+        |      x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) END AS q
+        |  FROM s),
+        |qs AS (SELECT vec_id AS query_id, scale AS sq, q AS qq
+        |       FROM qz WHERE vec_id < 10),
+        |p AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    list_dot_product(qs.qq, c.q) AS dotq,
+        |    list_dot_product(qs.qq, c.q) * qs.sq * c.scale AS approx
+        |  FROM qs JOIN qz c ON c.vec_id <> qs.query_id)
+        |SELECT query_id, rank, vec_id, CAST(dotq AS BIGINT) AS dot_q8,
+        |  approx AS approx_dot
+        |FROM (SELECT query_id, vec_id, dotq, approx,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY approx DESC, vec_id ASC) AS rank
+        |      FROM p)
+        |WHERE rank <= 5 ORDER BY query_id, rank"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      Similarity.quantizedTopK(queries, e, k = 5)
+        .orderBy("query_id", "rank")
     }
   )
 

@@ -60,6 +60,45 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Int8-quantized brute-force top-k — the 8× cheaper first pass of a
+    * quantize-then-rerank serving stack: corpus and queries compress to
+    * one byte per dimension (`vec_q8`, a codegen'd Expression), the
+    * ranking dot runs in pure integer arithmetic (`vec_dot8`, exact at
+    * any fold order), and the score dequantizes as
+    * `dotq·scale_q·scale_v`. At 100 TB the corpus bytes — the broadcast
+    * / scan / cache volume — drop 8×, which is why every billion-vector
+    * ANN stack quantizes its first pass; callers wanting exact
+    * float ranks re-rank the survivors with [[bruteForceTopK]]'s
+    * kernel over k·r candidates instead of the corpus.
+    */
+  def quantizedTopK(
+      queries: DataFrame, // (query_id, qvec: array<double>)
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      k: Int,
+      includeSelf: Boolean = false): DataFrame = {
+    def q8(c: Column) = call_function("vec_q8", c)
+    val qc = corpus.select(col("vec_id"),
+      q8(col("vec")).getField("scale").as("__sv"),
+      q8(col("vec")).getField("q").as("__qv"))
+    val qq = queries.select(col("query_id"),
+      q8(col("qvec")).getField("scale").as("__sq"),
+      q8(col("qvec")).getField("q").as("__qq"))
+    val joined = qc.crossJoin(broadcast(qq))
+      .withColumn("dot_q8",
+        call_function("vec_dot8", col("__qq"), col("__qv")))
+      .withColumn("approx_dot",
+        col("dot_q8").cast("double") * col("__sq") * col("__sv"))
+    val filtered =
+      if (includeSelf) joined
+      else joined.filter(col("query_id") =!= col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    filtered
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "dot_q8", "approx_dot")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded; no wall-clock or
     * global RNG).
     */

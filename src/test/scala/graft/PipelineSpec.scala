@@ -370,6 +370,38 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("int8 quantization: roundtrip error bound, exact dot, recall") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    // roundtrip: dequantized values within scale/2 of the original
+    // (half-up rounding error bound), scale = amax/127
+    val r = e.select(col("vec"),
+      call_function("vec_q8", col("vec")).as("qz")).limit(50).collect()
+    r.foreach { row =>
+      val v = row.getSeq[Double](0)
+      val scale = row.getStruct(1).getDouble(0)
+      val q = row.getStruct(1).getAs[Array[Byte]](1)
+      assert(q.length == v.length)
+      val amax = v.map(math.abs).max
+      assert(math.abs(scale - amax / 127.0) < 1e-15)
+      v.indices.foreach { i =>
+        assert(math.abs(q(i) * scale - v(i)) <= scale / 2 + 1e-12,
+          s"dim $i: ${q(i)} * $scale vs ${v(i)}")
+      }
+    }
+    // quantized ranking approximates exact cosine ranking: high overlap
+    // on real corpus neighbors
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(queries, e, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.quantizedTopK(queries, e, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("IVF centroids are deterministic and Lloyd steps reduce inertia") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))

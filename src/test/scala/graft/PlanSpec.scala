@@ -98,6 +98,28 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("vec_q8/vec_dot8 stay inside whole-stage codegen") {
+    import spark.implicits._
+    // parquet-backed source: literal inputs constant-fold at optimization
+    // time and never reach codegen
+    val vs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("vec"))
+      .select(call_function("vec_q8", col("vec")).as("qz"))
+      .select(call_function("vec_dot8", col("qz.q"), col("qz.q")).as("d"))
+    vs.collect()
+    val plan = vs.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen'd stage
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+    // eval parity: the integer self-dot of floor-half-up quantized
+    // [1,-2,3]: amax=3 -> q = [42,-85,127]
+    val d = Seq(Tuple1(Array(1.0, -2.0, 3.0))).toDF("v")
+      .select(call_function("vec_q8", col("v")).as("qz"))
+      .select(call_function("vec_dot8", col("qz.q"), col("qz.q")).as("d"))
+      .as[Long].head()
+    assert(d == 42L * 42 + 85L * 85 + 127L * 127)
+  }
+
   test("vocabulary and PromQL topk plan TakeOrderedAndProject") {
     val vocab = graft.pipeline.TextAnalysis.topTokens(
       spark.read.parquet(s"$sf/documents.parquet"), "text", 5)
