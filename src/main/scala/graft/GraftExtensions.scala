@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotProductExpression, SensorUuidExpression,
-  VecDot8Expression, VecQuantize8Expression}
+  TextShinglesExpression, VecDot8Expression, VecQuantize8Expression}
 
 /** Engine extensions registered via `SparkSessionExtensions` (the custom-
   * expression extension path): `sensor_uuid(name, type, unit, labels)`
@@ -42,6 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot8(a, b) takes 2 arguments")
         VecDot8Expression(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("text_shingles"),
+      new ExpressionInfo(
+        classOf[TextShinglesExpression].getName, "text_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "text_shingles(text, n) takes 2 arguments")
+        require(args(1).foldable, "text_shingles n must be a literal")
+        TextShinglesExpression(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

@@ -2280,6 +2280,53 @@ object Queries {
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
       Similarity.quantizedTopK(queries, e, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // The full quantize-then-rerank stack: int8 first pass keeps
+    // k*overfetch=20 survivors, exact cosine re-ranks them to the final
+    // top-5. The oracle replays both stages — quantized winnowing, then
+    // list_cosine_similarity over the survivors (same ROUND(6) contract
+    // as q27).
+    q(
+      "q76_ann_rerank",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+        |  CASE WHEN amax = 0
+        |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v,
+        |      x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) END AS q
+        |  FROM s),
+        |qs AS (SELECT vec_id AS query_id, scale AS sq, q AS qq
+        |       FROM qz WHERE vec_id < 10),
+        |surv AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT qs.query_id, c.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+        |        ORDER BY list_dot_product(qs.qq, c.q) * qs.sq * c.scale
+        |          DESC, c.vec_id ASC) AS rnk
+        |    FROM qs JOIN qz c ON c.vec_id <> qs.query_id)
+        |  WHERE rnk <= 20),
+        |qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
+        |       WHERE vec_id < 10)
+        |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
+        |  SELECT surv.query_id, surv.vec_id,
+        |    list_cosine_similarity(qv.qvec, e.v) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY surv.query_id
+        |      ORDER BY list_cosine_similarity(qv.qvec, e.v) DESC,
+        |        surv.vec_id ASC) AS rank
+        |  FROM surv JOIN e USING (vec_id) JOIN qv USING (query_id))
+        |WHERE rank <= 5 ORDER BY query_id, rank"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      Similarity.quantizedRerankTopK(queries, e, k = 5, overfetch = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
     }
   )
 

@@ -179,3 +179,85 @@ object VecDot8Expression {
     s
   }
 }
+
+/** Codegen'd distinct word n-gram shingles straight from the text
+  * column — the dedup family's hottest scan expression. Replaces the
+  * `split(trim(text)) → shingles-UDF` chain: the UDF paid an encoder
+  * round-trip per document (tokens materialized as a boxed Seq[String],
+  * shingle array re-encoded on the way out); this reads the UTF8String
+  * once and emits Catalyst array data directly, staying inside
+  * whole-stage codegen.
+  *
+  * Parity contract (pinned by test): identical output to
+  * `shingles(split(trim(text), "\s+"), n)` — ASCII-space-only trim
+  * (UTF8String.trim == Spark's StringTrim), `String.split("\s+", -1)`
+  * tokenization (what Spark's `split` runs), single-space joins,
+  * first-occurrence distinct order.
+  */
+case class TextShinglesExpression(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types._
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"text_shingles expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextShinglesExpression.shingle(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextShinglesExpression.shingle($s, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object TextShinglesExpression {
+  private val EMPTY =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+  def shingle(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    // UTF8String.trim trims ASCII spaces only — same as Spark's trim()
+    val toks = text.trim().toString.split("\\s+", -1)
+    if (toks.length < n) return EMPTY
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -159,13 +159,16 @@ object Dedup {
   }
 
   /** Distinct n-gram shingle table: (id, shingle) — the inverted-index
-    * input shared by the Jaccard paths.
+    * input shared by the Jaccard paths. Shingling runs as the codegen'd
+    * `text_shingles` Expression (identical output to the
+    * tokenize+shingle-UDF chain, pinned in PipelineSpec) — the dedup
+    * family's hottest scan stage stays inside whole-stage codegen
+    * instead of paying the UDF's encoder round-trip per document.
     */
   private def shingleTable(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(
-        TextAnalysis.whitespaceTokens(col(textCol)), n)).as("sh"))
+      explode(call_function("text_shingles", col(textCol), lit(n))).as("sh"))
 
   /** Hash-keyed inverted index: (id, h = xxhash64(shingle)). Every
     * downstream shuffle and join keys on the 8-byte hash instead of the

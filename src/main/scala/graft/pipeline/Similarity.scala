@@ -99,6 +99,34 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "dot_q8", "approx_dot")
   }
 
+  /** The full quantize-then-rerank serving stack: the int8 first pass
+    * ranks the whole corpus by approximate dot and keeps `k·overfetch`
+    * survivors per query; the exact float cosine then re-ranks ONLY the
+    * survivors. At corpus scale the expensive exact kernel touches
+    * k·overfetch rows per query instead of the corpus — the quantized
+    * pass (8× smaller reads, integer arithmetic) does the winnowing.
+    * Returns [[bruteForceTopK]]'s schema; equal to it whenever the
+    * first pass's recall holds at the overfetch margin.
+    */
+  def quantizedRerankTopK(
+      queries: DataFrame, // (query_id, qvec: array<double>)
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      k: Int,
+      overfetch: Int = 4): DataFrame = {
+    require(k >= 1 && overfetch >= 1, "k and overfetch must be >= 1")
+    val survivors = quantizedTopK(queries, corpus, k * overfetch)
+      .select("query_id", "vec_id")
+    val cand = corpus.join(survivors, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine", cosinePrenormed(
+        col("qvec"), col("vec"), norm(col("qvec")), norm(col("vec"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded; no wall-clock or
     * global RNG).
     */

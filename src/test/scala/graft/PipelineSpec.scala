@@ -92,6 +92,34 @@ class PipelineSpec extends SparkSpec {
     assert(a.subsetOf(bigger))
   }
 
+  test("text_shingles Expression == tokenize+shingle UDF chain") {
+    // corpus + adversarial whitespace/edge docs: the Expression must
+    // reproduce the UDF chain's exact output (order included) — ASCII
+    // trim, \s+ split, single-space joins, first-occurrence distinct
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "one two"),
+      (9004L, "a b c a b c a b"), (9005L, "\ta  b\n c\t"),
+      (9006L, " lead trail "), (9007L, "a"), (9008L, "x y z"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    for (n <- Seq(1, 3)) {
+      val viaExpr = docs.select(col("doc_id"),
+        call_function("text_shingles", col("text"), lit(n)).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val viaUdf = docs.select(col("doc_id"),
+        TextAnalysis.shingles(
+          TextAnalysis.whitespaceTokens(col("text")), n).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(viaExpr == viaUdf, s"n=$n diverged")
+    }
+    // and it stays inside whole-stage codegen
+    val plan = docs.select(
+      call_function("text_shingles", col("text"), lit(3)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("dedupStream: scoped first-wins, watermark variant bounds state") {
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
     // docs 1/2 are exact dups within source a; doc 3 has the same
@@ -400,6 +428,17 @@ class PipelineSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"quantized recall $recall")
+    // the rerank stack recovers the exact ranking whenever the int8
+    // pass's recall holds at the overfetch margin
+    val reranked = Similarity.quantizedRerankTopK(queries, e, k = 10,
+      overfetch = 8)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exactRanked = Similarity.bruteForceTopK(queries, e, k = 10)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(reranked == exactRanked,
+      s"rerank diverged: ${(exactRanked -- reranked).take(5)}")
   }
 
   test("IVF centroids are deterministic and Lloyd steps reduce inertia") {
