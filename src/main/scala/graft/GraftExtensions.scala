@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotProductExpression, SensorUuidExpression,
-  TextShinglesExpression, VecDot8Expression, VecQuantize8Expression}
+  TextShinglesExpression, VecDot8Expression, VecQuantize8Expression,
+  WinnowFpsExpression}
 
 /** Engine extensions registered via `SparkSessionExtensions` (the custom-
   * expression extension path): `sensor_uuid(name, type, unit, labels)`
@@ -53,6 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args(1).foldable, "text_shingles n must be a literal")
         TextShinglesExpression(args(0),
           args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpression].getName, "winnow_fps"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "winnow_fps(text, k, w) takes 3 arguments")
+        require(args(1).foldable && args(2).foldable,
+          "winnow_fps k and w must be literals")
+        WinnowFpsExpression(args(0),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

@@ -2327,6 +2327,32 @@ object Queries {
       Similarity.quantizedRerankTopK(queries, e, k = 5, overfetch = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
+    },
+
+    // present_over_time: 1.0 per series with >=1 sample in the window —
+    // the liveness probe companion to absent_over_time (which is
+    // unit-tested; its result is nonempty only when nothing matches).
+    q(
+      "q77_promql_present",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  CAST(1.0 AS DOUBLE) AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
+        |GROUP BY user_tag ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "present_over_time(view[31d])", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
     }
   )
 

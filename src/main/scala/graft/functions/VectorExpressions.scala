@@ -226,6 +226,102 @@ case class TextShinglesExpression(child: Expression, n: Int)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Codegen'd winnowing fingerprints (the MOSS scheme) — the rolling-
+  * hash scale path of `TextAnalysis.winnowingFingerprints`, lifted from
+  * a UDF to a native Expression: same per-document loop, no encoder
+  * round-trip, stays inside whole-stage codegen. Output and
+  * normalization are bit-identical to the UDF (Java `String.trim`,
+  * lowercase, whitespace collapse, polynomial base 1000003, rightmost
+  * window minimum, distinct sorted).
+  */
+case class WinnowFpsExpression(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types._
+
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(s: Any): Any =
+    WinnowFpsExpression.fingerprints(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      k, w)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WinnowFpsExpression.fingerprints(" +
+        s"$s.toString(), $k, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object WinnowFpsExpression {
+  private val EMPTY =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Long])
+
+  def fingerprints(s: String, k: Int, w: Int): ArrayData = {
+    val t = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val n = t.length
+    if (n < k) return EMPTY
+    val B = 1000003L
+    var bPow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { bPow *= B; i += 1 }
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + t.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - t.charAt(i - 1) * bPow) * B + t.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    // sliding-window minimum, rightmost tie (standard winnowing)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var minIdx = -1
+    var start = 0
+    val lastStart = math.max(0, m - w)
+    while (start <= lastStart) {
+      val end = math.min(start + w, m)
+      if (minIdx < start) {
+        minIdx = start
+        var j = start + 1
+        while (j < end) {
+          if (hashes(j) <= hashes(minIdx)) minIdx = j
+          j += 1
+        }
+      } else {
+        val j = end - 1
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+      }
+      selected.add(hashes(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextShinglesExpression {
   private val EMPTY =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])

@@ -194,10 +194,20 @@ object TextAnalysis {
     * of each sliding window of `w` consecutive k-gram hashes (rightmost
     * minimum wins ties), deduplicated and sorted. Guarantees every match
     * of length ≥ w+k−1 between two documents shares a fingerprint, at
-    * density ~2/(w+1). Document-local (a tight UDF loop, no shuffle);
-    * downstream overlap joins shuffle on the 8-byte fingerprint.
+    * density ~2/(w+1). Document-local (no shuffle); downstream overlap
+    * joins shuffle on the 8-byte fingerprint. Runs as the codegen'd
+    * `winnow_fps` Expression (no per-document encoder round-trip); the
+    * retained UDF twin below pins output parity in PipelineSpec.
     */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    call_function("winnow_fps", text, lit(k), lit(w))
+
+  /** Reference UDF implementation of [[winnowingFingerprints]] — kept
+    * (not used on any query path) as the parity oracle for the codegen'd
+    * Expression.
+    */
+  private[graft] def winnowingFingerprintsUdf(
+      text: Column, k: Int = 8, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val f = udf { s: String =>
       if (s == null) Array.empty[Long]

@@ -34,8 +34,12 @@ import graft.operators.LabelMatcher
   */
 object ExtendedPromQL {
 
+  // "present" is present_over_time's op: 1.0 for every series with at
+  // least one sample in the window (Prometheus semantics — the grouped
+  // aggregation only ever sees series WITH samples, so it is constant 1)
   val OverTimeOps =
-    Set("sum", "avg", "count", "min", "max", "last", "stddev", "stdvar")
+    Set("sum", "avg", "count", "min", "max", "last", "stddev", "stdvar",
+      "present")
   val InstantAggOps = Set("sum", "avg", "count", "min", "max", "stddev", "stdvar")
   val RangeFnOps = Set("rate", "increase", "delta")
   /** Per-value math functions (PromQL's scalar function family): name →
@@ -649,6 +653,17 @@ object ExtendedPromQL {
             val sel = parseSelector(selStr, nowUs)
             QuantileOverTimeQ(phi, sel.matchers, sel.startUs, sel.endUs)
           }
+        } else if (head == "absent_over_time") {
+          // absent(sel) over a range window — AbsentQ's machinery with
+          // the window taken from the range selector
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          if (!inner.contains("["))
+            throw PromQLError(
+              "absent_over_time expects a range selector (like metric[5m])")
+          val sel = parseSelector(inner, nowUs)
+          AbsentQ(sel.matchers, sel.startUs, sel.endUs)
         } else if (head.endsWith("_over_time")) {
           val op = head.stripSuffix("_over_time")
           if (!OverTimeOps.contains(op))
@@ -816,6 +831,7 @@ object ExtendedPromQL {
     // Prometheus stddev/stdvar are population statistics
     case "stddev" => stddev_pop(c)
     case "stdvar" => var_pop(c)
+    case "present" => max(lit(1.0)) // any sample in the group ⇒ 1
     case other => throw PromQLError(s"Unsupported aggregation: $other")
   }
 

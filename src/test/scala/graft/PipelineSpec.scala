@@ -120,6 +120,26 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("winnow_fps Expression == rolling-hash UDF") {
+    val edge = Seq(
+      (9001L, ""), (9002L, "short"), (9003L, "  MiXed   Case\ttext  here "),
+      (9004L, "abababababababab"), (9005L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val viaExpr = docs.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprints(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaUdf = docs.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprintsUdf(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr == viaUdf)
+    val plan = docs.select(
+      TextAnalysis.winnowingFingerprints(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("dedupStream: scoped first-wins, watermark variant bounds state") {
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
     // docs 1/2 are exact dups within source a; doc 3 has the same

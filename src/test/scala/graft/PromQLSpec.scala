@@ -769,6 +769,35 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] { ExtendedPromQL.parse("clamp_min(m, x)", now) }
   }
 
+  test("present_over_time and absent_over_time") {
+    import spark.implicits._
+    val selected = Seq(("v 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    val samples = Seq(("v 1", now - 1000L, 5.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val present = ExtendedPromQL.eval(
+      ExtendedPromQL.parse("present_over_time(view[1h])", now),
+      selected, samples)
+      .select("sensor_id", "value").as[(String, Double)].collect().toMap
+    assert(present == Map("v 1" -> 1.0))
+    // data in the window -> absent_over_time yields nothing
+    assert(ExtendedPromQL.eval(
+      ExtendedPromQL.parse("absent_over_time(view[1h])", now),
+      selected, samples).count() == 0)
+    // window ending before every sample -> one absent row, value 1
+    val early = ExtendedPromQL.eval(
+      ExtendedPromQL.parse(s"absent_over_time(view[1h] @ ${(now / 1e6).toLong - 7200})", now),
+      selected, samples)
+      .select("value").as[Double].collect().toSeq
+    assert(early == Seq(1.0))
+    // composes: inner of a subquery fold
+    val sub = ExtendedPromQL.eval(
+      ExtendedPromQL.parse("sum_over_time(present_over_time(view[30m])[1h:15m])", now),
+      selected, samples)
+      .select("value").as[Double].collect().toSeq
+    assert(sub.nonEmpty && sub.head >= 1.0)
+  }
+
   test("aggregation over function results: sum(rate(...)), by clauses") {
     import spark.implicits._
     ExtendedPromQL.parse("sum(rate(view[5m]))", now) match {
