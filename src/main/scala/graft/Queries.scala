@@ -2353,6 +2353,29 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("user_tag")
+    },
+
+    // Corpus unigram LM score (importance/quality filtering): avg
+    // negative log-likelihood per document under the corpus unigram
+    // distribution. The oracle replays the same two keyed passes; ln of
+    // identical doubles may differ by 1 ulp between libms, and the
+    // per-doc mean is summation-order dependent — ROUND(6) absorbs both.
+    q(
+      "q78_unigram_nll",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
+        |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM c)
+        |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(-ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_nll
+        |FROM t JOIN c USING (token), tot
+        |GROUP BY doc_id ORDER BY id"""
+    ) { (s, d) =>
+      TextAnalysis.unigramLogLoss(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
+        .orderBy("id")
     }
   )
 

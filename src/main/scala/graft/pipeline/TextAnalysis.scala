@@ -99,6 +99,32 @@ object TextAnalysis {
       round(stops.cast("double") / greatest(nToks, lit(1)), 6).as("stopword_ratio"))
   }
 
+  /** Corpus unigram language-model score per document: average negative
+    * log-likelihood of the document's tokens under the corpus unigram
+    * distribution — the classic cheap importance/quality signal (low
+    * avg-NLL ≈ stereotypical text, high ≈ rare-token soup). Two passes,
+    * both keyed: token counts (map-side combine, shuffle one row per
+    * distinct token) and a token-keyed join of the doc tokens back to
+    * the counts (AQE broadcasts the vocabulary when it is small; at
+    * corpus scale it shuffles on the token — never on documents). The
+    * corpus total rides in as a broadcast scalar.
+    * Output: (id, n_tokens, avg_nll).
+    */
+  def unigramLogLoss(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(whitespaceTokens(lower(col(textCol)))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).cast("double").as("__total"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        -log(col("tf").cast("double") / col("__total")) as "nll")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
   /** Whole-document fingerprint: 64-bit xxhash of whitespace-normalized
     * lowercase text — codegen'd, shuffle-friendly dedup key.
     */

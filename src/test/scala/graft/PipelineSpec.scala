@@ -212,6 +212,23 @@ class PipelineSpec extends SparkSpec {
     assert(d2._2 == "x y" && d2._3 == 1L && d2._4 == 2L && d2._5 == 0.5)
   }
 
+  test("unigramLogLoss: corpus LM scoring, hand-checked distribution") {
+    // corpus: 4 'a', 2 'b', 2 'c' -> p(a)=0.5, p(b)=p(c)=0.25
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramLogLoss(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val ln2 = math.log(2.0)
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    // doc1: (ln2 + ln2 + 2ln2)/3; doc2: (ln2 + 2ln2 + 2ln2)/3; doc3: 1.5ln2
+    assert(m.map(_._1) == Seq(1L, 2L, 3L))
+    assert(m(0)._2 == 3 && m(0)._3 == r6(4 * ln2 / 3))
+    assert(m(1)._2 == 3 && m(1)._3 == r6(5 * ln2 / 3))
+    assert(m(2)._2 == 2 && m(2)._3 == r6(1.5 * ln2))
+    // rare-token soup scores strictly above stereotypical text
+    assert(m(1)._3 > m(0)._3)
+  }
+
   test("topTokens: frequency ranking with deterministic ties") {
     val docs = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
     val top = TextAnalysis.topTokens(docs, "text", 2)
