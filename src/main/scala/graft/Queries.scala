@@ -2376,6 +2376,31 @@ object Queries {
       TextAnalysis.unigramLogLoss(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
         .orderBy("id")
+    },
+
+    // S6 on the ORC backend: the reference's pluggable-storage-trait
+    // analog is Spark's datasource layer — the SAME store logic (month
+    // partitioning, sorted files, pruned range reads) over ORC instead
+    // of parquet. Same oracle as the parquet roundtrip q33.
+    q(
+      "q79_store_orc",
+      """SELECT epoch_us(ts) AS timestamp_us, value
+        |FROM events
+        |WHERE event_type = 'view' AND user_id = 7
+        |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
+        |ORDER BY timestamp_us LIMIT 100"""
+    ) { (s, d) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_orc").toString
+      val store = new graft.store.SensorStore(s, root, format = "orc")
+      store.publishSamples(graft.model.SensorType.Float,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+      SensorOps.rangeScan(
+        store.samplesInRange(graft.model.SensorType.Float,
+          Some(1704412800000000L), Some(1705708800000000L)), "view 7",
+        Some(1704412800000000L), Some(1705708800000000L), 100)
+        .select("timestamp_us", "value")
     }
   )
 

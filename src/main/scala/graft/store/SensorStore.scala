@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Schemas, SensorType}
 
-/** Parquet-backed sensor store (S6/S14): the Spark-native analog of the
+/** Columnar sensor store (S6/S14), parquet by default with ORC as a
+  * drop-in alternative backend: the Spark-native analog of the
   * reference's per-type value tables + sensors catalog
   * (reference: src/storage/sqlite/migrations/20240110093153_init.sql).
   *
@@ -22,7 +23,20 @@ import graft.model.{Schemas, SensorType}
   */
 final class SensorStore(
     spark: SparkSession, root: String,
-    catalogCompactThreshold: Int = 16) {
+    catalogCompactThreshold: Int = 16,
+    format: String = "parquet") {
+
+  // The reference's pluggable storage trait (7 SQL backends) maps onto
+  // Spark's datasource abstraction: every write/read below goes through
+  // `format`, so the same store logic serves parquet (default) or ORC —
+  // both columnar with min/max stats serving the sorted
+  // (sensor_id, timestamp_us) layout, both month-partition pruned.
+  require(format == "parquet" || format == "orc",
+    s"unsupported store format: $format")
+  private val suffix = s".$format"
+
+  private def readDir(paths: String*): DataFrame =
+    spark.read.format(format).load(paths: _*)
 
   private def valueDir(t: SensorType) = s"$root/values_${t.displayName.toLowerCase}"
   private val catalogDir = s"$root/sensors"
@@ -39,7 +53,8 @@ final class SensorStore(
       .write
       .mode(SaveMode.Append)
       .partitionBy("month")
-      .parquet(valueDir(t))
+      .format(format)
+      .save(valueDir(t))
 
   /** Publish several typed batches CONCURRENTLY — each type writes to
     * its own table directory, so the jobs are independent and Spark
@@ -77,10 +92,10 @@ final class SensorStore(
   def publishSensors(sensors: DataFrame): Unit = {
     val incoming = sensors.dropDuplicates("uuid")
     if (!exists(catalogDir)) {
-      incoming.write.mode(SaveMode.Append).parquet(catalogDir)
+      incoming.write.mode(SaveMode.Append).format(format).save(catalogDir)
       return
     }
-    val existing = spark.read.parquet(catalogDir)
+    val existing = readDir(catalogDir)
     // one catalog-read job per publish: the anti-join materializes ONCE
     // as an eager local checkpoint; the emptiness probe and the write
     // both run off its blocks (previously each ran the catalog scan)
@@ -89,24 +104,24 @@ final class SensorStore(
       .localCheckpoint(true)
     try {
       if (novel.isEmpty) return
-      novel.write.mode(SaveMode.Append).parquet(catalogDir)
+      novel.write.mode(SaveMode.Append).format(format).save(catalogDir)
       // bound the publish-file accumulation: each novel-sensor publish
       // appends a file forever unless compacted — fold them back into
       // one once the count crosses the threshold (read-safe at every
       // step under dedup-on-read, see compactCatalog)
-      if (parquetFiles(catalogDir).length > catalogCompactThreshold)
+      if (dataFiles(catalogDir).length > catalogCompactThreshold)
         compactCatalog()
     } finally graft.pipeline.PipelineCache.free(novel)
   }
 
-  private def parquetFiles(
+  private def dataFiles(
       dir: String): Array[org.apache.hadoop.fs.Path] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(p)) Array.empty
     else fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
       .map(_.getPath)
   }
 
@@ -117,7 +132,7 @@ final class SensorStore(
     */
   def sensors: DataFrame =
     if (exists(catalogDir))
-      spark.read.parquet(catalogDir).dropDuplicates("uuid")
+      readDir(catalogDir).dropDuplicates("uuid")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.sensors)
 
@@ -147,22 +162,23 @@ final class SensorStore(
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(catalogDir)
-    val old = parquetFiles(catalogDir)
+    val old = dataFiles(catalogDir)
     if (old.length <= 1) return
     val stamp = s"${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$catalogDir.compact.$stamp.tmp")
-    val compacted = spark.read
-      .parquet(old.map(_.toString): _*).dropDuplicates("uuid").coalesce(1)
-    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val compacted = readDir(old.map(_.toString): _*)
+      .dropDuplicates("uuid").coalesce(1)
+    compacted.write.mode(SaveMode.Overwrite).format(format)
+      .save(tmp.toString)
     try {
       val moved = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.Path]
       val ok = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
         .zipWithIndex.forall { case (f, i) =>
           val target = new org.apache.hadoop.fs.Path(
-            dir, s"compact-$stamp-$i.parquet")
+            dir, s"compact-$stamp-$i$suffix")
           val renamed = fs.rename(f.getPath, target)
           if (renamed) moved += target
           renamed
@@ -183,7 +199,7 @@ final class SensorStore(
     */
   def samples(t: SensorType): DataFrame =
     if (exists(valueDir(t)))
-      spark.read.parquet(valueDir(t)).drop("month")
+      readDir(valueDir(t)).drop("month")
     else {
       val schema = Schemas.samples(t)
       spark.createDataFrame(
@@ -203,7 +219,7 @@ final class SensorStore(
       endUs: Option[Long]): DataFrame =
     if (!exists(valueDir(t))) samples(t)
     else {
-      var df = spark.read.parquet(valueDir(t))
+      var df = readDir(valueDir(t))
       startUs.foreach(s => df = df
         .filter(col("month") >= monthOf(s) && col("timestamp_us") >= s))
       endUs.foreach(e => df = df
@@ -257,7 +273,7 @@ final class SensorStore(
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("month="))
     monthDirs.foreach { m =>
       val files = fs.listStatus(m.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
       if (files.length > maxFilesPerPartition)
         compactPartition(fs, m.getPath, targetPartitions)
     }
@@ -295,20 +311,20 @@ final class SensorStore(
     val tmp = new org.apache.hadoop.fs.Path(
       partDir.getParent, s".${partDir.getName}.compact.$stamp.tmp")
     val old = fs.listStatus(partDir)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
       .map(_.getPath)
-    spark.read.parquet(partDir.toString)
+    readDir(partDir.toString)
       .repartition(targetPartitions)
       .sortWithinPartitions("sensor_id", "timestamp_us")
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
     try {
       val moved = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.Path]
       val ok = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
         .zipWithIndex.forall { case (f, i) =>
           val target = new org.apache.hadoop.fs.Path(
-            partDir, s"compact-$stamp-$i.parquet")
+            partDir, s"compact-$stamp-$i$suffix")
           val renamed = fs.rename(f.getPath, target)
           if (renamed) moved += target
           renamed

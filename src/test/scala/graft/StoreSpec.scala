@@ -242,6 +242,44 @@ class StoreSpec extends SparkSpec {
       (1 to 8).map(i => s"u$i").toSet)
   }
 
+  test("ORC backend: publish, catalog merge, vacuum, compaction parity") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root,
+      catalogCompactThreshold = 2, format = "orc")
+    (1 to 3).foreach(_ => store.publishSamples(SensorType.Float, sampleData))
+    assert(store.samples(SensorType.Float).count() == 9)
+    // pruned range read works identically over the ORC layout
+    assert(store.samplesInRange(SensorType.Float,
+      Some(1704067200000000L), Some(1705000000000000L)).count() == 6)
+    // catalog merge + auto-compaction
+    def sensorRow(u: String) =
+      Seq((u, s"name_$u", "Float")).toDF("uuid", "name", "type")
+        .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+        .withColumn("labels", lit(null).cast("map<string,string>"))
+    (1 to 5).foreach(i => store.publishSensors(sensorRow(s"u$i")))
+    assert(store.sensors.count() == 5)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val catFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/sensors"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".orc"))
+    assert(catFiles.nonEmpty && catFiles.length <= 3,
+      s"auto-compaction missing: ${catFiles.length} files")
+    // vacuum keeps rows and converges to one file per month
+    store.vacuum(SensorType.Float)
+    assert(store.samples(SensorType.Float).count() == 9)
+    val monthFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/values_float"))
+      .filter(_.isDirectory)
+      .map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".orc")))
+    assert(monthFiles.nonEmpty && monthFiles.forall(_ == 1))
+    // unknown formats are rejected eagerly
+    intercept[IllegalArgumentException] {
+      new SensorStore(spark, tempDir(), format = "avro")
+    }
+  }
+
   test("registerViews exposes the store to spark.sql") {
     val store = new SensorStore(spark, tempDir())
     store.publishSamples(SensorType.Float, sampleData)
