@@ -8,13 +8,15 @@ import graft.functions.{DotProductExpression, SensorUuidExpression,
   TextShinglesExpression, VecDot8Expression, VecQuantize8Expression,
   WinnowFpsExpression}
 
-/** Engine extensions registered via `SparkSessionExtensions` (the custom-
-  * expression extension path): `sensor_uuid(name, type, unit, labels)`
-  * and `vec_dot(a, b)` as codegen'd Catalyst expressions, usable from
-  * SQL and `call_function`.
+/** Engine extensions registered via `SparkSessionExtensions`: codegen'd
+  * Catalyst expressions (`sensor_uuid`, `vec_dot`, `vec_q8`, `vec_dot8`,
+  * `text_shingles`, `winnow_fps`) usable from SQL and `call_function`,
+  * plus the [[graft.plans.MonthPruneRule]] optimizer rule (timestamp
+  * bounds over store tables imply month partition pruning).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => new graft.plans.MonthPruneRule)
     ext.injectFunction((
       new FunctionIdentifier("sensor_uuid"),
       new ExpressionInfo(classOf[SensorUuidExpression].getName, "sensor_uuid"),

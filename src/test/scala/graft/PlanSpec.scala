@@ -54,6 +54,34 @@ class PlanSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0))
   }
 
+  test("MonthPruneRule: raw timestamp filters imply month partition pruning") {
+    val store = new graft.store.SensorStore(spark,
+      java.nio.file.Files.createTempDirectory("plan_store_rule").toString)
+    import spark.implicits._
+    store.publishSamples(graft.model.SensorType.Float, Seq(
+      ("s1", 1704067200000000L, 1.0), // 2024-01
+      ("s1", 1706745600000000L, 2.0), // 2024-02
+      ("s1", 1709251200000000L, 3.0)) // 2024-03
+      .toDF("sensor_id", "timestamp_us", "value"))
+    // samples() drops the month column — the user states ONLY the
+    // timestamp bound; the optimizer rule must still prune months
+    val q = store.samples(graft.model.SensorType.Float)
+      .filter(col("timestamp_us") >= 1706745600000000L &&
+        col("timestamp_us") <= 1706800000000000L)
+    assert(q.count() == 1)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    assert(scanStr.contains("month"), scanStr)
+    assert(scanStr.contains("202402"), s"month bound not derived: $scanStr")
+    // the same through plain SQL over registered views
+    store.registerViews("mpr")
+    val sq = spark.sql(
+      "SELECT count(*) FROM mpr_values_float WHERE timestamp_us >= 1709251200000000")
+    assert(sq.head().getLong(0) == 1)
+    val sqScan = sq.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(sqScan.contains("202403"), s"SQL path not pruned: $sqScan")
+  }
+
   test("catalog join broadcasts the small side") {
     val q = Queries.all("q9_join_broadcast")(spark, sf)
     assert(planOf(q).contains("BroadcastHashJoin"), planOf(q))
