@@ -42,19 +42,75 @@ final class SensorStore(
   private val catalogDir = s"$root/sensors"
 
   /** Append samples of one type. `samples`: (sensor_id, timestamp_us,
-    * value) in the canonical layout.
+    * value) in the canonical layout. Concurrent-appender safe: the write
+    * lands in a private staging dir and the committed files rename in
+    * (see [[stagedAppend]]).
     */
   def publishSamples(t: SensorType, samples: DataFrame): Unit =
-    samples
-      .withColumn("month",
-        date_format(timestamp_micros(col("timestamp_us")), "yyyyMM"))
-      .repartition(col("month"), col("sensor_id"))
-      .sortWithinPartitions("sensor_id", "timestamp_us")
-      .write
-      .mode(SaveMode.Append)
-      .partitionBy("month")
-      .format(format)
-      .save(valueDir(t))
+    stagedAppend(valueDir(t)) { staging =>
+      samples
+        .withColumn("month",
+          date_format(timestamp_micros(col("timestamp_us")), "yyyyMM"))
+        .repartition(col("month"), col("sensor_id"))
+        .sortWithinPartitions("sensor_id", "timestamp_us")
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("month")
+        .format(format)
+        .save(staging)
+    }
+
+  /** Append a frame's committed data files into `dir` via a PRIVATE
+    * staging directory + per-file renames. A plain `mode(Append)` write
+    * is not concurrent-appender safe: Hadoop's FileOutputCommitter
+    * stages every racing job under the SAME `_temporary/0` path, so one
+    * writer's commit/cleanup deletes another's in-flight task files
+    * (observed as FileNotFoundException under the gateway's concurrent
+    * handlers). Here each publish writes to its own `.publish.<stamp>
+    * .tmp` sibling, then renames data files in beside the existing ones
+    * (partition subdirs preserved, collision-proof names) — readers see
+    * only fully-written files, racing publishes never share staging
+    * state, and a failed rename withdraws cleanly. A crashed publish
+    * can leave a `.tmp` sibling behind; it is invisible to readers and
+    * safe to delete.
+    */
+  private def stagedAppend(dir: String)(writeTo: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stamp = s"${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.publish.$stamp.tmp")
+    writeTo(tmp.toString)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(base)
+    val moved = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    def walk(p: org.apache.hadoop.fs.Path, rel: String): Boolean =
+      fs.listStatus(p).forall { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name.startsWith("_") || name.startsWith(".")) true
+          else walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        } else if (name.endsWith(suffix)) {
+          val targetDir =
+            if (rel.isEmpty) base
+            else new org.apache.hadoop.fs.Path(base, rel)
+          fs.mkdirs(targetDir)
+          val target = new org.apache.hadoop.fs.Path(
+            targetDir, s"publish-$stamp-${moved.size}$suffix")
+          val ok = fs.rename(st.getPath, target)
+          if (ok) moved += target
+          ok
+        } else true
+      }
+    try {
+      if (!walk(tmp, "")) {
+        moved.foreach(fs.delete(_, false))
+        throw new java.io.IOException(
+          s"staged append could not move committed files into $dir")
+      }
+    } finally fs.delete(tmp, true)
+  }
 
   /** Publish several typed batches CONCURRENTLY — each type writes to
     * its own table directory, so the jobs are independent and Spark
@@ -92,7 +148,8 @@ final class SensorStore(
   def publishSensors(sensors: DataFrame): Unit = {
     val incoming = sensors.dropDuplicates("uuid")
     if (!exists(catalogDir)) {
-      incoming.write.mode(SaveMode.Append).format(format).save(catalogDir)
+      stagedAppend(catalogDir)(p =>
+        incoming.write.mode(SaveMode.Overwrite).format(format).save(p))
       return
     }
     val existing = readDir(catalogDir)
@@ -104,7 +161,8 @@ final class SensorStore(
       .localCheckpoint(true)
     try {
       if (novel.isEmpty) return
-      novel.write.mode(SaveMode.Append).format(format).save(catalogDir)
+      stagedAppend(catalogDir)(p =>
+        novel.write.mode(SaveMode.Overwrite).format(format).save(p))
       // bound the publish-file accumulation: each novel-sensor publish
       // appends a file forever unless compacted — fold them back into
       // one once the count crosses the threshold (read-safe at every

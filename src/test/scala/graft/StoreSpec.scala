@@ -242,6 +242,35 @@ class StoreSpec extends SparkSpec {
       (1 to 8).map(i => s"u$i").toSet)
   }
 
+  test("concurrent novel publishes never lose a sensor") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root, catalogCompactThreshold = 4)
+    def sensorRows(us: Seq[String]) =
+      us.map(u => (u, s"name_$u", "Float")).toDF("uuid", "name", "type")
+        .withColumn("unit", lit(null).cast("struct<name:string,description:string>"))
+        .withColumn("labels", lit(null).cast("map<string,string>"))
+    // two writers racing: disjoint novel sets PLUS a shared set (the
+    // double-publish race the dedup-on-read contract absorbs), with
+    // auto-compaction triggering mid-race
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 to 1).map { w =>
+      new Thread(() => {
+        try {
+          (1 to 6).foreach { i =>
+            store.publishSensors(sensorRows(Seq(s"w${w}_$i", s"shared_$i")))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"publish failed: ${errs.peek()}")
+    val got = store.sensors.collect().map(_.getString(0)).toSet
+    val want = (1 to 6).flatMap(i =>
+      Seq(s"w0_$i", s"w1_$i", s"shared_$i")).toSet
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+  }
+
   test("ORC backend: publish, catalog merge, vacuum, compaction parity") {
     val root = tempDir()
     val store = new SensorStore(spark, root,
