@@ -2401,6 +2401,38 @@ object Queries {
           Some(1704412800000000L), Some(1705708800000000L)), "view 7",
         Some(1704412800000000L), Some(1705708800000000L), 100)
         .select("timestamp_us", "value")
+    },
+
+    // predict_linear: per-series least-squares forecast one day past the
+    // window end. Both engines compute regr_slope/regr_intercept =
+    // covar_pop/var_pop over the same (seconds-from-end, value) pairs;
+    // ROUND(4) absorbs their differing internal accumulation orders
+    // (regression co-moments cancel more than plain sums).
+    q(
+      "q80_promql_predict",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  ROUND(regr_intercept(value, x) + regr_slope(value, x) * 86400.0,
+        |    4) AS value
+        |FROM (
+        |  SELECT user_id, value,
+        |    (epoch_us(ts) - 1706745600000000) / 1000000.0 AS x
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
+        |GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "predict_linear(view[31d], 86400)", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 4).as("value"))
+        .orderBy("user_tag")
     }
   )
 

@@ -41,7 +41,8 @@ object ExtendedPromQL {
     Set("sum", "avg", "count", "min", "max", "last", "stddev", "stdvar",
       "present")
   val InstantAggOps = Set("sum", "avg", "count", "min", "max", "stddev", "stdvar")
-  val RangeFnOps = Set("rate", "increase", "delta")
+  val RangeFnOps = Set("rate", "increase", "delta", "resets", "changes",
+    "idelta", "irate", "deriv")
   /** Per-value math functions (PromQL's scalar function family): name →
     * number of scalar args AFTER the vector operand (round's step is
     * optional, so it carries a range).
@@ -101,6 +102,14 @@ object ExtendedPromQL {
   final case class QuantileOverTimeQ(
       phi: Double, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
       extends Query
+  /** `predict_linear(sel[range], t)` — the value `t` seconds past the
+    * window end under a per-series least-squares fit over
+    * (seconds-from-window-end, value): `intercept + slope·t` via the
+    * codegen'd `regr_*` aggregates. Series with <2 points yield nothing.
+    */
+  final case class PredictLinearQ(
+      horizonS: Double, matchers: Seq[LabelMatcher],
+      startUs: Long, endUs: Long) extends Query
   /** `topk(k, sel)` / `bottomk(k, sel)` — the k series with the
     * largest/smallest latest sample in the lookback window, ranked
     * deterministically ((value desc|asc), sensor_id). Global (no `by`
@@ -408,7 +417,7 @@ object ExtendedPromQL {
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
         _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ | _: BinScalarQ |
-        _: BinCmpQ => q
+        _: BinCmpQ | _: PredictLinearQ => q
     case _ => throw PromQLError(
       s"$side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
@@ -653,6 +662,22 @@ object ExtendedPromQL {
             val sel = parseSelector(selStr, nowUs)
             QuantileOverTimeQ(phi, sel.matchers, sel.startUs, sel.endUs)
           }
+        } else if (head == "predict_linear") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val args = splitArgs(inner)
+          if (args.length != 2)
+            throw PromQLError(
+              "predict_linear expects (metric[range], t_seconds)")
+          val horizon = parseScalar(args(1)).getOrElse(
+            throw PromQLError(
+              s"predict_linear expects a scalar horizon, got '${args(1)}'"))
+          if (!args.head.contains("["))
+            throw PromQLError(
+              "predict_linear expects a range selector (like metric[5m])")
+          val sel = parseSelector(args.head, nowUs)
+          PredictLinearQ(horizon, sel.matchers, sel.startUs, sel.endUs)
         } else if (head == "absent_over_time") {
           // absent(sel) over a range window — AbsentQ's machinery with
           // the window taken from the range selector
@@ -1055,6 +1080,17 @@ object ExtendedPromQL {
           .agg(first(col("labels")).as("labels"),
             percentile(col("value"), lit(phi)).as("value"))
           .select("sensor_id", "labels", "value")
+      case PredictLinearQ(horizonS, _, _, endUs) =>
+        // x anchored at the window end, so the prediction at now + t is
+        // intercept + slope * t — replayable regression arithmetic
+        val x = (col("timestamp_us") - lit(endUs)).cast("double") / lit(1e6)
+        inWindow.groupBy(col("sensor_id"))
+          .agg(first(col("labels")).as("labels"),
+            (regr_intercept(col("value"), x) +
+              regr_slope(col("value"), x) * lit(horizonS)).as("value"),
+            count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2 && col("value").isNotNull)
+          .select("sensor_id", "labels", "value")
       case RangeFnQ(op, _, startUs, endUs) =>
         // one shuffle on sensor_id (the storage sort key); the lag order
         // includes value so ties on timestamp stay deterministic
@@ -1072,6 +1108,53 @@ object ExtendedPromQL {
                     .getField("value")).as("value"),
                 count(lit(1)).as("__n"))
               .filter(col("__n") >= 2)
+              .select("sensor_id", "labels", "value")
+          case "resets" | "changes" =>
+            // per-pair indicators summed per series: resets = counter
+            // decreases, changes = any value change (Prometheus counts
+            // pairs, so singleton series yield 0, empty windows nothing)
+            val ind =
+              if (op == "resets") col("value") < col("__prev")
+              else col("value") =!= col("__prev")
+            inWindow
+              .withColumn("__prev", lag(col("value"), 1).over(ord))
+              .groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                sum(when(col("__prev").isNotNull && ind, 1L)
+                  .otherwise(0L)).cast("double").as("value"))
+              .select("sensor_id", "labels", "value")
+          case "idelta" | "irate" =>
+            // the LAST adjacent pair per series: lag rides along into a
+            // lexicographic (ts, value) struct max. irate is the
+            // instantaneous counter rate over that pair (reset-aware,
+            // divided by the pair's own time gap — Prometheus semantics)
+            val lastPair = inWindow
+              .withColumn("__prev", lag(col("value"), 1).over(ord))
+              .withColumn("__prev_ts", lag(col("timestamp_us"), 1).over(ord))
+              .groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                max(struct(col("timestamp_us"), col("value"),
+                  col("__prev"), col("__prev_ts"))).as("__last"))
+              .filter(col("__last.__prev").isNotNull)
+            val v = col("__last.value")
+            val p = col("__last.__prev")
+            val gapS = (col("__last.timestamp_us") - col("__last.__prev_ts"))
+              .cast("double") / lit(1e6)
+            val e =
+              if (op == "idelta") v - p
+              else when(v >= p, (v - p) / gapS).otherwise(v / gapS)
+            lastPair.select(col("sensor_id"), col("labels"), e.as("value"))
+          case "deriv" =>
+            // least-squares slope of value over time-in-seconds
+            // (Prometheus deriv); x is anchored at the window end so the
+            // regression arithmetic is replayable
+            val x = (col("timestamp_us") - lit(endUs)).cast("double") /
+              lit(1e6)
+            inWindow.groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                regr_slope(col("value"), x).as("value"),
+                count(lit(1)).as("__n"))
+              .filter(col("__n") >= 2 && col("value").isNotNull)
               .select("sensor_id", "labels", "value")
           case _ => // increase | rate
             val d = inWindow
@@ -1135,7 +1218,19 @@ object ExtendedPromQL {
               .filter(col("__n") >= 2)
               .select(col("sensor_id"), col("__t"), col("labels"),
                 col("value"))
-          case RangeFnQ(op2, _, _, _) => // increase | rate
+          case RangeFnQ(op2 @ ("resets" | "changes"), _, _, _) =>
+            val ord = Window.partitionBy(col("sensor_id"), col("__t"))
+              .orderBy(col("timestamp_us"), col("value"))
+            val withPrev =
+              j.withColumn("__prev", lag(col("value"), 1).over(ord))
+            val ind =
+              if (op2 == "resets") col("value") < col("__prev")
+              else col("value") =!= col("__prev")
+            withPrev.groupBy(col("sensor_id"), col("__t"))
+              .agg(first(col("labels")).as("labels"),
+                sum(when(col("__prev").isNotNull && ind, 1L)
+                  .otherwise(0L)).cast("double").as("value"))
+          case RangeFnQ(op2 @ ("increase" | "rate"), _, _, _) =>
             val ord = Window.partitionBy(col("sensor_id"), col("__t"))
               .orderBy(col("timestamp_us"), col("value"))
             val d = j.withColumn("__prev", lag(col("value"), 1).over(ord))

@@ -151,7 +151,9 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
     // rejections still apply to non-aggregate junk
     intercept[PromQLError] { ExtendedPromQL.parse("1 + 2", now) }
-    intercept[PromQLError] { ExtendedPromQL.parse("irate(view[5m])", now) }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("holt_winters(view[5m], 0.5, 0.5)", now)
+    }
   }
 
   test("offset modifier shifts the evaluation window") {
@@ -767,6 +769,59 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] { ExtendedPromQL.parse("round(m, 0)", now) }
     intercept[PromQLError] { ExtendedPromQL.parse("abs(m, 1)", now) }
     intercept[PromQLError] { ExtendedPromQL.parse("clamp_min(m, x)", now) }
+  }
+
+  test("resets/changes/idelta/irate/deriv/predict_linear") {
+    import spark.implicits._
+    val selected = Seq(("v 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    // counter with one reset and one flat pair, 10 s apart:
+    // t-40s: 1, t-30s: 3, t-20s: 3, t-10s: 1 (reset), t: 4
+    val samples = Seq(
+      ("v 1", now - 40000000L, 1.0), ("v 1", now - 30000000L, 3.0),
+      ("v 1", now - 20000000L, 3.0), ("v 1", now - 10000000L, 1.0),
+      ("v 1", now, 4.0)).toDF("sensor_id", "timestamp_us", "value")
+    def run(q: String): Seq[Double] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("value").as[Double].collect().toSeq
+    assert(run("resets(view[1m])") == Seq(1.0))  // 3 -> 1
+    assert(run("changes(view[1m])") == Seq(3.0)) // 1->3, 3->1, 1->4
+    assert(run("idelta(view[1m])") == Seq(3.0))  // last pair 1 -> 4
+    assert(run("irate(view[1m])") == Seq(0.3))   // 3 / 10 s
+    // irate across a reset divides the NEW value by the gap
+    val resetTail = Seq(
+      ("v 1", now - 10000000L, 9.0), ("v 1", now, 2.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    assert(ExtendedPromQL.eval(
+      ExtendedPromQL.parse("irate(view[1m])", now), selected, resetTail)
+      .select("value").as[Double].head() == 0.2)
+    // perfectly linear series: slope 0.5/s, prediction exact
+    val linear = Seq.tabulate(5)(i =>
+      ("v 1", now - (40 - 10 * i) * 1000000L, i * 5.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val d = ExtendedPromQL.eval(
+      ExtendedPromQL.parse("deriv(view[1m])", now), selected, linear)
+      .select("value").as[Double].head()
+    assert(math.abs(d - 0.5) < 1e-9)
+    val p = ExtendedPromQL.eval(
+      ExtendedPromQL.parse("predict_linear(view[1m], 60)", now),
+      selected, linear)
+      .select("value").as[Double].head()
+    assert(math.abs(p - (20.0 + 0.5 * 60)) < 1e-9)
+    // singleton series yield nothing for the pairwise/regression family
+    val one = Seq(("v 1", now, 5.0)).toDF("sensor_id", "timestamp_us", "value")
+    for (q <- Seq("idelta(view[1m])", "irate(view[1m])", "deriv(view[1m])",
+      "predict_linear(view[1m], 60)"))
+      assert(ExtendedPromQL.eval(
+        ExtendedPromQL.parse(q, now), selected, one).count() == 0, q)
+    // but resets/changes count zero pairs as zero
+    assert(ExtendedPromQL.eval(
+      ExtendedPromQL.parse("resets(view[1m])", now), selected, one)
+      .select("value").as[Double].collect().toSeq == Seq(0.0))
+    // subquery composition for the pairwise counters
+    assert(ExtendedPromQL.eval(
+      ExtendedPromQL.parse("max_over_time(changes(view[40s])[1m:20s])", now),
+      selected, samples).select("value").as[Double].head() >= 1.0)
   }
 
   test("present_over_time and absent_over_time") {
