@@ -38,6 +38,19 @@ final class SensorStore(
   private def readDir(paths: String*): DataFrame =
     spark.read.format(format).load(paths: _*)
 
+  /** Catalog reads tolerate vanished files: a compaction running in
+    * another thread deletes replaced publish files AFTER adding the
+    * compacted superset, so a reader that listed before the delete can
+    * fault at scan time on a file whose rows it already has via the
+    * compacted file. `ignoreMissingFiles` (per-read option) makes that
+    * mid-state read silently correct — ONLY valid under the catalog's
+    * dedup-on-read contract; value-table reads stay loud-and-retry
+    * (see [[compactPartition]]).
+    */
+  private def readCatalog(paths: String*): DataFrame =
+    spark.read.option("ignoreMissingFiles", "true")
+      .format(format).load(paths: _*)
+
   private def valueDir(t: SensorType) = s"$root/values_${t.displayName.toLowerCase}"
   private val catalogDir = s"$root/sensors"
 
@@ -152,7 +165,7 @@ final class SensorStore(
         incoming.write.mode(SaveMode.Overwrite).format(format).save(p))
       return
     }
-    val existing = readDir(catalogDir)
+    val existing = readCatalog(catalogDir)
     // one catalog-read job per publish: the anti-join materializes ONCE
     // as an eager local checkpoint; the emptiness probe and the write
     // both run off its blocks (previously each ran the catalog scan)
@@ -190,7 +203,7 @@ final class SensorStore(
     */
   def sensors: DataFrame =
     if (exists(catalogDir))
-      readDir(catalogDir).dropDuplicates("uuid")
+      readCatalog(catalogDir).dropDuplicates("uuid")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.sensors)
 
@@ -205,8 +218,13 @@ final class SensorStore(
     * compacted file in fails, the already-moved ones are withdrawn
     * (duplicates under dedup, safe to remove) and the old files are left
     * untouched, so a failed compaction never loses catalog data. The tmp
-    * dir and the compacted names carry a UUID, so two racing compactions
-    * cannot collide on paths (the loser fails its renames and aborts).
+    * dir and the compacted names carry a UUID, so racing compactions
+    * never collide on paths; each deletes ONLY the files it listed at
+    * start, and every row it read lives in its own compacted output —
+    * so a row always survives in at least one live file (a compactor
+    * that lists mid-race reads the other's output via
+    * [[readCatalog]]'s vanished-file tolerance, and duplicates dedup
+    * away on read).
     *
     * Remaining reader caveat (single-process stores won't see it): Spark
     * lists files eagerly but reads them lazily, so a reader that listed
@@ -225,7 +243,7 @@ final class SensorStore(
     val stamp = s"${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$catalogDir.compact.$stamp.tmp")
-    val compacted = readDir(old.map(_.toString): _*)
+    val compacted = readCatalog(old.map(_.toString): _*)
       .dropDuplicates("uuid").coalesce(1)
     compacted.write.mode(SaveMode.Overwrite).format(format)
       .save(tmp.toString)
