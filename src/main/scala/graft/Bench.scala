@@ -59,20 +59,29 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     val med = names.map(n => n -> median(warm(n))).toMap
-    // The driver captures only the tail of this process's output, so the
-    // final JSON line must stay short: 2-decimal per-query rounding
-    // (3 for the totals); verbose cold/per-sample breakdowns go on
-    // EARLIER lines (truncated first). At 67 queries the summary sits
-    // ~1700 of the ~1900 usable chars — keep checking len on growth.
+    // The driver captures only the ~1900-char tail of this process's
+    // output, and the FINAL line must parse as JSON. At 77 full-name
+    // queries the summary crossed 2000 chars, so the summary keys are
+    // the SHORT query ids (the prefix before the first underscore —
+    // unique by construction); the id→full-name map and the verbose
+    // cold/per-sample breakdowns go on EARLIER lines (truncated first;
+    // full names are also recoverable from CORRECTNESS_r*.json). At 80
+    // queries the summary sits ~1000 chars — room to q150+.
+    def shortId(n: String): String = n.takeWhile(_ != '_')
+    require(names.map(shortId).distinct.length == names.length,
+      "short query ids must stay unique")
     def r3(d: Double): String = f"$d%.3f"
     def r2(d: Double): String = f"$d%.2f"
     def json(m: Map[String, Double]): String =
-      names.map(n => "\"" + n + "\":" + r2(m(n))).mkString("{", ",", "}")
+      names.map(n => "\"" + shortId(n) + "\":" + r2(m(n)))
+        .mkString("{", ",", "}")
     val warmTotal = names.map(med).sum
     val coldTotal = names.map(cold).sum
+    val namesLine = names.map(n => "\"" + shortId(n) + "\":\"" + n + "\"")
+      .mkString("""{"query_names":{""", ",", "}}")
     val coldLine = s"""{"cold_queries":${json(cold)}}"""
     val samplesLine = names.map { n =>
-      "\"" + n + "\":[" + warm(n).map(r2).mkString(",") + "]"
+      "\"" + shortId(n) + "\":[" + warm(n).map(r2).mkString(",") + "]"
     }.mkString("""{"warm_samples":{""", ",", "}}")
     val summary = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec",""" +
       s""""queries":${json(med)},"cold_total":${r3(coldTotal)},""" +
@@ -83,6 +92,7 @@ object Bench {
     // suppresses sbt's "[success]" banner for the same reason.)
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(namesLine)
     println(coldLine)
     println(samplesLine)
     println(summary)
