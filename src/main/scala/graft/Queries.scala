@@ -2008,19 +2008,25 @@ object Queries {
     },
 
     // S4 Numeric mode (reference: src/ingestors/http/influxdb.rs:63-125):
-    // i64 and f64 fields land as EXACT decimals — the sums below are
-    // exact decimal arithmetic on both sides, no ROUND crutch needed.
-    // Both engines recover the wire literal via the shortest decimal
-    // rendering of the double (Spark double→decimal cast; DuckDB
-    // double→VARCHAR→decimal), so `80.4` is exactly 80.4.
+    // i64 and f64 fields land as EXACT decimals. The hash surface is the
+    // sum RESCALED to DECIMAL(38,6): the two engines derive each addend
+    // from the double's shortest decimal rendering (Spark double→string
+    // when building the line; DuckDB double→VARCHAR in the oracle), and
+    // pre-Ryu JDKs (< 19) occasionally render one extra digit — a 1-ulp
+    // disagreement at digit ~17 of the scale-18 sum. Rounding both sides
+    // to scale 6 (ties-away-from-zero in both engines) leaves 11 orders
+    // of magnitude of slack, so the compare pins the Numeric-mode parse
+    // and exact-decimal aggregation without hashing the formatter war.
     q(
       "q68_influx_numeric",
       """SELECT 'ev cnt' AS sensor_name,
-        |  SUM(CAST(CAST(user_id AS BIGINT) AS DECIMAL(38,18))) AS total
+        |  CAST(SUM(CAST(CAST(user_id AS BIGINT) AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,6)) AS total
         |FROM events WHERE event_type = 'click'
         |UNION ALL
         |SELECT 'ev value' AS sensor_name,
-        |  SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS total
+        |  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,6)) AS total
         |FROM events WHERE event_type = 'click'
         |ORDER BY sensor_name"""
     ) { (s, d) =>
@@ -2035,7 +2041,7 @@ object Queries {
         .as[String]
       InfluxLineProtocol.parse(lines, "bkt", "org", "ns", withNumeric = true)
         .groupBy(col("sensor_name"))
-        .agg(sum(col("numeric_value")).as("total"))
+        .agg(sum(col("numeric_value")).cast("decimal(38,6)").as("total"))
         .orderBy("sensor_name")
     },
 
