@@ -2233,18 +2233,31 @@ object Queries {
         |FROM documents GROUP BY source ORDER BY source"""
     ) { (s, d) =>
       val streamDir = java.nio.file.Files.createTempDirectory("q74_src")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$d/documents.parquet"))
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-      val kept = Dedup.dedupStream(stream, "text", scopeCols = Seq("source"))
-        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-      val name = s"q74_out_${System.nanoTime()}"
-      val query = kept.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally query.stop()
-      s.table(name).orderBy("source")
+      try {
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$d/documents.parquet"))
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        val kept = Dedup.dedupStream(stream, "text", scopeCols = Seq("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        val name = s"q74_out_${System.nanoTime()}"
+        val query = kept.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try query.processAllAvailable() finally query.stop()
+        // materialize the (per-source, bounded) counts and drop the
+        // memory sink: Bench re-runs each entry 4x per JVM, so leaked
+        // result tables would accumulate in driver memory for the
+        // process lifetime
+        val out = s.table(name).orderBy("source")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.catalog.dropTempView(name)
+        s.createDataFrame(rows, out.schema).orderBy("source")
+      } finally {
+        java.nio.file.Files.deleteIfExists(
+          streamDir.resolve("documents.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
     },
 
     // Int8-quantized ANN first pass (vec_q8 / vec_dot8 codegen'd

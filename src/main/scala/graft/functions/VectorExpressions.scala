@@ -59,11 +59,16 @@ case class DotProductExpression(left: Expression, right: Expression)
 }
 
 object DotProductExpression {
-  /** Sequential left-to-right fold over the common prefix. */
+  /** Sequential left-to-right fold; mismatched dimensions fail loudly
+    * (a truncated dot product is a plausible-but-wrong score).
+    */
   def dot(x: Array[Double], y: Array[Double]): Double = {
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch (${x.length} vs ${y.length})")
     var s = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
+    val n = x.length
     while (i < n) { s += x(i) * y(i); i += 1 }
     s
   }
@@ -172,9 +177,15 @@ case class VecDot8Expression(left: Expression, right: Expression)
 
 object VecDot8Expression {
   def dot8(x: Array[Byte], y: Array[Byte]): Long = {
+    // fail loudly: silently truncating to the shorter operand would
+    // return a plausible-but-wrong score and corrupt ANN rankings
+    // undetectably downstream
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"vec_dot8: dimension mismatch (${x.length} vs ${y.length})")
     var s = 0L
     var i = 0
-    val n = math.min(x.length, y.length)
+    val n = x.length
     while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
     s
   }

@@ -414,6 +414,18 @@ object ExtendedPromQL {
     * comparison-filtered vectors keep their series identity, so they
     * qualify too — `(a * 2) + b` is valid PromQL).
     */
+  /** A query string that can only have been MEANT as a plain selector:
+    * no function-call head (`name(`) and no top-level binary operator,
+    * so the full-parse fallback has nothing to recurse into and its
+    * failure message would be less specific than the selector parser's.
+    */
+  private def selectorShaped(s: String): Boolean = {
+    val t = s.trim
+    val isCall = """^[a-zA-Z_:][a-zA-Z0-9_:]*\s*\(""".r
+      .findPrefixMatchOf(t).isDefined
+    !isCall && !t.startsWith("(") && topLevelOp(t).isEmpty
+  }
+
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
         _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ | _: BinScalarQ |
@@ -757,24 +769,30 @@ object ExtendedPromQL {
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
           // plain selector -> the classic InstantAggQ; anything else
           // (rate(x[5m]), abs(m), m * 2, nested math) -> aggregation
-          // over the per-series vector it evaluates to
-          if (inner.contains("[")) {
-            if (inner.trim.endsWith("]") && !inner.contains("("))
+          // over the per-series vector it evaluates to. A bare RANGE
+          // selector (sum(metric[5m])) is invalid PromQL — detected
+          // structurally from the selector parse (hadRange), so a regex
+          // matcher carrying brackets or parens cannot sneak one past a
+          // textual guard
+          (try Right(parseSelector(inner, nowUs))
+          catch { case e: PromQLError => Left(e) }) match {
+            case Right(sel) if sel.hadRange =>
               throw PromQLError(
                 s"$head aggregates an instant vector; use " +
                   s"${head}_over_time for range windows")
-            InstantAggVecQ(head, by, without,
-              requireVectorOperand(parse(inner, nowUs), "aggregated"))
-          } else {
-            try {
-              val sel = parseSelector(inner, nowUs)
+            case Right(sel) =>
               InstantAggQ(head, by, without,
                 sel.matchers, sel.startUs, sel.endUs)
-            } catch {
-              case _: PromQLError =>
-                InstantAggVecQ(head, by, without,
-                  requireVectorOperand(parse(inner, nowUs), "aggregated"))
-            }
+            case Left(selErr) =>
+              try InstantAggVecQ(head, by, without,
+                requireVectorOperand(parse(inner, nowUs), "aggregated"))
+              catch {
+                // selector-shaped inner (no function head, no top-level
+                // operator to recurse into): the selector's own message
+                // names the actual syntax error; the generic fallback
+                // error would mask it
+                case _: PromQLError if selectorShaped(inner) => throw selErr
+              }
           }
         } else {
           val sel = parseSelector(s, nowUs)

@@ -15,10 +15,16 @@ object SimplePromQL {
   /** reference: DEFAULT_LOOKBACK_MS (simple_promql.rs:25) */
   val DefaultLookbackMs: Long = 3600L * 1000L
 
+  /** @param hadRange whether the selector carried an explicit `[range]`
+    *                  window (vs the implicit lookback) — callers that
+    *                  accept only instant vectors reject on this flag
+    *                  rather than scraping the query text for brackets
+    */
   final case class ParsedQuery(
       matchers: Seq[LabelMatcher],
       startUs: Long,
-      endUs: Long)
+      endUs: Long,
+      hadRange: Boolean = false)
 
   final case class PromQLError(message: String) extends Exception(message)
 
@@ -41,7 +47,7 @@ object SimplePromQL {
         ParsedQuery(matchers, nowUs - DefaultLookbackMs * 1000L, nowUs)
       case Selector(matchers, Some(rangeMs)) =>
         requireMatchers(matchers)
-        ParsedQuery(matchers, nowUs - rangeMs * 1000L, nowUs)
+        ParsedQuery(matchers, nowUs - rangeMs * 1000L, nowUs, hadRange = true)
     }
   }
 

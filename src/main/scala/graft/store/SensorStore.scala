@@ -389,7 +389,14 @@ final class SensorStore(
     val old = fs.listStatus(partDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
       .map(_.getPath)
-    readDir(partDir.toString)
+    if (old.isEmpty) return
+    // Scan EXACTLY the listed files (as compactCatalog does): scanning
+    // the live directory lazily would fold a publish that lands between
+    // this listing and the write action into the compacted output while
+    // its own file — absent from `old` — survives the delete, leaving
+    // every one of its rows permanently doubled in a table with no
+    // dedup-on-read.
+    readDir(old.map(_.toString): _*)
       .repartition(targetPartitions)
       .sortWithinPartitions("sensor_id", "timestamp_us")
       .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)

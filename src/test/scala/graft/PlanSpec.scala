@@ -146,6 +146,16 @@ class PlanSpec extends SparkSpec {
       .select(call_function("vec_dot8", col("qz.q"), col("qz.q")).as("d"))
       .as[Long].head()
     assert(d == 42L * 42 + 85L * 85 + 127L * 127)
+    // mismatched dimensions fail loudly instead of silently truncating
+    // to the common prefix (a plausible-but-wrong ANN score)
+    intercept[IllegalArgumentException] {
+      graft.functions.VecDot8Expression.dot8(
+        Array[Byte](1, 2, 3), Array[Byte](1, 2))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.DotProductExpression.dot(
+        Array(1.0, 2.0, 3.0), Array(1.0, 2.0))
+    }
   }
 
   test("vocabulary and PromQL topk plan TakeOrderedAndProject") {

@@ -138,6 +138,25 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] {
       ExtendedPromQL.parse("sum(view[5m])", now) // range in instant agg
     }
+    // structural detection: a regex matcher carrying parens must not
+    // sneak a range selector past the guard (it used to silently
+    // evaluate as an aggregation over last-in-window values)
+    val e1 = intercept[PromQLError] {
+      ExtendedPromQL.parse("""sum(view{user=~"(7|8)"}[5m])""", now)
+    }
+    assert(e1.message.contains("sum_over_time"))
+    // ...while the same selector WITHOUT the range stays a plain agg
+    ExtendedPromQL.parse("""sum(view{user=~"(7|8)"})""", now) match {
+      case InstantAggQ("sum", _, _, ms, _, _) =>
+        assert(ms.contains(LabelMatcher.Re("user", "(7|8)")))
+      case other => fail(s"unexpected: $other")
+    }
+    // a selector-shaped inner with a syntax error reports the SELECTOR
+    // error, not a generic bad-operand message
+    val e2 = intercept[PromQLError] {
+      ExtendedPromQL.parse("""sum(view{user=~"(7|8)"[5m])""", now)
+    }
+    assert(!e2.message.contains("operand"), e2.message)
     intercept[PromQLError] {
       ExtendedPromQL.parse("sum by (user) (view) extra", now)
     }

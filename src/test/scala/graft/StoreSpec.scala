@@ -201,6 +201,45 @@ class StoreSpec extends SparkSpec {
       graft.operators.SensorOps.dedup(store.samples(SensorType.Float)).count())
   }
 
+  test("a publish racing vacuum is never duplicated") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
+    // seed both months with several files so every vacuum pass rewrites
+    (1 to 3).foreach(_ => store.publishSamples(SensorType.Float, sampleData))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var publishing = true
+    val batches = 12
+    val publisher = new Thread(() => {
+      try {
+        (0 until batches).foreach { i =>
+          // unique (sensor, timestamp) rows landing in both months: a
+          // compaction that folds a concurrent publish into its output
+          // while deleting only its own listing would double these
+          val batch = Seq(
+            (s"r$i", 1704067200000000L + i, i.toDouble),
+            (s"r$i", 1706745600000000L + i, i.toDouble))
+            .toDF("sensor_id", "timestamp_us", "value")
+          store.publishSamples(SensorType.Float, batch)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+      finally { publishing = false }
+    })
+    publisher.start()
+    while (publishing) store.vacuum(SensorType.Float)
+    publisher.join()
+    store.vacuum(SensorType.Float) // converge to compacted terminal state
+    assert(errs.isEmpty, s"publisher failed: ${errs.peek()}")
+    val all = store.samples(SensorType.Float)
+    assert(all.count() == 9 + 2L * batches)
+    // every racing-publish row is distinct, so any duplication is
+    // compaction folding a racing publish it did not own (the seed rows
+    // are deliberately published 3x and excluded)
+    val dups = all.filter(col("sensor_id").startsWith("r"))
+      .groupBy("sensor_id", "timestamp_us", "value")
+      .count().filter(col("count") > 1).collect()
+    assert(dups.isEmpty, s"compaction duplicated racing publishes: ${dups.toSeq}")
+  }
+
   test("publishSensors runs one catalog read and leaves no cached blocks") {
     val root = tempDir()
     val store = new SensorStore(spark, root)
