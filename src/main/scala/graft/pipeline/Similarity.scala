@@ -162,9 +162,7 @@ object Similarity {
     val planes = hyperplanes(dim, bits, seed)
     val corpusB = corpus.withColumn("bucket", lshBucket(col("vec"), planes))
       .withColumn("__nv", norm(col("vec")))
-    val probes = (0L until (1L << bits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
-      .map(lit)
+    val probes = probeMasks(bits, probeHamming).map(lit)
     val queriesB = queries
       .withColumn("qbucket", lshBucket(col("qvec"), planes))
       .withColumn("__nq", norm(col("qvec")))
@@ -180,6 +178,31 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** Every mask over `bits` positions with at most `maxSetBits` bits
+    * set — Σ C(bits, i) masks enumerated directly by choosing set-bit
+    * positions. Filtering the full 2^bits space instead is quadratically
+    * wasteful at bits=24 and pathological at bits≥32 (and overflows the
+    * shift at 64); the probe COUNT itself stays the caller's
+    * responsibility — it is the multi-probe fan-out, visible in the
+    * plan as the explode width.
+    */
+  private[graft] def probeMasks(bits: Int, maxSetBits: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 62, s"lsh bits out of range: $bits")
+    val out = Seq.newBuilder[Long]
+    def choose(fromPos: Int, remaining: Int, acc: Long): Unit = {
+      out += acc
+      if (remaining > 0) {
+        var p = fromPos
+        while (p < bits) {
+          choose(p + 1, remaining - 1, acc | (1L << p))
+          p += 1
+        }
+      }
+    }
+    choose(0, math.max(0, maxSetBits), 0L)
+    out.result()
   }
 
   // ------------------------------------------------------------------ IVF

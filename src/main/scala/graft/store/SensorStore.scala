@@ -61,7 +61,16 @@ final class SensorStore(
     */
   def publishSamples(t: SensorType, samples: DataFrame): Unit =
     stagedAppend(valueDir(t)) { staging =>
-      samples
+      // non-finite f64 samples are silently skipped at the publish edge
+      // (reference: src/storage/sqlite/sqlite_publishers.rs:60-67) —
+      // inference already rejects them at the CSV edge, but remote-write
+      // and Influx payloads can carry NaN/Inf straight to the store
+      val finite =
+        if (t == SensorType.Float)
+          samples.filter(!isnan(col("value")) &&
+            abs(col("value")) =!= lit(Double.PositiveInfinity))
+        else samples
+      finite
         .withColumn("month",
           date_format(timestamp_micros(col("timestamp_us")), "yyyyMM"))
         .repartition(col("month"), col("sensor_id"))
@@ -340,11 +349,14 @@ final class SensorStore(
   def vacuum(
       t: SensorType,
       targetPartitions: Int = 1,
-      maxFilesPerPartition: Int = 1): Unit = {
+      maxFilesPerPartition: Int = 1,
+      stagingHorizonMs: Long = SensorStore.DefaultStagingHorizonMs): Unit = {
     if (!exists(valueDir(t))) return
     val dir = valueDir(t)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    sweepStaleStaging(fs, new org.apache.hadoop.fs.Path(dir),
+      stagingHorizonMs)
     val monthDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("month="))
     monthDirs.foreach { m =>
@@ -353,6 +365,33 @@ final class SensorStore(
       if (files.length > maxFilesPerPartition)
         compactPartition(fs, m.getPath, targetPartitions)
     }
+  }
+
+  /** Janitor for crashed publish/compaction staging: a writer that dies
+    * between staging and rename-in leaves a `*.publish.<stamp>.tmp`
+    * sibling of the table dir (or a `.*.compact.<stamp>.tmp` sibling of
+    * the month dirs) — invisible to readers, but accumulating forever.
+    * Only staging whose NAME-EMBEDDED stamp is older than the horizon is
+    * swept, so an in-flight writer is never raced: the horizon bounds
+    * publish duration, not clock skew (stamps and the sweep clock come
+    * from whichever node runs them, so keep the horizon generous).
+    */
+  private def sweepStaleStaging(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      horizonMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    val stampRe = """\.(?:publish|compact)\.([0-9]+)-[0-9a-f]{8}\.tmp$""".r
+    def sweep(p: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        if (st.isDirectory)
+          stampRe.findFirstMatchIn(st.getPath.getName).foreach { m =>
+            if (now - m.group(1).toLong > horizonMs)
+              fs.delete(st.getPath, true)
+          }
+      }
+    sweep(tableDir.getParent) // <table>.publish.<stamp>.tmp siblings
+    sweep(tableDir)           // .month=X.compact.<stamp>.tmp leftovers
   }
 
   /** Rewrite one `month=` partition directory to `targetPartitions`
@@ -425,4 +464,11 @@ final class SensorStore(
       spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(path))
   }
+}
+
+object SensorStore {
+  /** Staging older than this is assumed crashed, not in-flight — far
+    * beyond any realistic publish/compaction duration.
+    */
+  val DefaultStagingHorizonMs: Long = 24L * 3600 * 1000
 }

@@ -420,6 +420,25 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("probeMasks enumerates combinations, never the 2^bits space") {
+    // C(20,0)+C(20,1)+C(20,2) = 211 masks, instantly — the old
+    // filter-2^bits enumeration walked 1M longs for the same answer
+    // (and 4G at bits=32)
+    val t0 = System.nanoTime()
+    val m2 = Similarity.probeMasks(20, 2)
+    assert((System.nanoTime() - t0) < 1e9.toLong)
+    assert(m2.size == 1 + 20 + 190)
+    assert(m2.distinct.size == m2.size)
+    assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2))
+    assert(Similarity.probeMasks(62, 1).size == 63) // top bit reachable
+    assert(Similarity.probeMasks(8, 0) == Seq(0L))  // no multi-probe
+    intercept[IllegalArgumentException](Similarity.probeMasks(63, 1))
+    // parity with the old filter on a small space
+    val old = (0L until (1L << 8))
+      .filter(m => java.lang.Long.bitCount(m) <= 2).toSet
+    assert(Similarity.probeMasks(8, 2).toSet == old)
+  }
+
   test("IVF top-k achieves high recall vs brute force on testdata") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))

@@ -29,6 +29,54 @@ class StoreSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("non-finite float samples are skipped at the publish edge") {
+    // reference sqlite_publishers.rs:60-67: NaN/Inf silently dropped on
+    // insert; other types are untouched
+    val store = new SensorStore(spark, tempDir())
+    val dirty = Seq(
+      ("s1", 1704067200000000L, 1.5),
+      ("s1", 1704067201000000L, Double.NaN),
+      ("s1", 1704067202000000L, Double.PositiveInfinity),
+      ("s1", 1704067203000000L, Double.NegativeInfinity),
+      ("s1", 1704067204000000L, -2.5))
+      .toDF("sensor_id", "timestamp_us", "value")
+    store.publishSamples(SensorType.Float, dirty)
+    val kept = store.samples(SensorType.Float)
+      .collect().map(_.getAs[Double]("value")).sorted
+    assert(kept.toSeq == Seq(-2.5, 1.5))
+    // integers (and other non-float types) pass through untouched
+    val ints = Seq(("s1", 1704067200000000L, Long.MaxValue))
+      .toDF("sensor_id", "timestamp_us", "value")
+    store.publishSamples(SensorType.Integer, ints)
+    assert(store.samples(SensorType.Integer).count() == 1)
+  }
+
+  test("vacuum sweeps crashed-publish staging dirs past the horizon") {
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
+    store.publishSamples(SensorType.Float, sampleData)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def mk(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+      fs.mkdirs(p); p
+    }
+    val oldStamp = System.currentTimeMillis() - 2 * 3600 * 1000L
+    val newStamp = System.currentTimeMillis()
+    val crashedPublish = mk(s"values_float.publish.$oldStamp-deadbeef.tmp")
+    val crashedCompact = mk(
+      s"values_float/.month=202401.compact.$oldStamp-deadbeef.tmp")
+    val inFlight = mk(s"values_float.publish.$newStamp-cafebabe.tmp")
+    // unrelated dirs (no staging stamp shape) must never be touched
+    val unrelated = mk("values_float.backup")
+    store.vacuum(SensorType.Float, stagingHorizonMs = 3600 * 1000L)
+    assert(!fs.exists(crashedPublish), "stale publish staging not swept")
+    assert(!fs.exists(crashedCompact), "stale compact staging not swept")
+    assert(fs.exists(inFlight), "in-flight staging must survive the sweep")
+    assert(fs.exists(unrelated), "non-staging dirs must survive the sweep")
+    assert(store.samples(SensorType.Float).count() == 3)
+  }
+
   test("multi-type publish lands every batch (concurrent jobs)") {
     import spark.implicits._
     val store = new SensorStore(spark, tempDir())
