@@ -2452,6 +2452,115 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           round(col("value"), 4).as("value"))
         .orderBy("user_tag")
+    },
+
+    // Typed Arrow roundtrip for the non-Float value types (S3/S11,
+    // reference: src/exporters/arrow/mod.rs:224-388, src/importers/
+    // arrow.rs:143-294): six per-event_type series — Integer, Numeric
+    // Decimal128(38,18), Utf8, Boolean, Struct{latitude,longitude},
+    // Binary — are ENCODED to Arrow IPC bytes and DECODED back on the
+    // executors; the checksums are computed from the DECODED samples, so
+    // any corruption in the typed vectors breaks the hash. Checksums are
+    // exact (integer/decimal arithmetic or exact dyadic doubles), so
+    // iterator order is irrelevant. The blob byte is replayed in DuckDB
+    // via the portable md5-prefix trick; the Numeric column derives from
+    // the double's string rendering on both sides (the q68 contract).
+    q(
+      "q81_arrow_typed",
+      """WITH e AS (SELECT event_type, user_id, value FROM events)
+        |SELECT * FROM (
+        |  SELECT 'integer' AS value_type, event_type AS sensor_name,
+        |    COUNT(*) AS n, CAST(SUM(user_id) AS DECIMAL(38,6)) AS checksum
+        |  FROM e GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'numeric', event_type, COUNT(*),
+        |    CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,6))
+        |  FROM e GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'string', event_type, COUNT(*),
+        |    CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)))
+        |      AS DECIMAL(38,6))
+        |  FROM e GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'boolean', event_type, COUNT(*),
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS DECIMAL(38,6))
+        |  FROM e GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'location', event_type, COUNT(*),
+        |    CAST(-2 * SUM(user_id) AS DECIMAL(38,6))
+        |  FROM e GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'blob', event_type, COUNT(*),
+        |    CAST(SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+        |      ::BIGINT) AS DECIMAL(38,6))
+        |  FROM e GROUP BY event_type)
+        |ORDER BY value_type, sensor_name"""
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.model.SensorType
+      import graft.sources.ArrowIO
+      import ArrowIO.TypedSeries
+      val ev = Tables.events(s, d).select(
+        col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("user_id"),
+        col("value").cast("decimal(38,18)").as("numeric_v"),
+        unhex(md5(col("user_id").cast("string"))).as("blob_v"))
+        .as[(String, Long, Long, java.math.BigDecimal, Array[Byte])]
+      ev.groupByKey(_._1).flatMapGroups { (et, it) =>
+        val rows = it.toArray
+        def bd(x: Long) = java.math.BigDecimal.valueOf(x)
+        val series = Seq[(String, TypedSeries)](
+          "integer" -> TypedSeries(SensorType.Integer, Some(et), Some(et),
+            rows.map(r => (r._2, r._3: Any)).toSeq),
+          "numeric" -> TypedSeries(SensorType.Numeric, Some(et), Some(et),
+            rows.map(r => (r._2, r._4: Any)).toSeq),
+          "string" -> TypedSeries(SensorType.Str, Some(et), Some(et),
+            rows.map(r => (r._2, s"$et:${r._3}": Any)).toSeq),
+          "boolean" -> TypedSeries(SensorType.Boolean, Some(et), Some(et),
+            rows.map(r => (r._2, (r._3 % 2 == 0): Any)).toSeq),
+          // exact dyadic doubles: integer-valued lat/lon sum exactly
+          "location" -> TypedSeries(SensorType.Location, Some(et), Some(et),
+            rows.map(r => (r._2, (r._3.toDouble, -(3L * r._3).toDouble): Any))
+              .toSeq),
+          "blob" -> TypedSeries(SensorType.Blob, Some(et), Some(et),
+            rows.map(r => (r._2, r._5: Any)).toSeq))
+        series.map { case (tn, ser) =>
+          val dec = ArrowIO.decodeTypedSeries(ArrowIO.encodeTypedSeries(ser))
+          require(dec.sensorId.contains(et) && dec.sensorName.contains(et),
+            s"metadata lost in roundtrip for $tn")
+          val checksum: java.math.BigDecimal = tn match {
+            case "integer" =>
+              bd(dec.samples.iterator.map(_._2.asInstanceOf[Long]).sum)
+            case "numeric" =>
+              dec.samples.iterator
+                .map(_._2.asInstanceOf[java.math.BigDecimal])
+                .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+            case "string" =>
+              bd(dec.samples.iterator
+                .map(_._2.asInstanceOf[String].length.toLong).sum)
+            case "boolean" =>
+              bd(dec.samples.count(_._2.asInstanceOf[Boolean]).toLong)
+            case "location" =>
+              dec.samples.iterator
+                .map(_._2.asInstanceOf[(Double, Double)])
+                .foldLeft(java.math.BigDecimal.ZERO) { case (acc, (la, lo)) =>
+                  acc.add(new java.math.BigDecimal(la))
+                    .add(new java.math.BigDecimal(lo))
+                }
+            case "blob" =>
+              bd(dec.samples.iterator
+                .map(p => (p._2.asInstanceOf[Array[Byte]](0) & 0xff).toLong)
+                .sum)
+          }
+          (tn, et, dec.samples.length.toLong, checksum)
+        }
+      }
+        .toDF("value_type", "sensor_name", "n", "checksum")
+        .withColumn("checksum", col("checksum").cast("decimal(38,6)"))
+        .orderBy("value_type", "sensor_name")
     }
   )
 

@@ -219,24 +219,30 @@ final class Gateway(
           row.getString(1), sType.displayName.toLowerCase, labels).collect()
         respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
       case "arrow" =>
-        // Float series use the typed schema; other types the long all-
-        // string schema (the reference's two Arrow export contracts:
-        // src/exporters/arrow/mod.rs:17-105)
+        // single series use the TYPED schema for every value type
+        // (reference: src/exporters/arrow/mod.rs:224-388); Float keeps
+        // the established slim timestamp+value layout, the rest carry
+        // sensor_id/sensor_name like the reference. The long all-string
+        // schema remains the multi-series contract (export_bulk).
         val bytes = sType match {
           case SensorType.Float =>
             val rows = scan.select(col("timestamp_us"), col("value"))
               .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
             graft.sources.ArrowIO.encodeFloatSeries(rows)
           case _ =>
-            val labelsJson = if (labels.isEmpty) "{}"
-              else labels.toSeq.sorted
-                .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
-                .mkString("{", ",", "}")
-            val rows = renderedValues(scan, sType).collect().map(r =>
-              graft.sources.ArrowIO.LongRow(r.getLong(0), uuid,
-                row.getString(1), r.getString(1), sType.displayName,
-                labelsJson)).toSeq
-            graft.sources.ArrowIO.encodeLongFormat(rows)
+            val rows = scan.select(col("timestamp_us"), col("value"))
+              .collect().map { r =>
+                val v: Any = sType match {
+                  case SensorType.Location =>
+                    (r.getStruct(1).getDouble(0), r.getStruct(1).getDouble(1))
+                  case SensorType.Numeric => r.getDecimal(1)
+                  case _ => r.get(1)
+                }
+                (r.getLong(0), v)
+              }.toSeq
+            graft.sources.ArrowIO.encodeTypedSeries(
+              graft.sources.ArrowIO.TypedSeries(
+                sType, Some(uuid), Some(row.getString(1)), rows))
         }
         respondBytes(x, 200, "application/vnd.apache.arrow.file", bytes)
       case other =>
@@ -311,16 +317,36 @@ final class Gateway(
   }
 
   private def publishArrow(bytes: Array[Byte]): Unit = {
-    // long-format IPC (the reference's multi-series schema); values all
-    // strings, type column names the sensor type
-    val rows = graft.sources.ArrowIO.decodeLongFormat(bytes)
-    import spark.implicits._
-    val df = rows.map(r =>
-        (r.timestampUs, r.sensorName, r.value, r.valueType, r.labelsJson))
-      .toDF("timestamp_us", "sensor_name", "value", "type", "labels_json")
-      .withColumn("labels", from_json(col("labels_json"),
-        MapType(StringType, StringType)))
-    publishLong(df)
+    val fields = graft.sources.ArrowIO.ipcFieldNames(bytes)
+    if (Set("type", "labels").subsetOf(fields)) {
+      // long-format IPC (the reference's multi-series schema); values all
+      // strings, the type column names the sensor type
+      val rows = graft.sources.ArrowIO.decodeLongFormat(bytes)
+      import spark.implicits._
+      val df = rows.map(r =>
+          (r.timestampUs, r.sensorName, r.value, r.valueType, r.labelsJson))
+        .toDF("timestamp_us", "sensor_name", "value", "type", "labels_json")
+        .withColumn("labels", from_json(col("labels_json"),
+          MapType(StringType, StringType)))
+      publishLong(df)
+    } else {
+      // typed single-series IPC: the value field's Arrow type names the
+      // sensor type, sensor_id is the uuid, name falls back to it
+      // (reference: src/importers/arrow.rs:119-294)
+      val ser = graft.sources.ArrowIO.decodeTypedSeries(bytes)
+      val uuid = ser.sensorId.getOrElse(throw new IllegalArgumentException(
+        "Arrow typed import requires a sensor_id column"))
+      val name = ser.sensorName.getOrElse(uuid)
+      import spark.implicits._
+      val sensors = Seq((uuid, name, ser.sensorType.displayName))
+        .toDF("uuid", "name", "type")
+        .withColumn("unit",
+          lit(null).cast(graft.model.Schemas.sensors("unit").dataType))
+        .withColumn("labels", lit(null).cast(MapType(StringType, StringType)))
+      store.publishSensors(sensors)
+      store.publishSamples(ser.sensorType,
+        graft.sources.ArrowIO.typedSeriesToFrame(spark, ser))
+    }
   }
 
   /** Publish the normalized long layout (sensor_name, labels, timestamp_us,

@@ -5,13 +5,16 @@ import java.nio.channels.Channels
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{Float8Vector, TimeStampMicroVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DecimalVector, Float8Vector, TimeStampMicroVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.complex.StructVector
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
-import org.apache.arrow.vector.types.pojo.{ArrowType, Field, Schema}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
+
+import graft.model.SensorType
 
 /** Arrow IPC file import/export (S3/S11) using the Apache Arrow Java
   * library Spark already ships.
@@ -118,6 +121,248 @@ object ArrowIO {
         decodeFloatSeries(bytes).map { case (t, v) => (id, t, v) }
       }
       .toDF("sensor_id", "timestamp_us", "value")
+  }
+
+  // ------------------------------------------------- typed single series
+
+  /** A decoded typed series. `samples` carries (timestamp µs, value) with
+    * the value's JVM representation per type: Integer→Long, Numeric→
+    * java.math.BigDecimal(38,18), Float→Double, String/JSON→String,
+    * Boolean→Boolean, Location→(latitude: Double, longitude: Double),
+    * Blob→Array[Byte].
+    */
+  final case class TypedSeries(
+      sensorType: SensorType,
+      sensorId: Option[String],
+      sensorName: Option[String],
+      samples: Seq[(Long, Any)])
+
+  /** The per-type Arrow value field (reference: src/exporters/arrow/
+    * mod.rs:224-388): Int64, Decimal128(38,18), Float64, Utf8, Boolean,
+    * Struct{latitude,longitude}, Binary. JSON exports as Utf8, so a
+    * JSON series IMPORTS as String — the reference's own lossy corner
+    * (src/importers/arrow.rs:204-218 has no JSON arm).
+    */
+  private def typedValueField(t: SensorType): Field = {
+    def leaf(a: ArrowType) = Field.notNullable("value", a)
+    t match {
+      case SensorType.Integer => leaf(new ArrowType.Int(64, true))
+      case SensorType.Numeric => leaf(ArrowType.Decimal.createDecimal(38, 18, null))
+      case SensorType.Float =>
+        leaf(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+      case SensorType.Str | SensorType.Json => leaf(ArrowType.Utf8.INSTANCE)
+      case SensorType.Boolean => leaf(ArrowType.Bool.INSTANCE)
+      case SensorType.Location => new Field("value",
+        FieldType.notNullable(ArrowType.Struct.INSTANCE), List(
+          Field.notNullable("latitude",
+            new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)),
+          Field.notNullable("longitude",
+            new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))).asJava)
+      case SensorType.Blob => leaf(ArrowType.Binary.INSTANCE)
+    }
+  }
+
+  /** Typed single-series schema: `timestamp(µs, naive)`, typed `value`,
+    * plus constant `sensor_id`/`sensor_name` Utf8 columns when present
+    * (the reference exports both: src/exporters/arrow/mod.rs:365-385;
+    * its importer requires sensor_id and falls back to it for the name,
+    * src/importers/arrow.rs:119-124).
+    */
+  def typedSeriesSchema(
+      t: SensorType,
+      withSensorId: Boolean = true,
+      withSensorName: Boolean = true): Schema = {
+    val fields = List.newBuilder[Field]
+    fields += Field.notNullable("timestamp",
+      new ArrowType.Timestamp(TimeUnit.MICROSECOND, null))
+    fields += typedValueField(t)
+    if (withSensorId)
+      fields += Field.notNullable("sensor_id", ArrowType.Utf8.INSTANCE)
+    if (withSensorName)
+      fields += Field.notNullable("sensor_name", ArrowType.Utf8.INSTANCE)
+    new Schema(fields.result().asJava)
+  }
+
+  /** Encode one typed series to Arrow IPC file bytes (S11 for all 8
+    * value types; the Float fast path [[encodeFloatSeries]] emits the
+    * same layout minus the metadata columns).
+    */
+  def encodeTypedSeries(series: TypedSeries): Array[Byte] = {
+    val t = series.sensorType
+    val schema = typedSeriesSchema(t,
+      withSensorId = series.sensorId.isDefined,
+      withSensorName = series.sensorName.isDefined)
+    val root = VectorSchemaRoot.create(schema, allocator)
+    try {
+      root.allocateNew()
+      val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
+      val value = root.getVector("value")
+      series.samples.zipWithIndex.foreach { case ((at, v), i) =>
+        ts.setSafe(i, at)
+        (t, v) match {
+          case (SensorType.Integer, x: Long) =>
+            value.asInstanceOf[BigIntVector].setSafe(i, x)
+          case (SensorType.Numeric, x: java.math.BigDecimal) =>
+            value.asInstanceOf[DecimalVector].setSafe(i, x.setScale(18))
+          case (SensorType.Float, x: Double) =>
+            value.asInstanceOf[Float8Vector].setSafe(i, x)
+          case (SensorType.Str | SensorType.Json, x: String) =>
+            value.asInstanceOf[VarCharVector]
+              .setSafe(i, x.getBytes("UTF-8"))
+          case (SensorType.Boolean, x: Boolean) =>
+            value.asInstanceOf[BitVector].setSafe(i, if (x) 1 else 0)
+          case (SensorType.Location, (lat: Double, lon: Double)) =>
+            val sv = value.asInstanceOf[StructVector]
+            sv.getChild("latitude", classOf[Float8Vector]).setSafe(i, lat)
+            sv.getChild("longitude", classOf[Float8Vector]).setSafe(i, lon)
+            sv.setIndexDefined(i)
+          case (SensorType.Blob, x: Array[Byte]) =>
+            value.asInstanceOf[VarBinaryVector].setSafe(i, x)
+          case (typ, other) => throw new IllegalArgumentException(
+            s"sample value ${other.getClass.getSimpleName} does not match " +
+              s"series type ${typ.displayName}")
+        }
+      }
+      def fill(name: String, v: Option[String]): Unit = v.foreach { s =>
+        val vec = root.getVector(name).asInstanceOf[VarCharVector]
+        val bytes = s.getBytes("UTF-8")
+        (0 until series.samples.length).foreach(vec.setSafe(_, bytes))
+      }
+      fill("sensor_id", series.sensorId)
+      fill("sensor_name", series.sensorName)
+      root.setRowCount(series.samples.length)
+      writeIpc(root)
+    } finally root.close()
+  }
+
+  /** Decode a typed-series IPC file, inferring the sensor type from the
+    * value field's Arrow type exactly as the reference importer does
+    * (src/importers/arrow.rs:143-294): Int64→Integer, Float64→Float,
+    * Decimal128→Numeric, Utf8→String, Boolean→Boolean,
+    * Struct{latitude,longitude}→Location, Binary→Blob. Anything else is
+    * rejected.
+    */
+  def decodeTypedSeries(bytes: Array[Byte]): TypedSeries = {
+    val reader = new ArrowFileReader(
+      new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val byName = root.getSchema.getFields.asScala
+        .map(f => f.getName -> f).toMap
+      require(byName.contains("timestamp") && byName.contains("value"),
+        "Arrow file must contain 'timestamp' and 'value' columns")
+      require(byName("timestamp").getType.isInstanceOf[ArrowType.Timestamp],
+        "'timestamp' column must be a Timestamp")
+      val t = byName("value").getType match {
+        case i: ArrowType.Int if i.getBitWidth == 64 => SensorType.Integer
+        case f: ArrowType.FloatingPoint
+            if f.getPrecision == FloatingPointPrecision.DOUBLE =>
+          SensorType.Float
+        case _: ArrowType.Decimal => SensorType.Numeric
+        case _: ArrowType.Utf8 => SensorType.Str
+        case _: ArrowType.Bool => SensorType.Boolean
+        case _: ArrowType.Struct
+            if byName("value").getChildren.asScala.map(_.getName) ==
+              Seq("latitude", "longitude") =>
+          SensorType.Location
+        case _: ArrowType.Binary => SensorType.Blob
+        case other => throw new IllegalArgumentException(
+          s"Unsupported Arrow value type: $other")
+      }
+      val out = Seq.newBuilder[(Long, Any)]
+      var sensorId: Option[String] = None
+      var sensorName: Option[String] = None
+      while (reader.loadNextBatch()) {
+        val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
+        val value = root.getVector("value")
+        var i = 0
+        while (i < root.getRowCount) {
+          val v: Any = t match {
+            case SensorType.Integer =>
+              value.asInstanceOf[BigIntVector].get(i)
+            case SensorType.Float =>
+              value.asInstanceOf[Float8Vector].get(i)
+            case SensorType.Numeric =>
+              value.asInstanceOf[DecimalVector].getObject(i)
+            case SensorType.Str =>
+              new String(value.asInstanceOf[VarCharVector].get(i), "UTF-8")
+            case SensorType.Boolean =>
+              value.asInstanceOf[BitVector].get(i) != 0
+            case SensorType.Location =>
+              val sv = value.asInstanceOf[StructVector]
+              (sv.getChild("latitude", classOf[Float8Vector]).get(i),
+                sv.getChild("longitude", classOf[Float8Vector]).get(i))
+            case SensorType.Blob =>
+              value.asInstanceOf[VarBinaryVector].get(i)
+            case other => throw new IllegalStateException(other.displayName)
+          }
+          out += ((ts.get(i), v))
+          i += 1
+        }
+        def const(name: String): Option[String] =
+          byName.get(name).filter(_ => root.getRowCount > 0).map { _ =>
+            new String(
+              root.getVector(name).asInstanceOf[VarCharVector].get(0), "UTF-8")
+          }
+        if (sensorId.isEmpty) sensorId = const("sensor_id")
+        if (sensorName.isEmpty) sensorName = const("sensor_name")
+      }
+      TypedSeries(t, sensorId, sensorName, out.result())
+    } finally reader.close()
+  }
+
+  /** Top-level field names of an IPC file — the cheap peek HTTP edges use
+    * to route between the typed single-series layout and the long
+    * multi-series layout before committing to a decode.
+    */
+  def ipcFieldNames(bytes: Array[Byte]): Set[String] = {
+    val reader = new ArrowFileReader(
+      new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+    try reader.getVectorSchemaRoot.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally reader.close()
+  }
+
+  /** A decoded typed series as a canonical-layout frame (sensor_id,
+    * timestamp_us, value) with the value in the type's native Spark
+    * column type — the shape [[graft.store.SensorStore.publishSamples]]
+    * ingests. Requires `sensorId` (the reference importer errors without
+    * it: src/importers/arrow.rs:119-121).
+    */
+  def typedSeriesToFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      series: TypedSeries): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    val id = series.sensorId.getOrElse(throw new IllegalArgumentException(
+      "Arrow typed import requires a sensor_id column"))
+    def rows[T](f: Any => T) =
+      series.samples.map { case (t, v) => (id, t, f(v)) }
+    series.sensorType match {
+      case SensorType.Integer =>
+        rows(_.asInstanceOf[Long]).toDF("sensor_id", "timestamp_us", "value")
+      case SensorType.Numeric =>
+        rows(_.asInstanceOf[java.math.BigDecimal])
+          .toDF("sensor_id", "timestamp_us", "value")
+          .withColumn("value", col("value").cast("decimal(38,18)"))
+      case SensorType.Float =>
+        rows(_.asInstanceOf[Double]).toDF("sensor_id", "timestamp_us", "value")
+      case SensorType.Str | SensorType.Json =>
+        rows(_.asInstanceOf[String]).toDF("sensor_id", "timestamp_us", "value")
+      case SensorType.Boolean =>
+        rows(_.asInstanceOf[Boolean]).toDF("sensor_id", "timestamp_us", "value")
+      case SensorType.Location =>
+        series.samples.map { case (t, v) =>
+          val (lat, lon) = v.asInstanceOf[(Double, Double)]
+          (id, t, lat, lon)
+        }.toDF("sensor_id", "timestamp_us", "lat", "lon")
+          .select(col("sensor_id"), col("timestamp_us"),
+            struct(col("lat").as("latitude"), col("lon").as("longitude"))
+              .as("value"))
+      case SensorType.Blob =>
+        rows(_.asInstanceOf[Array[Byte]])
+          .toDF("sensor_id", "timestamp_us", "value")
+    }
   }
 
   def longFormatSchema: Schema = new Schema(List(

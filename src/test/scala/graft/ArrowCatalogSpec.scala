@@ -26,6 +26,74 @@ class ArrowCatalogSpec extends SparkSpec {
     assert(ArrowIO.decodeLongFormat(ArrowIO.encodeLongFormat(in)) == in)
   }
 
+  test("Arrow typed series: export->import->export roundtrip per type") {
+    import graft.model.SensorType
+    import graft.sources.ArrowIO.TypedSeries
+    def rt(s: TypedSeries): TypedSeries =
+      ArrowIO.decodeTypedSeries(ArrowIO.encodeTypedSeries(s))
+    val ts = Seq(1700000000000000L, 1700000001000000L)
+
+    val ints = TypedSeries(SensorType.Integer, Some("u1"), Some("counter"),
+      Seq((ts(0), Long.MinValue), (ts(1), Long.MaxValue)))
+    assert(rt(ints) == ints)
+
+    val dec = TypedSeries(SensorType.Numeric, Some("u2"), Some("exact"),
+      Seq((ts(0), new java.math.BigDecimal("1.050000000000000000")),
+        (ts(1), new java.math.BigDecimal("-99999999999999999999.999999999999999999"))))
+    val decBack = rt(dec)
+    assert(decBack.sensorType == SensorType.Numeric)
+    // values survive exactly at scale 18 (encode rescales to the
+    // contract scale, so pass-through compares at setScale(18))
+    assert(decBack.samples == dec.samples.map {
+      case (t, v: java.math.BigDecimal) => (t, v.setScale(18))
+    })
+
+    val strs = TypedSeries(SensorType.Str, Some("u3"), Some("labels"),
+      Seq((ts(0), "héllo"), (ts(1), "")))
+    assert(rt(strs) == strs)
+
+    val bools = TypedSeries(SensorType.Boolean, Some("u4"), Some("flag"),
+      Seq((ts(0), true), (ts(1), false)))
+    assert(rt(bools) == bools)
+
+    // fractional lat/lon survive bit-exactly through the struct
+    val locs = TypedSeries(SensorType.Location, Some("u5"), Some("gps"),
+      Seq((ts(0), (59.9127, 10.7461)), (ts(1), (-33.8688, 151.2093))))
+    assert(rt(locs) == locs)
+
+    val blobs = TypedSeries(SensorType.Blob, Some("u6"), Some("payload"),
+      Seq((ts(0), Array[Byte](0, 1, -128, 127)), (ts(1), Array.empty[Byte])))
+    val blobBack = rt(blobs)
+    assert(blobBack.copy(samples = Nil) == blobs.copy(samples = Nil))
+    assert(blobBack.samples.map(_._1) == blobs.samples.map(_._1))
+    assert(blobBack.samples.zip(blobs.samples).forall { case ((_, a), (_, b)) =>
+      java.util.Arrays.equals(a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[Array[Byte]])
+    })
+
+    // JSON exports as Utf8 and IMPORTS as String (the reference's own
+    // lossy corner: importers/arrow.rs has no JSON arm)
+    val json = TypedSeries(SensorType.Json, Some("u7"), Some("doc"),
+      Seq((ts(0), """{"a":1}""")))
+    assert(rt(json) == json.copy(sensorType = SensorType.Str))
+
+    // metadata columns are optional on the wire
+    val bare = TypedSeries(SensorType.Integer, None, None, Seq((ts(0), 7L)))
+    assert(rt(bare) == bare)
+
+    // second roundtrip is the identity (export->import->export equality,
+    // the reference's arrow_integration contract)
+    val once = ArrowIO.encodeTypedSeries(ints)
+    val twice = ArrowIO.encodeTypedSeries(rt(ints))
+    assert(java.util.Arrays.equals(once, twice))
+
+    // mismatched payloads fail loudly
+    intercept[IllegalArgumentException] {
+      ArrowIO.encodeTypedSeries(TypedSeries(
+        SensorType.Integer, None, None, Seq((ts(0), "not a long"))))
+    }
+  }
+
   test("Arrow import requires timestamp and value columns") {
     val bad = ArrowIO.encodeLongFormat(Seq(
       ArrowIO.LongRow(0L, "a", "b", "c", "d", "e")))

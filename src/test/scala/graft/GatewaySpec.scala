@@ -249,6 +249,47 @@ class GatewaySpec extends SparkSpec {
     assert(rows.head._1 == 1704067200000000L)
   }
 
+  test("typed arrow publish + export roundtrip (non-Float types)") {
+    import graft.sources.ArrowIO
+    import graft.model.SensorType
+    // Integer series via the typed IPC layout: the value field's Arrow
+    // type names the sensor type, sensor_id is the uuid
+    val uuid = "11111111-2222-3333-4444-555555555555"
+    val ser = ArrowIO.TypedSeries(SensorType.Integer, Some(uuid), Some("ticks"),
+      Seq((1704067200000000L, 5L), (1704067201000000L, -7L)))
+    val r = post("/publish", ArrowIO.encodeTypedSeries(ser),
+      Map("content-type" -> "application/vnd.apache.arrow.file"))
+    assert(r.statusCode() == 200, new String(r.body(), "UTF-8"))
+    // the catalog learned the sensor under the file's uuid and type
+    val listed = get("/series")
+    assert(listed.body().contains(uuid), listed.body())
+    assert(listed.body().contains("ticks"))
+    // export back as arrow: typed Int64 schema, exact values + metadata
+    val out = client.send(
+      HttpRequest.newBuilder(url(s"/series/$uuid?format=arrow")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(out.statusCode() == 200)
+    val back = ArrowIO.decodeTypedSeries(out.body())
+    assert(back.sensorType == SensorType.Integer)
+    assert(back.samples == ser.samples)
+    assert(back.sensorId.contains(uuid))
+    assert(back.sensorName.contains("ticks"))
+    // Location roundtrips through the store's struct column too
+    val luuid = "99999999-8888-7777-6666-555555555555"
+    val lser = ArrowIO.TypedSeries(SensorType.Location, Some(luuid), None,
+      Seq((1704067200000000L, (59.9127, 10.7461))))
+    assert(post("/publish", ArrowIO.encodeTypedSeries(lser),
+      Map("content-type" -> "application/vnd.apache.arrow.file"))
+      .statusCode() == 200)
+    val lout = client.send(
+      HttpRequest.newBuilder(url(s"/series/$luuid?format=arrow")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    val lback = ArrowIO.decodeTypedSeries(lout.body())
+    assert(lback.sensorType == SensorType.Location)
+    assert(lback.samples == lser.samples)
+    assert(lback.sensorName.contains(luuid)) // name fell back to sensor_id
+  }
+
   test("extended PromQL endpoint aggregates; strict endpoint still rejects") {
     // uses the remote-write data (http_requests with job=api, 2024-01)
     val q = java.net.URLEncoder.encode(
