@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, batch-shaped decode/feature-extract over `mapPartitions`.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs): [[FakeDecoder]] is a deterministic placeholder with the exact
-  * signature a real decoder plugs into. Everything Spark-side — schema,
-  * partitioning, batch iteration shape, output contract — is real and
-  * tested. On a Python-capable cluster the same batch contract maps 1:1
-  * onto `mapInPandas`/`mapInArrow` with the decoder in the worker.
+  * IMAGES are fully real: [[ImageIODecoder]]/[[ImageIOResizer]] decode,
+  * scale and re-encode PNG/JPEG/BMP/GIF through plain-JDK
+  * `javax.imageio` — no external codecs needed. AUDIO/VIDEO decode
+  * remains environment-blocked (the JDK ships no codecs):
+  * [[FakeDecoder]]/[[FakeFrameSampler]] are deterministic placeholders
+  * with the exact signature a real decoder plugs into, and the oracled
+  * byte-level queries (q31/q69/q47) pin their batch contracts.
+  * Everything Spark-side — schema, partitioning, batch iteration shape,
+  * output contract — is real and tested. On a Python-capable cluster the
+  * same batch contract maps 1:1 onto `mapInPandas`/`mapInArrow` with the
+  * decoder in the worker.
   */
 object Multimodal {
 
@@ -62,6 +67,44 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder over plain-JDK `javax.imageio` (PNG, JPEG, BMP,
+    * GIF — the registry the JDK ships). Per image: true pixel dimensions
+    * land in the checksum and an 8-bin normalized luminance histogram
+    * lands in `feature` (a resolution-independent perceptual signature —
+    * the embedding-ish vector downstream dedup/ANN stages consume).
+    * Still images report n_frames = 1. Undecodable payloads fail LOUDLY
+    * (a silent skip would corrupt 1:1 batch contracts downstream).
+    */
+  object ImageIODecoder extends Decoder {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media))
+      require(img != null,
+        s"media_id ${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](8)
+      var crc = 17L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // ARGB, color-managed to sRGB
+          val lum = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1f
+          crc = crc * 31 + rgb
+          x += 1
+        }
+        y += 1
+      }
+      crc = (crc * 31 + w) * 31 + h
+      val n = (w.toLong * h).toFloat
+      MediaFeatures(r.media_id, r.media.length.toLong, 1, crc,
+        hist.map(_ / n))
+    }
+  }
+
   /** Distributed batch decode: partitions iterate in DecodeBatchSize
     * groups (bounded memory per batch), each handed to the decoder.
     */
@@ -106,6 +149,37 @@ object Multimodal {
         val out = java.util.Arrays.copyOf(r.media, target)
         r.copy(media = out, meta_width = w, meta_height = h)
       }
+  }
+
+  /** REAL image resizer: decode via `javax.imageio`, bilinear scale on a
+    * `Graphics2D`, re-encode as PNG (the JDK's PNG writer is
+    * deterministic, so resized payloads are stable bytes — cacheable and
+    * dedupable downstream). Output metadata carries the target
+    * dimensions and `image/png`.
+    */
+  object ImageIOResizer extends Resizer {
+    def resizeBatch(rows: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow] = {
+      require(w >= 1 && h >= 1, s"resize target must be positive: ${w}x$h")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        require(img != null,
+          s"media_id ${r.media_id}: payload is not a decodable image")
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        r.copy(media = bos.toByteArray, mime = "image/png",
+          meta_width = w, meta_height = h)
+      }
+    }
   }
 
   /** Distributed batch resize — same DecodeBatchSize batch iteration as

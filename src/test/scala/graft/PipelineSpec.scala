@@ -520,6 +520,76 @@ class PipelineSpec extends SparkSpec {
     assert(i2 <= i0, s"Lloyd steps should not increase inertia: $i0 -> $i2")
   }
 
+  test("ImageIO decode/resize: real pixels through the batch contract") {
+    import graft.pipeline.Multimodal
+    import Multimodal.MediaRow
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, rgb(x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val black = png(8, 8, (_, _) => 0x000000)
+    val white = png(16, 4, (_, _) => 0xffffff)
+    val gradient = png(32, 32, (x, _) => (x * 8) << 16) // red ramp
+    val media = Seq(
+      MediaRow(1L, black, "image/png", 0, 0),
+      MediaRow(2L, white, "image/png", 0, 0),
+      MediaRow(3L, gradient, "image/png", 0, 0)).toDS()
+
+    // decode on executors: luminance histograms are exact per image
+    val feats = Multimodal.decode(media, Multimodal.ImageIODecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.n_frames).toSeq == Seq(1, 1, 1))
+    val Seq(fb, fw, fg) = feats.toSeq
+    assert(fb.feature(0) == 1.0f && fb.feature.sum == 1.0f) // all dark
+    assert(fw.feature(7) == 1.0f)                           // all bright
+    assert(math.abs(fg.feature.sum - 1.0f) < 1e-6)          // normalized
+    assert(fg.feature(0) > 0 && fg.feature.count(_ > 0) > 1) // spread ramp
+    // dimensions are folded into the checksum: same pixels, other shape
+    val black2 = png(4, 16, (_, _) => 0x000000)
+    val f2 = Multimodal.ImageIODecoder.decodeBatch(
+      Seq(MediaRow(9L, black2, "image/png", 0, 0))).head
+    assert(f2.checksum != fb.checksum)
+    // byte-level determinism: decoding twice yields identical features
+    assert(Multimodal.ImageIODecoder.decodeBatch(
+      Seq(MediaRow(1L, black, "image/png", 0, 0))).head.checksum ==
+      fb.checksum)
+
+    // resize on executors: true dimensions, deterministic PNG bytes
+    val resized = Multimodal.resize(media, 6, 5, Multimodal.ImageIOResizer)
+      .collect().sortBy(_.media_id)
+    assert(resized.forall(r =>
+      r.meta_width == 6 && r.meta_height == 5 && r.mime == "image/png"))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.head.media))
+    assert(back.getWidth == 6 && back.getHeight == 5)
+    // bilinear of a constant image is that constant, pixel-exact
+    assert((0 until 5).forall(y => (0 until 6).forall(x =>
+      (back.getRGB(x, y) & 0xffffff) == 0x000000)))
+    val backW = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1).media))
+    assert((backW.getRGB(3, 2) & 0xffffff) == 0xffffff)
+    // re-encoding is byte-stable (PNG writer determinism) — resized
+    // payloads are cacheable/dedupable content
+    val again = Multimodal.ImageIOResizer.resizeBatch(
+      Seq(MediaRow(3L, gradient, "image/png", 0, 0)), 6, 5).head
+    assert(java.util.Arrays.equals(again.media, resized(2).media))
+    // junk payloads fail loudly, preserving the 1:1 batch contract
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIODecoder.decodeBatch(
+        Seq(MediaRow(7L, Array[Byte](1, 2, 3), "image/png", 0, 0)))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIOResizer.resizeBatch(
+        Seq(MediaRow(7L, Array[Byte](1, 2, 3), "image/png", 0, 0)), 4, 4)
+    }
+  }
+
   test("multimodal decode: batch shape, determinism, feature contract") {
     val media = Multimodal.mediaFromDocuments(
       spark, Tables.documents(spark, sf))
