@@ -2561,6 +2561,95 @@ object Queries {
         .toDF("value_type", "sensor_name", "n", "checksum")
         .withColumn("checksum", col("checksum").cast("decimal(38,6)"))
         .orderBy("value_type", "sensor_name")
+    },
+
+    // PromQL holt_winters: the per-series double-exponential-smoothing
+    // fold replayed in DuckDB as a recursive CTE advancing one sample
+    // per iteration (the q49 deadband technique). The smoothing
+    // arithmetic is pinned to the same operation ORDER on both sides
+    // (sf*x + (1-sf)*(s1+trend); tf*(s1-s0) + (1-tf)*b), so the doubles
+    // are bit-identical — no rounding crutch.
+    q(
+      "q82_promql_holt_winters",
+      """WITH RECURSIVE w AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |    epoch_us(ts) AS ts_us, value
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |base AS (
+        |  SELECT user_tag, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_tag
+        |      ORDER BY ts_us, value) AS rn
+        |  FROM w),
+        |cnt AS (SELECT user_tag, MAX(rn) AS n FROM base GROUP BY user_tag),
+        |rec AS (
+        |  SELECT b1.user_tag, 1 AS i, 0.0::DOUBLE AS s0, b1.value AS s1,
+        |    b2.value - b1.value AS b
+        |  FROM base b1 JOIN base b2
+        |    ON b2.user_tag = b1.user_tag AND b2.rn = 2
+        |  WHERE b1.rn = 1
+        |  UNION ALL
+        |  SELECT r.user_tag, r.i + 1, r.s1,
+        |    0.5::DOUBLE * x.value + (1 - 0.5::DOUBLE) * (r.s1 +
+        |      CASE WHEN r.i = 1 THEN r.b
+        |        ELSE 0.3::DOUBLE * (r.s1 - r.s0)
+        |          + (1 - 0.3::DOUBLE) * r.b END),
+        |    CASE WHEN r.i = 1 THEN r.b
+        |      ELSE 0.3::DOUBLE * (r.s1 - r.s0)
+        |        + (1 - 0.3::DOUBLE) * r.b END
+        |  FROM rec r JOIN base x
+        |    ON x.user_tag = r.user_tag AND x.rn = r.i + 1)
+        |SELECT r.user_tag AS user_tag, r.s1 AS value
+        |FROM rec r JOIN cnt ON cnt.user_tag = r.user_tag
+        |WHERE r.i = cnt.n AND cnt.n >= 2
+        |ORDER BY r.user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "holt_winters(view[31d], 0.5, 0.3)", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
+    },
+
+    // PromQL sort: the instant vector ranked ascending by value (ties by
+    // sensor_id) — last-in-window values are exact, so the rank is
+    // deterministic with no float-summation sensitivity (same reason
+    // q51's topk ranks are). The rank window runs over one row per
+    // SERIES (catalog-bounded), never over samples.
+    q(
+      "q83_promql_sort",
+      """SELECT rank, sensor_id, value FROM (
+        |  SELECT sensor_id, value,
+        |    ROW_NUMBER() OVER (ORDER BY value ASC, sensor_id ASC) AS rank
+        |  FROM (
+        |    SELECT 'view ' || user_id AS sensor_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'view'
+        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |  WHERE rn = 1)
+        |ORDER BY rank"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "sort(view)", 1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select("rank", "sensor_id", "value")
+        .orderBy("rank")
     }
   )
 

@@ -110,6 +110,27 @@ object ExtendedPromQL {
   final case class PredictLinearQ(
       horizonS: Double, matchers: Seq[LabelMatcher],
       startUs: Long, endUs: Long) extends Query
+  /** `holt_winters(sel[range], sf, tf)` — Prometheus double exponential
+    * smoothing: per series, the smoothed value after sequentially
+    * folding the window's samples with smoothing factor `sf` and trend
+    * factor `tf` (both in (0,1)). The recursion is inherently
+    * sequential, so evaluation is a per-series sorted fold
+    * (`flatMapGroups`) — one shuffle on sensor_id, state O(1) per
+    * series. Series with fewer than two samples yield no result.
+    */
+  final case class HoltWintersQ(
+      sf: Double, tf: Double, matchers: Seq[LabelMatcher],
+      startUs: Long, endUs: Long) extends Query
+  /** `sort(v)` / `sort_desc(v)` — the instant vector ordered by value
+    * (ties by sensor_id), surfaced as an explicit `rank` column. The
+    * rank window is global but runs over the per-SERIES vector (one row
+    * per series, catalog-bounded), the same shape [[TopKQ]] ranks.
+    */
+  final case class SortQ(desc: Boolean, inner: Query) extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
   /** `topk(k, sel)` / `bottomk(k, sel)` — the k series with the
     * largest/smallest latest sample in the lookback window, ranked
     * deterministically ((value desc|asc), sensor_id). Global (no `by`
@@ -690,6 +711,36 @@ object ExtendedPromQL {
               "predict_linear expects a range selector (like metric[5m])")
           val sel = parseSelector(args.head, nowUs)
           PredictLinearQ(horizon, sel.matchers, sel.startUs, sel.endUs)
+        } else if (head == "holt_winters") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val args = splitArgs(inner)
+          if (args.length != 3)
+            throw PromQLError(
+              "holt_winters expects (metric[range], sf, tf)")
+          def factor(a: String, what: String): Double = {
+            val v = parseScalar(a).getOrElse(throw PromQLError(
+              s"holt_winters expects a scalar $what, got '$a'"))
+            if (!(v > 0.0 && v < 1.0))
+              throw PromQLError(
+                s"holt_winters $what must be in (0, 1), got '$a'")
+            v
+          }
+          val sfp = factor(args(1), "smoothing factor")
+          val tfp = factor(args(2), "trend factor")
+          val sel = parseSelector(args.head, nowUs)
+          if (!sel.hadRange)
+            throw PromQLError(
+              "holt_winters expects a range selector (like metric[5m])")
+          HoltWintersQ(sfp, tfp, sel.matchers, sel.startUs, sel.endUs)
+        } else if ((head == "sort" || head == "sort_desc") &&
+            after.trim.startsWith("(")) {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          SortQ(head == "sort_desc",
+            requireVectorOperand(parse(inner, nowUs), "sorted"))
         } else if (head == "absent_over_time") {
           // absent(sel) over a range window — AbsentQ's machinery with
           // the window taken from the range selector
@@ -1083,6 +1134,48 @@ object ExtendedPromQL {
           col("sensor_id").asc)
         ordered.limit(k)
           .withColumn("rank", row_number().over(w))
+          .select("rank", "sensor_id", "labels", "value")
+      case HoltWintersQ(sfp, tfp, _, _, _) =>
+        import samples.sparkSession.implicits._
+        // Prometheus's holtWinters fold (promql/functions.go): s seeds
+        // with the first sample, the trend with the first delta, and the
+        // i=1 step uses the seed trend directly. Inherently sequential —
+        // a per-series sorted scan with O(1) state, one shuffle on
+        // sensor_id (the storage sort key), exactly the deadband shape.
+        inWindow
+          .select(col("sensor_id"), col("labels"),
+            col("timestamp_us"), col("value"))
+          .as[(String, Map[String, String], Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (id, it) =>
+            val rows = it.toArray.sortBy(r => (r._3, r._4))(
+              Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering))
+            if (rows.length < 2) Iterator.empty
+            else {
+              var s0 = 0.0
+              var s1 = rows(0)._4
+              var b = rows(1)._4 - rows(0)._4
+              var i = 1
+              while (i < rows.length) {
+                val trend =
+                  if (i == 1) b else tfp * (s1 - s0) + (1 - tfp) * b
+                val next = sfp * rows(i)._4 + (1 - sfp) * (s1 + trend)
+                s0 = s1; s1 = next; b = trend
+                i += 1
+              }
+              Iterator((id, rows(0)._2, s1))
+            }
+          }
+          .toDF("sensor_id", "labels", "value")
+      case SortQ(desc, inner) =>
+        val v = sideVector(inner, selected, samples)
+        val ord =
+          if (desc) Seq(col("value").desc, col("sensor_id").asc)
+          else Seq(col("value").asc, col("sensor_id").asc)
+        // global rank over the per-SERIES vector: catalog-bounded rows
+        // (one per series), the TopKQ shape — never a sample-level sort
+        val w = Window.orderBy(ord: _*)
+        v.withColumn("rank", row_number().over(w))
           .select("rank", "sensor_id", "labels", "value")
       case SelectorQ(_, _, _) =>
         inWindow.select("sensor_id", "labels", "timestamp_us", "value")

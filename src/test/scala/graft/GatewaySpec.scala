@@ -304,6 +304,12 @@ class GatewaySpec extends SparkSpec {
     val rateQ = java.net.URLEncoder.encode("rate(http_requests[31d])", "UTF-8")
     assert(get(s"/api/v1/query_extended?query=$rateQ").statusCode() == 200)
     assert(get(s"/api/v1/query?query=$rateQ").statusCode() == 400)
+    // holt_winters and sort ride the same dispatch
+    val hwQ = java.net.URLEncoder.encode(
+      "holt_winters(http_requests[31d], 0.5, 0.5)", "UTF-8")
+    assert(get(s"/api/v1/query_extended?query=$hwQ").statusCode() == 200)
+    val sortQ = java.net.URLEncoder.encode("sort_desc(http_requests)", "UTF-8")
+    assert(get(s"/api/v1/query_extended?query=$sortQ").statusCode() == 200)
     // topk and binary expressions route through evalWith (two matcher
     // sets for the binary case); the strict endpoint still rejects both
     val topkQ = java.net.URLEncoder.encode("topk(2, http_requests)", "UTF-8")

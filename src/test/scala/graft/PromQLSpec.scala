@@ -171,8 +171,75 @@ class ExtendedPromQLSpec extends SparkSpec {
     // rejections still apply to non-aggregate junk
     intercept[PromQLError] { ExtendedPromQL.parse("1 + 2", now) }
     intercept[PromQLError] {
-      ExtendedPromQL.parse("holt_winters(view[5m], 0.5, 0.5)", now)
+      ExtendedPromQL.parse("no_such_fn(view[5m], 0.5, 0.5)", now)
     }
+  }
+
+  test("holt_winters: parse validation and the Prometheus fold") {
+    ExtendedPromQL.parse("holt_winters(view[5m], 0.5, 0.3)", now) match {
+      case HoltWintersQ(sf, tf, ms, s, e) =>
+        assert(sf == 0.5 && tf == 0.3)
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
+        assert(e == now && s == now - 300L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    // factors must sit strictly inside (0, 1); range selector required
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("holt_winters(view[5m], 0.0, 0.5)", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("holt_winters(view[5m], 0.5, 1.0)", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("holt_winters(view, 0.5, 0.5)", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("holt_winters(view[5m], 0.5)", now)
+    }
+    // the fold, hand-computed: xs=[10,12,14] sf=tf=0.5 tracks the linear
+    // trend exactly (result 14); xs=[10,12,11] lands at 12.5
+    import org.apache.spark.sql.functions.{col, lit, map}
+    import spark.implicits._
+    def run(xs: Seq[Double], q: String): Seq[(String, Double)] = {
+      val samples = xs.zipWithIndex
+        .map { case (v, i) => ("view 7", now - 200000000L + i * 1000000L, v) }
+        .toDF("sensor_id", "timestamp_us", "value")
+      val selected = Seq(("view 7")).toDF("sensor_id")
+        .withColumn("labels", map(lit("user"), lit("7")))
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("sensor_id", "value").as[(String, Double)].collect().toSeq
+    }
+    assert(run(Seq(10, 12, 14), "holt_winters(view[5m], 0.5, 0.5)") ==
+      Seq(("view 7", 14.0)))
+    assert(run(Seq(10, 12, 11), "holt_winters(view[5m], 0.5, 0.5)") ==
+      Seq(("view 7", 12.5)))
+    // singleton series yield nothing (needs two samples to seed a trend)
+    assert(run(Seq(10), "holt_winters(view[5m], 0.5, 0.5)").isEmpty)
+  }
+
+  test("sort / sort_desc rank the instant vector by value") {
+    import org.apache.spark.sql.functions.{col, concat, lit, map}
+    import spark.implicits._
+    val samples = Seq(
+      ("view 1", now - 1000000L, 5.0),
+      ("view 2", now - 1000000L, 9.0),
+      ("view 3", now - 1000000L, 5.0), // tie with view 1 -> id order
+      ("view 4", now - 1000000L, 1.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val selected = Seq("view 1", "view 2", "view 3", "view 4")
+      .toDF("sensor_id")
+      .withColumn("labels", map(lit("user"),
+        org.apache.spark.sql.functions.substring(col("sensor_id"), 6, 2)))
+    def run(q: String) =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("rank", "sensor_id").as[(Int, String)].collect().toSeq
+        .sortBy(_._1)
+    assert(run("sort(view)") == Seq(
+      (1, "view 4"), (2, "view 1"), (3, "view 3"), (4, "view 2")))
+    assert(run("sort_desc(view)") == Seq(
+      (1, "view 2"), (2, "view 1"), (3, "view 3"), (4, "view 4")))
+    // composes over per-series functions too
+    intercept[PromQLError] { ExtendedPromQL.parse("sort(1)", now) }
   }
 
   test("offset modifier shifts the evaluation window") {
