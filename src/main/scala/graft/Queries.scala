@@ -787,7 +787,7 @@ object Queries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = Tables.load(s, d, "events").schema
       val stream = s.readStream.schema(schema).parquet(streamDir.toString)
       val streamSamples =
         (if (stream.schema("ts").dataType ==
@@ -2237,7 +2237,7 @@ object Queries {
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("documents.parquet"),
           java.nio.file.Paths.get(s"$d/documents.parquet"))
-        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val schema = Tables.load(s, d, "documents").schema
         val stream = s.readStream.schema(schema).parquet(streamDir.toString)
         val kept = Dedup.dedupStream(stream, "text", scopeCols = Seq("source"))
           .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))

@@ -8,8 +8,25 @@ import org.apache.spark.sql.types.LongType
   * One parquet file per table under the scale-factor directory.
   */
 object Tables {
+
+  /** Resolved-relation cache: ONE `spark.read.parquet` per (session,
+    * file). A fresh reader per call re-lists the path and re-reads the
+    * parquet footer on the driver — measured ~56 ms each, which at 80+
+    * queries × 4 bench rounds × 1–4 tables/query dominated the
+    * per-query warm floor. A resolved `LogicalRelation` is an immutable
+    * plan fragment, safe to share across queries — the same metadata
+    * caching a metastore-backed `spark.table` gives a real deployment.
+    * Only the IMMUTABLE driver testdata goes through here; the mutable
+    * store lists its own directories per read (`SensorStore.readDir`),
+    * where a stale file snapshot would be a correctness bug.
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (as a Long of ns). Set
