@@ -2650,6 +2650,199 @@ object Queries {
           .select("sensor_id", "timestamp_us", "value"))
         .select("rank", "sensor_id", "value")
         .orderBy("rank")
+    },
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1): the standard
+    // pretraining document filter as ONE codegen'd scan stage. Every
+    // rule is integer arithmetic over exact counts (ratio thresholds
+    // spelled as count×10 ⋚ denom×k), so DuckDB replays the flags
+    // bit-for-bit — no float rounding anywhere.
+    q(
+      "q84_gopher_rules",
+      """WITH t AS (
+        |  SELECT source, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(toks) AS n_words,
+        |    list_sum(list_transform(toks, t -> length(t))) AS sum_len,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3
+        |      AS ellipses,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+        |      OR starts_with(ltrim(l), '*')
+        |      OR starts_with(ltrim(l), '•'))) AS bullet_lines,
+        |    len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+        |      AS ellipsis_lines,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS alpha_words,
+        |    len(list_filter(toks, t -> lower(t) IN
+        |      ('the','be','to','of','and','that','have','with')))
+        |      AS stop_hits
+        |  FROM t),
+        |f AS (
+        |  SELECT source,
+        |    (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+        |    (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+        |      AS mean_len_ok,
+        |    ((hashes + ellipses) * 10 <= n_words) AS symbol_ok,
+        |    (bullet_lines * 10 < n_lines * 9) AS bullet_ok,
+        |    (ellipsis_lines * 10 < n_lines * 3) AS ellipsis_ok,
+        |    (alpha_words * 10 >= n_words * 8) AS alpha_ok,
+        |    (stop_hits >= 2) AS stopword_ok
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN word_count_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_word_count,
+        |  CAST(SUM(CASE WHEN mean_len_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mean_len,
+        |  CAST(SUM(CASE WHEN symbol_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_symbol,
+        |  CAST(SUM(CASE WHEN bullet_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bullet,
+        |  CAST(SUM(CASE WHEN ellipsis_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ellipsis,
+        |  CAST(SUM(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alpha,
+        |  CAST(SUM(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stopword,
+        |  CAST(SUM(CASE WHEN word_count_ok AND mean_len_ok AND symbol_ok
+        |    AND bullet_ok AND ellipsis_ok AND alpha_ok AND stopword_ok
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM f GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val g = TextAnalysis.gopherQualityFlags(col("text")).as("g")
+      def n(flag: String, as: String) =
+        sum(when(col(s"g.$flag"), 1L).otherwise(0L)).as(as)
+      Tables.spread(s, Tables.documents(s, d))
+        .select(col("source"), g)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          n("word_count_ok", "n_word_count"),
+          n("mean_len_ok", "n_mean_len"),
+          n("symbol_ok", "n_symbol"),
+          n("bullet_ok", "n_bullet"),
+          n("ellipsis_ok", "n_ellipsis"),
+          n("alpha_ok", "n_alpha"),
+          n("stopword_ok", "n_stopword"),
+          n("keep", "n_keep"))
+        .orderBy("source")
+    },
+
+    // Full PII scrub (emails, IPv4, E.164 phones) over text augmented
+    // with deterministic synthetic PII derived from doc_id, so every
+    // pattern fires on every document and the scrub order (email → ip →
+    // phone, counts taken on the same intermediate texts) is pinned.
+    // Both engines run the identical RE2-compatible patterns.
+    q(
+      "q85_pii_scrub",
+      """WITH a AS (
+        |  SELECT source,
+        |    text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+        |      AS t
+        |  FROM documents),
+        |b AS (SELECT source, t,
+        |  regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g') AS t1 FROM a),
+        |c AS (SELECT source, t, t1,
+        |  regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+        |    '[IP]', 'g') AS t2 FROM b)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+        |    AS BIGINT) AS emails,
+        |  CAST(SUM(len(regexp_extract_all(t1,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))) AS BIGINT) AS ips,
+        |  CAST(SUM(len(regexp_extract_all(t2, '\+[0-9]{7,15}\b')))
+        |    AS BIGINT) AS phones,
+        |  CAST(SUM(length(regexp_replace(t2, '\+[0-9]{7,15}\b',
+        |    '[PHONE]', 'g'))) AS BIGINT) AS scrub_chars
+        |FROM c GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      val aug = concat(col("text"),
+        lit(" Contact: user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" tel +1555"),
+        lpad((col("doc_id") % 10000).cast("string"), 7, "0"))
+      Tables.spread(s, Tables.documents(s, d))
+        .select(col("source"), aug.as("t"))
+        .select(col("source"), TextAnalysis.piiCounts(col("t")).as("p"),
+          length(TextAnalysis.redactPii(col("t"))).as("scrubbed_len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p.emails")).as("emails"),
+          sum(col("p.ips")).as("ips"),
+          sum(col("p.phones")).as("phones"),
+          sum(col("scrubbed_len")).as("scrub_chars"))
+        .orderBy("source")
+    },
+
+    // Quality-aware canonical selection: near-dup clusters (q57's graph)
+    // reduced to the HIGHEST-quality member per cluster (score = alpha
+    // char count, ties to the lowest doc_id) — the keep-best dedup
+    // endgame. One aggregate over cluster_id; the argmax is
+    // max(struct(score, -id)), no window, no per-group sort.
+    q(
+      "q86_cluster_best",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |      FROM t),
+        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
+        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS id_a, db AS id_b
+        |  FROM p JOIN sizes sa ON p.da = sa.doc_id
+        |         JOIN sizes sb ON p.db = sb.doc_id
+        |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a),
+        |assign AS (
+        |  SELECT d.doc_id AS id,
+        |    COALESCE(LEAST(c.id, c.mn), d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS score
+        |  FROM documents)
+        |SELECT cluster_id, doc_id AS best_id, score AS best_score,
+        |  n_members
+        |FROM (
+        |  SELECT a.cluster_id, s.doc_id, s.score,
+        |    COUNT(*) OVER (PARTITION BY a.cluster_id) AS n_members,
+        |    ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+        |      ORDER BY s.score DESC, s.doc_id ASC) AS rk
+        |  FROM assign a JOIN scored s ON s.doc_id = a.id)
+        |WHERE rk = 1 ORDER BY cluster_id"""
+    ) { (s, d) =>
+      import graft.pipeline.Dedup
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+        n = 3, tau = 0.5)
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("score"))
+      Dedup.keepBestPerCluster(clusters, scored, "doc_id", "score")
+        .select(col("cluster_id"), col("best_id"),
+          col("best_score").cast("long").as("best_score"),
+          col("n_members"))
+        .orderBy("cluster_id")
     }
   )
 

@@ -133,6 +133,31 @@ object Dedup {
     finally PipelineCache.free(edges)
   }
 
+  /** Quality-aware canonical selection: given cluster assignments
+    * (`id`, `cluster_id` — e.g. [[nearDupClusters]]' output) and a
+    * per-document score, keep the HIGHEST-scoring member of each
+    * cluster (ties to the lowest id) — the dedup endgame a training
+    * pipeline actually wants: not "keep the first duplicate seen" but
+    * "keep the best". The per-cluster argmax is a single
+    * `max(struct(score, -id))` aggregate — one shuffle on cluster_id,
+    * no window, no per-group sort. Output: (cluster_id, best_id,
+    * best_score, n_members).
+    */
+  def keepBestPerCluster(
+      clusters: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+        "id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("__score"), (-col("id")).as("__negid"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (-col("__best.__negid")).as("best_id"),
+        col("__best.__score").as("best_score"),
+        col("n_members"))
+
   /** Train/eval contamination (decontamination scan): for each eval doc,
     * the fraction of its distinct n-gram shingles that appear ANYWHERE
     * in the training corpus — containment ≥ threshold flags an eval

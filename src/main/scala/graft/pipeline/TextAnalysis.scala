@@ -99,6 +99,63 @@ object TextAnalysis {
       round(stops.cast("double") / greatest(nToks, lit(1)), 6).as("stopword_ratio"))
   }
 
+  /** Gopher quality-rule flags (Rae et al. 2021, §A1.1 — the standard
+    * pretraining document filter), adapted as pure Column expressions so
+    * the whole rule set evaluates in ONE codegen'd scan stage:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] characters;
+    *  - symbol-to-word ratio (`#` characters and `...` runs) ≤ 0.1;
+    *  - < 90% of lines start with a bullet, < 30% end with an ellipsis;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 hits from the 8-word English stopword probe.
+    * Returns a struct of per-rule booleans plus the composite `keep`.
+    * Every term is integer arithmetic over exact counts (ratios compare
+    * as count·denominator bounds), so external engines replay the flags
+    * bit-for-bit.
+    */
+  def gopherQualityFlags(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val toks = whitespaceTokens(text)
+    val nWords = size(toks)
+    val sumWordLen = aggregate(toks, lit(0),
+      (acc, t) => acc + length(t))
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => {
+      val t = ltrim(l)
+      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+    }))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopProbe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(toks, t => lower(t).isInCollection(stopProbe)))
+    // ratio thresholds as exact integer comparisons: count/denom <= r
+    // spelled count*10 <= denom*(10r) — no float rounding to replay
+    val wordCountOk = nWords >= minWords && nWords <= maxWords
+    val meanLenOk = sumWordLen >= nWords * 3 && sumWordLen <= nWords * 10
+    val symbolOk = (hashes + ellipses) * 10 <= nWords
+    val bulletOk = bulletLines * 10 < nLines * 9
+    val ellipsisOk = ellipsisLines * 10 < nLines * 3
+    val alphaOk = alphaWords * 10 >= nWords * 8
+    val stopOk = stopHits >= 2
+    struct(
+      nWords.as("n_words"),
+      wordCountOk.as("word_count_ok"),
+      meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"),
+      stopOk.as("stopword_ok"),
+      (wordCountOk && meanLenOk && symbolOk && bulletOk &&
+        ellipsisOk && alphaOk && stopOk).as("keep"))
+  }
+
   /** Corpus unigram language-model score per document: average negative
     * log-likelihood of the document's tokens under the corpus unigram
     * distribution — the classic cheap importance/quality signal (low
@@ -148,6 +205,46 @@ object TextAnalysis {
     */
   def emailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  /** IPv4 literals (dotted quad, word-bounded) — RE2-compatible like
+    * [[EmailPattern]].
+    */
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** E.164-style phone numbers: `+` followed by 7–15 digits. Restricted
+    * to the plus-prefixed international form deliberately — local
+    * formats are locale soup and the false-positive cost in a training
+    * corpus (scrubbing prices, ids, years) outweighs recall.
+    */
+  val PhonePattern = "\\+[0-9]{7,15}\\b"
+
+  /** Full PII scrub: emails → `[EMAIL]`, IPv4 → `[IP]`, E.164 phones →
+    * `[PHONE]`, applied in that order (emails first so their host parts
+    * can't half-match the later patterns). Three chained codegen'd
+    * `regexp_replace` calls — still one scan stage at full parallelism.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]"),
+      PhonePattern, "[PHONE]")
+
+  /** Per-document PII counts (the scrub's audit metric): emails, IPv4
+    * literals, E.164 phones — counted on the SAME intermediate texts the
+    * scrub sees, so counts and replacements always agree.
+    */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "[IP]")
+    struct(
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+        .as("emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0)))
+        .as("ips"),
+      size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0)))
+        .as("phones"))
+  }
 
   /** Corpus vocabulary: the k most frequent lowercase whitespace tokens,
     * deterministically tie-broken by token. Map-side partial counts keep

@@ -250,6 +250,67 @@ class PipelineSpec extends SparkSpec {
       (10L, 3L, 3L, 1.0), (11L, 3L, 1L, 1.0 / 3.0), (12L, 3L, 0L, 0.0)))
   }
 
+  test("gopher quality rules: hand-built pass/fail per rule") {
+    import spark.implicits._
+    val good = (Seq.fill(10)("the quick brown fox and that dog be with") ++
+      Seq("of have to be and")).mkString(" ") // 85 words, all alpha, stops
+    val short = "too few words here"
+    val bullets = (1 to 60).map(i => s"- item $i of the list to have")
+      .mkString("\n") // 100% bullet lines
+    val symbols = (Seq.fill(30)("the # of ## tags and that # be with") ++
+      Seq.fill(3)("x")).mkString(" ")
+    val rows = Seq(("good", good), ("short", short),
+      ("bullets", bullets), ("symbols", symbols)).toDF("id", "text")
+      .select(col("id"),
+        graft.pipeline.TextAnalysis.gopherQualityFlags(col("text")).as("g"))
+      .select("id", "g.word_count_ok", "g.bullet_ok", "g.symbol_ok",
+        "g.alpha_ok", "g.stopword_ok", "g.keep")
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(rows("good") == (true, true, true, true, true, true))
+    assert(rows("short")._1 == false && rows("short")._6 == false)
+    assert(rows("bullets")._2 == false && rows("bullets")._6 == false)
+    assert(rows("symbols")._3 == false && rows("symbols")._6 == false)
+  }
+
+  test("pii scrub: emails, ipv4, e.164 phones — counts match the scrub") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val t = "mail a@b.com and c.d+x@e.org, host 192.168.0.1, " +
+      "call +4712345678 but not 555-1234 or 1.2.3 or version 1.2.3.4.5"
+    val row = Seq(t).toDF("text")
+      .select(TextAnalysis.piiCounts(col("text")).as("p"),
+        TextAnalysis.redactPii(col("text")).as("scrubbed"))
+      .collect().head
+    val p = row.getStruct(0)
+    // "1.2.3.4.5" counts once: \b dotted-quad patterns match the
+    // leading prefix of longer dotted runs (a '.' after a digit IS a
+    // word boundary) — identical in Java regex and RE2, over-scrubbing
+    // rather than leaking
+    assert((p.getInt(0), p.getInt(1), p.getInt(2)) == ((2, 2, 1)),
+      s"counts: $p")
+    val scrubbed = row.getString(1)
+    assert(scrubbed.contains("[EMAIL] and [EMAIL]"))
+    assert(scrubbed.contains("host [IP]"))
+    assert(scrubbed.contains("call [PHONE]"))
+    assert(scrubbed.contains("555-1234")) // local formats deliberately kept
+  }
+
+  test("keepBestPerCluster: argmax by score, ties to lowest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "cluster_id")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "score")
+    val best = graft.pipeline.Dedup
+      .keepBestPerCluster(clusters, scored, "doc_id", "score")
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: scores (10, 30, 30) -> id 2 wins the tie with id 3
+    assert(best == Seq((1L, 2L, 30L, 3L), (4L, 4L, 5L, 1L)))
+  }
+
   test("email redaction: RE2-compatible pattern, count and scrub agree") {
     val t = "reach me at jo.do+x@sub.example.org or admin@ex.co, thanks"
     val df = Seq((1L, t)).toDF("doc_id", "text")
