@@ -2843,6 +2843,70 @@ object Queries {
           col("best_score").cast("long").as("best_score"),
           col("n_members"))
         .orderBy("cluster_id")
+    },
+
+    // Deterministic train/val/test split assignment: cumulative-weight
+    // buckets over the q55 md5 draw — disjoint, exhaustive, and a row's
+    // split never changes as the corpus grows (the property randomSplit
+    // lacks). Pure scan-stage CASE; DuckDB replays the identical hash.
+    q(
+      "q87_split_assign",
+      s"""SELECT source,
+         |  CASE
+         |    WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+         |      < ${(0.8 * (1L << 60).toDouble).toLong} THEN 'train'
+         |    WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+         |      < ${(0.9 * (1L << 60).toDouble).toLong} THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY source, split ORDER BY source, split"""
+    ) { (s, d) =>
+      import graft.pipeline.Sampling
+      Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source", "split")
+    },
+
+    // Greedy sequence packing: shard-parallel, sequential within each
+    // shard's id-ordered stream (new pack when the next doc would
+    // overflow the 256-token budget). The oracle replays the running
+    // accumulate-or-reset recursion as a recursive CTE advancing one
+    // document per iteration per shard — the q49/q82 technique. Hash
+    // surface is the full per-document pack assignment.
+    q(
+      "q88_sequence_pack",
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM d),
+        |rec AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    0::BIGINT AS pack_seq, n_tokens AS used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.shard, x.rn, x.doc_id, x.n_tokens,
+        |    CASE WHEN r.used > 0 AND r.used + x.n_tokens > 256
+        |      THEN r.pack_seq + 1 ELSE r.pack_seq END,
+        |    CASE WHEN r.used > 0 AND r.used + x.n_tokens > 256
+        |      THEN x.n_tokens ELSE r.used + x.n_tokens END
+        |  FROM rec r JOIN o x ON x.shard = r.shard AND x.rn = r.rn + 1)
+        |SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(shard AS INT) AS shard, pack_seq
+        |FROM rec ORDER BY id"""
+    ) { (s, d) =>
+      import graft.pipeline.{Packing, TextAnalysis}
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.whitespaceTokens(col("text"))).as("n_tokens"))
+      Packing.greedyPack(docs, "doc_id", "n_tokens",
+        budget = 256L, shards = 8)
+        .orderBy("id")
     }
   )
 

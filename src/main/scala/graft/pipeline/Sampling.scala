@@ -58,4 +58,32 @@ object Sampling {
     }
     df.filter(hash60(col(idCol), salt) < threshold)
   }
+
+  /** Deterministic N-way split assignment (train/val/test): the row's
+    * 60-bit draw falls into cumulative-weight buckets, returned as a
+    * `split` column. A pure codegen'd CASE over the same (salt, id)
+    * draw — no shuffle, no join; splits are disjoint and exhaustive by
+    * construction, and a row's assignment NEVER changes as the corpus
+    * grows or the job re-runs (the property `randomSplit` lacks). The
+    * last split absorbs the residual weight, so float rounding in the
+    * thresholds can't leak rows.
+    */
+  def splitAssign(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split:"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    splits.foreach { case (_, w) =>
+      require(w > 0.0, "split weights must be positive") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val h = hash60(col(idCol), salt)
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c * (1L << 60).toDouble).toLong)
+    val assignment = splits.init.zip(thresholds.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), thr), acc) => when(h < thr, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assignment)
+  }
 }

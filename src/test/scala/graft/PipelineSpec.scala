@@ -172,6 +172,60 @@ class PipelineSpec extends SparkSpec {
     assert(run(withWatermark = true) == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("splitAssign: disjoint, exhaustive, growth-stable, ~weighted") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val ids = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.splitAssign(ids, "id", splits)
+      .as[(Long, String)].collect().toMap
+    // exhaustive: every row got exactly one split label
+    assert(assigned.size == 2000)
+    val bySplit = assigned.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // ~weighted (md5 uniformity; 2000 draws, generous tolerance)
+    assert(math.abs(bySplit("train") - 1600) < 120, bySplit.toString)
+    assert(math.abs(bySplit("val") - 200) < 70, bySplit.toString)
+    // growth-stable: re-assigning over a superset never moves old rows
+    val grown = Sampling.splitAssign((1L to 4000L).toDF("id"), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(assigned.forall { case (id, s) => grown(id) == s })
+    // invalid weights fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("greedyPack: budget respected, oversized docs isolated, sharded") {
+    import spark.implicits._
+    import graft.pipeline.Packing
+    // one shard: ids in order with token counts 100,100,100,300,50 and
+    // budget 250 -> packs [100+100], [100], [300 alone], [50]
+    val docs = Seq((0L, 100L), (8L, 100L), (16L, 100L), (24L, 300L),
+      (32L, 50L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.greedyPack(docs, "doc_id", "n_tokens",
+      budget = 250L, shards = 8)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(packed.map(r => (r._1, r._4)) ==
+      Seq((0L, 0L), (8L, 0L), (16L, 1L), (24L, 2L), (32L, 3L)))
+    assert(packed.forall(_._3 == 0)) // all ids ≡ 0 mod 8
+    // across shards: every pack fits the budget unless it holds a
+    // single oversized doc; ids land on id % shards
+    val many = (1L to 400L).map(i => (i, (i % 97) + 1)).toDF("doc_id", "n_tokens")
+    val out = Packing.greedyPack(many, "doc_id", "n_tokens",
+      budget = 120L, shards = 4)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(out.forall { case (id, _, shard, _) => id % 4 == shard })
+    val perPack = out.groupBy(r => (r._3, r._4))
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(perPack.values.forall(_ <= 120L)) // no oversized docs here
+    // deterministic under repartitioning
+    val again = Packing.greedyPack(many.repartition(13), "doc_id",
+      "n_tokens", budget = 120L, shards = 4)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("stratifiedSample: per-stratum quotas, stable across mix changes") {
     import graft.pipeline.Sampling
     val rows = (0L until 3000L).map(i => (i, s"s${i % 3}"))
