@@ -2907,6 +2907,46 @@ object Queries {
       Packing.greedyPack(docs, "doc_id", "n_tokens",
         budget = 256L, shards = 8)
         .orderBy("id")
+    },
+
+    // Corpus line-level dedup (the C4 boilerplate scrub): documents are
+    // augmented with two boilerplate lines present on every page; lines
+    // whose document frequency exceeds 10 are dropped and the doc
+    // reassembled in original line order. The full reassembled text is
+    // the hash surface, so line splitting, df counting, the threshold
+    // AND the order-preserving reassembly all have to match.
+    q(
+      "q89_line_dedup",
+      """WITH a AS (
+        |  SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter!'
+        |    || chr(10) || '(c) example.com - all rights reserved' AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(t, chr(10)),
+        |      (x, i) -> {'pos': i, 'line': x})) AS s
+        |  FROM a),
+        |lines AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l),
+        |df AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+        |       FROM lines GROUP BY line),
+        |kept AS (
+        |  SELECT lines.doc_id, COUNT(*) AS n_kept,
+        |    string_agg(lines.line, chr(10) ORDER BY lines.pos) AS text
+        |  FROM lines JOIN df USING (line) WHERE df.df <= 10
+        |  GROUP BY lines.doc_id)
+        |SELECT a.doc_id AS id,
+        |  CAST(len(string_split(a.t, chr(10))) AS BIGINT) AS n_total,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(k.text, '') AS text
+        |FROM a LEFT JOIN kept k ON k.doc_id = a.doc_id
+        |ORDER BY id"""
+    ) { (s, d) =>
+      val aug = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"), concat(col("text"),
+          lit("\nSubscribe to our newsletter!"),
+          lit("\n(c) example.com - all rights reserved")).as("t"))
+      TextAnalysis.dedupLines(aug, "doc_id", "t", maxDf = 10)
+        .orderBy("id")
     }
   )
 

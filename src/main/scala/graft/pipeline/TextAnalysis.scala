@@ -246,6 +246,42 @@ object TextAnalysis {
         .as("phones"))
   }
 
+  /** Corpus-level line deduplication (the C4/RefinedWeb boilerplate
+    * scrub: "discard any line appearing in more than maxDf pages"):
+    * navigation chrome, cookie banners and share buttons repeat across
+    * a site's pages, so a line's document frequency is the boilerplate
+    * signal. Three keyed shuffles, none on documents: (1) distinct
+    * (line, doc) pairs collapse before counting, so a line's cost is
+    * df, not occurrences; (2) the df table joins back on the line (AQE
+    * broadcasts it when the over-threshold set is small); (3) surviving
+    * lines reassemble per doc via a sorted-struct aggregate — no
+    * window. Every document survives (empty text if fully boilerplate);
+    * dropping short docs is the caller's policy. Output: (id, n_total,
+    * n_kept, text).
+    */
+  def dedupLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 1, "maxDf must be positive")
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val lineDf = lines.select(col("line"), col("id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+    val kept = lines.join(lineDf, "line").filter(col("__df") <= maxDf)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            e => e.getField("line")),
+          "\n").as("text"))
+    docs.select(col(idCol).as("id"),
+        (size(split(col(textCol), "\n", -1))).cast("long").as("n_total"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Corpus vocabulary: the k most frequent lowercase whitespace tokens,
     * deterministically tie-broken by token. Map-side partial counts keep
     * the shuffle at one row per (token, partition); the final top-k is

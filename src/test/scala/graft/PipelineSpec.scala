@@ -304,6 +304,32 @@ class PipelineSpec extends SparkSpec {
       (10L, 3L, 3L, 1.0), (11L, 3L, 1L, 1.0 / 3.0), (12L, 3L, 0L, 0.0)))
   }
 
+  test("dedupLines: df threshold, order-preserving reassembly, empty docs") {
+    import spark.implicits._
+    val boiler = "Subscribe now!"
+    val docs = Seq(
+      (1L, s"alpha\n$boiler\nbeta"),
+      (2L, s"$boiler\ngamma"),
+      (3L, s"delta\n$boiler"),
+      (4L, boiler)) // fully boilerplate -> survives as empty text
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .dedupLines(docs, "doc_id", "text", maxDf = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // the boilerplate line has df=4 > 3; every other line df=1
+    assert(out == Seq(
+      (1L, 3L, 2L, "alpha\nbeta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 2L, 1L, "delta"),
+      (4L, 1L, 0L, "")))
+    // duplicate occurrences within ONE doc count df once
+    val dup = Seq((1L, "x\nx"), (2L, "y")).toDF("doc_id", "text")
+    val out2 = graft.pipeline.TextAnalysis
+      .dedupLines(dup, "doc_id", "text", maxDf = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out2 == Seq((1L, 2L, 2L, "x\nx"), (2L, 1L, 1L, "y")))
+  }
+
   test("gopher quality rules: hand-built pass/fail per rule") {
     import spark.implicits._
     val good = (Seq.fill(10)("the quick brown fox and that dog be with") ++
