@@ -2947,6 +2947,96 @@ object Queries {
           lit("\n(c) example.com - all rights reserved")).as("t"))
       TextAnalysis.dedupLines(aug, "doc_id", "t", maxDf = 10)
         .orderBy("id")
+    },
+
+    // URL/domain analysis (C4 ancestry): documents augmented with
+    // deterministic URLs, blocklist-filtered by a pure scan-stage
+    // `exists` predicate (no shuffle, no join), then per-registered-
+    // domain statistics. Hosts, registered domains, the blocklist
+    // predicate and the aggregation all replay in DuckDB on identical
+    // RE2-compatible regexes.
+    q(
+      "q90_url_domains",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' see https://www.site' || CAST(doc_id % 20 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || ' and http://blog.test' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.org' AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?'),
+        |      u -> regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1)) AS hosts
+        |  FROM a),
+        |kept AS (
+        |  SELECT doc_id, hosts FROM h
+        |  WHERE len(list_filter(hosts,
+        |    x -> regexp_extract(x, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1)
+        |      IN ('example3.com', 'test4.org'))) = 0),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(unnest(hosts),
+        |      '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain
+        |  FROM kept)
+        |SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+        |FROM d GROUP BY domain ORDER BY domain"""
+    ) { (s, d) =>
+      val aug = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"), concat(col("text"),
+          lit(" see https://www.site"), (col("doc_id") % 20).cast("string"),
+          lit(".example"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"),
+          lit(" and http://blog.test"), (col("doc_id") % 5).cast("string"),
+          lit(".org")).as("t"))
+      val kept = TextAnalysis.dropBlockedDomains(aug, "t",
+        Seq("example3.com", "test4.org"))
+      TextAnalysis.domainStats(kept, "doc_id", "t")
+        .orderBy("domain")
+    },
+
+    // PromQL time-function family: timestamp(sel) surfaces each
+    // series' latest-sample time in float seconds, and the time-of-day
+    // functions (hour, day_of_week — Sunday=0) compose over it,
+    // truncating toward zero like Prometheus's int64 cast. Fields are
+    // UTC on both sides (session timezone vs DuckDB's naive
+    // make_timestamp).
+    q(
+      "q91_promql_time",
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |    MAX(epoch_us(ts)) AS ts_us
+        |  FROM events WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
+        |  GROUP BY user_id),
+        |t AS (SELECT user_tag, ts_us / 1000000.0 AS ts_s,
+        |  make_timestamp(CAST(FLOOR(ts_us / 1000000.0) AS BIGINT) * 1000000)
+        |    AS tt
+        |  FROM last)
+        |SELECT user_tag, ts_s,
+        |  CAST(EXTRACT(hour FROM tt) AS DOUBLE) AS hr,
+        |  CAST(dayofweek(tt) AS DOUBLE) AS dow
+        |FROM t ORDER BY user_tag"""
+    ) { (s, d) =>
+      val now = 1706659200000000L
+      def ev(qs: String, as: String) = {
+        val parsed = graft.promql.ExtendedPromQL.parse(qs, now)
+        val selected = Matchers.sensorsByLabels(
+          EventsAdapter.sensors(s, d), parsed.matchers)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels"))
+        graft.promql.ExtendedPromQL.eval(parsed, selected,
+          EventsAdapter.samples(s, d)
+            .select("sensor_id", "timestamp_us", "value"))
+          .select(element_at(col("labels"), "user").as("user_tag"),
+            col("value").as(as))
+      }
+      ev("timestamp(view)", "ts_s")
+        .join(ev("hour(timestamp(view))", "hr"), "user_tag")
+        .join(ev("day_of_week(timestamp(view))", "dow"), "user_tag")
+        .orderBy("user_tag")
     }
   )
 

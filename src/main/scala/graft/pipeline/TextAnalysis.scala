@@ -282,6 +282,45 @@ object TextAnalysis {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** http/https URL literals — RE2-compatible like the PII patterns. */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?"
+
+  /** Hosts of every URL in the document, in occurrence order. */
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlPattern), lit(0)),
+      u => regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
+
+  /** Registered domain (last two labels) of a host — the C4-style
+    * grouping key for per-site statistics and blocklists. Public-suffix
+    * awareness (co.uk) is a data-file concern layered on top; the
+    * two-label fallback is the standard cheap approximation.
+    */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
+  /** Per-domain corpus statistics: distinct documents citing the domain
+    * and total URL occurrences. One shuffle on the domain key; URLs
+    * explode from a codegen'd regex scan.
+    */
+  def domainStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(urlHosts(col(textCol))).as("host"))
+      .select(col("id"), registeredDomain(col("host")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+
+  /** Drop documents citing any blocklisted domain. For the usual small
+    * blocklist this is a pure scan-stage `exists` predicate — no
+    * shuffle, no join, pushes with the scan; a million-entry blocklist
+    * would swap in a broadcast anti-join instead.
+    */
+  def dropBlockedDomains(
+      docs: DataFrame, textCol: String, blocked: Seq[String]): DataFrame =
+    docs.filter(!exists(urlHosts(col(textCol)),
+      h => registeredDomain(h).isInCollection(blocked)))
+
   /** Corpus vocabulary: the k most frequent lowercase whitespace tokens,
     * deterministically tie-broken by token. Map-side partial counts keep
     * the shuffle at one row per (token, partition); the final top-k is

@@ -52,7 +52,12 @@ object ExtendedPromQL {
     "sqrt" -> (0 to 0), "exp" -> (0 to 0), "ln" -> (0 to 0),
     "log2" -> (0 to 0), "log10" -> (0 to 0), "sgn" -> (0 to 0),
     "round" -> (0 to 1), "clamp_min" -> (1 to 1), "clamp_max" -> (1 to 1),
-    "clamp" -> (2 to 2))
+    "clamp" -> (2 to 2),
+    // time functions over vector VALUES (epoch seconds, UTC) -- the
+    // Prometheus family; pair with timestamp(sel) for sample times
+    "minute" -> (0 to 0), "hour" -> (0 to 0), "day_of_week" -> (0 to 0),
+    "day_of_month" -> (0 to 0), "days_in_month" -> (0 to 0),
+    "month" -> (0 to 0), "year" -> (0 to 0))
 
   sealed trait Query {
     def matchers: Seq[LabelMatcher]
@@ -131,6 +136,12 @@ object ExtendedPromQL {
     def startUs: Long = inner.startUs
     def endUs: Long = inner.endUs
   }
+  /** `timestamp(sel)` — each series' latest-sample TIMESTAMP as the
+    * value, in float seconds (PromQL semantics). Composes with the
+    * time-of-day math functions: `hour(timestamp(sel))`.
+    */
+  final case class TimestampQ(
+      matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
   /** `topk(k, sel)` / `bottomk(k, sel)` — the k series with the
     * largest/smallest latest sample in the lookback window, ranked
     * deterministically ((value desc|asc), sensor_id). Global (no `by`
@@ -450,7 +461,7 @@ object ExtendedPromQL {
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
         _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ | _: BinScalarQ |
-        _: BinCmpQ | _: PredictLinearQ => q
+        _: BinCmpQ | _: PredictLinearQ | _: TimestampQ => q
     case _ => throw PromQLError(
       s"$side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
@@ -734,6 +745,14 @@ object ExtendedPromQL {
             throw PromQLError(
               "holt_winters expects a range selector (like metric[5m])")
           HoltWintersQ(sfp, tfp, sel.matchers, sel.startUs, sel.endUs)
+        } else if (head == "timestamp" && after.trim.startsWith("(")) {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val sel = parseSelector(inner, nowUs)
+          if (sel.hadRange)
+            throw PromQLError("timestamp expects an instant vector")
+          TimestampQ(sel.matchers, sel.startUs, sel.endUs)
         } else if ((head == "sort" || head == "sort_desc") &&
             after.trim.startsWith("(")) {
           val (inner, rest) = parenGroup(after.trim, s)
@@ -1034,8 +1053,21 @@ object ExtendedPromQL {
       case "clamp" =>
         if (args.head > args(1)) lit(Double.NaN)
         else least(greatest(v, lit(args.head)), lit(args(1)))
+      // time functions: value = epoch seconds, truncated toward zero
+      // exactly like Prometheus's int64(t) cast, fields in UTC (the
+      // session timezone GraftSession pins). day_of_week is Sunday=0.
+      case "minute" => minute(tsOf(v)).cast("double")
+      case "hour" => hour(tsOf(v)).cast("double")
+      case "day_of_week" => (dayofweek(tsOf(v)) - 1).cast("double")
+      case "day_of_month" => dayofmonth(tsOf(v)).cast("double")
+      case "days_in_month" => dayofmonth(last_day(tsOf(v))).cast("double")
+      case "month" => month(tsOf(v)).cast("double")
+      case "year" => year(tsOf(v)).cast("double")
       case other => throw PromQLError(s"Unsupported math function: $other")
     }
+
+  private def tsOf(epochSeconds: Column): Column =
+    timestamp_seconds(floor(epochSeconds).cast("long"))
 
   private def logWithDomain(logged: Column, v: Column): Column =
     when(v > 0, logged)
@@ -1167,6 +1199,10 @@ object ExtendedPromQL {
             }
           }
           .toDF("sensor_id", "labels", "value")
+      case TimestampQ(_, _, _) =>
+        lastInWindow(inWindow)
+          .select(col("sensor_id"), col("labels"),
+            (col("timestamp_us").cast("double") / lit(1e6)).as("value"))
       case SortQ(desc, inner) =>
         val v = sideVector(inner, selected, samples)
         val ord =

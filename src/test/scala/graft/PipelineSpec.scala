@@ -304,6 +304,35 @@ class PipelineSpec extends SparkSpec {
       (10L, 3L, 3L, 1.0), (11L, 3L, 1L, 1.0 / 3.0), (12L, 3L, 0L, 0.0)))
   }
 
+  test("url/domain family: hosts, registered domains, blocklist filter") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "see https://www.a.example.com/x and http://b.evil.org:8080/y z"),
+      (2L, "plain text, no urls"),
+      (3L, "https://evil.org trailing")).toDF("doc_id", "text")
+    val hosts = docs.select(col("doc_id"),
+      TextAnalysis.urlHosts(col("text")).as("h"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(hosts(1L) == Seq("www.a.example.com", "b.evil.org"))
+    assert(hosts(2L).isEmpty)
+    assert(hosts(3L) == Seq("evil.org"))
+    val doms = docs.select(
+      TextAnalysis.registeredDomain(lit("www.a.example.com")).as("d"))
+      .head().getString(0)
+    assert(doms == "example.com")
+    // blocklist drops docs 1 and 3 (both cite evil.org)
+    val kept = TextAnalysis.dropBlockedDomains(docs, "text", Seq("evil.org"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+    // domain stats: distinct docs vs url occurrences
+    val stats = TextAnalysis.domainStats(
+      Seq((1L, "https://a.x.com https://b.x.com"), (2L, "http://c.x.com"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(stats == Seq(("x.com", 2L, 3L)))
+  }
+
   test("dedupLines: df threshold, order-preserving reassembly, empty docs") {
     import spark.implicits._
     val boiler = "Subscribe now!"

@@ -193,4 +193,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan) // pure per-row filter
     assert(plan.contains("Filter"), plan)
   }
+
+  test("splitAssign is a shuffle-free scan-stage projection") {
+    val q = graft.pipeline.Sampling.splitAssign(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val plan = planOf(q)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("gopher flags and pii scrub stay one scan stage, no UDFs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gq = docs.select(
+      graft.pipeline.TextAnalysis.gopherQualityFlags(col("text")).as("g"))
+    val gPlan = planOf(gq)
+    assert(!gPlan.contains("Exchange"), gPlan) // per-row, no shuffle
+    assert(!gPlan.contains("ScalaUDF") && !gPlan.contains("BatchEvalPython"),
+      gPlan)
+    val pq = docs.select(
+      graft.pipeline.TextAnalysis.redactPii(col("text")).as("t"),
+      graft.pipeline.TextAnalysis.piiCounts(col("text")).as("p"))
+    val pPlan = planOf(pq)
+    assert(!pPlan.contains("Exchange"), pPlan)
+    assert(!pPlan.contains("ScalaUDF"), pPlan)
+    assert(pPlan.contains("*(1)"), pPlan) // codegen'd stage (regex family)
+  }
+
+  test("dedupLines shuffles on lines, never more than three exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.TextAnalysis.dedupLines(docs, "doc_id", "text", 10)
+    val plan = planOf(q)
+    // df count (distinct pair + count share one key) + join-back + doc
+    // reassembly: the plan must not smuggle in extra repartitions
+    assert("Exchange".r.findAllIn(plan).size <= 6, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("Window"), plan) // reassembly is an aggregate
+  }
 }

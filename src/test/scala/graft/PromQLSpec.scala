@@ -217,6 +217,35 @@ class ExtendedPromQLSpec extends SparkSpec {
     assert(run(Seq(10), "holt_winters(view[5m], 0.5, 0.5)").isEmpty)
   }
 
+  test("timestamp() and the time-of-day functions") {
+    import org.apache.spark.sql.functions.{col, lit, map}
+    import spark.implicits._
+    // now = 2024-02-01 00:00 UTC; the sample sits at 2024-01-31
+    // 23:00:00.123456 UTC (inside the 1h lookback) — a Wednesday
+    val ts = now - 3600000000L + 123456L
+    val samples = Seq(("view 7", ts, 42.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val selected = Seq("view 7").toDF("sensor_id")
+      .withColumn("labels", map(lit("user"), lit("7")))
+    def run(q: String): Double =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("value").as[Double].head()
+    // timestamp(): float seconds, µs precision survives
+    assert(run("timestamp(view)") == ts / 1e6)
+    // the fields truncate toward zero (Prometheus int64 cast): the
+    // .123456 fraction doesn't bump the hour
+    assert(run("hour(timestamp(view))") == 23.0)
+    assert(run("minute(timestamp(view))") == 0.0)
+    assert(run("day_of_week(timestamp(view))") == 3.0) // Wednesday, Sunday=0
+    assert(run("day_of_month(timestamp(view))") == 31.0)
+    assert(run("days_in_month(timestamp(view))") == 31.0)
+    assert(run("month(timestamp(view))") == 1.0)
+    assert(run("year(timestamp(view))") == 2024.0)
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("timestamp(view[5m])", now) // instant only
+    }
+  }
+
   test("sort / sort_desc rank the instant vector by value") {
     import org.apache.spark.sql.functions.{col, concat, lit, map}
     import spark.implicits._
