@@ -3037,6 +3037,32 @@ object Queries {
         .join(ev("hour(timestamp(view))", "hr"), "user_tag")
         .join(ev("day_of_week(timestamp(view))", "dow"), "user_tag")
         .orderBy("user_tag")
+    },
+
+    // PromQL group(): 1 per group regardless of values — the presence
+    // aggregation Prometheus added in 2.20 (the "which label
+    // combinations exist" query).
+    q(
+      "q92_promql_group",
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_tag,
+        |  1.0::DOUBLE AS value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "group by (user) (view)", 1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("group_labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
     }
   )
 

@@ -40,7 +40,8 @@ object ExtendedPromQL {
   val OverTimeOps =
     Set("sum", "avg", "count", "min", "max", "last", "stddev", "stdvar",
       "present")
-  val InstantAggOps = Set("sum", "avg", "count", "min", "max", "stddev", "stdvar")
+  val InstantAggOps =
+    Set("sum", "avg", "count", "min", "max", "stddev", "stdvar", "group")
   val RangeFnOps = Set("rate", "increase", "delta", "resets", "changes",
     "idelta", "irate", "deriv")
   /** Per-value math functions (PromQL's scalar function family): name →
@@ -945,6 +946,7 @@ object ExtendedPromQL {
     case "stddev" => stddev_pop(c)
     case "stdvar" => var_pop(c)
     case "present" => max(lit(1.0)) // any sample in the group ⇒ 1
+    case "group" => max(lit(1.0))   // Prometheus group(): 1 per group
     case other => throw PromQLError(s"Unsupported aggregation: $other")
   }
 

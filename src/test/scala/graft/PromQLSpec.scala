@@ -160,6 +160,11 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] {
       ExtendedPromQL.parse("sum by (user) (view) extra", now)
     }
+    // group(): 1 per group regardless of values
+    ExtendedPromQL.parse("group by (user) (view)", now) match {
+      case InstantAggQ("group", Seq("user"), false, _, _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
   }
 
   test("plain selectors pass through with reference semantics") {

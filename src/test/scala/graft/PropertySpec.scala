@@ -116,6 +116,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("probeMasks: exact binomial count, bit bound, uniqueness") {
+    def binom(n: Int, k: Int): Long =
+      (0 until k).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
+    forAll(Gen.choose(1, 24), Gen.choose(0, 3)) { (bits, h) =>
+      val masks = graft.pipeline.Similarity.probeMasks(bits, h)
+      val hh = math.min(h, bits)
+      assert(masks.length == (0 to hh).map(binom(bits, _)).sum)
+      assert(masks.distinct.length == masks.length)
+      assert(masks.forall(m => java.lang.Long.bitCount(m) <= h))
+      assert(masks.forall(m => m >>> bits == 0L)) // inside the bit space
+    }
+  }
+
+  test("greedy packing: budget bound, id order inside shards, totals") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 40L))
+      budget <- Gen.choose(10L, 80L)
+    } yield (sizes, budget)
+    forAll(gen) { case (sizes, budget) =>
+      // reference single-stream fold (shards = 1 in the distributed op)
+      var used = 0L; var seq = 0L
+      val packs = sizes.map { s =>
+        if (used > 0 && used + s > budget) { seq += 1; used = 0 }
+        used += s
+        seq
+      }
+      // every pack fits unless it holds a single oversized doc
+      val byPack = sizes.zip(packs).groupBy(_._2).values
+      assert(byPack.forall(p =>
+        p.map(_._1).sum <= budget || p.length == 1))
+      // pack ids are non-decreasing and dense
+      assert(packs.zip(packs.drop(1)).forall { case (a, b) =>
+        b == a || b == a + 1
+      })
+    }
+  }
+
+  test("splitAssign thresholds: disjoint, exhaustive, monotone") {
+    // the pure threshold math behind the Column CASE: any 60-bit draw
+    // lands in exactly one bucket, and buckets are contiguous
+    val gen = for {
+      k <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(k, Gen.choose(0.05, 1.0))
+    } yield ws.map(_ / ws.sum)
+    forAll(gen, Gen.choose(0L, (1L << 60) - 1)) { (ws, draw) =>
+      val thresholds = ws.scanLeft(0.0)(_ + _).tail
+        .map(c => (c * (1L << 60).toDouble).toLong)
+      val bucket = thresholds.indexWhere(draw < _) match {
+        case -1 => ws.length - 1 // residual absorbs rounding
+        case i => i
+      }
+      assert(bucket >= 0 && bucket < ws.length)
+      // monotone: a larger draw never lands in an earlier bucket
+      val bucket2 = thresholds.indexWhere(math.min(draw + 1, (1L << 60) - 1) < _) match {
+        case -1 => ws.length - 1
+        case i => i
+      }
+      assert(bucket2 >= bucket)
+    }
+  }
+
   test("sensor UUID is deterministic and label-order invariant") {
     val labelGen = Gen.listOf(Gen.zip(
       Gen.alphaStr.suchThat(_.nonEmpty), Gen.alphaStr))
