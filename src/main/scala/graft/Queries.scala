@@ -2009,24 +2009,24 @@ object Queries {
 
     // S4 Numeric mode (reference: src/ingestors/http/influxdb.rs:63-125):
     // i64 and f64 fields land as EXACT decimals. The hash surface is the
-    // sum RESCALED to DECIMAL(38,6): the two engines derive each addend
-    // from the double's shortest decimal rendering (Spark double→string
-    // when building the line; DuckDB double→VARCHAR in the oracle), and
-    // pre-Ryu JDKs (< 19) occasionally render one extra digit — a 1-ulp
-    // disagreement at digit ~17 of the scale-18 sum. Rounding both sides
-    // to scale 6 (ties-away-from-zero in both engines) leaves 11 orders
-    // of magnitude of slack, so the compare pins the Numeric-mode parse
-    // and exact-decimal aggregation without hashing the formatter war.
+    // sum rescaled to scale 6 (pre-Ryu JDK Double.toString vs DuckDB
+    // double→VARCHAR disagree 1 ulp at digit ~17 of the scale-18 sum, so
+    // scale 6 leaves 11 orders of slack) and then SHIFTED to BIGINT
+    // micro-units: decimal outputs hash differently at the driver even
+    // when value-identical, while integer outputs are proven portable in
+    // the 20+ md5-trick queries. The ×1e6 shift of a scale-6 decimal is
+    // exact integer arithmetic on both engines — no value change vs the
+    // locally-verified DECIMAL(38,6) surface, only a BIGINT rendering.
     q(
       "q68_influx_numeric",
       """SELECT 'ev cnt' AS sensor_name,
-        |  CAST(SUM(CAST(CAST(user_id AS BIGINT) AS DECIMAL(38,18)))
-        |    AS DECIMAL(38,6)) AS total
+        |  CAST(CAST(SUM(CAST(CAST(user_id AS BIGINT) AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_micros
         |FROM events WHERE event_type = 'click'
         |UNION ALL
         |SELECT 'ev value' AS sensor_name,
-        |  CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
-        |    AS DECIMAL(38,6)) AS total
+        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_micros
         |FROM events WHERE event_type = 'click'
         |ORDER BY sensor_name"""
     ) { (s, d) =>
@@ -2041,7 +2041,8 @@ object Queries {
         .as[String]
       InfluxLineProtocol.parse(lines, "bkt", "org", "ns", withNumeric = true)
         .groupBy(col("sensor_name"))
-        .agg(sum(col("numeric_value")).cast("decimal(38,6)").as("total"))
+        .agg((sum(col("numeric_value")).cast("decimal(38,6)") * lit(1000000L))
+          .cast("long").as("total_micros"))
         .orderBy("sensor_name")
     },
 
@@ -2470,31 +2471,35 @@ object Queries {
       """WITH e AS (SELECT event_type, user_id, value FROM events)
         |SELECT * FROM (
         |  SELECT 'integer' AS value_type, event_type AS sensor_name,
-        |    COUNT(*) AS n, CAST(SUM(user_id) AS DECIMAL(38,6)) AS checksum
+        |    COUNT(*) AS n,
+        |    CAST(CAST(SUM(user_id) AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+        |      AS checksum
         |  FROM e GROUP BY event_type
         |  UNION ALL
         |  SELECT 'numeric', event_type, COUNT(*),
-        |    CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
-        |      AS DECIMAL(38,6))
+        |    CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,6)) * 1000000 AS BIGINT)
         |  FROM e GROUP BY event_type
         |  UNION ALL
         |  SELECT 'string', event_type, COUNT(*),
-        |    CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)))
-        |      AS DECIMAL(38,6))
+        |    CAST(CAST(SUM(length(event_type || ':' ||
+        |      CAST(user_id AS VARCHAR))) AS DECIMAL(38,6)) * 1000000
+        |      AS BIGINT)
         |  FROM e GROUP BY event_type
         |  UNION ALL
         |  SELECT 'boolean', event_type, COUNT(*),
-        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-        |      AS DECIMAL(38,6))
+        |    CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS DECIMAL(38,6)) * 1000000 AS BIGINT)
         |  FROM e GROUP BY event_type
         |  UNION ALL
         |  SELECT 'location', event_type, COUNT(*),
-        |    CAST(-2 * SUM(user_id) AS DECIMAL(38,6))
+        |    CAST(CAST(-2 * SUM(user_id) AS DECIMAL(38,6)) * 1000000
+        |      AS BIGINT)
         |  FROM e GROUP BY event_type
         |  UNION ALL
         |  SELECT 'blob', event_type, COUNT(*),
-        |    CAST(SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
-        |      ::BIGINT) AS DECIMAL(38,6))
+        |    CAST(CAST(SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 2))::BIGINT) AS DECIMAL(38,6)) * 1000000 AS BIGINT)
         |  FROM e GROUP BY event_type)
         |ORDER BY value_type, sensor_name"""
     ) { (s, d) =>
@@ -2555,11 +2560,17 @@ object Queries {
                 .map(p => (p._2.asInstanceOf[Array[Byte]](0) & 0xff).toLong)
                 .sum)
           }
-          (tn, et, dec.samples.length.toLong, checksum)
+          // Rescale to scale 6 with HALF_UP (exactly what the former
+          // Catalyst cast to DECIMAL(38,6) did), then shift to BIGINT
+          // micro-units: integer hash surfaces are driver-portable,
+          // decimal ones are not (the q68 lesson). The shift is exact.
+          val micros = checksum
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .movePointRight(6).longValueExact()
+          (tn, et, dec.samples.length.toLong, micros)
         }
       }
         .toDF("value_type", "sensor_name", "n", "checksum")
-        .withColumn("checksum", col("checksum").cast("decimal(38,6)"))
         .orderBy("value_type", "sensor_name")
     },
 
