@@ -42,6 +42,18 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host load at start/end of the run: past rounds needed manual
+    // adjudication of apparent regressions against concurrent build
+    // load on this host (same-day warm totals spanned 43.8-51.9 s on
+    // identical plans). Publishing /proc/loadavg makes that evidence
+    // machine-readable next to the numbers it explains.
+    def loadavg(): String =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+          .trim.split("\\s+").take(3)
+        parts.mkString("[", ",", "]")
+      } catch { case _: Throwable => "[]" }
+    val loadStart = loadavg()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> timed(SparkEntry.queries(n))).toMap
     // warm samples round-robin (all queries once, then again) rather than
@@ -83,9 +95,11 @@ object Bench {
     val samplesLine = names.map { n =>
       "\"" + shortId(n) + "\":[" + warm(n).map(r2).mkString(",") + "]"
     }.mkString("""{"warm_samples":{""", ",", "}}")
+    val loadEnd = loadavg()
     val summary = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec",""" +
       s""""queries":${json(med)},"cold_total":${r3(coldTotal)},""" +
-      s""""warm_rounds":$warmRounds,"stat":"median","sf":"$sfDir"}"""
+      s""""warm_rounds":$warmRounds,"stat":"median",""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     // Stop Spark BEFORE emitting the summary: the driver parses the final
     // line of the process tail as JSON, so no shutdown log line may land
     // after it. (build.sbt passes forked stdout through verbatim and

@@ -2700,8 +2700,8 @@ object Queries {
         |    (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
         |      AS mean_len_ok,
         |    ((hashes + ellipses) * 10 <= n_words) AS symbol_ok,
-        |    (bullet_lines * 10 < n_lines * 9) AS bullet_ok,
-        |    (ellipsis_lines * 10 < n_lines * 3) AS ellipsis_ok,
+        |    (bullet_lines * 10 <= n_lines * 9) AS bullet_ok,
+        |    (ellipsis_lines * 10 <= n_lines * 3) AS ellipsis_ok,
         |    (alpha_words * 10 >= n_words * 8) AS alpha_ok,
         |    (stop_hits >= 2) AS stopword_ok
         |  FROM m)

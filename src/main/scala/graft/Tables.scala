@@ -19,14 +19,24 @@ object Tables {
     * Only the IMMUTABLE driver testdata goes through here; the mutable
     * store lists its own directories per read (`SensorStore.readDir`),
     * where a stale file snapshot would be a correctness bug.
+    *
+    * Keyed by the session OBJECT (reference equality — SparkSession does
+    * not override equals), not its identityHashCode: a hash collision
+    * between two sessions would silently serve a plan resolved against
+    * the wrong (possibly stopped) session. The map is bounded by a
+    * whole-cache clear once it accumulates entries from many sessions
+    * (sbt test JVMs create dozens), so dead sessions and their plans
+    * don't pin memory for the JVM lifetime.
     */
   private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (relationCache.size > 512) relationCache.clear()
     relationCache.computeIfAbsent(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+      (spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
+  }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (as a Long of ns). Set

@@ -331,11 +331,15 @@ final class Gateway(
       publishLong(df)
     } else {
       // typed single-series IPC: the value field's Arrow type names the
-      // sensor type, sensor_id is the uuid, name falls back to it
-      // (reference: src/importers/arrow.rs:119-294)
-      val ser = graft.sources.ArrowIO.decodeTypedSeries(bytes)
-      val uuid = ser.sensorId.getOrElse(throw new IllegalArgumentException(
-        "Arrow typed import requires a sensor_id column"))
+      // sensor type, sensor_id is the uuid, name falls back to it. A
+      // file WITHOUT a sensor_id column gets a fresh random UUID, like
+      // the reference importer (src/importers/arrow.rs:304-321) — the
+      // gateway's own Float export emits only timestamp+value, so the
+      // export→publish roundtrip must accept id-less files.
+      val ser0 = graft.sources.ArrowIO.decodeTypedSeries(bytes)
+      val uuid = ser0.sensorId.getOrElse(
+        java.util.UUID.randomUUID().toString)
+      val ser = ser0.copy(sensorId = Some(uuid))
       val name = ser.sensorName.getOrElse(uuid)
       import spark.implicits._
       val sensors = Seq((uuid, name, ser.sensorType.displayName))

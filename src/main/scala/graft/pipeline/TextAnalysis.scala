@@ -139,8 +139,11 @@ object TextAnalysis {
     val wordCountOk = nWords >= minWords && nWords <= maxWords
     val meanLenOk = sumWordLen >= nWords * 3 && sumWordLen <= nWords * 10
     val symbolOk = (hashes + ellipses) * 10 <= nWords
-    val bulletOk = bulletLines * 10 < nLines * 9
-    val ellipsisOk = ellipsisLines * 10 < nLines * 3
+    // <=, not <: Rae et al. §A1.1 removes documents with MORE THAN 90%
+    // bullet / 30% ellipsis lines, so a document exactly on the
+    // boundary is kept
+    val bulletOk = bulletLines * 10 <= nLines * 9
+    val ellipsisOk = ellipsisLines * 10 <= nLines * 3
     val alphaOk = alphaWords * 10 >= nWords * 8
     val stopOk = stopHits >= 2
     struct(

@@ -1069,7 +1069,10 @@ object ExtendedPromQL {
     }
 
   private def tsOf(epochSeconds: Column): Column =
-    timestamp_seconds(floor(epochSeconds).cast("long"))
+    // cast, not floor: the int64(t) cast truncates toward zero, so a
+    // pre-1970 (negative) epoch second must round up, which floor()
+    // would not
+    timestamp_seconds(epochSeconds.cast("long"))
 
   private def logWithDomain(logged: Column, v: Column): Column =
     when(v > 0, logged)

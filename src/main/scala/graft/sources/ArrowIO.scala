@@ -326,8 +326,10 @@ object ArrowIO {
   /** A decoded typed series as a canonical-layout frame (sensor_id,
     * timestamp_us, value) with the value in the type's native Spark
     * column type — the shape [[graft.store.SensorStore.publishSamples]]
-    * ingests. Requires `sensorId` (the reference importer errors without
-    * it: src/importers/arrow.rs:119-121).
+    * ingests. Requires `sensorId` to be populated by the caller: for a
+    * file without a sensor_id column the gateway mints a fresh random
+    * UUID first, exactly like the reference importer
+    * (src/importers/arrow.rs:304-321).
     */
   def typedSeriesToFrame(
       spark: org.apache.spark.sql.SparkSession,

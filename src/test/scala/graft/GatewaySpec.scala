@@ -290,6 +290,31 @@ class GatewaySpec extends SparkSpec {
     assert(lback.sensorName.contains(luuid)) // name fell back to sensor_id
   }
 
+  test("typed arrow publish without sensor_id mints a fresh uuid") {
+    import graft.sources.ArrowIO
+    // The gateway's own Float export emits only timestamp+value; the
+    // reference importer accepts such a file and generates a new UUID
+    // (src/importers/arrow.rs:304-321), so export→publish must roundtrip.
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}".r
+    def listedUuids(): Set[String] =
+      uuidRe.findAllIn(get("/series").body()).toSet
+    val before = listedUuids()
+    val bytes = ArrowIO.encodeFloatSeries(
+      Seq((1704067200000000L, 42.5), (1704067201000000L, -1.25)))
+    val r = post("/publish", bytes,
+      Map("content-type" -> "application/vnd.apache.arrow.file"))
+    assert(r.statusCode() == 200, new String(r.body(), "UTF-8"))
+    val fresh = listedUuids() -- before
+    assert(fresh.size == 1, s"expected exactly one new sensor, got $fresh")
+    val out = client.send(
+      HttpRequest.newBuilder(
+        url(s"/series/${fresh.head}?format=arrow")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(out.statusCode() == 200)
+    assert(ArrowIO.decodeFloatSeries(out.body()).map(_._2) ==
+      Seq(42.5, -1.25))
+  }
+
   test("extended PromQL endpoint aggregates; strict endpoint still rejects") {
     // uses the remote-write data (http_requests with job=api, 2024-01)
     val q = java.net.URLEncoder.encode(
