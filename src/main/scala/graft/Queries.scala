@@ -3074,6 +3074,95 @@ object Queries {
         .select(element_at(col("group_labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("user_tag")
+    },
+
+    // PromQL scalar()/vector() conversions (the reference's endpoint
+    // rejects every function call: src/ingestors/http/simple_promql.rs
+    // :153-155): `vec * scalar(agg)` is dynamic-scalar arithmetic via a
+    // broadcast one-row cross join, and `missing or vector(42)` is the
+    // canonical empty-result fallback. The scalar factor (a series
+    // count) and the double multiply are bit-exact on both engines.
+    q(
+      "q93_promql_scalar",
+      """WITH latest AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'view'
+        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |  WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT 'scaled' AS part, CAST(user_id AS VARCHAR) AS user_tag,
+        |    value * (SELECT COUNT(*)::DOUBLE FROM latest) AS value
+        |  FROM latest
+        |  UNION ALL
+        |  SELECT 'fallback', '', 42.0::DOUBLE)
+        |ORDER BY part, user_tag"""
+    ) { (s, d) =>
+      val now = 1706659200000000L
+      def ev(qs: String, tag: String) = {
+        val parsed = graft.promql.ExtendedPromQL.parse(qs, now)
+        graft.promql.ExtendedPromQL.evalWith(parsed,
+          ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+            .select(concat(col("name"), lit(" "),
+              col("labels").getItem("user")).as("sensor_id"), col("labels")),
+          EventsAdapter.samples(s, d)
+            .select("sensor_id", "timestamp_us", "value"))
+          .select(lit(tag).as("part"),
+            coalesce(element_at(col("labels"), "user"), lit(""))
+              .as("user_tag"),
+            col("value"))
+      }
+      ev("view * scalar(count(view))", "scaled")
+        .unionByName(ev("nosuchmetric or vector(42)", "fallback"))
+        .orderBy("part", "user_tag")
+    },
+
+    // PromQL @ start()/end() anchors: the selector window pins to the
+    // provided range bounds instead of the evaluation time (resolved
+    // by a quote-aware rewrite to the numeric `@ <seconds>` modifier
+    // the selector already supports). max is order-insensitive and the
+    // count is exact, so no rounding is needed on either side.
+    q(
+      "q94_promql_at",
+      """SELECT * FROM (
+        |  SELECT 'max_end' AS fn, CAST(user_id AS VARCHAR) AS user_tag,
+        |    MAX(value) AS value
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
+        |  GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'cnt_start', CAST(user_id AS VARCHAR), COUNT(*)::DOUBLE
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706565600000000 AND 1706572800000000
+        |  GROUP BY user_id)
+        |ORDER BY fn, user_tag"""
+    ) { (s, d) =>
+      // range params: start = 2024-01-30T00:00:00Z, end = 2024-01-31
+      val now = 1706745600000000L
+      val rangeStart = 1706572800000000L
+      val rangeEnd = 1706659200000000L
+      def ev(qs: String, tag: String) = {
+        val parsed = graft.promql.ExtendedPromQL.parse(
+          qs, now, Some(rangeStart), Some(rangeEnd))
+        val selected = Matchers.sensorsByLabels(
+          EventsAdapter.sensors(s, d), parsed.matchers)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels"))
+        graft.promql.ExtendedPromQL.eval(parsed, selected,
+          EventsAdapter.samples(s, d)
+            .select("sensor_id", "timestamp_us", "value"))
+          .select(lit(tag).as("fn"),
+            element_at(col("labels"), "user").as("user_tag"),
+            col("value"))
+      }
+      ev("max_over_time(view[1h] @ end())", "max_end")
+        .unionByName(ev("count_over_time(view[2h] @ start())", "cnt_start"))
+        .orderBy("fn", "user_tag")
     }
   )
 

@@ -630,8 +630,15 @@ final class Gateway(
     import graft.promql.ExtendedPromQL
     val query = p.getOrElse("query",
       throw new IllegalArgumentException("missing query parameter"))
-    val parsed = ExtendedPromQL.parse(query,
-      nowUs = System.currentTimeMillis() * 1000L)
+    // optional Prometheus API params: `time` pins the instant evaluation
+    // time; `start`/`end` resolve the `@ start()` / `@ end()` anchors
+    // (both default to the evaluation time — instant-query semantics)
+    def tParam(name: String): Option[Long] =
+      p.get(name).map(t => (t.toDouble * 1e6).toLong)
+    val nowUs = tParam("time")
+      .getOrElse(System.currentTimeMillis() * 1000L)
+    val parsed = ExtendedPromQL.parse(query, nowUs,
+      tParam("start"), tParam("end"))
     // evalWith: binary vector queries select each operand's series
     // independently (two matcher sets); other queries match once
     val result = ExtendedPromQL.evalWith(parsed,

@@ -213,6 +213,41 @@ object ExtendedPromQL {
     def startUs: Long = inner.startUs
     def endUs: Long = inner.endUs
   }
+  /** `vector(s)` — PromQL's scalar→vector conversion: a one-element
+    * instant vector with an empty label set. The idiomatic use is the
+    * `expr or vector(0)` empty-result fallback. (The reference's
+    * restricted endpoint rejects every function call:
+    * src/ingestors/http/simple_promql.rs:153-155.)
+    */
+  final case class VectorLitQ(value: Double) extends Query {
+    def matchers: Seq[LabelMatcher] = Seq.empty
+    def startUs: Long = 0L
+    def endUs: Long = 0L
+  }
+  /** `scalar(vec)` — vector→scalar conversion: the single series' value
+    * when the inner vector has exactly one element, NaN otherwise
+    * (Prometheus semantics). Standalone it evaluates to one unlabeled
+    * row; as a binary-arithmetic operand it becomes the dynamic scalar
+    * of [[BinDynScalarQ]].
+    */
+  final case class ScalarQ(inner: Query) extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
+  /** `vec <op> scalar(other)` for + - * / — arithmetic against a scalar
+    * computed at evaluation time. The one-row scalar frame is broadcast
+    * into a cross join, a constant-cost nested-loop broadcast at any
+    * vector size. Evaluate via [[evalWith]] so the two operands select
+    * their series independently.
+    */
+  final case class BinDynScalarQ(
+      op: Char, scalarQ: ScalarQ, scalarOnLeft: Boolean, inner: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = math.min(inner.startUs, scalarQ.startUs)
+    def endUs: Long = math.max(inner.endUs, scalarQ.endUs)
+  }
   /** `vec1 and|or|unless vec2` — Prometheus set operators between
     * instant vectors, matching on the FULL label set: `and` keeps left
     * rows whose label set also appears on the right (semi join),
@@ -462,7 +497,8 @@ object ExtendedPromQL {
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
         _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ | _: BinScalarQ |
-        _: BinCmpQ | _: PredictLinearQ | _: TimestampQ => q
+        _: BinCmpQ | _: PredictLinearQ | _: TimestampQ | _: VectorLitQ |
+        _: BinDynScalarQ => q
     case _ => throw PromQLError(
       s"$side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
@@ -506,6 +542,58 @@ object ExtendedPromQL {
         innerShiftUs = nowUs - inner.endUs,
         innerSpanUs = inner.endUs - inner.startUs))
     case _ => None
+  }
+
+  /** Parse with PromQL's `@ start()` / `@ end()` anchors resolved
+    * against an explicit evaluation range (a range query's start/end
+    * parameters). Both anchors default to the instant evaluation time
+    * when the range bound is absent — Prometheus's instant-query
+    * semantics, where start() == end() == the query time. The anchors
+    * are rewritten, quote-aware, to the numeric `@ <seconds>` modifier
+    * the selector parser already supports, so `offset`/`@` composition
+    * rules are inherited unchanged.
+    */
+  def parse(query: String, nowUs: Long,
+      rangeStartUs: Option[Long], rangeEndUs: Option[Long]): Query =
+    parse(
+      resolveAtAnchors(query, rangeStartUs.getOrElse(nowUs),
+        rangeEndUs.getOrElse(nowUs)),
+      nowUs)
+
+  /** Rewrite `@ start()` / `@ end()` (outside quoted label values) to
+    * `@ <unix_seconds>`. Exact: microseconds render as a fixed 6-digit
+    * decimal fraction, which the `@` modifier parses back losslessly.
+    */
+  private def resolveAtAnchors(
+      query: String, startUs: Long, endUs: Long): String = {
+    def secs(us: Long): String = {
+      require(us >= 0, s"@ anchor must be a non-negative time, got $us")
+      (us / 1000000L).toString + "." + "%06d".format(us % 1000000L)
+    }
+    val AnchorRe = """^\s*(start|end)\(\)""".r
+    val out = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\\' && i + 1 < query.length) {
+          out.append(query.charAt(i + 1)); i += 1
+        } else if (c == '"') inStr = false
+      } else if (c == '"') { inStr = true; out.append(c) }
+      else if (c == '@') {
+        AnchorRe.findPrefixMatchOf(query.substring(i + 1)) match {
+          case Some(m) =>
+            out.append("@ ").append(
+              secs(if (m.group(1) == "start") startUs else endUs))
+            i += m.end
+          case None => out.append(c)
+        }
+      } else out.append(c)
+      i += 1
+    }
+    out.toString
   }
 
   def parse(query: String, nowUs: Long): Query = {
@@ -582,10 +670,26 @@ object ExtendedPromQL {
             }
             if (rs2.isEmpty)
               throw PromQLError(s"Binary operator '$op' is missing an operand")
-            BinVectorQ(op,
-              requireVectorOperand(parse(ls, nowUs), "left"),
-              requireVectorOperand(parse(rs2, nowUs), "right"),
-              matchOn, ignoring, grouping)
+            val lq = parse(ls, nowUs)
+            val rq = parse(rs2, nowUs)
+            val plainMatch = matchOn.isEmpty && !ignoring && grouping.isEmpty
+            (lq, rq) match {
+              // a scalar() operand turns the vector op into dynamic-
+              // scalar arithmetic (matching modifiers don't apply to a
+              // scalar side, so they force the vector-vector path and
+              // its operand validation)
+              case (sq: ScalarQ, _) if plainMatch =>
+                BinDynScalarQ(op, sq, scalarOnLeft = true,
+                  requireVectorOperand(rq, "right"))
+              case (_, sq: ScalarQ) if plainMatch =>
+                BinDynScalarQ(op, sq, scalarOnLeft = false,
+                  requireVectorOperand(lq, "left"))
+              case _ =>
+                BinVectorQ(op,
+                  requireVectorOperand(lq, "left"),
+                  requireVectorOperand(rq, "right"),
+                  matchOn, ignoring, grouping)
+            }
         }
       case None => ()
     }
@@ -636,6 +740,21 @@ object ExtendedPromQL {
               CountValuesQ(label, sel.matchers, sel.startUs, sel.endUs)
             case _ =>
               throw PromQLError("count_values expects (\"label\", selector)")
+          }
+        } else if (head == "vector" && after.trim.startsWith("(")) {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          VectorLitQ(parseScalar(inner.trim).getOrElse(throw PromQLError(
+            s"vector() expects a scalar literal, got '${inner.trim}'")))
+        } else if (head == "scalar" && after.trim.startsWith("(")) {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          parse(inner, nowUs) match {
+            case _: ScalarQ => throw PromQLError(
+              "scalar() expects an instant vector, not another scalar()")
+            case q => ScalarQ(q)
           }
         } else if (head == "absent") {
           val (inner, rest) = parenGroup(after.trim, s)
@@ -989,10 +1108,10 @@ object ExtendedPromQL {
           }
         array_sort(kept)
       }
-      val lv = sideVector(left, selectFor(left.matchers), samples)
+      val lv = sideVectorWith(left, selectFor, samples)
         .select(matched(col("labels")).as("__k"),
           col("labels").as("__ll"), col("value").as("__lv"))
-      val rv = sideVector(right, selectFor(right.matchers), samples)
+      val rv = sideVectorWith(right, selectFor, samples)
         .select(matched(col("labels")).as("__k"),
           col("labels").as("__rl"), col("value").as("__rv"))
       val outLabels = grouping match {
@@ -1006,9 +1125,9 @@ object ExtendedPromQL {
     case BinSetQ(op, left, right) =>
       val canon = (c: Column) => array_sort(map_entries(
         coalesce(c, map().cast("map<string,string>"))))
-      val lv = sideVector(left, selectFor(left.matchers), samples)
+      val lv = sideVectorWith(left, selectFor, samples)
         .withColumn("__k", canon(col("labels")))
-      val rv = sideVector(right, selectFor(right.matchers), samples)
+      val rv = sideVectorWith(right, selectFor, samples)
         .withColumn("__k", canon(col("labels")))
       val out = op match {
         case "and" =>
@@ -1020,7 +1139,63 @@ object ExtendedPromQL {
             rv.join(lv.select(col("__k")).distinct(), Seq("__k"), "left_anti"))
       }
       out.select("sensor_id", "labels", "value")
+    case b: BinDynScalarQ =>
+      // the scalar side resolves its own matcher set; its one-row frame
+      // broadcasts into a cross join against the vector side — a
+      // constant-cost nested-loop broadcast regardless of vector size
+      val sc = broadcast(evalWith(b.scalarQ, selectFor, samples)
+        .select(col("value").as("__s")))
+      val v = sideVectorWith(b.inner, selectFor, samples)
+      val expr =
+        if (b.scalarOnLeft) binCol(b.op, col("__s"), col("value"))
+        else binCol(b.op, col("value"), col("__s"))
+      v.crossJoin(sc).withColumn("value", expr).drop("__s")
+    case sq: ScalarQ =>
+      // sideVectorWith gives the INSTANT vector for a plain selector
+      // (latest per series); multi-operand inners keep their
+      // independent per-operand selection
+      scalarValueFrame(sq.inner match {
+        case multi @ (_: BinVectorQ | _: BinSetQ | _: BinDynScalarQ) =>
+          evalWith(multi, selectFor, samples)
+        case other => sideVectorWith(other, selectFor, samples)
+      })
+    case v: VectorLitQ => vectorLitFrame(samples.sparkSession, v.value)
     case other => eval(other, selectFor(other.matchers), samples)
+  }
+
+  /** One-row/one-series literal vector: empty label set, constant
+    * value — the shape `vector(s)` evaluates to.
+    */
+  private def vectorLitFrame(
+      spark: org.apache.spark.sql.SparkSession, v: Double): DataFrame =
+    spark.range(1).select(
+      lit("").as("sensor_id"),
+      map().cast("map<string,string>").as("labels"),
+      lit(v).cast("double").as("value"))
+
+  /** Collapse an evaluated vector to PromQL's `scalar()`: one unlabeled
+    * row carrying the single element's value, NaN when the vector has
+    * zero or more than one element. A global one-row aggregate —
+    * constant output at any scale.
+    */
+  private def scalarValueFrame(vec: DataFrame): DataFrame =
+    vec.agg(
+      when(count(lit(1)) === 1, first(col("value")))
+        .otherwise(lit(Double.NaN)).as("value"))
+      .select(lit("").as("sensor_id"),
+        map().cast("map<string,string>").as("labels"),
+        col("value").cast("double").as("value"))
+
+  /** A binary/set operand frame under per-operand selection: literal
+    * vectors need no catalog selection at all (their matcher set is
+    * empty, which a selector backend may reject or over-select).
+    */
+  private def sideVectorWith(
+      q: Query,
+      selectFor: Seq[LabelMatcher] => DataFrame,
+      samples: DataFrame): DataFrame = q match {
+    case v: VectorLitQ => vectorLitFrame(samples.sparkSession, v.value)
+    case other => sideVector(other, selectFor(other.matchers), samples)
   }
 
   private def binCol(op: Char, l: Column, r: Column): Column = op match {
@@ -1218,6 +1393,21 @@ object ExtendedPromQL {
         val w = Window.orderBy(ord: _*)
         v.withColumn("rank", row_number().over(w))
           .select("rank", "sensor_id", "labels", "value")
+      case v: VectorLitQ => vectorLitFrame(samples.sparkSession, v.value)
+      case sq: ScalarQ =>
+        // sideVector gives the INSTANT vector for a plain selector
+        // (latest per series), which is what scalar() consumes
+        scalarValueFrame(sideVector(sq.inner, selected, samples))
+      case b: BinDynScalarQ =>
+        // single-selection variant (nested under a per-series wrapper,
+        // or a caller-supplied selection covering both operands)
+        val sc = broadcast(eval(b.scalarQ, selected, samples)
+          .select(col("value").as("__s")))
+        val v = sideVector(b.inner, selected, samples)
+        val expr =
+          if (b.scalarOnLeft) binCol(b.op, col("__s"), col("value"))
+          else binCol(b.op, col("value"), col("__s"))
+        v.crossJoin(sc).withColumn("value", expr).drop("__s")
       case SelectorQ(_, _, _) =>
         inWindow.select("sensor_id", "labels", "timestamp_us", "value")
       case OverTimeQ(op, _, _, _) =>

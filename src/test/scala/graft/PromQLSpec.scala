@@ -327,6 +327,104 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
   }
 
+  test("@ start()/end() anchors resolve against the provided range") {
+    val startUs = 1706572800000000L // 2024-01-30T00:00:00Z
+    val endUs = 1706659200000000L // 2024-01-31T00:00:00Z
+    ExtendedPromQL.parse(
+      "view @ end()", now, Some(startUs), Some(endUs)) match {
+      case SelectorQ(_, s, e) =>
+        assert(e == endUs && s == endUs - 3600L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("max_over_time(view[5m] @ start())",
+      now, Some(startUs), Some(endUs)) match {
+      case OverTimeQ("max", _, s, e) =>
+        assert(e == startUs && s == startUs - 300L * 1000000L)
+      case other => fail(s"unexpected: $other")
+    }
+    // without range params both anchors pin to the evaluation time
+    ExtendedPromQL.parse("view @ start()", now, None, None) match {
+      case SelectorQ(_, _, e) => assert(e == now)
+      case other => fail(s"unexpected: $other")
+    }
+    // an anchor inside a quoted label value is untouched
+    ExtendedPromQL.parse("""view{note="x @ end()"}""",
+      now, Some(startUs), Some(endUs)) match {
+      case SelectorQ(ms, _, e) =>
+        assert(e == now)
+        assert(ms.contains(LabelMatcher.Eq("note", "x @ end()")))
+      case other => fail(s"unexpected: $other")
+    }
+    // microsecond precision survives the textual rewrite
+    ExtendedPromQL.parse(
+      "view @ end()", now, None, Some(1706659200123456L)) match {
+      case SelectorQ(_, _, e) => assert(e == 1706659200123456L)
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("scalar()/vector(): parse shapes and rejections") {
+    ExtendedPromQL.parse("vector(42)", now) match {
+      case VectorLitQ(v) => assert(v == 42.0)
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("scalar(count(view))", now) match {
+      case ScalarQ(InstantAggQ("count", _, _, _, _, _)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("view * scalar(count(view))", now) match {
+      case BinDynScalarQ('*', ScalarQ(_), false, SelectorQ(_, _, _)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("scalar(sum(click)) + view", now) match {
+      case BinDynScalarQ('+', ScalarQ(_), true, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("view or vector(0)", now) match {
+      case BinSetQ("or", SelectorQ(_, _, _), VectorLitQ(v)) =>
+        assert(v == 0.0)
+      case other => fail(s"unexpected: $other")
+    }
+    intercept[PromQLError](ExtendedPromQL.parse("vector(view)", now))
+    intercept[PromQLError](
+      ExtendedPromQL.parse("scalar(scalar(view))", now))
+  }
+
+  test("evaluator: scalar() constant, vector() literal, or-fallback") {
+    import spark.implicits._
+    val selected = Seq(
+      ("a 1", Map("user" -> "1")),
+      ("a 2", Map("user" -> "2"))).toDF("sensor_id", "labels")
+    val samples = Seq(
+      ("a 1", 1000000L, 5.0), ("a 1", 2000000L, 1.0), // latest = 1.0
+      ("a 2", 1500000L, 4.0)).toDF("sensor_id", "timestamp_us", "value")
+    // literal vector standalone: one unlabeled series
+    val vlit = ExtendedPromQL.eval(VectorLitQ(7.5), selected, samples)
+      .select("value").as[Double].collect().toSeq
+    assert(vlit == Seq(7.5))
+    // dynamic scalar: count(instant vector) = 2 series, value doubles
+    val dyn = BinDynScalarQ('*',
+      ScalarQ(InstantAggQ("count", Nil, false, Nil, 0L, 3000000L)),
+      scalarOnLeft = false, SelectorQ(Nil, 0L, 3000000L))
+    val out = ExtendedPromQL.eval(dyn, selected, samples)
+      .select("sensor_id", "value").as[(String, Double)].collect().toMap
+    assert(out == Map("a 1" -> 2.0, "a 2" -> 8.0))
+    // scalar() of a multi-element vector is NaN (Prometheus semantics)
+    val nan = ExtendedPromQL.eval(
+      ScalarQ(SelectorQ(Nil, 0L, 3000000L)), selected, samples)
+      .select("value").as[Double].collect()
+    assert(nan.length == 1 && nan(0).isNaN)
+    // the canonical `expr or vector(0)` fallback on an empty left side
+    val fb = ExtendedPromQL.evalWith(
+      BinSetQ("or",
+        SelectorQ(Seq(LabelMatcher.Eq("x", "nope")), 0L, 3000000L),
+        VectorLitQ(0.0)),
+      ms => if (ms.isEmpty) selected else selected.limit(0),
+      samples)
+      .select("value").as[Double].collect().toSeq
+    assert(fb == Seq(0.0))
+  }
+
   test("parses range functions (rate/increase/delta)") {
     ExtendedPromQL.parse("rate(view[5m])", now) match {
       case RangeFnQ("rate", ms, s, e) =>
