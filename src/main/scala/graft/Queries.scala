@@ -3163,6 +3163,67 @@ object Queries {
       ev("max_over_time(view[1h] @ end())", "max_end")
         .unionByName(ev("count_over_time(view[2h] @ start())", "cnt_start"))
         .orderBy("fn", "user_tag")
+    },
+
+    // Public-suffix-aware registered domains: hosts synthesized from
+    // doc ids cover plain ccTLD suffixes (co.uk, com.au), a 1-label
+    // wildcard (*.ck), an exception (!city.kobe.jp) and a private-
+    // section suffix (github.io). The oracle replays the PSL lookup
+    // with IN-lists generated from the very same vendored snapshot
+    // (PublicSuffix.sqlList), so both engines consult one rule table.
+    q(
+      "q95_psl_domains", {
+        val psl = graft.pipeline.PublicSuffix
+        def tail(k: Int) =
+          s"array_to_string(list_slice(sp, -$k, -1), '.')"
+        s"""WITH h AS (
+          |  SELECT CASE
+          |    WHEN doc_id % 6 = 0 THEN
+          |      'www.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+          |    WHEN doc_id % 6 = 1 THEN
+          |      'shop.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
+          |    WHEN doc_id % 6 = 2 THEN
+          |      'cdn.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.com.au'
+          |    WHEN doc_id % 6 = 3 THEN
+          |      'a.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.w.ck'
+          |    WHEN doc_id % 6 = 4 THEN 'deep.www.city.kobe.jp'
+          |    ELSE
+          |      'blog.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.github.io'
+          |  END AS host
+          |  FROM documents),
+          |p AS (SELECT host, string_split(host, '.') AS sp FROM h),
+          |r AS (
+          |  SELECT CASE
+          |    WHEN len(sp) >= 3 AND ${tail(3)} IN (${psl.sqlList(psl.exc3)})
+          |      THEN ${tail(3)}
+          |    WHEN len(sp) >= 2 AND ${tail(2)} IN (${psl.sqlList(psl.exc2)})
+          |      THEN ${tail(2)}
+          |    WHEN len(sp) >= 4 AND (
+          |        ${tail(3)} IN (${psl.sqlList(psl.plain3)})
+          |        OR ${tail(2)} IN (${psl.sqlList(psl.wild2)}))
+          |      THEN ${tail(4)}
+          |    WHEN len(sp) >= 3 AND (
+          |        ${tail(2)} IN (${psl.sqlList(psl.plain2)})
+          |        OR sp[-1] IN (${psl.sqlList(psl.wild1)}))
+          |      THEN ${tail(3)}
+          |    ELSE regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1)
+          |  END AS domain FROM p)
+          |SELECT domain, COUNT(*) AS n_hosts
+          |FROM r GROUP BY domain ORDER BY domain"""
+      }
+    ) { (s, d) =>
+      val m = (col("doc_id") % 10).cast("string")
+      def shape(k: Int) = col("doc_id") % 6 === k
+      val host = when(shape(0), concat(lit("www.alpha"), m, lit(".com")))
+        .when(shape(1), concat(lit("shop.alpha"), m, lit(".co.uk")))
+        .when(shape(2), concat(lit("cdn.alpha"), m, lit(".com.au")))
+        .when(shape(3), concat(lit("a.alpha"), m, lit(".w.ck")))
+        .when(shape(4), lit("deep.www.city.kobe.jp"))
+        .otherwise(concat(lit("blog.alpha"), m, lit(".github.io")))
+      Tables.documents(s, d)
+        .select(TextAnalysis.registeredDomain(host).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_hosts"))
+        .orderBy("domain")
     }
   )
 

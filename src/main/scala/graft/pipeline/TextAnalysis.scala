@@ -293,13 +293,36 @@ object TextAnalysis {
     transform(regexp_extract_all(text, lit(UrlPattern), lit(0)),
       u => regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
 
-  /** Registered domain (last two labels) of a host — the C4-style
-    * grouping key for per-site statistics and blocklists. Public-suffix
-    * awareness (co.uk) is a data-file concern layered on top; the
-    * two-label fallback is the standard cheap approximation.
+  /** Registered domain of a host — the C4-style grouping key for
+    * per-site statistics and blocklists. Public-suffix aware via the
+    * vendored [[PublicSuffix]] snapshot (so `shop.x.co.uk` groups as
+    * `x.co.uk`, not `co.uk`), with the standard last-two-labels
+    * fallback for every suffix the snapshot doesn't name. PSL
+    * precedence is exception > wildcard/plain (longest first) >
+    * default. Pure codegen'd expressions: the label split and the
+    * `InSet` membership probes run in the scan stage — no join, no
+    * shuffle, no UDF. A host that IS a public suffix has no registered
+    * domain in PSL terms; this returns the fallback for it, keeping
+    * the column total (grouping keys must not be null).
     */
-  def registeredDomain(host: Column): Column =
-    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+  def registeredDomain(host: Column): Column = {
+    import PublicSuffix._
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    def tail(k: Int) = array_join(slice(parts, -k, k), ".")
+    def inSet(c: Column, xs: Seq[String]) =
+      if (xs.isEmpty) lit(false) else c.isInCollection(xs)
+    // rule sets have fixed label counts, so a clamped short tail can
+    // never match a longer rule — the n-guards only protect the OUTPUT
+    // label count of each branch
+    when(n >= 3 && inSet(tail(3), exc3), tail(3))
+      .when(n >= 2 && inSet(tail(2), exc2), tail(2))
+      .when(n >= 4 && (inSet(tail(3), plain3) || inSet(tail(2), wild2)),
+        tail(4))
+      .when(n >= 3 && (inSet(tail(2), plain2) || inSet(tail(1), wild1)),
+        tail(3))
+      .otherwise(regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1))
+  }
 
   /** Per-domain corpus statistics: distinct documents citing the domain
     * and total URL occurrences. One shuffle on the domain key; URLs

@@ -333,6 +333,40 @@ class PipelineSpec extends SparkSpec {
     assert(stats == Seq(("x.com", 2L, 3L)))
   }
 
+  test("registered domains are public-suffix aware (vendored snapshot)") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val cases = Seq(
+      // the ADVICE regression: ccTLD registries group by site, not
+      // by the public suffix itself
+      "bbc.co.uk" -> "bbc.co.uk",
+      "www.bbc.co.uk" -> "bbc.co.uk",
+      "shop.x.co.uk" -> "x.co.uk",
+      "a.b.com.au" -> "b.com.au",
+      // plain TLDs keep the last-two-labels fallback
+      "x.com" -> "x.com",
+      "www.a.example.com" -> "example.com",
+      "foo.jp" -> "foo.jp",
+      // 1-label wildcard *.ck: the child label joins the suffix
+      "a.b.w.ck" -> "b.w.ck",
+      // exception rules name the registrable domain outright
+      "sub.www.ck" -> "www.ck",
+      "x.city.kobe.jp" -> "city.kobe.jp",
+      // 2-label wildcard *.kobe.jp
+      "a.www.kobe.jp" -> "a.www.kobe.jp",
+      // private-section suffixes
+      "u.github.io" -> "u.github.io",
+      "deep.u.github.io" -> "u.github.io",
+      "b.s3.amazonaws.com" -> "b.s3.amazonaws.com")
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"),
+        TextAnalysis.registeredDomain(col("host")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host $h: got ${got(h)}, want $want")
+    }
+  }
+
   test("dedupLines: df threshold, order-preserving reassembly, empty docs") {
     import spark.implicits._
     val boiler = "Subscribe now!"
