@@ -62,11 +62,14 @@ object Dedup {
   }
 
   /** Connected components over a near-dup pair graph by iterative
-    * min-label propagation — the dedup endgame: transitively-connected
-    * near-duplicates form one cluster, and a pipeline keeps one doc per
-    * cluster. Iteration count is the graph diameter (near-dup clusters
-    * are shallow). Nodes with no edges keep their own id as the cluster
-    * id.
+    * min-label propagation with POINTER JUMPING — the dedup endgame:
+    * transitively-connected near-duplicates form one cluster, and a
+    * pipeline keeps one doc per cluster. Each round first takes the
+    * min label over neighbors, then path-halves (`label(label(id))`,
+    * a self-join on the label frame), so a chain of length L converges
+    * in O(log L) rounds instead of L — the Kiveris-et-al.-style
+    * acceleration without restructuring the edge set. Nodes with no
+    * edges keep their own id as the cluster id.
     *
     * Each round is ONE job: the propagation join carries a `__changed`
     * flag, the new labels are marked as a LAZY local checkpoint, and the
@@ -81,40 +84,71 @@ object Dedup {
     */
   def connectedComponents(
       nodes: DataFrame, // (id)
-      edges: DataFrame): DataFrame = { // (id_a, id_b)
+      edges: DataFrame): DataFrame = // (id_a, id_b)
+    connectedComponentsWithRounds(nodes, edges)._1
+
+  /** [[connectedComponents]] exposing the round count, so tests can pin
+    * the pointer-jumping acceleration (a 2^k-chain must converge in
+    * O(k) rounds, not 2^k).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      nodes: DataFrame,
+      edges: DataFrame): (DataFrame, Int) = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    try {
-      // only edge-incident nodes can ever change labels — loop over them
-      // alone and append the untouched singletons once at the end
-      var labels = sym.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster_id"))
-        .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val prop = sym
-          .join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("cluster_id")).as("__nl"))
-        val next = labels.join(prop, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
-              .as("cluster_id"),
-            coalesce(col("__nl") < col("cluster_id"), lit(false))
-              .as("__changed"))
-          .localCheckpoint(eager = false)
-        // the round's single job: materializes `next`'s checkpoint as a
-        // side effect and returns the moved-label count
-        changed = next.filter(col("__changed")).count()
-        PipelineCache.free(labels)
-        labels = next.select("id", "cluster_id")
-      }
-      nodes.select(col("id"))
-        .join(labels, Seq("id"), "left")
-        .select(col("id"), coalesce(col("cluster_id"), col("id"))
-          .as("cluster_id"))
-    } finally sym.unpersist(false) // loop done; the result never reads sym
+    var rounds = 0
+    val assigned =
+      try {
+        // only edge-incident nodes can ever change labels — loop over
+        // them alone and append the untouched singletons once at the end
+        var labels = sym.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("cluster_id"))
+          .localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          rounds += 1
+          val prop = sym
+            .join(labels.select(col("id").as("dst"), col("cluster_id")),
+              "dst")
+            .groupBy(col("src").as("id"))
+            .agg(min(col("cluster_id")).as("__nl"))
+          // neighbor-min step (labels only ever decrease, toward the
+          // component minimum)
+          val mid = labels.join(prop, Seq("id"), "left")
+            .select(col("id"), col("cluster_id").as("__old"),
+              least(col("cluster_id"),
+                coalesce(col("__nl"), col("cluster_id"))).as("__m"))
+          // pointer-jumping step: label_old(label_new(id)). Jumping
+          // through the PREVIOUS round's materialized checkpoint (not
+          // through `mid`, which would recompute the propagation join
+          // twice) keeps one propagation per round while the distance
+          // to the component minimum still shrinks geometrically on
+          // chain-shaped components. Every label value is itself an
+          // edge-incident node id, so the join always resolves; jumped
+          // labels are never larger (labels decrease monotonically and
+          // label(x) <= x), so coalesce suffices.
+          val jump = labels
+            .select(col("id").as("__jid"), col("cluster_id").as("__jl"))
+          val next = mid
+            .join(jump, col("__m") === col("__jid"), "left")
+            .select(mid("id"),
+              coalesce(col("__jl"), col("__m")).as("cluster_id"),
+              (coalesce(col("__jl"), col("__m")) < col("__old"))
+                .as("__changed"))
+            .localCheckpoint(eager = false)
+          // the round's single job: materializes `next`'s checkpoint as
+          // a side effect and returns the moved-label count
+          changed = next.filter(col("__changed")).count()
+          PipelineCache.free(labels)
+          labels = next.select("id", "cluster_id")
+        }
+        nodes.select(col("id"))
+          .join(labels, Seq("id"), "left")
+          .select(col("id"), coalesce(col("cluster_id"), col("id"))
+            .as("cluster_id"))
+      } finally sym.unpersist(false) // loop done; result never reads sym
+    (assigned, rounds)
   }
 
   /** Near-duplicate clusters: exact n-gram Jaccard pairs at `tau` as the

@@ -73,6 +73,20 @@ class PipelineSpec extends SparkSpec {
     assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L)))
   }
 
+  test("connectedComponents: pointer jumping converges in O(log) rounds") {
+    val n = 64L
+    val nodes = (0L until n).toDF("id")
+    // worst case for plain propagation: one chain 0-1-2-...-63, which
+    // needs ~n rounds without the label(label(id)) jump
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (cc, rounds) =
+      Dedup.connectedComponentsWithRounds(nodes, edges)
+    val got = cc.as[(Long, Long)].collect().toMap
+    assert((0L until n).forall(got(_) == 0L))
+    assert(rounds <= 12, s"expected O(log n) rounds on a 64-chain, got $rounds")
+    graft.pipeline.PipelineCache.free(cc)
+  }
+
   test("deterministicSample: reproducible, engine-portable, ~fraction") {
     import graft.pipeline.Sampling
     val ids = (0L until 2000L).toDF("id")
