@@ -3224,6 +3224,40 @@ object Queries {
         .select(TextAnalysis.registeredDomain(host).as("domain"))
         .groupBy("domain").agg(count(lit(1)).as("n_hosts"))
         .orderBy("domain")
+    },
+
+    // Prometheus 2.31 trigonometry family over an instant vector:
+    // rad→sin→atan→deg composed per value, pinned through PromQL's
+    // own round(v, to) = floor(v/to + 0.5)·to at 1e-9 — the identical
+    // tie rule on both engines; the step quantization absorbs the
+    // occasional 1-ulp libm-vs-JVM disagreement inside sin/atan.
+    q(
+      "q96_promql_trig",
+      """SELECT user_tag,
+        |  floor(degrees(atan(sin(radians(value)))) / 0.000000001 + 0.5)
+        |    * 0.000000001 AS value
+        |FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_tag, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |WHERE rn = 1 ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "round(deg(atan(sin(rad(view)))), 0.000000001)",
+        1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
     }
   )
 

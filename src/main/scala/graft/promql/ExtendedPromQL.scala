@@ -54,6 +54,12 @@ object ExtendedPromQL {
     "log2" -> (0 to 0), "log10" -> (0 to 0), "sgn" -> (0 to 0),
     "round" -> (0 to 1), "clamp_min" -> (1 to 1), "clamp_max" -> (1 to 1),
     "clamp" -> (2 to 2),
+    // the Prometheus 2.31 trigonometry family (promql/functions.go);
+    // deg/rad are the degree<->radian conversions
+    "sin" -> (0 to 0), "cos" -> (0 to 0), "tan" -> (0 to 0),
+    "asin" -> (0 to 0), "acos" -> (0 to 0), "atan" -> (0 to 0),
+    "sinh" -> (0 to 0), "cosh" -> (0 to 0), "tanh" -> (0 to 0),
+    "deg" -> (0 to 0), "rad" -> (0 to 0),
     // time functions over vector VALUES (epoch seconds, UTC) -- the
     // Prometheus family; pair with timestamp(sel) for sample times
     "minute" -> (0 to 0), "hour" -> (0 to 0), "day_of_week" -> (0 to 0),
@@ -1222,6 +1228,19 @@ object ExtendedPromQL {
       case "log2" => logWithDomain(log2(v), v)
       case "log10" => logWithDomain(log10(v), v)
       case "sgn" => signum(v)
+      // trig family: IEEE semantics carry through (asin/acos outside
+      // [-1,1] give NaN in both Spark and Go)
+      case "sin" => sin(v)
+      case "cos" => cos(v)
+      case "tan" => tan(v)
+      case "asin" => asin(v)
+      case "acos" => acos(v)
+      case "atan" => atan(v)
+      case "sinh" => sinh(v)
+      case "cosh" => cosh(v)
+      case "tanh" => tanh(v)
+      case "deg" => degrees(v)
+      case "rad" => radians(v)
       case "round" =>
         val to = args.headOption.getOrElse(1.0)
         floor(v / lit(to) + lit(0.5)).cast("double") * lit(to)

@@ -982,11 +982,27 @@ class ExtendedPromQLSpec extends SparkSpec {
       Map("m 1" -> 2.0))
     assert(run("clamp_max(last_over_time(m[1h]), 1)", "m 1" -> 5.0) ==
       Map("m 1" -> 1.0))
+    // trigonometry family (Prometheus 2.31): values + domain NaNs
+    assert(run("sin(m)", "m 1" -> 0.0) == Map("m 1" -> 0.0))
+    assert(run("cos(m)", "m 1" -> 0.0) == Map("m 1" -> 1.0))
+    assert(run("tanh(m)", "m 1" -> 0.0, "m 2" -> 1e6) ==
+      Map("m 1" -> 0.0, "m 2" -> 1.0))
+    assert(run("sinh(m)", "m 1" -> 0.0) == Map("m 1" -> 0.0))
+    assert(run("cosh(m)", "m 1" -> 0.0) == Map("m 1" -> 1.0))
+    assert(run("atan(m)", "m 1" -> 0.0) == Map("m 1" -> 0.0))
+    assert(run("asin(m)", "m 1" -> 1.0, "m 2" -> 2.0)("m 1")
+      == math.Pi / 2)
+    assert(run("asin(m)", "m 1" -> 2.0)("m 1").isNaN) // outside [-1,1]
+    assert(run("acos(m)", "m 1" -> 1.0) == Map("m 1" -> 0.0))
+    assert(run("deg(m)", "m 1" -> math.Pi) == Map("m 1" -> 180.0))
+    assert(run("rad(m)", "m 1" -> 180.0) == Map("m 1" -> math.Pi))
+    assert(run("deg(rad(m))", "m 1" -> 45.0) == Map("m 1" -> 45.0))
     // arity and domain rejections
     intercept[PromQLError] { ExtendedPromQL.parse("clamp(m, 1)", now) }
     intercept[PromQLError] { ExtendedPromQL.parse("round(m, 0)", now) }
     intercept[PromQLError] { ExtendedPromQL.parse("abs(m, 1)", now) }
     intercept[PromQLError] { ExtendedPromQL.parse("clamp_min(m, x)", now) }
+    intercept[PromQLError] { ExtendedPromQL.parse("sin(m, 1)", now) }
   }
 
   test("resets/changes/idelta/irate/deriv/predict_linear") {
