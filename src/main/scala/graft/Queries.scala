@@ -3258,6 +3258,62 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("user_tag")
+    },
+
+    // Within-document repeated-substring removal (Lee et al. 2022
+    // repetition trim): a deterministic repeated tail is appended to
+    // every document, and every non-first occurrence of a 5-token gram
+    // marks its span for removal. The full reassembled text is the
+    // hash surface (the q89 standard); the oracle replays the exact
+    // relational rule — positional gram hashes, first-occurrence
+    // filter, span coverage, ordered reassembly — with the same 60-bit
+    // md5 gram keys.
+    q(
+      "q97_repeat_scrub",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(trim(text
+        |      || ' promo' || CAST(doc_id % 7 AS VARCHAR)
+        |      || ' click here now again promo' || CAST(doc_id % 7 AS VARCHAR)
+        |      || ' click here now again'), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, i AS gpos,
+        |    ('0x' || substr(md5(
+        |      array_to_string(list_slice(toks, i + 1, i + 5), ' ')),
+        |      1, 15))::BIGINT AS gram
+        |  FROM t, UNNEST(range(0, GREATEST(len(toks) - 4, 0))) AS u(i)),
+        |f AS (SELECT id, gram, MIN(gpos) AS fp FROM g GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT DISTINCT id, gpos + j AS pos FROM (
+        |    SELECT g.id, g.gpos FROM g JOIN f USING (id, gram)
+        |    WHERE g.gpos > f.fp),
+        |    UNNEST(range(0, 5)) AS v(j)),
+        |tok AS (
+        |  SELECT id, s['pos'] - 1 AS pos, s['tok'] AS tok
+        |  FROM (SELECT id,
+        |    UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x}))
+        |      AS s FROM t)),
+        |kept AS (
+        |  SELECT tok.id, tok.pos, tok.tok FROM tok
+        |  ANTI JOIN cov ON tok.id = cov.id AND tok.pos = cov.pos),
+        |agg AS (
+        |  SELECT id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY id)
+        |SELECT t.id, len(t.toks) AS n_tokens,
+        |  COALESCE(agg.n_kept, 0) AS n_kept,
+        |  COALESCE(agg.text, '') AS text
+        |FROM t LEFT JOIN agg USING (id) ORDER BY t.id"""
+    ) { (s, d) =>
+      val aug = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"), concat(col("text"),
+          lit(" promo"), (col("doc_id") % 7).cast("string"),
+          lit(" click here now again promo"),
+          (col("doc_id") % 7).cast("string"),
+          lit(" click here now again")).as("t"))
+      TextAnalysis.removeRepeatedSpans(aug, "doc_id", "t", 5)
+        .orderBy("id")
     }
   )
 

@@ -285,6 +285,62 @@ object TextAnalysis {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Within-document repeated-substring removal (the repetition half of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every NON-FIRST occurrence of a token k-gram
+    * marks its k-token span for removal, surviving tokens reassemble in
+    * order — so templated chunks, chorus-style repetition and copy-
+    * pasted paragraphs collapse to their first occurrence. The rule is
+    * deliberately relational (span marking, not a greedy scan): no
+    * sequential state, so it needs no per-document fold and an external
+    * engine replays it exactly.
+    *
+    * Scale shape: positional k-grams hash to 60-bit md5 keys before the
+    * first-occurrence aggregate, so the two heavy shuffles — (id,
+    * gram_hash) for first positions, (id, pos) for span coverage — move
+    * fixed-width keys, never k-token strings. Everything is keyed by
+    * document (or finer); reassembly is the dedupLines sorted-struct
+    * aggregate, no window. Output: (id, n_tokens, n_kept, text).
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "span length must be at least 2 tokens")
+    val base = docs.select(col(idCol).as("id"),
+      whitespaceTokens(col(textCol)).as("toks"))
+    // positional k-gram hashes: gram i covers tokens [i, i+k)
+    val grams = base.select(col("id"),
+      posexplode(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => conv(substring(
+              md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")),
+              1, 15), 16, 10).cast("long")))
+          .otherwise(array().cast("array<long>")))
+        .as(Seq("gpos", "gram")))
+    val firsts = grams.groupBy(col("id"), col("gram"))
+      .agg(min(col("gpos")).as("__fp"))
+    val covered = grams.join(firsts, Seq("id", "gram"))
+      .filter(col("gpos") > col("__fp"))
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")),
+          " ").as("text"))
+    base.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** http/https URL literals — RE2-compatible like the PII patterns. */
   val UrlPattern = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?"
 

@@ -347,6 +347,26 @@ class PipelineSpec extends SparkSpec {
     assert(stats == Seq(("x.com", 2L, 3L)))
   }
 
+  test("removeRepeatedSpans: non-first k-gram spans removed in order") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      // tokens [a b c d a b c d x]: grams abc@4 and bcd@5 repeat their
+      // first occurrences -> positions 4..7 covered, "a b c d x" kept
+      (1L, "a b c d a b c d x"),
+      (2L, "no repeats here at all"),
+      (3L, "x y"), // shorter than k: untouched
+      (4L, "")) // blank doc: one empty token, untouched
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeRepeatedSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 9L, 5L, "a b c d x"),
+      (2L, 5L, 5L, "no repeats here at all"),
+      (3L, 2L, 2L, "x y"),
+      (4L, 1L, 1L, "")))
+  }
+
   test("registered domains are public-suffix aware (vendored snapshot)") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis

@@ -230,4 +230,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
     assert(!plan.contains("Window"), plan) // reassembly is an aggregate
   }
+
+  test("removeRepeatedSpans: keyed shuffles only, no UDF, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.TextAnalysis
+      .removeRepeatedSpans(docs, "doc_id", "text", 5)
+    val plan = planOf(q)
+    // gram firsts + join-back + span coverage + token anti-join +
+    // reassembly + final outer join: every exchange is keyed by
+    // (id, gram), (id, pos) or id — a repartition() anywhere would
+    // push the count past the bound
+    assert("Exchange".r.findAllIn(plan).size <= 10, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("Window"), plan) // reassembly is an aggregate
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
