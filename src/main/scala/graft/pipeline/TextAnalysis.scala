@@ -112,28 +112,40 @@ object TextAnalysis {
     * Every term is integer arithmetic over exact counts (ratios compare
     * as count·denominator bounds), so external engines replay the flags
     * bit-for-bit.
+    *
+    * Every counter is a regex scan or length difference — deliberately
+    * no higher-order array functions (`filter`/`aggregate` lambdas are
+    * interpreted per element and split the whole-stage-codegen span):
+    *  - token-length sum = count of non-whitespace chars (tokens are
+    *    maximal `\S+` runs, so their lengths sum to exactly that);
+    *  - bullet lines: one match per line whose first non-space char is
+    *    a bullet — the anchor consumes the preceding newline, so
+    *    consecutive bullet lines all count;
+    *  - ellipsis lines: `...` + optional spaces + end-of-line; at most
+    *    one match per line because the match consumes through EOL;
+    *  - alpha words: lazy scan from a token boundary to the token's
+    *    first letter — at most one match per token because the rest of
+    *    the token contains no whitespace to re-anchor on;
+    *  - stopword probe: the [[stopwordHits]] whole-token alternation.
     */
   def gopherQualityFlags(
       text: Column,
       minWords: Int = 50,
       maxWords: Int = 100000): Column = {
-    val toks = whitespaceTokens(text)
-    val nWords = size(toks)
-    val sumWordLen = aggregate(toks, lit(0),
-      (acc, t) => acc + length(t))
+    val nWords = size(whitespaceTokens(text))
+    val sumWordLen = length(regexp_replace(text, "\\s+", ""))
     val hashes = length(text) - length(regexp_replace(text, "#", ""))
     val ellipses =
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
-    val lines = split(text, "\n", -1)
-    val nLines = size(lines)
-    val bulletLines = size(filter(lines, l => {
-      val t = ltrim(l)
-      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
-    }))
-    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
-    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val nLines = size(split(text, "\n", -1))
+    val bulletLines =
+      size(regexp_extract_all(text, lit("(?:^|\n) *[-*•]"), lit(0)))
+    val ellipsisLines =
+      size(regexp_extract_all(text, lit("\\.\\.\\. *(?:\n|$)"), lit(0)))
+    val alphaWords =
+      size(regexp_extract_all(text, lit("(?:^|\\s)[^\\s]*?[A-Za-z]"), lit(0)))
     val stopProbe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = size(filter(toks, t => lower(t).isInCollection(stopProbe)))
+    val stopHits = stopwordHits(lower(trim(text)), stopProbe)
     // ratio thresholds as exact integer comparisons: count/denom <= r
     // spelled count*10 <= denom*(10r) — no float rounding to replay
     val wordCountOk = nWords >= minWords && nWords <= maxWords

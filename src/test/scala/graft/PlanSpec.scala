@@ -211,6 +211,10 @@ class PlanSpec extends SparkSpec {
     assert(!gPlan.contains("Exchange"), gPlan) // per-row, no shuffle
     assert(!gPlan.contains("ScalaUDF") && !gPlan.contains("BatchEvalPython"),
       gPlan)
+    // no interpreted higher-order lambdas: every rule counter is a
+    // regex scan / length difference, so the stage codegens whole
+    assert(!gPlan.contains("lambdafunction"), gPlan)
+    assert(gPlan.contains("*(1)"), gPlan)
     val pq = docs.select(
       graft.pipeline.TextAnalysis.redactPii(col("text")).as("t"),
       graft.pipeline.TextAnalysis.piiCounts(col("text")).as("p"))
