@@ -3314,6 +3314,135 @@ object Queries {
           lit(" click here now again")).as("t"))
       TextAnalysis.removeRepeatedSpans(aug, "doc_id", "t", 5)
         .orderBy("id")
+    },
+
+    // Full k-means corpus clustering (Lloyd's): deterministic init from
+    // the 8 lowest vec_ids, two refinement iterations, final assignment.
+    // The oracle unrolls both Lloyd steps relationally — argmin via
+    // (distance, cid) row_number, centroid update as per-position
+    // SUM/COUNT means, empty clusters keeping their previous centroid —
+    // so the iterative refinement itself is verified, not just a fixed
+    // assignment (q40 pins first-N centroids WITHOUT refinement). The
+    // hash surface is the integer assignment table: distances are
+    // macroscopically separated, so last-ulp float divergence between
+    // the engines' summation orders never flips an argmin.
+    q(
+      "q98_kmeans_clusters",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c0.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
+        |    FROM e, c0) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a1 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
+        |    USING (cid)),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
+        |    FROM e, c1) WHERE rnk = 1),
+        |m2 AS (
+        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a2 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
+        |    USING (cid))
+        |SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+        |  SELECT e.vec_id, c2.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
+        |  FROM e, c2) WHERE rnk = 1 ORDER BY vec_id"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      Similarity.kmeansAssign(e, k = 8, iters = 2).orderBy("vec_id")
+    },
+
+    // Quality-weighted deterministic sampling: keep probability equals
+    // the per-document weight (here length-proportional, capped at 1) —
+    // the importance-resampling move of a training mix. The predicate
+    // stays a pure scan-stage comparison in DOUBLE space on both sides:
+    // same md5 draw, same IEEE conversion and multiply, no double→long
+    // cast (which truncates in Spark but rounds in DuckDB).
+    q(
+      "q99_weighted_sample",
+      s"""SELECT source, COUNT(*) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ('0x' || substr(md5('w7:' || doc_id), 1, 15))::BIGINT::DOUBLE
+         |  < LEAST(1.0::DOUBLE, n_chars / 2000.0::DOUBLE)
+         |    * ${(1L << 60).toDouble}
+         |GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      graft.pipeline.Sampling.weightedSample(
+        Tables.documents(s, d), "doc_id",
+        least(lit(1.0), col("n_chars") / lit(2000.0)), salt = "w7:")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source")
+    },
+
+    // Interpolated bigram LM scoring: λ·c(prev,t)/c(prev) + (1−λ)·c(t)/N,
+    // first token unigram-scored. The oracle replays both count tables,
+    // the per-document LAG pairing and the interpolation with the SAME
+    // arithmetic shape — (1.0 − 0.9) is computed, not written as 0.1,
+    // so the complement literal is the identical IEEE double.
+    q(
+      "q100_bigram_nll",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT id, s['pos'] AS pos, s['tok'] AS tok
+        |  FROM (SELECT id,
+        |    UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x}))
+        |      AS s FROM t)),
+        |w AS (
+        |  SELECT id, pos, tok,
+        |    LAG(tok) OVER (PARTITION BY id ORDER BY pos) AS prev
+        |  FROM tok),
+        |uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni),
+        |big AS (
+        |  SELECT prev, tok, COUNT(*) AS cb FROM w
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT w.id,
+        |    -ln(CASE WHEN w.prev IS NULL
+        |      THEN CAST(uni.cu AS DOUBLE) / tot.n
+        |      ELSE 0.9::DOUBLE * (CAST(big.cb AS DOUBLE) / up.cu)
+        |        + (1.0::DOUBLE - 0.9::DOUBLE)
+        |          * (CAST(uni.cu AS DOUBLE) / tot.n) END) AS nll
+        |  FROM w
+        |  JOIN uni ON w.tok = uni.tok
+        |  LEFT JOIN uni up ON w.prev = up.tok
+        |  LEFT JOIN big ON w.prev = big.prev AND w.tok = big.tok
+        |  CROSS JOIN tot)
+        |SELECT id, COUNT(*) AS n_tokens, ROUND(AVG(nll), 6) AS avg_nll
+        |FROM sc GROUP BY id ORDER BY id"""
+    ) { (s, d) =>
+      TextAnalysis.bigramLogLoss(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
+        .orderBy("id")
     }
   )
 

@@ -59,6 +59,28 @@ object Sampling {
     df.filter(hash60(col(idCol), salt) < threshold)
   }
 
+  /** Quality-weighted deterministic sampling (importance resampling): a
+    * row survives iff its uniform 60-bit draw, as a fraction of 2⁶⁰,
+    * falls below its own `weight` expression — keep probability equals
+    * the weight (≤ 0 never keeps, ≥ 1 always keeps), so a corpus thins
+    * proportionally to quality in one pass: the usual data-mixing move
+    * of keeping high-quality text while downsampling boilerplate.
+    * Same engine-portable (salt, id) draw as [[deterministicSample]],
+    * and still a pure scan-stage predicate — the weight expression
+    * rides in the same codegen'd stage, no shuffle, no join, and the
+    * draw stays independent of partitioning and corpus growth.
+    *
+    * The comparison deliberately stays in DOUBLE space: both engines
+    * convert the 60-bit draw with the same IEEE round-to-nearest and
+    * multiply identically, whereas a per-row double→long threshold cast
+    * would truncate here but round in an external replay.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weight: Column,
+      salt: String = "w0:"): DataFrame =
+    df.filter(hash60(col(idCol), salt).cast("double") <
+      weight * lit((1L << 60).toDouble))
+
   /** Deterministic N-way split assignment (train/val/test): the row's
     * 60-bit draw falls into cumulative-weight buckets, returned as a
     * `split` column. A pure codegen'd CASE over the same (salt, id)

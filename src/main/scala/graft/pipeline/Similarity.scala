@@ -251,22 +251,17 @@ object Similarity {
         .take(nprobe).map(_._2)
     }.apply(vec)
 
-  /** k-means-lite centroids for an IVF index: deterministic seeded init
-    * (hash-ordered sample) + `iters` Lloyd steps. Each step is fully
-    * distributed — assignment is a per-row argmin, the mean reduction
-    * ships only `nlist × dim` partial sums to the driver.
+  /** Lloyd k-means refinement from caller-supplied initial centroids.
+    * Each step is fully distributed — assignment is a per-row argmin,
+    * the mean reduction ships only `k × dim` partial sums to the driver
+    * (the same driver-sized state the IVF probe expressions broadcast).
+    * Empty clusters keep their previous centroid, so `k` never shrinks.
     */
-  def ivfCentroids(
+  def lloyd(
       corpus: DataFrame, // (vec_id, vec: array<double>)
-      nlist: Int,
-      iters: Int = 2,
-      seed: Long = 42L): Array[Array[Double]] = {
-    var centroids = corpus
-      .orderBy(xxhash64(col("vec_id"), lit(seed)))
-      .limit(nlist)
-      .select(col("vec"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+      init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    var centroids = init
     for (_ <- 0 until iters) {
       val sums = corpus
         .select(nearestCentroid(col("vec"), centroids).as("cid"),
@@ -281,6 +276,53 @@ object Similarity {
       centroids = next
     }
     centroids
+  }
+
+  /** k-means-lite centroids for an IVF index: deterministic seeded init
+    * (hash-ordered sample) + `iters` [[lloyd]] steps.
+    */
+  def ivfCentroids(
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      nlist: Int,
+      iters: Int = 2,
+      seed: Long = 42L): Array[Array[Double]] =
+    lloyd(corpus,
+      corpus
+        .orderBy(xxhash64(col("vec_id"), lit(seed)))
+        .limit(nlist)
+        .select(col("vec"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray),
+      iters)
+
+  /** Full k-means corpus clustering: deterministic init from the `k`
+    * lowest `vec_id`s (externally replayable, unlike the seeded IVF
+    * sample), `iters` [[lloyd]] refinement steps, then a final
+    * assignment pass. Output `(vec_id, cluster)` — cluster ids are
+    * init-order indices, ties to the lower id.
+    *
+    * Scale shape: every iteration is one shuffle keyed by
+    * (cluster, position) whose output is `k × dim` rows — the driver
+    * holds only centroid state, never corpus rows; assignment is a
+    * per-row scalar loop at scan parallelism. The integer assignment
+    * table is the stable surface for downstream joins (per-cluster
+    * sampling, stratified mixing): distances are macroscopically
+    * separated so last-ulp float divergence between engines never flips
+    * an argmin, unlike hashing the float centroids themselves.
+    */
+  def kmeansAssign(
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      k: Int,
+      iters: Int = 2): DataFrame = {
+    val init = corpus
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("vec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = lloyd(corpus, init, iters)
+    corpus.select(col("vec_id"),
+      nearestCentroid(col("vec"), centroids).as("cluster"))
   }
 
   /** IVF approximate top-k: corpus rows live in their nearest-centroid

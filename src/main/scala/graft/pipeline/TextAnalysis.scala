@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -192,6 +193,53 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("id"),
         -log(col("tf").cast("double") / col("__total")) as "nll")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
+  /** Interpolated bigram language-model score per document: average
+    * negative log-likelihood under `λ·P(t|prev) + (1−λ)·P(t)`, with
+    * `P(t|prev) = c(prev,t)/c(prev)` over corpus bigram counts and the
+    * document's first token scored by its unigram probability alone.
+    * The sharper sibling of [[unigramLogLoss]]: repetitive boilerplate
+    * scores artificially low under unigrams but a bigram model exposes
+    * unusual transitions (and vice versa for keyword-stuffed spam).
+    *
+    * Scale shape: one window per document orders tokens for the `prev`
+    * pairing (keyed by id — no global sort), then every join is keyed
+    * by token or (prev, token): unigram counts, bigram counts, and the
+    * score join all shuffle on content-derived keys with map-side
+    * combine; the corpus token total rides in as a broadcast scalar.
+    * Denominator c(prev) is the corpus unigram count (standard MLE
+    * denominator up to final-token edge mass — documented choice so an
+    * external engine replays it with the same two count tables).
+    * Output: (id, n_tokens, avg_nll).
+    */
+  def bigramLogLoss(
+      docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(whitespaceTokens(lower(col(textCol))))
+        .as(Seq("pos", "token")))
+    val w = toks.withColumn("prev",
+      lag(col("token"), 1).over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("__total"))
+    val uniPrev = uni.select(col("token").as("prev"), col("cu").as("cup"))
+    val big = w.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
+    val unigramP = col("cu").cast("double") / col("__total")
+    w.join(uni, "token")
+      .join(uniPrev, Seq("prev"), "left")
+      .join(big, Seq("prev", "token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        (-log(when(col("prev").isNull, unigramP)
+          .otherwise(lit(lambda) * (col("cb").cast("double") / col("cup")) +
+            lit(1.0 - lambda) * unigramP))).as("nll"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("nll")), 6).as("avg_nll"))

@@ -367,6 +367,49 @@ class PipelineSpec extends SparkSpec {
       (4L, 1L, 1L, "")))
   }
 
+  test("kmeansAssign: separated blobs split exactly, ids are init order") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // init = two lowest vec_ids, one per blob -> Lloyd converges in one
+    // step and every point lands with its blob's seed index
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(0.5, 0.2)), (3L, Seq(10.2, 9.9)),
+      (4L, Seq(0.1, 0.4)), (5L, Seq(9.8, 10.1))).toDF("vec_id", "vec")
+    val out = Similarity.kmeansAssign(pts, k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1, 5L -> 1))
+  }
+
+  test("weightedSample: weight 0 drops all, 1 keeps all, monotone in w") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val df = (1L to 2000L).toDF("id")
+    assert(Sampling.weightedSample(df, "id", lit(0.0)).count() == 0L)
+    assert(Sampling.weightedSample(df, "id", lit(1.0)).count() == 2000L)
+    val half = Sampling.weightedSample(df, "id", lit(0.5))
+      .as[Long].collect().toSet
+    val quarter = Sampling.weightedSample(df, "id", lit(0.25))
+      .as[Long].collect().toSet
+    // nested samples: raising the weight only ever ADDS rows
+    assert(quarter.subsetOf(half))
+    assert(half.size > 800 && half.size < 1200, half.size)
+  }
+
+  test("bigramLogLoss: repeated transitions score below rare ones") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a b a b a b"), // one dominant transition, low NLL
+      (2L, "a q b r a s b t"), // same unigrams, scattered transitions
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogLoss(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 8L && out(2L)._2 == 8L && out(3L)._2 == 1L)
+    assert(out(1L)._3 < out(2L)._3,
+      s"repetitive ${out(1L)._3} !< scattered ${out(2L)._3}")
+  }
+
   test("registered domains are public-suffix aware (vendored snapshot)") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis

@@ -203,6 +203,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("weightedSample is a shuffle-free scan-stage predicate") {
+    val q = graft.pipeline.Sampling.weightedSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      least(lit(1.0), col("n_chars") / lit(2000.0)))
+    val plan = planOf(q)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("gopher flags and pii scrub stay one scan stage, no UDFs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val gq = docs.select(
