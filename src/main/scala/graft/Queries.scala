@@ -3443,6 +3443,110 @@ object Queries {
       TextAnalysis.bigramLogLoss(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
         .orderBy("id")
+    },
+
+    // PromQL atan2 — the one arithmetic word operator (Prometheus
+    // treats it exactly like * and /, with on()/ignoring() matching):
+    // view atan2 click per user over the latest samples. Both engines
+    // call the platform atan2, so the hash surface rounds to 6.
+    q(
+      "q101_promql_atan2",
+      """WITH l AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'view'
+        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |  WHERE rn = 1),
+        |r AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'click'
+        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |  WHERE rn = 1)
+        |SELECT CAST(l.user_id AS VARCHAR) AS user_tag,
+        |  ROUND(atan2(l.value, r.value), 6) AS value
+        |FROM l JOIN r USING (user_id) ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "view atan2 on(user) click", 1706659200000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
+    },
+
+    // PromQL % (float mod, sign follows the dividend) and ^ (power),
+    // nested: (view % 7) ^ 2 per user over the latest samples — the
+    // last two arithmetic operators Prometheus defines that the
+    // extended endpoint lacked. fmod is exact in both engines; pow can
+    // drift a ulp between libms, so the hash surface rounds to 6.
+    q(
+      "q102_promql_mod_pow",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  ROUND(pow(fmod(value, 7.0::DOUBLE), 2.0::DOUBLE), 6) AS value
+        |FROM (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |WHERE rn = 1 ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "(view % 7) ^ 2", 1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
+    },
+
+    // PromQL mad_over_time: per-series median absolute deviation over
+    // the range window — median(|x − median(x)|), both medians under
+    // the linear-interpolation quantile rule quantile_cont shares.
+    q(
+      "q103_promql_mad",
+      """WITH s AS (
+        |  SELECT user_id, value FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |m AS (
+        |  SELECT user_id, quantile_cont(value, 0.5) AS med
+        |  FROM s GROUP BY 1)
+        |SELECT CAST(s.user_id AS VARCHAR) AS user_tag,
+        |  ROUND(quantile_cont(abs(s.value - m.med), 0.5), 6) AS value
+        |FROM s JOIN m USING (user_id)
+        |GROUP BY s.user_id ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "mad_over_time(view[31d])", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          round(col("value"), 6).as("value"))
+        .orderBy("user_tag")
     }
   )
 

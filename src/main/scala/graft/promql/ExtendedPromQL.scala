@@ -114,6 +114,16 @@ object ExtendedPromQL {
   final case class QuantileOverTimeQ(
       phi: Double, matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
       extends Query
+  /** `mad_over_time(sel[range])` — per-series median absolute deviation:
+    * median(|x − median(x)|), both medians with Prometheus's
+    * linear-interpolation quantile rule. Needs the window median before
+    * the deviations exist, so evaluation is two sensor-keyed aggregates
+    * with a sensor-keyed join between them — still nothing broader than
+    * the series key ever shuffles.
+    */
+  final case class MadOverTimeQ(
+      matchers: Seq[LabelMatcher], startUs: Long, endUs: Long)
+      extends Query
   /** `predict_linear(sel[range], t)` — the value `t` seconds past the
     * window end under a per-series least-squares fit over
     * (seconds-from-window-end, value): `intercept + slope·t` via the
@@ -377,18 +387,26 @@ object ExtendedPromQL {
       case other => SimplePromQL.parse(other, nowUs)
     }
 
-  /** First binary operator (+ - * /) at top level — outside quotes and
-    * all bracket kinds; '-' at position 0 is a scalar sign, not an
-    * operator. Metric names cannot contain these characters and duration
-    * literals live inside `[...]`, so a hit is unambiguous.
+  /** First binary operator (+ - * / % ^, or the word operator `atan2`)
+    * at top level — outside quotes and all bracket kinds; '-' at
+    * position 0 is a scalar sign, not an operator. Metric names cannot
+    * contain the symbol characters and duration literals live inside
+    * `[...]`, so a hit is unambiguous; `atan2` only counts with
+    * non-name-char boundaries, so `atan2_total` or `x_atan2` never
+    * read as operators. Returns (index, operator length, operator tag —
+    * the symbol itself, or 'A' for atan2).
     */
-  private def topLevelOp(s: String): Option[Int] = {
+  private def topLevelOp(s: String): Option[(Int, Int, Char)] = {
     var par = 0; var br = 0; var brace = 0; var inStr = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) {
         if (c == '\\') i += 1 else if (c == '"') inStr = false
+      } else if (par == 0 && br == 0 && brace == 0 && c == 'a' && i > 0 &&
+          s.startsWith("atan2", i) && !isNameChar(s.charAt(i - 1)) &&
+          (i + 5 >= s.length || !isNameChar(s.charAt(i + 5)))) {
+        return Some((i, 5, 'A'))
       } else c match {
         case '"' => inStr = true
         case '(' => par += 1
@@ -401,10 +419,11 @@ object ExtendedPromQL {
             (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E') &&
             i > 1 && (s.charAt(i - 2).isDigit || s.charAt(i - 2) == '.') =>
           () // exponent sign inside a scientific-notation scalar (1e-3)
-        case '+' | '*' | '/' if par == 0 && br == 0 && brace == 0 =>
-          return Some(i)
+        case '+' | '*' | '/' | '%' | '^'
+            if par == 0 && br == 0 && brace == 0 =>
+          return Some((i, 1, c))
         case '-' if par == 0 && br == 0 && brace == 0 && i > 0 =>
-          return Some(i)
+          return Some((i, 1, c))
         case _ => ()
       }
       i += 1
@@ -502,9 +521,9 @@ object ExtendedPromQL {
 
   private def requireVectorOperand(q: Query, side: String): Query = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
-        _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ | _: BinScalarQ |
-        _: BinCmpQ | _: PredictLinearQ | _: TimestampQ | _: VectorLitQ |
-        _: BinDynScalarQ => q
+        _: MadOverTimeQ | _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ |
+        _: BinScalarQ | _: BinCmpQ | _: PredictLinearQ | _: TimestampQ |
+        _: VectorLitQ | _: BinDynScalarQ => q
     case _ => throw PromQLError(
       s"$side operand must be a selector or per-series " +
         "function (aggregations are not matchable operands)")
@@ -604,6 +623,13 @@ object ExtendedPromQL {
 
   def parse(query: String, nowUs: Long): Query = {
     val s = query.trim
+    // a paren group spanning the whole expression unwraps structurally
+    // (`(view % 7) ^ 2` recurses into `view % 7`); selector-level parens
+    // are still handled by the selector parser unchanged
+    if (s.startsWith("(")) {
+      val (inner, rest) = parenGroup(s, s)
+      if (rest.trim.isEmpty) return parse(inner, nowUs)
+    }
     topLevelSetOp(s) match {
       case Some((i, len)) =>
         val op = s.substring(i, i + len)
@@ -644,9 +670,8 @@ object ExtendedPromQL {
       case None => ()
     }
     topLevelOp(s) match {
-      case Some(i) =>
-        val op = s.charAt(i)
-        val (ls, rs) = (s.substring(0, i).trim, s.substring(i + 1).trim)
+      case Some((i, opLen, op)) =>
+        val (ls, rs) = (s.substring(0, i).trim, s.substring(i + opLen).trim)
         if (ls.isEmpty || rs.isEmpty)
           throw PromQLError(s"Binary operator '$op' is missing an operand")
         return (parseScalar(ls), parseScalar(rs)) match {
@@ -831,6 +856,17 @@ object ExtendedPromQL {
                 "quantile_over_time expects a range selector (like metric[5m])")
             val sel = parseSelector(selStr, nowUs)
             QuantileOverTimeQ(phi, sel.matchers, sel.startUs, sel.endUs)
+          }
+        } else if (head == "mad_over_time") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          parseSubquery("mad", None, inner, nowUs).getOrElse {
+            if (!inner.contains("["))
+              throw PromQLError(
+                "mad_over_time expects a range selector (like metric[5m])")
+            val sel = parseSelector(inner, nowUs)
+            MadOverTimeQ(sel.matchers, sel.startUs, sel.endUs)
           }
         } else if (head == "predict_linear") {
           val (inner, rest) = parenGroup(after.trim, s)
@@ -1209,6 +1245,10 @@ object ExtendedPromQL {
     case '-' => l - r
     case '*' => l * r
     case '/' => l / r
+    // float mod, sign follows the dividend (Go math.Mod = Java %)
+    case '%' => l % r
+    case '^' => pow(l, r)
+    case 'A' => atan2(l, r) // the `atan2` word operator
     case other => throw PromQLError(s"Unsupported binary operator: $other")
   }
 
@@ -1441,6 +1481,15 @@ object ExtendedPromQL {
           .agg(first(col("labels")).as("labels"),
             percentile(col("value"), lit(phi)).as("value"))
           .select("sensor_id", "labels", "value")
+      case MadOverTimeQ(_, _, _) =>
+        val med = inWindow.groupBy(col("sensor_id"))
+          .agg(percentile(col("value"), lit(0.5)).as("__med"))
+        inWindow.join(med, "sensor_id")
+          .groupBy(col("sensor_id"))
+          .agg(first(col("labels")).as("labels"),
+            percentile(abs(col("value") - col("__med")), lit(0.5))
+              .as("value"))
+          .select("sensor_id", "labels", "value")
       case PredictLinearQ(horizonS, _, _, endUs) =>
         // x anchored at the window end, so the prediction at now + t is
         // intercept + slope * t — replayable regression arithmetic
@@ -1634,6 +1683,14 @@ object ExtendedPromQL {
             sv.groupBy(col("sensor_id"))
               .agg(first(col("labels")).as("labels"),
                 percentile(col("value"), lit(phi)).as("value"))
+          case ("mad", _) =>
+            val med = sv.groupBy(col("sensor_id"))
+              .agg(percentile(col("value"), lit(0.5)).as("__med"))
+            sv.join(med, "sensor_id")
+              .groupBy(col("sensor_id"))
+              .agg(first(col("labels")).as("labels"),
+                percentile(abs(col("value") - col("__med")), lit(0.5))
+                  .as("value"))
           case ("last", _) =>
             sv.groupBy(col("sensor_id"))
               .agg(first(col("labels")).as("labels"),

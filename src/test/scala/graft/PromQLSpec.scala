@@ -222,6 +222,45 @@ class ExtendedPromQLSpec extends SparkSpec {
     assert(run(Seq(10), "holt_winters(view[5m], 0.5, 0.5)").isEmpty)
   }
 
+  test("mod, pow, atan2 operators and mad_over_time") {
+    import org.apache.spark.sql.functions.{lit, map}
+    import spark.implicits._
+    def run(xs: Seq[Double], q: String): Seq[Double] = {
+      val samples = xs.zipWithIndex
+        .map { case (v, i) => ("view 7", now - 200000000L + i * 1000000L, v) }
+        .toDF("sensor_id", "timestamp_us", "value")
+      val selected = Seq("view 7").toDF("sensor_id")
+        .withColumn("labels", map(lit("user"), lit("7")))
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("value").as[Double].collect().toSeq
+    }
+    // scalar arithmetic: % is float mod (sign follows dividend), ^ is pow
+    assert(run(Seq(10), "view % 3") == Seq(1.0))
+    assert(run(Seq(-10), "view % 3") == Seq(-1.0))
+    assert(run(Seq(10), "view ^ 2") == Seq(100.0))
+    assert(run(Seq(10), "view atan2 2") == Seq(math.atan2(10.0, 2.0)))
+    assert(run(Seq(10), "2 atan2 view") == Seq(math.atan2(2.0, 10.0)))
+    // word-boundary: a metric NAMED atan2_total is still a selector
+    ExtendedPromQL.parse("atan2_total", now) match {
+      case SelectorQ(ms, _, _) =>
+        assert(ms == Seq(LabelMatcher.Eq("__name__", "atan2_total")))
+      case other => fail(s"unexpected: $other")
+    }
+    // vec-vec form parses to the binary-vector query with the 'A' tag
+    ExtendedPromQL.parse("view atan2 click", now) match {
+      case BinVectorQ('A', _, _, Nil, false, None) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // mad_over_time: median 12, deviations [2, 0, 14] -> median 2
+    assert(run(Seq(10, 12, 26), "mad_over_time(view[5m])") == Seq(2.0))
+    // linear interpolation on even counts: median(10,12,20,26)=16,
+    // deviations [6,4,4,10] -> median (4+6)/2 = 5
+    assert(run(Seq(10, 12, 20, 26), "mad_over_time(view[5m])") == Seq(5.0))
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("mad_over_time(view)", now)
+    }
+  }
+
   test("timestamp() and the time-of-day functions") {
     import org.apache.spark.sql.functions.{col, lit, map}
     import spark.implicits._
