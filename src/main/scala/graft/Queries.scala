@@ -3547,6 +3547,153 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           round(col("value"), 6).as("value"))
         .orderBy("user_tag")
+    },
+
+    // Cross-document repeated-substring removal (the corpus-level Lee
+    // et al. ExactSubstr analog): a shared promo sentence is appended
+    // to EVERY document, so exactly one document (the global first
+    // occurrence) keeps it and all others are scrubbed — plus whatever
+    // naturally repeats across the corpus. The oracle replays the
+    // global first-occurrence rule with a lexicographic struct MIN over
+    // (id, gpos), the same 60-bit md5 gram keys, span coverage and
+    // ordered reassembly.
+    q(
+      "q104_corpus_repeat_scrub",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(trim(text
+        |      || ' visit our site today for more great deals'), '\s+')
+        |      AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, i AS gpos,
+        |    ('0x' || substr(md5(
+        |      array_to_string(list_slice(toks, i + 1, i + 5), ' ')),
+        |      1, 15))::BIGINT AS gram
+        |  FROM t, UNNEST(range(0, GREATEST(len(toks) - 4, 0))) AS u(i)),
+        |f AS (
+        |  SELECT gram, MIN({'id': id, 'gpos': gpos}) AS fo
+        |  FROM g GROUP BY gram),
+        |cov AS (
+        |  SELECT DISTINCT id, gpos + j AS pos FROM (
+        |    SELECT g.id, g.gpos FROM g JOIN f USING (gram)
+        |    WHERE NOT (g.id = f.fo['id'] AND g.gpos = f.fo['gpos'])),
+        |    UNNEST(range(0, 5)) AS v(j)),
+        |tok AS (
+        |  SELECT id, s['pos'] - 1 AS pos, s['tok'] AS tok
+        |  FROM (SELECT id,
+        |    UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x}))
+        |      AS s FROM t)),
+        |kept AS (
+        |  SELECT tok.id, tok.pos, tok.tok FROM tok
+        |  ANTI JOIN cov ON tok.id = cov.id AND tok.pos = cov.pos),
+        |agg AS (
+        |  SELECT id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY id)
+        |SELECT t.id, len(t.toks) AS n_tokens,
+        |  COALESCE(agg.n_kept, 0) AS n_kept,
+        |  COALESCE(agg.text, '') AS text
+        |FROM t LEFT JOIN agg USING (id) ORDER BY t.id"""
+    ) { (s, d) =>
+      val aug = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"), concat(col("text"),
+          lit(" visit our site today for more great deals")).as("t"))
+      TextAnalysis.removeRepeatedSpansCorpus(aug, "doc_id", "t", 5)
+        .orderBy("id")
+    },
+
+    // Temporal sessionization: Spark's session_window (merging windows,
+    // end = last event + gap, gap-boundary event starts a NEW session
+    // because the window interval is half-open) per user over all
+    // events. The oracle replays it as gaps-and-islands: break when the
+    // gap to the previous event is >= 30min, running-sum session ids,
+    // then per-session extrema — an all-integer hash surface.
+    q(
+      "q105_session_windows",
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_us(MIN(ts)) AS start_us,
+        |  epoch_us(MAX(ts)) + 1800000000 AS end_us,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n"))
+        .orderBy("user_id", "start_us")
+    },
+
+    // Exact-k per-stratum selection: the 5 smallest (salt, id) draws
+    // per source — a fixed-size golden subset per stratum, hash-rank
+    // replayed with the identical (hash, id) tie-break.
+    q(
+      "q106_exact_k_sample",
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('k1:' || doc_id), 1, 15))::BIGINT,
+        |        doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, doc_id"""
+    ) { (s, d) =>
+      graft.pipeline.Sampling.exactKPerStratum(
+        Tables.documents(s, d), "doc_id", "source", k = 5, salt = "k1:")
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    },
+
+    // Deterministic oversampling: src3 documents appear 3x, src7 2.5x
+    // (each twice plus half a third time by draw), everything else 1x —
+    // the upsampling half of a training mix, replayed with
+    // generate_series over the identical copy-count arithmetic.
+    q(
+      "q107_oversample",
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src3' THEN 3.0::DOUBLE
+         |      WHEN 'src7' THEN 2.5::DOUBLE ELSE 1.0::DOUBLE END AS wt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    CAST(FLOOR(wt) AS BIGINT)
+         |      + CASE WHEN ('0x' || substr(md5('o1:' || doc_id), 1, 15))
+         |          ::BIGINT::DOUBLE
+         |        < (wt - FLOOR(wt)) * ${(1L << 60).toDouble}
+         |        THEN 1 ELSE 0 END AS copies
+         |  FROM w)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(MAX(copy) AS BIGINT) AS max_copy
+         |FROM c, UNNEST(generate_series(1, c.copies)) AS g(copy)
+         |GROUP BY source ORDER BY source"""
+    ) { (s, d) =>
+      import graft.pipeline.Sampling
+      val wt = when(col("source") === "src3", lit(3.0))
+        .when(col("source") === "src7", lit(2.5))
+        .otherwise(lit(1.0))
+      Sampling.oversample(Tables.documents(s, d), "doc_id", wt, salt = "o1:")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("copy")).as("max_copy"))
+        .orderBy("source")
     }
   )
 

@@ -81,6 +81,56 @@ object Sampling {
     df.filter(hash60(col(idCol), salt).cast("double") <
       weight * lit((1L << 60).toDouble))
 
+  /** Deterministic exact-k selection per stratum (fixed eval sets,
+    * per-source golden subsets): within each stratum keep the k rows
+    * with the smallest (salt, id) draws — same engine-portable hash as
+    * [[deterministicSample]], but with a HARD size guarantee instead of
+    * a probabilistic one, at the cost of one rank window keyed by the
+    * stratum (fraction sampling stays the shuffle-free choice when a
+    * ±√n size wobble is fine). Ties (a 60-bit hash collision) break on
+    * the id itself, so selection is total-ordered and replayable.
+    * Membership is stable under corpus GROWTH only in the probabilistic
+    * form; exact-k selection by construction evicts the largest draw
+    * when a smaller one arrives — that's the documented trade.
+    */
+  def exactKPerStratum(
+      df: DataFrame, idCol: String, stratumCol: String, k: Int,
+      salt: String = "k0:"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hash60(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Deterministic oversampling (the upsampling half of a training
+    * mix): each row is emitted `floor(weight)` times, plus one more iff
+    * its (salt, id) draw falls below the fractional part — so a source
+    * weighted 2.5 contributes each document twice and half the
+    * documents a third time, deterministically. Emits a `copy` column
+    * (1-based) so downstream shuffles can spread the duplicates. Pure
+    * scan-stage explode: no shuffle, no join; rows with weight < 1
+    * thin exactly like [[weightedSample]] (an empty sequence drops the
+    * row). The fractional comparison stays in DOUBLE space for the same
+    * engine-parity reason as [[weightedSample]]; `weight − floor
+    * (weight)` is an exact double subtraction on both engines.
+    */
+  def oversample(
+      df: DataFrame, idCol: String, weight: Column,
+      salt: String = "o0:"): DataFrame = {
+    val copies = floor(weight).cast("long") +
+      when(hash60(col(idCol), salt).cast("double") <
+        (weight - floor(weight)) * lit((1L << 60).toDouble), 1L)
+        .otherwise(0L)
+    // sequence() infers a NEGATIVE step when start > stop, so guard the
+    // zero-copy case explicitly instead of exploding sequence(1, 0)
+    df.withColumn("copy",
+      explode(when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<long>"))))
+  }
+
   /** Deterministic N-way split assignment (train/val/test): the row's
     * 60-bit draw falls into cumulative-weight buckets, returned as a
     * `split` column. A pure codegen'd CASE over the same (salt, id)

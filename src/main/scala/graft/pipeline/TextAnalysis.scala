@@ -364,7 +364,48 @@ object TextAnalysis {
     */
   def removeRepeatedSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    scrubCoveredSpans(docs, idCol, textCol, k) { grams =>
+      val firsts = grams.groupBy(col("id"), col("gram"))
+        .agg(min(col("gpos")).as("__fp"))
+      grams.join(firsts, Seq("id", "gram"))
+        .filter(col("gpos") > col("__fp"))
+    }
+
+  /** Cross-document repeated-substring removal — the corpus-level form
+    * of [[removeRepeatedSpans]] and the gram-granular analog of Lee et
+    * al.'s ExactSubstr dedup: a k-gram's FIRST occurrence in the whole
+    * corpus (lowest (id, position)) survives; every other occurrence,
+    * in any document, marks its span for removal. Shared boilerplate
+    * (mirror pages, syndicated passages, licence blocks) collapses to
+    * one canonical copy corpus-wide instead of once per document.
+    *
+    * Scale shape: identical to the within-document form except the
+    * first-occurrence aggregate is keyed by gram hash ALONE — a single
+    * corpus-wide shuffle of fixed-width keys with map-side combine;
+    * stop-gram posting lists skew that join, but each occurrence joins
+    * 1:1 against its gram's single first-occurrence row, which AQE
+    * skew-splits cleanly (no quadratic candidate blowup, unlike a
+    * posting-list self-join).
+    */
+  def removeRepeatedSpansCorpus(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    scrubCoveredSpans(docs, idCol, textCol, k) { grams =>
+      val firsts = grams.groupBy(col("gram"))
+        .agg(min(struct(col("id"), col("gpos"))).as("__f"))
+      grams.join(firsts, Seq("gram"))
+        .filter(col("id") =!= col("__f").getField("id") ||
+          col("gpos") =!= col("__f").getField("gpos"))
+    }
+
+  /** Shared span-scrub machinery: positional k-gram hashes, a caller-
+    * supplied rule selecting the occurrences to remove, k-token span
+    * coverage, and ordered aggregate reassembly (no window).
+    */
+  private def scrubCoveredSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int)(
+      toRemove: DataFrame => DataFrame): DataFrame = {
     require(k >= 2, "span length must be at least 2 tokens")
     val base = docs.select(col(idCol).as("id"),
       whitespaceTokens(col(textCol)).as("toks"))
@@ -378,10 +419,7 @@ object TextAnalysis {
               1, 15), 16, 10).cast("long")))
           .otherwise(array().cast("array<long>")))
         .as(Seq("gpos", "gram")))
-    val firsts = grams.groupBy(col("id"), col("gram"))
-      .agg(min(col("gpos")).as("__fp"))
-    val covered = grams.join(firsts, Seq("id", "gram"))
-      .filter(col("gpos") > col("__fp"))
+    val covered = toRemove(grams)
       .select(col("id"),
         explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
       .distinct()

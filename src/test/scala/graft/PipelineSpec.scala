@@ -396,6 +396,37 @@ class PipelineSpec extends SparkSpec {
     assert(half.size > 800 && half.size < 1200, half.size)
   }
 
+  test("exactKPerStratum: hard size guarantee, deterministic members") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val out = Sampling.exactKPerStratum(df, "id", "src", k = 7)
+      .as[(Long, String)].collect().toSeq
+    assert(out.groupBy(_._2).forall(_._2.size == 7))
+    // deterministic: a second run selects the identical members
+    val out2 = Sampling.exactKPerStratum(df, "id", "src", k = 7)
+      .as[(Long, String)].collect().toSeq
+    assert(out.toSet == out2.toSet)
+    // k beyond the stratum size keeps the whole stratum
+    assert(Sampling.exactKPerStratum(df, "id", "src", k = 500).count() == 300L)
+  }
+
+  test("oversample: floor copies plus fractional draw, weight<1 thins") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val df = (1L to 1000L).toDF("id")
+    val double = Sampling.oversample(df, "id", lit(2.0))
+    assert(double.count() == 2000L)
+    assert(double.groupBy("id").count().filter(col("count") =!= 2).count() == 0)
+    val half = Sampling.oversample(df, "id", lit(2.5))
+    val n = half.count()
+    assert(n > 2300L && n < 2700L, n) // 2500 ± binomial noise
+    // zero weight drops rows entirely; copy numbering is 1-based dense
+    assert(Sampling.oversample(df, "id", lit(0.0)).count() == 0L)
+    assert(half.groupBy("id").agg(max("copy").as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c")).count() == 0)
+  }
+
   test("bigramLogLoss: repeated transitions score below rare ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
@@ -408,6 +439,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L)._2 == 8L && out(2L)._2 == 8L && out(3L)._2 == 1L)
     assert(out(1L)._3 < out(2L)._3,
       s"repetitive ${out(1L)._3} !< scattered ${out(2L)._3}")
+  }
+
+  test("removeRepeatedSpansCorpus: global first occurrence wins") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      // doc 1 holds the corpus-first "p q r" gram -> keeps everything
+      (1L, "p q r s t"),
+      // doc 2 repeats doc 1's opening gram -> its copy is scrubbed
+      (2L, "p q r x y"),
+      // doc 3 is untouched (no gram repeats anywhere)
+      (3L, "u v w z a")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeRepeatedSpansCorpus(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 5L, "p q r s t"),
+      (2L, 5L, 2L, "x y"),
+      (3L, 5L, 5L, "u v w z a")))
   }
 
   test("registered domains are public-suffix aware (vendored snapshot)") {

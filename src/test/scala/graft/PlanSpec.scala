@@ -212,6 +212,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("oversample is a shuffle-free scan-stage explode") {
+    val q = graft.pipeline.Sampling.oversample(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      when(col("source") === "src3", lit(3.0)).otherwise(lit(1.0)))
+    val plan = planOf(q)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("Generate"), plan) // the explode node
+  }
+
   test("gopher flags and pii scrub stay one scan stage, no UDFs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val gq = docs.select(
