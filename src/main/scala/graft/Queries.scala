@@ -3694,6 +3694,34 @@ object Queries {
           countDistinct(col("doc_id")).as("n_docs"),
           max(col("copy")).as("max_copy"))
         .orderBy("source")
+    },
+
+    // TF-IDF top-3 characteristic terms per document: tf·ln(N/df) with
+    // raw corpus counts, rank ties broken on the token (equal (tf, df)
+    // pairs produce the bit-identical score, so the tie-break is the
+    // only order decision an external engine must replay).
+    q(
+      "q108_tfidf_keywords",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n FROM tf),
+        |s AS (
+        |  SELECT tf.id, tf.token, tf.tf * ln(n.n / df.df) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT id, rank, token, ROUND(score, 6) AS score FROM (
+        |  SELECT id, token, score,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY score DESC, token) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY id, rank"""
+    ) { (s, d) =>
+      TextAnalysis.tfidfTopK(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", k = 3)
+        .orderBy("id", "rank")
     }
   )
 

@@ -245,6 +245,40 @@ object TextAnalysis {
         round(avg(col("nll")), 6).as("avg_nll"))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF — the classic
+    * keyword/topic signal (and the usual feature for cheap topic-drift
+    * monitoring over a corpus). `score = tf · ln(N / df)` with raw
+    * corpus counts; ties (equal tf and df give the bit-identical
+    * score) break on the token itself, so ranking is total-ordered and
+    * externally replayable.
+    *
+    * Scale shape: term frequencies shuffle once on (id, token) with
+    * map-side combine; document frequencies reduce the tf frame by
+    * token (one more keyed shuffle, output = vocabulary size); the
+    * document count rides in as a broadcast scalar, and the final rank
+    * window is keyed by document. Nothing broader than a key ever
+    * moves. Output: (id, rank, token, score).
+    */
+  def tfidfTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val tf = docs.select(col(idCol).as("id"),
+      explode(whitespaceTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("id")).cast("double").as("__n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("__n") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("token"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Whole-document fingerprint: 64-bit xxhash of whitespace-normalized
     * lowercase text — codegen'd, shuffle-friendly dedup key.
     */

@@ -884,7 +884,10 @@ object ExtendedPromQL {
               "predict_linear expects a range selector (like metric[5m])")
           val sel = parseSelector(args.head, nowUs)
           PredictLinearQ(horizon, sel.matchers, sel.startUs, sel.endUs)
-        } else if (head == "holt_winters") {
+        } else if (head == "holt_winters" ||
+            head == "double_exponential_smoothing") {
+          // Prometheus 3 renamed holt_winters (it is double exponential
+          // smoothing, not the seasonal Holt-Winters); accept both
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")

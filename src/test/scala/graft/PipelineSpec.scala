@@ -427,6 +427,20 @@ class PipelineSpec extends SparkSpec {
       .filter(col("m") =!= col("c")).count() == 0)
   }
 
+  test("tfidfTopK: corpus-common terms rank below distinctive ones") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "shared shared zebra"), // zebra only here -> top keyword
+      (2L, "shared quark quark"),
+      (3L, "shared plain words")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .as[(Long, Int, String, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // "shared" appears in every doc -> idf 0, never a keyword
+    assert(out == Map(1L -> "zebra", 2L -> "quark", 3L -> "plain"))
+  }
+
   test("bigramLogLoss: repeated transitions score below rare ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis

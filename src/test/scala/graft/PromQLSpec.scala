@@ -201,6 +201,11 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] {
       ExtendedPromQL.parse("holt_winters(view[5m], 0.5)", now)
     }
+    // the Prometheus 3 rename parses to the identical query
+    assert(
+      ExtendedPromQL.parse(
+        "double_exponential_smoothing(view[5m], 0.5, 0.3)", now) ==
+        ExtendedPromQL.parse("holt_winters(view[5m], 0.5, 0.3)", now))
     // the fold, hand-computed: xs=[10,12,14] sf=tf=0.5 tracks the linear
     // trend exactly (result 14); xs=[10,12,11] lands at 12.5
     import org.apache.spark.sql.functions.{col, lit, map}
