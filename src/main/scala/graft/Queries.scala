@@ -3722,6 +3722,65 @@ object Queries {
       TextAnalysis.tfidfTopK(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", k = 3)
         .orderBy("id", "rank")
+    },
+
+    // Band join: views within ±5 minutes of each click, per user —
+    // binned into band-width buckets and probed bin±1 so the range
+    // predicate rides an equi-join (a raw theta join nested-loops).
+    // The oracle states the range condition directly; only clicks with
+    // at least one in-band view surface (inner join on both sides).
+    q(
+      "q109_band_join",
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS vts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, c.cts, COUNT(*) AS n_views
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.vts BETWEEN c.cts - 300000000 AND c.cts + 300000000
+        |GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("vts"))
+      graft.operators.BandJoin
+        .bandJoin(clicks, views, "user_id", "cts", "vts", 300000000L)
+        .groupBy(col("user_id"), col("cts"))
+        .agg(count(lit(1)).as("n_views"))
+        .orderBy("user_id", "cts")
+    },
+
+    // Sliding windows: hourly windows sliding by 15 minutes over view
+    // events — each event lands in 4 overlapping windows. The oracle
+    // enumerates the 4 candidate starts per event with generate_series
+    // over pure integer µs arithmetic.
+    q(
+      "q110_sliding_windows",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, t,
+        |    ((t // 900000000) - g.j) * 900000000 AS ws
+        |  FROM e, UNNEST(generate_series(0, 3)) AS g(j)
+        |  WHERE ((t // 900000000) - g.j) * 900000000 + 3600000000 > t)
+        |SELECT user_id, ws AS window_start_us, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id"),
+          window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("window_start_us"), col("n"))
+        .orderBy("user_id", "window_start_us")
     }
   )
 

@@ -427,6 +427,23 @@ class PipelineSpec extends SparkSpec {
       .filter(col("m") =!= col("c")).count() == 0)
   }
 
+  test("bandJoin: exact ±band pairs, no duplicates across probe bins") {
+    import spark.implicits._
+    import graft.operators.BandJoin
+    val left = Seq((1L, 1000L), (1L, 5000L), (2L, 1000L))
+      .toDF("k", "lt")
+    val right = Seq(
+      (1L, 900L), (1L, 2000L), (1L, 9999L), // 900/2000 in band of 1000
+      (2L, 2001L), // just outside band 1000
+      (3L, 1000L)) // wrong key
+      .toDF("k", "rt")
+    val out = BandJoin.bandJoin(left, right, "k", "lt", "rt", 1000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // |dt| = 1000 is IN band (2000); 1001 is out; keys never cross;
+    // and each pair appears exactly once despite the 3-bin probe
+    assert(out.sorted == Seq((1L, 1000L, 900L), (1L, 1000L, 2000L)))
+  }
+
   test("tfidfTopK: corpus-common terms rank below distinctive ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis

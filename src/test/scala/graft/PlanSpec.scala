@@ -212,6 +212,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("bandJoin rides an equi-join, never a nested-loop theta join") {
+    val e = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_type"))
+    val l = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("lt"))
+    val r = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("t").as("rt"))
+    val plan = planOf(
+      graft.operators.BandJoin.bandJoin(l, r, "user_id", "lt", "rt", 300L))
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
   test("oversample is a shuffle-free scan-stage explode") {
     val q = graft.pipeline.Sampling.oversample(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
