@@ -3781,6 +3781,96 @@ object Queries {
         .select(col("user_id"),
           unix_micros(col("w.start")).as("window_start_us"), col("n"))
         .orderBy("user_id", "window_start_us")
+    },
+
+    // Salted skew join: view events (fact) enriched with per-user click
+    // totals (dim) through SaltedJoin — hot users fan out across 8
+    // salts, cold users pay nothing, and the salt never surfaces, so
+    // the oracle is the PLAIN join it must be indistinguishable from.
+    q(
+      "q111_salted_join",
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |f AS (SELECT user_id FROM events WHERE event_type = 'view')
+        |SELECT f.user_id, COUNT(*) AS n_views, dim.clicks
+        |FROM f JOIN dim USING (user_id)
+        |GROUP BY 1, 3 ORDER BY 1"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+      val dim = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("clicks"))
+      val fact = e.filter(col("event_type") === "view")
+        .select(col("user_id"))
+      graft.operators.SaltedJoin
+        .join(fact, dim, "user_id", salts = 8, hotThreshold = 20L)
+        .groupBy(col("user_id"), col("clicks"))
+        .agg(count(lit(1)).as("n_views"))
+        .select(col("user_id"), col("n_views"), col("clicks"))
+        .orderBy("user_id")
+    },
+
+    // One-pass numeric profiling (the drift-detection snapshot): every
+    // column's stats come out of a SINGLE aggregate, unpivoted to a
+    // (column, stats) surface. Mean/stddev round to 6 (summation-order
+    // ulp, the q78 precedent); min/max/counts are exact.
+    q(
+      "q112_numeric_profile",
+      """SELECT 'l_discount' AS col_name, COUNT(l_discount) AS n,
+        |  COUNT(*) - COUNT(l_discount) AS n_nulls,
+        |  ROUND(MIN(l_discount)::DOUBLE, 6) AS min,
+        |  ROUND(MAX(l_discount)::DOUBLE, 6) AS max,
+        |  ROUND(AVG(l_discount), 6) AS mean,
+        |  ROUND(STDDEV_SAMP(l_discount), 6) AS stddev
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', COUNT(l_extendedprice),
+        |  COUNT(*) - COUNT(l_extendedprice),
+        |  ROUND(MIN(l_extendedprice)::DOUBLE, 6),
+        |  ROUND(MAX(l_extendedprice)::DOUBLE, 6),
+        |  ROUND(AVG(l_extendedprice), 6),
+        |  ROUND(STDDEV_SAMP(l_extendedprice), 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(l_quantity),
+        |  COUNT(*) - COUNT(l_quantity),
+        |  ROUND(MIN(l_quantity)::DOUBLE, 6),
+        |  ROUND(MAX(l_quantity)::DOUBLE, 6),
+        |  ROUND(AVG(l_quantity), 6),
+        |  ROUND(STDDEV_SAMP(l_quantity), 6)
+        |FROM lineitem
+        |ORDER BY col_name"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.numericProfile(
+        Tables.lineitem(s, d),
+        Seq("l_discount", "l_extendedprice", "l_quantity"))
+        .select(col("column").as("col_name"), col("n"), col("n_nulls"),
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+          round(col("mean"), 6).as("mean"),
+          round(col("stddev"), 6).as("stddev"))
+        .orderBy("col_name")
+    },
+
+    // CUBE aggregation (all four grouping combinations of returnflag ×
+    // linestatus in one pass) — the §2.7 set-op family's OLAP sibling;
+    // grouping-null markers stringified so the surface is typed stably.
+    q(
+      "q113_cube",
+      """SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+        |  COALESCE(l_linestatus, '<all>') AS lstatus,
+        |  COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
     }
   )
 

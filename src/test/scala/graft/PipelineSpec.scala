@@ -427,6 +427,39 @@ class PipelineSpec extends SparkSpec {
       .filter(col("m") =!= col("c")).count() == 0)
   }
 
+  test("numericProfile: one-pass stats with nulls counted per column") {
+    import spark.implicits._
+    import graft.pipeline.Profiler
+    val df = Seq(
+      (Some(1.0), Some(10L)), (Some(3.0), None), (None, Some(30L)))
+      .toDF("a", "b")
+    val out = Profiler.numericProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("a") == ((2L, 1L, 1.0, 3.0, 2.0)))
+    assert(out("b") == ((2L, 1L, 10.0, 30.0, 20.0)))
+  }
+
+  test("saltedJoin: identical to the plain join, hot keys spread") {
+    import spark.implicits._
+    import graft.operators.SaltedJoin
+    // key 1 is pathologically hot (500 rows), keys 2..40 are cold
+    val fact = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (2L to 40L).map(k => (k, k * 100))).toDF("k", "payload")
+    val dim = (1L to 40L).map(k => (k, s"d$k")).toDF("k", "name")
+    val salted = SaltedJoin.join(fact, dim, "k", salts = 4,
+      hotThreshold = 50L)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    val plain = fact.join(dim, "k")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(salted == plain)
+    // a missing dim key drops fact rows in both forms (inner join)
+    val dimHole = dim.filter(col("k") =!= 1L)
+    assert(SaltedJoin.join(fact, dimHole, "k", 4, 50L).count() ==
+      fact.join(dimHole, "k").count())
+  }
+
   test("bandJoin: exact ±band pairs, no duplicates across probe bins") {
     import spark.implicits._
     import graft.operators.BandJoin
