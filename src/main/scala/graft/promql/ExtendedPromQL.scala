@@ -387,17 +387,28 @@ object ExtendedPromQL {
       case other => SimplePromQL.parse(other, nowUs)
     }
 
-  /** First binary operator (+ - * / % ^, or the word operator `atan2`)
-    * at top level — outside quotes and all bracket kinds; '-' at
-    * position 0 is a scalar sign, not an operator. Metric names cannot
-    * contain the symbol characters and duration literals live inside
-    * `[...]`, so a hit is unambiguous; `atan2` only counts with
-    * non-name-char boundaries, so `atan2_total` or `x_atan2` never
-    * read as operators. Returns (index, operator length, operator tag —
-    * the symbol itself, or 'A' for atan2).
+  /** The binary-operator SPLIT POINT (+ - * / % ^, or the word operator
+    * `atan2`) at top level — outside quotes and all bracket kinds.
+    * Prometheus precedence and associativity decide which occurrence
+    * splits: the expression divides at the LAST operator of the lowest
+    * tier present (`+ -` below `* / % atan2` below `^`), so
+    * left-associative chains group left (`a - b - c` = `(a - b) - c`,
+    * `a * b + c` = `(a * b) + c`); `^` alone is right-associative and
+    * splits at its FIRST occurrence. A `+`/`-` whose previous
+    * non-space character is another operator or an opening paren (or
+    * the string start) is a scalar SIGN, not an operator, as is the
+    * exponent sign inside scientific notation. `atan2` only counts
+    * with non-name-char boundaries, so `atan2_total` or `x_atan2`
+    * never read as operators. Returns (index, operator length,
+    * operator tag — the symbol itself, or 'A' for atan2).
     */
   private def topLevelOp(s: String): Option[(Int, Int, Char)] = {
+    var addSub = List.empty[(Int, Int, Char)] // tier 0: + -
+    var mulDiv = List.empty[(Int, Int, Char)] // tier 1: * / % atan2
+    var pow = List.empty[(Int, Int, Char)]    // tier 2: ^
     var par = 0; var br = 0; var brace = 0; var inStr = false
+    var prev = ' ' // previous non-space char outside strings
+    val signCtx = "+-*/%^(,"
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -406,29 +417,41 @@ object ExtendedPromQL {
       } else if (par == 0 && br == 0 && brace == 0 && c == 'a' && i > 0 &&
           s.startsWith("atan2", i) && !isNameChar(s.charAt(i - 1)) &&
           (i + 5 >= s.length || !isNameChar(s.charAt(i + 5)))) {
-        return Some((i, 5, 'A'))
-      } else c match {
-        case '"' => inStr = true
-        case '(' => par += 1
-        case ')' => par -= 1
-        case '[' => br += 1
-        case ']' => br -= 1
-        case '{' => brace += 1
-        case '}' => brace -= 1
-        case '+' | '-' if par == 0 && br == 0 && brace == 0 && i > 0 &&
-            (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E') &&
-            i > 1 && (s.charAt(i - 2).isDigit || s.charAt(i - 2) == '.') =>
-          () // exponent sign inside a scientific-notation scalar (1e-3)
-        case '+' | '*' | '/' | '%' | '^'
-            if par == 0 && br == 0 && brace == 0 =>
-          return Some((i, 1, c))
-        case '-' if par == 0 && br == 0 && brace == 0 && i > 0 =>
-          return Some((i, 1, c))
-        case _ => ()
+        mulDiv ::= ((i, 5, 'A'))
+        prev = '2'
+        i += 4 // loop increment covers the 5th char
+      } else {
+        c match {
+          case '"' => inStr = true
+          case '(' => par += 1
+          case ')' => par -= 1
+          case '[' => br += 1
+          case ']' => br -= 1
+          case '{' => brace += 1
+          case '}' => brace -= 1
+          case '+' | '-' if par == 0 && br == 0 && brace == 0 && i > 0 &&
+              (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E') &&
+              i > 1 && (s.charAt(i - 2).isDigit || s.charAt(i - 2) == '.') =>
+            () // exponent sign inside a scientific-notation scalar (1e-3)
+          case '+' | '-' if par == 0 && br == 0 && brace == 0 &&
+              (prev == ' ' || signCtx.indexOf(prev) >= 0) =>
+            () // leading sign of the following scalar, not an operator
+          case '+' | '-' if par == 0 && br == 0 && brace == 0 =>
+            addSub ::= ((i, 1, c))
+          case '*' | '/' | '%' if par == 0 && br == 0 && brace == 0 =>
+            mulDiv ::= ((i, 1, c))
+          case '^' if par == 0 && br == 0 && brace == 0 =>
+            pow ::= ((i, 1, c))
+          case _ => ()
+        }
+        if (!inStr && !c.isWhitespace) prev = c
       }
       i += 1
     }
-    None
+    // lists are built head-first, so head = LAST occurrence
+    addSub.headOption
+      .orElse(mulDiv.headOption)
+      .orElse(pow.lastOption) // right-associative: first occurrence
   }
 
   private def parseScalar(s: String): Option[Double] =

@@ -256,6 +256,14 @@ class ExtendedPromQLSpec extends SparkSpec {
       case BinVectorQ('A', _, _, Nil, false, None) => ()
       case other => fail(s"unexpected: $other")
     }
+    // precedence and associativity: lowest tier splits last, so
+    // chains group left and * binds tighter than +
+    assert(run(Seq(10), "view * 2 + 1") == Seq(21.0))
+    assert(run(Seq(10), "view - 1 - 2") == Seq(7.0))
+    assert(run(Seq(10), "1 + view * 2") == Seq(21.0))
+    // a sign after an operator is part of the scalar, not a split point
+    assert(run(Seq(10), "view + -3") == Seq(7.0))
+    assert(run(Seq(10), "view * -2") == Seq(-20.0))
     // mad_over_time: median 12, deviations [2, 0, 14] -> median 2
     assert(run(Seq(10, 12, 26), "mad_over_time(view[5m])") == Seq(2.0))
     // linear interpolation on even counts: median(10,12,20,26)=16,
