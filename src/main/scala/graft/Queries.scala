@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.adapters.EventsAdapter
 import graft.exporters.Exporters
@@ -3871,6 +3872,138 @@ object Queries {
           coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
           col("n"), col("sum_qty"))
         .orderBy("rflag", "lstatus")
+    },
+
+    // Rolling trailing-window aggregates: for every view event, the
+    // count and mean of the user's views in the preceding hour — a
+    // RANGE frame over epoch-µs (one shuffle on the user key, frame
+    // peers included identically in both engines at duplicate
+    // timestamps). The row-wise trailing mean is the event-driven
+    // sibling of the PromQL eval-instant over_time family.
+    q(
+      "q114_rolling_window",
+      """SELECT user_id, epoch_us(ts) AS t,
+        |  COUNT(*) OVER w AS n_1h,
+        |  ROUND(AVG(value) OVER w, 6) AS avg_1h
+        |FROM events
+        |WHERE event_type = 'view'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, t"""
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("value"))
+        .select(col("user_id"), col("t"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(avg(col("value")).over(w), 6).as("avg_1h"))
+        .orderBy("user_id", "t")
+    },
+
+    // Quantile profile: p25/p50/p75/p95 per numeric column, still one
+    // aggregate pass (12 exact percentiles collected together) —
+    // Spark's percentile and DuckDB's quantile_cont share the
+    // linear-interpolation definition; ROUND(6) absorbs the ulp.
+    q(
+      "q115_quantile_profile",
+      """SELECT 'l_discount' AS col_name,
+        |  ROUND(quantile_cont(l_discount, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_discount, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_discount, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(l_discount, 0.95), 6) AS p95
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice',
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6),
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity',
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6),
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6),
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6),
+        |  ROUND(quantile_cont(l_quantity, 0.95), 6)
+        |FROM lineitem
+        |ORDER BY col_name"""
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+      val phis = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+        "p95" -> 0.95)
+      val aggs = cols.flatMap(c => phis.map { case (nm, phi) =>
+        round(percentile(col(c).cast("double"), lit(phi)), 6)
+          .as(s"__${c}__$nm")
+      })
+      val stacked = cols.map { c =>
+        s"'$c', " + phis.map { case (nm, _) => s"`__${c}__$nm`" }
+          .mkString(", ")
+      }.mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.length}, $stacked) AS " +
+          "(col_name, p25, p50, p75, p95)")
+        .orderBy("col_name")
+    },
+
+    // Stream-stream interval join: clicks joined to views within ±5
+    // minutes per user, as a watermarked Structured Streaming self-join
+    // over the events file stream — and the oracle is the identical
+    // PLAIN range-join SQL as the batch band join (q109), which is the
+    // point: the streaming plan must converge to the batch answer.
+    q(
+      "q116_stream_interval_join",
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS vts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, c.cts, COUNT(*) AS n_views
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.vts BETWEEN c.cts - 300000000 AND c.cts + 300000000
+        |GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("q116_src")
+      try {
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val schema = Tables.load(s, d, "events").schema
+        val stream = s.readStream.schema(schema)
+          .parquet(streamDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"))
+          .withWatermark("cts", "1 hour")
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("ts").as("vts"))
+          .withWatermark("vts", "1 hour")
+        val joined = clicks.join(views, expr(
+          """cu = vu AND
+            |vts BETWEEN cts - INTERVAL 5 MINUTES
+            |        AND cts + INTERVAL 5 MINUTES""".stripMargin))
+        val name = s"q116_out_${System.nanoTime()}"
+        val query = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try query.processAllAvailable() finally query.stop()
+        val out = s.table(name)
+          .groupBy(col("cu"), col("cts"))
+          .agg(count(lit(1)).as("n_views"))
+          .select(col("cu").as("user_id"),
+            unix_micros(col("cts")).as("cts"), col("n_views"))
+          .orderBy("user_id", "cts")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.catalog.dropTempView(name)
+        s.createDataFrame(rows, out.schema).orderBy("user_id", "cts")
+      } finally {
+        java.nio.file.Files.deleteIfExists(
+          streamDir.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
     }
   )
 
