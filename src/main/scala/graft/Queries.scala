@@ -4004,6 +4004,50 @@ object Queries {
           streamDir.resolve("events.parquet"))
         java.nio.file.Files.deleteIfExists(streamDir)
       }
+    },
+
+    // Profile drift between two corpus snapshots (even vs odd order
+    // keys standing in for run N vs run N+1): per column, both means,
+    // the baseline-stddev-normalized mean shift and the count ratio.
+    // The oracle replays both one-pass profiles and the same division
+    // order; everything rounds to 6 over the summation ulp.
+    q(
+      "q117_profile_drift",
+      """WITH b AS (
+        |  SELECT 'l_discount' AS col_name, COUNT(l_discount) AS n,
+        |    AVG(l_discount) AS mean, STDDEV_SAMP(l_discount) AS sd
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(l_quantity), AVG(l_quantity),
+        |    STDDEV_SAMP(l_quantity)
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        |c AS (
+        |  SELECT 'l_discount' AS col_name, COUNT(l_discount) AS n,
+        |    AVG(l_discount) AS mean
+        |  FROM lineitem WHERE l_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(l_quantity), AVG(l_quantity)
+        |  FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT b.col_name, b.n AS n_base, c.n AS n_cur,
+        |  ROUND(b.mean, 6) AS mean_base, ROUND(c.mean, 6) AS mean_cur,
+        |  ROUND(abs(c.mean - b.mean) / b.sd, 6) AS mean_shift,
+        |  ROUND(c.n / CAST(b.n AS DOUBLE), 6) AS count_ratio
+        |FROM b JOIN c USING (col_name) ORDER BY col_name"""
+    ) { (s, d) =>
+      import graft.pipeline.Profiler
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_discount", "l_quantity")
+      val base = Profiler.numericProfile(
+        li.filter(col("l_orderkey") % 2 === 0), cols)
+      val cur = Profiler.numericProfile(
+        li.filter(col("l_orderkey") % 2 === 1), cols)
+      Profiler.drift(base, cur)
+        .select(col("column").as("col_name"), col("n_base"), col("n_cur"),
+          round(col("mean_base"), 6).as("mean_base"),
+          round(col("mean_cur"), 6).as("mean_cur"),
+          round(col("mean_shift"), 6).as("mean_shift"),
+          round(col("count_ratio"), 6).as("count_ratio"))
+        .orderBy("col_name")
     }
   )
 

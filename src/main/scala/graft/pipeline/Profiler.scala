@@ -36,4 +36,26 @@ object Profiler {
       s"stack(${cols.length}, $stacked) AS " +
         "(column, n, n_nulls, min, max, mean, stddev)")
   }
+
+  /** Drift report between two profile snapshots (the corpus-health
+    * check between pipeline runs): per column, both means, the mean
+    * shift normalized by the BASELINE stddev (a z-score-flavored
+    * magnitude that is scale-free per column), and the row-count
+    * ratio. Joins two [[numericProfile]] outputs on the column name —
+    * profiles are column-count-sized, so the join is trivially
+    * broadcast; the heavy lifting stays in the two one-pass profiles.
+    */
+  def drift(baseline: DataFrame, current: DataFrame): DataFrame = {
+    val b = baseline.select(col("column"),
+      col("n").as("n_base"), col("mean").as("mean_base"),
+      col("stddev").as("stddev_base"))
+    val c = current.select(col("column"),
+      col("n").as("n_cur"), col("mean").as("mean_cur"))
+    b.join(c, "column")
+      .select(col("column"), col("n_base"), col("n_cur"),
+        col("mean_base"), col("mean_cur"),
+        (abs(col("mean_cur") - col("mean_base")) / col("stddev_base"))
+          .as("mean_shift"),
+        (col("n_cur").cast("double") / col("n_base")).as("count_ratio"))
+  }
 }
