@@ -185,17 +185,23 @@ object TextAnalysis {
     */
   def unigramLogLoss(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the token explosion feeds the count table AND the score join; the
+    // count table feeds the total AND the join — cache both while the
+    // (small, per-doc) result materializes, then release. MEMORY_AND_
+    // DISK spill makes the token cache a disk-vs-recompute trade at
+    // corpus scale, the same one the shingle tables take.
     val toks = docs.select(col(idCol).as("id"),
-      explode(whitespaceTokens(lower(col(textCol)))).as("token"))
+      explode(whitespaceTokens(lower(col(textCol)))).as("token")).cache()
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .cache()
     val total = counts.agg(sum(col("tf")).cast("double").as("__total"))
-    toks.join(counts, "token")
+    PipelineCache.materialize(toks, counts)(toks.join(counts, "token")
       .crossJoin(broadcast(total))
       .select(col("id"),
         -log(col("tf").cast("double") / col("__total")) as "nll")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("nll")), 6).as("avg_nll"))
+        round(avg(col("nll")), 6).as("avg_nll")))
   }
 
   /** Interpolated bigram language-model score per document: average
@@ -220,19 +226,23 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.9): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
-    val toks = docs.select(col(idCol).as("id"),
+    // the windowed token frame feeds unigram counts, bigram counts AND
+    // the score join — cache it so the explosion + per-doc window run
+    // once, release once the (small, per-doc) result materializes
+    val w = docs.select(col(idCol).as("id"),
       posexplode(whitespaceTokens(lower(col(textCol))))
         .as(Seq("pos", "token")))
-    val w = toks.withColumn("prev",
-      lag(col("token"), 1).over(
-        Window.partitionBy(col("id")).orderBy(col("pos"))))
-    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      .withColumn("prev",
+        lag(col("token"), 1).over(
+          Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .cache()
+    val uni = w.groupBy(col("token")).agg(count(lit(1)).as("cu")).cache()
     val total = uni.agg(sum(col("cu")).cast("double").as("__total"))
     val uniPrev = uni.select(col("token").as("prev"), col("cu").as("cup"))
     val big = w.filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
     val unigramP = col("cu").cast("double") / col("__total")
-    w.join(uni, "token")
+    PipelineCache.materialize(w, uni)(w.join(uni, "token")
       .join(uniPrev, Seq("prev"), "left")
       .join(big, Seq("prev", "token"), "left")
       .crossJoin(broadcast(total))
@@ -242,7 +252,7 @@ object TextAnalysis {
             lit(1.0 - lambda) * unigramP))).as("nll"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("nll")), 6).as("avg_nll"))
+        round(avg(col("nll")), 6).as("avg_nll")))
   }
 
   /** Top-k characteristic terms per document by TF-IDF — the classic
@@ -263,20 +273,25 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    // tf (distinct (doc, token) rows — already aggregated, far smaller
+    // than the raw explosion) feeds df, the doc count AND the score
+    // join: cache it so the token explosion runs once, release when
+    // the (k-per-doc, small) result materializes
     val tf = docs.select(col(idCol).as("id"),
       explode(whitespaceTokens(lower(col(textCol)))).as("token"))
       .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+      .cache()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("id")).cast("double").as("__n"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("token"))
-    tf.join(df, "token")
+    PipelineCache.materialize(tf)(tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("__n") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("token"),
-        round(col("score"), 6).as("score"))
+        round(col("score"), 6).as("score")))
   }
 
   /** Whole-document fingerprint: 64-bit xxhash of whitespace-normalized
