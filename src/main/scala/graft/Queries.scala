@@ -4048,6 +4048,71 @@ object Queries {
           round(col("mean_shift"), 6).as("mean_shift"),
           round(col("count_ratio"), 6).as("count_ratio"))
         .orderBy("col_name")
+    },
+
+    // Balanced per-cluster sampling: k-means assignments (q98's exact
+    // pipeline) composed with exact-k selection per cluster — the
+    // "diverse evaluation subset" move (cap every semantic region at
+    // the same size). The oracle replays the full two-iteration Lloyd
+    // unroll and then the (hash, id) rank inside each cluster.
+    q(
+      "q118_balanced_cluster_sample",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c0.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
+        |    FROM e, c0) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a1 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
+        |    USING (cid)),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
+        |    FROM e, c1) WHERE rnk = 1),
+        |m2 AS (
+        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a2 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
+        |    USING (cid)),
+        |a3 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
+        |    FROM e, c2) WHERE rnk = 1)
+        |SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY cid
+        |      ORDER BY ('0x' || substr(md5('bal:' || vec_id), 1, 15))::BIGINT,
+        |        vec_id) AS rk
+        |  FROM a3)
+        |WHERE rk <= 10 ORDER BY vec_id"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val assigned = Similarity.kmeansAssign(e, k = 8, iters = 2)
+      graft.pipeline.Sampling.exactKPerStratum(
+        assigned, "vec_id", "cluster", k = 10, salt = "bal:")
+        .orderBy("vec_id")
     }
   )
 

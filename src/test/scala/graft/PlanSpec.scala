@@ -212,6 +212,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("session and rolling windows shuffle once, on the user key") {
+    val e = graft.Tables.events(spark, sf)
+    val sess = e.groupBy(col("user_id"),
+      session_window(col("ts"), "30 minutes")).count()
+    val sPlan = planOf(sess)
+    assert("Exchange".r.findAllIn(sPlan).size <= 1, sPlan)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-3600000000L, 0L)
+    val roll = e.select(col("user_id"), unix_micros(col("ts")).as("t"),
+      col("value")).select(col("user_id"), col("t"),
+      avg(col("value")).over(w).as("a"))
+    val rPlan = planOf(roll)
+    assert("Exchange".r.findAllIn(rPlan).size <= 1, rPlan)
+    assert(!rPlan.contains("ScalaUDF"), rPlan)
+  }
+
   test("bandJoin rides an equi-join, never a nested-loop theta join") {
     val e = graft.Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("t"),
