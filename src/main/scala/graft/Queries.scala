@@ -4113,6 +4113,62 @@ object Queries {
       graft.pipeline.Sampling.exactKPerStratum(
         assigned, "vec_id", "cluster", k = 10, salt = "bal:")
         .orderBy("vec_id")
+    },
+
+    // Zipf fit over the corpus vocabulary: least-squares slope of
+    // ln(freq) against ln(rank) — the one-number sanity check that a
+    // text corpus is natural language (slope near -1) rather than
+    // boilerplate soup. Rank ties break on the token; the regression
+    // rides the codegen'd regr_* aggregates.
+    q(
+      "q119_zipf_fit",
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token),
+        |r AS (
+        |  SELECT freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |  ROUND(regr_slope(ln(CAST(freq AS DOUBLE)),
+        |    ln(CAST(rank AS DOUBLE))), 6) AS slope,
+        |  ROUND(regr_intercept(ln(CAST(freq AS DOUBLE)),
+        |    ln(CAST(rank AS DOUBLE))), 6) AS intercept
+        |FROM r"""
+    ) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(explode(TextAnalysis.whitespaceTokens(
+          lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val r = c.select(col("freq"), row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))).as("rank"))
+      r.agg(count(lit(1)).as("n_vocab"),
+        round(regr_slope(log(col("freq").cast("double")),
+          log(col("rank").cast("double"))), 6).as("slope"),
+        round(regr_intercept(log(col("freq").cast("double")),
+          log(col("rank").cast("double"))), 6).as("intercept"))
+    },
+
+    // Document-length histogram per source: 500-char buckets capped at
+    // bucket 9 — pure integer arithmetic on both sides (no
+    // width_bucket, which the engines define differently), the
+    // profiling companion to q112/q115.
+    q(
+      "q120_length_histogram",
+      """SELECT source,
+        |  CAST(LEAST(n_chars // 500, 9) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"),
+          least(expr("n_chars div 500"), lit(9)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source", "bucket")
     }
   )
 

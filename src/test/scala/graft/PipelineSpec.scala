@@ -477,6 +477,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.sorted == Seq((1L, 1000L, 900L), (1L, 1000L, 2000L)))
   }
 
+  test("bandJoin equals the naive theta join on seeded random data") {
+    import spark.implicits._
+    import graft.operators.BandJoin
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 400).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong)).toDF("k", "lt")
+    val right = (1 to 400).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong)).toDF("k", "rt")
+    val band = 750L
+    val binned = BandJoin.bandJoin(left, right, "k", "lt", "rt", band)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val theta = left.join(right, left("k") === right("k") &&
+        abs(left("lt") - right("rt")) <= band)
+      .select(left("k"), col("lt"), col("rt"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(binned == theta)
+  }
+
+  test("exactKPerStratum selection is partition-invariant") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val df = (1L to 500L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val a = Sampling.exactKPerStratum(df, "id", "src", k = 9)
+      .as[(Long, String)].collect().toSet
+    val b = Sampling.exactKPerStratum(df.repartition(7), "id", "src", k = 9)
+      .as[(Long, String)].collect().toSet
+    assert(a == b) // the (hash, id) order is total, layout can't matter
+  }
+
   test("tfidfTopK: corpus-common terms rank below distinctive ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
