@@ -4169,6 +4169,71 @@ object Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy("source", "bucket")
+    },
+
+    // Content-defined chunking dedup stats: rsync/FastCDC-style
+    // boundaries (cut after every 16-char window whose md5-60 is 0 mod
+    // 64), chunk fingerprints deduplicated corpus-wide — the storage-
+    // dedup measurement (how many chars are duplicate chunk instances).
+    // The oracle replays boundary detection, segmentation via LEAD and
+    // the (doc, start)-ordered first-instance rule; every augmented doc
+    // shares the q104 promo tail so duplicate chunks are guaranteed.
+    q(
+      "q121_cdc_chunks",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text
+        |      || ' visit our site today for more great deals'),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM norm WHERE len(t) >= 1),
+        |h AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(substr(t, p::INT + 1, 16)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM (SELECT doc_id, t,
+        |    unnest(range(GREATEST(n - 15, 0))) AS p FROM nz)),
+        |cuts AS (SELECT doc_id, p + 16 AS cut FROM h WHERE hv % 64 = 0),
+        |bounds AS (
+        |  SELECT doc_id, cut FROM cuts
+        |  UNION SELECT doc_id, 0 FROM nz
+        |  UNION SELECT doc_id, n FROM nz),
+        |seg AS (
+        |  SELECT doc_id, cut AS a,
+        |    LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS b
+        |  FROM bounds),
+        |chunks AS (
+        |  SELECT s.doc_id, s.a, s.b - s.a AS len,
+        |    ('0x' || substr(md5(substr(nz.t, s.a::INT + 1,
+        |      (s.b - s.a)::INT)), 1, 15))::BIGINT AS fp
+        |  FROM seg s JOIN nz USING (doc_id) WHERE s.b IS NOT NULL),
+        |r AS (
+        |  SELECT fp, len,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, a) AS rn
+        |  FROM chunks)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  CAST(SUM(len) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN len ELSE 0 END) AS BIGINT)
+        |    AS dup_chars
+        |FROM r"""
+    ) { (s, d) =>
+      val chunks = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TextAnalysis.cdcChunksMd5(
+            concat(col("text"),
+              lit(" visit our site today for more great deals")),
+            w = 16, maskBits = 6)).as("c"))
+        .select(col("doc_id"), col("c._1").as("fp"),
+          col("c._2").as("len"), col("c._3").as("a"))
+      val rn = row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("a")))
+      chunks.withColumn("rn", rn)
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("len")).cast("long").as("total_chars"),
+          sum(when(col("rn") > 1, col("len")).otherwise(0L)).cast("long")
+            .as("dup_chars"))
     }
   )
 

@@ -616,6 +616,56 @@ object TextAnalysis {
     f(text)
   }
 
+  /** Content-defined chunking (the rsync/FastCDC boundary family): a
+    * chunk boundary falls after every `w`-char window of the normalized
+    * text whose 60-bit md5 hash is 0 modulo 2^maskBits — so boundaries
+    * follow CONTENT, and an insertion early in a document shifts only
+    * the chunk it lands in, not every downstream chunk (the failure
+    * mode of fixed-size blocking). Returns (fp, len, start) structs per
+    * chunk: fp = md5-60 of the chunk text, expected chunk length ≈
+    * 2^maskBits chars. Document-local (no shuffle); chunk-level dedup
+    * joins shuffle on the 8-byte fingerprint. md5 keys keep the whole
+    * rule replayable by any engine — the [[winnowingFingerprintsMd5]]
+    * trade (use a rolling hash only where replay doesn't matter).
+    */
+  def cdcChunksMd5(
+      text: Column, w: Int = 16, maskBits: Int = 6): Column = {
+    require(w >= 1 && maskBits >= 0 && maskBits < 60,
+      "window must be >= 1 and mask inside the 60-bit hash")
+    val mask = (1L << maskBits) - 1L
+    val f = udf { s: String =>
+      if (s == null) Array.empty[(Long, Int, Int)]
+      else {
+        val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+        val n = t.length
+        if (n == 0) Array.empty[(Long, Int, Int)]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h60(sub: String): Long = {
+            md.reset()
+            val dig = md.digest(sub.getBytes("UTF-8"))
+            var h = 0L
+            var j = 0
+            while (j < 7) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
+            (h << 4) | ((dig(7) & 0xf0L) >>> 4)
+          }
+          val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+          var p = 0
+          while (p + w <= n) {
+            if ((h60(t.substring(p, p + w)) & mask) == 0L &&
+                cuts.last != p + w) cuts += (p + w)
+            p += 1
+          }
+          if (cuts.last != n) cuts += n
+          cuts.iterator.zip(cuts.iterator.drop(1)).map { case (a, b) =>
+            (h60(t.substring(a, b)), b - a, a)
+          }.toArray
+        }
+      }
+    }
+    f(text)
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): polynomial rolling hash
     * over character k-grams of the normalized text, then the minimum hash
     * of each sliding window of `w` consecutive k-gram hashes (rightmost

@@ -477,6 +477,32 @@ class PipelineSpec extends SparkSpec {
     assert(out.sorted == Seq((1L, 1000L, 900L), (1L, 1000L, 2000L)))
   }
 
+  test("cdcChunksMd5: boundaries survive an early insertion") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    // insert a char near the front: with fixed-size blocks every
+    // downstream block would shift; with CDC only the edited chunk
+    // (and at most its neighbor) changes
+    val edited = base.substring(0, 10) + "X" + base.substring(10)
+    def fps(s: String): Set[Long] =
+      Seq(s).toDF("t")
+        .select(explode(TextAnalysis.cdcChunksMd5(col("t"), 16, 4)).as("c"))
+        .select("c._1").as[Long].collect().toSet
+    val a = fps(base)
+    val b = fps(edited)
+    assert(a.size > 10, s"want many chunks, got ${a.size}")
+    val shared = (a & b).size
+    assert(shared >= a.size - 2, s"shared $shared of ${a.size}")
+    // chunks reassemble the document: lengths sum to the text length
+    val lens = Seq(base).toDF("t")
+      .select(explode(TextAnalysis.cdcChunksMd5(col("t"), 16, 4)).as("c"))
+      .select("c._2").as[Int].collect()
+    assert(lens.sum == base.length)
+  }
+
   test("bandJoin equals the naive theta join on seeded random data") {
     import spark.implicits._
     import graft.operators.BandJoin
