@@ -4234,6 +4234,57 @@ object Queries {
           sum(col("len")).cast("long").as("total_chars"),
           sum(when(col("rn") > 1, col("len")).otherwise(0L)).cast("long")
             .as("dup_chars"))
+    },
+
+    // Vocabulary coverage across the deterministic split: token-level
+    // OOV rate of the val/test slices against the train vocabulary —
+    // the tokenizer-coverage check run before committing a vocab. The
+    // train vocab collapses to DISTINCT tokens (the q58 contamination
+    // shape); the anti-join is token-keyed.
+    q(
+      "q122_vocab_coverage",
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+         |        < ${(0.8 * (1L << 60).toDouble).toLong} THEN 'train'
+         |      WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+         |        < ${(0.9 * (1L << 60).toDouble).toLong} THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents),
+         |t AS (
+         |  SELECT split,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         |  FROM s),
+         |vocab AS (SELECT DISTINCT token FROM t WHERE split = 'train'),
+         |ev AS (SELECT split, token FROM t WHERE split <> 'train')
+         |SELECT ev.split, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_oov,
+         |  ROUND(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+         |FROM ev LEFT JOIN vocab USING (token)
+         |GROUP BY ev.split ORDER BY ev.split"""
+    ) { (s, d) =>
+      import graft.pipeline.Sampling
+      val split = Sampling.splitAssign(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val toks = split.select(col("split"),
+        explode(TextAnalysis.whitespaceTokens(
+          lower(col("text")))).as("token"))
+      val vocab = toks.filter(col("split") === "train")
+        .select(col("token")).distinct()
+        .withColumn("__in", lit(true))
+      toks.filter(col("split") =!= "train")
+        .join(vocab, Seq("token"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_oov"),
+          round(sum(when(col("__in").isNull, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 6).as("oov_rate"))
+        .orderBy("split")
     }
   )
 
