@@ -4299,6 +4299,34 @@ object Queries {
           round(sum(when(col("__in").isNull, 1L).otherwise(0L)) /
             count(lit(1)).cast("double"), 6).as("oov_rate"))
         .orderBy("split")
+    },
+
+    // Cross-series quantile aggregation — quantile(0.75, view): the
+    // parameterized member of the instant-aggregation family the
+    // endpoint lacked. Exact per-group quantile (linear interpolation,
+    // the quantile_cont definition) over the latest sample per series.
+    q(
+      "q123_promql_quantile_agg",
+      """SELECT ROUND(quantile_cont(value, 0.75), 6) AS value FROM (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
+        |WHERE rn = 1
+        |HAVING COUNT(*) > 0"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "quantile(0.75, view)", 1706659200000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(round(col("value"), 6).as("value"))
     }
   )
 

@@ -96,6 +96,19 @@ object ExtendedPromQL {
     def startUs: Long = inner.startUs
     def endUs: Long = inner.endUs
   }
+  /** `quantile [by|without (...)] (φ, vec)` — the cross-series
+    * φ-quantile aggregation (the one parameterized member of the
+    * instant-aggregation family): exact per-group quantile with linear
+    * interpolation over the instant vector, grouped by the kept
+    * labels.
+    */
+  final case class QuantileAggQ(
+      phi: Double, by: Seq[String], without: Boolean, inner: Query)
+      extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
   /** `rate/increase/delta(sel[range])` — counter/gauge range functions.
     * Simplified Prometheus semantics (no boundary extrapolation, which
     * Prometheus itself documents as an approximation): `increase` sums
@@ -1000,6 +1013,61 @@ object ExtendedPromQL {
             throw PromQLError("round step must be positive")
           MathFnQ(head, scalars,
             requireVectorOperand(parse(args.head, nowUs), "vector"))
+        } else if (head == "quantile") {
+          // `quantile [by|without (...)] (φ, vec)` — same clause
+          // placement rules as the other instant aggregations
+          var t = after.trim
+          var by = Seq.empty[String]
+          var without = false
+          var haveClause = false
+          if (t.startsWith("by") || t.startsWith("without")) {
+            without = t.startsWith("without")
+            haveClause = true
+            val (ls, rest) = parenGroup(
+              t.stripPrefix(if (without) "without" else "by").trim, s)
+            by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            t = rest.trim
+          }
+          val (inner, rest0) = parenGroup(t, s)
+          var rest = rest0.trim
+          if (!haveClause &&
+              (rest.startsWith("by") || rest.startsWith("without"))) {
+            without = rest.startsWith("without")
+            val (ls, r2) = parenGroup(
+              rest.stripPrefix(if (without) "without" else "by").trim, s)
+            by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            rest = r2.trim
+          }
+          if (rest.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val comma = inner.indexOf(',')
+          if (comma < 0)
+            throw PromQLError("quantile expects (φ, vector)")
+          val phi =
+            try inner.substring(0, comma).trim.toDouble
+            catch { case _: NumberFormatException =>
+              throw PromQLError(
+                s"Bad quantile value '${inner.substring(0, comma).trim}'")
+            }
+          if (phi < 0.0 || phi > 1.0)
+            throw PromQLError(s"Quantile $phi out of [0, 1]")
+          val vecStr = inner.substring(comma + 1).trim
+          (try Right(parseSelector(vecStr, nowUs))
+          catch { case e: PromQLError => Left(e) }) match {
+            case Right(sel) if sel.hadRange =>
+              throw PromQLError(
+                "quantile aggregates an instant vector; use " +
+                  "quantile_over_time for range windows")
+            case Right(sel) =>
+              QuantileAggQ(phi, by, without,
+                SelectorQ(sel.matchers, sel.startUs, sel.endUs))
+            case Left(selErr) =>
+              try QuantileAggQ(phi, by, without,
+                requireVectorOperand(parse(vecStr, nowUs), "aggregated"))
+              catch {
+                case _: PromQLError if selectorShaped(vecStr) => throw selErr
+              }
+          }
         } else if (InstantAggOps.contains(head)) {
           // clause may precede or follow the parenthesized body
           var t = after.trim
@@ -1738,6 +1806,11 @@ object ExtendedPromQL {
           .withColumn("group_labels", groupLabelsCol(a.by, a.without))
           .groupBy(col("group_labels"))
           .agg(aggCol(a.op, col("value")).as("value"))
+      case qa: QuantileAggQ =>
+        sideVector(qa.inner, selected, samples)
+          .withColumn("group_labels", groupLabelsCol(qa.by, qa.without))
+          .groupBy(col("group_labels"))
+          .agg(percentile(col("value"), lit(qa.phi)).as("value"))
       case lr: LabelReplaceQ =>
         val v = sideVector(lr.inner, selected, samples)
         // Prometheus: regex must match the WHOLE src value; non-matching

@@ -274,6 +274,36 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
   }
 
+  test("quantile(): cross-series aggregation with by-grouping") {
+    import org.apache.spark.sql.functions.{lit, map}
+    import spark.implicits._
+    // three series with latest values 10, 20, 40 -> quantile 0.5 = 20,
+    // 0.75 interpolates between 20 and 40 at 30
+    val samples = Seq(
+      ("view 1", now - 1000000L, 10.0),
+      ("view 2", now - 1000000L, 20.0),
+      ("view 3", now - 1000000L, 40.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val selected = Seq("1", "2", "3").toDF("u")
+      .withColumn("sensor_id",
+        org.apache.spark.sql.functions.concat(lit("view "), $"u"))
+      .withColumn("labels", map(lit("user"), $"u"))
+      .select("sensor_id", "labels")
+    def run(q: String): Seq[Double] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("value").as[Double].collect().toSeq.sorted
+    assert(run("quantile(0.5, view)") == Seq(20.0))
+    assert(run("quantile(0.75, view)") == Seq(30.0))
+    // by (user): singleton groups return their own value
+    assert(run("quantile by (user) (0.5, view)") == Seq(10.0, 20.0, 40.0))
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("quantile(1.5, view)", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("quantile(0.5, view[5m])", now)
+    }
+  }
+
   test("timestamp() and the time-of-day functions") {
     import org.apache.spark.sql.functions.{col, lit, map}
     import spark.implicits._
