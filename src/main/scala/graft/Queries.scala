@@ -4327,6 +4327,49 @@ object Queries {
         EventsAdapter.samples(s, d)
           .select("sensor_id", "timestamp_us", "value"))
         .select(round(col("value"), 6).as("value"))
+    },
+
+    // topk by (parity): per-group ranking over the instant vector —
+    // the WindowGroupLimit shape (per-partition top-k, no global
+    // sort). Parity labels derive from the user id as in q63.
+    q(
+      "q124_promql_topk_by",
+      """SELECT user_id % 2 AS parity, rank, CAST(user_id AS VARCHAR)
+        |    AS user_tag, value
+        |FROM (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id % 2
+        |      ORDER BY value DESC,
+        |        'view ' || CAST(user_id AS VARCHAR)) AS rank
+        |  FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'view'
+        |      AND epoch_us(ts) BETWEEN 1706742000000000
+        |        AND 1706745600000000)
+        |  WHERE rn = 1)
+        |WHERE rank <= 3 ORDER BY parity, rank"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "topk by (parity) (3, view)", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"),
+          map_concat(col("labels"), map(lit("parity"),
+            (col("labels")("user").cast("long") % 2).cast("string")))
+            .as("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "parity").cast("long")
+            .as("parity"),
+          col("rank"),
+          element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("parity", "rank")
     }
   )
 

@@ -179,7 +179,7 @@ object ExtendedPromQL {
     * top-k is `TakeOrderedAndProject`, never a full sort.
     */
   final case class TopKQ(
-      op: String, k: Int, matchers: Seq[LabelMatcher],
+      op: String, k: Int, by: Seq[String], matchers: Seq[LabelMatcher],
       startUs: Long, endUs: Long) extends Query
   /** `sel <op> scalar` / `scalar <op> sel` for + - * / — arithmetic on
     * an instant vector (each series' latest sample, or a range
@@ -851,7 +851,25 @@ object ExtendedPromQL {
           val sel = parseSelector(selStr, nowUs)
           HistogramQuantileQ(phi, sel.matchers, sel.startUs, sel.endUs)
         } else if (head == "topk" || head == "bottomk") {
-          val (inner, rest) = parenGroup(after.trim, s)
+          // optional `by (labels)` clause before or after the body:
+          // per-group ranking instead of a global one
+          var t = after.trim
+          var by = Seq.empty[String]
+          var haveClause = false
+          if (t.startsWith("by")) {
+            haveClause = true
+            val (ls, rest) = parenGroup(t.stripPrefix("by").trim, s)
+            by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            t = rest.trim
+          }
+          val (inner, rest0) = parenGroup(t, s)
+          var restC = rest0.trim
+          if (!haveClause && restC.startsWith("by")) {
+            val (ls, r2) = parenGroup(restC.stripPrefix("by").trim, s)
+            by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            restC = r2.trim
+          }
+          val rest = restC
           if (rest.trim.nonEmpty)
             throw PromQLError(s"Unexpected trailing content in query: '$rest'")
           val comma = inner.indexOf(',')
@@ -868,7 +886,7 @@ object ExtendedPromQL {
             throw PromQLError(
               s"$head ranks an instant vector, not a range selector")
           val sel = parseSelector(selStr, nowUs)
-          TopKQ(head, k, sel.matchers, sel.startUs, sel.endUs)
+          TopKQ(head, k, by, sel.matchers, sel.startUs, sel.endUs)
         } else if (head == "quantile_over_time") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
@@ -1486,20 +1504,30 @@ object ExtendedPromQL {
         val pred = cmpPred(b.op, l, r)
         if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
         else v.filter(pred)
-      case TopKQ(op, k, _, _, _) =>
+      case TopKQ(op, k, by, _, _, _) =>
         val latest = lastInWindow(inWindow)
-        val ordered =
-          if (op == "topk")
-            latest.orderBy(col("value").desc, col("sensor_id").asc)
-          else latest.orderBy(col("value").asc, col("sensor_id").asc)
-        // limit first: TakeOrderedAndProject bounds the sort to k rows;
-        // the rank window then runs over k rows, not the full vector
-        val w = Window.orderBy(
+        val ord = Seq(
           if (op == "topk") col("value").desc else col("value").asc,
           col("sensor_id").asc)
-        ordered.limit(k)
-          .withColumn("rank", row_number().over(w))
-          .select("rank", "sensor_id", "labels", "value")
+        if (by.isEmpty) {
+          // limit first: TakeOrderedAndProject bounds the sort to k
+          // rows; the rank window then runs over k rows, not the full
+          // vector
+          latest.orderBy(ord: _*).limit(k)
+            .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+            .select("rank", "sensor_id", "labels", "value")
+        } else {
+          // per-group ranking: the rank-filter shape Spark rewrites to
+          // WindowGroupLimit — per-partition top-k, no global sort.
+          // Maps are not orderable, so the window partitions on the
+          // sorted-entries canonical key of the group labels
+          val w = Window.partitionBy(col("__gk")).orderBy(ord: _*)
+          latest.withColumn("__gk",
+              array_sort(map_entries(groupLabelsCol(by, without = false))))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select("rank", "sensor_id", "labels", "value")
+        }
       case HoltWintersQ(sfp, tfp, _, _, _) =>
         import samples.sparkSession.implicits._
         // Prometheus's holtWinters fold (promql/functions.go): s seeds

@@ -274,6 +274,27 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
   }
 
+  test("topk by (label): per-group ranking") {
+    import org.apache.spark.sql.functions.{lit, map}
+    import spark.implicits._
+    val samples = Seq(
+      ("view a1", now - 1000000L, 10.0), ("view a2", now - 1000000L, 30.0),
+      ("view b1", now - 1000000L, 20.0), ("view b2", now - 1000000L, 5.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val selected = Seq(("view a1", "a"), ("view a2", "a"),
+      ("view b1", "b"), ("view b2", "b")).toDF("sensor_id", "g")
+      .withColumn("labels", map(lit("grp"), $"g")).select("sensor_id", "labels")
+    val out = ExtendedPromQL.eval(
+      ExtendedPromQL.parse("topk by (grp) (1, view)", now),
+      selected, samples)
+      .select("sensor_id", "value").as[(String, Double)].collect().toSet
+    // per-group winners, not the global top-2
+    assert(out == Set(("view a2", 30.0), ("view b1", 20.0)))
+    // clause after the body parses to the same query
+    assert(ExtendedPromQL.parse("topk by (grp) (1, view)", now) ==
+      ExtendedPromQL.parse("topk(1, view) by (grp)", now))
+  }
+
   test("quantile(): cross-series aggregation with by-grouping") {
     import org.apache.spark.sql.functions.{lit, map}
     import spark.implicits._
@@ -728,7 +749,7 @@ class ExtendedPromQLSpec extends SparkSpec {
 
   test("parses topk/bottomk and binary expressions") {
     ExtendedPromQL.parse("topk(3, view)", now) match {
-      case TopKQ("topk", 3, ms, _, e) =>
+      case TopKQ("topk", 3, Nil, ms, _, e) =>
         assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
         assert(e == now)
       case other => fail(s"unexpected: $other")
@@ -795,12 +816,12 @@ class ExtendedPromQLSpec extends SparkSpec {
       ("a 3", 1500000L, 4.0) // latest = 4.0
     ).toDF("sensor_id", "timestamp_us", "value")
     val top2 = ExtendedPromQL.eval(
-      TopKQ("topk", 2, Nil, 0L, 3000000L), selected, samples)
+      TopKQ("topk", 2, Nil, Nil, 0L, 3000000L), selected, samples)
       .select("rank", "sensor_id", "value")
       .as[(Int, String, Double)].collect().toSeq
     assert(top2 == Seq((1, "a 2", 7.0), (2, "a 3", 4.0)))
     val bottom1 = ExtendedPromQL.eval(
-      TopKQ("bottomk", 1, Nil, 0L, 3000000L), selected, samples)
+      TopKQ("bottomk", 1, Nil, Nil, 0L, 3000000L), selected, samples)
       .select("rank", "sensor_id", "value")
       .as[(Int, String, Double)].collect().toSeq
     assert(bottom1 == Seq((1, "a 1", 1.0)))
