@@ -4370,6 +4370,71 @@ object Queries {
           element_at(col("labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("parity", "rank")
+    },
+
+    // limit_ratio: Prometheus 3's deterministic series sampling — the
+    // draw is md5 of the canonical label string, so the oracle
+    // reconstructs 'user=<id>' and replays membership exactly. The
+    // 31-day-latest values ride along as the payload.
+    q(
+      "q125_promql_limit_ratio",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag, value FROM (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1706742000000000 AND 1706745600000000)
+        |WHERE rn = 1
+        |  AND ('0x' || substr(md5('user=' || user_id), 1, 15))
+        |    ::BIGINT::DOUBLE / 1152921504606846976.0::DOUBLE < 0.4::DOUBLE
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "limit_ratio(0.4, view)", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
+    },
+
+    // limitk: the k smallest label-hash draws — same md5 canonical
+    // replay, k-bounded with the (draw, series) tie-break.
+    q(
+      "q126_promql_limitk",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag, value FROM (
+        |  SELECT user_id, value,
+        |    ('0x' || substr(md5('user=' || user_id), 1, 15))::BIGINT AS d
+        |  FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'view'
+        |      AND epoch_us(ts) BETWEEN 1706742000000000
+        |        AND 1706745600000000)
+        |  WHERE rn = 1
+        |  ORDER BY d, 'view ' || CAST(user_id AS VARCHAR) LIMIT 5)
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "limitk(5, view)", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value"))
+        .orderBy("user_tag")
     }
   )
 

@@ -181,6 +181,22 @@ object ExtendedPromQL {
   final case class TopKQ(
       op: String, k: Int, by: Seq[String], matchers: Seq[LabelMatcher],
       startUs: Long, endUs: Long) extends Query
+  /** `limitk(k, vec)` — the k series with the smallest deterministic
+    * label-hash draws (Prometheus 3's experimental deterministic
+    * sampling aggregation: membership depends only on the label set,
+    * so it is stable across evals and replayable).
+    */
+  final case class LimitKQ(
+      k: Int, matchers: Seq[LabelMatcher],
+      startUs: Long, endUs: Long) extends Query
+  /** `limit_ratio(r, vec)` — keeps the series whose label-hash draw
+    * falls below `r`; a negative `r` keeps the complement, so
+    * `limit_ratio(r)` and `limit_ratio(r − 1)` partition the vector
+    * exactly (the Prometheus 3 contract).
+    */
+  final case class LimitRatioQ(
+      r: Double, matchers: Seq[LabelMatcher],
+      startUs: Long, endUs: Long) extends Query
   /** `sel <op> scalar` / `scalar <op> sel` for + - * / — arithmetic on
     * an instant vector (each series' latest sample, or a range
     * function's per-series result).
@@ -887,6 +903,38 @@ object ExtendedPromQL {
               s"$head ranks an instant vector, not a range selector")
           val sel = parseSelector(selStr, nowUs)
           TopKQ(head, k, by, sel.matchers, sel.startUs, sel.endUs)
+        } else if (head == "limitk" || head == "limit_ratio") {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val comma = inner.indexOf(',')
+          if (comma < 0)
+            throw PromQLError(s"$head expects (${
+              if (head == "limitk") "k" else "ratio"}, selector)")
+          val argStr = inner.substring(0, comma).trim
+          val selStr = inner.substring(comma + 1).trim
+          if (selStr.contains("["))
+            throw PromQLError(
+              s"$head samples an instant vector, not a range selector")
+          val sel = parseSelector(selStr, nowUs)
+          if (head == "limitk") {
+            val k =
+              try argStr.toInt
+              catch { case _: NumberFormatException =>
+                throw PromQLError(s"Bad k value '$argStr'")
+              }
+            if (k < 1) throw PromQLError(s"limitk needs k >= 1, got $k")
+            LimitKQ(k, sel.matchers, sel.startUs, sel.endUs)
+          } else {
+            val r =
+              try argStr.toDouble
+              catch { case _: NumberFormatException =>
+                throw PromQLError(s"Bad ratio value '$argStr'")
+              }
+            if (r < -1.0 || r > 1.0)
+              throw PromQLError(s"limit_ratio $r out of [-1, 1]")
+            LimitRatioQ(r, sel.matchers, sel.startUs, sel.endUs)
+          }
         } else if (head == "quantile_over_time") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
@@ -1429,6 +1477,17 @@ object ExtendedPromQL {
     * empty map without a clause, otherwise the `by` labels (or the
     * complement under `without`).
     */
+  /** Deterministic 60-bit draw from a series' label set: md5 of the
+    * sorted `k=v` canonical string — membership in limitk/limit_ratio
+    * depends only on labels, so it is stable across evals and exactly
+    * replayable by any engine with an md5 function.
+    */
+  private def labelDraw(labels: Column): Column =
+    conv(substring(md5(concat_ws(",",
+      transform(array_sort(map_entries(labels)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+
   private def groupLabelsCol(by: Seq[String], without: Boolean): Column =
     if (by.isEmpty && !without)
       map().cast("map<string,string>") // aggregate everything
@@ -1504,6 +1563,20 @@ object ExtendedPromQL {
         val pred = cmpPred(b.op, l, r)
         if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
         else v.filter(pred)
+      case LimitKQ(k, _, _, _) =>
+        lastInWindow(inWindow)
+          .withColumn("__d", labelDraw(col("labels")))
+          .orderBy(col("__d").asc, col("sensor_id").asc)
+          .limit(k)
+          .select("sensor_id", "labels", "value")
+      case LimitRatioQ(r, _, _, _) =>
+        val latest = lastInWindow(inWindow)
+          .withColumn("__d", labelDraw(col("labels")).cast("double") /
+            lit((1L << 60).toDouble))
+        val kept =
+          if (r >= 0) col("__d") < lit(r)
+          else col("__d") >= lit(1.0 + r)
+        latest.filter(kept).select("sensor_id", "labels", "value")
       case TopKQ(op, k, by, _, _, _) =>
         val latest = lastInWindow(inWindow)
         val ord = Seq(

@@ -295,6 +295,35 @@ class ExtendedPromQLSpec extends SparkSpec {
       ExtendedPromQL.parse("topk(1, view) by (grp)", now))
   }
 
+  test("limitk/limit_ratio: deterministic, complementary partitions") {
+    import org.apache.spark.sql.functions.{lit, map}
+    import spark.implicits._
+    val samples = (1 to 40).map(i =>
+      (s"view $i", now - 1000000L, i.toDouble))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val selected = (1 to 40).map(_.toString).toDF("u")
+      .withColumn("sensor_id",
+        org.apache.spark.sql.functions.concat(lit("view "), $"u"))
+      .withColumn("labels", map(lit("user"), $"u"))
+      .select("sensor_id", "labels")
+    def run(q: String): Set[String] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .select("sensor_id").as[String].collect().toSet
+    val k = run("limitk(7, view)")
+    assert(k.size == 7 && k == run("limitk(7, view)")) // stable
+    val a = run("limit_ratio(0.4, view)")
+    val b = run("limit_ratio(-0.6, view)")
+    // the Prometheus 3 contract: r and r-1 partition the vector
+    assert((a & b).isEmpty && (a | b).size == 40)
+    assert(run("limit_ratio(1.0, view)").size == 40)
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("limit_ratio(1.5, view)", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("limitk(0, view)", now)
+    }
+  }
+
   test("quantile(): cross-series aggregation with by-grouping") {
     import org.apache.spark.sql.functions.{lit, map}
     import spark.implicits._
