@@ -4435,6 +4435,42 @@ object Queries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           col("value"))
         .orderBy("user_tag")
+    },
+
+    // sort_by_label_desc: the instant vector ranked by label VALUES
+    // (string order — user "9" sorts after "10", which is the point:
+    // label ordering is lexicographic, not numeric). Oracle replays
+    // the string sort and the series-id tie.
+    q(
+      "q127_promql_sort_by_label",
+      """SELECT rank, user_tag, value FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_tag, value,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY CAST(user_id AS VARCHAR) DESC,
+        |        'view ' || CAST(user_id AS VARCHAR) DESC) AS rank
+        |  FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'view'
+        |      AND epoch_us(ts) BETWEEN 1706742000000000
+        |        AND 1706745600000000)
+        |  WHERE rn = 1)
+        |ORDER BY rank"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        """sort_by_label_desc(view, "user")""", 1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(col("rank"),
+          element_at(col("labels"), "user").as("user_tag"), col("value"))
+        .orderBy("rank")
     }
   )
 

@@ -161,6 +161,18 @@ object ExtendedPromQL {
     * rank window is global but runs over the per-SERIES vector (one row
     * per series, catalog-bounded), the same shape [[TopKQ]] ranks.
     */
+  /** `sort_by_label[_desc](vec, "l1", "l2", …)` — the instant vector
+    * ranked by label VALUES instead of sample values (Prometheus 3
+    * experimental; ties fall through the label list, then the series
+    * id). Missing labels sort as empty strings, matching Prometheus's
+    * empty-label convention.
+    */
+  final case class SortByLabelQ(
+      desc: Boolean, labels: Seq[String], inner: Query) extends Query {
+    def matchers: Seq[LabelMatcher] = inner.matchers
+    def startUs: Long = inner.startUs
+    def endUs: Long = inner.endUs
+  }
   final case class SortQ(desc: Boolean, inner: Query) extends Query {
     def matchers: Seq[LabelMatcher] = inner.matchers
     def startUs: Long = inner.startUs
@@ -1020,6 +1032,22 @@ object ExtendedPromQL {
           if (sel.hadRange)
             throw PromQLError("timestamp expects an instant vector")
           TimestampQ(sel.matchers, sel.startUs, sel.endUs)
+        } else if ((head == "sort_by_label" || head == "sort_by_label_desc")
+            && after.trim.startsWith("(")) {
+          val (inner, rest) = parenGroup(after.trim, s)
+          if (rest.trim.nonEmpty)
+            throw PromQLError(s"Unexpected trailing content in query: '$rest'")
+          val args = splitArgs(inner)
+          if (args.length < 2)
+            throw PromQLError(s"$head expects (vec, \"label\", ...)")
+          val QuotedRe = """^"([^"]*)"$""".r
+          val labelNames = args.tail.map(_.trim).map {
+            case QuotedRe(l) => l
+            case other =>
+              throw PromQLError(s"$head expects quoted label names, got '$other'")
+          }
+          SortByLabelQ(head.endsWith("_desc"), labelNames,
+            requireVectorOperand(parse(args.head, nowUs), "sorted"))
         } else if ((head == "sort" || head == "sort_desc") &&
             after.trim.startsWith("(")) {
           val (inner, rest) = parenGroup(after.trim, s)
@@ -1637,6 +1665,14 @@ object ExtendedPromQL {
         lastInWindow(inWindow)
           .select(col("sensor_id"), col("labels"),
             (col("timestamp_us").cast("double") / lit(1e6)).as("value"))
+      case SortByLabelQ(desc, labelNames, inner) =>
+        val v = sideVector(inner, selected, samples)
+        val keys = labelNames.map { l =>
+          val k = coalesce(element_at(col("labels"), l), lit(""))
+          if (desc) k.desc else k.asc
+        } :+ (if (desc) col("sensor_id").desc else col("sensor_id").asc)
+        v.withColumn("rank", row_number().over(Window.orderBy(keys: _*)))
+          .select("rank", "sensor_id", "labels", "value")
       case SortQ(desc, inner) =>
         val v = sideVector(inner, selected, samples)
         val ord =

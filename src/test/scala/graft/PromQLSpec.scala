@@ -295,6 +295,32 @@ class ExtendedPromQLSpec extends SparkSpec {
       ExtendedPromQL.parse("topk(1, view) by (grp)", now))
   }
 
+  test("sort_by_label: lexicographic label order, missing labels empty") {
+    import org.apache.spark.sql.functions.{lit, map}
+    import spark.implicits._
+    val samples = Seq(
+      ("view 2", now - 1000000L, 1.0), ("view 10", now - 1000000L, 2.0),
+      ("view x", now - 1000000L, 3.0)) // no user label
+      .toDF("sensor_id", "timestamp_us", "value")
+    val selected = Seq(("view 2", "2"), ("view 10", "10")).toDF("sensor_id", "u")
+      .withColumn("labels", map(lit("user"), $"u"))
+      .select("sensor_id", "labels")
+      .union(Seq("view x").toDF("sensor_id")
+        .withColumn("labels", map().cast("map<string,string>"))
+        .select("sensor_id", "labels"))
+    def run(q: String): Seq[String] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now), selected, samples)
+        .orderBy("rank").select("sensor_id").as[String].collect().toSeq
+    // lexicographic: "10" < "2"; the label-less series sorts first ("")
+    assert(run("""sort_by_label(view, "user")""") ==
+      Seq("view x", "view 10", "view 2"))
+    assert(run("""sort_by_label_desc(view, "user")""") ==
+      Seq("view 2", "view 10", "view x"))
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("sort_by_label(view, user)", now)
+    }
+  }
+
   test("limitk/limit_ratio: deterministic, complementary partitions") {
     import org.apache.spark.sql.functions.{lit, map}
     import spark.implicits._
