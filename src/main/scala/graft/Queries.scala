@@ -4471,6 +4471,38 @@ object Queries {
         .select(col("rank"),
           element_at(col("labels"), "user").as("user_tag"), col("value"))
         .orderBy("rank")
+    },
+
+    // Categorical profile: distinct counts and top-3 values for two
+    // lineitem string columns in ONE shuffle — every column melts into
+    // a (column, value) frame first, so the profile never runs one job
+    // per column. Ties break on the value string.
+    q(
+      "q128_categorical_profile",
+      """WITH m AS (
+        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem),
+        |c AS (
+        |  SELECT col_name, value, COUNT(*) AS n
+        |  FROM m GROUP BY 1, 2),
+        |r AS (
+        |  SELECT col_name, value, n,
+        |    ROW_NUMBER() OVER (PARTITION BY col_name
+        |      ORDER BY n DESC, value) AS rank,
+        |    COUNT(*) OVER (PARTITION BY col_name) AS n_distinct
+        |  FROM c)
+        |SELECT col_name, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  rank, value, n
+        |FROM r WHERE rank <= 3 ORDER BY col_name, rank"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.categoricalProfile(
+        Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"), k = 3)
+        .select(col("column").as("col_name"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("rank"), col("value"), col("n"))
+        .orderBy("col_name", "rank")
     }
   )
 

@@ -37,6 +37,37 @@ object Profiler {
         "(column, n, n_nulls, min, max, mean, stddev)")
   }
 
+  /** Categorical profile: distinct-value count and the top-k most
+    * frequent values per string column. All columns MELT into one
+    * (column, value) frame first — so the whole profile is ONE shuffle
+    * keyed by (column, value) plus a rank window over the (tiny)
+    * per-column value counts, instead of one job per column. Ties
+    * break on the value string, so the top-k set is deterministic.
+    * Output: (column, n_distinct, rank, value, n).
+    */
+  def categoricalProfile(
+      df: DataFrame, cols: Seq[String], k: Int = 3): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    require(k >= 1, "k must be at least 1")
+    val melted = df.select(posexplode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*))
+      .as(Seq("__i", "__cv")))
+      .select(col("__cv.column").as("column"), col("__cv.value").as("value"))
+    val counts = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column"))
+      .orderBy(col("n").desc, col("value"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_distinct",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("column"))))
+      .filter(col("rank") <= k)
+      .select(col("column"), col("n_distinct"), col("rank"),
+        col("value"), col("n"))
+  }
+
   /** Drift report between two profile snapshots (the corpus-health
     * check between pipeline runs): per column, both means, the mean
     * shift normalized by the BASELINE stddev (a z-score-flavored

@@ -427,6 +427,18 @@ class PipelineSpec extends SparkSpec {
       .filter(col("m") =!= col("c")).count() == 0)
   }
 
+  test("categoricalProfile: per-column top-k, distinct counts, one melt") {
+    import spark.implicits._
+    import graft.pipeline.Profiler
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "y"), ("a", "z"))
+      .toDF("c1", "c2")
+    val out = Profiler.categoricalProfile(df, Seq("c1", "c2"), k = 2)
+      .as[(String, Long, Int, String, Long)].collect().toSet
+    assert(out == Set(
+      ("c1", 2L, 1, "a", 3L), ("c1", 2L, 2, "b", 1L),
+      ("c2", 3L, 1, "y", 2L), ("c2", 3L, 2, "x", 1L)))
+  }
+
   test("numericProfile: one-pass stats with nulls counted per column") {
     import spark.implicits._
     import graft.pipeline.Profiler
