@@ -229,6 +229,20 @@ class PlanSpec extends SparkSpec {
     assert(!rPlan.contains("ScalaUDF"), rPlan)
   }
 
+  test("cdc chunk dedup shuffles on the fingerprint, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunks = docs.select(col("doc_id"),
+      explode(graft.pipeline.TextAnalysis.cdcChunksMd5(col("text"), 16, 6))
+        .as("c"))
+      .select(col("doc_id"), col("c._1").as("fp"), col("c._2").as("len"))
+    val q = chunks.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("chars"))
+      .filter(col("n") > 1)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan) // fp-keyed only
+  }
+
   test("bandJoin rides an equi-join, never a nested-loop theta join") {
     val e = graft.Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("t"),
