@@ -3387,7 +3387,8 @@ object Queries {
       s"""SELECT source, COUNT(*) AS n,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents
-         |WHERE ('0x' || substr(md5('w7:' || doc_id), 1, 15))::BIGINT::DOUBLE
+         |WHERE LEAST(1.0::DOUBLE, n_chars / 2000.0::DOUBLE) >= 1.0
+         |  OR ('0x' || substr(md5('w7:' || doc_id), 1, 15))::BIGINT::DOUBLE
          |  < LEAST(1.0::DOUBLE, n_chars / 2000.0::DOUBLE)
          |    * ${(1L << 60).toDouble}
          |GROUP BY source ORDER BY source"""
@@ -3933,20 +3934,16 @@ object Queries {
     ) { (s, d) =>
       val li = Tables.lineitem(s, d)
       val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
-      // ONE percentile buffer per column (the array form) — twelve
-      // scalar percentile aggregates each buffer the whole column
-      // separately (measured 6x slower at sf0.1 for identical output)
-      val aggs = cols.map(c =>
-        percentile(col(c).cast("double"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)))
-          .as(s"__$c"))
-      val stacked = cols.map { c =>
-        s"'$c', round(`__$c`[0], 6), round(`__$c`[1], 6), " +
-          s"round(`__$c`[2], 6), round(`__$c`[3], 6)"
-      }.mkString(", ")
-      li.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"stack(${cols.length}, $stacked) AS " +
-          "(col_name, p25, p50, p75, p95)")
+      // exact = true is the ORACLE surface only (DuckDB quantile_cont
+      // hash-matches exact percentile); the production path is
+      // Profiler.quantileProfile's default approx_percentile, whose
+      // state is accuracy-bounded instead of O(rows) — an ε-bound
+      // property in PipelineSpec ties the two paths together
+      graft.pipeline.Profiler.quantileProfile(li, cols,
+          probs = Seq(0.25, 0.5, 0.75, 0.95), exact = true)
+        .select(col("column").as("col_name"),
+          round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+          round(col("p75"), 6).as("p75"), round(col("p95"), 6).as("p95"))
         .orderBy("col_name")
     },
 
@@ -3972,16 +3969,17 @@ object Queries {
       // a stream-stream join opens FOUR state stores per shuffle
       // partition; at the session's 32 partitions that is 128 store
       // instances checkpointing per micro-batch — pure fixed overhead
-      // for a bounded demo. Scope the state partitioning down for this
-      // query (picked up at stream start) and restore after.
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // for a bounded demo. Scope the state partitioning down via a
+      // DEDICATED session (own SQLConf, shared context) — mutating the
+      // shared conf and restoring it would silently re-plan anything
+      // planned concurrently with 4 partitions.
+      val ss = graft.streaming.StreamingIngest.stateScopedSession(s, 4)
       try {
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
         val schema = Tables.load(s, d, "events").schema
-        val stream = s.readStream.schema(schema)
+        val stream = ss.readStream.schema(schema)
           .parquet(streamDir.toString)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         // user_id < 10 bounds the state-store demo: the machinery cost
@@ -4003,17 +4001,19 @@ object Queries {
         val query = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         try query.processAllAvailable() finally query.stop()
-        val out = s.table(name)
+        // the memory sink registers its view in the SCOPED session's
+        // catalog; the bounded result re-materializes on the caller's
+        // session so nothing downstream depends on the scoped one
+        val out = ss.table(name)
           .groupBy(col("cu"), col("cts"))
           .agg(count(lit(1)).as("n_views"))
           .select(col("cu").as("user_id"),
             unix_micros(col("cts")).as("cts"), col("n_views"))
           .orderBy("user_id", "cts")
         val rows = java.util.Arrays.asList(out.collect(): _*)
-        s.catalog.dropTempView(name)
+        ss.catalog.dropTempView(name)
         s.createDataFrame(rows, out.schema).orderBy("user_id", "cts")
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", oldParts)
         java.nio.file.Files.deleteIfExists(
           streamDir.resolve("events.parquet"))
         java.nio.file.Files.deleteIfExists(streamDir)
@@ -4185,29 +4185,43 @@ object Queries {
         .orderBy("source", "bucket")
     },
 
-    // Content-defined chunking dedup stats: rsync/FastCDC-style
-    // boundaries (cut after every 16-char window whose md5-60 is 0 mod
-    // 64), chunk fingerprints deduplicated corpus-wide — the storage-
-    // dedup measurement (how many chars are duplicate chunk instances).
-    // The oracle replays boundary detection, segmentation via LEAD and
-    // the (doc, start)-ordered first-instance rule; every augmented doc
-    // shares the q104 promo tail so duplicate chunks are guaranteed.
+    // Content-defined chunking dedup stats: FastCDC/gear-hash
+    // boundaries (cut after every char where the 24-bit rolling gear
+    // hash has all 6 spread mask bits zero — ONE table lookup per char,
+    // not one digest per position), chunk fingerprints deduplicated
+    // corpus-wide — the storage-dedup measurement (how many chars are
+    // duplicate chunk instances). The oracle replays the IDENTICAL
+    // derived gear table (GearTable.sqlList — same values, single
+    // source of truth) through the identical recurrence: h_p =
+    // Σ gear(c_{p−j})·2^j mod 2^24 for j<24, written as 24 LAG terms
+    // (older terms vanish mod 2^24), then segmentation via LEAD and
+    // the (doc, start)-ordered first-instance rule; every augmented
+    // doc shares the q104 promo tail so duplicate chunks are
+    // guaranteed. Indexing is code-point-based on BOTH sides.
     q(
       "q121_cdc_chunks",
-      """WITH norm AS (
+      s"""WITH gear AS (SELECT ${graft.pipeline.GearTable.sqlList} AS gl),
+        |norm AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(lower(text
         |      || ' visit our site today for more great deals'),
-        |      '\s+', ' ', 'g')) AS t
+        |      '\\s+', ' ', 'g')) AS t
         |  FROM documents),
         |nz AS (SELECT doc_id, t, len(t) AS n FROM norm WHERE len(t) >= 1),
+        |g AS (
+        |  SELECT doc_id, n, p,
+        |    gear.gl[(unicode(substr(t, p::INT, 1)) % 256) + 1]::BIGINT AS gv
+        |  FROM (SELECT doc_id, t, n,
+        |    unnest(range(1, n::INT + 1)) AS p FROM nz), gear),
         |h AS (
-        |  SELECT doc_id, p,
-        |    ('0x' || substr(md5(substr(t, p::INT + 1, 16)), 1, 15))::BIGINT
-        |      AS hv
-        |  FROM (SELECT doc_id, t,
-        |    unnest(range(GREATEST(n - 15, 0))) AS p FROM nz)),
-        |cuts AS (SELECT doc_id, p + 16 AS cut FROM h WHERE hv % 64 = 0),
+        |  SELECT doc_id, n, p,
+        |    (${(0 until 24).map(j =>
+               s"LAG(gv, $j, 0) OVER (PARTITION BY doc_id ORDER BY p)" +
+                 (if (j == 0) "" else s" * ${1L << j}")).mkString("\n        |     + ")})
+        |      % ${graft.pipeline.GearTable.Mod} AS hv
+        |  FROM g),
+        |cuts AS (SELECT doc_id, p AS cut FROM h
+        |  WHERE (hv & ${graft.pipeline.GearTable.mask(6)}) = 0 AND p < n),
         |bounds AS (
         |  SELECT doc_id, cut FROM cuts
         |  UNION SELECT doc_id, 0 FROM nz
@@ -4234,10 +4248,10 @@ object Queries {
     ) { (s, d) =>
       val chunks = Tables.spread(s, Tables.documents(s, d))
         .select(col("doc_id"),
-          explode(TextAnalysis.cdcChunksMd5(
+          explode(TextAnalysis.cdcChunksGear(
             concat(col("text"),
               lit(" visit our site today for more great deals")),
-            w = 16, maskBits = 6)).as("c"))
+            maskBits = 6)).as("c"))
         .select(col("doc_id"), col("c._1").as("fp"),
           col("c._2").as("len"), col("c._3").as("a"))
       val rn = row_number().over(
@@ -4503,6 +4517,35 @@ object Queries {
           col("n_distinct").cast("long").as("n_distinct"),
           col("rank"), col("value"), col("n"))
         .orderBy("col_name", "rank")
+    },
+
+    // Auto-routed skew join: the engine's join layer runs the hot-key
+    // census once (eager local checkpoint, reused by the routing
+    // decision and both join sides) and picks plain vs salted
+    // automatically — q111 proves the salted mechanism, this proves
+    // the ROUTING preserves semantics end-to-end. The oracle is the
+    // plain join it must equal regardless of which shape fires.
+    q(
+      "q129_auto_skew_join",
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |f AS (SELECT user_id FROM events WHERE event_type = 'view')
+        |SELECT f.user_id, COUNT(*) AS n_views, dim.clicks
+        |FROM f JOIN dim USING (user_id)
+        |GROUP BY 1, 3 ORDER BY 1"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+      val dim = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("clicks"))
+      val fact = e.filter(col("event_type") === "view")
+        .select(col("user_id"))
+      graft.operators.SaltedJoin
+        .autoJoin(fact, dim, "user_id", salts = 8, hotThreshold = 20L)
+        .groupBy(col("user_id"), col("clicks"))
+        .agg(count(lit(1)).as("n_views"))
+        .select(col("user_id"), col("n_views"), col("clicks"))
+        .orderBy("user_id")
     }
   )
 

@@ -15,12 +15,33 @@ import org.apache.spark.sql.functions._
   * salt never surfaces.
   *
   * The hot-key census is one map-side-combined count whose output is
-  * the distinct-key set (broadcast); a production deployment would
-  * reuse table statistics instead of re-counting per join — the census
-  * is the stateless fallback. Dim-side replication multiplies only the
-  * HOT dim rows by `salts`, so its cost is |hot keys| × salts rows.
+  * the (tiny) hot-key set, materialized ONCE via an eager local
+  * checkpoint and reused by every consumer — the routing decision, the
+  * fact-side salt assignment and the dim-side replication all read the
+  * same blocks instead of re-running the count. A production
+  * deployment would seed [[hotKeyCensus]] from persisted table
+  * statistics instead; the census is the stateless fallback, and
+  * [[joinWithCensus]] accepts any precomputed census so several joins
+  * against the same fact table share one. Dim-side replication
+  * multiplies only the HOT dim rows by `salts`, so its cost is
+  * |hot keys| × salts rows.
   */
 object SaltedJoin {
+
+  /** Left-side keys hotter than `hotThreshold`, as a broadcastable
+    * (key, __hot) frame: one map-side-combined count, materialized
+    * eagerly (the hot-key set is bounded by cardinality/threshold, so
+    * the blocks are tiny) for reuse across the routing decision and
+    * both join sides.
+    */
+  def hotKeyCensus(
+      left: DataFrame, key: String, hotThreshold: Long): DataFrame = {
+    require(hotThreshold >= 1, "hotThreshold must be positive")
+    left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key), lit(true).as("__hot"))
+      .localCheckpoint(true)
+  }
 
   /** @param left  fact side carrying the skew; all columns survive
     * @param right dim side; non-key columns must not collide with left's
@@ -34,15 +55,26 @@ object SaltedJoin {
       right: DataFrame,
       key: String,
       salts: Int,
-      hotThreshold: Long): DataFrame = {
+      hotThreshold: Long): DataFrame =
+    joinWithCensus(left, right, key, salts,
+      hotKeyCensus(left, key, hotThreshold))
+
+  /** [[join]] against a PRECOMPUTED hot-key census (any (key, __hot)
+    * frame — [[hotKeyCensus]] output, or a projection of persisted
+    * table statistics): several joins against the same skewed fact
+    * table pay for the census once.
+    */
+  def joinWithCensus(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int,
+      census: DataFrame): DataFrame = {
     require(salts >= 2, "salting below 2 is a no-op; use a plain join")
-    require(hotThreshold >= 1, "hotThreshold must be positive")
     val overlap = (left.columns.toSet & right.columns.toSet) - key
     require(overlap.isEmpty,
       s"non-key columns must be disjoint, both sides have: $overlap")
-    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > hotThreshold)
-      .select(col(key), lit(true).as("__hot"))
+    val hot = census.select(col(key), col("__hot"))
     // content-derived salt: deterministic, and independent of
     // partitioning (identical duplicate rows share a salt — acceptable,
     // duplicates of one row are bounded by the row's multiplicity)
@@ -60,5 +92,28 @@ object SaltedJoin {
           .otherwise(array(lit(0)))))
       .drop("__hot")
     l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The engine's routing entry point: run (or reuse) the hot-key
+    * census and pick the join shape it justifies — the PLAIN join when
+    * no key crosses `hotThreshold` (zero replication, zero salt
+    * columns, the exact `left.join(right, key)` plan Catalyst would
+    * optimize anyway), the salted join reusing the SAME census blocks
+    * when at least one does. Output is identical either way; only the
+    * physical shape changes.
+    */
+  def autoJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int = 8,
+      hotThreshold: Long): DataFrame = {
+    require(salts >= 2, "salting below 2 is a no-op; use a plain join")
+    val overlap = (left.columns.toSet & right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint, both sides have: $overlap")
+    val census = hotKeyCensus(left, key, hotThreshold)
+    if (census.isEmpty) left.join(right, key)
+    else joinWithCensus(left, right, key, salts, census)
   }
 }

@@ -37,6 +37,46 @@ object Profiler {
         "(column, n, n_nulls, min, max, mean, stddev)")
   }
 
+  /** Quantile profile: the requested percentiles per numeric column,
+    * one aggregate pass for ALL columns (one percentile buffer per
+    * column — twelve scalar percentile aggregates measured 6x slower
+    * for identical output), unpivoted to (column, p25, p50, ...).
+    *
+    * `exact = false` (the default, and the PRODUCTION path) uses
+    * `approx_percentile`: a Greenwald-Khanna summary whose state is
+    * bounded by `accuracy`, not by row count, so the ungrouped
+    * aggregate survives a 100 TB corpus — exact `percentile` buffers
+    * every value of every profiled column into the final reduce and
+    * OOMs there. `exact = true` is the fixture-scale oracle surface
+    * (DuckDB `quantile_cont` hash-matches Spark's exact percentile;
+    * no engine can replay a t-digest byte-for-byte); an ε-bound
+    * property in PipelineSpec ties the two paths together.
+    */
+  def quantileProfile(
+      df: DataFrame, cols: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probabilities must be in [0, 1]")
+    require(accuracy >= 1, "accuracy must be positive")
+    val parr = array(probs.map(lit): _*)
+    val aggs = cols.map { c =>
+      val v = col(c).cast("double")
+      (if (exact) percentile(v, parr)
+       else percentile_approx(v, parr, lit(accuracy))).as(s"__$c")
+    }
+    val names = probs.map(p =>
+      "p" + BigDecimal(p * 100).bigDecimal.stripTrailingZeros
+        .toPlainString.replace(".", "_").replace("-", "m"))
+    val stacked = cols.map { c =>
+      (s"'$c'" +: probs.indices.map(i => s"`__$c`[$i]")).mkString(", ")
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stacked) AS " +
+        s"(column, ${names.mkString(", ")})")
+  }
+
   /** Categorical profile: distinct-value count and the top-k most
     * frequent values per string column. All columns MELT into one
     * (column, value) frame first — so the whole profile is ONE shuffle
@@ -46,7 +86,8 @@ object Profiler {
     * Output: (column, n_distinct, rank, value, n).
     */
   def categoricalProfile(
-      df: DataFrame, cols: Seq[String], k: Int = 3): DataFrame = {
+      df: DataFrame, cols: Seq[String], k: Int = 3,
+      approxDistinct: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     require(k >= 1, "k must be at least 1")
     val melted = df.select(posexplode(array(cols.map(c =>
@@ -58,14 +99,32 @@ object Profiler {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("column"))
       .orderBy(col("n").desc, col("value"))
-    counts
-      .withColumn("rank", row_number().over(w))
-      .withColumn("n_distinct",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("column"))))
-      .filter(col("rank") <= k)
-      .select(col("column"), col("n_distinct"), col("rank"),
-        col("value"), col("n"))
+    val ranked = counts.withColumn("rank", row_number().over(w))
+    if (!approxDistinct)
+      // exact distinct count: a window count over the per-column value
+      // counts — the ORACLE surface, but the count window gathers every
+      // distinct value of a column into one partition, so it is the
+      // fixture-scale path only
+      ranked
+        .withColumn("n_distinct",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("column"))))
+        .filter(col("rank") <= k)
+        .select(col("column"), col("n_distinct"), col("rank"),
+          col("value"), col("n"))
+    else {
+      // PRODUCTION path for high-cardinality columns: HLL sketch with
+      // rsd-bounded state instead of the exact window count. It runs
+      // over `counts` (already one row per distinct pair, map-side
+      // combinable), and the column-count-sized result broadcasts back
+      // onto the top-k rows.
+      val nd = counts.groupBy(col("column"))
+        .agg(approx_count_distinct(col("value"), rsd).as("n_distinct"))
+      ranked.filter(col("rank") <= k)
+        .join(broadcast(nd), "column")
+        .select(col("column"), col("n_distinct"), col("rank"),
+          col("value"), col("n"))
+    }
   }
 
   /** Drift report between two profile snapshots (the corpus-health

@@ -32,6 +32,13 @@ object PublicSuffix {
     finally in.close()
   }
 
+  // rule strings are interpolated verbatim into oracle SQL literals
+  // (sqlList) and Column literals — constrain the charset at load so a
+  // snapshot edit can never smuggle a quote/backslash into either
+  private val ruleChars = "^[a-z0-9.*!-]+$".r
+  require(rules.forall(r => ruleChars.matches(r)),
+    "snapshot rules must match [a-z0-9.*!-]+ (SQL-literal-safe)")
+
   private def nLabels(r: String): Int = r.count(_ == '.') + 1
 
   private val plain: Vector[String] =

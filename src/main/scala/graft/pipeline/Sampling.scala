@@ -78,8 +78,12 @@ object Sampling {
   def weightedSample(
       df: DataFrame, idCol: String, weight: Column,
       salt: String = "w0:"): DataFrame =
-    df.filter(hash60(col(idCol), salt).cast("double") <
-      weight * lit((1L << 60).toDouble))
+    // the explicit weight >= 1 arm honors the "always keeps" contract:
+    // the ~64 draws nearest 2^60 round UP to exactly 2^60 as doubles
+    // and would fail `< 1.0 * 2^60` — a ~2^-54 silent drop otherwise
+    df.filter(weight >= lit(1.0) ||
+      hash60(col(idCol), salt).cast("double") <
+        weight * lit((1L << 60).toDouble))
 
   /** Deterministic exact-k selection per stratum (fixed eval sets,
     * per-source golden subsets): within each stratum keep the k rows

@@ -617,27 +617,36 @@ object TextAnalysis {
   }
 
   /** Content-defined chunking (the rsync/FastCDC boundary family): a
-    * chunk boundary falls after every `w`-char window of the normalized
-    * text whose 60-bit md5 hash is 0 modulo 2^maskBits — so boundaries
-    * follow CONTENT, and an insertion early in a document shifts only
-    * the chunk it lands in, not every downstream chunk (the failure
-    * mode of fixed-size blocking). Returns (fp, len, start) structs per
-    * chunk: fp = md5-60 of the chunk text, expected chunk length ≈
-    * 2^maskBits chars. Document-local (no shuffle); chunk-level dedup
-    * joins shuffle on the 8-byte fingerprint. md5 keys keep the whole
-    * rule replayable by any engine — the [[winnowingFingerprintsMd5]]
-    * trade (use a rolling hash only where replay doesn't matter).
+    * chunk boundary falls after every character where the rolling gear
+    * hash of the normalized text — `h ← (2h + gear(c)) mod 2^24` over
+    * the vendored [[GearTable]] — has all [[GearTable.mask]] bits zero,
+    * so boundaries follow CONTENT, and an insertion early in a document
+    * shifts only the chunk it lands in, not every downstream chunk
+    * (the failure mode of fixed-size blocking). ONE table lookup per
+    * character replaces the earlier per-position MD5 (~window-length
+    * digest bytes per character); the derived table keeps the rule
+    * replayable — the q121 oracle folds the identical values through
+    * the identical recurrence as 24 LAG terms.
+    *
+    * Returns (fp, len, start) structs per chunk: fp = md5-60 of the
+    * chunk text (the dedup JOIN surface is unchanged — still an md5
+    * key any engine can recompute), expected chunk length ≈ 2^maskBits
+    * characters. Indexing is by Unicode CODE POINT throughout (both
+    * the hash input and the chunk substrings), matching SQL `substr`
+    * semantics on non-ASCII text — a UTF-16 `String.substring` would
+    * split surrogate pairs and diverge from any external replay.
+    * Document-local (no shuffle); chunk-level dedup joins shuffle on
+    * the 8-byte fingerprint.
     */
-  def cdcChunksMd5(
-      text: Column, w: Int = 16, maskBits: Int = 6): Column = {
-    require(w >= 1 && maskBits >= 0 && maskBits < 60,
-      "window must be >= 1 and mask inside the 60-bit hash")
-    val mask = (1L << maskBits) - 1L
+  def cdcChunksGear(text: Column, maskBits: Int = 6): Column = {
+    val mask = GearTable.mask(maskBits) // validates the range
+    val gear = GearTable.values
     val f = udf { s: String =>
       if (s == null) Array.empty[(Long, Int, Int)]
       else {
         val t = s.toLowerCase.replaceAll("\\s+", " ").trim
-        val n = t.length
+        val cps = t.codePoints().toArray
+        val n = cps.length
         if (n == 0) Array.empty[(Long, Int, Int)]
         else {
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -650,15 +659,18 @@ object TextAnalysis {
             (h << 4) | ((dig(7) & 0xf0L) >>> 4)
           }
           val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+          var h = 0
           var p = 0
-          while (p + w <= n) {
-            if ((h60(t.substring(p, p + w)) & mask) == 0L &&
-                cuts.last != p + w) cuts += (p + w)
+          while (p < n) {
+            h = ((h << 1) + gear(cps(p) & 0xff)) & (GearTable.Mod - 1)
+            // a boundary at the last character coincides with the end
+            // bound appended below
+            if ((h & mask) == 0 && p + 1 < n) cuts += (p + 1)
             p += 1
           }
-          if (cuts.last != n) cuts += n
+          cuts += n
           cuts.iterator.zip(cuts.iterator.drop(1)).map { case (a, b) =>
-            (h60(t.substring(a, b)), b - a, a)
+            (h60(new String(cps, a, b - a)), b - a, a)
           }.toArray
         }
       }

@@ -448,7 +448,7 @@ object ExtendedPromQL {
     var mulDiv = List.empty[(Int, Int, Char)] // tier 1: * / % atan2
     var pow = List.empty[(Int, Int, Char)]    // tier 2: ^
     var par = 0; var br = 0; var brace = 0; var inStr = false
-    var prev = ' ' // previous non-space char outside strings
+    var prev = ' ' // previous non-space char outside strings
     val signCtx = "+-*/%^(,"
     var i = 0
     while (i < s.length) {
@@ -459,7 +459,11 @@ object ExtendedPromQL {
           s.startsWith("atan2", i) && !isNameChar(s.charAt(i - 1)) &&
           (i + 5 >= s.length || !isNameChar(s.charAt(i + 5)))) {
         mulDiv ::= ((i, 5, 'A'))
-        prev = '2'
+        // the word operator puts the parser in sign context: a signed
+        // scalar may follow (`x atan2 -3`), so prev must be a signCtx
+        // char — '2' (the word's last char) would read the '-' as a
+        // binary operator and fail with a missing operand
+        prev = '*'
         i += 4 // loop increment covers the 5th char
       } else {
         c match {
@@ -475,7 +479,7 @@ object ExtendedPromQL {
               i > 1 && (s.charAt(i - 2).isDigit || s.charAt(i - 2) == '.') =>
             () // exponent sign inside a scientific-notation scalar (1e-3)
           case '+' | '-' if par == 0 && br == 0 && brace == 0 &&
-              (prev == ' ' || signCtx.indexOf(prev) >= 0) =>
+              (prev == ' ' || signCtx.indexOf(prev) >= 0) =>
             () // leading sign of the following scalar, not an operator
           case '+' | '-' if par == 0 && br == 0 && brace == 0 =>
             addSub ::= ((i, 1, c))
@@ -1602,7 +1606,10 @@ object ExtendedPromQL {
           .withColumn("__d", labelDraw(col("labels")).cast("double") /
             lit((1L << 60).toDouble))
         val kept =
-          if (r >= 0) col("__d") < lit(r)
+          // r = 1.0 keeps ALL series: the ~2^-54 of draws that round
+          // to exactly 1.0 in double space would fail a bare `< 1.0`
+          if (r >= 1.0) lit(true)
+          else if (r >= 0) col("__d") < lit(r)
           else col("__d") >= lit(1.0 + r)
         latest.filter(kept).select("sensor_id", "labels", "value")
       case TopKQ(op, k, by, _, _, _) =>

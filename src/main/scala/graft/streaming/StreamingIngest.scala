@@ -17,6 +17,44 @@ import graft.store.SensorStore
   */
 object StreamingIngest {
 
+  /** Session scoped for stateful-streaming scale. Two knobs a real
+    * deployment must size explicitly instead of inheriting from the
+    * analytics default:
+    *
+    *  - `statePartitions`: the shuffle partition count a stateful query
+    *    reads AT STREAM START and freezes into its checkpoint — it is
+    *    the number of state stores, not a per-batch tunable. A
+    *    stream-stream join opens FOUR stores per partition, so the
+    *    session-wide analytics setting (32 here, hundreds on a
+    *    cluster) multiplies into pure fixed overhead for small-state
+    *    demos and must instead scale with peak watermark-bounded state
+    *    for production joins.
+    *  - `useRocksDb`: swaps the default in-heap HDFSBackedStateStore
+    *    for RocksDB, moving state off-heap with incremental-snapshot
+    *    checkpointing — the provider for state that outgrows executor
+    *    heap (large watermark windows × high key cardinality).
+    *
+    * Returns a NEW session (shared SparkContext, own SQLConf): the
+    * parent session's conf is never mutated, so queries planned
+    * concurrently on it keep their own partitioning — scoping by
+    * session replaces the set-then-restore dance on the shared conf,
+    * which silently leaked the temporary setting to anything planned
+    * inside the window.
+    */
+  def stateScopedSession(
+      spark: SparkSession,
+      statePartitions: Int,
+      useRocksDb: Boolean = false): SparkSession = {
+    require(statePartitions >= 1, "need at least one state partition")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    if (useRocksDb)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    s
+  }
+
   /** Stream a directory of sample files (canonical long layout) into the
     * store. At-least-once: checkpointed source offsets + idempotent
     * append per micro-batch.

@@ -232,7 +232,7 @@ class PlanSpec extends SparkSpec {
   test("cdc chunk dedup shuffles on the fingerprint, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val chunks = docs.select(col("doc_id"),
-      explode(graft.pipeline.TextAnalysis.cdcChunksMd5(col("text"), 16, 6))
+      explode(graft.pipeline.TextAnalysis.cdcChunksGear(col("text"), 6))
         .as("c"))
       .select(col("doc_id"), col("c._1").as("fp"), col("c._2").as("len"))
     val q = chunks.groupBy(col("fp"))
@@ -266,6 +266,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
     assert(plan.contains("Generate"), plan) // the explode node
+  }
+
+  test("quantileProfile production path aggregates with bounded state") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cols = Seq("l_discount", "l_quantity")
+    val approx = planOf(graft.pipeline.Profiler.quantileProfile(
+      li, cols, Seq(0.25, 0.5, 0.75, 0.95)))
+    // the default path must be the Greenwald-Khanna sketch (state
+    // bounded by accuracy), never the exact percentile (state = every
+    // row of every column in the final reduce)
+    assert(approx.contains("percentile_approx"), approx)
+    assert("percentile\\(".r.findFirstIn(approx).isEmpty, approx)
+    // one aggregate pass for all columns: a single partial/final pair
+    assert("Aggregate".r.findAllIn(approx).size <= 2, approx)
+    val exact = planOf(graft.pipeline.Profiler.quantileProfile(
+      li, cols, Seq(0.25, 0.5, 0.75, 0.95), exact = true))
+    assert("percentile\\(".r.findFirstIn(exact).nonEmpty &&
+      !exact.contains("percentile_approx"), exact)
   }
 
   test("gopher flags and pii scrub stay one scan stage, no UDFs") {

@@ -527,6 +527,62 @@ class StoreSpec extends SparkSpec {
       col("labels")("__resample__") === "1 hour").count() == 4)
   }
 
+  test("watermark drops late rows: eviction counted, state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    // the scoped session pins the state-partition count (frozen into
+    // the checkpoint at stream start) and swaps in the RocksDB state
+    // store — the off-heap provider a 100 TB deployment runs; the
+    // stream must behave identically on it
+    val ss = StreamingIngest.stateScopedSession(spark, 2, useRocksDb = true)
+    assert(ss.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "2",
+      "parent session conf must not be mutated")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val us = (m: Int) => m * 60L * 1000000L // minutes → epoch µs
+    val agg = StreamingIngest.windowedResample(
+      in.toDF().toDF("sensor_id", "t_us", "value")
+        .select(col("sensor_id"), timestamp_micros(col("t_us")).as("ts"),
+          col("value")),
+      windowDur = "1 minute", watermarkDur = "10 minutes")
+    val name = s"late_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: rows at 10:00 and 10:20 → watermark advances to 10:10
+      in.addData(("s1", us(600), 1.0), ("s1", us(620), 1.0))
+      q.processAllAvailable()
+      // batch 2: 09:55 is BELOW the 10:10 watermark (late → dropped);
+      // 10:40 advances the watermark again to 10:30
+      in.addData(("s1", us(595), 99.0), ("s1", us(640), 1.0))
+      q.processAllAvailable()
+      // batch 3: push the watermark past every open window
+      in.addData(("s1", us(700), 1.0))
+      q.processAllAvailable()
+      val out = ss.table(name)
+        .select(col("window_start_us"), col("n"), col("avg_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // the late row surfaced NOWHERE: its window was never emitted
+      // and no emitted window absorbed the 99.0
+      assert(!out.exists(_._1 == us(595)), out)
+      assert(out.contains((us(600), 1L, 1.0)), out)
+      assert(out.contains((us(620), 1L, 1.0)), out)
+      assert(out.contains((us(640), 1L, 1.0)), out)
+      // the eviction is observable in the state-operator metrics:
+      // exactly ONE row died to the watermark across the run
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, s"expected 1 late row dropped, got $dropped")
+    } finally {
+      q.stop()
+      ss.catalog.dropTempView(name)
+    }
+  }
+
   test("windowed resample (batch mode) aggregates per tumbling window") {
     val df = Seq(
       ("s1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
