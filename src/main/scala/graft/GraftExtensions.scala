@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpression, SensorUuidExpression,
-  TextShinglesExpression, VecDot8Expression, VecQuantize8Expression,
-  WinnowFpsExpression}
+import graft.functions.{DotProductExpression, GearChunksExpression,
+  SensorUuidExpression, TextShinglesExpression, VecDot8Expression,
+  VecQuantize8Expression, WinnowFpsExpression}
 
 /** Engine extensions registered via `SparkSessionExtensions`: codegen'd
   * Catalyst expressions (`sensor_uuid`, `vec_dot`, `vec_q8`, `vec_dot8`,
@@ -55,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "text_shingles(text, n) takes 2 arguments")
         require(args(1).foldable, "text_shingles n must be a literal")
         TextShinglesExpression(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gear_chunks"),
+      new ExpressionInfo(
+        classOf[GearChunksExpression].getName, "gear_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "gear_chunks(text, mask_bits) takes 2 arguments")
+        require(args(1).foldable, "gear_chunks mask_bits must be a literal")
+        GearChunksExpression(args(0),
           args(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((

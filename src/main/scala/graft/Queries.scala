@@ -4252,8 +4252,8 @@ object Queries {
             concat(col("text"),
               lit(" visit our site today for more great deals")),
             maskBits = 6)).as("c"))
-        .select(col("doc_id"), col("c._1").as("fp"),
-          col("c._2").as("len"), col("c._3").as("a"))
+        .select(col("doc_id"), col("c.fp").as("fp"),
+          col("c.len").as("len"), col("c.start").as("a"))
       val rn = row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("a")))
       chunks.withColumn("rn", rn)
@@ -4546,6 +4546,90 @@ object Queries {
         .agg(count(lit(1)).as("n_views"))
         .select(col("user_id"), col("n_views"), col("clicks"))
         .orderBy("user_id")
+    },
+
+    // Population Stability Index between two corpus snapshots (even vs
+    // odd order keys, the q117 split): FIXED bucket edges (replayable —
+    // quantile-derived edges would make the metric depend on the
+    // snapshot), Laplace-smoothed shares so no bucket divides by zero,
+    // per-bucket (p−q)·ln(p/q) contributions. The oracle replays the
+    // identical bucket/smoothing/ln arithmetic; ROUND(6) absorbs the
+    // libm ulp (the q119 Zipf precedent).
+    q(
+      "q130_psi_drift",
+      """WITH base AS (
+        |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+        |cur AS (
+        |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+        |bb AS (
+        |  SELECT LEAST(9, GREATEST(0,
+        |    CAST(FLOOR((v - 0.0) / 50000.0) AS INT))) AS bucket,
+        |    COUNT(*) AS n_base
+        |  FROM base GROUP BY 1),
+        |cb AS (
+        |  SELECT LEAST(9, GREATEST(0,
+        |    CAST(FLOOR((v - 0.0) / 50000.0) AS INT))) AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM cur GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(10)) AS INT) AS bucket),
+        |j AS (
+        |  SELECT spine.bucket, COALESCE(n_base, 0) AS n_base,
+        |    COALESCE(n_cur, 0) AS n_cur
+        |  FROM spine LEFT JOIN bb USING (bucket) LEFT JOIN cb USING (bucket)),
+        |t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j)
+        |SELECT bucket, n_base, n_cur,
+        |  ROUND((p - q) * ln(p / q), 6) AS psi_part
+        |FROM (
+        |  SELECT j.bucket, j.n_base, j.n_cur,
+        |    (j.n_base + 0.5) / (t.tb + 0.5 * 10) AS p,
+        |    (j.n_cur + 0.5) / (t.tc + 0.5 * 10) AS q
+        |  FROM j, t)
+        |ORDER BY bucket"""
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      graft.pipeline.Profiler.psi(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          "o_totalprice", lo = 0.0, hi = 500000.0, k = 10)
+        .select(col("bucket"), col("n_base"), col("n_cur"),
+          round(col("psi_part"), 6).as("psi_part"))
+        .orderBy("bucket")
+    },
+
+    // Token-budget mixture downsampling: "train on 40k chars at 40/30/
+    // 20/10 src0..src3" becomes per-source keep rates computed FROM the
+    // corpus (rate = min(1, budget·share / source_chars) — short
+    // sources cap at keep-everything, absent sources rate 0), then the
+    // engine-portable (salt, id) draw per row. The oracle recomputes
+    // the same rate table and replays the same predicate, both arms.
+    q(
+      "q131_budget_mix",
+      s"""WITH tok AS (
+         |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+         |  FROM documents GROUP BY 1),
+         |r AS (
+         |  SELECT source, LEAST(1.0,
+         |    (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+         |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+         |      ELSE 0.0 END) * 40000.0 / tok) AS rate
+         |  FROM tok)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+         |FROM documents d JOIN r USING (source)
+         |WHERE r.rate >= 1.0
+         |  OR ('0x' || substr(md5('mix0:' || d.doc_id), 1, 15))
+         |    ::BIGINT::DOUBLE < r.rate * ${(1L << 60).toDouble}
+         |GROUP BY 1 ORDER BY 1"""
+    ) { (s, d) =>
+      graft.pipeline.Sampling.mixToBudget(
+          Tables.documents(s, d), "doc_id", "source", "n_chars",
+          shares = Map("src0" -> 0.4, "src1" -> 0.3,
+            "src2" -> 0.2, "src3" -> 0.1),
+          budgetTokens = 40000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("source")
     }
   )
 

@@ -127,6 +127,48 @@ object Profiler {
     }
   }
 
+  /** Population Stability Index between two snapshots of one numeric
+    * column — the standard "did the distribution move" gate between
+    * pipeline runs, complementing [[drift]]'s mean-shift with a full
+    * shape comparison: fixed-width buckets over [lo, hi) (FIXED edges,
+    * not quantile-derived, so the metric is deterministic and
+    * replayable), Laplace-smoothed shares p_b = (n_b + 0.5)/(N + k/2)
+    * (no bucket divides by zero), per-bucket contribution
+    * (p_b − q_b)·ln(p_b/q_b) ≥ 0. PSI = the sum; rule of thumb:
+    * < 0.1 stable, > 0.25 shifted.
+    *
+    * Scale shape: each snapshot pays one scan + one k-bucket
+    * aggregate (map-side combined); the k-row results broadcast onto
+    * a k-row spine. Nothing is O(rows) after the scans.
+    */
+  def psi(
+      baseline: DataFrame, current: DataFrame, c: String,
+      lo: Double, hi: Double, k: Int): DataFrame = {
+    require(k >= 2, "need at least two buckets")
+    require(hi > lo, "empty value range")
+    val w = (hi - lo) / k
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .select(least(lit(k - 1), greatest(lit(0),
+        floor((col(c) - lo) / w).cast("int"))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val spine = baseline.sparkSession.range(k)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(broadcast(counts(baseline, "n_base")), Seq("bucket"), "left")
+      .join(broadcast(counts(current, "n_cur")), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        ((col("n_base") + 0.5) / (col("__tb") + 0.5 * k)).as("p"),
+        ((col("n_cur") + 0.5) / (col("__tc") + 0.5 * k)).as("q"))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        ((col("p") - col("q")) * log(col("p") / col("q"))).as("psi_part"))
+  }
+
   /** Drift report between two profile snapshots (the corpus-health
     * check between pipeline runs): per column, both means, the mean
     * shift normalized by the BASELINE stddev (a z-score-flavored

@@ -85,6 +85,43 @@ object Sampling {
       hash60(col(idCol), salt).cast("double") <
         weight * lit((1L << 60).toDouble))
 
+  /** Token-budget mixture downsampling — the data-mixing move that
+    * turns "train on B tokens at these source proportions" into
+    * per-row keep decisions: each source's keep RATE is
+    * `min(1, budget·share / source_tokens)` (computed FROM the data —
+    * one per-source token aggregate, broadcast back), and rows then
+    * survive the same engine-portable (salt, id) draw as
+    * [[weightedSample]], so the expected kept token mass of source s
+    * is `budget·share(s)` (capped at everything the source has — a
+    * short source undershoots its share rather than inventing data;
+    * pair with [[oversample]] when repetition is acceptable).
+    * Deterministic end-to-end: same corpus, same budget, same salt →
+    * the same rows on any engine. Sources absent from `shares` get
+    * rate 0. Scale shape: one map-side-combined aggregate over the
+    * corpus, a source-count-sized broadcast join, and the scan-stage
+    * predicate — nothing is O(rows) past the scans.
+    */
+  def mixToBudget(
+      df: DataFrame, idCol: String, sourceCol: String, tokenCol: String,
+      shares: Map[String, Double], budgetTokens: Long,
+      salt: String = "mix0:"): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    shares.values.foreach(s =>
+      require(s >= 0.0 && s.isFinite, "shares must be non-negative"))
+    val share = shares.toSeq.sortBy(_._1).foldLeft(lit(0.0).as("__share")) {
+      case (acc, (s, v)) => when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__tok"))
+      .select(col(sourceCol), least(lit(1.0),
+        share * lit(budgetTokens.toDouble) / col("__tok")).as("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(col("__rate") >= lit(1.0) ||
+        hash60(col(idCol), salt).cast("double") <
+          col("__rate") * lit((1L << 60).toDouble))
+      .drop("__rate")
+  }
+
   /** Deterministic exact-k selection per stratum (fixed eval sets,
     * per-source golden subsets): within each stratum keep the k rows
     * with the smallest (salt, id) draws — same engine-portable hash as

@@ -636,9 +636,21 @@ object TextAnalysis {
     * semantics on non-ASCII text — a UTF-16 `String.substring` would
     * split surrogate pairs and diverge from any external replay.
     * Document-local (no shuffle); chunk-level dedup joins shuffle on
-    * the 8-byte fingerprint.
+    * the 8-byte fingerprint. Runs as the codegen'd `gear_chunks`
+    * Expression (no per-document encoder round-trip); the retained UDF
+    * twin below pins output parity in PipelineSpec.
     */
   def cdcChunksGear(text: Column, maskBits: Int = 6): Column = {
+    GearTable.mask(maskBits) // validates the range eagerly
+    call_function("gear_chunks", text, lit(maskBits))
+  }
+
+  /** Reference UDF implementation of [[cdcChunksGear]] — kept (not used
+    * on any query path) as the parity oracle for the codegen'd
+    * Expression.
+    */
+  private[graft] def cdcChunksGearUdf(
+      text: Column, maskBits: Int = 6): Column = {
     val mask = GearTable.mask(maskBits) // validates the range
     val gear = GearTable.values
     val f = udf { s: String =>

@@ -504,6 +504,48 @@ class PipelineSpec extends SparkSpec {
     assert(exTop == apTop)
   }
 
+  test("psi: identical snapshots score zero, a shifted one scores big") {
+    import spark.implicits._
+    import graft.pipeline.Profiler
+    val a = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Profiler.psi(a, a, "v", 0.0, 100.0, 10)
+      .agg(sum("psi_part")).head().getDouble(0)
+    assert(math.abs(same) < 1e-12, s"identical snapshots: psi $same")
+    // out-of-range values clamp into the edge buckets instead of
+    // falling off the histogram
+    val shifted = a.select((col("v") + 80.0).as("v"))
+    val moved = Profiler.psi(a, shifted, "v", 0.0, 100.0, 10)
+      .agg(sum("psi_part")).head().getDouble(0)
+    assert(moved > 0.25, s"shifted snapshot: psi $moved")
+    assert(Profiler.psi(a, shifted, "v", 0.0, 100.0, 10).count() == 10)
+  }
+
+  test("mixToBudget: rates cap at 1, absent sources drop, budget holds") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // srcA has 10k tokens, srcB has 100k, srcC is not in the mix
+    val df = ((1 to 100).map(i => (s"a$i", "srcA", 100L)) ++
+      (1 to 1000).map(i => (s"b$i", "srcB", 100L)) ++
+      (1 to 50).map(i => (s"c$i", "srcC", 100L)))
+      .toDF("id", "source", "n_tok")
+    val kept = Sampling.mixToBudget(df, "id", "source", "n_tok",
+      shares = Map("srcA" -> 0.5, "srcB" -> 0.5), budgetTokens = 40000L)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    // srcA: rate = min(1, 20000/10000) = 1 → ALL kept (boundary arm)
+    assert(bySrc.getOrElse("srcA", 0L) == 100L, bySrc)
+    // srcB: rate = 20000/100000 = 0.2 → ~200 of 1000 ± draw noise
+    val nb = bySrc.getOrElse("srcB", 0L)
+    assert(nb > 140L && nb < 260L, s"srcB kept $nb")
+    // srcC: no share → dropped entirely
+    assert(!bySrc.contains("srcC"), bySrc)
+    // deterministic: the same call keeps the same rows
+    assert(kept.select("id").collect().toSeq ==
+      Sampling.mixToBudget(df, "id", "source", "n_tok",
+        Map("srcA" -> 0.5, "srcB" -> 0.5), 40000L)
+        .select("id").collect().toSeq)
+  }
+
   test("saltedJoin: identical to the plain join, hot keys spread") {
     import spark.implicits._
     import graft.operators.SaltedJoin
@@ -608,7 +650,7 @@ class PipelineSpec extends SparkSpec {
     def fps(s: String): Set[Long] =
       Seq(s).toDF("t")
         .select(explode(TextAnalysis.cdcChunksGear(col("t"), 4)).as("c"))
-        .select("c._1").as[Long].collect().toSet
+        .select("c.fp").as[Long].collect().toSet
     val a = fps(base)
     val b = fps(edited)
     assert(a.size > 10, s"want many chunks, got ${a.size}")
@@ -617,8 +659,27 @@ class PipelineSpec extends SparkSpec {
     // chunks reassemble the document: lengths sum to the text length
     val lens = Seq(base).toDF("t")
       .select(explode(TextAnalysis.cdcChunksGear(col("t"), 4)).as("c"))
-      .select("c._2").as[Int].collect()
+      .select("c.len").as[Int].collect()
     assert(lens.sum == base.length)
+  }
+
+  test("cdcChunksGear: codegen Expression ≡ UDF twin on real docs") {
+    import graft.pipeline.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(c: org.apache.spark.sql.Column): Set[(Long, Long, Int, Int)] =
+      docs.select(col("doc_id"), explode(c).as("c"))
+        .select(col("doc_id").cast("long"), col("c.fp"),
+          col("c.len"), col("c.start"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val expr = rows(TextAnalysis.cdcChunksGear(col("text"), 6))
+    val udfT = docs.select(col("doc_id"),
+        explode(TextAnalysis.cdcChunksGearUdf(col("text"), 6)).as("c"))
+      .select(col("doc_id").cast("long"), col("c._1"), col("c._2"),
+        col("c._3"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(expr == udfT)
   }
 
   test("cdcChunksGear: code-point indexing on non-ASCII text") {
@@ -634,7 +695,7 @@ class PipelineSpec extends SparkSpec {
       else ('a' + rnd.nextInt(26)).toChar.toString).mkString
     val rows = Seq(doc).toDF("t")
       .select(explode(TextAnalysis.cdcChunksGear(col("t"), 4)).as("c"))
-      .select("c._2", "c._3").as[(Int, Int)].collect().sortBy(_._2)
+      .select("c.len", "c.start").as[(Int, Int)].collect().sortBy(_._2)
     val nCp = doc.codePointCount(0, doc.length)
     assert(rows.map(_._1).sum == nCp, s"lengths must sum to $nCp")
     // chunks tile the code-point range exactly

@@ -234,13 +234,16 @@ class PlanSpec extends SparkSpec {
     val chunks = docs.select(col("doc_id"),
       explode(graft.pipeline.TextAnalysis.cdcChunksGear(col("text"), 6))
         .as("c"))
-      .select(col("doc_id"), col("c._1").as("fp"), col("c._2").as("len"))
+      .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("len"))
     val q = chunks.groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("chars"))
       .filter(col("n") > 1)
     val plan = planOf(q)
     assert(!plan.contains("CartesianProduct"), plan)
     assert("Exchange".r.findAllIn(plan).size <= 1, plan) // fp-keyed only
+    // the chunking scan is the codegen'd gear_chunks Expression, not a
+    // Scala UDF with its per-document encoder round-trip
+    assert(!plan.contains("ScalaUDF"), plan)
   }
 
   test("bandJoin rides an equi-join, never a nested-loop theta join") {
