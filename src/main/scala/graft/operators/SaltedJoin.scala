@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   /** Left-side keys hotter than `hotThreshold`, as a broadcastable
-    * (key, __hot) frame: one map-side-combined count, materialized
-    * eagerly (the hot-key set is bounded by cardinality/threshold, so
-    * the blocks are tiny) for reuse across the routing decision and
-    * both join sides.
+    * (key, __hot) frame: one map-side-combined count. Deliberately NOT
+    * checkpointed here — within a single join plan the two broadcast
+    * consumers already share one physical exchange (ReusedExchange),
+    * so a checkpoint would only add a job; [[autoJoin]] checkpoints
+    * lazily where reuse genuinely crosses jobs (the routing action and
+    * the join), and multi-join callers hold their own reference via
+    * [[joinWithCensus]].
     */
   def hotKeyCensus(
       left: DataFrame, key: String, hotThreshold: Long): DataFrame = {
@@ -40,7 +43,6 @@ object SaltedJoin {
     left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
       .select(col(key), lit(true).as("__hot"))
-      .localCheckpoint(true)
   }
 
   /** @param left  fact side carrying the skew; all columns survive
@@ -112,7 +114,10 @@ object SaltedJoin {
     val overlap = (left.columns.toSet & right.columns.toSet) - key
     require(overlap.isEmpty,
       s"non-key columns must be disjoint, both sides have: $overlap")
-    val census = hotKeyCensus(left, key, hotThreshold)
+    // lazy checkpoint: the routing action below materializes the (tiny)
+    // hot-key blocks once; the salted join then reads the SAME blocks
+    // instead of re-running the census aggregate
+    val census = hotKeyCensus(left, key, hotThreshold).localCheckpoint(false)
     if (census.isEmpty) left.join(right, key)
     else joinWithCensus(left, right, key, salts, census)
   }

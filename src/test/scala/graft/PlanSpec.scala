@@ -289,6 +289,21 @@ class PlanSpec extends SparkSpec {
       !exact.contains("percentile_approx"), exact)
   }
 
+  test("categoricalProfile top-k plans WindowGroupLimit") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val q = graft.pipeline.Profiler.categoricalProfile(
+      li, Seq("l_returnflag", "l_linestatus"), k = 3,
+      approxDistinct = true)
+    val plan = planOf(q)
+    // the rank <= k filter must push a per-partition group limit below
+    // the shuffle: each task keeps at most k rows per column BEFORE the
+    // exchange, so the window never materializes a column's full
+    // distinct-value set on one task (the HLL path already bounds the
+    // n_distinct side)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("approx_count_distinct"), plan)
+  }
+
   test("gopher flags and pii scrub stay one scan stage, no UDFs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val gq = docs.select(
