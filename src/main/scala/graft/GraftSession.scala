@@ -11,6 +11,13 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS); read as Long ns
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // testdata timestamps are NAIVE parquet timestamp[us]
+    // (isAdjustedToUTC=false), which Spark 4 would otherwise surface as
+    // TIMESTAMP_NTZ — a type unix_micros()/window() reject and the
+    // DuckDB oracle never sees (it reads the same file as a plain
+    // TIMESTAMP). Reading them as session-TZ TimestampType under the
+    // UTC session keeps the stored micros bit-identical on both sides.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     // last-wins map keys match the reference's insert-overwrites label
     // semantics (influx duplicate tag keys, reserved bucket/org labels)

@@ -3979,9 +3979,13 @@ object Queries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$d/events.parquet"))
         val schema = Tables.load(s, d, "events").schema
-        val stream = ss.readStream.schema(schema)
+        val raw = ss.readStream.schema(schema)
           .parquet(streamDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        val stream =
+          if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else raw
         // user_id < 10 bounds the state-store demo: the machinery cost
         // (two state stores, per-row puts) is the fixed overhead being
         // exercised, not the corpus size
@@ -4630,6 +4634,143 @@ object Queries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("kept_chars"))
         .orderBy("source")
+    },
+
+    // Temperature-flattened mixture (√-scaling, the multilingual-mix
+    // move): per-source budget share ∝ √tokens instead of tokens, so
+    // small sources are boosted. α is fixed at 0.5 because IEEE sqrt is
+    // correctly rounded on every engine (libm pow is not); the
+    // normalizer Σ√tok is folded in EXPLICIT source order on both
+    // sides, never a data-ordered float SUM. Exercises capped (small
+    // SFs) and fractional (sf0.1) rate arms plus rate-0 for the 16
+    // sources outside the mix.
+    q(
+      "q132_temperature_mix",
+      s"""WITH tok AS (
+         |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+         |  FROM documents WHERE source IN ('src0','src1','src2','src3')
+         |  GROUP BY 1),
+         |n AS (SELECT
+         |  ((sqrt(COALESCE((SELECT tok FROM tok WHERE source='src0'), 0))
+         |   + sqrt(COALESCE((SELECT tok FROM tok WHERE source='src1'), 0)))
+         |   + sqrt(COALESCE((SELECT tok FROM tok WHERE source='src2'), 0)))
+         |   + sqrt(COALESCE((SELECT tok FROM tok WHERE source='src3'), 0))
+         |  AS norm),
+         |r AS (
+         |  SELECT source, LEAST(1.0::DOUBLE,
+         |    33000.0 * sqrt(tok) / (SELECT norm FROM n) / tok) AS rate
+         |  FROM tok)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+         |FROM documents d JOIN r USING (source)
+         |WHERE r.rate >= 1.0
+         |  OR ('0x' || substr(md5('temp0:' || d.doc_id), 1, 15))
+         |    ::BIGINT::DOUBLE < r.rate * ${(1L << 60).toDouble}
+         |GROUP BY 1 ORDER BY 1"""
+    ) { (s, d) =>
+      graft.pipeline.Sampling.temperatureMix(
+          Tables.documents(s, d), "doc_id", "source", "n_chars",
+          sources = Seq("src0", "src1", "src2", "src3"),
+          budgetTokens = 33000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+
+    // Sequential Poisson sampling (Ohlsson): EXACTLY k rows, inclusion
+    // probability ∝ weight — rank by draw/weight, keep the k smallest.
+    // The key is one IEEE division of engine-identical operands (no
+    // pow/ln whose libm drift could flip the kth boundary); Spark plans
+    // TakeOrderedAndProject (per-partition heaps), pinned in PlanSpec.
+    q(
+      "q133_seq_poisson_sample",
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE n_chars > 0
+        |  ORDER BY ('0x' || substr(md5('sps0:' || doc_id), 1, 15))
+        |    ::BIGINT::DOUBLE / n_chars::DOUBLE, doc_id
+        |  LIMIT 60)
+        |ORDER BY doc_id"""
+    ) { (s, d) =>
+      graft.pipeline.Sampling.sequentialPoissonSample(
+          Tables.documents(s, d), "doc_id", col("n_chars"), k = 60)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // SemDeDup-style semantic dedup: k-means-cluster the embedding
+    // space (q98's exact config — lowest-id init, two Lloyd rounds),
+    // then drop every vector with a LOWER-id ≥τ cosine neighbor in its
+    // own cluster. Survivor guarantee: no two kept vectors in one
+    // cluster are within τ. The oracle replays the full pipeline —
+    // both Lloyd iterations, the final assignment, the within-cluster
+    // pair scan, and the anti-join. τ=0.44 sits ≥2.7e-3 from the
+    // nearest within-cluster cosine at all three SFs (probed), so the
+    // cut can never flip on last-ulp engine drift. The vec_id cap
+    // bounds the oracle's quadratic pair stage the same way q46's does;
+    // the cluster-scoped Σ|c|² scale shape is the library story.
+    q(
+      "q134_semdedup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 600),
+        |c0 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c0.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
+        |    FROM e, c0) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a1 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
+        |    USING (cid)),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
+        |    FROM e, c1) WHERE rnk = 1),
+        |m2 AS (
+        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a2 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
+        |    USING (cid)),
+        |a3 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
+        |    FROM e, c2) WHERE rnk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.44)
+        |SELECT a3.vec_id, CAST(a3.cid AS INT) AS cluster
+        |FROM a3 ANTI JOIN dropped ON a3.vec_id = dropped.vec_id
+        |ORDER BY vec_id"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 600)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+      graft.pipeline.Dedup.semDedup(e, tau = 0.44, k = 8, iters = 2)
+        .orderBy("vec_id")
     }
   )
 

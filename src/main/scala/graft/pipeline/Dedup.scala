@@ -523,4 +523,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with k-means, then drop every vector that has a
+    * LOWER-id neighbor in its own cluster with cosine ≥ `tau` — near-
+    * duplicate *meaning*, not near-duplicate *bytes*, which n-gram /
+    * MinHash families cannot see (a paraphrase shares no shingles).
+    * Keeping the lowest id per semantic neighborhood makes the pass
+    * deterministic and gives the defining guarantee directly: NO TWO
+    * SURVIVORS in the same cluster are within `tau` of each other (if
+    * kept a < kept b were, b would have been dropped by a).
+    *
+    * The clustering is what makes this survive corpus scale: the
+    * pairwise cosine stage is confined to within-cluster pairs, so its
+    * cost is Σ|c|² instead of N² — `k` is the knob that trades recall
+    * across cluster boundaries for quadratic blow-up, exactly the
+    * paper's design. Assignment reuses [[Similarity.kmeansAssign]]
+    * (deterministic lowest-id init + Lloyd refinement; one
+    * (cluster, position) shuffle per iteration), the pair stage
+    * shuffles on the cluster id, and the verdict is a broadcast-size
+    * anti-join when duplicates are rare. Returns (vec_id, cluster) for
+    * every SURVIVING vector.
+    */
+  def semDedup(
+      vectors: DataFrame, // (vec_id, vec: array<double>)
+      tau: Double,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val assign = Similarity.kmeansAssign(vectors, k, iters)
+    val e = vectors.join(assign, "vec_id")
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          Similarity.cosine(col("a.vec"), col("b.vec")) >= lit(tau))
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
 }

@@ -122,6 +122,90 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Temperature-flattened mixture downsampling — the multilingual /
+    * multi-source "α-scaling" move: instead of sampling sources at
+    * their natural proportions (α=1, which lets one giant source drown
+    * the mix) each source's share of the budget is proportional to
+    * `tok_s^α`; the standard √-flattening (α=0.5, the published
+    * default for multilingual pretraining mixes) boosts small sources
+    * by the square-root of their deficit. Keep rate per source:
+    * `min(1, budget · √tok_s / Σ_t √tok_t / tok_s)`, then the same
+    * engine-portable (salt, id) draw as [[weightedSample]].
+    *
+    * α is FIXED at 0.5 here deliberately: `sqrt` is correctly rounded
+    * in IEEE-754 on every engine, so the rate — and therefore the kept
+    * SET — replays bit-identically off-Spark, which a general
+    * `pow(tok, α)` cannot promise (libm `pow` is faithfully- but not
+    * correctly-rounded and may differ per platform in the last ulp).
+    * The normalizer is summed in EXPLICIT `sources` order as a
+    * left-assoc fold of per-source conditional aggregates — never a
+    * data-ordered float SUM whose reduction order could flip a ulp.
+    * Sources absent from `sources` get rate 0; sources listed but
+    * absent from the corpus contribute √0 = 0 to the normalizer.
+    * Scale shape: identical to [[mixToBudget]] — one map-side-combined
+    * aggregate (k conditional sums in a single 1-row pass), a 1-row
+    * broadcast, and the scan-stage predicate.
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, sourceCol: String, tokenCol: String,
+      sources: Seq[String], budgetTokens: Long,
+      salt: String = "temp0:"): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    require(sources.nonEmpty, "at least one source")
+    require(sources.distinct == sources, "sources must be distinct")
+    val aggs = sources.zipWithIndex.map { case (s0, i) =>
+      coalesce(sum(when(col(sourceCol) === s0, col(tokenCol))), lit(0L))
+        .cast("double").as(s"__t_$i")
+    }
+    val norm = sources.indices
+      .map(i => sqrt(col(s"__t_$i")))
+      .reduceLeft(_ + _).as("__norm")
+    val totals = broadcast(
+      df.agg(aggs.head, aggs.tail: _*).select(col("*"), norm))
+    val rate = sources.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (s0, i)) =>
+        when(col(sourceCol) === s0, least(lit(1.0),
+          lit(budgetTokens.toDouble) * sqrt(col(s"__t_$i")) /
+            col("__norm") / col(s"__t_$i"))).otherwise(acc)
+    }
+    df.crossJoin(totals)
+      .filter(rate >= lit(1.0) ||
+        hash60(col(idCol), salt).cast("double") <
+          rate * lit((1L << 60).toDouble))
+      .drop(sources.indices.map(i => s"__t_$i") :+ "__norm": _*)
+  }
+
+  /** Sequential Poisson sampling (Ohlsson 1998): deterministic
+    * probability-proportional-to-size selection of EXACTLY k rows —
+    * rank every row by `draw / weight` (draw = the 60-bit (salt, id)
+    * hash as a double) and keep the k smallest, ties to the lower id.
+    * Heavier rows get proportionally smaller keys, so inclusion
+    * probability approaches the textbook `k·w / Σw` PPS target while
+    * the SAMPLE SIZE is hard, which per-row Bernoulli thinning
+    * ([[weightedSample]]) cannot give. The ranking key is a single
+    * IEEE division of engine-identical operands — no `pow`/`ln` of the
+    * Efraimidis-Spirakis exponential formulation, whose last-ulp libm
+    * drift could flip the kth boundary between engines.
+    *
+    * Scale shape: a pure scan-stage key computation into a global
+    * top-k — Spark plans `TakeOrderedAndProject` (per-partition heaps,
+    * single k-row merge on the driver), never a full sort or a single
+    * ordered shuffle. Rows with weight ≤ 0 are excluded (they'd rank
+    * last anyway via +Inf, but NULL weights would rank FIRST — the
+    * explicit filter keeps both out).
+    */
+  def sequentialPoissonSample(
+      df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String = "sps0:"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    df.filter(weight > lit(0.0))
+      .withColumn("__key",
+        hash60(col(idCol), salt).cast("double") / weight.cast("double"))
+      .orderBy(col("__key"), col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Deterministic exact-k selection per stratum (fixed eval sets,
     * per-source golden subsets): within each stratum keep the k rows
     * with the smallest (salt, id) draws — same engine-portable hash as

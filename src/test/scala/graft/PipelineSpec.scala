@@ -1278,4 +1278,113 @@ class PipelineSpec extends SparkSpec {
     val expFrames = (firstDoc.media.length / 1000) + 1
     assert(byId(frames.head.media_id).length == (expFrames - 1) / 3 + 1)
   }
+
+  test("temperatureMix: sqrt-flattened rates, capped and zero arms") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // source a: 4000 rows of weight 1; source b: 250 rows; source c
+    // is in the corpus but OUTSIDE the mix (must vanish)
+    val df = ((1L to 4000L).map(i => (i, "a", 1L)) ++
+      (4001L to 4250L).map(i => (i, "b", 1L)) ++
+      (4251L to 4300L).map(i => (i, "c", 1L)))
+      .toDF("id", "src", "tok")
+    val out = Sampling.temperatureMix(df, "id", "src", "tok",
+      sources = Seq("a", "b"), budgetTokens = 1000L)
+    val bySrc = out.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(!bySrc.contains("c"))
+    // rates: norm = sqrt(4000)+sqrt(250); rate_a = 1000*sqrt(4000)/norm
+    // /4000 ≈ 0.200, rate_b = 1000*sqrt(250)/norm/250 ≈ 0.801 — the
+    // √-flattening gives the small source ~4x the keep rate (it is 16x
+    // smaller, √16 = 4), where natural-proportion mixing gives equal
+    // rates. Check both kept counts within binomial noise of n·rate.
+    val norm = math.sqrt(4000.0) + math.sqrt(250.0)
+    val ra = 1000.0 * math.sqrt(4000.0) / norm / 4000.0
+    val rb = 1000.0 * math.sqrt(250.0) / norm / 250.0
+    assert(math.abs(bySrc("a") - 4000 * ra) < 4 * math.sqrt(4000 * ra * (1 - ra)))
+    assert(math.abs(bySrc("b") - 250 * rb) < 4 * math.sqrt(250 * rb * (1 - rb)))
+    // huge budget → every listed-source row survives (rate capped at 1)
+    val all = Sampling.temperatureMix(df, "id", "src", "tok",
+      sources = Seq("a", "b"), budgetTokens = 1000000L)
+    assert(all.count() == 4250L)
+    // determinism: identical reruns keep the identical set
+    val again = Sampling.temperatureMix(df, "id", "src", "tok",
+      sources = Seq("a", "b"), budgetTokens = 1000L)
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+
+  test("sequentialPoissonSample: exact k, PPS-ranked, brute-force match") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val df = (1L to 500L).map(i => (i, (i % 13) + 1L)).toDF("id", "w")
+    val out = Sampling.sequentialPoissonSample(df, "id", col("w"), k = 40,
+      salt = "t:")
+    assert(out.count() == 40L)
+    // brute-force replay: same draw, same key, same top-40
+    val keys = df.withColumn("h", Sampling.hash60(col("id"), "t:"))
+      .select(col("id"), col("h").cast("double") / col("w").cast("double"))
+      .as[(Long, Double)].collect()
+    val expect = keys.sortBy(t => (t._2, t._1)).take(40).map(_._1).toSet
+    assert(out.select("id").as[Long].collect().toSet == expect)
+    // non-positive weights are excluded even when k exceeds the rest
+    val withZero = ((1L to 10L).map(i => (i, 0L)) ++
+      (11L to 15L).map(i => (i, 5L))).toDF("id", "w")
+    val kept = Sampling.sequentialPoissonSample(
+      withZero, "id", col("w"), k = 100).select("id").as[Long].collect()
+    assert(kept.toSet == (11L to 15L).toSet)
+    // heavier rows are sampled more often: expected inclusion under PPS
+    // is increasing in w — check the aggregate rank statistic instead of
+    // per-row flakiness: mean weight of the sample exceeds corpus mean
+    val meanW = out.agg(avg("w")).as[Double].head()
+    val corpusMeanW = df.agg(avg("w")).as[Double].head()
+    assert(meanW > corpusMeanW, s"$meanW <= $corpusMeanW")
+  }
+
+  test("semDedup: planted semantic dups drop, survivors pairwise < tau") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // 60 well-separated random-ish vectors plus planted duplicates of
+    // ids 3 and 7 at higher ids (same direction, different norm — cosine
+    // 1.0 exactly)
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian()).toSeq)
+    }
+    // scale factors near 1 keep the copies EUCLIDEAN-close too, so
+    // k-means (which clusters on distance, not direction) must land
+    // them with their originals; cosine stays exactly 1.0 regardless
+    val planted = Seq(
+      (100L, base(3)._2.map(_ * 1.02)),
+      (101L, base(7)._2.map(_ * 0.99)),
+      (102L, base(3)._2.map(_ * 1.01)))
+    val vecs = (base ++ planted).toDF("vec_id", "vec")
+    val out = graft.pipeline.Dedup.semDedup(vecs, tau = 0.95, k = 4,
+      iters = 2)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    // the lowest id of each planted group survives; the copies never do
+    assert(kept.contains(3L) && kept.contains(7L))
+    assert(!kept.contains(100L) && !kept.contains(101L) &&
+      !kept.contains(102L))
+    // defining guarantee: no two survivors share a cluster within tau
+    val keptVecs = vecs.join(out, "vec_id")
+    val violations = keptVecs.as("a").join(keptVecs.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          Similarity.cosine(col("a.vec"), col("b.vec")) >= lit(0.95))
+      .count()
+    assert(violations == 0L)
+    // every dropped vector is justified: it has a lower-id neighbor at
+    // >= tau inside its own cluster (nothing vanishes without cause)
+    val assign = Similarity.kmeansAssign(vecs, k = 4, iters = 2)
+    val clustered = vecs.join(assign, "vec_id")
+    val droppedIds = clustered.select("vec_id").as[Long].collect()
+      .toSet -- kept
+    val justified = clustered.as("a").join(clustered.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          Similarity.cosine(col("a.vec"), col("b.vec")) >= lit(0.95))
+      .select(col("b.vec_id")).as[Long].collect().toSet
+    assert(droppedIds.subsetOf(justified), droppedIds -- justified)
+  }
 }

@@ -350,4 +350,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan) // reassembly is an aggregate
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("sequentialPoissonSample plans TakeOrderedAndProject, no sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.Sampling.sequentialPoissonSample(
+      docs, "doc_id", col("n_chars"), k = 60)
+    val plan = planOf(q)
+    // global top-k must be per-partition heaps + a k-row driver merge,
+    // never a total sort behind a single-partition exchange
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("temperatureMix: one aggregate pass, 1-row broadcast, no UDF") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.Sampling.temperatureMix(
+      docs, "doc_id", "source", "n_chars",
+      sources = Seq("src0", "src1", "src2"), budgetTokens = 10000L)
+    val plan = planOf(q)
+    // the normalizer is k conditional sums in ONE ungrouped aggregate
+    // (partial + final = 2 exchanges max), broadcast back as one row —
+    // the corpus side itself never shuffles
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
