@@ -4771,6 +4771,100 @@ object Queries {
           col("embedding").cast("array<double>").as("vec"))
       graft.pipeline.Dedup.semDedup(e, tau = 0.44, k = 8, iters = 2)
         .orderBy("vec_id")
+    },
+
+    // BM25 retrieval scoring (Robertson/Lucene idf), top-10 docs for a
+    // fixed 3-term query. Per-term contributions pivot into one
+    // conditional aggregate per LITERAL term and add in explicit order
+    // (each cell holds at most the single (doc, term) tf row — no
+    // float-sum reduction-order freedom anywhere); doc lengths and
+    // their total stay integer sums. ln agrees across engines to well
+    // under the ROUND(6) output surface; ranking compares raw scores,
+    // where identical docs tie bit-exactly and distinct docs differ
+    // macroscopically.
+    q(
+      "q135_bm25",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |lens AS (SELECT id, SUM(tf) AS len FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg
+        |  FROM lens),
+        |dfs AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        |  WHERE token IN ('spark', 'hash', 'window') GROUP BY 1),
+        |c AS (
+        |  SELECT tf.id, tf.token,
+        |    ln(1.0::DOUBLE + (s.n - dfs.df + 0.5::DOUBLE) /
+        |        (dfs.df + 0.5::DOUBLE)) *
+        |      (tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE *
+        |        (0.25::DOUBLE + 0.75::DOUBLE * lens.len / s.avg))) AS c
+        |  FROM tf JOIN dfs USING (token) JOIN lens USING (id)
+        |  CROSS JOIN stats s),
+        |p AS (
+        |  SELECT id,
+        |    SUM(CASE WHEN token = 'spark' THEN c END) AS s0,
+        |    SUM(CASE WHEN token = 'hash' THEN c END) AS s1,
+        |    SUM(CASE WHEN token = 'window' THEN c END) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT id, ROUND(score, 6) AS score FROM (
+        |  SELECT id, (COALESCE(s0, 0.0::DOUBLE) +
+        |    COALESCE(s1, 0.0::DOUBLE)) + COALESCE(s2, 0.0::DOUBLE)
+        |    AS score
+        |  FROM p ORDER BY score DESC, id LIMIT 10)
+        |ORDER BY id"""
+    ) { (s, d) =>
+      TextAnalysis.bm25TopK(
+          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+          queryTerms = Seq("spark", "hash", "window"), k = 10)
+        .orderBy("id")
+    },
+
+    // Edit-distance-verified near-dup pairs: Jaccard candidates (the
+    // q24 inverted-index machinery at a looser tau) CONFIRMED by
+    // Levenshtein <= 6 — separates true template edits from mere
+    // vocabulary overlap; the jaccard-0.3 cut sits >= 0.16 from the
+    // nearest candidate at all SFs (probed). DuckDB's levenshtein
+    // counts BYTES where Spark counts code points, so the oracled
+    // surface restricts to ASCII documents (where the two agree
+    // exactly); Spark's threshold form early-exits the DP at max+1
+    // for far-apart candidates.
+    q(
+      "q136_edit_verified_pairs",
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE regexp_matches(text, '^[ -~]*$')),
+        |t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM docs),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |          AS sh
+        |      FROM t),
+        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
+        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (
+        |  SELECT da AS id_a, db AS id_b,
+        |    c::DOUBLE/(sa.n + sb.n - c) AS jaccard
+        |  FROM p JOIN sizes sa ON p.da = sa.doc_id
+        |    JOIN sizes sb ON p.db = sb.doc_id
+        |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.3)
+        |SELECT j.id_a, j.id_b, j.jaccard,
+        |  levenshtein(a.text, b.text) AS edit_distance
+        |FROM j JOIN docs a ON a.doc_id = j.id_a
+        |  JOIN docs b ON b.doc_id = j.id_b
+        |WHERE levenshtein(a.text, b.text) <= 6
+        |ORDER BY id_a, id_b"""
+    ) { (s, d) =>
+      val ascii = Tables.spread(s, Tables.documents(s, d))
+        .filter(col("text").rlike("^[ -~]*$"))
+      graft.pipeline.Dedup.editVerifiedPairs(
+          ascii, "doc_id", "text", n = 3, tau = 0.3, maxEdit = 6)
+        .orderBy("id_a", "id_b")
     }
   )
 

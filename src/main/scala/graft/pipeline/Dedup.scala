@@ -524,6 +524,40 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Edit-distance-verified near-dup pairs: n-gram Jaccard proposes
+    * candidates (inverted-index join, never quadratic), Levenshtein
+    * CONFIRMS them — the verification step that separates true
+    * template edits (a few character changes) from documents that
+    * merely share vocabulary (high shingle overlap, large edit
+    * distance). The two-stage shape is the scale story: the O(len²)
+    * dynamic program runs only on the candidate-bounded pair set, and
+    * Spark's threshold form `levenshtein(a, b, max)` early-exits the
+    * banded DP at `max`, so a wildly different candidate pair costs
+    * O(max·len), not O(len²).
+    *
+    * Distance semantics: Spark's Levenshtein counts CODE POINTS. When
+    * replaying externally, byte-counting engines (e.g. DuckDB) agree
+    * only on ASCII text — restrict the comparison surface accordingly
+    * or re-verify in one engine.
+    */
+  def editVerifiedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.3, maxEdit: Int = 6): DataFrame = {
+    require(maxEdit >= 0, "maxEdit must be non-negative")
+    val cand = ngramJaccardPairs(docs, idCol, textCol, n, tau)
+    val texts = docs.select(col(idCol), col(textCol))
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")),
+        "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
+        "id_b")
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxEdit))
+      .filter(col("edit_distance") >= 0) // -1 = early-exited above max
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("edit_distance"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding space with k-means, then drop every vector that has a
     * LOWER-id neighbor in its own cluster with cosine ≥ `tau` — near-

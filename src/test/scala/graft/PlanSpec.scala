@@ -376,4 +376,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("bm25TopK: top-k is TakeOrderedAndProject, stats broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the unmaterialized variant keeps the full plan visible (the
+    // production path's eager checkpoint truncates it to an RDD scan)
+    val q = graft.pipeline.TextAnalysis.bm25TopKImpl(
+      docs, "doc_id", "text", queryTerms = Seq("spark", "hash"), k = 10,
+      k1 = 1.2, b = 0.75, materialized = false)
+    val plan = planOf(q)
+    // k-row global selection never totals-sorts the corpus; the (N,
+    // avglen) stats row and the query-sized df set ride broadcasts
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
