@@ -4865,6 +4865,88 @@ object Queries {
       graft.pipeline.Dedup.editVerifiedPairs(
           ascii, "doc_id", "text", n = 3, tau = 0.3, maxEdit = 6)
         .orderBy("id_a", "id_b")
+    },
+
+    // Clustering-quality evaluation: purity and Adjusted Rand Index of
+    // the q98 k-means assignment against the embeddings' ground-truth
+    // label column — the external-validation gate a pipeline runs
+    // before trusting cluster-scoped ops (balanced sampling, SemDeDup).
+    // All pair counting is integer (x·(x−1)//2; a double product would
+    // round past 2^53 at corpus scale) and the ARI expectation's a·b
+    // product is double deliberately (as integers it overflows int64
+    // near 55k pairs-of-pairs) — three IEEE divisions on identical
+    // operands, ROUND(6) on the output surface.
+    q(
+      "q137_cluster_agreement",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings),
+        |c0 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c0.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
+        |    FROM e, c0) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a1 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
+        |    USING (cid)),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c1.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
+        |    FROM e, c1) WHERE rnk = 1),
+        |m2 AS (
+        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
+        |  FROM a2 JOIN e USING (vec_id),
+        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
+        |    USING (cid)),
+        |a3 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c2.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
+        |    FROM e, c2) WHERE rnk = 1),
+        |cont AS (
+        |  SELECT a3.cid AS c, e.label AS l, COUNT(*) AS nij
+        |  FROM a3 JOIN e USING (vec_id) GROUP BY 1, 2),
+        |sp AS (SELECT SUM(nij*(nij-1)//2) AS sp, SUM(nij) AS n FROM cont),
+        |ac AS (SELECT SUM(ai*(ai-1)//2) AS a FROM (
+        |  SELECT SUM(nij) AS ai FROM cont GROUP BY c)),
+        |bc AS (SELECT SUM(bj*(bj-1)//2) AS b FROM (
+        |  SELECT SUM(nij) AS bj FROM cont GROUP BY l)),
+        |pur AS (SELECT SUM(mx) AS pure FROM (
+        |  SELECT MAX(nij) AS mx FROM cont GROUP BY c))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(pure AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
+        |  ROUND((CAST(sp AS DOUBLE) - exp) /
+        |    (CAST(a + b AS DOUBLE) * 0.5::DOUBLE - exp), 6) AS ari
+        |FROM (
+        |  SELECT sp.n, sp.sp, ac.a, bc.b, pur.pure,
+        |    CAST(ac.a AS DOUBLE) * CAST(bc.b AS DOUBLE) /
+        |      CAST(n*(n-1)//2 AS DOUBLE) AS exp
+        |  FROM sp, ac, bc, pur)"""
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      val assigned = Similarity.kmeansAssign(e, k = 8, iters = 2)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      Similarity.clusterAgreement(assigned, "cluster", "label")
     }
   )
 

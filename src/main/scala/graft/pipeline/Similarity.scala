@@ -325,6 +325,58 @@ object Similarity {
       nearestCentroid(col("vec"), centroids).as("cluster"))
   }
 
+  /** Clustering-quality scores against ground-truth labels: PURITY
+    * (Σ per-cluster majority-label count / n) and the ADJUSTED RAND
+    * INDEX — the two standard external evaluation measures for a
+    * clustering run (k-means sanity gates, dedup-cluster audits).
+    *
+    * Everything except three final divisions is INTEGER arithmetic
+    * (pair counts via x·(x−1) DIV 2 — integer division stays exact
+    * where a double product would round past 2^53), so the scores
+    * replay bit-identically in any engine; the divisions and the ARI
+    * expectation term are single IEEE ops on identical operands, with
+    * ROUND(6) on the output surface. The a·b product in ARI's
+    * expectation is computed in DOUBLE deliberately: as integers it
+    * overflows int64 near n ≈ 55k pairs-of-pairs, while the double
+    * product is exact parity at any scale.
+    *
+    * Scale shape: one (cluster, label) contingency aggregate (map-side
+    * combined, k×m rows), then scalar aggregates over that tiny table —
+    * nothing downstream is O(rows). Returns one row:
+    * (n, purity, ari).
+    */
+  def clusterAgreement(
+      assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
+    val cont = assigned
+      .groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("nij"))
+      .cache()
+    // x·(x−1) is even, so a right shift IS the exact integer halving
+    // (Column./ would go through double and round past 2^53)
+    def pairs(x: Column): Column = shiftright(x * (x - lit(1L)), 1)
+    val sp = cont.agg(sum(pairs(col("nij"))).as("sp"),
+      sum(col("nij")).as("n"))
+    val ac = cont.groupBy(col("c")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(pairs(col("ai"))).as("a"))
+    val bc = cont.groupBy(col("l")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(pairs(col("bj"))).as("b"))
+    val pur = cont.groupBy(col("c")).agg(max(col("nij")).as("mx"))
+      .agg(sum(col("mx")).as("pure"))
+    val joined = sp.crossJoin(ac).crossJoin(bc).crossJoin(pur)
+      .withColumn("total", pairs(col("n")))
+      .withColumn("exp",
+        col("a").cast("double") * col("b").cast("double") /
+          col("total").cast("double"))
+      .withColumn("ari",
+        (col("sp").cast("double") - col("exp")) /
+          ((col("a") + col("b")).cast("double") * lit(0.5) - col("exp")))
+      .withColumn("purity",
+        col("pure").cast("double") / col("n").cast("double"))
+    PipelineCache.materialize(cont)(joined.select(col("n"),
+      round(col("purity"), 6).as("purity"),
+      round(col("ari"), 6).as("ari")))
+  }
+
   /** IVF approximate top-k: corpus rows live in their nearest-centroid
     * list; each query probes its `nprobe` nearest lists. The join shuffles
     * on the centroid id — candidate count is ~`nprobe/nlist` of the corpus

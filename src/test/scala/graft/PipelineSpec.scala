@@ -1447,4 +1447,33 @@ class PipelineSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(loose.contains((1L, 3L)), loose)
   }
+
+  test("clusterAgreement: perfect = 1/1, label-split and hand ARI") {
+    import spark.implicits._
+    // perfect agreement: clusters == labels
+    val perfect = Seq((0, "x"), (0, "x"), (0, "x"), (1, "y"), (1, "y"))
+      .toDF("cluster", "label")
+    val p = Similarity.clusterAgreement(perfect, "cluster", "label")
+      .as[(Long, Double, Double)].head()
+    assert(p == ((5L, 1.0, 1.0)), p)
+    // hand-computed example (standard ARI worked example):
+    // cluster 0 = {x, x, y}, cluster 1 = {x, y, y}
+    val mixed = Seq((0, "x"), (0, "x"), (0, "y"), (1, "x"), (1, "y"),
+      (1, "y")).toDF("cluster", "label")
+    val m = Similarity.clusterAgreement(mixed, "cluster", "label")
+      .as[(Long, Double, Double)].head()
+    // contingency: n00=2 n01=1 n10=1 n11=2 → sp = 1+0+0+1 = 2
+    // a (clusters): C(3,2)*2 = 6; b (labels): C(3,2)*2 = 6
+    // total = C(6,2) = 15; exp = 36/15 = 2.4
+    // ari = (2 - 2.4) / (6 - 2.4) = -1/9 ≈ -0.111111
+    assert(m._1 == 6L)
+    assert(math.abs(m._2 - 4.0 / 6.0) < 1e-6, m) // purity 2+2 over 6, ROUND(6)
+    assert(math.abs(m._3 - (-0.111111)) < 1e-6, m)
+    // invariance: relabeling clusters does not change either score
+    val relabeled = mixed.withColumn("cluster",
+      when(col("cluster") === 0, 7).otherwise(3))
+    val r = Similarity.clusterAgreement(relabeled, "cluster", "label")
+      .as[(Long, Double, Double)].head()
+    assert(r == m, (r, m))
+  }
 }
