@@ -4947,6 +4947,28 @@ object Queries {
       val assigned = Similarity.kmeansAssign(e, k = 8, iters = 2)
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
       Similarity.clusterAgreement(assigned, "cluster", "label")
+    },
+
+    // Shuffle-skew diagnosis on a prospective join key: top-10 hottest
+    // user_ids with count, corpus share, and hot/mean ratio — the
+    // measurement that routes a join to SaltedJoin (q111/q129). AQE
+    // splits oversized partitions, never a single hot KEY; hot_ratio
+    // >> 1 is the straggler signature. Integer counts rank exactly;
+    // the two ratios are single IEEE divisions, ROUND(6).
+    q(
+      "q138_skew_profile",
+      """WITH c AS (
+        |  SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+        |  CAST(COUNT(*) AS DOUBLE) AS dist FROM c)
+        |SELECT key, n,
+        |  ROUND(CAST(n AS DOUBLE) / t.total, 6) AS share,
+        |  ROUND(CAST(n AS DOUBLE) * t.dist / t.total, 6) AS hot_ratio
+        |FROM (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10) c2, t
+        |ORDER BY n DESC, key"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.skewProfile(
+        Tables.events(s, d), "user_id", k = 10)
     }
   )
 

@@ -177,6 +177,39 @@ object Profiler {
     * profiles are column-count-sized, so the join is trivially
     * broadcast; the heavy lifting stays in the two one-pass profiles.
     */
+  /** Shuffle-skew diagnosis for a prospective join/aggregation key: the
+    * top-k hottest key values with their counts, corpus share, and the
+    * hot/mean ratio (how many times an average shuffle partition's work
+    * the hottest key alone represents). This is the measurement that
+    * decides whether a key needs [[graft.operators.SaltedJoin]] — AQE
+    * can split oversized PARTITIONS but never a single hot KEY, so a
+    * ratio far above 1 at the top is the signature of a join that will
+    * straggle no matter the partition count.
+    *
+    * Scale shape: one map-side-combined count aggregate on the key,
+    * then `TakeOrderedAndProject` for the top-k and a 1-row broadcast
+    * of (total, distinct) — nothing is O(keys) past the aggregate.
+    * share = n/total and hot_ratio = n·distinct/total are single IEEE
+    * divisions on identical operands (replayable off-Spark); ties
+    * break on the key value itself.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = broadcast(counts.agg(
+      sum(col("n")).as("__total"),
+      count(lit(1)).as("__distinct")))
+    counts.crossJoin(totals)
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(col("n").cast("double") * col("__distinct").cast("double") /
+          col("__total").cast("double"), 6).as("hot_ratio"))
+  }
+
   def drift(baseline: DataFrame, current: DataFrame): DataFrame = {
     val b = baseline.select(col("column"),
       col("n").as("n_base"), col("mean").as("mean_base"),

@@ -1476,4 +1476,22 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Double, Double)].head()
     assert(r == m, (r, m))
   }
+
+  test("skewProfile: hot keys ranked, shares and hot ratio hand-checked") {
+    import spark.implicits._
+    import graft.pipeline.Profiler
+    // key 1: 60 rows, key 2: 30, keys 3..12: 1 each → total 100, 12 keys
+    val df = (Seq.fill(60)(1) ++ Seq.fill(30)(2) ++ (3 to 12))
+      .toDF("k")
+    val out = Profiler.skewProfile(df, "k", k = 3)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3)) // count desc, key ties asc
+    assert(out.map(_._2).toSeq == Seq(60L, 30L, 1L))
+    assert(math.abs(out(0)._3 - 0.6) < 1e-6)
+    // hot_ratio: 60 * 12 / 100 = 7.2 — the hot key is 7.2 mean-partitions
+    assert(math.abs(out(0)._4 - 7.2) < 1e-6)
+    assert(math.abs(out(2)._4 - 0.12) < 1e-6)
+    // k larger than the key space returns every key
+    assert(Profiler.skewProfile(df, "k", k = 100).count() == 12L)
+  }
 }

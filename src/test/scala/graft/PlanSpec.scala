@@ -391,4 +391,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("skewProfile: key-count agg + top-k, no sort, count agg reused") {
+    val e = graft.Tables.events(spark, sf)
+    val q = graft.pipeline.Profiler.skewProfile(e, "user_id", k = 10)
+    val plan = planOf(q)
+    // top-k is per-partition heaps, never a total sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // the top-k branch and the (total, distinct) branch both hang off
+    // the SAME key-count aggregate; AQE must serve the second consumer
+    // from the first's shuffle (ReusedExchange in the final plan), not
+    // scan-and-shuffle the corpus twice
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      "Exchange".r.findAllIn(finalPlan).size <= 3, finalPlan)
+  }
 }
