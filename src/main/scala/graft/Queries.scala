@@ -4969,6 +4969,54 @@ object Queries {
     ) { (s, d) =>
       graft.pipeline.Profiler.skewProfile(
         Tables.events(s, d), "user_id", k = 10)
+    },
+
+    // Cross-corpus contamination pair report: which TRAIN documents
+    // contain >= half of an eval document's distinct 3-gram shingles
+    // (asymmetric containment — the GPT-3-style decontamination
+    // measure; q58 reports per-eval-doc totals, this names the
+    // offending train docs). Sources src0-9 play train, src10-19 eval.
+    // tau=0.5 sits >= 0.125 from the nearest containment at all SFs
+    // (probed); the division is one exact IEEE op (q24 precedent).
+    q(
+      "q139_contamination_pairs",
+      """WITH train AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4',
+        |                   'src5','src6','src7','src8','src9')),
+        |ev AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source IN ('src10','src11','src12','src13','src14',
+        |                   'src15','src16','src17','src18','src19')),
+        |tt AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM train),
+        |tg AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |          AS sh FROM tt),
+        |et AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM ev),
+        |eg AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks)-2),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |          AS sh FROM et),
+        |sizes AS (SELECT doc_id, count(*) n FROM eg GROUP BY 1),
+        |p AS (SELECT eg.doc_id e, tg.doc_id t, count(*) c
+        |      FROM eg JOIN tg ON eg.sh = tg.sh GROUP BY 1, 2)
+        |SELECT e AS eval_id, t AS train_id, c AS n_common,
+        |  c::DOUBLE / s.n AS containment
+        |FROM p JOIN sizes s ON p.e = s.doc_id
+        |WHERE c::DOUBLE / s.n >= 0.5
+        |ORDER BY eval_id, train_id"""
+    ) { (s, d) =>
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val trainSrc = (0 to 9).map(i => s"src$i")
+      val evalSrc = (10 to 19).map(i => s"src$i")
+      graft.pipeline.Dedup.crossContaminationPairs(
+          docs.filter(col("source").isin(trainSrc: _*)),
+          docs.filter(col("source").isin(evalSrc: _*)),
+          "doc_id", "text", n = 3, tau = 0.5)
+        .orderBy("eval_id", "train_id")
     }
   )
 

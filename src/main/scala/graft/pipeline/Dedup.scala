@@ -217,6 +217,39 @@ object Dedup {
         col("n_contained").cast("double") / col("n_sh"))
   }
 
+  /** Cross-corpus contamination PAIR report: for every eval document,
+    * WHICH train documents contain at least `tau` of its distinct
+    * n-gram shingles (asymmetric containment, the GPT-3-style
+    * decontamination measure — resemblance would let a long train doc
+    * dilute the overlap away). [[contamination]] answers "how much of
+    * this eval doc is anywhere in training"; this op names the
+    * offending train docs — the evidence table a decontamination run
+    * attaches to its removals.
+    *
+    * Scale shape: identical to the Jaccard family — both sides key on
+    * the 8-byte shingle hash, the join shuffles on content, pair rows
+    * exist only where shingles are actually shared, and the eval-size
+    * join is eval-bounded. No stage is |train|×|eval|.
+    */
+  def crossContaminationPairs(
+      trainDocs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val trainSh = hashedShingleTable(trainDocs, idCol, textCol, n)
+      .select(col("id").as("train_id"), col("h"))
+    val evalSh = hashedShingleTable(evalDocs, idCol, textCol, n).cache()
+    val evalSizes = evalSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val result = evalSh.join(trainSh, "h")
+      .groupBy(col("id"), col("train_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(evalSizes, "id")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_sh"))
+      .filter(col("containment") >= lit(tau))
+      .select(col("id").as("eval_id"), col("train_id"),
+        col("n_common"), col("containment"))
+    PipelineCache.materialize(evalSh)(result)
+  }
+
   /** Distinct n-gram shingle table: (id, shingle) — the inverted-index
     * input shared by the Jaccard paths. Shingling runs as the codegen'd
     * `text_shingles` Expression (identical output to the

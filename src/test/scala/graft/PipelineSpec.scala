@@ -1494,4 +1494,34 @@ class PipelineSpec extends SparkSpec {
     // k larger than the key space returns every key
     assert(Profiler.skewProfile(df, "k", k = 100).count() == 12L)
   }
+
+  test("crossContaminationPairs: asymmetric containment names sources") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f g h"),          // shingles abc..fgh (6)
+      (2L, "x y z w v u t s"))          // unrelated
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d e"),               // 3 shingles, all inside doc 1
+      (11L, "a b c q r s t"),           // 5 shingles, 1 shared (abc)
+      (12L, "p q r p q r p q"))         // none shared
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.crossContaminationPairs(
+      train, eval, "doc_id", "text", n = 3, tau = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // eval 10: 3/3 shingles inside train doc 1 → containment 1.0
+    assert(out((10L, 1L)) == ((3L, 1.0)), out)
+    // eval 11 shares only 'a b c' → 1/5 = 0.2 < tau, excluded
+    assert(!out.contains((11L, 1L)), out)
+    // eval 12 and train 2 never pair with anyone
+    assert(!out.keys.exists(k => k._1 == 12L || k._2 == 2L), out)
+    // asymmetry: the same pair at tau 0.2 appears with the EVAL-side
+    // denominator (5 distinct shingles), not the train side's 6
+    val loose = graft.pipeline.Dedup.crossContaminationPairs(
+      train, eval, "doc_id", "text", n = 3, tau = 0.2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(loose((11L, 1L)) == ((1L, 0.2)), loose)
+  }
 }
