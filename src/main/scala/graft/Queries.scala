@@ -713,8 +713,10 @@ object Queries {
 
     // Language ID heuristic over documents (content is uniformly
     // English-vocabulary in the synthetic corpus, so the expected
-    // prediction is 'en' everywhere; multilingual behavior is pinned in
-    // PipelineSpec).
+    // prediction is 'en' everywhere — this entry pins the en/und split
+    // only; the FULL five-profile argmax is oracled end-to-end by
+    // q140/q141 over the labelled multilingual fixture, and pinned on
+    // real multilingual text in PipelineSpec).
     q(
       "q29_langid",
       """SELECT source,
@@ -4861,7 +4863,7 @@ object Queries {
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
       val ascii = Tables.spread(s, Tables.documents(s, d))
-        .filter(col("text").rlike("^[ -~]*$"))
+        .filter(col("text").rlike("\\A[ -~]*\\z"))
       graft.pipeline.Dedup.editVerifiedPairs(
           ascii, "doc_id", "text", n = 3, tau = 0.3, maxEdit = 6)
         .orderBy("id_a", "id_b")
@@ -4933,8 +4935,10 @@ object Queries {
         |  SELECT MAX(nij) AS mx FROM cont GROUP BY c))
         |SELECT CAST(n AS BIGINT) AS n,
         |  ROUND(CAST(pure AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
-        |  ROUND((CAST(sp AS DOUBLE) - exp) /
-        |    (CAST(a + b AS DOUBLE) * 0.5::DOUBLE - exp), 6) AS ari
+        |  ROUND(CASE WHEN CAST(a + b AS DOUBLE) * 0.5::DOUBLE = exp
+        |    THEN 1.0::DOUBLE
+        |    ELSE (CAST(sp AS DOUBLE) - exp) /
+        |      (CAST(a + b AS DOUBLE) * 0.5::DOUBLE - exp) END, 6) AS ari
         |FROM (
         |  SELECT sp.n, sp.sp, ac.a, bc.b, pur.pure,
         |    CAST(ac.a AS DOUBLE) * CAST(bc.b AS DOUBLE) /
@@ -4950,8 +4954,9 @@ object Queries {
     },
 
     // Shuffle-skew diagnosis on a prospective join key: top-10 hottest
-    // user_ids with count, corpus share, and hot/mean ratio — the
-    // measurement that routes a join to SaltedJoin (q111/q129). AQE
+    // user_ids with count, corpus share, and hot/mean ratio (multiples
+    // of the mean rows per distinct KEY) — the measurement that routes
+    // a join to SaltedJoin (q111/q129). AQE
     // splits oversized partitions, never a single hot KEY; hot_ratio
     // >> 1 is the straggler signature. Integer counts rank exactly;
     // the two ratios are single IEEE divisions, ROUND(6).
@@ -5017,8 +5022,112 @@ object Queries {
           docs.filter(col("source").isin(evalSrc: _*)),
           "doc_id", "text", n = 3, tau = 0.5)
         .orderBy("eval_id", "train_id")
+    },
+
+    // Multilingual language-ID: per-document prediction over the
+    // labelled fixture (see langidFixture — the synthetic corpus is
+    // uniformly English-vocabulary, so the label's stopword phrase is
+    // appended deterministically to give every profile a real
+    // candidate). The oracle replays the FULL five-profile argmax —
+    // per-profile whole-token hit counts, hit/token ratios, priority
+    // tie-break — not an en-only shortcut, so every profile branch in
+    // TextAnalysis.languageId is exercised end-to-end. Predictions are
+    // NOT uniformly correct (long English-dominant texts out-score a
+    // 10-word suffix — exactly the honest behavior of a ratio
+    // heuristic), which is what makes q141's confusion matrix
+    // non-trivial.
+    q(
+      "q140_langid_multi",
+      s"""WITH $langidOracleCtes
+         |SELECT doc_id, predicted, actual FROM pr ORDER BY doc_id"""
+    ) { (s, d) =>
+      langidFixture(Tables.spread(s, Tables.documents(s, d)))
+        .select(col("doc_id"),
+          TextAnalysis.languageId(col("ftext")).as("predicted"),
+          col("lang").as("actual"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID confusion matrix vs the corpus ground-truth labels:
+    // the (predicted, actual) contingency aggregate (q137's external-
+    // validation shape) over the same multilingual fixture. One scan +
+    // one aggregate; at most (profiles+1)x(labels) rows.
+    q(
+      "q141_langid_confusion",
+      s"""WITH $langidOracleCtes
+         |SELECT predicted, actual, COUNT(*) AS n FROM pr
+         |GROUP BY 1, 2 ORDER BY predicted, actual"""
+    ) { (s, d) =>
+      TextAnalysis.langidConfusion(
+          langidFixture(Tables.spread(s, Tables.documents(s, d))),
+          "ftext", "lang")
+        .orderBy("predicted", "actual")
     }
   )
+
+  /** Deterministic multilingual fixture for q140/q141: append the
+    * ground-truth label's phrase (the first 10 words of that label's
+    * stopword profile) to each document's text. The synthetic corpus is
+    * uniformly English-vocabulary regardless of its `lang` label, so
+    * without this no non-English profile ever scores a hit; with it the
+    * argmax is a genuine five-way competition (the original text keeps
+    * its English hits). Phrases come from the SAME
+    * [[TextAnalysis.stopwordProfiles]] constant the classifier uses, and
+    * [[langidOracleCtes]] inlines them from it too — the three surfaces
+    * cannot drift.
+    */
+  private def langidFixture(docs: DataFrame): DataFrame = {
+    val entries = TextAnalysis.stopwordProfiles.flatMap { case (l, ws) =>
+      Seq(lit(l), lit(ws.take(10).mkString(" ")))
+    }
+    docs.withColumn("ftext",
+      concat(col("text"), lit(" "), element_at(map(entries: _*), col("lang"))))
+  }
+
+  /** Oracle CTEs replaying [[TextAnalysis.languageId]]'s full
+    * multi-profile argmax in DuckDB over the [[langidFixture]] text:
+    * per profile, the whole-token stopword membership count on the
+    * lowered token list (list_filter/list_contains ≡ the Spark side's
+    * whole-token regex — both count repeats, both match entire tokens),
+    * the hit/token ratio, then the argmax with profile-priority
+    * tie-break (CASE arm order = profile list order = priority order).
+    * Every score is an integer hit count through one correctly-rounded
+    * IEEE division by the same integer token count, so score
+    * comparisons replay bit-exactly; no rounding needed anywhere.
+    * Generated from [[TextAnalysis.stopwordProfiles]] — word lists,
+    * phrases, and priorities share one source of truth with the
+    * classifier.
+    */
+  private lazy val langidOracleCtes: String = {
+    val profiles = TextAnalysis.stopwordProfiles
+    val phraseCase = profiles.map { case (l, ws) =>
+      s"WHEN lang = '$l' THEN '${ws.take(10).mkString(" ")}'"
+    }.mkString("CASE ", " ", " END")
+    val scores = profiles.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x)))::DOUBLE" +
+        s" / ntoks AS s_$l"
+    }.mkString(",\n    ")
+    val best = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val argmax = profiles.map { case (l, _) =>
+      s"WHEN s_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""d AS (
+       |  SELECT doc_id, lang, text || ' ' || $phraseCase AS ftext
+       |  FROM documents),
+       |tk AS (SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(ftext)), '\\s+') AS toks,
+       |    greatest(len(string_split_regex(trim(ftext), '\\s+')), 1)
+       |      AS ntoks
+       |  FROM d),
+       |sc AS (SELECT doc_id, lang,
+       |    $scores
+       |  FROM tk),
+       |sb AS (SELECT *, $best AS best FROM sc),
+       |pr AS (SELECT doc_id, lang AS actual,
+       |    CASE WHEN best = 0 THEN 'und' $argmax END AS predicted
+       |  FROM sb)"""
+  }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(x => x.name -> x.fn).toMap

@@ -611,6 +611,18 @@ object Dedup {
     * shuffles on the cluster id, and the verdict is a broadcast-size
     * anti-join when duplicates are rare. Returns (vec_id, cluster) for
     * every SURVIVING vector.
+    *
+    * Cross-engine replay rests on TWO margins, not one: (1) the cosine
+    * cut at `tau` (no within-cluster pair may sit within float noise of
+    * the threshold), and (2) the ASSIGNMENT margin — centroid means are
+    * data-ordered float SUMs in every engine, so reduction-order ulp
+    * drift could flip a nearest-centroid argmin if a vector sat
+    * equidistant from two centroids, silently moving it (and its dup
+    * verdicts) to another cluster. `Verify --probe-margins` probes BOTH:
+    * the nearest-pair distance to `tau` and the minimum argmin
+    * separation (gap between nearest and second-nearest centroid
+    * distance over all vectors), and fails loudly when either falls
+    * below the floor.
     */
   def semDedup(
       vectors: DataFrame, // (vec_id, vec: array<double>)

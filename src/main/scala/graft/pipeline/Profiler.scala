@@ -179,8 +179,10 @@ object Profiler {
     */
   /** Shuffle-skew diagnosis for a prospective join/aggregation key: the
     * top-k hottest key values with their counts, corpus share, and the
-    * hot/mean ratio (how many times an average shuffle partition's work
-    * the hottest key alone represents). This is the measurement that
+    * hot/mean ratio (n·distinct/total — how many times the MEAN ROWS
+    * PER DISTINCT KEY the hottest key alone carries; with one shuffle
+    * partition per key this would also be partition work, but in
+    * general partitions hold many keys). This is the measurement that
     * decides whether a key needs [[graft.operators.SaltedJoin]] — AQE
     * can split oversized PARTITIONS but never a single hot KEY, so a
     * ratio far above 1 at the top is the signature of a join that will

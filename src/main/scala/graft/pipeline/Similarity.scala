@@ -367,9 +367,15 @@ object Similarity {
       .withColumn("exp",
         col("a").cast("double") * col("b").cast("double") /
           col("total").cast("double"))
+      // Degenerate-agreement guard: when max(index) == expected(index)
+      // the general formula is 0/0. One cluster × one label (or any
+      // split where chance explains everything it could) is PERFECT
+      // agreement by convention → ARI = 1 (Hubert-Arabie).
       .withColumn("ari",
-        (col("sp").cast("double") - col("exp")) /
-          ((col("a") + col("b")).cast("double") * lit(0.5) - col("exp")))
+        when((col("a") + col("b")).cast("double") * lit(0.5) === col("exp"),
+          lit(1.0))
+          .otherwise((col("sp").cast("double") - col("exp")) /
+            ((col("a") + col("b")).cast("double") * lit(0.5) - col("exp"))))
       .withColumn("purity",
         col("pure").cast("double") / col("n").cast("double"))
     PipelineCache.materialize(cont)(joined.select(col("n"),

@@ -78,6 +78,25 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Language-ID validation against ground-truth labels: the
+    * (predicted, actual) contingency matrix of [[languageId]] over a
+    * labelled corpus — the accuracy/confusion gate a pipeline runs
+    * before trusting language routing (per-language sampling, langid
+    * filters). Same external-validation shape as
+    * [[Similarity.clusterAgreement]]: one scan (the per-profile regex
+    * counters are codegen'd Column expressions) into one
+    * (predicted, actual) aggregate — the result is at most
+    * (profiles+1)×labels rows, nothing downstream is O(rows).
+    * Accuracy = Σ diagonal / Σ all, derivable from the returned counts.
+    */
+  def langidConfusion(
+      docs: DataFrame, textCol: String, labelCol: String): DataFrame =
+    docs
+      .select(languageId(col(textCol)).as("predicted"),
+        col(labelCol).as("actual"))
+      .groupBy("predicted", "actual")
+      .agg(count(lit(1)).as("n"))
+
   /** Quality metrics: char/token counts, mean token length, punctuation
     * and alphabetic ratios, stopword ratio (en profile), plus a bounded
     * composite score in [0,1].

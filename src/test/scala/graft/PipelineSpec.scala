@@ -22,6 +22,27 @@ class PipelineSpec extends SparkSpec {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("langidConfusion: contingency matrix and derived accuracy") {
+    val docs = Seq(
+      ("le chat est sur le tapis et il est pour la vie", "fr"),
+      ("der Hund ist nicht auf der Matte und das ist gut", "de"),
+      ("el perro es feliz y la casa es grande para el", "es"),
+      ("the cat sat on the mat and it was happy", "en"),
+      ("the dog sat on the log and it was sad", "fr"), // mislabelled
+      ("zxqv wvut qqq", "en")). // no profile hits -> und
+      toDF("text", "lang")
+    val m = TextAnalysis.langidConfusion(docs, "text", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("fr", "fr")) == 1L && m(("de", "de")) == 1L &&
+      m(("es", "es")) == 1L && m(("en", "en")) == 1L)
+    assert(m(("en", "fr")) == 1L) // the mislabelled row lands off-diagonal
+    assert(m(("und", "en")) == 1L)
+    val n = m.values.sum
+    val correct = m.collect { case ((p, a), c) if p == a => c }.sum
+    assert(n == 6L && correct == 4L) // accuracy = 2/3, derivable
+  }
+
   test("quality metrics") {
     val m = Seq("The quick, brown fox!").toDF("text")
       .select(TextAnalysis.qualityMetrics(col("text")).as("m"))
