@@ -1219,19 +1219,24 @@ object Queries {
     // the 0.4 threshold, so the cut is ULP-safe across engines.
     q(
       "q46_cosine_neardup",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      // τ comes from MarginProbe.CosineTau on BOTH sides — re-centered
+      // 0.40 → 0.44 when the round-8 data draw left only 9.9e-6 of
+      // margin at 0.40; the Verify margin probe now enforces the floor
+      // every round.
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |           WHERE vec_id < 600)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
         |FROM e a, e b
         |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(a.v, b.v) >= 0.4
+        |  AND list_cosine_similarity(a.v, b.v) >= ${MarginProbe.CosineTau}
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
       val e = Tables.embeddings(s, d)
         .filter(col("vec_id") < 600)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      graft.pipeline.Similarity.cosineNearDupPairs(e, tau = 0.4, bits = 0)
+      graft.pipeline.Similarity.cosineNearDupPairs(
+          e, tau = MarginProbe.CosineTau, bits = 0)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     },

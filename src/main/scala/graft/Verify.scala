@@ -31,6 +31,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // threshold-margin probe (full runs only — the driver's 2-arg
+    // invocation): certifies every value-dependent cut still clears
+    // its floor on THIS data draw, so a regeneration that parks a
+    // value on a threshold is diagnosed as "data moved, not code"
+    // instead of surfacing as an inexplicable oracle hash mismatch
+    if (only.isEmpty) {
+      try MarginProbe.runAndReport(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] margin probe failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

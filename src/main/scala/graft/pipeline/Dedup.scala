@@ -94,60 +94,76 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       nodes: DataFrame,
       edges: DataFrame): (DataFrame, Int) = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val symRaw = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // only edge-incident nodes can ever change labels — loop over
+    // them alone and append the untouched singletons once at the end
+    val labels0 = symRaw.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    // SELF-LOOP augmentation: one (id, id) edge per loop node folds the
+    // node's own previous label into the neighbor-min aggregate, which
+    // then yields BOTH the new candidate label (min over self∪neighbors)
+    // and the old label (conditional min over the self row) in ONE
+    // join+aggregate — the separate old-vs-new comparison join a naive
+    // round needs simply doesn't exist. Pre-partitioned by the
+    // propagation join key before caching: when labels outgrow
+    // broadcast (the 100 TB regime) the per-round sort-merge join reads
+    // the cached dst-partitioning instead of re-shuffling the edge
+    // table every round; at broadcast scale the labels side ships and
+    // the cached edge blocks never move either way.
+    val sym = symRaw
+      .union(labels0.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
       .cache()
     var rounds = 0
     val assigned =
       try {
-        // only edge-incident nodes can ever change labels — loop over
-        // them alone and append the untouched singletons once at the end
-        var labels = sym.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("cluster_id"))
-          .localCheckpoint(true)
+        var labels = labels0
         var changed = 1L
         while (changed > 0) {
           rounds += 1
+          // neighbor-min step (labels only ever decrease, toward the
+          // component minimum); __old rides out of the same aggregate
+          // via the guaranteed-unique self row
           val prop = sym
             .join(labels.select(col("id").as("dst"), col("cluster_id")),
               "dst")
             .groupBy(col("src").as("id"))
-            .agg(min(col("cluster_id")).as("__nl"))
-          // neighbor-min step (labels only ever decrease, toward the
-          // component minimum)
-          val mid = labels.join(prop, Seq("id"), "left")
-            .select(col("id"), col("cluster_id").as("__old"),
-              least(col("cluster_id"),
-                coalesce(col("__nl"), col("cluster_id"))).as("__m"))
+            .agg(min(col("cluster_id")).as("__m"),
+              min(when(col("dst") === col("src"), col("cluster_id")))
+                .as("__old"))
           // pointer-jumping step: label_old(label_new(id)). Jumping
-          // through the PREVIOUS round's materialized checkpoint (not
-          // through `mid`, which would recompute the propagation join
-          // twice) keeps one propagation per round while the distance
-          // to the component minimum still shrinks geometrically on
+          // through the PREVIOUS round's materialized checkpoint keeps
+          // one propagation per round while the distance to the
+          // component minimum still shrinks geometrically on
           // chain-shaped components. Every label value is itself an
           // edge-incident node id, so the join always resolves; jumped
           // labels are never larger (labels decrease monotonically and
           // label(x) <= x), so coalesce suffices.
           val jump = labels
             .select(col("id").as("__jid"), col("cluster_id").as("__jl"))
-          val next = mid
+          val next = prop
             .join(jump, col("__m") === col("__jid"), "left")
-            .select(mid("id"),
+            .select(col("id"),
               coalesce(col("__jl"), col("__m")).as("cluster_id"),
               (coalesce(col("__jl"), col("__m")) < col("__old"))
                 .as("__changed"))
             .localCheckpoint(eager = false)
-          // the round's single job: materializes `next`'s checkpoint as
-          // a side effect and returns the moved-label count
+          // the round's single action: materializes `next`'s checkpoint
+          // as a side effect and returns the moved-label count
           changed = next.filter(col("__changed")).count()
-          PipelineCache.free(labels)
+          if (labels ne labels0) PipelineCache.free(labels)
           labels = next.select("id", "cluster_id")
         }
         nodes.select(col("id"))
           .join(labels, Seq("id"), "left")
           .select(col("id"), coalesce(col("cluster_id"), col("id"))
             .as("cluster_id"))
-      } finally sym.unpersist(false) // loop done; result never reads sym
+      } finally {
+        sym.unpersist(false) // loop done; result never reads sym
+        PipelineCache.free(labels0)
+      }
     (assigned, rounds)
   }
 

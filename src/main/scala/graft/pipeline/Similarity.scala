@@ -243,6 +243,19 @@ object Similarity {
       best
     }.apply(vec)
 
+  /** Gap between the nearest and second-nearest centroid (squared
+    * euclidean — the metric [[nearestCentroid]] compares). A gap near 0
+    * means reduction-order ulp drift in the centroid means could flip
+    * the argmin between engines; `Verify`'s margin probe takes the min
+    * over a corpus to certify the assignment is drift-stable
+    * (see [[graft.pipeline.Dedup.semDedup]]'s replay caveat).
+    */
+  def centroidGap(vec: Column, centroids: Array[Array[Double]]): Column =
+    udf { v: Seq[Double] =>
+      val d = centroidDists(centroids, v).sorted
+      if (d.length < 2) Double.PositiveInfinity else d(1) - d(0)
+    }.apply(vec)
+
   /** The `nprobe` nearest centroid ids (ascending distance). */
   def probeCentroids(
       vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
@@ -314,16 +327,26 @@ object Similarity {
       corpus: DataFrame, // (vec_id, vec: array<double>)
       k: Int,
       iters: Int = 2): DataFrame = {
-    val init = corpus
-      .orderBy(col("vec_id"))
-      .limit(k)
-      .select(col("vec"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val centroids = lloyd(corpus, init, iters)
+    val centroids = kmeansCentroids(corpus, k, iters)
     corpus.select(col("vec_id"),
       nearestCentroid(col("vec"), centroids).as("cluster"))
   }
+
+  /** The trained centroids behind [[kmeansAssign]] (deterministic
+    * lowest-`vec_id` init + `iters` Lloyd steps), exposed so callers
+    * can reuse the model (assign new batches, probe assignment margins)
+    * without retraining.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, k: Int, iters: Int = 2): Array[Array[Double]] =
+    lloyd(corpus,
+      corpus
+        .orderBy(col("vec_id"))
+        .limit(k)
+        .select(col("vec"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray),
+      iters)
 
   /** Clustering-quality scores against ground-truth labels: PURITY
     * (Σ per-cluster majority-label count / n) and the ADJUSTED RAND

@@ -108,6 +108,46 @@ class PipelineSpec extends SparkSpec {
     graft.pipeline.PipelineCache.free(cc)
   }
 
+  test("connectedComponents: self-loop round fuses old-label into one agg") {
+    // A 64-chain (forces ~7 propagation rounds) plus 20k disjoint pair
+    // components. The per-round pipeline is ONE join+aggregate (the
+    // self-loop row carries the old label out of the same neighbor-min
+    // aggregate) plus the jump join — there is no separate old-vs-new
+    // comparison join, so each round submits measurably fewer scheduler
+    // jobs. Calibration on this exact fixture: the three-join round
+    // shape ran 62 jobs; the fused shape runs 50. The bound sits
+    // between them with margin on the passing side.
+    val chain = (0L until 64L - 1).map(i => (i, i + 1))
+    val pairs = (0 until 20000).map(i => (1000L + 2 * i, 1001L + 2 * i))
+    val edges = (chain ++ pairs).toDF("id_a", "id_b")
+    val nodes = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id"))).distinct()
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (cc, rounds) =
+      try {
+        val r = Dedup.connectedComponentsWithRounds(nodes, edges)
+        r._1.count() // materialize the final assembly under the listener
+        // drain queued listener events before reading the counters
+        Thread.sleep(500)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rounds >= 3, s"chain fixture should need >= 3 rounds, got $rounds")
+    assert(jobs.get() <= rounds * 8L,
+      s"${jobs.get()} scheduler jobs over $rounds rounds — the round " +
+        "pipeline has grown a stage (three-join rounds measured " +
+        s"${rounds * 9} jobs here)")
+    val got = cc.as[(Long, Long)].collect().toMap
+    assert((0L until 64L).forall(got(_) == 0L))
+    assert(got(1000L) == 1000L && got(1001L) == 1000L)
+    graft.pipeline.PipelineCache.free(cc)
+  }
+
   test("deterministicSample: reproducible, engine-portable, ~fraction") {
     import graft.pipeline.Sampling
     val ids = (0L until 2000L).toDF("id")
