@@ -5053,6 +5053,70 @@ object Queries {
         .orderBy("doc_id")
     },
 
+    // Profiled skew routing end-to-end: autoJoinProfiled derives the
+    // hot threshold from the measured key distribution (safetyFactor x
+    // total/shuffle-partitions — the q138 measurement feeding the q129
+    // router with no caller-picked constant) and must still produce
+    // exactly the plain join. Same join as q129; only the threshold's
+    // provenance differs.
+    q(
+      "q142_auto_skew_profiled",
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |f AS (SELECT user_id FROM events WHERE event_type = 'view')
+        |SELECT f.user_id, COUNT(*) AS n_views, dim.clicks
+        |FROM f JOIN dim USING (user_id)
+        |GROUP BY 1, 3 ORDER BY 1"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+      val dim = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("clicks"))
+      val fact = e.filter(col("event_type") === "view")
+        .select(col("user_id"))
+      graft.operators.SaltedJoin
+        .autoJoinProfiled(fact, dim, "user_id", salts = 8)
+        .groupBy(col("user_id"), col("clicks"))
+        .agg(count(lit(1)).as("n_views"))
+        .select(col("user_id"), col("n_views"), col("clicks"))
+        .orderBy("user_id")
+    },
+
+    // Per-series EWMA (α=0.25) over purchase events: the sequential
+    // per-series recurrence (one keyed shuffle + in-partition fold — a
+    // window frame cannot express it) replayed by the oracle as a
+    // recursive CTE advancing one row per series per step (the q82
+    // holt_winters machinery). α and 1−α are exact binary fractions, so
+    // each step is the same two multiplies and one add on both engines
+    // — the hash surface is bit-exact doubles, no rounding.
+    q(
+      "q143_ewma",
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS sensor_id,
+        |    epoch_us(ts) AS timestamp_us, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), value) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |rec AS (
+        |  SELECT sensor_id, rn, timestamp_us, value, value AS ewma
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.sensor_id, b.rn, b.timestamp_us, b.value,
+        |    0.25::DOUBLE * b.value + (1 - 0.25::DOUBLE) * r.ewma
+        |  FROM rec r JOIN base b
+        |    ON b.sensor_id = r.sensor_id AND b.rn = r.rn + 1)
+        |SELECT sensor_id, timestamp_us, value, ewma FROM rec
+        |ORDER BY sensor_id, timestamp_us, value"""
+    ) { (s, d) =>
+      graft.operators.Ewma.smooth(
+          Tables.events(s, d)
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id").cast("string").as("sensor_id"),
+              unix_micros(col("ts")).as("timestamp_us"), col("value")),
+          alpha = 0.25)
+        .orderBy("sensor_id", "timestamp_us", "value")
+    },
+
     // Language-ID confusion matrix vs the corpus ground-truth labels:
     // the (predicted, actual) contingency aggregate (q137's external-
     // validation shape) over the same multilingual fixture. One scan +

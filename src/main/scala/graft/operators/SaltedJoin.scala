@@ -121,4 +121,53 @@ object SaltedJoin {
     if (census.isEmpty) left.join(right, key)
     else joinWithCensus(left, right, key, salts, census)
   }
+
+  /** [[autoJoin]] with the hot threshold DERIVED from the measured key
+    * distribution instead of caller-supplied — the closed loop from
+    * skew diagnosis ([[graft.pipeline.Profiler.skewProfile]]) to
+    * routing: a key is hot when its row count exceeds `safetyFactor`
+    * times a fair shuffle partition's share of the fact table
+    * (total / shuffle partitions) — equivalently, when skewProfile's
+    * `hot_ratio` for the key exceeds `safetyFactor · distinct / parts`.
+    * Below that a sort-merge task already holds more than one such
+    * key's rows, so splitting the key cannot shorten the critical path;
+    * above it the key alone outweighs a fair task and AQE (which splits
+    * partitions, never keys) is structurally unable to help.
+    *
+    * One grouped count is measured and materialized lazily; the totals
+    * action fills its (distinct-key-sized) blocks, and the hot filter
+    * and routing decision read the same blocks — the fact table is
+    * scanned exactly as often as [[autoJoin]] scans it (once for the
+    * census, once as the join side), the delta is only that the
+    * materialized census is key-count-sized rather than hot-set-sized.
+    * A production deployment with persisted table statistics can skip
+    * the measurement and call [[joinWithCensus]] directly.
+    */
+  def autoJoinProfiled(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      salts: Int = 8,
+      safetyFactor: Double = 2.0): DataFrame = {
+    require(salts >= 2, "salting below 2 is a no-op; use a plain join")
+    require(safetyFactor > 0, "safetyFactor must be positive")
+    val overlap = (left.columns.toSet & right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint, both sides have: $overlap")
+    val parts =
+      left.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val counts = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val totalRow = counts.agg(sum(col("__n"))).first()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    if (total == 0L) left.join(right, key) // empty fact side
+    else {
+      val threshold =
+        math.max(1L, math.ceil(safetyFactor * total / parts).toLong)
+      val census = counts.filter(col("__n") > threshold)
+        .select(col(key), lit(true).as("__hot"))
+      if (census.isEmpty) left.join(right, key)
+      else joinWithCensus(left, right, key, salts, census)
+    }
+  }
 }

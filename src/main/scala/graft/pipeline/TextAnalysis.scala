@@ -668,6 +668,10 @@ object TextAnalysis {
     * is reproducible by any engine with an md5 function — same selection
     * guarantee, ~k× the per-gram hash cost (no rolling reuse). Use the
     * rolling variant at scale; this one where cross-engine replay matters.
+    * K-grams are indexed by Unicode CODE POINT, like the gear/winnow
+    * scale kernels and SQL `substr` — a UTF-16 window would split
+    * surrogate pairs on non-BMP text and hash replacement bytes no
+    * external engine would produce.
     */
   def winnowingFingerprintsMd5(text: Column, k: Int = 8, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
@@ -675,17 +679,18 @@ object TextAnalysis {
       if (s == null) Array.empty[Long]
       else {
         val t = s.toLowerCase.replaceAll("\\s+", " ").trim
-        val n = t.length
+        val cps = t.codePoints().toArray
+        val n = cps.length
         if (n < k) Array.empty[Long]
         else {
           val m = n - k + 1
           val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = "0123456789abcdef"
           val hashes = new Array[Long](m)
           var i = 0
           while (i < m) {
             md.reset()
-            val dig = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+            val dig = md.digest(
+              new String(cps, i, k).getBytes("UTF-8"))
             // first 15 hex chars = 60 bits: 7 full bytes + high nibble
             var h = 0L
             var j = 0

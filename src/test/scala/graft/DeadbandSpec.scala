@@ -34,6 +34,46 @@ class DeadbandSpec extends SparkSpec {
     assert(got == Seq(("s1", 1L, 5.0), ("s1", 1L, 9.0)))
   }
 
+  test("ewma: per-series recurrence matches the hand-rolled fold") {
+    import graft.operators.Ewma
+    val df = Seq(
+      ("s1", 1L, 8.0), ("s1", 2L, 4.0), ("s1", 3L, 0.0),
+      ("s2", 5L, 1.0), ("s2", 6L, 2.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Ewma.smooth(df, alpha = 0.25)
+      .orderBy("sensor_id", "timestamp_us")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // s1: 8; 0.25*4+0.75*8 = 7; 0.25*0+0.75*7 = 5.25
+    // s2: 1; 0.25*2+0.75*1 = 1.25 — series state resets between ids
+    assert(got == Seq(
+      ("s1", 1L, 8.0, 8.0), ("s1", 2L, 4.0, 7.0), ("s1", 3L, 0.0, 5.25),
+      ("s2", 5L, 1.0, 1.0), ("s2", 6L, 2.0, 1.25)))
+  }
+
+  test("ewma: duplicate timestamps fold in (ts, value) order") {
+    import graft.operators.Ewma
+    val df = Seq(("s1", 1L, 4.0), ("s1", 1L, 0.0), ("s1", 2L, 8.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Ewma.smooth(df, alpha = 0.5)
+      .orderBy("timestamp_us", "value")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // visit order 0.0 then 4.0: y = 0, then 2, then 5
+    assert(got == Seq(
+      ("s1", 1L, 0.0, 0.0), ("s1", 1L, 4.0, 2.0), ("s1", 2L, 8.0, 5.0)))
+  }
+
+  test("ewma half-life: decay follows the actual time gap") {
+    import graft.operators.Ewma
+    // gaps of exactly one and two half-lives: w = 0.5 then 0.25
+    val df = Seq(("s1", 0L, 8.0), ("s1", 10L, 0.0), ("s1", 30L, 4.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Ewma.smoothHalfLife(df, halfLifeUs = 10L)
+      .orderBy("timestamp_us")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // y1 = 8; y2 = 0.5*0 + 0.5*8 = 4; y3 = 0.75*4 + 0.25*4 = 4
+    assert(got.map(_._4) == Seq(8.0, 4.0, 4.0))
+  }
+
   test("streaming deadband state survives across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Sample]

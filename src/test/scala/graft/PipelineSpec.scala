@@ -680,6 +680,36 @@ class PipelineSpec extends SparkSpec {
     assert(sPlan.contains("__salt") && sPlan.contains("Generate"), sPlan)
   }
 
+  test("autoJoinProfiled: threshold from partition math, no magic constant") {
+    import graft.operators.SaltedJoin
+    // skewed: key 1 carries 500 of 539 rows — far beyond safetyFactor x
+    // (total/parts) = 2 x 539/4 ~ 270 at 4 shuffle partitions, so the
+    // derived census salts it. uniform: every key holds 1 row, max key
+    // count 1 <= threshold, so the derived census is empty and the
+    // route is the plain join with zero replication.
+    val skewed = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (2L to 40L).map(k => (k, k * 100))).toDF("k", "payload")
+    val uniform = (1L to 200L).map(k => (k, k * 7)).toDF("k", "payload")
+    val dim = (1L to 200L).map(k => (k, s"d$k")).toDF("k", "name")
+    for (fact <- Seq(skewed, uniform)) {
+      val auto = SaltedJoin.autoJoinProfiled(fact, dim, "k", salts = 4)
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      val plain = fact.join(dim, "k")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(auto == plain)
+    }
+    val uPlan = SaltedJoin.autoJoinProfiled(uniform, dim, "k", 4)
+      .queryExecution.executedPlan.toString
+    assert(!uPlan.contains("__salt") && !uPlan.contains("Generate"), uPlan)
+    val sPlan = SaltedJoin.autoJoinProfiled(skewed, dim, "k", 4)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("__salt") && sPlan.contains("Generate"), sPlan)
+    // empty fact side: derived total is 0 — must route plain, not
+    // divide by zero or salt everything
+    val empty = Seq.empty[(Long, Long)].toDF("k", "payload")
+    assert(SaltedJoin.autoJoinProfiled(empty, dim, "k", 4).count() == 0L)
+  }
+
   test("bandJoin: exact ±band pairs, no duplicates across probe bins") {
     import spark.implicits._
     import graft.operators.BandJoin
@@ -1062,6 +1092,35 @@ class PipelineSpec extends SparkSpec {
     val Seq(e, f) = fps("aaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbb")
     assert((e intersect f).isEmpty)
     assert(fps("short").head.isEmpty)
+  }
+
+  test("winnowingFingerprintsMd5: code-point k-grams on non-BMP text") {
+    // U+1F600 is 2 UTF-16 units; a UTF-16-indexed window would split
+    // the surrogate pair and md5 replacement bytes no SQL substr replay
+    // could produce. Expected set built independently by slicing the
+    // CODE POINT array and hashing each k-gram's UTF-8 bytes.
+    val text = "a😀b😀cdef"
+    val k = 3
+    val w = 2
+    val got = Seq(text).toDF("text")
+      .select(TextAnalysis.winnowingFingerprintsMd5(col("text"), k, w)
+        .as("f"))
+      .as[Seq[Long]].collect().head.toSet
+    val cps = text.toLowerCase.codePoints().toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = (0 to cps.length - k).map { i =>
+      md.reset()
+      val dig = md.digest(new String(cps, i, k).getBytes("UTF-8"))
+      var h = 0L
+      (0 until 7).foreach(j => h = (h << 8) | (dig(j) & 0xffL))
+      (h << 4) | ((dig(7) & 0xf0L) >>> 4)
+    }
+    val expected = (0 to math.max(0, grams.length - w))
+      .map(s => grams.slice(s, math.min(s + w, grams.length)).min).toSet
+    assert(got == expected && got.nonEmpty)
+    // sanity: the gram count follows code points (8), not UTF-16
+    // units (10) — 6 grams of length 3, not 8
+    assert(grams.length == 6)
   }
 
   test("cosine near-dup: bits=0 is exact; bucketed path is a subset") {
