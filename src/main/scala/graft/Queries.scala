@@ -5131,6 +5131,159 @@ object Queries {
           langidFixture(Tables.spread(s, Tables.documents(s, d))),
           "ftext", "lang")
         .orderBy("predicted", "actual")
+    },
+
+    // Strict ordered funnel view→click→purchase over the first two
+    // days of events (the full month is degenerate — every user
+    // eventually does everything): stage i counts users whose earliest
+    // stage-i event falls STRICTLY AFTER their stage i−1 conversion
+    // instant. Counts are integers; conversion is one IEEE division
+    // ROUND(6) against the stage-0 population. The oracle replays the
+    // per-stage min-aggregate chain with the same strict > gates.
+    q(
+      "q144_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE epoch_us(ts) < 1704240000000000),
+        |s0 AS (SELECT user_id, min(ts) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |  JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+        |c AS (SELECT (SELECT COUNT(*) FROM s0) AS n0,
+        |  (SELECT COUNT(*) FROM s1) AS n1,
+        |  (SELECT COUNT(*) FROM s2) AS n2)
+        |SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+        |  n0 AS n_users, ROUND(n0::DOUBLE / n0::DOUBLE, 6) AS conversion
+        |FROM c
+        |UNION ALL SELECT 1::BIGINT, 'click', n1,
+        |  ROUND(n1::DOUBLE / n0::DOUBLE, 6) FROM c
+        |UNION ALL SELECT 2::BIGINT, 'purchase', n2,
+        |  ROUND(n2::DOUBLE / n0::DOUBLE, 6) FROM c
+        |ORDER BY stage_idx"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.funnel(
+          Tables.events(s, d)
+            .filter(unix_micros(col("ts")) < lit(1704240000000000L)),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    },
+
+    // Retention cohort matrix on purchase activity, daily periods
+    // (weekly cohorts are degenerate on the 30-day corpus — every user
+    // is first seen in week 1): cohort = first purchase day, cell =
+    // distinct cohort users purchasing `period_offset` days later.
+    // Integer-valued everywhere; day arithmetic on DATE-truncated
+    // values replays exactly.
+    q(
+      "q145_retention",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS w
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(w) AS c FROM a GROUP BY 1)
+        |SELECT f.c AS cohort,
+        |  date_diff('day', f.c, a.w)::BIGINT AS period_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.retentionCohorts(
+          Tables.events(s, d).filter(col("event_type") === "purchase"),
+          "user_id", "ts", period = "day")
+        .orderBy("cohort", "period_offset")
+    },
+
+    // Corpus-overlap matrix via KMV sketches: estimated 3-gram Jaccard
+    // between every SOURCE pair from k=128-minimum-value signatures —
+    // the sketch that decides which source pairs deserve a full
+    // cross-dedup pass. The sketch is a deterministic function of the
+    // shingle SET (insertion/merge order free) on the portable md5-60
+    // hash, so the oracle rebuilds the identical signatures with a
+    // window rank and replays the union/intersection math on lists;
+    // n_common is an integer and the estimate one IEEE division.
+    q(
+      "q146_corpus_overlap",
+      """WITH t AS (SELECT source AS g,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT g,
+        |    unnest(list_transform(generate_series(1, len(toks)-2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS s FROM t),
+        |hv AS (SELECT DISTINCT g,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+        |r AS (SELECT g, h,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hv),
+        |sig AS (SELECT g, list(h ORDER BY h) AS sa
+        |    FROM r WHERE rn <= 128 GROUP BY g),
+        |p AS (SELECT a.g AS ga, b.g AS gb, a.sa AS sa, b.sa AS sb
+        |    FROM sig a JOIN sig b ON a.g < b.g),
+        |c AS (SELECT ga, gb, sa, sb,
+        |    list_sort(list_distinct(list_concat(sa, sb))) AS u FROM p),
+        |c2 AS (SELECT ga, gb,
+        |    len(list_intersect(list_intersect(u[1:LEAST(128, len(u))], sa),
+        |      sb))::BIGINT AS n_common,
+        |    LEAST(128, len(u)) AS kk FROM c)
+        |SELECT ga AS group_a, gb AS group_b, n_common,
+        |  n_common::DOUBLE / kk::DOUBLE AS jaccard_est
+        |FROM c2 ORDER BY group_a, group_b"""
+    ) { (s, d) =>
+      graft.pipeline.Dedup.corpusOverlapKmv(
+          Tables.spread(s, Tables.documents(s, d)),
+          "source", "text", n = 3, k = 128)
+        .orderBy("group_a", "group_b")
+    },
+
+    // DSIR-style importance scoring (Xie et al. NeurIPS'23, unigram
+    // features): per raw doc (src0-9), the average token log-likelihood
+    // ratio under the target corpus' (src10-19) Laplace-smoothed
+    // unigram LM vs the raw corpus' own — the scoring pass of
+    // importance resampling. The oracle replays both count tables, the
+    // union-vocab smoothing and the single-ln ratio with the identical
+    // arithmetic shape; the per-doc AVG rounds to 6 (q100 precedent).
+    q(
+      "q147_dsir_scores",
+      """WITH rawd AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4',
+        |                   'src5','src6','src7','src8','src9')),
+        |tgt AS (
+        |  SELECT text FROM documents
+        |  WHERE source IN ('src10','src11','src12','src13','src14',
+        |                   'src15','src16','src17','src18','src19')),
+        |rt AS (SELECT doc_id AS id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM rawd),
+        |tt AS (SELECT
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM tgt),
+        |rc AS (SELECT tok, COUNT(*) AS cr FROM rt GROUP BY 1),
+        |tc AS (SELECT tok, COUNT(*) AS ct FROM tt GROUP BY 1),
+        |v AS (SELECT COALESCE(rc.tok, tc.tok) AS tok,
+        |    COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+        |  FROM rc FULL JOIN tc ON rc.tok = tc.tok),
+        |tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
+        |    CAST(SUM(ct) AS DOUBLE) AS nt,
+        |    CAST(COUNT(*) AS DOUBLE) AS vs FROM v),
+        |r AS (SELECT tok,
+        |    ln(((ct::DOUBLE + 1.0::DOUBLE) / (nt + vs))
+        |     / ((cr::DOUBLE + 1.0::DOUBLE) / (nr + vs))) AS lr
+        |  FROM v CROSS JOIN tot)
+        |SELECT rt.id AS id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(r.lr), 6) AS avg_logratio
+        |FROM rt JOIN r USING (tok) GROUP BY 1 ORDER BY id"""
+    ) { (s, d) =>
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val trainSrc = (0 to 9).map(i => s"src$i")
+      val tgtSrc = (10 to 19).map(i => s"src$i")
+      graft.pipeline.Sampling.dsirScores(
+          docs.filter(col("source").isin(trainSrc: _*)),
+          docs.filter(col("source").isin(tgtSrc: _*)),
+          "doc_id", "text")
+        .orderBy("id")
     }
   )
 

@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams — the product-analytics
+  * reductions (ordered funnels, retention cohorts) every event pipeline
+  * ships next to its time-series operators. Both are pure
+  * aggregate/join compositions keyed on the user id: at 100 TB the
+  * per-stage aggregates are map-side combined down to one row per user
+  * before any join, every join is user-keyed (co-partitioned once the
+  * first aggregate has shuffled), and nothing downstream is ever
+  * O(events).
+  */
+object Behavior {
+
+  /** Strict ordered funnel: a user converts to stage *i* only with an
+    * event of stage *i*'s type STRICTLY AFTER their stage *i−1*
+    * conversion instant (the classic product funnel — re-ordered events
+    * don't count, a purchase before the first view is not a
+    * conversion). Conversion instant for stage 0 is the user's earliest
+    * stage-0 event; for stage i the earliest stage-i event after the
+    * stage i−1 instant.
+    *
+    * Returns one row per stage: (stage_idx, stage, n_users,
+    * conversion) where `conversion` is the fraction of STAGE-0
+    * converters that reached this stage, as one IEEE division rounded
+    * to 6 (replayable off-Spark).
+    *
+    * Scale shape: one filtered min-aggregate per stage (map-side
+    * combined to ≤1 row per user before its shuffle) and one user-keyed
+    * join per stage; all post-aggregate tables are user-count-sized,
+    * and the final output is stages-sized. No windows, no
+    * whole-history sort — a user's full event list is never
+    * materialized in one place.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val u = col(userCol).as("user")
+    // per-stage conversion instants, built left to right: reached(i) =
+    // (user, ts_i) — the earliest qualifying stage-i event per user
+    // each stage's (user, instant) table is lazily checkpointed: the
+    // stage count action materializes it, and the NEXT stage's join
+    // reads the materialized blocks instead of recomputing the chain
+    // (without this, stage s would replay stages 0..s−1 — quadratic
+    // jobs in the funnel depth)
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(u).agg(min(col(tsCol)).as("__ts"))
+      .localCheckpoint(false)
+    var counts = List(reached.count())
+    stages.drop(1).foreach { st =>
+      reached = events.filter(col(typeCol) === st)
+        .select(u, col(tsCol).as("__nts"))
+        .join(reached, "user")
+        .filter(col("__nts") > col("__ts"))
+        .groupBy(col("user")).agg(min(col("__nts")).as("__ts"))
+        .localCheckpoint(false)
+      counts = reached.count() :: counts
+    }
+    val base = counts.last
+    // the division + ROUND(6) happens in Spark expressions (not driver
+    // BigDecimal) so the rounding semantics are the same engine surface
+    // every other oracled ratio uses (q138 precedent)
+    spark.createDataset(
+        stages.zip(counts.reverse).zipWithIndex.map { case ((st, n), i) =>
+          (i.toLong, st, n)
+        })
+      .toDF("stage_idx", "stage", "n_users")
+      .withColumn("conversion",
+        if (base == 0) lit(0.0)
+        else round(col("n_users").cast("double") / lit(base.toDouble), 6))
+  }
+
+  /** Retention cohort matrix: users are cohorted by the period of their
+    * FIRST event, and each (cohort, offset) cell counts the distinct
+    * users of that cohort active `offset` periods later (offset 0 is
+    * the cohort size itself). `period` is a `date_trunc` unit
+    * ("week", "day", "month"); offsets are exact integer period
+    * differences, so the matrix is integer-valued and replays exactly
+    * on any engine.
+    *
+    * Scale shape: TWO shuffles total. One user-keyed aggregate
+    * collects each user's distinct active-period set (`collect_set`
+    * dedups in the map-side partials, and the set is bounded by the
+    * calendar — ≤ the number of periods in the data's time span, not
+    * by the user's event count), yielding cohort = the set minimum in
+    * the same pass; exploding that set and re-aggregating on
+    * (cohort, offset) is the second shuffle. No self-join, no
+    * distinct-then-rejoin round trip. The week arithmetic stays on
+    * DATE-truncated values, so the integer day difference is always an
+    * exact multiple of the period length.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      period: String = "week"): DataFrame = {
+    val perDays = period match {
+      case "day" => 1
+      case "week" => 7
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported retention period: $other (day|week)")
+    }
+    events
+      .select(col(userCol).as("user"),
+        to_date(date_trunc(period, col(tsCol))).as("__p"))
+      .groupBy(col("user"))
+      .agg(collect_set(col("__p")).as("__ps"))
+      .select(col("user"), array_min(col("__ps")).as("cohort"),
+        explode(col("__ps")).as("__p"))
+      .groupBy(col("cohort"),
+        (datediff(col("__p"), col("cohort")) / perDays)
+          .cast("long").as("period_offset"))
+      // each user contributes AT MOST ONE row per (cohort, offset) —
+      // __ps is a set and the cohort is functionally determined by the
+      // user — so the plain count IS the distinct-user count, without
+      // a distinct aggregation buffer
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort"), col("period_offset"), col("n_users"))
+  }
+}

@@ -266,6 +266,105 @@ object Dedup {
     PipelineCache.materialize(evalSh)(result)
   }
 
+  /** K-minimum-values sketch aggregator: the k smallest DISTINCT hash
+    * values seen, kept as a sorted array. State is O(k) regardless of
+    * input size and map-side combinable (merge = sorted-merge + take
+    * k), so a 100 TB corpus reduces to one k-long array per group
+    * before the shuffle. The sketch is a deterministic FUNCTION OF THE
+    * SET — any insertion order, any partitioning, any merge tree
+    * yields the same array — which is what makes the overlap estimate
+    * below exactly replayable by an external engine.
+    */
+  private final class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already present
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins < k) { // displaces the current maximum
+          val out = new Array[Long](k)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out
+        } else b
+      }
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      // sorted merge, skip duplicates, stop at k
+      val out = new Array[Long](math.min(b1.length + b2.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < b1.length || j < b2.length)) {
+        val take =
+          if (j >= b2.length || (i < b1.length && b1(i) <= b2(j))) {
+            val v = b1(i); i += 1
+            if (j < b2.length && b2(j) == v) j += 1
+            v
+          } else { val v = b2(j); j += 1; v }
+        out(o) = take; o += 1
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Corpus-overlap matrix via KMV sketches: the estimated n-gram
+    * Jaccard similarity between every pair of document GROUPS (sources,
+    * snapshots, languages) — the corpus-level cousin of the per-pair
+    * dedup ops, used to pick which source pairs deserve a full
+    * cross-dedup pass at all. Standard KMV estimator (Beyer et al.,
+    * SIGMOD'07): per group keep the k smallest distinct shingle
+    * hashes; for a pair, the k smallest of the signature UNION is a
+    * uniform sample of A∪B, and the fraction of that sample present in
+    * BOTH signatures estimates |A∩B|/|A∪B|.
+    *
+    * Scale shape: one shingle scan, one bounded-state aggregate (O(k)
+    * per group, map-side combined), then pure ARRAY math on the
+    * G-row signature table — the pair stage touches k-long arrays,
+    * never corpus rows, so it is G²·k work on broadcast-sized data.
+    * The estimate is integer counts + one IEEE division: exactly
+    * replayable (the hash is the portable md5-60 — the sketch must
+    * compute identically off-JVM, so xxhash64 is out).
+    */
+  def corpusOverlapKmv(
+      docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3, k: Int = 128): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val h60 = conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+      .cast("long").as("h")
+    val kmv = udaf(new KmvAgg(k))
+    val sig = shingleTable(docs, groupCol, textCol, n)
+      .select(col("id"), h60)
+      .groupBy(col("id"))
+      .agg(kmv(col("h")).as("sig"))
+    val a = sig.select(col("id").as("group_a"), col("sig").as("__sa"))
+    val b = sig.select(col("id").as("group_b"), col("sig").as("__sb"))
+    val u = array_sort(array_union(col("__sa"), col("__sb")))
+    a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .withColumn("__cut", slice(u, lit(1), least(lit(k), size(u))))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect(col("__cut"), col("__sa")),
+          col("__sb"))).cast("long"))
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") /
+          least(lit(k), size(u)).cast("double"))
+      .select(col("group_a"), col("group_b"), col("n_common"),
+        col("jaccard_est"))
+  }
+
   /** Distinct n-gram shingle table: (id, shingle) — the inverted-index
     * input shared by the Jaccard paths. Shingling runs as the codegen'd
     * `text_shingles` Expression (identical output to the

@@ -265,6 +265,57 @@ object Sampling {
     * last split absorbs the residual weight, so float rounding in the
     * thresholds can't leak rows.
     */
+  /** DSIR-style importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23, simplified
+    * to unigram features): per RAW document, the average log-likelihood
+    * ratio of its tokens under the TARGET corpus' unigram distribution
+    * vs the raw corpus' own — positive means "looks more like the
+    * target than like average raw data". Feed the exponentiated score
+    * into [[weightedSample]] to complete the resampling step; this op
+    * is the scoring pass.
+    *
+    * Both distributions are Laplace-smoothed over the UNION vocabulary
+    * (so every ratio is finite and both corpora share one support):
+    * p(w) = (c(w)+1)/(N+V).
+    *
+    * Scale shape: one token explosion per corpus, two token-keyed count
+    * aggregates (map-side combined, vocabulary-sized outputs), a 1-row
+    * totals broadcast, and one token-keyed join back to the raw
+    * explosion — everything shuffles on the token, nothing is
+    * O(docs²). The per-doc average is a float reduction over the doc's
+    * token multiset; the exposed surface is ROUND(6) (q100's
+    * precedent), far above reduction-order ulp drift.
+    */
+  def dsirScores(
+      raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(
+        TextAnalysis.whitespaceTokens(lower(col(textCol)))).as("tok"): _*)
+    val rawTok = toks(raw, col(idCol).as("id"))
+    val rc = rawTok.groupBy(col("tok")).agg(count(lit(1)).as("cr"))
+    val tc = toks(target).groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val vocab = rc.join(tc, Seq("tok"), "full")
+      .select(col("tok"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = broadcast(vocab.agg(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"),
+      count(lit(1)).cast("double").as("v")))
+    // identical arithmetic shape on the oracle side: two smoothed
+    // probabilities, one division, one ln
+    val ratios = vocab.crossJoin(totals)
+      .select(col("tok"),
+        log(((col("ct").cast("double") + lit(1.0)) / (col("nt") + col("v")))
+          / ((col("cr").cast("double") + lit(1.0)) / (col("nr") + col("v"))))
+          .as("__lr"))
+    rawTok.join(ratios, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lr")), 6).as("avg_logratio"))
+  }
+
   def splitAssign(
       df: DataFrame, idCol: String,
       splits: Seq[(String, Double)],

@@ -1644,4 +1644,104 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     assert(loose((11L, 1L)) == ((1L, 0.2)), loose)
   }
+
+  test("funnel: strict ordering gates each stage") {
+    import spark.implicits._
+    // A: view(1) click(2) buy(3)  — full conversion
+    // B: click(1) view(2) buy(3)  — click precedes view: stops at view
+    //    (a later click would re-qualify, but there is none)
+    // C: view(1) click(2)         — no purchase
+    // D: view(5) click(5)         — same instant is NOT strictly after
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 3L),
+      (3L, "view", 1L), (3L, "click", 2L),
+      (4L, "view", 5L), (4L, "click", 5L))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.pipeline.Behavior.funnel(
+      ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._2, r._3)).toSeq ==
+      Seq(("view", 4L), ("click", 2L), ("purchase", 1L)), out.toSeq)
+    // B's purchase(3) is after its qualifying click? B never qualifies
+    // at click (click(1) is before view(2), no later click), so its
+    // purchase cannot count — only A converts fully
+    assert(out.map(_._4).toSeq == Seq(1.0, 0.5, 0.25), out.toSeq)
+  }
+
+  test("retentionCohorts: first-period cohorting, integer offsets") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(1)), (1L, ts(2)), (1L, ts(4)), // cohort d1
+      (2L, ts(1)), (2L, ts(4)),                           // cohort d1
+      (3L, ts(2)), (3L, ts(3)))                           // cohort d2
+      .toDF("user_id", "ts")
+    val out = graft.pipeline.Behavior.retentionCohorts(
+      ev, "user_id", "ts", period = "day")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> r._3).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1,2 on their first day
+      ("2024-01-01", 1L) -> 1L, // user 1 on day 2
+      ("2024-01-01", 3L) -> 2L, // users 1,2 on day 4
+      ("2024-01-02", 0L) -> 1L, // user 3
+      ("2024-01-02", 1L) -> 1L), out)
+  }
+
+  test("corpusOverlapKmv: exact at large k, disjoint→0, identical→1") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "w1 w2 w3 w4 w5 w6"),   // shingles s1..s4
+      ("b", "w1 w2 w3 w4 w5 w6"),   // identical to a
+      ("c", "z1 z2 z3 z4 z5 z6"))   // disjoint
+      .toDF("source", "text")
+    val out = graft.pipeline.Dedup.corpusOverlapKmv(
+      docs, "source", "text", n = 3, k = 128)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // k=128 exceeds every union size → the KMV estimate IS the exact
+    // Jaccard: identical groups 4/4, disjoint 0/8
+    assert(out(("a", "b")) == ((4L, 1.0)), out)
+    assert(out(("a", "c")) == ((0L, 0.0)), out)
+    assert(out(("b", "c")) == ((0L, 0.0)), out)
+  }
+
+  test("corpusOverlapKmv: sketch is insertion-order and partition free") {
+    import spark.implicits._
+    // two groups sharing half their shingle sets, small k forces real
+    // sketching; repartition shuffles arrival order — the estimate must
+    // not move (KMV is a function of the set)
+    val rows = (0 until 40).map(i => ("a", s"t$i u$i v$i w$i x$i")) ++
+      (0 until 40).map(i =>
+        (if (i < 20) "b" else "b", if (i % 2 == 0) s"t$i u$i v$i w$i x$i"
+         else s"q$i r$i s$i p$i o$i"))
+    val docs = rows.toDF("source", "text")
+    val one = graft.pipeline.Dedup.corpusOverlapKmv(
+      docs.coalesce(1), "source", "text", n = 3, k = 16)
+      .as[(String, String, Long, Double)].collect().toSet
+    val many = graft.pipeline.Dedup.corpusOverlapKmv(
+      docs.repartition(7), "source", "text", n = 3, k = 16)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(one == many, s"one=$one many=$many")
+    assert(one.head._4 > 0.0 && one.head._4 < 1.0, one)
+  }
+
+  test("dsirScores: target-like docs score above raw-only docs") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta gamma"),   // pure target vocabulary
+      (2L, "noise junk clutter"), // pure raw-only vocabulary
+      (3L, "alpha noise"))        // mixed
+      .toDF("doc_id", "text")
+    val target = Seq("alpha beta gamma alpha beta", "alpha gamma")
+      .toDF("text")
+    val out = graft.pipeline.Sampling.dsirScores(
+      raw, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 3L && out(3L)._1 == 2L)
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2, out)
+    assert(out(1L)._2 > 0 && out(2L)._2 < 0, out)
+  }
 }
