@@ -5284,6 +5284,86 @@ object Queries {
           docs.filter(col("source").isin(tgtSrc: _*)),
           "doc_id", "text")
         .orderBy("id")
+    },
+
+    // Robust per-user outlier detection: purchase rows with
+    // |value − median| > 3·MAD. The oracle surface runs exact=true
+    // (DuckDB median ≡ Spark exact percentile, the q115 split); the
+    // cut is FIXED-POINT (both sides scaled 1e4 and rounded before the
+    // strict >) because the 2-decimal money values put a literal
+    // |dev| = 3·MAD tie in the sf0.1 corpus — in float space that row's
+    // fate would hinge on interpolation-formula ulps.
+    q(
+      "q148_mad_outliers",
+      """WITH e AS (
+        |  SELECT user_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, median(value) AS med FROM e GROUP BY 1),
+        |d AS (SELECT e.user_id, e.value,
+        |    abs(e.value - m.med) AS ad, m.med
+        |  FROM e JOIN m USING (user_id)),
+        |md AS (SELECT user_id, median(ad) AS mad FROM d GROUP BY 1)
+        |SELECT d.user_id, d.value,
+        |  ROUND(d.med, 6) AS med, ROUND(md.mad, 6) AS mad
+        |FROM d JOIN md USING (user_id)
+        |WHERE ROUND(d.ad * 10000.0::DOUBLE)
+        |    > ROUND(3.0::DOUBLE * md.mad * 10000.0::DOUBLE)
+        |ORDER BY user_id, value"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.madOutliers(
+          Tables.events(s, d).filter(col("event_type") === "purchase"),
+          "user_id", "value", c = 3.0, exact = true)
+        .orderBy("user_id", "value")
+    },
+
+    // MMR diversity re-ranking (Carbonell & Goldstein SIGIR'98): top-5
+    // of vec 0's 20 nearest neighbors, greedily trading relevance
+    // against similarity to already-picked results (λ=0.5). Every
+    // cosine quantizes to integer micro-units BEFORE any comparison,
+    // so the greedy argmax chain replays exactly — the oracle advances
+    // one pick per recursion carrying the selected set as a list.
+    q(
+      "q149_mmr_rerank",
+      """WITH RECURSIVE
+        |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE vec_id = 0),
+        |c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |    ROUND(list_cosine_similarity(embedding::DOUBLE[], qv.v)
+        |      * 1000000)::BIGINT AS relq
+        |  FROM embeddings, qv WHERE vec_id <> 0),
+        |cand AS (SELECT id, v, relq FROM c0
+        |  ORDER BY relq DESC, id LIMIT 20),
+        |sims AS (SELECT a.id AS ia, b.id AS ib,
+        |    ROUND(list_cosine_similarity(a.v, b.v) * 1000000)::BIGINT
+        |      AS simq
+        |  FROM cand a JOIN cand b ON a.id <> b.id),
+        |rec AS (
+        |  SELECT 1 AS rnk, p.id AS id, p.relq AS relq,
+        |      0.5::DOUBLE * p.relq AS mmr_u, [p.id] AS sel
+        |  FROM (SELECT id, relq FROM cand
+        |        ORDER BY relq DESC, id LIMIT 1) p
+        |  UNION ALL
+        |  SELECT r.rnk + 1, p.id, p.relq, p.sc, list_append(r.sel, p.id)
+        |  FROM rec r, LATERAL (
+        |    SELECT c.id, c.relq,
+        |      0.5::DOUBLE * c.relq - (1.0::DOUBLE - 0.5::DOUBLE) * (
+        |        SELECT MAX(s.simq) FROM sims s
+        |        WHERE s.ia = c.id AND list_contains(r.sel, s.ib)) AS sc
+        |    FROM cand c WHERE NOT list_contains(r.sel, c.id)
+        |    ORDER BY sc DESC, c.id LIMIT 1) p
+        |  WHERE r.rnk < 5)
+        |SELECT rnk::BIGINT AS rank, id AS vec_id, relq AS rel_u, mmr_u
+        |FROM rec ORDER BY rank"""
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("vec").head.getSeq[Double](0).toArray
+      graft.pipeline.Similarity.mmrRerank(
+          emb.filter(col("vec_id") =!= 0), qv,
+          lambdaRel = 0.5, topN = 20, k = 5)
+        .orderBy("rank")
     }
   )
 

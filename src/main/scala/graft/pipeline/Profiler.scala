@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling for pipeline health checks: per-column statistics
@@ -75,6 +75,55 @@ object Profiler {
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.length}, $stacked) AS " +
         s"(column, ${names.mkString(", ")})")
+  }
+
+  /** Robust per-group outlier detection via the median/MAD rule: a row
+    * is an outlier when |x − median| > c · MAD (MAD = median absolute
+    * deviation) — the robust cousin of the z-score cut, immune to the
+    * outliers' own pull on the center (a spike inflates a mean AND its
+    * stddev; the medians don't move). The default c=3 is the classic
+    * "very conservative" Leys et al. choice.
+    *
+    * `exact = false` (the PRODUCTION path) computes both medians with
+    * `approx_percentile` — accuracy-bounded state that survives 100 TB
+    * groups; `exact = true` is the fixture-scale oracle surface (the
+    * [[quantileProfile]] split exactly).
+    *
+    * The cut itself is FIXED-POINT: both sides are scaled by
+    * `scaleDigits` decimal digits and rounded before the compare, so a
+    * value sitting exactly ON the boundary (common with 2-decimal
+    * money values, whose medians are .xx5 midpoints — the sf0.1 corpus
+    * has a literal |dev| = 3·MAD tie) resolves identically on every
+    * engine instead of hinging on reduction-order ulps. Ties are NOT
+    * outliers (strict >).
+    *
+    * Scale shape: two grouped aggregates and two key-partitioned joins
+    * — after the first aggregate's shuffle everything is co-partitioned
+    * on the key; with `exact=false` no state is O(group size).
+    */
+  def madOutliers(
+      df: DataFrame, keyCol: String, valCol: String,
+      c: Double = 3.0, exact: Boolean = false,
+      accuracy: Int = 10000, scaleDigits: Int = 4): DataFrame = {
+    require(c > 0, "c must be positive")
+    require(scaleDigits >= 0 && scaleDigits <= 9, "scaleDigits in [0,9]")
+    val scale = math.pow(10.0, scaleDigits)
+    def med(v: Column): Column =
+      if (exact) percentile(v, lit(0.5))
+      else percentile_approx(v, lit(0.5), lit(accuracy))
+    val k = col(keyCol).as("__k")
+    val v = col(valCol).cast("double").as("__v")
+    val meds = df.select(k, v).groupBy(col("__k"))
+      .agg(med(col("__v")).as("__med"))
+    val dev = df.select(k, v).join(meds, "__k")
+      .withColumn("__ad", abs(col("__v") - col("__med")))
+    val mads = dev.groupBy(col("__k")).agg(med(col("__ad")).as("__mad"))
+    dev.join(mads, "__k")
+      .filter(round(col("__ad") * lit(scale)) >
+        round(lit(c) * col("__mad") * lit(scale)))
+      .select(col("__k").as(keyCol), col("__v").as(valCol),
+        round(col("__med"), 6).as("med"),
+        round(col("__mad"), 6).as("mad"))
   }
 
   /** Categorical profile: distinct-value count and the top-k most

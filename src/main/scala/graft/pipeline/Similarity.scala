@@ -453,6 +453,93 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): pick `k` results from the query's top-`topN` relevance
+    * candidates, greedily maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the standard
+    * diversity-aware selection a retrieval stack runs after ANN (near-
+    * duplicate hits crowd out coverage when k results all say the same
+    * thing).
+    *
+    * The distributed part is the relevance pass — one corpus scan and a
+    * TakeOrdered top-`topN` (exactly [[bruteForceTopK]]'s shape; swap
+    * in the quantized or IVF pass upstream at scale). The greedy phase
+    * is INHERENTLY sequential (each pick changes every remaining
+    * score), so it runs on the driver over the topN-bounded candidate
+    * set — the IVF-centroid precedent, never O(corpus).
+    *
+    * Engine replay: all cosines QUANTIZE to integer micro-units
+    * (`round(cos·1e6)`, the q68 BIGINT-micro-units precedent) before
+    * any comparison, so the greedy argmax chain is integer/fixed-point
+    * arithmetic an external oracle replays exactly — no float-argmax
+    * drift. With the default λ=0.5 every score is a half-integer. The
+    * driver fold mirrors the `vec_dot` kernel's sequential index-order
+    * dot and Spark's HALF_UP rounding bit-for-bit.
+    *
+    * @return (rank, vec_id, rel_u, mmr_u): rank 1..k in pick order,
+    *         relevance and MMR score in cosine micro-units
+    */
+  def mmrRerank(
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      queryVec: Array[Double],
+      lambdaRel: Double = 0.5,
+      topN: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(k >= 1 && topN >= k, "need topN >= k >= 1")
+    require(lambdaRel >= 0.0 && lambdaRel <= 1.0, "lambda in [0,1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def quantize(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    // same expression shape as the cosine() Column kernel, sequential
+    // index-order fold like vec_dot
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qlit = array(queryVec.map(lit): _*)
+    val cand = corpus
+      .select(col("vec_id").cast("long").as("id"), col("vec"),
+        round(cosine(col("vec"), qlit) * lit(1e6)).cast("long").as("relq"))
+      .orderBy(col("relq").desc, col("id").asc)
+      .limit(topN) // TakeOrderedAndProject; collect bounded by topN
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val n = cand.length
+    val simq = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0L else quantize(cos(cand(i)._2, cand(j)._2))
+    }
+    val comp = 1.0 - lambdaRel // computed complement (IEEE lesson)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    while (picks.length < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!selected.contains(i)) {
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.iterator.map(s => simq(i)(s)).max
+          val sc = lambdaRel * cand(i)._3 - comp * maxSim
+          if (sc > bestScore ||
+              (sc == bestScore && best >= 0 && cand(i)._1 < cand(best)._1)) {
+            best = i; bestScore = sc
+          }
+        }
+        i += 1
+      }
+      selected += best
+      picks += ((picks.length + 1L, cand(best)._1, cand(best)._3, bestScore))
+    }
+    spark.createDataset(picks.toSeq)
+      .toDF("rank", "vec_id", "rel_u", "mmr_u")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     * with verification (the embedding-cosine member of the dedup family).
     * `bits=0` degenerates to one bucket — the exact all-pairs variant

@@ -1727,6 +1727,57 @@ class PipelineSpec extends SparkSpec {
     assert(one.head._4 > 0.0 && one.head._4 < 1.0, one)
   }
 
+  test("madOutliers: robust cut, boundary tie excluded, approx agrees") {
+    import spark.implicits._
+    // key a: sorted values [-10,10,20,30,80] → med 20, ads [0,10,10,
+    // 40,60] → mad 10, cut 3·mad = 30. The -10 row's deviation is
+    // EXACTLY 30 — a boundary tie, excluded by the strict fixed-point
+    // compare; only 80 (dev 60) is an outlier. key b: constant values
+    // → mad 0, the single deviant is flagged (robustness vs stddev,
+    // which the deviant itself would inflate).
+    val df = Seq(
+      ("a", -10.0), ("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 80.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 6.0))
+      .toDF("k", "v")
+    val out = graft.pipeline.Profiler.madOutliers(
+      df, "k", "v", c = 3.0, exact = true)
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(out == Set(("a", 80.0, 20.0, 10.0), ("b", 6.0, 5.0, 0.0)), out)
+    // the production approx path agrees at fixture scale
+    val approx = graft.pipeline.Profiler.madOutliers(
+      df, "k", "v", c = 3.0, exact = false)
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(approx == out, approx)
+  }
+
+  test("mmrRerank: diversity demotes the near-duplicate of a pick") {
+    import spark.implicits._
+    // query [1,0]; a is the exact match, b a near-copy of a, c less
+    // relevant but diverse. When the query IS a, rel(x) = sim(x, a)
+    // exactly, so λ=0.5 ties every step-2 score at 0 — diversity needs
+    // λ < 0.5 to outweigh relevance here. At λ=0.3 the near-copy's
+    // penalty sinks it below c: expected pick order (a, c, b).
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.999, 0.01)),
+      (3L, Array(0.7, 0.7)))
+      .toDF("vec_id", "vec")
+    val out = graft.pipeline.Similarity.mmrRerank(
+      corpus, Array(1.0, 0.0), lambdaRel = 0.3, topN = 3, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L), out.toSeq)
+    assert(out.head._3 == 1000000L) // exact-match relevance = 1.0
+    // rank-1 score is λ·rel with no penalty; later scores are smaller
+    assert(out(0)._4 == 0.3 * 1000000L && out(1)._4 < out(0)._4, out.toSeq)
+    // the λ=0.5 cancellation itself is deterministic: tie-break on id
+    // picks the near-copy second
+    val tied = graft.pipeline.Similarity.mmrRerank(
+      corpus, Array(1.0, 0.0), lambdaRel = 0.5, topN = 3, k = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(tied.map(_._2).toSeq == Seq(1L, 2L), tied.toSeq)
+    assert(tied(1)._4 == 0.0, tied.toSeq)
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(
