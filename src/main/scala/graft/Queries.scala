@@ -5364,6 +5364,53 @@ object Queries {
           emb.filter(col("vec_id") =!= 0), qv,
           lambdaRel = 0.5, topN = 20, k = 5)
         .orderBy("rank")
+    },
+
+    // Pairwise Pearson correlation matrix in one aggregate pass. The
+    // oracle surface runs exactDecimal=true: every Σx/Σx²/Σxy
+    // accumulates in DECIMAL — exact for the 2-decimal source values,
+    // so the sums are reduction-order-free and the correlation is IEEE
+    // arithmetic on identical numbers in the identical shape, ROUND(6).
+    q(
+      "q150_correlation",
+      """WITH s AS (SELECT
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+        |    * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS ss_q,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS s_p,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+        |    * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS ss_p,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(24,4))
+        |    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS ss_d,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+        |    * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sp_qp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+        |    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sp_qd,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+        |    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sp_pd
+        |FROM lineitem)
+        |SELECT col_a, col_b, corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    ROUND((n * sp_qp - s_q * s_p)
+        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_p - s_p * s_p)), 6)
+        |      AS corr FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    ROUND((n * sp_qd - s_q * s_d)
+        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 6)
+        |    FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    ROUND((n * sp_pd - s_p * s_d)
+        |      / sqrt((n * ss_p - s_p * s_p) * (n * ss_d - s_d * s_d)), 6)
+        |    FROM s)
+        |ORDER BY col_a, col_b"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.correlationMatrix(
+          Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          exactDecimal = true)
+        .orderBy("col_a", "col_b")
     }
   )
 

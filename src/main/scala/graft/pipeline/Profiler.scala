@@ -126,6 +126,56 @@ object Profiler {
         round(col("__mad"), 6).as("mad"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * feature-redundancy check a pipeline runs before training — in ONE
+    * aggregate pass: n, Σx, Σx², and every pairwise Σxy collect in a
+    * single partial/final aggregate (k columns → k(k+1)/2 + k + 1
+    * scalar sums; never one job per pair), then the k(k−1)/2 upper-
+    * triangle cells unpivot through `stack`.
+    *
+    * `exactDecimal = true` accumulates every sum in DECIMAL instead of
+    * DOUBLE: for fixed-point source data (money, quantities) the sums
+    * are then EXACT — independent of reduction order, so an external
+    * engine replays them bit-for-bit and the final correlation (IEEE
+    * arithmetic on exact sums, same expression shape both sides) is
+    * deterministic. That is the oracle surface. The default DOUBLE
+    * path is the production one — decimal aggregation costs ~2-4× in
+    * the partials and the ulp-level sum drift never matters for a
+    * redundancy screen.
+    *
+    * corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²)),
+    * ROUND(6); a zero-variance column yields NULL on both engines
+    * (Spark `try_divide` ≡ DuckDB's DOUBLE `/`, which NULLs a zero
+    * divisor instead of returning IEEE inf/nan).
+    */
+  def correlationMatrix(
+      df: DataFrame, cols: Seq[String],
+      exactDecimal: Boolean = false): DataFrame = {
+    require(cols.size >= 2, "correlate at least two columns")
+    def v(c: String): Column =
+      if (exactDecimal) col(c).cast("decimal(18,4)")
+      else col(c).cast("double")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = (count(lit(1)).cast("double").as("__n") +:
+      cols.flatMap(c => Seq(
+        sum(v(c)).cast("double").as(s"__s__$c"),
+        sum(v(c) * v(c)).cast("double").as(s"__ss__$c")))) ++
+      pairs.map { case (a, b) =>
+        sum(v(a) * v(b)).cast("double").as(s"__sp__${a}__$b")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val cells = pairs.map { case (a, b) =>
+      s"'$a', '$b', round(try_divide(" +
+        s"__n * `__sp__${a}__$b` - `__s__$a` * `__s__$b`," +
+        s" sqrt((__n * `__ss__$a` - `__s__$a` * `__s__$a`)" +
+        s" * (__n * `__ss__$b` - `__s__$b` * `__s__$b`))), 6)"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${pairs.size}, $cells) AS (col_a, col_b, corr)")
+  }
+
   /** Categorical profile: distinct-value count and the top-k most
     * frequent values per string column. All columns MELT into one
     * (column, value) frame first — so the whole profile is ONE shuffle

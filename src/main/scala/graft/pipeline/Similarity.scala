@@ -501,18 +501,39 @@ object Similarity {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val qlit = array(queryVec.map(lit): _*)
-    val cand = corpus
-      .select(col("vec_id").cast("long").as("id"), col("vec"),
-        round(cosine(col("vec"), qlit) * lit(1e6)).cast("long").as("relq"))
-      .orderBy(col("relq").desc, col("id").asc)
-      .limit(topN) // TakeOrderedAndProject; collect bounded by topN
-      .collect()
+    val cand = mmrCandidates(corpus, queryVec, topN)
+      .collect() // bounded by topN — the IVF-centroid serving edge
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
     val n = cand.length
     val simq = Array.tabulate(n, n) { (i, j) =>
       if (i == j) 0L else quantize(cos(cand(i)._2, cand(j)._2))
     }
+    runGreedy(cand, simq, lambdaRel, k, spark)
+  }
+
+  /** The distributed relevance pass of [[mmrRerank]]: quantized cosine
+    * to the query, top-`topN` by (relq desc, id) — plans
+    * `TakeOrderedAndProject` (per-partition heaps + a topN-row driver
+    * merge), never a total sort. Exposed for plan pinning.
+    */
+  private[graft] def mmrCandidates(
+      corpus: DataFrame, queryVec: Array[Double], topN: Int): DataFrame = {
+    val qlit = array(queryVec.map(lit): _*)
+    corpus
+      .select(col("vec_id").cast("long").as("id"), col("vec"),
+        round(cosine(col("vec"), qlit) * lit(1e6)).cast("long").as("relq"))
+      .orderBy(col("relq").desc, col("id").asc)
+      .limit(topN)
+  }
+
+  private def runGreedy(
+      cand: Array[(Long, Array[Double], Long)],
+      simq: Array[Array[Long]],
+      lambdaRel: Double,
+      k: Int,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = cand.length
     val comp = 1.0 - lambdaRel // computed complement (IEEE lesson)
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]

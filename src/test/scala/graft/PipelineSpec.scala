@@ -1778,6 +1778,31 @@ class PipelineSpec extends SparkSpec {
     assert(tied(1)._4 == 0.0, tied.toSeq)
   }
 
+  test("correlationMatrix: known correlations, zero-variance → null") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, 3.0, 5.0),
+      (2.0, 4.0, 2.0, 5.0),
+      (3.0, 6.0, 1.0, 5.0))
+      .toDF("x", "y", "z", "c")
+    val out = graft.pipeline.Profiler.correlationMatrix(
+      df, Seq("x", "y", "z", "c"), exactDecimal = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("x", "y")) == Some(1.0))   // y = 2x
+    assert(out(("x", "z")) == Some(-1.0))  // z = 4 - x
+    assert(out(("x", "c")).isEmpty)        // constant column → 0/0
+    assert(out.size == 6)
+    // the production double path agrees at fixture scale
+    val dbl = graft.pipeline.Profiler.correlationMatrix(
+      df, Seq("x", "y", "z", "c"), exactDecimal = false)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(dbl == out, dbl)
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(

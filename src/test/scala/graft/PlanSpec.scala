@@ -408,4 +408,87 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange") ||
       "Exchange".r.findAllIn(finalPlan).size <= 3, finalPlan)
   }
+
+  test("retentionCohorts: two shuffles, no join, no distinct re-pass") {
+    val e = graft.Tables.events(spark, sf)
+    val q = graft.pipeline.Behavior.retentionCohorts(
+      e, "user_id", "ts", period = "day")
+    val plan = planOf(q)
+    // collect_set dedups in the map-side partials and the cohort is
+    // the set minimum from the same pass — the naive shape (distinct +
+    // min-aggregate + self-join) would be 3+ exchanges and a join
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("corpusOverlapKmv: bounded-state agg, pair stage reuses it") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.Dedup.corpusOverlapKmv(
+      docs, "source", "text", n = 3, k = 32)
+    val plan = planOf(q)
+    // the pair stage is array math on the G-row signature table —
+    // never a shuffle keyed on pairs, never a sort-merge join
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // both cross-join sides hang off the SAME signature aggregate;
+    // the shingle scan must run once, the second consumer served from
+    // the first's exchange
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
+  test("madOutliers production path aggregates with bounded state") {
+    val e = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val approx = planOf(graft.pipeline.Profiler.madOutliers(
+      e, "user_id", "value", exact = false))
+    // both medians come from the GK summary (state bounded by
+    // accuracy), and the robust cut needs no window over the group
+    assert(approx.contains("percentile_approx"), approx)
+    assert(!approx.contains("percentile(") && !approx.contains("Window"),
+      approx)
+    val exact = planOf(graft.pipeline.Profiler.madOutliers(
+      e, "user_id", "value", exact = true))
+    assert(exact.contains("percentile("), exact)
+  }
+
+  test("mmr candidate pass plans TakeOrderedAndProject, no sort") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val plan = planOf(graft.pipeline.Similarity.mmrCandidates(
+      emb, Array.fill(8)(0.1), topN = 20))
+    // the only distributed stage of MMR: topN never total-sorts the
+    // corpus, and the quantized cosine is codegen'd Column math
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("correlationMatrix: one aggregate pass, no join, no window") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val plan = planOf(graft.pipeline.Profiler.correlationMatrix(
+      li, Seq("l_quantity", "l_extendedprice", "l_discount")))
+    // every Σx/Σx²/Σxy collects in a single partial/final ungrouped
+    // aggregate — one corpus scan, 2 exchanges, k(k−1)/2 cells from a
+    // stack over the 1-row result
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("dsirScores: token-keyed shuffles, 1-row totals broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.Sampling.dsirScores(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") === "src1"),
+      "doc_id", "text")
+    val plan = planOf(q)
+    // the (nr, nt, v) totals row rides a broadcast onto the
+    // vocabulary-sized ratio table; nothing is O(docs²) and no stage
+    // leaves codegen for a UDF
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
