@@ -5411,6 +5411,27 @@ object Queries {
           Seq("l_quantity", "l_extendedprice", "l_discount"),
           exactDecimal = true)
         .orderBy("col_a", "col_b")
+    },
+
+    // Z-order clustering key: Morton interleave of (user_id,
+    // day-of-month) — the write-side layout key that makes parquet
+    // min/max pruning work on BOTH dimensions. Exact bit arithmetic;
+    // the oracle replays the identical 2·bits shift/and/or terms
+    // (ZOrder.sqlExpr generates them from the same constant).
+    q(
+      "q151_zorder",
+      s"""SELECT event_id,
+         |  ${graft.functions.ZOrder.sqlExpr(
+               "user_id", "date_part('day', ts)", 16)} AS zval
+         |FROM events WHERE user_id < 50
+         |ORDER BY event_id"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .select(col("event_id"),
+          graft.functions.ZOrder.zValue(
+            col("user_id"), dayofmonth(col("ts")), 16).as("zval"))
+        .orderBy("event_id")
     }
   )
 

@@ -1803,6 +1803,41 @@ class PipelineSpec extends SparkSpec {
     assert(dbl == out, dbl)
   }
 
+  test("zValue: exact Morton interleave; zorderBy clusters both dims") {
+    import spark.implicits._
+    val got = Seq((5L, 3L), (7L, 0L), (0L, 7L), (0L, 0L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrder.zValue(col("x"), col("y"), 3).as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // x → even bit positions, y → odd: (101,011) → 1+16 | 2+8 = 27
+    assert(got == Map((5L, 3L) -> 27L, (7L, 0L) -> 21L,
+      (0L, 7L) -> 42L, (0L, 0L) -> 0L), got)
+
+    // clustering: every ALIGNED 64-value z block of a 32×32 grid is
+    // exactly an 8×8 tile — file-sized z ranges are tight in BOTH
+    // dimensions (a lexicographic sort key would leave y spanning the
+    // full 0..31 in every x slice). This is the deterministic property
+    // behind zorderBy; the range-partition boundaries themselves come
+    // from sampling, so the pin is on the curve, not the sampler.
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y))
+      .toDF("x", "y")
+    val blocks = grid
+      .withColumn("z", graft.functions.ZOrder.zValue(col("x"), col("y"), 5))
+      .groupBy((col("z") / 64).cast("long").as("blk"))
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"),
+        count(lit(1)).as("n"))
+      .as[(Long, Int, Int, Long)].collect()
+    assert(blocks.length == 16 && blocks.map(_._4).sum == 1024, blocks.toSeq)
+    blocks.foreach { case (_, xs, ys, n) =>
+      assert(n == 64L && xs == 7 && ys == 7, blocks.toSeq)
+    }
+    // zorderBy preserves the row multiset through the range shuffle
+    val clustered = graft.functions.ZOrder.zorderBy(grid, "x", "y", 5, 8)
+    assert(clustered.count() == 1024 &&
+      clustered.distinct().count() == 1024)
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(
