@@ -5432,6 +5432,41 @@ object Queries {
           graft.functions.ZOrder.zValue(
             col("user_id"), dayofmonth(col("ts")), 16).as("zval"))
         .orderBy("event_id")
+    },
+
+    // Item co-occurrence mining on purchase baskets (item = the props
+    // JSON key): pairs bought together by ≥2 users, with support and
+    // lift. Counts are integers; support and lift are fixed shapes of
+    // exact-integer operands in IEEE doubles — no rounding needed. The
+    // pair stage self-joins on the USER (posting-list bounded), never
+    // on items.
+    q(
+      "q152_cooccurrence",
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    json_extract(props, '$.k')::BIGINT AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |n AS (SELECT COUNT(DISTINCT u)::DOUBLE AS nu FROM b),
+        |ic AS (SELECT item, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |p AS (SELECT a.item AS ia, c.item AS ib, COUNT(*) AS co
+        |  FROM b a JOIN b c ON a.u = c.u AND a.item < c.item
+        |  GROUP BY 1, 2)
+        |SELECT ia AS item_a, ib AS item_b, co AS n_both,
+        |  x.cnt AS n_a, y.cnt AS n_b,
+        |  co::DOUBLE / n.nu AS support,
+        |  co::DOUBLE * n.nu / (x.cnt::DOUBLE * y.cnt::DOUBLE) AS lift
+        |FROM p JOIN ic x ON p.ia = x.item JOIN ic y ON p.ib = y.item
+        |CROSS JOIN n
+        |WHERE co >= 2
+        |ORDER BY item_a, item_b"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.coOccurrence(
+          Tables.events(s, d)
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("item")),
+          "user_id", "item", minCount = 2L)
+        .orderBy("item_a", "item_b")
     }
   )
 

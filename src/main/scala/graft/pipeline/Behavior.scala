@@ -80,6 +80,67 @@ object Behavior {
         else round(col("n_users").cast("double") / lit(base.toDouble), 6))
   }
 
+  /** Item co-occurrence / association mining over user baskets — the
+    * "users who took A also took B" reduction (support, lift) behind
+    * recommendations and data-mix diagnostics. Input is any (user,
+    * item) event table; the basket is the user's DISTINCT item set.
+    *
+    * Returns one row per unordered item pair seen in ≥ `minCount`
+    * baskets: (item_a, item_b, n_both, n_a, n_b, support, lift) with
+    * support = n_both/N (N = distinct users) and
+    * lift = n_both·N / (n_a·n_b) — each a fixed shape of exact-integer
+    * operands in IEEE doubles, so the surface replays exactly.
+    *
+    * Scale shape: the pair stage is a self-join ON THE USER (posting-
+    * list style — candidate pairs are bounded by Σ basket², never
+    * |items|²), and `maxBasketSize` caps the quadratic term per user
+    * (the df-cap lesson from the shingle index: one 10⁶-item
+    * power-user mints 10¹² pairs; drop such baskets explicitly rather
+    * than letting one key OOM the join). The distinct-basket table is
+    * checkpoint-shared by its three consumers (sizes, item counts,
+    * pairs) so the events scan runs once.
+    */
+  def coOccurrence(
+      events: DataFrame,
+      userCol: String,
+      itemCol: String,
+      minCount: Long = 2L,
+      maxBasketSize: Int = 10000): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(maxBasketSize >= 2, "maxBasketSize must allow pairs")
+    val b0 = events
+      .select(col(userCol).as("user"), col(itemCol).as("item"))
+      .distinct()
+    val b = b0.cache()
+    val keptUsers = b.groupBy(col("user"))
+      .agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") <= maxBasketSize)
+      .select(col("user"))
+    val kept = b.join(keptUsers, "user")
+    val n = broadcast(kept.agg(
+      countDistinct(col("user")).cast("double").as("__n")))
+    val ic = kept.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = kept.as("a")
+      .join(kept.as("c"), Seq("user"))
+      .filter(col("a.item") < col("c.item"))
+      .groupBy(col("a.item").as("item_a"), col("c.item").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    val result = pairs
+      .join(ic.select(col("item").as("item_a"), col("cnt").as("n_a")),
+        "item_a")
+      .join(ic.select(col("item").as("item_b"), col("cnt").as("n_b")),
+        "item_b")
+      .crossJoin(n)
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (col("n_both").cast("double") / col("__n")).as("support"),
+        (col("n_both").cast("double") * col("__n")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+    PipelineCache.materialize(b)(result)
+  }
+
   /** Retention cohort matrix: users are cohorted by the period of their
     * FIRST event, and each (cohort, offset) cell counts the distinct
     * users of that cohort active `offset` periods later (offset 0 is

@@ -1838,6 +1838,36 @@ class PipelineSpec extends SparkSpec {
       clustered.distinct().count() == 1024)
   }
 
+  test("coOccurrence: support/lift, dedup, basket cap") {
+    import spark.implicits._
+    // baskets: u1{1,2,3} u2{1,2} u3{1,3}; duplicate purchase rows must
+    // not inflate counts
+    val ev = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L),
+      (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("user_id", "item")
+    val out = graft.pipeline.Behavior.coOccurrence(
+      ev, "user_id", "item", minCount = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // (2,3) co-occurs once — below minCount
+    assert(out.keySet == Set((1L, 2L), (1L, 3L)), out)
+    assert(out((1L, 2L)) == ((2L, 3L, 2L, 2.0 / 3.0, 2.0 * 3.0 / (3.0 * 2.0))),
+      out)
+    // a power user whose basket exceeds the cap contributes NOTHING —
+    // neither pairs nor item/user counts
+    val withPower = ev.union(
+      (1L to 5L).map(i => (99L, i)).toDF("user_id", "item"))
+    val capped = graft.pipeline.Behavior.coOccurrence(
+      withPower, "user_id", "item", minCount = 2L, maxBasketSize = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(capped.keySet == Set((1L, 2L), (1L, 3L)), capped)
+    assert(capped((1L, 2L)) == ((2L, 2.0 / 3.0)), capped) // N stays 3
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(
