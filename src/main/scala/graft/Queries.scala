@@ -5467,8 +5467,62 @@ object Queries {
               get_json_object(col("props"), "$.k").cast("long").as("item")),
           "user_id", "item", minCount = 2L)
         .orderBy("item_a", "item_b")
+    },
+
+    // PageRank over the item co-occurrence graph (q152's ≥2-basket
+    // pairs as undirected edges), 3 power iterations at d=0.85. Each
+    // iteration's ranks ROUND(9) on BOTH sides, so reduction-order ulp
+    // drift in the incoming-mass sums collapses to an identical
+    // fixed-point surface before it can compound; the damping
+    // complement is COMPUTED (1.0−0.85), never the literal 0.15.
+    q(
+      "q153_pagerank",
+      s"""WITH b AS (
+         |  SELECT DISTINCT user_id AS u,
+         |    json_extract(props, '$$.k')::BIGINT AS item
+         |  FROM events WHERE event_type = 'purchase'),
+         |p AS (SELECT a.item AS ia, c.item AS ib, COUNT(*) AS co
+         |  FROM b a JOIN b c ON a.u = c.u AND a.item < c.item
+         |  GROUP BY 1, 2),
+         |e0 AS (SELECT ia, ib FROM p WHERE co >= 2),
+         |sym AS (SELECT ia AS s, ib AS t FROM e0
+         |  UNION SELECT ib, ia FROM e0),
+         |dg AS (SELECT s, COUNT(*)::DOUBLE AS dg FROM sym GROUP BY 1),
+         |nn AS (SELECT COUNT(*)::DOUBLE AS nu FROM dg),
+         |r0 AS (SELECT s AS id, 1.0::DOUBLE / nn.nu AS rank
+         |  FROM dg CROSS JOIN nn),
+         |${pageRankIter("r0", "r1")},
+         |${pageRankIter("r1", "r2")},
+         |${pageRankIter("r2", "r3")}
+         |SELECT id AS item, rank FROM r3 ORDER BY item"""
+    ) { (s, d) =>
+      val edges = graft.pipeline.Behavior.coOccurrence(
+          Tables.events(s, d)
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("item")),
+          "user_id", "item", minCount = 2L)
+        .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
+      graft.pipeline.Behavior.pageRank(edges, damping = 0.85, iters = 3)
+        .select(col("id").as("item"), col("rank"))
+        .orderBy("item")
     }
   )
+
+  /** One unrolled PageRank iteration for the q153 oracle: the incoming
+    * mass join/sum and the damped update, ROUND(9) — the same
+    * expression shape as [[graft.pipeline.Behavior.pageRank]]'s loop
+    * body, generated so the three iterations cannot drift apart.
+    */
+  private def pageRankIter(prev: String, cur: String): String =
+    s"""$cur AS (SELECT d_.s AS id,
+       |    ROUND((1.0::DOUBLE - 0.85::DOUBLE) / nn.nu
+       |      + 0.85::DOUBLE * COALESCE(m_.inn, 0.0::DOUBLE), 9) AS rank
+       |  FROM dg d_ CROSS JOIN nn LEFT JOIN (
+       |    SELECT sym.t AS id, SUM($prev.rank / dg.dg) AS inn
+       |    FROM sym JOIN dg ON sym.s = dg.s
+       |    JOIN $prev ON $prev.id = sym.s GROUP BY 1) m_
+       |  ON m_.id = d_.s)"""
 
   /** Deterministic multilingual fixture for q140/q141: append the
     * ground-truth label's phrase (the first 10 words of that label's

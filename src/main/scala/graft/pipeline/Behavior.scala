@@ -141,6 +141,61 @@ object Behavior {
     PipelineCache.materialize(b)(result)
   }
 
+  /** PageRank over an undirected edge list, fixed iteration count —
+    * the centrality companion to the dedup family's connected
+    * components (which items/domains/documents anchor the graph, not
+    * just which belong together). Standard power iteration:
+    * r⁰ = 1/N;  rᵗ⁺¹(v) = (1−d)/N + d·Σ_{u~v} rᵗ(u)/deg(u)
+    * over the symmetrized edges; with every node edge-incident there
+    * is no dangling mass to redistribute.
+    *
+    * Each iteration's ranks ROUND to 9 decimals: the incoming-mass sum
+    * is a float reduction over a variable neighbor set, and the
+    * per-iteration rounding collapses reduction-order ulp drift
+    * (~1e-16) to an identical fixed-point surface before it can
+    * compound — an external engine unrolling the same iterations
+    * reproduces every rank bit-for-bit.
+    *
+    * Scale shape: one (deg-annotated) edge table cached and
+    * repartitioned on the propagation key, one contribution
+    * join + grouped sum per iteration — the CC loop's cost model with
+    * a fixed round budget instead of convergence detection.
+    */
+  def pageRank(
+      edges: DataFrame, // (id_a, id_b), undirected
+      damping: Double = 0.85,
+      iters: Int = 3): DataFrame = {
+    require(damping > 0 && damping < 1, "damping in (0,1)")
+    require(iters >= 1, "at least one iteration")
+    val sym0 = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val deg = sym0.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val sym = sym0.join(deg, "src").repartition(col("src")).cache()
+    val nodes = deg.select(col("src").as("id"))
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val init = lit(1.0) / lit(n.toDouble)
+    val base = lit(1.0 - damping) / lit(n.toDouble)
+    var r = nodes.select(col("id"), init.as("rank"))
+    (1 to iters).foreach { _ =>
+      val contrib = sym
+        .join(r.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst").as("id"),
+          (col("rank") / col("__deg").cast("double")).as("__c"))
+        .groupBy(col("id"))
+        .agg(sum(col("__c")).as("__in"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(base + lit(damping) * coalesce(col("__in"), lit(0.0)), 9)
+            .as("rank"))
+    }
+    // materialize the node-sized answer while the edge cache is hot,
+    // then release the cache (the pipeline-family discipline)
+    PipelineCache.materialize(sym)(r)
+  }
+
   /** Retention cohort matrix: users are cohorted by the period of their
     * FIRST event, and each (cohort, offset) cell counts the distinct
     * users of that cohort active `offset` periods later (offset 0 is
