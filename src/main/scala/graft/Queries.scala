@@ -5496,13 +5496,12 @@ object Queries {
          |${pageRankIter("r2", "r3")}
          |SELECT id AS item, rank FROM r3 ORDER BY item"""
     ) { (s, d) =>
-      val edges = graft.pipeline.Behavior.coOccurrence(
+      val edges = graft.pipeline.Behavior.coOccurrenceEdges(
           Tables.events(s, d)
             .filter(col("event_type") === "purchase")
             .select(col("user_id"),
               get_json_object(col("props"), "$.k").cast("long").as("item")),
           "user_id", "item", minCount = 2L)
-        .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
       graft.pipeline.Behavior.pageRank(edges, damping = 0.85, iters = 3)
         .select(col("id").as("item"), col("rank"))
         .orderBy("item")

@@ -91,14 +91,15 @@ object Behavior {
     * lift = n_both·N / (n_a·n_b) — each a fixed shape of exact-integer
     * operands in IEEE doubles, so the surface replays exactly.
     *
-    * Scale shape: the pair stage is a self-join ON THE USER (posting-
-    * list style — candidate pairs are bounded by Σ basket², never
-    * |items|²), and `maxBasketSize` caps the quadratic term per user
-    * (the df-cap lesson from the shingle index: one 10⁶-item
-    * power-user mints 10¹² pairs; drop such baskets explicitly rather
-    * than letting one key OOM the join). The distinct-basket table is
-    * checkpoint-shared by its three consumers (sizes, item counts,
-    * pairs) so the events scan runs once.
+    * Scale shape: ONE user-keyed aggregate collects each user's
+    * distinct item set (`collect_set` dedups in the map-side
+    * partials); the `maxBasketSize` cap is then a plain array-size
+    * filter — no basket-size count/join round trip — and the pair
+    * stage is a double explode of the basket array (bounded by cap²
+    * per user, never |items|²; the df-cap lesson from the shingle
+    * index: one 10⁶-item power-user would otherwise mint 10¹²
+    * pairs). The basket table is cached across its three consumers
+    * (user total, item counts, pairs) so the events scan runs once.
     */
   def coOccurrence(
       events: DataFrame,
@@ -108,22 +109,12 @@ object Behavior {
       maxBasketSize: Int = 10000): DataFrame = {
     require(minCount >= 1, "minCount must be at least 1")
     require(maxBasketSize >= 2, "maxBasketSize must allow pairs")
-    val b0 = events
-      .select(col(userCol).as("user"), col(itemCol).as("item"))
-      .distinct()
-    val b = b0.cache()
-    val keptUsers = b.groupBy(col("user"))
-      .agg(count(lit(1)).as("__bs"))
-      .filter(col("__bs") <= maxBasketSize)
-      .select(col("user"))
-    val kept = b.join(keptUsers, "user")
-    val n = broadcast(kept.agg(
-      countDistinct(col("user")).cast("double").as("__n")))
-    val ic = kept.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val pairs = kept.as("a")
-      .join(kept.as("c"), Seq("user"))
-      .filter(col("a.item") < col("c.item"))
-      .groupBy(col("a.item").as("item_a"), col("c.item").as("item_b"))
+    val b = basketTable(events, userCol, itemCol, maxBasketSize).cache()
+    val n = broadcast(b.agg(count(lit(1)).cast("double").as("__n")))
+    val ic = b.select(explode(col("__items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = basketPairs(b)
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minCount)
     val result = pairs
@@ -139,6 +130,49 @@ object Behavior {
           / (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("lift"))
     PipelineCache.materialize(b)(result)
+  }
+
+  /** Distinct item baskets as (user, __items array), capped: the one
+    * user-keyed aggregate both co-occurrence entry points build on.
+    */
+  private def basketTable(
+      events: DataFrame, userCol: String, itemCol: String,
+      maxBasketSize: Int): DataFrame =
+    events
+      .select(col(userCol).as("user"), col(itemCol).as("item"))
+      .groupBy(col("user"))
+      .agg(collect_set(col("item")).as("__items"))
+      .filter(size(col("__items")) <= maxBasketSize)
+
+  /** Ordered within-basket pairs via double explode — bounded by
+    * basket-cap² per user, generated in the scan stage after the one
+    * basket shuffle (no self-join).
+    */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(col("__items")).as("item_a"), col("__items"))
+      .select(col("item_a"), explode(col("__items")).as("item_b"))
+      .filter(col("item_a") < col("item_b"))
+
+  /** Just the ≥`minCount` co-occurrence PAIRS as an undirected edge
+    * list — the graph-construction half of [[coOccurrence]] without
+    * the support/lift statistics (no item counts, no user total, no
+    * rate joins). Feed to [[pageRank]] or
+    * [[graft.pipeline.Dedup.connectedComponents]]; callers wanting
+    * the association statistics use [[coOccurrence]].
+    */
+  def coOccurrenceEdges(
+      events: DataFrame,
+      userCol: String,
+      itemCol: String,
+      minCount: Long = 2L,
+      maxBasketSize: Int = 10000): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    basketPairs(basketTable(events, userCol, itemCol, maxBasketSize))
+      .groupBy(col("item_a").as("id_a"), col("item_b").as("id_b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** PageRank over an undirected edge list, fixed iteration count —

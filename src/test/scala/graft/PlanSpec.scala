@@ -477,6 +477,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("coOccurrenceEdges: basket shuffle + pair agg, no self-join") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("user_id", "item")
+    val plan = planOf(graft.pipeline.Behavior.coOccurrenceEdges(
+      ev, "user_id", "item"))
+    // pairs come from a double explode of the collect_set basket —
+    // one user shuffle, one pair-count shuffle, never a user-keyed
+    // self-join (which would re-shuffle the basket table twice more)
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate"), plan) // the explode pair stage
+  }
+
   test("dsirScores: token-keyed shuffles, 1-row totals broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.pipeline.Sampling.dsirScores(
