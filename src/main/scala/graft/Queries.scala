@@ -5505,8 +5505,120 @@ object Queries {
       graft.pipeline.Behavior.pageRank(edges, damping = 0.85, iters = 3)
         .select(col("id").as("item"), col("rank"))
         .orderBy("item")
+    },
+
+    // Product-quantization ADC top-5: 64-dim vectors compress to 8
+    // one-byte codes (8 subspaces × 16 first-N codewords, the q40
+    // deterministic-codebook convention); search is per-query distance
+    // TABLES + m lookups per vector, never the raw vectors. Every
+    // float is the same ascending-dim left-assoc fold on both engines
+    // (codeword argmin ties to the lower code; ADC adds the 8 table
+    // entries in subspace order), so ordering and the ROUND(6) surface
+    // replay bit-for-bit.
+    q(
+      "q154_pq_topk",
+      s"""WITH $pqOracleCtes
+         |SELECT qid AS query_id, rnk AS rank, vec_id,
+         |  ROUND(dist, 6) AS adc
+         |FROM (SELECT qid, vec_id, dist, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM adc)
+         |WHERE rnk <= 5 ORDER BY query_id, rank"""
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val cb = graft.pipeline.Similarity.pqCodebooksFirstN(emb, m = 8,
+        ksub = 16)
+      graft.pipeline.Similarity.pqTopK(
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
+          emb, cb, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // The PQ production serving shape: ADC winnows to top-50
+    // survivors per query, the exact 64-dim squared-euclidean kernel
+    // re-ranks only those (the quantize-then-rerank pattern at 64×
+    // compression). The oracle extends q154's CTE chain with the
+    // survivor rank and the unrolled exact distance in the identical
+    // ascending-dim fold.
+    q(
+      "q155_pq_rerank",
+      s"""WITH $pqOracleCtes,
+         |surv AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM adc)
+         |  WHERE rnk <= 50),
+         |ex AS (SELECT surv.qid, surv.vec_id,
+         |    ${sqDistN("q_.v", "c_.v", 64)} AS dist
+         |  FROM surv JOIN e q_ ON q_.vec_id = surv.qid
+         |  JOIN e c_ ON c_.vec_id = surv.vec_id)
+         |SELECT qid AS query_id, rnk AS rank, vec_id,
+         |  ROUND(dist, 6) AS dist
+         |FROM (SELECT qid, vec_id, dist, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
+         |WHERE rnk <= 5 ORDER BY query_id, rank"""
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val cb = graft.pipeline.Similarity.pqCodebooksFirstN(emb, m = 8,
+        ksub = 16)
+      graft.pipeline.Similarity.pqRerankTopK(
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
+          emb, cb, k = 5, overfetch = 10)
+        .orderBy("query_id", "rank")
     }
   )
+
+  /** Unrolled ascending-dimension left-assoc squared euclidean over
+    * list slices — the exact fold shape of
+    * [[graft.pipeline.Similarity.nearestCentroid]]'s kernel, for the
+    * q154/q155 PQ oracles.
+    */
+  private def sqDistN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+      .mkString(" + ")
+
+  /** Shared CTE chain of the PQ oracles (q154 ADC ranks, q155
+    * overfetch + exact rerank): rebuild the first-16 codebooks per
+    * 8-dim subspace with a window rank, encode the corpus by
+    * per-subspace argmin (ties to the lower code), compute each
+    * query's distance table, and assemble ADC distances by adding the
+    * 8 table entries in subspace order.
+    */
+  private lazy val pqOracleCtes: String = {
+    val sq8 = sqDistN(_: String, _: String, 8)
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |cbsrc AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+       |    AS j FROM e ORDER BY vec_id LIMIT 16),
+       |ss AS (SELECT UNNEST(range(8)) AS s),
+       |cb AS (SELECT ss.s, cbsrc.j,
+       |    list_slice(cbsrc.v, 8*ss.s + 1, 8*ss.s + 8) AS cv
+       |  FROM cbsrc, ss),
+       |sub AS (SELECT e.vec_id, ss.s,
+       |    list_slice(e.v, 8*ss.s + 1, 8*ss.s + 8) AS sv
+       |  FROM e, ss),
+       |enc AS (SELECT vec_id, s, j AS code FROM (
+       |  SELECT sub.vec_id, sub.s, cb.j, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.s
+       |      ORDER BY ${sq8("sub.sv", "cb.cv")}, cb.j) AS rnk
+       |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rnk = 1),
+       |qsub AS (SELECT vec_id AS qid, s, sv AS qv FROM sub
+       |  WHERE vec_id < 5),
+       |qtab AS (SELECT qsub.qid, cb.s, cb.j,
+       |    ${sq8("qsub.qv", "cb.cv")} AS d
+       |  FROM qsub JOIN cb ON qsub.s = cb.s),
+       |terms AS (SELECT qtab.qid, enc.vec_id, qtab.s, qtab.d
+       |  FROM qtab JOIN enc ON qtab.s = enc.s AND qtab.j = enc.code
+       |  WHERE qtab.qid <> enc.vec_id),
+       |lists AS (SELECT qid, vec_id, list(d ORDER BY s) AS l
+       |  FROM terms GROUP BY 1, 2),
+       |adc AS (SELECT qid, vec_id,
+       |    l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]+l[8] AS dist FROM lists)"""
+  }
 
   /** One unrolled PageRank iteration for the q153 oracle: the incoming
     * mass join/sum and the damped update, ROUND(9) — the same

@@ -1868,6 +1868,55 @@ class PipelineSpec extends SparkSpec {
     assert(capped((1L, 2L)) == ((2L, 2.0 / 3.0)), capped) // N stays 3
   }
 
+  test("pq: seed self-encoding, ADC carries signal, rerank recovers") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val cb = graft.pipeline.Similarity.pqCodebooksFirstN(emb, m = 8,
+      ksub = 16)
+    // a codebook seed vector's subvectors ARE codeword j — distance 0
+    // beats every other codeword, so vector j encodes to codes [j]*8
+    val enc = graft.pipeline.Similarity.pqEncode(
+      emb.filter(col("vec_id") < 16), cb)
+      .as[(Long, Seq[Int])].collect()
+    enc.foreach { case (id, codes) =>
+      assert(codes == Seq.fill(8)(id.toInt), (id, codes))
+    }
+
+    // recall vs exact euclidean top-5 on 20 mid-corpus queries:
+    // isotropic vectors are PQ's WORST case, so raw ADC order only
+    // clears a floor far above chance (5/500 = 1%), while the
+    // overfetch-10 exact rerank — the production serving shape —
+    // recovers most of the answer set (measured 0.16 / 0.55)
+    val qids = (100L until 120L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val all = emb.as[(Long, Array[Double])].collect()
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = qids.map { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (d2(qv, v), id) }
+        .sortBy(x => (x._1, x._2)).take(5).map(_._2).toSet
+    }.toMap
+    def recall(hits: Map[Long, Set[Long]]): Double =
+      qids.map(q => hits(q).intersect(exact(q)).size / 5.0).sum / qids.size
+    val adc = graft.pipeline.Similarity.pqTopK(queries, emb, cb, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rr = graft.pipeline.Similarity.pqRerankTopK(
+      queries, emb, cb, k = 5, overfetch = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(recall(adc) >= 0.10, s"adc recall ${recall(adc)}")
+    assert(recall(rr) >= 0.40, s"rerank recall ${recall(rr)}")
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(
