@@ -5569,6 +5569,53 @@ object Queries {
             .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
           emb, cb, k = 5, overfetch = 10)
         .orderBy("query_id", "rank")
+    },
+
+    // Declarative data-quality gate (Deequ/expectations pattern) over
+    // documents: null/range/regex/row-count checks fold into ONE
+    // conditional-sum aggregate, uniqueness adds a keyed count.
+    // Metrics are single IEEE divisions of exact integer counts, the
+    // regex is \A..\z-anchored (end-of-TEXT on both engines — the
+    // rlike '$'-before-trailing-newline trap), and passed = metric ≤
+    // threshold on identical doubles.
+    q(
+      "q156_quality_gate",
+      """WITH t AS (SELECT
+        |  COUNT(*)::DOUBLE AS rows_,
+        |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::DOUBLE AS m0,
+        |  SUM(CASE WHEN n_chars IS NULL OR n_chars < 100
+        |    OR n_chars > 2000 THEN 1 ELSE 0 END)::DOUBLE AS m1,
+        |  SUM(CASE WHEN source IS NULL
+        |    OR NOT regexp_matches(source, '\Asrc[0-9]+\z')
+        |    THEN 1 ELSE 0 END)::DOUBLE AS m2
+        | FROM documents),
+        |u AS (SELECT SUM(n)::DOUBLE AS rows_,
+        |    SUM(CASE WHEN n > 1 THEN n ELSE 0 END)::DOUBLE AS d
+        |  FROM (SELECT doc_id, COUNT(*) AS n FROM documents
+        |        GROUP BY 1))
+        |SELECT * FROM (
+        |  SELECT 'not_null(text)' AS check_name, m0/rows_ AS metric,
+        |    CAST(0.0 AS DOUBLE) AS threshold,
+        |    m0/rows_ <= CAST(0.0 AS DOUBLE) AS passed FROM t
+        |  UNION ALL SELECT 'in_range(n_chars)', m1/rows_,
+        |    CAST(0.5 AS DOUBLE), m1/rows_ <= CAST(0.5 AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'matches(source)', m2/rows_,
+        |    CAST(0.0 AS DOUBLE), m2/rows_ <= CAST(0.0 AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'min_rows', rows_, CAST(100.0 AS DOUBLE),
+        |    rows_ >= CAST(100.0 AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'unique(doc_id)', d/rows_,
+        |    CAST(0.0 AS DOUBLE), d = CAST(0.0 AS DOUBLE) FROM u)
+        |ORDER BY check_name"""
+    ) { (s, d) =>
+      import graft.pipeline.Profiler.Check._
+      graft.pipeline.Profiler.checkConstraints(
+          Tables.documents(s, d),
+          Seq(NotNull("text", 0.0),
+            InRange("n_chars", 100, 2000, 0.5),
+            Matches("source", "\\Asrc[0-9]+\\z", 0.0),
+            MinRows(100L),
+            Unique("doc_id")))
+        .orderBy("check_name")
     }
   )
 

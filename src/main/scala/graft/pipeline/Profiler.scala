@@ -126,6 +126,96 @@ object Profiler {
         round(col("__mad"), 6).as("mad"))
   }
 
+  /** Declarative data-quality constraints (the Deequ/expectations
+    * pattern): evaluate a suite of table-level checks in as few passes
+    * as the suite allows and return one row per constraint —
+    * (name, metric, threshold, passed) — the gate report a pipeline
+    * asserts on before publishing a snapshot.
+    *
+    * Constraint kinds and their metrics:
+    *  - `notNull(col, maxFrac)`      — null fraction ≤ maxFrac
+    *  - `inRange(col, lo, hi, maxFrac)` — out-of-[lo,hi] fraction
+    *  - `matches(col, regex, maxFrac)`  — non-matching fraction
+    *  - `unique(col)`               — duplicated-row fraction (rows in
+    *    value groups of size > 1, over all rows)
+    *  - `minRows(n)`                — row count ≥ n
+    *
+    * Scale shape: every row-local constraint (notNull/inRange/matches/
+    * minRows) folds into ONE ungrouped conditional-sum aggregate —
+    * one corpus scan for the whole suite; each `unique` needs its own
+    * value-keyed count (map-side combined), joined back as a 1-row
+    * broadcast. Fractions are single IEEE divisions of exact integer
+    * counts; `passed` compares fraction ≤ threshold where both sides
+    * are exact-operand derived — replayable on any engine.
+    */
+  object Check {
+    sealed trait Constraint { def name: String }
+    final case class NotNull(col: String, maxFrac: Double)
+      extends Constraint { def name = s"not_null($col)" }
+    final case class InRange(col: String, lo: Double, hi: Double,
+        maxFrac: Double)
+      extends Constraint { def name = s"in_range($col)" }
+    final case class Matches(col: String, regex: String, maxFrac: Double)
+      extends Constraint { def name = s"matches($col)" }
+    final case class Unique(col: String)
+      extends Constraint { def name = s"unique($col)" }
+    final case class MinRows(n: Long)
+      extends Constraint { def name = "min_rows" }
+  }
+
+  def checkConstraints(
+      df: DataFrame, constraints: Seq[Check.Constraint]): DataFrame = {
+    import Check._
+    require(constraints.nonEmpty, "check at least one constraint")
+    val rowLocal = constraints.filter(!_.isInstanceOf[Unique])
+    val uniques = constraints.collect { case u: Unique => u }
+    val aggs = count(lit(1)).cast("double").as("__rows") +:
+      rowLocal.zipWithIndex.map {
+        case (NotNull(c, _), i) =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double")
+            .as(s"__m$i")
+        case (InRange(c, lo, hi, _), i) =>
+          sum(when(col(c).isNull
+              .or(col(c) < lit(lo)).or(col(c) > lit(hi)), 1L)
+            .otherwise(0L)).cast("double").as(s"__m$i")
+        case (Matches(c, re, _), i) =>
+          sum(when(col(c).isNull.or(!col(c).rlike(re)), 1L)
+            .otherwise(0L)).cast("double").as(s"__m$i")
+        case (MinRows(_), i) => first(lit(0.0)).as(s"__m$i")
+        case (u: Unique, _) =>
+          throw new IllegalStateException(s"unfiltered $u")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def d(x: Double): String = s"CAST($x AS DOUBLE)"
+    val rowCells = rowLocal.zipWithIndex.map {
+      case (MinRows(n), i) =>
+        s"'min_rows', __rows, ${d(n.toDouble)}, __rows >= ${d(n.toDouble)}"
+      case (c, i) =>
+        val thr = c match {
+          case NotNull(_, f) => f
+          case InRange(_, _, _, f) => f
+          case Matches(_, _, f) => f
+          case other => throw new IllegalStateException(other.name)
+        }
+        s"'${c.name}', `__m$i` / __rows, ${d(thr)}, " +
+          s"`__m$i` / __rows <= ${d(thr)}"
+    }.mkString(", ")
+    val rowReport = one.selectExpr(
+      s"stack(${rowLocal.size}, $rowCells) AS " +
+        "(check_name, metric, threshold, passed)")
+    uniques.foldLeft(rowReport) { (acc, u) =>
+      val dup = df.groupBy(col(u.col)).agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")).cast("double").as("__rows"),
+          sum(when(col("__n") > 1L, col("__n")).otherwise(0L))
+            .cast("double").as("__d"))
+        .selectExpr("'" + u.name + "' AS check_name",
+          "__d / __rows AS metric",
+          "CAST(0.0 AS DOUBLE) AS threshold",
+          "__d = CAST(0.0 AS DOUBLE) AS passed")
+      acc.unionAll(dup)
+    }
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns — the
     * feature-redundancy check a pipeline runs before training — in ONE
     * aggregate pass: n, Σx, Σx², and every pairwise Σxy collect in a

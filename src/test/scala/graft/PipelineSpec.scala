@@ -1917,6 +1917,28 @@ class PipelineSpec extends SparkSpec {
     assert(recall(rr) >= 0.40, s"rerank recall ${recall(rr)}")
   }
 
+  test("checkConstraints: metrics, thresholds, pass/fail") {
+    import spark.implicits._
+    import graft.pipeline.Profiler.Check._
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None, 500.0), (3L, Some("abc"), 30.0))
+      .toDF("id", "s", "v")
+    val out = graft.pipeline.Profiler.checkConstraints(df, Seq(
+      NotNull("s", 0.3),     // 1/4 null → 0.25 ≤ 0.3 pass
+      InRange("v", 0, 100, 0.2), // 1/4 out → 0.25 > 0.2 fail
+      Matches("s", "\\A[a-z]\\z", 0.5), // null + "abc" → 0.5 ≤ 0.5 pass
+      MinRows(5L),           // 4 < 5 fail
+      Unique("id")))         // id 3 twice → 2/4 dup fraction, fail
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(out("not_null(s)") == ((0.25, true)), out)
+    assert(out("in_range(v)") == ((0.25, false)), out)
+    assert(out("matches(s)") == ((0.5, true)), out)
+    assert(out("min_rows") == ((4.0, false)), out)
+    assert(out("unique(id)") == ((0.5, false)), out)
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(
