@@ -5616,6 +5616,89 @@ object Queries {
             MinRows(100L),
             Unique("doc_id")))
         .orderBy("check_name")
+    },
+
+    // CDC changelog apply (MERGE semantics): snapshot = each user's
+    // earliest event value; changes = the last ~6 days of events
+    // (errors are deletes, everything else upserts). Per key the
+    // lexicographic-latest (ts, op, value) change wins from ONE
+    // max(struct) aggregate — never a window over the history — and
+    // the oracle replays the same total order with a rank.
+    q(
+      "q157_changelog_apply",
+      """WITH snap AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), value) AS rn
+        |    FROM events) WHERE rn = 1),
+        |ch AS (SELECT user_id, epoch_us(ts) AS ts,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |         ELSE 'upsert' END AS op, value
+        |  FROM events WHERE epoch_us(ts) >= 1706140800000000),
+        |w AS (SELECT user_id, op, value FROM (
+        |    SELECT user_id, op, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts DESC, op DESC, value DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(s.user_id, w.user_id) AS user_id,
+        |  CASE WHEN w.user_id IS NOT NULL THEN w.value
+        |       ELSE s.value END AS value
+        |FROM snap s FULL JOIN w ON s.user_id = w.user_id
+        |WHERE w.user_id IS NULL OR w.op = 'upsert'
+        |ORDER BY user_id"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+      val snapshot = e
+        .groupBy(col("user_id"))
+        .agg(min(struct(unix_micros(col("ts")).as("ts"),
+          col("value").as("value"))).as("__first"))
+        .select(col("user_id"), col("__first.value").as("value"))
+      val changes = e
+        .filter(unix_micros(col("ts")) >= lit(1706140800000000L))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          col("value"))
+      graft.operators.Changelog.apply(
+          snapshot, changes, "user_id", "ts", "op", Seq("value"))
+        .orderBy("user_id")
+    },
+
+    // Two-sample Kolmogorov–Smirnov drift: purchase values in the
+    // first vs second half of the month. Exact form (the oracle
+    // surface): integer cumulative counts, one IEEE division per CDF
+    // point, argmax tie-broken on the value — every double identical
+    // on both engines. The binned production variant is spec-pinned
+    // against this exact form.
+    q(
+      "q158_ks_drift",
+      """WITH a AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_us(ts) < 1705363200000000),
+        |b AS (SELECT value AS v FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_us(ts) >= 1705363200000000),
+        |av AS (SELECT v, COUNT(*) AS ca FROM a GROUP BY 1),
+        |bv AS (SELECT v, COUNT(*) AS cb FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(av.v, bv.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM av FULL JOIN bv ON av.v = bv.v),
+        |t AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+        |    CAST(SUM(cb) AS DOUBLE) AS nb FROM m),
+        |c AS (SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE) AS cua,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE) AS cub FROM m),
+        |d AS (SELECT v, abs(cua / t.na - cub / t.nb) AS dd
+        |  FROM c, t)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  v AS at_value, dd AS d_stat
+        |FROM d, t ORDER BY dd DESC, v LIMIT 1"""
+    ) { (s, d) =>
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      graft.pipeline.Profiler.ksTest(
+        p.filter(unix_micros(col("ts")) < lit(1705363200000000L)),
+        p.filter(unix_micros(col("ts")) >= lit(1705363200000000L)),
+        "value")
     }
   )
 

@@ -216,6 +216,85 @@ object Profiler {
     }
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between two samples of a
+    * numeric column: D = max over values of |F_a(v) − F_b(v)| plus the
+    * location where the gap peaks — the distribution-drift test that,
+    * unlike [[drift]]'s moment comparison and the PSI bucket score,
+    * sees SHAPE changes at full resolution (a variance swap with equal
+    * means, a bimodal split).
+    *
+    * This EXACT form ranks every distinct value through one global
+    * cumulative window — the textbook formulation, and the oracle
+    * surface: counts are integers, each CDF value is one IEEE division
+    * and the max compares identical doubles, so it replays exactly.
+    * A global-ordered window is also its scale ceiling (one partition
+    * holds the distinct-value stream); at 100 TB call [[ksTestBinned]]
+    * — same statistic over fixed bucket edges (the PSI discipline:
+    * replayable, k-bounded state) at resolution 1/k.
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val av = a.select(col(valCol).cast("double").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("__ca"))
+    val bv = b.select(col(valCol).cast("double").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("__cb"))
+    val m = av.join(bv, Seq("v"), "full")
+      .select(col("v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val t = broadcast(m.agg(
+      sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    m.withColumn("__cua", sum(col("__ca")).over(w).cast("double"))
+      .withColumn("__cub", sum(col("__cb")).over(w).cast("double"))
+      .crossJoin(t)
+      .withColumn("__d",
+        abs(col("__cua") / col("__na") - col("__cub") / col("__nb")))
+      .orderBy(col("__d").desc, col("v").asc)
+      .limit(1)
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("v").as("at_value"), col("__d").as("d_stat"))
+  }
+
+  /** [[ksTest]] over `k` fixed-width buckets on [lo, hi] — the
+    * 100 TB form: two k-bucket map-side-combined aggregates (the PSI
+    * shape), a k-row cumulative window, D at bucket-boundary
+    * resolution (within 1/k of the exact statistic for any
+    * distribution). Bucket edges are FIXED parameters, never
+    * data-derived quantiles, so reruns and external replays see the
+    * same buckets.
+    */
+  def ksTestBinned(
+      a: DataFrame, b: DataFrame, valCol: String,
+      lo: Double, hi: Double, k: Int): DataFrame = {
+    require(k >= 2 && hi > lo, "need k >= 2 buckets and hi > lo")
+    val width = (hi - lo) / k
+    def bucket(df: DataFrame): Column = {
+      val v = col(valCol).cast("double")
+      least(greatest(floor((v - lit(lo)) / lit(width)), lit(0.0)),
+        lit((k - 1).toDouble)).cast("long")
+    }
+    val av = a.groupBy(bucket(a).as("b")).agg(count(lit(1)).as("__ca"))
+    val bv = b.groupBy(bucket(b).as("b")).agg(count(lit(1)).as("__cb"))
+    val m = av.join(bv, Seq("b"), "full")
+      .select(col("b"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val t = broadcast(m.agg(
+      sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    m.withColumn("__cua", sum(col("__ca")).over(w).cast("double"))
+      .withColumn("__cub", sum(col("__cb")).over(w).cast("double"))
+      .crossJoin(t)
+      .withColumn("__d",
+        abs(col("__cua") / col("__na") - col("__cub") / col("__nb")))
+      .orderBy(col("__d").desc, col("b").asc)
+      .limit(1)
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("b").as("at_bucket"), col("__d").as("d_stat"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns — the
     * feature-redundancy check a pipeline runs before training — in ONE
     * aggregate pass: n, Σx, Σx², and every pairwise Σxy collect in a

@@ -1939,6 +1939,49 @@ class PipelineSpec extends SparkSpec {
     assert(out("unique(id)") == ((0.5, false)), out)
   }
 
+  test("changelog apply: upsert/delete/insert/carry-over/tie arms") {
+    import spark.implicits._
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v")
+    val ch = Seq(
+      (2L, 100L, "upsert", 21.0), (2L, 200L, "upsert", 22.0), // update
+      (3L, 100L, "delete", 0.0),                              // delete
+      (5L, 100L, "upsert", 50.0),                             // insert
+      (6L, 100L, "upsert", 60.0), (6L, 200L, "delete", 0.0),  // ins+del
+      (4L, 100L, "delete", 0.0), (4L, 200L, "upsert", 41.0),  // resurrect
+      (1L, 100L, "delete", 0.0), (1L, 100L, "upsert", 11.0))  // tie
+      .toDF("k", "ts", "op", "v")
+    val out = graft.operators.Changelog.apply(
+      snap, ch, "k", "ts", "op", Seq("v"))
+      .as[(Long, Double)].collect().toMap
+    // same-ts tie: 'upsert' > 'delete' keeps the row (documented)
+    assert(out == Map(1L -> 11.0, 2L -> 22.0, 4L -> 41.0, 5L -> 50.0),
+      out)
+  }
+
+  test("ksTest: identical→0, disjoint→1, known gap; binned ≈ exact") {
+    import spark.implicits._
+    def df(xs: Double*) = xs.toDF("v")
+    val same = graft.pipeline.Profiler.ksTest(
+      df(1, 2, 3, 4), df(1, 2, 3, 4), "v").collect().head
+    assert(same.getDouble(3) == 0.0, same)
+    val disjoint = graft.pipeline.Profiler.ksTest(
+      df(1, 2, 3), df(10, 11, 12), "v").collect().head
+    // CDF gap hits 1.0 at the last a-value before any b mass
+    assert(disjoint.getDouble(3) == 1.0 &&
+      disjoint.getDouble(2) == 3.0, disjoint)
+    // hand-computed: a={1,2,3,4}, b={3,4,5,6}: at v=2 gap = 2/4 - 0
+    val known = graft.pipeline.Profiler.ksTest(
+      df(1, 2, 3, 4), df(3, 4, 5, 6), "v").collect().head
+    assert(known.getDouble(3) == 0.5 && known.getDouble(2) == 2.0, known)
+    // binned agrees with exact when bucket edges separate the values
+    val binned = graft.pipeline.Profiler.ksTestBinned(
+      df(1, 2, 3, 4), df(3, 4, 5, 6), "v", lo = 0, hi = 8, k = 8)
+      .collect().head
+    assert(binned.getDouble(3) == 0.5, binned)
+    assert(binned.getLong(0) == 4L && binned.getLong(1) == 4L)
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(
