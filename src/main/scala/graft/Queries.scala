@@ -5699,6 +5699,59 @@ object Queries {
         p.filter(unix_micros(col("ts")) < lit(1705363200000000L)),
         p.filter(unix_micros(col("ts")) >= lit(1705363200000000L)),
         "value")
+    },
+
+    // Sensor gap / availability report: inter-sample gaps > 4 days per
+    // sensor — the silent-sensor downtime audit. One LAG window per
+    // sensor (keyed shuffle + in-partition sort), duplicate timestamps
+    // tie-break on value; pure integer µs arithmetic.
+    q(
+      "q159_gap_report",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |g AS (SELECT sensor_id, t, LAG(t) OVER (
+        |    PARTITION BY sensor_id ORDER BY t, value) AS p FROM s)
+        |SELECT sensor_id, p AS gap_start_us, t AS gap_end_us,
+        |  t - p AS gap_us
+        |FROM g WHERE p IS NOT NULL AND t - p > 345600000000
+        |ORDER BY sensor_id, gap_start_us"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.gapReport(
+          EventsAdapter.samples(s, d), thresholdUs = 345600000000L)
+        .orderBy("sensor_id", "gap_start_us")
+    },
+
+    // M4 downsampling (Jugel et al. VLDB'14): per sensor and 1-day
+    // bucket, the first/last/min/max samples — the pixel-exact chart
+    // reduction, as a PURE aggregate (struct extrema, map-side
+    // combined; no window, no per-series state, unlike LTTB's
+    // sequential chain). Integer bucket arithmetic (t − t % w; a
+    // double floor can round a .999… quotient across the boundary);
+    // struct-lexicographic tie-breaks make the 4-point set exact.
+    q(
+      "q160_m4_downsample",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value AS v FROM events),
+        |sb AS (SELECT sensor_id, t - (t % 86400000000) AS b, t, v
+        |  FROM s),
+        |r AS (SELECT sensor_id, b, t, v,
+        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
+        |    ORDER BY t, v) AS rf,
+        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
+        |    ORDER BY t DESC, v DESC) AS rl,
+        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
+        |    ORDER BY v, t) AS rmin,
+        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
+        |    ORDER BY v DESC, t DESC) AS rmax
+        | FROM sb)
+        |SELECT DISTINCT sensor_id, b AS bucket_start_us,
+        |  t AS timestamp_us, v AS value
+        |FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+        |ORDER BY sensor_id, bucket_start_us, timestamp_us, value"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.m4Downsample(
+          EventsAdapter.samples(s, d), bucketUs = 86400000000L)
+        .orderBy("sensor_id", "bucket_start_us", "timestamp_us", "value")
     }
   )
 

@@ -103,6 +103,74 @@ object SensorOps {
     * need an order-independent comparison should round or quantize at
     * their own layer rather than here.
     */
+  /** Gap / availability report: per sensor, every inter-sample gap
+    * exceeding `thresholdUs` — the downtime audit a monitoring stack
+    * runs against its own ingest (which sensors went silent, when, and
+    * for how long). One keyed shuffle + in-partition sort (a LAG
+    * window per sensor); duplicate timestamps tie-break on value (the
+    * [[graft.streaming.Deadband]] ordering contract) so the report is
+    * deterministic. All arithmetic is integer µs — replays exactly.
+    *
+    * Returns (sensor_id, gap_start_us, gap_end_us, gap_us) ordered by
+    * construction of the caller.
+    */
+  def gapReport(samples: DataFrame, thresholdUs: Long): DataFrame = {
+    require(thresholdUs > 0, "threshold must be positive")
+    val w = Window.partitionBy(col("sensor_id"))
+      .orderBy(col("timestamp_us"), col("value"))
+    samples
+      .select(col("sensor_id"), col("timestamp_us"), col("value"))
+      .withColumn("__prev", lag(col("timestamp_us"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        col("timestamp_us") - col("__prev") > thresholdUs)
+      .select(col("sensor_id"), col("__prev").as("gap_start_us"),
+        col("timestamp_us").as("gap_end_us"),
+        (col("timestamp_us") - col("__prev")).as("gap_us"))
+  }
+
+  /** M4 downsampling (Jugel et al., VLDB'14): per sensor and
+    * fixed-width time bucket, keep the first, last, minimum and
+    * maximum samples — the four points that make a line chart of the
+    * bucket pixel-identical to the full series. Unlike LTTB's
+    * sequential selection chain this is a PURE aggregate: one keyed
+    * shuffle with map-side combine (four struct-extrema per group, no
+    * window, no per-series state), so it downsamples 100 TB exactly
+    * as it downsamples a fixture.
+    *
+    * Extrema are struct-lexicographic and therefore deterministic
+    * under ties: first/last tie-break on value, min/max value
+    * tie-break on timestamp. The four points collapse to their
+    * distinct set (a bucket with ≤4 samples returns them all).
+    *
+    * Returns (sensor_id, bucket_start_us, timestamp_us, value).
+    */
+  def m4Downsample(samples: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    // pure integer bucket arithmetic — a double division + floor can
+    // round a .999… quotient UP across the bucket boundary
+    val b = (col("timestamp_us") - pmod(col("timestamp_us"), lit(bucketUs)))
+      .as("bucket_start_us")
+    val t = col("timestamp_us")
+    val v = col("value")
+    samples
+      .select(col("sensor_id"), b, t, v)
+      .groupBy(col("sensor_id"), col("bucket_start_us"))
+      .agg(
+        min(struct(t.as("t"), v.as("v"))).as("__first"),
+        max(struct(t.as("t"), v.as("v"))).as("__last"),
+        min(struct(v.as("v"), t.as("t"))).as("__min"),
+        max(struct(v.as("v"), t.as("t"))).as("__max"))
+      .select(col("sensor_id"), col("bucket_start_us"),
+        explode(array_distinct(array(
+          struct(col("__first.t").as("t"), col("__first.v").as("v")),
+          struct(col("__min.t").as("t"), col("__min.v").as("v")),
+          struct(col("__max.t").as("t"), col("__max.v").as("v")),
+          struct(col("__last.t").as("t"), col("__last.v").as("v")))))
+          .as("__p"))
+      .select(col("sensor_id"), col("bucket_start_us"),
+        col("__p.t").as("timestamp_us"), col("__p.v").as("value"))
+  }
+
   def compositeSensor(
       samples: DataFrame, // (sensor_id, timestamp_us, value)
       sensorIds: Seq[String],

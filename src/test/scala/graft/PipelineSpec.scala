@@ -1982,6 +1982,36 @@ class PipelineSpec extends SparkSpec {
     assert(binned.getLong(0) == 4L && binned.getLong(1) == 4L)
   }
 
+  test("gapReport and m4Downsample: exact points, deterministic ties") {
+    import spark.implicits._
+    val s = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 5.0), ("a", 100L, 2.0), // gap 10→100
+      ("a", 105L, 9.0),
+      ("b", 0L, 3.0), ("b", 200L, 3.0))                  // gap 0→200
+      .toDF("sensor_id", "timestamp_us", "value")
+    val gaps = graft.operators.SensorOps.gapReport(s, thresholdUs = 50L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(gaps == Set(("a", 10L, 100L, 90L), ("b", 0L, 200L, 200L)),
+      gaps)
+
+    // one 1000-wide bucket per sensor. For a: first = min = (0, 1.0),
+    // last = max = (105, 9.0) → the coinciding extrema dedup to two
+    // points; the interior (10, 5.0) and (100, 2.0) drop
+    val m4 = graft.operators.SensorOps.m4Downsample(s, bucketUs = 1000L)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(m4 == Set(
+      ("a", 0L, 0L, 1.0), ("a", 0L, 105L, 9.0),
+      ("b", 0L, 0L, 3.0), ("b", 0L, 200L, 3.0)), m4)
+    // a bucket where the max is interior keeps it: shrink the buckets
+    // so (10, 5.0) is the max of a's first bucket [0, 100)
+    val m4b = graft.operators.SensorOps.m4Downsample(
+      s.filter(col("sensor_id") === "a"), bucketUs = 100L)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(m4b == Set(
+      ("a", 0L, 0L, 1.0), ("a", 0L, 10L, 5.0),
+      ("a", 100L, 100L, 2.0), ("a", 100L, 105L, 9.0)), m4b)
+  }
+
   test("dsirScores: target-like docs score above raw-only docs") {
     import spark.implicits._
     val raw = Seq(

@@ -491,6 +491,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan) // the explode pair stage
   }
 
+  test("m4Downsample: one aggregate shuffle, no window, no join") {
+    val samples = EventsAdapter.samples(spark, sf)
+    val plan = planOf(graft.operators.SensorOps.m4Downsample(
+      samples, bucketUs = 86400000000L))
+    // four struct extrema in ONE map-side-combined aggregate — the
+    // window formulation would sort every (sensor, bucket) partition
+    // four times
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("dsirScores: token-keyed shuffles, 1-row totals broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.pipeline.Sampling.dsirScores(
