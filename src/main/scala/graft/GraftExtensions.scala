@@ -5,12 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotProductExpression, GearChunksExpression,
-  SensorUuidExpression, TextShinglesExpression, VecDot8Expression,
-  VecQuantize8Expression, WinnowFpsExpression}
+  NormalizeExpression, SensorUuidExpression, TextShinglesExpression,
+  VecDot8Expression, VecQuantize8Expression, WinnowFpsExpression}
 
 /** Engine extensions registered via `SparkSessionExtensions`: codegen'd
   * Catalyst expressions (`sensor_uuid`, `vec_dot`, `vec_q8`, `vec_dot8`,
-  * `text_shingles`, `winnow_fps`) usable from SQL and `call_function`,
+  * `text_shingles`, `winnow_fps`, `unicode_normalize`) usable from SQL
+  * and `call_function`,
   * plus the [[graft.plans.MonthPruneRule]] optimizer rule (timestamp
   * bounds over store tables imply month partition pruning).
   */
@@ -67,6 +68,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args(1).foldable, "gear_chunks mask_bits must be a literal")
         GearChunksExpression(args(0),
           args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(
+        classOf[NormalizeExpression].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "unicode_normalize(text, form) takes 2 arguments")
+        require(args(1).foldable, "unicode_normalize form must be a literal")
+        NormalizeExpression(args(0),
+          args(1).eval().asInstanceOf[
+            org.apache.spark.unsafe.types.UTF8String].toString)
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fps"),

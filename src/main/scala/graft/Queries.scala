@@ -5752,6 +5752,280 @@ object Queries {
       graft.operators.SensorOps.m4Downsample(
           EventsAdapter.samples(s, d), bucketUs = 86400000000L)
         .orderBy("sensor_id", "bucket_start_us", "timestamp_us", "value")
+    },
+
+    // SCD2 dimension history: per user, the versioned [valid_from,
+    // valid_to) intervals of their event value — consecutive identical
+    // values collapse, the open interval has NULL valid_to. Per-(key,
+    // ts) winner is a max aggregate (map-side combined); the change
+    // scan is one LAG/LEAD window pass per key over distinct
+    // timestamps. Pure integer µs + exact double equality on both
+    // engines.
+    q(
+      "q161_scd2_history",
+      """WITH pt AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, t, v,
+        |    LAG(v) OVER (PARTITION BY user_id ORDER BY t) AS pv
+        |  FROM pt),
+        |cp AS (SELECT user_id, t, v FROM w
+        |  WHERE pv IS NULL OR v <> pv)
+        |SELECT user_id, version, valid_from, valid_to, value
+        |FROM (SELECT user_id, t AS valid_from,
+        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t)
+        |      AS version, v AS value
+        |  FROM cp)
+        |ORDER BY user_id, version"""
+    ) { (s, d) =>
+      graft.operators.Changelog.scd2History(
+          Tables.events(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("t"),
+              col("value")),
+          "user_id", "t", Seq("value"))
+        .orderBy("user_id", "version")
+    },
+
+    // Keyed snapshot diff: the per-user latest-value state of the first
+    // 10 days vs the last ~20 days of the month — added / removed /
+    // changed keys only (the 100 TB report is diff-sized, never
+    // snapshot-sized). Latest-wins replays as the q157 total order:
+    // lexicographic max of (ts, value).
+    q(
+      "q162_table_diff",
+      """WITH b AS (SELECT user_id, value FROM (
+        |    SELECT user_id, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events WHERE epoch_us(ts) < 1705363200000000)
+        |  WHERE rn = 1),
+        |a AS (SELECT user_id, value FROM (
+        |    SELECT user_id, value, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |    FROM events WHERE epoch_us(ts) >= 1705363200000000)
+        |  WHERE rn = 1)
+        |SELECT user_id, status, old_value, new_value FROM (
+        |  SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+        |    CASE WHEN b.user_id IS NULL THEN 'added'
+        |         WHEN a.user_id IS NULL THEN 'removed'
+        |         WHEN b.value <> a.value THEN 'changed' END AS status,
+        |    b.value AS old_value, a.value AS new_value
+        |  FROM b FULL JOIN a ON b.user_id = a.user_id)
+        |WHERE status IS NOT NULL ORDER BY user_id"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+      def lastState(f: DataFrame): DataFrame = f
+        .groupBy(col("user_id"))
+        .agg(max(struct(unix_micros(col("ts")).as("ts"),
+          col("value").as("value"))).as("__m"))
+        .select(col("user_id"), col("__m.value").as("value"))
+      val cut = lit(1705363200000000L)
+      graft.pipeline.Profiler.tableDiff(
+          lastState(e.filter(unix_micros(col("ts")) < cut)),
+          lastState(e.filter(unix_micros(col("ts")) >= cut)),
+          "user_id", Seq("value"))
+        .orderBy("user_id")
+    },
+
+    // Rolling active users: per day, DAU + trailing-7-day distinct
+    // users. One aggregate to distinct (day, user) pairs (bounded by
+    // calendar × users), then a bounded day-range join for the
+    // windowed distinct — no COUNT DISTINCT window buffer.
+    q(
+      "q163_rolling_dau",
+      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |d AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY 1),
+        |t AS (SELECT d.day AS anchor, COUNT(DISTINCT p.user_id)
+        |    AS trailing
+        |  FROM d JOIN p ON p.day <= d.day AND p.day > d.day - 7
+        |  GROUP BY 1)
+        |SELECT d.day, d.dau, t.trailing
+        |FROM d JOIN t ON d.day = t.anchor ORDER BY day"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.rollingActiveUsers(
+          Tables.events(s, d), "user_id", "ts", windowDays = 7)
+        .orderBy("day")
+    },
+
+    // Per-node triangle count + local clustering coefficient over the
+    // part co-purchase graph (parts sharing an order, in ≥2 baskets).
+    // Triangle {a<b<c} found once via the wedge join at the lowest
+    // corner; clustering = tri / C(deg,2) — exact integers through one
+    // IEEE division. The degree cap (10k) and basket cap never bind on
+    // TPC-H-ish orders (≤7 lines per order), so the oracle replays the
+    // uncapped enumeration.
+    q(
+      "q164_triangles",
+      """WITH pr AS (SELECT DISTINCT a.l_orderkey AS u,
+        |    a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT x AS lo, y AS hi FROM pr
+        |  GROUP BY x, y HAVING COUNT(*) >= 2),
+        |dg AS (SELECT id, COUNT(*) AS degree FROM (
+        |    SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
+        |  GROUP BY 1),
+        |tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |pn AS (SELECT id, COUNT(*) AS triangles FROM (
+        |    SELECT a AS id FROM tr UNION ALL SELECT b FROM tr
+        |    UNION ALL SELECT c FROM tr)
+        |  GROUP BY 1)
+        |SELECT dg.id, dg.degree,
+        |  COALESCE(pn.triangles, 0) AS triangles,
+        |  CASE WHEN dg.degree >= 2 THEN
+        |    COALESCE(pn.triangles, 0)::DOUBLE /
+        |      ((dg.degree * (dg.degree - 1)) // 2)::DOUBLE
+        |  ELSE 0.0::DOUBLE END AS clustering
+        |FROM dg LEFT JOIN pn ON dg.id = pn.id
+        |ORDER BY dg.id"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.triangles(
+          graft.pipeline.Behavior.coOccurrenceEdges(
+            Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+            minCount = 2L))
+        .orderBy("id")
+    },
+
+    // Heavy hitters over the token stream: Misra-Gries bounded-state
+    // candidate pass + exact broadcast-filtered recount — items in
+    // strictly more than 1/50 of the rows. The sketch only prunes
+    // items provably below threshold, so the output is EXACT and the
+    // oracle is the plain top-frequency SQL.
+    q(
+      "q165_heavy_hitters",
+      """WITH tk AS (SELECT UNNEST(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS item FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM tk),
+        |c AS (SELECT item, COUNT(*) AS cnt FROM tk GROUP BY 1)
+        |SELECT item, cnt, cnt::DOUBLE / n.n::DOUBLE AS share
+        |FROM c, n WHERE cnt * 50 > n.n
+        |ORDER BY cnt DESC, item"""
+    ) { (s, d) =>
+      graft.pipeline.Frequent.heavyHitters(
+          Tables.spread(s, Tables.documents(s, d))
+            .select(explode(split(trim(lower(col("text"))), "\\s+"))
+              .as("item")),
+          "item", k = 50)
+        .orderBy(col("cnt").desc, col("item"))
+    },
+
+    // Unicode-normalization dedup surface: half the corpus carries the
+    // composed form (U+00E9), half the decomposed (e + U+0301) — raw
+    // fingerprints split 2-ways per source, `unicode_normalize(_,
+    // 'NFC')` (the codegen'd JDK-Normalizer Expression) collapses them
+    // to one. Oracled against DuckDB's nfc_normalize (both are UAX
+    // #15); the accented literals are built from chr() so the SQL
+    // stays ASCII.
+    q(
+      "q166_nfc_dedup",
+      """WITH f AS (SELECT source,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(233)
+        |         ELSE 'cafe' || chr(769) END AS s
+        |  FROM documents),
+        |nf AS (SELECT source, s, nfc_normalize(s) AS ns FROM f)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT s) AS n_raw_forms,
+        |  COUNT(DISTINCT ns) AS n_norm_forms,
+        |  CAST(SUM(CASE WHEN s <> ns THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed
+        |FROM nf GROUP BY 1 ORDER BY source"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("caf\u00e9"))
+            .otherwise(lit("cafe\u0301")).as("__s"))
+        .withColumn("__n",
+          call_function("unicode_normalize", col("__s"), lit("NFC")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__s")).as("n_raw_forms"),
+          countDistinct(col("__n")).as("n_norm_forms"),
+          sum(when(col("__s") =!= col("__n"), 1L).otherwise(0L))
+            .as("n_changed"))
+        .orderBy("source")
+    },
+
+    // Reciprocal-rank fusion of two retrieval passes (exact cosine +
+    // exact euclidean top-20 — genuinely different rankings on
+    // unnormalized embeddings): score = 1/(60+r_cos) + 1/(60+r_euc) in
+    // explicit ranker order, each term one IEEE division of exact
+    // integers — no rounding needed anywhere.
+    q(
+      "q167_rrf_fusion",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id < 10),
+        |rc AS (SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+        |    AS rank
+        |  FROM q, e WHERE e.vec_id <> q.query_id) WHERE rank <= 20),
+        |re AS (SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY (list_dot_product(q.qv, q.qv)
+        |          + list_dot_product(e.v, e.v))
+        |        - CAST(2 AS DOUBLE) * list_dot_product(q.qv, e.v) ASC,
+        |        e.vec_id)
+        |    AS rank
+        |  FROM q, e WHERE e.vec_id <> q.query_id) WHERE rank <= 20),
+        |f AS (SELECT COALESCE(rc.query_id, re.query_id) AS query_id,
+        |    COALESCE(rc.vec_id, re.vec_id) AS vec_id,
+        |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rc.rank AS DOUBLE),
+        |        CAST(0 AS DOUBLE))
+        |      + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + re.rank AS DOUBLE),
+        |        CAST(0 AS DOUBLE)) AS rrf_score
+        |  FROM rc FULL JOIN re
+        |    ON rc.query_id = re.query_id AND rc.vec_id = re.vec_id)
+        |SELECT query_id, fused_rank, vec_id, rrf_score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_score DESC, vec_id) AS fused_rank FROM f)
+        |WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      val rc = Similarity.bruteForceTopK(qs, e, 20)
+        .select("query_id", "vec_id", "rank")
+      val re = Similarity.bruteForceTopKEuclid(qs, e, 20)
+        .select("query_id", "vec_id", "rank")
+      Similarity.rrfFuse(Seq(rc, re), c = 60, topK = 10)
+        .orderBy("query_id", "fused_rank")
+    },
+
+    // Bloom-pruned join: lineitem → nation-3 suppliers, with a
+    // bounded-state Bloom filter of the build keys dropping probe rows
+    // BEFORE the shuffle (the runtime-filter pattern). FPs only waste
+    // shuffle bytes — the join removes them — so the result IS the
+    // plain join, which is exactly what the oracle runs.
+    q(
+      "q168_bloom_join",
+      """SELECT s.s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey = 3
+        |GROUP BY 1 ORDER BY 1"""
+    ) { (s, d) =>
+      val build = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.BloomJoin.join(
+          Tables.lineitem(s, d)
+            .select(col("l_suppkey"), col("l_extendedprice")),
+          build, "l_suppkey", numBits = 1 << 16, hashes = 7)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_name")
     }
   )
 

@@ -58,4 +58,48 @@ object Changelog {
         when(col("__c").isNotNull, col(s"__c.__p_$c"))
           .otherwise(col(s"__s_$c")).as(c)): _*)
   }
+
+  /** Slowly-changing-dimension type-2 history build: roll a change
+    * stream into versioned rows [valid_from, valid_to) per key — the
+    * dimension-table shape every warehouse keeps for "what was this
+    * attribute worth at time t" joins (Kimball SCD2; Delta/Hudi
+    * point-in-time tables).
+    *
+    * Semantics: per (key, ts) the lexicographic-max payload wins (the
+    * [[apply]] total order, so simultaneous writes resolve
+    * deterministically); consecutive versions with identical payloads
+    * collapse into one validity interval; the open current version has
+    * `valid_to = NULL`. `version` numbers the key's surviving intervals
+    * from 1 in time order.
+    *
+    * Scale shape: one keyed aggregate collapses each (key, ts) group
+    * map-side, then ONE window pass per key (LAG to drop no-change
+    * rows, LEAD + ROW_NUMBER on the change points) — the window
+    * partition holds a key's distinct-timestamp count, not its event
+    * count, and both windows share one (key, ts) sort.
+    */
+  def scd2History(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.nonEmpty, "at least one value column")
+    val payload = struct(valueCols.map(c => col(c).as(c)): _*)
+    val perTs = changes
+      .groupBy(col(keyCol).as("__k"), col(tsCol).as("__ts"))
+      .agg(max(payload).as("__v"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"))
+    val points = perTs
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      // keep the first row and every payload change; `<=>` is
+      // null-safe so the first row (null __prev) never equals
+      .filter(!(col("__v") <=> col("__prev")))
+    points
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(Seq(col("__k").as(keyCol), col("version"),
+        col("__ts").as("valid_from"), col("valid_to")) ++
+        valueCols.map(c => col(s"__v.$c").as(c)): _*)
+  }
 }

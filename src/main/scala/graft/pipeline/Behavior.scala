@@ -230,6 +230,112 @@ object Behavior {
     PipelineCache.materialize(sym)(r)
   }
 
+  /** Rolling active-user report: per day, the distinct users active
+    * that day (DAU) and in the trailing `windowDays`-day window (the
+    * WAU/MAU staple). Exact integer counts, replayable on any engine.
+    *
+    * Scale shape: ONE aggregate reduces the event stream to distinct
+    * (day, user) pairs — `collect_set`-free, map-side combined, and
+    * bounded by calendar × users, not by event count. DAU is a
+    * day-keyed count over those pairs; the trailing window recounts
+    * distinct users per anchor day by joining each pair onto the ≤
+    * `windowDays` anchor days it can serve (a bounded fan-out of the
+    * day-pair table, never of the raw events) — windowed COUNT
+    * DISTINCT without a window function, since a distinct aggregate
+    * inside a running window would hold per-partition value sets.
+    * Anchor days are restricted to days with ≥1 event (the report
+    * grid), so the join is calendar × window sized.
+    */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must be at least one day")
+    val pairs = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("user"))
+      .distinct()
+      .cache()
+    val dau = pairs.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val anchors = dau.select(col("day").as("anchor"))
+    val trailing = pairs
+      .join(anchors,
+        col("anchor") >= col("day") &&
+          col("anchor") < date_add(col("day"), windowDays))
+      .select(col("anchor"), col("user"))
+      .distinct()
+      .groupBy(col("anchor"))
+      .agg(count(lit(1)).as("trailing"))
+    val result = dau
+      .join(trailing, col("day") === col("anchor"))
+      .select(col("day"), col("dau"), col("trailing"))
+    PipelineCache.materialize(pairs)(result)
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected edge list — the graph-density diagnostic next to
+    * [[pageRank]] (how clique-ish is each item's neighborhood, the
+    * standard community-structure signal).
+    *
+    * Algorithm: canonicalize edges to (lo, hi) once, enumerate wedges
+    * by joining the canonical edge list with itself on the shared
+    * lower endpoint, and close each wedge against the edge list — the
+    * classic two-join triangle enumeration, O(Σ deg²) wedges bounded
+    * by `maxDegree` (the posting-list df-cap lesson: one celebrity
+    * node would otherwise mint deg² wedges). Each triangle {a<b<c} is
+    * found exactly once (as wedge b←a→c closed by b–c), then credited
+    * to all three corners with one explode + count.
+    *
+    * clustering = triangles / C(deg, 2), both exact integers through
+    * one correctly-rounded IEEE division — replays bit-exactly
+    * (`shiftright(d·(d−1), 1)` for the exact integer halving).
+    *
+    * Scale shape: the canonical edge table is cached and reused by
+    * the wedge join, the closing join, and the degree count; all
+    * three shuffles key on node ids.
+    */
+  def triangles(
+      edges: DataFrame, // (id_a, id_b), undirected, no self-loops
+      maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must allow wedges")
+    val canon = edges
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .distinct()
+      .cache()
+    val deg = canon.select(col("lo").as("id"))
+      .union(canon.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val keep = deg.filter(col("degree") <= maxDegree)
+      .select(col("id").as("__kid"))
+    // wedges b←a→c with b<c, both endpoints under the degree cap at
+    // the shared corner a (caps the join's per-key fan-out)
+    val capped = canon
+      .join(keep.withColumnRenamed("__kid", "lo"), "lo")
+    val wedges = capped.select(col("lo").as("a"), col("hi").as("b"))
+      .join(capped.select(col("lo").as("a"), col("hi").as("c")), "a")
+      .filter(col("b") < col("c"))
+    val tris = wedges
+      .join(canon.select(col("lo").as("b"), col("hi").as("c")),
+        Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val result = deg
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          col("triangles").cast("double") /
+            shiftright(col("degree") * (col("degree") - 1), 1)
+              .cast("double"))
+          .otherwise(lit(0.0)))
+    PipelineCache.materialize(canon)(result)
+  }
+
   /** Retention cohort matrix: users are cohorted by the period of their
     * FIRST event, and each (cohort, offset) cell counts the distinct
     * users of that cohort active `offset` periods later (offset 0 is

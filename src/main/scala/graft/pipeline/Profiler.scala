@@ -493,4 +493,42 @@ object Profiler {
           .as("mean_shift"),
         (col("n_cur").cast("double") / col("n_base")).as("count_ratio"))
   }
+
+  /** Keyed snapshot diff — the regression report between two versions
+    * of a keyed table (yesterday's dimension vs today's, a backfill vs
+    * the original): per key, whether it was `added`, `removed`, or
+    * `changed`, with the old and new payloads side by side. Unchanged
+    * keys are omitted (at 100 TB the diff is the interesting minority;
+    * emitting the unchanged majority would make the report
+    * O(snapshot)).
+    *
+    * Scale shape: one full-outer join on the key — both sides arrive
+    * key-partitioned (or are shuffled once), the comparison is a
+    * codegen'd null-safe struct equality, and the output is
+    * diff-sized. Payload comparison uses `<=>` per column, so NULL
+    * payloads diff correctly.
+    */
+  def tableDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keyCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "at least one payload column")
+    val b = before.select(col(keyCol).as("__k") +:
+      payloadCols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(keyCol).as("__k") +:
+      payloadCols.map(c => col(c).as(s"__a_$c")): _*)
+    val same = payloadCols.map(c => col(s"__b_$c") <=> col(s"__a_$c"))
+      .reduce(_ && _)
+    b.withColumn("__inb", lit(true))
+      .join(a.withColumn("__ina", lit(true)), Seq("__k"), "full")
+      .withColumn("status",
+        when(col("__inb").isNull, lit("added"))
+          .when(col("__ina").isNull, lit("removed"))
+          .when(!same, lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(Seq(col("__k").as(keyCol), col("status")) ++
+        payloadCols.map(c => col(s"__b_$c").as(s"old_$c")) ++
+        payloadCols.map(c => col(s"__a_$c").as(s"new_$c")): _*)
+  }
 }

@@ -60,6 +60,36 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Brute-force EUCLIDEAN top-k — [[bruteForceTopK]]'s metric twin for
+    * unnormalized embeddings (where cosine and distance genuinely rank
+    * differently — the pair feeds [[rrfFuse]]). The squared distance is
+    * computed as (q·q + v·v) − 2·q·v: three `vec_dot` kernels (same
+    * ascending-index fold as the SQL replay) combined in one fixed
+    * expression shape, so ranks replay exactly off-Spark; ties break on
+    * the id.
+    */
+  def bruteForceTopKEuclid(
+      queries: DataFrame, // (query_id, qvec: array<double>)
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      k: Int,
+      includeSelf: Boolean = false): DataFrame = {
+    val joined = corpus.withColumn("__nv", dot(col("vec"), col("vec")))
+      .crossJoin(broadcast(
+        queries.withColumn("__nq", dot(col("qvec"), col("qvec")))))
+      .withColumn("dist2",
+        (col("__nq") + col("__nv")) -
+          lit(2.0) * dot(col("qvec"), col("vec")))
+    val filtered =
+      if (includeSelf) joined
+      else joined.filter(col("query_id") =!= col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    filtered
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "dist2")
+  }
+
   /** Int8-quantized brute-force top-k — the 8× cheaper first pass of a
     * quantize-then-rerank serving stack: corpus and queries compress to
     * one byte per dimension (`vec_q8`, a codegen'd Expression), the
@@ -755,6 +785,49 @@ object Similarity {
         }
       }
       .toDF("id_a", "id_b", "cosine")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: given N ranked candidate lists per
+    * query (an exact pass, a quantized pass, a lexical pass…), score
+    * each candidate Σᵢ 1/(c + rankᵢ) over the rankers that returned it
+    * and re-rank. Rank positions beat raw scores for fusion because
+    * they need no cross-ranker score calibration.
+    *
+    * Exactness: each term is one IEEE division of exact integers, terms
+    * add in EXPLICIT ranker-argument order (left-assoc — never a
+    * data-ordered float SUM), and absent rankers contribute a literal
+    * 0.0 — the fused score replays bit-identically on any engine. Final
+    * ties break on the item id.
+    *
+    * Scale shape: every input is already top-k-bounded per query
+    * (k·|queries| rows), so the fusion is full-outer joins + a window
+    * over candidate-sized tables — the upstream rankers own the
+    * corpus-scale work.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], // each (query_id, vec_id, rank)
+      c: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "fusing fewer than two rankers is a rename")
+    require(c >= 1 && topK >= 1, "need c >= 1, topK >= 1")
+    val terms = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("vec_id"), col("rank").as(s"__r$i"))
+    }
+    val joined = terms.reduce(
+      (a, b) => a.join(b, Seq("query_id", "vec_id"), "full"))
+    val score = terms.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(c.toLong) + col(s"__r$i")).cast("double"),
+        lit(0.0)))
+      .reduce(_ + _) // left-assoc: explicit ranker order, not data order
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("vec_id").asc)
+    joined
+      .withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .select("query_id", "fused_rank", "vec_id", "rrf_score")
   }
 
   def cosineNearDupPairs(

@@ -2029,4 +2029,157 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2, out)
     assert(out(1L)._2 > 0 && out(2L)._2 < 0, out)
   }
+
+  test("scd2History: per-ts winner, collapse, open current interval") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, 1.0), (1L, 10L, 2.0), // simultaneous: max payload wins
+      (1L, 20L, 2.0),                 // no change → collapses into v1
+      (1L, 30L, 3.0),                 // change → version 2
+      (2L, 5L, 7.0))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Changelog.scd2History(ch, "k", "t", Seq("v"))
+      .as[(Long, Long, Long, Option[Long], Double)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 10L, Some(30L), 2.0),
+      (1L, 2L, 30L, None, 3.0),
+      (2L, 1L, 5L, None, 7.0)), out)
+  }
+
+  test("tableDiff: added/removed/changed; unchanged rows omitted") {
+    import spark.implicits._
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val after = Seq((2L, "b"), (3L, "x"), (4L, "d")).toDF("id", "v")
+    val out = graft.pipeline.Profiler.tableDiff(
+        before, after, "id", Seq("v"))
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "removed", Some("a"), None),
+      (3L, "changed", Some("c"), Some("x")),
+      (4L, "added", None, Some("d"))), out)
+  }
+
+  test("rollingActiveUsers: trailing window is half-open (anchor-7 out)") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 01:00:00", 1L), ("2024-01-01 02:00:00", 2L),
+      ("2024-01-01 03:00:00", 1L), // same (day,user) dedups
+      ("2024-01-02 01:00:00", 1L),
+      ("2024-01-09 01:00:00", 3L)) // day2 is exactly anchor-7 → excluded
+      .toDF("tss", "user_id")
+      .select(to_timestamp(col("tss")).as("ts"), col("user_id"))
+    val out = graft.pipeline.Behavior.rollingActiveUsers(
+        ev, "user_id", "ts", windowDays = 7)
+      .select(col("day").cast("string"), col("dau"), col("trailing"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-02", 1L, 2L),
+      ("2024-01-09", 1L, 1L)), out)
+  }
+
+  test("triangles: exact counts, canonicalization, degree cap") {
+    import spark.implicits._
+    // one triangle {1,2,3} plus a pendant 3–4; (2,1) checks the
+    // reversed-duplicate canonicalization
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = graft.pipeline.Behavior.triangles(e)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3.0), (4L, 1L, 0L, 0.0)), out)
+    // K4 under maxDegree=2: every wedge anchor (deg 3) is capped out —
+    // degrees still report, triangles honestly drop to 0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val capped = graft.pipeline.Behavior.triangles(k4, maxDegree = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(capped.forall(r => r._2 == 3L && r._3 == 0L), capped.toSeq)
+  }
+
+  test("Frequent: MG candidates superset under adversarial orderings") {
+    import spark.implicits._
+    // 150/500 'hot' > n/(m+1) for m=8 → guaranteed to survive any
+    // arrival order and any partitioning/merge tree
+    val base = Seq.fill(150)("hot") ++ (0 until 350).map(i => s"t$i")
+    for (seed <- Seq(1, 7, 42); parts <- Seq(1, 3, 8)) {
+      val shuffled = new scala.util.Random(seed).shuffle(base)
+      val cand = graft.pipeline.Frequent.candidates(
+          shuffled.toDF("item").repartition(parts), "item", 8)
+        .as[String].collect().toSet
+      assert(cand.contains("hot"), s"seed=$seed parts=$parts: $cand")
+    }
+  }
+
+  test("heavyHitters: exact output equals the plain-count reference") {
+    import spark.implicits._
+    val data = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ (0 until 25).map(i => s"t$i"))
+    val df = new scala.util.Random(9).shuffle(data).toDF("item")
+      .repartition(4)
+    val out = graft.pipeline.Frequent.heavyHitters(df, "item", k = 5)
+      .as[(String, Long, Double)].collect().toSet
+    // n=100, threshold cnt*5 > 100 → cnt > 20: a (40), b (25); c (10) out
+    assert(out == Set(("a", 40L, 0.40), ("b", 25L, 0.25)), out)
+  }
+
+  test("unicode_normalize: NFC unifies forms, NFKC folds, non-BMP safe") {
+    import spark.implicits._
+    val df = Seq("café", "café", "😀Å",
+      "ﬁn").toDF("s")
+    val nfc = df.select(
+        call_function("unicode_normalize", col("s"), lit("NFC")))
+      .as[String].collect()
+    assert(nfc(0) == "café" && nfc(1) == "café", nfc.toSeq)
+    // the surrogate pair survives; A + ring composes to Å
+    assert(nfc(2) == "😀Å", nfc.toSeq)
+    assert(nfc(3) == "ﬁn") // NFC leaves compatibility ligatures
+    val nfkc = df.select(
+        call_function("unicode_normalize", col("s"), lit("NFKC")))
+      .as[String].collect()
+    assert(nfkc(3) == "fin", nfkc.toSeq)
+    // null propagates; a bad form fails at plan construction
+    val n = Seq[Option[String]](None).toDF("s").select(
+      call_function("unicode_normalize", col("s"), lit("NFC")))
+    assert(n.collect()(0).isNullAt(0))
+    intercept[Exception] {
+      df.select(call_function("unicode_normalize", col("s"), lit("NFX")))
+        .collect()
+    }
+  }
+
+  test("rrfFuse: hand-computed fusion, single-ranker candidates score") {
+    import spark.implicits._
+    val r1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "vec_id", "rank")
+    val r2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "vec_id", "rank")
+    val out = graft.pipeline.Similarity.rrfFuse(Seq(r1, r2), c = 60, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._2)
+    // b=11: 1/62 + 1/61; a=10: 1/61; c=12: 1/62
+    assert(out == List(
+      (1L, 1L, 11L, 1.0 / 62 + 1.0 / 61),
+      (1L, 2L, 10L, 1.0 / 61 + 0.0),
+      (1L, 3L, 12L, 0.0 + 1.0 / 62)), out)
+  }
+
+  test("BloomJoin ≡ plain join on random and skewed fixtures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val probe = (0 until 2000).map(_ => rnd.nextLong() % 500)
+      .toDF("k").repartition(5)
+    val build = (0 until 50).map(i => (i.toLong * 7 % 500, s"b$i"))
+      .toDF("k", "tag")
+    val got = graft.operators.BloomJoin.join(
+        probe, build, "k", numBits = 1024, hashes = 5)
+      .as[(Long, String)].collect().sorted.toSeq
+    val want = probe.join(build, "k").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == want)
+    // tiny filter (high FP rate) still yields the exact join — FPs
+    // only cost shuffle bytes
+    val tiny = graft.operators.BloomJoin.join(
+        probe, build, "k", numBits = 64, hashes = 2)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(tiny == want)
+  }
 }

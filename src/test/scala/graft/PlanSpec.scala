@@ -517,4 +517,68 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("scd2History: one key shuffle feeds both window passes") {
+    import spark.implicits._
+    val ch = Seq((1L, 10L, 1.0), (1L, 20L, 2.0)).toDF("k", "t", "v")
+    val plan = planOf(graft.operators.Changelog.scd2History(
+      ch, "k", "t", Seq("v")))
+    // the (k,ts) aggregate shuffles once; the LAG filter and the
+    // LEAD/ROW_NUMBER pass both partition on k and share its sort —
+    // a third exchange would mean the windows re-shuffled
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("triangles: equi-joins only — never a nested-loop closure") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val plan = planOf(graft.pipeline.Behavior.triangles(e))
+    // wedge enumeration and closure are both hash-joinable equi-joins
+    // on node keys; a NestedLoop/Cartesian here is the O(E²) cliff
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("heavyHitters: candidate recount joins via broadcast") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("a") ++ (0 until 30).map(i => s"t$i"))
+      .toDF("item")
+    val plan = planOf(graft.pipeline.Frequent.heavyHitters(
+      df, "item", k = 4))
+    // the exact pass must semi-filter the stream against the ≤counters
+    // candidates with a broadcast hash join — a shuffle join here
+    // would re-shuffle the full stream a second time
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("BloomJoin: probe-side bloom filter sits under the join") {
+    import spark.implicits._
+    val probe = (0 until 100).map(i => (i.toLong, i * 2.0))
+      .toDF("k", "x")
+    val build = (0 until 10).map(i => (i.toLong, s"b$i")).toDF("k", "tag")
+    val q = graft.operators.BloomJoin.join(
+      probe, build, "k", numBits = 256, hashes = 3)
+    val plan = planOf(q)
+    // the membership predicate is pure Column math (getbit over the
+    // broadcast bitset) — it must appear as a Filter in the plan, and
+    // the only ScalaUDAF is the build-side bloom aggregate, never a
+    // per-probe-row UDF
+    assert(plan.contains("getbit"), plan)
+    assert(!plan.contains("ScalaUDF,"), plan)
+    // the filter feeds the join's probe side: textually the join's
+    // streamed child subtree contains the getbit filter
+    assert("Join".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("unicode_normalize stays inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = docs.select(call_function(
+      "unicode_normalize", col("text"), lit("NFC")).as("n"))
+    val plan = planOf(q)
+    // the *(n) stage marker is executedPlan.toString's codegen flag
+    assert(plan.contains("*(1) Project [normalizeexpression"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
