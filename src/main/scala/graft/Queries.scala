@@ -6026,6 +6026,119 @@ object Queries {
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("s_name")
+    },
+
+    // Equal-frequency binning (QuantileDiscretizer): event values into
+    // 4 rank buckets. The exact=true surface is PURE rank arithmetic
+    // (ntile over the deterministic (value, id) order — no float
+    // interpolation anywhere, unlike quantile-edge assignment); the
+    // production default derives edges from approx_percentile with
+    // bounded state and is ε-pinned against this form in the spec.
+    q(
+      "q169_freq_binning",
+      """WITH r AS (SELECT value AS v, ntile(4) OVER (
+        |    ORDER BY value, event_id) AS bin FROM events)
+        |SELECT bin, COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY 1 ORDER BY bin"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.equalFrequencyBins(
+          Tables.events(s, d), "value", "event_id", k = 4, exact = true)
+        .orderBy("bin")
+    },
+
+    // Availability islands — the q159 gap report's complement: per
+    // sensor, consecutive samples within 2 days merge into coverage
+    // intervals (gaps-and-islands via one running break-count window,
+    // then one island aggregate). Pure integer µs.
+    q(
+      "q170_availability",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |g AS (SELECT sensor_id, t, value,
+        |    CASE WHEN LAG(t) OVER w IS NULL
+        |         OR t - LAG(t) OVER w > 172800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, value)),
+        |i AS (SELECT sensor_id, t, SUM(brk) OVER (
+        |    PARTITION BY sensor_id ORDER BY t, value
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g)
+        |SELECT sensor_id, MIN(t) AS start_us, MAX(t) AS end_us,
+        |  COUNT(*) AS n_samples, MAX(t) - MIN(t) AS duration_us
+        |FROM i GROUP BY sensor_id, island
+        |ORDER BY sensor_id, start_us"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.availabilityIntervals(
+          EventsAdapter.samples(s, d), thresholdUs = 172800000000L)
+        .orderBy("sensor_id", "start_us")
+    },
+
+    // Per-group two-sample KS drift: purchase-vs-view value
+    // distributions drift per event_type between the month's halves —
+    // one job, one D statistic per type (never a driver loop of
+    // per-group tests). Same exact integer-CDF construction as q158.
+    q(
+      "q171_grouped_ks",
+      """WITH a AS (SELECT event_type AS k, value AS v FROM events
+        |  WHERE epoch_us(ts) < 1705363200000000),
+        |b AS (SELECT event_type AS k, value AS v FROM events
+        |  WHERE epoch_us(ts) >= 1705363200000000),
+        |av AS (SELECT k, v, COUNT(*) AS ca FROM a GROUP BY 1, 2),
+        |bv AS (SELECT k, v, COUNT(*) AS cb FROM b GROUP BY 1, 2),
+        |m AS (SELECT COALESCE(av.k, bv.k) AS k, COALESCE(av.v, bv.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM av FULL JOIN bv ON av.k = bv.k AND av.v = bv.v),
+        |t AS (SELECT k, CAST(SUM(ca) AS DOUBLE) AS na,
+        |    CAST(SUM(cb) AS DOUBLE) AS nb FROM m GROUP BY 1),
+        |c AS (SELECT k, v,
+        |    CAST(SUM(ca) OVER (PARTITION BY k ORDER BY v) AS DOUBLE)
+        |      AS cua,
+        |    CAST(SUM(cb) OVER (PARTITION BY k ORDER BY v) AS DOUBLE)
+        |      AS cub FROM m),
+        |dd AS (SELECT c.k, v, abs(cua / t.na - cub / t.nb) AS d_,
+        |    t.na, t.nb
+        |  FROM c JOIN t ON c.k = t.k)
+        |SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b, v AS at_value, d_ AS d_stat
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY d_ DESC, v) AS rn FROM dd)
+        |WHERE rn = 1 ORDER BY event_type"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("t"),
+          col("value"))
+      val cut = lit(1705363200000000L)
+      graft.pipeline.Profiler.ksTestGrouped(
+          e.filter(col("t") < cut), e.filter(col("t") >= cut),
+          "event_type", "value")
+        .orderBy("event_type")
+    },
+
+    // Prefix-blocked typo-pair mining over the corpus vocabulary:
+    // same-2-char-prefix token pairs at edit distance exactly ≤1,
+    // ASCII-restricted so Spark's code-point levenshtein and DuckDB's
+    // byte levenshtein agree (q136 lesson). The verify stage is the
+    // banded 3-arg levenshtein.
+    q(
+      "q172_typo_pairs",
+      """WITH tk AS (SELECT UNNEST(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS t FROM documents),
+        |v AS (SELECT t, COUNT(*) AS cnt FROM tk
+        |  WHERE regexp_matches(t, '^[ -~]*$') AND len(t) >= 4
+        |  GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT token_a, token_b, cnt_a, cnt_b, dist FROM (
+        |  SELECT a.t AS token_a, b.t AS token_b, a.cnt AS cnt_a,
+        |    b.cnt AS cnt_b,
+        |    CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+        |  FROM v a JOIN v b
+        |    ON substr(a.t, 1, 2) = substr(b.t, 1, 2) AND a.t < b.t
+        |    AND abs(len(a.t) - len(b.t)) <= 1)
+        |WHERE dist <= 1 ORDER BY token_a, token_b"""
+    ) { (s, d) =>
+      graft.pipeline.Dedup.typoPairs(
+          Tables.spread(s, Tables.documents(s, d)), "text",
+          minCount = 2L, minLen = 4, maxDist = 1, prefixLen = 2)
+        .orderBy("token_a", "token_b")
     }
   )
 

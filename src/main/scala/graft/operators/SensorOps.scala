@@ -128,6 +128,41 @@ object SensorOps {
         (col("timestamp_us") - col("__prev")).as("gap_us"))
   }
 
+  /** Availability intervals — [[gapReport]]'s complement: per sensor,
+    * merge consecutive samples whose inter-sample gap is ≤ `thresholdUs`
+    * into coverage islands (the uptime report: when WAS this sensor
+    * reporting). Classic gaps-and-islands: a running count of
+    * gap-breaks over the per-sensor time order assigns each sample its
+    * island id, then one aggregate per island yields
+    * (sensor_id, start_us, end_us, n_samples, duration_us).
+    *
+    * Scale shape: one keyed shuffle + in-partition sort for the window
+    * (LAG and the running SUM share it), one (sensor, island) aggregate
+    * with map-side combine. Pure integer µs arithmetic; duplicate
+    * timestamps tie-break on value — replays exactly on any engine.
+    */
+  def availabilityIntervals(
+      samples: DataFrame, thresholdUs: Long): DataFrame = {
+    require(thresholdUs > 0, "threshold must be positive")
+    val w = Window.partitionBy(col("sensor_id"))
+      .orderBy(col("timestamp_us"), col("value"))
+    samples
+      .select(col("sensor_id"), col("timestamp_us"), col("value"))
+      .withColumn("__brk",
+        when(lag(col("timestamp_us"), 1).over(w).isNull ||
+          col("timestamp_us") - lag(col("timestamp_us"), 1).over(w) >
+            thresholdUs, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("sensor_id"), col("__island"))
+      .agg(min(col("timestamp_us")).as("start_us"),
+        max(col("timestamp_us")).as("end_us"),
+        count(lit(1)).as("n_samples"))
+      .select(col("sensor_id"), col("start_us"), col("end_us"),
+        col("n_samples"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+  }
+
   /** M4 downsampling (Jugel et al., VLDB'14): per sensor and
     * fixed-width time bucket, keep the first, last, minimum and
     * maximum samples — the four points that make a line chart of the

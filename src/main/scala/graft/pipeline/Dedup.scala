@@ -706,6 +706,50 @@ object Dedup {
         col("edit_distance"))
   }
 
+  /** Prefix-blocked typo-pair mining over the corpus vocabulary — the
+    * entity-resolution blocking pattern at token granularity: find
+    * vocabulary pairs within edit distance `maxDist` (OCR damage,
+    * misspellings, tokenizer-splitting candidates) without the |V|²
+    * comparison. Blocking key = the first `prefixLen` characters, so
+    * only same-block pairs are compared; pairs that differ inside the
+    * prefix are out of scope BY DEFINITION (the standard
+    * recall-for-scale blocking trade — the operator's contract is
+    * "same-prefix pairs", which the oracle replays exactly).
+    *
+    * The vocabulary is restricted to printable-ASCII tokens of ≥
+    * `minLen` chars occurring ≥ `minCount` times: ASCII because engine
+    * `levenshtein`s disagree off-ASCII (bytes vs code points — the
+    * q136 lesson), length because short-token "typos" are mostly
+    * distinct words, count because hapaxes are noise.
+    *
+    * Scale shape: one token-count aggregate (map-side combined) shrinks
+    * the stream to vocabulary size; the self-join shuffles on the
+    * block key (per-block fan-out bounded by the prefix granularity);
+    * the verify stage is Spark's 3-arg `levenshtein(a, b, max)` —
+    * banded DP, O(max·len), −1 above the bound.
+    */
+  def typoPairs(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 2L, minLen: Int = 4, maxDist: Int = 1,
+      prefixLen: Int = 2): DataFrame = {
+    require(maxDist >= 1 && minLen > maxDist, "need minLen > maxDist >= 1")
+    require(prefixLen >= 1, "need a non-empty blocking prefix")
+    val vocab = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .filter(col("t").rlike("\\A[ -~]*\\z") && length(col("t")) >= minLen)
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("__blk", substring(col("t"), 1, prefixLen))
+    vocab.as("a").join(vocab.as("b"),
+        col("a.__blk") === col("b.__blk") &&
+          col("a.t") < col("b.t") &&
+          abs(length(col("a.t")) - length(col("b.t"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t"), maxDist))
+      .filter(col("dist") >= 0) // -1 = early-exited above max
+      .select(col("a.t").as("token_a"), col("b.t").as("token_b"),
+        col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"), col("dist"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding space with k-means, then drop every vector that has a
     * LOWER-id neighbor in its own cluster with cosine ≥ `tau` — near-

@@ -256,6 +256,104 @@ object Profiler {
         col("v").as("at_value"), col("__d").as("d_stat"))
   }
 
+  /** Per-group two-sample KS drift — [[ksTest]] partitioned by a key
+    * column (one D statistic per source / segment / shard in ONE job,
+    * instead of a driver loop launching a test per group). Same exact
+    * construction as the ungrouped form: integer cumulative counts per
+    * key, one IEEE division per CDF point, argmax tie-broken on the
+    * value — every double replays identically off-Spark.
+    *
+    * Scale shape: all joins/aggregates/windows key on (group, value) or
+    * group — co-partitioned after the first shuffle; the window
+    * partition holds a group's DISTINCT values (the exact form's
+    * inherent state — the fixed-state alternative is [[ksTestBinned]]
+    * per group). Groups missing from one side report that side's n as
+    * 0 with its CDF pinned to 1 everywhere (an exhausted empty
+    * distribution), falling out of the same arithmetic rather than a
+    * special case.
+    */
+  def ksTestGrouped(
+      a: DataFrame, b: DataFrame, keyCol: String, valCol: String)
+      : DataFrame = {
+    val av = a.select(col(keyCol).as("k"),
+        col(valCol).cast("double").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("__ca"))
+    val bv = b.select(col(keyCol).as("k"),
+        col(valCol).cast("double").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("__cb"))
+    val m = av.join(bv, Seq("k", "v"), "full")
+      .select(col("k"), col("v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val t = m.groupBy(col("k")).agg(
+      sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("__d").desc, col("v").asc)
+    m.withColumn("__cua", sum(col("__ca")).over(wc).cast("double"))
+      .withColumn("__cub", sum(col("__cb")).over(wc).cast("double"))
+      .join(t, "k")
+      // a one-sided group divides by zero: try_divide NULLs it and
+      // coalesce(…, 1) pins that side's CDF to 1 (its distribution is
+      // exhausted from the start), giving the conventional D = 1
+      .withColumn("__d", abs(
+        coalesce(try_divide(col("__cua"), col("__na")), lit(1.0)) -
+          coalesce(try_divide(col("__cub"), col("__nb")), lit(1.0))))
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1)
+      .select(col("k").as(keyCol),
+        col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("v").as("at_value"), col("__d").as("d_stat"))
+  }
+
+  /** Equal-frequency binning (the QuantileDiscretizer / feature-binning
+    * staple): assign each row to one of `k` rank-based buckets and
+    * report per-bin count + value range. `exact = true` (the
+    * fixture/oracle surface) uses `ntile(k)` over the deterministic
+    * (value, id) order — pure rank arithmetic, NO float interpolation
+    * anywhere, so both engines agree bit-exactly even when quantile
+    * edges would land between data points; its total sort is the price
+    * of exactness. The default production path derives bucket edges
+    * from `approx_percentile` (bounded state, one aggregate + one
+    * broadcast — the [[quantileProfile]] discipline) and assigns by
+    * edge comparison; bins then deviate from perfect 1/k shares only
+    * by the sketch's rank-ε.
+    */
+  def equalFrequencyBins(
+      df: DataFrame,
+      valCol: String,
+      idCol: String,
+      k: Int,
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, "need at least two bins")
+    val v = col(valCol).cast("double").as("__v")
+    val binned =
+      if (exact) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__v"), col("__id"))
+        df.select(v, col(idCol).as("__id"))
+          .withColumn("bin", ntile(k).over(w).cast("long"))
+      } else {
+        val probs = (1 until k).map(_.toDouble / k)
+        val edges = df.select(v).agg(
+          percentile_approx(col("__v"),
+            array(probs.map(lit): _*), lit(accuracy)).as("__edges"))
+        df.select(v)
+          .crossJoin(broadcast(edges))
+          .withColumn("bin",
+            (lit(1L) + aggregate(col("__edges"), lit(0L),
+              (acc, e) => acc + when(col("__v") > e, 1L).otherwise(0L))))
+      }
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .select(col("bin"), col("n_rows"), col("lo"), col("hi"))
+  }
+
   /** [[ksTest]] over `k` fixed-width buckets on [lo, hi] — the
     * 100 TB form: two k-bucket map-side-combined aggregates (the PSI
     * shape), a k-row cumulative window, D at bucket-boundary

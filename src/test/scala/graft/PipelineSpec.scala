@@ -2162,6 +2162,73 @@ class PipelineSpec extends SparkSpec {
       (1L, 3L, 12L, 0.0 + 1.0 / 62)), out)
   }
 
+  test("equalFrequencyBins: exact ranks; approx within sketch ε") {
+    import spark.implicits._
+    val df = Seq(5.0, 1.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0)
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("v", "id")
+    val exact = graft.pipeline.Profiler.equalFrequencyBins(
+        df, "v", "id", k = 4, exact = true)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(exact == Set(
+      (1L, 2L, 1.0, 2.0), (2L, 2L, 3.0, 4.0),
+      (3L, 2L, 5.0, 6.0), (4L, 2L, 7.0, 8.0)), exact)
+    // production path: bin shares within the sketch's rank-ε of 1/k
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val approx = graft.pipeline.Profiler.equalFrequencyBins(
+        ev, "value", "event_id", k = 4)
+      .as[(Long, Long, Double, Double)].collect()
+    val n = approx.map(_._2).sum.toDouble
+    assert(approx.length == 4)
+    approx.foreach { b =>
+      assert(math.abs(b._2 / n - 0.25) < 0.01, approx.toSeq)
+    }
+  }
+
+  test("availabilityIntervals: islands complement the gap report") {
+    import spark.implicits._
+    val s = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 5.0), ("a", 100L, 2.0),
+      ("a", 105L, 9.0),
+      ("b", 0L, 3.0), ("b", 200L, 3.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val out = graft.operators.SensorOps.availabilityIntervals(
+        s, thresholdUs = 50L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, 10L, 2L, 10L), ("a", 100L, 105L, 2L, 5L),
+      ("b", 0L, 0L, 1L, 0L), ("b", 200L, 200L, 1L, 0L)), out)
+  }
+
+  test("ksTestGrouped: matches ungrouped per key; one-sided group") {
+    import spark.implicits._
+    val a = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+      ("solo", 1.0), ("solo", 2.0), ("solo", 3.0), ("solo", 4.0))
+      .toDF("k", "v")
+    val b = Seq(("g", 3.0), ("g", 4.0), ("g", 5.0), ("g", 6.0))
+      .toDF("k", "v")
+    val out = graft.pipeline.Profiler.ksTestGrouped(a, b, "k", "v")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 'g' replays the ungrouped hand-computed case: D = 0.5 at v = 2
+    assert(out("g") == ("g", 4L, 0L + 4L, 2.0, 0.5), out)
+    // 'solo' has an empty b side: its CDF pins to 1, so D peaks at the
+    // first value: 1 − 1/4
+    assert(out("solo") == ("solo", 4L, 0L, 1.0, 0.75), out)
+  }
+
+  test("typoPairs: planted typos found, cross-prefix pairs out of scope") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "color theme color theme"),
+      (2L, "colour theme colour theme"),
+      (3L, "gate late gate late")) // typo across the prefix → no block
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.typoPairs(docs, "text")
+      .as[(String, String, Long, Long, Int)].collect().toSet
+    assert(out == Set(("color", "colour", 2L, 2L, 1)), out)
+  }
+
   test("BloomJoin ≡ plain join on random and skewed fixtures") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -572,6 +572,38 @@ class PlanSpec extends SparkSpec {
     assert("Join".r.findAllIn(plan).nonEmpty, plan)
   }
 
+  test("equalFrequencyBins default: bounded-state sketch + broadcast") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val plan = planOf(graft.pipeline.Profiler.equalFrequencyBins(
+      ev, "value", "event_id", k = 4))
+    // the production path must never total-sort: edges come from one
+    // percentile_approx aggregate riding a broadcast onto the scan
+    assert(plan.contains("percentile_approx"), plan)
+    assert(plan.contains("Broadcast"), plan)
+    // no rank window anywhere — that's the exact path's total sort
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("availabilityIntervals: one keyed shuffle serves window + agg") {
+    val samples = EventsAdapter.samples(spark, sf)
+    val plan = planOf(graft.operators.SensorOps.availabilityIntervals(
+      samples, thresholdUs = 172800000000L))
+    // the island aggregate keys on (sensor, island) — a superset of
+    // the window's sensor partitioning, so no second exchange
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ksTestGrouped: keyed joins only, one job, no cartesian") {
+    import spark.implicits._
+    val a = Seq(("g", 1.0)).toDF("k", "v")
+    val b = Seq(("g", 2.0)).toDF("k", "v")
+    val plan = planOf(graft.pipeline.Profiler.ksTestGrouped(
+      a, b, "k", "v"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("unicode_normalize stays inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = docs.select(call_function(
