@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpression, GearChunksExpression,
-  NormalizeExpression, SensorUuidExpression, TextShinglesExpression,
-  VecDot8Expression, VecQuantize8Expression, WinnowFpsExpression}
+import graft.functions.{BpeSplitExpression, CharStatsExpression,
+  DotProductExpression, GearChunksExpression, NormalizeExpression,
+  SensorUuidExpression, TextShinglesExpression, VecDot8Expression,
+  VecQuantize8Expression, WinnowFpsExpression}
 
 /** Engine extensions registered via `SparkSessionExtensions`: codegen'd
   * Catalyst expressions (`sensor_uuid`, `vec_dot`, `vec_q8`, `vec_dot8`,
@@ -68,6 +69,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args(1).foldable, "gear_chunks mask_bits must be a literal")
         GearChunksExpression(args(0),
           args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_split"),
+      new ExpressionInfo(classOf[BpeSplitExpression].getName, "bpe_split"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_split(word) takes 1 argument")
+        BpeSplitExpression(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_stats"),
+      new ExpressionInfo(classOf[CharStatsExpression].getName, "char_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_stats(text) takes 1 argument")
+        CharStatsExpression(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),

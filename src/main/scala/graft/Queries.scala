@@ -6139,6 +6139,116 @@ object Queries {
           Tables.spread(s, Tables.documents(s, d)), "text",
           minCount = 2L, minLen = 4, maxDist = 1, prefixLen = 2)
         .orderBy("token_a", "token_b")
+    },
+
+    // BPE subword segmentation of the corpus vocabulary: the codegen'd
+    // bpe_split Expression (greedy lowest-rank LEFTMOST merge, one
+    // merge per step — chosen over the batch sweep exactly so the
+    // recursion replays 1:1 as a recursive CTE) against an oracle that
+    // unrolls the same recurrence over the same vendored merge table
+    // (BpeMerges.sqlList — one source of truth). Kernel runs once per
+    // VOCAB entry, never per token occurrence.
+    q("q173_bpe_vocab", bpeOracleSql) { (s, d) =>
+      TextAnalysis.bpeSegmentVocab(
+          Tables.spread(s, Tables.documents(s, d)), "text", minCount = 2L)
+        .orderBy("word")
+    },
+
+    // Strided context-window chunking: documents into 64-token windows
+    // every 48 tokens — the sequence-prep step between cleaning and
+    // packing. Pure scan-stage sequence+explode (plan-pinned shuffle-
+    // free); tail chunks run short; empty docs yield the one
+    // empty-token chunk both engines' whitespace split produces.
+    q(
+      "q174_context_chunks",
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d
+        |  WHERE len(toks) >= 1),
+        |s AS (SELECT doc_id, toks, n,
+        |    UNNEST(range(0, n, 48)) AS chunk_start FROM n)
+        |SELECT doc_id, chunk_start,
+        |  CAST(least(64, n - chunk_start) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[chunk_start+1 : chunk_start+64], ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_start"""
+    ) { (s, d) =>
+      TextAnalysis.contextChunks(
+          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id",
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_start")
+    },
+
+    // Character-diversity quality scoring on the one-pass char_stats
+    // kernel (codegen'd Expression — no per-character explosion;
+    // the oracle replays the naive exploded form). Simpson diversity
+    // 1 − Σc²/n² spelled as (n² − Σc²)/n²: exact integer numerator and
+    // denominator, ONE IEEE division — bit-identical cross-engine with
+    // no ln and no ordered float sum.
+    q(
+      "q175_char_diversity",
+      """WITH ch AS (SELECT doc_id, UNNEST(list_transform(
+        |    range(1, len(text) + 1), i -> text[i])) AS c FROM documents
+        |  WHERE len(text) >= 1),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+        |    CAST(SUM(k * k) AS BIGINT) AS ss,
+        |    CAST(COUNT(*) AS INTEGER) AS nd FROM cc GROUP BY 1)
+        |SELECT doc_id, n AS n_chars, nd AS distinct_chars,
+        |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |    AS char_diversity
+        |FROM st ORDER BY doc_id"""
+    ) { (s, d) =>
+      Tables.spread(s, Tables.documents(s, d))
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), TextAnalysis.charStats(col("text")).as("cs"))
+        .select(col("doc_id"),
+          col("cs.n_chars").as("n_chars"),
+          col("cs.distinct_chars").as("distinct_chars"),
+          ((col("cs.n_chars") * col("cs.n_chars") - col("cs.sum_sq"))
+              .cast("double") /
+            (col("cs.n_chars") * col("cs.n_chars")).cast("double"))
+            .as("char_diversity"))
+        .orderBy("doc_id")
+    },
+
+    // PMI collocation mining: bigram vs unigram corpus counts, one ln
+    // per OUTPUT row on an exactly-computed double argument (integer
+    // products, one division) under ROUND(6) — the q108 ln discipline;
+    // ordering is on the ROUNDED score so both engines cut the same
+    // top-50. Two count shuffles + two keyed token joins + TakeOrdered.
+    q(
+      "q176_pmi_collocations",
+      """WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS t FROM documents),
+        |uc AS (SELECT w, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(t) AS w FROM tk) GROUP BY 1),
+        |bgi AS (SELECT t, UNNEST(range(1, len(t))) AS i FROM tk),
+        |bc AS (SELECT a, b, COUNT(*) AS c_ab FROM (
+        |    SELECT t[i] AS a, t[i+1] AS b FROM bgi)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |nb AS (SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT)
+        |    AS n_bi FROM tk)
+        |SELECT a AS token_a, b AS token_b, c_ab, ca.c AS c_a,
+        |  cb.c AS c_b,
+        |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_bi AS DOUBLE)) /
+        |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS pmi
+        |FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w
+        |CROSS JOIN nb
+        |ORDER BY pmi DESC, token_a, token_b LIMIT 50"""
+    ) { (s, d) =>
+      TextAnalysis.pmiCollocations(
+        Tables.spread(s, Tables.documents(s, d)), "text",
+        minCount = 5L, k = 50)
+    },
+
+    // Tokenizer fertility by word-length bucket over the q173 BPE
+    // segmentation — integer sums, one exact division; the merge-table
+    // diagnostic a tokenizer team reads before training.
+    q("q177_bpe_fertility", bpeFertilitySql) { (s, d) =>
+      TextAnalysis.bpeFertility(
+          Tables.spread(s, Tables.documents(s, d)), "text", minCount = 2L)
+        .orderBy("len_bucket")
     }
   )
 
@@ -6268,6 +6378,72 @@ object Queries {
        |    CASE WHEN best = 0 THEN 'und' $argmax END AS predicted
        |  FROM sb)"""
   }
+
+  /** q173's oracle: the bpe_split recurrence as a recursive CTE. Per
+    * vocabulary word, state = the symbol list; one step merges the
+    * leftmost occurrence of the lowest-rank adjacent pair (rank =
+    * 1-based list_position into the merges literal — relative order is
+    * all the argmin uses, so 1-based vs the kernel's 0-based is
+    * irrelevant); absent pairs map to 999999 = "no merge". ENGINE
+    * GOTCHA: DuckDB 1.0 `list_position` returns 0 — not NULL — for an
+    * absent element, so the sentinel needs `nullif(·, 0)` before the
+    * coalesce (a bare coalesce would rank every unknown pair 0 = best
+    * and merge the whole word). The final state per word is the deepest
+    * iteration. ASCII-only words make DuckDB's character indexing ≡ the
+    * kernel's char indexing.
+    */
+  private lazy val bpeCtes: String = {
+    val m = graft.pipeline.BpeMerges.sqlList
+    s"""WITH RECURSIVE vocab AS (
+       |  SELECT t AS word, COUNT(*) AS cnt FROM (
+       |    SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS t FROM documents)
+       |  WHERE regexp_matches(t, '^[ -~]+$$')
+       |  GROUP BY 1 HAVING COUNT(*) >= 2),
+       |bpe AS (
+       |  SELECT word, cnt,
+       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS l,
+       |    0 AS it
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT word, cnt,
+       |    l[1:j-1] || [l[j] || l[j+1]] || l[j+2:len(l)] AS l,
+       |    it + 1
+       |  FROM (SELECT word, cnt, l, it,
+       |      list_position(rk, list_min(rk)) AS j, list_min(rk) AS m
+       |    FROM (SELECT word, cnt, l, it,
+       |        list_transform(range(1, len(l)), i ->
+       |          coalesce(nullif(list_position($m,
+       |            l[i] || '|' || l[i+1]), 0), 999999)) AS rk
+       |      FROM bpe WHERE len(l) > 1))
+       |  WHERE m < 999999),
+       |seg AS (
+       |  SELECT word, cnt, l AS fl
+       |  FROM (SELECT word, cnt, l, ROW_NUMBER() OVER (
+       |      PARTITION BY word ORDER BY it DESC) AS rn FROM bpe)
+       |  WHERE rn = 1)"""
+  }
+
+  private lazy val bpeOracleSql: String =
+    bpeCtes + s"""
+       |SELECT word, array_to_string(fl, ' ') AS segmentation,
+       |  CAST(len(fl) AS BIGINT) AS n_subwords, cnt
+       |FROM seg ORDER BY word"""
+
+  /** q177's oracle: tokenizer fertility (subwords per word, corpus
+    * weighted) per word-length bucket over the q173 segmentation —
+    * integer sums only, then ONE IEEE division (exact ints well under
+    * 2^53 ⇒ bit-identical cross-engine).
+    */
+  private lazy val bpeFertilitySql: String =
+    bpeCtes + s"""
+       |SELECT CASE WHEN len(word) <= 3 THEN 'short'
+       |    WHEN len(word) <= 6 THEN 'mid' ELSE 'long' END AS len_bucket,
+       |  COUNT(*) AS n_vocab, CAST(SUM(cnt) AS BIGINT) AS total_words,
+       |  CAST(SUM(cnt * len(fl)) AS BIGINT) AS total_subwords,
+       |  CAST(SUM(cnt * len(fl)) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+       |    AS fertility
+       |FROM seg GROUP BY 1 ORDER BY len_bucket"""
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(x => x.name -> x.fn).toMap

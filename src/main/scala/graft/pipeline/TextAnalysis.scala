@@ -871,6 +871,135 @@ object TextAnalysis {
     f(text)
   }
 
+  /** BPE subword segmentation of the corpus vocabulary — the tokenizer
+    * half of a training-data pipeline: per distinct word (lowercased
+    * whitespace token, printable-ASCII, ≥ `minCount` occurrences), its
+    * greedy lowest-rank-leftmost-merge segmentation over the vendored
+    * [[BpeMerges]] table, with subword count and corpus frequency.
+    * Compute fan-in is the point at scale: the kernel runs once per
+    * VOCABULARY entry (one map-side-combined count aggregate shrinks
+    * the token stream first), not once per token occurrence — the
+    * standard tokenize-the-vocab-then-join shape.
+    *
+    * The per-word kernel is the codegen'd `bpe_split` Expression
+    * ([[graft.functions.BpeSplitExpression]]); its one-merge-per-step
+    * contract is replayed exactly by the q-entry's recursive-CTE
+    * oracle.
+    */
+  def bpeSegmentVocab(
+      docs: DataFrame, textCol: String, minCount: Long = 2L): DataFrame =
+    docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word").rlike("\\A[ -~]+\\z"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("__seg", call_function("bpe_split", col("word")))
+      .select(col("word"),
+        array_join(col("__seg"), " ").as("segmentation"),
+        size(col("__seg")).cast("long").as("n_subwords"),
+        col("cnt"))
+
+  /** Strided context-window chunking — documents into fixed-size token
+    * windows with overlap, the sequence-preparation step between
+    * cleaning and packing in a training pipeline (pack whole docs with
+    * [[Packing]]; SPLIT long docs with this). Chunk starts are
+    * 0, stride, 2·stride, … while start < n_tokens, each chunk the next
+    * `window` tokens (the tail chunks run short). Scale shape: one
+    * scan-stage sequence+explode per document — no shuffle, no state;
+    * chunk count per doc is ⌈n/stride⌉, bounded by doc length.
+    * Output: (id, chunk_start, n_tokens, chunk_text).
+    */
+  def contextChunks(
+      docs: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 1)
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(col(idCol), col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(window), col("__n") - col("chunk_start"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("chunk_start") + 1, lit(window)),
+          " ").as("chunk_text"))
+  }
+
+  /** Per-document character statistics in ONE pass — the
+    * [[graft.functions.CharStatsExpression]] kernel: code-point count,
+    * Σ count² over code-point classes, and distinct code points,
+    * without exploding a row per character (the naive relational form
+    * is a (doc, char) shuffle whose row count is the corpus's character
+    * count — this is a scan-stage struct). Downstream math stays exact:
+    * Simpson diversity 1 − Σc²/n² is integer arithmetic plus ONE IEEE
+    * division, so the quality cut replays bit-identically cross-engine
+    * (no ln, no ordered float sum — chosen over Shannon entropy for
+    * exactly that reason).
+    * Returns struct(n_chars, sum_sq, distinct_chars).
+    */
+  def charStats(text: Column): Column =
+    call_function("char_stats", text)
+
+  /** Collocation mining by pointwise mutual information: corpus bigram
+    * and unigram counts joined, PMI = ln(c_ab·N_bigrams / (c_a·c_b)),
+    * top-k by (rounded) PMI. One ln per OUTPUT row on an exactly
+    * computed double argument (integer products + one division) —
+    * ROUND(6) absorbs libm's faithful-vs-correct rounding slack (the
+    * q108 discipline); no float SUM anywhere. Scale shape: one
+    * (bigram) count shuffle + one (unigram) count shuffle + two keyed
+    * joins on token, then global top-k (TakeOrderedAndProject).
+    */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val toks = docs.select(
+      whitespaceTokens(trim(lower(col(textCol)))).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(ngramsAll(col("t"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("a", split(col("g"), " ").getItem(0))
+      .withColumn("b", split(col("g"), " ").getItem(1))
+    val nb = toks.select(
+      sum(greatest(size(col("t")) - 1, lit(0))).as("n_bi"))
+    bi.join(uni.withColumnRenamed("w", "a").withColumnRenamed("c", "c_a"),
+        "a")
+      .join(uni.withColumnRenamed("w", "b").withColumnRenamed("c", "c_b"),
+        "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a").as("token_a"), col("b").as("token_b"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        round(log(
+          (col("c_ab").cast("double") * col("n_bi").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("token_a"), col("token_b"))
+      .limit(k)
+  }
+
+  /** Tokenizer fertility report — corpus-weighted subwords-per-word by
+    * word-length bucket, the standard "how well does this merge table
+    * fit this corpus" tokenizer diagnostic, computed on the
+    * [[bpeSegmentVocab]] output (kernel cost stays per-VOCAB-entry).
+    * Integer sums only; fertility is one IEEE division of exact
+    * integers — bit-identical cross-engine, no rounding surface.
+    */
+  def bpeFertility(
+      docs: DataFrame, textCol: String, minCount: Long = 2L): DataFrame =
+    bpeSegmentVocab(docs, textCol, minCount)
+      .withColumn("len_bucket",
+        when(length(col("word")) <= 3, "short")
+          .when(length(col("word")) <= 6, "mid").otherwise("long"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("cnt")).as("total_words"),
+        sum(col("cnt") * col("n_subwords")).as("total_subwords"))
+      .withColumn("fertility",
+        col("total_subwords").cast("double") /
+          col("total_words").cast("double"))
+
   /** ALL word n-grams (repeats kept) as an array column — the repetition
     * family needs occurrence counts, where [[shingles]] dedups for set
     * similarity. Same UDF-loop rationale as [[shingles]]: HOF lambdas

@@ -2249,4 +2249,108 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String)].collect().sorted.toSeq
     assert(tiny == want)
   }
+
+  test("bpe_split: greedy lowest-rank leftmost merges, hand-derived") {
+    import graft.functions.BpeSplitExpression
+    def seg(w: String): Seq[String] = {
+      val a = BpeSplitExpression.split(w)
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    }
+    // multi-level: t|h (rank 0) then th|e (rank 1)
+    assert(seg("the") == Seq("the"))
+    // a|t (7) before c|h (39); b|at and at|c never in the table
+    assert(seg("batch") == Seq("b", "at", "ch"))
+    // t|h then i|n then in|g; th|ing absent
+    assert(seg("thing") == Seq("th", "ing"))
+    // the|r (34) loses to r|e (4) after th|e fires: [the, re]
+    assert(seg("there") == Seq("the", "re"))
+    // equal-rank tie (i|n twice): strict < keeps the LEFTMOST
+    assert(seg("inin") == Seq("in", "in"))
+    // nothing mergeable / single char / empty
+    assert(seg("agg") == Seq("a", "g", "g"))
+    assert(seg("x") == Seq("x"))
+    assert(seg("") == Seq.empty)
+  }
+
+  test("contextChunks: strided windows, short tails, empty doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.contextChunks(docs, "text", "doc_id",
+        window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_start")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      // starts 0,3,6,9 while start < 10; tail runs short
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 6L, 4L, "t7 t8 t9 t10"),
+      (1L, 9L, 1L, "t10"),
+      (2L, 0L, 3L, "only three tokens"),
+      // whitespace split of "" is [""] — one empty-token chunk, the
+      // same row DuckDB's string_split_regex produces
+      (3L, 0L, 1L, "")))
+  }
+
+  test("char_stats: code-point counts, Σc², distinct — incl. non-BMP") {
+    import graft.functions.CharStatsExpression
+    def st(s: String): (Long, Long, Int) = {
+      val r = CharStatsExpression.stats(s)
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    }
+    // "aab": counts a=2,b=1 → n=3, Σc²=5, distinct=2
+    assert(st("aab") == (3L, 5L, 2))
+    assert(st("") == (0L, 0L, 0))
+    assert(st("zzzz") == (4L, 16L, 1))
+    // astral plane: 𝒳 (U+1D4B3) is TWO UTF-16 chars but ONE code point
+    val astral = new String(Character.toChars(0x1D4B3))
+    assert(st(astral + "a" + astral) == (3L, 5L, 2))
+    // Simpson diversity derivation is exact: (n²−Σc²)/n²
+    val (n, ss, _) = st("aab")
+    assert((n * n - ss).toDouble / (n * n).toDouble == 4.0 / 9.0)
+  }
+
+  test("pmiCollocations: hand-computed PMI on a tiny corpus") {
+    // corpus: "a b" ×6, "a c" ×6 → bigrams: (a,b)=6, (a,c)=6, plus the
+    // cross-doc joins don't exist (per-doc token arrays). unigrams:
+    // a=12, b=6, c=6; total bigrams = 12.
+    val docs = (Seq.fill(6)("a b") ++ Seq.fill(6)("a c")).toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 5L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    val pmi = math.rint(math.log((6.0 * 12.0) / (12.0 * 6.0)) * 1e6) / 1e6
+    assert(out == Set(
+      ("a", "b", 6L, 12L, 6L, pmi),
+      ("a", "c", 6L, 12L, 6L, pmi)))
+    assert(pmi == 0.0) // ln(1) — independence baseline
+  }
+
+  test("bpeFertility: integer sums and exact division per bucket") {
+    val docs = Seq(
+      "the the batch batch rare rare").toDF("text")
+    val out = TextAnalysis.bpeFertility(docs, "text", minCount = 2L)
+      .orderBy("len_bucket")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // the(3→"the"=1 sub), batch(5→3 subs), rare(4→2 subs), each cnt 2
+    assert(out == Seq(
+      ("mid", 2L, 4L, 10L, 2.5), // batch + rare: (2·3+2·2)/(2+2)
+      ("short", 1L, 2L, 2L, 1.0)))
+  }
+
+  test("bpeSegmentVocab: vocab-level fan-in with corpus counts") {
+    val docs = Seq(
+      "the batch the batch",
+      "thing thing rare",
+      "Rare THE").toDF("text")
+    val out = TextAnalysis.bpeSegmentVocab(docs, "text", minCount = 2L)
+      .orderBy("word")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // lowercased vocab with counts ≥ 2; segmentation joined by spaces
+    assert(out == Seq(
+      ("batch", "b at ch", 3L, 2L),
+      ("rare", "ra re", 2L, 2L),
+      ("the", "the", 1L, 3L),
+      ("thing", "th ing", 2L, 2L)))
+  }
 }

@@ -613,4 +613,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [normalizeexpression"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("bpeSegmentVocab: one vocab shuffle, kernel after the fan-in") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.TextAnalysis.bpeSegmentVocab(docs, "text")
+    val plan = planOf(q)
+    // exactly the word-count aggregate's exchange — the bpe kernel
+    // never shuffles, and it runs on the POST-aggregate vocabulary
+    // (once per distinct word), not per token occurrence
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.toLowerCase.contains("bpesplitexpression"), plan)
+    val aggIdx = plan.indexOf("HashAggregate")
+    val bpeIdx = plan.toLowerCase.indexOf("bpesplitexpression")
+    assert(aggIdx >= 0 && bpeIdx >= 0 && bpeIdx < aggIdx, plan)
+  }
+
+  test("contextChunks: shuffle-free scan-stage sequence+explode") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.TextAnalysis.contextChunks(
+      docs, "text", "doc_id", window = 64, stride = 48)
+    val plan = planOf(q)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("Generate"), plan) // the explode
+  }
+
+  test("char_stats diversity: one codegen'd scan stage, no explosion") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = docs.select(col("doc_id"),
+      graft.pipeline.TextAnalysis.charStats(col("text")).as("cs"))
+    val plan = planOf(q)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("Generate"), plan) // no per-char explode
+    assert(plan.toLowerCase.contains("charstatsexpression"), plan)
+  }
 }
