@@ -6249,6 +6249,146 @@ object Queries {
       TextAnalysis.bpeFertility(
           Tables.spread(s, Tables.documents(s, d)), "text", minCount = 2L)
         .orderBy("len_bucket")
+    },
+
+    // Entity-resolution candidates by sorted-neighborhood blocking:
+    // customers ranked per nation by (acctbal, custkey), each paired
+    // with its next 3 rank neighbors (BandJoin on the rank — linear
+    // n·w candidates per block, never a per-block cross product), then
+    // integer field-agreement scoring. Doubles only ever SUBTRACTED
+    // and compared (identical IEEE ops both engines), never summed.
+    q(
+      "q178_record_linkage",
+      """WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal,
+        |    c_mktsegment, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal, c_custkey) AS rk FROM customer)
+        |SELECT a_id, b_id, a_segment, b_segment, score FROM (
+        |  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |    a.c_mktsegment AS a_segment, b.c_mktsegment AS b_segment,
+        |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+        |        THEN 2 ELSE 0 END +
+        |      CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 10.0
+        |        THEN 1 ELSE 0 END AS INTEGER) AS score
+        |  FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
+        |    AND b.rk > a.rk AND b.rk <= a.rk + 3)
+        |WHERE score >= 2 ORDER BY a_id, b_id"""
+    ) { (s, d) =>
+      val pairs = graft.operators.RecordLinkage.sortedNeighborhoodPairs(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment")),
+        "c_nationkey", "c_acctbal", "c_custkey", w = 3)
+      pairs
+        .select(col("a_c_custkey").as("a_id"), col("b_c_custkey").as("b_id"),
+          col("a_c_mktsegment").as("a_segment"),
+          col("b_c_mktsegment").as("b_segment"),
+          (when(col("a_c_mktsegment") === col("b_c_mktsegment"), 2)
+              .otherwise(0) +
+            when(abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 10.0, 1)
+              .otherwise(0)).as("score"))
+        .filter(col("score") >= 2)
+        .orderBy("a_id", "b_id")
+    },
+
+    // Last-touch marketing attribution: each purchase attributed to the
+    // user's most recent preceding touch (click/view/signup) within 7
+    // days, on the AsOfJoin operator. Touches pre-collapse to one per
+    // (user, µs) via max(struct) — lexicographic (event_type,
+    // event_id), replayed in the oracle as ROW_NUMBER DESC — so the
+    // as-of carry is unambiguous at timestamp ties. Revenue in the
+    // exact-decimal sum form.
+    q(
+      "q179_attribution",
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t, user_id,
+        |    event_type, value FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, t, event_type AS touch_type FROM (
+        |    SELECT user_id, t, event_type, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, t
+        |      ORDER BY event_type DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_type IN ('click', 'view', 'signup'))
+        |  WHERE rn = 1),
+        |a AS (SELECT p.event_id, p.value, p.t, tch.t AS touch_ts,
+        |    tch.touch_type, ROW_NUMBER() OVER (
+        |      PARTITION BY p.event_id ORDER BY tch.t DESC) AS rn
+        |  FROM p JOIN tch ON p.user_id = tch.user_id AND tch.t <= p.t)
+        |SELECT touch_type, COUNT(*) AS n_conversions,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM a WHERE rn = 1 AND t - touch_ts <= 604800000000
+        |GROUP BY 1 ORDER BY touch_type"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_id"),
+        unix_micros(col("ts")).as("t"), col("user_id"),
+        col("event_type"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id"), col("value"))
+      val touches = e
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(struct(col("event_type"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("t"),
+          col("m.event_type").as("touch_type"))
+      graft.operators.AsOfJoin.asOf(
+          purchases, touches, "user_id", "t", Seq("touch_type"))
+        .filter(col("t") - col("right_ts") <= 604800000000L)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"),
+          dsum(col("value")).as("revenue"))
+        .orderBy("touch_type")
+    },
+
+    // Time-weighted average per sensor — irregular-sampling mean with
+    // DECIMAL v·dt accumulation (order-free integer arithmetic; the
+    // only IEEE op is the final division). DECIMAL(18,6)×DECIMAL(19,0)
+    // keeps DuckDB's multiply on the int128 path (the q150 same-width
+    // int64 overflow gotcha).
+    q(
+      "q180_time_weighted_avg",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |n AS (SELECT sensor_id, t, value, LEAD(t) OVER (
+        |    PARTITION BY sensor_id ORDER BY t, value) AS nt FROM s),
+        |v AS (SELECT sensor_id, t,
+        |    CAST(value AS DECIMAL(18,6)) * CAST(nt - t AS DECIMAL(19,0))
+        |      AS vdt FROM n)
+        |SELECT sensor_id, COUNT(*) AS n_samples,
+        |  MAX(t) - MIN(t) AS span_us,
+        |  CAST(COALESCE(SUM(vdt), 0) AS DECIMAL(38,6)) AS vdt_sum,
+        |  round(CAST(COALESCE(SUM(vdt), 0) AS DOUBLE) /
+        |    CAST(MAX(t) - MIN(t) AS DOUBLE), 6) AS twa
+        |FROM v GROUP BY 1 ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.timeWeightedAvg(
+          EventsAdapter.samples(s, d))
+        .orderBy("sensor_id")
+    },
+
+    // Positional phrase search: exact token-sequence match via
+    // positional-postings intersection (pos − term index = implied
+    // phrase start; all 3 distinct indexes present ⇒ match). The
+    // term filter is a scan-stage literal IN-set — the inverted-index
+    // access path without materializing an index.
+    q(
+      "q181_phrase_search",
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t, UNNEST(range(1, len(t) + 1)) AS i
+        |  FROM tk),
+        |pt AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM pos),
+        |ph AS (SELECT * FROM (VALUES ('big', 0), ('order', 1),
+        |    ('scan', 2)) AS v(tok, idx)),
+        |m AS (SELECT doc_id, pos - idx AS base, idx
+        |  FROM pt JOIN ph USING (tok) WHERE pos - idx >= 0),
+        |h AS (SELECT doc_id, base, COUNT(DISTINCT idx) AS nid
+        |  FROM m GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_matches,
+        |  CAST(MIN(base) AS BIGINT) AS first_pos
+        |FROM h WHERE nid = 3 GROUP BY 1 ORDER BY doc_id"""
+    ) { (s, d) =>
+      TextAnalysis.phraseSearch(
+          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id",
+          Seq("big", "order", "scan"))
+        .orderBy("doc_id")
     }
   )
 

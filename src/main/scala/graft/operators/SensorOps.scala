@@ -230,4 +230,47 @@ object SensorOps {
         sensorIds.map(col): _*)
       .orderBy("window_start_us")
   }
+
+  /** Time-weighted average per sensor — the irregular-sampling mean
+    * (left-continuous step function: each value holds until the next
+    * sample; the last sample carries no weight): Σ vᵢ·(tᵢ₊₁−tᵢ) /
+    * (t_max − t_min).
+    *
+    * Exactness across engines is the design driver: the v·dt products
+    * and their sum run in DECIMAL — value as DECIMAL(18,6), dt µs as
+    * DECIMAL(19,0), product DECIMAL(38,6) — so the accumulation is
+    * INTEGER arithmetic (order-free, no float-summation drift), and the
+    * only IEEE operation is the final division. DECIMAL(18,6)×
+    * DECIMAL(19,0) also keeps DuckDB off its same-width int64 multiply
+    * overflow (combined width 37 ≤ 38 forces the int128 path). The twa
+    * output carries ROUND(6): DuckDB's wide-decimal→double cast
+    * double-rounds (int128→double, then /10⁶) where the JVM converts
+    * once, a 1-ulp divergence the rounding absorbs.
+    * Duplicate timestamps tie-break on value; equal-t rows get dt = 0
+    * so only the last of a tie carries weight — deterministic both
+    * engines. Single-sample sensors have zero span → twa NULL
+    * (try_divide ≡ SQL double division by zero).
+    *
+    * Scale shape: one keyed shuffle; the LEAD window and the final
+    * aggregate share its partitioning; map-side-combinable sum.
+    */
+  def timeWeightedAvg(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sensor_id"))
+      .orderBy(col("timestamp_us"), col("value"))
+    samples
+      .select(col("sensor_id"), col("timestamp_us"), col("value"))
+      .withColumn("__next_t", lead(col("timestamp_us"), 1).over(w))
+      .withColumn("__vdt",
+        col("value").cast("decimal(18,6)") *
+          (col("__next_t") - col("timestamp_us")).cast("decimal(19,0)"))
+      .groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        (max(col("timestamp_us")) - min(col("timestamp_us")))
+          .as("span_us"),
+        coalesce(sum(col("__vdt")), lit(0).cast("decimal(38,6)"))
+          .cast("decimal(38,6)").as("vdt_sum"))
+      .withColumn("twa",
+        round(try_divide(col("vdt_sum").cast("double"),
+          col("span_us").cast("double")), 6))
+  }
 }

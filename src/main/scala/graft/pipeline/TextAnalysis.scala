@@ -979,6 +979,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Positional phrase search: documents containing the exact token
+    * sequence `phrase`, via a positional-postings intersection — the
+    * retrieval primitive BM25 ([[bm25TopK]]) can't express (bag-of-words
+    * scoring has no adjacency). Each posting for a phrase term maps to
+    * its implied phrase START (pos − term index); a start where ALL k
+    * distinct term indexes appear is a match — correct even when the
+    * phrase repeats a token.
+    *
+    * Scale shape: the phrase-term filter lands in the SCAN stage (tiny
+    * literal IN-set — the inverted-index access path without
+    * materializing an index), the k-row phrase table broadcasts, and the
+    * only shuffles are the two keyed aggregates on (doc, start) and doc.
+    * Output: (id, n_matches, first_pos).
+    */
+  def phraseSearch(
+      docs: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val k = phrase.length
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrase.zipWithIndex.toDF("tok", "idx")
+    docs
+      .select(col(idCol),
+        posexplode(whitespaceTokens(trim(lower(col(textCol)))))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+      .join(broadcast(ph), "tok")
+      .select(col(idCol), (col("pos") - col("idx")).as("base"), col("idx"))
+      .filter(col("base") >= 0)
+      .groupBy(col(idCol), col("base"))
+      .agg(countDistinct(col("idx")).as("__nid"))
+      .filter(col("__nid") === k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("base")).cast("long").as("first_pos"))
+  }
+
   /** Tokenizer fertility report — corpus-weighted subwords-per-word by
     * word-length bucket, the standard "how well does this merge table
     * fit this corpus" tokenizer diagnostic, computed on the

@@ -2273,6 +2273,39 @@ class PipelineSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("sortedNeighborhoodPairs: rank bands inside blocks only") {
+    import graft.operators.RecordLinkage
+    val df = Seq(
+      // block 1 sorted by v: ids 11(1.0) 12(2.0) 13(3.0) 14(9.0)
+      (11L, 1, 1.0), (12L, 1, 2.0), (13L, 1, 3.0), (14L, 1, 9.0),
+      // block 2: one record — no pairs
+      (21L, 2, 5.0)).toDF("id", "blk", "v")
+    val got = RecordLinkage.sortedNeighborhoodPairs(df, "blk", "v", "id", 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // w=2 neighbors, directed, never across blocks
+    assert(got == Set(
+      (11L, 12L), (11L, 13L), (12L, 13L), (12L, 14L), (13L, 14L)))
+  }
+
+  test("phraseSearch: overlapping matches and repeated-token phrase") {
+    val docs = Seq(
+      (1L, "big order scan big order scan"), // 2 matches at 0 and 3
+      (2L, "big order big order scan"),      // 1 match at 2
+      (3L, "order scan big"),                // wrapped — no match
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "text", "doc_id",
+        Seq("big", "order", "scan"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L), (2L, 1L, 2L)))
+    // repeated token in the phrase: "a b a" — the distinct-index count
+    // must still demand all three positions
+    val docs2 = Seq((1L, "a b a b a"), (2L, "a b b")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.phraseSearch(docs2, "text", "doc_id",
+        Seq("a", "b", "a"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 2L, 0L))) // matches at 0 and 2 only
+  }
+
   test("contextChunks: strided windows, short tails, empty doc") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens

@@ -629,6 +629,35 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx >= 0 && bpeIdx >= 0 && bpeIdx < aggIdx, plan)
   }
 
+  test("sortedNeighborhoodPairs: equi-join on rank bins, no cross") {
+    val c = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val q = graft.operators.RecordLinkage.sortedNeighborhoodPairs(
+      c, "c_nationkey", "c_acctbal", "c_custkey", 3)
+    val plan = planOf(q)
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
+  test("timeWeightedAvg: window and aggregate share one key shuffle") {
+    val s = graft.adapters.EventsAdapter.samples(spark, sf)
+    val plan = planOf(graft.operators.SensorOps.timeWeightedAvg(s))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("phraseSearch: scan-stage term filter + broadcast phrase table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.TextAnalysis.phraseSearch(
+      docs, "text", "doc_id", Seq("big", "order", "scan"))
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the IN-set on the exploded tokens sits under the join
+    assert(plan.contains("tok#") || plan.contains("IN ("), plan)
+  }
+
   test("contextChunks: shuffle-free scan-stage sequence+explode") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.pipeline.TextAnalysis.contextChunks(

@@ -89,4 +89,23 @@ class SensorOpsSpec extends SparkSpec {
     assert(got.size == 1)
     assert(math.abs(got.head._2.get - 0.0003) < 1e-15)
   }
+
+  test("timeWeightedAvg: hand-computed, ties, single-sample NULL") {
+    val s = Seq(
+      // a: 10 for 4 µs, 20 for 6 µs → (40+120)/10 = 16.0
+      ("a", 0L, 10.0), ("a", 4L, 20.0), ("a", 10L, 0.0),
+      // b: tie at t=5 — (t, value) order makes 2.0 the zero-dt row,
+      // 3.0 carries the 5 µs: (1·5 + 3·5)/10 = 2.0
+      ("b", 0L, 1.0), ("b", 5L, 2.0), ("b", 5L, 3.0), ("b", 10L, 9.0),
+      // c: single sample → zero span → twa NULL
+      ("c", 7L, 42.0)).toDF("sensor_id", "timestamp_us", "value")
+    val got = SensorOps.timeWeightedAvg(s)
+      .select("sensor_id", "n_samples", "span_us", "twa")
+      .as[(String, Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 3L, 10L, Some(16.0)),
+      ("b", 4L, 10L, Some(2.0)),
+      ("c", 1L, 0L, None)))
+  }
 }
