@@ -6367,6 +6367,130 @@ object Queries {
     // phrase start; all 3 distinct indexes present ⇒ match). The
     // term filter is a scan-stage literal IN-set — the inverted-index
     // access path without materializing an index.
+    // Chi-square independence contributions: event mix vs weekday. The
+    // 7-value weekday domain is LITERAL, so per-day counts are
+    // conditional sums (pivot discipline — no data-ordered float sum
+    // anywhere) and the χ² row total is an explicit left-associated
+    // 7-term chain, ROUND(6). Spark dayofweek()−1 ≡ DuckDB dow
+    // (0 = Sunday both).
+    q("q182_chi_square", chiSquareSql) { (s, d) =>
+      graft.pipeline.Profiler.chiSquareContrib(
+          Tables.events(s, d).select(col("event_type"),
+            (dayofweek(col("ts")) - 1).as("dw")),
+          "event_type", "dw", (0 to 6).map(Int.box))
+        .orderBy("event_type")
+    },
+
+    // Temporal validity (point-in-time) join: click events enriched
+    // with the SCD2 per-user state version (q161's history) current at
+    // the click's timestamp — equi-join on the key, interval test as a
+    // post-filter (each fact meets version-count rows, never fact²).
+    q(
+      "q183_validity_join",
+      """WITH pt AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, t, v,
+        |    LAG(v) OVER (PARTITION BY user_id ORDER BY t) AS pv
+        |  FROM pt),
+        |cp AS (SELECT user_id, t, v FROM w
+        |  WHERE pv IS NULL OR v <> pv),
+        |h AS (SELECT user_id, t AS valid_from,
+        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t)
+        |      AS version, v AS value
+        |  FROM cp),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ft FROM events
+        |  WHERE event_type = 'click')
+        |SELECT f.event_id, f.user_id, f.ft, h.version, h.value
+        |FROM f JOIN h ON f.user_id = h.user_id
+        |  AND h.valid_from <= f.ft
+        |  AND (h.valid_to IS NULL OR f.ft < h.valid_to)
+        |ORDER BY event_id"""
+    ) { (s, d) =>
+      val hist = graft.operators.Changelog.scd2History(
+        Tables.events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("t"), col("value")),
+        "user_id", "t", Seq("value"))
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ft"))
+      graft.operators.Changelog.validityJoin(facts, hist, "user_id", "ft")
+        .select(col("event_id"), col("user_id"), col("ft"),
+          col("version"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // Stream-static enrichment join: the events STREAM broadcast-joined
+    // to the static customer dimension mid-flight (the standard
+    // dimension-lookup topology: per-micro-batch hash lookup, no stream
+    // state), then a running per-segment aggregate. Oracle is the
+    // identical batch join — stream-static inner joins add no
+    // time semantics.
+    q(
+      "q184_stream_enrich",
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment"""
+    ) { (s, d) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("q184_src")
+      try {
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        val schema = Tables.load(s, d, "events").schema
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val enriched = stream
+          .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+        val name = s"q184_out_${System.nanoTime()}"
+        val query = enriched.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try query.processAllAvailable() finally query.stop()
+        val out = s.table(name).orderBy("segment")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.catalog.dropTempView(name)
+        s.createDataFrame(rows, out.schema).orderBy("segment")
+      } finally {
+        java.nio.file.Files.deleteIfExists(
+          streamDir.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
+    },
+
+    // Join-cardinality estimation without executing the join: per-key
+    // |left|·|right| products over the distinct-key count tables (the
+    // exact inner-join output size), top contributors — the
+    // "will this join explode" pre-flight for a 100 TB shuffle.
+    // Integer-exact everywhere but the final share division.
+    q(
+      "q185_join_cardinality",
+      """WITH l AS (SELECT user_id AS uid, COUNT(*) AS n_left
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT o_custkey AS uid, COUNT(*) AS n_right
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT uid AS key, n_left, n_right,
+        |    n_left * n_right AS est_pairs FROM l JOIN r USING (uid)),
+        |t AS (SELECT CAST(COALESCE(SUM(est_pairs), 0) AS BIGINT)
+        |    AS total FROM p)
+        |SELECT key, n_left, n_right, est_pairs,
+        |  round(CAST(est_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS share
+        |FROM p CROSS JOIN t
+        |ORDER BY est_pairs DESC, key LIMIT 10"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.joinCardinalityEstimate(
+        Tables.events(s, d).select(col("user_id").as("uid")),
+        Tables.orders(s, d).select(col("o_custkey").as("uid")),
+        "uid", k = 10)
+    },
+
     q(
       "q181_phrase_search",
       """WITH tk AS (SELECT doc_id,
@@ -6584,6 +6708,37 @@ object Queries {
        |  CAST(SUM(cnt * len(fl)) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
        |    AS fertility
        |FROM seg GROUP BY 1 ORDER BY len_bucket"""
+
+  /** q182's oracle: χ² contributions with the exact arithmetic shape of
+    * [[graft.pipeline.Profiler.chiSquareContrib]] — conditional sums
+    * per literal weekday (never a data-ordered float SUM), expected
+    * counts named once per day, the 7 terms added left-associated,
+    * ROUND(6). Generated so the term order is the single source of
+    * truth with the Spark `reduce(_ + _)` fold.
+    */
+  private lazy val chiSquareSql: String = {
+    val ds = 0 to 6
+    val oCells = ds.map(d =>
+      s"SUM(CASE WHEN dw = $d THEN 1 ELSE 0 END) AS o$d").mkString(", ")
+    val cCells = ds.map(d =>
+      s"SUM(CASE WHEN dw = $d THEN 1 ELSE 0 END) AS c$d").mkString(", ")
+    val rt = ds.map(d => s"o$d").mkString(" + ")
+    val eCols = ds.map(d =>
+      s"CAST(rt AS DOUBLE) * CAST(c$d AS DOUBLE) / CAST(grand AS DOUBLE)" +
+        s" AS e$d").mkString(", ")
+    val terms = ds.map(d =>
+      s"(CAST(o$d AS DOUBLE) - e$d) * (CAST(o$d AS DOUBLE) - e$d) / e$d")
+      .mkString(" + ")
+    s"""WITH src AS (SELECT event_type, EXTRACT(dow FROM ts) AS dw
+       |    FROM events),
+       |rows_ AS (SELECT event_type, $oCells FROM src GROUP BY 1),
+       |tot AS (SELECT $cCells, COUNT(*) AS grand FROM src),
+       |x AS (SELECT *, $rt AS rt FROM rows_ CROSS JOIN tot),
+       |e AS (SELECT *, $eCols FROM x)
+       |SELECT event_type, CAST(rt AS BIGINT) AS n_row,
+       |  round($terms, 6) AS chi2_contrib
+       |FROM e ORDER BY event_type"""
+  }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(x => x.name -> x.fn).toMap

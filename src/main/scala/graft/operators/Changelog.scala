@@ -102,4 +102,29 @@ object Changelog {
         col("__ts").as("valid_from"), col("valid_to")) ++
         valueCols.map(c => col(s"__v.$c").as(c)): _*)
   }
+
+  /** Temporal validity (point-in-time) join: each fact row enriched
+    * with the [[scd2History]] version that was current at the fact's
+    * timestamp — `valid_from <= ts` and (`ts < valid_to` or the version
+    * is open). The lookup every time-travelling dimension read compiles
+    * to; facts before a key's first version drop (inner semantics).
+    *
+    * Scale shape: a plain EQUI-join on the key with the interval test
+    * as a post-filter — correct to hash on because each fact meets at
+    * most the key's version count (bounded by change frequency, not
+    * fact count), and each fact survives against EXACTLY one version
+    * (intervals partition the timeline).
+    */
+  def validityJoin(
+      facts: DataFrame,
+      history: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val overlap = (facts.columns.toSet & history.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint, both sides have: $overlap")
+    facts.join(history, Seq(keyCol))
+      .filter(col("valid_from") <= col(tsCol) &&
+        (col("valid_to").isNull || col(tsCol) < col("valid_to")))
+  }
 }

@@ -629,4 +629,78 @@ object Profiler {
         payloadCols.map(c => col(s"__b_$c").as(s"old_$c")) ++
         payloadCols.map(c => col(s"__a_$c").as(s"new_$c")): _*)
   }
+
+  /** Chi-square independence contributions: for each value of `rowCol`,
+    * its χ² contribution against a SMALL LITERAL set of `colCol` values
+    * (Σ_d (o_d − e_d)²/e_d with e_d = row_total·col_total_d/grand) —
+    * the categorical-association test behind "is event mix independent
+    * of weekday / segment / shard".
+    *
+    * The column domain must be the literal `colValues`: each per-column
+    * count is a CONDITIONAL SUM (one column per literal value — the
+    * q132 pivot discipline), so the χ² row total is an EXPLICIT
+    * left-associated sum of k terms, never a data-ordered float SUM.
+    * Column totals + grand total ride one 1-row broadcast. ROUND(6) on
+    * the output (q108 discipline). One count shuffle on `rowCol`;
+    * everything downstream is O(rows·k) scalar math.
+    */
+  def chiSquareContrib(
+      df: DataFrame, rowCol: String, colCol: String,
+      colValues: Seq[Any]): DataFrame = {
+    require(colValues.nonEmpty, "column domain must be non-empty")
+    def cells(prefix: String) = colValues.zipWithIndex.map { case (v, i) =>
+      sum(when(col(colCol) === lit(v), 1L).otherwise(0L))
+        .as(s"$prefix$i")
+    }
+    val oCells = cells("__o")
+    val rows = df.groupBy(col(rowCol)).agg(oCells.head, oCells.tail: _*)
+    val totalCells = cells("__c") :+ count(lit(1)).as("__grand")
+    val totals = broadcast(df.agg(totalCells.head, totalCells.tail: _*))
+    val withTotals = rows.crossJoin(totals)
+    val rowTotal = colValues.indices
+      .map(i => col(s"__o$i"))
+      .reduce(_ + _)
+    val terms = colValues.indices.map { i =>
+      val o = col(s"__o$i").cast("double")
+      val e = rowTotal.cast("double") * col(s"__c$i").cast("double") /
+        col("__grand").cast("double")
+      (o - e) * (o - e) / e
+    }
+    withTotals.select(col(rowCol),
+      rowTotal.as("n_row"),
+      round(terms.reduce(_ + _), 6).as("chi2_contrib"))
+  }
+
+  /** Join-cardinality estimation WITHOUT executing the join: per-key
+    * |left|·|right| products, the exact output-row count of an inner
+    * equi-join, plus each key's share — the "will this join explode"
+    * check run before committing a 100 TB shuffle, and the quantitative
+    * companion to [[skewProfile]] (which sees one side at a time).
+    *
+    * Scale shape: one count aggregate per side (map-side combined — the
+    * heavy inputs collapse to one row per distinct key BEFORE the
+    * join), an inner join on distinct keys, a 1-row broadcast total,
+    * top-k via TakeOrderedAndProject. All integer arithmetic except the
+    * final share division.
+    */
+  def joinCardinalityEstimate(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val lc = left.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val perKey = lc.join(rc, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("est_pairs"))
+    val total = broadcast(perKey.agg(
+      coalesce(sum(col("est_pairs")), lit(0L)).as("__total")))
+    perKey.crossJoin(total)
+      .orderBy(col("est_pairs").desc, col("key"))
+      .limit(k)
+      .select(col("key"), col("n_left"), col("n_right"), col("est_pairs"),
+        round(col("est_pairs").cast("double") /
+          col("__total").cast("double"), 6).as("share"))
+  }
 }

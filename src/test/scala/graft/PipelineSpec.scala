@@ -2273,6 +2273,60 @@ class PipelineSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("chiSquareContrib: zero under exact independence, known skew") {
+    import graft.pipeline.Profiler
+    // independent 2×2: every cell equals its expectation → χ² = 0
+    val ind = Seq(("A", 0), ("A", 0), ("A", 1), ("A", 1),
+      ("B", 0), ("B", 0), ("B", 0), ("B", 1), ("B", 1), ("B", 1))
+      .toDF("r", "c")
+    val m = Profiler.chiSquareContrib(ind, "r", "c", Seq(0, 1))
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    assert(m("A") == ((4L, 0.0)) && m("B") == ((6L, 0.0)))
+    // fully dependent 2×2 (A→0, B→1, 2 each): χ² contribution per row
+    // = n (each row's two terms are (2-1)²/1 + (0-1)²/1 = 2)
+    val dep = Seq(("A", 0), ("A", 0), ("B", 1), ("B", 1)).toDF("r", "c")
+    val m2 = Profiler.chiSquareContrib(dep, "r", "c", Seq(0, 1))
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(m2("A") == 2.0 && m2("B") == 2.0)
+  }
+
+  test("validityJoin: interval routing, open tail, pre-history drop") {
+    import graft.operators.Changelog
+    val hist = Changelog.scd2History(
+      Seq((1L, 10L, "v1"), (1L, 20L, "v2"), (2L, 5L, "x"))
+        .toDF("k", "t", "s"),
+      "k", "t", Seq("s"))
+    val facts = Seq(
+      (100L, 1L, 9L),   // before first version → dropped
+      (101L, 1L, 10L),  // boundary: valid_from inclusive
+      (102L, 1L, 19L),  // inside v1
+      (103L, 1L, 20L),  // boundary: valid_to exclusive → v2
+      (104L, 1L, 99L),  // open interval
+      (105L, 2L, 6L))   // other key
+      .toDF("fid", "k", "ft")
+    val got = Changelog.validityJoin(facts, hist, "k", "ft")
+      .select("fid", "version", "s")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (101L, 1L, "v1"), (102L, 1L, "v1"), (103L, 2L, "v2"),
+      (104L, 2L, "v2"), (105L, 1L, "x")))
+  }
+
+  test("joinCardinalityEstimate: exact products and shares") {
+    import graft.pipeline.Profiler
+    val l = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(9L)).toDF("k")
+    val r = (Seq.fill(4)(1L) ++ Seq.fill(5)(2L) ++ Seq(8L)).toDF("k")
+    val got = Profiler.joinCardinalityEstimate(l, r, "k", 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // key 1: 3·4=12, key 2: 2·5=10, keys 8/9 unmatched; total 22
+    assert(got == Seq(
+      (1L, 3L, 4L, 12L, math.rint(12.0 / 22.0 * 1e6) / 1e6),
+      (2L, 2L, 5L, 10L, math.rint(10.0 / 22.0 * 1e6) / 1e6)))
+    // exact join-size check: estimate equals the real inner-join count
+    assert(got.map(_._4).sum == l.join(r, "k").count())
+  }
+
   test("sortedNeighborhoodPairs: rank bands inside blocks only") {
     import graft.operators.RecordLinkage
     val df = Seq(

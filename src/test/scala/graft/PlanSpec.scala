@@ -658,6 +658,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("tok#") || plan.contains("IN ("), plan)
   }
 
+  test("chiSquareContrib: pivot aggregates, broadcast totals, no SMJ") {
+    val e = graft.Tables.events(spark, sf)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dw"))
+    val plan = planOf(graft.pipeline.Profiler.chiSquareContrib(
+      e, "event_type", "dw", (0 to 6).map(Int.box)))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // row-group shuffle + single-partition totals — nothing keyed on dw
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+  }
+
+  test("validityJoin rides the key equi-join, never a range nested loop") {
+    val hist = graft.operators.Changelog.scd2History(
+      graft.Tables.events(spark, sf).select(col("user_id"),
+        unix_micros(col("ts")).as("t"), col("value")),
+      "user_id", "t", Seq("value"))
+    val facts = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ft"))
+    val plan = planOf(
+      graft.operators.Changelog.validityJoin(facts, hist, "user_id", "ft"))
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
+  test("joinCardinalityEstimate: top-k is TakeOrderedAndProject") {
+    val plan = planOf(graft.pipeline.Profiler.joinCardinalityEstimate(
+      graft.Tables.events(spark, sf).select(col("user_id").as("uid")),
+      graft.Tables.orders(spark, sf).select(col("o_custkey").as("uid")),
+      "uid", 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("contextChunks: shuffle-free scan-stage sequence+explode") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.pipeline.TextAnalysis.contextChunks(
