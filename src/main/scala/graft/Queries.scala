@@ -6491,6 +6491,61 @@ object Queries {
         "uid", k = 10)
     },
 
+    // Seasonal hour-of-day decomposition: per (event_type, hour),
+    // the seasonal mean (DECIMAL sum, one division) and the residual
+    // envelope after removing it (MIN/MAX — selection, never a float
+    // sum). Spark hour() ≡ DuckDB EXTRACT(hour) under the UTC session.
+    q(
+      "q186_seasonal_profile",
+      """WITH s AS (SELECT event_type AS g, EXTRACT(hour FROM ts) AS hr,
+        |    value AS v FROM events),
+        |m AS (SELECT g, hr, COUNT(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |      AS hour_mean
+        |  FROM s GROUP BY 1, 2),
+        |r AS (SELECT s.g, s.hr, MIN(v - hour_mean) AS min_resid,
+        |    MAX(v - hour_mean) AS max_resid
+        |  FROM s JOIN m ON s.g = m.g AND s.hr = m.hr GROUP BY 1, 2)
+        |SELECT m.g AS event_type, CAST(m.hr AS INTEGER) AS hr, n,
+        |  hour_mean, min_resid, max_resid
+        |FROM m JOIN r ON m.g = r.g AND m.hr = r.hr
+        |ORDER BY event_type, hr"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.seasonalHourlyProfile(
+          Tables.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "hr")
+    },
+
+    // Typed JSON property extraction — the semi-structured sidecar
+    // column every event pipeline carries: from_json with an explicit
+    // schema (the Spark-native path — no schema inference at scale),
+    // then integer-exact stats per event type. Oracle extracts with
+    // DuckDB's JSON path functions.
+    q(
+      "q187_json_props",
+      """SELECT event_type,
+        |  COUNT(*) AS n_with_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT k) AS n_distinct_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |WHERE k IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_with_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy("event_type")
+    },
+
     q(
       "q181_phrase_search",
       """WITH tk AS (SELECT doc_id,

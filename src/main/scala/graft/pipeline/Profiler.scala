@@ -671,6 +671,40 @@ object Profiler {
       round(terms.reduce(_ + _), 6).as("chi2_contrib"))
   }
 
+  /** Seasonal (hour-of-day) decomposition profile: per (group, hour),
+    * the seasonal mean plus the residual envelope after removing it —
+    * the "is this sensor's daily cycle stable, and what escapes it"
+    * report that precedes any calendar-aware anomaly rule.
+    *
+    * Exactness: the seasonal mean is a DECIMAL(18,2) sum (order-free)
+    * divided once by the count; residuals are single IEEE subtractions;
+    * the residual envelope is MIN/MAX — selection, not summation — so
+    * every output is engine-replayable with no rounding surface.
+    *
+    * Scale shape: two keyed aggregates over one scan, with the seasonal
+    * table (groups × 24 rows by construction) broadcast back — no
+    * second pass is ever keyed on anything bigger than (group, hour).
+    */
+  def seasonalHourlyProfile(
+      df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val s = df.select(col(groupCol).as("__g"),
+      hour(col(tsCol)).as("hr"), col(valueCol).as("__v"))
+    val means = s.groupBy(col("__g"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__v").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("hour_mean"))
+    val resid = s
+      .join(broadcast(means.select(col("__g"), col("hr"),
+        col("hour_mean"))), Seq("__g", "hr"))
+      .groupBy(col("__g"), col("hr"))
+      .agg(min(col("__v") - col("hour_mean")).as("min_resid"),
+        max(col("__v") - col("hour_mean")).as("max_resid"))
+    means.join(resid, Seq("__g", "hr"))
+      .select(col("__g").as(groupCol), col("hr"), col("n"),
+        col("hour_mean"), col("min_resid"), col("max_resid"))
+  }
+
   /** Join-cardinality estimation WITHOUT executing the join: per-key
     * |left|·|right| products, the exact output-row count of an inner
     * equi-join, plus each key's share — the "will this join explode"

@@ -2273,6 +2273,23 @@ class PipelineSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("seasonalHourlyProfile: hand-computed means and residual envelope") {
+    import graft.pipeline.Profiler
+    val df = Seq(
+      // hour 0: values 1, 3 → mean 2; residuals −1, +1
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-02 00:50:00"), 3.0),
+      // hour 5: single value → residual 0 both ends
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 7.0))
+      .toDF("g", "ts", "v")
+    val got = Profiler.seasonalHourlyProfile(df, "g", "ts", "v")
+      .orderBy("hr")
+      .as[(String, Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0, 2L, 2.0, -1.0, 1.0),
+      ("a", 5, 1L, 7.0, 0.0, 0.0)))
+  }
+
   test("chiSquareContrib: zero under exact independence, known skew") {
     import graft.pipeline.Profiler
     // independent 2×2: every cell equals its expectation → χ² = 0

@@ -658,6 +658,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("tok#") || plan.contains("IN ("), plan)
   }
 
+  test("bucketed tables join with ZERO exchange — co-located layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("buckets")
+    try {
+      val orders = graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val lineitem = graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      graft.store.Bucketing.writeBucketed(orders, "b_orders",
+        "o_orderkey", 8, s"$tmp/o")
+      graft.store.Bucketing.writeBucketed(lineitem, "b_lineitem",
+        "o_orderkey", 8, s"$tmp/l")
+      // dedicated session conf (q116 discipline): force the sort-merge
+      // path so the pin proves bucketing, not broadcast
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s2.table("b_orders")
+        .join(s2.table("b_lineitem"), "o_orderkey")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the join reads bucket-to-bucket: the ONLY exchange is the
+      // post-join customer aggregate, nothing under the join
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"), plan)
+      assert(joined.count() > 0)
+      // parent session conf untouched
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        != "-1")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("chiSquareContrib: pivot aggregates, broadcast totals, no SMJ") {
     val e = graft.Tables.events(spark, sf)
       .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dw"))
