@@ -6546,6 +6546,88 @@ object Queries {
         .orderBy("event_type")
     },
 
+    // Benford first-digit conformance over money-scale columns:
+    // digit via exact integer-cents string form (never log10, never
+    // double→string), counts as conditional sums, TVD as an explicit
+    // 9-term chain against inlined Benford literals, ROUND(6).
+    q("q188_benford", benfordSql) { (s, d) =>
+      graft.pipeline.Profiler.benfordTest(
+          Tables.lineitem(s, d),
+          Seq("l_extendedprice", "l_quantity", "l_discount"))
+        .orderBy("col_name")
+    },
+
+    // Functional-dependency profiler: measured determinant→dependent
+    // facts over candidate pairs (holds / violated / worst variant
+    // count), integer-exact; one distinct-pair-collapsed aggregate per
+    // candidate.
+    q(
+      "q189_fd_profile",
+      """SELECT 'o_custkey -> o_orderpriority' AS dependency,
+        |  COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_keys,
+        |  MAX(nd) AS max_variants
+        |FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+        |  FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_orderkey -> o_custkey', COUNT(*),
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  MAX(nd)
+        |FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+        |  FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_orderstatus -> o_orderpriority', COUNT(*),
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  MAX(nd)
+        |FROM (SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS nd
+        |  FROM orders GROUP BY 1)
+        |ORDER BY dependency"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.functionalDependencies(
+          Tables.orders(s, d),
+          Seq("o_custkey" -> "o_orderpriority",
+            "o_orderkey" -> "o_custkey",
+            "o_orderstatus" -> "o_orderpriority"))
+        .orderBy("dependency")
+    },
+
+    // Peak interval concurrency over the q170 availability islands —
+    // the sweep line as a DISTRIBUTED prefix sum (per-day buckets
+    // compute internal running sums in parallel; the cross-bucket
+    // carry is a prefix over bucket TOTALS, a table bounded by the
+    // timespan, not the data). carry + in-bucket ≡ the oracle's one
+    // global window exactly, by associativity.
+    q(
+      "q190_max_concurrency",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |g AS (SELECT sensor_id, t, value,
+        |    CASE WHEN LAG(t) OVER w IS NULL
+        |         OR t - LAG(t) OVER w > 172800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, value)),
+        |i AS (SELECT sensor_id, t, SUM(brk) OVER (
+        |    PARTITION BY sensor_id ORDER BY t, value
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g),
+        |iv AS (SELECT MIN(t) AS start_us, MAX(t) AS end_us
+        |  FROM i GROUP BY sensor_id, island),
+        |d AS (SELECT start_us AS t, 1 AS delta FROM iv
+        |  UNION ALL SELECT end_us + 1, -1 FROM iv),
+        |r AS (SELECT t, SUM(delta) OVER (
+        |    ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c FROM d),
+        |m AS (SELECT MAX(c) AS mc FROM r)
+        |SELECT CAST(m.mc AS BIGINT) AS max_concurrent,
+        |  MIN(r.t) AS at_us
+        |FROM r, m WHERE r.c = m.mc GROUP BY m.mc"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.maxConcurrency(
+        graft.operators.SensorOps.availabilityIntervals(
+          EventsAdapter.samples(s, d), thresholdUs = 172800000000L),
+        bucketUs = 86400000000L)
+    },
+
     q(
       "q181_phrase_search",
       """WITH tk AS (SELECT doc_id,
@@ -6793,6 +6875,34 @@ object Queries {
        |SELECT event_type, CAST(rt AS BIGINT) AS n_row,
        |  round($terms, 6) AS chi2_contrib
        |FROM e ORDER BY event_type"""
+  }
+
+  /** q188's oracle: Benford TVD with the exact arithmetic shape of
+    * [[graft.pipeline.Profiler.benfordTest]] — integer-cents digit
+    * extraction off the integer's VARCHAR form, conditional-sum digit
+    * counts, the 9 |share − benford_d| terms added left-associated with
+    * the SAME `math.log10` constants inlined as full-precision literals
+    * (`Double.toString` round-trips through DuckDB's parser), ROUND(6).
+    */
+  private lazy val benfordSql: String = {
+    def colSql(c: String): String = {
+      val counts = (1 to 9).map(d =>
+        s"SUM(CASE WHEN d = $d THEN 1 ELSE 0 END) AS c$d").mkString(", ")
+      val n = (1 to 9).map(d => s"c$d").mkString(" + ")
+      val terms = (1 to 9).map { d =>
+        val e = java.lang.Double.toString(math.log10(1.0 + 1.0 / d))
+        s"abs(CAST(c$d AS DOUBLE) / CAST(n AS DOUBLE) - $e)"
+      }.mkString(" + ")
+      s"""SELECT '$c' AS col_name, CAST(n AS BIGINT) AS n,
+         |  round(($terms) / 2.0, 6) AS tvd
+         |FROM (SELECT *, $n AS n FROM (
+         |  SELECT $counts FROM (
+         |    SELECT CAST(substr(CAST(CAST(CAST(abs($c) AS DECIMAL(18,2))
+         |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+         |    FROM lineitem) WHERE d >= 1))"""
+    }
+    Seq("l_extendedprice", "l_quantity", "l_discount")
+      .map(colSql).mkString("\n|UNION ALL\n|") + "\n|ORDER BY col_name"
   }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -273,4 +273,52 @@ object SensorOps {
         round(try_divide(col("vdt_sum").cast("double"),
           col("span_us").cast("double")), 6))
   }
+
+  /** Maximum interval concurrency (sweep line): how many intervals
+    * [start_us, end_us] overlap at the busiest instant, and the first
+    * µs where the peak occurs — capacity planning over sensor coverage,
+    * session, or job intervals.
+    *
+    * The textbook sweep (±1 deltas, ONE global running sum) is a
+    * single-partition scan at 100 TB, so this runs the DISTRIBUTED
+    * prefix-sum shape instead: deltas bucket by time, each bucket
+    * computes its internal running sums in parallel, and the
+    * cross-bucket carry-in is a prefix sum over the BUCKET TOTALS — a
+    * table bounded by timespan/bucketUs, not by data size (its global
+    * window is the documented single-partition step; pick bucketUs so
+    * the timespan yields thousands of buckets, not billions). carry +
+    * in-bucket sum ≡ the global prefix sum exactly (associativity),
+    * pinned against the naive form in the spec.
+    *
+    * Tie policy at equal t: −1 before +1 (delta ascending), i.e. an
+    * interval ending at t−1 releases before one starting at t counts —
+    * the conservative peak. Deterministic: equal-(t, delta) reorderings
+    * never change the running max (the max lands on the last +1 of a
+    * tie group, which carries the group-final sum).
+    */
+  def maxConcurrency(intervals: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val d = intervals.select(col("start_us").as("t"), lit(1L).as("delta"))
+      .unionAll(intervals.select((col("end_us") + 1L).as("t"),
+        lit(-1L).as("delta")))
+      // µs < 2^53 divide exactly in double space (BandJoin precedent)
+      .withColumn("__bucket", floor(col("t") / bucketUs).cast("long"))
+    val wIn = Window.partitionBy(col("__bucket"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = d.withColumn("__c_in", sum(col("delta")).over(wIn))
+    val buckets = run.groupBy(col("__bucket"))
+      .agg(sum(col("delta")).as("__tot"), max(col("__c_in")).as("__in_max"))
+    val wCarry = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = buckets.withColumn("__carry",
+      coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+    val peak = broadcast(carried.agg(
+      max(col("__carry") + col("__in_max")).as("max_concurrent")))
+    run.join(carried.select(col("__bucket"), col("__carry")), "__bucket")
+      .crossJoin(peak)
+      .filter(col("__carry") + col("__c_in") === col("max_concurrent"))
+      .groupBy(col("max_concurrent"))
+      .agg(min(col("t")).as("at_us"))
+  }
 }

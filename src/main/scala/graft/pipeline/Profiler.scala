@@ -671,6 +671,74 @@ object Profiler {
       round(terms.reduce(_ + _), 6).as("chi2_contrib"))
   }
 
+  /** Benford first-significant-digit conformance test over positive
+    * money-scale columns: observed digit distribution vs Benford's
+    * log₁₀(1 + 1/d), reported as total-variation distance — the
+    * fabricated-data / unit-mixup smell test of numeric profiling.
+    *
+    * Digit extraction is EXACT and engine-portable: the value rounds to
+    * DECIMAL(18,2) (the established cross-engine cast), scales to
+    * integer cents, and the first digit comes off the INTEGER's string
+    * form — never `log10` (whose faithful rounding can misplace exact
+    * powers of ten) and never double→string (engine-dependent
+    * shortest-form rendering). Digit counts are conditional sums over
+    * the 9-digit literal domain (pivot discipline), TVD is an explicit
+    * left-assoc 9-term chain with the Benford constants inlined as
+    * full-precision literals, ROUND(6).
+    *
+    * Scale shape: ONE ungrouped conditional-sum aggregate per column
+    * (map-side combined, 9-counter state), one output row per column.
+    */
+  def benfordTest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val perCol = cols.map { c =>
+      val cents = abs(col(c)).cast("decimal(18,2)")
+        .multiply(lit(100)).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      val base = df.select(digit.as("d")).filter(col("d") >= 1)
+      val counts = (1 to 9).map(d =>
+        sum(when(col("d") === d, 1L).otherwise(0L)).as(s"c$d"))
+      val agg = base.agg(counts.head, counts.tail: _*)
+      val n = (1 to 9).map(d => col(s"c$d")).reduce(_ + _)
+      val terms = (1 to 9).map { d =>
+        val expected = math.log10(1.0 + 1.0 / d)
+        abs(col(s"c$d").cast("double") / col("__n").cast("double") -
+          lit(expected))
+      }
+      agg.withColumn("__n", n)
+        .select(lit(c).as("col_name"), col("__n").as("n"),
+          round(terms.reduce(_ + _) / 2.0, 6).as("tvd"))
+    }
+    perCol.reduce(_.unionAll(_))
+  }
+
+  /** Functional-dependency profiler: for each candidate (determinant →
+    * dependent) pair, how many determinant keys exist, how many violate
+    * the dependency (more than one dependent value), and the worst
+    * violation — the schema-discovery / data-contract check that turns
+    * "we assume orderkey determines custkey" into a measured fact.
+    * Integer-exact throughout.
+    *
+    * Scale shape: one (determinant) count-distinct aggregate per pair —
+    * map-side partial aggregation on (det, dep) first, so the shuffle
+    * carries distinct pairs, not rows; the per-pair reports union into
+    * one frame.
+    */
+  def functionalDependencies(
+      df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one candidate pair")
+    val perPair = pairs.map { case (det, dep) =>
+      df.groupBy(col(det)).agg(countDistinct(col(dep)).as("__nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L))
+            .as("n_violating_keys"),
+          max(col("__nd")).as("max_variants"))
+        .select(lit(s"$det -> $dep").as("dependency"),
+          col("n_keys"), col("n_violating_keys"), col("max_variants"))
+    }
+    perPair.reduce(_.unionAll(_))
+  }
+
   /** Seasonal (hour-of-day) decomposition profile: per (group, hour),
     * the seasonal mean plus the residual envelope after removing it —
     * the "is this sensor's daily cycle stable, and what escapes it"

@@ -2273,6 +2273,52 @@ class PipelineSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("benfordTest: degenerate all-ones distribution hits known TVD") {
+    import graft.pipeline.Profiler
+    // every value starts with digit 1 → TVD = 1 − log10(2)
+    val df = Seq(1.0, 10.0, 19.99, 150.0, 0.1).toDF("v")
+    val got = Profiler.benfordTest(df, Seq("v"))
+      .as[(String, Long, Double)].collect().toSeq
+    val want = math.rint((1.0 - math.log10(2.0)) * 1e6) / 1e6
+    assert(got == Seq(("v", 5L, want)))
+    // zeros drop out of the digit population
+    val withZero = Seq(0.0, 1.0).toDF("v")
+    assert(Profiler.benfordTest(withZero, Seq("v"))
+      .as[(String, Long, Double)].collect().head._2 == 1L)
+  }
+
+  test("functionalDependencies: held and violated candidates") {
+    import graft.pipeline.Profiler
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "y"), (2L, "b", "x"), (3L, "b", "x"))
+      .toDF("k", "g", "h")
+    val got = Profiler.functionalDependencies(df,
+        Seq("k" -> "g", "g" -> "h", "g" -> "k"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("k -> g") == ((3L, 0L, 1L)))   // holds
+    assert(got("g -> h") == ((2L, 1L, 2L)))   // a → {x,y}
+    assert(got("g -> k") == ((2L, 1L, 2L)))   // b → {2,3}
+  }
+
+  test("maxConcurrency: sweep-line peak, tie policy, bucket-invariant") {
+    import graft.operators.SensorOps
+    // [0,10] [5,20] [21,30]: peak 2 at t=5; the interval ending at 20
+    // releases at 21 BEFORE the one starting at 21 counts (−1 sorts
+    // first) — concurrency never reads 3
+    val iv = Seq((0L, 10L), (5L, 20L), (21L, 30L))
+      .toDF("start_us", "end_us")
+    for (bucket <- Seq(1L, 7L, 1000L)) {
+      val got = SensorOps.maxConcurrency(iv, bucket)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((2L, 5L)), s"bucket=$bucket: $got")
+    }
+    // triple overlap at a single instant
+    val iv2 = Seq((0L, 5L), (3L, 9L), (3L, 3L)).toDF("start_us", "end_us")
+    assert(SensorOps.maxConcurrency(iv2, 4L)
+      .as[(Long, Long)].collect().toSeq == Seq((3L, 3L)))
+  }
+
   test("seasonalHourlyProfile: hand-computed means and residual envelope") {
     import graft.pipeline.Profiler
     val df = Seq(
