@@ -6628,6 +6628,59 @@ object Queries {
         bucketUs = 86400000000L)
     },
 
+    // Regular-grid forward-fill resample (daily): per sensor, one row
+    // per day of its own span; empty days carry the latest prior
+    // value (max(struct) latest-wins + last ignoreNulls — q157's total
+    // order). Sensors with 2-day gaps in q159/q170 guarantee filled
+    // rows exist.
+    q(
+      "q191_ffill_resample",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |b AS (SELECT sensor_id, t // 86400000000 AS bk, t, value,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id, t // 86400000000
+        |      ORDER BY t DESC, value DESC) AS rn FROM s),
+        |bv AS (SELECT sensor_id, bk, value AS v FROM b WHERE rn = 1),
+        |sp AS (SELECT sensor_id, UNNEST(range(MIN(bk), MAX(bk) + 1))
+        |    AS bk FROM bv GROUP BY sensor_id),
+        |j AS (SELECT sp.sensor_id, sp.bk, bv.v FROM sp
+        |  LEFT JOIN bv ON sp.sensor_id = bv.sensor_id AND sp.bk = bv.bk)
+        |SELECT sensor_id, bk * 86400000000 AS bucket_start_us,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY sensor_id
+        |    ORDER BY bk ROWS UNBOUNDED PRECEDING) AS value,
+        |  CAST(v IS NULL AS INTEGER) AS filled
+        |FROM j ORDER BY sensor_id, bucket_start_us"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.resampleForwardFill(
+          EventsAdapter.samples(s, d), bucketUs = 86400000000L)
+        .orderBy("sensor_id", "bucket_start_us")
+    },
+
+    // First-order Markov transitions between consecutive events per
+    // user: integer counts + single-division conditional probabilities
+    // (bit-identical cross-engine, no rounding surface).
+    q(
+      "q192_transition_matrix",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    event_type FROM events),
+        |st AS (SELECT event_type AS to_state,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS from_state FROM e),
+        |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM st
+        |  WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_state AS from_state, c.to_state, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS prob
+        |FROM c JOIN tot ON c.from_state = tot.from_state
+        |ORDER BY c.from_state, c.to_state"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.transitionMatrix(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "user_id", "t", "event_id", "event_type")
+        .orderBy("from_state", "to_state")
+    },
+
     q(
       "q181_phrase_search",
       """WITH tk AS (SELECT doc_id,

@@ -274,6 +274,48 @@ object SensorOps {
           col("span_us").cast("double")), 6))
   }
 
+  /** Regular-grid resampling with forward fill: per sensor, one row per
+    * `bucketUs` bucket from its first to its last sample, carrying the
+    * bucket's LATEST value forward across empty buckets — the
+    * gap-filling resample every downstream ML feature join expects
+    * (regular grids, no missing rows).
+    *
+    * Determinism: the per-bucket representative is max(struct(t,
+    * value)) — the latest sample, value-tiebroken (the q157/q162
+    * latest-wins total order) — and the carry is `last(_, ignoreNulls)`
+    * over the bucket sequence. Leading buckets always have a value (the
+    * grid starts at the sensor's first sample). Pure integer bucket
+    * arithmetic (µs < 2⁵³ divide exactly in double space).
+    *
+    * Scale shape: one (sensor, bucket) aggregate, a scan-stage grid
+    * explode (one row per bucket in the sensor's OWN span — never a
+    * global calendar), and one keyed window for the carry; everything
+    * shares the sensor partitioning. Grid size is span/bucketUs per
+    * sensor — choose bucketUs accordingly.
+    */
+  def resampleForwardFill(
+      samples: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val bucketed = samples
+      .withColumn("__b",
+        floor(col("timestamp_us") / bucketUs).cast("long"))
+      .groupBy(col("sensor_id"), col("__b"))
+      .agg(max(struct(col("timestamp_us"), col("value"))).as("__m"))
+      .select(col("sensor_id"), col("__b"),
+        col("__m.value").as("__v"))
+    val spans = bucketed.groupBy(col("sensor_id"))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col("sensor_id"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    val w = Window.partitionBy(col("sensor_id")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.join(bucketed, Seq("sensor_id", "__b"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col("sensor_id"),
+        (col("__b") * bucketUs).as("bucket_start_us"), col("value"),
+        col("__v").isNull.cast("int").as("filled"))
+  }
+
   /** Maximum interval concurrency (sweep line): how many intervals
     * [start_us, end_us] overlap at the busiest instant, and the first
     * µs where the peak occurs — capacity planning over sensor coverage,

@@ -384,4 +384,40 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
       .select(col("cohort"), col("period_offset"), col("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: counts and conditional probabilities of `from → to`
+    * steps between CONSECUTIVE events of the same user — the path
+    * model behind "what happens after a click", next-step prediction
+    * baselines, and anomalous-flow detection.
+    *
+    * Deterministic: sequence order is (ts, id) per user; probabilities
+    * are single IEEE divisions of exact integer counts (bit-identical
+    * cross-engine — no rounding surface needed).
+    *
+    * Scale shape: one keyed window (LAG over the user partition), one
+    * (from, to) count aggregate with map-side combine, and a per-from
+    * totals broadcast — state is the state-alphabet², never the event
+    * count.
+    */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(stateCol).as("to_state"))
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .filter(col("from_state").isNotNull)
+    val counts = steps.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__tot"))
+    counts.join(broadcast(totals), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double"))
+          .as("prob"))
+  }
 }

@@ -2273,6 +2273,23 @@ class PipelineSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("transitionMatrix: per-user steps, exact conditional probs") {
+    import graft.pipeline.Behavior
+    val e = Seq(
+      // user 1: a→b→a ; user 2: a→b — steps: a→b ×2, b→a ×1
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 20L, "b"))
+      .toDF("user_id", "event_id", "t", "state")
+    val got = Behavior.transitionMatrix(e, "user_id", "t", "event_id",
+        "state")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 2.0 / 2.0),
+      ("b", "a", 1L, 1.0 / 1.0)))
+    // sequences never cross users: no b→a from user 2's tail to user 1
+    assert(got.map(_._3).sum == 3L)
+  }
+
   test("benfordTest: degenerate all-ones distribution hits known TVD") {
     import graft.pipeline.Profiler
     // every value starts with digit 1 → TVD = 1 − log10(2)

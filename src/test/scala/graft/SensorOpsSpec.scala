@@ -90,6 +90,22 @@ class SensorOpsSpec extends SparkSpec {
     assert(math.abs(got.head._2.get - 0.0003) < 1e-15)
   }
 
+  test("resampleForwardFill: gap fill, latest-wins buckets, own span") {
+    val s = Seq(
+      // bucket 0: two samples — latest (t=9) wins; buckets 1-2 empty
+      // and filled; bucket 3 fresh
+      ("a", 1L, 5.0), ("a", 9L, 7.0), ("a", 31L, 9.0),
+      // b: single bucket, no fill
+      ("b", 12L, 1.0)).toDF("sensor_id", "timestamp_us", "value")
+    val got = SensorOps.resampleForwardFill(s, bucketUs = 10L)
+      .orderBy("sensor_id", "bucket_start_us")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 7.0, 0), ("a", 10L, 7.0, 1), ("a", 20L, 7.0, 1),
+      ("a", 30L, 9.0, 0),
+      ("b", 10L, 1.0, 0)))
+  }
+
   test("timeWeightedAvg: hand-computed, ties, single-sample NULL") {
     val s = Seq(
       // a: 10 for 4 µs, 20 for 6 µs → (40+120)/10 = 16.0
