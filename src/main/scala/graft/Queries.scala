@@ -6681,6 +6681,23 @@ object Queries {
         .orderBy("from_state", "to_state")
     },
 
+    // Grouped quantile profile: per event type, exact percentile array
+    // (oracle surface; the production default is the per-group
+    // bounded-state approx_percentile — q115's split, grouped).
+    q(
+      "q193_grouped_quantiles",
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY 1 ORDER BY event_type"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.quantileProfileGrouped(
+          Tables.events(s, d), "event_type", "value", exact = true)
+        .orderBy("event_type")
+    },
+
     q(
       "q181_phrase_search",
       """WITH tk AS (SELECT doc_id,

@@ -77,6 +77,36 @@ object Profiler {
         s"(column, ${names.mkString(", ")})")
   }
 
+  /** Grouped quantile profile — [[quantileProfile]]'s per-group form:
+    * one percentile-array aggregate per group plus the group count.
+    * Same production/oracle split: `exact = false` (default) runs
+    * `approx_percentile` whose state is accuracy-bounded PER GROUP
+    * (survives 100 TB groups); `exact = true` is the fixture-scale
+    * oracle surface (DuckDB `quantile_cont` hash-matches it under
+    * ROUND(6), the q115 precedent). One keyed shuffle total.
+    */
+  def quantileProfileGrouped(
+      df: DataFrame, groupCol: String, valueCol: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probabilities must be in [0, 1]")
+    require(accuracy >= 1, "accuracy must be positive")
+    val v = col(valueCol).cast("double")
+    val parr = array(probs.map(lit): _*)
+    val agg =
+      (if (exact) percentile(v, parr)
+       else percentile_approx(v, parr, lit(accuracy))).as("__q")
+    val names = probs.map(p =>
+      "p" + BigDecimal(p * 100).bigDecimal.stripTrailingZeros
+        .toPlainString.replace(".", "_").replace("-", "m"))
+    df.groupBy(col(groupCol))
+      .agg(agg, count(lit(1)).as("n"))
+      .select(col(groupCol) +: col("n") +:
+        probs.indices.map(i =>
+          round(element_at(col("__q"), i + 1), 6).as(names(i))): _*)
+  }
+
   /** Robust per-group outlier detection via the median/MAD rule: a row
     * is an outlier when |x − median| > c · MAD (MAD = median absolute
     * deviation) — the robust cousin of the z-score cut, immune to the

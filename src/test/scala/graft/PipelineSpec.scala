@@ -2273,6 +2273,31 @@ class PipelineSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("quantileProfileGrouped: approx within ε of exact per group") {
+    import graft.pipeline.Profiler
+    // sf0.01 density: approx_percentile returns an actual sample (no
+    // interpolation), so the value drift is bounded by the local
+    // sample gap — at sf0.001's ~200 rows/group a single gap can be
+    // percents of the range; at ~2000/group 1% holds
+    val e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    def rows(exact: Boolean) =
+      Profiler.quantileProfileGrouped(e, "event_type", "value",
+          exact = exact)
+        .orderBy("event_type")
+        .as[(String, Long, Double, Double, Double, Double)]
+        .collect().toSeq
+    val ex = rows(exact = true)
+    val ap = rows(exact = false)
+    assert(ex.map(_._1) == ap.map(_._1) && ex.map(_._2) == ap.map(_._2))
+    val range = e.agg(max(col("value")) - min(col("value")))
+      .as[Double].head()
+    ex.zip(ap).foreach { case (a, b) =>
+      Seq(a._3 - b._3, a._4 - b._4, a._5 - b._5, a._6 - b._6).foreach(d =>
+        assert(math.abs(d) <= 0.01 * range,
+          s"${a._1}: approx drifted ${math.abs(d)} vs range $range"))
+    }
+  }
+
   test("transitionMatrix: per-user steps, exact conditional probs") {
     import graft.pipeline.Behavior
     val e = Seq(
