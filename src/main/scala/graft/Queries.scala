@@ -6698,6 +6698,57 @@ object Queries {
         .orderBy("event_type")
     },
 
+    // Winsorized/trimmed robust statistics: tails beyond [p05, p95]
+    // clipped or dropped, DECIMAL sums, single divisions, ROUND(6).
+    // Percentile edges replay identically (q115's quantile_cont ≡
+    // exact percentile); boundary comparisons are safe because a
+    // fractional interpolation index lands strictly between samples
+    // and an integer index IS a sample on both engines.
+    q(
+      "q194_winsorized_stats",
+      """WITH e AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+        |SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  round(CAST(SUM(CAST(greatest(lo, least(hi, v))
+        |      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+        |    AS winsorized_mean,
+        |  round(CAST(SUM(CAST(CASE WHEN v BETWEEN lo AND hi THEN v END
+        |      AS DECIMAL(18,2))) AS DOUBLE) /
+        |    SUM(CASE WHEN v BETWEEN lo AND hi THEN 1 ELSE 0 END), 6)
+        |    AS trimmed_mean
+        |FROM (SELECT l_extendedprice AS v FROM lineitem) CROSS JOIN e"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.winsorizedStats(
+        Tables.lineitem(s, d), "l_extendedprice", exact = true)
+    },
+
+    // 2-D Pareto skyline over (quantity, price): strict dominance,
+    // duplicates survive together; comparisons only — no arithmetic.
+    // The running max runs over the DISTINCT-X table (50 quantities),
+    // never the row count.
+    q(
+      "q195_skyline",
+      """WITH pts AS (SELECT l_quantity AS x, l_extendedprice AS y,
+        |    COUNT(*) AS n_points FROM lineitem GROUP BY 1, 2),
+        |px AS (SELECT x, MAX(y) AS gy FROM pts GROUP BY 1),
+        |f AS (SELECT x, gy, MAX(gy) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS br
+        |  FROM px)
+        |SELECT pts.x AS l_quantity, pts.y AS l_extendedprice,
+        |  pts.n_points
+        |FROM pts JOIN f ON pts.x = f.x AND pts.y = f.gy
+        |WHERE br IS NULL OR gy > br
+        |ORDER BY l_quantity"""
+    ) { (s, d) =>
+      graft.operators.Skyline.skyline2D(
+          Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
+        .orderBy("l_quantity")
+    },
+
     q(
       "q181_phrase_search",
       """WITH tk AS (SELECT doc_id,

@@ -107,6 +107,50 @@ object Profiler {
           round(element_at(col("__q"), i + 1), 6).as(names(i))): _*)
   }
 
+  /** Winsorized / trimmed robust statistics: clip (winsorize) or drop
+    * (trim) the tails beyond the [pLo, pHi] percentiles and report the
+    * surviving mass — the standard feature-cleaning step before a
+    * scale-sensitive model sees heavy-tailed data.
+    *
+    * Same production/oracle split as [[quantileProfile]]: `exact=true`
+    * (the oracle surface) computes interpolated percentile edges that
+    * DuckDB's `quantile_cont` hash-matches; the default uses
+    * `approx_percentile` (bounded state). Sums are DECIMAL(18,2)
+    * (order-free); means are single divisions, ROUND(6) — the clip
+    * values themselves are percentile outputs, replayed identically on
+    * both engines before any comparison.
+    *
+    * Scale shape: one percentile aggregate (1-row broadcast of the two
+    * edges) + one conditional-sum pass — two scans, no shuffle other
+    * than the two 1-row aggregates.
+    */
+  def winsorizedStats(
+      df: DataFrame, valueCol: String, pLo: Double = 0.05,
+      pHi: Double = 0.95, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val edges = broadcast(df.agg(
+      (if (exact) percentile(v, array(lit(pLo), lit(pHi)))
+       else percentile_approx(v, array(lit(pLo), lit(pHi)), lit(accuracy)))
+        .as("__e")))
+    def dsum2(c: Column) = sum(c.cast("decimal(18,2)")).cast("double")
+    df.select(v.as("__v")).crossJoin(edges)
+      .select(col("__v"), element_at(col("__e"), 1).as("__lo"),
+        element_at(col("__e"), 2).as("__hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        round(dsum2(greatest(col("__lo"), least(col("__hi"), col("__v"))))
+          / count(lit(1)), 6).as("winsorized_mean"),
+        round(dsum2(when(col("__v").between(col("__lo"), col("__hi")),
+            col("__v"))) /
+          sum(when(col("__v").between(col("__lo"), col("__hi")), 1L)
+            .otherwise(0L)), 6).as("trimmed_mean"))
+  }
+
   /** Robust per-group outlier detection via the median/MAD rule: a row
     * is an outlier when |x − median| > c · MAD (MAD = median absolute
     * deviation) — the robust cousin of the z-score cut, immune to the

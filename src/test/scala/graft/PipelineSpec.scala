@@ -2273,6 +2273,34 @@ class PipelineSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("winsorizedStats: hand-computed clip counts and means") {
+    import graft.pipeline.Profiler
+    // 1..20 with p05/p95 (exact, interpolated): lo = 1.95, hi = 19.05
+    val df = (1 to 20).map(_.toDouble).toDF("v")
+    val got = Profiler.winsorizedStats(df, "v", exact = true)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got._1 == 20L && got._2 == 1L && got._3 == 1L)
+    // winsorized: clip 1→1.95, 20→19.05; sum = 209 + 0.95 − 0.95 = 210
+    // − 1 − 20 + 1.95 + 19.05 = 210; mean 10.5
+    assert(got._4 == 10.5)
+    // trimmed: drop 1 and 20 → mean of 2..19 = 10.5
+    assert(got._5 == 10.5)
+  }
+
+  test("skyline2D: strict dominance, same-x and duplicate handling") {
+    import graft.operators.Skyline
+    val pts = Seq(
+      (5L, 100.0), (5L, 90.0),   // same x: only max-y survives
+      (4L, 100.0),               // dominated by (5,100) — y tie, x less
+      (3L, 120.0), (3L, 120.0),  // frontier, duplicate kept with n=2
+      (2L, 110.0),               // dominated by (3,120)
+      (1L, 130.0))               // frontier
+      .toDF("x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == Set((5L, 100.0, 1L), (3L, 120.0, 2L), (1L, 130.0, 1L)))
+  }
+
   test("quantileProfileGrouped: approx within ε of exact per group") {
     import graft.pipeline.Profiler
     // sf0.01 density: approx_percentile returns an actual sample (no
