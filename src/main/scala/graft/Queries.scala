@@ -6749,6 +6749,38 @@ object Queries {
         .orderBy("l_quantity")
     },
 
+    // One-sided CUSUM change-point chart per sensor: sequential
+    // max(0, s + (x − target − slack)) fold — sharded recurrence (the
+    // Ewma/deadband shape), replayed bit-exactly by a recursive CTE
+    // advancing one row per sensor per step (q82/q143 precedent); no
+    // rounding surface.
+    q(
+      "q196_cusum",
+      """WITH RECURSIVE base AS (SELECT event_type || ' ' || user_id
+        |    AS sensor_id, epoch_us(ts) AS t, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type || ' ' || user_id
+        |      ORDER BY epoch_us(ts), value) AS rn
+        |  FROM events),
+        |c AS (
+        |  SELECT sensor_id, t, value, rn,
+        |    greatest(0.0::DOUBLE, (value - 50.0) - 5.0) AS cs
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.sensor_id, b.t, b.value, b.rn,
+        |    greatest(0.0::DOUBLE, c.cs + ((b.value - 50.0) - 5.0)) AS cs
+        |  FROM c JOIN base b ON b.sensor_id = c.sensor_id
+        |    AND b.rn = c.rn + 1)
+        |SELECT sensor_id, t, value, cs AS s_cusum,
+        |  CAST(cs > 200.0 AS INTEGER) AS alarm
+        |FROM c ORDER BY sensor_id, t, value"""
+    ) { (s, d) =>
+      graft.operators.Cusum.detect(
+          EventsAdapter.samples(s, d),
+          target = 50.0, slack = 5.0, threshold = 200.0)
+        .orderBy("sensor_id", "timestamp_us", "value")
+        .withColumnRenamed("timestamp_us", "t")
+    },
+
     q(
       "q181_phrase_search",
       """WITH tk AS (SELECT doc_id,

@@ -90,6 +90,23 @@ class SensorOpsSpec extends SparkSpec {
     assert(math.abs(got.head._2.get - 0.0003) < 1e-15)
   }
 
+  test("cusum: accumulates drift, resets at zero, alarms on crossing") {
+    import graft.operators.Cusum
+    // target 10, slack 0, threshold 5:
+    // a: 12, 13, 8, 14 → s = 2, 5, 3, 7(alarm)
+    // b: 9 → s = 0 (clamped), state never leaks from a
+    val s = Seq(
+      ("a", 1L, 12.0), ("a", 2L, 13.0), ("a", 3L, 8.0), ("a", 4L, 14.0),
+      ("b", 1L, 9.0)).toDF("sensor_id", "timestamp_us", "value")
+    val got = Cusum.detect(s, target = 10.0, slack = 0.0, threshold = 5.0)
+      .orderBy("sensor_id", "timestamp_us")
+      .as[(String, Long, Double, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 12.0, 2.0, 0), ("a", 2L, 13.0, 5.0, 0),
+      ("a", 3L, 8.0, 3.0, 0), ("a", 4L, 14.0, 7.0, 1),
+      ("b", 1L, 9.0, 0.0, 0)))
+  }
+
   test("resampleForwardFill: gap fill, latest-wins buckets, own span") {
     val s = Seq(
       // bucket 0: two samples — latest (t=9) wins; buckets 1-2 empty
