@@ -6803,6 +6803,202 @@ object Queries {
           Tables.spread(s, Tables.documents(s, d)), "text", "doc_id",
           Seq("big", "order", "scan"))
         .orderBy("doc_id")
+    },
+
+    // Spearman rank correlation: Pearson over midrank-transformed
+    // columns. Spark ranks via the distributed bucketed prefix count
+    // (never a global single-partition window); the oracle's one
+    // RANK() window produces the IDENTICAL exact half-integer
+    // midranks, then both sides run the q150 exact-DECIMAL Pearson —
+    // reduction-order-free sums, IEEE formula on identical numbers.
+    q(
+      "q197_spearman",
+      """WITH r AS (SELECT
+        |  RANK() OVER (ORDER BY l_quantity)
+        |    + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+        |  RANK() OVER (ORDER BY l_extendedprice)
+        |    + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
+        |      AS rp,
+        |  RANK() OVER (ORDER BY l_discount)
+        |    + (COUNT(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
+        |FROM lineitem),
+        |s AS (SELECT
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(rq AS DECIMAL(18,4))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(rq AS DECIMAL(24,4))
+        |    * CAST(rq AS DECIMAL(18,4))) AS DOUBLE) AS ss_q,
+        |  CAST(SUM(CAST(rp AS DECIMAL(18,4))) AS DOUBLE) AS s_p,
+        |  CAST(SUM(CAST(rp AS DECIMAL(24,4))
+        |    * CAST(rp AS DECIMAL(18,4))) AS DOUBLE) AS ss_p,
+        |  CAST(SUM(CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(rd AS DECIMAL(24,4))
+        |    * CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS ss_d,
+        |  CAST(SUM(CAST(rq AS DECIMAL(24,4))
+        |    * CAST(rp AS DECIMAL(18,4))) AS DOUBLE) AS sp_qp,
+        |  CAST(SUM(CAST(rq AS DECIMAL(24,4))
+        |    * CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS sp_qd,
+        |  CAST(SUM(CAST(rp AS DECIMAL(24,4))
+        |    * CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS sp_pd
+        |FROM r)
+        |SELECT col_a, col_b, rho FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    ROUND((n * sp_qp - s_q * s_p)
+        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_p - s_p * s_p)), 6)
+        |      AS rho FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    ROUND((n * sp_qd - s_q * s_d)
+        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 6)
+        |    FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    ROUND((n * sp_pd - s_p * s_d)
+        |      / sqrt((n * ss_p - s_p * s_p) * (n * ss_d - s_d * s_d)), 6)
+        |    FROM s)
+        |ORDER BY col_a, col_b"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.spearmanMatrix(
+          Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_a", "col_b")
+    },
+
+    // Mutual information between two metadata facets (lang × source):
+    // one contingency shuffle, broadcast marginals, per-cell PMI and
+    // MI contribution. Everything feeding ln() is integer-exact cast
+    // to double; the corpus total sums DECIMAL(28,9)-quantized
+    // contributions so it is reduction-order-free.
+    q(
+      "q198_mutual_info",
+      """WITH cells AS (SELECT lang AS val_a, source AS val_b,
+        |    COUNT(*) AS n_ab
+        |  FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT val_a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+        |  FROM cells GROUP BY 1),
+        |mb AS (SELECT val_b, CAST(SUM(n_ab) AS BIGINT) AS n_b
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT val_a, val_b, n_ab, n_a, n_b, n,
+        |    (CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS arg
+        |  FROM cells JOIN ma USING (val_a) JOIN mb USING (val_b)
+        |  CROSS JOIN tot),
+        |c AS (SELECT val_a, val_b, n_ab, n_a, n_b,
+        |    ROUND(ln(arg), 6) AS pmi,
+        |    ROUND(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) * ln(arg), 6)
+        |      AS mi_contrib,
+        |    CAST(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) * ln(arg)
+        |      AS DECIMAL(28,9)) AS c9
+        |  FROM j),
+        |t AS (SELECT CAST(SUM(c9) AS DOUBLE) AS mi_total FROM c)
+        |SELECT val_a, val_b, CAST(n_ab AS BIGINT) AS n_ab, n_a, n_b,
+        |  pmi, mi_contrib, mi_total
+        |FROM c CROSS JOIN t ORDER BY val_a, val_b"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.mutualInformation(
+          Tables.documents(s, d), "lang", "source")
+        .orderBy("val_a", "val_b")
+    },
+
+    // Per-series autocorrelation at lags 1..3: one keyed window sort
+    // (high-cardinality sensor key) shared by all lags, one aggregate
+    // of conditional sums. Values are integer µ-units (floor(v·1e6) —
+    // exact on both engines, unlike double→DECIMAL round-half casts),
+    // so every sum is order-free-exact and the acf is IEEE on
+    // identical numbers, ROUND(6).
+    q(
+      "q199_acf",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (SELECT sensor_id, v,
+        |    LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+        |    LAG(v, 3) OVER w AS l3
+        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
+        |a AS (SELECT sensor_id,
+        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END) AS DOUBLE)
+        |      AS sxx1,
+        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
+        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
+        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1,
+        |    CAST(COUNT(l2) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx2,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v * v END) AS DOUBLE)
+        |      AS sxx2,
+        |    CAST(SUM(l2) AS DOUBLE) AS sy2,
+        |    CAST(SUM(l2 * l2) AS DOUBLE) AS syy2,
+        |    CAST(SUM(v * l2) AS DOUBLE) AS sxy2,
+        |    CAST(COUNT(l3) AS DOUBLE) AS n3,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx3,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v * v END) AS DOUBLE)
+        |      AS sxx3,
+        |    CAST(SUM(l3) AS DOUBLE) AS sy3,
+        |    CAST(SUM(l3 * l3) AS DOUBLE) AS syy3,
+        |    CAST(SUM(v * l3) AS DOUBLE) AS sxy3
+        |  FROM l GROUP BY 1)
+        |SELECT sensor_id, lag_k, n_pairs, acf FROM (
+        |  SELECT sensor_id, 1 AS lag_k, CAST(n1 AS BIGINT) AS n_pairs,
+        |    ROUND((n1 * sxy1 - sx1 * sy1)
+        |      / (sqrt(n1 * sxx1 - sx1 * sx1)
+        |         * sqrt(n1 * syy1 - sy1 * sy1)), 6) AS acf FROM a
+        |  UNION ALL
+        |  SELECT sensor_id, 2, CAST(n2 AS BIGINT),
+        |    ROUND((n2 * sxy2 - sx2 * sy2)
+        |      / (sqrt(n2 * sxx2 - sx2 * sx2)
+        |         * sqrt(n2 * syy2 - sy2 * sy2)), 6) FROM a
+        |  UNION ALL
+        |  SELECT sensor_id, 3, CAST(n3 AS BIGINT),
+        |    ROUND((n3 * sxy3 - sx3 * sy3)
+        |      / (sqrt(n3 * sxx3 - sx3 * sx3)
+        |         * sqrt(n3 * syy3 - sy3 * sy3)), 6) FROM a)
+        |ORDER BY sensor_id, lag_k"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.autocorrelation(
+          EventsAdapter.samples(s, d),
+          "sensor_id", "timestamp_us", "value", maxLag = 3)
+        .orderBy("sensor_id", "lag_k")
+    },
+
+    // Welch's unequal-variance t-test between every cohort pair: one
+    // map-side-combined (n, Σv, Σv²) aggregate in integer µ-units,
+    // pair join on the |groups|-bounded stats table. t and the
+    // Welch–Satterthwaite df are fixed IEEE shapes on exact sums.
+    q(
+      "q200_welch_ttest",
+      """WITH g AS (SELECT event_type AS grp,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      AS s,
+        |    CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)
+        |      * CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |p AS (SELECT a.grp AS group_a, b.grp AS group_b,
+        |    a.n AS na, a.s AS sa, a.ss AS ssa,
+        |    b.n AS nb, b.s AS sb, b.ss AS ssb
+        |  FROM g a JOIN g b ON a.grp < b.grp),
+        |v AS (SELECT *,
+        |    (na * ssa - sa * sa) / (na * (na - 1.0)) AS va,
+        |    (nb * ssb - sb * sb) / (nb * (nb - 1.0)) AS vb
+        |  FROM p),
+        |w AS (SELECT *, va / na AS sea, vb / nb AS seb FROM v)
+        |SELECT group_a, group_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  ROUND(sa / na / 1000000.0, 6) AS mean_a,
+        |  ROUND(sb / nb / 1000000.0, 6) AS mean_b,
+        |  ROUND((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t_stat,
+        |  ROUND((sea + seb) * (sea + seb)
+        |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
+        |    AS df
+        |FROM w ORDER BY group_a, group_b"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.welchTTest(
+          Tables.events(s, d), "event_type", "value")
+        .orderBy("group_a", "group_b")
     }
   )
 

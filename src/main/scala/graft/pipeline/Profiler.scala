@@ -879,4 +879,232 @@ object Profiler {
         round(col("est_pairs").cast("double") /
           col("__total").cast("double"), 6).as("share"))
   }
+
+  /** Average (fractional) ranks for every distinct value of one numeric
+    * column, computed as a DISTRIBUTED prefix sum: distinct-value
+    * counts bucket by value range, each bucket computes its internal
+    * running count in parallel, and the cross-bucket carry-in is a
+    * prefix over the BUCKET TOTALS — a table bounded by `buckets`, not
+    * by the data (the [[graft.operators.SensorOps.maxConcurrency]]
+    * shape; the textbook single global rank window would collapse the
+    * whole column onto one partition at 100 TB). carry + in-bucket
+    * count ≡ the global prefix count exactly, by associativity —
+    * bucket-width invariance is property-tested in the spec.
+    *
+    * rank_avg(v) = #\{x < v\} + (cnt(v) + 1) / 2 — the midrank ties
+    * convention. The value is exact: integer counts plus a dyadic
+    * half, so an external engine's `RANK() + (cnt − 1) / 2.0` replays
+    * it bit-for-bit.
+    *
+    * Returns (value DOUBLE, rank_avg DOUBLE) keyed by distinct value.
+    */
+  private[graft] def avgRanks(
+      values: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val vc = values.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val bounds = broadcast(vc.agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi")))
+    val bucketed = vc.crossJoin(bounds).withColumn("__bucket",
+      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+        least(lit(buckets - 1L), floor((col("__v") - col("__lo")) /
+          ((col("__hi") - col("__lo")) / buckets)).cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("__v"))
+      .rowsBetween(Long.MinValue, 0)
+    val run = bucketed.withColumn("__cum", sum(col("__cnt")).over(wIn))
+    val totals = run.groupBy(col("__bucket"))
+      .agg(sum(col("__cnt")).as("__tot"))
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bucket")).rowsBetween(Long.MinValue, -1)
+    val carried = totals.withColumn("__carry",
+      coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+    run.join(broadcast(carried.select(col("__bucket"), col("__carry"))),
+        "__bucket")
+      .select(col("__v").as("value"),
+        ((col("__carry") + col("__cum") - col("__cnt")).cast("double") +
+          (col("__cnt") + 1L).cast("double") / 2.0).as("rank_avg"))
+  }
+
+  /** Spearman rank correlation matrix: Pearson over midrank-transformed
+    * columns — the monotonic-association screen that catches what the
+    * linear [[correlationMatrix]] misses (and is robust to outliers).
+    *
+    * Ranks come from [[avgRanks]] (distributed bucketed prefix count —
+    * never a global single-partition window), joined back to the rows
+    * through one broadcast-able rank map per column (distinct values ≪
+    * rows for measurement data; the join key is the value itself). The
+    * rank columns then feed [[correlationMatrix]] with
+    * `exactDecimal = true`: midranks are half-integers, so DECIMAL
+    * sums are exact and the final ρ is IEEE arithmetic on exact sums —
+    * bit-replayable by an external engine, reduction-order-free.
+    *
+    * Output: (col_a, col_b, rho) for the upper triangle.
+    */
+  def spearmanMatrix(
+      df: DataFrame, cols: Seq[String],
+      buckets: Int = 1024): DataFrame = {
+    require(cols.size >= 2, "correlate at least two columns")
+    val base = df.na.drop(cols).select(
+      cols.map(c => col(c).cast("double").as(c)): _*)
+    val ranked = cols.foldLeft(base) { (acc, c) =>
+      val ranks = avgRanks(base, c, buckets)
+        .withColumnRenamed("value", s"__v__$c")
+        .withColumnRenamed("rank_avg", s"__r__$c")
+      acc.join(ranks, acc(c) === ranks(s"__v__$c"))
+        .drop(s"__v__$c")
+    }
+    correlationMatrix(
+        ranked.select(cols.map(c => col(s"__r__$c").as(c)): _*),
+        cols, exactDecimal = true)
+      .withColumnRenamed("corr", "rho")
+  }
+
+  /** Mutual information between two categorical columns — the
+    * association profile between metadata facets (does `source` predict
+    * `lang`?) a pipeline checks before stratifying on either.
+    *
+    * ONE data-scale shuffle: the (a, b) contingency aggregate. The
+    * marginals and the grand total are re-aggregations of the cell
+    * table (bounded by |A|·|B|, not by rows) joined back by broadcast.
+    * Per cell: pmi = ln(n_ab·n / (n_a·n_b)) and its MI contribution
+    * (n_ab/n)·pmi, both ROUND(6) (ln is the one libm call — everything
+    * feeding it is integer-exact, cast to double losslessly below
+    * 2^53; products are formed in DOUBLE so 100 TB-scale counts cannot
+    * overflow an int64). `mi_total` sums the contributions after a
+    * deterministic DECIMAL(28,9) quantization, making the total
+    * reduction-order-free (the q135 ordered-float-sum lesson).
+    *
+    * Output: (val_a, val_b, n_ab, n_a, n_b, pmi, mi_contrib, mi_total).
+    */
+  def mutualInformation(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("val_a"), col(colB).as("val_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = cells.groupBy(col("val_a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy(col("val_b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = cells.agg(sum(col("n_ab")).as("__n"))
+    val j = cells.join(broadcast(ma), "val_a")
+      .join(broadcast(mb), "val_b")
+      .crossJoin(broadcast(tot))
+    val arg = (col("n_ab").cast("double") * col("__n").cast("double")) /
+      (col("n_a").cast("double") * col("n_b").cast("double"))
+    val contrib =
+      col("n_ab").cast("double") / col("__n").cast("double") * log(arg)
+    val withC = j
+      .withColumn("pmi", round(log(arg), 6))
+      .withColumn("mi_contrib", round(contrib, 6))
+      .withColumn("__c9", contrib.cast("decimal(28,9)"))
+    val total = broadcast(withC.agg(
+      sum(col("__c9")).cast("double").as("mi_total")))
+    withC.crossJoin(total)
+      .select(col("val_a"), col("val_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("pmi"), col("mi_contrib"), col("mi_total"))
+  }
+
+  /** Integer µ-unit quantization: floor(v · 10⁶) as BIGINT. The
+    * multiply is one IEEE op and floor/cast of an integral double are
+    * exact, so ANY engine produces the identical integer — unlike a
+    * double→DECIMAL cast, whose round-half tie direction is
+    * implementation-defined on dyadic values. Downstream sums of these
+    * integers are exact and reduction-order-free. Squared terms stay in
+    * BIGINT range for |v| < 3·10³ (measurement-sized values); callers
+    * with larger magnitudes pass a coarser quantization scale.
+    */
+  private def microUnits(v: Column, unitsPerValue: Double = 1e6): Column =
+    floor(v.cast("double") * unitsPerValue).cast("long")
+
+  /** Per-series autocorrelation at lags 1..maxLag — the
+    * memory/seasonality screen run before modelling a sensor fleet.
+    * acf(k) = Pearson(x_t, x_{t−k}) over the series' aligned pairs.
+    *
+    * ONE keyed window sort (high-cardinality series key — thousands of
+    * short series, never a global or low-cardinality partition) shared
+    * by every lag; then one map-side-combined aggregate collecting the
+    * six conditional sums per lag; the per-(series, lag) rows unpivot
+    * through `stack`. Values quantize to integer µ-units ([[microUnits]]
+    * — the scaling cancels in the correlation), products accumulate in
+    * DECIMAL(38,0) so every sum is exact, and the final acf is IEEE
+    * arithmetic on identical numbers in the identical shape, ROUND(6) —
+    * bit-replayable by an external engine. A constant (or too-short)
+    * series NULLs via try_divide on the zero variance.
+    *
+    * Output: (seriesCol, lag_k, n_pairs, acf).
+    */
+  def autocorrelation(
+      df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
+      maxLag: Int = 3, unitsPerValue: Double = 1e6): DataFrame = {
+    require(maxLag >= 1, "need at least lag 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col(tsCol), col("__vq"))
+    val lagged = (1 to maxLag).foldLeft(
+      df.select(col(seriesCol), col(tsCol),
+        microUnits(col(valCol), unitsPerValue).as("__vq"))) { (acc, k) =>
+      acc.withColumn(s"__l$k", lag(col("__vq"), k).over(w))
+    }
+    def dsum0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val aggs = (1 to maxLag).flatMap { k =>
+      val y = col(s"__l$k")
+      val on = y.isNotNull
+      Seq(
+        count(y).cast("double").as(s"__n$k"),
+        dsum0(when(on, col("__vq"))).as(s"__sx$k"),
+        dsum0(when(on, col("__vq") * col("__vq"))).as(s"__sxx$k"),
+        dsum0(y).as(s"__sy$k"),
+        dsum0(y * y).as(s"__syy$k"),
+        dsum0(col("__vq") * y).as(s"__sxy$k"))
+    }
+    val one = lagged.groupBy(col(seriesCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val cells = (1 to maxLag).map { k =>
+      s"$k, CAST(`__n$k` AS BIGINT), round(try_divide(" +
+        s"`__n$k` * `__sxy$k` - `__sx$k` * `__sy$k`," +
+        s" sqrt(`__n$k` * `__sxx$k` - `__sx$k` * `__sx$k`)" +
+        s" * sqrt(`__n$k` * `__syy$k` - `__sy$k` * `__sy$k`)), 6)"
+    }.mkString(", ")
+    one.selectExpr(seriesCol,
+      s"stack($maxLag, $cells) AS (lag_k, n_pairs, acf)")
+  }
+
+  /** Welch's unequal-variance t-test between every pair of groups —
+    * the "did the metric move between cohorts" primitive. One
+    * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /
+    * DECIMAL — exact, order-free), then the group-pair join runs on
+    * the |groups|-bounded stats table. t and the Welch–Satterthwaite
+    * df are fixed IEEE shapes on exact sums (the µ scaling cancels),
+    * ROUND(6); means are reported in original units.
+    *
+    * Output: (group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, df)
+    * for group_a < group_b.
+    */
+  def welchTTest(
+      df: DataFrame, groupCol: String, valCol: String,
+      unitsPerValue: Double = 1e6): DataFrame = {
+    val vq = microUnits(col(valCol), unitsPerValue)
+    val g = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(vq.cast("decimal(38,0)")).cast("double").as("s"),
+        sum((vq * vq).cast("decimal(38,0)")).cast("double").as("ss"))
+    val a = g.select(col("g").as("group_a"), col("n").as("na"),
+      col("s").as("sa"), col("ss").as("ssa"))
+    val b = g.select(col("g").as("group_b"), col("n").as("nb"),
+      col("s").as("sb"), col("ss").as("ssb"))
+    val paired = a.join(b, col("group_a") < col("group_b"))
+    val va = expr("try_divide(na * ssa - sa * sa, na * (na - 1.0))")
+    val vb = expr("try_divide(nb * ssb - sb * sb, nb * (nb - 1.0))")
+    val sea = va / col("na")
+    val seb = vb / col("nb")
+    val se2 = sea + seb
+    paired.select(
+      col("group_a"), col("group_b"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(col("sa") / col("na") / unitsPerValue, 6).as("mean_a"),
+      round(col("sb") / col("nb") / unitsPerValue, 6).as("mean_b"),
+      round((col("sa") / col("na") - col("sb") / col("nb")) /
+        sqrt(se2), 6).as("t_stat"),
+      round(se2 * se2 / (sea * sea / (col("na") - 1.0) +
+        seb * seb / (col("nb") - 1.0)), 6).as("df"))
+  }
 }

@@ -2573,4 +2573,80 @@ class PipelineSpec extends SparkSpec {
       ("the", "the", 1L, 3L),
       ("thing", "th ing", 2L, 2L)))
   }
+
+  test("avgRanks: midrank ties, bucket-width invariance") {
+    import graft.pipeline.Profiler
+    val df = Seq(3.0, 1.0, 2.0, 2.0, 2.0, 5.0).toDF("v")
+    // ranks: 1 → 1; 2,2,2 → (2+3+4)/3 = 3; 3 → 5; 5 → 6
+    val want = Set((1.0, 1.0), (2.0, 3.0), (3.0, 5.0), (5.0, 6.0))
+    Seq(1, 2, 7, 64).foreach { b =>
+      val got = Profiler.avgRanks(df, "v", b)
+        .as[(Double, Double)].collect().toSet
+      assert(got == want, s"buckets=$b: $got")
+    }
+  }
+
+  test("spearmanMatrix: monotone-with-ties is ±1, noise is not") {
+    import graft.pipeline.Profiler
+    val df = Seq(
+      (1.0, 10.0, 40.0), (2.0, 20.0, 30.0),
+      (2.0, 20.0, 35.0), (4.0, 80.0, 10.0))
+      .toDF("x", "y", "z")
+    val got = Profiler.spearmanMatrix(df, Seq("x", "y", "z"), buckets = 4)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // x and y share the identical rank vector (ties in the same rows)
+    assert(got(("x", "y")) == 1.0)
+    // x vs z: strictly anti-monotone except the tie block
+    assert(got(("x", "z")) < -0.9 && got(("x", "z")) > -1.0)
+  }
+
+  test("autocorrelation: linear is +1, alternating is -1/+1, no mixing") {
+    import graft.pipeline.Profiler
+    val df = (
+      Seq.tabulate(5)(i => ("s1", i.toLong, (i + 1).toDouble)) ++
+      Seq.tabulate(5)(i => ("s2", i.toLong, if (i % 2 == 0) 1.0 else 2.0)))
+      .toDF("sid", "t", "v")
+    val got = Profiler.autocorrelation(df, "sid", "t", "v", maxLag = 2)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("s1", 1)) == ((4L, Some(1.0))))  // strict trend
+    assert(got(("s1", 2)) == ((3L, Some(1.0))))
+    assert(got(("s2", 1)) == ((4L, Some(-1.0)))) // alternation
+    assert(got(("s2", 2)) == ((3L, Some(1.0))))
+  }
+
+  test("welchTTest: textbook two-sample values") {
+    import graft.pipeline.Profiler
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Profiler.welchTTest(df, "g", "v")
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // equal variances 1.0: se² = 2/3, t = −3/√(2/3), df = 4 exactly
+    val t = math.rint(-3.0 / math.sqrt(2.0 / 3.0) * 1e6) / 1e6
+    assert(r == Seq(("a", "b", 3L, 3L, 2.0, 5.0, t, 4.0)))
+  }
+
+  test("mutualInformation: independence is zero, identity is ln 2") {
+    import graft.pipeline.Profiler
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val mi0 = Profiler.mutualInformation(indep, "a", "b")
+      .select("mi_total").as[Double].head()
+    assert(mi0 == 0.0)
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val rows = Profiler.mutualInformation(dep, "a", "b")
+      .orderBy("val_a")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Seq(("x", "x", 2L, 2L, 2L), ("y", "y", 2L, 2L, 2L)))
+    rows.foreach { r =>
+      assert(r._6 == ln2)                       // pmi = ln 2 per cell
+      assert(math.abs(r._8 - math.log(2.0)) < 1e-9) // total = ln 2
+    }
+  }
 }

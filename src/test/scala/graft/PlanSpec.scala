@@ -750,4 +750,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan) // no per-char explode
     assert(plan.toLowerCase.contains("charstatsexpression"), plan)
   }
+
+  test("avgRanks: the data-scale window is bucket-partitioned") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val plan = planOf(graft.pipeline.Profiler.avgRanks(
+      li, "l_extendedprice", 1024))
+    // the running count over distinct values partitions by __bucket —
+    // the only unpartitioned window is the carry over ≤1024 bucket
+    // totals (bounded by the bucket count, not the data)
+    assert(plan.contains("windowspecdefinition(__bucket"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // carry joins small
+  }
+
+  test("mutualInformation: one data shuffle, marginals broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.pipeline.Profiler.mutualInformation(
+      docs, "lang", "source"))
+    // the contingency aggregate is the only data-scale exchange; the
+    // marginal/total joins back onto the cell table are broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
