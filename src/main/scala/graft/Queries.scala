@@ -6999,6 +6999,86 @@ object Queries {
       graft.pipeline.Profiler.welchTTest(
           Tables.events(s, d), "event_type", "value")
         .orderBy("group_a", "group_b")
+    },
+
+    // SAX symbolization: per-series z-normalized PAA quantized through
+    // the Gaussian quartile breakpoints into a letter word. Everything
+    // before the final divisions is exact integer math (µ-units,
+    // integer-division segment assignment), so the breakpoint
+    // comparisons replay bit-for-bit; zero-variance series map to 'b'
+    // (z is NULL via zero-divisor division on both engines).
+    q(
+      "q201_sax",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT sensor_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id ORDER BY t, v) - 1
+        |      AS i,
+        |    COUNT(*) OVER (PARTITION BY sensor_id) AS n
+        |  FROM s),
+        |sg AS (SELECT sensor_id, n, (i * 4) // n AS seg,
+        |    COUNT(*) AS c, SUM(v) AS sv, SUM(v * v) AS svv
+        |  FROM b GROUP BY 1, 2, 3),
+        |st AS (SELECT sensor_id, n, seg, c, sv,
+        |    CAST(SUM(sv) OVER (PARTITION BY sensor_id) AS DOUBLE) AS ss,
+        |    CAST(SUM(svv) OVER (PARTITION BY sensor_id) AS DOUBLE)
+        |      AS sss,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM sg),
+        |z AS (SELECT sensor_id, n, seg,
+        |    (CAST(sv AS DOUBLE) / c - ss / nd)
+        |      / sqrt((nd * sss - ss * ss) / (nd * (nd - 1.0))) AS zz
+        |  FROM st),
+        |sym AS (SELECT sensor_id, n, seg,
+        |    CASE WHEN zz IS NULL THEN 'b'
+        |         WHEN zz < -0.6745 THEN 'a'
+        |         WHEN zz < 0.0 THEN 'b'
+        |         WHEN zz < 0.6745 THEN 'c'
+        |         ELSE 'd' END AS sym
+        |  FROM z)
+        |SELECT sensor_id, MAX(n) AS n,
+        |  string_agg(sym, '' ORDER BY seg) AS sax
+        |FROM sym GROUP BY 1 ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.operators.Sax.symbolize(
+          EventsAdapter.samples(s, d), segments = 4)
+        .orderBy("sensor_id")
+    },
+
+    // Vocabulary coverage curve without any per-token ordering: group
+    // the vocab by count value (O(√tokens) rows), prefix over THAT,
+    // resolve each threshold inside its crossing group arithmetically.
+    // Pure integer math end to end.
+    q(
+      "q202_vocab_coverage",
+      """WITH tk AS (SELECT UNNEST(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS token FROM documents),
+        |tc AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY 1),
+        |g AS (SELECT c, COUNT(*) AS k FROM tc GROUP BY 1),
+        |r AS (SELECT c, k,
+        |    CAST(SUM(c * k) OVER (ORDER BY c DESC) AS BIGINT) AS cum_mass,
+        |    CAST(SUM(k) OVER (ORDER BY c DESC) AS BIGINT) AS cum_vocab
+        |  FROM g),
+        |tot AS (SELECT CAST(SUM(c * k) AS BIGINT) AS total FROM g),
+        |th AS (SELECT UNNEST([50, 90, 95, 99]) AS pct),
+        |j AS (SELECT r.*, th.pct, tot.total,
+        |    (tot.total * th.pct + 99) // 100 AS target
+        |  FROM r CROSS JOIN tot CROSS JOIN th)
+        |SELECT pct, total AS total_tokens,
+        |  CAST(cum_vocab - k
+        |    + (target - (cum_mass - c * k) + c - 1) // c AS BIGINT)
+        |    AS vocab_size,
+        |  CAST(cum_mass - c * k
+        |    + ((target - (cum_mass - c * k) + c - 1) // c) * c AS BIGINT)
+        |    AS covered_tokens
+        |FROM j WHERE cum_mass >= target AND cum_mass - c * k < target
+        |ORDER BY pct"""
+    ) { (s, d) =>
+      TextAnalysis.vocabCoverage(
+          Tables.spread(s, Tables.documents(s, d)), "text")
+        .orderBy("pct")
     }
   )
 

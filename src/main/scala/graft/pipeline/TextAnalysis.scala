@@ -1129,4 +1129,56 @@ object TextAnalysis {
     }
     f(tokens)
   }
+
+  /** Vocabulary coverage curve: the smallest frequency-ranked
+    * vocabulary that covers `pct`% of all token occurrences — the
+    * number a tokenizer design reads off before fixing its vocab size.
+    *
+    * The naive form (sort the whole vocabulary by frequency, one global
+    * running share) needs a data-scale global window. This computes the
+    * identical answer with NO per-token ordering at all: group the
+    * vocabulary by its count value c → (c, k_c) pairs (bounded by
+    * O(√total_tokens) rows — distinct count values, not tokens), run
+    * the cumulative mass/vocab prefix over THAT tiny table descending
+    * by c, and resolve each threshold inside its crossing group
+    * arithmetically: every token in a group contributes exactly c, so
+    * vocab_size = V_prev + ⌈(target − M_prev) / c⌉. Frequency ties
+    * (token-name order) cannot change the SIZE — any tie order crosses
+    * the target after the same number of tokens. All integer
+    * arithmetic; no float anywhere.
+    *
+    * Output: (pct, total_tokens, vocab_size, covered_tokens), one row
+    * per requested threshold.
+    */
+  def vocabCoverage(
+      docs: DataFrame, textCol: String,
+      thresholds: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(p => p >= 1 && p <= 100),
+      "thresholds are integer percentages in 1..100")
+    val counts = docs
+      .select(explode(whitespaceTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val groups = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val wDesc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = groups
+      .withColumn("cum_mass", sum(col("c") * col("k")).over(wDesc))
+      .withColumn("cum_vocab", sum(col("k")).over(wDesc))
+    val tot = broadcast(groups.agg(
+      sum(col("c") * col("k")).as("total")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val th = broadcast(thresholds.toDF("pct"))
+    r.crossJoin(tot).crossJoin(th)
+      .withColumn("target", expr("(total * pct + 99) div 100"))
+      .filter(col("cum_mass") >= col("target") &&
+        col("cum_mass") - col("c") * col("k") < col("target"))
+      .select(col("pct"), col("total").as("total_tokens"),
+        (col("cum_vocab") - col("k") +
+          expr("(target - (cum_mass - c * k) + c - 1) div c"))
+          .as("vocab_size"),
+        (col("cum_mass") - col("c") * col("k") +
+          expr("((target - (cum_mass - c * k) + c - 1) div c) * c"))
+          .as("covered_tokens"))
+  }
 }

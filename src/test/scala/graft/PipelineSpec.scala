@@ -2628,6 +2628,34 @@ class PipelineSpec extends SparkSpec {
     assert(r == Seq(("a", "b", 3L, 3L, 2.0, 5.0, t, 4.0)))
   }
 
+  test("sax: quartile word, constant series, short series") {
+    import graft.operators.Sax
+    val df = (
+      Seq.tabulate(4)(i => ("ramp", i.toLong, (i + 1).toDouble)) ++
+      Seq.tabulate(4)(i => ("flat", i.toLong, 7.0)) ++
+      Seq(("short", 0L, 5.0), ("short", 1L, 7.0)))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Sax.symbolize(df, segments = 4)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // [1,2,3,4]: z = ±1.16, ±0.387 around the quartile breakpoints
+    assert(got("ramp") == ((4L, "abcd")))
+    // zero variance → NULL z → 'b' convention
+    assert(got("flat") == ((4L, "bbbb")))
+    // n < segments: occupied segments only (0 and 2) → 2-letter word
+    assert(got("short") == ((2L, "ad")))
+  }
+
+  test("vocabCoverage: crossing inside and at group boundaries") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq("a a a a b b c d").toDF("text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(50, 90))
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // counts a:4 b:2 c:1 d:1, total 8; 50% → top-1 covers 4;
+    // 90% → target 8 crosses inside the c=1 group → all 4 tokens
+    assert(got == Seq((50, 8L, 1L, 4L), (90, 8L, 4L, 8L)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))

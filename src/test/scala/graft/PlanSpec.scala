@@ -762,6 +762,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan) // carry joins small
   }
 
+  test("sax: every window keys on the series id, no global sort") {
+    val s = EventsAdapter.samples(spark, sf)
+    val plan = planOf(graft.operators.Sax.symbolize(s, 4))
+    // ranking, totals and assembly all partition by sensor_id — a SAX
+    // plan must never sort the corpus globally
+    assert(plan.contains("windowspecdefinition(sensor_id"), plan)
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val keyed = "windowspecdefinition\\(sensor_id".r.findAllIn(plan).size
+    assert(specs == keyed, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("vocabCoverage: prefix runs over count-groups, not tokens") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.pipeline.TextAnalysis.vocabCoverage(
+      docs, "text"))
+    // the unpartitioned cumulative window must sit ABOVE both the
+    // token-count aggregate and the count-group aggregate — it orders
+    // the O(√tokens) (c, k) table, never per-token rows (plan text
+    // prints root-first, so the subtree BELOW the window is the text
+    // after its last mention)
+    val below = plan.split("Window").last
+    assert("HashAggregate".r.findAllIn(below).size >= 3, plan)
+  }
+
   test("mutualInformation: one data shuffle, marginals broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.pipeline.Profiler.mutualInformation(
