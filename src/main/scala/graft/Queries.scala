@@ -7079,8 +7079,99 @@ object Queries {
       TextAnalysis.vocabCoverage(
           Tables.spread(s, Tables.documents(s, d)), "text")
         .orderBy("pct")
+    },
+
+    // Gini coefficient of per-customer spend: rank-weighted sum on the
+    // DISTINCT-value table (tie blocks contribute v·(mC + m(m+1)/2),
+    // order-free), integer cents end to end, one IEEE shape at the top.
+    q(
+      "q203_gini",
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |vc AS (SELECT v, COUNT(*) AS m FROM sp GROUP BY 1),
+        |r AS (SELECT v, m,
+        |    CAST(COALESCE(SUM(m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM vc),
+        |agg AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(v AS HUGEINT) * m) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(v AS HUGEINT)
+        |      * (CAST(m AS HUGEINT) * cb
+        |         + (CAST(m AS HUGEINT) * (m + 1)) // 2)) AS DOUBLE)
+        |      AS six
+        |  FROM r)
+        |SELECT n, sx AS units_total,
+        |  ROUND((2.0 * six - (CAST(n AS DOUBLE) + 1.0) * sx)
+        |    / (CAST(n AS DOUBLE) * sx), 6) AS gini
+        |FROM agg"""
+    ) { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("spend_cents"))
+      graft.pipeline.Profiler.gini(spend, "spend_cents")
+    },
+
+    // Deterministic label propagation over the q24 near-dup graph,
+    // seeded with each document's source: 3 synchronous rounds of
+    // most-frequent-neighbour-label (count desc, label asc tie-break),
+    // isolated docs keep their seed. Pure integer counts and string
+    // compares — the unrolled-round CTEs replay every step exactly.
+    q("q204_label_prop", lpaOracleSql) { (s, d) =>
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      graft.pipeline.Behavior.labelPropagation(
+          Tables.documents(s, d)
+            .select(col("doc_id").as("id"), col("source").as("label")),
+          edges, rounds = 3)
+        .select(col("id").as("doc_id"), col("label"))
+        .orderBy("doc_id")
     }
   )
+
+  /** One unrolled label-propagation round for the q204 oracle: deliver
+    * labels over the symmetric edge list, count per (node, label),
+    * argmax by (count desc, label asc), keep the previous label where
+    * no neighbour exists — the same rule
+    * [[graft.pipeline.Behavior.labelPropagation]] applies, generated so
+    * the rounds cannot drift apart.
+    */
+  private def lpaIter(prev: String, cur: String): String =
+    s"""${cur}b AS (SELECT id, lbl FROM (
+       |    SELECT e.t2 AS id, $prev.lbl, COUNT(*) AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.t2
+       |        ORDER BY COUNT(*) DESC, $prev.lbl) AS rnk
+       |    FROM esym e JOIN $prev ON $prev.id = e.s GROUP BY 1, 2)
+       |  WHERE rnk = 1),
+       |$cur AS (SELECT $prev.id,
+       |    COALESCE(${cur}b.lbl, $prev.lbl) AS lbl
+       |  FROM $prev LEFT JOIN ${cur}b ON ${cur}b.id = $prev.id)"""
+
+  private lazy val lpaOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |    AS toks FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(generate_series(1, len(toks)-2),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |          AS sh
+       |      FROM t),
+       |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+       |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
+       |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |e0 AS (SELECT da AS s, db AS t2 FROM p
+       |      JOIN sizes sa ON p.da = sa.doc_id
+       |      JOIN sizes sb ON p.db = sb.doc_id
+       |      WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
+       |esym AS (SELECT s, t2 FROM e0 UNION ALL SELECT t2, s FROM e0),
+       |l0 AS (SELECT doc_id AS id, source AS lbl FROM documents),
+       |${lpaIter("l0", "l1").stripMargin},
+       |${lpaIter("l1", "l2").stripMargin},
+       |${lpaIter("l2", "l3").stripMargin}
+       |SELECT id AS doc_id, lbl AS label FROM l3 ORDER BY doc_id"""
 
   /** Unrolled ascending-dimension left-assoc squared euclidean over
     * list slices — the exact fold shape of

@@ -230,6 +230,48 @@ object Behavior {
     PipelineCache.materialize(sym)(r)
   }
 
+  /** Synchronous label propagation (Raghavan et al.) for a FIXED
+    * number of rounds: each node adopts the most frequent label among
+    * its neighbours (count desc, then label asc — fully deterministic,
+    * unlike the randomized textbook sweep), isolated nodes keep their
+    * seed. With meaningful seed labels (e.g. a document's source) over
+    * a similarity graph this yields majority-consensus communities —
+    * distinct from connected components, which ignore the seeds.
+    *
+    * Scale shape per round: one edge-keyed join to deliver labels, one
+    * (node, label) count aggregate, one per-node argmax via min-struct
+    * (never a rank window), one node-keyed left join. Fixed `rounds`
+    * bounds the job count; edges are symmetrized once up front.
+    *
+    * All arithmetic is integer counts and string comparisons — an
+    * external engine replays every round exactly.
+    */
+  def labelPropagation(
+      nodes: DataFrame, // (id, label) seed assignment
+      edges: DataFrame, // (id_a, id_b), undirected
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src")).cache()
+    var labels = nodes.select(col("id"), col("label"))
+    (1 to rounds).foreach { _ =>
+      val best = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("label")))
+          .as("__best"))
+        .select(col("id"), col("__best.label").as("__new"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__new"), col("label")).as("label"))
+    }
+    PipelineCache.materialize(sym)(labels)
+  }
+
   /** Rolling active-user report: per day, the distinct users active
     * that day (DAU) and in the trailing `windowDays`-day window (the
     * WAU/MAU staple). Exact integer counts, replayable on any engine.

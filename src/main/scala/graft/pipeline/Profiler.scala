@@ -927,6 +927,68 @@ object Profiler {
           (col("__cnt") + 1L).cast("double") / 2.0).as("rank_avg"))
   }
 
+  /** Gini coefficient of a non-negative integer-unit value column —
+    * the inequality profile (token-budget concentration, per-source
+    * mass skew, spend distribution) read off before capping or
+    * rebalancing a corpus.
+    *
+    * Sample form over ascending ranks i: G = (2·Σi·xᵢ − (n+1)·Σx) /
+    * (n·Σx). The rank-weighted sum needs no per-row ranking: within a
+    * tie block of value v (m rows, C rows strictly below), Σi·x =
+    * v·(m·C + m(m+1)/2) regardless of order — so the whole computation
+    * runs on the DISTINCT-value table with the same bucketed prefix
+    * count [[avgRanks]] uses (never a global single-partition window).
+    * All sums accumulate in DECIMAL(38,0) from exact integers; callers
+    * quantize (cents, µ-units) before calling. G is one fixed IEEE
+    * shape on the exact sums, ROUND(6).
+    *
+    * Output: one row (n, units_total, gini).
+    */
+  def gini(df: DataFrame, valueCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val vc = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__m"))
+    val bounds = broadcast(vc.agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi")))
+    val bucketed = vc.crossJoin(bounds).withColumn("__bucket",
+      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+        least(lit(buckets - 1L),
+          floor((col("__v") - col("__lo")).cast("double") /
+            ((col("__hi") - col("__lo")).cast("double") / buckets))
+            .cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("__v"))
+      .rowsBetween(Long.MinValue, -1)
+    val run = bucketed.withColumn("__cin",
+      coalesce(sum(col("__m")).over(wIn), lit(0L)))
+    val totals = run.groupBy(col("__bucket"))
+      .agg(sum(col("__m")).as("__tot"))
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bucket")).rowsBetween(Long.MinValue, -1)
+    val carried = totals.withColumn("__carry",
+      coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+    val ranked = run
+      .join(broadcast(carried.select(col("__bucket"), col("__carry"))),
+        "__bucket")
+      .select(col("__v"), col("__m"),
+        (col("__carry") + col("__cin")).as("__cbelow"))
+    val md = col("__m").cast("decimal(38,0)")
+    val vd = col("__v").cast("decimal(38,0)")
+    val cd = col("__cbelow").cast("decimal(38,0)")
+    val rankSum = md * cd +
+      ((md * (md + lit(1))) / lit(2)).cast("decimal(38,0)")
+    val agg = ranked.agg(
+      sum(col("__m")).as("__n"),
+      sum(vd * md).cast("double").as("__sx"),
+      sum(vd * rankSum).cast("double").as("__six"))
+    agg.select(col("__n").as("n"),
+      col("__sx").as("units_total"),
+      round((lit(2.0) * col("__six") -
+          (col("__n").cast("double") + 1.0) * col("__sx")) /
+        (col("__n").cast("double") * col("__sx")), 6).as("gini"))
+  }
+
   /** Spearman rank correlation matrix: Pearson over midrank-transformed
     * columns — the monotonic-association screen that catches what the
     * linear [[correlationMatrix]] misses (and is robust to outliers).

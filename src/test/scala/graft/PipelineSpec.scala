@@ -2656,6 +2656,38 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq((50, 8L, 1L, 4L), (90, 8L, 4L, 8L)))
   }
 
+  test("gini: equality is 0, extreme concentration, bucket invariance") {
+    import graft.pipeline.Profiler
+    val equal = Seq(5L, 5L, 5L, 5L).toDF("v")
+    assert(Profiler.gini(equal, "v")
+      .as[(Long, Double, Double)].head() == ((4L, 20.0, 0.0)))
+    // [0,0,0,10]: Σi·x = 40, Σx = 10 → G = (80 − 50) / 40 = 0.75
+    val conc = Seq(0L, 0L, 0L, 10L).toDF("v")
+    Seq(1, 4, 64).foreach { b =>
+      assert(Profiler.gini(conc, "v", buckets = b)
+        .as[(Long, Double, Double)].head() == ((4L, 10.0, 0.75)),
+        s"buckets=$b")
+    }
+  }
+
+  test("labelPropagation: majority adoption, ties to smallest label") {
+    import graft.pipeline.Behavior
+    val nodes = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"),
+      (5L, "z")).toDF("id", "label")
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Behavior.labelPropagation(nodes, edges, rounds = 3)
+      .as[(Long, String)].collect().toMap
+    // r1: 3←mode(x,x,y)=x, 1/2/4←y; r2: 3←y, 1/2/4←x; r3: 3←x, 1/2/4←y
+    assert(got == Map(1L -> "y", 2L -> "y", 3L -> "x", 4L -> "y",
+      5L -> "z")) // 5 is isolated: seed kept through every round
+    // tie case: one neighbour each of two labels → smallest label wins
+    val tn = Seq((1L, "m"), (2L, "a"), (3L, "b")).toDF("id", "label")
+    val te = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val tg = Behavior.labelPropagation(tn, te, rounds = 1)
+      .as[(Long, String)].collect().toMap
+    assert(tg(1L) == "a")
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))

@@ -787,6 +787,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(below).size >= 3, plan)
   }
 
+  test("gini: rank sums run on the distinct-value table, bucketed") {
+    import spark.implicits._
+    val spend = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val plan = planOf(graft.pipeline.Profiler.gini(spend, "cents"))
+    // prefix counts partition by __bucket; the only unpartitioned
+    // window is the carry over ≤1024 bucket totals
+    assert(plan.contains("windowspecdefinition(__bucket"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("mutualInformation: one data shuffle, marginals broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.pipeline.Profiler.mutualInformation(
