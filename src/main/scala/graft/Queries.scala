@@ -7129,6 +7129,91 @@ object Queries {
           edges, rounds = 3)
         .select(col("id").as("doc_id"), col("label"))
         .orderBy("doc_id")
+    },
+
+    // Entropy rate of the empirical Markov chain (q192's counts): each
+    // −p·ln p term quantizes to DECIMAL(28,12) before the alphabet-
+    // bounded sums, so no float reduction order leaks anywhere.
+    q(
+      "q205_entropy_rate",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    event_type FROM events),
+        |st AS (SELECT event_type AS t2,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS f FROM e),
+        |c AS (SELECT f, t2, COUNT(*) AS n FROM st
+        |  WHERE f IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot FROM c
+        |  GROUP BY 1),
+        |terms AS (SELECT c.f, c.n,
+        |    CAST(-(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+        |      * ln(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM c JOIN tt USING (f)),
+        |ps AS (SELECT f AS from_state, CAST(SUM(n) AS BIGINT)
+        |    AS n_steps, CAST(SUM(term) AS DOUBLE) AS h_state
+        |  FROM terms GROUP BY 1),
+        |al AS (SELECT CAST(SUM(n_steps) AS BIGINT) AS alln FROM ps),
+        |wp AS (SELECT ps.*, CAST(n_steps AS DOUBLE)
+        |    / CAST(alln AS DOUBLE) AS pi FROM ps CROSS JOIN al),
+        |rt AS (SELECT CAST(SUM(CAST(pi * h_state AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS h_rate FROM wp)
+        |SELECT from_state, n_steps, ROUND(pi, 6) AS pi,
+        |  ROUND(h_state, 6) AS h_state,
+        |  ROUND(pi * h_state, 6) AS h_contrib,
+        |  ROUND(h_rate, 6) AS h_rate
+        |FROM wp CROSS JOIN rt ORDER BY from_state"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.entropyRate(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "user_id", "t", "event_id", "event_type")
+        .orderBy("from_state")
+    },
+
+    // Kaplan–Meier survival over user lifetimes (7-day censor
+    // horizon): everything after the user-keyed (first, last)
+    // aggregate runs on the span-bounded distinct-duration table; the
+    // log-product prefix accumulates DECIMAL(28,12)-quantized terms.
+    q(
+      "q206_kaplan_meier",
+      """WITH lif AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+        |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
+        |gm AS (SELECT MAX(l) AS gmax FROM lif),
+        |durs AS (SELECT (l - f) // 86400000000 AS dur,
+        |    CASE WHEN l < gmax - 604800000000 THEN 1 ELSE 0 END
+        |      AS death
+        |  FROM lif CROSS JOIN gm),
+        |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
+        |    AS d FROM durs GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n FROM durs),
+        |r AS (SELECT bd.dur, bd.d, tt.n,
+        |    CAST(COALESCE(SUM(bd.c) OVER (ORDER BY bd.dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM bd CROSS JOIN tt),
+        |dth AS (SELECT dur, d, n - cb AS nar,
+        |    CASE WHEN d < n - cb THEN
+        |      CAST(ln(1.0::DOUBLE - CAST(d AS DOUBLE)
+        |        / CAST(n - cb AS DOUBLE)) AS DECIMAL(28,12))
+        |    ELSE CAST(0.0 AS DECIMAL(28,12)) END AS term
+        |  FROM r WHERE d > 0),
+        |fin AS (SELECT dur, nar, d,
+        |    MAX(CASE WHEN d = nar THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS z,
+        |    SUM(term) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dth)
+        |SELECT dur AS duration_days, nar AS n_at_risk, d AS n_deaths,
+        |  CASE WHEN z = 1 THEN 0.0::DOUBLE
+        |       ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+        |FROM fin ORDER BY duration_days"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.kaplanMeier(
+          Tables.events(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
+          "user_id", "t_us")
+        .orderBy("duration_days")
     }
   )
 

@@ -462,4 +462,106 @@ object Behavior {
         (col("n").cast("double") / col("__tot").cast("double"))
           .as("prob"))
   }
+
+  /** Entropy rate of the empirical Markov chain: per-state conditional
+    * entropy H(s) = Σ_t −p(s,t)·ln p(s,t) weighted by the empirical
+    * state distribution π(s) — how predictable the event flow is, and
+    * which states drive the unpredictability.
+    *
+    * Built on [[transitionMatrix]]'s exact counts: every probability
+    * is one IEEE division of integers, each −p·ln p term quantizes to
+    * DECIMAL(28,12) before the per-state and corpus sums (both
+    * alphabet-bounded) so no float reduction order leaks, and the
+    * state tables never exceed the alphabet².
+    *
+    * Output: (from_state, n_steps, pi, h_state, h_contrib, h_rate) —
+    * h_state in nats; h_rate = Σ π·H repeated on every row.
+    */
+  def entropyRate(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      stateCol: String): DataFrame = {
+    val tm = transitionMatrix(events, userCol, tsCol, idCol, stateCol)
+    val term = (-col("prob") * log(col("prob"))).cast("decimal(28,12)")
+    val perState = tm
+      .withColumn("__t", term)
+      .groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_steps"),
+        sum(col("__t")).cast("double").as("h_state"))
+    val total = broadcast(perState.agg(
+      sum(col("n_steps")).as("__all")))
+    val withPi = perState.crossJoin(total)
+      .withColumn("pi",
+        col("n_steps").cast("double") / col("__all").cast("double"))
+      .withColumn("h_contrib", round(col("pi") * col("h_state"), 6))
+      .withColumn("__c", (col("pi") * col("h_state"))
+        .cast("decimal(28,12)"))
+    val rate = broadcast(withPi.agg(
+      sum(col("__c")).cast("double").as("h_rate")))
+    withPi.crossJoin(rate)
+      .select(col("from_state"), col("n_steps"),
+        round(col("pi"), 6).as("pi"),
+        round(col("h_state"), 6).as("h_state"),
+        col("h_contrib"), round(col("h_rate"), 6).as("h_rate"))
+  }
+
+  /** Kaplan–Meier survival curve over user lifetimes: duration = days
+    * between a user's first and last event; users whose last event
+    * falls within `censorHorizonUs` of the corpus end are censored
+    * (still alive). S(t) steps down by (1 − d_t/n_t) at each death
+    * time — the retention/churn curve estimator that handles the
+    * still-active population correctly.
+    *
+    * Scale shape: one user-keyed (first, last) aggregate reduces the
+    * events, then EVERYTHING runs on the distinct-duration table —
+    * bounded by the observation span in days, not by users or events
+    * (its ordered prefix windows are the documented bounded
+    * single-partition step, the q190 carry precedent). The log-product
+    * accumulates ln(1 − d/n) terms quantized to DECIMAL(28,12), so the
+    * prefix sum is exact and order-free; survival = exp of it,
+    * ROUND(6). A time where every remaining user dies (d = n) zeroes
+    * the curve from that point on via an explicit flag — never a
+    * ln(0) in the arithmetic.
+    *
+    * Output: (duration_days, n_at_risk, n_deaths, survival) — death
+    * times only, ascending.
+    */
+  def kaplanMeier(
+      events: DataFrame, userCol: String, tsCol: String,
+      censorHorizonUs: Long = 7L * 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lif = events
+      .select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("__t"))
+      .groupBy(col("user"))
+      .agg(min(col("__t")).as("__first"), max(col("__t")).as("__last"))
+    val gmax = broadcast(lif.agg(max(col("__last")).as("__gmax")))
+    val durs = lif.crossJoin(gmax).select(
+      expr("(__last - __first) div 86400000000").as("dur"),
+      (col("__last") < col("__gmax") - censorHorizonUs).cast("int")
+        .as("__death"))
+    val byDur = durs.groupBy(col("dur"))
+      .agg(count(lit(1)).as("__c"), sum(col("__death")).as("d"))
+    val tot = broadcast(durs.agg(count(lit(1)).as("__n")))
+    val wAsc = Window.orderBy(col("dur"))
+    val before = byDur.crossJoin(tot)
+      .withColumn("__cb", coalesce(sum(col("__c"))
+        .over(wAsc.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("n_at_risk", col("__n") - col("__cb"))
+    val deaths = before.filter(col("d") > 0)
+      .withColumn("__term",
+        when(col("d") < col("n_at_risk"),
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_at_risk").cast("double")))
+          .otherwise(lit(0.0)).cast("decimal(28,12)"))
+      .withColumn("__zero",
+        max((col("d") === col("n_at_risk")).cast("int"))
+          .over(wAsc.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__cum", sum(col("__term"))
+        .over(wAsc.rowsBetween(Long.MinValue, 0)))
+    deaths.select(col("dur").as("duration_days"),
+      col("n_at_risk"), col("d").as("n_deaths"),
+      when(col("__zero") === 1, lit(0.0))
+        .otherwise(round(exp(col("__cum").cast("double")), 6))
+        .as("survival"))
+  }
 }

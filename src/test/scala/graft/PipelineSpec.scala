@@ -2688,6 +2688,50 @@ class PipelineSpec extends SparkSpec {
     assert(tg(1L) == "a")
   }
 
+  test("entropyRate: deterministic state is zero entropy") {
+    import graft.pipeline.Behavior
+    val e = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"),
+      (1L, 3L, 30L, "a"), (1L, 4L, 40L, "b"),
+      (2L, 5L, 10L, "a"), (2L, 6L, 20L, "a"))
+      .toDF("user_id", "event_id", "t", "state")
+    val got = Behavior.entropyRate(e, "user_id", "t", "event_id",
+        "state")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // steps: a→b ×2, b→a ×1, a→a ×1; from-a: p = (2/3, 1/3)
+    val ha = -(2.0 / 3) * math.log(2.0 / 3) -
+      (1.0 / 3) * math.log(1.0 / 3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("a")._2 == 3L && got("a")._3 == 0.75)
+    assert(math.abs(got("a")._4 - r6(ha)) < 2e-6)
+    assert(got("b")._4 == 0.0) // b→a always: zero conditional entropy
+    assert(got("a")._6 == got("b")._6) // h_rate repeated on every row
+    assert(math.abs(got("a")._6 - r6(0.75 * ha)) < 2e-6)
+  }
+
+  test("kaplanMeier: textbook curve and the everyone-dies step") {
+    import graft.pipeline.Behavior
+    val day = 86400000000L
+    val e = Seq(
+      (1L, 0L), (1L, 1 * day), (2L, 0L), (2L, 1 * day),
+      (3L, 0L), (3L, 2 * day),
+      (4L, 0L), (4L, 10 * day), (5L, 0L), (5L, 10 * day))
+      .toDF("user_id", "t_us")
+    val got = Behavior.kaplanMeier(e, "user_id", "t_us")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // deaths at day 1 (2 of 5) and day 2 (1 of 3); users 4/5 censored
+    assert(got == Seq((1L, 5L, 2L, 0.6), (2L, 3L, 1L, 0.4)))
+    val allDie = Seq((1L, 0L), (1L, 1 * day), (2L, 0L), (2L, 1 * day),
+      (3L, 0L), (3L, 1 * day), (4L, 20 * day))
+      .toDF("user_id", "t_us")
+    val g2 = Behavior.kaplanMeier(allDie, "user_id", "t_us")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // u4 is censored at duration 0, so day-1 risk set is exactly the
+    // three deaths: d = n zeroes the curve without any ln(0)
+    assert(g2 == Seq((1L, 3L, 3L, 0.0)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
