@@ -7214,6 +7214,65 @@ object Queries {
             .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
           "user_id", "t_us")
         .orderBy("duration_days")
+    },
+
+    // Label-centroid cosine matrix: µ-unit quantized per-dimension
+    // sums (exact integers in DECIMAL) stand in for the means —
+    // cosine is scale-invariant — so the geometry replays bit-exactly;
+    // the pair join runs on the |labels|·dim sum table.
+    q(
+      "q207_centroid_sim",
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |dx AS (SELECT label, i.i AS dim,
+        |    CAST(floor(v[i.i] * 1000000.0) AS BIGINT) AS q
+        |  FROM e CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i),
+        |s AS (SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
+        |  FROM dx GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    MAX(a.n) AS na, MAX(b.n) AS nb,
+        |    CAST(SUM(CAST(a.sq AS HUGEINT) * b.sq) AS DOUBLE) AS ab,
+        |    CAST(SUM(CAST(a.sq AS HUGEINT) * a.sq) AS DOUBLE) AS aa,
+        |    CAST(SUM(CAST(b.sq AS HUGEINT) * b.sq) AS DOUBLE) AS bb
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  ROUND(ab / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+        |FROM p ORDER BY label_a, label_b"""
+    ) { (s, d) =>
+      graft.pipeline.Similarity.labelCentroidSimilarity(
+          Tables.embeddings(s, d)
+            .select(col("label"), col("embedding").as("vec")))
+        .orderBy("label_a", "label_b")
+    },
+
+    // Per-label RMS dispersion via Σ|x−c|²/n = Σ|x|²/n − |Σx|²/n² —
+    // no second pass over the vectors; same exact integer sum kernel.
+    q(
+      "q208_label_dispersion",
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |dx AS (SELECT label, i.i AS dim,
+        |    CAST(floor(v[i.i] * 1000000.0) AS BIGINT) AS q
+        |  FROM e CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i),
+        |s AS (SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq,
+        |    SUM(q * q) AS sqq
+        |  FROM dx GROUP BY 1, 2),
+        |g AS (SELECT label, MAX(n) AS n,
+        |    CAST(SUM(sqq) AS DOUBLE) AS ssq,
+        |    CAST(SUM(CAST(sq AS HUGEINT) * sq) AS DOUBLE) AS s2
+        |  FROM s GROUP BY 1)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  ROUND(sqrt(ssq / CAST(n AS DOUBLE)
+        |    - s2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / 1000000.0, 6) AS rms_dispersion
+        |FROM g ORDER BY label"""
+    ) { (s, d) =>
+      graft.pipeline.Similarity.labelDispersion(
+          Tables.embeddings(s, d)
+            .select(col("label"), col("embedding").as("vec")))
+        .orderBy("label")
     }
   )
 

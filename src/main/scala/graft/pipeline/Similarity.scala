@@ -849,4 +849,75 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("cosine"))
   }
+
+  /** Per-label dimension sums of µ-unit-quantized embeddings — the
+    * shared exact kernel of [[labelCentroidSimilarity]] and
+    * [[labelDispersion]]. Quantizing each coordinate to
+    * floor(x·1e6) makes every downstream sum an exact integer
+    * (DECIMAL-accumulated), so centroid geometry is reduction-order
+    * free and replays bit-for-bit in an external engine. One shuffle
+    * keyed by (label, dim); the result is |labels|·dim rows.
+    */
+  private def labelDimSums(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("label"), posexplode(col("vec").cast("array<double>")))
+      .select(col("label"), col("pos").as("dim"),
+        floor(col("col") * 1e6).cast("long").as("__q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__q").cast("decimal(38,0)")).as("__s"),
+        sum((col("__q") * col("__q")).cast("decimal(38,0)")).as("__sq"))
+
+  /** Pairwise cosine similarity between label centroids — the
+    * label-taxonomy diagnostic (which classes overlap in embedding
+    * space) run before stratifying or balancing on a label column.
+    * Cosine is scale-invariant, so the per-label dimension SUMS stand
+    * in for the means and the whole computation stays exact-integer
+    * until three final IEEE ops. Pair join runs on the
+    * |labels|·dim-bounded sum table, never on vectors.
+    *
+    * Output: (label_a, label_b, n_a, n_b, cosine) upper triangle.
+    */
+  def labelCentroidSimilarity(
+      vectors: DataFrame // (label, vec)
+  ): DataFrame = {
+    val sums = labelDimSums(vectors)
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("__n").as("__na"), col("__s").as("__sa"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("__n").as("__nb"), col("__s").as("__sb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__sa") * col("__sb")).cast("double").as("__ab"),
+        sum(col("__sa") * col("__sa")).cast("double").as("__aa"),
+        sum(col("__sb") * col("__sb")).cast("double").as("__bb"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))), 6)
+          .as("cosine"))
+  }
+
+  /** Per-label embedding dispersion: root-mean-square distance of a
+    * label's vectors to their centroid, via the identity
+    * Σ|x−c|²/n = Σ|x|²/n − |Σx|²/n² — no second pass over the
+    * vectors, everything from the same exact per-dimension sums.
+    * Reported in original embedding units (÷10⁶), ROUND(6).
+    *
+    * Output: (label, n, rms_dispersion).
+    */
+  def labelDispersion(
+      vectors: DataFrame // (label, vec)
+  ): DataFrame = {
+    labelDimSums(vectors)
+      .groupBy(col("label"))
+      .agg(max(col("__n")).as("n"),
+        sum(col("__sq")).cast("double").as("__ssq"),
+        sum(col("__s") * col("__s")).cast("double").as("__s2"))
+      .select(col("label"), col("n"),
+        round(sqrt(col("__ssq") / col("n").cast("double") -
+            col("__s2") / (col("n").cast("double") *
+              col("n").cast("double"))) / 1e6, 6)
+          .as("rms_dispersion"))
+  }
 }

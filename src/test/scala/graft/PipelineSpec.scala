@@ -2732,6 +2732,31 @@ class PipelineSpec extends SparkSpec {
     assert(g2 == Seq((1L, 3L, 3L, 0.0)))
   }
 
+  test("labelCentroidSimilarity: orthogonal and identical centroids") {
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f)),
+      (2, Array(0.5f, 0.0f))).toDF("label", "vec")
+    val got = Similarity.labelCentroidSimilarity(vecs)
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((0, 1)) == ((2L, 1L, 0.0)))
+    assert(got((0, 2)) == ((2L, 1L, 1.0))) // same direction, any scale
+    assert(got((1, 2)) == ((1L, 1L, 0.0)))
+  }
+
+  test("labelDispersion: rms distance to centroid, singleton is zero") {
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(3.0f, 0.0f)),
+      (1, Array(7.0f, 7.0f))).toDF("label", "vec")
+    val got = Similarity.labelDispersion(vecs)
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // centroid (2,0): both vectors at distance 1 → rms exactly 1
+    assert(got(0) == ((2L, 1.0)))
+    assert(got(1) == ((1L, 0.0)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
