@@ -7273,6 +7273,86 @@ object Queries {
           Tables.embeddings(s, d)
             .select(col("label"), col("embedding").as("vec")))
         .orderBy("label")
+    },
+
+    // Cross-correlation click↔view at hourly-bucket lags −2..+2: each
+    // side is one exact µ-unit total per hour, lag alignment is an
+    // equi-join on the shifted bucket, Pearson from DECIMAL sums.
+    q(
+      "q209_cross_corr",
+      """WITH base AS (SELECT event_type AS ty,
+        |    epoch_us(ts) // 3600000000 AS b,
+        |    SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS s
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |a AS (SELECT b, s AS sa FROM base WHERE ty = 'click'),
+        |bb AS (SELECT b, s AS sb FROM base WHERE ty = 'view'),
+        |lg AS (SELECT UNNEST([-2, -1, 0, 1, 2]) AS lag_k),
+        |p AS (SELECT lg.lag_k, a.sa, bb.sb FROM a CROSS JOIN lg
+        |  JOIN bb ON a.b + lg.lag_k = bb.b),
+        |ag AS (SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(sa) AS DOUBLE) AS sx,
+        |    CAST(SUM(sb) AS DOUBLE) AS sy,
+        |    CAST(SUM(sa * sa) AS DOUBLE) AS sxx,
+        |    CAST(SUM(sb * sb) AS DOUBLE) AS syy,
+        |    CAST(SUM(sa * sb) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT lag_k, CAST(n AS BIGINT) AS n_buckets,
+        |  ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+        |    * sqrt(n * syy - sy * sy)), 6) AS xcorr
+        |FROM ag ORDER BY lag_k"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.crossCorrelation(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "event_type", "t", "value", "click", "view")
+        .orderBy("lag_k")
+    },
+
+    // Lorenz decile table over per-customer spend: value blocks
+    // intersect decile rank windows arithmetically on the
+    // distinct-value table (bounded ×10 fan-out, no per-row decile
+    // assignment); exact DECIMAL masses, single-division shares.
+    q(
+      "q210_lorenz",
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |vc AS (SELECT v, COUNT(*) AS m FROM sp GROUP BY 1),
+        |r AS (SELECT v, m,
+        |    CAST(COALESCE(SUM(m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM vc),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+        |    SUM(CAST(v AS HUGEINT) * m) AS mass FROM vc),
+        |dec AS (SELECT UNNEST(range(10)) AS decile),
+        |cells AS (SELECT dec.decile, r.v,
+        |    GREATEST(0, LEAST(r.cb + r.m, ((dec.decile + 1) * tot.n)
+        |        // 10) - GREATEST(r.cb, (dec.decile * tot.n) // 10))
+        |      AS cnt,
+        |    tot.mass AS tm
+        |  FROM r CROSS JOIN tot CROSS JOIN dec),
+        |byd AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    SUM(CAST(v AS HUGEINT) * cnt) AS dm, MAX(tm) AS tm
+        |  FROM cells WHERE cnt > 0 GROUP BY 1),
+        |fin AS (SELECT decile, n_rows, dm, tm,
+        |    SUM(dm) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cm
+        |  FROM byd)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_rows,
+        |  CAST(dm AS DOUBLE) AS units_mass,
+        |  ROUND(CAST(dm AS DOUBLE) / CAST(tm AS DOUBLE), 6) AS share,
+        |  ROUND(CAST(cm AS DOUBLE) / CAST(tm AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM fin ORDER BY decile"""
+    ) { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("spend_cents"))
+      graft.pipeline.Profiler.lorenzDeciles(spend, "spend_cents")
+        .orderBy("decile")
     }
   )
 

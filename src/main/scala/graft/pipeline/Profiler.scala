@@ -946,6 +946,32 @@ object Profiler {
     */
   def gini(df: DataFrame, valueCol: String,
       buckets: Int = 1024): DataFrame = {
+    val ranked = valueRanks(df, valueCol, buckets)
+    val md = col("__m").cast("decimal(38,0)")
+    val vd = col("__v").cast("decimal(38,0)")
+    val cd = col("__cbelow").cast("decimal(38,0)")
+    val rankSum = md * cd +
+      ((md * (md + lit(1))) / lit(2)).cast("decimal(38,0)")
+    val agg = ranked.agg(
+      sum(col("__m")).as("__n"),
+      sum(vd * md).cast("double").as("__sx"),
+      sum(vd * rankSum).cast("double").as("__six"))
+    agg.select(col("__n").as("n"),
+      col("__sx").as("units_total"),
+      round((lit(2.0) * col("__six") -
+          (col("__n").cast("double") + 1.0) * col("__sx")) /
+        (col("__n").cast("double") * col("__sx")), 6).as("gini"))
+  }
+
+  /** Distinct-value rank table for integer-unit distributions: one row
+    * per distinct value with its multiplicity and the exact count of
+    * rows strictly below it, from the bucketed DISTRIBUTED prefix
+    * count (per-bucket running counts + carry over ≤`buckets` totals —
+    * the [[avgRanks]] shape; never a global single-partition window).
+    * Shared by [[gini]] and [[lorenzDeciles]].
+    */
+  private def valueRanks(
+      df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     val vc = df.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__m"))
@@ -968,25 +994,60 @@ object Profiler {
       .orderBy(col("__bucket")).rowsBetween(Long.MinValue, -1)
     val carried = totals.withColumn("__carry",
       coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
-    val ranked = run
+    run
       .join(broadcast(carried.select(col("__bucket"), col("__carry"))),
         "__bucket")
       .select(col("__v"), col("__m"),
         (col("__carry") + col("__cin")).as("__cbelow"))
-    val md = col("__m").cast("decimal(38,0)")
-    val vd = col("__v").cast("decimal(38,0)")
-    val cd = col("__cbelow").cast("decimal(38,0)")
-    val rankSum = md * cd +
-      ((md * (md + lit(1))) / lit(2)).cast("decimal(38,0)")
-    val agg = ranked.agg(
+  }
+
+  /** Lorenz decile table: rows and value mass per frequency-ranked
+    * decile of an integer-unit distribution — the concentration
+    * companion to [[gini]] ("the top decile holds X% of the mass").
+    *
+    * Runs entirely on the distinct-value rank table ([[valueRanks]]):
+    * a value block occupying ranks (C, C+m] overlaps decile d's rank
+    * window (d·n/10, (d+1)·n/10] by a pure integer-interval
+    * intersection, so a bounded ×10 fan-out of the value table — never
+    * a per-row decile assignment — produces exact counts and DECIMAL
+    * masses. Shares are single IEEE divisions, ROUND(6); cumulative
+    * share comes from the exact cumulative decimal mass over the
+    * 10-row result.
+    *
+    * Output: (decile, n_rows, units_mass, share, cum_share).
+    */
+  def lorenzDeciles(df: DataFrame, valueCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val ranked = valueRanks(df, valueCol, buckets)
+    val tot = broadcast(ranked.agg(
       sum(col("__m")).as("__n"),
-      sum(vd * md).cast("double").as("__sx"),
-      sum(vd * rankSum).cast("double").as("__six"))
-    agg.select(col("__n").as("n"),
-      col("__sx").as("units_total"),
-      round((lit(2.0) * col("__six") -
-          (col("__n").cast("double") + 1.0) * col("__sx")) /
-        (col("__n").cast("double") * col("__sx")), 6).as("gini"))
+      sum(col("__v").cast("decimal(38,0)") *
+        col("__m").cast("decimal(38,0)")).as("__mass")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = broadcast((0 until 10).toDF("decile"))
+    val cells = ranked.crossJoin(tot).crossJoin(dec)
+      .withColumn("__lo", expr("(decile * __n) div 10"))
+      .withColumn("__hi", expr("((decile + 1) * __n) div 10"))
+      .withColumn("__cnt", greatest(lit(0L),
+        least(col("__cbelow") + col("__m"), col("__hi")) -
+          greatest(col("__cbelow"), col("__lo"))))
+      .filter(col("__cnt") > 0)
+    val byDec = cells.groupBy(col("decile"))
+      .agg(sum(col("__cnt")).as("n_rows"),
+        sum(col("__v").cast("decimal(38,0)") *
+          col("__cnt").cast("decimal(38,0)")).as("__dm"),
+        max(col("__mass")).as("__tm"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile")).rowsBetween(Long.MinValue, 0)
+    byDec
+      .withColumn("__cm", sum(col("__dm")).over(wAsc))
+      .select(col("decile"), col("n_rows"),
+        col("__dm").cast("double").as("units_mass"),
+        round(col("__dm").cast("double") / col("__tm").cast("double"),
+          6).as("share"),
+        round(col("__cm").cast("double") / col("__tm").cast("double"),
+          6).as("cum_share"))
   }
 
   /** Spearman rank correlation matrix: Pearson over midrank-transformed
@@ -1127,6 +1188,51 @@ object Profiler {
     }.mkString(", ")
     one.selectExpr(seriesCol,
       s"stack($maxLag, $cells) AS (lag_k, n_pairs, acf)")
+  }
+
+  /** Cross-correlation between two series' bucketed totals at integer
+    * bucket lags — "does A lead B by k hours?" over a sensor or event
+    * pair. Each side reduces to one exact µ-unit total per time bucket
+    * (ONE map-side-combined aggregate over the data; the bucket table
+    * is bounded by the timespan), the lag alignment is an equi-join on
+    * the shifted bucket id fanned out over the 2·maxLag+1 lags, and
+    * every Pearson ingredient accumulates in DECIMAL from exact
+    * integers — the final correlation is one IEEE shape, ROUND(6).
+    *
+    * Output: (lag_k, n_buckets, xcorr) for lag_k in [−maxLag, maxLag];
+    * xcorr at lag k correlates A(t) with B(t+k).
+    */
+  def crossCorrelation(
+      df: DataFrame, typeCol: String, tsCol: String, valCol: String,
+      typeA: String, typeB: String, bucketUs: Long = 3600000000L,
+      maxLag: Int = 2, unitsPerValue: Double = 1e6): DataFrame = {
+    require(maxLag >= 0 && bucketUs > 0, "non-negative lag, positive bucket")
+    val base = df.filter(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("__ty"),
+        expr(s"`$tsCol` div ${bucketUs}L").as("__b"),
+        microUnits(col(valCol), unitsPerValue).as("__vq"))
+      .groupBy(col("__ty"), col("__b"))
+      .agg(sum(col("__vq").cast("decimal(38,0)")).as("__s"))
+    val aSide = base.filter(col("__ty") === typeA)
+      .select(col("__b"), col("__s").as("__sa"))
+    val bSide = base.filter(col("__ty") === typeB)
+      .select(col("__b").as("__b2"), col("__s").as("__sb"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lags = broadcast((-maxLag to maxLag).toDF("lag_k"))
+    val pairs = aSide.crossJoin(lags)
+      .join(bSide, col("__b") + col("lag_k") === col("__b2"))
+    pairs.groupBy(col("lag_k"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__sa")).cast("double").as("__sx"),
+        sum(col("__sb")).cast("double").as("__sy"),
+        sum(col("__sa") * col("__sa")).cast("double").as("__sxx"),
+        sum(col("__sb") * col("__sb")).cast("double").as("__syy"),
+        sum(col("__sa") * col("__sb")).cast("double").as("__sxy"))
+      .selectExpr("lag_k", "CAST(__n AS BIGINT) AS n_buckets",
+        "round(try_divide(__n * __sxy - __sx * __sy," +
+          " sqrt(__n * __sxx - __sx * __sx)" +
+          " * sqrt(__n * __syy - __sy * __sy)), 6) AS xcorr")
   }
 
   /** Welch's unequal-variance t-test between every pair of groups —

@@ -2757,6 +2757,56 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == ((1L, 0.0)))
   }
 
+  test("crossCorrelation: exact shift shows up at its lag") {
+    import graft.pipeline.Profiler
+    val hour = 3600000000L
+    val e = (
+      Seq.tabulate(5)(h => ("A", h * hour, (h + 1).toDouble)) ++
+      Seq.tabulate(5)(h => ("B", (h + 1) * hour, (h + 1).toDouble)))
+      .toDF("ty", "t", "v")
+    val got = Profiler.crossCorrelation(e, "ty", "t", "v", "A", "B",
+        bucketUs = hour, maxLag = 2)
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // B is A delayed one hour: A(t) = B(t+1) → perfect corr at lag +1
+    assert(got(1) == ((5L, Some(1.0))))
+    assert(got(0)._1 == 4L && got(-1)._1 == 3L) // overlap shrinks
+  }
+
+  test("crossCorrelation: anti-correlated at lag zero") {
+    import graft.pipeline.Profiler
+    val hour = 3600000000L
+    val e = (
+      Seq.tabulate(4)(h => ("A", h * hour, (h + 1).toDouble)) ++
+      Seq.tabulate(4)(h => ("B", h * hour, (4 - h).toDouble)))
+      .toDF("ty", "t", "v")
+    val got = Profiler.crossCorrelation(e, "ty", "t", "v", "A", "B",
+        bucketUs = hour, maxLag = 1)
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(0) == Some(-1.0))
+  }
+
+  test("lorenzDeciles: distinct grid and tie-spanning blocks") {
+    import graft.pipeline.Profiler
+    val grid = (1L to 10L).toDF("v")
+    val got = Profiler.lorenzDeciles(grid, "v")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+      .sortBy(_._1)
+    assert(got.map(_._2) == Seq.fill(10)(1L)) // one value per decile
+    assert(got.head._3 == 1.0 && got.last._3 == 10.0)
+    assert(got.last._5 == 1.0) // cumulative share closes at 1
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(9)._4 == r6(10.0 / 55.0))
+    // 5 equal values: the tie block splits across the odd deciles
+    val ties = Seq.fill(5)(2L).toDF("v")
+    val t = Profiler.lorenzDeciles(ties, "v")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+      .sortBy(_._1)
+    assert(t.map(_._1) == Seq(1, 3, 5, 7, 9))
+    assert(t.forall(r => r._2 == 1L && r._4 == 0.2))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
