@@ -7353,6 +7353,76 @@ object Queries {
           .cast("long").as("spend_cents"))
       graft.pipeline.Profiler.lorenzDeciles(spend, "spend_cents")
         .orderBy("decile")
+    },
+
+    // Fano factor per sensor over hourly buckets: var/mean of bucket
+    // counts folded into one division of exact integer sums; empty
+    // in-span buckets enter arithmetically (H = hi−lo+1), the span
+    // grid is never materialized.
+    q(
+      "q211_fano",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |c AS (SELECT sensor_id, b, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |g AS (SELECT sensor_id, MIN(b) AS lo, MAX(b) AS hi,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS DOUBLE) AS scc
+        |  FROM c GROUP BY 1)
+        |SELECT sensor_id, sc AS n_events, hi - lo + 1 AS n_buckets,
+        |  ROUND(CAST(sc AS DOUBLE) / CAST(hi - lo + 1 AS DOUBLE), 6)
+        |    AS mean_rate,
+        |  ROUND((CAST(hi - lo + 1 AS DOUBLE) * scc
+        |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / ((CAST(hi - lo + 1 AS DOUBLE) - 1.0)
+        |       * CAST(sc AS DOUBLE)), 6) AS fano
+        |FROM g ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.fanoFactor(
+          EventsAdapter.samples(s, d), "sensor_id", "timestamp_us")
+        .orderBy("sensor_id")
+    },
+
+    // Corpus-hapax density per document: one vocab-count aggregate,
+    // one token-keyed join back, one doc aggregate. Integer counts.
+    q(
+      "q212_hapax_density",
+      """WITH tk AS (SELECT doc_id, UNNEST(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS token FROM documents),
+        |tc AS (SELECT token, COUNT(*) AS cc FROM tk GROUP BY 1),
+        |j AS (SELECT tk.doc_id, tc.cc FROM tk JOIN tc USING (token))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  ROUND(CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM j GROUP BY 1 ORDER BY doc_id"""
+    ) { (s, d) =>
+      TextAnalysis.hapaxDensity(
+          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Audience-overlap Jaccard between event-type user sets: distinct
+    // (type, user) pairs self-join on the user — pair rows bounded by
+    // Σ_u k_u², never |A|·|B|; broadcast marginals; integer counts.
+    q(
+      "q213_audience_overlap",
+      """WITH tu AS (SELECT DISTINCT event_type AS ty, user_id AS u
+        |  FROM events),
+        |sz AS (SELECT ty, COUNT(*) AS n FROM tu GROUP BY 1),
+        |p AS (SELECT a.ty AS type_a, b.ty AS type_b, COUNT(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.ty < b.ty
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  ROUND(CAST(n_both AS DOUBLE)
+        |    / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+        |FROM p JOIN sz sa ON p.type_a = sa.ty
+        |JOIN sz sb ON p.type_b = sb.ty
+        |ORDER BY type_a, type_b"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.audienceOverlap(
+          Tables.events(s, d), "event_type", "user_id")
+        .orderBy("type_a", "type_b")
     }
   )
 

@@ -504,6 +504,41 @@ object Behavior {
         col("h_contrib"), round(col("h_rate"), 6).as("h_rate"))
   }
 
+  /** Audience-overlap matrix: Jaccard similarity between the distinct
+    * user sets of every pair of event types — which behaviours share
+    * an audience, the first read before funnel or cohort design.
+    *
+    * ONE distinct (type, user) aggregate reduces the events; the pair
+    * stage self-joins it on the user id, so pair rows exist only where
+    * a user genuinely has both types (bounded by Σ_u k_u², k = types
+    * per user ≤ alphabet — never |A|·|B|). Marginals re-aggregate the
+    * pair-table-sized input and broadcast. All integers, one final
+    * division, ROUND(6).
+    *
+    * Output: (type_a, type_b, n_a, n_b, n_both, jaccard).
+    */
+  def audienceOverlap(
+      events: DataFrame, typeCol: String, userCol: String): DataFrame = {
+    val tu = events
+      .select(col(typeCol).as("__ty"), col(userCol).as("__u"))
+      .distinct()
+    val sizes = tu.groupBy(col("__ty")).agg(count(lit(1)).as("__n"))
+    val pairs = tu.as("a").join(tu.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__ty") < col("b.__ty"))
+      .groupBy(col("a.__ty").as("type_a"), col("b.__ty").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("__ty").as("type_a"),
+        col("__n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("__ty").as("type_b"),
+        col("__n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes: duration = days
     * between a user's first and last event; users whose last event
     * falls within `censorHorizonUs` of the corpus end are censored

@@ -1235,6 +1235,44 @@ object Profiler {
           " * sqrt(__n * __syy - __sy * __sy)), 6) AS xcorr")
   }
 
+  /** Fano factor (index of dispersion) of per-bucket event counts for
+    * every series: var/mean of the counts over the series' OWN bucket
+    * span — 1 for Poisson arrivals, ≫1 for bursty traffic, ≪1 for
+    * regular heartbeats. The burstiness screen for sensor fleets.
+    *
+    * ONE (series, bucket) count aggregate over the data, then one
+    * series-keyed aggregate: empty buckets inside the span contribute
+    * zero to Σc and Σc², so H = hi − lo + 1 enters only arithmetically
+    * — the span grid is never materialized. Counts are exact integers
+    * (DECIMAL-accumulated); fano folds var/mean into the single
+    * division (H·Σc² − (Σc)²) / ((H−1)·Σc), ROUND(6).
+    *
+    * Output: (seriesCol, n_events, n_buckets, mean_rate, fano).
+    */
+  def fanoFactor(
+      df: DataFrame, seriesCol: String, tsCol: String,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0, "positive bucket width")
+    val b = df
+      .select(col(seriesCol), expr(s"`$tsCol` div ${bucketUs}L").as("__b"))
+      .groupBy(col(seriesCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    b.groupBy(col(seriesCol))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"),
+        sum(col("__c")).as("__sc"),
+        sum((col("__c") * col("__c")).cast("decimal(38,0)"))
+          .cast("double").as("__scc"))
+      .withColumn("__h", col("__hi") - col("__lo") + 1L)
+      .selectExpr(seriesCol,
+        "__sc AS n_events", "__h AS n_buckets",
+        "round(CAST(__sc AS DOUBLE) / CAST(__h AS DOUBLE), 6)" +
+          " AS mean_rate",
+        "round(try_divide(CAST(__h AS DOUBLE) * __scc" +
+          " - CAST(__sc AS DOUBLE) * CAST(__sc AS DOUBLE)," +
+          " (CAST(__h AS DOUBLE) - 1.0) * CAST(__sc AS DOUBLE)), 6)" +
+          " AS fano")
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

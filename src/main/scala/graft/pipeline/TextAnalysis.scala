@@ -1150,6 +1150,35 @@ object TextAnalysis {
     * Output: (pct, total_tokens, vocab_size, covered_tokens), one row
     * per requested threshold.
     */
+  /** Hapax density per document: the fraction of a document's tokens
+    * that occur exactly once in the WHOLE corpus — high density flags
+    * OCR noise, codes/hashes, or genuinely novel text; near-zero flags
+    * boilerplate. A corpus-level quality signal no per-document
+    * statistic can fake.
+    *
+    * Scale shape: one token-count aggregate (map-side combined to one
+    * row per distinct token), one token-keyed join back onto the
+    * exploded tokens, one doc-keyed aggregate. A corpus hapax occurs
+    * once globally, so its document's counter increments by exactly
+    * that occurrence. Integer counts, one final division ROUND(6).
+    *
+    * Output: (idCol, n_tokens, n_hapax, hapax_ratio).
+    */
+  def hapaxDensity(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(whitespaceTokens(lower(col(textCol)))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("__cc"))
+    toks.join(counts, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("__cc") === 1L).cast("long")).as("n_hapax"))
+      .select(col(idCol), col("n_tokens"), col("n_hapax"),
+        round(col("n_hapax").cast("double") /
+          col("n_tokens").cast("double"), 6).as("hapax_ratio"))
+  }
+
   def vocabCoverage(
       docs: DataFrame, textCol: String,
       thresholds: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {

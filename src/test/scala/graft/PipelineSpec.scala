@@ -2807,6 +2807,45 @@ class PipelineSpec extends SparkSpec {
     assert(t.forall(r => r._2 == 1L && r._4 == 0.2))
   }
 
+  test("fanoFactor: regular is 0, bursty counts, degenerate NULL") {
+    import graft.pipeline.Profiler
+    val hour = 3600000000L
+    val e = (
+      Seq.tabulate(6)(i => ("reg", (i / 2) * hour + i)) ++ // 2,2,2
+      Seq(("burst", 1L), ("burst", 2L), ("burst", 3L), ("burst", 4L),
+        ("burst", 3 * hour + 1)) ++ // 4,0,0,1
+      Seq(("one", 5L)))
+      .toDF("sensor_id", "timestamp_us")
+    val got = Profiler.fanoFactor(e, "sensor_id", "timestamp_us", hour)
+      .as[(String, Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("reg") == (("reg", 6L, 3L, 2.0, Some(0.0))))
+    // H=4, Σc=5, Σc²=17: fano = (4·17 − 25)/(3·5) = 43/15
+    assert(got("burst")._5 == Some(math.rint(43.0 / 15.0 * 1e6) / 1e6))
+    assert(got("one")._5.isEmpty) // single bucket: no variance defined
+  }
+
+  test("hapaxDensity: corpus-level hapax counted per doc") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.hapaxDensity(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))  // a and b both recur
+    assert(got(2L) == ((2L, 1L, 0.5)))  // c is the only corpus hapax
+  }
+
+  test("audienceOverlap: shared users only, exact jaccard") {
+    import graft.pipeline.Behavior
+    val e = (Seq(1L, 2L, 3L).map(("A", _)) ++
+      Seq(2L, 3L, 4L).map(("B", _)) ++ Seq(9L).map(("C", _)) ++
+      Seq(("A", 1L))) // duplicate event must not inflate the sets
+      .toDF("ty", "u")
+    val got = Behavior.audienceOverlap(e, "ty", "u")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 3L, 3L, 2L, 0.5)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
