@@ -7423,6 +7423,79 @@ object Queries {
       graft.pipeline.Behavior.audienceOverlap(
           Tables.events(s, d), "event_type", "user_id")
         .orderBy("type_a", "type_b")
+    },
+
+    // Per-user behavioural entropy: −p·ln p terms quantized
+    // DECIMAL(28,12) before the alphabet-bounded per-user sum.
+    q(
+      "q214_user_entropy",
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, c,
+        |    CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM c),
+        |e AS (SELECT user_id, n,
+        |    CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM t)
+        |SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_types,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        |FROM e GROUP BY 1 ORDER BY user_id"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.userEntropy(
+          Tables.events(s, d), "user_id", "event_type")
+        .orderBy("user_id")
+    },
+
+    // Flesch reading ease: three codegen'd counts in one scan stage;
+    // RE2∩Java-safe run patterns count identically on both engines.
+    q(
+      "q215_readability",
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835::DOUBLE
+        |    - 1.015::DOUBLE * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |    - 84.6::DOUBLE * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)), 6) AS flesch
+        |FROM (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |ORDER BY doc_id"""
+    ) { (s, d) =>
+      TextAnalysis.readability(
+          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Inter-arrival CV per sensor: exact µs gaps (tie-order-invariant
+    // multiset), DECIMAL sums, one fixed IEEE chain.
+    q(
+      "q216_interarrival",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t FROM events),
+        |g AS (SELECT sensor_id, t - LAG(t) OVER (
+        |    PARTITION BY sensor_id ORDER BY t) AS g FROM s),
+        |a AS (SELECT sensor_id, COUNT(*) AS n_gaps,
+        |    CAST(SUM(g) AS DOUBLE) AS sg,
+        |    CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS sgg
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT sensor_id, n_gaps,
+        |  sg / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+        |  ROUND(sqrt((CAST(n_gaps AS DOUBLE) * sgg - sg * sg)
+        |      / (CAST(n_gaps AS DOUBLE)
+        |         * (CAST(n_gaps AS DOUBLE) - 1.0)))
+        |    / (sg / CAST(n_gaps AS DOUBLE)), 6) AS cv
+        |FROM a ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.interArrival(
+          EventsAdapter.samples(s, d), "sensor_id", "timestamp_us")
+        .orderBy("sensor_id")
     }
   )
 

@@ -504,6 +504,32 @@ object Behavior {
         col("h_contrib"), round(col("h_rate"), 6).as("h_rate"))
   }
 
+  /** Per-user behavioural entropy: Shannon entropy of each user's
+    * event-type distribution — bots and single-purpose scripts sit
+    * near 0, organic users spread out. One (user, type) count
+    * aggregate, one user-keyed reduce; each −p·ln p term quantizes to
+    * DECIMAL(28,12) before the per-user (alphabet-bounded) sum, so the
+    * reduction order never leaks.
+    *
+    * Output: (userCol, n_events, n_types, entropy) — entropy in nats,
+    * ROUND(6).
+    */
+  def userEntropy(
+      events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val counts = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("__c"))
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+    val withTot = counts.withColumn("__n", sum(col("__c")).over(wu))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    withTot
+      .withColumn("__t", (-p * log(p)).cast("decimal(28,12)"))
+      .groupBy(col(userCol))
+      .agg(max(col("__n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(sum(col("__t")).cast("double"), 6).as("entropy"))
+  }
+
   /** Audience-overlap matrix: Jaccard similarity between the distinct
     * user sets of every pair of event types — which behaviours share
     * an audience, the first read before funnel or cohort design.

@@ -1273,6 +1273,42 @@ object Profiler {
           " AS fano")
   }
 
+  /** Inter-arrival statistics per series: mean gap and coefficient of
+    * variation of consecutive-event gaps — CV ≈ 1 for Poisson
+    * arrivals, ≪1 for heartbeats, ≫1 for bursts; the per-event
+    * complement of the bucketed [[fanoFactor]]. One keyed window sort,
+    * one series aggregate; gaps are exact µs integers (the gap
+    * multiset is tie-order invariant), sums accumulate in DECIMAL, cv
+    * is one fixed IEEE chain on exact sums, ROUND(6).
+    *
+    * Output: (seriesCol, n_gaps, mean_gap_us, cv).
+    */
+  def interArrival(
+      df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col("__t"))
+    val gaps = df
+      .select(col(seriesCol), col(tsCol).cast("long").as("__t"))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    gaps.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g").cast("decimal(38,0)")).cast("double").as("__sg"),
+        // square in DECIMAL: a month-long gap is ~2.6e12 µs, whose
+        // square overflows int64
+        sum(col("__g").cast("decimal(19,0)") * col("__g"))
+          .cast("double").as("__sgg"))
+      .selectExpr(seriesCol, "n_gaps",
+        // no ROUND: sg/n is one IEEE division of exact values (already
+        // bit-replayable), and rounding a ~1e11-µs mean at the 6th
+        // decimal sits below double precision — engines disagree there
+        "__sg / CAST(n_gaps AS DOUBLE) AS mean_gap_us",
+        "round(try_divide(sqrt(try_divide(" +
+          "CAST(n_gaps AS DOUBLE) * __sgg - __sg * __sg," +
+          " CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0)))," +
+          " __sg / CAST(n_gaps AS DOUBLE)), 6) AS cv")
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

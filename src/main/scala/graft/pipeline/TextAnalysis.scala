@@ -1150,6 +1150,34 @@ object TextAnalysis {
     * Output: (pct, total_tokens, vocab_size, covered_tokens), one row
     * per requested threshold.
     */
+  /** Flesch reading-ease score per document, with its ingredient
+    * counts: words (whitespace tokens), sentences (maximal [.!?]+
+    * runs, floored at 1), syllables (maximal vowel-group runs — the
+    * standard cheap approximation). One codegen'd scan stage, no
+    * shuffle; the two regex counts use RE2∩Java-safe patterns so any
+    * engine counts the same runs. 206.835 − 1.015·(w/s) − 84.6·(sy/w),
+    * ROUND(6); an empty document NULLs via its zero word count.
+    *
+    * Output: (idCol, n_words, n_sentences, n_syllables, flesch).
+    */
+  def readability(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = size(whitespaceTokens(col(textCol)))
+    val sentences = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")))
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+    docs.select(col(idCol),
+        words.cast("long").as("n_words"),
+        sentences.cast("long").as("n_sentences"),
+        syllables.cast("long").as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835) -
+          lit(1.015) * expr("try_divide(CAST(n_words AS DOUBLE)," +
+            " CAST(n_sentences AS DOUBLE))") -
+          lit(84.6) * expr("try_divide(CAST(n_syllables AS DOUBLE)," +
+            " CAST(n_words AS DOUBLE))"), 6))
+  }
+
   /** Hapax density per document: the fraction of a document's tokens
     * that occur exactly once in the WHOLE corpus — high density flags
     * OCR noise, codes/hashes, or genuinely novel text; near-zero flags

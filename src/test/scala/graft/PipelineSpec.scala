@@ -2846,6 +2846,47 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(("A", "B", 3L, 3L, 2L, 0.5)))
   }
 
+  test("userEntropy: uniform two-type user is ln 2, single-type is 0") {
+    import graft.pipeline.Behavior
+    val e = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"))
+      .toDF("user_id", "ty")
+    val got = Behavior.userEntropy(e, "user_id", "ty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(got(1L) == ((4L, 2L, ln2)))
+    assert(got(2L) == ((1L, 1L, 0.0)))
+  }
+
+  test("readability: ingredient counts and the Flesch formula") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "The cat. The dog!"), (2L, "no punctuation"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 4 words, 2 sentence runs, 4 vowel groups (e,a,e,o)
+    assert(got(1L) == ((1L, 4L, 2L, 4L,
+      math.rint((206.835 - 1.015 * 2.0 - 84.6 * 1.0) * 1e6) / 1e6)))
+    assert(got(2L)._3 == 1L) // sentence count floors at 1
+  }
+
+  test("interArrival: heartbeat cv 0, burst cv > 1, singleton NULL") {
+    import graft.pipeline.Profiler
+    val e = (
+      Seq.tabulate(4)(i => ("hb", i * 10L)) ++
+      Seq(("burst", 0L), ("burst", 1L), ("burst", 2L),
+        ("burst", 1002L)) ++
+      Seq(("pair", 0L), ("pair", 5L)))
+      .toDF("sensor_id", "timestamp_us")
+    val got = Profiler.interArrival(e, "sensor_id", "timestamp_us")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("hb") == (("hb", 3L, 10.0, Some(0.0))))
+    assert(got("burst")._4.get > 1.0)
+    assert(got("pair")._4.isEmpty) // one gap: variance undefined
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
