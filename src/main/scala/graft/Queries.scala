@@ -7496,6 +7496,100 @@ object Queries {
       graft.pipeline.Profiler.interArrival(
           EventsAdapter.samples(s, d), "sensor_id", "timestamp_us")
         .orderBy("sensor_id")
+    },
+
+    // CUPED variance-reduced cohort means: pre/post split at the time
+    // midpoint, arm = user parity, θ = cov/var from one pooled
+    // DECIMAL-exact aggregate; adjustment applied at the mean level
+    // (linear), never a second per-user pass.
+    q(
+      "q217_cuped",
+      """WITH sp AS (SELECT MIN(epoch_us(ts)) AS lo,
+        |    MAX(epoch_us(ts)) AS hi FROM events),
+        |pu AS (SELECT user_id AS u,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < lo + (hi - lo) // 2
+        |      THEN CAST(floor(value * 1000000.0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= lo + (hi - lo) // 2
+        |      THEN CAST(floor(value * 1000000.0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events CROSS JOIN sp GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        |  FROM pu),
+        |a AS (SELECT u % 2 AS arm, COUNT(*) AS n_users,
+        |    CAST(SUM(x) AS DOUBLE) AS sxa,
+        |    CAST(SUM(y) AS DOUBLE) AS sya
+        |  FROM pu GROUP BY 1),
+        |t AS (SELECT a.arm, a.n_users, a.sxa, a.sya, g.n, g.sx,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        |    ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |  FROM a CROSS JOIN g)
+        |SELECT arm, n_users,
+        |  ROUND(sya / CAST(n_users AS DOUBLE) / 1000000.0, 6)
+        |    AS mean_y,
+        |  ROUND((sya / CAST(n_users AS DOUBLE)
+        |    - theta * (sxa / CAST(n_users AS DOUBLE) - sx / n))
+        |    / 1000000.0, 6) AS mean_y_adj,
+        |  ROUND(theta, 6) AS theta, ROUND(r2, 6) AS r2
+        |FROM t ORDER BY arm"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.cuped(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "user_id", "t", "value")
+        .orderBy("arm")
+    },
+
+    // Binary-segmentation change point per sensor: candidate SSEs are
+    // fixed IEEE shapes on exact µ-unit prefix sums; (sse, idx)
+    // min-struct argmin replays bit-for-bit; outputs un-rounded.
+    q(
+      "q218_binseg",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |p AS (SELECT sensor_id, t, v,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id ORDER BY t, v)
+        |      AS i,
+        |    SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY sensor_id
+        |      ORDER BY t, v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY sensor_id
+        |      ORDER BY t, v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS ss,
+        |    COUNT(*) OVER (PARTITION BY sensor_id) AS n,
+        |    SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY sensor_id)
+        |      AS sn,
+        |    SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY sensor_id)
+        |      AS ssn
+        |  FROM s),
+        |cand AS (SELECT * FROM p WHERE n >= 2 AND i < n),
+        |sc AS (SELECT sensor_id, t, i, n,
+        |    CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE)
+        |      * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) AS sse_total,
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |       / CAST(i AS DOUBLE))
+        |    + ((CAST(ssn AS DOUBLE) - CAST(ss AS DOUBLE))
+        |       - (CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
+        |         * (CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) AS sse
+        |  FROM cand),
+        |b AS (SELECT sensor_id, t, i, n, sse_total, sse,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id
+        |      ORDER BY sse, i) AS rnk FROM sc)
+        |SELECT sensor_id, CAST(n AS BIGINT) AS n,
+        |  CAST(i AS BIGINT) AS split_idx, t AS t_split,
+        |  sse_total, sse_total - sse AS gain
+        |FROM b WHERE rnk = 1 ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.operators.ChangePoint.binarySegment(
+          EventsAdapter.samples(s, d))
+        .orderBy("sensor_id")
     }
   )
 

@@ -1309,6 +1309,74 @@ object Profiler {
           " __sg / CAST(n_gaps AS DOUBLE)), 6) AS cv")
   }
 
+  /** CUPED variance-reduced cohort comparison (Deng et al.): adjust
+    * each arm's post-period metric by the pooled pre-period covariate,
+    * mean_adj = ȳ_arm − θ·(x̄_arm − x̄), θ = cov(x,y)/var(x) — the
+    * standard experiment-analysis primitive that removes pre-existing
+    * user-level variance before reading a treatment effect.
+    *
+    * Pre/post split at the corpus time midpoint; arm = user_id parity
+    * (a deterministic stand-in for an assignment column). ONE
+    * user-keyed conditional aggregate reduces the events to (x, y) per
+    * user in integer µ-units; θ, r² and the per-arm means are fixed
+    * IEEE shapes on DECIMAL-exact sums (products formed in DECIMAL —
+    * µ-unit user totals square past int64). Adjustment is linear, so
+    * per-arm adjusted means need no second pass over users.
+    *
+    * Output: (arm, n_users, mean_y, mean_y_adj, theta, r2) — means in
+    * original units, ROUND(6); r² = fraction of variance removed.
+    */
+  def cuped(
+      df: DataFrame, userCol: String, tsCol: String, valCol: String,
+      unitsPerValue: Double = 1e6): DataFrame = {
+    val span = broadcast(df.agg(
+      min(col(tsCol).cast("long")).as("__lo"),
+      max(col(tsCol).cast("long")).as("__hi")))
+    val vq = microUnits(col(valCol), unitsPerValue)
+    val perUser = df.crossJoin(span)
+      .withColumn("__mid",
+        expr(s"__lo + (__hi - __lo) div 2"))
+      .groupBy(col(userCol).as("__u"))
+      .agg(
+        sum(when(col(tsCol).cast("long") < col("__mid"), vq)
+          .otherwise(lit(0L))).as("__x"),
+        sum(when(col(tsCol).cast("long") >= col("__mid"), vq)
+          .otherwise(lit(0L))).as("__y"))
+      .withColumn("__arm", pmod(col("__u"), lit(2)))
+    val xd = col("__x").cast("decimal(19,0)")
+    val yd = col("__y").cast("decimal(19,0)")
+    val g = broadcast(perUser.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(xd).cast("double").as("__sx"),
+      sum(yd).cast("double").as("__sy"),
+      sum(xd * col("__x")).cast("double").as("__sxx"),
+      sum(yd * col("__y")).cast("double").as("__syy"),
+      sum(xd * col("__y")).cast("double").as("__sxy")))
+    val arms = perUser.groupBy(col("__arm").as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(xd).cast("double").as("__sxa"),
+        sum(yd).cast("double").as("__sya"))
+    arms.crossJoin(g)
+      .withColumn("__theta", expr(
+        "try_divide(__n * __sxy - __sx * __sy," +
+          " __n * __sxx - __sx * __sx)"))
+      .withColumn("__r2", expr(
+        "try_divide((__n * __sxy - __sx * __sy)" +
+          " * (__n * __sxy - __sx * __sy)," +
+          " (__n * __sxx - __sx * __sx)" +
+          " * (__n * __syy - __sy * __sy))"))
+      .select(col("arm"), col("n_users"),
+        round(col("__sya") / col("n_users").cast("double") /
+          unitsPerValue, 6).as("mean_y"),
+        round((col("__sya") / col("n_users").cast("double") -
+            col("__theta") * (col("__sxa") /
+              col("n_users").cast("double") -
+              col("__sx") / col("__n"))) / unitsPerValue, 6)
+          .as("mean_y_adj"),
+        round(col("__theta"), 6).as("theta"),
+        round(col("__r2"), 6).as("r2"))
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

@@ -2887,6 +2887,36 @@ class PipelineSpec extends SparkSpec {
     assert(got("pair")._4.isEmpty) // one gap: variance undefined
   }
 
+  test("cuped: perfect covariate removes all between-arm variance") {
+    import graft.pipeline.Profiler
+    // post metric y = 2x exactly → θ = 2, r² = 1, adjusted means equal
+    val e = (1L to 4L).flatMap(u =>
+      Seq((u, 0L, u.toDouble), (u, 100L, 2.0 * u)))
+      .toDF("user_id", "t", "v")
+    val got = Profiler.cuped(e, "user_id", "t", "v")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._5 == 2.0 && got(0L)._6 == 1.0)
+    assert(got(0L)._3 == 6.0 && got(1L)._3 == 4.0) // raw arm means
+    assert(got(0L)._4 == 5.0 && got(1L)._4 == 5.0) // adjusted: equal
+  }
+
+  test("binarySegment: level shift found, gain equals total SSE") {
+    import graft.operators.ChangePoint
+    val e = (Seq(0.0, 0.0, 0.0, 10.0, 10.0).zipWithIndex.map {
+      case (v, i) => ("step", (i + 1).toLong, v)
+    } ++ Seq.tabulate(4)(i => ("flat", (i + 1).toLong, 7.0)))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = ChangePoint.binarySegment(e)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val step = got("step")
+    assert(step._3 == 3L && step._4 == 3L) // split after the zeros
+    assert(step._6 == step._5 && step._5 > 0) // perfect split: gain=SSE
+    val flat = got("flat")
+    assert(flat._3 == 1L && flat._5 == 0.0 && flat._6 == 0.0)
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
