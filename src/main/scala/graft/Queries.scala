@@ -6754,26 +6754,7 @@ object Queries {
     // Ewma/deadband shape), replayed bit-exactly by a recursive CTE
     // advancing one row per sensor per step (q82/q143 precedent); no
     // rounding surface.
-    q(
-      "q196_cusum",
-      """WITH RECURSIVE base AS (SELECT event_type || ' ' || user_id
-        |    AS sensor_id, epoch_us(ts) AS t, value,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type || ' ' || user_id
-        |      ORDER BY epoch_us(ts), value) AS rn
-        |  FROM events),
-        |c AS (
-        |  SELECT sensor_id, t, value, rn,
-        |    greatest(0.0::DOUBLE, (value - 50.0) - 5.0) AS cs
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.sensor_id, b.t, b.value, b.rn,
-        |    greatest(0.0::DOUBLE, c.cs + ((b.value - 50.0) - 5.0)) AS cs
-        |  FROM c JOIN base b ON b.sensor_id = c.sensor_id
-        |    AND b.rn = c.rn + 1)
-        |SELECT sensor_id, t, value, cs AS s_cusum,
-        |  CAST(cs > 200.0 AS INTEGER) AS alarm
-        |FROM c ORDER BY sensor_id, t, value"""
-    ) { (s, d) =>
+    q("q196_cusum", cusumOracleSql) { (s, d) =>
       graft.operators.Cusum.detect(
           EventsAdapter.samples(s, d),
           target = 50.0, slack = 5.0, threshold = 200.0)
@@ -7590,8 +7571,68 @@ object Queries {
       graft.operators.ChangePoint.binarySegment(
           EventsAdapter.samples(s, d))
         .orderBy("sensor_id")
+    },
+
+    // Streaming CUSUM: the q196 fold as a live flatMapGroupsWithState
+    // monitor (one double of state per series). Fold-identical to the
+    // batch operator, so the same recursive-CTE oracle serves both;
+    // cross-batch state carry is pinned in StoreSpec on a controlled
+    // two-batch replay.
+    q("q219_stream_cusum", cusumOracleSql) { (s, d) =>
+      val streamDir =
+        java.nio.file.Files.createTempDirectory("q219_src")
+      try {
+        val samples = EventsAdapter.samples(s, d)
+          .select(col("sensor_id"), col("timestamp_us"), col("value"))
+        samples.coalesce(1).write.mode("overwrite")
+          .parquet(streamDir.toString)
+        val stream = s.readStream.schema(samples.schema)
+          .parquet(streamDir.toString)
+        val out = graft.streaming.StreamingCusum.detectStreamDF(
+          stream, target = 50.0, slack = 5.0, threshold = 200.0)
+        val name = s"q219_out_${System.nanoTime()}"
+        val query = out.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try query.processAllAvailable() finally query.stop()
+        val res = s.table(name)
+          .withColumnRenamed("timestamp_us", "t")
+          .orderBy("sensor_id", "t", "value")
+        val rows = java.util.Arrays.asList(res.collect(): _*)
+        s.catalog.dropTempView(name)
+        s.createDataFrame(rows, res.schema)
+          .orderBy("sensor_id", "t", "value")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(streamDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   )
+
+  /** Shared CUSUM oracle (q196 batch, q219 streaming — the operators
+    * are fold-identical by construction, so one recursive-CTE replay
+    * serves both): advance one row per sensor per step, with the exact
+    * `greatest(0, s + ((x − target) − slack))` arithmetic order.
+    */
+  private lazy val cusumOracleSql: String =
+    """WITH RECURSIVE base AS (SELECT event_type || ' ' || user_id
+      |    AS sensor_id, epoch_us(ts) AS t, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type || ' ' || user_id
+      |      ORDER BY epoch_us(ts), value) AS rn
+      |  FROM events),
+      |c AS (
+      |  SELECT sensor_id, t, value, rn,
+      |    greatest(0.0::DOUBLE, (value - 50.0) - 5.0) AS cs
+      |  FROM base WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.sensor_id, b.t, b.value, b.rn,
+      |    greatest(0.0::DOUBLE, c.cs + ((b.value - 50.0) - 5.0)) AS cs
+      |  FROM c JOIN base b ON b.sensor_id = c.sensor_id
+      |    AND b.rn = c.rn + 1)
+      |SELECT sensor_id, t, value, cs AS s_cusum,
+      |  CAST(cs > 200.0 AS INTEGER) AS alarm
+      |FROM c ORDER BY sensor_id, t, value""".stripMargin
 
   /** One unrolled label-propagation round for the q204 oracle: deliver
     * labels over the symmetric edge list, count per (node, label),

@@ -93,4 +93,39 @@ class DeadbandSpec extends SparkSpec {
       .as[Sample].collect().toSeq
     assert(got == Seq(Sample("s1", 1L, 10.0), Sample("s1", 4L, 10.3)))
   }
+
+  test("streaming cusum carries drift across micro-batches = batch") {
+    import graft.operators.Cusum
+    import graft.streaming.StreamingCusum
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(Cusum.Sample("s1", 1L, 13.0), Cusum.Sample("s1", 2L, 14.0),
+      Cusum.Sample("s2", 1L, 5.0))
+    val b2 = Seq(Cusum.Sample("s1", 3L, 15.0), Cusum.Sample("s2", 2L, 30.0))
+    val in = MemoryStream[Cusum.Sample]
+    val name = s"cusum_out_${System.nanoTime()}"
+    val q = StreamingCusum.detectStream(in.toDS(),
+        target = 10.0, slack = 1.0, threshold = 8.0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .orderBy("sensor_id", "timestamp_us")
+      .as[StreamingCusum.Alarm].collect().toSeq
+    // batch operator over the concatenated data must agree exactly —
+    // including s1's drift 2+3+4=9 tripping the alarm only in batch 2
+    val batch = Cusum.detect((b1 ++ b2).map(s =>
+        (s.sensor_id, s.timestamp_us, s.value))
+        .toDF("sensor_id", "timestamp_us", "value"),
+        target = 10.0, slack = 1.0, threshold = 8.0)
+      .orderBy("sensor_id", "timestamp_us")
+      .as[StreamingCusum.Alarm].collect().toSeq
+    assert(streamed == batch)
+    // s1 trips in batch 2 (drift 2+3+4 = 9); s2 jumps straight past it
+    assert(streamed.filter(_.alarm == 1)
+      .map(a => (a.sensor_id, a.timestamp_us)) ==
+      Seq(("s1", 3L), ("s2", 2L)))
+  }
 }
