@@ -7607,6 +7607,93 @@ object Queries {
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
+    },
+
+    // Decile lift table: click-count score ranks users, purchase is
+    // the positive label. Distinct-score bucketed prefixes carry
+    // counts AND positives; tie blocks apportion proportionally (the
+    // order-free gains convention).
+    q(
+      "q220_lift_table",
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS pos
+        |  FROM events GROUP BY 1),
+        |vc AS (SELECT -score AS v, COUNT(*) AS m,
+        |    CAST(SUM(pos) AS BIGINT) AS p FROM u GROUP BY 1),
+        |r AS (SELECT v, m, p,
+        |    CAST(COALESCE(SUM(m) OVER wb, 0) AS BIGINT) AS cb,
+        |    CAST(COALESCE(SUM(p) OVER wb, 0) AS BIGINT) AS pb
+        |  FROM vc WINDOW wb AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM vc),
+        |dec AS (SELECT UNNEST(range(1, 11)) AS decile),
+        |c AS (SELECT dec.decile, r.v, r.m, r.p, r.cb, r.pb, tot.n,
+        |    tot.np, (dec.decile * tot.n) // 10 AS rr
+        |  FROM r CROSS JOIN tot CROSS JOIN dec)
+        |SELECT CAST(decile AS INTEGER) AS decile, rr AS cutoff_rank,
+        |  ROUND(CAST(pb AS DOUBLE) + CAST(rr - cb AS DOUBLE)
+        |    * (CAST(p AS DOUBLE) / CAST(m AS DOUBLE)), 6)
+        |    AS captured_pos,
+        |  ROUND((CAST(pb AS DOUBLE) + CAST(rr - cb AS DOUBLE)
+        |    * (CAST(p AS DOUBLE) / CAST(m AS DOUBLE)))
+        |    / CAST(np AS DOUBLE), 6) AS capture_rate,
+        |  ROUND((CAST(pb AS DOUBLE) + CAST(rr - cb AS DOUBLE)
+        |    * (CAST(p AS DOUBLE) / CAST(m AS DOUBLE)))
+        |    * CAST(n AS DOUBLE)
+        |    / (CAST(np AS DOUBLE) * CAST(rr AS DOUBLE)), 6) AS lift
+        |FROM c WHERE rr >= 1 AND cb < rr AND rr <= cb + m
+        |ORDER BY decile"""
+    ) { (s, d) =>
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum((col("event_type") === "click").cast("long"))
+          .as("score"),
+          max((col("event_type") === "purchase").cast("int")).as("pos"))
+      graft.pipeline.Profiler.liftTable(users, "score", "pos")
+        .orderBy("decile")
+    },
+
+    // Funnel conversion-delay quantiles (q144's chain, delay edition):
+    // exact percentile on the oracle surface, approx_percentile with
+    // bounded state as the production default (q115/q193 split).
+    // Delays in seconds — never ROUND µs-magnitude doubles.
+    q(
+      "q221_funnel_delays",
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE epoch_us(ts) < 1704240000000000),
+        |s0 AS (SELECT user_id, min(ts) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |  JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+        |d1 AS (SELECT (epoch_us(s1.t) - epoch_us(s0.t)) / 1000000.0
+        |    AS ds FROM s1 JOIN s0 USING (user_id)),
+        |d2 AS (SELECT (epoch_us(s2.t) - epoch_us(s1.t)) / 1000000.0
+        |    AS ds FROM s2 JOIN s1 USING (user_id))
+        |SELECT 1::BIGINT AS stage_idx, 'view' AS from_stage,
+        |  'click' AS to_stage, COUNT(*) AS n_users,
+        |  ROUND(quantile_cont(ds, 0.5), 6) AS p50_s,
+        |  ROUND(quantile_cont(ds, 0.9), 6) AS p90_s
+        |FROM d1
+        |UNION ALL SELECT 2::BIGINT, 'click', 'purchase', COUNT(*),
+        |  ROUND(quantile_cont(ds, 0.5), 6),
+        |  ROUND(quantile_cont(ds, 0.9), 6)
+        |FROM d2
+        |ORDER BY stage_idx"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.funnelDelays(
+          Tables.events(s, d)
+            .filter(unix_micros(col("ts")) < lit(1704240000000000L)),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), exact = true)
+        .orderBy("stage_idx")
     }
   )
 

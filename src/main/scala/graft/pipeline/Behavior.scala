@@ -80,6 +80,61 @@ object Behavior {
         else round(col("n_users").cast("double") / lit(base.toDouble), 6))
   }
 
+  /** Conversion-delay distribution per funnel step: for users who
+    * advanced stage i−1 → i (the [[funnel]] chain semantics — strictly
+    * later qualifying event), the p50/p90 of the delay in seconds.
+    * The "how long does conversion take" companion to the funnel's
+    * "how many convert".
+    *
+    * Same left-to-right instant chain as [[funnel]] (each stage's
+    * (user, instant) table localCheckpoints so stage s never replays
+    * 0..s−1); each step emits its per-user delay once, and one
+    * stage-keyed aggregate reduces the union. Delays are exact µs
+    * integers divided once by 10⁶ — seconds-magnitude doubles, safe to
+    * ROUND(6) (never round µs-magnitude values). `exact = true` runs
+    * the exact `percentile` (the oracle surface); the default is
+    * `approx_percentile` with accuracy-bounded state — the q115/q193
+    * production split.
+    *
+    * Output: (stage_idx, from_stage, to_stage, n_users, p50_s, p90_s).
+    */
+  def funnelDelays(
+      events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String],
+      exact: Boolean = false): DataFrame = {
+    require(stages.size >= 2, "delays need at least two stages")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    val u = col(userCol).as("user")
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(u).agg(min(col(tsCol)).as("__ts"))
+      .localCheckpoint(false)
+    var delays: DataFrame = null
+    stages.drop(1).zipWithIndex.foreach { case (st, i) =>
+      val next = events.filter(col(typeCol) === st)
+        .select(u, col(tsCol).as("__nts"))
+        .join(reached, "user")
+        .filter(col("__nts") > col("__ts"))
+        .groupBy(col("user"))
+        .agg(min(col("__nts")).as("__nxt"), min(col("__ts")).as("__prv"))
+        .localCheckpoint(false)
+      val d = next.select(lit(i + 1L).as("stage_idx"),
+        lit(stages(i)).as("from_stage"), lit(st).as("to_stage"),
+        ((unix_micros(col("__nxt")) - unix_micros(col("__prv")))
+          .cast("double") / 1e6).as("__ds"))
+      delays = if (delays == null) d else delays.unionAll(d)
+      reached = next.select(col("user"), col("__nxt").as("__ts"))
+    }
+    val pct =
+      if (exact) expr("percentile(__ds, array(0.5D, 0.9D))")
+      else expr("approx_percentile(__ds, array(0.5D, 0.9D), 10000)")
+    delays.groupBy(col("stage_idx"), col("from_stage"), col("to_stage"))
+      .agg(count(lit(1)).as("n_users"), pct.as("__p"))
+      .select(col("stage_idx"), col("from_stage"), col("to_stage"),
+        col("n_users"),
+        round(col("__p").getItem(0), 6).as("p50_s"),
+        round(col("__p").getItem(1), 6).as("p90_s"))
+  }
+
   /** Item co-occurrence / association mining over user baskets — the
     * "users who took A also took B" reduction (support, lift) behind
     * recommendations and data-mix diagnostics. Input is any (user,

@@ -1050,6 +1050,78 @@ object Profiler {
           6).as("cum_share"))
   }
 
+  /** Decile lift / gains table for a binary outcome ranked by an
+    * integer score — the model-evaluation staple ("the top 10% of the
+    * ranking captures X% of the positives, lift Y"). Input is one row
+    * per entity with its score and 0/1 label.
+    *
+    * Runs on the distinct-SCORE table with the bucketed-carry prefix
+    * (counts AND positives carried together; never a per-entity global
+    * rank). Ties are apportioned proportionally — the standard gains
+    * convention, and the only order-free one: inside a tie block every
+    * rank cutoff captures (r − C)·pos/m positives regardless of how
+    * the tie would break. captured/rate/lift are fixed IEEE shapes on
+    * exact integers, ROUND(6).
+    *
+    * Output: (decile, cutoff_rank, captured_pos, capture_rate, lift),
+    * deciles with a non-empty rank prefix only.
+    */
+  def liftTable(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val vc = df
+      .select((-col(scoreCol).cast("long")).as("__v"),
+        col(labelCol).cast("long").as("__lab"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__m"), sum(col("__lab")).as("__pos"))
+    val bounds = broadcast(vc.agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi")))
+    val bucketed = vc.crossJoin(bounds).withColumn("__bucket",
+      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+        least(lit(buckets - 1L),
+          floor((col("__v") - col("__lo")).cast("double") /
+            ((col("__hi") - col("__lo")).cast("double") / buckets))
+            .cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("__v"))
+      .rowsBetween(Long.MinValue, -1)
+    val run = bucketed
+      .withColumn("__cin", coalesce(sum(col("__m")).over(wIn), lit(0L)))
+      .withColumn("__pin", coalesce(sum(col("__pos")).over(wIn), lit(0L)))
+    val totals = run.groupBy(col("__bucket"))
+      .agg(sum(col("__m")).as("__tm"), sum(col("__pos")).as("__tp"))
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bucket")).rowsBetween(Long.MinValue, -1)
+    val carried = totals
+      .withColumn("__cm", coalesce(sum(col("__tm")).over(wCarry), lit(0L)))
+      .withColumn("__cp", coalesce(sum(col("__tp")).over(wCarry), lit(0L)))
+    val ranked = run
+      .join(broadcast(carried.select(col("__bucket"), col("__cm"),
+        col("__cp"))), "__bucket")
+      .select(col("__v"), col("__m"), col("__pos"),
+        (col("__cm") + col("__cin")).as("__cb"),
+        (col("__cp") + col("__pin")).as("__pb"))
+    val tot = broadcast(ranked.agg(sum(col("__m")).as("__n"),
+      sum(col("__pos")).as("__np")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = broadcast((1 to 10).toDF("decile"))
+    ranked.crossJoin(tot).crossJoin(dec)
+      .withColumn("__r", expr("(decile * __n) div 10"))
+      .filter(col("__r") >= 1L &&
+        col("__cb") < col("__r") && col("__r") <= col("__cb") + col("__m"))
+      .withColumn("__cap", col("__pb").cast("double") +
+        (col("__r") - col("__cb")).cast("double") *
+          (col("__pos").cast("double") / col("__m").cast("double")))
+      .select(col("decile"), col("__r").as("cutoff_rank"),
+        round(col("__cap"), 6).as("captured_pos"),
+        round(expr("try_divide(__cap, CAST(__np AS DOUBLE))"), 6)
+          .as("capture_rate"),
+        round(expr("try_divide(__cap * CAST(__n AS DOUBLE)," +
+          " CAST(__np AS DOUBLE) * CAST(__r AS DOUBLE))"), 6)
+          .as("lift"))
+  }
+
   /** Spearman rank correlation matrix: Pearson over midrank-transformed
     * columns — the monotonic-association screen that catches what the
     * linear [[correlationMatrix]] misses (and is robust to outliers).

@@ -2917,6 +2917,50 @@ class PipelineSpec extends SparkSpec {
     assert(flat._3 == 1L && flat._5 == 0.0 && flat._6 == 0.0)
   }
 
+  test("liftTable: perfect ranking and proportional tie apportionment") {
+    import graft.pipeline.Profiler
+    // distinct scores 10..1, positives = the top three scorers
+    val perfect = (1L to 10L).map(i => (i, 11L - i, if (i <= 3) 1 else 0))
+      .toDF("id", "score", "pos").drop("id")
+    val got = Profiler.liftTable(perfect, "score", "pos")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1) == ((1, 1L, 1.0, r6(1.0 / 3), r6(10.0 / 3))))
+    assert(got(3) == ((3, 3L, 3.0, 1.0, r6(10.0 / 3))))
+    assert(got(10) == ((10, 10L, 3.0, 1.0, 1.0)))
+    // one tie block: every cutoff captures r·(2/5) positives
+    val ties = Seq.tabulate(5)(i => (7L, if (i < 2) 1 else 0))
+      .toDF("score", "pos")
+    val t = Profiler.liftTable(ties, "score", "pos")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(t(5) == 0.8 && t(10) == 2.0) // r=2→0.8, r=5→2.0
+  }
+
+  test("funnelDelays: exact quantiles of step delays") {
+    import graft.pipeline.Behavior
+    val ts0 = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0))
+    def t(sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val e = Seq(
+      (1L, "view", t(0)), (1L, "click", t(10)), (1L, "purchase", t(30)),
+      (2L, "view", t(0)), (2L, "click", t(30)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnelDelays(e, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), exact = true)
+      .as[(Long, String, String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // delays view→click: {10, 30} s → p50 = 20, p90 = 28 (interpolated)
+    assert(got(1L) == ((1L, "view", "click", 2L, 20.0, 28.0)))
+    assert(got(2L) == ((2L, "click", "purchase", 1L, 20.0, 20.0)))
+    // production path agrees on this tiny input
+    val approx = Behavior.funnelDelays(e, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(Long, String, String, Long, Double, Double)].collect().toSet
+    assert(approx.map(r => (r._1, r._4)) == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
