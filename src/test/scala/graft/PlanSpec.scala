@@ -800,6 +800,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("crossCorrelation: lag alignment is an equi-join, lags broadcast") {
+    val e = graft.Tables.events(spark, sf)
+      .withColumn("t", unix_micros(col("ts")))
+    val plan = planOf(graft.pipeline.Profiler.crossCorrelation(
+      e, "event_type", "t", "value", "click", "view"))
+    // the b-side alignment must plan as a hash join on the shifted
+    // bucket, never a nested-loop over the bucket tables
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("liftTable: prefix windows are bucket-partitioned") {
+    import spark.implicits._
+    val users = graft.Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("score"),
+        max((col("event_type") === "purchase").cast("int")).as("pos"))
+    val plan = planOf(graft.pipeline.Profiler.liftTable(
+      users, "score", "pos"))
+    assert(plan.contains("windowspecdefinition(__bucket"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fanoFactor / interArrival: keyed aggregates, no global window") {
+    val s = EventsAdapter.samples(spark, sf)
+    val fano = planOf(graft.pipeline.Profiler.fanoFactor(
+      s, "sensor_id", "timestamp_us"))
+    assert(!fano.contains("Window"), fano) // two aggregates, no window
+    val ia = planOf(graft.pipeline.Profiler.interArrival(
+      s, "sensor_id", "timestamp_us"))
+    // the only window is the sensor-keyed LAG
+    assert(ia.contains("windowspecdefinition(sensor_id"), ia)
+  }
+
   test("mutualInformation: one data shuffle, marginals broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.pipeline.Profiler.mutualInformation(
