@@ -7694,6 +7694,158 @@ object Queries {
           "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"), exact = true)
         .orderBy("stage_idx")
+    },
+
+    // Two-level Haar energy per sensor: exact integer numerators in
+    // DECIMAL sums, dyadic denominators divide once at the end.
+    q(
+      "q222_haar_energy",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |b AS (SELECT sensor_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id ORDER BY t, v) - 1
+        |      AS i
+        |  FROM s),
+        |l1 AS (SELECT sensor_id, i // 2 AS j,
+        |    MAX(CASE WHEN i % 2 = 0 THEN v END) AS xe,
+        |    MAX(CASE WHEN i % 2 = 1 THEN v END) AS xo,
+        |    COUNT(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |p1 AS (SELECT sensor_id, j, xe - xo AS d, xe + xo AS sm
+        |  FROM l1 WHERE c = 2),
+        |l2 AS (SELECT sensor_id, j // 2 AS k,
+        |    MAX(CASE WHEN j % 2 = 0 THEN sm END) AS se,
+        |    MAX(CASE WHEN j % 2 = 1 THEN sm END) AS so,
+        |    COUNT(*) AS c
+        |  FROM p1 GROUP BY 1, 2),
+        |p2 AS (SELECT sensor_id, se - so AS d2 FROM l2 WHERE c = 2),
+        |e1 AS (SELECT sensor_id, COUNT(*) AS np1,
+        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE) AS sd1
+        |  FROM p1 GROUP BY 1),
+        |e2 AS (SELECT sensor_id, COUNT(*) AS np2,
+        |    CAST(SUM(CAST(d2 AS HUGEINT) * d2) AS DOUBLE) AS sd2
+        |  FROM p2 GROUP BY 1),
+        |nn AS (SELECT sensor_id, COUNT(*) AS n FROM s GROUP BY 1)
+        |SELECT nn.sensor_id, nn.n,
+        |  COALESCE(np1, 0) AS n_pairs1, COALESCE(np2, 0) AS n_pairs2,
+        |  sd1 / 4.0 / 1000000000000.0 AS e1,
+        |  sd2 / 16.0 / 1000000000000.0 AS e2
+        |FROM nn LEFT JOIN e1 ON nn.sensor_id = e1.sensor_id
+        |LEFT JOIN e2 ON nn.sensor_id = e2.sensor_id
+        |ORDER BY nn.sensor_id"""
+    ) { (s, d) =>
+      graft.operators.Wavelet.haarEnergies(EventsAdapter.samples(s, d))
+        .orderBy("sensor_id")
+    },
+
+    // Classic BI rollup: nation revenue share within region and of the
+    // corpus, dims broadcast, DECIMAL-exact revenue sums.
+    q(
+      "q223_revenue_rollup",
+      """WITH rev AS (SELECT c.c_nationkey AS nk,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |nr AS (SELECT n.n_regionkey AS rk, n.n_name, rev.r
+        |  FROM rev JOIN nation n ON rev.nk = n.n_nationkey),
+        |rr AS (SELECT rk, CAST(SUM(r) AS DECIMAL(18,2)) AS rr
+        |  FROM nr GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(r) AS DECIMAL(18,2)) AS t FROM nr)
+        |SELECT rg.r_name AS region_name, nr.n_name AS nation_name,
+        |  CAST(nr.r AS DOUBLE) AS revenue,
+        |  ROUND(CAST(nr.r AS DOUBLE) / CAST(rr.rr AS DOUBLE), 6)
+        |    AS share_region,
+        |  ROUND(CAST(nr.r AS DOUBLE) / CAST(tt.t AS DOUBLE), 6)
+        |    AS share_total
+        |FROM nr JOIN rr USING (rk)
+        |JOIN region rg ON nr.rk = rg.r_regionkey
+        |CROSS JOIN tt
+        |ORDER BY region_name, nation_name"""
+    ) { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("r"))
+      val nr = rev.join(broadcast(Tables.nation(s, d)),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_regionkey").as("rk"), col("n_name"), col("r"))
+      val rr = nr.groupBy(col("rk"))
+        .agg(sum(col("r")).cast("decimal(18,2)").as("rr"))
+      val tt = broadcast(nr.agg(
+        sum(col("r")).cast("decimal(18,2)").as("t")))
+      nr.join(broadcast(rr), "rk")
+        .join(broadcast(Tables.region(s, d)),
+          col("rk") === col("r_regionkey"))
+        .crossJoin(tt)
+        .select(col("r_name").as("region_name"),
+          col("n_name").as("nation_name"),
+          col("r").cast("double").as("revenue"),
+          round(col("r").cast("double") / col("rr").cast("double"), 6)
+            .as("share_region"),
+          round(col("r").cast("double") / col("t").cast("double"), 6)
+            .as("share_total"))
+        .orderBy("region_name", "nation_name")
+    },
+
+    // Per-series OLS trend: timestamps re-based to each series' start
+    // (epoch-µs squares would overflow AND catastrophically cancel);
+    // five DECIMAL-exact sums, slope/intercept fixed IEEE shapes.
+    q(
+      "q224_trend",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |m AS (SELECT sensor_id, MIN(t) AS t0 FROM s GROUP BY 1),
+        |r AS (SELECT s.sensor_id, s.t - m.t0 AS dt, s.v
+        |  FROM s JOIN m USING (sensor_id)),
+        |g AS (SELECT sensor_id, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dt) AS DOUBLE) AS st,
+        |    CAST(SUM(v) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(dt AS HUGEINT) * dt) AS DOUBLE) AS stt,
+        |    CAST(SUM(CAST(dt AS HUGEINT) * v) AS DOUBLE) AS stv
+        |  FROM r GROUP BY 1)
+        |SELECT sensor_id, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * stv - st * sv) / (n * stt - st * st)
+        |    * 86400000000.0 / 1000000.0, 6) AS slope_per_day,
+        |  ROUND((sv - (n * stv - st * sv) / (n * stt - st * st) * st)
+        |    / n / 1000000.0, 6) AS intercept
+        |FROM g ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.trendOls(
+          EventsAdapter.samples(s, d),
+          "sensor_id", "timestamp_us", "value")
+        .orderBy("sensor_id")
+    },
+
+    // QQ table click vs view: both cohorts' quantile arrays from ONE
+    // conditional aggregate; exact percentile oracle surface.
+    q(
+      "q225_qq_table",
+      """WITH q AS (SELECT
+        |  quantile_cont(CASE WHEN event_type = 'click' THEN value END,
+        |    [0.1, 0.25, 0.5, 0.75, 0.9]) AS qa,
+        |  quantile_cont(CASE WHEN event_type = 'view' THEN value END,
+        |    [0.1, 0.25, 0.5, 0.75, 0.9]) AS qb
+        |FROM events)
+        |SELECT 0.1::DOUBLE AS p, ROUND(qa[1], 6) AS q_a,
+        |  ROUND(qb[1], 6) AS q_b, ROUND(qa[1] - qb[1], 6) AS diff
+        |FROM q
+        |UNION ALL SELECT 0.25::DOUBLE, ROUND(qa[2], 6),
+        |  ROUND(qb[2], 6), ROUND(qa[2] - qb[2], 6) FROM q
+        |UNION ALL SELECT 0.5::DOUBLE, ROUND(qa[3], 6),
+        |  ROUND(qb[3], 6), ROUND(qa[3] - qb[3], 6) FROM q
+        |UNION ALL SELECT 0.75::DOUBLE, ROUND(qa[4], 6),
+        |  ROUND(qb[4], 6), ROUND(qa[4] - qb[4], 6) FROM q
+        |UNION ALL SELECT 0.9::DOUBLE, ROUND(qa[5], 6),
+        |  ROUND(qb[5], 6), ROUND(qa[5] - qb[5], 6) FROM q
+        |ORDER BY p"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.qqTable(
+          Tables.events(s, d), "event_type", "value",
+          "click", "view", exact = true)
+        .orderBy("p")
     }
   )
 

@@ -1449,6 +1449,87 @@ object Profiler {
         round(col("__r2"), 6).as("r2"))
   }
 
+  /** Per-series ordinary-least-squares trend: slope (per day) and
+    * intercept of value vs time — the drift screen run across a whole
+    * sensor fleet in one aggregate. All five OLS sums accumulate in
+    * DECIMAL from exact integers (µs timestamps RE-BASED to each
+    * series' minimum first: raw epoch-µs squares overflow even int128
+    * under a 10⁶-row sum, and centring also kills the catastrophic
+    * cancellation the textbook formula suffers at epoch magnitudes);
+    * slope/intercept are fixed IEEE shapes on the exact sums.
+    *
+    * slope_per_day = (nΣtv − ΣtΣv)/(nΣt² − (Σt)²) · 86400·10⁶ / 10⁶;
+    * intercept = value at the series' own start, in original units.
+    *
+    * Output: (seriesCol, n, slope_per_day, intercept) — both ROUND(6);
+    * single-point or zero-time-spread series NULL via try_divide.
+    */
+  def trendOls(
+      df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
+      unitsPerValue: Double = 1e6): DataFrame = {
+    val base = df.select(col(seriesCol),
+      col(tsCol).cast("long").as("__t"),
+      microUnits(col(valCol), unitsPerValue).as("__vq"))
+    val mins = base.groupBy(col(seriesCol).as("__k"))
+      .agg(min(col("__t")).as("__t0"))
+    val reb = base.join(mins, base(seriesCol) === col("__k"))
+      .select(col(seriesCol), (col("__t") - col("__t0")).as("__dt"),
+        col("__vq"))
+    val td = col("__dt").cast("decimal(38,0)")
+    val vd = col("__vq").cast("decimal(38,0)")
+    val g = reb.groupBy(col(seriesCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(td).cast("double").as("__st"),
+        sum(vd).cast("double").as("__sv"),
+        sum(td * col("__dt")).cast("double").as("__stt"),
+        sum(td * col("__vq")).cast("double").as("__stv"))
+    g.selectExpr(seriesCol, "CAST(__n AS BIGINT) AS n",
+      "round(try_divide(__n * __stv - __st * __sv," +
+        " __n * __stt - __st * __st) * 86400000000.0 / " +
+        s"$unitsPerValue, 6) AS slope_per_day",
+      "round((__sv - try_divide(__n * __stv - __st * __sv," +
+        " __n * __stt - __st * __st) * __st) / __n / " +
+        s"$unitsPerValue, 6) AS intercept")
+  }
+
+  /** Quantile–quantile comparison table between two cohorts of one
+    * numeric column: matched quantiles at fixed probabilities and
+    * their gaps — the distribution-shift diagnostic that localizes
+    * WHERE two cohorts diverge (tails vs median), where a KS statistic
+    * only says THAT they do.
+    *
+    * ONE aggregate computes both cohorts' quantile arrays from
+    * conditional values (percentile ignores the other cohort's NULLs);
+    * the probe rows unpivot through `stack`. `exact = true` is the
+    * oracle surface; the default `approx_percentile` keeps
+    * accuracy-bounded state (the q115/q193 split).
+    *
+    * Output: (p, q_a, q_b, diff), one row per probability, ROUND(6).
+    */
+  def qqTable(
+      df: DataFrame, groupCol: String, valCol: String,
+      groupA: String, groupB: String,
+      probs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9),
+      exact: Boolean = false): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probabilities in (0,1)")
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    def cond(g: String) =
+      s"CASE WHEN `$groupCol` = '$g' THEN CAST(`$valCol` AS DOUBLE) END"
+    def pf(v: String) =
+      if (exact) s"percentile($v, $arr)"
+      else s"approx_percentile($v, $arr, 10000)"
+    val one = df.agg(
+      expr(pf(cond(groupA))).as("__qa"),
+      expr(pf(cond(groupB))).as("__qb"))
+    val cells = probs.zipWithIndex.map { case (p, i) =>
+      s"${p}D, round(__qa[$i], 6), round(__qb[$i], 6)," +
+        s" round(__qa[$i] - __qb[$i], 6)"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${probs.size}, $cells) AS (p, q_a, q_b, diff)")
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

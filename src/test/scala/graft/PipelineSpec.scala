@@ -2961,6 +2961,50 @@ class PipelineSpec extends SparkSpec {
     assert(approx.map(r => (r._1, r._4)) == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("haarEnergies: textbook two-level decomposition, odd tails drop") {
+    import graft.operators.Wavelet
+    val e = (Seq(4.0, 2.0, 6.0, 2.0).zipWithIndex.map {
+      case (v, i) => ("s4", (i + 1).toLong, v)
+    } ++ Seq(("s3", 1L, 1.0), ("s3", 2L, 5.0), ("s3", 3L, 9.0)))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Wavelet.haarEnergies(e)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // [4,2,6,2]: d = (2,4) → e1 = (4+16)/4 = 5; sums (6,8) → d₂ = −2
+    // → e2 = 4/16 = 0.25
+    assert(got("s4") == (("s4", 4L, 2L, 1L, Some(5.0), Some(0.25))))
+    // length 3: one level-1 pair, no level-2 pair → e2 is NULL
+    assert(got("s3") == (("s3", 3L, 1L, 0L, Some(4.0), None)))
+  }
+
+  test("trendOls: exact linear series recovers slope and intercept") {
+    import graft.pipeline.Profiler
+    val day = 86400000000L
+    val e = (0 to 3).map(i => ("lin", i * day, 2.0 * i + 5.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Profiler.trendOls(e, "sensor_id", "timestamp_us", "value")
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(got == (("lin", 4L, Some(2.0), Some(5.0))))
+    val single = Seq(("one", 0L, 1.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val g1 = Profiler.trendOls(single, "sensor_id", "timestamp_us",
+        "value")
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(g1._3.isEmpty && g1._4.isEmpty) // no spread: NULL fit
+  }
+
+  test("qqTable: matched quantiles localize a constant shift") {
+    import graft.pipeline.Profiler
+    val df = ((1 to 9).map(v => ("a", v.toDouble)) ++
+      (1 to 9).map(v => ("b", v + 10.0))).toDF("g", "v")
+    val got = Profiler.qqTable(df, "g", "v", "a", "b", exact = true)
+      .as[(Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0.5) == ((0.5, 5.0, 15.0, -10.0)))
+    assert(got(0.1) == ((0.1, 1.8, 11.8, -10.0)))
+    assert(got.values.forall(_._4 == -10.0)) // pure location shift
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
