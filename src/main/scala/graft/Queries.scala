@@ -7844,6 +7844,108 @@ object Queries {
           Tables.events(s, d), "event_type", "value",
           "click", "view", exact = true)
         .orderBy("p")
+    },
+
+    // Top 3-step event paths: one keyed window shared by both lags,
+    // path-count aggregate, TakeOrderedAndProject top-k.
+    q(
+      "q226_top_paths",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT LAG(event_type, 2) OVER w AS a,
+        |    LAG(event_type, 1) OVER w AS b, event_type AS c
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, event_id))
+        |SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n
+        |FROM p WHERE a IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.topPaths(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "user_id", "t", "event_id", "event_type")
+    },
+
+    // Median-of-means robust mean: deterministic md5 bucketing, exact
+    // bucket means, element-exact median over odd k.
+    q(
+      "q227_median_of_means",
+      """WITH b AS (SELECT
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 9 AS bk,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (SELECT bk, COUNT(*) AS n, SUM(v) AS s,
+        |    CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mn
+        |  FROM b GROUP BY 1)
+        |SELECT 9 AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |  ROUND(quantile_cont(mn, 0.5) / 1000000.0, 6) AS mom_mean,
+        |  ROUND(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |    / 1000000.0, 6) AS plain_mean
+        |FROM m"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.medianOfMeans(
+          Tables.events(s, d), "event_id", "value")
+    },
+
+    // Simpson's-paradox screen: per-stratum exact-decimal Pearson vs
+    // the pooled correlation, sign-flip flag per stratum.
+    q(
+      "q228_simpson",
+      """WITH s AS (SELECT l_returnflag AS stratum,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+        |      AS sa,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+        |      * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS saa,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+        |      AS sb,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+        |      AS sbb,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+        |      AS sab
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(COUNT(*) AS DOUBLE),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+        |      * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE),
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE),
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
+        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+        |  FROM lineitem),
+        |c AS (SELECT stratum, CAST(n AS BIGINT) AS n,
+        |    ROUND((n * sab - sa * sb)
+        |      / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6)
+        |      AS corr
+        |  FROM s),
+        |o AS (SELECT corr AS oc FROM c WHERE stratum = 'ALL')
+        |SELECT c.stratum, c.n, c.corr,
+        |  CASE WHEN c.stratum = 'ALL' THEN 0
+        |       WHEN (c.corr >= 0) <> (o.oc >= 0) THEN 1 ELSE 0 END
+        |    AS sign_flip
+        |FROM c CROSS JOIN o ORDER BY stratum"""
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val strat = graft.pipeline.Profiler.correlationByGroup(
+        li, "l_returnflag", "l_quantity", "l_extendedprice",
+        exactDecimal = true)
+        .withColumnRenamed("l_returnflag", "stratum")
+      val overall = graft.pipeline.Profiler.correlationByGroup(
+        li.withColumn("__g", lit("ALL")), "__g",
+        "l_quantity", "l_extendedprice", exactDecimal = true)
+        .withColumnRenamed("__g", "stratum")
+      val both = strat.unionAll(overall)
+      val oc = broadcast(overall.select(col("corr").as("__oc")))
+      both.crossJoin(oc)
+        .select(col("stratum"), col("n"), col("corr"),
+          when(col("stratum") === "ALL", lit(0))
+            .when((col("corr") >= 0) =!= (col("__oc") >= 0), lit(1))
+            .otherwise(lit(0)).as("sign_flip"))
+        .orderBy("stratum")
     }
   )
 

@@ -559,6 +559,33 @@ object Behavior {
         col("h_contrib"), round(col("h_rate"), 6).as("h_rate"))
   }
 
+  /** Top-k most frequent length-`depth` event-type paths across user
+    * sequences — the "what do journeys actually look like" sequential
+    * extension of the 1-step [[transitionMatrix]]. One keyed window
+    * (all lags share the sort), one path-count aggregate (map-side
+    * combined), top-k via TakeOrderedAndProject — never a full sort.
+    * Ties break on the path string. All integer counts.
+    *
+    * Output: (path, n), k rows, ordered (n desc, path asc).
+    */
+  def topPaths(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      stateCol: String, depth: Int = 3, k: Int = 10): DataFrame = {
+    require(depth >= 2 && k >= 1, "depth >= 2 and k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val lags = (depth - 1 to 1 by -1).map(i =>
+      lag(col(stateCol), i).over(w)) :+ col(stateCol)
+    events
+      .withColumn("__path", concat_ws(">", lags: _*))
+      .withColumn("__oldest", lags.head)
+      .filter(col("__oldest").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Per-user behavioural entropy: Shannon entropy of each user's
     * event-type distribution — bots and single-purpose scripts sit
     * near 0, organic users spread out. One (user, type) count

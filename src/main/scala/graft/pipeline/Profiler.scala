@@ -1530,6 +1530,71 @@ object Profiler {
       s"stack(${probs.size}, $cells) AS (p, q_a, q_b, diff)")
   }
 
+  /** Median-of-means robust mean: values hash deterministically into
+    * `k` buckets (the engine-portable md5 route — NOTES), each bucket
+    * takes an exact-integer µ-unit mean, and the estimate is the exact
+    * median of the k means — the heavy-tail-robust estimator whose
+    * buckets are embarrassingly parallel (ONE map-side-combined
+    * aggregate; the median runs on k rows). Odd k selects an element
+    * exactly — no interpolation, no reduction-order surface.
+    *
+    * Output: one row (k, n, mom_mean, plain_mean) in original units,
+    * ROUND(6).
+    */
+  def medianOfMeans(
+      df: DataFrame, idCol: String, valCol: String, k: Int = 9,
+      unitsPerValue: Double = 1e6): DataFrame = {
+    require(k >= 1 && k % 2 == 1, "k must be odd")
+    val vq = microUnits(col(valCol), unitsPerValue)
+    val bucket = expr(
+      s"conv(substr(md5(CAST(`$idCol` AS STRING)), 1, 15), 16, 10)" +
+        s" % ${k}L").cast("long")
+    val means = df
+      .select(bucket.as("__b"), vq.as("__vq"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__vq").cast("decimal(38,0)")).as("__sd"))
+      .select(col("__n"), col("__sd"),
+        (col("__sd").cast("double") / col("__n").cast("double"))
+          .as("__m"))
+    means.agg(
+        sum(col("__n")).as("n"),
+        sum(col("__sd")).cast("double").as("__stot"),
+        expr("percentile(__m, 0.5D)").as("__mom"))
+      .select(lit(k).as("k"), col("n"),
+        round(col("__mom") / unitsPerValue, 6).as("mom_mean"),
+        round(col("__stot") / col("n").cast("double") / unitsPerValue,
+          6).as("plain_mean"))
+  }
+
+  /** Per-group Pearson correlation between two columns — the grouped
+    * arm of [[correlationMatrix]], one keyed aggregate. With
+    * `exactDecimal` the sums are exact for fixed-point data and the
+    * correlation replays bit-for-bit (the q150 oracle surface).
+    * Feeds the Simpson's-paradox screen: compare per-stratum signs
+    * against the pooled sign.
+    *
+    * Output: (groupCol, n, corr) with corr ROUND(6).
+    */
+  def correlationByGroup(
+      df: DataFrame, groupCol: String, colA: String, colB: String,
+      exactDecimal: Boolean = false): DataFrame = {
+    def v(c: String): Column =
+      if (exactDecimal) col(c).cast("decimal(18,4)")
+      else col(c).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(v(colA)).cast("double").as("__sa"),
+        sum(v(colA) * v(colA)).cast("double").as("__saa"),
+        sum(v(colB)).cast("double").as("__sb"),
+        sum(v(colB) * v(colB)).cast("double").as("__sbb"),
+        sum(v(colA) * v(colB)).cast("double").as("__sab"))
+      .selectExpr(groupCol, "CAST(__n AS BIGINT) AS n",
+        "round(try_divide(__n * __sab - __sa * __sb," +
+          " sqrt((__n * __saa - __sa * __sa)" +
+          " * (__n * __sbb - __sb * __sb))), 6) AS corr")
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

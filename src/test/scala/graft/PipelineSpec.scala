@@ -3005,6 +3005,41 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.forall(_._4 == -10.0)) // pure location shift
   }
 
+  test("topPaths: per-user 3-step windows, no cross-user paths") {
+    import graft.pipeline.Behavior
+    val e = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "d"),
+      (2L, 5L, 1L, "x"), (2L, 6L, 2L, "y")) // too short: no path
+      .toDF("user_id", "event_id", "t", "ty")
+    val got = Behavior.topPaths(e, "user_id", "t", "event_id", "ty")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 1L), ("b>c>d", 1L)))
+  }
+
+  test("medianOfMeans: robust to a single poisoned bucket") {
+    import graft.pipeline.Profiler
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i == 7) 1000000.0 else 10.0)).toDF("id", "v")
+    val r = Profiler.medianOfMeans(df, "id", "v")
+      .as[(Int, Long, Double, Double)].collect().head
+    assert(r._1 == 9 && r._2 == 100L)
+    assert(r._3 < 100.0)       // the median bucket never sees the spike
+    assert(r._4 > 9000.0)      // the plain mean is dragged four orders
+  }
+
+  test("correlationByGroup: perfect correlation per stratum") {
+    import graft.pipeline.Profiler
+    val df = (Seq.tabulate(4)(i => ("up", i.toDouble, 2.0 * i)) ++
+      Seq.tabulate(4)(i => ("down", i.toDouble, -3.0 * i)))
+      .toDF("g", "x", "y")
+    val got = Profiler.correlationByGroup(df, "g", "x", "y",
+        exactDecimal = true)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("up") == ((4L, 1.0)) && got("down") == ((4L, -1.0)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
