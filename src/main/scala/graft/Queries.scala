@@ -7946,6 +7946,58 @@ object Queries {
             .when((col("corr") >= 0) =!= (col("__oc") >= 0), lit(1))
             .otherwise(lit(0)).as("sign_flip"))
         .orderBy("stratum")
+    },
+
+    // Source-concentration HHI of token mass: (Σc²)/T² — exact
+    // integer arithmetic with two IEEE ops at the top; token totals
+    // via size() sums, no explode.
+    q(
+      "q229_source_hhi",
+      """WITH ps AS (SELECT source,
+        |    CAST(SUM(len(string_split_regex(trim(lower(text)),
+        |      '\s+'))) AS BIGINT) AS t
+        |  FROM documents GROUP BY 1),
+        |a AS (SELECT COUNT(*) AS n_sources,
+        |    CAST(SUM(t) AS BIGINT) AS total,
+        |    CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS sq
+        |  FROM ps)
+        |SELECT n_sources, total AS total_tokens,
+        |  ROUND(sq / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)),
+        |    6) AS hhi,
+        |  ROUND((CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) / sq,
+        |    6) AS effective_sources
+        |FROM a"""
+    ) { (s, d) =>
+      TextAnalysis.sourceConcentration(
+        Tables.documents(s, d), "text", "source")
+    },
+
+    // MASE forecast baselines per sensor: one keyed window shared by
+    // the naive and seasonal lags; exact µ-unit |Δ| sums in DECIMAL.
+    q(
+      "q230_mase_base",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |l AS (SELECT sensor_id,
+        |    abs(v - LAG(v, 1) OVER w) AS d1,
+        |    abs(v - LAG(v, 7) OVER w) AS dm
+        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
+        |a AS (SELECT sensor_id, COUNT(*) AS n, COUNT(d1) AS n1,
+        |    CAST(SUM(d1) AS DOUBLE) AS s1, COUNT(dm) AS nm,
+        |    CAST(SUM(dm) AS DOUBLE) AS sm
+        |  FROM l GROUP BY 1)
+        |SELECT sensor_id, n,
+        |  s1 / CAST(n1 AS DOUBLE) / 1000000.0 AS mae_naive,
+        |  sm / CAST(nm AS DOUBLE) / 1000000.0 AS mae_seasonal,
+        |  (sm / CAST(nm AS DOUBLE)) / (s1 / CAST(n1 AS DOUBLE))
+        |    AS seasonal_ratio
+        |FROM a ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.maseBaselines(
+          EventsAdapter.samples(s, d),
+          "sensor_id", "timestamp_us", "value")
+        .orderBy("sensor_id")
     }
   )
 

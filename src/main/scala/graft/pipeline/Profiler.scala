@@ -1595,6 +1595,50 @@ object Profiler {
           " * (__n * __sbb - __sb * __sb))), 6) AS corr")
   }
 
+  /** Naive and seasonal-naive forecast baselines per series: the mean
+    * absolute one-step and `seasonLag`-step differences — the MASE
+    * denominators every forecast evaluation needs before any model is
+    * fit, and a seasonality detector by their ratio (≪1 means the
+    * seasonal lag explains the series better than persistence).
+    *
+    * One keyed window sort shared by both lags; every |Δ| is an exact
+    * µ-unit integer, sums accumulate in DECIMAL, and the means/ratio
+    * are fixed IEEE shapes, ROUND(6).
+    *
+    * Output: (seriesCol, n, mae_naive, mae_seasonal, seasonal_ratio).
+    */
+  def maseBaselines(
+      df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
+      seasonLag: Int = 7, unitsPerValue: Double = 1e6): DataFrame = {
+    require(seasonLag >= 2, "seasonal lag must exceed the naive lag")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col(tsCol), col("__vq"))
+    val lagged = df
+      .select(col(seriesCol), col(tsCol).cast("long").as("__t"),
+        microUnits(col(valCol), unitsPerValue).as("__vq"))
+      .withColumnRenamed("__t", tsCol)
+      .withColumn("__d1", abs(col("__vq") - lag(col("__vq"), 1).over(w)))
+      .withColumn("__dm",
+        abs(col("__vq") - lag(col("__vq"), seasonLag).over(w)))
+    lagged.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n"),
+        count(col("__d1")).as("__n1"),
+        sum(col("__d1").cast("decimal(38,0)")).cast("double").as("__s1"),
+        count(col("__dm")).as("__nm"),
+        sum(col("__dm").cast("decimal(38,0)")).cast("double").as("__sm"))
+      // no ROUND: each output is a pure division chain on exact
+      // operands (bit-replayable) — and s/n with a repeating decimal
+      // expansion (n divisible by 3) parks the true value ON a
+      // round-half boundary where engines legitimately disagree
+      .selectExpr(seriesCol, "n",
+        "try_divide(__s1, CAST(__n1 AS DOUBLE)) / " +
+          s"$unitsPerValue AS mae_naive",
+        "try_divide(__sm, CAST(__nm AS DOUBLE)) / " +
+          s"$unitsPerValue AS mae_seasonal",
+        "try_divide(try_divide(__sm, CAST(__nm AS DOUBLE))," +
+          " try_divide(__s1, CAST(__n1 AS DOUBLE))) AS seasonal_ratio")
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

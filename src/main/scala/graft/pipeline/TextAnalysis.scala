@@ -1178,6 +1178,36 @@ object TextAnalysis {
             " CAST(n_words AS DOUBLE))"), 6))
   }
 
+  /** Source-concentration report: the Herfindahl–Hirschman index of
+    * token mass across sources — "is this corpus really diverse, or is
+    * it 80% one crawl?" HHI = Σ(cᵢ/T)² = (Σcᵢ²)/T², so the whole
+    * statistic is exact integer arithmetic (per-source token totals
+    * via one sum of token COUNTS — no explode — then one
+    * |sources|-bounded reduce) with two IEEE ops at the top.
+    * effective_sources = 1/HHI, the equivalent count of equal-mass
+    * sources.
+    *
+    * Output: one row (n_sources, total_tokens, hhi, effective_sources).
+    */
+  def sourceConcentration(
+      docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val perSource = docs
+      .groupBy(col(srcCol))
+      .agg(sum(size(whitespaceTokens(lower(col(textCol))))
+        .cast("long")).as("__t"))
+    perSource.agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("__t")).as("total_tokens"),
+        sum((col("__t") * col("__t")).cast("decimal(38,0)"))
+          .cast("double").as("__sq"))
+      .select(col("n_sources"), col("total_tokens"),
+        round(col("__sq") / (col("total_tokens").cast("double") *
+          col("total_tokens").cast("double")), 6).as("hhi"),
+        round((col("total_tokens").cast("double") *
+          col("total_tokens").cast("double")) / col("__sq"), 6)
+          .as("effective_sources"))
+  }
+
   /** Hapax density per document: the fraction of a document's tokens
     * that occur exactly once in the WHOLE corpus — high density flags
     * OCR noise, codes/hashes, or genuinely novel text; near-zero flags

@@ -3040,6 +3040,27 @@ class PipelineSpec extends SparkSpec {
     assert(got("up") == ((4L, 1.0)) && got("down") == ((4L, -1.0)))
   }
 
+  test("sourceConcentration: HHI of token mass, effective sources") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(("a", "x y z"), ("b", "w")).toDF("source", "text")
+    val r = TextAnalysis.sourceConcentration(docs, "text", "source")
+      .as[(Long, Long, Double, Double)].collect().head
+    // masses 3 and 1: HHI = (9+1)/16 = 0.625, effective = 1.6
+    assert(r == ((2L, 4L, 0.625, 1.6)))
+  }
+
+  test("maseBaselines: alternating series nails the seasonal lag") {
+    import graft.pipeline.Profiler
+    val e = Seq.tabulate(9)(i =>
+      ("alt", i.toLong, if (i % 2 == 0) 0.0 else 1.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val r = Profiler.maseBaselines(e, "sensor_id", "timestamp_us",
+        "value", seasonLag = 2)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    // every 1-step |delta| is 1, every 2-step |delta| is 0
+    assert(r == (("alt", 9L, 1.0, 0.0, 0.0)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
