@@ -7998,6 +7998,108 @@ object Queries {
           EventsAdapter.samples(s, d),
           "sensor_id", "timestamp_us", "value")
         .orderBy("sensor_id")
+    },
+
+    // Cross-sectional fleet outliers: each event z-scored against its
+    // (event-type, day) peers; the |z| cut compares identical doubles
+    // on both engines — no rounding in the predicate.
+    q(
+      "q231_fleet_outliers",
+      """WITH b AS (SELECT event_type AS cohort,
+        |    epoch_us(ts) // 86400000000 AS bucket, event_id, value,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |st AS (SELECT cohort, bucket, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s, CAST(SUM(v * v) AS DOUBLE)
+        |      AS ss
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT cohort, bucket, s / n AS m,
+        |    sqrt((n * ss - s * s) / (n * (n - 1.0))) AS sd FROM st),
+        |j AS (SELECT b.cohort, b.bucket, b.event_id, b.value,
+        |    (CAST(b.v AS DOUBLE) - w.m) / w.sd AS z
+        |  FROM b JOIN w USING (cohort, bucket))
+        |SELECT cohort, bucket, event_id, value, ROUND(z, 6) AS z
+        |FROM j WHERE abs(z) > 3.0 ORDER BY cohort, bucket, event_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.fleetOutliers(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "event_type", "t", "event_id", "value",
+          bucketUs = 86400000000L)
+        .orderBy("cohort", "bucket", "event_id")
+    },
+
+    // Longest consecutive-day streak per user: gaps-and-islands on the
+    // distinct active-day set, all integer.
+    q(
+      "q232_streaks",
+      """WITH dy AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS isl
+        |  FROM dy),
+        |g AS (SELECT user_id, isl, COUNT(*) AS len, MIN(day) AS st
+        |  FROM i GROUP BY 1, 2),
+        |b AS (SELECT user_id, len, st,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, st) AS rk,
+        |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS tot
+        |  FROM g)
+        |SELECT user_id, tot AS n_active_days,
+        |  CAST(len AS BIGINT) AS longest_streak,
+        |  st AS streak_start_day
+        |FROM b WHERE rk = 1 ORDER BY user_id"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.activityStreaks(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "user_id", "t")
+        .orderBy("user_id")
+    },
+
+    // RFM quintile segmentation: one customer aggregate, one 1-row
+    // cutoff broadcast, strictly-greater scoring on identical doubles.
+    q(
+      "q233_rfm",
+      """WITH per AS (SELECT o_custkey,
+        |    MAX(epoch_us(o_orderdate) // 86400000000) AS rec_day,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS mon
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT
+        |    quantile_cont(CAST(rec_day AS DOUBLE),
+        |      [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |    quantile_cont(CAST(freq AS DOUBLE),
+        |      [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |    quantile_cont(CAST(mon AS DOUBLE),
+        |      [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM per),
+        |sc AS (SELECT mon,
+        |    (1 + CAST(CAST(rec_day AS DOUBLE) > rc[1] AS INTEGER)
+        |       + CAST(CAST(rec_day AS DOUBLE) > rc[2] AS INTEGER)
+        |       + CAST(CAST(rec_day AS DOUBLE) > rc[3] AS INTEGER)
+        |       + CAST(CAST(rec_day AS DOUBLE) > rc[4] AS INTEGER))
+        |      * 100
+        |    + (1 + CAST(CAST(freq AS DOUBLE) > fc[1] AS INTEGER)
+        |         + CAST(CAST(freq AS DOUBLE) > fc[2] AS INTEGER)
+        |         + CAST(CAST(freq AS DOUBLE) > fc[3] AS INTEGER)
+        |         + CAST(CAST(freq AS DOUBLE) > fc[4] AS INTEGER)) * 10
+        |    + (1 + CAST(CAST(mon AS DOUBLE) > mc[1] AS INTEGER)
+        |         + CAST(CAST(mon AS DOUBLE) > mc[2] AS INTEGER)
+        |         + CAST(CAST(mon AS DOUBLE) > mc[3] AS INTEGER)
+        |         + CAST(CAST(mon AS DOUBLE) > mc[4] AS INTEGER))
+        |      AS segment
+        |  FROM per CROSS JOIN c)
+        |SELECT segment, COUNT(*) AS n_customers,
+        |  ROUND(CAST(SUM(mon) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 100.0, 6) AS avg_monetary
+        |FROM sc GROUP BY 1 ORDER BY segment"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.rfmSegments(
+          Tables.orders(s, d)
+            .withColumn("t", unix_micros(col("o_orderdate"))),
+          "o_custkey", "t", "o_totalprice")
+        .orderBy("segment")
     }
   )
 

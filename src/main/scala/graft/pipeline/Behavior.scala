@@ -612,6 +612,76 @@ object Behavior {
         round(sum(col("__t")).cast("double"), 6).as("entropy"))
   }
 
+  /** Longest consecutive-day activity streak per user — classic
+    * gaps-and-islands on the distinct active-day set: island id =
+    * day − row_number is constant exactly along a run of consecutive
+    * days. One distinct (user, day) aggregate (calendar-bounded per
+    * user), one user-keyed window, one (user, island) reduce, one
+    * per-user argmax via max-struct (longest, tie → earliest start).
+    * All integer arithmetic.
+    *
+    * Output: (userCol, n_active_days, longest_streak, streak_start_day)
+    * with days as epoch days.
+    */
+  def activityStreaks(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user"),
+        expr(s"`$tsCol` div 86400000000").as("__day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("__day"))
+    val islands = days
+      .withColumn("__isl", col("__day") - row_number().over(w))
+      .groupBy(col("user"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), min(col("__day")).as("__start"))
+    islands.groupBy(col("user").as(userCol))
+      .agg(sum(col("__len")).as("n_active_days"),
+        max(struct(col("__len"), (-col("__start")).as("__ns")))
+          .as("__best"))
+      .select(col(userCol), col("n_active_days"),
+        col("__best.__len").as("longest_streak"),
+        (-col("__best.__ns")).as("streak_start_day"))
+  }
+
+  /** RFM segmentation: customers scored 1..5 on Recency (last order
+    * day), Frequency (order count) and Monetary (exact cent total) by
+    * their position against the corpus quintile cutoffs, then counted
+    * per 3-digit segment — the classic CRM partition, computed with
+    * ONE customer aggregate, one 1-row broadcast of the nine cutoffs,
+    * and one segment count. Scores compare raw values against
+    * interpolated cutoffs as identical doubles on any engine; strictly
+    *-greater against each cutoff makes ties well-defined.
+    *
+    * Output: (segment, n_customers, avg_monetary) — segment =
+    * 100·R + 10·F + M, avg in original currency units, ROUND(6).
+    */
+  def rfmSegments(
+      orders: DataFrame, custCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val per = orders.groupBy(col(custCol))
+      .agg(max(expr(s"`$tsCol` div 86400000000")).as("rec_day"),
+        count(lit(1)).as("freq"),
+        (sum(col(amountCol).cast("decimal(18,2)")) * 100)
+          .cast("long").as("mon"))
+    def cutsOf(c: String) = expr(
+      s"percentile(CAST($c AS DOUBLE), array(0.2D, 0.4D, 0.6D, 0.8D))")
+    val cuts = broadcast(per.agg(cutsOf("rec_day").as("__rc"),
+      cutsOf("freq").as("__fc"), cutsOf("mon").as("__mc")))
+    def score(c: String, cut: String) = (0 to 3)
+      .map(i => s"CAST(CAST($c AS DOUBLE) > $cut[$i] AS INT)")
+      .mkString("1 + ", " + ", "")
+    per.crossJoin(cuts)
+      .withColumn("__seg", expr(
+        s"(${score("rec_day", "__rc")}) * 100" +
+          s" + (${score("freq", "__fc")}) * 10" +
+          s" + (${score("mon", "__mc")})"))
+      .groupBy(col("__seg").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("mon")).cast("double") /
+          count(lit(1)).cast("double") / 100.0, 6).as("avg_monetary"))
+  }
+
   /** Audience-overlap matrix: Jaccard similarity between the distinct
     * user sets of every pair of event types — which behaviours share
     * an audience, the first read before funnel or cohort design.

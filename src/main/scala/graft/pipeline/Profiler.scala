@@ -1639,6 +1639,43 @@ object Profiler {
           " try_divide(__s1, CAST(__n1 AS DOUBLE))) AS seasonal_ratio")
   }
 
+  /** Cross-sectional fleet outliers: each observation z-scored against
+    * its (cohort, time-bucket) peers — the "this sensor disagrees with
+    * the fleet right now" screen, orthogonal to per-series outlier
+    * rules (a sensor can be self-consistent and still wrong). One
+    * (cohort, bucket) stats aggregate (exact µ-unit sums), one keyed
+    * join back, pure IEEE z; the |z| cut compares identical doubles on
+    * any engine — no rounding enters the predicate.
+    *
+    * Output: flagged rows only — (cohort, bucket, idCol, value, z),
+    * z ROUND(6).
+    */
+  def fleetOutliers(
+      df: DataFrame, cohortCol: String, tsCol: String, idCol: String,
+      valCol: String, bucketUs: Long = 3600000000L,
+      zThreshold: Double = 3.0,
+      unitsPerValue: Double = 1e6): DataFrame = {
+    require(zThreshold > 0 && bucketUs > 0, "positive threshold/bucket")
+    val base = df.select(col(cohortCol).as("cohort"),
+      expr(s"`$tsCol` div ${bucketUs}L").as("bucket"),
+      col(idCol), col(valCol),
+      microUnits(col(valCol), unitsPerValue).as("__vq"))
+    val stats = base.groupBy(col("cohort"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__vq").cast("decimal(38,0)")).cast("double").as("__s"),
+        sum((col("__vq") * col("__vq")).cast("decimal(38,0)"))
+          .cast("double").as("__ss"))
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__std", sqrt(expr(
+        "try_divide(__n * __ss - __s * __s, __n * (__n - 1.0))")))
+    base.join(stats, Seq("cohort", "bucket"))
+      .withColumn("__z", expr(
+        "try_divide(CAST(__vq AS DOUBLE) - __mean, __std)"))
+      .filter(abs(col("__z")) > zThreshold)
+      .select(col("cohort"), col("bucket"), col(idCol), col(valCol),
+        round(col("__z"), 6).as("z"))
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

@@ -3061,6 +3061,45 @@ class PipelineSpec extends SparkSpec {
     assert(r == (("alt", 9L, 1.0, 0.0, 0.0)))
   }
 
+  test("fleetOutliers: only the cross-sectional outlier is flagged") {
+    import graft.pipeline.Profiler
+    val e = Seq(1.0, 1.0, 1.0, 1.0, 100.0).zipWithIndex.map {
+      case (v, i) => ("temp", 1000L + i, i.toLong, v)
+    }.toDF("cohort", "t", "event_id", "v")
+    val got = Profiler.fleetOutliers(e, "cohort", "t", "event_id", "v",
+        bucketUs = 3600000000L, zThreshold = 1.5)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._3) == Seq(4L)) // the 100.0 row only
+    assert(got.head._5 > 1.5)
+  }
+
+  test("activityStreaks: islands split on gaps, ties to earliest") {
+    import graft.pipeline.Behavior
+    val day = 86400000000L
+    val e = (Seq(0L, 1L, 2L, 5L, 6L).map(dd => (1L, dd * day)) ++
+      Seq(0L, 1L, 5L, 6L).map(dd => (2L, dd * day)) ++
+      Seq((2L, 1L * day + 5L))) // duplicate day must not extend a run
+      .toDF("user_id", "t")
+    val got = Behavior.activityStreaks(e, "user_id", "t")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 3L, 0L)))
+    assert(got(2L) == ((4L, 2L, 0L))) // two 2-runs: earliest start wins
+  }
+
+  test("rfmSegments: aligned quintiles land on the diagonal segments") {
+    import graft.pipeline.Behavior
+    val day = 86400000000L
+    // customer i: i orders on days 1..i, each of amount 10·i
+    val orders = (1 to 5).flatMap(i => (1 to i).map(j =>
+      (i.toLong, j * day, 10.0 * i))).toDF("cust", "t", "amount")
+    val got = Behavior.rfmSegments(orders, "cust", "t", "amount")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((111, 1L), (222, 1L), (333, 1L), (444, 1L), (555, 1L)))
+    assert(got.last._3 == 250.0) // customer 5: 5 orders × 50.0
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
