@@ -8100,6 +8100,59 @@ object Queries {
             .withColumn("t", unix_micros(col("o_orderdate"))),
           "o_custkey", "t", "o_totalprice")
         .orderBy("segment")
+    },
+
+    // Supplier-concentration HHI per part: exact integer cent weights,
+    // top-k by the RAW double (identical both engines), key tie-break.
+    q(
+      "q234_supplier_hhi",
+      """WITH w AS (SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT l_partkey, COUNT(*) AS n_subgroups,
+        |    CAST(SUM(w) AS BIGINT) AS total_weight,
+        |    CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) AS sq
+        |  FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
+        |h AS (SELECT l_partkey, n_subgroups, total_weight,
+        |    sq / (CAST(total_weight AS DOUBLE)
+        |      * CAST(total_weight AS DOUBLE)) AS hr
+        |  FROM g)
+        |SELECT l_partkey, n_subgroups, total_weight,
+        |  ROUND(hr, 6) AS hhi
+        |FROM h ORDER BY hr DESC, l_partkey LIMIT 20"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.groupedConcentration(
+        Tables.lineitem(s, d)
+          .withColumn("qc",
+            (col("l_quantity").cast("decimal(18,2)") * 100)
+              .cast("long")),
+        "l_partkey", "l_suppkey", "qc", minSubgroups = 2, k = 20)
+    },
+
+    // Ship lead-time quantiles by order priority: integer day deltas
+    // over the orderkey join; grouped exact/approx percentile split.
+    q(
+      "q235_leadtime",
+      """WITH j AS (SELECT o.o_orderpriority AS prio,
+        |    CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |      // 86400000000 AS DOUBLE) AS lead_days
+        |  FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT prio, COUNT(*) AS n,
+        |  ROUND(quantile_cont(lead_days, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(lead_days, 0.9), 6) AS p90
+        |FROM j GROUP BY 1 ORDER BY prio"""
+    ) { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
+            " div 86400000000").as("lead_days"))
+      graft.pipeline.Profiler.quantileProfileGrouped(
+          j, "prio", "lead_days", probs = Seq(0.5, 0.9), exact = true)
+        .orderBy("prio")
     }
   )
 

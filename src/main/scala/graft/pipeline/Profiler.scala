@@ -1676,6 +1676,38 @@ object Profiler {
         round(col("__z"), 6).as("z"))
   }
 
+  /** Grouped concentration (HHI) of an integer weight across
+    * subgroups within each group — "which parts depend on one
+    * supplier", "which topics are one-source". HHI = (Σc²)/T² per
+    * group, exact integer arithmetic (one (group, subgroup) weight
+    * aggregate, one group reduce), top-k most concentrated via
+    * TakeOrderedAndProject on the RAW double (identical on any
+    * engine; display value is rounded separately), group-key
+    * tie-break.
+    *
+    * Output: (groupCol, n_subgroups, total_weight, hhi), k rows,
+    * groups with ≥ minSubgroups subgroups only.
+    */
+  def groupedConcentration(
+      df: DataFrame, groupCol: String, subCol: String,
+      weightCol: String, minSubgroups: Int = 2, k: Int = 20): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(subCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    per.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_subgroups"),
+        sum(col("__w")).as("total_weight"),
+        sum((col("__w") * col("__w")).cast("decimal(38,0)"))
+          .cast("double").as("__sq"))
+      .filter(col("n_subgroups") >= minSubgroups)
+      .withColumn("__hhi", col("__sq") /
+        (col("total_weight").cast("double") *
+          col("total_weight").cast("double")))
+      .orderBy(col("__hhi").desc, col(groupCol))
+      .limit(k)
+      .select(col(groupCol), col("n_subgroups"), col("total_weight"),
+        round(col("__hhi"), 6).as("hhi"))
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

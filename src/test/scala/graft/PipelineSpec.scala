@@ -3100,6 +3100,21 @@ class PipelineSpec extends SparkSpec {
     assert(got.last._3 == 250.0) // customer 5: 5 orders × 50.0
   }
 
+  test("groupedConcentration: monopoly 1.0, even split 1/k, top-k") {
+    import graft.pipeline.Profiler
+    val df = Seq(
+      ("mono", "s1", 10L), ("mono", "s1", 5L),
+      ("even", "s1", 6L), ("even", "s2", 6L), ("even", "s3", 6L),
+      ("solo", "s1", 99L)) // below minSubgroups: excluded
+      .toDF("g", "sub", "w")
+    val got = Profiler.groupedConcentration(df, "g", "sub", "w",
+        minSubgroups = 2, k = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // "mono" has ONE subgroup → excluded too; only "even" qualifies
+    val r6 = math.rint(1.0 / 3.0 * 1e6) / 1e6
+    assert(got == Seq(("even", 3L, 18L, r6)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
