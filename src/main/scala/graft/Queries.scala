@@ -8153,6 +8153,90 @@ object Queries {
       graft.pipeline.Profiler.quantileProfileGrouped(
           j, "prio", "lead_days", probs = Seq(0.5, 0.9), exact = true)
         .orderBy("prio")
+    },
+
+    // Brand price index: per-(brand, month) unit price relative to the
+    // brand's own first month — ratios of ratios of exact cent sums,
+    // part dim broadcast.
+    q(
+      "q236_price_index",
+      """WITH j AS (SELECT p.p_brand AS brand,
+        |    CAST(date_part('year', l.l_shipdate) * 100
+        |      + date_part('month', l.l_shipdate) AS INTEGER) AS yyyymm,
+        |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS ext,
+        |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT brand, MIN(yyyymm) AS m0 FROM j GROUP BY 1),
+        |bs AS (SELECT j.brand, j.ext AS ext0, j.qty AS qty0
+        |  FROM j JOIN b ON j.brand = b.brand AND j.yyyymm = b.m0)
+        |SELECT j.brand AS brand, j.yyyymm,
+        |  ROUND((CAST(j.ext AS DOUBLE) / CAST(j.qty AS DOUBLE))
+        |    / (CAST(bs.ext0 AS DOUBLE) / CAST(bs.qty0 AS DOUBLE)), 6)
+        |    AS price_index
+        |FROM j JOIN bs ON j.brand = bs.brand
+        |ORDER BY j.brand, yyyymm"""
+    ) { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("int").as("yyyymm"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") * 100))
+          .cast("long").as("ext"),
+          (sum(col("l_quantity").cast("decimal(18,2)") * 100))
+            .cast("long").as("qty"))
+      val base = j.groupBy(col("brand"))
+        .agg(min(col("yyyymm")).as("m0"))
+        .withColumnRenamed("brand", "b0")
+      val bs = j.as("x").join(base,
+          col("x.brand") === col("b0") && col("x.yyyymm") === col("m0"))
+        .select(col("x.brand").as("bbrand"), col("x.ext").as("ext0"),
+          col("x.qty").as("qty0"))
+      j.join(broadcast(bs), col("brand") === col("bbrand"))
+        .select(col("brand"), col("yyyymm"),
+          round((col("ext").cast("double") / col("qty").cast("double"))
+            / (col("ext0").cast("double") / col("qty0").cast("double")),
+            6).as("price_index"))
+        .orderBy("brand", "yyyymm")
+    },
+
+    // Brand markdown: realized vs listed value (Σ ext / Σ qty·retail),
+    // exact DECIMAL sums, part dim broadcast.
+    q(
+      "q237_brand_markdown",
+      """WITH j AS (SELECT p.p_brand AS brand, COUNT(*) AS n_lines,
+        |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sold,
+        |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))
+        |      * CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS listed
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1)
+        |SELECT brand, n_lines, sold, listed,
+        |  ROUND(sold / listed, 6) AS realized_ratio,
+        |  ROUND(1.0::DOUBLE - sold / listed, 6) AS markdown
+        |FROM j ORDER BY brand"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sold"),
+          sum(col("l_quantity").cast("decimal(18,2)") *
+            col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double").as("listed"))
+        .select(col("brand"), col("n_lines"), col("sold"),
+          col("listed"),
+          round(col("sold") / col("listed"), 6).as("realized_ratio"),
+          round(lit(1.0) - col("sold") / col("listed"), 6)
+            .as("markdown"))
+        .orderBy("brand")
     }
   )
 
