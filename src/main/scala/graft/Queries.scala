@@ -8237,6 +8237,71 @@ object Queries {
           round(lit(1.0) - col("sold") / col("listed"), 6)
             .as("markdown"))
         .orderBy("brand")
+    },
+
+    // ABC/Pareto classification of parts by revenue: whole computation
+    // on the distinct-revenue table (tie blocks share the
+    // strictly-above mass), cross-multiplied integer class cuts.
+    q(
+      "q238_abc_parts",
+      """WITH pr AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |vc AS (SELECT r AS v, COUNT(*) AS m FROM pr GROUP BY 1),
+        |rk AS (SELECT v, m, v * m AS mass,
+        |    CAST(COALESCE(SUM(v * m) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS abv
+        |  FROM vc),
+        |t AS (SELECT CAST(SUM(v * m) AS BIGINT) AS tt FROM vc),
+        |c AS (SELECT CASE
+        |      WHEN (abv + v) * 5 <= tt * 4 THEN 'A'
+        |      WHEN (abv + v) * 20 <= tt * 19 THEN 'B'
+        |      ELSE 'C' END AS abc_class,
+        |    m, mass, tt
+        |  FROM rk CROSS JOIN t)
+        |SELECT abc_class, CAST(SUM(m) AS BIGINT) AS n_entities,
+        |  CAST(SUM(mass) AS BIGINT) AS value_total,
+        |  ROUND(CAST(SUM(mass) AS DOUBLE) / CAST(MAX(tt) AS DOUBLE),
+        |    6) AS share
+        |FROM c GROUP BY 1 ORDER BY abc_class"""
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") * 100))
+          .cast("long").as("r"))
+      graft.pipeline.Profiler.abcClassification(rev, "r")
+        .orderBy("abc_class")
+    },
+
+    // Order-gap churn risk: days since last order vs the customer's
+    // OWN median inter-order gap; predicate on identical doubles.
+    q(
+      "q239_churn_risk",
+      """WITH dy AS (SELECT DISTINCT o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+        |g AS (SELECT o_custkey, day,
+        |    day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day)
+        |      AS gp
+        |  FROM dy),
+        |a AS (SELECT o_custkey, COUNT(gp) AS n_gaps,
+        |    quantile_cont(CAST(gp AS DOUBLE), 0.5) AS med,
+        |    MAX(day) AS last FROM g GROUP BY 1),
+        |h AS (SELECT MAX(day) AS horizon FROM dy)
+        |SELECT o_custkey, n_gaps, ROUND(med, 6) AS median_gap_days,
+        |  CAST(horizon - last AS BIGINT) AS days_since_last,
+        |  ROUND(CAST(horizon - last AS DOUBLE) / med, 6) AS risk_ratio
+        |FROM a CROSS JOIN h
+        |WHERE med IS NOT NULL AND med > 0
+        |  AND CAST(horizon - last AS DOUBLE) / med > 2.0
+        |ORDER BY o_custkey"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.orderGapRisk(
+          Tables.orders(s, d)
+            .withColumn("t", unix_micros(col("o_orderdate"))),
+          "o_custkey", "t")
+        .orderBy("o_custkey")
     }
   )
 

@@ -682,6 +682,45 @@ object Behavior {
           count(lit(1)).cast("double") / 100.0, 6).as("avg_monetary"))
   }
 
+  /** Order-gap churn risk: flag customers whose time since their last
+    * order exceeds `riskFactor`× their own median inter-order gap —
+    * the personalized-baseline churn screen (a weekly shopper gone a
+    * month is at risk; a quarterly one is not). One distinct
+    * (customer, day) reduce, one customer-keyed LAG window, one
+    * customer aggregate (median over the customer's own bounded gap
+    * list), a 1-row horizon broadcast. The risk predicate compares
+    * identical doubles on any engine.
+    *
+    * Output: flagged customers only — (custCol, n_gaps,
+    * median_gap_days, days_since_last, risk_ratio), ROUND(6) on the
+    * ratio/median.
+    */
+  def orderGapRisk(
+      orders: DataFrame, custCol: String, tsCol: String,
+      riskFactor: Double = 2.0): DataFrame = {
+    val days = orders
+      .select(col(custCol), expr(s"`$tsCol` div 86400000000").as("__day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(custCol)).orderBy(col("__day"))
+    val gaps = days
+      .withColumn("__gp", col("__day") - lag(col("__day"), 1).over(w))
+    val per = gaps.groupBy(col(custCol))
+      .agg(count(col("__gp")).as("n_gaps"),
+        expr("percentile(CAST(__gp AS DOUBLE), 0.5D)").as("__med"),
+        max(col("__day")).as("__last"))
+    val horizon = broadcast(days.agg(max(col("__day")).as("__h")))
+    per.crossJoin(horizon)
+      .withColumn("__risk",
+        (col("__h") - col("__last")).cast("double") / col("__med"))
+      .filter(col("__med").isNotNull && col("__med") > 0 &&
+        col("__risk") > riskFactor)
+      .select(col(custCol), col("n_gaps"),
+        round(col("__med"), 6).as("median_gap_days"),
+        (col("__h") - col("__last")).as("days_since_last"),
+        round(col("__risk"), 6).as("risk_ratio"))
+  }
+
   /** Audience-overlap matrix: Jaccard similarity between the distinct
     * user sets of every pair of event types — which behaviours share
     * an audience, the first read before funnel or cohort design.

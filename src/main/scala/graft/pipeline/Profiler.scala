@@ -1708,6 +1708,64 @@ object Profiler {
         round(col("__hhi"), 6).as("hhi"))
   }
 
+  /** ABC (Pareto) classification of entities by an integer value:
+    * class A = entities whose cumulative value (mass strictly above
+    * them, plus their own) stays within 80% of the total, B within
+    * 95%, C the tail — the inventory/effort-prioritization classic.
+    *
+    * Entirely on the distinct-VALUE table: every entity in a tie block
+    * shares the same strictly-above mass, so its class is a pure
+    * integer comparison (cum·5 ≤ T·4, cum·20 ≤ T·19 — cross-multiplied,
+    * no float anywhere) and no per-entity ranking ever happens. The
+    * strictly-above prefix uses the bucketed carry ([[valueRanks]] on
+    * the negated value, mass-weighted).
+    *
+    * Output: (abc_class, n_entities, value_total, share), share
+    * ROUND(6), classes present in the data only, ordered A→C.
+    */
+  def abcClassification(
+      df: DataFrame, valueCol: String, buckets: Int = 1024): DataFrame = {
+    val vc = df.select((-col(valueCol).cast("long")).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__m"))
+      .withColumn("__mass", (-col("__v")) * col("__m"))
+    val bounds = broadcast(vc.agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi")))
+    val bucketed = vc.crossJoin(bounds).withColumn("__bucket",
+      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+        least(lit(buckets - 1L),
+          floor((col("__v") - col("__lo")).cast("double") /
+            ((col("__hi") - col("__lo")).cast("double") / buckets))
+            .cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("__v"))
+      .rowsBetween(Long.MinValue, -1)
+    val run = bucketed.withColumn("__min",
+      coalesce(sum(col("__mass")).over(wIn), lit(0L)))
+    val totals = run.groupBy(col("__bucket"))
+      .agg(sum(col("__mass")).as("__tot"))
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bucket")).rowsBetween(Long.MinValue, -1)
+    val carried = totals.withColumn("__carry",
+      coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+    val tot = broadcast(run.agg(sum(col("__mass")).as("__T")))
+    run
+      .join(broadcast(carried.select(col("__bucket"), col("__carry"))),
+        "__bucket")
+      .crossJoin(tot)
+      .withColumn("__cum",
+        col("__carry") + col("__min") + (-col("__v")))
+      .withColumn("abc_class",
+        when(col("__cum") * 5 <= col("__T") * 4, lit("A"))
+          .when(col("__cum") * 20 <= col("__T") * 19, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("abc_class"))
+      .agg(sum(col("__m")).as("n_entities"),
+        sum(col("__mass")).as("value_total"),
+        round(sum(col("__mass")).cast("double") /
+          max(col("__T")).cast("double"), 6).as("share"))
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

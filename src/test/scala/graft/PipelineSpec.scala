@@ -3115,6 +3115,32 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(("even", 3L, 18L, r6)))
   }
 
+  test("abcClassification: class cuts at 80/95, tie blocks share class") {
+    import graft.pipeline.Profiler
+    val df = Seq(80L, 10L, 5L, 4L, 1L).toDF("v")
+    val got = Profiler.abcClassification(df, "v")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("A") == ((1L, 80L, 0.8)))
+    assert(got("B") == ((2L, 15L, 0.15)))
+    assert(got("C") == ((2L, 5L, 0.05)))
+  }
+
+  test("orderGapRisk: flags only lapses vs the customer's own rhythm") {
+    import graft.pipeline.Behavior
+    val day = 86400000000L
+    val orders = (
+      Seq(0L, 10L, 20L, 30L).map(dd => (1L, dd * day)) ++
+      Seq(0L, 5L, 100L).map(dd => (2L, dd * day)) ++
+      Seq((3L, 40L * day))) // single order: no baseline, excluded
+      .toDF("cust", "t")
+    val got = Behavior.orderGapRisk(orders, "cust", "t")
+      .as[(Long, Long, Double, Long, Double)].collect().toSeq
+    // cust 1: median gap 10, silent 70 days → ratio 7; cust 2 ordered
+    // at the horizon → ratio 0
+    assert(got == Seq((1L, 3L, 10.0, 70L, 7.0)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
