@@ -8302,6 +8302,73 @@ object Queries {
             .withColumn("t", unix_micros(col("o_orderdate"))),
           "o_custkey", "t")
         .orderBy("o_custkey")
+    },
+
+    // Cohort LTV curve: exact cent revenue per (first-order-month
+    // cohort, month offset), running total over the months-bounded
+    // grid, one division by cohort size.
+    q(
+      "q240_ltv_curve",
+      """WITH b AS (SELECT o_custkey AS cust,
+        |    CAST(date_part('year', o_orderdate) * 12
+        |      + date_part('month', o_orderdate) - 1 AS BIGINT) AS mi,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |ch AS (SELECT cust, MIN(mi) AS c0 FROM b GROUP BY 1),
+        |sz AS (SELECT c0 AS cohort_month, COUNT(*) AS n_customers
+        |  FROM ch GROUP BY 1),
+        |cl AS (SELECT ch.c0 AS cohort_month, b.mi - ch.c0
+        |      AS month_offset,
+        |    CAST(SUM(b.cents) AS BIGINT) AS revenue_cents
+        |  FROM b JOIN ch ON b.cust = ch.cust GROUP BY 1, 2),
+        |r AS (SELECT cl.cohort_month, cl.month_offset,
+        |    sz.n_customers, cl.revenue_cents,
+        |    CAST(SUM(cl.revenue_cents) OVER (
+        |      PARTITION BY cl.cohort_month ORDER BY cl.month_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cents
+        |  FROM cl JOIN sz ON cl.cohort_month = sz.cohort_month)
+        |SELECT cohort_month, month_offset, n_customers, revenue_cents,
+        |  cum_cents,
+        |  ROUND(CAST(cum_cents AS DOUBLE)
+        |    / CAST(n_customers AS DOUBLE) / 100.0, 6) AS avg_ltv
+        |FROM r ORDER BY cohort_month, month_offset"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.ltvCurve(
+          Tables.orders(s, d), "o_custkey", "o_orderdate",
+          "o_totalprice")
+        .orderBy("cohort_month", "month_offset")
+    },
+
+    // New-vs-returning monthly revenue split: "new" = the customer's
+    // first-order month; conditional exact cent sums.
+    q(
+      "q241_new_vs_returning",
+      """WITH b AS (SELECT o_custkey AS cust,
+        |    CAST(date_part('year', o_orderdate) * 12
+        |      + date_part('month', o_orderdate) - 1 AS BIGINT) AS mi,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |ch AS (SELECT cust, MIN(mi) AS c0 FROM b GROUP BY 1)
+        |SELECT b.mi AS month_idx, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN b.mi = ch.c0 THEN b.cents ELSE 0 END)
+        |    AS BIGINT) AS rev_new_cents,
+        |  CAST(SUM(CASE WHEN b.mi <> ch.c0 THEN b.cents ELSE 0 END)
+        |    AS BIGINT) AS rev_returning_cents,
+        |  ROUND(CAST(SUM(CASE WHEN b.mi = ch.c0 THEN b.cents ELSE 0
+        |      END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN b.mi = ch.c0 THEN b.cents ELSE 0 END)
+        |       + SUM(CASE WHEN b.mi <> ch.c0 THEN b.cents ELSE 0 END)
+        |      AS DOUBLE), 6) AS new_share
+        |FROM b JOIN ch ON b.cust = ch.cust
+        |GROUP BY 1 ORDER BY month_idx"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.newVsReturning(
+          Tables.orders(s, d), "o_custkey", "o_orderdate",
+          "o_totalprice")
+        .orderBy("month_idx")
     }
   )
 

@@ -721,6 +721,81 @@ object Behavior {
         round(col("__risk"), 6).as("risk_ratio"))
   }
 
+  /** Cohort LTV curve: average cumulative spend per customer by
+    * cohort age — customers cohorted by their first-order month, each
+    * (cohort, month-offset) cell accumulating exact cent revenue, the
+    * running total over offsets per cohort (a calendar-bounded window)
+    * divided once by the cohort size. The "does a cohort ever pay
+    * back" curve.
+    *
+    * Scale shape: one customer aggregate (cohort), one (cohort,
+    * offset) revenue reduce joined through a customer-keyed cohort
+    * map, cohort sizes re-aggregated from the map; the only window
+    * runs over the months-bounded (cohort, offset) grid.
+    *
+    * Output: (cohort_month, month_offset, n_customers, revenue_cents,
+    * cum_cents, avg_ltv) — avg in currency units, ROUND(6).
+    */
+  def ltvCurve(
+      orders: DataFrame, custCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val monthIdx = expr(s"year(`$tsCol`) * 12 + month(`$tsCol`) - 1")
+      .cast("long")
+    val base = orders.select(col(custCol).as("cust"),
+      monthIdx.as("__mi"),
+      (col(amountCol).cast("decimal(18,2)") * 100).cast("long")
+        .as("__cents"))
+    val cohort = base.groupBy(col("cust"))
+      .agg(min(col("__mi")).as("__c0"))
+    val sizes = cohort.groupBy(col("__c0").as("cohort_month"))
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = base.join(cohort, "cust")
+      .groupBy(col("__c0").as("cohort_month"),
+        (col("__mi") - col("__c0")).as("month_offset"))
+      .agg(sum(col("__cents")).as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_month")).orderBy(col("month_offset"))
+      .rowsBetween(Long.MinValue, 0)
+    cells.join(broadcast(sizes), "cohort_month")
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .withColumn("avg_ltv",
+        round(col("cum_cents").cast("double") /
+          col("n_customers").cast("double") / 100.0, 6))
+  }
+
+  /** New-vs-returning revenue split per month: an order counts as
+    * "new" iff it falls in its customer's first-order month. One
+    * customer cohort aggregate joined back (customer-keyed), one
+    * month reduce with conditional exact cent sums; shares are single
+    * divisions, ROUND(6).
+    *
+    * Output: (month_idx, n_orders, rev_new_cents, rev_returning_cents,
+    * new_share).
+    */
+  def newVsReturning(
+      orders: DataFrame, custCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val monthIdx = expr(s"year(`$tsCol`) * 12 + month(`$tsCol`) - 1")
+      .cast("long")
+    val base = orders.select(col(custCol).as("cust"),
+      monthIdx.as("__mi"),
+      (col(amountCol).cast("decimal(18,2)") * 100).cast("long")
+        .as("__cents"))
+    val cohort = base.groupBy(col("cust"))
+      .agg(min(col("__mi")).as("__c0"))
+    base.join(cohort, "cust")
+      .groupBy(col("__mi").as("month_idx"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("__mi") === col("__c0"), col("__cents"))
+          .otherwise(lit(0L))).as("rev_new_cents"),
+        sum(when(col("__mi") =!= col("__c0"), col("__cents"))
+          .otherwise(lit(0L))).as("rev_returning_cents"))
+      .withColumn("new_share",
+        round(col("rev_new_cents").cast("double") /
+          (col("rev_new_cents") + col("rev_returning_cents"))
+            .cast("double"), 6))
+  }
+
   /** Audience-overlap matrix: Jaccard similarity between the distinct
     * user sets of every pair of event types — which behaviours share
     * an audience, the first read before funnel or cohort design.

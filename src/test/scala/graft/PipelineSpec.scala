@@ -3141,6 +3141,34 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 10.0, 70L, 7.0)))
   }
 
+  test("ltvCurve and newVsReturning: cohorts accumulate exactly") {
+    import graft.pipeline.Behavior
+    def ts(y: Int, m: Int) = java.sql.Timestamp.valueOf(
+      f"$y-$m%02d-15 00:00:00")
+    val orders = Seq(
+      (1L, ts(2024, 1), 10.0), (1L, ts(2024, 2), 20.0),
+      (2L, ts(2024, 1), 5.0),
+      (3L, ts(2024, 2), 7.0))
+      .toDF("cust", "t", "amount")
+    val ltv = Behavior.ltvCurve(orders, "cust", "t", "amount")
+      .select("cohort_month", "month_offset", "n_customers",
+        "revenue_cents", "cum_cents", "avg_ltv")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val jan = 2024 * 12 + 0
+    // Jan cohort (u1, u2): offset 0 rev 1500c, offset 1 rev 2000c
+    assert(ltv((jan, 0L)) == ((2L, 1500L, 1500L, 7.5)))
+    assert(ltv((jan, 1L)) == ((2L, 2000L, 3500L, 17.5)))
+    assert(ltv((jan + 1, 0L)) == ((1L, 700L, 700L, 7.0)))
+    val nvr = Behavior.newVsReturning(orders, "cust", "t", "amount")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(nvr(jan.toLong) == ((2L, 1500L, 0L, 1.0)))
+    // Feb: u3's 700c is new, u1's 2000c returns
+    assert(nvr(jan + 1L) ==
+      ((2L, 700L, 2000L, math.rint(700.0 / 2700.0 * 1e6) / 1e6)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
