@@ -8369,6 +8369,46 @@ object Queries {
           Tables.orders(s, d), "o_custkey", "o_orderdate",
           "o_totalprice")
         .orderBy("month_idx")
+    },
+
+    // Number-masked template clusters: digit runs collapse to '#',
+    // masked-hash groups with >1 doc and >1 raw variant.
+    q(
+      "q242_templates",
+      """WITH m AS (SELECT doc_id, text,
+        |    md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS h
+        |  FROM documents),
+        |g AS (SELECT h, MIN(doc_id) AS template_id, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT text) AS n_variants
+        |  FROM m GROUP BY 1)
+        |SELECT template_id, n_docs, n_variants
+        |FROM g WHERE n_docs > 1 AND n_variants > 1
+        |ORDER BY template_id"""
+    ) { (s, d) =>
+      TextAnalysis.templateClusters(
+          Tables.documents(s, d), "text", "doc_id")
+        .orderBy("template_id")
+    },
+
+    // Audience discovery curve per event type: first-seen users per
+    // day + cumulative uniques over the span-bounded day grid.
+    q(
+      "q243_discovery_curve",
+      """WITH fd AS (SELECT event_type, user_id,
+        |    MIN(epoch_us(ts) // 86400000000) AS d0
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT event_type, d0 AS day, COUNT(*) AS n_new
+        |  FROM fd GROUP BY 1, 2)
+        |SELECT event_type, day, n_new,
+        |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM nd ORDER BY event_type, day"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.discoveryCurve(
+          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+          "event_type", "user_id", "t")
+        .orderBy("event_type", "day")
     }
   )
 

@@ -796,6 +796,31 @@ object Behavior {
             .cast("double"), 6))
   }
 
+  /** Audience discovery curve: per cohort key, how many users were
+    * seen for the FIRST time each day, and the cumulative unique-user
+    * count — the saturation curve behind "is this source still finding
+    * new people". One (key, user) first-day aggregate (map-side
+    * combined), one (key, day) reduce, a running sum over the
+    * span-bounded day grid. All integer.
+    *
+    * Output: (keyCol, day, n_new, cum_users) — day in epoch days.
+    */
+  def discoveryCurve(
+      events: DataFrame, keyCol: String, userCol: String,
+      tsCol: String): DataFrame = {
+    val firstDay = events
+      .select(col(keyCol), col(userCol).as("__u"),
+        expr(s"`$tsCol` div 86400000000").as("__day"))
+      .groupBy(col(keyCol), col("__u"))
+      .agg(min(col("__day")).as("__d0"))
+    firstDay.groupBy(col(keyCol), col("__d0").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("day"))
+          .rowsBetween(Long.MinValue, 0)))
+  }
+
   /** Audience-overlap matrix: Jaccard similarity between the distinct
     * user sets of every pair of event types — which behaviours share
     * an audience, the first read before funnel or cohort design.

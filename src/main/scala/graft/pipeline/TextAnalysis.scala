@@ -1208,6 +1208,30 @@ object TextAnalysis {
           .as("effective_sources"))
   }
 
+  /** Number-masked template clusters: documents identical after every
+    * digit run collapses to '#' — the generated-boilerplate detector
+    * (log lines, receipts, SEO spam) that exact dedup misses because
+    * the numbers differ. One masked-hash aggregate; clusters keep
+    * their smallest doc id as a stable representative. Groups that are
+    * exact duplicates anyway (one distinct raw text) are excluded —
+    * those belong to the exact-dedup pass.
+    *
+    * Output: (template_id, n_docs, n_variants) for clusters with > 1
+    * doc and > 1 raw variant.
+    */
+  def templateClusters(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val masked = regexp_replace(col(textCol), "[0-9]+", "#")
+    docs
+      .select(col(idCol), col(textCol), md5(masked).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("template_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(textCol)).as("n_variants"))
+      .filter(col("n_docs") > 1 && col("n_variants") > 1)
+      .select(col("template_id"), col("n_docs"), col("n_variants"))
+  }
+
   /** Hapax density per document: the fraction of a document's tokens
     * that occur exactly once in the WHOLE corpus — high density flags
     * OCR noise, codes/hashes, or genuinely novel text; near-zero flags

@@ -3169,6 +3169,34 @@ class PipelineSpec extends SparkSpec {
       ((2L, 700L, 2000L, math.rint(700.0 / 2700.0 * 1e6) / 1e6)))
   }
 
+  test("templateClusters: digit-masked equivalence, exact dups excluded") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "order 123 shipped"), (2L, "order 9 shipped"),
+      (3L, "order 123 shipped"), // raw duplicate of 1
+      (4L, "hello world"), (5L, "hello world")) // exact-dup only group
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.templateClusters(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1,2,3 share the masked form with TWO raw variants; the
+    // "hello world" pair is an exact-dup group → excluded
+    assert(got == Seq((1L, 3L, 2L)))
+  }
+
+  test("discoveryCurve: first-seen days accumulate per key") {
+    import graft.pipeline.Behavior
+    val day = 86400000000L
+    val e = Seq(
+      ("A", 1L, 0L), ("A", 1L, 5 * day), // user 1 repeat: not new
+      ("A", 2L, 0L), ("A", 3L, 2 * day),
+      ("B", 1L, 3 * day))
+      .toDF("k", "u", "t")
+    val got = Behavior.discoveryCurve(e, "k", "u", "t")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 0L, 2L, 2L), ("A", 2L, 1L, 3L),
+      ("B", 3L, 1L, 1L)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
