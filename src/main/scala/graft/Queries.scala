@@ -8409,6 +8409,56 @@ object Queries {
           Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
           "event_type", "user_id", "t")
         .orderBy("event_type", "day")
+    },
+
+    // Daily percentile bands — the monitoring chart's data: per-day
+    // p10/p50/p90 of the metric, grouped exact/approx split.
+    q(
+      "q244_percentile_bands",
+      """SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n,
+        |  ROUND(quantile_cont(value, 0.1), 6) AS p10,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY 1 ORDER BY day"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.quantileProfileGrouped(
+          Tables.events(s, d)
+            .withColumn("day", expr(
+              "unix_micros(ts) div 86400000000")),
+          "day", "value", probs = Seq(0.1, 0.5, 0.9), exact = true)
+        .orderBy("day")
+    },
+
+    // Week-over-week top movers: per-(type, day) counts, shifted
+    // self-join at −7 days, top 10 by |relative change| on the raw
+    // double with (type, day) tie-break.
+    q(
+      "q245_top_movers",
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.day, a.n, b.n AS n_prev,
+        |    CAST(a.n AS DOUBLE) / CAST(b.n AS DOUBLE) - 1.0::DOUBLE
+        |      AS chg
+        |  FROM c a JOIN c b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 7)
+        |SELECT event_type, day, n, n_prev, ROUND(chg, 6) AS change
+        |FROM j ORDER BY abs(chg) DESC, event_type, day LIMIT 10"""
+    ) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val prev = c.select(col("event_type"),
+        (col("day") + 7).as("day"), col("n").as("n_prev"))
+      c.join(prev, Seq("event_type", "day"))
+        .withColumn("__chg",
+          col("n").cast("double") / col("n_prev").cast("double") -
+            lit(1.0))
+        .orderBy(abs(col("__chg")).desc, col("event_type"), col("day"))
+        .limit(10)
+        .select(col("event_type"), col("day"), col("n"), col("n_prev"),
+          round(col("__chg"), 6).as("change"))
     }
   )
 
