@@ -8459,8 +8459,42 @@ object Queries {
         .limit(10)
         .select(col("event_type"), col("day"), col("n"), col("n_prev"),
           round(col("__chg"), 6).as("change"))
+    },
+
+    // Length-bucket mix: power-of-two token-length buckets from an
+    // integer CASE chain (float log2 is not power-exact on every
+    // engine); doc and token shares per bucket.
+    q("q246_length_mix", lengthMixOracleSql) { (s, d) =>
+      TextAnalysis.lengthBucketMix(
+          Tables.documents(s, d), "text")
+        .orderBy("len_bucket_lo")
     }
   )
+
+  /** Oracle for q246: the same descending power-of-two CASE chain as
+    * [[TextAnalysis.pow2BucketSql]], generated from the same exponent
+    * range so the two surfaces cannot drift.
+    */
+  private lazy val lengthMixOracleSql: String = {
+    val cases = (30 to 1 by -1)
+      .map(k => s"WHEN n >= ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+    s"""WITH t AS (SELECT CAST(len(string_split_regex(
+       |    trim(lower(text)), '\\s+')) AS BIGINT) AS n FROM documents),
+       |f AS (SELECT n FROM t WHERE n > 0),
+       |b AS (SELECT CAST($cases AS BIGINT) AS len_bucket_lo, n FROM f),
+       |g AS (SELECT len_bucket_lo, COUNT(*) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS total_tokens
+       |  FROM b GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS td, CAST(SUM(n) AS BIGINT) AS tt
+       |  FROM f)
+       |SELECT len_bucket_lo, n_docs, total_tokens,
+       |  ROUND(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6)
+       |    AS doc_share,
+       |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+       |    AS token_share
+       |FROM g CROSS JOIN tot ORDER BY len_bucket_lo""".stripMargin
+  }
 
   /** Per-(session, sfDir) streaming-source dumps for q219 (bounded:
     * one small parquet per scale factor per JVM).

@@ -1232,6 +1232,45 @@ object TextAnalysis {
       .select(col("template_id"), col("n_docs"), col("n_variants"))
   }
 
+  /** Length-bucket mix report: documents bucketed by the power-of-two
+    * range of their token count, with document and token shares per
+    * bucket — the batch-shape planning input for sequence packing
+    * (which context lengths dominate, where the padding waste will
+    * be). Buckets come from a descending integer CASE chain (see
+    * [[pow2BucketSql]] — never a float log); all counts integer,
+    * shares single divisions, ROUND(6).
+    *
+    * Output: (len_bucket_lo, n_docs, total_tokens, doc_share,
+    * token_share) — bucket [2^k, 2^{k+1}) keyed by its lower edge.
+    */
+  /** Lower power-of-two edge of n's bucket as a pure integer CASE
+    * chain over descending edges — float log2 is NOT exact at powers
+    * of two on every engine (ln(x)/ln(2) lands at k−ulp), so the
+    * boundary stays in integer comparisons. `maxExp` bounds the chain.
+    */
+  private[graft] def pow2BucketSql(
+      nExpr: String, maxExp: Int = 30): String =
+    (maxExp to 1 by -1)
+      .map(k => s"WHEN $nExpr >= ${1L << k} THEN ${1L << k}L")
+      .mkString("CASE ", " ", " ELSE 1L END")
+
+  def lengthBucketMix(
+      docs: DataFrame, textCol: String): DataFrame = {
+    val n = size(whitespaceTokens(lower(col(textCol)))).cast("long")
+    docs.select(n.as("__n")).filter(col("__n") > 0)
+      .withColumn("__b", expr(pow2BucketSql("__n")))
+      .groupBy(col("__b").as("len_bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("total_tokens"))
+      .crossJoin(broadcast(
+        docs.select(n.as("__n2")).filter(col("__n2") > 0)
+          .agg(count(lit(1)).as("__td"), sum(col("__n2")).as("__tt"))))
+      .select(col("len_bucket_lo"), col("n_docs"), col("total_tokens"),
+        round(col("n_docs").cast("double") / col("__td").cast("double"),
+          6).as("doc_share"),
+        round(col("total_tokens").cast("double") /
+          col("__tt").cast("double"), 6).as("token_share"))
+  }
+
   /** Hapax density per document: the fraction of a document's tokens
     * that occur exactly once in the WHOLE corpus — high density flags
     * OCR noise, codes/hashes, or genuinely novel text; near-zero flags

@@ -3197,6 +3197,21 @@ class PipelineSpec extends SparkSpec {
       ("B", 3L, 1L, 1L)))
   }
 
+  test("lengthBucketMix: power-of-two edges, boundary values exact") {
+    import graft.pipeline.TextAnalysis
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // lengths 1, 2, 3, 4, 8 — boundaries land exactly on bucket edges
+    val docs = Seq(words(1), words(2), words(3), words(4), words(8))
+      .toDF("text")
+    val got = TextAnalysis.lengthBucketMix(docs, "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 1L)))   // [1,2)
+    assert(got(2L) == ((2L, 5L)))   // [2,4): lengths 2 and 3
+    assert(got(4L) == ((1L, 4L)))   // [4,8)
+    assert(got(8L) == ((1L, 8L)))   // [8,16)
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
