@@ -8468,6 +8468,88 @@ object Queries {
       TextAnalysis.lengthBucketMix(
           Tables.documents(s, d), "text")
         .orderBy("len_bucket_lo")
+    },
+
+    // Monthly composition drift: per-month returnflag mix vs the
+    // corpus mix as total variation distance — explicit 3-term chain
+    // over the literal flag domain (the q188 Benford pivot
+    // discipline), integer counts, fixed IEEE shape.
+    q(
+      "q247_mix_drift",
+      """WITH m AS (SELECT CAST(date_part('year', l_shipdate) * 100
+        |      + date_part('month', l_shipdate) AS INTEGER) AS yyyymm,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cn,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(SUM(ca) AS BIGINT) AS ga,
+        |    CAST(SUM(cn) AS BIGINT) AS gn,
+        |    CAST(SUM(cr) AS BIGINT) AS gr,
+        |    CAST(SUM(n) AS BIGINT) AS gt FROM m)
+        |SELECT yyyymm, n,
+        |  ROUND((abs(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(ga AS DOUBLE) / CAST(gt AS DOUBLE))
+        |    + abs(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(gn AS DOUBLE) / CAST(gt AS DOUBLE))
+        |    + abs(CAST(cr AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(gr AS DOUBLE) / CAST(gt AS DOUBLE))) / 2.0, 6)
+        |    AS tvd
+        |FROM m CROSS JOIN g ORDER BY yyyymm"""
+    ) { (s, d) =>
+      val m = Tables.lineitem(s, d)
+        .groupBy((year(col("l_shipdate")) * 100 +
+          month(col("l_shipdate"))).cast("int").as("yyyymm"))
+        .agg(
+          sum((col("l_returnflag") === "A").cast("long")).as("ca"),
+          sum((col("l_returnflag") === "N").cast("long")).as("cn"),
+          sum((col("l_returnflag") === "R").cast("long")).as("cr"),
+          count(lit(1)).as("n"))
+      val g = broadcast(m.agg(sum(col("ca")).as("ga"),
+        sum(col("cn")).as("gn"), sum(col("cr")).as("gr"),
+        sum(col("n")).as("gt")))
+      m.crossJoin(g).selectExpr("yyyymm", "n",
+        "round((abs(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(ga AS DOUBLE) / CAST(gt AS DOUBLE))" +
+          " + abs(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(gn AS DOUBLE) / CAST(gt AS DOUBLE))" +
+          " + abs(CAST(cr AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(gr AS DOUBLE) / CAST(gt AS DOUBLE))) / 2.0, 6)" +
+          " AS tvd")
+        .orderBy("yyyymm")
+    },
+
+    // Supplier balance outliers vs nation peers — fleetOutliers on a
+    // static frame (one bucket), 1e4 units (acctbal magnitudes square
+    // past int64 at 1e6 units).
+    q(
+      "q248_balance_outliers",
+      """WITH b AS (SELECT s_nationkey AS cohort, 0 AS bucket,
+        |    s_suppkey, s_acctbal,
+        |    CAST(floor(s_acctbal * 10000.0) AS BIGINT) AS v
+        |  FROM supplier),
+        |st AS (SELECT cohort, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s,
+        |    CAST(SUM(v * v) AS DOUBLE) AS ss
+        |  FROM b GROUP BY 1),
+        |w AS (SELECT cohort, s / n AS m,
+        |    sqrt((n * ss - s * s) / (n * (n - 1.0))) AS sd FROM st),
+        |j AS (SELECT b.cohort, CAST(b.bucket AS BIGINT) AS bucket,
+        |    b.s_suppkey, b.s_acctbal,
+        |    (CAST(b.v AS DOUBLE) - w.m) / w.sd AS z
+        |  FROM b JOIN w USING (cohort))
+        |SELECT cohort, bucket, s_suppkey, s_acctbal, ROUND(z, 6) AS z
+        |FROM j WHERE abs(z) > 2.0 ORDER BY cohort, s_suppkey"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.fleetOutliers(
+          Tables.supplier(s, d).withColumn("t", lit(0L)),
+          "s_nationkey", "t", "s_suppkey", "s_acctbal",
+          bucketUs = 3600000000L, zThreshold = 2.0,
+          unitsPerValue = 1e4)
+        .orderBy("cohort", "s_suppkey")
     }
   )
 
