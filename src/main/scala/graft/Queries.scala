@@ -8550,6 +8550,47 @@ object Queries {
           bucketUs = 3600000000L, zThreshold = 2.0,
           unitsPerValue = 1e4)
         .orderBy("cohort", "s_suppkey")
+    },
+
+    // Bivariate Mahalanobis outliers on (quantity, extendedprice):
+    // plausible margins, impossible PAIR. Closed-form 2×2 inverse,
+    // exact-sum broadcast, per-row fixed IEEE chain, χ²₂ 99% cut.
+    q(
+      "q249_mahalanobis",
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice,
+        |    CAST(floor(l_quantity * 10000.0) AS BIGINT) AS xq,
+        |    CAST(floor(l_extendedprice * 10000.0) AS BIGINT) AS yq
+        |  FROM lineitem),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(xq) AS DOUBLE) AS sx,
+        |    CAST(SUM(yq) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy
+        |  FROM b),
+        |j AS (SELECT b.l_orderkey, b.l_linenumber, b.l_quantity,
+        |    b.l_extendedprice,
+        |    (sxx - sx * sx / n) / (n - 1.0) AS cxx,
+        |    (syy - sy * sy / n) / (n - 1.0) AS cyy,
+        |    (sxy - sx * sy / n) / (n - 1.0) AS cxy,
+        |    CAST(xq AS DOUBLE) - sx / n AS dx,
+        |    CAST(yq AS DOUBLE) - sy / n AS dy
+        |  FROM b CROSS JOIN g),
+        |k AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice,
+        |    (cyy * dx * dx - 2.0 * cxy * dx * dy + cxx * dy * dy)
+        |      / (cxx * cyy - cxy * cxy) AS d2
+        |  FROM j)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  ROUND(d2, 6) AS d2
+        |FROM k WHERE d2 > 9.21
+        |ORDER BY l_orderkey, l_linenumber"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.mahalanobis2d(
+          Tables.lineitem(s, d), "l_quantity", "l_extendedprice",
+          Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 

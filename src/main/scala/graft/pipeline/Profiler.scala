@@ -1766,6 +1766,54 @@ object Profiler {
           max(col("__T")).cast("double"), 6).as("share"))
   }
 
+  /** Bivariate Mahalanobis outliers: rows whose (x, y) pair sits
+    * outside the data's own correlation ellipse — catches the
+    * "plausible x, plausible y, impossible PAIR" rows that marginal
+    * z-scores miss entirely (a 2-unit order at a 200-unit price). The
+    * 2×2 covariance inverts in closed form, so the whole screen is one
+    * exact-sum aggregate (µ-unit DECIMAL — one 1-row broadcast) plus a
+    * per-row fixed IEEE chain; the d² cut compares identical doubles
+    * on any engine. Threshold defaults to the χ²₂ 99% point.
+    *
+    * Output: flagged rows only — (idCols…, xCol, yCol, d2), d2
+    * ROUND(6).
+    */
+  def mahalanobis2d(
+      df: DataFrame, xCol: String, yCol: String, idCols: Seq[String],
+      threshold: Double = 9.21, unitsPerValue: Double = 1e4): DataFrame = {
+    val xq = microUnits(col(xCol), unitsPerValue)
+    val yq = microUnits(col(yCol), unitsPerValue)
+    val base = df.select(
+      idCols.map(col) ++ Seq(col(xCol), col(yCol),
+        xq.as("__xq"), yq.as("__yq")): _*)
+    val g = broadcast(base.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__xq").cast("decimal(38,0)")).cast("double").as("__sx"),
+      sum(col("__yq").cast("decimal(38,0)")).cast("double").as("__sy"),
+      sum(col("__xq").cast("decimal(19,0)") * col("__xq"))
+        .cast("double").as("__sxx"),
+      sum(col("__yq").cast("decimal(19,0)") * col("__yq"))
+        .cast("double").as("__syy"),
+      sum(col("__xq").cast("decimal(19,0)") * col("__yq"))
+        .cast("double").as("__sxy")))
+    val joined = base.crossJoin(g)
+      .withColumn("__cxx", expr(
+        "(__sxx - __sx * __sx / __n) / (__n - 1.0)"))
+      .withColumn("__cyy", expr(
+        "(__syy - __sy * __sy / __n) / (__n - 1.0)"))
+      .withColumn("__cxy", expr(
+        "(__sxy - __sx * __sy / __n) / (__n - 1.0)"))
+      .withColumn("__dx", expr("CAST(__xq AS DOUBLE) - __sx / __n"))
+      .withColumn("__dy", expr("CAST(__yq AS DOUBLE) - __sy / __n"))
+      .withColumn("__d2", expr(
+        "try_divide(__cyy * __dx * __dx" +
+          " - 2.0 * __cxy * __dx * __dy + __cxx * __dy * __dy," +
+          " __cxx * __cyy - __cxy * __cxy)"))
+    joined.filter(col("__d2") > threshold)
+      .select(idCols.map(col) ++ Seq(col(xCol), col(yCol),
+        round(col("__d2"), 6).as("d2")): _*)
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

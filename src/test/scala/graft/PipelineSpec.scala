@@ -3212,6 +3212,20 @@ class PipelineSpec extends SparkSpec {
     assert(got(8L) == ((1L, 8L)))   // [8,16)
   }
 
+  test("mahalanobis2d: the off-ellipse pair flags, marginals do not") {
+    import graft.pipeline.Profiler
+    // y ≈ 2x cloud plus one (5, 2): x and y each inside their own
+    // marginal range, the PAIR far off the correlation line
+    val rows = (1 to 20).map(i => (i.toLong, i / 2.0, i.toDouble)) :+
+      ((99L, 5.0, 2.0))
+    val df = rows.toDF("id", "x", "y")
+    val got = Profiler.mahalanobis2d(df, "x", "y", Seq("id"),
+        threshold = 9.21)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(99L))
+    assert(got.head._4 > 9.21)
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
