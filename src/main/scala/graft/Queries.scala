@@ -8591,6 +8591,51 @@ object Queries {
           Tables.lineitem(s, d), "l_quantity", "l_extendedprice",
           Seq("l_orderkey", "l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // One-row corpus scorecard: the numbers a pipeline owner reads
+    // first — doc/token volume, exact-dup rate, vocabulary size and
+    // hapax share, mean length. All integer counts, two divisions.
+    q(
+      "q250_corpus_scorecard",
+      """WITH ds AS (SELECT COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT text) AS n_distinct_texts,
+        |    CAST(SUM(len(string_split_regex(trim(lower(text)),
+        |      '\s+'))) AS BIGINT) AS total_tokens
+        |  FROM documents),
+        |tc AS (SELECT token, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(string_split_regex(trim(lower(text)),
+        |      '\s+')) AS token FROM documents) GROUP BY 1),
+        |vs AS (SELECT COUNT(*) AS vocab_size,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax_count
+        |  FROM tc)
+        |SELECT n_docs, total_tokens, n_distinct_texts,
+        |  ROUND(1.0::DOUBLE - CAST(n_distinct_texts AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
+        |  vocab_size, hapax_count,
+        |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),
+        |    6) AS avg_tokens
+        |FROM ds CROSS JOIN vs"""
+    ) { (s, d) =>
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val toks = docs.select(explode(
+        TextAnalysis.whitespaceTokens(lower(col("text")))).as("token"))
+      val ds = docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(size(TextAnalysis.whitespaceTokens(lower(col("text"))))
+          .cast("long")).as("total_tokens"))
+      val vs = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("vocab_size"),
+          sum((col("c") === 1L).cast("long")).as("hapax_count"))
+      ds.crossJoin(vs).select(
+        col("n_docs"), col("total_tokens"), col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs").cast("double"), 6).as("exact_dup_rate"),
+        col("vocab_size"), col("hapax_count"),
+        round(col("total_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("avg_tokens"))
     }
   )
 
