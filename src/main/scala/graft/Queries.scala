@@ -8636,6 +8636,50 @@ object Queries {
         col("vocab_size"), col("hapax_count"),
         round(col("total_tokens").cast("double") /
           col("n_docs").cast("double"), 6).as("avg_tokens"))
+    },
+
+    // Per-doc sentence-length stats: explode on [.!?]+ runs, blank
+    // segments drop, integer counts + one division.
+    q(
+      "q251_sentence_stats",
+      """WITH sseg AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(text, '[.!?]+')) AS s
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT)
+        |      AS w
+        |  FROM sseg WHERE len(trim(s)) > 0)
+        |SELECT doc_id, COUNT(*) AS n_sentences,
+        |  ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_words,
+        |  CAST(MAX(w) AS BIGINT) AS max_words
+        |FROM f GROUP BY 1 ORDER BY doc_id"""
+    ) { (s, d) =>
+      TextAnalysis.sentenceStats(
+          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Source language-consistency: majority-language share per source
+    // from one contingency aggregate, min-struct argmax.
+    q(
+      "q252_source_lang",
+      """WITH c AS (SELECT source, lang, COUNT(*) AS c FROM documents
+        |  GROUP BY 1, 2),
+        |b AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |    COUNT(*) AS n_langs FROM c GROUP BY 1),
+        |m AS (SELECT source, lang AS majority_lang, c FROM (
+        |    SELECT source, lang, c, ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY c DESC, lang) AS rk
+        |    FROM c) WHERE rk = 1)
+        |SELECT b.source, b.n_docs, b.n_langs, m.majority_lang,
+        |  ROUND(CAST(m.c AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6)
+        |    AS majority_share
+        |FROM b JOIN m USING (source) ORDER BY source"""
+    ) { (s, d) =>
+      TextAnalysis.sourceLangConsistency(
+          Tables.documents(s, d), "source", "lang")
+        .orderBy("source")
     }
   )
 

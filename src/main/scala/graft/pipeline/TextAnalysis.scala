@@ -1271,6 +1271,54 @@ object TextAnalysis {
           col("__tt").cast("double"), 6).as("token_share"))
   }
 
+  /** Per-document sentence-length statistics: sentence count, mean and
+    * max words per sentence — the run-on/fragment detector that
+    * complements [[readability]]'s single score. Sentences split on
+    * maximal [.!?]+ runs (RE2∩Java-safe); blank segments (leading
+    * punctuation, trailing terminator) drop. Relational shape: one
+    * sentence explode, one (doc, sentence) word count, one doc
+    * aggregate — integer counts, one division, ROUND(6).
+    *
+    * Output: (idCol, n_sentences, avg_words, max_words).
+    */
+  def sentenceStats(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sentences = docs.select(col(idCol),
+        explode(split(col(textCol), "[.!?]+")).as("__s"))
+      .filter(length(trim(col("__s"))) > 0)
+      .select(col(idCol),
+        size(whitespaceTokens(col("__s"))).cast("long").as("__w"))
+    sentences.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"),
+        round(sum(col("__w")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_words"),
+        max(col("__w")).as("max_words"))
+  }
+
+  /** Source language-consistency report: per source, the majority
+    * language's share and the language count — the curation check
+    * that catches a mislabelled or mixed crawl before stratifying on
+    * either column. One (source, lang) contingency aggregate, per-
+    * source argmax via min-struct (count desc, lang asc), one
+    * division.
+    *
+    * Output: (srcCol, n_docs, n_langs, majority_lang, majority_share).
+    */
+  def sourceLangConsistency(
+      docs: DataFrame, srcCol: String, langCol: String): DataFrame = {
+    val cells = docs.groupBy(col(srcCol), col(langCol).as("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(col(srcCol))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__c")).as("__nc"), col("__lang")))
+          .as("__best"))
+      .select(col(srcCol), col("n_docs"), col("n_langs"),
+        col("__best.__lang").as("majority_lang"),
+        round((-col("__best.__nc")).cast("double") /
+          col("n_docs").cast("double"), 6).as("majority_share"))
+  }
+
   /** Hapax density per document: the fraction of a document's tokens
     * that occur exactly once in the WHOLE corpus — high density flags
     * OCR noise, codes/hashes, or genuinely novel text; near-zero flags

@@ -3226,6 +3226,33 @@ class PipelineSpec extends SparkSpec {
     assert(got.head._4 > 9.21)
   }
 
+  test("sentenceStats: blank segments drop, run-on max tracked") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "One two. Three! Four five six?"),
+      (2L, "no terminator at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(docs, "text", "doc_id")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 2.0, 3L))) // 2, 1, 3 words
+    assert(got(2L) == ((1L, 4.0, 4L)))
+  }
+
+  test("sourceLangConsistency: majority share, deterministic ties") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "fr"),
+      ("s2", "de"), ("s2", "zh")) // tie: smaller lang wins
+      .toDF("source", "lang")
+    val got = TextAnalysis.sourceLangConsistency(docs, "source", "lang")
+      .as[(String, Long, Long, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 3L, 2L, "en",
+      math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(got("s2") == (("s2", 2L, 2L, "de", 0.5)))
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
