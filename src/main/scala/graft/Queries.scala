@@ -8680,6 +8680,74 @@ object Queries {
       TextAnalysis.sourceLangConsistency(
           Tables.documents(s, d), "source", "lang")
         .orderBy("source")
+    },
+
+    // Per-sensor drift: Welch t between each sensor's first/second
+    // half of the global span; |t| cut on identical doubles.
+    q(
+      "q253_series_drift",
+      """WITH sp AS (SELECT MIN(epoch_us(ts)) AS lo,
+        |    MAX(epoch_us(ts)) AS hi FROM events),
+        |b AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (SELECT sensor_id,
+        |    CAST(SUM(CASE WHEN t < lo + (hi - lo) // 2 THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN t < lo + (hi - lo) // 2 THEN v
+        |      ELSE 0 END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN t < lo + (hi - lo) // 2 THEN v * v
+        |      ELSE 0 END) AS DOUBLE) AS ss1,
+        |    CAST(SUM(CASE WHEN t >= lo + (hi - lo) // 2 THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN t >= lo + (hi - lo) // 2 THEN v
+        |      ELSE 0 END) AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN t >= lo + (hi - lo) // 2 THEN v * v
+        |      ELSE 0 END) AS DOUBLE) AS ss2
+        |  FROM b CROSS JOIN sp GROUP BY 1),
+        |w AS (SELECT sensor_id, n1, n2, s1, s2,
+        |    (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1.0)) AS v1,
+        |    (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1.0)) AS v2
+        |  FROM g),
+        |k AS (SELECT sensor_id, n1, n2, s1, s2,
+        |    (s1 / n1 - s2 / n2) / sqrt(v1 / n1 + v2 / n2) AS t
+        |  FROM w)
+        |SELECT sensor_id, CAST(n1 AS BIGINT) AS n_pre,
+        |  CAST(n2 AS BIGINT) AS n_post,
+        |  ROUND(s1 / n1 / 1000000.0, 6) AS mean_pre,
+        |  ROUND(s2 / n2 / 1000000.0, 6) AS mean_post,
+        |  ROUND(t, 6) AS t_stat
+        |FROM k WHERE abs(t) > 3.0 ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.seriesDrift(
+          EventsAdapter.samples(s, d),
+          "sensor_id", "timestamp_us", "value")
+        .orderBy("sensor_id")
+    },
+
+    // Order-size histogram: lines-per-order distribution, exact
+    // integers + one division.
+    q(
+      "q254_order_size_hist",
+      """WITH lc AS (SELECT l_orderkey, COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT n_lines, COUNT(*) AS n_orders FROM lc
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM h)
+        |SELECT n_lines, n_orders,
+        |  ROUND(CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS share
+        |FROM h CROSS JOIN t ORDER BY n_lines"""
+    ) { (s, d) =>
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+        .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+      h.crossJoin(broadcast(h.agg(sum(col("n_orders")).as("tot"))))
+        .select(col("n_lines"), col("n_orders"),
+          round(col("n_orders").cast("double") /
+            col("tot").cast("double"), 6).as("share"))
+        .orderBy("n_lines")
     }
   )
 

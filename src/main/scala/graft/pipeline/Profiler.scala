@@ -1814,6 +1814,50 @@ object Profiler {
         round(col("__d2"), 6).as("d2")): _*)
   }
 
+  /** Per-series drift screen: Welch's t between each series' first and
+    * second half of the GLOBAL time span — which sensors moved, not
+    * just whether the fleet did. One conditional aggregate keyed by
+    * the series (six exact µ-unit sums per row), per-row fixed IEEE t;
+    * the |t| cut compares identical doubles. Series missing either
+    * half (or with a degenerate variance) drop out via NULL.
+    *
+    * Output: flagged series only — (seriesCol, n_pre, n_post,
+    * mean_pre, mean_post, t_stat), means ROUND(6).
+    */
+  def seriesDrift(
+      df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
+      tThreshold: Double = 3.0, unitsPerValue: Double = 1e6): DataFrame = {
+    val span = broadcast(df.agg(
+      min(col(tsCol).cast("long")).as("__lo"),
+      max(col(tsCol).cast("long")).as("__hi")))
+    val vq = microUnits(col(valCol), unitsPerValue)
+    def dsum0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val pre = col(tsCol).cast("long") < col("__mid")
+    val g = df.crossJoin(span)
+      .withColumn("__mid", expr("__lo + (__hi - __lo) div 2"))
+      .groupBy(col(seriesCol))
+      .agg(
+        sum(pre.cast("long")).cast("double").as("__n1"),
+        dsum0(when(pre, vq).otherwise(lit(0L))).as("__s1"),
+        dsum0(when(pre, vq * vq).otherwise(lit(0L))).as("__ss1"),
+        sum((!pre).cast("long")).cast("double").as("__n2"),
+        dsum0(when(!pre, vq).otherwise(lit(0L))).as("__s2"),
+        dsum0(when(!pre, vq * vq).otherwise(lit(0L))).as("__ss2"))
+      .withColumn("__v1", expr(
+        "try_divide(__n1 * __ss1 - __s1 * __s1, __n1 * (__n1 - 1.0))"))
+      .withColumn("__v2", expr(
+        "try_divide(__n2 * __ss2 - __s2 * __s2, __n2 * (__n2 - 1.0))"))
+      .withColumn("__t", expr(
+        "try_divide(__s1 / __n1 - __s2 / __n2," +
+          " sqrt(__v1 / __n1 + __v2 / __n2))"))
+    g.filter(abs(col("__t")) > tThreshold)
+      .selectExpr(seriesCol,
+        "CAST(__n1 AS BIGINT) AS n_pre", "CAST(__n2 AS BIGINT) AS n_post",
+        s"round(__s1 / __n1 / $unitsPerValue, 6) AS mean_pre",
+        s"round(__s2 / __n2 / $unitsPerValue, 6) AS mean_post",
+        "round(__t, 6) AS t_stat")
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups —
     * the "did the metric move between cohorts" primitive. One
     * map-side-combined aggregate (count, Σv, Σv² in integer µ-units /

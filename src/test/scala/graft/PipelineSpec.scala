@@ -3253,6 +3253,22 @@ class PipelineSpec extends SparkSpec {
     assert(got("s2") == (("s2", 2L, 2L, "de", 0.5)))
   }
 
+  test("seriesDrift: only the stepped sensor is flagged") {
+    import graft.pipeline.Profiler
+    val e = (
+      Seq.tabulate(20)(i => ("step", i.toLong,
+        if (i < 10) 1.0 else 50.0)) ++
+      Seq.tabulate(20)(i => ("flat", i.toLong, 7.0)))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Profiler.seriesDrift(e, "sensor_id", "timestamp_us",
+        "value")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("step"))
+    val r = got.head
+    // span midpoint = 9 (integer div), so the pre half is rows 0..8
+    assert(r._4 == 1.0 && r._5 > 40.0 && math.abs(r._6) > 3.0)
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
