@@ -8748,6 +8748,80 @@ object Queries {
           round(col("n_orders").cast("double") /
             col("tot").cast("double"), 6).as("share"))
         .orderBy("n_lines")
+    },
+
+    // Daily event-type composition (100%-stacked data): explicit
+    // 5-type pivot over the literal domain, integer counts + single
+    // divisions.
+    q(
+      "q255_daily_mix",
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    event_type FROM events),
+        |m AS (SELECT day, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c_click,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c_error,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c_purchase,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c_signup,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c_view
+        |  FROM d GROUP BY 1)
+        |SELECT day, n,
+        |  ROUND(CAST(c_click AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS share_click,
+        |  ROUND(CAST(c_error AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS share_error,
+        |  ROUND(CAST(c_purchase AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS share_purchase,
+        |  ROUND(CAST(c_signup AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS share_signup,
+        |  ROUND(CAST(c_view AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS share_view
+        |FROM m ORDER BY day"""
+    ) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = count(lit(1)).as("n") +: types.map(t =>
+        sum((col("event_type") === t).cast("long")).as(s"c_$t"))
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("day") +: col("n") +: types.map(t =>
+          round(col(s"c_$t").cast("double") / col("n").cast("double"),
+            6).as(s"share_$t")): _*)
+        .orderBy("day")
+    },
+
+    // Brand co-purchase affinity: coOccurrence reuse over
+    // (order, brand) baskets — support and lift per brand pair.
+    q(
+      "q256_brand_affinity",
+      """WITH b AS (
+        |  SELECT DISTINCT l.l_orderkey AS u, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT COUNT(DISTINCT u)::DOUBLE AS nu FROM b),
+        |ic AS (SELECT item, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |p AS (SELECT a.item AS ia, c.item AS ib, COUNT(*) AS co
+        |  FROM b a JOIN b c ON a.u = c.u AND a.item < c.item
+        |  GROUP BY 1, 2)
+        |SELECT ia AS item_a, ib AS item_b, co AS n_both,
+        |  x.cnt AS n_a, y.cnt AS n_b,
+        |  co::DOUBLE / n.nu AS support,
+        |  co::DOUBLE * n.nu / (x.cnt::DOUBLE * y.cnt::DOUBLE) AS lift
+        |FROM p JOIN ic x ON p.ia = x.item JOIN ic y ON p.ib = y.item
+        |CROSS JOIN n
+        |WHERE co >= 2
+        |ORDER BY item_a, item_b"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.coOccurrence(
+          Tables.lineitem(s, d)
+            .join(broadcast(Tables.part(s, d)),
+              col("l_partkey") === col("p_partkey"))
+            .select(col("l_orderkey"), col("p_brand")),
+          "l_orderkey", "p_brand", minCount = 2L)
+        .orderBy("item_a", "item_b")
     }
   )
 
