@@ -8822,6 +8822,113 @@ object Queries {
             .select(col("l_orderkey"), col("p_brand")),
           "l_orderkey", "p_brand", minCount = 2L)
         .orderBy("item_a", "item_b")
+    },
+
+    // Conversion by session depth: q105's session windows bucketed by
+    // the power-of-two event-count chain; integer counts + division.
+    q(
+      "q257_session_conversion",
+      """WITH m AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |g AS (SELECT user_id, sid, COUNT(*) AS n,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM s GROUP BY 1, 2),
+        |h AS (SELECT CAST(CASE WHEN n >= 16 THEN 16
+        |      WHEN n >= 8 THEN 8 WHEN n >= 4 THEN 4
+        |      WHEN n >= 2 THEN 2 ELSE 1 END AS BIGINT)
+        |      AS depth_bucket,
+        |    conv FROM g)
+        |SELECT depth_bucket, COUNT(*) AS n_sessions,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    6) AS conversion
+        |FROM h GROUP BY 1 ORDER BY depth_bucket"""
+    ) { (s, d) =>
+      val sessions = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          max((col("event_type") === "purchase").cast("int"))
+            .as("conv"))
+      sessions
+        .withColumn("depth_bucket",
+          expr(TextAnalysis.pow2BucketSql("n", maxExp = 4)))
+        .groupBy(col("depth_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("conv")).as("n_converted"))
+        .select(col("depth_bucket"), col("n_sessions"),
+          col("n_converted"),
+          round(col("n_converted").cast("double") /
+            col("n_sessions").cast("double"), 6).as("conversion"))
+        .orderBy("depth_bucket")
+    },
+
+    // Per-source character-class mix: four regexp class counts (never
+    // a length-derived remainder — engine length semantics stay out of
+    // it); exact integer sums, single-division shares.
+    q(
+      "q258_source_charmix",
+      """WITH c AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+        |      AS a,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+        |      AS dg,
+        |    CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS sp,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS BIGINT) AS ot
+        |  FROM documents),
+        |g AS (SELECT source, CAST(SUM(a) AS BIGINT) AS a,
+        |    CAST(SUM(dg) AS BIGINT) AS dg,
+        |    CAST(SUM(sp) AS BIGINT) AS sp,
+        |    CAST(SUM(ot) AS BIGINT) AS ot
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT source, a, dg, sp, ot, a + dg + sp + ot AS n
+        |  FROM g)
+        |SELECT source, n AS n_chars,
+        |  ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS alpha_share,
+        |  ROUND(CAST(dg AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS digit_share,
+        |  ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS space_share,
+        |  ROUND(CAST(ot AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS other_share
+        |FROM t ORDER BY source"""
+    ) { (s, d) =>
+      val c = Tables.spread(s, Tables.documents(s, d))
+        .select(col("source"),
+          regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+            .as("a"),
+          regexp_count(col("text"), lit("[0-9]")).cast("long").as("dg"),
+          regexp_count(col("text"), lit("\\s")).cast("long").as("sp"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
+            .as("ot"))
+      c.groupBy(col("source"))
+        .agg(sum(col("a")).as("a"), sum(col("dg")).as("dg"),
+          sum(col("sp")).as("sp"), sum(col("ot")).as("ot"))
+        .withColumn("n_chars",
+          col("a") + col("dg") + col("sp") + col("ot"))
+        .select(col("source"), col("n_chars"),
+          round(col("a").cast("double") / col("n_chars").cast("double"),
+            6).as("alpha_share"),
+          round(col("dg").cast("double") /
+            col("n_chars").cast("double"), 6).as("digit_share"),
+          round(col("sp").cast("double") /
+            col("n_chars").cast("double"), 6).as("space_share"),
+          round(col("ot").cast("double") /
+            col("n_chars").cast("double"), 6).as("other_share"))
+        .orderBy("source")
     }
   )
 
