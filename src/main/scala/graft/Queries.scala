@@ -8929,6 +8929,77 @@ object Queries {
           round(col("ot").cast("double") /
             col("n_chars").cast("double"), 6).as("other_share"))
         .orderBy("source")
+    },
+
+    // Hourly error-rate breaches: hours whose error share exceeds 2×
+    // the corpus baseline — the predicate is a pure integer
+    // cross-multiplication (q84's ratio discipline), no float cut.
+    q(
+      "q259_error_breaches",
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS e
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(e) AS BIGINT) AS te FROM h)
+        |SELECT hour, n, e,
+        |  ROUND(CAST(e AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS error_rate,
+        |  ROUND(CAST(te AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+        |    AS baseline_rate
+        |FROM h CROSS JOIN t
+        |WHERE e * tn > 2 * te * n
+        |ORDER BY hour"""
+    ) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("event_type") === "error").cast("long")).as("e"))
+      val t = broadcast(h.agg(sum(col("n")).as("tn"),
+        sum(col("e")).as("te")))
+      h.crossJoin(t)
+        .filter(col("e") * col("tn") > lit(2) * col("te") * col("n"))
+        .select(col("hour"), col("n"), col("e"),
+          round(col("e").cast("double") / col("n").cast("double"), 6)
+            .as("error_rate"),
+          round(col("te").cast("double") / col("tn").cast("double"), 6)
+            .as("baseline_rate"))
+        .orderBy("hour")
+    },
+
+    // Re-engaged users: returned after a ≥14-day silence — per-user
+    // day gaps, all integer.
+    q(
+      "q260_reengaged",
+      """WITH dy AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id,
+        |    day - LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS gp
+        |  FROM dy),
+        |a AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN gp >= 14 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_reengagements,
+        |    CAST(MAX(gp) AS BIGINT) AS max_gap_days
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_reengagements, max_gap_days
+        |FROM a WHERE n_reengagements >= 1 ORDER BY user_id"""
+    ) { (s, d) =>
+      val dy = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      dy.withColumn("gp", col("day") - lag(col("day"), 1).over(w))
+        .filter(col("gp").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum((col("gp") >= 14).cast("long"))
+          .as("n_reengagements"),
+          max(col("gp")).as("max_gap_days"))
+        .filter(col("n_reengagements") >= 1)
+        .orderBy("user_id")
     }
   )
 
