@@ -9000,6 +9000,70 @@ object Queries {
           max(col("gp")).as("max_gap_days"))
         .filter(col("n_reengagements") >= 1)
         .orderBy("user_id")
+    },
+
+    // Cross-source exact-text leakage: identical text appearing under
+    // ≥2 sources — the split-contamination case exact dedup reports
+    // but does not localize to sources.
+    q(
+      "q261_cross_source_leak",
+      """WITH g AS (SELECT text, MIN(doc_id) AS leak_id,
+        |    COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+        |  FROM documents GROUP BY 1)
+        |SELECT leak_id, n_docs, n_sources
+        |FROM g WHERE n_sources >= 2 ORDER BY leak_id"""
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("leak_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .filter(col("n_sources") >= 2)
+        .select(col("leak_id"), col("n_docs"), col("n_sources"))
+        .orderBy("leak_id")
+    },
+
+    // Per-vector label margin (mislabel screen): d² to own vs nearest
+    // other centroid via the exact-sum expansion Σx² − 2Σx·S/n + ΣS²/n²
+    // — order-free integer aggregates, fixed IEEE shapes.
+    q(
+      "q262_label_margin",
+      """WITH dm AS (SELECT vec_id, label, i.i - 1 AS dim,
+        |    CAST(floor(v[i.i] * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |        FROM embeddings) e
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i),
+        |cent AS (SELECT label AS cl, dim, COUNT(*) AS n,
+        |    CAST(SUM(q) AS HUGEINT) AS s
+        |  FROM dm GROUP BY 1, 2),
+        |cs AS (SELECT cl, MAX(n) AS nc, CAST(SUM(s * s) AS DOUBLE)
+        |    AS s2 FROM cent GROUP BY 1),
+        |x2 AS (SELECT vec_id, CAST(SUM(CAST(q AS HUGEINT) * q)
+        |    AS DOUBLE) AS x2 FROM dm GROUP BY 1),
+        |inn AS (SELECT dm.vec_id, dm.label, cent.cl,
+        |    CAST(SUM(CAST(dm.q AS HUGEINT) * cent.s) AS DOUBLE) AS a
+        |  FROM dm JOIN cent ON dm.dim = cent.dim GROUP BY 1, 2, 3),
+        |d2 AS (SELECT inn.vec_id, inn.label, inn.cl,
+        |    (x2.x2 - 2.0 * inn.a / CAST(cs.nc AS DOUBLE)
+        |      + cs.s2 / (CAST(cs.nc AS DOUBLE) * CAST(cs.nc
+        |        AS DOUBLE))) / 1e12 AS d2
+        |  FROM inn JOIN cs ON inn.cl = cs.cl
+        |  JOIN x2 ON inn.vec_id = x2.vec_id),
+        |own AS (SELECT vec_id, label, d2 AS down FROM d2
+        |  WHERE cl = label),
+        |oth AS (SELECT vec_id, MIN(d2) AS doth FROM d2
+        |  WHERE cl <> label GROUP BY 1)
+        |SELECT o.vec_id, o.label, ROUND(o.down, 6) AS d2_own,
+        |  ROUND(t.doth, 6) AS d2_other,
+        |  ROUND(t.doth - o.down, 6) AS margin
+        |FROM own o JOIN oth t ON o.vec_id = t.vec_id
+        |ORDER BY o.vec_id"""
+    ) { (s, d) =>
+      graft.pipeline.Similarity.labelMargin(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("label"),
+              col("embedding").as("vec")))
+        .orderBy("vec_id")
     }
   )
 

@@ -850,6 +850,60 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Per-vector label margin: squared distance to the OWN label
+    * centroid minus the nearest OTHER centroid — negative margin flags
+    * likely mislabeled samples, tiny positive margins flag boundary
+    * cases. The per-sample companion to [[labelCentroidSimilarity]].
+    *
+    * Exactness: with µ-unit integer coordinates and centroid SUMS
+    * (c = S/n), d² expands to Σx² − 2(Σx·S)/n + (ΣS²)/n² — every Σ is
+    * an exact integer/DECIMAL aggregate (order-free), and d² is a
+    * fixed IEEE shape, so cross-label argmin replays exactly. The
+    * per-(vector, label) inner-product table is the only data-scale
+    * join (dims × |labels| fan-out, linear in vectors).
+    *
+    * Output: (vec_id, label, d2_own, d2_other, margin) in original
+    * units², ROUND(6).
+    */
+  def labelMargin(
+      vectors: DataFrame // (vec_id, label, vec)
+  ): DataFrame = {
+    val dims = vectors
+      .select(col("vec_id"), col("label"),
+        posexplode(col("vec").cast("array<double>")))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"),
+        floor(col("col") * 1e6).cast("long").as("__q"))
+    val cent = dims.groupBy(col("label").as("__cl"), col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__q").cast("decimal(38,0)")).as("__s"))
+    val centStats = cent.groupBy(col("__cl"))
+      .agg(max(col("__n")).as("__nc"),
+        sum(col("__s") * col("__s")).cast("double").as("__s2"))
+    val x2 = dims.groupBy(col("vec_id"))
+      .agg(sum((col("__q") * col("__q")).cast("decimal(38,0)"))
+        .cast("double").as("__x2"))
+    val inner = dims.join(cent, "dim")
+      .groupBy(col("vec_id"), col("label"), col("__cl"))
+      .agg(sum(col("__q").cast("decimal(19,0)") * col("__s"))
+        .cast("double").as("__a"))
+    val d2 = inner
+      .join(broadcast(centStats), "__cl")
+      .join(x2, "vec_id")
+      .withColumn("__d2", expr(
+        "(__x2 - 2.0 * __a / CAST(__nc AS DOUBLE)" +
+          " + __s2 / (CAST(__nc AS DOUBLE) * CAST(__nc AS DOUBLE)))" +
+          " / 1e12"))
+    val own = d2.filter(col("__cl") === col("label"))
+      .select(col("vec_id"), col("label"), col("__d2").as("__down"))
+    val other = d2.filter(col("__cl") =!= col("label"))
+      .groupBy(col("vec_id")).agg(min(col("__d2")).as("__doth"))
+    own.join(other, "vec_id")
+      .select(col("vec_id"), col("label"),
+        round(col("__down"), 6).as("d2_own"),
+        round(col("__doth"), 6).as("d2_other"),
+        round(col("__doth") - col("__down"), 6).as("margin"))
+  }
+
   /** Per-label dimension sums of µ-unit-quantized embeddings — the
     * shared exact kernel of [[labelCentroidSimilarity]] and
     * [[labelDispersion]]. Quantizing each coordinate to

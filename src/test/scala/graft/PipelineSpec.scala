@@ -3269,6 +3269,19 @@ class PipelineSpec extends SparkSpec {
     assert(r._4 == 1.0 && r._5 > 40.0 && math.abs(r._6) > 3.0)
   }
 
+  test("labelMargin: the planted mislabel gets a negative margin") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.1f, 0.9f)),
+      (5L, 1, Array(1.0f, 0.0f))) // lives in label-0 territory
+      .toDF("vec_id", "label", "vec")
+    val got = Similarity.labelMargin(vecs)
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got(1L) > 0 && got(3L) > 0)
+    assert(got(5L) < 0) // closer to the other label's centroid
+  }
+
   test("mutualInformation: independence is zero, identity is ln 2") {
     import graft.pipeline.Profiler
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
