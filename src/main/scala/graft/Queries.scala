@@ -9064,6 +9064,94 @@ object Queries {
             .select(col("vec_id"), col("label"),
               col("embedding").as("vec")))
         .orderBy("vec_id")
+    },
+
+    // Per-source quality correlation: corr(n_tokens, n_hapax) per
+    // source — composition of hapaxDensity and correlationByGroup
+    // (exact-decimal Pearson on integer counts).
+    q(
+      "q263_quality_corr",
+      """WITH tk AS (SELECT doc_id, UNNEST(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS token FROM documents),
+        |tc AS (SELECT token, COUNT(*) AS cc FROM tk GROUP BY 1),
+        |hx AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN tc.cc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM tk JOIN tc USING (token) GROUP BY 1),
+        |j AS (SELECT d.source, hx.n_tokens, hx.n_hapax
+        |  FROM hx JOIN documents d ON hx.doc_id = d.doc_id),
+        |g AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(n_tokens AS DECIMAL(24,4))
+        |      * CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) AS saa,
+        |    CAST(SUM(CAST(n_hapax AS DECIMAL(18,4))) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(n_hapax AS DECIMAL(24,4))
+        |      * CAST(n_hapax AS DECIMAL(18,4))) AS DOUBLE) AS sbb,
+        |    CAST(SUM(CAST(n_tokens AS DECIMAL(24,4))
+        |      * CAST(n_hapax AS DECIMAL(18,4))) AS DOUBLE) AS sab
+        |  FROM j GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sab - sa * sb) / sqrt((n * saa - sa * sa)
+        |    * (n * sbb - sb * sb)), 6) AS corr
+        |FROM g ORDER BY source"""
+    ) { (s, d) =>
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val hx = TextAnalysis.hapaxDensity(docs, "text", "doc_id")
+      val j = hx.join(Tables.documents(s, d)
+          .select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("n_tokens"), col("n_hapax"))
+      graft.pipeline.Profiler.correlationByGroup(
+          j, "source", "n_tokens", "n_hapax", exactDecimal = true)
+        .orderBy("source")
+    },
+
+    // Weighted (multiset) Jaccard between source vocabularies:
+    // M/(T_a + T_b − M) with M = Σ shared min — only the inner join
+    // on token is needed (the Σmax identity), all integer, one
+    // division.
+    q(
+      "q264_source_similarity",
+      """WITH tc AS (SELECT source, token, COUNT(*) AS c FROM (
+        |    SELECT source, UNNEST(string_split_regex(
+        |      trim(lower(text)), '\s+')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tc
+        |  GROUP BY 1),
+        |mshared AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+        |  FROM tc a JOIN tc b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, m, ta.t AS t_a, tb.t AS t_b,
+        |  ROUND(CAST(m AS DOUBLE)
+        |    / CAST(ta.t + tb.t - m AS DOUBLE), 6) AS wjaccard
+        |FROM mshared JOIN tt ta ON mshared.src_a = ta.source
+        |JOIN tt tb ON mshared.src_b = tb.source
+        |ORDER BY src_a, src_b"""
+    ) { (s, d) =>
+      val tc = Tables.spread(s, Tables.documents(s, d))
+        .select(col("source"), explode(
+          TextAnalysis.whitespaceTokens(lower(col("text"))))
+          .as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val tt = tc.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val m = tc.as("a").join(tc.as("b"),
+          col("a.token") === col("b.token") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"),
+          col("b.source").as("src_b"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as("m"))
+      m.join(broadcast(tt.select(col("source").as("src_a"),
+          col("t").as("t_a"))), "src_a")
+        .join(broadcast(tt.select(col("source").as("src_b"),
+          col("t").as("t_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("m"), col("t_a"),
+          col("t_b"),
+          round(col("m").cast("double") /
+            (col("t_a") + col("t_b") - col("m")).cast("double"), 6)
+            .as("wjaccard"))
+        .orderBy("src_a", "src_b")
     }
   )
 
