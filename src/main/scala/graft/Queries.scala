@@ -9152,6 +9152,89 @@ object Queries {
             (col("t_a") + col("t_b") - col("m")).cast("double"), 6)
             .as("wjaccard"))
         .orderBy("src_a", "src_b")
+    },
+
+    // Price-band × discount interaction grid: power-of-two retail-cent
+    // bands (shared CASE chain) × integer discount points; mean
+    // quantity left as a raw division chain (repeating-decimal ties).
+    q(
+      "q265_price_discount_grid",
+      """WITH j AS (SELECT
+        |    CAST(CASE
+        |      WHEN pc >= 131072 THEN 131072 WHEN pc >= 65536 THEN 65536
+        |      WHEN pc >= 32768 THEN 32768 WHEN pc >= 16384 THEN 16384
+        |      WHEN pc >= 8192 THEN 8192 ELSE 1 END AS BIGINT)
+        |      AS price_band_lo,
+        |    disc_pct, qc FROM (
+        |    SELECT CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS pc,
+        |      CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS disc_pct,
+        |      CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS qc
+        |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey))
+        |SELECT price_band_lo, disc_pct, COUNT(*) AS n_lines,
+        |  CAST(SUM(qc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+        |    AS avg_qty
+        |FROM j GROUP BY 1, 2 ORDER BY price_band_lo, disc_pct"""
+    ) { (s, d) =>
+      val bands = Seq(131072L, 65536L, 32768L, 16384L, 8192L)
+      val bandExpr = bands.map(b => s"WHEN pc >= $b THEN ${b}L")
+        .mkString("CAST(CASE ", " ", " ELSE 1L END AS BIGINT)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          (col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("pc"),
+          (col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("long").as("disc_pct"),
+          (col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long").as("qc"))
+        .withColumn("price_band_lo", expr(bandExpr))
+        .groupBy(col("price_band_lo"), col("disc_pct"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("qc")).cast("double") /
+            count(lit(1)).cast("double") / 100.0).as("avg_qty"))
+        .orderBy("price_band_lo", "disc_pct")
+    },
+
+    // Supplier lead-time consistency: mean and CV of ship lead days
+    // per supplier; raw division chains (repeating-decimal ties).
+    q(
+      "q266_supplier_leadtime",
+      """WITH j AS (SELECT l.l_suppkey,
+        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |      // 86400000000 AS ld
+        |  FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT l_suppkey, COUNT(*) AS n,
+        |    CAST(SUM(ld) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(ld AS HUGEINT) * ld) AS DOUBLE) AS ss
+        |  FROM j GROUP BY 1)
+        |SELECT l_suppkey, n, s / CAST(n AS DOUBLE) AS mean_lead_days,
+        |  sqrt((CAST(n AS DOUBLE) * ss - s * s)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    / (s / CAST(n AS DOUBLE)) AS cv
+        |FROM g ORDER BY l_suppkey"""
+    ) { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
+            " div 86400000000").as("ld"))
+      j.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ld").cast("decimal(38,0)")).cast("double").as("s"),
+          sum(col("ld").cast("decimal(19,0)") * col("ld"))
+            .cast("double").as("ss"))
+        .selectExpr("l_suppkey", "n",
+          "s / CAST(n AS DOUBLE) AS mean_lead_days",
+          "sqrt((CAST(n AS DOUBLE) * ss - s * s)" +
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))" +
+            " / (s / CAST(n AS DOUBLE)) AS cv")
+        .orderBy("l_suppkey")
     }
   )
 
