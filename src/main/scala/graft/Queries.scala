@@ -9235,8 +9235,102 @@ object Queries {
             " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))" +
             " / (s / CAST(n AS DOUBLE)) AS cv")
         .orderBy("l_suppkey")
+    },
+
+    // Effect size of priority on lead time: η² = SS_between/SS_total
+    // from exact integer sums; the 5 between-group terms quantize to
+    // DECIMAL(28,6) before summing (order-free).
+    q(
+      "q267_leadtime_eta",
+      """WITH j AS (SELECT o.o_orderpriority AS g,
+        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |      // 86400000000 AS ld
+        |  FROM lineitem l JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |pg AS (SELECT g, COUNT(*) AS n, CAST(SUM(ld) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(ld AS HUGEINT) * ld) AS HUGEINT) AS ssi
+        |  FROM j GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(s) AS BIGINT) AS st,
+        |    CAST(SUM(ssi) AS DOUBLE) AS sst,
+        |    CAST(SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS bq
+        |  FROM pg)
+        |SELECT CAST(nn AS BIGINT) AS n, (SELECT COUNT(*) FROM pg)
+        |    AS n_groups,
+        |  ROUND((bq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(nn AS DOUBLE))
+        |    / (sst - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)), 6) AS eta_sq
+        |FROM t"""
+    ) { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("g"),
+          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
+            " div 86400000000").as("ld"))
+      val pg = j.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ld").cast("decimal(38,0)")).cast("long").as("s"),
+          sum(col("ld").cast("decimal(19,0)") * col("ld")).as("ssi"))
+      val ng = broadcast(pg.agg(count(lit(1)).as("n_groups")))
+      pg.agg(sum(col("n")).as("nn"), sum(col("s")).as("st"),
+          sum(col("ssi")).cast("double").as("sst"),
+          sum(expr("CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+            " / CAST(n AS DOUBLE) AS DECIMAL(28,6))")).cast("double")
+            .as("bq"))
+        .crossJoin(ng)
+        .selectExpr("CAST(nn AS BIGINT) AS n", "n_groups",
+          "round((bq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)" +
+            " / CAST(nn AS DOUBLE))" +
+            " / (sst - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)" +
+            " / CAST(nn AS DOUBLE)), 6) AS eta_sq")
+    },
+
+    // Catalog structure chi-square: brand × type contingency
+    // contributions (chiSquareContrib reuse over the literal type
+    // domain).
+    q("q268_catalog_chi", partChiSql) { (s, d) =>
+      graft.pipeline.Profiler.chiSquareContrib(
+          Tables.part(s, d).select(col("p_brand"), col("p_type")),
+          "p_brand", "p_type", partTypeDomain.map(x => x: Any))
+        .orderBy("p_brand")
     }
   )
+
+  // lazy: referenced from the registry (via partChiSql) during object
+  // init, which runs before later plain vals are assigned
+  private lazy val partTypeDomain: Seq[String] =
+    Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+
+  /** q268's oracle: the q182 chi-square shape over the literal part
+    * type domain (string values).
+    */
+  private lazy val partChiSql: String = {
+    val ds = partTypeDomain.indices
+    val oCells = ds.map(i =>
+      s"SUM(CASE WHEN p_type = '${partTypeDomain(i)}' THEN 1 ELSE 0" +
+        s" END) AS o$i").mkString(", ")
+    val cCells = ds.map(i =>
+      s"SUM(CASE WHEN p_type = '${partTypeDomain(i)}' THEN 1 ELSE 0" +
+        s" END) AS c$i").mkString(", ")
+    val rt = ds.map(i => s"o$i").mkString(" + ")
+    val eCols = ds.map(i =>
+      s"CAST(rt AS DOUBLE) * CAST(c$i AS DOUBLE)" +
+        s" / CAST(grand AS DOUBLE) AS e$i").mkString(", ")
+    val terms = ds.map(i =>
+      s"(CAST(o$i AS DOUBLE) - e$i) * (CAST(o$i AS DOUBLE) - e$i)" +
+        s" / e$i").mkString(" + ")
+    s"""WITH src AS (SELECT p_brand, p_type FROM part),
+       |rows_ AS (SELECT p_brand, $oCells FROM src GROUP BY 1),
+       |tot AS (SELECT $cCells, COUNT(*) AS grand FROM src),
+       |x AS (SELECT *, $rt AS rt FROM rows_ CROSS JOIN tot),
+       |e AS (SELECT *, $eCols FROM x)
+       |SELECT p_brand, CAST(rt AS BIGINT) AS n_row,
+       |  round($terms, 6) AS chi2_contrib
+       |FROM e ORDER BY p_brand"""
+  }
 
   /** Oracle for q246: the same descending power-of-two CASE chain as
     * [[TextAnalysis.pow2BucketSql]], generated from the same exponent
