@@ -9296,6 +9296,90 @@ object Queries {
           Tables.part(s, d).select(col("p_brand"), col("p_type")),
           "p_brand", "p_type", partTypeDomain.map(x => x: Any))
         .orderBy("p_brand")
+    },
+
+    // Market-segment scorecard: customers, orders, exact cent
+    // revenue, per-customer intensity — raw division chains.
+    q(
+      "q269_segment_scorecard",
+      """WITH j AS (SELECT c.c_mktsegment AS segment, c.c_custkey,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT segment, COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT c_custkey) AS DOUBLE)
+        |    AS orders_per_customer,
+        |  CAST(SUM(cents) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / 100.0
+        |    AS revenue_per_customer
+        |FROM j GROUP BY 1 ORDER BY segment"""
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("segment"))
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("revenue_cents"))
+        .selectExpr("segment", "n_customers", "n_orders",
+          "revenue_cents",
+          "CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE)" +
+            " AS orders_per_customer",
+          "CAST(revenue_cents AS DOUBLE)" +
+            " / CAST(n_customers AS DOUBLE) / 100.0" +
+            " AS revenue_per_customer")
+        .orderBy("segment")
+    },
+
+    // Nation order seasonality: per-nation monthly counts, peak/trough
+    // months by min-struct argmax, amplitude (max−min)/(max+min) —
+    // all integer until one division.
+    q(
+      "q270_nation_seasonality",
+      """WITH j AS (SELECT n.n_name AS nation,
+        |    CAST(date_part('month', o.o_orderdate) AS INTEGER) AS mon
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |m AS (SELECT nation, mon, COUNT(*) AS n FROM j GROUP BY 1, 2),
+        |agg AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS n_orders,
+        |    MAX(n) AS mx, MIN(n) AS mn
+        |  FROM m GROUP BY 1),
+        |pk AS (SELECT nation, mon AS peak_month FROM (
+        |    SELECT nation, mon, ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY n DESC, mon) AS rk FROM m) WHERE rk = 1)
+        |SELECT agg.nation, agg.n_orders, pk.peak_month,
+        |  CAST(agg.mx AS BIGINT) AS peak_n,
+        |  ROUND(CAST(agg.mx - agg.mn AS DOUBLE)
+        |    / CAST(agg.mx + agg.mn AS DOUBLE), 6) AS amplitude
+        |FROM agg JOIN pk ON agg.nation = pk.nation
+        |ORDER BY agg.nation"""
+    ) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          month(col("o_orderdate")).cast("int").as("mon"))
+      val m = j.groupBy(col("nation"), col("mon"))
+        .agg(count(lit(1)).as("n"))
+      m.groupBy(col("nation"))
+        .agg(sum(col("n")).as("n_orders"),
+          max(col("n")).as("mx"), min(col("n")).as("mn"),
+          min(struct((-col("n")).as("__nn"), col("mon"))).as("__pk"))
+        .select(col("nation"), col("n_orders"),
+          col("__pk.mon").as("peak_month"),
+          col("mx").as("peak_n"),
+          round((col("mx") - col("mn")).cast("double") /
+            (col("mx") + col("mn")).cast("double"), 6)
+            .as("amplitude"))
+        .orderBy("nation")
     }
   )
 
