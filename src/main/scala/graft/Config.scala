@@ -1,0 +1,94 @@
+package graft
+
+/** `SENSAPP_*`-compatible configuration surface (reference:
+  * src/config/mod.rs:9-46). Each value resolves the JVM system property
+  * first (test hook), then the environment variable, then the reference
+  * default — so every call site behaves exactly as before when nothing
+  * is set. Values are read per-access: a long-lived Gateway sees
+  * property updates without a restart (the reference reloads via
+  * OnceLock at boot; per-access is strictly more flexible and free at
+  * these call rates).
+  */
+object Config {
+
+  private def get(key: String): Option[String] =
+    sys.props.get(key).orElse(sys.env.get(key)).filter(_.nonEmpty)
+
+  def instanceId: Int =
+    get("SENSAPP_INSTANCE_ID").map(_.toInt).getOrElse(0)
+
+  def port: Int = get("SENSAPP_PORT").map(_.toInt).getOrElse(3000)
+
+  def endpoint: String = get("SENSAPP_ENDPOINT").getOrElse("127.0.0.1")
+
+  /** Request-body cap in bytes; "10mb"-style strings, reference ceiling
+    * 128 GB (reference: src/config/mod.rs:59-64). Oversized requests
+    * get 413, matching axum's DefaultBodyLimit edge.
+    */
+  def httpBodyLimit: Long = {
+    val n = parseByteSize(get("SENSAPP_HTTP_BODY_LIMIT").getOrElse("10mb"))
+    require(n <= 128L * 1024 * 1024 * 1024, "Body size is too big: > 128GB")
+    n
+  }
+
+  /** Handler time budget; expiry returns 408 REQUEST_TIMEOUT, matching
+    * the reference's TimeoutLayer (src/ingestors/http/server.rs:74-77).
+    */
+  def httpServerTimeoutSeconds: Long =
+    get("SENSAPP_HTTP_SERVER_TIMEOUT_SECONDS").map(_.toLong).getOrElse(30L)
+
+  /** Type-inference sampling cap (reference: src/config/mod.rs:25-27). */
+  def maxInferenceRows: Int =
+    get("SENSAPP_MAX_INFERENCES_ROWS").map(_.toInt).getOrElse(128)
+
+  /** Ingest batch/chunk size (reference: src/config/mod.rs:29-30). */
+  def batchSize: Int =
+    get("SENSAPP_BATCH_SIZE").map(_.toInt).getOrElse(8192)
+
+  /** Sensor-UUID Blake3 key salt (reference: src/config/mod.rs:32-33). */
+  def sensorSalt: String = get("SENSAPP_SENSOR_SALT").getOrElse("sensapp")
+
+  def influxdbWithNumeric: Boolean =
+    get("SENSAPP_INFLUXDB_WITH_NUMERIC").map(_.toBoolean).getOrElse(false)
+
+  /** Default row cap on series-data queries (no reference env — the
+    * Gateway `limit` param default; graft extension knob). */
+  def defaultQueryLimit: Int =
+    get("GRAFT_DEFAULT_QUERY_LIMIT").map(_.toInt).getOrElse(10000000)
+
+  /** Max concurrently-admitted publish requests before the Gateway
+    * sheds load with 503 — the bounded-ingest-queue backpressure the
+    * reference documents (reference: docs/ARCHITECTURE.md:114-118).
+    * Default = 2× the Gateway worker pool: publishes queue a little,
+    * then shed instead of piling unbounded Spark jobs. */
+  def ingestQueueLimit: Int =
+    get("GRAFT_INGEST_QUEUE_LIMIT").map(_.toInt).getOrElse(16)
+
+  /** byte_unit-style size parse ("10mb", "512 KiB", "1.5GB", "1024"):
+    * decimal units are powers of 1000, binary (…iB) powers of 1024,
+    * case-insensitive — the subset of byte_unit::Byte::parse_str the
+    * reference's config values exercise. */
+  private[graft] def parseByteSize(s: String): Long = {
+    val t = s.trim
+    val m = """(?i)^([0-9]+(?:\.[0-9]+)?)\s*([a-z]*)$""".r
+    t match {
+      case m(num, unit) =>
+        val mult: Long = unit.toLowerCase match {
+          case "" | "b" => 1L
+          case "kb" | "k" => 1000L
+          case "mb" | "m" => 1000L * 1000
+          case "gb" | "g" => 1000L * 1000 * 1000
+          case "tb" | "t" => 1000L * 1000 * 1000 * 1000
+          case "kib" => 1024L
+          case "mib" => 1024L * 1024
+          case "gib" => 1024L * 1024 * 1024
+          case "tib" => 1024L * 1024 * 1024 * 1024
+          case u => throw new IllegalArgumentException(
+            s"Unrecognized byte unit '$u' in '$s'")
+        }
+        (BigDecimal(num) * mult).toLong
+      case _ => throw new IllegalArgumentException(
+        s"Unparseable byte size '$s'")
+    }
+  }
+}

@@ -6340,7 +6340,10 @@ object Queries {
     // DECIMAL v·dt accumulation (order-free integer arithmetic; the
     // only IEEE op is the final division). DECIMAL(18,6)×DECIMAL(19,0)
     // keeps DuckDB's multiply on the int128 path (the q150 same-width
-    // int64 overflow gotcha).
+    // int64 overflow gotcha). The twa surface splits vdt_sum into
+    // FLOOR (exact long, long→double correctly rounded identically) +
+    // fraction (unscaled < 2^53 → exact decimal→double both engines),
+    // then ONE add and ONE divide — bit-identical raw double, no ROUND.
     q(
       "q180_time_weighted_avg",
       """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
@@ -6349,13 +6352,16 @@ object Queries {
         |    PARTITION BY sensor_id ORDER BY t, value) AS nt FROM s),
         |v AS (SELECT sensor_id, t,
         |    CAST(value AS DECIMAL(18,6)) * CAST(nt - t AS DECIMAL(19,0))
-        |      AS vdt FROM n)
-        |SELECT sensor_id, COUNT(*) AS n_samples,
-        |  MAX(t) - MIN(t) AS span_us,
-        |  CAST(COALESCE(SUM(vdt), 0) AS DECIMAL(38,6)) AS vdt_sum,
-        |  round(CAST(COALESCE(SUM(vdt), 0) AS DOUBLE) /
-        |    CAST(MAX(t) - MIN(t) AS DOUBLE), 6) AS twa
-        |FROM v GROUP BY 1 ORDER BY sensor_id"""
+        |      AS vdt FROM n),
+        |g AS (SELECT sensor_id, COUNT(*) AS n_samples,
+        |    MAX(t) - MIN(t) AS span_us,
+        |    CAST(COALESCE(SUM(vdt), 0) AS DECIMAL(38,6)) AS vdt_sum
+        |  FROM v GROUP BY 1)
+        |SELECT sensor_id, n_samples, span_us, vdt_sum,
+        |  (CAST(CAST(FLOOR(vdt_sum) AS BIGINT) AS DOUBLE) +
+        |   CAST(vdt_sum - FLOOR(vdt_sum) AS DOUBLE)) /
+        |    CAST(span_us AS DOUBLE) AS twa
+        |FROM g ORDER BY sensor_id"""
     ) { (s, d) =>
       graft.operators.SensorOps.timeWeightedAvg(
           EventsAdapter.samples(s, d))

@@ -33,6 +33,15 @@ final class Gateway(
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+  private var watchdog: java.util.concurrent.ScheduledExecutorService = _
+
+  /** Bounded ingest admission (reference: docs/ARCHITECTURE.md:114-118 —
+    * the publisher queue saturates and sheds). Permits re-read per
+    * start() so the env/property knob is honored per Gateway. */
+  private var ingestSlots: java.util.concurrent.Semaphore = _
+
+  private final class PayloadTooLarge(msg: String)
+    extends RuntimeException(msg)
 
   /** Bind and start; port 0 picks an ephemeral port. Returns bound port. */
   def start(port: Int = 0): Int = {
@@ -67,6 +76,14 @@ final class Gateway(
         t
       })
     server.setExecutor(pool)
+    // watchdog: one scheduled 408 probe per in-flight request — the
+    // reference's TimeoutLayer semantics (server.rs:74-77). The handler
+    // keeps running (a Spark job can't be safely aborted mid-stage from
+    // here) but the CLIENT gets its timeout answer; the late response
+    // attempt is suppressed by the responded-guard in respondBytes.
+    watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "gateway-watchdog"); t.setDaemon(true); t })
+    ingestSlots = new java.util.concurrent.Semaphore(graft.Config.ingestQueueLimit)
     server.start()
     server.getAddress.getPort
   }
@@ -74,13 +91,23 @@ final class Gateway(
   def stop(): Unit = {
     if (server != null) server.stop(0)
     if (pool != null) pool.shutdown()
+    if (watchdog != null) watchdog.shutdownNow()
   }
 
   // ------------------------------------------------------------- plumbing
 
   private def route(path: String, h: (HttpExchange, Map[String, String]) => Unit): Unit =
     server.createContext(path, new HttpHandler {
-      override def handle(x: HttpExchange): Unit =
+      override def handle(x: HttpExchange): Unit = {
+        // server timeout (reference: TimeoutLayer with REQUEST_TIMEOUT,
+        // src/ingestors/http/server.rs:74-77): a watchdog answers 408 at
+        // the deadline if the handler hasn't responded; the
+        // responded-guard makes the race with a completing handler safe.
+        val deadline = watchdog.schedule(new Runnable {
+          override def run(): Unit =
+            respondError(x, 408, "request timed out")
+        }, graft.Config.httpServerTimeoutSeconds,
+          java.util.concurrent.TimeUnit.SECONDS)
         try {
           // one FAIR pool per worker thread: concurrent requests share
           // executors fairly instead of queueing behind a long scan
@@ -91,14 +118,17 @@ final class Gateway(
             "spark.scheduler.pool", Thread.currentThread().getName)
           h(x, queryParams(x))
         } catch {
+          case e: PayloadTooLarge => respondError(x, 413, e.getMessage)
           case e: SimplePromQL.PromQLError => respondError(x, 400, e.getMessage)
           case e: IllegalArgumentException => respondError(x, 400, e.getMessage)
           case e: NoSuchElementException => respondError(x, 404, e.getMessage)
           case e: Exception => respondError(x, 500, String.valueOf(e.getMessage))
         } finally {
+          deadline.cancel(false)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           x.close()
         }
+      }
     })
 
   private def queryParams(x: HttpExchange): Map[String, String] = {
@@ -119,15 +149,22 @@ final class Gateway(
     respondBytes(x, code, contentType, body.getBytes(StandardCharsets.UTF_8))
 
   private def respondBytes(
-      x: HttpExchange, code: Int, contentType: String, body: Array[Byte]): Unit = {
-    x.getResponseHeaders.set("content-type", contentType)
-    // observability for the concurrent-serving contract (and its test):
-    // which pool worker handled this exchange
-    x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
-    if (body.isEmpty) x.sendResponseHeaders(code, -1)
-    else x.sendResponseHeaders(code, body.length)
-    if (body.nonEmpty) x.getResponseBody.write(body)
-  }
+      x: HttpExchange, code: Int, contentType: String, body: Array[Byte]): Unit =
+    // responded-guard: exactly ONE response per exchange. The watchdog's
+    // 408 and a completing handler race on the same exchange; whichever
+    // sends first wins and the loser is a silent no-op (getResponseCode
+    // is -1 until headers are sent).
+    x.synchronized {
+      if (x.getResponseCode != -1) return
+      x.getResponseHeaders.set("content-type", contentType)
+      // observability for the concurrent-serving contract (and its test):
+      // which pool worker handled this exchange
+      x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
+      if (body.isEmpty) x.sendResponseHeaders(code, -1)
+      else x.sendResponseHeaders(code, body.length)
+      if (body.nonEmpty) x.getResponseBody.write(body)
+      x.close() // flush now — the handler thread may still be busy
+    }
 
   private def respondError(x: HttpExchange, code: Int, msg: String): Unit =
     respond(x, code, "application/json",
@@ -142,8 +179,29 @@ final class Gateway(
       case c => c.toString
     } + "\""
 
-  private def body(x: HttpExchange): Array[Byte] =
-    x.getRequestBody.readAllBytes()
+  /** Request body, capped at SENSAPP_HTTP_BODY_LIMIT (default 10 MB,
+    * reference: src/config/mod.rs:19-20): fast-reject on Content-Length,
+    * then a bounded read for chunked/unsized bodies — oversize is 413
+    * before the bytes are buffered, matching axum's DefaultBodyLimit.
+    */
+  private def body(x: HttpExchange): Array[Byte] = {
+    val cap = graft.Config.httpBodyLimit
+    header(x, "content-length").map(_.toLong).filter(_ > cap).foreach { n =>
+      throw new PayloadTooLarge(s"request body $n bytes exceeds limit $cap")
+    }
+    val in = x.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var read = in.read(chunk)
+    while (read >= 0) {
+      buf.write(chunk, 0, read)
+      if (buf.size() > cap)
+        throw new PayloadTooLarge(
+          s"request body exceeds limit $cap bytes")
+      read = in.read(chunk)
+    }
+    buf.toByteArray
+  }
 
   private def header(x: HttpExchange, k: String): Option[String] =
     Option(x.getRequestHeaders.getFirst(k))
@@ -265,15 +323,31 @@ final class Gateway(
 
   // -------------------------------------------------------------- publish
 
-  private def handlePublish(x: HttpExchange, p: Map[String, String]): Unit = {
-    val ct = header(x, "content-type").getOrElse("text/csv")
-    val raw = body(x)
-    if (ct.contains("application/json")) publishSenml(raw)
-    else if (ct.contains("application/vnd.apache.arrow.file"))
-      publishArrow(raw)
-    else publishCsv(raw) // CSV is the default content type
-    respond(x, 200, "text/plain", "ok")
+  /** Bounded-queue backpressure on the write paths (T4; reference:
+    * docs/ARCHITECTURE.md:114-118): at most GRAFT_INGEST_QUEUE_LIMIT
+    * publishes admitted at once; beyond that the edge sheds with 503 +
+    * Retry-After instead of piling unbounded Spark jobs — the
+    * explicit overload signal the reference's publisher queue gives.
+    */
+  private def withIngestSlot(x: HttpExchange)(work: => Unit): Unit = {
+    if (!ingestSlots.tryAcquire()) {
+      x.getResponseHeaders.set("retry-after", "1")
+      respondError(x, 503, "ingest queue saturated, retry later")
+      return
+    }
+    try work finally ingestSlots.release()
   }
+
+  private def handlePublish(x: HttpExchange, p: Map[String, String]): Unit =
+    withIngestSlot(x) {
+      val ct = header(x, "content-type").getOrElse("text/csv")
+      val raw = body(x)
+      if (ct.contains("application/json")) publishSenml(raw)
+      else if (ct.contains("application/vnd.apache.arrow.file"))
+        publishArrow(raw)
+      else publishCsv(raw) // CSV is the default content type
+      respond(x, 200, "text/plain", "ok")
+    }
 
   private def publishCsv(bytes: Array[Byte]): Unit = {
     import spark.implicits._
@@ -381,7 +455,7 @@ final class Gateway(
 
   // -------------------------------------------------------------- influx
 
-  private def handleInfluxWrite(x: HttpExchange, p: Map[String, String]): Unit = {
+  private def handleInfluxWrite(x: HttpExchange, p: Map[String, String]): Unit = withIngestSlot(x) {
     import spark.implicits._
     val text = BodyCodec.decodeBody(body(x), header(x, "content-encoding"))
     val bucket = p.getOrElse("bucket", "")
@@ -430,26 +504,26 @@ final class Gateway(
 
   // ---------------------------------------------------------- prometheus
 
-  private def handleRemoteWrite(x: HttpExchange, p: Map[String, String]): Unit = {
+  private def handleRemoteWrite(x: HttpExchange, p: Map[String, String]): Unit = withIngestSlot(x) {
     val decompressed = PrometheusRemote.snappyDecompress(body(x))
     val wr = PrometheusRemote.parseWriteRequest(decompressed)
     if (wr.timeseries.isEmpty) {
       respondBytes(x, 204, "text/plain", Array.emptyByteArray)
-      return
+    } else {
+      import spark.implicits._
+      val rows = wr.timeseries.flatMap { ts =>
+        val labels = ts.labels.map(l => l.name -> l.value).toMap
+        val sname = labels.getOrElse("__name__",
+          throw new IllegalArgumentException(
+            "A time serie is missing its __name__ label"))
+        val unit = labels.get("unit")
+        ts.samples.map(s =>
+          (sname, labels, unit.orNull, s.timestampMs * 1000L, s.value))
+      }
+      val df = rows.toDF("sensor_name", "labels", "unit_name", "timestamp_us", "value")
+      graft.streaming.StreamingIngest.publishRemoteWriteRows(store, df)
+      respondBytes(x, 204, "text/plain", Array.emptyByteArray)
     }
-    import spark.implicits._
-    val rows = wr.timeseries.flatMap { ts =>
-      val labels = ts.labels.map(l => l.name -> l.value).toMap
-      val sname = labels.getOrElse("__name__",
-        throw new IllegalArgumentException(
-          "A time serie is missing its __name__ label"))
-      val unit = labels.get("unit")
-      ts.samples.map(s =>
-        (sname, labels, unit.orNull, s.timestampMs * 1000L, s.value))
-    }
-    val df = rows.toDF("sensor_name", "labels", "unit_name", "timestamp_us", "value")
-    graft.streaming.StreamingIngest.publishRemoteWriteRows(store, df)
-    respondBytes(x, 204, "text/plain", Array.emptyByteArray)
   }
 
   private def handleRemoteRead(x: HttpExchange, p: Map[String, String]): Unit = {

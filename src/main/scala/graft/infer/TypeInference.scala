@@ -10,8 +10,9 @@ import java.time.LocalDate
   */
 object TypeInference {
 
-  /** Reference's sampling cap (SENSAPP_MAX_INFERENCES_ROWS). */
-  val MaxInferenceRows = 128
+  /** Reference's sampling cap, honoring the SENSAPP_MAX_INFERENCES_ROWS
+    * override (reference: src/config/mod.rs:25-27; default 128). */
+  def MaxInferenceRows: Int = graft.Config.maxInferenceRows
 
   sealed trait InferredValue
   final case class IntegerV(v: Long) extends InferredValue

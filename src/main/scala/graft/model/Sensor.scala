@@ -37,10 +37,17 @@ object Sensor {
     * salt); default salt "sensapp" (reference: src/config/mod.rs:31).
     */
   val KeyContext = "SENSAPP uuid hash mac 2024-01-19 strings to unique ids"
-  val DefaultSalt = "sensapp"
+  /** Honors SENSAPP_SENSOR_SALT (reference: src/config/mod.rs:32-33). */
+  def DefaultSalt: String = graft.Config.sensorSalt
 
+  // derive_key is ~1 µs and deriveUuid runs per ROW on the ingest hot
+  // path — memoize per salt (tiny domain: the configured salt, plus
+  // whatever tests pass explicitly)
+  private val keyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   def hashKey(salt: String = DefaultSalt): Array[Byte] =
-    Blake3.deriveKey(KeyContext, salt.getBytes("UTF-8"))
+    keyCache.computeIfAbsent(salt,
+      s => Blake3.deriveKey(KeyContext, s.getBytes("UTF-8")))
 
   def uuidBuffer(
       name: String,

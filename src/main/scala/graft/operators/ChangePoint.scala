@@ -40,13 +40,13 @@ object ChangePoint {
       .withColumn("__i", row_number().over(wOrd))
       .withColumn("__s", sum(col("__vq").cast("decimal(38,0)"))
         .over(wRun))
-      .withColumn("__ss", sum((col("__vq") * col("__vq"))
-        .cast("decimal(38,0)")).over(wRun))
+      .withColumn("__ss", sum(col("__vq").cast("decimal(19,0)") *
+        col("__vq")).over(wRun))
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__sn", sum(col("__vq").cast("decimal(38,0)"))
         .over(wAll))
-      .withColumn("__ssn", sum((col("__vq") * col("__vq"))
-        .cast("decimal(38,0)")).over(wAll))
+      .withColumn("__ssn", sum(col("__vq").cast("decimal(19,0)") *
+        col("__vq")).over(wAll))
       .filter(col("__n") >= 2 && col("__i") < col("__n"))
     val id = col("__i").cast("double")
     val nd = col("__n").cast("double")

@@ -46,7 +46,7 @@ object Sax {
     val segs = indexed.groupBy(col("sensor_id"), col("__n"), col("__seg"))
       .agg(count(lit(1)).as("__c"),
         sum(col("__vq").cast("decimal(38,0)")).as("__segsum"),
-        sum((col("__vq") * col("__vq")).cast("decimal(38,0)"))
+        sum(col("__vq").cast("decimal(19,0)") * col("__vq"))
           .as("__segsq"))
     // series totals re-aggregate the segment sums — exact integers, so
     // Σ over segments ≡ Σ over the series; no second pass over the data

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
 object SensorOps {
 
   /** The reference's default per-query sample cap
-    * (reference: src/storage/mod.rs:17).
+    * (reference: src/storage/mod.rs:17); env/property-tunable via
+    * GRAFT_DEFAULT_QUERY_LIMIT (default unchanged).
     */
-  val DefaultQueryLimit = 10000000
+  def DefaultQueryLimit: Int = graft.Config.defaultQueryLimit
 
   /** Time-range + limit scan for one sensor (P1):
     * `WHERE sensor_id = ? AND ts BETWEEN ? AND ? ORDER BY ts LIMIT n`
@@ -243,9 +244,15 @@ object SensorOps {
     * only IEEE operation is the final division. DECIMAL(18,6)×
     * DECIMAL(19,0) also keeps DuckDB off its same-width int64 multiply
     * overflow (combined width 37 ≤ 38 forces the int128 path). The twa
-    * output carries ROUND(6): DuckDB's wide-decimal→double cast
-    * double-rounds (int128→double, then /10⁶) where the JVM converts
-    * once, a 1-ulp divergence the rounding absorbs.
+    * output is built by splitting vdt_sum into FLOOR (an integral value
+    * cast exactly to long, then long→double — correctly rounded
+    * identically on JVM and DuckDB at ANY magnitude) plus the
+    * fractional remainder (unscaled < 10⁶ ≪ 2⁵³, so its decimal→double
+    * cast is the correctly-rounded quotient in both engines). One IEEE
+    * add and one IEEE divide follow — same operation sequence on both
+    * sides, so the raw double is bit-identical and needs NO rounding.
+    * Contract: |Σ v·dt| < 2⁶³ µ-value·µs (value ~10³ × span ~10¹⁵ µs
+    * headroom) — the same magnitude contract as Profiler.microUnits.
     * Duplicate timestamps tie-break on value; equal-t rows get dt = 0
     * so only the last of a tie carries weight — deterministic both
     * engines. Single-sample sensors have zero span → twa NULL
@@ -269,9 +276,12 @@ object SensorOps {
           .as("span_us"),
         coalesce(sum(col("__vdt")), lit(0).cast("decimal(38,6)"))
           .cast("decimal(38,6)").as("vdt_sum"))
-      .withColumn("twa",
-        round(try_divide(col("vdt_sum").cast("double"),
-          col("span_us").cast("double")), 6))
+      .withColumn("twa", {
+        val fl = floor(col("vdt_sum"))
+        val hi = fl.cast("long").cast("double")
+        val lo = (col("vdt_sum") - fl).cast("double")
+        try_divide(hi + lo, col("span_us").cast("double"))
+      })
   }
 
   /** Regular-grid resampling with forward fill: per sensor, one row per

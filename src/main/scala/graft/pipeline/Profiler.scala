@@ -1696,7 +1696,7 @@ object Profiler {
     per.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_subgroups"),
         sum(col("__w")).as("total_weight"),
-        sum((col("__w") * col("__w")).cast("decimal(38,0)"))
+        sum(col("__w").cast("decimal(19,0)") * col("__w"))
           .cast("double").as("__sq"))
       .filter(col("n_subgroups") >= minSubgroups)
       .withColumn("__hhi", col("__sq") /

@@ -746,12 +746,32 @@ object Similarity {
     * left-to-right dot fold, same dot/(na*nb) expression shape.
     * Requires an integral `vec_id` (the embeddings contract).
     */
+  /** Ceiling on the bits=0 all-pairs corpus: above this the collect
+    * would endanger the driver heap (2×10⁵ × dim-64 doubles ≈ 100 MB)
+    * and the LSH-bucketed path (bits>0) is strictly the right tool.
+    * Env-tunable for bigger drivers (GRAFT_ALLPAIRS_MAX); the system
+    * property of the same name wins (test hook). Read per-call so a
+    * long-lived session sees updates. */
+  private[graft] def allPairsMax: Long =
+    sys.props.get("GRAFT_ALLPAIRS_MAX")
+      .orElse(sys.env.get("GRAFT_ALLPAIRS_MAX"))
+      .map(_.toLong).getOrElse(200000L)
+
   private def cosineAllPairsKernel(vectors: DataFrame, tau: Double): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val ds = vectors
       .select(col("vec_id").cast("long"), col("vec").cast("array<double>"))
       .as[(Long, Array[Double])]
+    // census before collect — fail FAST (one cheap count) instead of
+    // OOMing the driver; the autoJoin census discipline applied to the
+    // bits=0 small-corpus contract
+    val n = ds.count()
+    require(n <= allPairsMax,
+      s"cosineNearDupPairs(bits=0) is the exact all-pairs kernel and " +
+        s"collects the corpus to the driver; corpus has $n vectors > " +
+        s"ceiling $allPairsMax. Use bits>0 (LSH-bucketed scale path) " +
+        s"or raise GRAFT_ALLPAIRS_MAX.")
     val all = ds.collect()
     val ids = all.map(_._1)
     val vecs = all.map(_._2)

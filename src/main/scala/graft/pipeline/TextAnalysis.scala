@@ -1198,7 +1198,7 @@ object TextAnalysis {
     perSource.agg(
         count(lit(1)).as("n_sources"),
         sum(col("__t")).as("total_tokens"),
-        sum((col("__t") * col("__t")).cast("decimal(38,0)"))
+        sum(col("__t").cast("decimal(19,0)") * col("__t"))
           .cast("double").as("__sq"))
       .select(col("n_sources"), col("total_tokens"),
         round(col("__sq") / (col("total_tokens").cast("double") *

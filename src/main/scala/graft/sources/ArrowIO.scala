@@ -421,12 +421,46 @@ object ArrowIO {
     } finally reader.close()
   }
 
+  /** IPC write, chunked at SENSAPP_BATCH_SIZE rows per record batch —
+    * the reference's ingest chunking contract carried to the Arrow edge
+    * (reference: src/datamodel/batch_builder.rs:61-80 into_chunks).
+    * Readers stream batch-by-batch instead of one monolithic batch;
+    * every decode path here already loops loadNextBatch().
+    */
   private def writeIpc(root: VectorSchemaRoot): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
-    try {
-      writer.start(); writer.writeBatch(); writer.end()
-    } finally writer.close()
+    val chunkRows = math.max(1, graft.Config.batchSize)
+    val total = root.getRowCount
+    if (total <= chunkRows) {
+      val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+      try {
+        writer.start(); writer.writeBatch(); writer.end()
+      } finally writer.close()
+    } else {
+      // one writer bound to the first slice; later slices are loaded
+      // into the bound root batch-by-batch (zero-copy splitAndTransfer)
+      val bound = root.slice(0, chunkRows)
+      try {
+        val writer = new ArrowFileWriter(bound, null, Channels.newChannel(out))
+        try {
+          val loader = new org.apache.arrow.vector.VectorLoader(bound)
+          writer.start(); writer.writeBatch()
+          var start = chunkRows
+          while (start < total) {
+            val len = math.min(chunkRows, total - start)
+            val slice = root.slice(start, len)
+            try {
+              val rb = new org.apache.arrow.vector.VectorUnloader(slice)
+                .getRecordBatch
+              try loader.load(rb) finally rb.close()
+              writer.writeBatch()
+            } finally slice.close()
+            start += len
+          }
+          writer.end()
+        } finally writer.close()
+      } finally bound.close()
+    }
     out.toByteArray
   }
 }

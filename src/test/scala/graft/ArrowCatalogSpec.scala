@@ -26,6 +26,27 @@ class ArrowCatalogSpec extends SparkSpec {
     assert(ArrowIO.decodeLongFormat(ArrowIO.encodeLongFormat(in)) == in)
   }
 
+  test("Arrow IPC chunks record batches at SENSAPP_BATCH_SIZE") {
+    val prev = sys.props.get("SENSAPP_BATCH_SIZE")
+    sys.props("SENSAPP_BATCH_SIZE") = "2"
+    try {
+      val in = (0 until 7).map(i => (1700000000000000L + i * 1000000L, i * 0.5))
+      val bytes = ArrowIO.encodeFloatSeries(in)
+      // roundtrip identity across the batch boundaries...
+      assert(ArrowIO.decodeFloatSeries(bytes) == in)
+      // ...and the file genuinely carries ceil(7/2)=4 record batches
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes),
+        alloc)
+      try assert(reader.getRecordBlocks.size == 4)
+      finally { reader.close(); alloc.close() }
+    } finally prev match {
+      case Some(v) => sys.props("SENSAPP_BATCH_SIZE") = v
+      case None => sys.props -= "SENSAPP_BATCH_SIZE"
+    }
+  }
+
   test("Arrow typed series: export->import->export roundtrip per type") {
     import graft.model.SensorType
     import graft.sources.ArrowIO.TypedSeries

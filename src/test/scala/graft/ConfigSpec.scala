@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Sensor, SensorType}
+
+/** SENSAPP_* config-surface parity (reference: src/config/mod.rs:9-64):
+  * defaults unchanged, overrides honored, byte-size grammar.
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  private def withProp[A](k: String, v: String)(f: => A): A = {
+    val prev = sys.props.get(k)
+    sys.props(k) = v
+    try f finally prev match {
+      case Some(p) => sys.props(k) = p
+      case None => sys.props -= k
+    }
+  }
+
+  test("defaults match the reference (src/config/mod.rs:9-46)") {
+    assert(Config.instanceId == 0)
+    assert(Config.port == 3000)
+    assert(Config.endpoint == "127.0.0.1")
+    assert(Config.httpBodyLimit == 10L * 1000 * 1000) // "10mb", decimal
+    assert(Config.httpServerTimeoutSeconds == 30L)
+    assert(Config.maxInferenceRows == 128)
+    assert(Config.batchSize == 8192)
+    assert(Config.sensorSalt == "sensapp")
+    assert(!Config.influxdbWithNumeric)
+    assert(Config.defaultQueryLimit == 10000000)
+  }
+
+  test("byte-size grammar: decimal vs binary units, fractions, bare bytes") {
+    assert(Config.parseByteSize("1024") == 1024L)
+    assert(Config.parseByteSize("10mb") == 10000000L)
+    assert(Config.parseByteSize("10MB") == 10000000L)
+    assert(Config.parseByteSize("512 KiB") == 512L * 1024)
+    assert(Config.parseByteSize("1.5GB") == 1500000000L)
+    assert(Config.parseByteSize("2GiB") == 2L * 1024 * 1024 * 1024)
+    intercept[IllegalArgumentException](Config.parseByteSize("10 parsecs"))
+    intercept[IllegalArgumentException](Config.parseByteSize("mb"))
+    // the reference's 128 GB ceiling (src/config/mod.rs:60-63)
+    withProp("SENSAPP_HTTP_BODY_LIMIT", "1tib") {
+      intercept[IllegalArgumentException](Config.httpBodyLimit)
+    }
+  }
+
+  test("overrides are honored and defaults restore on unset") {
+    withProp("SENSAPP_MAX_INFERENCES_ROWS", "7") {
+      assert(graft.infer.TypeInference.MaxInferenceRows == 7)
+    }
+    assert(graft.infer.TypeInference.MaxInferenceRows == 128)
+    withProp("GRAFT_DEFAULT_QUERY_LIMIT", "42") {
+      assert(graft.operators.SensorOps.DefaultQueryLimit == 42)
+    }
+    assert(graft.operators.SensorOps.DefaultQueryLimit == 10000000)
+    withProp("SENSAPP_BATCH_SIZE", "3") {
+      assert(Config.batchSize == 3)
+    }
+  }
+
+  test("SENSAPP_SENSOR_SALT changes the derived UUID keyspace") {
+    val base = Sensor.deriveUuid("temp", SensorType.Float, None, Nil)
+    withProp("SENSAPP_SENSOR_SALT", "other-tenant") {
+      val other = Sensor.deriveUuid("temp", SensorType.Float, None, Nil)
+      assert(other != base)
+      // explicit-salt call agrees with the env-derived one (memoized key)
+      assert(other ==
+        Sensor.deriveUuid("temp", SensorType.Float, None, Nil, "other-tenant"))
+    }
+    assert(Sensor.deriveUuid("temp", SensorType.Float, None, Nil) == base)
+  }
+}

@@ -429,4 +429,65 @@ class GatewaySpec extends SparkSpec {
     assert(store.samples(SensorType.Float).count() == samplesAfterFirst)
     assert(get(s"/series/$avgUuid").body().contains("\"v\":2.5"))
   }
+
+  private def withProp[A](k: String, v: String)(f: => A): A = {
+    val prev = sys.props.get(k)
+    sys.props(k) = v
+    try f finally prev match {
+      case Some(p) => sys.props(k) = p
+      case None => sys.props -= k
+    }
+  }
+
+  test("oversized request body is rejected with 413 (SENSAPP_HTTP_BODY_LIMIT)") {
+    withProp("SENSAPP_HTTP_BODY_LIMIT", "1kb") {
+      val big = ("datetime,sensor_name,value\n" +
+        "2024-01-01T00:00:00Z,big,1.0\n" * 100).getBytes(StandardCharsets.UTF_8)
+      assert(big.length > 1000)
+      val r = post("/publish", big, Map("content-type" -> "text/csv"))
+      assert(r.statusCode() == 413)
+      assert(new String(r.body(), "UTF-8").contains("exceeds limit"))
+    }
+    // default limit (10mb) admits the same payload
+    val small = ("datetime,sensor_name,value\n" +
+      "2024-01-01T00:00:00Z,big,1.0\n").getBytes(StandardCharsets.UTF_8)
+    assert(post("/publish", small,
+      Map("content-type" -> "text/csv")).statusCode() == 200)
+  }
+
+  test("handler over the server timeout answers 408 (TimeoutLayer parity)") {
+    // timeout 0 s: the watchdog fires immediately; any Spark-backed
+    // handler takes well over the scheduling latency, so the client
+    // deterministically sees the reference's REQUEST_TIMEOUT status
+    withProp("SENSAPP_HTTP_SERVER_TIMEOUT_SECONDS", "0") {
+      val r = get("/metrics")
+      assert(r.statusCode() == 408)
+      assert(r.body().contains("timed out"))
+    }
+    assert(get("/metrics").statusCode() == 200) // back to normal
+  }
+
+  test("saturated ingest queue sheds publishes with 503 + retry-after (T4)") {
+    withProp("GRAFT_INGEST_QUEUE_LIMIT", "0") {
+      // a dedicated gateway picks up the zero-permit queue at start()
+      val g2 = new Gateway(spark, store, "overloaded")
+      val p2 = g2.start(0)
+      try {
+        val csv = ("datetime,sensor_name,value\n" +
+          "2024-01-01T00:00:00Z,bp,1.0\n").getBytes(StandardCharsets.UTF_8)
+        var b = HttpRequest.newBuilder(
+          new URI(s"http://127.0.0.1:$p2/publish"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(csv))
+          .header("content-type", "text/csv")
+        val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 503)
+        assert(r.headers().firstValue("retry-after").orElse("") == "1")
+        assert(r.body().contains("saturated"))
+        // reads are NOT shed — only the write paths are queue-bounded
+        assert(client.send(HttpRequest.newBuilder(
+          new URI(s"http://127.0.0.1:$p2/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      } finally g2.stop()
+    }
+  }
 }

@@ -1137,6 +1137,23 @@ class PipelineSpec extends SparkSpec {
     assert(bucketed.subsetOf(exact))
   }
 
+  test("cosine bits=0 size guard: oversized corpus fails fast, no collect") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val prev = sys.props.get("GRAFT_ALLPAIRS_MAX")
+    sys.props("GRAFT_ALLPAIRS_MAX") = "3" // corpus is larger than 3
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.cosineNearDupPairs(e, tau = 0.3, bits = 0).count()
+      }
+      assert(ex.getMessage.contains("bits>0"))
+    } finally prev match {
+      case Some(v) => sys.props("GRAFT_ALLPAIRS_MAX") = v
+      case None => sys.props -= "GRAFT_ALLPAIRS_MAX"
+    }
+  }
+
   test("minhash LSH pairs == exact jaccard pairs on testdata") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
