@@ -785,13 +785,13 @@ object Queries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
     ) { (s, d) =>
       // the file stream source requires a directory; expose the single
-      // events.parquet file through a temp dir symlink
-      val streamDir = java.nio.file.Files.createTempDirectory("q32_src")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+      // events.parquet file through a cached temp-dir symlink, and run
+      // the stateful agg on the 4-partition scoped session (fixed
+      // state-store overhead, identical answer)
+      val ss = streamSession(s)
       val schema = Tables.load(s, d, "events").schema
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val stream = ss.readStream.schema(schema)
+        .parquet(streamSourceDir(s, d, "events"))
       val streamSamples =
         (if (stream.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
@@ -806,7 +806,12 @@ object Queries {
       val query = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
       try query.processAllAvailable() finally query.stop()
-      s.table(name)
+      // bounded result re-materialized on the caller's session; the
+      // memory-sink view is dropped so Bench's 4 runs don't accumulate
+      val out = ss.table(name).orderBy("window_start_us", "sensor_id")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      ss.catalog.dropTempView(name)
+      s.createDataFrame(rows, out.schema)
         .orderBy("window_start_us", "sensor_id")
     },
 
@@ -2241,32 +2246,24 @@ object Queries {
         |    AS n_kept
         |FROM documents GROUP BY source ORDER BY source"""
     ) { (s, d) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("q74_src")
-      try {
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("documents.parquet"),
-          java.nio.file.Paths.get(s"$d/documents.parquet"))
-        val schema = Tables.load(s, d, "documents").schema
-        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        val kept = Dedup.dedupStream(stream, "text", scopeCols = Seq("source"))
-          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-        val name = s"q74_out_${System.nanoTime()}"
-        val query = kept.writeStream.outputMode("complete")
-          .format("memory").queryName(name).start()
-        try query.processAllAvailable() finally query.stop()
-        // materialize the (per-source, bounded) counts and drop the
-        // memory sink: Bench re-runs each entry 4x per JVM, so leaked
-        // result tables would accumulate in driver memory for the
-        // process lifetime
-        val out = s.table(name).orderBy("source")
-        val rows = java.util.Arrays.asList(out.collect(): _*)
-        s.catalog.dropTempView(name)
-        s.createDataFrame(rows, out.schema).orderBy("source")
-      } finally {
-        java.nio.file.Files.deleteIfExists(
-          streamDir.resolve("documents.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
+      val ss = streamSession(s) // 4 state partitions; same answer
+      val schema = Tables.load(s, d, "documents").schema
+      val stream = ss.readStream.schema(schema)
+        .parquet(streamSourceDir(s, d, "documents"))
+      val kept = Dedup.dedupStream(stream, "text", scopeCols = Seq("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val name = s"q74_out_${System.nanoTime()}"
+      val query = kept.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+      // materialize the (per-source, bounded) counts and drop the
+      // memory sink: Bench re-runs each entry 4x per JVM, so leaked
+      // result tables would accumulate in driver memory for the
+      // process lifetime
+      val out = ss.table(name).orderBy("source")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      ss.catalog.dropTempView(name)
+      s.createDataFrame(rows, out.schema).orderBy("source")
     },
 
     // Int8-quantized ANN first pass (vec_q8 / vec_dot8 codegen'd
@@ -3972,22 +3969,18 @@ object Queries {
         |  AND v.vts BETWEEN c.cts - 300000000 AND c.cts + 300000000
         |GROUP BY 1, 2 ORDER BY 1, 2"""
     ) { (s, d) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("q116_src")
       // a stream-stream join opens FOUR state stores per shuffle
       // partition; at the session's 32 partitions that is 128 store
       // instances checkpointing per micro-batch — pure fixed overhead
-      // for a bounded demo. Scope the state partitioning down via a
-      // DEDICATED session (own SQLConf, shared context) — mutating the
-      // shared conf and restoring it would silently re-plan anything
-      // planned concurrently with 4 partitions.
-      val ss = graft.streaming.StreamingIngest.stateScopedSession(s, 4)
-      try {
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet"))
+      // for a bounded demo. Scope the state partitioning down via the
+      // shared DEDICATED session (own SQLConf, shared context) —
+      // mutating the shared conf and restoring it would silently
+      // re-plan anything planned concurrently with 4 partitions.
+      val ss = streamSession(s)
+      locally {
         val schema = Tables.load(s, d, "events").schema
         val raw = ss.readStream.schema(schema)
-          .parquet(streamDir.toString)
+          .parquet(streamSourceDir(s, d, "events"))
         val stream =
           if (raw.schema("ts").dataType ==
             org.apache.spark.sql.types.LongType)
@@ -4024,10 +4017,6 @@ object Queries {
         val rows = java.util.Arrays.asList(out.collect(): _*)
         ss.catalog.dropTempView(name)
         s.createDataFrame(rows, out.schema).orderBy("user_id", "cts")
-      } finally {
-        java.nio.file.Files.deleteIfExists(
-          streamDir.resolve("events.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
       }
     },
 
@@ -6441,33 +6430,28 @@ object Queries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment"""
     ) { (s, d) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("q184_src")
-      try {
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet"))
-        val schema = Tables.load(s, d, "events").schema
-        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-        val dim = Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_mktsegment"))
-        val enriched = stream
-          .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
-          .groupBy(col("c_mktsegment").as("segment"))
-          .agg(count(lit(1)).as("n_events"),
-            dsum(col("value")).as("total_value"))
-        val name = s"q184_out_${System.nanoTime()}"
-        val query = enriched.writeStream.outputMode("complete")
-          .format("memory").queryName(name).start()
-        try query.processAllAvailable() finally query.stop()
-        val out = s.table(name).orderBy("segment")
-        val rows = java.util.Arrays.asList(out.collect(): _*)
-        s.catalog.dropTempView(name)
-        s.createDataFrame(rows, out.schema).orderBy("segment")
-      } finally {
-        java.nio.file.Files.deleteIfExists(
-          streamDir.resolve("events.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
+      val ss = streamSession(s) // 4 state partitions; same answer
+      val schema = Tables.load(s, d, "events").schema
+      val stream = ss.readStream.schema(schema)
+        .parquet(streamSourceDir(s, d, "events"))
+      // dim loaded through the SAME scoped session — mixing Datasets
+      // across sessions analyzes under one SQLConf and resolves under
+      // another, which Spark only sometimes tolerates
+      val dim = Tables.customer(ss, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = stream
+        .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+      val name = s"q184_out_${System.nanoTime()}"
+      val query = enriched.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+      val out = ss.table(name).orderBy("segment")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      ss.catalog.dropTempView(name)
+      s.createDataFrame(rows, out.schema).orderBy("segment")
     },
 
     // Join-cardinality estimation without executing the join: per-key
@@ -7596,7 +7580,8 @@ object Queries {
         samples.coalesce(1).write.mode("overwrite").parquet(p.toString)
         p
       })
-      val stream = s.readStream.schema(samples.schema)
+      val ss = streamSession(s) // 4 state partitions; same answer
+      val stream = ss.readStream.schema(samples.schema)
         .parquet(streamDir.toString)
       val out = graft.streaming.StreamingCusum.detectStreamDF(
         stream, target = 50.0, slack = 5.0, threshold = 200.0)
@@ -7604,11 +7589,11 @@ object Queries {
       val query = out.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try query.processAllAvailable() finally query.stop()
-      val res = s.table(name)
+      val res = ss.table(name)
         .withColumnRenamed("timestamp_us", "t")
         .orderBy("sensor_id", "t", "value")
       val rows = java.util.Arrays.asList(res.collect(): _*)
-      s.catalog.dropTempView(name)
+      ss.catalog.dropTempView(name)
       s.createDataFrame(rows, res.schema)
         .orderBy("sensor_id", "t", "value")
     },
@@ -9386,6 +9371,162 @@ object Queries {
             (col("mx") + col("mn")).cast("double"), 6)
             .as("amplitude"))
         .orderBy("nation")
+    },
+
+    // HyperLogLog distinct-orderkey estimate per returnflag (Flajolet
+    // et al. 2007): md5-60-bit hashing (engine-portable), b=8 register
+    // index, rank via length(bin(w)) — identical in both engines — and
+    // the harmonic sum kept EXACT as Σ 2^(53-mj) in int64 (empty
+    // registers 2^53 each), so the only IEEE ops are the final fixed
+    // multiply/divide chain. ~11k distinct per flag ≈ 43m — solidly in
+    // the raw-estimator regime (>2.5m) with no correction branch.
+    // Mergeable-union layout: the register table is 3×256 rows no
+    // matter how many lineitems feed it.
+    q(
+      "q271_hll_distinct",
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |    CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |h AS (SELECT flag,
+        |    ('0x'||substr(md5('0:'||k),1,15))::BIGINT AS hv FROM t),
+        |r AS (SELECT flag, hv % 256 AS reg, hv // 256 AS w FROM h),
+        |m AS (SELECT flag, reg,
+        |    MAX(CASE WHEN w = 0 THEN 53
+        |        ELSE 53 - length(bin(w)) END) AS mj
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT flag, COUNT(*) AS registers_observed,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mj AS INT))
+        |      AS BIGINT) AS tobs
+        |  FROM m GROUP BY 1),
+        |e AS (SELECT flag, CAST(COUNT(DISTINCT k) AS BIGINT)
+        |    AS n_exact FROM t GROUP BY 1)
+        |SELECT g.flag, e.n_exact, g.registers_observed,
+        |  g.tobs + (256 - g.registers_observed) *
+        |    (CAST(1 AS BIGINT) << 53) AS t_scaled,
+        |  (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |    * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
+        |    / CAST(g.tobs + (256 - g.registers_observed) *
+        |        (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS hll_estimate
+        |FROM g JOIN e ON g.flag = e.flag ORDER BY g.flag"""
+    ) { (s, d) =>
+      val t = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_orderkey").cast("string").as("k"))
+      graft.pipeline.Sketches.hllDistinct(t, "k", Seq("flag"), 8)
+        .join(t.groupBy("flag")
+          .agg(count_distinct(col("k")).as("n_exact")), Seq("flag"))
+        .select(col("flag"), col("n_exact"), col("registers_observed"),
+          col("t_scaled"), col("hll_estimate"))
+        .orderBy("flag")
+    },
+
+    // Bloom-filter cross-snapshot dedup prefilter: the filter built
+    // from the even-doc_id snapshot (k=3 salted md5 bit lanes over
+    // 2^17 bits, packed to 2048 bit_or words — broadcast-sized BY
+    // CONSTRUCTION) probes the odd-doc_id snapshot; only
+    // bloom-positive rows would enter the exact dedup shuffle at
+    // scale. The fingerprint is the first-8-token prefix (the
+    // boilerplate-opening signal that DOES recur across snapshots).
+    // Pure integer/bit arithmetic end to end — negatives are exact,
+    // positives = true dups + counted false positives.
+    q(
+      "q272_bloom_prefilter",
+      """WITH n AS (SELECT doc_id, source,
+        |    array_to_string(list_slice(
+        |      string_split_regex(trim(lower(text)), '\s+'), 1, 8), ' ')
+        |      AS fp
+        |  FROM documents),
+        |old AS (SELECT fp FROM n WHERE doc_id % 2 = 0),
+        |new_ AS (SELECT doc_id, source, fp FROM n WHERE doc_id % 2 = 1),
+        |bits AS (SELECT DISTINCT lane.i AS i, fp,
+        |    ('0x'||substr(md5(lane.i||':'||fp),1,15))::BIGINT % 131072
+        |      AS pos
+        |  FROM old, (SELECT UNNEST(['0','1','2']) AS i) lane),
+        |bloom AS (SELECT pos // 64 AS word,
+        |    bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
+        |  FROM (SELECT DISTINCT pos FROM bits) GROUP BY 1),
+        |probe AS (SELECT w.doc_id, w.source, w.fp,
+        |    (SELECT COUNT(*) FROM (SELECT UNNEST(['0','1','2']) AS i) l
+        |      JOIN bloom b ON b.word =
+        |        (('0x'||substr(md5(l.i||':'||w.fp),1,15))::BIGINT
+        |          % 131072) // 64
+        |      WHERE (b.bits & (CAST(1 AS UBIGINT) <<
+        |        CAST((('0x'||substr(md5(l.i||':'||w.fp),1,15))::BIGINT
+        |          % 131072) % 64 AS INT))) != 0) = 3 AS bloom_positive
+        |  FROM new_ w),
+        |truth AS (SELECT DISTINCT fp FROM old)
+        |SELECT probe.source,
+        |  COUNT(*) AS n_new,
+        |  CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN truth.fp IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true_dups,
+        |  CAST(SUM(CASE WHEN bloom_positive AND truth.fp IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+        |FROM probe LEFT JOIN truth ON probe.fp = truth.fp
+        |GROUP BY 1 ORDER BY 1"""
+    ) { (s, d) =>
+      val n = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8),
+            " ").as("fp"))
+      val old = n.filter(col("doc_id") % 2 === 0).select("fp")
+      val fresh = n.filter(col("doc_id") % 2 === 1)
+      val bloom = graft.pipeline.Sketches.bloomBuild(old, "fp", 131072, 3)
+      val probed = graft.pipeline.Sketches.bloomProbe(
+        fresh, "fp", bloom, 131072, 3)
+      probed
+        .join(old.distinct().withColumn("__dup", lit(1)),
+          probed("fp") === old("fp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(col("bloom_positive").cast("long")).as("n_candidates"),
+          sum(coalesce(col("__dup"), lit(0)).cast("long"))
+            .as("n_true_dups"),
+          sum((col("bloom_positive") && col("__dup").isNull)
+            .cast("long")).as("n_false_positives"))
+        .orderBy("source")
+    },
+
+    // Count-Min frequency sketch (Cormode & Muthukrishnan 2005): 3×1024
+    // salted-md5 counter grid over the token stream; per-key estimate =
+    // MIN over the 3 row counters — an overestimate by construction,
+    // verified here against the true counts of the top-20 tokens. All
+    // integer; the grid is 3×1024 rows regardless of corpus size.
+    q(
+      "q273_cms_tokens",
+      """WITH t AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |grid AS (SELECT lane.i AS r,
+        |    ('0x'||substr(md5(lane.i||':'||tok),1,15))::BIGINT % 1024
+        |      AS bucket, COUNT(*) AS cnt
+        |  FROM t, (SELECT UNNEST([0,1,2]) AS i) lane GROUP BY 1, 2),
+        |topk AS (SELECT tok, COUNT(*) AS true_count FROM t GROUP BY 1
+        |  ORDER BY true_count DESC, tok LIMIT 20),
+        |est AS (SELECT k.tok, k.true_count,
+        |    MIN(g.cnt) AS cms_estimate
+        |  FROM topk k, (SELECT UNNEST([0,1,2]) AS i) lane
+        |  JOIN grid g ON g.r = lane.i AND g.bucket =
+        |    ('0x'||substr(md5(lane.i||':'||k.tok),1,15))::BIGINT % 1024
+        |  GROUP BY 1, 2)
+        |SELECT tok, true_count, cms_estimate,
+        |  cms_estimate >= true_count AS never_underestimates
+        |FROM est ORDER BY true_count DESC, tok"""
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.whitespaceTokens(lower(col("text"))))
+          .as("tok"))
+      val cms = graft.pipeline.Sketches.cmsBuild(toks, "tok", 1024, 3)
+      val topk = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("tok"))
+        .limit(20)
+      graft.pipeline.Sketches.cmsEstimate(topk, "tok", cms, 1024, 3)
+        .join(topk, Seq("tok"))
+        .select(col("tok"), col("true_count"), col("cms_estimate"),
+          (col("cms_estimate") >= col("true_count"))
+            .as("never_underestimates"))
+        .orderBy(col("true_count").desc, col("tok"))
     }
   )
 
@@ -9452,6 +9593,39 @@ object Queries {
     */
   private val q219SourceDirs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.nio.file.Path]()
+
+  /** Per-(session, sfDir, table) symlink dirs exposing one parquet file
+    * as a file-stream source directory — INPUT plumbing cached like
+    * Tables' relation cache (bounded: one tiny dir per table per SF per
+    * JVM; the OS owns /tmp cleanup), so Bench's 4 runs per query pay the
+    * mkdir+symlink once instead of per invocation.
+    */
+  private val streamLinkDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), java.nio.file.Path]()
+  private def streamSourceDir(
+      s: SparkSession, d: String, table: String): String =
+    streamLinkDirs.computeIfAbsent((s, d, table), _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve(s"$table.parquet"),
+        java.nio.file.Paths.get(s"$d/$table.parquet"))
+      p
+    }).toString
+
+  /** One scoped streaming session (4 state partitions) per root session —
+    * the q116 state-store scoping applied to EVERY bounded streaming
+    * demo: a stateful op opens a state store per shuffle partition, so
+    * at the session default of 32 the fixed micro-batch overhead is 8×
+    * the data work for these bounded corpora. Partition count never
+    * changes an answer (the streaming≡batch pins hold); it only sheds
+    * fixed state machinery. Cached so repeated Bench runs share one
+    * SQLConf + its plan caches.
+    */
+  private val scopedStreamSessions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]()
+  private def streamSession(s: SparkSession): SparkSession =
+    scopedStreamSessions.computeIfAbsent(s,
+      _ => graft.streaming.StreamingIngest.stateScopedSession(s, 4))
 
   /** Shared CUSUM oracle (q196 batch, q219 streaming — the operators
     * are fold-identical by construction, so one recursive-CTE replay

@@ -16,6 +16,40 @@ class XorChunkSpec extends AnyFunSuite {
     assert((bytes(4) & 0xff) == 0x3f && (bytes(5) & 0xff) == 0xf0)
   }
 
+  test("golden bytes: full 3-sample chunk vs hand-derived Gorilla stream") {
+    // Derived BY HAND from the published Prometheus chunkenc XOR layout
+    // (prometheus/tsdb chunkenc/xor.go; the format the reference emits
+    // through rusty_chunkenc, reference:
+    // src/parsing/prometheus/chunk_encoder.rs:1-60) — NOT by running
+    // this encoder, so it pins interop, not self-consistency:
+    //   0003              uint16 BE sample count = 3
+    //   D00F              varint(zigzag(t0=1000)) = uvarint(2000)
+    //   3FF0000000000000  v0 = 1.0 raw 64 bits, MSB-first
+    //   E807              uvarint(tDelta=1000)
+    //   then bit-level: v1=2.0, xor=0x7FF0...: '1','1'(new window),
+    //     leading=1 (5b 00001), sigbits=11 (6b 001011), bits 0x7FF
+    //     -> C2 5F FF
+    //   sample 3: dod=0 ('0'), v2=3.0 xor 2.0 = 0x0008...: '1','1',
+    //     leading=12 (01100), sigbits=1 (000001), bit 1, zero-padded
+    //     -> 6C 06
+    val expected = Array(
+      0x00, 0x03, 0xD0, 0x0F, 0x3F, 0xF0, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0xE8, 0x07, 0xC2, 0x5F, 0xFF, 0x6C, 0x06).map(_.toByte)
+    val got = XorChunk.encode(
+      Seq(Sample(1000, 1.0), Sample(2000, 2.0), Sample(3000, 3.0)))
+    assert(got.toSeq == expected.toSeq)
+    assert(XorChunk.decode(expected) ==
+      Seq(Sample(1000, 1.0), Sample(2000, 2.0), Sample(3000, 3.0)))
+  }
+
+  test("golden CRC32C: published Castagnoli check value") {
+    // RFC 3720 §B.4 / Castagnoli check vector: crc32c("123456789") =
+    // 0xE3069283 — pins that our frame checksum is CRC32C, not CRC32
+    val crc = new java.util.zip.CRC32C
+    crc.update("123456789".getBytes("US-ASCII"))
+    assert(crc.getValue == 0xE3069283L)
+  }
+
   test("roundtrip: constant series (xor==0 path)") {
     val in = (0 until 100).map(i => Sample(1700000000000L + i * 15000L, 42.0))
     assert(XorChunk.decode(XorChunk.encode(in)) == in)
