@@ -9527,6 +9527,35 @@ object Queries {
           (col("cms_estimate") >= col("true_count"))
             .as("never_underestimates"))
         .orderBy(col("true_count").desc, col("tok"))
+    },
+
+    // RAG-prep token-window chunking: 64-token windows, stride 48
+    // (16-token overlap) — the retrieval-index unit cut before
+    // embedding. Chunk count ceil((n−64)/48)+1 via exact integer div
+    // (tail always covered, never duplicated); a pure scan-stage
+    // explode, no shuffle. Oracle replays the identical slice
+    // arithmetic with DuckDB's 1-based inclusive list_slice.
+    q(
+      "q274_token_chunks",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, toks, len(toks) AS n FROM t
+        |  WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, toks, UNNEST(range(0,
+        |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END))
+        |    AS ki FROM p)
+        |SELECT doc_id, CAST(ki AS BIGINT) AS chunk_idx,
+        |  CAST(ki * 48 AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(toks, ki*48 + 1, ki*48 + 64)) AS BIGINT)
+        |    AS n_tok,
+        |  array_to_string(list_slice(toks, ki*48 + 1, ki*48 + 64), ' ')
+        |    AS chunk_text
+        |FROM k ORDER BY doc_id, chunk_idx"""
+    ) { (s, d) =>
+      TextAnalysis.tokenWindowChunks(
+          Tables.documents(s, d), "doc_id", "text", 64, 48)
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 

@@ -1379,4 +1379,49 @@ object TextAnalysis {
           expr("((target - (cum_mass - c * k) + c - 1) div c) * c"))
           .as("covered_tokens"))
   }
+
+  /** RAG-prep token-window chunking: each document splits into
+    * overlapping windows of `size` tokens advancing by `stride`
+    * (overlap = size − stride) — the retrieval-index unit every
+    * embedding pipeline cuts before encoding. Chunk count is
+    * ceil((n − size)/stride) + 1 (one chunk when n ≤ size), so the
+    * tail is always covered and never emitted twice.
+    *
+    * Output: (idCol, chunk_idx, start_tok, n_tok, chunk_text).
+    *
+    * Scale shape: a pure scan-stage explode — no shuffle, no window;
+    * the per-row fan-out is n/stride chunks and each output row carries
+    * only its own slice. Exact integer chunk arithmetic (div-based)
+    * replays verbatim in the oracle.
+    */
+  def tokenWindowChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be positive: $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size]: $stride")
+    docs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size_(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__k", expr(
+        s"CASE WHEN __n <= $size THEN 1 " +
+          s"ELSE (__n - $size + ${stride - 1}) div $stride + 1 END"))
+      .select(col(idCol),
+        explode(expr("sequence(0, CAST(__k - 1 AS INT))")).as("chunk_idx"),
+        col("__toks"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col(idCol), col("chunk_idx").cast("long"),
+        col("start_tok").cast("long"),
+        size_(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)), " ")
+          .as("chunk_text"))
+  }
+
+  // functions.size shadowed by the param name in some scopes — local alias
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
 }

@@ -844,4 +844,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("bloomProbe: k lookups are broadcast hash joins, data never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").as("fp"))
+    val bloom = graft.pipeline.Sketches.bloomBuild(
+      docs.select("fp"), "fp", 4096, 3)
+    val plan = planOf(graft.pipeline.Sketches.bloomProbe(
+      docs, "fp", bloom, 4096, 3))
+    // the probe side must NOT shuffle: every filter lookup is a
+    // broadcast hash join; a sort-merge here would shuffle the 100 TB
+    // side to co-locate against a 64-row filter
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hllRegisters: partial aggregation combines map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.pipeline.Sketches.hllRegisters(
+      docs, "text", Seq("source"), 8))
+    // register max must be a two-phase hash aggregate (partial_max on
+    // the scan side) — the property that caps the shuffle at
+    // |groups|×m rows regardless of input size
+    assert(plan.contains("partial_max"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("tokenWindowChunks: a single scan-stage explode, no shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.pipeline.TextAnalysis.tokenWindowChunks(
+      docs, "doc_id", "text", 64, 48))
+    assert(plan.contains("Generate"), plan) // the explode
+    assert(!plan.contains("Exchange"), plan) // chunking never shuffles
+  }
 }
