@@ -9556,6 +9556,55 @@ object Queries {
       TextAnalysis.tokenWindowChunks(
           Tables.documents(s, d), "doc_id", "text", 64, 48)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Streaming HLL: the q271 register table built as a STATEFUL
+    // streaming aggregate (groupBy(flag, reg).max — state is 3×256
+    // registers, O(1) per series, the sketch-native streaming shape),
+    // then finalized in batch off the sink. Deterministic hashing ⇒
+    // stream ≡ batch, pinned by sharing q271's oracle arithmetic.
+    q(
+      "q275_stream_hll",
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |    CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |h AS (SELECT flag,
+        |    ('0x'||substr(md5('0:'||k),1,15))::BIGINT AS hv FROM t),
+        |r AS (SELECT flag, hv % 256 AS reg, hv // 256 AS w FROM h),
+        |m AS (SELECT flag, reg,
+        |    MAX(CASE WHEN w = 0 THEN 53
+        |        ELSE 53 - length(bin(w)) END) AS mj
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT flag, COUNT(*) AS registers_observed,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mj AS INT))
+        |      AS BIGINT) AS tobs
+        |  FROM m GROUP BY 1)
+        |SELECT flag, registers_observed,
+        |  tobs + (256 - registers_observed) *
+        |    (CAST(1 AS BIGINT) << 53) AS t_scaled,
+        |  (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |    * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
+        |    / CAST(tobs + (256 - registers_observed) *
+        |        (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS hll_estimate
+        |FROM g ORDER BY flag"""
+    ) { (s, d) =>
+      val ss = streamSession(s)
+      val schema = Tables.load(s, d, "lineitem").schema
+      val stream = ss.readStream.schema(schema)
+        .parquet(streamSourceDir(s, d, "lineitem"))
+        .select(col("l_returnflag").as("flag"),
+          col("l_orderkey").cast("string").as("k"))
+      val regs = graft.pipeline.Sketches.hllRegisters(
+        stream, "k", Seq("flag"), 8)
+      val name = s"q275_out_${System.nanoTime()}"
+      val query = regs.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try query.processAllAvailable() finally query.stop()
+      val out = graft.pipeline.Sketches.hllFinalize(
+          ss.table(name), Seq("flag"), 8)
+        .orderBy("flag")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      ss.catalog.dropTempView(name)
+      s.createDataFrame(rows, out.schema).orderBy("flag")
     }
   )
 
