@@ -9539,7 +9539,7 @@ object Queries {
       "q274_token_chunks",
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents),
+        |  FROM documents WHERE trim(text) != ''),
         |p AS (SELECT doc_id, toks, len(toks) AS n FROM t
         |  WHERE len(toks) > 0),
         |k AS (SELECT doc_id, toks, UNNEST(range(0,

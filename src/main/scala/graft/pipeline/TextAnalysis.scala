@@ -1401,6 +1401,9 @@ object TextAnalysis {
     require(stride >= 1 && stride <= size,
       s"stride must be in [1, size]: $stride")
     docs
+      // split(trim(''), '\s+') is [''] in both engines — empty and
+      // whitespace-only docs must be dropped BEFORE tokenizing
+      .filter(trim(col(textCol)) =!= "")
       .select(col(idCol), whitespaceTokens(col(textCol)).as("__toks"))
       .withColumn("__n", size_(col("__toks")))
       .filter(col("__n") > 0)

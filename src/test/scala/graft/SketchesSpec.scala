@@ -69,6 +69,31 @@ class SketchesSpec extends SparkSpec {
     assert(selfProbe.filter(!col("bloom_positive")).count() == 0)
   }
 
+  test("token chunking: boundary arithmetic covers the tail exactly once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 64).map(i => s"t$i").mkString(" ")), // exactly one window
+      (2L, (1 to 65).map(i => s"t$i").mkString(" ")), // one token over
+      (3L, (1 to 160).map(i => s"t$i").mkString(" ")), // 64+48+48 = 3 chunks
+      (4L, "solo"), // tiny doc
+      (5L, "   ") // whitespace-only → zero tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenWindowChunks(docs, "doc_id", "text", 64, 48)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 64L),
+      (2L, 0L, 0L, 64L), (2L, 1L, 48L, 17L),
+      (3L, 0L, 0L, 64L), (3L, 1L, 48L, 64L), (3L, 2L, 96L, 64L),
+      (4L, 0L, 0L, 1L)))
+    // every token of doc 3 appears in some chunk, tail not duplicated:
+    // last chunk starts at 96 and carries tokens 97..160
+    val last = TextAnalysis.tokenWindowChunks(docs, "doc_id", "text", 64, 48)
+      .filter(col("doc_id") === 3 && col("chunk_idx") === 2)
+      .select("chunk_text").as[String].head()
+    assert(last.startsWith("t97 ") && last.endsWith(" t160"))
+  }
+
   test("CMS never underestimates and row-min tightens the bound") {
     val t = toks.select("tok")
     val cms = Sketches.cmsBuild(t, "tok", 1024, 3)
