@@ -9605,8 +9605,54 @@ object Queries {
       val rows = java.util.Arrays.asList(out.collect(): _*)
       ss.catalog.dropTempView(name)
       s.createDataFrame(rows, out.schema).orderBy("flag")
+    },
+
+    // Perceptual-hash (dHash) near-dup pairs over the deterministic
+    // fake media lane (the REAL javax.imageio lane is pixel-pinned in
+    // PipelineSpec): 63-bit difference hash of the 9×8 fake gray grid
+    // (printable-ASCII code points — replayed verbatim by the oracle),
+    // 4×16-bit band bucketing (full recall ≤ radius 3, stated trade
+    // above), exact bit_count(xor) verification. Pure integer end to
+    // end; the only joins key on (band, 16-bit value) — never
+    // all-pairs.
+    q("q276_dhash_neardup", dhashOracleSql) { (s, d) =>
+      import graft.pipeline.Multimodal
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeDHash(col("text")).as("dhash"))
+      Multimodal.dhashNearDupPairs(hashes, radius = 6)
+        .orderBy("id_a", "id_b")
     }
   )
+
+  /** q276's oracle: the fake dHash replayed as 63 generated CASE terms
+    * (one per grid comparison, bit weights as int64 literals) plus the
+    * same band-bucket join and exact hamming verification.
+    */
+  private lazy val dhashOracleSql: String = {
+    val terms = (for {
+      y <- 0 until 8
+      x <- 0 until 8
+      bit = y * 8 + x
+      if bit < 63
+    } yield
+      s"CASE WHEN ascii(substr(s,${y * 9 + x + 1},1)) < " +
+        s"ascii(substr(s,${y * 9 + x + 2},1)) THEN ${1L << bit} " +
+        "ELSE 0 END").mkString(" + ")
+    s"""WITH sx AS (SELECT doc_id,
+       |    rpad(regexp_replace(lower(text), '[^ -~]', '', 'g'), 72, ' ')
+       |      AS s FROM documents),
+       |h AS (SELECT doc_id, ($terms)::BIGINT AS dhash FROM sx),
+       |b AS (SELECT doc_id, dhash, UNNEST([0,1,2,3]) AS band FROM h),
+       |bb AS (SELECT doc_id, dhash, band,
+       |    (dhash >> (16*band)) & 65535 AS bv FROM b),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |    bit_count(xor(a.dhash, b2.dhash)) AS hamming
+       |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bv = b2.bv
+       |    AND a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // lazy: referenced from the registry (via partChiSql) during object
   // init, which runs before later plain vals are assigned

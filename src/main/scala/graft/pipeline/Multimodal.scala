@@ -244,4 +244,126 @@ object Multimodal {
         sampler.sampleBatch(batch.toSeq, every))
     }
   }
+
+  // ------------------------------------------------------- perceptual hash
+
+  /** 63-bit difference hash (dHash) over a 9×8 luminance grid: bit
+    * (y·8+x) is set iff lum(y,x) < lum(y,x+1) for y∈[0,8), x∈[0,8),
+    * except the top (7,7) comparison — 63 bits keep the value inside
+    * SIGNED int64 on every engine (DuckDB's checked `<<` rejects 1<<63;
+    * the hamming radius loses nothing measurable from one bit). Near-dup
+    * images keep near-equal hashes under resize/re-encode — the
+    * perceptual analog of SimHash.
+    */
+  val DHashBits = 63
+
+  /** REAL lane: decode via javax.imageio, bilinear-sample the luminance
+    * plane down to 9×8, difference-hash. Same batch contract as the
+    * decoders.
+    */
+  object ImageIOHasher extends Serializable {
+    def hashBatch(rows: Seq[MediaRow]): Seq[(Long, Long)] = rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media))
+      require(img != null,
+        s"media_id ${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      // bilinear luminance sample at the 9×8 grid centers
+      def lum(fx: Double, fy: Double): Double = {
+        val x0 = math.min(w - 1, math.max(0, fx.toInt))
+        val y0 = math.min(h - 1, math.max(0, fy.toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val y1 = math.min(h - 1, y0 + 1)
+        val ax = fx - x0
+        val ay = fy - y0
+        def l(x: Int, y: Int): Double = {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0
+        }
+        l(x0, y0) * (1 - ax) * (1 - ay) + l(x1, y0) * ax * (1 - ay) +
+          l(x0, y1) * (1 - ax) * ay + l(x1, y1) * ax * ay
+      }
+      val g = Array.tabulate(8, 9) { (y, x) =>
+        lum((x + 0.5) * w / 9.0 - 0.5, (y + 0.5) * h / 8.0 - 0.5)
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val bit = y * 8 + x
+          if (bit < DHashBits && g(y)(x) < g(y)(x + 1))
+            hash |= 1L << bit
+          x += 1
+        }
+        y += 1
+      }
+      (r.media_id, hash)
+    }
+  }
+
+  /** Distributed real-lane hash: (media_id, dhash) per image. */
+  def dhashImages(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(batch =>
+        ImageIOHasher.hashBatch(batch.toSeq))
+    }.toDF("media_id", "dhash")
+  }
+
+  /** STUB lane as a pure Column expression (scan-stage, codegen'd): the
+    * deterministic fake gray grid is the code points of the
+    * printable-ASCII-filtered lowercased text, padded to 72 with
+    * spaces, row-major 9×8 — so near-identical texts (the fake stand-in
+    * for near-identical images) get near-equal hashes, and the oracle
+    * replays ascii()/substr() verbatim.
+    */
+  def fakeDHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val s = rpad(regexp_replace(lower(text), "[^ -~]", ""), 72, " ")
+    val terms = for {
+      y <- 0 until 8
+      x <- 0 until 8
+      bit = y * 8 + x
+      if bit < DHashBits
+    } yield {
+      val a = ascii(substring(s, y * 9 + x + 1, 1))
+      val b = ascii(substring(s, y * 9 + x + 2, 1))
+      when(a < b, lit(1L << bit)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _) // disjoint bits: sum ≡ bitwise OR
+  }
+
+  /** Hamming-radius near-dup pairs over dHashes: 4 16-bit bands (bits
+    * 0-15/16-31/32-47/48-62) bucket the candidates; a pair is surfaced
+    * iff some band matches exactly. Pigeonhole guarantees full recall
+    * for radius ≤ 3 (4 bands, ≤3 flipped bits ⇒ one band clean);
+    * radius 4-6 pairs are found unless their flips touch all 4 bands —
+    * the standard banding recall trade, stated not hidden.
+    * Verification is exact bit_count(xor) ≤ radius. Never all-pairs:
+    * the join key is (band, 16-bit value).
+    */
+  def dhashNearDupPairs(
+      hashes: DataFrame, radius: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(radius >= 0 && radius < DHashBits, s"bad radius: $radius")
+    val banded = hashes.select(
+      col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL))
+            .as("bv"))): _*)).as("bb"))
+      .select(col("media_id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
 }

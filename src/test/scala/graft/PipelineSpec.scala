@@ -1377,6 +1377,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO dHash: gradients, invariance under resize, banding recall") {
+    import graft.pipeline.Multimodal
+    import Multimodal.MediaRow
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, rgb(x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // strictly increasing horizontal luminance ⇒ every left<right
+    // comparison true ⇒ all 63 bits set
+    val ramp = png(36, 16, (x, _) => { val v = x * 7; (v << 16) | (v << 8) | v })
+    val flat = png(36, 16, (_, _) => 0x808080)
+    val rampHash = Multimodal.ImageIOHasher.hashBatch(
+      Seq(MediaRow(1L, ramp, "image/png", 0, 0))).head._2
+    assert(rampHash == (1L << 63) - 1, rampHash.toBinaryString)
+    // constant image: no strict increase anywhere ⇒ hash 0
+    assert(Multimodal.ImageIOHasher.hashBatch(
+      Seq(MediaRow(2L, flat, "image/png", 0, 0))).head._2 == 0L)
+    // perceptual invariance: the SAME scene at another resolution
+    // hashes (near-)identically — that is the point of dHash
+    val ramp2 = png(72, 32, (x, _) => { val v = x * 7 / 2; (v << 16) | (v << 8) | v })
+    val h2 = Multimodal.ImageIOHasher.hashBatch(
+      Seq(MediaRow(3L, ramp2, "image/png", 0, 0))).head._2
+    assert(java.lang.Long.bitCount(rampHash ^ h2) <= 3,
+      s"resize moved the hash too far: ${(rampHash ^ h2).toBinaryString}")
+    // distributed pairs: ramp and its resize land within radius
+    val hashes = Multimodal.dhashImages(Seq(
+      MediaRow(1L, ramp, "image/png", 0, 0),
+      MediaRow(3L, ramp2, "image/png", 0, 0),
+      MediaRow(2L, flat, "image/png", 0, 0)).toDS())
+    val pairs = Multimodal.dhashNearDupPairs(hashes, radius = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) && !pairs.exists(p => p._2 == 2L))
+  }
+
   test("multimodal decode: batch shape, determinism, feature contract") {
     val media = Multimodal.mediaFromDocuments(
       spark, Tables.documents(spark, sf))
