@@ -9474,16 +9474,24 @@ object Queries {
       val bloom = graft.pipeline.Sketches.bloomBuild(old, "fp", 131072, 3)
       val probed = graft.pipeline.Sketches.bloomProbe(
         fresh, "fp", bloom, 131072, 3)
-      probed
-        .join(old.distinct().withColumn("__dup", lit(1)),
-          probed("fp") === old("fp"), "left")
+      // scale-honest shape: the exact fingerprint join runs over the
+      // bloom CANDIDATES only — negatives never shuffle (that is the
+      // entire point of the prefilter; true dups are always candidates
+      // because bloom has no false negatives)
+      val counts = fresh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"))
+      val cand = probed.filter(col("bloom_positive"))
+      val truth = old.distinct().withColumn("__dup", lit(1))
+      val candStats = cand
+        .join(truth, cand("fp") === truth("fp"), "left")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_new"),
-          sum(col("bloom_positive").cast("long")).as("n_candidates"),
+        .agg(count(lit(1)).as("n_candidates"),
           sum(coalesce(col("__dup"), lit(0)).cast("long"))
             .as("n_true_dups"),
-          sum((col("bloom_positive") && col("__dup").isNull)
-            .cast("long")).as("n_false_positives"))
+          sum(col("__dup").isNull.cast("long")).as("n_false_positives"))
+      counts.join(candStats, Seq("source"), "left")
+        .na.fill(0L,
+          Seq("n_candidates", "n_true_dups", "n_false_positives"))
         .orderBy("source")
     },
 
