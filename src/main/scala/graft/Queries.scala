@@ -9630,8 +9630,144 @@ object Queries {
           Multimodal.fakeDHash(col("text")).as("dhash"))
       Multimodal.dhashNearDupPairs(hashes, radius = 6)
         .orderBy("id_a", "id_b")
+    },
+
+    // Pivot (wide crosstab): nation × order-priority revenue. The
+    // value list is EXPLICIT, so Spark skips the extra distinct-values
+    // job `pivot(col)` would otherwise run, and the whole crosstab is
+    // ONE hash aggregate shuffled on the groupBy key (pivot columns
+    // are map-side conditional sums — no per-priority pass). Revenue
+    // kept in integer cents end to end.
+    q(
+      "q277_pivot_revenue",
+      """SELECT n.n_name AS nation,
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END), 0) AS BIGINT) AS urgent_cents,
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
+        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END), 0) AS BIGINT) AS high_cents,
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END), 0) AS BIGINT) AS medium_cents,
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END), 0) AS BIGINT) AS notspec_cents,
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '5-LOW'
+        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END), 0) AS BIGINT) AS low_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY nation"""
+    ) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          col("o_orderpriority").as("pri"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      j.groupBy(col("nation"))
+        .pivot("pri", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("cents")))
+        .select(col("nation"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("urgent_cents"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("high_cents"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("medium_cents"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("notspec_cents"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("low_cents"))
+        .orderBy("nation")
+    },
+
+    // GROUPING SETS (the general form q12 rollup / q113 cube are
+    // special cases of): detail + one subtotal + grand total in ONE
+    // Expand-based aggregate — a single shuffle carrying each row once
+    // per set, vs three scans for three separate aggregates. Absent
+    // levels surface as 'ALL' (the grouping columns are never NULL in
+    // the data, so COALESCE is an unambiguous marker).
+    q(
+      "q278_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY flag, status"""
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    },
+
+    // Referential-integrity profile over the star schema's FK edges —
+    // the Deequ-style DQ gate a pipeline runs before training-data
+    // publication. Child collapsed to distinct keys first (join at key
+    // cardinality, never rows×rows); one conditional aggregate per
+    // edge. All edges are intact in this data — the zeros ARE the
+    // assertion.
+    q("q279_ri_orphans", riOracleSql) { (s, d) =>
+      graft.pipeline.Profiler.refIntegrity(Seq(
+        ("events.user_id->customer", Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey"),
+        ("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        ("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("supplier.s_nationkey->nation", Tables.supplier(s, d),
+          "s_nationkey", Tables.nation(s, d), "n_nationkey")))
     }
   )
+
+  /** q279's oracle: the same distinct-key left-join conditional
+    * aggregate, one block per FK edge, generated from a shared edge
+    * list so engine and oracle cannot drift.
+    */
+  private lazy val riOracleSql: String = {
+    val edges = Seq(
+      ("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+    val blocks = edges.map { case (label, child, ck, parent, pk) =>
+      s"""SELECT '$label' AS relation,
+         |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_child,
+         |  COUNT(*) AS n_keys,
+         |  CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN n END), 0)
+         |    AS BIGINT) AS n_orphan_rows,
+         |  COUNT(CASE WHEN p IS NULL THEN 1 END) AS n_orphan_keys,
+         |  CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN n END), 0)
+         |    AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS orphan_rate
+         |FROM (
+         |  SELECT ckt.n, pkt.p FROM
+         |    (SELECT $ck AS k, COUNT(*) AS n FROM $child
+         |     WHERE $ck IS NOT NULL GROUP BY 1) ckt
+         |  LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS p FROM $parent) pkt
+         |    ON ckt.k = pkt.k)""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
 
   /** q276's oracle: the fake dHash replayed as 63 generated CASE terms
     * (one per grid comparison, bit weights as int64 literals) plus the

@@ -1708,6 +1708,46 @@ object Profiler {
         round(col("__hhi"), 6).as("hhi"))
   }
 
+  /** Referential-integrity profile: for each declared FK edge
+    * (relation label, child frame, child key, parent frame, parent
+    * key) report total child rows, distinct child keys, orphan rows
+    * (child rows whose key has no parent), distinct orphan keys, and
+    * the orphan-row rate. NULL child keys are excluded (SQL FK
+    * semantics: a NULL reference is not a violation).
+    *
+    * Scale shape: the child is FIRST collapsed to distinct keys with
+    * row counts and the parent to distinct keys, so the join runs at
+    * key cardinality — never child-rows × parent-rows. Totals and
+    * orphan counts come from ONE conditional aggregate over the
+    * left-joined key table (no second scan of either input); each
+    * edge contributes a single row, unioned at the end. At 100 TB the
+    * per-edge cost is two distinct-aggregates plus one key-sized join
+    * — the same plan a dedicated DQ engine (Deequ's hasReferentialIntegrity)
+    * compiles to.
+    */
+  def refIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "declare at least one FK edge")
+    edges.map { case (label, child, childKey, parent, parentKey) =>
+      val ck = child.filter(col(childKey).isNotNull)
+        .groupBy(col(childKey).as("__k"))
+        .agg(count(lit(1)).as("__n"))
+      val pk = parent.select(col(parentKey).as("__k")).distinct()
+        .withColumn("__p", lit(1))
+      ck.join(pk, Seq("__k"), "left")
+        .agg(
+          coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_child"),
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("__p").isNull, col("__n"))), lit(0L))
+            .cast("long").as("n_orphan_rows"),
+          count(when(col("__p").isNull, lit(1))).as("n_orphan_keys"))
+        .select(lit(label).as("relation"), col("n_child"), col("n_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"),
+          (col("n_orphan_rows").cast("double") /
+            col("n_child").cast("double")).as("orphan_rate"))
+    }.reduce(_.unionAll(_)).orderBy("relation")
+  }
+
   /** ABC (Pareto) classification of entities by an integer value:
     * class A = entities whose cumulative value (mass strictly above
     * them, plus their own) stays within 80% of the total, B within
