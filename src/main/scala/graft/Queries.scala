@@ -9731,6 +9731,98 @@ object Queries {
           Tables.customer(s, d), "c_custkey"),
         ("supplier.s_nationkey->nation", Tables.supplier(s, d),
           "s_nationkey", Tables.nation(s, d), "n_nationkey")))
+    },
+
+    // Int8 affine-quantization calibration: per-dimension min/max and
+    // scale — the PTQ pre-pass for the q75 int8 serving path. One
+    // generate + a d-group map-side-combined aggregate; min/max exact,
+    // scale one IEEE division.
+    q(
+      "q280_quant_calibration",
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT i, v[i] AS vv
+        |      FROM e, (SELECT unnest(range(1, 65)) AS i))
+        |SELECT CAST(i AS INTEGER) AS dim, MIN(vv) AS vmin, MAX(vv) AS vmax,
+        |  (MAX(vv) - MIN(vv)) / 255.0 AS scale
+        |FROM x GROUP BY 1 ORDER BY dim"""
+    ) { (s, d) =>
+      Similarity.quantCalibration(Tables.embeddings(s, d), "embedding")
+    },
+
+    // Gram matrix XᵀX in µ-unit integer arithmetic via a typed
+    // Aggregator (ONE primitive d(d+1)/2 buffer per task, map-side
+    // combined — the treeAggregate shape; the shuffle carries buffers,
+    // not the N·d²/2 exploded products). Result exact in int64; the
+    // double surface is one long→double conversion + one division.
+    q(
+      "q281_gram_matrix",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, i,
+        |        CAST(FLOOR(v[i] * 1000000.0) AS BIGINT) AS q
+        |      FROM e, (SELECT unnest(range(1, 65)) AS i)),
+        |p AS (SELECT a.i - 1 AS i, b.i - 1 AS j, a.q * b.q AS prod
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(SUM(prod) AS BIGINT) AS gram_mu2,
+        |  CAST(CAST(SUM(prod) AS BIGINT) AS DOUBLE) / 1000000000000.0
+        |    AS gram
+        |FROM p GROUP BY 1, 2 ORDER BY i, j"""
+    ) { (s, d) =>
+      Similarity.gramMatrix(Tables.embeddings(s, d), "embedding")
+        .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+          col("gram_mu2"), col("gram"))
+        .orderBy("i", "j")
+    },
+
+    // Hard-negative mining: per anchor, top-3 most-similar vectors of
+    // a DIFFERENT label — q27's broadcast-anchor kernel with the label
+    // exclusion as a scan predicate. ROUND(6) on the cosine surface
+    // (the q27 discipline for list_cosine_similarity parity).
+    q(
+      "q282_hard_negatives",
+      """WITH e AS (SELECT vec_id, label,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+        |      FROM e WHERE vec_id < 10)
+        |SELECT query_id, rank, vec_id, label, ROUND(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |    list_cosine_similarity(q.qv, e.v) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+        |        e.vec_id) AS rank
+        |  FROM q, e WHERE e.label <> q.qlabel)
+        |WHERE rank <= 3 ORDER BY query_id, rank"""
+    ) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("vec"))
+      val anchors = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("vec").as("qvec"))
+      Similarity.hardNegatives(anchors, e, 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
+    // Feature hashing (hashing trick): fixed-width signed bag-of-words
+    // with NO vocabulary pass — the corpus-scale featurizer. Sparse
+    // (doc, bucket, fval) surface; md5 bucket/sign replayed verbatim.
+    q(
+      "q283_feature_hash",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('fh:' || token), 1, 15))::BIGINT AS h
+        |  FROM tok WHERE length(token) > 0)
+        |SELECT doc_id, (h >> 1) % 64 AS bucket,
+        |  CAST(SUM(CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+        |    AS fval
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.featureHash(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", 64)
     }
   )
 

@@ -994,4 +994,133 @@ object Similarity {
               col("n").cast("double"))) / 1e6, 6)
           .as("rms_dispersion"))
   }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually move a contrastive loss (similar but
+    * wrong-class). Same broadcast-anchor shape as [[bruteForceTopK]]
+    * (anchors are a bounded working set, the corpus streams map-side,
+    * one shuffle for the per-anchor window); the label exclusion is a
+    * scan-stage predicate, zero extra cost. At corpus scale the
+    * LSH/IVF first pass bounds the candidate set and this kernel is
+    * the exact scorer over it.
+    */
+  def hardNegatives(
+      anchors: DataFrame, // (query_id, qlabel, qvec: array<double>)
+      corpus: DataFrame, // (vec_id, label, vec: array<double>)
+      k: Int): DataFrame = {
+    val joined = corpus.withColumn("__nv", norm(col("vec")))
+      .crossJoin(broadcast(anchors.withColumn("__nq", norm(col("qvec")))))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine", cosinePrenormed(
+        col("qvec"), col("vec"), col("__nq"), col("__nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cosine")
+  }
+
+  /** Int8 affine-quantization calibration (the per-tensor/per-channel
+    * scale computation every PTQ toolchain runs before serving): per
+    * dimension, min, max, and the affine scale (max−min)/255. One
+    * generate (posexplode — no shuffle) feeding a d-group hash
+    * aggregate with map-side combine: the shuffle carries d rows per
+    * task regardless of corpus size. min/max are exact value
+    * selections; the scale is the single IEEE division of two exact
+    * doubles, so the surface replays on any engine.
+    */
+  def quantCalibration(vectors: DataFrame, vecCol: String): DataFrame =
+    vectors
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__pos", "__v")))
+      .groupBy((col("__pos") + 1).as("dim"))
+      .agg(min(col("__v")).as("vmin"), max(col("__v")).as("vmax"))
+      .select(col("dim").cast("int").as("dim"), col("vmin"), col("vmax"),
+        ((col("vmax") - col("vmin")) / lit(255.0)).as("scale"))
+      .orderBy("dim")
+
+  /** Gram matrix Xᵀ X over an embedding column — the one-pass input to
+    * covariance/PCA-whitening decisions. Components quantize to
+    * integer µ-units (FLOOR(v·u) — exact and engine-portable), so
+    * every accumulated product is an exact long and the result is
+    * order-free: a typed [[GramAggregator]] keeps ONE primitive
+    * d(d+1)/2 upper-triangle buffer per task (map-side partial
+    * aggregation — the `treeAggregate` shape), merging to a single
+    * row; the only shuffle is numPartitions buffers of 8·d²/2 bytes.
+    * The naive alternative (explode to (i,j,xᵢxⱼ) and groupBy) would
+    * shuffle N·d²/2 rows — 2×10¹³ at 100 TB — this shuffles ~10⁴.
+    *
+    * Magnitude contract (same family as Profiler.microUnits): needs
+    * N·(u·max|v|)² < 2⁶³ — at u=10⁶, |v|≤3, that is N ≤ 10⁵ rows per
+    * FULL corpus... per accumulated sum; for larger corpora pass a
+    * coarser `unitsPerValue` (u=10³ lifts the bound by 10⁶×).
+    */
+  def gramMatrix(
+      vectors: DataFrame,
+      vecCol: String,
+      unitsPerValue: Long = 1000000L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dim = vectors.select(size_(col(vecCol))).first().getInt(0)
+    val quantized = vectors
+      .select(transform(col(vecCol).cast("array<double>"),
+        v => floor(v * lit(unitsPerValue.toDouble)).cast("long")).as("q"))
+      .as[Array[Long]]
+    val g = new GramAggregator(dim)
+    val flat = quantized.select(g.toColumn).toDF("g")
+    // linear upper-triangle index -> (i, j), joined back as a bounded
+    // d²/2-row broadcast (plan-time constant, never data-dependent)
+    val mapping = (for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield (i * dim - i * (i - 1) / 2 + (j - i), i, j))
+      .toDF("idx", "i", "j")
+    flat
+      .select(posexplode(col("g")).as(Seq("idx", "gram_mu2")))
+      .join(broadcast(mapping), Seq("idx"))
+      .select(col("i"), col("j"), col("gram_mu2"),
+        (col("gram_mu2").cast("double") /
+          lit(unitsPerValue.toDouble * unitsPerValue.toDouble))
+          .as("gram"))
+      .orderBy("i", "j")
+  }
+
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+}
+
+/** Upper-triangle Gram accumulator: primitive long buffer, O(d²)
+  * tight loop per row, associative exact-integer merge. See
+  * [[Similarity.gramMatrix]] for the magnitude contract.
+  */
+class GramAggregator(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], Array[Long], Array[Long]] {
+  private val len = dim * (dim + 1) / 2
+  def zero: Array[Long] = new Array[Long](len)
+  def reduce(b: Array[Long], x: Array[Long]): Array[Long] = {
+    require(x.length == dim,
+      s"gramMatrix: expected dim=$dim, row has ${x.length}")
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      val xi = x(i)
+      var j = i
+      while (j < dim) { b(idx) += xi * x(j); idx += 1; j += 1 }
+      i += 1
+    }
+    b
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { a(i) += b(i); i += 1 }
+    a
+  }
+  def finish(r: Array[Long]): Array[Long] = r
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

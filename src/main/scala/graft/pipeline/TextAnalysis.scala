@@ -1425,6 +1425,38 @@ object TextAnalysis {
   }
 
   // functions.size shadowed by the param name in some scopes — local alias
+  /** Feature hashing (the "hashing trick", Weinberger et al.,
+    * ICML'09): tokens map to a fixed K-bucket index via a salted
+    * 60-bit md5 hash — bucket = (h≫1) mod K, sign = ± from the low
+    * bit (the signed variant that makes collisions unbiased) — giving
+    * every document a fixed-width sparse vector with NO vocabulary
+    * pass: no dictionary shuffle, no broadcast, no OOV handling, the
+    * property that makes it the default featurizer at corpus scale.
+    * Output is the sparse form (doc_id, bucket, fval): one explode
+    * (generate — no shuffle) + one (doc, bucket) hash aggregate with
+    * map-side combine. The md5 construction replays verbatim
+    * off-engine (same contract as Sampling.hash60).
+    */
+  def featureHash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      salt: String = "fh:"): DataFrame = {
+    require(buckets >= 2, "need at least two hash buckets")
+    val h = graft.pipeline.Sampling.hash60(col("token"), salt)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"),
+        (shiftright(h, 1) % buckets).as("bucket"),
+        when(h % 2 === 1, lit(1L)).otherwise(lit(-1L)).as("__sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("__sign")).cast("long").as("fval"))
+      .orderBy("doc_id", "bucket")
+  }
+
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)
 }
