@@ -9823,6 +9823,146 @@ object Queries {
     ) { (s, d) =>
       graft.pipeline.TextAnalysis.featureHash(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", 64)
+    },
+
+    // Streaming sessionization: the SAME 30-minute session_window
+    // aggregation as batch q105, run through Structured Streaming
+    // (session-merging state store) in complete mode — bounded-replay
+    // parity against q105's gaps-and-islands oracle; production runs
+    // append mode + watermark for state eviction, which changes WHEN
+    // sessions emit, never their extent.
+    q(
+      "q284_stream_sessions",
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_us(MIN(ts)) AS start_us,
+        |  epoch_us(MAX(ts)) + 1800000000 AS end_us,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us"""
+    ) { (s, d) =>
+      val ss = streamSession(s)
+      locally {
+        val schema = Tables.load(s, d, "events").schema
+        val raw = ss.readStream.schema(schema)
+          .parquet(streamSourceDir(s, d, "events"))
+        val stream =
+          if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else raw
+        val sess = stream
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n"))
+        val name = s"q284_out_${System.nanoTime()}"
+        val query = sess.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try query.processAllAvailable() finally query.stop()
+        val out = ss.table(name)
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            unix_micros(col("sw.end")).as("end_us"), col("n"))
+          .orderBy("user_id", "start_us")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        ss.catalog.dropTempView(name)
+        s.createDataFrame(rows, out.schema).orderBy("user_id", "start_us")
+      }
+    },
+
+    // Bitmap-index distinct users per day (Roaring/Druid pattern):
+    // 63-bit OR-lanes, Σ popcount — a tiny MERGEABLE partial aggregate
+    // where count(distinct) shuffles every id; the exact count rides
+    // along as the self-check (the two columns matching IS the test).
+    q(
+      "q285_bitmap_distinct",
+      """WITH lanes AS (SELECT CAST(ts AS DATE) AS day,
+        |    user_id // 63 AS lane,
+        |    bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bm
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT day, COUNT(*) AS n_lanes,
+        |    CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap
+        |  FROM lanes GROUP BY 1),
+        |x AS (SELECT CAST(ts AS DATE) AS day,
+        |    COUNT(DISTINCT user_id) AS n_distinct_exact
+        |  FROM events GROUP BY 1)
+        |SELECT b.day, b.n_lanes, b.n_distinct_bitmap, x.n_distinct_exact
+        |FROM b JOIN x USING (day) ORDER BY day"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.bitmapDistinct(
+        Tables.events(s, d).select(to_date(col("ts")).as("day"),
+          col("user_id")),
+        "day", "user_id")
+    },
+
+    // Theil–Sen robust slope of per-nation monthly order counts — the
+    // 29%-breakdown trend line OLS (q224) isn't. Pairs form on the
+    // PRE-AGGREGATED monthly series (bounded n per group); median =
+    // explicit two-middle-rank average, one division per slope.
+    q(
+      "q286_theil_sen",
+      """WITH j AS (SELECT n.n_name AS nation,
+        |    CAST(date_part('year', o.o_orderdate) * 12
+        |      + date_part('month', o.o_orderdate) AS BIGINT) AS t
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |m AS (SELECT nation, t, COUNT(*) AS y FROM j GROUP BY 1, 2),
+        |p AS (SELECT a.nation,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+        |      AS slope, a.t AS ta, b.t AS tb
+        |  FROM m a JOIN m b ON a.nation = b.nation AND a.t < b.t),
+        |r AS (SELECT nation, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY slope, ta, tb) AS rn,
+        |    COUNT(*) OVER (PARTITION BY nation) AS np
+        |  FROM p)
+        |SELECT nation, MAX(np) AS n_pairs,
+        |  SUM(slope) / CAST(COUNT(*) AS DOUBLE) AS theil_sen
+        |FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |GROUP BY nation ORDER BY nation"""
+    ) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("t"))
+      val m = j.groupBy(col("nation"), col("t"))
+        .agg(count(lit(1)).as("y"))
+      graft.operators.TheilSen.robustSlope(m, "nation", "t", "y")
+    },
+
+    // Boilerplate-prefix detection per source (the CCNet/RefinedWeb
+    // template-cleanup step): shared normalized 10-char prefixes =
+    // template artifacts; two stacked map-side-combined aggregates.
+    q(
+      "q287_boilerplate",
+      """WITH p AS (SELECT source,
+        |    substr(trim(lower(text)), 1, 10) AS pfx
+        |  FROM documents),
+        |g AS (SELECT source, pfx, COUNT(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  COUNT(CASE WHEN n >= 2 THEN 1 END) AS n_groups,
+        |  CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
+        |    AS n_boiler_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) AS boiler_rate
+        |FROM g GROUP BY 1 ORDER BY source"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.boilerplatePrefixes(
+        Tables.documents(s, d), "text", "source", prefixLen = 10)
     }
   )
 

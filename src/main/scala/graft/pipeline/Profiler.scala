@@ -1708,6 +1708,41 @@ object Profiler {
         round(col("__hhi"), 6).as("hhi"))
   }
 
+  /** Bitmap-index distinct counting (the Roaring/Druid pattern): ids
+    * pack into 63-bit lanes — lane = id DIV 63, bit = id MOD 63 — and
+    * each (group, lane) OR-combines to one long; the distinct count is
+    * Σ popcount(lane). Why over count(distinct): bit_or is a tiny
+    * fixed-width MERGEABLE partial aggregate (map-side combined, one
+    * long per lane), so the shuffle carries ≤ idRange/63 longs per
+    * group instead of every distinct id, and lane bitmaps from
+    * different runs/partitions re-merge later — the property
+    * count(distinct) fundamentally lacks. 63-bit lanes (not 64) keep
+    * every shifted bit inside signed int64, the q276 dHash discipline
+    * — engines with CHECKED shifts replay it. The exact
+    * count(distinct) rides along as the self-check.
+    *
+    * Contract: ids must be non-negative integers (dictionary-encoded
+    * upstream if natural keys are strings).
+    */
+  def bitmapDistinct(
+      df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val lanes = df
+      .select(col(groupCol).as("g"),
+        expr(s"$idCol DIV 63").as("__lane"),
+        expr(s"shiftleft(1L, CAST($idCol % 63 AS INT))").as("__bit"))
+      .groupBy(col("g"), col("__lane"))
+      .agg(expr("bit_or(__bit)").as("__bm"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_lanes"),
+        sum(expr("bit_count(__bm)")).cast("long").as("n_distinct_bitmap"))
+    val exact = df.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(idCol)).as("n_distinct_exact"))
+    lanes.join(exact, Seq("g"))
+      .select(col("g").as(groupCol), col("n_lanes"),
+        col("n_distinct_bitmap"), col("n_distinct_exact"))
+      .orderBy(groupCol)
+  }
+
   /** Referential-integrity profile: for each declared FK edge
     * (relation label, child frame, child key, parent frame, parent
     * key) report total child rows, distinct child keys, orphan rows

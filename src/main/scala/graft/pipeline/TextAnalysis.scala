@@ -1425,6 +1425,41 @@ object TextAnalysis {
   }
 
   // functions.size shadowed by the param name in some scopes — local alias
+  /** Boilerplate-prefix detection (the CCNet/RefinedWeb cleanup step):
+    * documents from one source sharing an identical normalized prefix
+    * are template artifacts — cookie banners, licence headers, feed
+    * frames. Per source: docs total, prefix groups with ≥ minDocs
+    * members, docs inside those groups, and the boilerplate rate. Two
+    * stacked hash aggregates — (source, prefix) then source — both
+    * map-side combined; the prefix is a fixed-width substring so the
+    * first shuffle key is bounded regardless of document length. All
+    * counts integer; the rate is one IEEE division.
+    */
+  def boilerplatePrefixes(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      prefixLen: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && minDocs >= 2,
+      "need prefixLen >= 1 and minDocs >= 2")
+    docs
+      .select(col(sourceCol).as("source"),
+        substring(trim(lower(col(textCol))), 1, prefixLen).as("__p"))
+      .groupBy(col("source"), col("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("source"))
+      .agg(sum(col("__n")).cast("long").as("n_docs"),
+        count(when(col("__n") >= minDocs, lit(1))).as("n_groups"),
+        coalesce(sum(when(col("__n") >= minDocs, col("__n"))), lit(0L))
+          .cast("long").as("n_boiler_docs"))
+      .select(col("source"), col("n_docs"), col("n_groups"),
+        col("n_boiler_docs"),
+        (col("n_boiler_docs").cast("double") /
+          col("n_docs").cast("double")).as("boiler_rate"))
+      .orderBy("source")
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al.,
     * ICML'09): tokens map to a fixed K-bucket index via a salted
     * 60-bit md5 hash — bucket = (h≫1) mod K, sign = ± from the low
