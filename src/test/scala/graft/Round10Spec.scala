@@ -1,0 +1,172 @@
+package graft
+
+import graft.operators.TheilSen
+import graft.pipeline.{Profiler, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator family: FK integrity, bitmap distinct, robust
+  * slope, feature hashing, boilerplate prefixes, hard negatives,
+  * quantization calibration, Gram aggregation.
+  */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("refIntegrity counts orphan rows/keys and excludes NULL refs") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profiler.refIntegrity(
+      Seq(("c->p", child, "fk", parent, "pk"))).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_child") == 4) // NULL ref excluded
+    assert(row.getAs[Long]("n_keys") == 3)
+    assert(row.getAs[Long]("n_orphan_rows") == 2)
+    assert(row.getAs[Long]("n_orphan_keys") == 1)
+    assert(row.getAs[Double]("orphan_rate") == 0.5)
+  }
+
+  test("refIntegrity reports zero orphans on intact edges") {
+    val child = Seq(1L, 1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val row = Profiler.refIntegrity(
+      Seq(("c->p", child, "fk", parent, "pk"))).collect().head
+    assert(row.getAs[Long]("n_orphan_rows") == 0)
+    assert(row.getAs[Double]("orphan_rate") == 0.0)
+  }
+
+  test("bitmapDistinct matches exact distinct across lane boundaries") {
+    // ids 0, 62, 63, 126 exercise lane edges; duplicates collapse
+    val df = Seq(
+      ("a", 0L), ("a", 62L), ("a", 63L), ("a", 126L), ("a", 126L),
+      ("b", 5L), ("b", 5L), ("b", 700L))
+      .toDF("g", "id")
+    val r = Profiler.bitmapDistinct(df, "g", "id")
+      .orderBy("g").collect()
+    assert(r.map(_.getAs[Long]("n_distinct_bitmap")).toSeq == Seq(4L, 2L))
+    r.foreach(row => assert(
+      row.getAs[Long]("n_distinct_bitmap") ==
+        row.getAs[Long]("n_distinct_exact")))
+    // lanes: a -> {0, 1, 2}, b -> {0, 11}
+    assert(r.map(_.getAs[Long]("n_lanes")).toSeq == Seq(3L, 2L))
+  }
+
+  test("bitmapDistinct agrees with countDistinct on a random draw") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)(("g", rnd.nextInt(1000).toLong))
+    val df = rows.toDF("g", "id")
+    val row = Profiler.bitmapDistinct(df, "g", "id").collect().head
+    assert(row.getAs[Long]("n_distinct_bitmap") ==
+      row.getAs[Long]("n_distinct_exact"))
+  }
+
+  test("theilSen ignores a single outlier OLS would chase") {
+    val pts = Seq(
+      ("s", 1L, 10L), ("s", 2L, 20L), ("s", 3L, 30L),
+      ("s", 4L, 40L), ("s", 5L, 1000L)).toDF("g", "t", "y")
+    val row = TheilSen.robustSlope(pts, "g", "t", "y").collect().head
+    assert(row.getAs[Long]("n_pairs") == 10)
+    // 6 of 10 pairwise slopes are exactly 10; the outlier's 4 pairs
+    // sort above the median ranks
+    assert(row.getAs[Double]("theil_sen") == 10.0)
+  }
+
+  test("theilSen even pair count averages the two middle slopes") {
+    // 4 points -> 6 pairs; slopes sorted: 1,1,1,3,5,9 -> median (1+3)/2
+    val pts = Seq(("s", 0L, 0L), ("s", 1L, 1L), ("s", 2L, 2L),
+      ("s", 3L, 9L)).toDF("g", "t", "y")
+    val row = TheilSen.robustSlope(pts, "g", "t", "y").collect().head
+    assert(row.getAs[Long]("n_pairs") == 6)
+    assert(row.getAs[Double]("theil_sen") == 2.0)
+  }
+
+  test("featureHash is deterministic, signed, and in-range") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "alpha")).toDF(
+      "doc_id", "text")
+    val r = TextAnalysis.featureHash(docs, "doc_id", "text", 64)
+      .collect()
+    r.foreach { row =>
+      val b = row.getAs[Long]("bucket")
+      assert(b >= 0 && b < 64)
+    }
+    // same token -> same bucket and sign; doc 1 has alpha twice
+    val d1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(row => row.getAs[Long]("bucket") -> row.getAs[Long]("fval"))
+      .toMap
+    val d2 = r.filter(_.getAs[Long]("doc_id") == 2L)
+      .map(row => row.getAs[Long]("bucket") -> row.getAs[Long]("fval"))
+      .toMap
+    d2.foreach { case (bucket, v1) =>
+      assert(d1.contains(bucket) && d1(bucket) == v1 * 2) }
+  }
+
+  test("boilerplatePrefixes flags shared normalized prefixes") {
+    val docs = Seq(
+      ("web", "COOKIE NOTICE please accept"),
+      ("web", "cookie notice from our site"),
+      ("web", "something entirely different"),
+      ("book", "once upon a time")).toDF("source", "text")
+    val r = TextAnalysis.boilerplatePrefixes(docs, "text", "source")
+      .orderBy("source").collect()
+    val web = r.find(_.getAs[String]("source") == "web").get
+    assert(web.getAs[Long]("n_docs") == 3)
+    assert(web.getAs[Long]("n_groups") == 1)
+    assert(web.getAs[Long]("n_boiler_docs") == 2)
+    val book = r.find(_.getAs[String]("source") == "book").get
+    assert(book.getAs[Long]("n_boiler_docs") == 0)
+  }
+
+  test("hardNegatives never returns the anchor's own label") {
+    val corpus = Seq(
+      (1L, 0, Array(1.0, 0.0)), (2L, 0, Array(0.9, 0.1)),
+      (3L, 1, Array(0.95, 0.05)), (4L, 1, Array(0.0, 1.0)),
+      (5L, 2, Array(0.8, 0.2))).toDF("vec_id", "label", "vec")
+    val anchors = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("vec").as("qvec"))
+    val r = Similarity.hardNegatives(anchors, corpus, 2).collect()
+    assert(r.length == 2)
+    r.foreach(row => assert(row.getAs[Int]("label") != 0))
+    // rank 1 is the most-similar wrong-label vector (id 3)
+    assert(r.find(_.getAs[Int]("rank") == 1).get
+      .getAs[Long]("vec_id") == 3L)
+  }
+
+  test("quantCalibration per-dim min/max/scale") {
+    val vecs = Seq(
+      Tuple1(Array(0.0, -1.0)), Tuple1(Array(2.55, 1.0)))
+      .toDF("embedding")
+    val r = Similarity.quantCalibration(vecs, "embedding")
+      .orderBy("dim").collect()
+    assert(r(0).getAs[Double]("vmin") == 0.0)
+    assert(r(0).getAs[Double]("vmax") == 2.55)
+    assert(math.abs(r(0).getAs[Double]("scale") - 0.01) < 1e-12)
+    assert(r(1).getAs[Double]("scale") == 2.0 / 255.0)
+  }
+
+  test("gramMatrix equals the naive local computation") {
+    val data = Seq(
+      Array(0.5, -0.25, 1.0),
+      Array(1.5, 0.75, -0.5),
+      Array(-1.0, 0.125, 0.25))
+    val df = data.map(Tuple1(_)).toDF("embedding")
+    val got = Similarity.gramMatrix(df, "embedding").collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        r.getAs[Long]("gram_mu2")).toMap
+    val q = data.map(_.map(v => math.floor(v * 1e6).toLong))
+    for (i <- 0 until 3; j <- i until 3) {
+      val expected = q.map(x => x(i) * x(j)).sum
+      assert(got((i, j)) == expected, s"mismatch at ($i,$j)")
+    }
+    assert(got.size == 6)
+  }
+
+  test("gramMatrix rejects ragged rows") {
+    val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
+      .toDF("embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.gramMatrix(df, "embedding").collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
