@@ -9963,6 +9963,107 @@ object Queries {
     ) { (s, d) =>
       graft.pipeline.TextAnalysis.boilerplatePrefixes(
         Tables.documents(s, d), "text", "source", prefixLen = 10)
+    },
+
+    // Linear-interpolation resample — q191's twin with a straight line
+    // between neighbors instead of a step. Grid spans the sensor's own
+    // samples (both neighbors always exist); interpolation is a FIXED
+    // four-op IEEE shape. Two ignoreNulls window carries over one
+    // sensor partitioning.
+    q(
+      "q288_linear_resample",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |b AS (SELECT sensor_id, t // 86400000000 AS bk, t, value,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id, t // 86400000000
+        |      ORDER BY t DESC, value DESC) AS rn FROM s),
+        |bv AS (SELECT sensor_id, bk, value AS v FROM b WHERE rn = 1),
+        |sp AS (SELECT sensor_id, UNNEST(range(MIN(bk), MAX(bk) + 1))
+        |    AS bk FROM bv GROUP BY sensor_id),
+        |j AS (SELECT sp.sensor_id, sp.bk, bv.v FROM sp
+        |  LEFT JOIN bv ON sp.sensor_id = bv.sensor_id AND sp.bk = bv.bk),
+        |g AS (SELECT sensor_id, bk, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
+        |      OVER wb AS pb,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
+        |      OVER wf AS nb
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY sensor_id ORDER BY bk
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY sensor_id ORDER BY bk
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT sensor_id, bk * 86400000000 AS bucket_start_us,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * (CAST(bk - pb AS DOUBLE)
+        |      / CAST(nb - pb AS DOUBLE)) END AS value,
+        |  CAST(v IS NULL AS INTEGER) AS filled
+        |FROM g ORDER BY sensor_id, bucket_start_us"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.resampleLinear(
+          EventsAdapter.samples(s, d), bucketUs = 86400000000L)
+        .orderBy("sensor_id", "bucket_start_us")
+    },
+
+    // Incremental aggregate maintenance: partial (count, DECIMAL sum,
+    // min, max) summaries computed on two disjoint slices, then MERGED
+    // — summary-sized work standing in for a full rollup recompute.
+    // The oracle aggregates the raw rows directly: merge ≡ recompute
+    // IS the assertion.
+    q(
+      "q289_incremental_agg",
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_v,
+        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+        |FROM lineitem GROUP BY 1 ORDER BY flag"""
+    ) { (s, d) =>
+      import graft.operators.PartialAggs
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_quantity"),
+          col("l_orderkey"))
+      val sliceA = PartialAggs.partial(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("flag"), "l_quantity")
+      val sliceB = PartialAggs.partial(
+        li.filter(col("l_orderkey") % 2 === 1), Seq("flag"), "l_quantity")
+      PartialAggs.merge(Seq(sliceA, sliceB), Seq("flag"))
+        .select(col("flag"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"))
+        .orderBy("flag")
+    },
+
+    // Embedding centroid drift per label (vec_id parity = snapshot
+    // A/B): delta stays exact-integer until ONE division — L1 chosen
+    // over L2 to keep the surface in the exactly-convertible range
+    // (q180 lesson).
+    q(
+      "q290_centroid_drift",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id % 2 = 0 AS even, label, i,
+        |    CAST(FLOOR(v[i] * 1000000.0) AS BIGINT) AS q
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i)),
+        |s AS (SELECT label, i,
+        |    CAST(COALESCE(SUM(CASE WHEN even THEN q END), 0) AS BIGINT)
+        |      AS sa,
+        |    COUNT(CASE WHEN even THEN 1 END) AS na,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT even THEN q END), 0)
+        |      AS BIGINT) AS sb,
+        |    COUNT(CASE WHEN NOT even THEN 1 END) AS nb
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(SUM(ABS(sa * nb - sb * na)) AS BIGINT) AS l1_mu,
+        |  CAST(CAST(SUM(ABS(sa * nb - sb * na)) AS BIGINT) AS DOUBLE)
+        |    / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+        |      * 1000000.0) AS l1_drift
+        |FROM s WHERE na > 0 AND nb > 0
+        |GROUP BY label ORDER BY label"""
+    ) { (s, d) =>
+      Similarity.centroidDrift(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").as("vec")))
     }
   )
 

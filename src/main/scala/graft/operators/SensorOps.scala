@@ -306,6 +306,21 @@ object SensorOps {
   def resampleForwardFill(
       samples: DataFrame, bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucket width must be positive")
+    val w = Window.partitionBy(col("sensor_id")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    resampleGrid(samples, bucketUs)
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col("sensor_id"),
+        (col("__b") * bucketUs).as("bucket_start_us"), col("value"),
+        col("__v").isNull.cast("int").as("filled"))
+  }
+
+  /** Dense per-sensor bucket grid with each bucket's latest-wins value
+    * (NULL where the bucket is empty) — the shared first stage of the
+    * resample family ([[resampleForwardFill]], [[resampleLinear]]).
+    */
+  private def resampleGrid(
+      samples: DataFrame, bucketUs: Long): DataFrame = {
     val bucketed = samples
       .withColumn("__b",
         floor(col("timestamp_us") / bucketUs).cast("long"))
@@ -317,10 +332,44 @@ object SensorOps {
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
       .select(col("sensor_id"),
         explode(sequence(col("__lo"), col("__hi"))).as("__b"))
-    val w = Window.partitionBy(col("sensor_id")).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spans.join(bucketed, Seq("sensor_id", "__b"), "left")
-      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+  }
+
+  /** Linear-interpolation resample — [[resampleForwardFill]]'s twin
+    * for signals where a straight line between neighbors beats a step
+    * (temperatures, rates): empty buckets take
+    * prev + (next − prev) · (b − b_prev)/(b_next − b_prev). The grid
+    * starts and ends at the sensor's own first/last sample, so every
+    * filled bucket has BOTH neighbors by construction — no
+    * extrapolation branch.
+    *
+    * Determinism: the per-bucket representative is the q191
+    * latest-wins struct max; the interpolation is a FIXED expression
+    * shape — one subtract, one integer-delta division, one multiply,
+    * one add — so the surface replays bit-identically off-engine.
+    * Neighbor lookups are ignoreNulls window carries (forward +
+    * backward) over the SAME sensor partitioning as the grid — two
+    * window passes, zero extra shuffles (same key, Catalyst reuses the
+    * exchange).
+    */
+  def resampleLinear(
+      samples: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val back = Window.partitionBy(col("sensor_id")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("sensor_id")).orderBy(col("__b"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val known = when(col("__v").isNotNull, col("__b"))
+    resampleGrid(samples, bucketUs)
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(known, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(known, ignoreNulls = true).over(fwd))
+      .withColumn("value",
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__b") - col("__pb")).cast("double") /
+              (col("__nb") - col("__pb")).cast("double"))))
       .select(col("sensor_id"),
         (col("__b") * bucketUs).as("bucket_start_us"), col("value"),
         col("__v").isNull.cast("int").as("filled"))

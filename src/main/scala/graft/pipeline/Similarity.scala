@@ -995,6 +995,48 @@ object Similarity {
           .as("rms_dispersion"))
   }
 
+  /** Centroid drift between two corpus snapshots (vec_id parity as
+    * the A/B surrogate): per label, the L1 distance between snapshot
+    * centroids — the embedding-space companion to the q117/q130
+    * tabular drift monitors (did a re-embed or data refresh move a
+    * class?). Computed WITHOUT dividing first: delta_d = S^A_d·n_B −
+    * S^B_d·n_A is exact in int64 (µ-unit dimension sums × counts), so
+    * Σ_d|delta_d| stays an exact integer < 2⁵³ and converts exactly
+    * to double; the normalized drift pays ONE IEEE division. L1 over
+    * L2 is deliberate: L2 would need Σ delta² in int128, whose
+    * →double cast double-rounds on some engines (the q180 lesson) —
+    * L1 keeps the whole compare surface in the exactly-convertible
+    * range. One (label, dim)-keyed shuffle; the drift table is
+    * |labels| rows.
+    */
+  def centroidDrift(
+      vectors: DataFrame // (vec_id, label, vec)
+  ): DataFrame = {
+    val sums = vectors
+      .select(col("label"), (col("vec_id") % 2 === 0).as("__even"),
+        posexplode(col("vec").cast("array<double>")))
+      .select(col("label"), col("__even"), col("pos").as("dim"),
+        floor(col("col") * 1e6).cast("long").as("__q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        coalesce(sum(when(col("__even"), col("__q"))), lit(0L))
+          .cast("long").as("__sa"),
+        count(when(col("__even"), lit(1))).as("__na"),
+        coalesce(sum(when(!col("__even"), col("__q"))), lit(0L))
+          .cast("long").as("__sb"),
+        count(when(!col("__even"), lit(1))).as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    sums.groupBy(col("label"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(abs(col("__sa") * col("__nb") - col("__sb") * col("__na")))
+          .cast("long").as("l1_mu"))
+      .select(col("label"), col("n_a"), col("n_b"), col("l1_mu"),
+        (col("l1_mu").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            lit(1000000.0))).as("l1_drift"))
+      .orderBy("label")
+  }
+
   /** Hard-negative mining for contrastive training: per anchor, the
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * negatives that actually move a contrastive loss (similar but
