@@ -10064,8 +10064,89 @@ object Queries {
       Similarity.centroidDrift(Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").as("vec")))
+    },
+
+    // Append-mode watermark semantics, pinned end to end: THREE micro
+    // batches (event_id mod-3 split, oldest-first), 30-min watermark,
+    // 10-min tumbling count per event_type. Late-event filtering lags
+    // one batch (SPARK-40925: watermarkForLateEvents = the PREVIOUS
+    // batch's watermark), so batch 2 is the first to drop — its rows
+    // survive iff window.end > max(batch-0 ts) − 30 min (observed
+    // empirically: 3231 of 3333 batch-2 rows dropped at sf0.01, zero
+    // in batches 0/1); windows emit iff window.end ≤ final watermark
+    // (the closing no-data batch handles a batch-2 advance). The
+    // oracle replays BOTH rules in SQL.
+    q("q291_stream_late_data", lateDataOracleSql) { (s, d) =>
+      val ss = streamSession(s)
+      locally {
+        val schema = Tables.load(s, d, "events").schema
+        val raw = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(lateSourceDir(s, d))
+        val stream =
+          if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else raw
+        val agg = stream.withWatermark("ts", "30 minutes")
+          .groupBy(col("event_type"),
+            window(col("ts"), "10 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+        val name = s"q291_out_${System.nanoTime()}"
+        val query = agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          query.processAllAvailable()
+          // the closing no-data batch (state eviction after the final
+          // watermark advance) may land just after processAllAvailable
+          // returns — settle on a stable row count
+          var prev = -1L
+          var cur = ss.table(name).count()
+          var tries = 0
+          while (cur != prev && tries < 50) {
+            Thread.sleep(200)
+            prev = cur
+            cur = ss.table(name).count()
+            tries += 1
+          }
+        } finally query.stop()
+        val out = ss.table(name)
+          .select(col("event_type"),
+            unix_micros(col("w.start")).as("window_start_us"), col("n"))
+          .orderBy("event_type", "window_start_us")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        ss.catalog.dropTempView(name)
+        s.createDataFrame(rows, out.schema)
+          .orderBy("event_type", "window_start_us")
+      }
     }
   )
+
+  /** q291's oracle: batch 2's late filter uses the watermark current
+    * DURING batch 1 — computed from batch-0 data only (max parity-0 ts
+    * − 30 min; SPARK-40925's one-batch lag means batch 1 itself filters
+    * with the initial zero watermark and drops nothing) — keeping rows
+    * whose window END is strictly past it; emission keeps windows whose
+    * end is ≤ the final watermark (max ts over ALL parities − 30 min —
+    * if the global max arrives in batch 2, the closing no-data batch
+    * applies it). Both rules verified against the engine output
+    * empirically at sf0.01.
+    */
+  private lazy val lateDataOracleSql: String =
+    """WITH w1 AS (SELECT MAX(epoch_us(ts)) - 1800000000 AS wm
+      |  FROM events WHERE event_id % 3 = 0),
+      |wf AS (SELECT MAX(epoch_us(ts)) - 1800000000 AS wm FROM events),
+      |acc AS (SELECT event_type,
+      |    (epoch_us(ts) // 600000000) * 600000000 AS ws
+      |  FROM events, w1
+      |  WHERE event_id % 3 <> 2
+      |    OR (epoch_us(ts) // 600000000) * 600000000 + 600000000
+      |      > w1.wm)
+      |SELECT event_type, ws AS window_start_us, COUNT(*) AS n
+      |FROM acc, wf
+      |WHERE ws + 600000000 <= wf.wm
+      |GROUP BY event_type, ws
+      |ORDER BY event_type, window_start_us"""
 
   /** q279's oracle: the same distinct-key left-join conditional
     * aggregate, one block per FK edge, generated from a shared edge
@@ -10212,6 +10293,37 @@ object Queries {
         java.nio.file.Paths.get(s"$d/$table.parquet"))
       p
     }).toString
+
+  /** Two-micro-batch event source for the q291 watermark-semantics pin:
+    * events split by event_id parity into TWO parquet files whose
+    * modification times force FileStreamSource's oldest-first order
+    * (even file first), so with maxFilesPerTrigger=1 batch 1 = even
+    * rows, batch 2 = odd rows — and because both halves span the full
+    * time range, batch 2 carries genuinely late data. Built once per
+    * (session, sf) in /tmp; the OS owns cleanup.
+    */
+  private val lateSplitDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def lateSourceDir(s: SparkSession, d: String): String =
+    lateSplitDirs.computeIfAbsent((s, d), _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_late")
+      val ev = Tables.load(s, d, "events")
+      def dump(parity: Int, name: String, mtimeMs: Long): Unit = {
+        val tmp = root.resolve(s"${name}_tmp")
+        ev.filter(col("event_id") % 3 === parity)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, root.resolve(name))
+        java.nio.file.Files.setLastModifiedTime(root.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      dump(0, "0.parquet", 1000000000000L)
+      dump(1, "1.parquet", 1000000060000L)
+      dump(2, "2.parquet", 1000000120000L)
+      root.toString
+    })
 
   /** One scoped streaming session (4 state partitions) per root session —
     * the q116 state-store scoping applied to EVERY bounded streaming
