@@ -161,6 +161,78 @@ class Round10Spec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("resampleLinear interpolates interior gaps, keeps endpoints") {
+    val day = 86400000000L
+    val samples = Seq(
+      ("s1", 0L * day + 5L, 10.0),
+      ("s1", 3L * day + 7L, 40.0),
+      ("s2", 0L, 1.0)).toDF("sensor_id", "timestamp_us", "value")
+    val r = graft.operators.SensorOps.resampleLinear(samples, day)
+      .orderBy("sensor_id", "bucket_start_us").collect()
+    val s1 = r.filter(_.getString(0) == "s1")
+    assert(s1.map(_.getAs[Double]("value")).toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    assert(s1.map(_.getAs[Int]("filled")).toSeq == Seq(0, 1, 1, 0))
+    // a single-sample sensor yields its own bucket, unfilled
+    val s2 = r.filter(_.getString(0) == "s2")
+    assert(s2.length == 1 && s2.head.getAs[Double]("value") == 1.0)
+  }
+
+  test("resampleLinear matches forward fill on gap-free series") {
+    val samples = Seq(
+      ("s", 0L, 1.0), ("s", 100L, 2.0), ("s", 200L, 3.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val lin = graft.operators.SensorOps.resampleLinear(samples, 100L)
+      .orderBy("bucket_start_us").collect().map(_.getAs[Double]("value"))
+    val ff = graft.operators.SensorOps.resampleForwardFill(samples, 100L)
+      .orderBy("bucket_start_us").collect().map(_.getAs[Double]("value"))
+    assert(lin.toSeq == ff.toSeq)
+  }
+
+  test("partialAggs merge equals direct aggregation") {
+    import graft.operators.PartialAggs
+    val df = Seq(("a", 1.25), ("a", 2.50), ("b", 10.0), ("b", -3.0),
+      ("a", 4.75)).toDF("k", "v")
+    val merged = PartialAggs.merge(Seq(
+      PartialAggs.partial(df.limit(2), Seq("k"), "v"),
+      PartialAggs.partial(df.except(df.limit(2)), Seq("k"), "v")),
+      Seq("k"))
+    val direct = PartialAggs.partial(df, Seq("k"), "v")
+    val m = merged.orderBy("k").collect()
+    val t = direct.orderBy("k").collect()
+    assert(m.map(r => (r.getString(0), r.getLong(1),
+      r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toSeq ==
+      t.map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toSeq)
+  }
+
+  test("centroidDrift is zero when parities share the distribution") {
+    // identical vectors in both parities per label
+    val rows = for {
+      label <- Seq(0, 1); id <- 0L until 4L
+    } yield (id + label * 100, label, Array(0.5 + label, -0.25))
+    val df = rows.toDF("vec_id", "label", "vec")
+    val r = Similarity.centroidDrift(df).orderBy("label").collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Long]("l1_mu") == 0L)
+      assert(row.getAs[Double]("l1_drift") == 0.0)
+    }
+  }
+
+  test("centroidDrift measures a known shift") {
+    // label 0: even ids at 1.0, odd ids at 2.0 -> centroid gap 1.0
+    val df = Seq(
+      (0L, 0, Array(1.0)), (2L, 0, Array(1.0)),
+      (1L, 0, Array(2.0)), (3L, 0, Array(2.0)))
+      .toDF("vec_id", "label", "vec")
+    val row = Similarity.centroidDrift(df).collect().head
+    assert(row.getAs[Long]("n_a") == 2 && row.getAs[Long]("n_b") == 2)
+    // |S_A*n_B - S_B*n_A| = |2e6*2 - 4e6*2| = 4e6; / (2*2*1e6) = 1.0
+    assert(row.getAs[Long]("l1_mu") == 4000000L)
+    assert(row.getAs[Double]("l1_drift") == 1.0)
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
