@@ -10119,6 +10119,76 @@ object Queries {
         s.createDataFrame(rows, out.schema)
           .orderBy("event_type", "window_start_us")
       }
+    },
+
+    // Duplicated-span coverage per document (the suffix-array substring
+    // dedup signal, Lee et al. 2022): fraction of tokens inside an
+    // 8-token span occurring ≥2 times in the corpus. Interval-union via
+    // gaps-and-islands running max; integer until ONE division.
+    q(
+      "q292_dup_span_coverage",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+        |  WHERE len(toks) >= 8),
+        |sh AS (SELECT doc_id, n_tokens, p,
+        |    ('0x' || substr(md5(
+        |      array_to_string(list_slice(toks, p + 1, p + 8), ' ')),
+        |      1, 15))::BIGINT AS h
+        |  FROM n, (SELECT unnest(range(0, 4096)) AS p)
+        |  WHERE p <= n_tokens - 8),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+        |hits AS (SELECT sh.doc_id, sh.n_tokens, sh.p FROM sh
+        |  JOIN dup ON sh.h = dup.h),
+        |m AS (SELECT doc_id, n_tokens, p,
+        |    MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS max_end
+        |  FROM hits),
+        |b AS (SELECT doc_id, n_tokens, p,
+        |    CASE WHEN max_end IS NULL OR p > max_end THEN 1 ELSE 0 END
+        |      AS brk FROM m),
+        |isl AS (SELECT doc_id, n_tokens, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+        |seg AS (SELECT doc_id, MAX(n_tokens) AS n_tokens,
+        |    MAX(p) - MIN(p) + 8 AS len
+        |  FROM isl GROUP BY doc_id, isl)
+        |SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(len) AS BIGINT) AS covered_tokens,
+        |  CAST(SUM(len) AS DOUBLE) / CAST(MAX(n_tokens) AS DOUBLE)
+        |    AS coverage
+        |FROM seg GROUP BY doc_id ORDER BY doc_id"""
+    ) { (s, d) =>
+      Dedup.dupSpanCoverage(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+        k = 8, minCount = 2)
+    },
+
+    // Windowed fake-PCM audio energy + integer silence gate (the
+    // VAD/silence-trim front): scan-stage position explode, one
+    // (media, window) map-side-combined aggregate, exact Σs² energy.
+    // Decode is the documented stub lane (JDK ships no audio codecs).
+    q(
+      "q293_audio_energy",
+      """WITH sx AS (SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0),
+        |p AS (SELECT media_id, s, UNNEST(range(0, length(s))) AS pos
+        |  FROM sx),
+        |a AS (SELECT media_id, pos // 16 AS win,
+        |    ascii(substr(s, CAST(pos + 1 AS INTEGER), 1)) - 79 AS amp
+        |  FROM p)
+        |SELECT media_id, win, COUNT(*) AS n_samples,
+        |  CAST(SUM(amp * amp) AS BIGINT) AS energy,
+        |  CAST(SUM(amp * amp) < COUNT(*) * 100 AS INTEGER) AS silence
+        |FROM a GROUP BY 1, 2 ORDER BY media_id, win"""
+    ) { (s, d) =>
+      Multimodal.fakePcmEnergy(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+        windowSamples = 16, silencePerSample = 100)
     }
   )
 

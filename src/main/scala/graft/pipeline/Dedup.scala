@@ -799,4 +799,74 @@ object Dedup {
     e.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
   }
+
+  /** Per-document duplicated-span coverage — the row-level signal
+    * behind suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * what fraction of each document's tokens sits inside a k-token
+    * span that also occurs elsewhere in the corpus (any doc,
+    * including repeats within this one). Where q24/q58 score PAIRS,
+    * this scores DOCUMENTS — the quality-filter input ("drop or trim
+    * docs that are mostly recycled text").
+    *
+    * Shape: k-token shingles with POSITIONS (scan-stage explode),
+    * 60-bit md5 shingle keys, one global count shuffle, a semi join
+    * back to positions of shingles seen ≥ minCount times, then the
+    * covered-token total as an interval-union — the gaps-and-islands
+    * running max over each doc's dup positions (overlapping spans
+    * merge into islands; adjacent islands sum to the same total, so
+    * only overlap needs merging). Everything integer until the final
+    * coverage division. Per-doc window state is bounded by the doc's
+    * own dup-span count, and the shingle shuffle is the q58
+    * contamination shape — corpus-scale safe.
+    */
+  def dupSpanCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minCount: Int = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2, "need k >= 2, minCount >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .filter(col("n_tokens") >= k)
+    val shingles = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_tokens") - k).cast("int")),
+          p => conv(substring(md5(
+            concat_ws(" ", slice(col("__toks"), p + 1, lit(k)))), 1, 15),
+            16, 10).cast("long"))))
+      .select(col("doc_id"), col("n_tokens"), col("pos").as("p"),
+        col("col").as("h"))
+    val dup = shingles.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("h")
+    val hits = shingles.join(dup, Seq("h"), "left_semi")
+    val prev = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__maxEnd", max(col("p") + (k - 1)).over(prev))
+      .withColumn("__brk",
+        when(col("__maxEnd").isNull || col("p") > col("__maxEnd"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(run))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        (max(col("p")) - min(col("p")) + k).as("__len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(col("__len")).cast("long").as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+        (col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+      .orderBy("doc_id")
+  }
 }

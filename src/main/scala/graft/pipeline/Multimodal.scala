@@ -366,4 +366,46 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= radius)
   }
+
+  /** Windowed audio energy + silence gating over the deterministic
+    * fake-PCM lane (the VAD/silence-trim front of an audio pipeline).
+    * The JDK ships no audio codecs, so the decode is the documented
+    * stub: samples are the code points of the printable-ASCII-filtered
+    * text re-centered to [−47, 47] — while the Spark-side plumbing is
+    * the real thing: a scan-stage position explode (no shuffle until
+    * the window aggregate), fixed-size sample windows, per-window
+    * energy as an EXACT integer Σs² (|s| ≤ 47 ⇒ window sums ≪ int64),
+    * and the silence gate as a pure integer compare scaled by the
+    * window's own sample count (tail windows gate fairly). One
+    * (media, window) hash aggregate with map-side combine; swap the
+    * sample expression for a real PCM decoder batch UDF and nothing
+    * downstream changes.
+    */
+  def fakePcmEnergy(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      windowSamples: Int = 16,
+      silencePerSample: Int = 100): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(windowSamples >= 1 && silencePerSample >= 0,
+      "need windowSamples >= 1 and silencePerSample >= 0")
+    docs
+      .select(col(idCol).as("media_id"),
+        regexp_replace(col(textCol), "[^ -~]", "").as("__s"))
+      .filter(length(col("__s")) > 0)
+      .select(col("media_id"), col("__s"),
+        posexplode(sequence(lit(1), length(col("__s")))))
+      .select(col("media_id"),
+        expr(s"CAST(pos DIV $windowSamples AS BIGINT)").as("win"),
+        (expr("ascii(substr(__s, pos + 1, 1))") - 79).as("__amp"))
+      .groupBy(col("media_id"), col("win"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("__amp") * col("__amp")).cast("long").as("energy"))
+      .select(col("media_id"), col("win"), col("n_samples"),
+        col("energy"),
+        (col("energy") < col("n_samples") * silencePerSample)
+          .cast("int").as("silence"))
+      .orderBy("media_id", "win")
+  }
 }

@@ -233,6 +233,58 @@ class Round10Spec extends SparkSpec {
     assert(row.getAs[Double]("l1_drift") == 1.0)
   }
 
+  test("dupSpanCoverage merges overlapping spans, exact interval math") {
+    import graft.pipeline.Dedup
+    // doc 1 and 2 share the 4-token span "a b c d"; doc 1 repeats it
+    // shifted so islands overlap: positions 0 and 2 -> union [0,5]
+    val docs = Seq(
+      (1L, "a b a b c d x y"), // spans at p in {2}: "a b c d" (k=4)
+      (2L, "q a b c d z"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val r = Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 4)
+      .collect().map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Long]("covered_tokens"), row.getAs[Double]("coverage")))
+      .toMap
+    // shared shingle "a b c d": doc1 p=2, doc2 p=1 -> covered 4 each
+    assert(r(1L) == ((4L, 0.5)))
+    assert(r(2L)._1 == 4L)
+    assert(!r.contains(3L))
+  }
+
+  test("dupSpanCoverage overlapping islands union, not double-count") {
+    import graft.pipeline.Dedup
+    // the 3-token span "a b c" appears at p=0 and p=2 in doc 1 (and in
+    // doc 2): intervals [0,2] and [2,4] overlap -> union length 5
+    val docs = Seq(
+      (1L, "a b a b c x"), (2L, "a b c"), (3L, "a b q"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 2)
+      .collect().map(row => row.getAs[Long]("doc_id") ->
+        row.getAs[Long]("covered_tokens")).toMap
+    // doc1 dup 2-grams: "a b"@0, "a b"@2 (overlap at [0,1],[2,3] ->
+    // adjacent islands len 4), "b c"? only in docs 1,2 -> @3 overlaps
+    assert(r(1L) == 5L) // positions 0..4 covered
+    assert(r(2L) == 3L)
+  }
+
+  test("fakePcmEnergy windows, exact energy, silence gate") {
+    import graft.pipeline.Multimodal
+    // 'O' = 0x4F = 79 -> amp 0 (silence); '~' = 126 -> amp 47
+    val docs = Seq((1L, "O" * 20), (2L, "~" * 16)).toDF("doc_id", "text")
+    val r = Multimodal.fakePcmEnergy(docs, "doc_id", "text")
+      .collect()
+    val d1 = r.filter(_.getAs[Long]("media_id") == 1L)
+    assert(d1.length == 2) // 16 + 4 tail
+    assert(d1.map(_.getAs[Long]("n_samples")).toSeq == Seq(16L, 4L))
+    d1.foreach { row =>
+      assert(row.getAs[Long]("energy") == 0L)
+      assert(row.getAs[Int]("silence") == 1)
+    }
+    val d2 = r.filter(_.getAs[Long]("media_id") == 2L).head
+    assert(d2.getAs[Long]("energy") == 16L * 47 * 47)
+    assert(d2.getAs[Int]("silence") == 0)
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
