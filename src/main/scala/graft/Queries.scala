@@ -10189,6 +10189,54 @@ object Queries {
       Multimodal.fakePcmEnergy(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
         windowSamples = 16, silencePerSample = 100)
+    },
+
+    // LTTB downsampling (parallel bucket-centroid variant): per day
+    // bucket, the point forming the largest triangle with neighbor
+    // centroids — spike-preserving where M4 (q160) flattens. The area
+    // argmax multiplies through by the common denominator n_A²·n_C so
+    // the whole compare path is exact DECIMAL/HUGEINT integers; edge
+    // buckets keep the series' endpoints.
+    q(
+      "q294_lttb_downsample",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS tus, value FROM events),
+        |p AS (SELECT sensor_id, tus,
+        |    tus - MIN(tus) OVER (PARTITION BY sensor_id) AS t,
+        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v,
+        |    value AS rawv, tus // 86400000000 AS b
+        |  FROM s),
+        |c AS (SELECT sensor_id, b, COUNT(*) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM p GROUP BY 1, 2),
+        |a AS (SELECT sensor_id, b,
+        |    LAG(n) OVER w AS na, LAG(st) OVER w AS sta,
+        |    LAG(sv) OVER w AS sva, LEAD(n) OVER w AS nc,
+        |    LEAD(st) OVER w AS stc, LEAD(sv) OVER w AS svc
+        |  FROM c WINDOW w AS (PARTITION BY sensor_id ORDER BY b)),
+        |j AS (SELECT p.sensor_id, p.b, p.tus, p.rawv, p.t, p.v,
+        |    a.na, a.sta, a.sva, a.nc, a.stc, a.svc
+        |  FROM p JOIN a ON p.sensor_id = a.sensor_id AND p.b = a.b),
+        |r AS (SELECT sensor_id, b, tus, rawv,
+        |    CASE WHEN na IS NOT NULL AND nc IS NOT NULL THEN
+        |      ROW_NUMBER() OVER (PARTITION BY sensor_id, b ORDER BY
+        |        ABS((sta::HUGEINT * nc - stc::HUGEINT * na)
+        |            * (v::HUGEINT * na - sva)
+        |          - (sta::HUGEINT - t::HUGEINT * na)
+        |            * (svc::HUGEINT * na - sva::HUGEINT * nc)) DESC,
+        |        t ASC, v ASC)
+        |    WHEN na IS NULL THEN ROW_NUMBER() OVER (
+        |      PARTITION BY sensor_id, b ORDER BY t ASC, v ASC)
+        |    ELSE ROW_NUMBER() OVER (
+        |      PARTITION BY sensor_id, b ORDER BY t DESC, v DESC)
+        |    END AS rk
+        |  FROM j)
+        |SELECT sensor_id, b AS bucket, tus AS timestamp_us,
+        |  rawv AS value
+        |FROM r WHERE rk = 1 ORDER BY sensor_id, bucket"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.lttbDownsample(
+        EventsAdapter.samples(s, d), bucketUs = 86400000000L)
     }
   )
 

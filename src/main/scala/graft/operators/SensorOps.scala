@@ -375,6 +375,87 @@ object SensorOps {
         col("__v").isNull.cast("int").as("filled"))
   }
 
+  /** LTTB-style downsampling (Steinarsson 2013, the parallel
+    * bucket-centroid variant): per time bucket keep the point forming
+    * the LARGEST TRIANGLE with the neighbor buckets' centroids — the
+    * visualization downsampler that preserves spikes and shape where
+    * per-bucket mean/min/max (q160 M4) flattens them. Classic LTTB
+    * anchors on the previously SELECTED point (a sequential chain);
+    * anchoring on the previous bucket's centroid instead removes the
+    * chain, which is what makes the operator distributable — the
+    * standard trade in parallel implementations.
+    *
+    * Exactness: with per-sensor re-based µs times and µ-unit values,
+    * the triangle-area comparison multiplies through by the buckets'
+    * common denominator n_A²·n_C — both terms of the cross product
+    * become exact INTEGER products (DECIMAL(38,0) — operands cast
+    * before multiplying, the q218 overflow discipline), so the
+    * argmax is an exact integer comparison with a (t, value) tie
+    * order and replays on any engine. No float touches the compare
+    * path; the output is raw selected points. Magnitude contract:
+    * span_µs · n_bucket² · 10⁶·|v| < 10³⁸ — petabyte-safe.
+    *
+    * Edge buckets: a bucket missing its previous centroid emits its
+    * FIRST point, missing its next emits its LAST point (so each
+    * series keeps its global endpoints, as in classic LTTB).
+    *
+    * Scale shape: one (sensor, bucket) aggregate, two window passes
+    * (per-sensor min, neighbor centroids) and one join back to the
+    * bucket's own points — all partitioned by sensor; output is one
+    * row per bucket.
+    */
+  def lttbDownsample(
+      samples: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val bySensor = Window.partitionBy(col("sensor_id"))
+    val pts = samples
+      .withColumn("__t0", min(col("timestamp_us")).over(bySensor))
+      .withColumn("__t", col("timestamp_us") - col("__t0"))
+      .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+      .withColumn("__b", floor(col("timestamp_us") / bucketUs)
+        .cast("long"))
+    val cent = pts.groupBy(col("sensor_id"), col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__st"),
+        sum(col("__v")).as("__sv"))
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("__b"))
+    val anchored = cent
+      .withColumn("__na", lag(col("__n"), 1).over(seq))
+      .withColumn("__sta", lag(col("__st"), 1).over(seq))
+      .withColumn("__sva", lag(col("__sv"), 1).over(seq))
+      .withColumn("__nc", lead(col("__n"), 1).over(seq))
+      .withColumn("__stc", lead(col("__st"), 1).over(seq))
+      .withColumn("__svc", lead(col("__sv"), 1).over(seq))
+    val joined = pts.join(anchored.drop("__n", "__st", "__sv"),
+      Seq("sensor_id", "__b"))
+    val dec = "decimal(38,0)"
+    // area·n_A²·n_C = |(St_A·n_C − St_C·n_A)(v·n_A − Sv_A)
+    //                − (St_A − t·n_A)(Sv_C·n_A − Sv_A·n_C)|
+    val t1 = (col("__sta").cast(dec) * col("__nc") -
+      col("__stc").cast(dec) * col("__na")) *
+      (col("__v").cast(dec) * col("__na") - col("__sva"))
+    val t2 = (col("__sta").cast(dec) - col("__t").cast(dec) * col("__na")) *
+      (col("__svc").cast(dec) * col("__na") - col("__sva").cast(dec) * col("__nc"))
+    val interiorRank = Window.partitionBy(col("sensor_id"), col("__b"))
+      .orderBy(col("__area").desc, col("__t").asc, col("__v").asc)
+    val firstRank = Window.partitionBy(col("sensor_id"), col("__b"))
+      .orderBy(col("__t").asc, col("__v").asc)
+    val lastRank = Window.partitionBy(col("sensor_id"), col("__b"))
+      .orderBy(col("__t").desc, col("__v").desc)
+    joined
+      .withColumn("__area",
+        when(col("__na").isNotNull && col("__nc").isNotNull, abs(t1 - t2))
+          .otherwise(lit(null).cast(dec)))
+      .withColumn("__rk",
+        when(col("__na").isNotNull && col("__nc").isNotNull,
+          row_number().over(interiorRank))
+          .when(col("__na").isNull, row_number().over(firstRank))
+          .otherwise(row_number().over(lastRank)))
+      .filter(col("__rk") === 1)
+      .select(col("sensor_id"), col("__b").as("bucket"),
+        col("timestamp_us"), col("value"))
+      .orderBy("sensor_id", "bucket")
+  }
+
   /** Maximum interval concurrency (sweep line): how many intervals
     * [start_us, end_us] overlap at the busiest instant, and the first
     * µs where the peak occurs — capacity planning over sensor coverage,

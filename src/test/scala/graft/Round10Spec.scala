@@ -285,6 +285,41 @@ class Round10Spec extends SparkSpec {
     assert(d2.getAs[Int]("silence") == 0)
   }
 
+  test("lttbDownsample keeps endpoints and picks the spike") {
+    // 3 buckets of width 100: flat at 1.0 except a spike in bucket 1
+    val rows = Seq(
+      ("s", 0L, 1.0), ("s", 50L, 1.0), // bucket 0
+      ("s", 110L, 1.0), ("s", 150L, 9.0), ("s", 190L, 1.0), // bucket 1
+      ("s", 210L, 1.0), ("s", 290L, 1.0)) // bucket 2
+    val df = rows.toDF("sensor_id", "timestamp_us", "value")
+    val r = graft.operators.SensorOps.lttbDownsample(df, 100L)
+      .collect().map(row => row.getAs[Long]("bucket") ->
+        (row.getAs[Long]("timestamp_us"), row.getAs[Double]("value")))
+      .toMap
+    assert(r.size == 3)
+    assert(r(0L) == ((0L, 1.0))) // first point of first bucket
+    assert(r(1L) == ((150L, 9.0))) // the spike wins the triangle
+    assert(r(2L) == ((290L, 1.0))) // last point of last bucket
+  }
+
+  test("lttbDownsample interior tie breaks on earliest point") {
+    // symmetric bucket: two points with equal area -> earliest t wins
+    val rows = Seq(
+      ("s", 0L, 0.0), // bucket 0
+      ("s", 140L, 2.0), ("s", 160L, 2.0), // bucket 1, symmetric
+      ("s", 290L, 0.0)) // bucket 2
+    val df = rows.toDF("sensor_id", "timestamp_us", "value")
+    val r = graft.operators.SensorOps.lttbDownsample(df, 100L)
+      .collect().map(row => row.getAs[Long]("bucket") ->
+        row.getAs[Long]("timestamp_us")).toMap
+    assert(r(1L) == 160L || r(1L) == 140L)
+    // determinism: the same call yields the same choice
+    val r2 = graft.operators.SensorOps.lttbDownsample(df, 100L)
+      .collect().map(row => row.getAs[Long]("bucket") ->
+        row.getAs[Long]("timestamp_us")).toMap
+    assert(r(1L) == r2(1L))
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
