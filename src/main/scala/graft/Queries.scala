@@ -10237,8 +10237,215 @@ object Queries {
     ) { (s, d) =>
       graft.operators.SensorOps.lttbDownsample(
         EventsAdapter.samples(s, d), bucketUs = 86400000000L)
+    },
+
+    // TPC-H Q5-shape star join: 6 tables, local-supplier condition
+    // (supplier and customer share a nation), one year of orders.
+    // Region/nation broadcast (tiny dims); lineitem⋈orders⋈customer⋈
+    // supplier shuffle on their keys with AQE free to re-plan — the
+    // join-planning breadth headline. Exact integer cents.
+    q(
+      "q297_star_join",
+      """SELECT n.n_name AS nation,
+        |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue_cents DESC, nation"""
+    ) { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+      j.select(col("n_name").as("nation"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("nation"))
+        .agg(sum(col("cents")).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("revenue_cents").desc, col("nation"))
+    },
+
+    // Ranking-window suite — ntile/percent_rank/cume_dist over order
+    // totals per priority: all three derive from integer ranks and
+    // counts (percent_rank = (rank−1)/(n−1), cume_dist = peers≤/n),
+    // single divisions each; ties carried on exact cents.
+    q(
+      "q298_window_ranks",
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |    o_orderkey AS okey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |r AS (SELECT pri, okey, cents,
+        |    NTILE(4) OVER w AS quartile,
+        |    PERCENT_RANK() OVER w AS pct_rank,
+        |    CUME_DIST() OVER w AS cume
+        |  FROM o WINDOW w AS (PARTITION BY pri ORDER BY cents, okey))
+        |SELECT pri, quartile, COUNT(*) AS n,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  MIN(pct_rank) AS min_pct_rank, MAX(cume) AS max_cume
+        |FROM r GROUP BY 1, 2 ORDER BY pri, quartile"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("pri"))
+        .orderBy(col("cents"), col("okey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderkey").as("okey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .groupBy(col("pri"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          min(col("pct_rank")).as("min_pct_rank"),
+          max(col("cume")).as("max_cume"))
+        .orderBy("pri", "quartile")
+    },
+
+    // Split-conformal intervals per event type (median predictor,
+    // even/odd calibration split): q̂ = exact ⌈0.9(n+1)⌉-th residual
+    // order statistic by INTEGER rank, empirical coverage on the test
+    // half — the distribution-free serving gate.
+    q(
+      "q295_conformal_interval",
+      """WITH base AS (SELECT event_type AS g, event_id AS id,
+        |    value AS v FROM events),
+        |calib AS (SELECT * FROM base WHERE id % 2 = 0),
+        |tst AS (SELECT * FROM base WHERE id % 2 = 1),
+        |rk AS (SELECT g, id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM calib),
+        |med AS (SELECT g,
+        |    SUM(v) / CAST(COUNT(*) AS DOUBLE) AS med,
+        |    MAX(n) AS n_calib
+        |  FROM rk WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY g HAVING MAX(n) >= 9),
+        |res AS (SELECT c.g, c.id, c.v, m.med, m.n_calib,
+        |    ABS(c.v - m.med) AS r
+        |  FROM calib c JOIN med m ON c.g = m.g),
+        |qh AS (SELECT g, med, n_calib, r AS qhat FROM (
+        |    SELECT g, med, n_calib, r,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, v, id)
+        |        AS rr
+        |    FROM res)
+        |  WHERE rr = (9 * (n_calib + 1) + 9) // 10)
+        |SELECT t.g AS event_type, MAX(q.n_calib) AS n_calib,
+        |  MAX(q.med) AS med, MAX(q.qhat) AS qhat,
+        |  COUNT(*) AS n_test,
+        |  COUNT(CASE WHEN ABS(t.v - q.med) <= q.qhat THEN 1 END)
+        |    AS n_covered,
+        |  CAST(COUNT(CASE WHEN ABS(t.v - q.med) <= q.qhat THEN 1 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+        |FROM tst t JOIN qh q ON t.g = q.g
+        |GROUP BY t.g ORDER BY event_type"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.conformalInterval(
+        Tables.events(s, d), "event_type", "event_id", "value")
+    },
+
+    // Streaming LEFT OUTER interval join — q116's outer twin, pinning
+    // the null-emission rule: matched click-view pairs emit as found;
+    // an unmatched click emits its null row only when the JOINT
+    // watermark (min of both streams' max-event-time − 1 h) passes the
+    // end of its match window (cts + 5 min) — clicks closer to the
+    // stream tail never emit. The oracle replays the batch join plus
+    // exactly that gate.
+    q("q296_stream_outer_join", outerJoinOracleSql) { (s, d) =>
+      val ss = streamSession(s)
+      locally {
+        val schema = Tables.load(s, d, "events").schema
+        val raw = ss.readStream.schema(schema)
+          .parquet(streamSourceDir(s, d, "events"))
+        val stream =
+          if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else raw
+        val clicks = stream.filter(col("event_type") === "click" &&
+            col("user_id") < 10)
+          .select(col("user_id").as("cu"), col("ts").as("cts"))
+          .withWatermark("cts", "1 hour")
+        val views = stream.filter(col("event_type") === "view" &&
+            col("user_id") < 10)
+          .select(col("user_id").as("vu"), col("ts").as("vts"))
+          .withWatermark("vts", "1 hour")
+        val joined = clicks.join(views, expr(
+          """cu = vu AND
+            |vts BETWEEN cts - INTERVAL 5 MINUTES
+            |        AND cts + INTERVAL 5 MINUTES""".stripMargin),
+          "leftOuter")
+        val name = s"q296_out_${System.nanoTime()}"
+        val query = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          query.processAllAvailable()
+          var prev = -1L
+          var cur = ss.table(name).count()
+          var tries = 0
+          while (cur != prev && tries < 50) {
+            Thread.sleep(200)
+            prev = cur
+            cur = ss.table(name).count()
+            tries += 1
+          }
+        } finally query.stop()
+        val out = ss.table(name)
+          .groupBy(col("cu"), col("cts"))
+          .agg(count(col("vts")).as("n_views"))
+          .select(col("cu").as("user_id"),
+            unix_micros(col("cts")).as("cts_us"), col("n_views"))
+          .orderBy("user_id", "cts_us")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        ss.catalog.dropTempView(name)
+        s.createDataFrame(rows, out.schema).orderBy("user_id", "cts_us")
+      }
     }
   )
+
+  /** q296's oracle: the batch interval join, plus unmatched clicks
+    * gated by the joint watermark rule (boundary form pinned against
+    * the engine empirically at sf0.01).
+    */
+  private lazy val outerJoinOracleSql: String =
+    """WITH c AS (SELECT user_id AS cu, epoch_us(ts) AS cts
+      |  FROM events WHERE event_type = 'click' AND user_id < 10),
+      |v AS (SELECT user_id AS vu, epoch_us(ts) AS vts
+      |  FROM events WHERE event_type = 'view' AND user_id < 10),
+      |wm AS (SELECT LEAST(
+      |    (SELECT MAX(cts) FROM c), (SELECT MAX(vts) FROM v))
+      |    - 3600000000 AS w),
+      |m AS (SELECT c.cu, c.cts, COUNT(v.vts) AS n_views
+      |  FROM c LEFT JOIN v ON c.cu = v.vu
+      |    AND v.vts BETWEEN c.cts - 300000000 AND c.cts + 300000000
+      |  GROUP BY c.cu, c.cts)
+      |SELECT cu AS user_id, cts AS cts_us, n_views
+      |FROM m, wm
+      |WHERE n_views > 0 OR cts + 300000000 < wm.w
+      |ORDER BY user_id, cts_us"""
 
   /** q291's oracle: batch 2's late filter uses the watermark current
     * DURING batch 1 — computed from batch-0 data only (max parity-0 ts

@@ -1708,6 +1708,64 @@ object Profiler {
         round(col("__hhi"), 6).as("hhi"))
   }
 
+  /** Split-conformal prediction intervals (Vovk; Lei et al. 2018) —
+    * the distribution-free coverage guarantee check: calibrate a
+    * symmetric interval around a per-group median predictor on the
+    * even-id half, report empirical coverage on the odd-id half.
+    * q̂ is the ⌈(1−α)(n+1)⌉-th smallest calibration residual — an
+    * EXACT order statistic selected by integer rank (k =
+    * (9(n+1)+9) DIV 10 for α = 0.1, no float ceil), the median an
+    * explicit two-middle-rank average; the only float ops are one
+    * subtract/abs per residual and the final coverage division, all
+    * fixed-shape and engine-replayable. Groups with n_calib < 9 are
+    * dropped (k would exceed n — the conformal small-sample rule).
+    *
+    * Scale shape: two windows and two aggregates, all partitioned by
+    * the group key; no all-pairs, no sort beyond the per-group
+    * window. The conformal guarantee (coverage ≥ 1−α in expectation)
+    * is what a serving gate asserts before shipping a predictor.
+    */
+  def conformalInterval(
+      df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      col(idCol).cast("long").as("id"),
+      col(valueCol).cast("double").as("v"))
+    val calib = base.filter(col("id") % 2 === 0)
+    val test = base.filter(col("id") % 2 === 1)
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val wAll = Window.partitionBy(col("g"))
+    val med = calib
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) DIV 2") ||
+        col("rn") === expr("(n + 2) DIV 2"))
+      .groupBy(col("g"))
+      .agg((sum(col("v")) / count(lit(1)).cast("double")).as("med"),
+        max(col("n")).as("n_calib"))
+      .filter(col("n_calib") >= 9)
+    val wR = Window.partitionBy(col("g"))
+      .orderBy(col("__r"), col("v"), col("id"))
+    val qhat = calib.join(med, Seq("g"))
+      .withColumn("__r", abs(col("v") - col("med")))
+      .withColumn("__rr", row_number().over(wR))
+      .filter(col("__rr") === expr("(9 * (n_calib + 1) + 9) DIV 10"))
+      .select(col("g"), col("med"), col("n_calib"),
+        col("__r").as("qhat"))
+    test.join(qhat, Seq("g"))
+      .groupBy(col("g"))
+      .agg(max(col("n_calib")).as("n_calib"), max(col("med")).as("med"),
+        max(col("qhat")).as("qhat"), count(lit(1)).as("n_test"),
+        count(when(abs(col("v") - col("med")) <= col("qhat"), lit(1)))
+          .as("n_covered"))
+      .select(col("g").as(groupCol), col("n_calib"), col("med"),
+        col("qhat"), col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+      .orderBy(groupCol)
+  }
+
   /** Bitmap-index distinct counting (the Roaring/Druid pattern): ids
     * pack into 63-bit lanes — lane = id DIV 63, bit = id MOD 63 — and
     * each (group, lane) OR-combines to one long; the distinct count is
