@@ -10423,8 +10423,73 @@ object Queries {
         ss.catalog.dropTempView(name)
         s.createDataFrame(rows, out.schema).orderBy("user_id", "cts_us")
       }
+    },
+
+    // Golden-record survivorship over q57's near-dup clusters (the MDM
+    // merge that turns duplicate clusters into a publishable table):
+    // per cluster, mode-elected lang/source (smallest-value tie-break),
+    // max completeness (n_chars), min-id representative. All-integer
+    // election — counts + rank windows sharing the cluster partitioning.
+    q("q299_golden_record", goldenRecordOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.nearDupClusters(
+        Tables.spread(s, docs), "doc_id", "text", n = 3, tau = 0.5)
+      val members = clusters.join(docs, col("id") === col("doc_id"))
+        .select(col("cluster_id"), col("id"), col("lang"),
+          col("source"), col("n_chars"))
+      Dedup.goldenRecord(members, "cluster_id", "id",
+        modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
     }
   )
+
+  /** q299's oracle: q57's reachability-closure clustering CTE extended
+    * with the survivorship election — mode via ROW_NUMBER over
+    * (count DESC, value ASC), max completeness, min-id representative.
+    */
+  private lazy val goldenRecordOracleSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(generate_series(1, len(toks)-2),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t),
+      |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+      |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
+      |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da AS id_a, db AS id_b
+      |  FROM p JOIN sizes sa ON p.da = sa.doc_id
+      |         JOIN sizes sb ON p.db = sb.doc_id
+      |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a),
+      |cl AS (SELECT d.doc_id AS id,
+      |    COALESCE(LEAST(c.id, c.mn), d.doc_id) AS cluster_id,
+      |    d.lang, d.source, d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      |base AS (SELECT cluster_id, MIN(id) AS rep_id,
+      |    COUNT(*) AS n_members, MAX(n_chars) AS n_chars_max
+      |  FROM cl GROUP BY 1),
+      |lm AS (SELECT cluster_id, lang AS lang_mode FROM (
+      |    SELECT cluster_id, lang, ROW_NUMBER() OVER (
+      |      PARTITION BY cluster_id
+      |      ORDER BY COUNT(*) DESC, lang ASC) AS rk
+      |    FROM cl GROUP BY cluster_id, lang) WHERE rk = 1),
+      |sm AS (SELECT cluster_id, source AS source_mode FROM (
+      |    SELECT cluster_id, source, ROW_NUMBER() OVER (
+      |      PARTITION BY cluster_id
+      |      ORDER BY COUNT(*) DESC, source ASC) AS rk
+      |    FROM cl GROUP BY cluster_id, source) WHERE rk = 1)
+      |SELECT b.cluster_id, b.rep_id, b.n_members, b.n_chars_max,
+      |  lm.lang_mode, sm.source_mode
+      |FROM base b JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)
+      |ORDER BY cluster_id"""
 
   /** q296's oracle: the batch interval join, plus unmatched clicks
     * gated by the joint watermark rule (boundary form pinned against

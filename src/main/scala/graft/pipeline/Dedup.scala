@@ -800,6 +800,46 @@ object Dedup {
       .select(col("vec_id"), col("cluster"))
   }
 
+  /** Golden-record survivorship (the MDM merge step after entity
+    * resolution): per cluster, elect one value per attribute — the
+    * MODE with a deterministic smallest-value tie-break for
+    * categorical columns, the MAX for numeric "most complete wins"
+    * columns — plus the representative id (min) and member count.
+    * This is what turns q57/q86-style duplicate clusters into a
+    * publishable deduplicated table.
+    *
+    * Shape: one (cluster, value) count + per-cluster rank window per
+    * mode column (both partitioned by the cluster key — the windows
+    * reuse the aggregate's partitioning), one base aggregate, then
+    * |modeCols| cluster-keyed joins of cluster-sized tables. All
+    * counts integer; no float anywhere.
+    */
+  def goldenRecord(
+      members: DataFrame, // (clusterCol, idCol, attrs…)
+      clusterCol: String,
+      idCol: String,
+      modeCols: Seq[String],
+      maxCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(modeCols.nonEmpty || maxCols.nonEmpty, "elect something")
+    val baseAggs = count(lit(1)).as("n_members") +:
+      maxCols.map(c => max(col(c)).as(s"${c}_max"))
+    val base = members.groupBy(col(clusterCol).as("__c"))
+      .agg(min(col(idCol)).as("rep_id"), baseAggs: _*)
+    val modes = modeCols.map { c =>
+      val w = Window.partitionBy(col("__c"))
+        .orderBy(col("__n").desc, col(c).asc)
+      members.groupBy(col(clusterCol).as("__c"), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("__c"), col(c).as(s"${c}_mode"))
+    }
+    modes.foldLeft(base)((acc, m) => acc.join(m, Seq("__c")))
+      .withColumnRenamed("__c", clusterCol)
+      .orderBy(clusterCol)
+  }
+
   /** Per-document duplicated-span coverage — the row-level signal
     * behind suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"):

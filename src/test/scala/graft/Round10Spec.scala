@@ -320,6 +320,21 @@ class Round10Spec extends SparkSpec {
     assert(r(1L) == r2(1L))
   }
 
+  test("goldenRecord elects mode with smallest-value tie-break") {
+    import graft.pipeline.Dedup
+    val members = Seq(
+      (10L, 1L, "en", 100L), (10L, 2L, "en", 250L), (10L, 3L, "fr", 90L),
+      (20L, 4L, "de", 10L), (20L, 5L, "es", 10L)) // tie -> 'de'
+      .toDF("cluster_id", "id", "lang", "n_chars")
+    val r = Dedup.goldenRecord(members, "cluster_id", "id",
+        modeCols = Seq("lang"), maxCols = Seq("n_chars"))
+      .orderBy("cluster_id").collect()
+    assert(r.map(_.getAs[String]("lang_mode")).toSeq == Seq("en", "de"))
+    assert(r.map(_.getAs[Long]("n_chars_max")).toSeq == Seq(250L, 10L))
+    assert(r.map(_.getAs[Long]("rep_id")).toSeq == Seq(1L, 4L))
+    assert(r.map(_.getAs[Long]("n_members")).toSeq == Seq(3L, 2L))
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
