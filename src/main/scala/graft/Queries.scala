@@ -10439,6 +10439,54 @@ object Queries {
           col("source"), col("n_chars"))
       Dedup.goldenRecord(members, "cluster_id", "id",
         modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
+    },
+
+    // Seasonal-residual anomaly detection (S-H-ESD lite): deseasonalize
+    // by (event_type, dow, hour) cell means kept EXACT — residual =
+    // (cents·n − S)/(n·100), one IEEE division of exact integers — then
+    // q148's robust MAD flagging on the residuals (exact medians,
+    // fixed-point cut). Composition: seasonal cells ∘ madOutliers.
+    q(
+      "q300_seasonal_outliers",
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    date_part('dow', ts) AS dow, date_part('hour', ts) AS hh
+        |  FROM events),
+        |cell AS (SELECT event_type, dow, hh,
+        |    CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |r AS (SELECT e.event_type,
+        |    CAST(e.cents * cell.n - cell.s AS DOUBLE)
+        |      / CAST(cell.n * 100 AS DOUBLE) AS resid
+        |  FROM e JOIN cell ON e.event_type = cell.event_type
+        |    AND e.dow = cell.dow AND e.hh = cell.hh),
+        |m AS (SELECT event_type, median(resid) AS med FROM r GROUP BY 1),
+        |d AS (SELECT r.event_type, r.resid,
+        |    abs(r.resid - m.med) AS ad, m.med
+        |  FROM r JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(ad) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, d.resid, ROUND(d.med, 6) AS med,
+        |  ROUND(md.mad, 6) AS mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE ROUND(d.ad * 10000.0::DOUBLE)
+        |    > ROUND(3.0::DOUBLE * md.mad * 10000.0::DOUBLE)
+        |ORDER BY event_type, resid"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"),
+          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hh"))
+      val cell = e.groupBy(col("event_type"), col("dow"), col("hh"))
+        .agg(sum(col("cents")).cast("long").as("s"),
+          count(lit(1)).as("n"))
+      val r = e.join(cell, Seq("event_type", "dow", "hh"))
+        .withColumn("resid",
+          (col("cents") * col("n") - col("s")).cast("double") /
+            (col("n") * 100).cast("double"))
+      graft.pipeline.Profiler.madOutliers(
+          r, "event_type", "resid", c = 3.0, exact = true)
+        .orderBy("event_type", "resid")
     }
   )
 
