@@ -19,6 +19,7 @@ import graft.functions.{BpeSplitExpression, CharStatsExpression,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new graft.plans.MonthPruneRule)
+    ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)
     ext.injectFunction((
       new FunctionIdentifier("sensor_uuid"),
       new ExpressionInfo(classOf[SensorUuidExpression].getName, "sensor_uuid"),

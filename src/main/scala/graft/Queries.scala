@@ -10487,6 +10487,34 @@ object Queries {
       graft.pipeline.Profiler.madOutliers(
           r, "event_type", "resid", c = 3.0, exact = true)
         .orderBy("event_type", "resid")
+    },
+
+    // Native as-of join — q14's semantics through the custom physical
+    // operator (AsOfJoinPlan → GraftStrategies → AsOfJoinExec): one
+    // streaming merge per co-partitioned co-sorted partition pair,
+    // O(1) state, left partitioning preserved. Same DuckDB ASOF
+    // oracle as q14; PropertySpec pins native ≡ composed.
+    q(
+      "q301_asof_native",
+      """SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
+        |  epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, ts_us"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("click_value"))
+      AsOfJoin.asOfNative(
+          purchases, clicks, "user_id", "ts_us", Seq("click_value"))
+        .select(col("user_id"), col("ts_us"), col("purchase_value"),
+          col("right_ts").as("click_ts_us"), col("click_value"))
+        .orderBy("user_id", "ts_us")
     }
   )
 

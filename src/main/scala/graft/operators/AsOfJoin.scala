@@ -62,4 +62,46 @@ object AsOfJoin {
       .withColumnRenamed("__right_ts", "right_ts")
       .drop("__side")
   }
+
+  /** Native as-of join through the custom physical operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
+    * same contract and output surface as [[asOf]] — left rows +
+    * `right_ts` + carried value columns, inner semantics — but
+    * executed as ONE streaming merge per co-partitioned, co-sorted
+    * partition pair instead of the union+window carry. PropertySpec
+    * pins the two equivalent; requires the session to carry
+    * [[graft.GraftExtensions]] (GraftSession does) and a LongType
+    * `ts` on both sides.
+    */
+  def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    val lp = left.queryExecution.analyzed
+    // re-alias the right child's columns: fresh exprIds, so an as-of
+    // self-join of one base relation cannot alias across sides
+    val rp0 = right.queryExecution.analyzed
+    val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def find(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    val lKey = find(lp, key)
+    val lTs = find(lp, ts)
+    val rKey = find(rp, key)
+    val rTs = find(rp, ts)
+    val rVals = valueCols.map(find(rp, _))
+    val tsOut = AttributeReference("right_ts", rTs.dataType, nullable = true)()
+    val valsOut = rVals.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    val node = graft.plans.AsOfJoinPlan(
+      lp, rp, lKey, lTs, rKey, rTs, rVals, tsOut, valsOut)
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, node)
+  }
 }

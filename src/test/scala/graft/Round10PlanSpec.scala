@@ -77,6 +77,28 @@ class Round10PlanSpec extends SparkSpec {
     assert(qe.contains("Aggregate"), qe)
   }
 
+  test("asOfNative plans as AsOfJoinExec with one exchange+sort per side") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 10L, 1.0)).toDF("k", "t", "lv")
+    val r = Seq((1L, 9L, 5.0)).toDF("k", "t", "rv")
+    val plan = planOf(AsOfJoin.asOfNative(l, r, "k", "t", Seq("rv")))
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 2, plan)
+    assert(!plan.contains("Window"), plan) // no union+carry machinery
+  }
+
+  test("asOfNative output partitioning feeds a per-key agg with no new exchange") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 10L, 1.0)).toDF("k", "t", "lv")
+    val r = Seq((1L, 9L, 5.0)).toDF("k", "t", "rv")
+    val agg = AsOfJoin.asOfNative(l, r, "k", "t", Seq("rv"))
+      .groupBy(col("k")).agg(sum(col("rv")))
+    val plan = planOf(agg)
+    // the aggregate reuses the join's key partitioning: still only the
+    // join's two exchanges
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 2, plan)
+  }
+
   test("boilerplatePrefixes prunes to (source, text) at the scan") {
     val docs = Tables.documents(spark, sf)
     val plan = planOf(TextAnalysis.boilerplatePrefixes(docs, "text", "source"))

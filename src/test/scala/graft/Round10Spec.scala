@@ -335,6 +335,51 @@ class Round10Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_members")).toSeq == Seq(3L, 2L))
   }
 
+  test("asOfNative equals the composed as-of join on random series") {
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(11)
+    // distinct (key, ts) per side — the documented tie contract
+    val lRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, i.toLong * 7 + rnd.nextInt(3), rnd.nextDouble()))
+      .distinctBy(r => (r._1, r._2))
+    val rRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, i.toLong * 5 + rnd.nextInt(4), rnd.nextDouble()))
+      .distinctBy(r => (r._1, r._2))
+    val l = lRows.toDF("k", "t", "lv")
+    val r = rRows.toDF("k", "t", "rv")
+    val composed = AsOfJoin.asOf(l, r, "k", "t", Seq("rv"))
+      .select("k", "t", "lv", "right_ts", "rv")
+    val native = AsOfJoin.asOfNative(l, r, "k", "t", Seq("rv"))
+      .select("k", "t", "lv", "right_ts", "rv")
+    assert(composed.exceptAll(native).count() == 0)
+    assert(native.exceptAll(composed).count() == 0)
+    assert(native.count() == composed.count())
+  }
+
+  test("asOfNative handles empty right side and missing matches") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 5L, 3.0))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 15L, 9.0)).toDF("k", "t", "rv")
+    val got = AsOfJoin.asOfNative(l, r, "k", "t", Seq("rv")).collect()
+    // only (1, 20) has a prior right row; (1,10) and key 2 drop
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("t") == 20L &&
+      got.head.getAs[Long]("right_ts") == 15L &&
+      got.head.getAs[Double]("rv") == 9.0)
+    val empty = Seq.empty[(Long, Long, Double)].toDF("k", "t", "rv")
+    assert(AsOfJoin.asOfNative(l, empty, "k", "t", Seq("rv"))
+      .collect().isEmpty)
+  }
+
+  test("asOfNative exact-tie matches (right ts == left ts)") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 10L, 1.0)).toDF("k", "t", "lv")
+    val r = Seq((1L, 10L, 5.0), (1L, 9L, 4.0)).toDF("k", "t", "rv")
+    val got = AsOfJoin.asOfNative(l, r, "k", "t", Seq("rv")).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("right_ts") == 10L)
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
