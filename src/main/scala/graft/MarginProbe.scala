@@ -123,13 +123,44 @@ object MarginProbe {
         "doc_id", "text", n = 3, tau = 0.0),
       "containment", 0.5)
 
+    // q291/q296 watermark boundary cuts: exact integer-µs compares on
+    // both engines, so the only risk is a regenerated draw landing a
+    // row EXACTLY on a boundary — where the pinned </≤ form vs
+    // Spark's internal predicate (empirically indistinguishable off
+    // the boundary) could diverge. Margin = min |lhs − rhs| in µs;
+    // floor 1 µs means "no exact tie in this draw".
+    val evTs = Tables.events(spark, sfDir).select(col("event_id"),
+      unix_micros(col("ts")).as("t"), col("event_type"), col("user_id"))
+    val winUs = 600000000L
+    def maxT(df: DataFrame): Long = df.agg(max(col("t"))).first().getLong(0)
+    val wm1 = maxT(evTs.filter(col("event_id") % 3 === 0)) - 1800000000L
+    val wmF = maxT(evTs) - 1800000000L
+    def winEnd = floor(col("t") / winUs).cast("long") * winUs + winUs
+    def minAbs(df: DataFrame, c: org.apache.spark.sql.Column): Double = {
+      val r = df.select(abs(c).cast("long").as("__m"))
+        .agg(min(col("__m"))).first()
+      if (r.isNullAt(0)) Double.PositiveInfinity else r.getLong(0).toDouble
+    }
+    val lateMargin = minAbs(
+      evTs.filter(col("event_id") % 3 === 2), winEnd - wm1)
+    val emitMargin = minAbs(evTs, winEnd - wmF)
+    val clicks10 = evTs.filter(col("event_type") === "click" &&
+      col("user_id") < 10)
+    val views10 = evTs.filter(col("event_type") === "view" &&
+      col("user_id") < 10)
+    val wmJ = math.min(maxT(clicks10), maxT(views10)) - 3600000000L
+    val outerMargin = minAbs(clicks10, col("t") + 300000000L - wmJ)
+
     Seq(
       Probe("q24_q25_jaccard", 0.5, jacMargin),
       Probe("q136_jaccard_ascii", 0.3, jacAsciiMargin),
       Probe(s"q46_cosine", CosineTau, cosMargin),
       Probe("q134_semdedup_cosine", 0.44, semMargin),
       Probe("q134_assignment_gap", 0.0, gapMargin, floor = GapFloor),
-      Probe("q139_containment", 0.5, contMargin))
+      Probe("q139_containment", 0.5, contMargin),
+      Probe("q291_late_boundary_us", 0.0, lateMargin, floor = 1.0),
+      Probe("q291_emit_boundary_us", 0.0, emitMargin, floor = 1.0),
+      Probe("q296_outer_emit_boundary_us", 0.0, outerMargin, floor = 1.0))
   }
 
   /** Run the probes, report, and write `outDir/margins.json`. Returns
