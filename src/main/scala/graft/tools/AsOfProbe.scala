@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 object AsOfProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
-    val d = "/root/testdata/sf0.01"
+    val d = sys.env.getOrElse("ASOF_SF", "/root/testdata/sf0.01")
     val ev = Tables.events(spark, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -24,8 +24,15 @@ object AsOfProbe {
       purchases, clicks, "user_id", "ts_us", Seq("click_value"))
       .select("user_id", "ts_us", "purchase_value", "right_ts",
         "click_value")
-    println("PROBE composed rows: " + composed.count())
-    println("PROBE native rows:   " + native.count())
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    // warm both paths once, then time
+    composed.count(); native.count()
+    time("composed")(composed.count()); time("composed")(composed.count())
+    time("native  ")(native.count()); time("native  ")(native.count())
     val diff = composed.exceptAll(native).count() +
       native.exceptAll(composed).count()
     println("PROBE diff rows: " + diff)
