@@ -10515,6 +10515,90 @@ object Queries {
         .select(col("user_id"), col("ts_us"), col("purchase_value"),
           col("right_ts").as("click_ts_us"), col("click_value"))
         .orderBy("user_id", "ts_us")
+    },
+
+    // As-of with tolerance (merge_asof tolerance=1h): the latest prior
+    // click only counts within the window — a post-filter on the
+    // native as-of (the latest match IS the only candidate within any
+    // backward tolerance), so it rides AsOfJoinExec unchanged.
+    q(
+      "q302_asof_tolerance",
+      """SELECT p.user_id, epoch_us(p.ts) AS ts_us,
+        |  p.value AS purchase_value,
+        |  epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |ORDER BY p.user_id, ts_us"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("click_value"))
+      AsOfJoin.asOfNative(
+          purchases, clicks, "user_id", "ts_us", Seq("click_value"))
+        .filter(col("ts_us") - col("right_ts") <= 3600000000L)
+        .select(col("user_id"), col("ts_us"), col("purchase_value"),
+          col("right_ts").as("click_ts_us"), col("click_value"))
+        .orderBy("user_id", "ts_us")
+    },
+
+    // Nearest-match as-of (merge_asof direction='nearest', 1h
+    // tolerance, ties backward): backward + forward ignoreNulls
+    // carries over ONE key partitioning; the chooser is an integer-µs
+    // compare. Oracle replays the same construction.
+    q(
+      "q303_asof_nearest",
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS t, value AS pv
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS t, value AS cv
+        |  FROM events WHERE event_type = 'click'),
+        |u AS (SELECT user_id, t, 1 AS side, pv, NULL::DOUBLE AS cv
+        |  FROM p
+        |  UNION ALL SELECT user_id, t, 0, NULL, cv FROM c),
+        |w AS (SELECT user_id, t, side, pv,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER wb AS pts,
+        |    last_value(CASE WHEN side = 0 THEN cv END IGNORE NULLS)
+        |      OVER wb AS pvv,
+        |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER wf AS nts,
+        |    first_value(CASE WHEN side = 0 THEN cv END IGNORE NULLS)
+        |      OVER wf AS nvv
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY t, side
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY user_id ORDER BY t, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |ch AS (SELECT user_id, t, pv,
+        |    CASE WHEN pts IS NOT NULL
+        |      AND (nts IS NULL OR t - pts <= nts - t)
+        |      THEN pts ELSE nts END AS rts,
+        |    CASE WHEN pts IS NOT NULL
+        |      AND (nts IS NULL OR t - pts <= nts - t)
+        |      THEN pvv ELSE nvv END AS cv
+        |  FROM w WHERE side = 1)
+        |SELECT user_id, t AS ts_us, pv AS purchase_value,
+        |  rts AS click_ts_us, cv AS click_value
+        |FROM ch WHERE rts IS NOT NULL AND ABS(t - rts) <= 3600000000
+        |ORDER BY user_id, ts_us"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").as("click_value"))
+      AsOfJoin.asOfNearest(purchases, clicks, "user_id", "ts_us",
+          "click_value", toleranceUs = 3600000000L)
+        .select(col("user_id"), col("ts_us"), col("purchase_value"),
+          col("right_ts").as("click_ts_us"), col("click_value"))
+        .orderBy("user_id", "ts_us")
     }
   )
 

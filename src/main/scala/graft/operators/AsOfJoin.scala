@@ -63,6 +63,62 @@ object AsOfJoin {
       .drop("__side")
   }
 
+  /** Nearest-match as-of join (pandas merge_asof direction='nearest'):
+    * for each left row, the right row in the same key group with the
+    * SMALLEST |right.ts − left.ts|, ties to the earlier (backward)
+    * side; rows with no right neighbor within `toleranceUs` drop
+    * (inner). Same one-shuffle union+window shape as [[asOf]], with a
+    * backward carry and a forward carry over one key partitioning —
+    * the chooser is a pure integer-µs compare, engine-replayable.
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      valueCol: String,
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, "tolerance must be >= 0")
+    require(!left.columns.contains(valueCol),
+      s"left side already has a $valueCol column")
+    val r = right.select(col(key), col(ts), col(valueCol))
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn(valueCol, lit(null).cast(r.schema(valueCol).dataType))
+    val leftOnly = l.columns.toSet -- r.columns.toSet
+    val rAligned = leftOnly.foldLeft(r)((df, c) =>
+      df.withColumn(c, lit(null).cast(l.schema(c).dataType)))
+    val unioned = l.unionByName(rAligned)
+    val back = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightTs = when(col("__side") === 0, col(ts))
+    val rightVal = when(col("__side") === 0, col(valueCol))
+    val carried = unioned
+      .withColumn("__pts", last(rightTs, ignoreNulls = true).over(back))
+      .withColumn("__pv", last(rightVal, ignoreNulls = true).over(back))
+      .withColumn("__nts", first(rightTs, ignoreNulls = true).over(fwd))
+      .withColumn("__nv", first(rightVal, ignoreNulls = true).over(fwd))
+      .filter(col("__side") === 1)
+    val dPrev = col(ts) - col("__pts") // >= 0 when present
+    val dNext = col("__nts") - col(ts)
+    val usePrev = col("__pts").isNotNull &&
+      (col("__nts").isNull || dPrev <= dNext) // tie -> backward
+    carried
+      .withColumn("right_ts", when(usePrev, col("__pts"))
+        .otherwise(col("__nts")))
+      .withColumn("__rv", when(usePrev, col("__pv"))
+        .otherwise(col("__nv")))
+      .filter(col("right_ts").isNotNull &&
+        abs(col(ts) - col("right_ts")) <= toleranceUs)
+      .drop("__side", "__pts", "__pv", "__nts", "__nv")
+      .withColumn(valueCol, col("__rv"))
+      .drop("__rv")
+  }
+
   /** Native as-of join through the custom physical operator
     * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
     * same contract and output surface as [[asOf]] — left rows +

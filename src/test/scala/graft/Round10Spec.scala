@@ -380,6 +380,31 @@ class Round10Spec extends SparkSpec {
     assert(got.length == 1 && got.head.getAs[Long]("right_ts") == 10L)
   }
 
+  test("asOfNearest picks the closer side, ties backward") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 100L, 0.0), (1L, 200L, 0.0), (1L, 305L, 0.0))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 90L, 1.0), (1L, 210L, 2.0), (1L, 400L, 3.0))
+      .toDF("k", "t", "rv")
+    val got = AsOfJoin.asOfNearest(l, r, "k", "t", "rv", 1000L)
+      .orderBy("t").collect()
+      .map(row => row.getAs[Long]("t") ->
+        (row.getAs[Long]("right_ts"), row.getAs[Double]("rv"))).toMap
+    assert(got(100L) == ((90L, 1.0))) // 10 back vs 110 fwd
+    assert(got(200L) == ((210L, 2.0))) // 110 back vs 10 fwd
+    assert(got(305L) == ((210L, 2.0))) // 95 back vs 95 fwd: tie -> back
+  }
+
+  test("asOfNearest tolerance drops out-of-window rows") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 1000L, 0.0)).toDF("k", "t", "lv")
+    val r = Seq((1L, 10L, 1.0)).toDF("k", "t", "rv")
+    assert(AsOfJoin.asOfNearest(l, r, "k", "t", "rv", 100L)
+      .collect().isEmpty)
+    assert(AsOfJoin.asOfNearest(l, r, "k", "t", "rv", 990L)
+      .collect().length == 1)
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
