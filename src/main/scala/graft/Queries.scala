@@ -10599,6 +10599,138 @@ object Queries {
         .select(col("user_id"), col("ts_us"), col("purchase_value"),
           col("right_ts").as("click_ts_us"), col("click_value"))
         .orderBy("user_id", "ts_us")
+    },
+
+    // UNPIVOT/melt (Dataset.unpivot, the wide→long normalizer): three
+    // per-flag cent measures melt to (flag, measure, cents) — a
+    // zero-shuffle Expand over the one aggregate row set.
+    q(
+      "q304_unpivot",
+      """WITH w AS (SELECT l_returnflag AS flag,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS disc_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, measure, cents FROM (
+        |  SELECT flag, 'qty_cents' AS measure, qty_cents AS cents FROM w
+        |  UNION ALL
+        |  SELECT flag, 'price_cents', price_cents FROM w
+        |  UNION ALL
+        |  SELECT flag, 'disc_cents', disc_cents FROM w)
+        |ORDER BY flag, measure"""
+    ) { (s, d) =>
+      def cents(c: String) =
+        sum((col(c).cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(cents("l_quantity").as("qty_cents"),
+          cents("l_extendedprice").as("price_cents"),
+          cents("l_discount").as("disc_cents"))
+        .unpivot(Array(col("flag")),
+          Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+          "measure", "cents")
+        .orderBy("flag", "measure")
+    },
+
+    // Deterministic array aggregation: per user, the SORTED distinct
+    // event-type array (array_sort ∘ collect_set — the only
+    // order-stable way to surface a collected array) + its size.
+    q(
+      "q305_array_agg",
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',')
+        |    AS types,
+        |  CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+        |FROM events GROUP BY 1 ORDER BY user_id"""
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("__types"))
+        // surface the array as its joined form: the driver's
+        // type-sensitive hash canonicalizes scalar kinds only —
+        // parquet list child NAMES differ between engines
+        .select(col("user_id"),
+          array_join(col("__types"), ",").as("types"),
+          size(col("__types")).as("n_types"))
+        .orderBy("user_id")
+    },
+
+    // Exact higher moments: skewness/kurtosis per flag from INTEGER
+    // cent power sums (Σx, Σx², Σx³, Σx⁴ in DECIMAL — order-free),
+    // combined in one fixed float chain (the m₂/m₃/m₄ expansions);
+    // deliberately NOT the engines' built-in skewness(), whose
+    // streaming update order is engine-specific. ROUND(6) absorbs the
+    // final-chain ulps.
+    q(
+      "q306_moments",
+      """WITH x AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS c
+        |  FROM lineitem),
+        |s AS (SELECT flag, COUNT(*) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c::HUGEINT * c) AS DOUBLE) AS s2,
+        |    CAST(SUM(c::HUGEINT * c * c) AS DOUBLE) AS s3,
+        |    CAST(SUM(c::HUGEINT * c * c * c) AS DOUBLE) AS s4
+        |  FROM x GROUP BY 1),
+        |m AS (SELECT flag, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    s2 / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+        |    s3 / CAST(n AS DOUBLE)
+        |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (s2 / CAST(n AS DOUBLE))
+        |      + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3,
+        |    s4 / CAST(n AS DOUBLE)
+        |      - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (s3 / CAST(n AS DOUBLE))
+        |      + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (s2 / CAST(n AS DOUBLE))
+        |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m4
+        |  FROM s)
+        |SELECT flag, n, ROUND(mu, 6) AS mean,
+        |  ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+        |FROM m ORDER BY flag"""
+    ) { (s, d) =>
+      // integral quantities <= 50: every power sum stays < 2^53, so
+      // the DECIMAL->double conversions are exact on both engines (the
+      // q180 rule); at larger magnitudes, quantize coarser first
+      val c = col("l_quantity").cast("long")
+      val sums = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), c.as("c"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).cast("long").as("s1"),
+          sum(col("c").cast("decimal(19,0)") * col("c"))
+            .cast("double").as("s2"),
+          sum(col("c").cast("decimal(19,0)") * col("c") * col("c"))
+            .cast("double").as("s3"),
+          sum(col("c").cast("decimal(19,0)") * col("c") * col("c") *
+            col("c")).cast("double").as("s4"))
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val m2 = col("s2") / nD - mu * mu
+      val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
+        lit(6.0) * mu * mu * (col("s2") / nD) -
+        lit(3.0) * mu * mu * mu * mu
+      sums.select(col("flag"), col("n"),
+          round(mu, 6).as("mean"),
+          round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+          round(m4 / (m2 * m2) - 3.0, 6).as("excess_kurtosis"))
+        .orderBy("flag")
     }
   )
 
