@@ -10731,8 +10731,168 @@ object Queries {
           round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
           round(m4 / (m2 * m2) - 3.0, 6).as("excess_kurtosis"))
         .orderBy("flag")
+    },
+
+    // Retrieval-quality NDCG@5 with label-match relevance: the log₂
+    // discount weights and ideal-DCG prefix sums are COMPILE-TIME
+    // constants embedded as full-precision literals in both engines —
+    // zero runtime transcendentals, the whole surface is 0/1·const
+    // chains and one division. The IR-eval gate for the ANN family.
+    q("q307_ndcg", ndcgOracleSql) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("vec"))
+      val anchors = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("vec").as("qvec"))
+      val topk = Similarity.bruteForceTopK(
+        anchors.select(col("query_id"), col("qvec")),
+        e.select(col("vec_id"), col("vec")), 5)
+      val rel = topk
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .join(anchors.select(col("query_id"), col("qlabel")), "query_id")
+        .withColumn("rel",
+          (col("label") === col("qlabel")).cast("int"))
+      val rs = (1 to 5).map(i =>
+        coalesce(sum(when(col("rank") === i, col("rel"))), lit(0))
+          .as(s"__r$i"))
+      val g = rel.groupBy(col("query_id"))
+        .agg(rs.head, rs.tail :+ sum(col("rel")).as("n_relevant"): _*)
+      val dcg = (1 to 5).map(i =>
+        col(s"__r$i").cast("double") * lit(NdcgWeights(i - 1)))
+        .reduce(_ + _)
+      val idcg = (1 to 5).foldRight(lit(0.0): Column)((m, acc) =>
+        when(col("n_relevant") === m, lit(NdcgIdeal(m - 1)))
+          .otherwise(acc))
+      g.select(col("query_id"), col("n_relevant").cast("long")
+            .as("n_relevant"),
+          when(col("n_relevant") === 0, lit(0.0))
+            .otherwise(dcg / idcg).as("ndcg"))
+        .orderBy("query_id")
+    },
+
+    // ANN recall@5: LSH-bucketed (q28 config) against the brute-force
+    // truth (q27 config) — the eval every approximate index ships
+    // with. Membership ordering replays exactly (the q27/q28
+    // surfaces); recall is an integer count over 5.0.
+    q("q308_ann_recall", annRecallOracleSql) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("vec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      val brute = Similarity.bruteForceTopK(queries, e, 5)
+        .select(col("query_id"), col("vec_id"))
+      val lsh = Similarity.lshTopK(queries, e, k = 5, bits = 4,
+          probeHamming = 2)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("__m", lit(1))
+      brute.join(lsh, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__m")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("query_id")
+    },
+
+    // Exact Wasserstein-1 between each source's doc-length
+    // distribution and the corpus: cross-multiplied CDFs on the
+    // distinct-value grid — exact integers, one final division. Sees
+    // WHERE distributions differ (KS: max gap only; PSI: binned).
+    q(
+      "q309_wasserstein",
+      """WITH base AS (SELECT source AS g, n_chars AS v FROM documents),
+        |tot AS (SELECT COUNT(*) AS total FROM base),
+        |pgv AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |vals AS (SELECT v, COUNT(*) AS cg FROM base GROUP BY 1),
+        |grp AS (SELECT g, COUNT(*) AS n_rows FROM base GROUP BY 1),
+        |grid AS (SELECT grp.g, grp.n_rows, vals.v, vals.cg,
+        |    COALESCE(pgv.c, 0) AS c
+        |  FROM grp CROSS JOIN vals
+        |  LEFT JOIN pgv ON pgv.g = grp.g AND pgv.v = vals.v),
+        |cum AS (SELECT g, n_rows, v,
+        |    SUM(c) OVER w AS cums, SUM(cg) OVER w AS cumg,
+        |    LEAD(v) OVER (PARTITION BY g ORDER BY v) - v AS gap
+        |  FROM grid WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT g AS source, CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(SUM(ABS(cums * tot.total - cumg * n_rows) * gap)
+        |    AS BIGINT) AS w1_num,
+        |  CAST(CAST(SUM(ABS(cums * tot.total - cumg * n_rows) * gap)
+        |    AS BIGINT) AS DOUBLE)
+        |    / (CAST(MAX(n_rows) AS DOUBLE) * CAST(tot.total AS DOUBLE))
+        |    AS w1
+        |FROM cum, tot WHERE gap IS NOT NULL
+        |GROUP BY g, tot.total ORDER BY source"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.wassersteinToCorpus(
+        Tables.documents(s, d), "source", "n_chars")
     }
   )
+
+  /** NDCG@5 discount weights 1/log₂(i+1), and their prefix sums (the
+    * ideal DCG for m relevant results) — computed once here and
+    * embedded as full-precision literals in BOTH engines' surfaces,
+    * so no engine evaluates a logarithm at query time.
+    */
+  private lazy val NdcgWeights: IndexedSeq[Double] =
+    (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private lazy val NdcgIdeal: IndexedSeq[Double] =
+    NdcgWeights.scanLeft(0.0)(_ + _).tail
+
+  private lazy val ndcgOracleSql: String = {
+    def lit(d: Double) = java.lang.Double.toString(d)
+    val dcgTerms = (1 to 5)
+      .map(i => s"r$i * ${lit(NdcgWeights(i - 1))}")
+      .mkString(" + ")
+    val idealCase = (1 to 5)
+      .map(m => s"WHEN m = $m THEN ${lit(NdcgIdeal(m - 1))}")
+      .mkString(" ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM e WHERE vec_id < 10),
+       |tk AS (SELECT query_id, vec_id, qlabel, rank FROM (
+       |    SELECT q.query_id, e.vec_id, q.qlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+       |          e.vec_id) AS rank
+       |    FROM q, e WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 5),
+       |r AS (SELECT tk.query_id, tk.rank,
+       |    CASE WHEN e.label = tk.qlabel THEN 1 ELSE 0 END AS rel
+       |  FROM tk JOIN e ON tk.vec_id = e.vec_id),
+       |g AS (SELECT query_id,
+       |    ${(1 to 5).map(i =>
+            s"COALESCE(SUM(CASE WHEN rank = $i THEN rel END), 0)" +
+              s" AS r$i").mkString(", ")},
+       |    CAST(SUM(rel) AS BIGINT) AS m
+       |  FROM r GROUP BY 1)
+       |SELECT query_id, m AS n_relevant,
+       |  CASE WHEN m = 0 THEN 0.0
+       |    ELSE ($dcgTerms) / (CASE $idealCase ELSE 0.0 END)
+       |  END AS ndcg
+       |FROM g ORDER BY query_id""".stripMargin
+  }
+
+  private lazy val annRecallOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id < 10),
+       |brute AS (SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+       |          e.vec_id) AS rank
+       |    FROM q, e WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 5),
+       |lsh AS (SELECT query_id, vec_id FROM ($lshOracleSql))
+       |SELECT b.query_id, COUNT(l.vec_id) AS n_hit,
+       |  CAST(COUNT(l.vec_id) AS DOUBLE) / 5.0 AS recall
+       |FROM brute b LEFT JOIN lsh l
+       |  ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+       |GROUP BY 1 ORDER BY b.query_id""".stripMargin
 
   /** q299's oracle: q57's reachability-closure clustering CTE extended
     * with the survivorship election — mode via ROW_NUMBER over

@@ -1708,6 +1708,55 @@ object Profiler {
         round(col("__hhi"), 6).as("hhi"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between each
+    * group's integer-value distribution and the corpus distribution —
+    * the metric that sees WHERE two length/score distributions differ,
+    * not just that they do (KS sees only the max gap, PSI needs
+    * binning). W₁ = ∫|F_g − F| dv evaluated on the distinct-value
+    * grid: Σ_v |cum_g(v)·N − cum(v)·n_g| · gap(v) — exact integers
+    * (the cross-multiplied CDF trick, no division until the final
+    * per-group scale by n_g·N).
+    *
+    * Scale shape: one (group, value) count, a bounded
+    * groups×distinct-values grid (the resample-grid pattern — the
+    * grid is value-cardinality-sized, never row-sized), two cumsum
+    * windows sharing the group partitioning. Magnitude contract:
+    * n_g·N·maxGap·|V| < 2⁶³.
+    */
+  def wassersteinToCorpus(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val perGV = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+    val vals = base.groupBy(col("v")).agg(count(lit(1)).as("__cg"))
+    val groups = base.groupBy(col("g")).agg(count(lit(1)).as("n_rows"))
+    val grid = groups.crossJoin(vals)
+      .join(perGV, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("g")).orderBy(col("v"))
+    val total = base.count()
+    grid
+      .withColumn("__cumS", sum(col("__c")).over(wCum))
+      .withColumn("__cumG", sum(col("__cg")).over(wCum))
+      .withColumn("__gap", lead(col("v"), 1).over(wNext) - col("v"))
+      .filter(col("__gap").isNotNull)
+      .withColumn("__term",
+        abs(col("__cumS") * lit(total) - col("__cumG") * col("n_rows")) *
+          col("__gap"))
+      .groupBy(col("g"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        sum(col("__term")).cast("long").as("w1_num"))
+      .select(col("g").as(groupCol), col("n_rows"), col("w1_num"),
+        (col("w1_num").cast("double") /
+          (col("n_rows").cast("double") * lit(total.toDouble)))
+          .as("w1"))
+      .orderBy(groupCol)
+  }
+
   /** Split-conformal prediction intervals (Vovk; Lei et al. 2018) —
     * the distribution-free coverage guarantee check: calibrate a
     * symmetric interval around a per-group median predictor on the
