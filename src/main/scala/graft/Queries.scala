@@ -10841,7 +10841,13 @@ object Queries {
     NdcgWeights.scanLeft(0.0)(_ + _).tail
 
   private lazy val ndcgOracleSql: String = {
-    def lit(d: Double) = java.lang.Double.toString(d)
+    // VARCHAR-cast literals: DuckDB types a bare decimal literal as
+    // DECIMAL, and `<literal>::DOUBLE` converts decimal→double with a
+    // double-rounding (the int128 lesson) — but CAST('…' AS DOUBLE)
+    // goes through the correctly-rounded string parser and lands on
+    // the exact shortest-repr double Scala emitted.
+    def lit(d: Double) =
+      s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
     val dcgTerms = (1 to 5)
       .map(i => s"r$i * ${lit(NdcgWeights(i - 1))}")
       .mkString(" + ")
