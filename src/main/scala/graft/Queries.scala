@@ -10795,6 +10795,47 @@ object Queries {
         .orderBy("query_id")
     },
 
+    // Rank-biased overlap (Webber et al. 2010, truncated at depth 20,
+    // p=0.9) between each source's top-20 token ranking and the
+    // corpus ranking — the rank-aware "did the vocabulary shift"
+    // monitor (set overlap ignores order; RBO top-weights it). Per
+    // shared token the contribution Σ_{d≥max(r_a,r_b)} (1−p)p^{d−1}/d
+    // is a CONSTANT looked up by rank and µ-quantized to int64, so
+    // the per-source sum is order-free exact integers + ONE division.
+    q("q310_rbo_tokens", rboOracleSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.spread(s, Tables.documents(s, d))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val perSource = tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("rs", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("__n").desc, col("token").asc)))
+        .filter(col("rs") <= 20)
+        .select(col("source"), col("token"), col("rs"))
+      val corpus = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("rc", row_number().over(Window.partitionBy()
+          .orderBy(col("__n").desc, col("token").asc)))
+        .filter(col("rc") <= 20)
+        .select(col("token"), col("rc"))
+      val tmu = RboTailMu.zipWithIndex.foldRight(lit(0L): Column) {
+        case ((mu, i), acc) =>
+          when(greatest(col("rs"), col("rc")) === i + 1, lit(mu))
+            .otherwise(acc)
+      }
+      perSource.join(corpus, Seq("token"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(tmu).cast("long").as("rbo_mu"))
+        .select(col("source"), col("n_common"), col("rbo_mu"),
+          (col("rbo_mu").cast("double") / lit(1e12)).as("rbo"))
+        .orderBy("source")
+    },
+
     // Exact Wasserstein-1 between each source's doc-length
     // distribution and the corpus: cross-multiplied CDFs on the
     // distinct-value grid — exact integers, one final division. Sees
@@ -10829,6 +10870,44 @@ object Queries {
         Tables.documents(s, d), "source", "n_chars")
     }
   )
+
+  /** RBO tail weights: Tµ(r) = round(10¹² · Σ_{d=r..20} (1−p)p^{d−1}/d)
+    * at p=0.9 — the per-token contribution by worst rank, µ-quantized
+    * so both engines sum exact integers.
+    */
+  private lazy val RboTailMu: IndexedSeq[Long] = {
+    val p = 0.9
+    val w = (1 to 20).map(dd => (1 - p) * math.pow(p, dd - 1) / dd)
+    (1 to 20).map(r => math.round(w.drop(r - 1).sum * 1e12))
+  }
+
+  private lazy val rboOracleSql: String = {
+    val tcase = RboTailMu.zipWithIndex
+      .map { case (mu, i) => s"WHEN ${i + 1} THEN ${mu}" }
+      .mkString(" ")
+    s"""WITH tok AS (SELECT source,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |t2 AS (SELECT source, token FROM tok WHERE length(token) > 0),
+       |ps AS (SELECT source, token, rs FROM (
+       |    SELECT source, token, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY COUNT(*) DESC, token ASC) AS rs
+       |    FROM t2 GROUP BY source, token)
+       |  WHERE rs <= 20),
+       |co AS (SELECT token, rc FROM (
+       |    SELECT token, ROW_NUMBER() OVER (
+       |      ORDER BY COUNT(*) DESC, token ASC) AS rc
+       |    FROM t2 GROUP BY token)
+       |  WHERE rc <= 20)
+       |SELECT ps.source, COUNT(*) AS n_common,
+       |  CAST(SUM(CASE GREATEST(ps.rs, co.rc) $tcase ELSE 0 END)
+       |    AS BIGINT) AS rbo_mu,
+       |  CAST(CAST(SUM(CASE GREATEST(ps.rs, co.rc) $tcase ELSE 0 END)
+       |    AS BIGINT) AS DOUBLE) / 1000000000000.0 AS rbo
+       |FROM ps JOIN co ON ps.token = co.token
+       |GROUP BY ps.source ORDER BY ps.source""".stripMargin
+  }
 
   /** NDCG@5 discount weights 1/log₂(i+1), and their prefix sums (the
     * ideal DCG for m relevant results) — computed once here and
