@@ -10836,6 +10836,55 @@ object Queries {
         .orderBy("source")
     },
 
+    // Poisson bootstrap CI of the mean (Chamandy et al., the
+    // resample-at-scale pattern: each row's multiplicity in replicate
+    // b is Poisson(1), drawn DETERMINISTICALLY from md5(b, row) against
+    // µ-quantized inverse-CDF thresholds — no RNG, engine-replayable,
+    // one pass over rows×B with map-side combine). Replicate means are
+    // exact cent-sums / integer counts; the CI bounds are exact order
+    // statistics (drop the 5 lowest / 5 highest of 200). Weights cap
+    // at 5 (Poisson(1) tail mass 3.7e-3 folds into 5 — documented
+    // truncation).
+    q("q311_poisson_bootstrap", bootstrapOracleSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" ||
+          col("event_type") === "view")
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      val b = e.withColumn("b",
+        explode(sequence(lit(0), lit(BootReps - 1))))
+      val h = graft.pipeline.Sampling.hash60(
+        concat(col("b").cast("string"), lit(":"),
+          col("event_id").cast("string")), "boot:")
+      val w = BootThresholds.zipWithIndex.foldRight(lit(5L): Column) {
+        case ((t, k), acc) => when(h < t, lit(k.toLong)).otherwise(acc)
+      }
+      val reps = b.withColumn("w", w)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w") * col("cents")).cast("long").as("s"),
+          sum(col("w")).cast("long").as("n"))
+        .withColumn("mean_b",
+          col("s").cast("double") / col("n").cast("double") / 100.0)
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_b"), col("b"))
+      val ranked = reps.withColumn("rk", row_number().over(rk))
+      val base = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("__sc"))
+      ranked.groupBy(col("event_type"))
+        .agg(max(when(col("rk") === 6, col("mean_b"))).as("ci_lo"),
+          max(when(col("rk") === BootReps - 5, col("mean_b")))
+            .as("ci_hi"))
+        .join(base, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"),
+          (col("__sc").cast("double") / col("n_rows").cast("double")
+            / 100.0).as("mean_value"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy("event_type")
+    },
+
     // Exact Wasserstein-1 between each source's doc-length
     // distribution and the corpus: cross-multiplied CDFs on the
     // distinct-value grid — exact integers, one final division. Sees
@@ -10870,6 +10919,64 @@ object Queries {
         Tables.documents(s, d), "source", "n_chars")
     }
   )
+
+  /** Poisson(1) inverse-CDF thresholds on the 60-bit hash scale:
+    * t_k = ⌊CDF(k)·2⁶⁰⌋ for k = 0..4 — weight = first k with
+    * h < t_k, else 5. Exact integers, shared by engine and oracle.
+    */
+  // `final val` Int literal = compile-time constant, inlined at use
+  // sites — immune to the object-init ordering the lazy-val comment
+  // below documents (a plain val here reads as 0 from the registry)
+  private final val BootReps = 200
+  private lazy val BootThresholds: IndexedSeq[Long] = {
+    val pmf = (0 to 4).map(k =>
+      math.exp(-1.0) / (1 to k).product.max(1))
+    val cdf = pmf.scanLeft(0.0)(_ + _).tail
+    cdf.map(c => (c * (1L << 60).toDouble).toLong)
+  }
+
+  private lazy val bootstrapOracleSql: String = {
+    val wcase = BootThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH e AS (SELECT event_type, event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type IN ('purchase', 'view')),
+       |b AS (SELECT e.*, bb.b FROM e,
+       |  (SELECT unnest(range(0, $BootReps)) AS b) bb),
+       |hw AS (SELECT event_type, b, cents,
+       |    CASE $wcase ELSE 5 END AS w
+       |  FROM (SELECT *, ('0x' || substr(md5('boot:'
+       |      || CAST(b AS VARCHAR) || ':'
+       |      || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |    FROM b)),
+       |reps AS (SELECT event_type, b,
+       |    CAST(SUM(w * cents) AS BIGINT) AS s,
+       |    CAST(SUM(w) AS BIGINT) AS n
+       |  FROM hw GROUP BY 1, 2),
+       |rk AS (SELECT event_type, b,
+       |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_b,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0,
+       |        b) AS rk
+       |  FROM reps),
+       |ci AS (SELECT event_type,
+       |    MAX(CASE WHEN rk = 6 THEN mean_b END) AS ci_lo,
+       |    MAX(CASE WHEN rk = ${BootReps - 5} THEN mean_b END) AS ci_hi
+       |  FROM rk GROUP BY 1),
+       |base AS (SELECT event_type, COUNT(*) AS n_rows,
+       |    CAST(SUM(cents) AS BIGINT) AS sc
+       |  FROM e GROUP BY 1)
+       |SELECT base.event_type, base.n_rows,
+       |  CAST(base.sc AS DOUBLE) / CAST(base.n_rows AS DOUBLE) / 100.0
+       |    AS mean_value,
+       |  ci.ci_lo, ci.ci_hi
+       |FROM base JOIN ci ON base.event_type = ci.event_type
+       |ORDER BY base.event_type"""
+    // NO .stripMargin here: the q() helper strips margins once, and a
+    // second strip would eat the leading pipe of a continuation line
+    // that begins with `||`
+  }
 
   /** RBO tail weights: Tµ(r) = round(10¹² · Σ_{d=r..20} (1−p)p^{d−1}/d)
     * at p=0.9 — the per-token contribution by worst rank, µ-quantized
