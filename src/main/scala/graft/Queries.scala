@@ -10885,6 +10885,72 @@ object Queries {
         .orderBy("event_type")
     },
 
+    // Log-rank test between user-parity cohorts on time-to-first-
+    // purchase (censored at the corpus horizon) — the inference step
+    // after q206's Kaplan–Meier curves. Integer risk sets, per-time
+    // E/V terms DECIMAL(28,6)-quantized before the order-free sum
+    // (q267 discipline).
+    q(
+      "q312_logrank",
+      """WITH u AS (SELECT user_id,
+        |    MIN(epoch_us(ts)) AS first_seen,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+        |      END) AS fp
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT MAX(epoch_us(ts)) AS horizon FROM events),
+        |subj AS (SELECT user_id % 2 AS g,
+        |    (COALESCE(fp, horizon) - first_seen) // 86400000000 AS d,
+        |    CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM u, h),
+        |durs AS (SELECT d, COUNT(*) AS c,
+        |    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(e) AS BIGINT) AS dd,
+        |    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN e END), 0)
+        |      AS BIGINT) AS da
+        |  FROM subj GROUP BY 1),
+        |risk AS (SELECT d, dd, da,
+        |    SUM(c) OVER wd AS rn, SUM(ca) OVER wd AS ra
+        |  FROM durs WINDOW wd AS (ORDER BY d DESC
+        |    ROWS UNBOUNDED PRECEDING)),
+        |terms AS (SELECT d, da,
+        |    CAST(ra * dd AS DOUBLE) / CAST(rn AS DOUBLE) AS et,
+        |    CASE WHEN rn > 1 THEN
+        |      CAST(dd * ra * (rn - ra) * (rn - dd) AS DOUBLE)
+        |        / (CAST(rn * rn AS DOUBLE) * CAST(rn - 1 AS DOUBLE))
+        |    ELSE 0.0::DOUBLE END AS vt
+        |  FROM risk WHERE dd > 0),
+        |coh AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(CASE WHEN g <> 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n_b
+        |  FROM subj)
+        |SELECT coh.n_a, coh.n_b, COUNT(*) AS n_event_times,
+        |  CAST(SUM(da) AS BIGINT) AS o_a,
+        |  CAST(SUM(CAST(et AS DECIMAL(28,6))) AS DOUBLE) AS e_a,
+        |  CAST(SUM(CAST(vt AS DECIMAL(28,6))) AS DOUBLE) AS v_a,
+        |  (CAST(CAST(SUM(da) AS BIGINT) AS DOUBLE)
+        |      - CAST(SUM(CAST(et AS DECIMAL(28,6))) AS DOUBLE))
+        |    / sqrt(CAST(SUM(CAST(vt AS DECIMAL(28,6))) AS DOUBLE))
+        |    AS z
+        |FROM terms, coh GROUP BY coh.n_a, coh.n_b"""
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_seen"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("fp"))
+      val h = broadcast(ev.agg(
+        max(unix_micros(col("ts"))).as("horizon")))
+      val subj = u.crossJoin(h)
+        .select((col("user_id") % 2).as("g"),
+          expr("(COALESCE(fp, horizon) - first_seen)" +
+            " div 86400000000").as("d"),
+          when(col("fp").isNull, lit(0)).otherwise(lit(1)).as("e"))
+      graft.pipeline.Profiler.logRank(subj, "g", "d", "e")
+    },
+
     // Exact Wasserstein-1 between each source's doc-length
     // distribution and the corpus: cross-multiplied CDFs on the
     // distinct-value grid — exact integers, one final division. Sees

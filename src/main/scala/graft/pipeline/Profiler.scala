@@ -1708,6 +1708,66 @@ object Profiler {
         round(col("__hhi"), 6).as("hhi"))
   }
 
+  /** Log-rank test (Mantel–Cox) between two cohorts — the inference
+    * companion to the q206 Kaplan–Meier curves: at each distinct
+    * event time, observed-vs-expected cohort-A events under the
+    * shared-hazard null; Z = (O_A − E_A)/√V. Exactness: risk sets and
+    * event counts are pure integer window cumsums; each time's
+    * E/V term is ONE fixed-shape division of exact integers, then
+    * DECIMAL(28,6)-quantized before the order-free sum (the q267
+    * discipline), so the statistic replays off-engine bit-for-bit.
+    *
+    * Scale shape: subjects collapse to the distinct-DURATION table
+    * first (one aggregate), so the risk-set cumsum's global window
+    * runs over duration cardinality — bounded by the observation
+    * window in days, not by subjects (the maxConcurrency carry
+    * caveat, stated).
+    */
+  def logRank(
+      subjects: DataFrame, // (cohortCol 0/1, durationCol long, eventCol 0/1)
+      cohortCol: String, durationCol: String, eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val durs = subjects
+      .select(col(cohortCol).as("__g"),
+        col(durationCol).cast("long").as("__d"),
+        col(eventCol).cast("long").as("__e"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(when(col("__g") === 0, lit(1L))), lit(0L)).as("__ca"),
+        sum(col("__e")).as("__dd"),
+        coalesce(sum(when(col("__g") === 0, col("__e"))), lit(0L))
+          .as("__da"))
+    val w = Window.orderBy(col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = durs
+      .withColumn("__rn", sum(col("__c")).over(w))
+      .withColumn("__ra", sum(col("__ca")).over(w))
+      .filter(col("__dd") > 0)
+      .withColumn("__et",
+        (col("__ra") * col("__dd")).cast("double") /
+          col("__rn").cast("double"))
+      .withColumn("__vt", when(col("__rn") > 1,
+        (col("__dd") * col("__ra") * (col("__rn") - col("__ra")) *
+          (col("__rn") - col("__dd"))).cast("double") /
+          ((col("__rn") * col("__rn")).cast("double") *
+            (col("__rn") - 1).cast("double"))).otherwise(lit(0.0)))
+    val cohorts = subjects.agg(
+      coalesce(sum(when(col(cohortCol) === 0, lit(1L))), lit(0L))
+        .as("n_a"),
+      coalesce(sum(when(col(cohortCol) =!= 0, lit(1L))), lit(0L))
+        .as("n_b"))
+    terms.agg(
+        count(lit(1)).as("n_event_times"),
+        sum(col("__da")).cast("long").as("o_a"),
+        sum(col("__et").cast("decimal(28,6)")).cast("double").as("e_a"),
+        sum(col("__vt").cast("decimal(28,6)")).cast("double").as("v_a"))
+      .crossJoin(broadcast(cohorts))
+      .select(col("n_a"), col("n_b"), col("n_event_times"), col("o_a"),
+        col("e_a"), col("v_a"),
+        ((col("o_a").cast("double") - col("e_a")) / sqrt(col("v_a")))
+          .as("z"))
+  }
+
   /** Exact 1-D Wasserstein-1 (earth-mover) distance between each
     * group's integer-value distribution and the corpus distribution —
     * the metric that sees WHERE two length/score distributions differ,
