@@ -405,6 +405,48 @@ class Round10Spec extends SparkSpec {
       .collect().length == 1)
   }
 
+  test("wassersteinToCorpus: identical distributions have W1 = 0") {
+    val df = (Seq.fill(10)(("a", 5L)) ++ Seq.fill(10)(("b", 5L)) ++
+      Seq.fill(4)(("a", 9L)) ++ Seq.fill(4)(("b", 9L)))
+      .toDF("g", "v")
+    val r = Profiler.wassersteinToCorpus(df, "g", "v").collect()
+    r.foreach(row => assert(row.getAs[Long]("w1_num") == 0L))
+  }
+
+  test("wassersteinToCorpus: known shift gives exact distance") {
+    // group a all at 0, group b all at 10; corpus = half each.
+    // |F_a - F| = 1/2 on [0,10) -> W1(a, corpus) = 5 exactly
+    val df = (Seq.fill(6)(("a", 0L)) ++ Seq.fill(6)(("b", 10L)))
+      .toDF("g", "v")
+    val r = Profiler.wassersteinToCorpus(df, "g", "v")
+      .collect().map(row => row.getAs[String]("g") ->
+        row.getAs[Double]("w1")).toMap
+    assert(r("a") == 5.0 && r("b") == 5.0)
+  }
+
+  test("logRank: identical cohorts give O = E and z = 0") {
+    // same durations/events in both cohorts
+    val rows = for (g <- Seq(0, 1); d <- Seq(1L, 2L, 3L, 5L))
+      yield (g, d, 1)
+    val df = rows.toDF("g", "d", "e")
+    val row = Profiler.logRank(df, "g", "d", "e").collect().head
+    assert(row.getAs[Long]("o_a") == 4)
+    assert(row.getAs[Double]("e_a") == 4.0)
+    assert(row.getAs[Double]("z") == 0.0)
+  }
+
+  test("logRank: early-failing cohort has O_A > E_A") {
+    // cohort 0 fails at t=1..3, cohort 1 censored far out
+    val rows = Seq((0, 1L, 1), (0, 2L, 1), (0, 3L, 1),
+      (1, 10L, 0), (1, 10L, 0), (1, 10L, 0))
+    val df = rows.toDF("g", "d", "e")
+    val row = Profiler.logRank(df, "g", "d", "e").collect().head
+    assert(row.getAs[Long]("o_a") == 3)
+    assert(row.getAs[Double]("e_a") < 3.0)
+    assert(row.getAs[Double]("z") > 0.0)
+    assert(row.getAs[Long]("n_event_times") == 3)
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
