@@ -10885,6 +10885,82 @@ object Queries {
         .orderBy("event_type")
     },
 
+    // UPDATE-mode emission semantics, pinned: same 3-micro-batch
+    // source and windowed count as q291, but update mode — each batch
+    // re-emits the CUMULATIVE count of every (type, window) it
+    // touched, so the sink holds one row per touch: batch-0 windows
+    // at their b0 counts, batch-1 windows at b0+b1, and batch-2
+    // windows (those surviving the lagged late filter, q291's rule)
+    // at the full count. The oracle reconstructs that multiset.
+    q(
+      "q313_stream_update_mode",
+      """WITH w1 AS (SELECT MAX(epoch_us(ts)) - 1800000000 AS wm
+        |  FROM events WHERE event_id % 3 = 0),
+        |r AS (SELECT event_type, event_id % 3 AS p,
+        |    (epoch_us(ts) // 600000000) * 600000000 AS ws
+        |  FROM events),
+        |b0 AS (SELECT event_type, ws, COUNT(*) AS n FROM r
+        |  WHERE p = 0 GROUP BY 1, 2),
+        |b01 AS (SELECT event_type, ws, COUNT(*) AS n FROM r
+        |  WHERE p <= 1 GROUP BY 1, 2),
+        |ball AS (SELECT r.event_type, r.ws, COUNT(*) AS n
+        |  FROM r, w1
+        |  WHERE p <= 1 OR r.ws + 600000000 > w1.wm
+        |  GROUP BY 1, 2),
+        |p1 AS (SELECT DISTINCT event_type, ws FROM r WHERE p = 1),
+        |p2 AS (SELECT DISTINCT r.event_type, r.ws FROM r, w1
+        |  WHERE p = 2 AND r.ws + 600000000 > w1.wm)
+        |SELECT event_type, ws AS window_start_us, n FROM b0
+        |UNION ALL
+        |SELECT b01.event_type, b01.ws, b01.n FROM b01
+        |  JOIN p1 ON b01.event_type = p1.event_type AND b01.ws = p1.ws
+        |UNION ALL
+        |SELECT ball.event_type, ball.ws, ball.n FROM ball
+        |  JOIN p2 ON ball.event_type = p2.event_type
+        |    AND ball.ws = p2.ws
+        |ORDER BY event_type, window_start_us, n"""
+    ) { (s, d) =>
+      val ss = streamSession(s)
+      locally {
+        val schema = Tables.load(s, d, "events").schema
+        val raw = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(lateSourceDir(s, d))
+        val stream =
+          if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else raw
+        val agg = stream.withWatermark("ts", "30 minutes")
+          .groupBy(col("event_type"),
+            window(col("ts"), "10 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+        val name = s"q313_out_${System.nanoTime()}"
+        val query = agg.writeStream.outputMode("update")
+          .format("memory").queryName(name).start()
+        try {
+          query.processAllAvailable()
+          var prev = -1L
+          var cur = ss.table(name).count()
+          var tries = 0
+          while (cur != prev && tries < 50) {
+            Thread.sleep(200)
+            prev = cur
+            cur = ss.table(name).count()
+            tries += 1
+          }
+        } finally query.stop()
+        val out = ss.table(name)
+          .select(col("event_type"),
+            unix_micros(col("w.start")).as("window_start_us"), col("n"))
+          .orderBy("event_type", "window_start_us", "n")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        ss.catalog.dropTempView(name)
+        s.createDataFrame(rows, out.schema)
+          .orderBy("event_type", "window_start_us", "n")
+      }
+    },
+
     // Log-rank test between user-parity cohorts on time-to-first-
     // purchase (censored at the corpus horizon) — the inference step
     // after q206's Kaplan–Meier curves. Integer risk sets, per-time
