@@ -10816,11 +10816,16 @@ object Queries {
           .orderBy(col("__n").desc, col("token").asc)))
         .filter(col("rs") <= 20)
         .select(col("source"), col("token"), col("rs"))
+      // top-20 via orderBy+limit (TakeOrderedAndProject — distributed
+      // partial top-k, the q56 discipline), THEN rank the 20-row
+      // result; a global row_number window over the full vocabulary
+      // would single-partition the corpus-sized sort
       val corpus = tok.groupBy(col("token"))
         .agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("token").asc)
+        .limit(20)
         .withColumn("rc", row_number().over(Window.partitionBy()
           .orderBy(col("__n").desc, col("token").asc)))
-        .filter(col("rc") <= 20)
         .select(col("token"), col("rc"))
       val tmu = RboTailMu.zipWithIndex.foldRight(lit(0L): Column) {
         case ((mu, i), acc) =>
