@@ -10890,6 +10890,69 @@ object Queries {
         .orderBy("event_type")
     },
 
+    // Masked export surface (pseudonymization): 60-bit salted md5
+    // surrogate for the customer key (referential integrity
+    // preserved), partial-masked name, acctbal generalized to
+    // 1000-unit bands — all deterministic scan-stage expressions,
+    // replayed verbatim by the oracle.
+    q(
+      "q314_masked_export",
+      """SELECT ('0x' || substr(md5('mask1:' || CAST(c_custkey AS
+        |    VARCHAR)), 1, 15))::BIGINT AS cust_surrogate,
+        |  substr(c_name, 1, 9) || repeat('*',
+        |    greatest(length(c_name) - 9, 0)) AS name_masked,
+        |  ((CAST(FLOOR(c_acctbal) AS BIGINT) + 1000000000) // 1000)
+        |    * 1000 - 1000000000 AS acctbal_band,
+        |  c_mktsegment
+        |FROM customer ORDER BY cust_surrogate"""
+    ) { (s, d) =>
+      import graft.pipeline.Governance
+      Tables.customer(s, d)
+        .select(
+          Governance.hashMask(col("c_custkey"), "mask1:")
+            .as("cust_surrogate"),
+          Governance.partialMask(col("c_name"), 9).as("name_masked"),
+          Governance.bandFloor("FLOOR(c_acctbal)", 1000L)
+            .as("acctbal_band"),
+          col("c_mktsegment"))
+        .orderBy("cust_surrogate")
+    },
+
+    // k-anonymity / l-diversity audit before the masked export ships:
+    // QI = (nation, acctbal band), sensitive = market segment;
+    // equivalence-class size distribution + re-identifiable mass +
+    // min l. Two stacked map-side-combined aggregates, one row.
+    q(
+      "q315_k_anonymity",
+      """WITH q AS (SELECT c_nationkey,
+        |    ((CAST(FLOOR(c_acctbal) AS BIGINT) + 1000000000) // 1000)
+        |      * 1000 - 1000000000 AS band,
+        |    c_mktsegment
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, band, COUNT(*) AS k,
+        |    COUNT(DISTINCT c_mktsegment) AS l
+        |  FROM q GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_classes,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+        |    AS rows_below_k,
+        |  COUNT(CASE WHEN k < 5 THEN 1 END) AS classes_below_k,
+        |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS DOUBLE)
+        |    / CAST(SUM(k) AS DOUBLE) AS reident_rate,
+        |  MIN(l) AS min_l,
+        |  COUNT(CASE WHEN l = 1 THEN 1 END) AS classes_l1
+        |FROM cls"""
+    ) { (s, d) =>
+      import graft.pipeline.Governance
+      graft.pipeline.Governance.kAnonymityAudit(
+        Tables.customer(s, d)
+          .select(col("c_nationkey"),
+            Governance.bandFloor("FLOOR(c_acctbal)", 1000L).as("band"),
+            col("c_mktsegment")),
+        Seq("c_nationkey", "band"), "c_mktsegment", kFloor = 5)
+    },
+
     // UPDATE-mode emission semantics, pinned: same 3-micro-batch
     // source and windowed count as q291, but update mode — each batch
     // re-emits the CUMULATIVE count of every (type, window) it

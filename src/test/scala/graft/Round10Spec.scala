@@ -447,6 +447,48 @@ class Round10Spec extends SparkSpec {
     assert(row.getAs[Long]("n_event_times") == 3)
   }
 
+  test("governance masks: deterministic, band floors correct on negatives") {
+    import graft.pipeline.Governance
+    val df = Seq((-999L, "Customer#000000001"), (-1000L, "X"),
+      (999L, "AB"), (0L, "Customer#000000002"))
+      .toDF("bal", "name")
+    val r = df.select(col("bal"),
+        Governance.bandFloor("bal", 1000L).as("band"),
+        Governance.partialMask(col("name"), 9).as("masked"),
+        Governance.hashMask(col("name"), "s:").as("h"))
+      .collect().map(row => row.getAs[Long]("bal") ->
+        (row.getAs[Long]("band"), row.getAs[String]("masked"),
+          row.getAs[Long]("h"))).toMap
+    assert(r(-999L)._1 == -1000L) // floor, not trunc-toward-zero
+    assert(r(-1000L)._1 == -1000L)
+    assert(r(999L)._1 == 0L)
+    assert(r(0L)._2 == "Customer#*********")
+    assert(r(999L)._2 == "AB") // shorter than keep -> unchanged
+    // surrogate is deterministic: same input, same session -> same value
+    val again = df.select(col("bal"),
+        Governance.hashMask(col("name"), "s:").as("h"))
+      .collect().map(row => row.getAs[Long]("bal") ->
+        row.getAs[Long]("h")).toMap
+    assert(again(0L) == r(0L)._3 && r(0L)._3 > 0)
+  }
+
+  test("kAnonymityAudit flags small classes and l=1 leaks") {
+    import graft.pipeline.Governance
+    val df = Seq(
+      ("n1", 0L, "A"), ("n1", 0L, "B"), ("n1", 0L, "A"),
+      ("n1", 0L, "B"), ("n1", 0L, "A"), // class k=5, l=2
+      ("n2", 0L, "A"), ("n2", 0L, "A")) // class k=2 < 5, l=1
+      .toDF("nation", "band", "seg")
+    val row = Governance.kAnonymityAudit(
+      df, Seq("nation", "band"), "seg").collect().head
+    assert(row.getAs[Long]("n_classes") == 2)
+    assert(row.getAs[Long]("rows_below_k") == 2)
+    assert(row.getAs[Long]("classes_below_k") == 1)
+    assert(row.getAs[Long]("min_l") == 1)
+    assert(row.getAs[Long]("classes_l1") == 1)
+    assert(row.getAs[Double]("reident_rate") == 2.0 / 7.0)
+  }
+
   test("gramMatrix rejects ragged rows") {
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0)))
       .toDF("embedding")
