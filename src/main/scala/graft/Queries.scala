@@ -10890,6 +10890,51 @@ object Queries {
         .orderBy("event_type")
     },
 
+    // Exact weighted median: per flag, the price at which HALF the
+    // shipped QUANTITY sits below — collapse to the distinct-price
+    // table first (cum weights over value cardinality, not rows),
+    // then the 2·cum ≥ W cross-multiplied selection: all integer, no
+    // division, the selected value is a raw data point.
+    q(
+      "q316_weighted_median",
+      """WITH x AS (SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS price_cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |pv AS (SELECT flag, price_cents, CAST(SUM(qty) AS BIGINT) AS w
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT flag, price_cents, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY price_cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY flag) AS tot
+        |  FROM pv)
+        |SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_qty,
+        |  MIN(CASE WHEN 2 * cum >= tot THEN price_cents END)
+        |    AS wmedian_cents
+        |FROM c GROUP BY flag ORDER BY flag"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_cents"),
+          col("l_quantity").cast("long").as("qty"))
+      val pv = x.groupBy(col("flag"), col("price_cents"))
+        .agg(sum(col("qty")).cast("long").as("w"))
+      val cumW = Window.partitionBy(col("flag"))
+        .orderBy(col("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("flag"))
+      pv.withColumn("cum", sum(col("w")).over(cumW))
+        .withColumn("tot", sum(col("w")).over(totW))
+        .groupBy(col("flag"))
+        .agg(max(col("tot")).cast("long").as("total_qty"),
+          min(when(lit(2) * col("cum") >= col("tot"),
+            col("price_cents"))).as("wmedian_cents"))
+        .orderBy("flag")
+    },
+
     // Masked export surface (pseudonymization): 60-bit salted md5
     // surrogate for the customer key (referential integrity
     // preserved), partial-masked name, acctbal generalized to
