@@ -11172,6 +11172,283 @@ object Queries {
     ) { (s, d) =>
       graft.pipeline.Profiler.wassersteinToCorpus(
         Tables.documents(s, d), "source", "n_chars")
+    },
+
+    // Nelson–Aalen cumulative hazard over the q206 lifetime
+    // construction: H(t) = Σ d/n with the Aalen variance Σ d(n−d)/n³,
+    // each term one fixed-shape division of exact integers,
+    // DECIMAL(28,12)-quantized before the order-free prefix sum.
+    q(
+      "q317_nelson_aalen",
+      """WITH lif AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+        |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
+        |gm AS (SELECT MAX(l) AS gmax FROM lif),
+        |durs AS (SELECT (l - f) // 86400000000 AS dur,
+        |    CASE WHEN l < gmax - 604800000000 THEN 1 ELSE 0 END
+        |      AS death
+        |  FROM lif CROSS JOIN gm),
+        |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
+        |    AS d FROM durs GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n FROM durs),
+        |r AS (SELECT bd.dur, bd.d, tt.n,
+        |    CAST(COALESCE(SUM(bd.c) OVER (ORDER BY bd.dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM bd CROSS JOIN tt),
+        |h AS (SELECT dur, d, n - cb AS nar,
+        |    CAST(CAST(d AS DOUBLE) / CAST(n - cb AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS ht,
+        |    CAST(CAST(d * (n - cb - d) AS DOUBLE)
+        |      / (CAST(n - cb AS DOUBLE) * CAST(n - cb AS DOUBLE)
+        |         * CAST(n - cb AS DOUBLE)) AS DECIMAL(28,12)) AS vt
+        |  FROM r WHERE d > 0)
+        |SELECT dur AS duration_days, nar AS n_at_risk, d AS n_deaths,
+        |  ROUND(CAST(SUM(ht) OVER wc AS DOUBLE), 6) AS cum_hazard,
+        |  ROUND(CAST(SUM(vt) OVER wc AS DOUBLE), 6) AS hazard_var
+        |FROM h WINDOW wc AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+        |ORDER BY duration_days"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.nelsonAalen(
+          Tables.events(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
+          "user_id", "t_us")
+        .orderBy("duration_days")
+    },
+
+    // One-way ANOVA F across event-type cohorts. Milli-unit
+    // quantization keeps EVERY integer (Σv ~5e12, Σv² ~5e14 at sf0.1)
+    // below 2⁵³, so the wide-int→double casts are exact on both
+    // engines — no HUGEINT double-rounding surface (the q180 lesson);
+    // per-group terms DECIMAL(28,6)-quantized before the order-free
+    // cross-group sum.
+    q(
+      "q318_anova_f",
+      """WITH x AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |gs AS (SELECT g, COUNT(*) AS n, SUM(v) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS ss FROM x GROUP BY 1),
+        |t AS (SELECT n, s,
+        |    CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS DECIMAL(28,6)) AS tb,
+        |    CAST(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(28,6)) AS tw
+        |  FROM gs),
+        |a0 AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(s) AS DOUBLE) AS stot,
+        |    SUM(tb) AS sbq, SUM(tw) AS swq FROM t),
+        |a AS (SELECT k, n, stot,
+        |    CAST(CAST(FLOOR(sbq) AS BIGINT) AS DOUBLE)
+        |      + CAST(sbq - FLOOR(sbq) AS DOUBLE) AS sb,
+        |    CAST(CAST(FLOOR(swq) AS BIGINT) AS DOUBLE)
+        |      + CAST(swq - FLOOR(swq) AS DOUBLE) AS sw FROM a0)
+        |SELECT k, n,
+        |  sb - stot * stot / CAST(n AS DOUBLE) AS ss_between,
+        |  sw AS ss_within,
+        |  ROUND(((sb - stot * stot / CAST(n AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0))
+        |    / (sw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    AS f_stat
+        |FROM a"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.anovaF(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000.0).cast("long").as("vq")),
+        "event_type", "vq")
+    },
+
+    // Mann–Whitney U between user-parity cohorts: doubled rank sums
+    // are pure integers on the distinct-value grid (avg tie rank has
+    // denominator 2), the tie term Σ(c³−c) is exact long arithmetic,
+    // and the z chain is one fixed IEEE shape.
+    q(
+      "q319_mann_whitney",
+      """WITH x AS (SELECT user_id % 2 AS coh,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |bv AS (SELECT v, COUNT(*) AS c,
+        |    CAST(COALESCE(SUM(CASE WHEN coh = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS ca
+        |  FROM x GROUP BY 1),
+        |rk AS (SELECT v, c, ca,
+        |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM bv),
+        |a AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(c) - SUM(ca) AS BIGINT) AS n_b,
+        |    CAST(SUM(ca * (2 * cb + c + 1)) AS BIGINT) AS r2a,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+        |  FROM rk)
+        |SELECT n_a, n_b,
+        |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  ROUND((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE)
+        |          / (CAST(n_a + n_b AS DOUBLE)
+        |            * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 6) AS z
+        |FROM a"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.mannWhitneyU(
+        Tables.events(s, d)
+          .select((col("user_id") % 2).as("coh"),
+            floor(col("value") * 1000.0).cast("long").as("vq")),
+        "coh", "vq")
+    },
+
+    // Kruskal–Wallis H across event-type cohorts — rank-based one-way
+    // ANOVA with the standard tie correction; same doubled-integer
+    // rank machinery as q319, per-group R²/n terms quantized before
+    // the order-free cross-group sum.
+    q(
+      "q320_kruskal_wallis",
+      """WITH x AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |gv AS (SELECT g, v, COUNT(*) AS cg FROM x GROUP BY 1, 2),
+        |bv AS (SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM gv
+        |  GROUP BY 1),
+        |rk AS (SELECT v, c,
+        |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM bv),
+        |pg AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS n,
+        |    CAST(SUM(cg * (2 * cb + c + 1)) AS BIGINT) AS r2
+        |  FROM gv JOIN rk USING (v) GROUP BY 1),
+        |pt AS (SELECT g, n,
+        |    CAST(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |      / (4.0 * CAST(n AS DOUBLE)) AS DECIMAL(28,6)) AS t
+        |  FROM pg),
+        |tie AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+        |  FROM rk),
+        |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(CAST(FLOOR(SUM(t)) AS BIGINT) AS DOUBLE)
+        |      + CAST(SUM(t) - FLOOR(SUM(t)) AS DOUBLE) AS sr FROM pt)
+        |SELECT k, n,
+        |  ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * sr - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
+        |    AS h_uncorrected,
+        |  ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * sr - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(ties AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS h
+        |FROM a CROSS JOIN tie"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.kruskalWallis(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000.0).cast("long").as("vq")),
+        "event_type", "vq")
+    },
+
+    // Partial autocorrelation at lags 1–3: Durbin–Levinson on the
+    // q199 sample correlations. Every intermediate (r1, r2, r3, φ22,
+    // φ21) is named ONCE and reused, so both engines run the identical
+    // fixed IEEE chain on exact integer µ-unit sums; ROUND(6) only at
+    // the output surface.
+    q(
+      "q321_pacf",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (SELECT sensor_id, v,
+        |    LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+        |    LAG(v, 3) OVER w AS l3
+        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
+        |a AS (SELECT sensor_id,
+        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END) AS DOUBLE)
+        |      AS sxx1,
+        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
+        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
+        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1,
+        |    CAST(COUNT(l2) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx2,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v * v END) AS DOUBLE)
+        |      AS sxx2,
+        |    CAST(SUM(l2) AS DOUBLE) AS sy2,
+        |    CAST(SUM(l2 * l2) AS DOUBLE) AS syy2,
+        |    CAST(SUM(v * l2) AS DOUBLE) AS sxy2,
+        |    CAST(COUNT(l3) AS DOUBLE) AS n3,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx3,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v * v END) AS DOUBLE)
+        |      AS sxx3,
+        |    CAST(SUM(l3) AS DOUBLE) AS sy3,
+        |    CAST(SUM(l3 * l3) AS DOUBLE) AS syy3,
+        |    CAST(SUM(v * l3) AS DOUBLE) AS sxy3
+        |  FROM l GROUP BY 1),
+        |r AS (SELECT sensor_id, n1,
+        |    (n1 * sxy1 - sx1 * sy1) / (sqrt(n1 * sxx1 - sx1 * sx1)
+        |      * sqrt(n1 * syy1 - sy1 * sy1)) AS r1,
+        |    (n2 * sxy2 - sx2 * sy2) / (sqrt(n2 * sxx2 - sx2 * sx2)
+        |      * sqrt(n2 * syy2 - sy2 * sy2)) AS r2,
+        |    (n3 * sxy3 - sx3 * sy3) / (sqrt(n3 * sxx3 - sx3 * sx3)
+        |      * sqrt(n3 * syy3 - sy3 * sy3)) AS r3
+        |  FROM a),
+        |f2 AS (SELECT sensor_id, n1, r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0::DOUBLE - r1 * r1) AS f22 FROM r),
+        |f3 AS (SELECT sensor_id, n1, r1, r2, r3, f22,
+        |    r1 - f22 * r1 AS f21 FROM f2)
+        |SELECT sensor_id, CAST(n1 AS BIGINT) AS n_pairs1,
+        |  ROUND(r1, 6) AS phi1, ROUND(f22, 6) AS phi2,
+        |  ROUND((r3 - f21 * r2 - f22 * r1)
+        |    / (1.0::DOUBLE - f21 * r1 - f22 * r2), 6) AS phi3
+        |FROM f3 ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.pacf3(
+          EventsAdapter.samples(s, d),
+          "sensor_id", "timestamp_us", "value")
+        .orderBy("sensor_id")
+    },
+
+    // Adamic–Adar link prediction over part co-purchase baskets:
+    // common orders weighted 1/ln(basket size), per-basket terms
+    // DECIMAL(28,12)-quantized before the order-free per-pair sum;
+    // top-20 cut on the ROUNDED score with pair-key tie-break.
+    q(
+      "q322_adamic_adar",
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey
+        |    AS item FROM lineitem),
+        |b AS (SELECT bk, COUNT(*) AS sz FROM it GROUP BY 1
+        |  HAVING COUNT(*) >= 2),
+        |t AS (SELECT bk, CAST(1.0::DOUBLE / ln(CAST(sz AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS tq FROM b),
+        |p AS (SELECT a.item AS item_a, b2.item AS item_b, t.tq
+        |  FROM it a JOIN it b2 ON a.bk = b2.bk AND a.item < b2.item
+        |  JOIN t ON t.bk = a.bk),
+        |sc AS (SELECT item_a, item_b, COUNT(*) AS n_common,
+        |    ROUND(CAST(SUM(tq) AS DOUBLE), 6) AS aa_score
+        |  FROM p GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(n_common AS BIGINT) AS n_common,
+        |  aa_score
+        |FROM sc ORDER BY aa_score DESC, item_a, item_b LIMIT 20"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.adamicAdar(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+    },
+
+    // 3-core of the ≥2-shared-orders co-purchase graph: 14 fixed
+    // peeling rounds (convergence observed at ≤11 across SFs; extra
+    // rounds are no-ops), replayed as the oracle's unrolled CTE
+    // chain. Output = surviving nodes with their in-core degree.
+    q("q323_k_core", kCoreSql) { (s, d) =>
+      val edges = graft.pipeline.Behavior.coOccurrenceEdges(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minCount = 2L)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.pipeline.Behavior.kCore(edges, k = 3, rounds = 14)
+        .orderBy("node")
     }
   )
 
@@ -11944,6 +12221,38 @@ object Queries {
     }
     Seq("l_extendedprice", "l_quantity", "l_discount")
       .map(colSql).mkString("\n|UNION ALL\n|") + "\n|ORDER BY col_name"
+  }
+
+  /** q323 oracle: the engine's 14 fixed k-core peeling rounds
+    * unrolled as chained (non-recursive) CTEs — the pageRankIter
+    * discipline. A recursive CTE cannot express peeling (its working
+    * table accumulates rows; the peel SHRINKS a set), so each round
+    * is one degree-filter + two-sided edge semi-join, literally.
+    */
+  private lazy val kCoreSql: String = {
+    val k = 3
+    val rounds = 14
+    val iters = (1 to rounds).map { i =>
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+      // references the previous one three times — unchecked, the
+      // 14-round chain expands to ~3^14 scans of lineitem.
+      s"""n$i AS MATERIALIZED (SELECT a FROM l${i - 1} GROUP BY a
+         |  HAVING COUNT(*) >= $k),
+         |l$i AS MATERIALIZED (SELECT l.a, l.b FROM l${i - 1} l
+         |  JOIN n$i x ON l.a = x.a JOIN n$i y ON l.b = y.a)"""
+    }.mkString(",\n|")
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
+       |    l_partkey AS item FROM lineitem),
+       |pr AS (SELECT a.item AS ia, b2.item AS ib
+       |  FROM it a JOIN it b2 ON a.bk = b2.bk AND a.item < b2.item),
+       |ed AS (SELECT ia, ib FROM pr GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2),
+       |l0 AS MATERIALIZED (SELECT ia AS a, ib AS b FROM ed
+       |  UNION ALL SELECT ib, ia FROM ed),
+       |$iters
+       |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+       |FROM l$rounds GROUP BY a HAVING COUNT(*) >= $k
+       |ORDER BY node"""
   }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

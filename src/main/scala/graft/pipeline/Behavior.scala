@@ -916,4 +916,148 @@ object Behavior {
         .otherwise(round(exp(col("__cum").cast("double")), 6))
         .as("survival"))
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator over the same
+    * lifetime construction as [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ,
+    * the non-parametric hazard integral (its exp(−H) is the
+    * Fleming–Harrington survival variant — lower variance than KM on
+    * heavy censoring). Also emits the Aalen variance estimate
+    * Σ dᵢ·(nᵢ−dᵢ)/nᵢ³.
+    *
+    * Exactness: risk sets and death counts are pure integer window
+    * cumsums on the distinct-duration table; each time's hazard and
+    * variance terms are ONE fixed-shape division of exact integers,
+    * DECIMAL(28,12)-quantized before the order-free prefix sum (the
+    * q206/q267 discipline), ROUND(6) surface.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one user-keyed
+    * aggregate, then everything on the duration-cardinality table
+    * (bounded by the observation span in days, not by users).
+    */
+  def nelsonAalen(
+      events: DataFrame, userCol: String, tsCol: String,
+      censorHorizonUs: Long = 7L * 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lif = events
+      .select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("__t"))
+      .groupBy(col("user"))
+      .agg(min(col("__t")).as("__first"), max(col("__t")).as("__last"))
+    val gmax = broadcast(lif.agg(max(col("__last")).as("__gmax")))
+    val durs = lif.crossJoin(gmax).select(
+      expr("(__last - __first) div 86400000000").as("dur"),
+      (col("__last") < col("__gmax") - censorHorizonUs).cast("int")
+        .as("__death"))
+    val byDur = durs.groupBy(col("dur"))
+      .agg(count(lit(1)).as("__c"), sum(col("__death")).as("d"))
+    val tot = broadcast(durs.agg(count(lit(1)).as("__n")))
+    val wAsc = Window.orderBy(col("dur"))
+    byDur.crossJoin(tot)
+      .withColumn("__cb", coalesce(sum(col("__c"))
+        .over(wAsc.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("n_at_risk", col("__n") - col("__cb"))
+      .filter(col("d") > 0)
+      .withColumn("__h", (col("d").cast("double") /
+        col("n_at_risk").cast("double")).cast("decimal(28,12)"))
+      .withColumn("__v",
+        ((col("d") * (col("n_at_risk") - col("d"))).cast("double") /
+          (col("n_at_risk").cast("double") *
+            col("n_at_risk").cast("double") *
+            col("n_at_risk").cast("double"))).cast("decimal(28,12)"))
+      .withColumn("__ch", sum(col("__h"))
+        .over(wAsc.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__cv", sum(col("__v"))
+        .over(wAsc.rowsBetween(Long.MinValue, 0)))
+      .select(col("dur").as("duration_days"),
+        col("n_at_risk"), col("d").as("n_deaths"),
+        round(col("__ch").cast("double"), 6).as("cum_hazard"),
+        round(col("__cv").cast("double"), 6).as("hazard_var"))
+  }
+
+  /** Adamic–Adar link prediction over item co-baskets: for each item
+    * pair sharing baskets, score = Σ_baskets 1/ln(|basket|) — common
+    * neighbors weighted DOWN by how promiscuous the shared basket is
+    * (a 2-item order is strong evidence; a 40-item order is noise).
+    * The standard link-prediction baseline next to [[coOccurrence]]'s
+    * lift.
+    *
+    * Exactness: ln is libm (faithfully rounded), so each basket's
+    * 1/ln(sz) term is quantized to DECIMAL(28,12) BEFORE the
+    * order-free per-pair sum (the q267 discipline — the basket set
+    * per pair is data-dependent), and the output surface is ROUND(6).
+    * Ranking cut happens on the ROUNDED score with a pair-key
+    * tie-break, so the top-k is deterministic cross-engine.
+    * Magnitude contract: ≤ 10³ shared baskets·10¹² scale < 10¹⁵ —
+    * inside the 2⁵³ exact-double window for the final cast.
+    *
+    * Scale shape: same basket-array construction as [[coOccurrence]]
+    * (one keyed aggregate, cap² pair fan-out bound), one pair-keyed
+    * aggregate, and a distributed TakeOrderedAndProject for the cut.
+    */
+  def adamicAdar(
+      events: DataFrame, basketCol: String, itemCol: String,
+      topK: Int = 20, minBasketSize: Int = 2,
+      maxBasketSize: Int = 10000): DataFrame = {
+    require(topK >= 1 && minBasketSize >= 2, "need topK>=1, min>=2")
+    val b = basketTable(events, basketCol, itemCol, maxBasketSize)
+      .filter(size(col("__items")) >= minBasketSize)
+      .withColumn("__t",
+        (lit(1.0) / log(size(col("__items")).cast("double")))
+          .cast("decimal(28,12)"))
+    b.select(col("__t"), explode(col("__items")).as("item_a"),
+        col("__items"))
+      .select(col("__t"), col("item_a"),
+        explode(col("__items")).as("item_b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(col("__t")).cast("double"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** k-core of an undirected graph: the maximal subgraph where every
+    * node keeps degree ≥ k — the standard "dense cohort" extraction
+    * (spam rings, power-user communities) that a one-shot degree
+    * filter gets wrong (removing a weak node can demote its
+    * neighbors; the peel must iterate to fixpoint).
+    *
+    * Runs `rounds` peeling iterations UNCONDITIONALLY — converged
+    * rounds are no-ops — so the engine replays the oracle's fixed
+    * iteration chain exactly (the pageRank fixed-round discipline);
+    * callers pick `rounds` ≥ the observed convergence depth (peeling
+    * converges in ≤ a few rounds on real degree distributions; each
+    * extra round costs one semi-join pass over surviving edges).
+    * Output: surviving (node, degree) — degree measured INSIDE the
+    * core, exact integers.
+    *
+    * Scale shape: edges symmetrized once; each round is two
+    * node-keyed semi-joins + one map-side-combined degree aggregate
+    * on the SHRINKING edge set, localCheckpoint-pinned per round (the
+    * connected-components lineage discipline — O(rounds) plan depth,
+    * not O(2^rounds)).
+    */
+  def kCore(
+      edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k>=1, rounds>=1")
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    var live = sym.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = live.groupBy(col("a"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("a").as("__n"))
+      live = live
+        .join(alive.withColumnRenamed("__n", "a"), Seq("a"),
+          "left_semi")
+        .join(alive.withColumnRenamed("__n", "b"), Seq("b"),
+          "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    live.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
 }

@@ -1262,6 +1262,66 @@ object Profiler {
       s"stack($maxLag, $cells) AS (lag_k, n_pairs, acf)")
   }
 
+  /** Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    * recursion on the [[autocorrelation]] sample correlations — the
+    * AR-order diagnostic (PACF cuts off at the true AR order where
+    * ACF only decays). φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²);
+    * φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂) with φ₂₁ = r₁−φ₂₂r₁.
+    *
+    * Exactness: the rₖ are the q199 chains (exact integer µ-unit sums,
+    * one IEEE shape each — correctly-rounded sqrt only), and the D–L
+    * chain is a fixed sequence of IEEE ops written IDENTICALLY on both
+    * engines (each intermediate named once, then reused), so the raw
+    * doubles replay bit-for-bit; ROUND(6) only on the output surface.
+    * Degenerate series (too few pairs, zero variance, |r₁| = 1)
+    * null-propagate through try_divide.
+    *
+    * Scale shape: identical to [[autocorrelation]] — one keyed window
+    * sort shared by all lags, one map-side-combined aggregate, then a
+    * per-series fixed-shape scalar chain.
+    */
+  def pacf3(
+      df: DataFrame, seriesCol: String, tsCol: String, valCol: String,
+      unitsPerValue: Double = 1e6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col(tsCol), col("__vq"))
+    val lagged = (1 to 3).foldLeft(
+      df.select(col(seriesCol), col(tsCol),
+        microUnits(col(valCol), unitsPerValue).as("__vq"))) { (acc, k) =>
+      acc.withColumn(s"__l$k", lag(col("__vq"), k).over(w))
+    }
+    def dsum0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val aggs = (1 to 3).flatMap { k =>
+      val y = col(s"__l$k")
+      val on = y.isNotNull
+      Seq(
+        count(y).cast("double").as(s"__n$k"),
+        dsum0(when(on, col("__vq"))).as(s"__sx$k"),
+        dsum0(when(on, col("__vq") * col("__vq"))).as(s"__sxx$k"),
+        dsum0(y).as(s"__sy$k"),
+        dsum0(y * y).as(s"__syy$k"),
+        dsum0(col("__vq") * y).as(s"__sxy$k"))
+    }
+    val one = lagged.groupBy(col(seriesCol))
+      .agg(aggs.head, aggs.tail: _*)
+    def rExpr(k: Int): String =
+      s"try_divide(`__n$k` * `__sxy$k` - `__sx$k` * `__sy$k`," +
+        s" sqrt(`__n$k` * `__sxx$k` - `__sx$k` * `__sx$k`)" +
+        s" * sqrt(`__n$k` * `__syy$k` - `__sy$k` * `__sy$k`))"
+    one
+      .selectExpr(seriesCol, s"CAST(`__n1` AS BIGINT) AS n_pairs1",
+        s"${rExpr(1)} AS __r1", s"${rExpr(2)} AS __r2",
+        s"${rExpr(3)} AS __r3")
+      .selectExpr(seriesCol, "n_pairs1", "__r1", "__r2", "__r3",
+        "try_divide(__r2 - __r1 * __r1, 1.0D - __r1 * __r1) AS __f22")
+      .selectExpr(seriesCol, "n_pairs1", "__r1", "__r2", "__r3",
+        "__f22", "__r1 - __f22 * __r1 AS __f21")
+      .selectExpr(seriesCol, "n_pairs1",
+        "round(__r1, 6) AS phi1", "round(__f22, 6) AS phi2",
+        "round(try_divide(__r3 - __f21 * __r2 - __f22 * __r1," +
+          " 1.0D - __f21 * __r1 - __f22 * __r2), 6) AS phi3")
+  }
+
   /** Cross-correlation between two series' bucketed totals at integer
     * bucket lags — "does A lead B by k hours?" over a sensor or event
     * pair. Each side reduces to one exact µ-unit total per time bucket
@@ -2139,5 +2199,168 @@ object Profiler {
         sqrt(se2), 6).as("t_stat"),
       round(se2 * se2 / (sea * sea / (col("na") - 1.0) +
         seb * seb / (col("nb") - 1.0)), 6).as("df"))
+  }
+
+  /** One-way ANOVA F across k groups — the k-sample generalization of
+    * [[welchTTest]] (classic equal-variance form): F =
+    * (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ_g S_g²/n_g − S²/N and
+    * SSW = Σ_g (SS_g − S_g²/n_g), all from one (n, Σv, Σv²) aggregate
+    * per group in integer µ-units.
+    *
+    * Exactness: group sums are exact integers (µ-quantized input,
+    * cast-first decimal squares); each group's S_g²/n_g and SSW term
+    * is ONE fixed IEEE shape on those exact numbers, quantized to
+    * DECIMAL(28,6) before the order-free cross-group sum (the q267
+    * discipline — group sets are data-dependent, so a raw double sum
+    * would be reduction-order-dependent). Magnitude contract:
+    * per-group |SS_g| < 10²² µ² (v ~10⁶ µ-units × 10¹⁰ rows headroom).
+    *
+    * Scale shape: one map-side-combined aggregate over the data, then
+    * everything on the |groups|-bounded stats table.
+    */
+  def anovaF(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(quantCol).cast("decimal(38,0)")).as("__s"),
+        sum(col(quantCol).cast("decimal(19,0)") * col(quantCol))
+          .as("__ss"))
+    val nd = col("__n").cast("double")
+    val sd = col("__s").cast("double")
+    val ssd = col("__ss").cast("double")
+    val terms = g.select(col("__n"), col("__s"),
+      (sd * sd / nd).cast("decimal(28,6)").as("__tb"),
+      (ssd - sd * sd / nd).cast("decimal(28,6)").as("__tw"))
+    val agg = terms.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n")).cast("long").as("n"),
+      sum(col("__s")).as("__stot"),
+      sum(col("__tb")).as("__sbq"),
+      sum(col("__tw")).as("__swq"))
+    // The decimal sums' scaled integers exceed 2⁵³, so a direct
+    // decimal→double cast double-rounds on DuckDB (the q180 lesson):
+    // split into exact-long FLOOR + sub-2⁵³ fraction, ONE IEEE add.
+    def split(c: Column): Column =
+      floor(c).cast("long").cast("double") + (c - floor(c)).cast("double")
+    val ntd = col("n").cast("double")
+    val std = col("__stot").cast("double")
+    val kd = col("k").cast("double")
+    val sb = split(col("__sbq"))
+    val sw = split(col("__swq"))
+    // ss_* ship RAW: the chains are bit-identical cross-engine by
+    // construction, and ROUND(6) at 10¹³ magnitude is lossy on
+    // engines that round via ×10⁶ (DuckDB) — rounding would CREATE
+    // divergence, not absorb it.
+    agg.select(col("k"), col("n"),
+      (sb - std * std / ntd).as("ss_between"),
+      sw.as("ss_within"),
+      round(((sb - std * std / ntd) / (kd - 1.0)) /
+        (sw / (ntd - kd)), 6).as("f_stat"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two cohorts, with the
+    * tie-corrected normal approximation — the non-parametric two-sample
+    * location test that needs no distributional assumption (the rank
+    * companion to [[welchTTest]]).
+    *
+    * Exactness: everything runs on the distinct-value table. Average
+    * ranks are rationals with denominator 2, so DOUBLED rank sums are
+    * pure integers: 2R_A = Σ_v cA_v·(2·cum_before + c_v + 1); the tie
+    * term Σ(c³−c) is exact long arithmetic. The only IEEE work is the
+    * final fixed-shape z chain. Magnitude contract: N·(N+1) and the
+    * largest tie c³ below 2⁶³ (N < 2·10⁶ per test cell — the
+    * distinct-duration caveat applies to the rank table's global
+    * cumsum window, bounded by VALUE cardinality).
+    *
+    * Scale shape: one (value) aggregate with conditional cohort sums,
+    * one bounded ordered window over distinct values, one final row.
+    */
+  def mannWhitneyU(
+      df: DataFrame, cohortCol: String, quantCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df
+      .select(col(quantCol).cast("long").as("__v"),
+        (col(cohortCol) === 0).cast("long").as("__ia"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__ia")).as("__ca"))
+    val wAsc = Window.orderBy(col("__v"))
+    val ranked = byV.withColumn("__cb", coalesce(sum(col("__c"))
+      .over(wAsc.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("__ca")).cast("long").as("n_a"),
+      (sum(col("__c")) - sum(col("__ca"))).cast("long").as("n_b"),
+      sum(col("__ca") * (lit(2L) * col("__cb") + col("__c") + 1L))
+        .cast("long").as("__r2a"),
+      sum(col("__c") * col("__c") * col("__c") - col("__c"))
+        .cast("long").as("__ties"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val nd = (col("n_a") + col("n_b")).cast("double")
+    val u2 = col("__r2a") - col("n_a") * (col("n_a") + 1L)
+    val varU = nad * nbd / 12.0 *
+      ((nd + 1.0) - col("__ties").cast("double") / (nd * (nd - 1.0)))
+    agg.select(col("n_a"), col("n_b"),
+      (u2.cast("double") / 2.0).as("u_a"),
+      round((u2.cast("double") - nad * nbd) / 2.0 / sqrt(varU), 6)
+        .as("z"))
+  }
+
+  /** Kruskal–Wallis H across k groups — the rank-based one-way ANOVA
+    * ([[anovaF]]'s non-parametric sibling), with the standard tie
+    * correction: H = [12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)] / C,
+    * C = 1 − Σ(c³−c)/(N³−N).
+    *
+    * Exactness: the same doubled-integer-rank machinery as
+    * [[mannWhitneyU]] (2R_g exact longs on the distinct-value grid);
+    * each group's R_g²/n_g runs as ONE fixed IEEE shape
+    * (2R·2R/(4n)), DECIMAL(28,6)-quantized before the order-free
+    * cross-group sum. Magnitude contract: 2R_g ≤ N(N+1) < 2⁶³ and
+    * (N(N+1))²/(4n_g) < 10²² — N below ~2·10⁶ per test cell.
+    *
+    * Scale shape: one (group, value) aggregate, one (value) rollup,
+    * one bounded ordered window over distinct values, a |groups|-sized
+    * stats table, one final row.
+    */
+  def kruskalWallis(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df
+      .select(col(groupCol).as("__g"),
+        col(quantCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__cg"))
+    val byV = gv.groupBy(col("__v")).agg(sum(col("__cg")).as("__c"))
+    val wAsc = Window.orderBy(col("__v"))
+    val ranked = byV.withColumn("__cb", coalesce(sum(col("__c"))
+      .over(wAsc.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val perGroup = gv.join(ranked, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cg")).cast("long").as("__n"),
+        sum(col("__cg") * (lit(2L) * col("__cb") + col("__c") + 1L))
+          .cast("long").as("__r2"))
+      .select(col("__g"), col("__n"),
+        (col("__r2").cast("double") * col("__r2").cast("double") /
+          (lit(4.0) * col("__n").cast("double"))).cast("decimal(28,6)")
+          .as("__t"))
+    val ties = broadcast(ranked.agg(
+      sum(col("__c") * col("__c") * col("__c") - col("__c"))
+        .cast("long").as("__ties")))
+    val agg = perGroup.agg(
+        count(lit(1)).as("k"),
+        sum(col("__n")).cast("long").as("n"),
+        // floor/frac split: the scaled decimal sum exceeds 2⁵³, so a
+        // direct decimal→double cast double-rounds on DuckDB (q180)
+        (floor(sum(col("__t"))).cast("long").cast("double") +
+          (sum(col("__t")) - floor(sum(col("__t")))).cast("double"))
+          .as("__sr"))
+      .crossJoin(ties)
+    val nd = col("n").cast("double")
+    val h0 = lit(12.0) / (nd * (nd + 1.0)) * col("__sr") -
+      lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) -
+      col("__ties").cast("double") / (nd * nd * nd - nd)
+    agg.select(col("k"), col("n"),
+      round(h0, 6).as("h_uncorrected"),
+      round(h0 / corr, 6).as("h"))
   }
 }
