@@ -11449,6 +11449,163 @@ object Queries {
         .select(col("id_a").as("a"), col("id_b").as("b"))
       graft.pipeline.Behavior.kCore(edges, k = 3, rounds = 14)
         .orderBy("node")
+    },
+
+    // Scalar Kalman filter (random-walk + observation noise) per
+    // sensor: q=0.25, r=4.0, P₀=1.0 — all dyadic, so the predict/
+    // gain/update chain replays bit-exactly against the oracle's
+    // recursive CTE (q82 discipline). Final state per series, raw.
+    q(
+      "q324_kalman",
+      """WITH RECURSIVE src AS (
+        |  SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |base AS (SELECT sensor_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id
+        |      ORDER BY t, value) AS rn
+        |  FROM src),
+        |cnt AS (SELECT sensor_id, MAX(rn) AS n FROM base GROUP BY 1),
+        |rec AS (
+        |  SELECT sensor_id, 1 AS i, value AS x, 1.0::DOUBLE AS p
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.sensor_id, r.i + 1,
+        |    r.x + ((r.p + 0.25::DOUBLE)
+        |        / (r.p + 0.25::DOUBLE + 4.0::DOUBLE))
+        |      * (z.value - r.x),
+        |    (1.0::DOUBLE - (r.p + 0.25::DOUBLE)
+        |        / (r.p + 0.25::DOUBLE + 4.0::DOUBLE))
+        |      * (r.p + 0.25::DOUBLE)
+        |  FROM rec r JOIN base z
+        |    ON z.sensor_id = r.sensor_id AND z.rn = r.i + 1)
+        |SELECT r.sensor_id, CAST(cnt.n AS BIGINT) AS n_samples,
+        |  r.x AS level, r.p AS p_var
+        |FROM rec r JOIN cnt ON cnt.sensor_id = r.sensor_id
+        |WHERE r.i = cnt.n ORDER BY r.sensor_id"""
+    ) { (s, d) =>
+      graft.operators.Kalman.filterLast(
+          EventsAdapter.samples(s, d)
+            .select("sensor_id", "timestamp_us", "value"))
+        .orderBy("sensor_id")
+    },
+
+    // Croston intermittent-demand forecast on per-part daily demand:
+    // coupled size/interval EWMAs advanced only on demand events,
+    // α=0.25 dyadic, p seeded at the first observed gap — the
+    // recursion replays bit-exactly; one raw z/p division at the end.
+    q(
+      "q325_croston",
+      """WITH RECURSIVE dm AS (SELECT l_partkey AS item,
+        |    epoch_us(l_shipdate) // 86400000000 AS day,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (SELECT item, day, qty,
+        |    ROW_NUMBER() OVER (PARTITION BY item ORDER BY day) AS rn
+        |  FROM dm),
+        |cnt AS (SELECT item, MAX(rn) AS n FROM base GROUP BY 1),
+        |rec AS (
+        |  SELECT item, 1 AS i, qty AS z, 0.0::DOUBLE AS p,
+        |    day AS lastd
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.item, r.i + 1,
+        |    r.z + 0.25::DOUBLE * (x.qty - r.z),
+        |    CASE WHEN r.i = 1 THEN CAST(x.day - r.lastd AS DOUBLE)
+        |      ELSE r.p + 0.25::DOUBLE
+        |        * (CAST(x.day - r.lastd AS DOUBLE) - r.p) END,
+        |    x.day
+        |  FROM rec r JOIN base x
+        |    ON x.item = r.item AND x.rn = r.i + 1)
+        |SELECT r.item, CAST(cnt.n AS BIGINT) AS n_demands,
+        |  r.z AS z_size, r.p AS p_interval, r.z / r.p AS rate
+        |FROM rec r JOIN cnt ON cnt.item = r.item
+        |WHERE r.i = cnt.n AND cnt.n >= 3 ORDER BY r.item"""
+    ) { (s, d) =>
+      val dm = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("item"),
+          expr("unix_micros(l_shipdate) div 86400000000").as("period"),
+          col("l_quantity").cast("long").as("__q"))
+        .groupBy(col("item"), col("period"))
+        .agg(sum(col("__q")).cast("double").as("qty"))
+      graft.operators.Croston.forecast(dm).orderBy("item")
+    },
+
+    // Deterministic Laplace noisy-count release (PRF-noise via the
+    // salted 60-bit hash inverse CDF, the q311 discipline): the
+    // governance companion to q314/q315. ln is libm → ROUND(6).
+    q(
+      "q326_noisy_counts",
+      """WITH g AS (SELECT c_mktsegment, COUNT(*) AS n_true
+        |  FROM customer GROUP BY 1),
+        |h AS (SELECT c_mktsegment, n_true,
+        |    (CAST(('0x' || substr(md5('dp1:' || c_mktsegment), 1, 15))
+        |        ::BIGINT AS DOUBLE) + 0.5)
+        |      / 1152921504606846976.0 AS u
+        |  FROM g),
+        |x AS (SELECT c_mktsegment, n_true, u - 0.5 AS d FROM h)
+        |SELECT c_mktsegment, CAST(n_true AS BIGINT) AS n_true,
+        |  ROUND(CAST(n_true AS DOUBLE) + (-1.0::DOUBLE)
+        |    * (CASE WHEN d < 0 THEN -1.0::DOUBLE
+        |        ELSE 1.0::DOUBLE END)
+        |    * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(d)), 6) AS n_noisy,
+        |  1.0::DOUBLE AS epsilon
+        |FROM x ORDER BY c_mktsegment"""
+    ) { (s, d) =>
+      graft.pipeline.Governance.laplaceNoisyCounts(
+          Tables.customer(s, d), "c_mktsegment", "dp1:")
+        .orderBy("c_mktsegment")
+    },
+
+    // Matryoshka truncation fidelity: top-5 cosine neighbors at the
+    // full 64 dims vs the first 16 dims, per query — the q308 recall
+    // construction with the truncated ranking as the candidate.
+    q(
+      "q327_matryoshka_recall",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id < 10),
+        |brute AS (SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+        |          e.vec_id) AS rank
+        |    FROM q, e WHERE e.vec_id <> q.query_id)
+        |  WHERE rank <= 5),
+        |trunc AS (SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv[1:16],
+        |          e.v[1:16]) DESC, e.vec_id) AS rank
+        |    FROM q, e WHERE e.vec_id <> q.query_id)
+        |  WHERE rank <= 5)
+        |SELECT b.query_id, COUNT(t.vec_id) AS n_hit,
+        |  CAST(COUNT(t.vec_id) AS DOUBLE) / 5.0 AS overlap
+        |FROM brute b LEFT JOIN trunc t
+        |  ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+        |GROUP BY 1 ORDER BY b.query_id"""
+    ) { (s, d) =>
+      import graft.pipeline.Similarity
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("vec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      val full = Similarity.bruteForceTopK(queries, e, 5)
+        .select(col("query_id"), col("vec_id"))
+      val eT = e.select(col("vec_id"), slice(col("vec"), 1, 16)
+        .as("vec"))
+      val qT = queries.select(col("query_id"),
+        slice(col("qvec"), 1, 16).as("qvec"))
+      val trunc = Similarity.bruteForceTopK(qT, eT, 5)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("__m", lit(1))
+      full.join(trunc, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__m")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(5.0)).as("overlap"))
+        .orderBy("query_id")
     }
   )
 

@@ -75,4 +75,44 @@ object Governance {
           col("n_rows").cast("double")).as("reident_rate"),
         col("min_l"), col("classes_l1"))
   }
+
+  /** Differential-privacy-style noisy count release: per-group counts
+    * plus Laplace(1/ε) noise drawn DETERMINISTICALLY per group via the
+    * salted-hash inverse-CDF (the q311 Poisson-bootstrap discipline —
+    * no RNG, so the release is replayable and auditable; rotate the
+    * salt per release to re-randomize):
+    *   u = (h + ½)/2⁶⁰ ∈ (0,1),  h = 60-bit salted md5 of the group
+    *   noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|)
+    *
+    * NOTE: deterministic noise gives the Laplace SHAPE for utility
+    * testing, not a formal DP guarantee (a true release needs fresh
+    * randomness per query; with a secret salt this is the standard
+    * PRF-noise construction). The true count column is emitted for
+    * the test surface and would be DROPPED from a real release.
+    *
+    * Exactness: h→double is one correctly-rounded conversion on both
+    * engines, /2⁶⁰ is exact, and the ln chain is written identically;
+    * ln is libm (faithfully rounded) so the output ships ROUND(6)
+    * (the q108 discipline).
+    *
+    * Scale shape: one map-side-combined aggregate; the noise is a
+    * scan-stage expression on the |groups|-bounded result.
+    */
+  def laplaceNoisyCounts(
+      df: DataFrame, groupCol: String, salt: String,
+      epsilon: Double = 1.0): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val h = hashMask(col(groupCol), salt)
+    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+    val d = u - lit(0.5)
+    val sgn = when(d < 0, lit(-1.0)).otherwise(lit(1.0))
+    val noise = lit(-1.0 / epsilon) * sgn *
+      log(lit(1.0) - lit(2.0) * abs(d))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_true"))
+      .select(col(groupCol), col("n_true"),
+        round(col("n_true").cast("double") + noise, 6)
+          .as("n_noisy"),
+        lit(epsilon).as("epsilon"))
+  }
 }
