@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators.{Croston, Kalman}
+import graft.pipeline.{Behavior, Governance, Profiler}
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator family: survival hazard, k-group rank tests,
+  * PACF, link prediction, k-core, sequential filters, DP release.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 86400000000L
+
+  test("nelsonAalen accumulates d/n hazard terms over risk sets") {
+    // u1 dies at dur 0, u2 at dur 2, u3 censored (within horizon)
+    val ev = Seq(
+      (1L, 0L), (1L, 0L),
+      (2L, 0L), (2L, 2L * day),
+      (3L, 0L), (3L, 20L * day))
+      .toDF("user_id", "t_us")
+    val r = Behavior.nelsonAalen(ev, "user_id", "t_us")
+      .orderBy("duration_days").collect()
+    assert(r.map(_.getAs[Long]("duration_days")).toSeq == Seq(0L, 2L))
+    assert(r.map(_.getAs[Long]("n_at_risk")).toSeq == Seq(3L, 2L))
+    // H = 1/3, then 1/3 + 1/2
+    assert(r(0).getAs[Double]("cum_hazard") == 0.333333)
+    assert(r(1).getAs[Double]("cum_hazard") == 0.833333)
+    // V = 1*2/27, then + 1*1/8
+    assert(r(0).getAs[Double]("hazard_var") == 0.074074)
+    assert(r(1).getAs[Double]("hazard_var") == 0.199074)
+  }
+
+  test("anovaF matches the hand-computed two-group F") {
+    // a: 1,2,3 ; b: 5,6,7 -> SSB=24, SSW=4, F=(24/1)/(4/4)=24
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "vq")
+    val row = Profiler.anovaF(df, "g", "vq").collect().head
+    assert(row.getAs[Long]("k") == 2 && row.getAs[Long]("n") == 6)
+    assert(row.getAs[Double]("ss_between") == 24.0)
+    assert(row.getAs[Double]("ss_within") == 4.0)
+    assert(row.getAs[Double]("f_stat") == 24.0)
+  }
+
+  test("mannWhitneyU: separated groups give U=0 and the exact z") {
+    val df = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L)).toDF("coh", "vq")
+    val row = Profiler.mannWhitneyU(df, "coh", "vq").collect().head
+    assert(row.getAs[Long]("n_a") == 2 && row.getAs[Long]("n_b") == 2)
+    assert(row.getAs[Double]("u_a") == 0.0)
+    // z = (0 - 2)/sqrt(4/12 * 5) = -2/sqrt(5/3) = -1.549193
+    assert(row.getAs[Double]("z") == -1.549193)
+  }
+
+  test("mannWhitneyU averages tied ranks (doubled-integer form)") {
+    // A={1,1}, B={1,2}: value 1 has avg rank 2 -> R_A=4, U_A=1
+    val df = Seq((0, 1L), (0, 1L), (1, 1L), (1, 2L)).toDF("coh", "vq")
+    val row = Profiler.mannWhitneyU(df, "coh", "vq").collect().head
+    assert(row.getAs[Double]("u_a") == 1.0)
+  }
+
+  test("kruskalWallis matches the hand-computed H; no-tie corr = 1") {
+    // {1,2} vs {3,4}: H = 12/20*(4.5+24.5) - 15 = 2.4
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "vq")
+    val row = Profiler.kruskalWallis(df, "g", "vq").collect().head
+    assert(row.getAs[Double]("h_uncorrected") == 2.4)
+    assert(row.getAs[Double]("h") == 2.4)
+  }
+
+  test("pacf3: AR(1) series shows phi1 near the coefficient, phi2 small") {
+    val rnd = new scala.util.Random(11)
+    var x = 0.0
+    val rows = (0 until 400).map { i =>
+      x = 0.5 * x + (rnd.nextDouble() - 0.5)
+      ("s", i.toLong, x)
+    }
+    val df = rows.toDF("sensor_id", "timestamp_us", "value")
+    val row = Profiler.pacf3(df, "sensor_id", "timestamp_us", "value")
+      .collect().head
+    val phi1 = row.getAs[Double]("phi1")
+    val phi2 = row.getAs[Double]("phi2")
+    assert(math.abs(phi1 - 0.5) < 0.2, s"phi1=$phi1")
+    assert(math.abs(phi2) < 0.2, s"phi2=$phi2")
+    // phi1 IS the lag-1 autocorrelation by definition
+    val acf1 = Profiler.autocorrelation(
+        df, "sensor_id", "timestamp_us", "value", maxLag = 1)
+      .collect().head.getAs[Double]("acf")
+    assert(phi1 == acf1)
+  }
+
+  test("adamicAdar weights shared baskets by 1/ln(size)") {
+    val ev = Seq((10L, 1L), (10L, 2L),
+      (20L, 1L), (20L, 2L), (20L, 3L)).toDF("bk", "item")
+    val r = Behavior.adamicAdar(ev, "bk", "item").collect()
+    // (1,2) shares both baskets: 1/ln2 + 1/ln3
+    assert(r.head.getAs[Long]("item_a") == 1L &&
+      r.head.getAs[Long]("item_b") == 2L)
+    assert(r.head.getAs[Long]("n_common") == 2)
+    assert(r.head.getAs[Double]("aa_score") == 2.352934)
+    // (1,3) and (2,3) share only the size-3 basket
+    assert(r.tail.forall(_.getAs[Double]("aa_score") == 0.910239))
+  }
+
+  test("kCore peels pendants iteratively") {
+    // triangle 1-2-3 plus pendant 4-1: 2-core = the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("a", "b")
+    val r = Behavior.kCore(edges, k = 2, rounds = 4)
+      .orderBy("node").collect()
+    assert(r.map(_.getAs[Long]("node")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.forall(_.getAs[Long]("degree") == 2L))
+    // and no 3-core exists
+    assert(Behavior.kCore(edges, k = 3, rounds = 4).count() == 0)
+  }
+
+  test("Kalman filterLast: seed and one-step update are exact") {
+    val one = Seq(("s", 0L, 7.5)).toDF(
+      "sensor_id", "timestamp_us", "value")
+    val r1 = Kalman.filterLast(one).collect().head
+    assert(r1.getAs[Long]("n_samples") == 1L)
+    assert(r1.getAs[Double]("level") == 7.5)
+    assert(r1.getAs[Double]("p_var") == 1.0)
+
+    val two = Seq(("s", 0L, 0.0), ("s", 1L, 4.0)).toDF(
+      "sensor_id", "timestamp_us", "value")
+    val r2 = Kalman.filterLast(two).collect().head
+    val pp = 1.0 + 0.25
+    val k = pp / (pp + 4.0)
+    assert(r2.getAs[Double]("level") == k * 4.0)
+    assert(r2.getAs[Double]("p_var") == (1.0 - k) * pp)
+  }
+
+  test("Croston forecast: first-gap seeding then smoothed updates") {
+    val dm = Seq((1L, 0L, 2.0), (1L, 3L, 4.0), (1L, 5L, 6.0),
+      (2L, 0L, 1.0), (2L, 9L, 1.0)) // item 2: only 2 demands
+      .toDF("item", "period", "qty")
+    val r = Croston.forecast(dm).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("item") == 1L)
+    // z: 2 -> 2.5 -> 3.375 ; p: seed 3 -> 2.75
+    assert(r.head.getAs[Double]("z_size") == 3.375)
+    assert(r.head.getAs[Double]("p_interval") == 2.75)
+    assert(r.head.getAs[Double]("rate") == 3.375 / 2.75)
+  }
+
+  test("laplaceNoisyCounts is deterministic and salt-sensitive") {
+    val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
+    val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
+      .orderBy("g").collect()
+    val b = Governance.laplaceNoisyCounts(df, "g", "s1:")
+      .orderBy("g").collect()
+    assert(a.map(_.getAs[Double]("n_noisy")).toSeq ==
+      b.map(_.getAs[Double]("n_noisy")).toSeq)
+    assert(a.forall(_.getAs[Double]("epsilon") == 1.0))
+    val c = Governance.laplaceNoisyCounts(df, "g", "s2:")
+      .orderBy("g").collect()
+    assert(a.map(_.getAs[Double]("n_noisy")).toSeq !=
+      c.map(_.getAs[Double]("n_noisy")).toSeq)
+  }
+}
