@@ -11606,6 +11606,186 @@ object Queries {
         .select(col("query_id"), col("n_hit"),
           (col("n_hit").cast("double") / lit(5.0)).as("overlap"))
         .orderBy("query_id")
+    },
+
+    // Histogram-overlap coefficient between source pairs on 100-char
+    // doc-length buckets: Σ min(p_a, p_b) computed CROSS-MULTIPLIED
+    // (min of exact integer products), one division, ROUND(6).
+    q(
+      "q328_dist_overlap",
+      """WITH x AS (SELECT source AS g, n_chars // 100 AS b
+        |  FROM documents),
+        |h AS (SELECT g, b, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        |n AS (SELECT g, COUNT(*) AS n FROM x GROUP BY 1),
+        |j AS (SELECT ha.g AS g_a, hb.g AS g_b, na.n AS na, nb.n AS nb,
+        |    CAST(SUM(LEAST(ha.c * nb.n, hb.c * na.n)) AS BIGINT)
+        |      AS num
+        |  FROM h ha JOIN h hb ON ha.b = hb.b AND ha.g < hb.g
+        |  JOIN n na ON na.g = ha.g JOIN n nb ON nb.g = hb.g
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT g_a, g_b, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  ROUND(CAST(num AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS overlap
+        |FROM j ORDER BY g_a, g_b"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.distributionOverlap(
+          Tables.documents(s, d)
+            .select(col("source"), expr("n_chars div 100").as("bk")),
+          "source", "bk")
+        .orderBy("g_a", "g_b")
+    },
+
+    // Chao1 unseen-vocabulary richness per source: V + F1²/(2F2)
+    // (bias-corrected when F2 = 0) off one token-frequency aggregate;
+    // exact integer counts, one fixed IEEE shape, ROUND(6).
+    q(
+      "q329_chao1",
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS token
+        |  FROM documents),
+        |tf AS (SELECT source, token, COUNT(*) AS c FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |f AS (SELECT source, COUNT(*) AS vocab,
+        |    COUNT(*) FILTER (c = 1) AS f1,
+        |    COUNT(*) FILTER (c = 2) AS f2
+        |  FROM tf GROUP BY 1)
+        |SELECT source, CAST(vocab AS BIGINT) AS vocab,
+        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        |  ROUND(CASE WHEN f2 > 0 THEN CAST(vocab AS DOUBLE)
+        |      + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+        |        / (2.0::DOUBLE * CAST(f2 AS DOUBLE))
+        |    ELSE CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE)
+        |      * (CAST(f1 AS DOUBLE) - 1.0::DOUBLE) / 2.0::DOUBLE
+        |    END, 6) AS chao1
+        |FROM f ORDER BY source"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.chao1Richness(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("source")
+    },
+
+    // Cohen's kappa between two deterministic quality raters
+    // (length rule vs token-count rule): chance-corrected agreement
+    // from one conditional-sum 2×2 aggregate, fixed IEEE shapes.
+    q(
+      "q330_cohen_kappa",
+      """WITH r AS (SELECT n_chars >= 300 AS a,
+        |    len(string_split_regex(trim(text), '\s+')) >= 50 AS b
+        |  FROM documents),
+        |t AS (SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (a AND b) AS n11,
+        |    COUNT(*) FILTER (a AND NOT b) AS n10,
+        |    COUNT(*) FILTER (NOT a AND b) AS n01,
+        |    COUNT(*) FILTER (NOT a AND NOT b) AS n00
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n00 AS BIGINT) AS n00,
+        |  ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS p_observed,
+        |  ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+        |    AS p_expected,
+        |  ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (1.0::DOUBLE
+        |      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |    AS kappa
+        |FROM t"""
+    ) { (s, d) =>
+      import graft.pipeline.TextAnalysis
+      graft.pipeline.Profiler.cohenKappa(
+        Tables.documents(s, d),
+        col("n_chars") >= 300,
+        TextAnalysis.tokenCount(col("text")) >= 50)
+    },
+
+    // Grubbs max studentized deviation per event type: max|v−mean|/s
+    // with the max computed CROSS-MULTIPLIED (max|v·n − S| in exact
+    // integers — no float max ordering), milli-unit quantization
+    // keeps every sum in the 2⁵³ exact-double window.
+    q(
+      "q331_grubbs",
+      """WITH x AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |s AS (SELECT g, COUNT(*) AS n, SUM(v) AS sv,
+        |    SUM(CAST(v AS HUGEINT) * v) AS ss FROM x GROUP BY 1),
+        |d AS (SELECT x.g, MAX(ABS(x.v * s.n - s.sv)) AS maxdev,
+        |    MAX(s.n) AS n, MAX(s.sv) AS sv, MAX(s.ss) AS ss
+        |  FROM x JOIN s ON x.g = s.g GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(sv AS DOUBLE)
+        |        * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0::DOUBLE)), 6) AS g_stat
+        |FROM d WHERE n >= 3 ORDER BY event_type"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.grubbsMax(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000.0).cast("long").as("vq")),
+        "event_type", "vq")
+        .orderBy("event_type")
+    },
+
+    // Jensen–Shannon divergence between source pairs' token
+    // distributions: per-token contribution terms quantized to
+    // DECIMAL(28,12) before the order-free per-pair sum (ln is
+    // libm), one-sided tokens via explicit complements — never a
+    // token-only cross join. ROUND(6).
+    q(
+      "q332_jsd_sources",
+      """WITH tok AS (SELECT source AS g,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS token
+        |  FROM documents),
+        |tf AS (SELECT g, token, COUNT(*) AS c FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM tf
+        |  GROUP BY 1),
+        |a AS (SELECT tf.g AS g_a, token, c AS ca, n.n AS na
+        |  FROM tf JOIN n ON n.g = tf.g),
+        |b AS (SELECT tf.g AS g_b, token, c AS cb, n.n AS nb
+        |  FROM tf JOIN n ON n.g = tf.g),
+        |wb AS (SELECT a.g_a, gb.g_b, a.token, a.ca, a.na,
+        |    COALESCE(b.cb, 0) AS cb, nn.n AS nb
+        |  FROM a CROSS JOIN (SELECT DISTINCT g AS g_b FROM n) gb
+        |  LEFT JOIN b ON b.g_b = gb.g_b AND b.token = a.token
+        |  JOIN n nn ON nn.g = gb.g_b
+        |  WHERE a.g_a < gb.g_b),
+        |ob AS (SELECT ga.g_a, b.g_b, b.token, 0 AS ca, nn.n AS na,
+        |    b.cb, b.nb
+        |  FROM b CROSS JOIN (SELECT DISTINCT g AS g_a FROM n) ga
+        |  LEFT JOIN a ON a.g_a = ga.g_a AND a.token = b.token
+        |  JOIN n nn ON nn.g = ga.g_a
+        |  WHERE ga.g_a < b.g_b AND a.token IS NULL),
+        |rws AS (SELECT * FROM wb UNION ALL SELECT * FROM ob),
+        |t1 AS (SELECT g_a, g_b, ca, cb,
+        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb FROM rws),
+        |t2 AS (SELECT g_a, g_b, ca, cb, pa, pb,
+        |    (pa + pb) / 2.0::DOUBLE AS m FROM t1),
+        |t3 AS (SELECT g_a, g_b,
+        |    CAST(CASE WHEN ca > 0 THEN pa * ln(pa / m)
+        |      ELSE 0.0::DOUBLE END AS DECIMAL(28,12)) AS ta,
+        |    CAST(CASE WHEN cb > 0 THEN pb * ln(pb / m)
+        |      ELSE 0.0::DOUBLE END AS DECIMAL(28,12)) AS tb
+        |  FROM t2)
+        |SELECT g_a, g_b, COUNT(*) AS n_tokens,
+        |  ROUND((CAST(SUM(ta) AS DOUBLE) + CAST(SUM(tb) AS DOUBLE))
+        |    / 2.0::DOUBLE, 6) AS jsd
+        |FROM t3 GROUP BY 1, 2 ORDER BY g_a, g_b"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.jsdBetweenGroups(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("g_a", "g_b")
     }
   )
 

@@ -2363,4 +2363,109 @@ object Profiler {
       round(h0, 6).as("h_uncorrected"),
       round(h0 / corr, 6).as("h"))
   }
+
+  /** Histogram-overlap coefficient between every pair of groups:
+    * Σ_b min(p_a(b), p_b(b)) over a shared value-bucket histogram —
+    * 1 means identical distributions, 0 disjoint support. The
+    * symmetric, bounded cousin of PSI/KS for "how much do these two
+    * cohorts' distributions actually share".
+    *
+    * Exactness: cross-multiplied — Σ min(c_a·n_b, c_b·n_a) stays in
+    * exact integers (min of products, no division), ONE final divide
+    * by n_a·n_b, ROUND(6). Magnitude contract: c·n < 2⁶³.
+    *
+    * Scale shape: one (group, bucket) aggregate; the pair join runs
+    * on the |groups|·|buckets|-bounded histogram table, never rows.
+    */
+  def distributionOverlap(
+      df: DataFrame, groupCol: String, bucketCol: String): DataFrame = {
+    val h = df.groupBy(col(groupCol).as("__g"), col(bucketCol)
+        .as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val n = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val ha = h.join(n, "__g")
+      .select(col("__g").as("g_a"), col("__b"),
+        col("__c").as("__ca"), col("__n").as("__na"))
+    val hb = h.join(n, "__g")
+      .select(col("__g").as("g_b"), col("__b"),
+        col("__c").as("__cb"), col("__n").as("__nb"))
+    ha.join(hb, Seq("__b"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(least(col("__ca") * col("__nb"), col("__cb") * col("__na")))
+          .cast("long").as("__num"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("__num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("overlap"))
+  }
+
+  /** Cohen's kappa between two deterministic boolean raters —
+    * chance-corrected agreement, the standard check that two labeling
+    * RULES (quality gates, heuristic filters) agree beyond what their
+    * marginals force. κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Exactness: the 2×2 table is one conditional-sum aggregate
+    * (exact integers); p_o and p_e are fixed IEEE shapes on those
+    * counts, ROUND(6).
+    */
+  def cohenKappa(
+      df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val a = raterA.cast("boolean")
+    val b = raterB.cast("boolean")
+    val t = df.agg(
+      count(lit(1)).as("n"),
+      count(when(a && b, lit(1))).as("n11"),
+      count(when(a && !b, lit(1))).as("n10"),
+      count(when(!a && b, lit(1))).as("n01"),
+      count(when(!a && !b, lit(1))).as("n00"))
+    val nd = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nd
+    val pe = ((col("n11") + col("n10")).cast("double") *
+        (col("n11") + col("n01")).cast("double") +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00")).cast("double")) / (nd * nd)
+    t.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("p_observed"),
+      round(pe, 6).as("p_expected"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Grubbs-style max studentized deviation per group: G =
+    * max|v − mean| / s — the "is the single worst point an outlier"
+    * screen (compare against the Grubbs critical value offline).
+    *
+    * Exactness: the max deviation is computed CROSS-MULTIPLIED —
+    * max|v·n − S| over exact integers (no per-row division, no float
+    * max ordering), then ONE fixed IEEE shape: G =
+    * (maxdev/n) / sqrt((SS − S²/n)/(n−1)), ROUND(6). Magnitude
+    * contract: |v|·n < 2⁶³ and SS < 2⁵³ (milli-unit inputs).
+    *
+    * Scale shape: one stats aggregate, a 1-row-per-group broadcast
+    * back onto the rows, one max aggregate — two passes, both
+    * map-side combined.
+    */
+  def grubbsMax(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(quantCol)).cast("long").as("__s"),
+        sum(col(quantCol).cast("decimal(19,0)") * col(quantCol))
+          .cast("double").as("__ss"))
+    val dev = df.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(abs(col(quantCol) * col("__n") - col("__s")))
+          .cast("long").as("__maxdev"),
+        max(col("__n")).as("n"), max(col("__s")).as("__s2"),
+        max(col("__ss")).as("__ss2"))
+    val nd = col("n").cast("double")
+    val sd = col("__s2").cast("double")
+    val s2 = (col("__ss2") - sd * sd / nd) / (nd - lit(1.0))
+    dev.filter(col("n") >= 3)
+      .select(col(groupCol), col("n"),
+        round((col("__maxdev").cast("double") / nd) / sqrt(s2), 6)
+          .as("g_stat"))
+  }
 }

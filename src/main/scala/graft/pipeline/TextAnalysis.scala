@@ -1494,4 +1494,121 @@ object TextAnalysis {
 
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)
+
+  /** Chao1 species-richness estimate of the UNSEEN vocabulary per
+    * group: chao1 = V + F₁²/(2F₂) (F₂ > 0), else the bias-corrected
+    * V + F₁(F₁−1)/2 — "how much vocabulary does this source have that
+    * the sample hasn't shown yet", the capture–recapture companion to
+    * the q243 discovery curve.
+    *
+    * Exactness: V/F₁/F₂ are exact integer counts off one token-
+    * frequency aggregate; the estimate is one fixed IEEE shape,
+    * ROUND(6).
+    *
+    * Scale shape: (group, token) count → frequency-of-frequency
+    * rollup — two map-side-combined aggregates, nothing row-sized
+    * past the first.
+    */
+  def chao1Richness(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("__g"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val f = tf.groupBy(col("__g"))
+      .agg(count(lit(1)).as("vocab"),
+        count(when(col("__c") === 1, lit(1))).as("f1"),
+        count(when(col("__c") === 2, lit(1))).as("f2"))
+    val f1d = col("f1").cast("double")
+    val f2d = col("f2").cast("double")
+    val vd = col("vocab").cast("double")
+    f.select(col("__g").as(groupCol), col("vocab"), col("f1"),
+      col("f2"),
+      round(when(col("f2") > 0, vd + f1d * f1d / (lit(2.0) * f2d))
+        .otherwise(vd + f1d * (f1d - lit(1.0)) / lit(2.0)), 6)
+        .as("chao1"))
+  }
+
+  /** Jensen–Shannon divergence between every pair of groups' token
+    * distributions — the symmetric, bounded (≤ ln 2) "how different
+    * are these two sources' vocabularies", where KL alone explodes on
+    * disjoint support. JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m=(p+q)/2.
+    *
+    * Exactness: per-token probabilities are exact-integer ratios
+    * computed as ONE fixed shape each; ln is libm, so each token's
+    * two contribution terms are DECIMAL(28,12)-quantized before the
+    * order-free per-pair sum (q267 discipline) and the output ships
+    * ROUND(6). Tokens absent from one side contribute p·ln 2 via the
+    * same expression with q = 0 (coalesced count), never a special
+    * case.
+    *
+    * Scale shape: one (group, token) aggregate; the pair stage is a
+    * token-keyed self-join of the bounded histogram fanned per group
+    * pair — posting-list bounded, never row².
+    */
+  def jsdBetweenGroups(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("__g"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val n = tf.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val h = tf.join(n, "__g")
+    val a = h.select(col("__g").as("g_a"), col("token"),
+      col("__c").as("__ca"), col("__n").as("__na"))
+    val b = h.select(col("__g").as("g_b"), col("token"),
+      col("__c").as("__cb"), col("__n").as("__nb"))
+    val na = broadcast(n.select(col("__g").as("g_a"),
+      col("__n").as("__na2")))
+    val nb = broadcast(n.select(col("__g").as("g_b"),
+      col("__n").as("__nb2")))
+    pairedCounts(a, b, na, nb)
+  }
+
+  /** All (g_a < g_b, token) rows with both sides' counts, zeros
+    * filled: tokens present in either group appear exactly once per
+    * pair. Built as present-in-A ∪ (present-in-B ∖ A) against the
+    * group list — no token-only cross join.
+    */
+  private def pairedCounts(
+      a: DataFrame, b: DataFrame,
+      na: DataFrame, nb: DataFrame): DataFrame = {
+    val withB = a.crossJoin(broadcast(nb.select(col("g_b")).distinct()))
+      .filter(col("g_a") < col("g_b"))
+      .join(b, Seq("token", "g_b"), "left")
+      .na.fill(0L, Seq("__cb"))
+      .join(nb, Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("token"),
+        col("__ca"), col("__na"), col("__cb"),
+        col("__nb2").as("__nb"))
+    val onlyB = b.crossJoin(broadcast(na.select(col("g_a")).distinct()))
+      .filter(col("g_a") < col("g_b"))
+      .join(a.select(col("token"), col("g_a"))
+        .withColumn("__present", lit(1)), Seq("token", "g_a"), "left")
+      .filter(col("__present").isNull)
+      .join(na, Seq("g_a"))
+      .select(col("g_a"), col("g_b"), col("token"),
+        lit(0L).as("__ca"), col("__na2").as("__na"),
+        col("__cb"), col("__nb"))
+    val rows = withB.union(onlyB)
+    val pa = col("__ca").cast("double") / col("__na").cast("double")
+    val pb = col("__cb").cast("double") / col("__nb").cast("double")
+    val m = (pa + pb) / lit(2.0)
+    val termA = when(col("__ca") > 0, pa * log(pa / m))
+      .otherwise(lit(0.0)).cast("decimal(28,12)")
+    val termB = when(col("__cb") > 0, pb * log(pb / m))
+      .otherwise(lit(0.0)).cast("decimal(28,12)")
+    rows
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(termA).as("__sa"), sum(termB).as("__sb"))
+      .select(col("g_a"), col("g_b"), col("n_tokens"),
+        round((col("__sa").cast("double") +
+          col("__sb").cast("double")) / lit(2.0), 6).as("jsd"))
+  }
 }

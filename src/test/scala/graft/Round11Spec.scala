@@ -142,6 +142,66 @@ class Round11Spec extends SparkSpec {
     assert(r.head.getAs[Double]("rate") == 3.375 / 2.75)
   }
 
+  test("distributionOverlap: cross-multiplied min of bucket masses") {
+    // a: {b1:2, b2:2}, b: {b1:1, b2:3} -> (min(8,4)+min(8,12))/16
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L),
+      ("b", 1L), ("b", 2L), ("b", 2L), ("b", 2L)).toDF("g", "bk")
+    val row = Profiler.distributionOverlap(df, "g", "bk")
+      .collect().head
+    assert(row.getAs[Double]("overlap") == 0.75)
+    // identical distributions overlap fully
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "bk")
+    assert(Profiler.distributionOverlap(same, "g", "bk")
+      .collect().head.getAs[Double]("overlap") == 1.0)
+  }
+
+  test("chao1Richness estimates unseen vocabulary from F1/F2") {
+    val docs = Seq(("s1", "x y y z z w"), ("s2", "x y"))
+      .toDF("source", "text")
+    val rows = graft.pipeline.TextAnalysis
+      .chao1Richness(docs, "source", "text")
+      .orderBy("source").collect()
+    // s1: V=4, F1=2, F2=2 -> 4 + 4/4 = 5 ; s2: F2=0 -> 2 + 2*1/2 = 3
+    assert(rows(0).getAs[Double]("chao1") == 5.0)
+    assert(rows(1).getAs[Double]("chao1") == 3.0)
+  }
+
+  test("cohenKappa: perfect and hand-computed partial agreement") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    assert(Profiler.cohenKappa(perfect, col("a"), col("b"))
+      .collect().head.getAs[Double]("kappa") == 1.0)
+    // 2x2 = [2,1;1,2]: po=2/3, pe=1/2, kappa=1/3
+    val mixed = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false)).toDF("a", "b")
+    val row = Profiler.cohenKappa(mixed, col("a"), col("b"))
+      .collect().head
+    assert(row.getAs[Double]("p_observed") == 0.666667)
+    assert(row.getAs[Double]("p_expected") == 0.5)
+    assert(row.getAs[Double]("kappa") == 0.333333)
+  }
+
+  test("grubbsMax studentizes the worst deviation, cross-multiplied") {
+    // [0,0,10]: G = (20/3)/sqrt(200/6) = 2/sqrt(3)
+    val df = Seq(("g", 0L), ("g", 0L), ("g", 10L)).toDF("g", "vq")
+    val row = Profiler.grubbsMax(df, "g", "vq").collect().head
+    assert(row.getAs[Double]("g_stat") == 1.154701)
+    // groups below 3 rows are dropped
+    val tiny = Seq(("g", 0L), ("g", 1L)).toDF("g", "vq")
+    assert(Profiler.grubbsMax(tiny, "g", "vq").count() == 0)
+  }
+
+  test("jsdBetweenGroups: 0 on identical, ln2 on disjoint vocab") {
+    import graft.pipeline.TextAnalysis
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    assert(TextAnalysis.jsdBetweenGroups(same, "source", "text")
+      .collect().head.getAs[Double]("jsd") == 0.0)
+    val disjoint = Seq(("a", "x"), ("b", "y")).toDF("source", "text")
+    assert(TextAnalysis.jsdBetweenGroups(disjoint, "source", "text")
+      .collect().head.getAs[Double]("jsd") == 0.693147)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
