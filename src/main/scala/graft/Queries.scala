@@ -11786,6 +11786,204 @@ object Queries {
       graft.pipeline.TextAnalysis.jsdBetweenGroups(
           Tables.documents(s, d), "source", "text")
         .orderBy("g_a", "g_b")
+    },
+
+    // Burstiness memory coefficient (Goh & Barabási): lag-1
+    // autocorrelation of each sensor's inter-arrival gaps — M > 0
+    // means long gaps follow long gaps. Reuses the q199 correlation
+    // kernel on the second-order (gap) series, row-number keyed so
+    // both engines share the total order.
+    q(
+      "q333_gap_memory",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |g AS (SELECT sensor_id,
+        |    (t - LAG(t) OVER w) // 1000000 AS v,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM s WINDOW w AS (PARTITION BY sensor_id
+        |    ORDER BY t, value)),
+        |gg AS (SELECT sensor_id, rn, v FROM g WHERE v IS NOT NULL),
+        |l AS (SELECT sensor_id, v, LAG(v, 1) OVER (
+        |    PARTITION BY sensor_id ORDER BY rn) AS l1 FROM gg),
+        |a AS (SELECT sensor_id,
+        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END)
+        |      AS DOUBLE) AS sxx1,
+        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
+        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
+        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1
+        |  FROM l GROUP BY 1)
+        |SELECT sensor_id, 1 AS lag_k, CAST(n1 AS BIGINT) AS n_pairs,
+        |  ROUND((n1 * sxy1 - sx1 * sy1)
+        |    / (sqrt(n1 * sxx1 - sx1 * sx1)
+        |       * sqrt(n1 * syy1 - sy1 * sy1)), 6) AS acf
+        |FROM a ORDER BY sensor_id"""
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("sensor_id"))
+        .orderBy(col("timestamp_us"), col("value"))
+      val gaps = EventsAdapter.samples(s, d)
+        .select(col("sensor_id"), col("timestamp_us"), col("value"))
+        .withColumn("v", expr(
+          "(timestamp_us - lag(timestamp_us, 1) over (partition by" +
+            " sensor_id order by timestamp_us, value))" +
+            " div 1000000"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("v").isNotNull)
+        .select(col("sensor_id"), col("rn"), col("v"))
+      graft.pipeline.Profiler.autocorrelation(
+          gaps, "sensor_id", "rn", "v", maxLag = 1,
+          unitsPerValue = 1.0)
+        .orderBy("sensor_id")
+    },
+
+    // Page–Hinkley mean-shift detector per sensor: running-mean
+    // deviation cusum with drift δ=0.5, threshold λ=5 (dyadic); the
+    // /t incremental-mean division is the only non-dyadic step — one
+    // correctly-rounded IEEE op both engines, raw replay.
+    q(
+      "q334_page_hinkley",
+      """WITH RECURSIVE src AS (
+        |  SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t, value FROM events),
+        |base AS (SELECT sensor_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY sensor_id
+        |      ORDER BY t, value) AS rn
+        |  FROM src),
+        |cnt AS (SELECT sensor_id, MAX(rn) AS n FROM base GROUP BY 1),
+        |rec AS (
+        |  SELECT sensor_id, 1 AS i, value AS mean,
+        |    -0.5::DOUBLE AS m, -0.5::DOUBLE AS mn, 0.0::DOUBLE AS exc
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.sensor_id, r.i + 1,
+        |    r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE),
+        |    r.m + (z.value
+        |      - (r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE))
+        |      - 0.5::DOUBLE),
+        |    LEAST(r.mn, r.m + (z.value
+        |      - (r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE))
+        |      - 0.5::DOUBLE)),
+        |    GREATEST(r.exc, r.m + (z.value
+        |      - (r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE))
+        |      - 0.5::DOUBLE)
+        |      - LEAST(r.mn, r.m + (z.value
+        |        - (r.mean + (z.value - r.mean)
+        |          / CAST(r.i + 1 AS DOUBLE))
+        |        - 0.5::DOUBLE)))
+        |  FROM rec r JOIN base z
+        |    ON z.sensor_id = r.sensor_id AND z.rn = r.i + 1)
+        |SELECT r.sensor_id, CAST(cnt.n AS BIGINT) AS n_samples,
+        |  r.m AS ph_m, r.mn AS ph_min, r.exc AS max_excess,
+        |  r.exc > 5.0::DOUBLE AS alarm
+        |FROM rec r JOIN cnt ON cnt.sensor_id = r.sensor_id
+        |WHERE r.i = cnt.n ORDER BY r.sensor_id"""
+    ) { (s, d) =>
+      graft.operators.PageHinkley.detect(
+          EventsAdapter.samples(s, d)
+            .select("sensor_id", "timestamp_us", "value"))
+        .orderBy("sensor_id")
+    },
+
+    // Restricted mean survival time off the q206 KM curve: exact
+    // piecewise integral Σ S(tₖ)·Δtₖ with per-piece DECIMAL(28,6)
+    // quantization; "expected days retained within the window".
+    q(
+      "q335_rmst",
+      """WITH lif AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
+        |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
+        |gm AS (SELECT MAX(l) AS gmax FROM lif),
+        |durs AS (SELECT (l - f) // 86400000000 AS dur,
+        |    CASE WHEN l < gmax - 604800000000 THEN 1 ELSE 0 END
+        |      AS death
+        |  FROM lif CROSS JOIN gm),
+        |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
+        |    AS d FROM durs GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n, MAX(dur) AS tau FROM durs),
+        |r AS (SELECT bd.dur, bd.d, tt.n, tt.tau,
+        |    CAST(COALESCE(SUM(bd.c) OVER (ORDER BY bd.dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM bd CROSS JOIN tt),
+        |dth AS (SELECT dur, d, n - cb AS nar, tau,
+        |    CASE WHEN d < n - cb THEN
+        |      CAST(ln(1.0::DOUBLE - CAST(d AS DOUBLE)
+        |        / CAST(n - cb AS DOUBLE)) AS DECIMAL(28,12))
+        |    ELSE CAST(0.0 AS DECIMAL(28,12)) END AS term
+        |  FROM r WHERE d > 0),
+        |fin AS (SELECT dur, tau,
+        |    MAX(CASE WHEN d = nar THEN 1 ELSE 0 END) OVER wc AS z,
+        |    SUM(term) OVER wc AS cum,
+        |    COALESCE(LEAD(dur) OVER (ORDER BY dur), tau) AS nxt
+        |  FROM dth WINDOW wc AS (ORDER BY dur ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |pc AS (SELECT tau,
+        |    CAST((CASE WHEN z = 1 THEN 0.0::DOUBLE
+        |        ELSE exp(CAST(cum AS DOUBLE)) END)
+        |      * CAST(nxt - dur AS DOUBLE) AS DECIMAL(28,6)) AS piece
+        |  FROM fin),
+        |hd AS (SELECT CAST(MIN(dur) AS DOUBLE) AS head FROM dth)
+        |SELECT CAST(MAX(tau) AS BIGINT) AS tau_days,
+        |  COUNT(*) AS n_death_times,
+        |  ROUND(hd.head + CAST(SUM(piece) AS DOUBLE), 6) AS rmst_days
+        |FROM pc CROSS JOIN hd GROUP BY hd.head"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.rmstDays(
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
+        "user_id", "t_us")
+    },
+
+    // U-shaped multi-touch attribution: 40/20/40 position-based
+    // credit per conversion path (1.0 / 0.5-0.5 on degenerate
+    // paths); per-touch credits DECIMAL(18,12)-quantized before the
+    // order-free channel sum.
+    q(
+      "q336_ushape_attribution",
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t, user_id,
+        |    event_type FROM events),
+        |cv AS (SELECT user_id, MIN(t) AS ct FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |tch AS (SELECT user_id, t, event_type AS channel FROM (
+        |    SELECT user_id, t, event_type, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, t
+        |      ORDER BY event_type DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_type IN ('click', 'view', 'signup'))
+        |  WHERE rn = 1),
+        |pre AS (SELECT tch.user_id, tch.t, tch.channel
+        |  FROM tch JOIN cv ON cv.user_id = tch.user_id
+        |  WHERE tch.t <= cv.ct),
+        |rk AS (SELECT user_id, channel,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY t, channel) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS m
+        |  FROM pre),
+        |cr AS (SELECT channel,
+        |    CAST(CASE WHEN m = 1 THEN 1.0::DOUBLE
+        |      WHEN m = 2 THEN 0.5::DOUBLE
+        |      WHEN rn = 1 OR rn = m THEN 0.4::DOUBLE
+        |      ELSE 0.2::DOUBLE / CAST(m - 2 AS DOUBLE) END
+        |      AS DECIMAL(18,12)) AS c
+        |  FROM rk)
+        |SELECT channel, COUNT(*) AS n_touches,
+        |  ROUND(CAST(SUM(c) AS DOUBLE), 6) AS credit
+        |FROM cr GROUP BY 1 ORDER BY channel"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_id"),
+        unix_micros(col("ts")).as("t"), col("user_id"),
+        col("event_type"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("user"), col("t").as("conv_t_us"))
+      val touches = e
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(struct(col("event_type"), col("event_id"))).as("m"))
+        .select(col("user_id").as("user"), col("t").as("t_us"),
+          col("m.event_type").as("channel"))
+      graft.pipeline.Behavior.uShapedAttribution(touches, conv)
+        .orderBy("channel")
     }
   )
 

@@ -974,6 +974,117 @@ object Behavior {
         round(col("__cv").cast("double"), 6).as("hazard_var"))
   }
 
+  /** U-shaped (position-based) multi-touch attribution: each
+    * conversion's credit splits 40% to the FIRST touch, 40% to the
+    * LAST touch before conversion, and 20% evenly across the middles
+    * — the standard position-based model between last-touch (q179)
+    * and linear. Degenerate paths keep the mass: one touch takes 1.0,
+    * two touches split 0.5/0.5.
+    *
+    * Exactness: per-touch credit is ONE fixed IEEE shape (the only
+    * division is 0.2/(m−2) on exact integer m), quantized to
+    * DECIMAL(18,12) before the order-free per-channel sum, ROUND(6).
+    *
+    * Scale shape: touches pre-collapse per (user, µs) — the q179
+    * latest-wins total order — one user-keyed window pair (ascending
+    * row number + per-user count), one channel aggregate.
+    */
+  def uShapedAttribution(
+      touches: DataFrame, // (user, t_us, channel)
+      conversions: DataFrame // (user, conv_t_us)
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstConv = conversions
+      .groupBy(col("user")).agg(min(col("conv_t_us")).as("__ct"))
+    val pre = touches.join(firstConv, "user")
+      .filter(col("t_us") <= col("__ct"))
+    val w = Window.partitionBy(col("user"))
+      .orderBy(col("t_us"), col("channel"))
+    val wAll = Window.partitionBy(col("user"))
+    val ranked = pre
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(wAll))
+    val credit =
+      when(col("__m") === 1, lit(1.0))
+        .when(col("__m") === 2, lit(0.5))
+        .when(col("__rn") === 1 || col("__rn") === col("__m"),
+          lit(0.4))
+        .otherwise(lit(0.2) / (col("__m") - 2).cast("double"))
+    ranked
+      .withColumn("__c", credit.cast("decimal(18,12)"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("__c")).cast("double"), 6).as("credit"))
+  }
+
+  /** Restricted mean survival time off the [[kaplanMeier]] curve:
+    * RMST(τ) = ∫₀^τ S(t)dt — the area under the survival step
+    * function up to the horizon τ (the largest observed duration),
+    * i.e. "expected days retained per user within the window". The
+    * number a KM plot is usually squinted at for.
+    *
+    * Exactness: S is piecewise constant, so the integral is the exact
+    * sum Σ S(tₖ)·(tₖ₊₁ − tₖ) over death times (plus the S=1 head
+    * piece); each S·Δ term is quantized to DECIMAL(28,6) before the
+    * order-free sum (variable death-time set), ROUND(6). The same
+    * ln-sum/exp machinery as kaplanMeier feeds S unrounded.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — everything past the
+    * user aggregate runs on the distinct-duration table.
+    */
+  def rmstDays(
+      events: DataFrame, userCol: String, tsCol: String,
+      censorHorizonUs: Long = 7L * 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lif = events
+      .select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("__t"))
+      .groupBy(col("user"))
+      .agg(min(col("__t")).as("__first"), max(col("__t")).as("__last"))
+    val gmax = broadcast(lif.agg(max(col("__last")).as("__gmax")))
+    val durs = lif.crossJoin(gmax).select(
+      expr("(__last - __first) div 86400000000").as("dur"),
+      (col("__last") < col("__gmax") - censorHorizonUs).cast("int")
+        .as("__death"))
+    val byDur = durs.groupBy(col("dur"))
+      .agg(count(lit(1)).as("__c"), sum(col("__death")).as("d"))
+    val tot = broadcast(durs.agg(count(lit(1)).as("__n"),
+      max(col("dur")).as("__tau")))
+    val wAsc = Window.orderBy(col("dur"))
+    val deaths = byDur.crossJoin(tot)
+      .withColumn("__cb", coalesce(sum(col("__c"))
+        .over(wAsc.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("__nar", col("__n") - col("__cb"))
+      .filter(col("d") > 0)
+      .withColumn("__term",
+        when(col("d") < col("__nar"),
+          log(lit(1.0) - col("d").cast("double") /
+            col("__nar").cast("double")))
+          .otherwise(lit(0.0)).cast("decimal(28,12)"))
+      .withColumn("__zero",
+        max((col("d") === col("__nar")).cast("int"))
+          .over(wAsc.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__cum", sum(col("__term"))
+        .over(wAsc.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__next",
+        coalesce(lead(col("dur"), 1).over(wAsc), col("__tau")))
+      .withColumn("__s", when(col("__zero") === 1, lit(0.0))
+        .otherwise(exp(col("__cum").cast("double"))))
+    val head = deaths
+      .agg(min(col("dur")).cast("double").as("__head"))
+    deaths
+      .select(col("__tau"),
+        (col("__s") * (col("__next") - col("dur")).cast("double"))
+          .cast("decimal(28,6)").as("__piece"))
+      .groupBy(col("__tau"))
+      .agg(count(lit(1)).as("n_death_times"),
+        sum(col("__piece")).cast("double").as("__tail"))
+      .crossJoin(broadcast(head))
+      .select(col("__tau").cast("long").as("tau_days"),
+        col("n_death_times"),
+        round(col("__head") + col("__tail"), 6).as("rmst_days"))
+  }
+
   /** Adamic–Adar link prediction over item co-baskets: for each item
     * pair sharing baskets, score = Σ_baskets 1/ln(|basket|) — common
     * neighbors weighted DOWN by how promiscuous the shared basket is

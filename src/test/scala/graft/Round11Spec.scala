@@ -202,6 +202,47 @@ class Round11Spec extends SparkSpec {
       .collect().head.getAs[Double]("jsd") == 0.693147)
   }
 
+  test("PageHinkley: no alarm on constant series, alarm on mean shift") {
+    import graft.operators.PageHinkley
+    val flat = (0 until 20).map(i => ("s", i.toLong, 1.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val r1 = PageHinkley.detect(flat).collect().head
+    assert(r1.getAs[Double]("max_excess") == 0.0)
+    assert(!r1.getAs[Boolean]("alarm"))
+    val shifted = ((0 until 10).map(i => ("s", i.toLong, 0.0)) ++
+      (10 until 20).map(i => ("s", i.toLong, 10.0)))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val r2 = PageHinkley.detect(shifted).collect().head
+    assert(r2.getAs[Boolean]("alarm"))
+  }
+
+  test("rmstDays integrates the KM step function exactly") {
+    // deaths at dur 0 (S->2/3) and 2 (S->1/3), censored tail to 20:
+    // RMST = 0 + (2/3)*2 + (1/3)*18 = 7.333333
+    val ev = Seq(
+      (1L, 0L), (1L, 0L),
+      (2L, 0L), (2L, 2L * day),
+      (3L, 0L), (3L, 20L * day))
+      .toDF("user_id", "t_us")
+    val row = Behavior.rmstDays(ev, "user_id", "t_us").collect().head
+    assert(row.getAs[Long]("tau_days") == 20L)
+    assert(row.getAs[Long]("n_death_times") == 2L)
+    assert(row.getAs[Double]("rmst_days") == 7.333333)
+  }
+
+  test("uShapedAttribution splits 40/20/40 with degenerate paths") {
+    val touches = Seq(
+      (1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "C"), (1L, 3L, "D"),
+      (2L, 0L, "A")).toDF("user", "t_us", "channel")
+    val conv = Seq((1L, 10L), (2L, 10L)).toDF("user", "conv_t_us")
+    val r = Behavior.uShapedAttribution(touches, conv)
+      .orderBy("channel").collect()
+      .map(x => x.getAs[String]("channel") ->
+        x.getAs[Double]("credit")).toMap
+    assert(r("A") == 1.4 && r("B") == 0.1 && r("C") == 0.1 &&
+      r("D") == 0.4)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
