@@ -11984,6 +11984,68 @@ object Queries {
           col("m.event_type").as("channel"))
       graft.pipeline.Behavior.uShapedAttribution(touches, conv)
         .orderBy("channel")
+    },
+
+    // DTW distance from each view-sensor's 24-hour profile to the
+    // fleet profile: ALL-INTEGER dynamic programming (floor-division
+    // bucket means, |a−b| costs, 2⁶² border sentinels) — exact on any
+    // engine with no quantization discipline; the oracle unrolls the
+    // same DP cell-by-cell in a recursive CTE carrying the previous
+    // DP row as a list. user_id < 500 bounds the cohort at every SF.
+    q(
+      "q337_dtw_profile",
+      """WITH RECURSIVE s AS (SELECT event_type || ' ' || user_id
+        |    AS sensor_id,
+        |    (epoch_us(ts) // 3600000000) % 24 AS h,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events
+        |  WHERE event_type = 'view' AND user_id < 500),
+        |hs AS (SELECT sensor_id, h, SUM(q) // COUNT(*) AS v
+        |  FROM s GROUP BY 1, 2),
+        |grid AS (SELECT p.sensor_id, g.h
+        |  FROM (SELECT DISTINCT sensor_id FROM hs) p
+        |  CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) g),
+        |dense AS (SELECT grid.sensor_id, grid.h, COALESCE(hs.v, 0)
+        |    AS v
+        |  FROM grid LEFT JOIN hs USING (sensor_id, h)),
+        |prof AS (SELECT sensor_id, list(v ORDER BY h) AS a
+        |  FROM dense GROUP BY 1),
+        |nh AS (SELECT sensor_id, COUNT(*) AS nh FROM hs GROUP BY 1),
+        |f0 AS (SELECT h, SUM(q) // COUNT(*) AS v FROM s GROUP BY 1),
+        |fd AS (SELECT g.h, COALESCE(f0.v, 0) AS v
+        |  FROM (SELECT UNNEST(range(0, 24)) AS h) g
+        |  LEFT JOIN f0 USING (h)),
+        |fleet AS (SELECT list(v ORDER BY h) AS b FROM fd),
+        |rec AS (
+        |  SELECT sensor_id, a, b, 0 AS t,
+        |    list_concat([0::BIGINT], list_transform(range(0, 24),
+        |      x -> 4611686018427387904::BIGINT)) AS p,
+        |    [4611686018427387904::BIGINT] AS c
+        |  FROM prof CROSS JOIN fleet
+        |  UNION ALL
+        |  SELECT sensor_id, a, b, t + 1,
+        |    CASE WHEN t % 24 = 23 THEN
+        |      list_append(c, abs(a[t // 24 + 1] - b[t % 24 + 1])
+        |        + LEAST(p[t % 24 + 2], p[t % 24 + 1],
+        |            c[t % 24 + 1]))
+        |    ELSE p END,
+        |    CASE WHEN t % 24 = 23 THEN [4611686018427387904::BIGINT]
+        |    ELSE list_append(c, abs(a[t // 24 + 1] - b[t % 24 + 1])
+        |      + LEAST(p[t % 24 + 2], p[t % 24 + 1], c[t % 24 + 1]))
+        |    END
+        |  FROM rec WHERE t < 576)
+        |SELECT r.sensor_id, CAST(nh.nh AS BIGINT)
+        |    AS n_hours_present,
+        |  p[25] AS dtw_cost
+        |FROM rec r JOIN nh ON nh.sensor_id = r.sensor_id
+        |WHERE t = 576 ORDER BY r.sensor_id"""
+    ) { (s, d) =>
+      graft.operators.Dtw.dtwToFleet(
+          EventsAdapter.samples(s, d)
+            .filter(col("sensor_id").startsWith("view ") &&
+              element_at(split(col("sensor_id"), " "), 2)
+                .cast("long") < 500)
+            .select("sensor_id", "timestamp_us", "value"))
+        .orderBy("sensor_id")
     }
   )
 

@@ -243,6 +243,25 @@ class Round11Spec extends SparkSpec {
       r("D") == 0.4)
   }
 
+  test("Dtw: identical series cost 0; alignment beats Euclidean") {
+    import graft.operators.Dtw
+    assert(Dtw.dtw(Array(1L, 2L, 3L), Array(1L, 2L, 3L)) == 0L)
+    // singleton vs pair: every b must be matched
+    assert(Dtw.dtw(Array(5L), Array(1L, 2L)) == 7L)
+    // shifted pulse: DTW aligns it to cost 0, Euclidean would pay 4
+    assert(Dtw.dtw(Array(0L, 2L, 0L, 0L), Array(0L, 0L, 2L, 0L)) == 0L)
+  }
+
+  test("dtwToFleet: single sensor equals the fleet, cost 0") {
+    import graft.operators.Dtw
+    val rows = (0 until 24).map(h =>
+      ("s", h * 3600000000L, h.toDouble))
+    val df = rows.toDF("sensor_id", "timestamp_us", "value")
+    val r = Dtw.dtwToFleet(df).collect().head
+    assert(r.getAs[Long]("n_hours_present") == 24L)
+    assert(r.getAs[Long]("dtw_cost") == 0L)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
