@@ -12046,6 +12046,173 @@ object Queries {
                 .cast("long") < 500)
             .select("sensor_id", "timestamp_us", "value"))
         .orderBy("sensor_id")
+    },
+
+    // One-vs-rest KS per event type with Benjamini–Hochberg FDR:
+    // exact cross-multiplied integer D, 3-term Kolmogorov p, BH
+    // step-up on the ROUNDED p surface (ranking over identical
+    // values cross-engine).
+    q(
+      "q338_ks_bh_fdr",
+      """WITH x AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |gv AS (SELECT g, v, COUNT(*) AS c FROM x GROUP BY 1, 2),
+        |va AS (SELECT v, COUNT(*) AS ct FROM x GROUP BY 1),
+        |np AS (SELECT g, COUNT(*) AS na FROM x GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS nt FROM x),
+        |grid AS (SELECT np.g, np.na, va.v, va.ct,
+        |    COALESCE(gv.c, 0) AS c
+        |  FROM np CROSS JOIN va
+        |  LEFT JOIN gv ON gv.g = np.g AND gv.v = va.v),
+        |cums AS (SELECT g, na, v,
+        |    SUM(c) OVER w AS cuma, SUM(ct) OVER w AS cumt
+        |  FROM grid WINDOW w AS (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING)),
+        |d AS (SELECT g, MAX(na) AS n_a,
+        |    MAX(tt.nt) - MAX(na) AS n_b,
+        |    CAST(MAX(ABS(cuma * (tt.nt - na)
+        |      - (cumt - cuma) * na)) AS BIGINT) AS d_num
+        |  FROM cums CROSS JOIN tt GROUP BY g),
+        |lamt AS (SELECT g, n_a, n_b, d_num,
+        |    CAST(d_num AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      AS lam
+        |  FROM d),
+        |pt AS (SELECT g, n_a, n_b, d_num,
+        |    ROUND(LEAST(1.0::DOUBLE,
+        |      2.0::DOUBLE * exp(-2.0::DOUBLE * lam * lam)
+        |      - 2.0::DOUBLE * exp(-8.0::DOUBLE * lam * lam)
+        |      + 2.0::DOUBLE * exp(-18.0::DOUBLE * lam * lam)), 6)
+        |      AS p_raw
+        |  FROM lamt),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p_raw, g)
+        |      AS rkn, COUNT(*) OVER () AS m
+        |  FROM pt),
+        |adj AS (SELECT *, MIN(p_raw * CAST(m AS DOUBLE)
+        |      / CAST(rkn AS DOUBLE)) OVER (ORDER BY rkn DESC
+        |      ROWS UNBOUNDED PRECEDING) AS padj
+        |  FROM rk)
+        |SELECT g AS event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, d_num, p_raw,
+        |  ROUND(LEAST(1.0::DOUBLE, padj), 6) AS p_adj
+        |FROM adj ORDER BY event_type"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.ksBhFdr(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 1000.0).cast("long").as("vq")),
+        "event_type", "vq")
+        .orderBy("event_type")
+    },
+
+    // Difference-in-differences on user-parity treatment and a
+    // midpoint time split: one conditional-sum 2×2 aggregate (pivot
+    // discipline), exact milli sums, fixed IEEE shapes, ROUND(6).
+    q(
+      "q339_diff_in_diff",
+      """WITH e AS (SELECT user_id % 2 AS tr, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |mm AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM e),
+        |x AS (SELECT tr, CASE WHEN t * 2 >= mn + mx THEN 1 ELSE 0
+        |      END AS post, v
+        |  FROM e CROSS JOIN mm),
+        |a AS (SELECT
+        |    COUNT(*) FILTER (tr = 1 AND post = 1) AS n11,
+        |    CAST(SUM(v) FILTER (tr = 1 AND post = 1) AS BIGINT)
+        |      AS s11,
+        |    COUNT(*) FILTER (tr = 1 AND post = 0) AS n10,
+        |    CAST(SUM(v) FILTER (tr = 1 AND post = 0) AS BIGINT)
+        |      AS s10,
+        |    COUNT(*) FILTER (tr = 0 AND post = 1) AS n01,
+        |    CAST(SUM(v) FILTER (tr = 0 AND post = 1) AS BIGINT)
+        |      AS s01,
+        |    COUNT(*) FILTER (tr = 0 AND post = 0) AS n00,
+        |    CAST(SUM(v) FILTER (tr = 0 AND post = 0) AS BIGINT)
+        |      AS s00
+        |  FROM x)
+        |SELECT n11, n10, n01, n00,
+        |  ROUND(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE), 6)
+        |    AS mean_treat_post,
+        |  ROUND(CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE), 6)
+        |    AS mean_treat_pre,
+        |  ROUND(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE), 6)
+        |    AS mean_ctrl_post,
+        |  ROUND(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE), 6)
+        |    AS mean_ctrl_pre,
+        |  ROUND((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+        |      - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+        |    - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+        |      - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)), 6)
+        |    AS did
+        |FROM a"""
+    ) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        (col("user_id") % 2).as("tr"),
+        unix_micros(col("ts")).as("t"),
+        floor(col("value") * 1000.0).cast("long").as("vq"))
+      val mm = broadcast(e.agg(min(col("t")).as("__mn"),
+        max(col("t")).as("__mx")))
+      val x = e.crossJoin(mm)
+        .select(col("tr"),
+          when(col("t") * 2 >= col("__mn") + col("__mx"), lit(1))
+            .otherwise(lit(0)).as("post"),
+          col("vq"))
+      graft.pipeline.Profiler.diffInDiff(x, "tr", "post", "vq")
+    },
+
+    // Pooled two-proportion z on per-user purchase conversion by
+    // parity cohort: exact conditional counts, one IEEE chain.
+    q(
+      "q340_two_prop_z",
+      """WITH u AS (SELECT user_id % 2 AS g,
+        |    CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
+        |      THEN 1 END) >= 10 THEN 1 ELSE 0 END AS s
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    COUNT(*) FILTER (g = 1) AS n1,
+        |    COUNT(*) FILTER (g = 1 AND s = 1) AS x1,
+        |    COUNT(*) FILTER (g <> 1) AS n0,
+        |    COUNT(*) FILTER (g <> 1 AND s = 1) AS x0
+        |  FROM u)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+        |  CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+        |  ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+        |    AS p_treat,
+        |  ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+        |    AS p_ctrl,
+        |  ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |    / sqrt(CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
+        |      * (1.0::DOUBLE - CAST(x1 + x0 AS DOUBLE)
+        |        / CAST(n1 + n0 AS DOUBLE))
+        |      * (1.0::DOUBLE / CAST(n1 AS DOUBLE)
+        |        + 1.0::DOUBLE / CAST(n0 AS DOUBLE))), 6) AS z
+        |FROM a"""
+    ) { (s, d) =>
+      // success = a HEAVY purchaser (≥10): all-user conversion is
+      // saturated at every SF, which would zero the pooled variance
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(count(when(col("event_type") === "purchase",
+          lit(1))) >= 10, lit(1)).otherwise(lit(0)).as("succ"))
+        .select((col("user_id") % 2).as("grp"), col("succ"))
+      graft.pipeline.Profiler.twoProportionZ(u, "grp", "succ")
+    },
+
+    // Stationary distribution of the q192 event-type Markov chain:
+    // 25 fixed power-iteration rounds, per-state incoming mass
+    // DECIMAL(28,15)-quantized and each iterate ROUND(9) — the
+    // pageRank per-iteration-rounding discipline, unrolled in the
+    // oracle.
+    q("q341_markov_stationary", markovStationarySql) { (s, d) =>
+      val tm = graft.pipeline.Behavior.transitionMatrix(
+        Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
+        "user_id", "t", "event_id", "event_type")
+        .select(col("from_state"), col("to_state"), col("n"))
+      graft.pipeline.Behavior.markovStationary(tm)
+        .orderBy("state")
     }
   )
 
@@ -12850,6 +13017,46 @@ object Queries {
        |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
        |FROM l$rounds GROUP BY a HAVING COUNT(*) >= $k
        |ORDER BY node"""
+  }
+
+  /** q341 oracle: 25 power-iteration rounds unrolled as chained CTEs
+    * (the pageRankIter discipline). Per-state incoming mass is
+    * quantized DECIMAL(28,15) before the order-free sum; each iterate
+    * rounds to 9 decimals so drift cannot compound.
+    */
+  private lazy val markovStationarySql: String = {
+    val iters = 25
+    // MATERIALIZED throughout: DuckDB's plain-CTE inlining makes the
+    // 25-step chain exponential to plan (the q323 lesson — hangs
+    // without it)
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT t.to_state AS s,
+         |    ROUND(CAST(SUM(CAST(p.pi * t.prob AS DECIMAL(28,15)))
+         |      AS DOUBLE), 9) AS pi
+         |  FROM p${i - 1} p JOIN tr t ON t.from_state = p.s
+         |  GROUP BY 1)"""
+    }.mkString(",\n|")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+       |    event_type FROM events),
+       |st AS (SELECT event_type AS to_state,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY t, event_id) AS from_state FROM e),
+       |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM st
+       |  WHERE from_state IS NOT NULL GROUP BY 1, 2),
+       |ss AS (SELECT DISTINCT from_state AS s FROM c),
+       |kept AS (SELECT c.* FROM c JOIN ss ON c.to_state = ss.s),
+       |tt AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS t
+       |  FROM kept GROUP BY 1),
+       |tr AS MATERIALIZED (SELECT k.from_state, k.to_state,
+       |    CAST(k.n AS DOUBLE) / CAST(tt.t AS DOUBLE) AS prob
+       |  FROM kept k JOIN tt USING (from_state)),
+       |kk AS (SELECT COUNT(*) AS k FROM ss),
+       |p0 AS MATERIALIZED (SELECT s,
+       |    1.0::DOUBLE / CAST(kk.k AS DOUBLE) AS pi
+       |  FROM ss CROSS JOIN kk),
+       |$steps
+       |SELECT s AS state, pi AS stationary_p FROM p$iters
+       |ORDER BY s"""
   }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1085,6 +1085,59 @@ object Behavior {
         round(col("__head") + col("__tail"), 6).as("rmst_days"))
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] chain by
+    * fixed-count power iteration — "where does the user process
+    * spend its time in the long run", the equilibrium companion to
+    * the one-step transition probabilities. π₀ uniform over the
+    * states WITH outgoing transitions (edges into states that never
+    * transition out are dropped and rows renormalized — an absorbing
+    * sink would otherwise swallow the iteration); πₜ₊₁ = πₜ·P for
+    * `iters` rounds unconditionally (the pageRank fixed-round
+    * discipline).
+    *
+    * Exactness: each iteration's incoming-mass terms πᵣ·P(r,s) are
+    * DECIMAL(28,15)-quantized before the order-free per-state sum,
+    * and the iterate rounds to 9 decimals — drift cannot compound,
+    * and an external engine unrolling the same rounds reproduces
+    * every π bit-for-bit (the pageRank per-iteration-rounding
+    * lesson). Reducible chains leak mass through in-degree-0 states
+    * deterministically on both engines.
+    *
+    * Scale shape: the state set is event-type cardinality (bounded —
+    * the IVF-centroid serving contract justifies the driver-side k
+    * count); each round is one k²-row join + k-row aggregate.
+    */
+  def markovStationary(
+      transitions: DataFrame, // (from_state, to_state, n)
+      iters: Int = 25): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val states = transitions.select(col("from_state").as("s"))
+      .distinct()
+    val kept = transitions.join(
+      states.withColumnRenamed("s", "to_state"), Seq("to_state"),
+      "left_semi")
+    val tot = kept.groupBy(col("from_state"))
+      .agg(sum(col("n")).cast("long").as("__t"))
+    val pr = kept.join(tot, "from_state")
+      .select(col("from_state"), col("to_state"),
+        (col("n").cast("double") / col("__t").cast("double"))
+          .as("prob"))
+      .cache()
+    val k = states.count()
+    require(k >= 1, "no states with outgoing transitions")
+    var pi = states.select(col("s"), lit(1.0 / k).as("pi"))
+    for (_ <- 1 to iters) {
+      pi = pr.join(pi, pr("from_state") === pi("s"))
+        .groupBy(col("to_state"))
+        .agg(round(sum((col("pi") * col("prob"))
+          .cast("decimal(28,15)")).cast("double"), 9).as("pi"))
+        .select(col("to_state").as("s"), col("pi"))
+    }
+    val out = pi.select(col("s").as("state"),
+      col("pi").as("stationary_p"))
+    PipelineCache.materialize(pr)(out)
+  }
+
   /** Adamic–Adar link prediction over item co-baskets: for each item
     * pair sharing baskets, score = Σ_baskets 1/ln(|basket|) — common
     * neighbors weighted DOWN by how promiscuous the shared basket is

@@ -2468,4 +2468,136 @@ object Profiler {
         round((col("__maxdev").cast("double") / nd) / sqrt(s2), 6)
           .as("g_stat"))
   }
+
+  /** One-vs-rest two-sample KS screen per group with Benjamini–
+    * Hochberg FDR control — the multiple-testing-correct version of
+    * "which cohorts' distributions deviate": per group, the exact KS
+    * D against the complement (cross-multiplied integer CDFs, the
+    * q158 discipline), the asymptotic Kolmogorov p (3-term series,
+    * valid for λ ≳ 0.3 — deterministic regardless), then BH step-up
+    * adjustment p̃ᵢ = min_{j≥i} pⱼ·m/j on the ROUNDED p surface (so
+    * the cross-engine ranking is over identical values).
+    *
+    * Exactness: D's numerator is max|cumA·n_B − cumB·n_A| over exact
+    * integers (no float max); λ and the exp series are fixed IEEE
+    * shapes; p rounds to 6 BEFORE ranking, and everything downstream
+    * (rank, m/j scaling, running min) runs on that fixed surface.
+    *
+    * Scale shape: one (group, value) count, per-group cumsum windows
+    * over the distinct-value grid, then a |groups|-row table for the
+    * BH pass (its global window is bounded by group cardinality).
+    */
+  def ksBhFdr(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("__g"),
+      col(quantCol).cast("long").as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val vAll = base.groupBy(col("__v")).agg(count(lit(1)).as("__ct"))
+    val nPer = base.groupBy(col("__g")).agg(count(lit(1)).as("__na"))
+    val tot = broadcast(base.agg(count(lit(1)).as("__nt")))
+    val grid = nPer.crossJoin(vAll)
+      .join(gv, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = grid
+      .withColumn("__cumA", sum(col("__c")).over(w))
+      .withColumn("__cumT", sum(col("__ct")).over(w))
+      .crossJoin(tot)
+      .groupBy(col("__g"))
+      .agg(max(col("__na")).as("n_a"),
+        (max(col("__nt")) - max(col("__na"))).as("n_b"),
+        max(abs(col("__cumA") * (col("__nt") - col("__na")) -
+          (col("__cumT") - col("__cumA")) * col("__na")))
+          .cast("long").as("d_num"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val lam = col("d_num").cast("double") / (nad * nbd) *
+      sqrt(nad * nbd / (nad + nbd))
+    val p = least(lit(1.0),
+      lit(2.0) * exp(lit(-2.0) * lam * lam) -
+        lit(2.0) * exp(lit(-8.0) * lam * lam) +
+        lit(2.0) * exp(lit(-18.0) * lam * lam))
+    val scored = d.withColumn("p_raw", round(p, 6))
+    val wRank = Window.orderBy(col("p_raw"), col("__g"))
+    val m = Window.partitionBy()
+    val ranked = scored
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(m))
+    val wMin = Window.orderBy(col("__rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("__adj", min(col("p_raw") *
+        col("__m").cast("double") / col("__rk").cast("double"))
+        .over(wMin))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("d_num"), col("p_raw"),
+        round(least(lit(1.0), col("__adj")), 6).as("p_adj"))
+  }
+
+  /** Difference-in-differences estimate over a 2×2 (treat, post)
+    * design: DiD = (m̄₁₁ − m̄₁₀) − (m̄₀₁ − m̄₀₀) — the standard causal
+    * panel estimator. One conditional-sum aggregate (pivot discipline
+    * — each cell's sum has a FIXED position, no float order freedom),
+    * exact integer sums in the 2⁵³ window, fixed IEEE shapes,
+    * ROUND(6).
+    */
+  def diffInDiff(
+      df: DataFrame, treatCol: String, postCol: String,
+      quantCol: String): DataFrame = {
+    val t = col(treatCol) === 1
+    val post = col(postCol) === 1
+    def cell(tt: Boolean, pp: Boolean) = {
+      val cond = (if (tt) t else !t) && (if (pp) post else !post)
+      (count(when(cond, lit(1))), sum(when(cond, col(quantCol))))
+    }
+    val (n11, s11) = cell(true, true)
+    val (n10, s10) = cell(true, false)
+    val (n01, s01) = cell(false, true)
+    val (n00, s00) = cell(false, false)
+    val agg = df.agg(
+      n11.as("n11"), s11.cast("long").as("__s11"),
+      n10.as("n10"), s10.cast("long").as("__s10"),
+      n01.as("n01"), s01.cast("long").as("__s01"),
+      n00.as("n00"), s00.cast("long").as("__s00"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    val m11 = mean("__s11", "n11")
+    val m10 = mean("__s10", "n10")
+    val m01 = mean("__s01", "n01")
+    val m00 = mean("__s00", "n00")
+    agg.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(m11, 6).as("mean_treat_post"),
+      round(m10, 6).as("mean_treat_pre"),
+      round(m01, 6).as("mean_ctrl_post"),
+      round(m00, 6).as("mean_ctrl_pre"),
+      round((m11 - m10) - (m01 - m00), 6).as("did"))
+  }
+
+  /** Pooled two-proportion z-test: z = (p₁ − p₀) /
+    * √(p̂(1−p̂)(1/n₁ + 1/n₀)) — the conversion-rate A/B significance
+    * check. One conditional-count aggregate, exact integers, one
+    * fixed IEEE chain, ROUND(6).
+    */
+  def twoProportionZ(
+      df: DataFrame, grpCol: String, succCol: String): DataFrame = {
+    val g1 = col(grpCol) === 1
+    val s = col(succCol) === 1
+    val agg = df.agg(
+      count(when(g1, lit(1))).as("n1"),
+      count(when(g1 && s, lit(1))).as("x1"),
+      count(when(!g1, lit(1))).as("n0"),
+      count(when(!g1 && s, lit(1))).as("x0"))
+    val p1 = col("x1").cast("double") / col("n1").cast("double")
+    val p0 = col("x0").cast("double") / col("n0").cast("double")
+    val pp = (col("x1") + col("x0")).cast("double") /
+      (col("n1") + col("n0")).cast("double")
+    agg.select(col("n1"), col("x1"), col("n0"), col("x0"),
+      round(p1, 6).as("p_treat"), round(p0, 6).as("p_ctrl"),
+      round((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1").cast("double") +
+          lit(1.0) / col("n0").cast("double"))), 6).as("z"))
+  }
 }

@@ -262,6 +262,50 @@ class Round11Spec extends SparkSpec {
     assert(r.getAs[Long]("dtw_cost") == 0L)
   }
 
+  test("ksBhFdr: identical groups p=1, separated groups exact p") {
+    val same = (Seq.tabulate(5)(i => ("a", i.toLong)) ++
+      Seq.tabulate(5)(i => ("b", i.toLong))).toDF("g", "vq")
+    val r1 = Profiler.ksBhFdr(same, "g", "vq").collect()
+    assert(r1.forall(_.getAs[Double]("p_raw") == 1.0))
+    assert(r1.forall(_.getAs[Double]("p_adj") == 1.0))
+    val sep = (Seq.tabulate(5)(i => ("a", i.toLong)) ++
+      Seq.tabulate(5)(i => ("b", i.toLong + 10))).toDF("g", "vq")
+    val r2 = Profiler.ksBhFdr(sep, "g", "vq").collect()
+    // D=1, lam=sqrt(2.5): p = 2e^-5 - 2e^-20 + 2e^-45 = 0.013476
+    assert(r2.forall(_.getAs[Long]("d_num") == 25L))
+    assert(r2.forall(_.getAs[Double]("p_raw") == 0.013476))
+    // BH adjustment never shrinks below the raw p
+    r2.foreach(x => assert(
+      x.getAs[Double]("p_adj") >= x.getAs[Double]("p_raw")))
+  }
+
+  test("diffInDiff recovers the hand-built 2x2 effect") {
+    val df = Seq((1, 1, 4L), (1, 0, 1L), (0, 1, 3L), (0, 0, 2L))
+      .toDF("tr", "post", "vq")
+    val row = Profiler.diffInDiff(df, "tr", "post", "vq")
+      .collect().head
+    assert(row.getAs[Double]("did") == 2.0)
+    assert(row.getAs[Double]("mean_treat_post") == 4.0)
+  }
+
+  test("twoProportionZ matches the hand-computed pooled z") {
+    val df = Seq((1, 1), (1, 0), (0, 0), (0, 0)).toDF("grp", "succ")
+    val row = Profiler.twoProportionZ(df, "grp", "succ")
+      .collect().head
+    assert(row.getAs[Double]("p_treat") == 0.5)
+    assert(row.getAs[Double]("p_ctrl") == 0.0)
+    // z = 0.5 / sqrt(0.25*0.75*1) = 2/sqrt(3)
+    assert(row.getAs[Double]("z") == 1.154701)
+  }
+
+  test("markovStationary: two-state flip chain stays uniform") {
+    val tm = Seq(("A", "B", 10L), ("B", "A", 10L))
+      .toDF("from_state", "to_state", "n")
+    val r = Behavior.markovStationary(tm).orderBy("state").collect()
+    assert(r.map(_.getAs[String]("state")).toSeq == Seq("A", "B"))
+    assert(r.forall(_.getAs[Double]("stationary_p") == 0.5))
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
