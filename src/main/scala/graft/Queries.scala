@@ -12213,6 +12213,137 @@ object Queries {
         .select(col("from_state"), col("to_state"), col("n"))
       graft.pipeline.Behavior.markovStationary(tm)
         .orderBy("state")
+    },
+
+    // Wald SPRT over the user-ordered heavy-purchaser stream
+    // (H₁ p=0.7 vs H₀ p=0.5, α=β=0.05): the four ln constants are
+    // driver-computed and inlined full-precision into the oracle
+    // (benford discipline); the LLR walk replays bit-exactly in the
+    // recursive CTE, frozen at the decision.
+    q("q342_sprt", sprtSql) { (s, d) =>
+      val obs = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(count(when(col("event_type") === "purchase",
+          lit(1))) >= 10, lit(1)).otherwise(lit(0)).as("success"))
+        .select(lit("all").as("trial"), col("user_id").as("seq"),
+          col("success"))
+      graft.operators.Sprt.test(obs)
+    },
+
+    // Matched-cohort ATT: treated (odd custkey) matched to the
+    // nearest even-custkey control on acctbal cents within nation,
+    // matching with replacement via the asOfNearest merge; controls
+    // pre-collapse per (nation, balance) to the smallest-id rep so
+    // the merge never sees tied keys. Outcome = lifetime order value
+    // in exact cents.
+    q(
+      "q343_matched_att",
+      """WITH ot AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS tot
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT c_nationkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    COALESCE(ot.tot, 0) AS o, c_custkey AS id
+        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
+        |tr AS (SELECT k, x, o FROM base WHERE id % 2 = 1),
+        |ct AS (SELECT k, x, o FROM (SELECT k, x, o,
+        |    ROW_NUMBER() OVER (PARTITION BY k, x ORDER BY id) AS rn
+        |  FROM base WHERE id % 2 = 0) WHERE rn = 1),
+        |u AS (SELECT k, x, 1 AS side, o AS t_o, NULL::BIGINT AS c_o
+        |  FROM tr
+        |  UNION ALL SELECT k, x, 0, NULL, o FROM ct),
+        |w AS (SELECT k, x, side, t_o,
+        |    last_value(CASE WHEN side = 0 THEN x END IGNORE NULLS)
+        |      OVER wb AS pts,
+        |    last_value(CASE WHEN side = 0 THEN c_o END IGNORE NULLS)
+        |      OVER wb AS pv,
+        |    first_value(CASE WHEN side = 0 THEN x END IGNORE NULLS)
+        |      OVER wf AS nts,
+        |    first_value(CASE WHEN side = 0 THEN c_o END IGNORE NULLS)
+        |      OVER wf AS nv
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY k ORDER BY x, side
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY k ORDER BY x, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |ch AS (SELECT k, x, t_o,
+        |    CASE WHEN pts IS NOT NULL
+        |      AND (nts IS NULL OR x - pts <= nts - x)
+        |      THEN pts ELSE nts END AS rts,
+        |    CASE WHEN pts IS NOT NULL
+        |      AND (nts IS NULL OR x - pts <= nts - x)
+        |      THEN pv ELSE nv END AS c_o
+        |  FROM w WHERE side = 1),
+        |mt AS (SELECT * FROM ch WHERE rts IS NOT NULL
+        |  AND ABS(x - rts) <= 100000),
+        |ntr AS (SELECT COUNT(*) AS n_treated FROM tr)
+        |SELECT CAST(ntr.n_treated AS BIGINT) AS n_treated,
+        |  COUNT(*) AS n_matched,
+        |  ROUND(CAST(SUM(t_o - c_o) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS att,
+        |  ROUND(CAST(SUM(ABS(x - rts)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_x_dist
+        |FROM mt CROSS JOIN ntr GROUP BY ntr.n_treated"""
+    ) { (s, d) =>
+      val ot = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("tot"))
+      val base = Tables.customer(s, d)
+        .join(ot, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey").as("key"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long").as("x"),
+          coalesce(col("tot"), lit(0L)).as("outcome"),
+          col("c_custkey").as("id"))
+      val treated = base.filter(col("id") % 2 === 1)
+        .select(col("key"), col("x"), col("outcome"))
+      val controls = base.filter(col("id") % 2 === 0)
+      graft.pipeline.Behavior.matchedAtt(treated, controls,
+        tolerance = 100000L)
+    },
+
+    // Calibration table + per-bin Brier for a DYADIC score
+    // ((acctbal cents + 100000)/2²¹): exact integer numerators mean
+    // NO float surface anywhere — bins, means, and the
+    // cross-multiplied Brier numerator all replay as integers.
+    q(
+      "q344_calibration_bins",
+      """WITH ot AS (SELECT o_custkey, COUNT(*) AS c FROM orders
+        |  GROUP BY 1),
+        |base AS (SELECT
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + 100000 AS num,
+        |    CASE WHEN COALESCE(ot.c, 0) >= 5 THEN 1 ELSE 0 END AS y
+        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
+        |b AS (SELECT num * 10 // 2097152 AS bin, num, y,
+        |    num - y * 2097152 AS e FROM base),
+        |a AS (SELECT bin, COUNT(*) AS n,
+        |    CAST(SUM(num) AS BIGINT) AS sn,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) AS sq
+        |  FROM b GROUP BY 1)
+        |SELECT bin, CAST(n AS BIGINT) AS n, sy AS n_pos,
+        |  CAST(sn AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * 2097152.0) AS mean_pred,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  ROUND(sq / (CAST(n AS DOUBLE) * 2097152.0 * 2097152.0), 6)
+        |    AS brier
+        |FROM a ORDER BY bin"""
+    ) { (s, d) =>
+      val ot = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      val base = Tables.customer(s, d)
+        .join(ot, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          ((col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long") + 100000L).as("num"),
+          when(coalesce(col("c"), lit(0L)) >= 5, lit(1))
+            .otherwise(lit(0)).as("y"))
+      graft.pipeline.Profiler.calibrationBins(base, "num", "y", 21)
+        .orderBy("bin")
     }
   )
 
@@ -13057,6 +13188,47 @@ object Queries {
        |$steps
        |SELECT s AS state, pi AS stationary_p FROM p$iters
        |ORDER BY s"""
+  }
+
+  /** q342 oracle: the SPRT LLR walk as a recursive CTE over the
+    * user-ordered Bernoulli stream. The step/barrier constants are
+    * the ENGINE's own (Sprt.logStep/barriers), inlined full-precision
+    * — so both sides add literally identical doubles each step. The
+    * frozen-after-decision state is CASE-guarded; the step expression
+    * repeats inline (SQL has no step-local bindings) but repetition
+    * of a deterministic expression is still one value.
+    */
+  private lazy val sprtSql: String = {
+    import graft.operators.Sprt
+    val (ls, lf) = Sprt.logStep(0.5, 0.7)
+    val (a, b) = Sprt.barriers(0.05, 0.05)
+    def lit(d: Double) = java.lang.Double.toString(d)
+    val step = s"r.llr + (CASE WHEN x.s = 1 THEN ${lit(ls)}" +
+      s" ELSE ${lit(lf)} END)"
+    s"""WITH RECURSIVE u AS (SELECT user_id,
+       |    CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
+       |      THEN 1 END) >= 10 THEN 1 ELSE 0 END AS s
+       |  FROM events GROUP BY user_id),
+       |base AS (SELECT s, ROW_NUMBER() OVER (ORDER BY user_id)
+       |    AS rn FROM u),
+       |cnt AS (SELECT MAX(rn) AS n FROM base),
+       |rec AS (
+       |  SELECT 0 AS i, 0.0::DOUBLE AS llr, 0 AS dec,
+       |    0::BIGINT AS nstop
+       |  UNION ALL
+       |  SELECT r.i + 1,
+       |    CASE WHEN r.dec <> 0 THEN r.llr ELSE $step END,
+       |    CASE WHEN r.dec <> 0 THEN r.dec
+       |      WHEN ($step) >= ${lit(a)} THEN 1
+       |      WHEN ($step) <= ${lit(b)} THEN -1 ELSE 0 END,
+       |    CASE WHEN r.dec <> 0 THEN r.nstop
+       |      WHEN ($step) >= ${lit(a)} OR ($step) <= ${lit(b)}
+       |        THEN CAST(r.i + 1 AS BIGINT)
+       |      ELSE 0::BIGINT END
+       |  FROM rec r JOIN base x ON x.rn = r.i + 1)
+       |SELECT 'all' AS trial, CAST(cnt.n AS BIGINT) AS n_obs,
+       |  r.llr, r.dec AS decision, r.nstop AS n_at_decision
+       |FROM rec r CROSS JOIN cnt WHERE r.i = cnt.n"""
   }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

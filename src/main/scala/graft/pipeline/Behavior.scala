@@ -1085,6 +1085,51 @@ object Behavior {
         round(col("__head") + col("__tail"), 6).as("rmst_days"))
   }
 
+  /** Matched-cohort ATT: every treated unit matches its NEAREST
+    * control on an integer covariate within the same stratum (exact
+    * match on `keyCol`, nearest on `xCol` within `tolerance`), and
+    * the average treatment effect on the treated is the mean matched
+    * outcome difference — matching with replacement, the
+    * non-parametric causal companion to q217's CUPED and q339's DiD.
+    *
+    * Determinism: controls pre-collapse to ONE representative per
+    * (stratum, covariate) — the smallest-id unit (min(struct)) — so
+    * the [[graft.operators.AsOfJoin.asOfNearest]] merge never sees
+    * tied timestamps; nearest ties (equidistant left/right) break
+    * backward, the asOfNearest contract. Outcomes are exact integer
+    * cents; ATT is one division, ROUND(6).
+    *
+    * Scale shape: the collapse and the sorted merge are stratum-keyed
+    * (one shuffle each side); everything after is one aggregate.
+    */
+  def matchedAtt(
+      treated: DataFrame, // (key, x, outcome)
+      controls: DataFrame, // (key, x, outcome, id)
+      tolerance: Long): DataFrame = {
+    val ctrl = controls
+      .groupBy(col("key"), col("x"))
+      .agg(min(struct(col("id"), col("outcome"))).as("__m"))
+      .select(col("key"), col("x"),
+        col("__m").getField("outcome").as("__ctrl_o"))
+    // asOfNearest is INNER (out-of-tolerance treated rows drop), so
+    // the treated total is counted on the input side
+    val nT = broadcast(treated.agg(count(lit(1)).as("n_treated")))
+    val m = graft.operators.AsOfJoin.asOfNearest(
+      treated, ctrl, "key", "x", "__ctrl_o", tolerance)
+    m.agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("outcome") - col("__ctrl_o")).cast("long")
+          .as("__dsum"),
+        sum(abs(col("x") - col("right_ts"))).cast("long")
+          .as("__xdist"))
+      .crossJoin(nT)
+      .select(col("n_treated"), col("n_matched"),
+        round(col("__dsum").cast("double") /
+          col("n_matched").cast("double"), 6).as("att"),
+        round(col("__xdist").cast("double") /
+          col("n_matched").cast("double"), 6).as("mean_x_dist"))
+  }
+
   /** Stationary distribution of the [[transitionMatrix]] chain by
     * fixed-count power iteration — "where does the user process
     * spend its time in the long run", the equilibrium companion to

@@ -2600,4 +2600,42 @@ object Profiler {
         (lit(1.0) / col("n1").cast("double") +
           lit(1.0) / col("n0").cast("double"))), 6).as("z"))
   }
+
+  /** Calibration (reliability) table + per-bin Brier for a DYADIC
+    * score: predictions arrive as exact integer numerators `num` over
+    * the fixed denominator 2^k (a dyadic score is exactly
+    * representable, so there is NO float-rounding surface anywhere —
+    * the q337 all-integer replay class). Bins are num·bins div 2^k;
+    * the Brier numerator is Σ(num − y·2^k)² in exact integers
+    * (cross-multiplied — never a per-row float square).
+    *
+    * Scale shape: one map-side-combined aggregate over the rows;
+    * |bins| output rows. Magnitude contract: Σ(num−y·2^k)² < 2⁶³.
+    */
+  def calibrationBins(
+      df: DataFrame, numCol: String, yCol: String, k: Int,
+      bins: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 40 && bins >= 2, "need 1<=k<=40, bins>=2")
+    val denom = 1L << k
+    val num = col(numCol).cast("long")
+    val y = col(yCol).cast("long")
+    val err = num - y * denom
+    val byBin = df
+      .select(expr(s"CAST($numCol AS BIGINT) * $bins div ${denom}L")
+          .as("bin"),
+        num.as("__num"), y.as("__y"), err.as("__e"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__num")).cast("long").as("__sn"),
+        sum(col("__y")).cast("long").as("__sy"),
+        sum(col("__e").cast("decimal(19,0)") * col("__e"))
+          .cast("double").as("__sq"))
+    val nd = col("n").cast("double")
+    byBin.select(col("bin"), col("n"), col("__sy").as("n_pos"),
+      (col("__sn").cast("double") / (nd * denom.toDouble))
+        .as("mean_pred"),
+      (col("__sy").cast("double") / nd).as("rate"),
+      round(col("__sq") / (nd * denom.toDouble * denom.toDouble), 6)
+        .as("brier"))
+  }
 }

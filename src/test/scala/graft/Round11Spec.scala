@@ -306,6 +306,56 @@ class Round11Spec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("stationary_p") == 0.5))
   }
 
+  test("Sprt crosses the upper barrier at the expected step") {
+    import graft.operators.Sprt
+    // all successes: +ln(1.4)/step, a=ln(19) -> fires at n=9
+    val up = (1 to 12).map(i => ("t", i.toLong, 1))
+      .toDF("trial", "seq", "success")
+    val r1 = Sprt.test(up).collect().head
+    assert(r1.getAs[Int]("decision") == 1)
+    assert(r1.getAs[Long]("n_at_decision") == 9L)
+    assert(r1.getAs[Long]("n_obs") == 12L)
+    // all failures: -ln(0.6)... walks down, fires accept-H0 at n=6
+    val down = (1 to 12).map(i => ("t", i.toLong, 0))
+      .toDF("trial", "seq", "success")
+    val r2 = Sprt.test(down).collect().head
+    assert(r2.getAs[Int]("decision") == -1)
+    assert(r2.getAs[Long]("n_at_decision") == 6L)
+  }
+
+  test("matchedAtt matches nearest control, ties backward, tol drops") {
+    val treated = Seq((1L, 10L, 100L), (1L, 1000000L, 999L))
+      .toDF("key", "x", "outcome")
+    val controls = Seq((1L, 9L, 50L, 2L), (1L, 12L, 70L, 4L))
+      .toDF("key", "x", "outcome", "id")
+    val row = Behavior.matchedAtt(treated, controls, 100L)
+      .collect().head
+    assert(row.getAs[Long]("n_treated") == 2L)
+    assert(row.getAs[Long]("n_matched") == 1L)
+    assert(row.getAs[Double]("att") == 50.0) // 100 - 50 (dist 1 < 2)
+    assert(row.getAs[Double]("mean_x_dist") == 1.0)
+    // equidistant: backward (lower x) wins
+    val tie = Seq((1L, 9L, 40L, 2L), (1L, 11L, 70L, 4L))
+      .toDF("key", "x", "outcome", "id")
+    val t = Behavior.matchedAtt(
+      Seq((1L, 10L, 100L)).toDF("key", "x", "outcome"), tie, 100L)
+      .collect().head
+    assert(t.getAs[Double]("att") == 60.0)
+  }
+
+  test("calibrationBins: dyadic scores give exact bins and Brier") {
+    val df = Seq((1L, 0), (7L, 1)).toDF("num", "y")
+    val r = Profiler.calibrationBins(df, "num", "y", k = 3, bins = 4)
+      .orderBy("bin").collect()
+    assert(r.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 3L))
+    assert(r(0).getAs[Double]("mean_pred") == 0.125)
+    assert(r(0).getAs[Double]("rate") == 0.0)
+    assert(r(0).getAs[Double]("brier") == 0.015625)
+    assert(r(1).getAs[Double]("mean_pred") == 0.875)
+    assert(r(1).getAs[Double]("rate") == 1.0)
+    assert(r(1).getAs[Double]("brier") == 0.015625)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
