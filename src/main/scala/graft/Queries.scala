@@ -12344,6 +12344,138 @@ object Queries {
             .otherwise(lit(0)).as("y"))
       graft.pipeline.Profiler.calibrationBins(base, "num", "y", 21)
         .orderBy("bin")
+    },
+
+    // Isotonic regression of the hourly profile per event type via
+    // the CLOSED FORM ŷᵢ = max_{k≤i} min_{j≥i} mean(k..j) — an
+    // O(B³)-per-group join over the 24-bucket table (never
+    // row-sized), no PAVA stack, no recursion. Integer bucket means
+    // (q337 floor-division discipline); interval means are one
+    // exact-integer division each, identical doubles both engines.
+    q(
+      "q345_isotonic",
+      """WITH s AS (SELECT event_type AS g,
+        |    (epoch_us(ts) // 3600000000) % 24 AS i,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
+        |hs AS (SELECT g, i, CAST(SUM(q) // COUNT(*) AS BIGINT) AS v
+        |  FROM s GROUP BY 1, 2),
+        |grid AS (SELECT gg.g, hh.i
+        |  FROM (SELECT DISTINCT g FROM hs) gg
+        |  CROSS JOIN (SELECT UNNEST(range(0, 24)) AS i) hh),
+        |dense AS (SELECT grid.g, grid.i, COALESCE(hs.v, 0) AS v
+        |  FROM grid LEFT JOIN hs USING (g, i)),
+        |pre AS (SELECT g, i, v, SUM(v) OVER (PARTITION BY g
+        |    ORDER BY i ROWS UNBOUNDED PRECEDING) AS p FROM dense),
+        |kj AS (SELECT a.g, a.i AS k, b.i AS j,
+        |    CAST(b.p - (a.p - a.v) AS DOUBLE)
+        |      / CAST(b.i - a.i + 1 AS DOUBLE) AS m
+        |  FROM pre a JOIN pre b ON a.g = b.g AND a.i <= b.i),
+        |im AS (SELECT kj.g, x.i, kj.k, MIN(kj.m) AS mn
+        |  FROM kj JOIN pre x ON x.g = kj.g AND kj.k <= x.i
+        |    AND kj.j >= x.i
+        |  GROUP BY 1, 2, 3),
+        |fit AS (SELECT g, i, MAX(mn) AS f FROM im GROUP BY 1, 2)
+        |SELECT dense.g AS event_type, dense.i AS hour, dense.v AS v,
+        |  ROUND(fit.f, 6) AS iso_fit
+        |FROM dense JOIN fit USING (g, i)
+        |ORDER BY event_type, hour"""
+    ) { (s, d) =>
+      val base = Tables.events(s, d).select(
+        col("event_type").as("g"),
+        (expr("unix_micros(ts) div 3600000000") % 24).as("i"),
+        floor(col("value") * 1000.0).cast("long").as("q"))
+      val hs = base.groupBy(col("g"), col("i"))
+        .agg(sum(col("q")).as("__s"), count(lit(1)).as("__c"))
+        .select(col("g"), col("i"), expr("__s div __c").as("v"))
+      val dense = hs.select(col("g")).distinct()
+        .select(col("g"), explode(sequence(lit(0L), lit(23L)))
+          .as("i"))
+        .join(hs, Seq("g", "i"), "left")
+        .na.fill(0L, Seq("v"))
+      graft.operators.Isotonic.fit(dense)
+        .select(col("g").as("event_type"), col("i").as("hour"),
+          col("v"), col("iso_fit"))
+        .orderBy("event_type", "hour")
+    },
+
+    // Exact ROC AUC via the tied-rank statistic on the dyadic score:
+    // AUC = (2R⁺ − n⁺(n⁺+1))/(2n⁺n⁻), exact integers into one
+    // division — no sorting of floats, no trapezoids.
+    q(
+      "q346_auc",
+      """WITH ot AS (SELECT o_custkey, COUNT(*) AS c FROM orders
+        |  GROUP BY 1),
+        |base AS (SELECT
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + 100000 AS num,
+        |    CASE WHEN COALESCE(ot.c, 0) >= 5 THEN 1 ELSE 0 END AS y
+        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
+        |bv AS (SELECT num AS v, COUNT(*) AS c,
+        |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0)
+        |      AS BIGINT) AS cp
+        |  FROM base GROUP BY 1),
+        |rk AS (SELECT v, c, cp,
+        |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM bv),
+        |a AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+        |    CAST(SUM(c) - SUM(cp) AS BIGINT) AS nn,
+        |    CAST(SUM(cp * (2 * cb + c + 1)) AS BIGINT) AS r2p
+        |  FROM rk)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CAST(r2p - np * (np + 1) AS DOUBLE)
+        |    / (2.0::DOUBLE * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+        |    AS auc
+        |FROM a"""
+    ) { (s, d) =>
+      val ot = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      val base = Tables.customer(s, d)
+        .join(ot, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          ((col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long") + 100000L).as("num"),
+          when(coalesce(col("c"), lit(0L)) >= 5, lit(1))
+            .otherwise(lit(0)).as("y"))
+      graft.pipeline.Profiler.aucExact(base, "num", "y")
+    },
+
+    // Exact average precision over the (score desc, id asc) total
+    // order: per-positive precision terms quantized DECIMAL(28,12)
+    // before the order-free sum. Eval-set-bounded global ranking.
+    q(
+      "q347_avg_precision",
+      """WITH ot AS (SELECT o_custkey, COUNT(*) AS c FROM orders
+        |  GROUP BY 1),
+        |base AS (SELECT c_custkey AS id,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + 100000 AS num,
+        |    CASE WHEN COALESCE(ot.c, 0) >= 5 THEN 1 ELSE 0 END AS y
+        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
+        |rk AS (SELECT y,
+        |    ROW_NUMBER() OVER (ORDER BY num DESC, id ASC) AS k,
+        |    SUM(y) OVER (ORDER BY num DESC, id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM base),
+        |t AS (SELECT CAST(CAST(cp AS DOUBLE) / CAST(k AS DOUBLE)
+        |    AS DECIMAL(28,12)) AS t
+        |  FROM rk WHERE y = 1)
+        |SELECT COUNT(*) AS n_pos,
+        |  ROUND(CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_precision
+        |FROM t"""
+    ) { (s, d) =>
+      val ot = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      val base = Tables.customer(s, d)
+        .join(ot, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("id"),
+          ((col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long") + 100000L).as("num"),
+          when(coalesce(col("c"), lit(0L)) >= 5, lit(1))
+            .otherwise(lit(0)).as("y"))
+      graft.pipeline.Profiler.averagePrecision(base, "num", "y", "id")
     }
   )
 

@@ -2638,4 +2638,69 @@ object Profiler {
       round(col("__sq") / (nd * denom.toDouble * denom.toDouble), 6)
         .as("brier"))
   }
+
+  /** Exact ROC AUC via the rank statistic — AUC = P(score⁺ > score⁻)
+    * + ½P(tie), which is the [[mannWhitneyU]] U divided by n⁺n⁻. The
+    * same doubled-integer tied-rank machinery: AUC =
+    * (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻), exact integers into ONE division —
+    * no sorting of floats, no trapezoids, no approximation.
+    *
+    * Scale shape: one (score) aggregate with a conditional positive
+    * count, one bounded cumsum window over distinct scores, one row.
+    */
+  def aucExact(
+      df: DataFrame, scoreCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df
+      .select(col(scoreCol).cast("long").as("__v"),
+        (col(yCol) === 1).cast("long").as("__ip"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__ip")).as("__cp"))
+    val wAsc = Window.orderBy(col("__v"))
+    val ranked = byV.withColumn("__cb", coalesce(sum(col("__c"))
+      .over(wAsc.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    ranked.agg(
+        sum(col("__cp")).cast("long").as("n_pos"),
+        (sum(col("__c")) - sum(col("__cp"))).cast("long").as("n_neg"),
+        sum(col("__cp") * (lit(2L) * col("__cb") + col("__c") + 1L))
+          .cast("long").as("__r2p"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("__r2p") - col("n_pos") * (col("n_pos") + 1L))
+          .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** Exact average precision (area under the PR curve, the AP@all
+    * definition): AP = (1/P) Σ_{positives at rank k} cumPos(k)/k over
+    * the (score desc, id asc) total order — the tie-broken
+    * deterministic ranking both engines replay. Per-positive
+    * precision terms are one exact-integer division each, quantized
+    * to DECIMAL(28,12) before the order-free sum.
+    *
+    * Scale note: AP is a GLOBAL ranking metric — the ordered window
+    * runs over the evaluation set, which is bounded by contract (an
+    * eval slice, not the corpus; the q7 global-scan caveat applies).
+    */
+  def averagePrecision(
+      df: DataFrame, scoreCol: String, yCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val ranked = df
+      .select(col(scoreCol), col(idCol),
+        (col(yCol) === 1).cast("long").as("__y"))
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__cp", sum(col("__y"))
+        .over(w.rowsBetween(Long.MinValue, 0)))
+    ranked
+      .filter(col("__y") === 1)
+      .select((col("__cp").cast("double") / col("__k").cast("double"))
+        .cast("decimal(28,12)").as("__t"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("__t")).as("__s"))
+      .select(col("n_pos"),
+        round(col("__s").cast("double") /
+          col("n_pos").cast("double"), 6).as("avg_precision"))
+  }
 }

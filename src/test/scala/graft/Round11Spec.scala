@@ -356,6 +356,46 @@ class Round11Spec extends SparkSpec {
     assert(r(1).getAs[Double]("brier") == 0.015625)
   }
 
+  test("Isotonic closed form equals the PAVA fit on a violation") {
+    import graft.operators.Isotonic
+    // [3,1,2,5] -> pool (3,1) to 2: fit [2,2,2,5]
+    val df = Seq(("a", 0L, 3L), ("a", 1L, 1L), ("a", 2L, 2L),
+      ("a", 3L, 5L)).toDF("g", "i", "v")
+    val r = Isotonic.fit(df).orderBy("i").collect()
+    assert(r.map(_.getAs[Double]("iso_fit")).toSeq ==
+      Seq(2.0, 2.0, 2.0, 5.0))
+    // already monotone input is unchanged
+    val mono = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L))
+      .toDF("g", "i", "v")
+    assert(Isotonic.fit(mono).orderBy("i").collect()
+      .map(_.getAs[Double]("iso_fit")).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("aucExact: separation 1.0, coin-flip 0.5, hand case 0.25") {
+    val perfect = Seq((3L, 1), (4L, 1), (1L, 0), (2L, 0))
+      .toDF("score", "y")
+    assert(Profiler.aucExact(perfect, "score", "y")
+      .collect().head.getAs[Double]("auc") == 1.0)
+    val tied = Seq((1L, 1), (1L, 0), (1L, 1), (1L, 0))
+      .toDF("score", "y")
+    assert(Profiler.aucExact(tied, "score", "y")
+      .collect().head.getAs[Double]("auc") == 0.5)
+    val mixed = Seq((1L, 1), (3L, 1), (2L, 0), (4L, 0))
+      .toDF("score", "y")
+    assert(Profiler.aucExact(mixed, "score", "y")
+      .collect().head.getAs[Double]("auc") == 0.25)
+  }
+
+  test("averagePrecision: hand-computed AP with a miss in between") {
+    val df = Seq((1L, 4L, 1), (2L, 3L, 0), (3L, 2L, 1))
+      .toDF("id", "score", "y")
+    val row = Profiler.averagePrecision(df, "score", "y", "id")
+      .collect().head
+    assert(row.getAs[Long]("n_pos") == 2L)
+    // (1/1 + 2/3)/2 = 0.833333
+    assert(row.getAs[Double]("avg_precision") == 0.833333)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
