@@ -12476,6 +12476,142 @@ object Queries {
           when(coalesce(col("c"), lit(0L)) >= 5, lit(1))
             .otherwise(lit(0)).as("y"))
       graft.pipeline.Profiler.averagePrecision(base, "num", "y", "id")
+    },
+
+    // Exponential (log₂) histogram per event type: the bucket is the
+    // BIT LENGTH of the milli value — an exact integer bucket
+    // function via base-2 string length (conv ↔ printf('%b')), no
+    // float log to misbucket exact powers of two.
+    q(
+      "q348_log2_histogram",
+      """WITH x AS (SELECT event_type AS g,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |b AS (SELECT g, CASE WHEN v >= 1
+        |    THEN CAST(length(printf('%b', v)) AS INTEGER)
+        |    ELSE 0 END AS bucket FROM x),
+        |a AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT g AS event_type, bucket, cnt,
+        |  CASE WHEN bucket >= 1 THEN (1::BIGINT << (bucket - 1))
+        |    ELSE 0::BIGINT END AS lo,
+        |  CASE WHEN bucket >= 1 THEN (1::BIGINT << bucket) - 1
+        |    ELSE 0::BIGINT END AS hi
+        |FROM a ORDER BY event_type, bucket"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.log2Histogram(
+          Tables.events(s, d)
+            .select(col("event_type"),
+              floor(col("value") * 1000.0).cast("long").as("vq")),
+          "event_type", "vq")
+        .orderBy("event_type", "bucket")
+    },
+
+    // Deterministic negative sampling for (customer, part) training
+    // pairs: salted-hash residues over the dense part domain,
+    // overdraw ×4, anti-join the positives, first 3 per user by draw
+    // index — replayable contrastive negatives, no RNG.
+    q(
+      "q349_negative_sample",
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS u,
+        |    l.l_partkey AS it
+        |  FROM orders o JOIN lineitem l
+        |    ON l.l_orderkey = o.o_orderkey),
+        |pc AS (SELECT COUNT(*) AS p FROM part),
+        |us AS (SELECT DISTINCT u FROM pos),
+        |cand AS (SELECT us.u, i.i,
+        |    ('0x' || substr(md5('neg:' || CAST(us.u AS VARCHAR)
+        |      || ':' || CAST(i.i AS VARCHAR)), 1, 15))::BIGINT
+        |      % pc.p AS it
+        |  FROM us CROSS JOIN (SELECT UNNEST(range(0, 12)) AS i) i
+        |  CROSS JOIN pc),
+        |neg AS (SELECT c.u, c.it, c.i FROM cand c
+        |  LEFT JOIN pos ON pos.u = c.u AND pos.it = c.it
+        |  WHERE pos.u IS NULL),
+        |rk AS (SELECT u, it, i, ROW_NUMBER() OVER (
+        |    PARTITION BY u ORDER BY i) AS rn FROM neg)
+        |SELECT u AS user_id, it AS item_id, CAST(i AS BIGINT)
+        |    AS draw_idx
+        |FROM rk WHERE rn <= 3 ORDER BY user_id, draw_idx"""
+    ) { (s, d) =>
+      val pos = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user"),
+          col("l_partkey").as("item"))
+        .distinct()
+      val itemCount = Tables.part(s, d).count()
+      graft.pipeline.Sampling.negativeSample(pos, itemCount)
+        .select(col("user").as("user_id"), col("item").as("item_id"),
+          col("draw_idx").cast("long"))
+        .orderBy("user_id", "draw_idx")
+    },
+
+    // Covariate-shift importance weights: purchase-vs-view value
+    // distribution ratio per unit bucket, cross-multiplied exact
+    // integers into one division.
+    q(
+      "q350_importance_weights",
+      """WITH x AS (SELECT CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END AS t,
+        |    CAST(floor(value * 1000.0) AS BIGINT) // 1000 AS bucket
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |h AS (SELECT bucket,
+        |    COUNT(CASE WHEN t = 1 THEN 1 END) AS c_t,
+        |    COUNT(CASE WHEN t = 0 THEN 1 END) AS c_s
+        |  FROM x GROUP BY 1),
+        |n AS (SELECT COUNT(CASE WHEN t = 1 THEN 1 END) AS nt,
+        |    COUNT(CASE WHEN t = 0 THEN 1 END) AS ns FROM x)
+        |SELECT bucket, CAST(c_t AS BIGINT) AS c_t,
+        |  CAST(c_s AS BIGINT) AS c_s,
+        |  ROUND(CAST(c_t * n.ns AS DOUBLE)
+        |    / CAST(c_s * n.nt AS DOUBLE), 6) AS weight
+        |FROM h CROSS JOIN n WHERE c_s > 0 ORDER BY bucket"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.importanceWeights(
+          Tables.events(s, d)
+            .filter(col("event_type").isin("purchase", "view"))
+            .select(when(col("event_type") === "purchase", lit(1))
+              .otherwise(lit(0)).as("is_t"),
+              expr("CAST(floor(value * 1000.0) AS BIGINT)" +
+                " div 1000").as("bk")),
+          "is_t", "bk")
+        .orderBy("bucket")
+    },
+
+    // Theil T inequality of customer lifetime value per nation:
+    // x·n/S exact integers into one division, per-row r·ln(r) terms
+    // DECIMAL(28,12)-quantized before the order-free sum.
+    q(
+      "q351_theil_index",
+      """WITH ot AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS tot
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT c_nationkey AS g, COALESCE(ot.tot, 0) AS x
+        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
+        |pos AS (SELECT g, x FROM base WHERE x > 0),
+        |st AS (SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+        |  FROM pos GROUP BY 1),
+        |tm AS (SELECT pos.g, st.n, st.s,
+        |    CAST(pos.x * st.n AS DOUBLE) / CAST(st.s AS DOUBLE) AS r
+        |  FROM pos JOIN st ON st.g = pos.g),
+        |t2 AS (SELECT g, n, s,
+        |    CAST(r * ln(r) AS DECIMAL(28,12)) AS t FROM tm)
+        |SELECT g AS nation, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(s) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean,
+        |  ROUND(CAST(SUM(t) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+        |    AS theil
+        |FROM t2 GROUP BY g ORDER BY nation"""
+    ) { (s, d) =>
+      val ot = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("tot"))
+      val base = Tables.customer(s, d)
+        .join(ot, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey").as("nation"),
+          coalesce(col("tot"), lit(0L)).as("x"))
+      graft.pipeline.Profiler.theilIndex(base, "nation", "x")
+        .orderBy("nation")
     }
   )
 

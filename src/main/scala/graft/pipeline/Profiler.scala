@@ -2703,4 +2703,95 @@ object Profiler {
         round(col("__s").cast("double") /
           col("n_pos").cast("double"), 6).as("avg_precision"))
   }
+
+  /** Exponential (log₂) histogram per group — the Prometheus-native-
+    * histogram-style bucketing that covers decades of dynamic range
+    * in ~60 buckets. The bucket of a POSITIVE integer value is its
+    * BIT LENGTH, computed exactly as the length of the base-2 string
+    * (`conv(v, 10, 2)` ↔ `printf('%b', v)`) — a pure-integer bucket
+    * function with NO float log anywhere (floor(log2) via libm would
+    * 1-ulp-misbucket exact powers of two). Zero/negative values take
+    * bucket 0.
+    *
+    * Scale shape: one scan-stage expression + one map-side-combined
+    * aggregate.
+    */
+  def log2Histogram(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    val v = col(quantCol).cast("long")
+    val bucket = when(v >= 1, length(conv(v, 10, 2)))
+      .otherwise(lit(0)).cast("int")
+    df.select(col(groupCol), bucket.as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", when(col("bucket") >= 1,
+        expr("shiftleft(1L, bucket - 1)")).otherwise(lit(0L)))
+      .withColumn("hi", when(col("bucket") >= 1,
+        expr("shiftleft(1L, bucket) - 1L")).otherwise(lit(0L)))
+  }
+
+  /** Importance weights for covariate shift: per score bucket, the
+    * target/source frequency ratio w(b) = (c_t(b)·n_s)/(c_s(b)·n_t) —
+    * the reweighting every domain-adaptation pipeline applies before
+    * training on source data to match a target distribution.
+    *
+    * Exactness: cross-multiplied exact integers into ONE division,
+    * ROUND(6). Buckets with no source mass are dropped (their weight
+    * is undefined, not infinite — the caller clips or rebins).
+    *
+    * Scale shape: two (cohort, bucket) aggregates on one pass, a
+    * bounded histogram join.
+    */
+  def importanceWeights(
+      df: DataFrame, isTargetCol: String,
+      bucketCol: String): DataFrame = {
+    val t = col(isTargetCol) === 1
+    val h = df.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(when(t, lit(1))).as("c_t"),
+        count(when(!t, lit(1))).as("c_s"))
+    val n = broadcast(df.agg(
+      count(when(t, lit(1))).as("__nt"),
+      count(when(!t, lit(1))).as("__ns")))
+    h.crossJoin(n)
+      .filter(col("c_s") > 0)
+      .select(col("bucket"), col("c_t"), col("c_s"),
+        round((col("c_t") * col("__ns")).cast("double") /
+          (col("c_s") * col("__nt")).cast("double"), 6).as("weight"))
+  }
+
+  /** Theil T inequality index per group (plus its population mean):
+    * T = (1/n) Σ (xᵢ/μ)·ln(xᵢ/μ) — 0 at perfect equality, ln(n) at
+    * total concentration; the decomposable inequality measure next
+    * to the Gini/Lorenz family (q203/q210).
+    *
+    * Exactness: xᵢ/μ = xᵢ·n/S is exact integers into one division;
+    * the per-row ln term is DECIMAL(28,12)-quantized before the
+    * order-free sum (q267 discipline), final /n and ROUND(6).
+    * Zero/negative x are excluded (ln undefined) — deterministically
+    * on both engines. Magnitude contract: xᵢ·n < 2⁶³.
+    */
+  def theilIndex(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    val pos = df.filter(col(quantCol) > 0)
+      .select(col(groupCol).as("__g"),
+        col(quantCol).cast("long").as("__x"))
+    val stats = pos.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).cast("long")
+        .as("__s"))
+    val terms = pos.join(broadcast(stats), "__g")
+      .select(col("__g"), col("__n"), col("__s"),
+        ((col("__x") * col("__n")).cast("double") /
+          col("__s").cast("double")).as("__r"))
+      .select(col("__g"), col("__n"), col("__s"),
+        (col("__r") * log(col("__r"))).cast("decimal(28,12)")
+          .as("__t"))
+    terms.groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("__s2"),
+        sum(col("__t")).as("__sum"))
+      .select(col("__g").as(groupCol), col("n"),
+        (col("__s2").cast("double") / col("n").cast("double"))
+          .as("mean"),
+        round(col("__sum").cast("double") / col("n").cast("double"),
+          6).as("theil"))
+  }
 }

@@ -334,4 +334,43 @@ object Sampling {
       }
     df.withColumn("split", assignment)
   }
+
+  /** Deterministic negative sampling for (user, item) training pairs:
+    * per user, draw `k` items the user did NOT interact with — the
+    * contrastive-training counterpart to the positive pairs. Draws
+    * are salted-hash residues over the dense item-id domain
+    * (hash60(salt, user:i) mod |items|), so the sample is replayable
+    * and collision handling is pure relational algebra: overdraw
+    * k·`overfetch` candidates, ANTI-join the positives, keep the
+    * first k by draw index.
+    *
+    * Scale shape: candidates mint in the scan stage (explode of a
+    * literal sequence — no RNG, no driver loop); the anti-join and
+    * the per-user top-k window are both user-keyed; |items| arrives
+    * as a 1-row broadcast census. A user whose catalog coverage is so
+    * dense that k·overfetch draws all collide yields fewer than k
+    * negatives — deterministically on any engine.
+    */
+  def negativeSample(
+      positives: DataFrame, // (user, item) — item ids dense 0..P-1
+      itemCount: Long, k: Int = 3, overfetch: Int = 4,
+      salt: String = "neg:"): DataFrame = {
+    require(k >= 1 && overfetch >= 1 && itemCount >= 1,
+      "need k, overfetch, itemCount >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val draws = k * overfetch
+    val cands = positives.select(col("user")).distinct()
+      .select(col("user"),
+        explode(sequence(lit(0), lit(draws - 1))).as("i"))
+      .select(col("user"), col("i"),
+        (hash60(concat(col("user").cast("string"), lit(":"),
+          col("i").cast("string")), salt) % itemCount).as("item"))
+    val w = Window.partitionBy(col("user")).orderBy(col("i"))
+    cands
+      .join(positives.select(col("user"), col("item")).distinct(),
+        Seq("user", "item"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("user"), col("item"), col("i").as("draw_idx"))
+  }
 }

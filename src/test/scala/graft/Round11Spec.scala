@@ -396,6 +396,60 @@ class Round11Spec extends SparkSpec {
     assert(row.getAs[Double]("avg_precision") == 0.833333)
   }
 
+  test("log2Histogram buckets by exact bit length, powers of two") {
+    val df = Seq(("g", 0L), ("g", 1L), ("g", 2L), ("g", 3L),
+      ("g", 4L), ("g", 1024L)).toDF("g", "vq")
+    val r = Profiler.log2Histogram(df, "g", "vq")
+      .orderBy("bucket").collect()
+    // buckets: 0 -> 0; 1 -> 1; 2,3 -> 2; 4 -> 3; 1024 -> 11
+    assert(r.map(x => (x.getAs[Int]("bucket"), x.getAs[Long]("cnt")))
+      .toSeq == Seq((0, 1L), (1, 1L), (2, 2L), (3, 1L), (11, 1L)))
+    val b3 = r.find(_.getAs[Int]("bucket") == 3).get
+    assert(b3.getAs[Long]("lo") == 4L && b3.getAs[Long]("hi") == 7L)
+  }
+
+  test("negativeSample avoids positives, deterministic, k per user") {
+    import graft.pipeline.Sampling
+    val pos = Seq((1L, 0L), (1L, 1L), (2L, 2L)).toDF("user", "item")
+    val a = Sampling.negativeSample(pos, itemCount = 10, k = 3)
+      .orderBy("user", "draw_idx").collect()
+    val b = Sampling.negativeSample(pos, itemCount = 10, k = 3)
+      .orderBy("user", "draw_idx").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val posSet = Set((1L, 0L), (1L, 1L), (2L, 2L))
+    a.foreach { r =>
+      val u = r.getAs[Long]("user")
+      val it = r.getAs[Long]("item")
+      assert(!posSet.contains((u, it)), s"sampled a positive $u $it")
+      assert(it >= 0 && it < 10)
+    }
+    assert(a.count(_.getAs[Long]("user") == 1L) == 3)
+    assert(a.count(_.getAs[Long]("user") == 2L) == 3)
+  }
+
+  test("importanceWeights: cross-multiplied frequency ratios") {
+    // target: bucket 1 x2, bucket 2 x1 ; source: bucket 1 x1, 2 x2
+    val df = Seq((1, 1L), (1, 1L), (1, 2L),
+      (0, 1L), (0, 2L), (0, 2L)).toDF("is_t", "bk")
+    val r = Profiler.importanceWeights(df, "is_t", "bk")
+      .orderBy("bucket").collect()
+    // w(1) = (2*3)/(1*3) = 2 ; w(2) = (1*3)/(2*3) = 0.5
+    assert(r.map(_.getAs[Double]("weight")).toSeq == Seq(2.0, 0.5))
+  }
+
+  test("theilIndex: equality gives 0, concentration gives ln(n)") {
+    val eq = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L))
+      .toDF("g", "x")
+    assert(Profiler.theilIndex(eq, "g", "x")
+      .collect().head.getAs[Double]("theil") == 0.0)
+    // all mass on one of n=2 (zero rows excluded -> n=1, T=0);
+    // instead: near-total concentration [1, 999]
+    val conc = Seq(("g", 1L), ("g", 999L)).toDF("g", "x")
+    val t = Profiler.theilIndex(conc, "g", "x")
+      .collect().head.getAs[Double]("theil")
+    assert(t > 0.6 && t < math.log(2.0) + 1e-9, s"theil=$t")
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
