@@ -12612,6 +12612,85 @@ object Queries {
           coalesce(col("tot"), lit(0L)).as("x"))
       graft.pipeline.Profiler.theilIndex(base, "nation", "x")
         .orderBy("nation")
+    },
+
+    // Source→corpus decile alignment (the quantile-normalization
+    // mapping table): exact lower-order-statistic quantiles via the
+    // q316 cross-multiplied selection — pure integers, no
+    // interpolation, no division.
+    q(
+      "q352_quantile_align",
+      """WITH base AS (SELECT source AS g, n_chars AS v
+        |  FROM documents),
+        |gv AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |np AS (SELECT g, COUNT(*) AS n FROM base GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS nt FROM base),
+        |cums AS (SELECT gv.g, gv.v, np.n,
+        |    SUM(gv.c) OVER (PARTITION BY gv.g ORDER BY gv.v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM gv JOIN np ON np.g = gv.g),
+        |dec AS (SELECT CAST(UNNEST(range(1, 10)) AS INTEGER)
+        |    AS decile),
+        |pg AS (SELECT g, decile, MIN(v) AS v_group
+        |  FROM cums CROSS JOIN dec
+        |  WHERE cum * 10 >= decile * n GROUP BY 1, 2),
+        |cv AS (SELECT v, COUNT(*) AS c FROM base GROUP BY 1),
+        |cc AS (SELECT v, SUM(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM cv),
+        |pc AS (SELECT decile, MIN(v) AS v_corpus
+        |  FROM cc CROSS JOIN tt CROSS JOIN dec
+        |  WHERE cum * 10 >= decile * nt GROUP BY 1)
+        |SELECT pg.g AS source, pg.decile, pg.v_group, pc.v_corpus,
+        |  pc.v_corpus - pg.v_group AS shift
+        |FROM pg JOIN pc USING (decile) ORDER BY source, decile"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.quantileAlign(
+          Tables.documents(s, d).select(col("source"),
+            col("n_chars")),
+          "source", "n_chars")
+        .orderBy("source", "decile")
+    },
+
+    // Per-sensor peak detection on hourly totals: strict local maxima
+    // with the drop above the higher neighbor — all-integer lag/lead
+    // arithmetic (q337 replay class).
+    q(
+      "q353_peaks",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) // 3600000000 AS b,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
+        |bb AS (SELECT sensor_id, b, CAST(SUM(q) AS BIGINT) AS sv
+        |  FROM s GROUP BY 1, 2),
+        |f AS (SELECT sensor_id, b, sv,
+        |    LAG(sv) OVER w AS pv, LEAD(sv) OVER w AS nx
+        |  FROM bb WINDOW w AS (PARTITION BY sensor_id ORDER BY b)),
+        |g AS (SELECT sensor_id, b, sv,
+        |    (pv IS NOT NULL AND nx IS NOT NULL AND sv > pv
+        |      AND sv > nx) AS pk,
+        |    CASE WHEN pv IS NOT NULL AND nx IS NOT NULL AND sv > pv
+        |      AND sv > nx THEN sv - GREATEST(pv, nx) END AS drp
+        |  FROM f),
+        |m AS (SELECT sensor_id, MAX(drp) AS md FROM g GROUP BY 1)
+        |SELECT g.sensor_id, COUNT(*) AS n_buckets,
+        |  CAST(COUNT(CASE WHEN pk THEN 1 END) AS BIGINT) AS n_peaks,
+        |  MAX(drp) AS max_drop,
+        |  MIN(CASE WHEN drp = m.md THEN b END) AS peak_bucket
+        |FROM g JOIN m ON m.sensor_id = g.sensor_id
+        |GROUP BY g.sensor_id ORDER BY g.sensor_id"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.peaks(
+          EventsAdapter.samples(s, d)
+            .select("sensor_id", "timestamp_us", "value"))
+        .orderBy("sensor_id")
+    },
+
+    // RAKE keyphrase extraction: degree/frequency word scores over
+    // stopword-delimited candidate phrases, per-word scores
+    // DECIMAL(28,12)-quantized, top-20 on the rounded score with a
+    // phrase tie-break.
+    q("q354_rake_keyphrases", rakeSql) { (s, d) =>
+      graft.pipeline.TextAnalysis.rakeKeyphrases(
+        Tables.documents(s, d), "doc_id", "text")
     }
   )
 
@@ -13497,6 +13576,48 @@ object Queries {
        |SELECT 'all' AS trial, CAST(cnt.n AS BIGINT) AS n_obs,
        |  r.llr, r.dec AS decision, r.nstop AS n_at_decision
        |FROM rec r CROSS JOIN cnt WHERE r.i = cnt.n"""
+  }
+
+  /** q354 oracle: RAKE replayed in DuckDB — the stopword literal is
+    * the engine's own list; positions come from the (x, i) indexed
+    * list lambda; phrases reassemble with ordered string_agg.
+    */
+  private lazy val rakeSql: String = {
+    val stops = graft.pipeline.TextAnalysis.RakeStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id AS d,
+       |    string_split_regex(lower(text), '[^a-z0-9]+') AS ws
+       |  FROM documents),
+       |tok AS (SELECT d, s.pos AS pos, s.w AS w
+       |  FROM t, UNNEST(list_transform(ws,
+       |    (x, i) -> {'pos': i, 'w': x})) AS u(s)
+       |  WHERE length(s.w) > 0),
+       |fl AS (SELECT d, pos, w,
+       |    CASE WHEN w IN ($stops) THEN 1 ELSE 0 END AS stop
+       |  FROM tok),
+       |pid AS (SELECT d, pos, w, stop,
+       |    SUM(stop) OVER (PARTITION BY d ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS pid
+       |  FROM fl),
+       |mem AS (SELECT d, pid, pos, w FROM pid WHERE stop = 0),
+       |ph AS (SELECT d, pid, COUNT(*) AS len,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase
+       |  FROM mem GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+       |ws2 AS (SELECT mem.w, COUNT(*) AS freq,
+       |    CAST(SUM(ph.len) AS BIGINT) AS deg
+       |  FROM mem JOIN ph ON ph.d = mem.d AND ph.pid = mem.pid
+       |  GROUP BY 1),
+       |sc AS (SELECT w, CAST(CAST(deg AS DOUBLE)
+       |      / CAST(freq AS DOUBLE) AS DECIMAL(28,12)) AS score
+       |  FROM ws2),
+       |pc AS (SELECT phrase, COUNT(*) AS n_occurrences FROM ph
+       |  GROUP BY 1),
+       |px AS (SELECT pc.phrase, pc.n_occurrences, u.w
+       |  FROM pc, UNNEST(string_split(pc.phrase, ' ')) AS u(w))
+       |SELECT px.phrase, px.n_occurrences,
+       |  ROUND(CAST(SUM(sc.score) AS DOUBLE), 6) AS score
+       |FROM px JOIN sc ON sc.w = px.w
+       |GROUP BY 1, 2 ORDER BY score DESC, phrase LIMIT 20"""
   }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

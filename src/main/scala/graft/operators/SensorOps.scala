@@ -503,4 +503,50 @@ object SensorOps {
       .groupBy(col("max_concurrent"))
       .agg(min(col("t")).as("at_us"))
   }
+
+  /** Per-sensor peak detection over bucketed totals: a peak is a
+    * bucket strictly above BOTH neighbors (plateaus and endpoints are
+    * not peaks — the strict definition is the deterministic one), and
+    * its `drop` is how far it stands above the higher neighbor — the
+    * cheap prominence proxy alerting rules threshold on.
+    *
+    * Exactness: bucket totals are exact integer sums; the neighbor
+    * comparisons and drops are pure integer lag/lead arithmetic — the
+    * q337 all-integer replay class, nothing to quantize.
+    *
+    * Scale shape: one (sensor, bucket) aggregate, one sensor-keyed
+    * window for lag/lead, one summary aggregate. Output per sensor:
+    * (n_buckets, n_peaks, max_drop, peak_bucket — the argmax drop,
+    * earliest on ties).
+    */
+  def peaks(
+      samples: DataFrame, bucketUs: Long = 3600000000L,
+      unitsPerValue: Double = 1e3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketUs > 0, "bucketUs must be positive")
+    val byB = samples.select(col("sensor_id"),
+        expr(s"CAST(timestamp_us AS BIGINT) div ${bucketUs}L")
+          .as("__b"),
+        floor(col("value") * unitsPerValue).cast("long").as("__q"))
+      .groupBy(col("sensor_id"), col("__b"))
+      .agg(sum(col("__q")).as("__s"))
+    val w = Window.partitionBy(col("sensor_id")).orderBy(col("__b"))
+    val flagged = byB
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .withColumn("__next", lead(col("__s"), 1).over(w))
+      .withColumn("__isPeak",
+        col("__prev").isNotNull && col("__next").isNotNull &&
+          col("__s") > col("__prev") && col("__s") > col("__next"))
+      .withColumn("__drop",
+        when(col("__isPeak"),
+          col("__s") - greatest(col("__prev"), col("__next"))))
+    val withMax = flagged.withColumn("__maxd",
+      max(col("__drop")).over(Window.partitionBy(col("sensor_id"))))
+    withMax.groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("__isPeak"), lit(1))).as("n_peaks"),
+        max(col("__drop")).as("max_drop"),
+        min(when(col("__drop") === col("__maxd"), col("__b")))
+          .as("peak_bucket"))
+  }
 }

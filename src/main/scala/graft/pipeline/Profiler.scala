@@ -2759,6 +2759,56 @@ object Profiler {
           (col("c_s") * col("__nt")).cast("double"), 6).as("weight"))
   }
 
+  /** Per-group → corpus decile alignment table: for each group and
+    * decile q, the group's exact lower-order-statistic quantile and
+    * the corpus's, plus the shift between them — the bounded mapping
+    * table quantile normalization applies (align a source's value
+    * distribution onto the corpus before mixing).
+    *
+    * Exactness: the q316 cross-multiplied selection — quantile =
+    * min v with cum·10 ≥ q·n — pure integers, no interpolation, no
+    * division at all.
+    *
+    * Scale shape: one (group, value) count, per-group cumsum windows
+    * over distinct values, a 9-row literal decile fan-out; output is
+    * |groups|·9 rows.
+    */
+  def quantileAlign(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("__g"),
+      col(quantCol).cast("long").as("__v"))
+    val gv = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val nPer = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val tot = broadcast(base.agg(count(lit(1)).as("__nt")))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = gv.withColumn("__cum", sum(col("__c")).over(wg))
+      .join(nPer, "__g")
+    val deciles = (1 to 9).map(q => s"($q)").mkString(", ")
+    val spark = df.sparkSession
+    val dec = broadcast(spark.sql(
+      s"SELECT * FROM VALUES $deciles AS t(decile)"))
+    val perGroup = cums.crossJoin(dec)
+      .filter(col("__cum") * 10 >= col("decile") * col("__n"))
+      .groupBy(col("__g"), col("decile"))
+      .agg(min(col("__v")).as("v_group"))
+    val cv = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val wc = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val corpus = cv.withColumn("__cum", sum(col("__c")).over(wc))
+      .crossJoin(tot)
+      .crossJoin(dec)
+      .filter(col("__cum") * 10 >= col("decile") * col("__nt"))
+      .groupBy(col("decile"))
+      .agg(min(col("__v")).as("v_corpus"))
+    perGroup.join(broadcast(corpus), "decile")
+      .select(col("__g").as(groupCol), col("decile"),
+        col("v_group"), col("v_corpus"),
+        (col("v_corpus") - col("v_group")).as("shift"))
+  }
+
   /** Theil T inequality index per group (plus its population mean):
     * T = (1/n) Σ (xᵢ/μ)·ln(xᵢ/μ) — 0 at perfect equality, ln(n) at
     * total concentration; the decomposable inequality measure next

@@ -1570,6 +1570,76 @@ object TextAnalysis {
     pairedCounts(a, b, na, nb)
   }
 
+  /** The stopword list RAKE splits candidate phrases on — a small
+    * LITERAL vocabulary shared verbatim with the oracle.
+    */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that",
+    "are", "was", "from", "but", "not", "have", "has")
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal runs of non-stopword tokens (capped at `maxLen`
+    * words); each word scores degree/frequency (degree = Σ phrase
+    * length over its occurrences — co-occurrence including self), and
+    * a phrase scores the sum of its words' scores. The canonical
+    * unsupervised keyword extractor for corpus summarization.
+    *
+    * Exactness: freq/degree are exact integer counts; each word's
+    * score is ONE division, quantized DECIMAL(28,12); a phrase sums
+    * ≤ maxLen quantized scores (exact decimal adds); the top-k cut
+    * orders by the ROUNDED score with a phrase-text tie-break.
+    *
+    * Scale shape: tokenize → phrase-id by stopword cumsum (one
+    * doc-keyed window) → word and phrase aggregates — token-keyed
+    * shuffles throughout; the phrase→word rejoin runs on the bounded
+    * distinct-phrase table.
+    */
+  def rakeKeyphrases(
+      docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20, maxLen: Int = 4): DataFrame = {
+    require(topK >= 1 && maxLen >= 1, "need topK, maxLen >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("__d"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
+          .as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) > 0)
+      .withColumn("__stop",
+        col("__w").isin(RakeStopwords: _*).cast("int"))
+    val wSeq = Window.partitionBy(col("__d")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val members = toks
+      .withColumn("__pid", sum(col("__stop")).over(wSeq))
+      .filter(col("__stop") === 0)
+    val phrases = members
+      .groupBy(col("__d"), col("__pid"))
+      .agg(count(lit(1)).as("__len"),
+        concat_ws(" ", transform(sort_array(collect_list(
+          struct(col("__pos"), col("__w")))), x => x.getField("__w")))
+          .as("phrase"))
+      .filter(col("__len") <= maxLen)
+    val wordStats = members
+      .join(phrases.select(col("__d"), col("__pid"), col("__len")),
+        Seq("__d", "__pid"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"),
+        sum(col("__len")).cast("long").as("__deg"))
+      .select(col("__w"),
+        (col("__deg").cast("double") / col("__freq").cast("double"))
+          .cast("decimal(28,12)").as("__score"))
+    val phraseCounts = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    phraseCounts
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("__w"))
+      .join(wordStats, "__w")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(round(sum(col("__score")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** All (g_a < g_b, token) rows with both sides' counts, zeros
     * filled: tokens present in either group appear exactly once per
     * pair. Built as present-in-A ∪ (present-in-B ∖ A) against the

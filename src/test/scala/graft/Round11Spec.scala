@@ -450,6 +450,43 @@ class Round11Spec extends SparkSpec {
     assert(t > 0.6 && t < math.log(2.0) + 1e-9, s"theil=$t")
   }
 
+  test("quantileAlign: median decile maps group onto corpus") {
+    // a: 1..4 ; b: 11..14 -> corpus median (decile 5) = 4
+    val df = (Seq.tabulate(4)(i => ("a", i + 1L)) ++
+      Seq.tabulate(4)(i => ("b", i + 11L))).toDF("g", "v")
+    val r = Profiler.quantileAlign(df, "g", "v")
+      .filter(col("decile") === 5).orderBy("g").collect()
+    assert(r.map(_.getAs[Long]("v_group")).toSeq == Seq(2L, 12L))
+    assert(r.forall(_.getAs[Long]("v_corpus") == 4L))
+    assert(r.map(_.getAs[Long]("shift")).toSeq == Seq(2L, -8L))
+  }
+
+  test("peaks: strict local maxima with drop above higher neighbor") {
+    import graft.operators.SensorOps
+    // buckets: values 1,5,2,4,4 -> single strict peak at bucket 1
+    val rows = Seq(0L -> 1L, 1L -> 5L, 2L -> 2L, 3L -> 4L, 4L -> 4L)
+      .map { case (b, v) => ("s", b * 3600000000L, v.toDouble) }
+    val df = rows.toDF("sensor_id", "timestamp_us", "value")
+    val r = SensorOps.peaks(df, unitsPerValue = 1.0).collect().head
+    assert(r.getAs[Long]("n_buckets") == 5L)
+    assert(r.getAs[Long]("n_peaks") == 1L)
+    assert(r.getAs[Long]("max_drop") == 3L) // 5 - max(1,2)
+    assert(r.getAs[Long]("peak_bucket") == 1L)
+  }
+
+  test("rakeKeyphrases: degree/frequency scoring on a known corpus") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "deep learning of deep networks"))
+      .toDF("doc_id", "text")
+    // phrases: "deep learning" (len 2), "deep networks" (len 2)
+    // deg(deep)=4 freq=2 -> 2 ; learning 2/1 -> 2 ; networks 2/1 -> 2
+    val r = TextAnalysis.rakeKeyphrases(docs, "doc_id", "text")
+      .orderBy("phrase").collect()
+    assert(r.map(_.getAs[String]("phrase")).toSeq ==
+      Seq("deep learning", "deep networks"))
+    assert(r.forall(_.getAs[Double]("score") == 4.0))
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
