@@ -12691,6 +12691,159 @@ object Queries {
     q("q354_rake_keyphrases", rakeSql) { (s, d) =>
       graft.pipeline.TextAnalysis.rakeKeyphrases(
         Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // Johnson–Lindenstrauss distortion audit: 64→16 dims via seeded
+    // µ-quantized Gaussian planes — exact-integer projections and
+    // distances (cast-first decimal squares), one IEEE ratio per
+    // pair, quantized before the min/max/mean.
+    q("q355_jl_distortion", jlSql) { (s, d) =>
+      graft.pipeline.Similarity.jlDistortion(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("vec")))
+    },
+
+    // Class-based TF-IDF (BERTopic c-TF-IDF): which tokens
+    // characterize each SOURCE; exact integer counts into one fixed
+    // IEEE score shape, per-class top-10 on (rounded score, token).
+    q(
+      "q356_class_tfidf",
+      """WITH tok AS (SELECT source AS g,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS token
+        |  FROM documents),
+        |tf AS (SELECT g, token, COUNT(*) AS c FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |pc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM tf
+        |  GROUP BY 1),
+        |corpus AS (SELECT token, CAST(SUM(c) AS BIGINT) AS f FROM tf
+        |  GROUP BY 1),
+        |av AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS k
+        |  FROM pc),
+        |sc AS (SELECT g, token, c,
+        |    ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * ln(1.0::DOUBLE + (CAST(tot AS DOUBLE)
+        |        / CAST(k AS DOUBLE)) / CAST(f AS DOUBLE)), 6)
+        |      AS score
+        |  FROM tf JOIN pc USING (g) JOIN corpus USING (token)
+        |  CROSS JOIN av),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY score DESC, token) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT g AS source, token, CAST(c AS BIGINT) AS tf, score,
+        |  rank
+        |FROM rk WHERE rank <= 10 ORDER BY source, rank"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.classTfIdf(
+          Tables.documents(s, d), "source", "text")
+        .select(col("source"), col("token"), col("tf"), col("score"),
+          col("rank"))
+        .orderBy("source", "rank")
+    },
+
+    // Burrows' Delta stylometric distance between source pairs:
+    // z-scored relative frequencies of the corpus top-50 tokens,
+    // quantized at every cross-class sum; zero-variance tokens
+    // dropped on both engines.
+    q(
+      "q357_burrows_delta",
+      """WITH tok AS (SELECT source AS g,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS token
+        |  FROM documents),
+        |tf AS (SELECT g, token, COUNT(*) AS c FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |pc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM tf
+        |  GROUP BY 1),
+        |top AS (SELECT token FROM (SELECT token,
+        |    CAST(SUM(c) AS BIGINT) AS f FROM tf GROUP BY 1)
+        |  ORDER BY f DESC, token LIMIT 50),
+        |grid AS (SELECT pc.g, top.token,
+        |    CAST(CAST(COALESCE(tf.c, 0) AS DOUBLE)
+        |      / CAST(pc.n AS DOUBLE) AS DECIMAL(28,12)) AS r
+        |  FROM pc CROSS JOIN top
+        |  LEFT JOIN tf ON tf.g = pc.g AND tf.token = top.token),
+        |st AS (SELECT token, COUNT(*) AS s, SUM(r) AS sr,
+        |    SUM(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS srr
+        |  FROM grid GROUP BY 1),
+        |z AS (SELECT grid.g, grid.token,
+        |    (CAST(r AS DOUBLE) - CAST(sr AS DOUBLE)
+        |        / CAST(s AS DOUBLE))
+        |      / sqrt(CAST(srr AS DOUBLE) / CAST(s AS DOUBLE)
+        |        - (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE))
+        |          * (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE))) AS z
+        |  FROM grid JOIN st USING (token)
+        |  WHERE CAST(srr AS DOUBLE) / CAST(s AS DOUBLE)
+        |    - (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE))
+        |      * (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE)) > 0),
+        |pr AS (SELECT a.g AS g_a, b.g AS g_b,
+        |    CAST(ABS(a.z - b.z) AS DECIMAL(28,12)) AS dd
+        |  FROM z a JOIN z b ON a.token = b.token AND a.g < b.g)
+        |SELECT g_a, g_b, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(dd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    6) AS delta
+        |FROM pr GROUP BY 1, 2 ORDER BY g_a, g_b"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.burrowsDelta(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("g_a", "g_b")
+    },
+
+    // Lincoln–Petersen (Chapman) capture–recapture corpus-size
+    // estimate from the even/odd doc crawl halves — recapture =
+    // identical normalized text (the q23 equivalence).
+    q(
+      "q358_lincoln_petersen",
+      """WITH fa AS (SELECT DISTINCT lower(regexp_replace(trim(text),
+        |    '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |fb AS (SELECT DISTINCT lower(regexp_replace(trim(text),
+        |    '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |a AS (SELECT (SELECT COUNT(*) FROM fa) AS n_a,
+        |    (SELECT COUNT(*) FROM fb) AS n_b,
+        |    (SELECT COUNT(*) FROM fa JOIN fb USING (fp)) AS m)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT)
+        |    AS n_b, CAST(m AS BIGINT) AS m,
+        |  ROUND(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+        |    / CAST(m + 1 AS DOUBLE) - 1.0::DOUBLE, 6) AS n_estimate
+        |FROM a"""
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.pipeline.Dedup.lincolnPetersen(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    },
+
+    // Leave-one-out source ablation on doc length: corpus mean
+    // without each source and the delta — exact integer sums, fixed
+    // IEEE shapes.
+    q(
+      "q359_loo_ablation",
+      """WITH per AS (SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(s) AS BIGINT) AS st FROM per)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS group_mean,
+        |  ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |    AS corpus_mean,
+        |  ROUND(CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE), 6)
+        |    AS loo_mean,
+        |  ROUND(CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE)
+        |    - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |    AS loo_delta
+        |FROM per CROSS JOIN tot ORDER BY source"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.looAblation(
+          Tables.documents(s, d).select(col("source"),
+            col("n_chars")),
+          "source", "n_chars")
+        .orderBy("source")
     }
   )
 
@@ -13618,6 +13771,46 @@ object Queries {
        |  ROUND(CAST(SUM(sc.score) AS DOUBLE), 6) AS score
        |FROM px JOIN sc ON sc.w = px.w
        |GROUP BY 1, 2 ORDER BY score DESC, phrase LIMIT 20"""
+  }
+
+  /** q355 oracle: the engine's OWN µ-quantized JL planes
+    * (Similarity.hyperplanes(64, 16, 7) floored at 1e6) inlined as
+    * BIGINT list literals; projections/distances replay as exact
+    * integers, so only the final ratio meets IEEE.
+    */
+  private lazy val jlSql: String = {
+    val planes = graft.pipeline.Similarity.hyperplanes(64, 16, 7L)
+      .map(_.map(x => math.floor(x * 1e6).toLong))
+    val yCols = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(vq, (x, j) -> x * ($lst)[j]))" +
+        s" AS BIGINT) AS y$i"
+    }.mkString(",\n|    ")
+    val sqY = (0 until 16).map(i =>
+      s"CAST(a.y$i - b.y$i AS HUGEINT) * (a.y$i - b.y$i)")
+      .mkString("\n|      + ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vq
+       |  FROM embeddings WHERE vec_id < 30),
+       |p AS (SELECT vec_id, vq,
+       |    $yCols
+       |  FROM e),
+       |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ($sqY) AS sqy,
+       |    CAST(list_sum(list_transform(a.vq,
+       |      (x, j) -> (x - b.vq[j]) * (x - b.vq[j]))) AS BIGINT)
+       |      AS sqx
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+       |r AS (SELECT CAST(CAST(sqy AS DOUBLE)
+       |    / (1.6E13::DOUBLE * CAST(sqx AS DOUBLE))
+       |    AS DECIMAL(28,12)) AS r FROM pr)
+       |SELECT COUNT(*) AS n_pairs,
+       |  ROUND(CAST(MIN(r) AS DOUBLE), 6) AS min_distortion,
+       |  ROUND(CAST(MAX(r) AS DOUBLE), 6) AS max_distortion,
+       |  ROUND(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS mean_distortion
+       |FROM r"""
   }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -909,4 +909,38 @@ object Dedup {
           col("n_tokens").cast("double")).as("coverage"))
       .orderBy("doc_id")
   }
+
+  /** Lincoln–Petersen capture–recapture estimate of the TRUE corpus
+    * size from two overlapping crawls: N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * (the Chapman bias-corrected form, defined even at m = 0), where
+    * the "recapture" is an identical normalized-text fingerprint in
+    * both captures — "how much corpus exists that NEITHER crawl saw",
+    * the coverage companion to Chao1's per-source vocabulary
+    * estimate.
+    *
+    * Exactness: n₁/n₂/m are exact distinct-fingerprint counts off one
+    * two-flag aggregate; the estimate is one fixed IEEE shape,
+    * ROUND(6).
+    */
+  def lincolnPetersen(
+      captureA: DataFrame, captureB: DataFrame,
+      textCol: String): DataFrame = {
+    val fa = captureA
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct().withColumn("__inA", lit(1))
+    val fb = captureB
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct().withColumn("__inB", lit(1))
+    val j = fa.join(fb, Seq("__fp"), "full")
+    val agg = j.agg(
+      count(when(col("__inA").isNotNull, lit(1))).as("n_a"),
+      count(when(col("__inB").isNotNull, lit(1))).as("n_b"),
+      count(when(col("__inA").isNotNull && col("__inB").isNotNull,
+        lit(1))).as("m"))
+    agg.select(col("n_a"), col("n_b"), col("m"),
+      round(((col("n_a") + 1L).cast("double") *
+        (col("n_b") + 1L).cast("double") /
+        (col("m") + 1L).cast("double")) - lit(1.0), 6)
+        .as("n_estimate"))
+  }
 }

@@ -2759,6 +2759,38 @@ object Profiler {
           (col("c_s") * col("__nt")).cast("double"), 6).as("weight"))
   }
 
+  /** Leave-one-out source ablation: for each group, the corpus mean
+    * of a metric WITHOUT that group — (S − S_g)/(N − n_g) — and the
+    * delta against the full-corpus mean. The one-query answer to
+    * "which source drags the corpus quality", run before dropping a
+    * source from the mix.
+    *
+    * Exactness: one grouped integer aggregate + a 1-row broadcast
+    * total; each output is a fixed IEEE shape on exact integers,
+    * ROUND(6).
+    */
+  def looAblation(
+      df: DataFrame, groupCol: String, quantCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(quantCol)).cast("long").as("__s"))
+    val tot = broadcast(df.agg(count(lit(1)).as("__nt"),
+      sum(col(quantCol)).cast("long").as("__st")))
+    per.crossJoin(tot)
+      .select(col(groupCol), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("group_mean"),
+        round(col("__st").cast("double") / col("__nt").cast("double"),
+          6).as("corpus_mean"),
+        round((col("__st") - col("__s")).cast("double") /
+          (col("__nt") - col("n")).cast("double"), 6)
+          .as("loo_mean"),
+        round((col("__st") - col("__s")).cast("double") /
+          (col("__nt") - col("n")).cast("double") -
+          col("__st").cast("double") / col("__nt").cast("double"), 6)
+          .as("loo_delta"))
+  }
+
   /** Per-group → corpus decile alignment table: for each group and
     * decile q, the group's exact lower-order-statistic quantile and
     * the corpus's, plus the shift between them — the bounded mapping

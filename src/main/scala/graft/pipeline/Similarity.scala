@@ -1131,6 +1131,72 @@ object Similarity {
 
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)
+
+  /** Johnson–Lindenstrauss distortion audit: project the embeddings
+    * onto `k` seeded Gaussian directions and report how pairwise
+    * squared distances survive — the empirical check behind every
+    * "can I train on the 16-dim projection" decision. Distortion of
+    * a pair = ‖RΔx‖²/(k·‖Δx‖²) (≈1 when JL holds).
+    *
+    * Exactness: vectors AND planes are µ-quantized to exact integers,
+    * so each projected coordinate is an exact-integer dot (products
+    * ≤ 2⁵³ in double — fold-order-free); coordinate deltas square in
+    * cast-first DECIMAL (they exceed 2⁵³); the ratio is ONE fixed
+    * IEEE shape; per-pair ratios DECIMAL(28,12)-quantize before the
+    * order-free mean. Pairs are bounded by contract (`maxId` caps the
+    * audit set — an audit, not a corpus sweep).
+    *
+    * Scale shape: the projection is a scan-stage expression over
+    * literal planes; the pair stage is an id<id self-join of the
+    * capped audit set.
+    */
+  def jlDistortion(
+      embeddings: DataFrame, k: Int = 16, maxId: Long = 30L,
+      seed: Long = 7L, unitsPerValue: Double = 1e6): DataFrame = {
+    require(k >= 1 && maxId >= 2, "need k >= 1 and at least one pair")
+    val dim = 64
+    val planesQ: Array[Array[Long]] = hyperplanes(dim, k, seed)
+      .map(_.map(x => math.floor(x * unitsPerValue).toLong))
+    val vq = expr(s"transform(vec, x -> CAST(floor(x * " +
+      s"${unitsPerValue}D) AS BIGINT))")
+    val base = embeddings
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id"), vq.as("__vq"))
+    val projCols = planesQ.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      aggregate(zip_with(col("__vq"), planeCol, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"__y$i")
+    }
+    val proj = base.select(
+      (col("vec_id") +: projCols.toSeq) :+ col("__vq"): _*)
+    val a = proj.columns.foldLeft(proj)((df, c) =>
+      df.withColumnRenamed(c, s"a_$c"))
+    val b = proj.columns.foldLeft(proj)((df, c) =>
+      df.withColumnRenamed(c, s"b_$c"))
+    val pairs = a.crossJoin(b)
+      .filter(col("a_vec_id") < col("b_vec_id"))
+    val sqY = (0 until k).map { i =>
+      val d = col(s"a___y$i") - col(s"b___y$i")
+      d.cast("decimal(19,0)") * d
+    }.reduce(_ + _)
+    val sqX = aggregate(
+      zip_with(col("a___vq"), col("b___vq"), (x, y) => {
+        val d = x - y
+        d * d
+      }), lit(0L), (acc, x) => acc + x)
+    // sqY carries the planes' µ² scale on top of sqX's — the
+    // denominator folds k·units² in as ONE exact constant
+    val ratio = sqY.cast("double") /
+      (lit(k.toDouble * unitsPerValue * unitsPerValue) *
+        sqX.cast("double"))
+    pairs
+      .select(ratio.cast("decimal(28,12)").as("__r"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("__r")).cast("double"), 6).as("min_distortion"),
+        round(max(col("__r")).cast("double"), 6).as("max_distortion"),
+        round(sum(col("__r")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_distortion"))
+  }
 }
 
 /** Upper-triangle Gram accumulator: primitive long buffer, O(d²)

@@ -1640,6 +1640,123 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF): per (class, token),
+    * score = (c_{s,w}/n_s) · ln(1 + A/f_w) with A the mean class
+    * token count and f_w the corpus frequency — "which tokens
+    * CHARACTERIZE this source", where plain TF-IDF characterizes
+    * documents. Top `topK` tokens per class.
+    *
+    * Exactness: every input is an exact integer count; the score is
+    * one fixed IEEE shape per (class, token) row, ROUND(6); the
+    * per-class cut ranks on (rounded score desc, token asc).
+    *
+    * Scale shape: one (class, token) aggregate, token-keyed corpus
+    * rollup joined back, per-class rank window over the class's
+    * vocabulary.
+    */
+  def classTfIdf(
+      docs: DataFrame, classCol: String, textCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(classCol).as("__g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("__g"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val perClass = tf.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val corpus = tf.groupBy(col("token"))
+      .agg(sum(col("__c")).cast("long").as("__f"))
+    val avgSz = broadcast(perClass.agg(
+      sum(col("__n")).cast("long").as("__tot"),
+      count(lit(1)).as("__k")))
+    val scored = tf.join(perClass, "__g").join(corpus, "token")
+      .crossJoin(avgSz)
+      .select(col("__g"), col("token"), col("__c"),
+        round((col("__c").cast("double") / col("__n").cast("double"))
+          * log(lit(1.0) +
+            (col("__tot").cast("double") / col("__k").cast("double"))
+              / col("__f").cast("double")), 6).as("score"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("__g").as(classCol), col("token"),
+        col("__c").as("tf"), col("score"), col("__rk").as("rank"))
+  }
+
+  /** Burrows' Delta stylometric distance between every class pair:
+    * z-score each class's relative frequency of the corpus's top-N
+    * tokens, Delta = mean |z_a − z_b| — the classic authorship/
+    * register distance (function-word profile, not topic).
+    *
+    * Exactness: relative frequencies are one exact-integer division
+    * each, DECIMAL(28,12)-quantized before the cross-class mean/var
+    * sums (class sets are data-ordered); z and |Δz| are fixed IEEE
+    * shapes on those quantized values; per-pair |Δz| terms quantize
+    * again before the order-free mean. The top-N token cut is
+    * deterministic (corpus freq desc, token asc).
+    *
+    * Scale shape: everything beyond the one (class, token) aggregate
+    * runs on the |classes|·N bounded profile table.
+    */
+  def burrowsDelta(
+      docs: DataFrame, classCol: String, textCol: String,
+      topN: Int = 50): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(classCol).as("__g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("__g"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val perClass = tf.groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val top = tf.groupBy(col("token"))
+      .agg(sum(col("__c")).cast("long").as("__f"))
+      .orderBy(col("__f").desc, col("token").asc)
+      .limit(topN)
+      .select(col("token"))
+    val grid = perClass.crossJoin(broadcast(top))
+      .join(tf, Seq("__g", "token"), "left")
+      .na.fill(0L, Seq("__c"))
+      .select(col("__g"), col("token"),
+        (col("__c").cast("double") / col("__n").cast("double"))
+          .cast("decimal(28,12)").as("__r"))
+    // r² in DOUBLE then re-quantized: a decimal×decimal at scale 12
+    // exceeds precision 38 and the engines round it differently
+    val stats = grid.groupBy(col("token"))
+      .agg(count(lit(1)).as("__s"),
+        sum(col("__r")).as("__sr"),
+        sum((col("__r").cast("double") * col("__r").cast("double"))
+          .cast("decimal(28,12)")).as("__srr"))
+    val sd = col("__s").cast("double")
+    val mu = col("__sr").cast("double") / sd
+    val varP = col("__srr").cast("double") / sd - mu * mu
+    // zero-variance tokens (identical relative frequency in every
+    // class) are dropped on BOTH engines — ANSI double/0 would throw
+    val z = grid.join(broadcast(stats), "token")
+      .filter(varP > 0)
+      .select(col("__g"), col("token"),
+        ((col("__r").cast("double") - mu) / sqrt(varP)).as("__z"))
+    val za = z.select(col("__g").as("g_a"), col("token"),
+      col("__z").as("__za"))
+    val zb = z.select(col("__g").as("g_b"), col("token"),
+      col("__z").as("__zb"))
+    za.join(zb, Seq("token"))
+      .filter(col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        abs(col("__za") - col("__zb")).cast("decimal(28,12)")
+          .as("__d"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__d")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("delta"))
+  }
+
   /** All (g_a < g_b, token) rows with both sides' counts, zeros
     * filled: tokens present in either group appear exactly once per
     * pair. Built as present-in-A ∪ (present-in-B ∖ A) against the

@@ -487,6 +487,66 @@ class Round11Spec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("score") == 4.0))
   }
 
+  test("jlDistortion: near-1 distortion on random unit-ish vectors") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 12L).map(i =>
+      (i, Array.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("vec_id", "vec")
+    val r = Similarity.jlDistortion(df, maxId = 12L).collect().head
+    assert(r.getAs[Long]("n_pairs") == 66L)
+    val mean = r.getAs[Double]("mean_distortion")
+    assert(mean > 0.3 && mean < 3.0, s"mean=$mean")
+    assert(r.getAs[Double]("min_distortion") <= mean &&
+      mean <= r.getAs[Double]("max_distortion"))
+  }
+
+  test("classTfIdf surfaces class-characteristic tokens first") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(("A", "alpha alpha beta"), ("B", "beta gamma"))
+      .toDF("source", "text")
+    val r = TextAnalysis.classTfIdf(docs, "source", "text", topK = 2)
+      .collect()
+    val top = r.filter(_.getAs[Int]("rank") == 1)
+      .map(x => x.getAs[String]("source") -> x.getAs[String]("token"))
+      .toMap
+    assert(top("A") == "alpha" && top("B") == "gamma")
+  }
+
+  test("burrowsDelta: identical classes collapse to zero variance") {
+    import graft.pipeline.TextAnalysis
+    val same = Seq(("A", "x y z"), ("B", "x y z"))
+      .toDF("source", "text")
+    // identical profiles: any surviving tokens (quantization leaves
+    // ~1e-13 variance) still give z_a = z_b, so delta is exactly 0
+    assert(TextAnalysis.burrowsDelta(same, "source", "text")
+      .collect().forall(_.getAs[Double]("delta") == 0.0))
+    val diff = Seq(("A", "x x x y"), ("B", "y y y x"))
+      .toDF("source", "text")
+    val row = TextAnalysis.burrowsDelta(diff, "source", "text")
+      .collect().head
+    assert(row.getAs[Double]("delta") > 0.0)
+  }
+
+  test("lincolnPetersen: Chapman estimate on a known overlap") {
+    import graft.pipeline.Dedup
+    val a = Seq("t1", "t2").toDF("text")
+    val b = Seq("t2", "t3").toDF("text")
+    val row = Dedup.lincolnPetersen(a, b, "text").collect().head
+    assert(row.getAs[Long]("n_a") == 2 && row.getAs[Long]("m") == 1)
+    // (3*3)/2 - 1 = 3.5
+    assert(row.getAs[Double]("n_estimate") == 3.5)
+  }
+
+  test("looAblation: removing a source shifts the corpus mean") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+    val r = Profiler.looAblation(df, "g", "v").orderBy("g").collect()
+    assert(r(0).getAs[Double]("loo_mean") == 3.0) // without a
+    assert(r(0).getAs[Double]("loo_delta") == 1.0)
+    assert(r(1).getAs[Double]("loo_mean") == 1.5) // without b
+    assert(r(1).getAs[Double]("loo_delta") == -0.5)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
