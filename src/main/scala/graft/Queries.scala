@@ -12844,6 +12844,168 @@ object Queries {
             col("n_chars")),
           "source", "n_chars")
         .orderBy("source")
+    },
+
+    // Trailing-window z anomalies: each sample scored against its own
+    // series' previous 24 samples (exact integer window sums, one
+    // IEEE z shape); zero-variance windows dropped on both engines.
+    q(
+      "q360_rolling_z",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
+        |w AS (SELECT sensor_id, t, q,
+        |    COUNT(q) OVER wt AS cnt,
+        |    CAST(SUM(q) OVER wt AS BIGINT) AS s,
+        |    CAST(SUM(CAST(q AS HUGEINT) * q) OVER wt AS DOUBLE)
+        |      AS ss
+        |  FROM s WINDOW wt AS (PARTITION BY sensor_id ORDER BY t, q
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT sensor_id, t, q, cnt, s, ss,
+        |    (ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
+        |      AS var
+        |  FROM w WHERE cnt = 24),
+        |f AS (SELECT sensor_id, t, q,
+        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+        |      / CAST(cnt AS DOUBLE)) / sqrt(var) AS z
+        |  FROM v WHERE var > 0)
+        |SELECT sensor_id, t AS timestamp_us, q AS vq,
+        |  ROUND(z, 6) AS z
+        |FROM f WHERE ABS(z) >= 4.0::DOUBLE
+        |ORDER BY sensor_id, timestamp_us, vq"""
+    ) { (s, d) =>
+      graft.operators.SensorOps.rollingZAnomalies(
+          EventsAdapter.samples(s, d)
+            .select("sensor_id", "timestamp_us", "value"))
+        .orderBy("sensor_id", "timestamp_us", "vq")
+    },
+
+    // Top-5 brands by exact integer revenue micros + OTHER rollup —
+    // the reporting collapse with a deterministic (revenue, brand)
+    // cut.
+    q(
+      "q361_topn_other",
+      """WITH x AS (SELECT p.p_brand AS k,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |      * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
+        |        AS BIGINT)) AS rev
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |per AS (SELECT k, CAST(SUM(rev) AS BIGINT) AS s,
+        |    COUNT(*) AS n FROM x GROUP BY 1),
+        |win AS (SELECT k FROM per ORDER BY s DESC, k LIMIT 5)
+        |SELECT CASE WHEN win.k IS NOT NULL THEN per.k
+        |    ELSE 'OTHER' END AS brand,
+        |  CAST(SUM(per.s) AS BIGINT) AS total,
+        |  CAST(SUM(per.n) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_keys
+        |FROM per LEFT JOIN win ON win.k = per.k
+        |GROUP BY 1 ORDER BY brand"""
+    ) { (s, d) =>
+      val x = Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand").as("k"),
+          ((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long") *
+            (lit(100L) - (col("l_discount").cast("decimal(4,2)") *
+              100).cast("long"))).as("rev"))
+      graft.pipeline.Profiler.topNOtherRollup(x, "k", "rev")
+        .withColumnRenamed("k", "brand")
+        .orderBy("brand")
+    },
+
+    // Mix/rate decomposition of the parity-cohort value gap across
+    // event-type segments (Oaxaca-style bridge): per-segment terms
+    // quantized DECIMAL(28,12); mix + rate = delta bit-exactly.
+    q(
+      "q362_mix_rate_decomp",
+      """WITH x AS (SELECT user_id % 2 AS coh, event_type AS seg,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
+        |cell AS (SELECT seg,
+        |    COUNT(CASE WHEN coh = 1 THEN 1 END) AS na,
+        |    CAST(COALESCE(SUM(CASE WHEN coh = 1 THEN v END), 0)
+        |      AS BIGINT) AS sa,
+        |    COUNT(CASE WHEN coh <> 1 THEN 1 END) AS nb,
+        |    CAST(COALESCE(SUM(CASE WHEN coh <> 1 THEN v END), 0)
+        |      AS BIGINT) AS sb
+        |  FROM x GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |    CAST(SUM(nb) AS BIGINT) AS tb FROM cell),
+        |t AS (SELECT
+        |    CAST((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+        |        - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |      * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS mx,
+        |    CAST(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+        |      * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS rt,
+        |    CAST(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+        |      * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS ma,
+        |    CAST(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)
+        |      * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS mb
+        |  FROM cell CROSS JOIN tot WHERE na > 0 AND nb > 0)
+        |SELECT COUNT(*) AS n_segments,
+        |  ROUND(CAST(SUM(ma) - SUM(mb) AS DOUBLE), 6)
+        |    AS delta_total,
+        |  ROUND(CAST(SUM(mx) AS DOUBLE), 6) AS mix_effect,
+        |  ROUND(CAST(SUM(rt) AS DOUBLE), 6) AS rate_effect
+        |FROM t"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.mixRateDecomposition(
+        Tables.events(s, d)
+          .select((col("user_id") % 2).as("coh"), col("event_type"),
+            floor(col("value") * 1000.0).cast("long").as("vq")),
+        "coh", "event_type", "vq")
+    },
+
+    // Data-contract audit over documents: five named rules evaluated
+    // in ONE conditional-count pass; NULL rule results count as
+    // violations.
+    q(
+      "q363_contract_audit",
+      """WITH r AS (SELECT COUNT(*) AS n,
+        |    COUNT(CASE WHEN NOT COALESCE(text IS NOT NULL, FALSE)
+        |      THEN 1 END) AS v0,
+        |    COUNT(CASE WHEN NOT COALESCE(length(text) = n_chars,
+        |      FALSE) THEN 1 END) AS v1,
+        |    COUNT(CASE WHEN NOT COALESCE(lang IN ('en', 'fr', 'de',
+        |      'es', 'zh'), FALSE) THEN 1 END) AS v2,
+        |    COUNT(CASE WHEN NOT COALESCE(regexp_matches(source,
+        |      '^src[0-9]+$'), FALSE) THEN 1 END) AS v3,
+        |    COUNT(CASE WHEN NOT COALESCE(n_chars >= 0, FALSE)
+        |      THEN 1 END) AS v4
+        |  FROM documents)
+        |SELECT rule, n_checked, n_violations FROM (
+        |  SELECT 'text_not_null' AS rule, CAST(n AS BIGINT)
+        |      AS n_checked, CAST(v0 AS BIGINT) AS n_violations
+        |    FROM r
+        |  UNION ALL SELECT 'n_chars_matches_text',
+        |    CAST(n AS BIGINT), CAST(v1 AS BIGINT) FROM r
+        |  UNION ALL SELECT 'lang_known', CAST(n AS BIGINT),
+        |    CAST(v2 AS BIGINT) FROM r
+        |  UNION ALL SELECT 'source_format', CAST(n AS BIGINT),
+        |    CAST(v3 AS BIGINT) FROM r
+        |  UNION ALL SELECT 'n_chars_nonneg', CAST(n AS BIGINT),
+        |    CAST(v4 AS BIGINT) FROM r)
+        |ORDER BY rule"""
+    ) { (s, d) =>
+      graft.pipeline.Governance.contractAudit(
+          Tables.documents(s, d),
+          Seq(
+            "text_not_null" -> col("text").isNotNull,
+            "n_chars_matches_text" ->
+              (length(col("text")) === col("n_chars")),
+            "lang_known" ->
+              col("lang").isin("en", "fr", "de", "es", "zh"),
+            "source_format" ->
+              col("source").rlike("^src[0-9]+$"),
+            "n_chars_nonneg" -> (col("n_chars") >= 0)))
+        .orderBy("rule")
     }
   )
 

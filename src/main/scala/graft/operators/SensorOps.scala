@@ -549,4 +549,54 @@ object SensorOps {
         min(when(col("__drop") === col("__maxd"), col("__b")))
           .as("peak_bucket"))
   }
+
+  /** Trailing-window z-score anomalies: each sample scored against
+    * the mean/std of its own series' PREVIOUS `window` samples (the
+    * self-calibrating threshold production alerting uses — a fixed
+    * threshold can't serve sensors with different baselines). Emits
+    * only samples with a FULL trailing window and |z| ≥ `zCut`.
+    *
+    * Exactness: the trailing sums are exact integer window frames
+    * (milli-quantized values, cast-first decimal squares); the z
+    * chain is one fixed IEEE shape per row — identical doubles both
+    * engines, so even the |z| ≥ cut comparison replays (same values
+    * compared, not re-derived). ROUND(6) surface.
+    *
+    * Scale shape: ONE series-keyed window sort shared by the three
+    * frames; the anomaly filter keeps output row counts tiny.
+    */
+  def rollingZAnomalies(
+      samples: DataFrame, window: Int = 24, zCut: Double = 4.0,
+      unitsPerValue: Double = 1e3): DataFrame = {
+    require(window >= 2 && zCut > 0, "need window >= 2, zCut > 0")
+    import org.apache.spark.sql.expressions.Window
+    val base = samples.select(col("sensor_id"),
+      col("timestamp_us").cast("long").as("timestamp_us"),
+      floor(col("value") * unitsPerValue).cast("long").as("__q"))
+    // ties on t break on the QUANTIZED value — the column both
+    // engines actually carry at this point
+    val w = Window.partitionBy(col("sensor_id"))
+      .orderBy(col("timestamp_us"), col("__q"))
+      .rowsBetween(-window.toLong, -1L)
+    val scored = base
+      .withColumn("__cnt", count(col("__q")).over(w))
+      .withColumn("__s", sum(col("__q")).over(w))
+      .withColumn("__ss", sum(col("__q").cast("decimal(19,0)") *
+        col("__q")).over(w).cast("double"))
+      .filter(col("__cnt") === window)
+    val nd = col("__cnt").cast("double")
+    val sd = col("__s").cast("double")
+    val mean = sd / nd
+    val varW = (col("__ss") - sd * sd / nd) / (nd - lit(1.0))
+    // constant trailing windows (variance 0) are dropped on BOTH
+    // engines — ANSI double/0 would throw
+    scored
+      .withColumn("__var", varW)
+      .filter(col("__var") > 0)
+      .withColumn("__z",
+        (col("__q").cast("double") - mean) / sqrt(col("__var")))
+      .filter(abs(col("__z")) >= zCut)
+      .select(col("sensor_id"), col("timestamp_us"),
+        col("__q").as("vq"), round(col("__z"), 6).as("z"))
+  }
 }

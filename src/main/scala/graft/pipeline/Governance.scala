@@ -76,6 +76,29 @@ object Governance {
         col("min_l"), col("classes_l1"))
   }
 
+  /** Data-contract audit: evaluate a set of named boolean rules over
+    * every row in ONE pass (a single conditional-count aggregate —
+    * never one job per rule) and report violations per rule. The
+    * pre-publish gate between a pipeline and its consumers; a NULL
+    * rule result counts as a violation (unknown is not a pass).
+    */
+  def contractAudit(
+      df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.zipWithIndex.flatMap { case ((_, rule), i) =>
+      Seq(count(lit(1)).as(s"__n$i"),
+        count(when(!coalesce(rule, lit(false)), lit(1)))
+          .as(s"__v$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val cells = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"'${name.replace("'", "''")}', `__n$i`, `__v$i`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${rules.size}, $cells) AS (rule, n_checked," +
+        " n_violations)")
+  }
+
   /** Differential-privacy-style noisy count release: per-group counts
     * plus Laplace(1/ε) noise drawn DETERMINISTICALLY per group via the
     * salted-hash inverse-CDF (the q311 Poisson-bootstrap discipline —

@@ -2759,6 +2759,82 @@ object Profiler {
           (col("c_s") * col("__nt")).cast("double"), 6).as("weight"))
   }
 
+  /** Mix/rate decomposition of a metric gap between two cohorts
+    * (Oaxaca–Blinder / revenue-bridge style): Δ = m̄_A − m̄_B splits
+    * into MIX (segment-share shift valued at B's rates,
+    * Σ(w_A − w_B)·r_B) plus RATE (within-segment change weighted by
+    * A's shares, Σ w_A·(r_A − r_B)) — the "did the metric move or did
+    * the mix move" answer, exactly additive by construction.
+    *
+    * Exactness: shares and rates are one exact-integer division each;
+    * per-segment mix/rate terms are fixed IEEE shapes quantized to
+    * DECIMAL(28,12) before the order-free cross-segment sums; the
+    * headline Δ is computed from the SAME quantities, so
+    * mix + rate = Δ holds bit-exactly. ROUND(6) surface.
+    *
+    * Scale shape: one (cohort, segment) aggregate; everything after
+    * runs on the |segments|-bounded table.
+    */
+  def mixRateDecomposition(
+      df: DataFrame, cohortCol: String, segmentCol: String,
+      quantCol: String): DataFrame = {
+    val cell = df.groupBy(col(segmentCol).as("__seg"))
+      .agg(
+        count(when(col(cohortCol) === 1, lit(1))).as("__na"),
+        coalesce(sum(when(col(cohortCol) === 1, col(quantCol))),
+          lit(0L)).cast("long").as("__sa"),
+        count(when(col(cohortCol) =!= 1, lit(1))).as("__nb"),
+        coalesce(sum(when(col(cohortCol) =!= 1, col(quantCol))),
+          lit(0L)).cast("long").as("__sb"))
+    val tot = broadcast(cell.agg(
+      sum(col("__na")).cast("long").as("__ta"),
+      sum(col("__nb")).cast("long").as("__tb")))
+    val withTot = cell.crossJoin(tot)
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    val wa = col("__na").cast("double") / col("__ta").cast("double")
+    val wb = col("__nb").cast("double") / col("__tb").cast("double")
+    val ra = col("__sa").cast("double") / col("__na").cast("double")
+    val rb = col("__sb").cast("double") / col("__nb").cast("double")
+    withTot
+      .select(
+        ((wa - wb) * rb).cast("decimal(28,12)").as("__mix"),
+        (wa * (ra - rb)).cast("decimal(28,12)").as("__rate"),
+        (wa * ra).cast("decimal(28,12)").as("__ma"),
+        (wb * rb).cast("decimal(28,12)").as("__mb"))
+      .agg(count(lit(1)).as("n_segments"),
+        round((sum(col("__ma")) - sum(col("__mb"))).cast("double"), 6)
+          .as("delta_total"),
+        round(sum(col("__mix")).cast("double"), 6).as("mix_effect"),
+        round(sum(col("__rate")).cast("double"), 6).as("rate_effect"))
+  }
+
+  /** Top-N + OTHER rollup: the reporting collapse that keeps the N
+    * largest keys by an exact integer measure and folds the tail into
+    * one OTHER row — deterministic cut on (measure desc, key asc).
+    * One aggregate, a broadcast of the N winners, one re-aggregate.
+    */
+  def topNOtherRollup(
+      df: DataFrame, keyCol: String, quantCol: String,
+      topN: Int = 5): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val per = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(quantCol)).cast("long").as("__s"),
+        count(lit(1)).as("__n"))
+    val winners = per
+      .orderBy(col("__s").desc, col("__k").asc)
+      .limit(topN)
+      .select(col("__k"))
+      .withColumn("__w", lit(1))
+    per.join(broadcast(winners), Seq("__k"), "left")
+      .select(when(col("__w").isNotNull, col("__k").cast("string"))
+        .otherwise(lit("OTHER")).as(keyCol),
+        col("__s"), col("__n"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__s")).cast("long").as("total"),
+        sum(col("__n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"))
+  }
+
   /** Leave-one-out source ablation: for each group, the corpus mean
     * of a metric WITHOUT that group — (S − S_g)/(N − n_g) — and the
     * delta against the full-corpus mean. The one-query answer to

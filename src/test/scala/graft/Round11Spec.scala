@@ -547,6 +547,62 @@ class Round11Spec extends SparkSpec {
     assert(r(1).getAs[Double]("loo_delta") == -0.5)
   }
 
+  test("rollingZAnomalies flags a spike against its trailing window") {
+    import graft.operators.SensorOps
+    // 30 flat samples then a spike: the spike's trailing 24 window
+    // has tiny variance -> |z| explodes; the flats never flag. Values
+    // 0/1 alternate to keep variance nonzero.
+    val rows = (0 until 30).map(i =>
+      ("s", i.toLong, if (i % 2 == 0) 10.0 else 11.0)) :+
+      ("s", 30L, 1000.0)
+    val df = rows.toDF("sensor_id", "timestamp_us", "value")
+    val r = SensorOps.rollingZAnomalies(df, unitsPerValue = 1.0)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("timestamp_us") == 30L)
+    assert(r.head.getAs[Double]("z") > 100.0)
+  }
+
+  test("topNOtherRollup keeps winners and folds the tail") {
+    val df = Seq(("a", 10L), ("b", 5L), ("c", 1L), ("d", 1L))
+      .toDF("k", "v")
+    val r = Profiler.topNOtherRollup(df, "k", "v", topN = 2)
+      .orderBy("k").collect()
+    val m = r.map(x => x.getAs[String]("k") ->
+      (x.getAs[Long]("total"), x.getAs[Long]("n_keys"))).toMap
+    assert(m("a") == (10L, 1L) && m("b") == (5L, 1L))
+    assert(m("OTHER") == (2L, 2L))
+  }
+
+  test("mixRateDecomposition: mix + rate equals delta exactly") {
+    // cohort 1: seg X mean 10 (2 rows), seg Y mean 20 (2 rows)
+    // cohort 0: seg X mean 10 (3 rows), seg Y mean 10 (1 row)
+    val df = Seq((1, "X", 10L), (1, "X", 10L), (1, "Y", 20L),
+      (1, "Y", 20L), (0, "X", 10L), (0, "X", 10L), (0, "X", 10L),
+      (0, "Y", 10L)).toDF("coh", "seg", "v")
+    val row = Profiler.mixRateDecomposition(df, "coh", "seg", "v")
+      .collect().head
+    val d = row.getAs[Double]("delta_total")
+    assert(d == row.getAs[Double]("mix_effect") +
+      row.getAs[Double]("rate_effect"))
+    // m_A = 15, m_B = 10
+    assert(d == 5.0)
+  }
+
+  test("contractAudit: violations counted per rule, NULL = violation") {
+    import graft.pipeline.Governance
+    val df = Seq(("ok", 5L), (null, 3L), ("ok", -1L))
+      .toDF("t", "n")
+    val r = Governance.contractAudit(df, Seq(
+        "t_not_null" -> col("t").isNotNull,
+        "n_nonneg" -> (col("n") >= 0)))
+      .orderBy("rule").collect()
+    val m = r.map(x => x.getAs[String]("rule") ->
+      x.getAs[Long]("n_violations")).toMap
+    assert(m("t_not_null") == 1L && m("n_nonneg") == 1L)
+    assert(r.forall(_.getAs[Long]("n_checked") == 3L))
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
