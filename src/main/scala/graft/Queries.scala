@@ -13006,6 +13006,95 @@ object Queries {
               col("source").rlike("^src[0-9]+$"),
             "n_chars_nonneg" -> (col("n_chars") >= 0)))
         .orderBy("rule")
+    },
+
+    // Generalization-ladder anonymity audit: the q315 k-anonymity
+    // summary at band widths 100/1000/10000 in one table — the
+    // utility-privacy dial.
+    q("q364_anon_ladder", anonLadderSql) { (s, d) =>
+      graft.pipeline.Governance.anonymityLadder(
+          Tables.customer(s, d)
+            .select(col("c_nationkey"), col("c_acctbal"),
+              col("c_mktsegment")),
+          "c_nationkey", "FLOOR(c_acctbal)", "c_mktsegment",
+          Seq(100L, 1000L, 10000L))
+        .orderBy("band")
+    },
+
+    // Linear CKA between successive-id embedding pairs: exact-integer
+    // cross-covariance entries, cast-first decimal Frobenius sums,
+    // one IEEE ratio — "do the even and odd snapshots share
+    // geometry".
+    q(
+      "q365_linear_cka",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vq
+        |  FROM embeddings WHERE vec_id < 200),
+        |a AS (SELECT vec_id AS pid, vq AS va FROM e
+        |  WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id - 1 AS pid, vq AS vb FROM e
+        |  WHERE vec_id % 2 = 1),
+        |pr AS (SELECT a.pid, a.va, b.vb FROM a JOIN b USING (pid)),
+        |ent AS (SELECT i.i, j.j,
+        |    CAST(SUM(pr.va[i.i] * pr.vb[j.j]) AS BIGINT) AS c
+        |  FROM pr
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) j
+        |  GROUP BY 1, 2),
+        |c2 AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |    AS c2 FROM ent),
+        |ga AS (SELECT i.i, j.j,
+        |    CAST(SUM(pr.va[i.i] * pr.va[j.j]) AS BIGINT) AS g
+        |  FROM pr
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) j
+        |  GROUP BY 1, 2),
+        |a2 AS (SELECT CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE)
+        |    AS a2 FROM ga),
+        |gb AS (SELECT i.i, j.j,
+        |    CAST(SUM(pr.vb[i.i] * pr.vb[j.j]) AS BIGINT) AS g
+        |  FROM pr
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
+        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) j
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE)
+        |    AS b2 FROM gb),
+        |np AS (SELECT COUNT(*) AS n_pairs FROM pr)
+        |SELECT np.n_pairs,
+        |  ROUND(c2.c2 / (sqrt(a2.a2) * sqrt(b2.b2)), 6) AS cka
+        |FROM np CROSS JOIN c2 CROSS JOIN a2 CROSS JOIN b2"""
+    ) { (s, d) =>
+      graft.pipeline.Similarity.linearCka(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("vec")))
+    },
+
+    // Character-level Shannon entropy (bits/char) per source — the
+    // compressibility proxy; per-char −p·log2 p terms quantized
+    // before the order-free sum.
+    q(
+      "q366_char_entropy",
+      """WITH ch AS (SELECT source AS g, UNNEST(list_transform(
+        |    range(1, len(text) + 1), i -> text[i])) AS c
+        |  FROM documents WHERE len(text) >= 1),
+        |cc AS (SELECT g, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |tt AS (SELECT g, CAST(SUM(k) AS BIGINT) AS n,
+        |    COUNT(*) AS nd FROM cc GROUP BY 1),
+        |h AS (SELECT cc.g, tt.n, tt.nd,
+        |    CAST(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * log2(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS t
+        |  FROM cc JOIN tt ON tt.g = cc.g)
+        |SELECT g AS source, CAST(MAX(n) AS BIGINT) AS n_chars,
+        |  CAST(MAX(nd) AS BIGINT) AS distinct_chars,
+        |  ROUND(CAST(SUM(t) AS DOUBLE), 6) AS entropy_bits
+        |FROM h GROUP BY g ORDER BY source"""
+    ) { (s, d) =>
+      graft.pipeline.TextAnalysis.charEntropy(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("source")
     }
   )
 
@@ -13973,6 +14062,36 @@ object Queries {
        |  ROUND(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
        |    AS mean_distortion
        |FROM r"""
+  }
+
+  /** q364 oracle: the q315 k-anonymity summary replayed at each band
+    * width (offset-shifted floor bands — the bandFloor contract) and
+    * stacked.
+    */
+  private lazy val anonLadderSql: String = {
+    // the inner GROUP BY builds the equivalence classes
+    val blocks = Seq(100L, 1000L, 10000L).map { b =>
+      val off = b * 1000000L
+      s"""SELECT $b AS band, COUNT(*) AS n_classes,
+         |  CAST(SUM(k) AS BIGINT) AS n_rows,
+         |  MIN(k) AS min_k, MAX(k) AS max_k,
+         |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
+         |    AS BIGINT) AS rows_below_k,
+         |  COUNT(CASE WHEN k < 5 THEN 1 END) AS classes_below_k,
+         |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
+         |    AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS reident_rate,
+         |  MIN(l) AS min_l,
+         |  COUNT(CASE WHEN l = 1 THEN 1 END) AS classes_l1
+         |FROM (SELECT c_nationkey, bnd, COUNT(*) AS k,
+         |    COUNT(DISTINCT c_mktsegment) AS l
+         |  FROM (SELECT c_nationkey,
+         |      ((CAST(FLOOR(c_acctbal) AS BIGINT) + $off) // $b)
+         |        * $b - $off AS bnd,
+         |      c_mktsegment
+         |    FROM customer)
+         |  GROUP BY 1, 2)"""
+    }
+    blocks.mkString("\n|UNION ALL\n|") + "\n|ORDER BY band"
   }
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =

@@ -99,6 +99,29 @@ object Governance {
         " n_violations)")
   }
 
+  /** Generalization-ladder anonymity audit: [[kAnonymityAudit]] at a
+    * sequence of band widths in one result — "how coarse must the
+    * generalization get before the release is k-anonymous", the
+    * utility-privacy dial read off a single table.
+    */
+  def anonymityLadder(
+      df: DataFrame, stratumCol: String, numericCol: String,
+      sensitiveCol: String, bands: Seq[Long],
+      kFloor: Int = 5): DataFrame = {
+    require(bands.nonEmpty, "need at least one band width")
+    bands.map { b =>
+      val banded = df.select(col(stratumCol),
+        bandFloor(numericCol, b).as("__band"), col(sensitiveCol))
+      kAnonymityAudit(banded, Seq(stratumCol, "__band"),
+        sensitiveCol, kFloor)
+        .withColumn("band", lit(b))
+    }.reduce(_ unionByName _)
+      .select(col("band"), col("n_classes"), col("n_rows"),
+        col("min_k"), col("max_k"), col("rows_below_k"),
+        col("classes_below_k"), col("reident_rate"), col("min_l"),
+        col("classes_l1"))
+  }
+
   /** Differential-privacy-style noisy count release: per-group counts
     * plus Laplace(1/ε) noise drawn DETERMINISTICALLY per group via the
     * salted-hash inverse-CDF (the q311 Poisson-bootstrap discipline —

@@ -1132,6 +1132,73 @@ object Similarity {
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)
 
+  /** Linear CKA (centered-kernel-alignment with linear kernels, the
+    * UNcentered HSIC form) between two paired representation
+    * matrices: CKA = ‖XᵀY‖²F / (‖XᵀX‖F·‖XᵀY... ‖YᵀY‖F) — the
+    * standard "do these two embedding snapshots encode the same
+    * geometry" similarity (Kornblith et al. 2019). Pairs here are
+    * (vec, its id+1 successor) capped by `maxId` — an audit set, not
+    * a corpus sweep.
+    *
+    * Exactness: vectors µ-quantize to exact integers; every
+    * cross-covariance entry is an exact integer sum (posexplode ×2,
+    * one (i, j)-keyed aggregate); Frobenius accumulations square in
+    * cast-first DECIMAL; the final ratio is one IEEE shape over
+    * wide-int→double casts (the established correctly-rounded
+    * surface), ROUND(6).
+    *
+    * Scale shape: the entry table is |pairs|·d² rows before its one
+    * aggregate — bounded by the audit cap, never corpus-sized.
+    */
+  def linearCka(
+      embeddings: DataFrame, maxId: Long = 200L,
+      unitsPerValue: Double = 1e6): DataFrame = {
+    val vq = expr(s"transform(vec, x -> CAST(floor(x * " +
+      s"${unitsPerValue}D) AS BIGINT))")
+    val base = embeddings.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), vq.as("__vq"))
+    val a = base.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("__pid"), col("__vq").as("__va"))
+    val b = base.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") - 1).as("__pid"),
+        col("__vq").as("__vb"))
+    val paired = a.join(b, "__pid")
+    val entries = paired
+      .select(col("__pid"),
+        posexplode(col("__va")).as(Seq("__i", "__ai")),
+        col("__vb"))
+      .select(col("__pid"), col("__i"), col("__ai"),
+        posexplode(col("__vb")).as(Seq("__j", "__bj")))
+    val cEntries = entries.groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__ai") * col("__bj")).cast("decimal(38,0)")
+        .as("__c"))
+    val c2 = cEntries.agg(
+      sum(col("__c").cast("decimal(19,0)") * col("__c"))
+        .cast("double").as("__c2"))
+    def selfF(side: DataFrame, vcol: String): DataFrame = {
+      val e = side
+        .select(posexplode(col(vcol)).as(Seq("__i", "__xi")),
+          col(vcol).as("__v2"))
+        .select(col("__i"), col("__xi"),
+          posexplode(col("__v2")).as(Seq("__j", "__xj")))
+      e.groupBy(col("__i"), col("__j"))
+        .agg(sum(col("__xi") * col("__xj")).cast("decimal(38,0)")
+          .as("__g"))
+        .agg(sum(col("__g").cast("decimal(19,0)") * col("__g"))
+          .cast("double").as("__f2"))
+    }
+    val a2 = selfF(paired.select(col("__va")), "__va")
+      .withColumnRenamed("__f2", "__a2")
+    val b2 = selfF(paired.select(col("__vb")), "__vb")
+      .withColumnRenamed("__f2", "__b2")
+    val nPairs = paired.agg(count(lit(1)).as("n_pairs"))
+    broadcast(nPairs).crossJoin(broadcast(c2))
+      .crossJoin(broadcast(a2)).crossJoin(broadcast(b2))
+      .select(col("n_pairs"),
+        round(col("__c2") / (sqrt(col("__a2")) * sqrt(col("__b2"))),
+          6).as("cka"))
+  }
+
   /** Johnson–Lindenstrauss distortion audit: project the embeddings
     * onto `k` seeded Gaussian directions and report how pairwise
     * squared distances survive — the empirical check behind every

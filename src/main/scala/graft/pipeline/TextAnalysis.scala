@@ -1570,6 +1570,42 @@ object TextAnalysis {
     pairedCounts(a, b, na, nb)
   }
 
+  /** Character-level Shannon entropy per group (bits/char) — the
+    * compressibility proxy: a source whose text runs ~1–2 bits/char
+    * is boilerplate or repetition; natural prose sits ~4. The
+    * char-level companion to the token-entropy family.
+    *
+    * Exactness: character counts are exact integers (one explode of
+    * the 1..len index grid — the q175 construction, identical on both
+    * engines); each char's −p·log2(p) term is one fixed IEEE shape
+    * DECIMAL(28,12)-quantized before the order-free sum, ROUND(6).
+    *
+    * Scale shape: one (group, char) aggregate over the exploded
+    * corpus; everything after runs on the bounded alphabet table.
+    */
+  def charEntropy(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val chars = docs
+      .filter(length(col(textCol)) >= 1)
+      .select(col(groupCol).as("__g"), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)))).as("__i"))
+      .select(col("__g"), expr("substring(__t, __i, 1)").as("__c"))
+    val counts = chars.groupBy(col("__g"), col("__c"))
+      .agg(count(lit(1)).as("__k"))
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("__k")).cast("long").as("__n"),
+        count(lit(1)).as("distinct_chars"))
+    val p = col("__k").cast("double") / col("__n").cast("double")
+    counts.join(totals, "__g")
+      .select(col("__g"), col("__n"), col("distinct_chars"),
+        (-p * log2(p)).cast("decimal(28,12)").as("__h"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_chars"),
+        max(col("distinct_chars")).as("distinct_chars"),
+        round(sum(col("__h")).cast("double"), 6).as("entropy_bits"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** The stopword list RAKE splits candidate phrases on — a small
     * LITERAL vocabulary shared verbatim with the oracle.
     */

@@ -603,6 +603,44 @@ class Round11Spec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("n_checked") == 3L))
   }
 
+  test("anonymityLadder: coarser bands raise min_k") {
+    import graft.pipeline.Governance
+    val df = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 900L, "A"),
+      (1L, 901L, "B")).toDF("nation", "v", "seg")
+    val r = Governance.anonymityLadder(df, "nation", "v", "seg",
+      Seq(1L, 1000L)).orderBy("band").collect()
+    assert(r(0).getAs[Long]("band") == 1L &&
+      r(0).getAs[Long]("n_classes") == 4L &&
+      r(0).getAs[Long]("min_k") == 1L)
+    assert(r(1).getAs[Long]("band") == 1000L &&
+      r(1).getAs[Long]("n_classes") == 1L &&
+      r(1).getAs[Long]("min_k") == 4L)
+  }
+
+  test("linearCka: identical paired snapshots score 1.0") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 8L by 2L).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextDouble() - 0.5)
+      Seq((i, v), (i + 1L, v)) // odd twin = even vector
+    }
+    val df = vecs.toDF("vec_id", "vec")
+    val row = Similarity.linearCka(df).collect().head
+    assert(row.getAs[Long]("n_pairs") == 4L)
+    assert(row.getAs[Double]("cka") == 1.0)
+  }
+
+  test("charEntropy: degenerate, binary, and 2-bit alphabets") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(("z", "aaaa"), ("b", "abab"), ("q", "abcd"))
+      .toDF("source", "text")
+    val r = TextAnalysis.charEntropy(docs, "source", "text")
+      .collect()
+      .map(x => x.getAs[String]("source") ->
+        x.getAs[Double]("entropy_bits")).toMap
+    assert(r("z") == 0.0 && r("b") == 1.0 && r("q") == 2.0)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
