@@ -13095,6 +13095,110 @@ object Queries {
       graft.pipeline.TextAnalysis.charEntropy(
           Tables.documents(s, d), "source", "text")
         .orderBy("source")
+    },
+
+    // Entry/exit/bounce report per page over 30-minute gap sessions:
+    // (t, event_id)-ordered endpoints via min/max(struct), exact
+    // counts, guarded bounce rate.
+    q(
+      "q367_entry_exit",
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id
+        |    AS id, event_type AS p FROM events),
+        |m AS (SELECT u, t, id, p,
+        |    CASE WHEN LAG(t) OVER w IS NULL
+        |      OR t - LAG(t) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+        |s AS (SELECT u, t, id, p,
+        |    SUM(brk) OVER (PARTITION BY u ORDER BY t, id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |s2 AS (SELECT u, sid, p,
+        |    ROW_NUMBER() OVER (PARTITION BY u, sid
+        |      ORDER BY t, id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY u, sid
+        |      ORDER BY t DESC, id DESC) AS rd
+        |  FROM s),
+        |ses AS (SELECT u, sid, COUNT(*) AS n,
+        |    MAX(CASE WHEN ra = 1 THEN p END) AS entry,
+        |    MAX(CASE WHEN rd = 1 THEN p END) AS exitp
+        |  FROM s2 GROUP BY 1, 2),
+        |en AS (SELECT entry AS page, COUNT(*) AS entries,
+        |    COUNT(CASE WHEN n = 1 THEN 1 END) AS bounces
+        |  FROM ses GROUP BY 1),
+        |ex AS (SELECT exitp AS page, COUNT(*) AS exits FROM ses
+        |  GROUP BY 1)
+        |SELECT COALESCE(en.page, ex.page) AS page,
+        |  CAST(COALESCE(en.entries, 0) AS BIGINT) AS entries,
+        |  CAST(COALESCE(ex.exits, 0) AS BIGINT) AS exits,
+        |  CAST(COALESCE(en.bounces, 0) AS BIGINT) AS bounces,
+        |  CASE WHEN COALESCE(en.entries, 0) > 0 THEN
+        |    ROUND(CAST(en.bounces AS DOUBLE)
+        |      / CAST(en.entries AS DOUBLE), 6) END AS bounce_rate
+        |FROM en FULL JOIN ex ON ex.page = en.page
+        |ORDER BY page"""
+    ) { (s, d) =>
+      graft.pipeline.Behavior.entryExitPages(
+          Tables.events(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("t"),
+              col("event_id"), col("event_type")),
+          "user_id", "t", "event_id", "event_type")
+        .orderBy("page")
+    },
+
+    // Catalog coverage report: share of parts/customers/suppliers
+    // that actually appear in sales — the cold-start surface a
+    // recommender audit starts from. Exact distinct counts, one row.
+    q(
+      "q368_catalog_coverage",
+      """WITH p AS (SELECT COUNT(*) AS n_parts FROM part),
+        |ps AS (SELECT COUNT(DISTINCT l_partkey) AS parts_sold
+        |  FROM lineitem),
+        |c AS (SELECT COUNT(*) AS n_customers FROM customer),
+        |co AS (SELECT COUNT(DISTINCT o_custkey) AS customers_active
+        |  FROM orders),
+        |su AS (SELECT COUNT(*) AS n_suppliers FROM supplier),
+        |ss AS (SELECT COUNT(DISTINCT l_suppkey) AS suppliers_active
+        |  FROM lineitem)
+        |SELECT CAST(n_parts AS BIGINT) AS n_parts,
+        |  CAST(parts_sold AS BIGINT) AS parts_sold,
+        |  ROUND(CAST(parts_sold AS DOUBLE)
+        |    / CAST(n_parts AS DOUBLE), 6) AS part_coverage,
+        |  CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(customers_active AS BIGINT) AS customers_active,
+        |  ROUND(CAST(customers_active AS DOUBLE)
+        |    / CAST(n_customers AS DOUBLE), 6) AS customer_coverage,
+        |  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+        |  CAST(suppliers_active AS BIGINT) AS suppliers_active,
+        |  ROUND(CAST(suppliers_active AS DOUBLE)
+        |    / CAST(n_suppliers AS DOUBLE), 6) AS supplier_coverage
+        |FROM p, ps, c, co, su, ss"""
+    ) { (s, d) =>
+      val p = broadcast(Tables.part(s, d)
+        .agg(count(lit(1)).as("n_parts")))
+      val ps = broadcast(Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("parts_sold")))
+      val c = broadcast(Tables.customer(s, d)
+        .agg(count(lit(1)).as("n_customers")))
+      val co = broadcast(Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("customers_active")))
+      val su = broadcast(Tables.supplier(s, d)
+        .agg(count(lit(1)).as("n_suppliers")))
+      val ss = broadcast(Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_suppkey")).as("suppliers_active")))
+      p.crossJoin(ps).crossJoin(c).crossJoin(co).crossJoin(su)
+        .crossJoin(ss)
+        .select(col("n_parts"), col("parts_sold"),
+          round(col("parts_sold").cast("double") /
+            col("n_parts").cast("double"), 6).as("part_coverage"),
+          col("n_customers"), col("customers_active"),
+          round(col("customers_active").cast("double") /
+            col("n_customers").cast("double"), 6)
+            .as("customer_coverage"),
+          col("n_suppliers"), col("suppliers_active"),
+          round(col("suppliers_active").cast("double") /
+            col("n_suppliers").cast("double"), 6)
+            .as("supplier_coverage"))
     }
   )
 

@@ -1085,6 +1085,61 @@ object Behavior {
         round(col("__head") + col("__tail"), 6).as("rmst_days"))
   }
 
+  /** Entry/exit page report over gap-based sessions: per page (event
+    * type), how many sessions ENTER there, EXIT there, and BOUNCE
+    * (single-event sessions) — the landing/abandonment surface next
+    * to q105's session windows and q257's conversion.
+    *
+    * Determinism: the in-session order is (t, event_id) — a total
+    * order, so first/last per session are unambiguous; sessions break
+    * on gaps ≥ `gapUs` (the q105 semantics). All counts are exact
+    * integers; bounce_rate is one division, ROUND(6).
+    *
+    * Scale shape: one user-keyed window pass (shared by the break
+    * flag, session id, and both endpoints), one session aggregate,
+    * one page aggregate.
+    */
+  def entryExitPages(
+      events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, pageCol: String,
+      gapUs: Long = 1800000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val marked = events
+      .select(col(userCol).as("__u"), col(tsCol).as("__t"),
+        col(idCol).as("__id"), col(pageCol).as("__p"))
+      .withColumn("__brk",
+        when(lag(col("__t"), 1).over(Window.partitionBy(col("__u"))
+          .orderBy(col("__t"), col("__id"))).isNull ||
+          col("__t") - lag(col("__t"), 1)
+            .over(Window.partitionBy(col("__u"))
+              .orderBy(col("__t"), col("__id"))) >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__brk"))
+        .over(Window.partitionBy(col("__u"))
+          .orderBy(col("__t"), col("__id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = marked.groupBy(col("__u"), col("__sid"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__t"), col("__id"), col("__p")))
+          .getField("__p").as("__entry"),
+        max(struct(col("__t"), col("__id"), col("__p")))
+          .getField("__p").as("__exit"))
+    val entries = sessions.groupBy(col("__entry").as("page"))
+      .agg(count(lit(1)).as("entries"),
+        count(when(col("__n") === 1, lit(1))).as("bounces"))
+    val exits = sessions.groupBy(col("__exit").as("page"))
+      .agg(count(lit(1)).as("exits"))
+    entries.join(exits, Seq("page"), "full")
+      .na.fill(0L, Seq("entries", "bounces", "exits"))
+      .select(col("page"), col("entries"), col("exits"),
+        col("bounces"),
+        when(col("entries") > 0,
+          round(col("bounces").cast("double") /
+            col("entries").cast("double"), 6)).as("bounce_rate"))
+  }
+
   /** Matched-cohort ATT: every treated unit matches its NEAREST
     * control on an integer covariate within the same stratum (exact
     * match on `keyCol`, nearest on `xCol` within `tolerance`), and

@@ -641,6 +641,24 @@ class Round11Spec extends SparkSpec {
     assert(r("z") == 0.0 && r("b") == 1.0 && r("q") == 2.0)
   }
 
+  test("entryExitPages: sessions split on the gap, bounces counted") {
+    // user 1: A->B (one session), then C alone after a 1h gap
+    val hour = 3600000000L
+    val ev = Seq(
+      (1L, 0L, 1L, "A"), (1L, 60000000L, 2L, "B"),
+      (1L, 2L * hour, 3L, "C")).toDF("u", "t", "id", "p")
+    val r = Behavior.entryExitPages(ev, "u", "t", "id", "p")
+      .orderBy("page").collect()
+    val m = r.map(x => x.getAs[String]("page") ->
+      (x.getAs[Long]("entries"), x.getAs[Long]("exits"),
+        x.getAs[Long]("bounces"))).toMap
+    assert(m("A") == (1L, 0L, 0L)) // entry of session 1
+    assert(m("B") == (0L, 1L, 0L)) // exit of session 1
+    assert(m("C") == (1L, 1L, 1L)) // bounce session
+    val c = r.find(_.getAs[String]("page") == "C").get
+    assert(c.getAs[Double]("bounce_rate") == 1.0)
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
