@@ -80,6 +80,38 @@ class Round11PlanSpec extends SparkSpec {
     assert(below.contains("Aggregate"), qe)
   }
 
+  test("mixRateDecomposition: one cell aggregate + 1-row broadcast") {
+    val ev = Tables.events(spark, sf)
+      .select((col("user_id") % 2).as("coh"), col("event_type"),
+        floor(col("value") * 1000.0).cast("long").as("vq"))
+    val plan = planOf(Profiler.mixRateDecomposition(
+      ev, "coh", "event_type", "vq"))
+    // the only join is the broadcast of the 1-row totals
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") <= 1,
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("topNOtherRollup: winners arrive by broadcast, never a shuffle join") {
+    val df = Seq(("a", 10L), ("b", 5L), ("c", 1L)).toDF("k", "v")
+    val plan = planOf(Profiler.topNOtherRollup(df, "k", "v", 2))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("contractAudit evaluates all rules in ONE aggregate pass") {
+    import graft.pipeline.Governance
+    val docs = Tables.documents(spark, sf)
+    val df = Governance.contractAudit(docs, Seq(
+      "a" -> col("text").isNotNull, "b" -> (col("n_chars") >= 0)))
+    val plan = planOf(df)
+    // one scan; the stack() unpivot adds a Generate, never extra scans
+    assert(countOccurrences(plan, "FileScan") +
+      countOccurrences(plan, "Scan parquet") <= 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("ksBhFdr: BH pass is windows over the groups table only") {
     val ev = Tables.events(spark, sf)
       .select(col("event_type"),
