@@ -1227,11 +1227,15 @@ object Behavior {
     require(k >= 1, "no states with outgoing transitions")
     var pi = states.select(col("s"), lit(1.0 / k).as("pi"))
     for (_ <- 1 to iters) {
+      // localCheckpoint per round: the k-row iterate is trivial to
+      // materialize, and an unbroken 25-join lineage costs seconds of
+      // Catalyst analysis alone (the CC-loop plan-depth discipline)
       pi = pr.join(pi, pr("from_state") === pi("s"))
         .groupBy(col("to_state"))
         .agg(round(sum((col("pi") * col("prob"))
           .cast("decimal(28,15)")).cast("double"), 9).as("pi"))
         .select(col("to_state").as("s"), col("pi"))
+        .localCheckpoint(true)
     }
     val out = pi.select(col("s").as("state"),
       col("pi").as("stationary_p"))
