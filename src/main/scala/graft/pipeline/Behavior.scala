@@ -1223,23 +1223,42 @@ object Behavior {
         (col("n").cast("double") / col("__t").cast("double"))
           .as("prob"))
       .cache()
-    val k = states.count()
+    // k×k chain iteration is a DRIVER kernel under an explicit size
+    // guard (the IVF-centroid bounded-serving contract): 25 joins —
+    // even checkpointed — cost 25 blocking jobs for k² rows of work.
+    // The Scala arithmetic replicates Spark's semantics EXACTLY:
+    // quantize each term to DECIMAL(28,15) HALF_UP, exact decimal
+    // sum (order-free), ROUND(_, 9) HALF_UP on the double iterate —
+    // pinned green against the unrolled-SQL oracle at 3 SFs.
+    val rows = pr.collect()
+    require(rows.length <= 64 * 64,
+      s"state space too large for the driver kernel: ${rows.length}")
+    val stateIds = rows.flatMap(r => Seq(r.getAs[Any]("from_state"),
+      r.getAs[Any]("to_state"))).distinct.sortBy(_.toString)
+    val k = stateIds.length
     require(k >= 1, "no states with outgoing transitions")
-    var pi = states.select(col("s"), lit(1.0 / k).as("pi"))
+    val idx = stateIds.zipWithIndex.toMap
+    val trans = rows.map(r => (idx(r.getAs[Any]("from_state")),
+      idx(r.getAs[Any]("to_state")), r.getAs[Double]("prob")))
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    var piV = Array.fill(k)(1.0 / k)
     for (_ <- 1 to iters) {
-      // localCheckpoint per round: the k-row iterate is trivial to
-      // materialize, and an unbroken 25-join lineage costs seconds of
-      // Catalyst analysis alone (the CC-loop plan-depth discipline)
-      pi = pr.join(pi, pr("from_state") === pi("s"))
-        .groupBy(col("to_state"))
-        .agg(round(sum((col("pi") * col("prob"))
-          .cast("decimal(28,15)")).cast("double"), 9).as("pi"))
-        .select(col("to_state").as("s"), col("pi"))
-        .localCheckpoint(true)
+      val acc = Array.fill(k)(JBD.ZERO)
+      trans.foreach { case (f, t, p) =>
+        acc(t) = acc(t).add(
+          JBD.valueOf(piV(f) * p).setScale(15, RoundingMode.HALF_UP))
+      }
+      piV = acc.map(a =>
+        a.setScale(9, RoundingMode.HALF_UP).doubleValue())
     }
-    val out = pi.select(col("s").as("state"),
-      col("pi").as("stationary_p"))
-    PipelineCache.materialize(pr)(out)
+    val spark = transitions.sparkSession
+    import spark.implicits._
+    val out = stateIds.zipWithIndex
+      .filter { case (_, i) => trans.exists(_._2 == i) }
+      .map { case (s, i) => (s.toString, piV(i)) }.toSeq
+      .toDF("state", "stationary_p")
+    pr.unpersist(false)
+    out
   }
 
   /** Adamic–Adar link prediction over item co-baskets: for each item
