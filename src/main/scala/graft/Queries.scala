@@ -13199,6 +13199,111 @@ object Queries {
           round(col("suppliers_active").cast("double") /
             col("n_suppliers").cast("double"), 6)
             .as("supplier_coverage"))
+    },
+
+    // Mann–Kendall monotone-trend test per sensor over WEEKLY totals
+    // (the O(B²) pair join runs on week cardinality, never rows):
+    // integer S, exact tie correction, ±1 continuity in a shared
+    // CASE.
+    q(
+      "q369_mann_kendall",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) // 604800000000 AS wk,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
+        |b AS (SELECT sensor_id, wk, CAST(SUM(q) AS BIGINT) AS v
+        |  FROM s GROUP BY 1, 2),
+        |sp AS (SELECT a.sensor_id,
+        |    CAST(SUM(CASE WHEN b2.v > a.v THEN 1
+        |      WHEN b2.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s_stat
+        |  FROM b a JOIN b b2 ON a.sensor_id = b2.sensor_id
+        |    AND a.wk < b2.wk
+        |  GROUP BY 1),
+        |tt AS (SELECT sensor_id, v, COUNT(*) AS t FROM b
+        |  GROUP BY 1, 2),
+        |tz AS (SELECT sensor_id, CAST(SUM(t) AS BIGINT) AS nb,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tp
+        |  FROM tt GROUP BY 1),
+        |j AS (SELECT sp.sensor_id, tz.nb, sp.s_stat,
+        |    (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)
+        |      * (2.0::DOUBLE * CAST(nb AS DOUBLE) + 5.0)
+        |      - CAST(tp AS DOUBLE)) / 18.0::DOUBLE AS vs
+        |  FROM sp JOIN tz ON tz.sensor_id = sp.sensor_id)
+        |SELECT sensor_id, nb AS n_buckets, s_stat,
+        |  ROUND(CASE WHEN s_stat > 0
+        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(vs)
+        |    WHEN s_stat < 0
+        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(vs)
+        |    ELSE 0.0::DOUBLE END, 6) AS z
+        |FROM j WHERE nb >= 8 AND vs > 0 ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.mannKendall(
+          EventsAdapter.samples(s, d)
+            .select(col("sensor_id"),
+              expr("timestamp_us div 604800000000").as("wk"),
+              floor(col("value") * 1000.0).cast("long").as("vq")),
+          "sensor_id", "wk", "vq")
+        .orderBy("sensor_id")
+    },
+
+    // Autocorrelation-adjusted effective sample size per sensor:
+    // ESS = n/(1 + 2(ρ₁+ρ₂+ρ₃)) on the q199 correlation chains —
+    // the honest-n behind any confidence band on telemetry.
+    q(
+      "q370_ess",
+      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (SELECT sensor_id, v,
+        |    LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+        |    LAG(v, 3) OVER w AS l3
+        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
+        |a AS (SELECT sensor_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END)
+        |      AS DOUBLE) AS sxx1,
+        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
+        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
+        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1,
+        |    CAST(COUNT(l2) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx2,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v * v END)
+        |      AS DOUBLE) AS sxx2,
+        |    CAST(SUM(l2) AS DOUBLE) AS sy2,
+        |    CAST(SUM(l2 * l2) AS DOUBLE) AS syy2,
+        |    CAST(SUM(v * l2) AS DOUBLE) AS sxy2,
+        |    CAST(COUNT(l3) AS DOUBLE) AS n3,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v END) AS DOUBLE)
+        |      AS sx3,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v * v END)
+        |      AS DOUBLE) AS sxx3,
+        |    CAST(SUM(l3) AS DOUBLE) AS sy3,
+        |    CAST(SUM(l3 * l3) AS DOUBLE) AS syy3,
+        |    CAST(SUM(v * l3) AS DOUBLE) AS sxy3
+        |  FROM l GROUP BY 1),
+        |r AS (SELECT sensor_id, n,
+        |    (n1 * sxy1 - sx1 * sy1) / (sqrt(n1 * sxx1 - sx1 * sx1)
+        |      * sqrt(n1 * syy1 - sy1 * sy1)) AS r1,
+        |    (n2 * sxy2 - sx2 * sy2) / (sqrt(n2 * sxx2 - sx2 * sx2)
+        |      * sqrt(n2 * syy2 - sy2 * sy2)) AS r2,
+        |    (n3 * sxy3 - sx3 * sy3) / (sqrt(n3 * sxx3 - sx3 * sx3)
+        |      * sqrt(n3 * syy3 - sy3 * sy3)) AS r3
+        |  FROM a)
+        |SELECT sensor_id, n, ROUND(r1, 6) AS rho1,
+        |  ROUND(r2, 6) AS rho2, ROUND(r3, 6) AS rho3,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / (1.0::DOUBLE + 2.0::DOUBLE * (r1 + r2 + r3)), 6)
+        |    AS ess
+        |FROM r ORDER BY sensor_id"""
+    ) { (s, d) =>
+      graft.pipeline.Profiler.effectiveSampleSize(
+          EventsAdapter.samples(s, d),
+          "sensor_id", "timestamp_us", "value")
+        .orderBy("sensor_id")
     }
   )
 

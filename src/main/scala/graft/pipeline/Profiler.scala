@@ -2759,6 +2759,106 @@ object Profiler {
           (col("c_s") * col("__nt")).cast("double"), 6).as("weight"))
   }
 
+  /** Mann–Kendall trend test per series over bucketed totals: S =
+    * Σ_{i<j} sign(vⱼ − vᵢ) with the tie-corrected normal
+    * approximation — the non-parametric "is this drifting
+    * monotonically" test that needs no linearity assumption (the
+    * inference companion to Theil–Sen's slope).
+    *
+    * Exactness: bucket totals are exact integers, S is an integer
+    * pair sum, the tie term Σt(t−1)(2t+5) is exact long arithmetic,
+    * and z is one fixed IEEE shape with the ±1 continuity correction
+    * in a CASE both engines replay. ROUND(6).
+    *
+    * Scale shape: the data reduces to (series, bucket) totals FIRST;
+    * the O(B²) pair join runs on bucket cardinality per series
+    * (weeks, not rows) — the q345 bounded-cubic discipline.
+    */
+  def mannKendall(
+      df: DataFrame, seriesCol: String, bucketCol: String,
+      quantCol: String, minBuckets: Int = 8): DataFrame = {
+    val b = df.groupBy(col(seriesCol).as("__g"),
+        col(bucketCol).as("__b"))
+      .agg(sum(col(quantCol)).cast("long").as("__v"))
+    val l = b.select(col("__g"), col("__b").as("__bi"),
+      col("__v").as("__vi"))
+    val r = b.select(col("__g"), col("__b").as("__bj"),
+      col("__v").as("__vj"))
+    val s = l.join(r, Seq("__g"))
+      .filter(col("__bi") < col("__bj"))
+      .groupBy(col("__g"))
+      .agg(sum(signum(col("__vj") - col("__vi")).cast("long"))
+        .cast("long").as("s_stat"))
+    val ties = b.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__t")).cast("long").as("n_buckets"),
+        sum(col("__t") * (col("__t") - 1) *
+          (lit(2L) * col("__t") + 5)).cast("long").as("__tp"))
+    val nd = col("n_buckets").cast("double")
+    val varS = (nd * (nd - 1.0) * (lit(2.0) * nd + 5.0) -
+      col("__tp").cast("double")) / 18.0
+    s.join(ties, "__g")
+      .filter(col("n_buckets") >= minBuckets && varS > 0)
+      .select(col("__g").as(seriesCol), col("n_buckets"),
+        col("s_stat"),
+        round(when(col("s_stat") > 0,
+          (col("s_stat").cast("double") - 1.0) / sqrt(varS))
+          .when(col("s_stat") < 0,
+            (col("s_stat").cast("double") + 1.0) / sqrt(varS))
+          .otherwise(lit(0.0)), 6).as("z"))
+  }
+
+  /** Autocorrelation-adjusted effective sample size per series:
+    * ESS = n / (1 + 2(ρ₁ + ρ₂ + ρ₃)) — how many INDEPENDENT samples
+    * the series is worth (the correction every naive ±1.96/√n
+    * confidence band needs on autocorrelated telemetry). Truncated
+    * at lag 3 (the [[autocorrelation]] window).
+    *
+    * Exactness: the ρₖ are the q199 chains on exact µ-unit sums; the
+    * ESS is one fixed IEEE chain with the ρ sum in explicit
+    * left-assoc order, ROUND(6); degenerate series null-propagate.
+    */
+  def effectiveSampleSize(
+      df: DataFrame, seriesCol: String, tsCol: String,
+      valCol: String, unitsPerValue: Double = 1e6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col(tsCol), col("__vq"))
+    val lagged = (1 to 3).foldLeft(
+      df.select(col(seriesCol), col(tsCol),
+        microUnits(col(valCol), unitsPerValue).as("__vq"))) { (acc, k) =>
+      acc.withColumn(s"__l$k", lag(col("__vq"), k).over(w))
+    }
+    def dsum0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val aggs = count(lit(1)).as("__n0") +: (1 to 3).flatMap { k =>
+      val y = col(s"__l$k")
+      val on = y.isNotNull
+      Seq(
+        count(y).cast("double").as(s"__n$k"),
+        dsum0(when(on, col("__vq"))).as(s"__sx$k"),
+        dsum0(when(on, col("__vq") * col("__vq"))).as(s"__sxx$k"),
+        dsum0(y).as(s"__sy$k"),
+        dsum0(y * y).as(s"__syy$k"),
+        dsum0(col("__vq") * y).as(s"__sxy$k"))
+    }
+    val one = lagged.groupBy(col(seriesCol))
+      .agg(aggs.head, aggs.tail: _*)
+    def rExpr(k: Int): String =
+      s"try_divide(`__n$k` * `__sxy$k` - `__sx$k` * `__sy$k`," +
+        s" sqrt(`__n$k` * `__sxx$k` - `__sx$k` * `__sx$k`)" +
+        s" * sqrt(`__n$k` * `__syy$k` - `__sy$k` * `__sy$k`))"
+    one
+      .selectExpr(seriesCol, "CAST(`__n0` AS BIGINT) AS n",
+        s"${rExpr(1)} AS __r1", s"${rExpr(2)} AS __r2",
+        s"${rExpr(3)} AS __r3")
+      .selectExpr(seriesCol, "n",
+        "round(__r1, 6) AS rho1", "round(__r2, 6) AS rho2",
+        "round(__r3, 6) AS rho3",
+        "round(CAST(n AS DOUBLE) / (1.0D + 2.0D *" +
+          " (__r1 + __r2 + __r3)), 6) AS ess")
+  }
+
   /** Mix/rate decomposition of a metric gap between two cohorts
     * (Oaxaca–Blinder / revenue-bridge style): Δ = m̄_A − m̄_B splits
     * into MIX (segment-share shift valued at B's rates,

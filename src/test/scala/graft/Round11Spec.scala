@@ -659,6 +659,33 @@ class Round11Spec extends SparkSpec {
     assert(c.getAs[Double]("bounce_rate") == 1.0)
   }
 
+  test("mannKendall: strictly increasing buckets give S = n(n-1)/2") {
+    val df = (1 to 10).map(i => ("s", i.toLong, i.toLong))
+      .toDF("sid", "bk", "vq")
+    val row = Profiler.mannKendall(df, "sid", "bk", "vq")
+      .collect().head
+    assert(row.getAs[Long]("s_stat") == 45L)
+    // z = 44/sqrt(10*9*25/18) = 44/sqrt(125)
+    assert(row.getAs[Double]("z") == 3.93548)
+    // a flat series has S = 0 but all-tied variance 0 -> dropped
+    val flat = (1 to 10).map(i => ("s", i.toLong, 7L))
+      .toDF("sid", "bk", "vq")
+    assert(Profiler.mannKendall(flat, "sid", "bk", "vq").count() == 0)
+  }
+
+  test("effectiveSampleSize: near-iid noise keeps ESS near n") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map(i =>
+      ("s", i.toLong, rnd.nextDouble()))
+    val df = rows.toDF("sensor_id", "timestamp_us", "value")
+    val row = Profiler.effectiveSampleSize(
+      df, "sensor_id", "timestamp_us", "value").collect().head
+    val n = row.getAs[Long]("n")
+    val ess = row.getAs[Double]("ess")
+    assert(n == 300L)
+    assert(ess > 0.5 * n && ess < 2.0 * n, s"ess=$ess")
+  }
+
   test("laplaceNoisyCounts is deterministic and salt-sensitive") {
     val df = Seq.tabulate(50)(i => (s"g${i % 3}", i)).toDF("g", "x")
     val a = Governance.laplaceNoisyCounts(df, "g", "s1:")
