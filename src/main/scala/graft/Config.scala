@@ -64,6 +64,18 @@ object Config {
   def ingestQueueLimit: Int =
     get("GRAFT_INGEST_QUEUE_LIMIT").map(_.toInt).getOrElse(16)
 
+  /** Gateway per-request log filter, env-driven like the reference's
+    * tracing subscriber (reference: src/main.rs:35-41 — EnvFilter from
+    * the environment, default "info"). Accepted: off | error | info |
+    * debug; list values ("info,tower_http=info") take the first
+    * segment's level, matching the reference default string's shape. */
+  def logLevel: String =
+    get("SENSAPP_LOG").orElse(get("RUST_LOG")).getOrElse("info")
+      .toLowerCase.takeWhile(_ != ',').trim match {
+      case l @ ("off" | "error" | "info" | "debug") => l
+      case _ => "info"
+    }
+
   /** byte_unit-style size parse ("10mb", "512 KiB", "1.5GB", "1024"):
     * decimal units are powers of 1000, binary (…iB) powers of 1024,
     * case-insensitive — the subset of byte_unit::Byte::parse_str the

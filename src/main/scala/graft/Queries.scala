@@ -6326,13 +6326,15 @@ object Queries {
     },
 
     // Time-weighted average per sensor — irregular-sampling mean with
-    // DECIMAL v·dt accumulation (order-free integer arithmetic; the
-    // only IEEE op is the final division). DECIMAL(18,6)×DECIMAL(19,0)
-    // keeps DuckDB's multiply on the int128 path (the q150 same-width
-    // int64 overflow gotcha). The twa surface splits vdt_sum into
-    // FLOOR (exact long, long→double correctly rounded identically) +
-    // fraction (unscaled < 2^53 → exact decimal→double both engines),
-    // then ONE add and ONE divide — bit-identical raw double, no ROUND.
+    // DECIMAL v·dt accumulation (order-free integer arithmetic).
+    // DECIMAL(18,6)×DECIMAL(19,0) keeps DuckDB's multiply on the int128
+    // path (the q150 same-width int64 overflow gotcha). Compare surface
+    // is DOUBLE-FREE (the r10 verdict's one red row: twa as a raw IEEE
+    // double was locally bit-identical twice yet failed the driver hash
+    // twice — integers/decimals have a perfect hash record, so the mean
+    // is published as twa_micro = floor(vdt_sum·10⁶ / span_us), a
+    // BIGINT produced by base-1000 schoolbook division wholly in BIGINT
+    // +,·,DIV,% — no decimal division, engines disagree on its scale).
     q(
       "q180_time_weighted_avg",
       """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
@@ -6345,15 +6347,26 @@ object Queries {
         |g AS (SELECT sensor_id, COUNT(*) AS n_samples,
         |    MAX(t) - MIN(t) AS span_us,
         |    CAST(COALESCE(SUM(vdt), 0) AS DECIMAL(38,6)) AS vdt_sum
-        |  FROM v GROUP BY 1)
+        |  FROM v GROUP BY 1),
+        |g2 AS (SELECT *, CAST(FLOOR(vdt_sum) AS BIGINT) AS s0,
+        |    CAST(CAST(vdt_sum - FLOOR(vdt_sum) AS DECIMAL(7,6)) * 1000000
+        |      AS BIGINT) AS f6,
+        |    CASE WHEN span_us > 0 THEN span_us ELSE 1 END AS bs
+        |  FROM g),
+        |g3 AS (SELECT *, (s0 // bs) - (CASE WHEN s0 < 0 AND s0 % bs <> 0
+        |    THEN 1 ELSE 0 END) AS q0 FROM g2),
+        |g4 AS (SELECT *, (s0 - q0*bs) * 1000 + f6 // 1000 AS t1 FROM g3),
+        |g5 AS (SELECT *, t1 // bs AS q1 FROM g4),
+        |g6 AS (SELECT *, (t1 - q1*bs) * 1000 + f6 % 1000 AS t2 FROM g5)
         |SELECT sensor_id, n_samples, span_us, vdt_sum,
-        |  (CAST(CAST(FLOOR(vdt_sum) AS BIGINT) AS DOUBLE) +
-        |   CAST(vdt_sum - FLOOR(vdt_sum) AS DOUBLE)) /
-        |    CAST(span_us AS DOUBLE) AS twa
-        |FROM g ORDER BY sensor_id"""
+        |  CASE WHEN span_us > 0 THEN q0*1000000 + q1*1000 + t2 // bs END
+        |    AS twa_micro
+        |FROM g6 ORDER BY sensor_id"""
     ) { (s, d) =>
       graft.operators.SensorOps.timeWeightedAvg(
           EventsAdapter.samples(s, d))
+        .select("sensor_id", "n_samples", "span_us", "vdt_sum",
+          "twa_micro")
         .orderBy("sensor_id")
     },
 
@@ -10946,8 +10959,9 @@ object Queries {
         |    VARCHAR)), 1, 15))::BIGINT AS cust_surrogate,
         |  substr(c_name, 1, 9) || repeat('*',
         |    greatest(length(c_name) - 9, 0)) AS name_masked,
-        |  ((CAST(FLOOR(c_acctbal) AS BIGINT) + 1000000000) // 1000)
-        |    * 1000 - 1000000000 AS acctbal_band,
+        |  CAST(FLOOR(c_acctbal) AS BIGINT) -
+        |    ((CAST(FLOOR(c_acctbal) AS BIGINT) % 1000 + 1000) % 1000)
+        |    AS acctbal_band,
         |  c_mktsegment
         |FROM customer ORDER BY cust_surrogate"""
     ) { (s, d) =>
@@ -10970,8 +10984,9 @@ object Queries {
     q(
       "q315_k_anonymity",
       """WITH q AS (SELECT c_nationkey,
-        |    ((CAST(FLOOR(c_acctbal) AS BIGINT) + 1000000000) // 1000)
-        |      * 1000 - 1000000000 AS band,
+        |    CAST(FLOOR(c_acctbal) AS BIGINT) -
+        |      ((CAST(FLOOR(c_acctbal) AS BIGINT) % 1000 + 1000) % 1000)
+        |      AS band,
         |    c_mktsegment
         |  FROM customer),
         |cls AS (SELECT c_nationkey, band, COUNT(*) AS k,
@@ -12526,8 +12541,9 @@ object Queries {
         |neg AS (SELECT c.u, c.it, c.i FROM cand c
         |  LEFT JOIN pos ON pos.u = c.u AND pos.it = c.it
         |  WHERE pos.u IS NULL),
+        |dd AS (SELECT u, it, MIN(i) AS i FROM neg GROUP BY 1, 2),
         |rk AS (SELECT u, it, i, ROW_NUMBER() OVER (
-        |    PARTITION BY u ORDER BY i) AS rn FROM neg)
+        |    PARTITION BY u ORDER BY i) AS rn FROM dd)
         |SELECT u AS user_id, it AS item_id, CAST(i AS BIGINT)
         |    AS draw_idx
         |FROM rk WHERE rn <= 3 ORDER BY user_id, draw_idx"""
@@ -14274,13 +14290,11 @@ object Queries {
   }
 
   /** q364 oracle: the q315 k-anonymity summary replayed at each band
-    * width (offset-shifted floor bands — the bandFloor contract) and
-    * stacked.
+    * width (posmod floor bands — the bandFloor contract) and stacked.
     */
   private lazy val anonLadderSql: String = {
     // the inner GROUP BY builds the equivalence classes
     val blocks = Seq(100L, 1000L, 10000L).map { b =>
-      val off = b * 1000000L
       s"""SELECT $b AS band, COUNT(*) AS n_classes,
          |  CAST(SUM(k) AS BIGINT) AS n_rows,
          |  MIN(k) AS min_k, MAX(k) AS max_k,
@@ -14294,8 +14308,9 @@ object Queries {
          |FROM (SELECT c_nationkey, bnd, COUNT(*) AS k,
          |    COUNT(DISTINCT c_mktsegment) AS l
          |  FROM (SELECT c_nationkey,
-         |      ((CAST(FLOOR(c_acctbal) AS BIGINT) + $off) // $b)
-         |        * $b - $off AS bnd,
+         |      CAST(FLOOR(c_acctbal) AS BIGINT) -
+         |        ((CAST(FLOOR(c_acctbal) AS BIGINT) % $b + $b) % $b)
+         |        AS bnd,
          |      c_mktsegment
          |    FROM customer)
          |  GROUP BY 1, 2)"""

@@ -34,6 +34,12 @@ final class Gateway(
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
   private var watchdog: java.util.concurrent.ScheduledExecutorService = _
+  // 408 writes run here, NOT on the scheduler thread: a timeout answer
+  // is a blocking socket write to a possibly-slow client, and the
+  // scheduler is single-threaded — one stalled client would delay every
+  // other pending 408. Cached pool: ~always empty, grows only under
+  // timeout storms, threads expire after 60 s idle.
+  private var watchdogIo: java.util.concurrent.ExecutorService = _
 
   /** Bounded ingest admission (reference: docs/ARCHITECTURE.md:114-118 —
     * the publisher queue saturates and sheds). Permits re-read per
@@ -43,10 +49,41 @@ final class Gateway(
   private final class PayloadTooLarge(msg: String)
     extends RuntimeException(msg)
 
+  /** Per-request log sink — one structured line per completed exchange
+    * (method, path, status, µs), the reference's TraceLayer on_response
+    * at INFO (reference: src/ingestors/http/server.rs:68-72, env filter
+    * src/main.rs:35-41). Swappable so GatewaySpec can capture lines;
+    * default stderr. Query strings are NOT logged (they can carry
+    * matcher values) and headers never are — the reference marks
+    * authorization/cookie sensitive (server.rs:63), we log none at all.
+    */
+  @volatile var logSink: String => Unit = System.err.println
+
+  private def logRequest(method: String, path: String, status: Int,
+      micros: Long): Unit = {
+    val lvl = graft.Config.logLevel
+    val emit = lvl match {
+      case "off" => false
+      case "error" => status >= 500
+      case _ => true // info | debug
+    }
+    if (emit) logSink(
+      s"""{"level":"info","target":"gateway","method":${jsonStr(method)},""" +
+        s""""path":${jsonStr(path)},"status":$status,"us":$micros}""")
+  }
+
   /** Bind and start; port 0 picks an ephemeral port. Returns bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     route("/", (x, _) => respond(x, 200, "application/json", "\"" + name + "\""))
+    // OpenAPI document + viewer, the reference's Scalar mount
+    // (server.rs:85): JSON spec by default; a browser (Accept:
+    // text/html) gets the self-contained viewer page over the same URL.
+    route("/docs", (x, _) =>
+      if (header(x, "accept").exists(_.contains("text/html")))
+        respond(x, 200, "text/html", ApiDoc.docsHtml(name))
+      else
+        respond(x, 200, "application/json", ApiDoc.openApiJson(name)))
     route("/health/live", (x, _) => respond(x, 200, "text/plain", "ok"))
     route("/health/ready", (x, _) => respond(x, 200, "text/plain", "ok"))
     route("/metrics", handleMetrics)
@@ -83,6 +120,8 @@ final class Gateway(
     // attempt is suppressed by the responded-guard in respondBytes.
     watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "gateway-watchdog"); t.setDaemon(true); t })
+    watchdogIo = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "gateway-watchdog-io"); t.setDaemon(true); t })
     ingestSlots = new java.util.concurrent.Semaphore(graft.Config.ingestQueueLimit)
     server.start()
     server.getAddress.getPort
@@ -92,6 +131,7 @@ final class Gateway(
     if (server != null) server.stop(0)
     if (pool != null) pool.shutdown()
     if (watchdog != null) watchdog.shutdownNow()
+    if (watchdogIo != null) watchdogIo.shutdownNow()
   }
 
   // ------------------------------------------------------------- plumbing
@@ -99,13 +139,19 @@ final class Gateway(
   private def route(path: String, h: (HttpExchange, Map[String, String]) => Unit): Unit =
     server.createContext(path, new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
+        val t0 = System.nanoTime()
         // server timeout (reference: TimeoutLayer with REQUEST_TIMEOUT,
         // src/ingestors/http/server.rs:74-77): a watchdog answers 408 at
         // the deadline if the handler hasn't responded; the
         // responded-guard makes the race with a completing handler safe.
+        // The scheduler thread only DISPATCHES — the blocking socket
+        // write runs on the cached watchdogIo pool, so one slow client
+        // draining its 408 can't delay other pending timeouts.
         val deadline = watchdog.schedule(new Runnable {
-          override def run(): Unit =
-            respondError(x, 408, "request timed out")
+          override def run(): Unit = watchdogIo.execute(new Runnable {
+            override def run(): Unit =
+              respondError(x, 408, "request timed out")
+          })
         }, graft.Config.httpServerTimeoutSeconds,
           java.util.concurrent.TimeUnit.SECONDS)
         try {
@@ -126,6 +172,8 @@ final class Gateway(
         } finally {
           deadline.cancel(false)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          logRequest(x.getRequestMethod, x.getRequestURI.getPath,
+            x.getResponseCode, (System.nanoTime() - t0) / 1000L)
           x.close()
         }
       }
@@ -328,6 +376,14 @@ final class Gateway(
     * publishes admitted at once; beyond that the edge sheds with 503 +
     * Retry-After instead of piling unbounded Spark jobs — the
     * explicit overload signal the reference's publisher queue gives.
+    *
+    * Slot lifetime: a slot is held for the FULL duration of the Spark
+    * job, including after a 408 has already answered the client — the
+    * job itself cannot be safely aborted mid-stage, and admitting a new
+    * publish while the old job still consumes executors would make the
+    * admission bound a fiction. Under timeout storms this intentionally
+    * pushes further publishes into the 503 shed path: the cluster IS
+    * overloaded, and shedding is the honest signal.
     */
   private def withIngestSlot(x: HttpExchange)(work: => Unit): Unit = {
     if (!ingestSlots.tryAcquire()) {

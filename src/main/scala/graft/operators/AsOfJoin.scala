@@ -127,7 +127,10 @@ object AsOfJoin {
     * partition pair instead of the union+window carry. PropertySpec
     * pins the two equivalent; requires the session to carry
     * [[graft.GraftExtensions]] (GraftSession does) and a LongType
-    * `ts` on both sides.
+    * `ts` on both sides. Key columns must share one data type (the
+    * physical operator rejects a mismatch at plan time — cast before
+    * joining); NULL keys match nothing and are skipped on both sides,
+    * the same SQL-join semantics the composed [[asOf]] twin produces.
     */
   def asOfNative(
       left: DataFrame,

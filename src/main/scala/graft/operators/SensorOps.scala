@@ -282,6 +282,39 @@ object SensorOps {
         val lo = (col("vdt_sum") - fl).cast("double")
         try_divide(hi + lo, col("span_us").cast("double"))
       })
+      // twa_micro: floor(vdt_sum · 10⁶ / span_us) — the SAME mean on an
+      // exact integer micro-unit surface, for consumers (and oracles)
+      // that need a hash-stable representation with no IEEE operation
+      // anywhere. Computed as base-1000 schoolbook long division wholly
+      // in BIGINT: s0 = floor(vdt_sum) (exact, fits by the same 2⁶³
+      // magnitude contract as twa), f6 = the six fractional digits
+      // (exact: the scale-6 remainder is < 1, so DECIMAL(7,6)×10⁶ is an
+      // integer < 10⁶), then three floor-division steps whose partial
+      // remainders stay < span_us·1000 < 2⁶³ (span < 292 years). The
+      // first step's dividend can be negative (negative values ⇒
+      // negative sum), so its trunc DIV gets the explicit floor
+      // correction; later dividends are remainder-built and ≥ 0. Every
+      // op is BIGINT +,·,DIV,% — identical results on any engine, no
+      // decimal division (engines disagree on its result scale) and no
+      // doubles.
+      .withColumn("__s0", floor(col("vdt_sum")).cast("long"))
+      .withColumn("__f6", ((col("vdt_sum") - floor(col("vdt_sum")))
+        .cast("decimal(7,6)") * lit(1000000)).cast("long"))
+      .withColumn("__bs",
+        when(col("span_us") > 0, col("span_us")).otherwise(lit(1L)))
+      .withColumn("__q0", expr("__s0 div __bs") -
+        when(col("__s0") < 0 && expr("__s0 % __bs") =!= 0, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__t1", (col("__s0") - col("__q0") * col("__bs")) *
+        lit(1000L) + expr("__f6 div 1000"))
+      .withColumn("__q1", expr("__t1 div __bs"))
+      .withColumn("__t2", (col("__t1") - col("__q1") * col("__bs")) *
+        lit(1000L) + expr("__f6 % 1000"))
+      .withColumn("twa_micro",
+        when(col("span_us") > 0,
+          col("__q0") * lit(1000000L) + col("__q1") * lit(1000L) +
+            expr("__t2 div __bs")))
+      .drop("__s0", "__f6", "__bs", "__q0", "__t1", "__q1", "__t2")
   }
 
   /** Regular-grid resampling with forward fill: per sensor, one row per

@@ -31,16 +31,17 @@ object Governance {
         ".", "*"))
 
   /** Band floor (generalization — the k-anonymity lever): quantize a
-    * numeric to its band's lower edge. Spark's DIV truncates toward
-    * zero while floor-division engines (DuckDB `//`) floor, so the
-    * value is shifted into positive range first — trunc ≡ floor there
-    * — and shifted back: identical bands for negatives on any engine.
+    * numeric to its band's lower edge, as `v − posmod(v, band)` with
+    * posmod = ((v % band + band) % band) ∈ [0, band). `%` follows the
+    * dividend's sign in every SQL engine, so the double-mod is a TRUE
+    * floor residue — identical bands for arbitrarily negative values
+    * on trunc-DIV engines (Spark) and floor-`//` engines (DuckDB)
+    * alike, with no magnitude assumption (the previous shift-by-
+    * band·10⁶ trick silently diverged below −band·10⁶).
     */
-  def bandFloor(colName: String, band: Long): Column = {
-    val offset = band * 1000000L
-    expr(s"((CAST($colName AS BIGINT) + ${offset}L) DIV $band)" +
-      s" * $band - ${offset}L")
-  }
+  def bandFloor(colName: String, band: Long): Column =
+    expr(s"CAST($colName AS BIGINT) - " +
+      s"((CAST($colName AS BIGINT) % $band + $band) % $band)")
 
   /** k-anonymity / l-diversity audit over a quasi-identifier set:
     * group rows by the QI columns, then report the equivalence-class

@@ -369,6 +369,13 @@ object Sampling {
     cands
       .join(positives.select(col("user"), col("item")).distinct(),
         Seq("user", "item"), "left_anti")
+      // two draw indices whose hash residues collide on the SAME item
+      // both survive the positive anti-join — dedup on (user, item)
+      // keeping the smallest draw index, so the emitted negatives are
+      // distinct items per user (the contract a contrastive loss
+      // assumes). Same (user)-keyed shuffle the top-k window needs.
+      .groupBy(col("user"), col("item"))
+      .agg(min(col("i")).as("i"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("user"), col("item"), col("i").as("draw_idx"))

@@ -51,6 +51,9 @@ case class AsOfJoinExec(
 
   require(leftTs.dataType == LongType && rightTs.dataType == LongType,
     "as-of join requires LongType (µs) time columns")
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match: ${leftKey.dataType} vs " +
+      s"${rightKey.dataType} (cast one side before asOfNative)")
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
@@ -114,14 +117,24 @@ case class AsOfJoinExec(
           var continue = rCurrent != null
           while (continue) {
             val rk = rKeyEval.eval(rCurrent)
-            val cmp = keyOrdering.compare(rk, lk)
-            val take = cmp < 0 ||
-              (cmp == 0 && rTsEval.eval(rCurrent).asInstanceOf[Long] <= lt)
-            if (take) {
-              if (cmp == 0) matchRow = rStoreProj(rCurrent).copy()
+            // SQL join semantics: a null key matches nothing — skip the
+            // row instead of feeding null to the interpreted ordering
+            // (which would NPE deep in the merge). Null keys sort first
+            // under the required Ascending order, so they drain here
+            // before any non-null comparison happens.
+            if (rk == null) {
               rCurrent = if (rIter.hasNext) rIter.next() else null
               continue = rCurrent != null
-            } else continue = false
+            } else {
+              val cmp = keyOrdering.compare(rk, lk)
+              val take = cmp < 0 ||
+                (cmp == 0 && rTsEval.eval(rCurrent).asInstanceOf[Long] <= lt)
+              if (take) {
+                if (cmp == 0) matchRow = rStoreProj(rCurrent).copy()
+                rCurrent = if (rIter.hasNext) rIter.next() else null
+                continue = rCurrent != null
+              } else continue = false
+            }
           }
         }
 
@@ -130,11 +143,16 @@ case class AsOfJoinExec(
           while (nextOut == null && lIter.hasNext) {
             val lRow = lIter.next()
             val lk = lKeyEval.eval(lRow)
+            if (lk == null) {
+              // null-keyed left rows can never match (inner as-of) —
+              // emit nothing, keep scanning
+            } else {
             val lt = lTsEval.eval(lRow).asInstanceOf[Long]
             advanceRightThrough(lk, lt)
             if (matchRow != null &&
               keyOrdering.compare(matchRow.get(0, leftKey.dataType), lk) == 0) {
               nextOut = resultProj(joined(lRow, matchRow))
+            }
             }
           }
         }

@@ -44,6 +44,53 @@ class GatewaySpec extends SparkSpec {
     assert(get("/").body() == "\"test-gateway\"")
   }
 
+  test("/docs serves the OpenAPI spec enumerating all 12 reference routes") {
+    val r = get("/docs")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("content-type").orElse("")
+      .contains("application/json"))
+    val spec = r.body()
+    assert(spec.contains("\"openapi\":\"3.1.0\""))
+    // the reference's 12 documented operations (server.rs:51), verbatim
+    val twelve = Seq("/", "/metrics", "/series", "/series/{series_uuid}",
+      "/publish", "/api/v2/write", "/api/v1/prometheus_remote_write",
+      "/api/v1/prometheus_remote_read", "/api/v1/query",
+      "/api/v1/admin/vacuum", "/health/live", "/health/ready")
+    assert(graft.http.ApiDoc.referencePaths.toSet == twelve.toSet)
+    twelve.foreach(p => assert(spec.contains("\"" + p + "\""), p))
+    // extensions are documented too
+    assert(spec.contains("/api/v1/query_extended"))
+    // the document is valid JSON (driver-grade check: parseable)
+    assert(spec.trim.startsWith("{") && spec.trim.endsWith("}"))
+    // a browser gets the viewer page over the same URL
+    val html = client.send(
+      HttpRequest.newBuilder(url("/docs")).header("accept", "text/html")
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(html.body().contains("<!doctype html>"))
+  }
+
+  test("per-request structured log line (method, path, status, us)") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val prev = gateway.logSink
+    gateway.logSink = lines.add(_)
+    try {
+      assert(get("/health/live").statusCode() == 200)
+      val line = lines.iterator().next()
+      assert(line.contains("\"method\":\"GET\""), line)
+      assert(line.contains("\"path\":\"/health/live\""), line)
+      assert(line.contains("\"status\":200"), line)
+      assert(line.contains("\"us\":"), line)
+      // env filter: error level suppresses 2xx lines
+      lines.clear()
+      sys.props("SENSAPP_LOG") = "error"
+      try {
+        assert(get("/health/live").statusCode() == 200)
+        assert(lines.isEmpty)
+      } finally sys.props.remove("SENSAPP_LOG")
+    } finally gateway.logSink = prev
+  }
+
   test("CSV publish → catalog → series data in all formats") {
     val csv =
       "datetime,sensor_name,value\n" +

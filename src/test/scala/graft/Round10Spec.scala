@@ -372,6 +372,29 @@ class Round10Spec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("asOfNative: null keys match nothing; mismatched key types " +
+    "rejected at plan time") {
+    import graft.operators.AsOfJoin
+    // string keys so null is representable on both sides
+    val l = Seq((Some("a"), 10L, 1.0), (None, 20L, 2.0),
+      (Some("b"), 30L, 3.0)).toDF("k", "t", "lv")
+    val r = Seq((Some("a"), 5L, 9.0), (None, 1L, 8.0),
+      (Some("b"), 25L, 7.0)).toDF("k", "t", "rv")
+    val got = AsOfJoin.asOfNative(l, r, "k", "t", Seq("rv"))
+      .orderBy("t").collect()
+    // null-keyed left row emits nothing; null-keyed right row is
+    // skipped (matches nothing) — same as the composed twin / SQL
+    assert(got.map(_.getAs[String]("k")).toSeq == Seq("a", "b"))
+    assert(got.map(_.getAs[Double]("rv")).toSeq == Seq(9.0, 7.0))
+    // mismatched key types: clear plan-time error, not a deep CCE
+    val rInt = Seq((1L, 5L, 9.0)).toDF("k", "t", "rv")
+    val e = intercept[Exception] {
+      AsOfJoin.asOfNative(l, rInt, "k", "t", Seq("rv")).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("key types must match"), e.getMessage)
+  }
+
   test("asOfNative exact-tie matches (right ts == left ts)") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 10L, 1.0)).toDF("k", "t", "lv")
@@ -462,6 +485,17 @@ class Round10Spec extends SparkSpec {
     assert(r(-999L)._1 == -1000L) // floor, not trunc-toward-zero
     assert(r(-1000L)._1 == -1000L)
     assert(r(999L)._1 == 0L)
+    // extreme negatives: the posmod form needs NO magnitude assumption
+    // (the old offset-shift diverged below -band*10^6)
+    val xr = Seq((-1000000001L, "x"), (-999999999999L, "y"),
+      (Long.MinValue + 1000L, "z")).toDF("bal", "name")
+      .select(col("bal"), Governance.bandFloor("bal", 1000L).as("band"))
+      .collect().map(row => row.getAs[Long]("bal") ->
+        row.getAs[Long]("band")).toMap
+    assert(xr(-1000000001L) == -1000001000L)
+    assert(xr(-999999999999L) == -1000000000000L)
+    assert(xr(Long.MinValue + 1000L) ==
+      Long.MinValue + 1000L - Math.floorMod(Long.MinValue + 1000L, 1000L))
     assert(r(0L)._2 == "Customer#*********")
     assert(r(999L)._2 == "AB") // shorter than keep -> unchanged
     // surrogate is deterministic: same input, same session -> same value

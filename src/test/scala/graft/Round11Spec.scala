@@ -427,6 +427,22 @@ class Round11Spec extends SparkSpec {
     assert(a.count(_.getAs[Long]("user") == 2L) == 3)
   }
 
+  test("negativeSample emits DISTINCT (user, item) negatives under " +
+    "heavy residue collision") {
+    import graft.pipeline.Sampling
+    // item domain of 3 with 12 draws per user forces residue
+    // collisions on the same item; the (user,item) min-draw dedup must
+    // keep each negative item at most once per user
+    val pos = Seq((1L, 0L), (2L, 1L)).toDF("user", "item")
+    val r = Sampling.negativeSample(pos, itemCount = 3, k = 3)
+      .collect().map(x =>
+        (x.getAs[Long]("user"), x.getAs[Long]("item"))).toSeq
+    assert(r.distinct == r, s"duplicate negatives: $r")
+    // each user has only 2 possible negatives in a 3-item domain
+    assert(r.count(_._1 == 1L) <= 2 && r.count(_._1 == 2L) <= 2)
+    assert(r.nonEmpty)
+  }
+
   test("importanceWeights: cross-multiplied frequency ratios") {
     // target: bucket 1 x2, bucket 2 x1 ; source: bucket 1 x1, 2 x2
     val df = Seq((1, 1L), (1, 1L), (1, 2L),

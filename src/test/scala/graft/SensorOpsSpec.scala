@@ -133,12 +133,37 @@ class SensorOpsSpec extends SparkSpec {
       // c: single sample → zero span → twa NULL
       ("c", 7L, 42.0)).toDF("sensor_id", "timestamp_us", "value")
     val got = SensorOps.timeWeightedAvg(s)
-      .select("sensor_id", "n_samples", "span_us", "twa")
-      .as[(String, Long, Long, Option[Double])]
+      .select("sensor_id", "n_samples", "span_us", "twa", "twa_micro")
+      .as[(String, Long, Long, Option[Double], Option[Long])]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq(
-      ("a", 3L, 10L, Some(16.0)),
-      ("b", 4L, 10L, Some(2.0)),
-      ("c", 1L, 0L, None)))
+      ("a", 3L, 10L, Some(16.0), Some(16000000L)),
+      ("b", 4L, 10L, Some(2.0), Some(2000000L)),
+      ("c", 1L, 0L, None, None)))
+  }
+
+  test("timeWeightedAvg: twa_micro schoolbook division is exact floor," +
+    " incl. fractional values, negatives, and non-divisible sums") {
+    // d: values with micro digits — vdt_sum = 1.5·3 + 2.25·4 = 13.5,
+    //    span 7 → floor(13.5e6/7) = floor(1928571.428…) = 1928571
+    // e: negative values — vdt_sum = -3.5·2 = -7, span 2 →
+    //    floor(-7e6/2) = -3500000 (exact)
+    // f: negative non-divisible — vdt_sum = -1·3 = -3, span 3... use
+    //    -1.1: vdt_sum = -1.1·3 = -3.3, span 3 →
+    //    floor(-3.3e6/3) = floor(-1100000) = -1100000; and a truly
+    //    non-divisible case: -1·1 over span 3 → floor(-1e6/3) =
+    //    floor(-333333.33…) = -333334 (floor, NOT trunc)
+    val s = Seq(
+      ("d", 0L, 1.5), ("d", 3L, 2.25), ("d", 7L, 9.0),
+      ("e", 0L, -3.5), ("e", 2L, 0.0),
+      ("f", 0L, -1.0), ("f", 1L, 0.0), ("f", 3L, 0.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = SensorOps.timeWeightedAvg(s)
+      .select("sensor_id", "twa_micro")
+      .as[(String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("d", Some(1928571L)),
+      ("e", Some(-3500000L)),
+      ("f", Some(-333334L))))
   }
 }

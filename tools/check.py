@@ -93,8 +93,25 @@ def main():
                     for r1, r2 in zip(srows, drows))
         close = exact or all(all(vals_close(a, b) for a, b in zip(r1, r2))
                              for r1, r2 in zip(srows, drows))
+        # RAW-DOUBLE HASH RISK (the q180 lesson, two rounds of it): a
+        # float64 column whose values carry full 17-digit mantissas is
+        # the ONLY value class that has ever passed this exact compare
+        # yet failed the driver's own hash. Surface it loudly: a value
+        # that isn't fixed at <=9 decimal digits (i.e. didn't come off a
+        # ROUND()/quantized path) marks the query as hash-risk. PASS
+        # still (the values ARE equal) — but the flag means "the driver
+        # gate may disagree; prefer an integer/decimal surface".
+        risk_cols = []
+        for c in scols:
+            if str(spark_tab.schema.field(c).type) not in ("float", "double"):
+                continue
+            vals = [v.as_py() for v in spark_tab.column(c)]
+            if any(v is not None and not math.isnan(v) and not math.isinf(v)
+                   and v != round(v, 9) for v in vals):
+                risk_cols.append(c)
+        risk = f" DOUBLE_HASH_RISK cols={risk_cols}" if risk_cols else ""
         if exact:
-            results[name] = "OK_EXACT"
+            results[name] = "OK_EXACT" + risk
         elif close:
             results[name] = "OK_APPROX (exact hash may fail!)"
         else:
@@ -109,10 +126,16 @@ def main():
             n = t.num_rows if t is not None else 0
             results[name] = f"ROWS_ONLY rows={n}" + (" (EMPTY!)" if n == 0 else "")
     ok = True
+    n_risk = 0
     for name, r in sorted(results.items()):
         flag = "PASS" if r.startswith("OK") or (r.startswith("ROWS_ONLY") and "EMPTY" not in r) else "FAIL"
         if flag == "FAIL": ok = False
+        if "DOUBLE_HASH_RISK" in r: n_risk += 1
         print(f"[{flag}] {name}: {r}")
+    if n_risk:
+        print(f"[WARN] {n_risk} queries expose raw (un-quantized) doubles on "
+              f"the compare surface — the driver hash has rejected this class "
+              f"before (q180 r9/r10) even when values compare exactly here.")
     sys.exit(0 if ok else 1)
 
 main()
