@@ -10108,21 +10108,7 @@ object Queries {
         val name = s"q291_out_${System.nanoTime()}"
         val query = agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try {
-          query.processAllAvailable()
-          // the closing no-data batch (state eviction after the final
-          // watermark advance) may land just after processAllAvailable
-          // returns — settle on a stable row count
-          var prev = -1L
-          var cur = ss.table(name).count()
-          var tries = 0
-          while (cur != prev && tries < 50) {
-            Thread.sleep(200)
-            prev = cur
-            cur = ss.table(name).count()
-            tries += 1
-          }
-        } finally query.stop()
+        try drainWithEviction(ss, query, name, 1800000L) finally query.stop()
         val out = ss.table(name)
           .select(col("event_type"),
             unix_micros(col("w.start")).as("window_start_us"), col("n"))
@@ -10414,18 +10400,7 @@ object Queries {
         val name = s"q296_out_${System.nanoTime()}"
         val query = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try {
-          query.processAllAvailable()
-          var prev = -1L
-          var cur = ss.table(name).count()
-          var tries = 0
-          while (cur != prev && tries < 50) {
-            Thread.sleep(200)
-            prev = cur
-            cur = ss.table(name).count()
-            tries += 1
-          }
-        } finally query.stop()
+        try drainWithEviction(ss, query, name, 3600000L) finally query.stop()
         val out = ss.table(name)
           .groupBy(col("cu"), col("cts"))
           .agg(count(col("vts")).as("n_views"))
@@ -11066,18 +11041,7 @@ object Queries {
         val name = s"q313_out_${System.nanoTime()}"
         val query = agg.writeStream.outputMode("update")
           .format("memory").queryName(name).start()
-        try {
-          query.processAllAvailable()
-          var prev = -1L
-          var cur = ss.table(name).count()
-          var tries = 0
-          while (cur != prev && tries < 50) {
-            Thread.sleep(200)
-            prev = cur
-            cur = ss.table(name).count()
-            tries += 1
-          }
-        } finally query.stop()
+        try drainWithEviction(ss, query, name, 1800000L) finally query.stop()
         val out = ss.table(name)
           .select(col("event_type"),
             unix_micros(col("w.start")).as("window_start_us"), col("n"))
@@ -13705,6 +13669,61 @@ object Queries {
        |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
        |    AS token_share
        |FROM g CROSS JOIN tot ORDER BY len_bucket_lo""".stripMargin
+  }
+
+  /** Drain a bounded streaming query INCLUDING its trailing
+    * watermark-eviction no-data batch. `processAllAvailable` waits only
+    * for DATA batches; when the final data batch advances the
+    * watermark, the append-mode window finalization / outer-join null
+    * emission / state eviction runs in ONE more no-data batch. Whether
+    * that batch is due is decidable from the last progress entry:
+    * due iff maxEventTime − delay > current watermark. Three exits:
+    *  - last progress has numInputRows == 0 → the no-data batch has
+    *    committed; quiescent (zero extra cost);
+    *  - not due (the q291/q313 late-file sources, whose final batch by
+    *    DESIGN does not advance the watermark; or no watermark at all)
+    *    → quiescent immediately (zero extra cost);
+    *  - due but not yet visible → poll recentProgress (in-memory, no
+    *    Spark jobs) until it lands; 1 s grace, then one count-stability
+    *    settle as a correctness backstop (multi-watermark queries can
+    *    make the due-estimate conservative), 5 s liveness bound.
+    */
+  private def drainWithEviction(
+      ss: SparkSession, query: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String, delayMs: Long): Unit = {
+    query.processAllAvailable()
+    def lastProgress = query.recentProgress.lastOption
+    def quiescent: Boolean = lastProgress match {
+      case None => true
+      case Some(p) if p.numInputRows == 0 => true
+      case Some(p) =>
+        val et = p.eventTime
+        val mx = Option(et.get("max")).map(java.time.Instant.parse)
+        val wm = Option(et.get("watermark")).map(java.time.Instant.parse)
+        (mx, wm) match {
+          case (Some(m), Some(w)) =>
+            // no-data batch due only if the watermark would advance
+            !m.minusMillis(delayMs).isAfter(w)
+          case _ => true // no watermark machinery -> nothing trailing
+        }
+    }
+    val grace = System.nanoTime() + 1L * 1000 * 1000 * 1000
+    var done = quiescent
+    while (!done && System.nanoTime() < grace) {
+      Thread.sleep(5)
+      done = quiescent
+    }
+    if (!done) {
+      // backstop: settle on three equal sink counts ~50 ms apart
+      val deadline = System.nanoTime() + 4L * 1000 * 1000 * 1000
+      var prev = -1L
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        val cur = ss.table(name).count()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        if (stable < 2) Thread.sleep(50)
+      }
+    }
   }
 
   /** Per-(session, sfDir) streaming-source dumps for q219 (bounded:

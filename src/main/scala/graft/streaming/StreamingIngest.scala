@@ -52,7 +52,31 @@ object StreamingIngest {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
+    // Checkpoint placement: BOUNDED interactive streaming queries (the
+    // memory-sink family this session serves) write offset logs + one
+    // state delta per partition per micro-batch — dozens of tiny fsynced
+    // files whose disk latency is pure fixed overhead. Put them on
+    // tmpfs when the host has one: state durability for these queries
+    // is irrelevant (the query is re-run, not resumed — each run uses a
+    // fresh name). DURABLE ingest ([[ingestStream]]) takes an explicit
+    // checkpointDir and is unaffected — a production deployment points
+    // that at replicated storage, exactly as Spark's docs require.
+    ephemeralCheckpointRoot.foreach(r =>
+      s.conf.set("spark.sql.streaming.checkpointLocation", r))
     s
+  }
+
+  /** Per-JVM tmpfs checkpoint root for ephemeral scoped sessions; None
+    * when /dev/shm is absent (falls back to Spark's temp-dir default).
+    */
+  private lazy val ephemeralCheckpointRoot: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = java.nio.file.Files.createTempDirectory(
+        shm.toPath, "graft_stream_ckpt")
+      d.toFile.deleteOnExit()
+      Some(d.toString)
+    } else None
   }
 
   /** Stream a directory of sample files (canonical long layout) into the
