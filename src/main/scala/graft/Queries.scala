@@ -1571,9 +1571,9 @@ object Queries {
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         |ORDER BY id"""
     ) { (s, d) =>
-      Dedup.nearDupClusters(
+      Dedup.nearDupClustersShared(
         Tables.spread(s, Tables.documents(s, d)),
-        "doc_id", "text", n = 3, tau = 0.5)
+        "doc_id", "text", n = 3, tau = 0.5, corpusKey = d)
         .orderBy("id")
     },
 
@@ -2850,8 +2850,8 @@ object Queries {
     ) { (s, d) =>
       import graft.pipeline.Dedup
       val docs = Tables.spread(s, Tables.documents(s, d))
-      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
-        n = 3, tau = 0.5)
+      val clusters = Dedup.nearDupClustersShared(docs, "doc_id",
+        "text", n = 3, tau = 0.5, corpusKey = d)
       val scored = Tables.documents(s, d).select(col("doc_id"),
         length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("score"))
       Dedup.keepBestPerCluster(clusters, scored, "doc_id", "score")
@@ -10420,8 +10420,9 @@ object Queries {
     // election — counts + rank windows sharing the cluster partitioning.
     q("q299_golden_record", goldenRecordOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val clusters = Dedup.nearDupClusters(
-        Tables.spread(s, docs), "doc_id", "text", n = 3, tau = 0.5)
+      val clusters = Dedup.nearDupClustersShared(
+        Tables.spread(s, docs), "doc_id", "text", n = 3, tau = 0.5,
+        corpusKey = d)
       val members = clusters.join(docs, col("id") === col("doc_id"))
         .select(col("cluster_id"), col("id"), col("lang"),
           col("source"), col("n_chars"))

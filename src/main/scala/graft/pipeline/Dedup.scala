@@ -116,9 +116,39 @@ object Dedup {
       .union(labels0.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .cache()
+    try ccLoop(nodes, labels0, sym)
+    finally {
+      sym.unpersist(false) // loop done; result never reads sym
+      PipelineCache.free(labels0)
+    }
+  }
+
+  /** Connected components over a PREPARED symmetric, self-loop-augmented
+    * edge table — e.g. [[DedupArtifacts.symEdgeTable]]'s dst-bucketed
+    * persisted layout, where every round's propagation join reads the
+    * bucket partitioning with ZERO Exchange on the edge side (and the
+    * construction cost was paid ONCE per corpus, not once per consumer).
+    * `sym` must contain every edge in both directions plus one (id, id)
+    * self-loop per edge-incident node — the invariants the private loop
+    * relies on for the old-label extraction.
+    */
+  def connectedComponentsPreBucketed(
+      nodes: DataFrame, sym: DataFrame): (DataFrame, Int) = {
+    val labels0 = sym.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("cluster_id"))
+      .localCheckpoint(true)
+    try ccLoop(nodes, labels0, sym)
+    finally PipelineCache.free(labels0)
+  }
+
+  /** The shared min-label + pointer-jumping loop (see
+    * [[connectedComponentsWithRounds]] for the round structure).
+    */
+  private def ccLoop(
+      nodes: DataFrame, labels0: DataFrame,
+      sym: DataFrame): (DataFrame, Int) = {
     var rounds = 0
-    val assigned =
-      try {
+    val assigned = {
         var labels = labels0
         var changed = 1L
         while (changed > 0) {
@@ -160,9 +190,6 @@ object Dedup {
           .join(labels, Seq("id"), "left")
           .select(col("id"), coalesce(col("cluster_id"), col("id"))
             .as("cluster_id"))
-      } finally {
-        sym.unpersist(false) // loop done; result never reads sym
-        PipelineCache.free(labels0)
       }
     (assigned, rounds)
   }
@@ -181,6 +208,22 @@ object Dedup {
       .select("id_a", "id_b")
     try connectedComponents(docs.select(col(idCol).as("id")), edges)
     finally PipelineCache.free(edges)
+  }
+
+  /** [[nearDupClusters]] over the SHARED persisted pair graph
+    * ([[DedupArtifacts.symEdgeTable]]): same assignment, but the pair
+    * construction is paid once per (corpus, n, tau) across all dedup
+    * consumers, and the CC loop reads the dst-bucketed layout with zero
+    * Exchange on the edge side. Use when several queries cluster the
+    * same corpus — the clustering/keep-best/survivorship family.
+    */
+  def nearDupClustersShared(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, corpusKey: String): DataFrame = {
+    val sym = DedupArtifacts.symEdgeTable(
+      docs, idCol, textCol, n, tau, corpusKey)
+    connectedComponentsPreBucketed(
+      docs.select(col(idCol).as("id")), sym)._1
   }
 
   /** Quality-aware canonical selection: given cluster assignments

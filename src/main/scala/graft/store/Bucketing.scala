@@ -27,7 +27,13 @@ object Bucketing {
       df: DataFrame, name: String, key: String, buckets: Int,
       path: String): Unit = {
     require(buckets > 0, "bucket count must be positive")
-    df.write.mode("overwrite").format("parquet")
+    // pre-shuffle to the bucket hash (repartition and bucketBy share
+    // murmur3-pmod), so each task owns exactly one bucket and each
+    // bucket is ONE file — the layout readers can treat as sorted
+    // (multi-file buckets forfeit the sort guarantee and re-Sort under
+    // SMJ even though the shuffle is still skipped)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(buckets, key)
       .sortBy(key)

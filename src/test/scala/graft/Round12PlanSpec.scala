@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.DedupArtifacts
+import org.apache.spark.sql.functions._
+
+/** Physical-plan pins for the round-12 dedup-artifact layout: the CC
+  * propagation join over the persisted pair graph must read the
+  * dst-bucketed table with ZERO Exchange on the edge side — the
+  * pay-the-shuffle-once-at-write-time contract
+  * ([[graft.store.Bucketing]], r10 verdict item #7).
+  */
+class Round12PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  test("CC first iteration reads the pre-bucketed pair graph with no " +
+    "Exchange on the edge side (SMJ regime)") {
+    // pin the 100 TB regime: when the label frame outgrows broadcast,
+    // the propagation join is a sort-merge join — the bucketed layout
+    // must contribute its side shuffle-free AND sort-free (buckets are
+    // written sorted). At broadcast scale bucketing is moot (the labels
+    // ship; neither side shuffles), which is why the pin disables it.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = Tables.documents(s2, sf)
+    val sym = DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.5,
+      corpusKey = s"$sf#smjpin")
+    // the exact first-iteration propagation join shape of Dedup.ccLoop
+    val labels = sym.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("cluster_id"))
+      .localCheckpoint(true)
+    val firstIter = sym
+      .join(labels.select(col("id").as("dst"), col("cluster_id")), "dst")
+    val plan = planOf(firstIter)
+    // the edge side is a bucketed scan …
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    // … and the ONLY exchange is the labels side being co-bucketed;
+    // the persisted layout itself never re-shuffles. (A shuffle-FREE
+    // in-partition Sort remains above the bucketed scan: since Spark
+    // 3.0 a bucketed scan no longer advertises per-bucket order
+    // without the legacy outputOrdering flag — the sort it forces is
+    // partition-local and cheap; the Exchange is what the layout
+    // eliminates.)
+    assert(countOccurrences(plan, "Exchange") == 1, plan)
+  }
+}
