@@ -2251,11 +2251,15 @@ object Profiler {
     // construction, and ROUND(6) at 10¹³ magnitude is lossy on
     // engines that round via ×10⁶ (DuckDB) — rounding would CREATE
     // divergence, not absorb it.
+    // degenerate guards: k = 1 (no between df), n = k (no within df),
+    // or zero within-variance all make F undefined — null-propagate
+    // instead of an ANSI /0 error (Round12Spec pins both shapes)
     agg.select(col("k"), col("n"),
       (sb - std * std / ntd).as("ss_between"),
       sw.as("ss_within"),
-      round(((sb - std * std / ntd) / (kd - 1.0)) /
-        (sw / (ntd - kd)), 6).as("f_stat"))
+      round(try_divide(
+        try_divide(sb - std * std / ntd, kd - 1.0),
+        try_divide(sw, ntd - kd)), 6).as("f_stat"))
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between two cohorts, with the
@@ -2297,12 +2301,16 @@ object Profiler {
     val nbd = col("n_b").cast("double")
     val nd = (col("n_a") + col("n_b")).cast("double")
     val u2 = col("__r2a") - col("n_a") * (col("n_a") + 1L)
+    // degenerate guards (ANSI doubles error on /0): n < 2 zeroes the
+    // tie denominator; an all-tied or single-cohort input zeroes varU —
+    // z is undefined there and null-propagates (Round12Spec pins this)
     val varU = nad * nbd / 12.0 *
-      ((nd + 1.0) - col("__ties").cast("double") / (nd * (nd - 1.0)))
+      ((nd + 1.0) - try_divide(col("__ties").cast("double"),
+        nd * (nd - 1.0)))
     agg.select(col("n_a"), col("n_b"),
       (u2.cast("double") / 2.0).as("u_a"),
-      round((u2.cast("double") - nad * nbd) / 2.0 / sqrt(varU), 6)
-        .as("z"))
+      round(try_divide((u2.cast("double") - nad * nbd) / 2.0,
+        sqrt(varU)), 6).as("z"))
   }
 
   /** Kruskal–Wallis H across k groups — the rank-based one-way ANOVA
@@ -2357,11 +2365,13 @@ object Profiler {
     val nd = col("n").cast("double")
     val h0 = lit(12.0) / (nd * (nd + 1.0)) * col("__sr") -
       lit(3.0) * (nd + 1.0)
+    // degenerate guards: n = 1 zeroes the tie denominator; an all-tied
+    // input drives the correction to 0 — H undefined, null (pinned)
     val corr = lit(1.0) -
-      col("__ties").cast("double") / (nd * nd * nd - nd)
+      try_divide(col("__ties").cast("double"), nd * nd * nd - nd)
     agg.select(col("k"), col("n"),
       round(h0, 6).as("h_uncorrected"),
-      round(h0 / corr, 6).as("h"))
+      round(try_divide(h0, corr), 6).as("h"))
   }
 
   /** Histogram-overlap coefficient between every pair of groups:
@@ -2590,15 +2600,17 @@ object Profiler {
       count(when(g1 && s, lit(1))).as("x1"),
       count(when(!g1, lit(1))).as("n0"),
       count(when(!g1 && s, lit(1))).as("x0"))
-    val p1 = col("x1").cast("double") / col("n1").cast("double")
-    val p0 = col("x0").cast("double") / col("n0").cast("double")
-    val pp = (col("x1") + col("x0")).cast("double") /
-      (col("n1") + col("n0")).cast("double")
+    // degenerate guards: an empty arm zeroes a 1/n term; a saturated
+    // (or empty) pooled rate zeroes the variance — z undefined, null
+    val p1 = try_divide(col("x1").cast("double"), col("n1").cast("double"))
+    val p0 = try_divide(col("x0").cast("double"), col("n0").cast("double"))
+    val pp = try_divide((col("x1") + col("x0")).cast("double"),
+      (col("n1") + col("n0")).cast("double"))
     agg.select(col("n1"), col("x1"), col("n0"), col("x0"),
       round(p1, 6).as("p_treat"), round(p0, 6).as("p_ctrl"),
-      round((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
-        (lit(1.0) / col("n1").cast("double") +
-          lit(1.0) / col("n0").cast("double"))), 6).as("z"))
+      round(try_divide(p1 - p0, sqrt(pp * (lit(1.0) - pp) *
+        (try_divide(lit(1.0), col("n1").cast("double")) +
+          try_divide(lit(1.0), col("n0").cast("double"))))), 6).as("z"))
   }
 
   /** Calibration (reliability) table + per-bin Brier for a DYADIC

@@ -23,6 +23,115 @@ class Round12Spec extends SparkSpec {
     assert(viaArtifact.nonEmpty)
   }
 
+  // ---- statistics-family tie/degenerate hardening (verdict item #8)
+
+  test("mannWhitneyU: all-tied input (zero variance) yields null z, " +
+    "not an error") {
+    import graft.pipeline.Profiler
+    val tied = Seq.tabulate(12)(i => (i % 2, 7L)).toDF("coh", "v")
+    val r = Profiler.mannWhitneyU(tied, "coh", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 6 && r.getAs[Long]("n_b") == 6)
+    assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+  }
+
+  test("mannWhitneyU: single-cohort input yields null z") {
+    import graft.pipeline.Profiler
+    val one = Seq.tabulate(8)(i => (0, i.toLong)).toDF("coh", "v")
+    val r = Profiler.mannWhitneyU(one, "coh", "v").collect().head
+    assert(r.getAs[Long]("n_b") == 0)
+    assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+  }
+
+  test("mannWhitneyU: hand-computed no-tie and tied cases") {
+    import graft.pipeline.Profiler
+    // A = {1,3,5}, B = {2,4}: ranks A = 1,3,5 -> R_A = 9,
+    // U_A = 9 - 3*4/2 = 3; mu = 3; var = 3*2*6/12 = 3
+    val df = Seq((0, 1L), (0, 3L), (0, 5L), (1, 2L), (1, 4L))
+      .toDF("coh", "v")
+    val r = Profiler.mannWhitneyU(df, "coh", "v").collect().head
+    assert(r.getAs[Double]("u_a") == 3.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("kruskalWallis: H equals z² for two groups (shared tie " +
+    "correction), and all-tied input yields null h") {
+    import graft.pipeline.Profiler
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(60)(i =>
+      (i % 2, rnd.nextInt(9).toLong)).toDF("coh", "v")
+    val z = Profiler.mannWhitneyU(df, "coh", "v")
+      .collect().head.getAs[Double]("z")
+    val h = Profiler.kruskalWallis(df, "coh", "v")
+      .collect().head.getAs[Double]("h")
+    assert(math.abs(h - z * z) < 1e-4, s"H=$h z^2=${z * z}")
+    val tied = Seq.tabulate(10)(i => (i % 2, 5L)).toDF("coh", "v")
+    val rt = Profiler.kruskalWallis(tied, "coh", "v").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("h")), rt.toString)
+  }
+
+  test("anovaF: single group and saturated (n == k) inputs " +
+    "null-propagate f_stat") {
+    import graft.pipeline.Profiler
+    val single = Seq.tabulate(6)(i => ("g", i.toLong)).toDF("g", "v")
+    val r1 = Profiler.anovaF(single, "g", "v").collect().head
+    assert(r1.getAs[Long]("k") == 1)
+    assert(r1.isNullAt(r1.fieldIndex("f_stat")), r1.toString)
+    val saturated = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("g", "v")
+    val r2 = Profiler.anovaF(saturated, "g", "v").collect().head
+    assert(r2.getAs[Long]("k") == 3 && r2.getAs[Long]("n") == 3)
+    assert(r2.isNullAt(r2.fieldIndex("f_stat")), r2.toString)
+  }
+
+  test("mannKendall: constant series drops (varS = 0 filter); " +
+    "monotone series z is antisymmetric under negation") {
+    import graft.pipeline.Profiler
+    val const = Seq.tabulate(12)(i => ("s", i.toLong, 5L))
+      .toDF("g", "b", "v")
+    assert(Profiler.mannKendall(const, "g", "b", "v").collect().isEmpty)
+    val up = Seq.tabulate(12)(i => ("s", i.toLong, i.toLong))
+      .toDF("g", "b", "v")
+    val down = Seq.tabulate(12)(i => ("s", i.toLong, -i.toLong))
+      .toDF("g", "b", "v")
+    val zu = Profiler.mannKendall(up, "g", "b", "v")
+      .collect().head.getAs[Double]("z")
+    val zd = Profiler.mannKendall(down, "g", "b", "v")
+      .collect().head.getAs[Double]("z")
+    assert(zu > 0 && zd == -zu, s"zu=$zu zd=$zd")
+  }
+
+  test("effectiveSampleSize: constant series null-propagates rho/ess; " +
+    "ess stays positive on a mixed series") {
+    import graft.pipeline.Profiler
+    val const = Seq.tabulate(16)(i => ("s", i.toLong, 3.0))
+      .toDF("g", "t", "v")
+    val rc = Profiler.effectiveSampleSize(const, "g", "t", "v")
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("rho1")), rc.toString)
+    assert(rc.isNullAt(rc.fieldIndex("ess")), rc.toString)
+    val mixed = Seq.tabulate(32)(i =>
+      ("s", i.toLong, if (i % 2 == 0) 1.0 else 2.0)).toDF("g", "t", "v")
+    val rm = Profiler.effectiveSampleSize(mixed, "g", "t", "v")
+      .collect().head
+    assert(!rm.isNullAt(rm.fieldIndex("ess")))
+  }
+
+  test("diffInDiff: an empty cell null-propagates its mean and did") {
+    import graft.pipeline.Profiler
+    // no control-post rows at all
+    val df = Seq((1, 1, 10L), (1, 0, 5L), (0, 0, 4L)).toDF("t", "p", "v")
+    val r = Profiler.diffInDiff(df, "t", "p", "v").collect().head
+    assert(r.getAs[Long]("n01") == 0)
+    assert(r.isNullAt(r.fieldIndex("mean_ctrl_post")), r.toString)
+    assert(r.isNullAt(r.fieldIndex("did")), r.toString)
+  }
+
+  test("twoProportionZ: saturated conversion (p-hat = 1) yields null z") {
+    import graft.pipeline.Profiler
+    val df = Seq((1, 1), (1, 1), (0, 1), (0, 1)).toDF("g", "s")
+    val r = Profiler.twoProportionZ(df, "g", "s").collect().head
+    assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+  }
+
   test("symEdgeTable is built once per (session, corpus, params) and " +
     "carries both edge directions plus self-loops") {
     val docs = Tables.documents(spark, sf)
