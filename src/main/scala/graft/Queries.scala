@@ -7106,11 +7106,12 @@ object Queries {
     // compares — the unrolled-round CTEs replay every step exactly.
     q("q204_label_prop", lpaOracleSql) { (s, d) =>
       val docs = Tables.spread(s, Tables.documents(s, d))
-      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
-      graft.pipeline.Behavior.labelPropagation(
+      val sym = graft.pipeline.DedupArtifacts.symEdgeTable(
+        docs, "doc_id", "text", 3, 0.5, corpusKey = d)
+      graft.pipeline.Behavior.labelPropagationSym(
           Tables.documents(s, d)
             .select(col("doc_id").as("id"), col("source").as("label")),
-          edges, rounds = 3)
+          sym, rounds = 3)
         .select(col("id").as("doc_id"), col("label"))
         .orderBy("doc_id")
     },

@@ -310,6 +310,30 @@ object Behavior {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(col("src")).cache()
+    PipelineCache.materialize(sym)(lpRounds(nodes, sym, rounds))
+  }
+
+  /** [[labelPropagation]] over a PREPARED symmetric edge table — the
+    * dst-bucketed [[DedupArtifacts.symEdgeTable]] pair-graph artifact:
+    * self-loops are stripped (a node must not vote for itself), and the
+    * symmetric row set is read with (src, dst) SWAPPED so the bucket
+    * column serves as the label-delivery key — every round's join reads
+    * the persisted layout with zero Exchange on the edge side, and the
+    * pair construction was paid once per corpus across ALL graph
+    * consumers (clustering, survivorship, communities).
+    */
+  def labelPropagationSym(
+      nodes: DataFrame, symWithLoops: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val sym = symWithLoops.filter(col("src") =!= col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"))
+    lpRounds(nodes, sym, rounds)
+  }
+
+  /** The shared fixed-round sweep (see [[labelPropagation]]). */
+  private def lpRounds(
+      nodes: DataFrame, sym: DataFrame, rounds: Int): DataFrame = {
     var labels = nodes.select(col("id"), col("label"))
     (1 to rounds).foreach { _ =>
       val best = sym
@@ -324,7 +348,7 @@ object Behavior {
         .select(col("id"),
           coalesce(col("__new"), col("label")).as("label"))
     }
-    PipelineCache.materialize(sym)(labels)
+    labels
   }
 
   /** Rolling active-user report: per day, the distinct users active

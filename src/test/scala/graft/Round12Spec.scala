@@ -23,6 +23,21 @@ class Round12Spec extends SparkSpec {
     assert(viaArtifact.nonEmpty)
   }
 
+  test("labelPropagationSym over the artifact ≡ labelPropagation over " +
+    "raw edges") {
+    import graft.pipeline.Behavior
+    val docs = Tables.documents(spark, sf)
+    val seeds = docs.select(col("doc_id").as("id"),
+      col("source").as("label"))
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val viaEdges = Behavior.labelPropagation(seeds, edges, rounds = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val sym = DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.5, sf)
+    val viaSym = Behavior.labelPropagationSym(seeds, sym, rounds = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaSym.toSeq == viaEdges.toSeq)
+  }
+
   // ---- statistics-family tie/degenerate hardening (verdict item #8)
 
   test("mannWhitneyU: all-tied input (zero variance) yields null z, " +
