@@ -86,6 +86,8 @@ object ApiDoc {
     Route("/api/v1/admin/resample_stream", "post", "Extensions",
       "Streaming (micro-batch) resample",
       Seq(Param("bucket_us", "query", "grid step in microseconds"))),
+    Route("/api/v1/admin/metrics", "get", "Extensions",
+      "Prometheus-exposition gateway + Spark scheduler metrics"),
     Route("/docs", "get", "SensApp", "This OpenAPI document"))
 
   /** Paths covered by the document (for the Gateway's self-check). */

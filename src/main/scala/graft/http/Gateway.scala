@@ -59,8 +59,26 @@ final class Gateway(
     */
   @volatile var logSink: String => Unit = System.err.println
 
-  private def logRequest(method: String, path: String, status: Int,
+  /** Per-(method, path, status) request counters + latency sums — the
+    * OpenTelemetry-ish metrics surface the reference's tracing stack
+    * implies (reference: src/main.rs:34-44), exported in Prometheus
+    * exposition format at /api/v1/admin/metrics. Bounded cardinality:
+    * the path label is the registered ROUTE prefix, never the raw URI
+    * (an attacker-controlled URI as a label is a classic metrics
+    * cardinality bomb).
+    */
+  private val reqCount = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), java.util.concurrent.atomic.LongAdder]()
+  private val reqMicros = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), java.util.concurrent.atomic.LongAdder]()
+
+  private def logRequest(method: String, route: String, status: Int,
       micros: Long): Unit = {
+    val key = (method, route, status)
+    reqCount.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.LongAdder).increment()
+    reqMicros.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.LongAdder).add(micros)
     val lvl = graft.Config.logLevel
     val emit = lvl match {
       case "off" => false
@@ -69,7 +87,31 @@ final class Gateway(
     }
     if (emit) logSink(
       s"""{"level":"info","target":"gateway","method":${jsonStr(method)},""" +
-        s""""path":${jsonStr(path)},"status":$status,"us":$micros}""")
+        s""""path":${jsonStr(route)},"status":$status,"us":$micros}""")
+  }
+
+  /** Prometheus exposition text for the gateway + Spark scheduler. */
+  private def metricsExposition(): String = {
+    val sb = new StringBuilder
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    sb ++= "# TYPE graft_http_requests_total counter\n"
+    reqCount.forEach { (k, v) =>
+      sb ++= s"""graft_http_requests_total{method="${esc(k._1)}",""" +
+        s"""path="${esc(k._2)}",status="${k._3}"} ${v.sum()}\n"""
+    }
+    sb ++= "# TYPE graft_http_request_duration_us_total counter\n"
+    reqMicros.forEach { (k, v) =>
+      sb ++= s"""graft_http_request_duration_us_total{method="${esc(k._1)}",""" +
+        s"""path="${esc(k._2)}",status="${k._3}"} ${v.sum()}\n"""
+    }
+    val tracker = spark.sparkContext.statusTracker
+    sb ++= "# TYPE graft_spark_active_jobs gauge\n"
+    sb ++= s"graft_spark_active_jobs ${tracker.getActiveJobIds().length}\n"
+    sb ++= "# TYPE graft_spark_active_stages gauge\n"
+    sb ++= s"graft_spark_active_stages ${tracker.getActiveStageIds().length}\n"
+    sb ++= "# TYPE graft_ingest_slots_available gauge\n"
+    sb ++= s"graft_ingest_slots_available ${ingestSlots.availablePermits()}\n"
+    sb.result()
   }
 
   /** Bind and start; port 0 picks an ephemeral port. Returns bound port. */
@@ -95,6 +137,8 @@ final class Gateway(
     route("/api/v1/query", handlePromql)
     route("/api/v1/query_extended", handlePromqlExtended)
     route("/api/v1/admin/vacuum", handleVacuum)
+    route("/api/v1/admin/metrics", (x, _) =>
+      respond(x, 200, "text/plain; version=0.0.4", metricsExposition()))
     route("/api/v1/admin/export_bulk", handleExportBulk)
     route("/api/v1/admin/resample", handleResample)
     route("/api/v1/admin/resample_stream", handleResampleStream)
@@ -172,7 +216,9 @@ final class Gateway(
         } finally {
           deadline.cancel(false)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-          logRequest(x.getRequestMethod, x.getRequestURI.getPath,
+          // the ROUTE prefix, not the raw URI: bounded metric/log
+          // cardinality (/series/{uuid} records as /series)
+          logRequest(x.getRequestMethod, path,
             x.getResponseCode, (System.nanoTime() - t0) / 1000L)
           x.close()
         }

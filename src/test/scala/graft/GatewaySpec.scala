@@ -70,6 +70,29 @@ class GatewaySpec extends SparkSpec {
     assert(html.body().contains("<!doctype html>"))
   }
 
+  test("admin metrics endpoint: Prometheus exposition with request " +
+    "counters, latency sums, and gauges") {
+    assert(get("/health/live").statusCode() == 200)
+    val r = get("/api/v1/admin/metrics")
+    assert(r.statusCode() == 200)
+    val body = r.body()
+    assert(body.contains("# TYPE graft_http_requests_total counter"), body)
+    assert(body.contains(
+      """graft_http_requests_total{method="GET",path="/health/live",status="200"}"""),
+      body)
+    assert(body.contains("graft_http_request_duration_us_total"), body)
+    assert(body.contains("graft_ingest_slots_available"), body)
+    assert(body.contains("graft_spark_active_jobs"), body)
+    // counters increase monotonically
+    def count(b: String): Long = b.linesIterator
+      .filter(_.startsWith("graft_http_requests_total{method=\"GET\",path=\"/health/live\""))
+      .map(_.split(' ').last.toLong).sum
+    val before = count(body)
+    assert(get("/health/live").statusCode() == 200)
+    val after = count(get("/api/v1/admin/metrics").body())
+    assert(after == before + 1, s"$before -> $after")
+  }
+
   test("per-request structured log line (method, path, status, us)") {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val prev = gateway.logSink
