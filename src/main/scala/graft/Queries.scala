@@ -5873,9 +5873,9 @@ object Queries {
         |ORDER BY dg.id"""
     ) { (s, d) =>
       graft.pipeline.Behavior.triangles(
-          graft.pipeline.Behavior.coOccurrenceEdges(
+          graft.pipeline.GraphArtifacts.coOccurrenceEdges(
             Tables.lineitem(s, d), "l_orderkey", "l_partkey",
-            minCount = 2L))
+            minCount = 2L, corpusKey = d))
         .orderBy("id")
     },
 
@@ -11423,10 +11423,10 @@ object Queries {
     // rounds are no-ops), replayed as the oracle's unrolled CTE
     // chain. Output = surviving nodes with their in-core degree.
     q("q323_k_core", kCoreSql) { (s, d) =>
-      val edges = graft.pipeline.Behavior.coOccurrenceEdges(
+      val edges = graft.pipeline.GraphArtifacts.coOccurrenceEdges(
           Tables.lineitem(s, d)
             .select(col("l_orderkey"), col("l_partkey")),
-          "l_orderkey", "l_partkey", minCount = 2L)
+          "l_orderkey", "l_partkey", minCount = 2L, corpusKey = d)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       graft.pipeline.Behavior.kCore(edges, k = 3, rounds = 14)
         .orderBy("node")

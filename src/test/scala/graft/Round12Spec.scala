@@ -23,6 +23,25 @@ class Round12Spec extends SparkSpec {
     assert(viaArtifact.nonEmpty)
   }
 
+  test("GraphArtifacts.coOccurrenceEdges ≡ Behavior.coOccurrenceEdges " +
+    "and is materialized once") {
+    import graft.pipeline.{Behavior, GraphArtifacts}
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val direct = Behavior.coOccurrenceEdges(li, "l_orderkey",
+        "l_partkey", minCount = 2L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = GraphArtifacts.coOccurrenceEdges(li, "l_orderkey",
+      "l_partkey", minCount = 2L, corpusKey = sf)
+    val b = GraphArtifacts.coOccurrenceEdges(li, "l_orderkey",
+      "l_partkey", minCount = 2L, corpusKey = sf)
+    assert(a eq b) // one materialization per (session, corpus, params)
+    val shared = a.orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(shared.toSeq == direct.toSeq)
+  }
+
   test("labelPropagationSym over the artifact ≡ labelPropagation over " +
     "raw edges") {
     import graft.pipeline.Behavior
