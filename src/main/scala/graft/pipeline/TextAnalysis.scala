@@ -1585,11 +1585,13 @@ object TextAnalysis {
     */
   def charEntropy(
       docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    // one-pass char explode: split("") yields the code-point array in
+    // O(L); the previous positional substring probe re-scanned the
+    // string per character (O(L²) per doc on multi-byte text)
     val chars = docs
       .filter(length(col(textCol)) >= 1)
-      .select(col(groupCol).as("__g"), col(textCol).as("__t"),
-        explode(sequence(lit(1), length(col(textCol)))).as("__i"))
-      .select(col("__g"), expr("substring(__t, __i, 1)").as("__c"))
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), "")).as("__c"))
     val counts = chars.groupBy(col("__g"), col("__c"))
       .agg(count(lit(1)).as("__k"))
     val totals = counts.groupBy(col("__g"))
