@@ -585,15 +585,14 @@ object Queries {
         |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
         |ORDER BY id_a, id_b"""
     ) { (s, d) =>
-      // full inverted-index join: at this corpus size its single
-      // shuffle beats the prefix-filtered variant's extra stages
-      // (ngramJaccardPairsPrefix is the huge-posting-list scale path;
-      // PipelineSpec pins that both produce identical output).
-      // repartition: spread the single-split documents scan before the
-      // shingling explode (otherwise the first stage runs on one core)
-      Dedup.ngramJaccardPairs(
+      // the shared pair-graph artifact carries the exact Jaccard
+      // scores, so the q24 report is a filtered read of the bucketed
+      // layout — the inverted-index join (ngramJaccardPairs; prefix-
+      // filtered variant for huge posting lists, PipelineSpec-pinned
+      // identical) runs once per corpus at artifact build
+      graft.pipeline.DedupArtifacts.scoredPairs(
         Tables.spread(s, Tables.documents(s, d)),
-        "doc_id", "text", 3, 0.5)
+        "doc_id", "text", 3, 0.5, corpusKey = d)
         .orderBy("id_a", "id_b")
     },
 

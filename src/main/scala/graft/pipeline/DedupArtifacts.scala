@@ -34,12 +34,15 @@ object DedupArtifacts {
   val DefaultBuckets = 8
 
   /** The symmetric, self-loop-augmented near-dup pair graph of `docs`
-    * at (n, tau), as a dst-bucketed persisted table: every edge in both
-    * directions plus one (id, id) row per edge-incident node — exactly
-    * the invariants [[Dedup.connectedComponentsPreBucketed]] requires.
-    * `corpusKey` identifies the corpus (e.g. its directory); the
-    * artifact is built on first use per (session, corpusKey, n, tau)
-    * and served from the bucketed layout afterwards.
+    * at (n, tau), as a dst-bucketed persisted table with schema
+    * (src, dst, jaccard): every edge in both directions carrying its
+    * exact Jaccard score, plus one (id, id, null) row per edge-incident
+    * node — exactly the invariants
+    * [[Dedup.connectedComponentsPreBucketed]] requires, and the scored
+    * pair surface q24-style reports read directly. `corpusKey`
+    * identifies the corpus (e.g. its directory); the artifact is built
+    * on first use per (session, corpusKey, n, tau) and served from the
+    * bucketed layout afterwards.
     */
   def symEdgeTable(
       docs: DataFrame, idCol: String, textCol: String,
@@ -49,12 +52,15 @@ object DedupArtifacts {
     symTables.computeIfAbsent(
       (spark, s"$corpusKey|$idCol|$textCol|$n|$tau|$buckets"), _ => {
         val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, tau)
-          .select("id_a", "id_b")
+          .select("id_a", "id_b", "jaccard")
         val symRaw = pairs
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .select(col("id_a").as("src"), col("id_b").as("dst"),
+            col("jaccard"))
+          .union(pairs.select(col("id_b").as("src"),
+            col("id_a").as("dst"), col("jaccard")))
         val selfLoops = symRaw.select(col("src")).distinct()
-          .select(col("src"), col("src").as("dst"))
+          .select(col("src"), col("src").as("dst"),
+            lit(null).cast("double").as("jaccard"))
         val name = s"graft_dedup_sym_${ctr.incrementAndGet()}"
         val path = java.nio.file.Files
           .createTempDirectory("graft_dedup_sym").toString
@@ -64,4 +70,16 @@ object DedupArtifacts {
         spark.table(name)
       })
   }
+
+  /** The CANONICAL (id_a < id_b) scored pair view of
+    * [[symEdgeTable]] — the q24-style near-dup pair report, served
+    * from the shared layout instead of a fresh inverted-index join.
+    */
+  def scoredPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, corpusKey: String): DataFrame =
+    symEdgeTable(docs, idCol, textCol, n, tau, corpusKey)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        col("jaccard"))
 }
