@@ -54,7 +54,13 @@ object Bench {
         parts.mkString("[", ",", "]")
       } catch { case _: Throwable => "[]" }
     val loadStart = loadavg()
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes → bench a
+    // subset (dev loop for one family). Unset (the driver's invocation)
+    // benches every registered query, unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val cold = names.map(n => n -> timed(SparkEntry.queries(n))).toMap
     // warm samples round-robin (all queries once, then again) rather than
     // back-to-back, so a transient host-load spike degrades one sample of

@@ -807,11 +807,8 @@ object Queries {
       try query.processAllAvailable() finally query.stop()
       // bounded result re-materialized on the caller's session; the
       // memory-sink view is dropped so Bench's 4 runs don't accumulate
-      val out = ss.table(name).orderBy("window_start_us", "sensor_id")
-      val rows = java.util.Arrays.asList(out.collect(): _*)
-      ss.catalog.dropTempView(name)
-      s.createDataFrame(rows, out.schema)
-        .orderBy("window_start_us", "sensor_id")
+      boundedResult(s, ss, name, ss.table(name),
+        Seq("window_start_us", "sensor_id"))
     },
 
     // S6: SensorStore write/read roundtrip — month-partitioned sorted
@@ -2259,10 +2256,7 @@ object Queries {
       // memory sink: Bench re-runs each entry 4x per JVM, so leaked
       // result tables would accumulate in driver memory for the
       // process lifetime
-      val out = ss.table(name).orderBy("source")
-      val rows = java.util.Arrays.asList(out.collect(): _*)
-      ss.catalog.dropTempView(name)
-      s.createDataFrame(rows, out.schema).orderBy("source")
+      boundedResult(s, ss, name, ss.table(name), Seq("source"))
     },
 
     // Int8-quantized ANN first pass (vec_q8 / vec_dot8 codegen'd
@@ -4012,10 +4006,7 @@ object Queries {
           .agg(count(lit(1)).as("n_views"))
           .select(col("cu").as("user_id"),
             unix_micros(col("cts")).as("cts"), col("n_views"))
-          .orderBy("user_id", "cts")
-        val rows = java.util.Arrays.asList(out.collect(): _*)
-        ss.catalog.dropTempView(name)
-        s.createDataFrame(rows, out.schema).orderBy("user_id", "cts")
+        boundedResult(s, ss, name, out, Seq("user_id", "cts"))
       }
     },
 
@@ -6460,10 +6451,7 @@ object Queries {
       val query = enriched.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
       try query.processAllAvailable() finally query.stop()
-      val out = ss.table(name).orderBy("segment")
-      val rows = java.util.Arrays.asList(out.collect(): _*)
-      ss.catalog.dropTempView(name)
-      s.createDataFrame(rows, out.schema).orderBy("segment")
+      boundedResult(s, ss, name, ss.table(name), Seq("segment"))
     },
 
     // Join-cardinality estimation without executing the join: per-key
@@ -7602,13 +7590,9 @@ object Queries {
       val query = out.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try query.processAllAvailable() finally query.stop()
-      val res = ss.table(name)
-        .withColumnRenamed("timestamp_us", "t")
-        .orderBy("sensor_id", "t", "value")
-      val rows = java.util.Arrays.asList(res.collect(): _*)
-      ss.catalog.dropTempView(name)
-      s.createDataFrame(rows, res.schema)
-        .orderBy("sensor_id", "t", "value")
+      boundedResult(s, ss, name,
+        ss.table(name).withColumnRenamed("timestamp_us", "t"),
+        Seq("sensor_id", "t", "value"))
     },
 
     // Decile lift table: click-count score ranks users, purchase is
@@ -9620,12 +9604,9 @@ object Queries {
       val query = regs.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
       try query.processAllAvailable() finally query.stop()
-      val out = graft.pipeline.Sketches.hllFinalize(
-          ss.table(name), Seq("flag"), 8)
-        .orderBy("flag")
-      val rows = java.util.Arrays.asList(out.collect(): _*)
-      ss.catalog.dropTempView(name)
-      s.createDataFrame(rows, out.schema).orderBy("flag")
+      boundedResult(s, ss, name,
+        graft.pipeline.Sketches.hllFinalize(ss.table(name), Seq("flag"), 8),
+        Seq("flag"))
     },
 
     // Perceptual-hash (dHash) near-dup pairs over the deterministic
@@ -9886,10 +9867,7 @@ object Queries {
           .select(col("user_id"),
             unix_micros(col("sw.start")).as("start_us"),
             unix_micros(col("sw.end")).as("end_us"), col("n"))
-          .orderBy("user_id", "start_us")
-        val rows = java.util.Arrays.asList(out.collect(): _*)
-        ss.catalog.dropTempView(name)
-        s.createDataFrame(rows, out.schema).orderBy("user_id", "start_us")
+        boundedResult(s, ss, name, out, Seq("user_id", "start_us"))
       }
     },
 
@@ -10112,11 +10090,8 @@ object Queries {
         val out = ss.table(name)
           .select(col("event_type"),
             unix_micros(col("w.start")).as("window_start_us"), col("n"))
-          .orderBy("event_type", "window_start_us")
-        val rows = java.util.Arrays.asList(out.collect(): _*)
-        ss.catalog.dropTempView(name)
-        s.createDataFrame(rows, out.schema)
-          .orderBy("event_type", "window_start_us")
+        boundedResult(s, ss, name, out,
+          Seq("event_type", "window_start_us"))
       }
     },
 
@@ -10406,10 +10381,7 @@ object Queries {
           .agg(count(col("vts")).as("n_views"))
           .select(col("cu").as("user_id"),
             unix_micros(col("cts")).as("cts_us"), col("n_views"))
-          .orderBy("user_id", "cts_us")
-        val rows = java.util.Arrays.asList(out.collect(): _*)
-        ss.catalog.dropTempView(name)
-        s.createDataFrame(rows, out.schema).orderBy("user_id", "cts_us")
+        boundedResult(s, ss, name, out, Seq("user_id", "cts_us"))
       }
     },
 
@@ -11046,11 +11018,8 @@ object Queries {
         val out = ss.table(name)
           .select(col("event_type"),
             unix_micros(col("w.start")).as("window_start_us"), col("n"))
-          .orderBy("event_type", "window_start_us", "n")
-        val rows = java.util.Arrays.asList(out.collect(): _*)
-        ss.catalog.dropTempView(name)
-        s.createDataFrame(rows, out.schema)
-          .orderBy("event_type", "window_start_us", "n")
+        boundedResult(s, ss, name, out,
+          Seq("event_type", "window_start_us", "n"))
       }
     },
 
@@ -13796,6 +13765,33 @@ object Queries {
   private def streamSession(s: SparkSession): SparkSession =
     scopedStreamSessions.computeIfAbsent(s,
       _ => graft.streaming.StreamingIngest.stateScopedSession(s, 4))
+
+  /** Materialize a bounded memory-sink result (`out`, a view over the
+    * scoped session's sink table, transforms applied but UNSORTED) as a
+    * driver-local single-partition DataFrame on the caller's session,
+    * sorted on `sortCols`, and drop the sink view so Bench's 4
+    * runs-per-query don't accumulate result tables in driver memory.
+    *
+    * Sort discipline: `coalesce(1).sortWithinPartitions` on BOTH sides
+    * instead of `orderBy` — a global orderBy range-partitions, which
+    * costs an extra range-SAMPLING Spark job plus an exchange on every
+    * action; for a bounded (≤ ~100 k rows by construction: these are
+    * aggregated streaming answers) result a one-task sort is the same
+    * total order with neither. Profiling (r11) showed the two orderBys
+    * here were ~0.5 s of each streaming query's ~2 s warm time. The
+    * returned local relation re-sorts lazily per action, so callers see
+    * the declared order no matter how the optimizer rewrites the scan.
+    */
+  private def boundedResult(
+      s: SparkSession, ss: SparkSession, name: String,
+      out: DataFrame, sortCols: Seq[String]): DataFrame = {
+    val rows = java.util.Arrays.asList(
+      out.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
+        .collect(): _*)
+    ss.catalog.dropTempView(name)
+    s.createDataFrame(rows, out.schema)
+      .sortWithinPartitions(sortCols.map(col): _*)
+  }
 
   /** Shared CUSUM oracle (q196 batch, q219 streaming — the operators
     * are fold-identical by construction, so one recursive-CTE replay

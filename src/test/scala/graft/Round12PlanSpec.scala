@@ -50,4 +50,23 @@ class Round12PlanSpec extends SparkSpec {
     // eliminates.)
     assert(countOccurrences(plan, "Exchange") == 1, plan)
   }
+
+  test("streaming boundedResult is a driver-local relation: actions " +
+    "pay one local sort, never a range-sampling job or an Exchange") {
+    // r11 streaming-overhead item: the memory-sink re-materialization
+    // used to end in a global orderBy, whose RangePartitioning costs a
+    // separate sampling Spark job PLUS an exchange on EVERY downstream
+    // action — ~0.5 s of each bounded streaming query's ~2 s warm
+    // time. The helper returns the bounded answer as a LocalRelation
+    // with a partition-local sort, so the plan must show no Exchange
+    // and no global Sort.
+    val df = SparkEntry.queries("q32_stream_window")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    // the declared order is still applied (partition-local sort)
+    assert(plan.contains("Sort ["), plan)
+    assert(df.count() > 0)
+  }
 }
