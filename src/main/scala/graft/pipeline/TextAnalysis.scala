@@ -302,15 +302,45 @@ object TextAnalysis {
       .cache()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("id")).cast("double").as("__n"))
+    PipelineCache.materialize(tf)(tfidfRank(tf, df, n, k))
+  }
+
+  /** [[tfidfTopK]] over the persisted [[TextArtifacts]] layout: the
+    * token explosion and both corpus aggregates are served from the
+    * warehouse tables (built once per corpus), so the query itself is
+    * one Exchange-free co-bucketed tf⋈df SMJ plus the per-document rank
+    * window — the only shuffle left. Bit-identical to the inline path:
+    * every score is a per-row product (no float reduction), and N from
+    * [[TextArtifacts.docLengths]]'s row count equals the inline
+    * countDistinct by construction.
+    */
+  def tfidfTopKShared(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val tf = TextArtifacts.termFreq(docs, idCol, textCol, corpusKey)
+    val df = TextArtifacts.docFreq(docs, idCol, textCol, corpusKey)
+    val n = TextArtifacts.docLengths(docs, idCol, textCol, corpusKey)
+      .agg(count(lit(1)).cast("double").as("__n"))
+    tfidfRank(tf, df, n, k)
+  }
+
+  /** Shared score+rank block of the TF-IDF paths: per-row tf·ln(N/df)
+    * — no float reduction anywhere, so the result is independent of
+    * the tf frame's physical layout — with rank ties broken on the
+    * token. `n` is a 1-row (__n: double) aggregate.
+    */
+  private def tfidfRank(
+      tf: DataFrame, df: DataFrame, n: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("token"))
-    PipelineCache.materialize(tf)(tf.join(df, "token")
+    tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("__n") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("token"),
-        round(col("score"), 6).as("score")))
+        round(col("score"), 6).as("score"))
   }
 
   /** BM25 document ranking for a fixed query (Robertson/Lucene form):
@@ -368,6 +398,49 @@ object TextAnalysis {
     val dfs = broadcast(tf
       .filter(col("token").isin(queryTerms: _*))
       .groupBy(col("token")).agg(count(lit(1)).cast("double").as("df")))
+    val result = bm25Score(tf, lens, dfs, stats, queryTerms, k, k1, b)
+    if (materialized) PipelineCache.materialize(tf)(result) else result
+  }
+
+  /** [[bm25TopK]] over the persisted [[TextArtifacts]] layout: the tf
+    * probe filters LITERAL query terms against the token-bucketed table
+    * (bucket-pruned at scan time), df comes from the materialized
+    * vocabulary table, and the length stats from the materialized
+    * docLengths — no token explosion, no corpus-wide shuffle left in
+    * the query at all. Bit-identical to the inline path: the score
+    * block is shared, its pivot cells hold at most one row each, and
+    * the df/len/N values are the same integers the inline aggregates
+    * produce.
+    */
+  def bm25TopKShared(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term")
+    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    val tf = TextArtifacts.termFreq(docs, idCol, textCol, corpusKey)
+      .filter(col("token").isin(queryTerms: _*))
+    val lens = TextArtifacts.docLengths(docs, idCol, textCol, corpusKey)
+    val stats = broadcast(lens.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("len")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avg")))
+    val dfs = broadcast(
+      TextArtifacts.docFreq(docs, idCol, textCol, corpusKey)
+        .filter(col("token").isin(queryTerms: _*))
+        .select(col("token"), col("df").cast("double").as("df")))
+    bm25Score(tf, lens, dfs, stats, queryTerms, k, k1, b)
+  }
+
+  /** Shared scoring block of the BM25 paths (see [[bm25TopK]] for the
+    * engine-parity argument): `tf` may be pre-filtered to the query
+    * terms (the dfs inner join restricts identically), `dfs` is
+    * (token, df: double), `stats` a 1-row (__n, __avg) aggregate.
+    */
+  private def bm25Score(
+      tf: DataFrame, lens: DataFrame, dfs: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double): DataFrame = {
     val contrib = tf.join(dfs, "token")
       .join(lens, "id")
       .crossJoin(stats)
@@ -384,14 +457,13 @@ object TextAnalysis {
     val score = queryTerms.indices
       .map(i => coalesce(col(s"__s_$i"), lit(0.0)))
       .reduceLeft(_ + _)
-    val result = contrib
+    contrib
       .groupBy(col("id"))
       .agg(pivots.head, pivots.tail: _*)
       .withColumn("score", score)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id"), round(col("score"), 6).as("score"))
-    if (materialized) PipelineCache.materialize(tf)(result) else result
   }
 
   /** Whole-document fingerprint: 64-bit xxhash of whitespace-normalized

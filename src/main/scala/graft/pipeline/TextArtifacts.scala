@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared, persisted lexical artifacts — the warehouse layer between a
+  * corpus and its text-scoring consumers, the same
+  * pay-the-shuffle-once contract as [[DedupArtifacts]]. Every
+  * bag-of-words scorer (TF-IDF, BM25, DSIR-style importance, vocabulary
+  * statistics) starts from the identical `(doc, token, tf)` aggregate:
+  * a full corpus scan, a token explosion (~tokens ≫ rows), and a
+  * (doc, token)-keyed shuffle — the dominant cost of each query, and
+  * identical across all of them. This object computes that aggregate
+  * ONCE per (session, corpus) and persists it through
+  * [[graft.store.Bucketing]] as a token-bucketed, bucket-sorted parquet
+  * table, with the two standard corpus-level derivatives materialized
+  * next to it:
+  *
+  *   - `termFreq`   (id, token, tf)  — token-bucketed: vocabulary joins
+  *     (df attach, query-term probes) run bucket-to-bucket with zero
+  *     Exchange on this side, and literal term predicates prune to
+  *     their buckets at scan time;
+  *   - `docFreq`    (token, df)      — token-bucketed, co-located with
+  *     termFreq so the classic tf⋈df attach is a shuffle-free SMJ;
+  *   - `docLengths` (id, len)        — id-bucketed for the per-document
+  *     normalization joins (BM25 length norm).
+  *
+  * Consumers are ONLY the scorers whose arithmetic is order-free by
+  * construction (per-row products, single-row pivot cells, integer
+  * sums): re-layouting their input cannot move a float reduction order,
+  * so the persisted path is bit-identical to the inline one. Scorers
+  * with data-ordered float sums (e.g. avg-NLL) keep their inline shape
+  * on purpose.
+  *
+  * On a real cluster these live in the metastore beside the corpus and
+  * survive the session (they are the "inverted index-lite" a 100 TB
+  * text pipeline maintains anyway); here they live for the JVM like
+  * Tables' relation cache.
+  */
+object TextArtifacts {
+
+  private case class Arts(tf: DataFrame, df: DataFrame, lens: DataFrame)
+
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Arts]()
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Default bucket count — sized for the local harness; a deployment
+    * sizes it with the vocabulary (buckets ≈ tf rows / target partition
+    * rows), and co-bucketed consumers must match it.
+    */
+  val DefaultBuckets = 8
+
+  private def build(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String, buckets: Int): Arts = {
+    val spark = docs.sparkSession
+    tables.computeIfAbsent(
+      (spark, s"$corpusKey|$idCol|$textCol|$buckets"), _ => {
+        val n = ctr.incrementAndGet()
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_text_arts").toString
+        // the one token explosion + (doc, token) shuffle every consumer
+        // used to repay per query
+        val tfFrame = docs.select(col(idCol).as("id"),
+            explode(TextAnalysis.whitespaceTokens(lower(col(textCol))))
+              .as("token"))
+          .groupBy(col("id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val tfName = s"graft_text_tf_$n"
+        graft.store.Bucketing.writeBucketed(
+          tfFrame, tfName, "token", buckets, s"$dir/$tfName")
+        val tf = spark.table(tfName)
+        // derivatives read the PERSISTED layout: the df aggregate rides
+        // the token bucketing (zero Exchange), doc lengths pay their
+        // id shuffle once here instead of per query
+        val dfName = s"graft_text_df_$n"
+        graft.store.Bucketing.writeBucketed(
+          tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
+          dfName, "token", buckets, s"$dir/$dfName")
+        val lensName = s"graft_text_lens_$n"
+        graft.store.Bucketing.writeBucketed(
+          tf.groupBy(col("id")).agg(sum(col("tf")).as("len")),
+          lensName, "id", buckets, s"$dir/$lensName")
+        Arts(tf, spark.table(dfName), spark.table(lensName))
+      })
+  }
+
+  /** The corpus term-frequency table (id, token, tf), token-bucketed. */
+  def termFreq(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String, buckets: Int = DefaultBuckets): DataFrame =
+    build(docs, idCol, textCol, corpusKey, buckets).tf
+
+  /** Document frequency per token (token, df), co-bucketed with
+    * [[termFreq]] so the tf⋈df attach is Exchange-free on both sides.
+    */
+  def docFreq(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String, buckets: Int = DefaultBuckets): DataFrame =
+    build(docs, idCol, textCol, corpusKey, buckets).df
+
+  /** Token count per document (id, len), id-bucketed. Row count =
+    * number of documents with at least one token — the `N` every
+    * df-based scorer uses.
+    */
+  def docLengths(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String, buckets: Int = DefaultBuckets): DataFrame =
+    build(docs, idCol, textCol, corpusKey, buckets).lens
+}

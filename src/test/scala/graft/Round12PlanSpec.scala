@@ -69,4 +69,48 @@ class Round12PlanSpec extends SparkSpec {
     assert(plan.contains("Sort ["), plan)
     assert(df.count() > 0)
   }
+
+  test("tfidfTopKShared's tf⋈df attach reads both co-bucketed text " +
+    "artifacts with zero Exchange below the rank window") {
+    // the TextArtifacts contract: term-frequency and vocabulary tables
+    // are written token-bucketed with the same bucket count, so the
+    // classic df-attach join — the only corpus-sized join TF-IDF has —
+    // plans bucket-to-bucket. The lone Exchange in the whole query is
+    // the per-document rank window's hashpartitioning(id).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = Tables.documents(s2, sf)
+    val out = graft.pipeline.TextAnalysis.tfidfTopKShared(
+      docs, "doc_id", "text", corpusKey = s"$sf#tfidfpin")
+    val plan = planOf(out)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    // the ONLY row-moving shuffle is the rank window's id partitioning;
+    // the token join never exchanges (both scans are bucketed). The
+    // 1-row N aggregate's SinglePartition/Broadcast exchanges move one
+    // row and don't count against the layout.
+    val rowShuffles = "Exchange hashpartitioning\\(\\w+".r
+      .findAllMatchIn(plan).map(_.matched).toList
+    assert(rowShuffles == List("Exchange hashpartitioning(id"), plan)
+  }
+
+  test("bm25TopKShared probes the bucketed term-frequency table with " +
+    "literal-term bucket pruning") {
+    // a 3-term probe against the token-bucketed tf table must not scan
+    // every bucket: the isin predicate prunes to the terms' buckets at
+    // scan time (SelectedBucketsCount < total), and no token explosion
+    // or corpus-wide aggregation appears anywhere in the plan.
+    val docs = Tables.documents(spark, sf)
+    val out = graft.pipeline.TextAnalysis.bm25TopKShared(
+      docs, "doc_id", "text", corpusKey = s"$sf#bm25pin",
+      queryTerms = Seq("spark", "hash", "window"))
+    val plan = planOf(out)
+    assert(!plan.contains("Generate"), plan) // no explode left
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan).map(m =>
+      (m.group(1).toInt, m.group(2).toInt)).toList
+    assert(hits.nonEmpty, plan)
+    assert(hits.exists { case (k, n) => k < n }, plan)
+    assert(out.count() > 0)
+  }
 }

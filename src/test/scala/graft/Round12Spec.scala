@@ -183,4 +183,57 @@ class Round12Spec extends SparkSpec {
     edges.foreach { case (s, d) =>
       assert(loops.contains(s) && loops.contains(d)) }
   }
+
+  test("tfidfTopKShared ≡ tfidfTopK on the documents corpus " +
+    "(artifact built once)") {
+    import graft.pipeline.{TextAnalysis, TextArtifacts}
+    val docs = Tables.documents(spark, sf)
+    val inline = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val shared = TextAnalysis.tfidfTopKShared(
+        docs, "doc_id", "text", corpusKey = sf, k = 3)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(shared.toSeq == inline.toSeq)
+    assert(shared.nonEmpty)
+    val a = TextArtifacts.termFreq(docs, "doc_id", "text", sf)
+    val b = TextArtifacts.termFreq(docs, "doc_id", "text", sf)
+    assert(a eq b) // one materialization per (session, corpus)
+  }
+
+  test("bm25TopKShared ≡ bm25TopK on the documents corpus") {
+    import graft.pipeline.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("spark", "hash", "window")
+    val inline = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val shared = TextAnalysis.bm25TopKShared(
+        docs, "doc_id", "text", corpusKey = sf, queryTerms = terms)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(shared.toSeq == inline.toSeq)
+    assert(shared.nonEmpty)
+  }
+
+  test("TextArtifacts docFreq/docLengths agree with direct aggregates " +
+    "over the corpus") {
+    import graft.pipeline.{TextAnalysis, TextArtifacts}
+    val docs = Tables.documents(spark, sf)
+    val tfDirect = docs.select(col("doc_id").as("id"),
+        explode(TextAnalysis.whitespaceTokens(lower(col("text"))))
+          .as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfDirect = tfDirect.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1)))
+    val dfShared = TextArtifacts.docFreq(docs, "doc_id", "text", sf)
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dfShared.toSeq == dfDirect.toSeq)
+    val lensDirect = tfDirect.groupBy("id").agg(sum(col("tf")).as("len"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lensShared = TextArtifacts.docLengths(docs, "doc_id", "text", sf)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lensShared.toSeq == lensDirect.toSeq)
+  }
 }
