@@ -27,7 +27,8 @@ object GraphArtifacts {
     val spark = events.sparkSession
     edgeTables.computeIfAbsent(
       (spark, s"$corpusKey|$userCol|$itemCol|$minCount"),
-      _ => Behavior.coOccurrenceEdges(events, userCol, itemCol, minCount)
-        .localCheckpoint(true))
+      _ => PipelineCache.pin(
+        Behavior.coOccurrenceEdges(events, userCol, itemCol, minCount)
+          .localCheckpoint(true)))
   }
 }

@@ -17,14 +17,35 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object PipelineCache {
 
+  // checkpoint RDDs owned by a session-lifetime artifact cache
+  // (GraphArtifacts, SimilarityArtifacts): [[free]] must not release
+  // them even when a consumer returns the artifact frame directly in
+  // its answer plan — the next consumer reads the same blocks.
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Mark `df`'s checkpoint blocks as session-lifetime: [[free]] skips
+    * them. For the shared artifact caches, whose frames outlive any one
+    * consuming query.
+    */
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => pinned.add(l.rdd.id)
+      case _ => ()
+    }
+    df
+  }
+
   /** Unpersist the local-checkpoint blocks backing `df` (no-op for plans
-    * without checkpointed leaves). Call only after the frame has been
-    * fully consumed: checkpoints truncate lineage, so a freed frame
-    * cannot be recomputed.
+    * without checkpointed leaves; [[pin]]ned artifact blocks are
+    * skipped). Call only after the frame has been fully consumed:
+    * checkpoints truncate lineage, so a freed frame cannot be
+    * recomputed.
     */
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(false)
+      case l: LogicalRDD if !pinned.contains(l.rdd.id) =>
+        l.rdd.unpersist(false)
       case _ => ()
     }
 

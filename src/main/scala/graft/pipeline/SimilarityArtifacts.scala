@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared embedding-model artifacts — the [[DedupArtifacts]] idea
+  * applied to the k-means family: the deterministic Lloyd model over a
+  * corpus at a given (k, iters) is identical for every consumer
+  * (cluster listing, balanced per-cluster sampling, external
+  * validation, …), yet each one repaid the full training — `iters`
+  * corpus-wide (cluster, position) shuffles with a driver collect each
+  * — plus the assignment scan. Train once per (session, corpus, k,
+  * iters) and serve the MATERIALIZED integer assignment table (eager
+  * localCheckpoint — one int per vector, pinned for the JVM like
+  * Tables' relation cache). On a real cluster this is the persisted
+  * cluster-assignment column a vector pipeline maintains next to its
+  * embeddings; the assignment values are layout-independent integers
+  * (argmin over macroscopically-separated distances), so serving the
+  * cached table is bit-identical to retraining.
+  */
+object SimilarityArtifacts {
+
+  private val assignTables =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  /** [[Similarity.kmeansAssign]] of `corpus`, materialized once per
+    * (session, corpusKey, k, iters). Output: (vec_id, cluster).
+    */
+  def kmeansAssignments(
+      corpus: DataFrame, k: Int, iters: Int,
+      corpusKey: String): DataFrame = {
+    val spark = corpus.sparkSession
+    assignTables.computeIfAbsent(
+      (spark, s"$corpusKey|$k|$iters"),
+      _ => PipelineCache.pin(
+        Similarity.kmeansAssign(corpus, k, iters).localCheckpoint(true)))
+  }
+}

@@ -184,6 +184,22 @@ class Round12Spec extends SparkSpec {
       assert(loops.contains(s) && loops.contains(d)) }
   }
 
+  test("SimilarityArtifacts.kmeansAssignments ≡ kmeansAssign and is " +
+    "materialized once") {
+    import graft.pipeline.{Similarity, SimilarityArtifacts}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val direct = Similarity.kmeansAssign(e, k = 8, iters = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val a = SimilarityArtifacts.kmeansAssignments(e, 8, 2, corpusKey = sf)
+    val b = SimilarityArtifacts.kmeansAssignments(e, 8, 2, corpusKey = sf)
+    assert(a eq b) // one training per (session, corpus, k, iters)
+    val shared = a.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(shared.toSeq == direct.toSeq)
+    assert(shared.nonEmpty)
+  }
+
   test("tfidfTopKShared ≡ tfidfTopK on the documents corpus " +
     "(artifact built once)") {
     import graft.pipeline.{TextAnalysis, TextArtifacts}
