@@ -233,6 +233,40 @@ class Round12Spec extends SparkSpec {
     assert(shared.nonEmpty)
   }
 
+  test("bm25TopKShared ≡ bm25TopK when a query term is absent from " +
+    "the corpus and when docs have empty text") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "spark hash spark"), (2L, ""), (3L, "   "),
+      (4L, "window spark"), (5L, "hash hash window"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "zzz_absent", "window")
+    val key = "mem:degenerate-bm25"
+    val inline = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val shared = TextAnalysis.bm25TopKShared(
+        docs, "doc_id", "text", corpusKey = key, queryTerms = terms)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(shared.toSeq == inline.toSeq)
+    val tfidfInline = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2)
+      .orderBy("id", "rank").collect().map(_.toSeq)
+    val tfidfShared = TextAnalysis.tfidfTopKShared(
+        docs, "doc_id", "text", corpusKey = key, k = 2)
+      .orderBy("id", "rank").collect().map(_.toSeq)
+    assert(tfidfShared.toSeq == tfidfInline.toSeq)
+  }
+
+  test("SimilarityArtifacts cache key discriminates k and iters") {
+    import graft.pipeline.SimilarityArtifacts
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val k8 = SimilarityArtifacts.kmeansAssignments(e, 8, 2, corpusKey = sf)
+    val k4 = SimilarityArtifacts.kmeansAssignments(e, 4, 2, corpusKey = sf)
+    val k8i1 = SimilarityArtifacts.kmeansAssignments(e, 8, 1, corpusKey = sf)
+    assert(!(k8 eq k4) && !(k8 eq k8i1))
+    assert(k4.select(max(col("cluster"))).head.getInt(0) <= 3)
+  }
+
   test("TextArtifacts docFreq/docLengths agree with direct aggregates " +
     "over the corpus") {
     import graft.pipeline.{TextAnalysis, TextArtifacts}
