@@ -25,6 +25,9 @@ object SimilarityArtifacts {
 
   /** [[Similarity.kmeansAssign]] of `corpus`, materialized once per
     * (session, corpusKey, k, iters). Output: (vec_id, cluster).
+    * `corpusKey` IDENTIFIES the corpus (e.g. its directory) — callers
+    * passing a filtered/derived frame must use a distinct key, or they
+    * are served the artifact of whichever frame arrived first.
     */
   def kmeansAssignments(
       corpus: DataFrame, k: Int, iters: Int,

@@ -52,6 +52,9 @@ object TextArtifacts {
     */
   val DefaultBuckets = 8
 
+  // `corpusKey` IDENTIFIES the corpus (e.g. its directory) — callers
+  // passing a filtered/derived frame must use a distinct key, or they
+  // are served the artifact of whichever frame arrived first.
   private def build(
       docs: DataFrame, idCol: String, textCol: String,
       corpusKey: String, buckets: Int): Arts = {
