@@ -94,6 +94,23 @@ class Round12PlanSpec extends SparkSpec {
     assert(rowShuffles == List("Exchange hashpartitioning(id"), plan)
   }
 
+  test("kmeansAssignments serves the materialized assignment table — " +
+    "no Lloyd explode/aggregate in a consumer's plan") {
+    // the SimilarityArtifacts contract: consumers read the trained
+    // integer assignment table as a local scan; retraining (posexplode
+    // over vectors + (cluster, position) aggregate + driver collect)
+    // never re-enters any consuming query's plan.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val assigned = graft.pipeline.SimilarityArtifacts
+      .kmeansAssignments(e, 8, 2, corpusKey = s"$sf#kmpin")
+    val plan = planOf(assigned.groupBy(col("cluster")).count())
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan)
+    assert(!plan.contains("posexplode"), plan)
+    assert(!plan.contains("parquet"), plan) // no corpus re-scan either
+  }
+
   test("bm25TopKShared probes the bucketed term-frequency table with " +
     "literal-term bucket pruning") {
     // a 3-term probe against the token-bucketed tf table must not scan
