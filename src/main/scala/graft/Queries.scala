@@ -821,8 +821,7 @@ object Queries {
         |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
         |ORDER BY timestamp_us LIMIT 100"""
     ) { (s, d) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_store").toString
+      val root = graft.TempDirs.createPath("graft_store")
       val store = new graft.store.SensorStore(s, root)
       store.publishSamples(graft.model.SensorType.Float,
         EventsAdapter.samples(s, d)
@@ -939,8 +938,7 @@ object Queries {
         |) ORDER BY type"""
     ) { (s, d) =>
       import graft.model.SensorType
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_typed_store").toString
+      val root = graft.TempDirs.createPath("graft_typed_store")
       val store = new graft.store.SensorStore(s, root)
       val base = EventsAdapter.samples(s, d)
       // one multi-type publish: the three typed writes land as
@@ -2408,8 +2406,7 @@ object Queries {
         |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
         |ORDER BY timestamp_us LIMIT 100"""
     ) { (s, d) =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_store_orc").toString
+      val root = graft.TempDirs.createPath("graft_store_orc")
       val store = new graft.store.SensorStore(s, root, format = "orc")
       store.publishSamples(graft.model.SensorType.Float,
         EventsAdapter.samples(s, d)
@@ -7595,7 +7592,7 @@ object Queries {
       val samples = EventsAdapter.samples(s, d)
         .select(col("sensor_id"), col("timestamp_us"), col("value"))
       val streamDir = q219SourceDirs.computeIfAbsent((s, d), _ => {
-        val p = java.nio.file.Files.createTempDirectory("q219_src")
+        val p = graft.TempDirs.create("q219_src")
         samples.coalesce(1).write.mode("overwrite").parquet(p.toString)
         p
       })
@@ -13731,7 +13728,7 @@ object Queries {
   private def streamSourceDir(
       s: SparkSession, d: String, table: String): String =
     streamLinkDirs.computeIfAbsent((s, d, table), _ => {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      val p = graft.TempDirs.create(s"graft_stream_$table")
       java.nio.file.Files.createSymbolicLink(
         p.resolve(s"$table.parquet"),
         java.nio.file.Paths.get(s"$d/$table.parquet"))
@@ -13750,7 +13747,7 @@ object Queries {
     (SparkSession, String), String]()
   private def lateSourceDir(s: SparkSession, d: String): String =
     lateSplitDirs.computeIfAbsent((s, d), _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_stream_late")
+      val root = graft.TempDirs.create("graft_stream_late")
       val ev = Tables.load(s, d, "events")
       def dump(parity: Int, name: String, mtimeMs: Long): Unit = {
         val tmp = root.resolve(s"${name}_tmp")

@@ -945,7 +945,7 @@ final class Gateway(
         val window = p.getOrElse("window", "1 hour")
         val watermark = p.getOrElse("watermark", window)
         val checkpoint = p.getOrElse("checkpoint",
-          java.nio.file.Files.createTempDirectory("graft_rs_ckpt").toString)
+          graft.TempDirs.createPath("graft_rs_ckpt"))
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("sensor_id", StringType),
           org.apache.spark.sql.types.StructField("timestamp_us",

@@ -62,8 +62,7 @@ object DedupArtifacts {
           .select(col("src"), col("src").as("dst"),
             lit(null).cast("double").as("jaccard"))
         val name = s"graft_dedup_sym_${ctr.incrementAndGet()}"
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_dedup_sym").toString
+        val path = graft.TempDirs.createPath("graft_dedup_sym")
         graft.store.Bucketing.writeBucketed(
           symRaw.union(selfLoops), name, "dst", buckets, s"$path/$name")
         PipelineCache.free(pairs)

@@ -62,8 +62,7 @@ object TextArtifacts {
     tables.computeIfAbsent(
       (spark, s"$corpusKey|$idCol|$textCol|$buckets"), _ => {
         val n = ctr.incrementAndGet()
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_text_arts").toString
+        val dir = graft.TempDirs.createPath("graft_text_arts")
         // the one token explosion + (doc, token) shuffle every consumer
         // used to repay per query
         val tfFrame = docs.select(col(idCol).as("id"),

@@ -74,7 +74,14 @@ object StreamingIngest {
     if (shm.isDirectory && shm.canWrite) {
       val d = java.nio.file.Files.createTempDirectory(
         shm.toPath, "graft_stream_ckpt")
-      d.toFile.deleteOnExit()
+      // recursive delete at JVM exit — deleteOnExit only removes EMPTY
+      // dirs, and tmpfs is RAM: a leaked checkpoint tree would hold
+      // memory until container restart (this dir can't live under the
+      // TempDirs root because it must sit on /dev/shm, but it shares
+      // the same cleanup)
+      Runtime.getRuntime.addShutdownHook(new Thread(
+        () => graft.TempDirs.deleteRecursively(d.toFile),
+        "graft-ckpt-cleanup"))
       Some(d.toString)
     } else None
   }

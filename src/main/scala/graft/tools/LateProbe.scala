@@ -10,7 +10,7 @@ object LateProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
     val d = "/root/testdata/sf0.01"
-    val root = java.nio.file.Files.createTempDirectory("late_probe")
+    val root = graft.TempDirs.create("late_probe")
     val ev = Tables.load(spark, d, "events")
     def dump(parity: Int, name: String, mtimeMs: Long): Unit = {
       val tmp = root.resolve(s"${name}_tmp")

@@ -25,7 +25,7 @@ object StreamPhaseProbe {
       val events = spark.read.parquet(s"$sfDir/events.parquet")
       val schema = events.schema
       // symlink dir for the file source
-      val dir = java.nio.file.Files.createTempDirectory("probe_src")
+      val dir = graft.TempDirs.create("probe_src")
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))

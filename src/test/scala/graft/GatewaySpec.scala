@@ -17,7 +17,7 @@ import graft.store.SensorStore
 class GatewaySpec extends SparkSpec {
 
   private lazy val root =
-    java.nio.file.Files.createTempDirectory("graft_gateway").toString
+    graft.TempDirs.createPath("graft_gateway")
   private lazy val store = new SensorStore(spark, root)
   private lazy val gateway = new Gateway(spark, store, "test-gateway")
   private lazy val port = gateway.start(0)
@@ -420,7 +420,7 @@ class GatewaySpec extends SparkSpec {
   }
 
   test("bulk export: per-series IPC files + manifest, no data on driver path") {
-    val dir = java.nio.file.Files.createTempDirectory("gw_bulk").toString
+    val dir = graft.TempDirs.createPath("gw_bulk")
     // http_requests samples live at 2024-01 (remote-write fixture) —
     // selector windows are now-relative, so use a wide matrix range
     val q = java.net.URLEncoder.encode("http_requests[1500w]", "UTF-8")
@@ -452,8 +452,8 @@ class GatewaySpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     // a source dir with one plain parquet file
-    val srcDir = java.nio.file.Files.createTempDirectory("gw_rs_src")
-    val tmp = java.nio.file.Files.createTempDirectory("gw_rs_part")
+    val srcDir = graft.TempDirs.create("gw_rs_src")
+    val tmp = graft.TempDirs.create("gw_rs_part")
     Seq(("s1", 1704067200000000L, 1.0))
       .toDF("sensor_id", "timestamp_us", "value")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -216,7 +216,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("dedupStream: scoped first-wins, watermark variant bounds state") {
-    val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    val dir = graft.TempDirs.create("dedup_stream")
     // docs 1/2 are exact dups within source a; doc 3 has the same
     // NORMALIZED text but lives in source b (scope keeps it); doc 4 is
     // distinct

@@ -17,7 +17,7 @@ class PlanSpec extends SparkSpec {
 
   test("range scan pushes sensor and time predicates into the parquet scan") {
     val store = new graft.store.SensorStore(spark,
-      java.nio.file.Files.createTempDirectory("plan_store").toString)
+      graft.TempDirs.createPath("plan_store"))
     store.publishSamples(graft.model.SensorType.Float,
       EventsAdapter.samples(spark, sf)
         .select("sensor_id", "timestamp_us", "value"))
@@ -33,7 +33,7 @@ class PlanSpec extends SparkSpec {
 
   test("time-bounded store scan prunes month partitions") {
     val store = new graft.store.SensorStore(spark,
-      java.nio.file.Files.createTempDirectory("plan_store_prune").toString)
+      graft.TempDirs.createPath("plan_store_prune"))
     import spark.implicits._
     store.publishSamples(graft.model.SensorType.Float, Seq(
       ("s1", 1704067200000000L, 1.0), // 2024-01
@@ -56,7 +56,7 @@ class PlanSpec extends SparkSpec {
 
   test("MonthPruneRule: raw timestamp filters imply month partition pruning") {
     val store = new graft.store.SensorStore(spark,
-      java.nio.file.Files.createTempDirectory("plan_store_rule").toString)
+      graft.TempDirs.createPath("plan_store_rule"))
     import spark.implicits._
     store.publishSamples(graft.model.SensorType.Float, Seq(
       ("s1", 1704067200000000L, 1.0), // 2024-01
@@ -659,7 +659,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bucketed tables join with ZERO exchange — co-located layout") {
-    val tmp = java.nio.file.Files.createTempDirectory("buckets")
+    val tmp = graft.TempDirs.create("buckets")
     try {
       val orders = graft.Tables.orders(spark, sf)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

@@ -9,7 +9,7 @@ class StoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def tempDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_store_spec").toString
+    graft.TempDirs.createPath("graft_store_spec")
 
   private lazy val sampleData = Seq(
     ("s1", 1704067200000000L, 1.0), // 2024-01
@@ -433,9 +433,9 @@ class StoreSpec extends SparkSpec {
 
   test("remote-write frame stream ingests into the store") {
     import graft.prometheus.PrometheusRemote._
-    val dir = java.nio.file.Files.createTempDirectory("graft_rw_src")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_rw_ckpt")
-    val root = java.nio.file.Files.createTempDirectory("graft_rw_store")
+    val dir = graft.TempDirs.create("graft_rw_src")
+    val ckpt = graft.TempDirs.create("graft_rw_ckpt")
+    val root = graft.TempDirs.create("graft_rw_store")
     def frame(name: String, job: String, values: Seq[(Double, Long)]): Array[Byte] = {
       val w = new ProtoWriter
       val tw = new ProtoWriter
@@ -472,7 +472,7 @@ class StoreSpec extends SparkSpec {
 
   test("resample stream persists derived series into the store") {
     import scala.jdk.CollectionConverters._
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_rs_src")
+    val srcDir = graft.TempDirs.create("graft_rs_src")
     val store = new SensorStore(spark, tempDir())
     // source series metadata in the catalog
     val srcUuid = graft.model.Sensor.deriveUuid(
@@ -486,7 +486,7 @@ class StoreSpec extends SparkSpec {
     val t0 = 1704067200000000L // 2024-01-01 00:00 UTC
     val fileSeq = new java.util.concurrent.atomic.AtomicLong(0)
     def writeFile(name: String, rows: Seq[(String, Long, Double)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rs_part")
+      val tmp = graft.TempDirs.create("graft_rs_part")
       rows.toDF("sensor_id", "timestamp_us", "value")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator().asScala

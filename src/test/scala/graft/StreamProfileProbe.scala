@@ -20,7 +20,7 @@ object StreamProfileProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val ss = graft.streaming.StreamingIngest.stateScopedSession(spark, 4)
     // stage the source dir like streamSourceDir does
-    val src = java.nio.file.Files.createTempDirectory("probe_src")
+    val src = graft.TempDirs.create("probe_src")
     java.nio.file.Files.createSymbolicLink(
       src.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
