@@ -151,8 +151,30 @@ object MarginProbe {
     val wmJ = math.min(maxT(clicks10), maxT(views10)) - 3600000000L
     val outerMargin = minAbs(clicks10, col("t") + 300000000L - wmJ)
 
+    // q360/q249 detector cuts (round-11 re-aims that made both gates
+    // non-vacuous): both values come off ONE fixed IEEE chain over
+    // exact integer sums on each engine, so the floor guards a future
+    // draw parking a value where the two chains' last-ulp could
+    // differ. q249's surface is DENSE (9k+ rows beyond the cut at
+    // sf0.1, spacing ~1e-5), so its floor is 1e-5 — still ~1e10 ulps
+    // of headroom at d² ≈ 5.
+    val zMargin = minDist(
+      graft.operators.SensorOps.rollingZAnomalies(
+        adapters.EventsAdapter.samples(spark, sfDir)
+          .select(col("sensor_id"), col("timestamp_us"), col("value")),
+        window = 8, zCut = 1e-12)
+        .select(abs(col("z")).as("az")),
+      "az", 2.4)
+    val d2Margin = minDist(
+      graft.pipeline.Profiler.mahalanobis2d(
+        Tables.lineitem(spark, sfDir), "l_quantity", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), threshold = -1.0),
+      "d2", 5.0)
+
     Seq(
       Probe("q24_q25_jaccard", 0.5, jacMargin),
+      Probe("q360_rolling_z_cut", 2.4, zMargin),
+      Probe("q249_mahalanobis_cut", 5.0, d2Margin, floor = 1e-5),
       Probe("q136_jaccard_ascii", 0.3, jacAsciiMargin),
       Probe(s"q46_cosine", CosineTau, cosMargin),
       Probe("q134_semdedup_cosine", 0.44, semMargin),

@@ -7157,8 +7157,10 @@ object Queries {
         .orderBy("from_state")
     },
 
-    // Kaplan–Meier survival over user lifetimes (7-day censor
-    // horizon): everything after the user-keyed (first, last)
+    // Kaplan–Meier survival over user lifetimes (12-hour censor
+    // horizon — the 7-day default censors EVERY user in these draws,
+    // making the gate row-free; 12 h yields a real death/censored mix
+    // at all three SFs): everything after the user-keyed (first, last)
     // aggregate runs on the span-bounded distinct-duration table; the
     // log-product prefix accumulates DECIMAL(28,12)-quantized terms.
     q(
@@ -7167,7 +7169,7 @@ object Queries {
         |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
         |gm AS (SELECT MAX(l) AS gmax FROM lif),
         |durs AS (SELECT (l - f) // 86400000000 AS dur,
-        |    CASE WHEN l < gmax - 604800000000 THEN 1 ELSE 0 END
+        |    CASE WHEN l < gmax - 43200000000 THEN 1 ELSE 0 END
         |      AS death
         |  FROM lif CROSS JOIN gm),
         |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
@@ -7199,7 +7201,7 @@ object Queries {
       graft.pipeline.Behavior.kaplanMeier(
           Tables.events(s, d)
             .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
-          "user_id", "t_us")
+          "user_id", "t_us", censorHorizonUs = 43200000000L)
         .orderBy("duration_days")
     },
 
@@ -8557,7 +8559,10 @@ object Queries {
 
     // Bivariate Mahalanobis outliers on (quantity, extendedprice):
     // plausible margins, impossible PAIR. Closed-form 2×2 inverse,
-    // exact-sum broadcast, per-row fixed IEEE chain, χ²₂ 99% cut.
+    // exact-sum broadcast, per-row fixed IEEE chain. Cut at d² > 5
+    // (χ²₂ ~92%): bounded uniform margins cap d² near 5.9 at every
+    // SF, so the textbook 99% cut (9.21) made the gate row-free; 5.0
+    // fires 100/909/9218 rows with >= 3.7e-5 boundary clearance.
     q(
       "q249_mahalanobis",
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
@@ -8587,12 +8592,12 @@ object Queries {
         |  FROM j)
         |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  ROUND(d2, 6) AS d2
-        |FROM k WHERE d2 > 9.21
+        |FROM k WHERE d2 > 5.0
         |ORDER BY l_orderkey, l_linenumber"""
     ) { (s, d) =>
       graft.pipeline.Profiler.mahalanobis2d(
           Tables.lineitem(s, d), "l_quantity", "l_extendedprice",
-          Seq("l_orderkey", "l_linenumber"))
+          Seq("l_orderkey", "l_linenumber"), threshold = 5.0)
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -11148,7 +11153,7 @@ object Queries {
         |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
         |gm AS (SELECT MAX(l) AS gmax FROM lif),
         |durs AS (SELECT (l - f) // 86400000000 AS dur,
-        |    CASE WHEN l < gmax - 604800000000 THEN 1 ELSE 0 END
+        |    CASE WHEN l < gmax - 43200000000 THEN 1 ELSE 0 END
         |      AS death
         |  FROM lif CROSS JOIN gm),
         |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
@@ -11175,7 +11180,7 @@ object Queries {
       graft.pipeline.Behavior.nelsonAalen(
           Tables.events(s, d)
             .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
-          "user_id", "t_us")
+          "user_id", "t_us", censorHorizonUs = 43200000000L)
         .orderBy("duration_days")
     },
 
@@ -11860,7 +11865,7 @@ object Queries {
         |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
         |gm AS (SELECT MAX(l) AS gmax FROM lif),
         |durs AS (SELECT (l - f) // 86400000000 AS dur,
-        |    CASE WHEN l < gmax - 604800000000 THEN 1 ELSE 0 END
+        |    CASE WHEN l < gmax - 43200000000 THEN 1 ELSE 0 END
         |      AS death
         |  FROM lif CROSS JOIN gm),
         |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
@@ -11897,7 +11902,7 @@ object Queries {
       graft.pipeline.Behavior.rmstDays(
         Tables.events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
-        "user_id", "t_us")
+        "user_id", "t_us", censorHorizonUs = 43200000000L)
     },
 
     // U-shaped multi-touch attribution: 40/20/40 position-based
@@ -12812,8 +12817,11 @@ object Queries {
     },
 
     // Trailing-window z anomalies: each sample scored against its own
-    // series' previous 24 samples (exact integer window sums, one
-    // IEEE z shape); zero-variance windows dropped on both engines.
+    // series' previous 8 samples (exact integer window sums, one IEEE
+    // z shape); zero-variance windows dropped on both engines. Window
+    // and cut are sized to the draw: series cap at 24-29 rows, so a
+    // 24-sample window never fills, and |z| >= 2.4 fires at every SF
+    // (29/297/3045 rows) with >= 2.4e-4 boundary clearance.
     q(
       "q360_rolling_z",
       """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
@@ -12825,24 +12833,25 @@ object Queries {
         |    CAST(SUM(CAST(q AS HUGEINT) * q) OVER wt AS DOUBLE)
         |      AS ss
         |  FROM s WINDOW wt AS (PARTITION BY sensor_id ORDER BY t, q
-        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
         |v AS (SELECT sensor_id, t, q, cnt, s, ss,
         |    (ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |      / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
         |      AS var
-        |  FROM w WHERE cnt = 24),
+        |  FROM w WHERE cnt = 8),
         |f AS (SELECT sensor_id, t, q,
         |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
         |      / CAST(cnt AS DOUBLE)) / sqrt(var) AS z
         |  FROM v WHERE var > 0)
         |SELECT sensor_id, t AS timestamp_us, q AS vq,
         |  ROUND(z, 6) AS z
-        |FROM f WHERE ABS(z) >= 4.0::DOUBLE
+        |FROM f WHERE ABS(z) >= 2.4::DOUBLE
         |ORDER BY sensor_id, timestamp_us, vq"""
     ) { (s, d) =>
       graft.operators.SensorOps.rollingZAnomalies(
           EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"))
+            .select("sensor_id", "timestamp_us", "value"),
+          window = 8, zCut = 2.4)
         .orderBy("sensor_id", "timestamp_us", "vq")
     },
 
@@ -13166,14 +13175,17 @@ object Queries {
             .as("supplier_coverage"))
     },
 
-    // Mann–Kendall monotone-trend test per sensor over WEEKLY totals
-    // (the O(B²) pair join runs on week cardinality, never rows):
+    // Mann–Kendall monotone-trend test per sensor over DAILY totals
+    // (the 30-day events span yields at most 5 weekly buckets — below
+    // the n >= 8 normal-approximation floor, so a weekly grid made the
+    // gate row-free; days give 8-21 buckets per series at every SF).
+    // The O(B²) pair join runs on day cardinality, never rows:
     // integer S, exact tie correction, ±1 continuity in a shared
     // CASE.
     q(
       "q369_mann_kendall",
       """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) // 604800000000 AS wk,
+        |    epoch_us(ts) // 86400000000 AS wk,
         |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
         |b AS (SELECT sensor_id, wk, CAST(SUM(q) AS BIGINT) AS v
         |  FROM s GROUP BY 1, 2),
@@ -13205,7 +13217,7 @@ object Queries {
       graft.pipeline.Profiler.mannKendall(
           EventsAdapter.samples(s, d)
             .select(col("sensor_id"),
-              expr("timestamp_us div 604800000000").as("wk"),
+              expr("timestamp_us div 86400000000").as("wk"),
               floor(col("value") * 1000.0).cast("long").as("vq")),
           "sensor_id", "wk", "vq")
         .orderBy("sensor_id")
