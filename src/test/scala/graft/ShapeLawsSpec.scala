@@ -72,6 +72,57 @@ class ShapeLawsSpec extends SparkSpec {
     }
   }
 
+  test("isotonic fit laws: output monotone per group; already-monotone " +
+    "input is a fixed point; block means preserve the total") {
+    for (seed <- Seq(11L, 77L, 3001L)) {
+      val r = new scala.util.Random(seed)
+      val rows = for (g <- 0 to 1; i <- 0 until 20)
+        yield (g, i, r.nextInt(1000).toLong)
+      val fit = graft.operators.Isotonic.fit(rows.toDF("g", "i", "v"))
+        .orderBy("g", "i").collect()
+      fit.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+        val ys = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+        assert(ys.zip(ys.tail).forall { case (a, b) => b >= a - 1e-9 },
+          s"seed=$seed: not monotone ${ys.mkString(",")}")
+        // PAVA pools preserve each block's sum, so the totals match
+        // up to B ROUND(6) quanta
+        val vs = rs.sortBy(_.getInt(1)).map(_.getLong(2).toDouble)
+        assert(math.abs(ys.sum - vs.sum) <= 20 * 5e-7 + 1e-6,
+          s"seed=$seed: sum ${ys.sum} != ${vs.sum}")
+      }
+      // already-monotone input: the fit IS the input (interval means
+      // of integers hit the diagonal exactly; ROUND(6) is exact there)
+      val mono = (0 until 20).map(i => (0, i, (i * 7 + 3).toLong))
+      val mfit = graft.operators.Isotonic.fit(mono.toDF("g", "i", "v"))
+        .orderBy("i").collect()
+      assert(mfit.forall(r2 => r2.getDouble(3) == r2.getLong(2).toDouble))
+    }
+  }
+
+  test("wassersteinToCorpus laws: a lone group has W1 = 0 exactly; " +
+    "translation leaves the whole surface bit-identical") {
+    val lone = Seq.tabulate(60)(i => ("a", (i % 13).toLong))
+    val w0 = Profiler.wassersteinToCorpus(
+      lone.toDF("g", "v"), "g", "v").collect().head
+    assert(w0.getDouble(3) == 0.0)
+    for (seed <- Seq(19L, 404L)) {
+      val r = new scala.util.Random(seed)
+      val rows = Seq.fill(120)(
+        (s"s${r.nextInt(3)}", r.nextInt(500).toLong))
+      def run(xs: Seq[(String, Long)]) =
+        Profiler.wassersteinToCorpus(xs.toDF("g", "v"), "g", "v")
+          .collect().map(x =>
+            (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+          .toSeq
+      val a = run(rows)
+      assert(a.forall(_._4 >= 0.0))
+      // v → v + 1000: gaps and cumulative counts are unchanged, so
+      // w1_num (integer) and w1 are bit-identical
+      val b = run(rows.map { case (g, v) => (g, v + 1000L) })
+      assert(a == b, s"seed=$seed: $a != $b")
+    }
+  }
+
   test("survival estimator laws on the events table: KM survival is " +
     "non-increasing in [0,1]; Nelson-Aalen cumulative hazard and " +
     "variance are non-decreasing; S_KM <= exp(-H) pointwise") {
