@@ -4357,13 +4357,13 @@ object Queries {
         |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
         |    FROM events
         |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1706742000000000
-        |        AND 1706745600000000)
+        |      AND epoch_us(ts) BETWEEN 1705496400000000
+        |        AND 1705500000000000)
         |  WHERE rn = 1)
         |WHERE rank <= 3 ORDER BY parity, rank"""
     ) { (s, d) =>
       val parsed = graft.promql.ExtendedPromQL.parse(
-        "topk by (parity) (3, view)", 1706745600000000L)
+        "topk by (parity) (3, view)", 1705500000000000L)
       val selected = Matchers.sensorsByLabels(
         EventsAdapter.sensors(s, d), parsed.matchers)
         .select(concat(col("name"), lit(" "),
@@ -4394,14 +4394,14 @@ object Queries {
         |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
         |  FROM events
         |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706742000000000 AND 1706745600000000)
+        |    AND epoch_us(ts) BETWEEN 1705496400000000 AND 1705500000000000)
         |WHERE rn = 1
         |  AND ('0x' || substr(md5('user=' || user_id), 1, 15))
         |    ::BIGINT::DOUBLE / 1152921504606846976.0::DOUBLE < 0.4::DOUBLE
         |ORDER BY user_tag"""
     ) { (s, d) =>
       val parsed = graft.promql.ExtendedPromQL.parse(
-        "limit_ratio(0.4, view)", 1706745600000000L)
+        "limit_ratio(0.4, view)", 1705500000000000L)
       val selected = Matchers.sensorsByLabels(
         EventsAdapter.sensors(s, d), parsed.matchers)
         .select(concat(col("name"), lit(" "),
@@ -4427,14 +4427,14 @@ object Queries {
         |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
         |    FROM events
         |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1706742000000000
-        |        AND 1706745600000000)
+        |      AND epoch_us(ts) BETWEEN 1705496400000000
+        |        AND 1705500000000000)
         |  WHERE rn = 1
         |  ORDER BY d, 'view ' || CAST(user_id AS VARCHAR) LIMIT 5)
         |ORDER BY user_tag"""
     ) { (s, d) =>
       val parsed = graft.promql.ExtendedPromQL.parse(
-        "limitk(5, view)", 1706745600000000L)
+        "limitk(5, view)", 1705500000000000L)
       val selected = Matchers.sensorsByLabels(
         EventsAdapter.sensors(s, d), parsed.matchers)
         .select(concat(col("name"), lit(" "),
@@ -4464,13 +4464,13 @@ object Queries {
         |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
         |    FROM events
         |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1706742000000000
-        |        AND 1706745600000000)
+        |      AND epoch_us(ts) BETWEEN 1705496400000000
+        |        AND 1705500000000000)
         |  WHERE rn = 1)
         |ORDER BY rank"""
     ) { (s, d) =>
       val parsed = graft.promql.ExtendedPromQL.parse(
-        """sort_by_label_desc(view, "user")""", 1706745600000000L)
+        """sort_by_label_desc(view, "user")""", 1705500000000000L)
       val selected = Matchers.sensorsByLabels(
         EventsAdapter.sensors(s, d), parsed.matchers)
         .select(concat(col("name"), lit(" "),
