@@ -17,10 +17,19 @@ package graft
   */
 object TempDirs {
 
-  /** Recursive best-effort delete; safe on paths that vanish mid-walk. */
+  /** Recursive best-effort delete; safe on paths that vanish mid-walk.
+    * Symlinks are unlinked, never followed: the streaming-source
+    * symlink farms point INTO the real source data, and
+    * `File.listFiles` follows links — recursing through one would
+    * delete the link target's contents (a directory-shaped target,
+    * e.g. a Spark-written parquet dir, would be destroyed at JVM
+    * exit). `File.delete` on a link removes only the link itself.
+    */
   def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
     f.delete(); ()
   }
 

@@ -214,13 +214,28 @@ final class Gateway(
           case e: NoSuchElementException => respondError(x, 404, e.getMessage)
           case e: Exception => respondError(x, 500, String.valueOf(e.getMessage))
         } finally {
-          deadline.cancel(false)
+          // cancel returns false when the watchdog already fired — its
+          // 408 write may still be queued on (or mid-flight in) the
+          // watchdogIo pool. Taking the exchange monitor serializes
+          // with that write (respondBytes holds it), and writing the
+          // 408 HERE when the code is still -1 closes the remaining
+          // window where close() could cut off the in-flight timeout
+          // response and logRequest could record status -1.
+          val cancelled = deadline.cancel(false)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-          // the ROUTE prefix, not the raw URI: bounded metric/log
-          // cardinality (/series/{uuid} records as /series)
-          logRequest(x.getRequestMethod, path,
-            x.getResponseCode, (System.nanoTime() - t0) / 1000L)
-          x.close()
+          x.synchronized {
+            if (!cancelled && x.getResponseCode == -1)
+              respondError(x, 408, "request timed out")
+            // the ROUTE prefix, not the raw URI: bounded metric/log
+            // cardinality (/series/{uuid} records as /series); a still
+            // -1 code (handler wrote nothing, watchdog never fired)
+            // maps to the 499 sentinel rather than a "-1" label
+            val status =
+              if (x.getResponseCode == -1) 499 else x.getResponseCode
+            logRequest(x.getRequestMethod, path,
+              status, (System.nanoTime() - t0) / 1000L)
+            x.close()
+          }
         }
       }
     })
@@ -259,6 +274,64 @@ final class Gateway(
       if (body.nonEmpty) x.getResponseBody.write(body)
       x.close() // flush now — the handler thread may still be busy
     }
+
+  /** Chunked-transfer response driven by a writer callback — the
+    * memory-bound path for big exports: at the 10M-row default query
+    * limit a materialized response would buffer the whole payload on
+    * the edge, so export bodies are produced incrementally against the
+    * response stream (with `toLocalIterator` upstream, residency is
+    * one partition + one encode batch, independent of result size).
+    * Same responded-guard as respondBytes; the exchange monitor is
+    * held for the duration of the stream, so a late watchdog 408
+    * serializes behind it and no-ops. A failure mid-stream surfaces to
+    * the client as a truncated chunked body (no terminal chunk) — the
+    * headers are already on the wire, which is inherent to streaming.
+    */
+  private def respondStreaming(
+      x: HttpExchange, code: Int, contentType: String)(
+      write: java.io.OutputStream => Unit): Unit =
+    x.synchronized {
+      if (x.getResponseCode != -1) return
+      x.getResponseHeaders.set("content-type", contentType)
+      x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
+      x.sendResponseHeaders(code, 0) // length 0 = chunked transfer
+      val out = x.getResponseBody
+      write(out)
+      out.flush()
+      x.close()
+    }
+
+  /** [[respondStreaming]] over an iterator of text parts, coalesced
+    * into ~64 KiB writes (one syscall per line would dominate at 10M
+    * rows).
+    */
+  private def respondTextStream(
+      x: HttpExchange, code: Int, contentType: String,
+      parts: Iterator[String]): Unit =
+    respondStreaming(x, code, contentType) { out =>
+      val buf = new java.lang.StringBuilder
+      while (parts.hasNext) {
+        buf.setLength(0)
+        while (parts.hasNext && buf.length < 64 * 1024)
+          buf.append(parts.next())
+        out.write(buf.toString.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+  /** head + sep-joined lines + tail as a lazy part iterator. */
+  private def joined(
+      lines: Iterator[String], head: String, sep: String,
+      tail: String): Iterator[String] = {
+    val body = new Iterator[String] {
+      private var first = true
+      def hasNext: Boolean = lines.hasNext
+      def next(): String = {
+        val s = lines.next()
+        if (first) { first = false; s } else sep + s
+      }
+    }
+    Iterator(head) ++ body ++ Iterator(tail)
+  }
 
   private def respondError(x: HttpExchange, code: Int, msg: String): Unit =
     respond(x, code, "application/json",
@@ -356,32 +429,50 @@ final class Gateway(
     val (startUs, endUs) = (parseTime(p, "start"), parseTime(p, "end"))
     val scan = SensorOps.rangeScan(
       store.samplesInRange(sType, startUs, endUs), uuid, startUs, endUs, limit)
+    // Export bodies STREAM (chunked transfer + toLocalIterator): the
+    // default query limit is 10M rows (reference:
+    // src/storage/mod.rs:17), and a collect()-then-respond shape would
+    // buffer the full payload at the edge. Edge residency here is one
+    // Spark partition + one 64 KiB text buffer (or one Arrow batch),
+    // independent of the export size.
+    import scala.jdk.CollectionConverters._
     p.getOrElse("format", "senml") match {
       case "senml" =>
         val lines = SenML.exportSeries(
-          scan, uuid, row.getString(1), unit, labels, sType).collect()
-        respond(x, 200, "application/senml+json",
-          lines.mkString("[", ",", "]"))
+          scan, uuid, row.getString(1), unit, labels, sType)
+          .toLocalIterator().asScala
+        respondTextStream(x, 200, "application/senml+json",
+          joined(lines, "[", ",", "]"))
       case "csv" =>
-        val lines = Exporters.toCsv(renderedValues(scan, sType)).collect()
-        respond(x, 200, "text/csv",
-          (Seq("timestamp,value") ++ lines).mkString("", "\n", "\n"))
+        val lines = Exporters.toCsv(renderedValues(scan, sType))
+          .toLocalIterator().asScala
+        respondTextStream(x, 200, "text/csv",
+          Iterator("timestamp,value\n") ++ lines.map(_ + "\n"))
       case "jsonl" =>
         val lines = Exporters.toJsonl(renderedValues(scan, sType), uuid,
-          row.getString(1), sType.displayName.toLowerCase, labels).collect()
-        respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
+          row.getString(1), sType.displayName.toLowerCase, labels)
+          .toLocalIterator().asScala
+        respondTextStream(x, 200, "application/x-ndjson",
+          lines.map(_ + "\n"))
       case "arrow" =>
         // single series use the TYPED schema for every value type
         // (reference: src/exporters/arrow/mod.rs:224-388); Float keeps
         // the established slim timestamp+value layout, the rest carry
         // sensor_id/sensor_name like the reference. The long all-string
         // schema remains the multi-series contract (export_bulk).
-        val bytes = sType match {
+        sType match {
           case SensorType.Float =>
+            // the volume type streams IPC batches straight onto the
+            // response — bounded by one 64Ki-row batch
             val rows = scan.select(col("timestamp_us"), col("value"))
-              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-            graft.sources.ArrowIO.encodeFloatSeries(rows)
+              .toLocalIterator().asScala
+              .map(r => (r.getLong(0), r.getDouble(1)))
+            respondStreaming(x, 200, "application/vnd.apache.arrow.file")(
+              out => graft.sources.ArrowIO.writeFloatSeriesStream(rows, out))
           case _ =>
+            // the non-Float typed encoders buffer one series; these
+            // are the low-volume value types (location fixes, blobs,
+            // json) — the Float stream above carries the bulk path
             val rows = scan.select(col("timestamp_us"), col("value"))
               .collect().map { r =>
                 val v: Any = sType match {
@@ -392,11 +483,11 @@ final class Gateway(
                 }
                 (r.getLong(0), v)
               }.toSeq
-            graft.sources.ArrowIO.encodeTypedSeries(
-              graft.sources.ArrowIO.TypedSeries(
-                sType, Some(uuid), Some(row.getString(1)), rows))
+            respondBytes(x, 200, "application/vnd.apache.arrow.file",
+              graft.sources.ArrowIO.encodeTypedSeries(
+                graft.sources.ArrowIO.TypedSeries(
+                  sType, Some(uuid), Some(row.getString(1)), rows)))
         }
-        respondBytes(x, 200, "application/vnd.apache.arrow.file", bytes)
       case other =>
         throw new IllegalArgumentException(
           s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl, arrow")

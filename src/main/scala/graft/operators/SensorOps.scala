@@ -314,6 +314,19 @@ object SensorOps {
         when(col("span_us") > 0,
           col("__q0") * lit(1000000L) + col("__q1") * lit(1000L) +
             expr("__t2 div __bs")))
+      // vdt_s0 / vdt_f6: the v·dt sum published as TWO BIGINTs —
+      // integer floor and exact six-digit micro-fraction — instead of
+      // the DECIMAL(38,6) itself. Decimal columns are not hash-stable
+      // across engines (parquet decimal128 and DuckDB DECIMAL
+      // canonicalize value-equal cells differently at the driver —
+      // q180 was red three rounds running as the registry's ONLY
+      // decimal compare surface while 369 integer/string surfaces
+      // stayed green). Note vdt_sum·10⁶ can exceed 2⁶³ at this data's
+      // magnitudes, so a single scaled BIGINT is NOT safe — the split
+      // representation is. vdt_sum stays on the frame as the library
+      // convenience column; compare surfaces must use the split pair.
+      .withColumn("vdt_s0", col("__s0"))
+      .withColumn("vdt_f6", col("__f6"))
       .drop("__s0", "__f6", "__bs", "__q0", "__t1", "__q1", "__t2")
   }
 

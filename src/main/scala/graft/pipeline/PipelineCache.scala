@@ -21,16 +21,32 @@ object PipelineCache {
   // (GraphArtifacts, SimilarityArtifacts): [[free]] must not release
   // them even when a consumer returns the artifact frame directly in
   // its answer plan — the next consumer reads the same blocks.
-  private val pinned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // Keyed per SparkContext, NOT a raw-id set: RDD ids restart from 0
+  // in a fresh context, so ids pinned by a dead context would
+  // otherwise suppress free() for unrelated checkpoints after a
+  // context restart in the same JVM — silently re-introducing the
+  // block leak free() exists to prevent. A stopped context's entry is
+  // dropped on the next pin/free touch (the map stays O(live
+  // contexts): one per JVM in practice).
+  private val pinned = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext,
+    java.util.Set[Int]]()
+
+  private def pinsFor(
+      sc: org.apache.spark.SparkContext): java.util.Set[Int] = {
+    pinned.keySet.removeIf(_.isStopped)
+    pinned.computeIfAbsent(sc,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
+  }
 
   /** Mark `df`'s checkpoint blocks as session-lifetime: [[free]] skips
     * them. For the shared artifact caches, whose frames outlive any one
     * consuming query.
     */
   private[graft] def pin(df: DataFrame): DataFrame = {
+    val pins = pinsFor(df.sparkSession.sparkContext)
     df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => pinned.add(l.rdd.id)
+      case l: LogicalRDD => pins.add(l.rdd.id); ()
       case _ => ()
     }
     df
@@ -42,12 +58,14 @@ object PipelineCache {
     * checkpoints truncate lineage, so a freed frame cannot be
     * recomputed.
     */
-  def free(df: DataFrame): Unit =
+  def free(df: DataFrame): Unit = {
+    val pins = pinsFor(df.sparkSession.sparkContext)
     df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD if !pinned.contains(l.rdd.id) =>
+      case l: LogicalRDD if !pins.contains(l.rdd.id) =>
         l.rdd.unpersist(false)
       case _ => ()
     }
+  }
 
   /** Eagerly checkpoint `result`, then unpersist `temps` — the shared
     * materialize-then-free shape of the pair/cluster ops. The checkpoint

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1420,14 +1420,68 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("hapax_ratio"))
   }
 
+  /** [[hapaxDensity]] over the persisted [[TextArtifacts]] layout: the
+    * corpus-count aggregate AND the count join-back both ride the
+    * token bucketing (zero Exchange on either side — the tf table is
+    * already one row per (doc, token)), leaving the per-document
+    * aggregate as the query's only shuffle — and it moves the
+    * (doc, token) tf rows, not the raw token explosion. Bit-identical
+    * to the inline path: every published number is an integer count
+    * (the corpus count of a token is Σ tf; a document's hapax
+    * instances are Σ tf over its corpus-count-1 tokens, each
+    * necessarily tf = 1) plus one fixed-shape division — order-free
+    * by the eligibility rule in the [[TextArtifacts]] header.
+    */
+  def hapaxDensityShared(
+      docs: DataFrame, textCol: String, idCol: String,
+      corpusKey: String): DataFrame = {
+    val tf = TextArtifacts.termFreq(docs, idCol, textCol, corpusKey)
+    val counts = tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("__cc"))
+    tf.join(counts, "token")
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("__cc") === 1L, col("tf")).otherwise(0L))
+          .as("n_hapax"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_hapax"),
+        round(col("n_hapax").cast("double") /
+          col("n_tokens").cast("double"), 6).as("hapax_ratio"))
+  }
+
   def vocabCoverage(
       docs: DataFrame, textCol: String,
       thresholds: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
-    require(thresholds.nonEmpty && thresholds.forall(p => p >= 1 && p <= 100),
-      "thresholds are integer percentages in 1..100")
     val counts = docs
       .select(explode(whitespaceTokens(lower(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    coverageFromCounts(docs.sparkSession, counts, thresholds)
+  }
+
+  /** [[vocabCoverage]] over the persisted [[TextArtifacts]] layout:
+    * the corpus token-count aggregate rides the token bucketing (zero
+    * Exchange — sum(tf) per token over an already-(doc, token)-unique
+    * table), and everything downstream operates on the O(√tokens)
+    * count-of-counts rollup exactly as the inline path does.
+    * Bit-identical: pure integer arithmetic end to end.
+    */
+  def vocabCoverageShared(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String,
+      thresholds: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val counts = TextArtifacts.termFreq(docs, idCol, textCol, corpusKey)
+      .groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    coverageFromCounts(docs.sparkSession, counts, thresholds)
+  }
+
+  /** Shared tail of the coverage paths: thresholds resolve inside
+    * their crossing count-group arithmetically — no per-token ordering
+    * anywhere (see q202's scaladoc in Queries).
+    */
+  private def coverageFromCounts(
+      spark0: SparkSession, counts: DataFrame,
+      thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(p => p >= 1 && p <= 100),
+      "thresholds are integer percentages in 1..100")
     val groups = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
     val wDesc = Window.orderBy(col("c").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1436,8 +1490,7 @@ object TextAnalysis {
       .withColumn("cum_vocab", sum(col("k")).over(wDesc))
     val tot = broadcast(groups.agg(
       sum(col("c") * col("k")).as("total")))
-    val spark = docs.sparkSession
-    import spark.implicits._
+    import spark0.implicits._
     val th = broadcast(thresholds.toDF("pct"))
     r.crossJoin(tot).crossJoin(th)
       .withColumn("target", expr("(total * pct + 99) div 100"))
@@ -1589,6 +1642,80 @@ object TextAnalysis {
       .filter(length(col("token")) > 0)
       .groupBy(col("__g"), col("token"))
       .agg(count(lit(1)).as("__c"))
+    chao1FromGroupCounts(tf, groupCol)
+  }
+
+  /** [[chao1Richness]] over the persisted [[TextArtifacts]] layout:
+    * the token explosion and the (doc, token) aggregate are served
+    * from the warehouse table; the query attaches the doc→group dim
+    * (row-per-document — orders of magnitude under the token stream
+    * the inline path shuffles) and rolls tf up to (group, token).
+    * Bit-identical: the group count of a token is Σ tf over the
+    * group's documents — integer sums only, then the shared
+    * fixed-IEEE-shape estimate.
+    */
+  def chao1RichnessShared(
+      docs: DataFrame, idCol: String, groupCol: String, textCol: String,
+      corpusKey: String): DataFrame = {
+    val tf = TextArtifacts.termFreq(docs, idCol, textCol, corpusKey)
+      .filter(length(col("token")) > 0)
+    val dims = docs.select(col(idCol).as("id"), col(groupCol).as("__g"))
+    val gtf = tf.join(dims, "id")
+      .groupBy(col("__g"), col("token"))
+      .agg(sum(col("tf")).as("__c"))
+    chao1FromGroupCounts(gtf, groupCol)
+  }
+
+  /** Token-level OOV rate of eval splits against the train-split
+    * vocabulary, over the persisted [[TextArtifacts]] layout — the
+    * tokenizer-coverage check run before committing a vocab (q122).
+    * The deterministic split is a hash of the document id
+    * ([[Sampling.splitAssign]]), so it applies directly to the tf
+    * table's id column — no join back to the corpus at all; the
+    * per-token rollup (train membership + one instance count per
+    * LITERAL eval split) rides the token bucketing with zero Exchange,
+    * leaving one global scalar aggregate as the only data movement.
+    * Bit-identical to the inline explode/anti-join shape: every cell
+    * is an integer sum, the rate one fixed-shape division.
+    *
+    * Output: (split, n_tokens, n_oov, oov_rate) — one row per eval
+    * split that has at least one token instance (matching the inline
+    * group-by, which cannot emit empty groups).
+    */
+  def vocabOovShared(
+      docs: DataFrame, idCol: String, textCol: String,
+      corpusKey: String, splits: Seq[(String, Double)],
+      trainSplit: String): DataFrame = {
+    require(splits.exists(_._1 == trainSplit),
+      s"train split '$trainSplit' must be one of the splits")
+    val evalNames = splits.map(_._1).filter(_ != trainSplit)
+    require(evalNames.nonEmpty, "need at least one eval split")
+    val tf = Sampling.splitAssign(
+      TextArtifacts.termFreq(docs, idCol, textCol, corpusKey),
+      "id", splits)
+    val evalCols = evalNames.map(n =>
+      sum(when(col("split") === n, col("tf"))).as(s"__n_$n"))
+    val perTok = tf.groupBy(col("token"))
+      .agg(max(col("split") === trainSplit).as("__in"), evalCols: _*)
+    val aggCols = evalNames.flatMap { n =>
+      Seq(sum(coalesce(col(s"__n_$n"), lit(0L))).as(s"__tok_$n"),
+        sum(when(!col("__in"), coalesce(col(s"__n_$n"), lit(0L)))
+          .otherwise(0L)).as(s"__oov_$n"))
+    }
+    val one = perTok.agg(aggCols.head, aggCols.drop(1): _*)
+    val stackArgs = evalNames
+      .map(n => s"'$n', __tok_$n, __oov_$n").mkString(", ")
+    one.select(expr(s"stack(${evalNames.size}, $stackArgs)")
+        .as(Seq("split", "n_tokens", "n_oov")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("oov_rate", round(col("n_oov").cast("double") /
+        col("n_tokens").cast("double"), 6))
+  }
+
+  /** Shared estimate tail of the Chao1 paths: `tf` is
+    * (__g, token, __c) group-level token counts. */
+  private def chao1FromGroupCounts(
+      tf: DataFrame, groupCol: String): DataFrame = {
     val f = tf.groupBy(col("__g"))
       .agg(count(lit(1)).as("vocab"),
         count(when(col("__c") === 1, lit(1))).as("f1"),

@@ -56,6 +56,43 @@ object ArrowIO {
     } finally root.close()
   }
 
+  /** Stream a Float series as Arrow IPC file bytes onto `out` in
+    * bounded batches — the memory-safe counterpart to
+    * [[encodeFloatSeries]] for edge exports at the 10M-row default
+    * query limit: residency is one `batchRows` batch regardless of the
+    * series length. The IPC *file* format writes sequentially (the
+    * footer goes last), so a non-seekable response stream works.
+    * [[decodeFloatSeries]] already iterates batches, so multi-batch
+    * files round-trip unchanged.
+    */
+  def writeFloatSeriesStream(
+      rows: Iterator[(Long, Double)], out: java.io.OutputStream,
+      batchRows: Int = 1 << 16): Unit = {
+    require(batchRows >= 1, "batchRows must be positive")
+    val root = VectorSchemaRoot.create(floatSeriesSchema, allocator)
+    try {
+      val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+      try {
+        writer.start()
+        val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
+        val v = root.getVector("value").asInstanceOf[Float8Vector]
+        // an empty series still yields a valid zero-batch file
+        while (rows.hasNext) {
+          root.allocateNew()
+          var i = 0
+          while (i < batchRows && rows.hasNext) {
+            val (t, x) = rows.next()
+            ts.setSafe(i, t); v.setSafe(i, x)
+            i += 1
+          }
+          root.setRowCount(i)
+          writer.writeBatch()
+        }
+        writer.end()
+      } finally writer.close()
+    } finally root.close()
+  }
+
   /** Decode a Float-series IPC file; requires timestamp+value columns. */
   def decodeFloatSeries(bytes: Array[Byte]): Seq[(Long, Double)] = {
     val reader = new ArrowFileReader(

@@ -158,6 +158,59 @@ class GatewaySpec extends SparkSpec {
     assert(get(s"/series/$uuid?format=exotic").statusCode() == 400)
   }
 
+  test("1M-row export streams: chunked transfer (no content-length), " +
+    "complete body, multi-batch Arrow") {
+    import spark.implicits._
+    // sensor enters the catalog through the normal publish edge …
+    val csv = "datetime,sensor_name,value\n" +
+      "2024-05-01T00:00:00Z,bigexport,0.0\n"
+    assert(post("/publish", csv.getBytes(StandardCharsets.UTF_8),
+      Map("content-type" -> "text/csv")).statusCode() == 200)
+    val uuid = Sensor.deriveUuid("bigexport", SensorType.Float, None, Nil)
+    // … and the bulk lands directly in the store (1M rows via HTTP CSV
+    // would dominate the test's runtime without adding coverage)
+    val n = 1000000
+    val base = 1714521600000000L // 2024-05-01T00:00:00Z
+    store.publishSamples(SensorType.Float,
+      spark.range(1, n.toLong)
+        .select(org.apache.spark.sql.functions.lit(uuid).as("sensor_id"),
+          (org.apache.spark.sql.functions.lit(base) +
+            org.apache.spark.sql.functions.col("id") * 1000000L)
+            .as("timestamp_us"),
+          (org.apache.spark.sql.functions.col("id") % 1000)
+            .cast("double").as("value")))
+    // CSV: chunked transfer — the edge never materializes the payload
+    val r = get(s"/series/$uuid?format=csv")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("content-length").isEmpty,
+      "export must stream (no content-length)")
+    assert(r.headers().firstValue("transfer-encoding").orElse("")
+      == "chunked", r.headers().map().toString)
+    val lines = r.body().linesIterator.size
+    assert(lines == n + 1, s"header + $n rows, got $lines")
+    // Arrow: the IPC file must carry MULTIPLE record batches — proof
+    // the encoder streamed bounded batches instead of buffering the
+    // series into one giant batch
+    val a = client.send(
+      HttpRequest.newBuilder(url(s"/series/$uuid?format=arrow"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(a.statusCode() == 200)
+    assert(a.headers().firstValue("content-length").isEmpty)
+    val decoded = graft.sources.ArrowIO.decodeFloatSeries(a.body())
+    assert(decoded.length == n)
+    assert(decoded.head == ((base, 0.0)))
+    assert(decoded(999999) == ((base + 999999L * 1000000L, 999.0)))
+    val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(
+        a.body()),
+      new org.apache.arrow.memory.RootAllocator())
+    try assert(reader.getRecordBlocks.size >= n / 65536,
+      s"expected >= ${n / 65536} streamed batches, " +
+        s"got ${reader.getRecordBlocks.size}")
+    finally reader.close()
+  }
+
   test("concurrent requests are served in parallel, not serially") {
     // publish something queryable first
     val csv =

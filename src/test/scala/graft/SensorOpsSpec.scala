@@ -166,4 +166,31 @@ class SensorOpsSpec extends SparkSpec {
       ("e", Some(-3500000L)),
       ("f", Some(-333334L))))
   }
+
+  test("timeWeightedAvg: vdt_s0/vdt_f6 split the decimal sum exactly" +
+    " (s0 + f6·1e-6 == vdt_sum), incl. negatives") {
+    // d: vdt_sum = 13.5  → s0 = 13,  f6 = 500000
+    // e: vdt_sum = -7    → s0 = -7,  f6 = 0
+    // f: vdt_sum = -3.3  → s0 = -4 (floor), f6 = 700000 (-4 + 0.7)
+    val s = Seq(
+      ("d", 0L, 1.5), ("d", 3L, 2.25), ("d", 7L, 9.0),
+      ("e", 0L, -3.5), ("e", 2L, 0.0),
+      ("f", 0L, -1.1), ("f", 3L, 0.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = SensorOps.timeWeightedAvg(s)
+      .select("sensor_id", "vdt_s0", "vdt_f6")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("d", 13L, 500000L),
+      ("e", -7L, 0L),
+      ("f", -4L, 700000L)))
+    // both published columns are BIGINT — the compare surface carries
+    // no decimal (the q180 r11 lesson: decimal128 is hash-unstable at
+    // the driver even when cell-identical to the oracle)
+    val schema = SensorOps.timeWeightedAvg(s)
+      .select("vdt_s0", "vdt_f6", "twa_micro", "n_samples", "span_us")
+      .schema
+    assert(schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
+  }
 }

@@ -110,6 +110,20 @@ def main():
                    and v != round(v, 9) for v in vals):
                 risk_cols.append(c)
         risk = f" DOUBLE_HASH_RISK cols={risk_cols}" if risk_cols else ""
+        # DECIMAL HASH RISK (the q180 r11 adjudication): ANY decimal
+        # column on a compare surface is a hash-risk class — parquet
+        # decimal128 and DuckDB DECIMAL canonicalize value-equal cells
+        # differently at the driver, so a decimal surface can be
+        # cell-identical here and still fail the driver hash (q180 was
+        # 0-for-3 rounds as the registry's only decimal surface while
+        # integer/string surfaces were 369-for-369). Flag it on EITHER
+        # side — split into BIGINTs (floor + micro-fraction) instead.
+        dec_cols = sorted(
+            {c for c in scols
+             if str(spark_tab.schema.field(c).type).startswith("decimal")
+             or str(duck_tab.schema.field(c).type).startswith("decimal")})
+        if dec_cols:
+            risk += f" DECIMAL_HASH_RISK cols={dec_cols}"
         if exact:
             results[name] = "OK_EXACT" + risk
         elif close:
@@ -127,15 +141,21 @@ def main():
             results[name] = f"ROWS_ONLY rows={n}" + (" (EMPTY!)" if n == 0 else "")
     ok = True
     n_risk = 0
+    n_dec = 0
     for name, r in sorted(results.items()):
         flag = "PASS" if r.startswith("OK") or (r.startswith("ROWS_ONLY") and "EMPTY" not in r) else "FAIL"
         if flag == "FAIL": ok = False
         if "DOUBLE_HASH_RISK" in r: n_risk += 1
+        if "DECIMAL_HASH_RISK" in r: n_dec += 1
         print(f"[{flag}] {name}: {r}")
     if n_risk:
         print(f"[WARN] {n_risk} queries expose raw (un-quantized) doubles on "
               f"the compare surface — the driver hash has rejected this class "
               f"before (q180 r9/r10) even when values compare exactly here.")
+    if n_dec:
+        print(f"[WARN] {n_dec} queries expose DECIMAL columns on the compare "
+              f"surface — the driver hash rejects value-equal decimals "
+              f"(q180 r9-r11); split into BIGINT floor + micro-fraction.")
     sys.exit(0 if ok else 1)
 
 main()
