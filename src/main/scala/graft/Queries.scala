@@ -13804,7 +13804,8 @@ object Queries {
     SparkSession, SparkSession]()
   private def streamSession(s: SparkSession): SparkSession =
     scopedStreamSessions.computeIfAbsent(s,
-      _ => graft.streaming.StreamingIngest.stateScopedSession(s, 4))
+      _ => graft.streaming.StreamingIngest.stateScopedSession(s,
+        sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4").toInt))
 
   /** Materialize a bounded memory-sink result (`out`, a view over the
     * scoped session's sink table, transforms applied but UNSORTED) as a
