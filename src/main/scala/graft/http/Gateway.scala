@@ -840,6 +840,10 @@ final class Gateway(
       nowUs = System.currentTimeMillis() * 1000L)
     val matched = Matchers.sensorsByLabels(store.sensors, parsed.matchers)
       .collect()
+    // multi-series exports stream exactly like /series/{uuid}: chunked
+    // transfer + toLocalIterator — a matcher can select the whole
+    // store, so edge residency must stay one partition + one buffer
+    import scala.jdk.CollectionConverters._
     val fmt = p.getOrElse("format", "senml")
     fmt match {
       case "senml" =>
@@ -847,17 +851,19 @@ final class Gateway(
         // query loop per series; exportMulti assigns base fields per
         // series and bver to the document's first record
         val lines =
-          if (matched.isEmpty) Array.empty[String]
+          if (matched.isEmpty) Iterator.empty[String]
           else SenML.exportMulti(senmlLongView(
-            matched.toSeq, parsed.startUs, parsed.endUs)).collect()
-        respond(x, 200, "application/senml+json",
-          lines.mkString("[", ",", "]"))
+            matched.toSeq, parsed.startUs, parsed.endUs))
+            .toLocalIterator().asScala
+        respondTextStream(x, 200, "application/senml+json",
+          joined(lines, "[", ",", "]"))
       case "csv" | "jsonl" =>
         val long = longView(matched.toSeq, parsed.startUs, parsed.endUs)
         if (fmt == "csv") {
           val (hdr, lines) = Exporters.toCsvMulti(long)
-          respond(x, 200, "text/csv",
-            (Seq(hdr) ++ lines.collect()).mkString("", "\n", "\n"))
+          respondTextStream(x, 200, "text/csv",
+            Iterator(hdr + "\n") ++
+              lines.toLocalIterator().asScala.map(_ + "\n"))
         } else {
           val lines = long.orderBy("sensor_id", "timestamp_us")
             .select(to_json(struct(
@@ -866,23 +872,25 @@ final class Gateway(
               col("value"), lower(col("type")).as("type"),
               coalesce(col("labels"), map().cast(MapType(StringType, StringType)))
                 .as("labels"))))
-            .collect().map(_.getString(0))
-          respond(x, 200, "application/x-ndjson",
-            lines.mkString("", "\n", "\n"))
+            .toLocalIterator().asScala.map(_.getString(0))
+          respondTextStream(x, 200, "application/x-ndjson",
+            lines.map(_ + "\n"))
         }
       case "arrow" =>
-        // multi-series export always uses the long all-string schema
+        // multi-series export always uses the long all-string schema,
+        // streamed in bounded IPC batches
         val rows = longView(matched.toSeq, parsed.startUs, parsed.endUs)
           .orderBy("sensor_id", "timestamp_us")
           .select(col("timestamp_us"), col("sensor_id"), col("sensor_name"),
             col("value"), col("type"),
             to_json(coalesce(col("labels"),
               map().cast(MapType(StringType, StringType)))).as("labels_json"))
-          .collect().map(r => graft.sources.ArrowIO.LongRow(
+          .toLocalIterator().asScala
+          .map(r => graft.sources.ArrowIO.LongRow(
             r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
-            r.getString(4), r.getString(5))).toSeq
-        respondBytes(x, 200, "application/vnd.apache.arrow.file",
-          graft.sources.ArrowIO.encodeLongFormat(rows))
+            r.getString(4), r.getString(5)))
+        respondStreaming(x, 200, "application/vnd.apache.arrow.file")(
+          out => graft.sources.ArrowIO.writeLongFormatStream(rows, out))
       case other => throw new IllegalArgumentException(
         s"Unsupported export format '$other'. Supported formats: senml, csv, jsonl, arrow")
     }

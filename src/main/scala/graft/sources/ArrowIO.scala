@@ -434,6 +434,46 @@ object ArrowIO {
     } finally root.close()
   }
 
+  /** Stream long-format rows as Arrow IPC file bytes onto `out` in
+    * bounded batches — the multi-series counterpart to
+    * [[writeFloatSeriesStream]] (same memory contract: residency is
+    * one batch regardless of export size; [[decodeLongFormat]]
+    * iterates batches, so multi-batch files round-trip).
+    */
+  def writeLongFormatStream(
+      rows: Iterator[LongRow], out: java.io.OutputStream,
+      batchRows: Int = 1 << 16): Unit = {
+    require(batchRows >= 1, "batchRows must be positive")
+    val root = VectorSchemaRoot.create(longFormatSchema, allocator)
+    try {
+      val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+      try {
+        writer.start()
+        val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
+        def sv(name: String) = root.getVector(name).asInstanceOf[VarCharVector]
+        val (id, nm, vl, tp, lb) = (sv("sensor_id"), sv("sensor_name"),
+          sv("value"), sv("type"), sv("labels"))
+        while (rows.hasNext) {
+          root.allocateNew()
+          var i = 0
+          while (i < batchRows && rows.hasNext) {
+            val r = rows.next()
+            ts.setSafe(i, r.timestampUs)
+            id.setSafe(i, r.sensorId.getBytes("UTF-8"))
+            nm.setSafe(i, r.sensorName.getBytes("UTF-8"))
+            vl.setSafe(i, r.value.getBytes("UTF-8"))
+            tp.setSafe(i, r.valueType.getBytes("UTF-8"))
+            lb.setSafe(i, r.labelsJson.getBytes("UTF-8"))
+            i += 1
+          }
+          root.setRowCount(i)
+          writer.writeBatch()
+        }
+        writer.end()
+      } finally writer.close()
+    } finally root.close()
+  }
+
   def decodeLongFormat(bytes: Array[Byte]): Seq[LongRow] = {
     val reader = new ArrowFileReader(
       new ByteArrayReadableSeekableByteChannel(bytes), allocator)

@@ -360,6 +360,41 @@ class GatewaySpec extends SparkSpec {
     assert(ok.body().startsWith("[")) // empty senml array (data outside lookback)
   }
 
+  test("multi-series /api/v1/query exports stream (chunked) in all " +
+    "four formats with correct content") {
+    import spark.implicits._
+    // a series INSIDE the instant-query lookback window (now-ish)
+    val nowUs = System.currentTimeMillis() * 1000L
+    val csv = "datetime,sensor_name,value\n" +
+      s"${java.time.Instant.ofEpochMilli(nowUs / 1000 - 30000)},qstream,7.5\n" +
+      s"${java.time.Instant.ofEpochMilli(nowUs / 1000 - 20000)},qstream,8.5\n"
+    assert(post("/publish", csv.getBytes(StandardCharsets.UTF_8),
+      Map("content-type" -> "text/csv")).statusCode() == 200)
+    val senml = get("/api/v1/query?query=qstream")
+    assert(senml.statusCode() == 200)
+    assert(senml.headers().firstValue("content-length").isEmpty,
+      "multi-series export must stream")
+    assert(senml.body().contains("\"v\":7.5"), senml.body())
+    val csvOut = get("/api/v1/query?query=qstream&format=csv")
+    assert(csvOut.statusCode() == 200)
+    assert(csvOut.headers().firstValue("content-length").isEmpty)
+    assert(csvOut.body().contains("8.5"), csvOut.body())
+    val jsonl = get("/api/v1/query?query=qstream&format=jsonl")
+    assert(jsonl.statusCode() == 200)
+    assert(jsonl.headers().firstValue("content-length").isEmpty)
+    assert(jsonl.body().linesIterator
+      .count(_.contains("\"sensor_name\":\"qstream\"")) == 2, jsonl.body())
+    val arrow = client.send(
+      HttpRequest.newBuilder(
+        url("/api/v1/query?query=qstream&format=arrow")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(arrow.statusCode() == 200)
+    assert(arrow.headers().firstValue("content-length").isEmpty)
+    val rows = graft.sources.ArrowIO.decodeLongFormat(arrow.body())
+    assert(rows.map(_.value).sorted == Seq("7.5", "8.5"), rows)
+    assert(rows.forall(_.sensorName == "qstream"))
+  }
+
   test("arrow export roundtrips through ArrowIO") {
     // float series written by the CSV publish test
     val uuid = Sensor.deriveUuid("temp", SensorType.Float, None, Nil)
