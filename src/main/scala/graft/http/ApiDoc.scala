@@ -129,18 +129,98 @@ object ApiDoc {
       s""""version":"0.1.0"},"tags":$tags,"paths":$paths}"""
   }
 
-  /** Minimal interactive viewer (the reference embeds Scalar; zero-egress
-    * here, so this is a self-contained page that fetches and renders the
-    * JSON spec — the spec itself is the substance). */
+  /** Interactive API browser over the OpenAPI document (the reference
+    * embeds the Scalar viewer, which loads from a CDN; this deployment
+    * is zero-egress, so the equivalent is a SELF-CONTAINED page — no
+    * external script — that renders the same spec: one expandable card
+    * per operation with its parameters, plus an in-page "try it"
+    * runner for GET operations that substitutes path/query parameters
+    * and shows the live response).
+    */
   def docsHtml(serviceName: String): String =
     s"""<!doctype html><html><head><meta charset="utf-8">
-       |<title>${serviceName} API</title></head>
+       |<title>${serviceName} API</title><style>
+       |body{font-family:system-ui,sans-serif;margin:2rem auto;
+       |  max-width:60rem;padding:0 1rem;color:#1a1a1a}
+       |h1{font-size:1.4rem} .sub{color:#666;margin-bottom:1.5rem}
+       |details{border:1px solid #ddd;border-radius:6px;margin:.4rem 0;
+       |  padding:.2rem .8rem;background:#fafafa}
+       |summary{cursor:pointer;padding:.35rem 0;font-family:monospace}
+       |.m{display:inline-block;min-width:3.6rem;font-weight:700}
+       |.get{color:#0b6} .post{color:#06c}
+       |.desc{color:#444;margin:.3rem 0 .5rem}
+       |table{border-collapse:collapse;margin:.4rem 0;font-size:.9rem}
+       |td,th{border:1px solid #e3e3e3;padding:.25rem .6rem;
+       |  text-align:left}
+       |input{font-family:monospace;width:11rem;margin:.1rem .3rem}
+       |button{cursor:pointer;margin:.3rem 0}
+       |pre{background:#f2f2f2;border-radius:4px;padding:.6rem;
+       |  overflow:auto;max-height:22rem;white-space:pre-wrap}
+       |a{color:#06c}</style></head>
        |<body><h1>${serviceName} API</h1>
-       |<p>OpenAPI 3.1 document: <a href="/docs">/docs</a> (JSON)</p>
-       |<pre id="spec">loading…</pre>
-       |<script>fetch('/docs',{headers:{accept:'application/json'}})
-       |  .then(r=>r.json())
-       |  .then(j=>{document.getElementById('spec').textContent=
-       |    JSON.stringify(j,null,2)})</script>
-       |</body></html>""".stripMargin
+       |<p class="sub">OpenAPI 3.1 document:
+       |  <a href="/docs" type="application/json">/docs</a> (JSON) —
+       |  rendered below; GET operations run in-page.</p>
+       |<div id="ops">loading…</div>
+       |<script>
+       |fetch('/docs',{headers:{accept:'application/json'}})
+       |.then(r=>r.json()).then(spec=>{
+       |  const root=document.getElementById('ops');root.textContent='';
+       |  for(const [path,item] of Object.entries(spec.paths||{})){
+       |    for(const [method,op] of Object.entries(item)){
+       |      const d=document.createElement('details');
+       |      const s=document.createElement('summary');
+       |      const mm=document.createElement('span');
+       |      mm.className='m '+method;
+       |      mm.textContent=method.toUpperCase();
+       |      s.append(mm,' '+path);d.append(s);
+       |      const de=document.createElement('div');de.className='desc';
+       |      de.textContent=op.summary||op.description||'';d.append(de);
+       |      const params=op.parameters||[];
+       |      const inputs={};
+       |      if(params.length){
+       |        const t=document.createElement('table');
+       |        t.innerHTML='<tr><th>param</th><th>in</th>'+
+       |          '<th>required</th><th>value</th></tr>';
+       |        for(const p of params){
+       |          const tr=document.createElement('tr');
+       |          const v=document.createElement('input');
+       |          v.placeholder=(p.schema&&p.schema.type)||'string';
+       |          inputs[p.name]={el:v,loc:p.in};
+       |          const c=n=>{const td=document.createElement('td');
+       |            td.textContent=n;return td};
+       |          tr.append(c(p.name),c(p.in),c(p.required?'yes':'no'));
+       |          const td=document.createElement('td');td.append(v);
+       |          tr.append(td);t.append(tr);
+       |        }
+       |        d.append(t);
+       |      }
+       |      if(method==='get'){
+       |        const b=document.createElement('button');
+       |        b.textContent='try it';
+       |        const out=document.createElement('pre');out.hidden=true;
+       |        b.onclick=()=>{
+       |          let u=path;const q=[];
+       |          for(const [n,i] of Object.entries(inputs)){
+       |            const val=i.el.value;
+       |            if(i.loc==='path')u=u.replace('{'+n+'}',
+       |              encodeURIComponent(val));
+       |            else if(val)q.push(encodeURIComponent(n)+'='+
+       |              encodeURIComponent(val));
+       |          }
+       |          if(q.length)u+='?'+q.join('&');
+       |          out.hidden=false;out.textContent='GET '+u+' …';
+       |          fetch(u).then(r=>r.text().then(t=>{
+       |            out.textContent='GET '+u+'\\n→ '+r.status+'\\n\\n'+
+       |              (t.length>20000?t.slice(0,20000)+'\\n…':t)}))
+       |          .catch(e=>{out.textContent=String(e)});
+       |        };
+       |        d.append(b,out);
+       |      }
+       |      root.append(d);
+       |    }
+       |  }
+       |}).catch(e=>{
+       |  document.getElementById('ops').textContent='spec load failed: '+e});
+       |</script></body></html>""".stripMargin
 }

@@ -1648,11 +1648,19 @@ object TextAnalysis {
   /** [[chao1Richness]] over the persisted [[TextArtifacts]] layout:
     * the token explosion and the (doc, token) aggregate are served
     * from the warehouse table; the query attaches the doc→group dim
-    * (row-per-document — orders of magnitude under the token stream
-    * the inline path shuffles) and rolls tf up to (group, token).
-    * Bit-identical: the group count of a token is Σ tf over the
-    * group's documents — integer sums only, then the shared
-    * fixed-IEEE-shape estimate.
+    * and rolls tf up to (group, token). Bit-identical: the group
+    * count of a token is Σ tf over the group's documents — integer
+    * sums only, then the shared fixed-IEEE-shape estimate.
+    *
+    * WHEN TO USE (measured): unlike the pure-token consumers, this
+    * one needs an id-keyed join back to the corpus dim that the
+    * token bucketing cannot serve — at small scale the join costs
+    * more than the explode it saves (gate-SF bench: 0.21 s inline
+    * vs 0.48 s here), because inline map-side combine collapses the
+    * token stream to |groups|×|vocab| before any shuffle. Prefer
+    * this path only when the raw corpus scan dominates (long
+    * documents ⇒ tf table ≪ token stream); the registry's q329 uses
+    * the inline path for exactly this reason.
     */
   def chao1RichnessShared(
       docs: DataFrame, idCol: String, groupCol: String, textCol: String,
