@@ -46,7 +46,11 @@ object ApiDoc {
         Param("type", "query", "sensor type filter"))),
     Route("/series/{series_uuid}", "get", "SensApp",
       "Series data (CSV / SenML / JSONL / Arrow per ?format)",
-      Seq(Param("format", "query", "csv | senml | jsonl | arrow"),
+      // OpenAPI requires every templated path segment to be declared
+      // as a path parameter (the interactive /docs try-it runner also
+      // substitutes it) — caught by the docs-UI validation
+      Seq(Param("series_uuid", "path", "series UUID", required = true),
+        Param("format", "query", "csv | senml | jsonl | arrow"),
         Param("start", "query", "RFC3339/ISO8601 range start"),
         Param("end", "query", "RFC3339/ISO8601 range end"),
         Param("limit", "query", "max rows"))),

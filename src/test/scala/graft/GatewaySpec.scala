@@ -60,6 +60,9 @@ class GatewaySpec extends SparkSpec {
     twelve.foreach(p => assert(spec.contains("\"" + p + "\""), p))
     // extensions are documented too
     assert(spec.contains("/api/v1/query_extended"))
+    // OpenAPI validity: the templated path declares its path parameter
+    // (caught by the docs-UI try-it runner, which substitutes it)
+    assert(spec.contains("\"name\":\"series_uuid\",\"in\":\"path\""), spec)
     // the document is valid JSON (driver-grade check: parseable)
     assert(spec.trim.startsWith("{") && spec.trim.endsWith("}"))
     // a browser gets the viewer page over the same URL
