@@ -283,12 +283,23 @@ final class Gateway(
     * one partition + one encode batch, independent of result size).
     * Same responded-guard as respondBytes; the exchange monitor is
     * held for the duration of the stream, so a late watchdog 408
-    * serializes behind it and no-ops. A failure mid-stream surfaces to
-    * the client as a truncated chunked body (no terminal chunk) — the
-    * headers are already on the wire, which is inherent to streaming.
+    * serializes behind it and no-ops.
+    *
+    * Failure mid-stream: the 200 + headers are already on the wire,
+    * and the JDK server writes the TERMINAL chunk when the exchange
+    * closes — so without countermeasures a failed export would look
+    * like a complete, well-formed shorter body. Truncation is
+    * therefore made detectable IN BAND: `onError` writes a
+    * format-appropriate marker (error row / error JSON line) before
+    * the exception propagates, the Arrow writers withhold the IPC
+    * footer on failure (readers reject footer-less files), SenML's
+    * array simply never closes (invalid JSON), and a structured error
+    * line is logged — the 200 status itself cannot be retracted,
+    * which is inherent to streaming over HTTP.
     */
   private def respondStreaming(
-      x: HttpExchange, code: Int, contentType: String)(
+      x: HttpExchange, code: Int, contentType: String,
+      onError: java.io.OutputStream => Unit = _ => ())(
       write: java.io.OutputStream => Unit): Unit =
     x.synchronized {
       if (x.getResponseCode != -1) return
@@ -296,19 +307,32 @@ final class Gateway(
       x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
       x.sendResponseHeaders(code, 0) // length 0 = chunked transfer
       val out = x.getResponseBody
-      write(out)
+      try write(out)
+      catch { case e: Throwable =>
+        try {
+          onError(out); out.flush()
+          logSink(s"""{"level":"error","target":"gateway",""" +
+            s""""event":"export_stream_failed",""" +
+            s""""error":${jsonStr(String.valueOf(e.getMessage))}}""")
+        } catch { case _: Throwable => () }
+        throw e
+      }
       out.flush()
       x.close()
     }
 
   /** [[respondStreaming]] over an iterator of text parts, coalesced
     * into ~64 KiB writes (one syscall per line would dominate at 10M
-    * rows).
+    * rows). `errorMarker` (if non-empty) is appended in band when the
+    * stream fails mid-body, so consumers can distinguish a truncated
+    * export from a complete one.
     */
   private def respondTextStream(
       x: HttpExchange, code: Int, contentType: String,
-      parts: Iterator[String]): Unit =
-    respondStreaming(x, code, contentType) { out =>
+      parts: Iterator[String], errorMarker: String = ""): Unit =
+    respondStreaming(x, code, contentType,
+      onError = out => if (errorMarker.nonEmpty)
+        out.write(errorMarker.getBytes(StandardCharsets.UTF_8))) { out =>
       val buf = new java.lang.StringBuilder
       while (parts.hasNext) {
         buf.setLength(0)
@@ -317,6 +341,15 @@ final class Gateway(
         out.write(buf.toString.getBytes(StandardCharsets.UTF_8))
       }
     }
+
+  /** In-band truncation markers per text export format: a CSV row that
+    * cannot parse as data, and a JSON object line NDJSON consumers can
+    * check for. SenML needs none — its array never closes on failure,
+    * which is already invalid JSON.
+    */
+  private val CsvErrorMarker = "\nGRAFT-EXPORT-ERROR,truncated-response\n"
+  private val JsonlErrorMarker =
+    "\n{\"graft_export_error\":\"truncated-response\"}\n"
 
   /** head + sep-joined lines + tail as a lazy part iterator. */
   private def joined(
@@ -427,33 +460,44 @@ final class Gateway(
       .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
     val limit = p.get("limit").map(_.toInt).getOrElse(SensorOps.DefaultQueryLimit)
     val (startUs, endUs) = (parseTime(p, "start"), parseTime(p, "end"))
-    val scan = SensorOps.rangeScan(
-      store.samplesInRange(sType, startUs, endUs), uuid, startUs, endUs, limit)
     // Export bodies STREAM (chunked transfer + toLocalIterator): the
     // default query limit is 10M rows (reference:
     // src/storage/mod.rs:17), and a collect()-then-respond shape would
-    // buffer the full payload at the edge. Edge residency here is one
-    // Spark partition + one 64 KiB text buffer (or one Arrow batch),
-    // independent of the export size.
+    // buffer the full payload at the edge. The bulk formats scan
+    // WITHOUT the plan-level limit — orderBy+limit collapses to ONE
+    // output partition, which toLocalIterator would materialize whole
+    // on the driver (see rangeScanUnlimited) — and enforce the row cap
+    // on the iterator instead, so edge residency is one RANGE partition
+    // + one 64 KiB text buffer (or one Arrow batch). SenML keeps the
+    // limited scan: its base-time window is global by format design
+    // (record 1 carries the base fields every other record is relative
+    // to), so that plan single-partitions regardless.
     import scala.jdk.CollectionConverters._
+    lazy val scanUnlimited = SensorOps.rangeScanUnlimited(
+      store.samplesInRange(sType, startUs, endUs), uuid, startUs, endUs)
     p.getOrElse("format", "senml") match {
       case "senml" =>
+        val scan = SensorOps.rangeScan(
+          store.samplesInRange(sType, startUs, endUs), uuid,
+          startUs, endUs, limit)
         val lines = SenML.exportSeries(
           scan, uuid, row.getString(1), unit, labels, sType)
           .toLocalIterator().asScala
         respondTextStream(x, 200, "application/senml+json",
           joined(lines, "[", ",", "]"))
       case "csv" =>
-        val lines = Exporters.toCsv(renderedValues(scan, sType))
-          .toLocalIterator().asScala
+        val lines = Exporters.toCsv(renderedValues(scanUnlimited, sType))
+          .toLocalIterator().asScala.take(limit)
         respondTextStream(x, 200, "text/csv",
-          Iterator("timestamp,value\n") ++ lines.map(_ + "\n"))
+          Iterator("timestamp,value\n") ++ lines.map(_ + "\n"),
+          errorMarker = CsvErrorMarker)
       case "jsonl" =>
-        val lines = Exporters.toJsonl(renderedValues(scan, sType), uuid,
+        val lines = Exporters.toJsonl(
+          renderedValues(scanUnlimited, sType), uuid,
           row.getString(1), sType.displayName.toLowerCase, labels)
-          .toLocalIterator().asScala
+          .toLocalIterator().asScala.take(limit)
         respondTextStream(x, 200, "application/x-ndjson",
-          lines.map(_ + "\n"))
+          lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
       case "arrow" =>
         // single series use the TYPED schema for every value type
         // (reference: src/exporters/arrow/mod.rs:224-388); Float keeps
@@ -464,8 +508,9 @@ final class Gateway(
           case SensorType.Float =>
             // the volume type streams IPC batches straight onto the
             // response — bounded by one 64Ki-row batch
-            val rows = scan.select(col("timestamp_us"), col("value"))
-              .toLocalIterator().asScala
+            val rows = scanUnlimited
+              .select(col("timestamp_us"), col("value"))
+              .toLocalIterator().asScala.take(limit)
               .map(r => (r.getLong(0), r.getDouble(1)))
             respondStreaming(x, 200, "application/vnd.apache.arrow.file")(
               out => graft.sources.ArrowIO.writeFloatSeriesStream(rows, out))
@@ -473,6 +518,9 @@ final class Gateway(
             // the non-Float typed encoders buffer one series; these
             // are the low-volume value types (location fixes, blobs,
             // json) — the Float stream above carries the bulk path
+            val scan = SensorOps.rangeScan(
+              store.samplesInRange(sType, startUs, endUs), uuid,
+              startUs, endUs, limit)
             val rows = scan.select(col("timestamp_us"), col("value"))
               .collect().map { r =>
                 val v: Any = sType match {
@@ -863,7 +911,8 @@ final class Gateway(
           val (hdr, lines) = Exporters.toCsvMulti(long)
           respondTextStream(x, 200, "text/csv",
             Iterator(hdr + "\n") ++
-              lines.toLocalIterator().asScala.map(_ + "\n"))
+              lines.toLocalIterator().asScala.map(_ + "\n"),
+            errorMarker = CsvErrorMarker)
         } else {
           val lines = long.orderBy("sensor_id", "timestamp_us")
             .select(to_json(struct(
@@ -874,7 +923,7 @@ final class Gateway(
                 .as("labels"))))
             .toLocalIterator().asScala.map(_.getString(0))
           respondTextStream(x, 200, "application/x-ndjson",
-            lines.map(_ + "\n"))
+            lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
         }
       case "arrow" =>
         // multi-series export always uses the long all-string schema,

@@ -31,11 +31,30 @@ object SensorOps {
       sensorId: String,
       startUs: Option[Long],
       endUs: Option[Long],
-      limit: Int = DefaultQueryLimit): DataFrame = {
+      limit: Int = DefaultQueryLimit): DataFrame =
+    rangeScanUnlimited(samples, sensorId, startUs, endUs).limit(limit)
+
+  /** [[rangeScan]] WITHOUT the plan-level limit — the export-edge scan.
+    *
+    * Why it exists: `orderBy(...).limit(n)` plans a GlobalLimit whose
+    * output is ONE partition, and `toLocalIterator` materializes one
+    * whole partition on the driver — so a streaming export built on the
+    * limited plan would hold the entire (up to 10M-row) result at the
+    * edge anyway. Without the limit, `orderBy` alone is a
+    * RangePartitioning exchange: globally ordered ACROSS partitions,
+    * each partition bounded, and the iterator holds one range partition
+    * at a time. The caller enforces the row cap on the iterator
+    * (`Iterator.take(limit)`) — same first-n-by-timestamp semantics.
+    */
+  def rangeScanUnlimited(
+      samples: DataFrame,
+      sensorId: String,
+      startUs: Option[Long],
+      endUs: Option[Long]): DataFrame = {
     var df = samples.filter(col("sensor_id") === sensorId)
     startUs.foreach(s => df = df.filter(col("timestamp_us") >= s))
     endUs.foreach(e => df = df.filter(col("timestamp_us") <= e))
-    df.orderBy("timestamp_us").limit(limit)
+    df.orderBy("timestamp_us")
   }
 
   /** Per-sensor ordered top-N (W1): each sensor's earliest `limit` samples.

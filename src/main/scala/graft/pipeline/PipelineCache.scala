@@ -35,7 +35,11 @@ object PipelineCache {
   private def pinsFor(
       sc: org.apache.spark.SparkContext): java.util.Set[Int] = {
     pinned.keySet.removeIf(_.isStopped)
-    pinned.computeIfAbsent(sc,
+    // never (re-)insert a stopped context: a free() arriving after
+    // session teardown would otherwise strongly retain the dead
+    // context's whole object graph in the map until the next touch
+    if (sc.isStopped) java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    else pinned.computeIfAbsent(sc,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
   }
 

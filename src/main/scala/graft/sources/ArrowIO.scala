@@ -72,24 +72,30 @@ object ArrowIO {
     val root = VectorSchemaRoot.create(floatSeriesSchema, allocator)
     try {
       val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
-      try {
-        writer.start()
-        val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
-        val v = root.getVector("value").asInstanceOf[Float8Vector]
-        // an empty series still yields a valid zero-batch file
-        while (rows.hasNext) {
-          root.allocateNew()
-          var i = 0
-          while (i < batchRows && rows.hasNext) {
-            val (t, x) = rows.next()
-            ts.setSafe(i, t); v.setSafe(i, x)
-            i += 1
-          }
-          root.setRowCount(i)
-          writer.writeBatch()
+      // the footer is written ONLY on success: ArrowWriter.close()
+      // end()s the file, and a valid footer over partial batches would
+      // make a mid-stream failure decode as a complete shorter series —
+      // silent truncation. Abandoning the writer on error leaves the
+      // file footer-less, which ArrowFileReader rejects loudly. (The
+      // writer holds no resources of its own: buffers belong to `root`,
+      // closed below; the channel wraps the caller's stream.)
+      writer.start()
+      val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
+      val v = root.getVector("value").asInstanceOf[Float8Vector]
+      // an empty series still yields a valid zero-batch file
+      while (rows.hasNext) {
+        root.allocateNew()
+        var i = 0
+        while (i < batchRows && rows.hasNext) {
+          val (t, x) = rows.next()
+          ts.setSafe(i, t); v.setSafe(i, x)
+          i += 1
         }
-        writer.end()
-      } finally writer.close()
+        root.setRowCount(i)
+        writer.writeBatch()
+      }
+      writer.end()
+      writer.close()
     } finally root.close()
   }
 
@@ -447,30 +453,31 @@ object ArrowIO {
     val root = VectorSchemaRoot.create(longFormatSchema, allocator)
     try {
       val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
-      try {
-        writer.start()
-        val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
-        def sv(name: String) = root.getVector(name).asInstanceOf[VarCharVector]
-        val (id, nm, vl, tp, lb) = (sv("sensor_id"), sv("sensor_name"),
-          sv("value"), sv("type"), sv("labels"))
-        while (rows.hasNext) {
-          root.allocateNew()
-          var i = 0
-          while (i < batchRows && rows.hasNext) {
-            val r = rows.next()
-            ts.setSafe(i, r.timestampUs)
-            id.setSafe(i, r.sensorId.getBytes("UTF-8"))
-            nm.setSafe(i, r.sensorName.getBytes("UTF-8"))
-            vl.setSafe(i, r.value.getBytes("UTF-8"))
-            tp.setSafe(i, r.valueType.getBytes("UTF-8"))
-            lb.setSafe(i, r.labelsJson.getBytes("UTF-8"))
-            i += 1
-          }
-          root.setRowCount(i)
-          writer.writeBatch()
+      // footer only on success — see writeFloatSeriesStream: a footer
+      // over partial batches would decode as a complete shorter export
+      writer.start()
+      val ts = root.getVector("timestamp").asInstanceOf[TimeStampMicroVector]
+      def sv(name: String) = root.getVector(name).asInstanceOf[VarCharVector]
+      val (id, nm, vl, tp, lb) = (sv("sensor_id"), sv("sensor_name"),
+        sv("value"), sv("type"), sv("labels"))
+      while (rows.hasNext) {
+        root.allocateNew()
+        var i = 0
+        while (i < batchRows && rows.hasNext) {
+          val r = rows.next()
+          ts.setSafe(i, r.timestampUs)
+          id.setSafe(i, r.sensorId.getBytes("UTF-8"))
+          nm.setSafe(i, r.sensorName.getBytes("UTF-8"))
+          vl.setSafe(i, r.value.getBytes("UTF-8"))
+          tp.setSafe(i, r.valueType.getBytes("UTF-8"))
+          lb.setSafe(i, r.labelsJson.getBytes("UTF-8"))
+          i += 1
         }
-        writer.end()
-      } finally writer.close()
+        root.setRowCount(i)
+        writer.writeBatch()
+      }
+      writer.end()
+      writer.close()
     } finally root.close()
   }
 

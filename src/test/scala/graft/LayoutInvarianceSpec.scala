@@ -46,7 +46,7 @@ class LayoutInvarianceSpec extends SparkSpec {
     val df = SparkEntry.queries(name)(s, sf)
     val out = df.collect().toSeq
       .map(r => (0 until r.length).map(i => String.valueOf(r.get(i)))
-        .mkString(""))
+        .mkString("\u0001"))
       .sorted
     graft.pipeline.PipelineCache.free(df)
     out

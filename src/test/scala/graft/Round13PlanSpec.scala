@@ -85,6 +85,31 @@ class Round13PlanSpec extends SparkSpec {
       "Exchange hashpartitioning(id"), plan)
   }
 
+  test("rangeScanUnlimited (export-edge scan) keeps parallel RANGE " +
+    "partitions — no GlobalLimit single-partition collapse") {
+    // parquet-backed samples: a tiny LocalRelation would let Catalyst
+    // fold the limit/sort away and pin nothing
+    val samples = Tables.events(spark, sf)
+      .select(col("event_type").as("sensor_id"),
+        unix_micros(col("ts")).as("timestamp_us"), col("value"))
+    val unlimited = graft.operators.SensorOps.rangeScanUnlimited(
+      samples, "click", Some(0L), None)
+    val plan = planOf(unlimited)
+    // orderBy alone = RangePartitioning: globally ordered ACROSS
+    // bounded partitions, which toLocalIterator pages one at a time —
+    // the residency contract of the streaming export edge
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("GlobalLimit") && !plan.contains("TakeOrdered"),
+      plan)
+    // the query-surface rangeScan keeps its limit semantics (and its
+    // single-partition collapse — fine for bounded query answers)
+    val limited = graft.operators.SensorOps.rangeScan(
+      samples, "click", Some(0L), None, limit = 10)
+    val lplan = planOf(limited)
+    assert(lplan.contains("TakeOrdered") || lplan.contains("GlobalLimit"),
+      lplan)
+  }
+
   test("vocabCoverageShared tail operates on the count-of-counts " +
     "rollup: no corpus-sized Exchange past the bucketed scan") {
     val docs = Tables.documents(spark, sf)

@@ -38,9 +38,18 @@ class SurfaceLintSpec extends SparkSpec {
     // control: BIGINT-only surface
     Seq((1L, 1500000L)).toDF("k", "d_micro")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/q_int_control")
+    // approx-only offender: a double that compares close-not-exact to
+    // the oracle PLUS a decimal — the risk flags must survive the
+    // OK_APPROX branch (an approx compare is MORE hash-risky, not less)
+    Seq((1L, 0.1 + 0.2, BigDecimal("2.000000")))
+      .toDF("k", "dbl", "dec")
+      .select(col("k"), col("dbl"),
+        col("dec").cast("decimal(38,6)").as("dec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q_approx_dec")
     val oracle =
       """{"q_dec_fixture": "SELECT 1 AS k, CAST(1.5 AS DECIMAL(38,6)) AS d",
-        | "q_int_control": "SELECT 1 AS k, 1500000 AS d_micro"}"""
+        | "q_int_control": "SELECT 1 AS k, 1500000 AS d_micro",
+        | "q_approx_dec": "SELECT 1 AS k, 0.3::DOUBLE AS dbl, CAST(2 AS DECIMAL(38,6)) AS dec"}"""
         .stripMargin
     Files.writeString(Paths.get(s"$out/oracle_sql.json"), oracle)
     val pb = new ProcessBuilder(
@@ -62,5 +71,11 @@ class SurfaceLintSpec extends SparkSpec {
       s"lint false-positived on the BIGINT control: $intLine")
     assert(text.contains("DECIMAL columns on the compare surface"),
       "summary WARN line missing")
+    // the approx-compare branch must KEEP the risk flags
+    val approxLine = text.linesIterator
+      .find(_.contains("q_approx_dec")).getOrElse("")
+    assert(approxLine.contains("OK_APPROX"), approxLine)
+    assert(approxLine.contains("DECIMAL_HASH_RISK"),
+      s"OK_APPROX dropped the decimal flag: $approxLine")
   }
 }

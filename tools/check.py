@@ -127,7 +127,11 @@ def main():
         if exact:
             results[name] = "OK_EXACT" + risk
         elif close:
-            results[name] = "OK_APPROX (exact hash may fail!)"
+            # keep the surface-type risk flags: an approx-only compare is
+            # MORE likely to fail the driver hash, not less — dropping
+            # the DECIMAL/DOUBLE flags here would let a risky surface
+            # slip past the summary WARN exactly when it matters most
+            results[name] = "OK_APPROX (exact hash may fail!)" + risk
         else:
             bad = next(((i, a, b) for i, (r1, r2) in enumerate(zip(srows, drows))
                         for a, b in zip(r1, r2) if not vals_close(a, b)), None)
