@@ -18,6 +18,36 @@ class ArrowCatalogSpec extends SparkSpec {
     assert(ArrowIO.decodeFloatSeries(ArrowIO.encodeFloatSeries(in)) == in)
   }
 
+  test("streaming Arrow writers: multi-batch roundtrip, and NO footer " +
+    "on mid-stream failure (truncation must not decode as complete)") {
+    // success path: bounded batches roundtrip through the batch-aware
+    // decoders
+    val in = (0 until 10).map(i => (1700000000000000L + i * 1000000L, i * 0.5))
+    val okOut = new java.io.ByteArrayOutputStream()
+    ArrowIO.writeFloatSeriesStream(in.iterator, okOut, batchRows = 3)
+    assert(ArrowIO.decodeFloatSeries(okOut.toByteArray) == in)
+    val longIn = Seq(
+      ArrowIO.LongRow(1L, "u1", "a", "1", "float", "{}"),
+      ArrowIO.LongRow(2L, "u2", "b", "2", "float", "{}"),
+      ArrowIO.LongRow(3L, "u3", "c", "3", "float", "{}"))
+    val lOut = new java.io.ByteArrayOutputStream()
+    ArrowIO.writeLongFormatStream(longIn.iterator, lOut, batchRows = 2)
+    assert(ArrowIO.decodeLongFormat(lOut.toByteArray) == longIn)
+    // failure path: the source iterator throws AFTER a full batch has
+    // been written — the bytes so far must NOT decode as a valid
+    // (shorter) file, i.e. the writer never wrote the footer
+    val failOut = new java.io.ByteArrayOutputStream()
+    val poisoned = in.iterator.take(5) ++ Iterator.tabulate(1)(_ =>
+      throw new RuntimeException("task failed mid-export"))
+    intercept[RuntimeException] {
+      ArrowIO.writeFloatSeriesStream(poisoned, failOut, batchRows = 2)
+    }
+    assert(failOut.size() > 0, "some batches were written before failure")
+    intercept[Exception] {
+      ArrowIO.decodeFloatSeries(failOut.toByteArray)
+    }
+  }
+
   test("Arrow IPC long-format multi-series roundtrip") {
     val in = Seq(
       ArrowIO.LongRow(1700000000000000L, "u1", "temp", "20.5", "float",
