@@ -969,8 +969,12 @@ final class Gateway(
       ms => Matchers.sensorsByLabels(store.sensors, ms, numericOnly = true)
         .select(col("uuid").as("sensor_id"), col("labels")),
       numericFloatView(Some(parsed.startUs), Some(parsed.endUs)))
-    val lines = result.toJSON.collect()
-    respond(x, 200, "application/x-ndjson", lines.mkString("", "\n", "\n"))
+    // a matcher can select arbitrarily many series — stream the JSONL
+    // like every other export edge instead of collecting it
+    import scala.jdk.CollectionConverters._
+    val lines = result.toJSON.toLocalIterator().asScala
+    respondTextStream(x, 200, "application/x-ndjson",
+      lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
   }
 
   /** SenML-typed long view: like [[longView]] but the value is routed to
