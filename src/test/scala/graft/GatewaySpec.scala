@@ -212,6 +212,15 @@ class GatewaySpec extends SparkSpec {
       s"expected >= ${n / 65536} streamed batches, " +
         s"got ${reader.getRecordBlocks.size}")
     finally reader.close()
+    // the iterator-enforced row cap honors ?limit on the streamed path
+    // (first rows by timestamp — same semantics as the plan-level limit)
+    val capped = client.send(
+      HttpRequest.newBuilder(
+        url(s"/series/$uuid?format=arrow&limit=1000")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    val cappedRows = graft.sources.ArrowIO.decodeFloatSeries(capped.body())
+    assert(cappedRows.length == 1000)
+    assert(cappedRows.head == ((base, 0.0)))
   }
 
   test("concurrent requests are served in parallel, not serially") {
