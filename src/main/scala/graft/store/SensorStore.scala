@@ -33,6 +33,18 @@ final class SensorStore(
   // (sensor_id, timestamp_us) layout, both month-partition pruned.
   require(format == "parquet" || format == "orc",
     s"unsupported store format: $format")
+  // UTC is a correctness REQUIREMENT, not a convention: the write-side
+  // partition value (date_format renders in the session time zone) and
+  // the read-side prune bound (monthOf / MonthPruneRule.monthOf — fixed
+  // UTC calendar math) must agree, or rows near month boundaries would
+  // be silently pruned away. GraftSession.tune sets UTC; any foreign
+  // session must too, and failing fast here beats losing rows.
+  require({
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+  }, "SensorStore requires spark.sql.session.timeZone=UTC: the month " +
+    "partition value is rendered in the session time zone but pruned " +
+    "with UTC calendar math")
   private val suffix = s".$format"
 
   private def readDir(paths: String*): DataFrame =
@@ -64,7 +76,13 @@ final class SensorStore(
       // non-finite f64 samples are silently skipped at the publish edge
       // (reference: src/storage/sqlite/sqlite_publishers.rs:60-67) —
       // inference already rejects them at the CSV edge, but remote-write
-      // and Influx payloads can carry NaN/Inf straight to the store
+      // and Influx payloads can carry NaN/Inf straight to the store.
+      // NULL float values are dropped by the same predicate (isnan(null)
+      // is null, which filter rejects) — DELIBERATELY: a float sample
+      // with no value is as meaningless as NaN, and the float serving
+      // edges (Arrow export, remote read, PromQL math) extract primitive
+      // doubles that have no null representation. Other types keep their
+      // nulls untouched, as the reference does.
       val finite =
         if (t == SensorType.Float)
           samples.filter(!isnan(col("value")) &&
@@ -104,7 +122,11 @@ final class SensorStore(
     val tmp = new org.apache.hadoop.fs.Path(s"$dir.publish.$stamp.tmp")
     writeTo(tmp.toString)
     val base = new org.apache.hadoop.fs.Path(dir)
-    fs.mkdirs(base)
+    // the table dir is created ONLY when a data file actually moves in
+    // (walk's per-file mkdirs): an all-filtered batch (e.g. nothing but
+    // NaN staleness markers) must not leave an empty dir behind —
+    // format readers throw 'Unable to infer schema' on an existing-but-
+    // empty dir, while a missing dir reads as the canonical empty frame
     val moved = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.Path]
     def walk(p: org.apache.hadoop.fs.Path, rel: String): Boolean =
@@ -126,11 +148,21 @@ final class SensorStore(
         } else true
       }
     try {
-      if (!walk(tmp, "")) {
+      // a THROWN rename (not just a false return) must also withdraw
+      // the partial move-in — otherwise a publisher retry after a
+      // transient FS exception would double the already-moved rows
+      val ok =
+        try walk(tmp, "")
+        catch { case e: Throwable =>
+          moved.foreach(fs.delete(_, false))
+          throw e
+        }
+      if (!ok) {
         moved.foreach(fs.delete(_, false))
         throw new java.io.IOException(
           s"staged append could not move committed files into $dir")
       }
+      if (moved.nonEmpty) refreshViews()
     } finally fs.delete(tmp, true)
   }
 
@@ -252,13 +284,22 @@ final class SensorStore(
     val stamp = s"${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$catalogDir.compact.$stamp.tmp")
-    val compacted = readCatalog(old.map(_.toString): _*)
-      .dropDuplicates("uuid").coalesce(1)
-    compacted.write.mode(SaveMode.Overwrite).format(format)
-      .save(tmp.toString)
+    val moved = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
     try {
-      val moved = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.hadoop.fs.Path]
+      // EXPLICIT-path loads are not covered by ignoreMissingFiles (the
+      // option tolerates files vanishing between listing and scan, not
+      // missing paths at load time), so a racing compactor's delete
+      // between our dataFiles() and this read throws — and any thrown
+      // rename must withdraw the partial move-in. Both cases land in
+      // the catch: compaction is OPPORTUNISTIC maintenance, the
+      // triggering append already succeeded, old files are intact, and
+      // withdrawn duplicates were safe under dedup-on-read — so skip
+      // this round instead of failing the publish.
+      val compacted = readCatalog(old.map(_.toString): _*)
+        .dropDuplicates("uuid").coalesce(1)
+      compacted.write.mode(SaveMode.Overwrite).format(format)
+        .save(tmp.toString)
       val ok = fs.listStatus(tmp)
         .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
         .zipWithIndex.forall { case (f, i) =>
@@ -274,6 +315,12 @@ final class SensorStore(
         return
       }
       old.foreach(fs.delete(_, false))
+      refreshViews()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        moved.foreach(fs.delete(_, false))
+        System.err.println(
+          s"[store] catalog compaction skipped (racing writer?): $e")
     } finally fs.delete(tmp, true)
   }
 
@@ -317,8 +364,17 @@ final class SensorStore(
     * canonical empty frame) — so the whole store is queryable with plain
     * `spark.sql`. Views are lazy plans over the parquet layout: filters
     * written in SQL get the same pushdown/pruning as the DataFrame API.
+    *
+    * Freshness: a temp view captures its file listing at registration
+    * (Spark resolves the relation eagerly), so THIS store re-registers
+    * every registered prefix after each of its own mutations (publish,
+    * catalog compaction, vacuum) — views stay live across publishes and
+    * never fault on vacuumed-away files. Mutations by a DIFFERENT
+    * process are outside that guarantee: re-run registerViews to pick
+    * them up.
     */
   def registerViews(prefix: String = "graft"): Unit = {
+    registeredPrefixes.add(prefix)
     sensors.createOrReplaceTempView(s"${prefix}_sensors")
     SensorType.all.foreach { t =>
       samples(t).createOrReplaceTempView(
@@ -326,15 +382,23 @@ final class SensorStore(
     }
   }
 
-  /** yyyyMM (UTC) of a µs epoch as an int — partition directory values are
-    * type-inferred integers on read.
+  private val registeredPrefixes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Re-resolve all registered view prefixes after a store mutation —
+    * rebuilding each view's file index so it sees the new layout.
     */
-  private def monthOf(us: Long): Int = {
-    val d = java.time.LocalDate.ofInstant(
-      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L)),
-      java.time.ZoneOffset.UTC)
-    d.getYear * 100 + d.getMonthValue
-  }
+  private def refreshViews(): Unit =
+    registeredPrefixes.forEach(p => registerViews(p))
+
+  /** yyyyMM (UTC) of a µs epoch as an int — partition directory values
+    * are type-inferred integers on read. Shared with the Catalyst prune
+    * rule: the two MUST stay bit-identical (the rule's correctness
+    * argument is "same function as the writer"), so there is exactly
+    * one definition.
+    */
+  private def monthOf(us: Long): Int =
+    graft.plans.MonthPruneRule.monthOf(us)
 
   /** Vacuum (S14): compact month partitions of a value table to
     * size-targeted files, keeping the (sensor_id, timestamp_us) sort
@@ -351,21 +415,36 @@ final class SensorStore(
       targetPartitions: Int = 1,
       maxFilesPerPartition: Int = 1,
       stagingHorizonMs: Long = SensorStore.DefaultStagingHorizonMs): Unit = {
-    if (!exists(valueDir(t))) return
-    val dir = valueDir(t)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    sweepStaleStaging(fs, new org.apache.hadoop.fs.Path(dir),
-      stagingHorizonMs)
-    val monthDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("month="))
-    monthDirs.foreach { m =>
-      val files = fs.listStatus(m.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
-      if (files.length > maxFilesPerPartition)
-        compactPartition(fs, m.getPath, targetPartitions)
-    }
+    // Vacuums of one store MUST NOT overlap: value tables have no
+    // dedup-on-read, so two compactors that both list the same month's
+    // files and both rename their compacted outputs in would leave BOTH
+    // supersets live — every row permanently doubled (the catalog
+    // survives this exact race only because it dedups on read). The
+    // lock serializes in-process vacuums — the Gateway's concurrent
+    // /admin/vacuum handlers being the real exposure; a multi-process
+    // deployment must serialize vacuums externally (they are scheduled
+    // maintenance, not a hot path).
+    vacuumLock.lock()
+    try {
+      if (!exists(valueDir(t))) return
+      val dir = valueDir(t)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      sweepStaleStaging(fs, new org.apache.hadoop.fs.Path(dir),
+        stagingHorizonMs)
+      val monthDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("month="))
+      monthDirs.foreach { m =>
+        val files = fs.listStatus(m.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
+        if (files.length > maxFilesPerPartition)
+          compactPartition(fs, m.getPath, targetPartitions)
+      }
+      refreshViews()
+    } finally vacuumLock.unlock()
   }
+
+  private val vacuumLock = new java.util.concurrent.locks.ReentrantLock()
 
   /** Janitor for crashed publish/compaction staging: a writer that dies
     * between staging and rename-in leaves a `*.publish.<stamp>.tmp`
@@ -442,14 +521,22 @@ final class SensorStore(
     try {
       val moved = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.Path]
-      val ok = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
-        .zipWithIndex.forall { case (f, i) =>
-          val target = new org.apache.hadoop.fs.Path(
-            partDir, s"compact-$stamp-$i$suffix")
-          val renamed = fs.rename(f.getPath, target)
-          if (renamed) moved += target
-          renamed
+      // a THROWN rename must withdraw like a false one: leaving the
+      // already-moved compacted files beside the old ones would double
+      // their rows in a table with no dedup-on-read
+      val ok =
+        try fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(suffix))
+          .zipWithIndex.forall { case (f, i) =>
+            val target = new org.apache.hadoop.fs.Path(
+              partDir, s"compact-$stamp-$i$suffix")
+            val renamed = fs.rename(f.getPath, target)
+            if (renamed) moved += target
+            renamed
+          }
+        catch { case e: Throwable =>
+          moved.foreach(fs.delete(_, false))
+          throw e
         }
       if (!ok) {
         moved.foreach(fs.delete(_, false))

@@ -77,6 +77,88 @@ class StoreSpec extends SparkSpec {
     assert(store.samples(SensorType.Float).count() == 3)
   }
 
+  test("a publish whose batch filters to zero rows leaves NO empty " +
+    "table dir — reads stay on the canonical empty frame") {
+    import spark.implicits._
+    val root = tempDir()
+    val store = new SensorStore(spark, root)
+    // nothing but staleness markers / infinities: everything filters out
+    val allDropped = Seq(
+      ("s1", 1704067200000000L, Double.NaN),
+      ("s1", 1704067201000000L, Double.PositiveInfinity))
+      .toDF("sensor_id", "timestamp_us", "value")
+    store.publishSamples(SensorType.Float, allDropped)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/values_float")),
+      "empty publish must not create the table dir (readers would " +
+        "throw 'Unable to infer schema' on an existing-but-empty dir)")
+    // every read path serves the canonical empty frame, not an exception
+    assert(store.samples(SensorType.Float).count() == 0)
+    assert(store.samplesInRange(SensorType.Float, Some(0L), None).count() == 0)
+    // and a later real publish proceeds normally
+    store.publishSamples(SensorType.Float, sampleData)
+    assert(store.samples(SensorType.Float).count() == 3)
+  }
+
+  test("concurrent vacuums never duplicate rows (serialized per store)") {
+    import spark.implicits._
+    val store = new SensorStore(spark, tempDir())
+    // many files in one month so both vacuums would have work to do
+    (1 to 6).foreach { i =>
+      store.publishSamples(SensorType.Float,
+        Seq(("s1", 1704067200000000L + i, i.toDouble))
+          .toDF("sensor_id", "timestamp_us", "value"))
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two racing admin vacuums — without mutual exclusion both would
+    // list the same 6 files, both rename their compacted supersets in,
+    // and every row would double permanently (no dedup-on-read here)
+    Await.result(Future.sequence(Seq(
+      Future(store.vacuum(SensorType.Float)),
+      Future(store.vacuum(SensorType.Float)))), Duration.Inf)
+    assert(store.samples(SensorType.Float).count() == 6,
+      "concurrent vacuums duplicated rows")
+  }
+
+  test("registered views stay live across publish and vacuum") {
+    import spark.implicits._
+    val store = new SensorStore(spark, tempDir())
+    store.publishSamples(SensorType.Float, sampleData)
+    store.registerViews("vtest")
+    assert(spark.sql("SELECT count(*) FROM vtest_values_float")
+      .head().getLong(0) == 3)
+    // a later publish must be visible through the already-registered view
+    store.publishSamples(SensorType.Float,
+      Seq(("s3", 1704067200000000L, 9.0))
+        .toDF("sensor_id", "timestamp_us", "value"))
+    assert(spark.sql("SELECT count(*) FROM vtest_values_float")
+      .head().getLong(0) == 4)
+    // and a vacuum must not leave the view faulting on vanished files
+    store.vacuum(SensorType.Float)
+    assert(spark.sql("SELECT count(*) FROM vtest_values_float")
+      .head().getLong(0) == 4)
+    spark.catalog.dropTempView("vtest_values_float")
+    spark.catalog.dropTempView("vtest_sensors")
+    SensorType.all.foreach(t => spark.catalog.dropTempView(
+      s"vtest_values_${t.displayName.toLowerCase}"))
+  }
+
+  test("SensorStore refuses a non-UTC session (month partition values " +
+    "are rendered in session tz but pruned with UTC math)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    intercept[IllegalArgumentException] {
+      new SensorStore(s2, tempDir())
+    }
+    // fixed-offset aliases of UTC are accepted
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    new SensorStore(s3, tempDir())
+  }
+
   test("multi-type publish lands every batch (concurrent jobs)") {
     import spark.implicits._
     val store = new SensorStore(spark, tempDir())
