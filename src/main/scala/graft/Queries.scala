@@ -804,7 +804,7 @@ object Queries {
       val name = s"q32_out_${System.nanoTime()}"
       val query = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
       // bounded result re-materialized on the caller's session; the
       // memory-sink view is dropped so Bench's 4 runs don't accumulate
       boundedResult(s, ss, name, ss.table(name),
@@ -2249,7 +2249,7 @@ object Queries {
       val name = s"q74_out_${System.nanoTime()}"
       val query = kept.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
       // materialize the (per-source, bounded) counts and drop the
       // memory sink: Bench re-runs each entry 4x per JVM, so leaked
       // result tables would accumulate in driver memory for the
@@ -4002,7 +4002,7 @@ object Queries {
         val name = s"q116_out_${System.nanoTime()}"
         val query = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try query.processAllAvailable() finally query.stop()
+        try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
         // the memory sink registers its view in the SCOPED session's
         // catalog; the bounded result re-materializes on the caller's
         // session so nothing downstream depends on the scoped one
@@ -6467,7 +6467,7 @@ object Queries {
       val name = s"q184_out_${System.nanoTime()}"
       val query = enriched.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
       boundedResult(s, ss, name, ss.table(name), Seq("segment"))
     },
 
@@ -7615,7 +7615,7 @@ object Queries {
       val name = s"q219_out_${System.nanoTime()}"
       val query = out.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
       boundedResult(s, ss, name,
         ss.table(name).withColumnRenamed("timestamp_us", "t"),
         Seq("sensor_id", "t", "value"))
@@ -9632,7 +9632,7 @@ object Queries {
       val name = s"q275_out_${System.nanoTime()}"
       val query = regs.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
       boundedResult(s, ss, name,
         graft.pipeline.Sketches.hllFinalize(ss.table(name), Seq("flag"), 8),
         Seq("flag"))
@@ -9891,7 +9891,7 @@ object Queries {
         val name = s"q284_out_${System.nanoTime()}"
         val query = sess.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
-        try query.processAllAvailable() finally query.stop()
+        try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
         val out = ss.table(name)
           .select(col("user_id"),
             unix_micros(col("sw.start")).as("start_us"),
@@ -10115,7 +10115,7 @@ object Queries {
         val name = s"q291_out_${System.nanoTime()}"
         val query = agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try drainWithEviction(ss, query, name, 1800000L) finally query.stop()
+        try drainWithEviction(ss, query, name, 1800000L) finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
         val out = ss.table(name)
           .select(col("event_type"),
             unix_micros(col("w.start")).as("window_start_us"), col("n"))
@@ -10404,7 +10404,7 @@ object Queries {
         val name = s"q296_out_${System.nanoTime()}"
         val query = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try drainWithEviction(ss, query, name, 3600000L) finally query.stop()
+        try drainWithEviction(ss, query, name, 3600000L) finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
         val out = ss.table(name)
           .groupBy(col("cu"), col("cts"))
           .agg(count(col("vts")).as("n_views"))
@@ -11043,7 +11043,7 @@ object Queries {
         val name = s"q313_out_${System.nanoTime()}"
         val query = agg.writeStream.outputMode("update")
           .format("memory").queryName(name).start()
-        try drainWithEviction(ss, query, name, 1800000L) finally query.stop()
+        try drainWithEviction(ss, query, name, 1800000L) finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
         val out = ss.table(name)
           .select(col("event_type"),
             unix_micros(col("w.start")).as("window_start_us"), col("n"))

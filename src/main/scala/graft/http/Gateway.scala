@@ -752,15 +752,9 @@ final class Gateway(
       respondBytes(x, 204, "text/plain", Array.emptyByteArray)
     } else {
       import spark.implicits._
-      val rows = wr.timeseries.flatMap { ts =>
-        val labels = ts.labels.map(l => l.name -> l.value).toMap
-        val sname = labels.getOrElse("__name__",
-          throw new IllegalArgumentException(
-            "A time serie is missing its __name__ label"))
-        val unit = labels.get("unit")
-        ts.samples.map(s =>
-          (sname, labels, unit.orNull, s.timestampMs * 1000L, s.value))
-      }
+      // shared with the streaming ingest path — one definition of
+      // remote-write sensor identity (PrometheusRemote.writeRequestRows)
+      val rows = PrometheusRemote.writeRequestRows(wr)
       val df = rows.toDF("sensor_name", "labels", "unit_name", "timestamp_us", "value")
       graft.streaming.StreamingIngest.publishRemoteWriteRows(store, df)
       respondBytes(x, 204, "text/plain", Array.emptyByteArray)

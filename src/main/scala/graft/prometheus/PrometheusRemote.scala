@@ -112,6 +112,26 @@ object PrometheusRemote {
     Sample(v, ts)
   }
 
+  /** Flatten a decoded WriteRequest into normalized ingest rows
+    * (sensor_name, labels, unit_name, timestamp_us, value) — the ONE
+    * definition of remote-write sensor identity (name from `__name__`,
+    * unit from the `unit` label, ms→µs), shared by the HTTP endpoint
+    * and the streaming file source so the two ingest paths can never
+    * silently diverge on derived uuids.
+    */
+  def writeRequestRows(
+      wr: WriteRequest
+  ): Seq[(String, Map[String, String], String, Long, Double)] =
+    wr.timeseries.flatMap { ts =>
+      val labels = ts.labels.map(l => l.name -> l.value).toMap
+      val name = labels.getOrElse("__name__",
+        throw new IllegalArgumentException(
+          "A time serie is missing its __name__ label"))
+      ts.samples.map(s =>
+        (name, labels, labels.get("unit").orNull,
+          s.timestampMs * 1000L, s.value))
+    }
+
   /** Parse a (snappy-decompressed) WriteRequest. */
   def parseWriteRequest(bytes: Array[Byte]): WriteRequest = {
     val series = ArrayBuffer.empty[TimeSeries]

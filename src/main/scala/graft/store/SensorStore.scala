@@ -72,7 +72,24 @@ final class SensorStore(
     * (see [[stagedAppend]]).
     */
   def publishSamples(t: SensorType, samples: DataFrame): Unit =
-    stagedAppend(valueDir(t)) { staging =>
+    publishSamples(t, samples, commitKey = None)
+
+  /** [[publishSamples]] with an optional idempotency key, for
+    * at-least-once sinks (Structured Streaming `foreachBatch` replays a
+    * micro-batch whose commit-log write raced a crash): the staged
+    * files take DETERMINISTIC names derived from `commitKey`, and a
+    * replay's rename onto an existing target is treated as
+    * already-published and skipped — so the same (checkpoint, batchId)
+    * lands exactly once even across driver restarts. Requires the
+    * caller's batch content to be replay-deterministic, which Spark's
+    * file sources guarantee (same offsets → same rows) and this write
+    * path preserves (hash repartition + sort are deterministic for a
+    * fixed shuffle-partition count).
+    */
+  def publishSamples(
+      t: SensorType, samples: DataFrame,
+      commitKey: Option[String]): Unit =
+    stagedAppend(valueDir(t), commitKey) { staging =>
       // non-finite f64 samples are silently skipped at the publish edge
       // (reference: src/storage/sqlite/sqlite_publishers.rs:60-67) —
       // inference already rejects them at the CSV edge, but remote-write
@@ -114,12 +131,23 @@ final class SensorStore(
     * can leave a `.tmp` sibling behind; it is invisible to readers and
     * safe to delete.
     */
-  private def stagedAppend(dir: String)(writeTo: String => Unit): Unit = {
+  private def stagedAppend(
+      dir: String, dedupKey: Option[String] = None)(
+      writeTo: String => Unit): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val stamp = s"${System.currentTimeMillis()}-" +
+    // dedupKey (streaming replays) fixes the COMMITTED names; the
+    // staging dir still gets a fresh stamp per attempt (concurrent
+    // replays must never share staging), carried in a trailing
+    // millis-uuid segment the janitor's regex reads for its horizon.
+    val attempt = s"${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir.publish.$stamp.tmp")
+    val stamp = dedupKey
+      .map(k => "c" + k.replaceAll("[^0-9a-zA-Z]", "_"))
+      .getOrElse(attempt)
+    val tmp = new org.apache.hadoop.fs.Path(
+      if (dedupKey.isDefined) s"$dir.publish.$stamp.$attempt.tmp"
+      else s"$dir.publish.$stamp.tmp")
     writeTo(tmp.toString)
     val base = new org.apache.hadoop.fs.Path(dir)
     // the table dir is created ONLY when a data file actually moves in
@@ -129,8 +157,13 @@ final class SensorStore(
     // empty dir, while a missing dir reads as the canonical empty frame
     val moved = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.Path]
+    // file indices count WALK POSITION (sorted listing), not move count:
+    // with a dedupKey, a replay after a partial crash must assign each
+    // staged file the same target name its twin had on the first
+    // attempt, even when earlier files skip as already-published
+    var idx = 0
     def walk(p: org.apache.hadoop.fs.Path, rel: String): Boolean =
-      fs.listStatus(p).forall { st =>
+      fs.listStatus(p).sortBy(_.getPath.getName).forall { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (name.startsWith("_") || name.startsWith(".")) true
@@ -141,10 +174,14 @@ final class SensorStore(
             else new org.apache.hadoop.fs.Path(base, rel)
           fs.mkdirs(targetDir)
           val target = new org.apache.hadoop.fs.Path(
-            targetDir, s"publish-$stamp-${moved.size}$suffix")
-          val ok = fs.rename(st.getPath, target)
-          if (ok) moved += target
-          ok
+            targetDir, s"publish-$stamp-$idx$suffix")
+          idx += 1
+          if (dedupKey.isDefined && fs.exists(target)) true
+          else {
+            val ok = fs.rename(st.getPath, target)
+            if (ok) moved += target
+            ok
+          }
         } else true
       }
     try {
@@ -460,7 +497,12 @@ final class SensorStore(
       tableDir: org.apache.hadoop.fs.Path,
       horizonMs: Long): Unit = {
     val now = System.currentTimeMillis()
-    val stampRe = """\.(?:publish|compact)\.([0-9]+)-[0-9a-f]{8}\.tmp$""".r
+    // matches both staging shapes: random publishes/compactions
+    // (.publish.<millis>-<hex8>.tmp) and keyed streaming replays
+    // (.publish.c<key>.<millis>-<hex8>.tmp) — the horizon always reads
+    // the trailing millis
+    val stampRe =
+      """\.(?:publish|compact)\.(?:c[0-9a-zA-Z_]+\.)?([0-9]+)-[0-9a-f]{8}\.tmp$""".r
     def sweep(p: org.apache.hadoop.fs.Path): Unit =
       if (fs.exists(p)) fs.listStatus(p).foreach { st =>
         if (st.isDirectory)

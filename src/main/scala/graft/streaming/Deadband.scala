@@ -39,10 +39,19 @@ object Deadband {
       .repartition(col("sensor_id"))
       .sortWithinPartitions("sensor_id", "timestamp_us", "value")
     ds.mapPartitions { it =>
+      // explicit started-flag, not a null id sentinel: a NULL sensor_id
+      // series would collide with the "no series yet" state and have
+      // its first sample deadbanded against the phantom lastKept = 0.0
+      // (compressStream's groupByKey gives the null key fresh state, so
+      // the sentinel also broke batch ≡ streaming equivalence)
+      var started = false
       var currentId: String = null
       var lastKept = 0.0
       it.flatMap { s =>
-        if (s.sensor_id != currentId || math.abs(s.value - lastKept) > eps) {
+        val newSeries = !started || !java.util.Objects.equals(
+          s.sensor_id, currentId)
+        if (newSeries || math.abs(s.value - lastKept) > eps) {
+          started = true
           currentId = s.sensor_id
           lastKept = s.value
           Some(s)
@@ -56,6 +65,14 @@ object Deadband {
     * number of batches). Batch-local rows are sorted by event time before
     * the sweep — cross-batch ordering is the source's responsibility (the
     * usual at-least-once ingest contract).
+    *
+    * State contract: one Double per series, NEVER expired (NoTimeout) —
+    * deliberately, because expiring a series' baseline would un-suppress
+    * its flat signal on the next sample (a semantic change, not a
+    * cleanup). Sized for a FIXED fleet: state = 8 bytes x |sensors|. A
+    * source with churning/ephemeral series ids needs a TTL variant
+    * (ProcessingTimeTimeout + re-baseline on first sample after expiry)
+    * and must accept the re-baseline semantics.
     */
   def compressStream(
       samples: Dataset[Sample], eps: Double): Dataset[Sample] = {

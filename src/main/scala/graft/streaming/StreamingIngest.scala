@@ -66,6 +66,26 @@ object StreamingIngest {
     s
   }
 
+  /** Stop a bounded interactive query and reclaim its checkpoint dir.
+    * Spark deletes only TEMPORARY checkpoints on stop; a query started
+    * under a CONFIGURED root (the scoped sessions' tmpfs root) leaves
+    * its offset logs + state deltas behind — one dir per query, in RAM,
+    * for the JVM's lifetime. Only paths under OUR ephemeral root are
+    * reclaimed: durable user-specified checkpoints must survive stop
+    * (they are the resume contract).
+    */
+  def stopAndCleanCheckpoint(q: StreamingQuery): Unit = {
+    try q.stop()
+    finally q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        val root = w.streamingQuery.resolvedCheckpointRoot
+          .stripPrefix("file:")
+        if (ephemeralCheckpointRoot.exists(r => root.startsWith(r)))
+          graft.TempDirs.deleteRecursively(new java.io.File(root))
+      case _ => ()
+    }
+  }
+
   /** Per-JVM tmpfs checkpoint root for ephemeral scoped sessions; None
     * when /dev/shm is absent (falls back to Spark's temp-dir default).
     */
@@ -87,8 +107,12 @@ object StreamingIngest {
   }
 
   /** Stream a directory of sample files (canonical long layout) into the
-    * store. At-least-once: checkpointed source offsets + idempotent
-    * append per micro-batch.
+    * store. EXACTLY-once into the table: the source offsets are
+    * checkpointed AND each micro-batch publishes under a
+    * (checkpoint, batchId) idempotency key — `foreachBatch` is
+    * at-least-once by contract (a crash between the publish and the
+    * batch commit-log write replays the batch), and the keyed staged
+    * append makes the replay a no-op instead of a duplication.
     */
   def ingestStream(
       spark: SparkSession,
@@ -104,12 +128,20 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.publishSamples(sensorType,
-          batch.select("sensor_id", "timestamp_us", "value"))
+          batch.select("sensor_id", "timestamp_us", "value"),
+          commitKey = Some(commitKey(checkpointDir, batchId)))
       }
       .start()
   }
+
+  /** Idempotency key for a streaming micro-batch publish: stable across
+    * driver restarts (the checkpoint path identifies the stream; the
+    * batchId identifies the replayed batch).
+    */
+  private def commitKey(checkpointDir: String, batchId: Long): String =
+    f"ck${checkpointDir.hashCode}%08x-b$batchId"
 
   /** Stream a directory of Prometheus remote-write frames (one
     * snappy-compressed WriteRequest protobuf per file — the wire payload
@@ -140,19 +172,22 @@ object StreamingIngest {
       .format("binaryFile")
       .schema(binarySchema)
       .load(sourceDir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { bytes: Array[Byte] =>
-        val wr = PrometheusRemote.parseWriteRequest(
-          PrometheusRemote.snappyDecompress(bytes))
-        wr.timeseries.flatMap { ts =>
-          val labels = ts.labels.map(l => l.name -> l.value).toMap
-          val name = labels.getOrElse("__name__",
-            throw new IllegalArgumentException(
-              "A time serie is missing its __name__ label"))
-          ts.samples.map(s =>
-            (name, labels, labels.get("unit").orNull,
-              s.timestampMs * 1000L, s.value))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path: String, bytes: Array[Byte]) =>
+        // poison-pill tolerance: one corrupt/invalid frame FILE must not
+        // wedge the stream forever (the failed batch would replay the
+        // same file on every restart) — decode errors skip the file
+        // loudly, matching the HTTP twin where one bad request 400s
+        // without stopping ingest. The decode itself is the shared
+        // writeRequestRows, so both paths derive identical identity.
+        try PrometheusRemote.writeRequestRows(
+          PrometheusRemote.parseWriteRequest(
+            PrometheusRemote.snappyDecompress(bytes)))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[remote-write-stream] skipping undecodable frame $path: $e")
+          Seq.empty
         }
       }
       .toDF("sensor_name", "labels", "unit_name", "timestamp_us", "value")
@@ -160,16 +195,22 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        publishRemoteWriteRows(store, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishRemoteWriteRows(store, batch,
+          commitKey = Some(commitKey(checkpointDir, batchId)))
       }
       .start()
   }
 
   /** Publish normalized remote-write rows (sensor_name, labels, unit_name,
-    * timestamp_us, value) as Float series.
+    * timestamp_us, value) as Float series. `commitKey`: idempotency key
+    * for at-least-once streaming sinks (see
+    * [[graft.store.SensorStore.publishSamples]]); the catalog side needs
+    * none — publishSensors' anti-join absorbs replays.
     */
-  def publishRemoteWriteRows(store: SensorStore, df: DataFrame): Unit = {
+  def publishRemoteWriteRows(
+      store: SensorStore, df: DataFrame,
+      commitKey: Option[String] = None): Unit = {
     import org.apache.spark.sql.types.StringType
     val withUuid = df.withColumn("uuid",
       call_function("sensor_uuid", col("sensor_name"), lit("Float"),
@@ -186,7 +227,8 @@ object StreamingIngest {
         .dropDuplicates("uuid"))
       store.publishSamples(SensorType.Float, withUuid
         .select(col("uuid").as("sensor_id"), col("timestamp_us"),
-          col("value")))
+          col("value")),
+        commitKey)
     } finally withUuid.unpersist()
   }
 
@@ -221,6 +263,25 @@ object StreamingIngest {
     * the same derived uuids, and because append mode only ever emits
     * finalized windows, the at-least-once foreachBatch sink never writes
     * a window twice within one checkpointed run.
+    *
+    * Watermark tail (standard append-mode semantics, stated so nobody
+    * is surprised): a window is emitted only once the watermark passes
+    * its end, and the watermark trails the max event time by
+    * `watermarkDur` — so on a FINITE source the last `watermarkDur`
+    * worth of windows per series is still open when the
+    * AvailableNow run terminates, and is NOT persisted. This job is the
+    * continuous-ingest resampler; for a complete backfill of a closed
+    * dataset, run the batch resampler ([[windowedResample]] on a batch
+    * frame, or `SensorOps.resampleGrid`) which has no watermark.
+    *
+    * Concurrency: convergence ("first write wins") is per-SAMPLE via
+    * [[publishResampledRows]]' existence anti-join, which is
+    * check-then-act — two streams racing the SAME window can both pass
+    * the probe and write bit-identical duplicate rows. Sequential
+    * re-runs and restarts converge exactly; concurrent identical
+    * streams are an operational misconfiguration the store tolerates
+    * (duplicates are bit-identical and removable via
+    * `SensorOps.dedup` / vacuum), not a supported deployment.
     */
   def resampleStreamToStore(
       spark: SparkSession,

@@ -21,6 +21,25 @@ class DeadbandSpec extends SparkSpec {
       ("s2", 1L, 1.0)))
   }
 
+  test("batch deadband: a null sensor_id series keeps its first sample " +
+    "(no collision with the no-series-yet sentinel)") {
+    // the first |value| <= eps sample of a null-id series used to be
+    // deadbanded against the phantom lastKept = 0.0 — while
+    // compressStream's groupByKey gave the null key fresh state,
+    // breaking batch ≡ streaming equivalence
+    val df = Seq(
+      (null.asInstanceOf[String], 1L, 0.05),
+      (null.asInstanceOf[String], 2L, 0.06),
+      ("s1", 1L, 0.05))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val got = Deadband.compress(df, eps = 0.1)
+      .as[(String, Long, Double)].collect().toSeq
+      .sortBy(r => (Option(r._1).getOrElse(""), r._2))
+    assert(got == Seq(
+      (null, 1L, 0.05), // first sample of the null series IS kept
+      ("s1", 1L, 0.05)))
+  }
+
   test("batch deadband is deterministic under duplicate timestamps") {
     // two samples share timestamp 1: the (ts, value) sort visits 5.0
     // first — the same order compressStream uses — so the kept set is

@@ -159,6 +159,62 @@ class StoreSpec extends SparkSpec {
     new SensorStore(s3, tempDir())
   }
 
+  test("commitKey makes publishSamples idempotent: a foreachBatch " +
+    "replay after a crash lands the batch exactly once") {
+    import spark.implicits._
+    val store = new SensorStore(spark, tempDir())
+    val batch = Seq(
+      ("s1", 1704067200000000L, 1.0), ("s1", 1706745600000000L, 2.0),
+      ("s2", 1704067200000000L, 3.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val key = Some("ckdeadbeef-b7")
+    store.publishSamples(SensorType.Float, batch, key)
+    // the at-least-once replay: same batch, same (checkpoint, batchId)
+    store.publishSamples(SensorType.Float, batch, key)
+    assert(store.samples(SensorType.Float).count() == 3,
+      "replayed micro-batch duplicated rows")
+    // a DIFFERENT batch id appends normally
+    store.publishSamples(SensorType.Float, batch, Some("ckdeadbeef-b8"))
+    assert(store.samples(SensorType.Float).count() == 6)
+    // and keyless publishes are unaffected
+    store.publishSamples(SensorType.Float, batch)
+    assert(store.samples(SensorType.Float).count() == 9)
+  }
+
+  test("remote-write stream skips a poison frame instead of wedging, " +
+    "and replays idempotently") {
+    import graft.prometheus.PrometheusRemote
+    import PrometheusRemote._
+    val src = graft.TempDirs.create("rw_poison_src")
+    val ckpt = graft.TempDirs.createPath("rw_poison_ckpt")
+    // one valid frame (field 1 = timeseries; labels f1, samples f2) …
+    val w = new ProtoWriter
+    val tw = new ProtoWriter
+    val lw = new ProtoWriter
+    lw.string(1, "__name__"); lw.string(2, "poison_ok")
+    tw.message(1, lw)
+    val sw = new ProtoWriter
+    sw.double(1, 42.0); sw.int64(2, 1704067200000L)
+    tw.message(2, sw)
+    w.message(1, tw)
+    java.nio.file.Files.write(src.resolve("good.bin"),
+      snappyCompressLiteral(w.result()))
+    // … and one file that is not even snappy
+    java.nio.file.Files.write(src.resolve("bad.bin"),
+      "this is not a remote-write frame".getBytes("UTF-8"))
+    val store = new SensorStore(spark, tempDir())
+    val ss = graft.streaming.StreamingIngest.stateScopedSession(spark, 2)
+    val q = graft.streaming.StreamingIngest.remoteWriteStream(
+      ss, src.toString, store, ckpt)
+    try q.processAllAvailable()
+    finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(q)
+    // the valid frame landed; the poison one was skipped, not fatal
+    assert(store.samples(SensorType.Float).count() == 1)
+    assert(store.samples(SensorType.Float)
+      .select("value").head().getDouble(0) == 42.0)
+    assert(store.sensors.filter(col("name") === "poison_ok").count() == 1)
+  }
+
   test("multi-type publish lands every batch (concurrent jobs)") {
     import spark.implicits._
     val store = new SensorStore(spark, tempDir())
