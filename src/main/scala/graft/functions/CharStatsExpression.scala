@@ -59,22 +59,43 @@ case class CharStatsExpression(child: Expression)
 
 object CharStatsExpression {
 
-  /** One pass over code points; per-class counts in a hash map whose
-    * size is bounded by the alphabet, not the text.
+  /** One pass over code points; per-class counts bounded by the
+    * alphabet, not the text. ASCII (the dominant corpus case) counts in
+    * a primitive long[128] — zero per-character allocation; only
+    * non-ASCII code points touch the boxed overflow map (HashMap.merge
+    * boxes the key and re-boxes the value per hit, which on an
+    * all-ASCII corpus would be two garbage objects per character in the
+    * scan stage this kernel exists to keep cheap).
     */
   def stats(text: String): InternalRow = {
-    val counts = new java.util.HashMap[Integer, Long]()
+    val ascii = new Array[Long](128)
+    var counts: java.util.HashMap[Integer, java.lang.Long] = null
     var i = 0
     var n = 0L
     while (i < text.length) {
       val cp = text.codePointAt(i)
-      counts.merge(cp, 1L, (a, b) => a + b)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (counts == null) counts = new java.util.HashMap()
+        counts.merge(cp, 1L,
+          (a: java.lang.Long, b: java.lang.Long) => a + b)
+      }
       n += 1L
       i += Character.charCount(cp)
     }
     var sumSq = 0L
-    val it = counts.values().iterator()
-    while (it.hasNext) { val c = it.next(); sumSq += c * c }
-    new GenericInternalRow(Array[Any](n, sumSq, counts.size()))
+    var distinct = 0
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) { sumSq += k * k; distinct += 1 }
+      c += 1
+    }
+    if (counts != null) {
+      val it = counts.values().iterator()
+      while (it.hasNext) { val k = it.next(); sumSq += k * k }
+      distinct += counts.size()
+    }
+    new GenericInternalRow(Array[Any](n, sumSq, distinct))
   }
 }

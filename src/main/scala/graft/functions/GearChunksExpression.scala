@@ -64,6 +64,15 @@ object GearChunksExpression {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.empty[Any])
 
+  // per-row hot-path hoists: Pattern.compile per replaceAll and the
+  // JCA provider lookup in MessageDigest.getInstance are fixed costs
+  // multiplied by corpus row count — exactly what this kernel exists
+  // to avoid. MD5 instances are not thread-safe → one per task thread.
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val Md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** The chunking kernel: normalize → code points → rolling gear hash
     * (one table lookup per code point) → boundary where the spread
     * mask bits are all zero → md5-60 fingerprint per chunk.
@@ -71,11 +80,11 @@ object GearChunksExpression {
   def chunks(s: String, maskBits: Int): ArrayData = {
     val mask = GearTable.mask(maskBits)
     val gear = GearTable.values
-    val t = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val t = WsPattern.matcher(s.toLowerCase).replaceAll(" ").trim
     val cps = t.codePoints().toArray
     val n = cps.length
     if (n == 0) return EMPTY
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val cuts = new java.util.ArrayList[Integer]()
     cuts.add(0)
     var h = 0

@@ -27,8 +27,31 @@ case class SensorUuidExpression(
 
   override def children: Seq[Expression] = Seq(name, typeName, unitName, labels)
 
-  // (no ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4 —
-  // callers pass string/string/string/map<string,string> columns)
+  // analysis-time validation (ExpectsInputTypes is unavailable —
+  // AbstractDataType is private[sql] in Spark 4 — so the check is
+  // spelled out): without it a wrong-typed argument would pass analysis
+  // and ClassCastException mid-job in eval/codegen
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{MapType, NullType}
+    def isStr(dt: DataType) = dt == StringType || dt == NullType
+    val labelsOk = labels.dataType match {
+      case NullType => true
+      case MapType(StringType, StringType, _) => true
+      case _ => false
+    }
+    if (isStr(name.dataType) && isStr(typeName.dataType) &&
+        isStr(unitName.dataType) && labelsOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sensor_uuid expects (string, string, string, " +
+        s"map<string,string>), got (${name.dataType.simpleString}, " +
+        s"${typeName.dataType.simpleString}, " +
+        s"${unitName.dataType.simpleString}, " +
+        s"${labels.dataType.simpleString})")
+  }
+
   override def dataType: DataType = StringType
 
   /** null name or type → null uuid; unit/labels null means absent. */

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Fold order is the same left-to-right sum the UDF performed, so
   * results are bitwise identical — oracle parity is unaffected. Arrays
-  * must not contain nulls (the embeddings contract); length mismatch
-  * folds over the shorter prefix, matching the UDF's `min(len)` guard.
+  * must not contain nulls (the embeddings contract); a length mismatch
+  * FAILS LOUDLY (IllegalArgumentException): ragged embeddings are
+  * corrupt input, and a silent shorter-prefix dot product would rank
+  * candidates on garbage similarity.
   */
 case class DotProductExpression(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -284,8 +286,12 @@ object WinnowFpsExpression {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.empty[Long])
 
+  // hoisted: replaceAll compiles a fresh Pattern per row otherwise —
+  // pure repeated work in a per-document scan kernel
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   def fingerprints(s: String, k: Int, w: Int): ArrayData = {
-    val t = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val t = WsPattern.matcher(s.trim.toLowerCase).replaceAll(" ")
     val n = t.length
     if (n < k) return EMPTY
     val B = 1000003L

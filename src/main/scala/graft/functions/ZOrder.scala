@@ -46,9 +46,13 @@ object ZOrder {
     */
   def sqlExpr(x: String, y: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, "bits in [1,31]")
+    // CAST to BIGINT mirrors zValue's cast("long"): without it a 32-bit
+    // column's term arithmetic stays 32-bit in the external engine and
+    // a shift position >= 31 overflows (DuckDB errors; wrapping engines
+    // corrupt the whole OR-combined key) while the Spark side succeeds
     (0 until bits).flatMap { i =>
-      Seq(s"((($x >> $i) & 1) << ${2 * i})",
-        s"((($y >> $i) & 1) << ${2 * i + 1})")
+      Seq(s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i})",
+        s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
     }.mkString("(", " | ", ")")
   }
 
@@ -61,6 +65,9 @@ object ZOrder {
       df: DataFrame, xCol: String, yCol: String,
       bits: Int, partitions: Int): DataFrame = {
     require(partitions >= 1, "partitions must be positive")
+    require(!df.columns.contains("__z"),
+      "input already has a __z column (reserved by zorderBy) — " +
+        "withColumn would silently replace and then drop the caller's data")
     df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")

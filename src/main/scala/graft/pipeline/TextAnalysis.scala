@@ -831,7 +831,9 @@ object TextAnalysis {
     val mask = GearTable.mask(maskBits) // validates the range
     val gear = GearTable.values
     val f = udf { s: String =>
-      if (s == null) Array.empty[(Long, Int, Int)]
+      // null → null matches the Expression's nullSafeEval (bit-identical
+      // parity must include the null row, not just non-null inputs)
+      if (s == null) null
       else {
         val t = s.toLowerCase.replaceAll("\\s+", " ").trim
         val cps = t.codePoints().toArray
@@ -888,7 +890,9 @@ object TextAnalysis {
       text: Column, k: Int = 8, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val f = udf { s: String =>
-      if (s == null) Array.empty[Long]
+      // null → null matches the Expression's nullSafeEval (bit-identical
+      // parity must include the null row, not just non-null inputs)
+      if (s == null) null
       else {
         val t = s.trim.toLowerCase.replaceAll("\\s+", " ")
         val n = t.length

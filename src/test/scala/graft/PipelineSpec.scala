@@ -773,6 +773,34 @@ class PipelineSpec extends SparkSpec {
     assert(expr == udfT)
   }
 
+  test("expression/UDF twins agree on NULL input too (null → null), " +
+    "and char_stats handles the ASCII/overflow split") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "a b a"))
+      .toDF("doc_id", "text")
+    // gear_chunks: Expression nullSafeEval gives null; the UDF twin
+    // must match (parity includes the null row, not just non-nulls)
+    val gear = docs.select(col("doc_id"),
+      TextAnalysis.cdcChunksGear(col("text"), 6).isNull.as("e"),
+      TextAnalysis.cdcChunksGearUdf(col("text"), 6).isNull.as("u"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(gear.toSet == Set((1L, true, true), (2L, false, false)))
+    val winnow = docs.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprints(col("text")).isNull.as("e"),
+      TextAnalysis.winnowingFingerprintsUdf(col("text")).isNull.as("u"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(winnow.toSet == Set((1L, true, true), (2L, false, false)))
+    // char_stats: mixed ASCII + non-ASCII exercises both count paths
+    val cs = Seq(("ab" + new String(Character.toChars(0x1F600)) + "ba"))
+      .toDF("text")
+      .select(expr("char_stats(text)").as("s"))
+      .select(col("s.n_chars"), col("s.sum_sq"), col("s.distinct_chars"))
+      .head()
+    // a:2, b:2, emoji:1 → n=5, sumSq=4+4+1=9, distinct=3
+    assert((cs.getLong(0), cs.getLong(1), cs.getInt(2)) == ((5L, 9L, 3)))
+  }
+
   test("cdcChunksGear: code-point indexing on non-ASCII text") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
