@@ -143,6 +143,29 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-breakdown write failed: $e")
     }
+    // Per-round archive: the driver's BENCH_r{N} tail truncates to ~160
+    // recoverable queries, so round-over-round per-query comparison was
+    // losing the rest. Every FULL run also lands as bench_full_r{N}
+    // .json — N from SPARK_GRAFT_ROUND, else inferred as (max existing
+    // BENCH_r{N}.json) + 1, the round whose close this run feeds.
+    // Subset runs never archive (a partial must not masquerade as a
+    // round record).
+    if (only.isEmpty) try {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.trim.toInt)
+        .orElse {
+          val re = """BENCH_r(\d+)\.json""".r
+          val seen = Option(new java.io.File(".").list()).toSeq.flatten
+            .collect { case re(n) => n.toInt }
+          if (seen.isEmpty) None else Some(seen.max + 1)
+        }
+      round.foreach { n =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"bench_full_r$n%02d.json"),
+          fullJson + "\n")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] round archive write failed: $e")
+    }
     println(namesLine)
     println(coldLine)
     println(samplesLine)

@@ -8985,8 +8985,13 @@ object Queries {
         .orderBy("hour")
     },
 
-    // Re-engaged users: returned after a ≥14-day silence — per-user
-    // day gaps, all integer.
+    // Re-engaged users: returned after a ≥3-day silence — per-user
+    // day gaps, all integer. Gap threshold re-anchored r13 (the
+    // q124–q127 precedent): the events table's max per-user day gap is
+    // 4 at sf0.01 and 6 at sf0.1, so the original ≥14-day window
+    // returned 0 rows at EVERY test SF and the driver's hash gate was
+    // vacuously green — ≥3 exercises the same gap kernel with rows at
+    // all three SFs (sf0.001/0.01/0.1 → 7/40/427 qualifying gaps).
     q(
       "q260_reengaged",
       """WITH dy AS (SELECT DISTINCT user_id,
@@ -8996,7 +9001,7 @@ object Queries {
         |      AS gp
         |  FROM dy),
         |a AS (SELECT user_id,
-        |    CAST(SUM(CASE WHEN gp >= 14 THEN 1 ELSE 0 END) AS BIGINT)
+        |    CAST(SUM(CASE WHEN gp >= 3 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_reengagements,
         |    CAST(MAX(gp) AS BIGINT) AS max_gap_days
         |  FROM g WHERE gp IS NOT NULL GROUP BY 1)
@@ -9012,26 +9017,40 @@ object Queries {
       dy.withColumn("gp", col("day") - lag(col("day"), 1).over(w))
         .filter(col("gp").isNotNull)
         .groupBy(col("user_id"))
-        .agg(sum((col("gp") >= 14).cast("long"))
+        .agg(sum((col("gp") >= 3).cast("long"))
           .as("n_reengagements"),
           max(col("gp")).as("max_gap_days"))
         .filter(col("n_reengagements") >= 1)
         .orderBy("user_id")
     },
 
-    // Cross-source exact-text leakage: identical text appearing under
-    // ≥2 sources — the split-contamination case exact dedup reports
-    // but does not localize to sources.
+    // Cross-source text leakage: the same content fingerprint (first 8
+    // lowercased tokens — a prefix fingerprint, the cheapest stable
+    // leak key) appearing under ≥2 sources — the split-contamination
+    // case exact dedup reports but does not localize to sources.
+    // Key re-anchored r13: the original EXACT-text key returned 0 rows
+    // at sf0.001/0.01 (the corpus has no full-text duplicates below
+    // sf0.1), leaving the driver's hash gate vacuously green; the
+    // 8-token prefix keys 20/22/227 leaks at the three SFs while
+    // keeping the kernel (group on content key, count docs + distinct
+    // sources, keep multi-source keys) intact.
     q(
       "q261_cross_source_leak",
-      """WITH g AS (SELECT text, MIN(doc_id) AS leak_id,
+      """WITH keyd AS (SELECT doc_id, source,
+        |    array_to_string(list_slice(string_split_regex(
+        |      trim(lower(text)), '\s+'), 1, 8), ' ') AS leak_key
+        |  FROM documents),
+        |g AS (SELECT leak_key, MIN(doc_id) AS leak_id,
         |    COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
-        |  FROM documents GROUP BY 1)
+        |  FROM keyd GROUP BY 1)
         |SELECT leak_id, n_docs, n_sources
         |FROM g WHERE n_sources >= 2 ORDER BY leak_id"""
     ) { (s, d) =>
       Tables.documents(s, d)
-        .groupBy(col("text"))
+        .select(col("doc_id"), col("source"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8),
+            " ").as("leak_key"))
+        .groupBy(col("leak_key"))
         .agg(min(col("doc_id")).as("leak_id"),
           count(lit(1)).as("n_docs"),
           countDistinct(col("source")).as("n_sources"))
@@ -13807,10 +13826,22 @@ object Queries {
     */
   private val scopedStreamSessions = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, SparkSession]()
+  /** GRAFT_STREAM_STATE_PARTITIONS, validated ONCE at first use: a
+    * malformed value fails with a configuration error naming the env
+    * var, not a bare NumberFormatException thrown from inside the
+    * first streaming query's computeIfAbsent.
+    */
+  private lazy val streamStatePartitions: Int = {
+    val raw = sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4")
+    val parsed = scala.util.Try(raw.trim.toInt).toOption
+    require(parsed.exists(_ >= 1),
+      s"GRAFT_STREAM_STATE_PARTITIONS must be a positive integer, got '$raw'")
+    parsed.get
+  }
   private def streamSession(s: SparkSession): SparkSession =
     scopedStreamSessions.computeIfAbsent(s,
       _ => graft.streaming.StreamingIngest.stateScopedSession(s,
-        sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4").toInt))
+        streamStatePartitions))
 
   /** Materialize a bounded memory-sink result (`out`, a view over the
     * scoped session's sink table, transforms applied but UNSORTED) as a

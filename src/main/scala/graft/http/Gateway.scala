@@ -126,8 +126,23 @@ final class Gateway(
         respond(x, 200, "text/html", ApiDoc.docsHtml(name))
       else
         respond(x, 200, "application/json", ApiDoc.openApiJson(name)))
-    route("/health/live", (x, _) => respond(x, 200, "text/plain", "ok"))
-    route("/health/ready", (x, _) => respond(x, 200, "text/plain", "ok"))
+    // health (reference: src/ingestors/http/health.rs:30-72): liveness
+    // is unconditional; readiness probes the STORE (a load balancer
+    // must stop routing to an instance whose store root is gone) and
+    // answers the reference's ReadinessResponse JSON shape — 503 +
+    // {status:"not_ready",database:"error",error} on failure.
+    route("/health/live", (x, _) =>
+      respond(x, 200, "application/json", """{"status":"ok"}"""))
+    route("/health/ready", (x, _) =>
+      try {
+        store.healthCheck()
+        respond(x, 200, "application/json",
+          """{"status":"ready","database":"ok"}""")
+      } catch { case scala.util.control.NonFatal(e) =>
+        respond(x, 503, "application/json",
+          s"""{"status":"not_ready","database":"error",""" +
+            s""""error":${jsonStr(String.valueOf(e.getMessage))}}""")
+      })
     route("/metrics", handleMetrics)
     route("/series", handleSeries) // also /series/{uuid}
     route("/publish", handlePublish)
@@ -180,10 +195,26 @@ final class Gateway(
 
   // ------------------------------------------------------------- plumbing
 
+  /** Per-exchange response lock, replacing the exchange-monitor
+    * `synchronized`: the watchdog's 408 task uses `tryLock` instead of
+    * parking — under the old scheme a fired watchdog BLOCKED a
+    * watchdogIo thread on the exchange monitor for the full duration
+    * of a streaming export (the monitor is held end-to-end as the
+    * responded-guard), growing the cached pool by one parked thread
+    * per timed-out slow export. A contended tryLock means a response
+    * is already being written, so the 408 is moot either way.
+    */
+  private val lockAttr = "graft.responseLock"
+  private def lockOf(x: HttpExchange): java.util.concurrent.locks.ReentrantLock =
+    x.getAttribute(lockAttr)
+      .asInstanceOf[java.util.concurrent.locks.ReentrantLock]
+
   private def route(path: String, h: (HttpExchange, Map[String, String]) => Unit): Unit =
     server.createContext(path, new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val t0 = System.nanoTime()
+        x.setAttribute(lockAttr,
+          new java.util.concurrent.locks.ReentrantLock())
         // server timeout (reference: TimeoutLayer with REQUEST_TIMEOUT,
         // src/ingestors/http/server.rs:74-77): a watchdog answers 408 at
         // the deadline if the handler hasn't responded; the
@@ -193,8 +224,16 @@ final class Gateway(
         // draining its 408 can't delay other pending timeouts.
         val deadline = watchdog.schedule(new Runnable {
           override def run(): Unit = watchdogIo.execute(new Runnable {
-            override def run(): Unit =
-              respondError(x, 408, "request timed out")
+            override def run(): Unit = {
+              val l = lockOf(x)
+              // tryLock, never park (see lockAttr scaladoc): contended
+              // means a response is in flight — completing handler or
+              // streaming export — and the timeout answer is moot
+              if (l.tryLock()) {
+                try respondError(x, 408, "request timed out")
+                finally l.unlock()
+              }
+            }
           })
         }, graft.Config.httpServerTimeoutSeconds,
           java.util.concurrent.TimeUnit.SECONDS)
@@ -206,7 +245,26 @@ final class Gateway(
           // thread-local, so handler threads don't clobber each other.
           spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", Thread.currentThread().getName)
-          h(x, queryParams(x))
+          // vanished-file retry (store contract, see ReadFaults): a GET
+          // scan racing a vacuum can fault on a listed-then-deleted
+          // file (or its .crc sidecar); the read is idempotent and
+          // nothing is on the wire yet, so re-running the handler
+          // re-lists and sees the compacted layout. POSTs (body already
+          // consumed, publishes not idempotent) and responses already
+          // started are never retried.
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { h(x, queryParams(x)); done = true }
+            catch {
+              case e: Throwable
+                  if x.getRequestMethod == "GET" &&
+                    x.getResponseCode == -1 && attempts < 3 &&
+                    graft.store.ReadFaults.isVanishedFile(e) =>
+                attempts += 1
+                Thread.sleep(50L * attempts)
+            }
+          }
         } catch {
           case e: PayloadTooLarge => respondError(x, 413, e.getMessage)
           case e: SimplePromQL.PromQLError => respondError(x, 400, e.getMessage)
@@ -223,7 +281,9 @@ final class Gateway(
           // response and logRequest could record status -1.
           val cancelled = deadline.cancel(false)
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-          x.synchronized {
+          val l = lockOf(x)
+          l.lock()
+          try {
             if (!cancelled && x.getResponseCode == -1)
               respondError(x, 408, "request timed out")
             // the ROUTE prefix, not the raw URI: bounded metric/log
@@ -235,7 +295,7 @@ final class Gateway(
             logRequest(x.getRequestMethod, path,
               status, (System.nanoTime() - t0) / 1000L)
             x.close()
-          }
+          } finally l.unlock()
         }
       }
     })
@@ -262,17 +322,23 @@ final class Gateway(
     // responded-guard: exactly ONE response per exchange. The watchdog's
     // 408 and a completing handler race on the same exchange; whichever
     // sends first wins and the loser is a silent no-op (getResponseCode
-    // is -1 until headers are sent).
-    x.synchronized {
-      if (x.getResponseCode != -1) return
-      x.getResponseHeaders.set("content-type", contentType)
-      // observability for the concurrent-serving contract (and its test):
-      // which pool worker handled this exchange
-      x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
-      if (body.isEmpty) x.sendResponseHeaders(code, -1)
-      else x.sendResponseHeaders(code, body.length)
-      if (body.nonEmpty) x.getResponseBody.write(body)
-      x.close() // flush now — the handler thread may still be busy
+    // is -1 until headers are sent). Guarded by the per-exchange
+    // ReentrantLock (see lockAttr) — reentrant, so the watchdog's
+    // tryLock-then-respondError path nests safely.
+    {
+      val l = lockOf(x)
+      l.lock()
+      try {
+        if (x.getResponseCode != -1) return
+        x.getResponseHeaders.set("content-type", contentType)
+        // observability for the concurrent-serving contract (and its
+        // test): which pool worker handled this exchange
+        x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
+        if (body.isEmpty) x.sendResponseHeaders(code, -1)
+        else x.sendResponseHeaders(code, body.length)
+        if (body.nonEmpty) x.getResponseBody.write(body)
+        x.close() // flush now — the handler thread may still be busy
+      } finally l.unlock()
     }
 
   /** Chunked-transfer response driven by a writer callback — the
@@ -281,9 +347,10 @@ final class Gateway(
     * the edge, so export bodies are produced incrementally against the
     * response stream (with `toLocalIterator` upstream, residency is
     * one partition + one encode batch, independent of result size).
-    * Same responded-guard as respondBytes; the exchange monitor is
-    * held for the duration of the stream, so a late watchdog 408
-    * serializes behind it and no-ops.
+    * Same responded-guard as respondBytes; the per-exchange lock is
+    * held for the duration of the stream, and a late watchdog 408
+    * tryLocks — it skips immediately instead of parking behind the
+    * export.
     *
     * Failure mid-stream: the 200 + headers are already on the wire,
     * and the JDK server writes the TERMINAL chunk when the exchange
@@ -300,8 +367,13 @@ final class Gateway(
   private def respondStreaming(
       x: HttpExchange, code: Int, contentType: String,
       onError: java.io.OutputStream => Unit = _ => ())(
-      write: java.io.OutputStream => Unit): Unit =
-    x.synchronized {
+      write: java.io.OutputStream => Unit): Unit = {
+    // the lock is held for the duration of the stream (it IS the
+    // responded-guard), but a fired watchdog only tryLocks — it skips
+    // instead of parking a thread behind the whole export
+    val l = lockOf(x)
+    l.lock()
+    try {
       if (x.getResponseCode != -1) return
       x.getResponseHeaders.set("content-type", contentType)
       x.getResponseHeaders.set("x-served-by", Thread.currentThread().getName)
@@ -319,7 +391,8 @@ final class Gateway(
       }
       out.flush()
       x.close()
-    }
+    } finally l.unlock()
+  }
 
   /** [[respondStreaming]] over an iterator of text parts, coalesced
     * into ~64 KiB writes (one syscall per line would dominate at 10M

@@ -180,22 +180,34 @@ final class SensorStore(
           else {
             val ok = fs.rename(st.getPath, target)
             if (ok) moved += target
-            ok
+            // keyed publishes race their own replay twin: a rename that
+            // lost because the twin just created the SAME deterministic
+            // target is already-published, not a failure — treating it
+            // as one would route into the withdrawal path and delete
+            // files the winning walker skipped as published
+            ok || (dedupKey.isDefined && fs.exists(target))
           }
         } else true
       }
     try {
       // a THROWN rename (not just a false return) must also withdraw
       // the partial move-in — otherwise a publisher retry after a
-      // transient FS exception would double the already-moved rows
+      // transient FS exception would double the already-moved rows.
+      // KEYED publishes never withdraw: their committed names are
+      // deterministic, so a retry/replay fills exactly the missing
+      // files (existing targets skip) — while a withdrawal could
+      // delete files a concurrently-winning twin already counts as
+      // published, vanishing rows until a retry that may never come.
+      def withdraw(): Unit =
+        if (dedupKey.isEmpty) moved.foreach(deleteDataFile(fs, _))
       val ok =
         try walk(tmp, "")
         catch { case e: Throwable =>
-          moved.foreach(fs.delete(_, false))
+          withdraw()
           throw e
         }
       if (!ok) {
-        moved.foreach(fs.delete(_, false))
+        withdraw()
         throw new java.io.IOException(
           s"staged append could not move committed files into $dir")
       }
@@ -261,6 +273,31 @@ final class SensorStore(
       if (dataFiles(catalogDir).length > catalogCompactThreshold)
         compactCatalog()
     } finally graft.pipeline.PipelineCache.free(novel)
+  }
+
+  /** Delete a committed data file, removing its checksum sidecar FIRST
+    * on checksummed filesystems (the local FS keeps a `.name.crc`
+    * beside every file). Ordering matters for racing readers: a scan
+    * that already opened the data file must never lose its `.crc`
+    * mid-read — Hadoop tolerates a checksum file that was ALREADY
+    * missing at open (verification is skipped) but a `.crc` vanishing
+    * between the data-file open and the checksum open surfaces as the
+    * `FAILED_READ_FILE.NO_HINT` fault class. Deleting the sidecar
+    * before its data file shrinks that window to nothing: once the
+    * data file is gone the reader gets the plain vanished-file fault
+    * the retry contract ([[ReadFaults]]) classifies.
+    */
+  private def deleteDataFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    fs match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+        try cfs.getRawFileSystem.delete(cfs.getChecksumFile(p), false)
+        catch { case _: java.io.IOException => () } // best-effort
+      case _ => ()
+    }
+    fs.delete(p, false)
+    ()
   }
 
   private def dataFiles(
@@ -348,14 +385,14 @@ final class SensorStore(
         }
       if (!ok) {
         // abort: withdraw the partial move-in, keep old files intact
-        moved.foreach(fs.delete(_, false))
+        moved.foreach(deleteDataFile(fs, _))
         return
       }
-      old.foreach(fs.delete(_, false))
+      old.foreach(deleteDataFile(fs, _))
       refreshViews()
     } catch {
       case scala.util.control.NonFatal(e) =>
-        moved.foreach(fs.delete(_, false))
+        moved.foreach(deleteDataFile(fs, _))
         System.err.println(
           s"[store] catalog compaction skipped (racing writer?): $e")
     } finally fs.delete(tmp, true)
@@ -577,15 +614,39 @@ final class SensorStore(
             renamed
           }
         catch { case e: Throwable =>
-          moved.foreach(fs.delete(_, false))
+          moved.foreach(deleteDataFile(fs, _))
           throw e
         }
       if (!ok) {
-        moved.foreach(fs.delete(_, false))
+        moved.foreach(deleteDataFile(fs, _))
         return
       }
-      old.foreach(fs.delete(_, false))
+      old.foreach(deleteDataFile(fs, _))
     } finally fs.delete(tmp, true)
+  }
+
+  /** Cheap store liveness probe for the gateway's readiness endpoint
+    * (reference: src/ingestors/http/health.rs:53-72 runs
+    * `storage.health_check()` and gates /health/ready on it). Checks
+    * the SparkSession is live and the store root is a reachable
+    * directory (and its catalog dir listable when present) — pure
+    * metadata ops, no Spark job. Throws with a descriptive message on
+    * failure; the gateway maps that to 503 + the reference's JSON
+    * shape.
+    */
+  def healthCheck(): Unit = {
+    if (spark.sparkContext.isStopped)
+      throw new IllegalStateException("SparkContext is stopped")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(
+        s"store root does not exist: $root")
+    if (!fs.getFileStatus(p).isDirectory)
+      throw new java.io.IOException(s"store root is not a directory: $root")
+    val cat = new org.apache.hadoop.fs.Path(catalogDir)
+    if (fs.exists(cat)) { fs.listStatus(cat); () }
   }
 
   private def exists(path: String): Boolean = {

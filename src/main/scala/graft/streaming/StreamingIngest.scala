@@ -80,7 +80,12 @@ object StreamingIngest {
       case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
         val root = w.streamingQuery.resolvedCheckpointRoot
           .stripPrefix("file:")
-        if (ephemeralCheckpointRoot.exists(r => root.startsWith(r)))
+        // boundary-aware prefix match: a durable checkpoint in a
+        // SIBLING dir that merely string-prefix-matches the ephemeral
+        // root (".../graft_stream_ckptX" vs ".../graft_stream_ckpt")
+        // must never be swept
+        if (ephemeralCheckpointRoot.exists(r =>
+            root == r || root.startsWith(r + java.io.File.separator)))
           graft.TempDirs.deleteRecursively(new java.io.File(root))
       case _ => ()
     }
@@ -138,10 +143,21 @@ object StreamingIngest {
 
   /** Idempotency key for a streaming micro-batch publish: stable across
     * driver restarts (the checkpoint path identifies the stream; the
-    * batchId identifies the replayed batch).
+    * batchId identifies the replayed batch). The stream identity is a
+    * COLLISION-RESISTANT digest of the checkpoint path, not its 32-bit
+    * hashCode: two distinct streams ingesting the same type into one
+    * store always align on batchId (both start at 0), so a 32-bit
+    * collision would make the later stream's publishes silently skip
+    * as already-published — unrecoverable data loss with no error.
     */
-  private def commitKey(checkpointDir: String, batchId: Long): String =
-    f"ck${checkpointDir.hashCode}%08x-b$batchId"
+  private[streaming] def commitKey(
+      checkpointDir: String, batchId: Long): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.take(8).map(b => f"$b%02x").mkString
+    s"ck$hex-b$batchId"
+  }
 
   /** Stream a directory of Prometheus remote-write frames (one
     * snappy-compressed WriteRequest protobuf per file — the wire payload

@@ -39,9 +39,46 @@ class GatewaySpec extends SparkSpec {
   }
 
   test("health and frontpage") {
-    assert(get("/health/live").statusCode() == 200)
-    assert(get("/health/ready").statusCode() == 200)
+    val live = get("/health/live")
+    assert(live.statusCode() == 200)
+    // the reference's HealthResponse JSON shape (health.rs:30-38)
+    assert(live.body() == """{"status":"ok"}""")
+    val ready = get("/health/ready")
+    assert(ready.statusCode() == 200)
+    // ReadinessResponse shape: database probed OK (health.rs:53-63)
+    assert(ready.body() == """{"status":"ready","database":"ok"}""")
     assert(get("/").body() == "\"test-gateway\"")
+  }
+
+  test("/health/ready probes the store and answers 503 when its root " +
+      "is gone") {
+    // own gateway + store: removing THIS root must not disturb the
+    // spec-wide shared store
+    val r2 = graft.TempDirs.createPath("graft_gateway_ready")
+    val g2 = new Gateway(spark, new SensorStore(spark, r2), "ready-probe")
+    val p2 = g2.start(0)
+    try {
+      def get2(path: String) = client.send(
+        HttpRequest.newBuilder(
+          new URI(s"http://127.0.0.1:$p2$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get2("/health/ready").statusCode() == 200)
+      // kill the store root: a load balancer must stop routing here
+      graft.TempDirs.deleteRecursively(new java.io.File(r2))
+      val down = get2("/health/ready")
+      assert(down.statusCode() == 503)
+      // reference not-ready shape (health.rs:64-72): status,
+      // database:"error", and a populated error message
+      assert(down.body().startsWith(
+        """{"status":"not_ready","database":"error","error":"""))
+      assert(down.body().contains("does not exist"))
+      // liveness is unaffected by store health
+      assert(get2("/health/live").statusCode() == 200)
+      // recovery: restoring the root flips readiness back without a
+      // restart
+      new java.io.File(r2).mkdirs()
+      assert(get2("/health/ready").statusCode() == 200)
+    } finally g2.stop()
   }
 
   test("/docs serves the OpenAPI spec enumerating all 12 reference routes") {
