@@ -1,15 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import graft.adapters.EventsAdapter
-import graft.exporters.Exporters
-import graft.operators.{AsOfJoin, LabelMatcher, Matchers, SensorOps}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.prometheus.{PrometheusRemote, XorChunk}
-import graft.promql.SimplePromQL
-import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+import graft.queries.QueryHelpers.Q
 
 /** Registry of driver-checked queries.
   *
@@ -34,14382 +27,29 @@ import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
   */
 object Queries {
 
-  private case class Q(
-      name: String,
-      fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
-
-  private def q(name: String, oracle: String)(
-      fn: (SparkSession, String) => DataFrame): Q =
-    Q(name, fn, Some(oracle.stripMargin))
-
-  private def qNoOracle(name: String)(
-      fn: (SparkSession, String) => DataFrame): Q = Q(name, fn, None)
-
-  /** Exact sum of a 2-decimal-valued DOUBLE column: cast each value to
-    * DECIMAL(18,2) (exact for the generated data), sum in decimal, return
-    * DOUBLE. Same construction is used verbatim in the oracle SQL.
+  /** The full registry: family files under graft/queries/ (split
+    * r13 from the former 14k-line monolith), composed here. Family
+    * membership is organizational only — ids stay globally unique
+    * (checked below) and the driver surface (all/oracles) is
+    * unchanged.
     */
-  private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
-
-  /** Oracle SQL for q28: replays the seeded random-hyperplane LSH in
-    * DuckDB. The 4×64 hyperplane components from
-    * `Similarity.hyperplanes(64, 4, 42)` are inlined as full-precision
-    * literals (`Double.toString` round-trips through DuckDB's parser), so
-    * bucket assignment, Hamming-≤2 multiprobe, and the per-query top-5
-    * are all exact replays of the Spark plan. Sign flips would need a
-    * dot product within ~1 ULP of zero — not reachable on this data.
-    */
-  private lazy val lshOracleSql: String = {
-    val planes = graft.pipeline.Similarity.hyperplanes(dim = 64, bits = 4)
-    def arr(p: Array[Double]): String =
-      p.map(java.lang.Double.toString).mkString("[", ",", "]")
-    def bucketExpr(v: String): String =
-      planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product($v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-    // masks with popcount <= 2 over 4 bits, in the probe order the Spark
-    // side generates (ascending mask value is irrelevant: the probe set is
-    // a set — the join is on the XOR result)
-    val masks = (0L until 16L).filter(java.lang.Long.bitCount(_) <= 2)
-      .mkString("[", ",", "]")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, ${bucketExpr("v")} AS bucket FROM e),
-       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
-       |      FROM b WHERE vec_id < 10),
-       |qp AS (SELECT query_id, qv, xor(qbucket, mask) AS bucket
-       |       FROM q, (SELECT unnest($masks) AS mask)),
-       |cand AS (
-       |  SELECT qp.query_id, qp.qv, b.vec_id, b.v
-       |  FROM qp JOIN b USING (bucket) WHERE b.vec_id <> qp.query_id)
-       |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
-       |  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
-       |  FROM cand)
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
-
-  private val registry: Seq[Q] = Seq(
-
-    // ---------------------------------------------------------------------
-    // A1-flavor aggregation (SURVEY §2.5): group-by with exact-decimal sums.
-    q(
-      "q1_agg",
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus"""
-    ) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    },
-
-    // ---------------------------------------------------------------------
-    // P1/W2: time-range + limit scan for one sensor
-    // (reference: src/storage/sqlite/storage.rs:663-704).
-    q(
-      "q2_range_scan",
-      """SELECT epoch_us(ts) AS timestamp_us, value
-        |FROM events
-        |WHERE event_type = 'view' AND user_id = 7
-        |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
-        |ORDER BY timestamp_us LIMIT 100"""
-    ) { (s, d) =>
-      SensorOps.rangeScan(
-        EventsAdapter.samples(s, d), "view 7",
-        Some(1704412800000000L), Some(1705708800000000L), 100)
-        .select("timestamp_us", "value")
-    },
-
-    // W1: per-sensor ordered top-N via window row_number
-    // (reference: src/storage/postgresql/batch_queries.rs:193-205).
-    q(
-      "q3_per_sensor_limit",
-      """SELECT sensor_name, user_tag, timestamp_us, value FROM (
-        |  SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
-        |         epoch_us(ts) AS timestamp_us, value,
-        |         ROW_NUMBER() OVER (PARTITION BY event_type, user_id ORDER BY ts) AS rn
-        |  FROM events) WHERE rn <= 3
-        |ORDER BY sensor_name, user_tag, timestamp_us"""
-    ) { (s, d) =>
-      SensorOps.perSensorLimit(EventsAdapter.samples(s, d), 3)
-        .select(col("sensor_name"), col("user").as("user_tag"),
-          col("timestamp_us"), col("value"))
-        .orderBy("sensor_name", "user_tag", "timestamp_us")
-    },
-
-    // A1: metrics summary over the sensor catalog
-    // (reference: metrics_summary view, 20250819144000 migrations).
-    q(
-      "q4_metrics_summary",
-      """SELECT event_type AS name, 'Float' AS type, CAST(NULL AS VARCHAR) AS unit,
-        |  COUNT(DISTINCT user_id) AS series_count, 'user' AS label_keys
-        |FROM events GROUP BY event_type ORDER BY name"""
-    ) { (s, d) =>
-      SensorOps.metricsSummary(EventsAdapter.sensors(s, d))
-        .select(col("name"), col("type"), col("unit"), col("series_count"),
-          array_join(col("label_keys"), ",").as("label_keys"))
-    },
-
-    // Q1-Q5: Prometheus-style label matchers (regex on __name__, != on a
-    // label) over the catalog (reference: src/storage/sqlite/matchers.rs).
-    q(
-      "q5_label_match",
-      """SELECT DISTINCT event_type AS name, CAST(user_id AS VARCHAR) AS user_tag
-        |FROM events
-        |WHERE regexp_matches(event_type, '(click|view)')
-        |  AND CAST(user_id AS VARCHAR) <> '7'
-        |ORDER BY name, user_tag"""
-    ) { (s, d) =>
-      Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), Seq(
-        LabelMatcher.Re(LabelMatcher.NameLabel, "(click|view)"),
-        LabelMatcher.NotEq("user", "7")))
-        .select(col("name"), col("labels").getItem("user").as("user_tag"))
-        .orderBy("name", "user_tag")
-    },
-
-    // Tumbling time-bucket aggregation (our composite-sensor resampling
-    // primitive; reference only documents it: docs/DATAMODEL.md:125-131).
-    q(
-      "q6_time_bucket",
-      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type AS name,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
-          col("event_type").as("name"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy("bucket_us", "name")
-    },
-
-    // W2: global ordered top-k (TakeOrderedAndProject — no full sort).
-    q(
-      "q7_global_topk",
-      """SELECT event_id, event_type, value FROM events
-        |ORDER BY value DESC, event_id LIMIT 50"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .select("event_id", "event_type", "value")
-        .orderBy(col("value").desc, col("event_id").asc)
-        .limit(50)
-    },
-
-    // S15: exact dedup on (sensor_id, timestamp_us, value)
-    // (reference: src/storage/sqlite/storage.rs:632-661).
-    q(
-      "q8_dedup",
-      """SELECT name, COUNT(*) AS n FROM (
-        |  SELECT DISTINCT event_type AS name, user_id, epoch_us(ts), value
-        |  FROM events)
-        |GROUP BY name ORDER BY name"""
-    ) { (s, d) =>
-      SensorOps.dedup(EventsAdapter.samples(s, d))
-        .groupBy(col("sensor_name").as("name"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("name")
-    },
-
-    // J-series: broadcast equi-join + aggregation.
-    q(
-      "q9_join_broadcast",
-      """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
-    ) { (s, d) =>
-      Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(dsum(col("o_totalprice")).as("revenue"),
-          count(lit(1)).as("n_orders"))
-        .orderBy("c_mktsegment")
-    },
-
-    // J4-flavor: left-semi join (EXISTS).
-    q(
-      "q10_semi_join",
-      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
-    ) { (s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
-            .select(col("o_custkey").as("c_custkey")),
-          Seq("c_custkey"), "left_semi")
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("c_mktsegment")
-    },
-
-    // J4-flavor: left-anti join (NOT EXISTS) — absent-label analog.
-    q(
-      "q11_anti_join",
-      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
-    ) { (s, d) =>
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
-            .select(col("o_custkey").as("c_custkey")),
-          Seq("c_custkey"), "left_anti")
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("c_mktsegment")
-    },
-
-    // Grouping sets (free in Spark; reference has no rollup at all).
-    q(
-      "q12_rollup",
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  COUNT(*) AS n
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
-    ) { (s, d) =>
-      Tables.lineitem(s, d)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
-    },
-
-    // Set op: UNION ALL of two filtered subsets (SURVEY §2.7).
-    q(
-      "q13_union",
-      """SELECT * FROM (
-        |  SELECT 'high' AS bucket, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |  FROM events WHERE value > 10
-        |  UNION ALL
-        |  SELECT 'low' AS bucket, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |  FROM events WHERE value <= 10
-        |) ORDER BY bucket"""
-    ) { (s, d) =>
-      val ev = Tables.events(s, d)
-      def side(name: String, pred: Column): DataFrame =
-        ev.filter(pred).agg(count(lit(1)).as("n"),
-          dsum(col("value")).as("sum_value"))
-          .select(lit(name).as("bucket"), col("n"), col("sum_value"))
-      side("high", col("value") > 10)
-        .unionByName(side("low", col("value") <= 10))
-        .orderBy("bucket")
-    },
-
-    // As-of join (doc-only in the reference: docs/DATAMODEL.md:125-131):
-    // for each purchase, the user's most recent click at-or-before it.
-    q(
-      "q14_asof_join",
-      """SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
-        |  epoch_us(c.ts) AS click_ts_us, c.value AS click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.user_id, ts_us"""
-    ) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("purchase_value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("click_value"))
-      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", Seq("click_value"))
-        .select(col("user_id"), col("ts_us"), col("purchase_value"),
-          col("right_ts").as("click_ts_us"), col("click_value"))
-        .orderBy("user_id", "ts_us")
-    },
-
-    // ---------------------------------------------------------------------
-    // S7→S1 roundtrip: export one series to CSV text, re-import through the
-    // inference pipeline (datetime detection, wide-format dispatch), and
-    // recover the samples. Oracle is the raw samples at ms precision (the
-    // reference's ISO8601 path keeps milliseconds).
-    q(
-      "q15_csv_roundtrip",
-      """SELECT epoch_ms(ts) * 1000 AS timestamp_us, value
-        |FROM events WHERE event_type = 'click' AND user_id = 3
-        |ORDER BY timestamp_us"""
-    ) { (s, d) =>
-      val samples = EventsAdapter.samples(s, d)
-        .filter(col("sensor_id") === "click 3")
-        .select("timestamp_us", "value")
-      val lines = Exporters.toCsv(samples)
-      val raw = lines.toDF("line").select(
-        substring_index(col("line"), ",", 1).as("timestamp"),
-        substring_index(col("line"), ",", -1).as("value"))
-      val batch = CsvImporter.importFrames(s, raw)
-      batch.samples(graft.model.SensorType.Float)
-        .select(col("timestamp_us"), col("value"))
-        .orderBy("timestamp_us")
-    },
-
-    // S9→S2 roundtrip: export one series to SenML records, reassemble the
-    // JSON array, re-import with base-field resolution.
-    q(
-      "q16_senml_roundtrip",
-      """SELECT epoch_ms(ts) * 1000 AS timestamp_us, value
-        |FROM events WHERE event_type = 'purchase' AND user_id = 5
-        |ORDER BY timestamp_us"""
-    ) { (s, d) =>
-      import s.implicits._
-      val samples = EventsAdapter.samples(s, d)
-        .filter(col("sensor_id") === "purchase 5")
-        .select("timestamp_us", "value")
-      val doc = SenML.exportFloatSeries(
-        samples, "uuid-q16", "purchase", None, Map.empty)
-        .agg(concat(lit("["), concat_ws(",", collect_list(col("value"))),
-          lit("]")).as("doc"))
-        .as[String]
-      SenML.importJson(doc)(graft.model.SensorType.Float)
-        .select(col("timestamp_us"), col("value"))
-        .orderBy("timestamp_us")
-    },
-
-    // S10 roundtrip: JSONL export parsed back (µs-exact timestamps).
-    q(
-      "q17_jsonl_roundtrip",
-      """SELECT 'error' AS sensor_name, epoch_us(ts) AS timestamp_us, value
-        |FROM events WHERE event_type = 'error' AND user_id = 2
-        |ORDER BY timestamp_us"""
-    ) { (s, d) =>
-      val samples = EventsAdapter.samples(s, d)
-        .filter(col("sensor_id") === "error 2")
-        .select("timestamp_us", "value")
-      val lines = Exporters.toJsonl(samples, "uuid-q17", "error", "float",
-        Map.empty)
-      lines.toDF("line")
-        .select(from_json(col("line"), org.apache.spark.sql.types.StructType
-          .fromDDL("sensor_name STRING, timestamp STRING, value DOUBLE")).as("r"))
-        .select(col("r.sensor_name").as("sensor_name"),
-          unix_micros(to_timestamp(col("r.timestamp"),
-            "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("timestamp_us"),
-          col("r.value").as("value"))
-        .orderBy("timestamp_us")
-    },
-
-    // S4: InfluxDB line-protocol — lines synthesized from events, parsed
-    // distributed, aggregated per label.
-    q(
-      "q18_influx_parse",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events WHERE event_type = 'view'
-        |GROUP BY user_tag ORDER BY user_tag"""
-    ) { (s, d) =>
-      import s.implicits._
-      val lines = Tables.events(s, d)
-        .filter(col("event_type") === "view")
-        .select(concat(
-          lit("views,user="), col("user_id"),
-          lit(" value="), col("value").cast("string"),
-          lit(" "), (unix_micros(col("ts")) * 1000).cast("string")).as("line"))
-        .as[String]
-      InfluxLineProtocol.parse(lines, "bkt", "org", "ns")
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("double_value"))
-        .groupBy("user_tag")
-        .agg(count(lit(1)).as("n"), dsum(col("double_value")).as("sum_value"))
-        .orderBy("user_tag")
-    },
-
-    // ---------------------------------------------------------------------
-    // §3.1: restricted PromQL end-to-end — parse `view{user="7"}[31d]` at a
-    // pinned evaluation time, compile matchers to a catalog predicate,
-    // range-scan the samples (reference: src/ingestors/http/
-    // simple_promql.rs:258-324). now = 2024-02-01T00:00:00Z.
-    q(
-      "q19_promql",
-      """SELECT epoch_us(ts) AS timestamp_us, value
-        |FROM events
-        |WHERE event_type = 'view' AND user_id = 7
-        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
-        |ORDER BY timestamp_us"""
-    ) { (s, d) =>
-      val parsed = SimplePromQL.parse("""view{user="7"}[31d]""",
-        1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(col("name"), col("labels").getItem("user").as("user"))
-      EventsAdapter.samples(s, d)
-        .join(broadcast(selected),
-          Seq("user")) // user + matching name
-        .filter(col("sensor_name") === col("name"))
-        .filter(col("timestamp_us").between(parsed.startUs, parsed.endUs))
-        .select("timestamp_us", "value")
-        .orderBy("timestamp_us")
-    },
-
-    // S13: Gorilla/XOR chunk encode→decode roundtrip, one chunk per sensor,
-    // distributed via groupByKey (reference:
-    // src/parsing/prometheus/chunk_encoder.rs:19-74). Oracle is the raw
-    // samples at Prometheus ms precision.
-    q(
-      "q20_gorilla_roundtrip",
-      """SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
-        |  epoch_ms(ts) AS timestamp_ms, value
-        |FROM events ORDER BY sensor_name, user_tag, timestamp_ms"""
-    ) { (s, d) =>
-      import s.implicits._
-      EventsAdapter.samples(s, d)
-        .select(col("sensor_name"), col("user"),
-          (col("timestamp_us") / 1000).cast("long").as("timestamp_ms"),
-          col("value"))
-        .as[(String, String, Long, Double)]
-        .groupByKey { case (name, user, _, _) => (name, user) }
-        .flatMapGroups { (key: (String, String),
-            rows: Iterator[(String, String, Long, Double)]) =>
-          val samples = rows.toSeq.sortBy(_._3)
-            .map(r => XorChunk.Sample(r._3, r._4))
-          XorChunk.decode(XorChunk.encode(samples))
-            .map(x => (key._1, key._2, x.timestampMs, x.value))
-        }
-        .toDF("sensor_name", "user_tag", "timestamp_ms", "value")
-        .orderBy("sensor_name", "user_tag", "timestamp_ms")
-    },
-
-    // S5/S12: Prometheus remote-write bytes (protobuf + snappy) built per
-    // series, then decompressed and parsed back — the full ingest codec
-    // path, distributed (reference:
-    // src/ingestors/http/prometheus_write.rs:100-180).
-    q(
-      "q21_remote_write_roundtrip",
-      """SELECT sensor_name, user_tag, timestamp_ms, value FROM (
-        |  SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
-        |    epoch_ms(ts) AS timestamp_ms, value
-        |  FROM events WHERE event_type IN ('signup', 'error'))
-        |ORDER BY sensor_name, user_tag, timestamp_ms"""
-    ) { (s, d) =>
-      import s.implicits._
-      EventsAdapter.samples(s, d)
-        .filter(col("sensor_name").isin("signup", "error"))
-        .select(col("sensor_name"), col("user"),
-          (col("timestamp_us") / 1000).cast("long").as("timestamp_ms"),
-          col("value"))
-        .as[(String, String, Long, Double)]
-        .groupByKey { case (name, user, _, _) => (name, user) }
-        .flatMapGroups { (key: (String, String),
-            rows: Iterator[(String, String, Long, Double)]) =>
-          import PrometheusRemote._
-          val (name, user) = key
-          // encode one WriteRequest per series
-          val w = new ProtoWriter
-          val tsw = new ProtoWriter
-          Seq(Label("__name__", name), Label("user", user))
-            .foreach { l =>
-              val lw = new ProtoWriter
-              lw.string(1, l.name); lw.string(2, l.value)
-              tsw.message(1, lw)
-            }
-          rows.toSeq.sortBy(_._3).foreach { r =>
-            val sw = new ProtoWriter
-            sw.double(1, r._4); sw.int64(2, r._3)
-            tsw.message(2, sw)
-          }
-          w.message(1, tsw)
-          val wire = snappyCompressLiteral(w.result())
-          // decode path: snappy + protobuf parse
-          val req = parseWriteRequest(snappyDecompress(wire))
-          req.timeseries.flatMap { ts =>
-            val n = ts.labels.find(_.name == "__name__").map(_.value).get
-            val u = ts.labels.find(_.name == "user").map(_.value).get
-            ts.samples.map(sm => (n, u, sm.timestampMs, sm.value))
-          }
-        }
-        .toDF("sensor_name", "user_tag", "timestamp_ms", "value")
-        .orderBy("sensor_name", "user_tag", "timestamp_ms")
-    },
-
-    // ---------------------------------------------------------------------
-    // Pipeline extensions: text analysis over `documents`.
-    q(
-      "q22_text_stats",
-      """SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
-        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
-        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
-        |FROM documents GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      Tables.documents(s, d)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).as("sum_chars"),
-          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
-          sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe_tokens"))
-        .orderBy("source")
-    },
-
-    // Exact dedup via normalized 64-bit fingerprints (collision odds at
-    // corpus scale ~1e-12; distinct-text oracle).
-    q(
-      "q23_dedup_exact",
-      """SELECT source, COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
-        |FROM documents GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      Tables.documents(s, d)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))
-        .orderBy("source")
-    },
-
-    // Exact 3-gram Jaccard near-dup pairs via inverted-index self-join —
-    // the DuckDB oracle recomputes the same shingle/jaccard definition.
-    q(
-      "q24_ngram_jaccard",
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(toks)-2),
-        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |      FROM t),
-        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
-        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT da AS id_a, db AS id_b, c::DOUBLE/(sa.n + sb.n - c) AS jaccard
-        |FROM p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
-        |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
-        |ORDER BY id_a, id_b"""
-    ) { (s, d) =>
-      // the shared pair-graph artifact carries the exact Jaccard
-      // scores, so the q24 report is a filtered read of the bucketed
-      // layout — the inverted-index join (ngramJaccardPairs; prefix-
-      // filtered variant for huge posting lists, PipelineSpec-pinned
-      // identical) runs once per corpus at artifact build
-      graft.pipeline.DedupArtifacts.scoredPairs(
-        Tables.spread(s, Tables.documents(s, d)),
-        "doc_id", "text", 3, 0.5, corpusKey = d)
-        .orderBy("id_a", "id_b")
-    },
-
-    // MinHash+LSH near-dup: banded signatures generate candidates, exact
-    // Jaccard verifies — same oracle as q24 (recall at j≈0.98 with 16
-    // bands of 4 rows: P[miss] ≈ 1e-18).
-    q(
-      "q25_minhash_lsh",
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(toks)-2),
-        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |      FROM t),
-        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
-        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT da AS id_a, db AS id_b, c::DOUBLE/(sa.n + sb.n - c) AS jaccard
-        |FROM p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
-        |WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5
-        |ORDER BY id_a, id_b"""
-    ) { (s, d) =>
-      // 8 bands × 4 rows: P[miss] at j≈0.98 is (1-j⁴)^8 ≈ 1e-9, false-
-      // candidate rate at j≈0.2 ≈ 1%, at half the signature cost of 64
-      Dedup.minHashLshPairs(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-        n = 3, tau = 0.5, numHashes = 32, bands = 8)
-        .orderBy("id_a", "id_b")
-    },
-
-    // SimHash near-dup with the md5-derived token hash, which DuckDB can
-    // replay bit-for-bit: per-token 64-bit hash from md5 hex, ±1 per bit
-    // sign fold, 4×16-bit band candidates, popcount verify. The xxhash64
-    // scale path keeps its semantics pinned in DedupSpec.
-    q(
-      "q26_simhash",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN h32 >= 2147483648 THEN h32 - 4294967296 ELSE h32 END)
-        |      * 4294967296 + l32 AS h
-        |  FROM (SELECT doc_id,
-        |          ('0x' || substr(md5(tok),1,8))::BIGINT AS h32,
-        |          ('0x' || substr(md5(tok),9,8))::BIGINT AS l32
-        |        FROM toks)),
-        |counts AS (
-        |  SELECT doc_id, bt,
-        |    SUM(CASE WHEN (h >> bt) & 1 = 1 THEN 1 ELSE -1 END) AS c
-        |  FROM th, (SELECT unnest(range(64)) AS bt)
-        |  GROUP BY doc_id, bt),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
-        |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
-        |      AS simhash
-        |  FROM (SELECT doc_id,
-        |          SUM(CASE WHEN c > 0 THEN 1::HUGEINT << bt
-        |              ELSE 0::HUGEINT END) AS s
-        |        FROM counts GROUP BY doc_id)),
-        |banded AS (
-        |  SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS bv
-        |  FROM sh, (SELECT unnest(range(4)) AS band)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    a.simhash AS h_a, b.simhash AS h_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 16
-        |ORDER BY id_a, id_b"""
-    ) { (s, d) =>
-      // repartition: the single-split documents scan would otherwise run
-      // the tokenize+hash stage serially
-      Dedup.simHashPairs(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-        maxHamming = 16, tokenHash = Dedup.md5TokenHash)
-        .orderBy("id_a", "id_b")
-    },
-
-    // Brute-force cosine top-5 ANN baseline over the embeddings table.
-    q(
-      "q27_ann_topk",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
-        |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
-        |  SELECT q.query_id, e.vec_id,
-        |    list_cosine_similarity(q.qv, e.v) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
-        |  FROM q, e WHERE e.vec_id <> q.query_id)
-        |WHERE rank <= 5 ORDER BY query_id, rank"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      Similarity.bruteForceTopK(queries, e, 5)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "rank")
-    },
-
-    // LSH-bucketed ANN (the 100 TB path: shuffle on hyperplane bucket, not
-    // a cross join). Approximate by construction but DETERMINISTIC: the
-    // seeded hyperplanes are embedded as full-precision literals in the
-    // oracle SQL (Double.toString round-trips, so DuckDB parses the exact
-    // same doubles), which replays bucketing + multiprobe + top-k exactly.
-    q("q28_ann_lsh", lshOracleSql) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      Similarity.lshTopK(queries, e, k = 5, bits = 4, probeHamming = 2)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "rank")
-    },
-
-    // Language ID heuristic over documents (content is uniformly
-    // English-vocabulary in the synthetic corpus, so the expected
-    // prediction is 'en' everywhere — this entry pins the en/und split
-    // only; the FULL five-profile argmax is oracled end-to-end by
-    // q140/q141 over the labelled multilingual fixture, and pinned on
-    // real multilingual text in PipelineSpec).
-    q(
-      "q29_langid",
-      """SELECT source,
-        |  CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |    t -> t IN ('the','a','of','and','to','in','is','that','it','for',
-        |               'on','with','as','at','this','be','are','was'))) > 0
-        |    THEN 'en' ELSE 'und' END AS pred_lang,
-        |  COUNT(*) AS n
-        |FROM documents GROUP BY source, pred_lang ORDER BY source, pred_lang"""
-    ) { (s, d) =>
-      // spread (GUARDED repartition): the per-profile regex scans are the
-      // cost here (measured 3x faster 32-way than single-task), but the
-      // widening exchange must disappear at corpus scale where the scan
-      // already has enough splits — Tables.spread does exactly that
-      Tables.spread(s, Tables.documents(s, d))
-        .select(col("source"), TextAnalysis.languageId(col("text")).as("pred_lang"))
-        .groupBy(col("source"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("source", "pred_lang")
-    },
-
-    // Quality metrics aggregated per source (integer sums — exact).
-    q(
-      "q30_quality",
-      """SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
-        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
-        |  CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha
-        |FROM documents GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("source"), TextAnalysis.qualityMetrics(col("text")).as("m"),
-          length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("m.n_chars")).as("sum_chars"),
-          sum(col("m.n_tokens")).as("sum_tokens"),
-          sum(col("alpha")).as("sum_alpha"))
-        .orderBy("source")
-    },
-
-    // Multimodal plumbing: documents' bytes as opaque media, batch decode
-    // via mapPartitions (decode step stubbed — see Multimodal.FakeDecoder).
-    q(
-      "q31_multimodal",
-      """SELECT doc_id AS media_id, length(text) AS n_bytes,
-        |  length(text) // 1000 + 1 AS n_frames
-        |FROM documents ORDER BY media_id"""
-    ) { (s, d) =>
-      import s.implicits._
-      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
-      Multimodal.decode(media)
-        .select(col("media_id"), col("n_bytes"), col("n_frames"))
-        .orderBy("media_id")
-    },
-
-    // ---------------------------------------------------------------------
-    // T-series: Structured Streaming windowed resample (the doc-only
-    // composite-sensor operator), run as a real streaming query over the
-    // events files with a memory sink, compared against the batch oracle.
-    q(
-      "q32_stream_window",
-      """SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
-        |  event_type || ' ' || CAST(user_id AS VARCHAR) AS sensor_id,
-        |  COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
-    ) { (s, d) =>
-      // the file stream source requires a directory; expose the single
-      // events.parquet file through a cached temp-dir symlink, and run
-      // the stateful agg on the 4-partition scoped session (fixed
-      // state-store overhead, identical answer)
-      val ss = streamSession(s)
-      val schema = Tables.load(s, d, "events").schema
-      val stream = ss.readStream.schema(schema)
-        .parquet(streamSourceDir(s, d, "events"))
-      val streamSamples =
-        (if (stream.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        else stream)
-          .select(concat(col("event_type"), lit(" "), col("user_id"))
-            .as("sensor_id"), col("ts"), col("value"))
-      val agg = graft.streaming.StreamingIngest
-        .windowedResample(streamSamples, "1 day", "1 hour")
-        .drop("avg_value")
-      val name = s"q32_out_${System.nanoTime()}"
-      val query = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-      // bounded result re-materialized on the caller's session; the
-      // memory-sink view is dropped so Bench's 4 runs don't accumulate
-      boundedResult(s, ss, name, ss.table(name),
-        Seq("window_start_us", "sensor_id"))
-    },
-
-    // S6: SensorStore write/read roundtrip — month-partitioned sorted
-    // parquet publish, then a pruned range scan over the store.
-    q(
-      "q33_store_roundtrip",
-      """SELECT epoch_us(ts) AS timestamp_us, value
-        |FROM events
-        |WHERE event_type = 'view' AND user_id = 7
-        |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
-        |ORDER BY timestamp_us LIMIT 100"""
-    ) { (s, d) =>
-      val root = graft.TempDirs.createPath("graft_store")
-      val store = new graft.store.SensorStore(s, root)
-      store.publishSamples(graft.model.SensorType.Float,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-      SensorOps.rangeScan(
-        store.samplesInRange(graft.model.SensorType.Float,
-          Some(1704412800000000L), Some(1705708800000000L)), "view 7",
-        Some(1704412800000000L), Some(1705708800000000L), 100)
-        .select("timestamp_us", "value")
-    },
-
-    // S3/S11: Arrow IPC export→import roundtrip, one IPC file per sensor,
-    // distributed (reference: src/exporters/arrow/mod.rs:17-105,
-    // src/importers/arrow.rs:26-52). Oracle is the raw samples (µs-exact —
-    // Arrow timestamps are µs-native).
-    q(
-      "q34_arrow_roundtrip",
-      """SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
-        |  epoch_us(ts) AS timestamp_us, value
-        |FROM events WHERE event_type IN ('click', 'purchase')
-        |ORDER BY sensor_name, user_tag, timestamp_us"""
-    ) { (s, d) =>
-      import s.implicits._
-      EventsAdapter.samples(s, d)
-        .filter(col("sensor_name").isin("click", "purchase"))
-        .select(col("sensor_name"), col("user"), col("timestamp_us"),
-          col("value"))
-        .as[(String, String, Long, Double)]
-        .groupByKey { case (name, user, _, _) => (name, user) }
-        .flatMapGroups { (key: (String, String),
-            rows: Iterator[(String, String, Long, Double)]) =>
-          val samples = rows.toSeq.sortBy(_._3).map(r => (r._3, r._4))
-          val bytes = graft.sources.ArrowIO.encodeFloatSeries(samples)
-          graft.sources.ArrowIO.decodeFloatSeries(bytes)
-            .map(x => (key._1, key._2, x._1, x._2))
-        }
-        .toDF("sensor_name", "user_tag", "timestamp_us", "value")
-        .orderBy("sensor_name", "user_tag", "timestamp_us")
-    },
-
-    // ---------------------------------------------------------------------
-    // Json value type (§1.2): label/property extraction from JSON columns
-    // with Spark's JSON functions (the reference stores Json samples as
-    // canonical JSON text — SURVEY §1.2).
-    q(
-      "q35_json_props",
-      """SELECT event_type AS name, COUNT(*) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
-        |FROM events GROUP BY name ORDER BY name"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type").as("name"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy(col("name"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"))
-        .orderBy("name")
-    },
-
-    // Location value type (§1.2): lat/lon struct samples exported to the
-    // reference's `timestamp,latitude,longitude` CSV shape (S7) and parsed
-    // back. Coordinates derived deterministically from the data.
-    q(
-      "q36_location_csv",
-      """SELECT epoch_ms(ts) * 1000 AS timestamp_us,
-        |  value % 90 AS latitude, (value * 2) % 180 AS longitude
-        |FROM events WHERE event_type = 'signup' AND user_id = 11
-        |ORDER BY timestamp_us"""
-    ) { (s, d) =>
-      val locs = EventsAdapter.samples(s, d)
-        .filter(col("sensor_id") === "signup 11")
-        .select(col("timestamp_us"),
-          (col("value") % 90).as("latitude"),
-          ((col("value") * 2) % 180).as("longitude"))
-      // S7 Location CSV: timestamp,latitude,longitude
-      val lines = locs.orderBy("timestamp_us")
-        .select(concat_ws(",",
-          Exporters.rfc3339(col("timestamp_us")),
-          col("latitude").cast("string"),
-          col("longitude").cast("string")).as("line"))
-      val raw = lines.select(
-        split(col("line"), ",").getItem(0).as("timestamp"),
-        split(col("line"), ",").getItem(1).as("latitude"),
-        split(col("line"), ",").getItem(2).as("longitude"))
-      val batch = CsvImporter.importFrames(s, raw)
-      // wide import: latitude and longitude become two Float sensors;
-      // join them back into Location structs on the timestamp
-      val f = batch.samples(graft.model.SensorType.Float)
-      val lat = f.filter(col("sensor_id") ===
-        graft.model.Sensor.deriveUuid("latitude", graft.model.SensorType.Float))
-        .select(col("timestamp_us"), col("value").as("latitude"))
-      val lon = f.filter(col("sensor_id") ===
-        graft.model.Sensor.deriveUuid("longitude", graft.model.SensorType.Float))
-        .select(col("timestamp_us"), col("value").as("longitude"))
-      lat.join(lon, "timestamp_us").orderBy("timestamp_us")
-    },
-
-    // All-typed store roundtrip (§1.2): Integer/Boolean/Numeric tables
-    // derived from events, published through SensorStore, aggregated per
-    // type on read-back.
-    q(
-      "q37_typed_store",
-      """SELECT * FROM (
-        |  SELECT 'Integer' AS type, COUNT(*) AS n,
-        |    CAST(SUM(user_id) AS DOUBLE) AS agg FROM events
-        |  UNION ALL
-        |  SELECT 'Boolean' AS type, COUNT(*) AS n,
-        |    CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS DOUBLE) AS agg
-        |  FROM events
-        |  UNION ALL
-        |  SELECT 'Numeric' AS type, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS agg FROM events
-        |) ORDER BY type"""
-    ) { (s, d) =>
-      import graft.model.SensorType
-      val root = graft.TempDirs.createPath("graft_typed_store")
-      val store = new graft.store.SensorStore(s, root)
-      val base = EventsAdapter.samples(s, d)
-      // one multi-type publish: the three typed writes land as
-      // concurrent jobs on the shared executors (wall ≈ max, not sum)
-      store.publishSamplesMulti(Map(
-        SensorType.Integer ->
-          base.select(col("sensor_id"), col("timestamp_us"),
-            col("user").cast("long").as("value")),
-        SensorType.Boolean ->
-          base.select(col("sensor_id"), col("timestamp_us"),
-            (col("value") > 10).as("value")),
-        SensorType.Numeric ->
-          base.select(col("sensor_id"), col("timestamp_us"),
-            col("value").cast("decimal(38,18)").as("value"))))
-      def aggOf(t: SensorType, agg: Column): DataFrame =
-        store.samples(t).agg(count(lit(1)).as("n"), agg.as("agg"))
-          .select(lit(t.displayName).as("type"), col("n"), col("agg"))
-      aggOf(SensorType.Integer, sum(col("value")).cast("double"))
-        .unionByName(aggOf(SensorType.Boolean,
-          sum(when(col("value"), 1).otherwise(0)).cast("double")))
-        .unionByName(aggOf(SensorType.Numeric,
-          sum(col("value").cast("decimal(18,2)")).cast("double")))
-        .orderBy("type")
-    },
-
-    // S8: multi-series long CSV with the sorted union of label keys as
-    // columns (reference: src/exporters/csv.rs:125-172) — exported, parsed
-    // back, aggregated.
-    q(
-      "q38_csv_multi",
-      """SELECT event_type AS sensor_name, CAST(user_id AS VARCHAR) AS user_tag,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events WHERE event_type IN ('error', 'signup') AND user_id < 20
-        |GROUP BY sensor_name, user_tag ORDER BY sensor_name, user_tag"""
-    ) { (s, d) =>
-      val long = EventsAdapter.samples(s, d)
-        .filter(col("sensor_name").isin("error", "signup") &&
-          col("user").cast("int") < 20)
-        .select(col("timestamp_us"), col("sensor_id"), col("sensor_name"),
-          col("value").cast("string").as("value"),
-          lit("Float").as("type"),
-          map(lit("user"), col("user")).as("labels"))
-      val (header, lines) = Exporters.toCsvMulti(long)
-      require(header == "timestamp,sensor_id,sensor_name,value,type,user")
-      lines.toDF("line")
-        .select(split(col("line"), ",").as("f"))
-        .select(col("f").getItem(2).as("sensor_name"),
-          col("f").getItem(5).as("user_tag"),
-          col("f").getItem(3).cast("double").as("value"))
-        .groupBy(col("sensor_name"), col("user_tag"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy("sensor_name", "user_tag")
-    },
-
-    // S7 Blob/base64 edge (reference: src/exporters/csv.rs:101-112): text
-    // bytes as blobs, base64-encoded into CSV cells, decoded back.
-    q(
-      "q39_blob_base64",
-      """SELECT doc_id, length(text) AS n_chars, substring(text, 1, 10) AS head
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
-    ) { (s, d) =>
-      val blobs = Tables.documents(s, d)
-        .filter(col("doc_id") < 50)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      // CSV cell: base64(blob); decode path recovers the payload
-      val cells = blobs.select(col("doc_id"), base64(col("blob")).as("cell"))
-      cells
-        .select(col("doc_id"),
-          decode(unbase64(col("cell")), "UTF-8").as("text"))
-        .select(col("doc_id"), length(col("text")).as("n_chars"),
-          substring(col("text"), 1, 10).as("head"))
-        .orderBy("doc_id")
-    },
-
-    // IVF ANN (the alternative 100 TB scale path to hyperplane LSH:
-    // coarse-quantizer lists + nprobe search; shuffle on centroid id).
-    // The driver query passes deterministic centroids (the first 8
-    // vectors by id) through ivfTopKWith, so DuckDB replays assignment,
-    // probing and top-k exactly; the seeded k-means index build
-    // (ivfCentroids) stays the scale path, recall pinned in PipelineSpec.
-    q(
-      "q40_ann_ivf",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |assign AS (
-        |  SELECT e.vec_id, c.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_distance(e.v, c.cv), c.cid) AS rnk
-        |  FROM e, c),
-        |corpus AS (
-        |  SELECT a.vec_id, a.cid, e.v
-        |  FROM assign a JOIN e USING (vec_id) WHERE a.rnk = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT q.query_id, q.qv, c.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_distance(q.qv, c.cv), c.cid) AS rnk
-        |  FROM q, c),
-        |cand AS (
-        |  SELECT p.query_id, p.qv, co.vec_id, co.v
-        |  FROM probes p JOIN corpus co ON co.cid = p.cid
-        |  WHERE p.rnk <= 4 AND co.vec_id <> p.query_id)
-        |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
-        |  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rank
-        |  FROM cand)
-        |WHERE rank <= 5 ORDER BY query_id, rank"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select("vec").collect().map(_.getSeq[Double](0).toArray)
-      Similarity.ivfTopKWith(queries, e, k = 5, centroids, nprobe = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "rank")
-    },
-
-    // PromQL analytical extension (§2.5's flagged extension point — the
-    // reference REJECTS aggregations; here they evaluate natively):
-    // per-series range aggregation, count_over_time at a pinned eval time.
-    q(
-      "q41_promql_count_over_time",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag, COUNT(*) AS n
-        |FROM events
-        |WHERE event_type = 'view'
-        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
-        |GROUP BY user_tag ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "count_over_time(view[31d])", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value").cast("long").as("n"))
-        .orderBy("user_tag")
-    },
-
-    // Instant-vector aggregation `sum by (user) (view)`: each series
-    // contributes its latest sample in the 1h lookback; groups are single
-    // series here so the double sum is exact.
-    q(
-      "q42_promql_instant_agg",
-      """SELECT user_tag, value FROM (
-        |  SELECT CAST(user_id AS VARCHAR) AS user_tag, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
-        |) WHERE rn = 1 ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "sum by (user) (view)", 1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("group_labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // Counter rate over the range: per-series sum of consecutive positive
-    // deltas (reset-aware, no extrapolation) divided by the range seconds
-    // (31d = 2678400 s). The evaluator sums plain f64; both sides ROUND(9)
-    // so the exact compare is immune to summation-order ULP drift.
-    q(
-      "q43_promql_rate",
-      """WITH s AS (
-        |  SELECT user_id, value,
-        |    lag(value) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
-        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) / 2678400.0, 9) AS value
-        |FROM s GROUP BY user_id
-        |HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |  WHEN value >= prev THEN value - prev
-        |  ELSE value END) IS NOT NULL
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "rate(view[31d])", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      // the evaluator sums f64 (Prometheus semantics); ROUND(9) on both
-      // sides absorbs summation-order ULP drift for the exact compare
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 9).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // Gauge delta over the range: last − first per series, extrema taken
-    // lexicographically on (ts, value) so timestamp ties stay deterministic.
-    q(
-      "q44_promql_delta",
-      """WITH w AS (
-        |  SELECT user_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rl,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) ASC, value ASC) AS rf,
-        |    COUNT(*) OVER (PARTITION BY user_id) AS n
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
-        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  MAX(CASE WHEN rl = 1 THEN value END)
-        |    - MAX(CASE WHEN rf = 1 THEN value END) AS value
-        |FROM w WHERE n >= 2 GROUP BY user_id ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "delta(view[31d])", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // Virtual composite sensor (doc-only in the reference,
-    // docs/DATAMODEL.md:125-131): two series resampled onto a shared
-    // 1-day tumbling window, one column each; windows where a series is
-    // silent stay null. The library sums f64; ROUND(4) on both sides
-    // absorbs summation-order ULP drift (true sums are 2-decimal values).
-    q(
-      "q45_composite_sensor",
-      """SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
-        |  ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4)
-        |    AS view_7,
-        |  ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4)
-        |    AS click_7
-        |FROM events
-        |WHERE user_id = 7 AND event_type IN ('view', 'click')
-        |GROUP BY 1 ORDER BY 1"""
-    ) { (s, d) =>
-      SensorOps.compositeSensor(
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"),
-        Seq("view 7", "click 7"), "1 day", "sum")
-        .select(col("window_start_us"),
-          round(col("view 7"), 4).as("view_7"),
-          round(col("click 7"), 4).as("click_7"))
-    },
-
-    // Embedding-cosine near-dup pairs, exact variant (bits=0 → single
-    // bucket) over a bounded vector subset — the exact path is quadratic
-    // by definition, so the oracled query caps the corpus slice the same
-    // way q27 caps its query set; the LSH-bucketed scale path's behavior
-    // is pinned in PipelineSpec. Closest corpus cosine sits ~1e-4 from
-    // the 0.4 threshold, so the cut is ULP-safe across engines.
-    q(
-      "q46_cosine_neardup",
-      // τ comes from MarginProbe.CosineTau on BOTH sides — re-centered
-      // 0.40 → 0.44 when the round-8 data draw left only 9.9e-6 of
-      // margin at 0.40; the Verify margin probe now enforces the floor
-      // every round.
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |           WHERE vec_id < 600)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        |FROM e a, e b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(a.v, b.v) >= ${MarginProbe.CosineTau}
-        |ORDER BY id_a, id_b"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .filter(col("vec_id") < 600)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      graft.pipeline.Similarity.cosineNearDupPairs(
-          e, tau = MarginProbe.CosineTau, bits = 0)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")
-    },
-
-    // Multimodal frame sampling: every 3rd frame of each media payload
-    // (frame count follows the stub decoder's bytes/1000+1 heuristic, so
-    // the oracle derives the same counts from octet lengths).
-    q(
-      "q47_frame_sample",
-      """SELECT doc_id AS media_id,
-        |  (octet_length(encode(text)) // 1000) // 3 + 1 AS n_sampled,
-        |  ((octet_length(encode(text)) // 1000) // 3) * 3 AS last_frame
-        |FROM documents ORDER BY media_id"""
-    ) { (s, d) =>
-      import graft.pipeline.Multimodal
-      Multimodal.frameSample(
-        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), every = 3)
-        .groupBy(col("media_id"))
-        .agg(count(lit(1)).as("n_sampled"),
-          max(col("frame_index")).cast("long").as("last_frame"))
-        .orderBy("media_id")
-    },
-
-    // Winnowing document fingerprint overlap: pairs sharing >= 5 selected
-    // k-gram hashes, IGNORING fingerprints present in more than 50
-    // documents (the standard MOSS common-substring suppression: a
-    // boilerplate fingerprint carries no overlap signal, and its df²
-    // pair explosion is what breaks the join at corpus scale — on this
-    // corpus the hottest fingerprint sits in >500 docs). The md5-derived
-    // k-gram hash (60 bits from the md5 hex prefix) makes the window-
-    // minimum selection replayable in SQL: the fingerprint SET per doc
-    // is the distinct min of each w-window, which DuckDB computes with a
-    // forward-frame window MIN. The rolling-hash variant stays the scale
-    // path, pinned in PipelineSpec.
-    q(
-      "q48_winnow_overlap",
-      """WITH norm AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-        |  FROM documents),
-        |kg AS (
-        |  SELECT doc_id, t, len(t) - 10 + 1 AS m FROM norm WHERE len(t) >= 10),
-        |h AS (
-        |  SELECT doc_id, m, p,
-        |    ('0x' || substr(md5(substr(t, p::INT + 1, 10)), 1, 15))::BIGINT AS hv
-        |  FROM (SELECT doc_id, m, t, unnest(range(m)) AS p FROM kg)),
-        |wmin AS (
-        |  SELECT doc_id, p, m,
-        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS fp
-        |  FROM h),
-        |fps AS (
-        |  SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= greatest(0, m - 50)),
-        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
-        |fpr AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-        |FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY id_a, id_b HAVING COUNT(*) >= 5
-        |ORDER BY id_a, id_b"""
-    ) { (s, d) =>
-      // repartition before the per-doc digest UDF: the documents file is a
-      // single input split, and the fingerprint work would run serially
-      val fp = Tables.spread(s, Tables.documents(s, d))
-        .select(col("doc_id").as("id"),
-          explode(graft.pipeline.TextAnalysis.winnowingFingerprintsMd5(
-            col("text"), k = 10, w = 50)).as("fp"))
-        .persist() // both join sides + the df filter read it
-      val rare = fp.groupBy("fp")
-        .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
-      val fpr = fp.join(rare, Seq("fp"), "left_semi")
-      graft.pipeline.PipelineCache.materialize(fp)(
-        fpr.as("a").join(fpr.as("b"),
-            col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 5)
-          .orderBy("id_a", "id_b"))
-    },
-
-    // Deadband ingest compression: keep a sample iff it moved more than
-    // eps from the last KEPT sample of its series — a sequential
-    // recurrence on the last kept value. No window function expresses it,
-    // but a recursive CTE does: each iteration advances every series'
-    // frontier to its next kept sample (first later row whose |Δ| > eps),
-    // exactly the batch sweep's recurrence. Streaming state semantics
-    // stay pinned in DeadbandSpec.
-    q(
-      "q49_deadband",
-      """WITH RECURSIVE src AS (
-        |  SELECT event_type || ' ' || user_id AS sensor_id,
-        |         epoch_us(ts) AS timestamp_us, value,
-        |         ROW_NUMBER() OVER (PARTITION BY event_type || ' ' || user_id
-        |                            ORDER BY epoch_us(ts), value) AS rn
-        |  FROM events),
-        |kept AS (
-        |  SELECT sensor_id, timestamp_us, value, rn FROM src WHERE rn = 1
-        |  UNION ALL
-        |  SELECT n.sensor_id, n.timestamp_us, n.value, n.rn
-        |  FROM kept k, LATERAL (
-        |    SELECT s.sensor_id, s.timestamp_us, s.value, s.rn
-        |    FROM src s
-        |    WHERE s.sensor_id = k.sensor_id AND s.rn > k.rn
-        |      AND abs(s.value - k.value) > 5.0
-        |    ORDER BY s.rn LIMIT 1) n)
-        |SELECT sensor_id, timestamp_us, value FROM kept
-        |ORDER BY sensor_id, timestamp_us"""
-    ) { (s, d) =>
-      graft.streaming.Deadband.compress(
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"), eps = 5.0)
-        .orderBy("sensor_id", "timestamp_us")
-    },
-
-    // quantile_over_time: exact per-series 0.9-quantile with linear
-    // interpolation — Spark's exact `percentile` and DuckDB's
-    // quantile_cont share the definition; ROUND(6) absorbs ULP drift in
-    // the interpolation arithmetic.
-    q(
-      "q50_promql_quantile",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(quantile_cont(value, 0.9), 6) AS value
-        |FROM events
-        |WHERE event_type = 'view'
-        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
-        |GROUP BY user_id ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "quantile_over_time(0.9, view[31d])", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // topk: the k series with the largest latest sample in the lookback
-    // window — ranked deterministically by (value desc, sensor_id), and
-    // planned as TakeOrderedAndProject over one-row-per-series input
-    // (never a full sort). Another operation the reference 400s.
-    q(
-      "q51_promql_topk",
-      """SELECT rank, sensor_id, value FROM (
-        |  SELECT sensor_id, value,
-        |    ROW_NUMBER() OVER (ORDER BY value DESC, sensor_id ASC) AS rank
-        |  FROM (
-        |    SELECT 'view ' || user_id AS sensor_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |  WHERE rn = 1)
-        |WHERE rank <= 5 ORDER BY rank"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "topk(5, view)", 1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select("rank", "sensor_id", "value")
-        .orderBy("rank")
-    },
-
-    // Binary operator between two instant vectors with one-to-one label
-    // matching (the labels map joins on its canonical sorted-entries
-    // form): per-user ratio of view rate to click rate. Both operands
-    // evaluate as independent per-series rate() plans; ROUND(6) absorbs
-    // f64 summation-order ULP drift inside each rate.
-    q(
-      "q52_promql_binary",
-      """WITH s AS (
-        |  SELECT event_type, user_id, value,
-        |    lag(value) OVER (PARTITION BY event_type, user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type IN ('view', 'click')
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |r AS (
-        |  SELECT event_type, user_id,
-        |    SUM(CASE WHEN prev IS NULL THEN NULL
-        |      WHEN value >= prev THEN value - prev
-        |      ELSE value END) / 2678400.0 AS rate
-        |  FROM s GROUP BY 1, 2
-        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) IS NOT NULL)
-        |SELECT CAST(v.user_id AS VARCHAR) AS user_tag,
-        |  ROUND(v.rate / c.rate, 6) AS value
-        |FROM r v JOIN r c ON v.user_id = c.user_id
-        |  AND v.event_type = 'view' AND c.event_type = 'click'
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "rate(view[31d]) / rate(click[31d])", 1706745600000000L)
-      graft.promql.ExtendedPromQL.evalWith(parsed,
-        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
-          .select(concat(col("name"), lit(" "),
-            col("labels").getItem("user")).as("sensor_id"), col("labels")),
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // Arrow bulk export roundtrip: every series encoded to its own IPC
-    // payload ON THE EXECUTORS (shuffle on sensor_id; the driver never
-    // holds raw samples — the Flight-style bulk path the reference's
-    // single-request Arrow exporter stops short of), then decoded back
-    // and aggregated. The oracle aggregates the source directly: the
-    // roundtrip must be the identity.
-    q(
-      "q53_arrow_bulk",
-      """SELECT event_type || ' ' || user_id AS sensor_id,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY sensor_id ORDER BY sensor_id"""
-    ) { (s, d) =>
-      import graft.sources.ArrowIO
-      val samples = EventsAdapter.samples(s, d)
-        .select("sensor_id", "timestamp_us", "value")
-      val decoded = ArrowIO.decodeSeriesDistributed(
-        ArrowIO.encodeSeriesDistributed(samples))
-      decoded.groupBy(col("sensor_id"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy("sensor_id")
-    },
-
-    // Canonical-document assignment: every doc maps to the lowest id of
-    // its exact-duplicate group (identical normalized text) — the
-    // keep/drop decision after exact dedup. The engine keys the window
-    // on the 64-bit fingerprint; the oracle partitions by the normalized
-    // text itself (identical given the collision-free pin in
-    // PipelineSpec).
-    q(
-      "q54_dedup_assign",
-      """SELECT doc_id,
-        |  MIN(doc_id) OVER (PARTITION BY
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS canonical_id,
-        |  doc_id = MIN(doc_id) OVER (PARTITION BY
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS is_canonical
-        |FROM documents ORDER BY doc_id"""
-    ) { (s, d) =>
-      Dedup.assignCanonical(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id")
-    },
-
-    // Deterministic keyed sampling: a row is kept iff the top 60 bits of
-    // md5(salt || id) fall below fraction·2⁶⁰ — the same subset on every
-    // run and every engine (rand()/sample() are neither), as a pure
-    // per-row codegen'd predicate with no shuffle. The oracle replays
-    // the md5 threshold bit-for-bit.
-    q(
-      "q55_deterministic_sample",
-      s"""SELECT source, COUNT(*) AS n,
-         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         |FROM documents
-         |WHERE ('0x' || substr(md5('s42:' || doc_id), 1, 15))::BIGINT
-         |  < ${(0.2 * (1L << 60).toDouble).toLong}
-         |GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      graft.pipeline.Sampling.deterministicSample(
-        Tables.documents(s, d), "doc_id", fraction = 0.2, salt = "s42:")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).cast("long").as("sum_chars"))
-        .orderBy("source")
-    },
-
-    // Corpus vocabulary: top-20 tokens by frequency with deterministic
-    // tie-break — map-side partial counts, TakeOrderedAndProject top-k
-    // (never a full sort of the vocabulary).
-    q(
-      "q56_vocabulary",
-      """SELECT token, n FROM (
-        |  SELECT token, COUNT(*) AS n,
-        |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rnk
-        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |        FROM documents)
-        |  GROUP BY token)
-        |WHERE rnk <= 20 ORDER BY n DESC, token"""
-    ) { (s, d) =>
-      graft.pipeline.TextAnalysis.topTokens(
-        Tables.spread(s, Tables.documents(s, d)), "text", 20)
-        .orderBy(col("n").desc, col("token"))
-    },
-
-    // Near-duplicate clusters: exact Jaccard pairs as edges, connected
-    // components (iterative min-label propagation) as the assignment —
-    // transitively-connected near-dups form one cluster; a pipeline
-    // keeps one doc per cluster. The oracle computes the same components
-    // with a recursive-CTE reachability closure over the same edge set.
-    q(
-      "q57_dedup_clusters",
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(toks)-2),
-        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |      FROM t),
-        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
-        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT da AS id_a, db AS id_b
-        |  FROM p JOIN sizes sa ON p.da = sa.doc_id
-        |         JOIN sizes sb ON p.db = sb.doc_id
-        |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |comp AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a)
-        |SELECT d.doc_id AS id,
-        |  COALESCE(LEAST(c.id, c.mn), d.doc_id) AS cluster_id
-        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-        |ORDER BY id"""
-    ) { (s, d) =>
-      Dedup.nearDupClustersShared(
-        Tables.spread(s, Tables.documents(s, d)),
-        "doc_id", "text", n = 3, tau = 0.5, corpusKey = d)
-        .orderBy("id")
-    },
-
-    // Decontamination scan: the deterministic md5 sampler carves a 10%
-    // eval split; each eval doc reports the fraction of its distinct
-    // 3-gram shingles found anywhere in the train split. The train side
-    // collapses to its DISTINCT shingle set before the join (a shingle
-    // in a million train docs is one row), so the scan shuffles eval
-    // shingles against train vocabulary — never doc pairs.
-    q(
-      "q58_contamination",
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-         |           FROM documents),
-         |g AS (SELECT DISTINCT doc_id,
-         |        unnest(list_transform(generate_series(1, len(toks)-2),
-         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |      FROM t),
-         |ev AS (SELECT doc_id FROM documents
-         |       WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 15))::BIGINT
-         |         < ${(0.1 * (1L << 60).toDouble).toLong}),
-         |tr_sh AS (SELECT DISTINCT sh FROM g
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
-         |e_sh AS (SELECT g.doc_id, g.sh FROM g JOIN ev USING (doc_id))
-         |SELECT e.doc_id, COUNT(*) AS n_sh,
-         |  CAST(SUM(CASE WHEN t2.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_contained,
-         |  SUM(CASE WHEN t2.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
-         |    AS containment
-         |FROM e_sh e LEFT JOIN tr_sh t2 USING (sh)
-         |GROUP BY e.doc_id ORDER BY doc_id"""
-    ) { (s, d) =>
-      import graft.pipeline.Sampling
-      val docs = Tables.spread(s, Tables.documents(s, d))
-      val isEval = Sampling.hash60(col("doc_id"), "eval:") <
-        lit((0.1 * (1L << 60).toDouble).toLong)
-      Dedup.contamination(
-        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 3)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    },
-
-    // PII scrub audit: emails redacted to [EMAIL] with an RE2-compatible
-    // pattern (a pure codegen'd regexp_replace in the scan stage). The
-    // synthetic corpus carries no emails, so each doc gets one appended
-    // deterministically — both engines replay construction, count, and
-    // redacted length.
-    q(
-      "q59_redaction",
-      """SELECT source,
-        |  CAST(SUM(len(regexp_extract_all(
-        |    text || ' contact: user' || doc_id || '@example.com',
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
-        |    AS n_emails,
-        |  CAST(SUM(length(regexp_replace(
-        |    text || ' contact: user' || doc_id || '@example.com',
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-        |    '[EMAIL]', 'g'))) AS BIGINT) AS sum_redacted_chars
-        |FROM documents GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      import graft.pipeline.TextAnalysis
-      val withEmail = concat(col("text"), lit(" contact: user"),
-        col("doc_id").cast("string"), lit("@example.com"))
-      Tables.documents(s, d)
-        .select(col("source"),
-          TextAnalysis.emailCount(withEmail).as("n_emails"),
-          length(TextAnalysis.redactEmails(withEmail)).as("n_chars"))
-        .groupBy(col("source"))
-        .agg(sum(col("n_emails")).cast("long").as("n_emails"),
-          sum(col("n_chars")).cast("long").as("sum_redacted_chars"))
-        .orderBy("source")
-    },
-
-    // on() matching modifier: the view series carry an extra synthetic
-    // `parity` label, so FULL-set matching would find nothing — on(user)
-    // restricts the one-to-one join key to the shared label and the
-    // result equals the plain per-user ratio (q52's oracle verbatim).
-    q(
-      "q60_promql_on_binary",
-      """WITH s AS (
-        |  SELECT event_type, user_id, value,
-        |    lag(value) OVER (PARTITION BY event_type, user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type IN ('view', 'click')
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |r AS (
-        |  SELECT event_type, user_id,
-        |    SUM(CASE WHEN prev IS NULL THEN NULL
-        |      WHEN value >= prev THEN value - prev
-        |      ELSE value END) / 2678400.0 AS rate
-        |  FROM s GROUP BY 1, 2
-        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) IS NOT NULL)
-        |SELECT CAST(v.user_id AS VARCHAR) AS user_tag,
-        |  ROUND(v.rate / c.rate, 6) AS value
-        |FROM r v JOIN r c ON v.user_id = c.user_id
-        |  AND v.event_type = 'view' AND c.event_type = 'click'
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "rate(view[31d]) / on(user) rate(click[31d])", 1706745600000000L)
-      graft.promql.ExtendedPromQL.evalWith(parsed,
-        ms => {
-          val base = Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
-            .select(concat(col("name"), lit(" "),
-              col("labels").getItem("user")).as("sensor_id"),
-              col("name"), col("labels"))
-          // views get a synthetic parity label the clicks lack
-          base.select(col("sensor_id"),
-            when(col("name") === "view", map_concat(col("labels"),
-              map(lit("parity"),
-                (col("labels")("user").cast("long") % 2).cast("string"))))
-              .otherwise(col("labels")).as("labels"))
-        },
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // count_values: frequency of each distinct latest sample across the
-    // instant vector (Prometheus semantics; the value's string form
-    // becomes a fresh label). The driver query feeds DECIMAL(18,2)
-    // values (exact for this corpus) so the string keying is
-    // engine-stable at any magnitude — raw double rendering diverges
-    // between engines outside [1e-3, 1e7) (scientific vs plain form).
-    q(
-      "q61_promql_count_values",
-      """SELECT CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS val_tag,
-        |  COUNT(*) AS n FROM (
-        |  SELECT user_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |WHERE rn = 1 GROUP BY 1 ORDER BY val_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        """count_values("val", view)""", 1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select(col("sensor_id"), col("timestamp_us"),
-            col("value").cast("decimal(18,2)").as("value")))
-        .select(element_at(col("group_labels"), "val").as("val_tag"),
-          col("value").as("n"))
-        .orderBy("val_tag")
-    },
-
-    // histogram_quantile over le-labeled cumulative buckets: per-user
-    // view values bucketed at (10, 20, 50, +Inf] over 31 days, then the
-    // Prometheus linear interpolation inside the covering bucket. The
-    // oracle replays bucket counts and the interpolation arithmetic
-    // (mul before div, the same FP order) branch by branch.
-    q(
-      "q62_promql_histogram_quantile",
-      """WITH c AS (
-        |  SELECT user_id,
-        |    SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END)::DOUBLE AS c10,
-        |    SUM(CASE WHEN value <= 20 THEN 1 ELSE 0 END)::DOUBLE AS c20,
-        |    SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END)::DOUBLE AS c50,
-        |    COUNT(*)::DOUBLE AS cinf
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
-        |  GROUP BY user_id)
-        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(CASE
-        |    WHEN 0.9*cinf <= c10 THEN 0 + (10 - 0) * (0.9*cinf - 0) / (c10 - 0)
-        |    WHEN 0.9*cinf <= c20 THEN 10 + (20 - 10) * (0.9*cinf - c10) / (c20 - c10)
-        |    WHEN 0.9*cinf <= c50 THEN 20 + (50 - 20) * (0.9*cinf - c20) / (c50 - c20)
-        |    ELSE 50 END, 6) AS value
-        |FROM c WHERE cinf > 0 ORDER BY user_tag"""
-    ) { (s, d) =>
-      val endUs = 1706745600000000L
-      val startUs = 1704067200000000L
-      // synthesize the cumulative bucket series a Prometheus client
-      // would publish: ONE aggregation pass computes every boundary
-      // count, then an explode unpivots to one (user, le) series per
-      // boundary — the previous per-boundary union scanned events once
-      // per bucket
-      val ev = Tables.events(s, d)
-        .filter(col("event_type") === "view" &&
-          unix_micros(col("ts")).between(startUs, endUs))
-        .select(col("user_id").cast("string").as("user"), col("value"))
-      val agg = ev.groupBy(col("user"))
-        .agg(
-          sum(when(col("value") <= 10.0, 1).otherwise(0))
-            .cast("double").as("c10"),
-          sum(when(col("value") <= 20.0, 1).otherwise(0))
-            .cast("double").as("c20"),
-          sum(when(col("value") <= 50.0, 1).otherwise(0))
-            .cast("double").as("c50"),
-          count(lit(1)).cast("double").as("cinf"))
-      val buckets = agg.select(col("user"),
-        explode(map(
-          lit("10"), col("c10"), lit("20"), col("c20"),
-          lit("50"), col("c50"), lit("+Inf"), col("cinf")))
-          .as(Seq("le", "value")))
-      val samples = buckets.select(
-        concat(lit("view_bucket "), col("user"), lit(" "), col("le"))
-          .as("sensor_id"),
-        lit(endUs).as("timestamp_us"), col("value"))
-      val selected = buckets.select(
-        concat(lit("view_bucket "), col("user"), lit(" "), col("le"))
-          .as("sensor_id"),
-        map(lit("user"), col("user"), lit("le"), col("le")).as("labels"))
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "histogram_quantile(0.9, view_bucket)", endUs)
-      graft.promql.ExtendedPromQL.eval(parsed, selected, samples)
-        .select(element_at(col("group_labels"), "user").as("user_tag"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // label_replace: derive a decade label from the user id (regex must
-    // match the WHOLE value, $1 expansion), then aggregate over the new
-    // label — an instant sum over rewritten series. The oracle computes
-    // the same latest-per-user sum grouped by the id's leading digits.
-    q(
-      "q63_promql_label_replace",
-      """SELECT decade,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value FROM (
-        |  SELECT user_id, value,
-        |    CASE WHEN length(CAST(user_id AS VARCHAR)) > 1
-        |      THEN substr(CAST(user_id AS VARCHAR), 1,
-        |        length(CAST(user_id AS VARCHAR)) - 1)
-        |      ELSE '' END AS decade,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |WHERE rn = 1 AND decade <> ''
-        |GROUP BY decade ORDER BY decade"""
-    ) { (s, d) =>
-      // decade = user id minus its last digit ("42" -> "4"); ids with one
-      // digit expand to "" which DROPS the label (Prometheus rule), so
-      // those series fall out of the by-decade aggregation below
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        """label_replace(view, "decade", "$1", "user", "([0-9]+)[0-9]")""",
-        1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .filter(element_at(col("labels"), "decade").isNotNull)
-        .groupBy(element_at(col("labels"), "decade").as("decade"))
-        .agg(dsum(col("value")).as("value"))
-        .orderBy("decade")
-    },
-
-    // group_left many-to-one matching: views carry an extra parity
-    // label, clicks don't — on(user) group_left keeps the LEFT side's
-    // full label set, so the per-user ratio comes back with its parity
-    // label intact (the oracle recomputes parity as user_id % 2).
-    q(
-      "q64_promql_group_left",
-      """WITH s AS (
-        |  SELECT event_type, user_id, value,
-        |    lag(value) OVER (PARTITION BY event_type, user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type IN ('view', 'click')
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |r AS (
-        |  SELECT event_type, user_id,
-        |    SUM(CASE WHEN prev IS NULL THEN NULL
-        |      WHEN value >= prev THEN value - prev
-        |      ELSE value END) / 2678400.0 AS rate
-        |  FROM s GROUP BY 1, 2
-        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) IS NOT NULL)
-        |SELECT CAST(v.user_id AS VARCHAR) AS user_tag,
-        |  CAST(v.user_id % 2 AS VARCHAR) AS parity,
-        |  ROUND(v.rate / c.rate, 6) AS value
-        |FROM r v JOIN r c ON v.user_id = c.user_id
-        |  AND v.event_type = 'view' AND c.event_type = 'click'
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "rate(view[31d]) / on(user) group_left rate(click[31d])",
-        1706745600000000L)
-      graft.promql.ExtendedPromQL.evalWith(parsed,
-        ms => {
-          val base = Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
-            .select(concat(col("name"), lit(" "),
-              col("labels").getItem("user")).as("sensor_id"),
-              col("name"), col("labels"))
-          base.select(col("sensor_id"),
-            when(col("name") === "view", map_concat(col("labels"),
-              map(lit("parity"),
-                (col("labels")("user").cast("long") % 2).cast("string"))))
-              .otherwise(col("labels")).as("labels"))
-        },
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          element_at(col("labels"), "parity").as("parity"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // Set operator: view rates UNLESS users whose id contains an even
-    // digit (the right operand selects those via a regex matcher —
-    // UNANCHORED substring semantics, as the reference pins for its
-    // matchers) — an anti join on the full label set. The oracle keeps
-    // users with all-odd-digit ids.
-    q(
-      "q65_promql_unless",
-      """WITH s AS (
-        |  SELECT user_id, value,
-        |    lag(value) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
-        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) / 2678400.0, 9) AS value
-        |FROM s
-        |WHERE NOT regexp_matches(CAST(user_id AS VARCHAR), '[02468]')
-        |GROUP BY user_id
-        |HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |  WHEN value >= prev THEN value - prev
-        |  ELSE value END) IS NOT NULL
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        """rate(view[31d]) unless rate(click{user=~".*[02468]"}[31d])""",
-        1706745600000000L)
-      graft.promql.ExtendedPromQL.evalWith(parsed,
-        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
-          .select(concat(col("name"), lit(" "),
-            col("labels").getItem("user")).as("sensor_id"), col("labels")),
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 9).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // Comparison filter: per-user view rates above a threshold —
-    // Prometheus drops failing series and survivors keep their value.
-    // The predicate evaluates on the unrounded f64 rate on both sides
-    // (identical arithmetic), ROUND(9) only formats the survivors.
-    q(
-      "q66_promql_threshold",
-      """WITH s AS (
-        |  SELECT user_id, value,
-        |    lag(value) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |r AS (
-        |  SELECT user_id,
-        |    SUM(CASE WHEN prev IS NULL THEN NULL
-        |      WHEN value >= prev THEN value - prev
-        |      ELSE value END) / 2678400.0 AS rate
-        |  FROM s GROUP BY user_id
-        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) IS NOT NULL)
-        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(rate, 9) AS value
-        |FROM r WHERE rate > 0.00003 ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "rate(view[31d]) > 0.00003", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 9).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // PromQL subquery `max_over_time(rate(view[1d])[31d:1d])`: the inner
-    // rate evaluates at every day-aligned step in [end-31d, end] (step
-    // timestamps are the multiples of the step since the Unix epoch —
-    // here Jan 1 .. Feb 1 2024, 32 steps), each over the 1-day window
-    // ending at the step; the outer max folds the per-series step rates.
-    // The oracle replays the step grid with generate_series and the same
-    // reset-aware delta sum per (user, step) window. Both step windows
-    // are closed on both ends (this engine's documented inclusive
-    // between() convention). ROUND(9) absorbs summation-order ULP drift,
-    // as q43 does for the plain rate.
-    q(
-      "q67_promql_subquery",
-      """WITH steps AS (
-        |  SELECT t AS step_us FROM generate_series(
-        |    1704067200000000, 1706745600000000, 86400000000) s(t)),
-        |w AS (
-        |  SELECT st.step_us, e.user_id, e.value, epoch_us(e.ts) AS ts_us
-        |  FROM events e JOIN steps st
-        |    ON epoch_us(e.ts)
-        |      BETWEEN st.step_us - 86400000000 AND st.step_us
-        |  WHERE e.event_type = 'view'),
-        |l AS (
-        |  SELECT step_us, user_id, value,
-        |    lag(value) OVER (PARTITION BY user_id, step_us
-        |      ORDER BY ts_us, value) AS prev
-        |  FROM w),
-        |r AS (
-        |  SELECT step_us, user_id,
-        |    SUM(CASE WHEN prev IS NULL THEN NULL
-        |      WHEN value >= prev THEN value - prev
-        |      ELSE value END) / 86400.0 AS rate
-        |  FROM l GROUP BY step_us, user_id
-        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) IS NOT NULL)
-        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(MAX(rate), 9) AS value
-        |FROM r GROUP BY user_id ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "max_over_time(rate(view[1d])[31d:1d])", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 9).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // S4 Numeric mode (reference: src/ingestors/http/influxdb.rs:63-125):
-    // i64 and f64 fields land as EXACT decimals. The hash surface is the
-    // sum rescaled to scale 6 (pre-Ryu JDK Double.toString vs DuckDB
-    // double→VARCHAR disagree 1 ulp at digit ~17 of the scale-18 sum, so
-    // scale 6 leaves 11 orders of slack) and then SHIFTED to BIGINT
-    // micro-units: decimal outputs hash differently at the driver even
-    // when value-identical, while integer outputs are proven portable in
-    // the 20+ md5-trick queries. The ×1e6 shift of a scale-6 decimal is
-    // exact integer arithmetic on both engines — no value change vs the
-    // locally-verified DECIMAL(38,6) surface, only a BIGINT rendering.
-    q(
-      "q68_influx_numeric",
-      """SELECT 'ev cnt' AS sensor_name,
-        |  CAST(CAST(SUM(CAST(CAST(user_id AS BIGINT) AS DECIMAL(38,18)))
-        |    AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_micros
-        |FROM events WHERE event_type = 'click'
-        |UNION ALL
-        |SELECT 'ev value' AS sensor_name,
-        |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
-        |    AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS total_micros
-        |FROM events WHERE event_type = 'click'
-        |ORDER BY sensor_name"""
-    ) { (s, d) =>
-      import s.implicits._
-      val lines = Tables.events(s, d)
-        .filter(col("event_type") === "click")
-        .select(concat(
-          lit("ev,user="), col("user_id"),
-          lit(" value="), col("value").cast("string"),
-          lit(",cnt="), col("user_id").cast("string"), lit("i"),
-          lit(" "), (unix_micros(col("ts")) * 1000).cast("string")).as("line"))
-        .as[String]
-      InfluxLineProtocol.parse(lines, "bkt", "org", "ns", withNumeric = true)
-        .groupBy(col("sensor_name"))
-        .agg((sum(col("numeric_value")).cast("decimal(38,6)") * lit(1000000L))
-          .cast("long").as("total_micros"))
-        .orderBy("sensor_name")
-    },
-
-    // Multimodal resize plumbing: the stub resizer's byte-level transform
-    // (truncate/zero-pad to w*h octets + metadata update) is replayed in
-    // DuckDB with octet arithmetic, so the batch contract, 1:1 row
-    // mapping, payload BYTES and metadata all hash-match — the same
-    // full-content check q31/q47 pin for decode/frame-sample. Documents
-    // are pure ASCII (verified: octet_length == length for every row),
-    // so VARCHAR truncation == byte truncation on the oracle side.
-    // Spark's base64 is the MIME encoder (76-char CRLF lines); the
-    // regexp strips the line breaks to match DuckDB's to_base64.
-    q(
-      "q69_media_resize",
-      """SELECT media_id, octet_length(resized) AS n_bytes,
-        |  24 AS meta_width, 10 AS meta_height,
-        |  to_base64(resized) AS payload_b64
-        |FROM (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN length(text) >= 240
-        |      THEN encode(substring(text, 1, 240))
-        |      ELSE encode(text)
-        |        || repeat('\x00'::BLOB, 240 - length(text)) END AS resized
-        |  FROM documents)
-        |ORDER BY media_id"""
-    ) { (s, d) =>
-      import graft.pipeline.Multimodal
-      Multimodal.resize(
-        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)),
-        w = 24, h = 10)
-        .toDF()
-        .select(col("media_id"),
-          length(col("media")).cast("long").as("n_bytes"),
-          col("meta_width"), col("meta_height"),
-          regexp_replace(base64(col("media")), "[\\r\\n]", "")
-            .as("payload_b64"))
-        .orderBy("media_id")
-    },
-
-    // Stratified deterministic sampling (training-mix shape): per-source
-    // keep fractions via the same engine-portable md5 predicate as q55 —
-    // the oracle replays the CASE thresholds bit-for-bit. Still a pure
-    // scan-stage predicate: no shuffle, no join.
-    q(
-      "q70_stratified_sample",
-      s"""SELECT source, COUNT(*) AS n
-         |FROM documents
-         |WHERE ('0x' || substr(md5('mix1:' || doc_id), 1, 15))::BIGINT
-         |  < CASE source
-         |      WHEN 'src3' THEN ${(1.0 * (1L << 60).toDouble).toLong}
-         |      WHEN 'src7' THEN ${(0.5 * (1L << 60).toDouble).toLong}
-         |      WHEN 'src12' THEN ${(0.1 * (1L << 60).toDouble).toLong}
-         |      ELSE ${(0.25 * (1L << 60).toDouble).toLong} END
-         |GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      import graft.pipeline.Sampling
-      Sampling.stratifiedSample(
-        Tables.documents(s, d), "doc_id", "source",
-        Map("src3" -> 1.0, "src7" -> 0.5, "src12" -> 0.1),
-        defaultFraction = 0.25, salt = "mix1:")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("source")
-    },
-
-    // Gopher-style repetition signal: most frequent bigram per document
-    // + the fraction of bigram occurrences it covers. Exact replay: same
-    // tokenization as q30, tie-break to the smallest gram on both sides,
-    // identical double division + ROUND(6).
-    q(
-      "q71_repetition",
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
-        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-        |        FROM t)),
-        |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g
-        |      GROUP BY doc_id, gram),
-        |r AS (
-        |  SELECT doc_id, gram, n,
-        |    SUM(n) OVER (PARTITION BY doc_id) AS n_grams,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY n DESC, gram ASC) AS rnk
-        |  FROM c)
-        |SELECT doc_id AS id, gram AS top_gram, CAST(n AS BIGINT) AS top_n,
-        |  CAST(n_grams AS BIGINT) AS n_grams,
-        |  ROUND(n::DOUBLE / n_grams::DOUBLE, 6) AS top_frac
-        |FROM r WHERE rnk = 1 ORDER BY id"""
-    ) { (s, d) =>
-      TextAnalysis.repetitionMetrics(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", n = 2)
-        .orderBy("id")
-    },
-
-    // PromQL math functions: round-to-step then clamp over a counter
-    // rate. `round(v, to)` is floor(v/to + 0.5)*to (Prometheus ties-up
-    // rounding) — after it, values are exact multiples of `to` computed
-    // identically on both sides, so no output ROUND crutch is needed;
-    // clamp clips into [2e-5, 3e-5] with LEAST/GREATEST in the oracle.
-    q(
-      "q72_promql_math",
-      """WITH s AS (
-        |  SELECT user_id, value,
-        |    lag(value) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |r AS (
-        |  SELECT user_id,
-        |    SUM(CASE WHEN prev IS NULL THEN NULL
-        |      WHEN value >= prev THEN value - prev
-        |      ELSE value END) / 2678400.0 AS rate
-        |  FROM s GROUP BY user_id
-        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) IS NOT NULL)
-        |SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  LEAST(GREATEST(
-        |    floor(rate / 0.000001 + 0.5) * 0.000001, 0.00002), 0.00003)
-        |    AS value
-        |FROM r ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "clamp(round(rate(view[31d]), 0.000001), 0.00002, 0.00003)",
-        1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // The canonical PromQL reduction `sum(rate(...))` — a cross-series
-    // aggregation over a function result, which the previous parser
-    // rejected (only plain-selector aggregation existed). One global
-    // group: the per-user view rates fold into a single total. ROUND(9)
-    // on both sides absorbs the two-level summation-order ULP drift
-    // (per-series delta sums, then the cross-series fold).
-    q(
-      "q73_promql_sum_rate",
-      """WITH s AS (
-        |  SELECT user_id, value,
-        |    lag(value) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), value) AS prev
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |r AS (
-        |  SELECT user_id,
-        |    SUM(CASE WHEN prev IS NULL THEN NULL
-        |      WHEN value >= prev THEN value - prev
-        |      ELSE value END) / 2678400.0 AS rate
-        |  FROM s GROUP BY user_id
-        |  HAVING SUM(CASE WHEN prev IS NULL THEN NULL
-        |    WHEN value >= prev THEN value - prev
-        |    ELSE value END) IS NOT NULL)
-        |SELECT ROUND(SUM(rate), 9) AS value FROM r"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "sum(rate(view[31d]))", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(round(col("value"), 9).as("value"))
-    },
-
-    // Streaming ingest-time dedup: the q23 semantics as a REAL streaming
-    // query (file source -> stateful dropDuplicates on the content
-    // fingerprint, scoped per source -> complete-mode aggregation), the
-    // shape a training pipeline runs before anything lands in storage.
-    // The batch oracle counts distinct normalized texts per source.
-    q(
-      "q74_stream_dedup",
-      """SELECT source,
-        |  COUNT(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-        |    AS n_kept
-        |FROM documents GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      val ss = streamSession(s) // 4 state partitions; same answer
-      val schema = Tables.load(s, d, "documents").schema
-      val stream = ss.readStream.schema(schema)
-        .parquet(streamSourceDir(s, d, "documents"))
-      val kept = Dedup.dedupStream(stream, "text", scopeCols = Seq("source"))
-        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-      val name = s"q74_out_${System.nanoTime()}"
-      val query = kept.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-      // materialize the (per-source, bounded) counts and drop the
-      // memory sink: Bench re-runs each entry 4x per JVM, so leaked
-      // result tables would accumulate in driver memory for the
-      // process lifetime
-      boundedResult(s, ss, name, ss.table(name), Seq("source"))
-    },
-
-    // Int8-quantized ANN first pass (vec_q8 / vec_dot8 codegen'd
-    // Expressions): 8x smaller vectors, integer ranking dot. The oracle
-    // replays quantization (floor half-up — spelled out because round()
-    // disagrees between engines on negative halves), the exact integer
-    // dot, and the dequantized score with the same multiply order, so
-    // ranks AND both score columns hash-match bit-for-bit.
-    q(
-      "q75_ann_quantized",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
-        |qz AS (SELECT vec_id,
-        |  CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
-        |  CASE WHEN amax = 0
-        |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |    ELSE list_transform(v,
-        |      x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) END AS q
-        |  FROM s),
-        |qs AS (SELECT vec_id AS query_id, scale AS sq, q AS qq
-        |       FROM qz WHERE vec_id < 10),
-        |p AS (
-        |  SELECT qs.query_id, c.vec_id,
-        |    list_dot_product(qs.qq, c.q) AS dotq,
-        |    list_dot_product(qs.qq, c.q) * qs.sq * c.scale AS approx
-        |  FROM qs JOIN qz c ON c.vec_id <> qs.query_id)
-        |SELECT query_id, rank, vec_id, CAST(dotq AS BIGINT) AS dot_q8,
-        |  approx AS approx_dot
-        |FROM (SELECT query_id, vec_id, dotq, approx,
-        |        ROW_NUMBER() OVER (PARTITION BY query_id
-        |          ORDER BY approx DESC, vec_id ASC) AS rank
-        |      FROM p)
-        |WHERE rank <= 5 ORDER BY query_id, rank"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      Similarity.quantizedTopK(queries, e, k = 5)
-        .orderBy("query_id", "rank")
-    },
-
-    // The full quantize-then-rerank stack: int8 first pass keeps
-    // k*overfetch=20 survivors, exact cosine re-ranks them to the final
-    // top-5. The oracle replays both stages — quantized winnowing, then
-    // list_cosine_similarity over the survivors (same ROUND(6) contract
-    // as q27).
-    q(
-      "q76_ann_rerank",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
-        |qz AS (SELECT vec_id,
-        |  CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
-        |  CASE WHEN amax = 0
-        |    THEN list_transform(v, x -> CAST(0 AS BIGINT))
-        |    ELSE list_transform(v,
-        |      x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) END AS q
-        |  FROM s),
-        |qs AS (SELECT vec_id AS query_id, scale AS sq, q AS qq
-        |       FROM qz WHERE vec_id < 10),
-        |surv AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT qs.query_id, c.vec_id,
-        |      ROW_NUMBER() OVER (PARTITION BY qs.query_id
-        |        ORDER BY list_dot_product(qs.qq, c.q) * qs.sq * c.scale
-        |          DESC, c.vec_id ASC) AS rnk
-        |    FROM qs JOIN qz c ON c.vec_id <> qs.query_id)
-        |  WHERE rnk <= 20),
-        |qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
-        |       WHERE vec_id < 10)
-        |SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine FROM (
-        |  SELECT surv.query_id, surv.vec_id,
-        |    list_cosine_similarity(qv.qvec, e.v) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY surv.query_id
-        |      ORDER BY list_cosine_similarity(qv.qvec, e.v) DESC,
-        |        surv.vec_id ASC) AS rank
-        |  FROM surv JOIN e USING (vec_id) JOIN qv USING (query_id))
-        |WHERE rank <= 5 ORDER BY query_id, rank"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      Similarity.quantizedRerankTopK(queries, e, k = 5, overfetch = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "rank")
-    },
-
-    // present_over_time: 1.0 per series with >=1 sample in the window —
-    // the liveness probe companion to absent_over_time (which is
-    // unit-tested; its result is nonempty only when nothing matches).
-    q(
-      "q77_promql_present",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  CAST(1.0 AS DOUBLE) AS value
-        |FROM events
-        |WHERE event_type = 'view'
-        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
-        |GROUP BY user_tag ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "present_over_time(view[31d])", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // Corpus unigram LM score (importance/quality filtering): avg
-    // negative log-likelihood per document under the corpus unigram
-    // distribution. The oracle replays the same two keyed passes; ln of
-    // identical doubles may differ by 1 ulp between libms, and the
-    // per-doc mean is summation-order dependent — ROUND(6) absorbs both.
-    q(
-      "q78_unigram_nll",
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
-        |c AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
-        |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM c)
-        |SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  ROUND(AVG(-ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_nll
-        |FROM t JOIN c USING (token), tot
-        |GROUP BY doc_id ORDER BY id"""
-    ) { (s, d) =>
-      TextAnalysis.unigramLogLoss(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
-        .orderBy("id")
-    },
-
-    // S6 on the ORC backend: the reference's pluggable-storage-trait
-    // analog is Spark's datasource layer — the SAME store logic (month
-    // partitioning, sorted files, pruned range reads) over ORC instead
-    // of parquet. Same oracle as the parquet roundtrip q33.
-    q(
-      "q79_store_orc",
-      """SELECT epoch_us(ts) AS timestamp_us, value
-        |FROM events
-        |WHERE event_type = 'view' AND user_id = 7
-        |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1705708800000000
-        |ORDER BY timestamp_us LIMIT 100"""
-    ) { (s, d) =>
-      val root = graft.TempDirs.createPath("graft_store_orc")
-      val store = new graft.store.SensorStore(s, root, format = "orc")
-      store.publishSamples(graft.model.SensorType.Float,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-      SensorOps.rangeScan(
-        store.samplesInRange(graft.model.SensorType.Float,
-          Some(1704412800000000L), Some(1705708800000000L)), "view 7",
-        Some(1704412800000000L), Some(1705708800000000L), 100)
-        .select("timestamp_us", "value")
-    },
-
-    // predict_linear: per-series least-squares forecast one day past the
-    // window end. Both engines compute regr_slope/regr_intercept =
-    // covar_pop/var_pop over the same (seconds-from-end, value) pairs;
-    // ROUND(4) absorbs their differing internal accumulation orders
-    // (regression co-moments cancel more than plain sums).
-    q(
-      "q80_promql_predict",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(regr_intercept(value, x) + regr_slope(value, x) * 86400.0,
-        |    4) AS value
-        |FROM (
-        |  SELECT user_id, value,
-        |    (epoch_us(ts) - 1706745600000000) / 1000000.0 AS x
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
-        |GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "predict_linear(view[31d], 86400)", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 4).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // Typed Arrow roundtrip for the non-Float value types (S3/S11,
-    // reference: src/exporters/arrow/mod.rs:224-388, src/importers/
-    // arrow.rs:143-294): six per-event_type series — Integer, Numeric
-    // Decimal128(38,18), Utf8, Boolean, Struct{latitude,longitude},
-    // Binary — are ENCODED to Arrow IPC bytes and DECODED back on the
-    // executors; the checksums are computed from the DECODED samples, so
-    // any corruption in the typed vectors breaks the hash. Checksums are
-    // exact (integer/decimal arithmetic or exact dyadic doubles), so
-    // iterator order is irrelevant. The blob byte is replayed in DuckDB
-    // via the portable md5-prefix trick; the Numeric column derives from
-    // the double's string rendering on both sides (the q68 contract).
-    q(
-      "q81_arrow_typed",
-      """WITH e AS (SELECT event_type, user_id, value FROM events)
-        |SELECT * FROM (
-        |  SELECT 'integer' AS value_type, event_type AS sensor_name,
-        |    COUNT(*) AS n,
-        |    CAST(CAST(SUM(user_id) AS DECIMAL(38,6)) * 1000000 AS BIGINT)
-        |      AS checksum
-        |  FROM e GROUP BY event_type
-        |  UNION ALL
-        |  SELECT 'numeric', event_type, COUNT(*),
-        |    CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
-        |      AS DECIMAL(38,6)) * 1000000 AS BIGINT)
-        |  FROM e GROUP BY event_type
-        |  UNION ALL
-        |  SELECT 'string', event_type, COUNT(*),
-        |    CAST(CAST(SUM(length(event_type || ':' ||
-        |      CAST(user_id AS VARCHAR))) AS DECIMAL(38,6)) * 1000000
-        |      AS BIGINT)
-        |  FROM e GROUP BY event_type
-        |  UNION ALL
-        |  SELECT 'boolean', event_type, COUNT(*),
-        |    CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-        |      AS DECIMAL(38,6)) * 1000000 AS BIGINT)
-        |  FROM e GROUP BY event_type
-        |  UNION ALL
-        |  SELECT 'location', event_type, COUNT(*),
-        |    CAST(CAST(-2 * SUM(user_id) AS DECIMAL(38,6)) * 1000000
-        |      AS BIGINT)
-        |  FROM e GROUP BY event_type
-        |  UNION ALL
-        |  SELECT 'blob', event_type, COUNT(*),
-        |    CAST(CAST(SUM(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
-        |      1, 2))::BIGINT) AS DECIMAL(38,6)) * 1000000 AS BIGINT)
-        |  FROM e GROUP BY event_type)
-        |ORDER BY value_type, sensor_name"""
-    ) { (s, d) =>
-      import s.implicits._
-      import graft.model.SensorType
-      import graft.sources.ArrowIO
-      import ArrowIO.TypedSeries
-      val ev = Tables.events(s, d).select(
-        col("event_type"),
-        unix_micros(col("ts")).as("ts_us"),
-        col("user_id"),
-        col("value").cast("decimal(38,18)").as("numeric_v"),
-        unhex(md5(col("user_id").cast("string"))).as("blob_v"))
-        .as[(String, Long, Long, java.math.BigDecimal, Array[Byte])]
-      ev.groupByKey(_._1).flatMapGroups { (et, it) =>
-        val rows = it.toArray
-        def bd(x: Long) = java.math.BigDecimal.valueOf(x)
-        val series = Seq[(String, TypedSeries)](
-          "integer" -> TypedSeries(SensorType.Integer, Some(et), Some(et),
-            rows.map(r => (r._2, r._3: Any)).toSeq),
-          "numeric" -> TypedSeries(SensorType.Numeric, Some(et), Some(et),
-            rows.map(r => (r._2, r._4: Any)).toSeq),
-          "string" -> TypedSeries(SensorType.Str, Some(et), Some(et),
-            rows.map(r => (r._2, s"$et:${r._3}": Any)).toSeq),
-          "boolean" -> TypedSeries(SensorType.Boolean, Some(et), Some(et),
-            rows.map(r => (r._2, (r._3 % 2 == 0): Any)).toSeq),
-          // exact dyadic doubles: integer-valued lat/lon sum exactly
-          "location" -> TypedSeries(SensorType.Location, Some(et), Some(et),
-            rows.map(r => (r._2, (r._3.toDouble, -(3L * r._3).toDouble): Any))
-              .toSeq),
-          "blob" -> TypedSeries(SensorType.Blob, Some(et), Some(et),
-            rows.map(r => (r._2, r._5: Any)).toSeq))
-        series.map { case (tn, ser) =>
-          val dec = ArrowIO.decodeTypedSeries(ArrowIO.encodeTypedSeries(ser))
-          require(dec.sensorId.contains(et) && dec.sensorName.contains(et),
-            s"metadata lost in roundtrip for $tn")
-          val checksum: java.math.BigDecimal = tn match {
-            case "integer" =>
-              bd(dec.samples.iterator.map(_._2.asInstanceOf[Long]).sum)
-            case "numeric" =>
-              dec.samples.iterator
-                .map(_._2.asInstanceOf[java.math.BigDecimal])
-                .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
-            case "string" =>
-              bd(dec.samples.iterator
-                .map(_._2.asInstanceOf[String].length.toLong).sum)
-            case "boolean" =>
-              bd(dec.samples.count(_._2.asInstanceOf[Boolean]).toLong)
-            case "location" =>
-              dec.samples.iterator
-                .map(_._2.asInstanceOf[(Double, Double)])
-                .foldLeft(java.math.BigDecimal.ZERO) { case (acc, (la, lo)) =>
-                  acc.add(new java.math.BigDecimal(la))
-                    .add(new java.math.BigDecimal(lo))
-                }
-            case "blob" =>
-              bd(dec.samples.iterator
-                .map(p => (p._2.asInstanceOf[Array[Byte]](0) & 0xff).toLong)
-                .sum)
-          }
-          // Rescale to scale 6 with HALF_UP (exactly what the former
-          // Catalyst cast to DECIMAL(38,6) did), then shift to BIGINT
-          // micro-units: integer hash surfaces are driver-portable,
-          // decimal ones are not (the q68 lesson). The shift is exact.
-          val micros = checksum
-            .setScale(6, java.math.RoundingMode.HALF_UP)
-            .movePointRight(6).longValueExact()
-          (tn, et, dec.samples.length.toLong, micros)
-        }
-      }
-        .toDF("value_type", "sensor_name", "n", "checksum")
-        .orderBy("value_type", "sensor_name")
-    },
-
-    // PromQL holt_winters: the per-series double-exponential-smoothing
-    // fold replayed in DuckDB as a recursive CTE advancing one sample
-    // per iteration (the q49 deadband technique). The smoothing
-    // arithmetic is pinned to the same operation ORDER on both sides
-    // (sf*x + (1-sf)*(s1+trend); tf*(s1-s0) + (1-tf)*b), so the doubles
-    // are bit-identical — no rounding crutch.
-    q(
-      "q82_promql_holt_winters",
-      """WITH RECURSIVE w AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |    epoch_us(ts) AS ts_us, value
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |base AS (
-        |  SELECT user_tag, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_tag
-        |      ORDER BY ts_us, value) AS rn
-        |  FROM w),
-        |cnt AS (SELECT user_tag, MAX(rn) AS n FROM base GROUP BY user_tag),
-        |rec AS (
-        |  SELECT b1.user_tag, 1 AS i, 0.0::DOUBLE AS s0, b1.value AS s1,
-        |    b2.value - b1.value AS b
-        |  FROM base b1 JOIN base b2
-        |    ON b2.user_tag = b1.user_tag AND b2.rn = 2
-        |  WHERE b1.rn = 1
-        |  UNION ALL
-        |  SELECT r.user_tag, r.i + 1, r.s1,
-        |    0.5::DOUBLE * x.value + (1 - 0.5::DOUBLE) * (r.s1 +
-        |      CASE WHEN r.i = 1 THEN r.b
-        |        ELSE 0.3::DOUBLE * (r.s1 - r.s0)
-        |          + (1 - 0.3::DOUBLE) * r.b END),
-        |    CASE WHEN r.i = 1 THEN r.b
-        |      ELSE 0.3::DOUBLE * (r.s1 - r.s0)
-        |        + (1 - 0.3::DOUBLE) * r.b END
-        |  FROM rec r JOIN base x
-        |    ON x.user_tag = r.user_tag AND x.rn = r.i + 1)
-        |SELECT r.user_tag AS user_tag, r.s1 AS value
-        |FROM rec r JOIN cnt ON cnt.user_tag = r.user_tag
-        |WHERE r.i = cnt.n AND cnt.n >= 2
-        |ORDER BY r.user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "holt_winters(view[31d], 0.5, 0.3)", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // PromQL sort: the instant vector ranked ascending by value (ties by
-    // sensor_id) — last-in-window values are exact, so the rank is
-    // deterministic with no float-summation sensitivity (same reason
-    // q51's topk ranks are). The rank window runs over one row per
-    // SERIES (catalog-bounded), never over samples.
-    q(
-      "q83_promql_sort",
-      """SELECT rank, sensor_id, value FROM (
-        |  SELECT sensor_id, value,
-        |    ROW_NUMBER() OVER (ORDER BY value ASC, sensor_id ASC) AS rank
-        |  FROM (
-        |    SELECT 'view ' || user_id AS sensor_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |  WHERE rn = 1)
-        |ORDER BY rank"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "sort(view)", 1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select("rank", "sensor_id", "value")
-        .orderBy("rank")
-    },
-
-    // Gopher quality rules (Rae et al. 2021 §A1.1): the standard
-    // pretraining document filter as ONE codegen'd scan stage. Every
-    // rule is integer arithmetic over exact counts (ratio thresholds
-    // spelled as count×10 ⋚ denom×k), so DuckDB replays the flags
-    // bit-for-bit — no float rounding anywhere.
-    q(
-      "q84_gopher_rules",
-      """WITH t AS (
-        |  SELECT source, text,
-        |    string_split_regex(trim(text), '\s+') AS toks,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents),
-        |m AS (
-        |  SELECT source,
-        |    len(toks) AS n_words,
-        |    list_sum(list_transform(toks, t -> length(t))) AS sum_len,
-        |    length(text) - length(replace(text, '#', '')) AS hashes,
-        |    (length(text) - length(replace(text, '...', ''))) / 3
-        |      AS ellipses,
-        |    len(lines) AS n_lines,
-        |    len(list_filter(lines, l -> starts_with(ltrim(l), '-')
-        |      OR starts_with(ltrim(l), '*')
-        |      OR starts_with(ltrim(l), '•'))) AS bullet_lines,
-        |    len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
-        |      AS ellipsis_lines,
-        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-        |      AS alpha_words,
-        |    len(list_filter(toks, t -> lower(t) IN
-        |      ('the','be','to','of','and','that','have','with')))
-        |      AS stop_hits
-        |  FROM t),
-        |f AS (
-        |  SELECT source,
-        |    (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
-        |    (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
-        |      AS mean_len_ok,
-        |    ((hashes + ellipses) * 10 <= n_words) AS symbol_ok,
-        |    (bullet_lines * 10 <= n_lines * 9) AS bullet_ok,
-        |    (ellipsis_lines * 10 <= n_lines * 3) AS ellipsis_ok,
-        |    (alpha_words * 10 >= n_words * 8) AS alpha_ok,
-        |    (stop_hits >= 2) AS stopword_ok
-        |  FROM m)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN word_count_ok THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_word_count,
-        |  CAST(SUM(CASE WHEN mean_len_ok THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_mean_len,
-        |  CAST(SUM(CASE WHEN symbol_ok THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_symbol,
-        |  CAST(SUM(CASE WHEN bullet_ok THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_bullet,
-        |  CAST(SUM(CASE WHEN ellipsis_ok THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_ellipsis,
-        |  CAST(SUM(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_alpha,
-        |  CAST(SUM(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_stopword,
-        |  CAST(SUM(CASE WHEN word_count_ok AND mean_len_ok AND symbol_ok
-        |    AND bullet_ok AND ellipsis_ok AND alpha_ok AND stopword_ok
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-        |FROM f GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      val g = TextAnalysis.gopherQualityFlags(col("text")).as("g")
-      def n(flag: String, as: String) =
-        sum(when(col(s"g.$flag"), 1L).otherwise(0L)).as(as)
-      Tables.spread(s, Tables.documents(s, d))
-        .select(col("source"), g)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          n("word_count_ok", "n_word_count"),
-          n("mean_len_ok", "n_mean_len"),
-          n("symbol_ok", "n_symbol"),
-          n("bullet_ok", "n_bullet"),
-          n("ellipsis_ok", "n_ellipsis"),
-          n("alpha_ok", "n_alpha"),
-          n("stopword_ok", "n_stopword"),
-          n("keep", "n_keep"))
-        .orderBy("source")
-    },
-
-    // Full PII scrub (emails, IPv4, E.164 phones) over text augmented
-    // with deterministic synthetic PII derived from doc_id, so every
-    // pattern fires on every document and the scrub order (email → ip →
-    // phone, counts taken on the same intermediate texts) is pinned.
-    // Both engines run the identical RE2-compatible patterns.
-    q(
-      "q85_pii_scrub",
-      """WITH a AS (
-        |  SELECT source,
-        |    text || ' Contact: user' || CAST(doc_id AS VARCHAR)
-        |      || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
-        |      || ' tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
-        |      AS t
-        |  FROM documents),
-        |b AS (SELECT source, t,
-        |  regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-        |    '[EMAIL]', 'g') AS t1 FROM a),
-        |c AS (SELECT source, t, t1,
-        |  regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
-        |    '[IP]', 'g') AS t2 FROM b)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(len(regexp_extract_all(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
-        |    AS BIGINT) AS emails,
-        |  CAST(SUM(len(regexp_extract_all(t1,
-        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))) AS BIGINT) AS ips,
-        |  CAST(SUM(len(regexp_extract_all(t2, '\+[0-9]{7,15}\b')))
-        |    AS BIGINT) AS phones,
-        |  CAST(SUM(length(regexp_replace(t2, '\+[0-9]{7,15}\b',
-        |    '[PHONE]', 'g'))) AS BIGINT) AS scrub_chars
-        |FROM c GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      val aug = concat(col("text"),
-        lit(" Contact: user"), col("doc_id").cast("string"),
-        lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
-        lit("."), (col("doc_id") % 100).cast("string"),
-        lit(" tel +1555"),
-        lpad((col("doc_id") % 10000).cast("string"), 7, "0"))
-      Tables.spread(s, Tables.documents(s, d))
-        .select(col("source"), aug.as("t"))
-        .select(col("source"), TextAnalysis.piiCounts(col("t")).as("p"),
-          length(TextAnalysis.redactPii(col("t"))).as("scrubbed_len"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("p.emails")).as("emails"),
-          sum(col("p.ips")).as("ips"),
-          sum(col("p.phones")).as("phones"),
-          sum(col("scrubbed_len")).as("scrub_chars"))
-        .orderBy("source")
-    },
-
-    // Quality-aware canonical selection: near-dup clusters (q57's graph)
-    // reduced to the HIGHEST-quality member per cluster (score = alpha
-    // char count, ties to the lowest doc_id) — the keep-best dedup
-    // endgame. One aggregate over cluster_id; the argmax is
-    // max(struct(score, -id)), no window, no per-group sort.
-    q(
-      "q86_cluster_best",
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(toks)-2),
-        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |      FROM t),
-        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
-        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT da AS id_a, db AS id_b
-        |  FROM p JOIN sizes sa ON p.da = sa.doc_id
-        |         JOIN sizes sb ON p.db = sb.doc_id
-        |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |comp AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a),
-        |assign AS (
-        |  SELECT d.doc_id AS id,
-        |    COALESCE(LEAST(c.id, c.mn), d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-        |scored AS (
-        |  SELECT doc_id,
-        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS score
-        |  FROM documents)
-        |SELECT cluster_id, doc_id AS best_id, score AS best_score,
-        |  n_members
-        |FROM (
-        |  SELECT a.cluster_id, s.doc_id, s.score,
-        |    COUNT(*) OVER (PARTITION BY a.cluster_id) AS n_members,
-        |    ROW_NUMBER() OVER (PARTITION BY a.cluster_id
-        |      ORDER BY s.score DESC, s.doc_id ASC) AS rk
-        |  FROM assign a JOIN scored s ON s.doc_id = a.id)
-        |WHERE rk = 1 ORDER BY cluster_id"""
-    ) { (s, d) =>
-      import graft.pipeline.Dedup
-      val docs = Tables.spread(s, Tables.documents(s, d))
-      val clusters = Dedup.nearDupClustersShared(docs, "doc_id",
-        "text", n = 3, tau = 0.5, corpusKey = d)
-      val scored = Tables.documents(s, d).select(col("doc_id"),
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("score"))
-      Dedup.keepBestPerCluster(clusters, scored, "doc_id", "score")
-        .select(col("cluster_id"), col("best_id"),
-          col("best_score").cast("long").as("best_score"),
-          col("n_members"))
-        .orderBy("cluster_id")
-    },
-
-    // Deterministic train/val/test split assignment: cumulative-weight
-    // buckets over the q55 md5 draw — disjoint, exhaustive, and a row's
-    // split never changes as the corpus grows (the property randomSplit
-    // lacks). Pure scan-stage CASE; DuckDB replays the identical hash.
-    q(
-      "q87_split_assign",
-      s"""SELECT source,
-         |  CASE
-         |    WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
-         |      < ${(0.8 * (1L << 60).toDouble).toLong} THEN 'train'
-         |    WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
-         |      < ${(0.9 * (1L << 60).toDouble).toLong} THEN 'val'
-         |    ELSE 'test' END AS split,
-         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         |FROM documents GROUP BY source, split ORDER BY source, split"""
-    ) { (s, d) =>
-      import graft.pipeline.Sampling
-      Sampling.splitAssign(Tables.documents(s, d), "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .groupBy(col("source"), col("split"))
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("source", "split")
-    },
-
-    // Greedy sequence packing: shard-parallel, sequential within each
-    // shard's id-ordered stream (new pack when the next doc would
-    // overflow the 256-token budget). The oracle replays the running
-    // accumulate-or-reset recursion as a recursive CTE advancing one
-    // document per iteration per shard — the q49/q82 technique. Hash
-    // surface is the full per-document pack assignment.
-    q(
-      "q88_sequence_pack",
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |    doc_id % 8 AS shard
-        |  FROM documents),
-        |o AS (
-        |  SELECT doc_id, n_tokens, shard,
-        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-        |  FROM d),
-        |rec AS (
-        |  SELECT shard, rn, doc_id, n_tokens,
-        |    0::BIGINT AS pack_seq, n_tokens AS used
-        |  FROM o WHERE rn = 1
-        |  UNION ALL
-        |  SELECT x.shard, x.rn, x.doc_id, x.n_tokens,
-        |    CASE WHEN r.used > 0 AND r.used + x.n_tokens > 256
-        |      THEN r.pack_seq + 1 ELSE r.pack_seq END,
-        |    CASE WHEN r.used > 0 AND r.used + x.n_tokens > 256
-        |      THEN x.n_tokens ELSE r.used + x.n_tokens END
-        |  FROM rec r JOIN o x ON x.shard = r.shard AND x.rn = r.rn + 1)
-        |SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(shard AS INT) AS shard, pack_seq
-        |FROM rec ORDER BY id"""
-    ) { (s, d) =>
-      import graft.pipeline.{Packing, TextAnalysis}
-      val docs = Tables.documents(s, d).select(col("doc_id"),
-        size(TextAnalysis.whitespaceTokens(col("text"))).as("n_tokens"))
-      Packing.greedyPack(docs, "doc_id", "n_tokens",
-        budget = 256L, shards = 8)
-        .orderBy("id")
-    },
-
-    // Corpus line-level dedup (the C4 boilerplate scrub): documents are
-    // augmented with two boilerplate lines present on every page; lines
-    // whose document frequency exceeds 10 are dropped and the doc
-    // reassembled in original line order. The full reassembled text is
-    // the hash surface, so line splitting, df counting, the threshold
-    // AND the order-preserving reassembly all have to match.
-    q(
-      "q89_line_dedup",
-      """WITH a AS (
-        |  SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter!'
-        |    || chr(10) || '(c) example.com - all rights reserved' AS t
-        |  FROM documents),
-        |l AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(string_split(t, chr(10)),
-        |      (x, i) -> {'pos': i, 'line': x})) AS s
-        |  FROM a),
-        |lines AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l),
-        |df AS (SELECT line, COUNT(DISTINCT doc_id) AS df
-        |       FROM lines GROUP BY line),
-        |kept AS (
-        |  SELECT lines.doc_id, COUNT(*) AS n_kept,
-        |    string_agg(lines.line, chr(10) ORDER BY lines.pos) AS text
-        |  FROM lines JOIN df USING (line) WHERE df.df <= 10
-        |  GROUP BY lines.doc_id)
-        |SELECT a.doc_id AS id,
-        |  CAST(len(string_split(a.t, chr(10))) AS BIGINT) AS n_total,
-        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-        |  COALESCE(k.text, '') AS text
-        |FROM a LEFT JOIN kept k ON k.doc_id = a.doc_id
-        |ORDER BY id"""
-    ) { (s, d) =>
-      val aug = Tables.spread(s, Tables.documents(s, d))
-        .select(col("doc_id"), concat(col("text"),
-          lit("\nSubscribe to our newsletter!"),
-          lit("\n(c) example.com - all rights reserved")).as("t"))
-      TextAnalysis.dedupLines(aug, "doc_id", "t", maxDf = 10)
-        .orderBy("id")
-    },
-
-    // URL/domain analysis (C4 ancestry): documents augmented with
-    // deterministic URLs, blocklist-filtered by a pure scan-stage
-    // `exists` predicate (no shuffle, no join), then per-registered-
-    // domain statistics. Hosts, registered domains, the blocklist
-    // predicate and the aggregation all replay in DuckDB on identical
-    // RE2-compatible regexes.
-    q(
-      "q90_url_domains",
-      """WITH a AS (
-        |  SELECT doc_id,
-        |    text || ' see https://www.site' || CAST(doc_id % 20 AS VARCHAR)
-        |      || '.example' || CAST(doc_id % 7 AS VARCHAR)
-        |      || '.com/p/' || CAST(doc_id AS VARCHAR)
-        |      || ' and http://blog.test' || CAST(doc_id % 5 AS VARCHAR)
-        |      || '.org' AS t
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?'),
-        |      u -> regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1)) AS hosts
-        |  FROM a),
-        |kept AS (
-        |  SELECT doc_id, hosts FROM h
-        |  WHERE len(list_filter(hosts,
-        |    x -> regexp_extract(x, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1)
-        |      IN ('example3.com', 'test4.org'))) = 0),
-        |d AS (
-        |  SELECT doc_id,
-        |    regexp_extract(unnest(hosts),
-        |      '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain
-        |  FROM kept)
-        |SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
-        |FROM d GROUP BY domain ORDER BY domain"""
-    ) { (s, d) =>
-      val aug = Tables.spread(s, Tables.documents(s, d))
-        .select(col("doc_id"), concat(col("text"),
-          lit(" see https://www.site"), (col("doc_id") % 20).cast("string"),
-          lit(".example"), (col("doc_id") % 7).cast("string"),
-          lit(".com/p/"), col("doc_id").cast("string"),
-          lit(" and http://blog.test"), (col("doc_id") % 5).cast("string"),
-          lit(".org")).as("t"))
-      val kept = TextAnalysis.dropBlockedDomains(aug, "t",
-        Seq("example3.com", "test4.org"))
-      TextAnalysis.domainStats(kept, "doc_id", "t")
-        .orderBy("domain")
-    },
-
-    // PromQL time-function family: timestamp(sel) surfaces each
-    // series' latest-sample time in float seconds, and the time-of-day
-    // functions (hour, day_of_week — Sunday=0) compose over it,
-    // truncating toward zero like Prometheus's int64 cast. Fields are
-    // UTC on both sides (session timezone vs DuckDB's naive
-    // make_timestamp).
-    q(
-      "q91_promql_time",
-      """WITH last AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |    MAX(epoch_us(ts)) AS ts_us
-        |  FROM events WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
-        |  GROUP BY user_id),
-        |t AS (SELECT user_tag, ts_us / 1000000.0 AS ts_s,
-        |  make_timestamp(CAST(FLOOR(ts_us / 1000000.0) AS BIGINT) * 1000000)
-        |    AS tt
-        |  FROM last)
-        |SELECT user_tag, ts_s,
-        |  CAST(EXTRACT(hour FROM tt) AS DOUBLE) AS hr,
-        |  CAST(dayofweek(tt) AS DOUBLE) AS dow
-        |FROM t ORDER BY user_tag"""
-    ) { (s, d) =>
-      val now = 1706659200000000L
-      def ev(qs: String, as: String) = {
-        val parsed = graft.promql.ExtendedPromQL.parse(qs, now)
-        val selected = Matchers.sensorsByLabels(
-          EventsAdapter.sensors(s, d), parsed.matchers)
-          .select(concat(col("name"), lit(" "),
-            col("labels").getItem("user")).as("sensor_id"), col("labels"))
-        graft.promql.ExtendedPromQL.eval(parsed, selected,
-          EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"))
-          .select(element_at(col("labels"), "user").as("user_tag"),
-            col("value").as(as))
-      }
-      ev("timestamp(view)", "ts_s")
-        .join(ev("hour(timestamp(view))", "hr"), "user_tag")
-        .join(ev("day_of_week(timestamp(view))", "dow"), "user_tag")
-        .orderBy("user_tag")
-    },
-
-    // PromQL group(): 1 per group regardless of values — the presence
-    // aggregation Prometheus added in 2.20 (the "which label
-    // combinations exist" query).
-    q(
-      "q92_promql_group",
-      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_tag,
-        |  1.0::DOUBLE AS value
-        |FROM events
-        |WHERE event_type = 'view'
-        |  AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "group by (user) (view)", 1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("group_labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // PromQL scalar()/vector() conversions (the reference's endpoint
-    // rejects every function call: src/ingestors/http/simple_promql.rs
-    // :153-155): `vec * scalar(agg)` is dynamic-scalar arithmetic via a
-    // broadcast one-row cross join, and `missing or vector(42)` is the
-    // canonical empty-result fallback. The scalar factor (a series
-    // count) and the double multiply are bit-exact on both engines.
-    q(
-      "q93_promql_scalar",
-      """WITH latest AS (
-        |  SELECT user_id, value FROM (
-        |    SELECT user_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |  WHERE rn = 1)
-        |SELECT * FROM (
-        |  SELECT 'scaled' AS part, CAST(user_id AS VARCHAR) AS user_tag,
-        |    value * (SELECT COUNT(*)::DOUBLE FROM latest) AS value
-        |  FROM latest
-        |  UNION ALL
-        |  SELECT 'fallback', '', 42.0::DOUBLE)
-        |ORDER BY part, user_tag"""
-    ) { (s, d) =>
-      val now = 1706659200000000L
-      def ev(qs: String, tag: String) = {
-        val parsed = graft.promql.ExtendedPromQL.parse(qs, now)
-        graft.promql.ExtendedPromQL.evalWith(parsed,
-          ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
-            .select(concat(col("name"), lit(" "),
-              col("labels").getItem("user")).as("sensor_id"), col("labels")),
-          EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"))
-          .select(lit(tag).as("part"),
-            coalesce(element_at(col("labels"), "user"), lit(""))
-              .as("user_tag"),
-            col("value"))
-      }
-      ev("view * scalar(count(view))", "scaled")
-        .unionByName(ev("nosuchmetric or vector(42)", "fallback"))
-        .orderBy("part", "user_tag")
-    },
-
-    // PromQL @ start()/end() anchors: the selector window pins to the
-    // provided range bounds instead of the evaluation time (resolved
-    // by a quote-aware rewrite to the numeric `@ <seconds>` modifier
-    // the selector already supports). max is order-insensitive and the
-    // count is exact, so no rounding is needed on either side.
-    q(
-      "q94_promql_at",
-      """SELECT * FROM (
-        |  SELECT 'max_end' AS fn, CAST(user_id AS VARCHAR) AS user_tag,
-        |    MAX(value) AS value
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000
-        |  GROUP BY user_id
-        |  UNION ALL
-        |  SELECT 'cnt_start', CAST(user_id AS VARCHAR), COUNT(*)::DOUBLE
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706565600000000 AND 1706572800000000
-        |  GROUP BY user_id)
-        |ORDER BY fn, user_tag"""
-    ) { (s, d) =>
-      // range params: start = 2024-01-30T00:00:00Z, end = 2024-01-31
-      val now = 1706745600000000L
-      val rangeStart = 1706572800000000L
-      val rangeEnd = 1706659200000000L
-      def ev(qs: String, tag: String) = {
-        val parsed = graft.promql.ExtendedPromQL.parse(
-          qs, now, Some(rangeStart), Some(rangeEnd))
-        val selected = Matchers.sensorsByLabels(
-          EventsAdapter.sensors(s, d), parsed.matchers)
-          .select(concat(col("name"), lit(" "),
-            col("labels").getItem("user")).as("sensor_id"), col("labels"))
-        graft.promql.ExtendedPromQL.eval(parsed, selected,
-          EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"))
-          .select(lit(tag).as("fn"),
-            element_at(col("labels"), "user").as("user_tag"),
-            col("value"))
-      }
-      ev("max_over_time(view[1h] @ end())", "max_end")
-        .unionByName(ev("count_over_time(view[2h] @ start())", "cnt_start"))
-        .orderBy("fn", "user_tag")
-    },
-
-    // Public-suffix-aware registered domains: hosts synthesized from
-    // doc ids cover plain ccTLD suffixes (co.uk, com.au), a 1-label
-    // wildcard (*.ck), an exception (!city.kobe.jp) and a private-
-    // section suffix (github.io). The oracle replays the PSL lookup
-    // with IN-lists generated from the very same vendored snapshot
-    // (PublicSuffix.sqlList), so both engines consult one rule table.
-    q(
-      "q95_psl_domains", {
-        val psl = graft.pipeline.PublicSuffix
-        def tail(k: Int) =
-          s"array_to_string(list_slice(sp, -$k, -1), '.')"
-        s"""WITH h AS (
-          |  SELECT CASE
-          |    WHEN doc_id % 6 = 0 THEN
-          |      'www.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.com'
-          |    WHEN doc_id % 6 = 1 THEN
-          |      'shop.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
-          |    WHEN doc_id % 6 = 2 THEN
-          |      'cdn.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.com.au'
-          |    WHEN doc_id % 6 = 3 THEN
-          |      'a.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.w.ck'
-          |    WHEN doc_id % 6 = 4 THEN 'deep.www.city.kobe.jp'
-          |    ELSE
-          |      'blog.alpha' || CAST(doc_id % 10 AS VARCHAR) || '.github.io'
-          |  END AS host
-          |  FROM documents),
-          |p AS (SELECT host, string_split(host, '.') AS sp FROM h),
-          |r AS (
-          |  SELECT CASE
-          |    WHEN len(sp) >= 3 AND ${tail(3)} IN (${psl.sqlList(psl.exc3)})
-          |      THEN ${tail(3)}
-          |    WHEN len(sp) >= 2 AND ${tail(2)} IN (${psl.sqlList(psl.exc2)})
-          |      THEN ${tail(2)}
-          |    WHEN len(sp) >= 4 AND (
-          |        ${tail(3)} IN (${psl.sqlList(psl.plain3)})
-          |        OR ${tail(2)} IN (${psl.sqlList(psl.wild2)}))
-          |      THEN ${tail(4)}
-          |    WHEN len(sp) >= 3 AND (
-          |        ${tail(2)} IN (${psl.sqlList(psl.plain2)})
-          |        OR sp[-1] IN (${psl.sqlList(psl.wild1)}))
-          |      THEN ${tail(3)}
-          |    ELSE regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1)
-          |  END AS domain FROM p)
-          |SELECT domain, COUNT(*) AS n_hosts
-          |FROM r GROUP BY domain ORDER BY domain"""
-      }
-    ) { (s, d) =>
-      val m = (col("doc_id") % 10).cast("string")
-      def shape(k: Int) = col("doc_id") % 6 === k
-      val host = when(shape(0), concat(lit("www.alpha"), m, lit(".com")))
-        .when(shape(1), concat(lit("shop.alpha"), m, lit(".co.uk")))
-        .when(shape(2), concat(lit("cdn.alpha"), m, lit(".com.au")))
-        .when(shape(3), concat(lit("a.alpha"), m, lit(".w.ck")))
-        .when(shape(4), lit("deep.www.city.kobe.jp"))
-        .otherwise(concat(lit("blog.alpha"), m, lit(".github.io")))
-      Tables.documents(s, d)
-        .select(TextAnalysis.registeredDomain(host).as("domain"))
-        .groupBy("domain").agg(count(lit(1)).as("n_hosts"))
-        .orderBy("domain")
-    },
-
-    // Prometheus 2.31 trigonometry family over an instant vector:
-    // rad→sin→atan→deg composed per value, pinned through PromQL's
-    // own round(v, to) = floor(v/to + 0.5)·to at 1e-9 — the identical
-    // tie rule on both engines; the step quantization absorbs the
-    // occasional 1-ulp libm-vs-JVM disagreement inside sin/atan.
-    q(
-      "q96_promql_trig",
-      """SELECT user_tag,
-        |  floor(degrees(atan(sin(radians(value)))) / 0.000000001 + 0.5)
-        |    * 0.000000001 AS value
-        |FROM (
-        |  SELECT CAST(user_id AS VARCHAR) AS user_tag, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |WHERE rn = 1 ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "round(deg(atan(sin(rad(view)))), 0.000000001)",
-        1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // Within-document repeated-substring removal (Lee et al. 2022
-    // repetition trim): a deterministic repeated tail is appended to
-    // every document, and every non-first occurrence of a 5-token gram
-    // marks its span for removal. The full reassembled text is the
-    // hash surface (the q89 standard); the oracle replays the exact
-    // relational rule — positional gram hashes, first-occurrence
-    // filter, span coverage, ordered reassembly — with the same 60-bit
-    // md5 gram keys.
-    q(
-      "q97_repeat_scrub",
-      """WITH t AS (
-        |  SELECT doc_id AS id,
-        |    string_split_regex(trim(text
-        |      || ' promo' || CAST(doc_id % 7 AS VARCHAR)
-        |      || ' click here now again promo' || CAST(doc_id % 7 AS VARCHAR)
-        |      || ' click here now again'), '\s+') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT id, i AS gpos,
-        |    ('0x' || substr(md5(
-        |      array_to_string(list_slice(toks, i + 1, i + 5), ' ')),
-        |      1, 15))::BIGINT AS gram
-        |  FROM t, UNNEST(range(0, GREATEST(len(toks) - 4, 0))) AS u(i)),
-        |f AS (SELECT id, gram, MIN(gpos) AS fp FROM g GROUP BY 1, 2),
-        |cov AS (
-        |  SELECT DISTINCT id, gpos + j AS pos FROM (
-        |    SELECT g.id, g.gpos FROM g JOIN f USING (id, gram)
-        |    WHERE g.gpos > f.fp),
-        |    UNNEST(range(0, 5)) AS v(j)),
-        |tok AS (
-        |  SELECT id, s['pos'] - 1 AS pos, s['tok'] AS tok
-        |  FROM (SELECT id,
-        |    UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x}))
-        |      AS s FROM t)),
-        |kept AS (
-        |  SELECT tok.id, tok.pos, tok.tok FROM tok
-        |  ANTI JOIN cov ON tok.id = cov.id AND tok.pos = cov.pos),
-        |agg AS (
-        |  SELECT id, COUNT(*) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY pos) AS text
-        |  FROM kept GROUP BY id)
-        |SELECT t.id, len(t.toks) AS n_tokens,
-        |  COALESCE(agg.n_kept, 0) AS n_kept,
-        |  COALESCE(agg.text, '') AS text
-        |FROM t LEFT JOIN agg USING (id) ORDER BY t.id"""
-    ) { (s, d) =>
-      val aug = Tables.spread(s, Tables.documents(s, d))
-        .select(col("doc_id"), concat(col("text"),
-          lit(" promo"), (col("doc_id") % 7).cast("string"),
-          lit(" click here now again promo"),
-          (col("doc_id") % 7).cast("string"),
-          lit(" click here now again")).as("t"))
-      TextAnalysis.removeRepeatedSpans(aug, "doc_id", "t", 5)
-        .orderBy("id")
-    },
-
-    // Full k-means corpus clustering (Lloyd's): deterministic init from
-    // the 8 lowest vec_ids, two refinement iterations, final assignment.
-    // The oracle unrolls both Lloyd steps relationally — argmin via
-    // (distance, cid) row_number, centroid update as per-position
-    // SUM/COUNT means, empty clusters keeping their previous centroid —
-    // so the iterative refinement itself is verified, not just a fixed
-    // assignment (q40 pins first-N centroids WITHOUT refinement). The
-    // hash surface is the integer assignment table: distances are
-    // macroscopically separated, so last-ulp float divergence between
-    // the engines' summation orders never flips an argmin.
-    q(
-      "q98_kmeans_clusters",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c0.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
-        |    FROM e, c0) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a1 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
-        |    USING (cid)),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c1.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
-        |    FROM e, c1) WHERE rnk = 1),
-        |m2 AS (
-        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a2 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
-        |    USING (cid))
-        |SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
-        |  SELECT e.vec_id, c2.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
-        |  FROM e, c2) WHERE rnk = 1 ORDER BY vec_id"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      // served from the SimilarityArtifacts model cache — trained once
-      // per (session, corpus, k, iters), shared with q118/q137
-      graft.pipeline.SimilarityArtifacts
-        .kmeansAssignments(e, k = 8, iters = 2, corpusKey = d)
-        .orderBy("vec_id")
-    },
-
-    // Quality-weighted deterministic sampling: keep probability equals
-    // the per-document weight (here length-proportional, capped at 1) —
-    // the importance-resampling move of a training mix. The predicate
-    // stays a pure scan-stage comparison in DOUBLE space on both sides:
-    // same md5 draw, same IEEE conversion and multiply, no double→long
-    // cast (which truncates in Spark but rounds in DuckDB).
-    q(
-      "q99_weighted_sample",
-      s"""SELECT source, COUNT(*) AS n,
-         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         |FROM documents
-         |WHERE LEAST(1.0::DOUBLE, n_chars / 2000.0::DOUBLE) >= 1.0
-         |  OR ('0x' || substr(md5('w7:' || doc_id), 1, 15))::BIGINT::DOUBLE
-         |  < LEAST(1.0::DOUBLE, n_chars / 2000.0::DOUBLE)
-         |    * ${(1L << 60).toDouble}
-         |GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      graft.pipeline.Sampling.weightedSample(
-        Tables.documents(s, d), "doc_id",
-        least(lit(1.0), col("n_chars") / lit(2000.0)), salt = "w7:")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).cast("long").as("sum_chars"))
-        .orderBy("source")
-    },
-
-    // Interpolated bigram LM scoring: λ·c(prev,t)/c(prev) + (1−λ)·c(t)/N,
-    // first token unigram-scored. The oracle replays both count tables,
-    // the per-document LAG pairing and the interpolation with the SAME
-    // arithmetic shape — (1.0 − 0.9) is computed, not written as 0.1,
-    // so the complement literal is the identical IEEE double.
-    q(
-      "q100_bigram_nll",
-      """WITH t AS (
-        |  SELECT doc_id AS id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
-        |  FROM documents),
-        |tok AS (
-        |  SELECT id, s['pos'] AS pos, s['tok'] AS tok
-        |  FROM (SELECT id,
-        |    UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x}))
-        |      AS s FROM t)),
-        |w AS (
-        |  SELECT id, pos, tok,
-        |    LAG(tok) OVER (PARTITION BY id ORDER BY pos) AS prev
-        |  FROM tok),
-        |uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY tok),
-        |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni),
-        |big AS (
-        |  SELECT prev, tok, COUNT(*) AS cb FROM w
-        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT w.id,
-        |    -ln(CASE WHEN w.prev IS NULL
-        |      THEN CAST(uni.cu AS DOUBLE) / tot.n
-        |      ELSE 0.9::DOUBLE * (CAST(big.cb AS DOUBLE) / up.cu)
-        |        + (1.0::DOUBLE - 0.9::DOUBLE)
-        |          * (CAST(uni.cu AS DOUBLE) / tot.n) END) AS nll
-        |  FROM w
-        |  JOIN uni ON w.tok = uni.tok
-        |  LEFT JOIN uni up ON w.prev = up.tok
-        |  LEFT JOIN big ON w.prev = big.prev AND w.tok = big.tok
-        |  CROSS JOIN tot)
-        |SELECT id, COUNT(*) AS n_tokens, ROUND(AVG(nll), 6) AS avg_nll
-        |FROM sc GROUP BY id ORDER BY id"""
-    ) { (s, d) =>
-      TextAnalysis.bigramLogLoss(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
-        .orderBy("id")
-    },
-
-    // PromQL atan2 — the one arithmetic word operator (Prometheus
-    // treats it exactly like * and /, with on()/ignoring() matching):
-    // view atan2 click per user over the latest samples. Both engines
-    // call the platform atan2, so the hash surface rounds to 6.
-    q(
-      "q101_promql_atan2",
-      """WITH l AS (
-        |  SELECT user_id, value FROM (
-        |    SELECT user_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |  WHERE rn = 1),
-        |r AS (
-        |  SELECT user_id, value FROM (
-        |    SELECT user_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'click'
-        |      AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |  WHERE rn = 1)
-        |SELECT CAST(l.user_id AS VARCHAR) AS user_tag,
-        |  ROUND(atan2(l.value, r.value), 6) AS value
-        |FROM l JOIN r USING (user_id) ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "view atan2 on(user) click", 1706659200000000L)
-      graft.promql.ExtendedPromQL.evalWith(parsed,
-        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
-          .select(concat(col("name"), lit(" "),
-            col("labels").getItem("user")).as("sensor_id"), col("labels")),
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // PromQL % (float mod, sign follows the dividend) and ^ (power),
-    // nested: (view % 7) ^ 2 per user over the latest samples — the
-    // last two arithmetic operators Prometheus defines that the
-    // extended endpoint lacked. fmod is exact in both engines; pow can
-    // drift a ulp between libms, so the hash surface rounds to 6.
-    q(
-      "q102_promql_mod_pow",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
-        |  ROUND(pow(fmod(value, 7.0::DOUBLE), 2.0::DOUBLE), 6) AS value
-        |FROM (
-        |  SELECT user_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |WHERE rn = 1 ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "(view % 7) ^ 2", 1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // PromQL mad_over_time: per-series median absolute deviation over
-    // the range window — median(|x − median(x)|), both medians under
-    // the linear-interpolation quantile rule quantile_cont shares.
-    q(
-      "q103_promql_mad",
-      """WITH s AS (
-        |  SELECT user_id, value FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
-        |m AS (
-        |  SELECT user_id, quantile_cont(value, 0.5) AS med
-        |  FROM s GROUP BY 1)
-        |SELECT CAST(s.user_id AS VARCHAR) AS user_tag,
-        |  ROUND(quantile_cont(abs(s.value - m.med), 0.5), 6) AS value
-        |FROM s JOIN m USING (user_id)
-        |GROUP BY s.user_id ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "mad_over_time(view[31d])", 1706745600000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          round(col("value"), 6).as("value"))
-        .orderBy("user_tag")
-    },
-
-    // Cross-document repeated-substring removal (the corpus-level Lee
-    // et al. ExactSubstr analog): a shared promo sentence is appended
-    // to EVERY document, so exactly one document (the global first
-    // occurrence) keeps it and all others are scrubbed — plus whatever
-    // naturally repeats across the corpus. The oracle replays the
-    // global first-occurrence rule with a lexicographic struct MIN over
-    // (id, gpos), the same 60-bit md5 gram keys, span coverage and
-    // ordered reassembly.
-    q(
-      "q104_corpus_repeat_scrub",
-      """WITH t AS (
-        |  SELECT doc_id AS id,
-        |    string_split_regex(trim(text
-        |      || ' visit our site today for more great deals'), '\s+')
-        |      AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT id, i AS gpos,
-        |    ('0x' || substr(md5(
-        |      array_to_string(list_slice(toks, i + 1, i + 5), ' ')),
-        |      1, 15))::BIGINT AS gram
-        |  FROM t, UNNEST(range(0, GREATEST(len(toks) - 4, 0))) AS u(i)),
-        |f AS (
-        |  SELECT gram, MIN({'id': id, 'gpos': gpos}) AS fo
-        |  FROM g GROUP BY gram),
-        |cov AS (
-        |  SELECT DISTINCT id, gpos + j AS pos FROM (
-        |    SELECT g.id, g.gpos FROM g JOIN f USING (gram)
-        |    WHERE NOT (g.id = f.fo['id'] AND g.gpos = f.fo['gpos'])),
-        |    UNNEST(range(0, 5)) AS v(j)),
-        |tok AS (
-        |  SELECT id, s['pos'] - 1 AS pos, s['tok'] AS tok
-        |  FROM (SELECT id,
-        |    UNNEST(list_transform(toks, (x, i) -> {'pos': i, 'tok': x}))
-        |      AS s FROM t)),
-        |kept AS (
-        |  SELECT tok.id, tok.pos, tok.tok FROM tok
-        |  ANTI JOIN cov ON tok.id = cov.id AND tok.pos = cov.pos),
-        |agg AS (
-        |  SELECT id, COUNT(*) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY pos) AS text
-        |  FROM kept GROUP BY id)
-        |SELECT t.id, len(t.toks) AS n_tokens,
-        |  COALESCE(agg.n_kept, 0) AS n_kept,
-        |  COALESCE(agg.text, '') AS text
-        |FROM t LEFT JOIN agg USING (id) ORDER BY t.id"""
-    ) { (s, d) =>
-      val aug = Tables.spread(s, Tables.documents(s, d))
-        .select(col("doc_id"), concat(col("text"),
-          lit(" visit our site today for more great deals")).as("t"))
-      TextAnalysis.removeRepeatedSpansCorpus(aug, "doc_id", "t", 5)
-        .orderBy("id")
-    },
-
-    // Temporal sessionization: Spark's session_window (merging windows,
-    // end = last event + gap, gap-boundary event starts a NEW session
-    // because the window interval is half-open) per user over all
-    // events. The oracle replays it as gaps-and-islands: break when the
-    // gap to the previous event is >= 30min, running-sum session ids,
-    // then per-session extrema — an all-integer hash surface.
-    q(
-      "q105_session_windows",
-      """WITH m AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN LAG(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id, epoch_us(MIN(ts)) AS start_us,
-        |  epoch_us(MAX(ts)) + 1800000000 AS end_us,
-        |  COUNT(*) AS n
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, start_us"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("user_id"),
-          unix_micros(col("sw.start")).as("start_us"),
-          unix_micros(col("sw.end")).as("end_us"),
-          col("n"))
-        .orderBy("user_id", "start_us")
-    },
-
-    // Exact-k per-stratum selection: the 5 smallest (salt, id) draws
-    // per source — a fixed-size golden subset per stratum, hash-rank
-    // replayed with the identical (hash, id) tie-break.
-    q(
-      "q106_exact_k_sample",
-      """SELECT source, doc_id FROM (
-        |  SELECT source, doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY ('0x' || substr(md5('k1:' || doc_id), 1, 15))::BIGINT,
-        |        doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 5 ORDER BY source, doc_id"""
-    ) { (s, d) =>
-      graft.pipeline.Sampling.exactKPerStratum(
-        Tables.documents(s, d), "doc_id", "source", k = 5, salt = "k1:")
-        .select(col("source"), col("doc_id"))
-        .orderBy("source", "doc_id")
-    },
-
-    // Deterministic oversampling: src3 documents appear 3x, src7 2.5x
-    // (each twice plus half a third time by draw), everything else 1x —
-    // the upsampling half of a training mix, replayed with
-    // generate_series over the identical copy-count arithmetic.
-    q(
-      "q107_oversample",
-      s"""WITH w AS (
-         |  SELECT doc_id, source,
-         |    CASE source WHEN 'src3' THEN 3.0::DOUBLE
-         |      WHEN 'src7' THEN 2.5::DOUBLE ELSE 1.0::DOUBLE END AS wt
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, source,
-         |    CAST(FLOOR(wt) AS BIGINT)
-         |      + CASE WHEN ('0x' || substr(md5('o1:' || doc_id), 1, 15))
-         |          ::BIGINT::DOUBLE
-         |        < (wt - FLOOR(wt)) * ${(1L << 60).toDouble}
-         |        THEN 1 ELSE 0 END AS copies
-         |  FROM w)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |  CAST(MAX(copy) AS BIGINT) AS max_copy
-         |FROM c, UNNEST(generate_series(1, c.copies)) AS g(copy)
-         |GROUP BY source ORDER BY source"""
-    ) { (s, d) =>
-      import graft.pipeline.Sampling
-      val wt = when(col("source") === "src3", lit(3.0))
-        .when(col("source") === "src7", lit(2.5))
-        .otherwise(lit(1.0))
-      Sampling.oversample(Tables.documents(s, d), "doc_id", wt, salt = "o1:")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          max(col("copy")).as("max_copy"))
-        .orderBy("source")
-    },
-
-    // TF-IDF top-3 characteristic terms per document: tf·ln(N/df) with
-    // raw corpus counts, rank ties broken on the token (equal (tf, df)
-    // pairs produce the bit-identical score, so the tie-break is the
-    // only order decision an external engine must replay).
-    q(
-      "q108_tfidf_keywords",
-      """WITH t AS (
-        |  SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n FROM tf),
-        |s AS (
-        |  SELECT tf.id, tf.token, tf.tf * ln(n.n / df.df) AS score
-        |  FROM tf JOIN df USING (token) CROSS JOIN n)
-        |SELECT id, rank, token, ROUND(score, 6) AS score FROM (
-        |  SELECT id, token, score,
-        |    ROW_NUMBER() OVER (PARTITION BY id
-        |      ORDER BY score DESC, token) AS rank
-        |  FROM s)
-        |WHERE rank <= 3 ORDER BY id, rank"""
-    ) { (s, d) =>
-      // served from the TextArtifacts warehouse layout (term-frequency
-      // table built once per corpus): the query is the co-bucketed
-      // tf⋈df SMJ + the rank window, nothing corpus-wide
-      TextAnalysis.tfidfTopKShared(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-        corpusKey = d, k = 3)
-        .orderBy("id", "rank")
-    },
-
-    // Band join: views within ±5 minutes of each click, per user —
-    // binned into band-width buckets and probed bin±1 so the range
-    // predicate rides an equi-join (a raw theta join nested-loops).
-    // The oracle states the range condition directly; only clicks with
-    // at least one in-band view surface (inner join on both sides).
-    q(
-      "q109_band_join",
-      """WITH c AS (
-        |  SELECT user_id, epoch_us(ts) AS cts FROM events
-        |  WHERE event_type = 'click'),
-        |v AS (
-        |  SELECT user_id, epoch_us(ts) AS vts FROM events
-        |  WHERE event_type = 'view')
-        |SELECT c.user_id, c.cts, COUNT(*) AS n_views
-        |FROM c JOIN v ON c.user_id = v.user_id
-        |  AND v.vts BETWEEN c.cts - 300000000 AND c.cts + 300000000
-        |GROUP BY 1, 2 ORDER BY 1, 2"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_type"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us").as("cts"))
-      val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts_us").as("vts"))
-      graft.operators.BandJoin
-        .bandJoin(clicks, views, "user_id", "cts", "vts", 300000000L)
-        .groupBy(col("user_id"), col("cts"))
-        .agg(count(lit(1)).as("n_views"))
-        .orderBy("user_id", "cts")
-    },
-
-    // Sliding windows: hourly windows sliding by 15 minutes over view
-    // events — each event lands in 4 overlapping windows. The oracle
-    // enumerates the 4 candidate starts per event with generate_series
-    // over pure integer µs arithmetic.
-    q(
-      "q110_sliding_windows",
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS t FROM events
-        |  WHERE event_type = 'view'),
-        |w AS (
-        |  SELECT user_id, t,
-        |    ((t // 900000000) - g.j) * 900000000 AS ws
-        |  FROM e, UNNEST(generate_series(0, 3)) AS g(j)
-        |  WHERE ((t // 900000000) - g.j) * 900000000 + 3600000000 > t)
-        |SELECT user_id, ws AS window_start_us, COUNT(*) AS n
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .filter(col("event_type") === "view")
-        .groupBy(col("user_id"),
-          window(col("ts"), "1 hour", "15 minutes").as("w"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("user_id"),
-          unix_micros(col("w.start")).as("window_start_us"), col("n"))
-        .orderBy("user_id", "window_start_us")
-    },
-
-    // Salted skew join: view events (fact) enriched with per-user click
-    // totals (dim) through SaltedJoin — hot users fan out across 8
-    // salts, cold users pay nothing, and the salt never surfaces, so
-    // the oracle is the PLAIN join it must be indistinguishable from.
-    q(
-      "q111_salted_join",
-      """WITH dim AS (
-        |  SELECT user_id, COUNT(*) AS clicks FROM events
-        |  WHERE event_type = 'click' GROUP BY 1),
-        |f AS (SELECT user_id FROM events WHERE event_type = 'view')
-        |SELECT f.user_id, COUNT(*) AS n_views, dim.clicks
-        |FROM f JOIN dim USING (user_id)
-        |GROUP BY 1, 3 ORDER BY 1"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-      val dim = e.filter(col("event_type") === "click")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("clicks"))
-      val fact = e.filter(col("event_type") === "view")
-        .select(col("user_id"))
-      graft.operators.SaltedJoin
-        .join(fact, dim, "user_id", salts = 8, hotThreshold = 20L)
-        .groupBy(col("user_id"), col("clicks"))
-        .agg(count(lit(1)).as("n_views"))
-        .select(col("user_id"), col("n_views"), col("clicks"))
-        .orderBy("user_id")
-    },
-
-    // One-pass numeric profiling (the drift-detection snapshot): every
-    // column's stats come out of a SINGLE aggregate, unpivoted to a
-    // (column, stats) surface. Mean/stddev round to 6 (summation-order
-    // ulp, the q78 precedent); min/max/counts are exact.
-    q(
-      "q112_numeric_profile",
-      """SELECT 'l_discount' AS col_name, COUNT(l_discount) AS n,
-        |  COUNT(*) - COUNT(l_discount) AS n_nulls,
-        |  ROUND(MIN(l_discount)::DOUBLE, 6) AS min,
-        |  ROUND(MAX(l_discount)::DOUBLE, 6) AS max,
-        |  ROUND(AVG(l_discount), 6) AS mean,
-        |  ROUND(STDDEV_SAMP(l_discount), 6) AS stddev
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_extendedprice', COUNT(l_extendedprice),
-        |  COUNT(*) - COUNT(l_extendedprice),
-        |  ROUND(MIN(l_extendedprice)::DOUBLE, 6),
-        |  ROUND(MAX(l_extendedprice)::DOUBLE, 6),
-        |  ROUND(AVG(l_extendedprice), 6),
-        |  ROUND(STDDEV_SAMP(l_extendedprice), 6)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_quantity', COUNT(l_quantity),
-        |  COUNT(*) - COUNT(l_quantity),
-        |  ROUND(MIN(l_quantity)::DOUBLE, 6),
-        |  ROUND(MAX(l_quantity)::DOUBLE, 6),
-        |  ROUND(AVG(l_quantity), 6),
-        |  ROUND(STDDEV_SAMP(l_quantity), 6)
-        |FROM lineitem
-        |ORDER BY col_name"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.numericProfile(
-        Tables.lineitem(s, d),
-        Seq("l_discount", "l_extendedprice", "l_quantity"))
-        .select(col("column").as("col_name"), col("n"), col("n_nulls"),
-          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
-          round(col("mean"), 6).as("mean"),
-          round(col("stddev"), 6).as("stddev"))
-        .orderBy("col_name")
-    },
-
-    // CUBE aggregation (all four grouping combinations of returnflag ×
-    // linestatus in one pass) — the §2.7 set-op family's OLAP sibling;
-    // grouping-null markers stringified so the surface is typed stably.
-    q(
-      "q113_cube",
-      """SELECT COALESCE(l_returnflag, '<all>') AS rflag,
-        |  COALESCE(l_linestatus, '<all>') AS lstatus,
-        |  COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
-        |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY rflag, lstatus"""
-    ) { (s, d) =>
-      Tables.lineitem(s, d)
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
-          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
-          col("n"), col("sum_qty"))
-        .orderBy("rflag", "lstatus")
-    },
-
-    // Rolling trailing-window aggregates: for every view event, the
-    // count and mean of the user's views in the preceding hour — a
-    // RANGE frame over epoch-µs (one shuffle on the user key, frame
-    // peers included identically in both engines at duplicate
-    // timestamps). The row-wise trailing mean is the event-driven
-    // sibling of the PromQL eval-instant over_time family.
-    q(
-      "q114_rolling_window",
-      """SELECT user_id, epoch_us(ts) AS t,
-        |  COUNT(*) OVER w AS n_1h,
-        |  ROUND(AVG(value) OVER w, 6) AS avg_1h
-        |FROM events
-        |WHERE event_type = 'view'
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, t"""
-    ) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
-        .rangeBetween(-3600000000L, 0L)
-      Tables.events(s, d)
-        .filter(col("event_type") === "view")
-        .select(col("user_id"), unix_micros(col("ts")).as("t"),
-          col("value"))
-        .select(col("user_id"), col("t"),
-          count(lit(1)).over(w).as("n_1h"),
-          round(avg(col("value")).over(w), 6).as("avg_1h"))
-        .orderBy("user_id", "t")
-    },
-
-    // Quantile profile: p25/p50/p75/p95 per numeric column, still one
-    // aggregate pass (12 exact percentiles collected together) —
-    // Spark's percentile and DuckDB's quantile_cont share the
-    // linear-interpolation definition; ROUND(6) absorbs the ulp.
-    q(
-      "q115_quantile_profile",
-      """SELECT 'l_discount' AS col_name,
-        |  ROUND(quantile_cont(l_discount, 0.25), 6) AS p25,
-        |  ROUND(quantile_cont(l_discount, 0.5), 6) AS p50,
-        |  ROUND(quantile_cont(l_discount, 0.75), 6) AS p75,
-        |  ROUND(quantile_cont(l_discount, 0.95), 6) AS p95
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_extendedprice',
-        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6),
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6),
-        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6),
-        |  ROUND(quantile_cont(l_extendedprice, 0.95), 6)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_quantity',
-        |  ROUND(quantile_cont(l_quantity, 0.25), 6),
-        |  ROUND(quantile_cont(l_quantity, 0.5), 6),
-        |  ROUND(quantile_cont(l_quantity, 0.75), 6),
-        |  ROUND(quantile_cont(l_quantity, 0.95), 6)
-        |FROM lineitem
-        |ORDER BY col_name"""
-    ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
-      // exact = true is the ORACLE surface only (DuckDB quantile_cont
-      // hash-matches exact percentile); the production path is
-      // Profiler.quantileProfile's default approx_percentile, whose
-      // state is accuracy-bounded instead of O(rows) — an ε-bound
-      // property in PipelineSpec ties the two paths together
-      graft.pipeline.Profiler.quantileProfile(li, cols,
-          probs = Seq(0.25, 0.5, 0.75, 0.95), exact = true)
-        .select(col("column").as("col_name"),
-          round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
-          round(col("p75"), 6).as("p75"), round(col("p95"), 6).as("p95"))
-        .orderBy("col_name")
-    },
-
-    // Stream-stream interval join: clicks joined to views within ±5
-    // minutes per user, as a watermarked Structured Streaming self-join
-    // over the events file stream — and the oracle is the identical
-    // PLAIN range-join SQL as the batch band join (q109), which is the
-    // point: the streaming plan must converge to the batch answer.
-    q(
-      "q116_stream_interval_join",
-      """WITH c AS (
-        |  SELECT user_id, epoch_us(ts) AS cts FROM events
-        |  WHERE event_type = 'click' AND user_id < 10),
-        |v AS (
-        |  SELECT user_id, epoch_us(ts) AS vts FROM events
-        |  WHERE event_type = 'view' AND user_id < 10)
-        |SELECT c.user_id, c.cts, COUNT(*) AS n_views
-        |FROM c JOIN v ON c.user_id = v.user_id
-        |  AND v.vts BETWEEN c.cts - 300000000 AND c.cts + 300000000
-        |GROUP BY 1, 2 ORDER BY 1, 2"""
-    ) { (s, d) =>
-      // a stream-stream join opens FOUR state stores per shuffle
-      // partition; at the session's 32 partitions that is 128 store
-      // instances checkpointing per micro-batch — pure fixed overhead
-      // for a bounded demo. Scope the state partitioning down via the
-      // shared DEDICATED session (own SQLConf, shared context) —
-      // mutating the shared conf and restoring it would silently
-      // re-plan anything planned concurrently with 4 partitions.
-      val ss = streamSession(s)
-      locally {
-        val schema = Tables.load(s, d, "events").schema
-        val raw = ss.readStream.schema(schema)
-          .parquet(streamSourceDir(s, d, "events"))
-        val stream =
-          if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else raw
-        // user_id < 10 bounds the state-store demo: the machinery cost
-        // (two state stores, per-row puts) is the fixed overhead being
-        // exercised, not the corpus size
-        val clicks = stream.filter(col("event_type") === "click" &&
-            col("user_id") < 10)
-          .select(col("user_id").as("cu"), col("ts").as("cts"))
-          .withWatermark("cts", "1 hour")
-        val views = stream.filter(col("event_type") === "view" &&
-            col("user_id") < 10)
-          .select(col("user_id").as("vu"), col("ts").as("vts"))
-          .withWatermark("vts", "1 hour")
-        val joined = clicks.join(views, expr(
-          """cu = vu AND
-            |vts BETWEEN cts - INTERVAL 5 MINUTES
-            |        AND cts + INTERVAL 5 MINUTES""".stripMargin))
-        val name = s"q116_out_${System.nanoTime()}"
-        val query = joined.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-        try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-        // the memory sink registers its view in the SCOPED session's
-        // catalog; the bounded result re-materializes on the caller's
-        // session so nothing downstream depends on the scoped one
-        val out = ss.table(name)
-          .groupBy(col("cu"), col("cts"))
-          .agg(count(lit(1)).as("n_views"))
-          .select(col("cu").as("user_id"),
-            unix_micros(col("cts")).as("cts"), col("n_views"))
-        boundedResult(s, ss, name, out, Seq("user_id", "cts"))
-      }
-    },
-
-    // Profile drift between two corpus snapshots (even vs odd order
-    // keys standing in for run N vs run N+1): per column, both means,
-    // the baseline-stddev-normalized mean shift and the count ratio.
-    // The oracle replays both one-pass profiles and the same division
-    // order; everything rounds to 6 over the summation ulp.
-    q(
-      "q117_profile_drift",
-      """WITH b AS (
-        |  SELECT 'l_discount' AS col_name, COUNT(l_discount) AS n,
-        |    AVG(l_discount) AS mean, STDDEV_SAMP(l_discount) AS sd
-        |  FROM lineitem WHERE l_orderkey % 2 = 0
-        |  UNION ALL
-        |  SELECT 'l_quantity', COUNT(l_quantity), AVG(l_quantity),
-        |    STDDEV_SAMP(l_quantity)
-        |  FROM lineitem WHERE l_orderkey % 2 = 0),
-        |c AS (
-        |  SELECT 'l_discount' AS col_name, COUNT(l_discount) AS n,
-        |    AVG(l_discount) AS mean
-        |  FROM lineitem WHERE l_orderkey % 2 = 1
-        |  UNION ALL
-        |  SELECT 'l_quantity', COUNT(l_quantity), AVG(l_quantity)
-        |  FROM lineitem WHERE l_orderkey % 2 = 1)
-        |SELECT b.col_name, b.n AS n_base, c.n AS n_cur,
-        |  ROUND(b.mean, 6) AS mean_base, ROUND(c.mean, 6) AS mean_cur,
-        |  ROUND(abs(c.mean - b.mean) / b.sd, 6) AS mean_shift,
-        |  ROUND(c.n / CAST(b.n AS DOUBLE), 6) AS count_ratio
-        |FROM b JOIN c USING (col_name) ORDER BY col_name"""
-    ) { (s, d) =>
-      import graft.pipeline.Profiler
-      val li = Tables.lineitem(s, d)
-      val cols = Seq("l_discount", "l_quantity")
-      val base = Profiler.numericProfile(
-        li.filter(col("l_orderkey") % 2 === 0), cols)
-      val cur = Profiler.numericProfile(
-        li.filter(col("l_orderkey") % 2 === 1), cols)
-      Profiler.drift(base, cur)
-        .select(col("column").as("col_name"), col("n_base"), col("n_cur"),
-          round(col("mean_base"), 6).as("mean_base"),
-          round(col("mean_cur"), 6).as("mean_cur"),
-          round(col("mean_shift"), 6).as("mean_shift"),
-          round(col("count_ratio"), 6).as("count_ratio"))
-        .orderBy("col_name")
-    },
-
-    // Balanced per-cluster sampling: k-means assignments (q98's exact
-    // pipeline) composed with exact-k selection per cluster — the
-    // "diverse evaluation subset" move (cap every semantic region at
-    // the same size). The oracle replays the full two-iteration Lloyd
-    // unroll and then the (hash, id) rank inside each cluster.
-    q(
-      "q118_balanced_cluster_sample",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c0.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
-        |    FROM e, c0) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a1 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
-        |    USING (cid)),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c1.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
-        |    FROM e, c1) WHERE rnk = 1),
-        |m2 AS (
-        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a2 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
-        |    USING (cid)),
-        |a3 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c2.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
-        |    FROM e, c2) WHERE rnk = 1)
-        |SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
-        |  SELECT vec_id, cid,
-        |    ROW_NUMBER() OVER (PARTITION BY cid
-        |      ORDER BY ('0x' || substr(md5('bal:' || vec_id), 1, 15))::BIGINT,
-        |        vec_id) AS rk
-        |  FROM a3)
-        |WHERE rk <= 10 ORDER BY vec_id"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-      val assigned = graft.pipeline.SimilarityArtifacts
-        .kmeansAssignments(e, k = 8, iters = 2, corpusKey = d)
-      graft.pipeline.Sampling.exactKPerStratum(
-        assigned, "vec_id", "cluster", k = 10, salt = "bal:")
-        .orderBy("vec_id")
-    },
-
-    // Zipf fit over the corpus vocabulary: least-squares slope of
-    // ln(freq) against ln(rank) — the one-number sanity check that a
-    // text corpus is natural language (slope near -1) rather than
-    // boilerplate soup. Rank ties break on the token; the regression
-    // rides the codegen'd regr_* aggregates.
-    q(
-      "q119_zipf_fit",
-      """WITH t AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |    AS token
-        |  FROM documents),
-        |c AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token),
-        |r AS (
-        |  SELECT freq,
-        |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
-        |  FROM c)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
-        |  ROUND(regr_slope(ln(CAST(freq AS DOUBLE)),
-        |    ln(CAST(rank AS DOUBLE))), 6) AS slope,
-        |  ROUND(regr_intercept(ln(CAST(freq AS DOUBLE)),
-        |    ln(CAST(rank AS DOUBLE))), 6) AS intercept
-        |FROM r"""
-    ) { (s, d) =>
-      // vocabulary counts served from the TextArtifacts warehouse —
-      // Σ tf per token rides the token bucketing with zero Exchange;
-      // only the O(vocab) rank window and the regr_* aggregate remain
-      val c = graft.pipeline.TextArtifacts
-        .termFreq(Tables.spread(s, Tables.documents(s, d)),
-          "doc_id", "text", corpusKey = d)
-        .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
-      val r = c.select(col("freq"), row_number().over(
-        Window.orderBy(col("freq").desc, col("token"))).as("rank"))
-      r.agg(count(lit(1)).as("n_vocab"),
-        round(regr_slope(log(col("freq").cast("double")),
-          log(col("rank").cast("double"))), 6).as("slope"),
-        round(regr_intercept(log(col("freq").cast("double")),
-          log(col("rank").cast("double"))), 6).as("intercept"))
-    },
-
-    // Document-length histogram per source: 500-char buckets capped at
-    // bucket 9 — pure integer arithmetic on both sides (no
-    // width_bucket, which the engines define differently), the
-    // profiling companion to q112/q115.
-    q(
-      "q120_length_histogram",
-      """SELECT source,
-        |  CAST(LEAST(n_chars // 500, 9) AS BIGINT) AS bucket,
-        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents
-        |GROUP BY 1, 2 ORDER BY 1, 2"""
-    ) { (s, d) =>
-      Tables.documents(s, d)
-        .groupBy(col("source"),
-          least(expr("n_chars div 500"), lit(9)).as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).cast("long").as("sum_chars"))
-        .orderBy("source", "bucket")
-    },
-
-    // Content-defined chunking dedup stats: FastCDC/gear-hash
-    // boundaries (cut after every char where the 24-bit rolling gear
-    // hash has all 6 spread mask bits zero — ONE table lookup per char,
-    // not one digest per position), chunk fingerprints deduplicated
-    // corpus-wide — the storage-dedup measurement (how many chars are
-    // duplicate chunk instances). The oracle replays the IDENTICAL
-    // derived gear table (GearTable.sqlList — same values, single
-    // source of truth) through the identical recurrence: h_p =
-    // Σ gear(c_{p−j})·2^j mod 2^24 for j<24, written as 24 LAG terms
-    // (older terms vanish mod 2^24), then segmentation via LEAD and
-    // the (doc, start)-ordered first-instance rule; every augmented
-    // doc shares the q104 promo tail so duplicate chunks are
-    // guaranteed. Indexing is code-point-based on BOTH sides.
-    q(
-      "q121_cdc_chunks",
-      s"""WITH gear AS (SELECT ${graft.pipeline.GearTable.sqlList} AS gl),
-        |norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(lower(text
-        |      || ' visit our site today for more great deals'),
-        |      '\\s+', ' ', 'g')) AS t
-        |  FROM documents),
-        |nz AS (SELECT doc_id, t, len(t) AS n FROM norm WHERE len(t) >= 1),
-        |g AS (
-        |  SELECT doc_id, n, p,
-        |    gear.gl[(unicode(substr(t, p::INT, 1)) % 256) + 1]::BIGINT AS gv
-        |  FROM (SELECT doc_id, t, n,
-        |    unnest(range(1, n::INT + 1)) AS p FROM nz), gear),
-        |h AS (
-        |  SELECT doc_id, n, p,
-        |    (${(0 until 24).map(j =>
-               s"LAG(gv, $j, 0) OVER (PARTITION BY doc_id ORDER BY p)" +
-                 (if (j == 0) "" else s" * ${1L << j}")).mkString("\n        |     + ")})
-        |      % ${graft.pipeline.GearTable.Mod} AS hv
-        |  FROM g),
-        |cuts AS (SELECT doc_id, p AS cut FROM h
-        |  WHERE (hv & ${graft.pipeline.GearTable.mask(6)}) = 0 AND p < n),
-        |bounds AS (
-        |  SELECT doc_id, cut FROM cuts
-        |  UNION SELECT doc_id, 0 FROM nz
-        |  UNION SELECT doc_id, n FROM nz),
-        |seg AS (
-        |  SELECT doc_id, cut AS a,
-        |    LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS b
-        |  FROM bounds),
-        |chunks AS (
-        |  SELECT s.doc_id, s.a, s.b - s.a AS len,
-        |    ('0x' || substr(md5(substr(nz.t, s.a::INT + 1,
-        |      (s.b - s.a)::INT)), 1, 15))::BIGINT AS fp
-        |  FROM seg s JOIN nz USING (doc_id) WHERE s.b IS NOT NULL),
-        |r AS (
-        |  SELECT fp, len,
-        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, a) AS rn
-        |  FROM chunks)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
-        |  CAST(SUM(len) AS BIGINT) AS total_chars,
-        |  CAST(SUM(CASE WHEN rn > 1 THEN len ELSE 0 END) AS BIGINT)
-        |    AS dup_chars
-        |FROM r"""
-    ) { (s, d) =>
-      val chunks = Tables.spread(s, Tables.documents(s, d))
-        .select(col("doc_id"),
-          explode(TextAnalysis.cdcChunksGear(
-            concat(col("text"),
-              lit(" visit our site today for more great deals")),
-            maskBits = 6)).as("c"))
-        .select(col("doc_id"), col("c.fp").as("fp"),
-          col("c.len").as("len"), col("c.start").as("a"))
-      val rn = row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("a")))
-      chunks.withColumn("rn", rn)
-        .agg(count(lit(1)).as("n_chunks"),
-          countDistinct(col("fp")).as("n_unique"),
-          sum(col("len")).cast("long").as("total_chars"),
-          sum(when(col("rn") > 1, col("len")).otherwise(0L)).cast("long")
-            .as("dup_chars"))
-    },
-
-    // Vocabulary coverage across the deterministic split: token-level
-    // OOV rate of the val/test slices against the train vocabulary —
-    // the tokenizer-coverage check run before committing a vocab. The
-    // train vocab collapses to DISTINCT tokens (the q58 contamination
-    // shape); the anti-join is token-keyed.
-    q(
-      "q122_vocab_coverage",
-      s"""WITH s AS (
-         |  SELECT doc_id, text,
-         |    CASE
-         |      WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
-         |        < ${(0.8 * (1L << 60).toDouble).toLong} THEN 'train'
-         |      WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
-         |        < ${(0.9 * (1L << 60).toDouble).toLong} THEN 'val'
-         |      ELSE 'test' END AS split
-         |  FROM documents),
-         |t AS (
-         |  SELECT split,
-         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-         |  FROM s),
-         |vocab AS (SELECT DISTINCT token FROM t WHERE split = 'train'),
-         |ev AS (SELECT split, token FROM t WHERE split <> 'train')
-         |SELECT ev.split, COUNT(*) AS n_tokens,
-         |  CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_oov,
-         |  ROUND(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
-         |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
-         |FROM ev LEFT JOIN vocab USING (token)
-         |GROUP BY ev.split ORDER BY ev.split"""
-    ) { (s, d) =>
-      // served from the TextArtifacts warehouse: the split hash applies
-      // directly to the tf table's doc id, the per-token rollup rides
-      // the token bucketing, and the only movement left is one scalar
-      // aggregate (see vocabOovShared's scaladoc)
-      TextAnalysis.vocabOovShared(
-          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-          corpusKey = d,
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          trainSplit = "train")
-        .orderBy("split")
-    },
-
-    // Cross-series quantile aggregation — quantile(0.75, view): the
-    // parameterized member of the instant-aggregation family the
-    // endpoint lacked. Exact per-group quantile (linear interpolation,
-    // the quantile_cont definition) over the latest sample per series.
-    q(
-      "q123_promql_quantile_agg",
-      """SELECT ROUND(quantile_cont(value, 0.75), 6) AS value FROM (
-        |  SELECT user_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1706655600000000 AND 1706659200000000)
-        |WHERE rn = 1
-        |HAVING COUNT(*) > 0"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "quantile(0.75, view)", 1706659200000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(round(col("value"), 6).as("value"))
-    },
-
-    // topk by (parity): per-group ranking over the instant vector —
-    // the WindowGroupLimit shape (per-partition top-k, no global
-    // sort). Parity labels derive from the user id as in q63.
-    q(
-      "q124_promql_topk_by",
-      """SELECT user_id % 2 AS parity, rank, CAST(user_id AS VARCHAR)
-        |    AS user_tag, value
-        |FROM (
-        |  SELECT user_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id % 2
-        |      ORDER BY value DESC,
-        |        'view ' || CAST(user_id AS VARCHAR)) AS rank
-        |  FROM (
-        |    SELECT user_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1705496400000000
-        |        AND 1705500000000000)
-        |  WHERE rn = 1)
-        |WHERE rank <= 3 ORDER BY parity, rank"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "topk by (parity) (3, view)", 1705500000000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"),
-          map_concat(col("labels"), map(lit("parity"),
-            (col("labels")("user").cast("long") % 2).cast("string")))
-            .as("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "parity").cast("long")
-            .as("parity"),
-          col("rank"),
-          element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("parity", "rank")
-    },
-
-    // limit_ratio: Prometheus 3's deterministic series sampling — the
-    // draw is md5 of the canonical label string, so the oracle
-    // reconstructs 'user=<id>' and replays membership exactly. The
-    // 31-day-latest values ride along as the payload.
-    q(
-      "q125_promql_limit_ratio",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag, value FROM (
-        |  SELECT user_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |  FROM events
-        |  WHERE event_type = 'view'
-        |    AND epoch_us(ts) BETWEEN 1705496400000000 AND 1705500000000000)
-        |WHERE rn = 1
-        |  AND ('0x' || substr(md5('user=' || user_id), 1, 15))
-        |    ::BIGINT::DOUBLE / 1152921504606846976.0::DOUBLE < 0.4::DOUBLE
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "limit_ratio(0.4, view)", 1705500000000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // limitk: the k smallest label-hash draws — same md5 canonical
-    // replay, k-bounded with the (draw, series) tie-break.
-    q(
-      "q126_promql_limitk",
-      """SELECT CAST(user_id AS VARCHAR) AS user_tag, value FROM (
-        |  SELECT user_id, value,
-        |    ('0x' || substr(md5('user=' || user_id), 1, 15))::BIGINT AS d
-        |  FROM (
-        |    SELECT user_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1705496400000000
-        |        AND 1705500000000000)
-        |  WHERE rn = 1
-        |  ORDER BY d, 'view ' || CAST(user_id AS VARCHAR) LIMIT 5)
-        |ORDER BY user_tag"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        "limitk(5, view)", 1705500000000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(element_at(col("labels"), "user").as("user_tag"),
-          col("value"))
-        .orderBy("user_tag")
-    },
-
-    // sort_by_label_desc: the instant vector ranked by label VALUES
-    // (string order — user "9" sorts after "10", which is the point:
-    // label ordering is lexicographic, not numeric). Oracle replays
-    // the string sort and the series-id tie.
-    q(
-      "q127_promql_sort_by_label",
-      """SELECT rank, user_tag, value FROM (
-        |  SELECT CAST(user_id AS VARCHAR) AS user_tag, value,
-        |    ROW_NUMBER() OVER (
-        |      ORDER BY CAST(user_id AS VARCHAR) DESC,
-        |        'view ' || CAST(user_id AS VARCHAR) DESC) AS rank
-        |  FROM (
-        |    SELECT user_id, value,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events
-        |    WHERE event_type = 'view'
-        |      AND epoch_us(ts) BETWEEN 1705496400000000
-        |        AND 1705500000000000)
-        |  WHERE rn = 1)
-        |ORDER BY rank"""
-    ) { (s, d) =>
-      val parsed = graft.promql.ExtendedPromQL.parse(
-        """sort_by_label_desc(view, "user")""", 1705500000000000L)
-      val selected = Matchers.sensorsByLabels(
-        EventsAdapter.sensors(s, d), parsed.matchers)
-        .select(concat(col("name"), lit(" "),
-          col("labels").getItem("user")).as("sensor_id"), col("labels"))
-      graft.promql.ExtendedPromQL.eval(parsed, selected,
-        EventsAdapter.samples(s, d)
-          .select("sensor_id", "timestamp_us", "value"))
-        .select(col("rank"),
-          element_at(col("labels"), "user").as("user_tag"), col("value"))
-        .orderBy("rank")
-    },
-
-    // Categorical profile: distinct counts and top-3 values for two
-    // lineitem string columns in ONE shuffle — every column melts into
-    // a (column, value) frame first, so the profile never runs one job
-    // per column. Ties break on the value string.
-    q(
-      "q128_categorical_profile",
-      """WITH m AS (
-        |  SELECT 'l_returnflag' AS col_name, l_returnflag AS value
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_linestatus', l_linestatus FROM lineitem),
-        |c AS (
-        |  SELECT col_name, value, COUNT(*) AS n
-        |  FROM m GROUP BY 1, 2),
-        |r AS (
-        |  SELECT col_name, value, n,
-        |    ROW_NUMBER() OVER (PARTITION BY col_name
-        |      ORDER BY n DESC, value) AS rank,
-        |    COUNT(*) OVER (PARTITION BY col_name) AS n_distinct
-        |  FROM c)
-        |SELECT col_name, CAST(n_distinct AS BIGINT) AS n_distinct,
-        |  rank, value, n
-        |FROM r WHERE rank <= 3 ORDER BY col_name, rank"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.categoricalProfile(
-        Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"), k = 3)
-        .select(col("column").as("col_name"),
-          col("n_distinct").cast("long").as("n_distinct"),
-          col("rank"), col("value"), col("n"))
-        .orderBy("col_name", "rank")
-    },
-
-    // Auto-routed skew join: the engine's join layer runs the hot-key
-    // census once (eager local checkpoint, reused by the routing
-    // decision and both join sides) and picks plain vs salted
-    // automatically — q111 proves the salted mechanism, this proves
-    // the ROUTING preserves semantics end-to-end. The oracle is the
-    // plain join it must equal regardless of which shape fires.
-    q(
-      "q129_auto_skew_join",
-      """WITH dim AS (
-        |  SELECT user_id, COUNT(*) AS clicks FROM events
-        |  WHERE event_type = 'click' GROUP BY 1),
-        |f AS (SELECT user_id FROM events WHERE event_type = 'view')
-        |SELECT f.user_id, COUNT(*) AS n_views, dim.clicks
-        |FROM f JOIN dim USING (user_id)
-        |GROUP BY 1, 3 ORDER BY 1"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-      val dim = e.filter(col("event_type") === "click")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("clicks"))
-      val fact = e.filter(col("event_type") === "view")
-        .select(col("user_id"))
-      graft.operators.SaltedJoin
-        .autoJoin(fact, dim, "user_id", salts = 8, hotThreshold = 20L)
-        .groupBy(col("user_id"), col("clicks"))
-        .agg(count(lit(1)).as("n_views"))
-        .select(col("user_id"), col("n_views"), col("clicks"))
-        .orderBy("user_id")
-    },
-
-    // Population Stability Index between two corpus snapshots (even vs
-    // odd order keys, the q117 split): FIXED bucket edges (replayable —
-    // quantile-derived edges would make the metric depend on the
-    // snapshot), Laplace-smoothed shares so no bucket divides by zero,
-    // per-bucket (p−q)·ln(p/q) contributions. The oracle replays the
-    // identical bucket/smoothing/ln arithmetic; ROUND(6) absorbs the
-    // libm ulp (the q119 Zipf precedent).
-    q(
-      "q130_psi_drift",
-      """WITH base AS (
-        |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
-        |cur AS (
-        |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
-        |bb AS (
-        |  SELECT LEAST(9, GREATEST(0,
-        |    CAST(FLOOR((v - 0.0) / 50000.0) AS INT))) AS bucket,
-        |    COUNT(*) AS n_base
-        |  FROM base GROUP BY 1),
-        |cb AS (
-        |  SELECT LEAST(9, GREATEST(0,
-        |    CAST(FLOOR((v - 0.0) / 50000.0) AS INT))) AS bucket,
-        |    COUNT(*) AS n_cur
-        |  FROM cur GROUP BY 1),
-        |spine AS (SELECT CAST(unnest(range(10)) AS INT) AS bucket),
-        |j AS (
-        |  SELECT spine.bucket, COALESCE(n_base, 0) AS n_base,
-        |    COALESCE(n_cur, 0) AS n_cur
-        |  FROM spine LEFT JOIN bb USING (bucket) LEFT JOIN cb USING (bucket)),
-        |t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j)
-        |SELECT bucket, n_base, n_cur,
-        |  ROUND((p - q) * ln(p / q), 6) AS psi_part
-        |FROM (
-        |  SELECT j.bucket, j.n_base, j.n_cur,
-        |    (j.n_base + 0.5) / (t.tb + 0.5 * 10) AS p,
-        |    (j.n_cur + 0.5) / (t.tc + 0.5 * 10) AS q
-        |  FROM j, t)
-        |ORDER BY bucket"""
-    ) { (s, d) =>
-      val o = Tables.orders(s, d)
-      graft.pipeline.Profiler.psi(
-          o.filter(col("o_orderkey") % 2 === 0),
-          o.filter(col("o_orderkey") % 2 === 1),
-          "o_totalprice", lo = 0.0, hi = 500000.0, k = 10)
-        .select(col("bucket"), col("n_base"), col("n_cur"),
-          round(col("psi_part"), 6).as("psi_part"))
-        .orderBy("bucket")
-    },
-
-    // Token-budget mixture downsampling: "train on 40k chars at 40/30/
-    // 20/10 src0..src3" becomes per-source keep rates computed FROM the
-    // corpus (rate = min(1, budget·share / source_chars) — short
-    // sources cap at keep-everything, absent sources rate 0), then the
-    // engine-portable (salt, id) draw per row. The oracle recomputes
-    // the same rate table and replays the same predicate, both arms.
-    q(
-      "q131_budget_mix",
-      s"""WITH tok AS (
-         |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
-         |  FROM documents GROUP BY 1),
-         |r AS (
-         |  SELECT source, LEAST(1.0,
-         |    (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
-         |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
-         |      ELSE 0.0 END) * 40000.0 / tok) AS rate
-         |  FROM tok)
-         |SELECT d.source, COUNT(*) AS n_docs,
-         |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
-         |FROM documents d JOIN r USING (source)
-         |WHERE r.rate >= 1.0
-         |  OR ('0x' || substr(md5('mix0:' || d.doc_id), 1, 15))
-         |    ::BIGINT::DOUBLE < r.rate * ${(1L << 60).toDouble}
-         |GROUP BY 1 ORDER BY 1"""
-    ) { (s, d) =>
-      graft.pipeline.Sampling.mixToBudget(
-          Tables.documents(s, d), "doc_id", "source", "n_chars",
-          shares = Map("src0" -> 0.4, "src1" -> 0.3,
-            "src2" -> 0.2, "src3" -> 0.1),
-          budgetTokens = 40000L)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("kept_chars"))
-        .orderBy("source")
-    },
-
-    // Temperature-flattened mixture (√-scaling, the multilingual-mix
-    // move): per-source budget share ∝ √tokens instead of tokens, so
-    // small sources are boosted. α is fixed at 0.5 because IEEE sqrt is
-    // correctly rounded on every engine (libm pow is not); the
-    // normalizer Σ√tok is folded in EXPLICIT source order on both
-    // sides, never a data-ordered float SUM. Exercises capped (small
-    // SFs) and fractional (sf0.1) rate arms plus rate-0 for the 16
-    // sources outside the mix.
-    q(
-      "q132_temperature_mix",
-      s"""WITH tok AS (
-         |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
-         |  FROM documents WHERE source IN ('src0','src1','src2','src3')
-         |  GROUP BY 1),
-         |n AS (SELECT
-         |  ((sqrt(COALESCE((SELECT tok FROM tok WHERE source='src0'), 0))
-         |   + sqrt(COALESCE((SELECT tok FROM tok WHERE source='src1'), 0)))
-         |   + sqrt(COALESCE((SELECT tok FROM tok WHERE source='src2'), 0)))
-         |   + sqrt(COALESCE((SELECT tok FROM tok WHERE source='src3'), 0))
-         |  AS norm),
-         |r AS (
-         |  SELECT source, LEAST(1.0::DOUBLE,
-         |    33000.0 * sqrt(tok) / (SELECT norm FROM n) / tok) AS rate
-         |  FROM tok)
-         |SELECT d.source, COUNT(*) AS n_docs,
-         |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
-         |FROM documents d JOIN r USING (source)
-         |WHERE r.rate >= 1.0
-         |  OR ('0x' || substr(md5('temp0:' || d.doc_id), 1, 15))
-         |    ::BIGINT::DOUBLE < r.rate * ${(1L << 60).toDouble}
-         |GROUP BY 1 ORDER BY 1"""
-    ) { (s, d) =>
-      graft.pipeline.Sampling.temperatureMix(
-          Tables.documents(s, d), "doc_id", "source", "n_chars",
-          sources = Seq("src0", "src1", "src2", "src3"),
-          budgetTokens = 33000L)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("kept_chars"))
-        .orderBy("source")
-    },
-
-    // Sequential Poisson sampling (Ohlsson): EXACTLY k rows, inclusion
-    // probability ∝ weight — rank by draw/weight, keep the k smallest.
-    // The key is one IEEE division of engine-identical operands (no
-    // pow/ln whose libm drift could flip the kth boundary); Spark plans
-    // TakeOrderedAndProject (per-partition heaps), pinned in PlanSpec.
-    q(
-      "q133_seq_poisson_sample",
-      """SELECT doc_id, source, n_chars FROM (
-        |  SELECT doc_id, source, n_chars FROM documents
-        |  WHERE n_chars > 0
-        |  ORDER BY ('0x' || substr(md5('sps0:' || doc_id), 1, 15))
-        |    ::BIGINT::DOUBLE / n_chars::DOUBLE, doc_id
-        |  LIMIT 60)
-        |ORDER BY doc_id"""
-    ) { (s, d) =>
-      graft.pipeline.Sampling.sequentialPoissonSample(
-          Tables.documents(s, d), "doc_id", col("n_chars"), k = 60)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    },
-
-    // SemDeDup-style semantic dedup: k-means-cluster the embedding
-    // space (q98's exact config — lowest-id init, two Lloyd rounds),
-    // then drop every vector with a LOWER-id ≥τ cosine neighbor in its
-    // own cluster. Survivor guarantee: no two kept vectors in one
-    // cluster are within τ. The oracle replays the full pipeline —
-    // both Lloyd iterations, the final assignment, the within-cluster
-    // pair scan, and the anti-join. τ=0.44 sits ≥2.7e-3 from the
-    // nearest within-cluster cosine at all three SFs (probed), so the
-    // cut can never flip on last-ulp engine drift. The vec_id cap
-    // bounds the oracle's quadratic pair stage the same way q46's does;
-    // the cluster-scoped Σ|c|² scale shape is the library story.
-    q(
-      "q134_semdedup",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |           FROM embeddings WHERE vec_id < 600),
-        |c0 AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c0.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
-        |    FROM e, c0) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a1 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
-        |    USING (cid)),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c1.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
-        |    FROM e, c1) WHERE rnk = 1),
-        |m2 AS (
-        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a2 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
-        |    USING (cid)),
-        |a3 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c2.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
-        |    FROM e, c2) WHERE rnk = 1),
-        |dropped AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        |  JOIN e ea ON ea.vec_id = a.vec_id
-        |  JOIN e eb ON eb.vec_id = b.vec_id
-        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.44)
-        |SELECT a3.vec_id, CAST(a3.cid AS INT) AS cluster
-        |FROM a3 ANTI JOIN dropped ON a3.vec_id = dropped.vec_id
-        |ORDER BY vec_id"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .filter(col("vec_id") < 600)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("vec"))
-      graft.pipeline.Dedup.semDedup(e, tau = 0.44, k = 8, iters = 2)
-        .orderBy("vec_id")
-    },
-
-    // BM25 retrieval scoring (Robertson/Lucene idf), top-10 docs for a
-    // fixed 3-term query. Per-term contributions pivot into one
-    // conditional aggregate per LITERAL term and add in explicit order
-    // (each cell holds at most the single (doc, term) tf row — no
-    // float-sum reduction-order freedom anywhere); doc lengths and
-    // their total stay integer sums. ln agrees across engines to well
-    // under the ROUND(6) output surface; ranking compares raw scores,
-    // where identical docs tie bit-exactly and distinct docs differ
-    // macroscopically.
-    q(
-      "q135_bm25",
-      """WITH t AS (
-        |  SELECT doc_id AS id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-        |lens AS (SELECT id, SUM(tf) AS len FROM tf GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg
-        |  FROM lens),
-        |dfs AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
-        |  WHERE token IN ('spark', 'hash', 'window') GROUP BY 1),
-        |c AS (
-        |  SELECT tf.id, tf.token,
-        |    ln(1.0::DOUBLE + (s.n - dfs.df + 0.5::DOUBLE) /
-        |        (dfs.df + 0.5::DOUBLE)) *
-        |      (tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE *
-        |        (0.25::DOUBLE + 0.75::DOUBLE * lens.len / s.avg))) AS c
-        |  FROM tf JOIN dfs USING (token) JOIN lens USING (id)
-        |  CROSS JOIN stats s),
-        |p AS (
-        |  SELECT id,
-        |    SUM(CASE WHEN token = 'spark' THEN c END) AS s0,
-        |    SUM(CASE WHEN token = 'hash' THEN c END) AS s1,
-        |    SUM(CASE WHEN token = 'window' THEN c END) AS s2
-        |  FROM c GROUP BY 1)
-        |SELECT id, ROUND(score, 6) AS score FROM (
-        |  SELECT id, (COALESCE(s0, 0.0::DOUBLE) +
-        |    COALESCE(s1, 0.0::DOUBLE)) + COALESCE(s2, 0.0::DOUBLE)
-        |    AS score
-        |  FROM p ORDER BY score DESC, id LIMIT 10)
-        |ORDER BY id"""
-    ) { (s, d) =>
-      // TextArtifacts-served: the tf probe is a bucket-pruned literal
-      // term filter; df and doc lengths come from the materialized
-      // corpus tables
-      TextAnalysis.bm25TopKShared(
-          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-          corpusKey = d,
-          queryTerms = Seq("spark", "hash", "window"), k = 10)
-        .orderBy("id")
-    },
-
-    // Edit-distance-verified near-dup pairs: Jaccard candidates (the
-    // q24 inverted-index machinery at a looser tau) CONFIRMED by
-    // Levenshtein <= 6 — separates true template edits from mere
-    // vocabulary overlap; the jaccard-0.3 cut sits >= 0.16 from the
-    // nearest candidate at all SFs (probed). DuckDB's levenshtein
-    // counts BYTES where Spark counts code points, so the oracled
-    // surface restricts to ASCII documents (where the two agree
-    // exactly); Spark's threshold form early-exits the DP at max+1
-    // for far-apart candidates.
-    q(
-      "q136_edit_verified_pairs",
-      """WITH docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE regexp_matches(text, '^[ -~]*$')),
-        |t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM docs),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(toks)-2),
-        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |          AS sh
-        |      FROM t),
-        |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
-        |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
-        |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |j AS (
-        |  SELECT da AS id_a, db AS id_b,
-        |    c::DOUBLE/(sa.n + sb.n - c) AS jaccard
-        |  FROM p JOIN sizes sa ON p.da = sa.doc_id
-        |    JOIN sizes sb ON p.db = sb.doc_id
-        |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.3)
-        |SELECT j.id_a, j.id_b, j.jaccard,
-        |  levenshtein(a.text, b.text) AS edit_distance
-        |FROM j JOIN docs a ON a.doc_id = j.id_a
-        |  JOIN docs b ON b.doc_id = j.id_b
-        |WHERE levenshtein(a.text, b.text) <= 6
-        |ORDER BY id_a, id_b"""
-    ) { (s, d) =>
-      val ascii = Tables.spread(s, Tables.documents(s, d))
-        .filter(col("text").rlike("\\A[ -~]*\\z"))
-      graft.pipeline.Dedup.editVerifiedPairs(
-          ascii, "doc_id", "text", n = 3, tau = 0.3, maxEdit = 6)
-        .orderBy("id_a", "id_b")
-    },
-
-    // Clustering-quality evaluation: purity and Adjusted Rand Index of
-    // the q98 k-means assignment against the embeddings' ground-truth
-    // label column — the external-validation gate a pipeline runs
-    // before trusting cluster-scoped ops (balanced sampling, SemDeDup).
-    // All pair counting is integer (x·(x−1)//2; a double product would
-    // round past 2^53 at corpus scale) and the ARI expectation's a·b
-    // product is double deliberately (as integers it overflows int64
-    // near 55k pairs-of-pairs) — three IEEE divisions on identical
-    // operands, ROUND(6) on the output surface.
-    q(
-      "q137_cluster_agreement",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-        |           FROM embeddings),
-        |c0 AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c0.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rnk
-        |    FROM e, c0) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT a1.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a1 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m1 GROUP BY cid) n
-        |    USING (cid)),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c1.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rnk
-        |    FROM e, c1) WHERE rnk = 1),
-        |m2 AS (
-        |  SELECT a2.cid, u.s['p'] AS p, SUM(u.s['x']) / COUNT(*) AS x
-        |  FROM a2 JOIN e USING (vec_id),
-        |    UNNEST(list_transform(e.v, (x, i) -> {'p': i, 'x': x})) AS u(s)
-        |  GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN (
-        |    SELECT cid, list(x ORDER BY p) AS cv FROM m2 GROUP BY cid) n
-        |    USING (cid)),
-        |a3 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c2.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_distance(e.v, c2.cv), c2.cid) AS rnk
-        |    FROM e, c2) WHERE rnk = 1),
-        |cont AS (
-        |  SELECT a3.cid AS c, e.label AS l, COUNT(*) AS nij
-        |  FROM a3 JOIN e USING (vec_id) GROUP BY 1, 2),
-        |sp AS (SELECT SUM(nij*(nij-1)//2) AS sp, SUM(nij) AS n FROM cont),
-        |ac AS (SELECT SUM(ai*(ai-1)//2) AS a FROM (
-        |  SELECT SUM(nij) AS ai FROM cont GROUP BY c)),
-        |bc AS (SELECT SUM(bj*(bj-1)//2) AS b FROM (
-        |  SELECT SUM(nij) AS bj FROM cont GROUP BY l)),
-        |pur AS (SELECT SUM(mx) AS pure FROM (
-        |  SELECT MAX(nij) AS mx FROM cont GROUP BY c))
-        |SELECT CAST(n AS BIGINT) AS n,
-        |  ROUND(CAST(pure AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
-        |  ROUND(CASE WHEN CAST(a + b AS DOUBLE) * 0.5::DOUBLE = exp
-        |    THEN 1.0::DOUBLE
-        |    ELSE (CAST(sp AS DOUBLE) - exp) /
-        |      (CAST(a + b AS DOUBLE) * 0.5::DOUBLE - exp) END, 6) AS ari
-        |FROM (
-        |  SELECT sp.n, sp.sp, ac.a, bc.b, pur.pure,
-        |    CAST(ac.a AS DOUBLE) * CAST(bc.b AS DOUBLE) /
-        |      CAST(n*(n-1)//2 AS DOUBLE) AS exp
-        |  FROM sp, ac, bc, pur)"""
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val e = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("vec"))
-      val assigned = graft.pipeline.SimilarityArtifacts
-        .kmeansAssignments(e, k = 8, iters = 2, corpusKey = d)
-        .join(emb.select(col("vec_id"), col("label")), "vec_id")
-      Similarity.clusterAgreement(assigned, "cluster", "label")
-    },
-
-    // Shuffle-skew diagnosis on a prospective join key: top-10 hottest
-    // user_ids with count, corpus share, and hot/mean ratio (multiples
-    // of the mean rows per distinct KEY) — the measurement that routes
-    // a join to SaltedJoin (q111/q129). AQE
-    // splits oversized partitions, never a single hot KEY; hot_ratio
-    // >> 1 is the straggler signature. Integer counts rank exactly;
-    // the two ratios are single IEEE divisions, ROUND(6).
-    q(
-      "q138_skew_profile",
-      """WITH c AS (
-        |  SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1),
-        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
-        |  CAST(COUNT(*) AS DOUBLE) AS dist FROM c)
-        |SELECT key, n,
-        |  ROUND(CAST(n AS DOUBLE) / t.total, 6) AS share,
-        |  ROUND(CAST(n AS DOUBLE) * t.dist / t.total, 6) AS hot_ratio
-        |FROM (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10) c2, t
-        |ORDER BY n DESC, key"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.skewProfile(
-        Tables.events(s, d), "user_id", k = 10)
-    },
-
-    // Cross-corpus contamination pair report: which TRAIN documents
-    // contain >= half of an eval document's distinct 3-gram shingles
-    // (asymmetric containment — the GPT-3-style decontamination
-    // measure; q58 reports per-eval-doc totals, this names the
-    // offending train docs). Sources src0-9 play train, src10-19 eval.
-    // tau=0.5 sits >= 0.125 from the nearest containment at all SFs
-    // (probed); the division is one exact IEEE op (q24 precedent).
-    q(
-      "q139_contamination_pairs",
-      """WITH train AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE source IN ('src0','src1','src2','src3','src4',
-        |                   'src5','src6','src7','src8','src9')),
-        |ev AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE source IN ('src10','src11','src12','src13','src14',
-        |                   'src15','src16','src17','src18','src19')),
-        |tt AS (SELECT doc_id,
-        |  string_split_regex(trim(text), '\s+') AS toks FROM train),
-        |tg AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(toks)-2),
-        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |          AS sh FROM tt),
-        |et AS (SELECT doc_id,
-        |  string_split_regex(trim(text), '\s+') AS toks FROM ev),
-        |eg AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(generate_series(1, len(toks)-2),
-        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |          AS sh FROM et),
-        |sizes AS (SELECT doc_id, count(*) n FROM eg GROUP BY 1),
-        |p AS (SELECT eg.doc_id e, tg.doc_id t, count(*) c
-        |      FROM eg JOIN tg ON eg.sh = tg.sh GROUP BY 1, 2)
-        |SELECT e AS eval_id, t AS train_id, c AS n_common,
-        |  c::DOUBLE / s.n AS containment
-        |FROM p JOIN sizes s ON p.e = s.doc_id
-        |WHERE c::DOUBLE / s.n >= 0.5
-        |ORDER BY eval_id, train_id"""
-    ) { (s, d) =>
-      val docs = Tables.spread(s, Tables.documents(s, d))
-      val trainSrc = (0 to 9).map(i => s"src$i")
-      val evalSrc = (10 to 19).map(i => s"src$i")
-      graft.pipeline.Dedup.crossContaminationPairs(
-          docs.filter(col("source").isin(trainSrc: _*)),
-          docs.filter(col("source").isin(evalSrc: _*)),
-          "doc_id", "text", n = 3, tau = 0.5)
-        .orderBy("eval_id", "train_id")
-    },
-
-    // Multilingual language-ID: per-document prediction over the
-    // labelled fixture (see langidFixture — the synthetic corpus is
-    // uniformly English-vocabulary, so the label's stopword phrase is
-    // appended deterministically to give every profile a real
-    // candidate). The oracle replays the FULL five-profile argmax —
-    // per-profile whole-token hit counts, hit/token ratios, priority
-    // tie-break — not an en-only shortcut, so every profile branch in
-    // TextAnalysis.languageId is exercised end-to-end. Predictions are
-    // NOT uniformly correct (long English-dominant texts out-score a
-    // 10-word suffix — exactly the honest behavior of a ratio
-    // heuristic), which is what makes q141's confusion matrix
-    // non-trivial.
-    q(
-      "q140_langid_multi",
-      s"""WITH $langidOracleCtes
-         |SELECT doc_id, predicted, actual FROM pr ORDER BY doc_id"""
-    ) { (s, d) =>
-      langidFixture(Tables.spread(s, Tables.documents(s, d)))
-        .select(col("doc_id"),
-          TextAnalysis.languageId(col("ftext")).as("predicted"),
-          col("lang").as("actual"))
-        .orderBy("doc_id")
-    },
-
-    // Profiled skew routing end-to-end: autoJoinProfiled derives the
-    // hot threshold from the measured key distribution (safetyFactor x
-    // total/shuffle-partitions — the q138 measurement feeding the q129
-    // router with no caller-picked constant) and must still produce
-    // exactly the plain join. Same join as q129; only the threshold's
-    // provenance differs.
-    q(
-      "q142_auto_skew_profiled",
-      """WITH dim AS (
-        |  SELECT user_id, COUNT(*) AS clicks FROM events
-        |  WHERE event_type = 'click' GROUP BY 1),
-        |f AS (SELECT user_id FROM events WHERE event_type = 'view')
-        |SELECT f.user_id, COUNT(*) AS n_views, dim.clicks
-        |FROM f JOIN dim USING (user_id)
-        |GROUP BY 1, 3 ORDER BY 1"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-      val dim = e.filter(col("event_type") === "click")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("clicks"))
-      val fact = e.filter(col("event_type") === "view")
-        .select(col("user_id"))
-      graft.operators.SaltedJoin
-        .autoJoinProfiled(fact, dim, "user_id", salts = 8)
-        .groupBy(col("user_id"), col("clicks"))
-        .agg(count(lit(1)).as("n_views"))
-        .select(col("user_id"), col("n_views"), col("clicks"))
-        .orderBy("user_id")
-    },
-
-    // Per-series EWMA (α=0.25) over purchase events: the sequential
-    // per-series recurrence (one keyed shuffle + in-partition fold — a
-    // window frame cannot express it) replayed by the oracle as a
-    // recursive CTE advancing one row per series per step (the q82
-    // holt_winters machinery). α and 1−α are exact binary fractions, so
-    // each step is the same two multiplies and one add on both engines
-    // — the hash surface is bit-exact doubles, no rounding.
-    q(
-      "q143_ewma",
-      """WITH RECURSIVE base AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS sensor_id,
-        |    epoch_us(ts) AS timestamp_us, value,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), value) AS rn
-        |  FROM events WHERE event_type = 'purchase'),
-        |rec AS (
-        |  SELECT sensor_id, rn, timestamp_us, value, value AS ewma
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.sensor_id, b.rn, b.timestamp_us, b.value,
-        |    0.25::DOUBLE * b.value + (1 - 0.25::DOUBLE) * r.ewma
-        |  FROM rec r JOIN base b
-        |    ON b.sensor_id = r.sensor_id AND b.rn = r.rn + 1)
-        |SELECT sensor_id, timestamp_us, value, ewma FROM rec
-        |ORDER BY sensor_id, timestamp_us, value"""
-    ) { (s, d) =>
-      graft.operators.Ewma.smooth(
-          Tables.events(s, d)
-            .filter(col("event_type") === "purchase")
-            .select(col("user_id").cast("string").as("sensor_id"),
-              unix_micros(col("ts")).as("timestamp_us"), col("value")),
-          alpha = 0.25)
-        .orderBy("sensor_id", "timestamp_us", "value")
-    },
-
-    // Language-ID confusion matrix vs the corpus ground-truth labels:
-    // the (predicted, actual) contingency aggregate (q137's external-
-    // validation shape) over the same multilingual fixture. One scan +
-    // one aggregate; at most (profiles+1)x(labels) rows.
-    q(
-      "q141_langid_confusion",
-      s"""WITH $langidOracleCtes
-         |SELECT predicted, actual, COUNT(*) AS n FROM pr
-         |GROUP BY 1, 2 ORDER BY predicted, actual"""
-    ) { (s, d) =>
-      TextAnalysis.langidConfusion(
-          langidFixture(Tables.spread(s, Tables.documents(s, d))),
-          "ftext", "lang")
-        .orderBy("predicted", "actual")
-    },
-
-    // Strict ordered funnel view→click→purchase over the first two
-    // days of events (the full month is degenerate — every user
-    // eventually does everything): stage i counts users whose earliest
-    // stage-i event falls STRICTLY AFTER their stage i−1 conversion
-    // instant. Counts are integers; conversion is one IEEE division
-    // ROUND(6) against the stage-0 population. The oracle replays the
-    // per-stage min-aggregate chain with the same strict > gates.
-    q(
-      "q144_funnel",
-      """WITH e AS (
-        |  SELECT user_id, event_type, ts FROM events
-        |  WHERE epoch_us(ts) < 1704240000000000),
-        |s0 AS (SELECT user_id, min(ts) AS t FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-        |  JOIN s0 USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-        |  JOIN s1 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
-        |c AS (SELECT (SELECT COUNT(*) FROM s0) AS n0,
-        |  (SELECT COUNT(*) FROM s1) AS n1,
-        |  (SELECT COUNT(*) FROM s2) AS n2)
-        |SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
-        |  n0 AS n_users, ROUND(n0::DOUBLE / n0::DOUBLE, 6) AS conversion
-        |FROM c
-        |UNION ALL SELECT 1::BIGINT, 'click', n1,
-        |  ROUND(n1::DOUBLE / n0::DOUBLE, 6) FROM c
-        |UNION ALL SELECT 2::BIGINT, 'purchase', n2,
-        |  ROUND(n2::DOUBLE / n0::DOUBLE, 6) FROM c
-        |ORDER BY stage_idx"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.funnel(
-          Tables.events(s, d)
-            .filter(unix_micros(col("ts")) < lit(1704240000000000L)),
-          "user_id", "event_type", "ts",
-          Seq("view", "click", "purchase"))
-        .orderBy("stage_idx")
-    },
-
-    // Retention cohort matrix on purchase activity, daily periods
-    // (weekly cohorts are degenerate on the 30-day corpus — every user
-    // is first seen in week 1): cohort = first purchase day, cell =
-    // distinct cohort users purchasing `period_offset` days later.
-    // Integer-valued everywhere; day arithmetic on DATE-truncated
-    // values replays exactly.
-    q(
-      "q145_retention",
-      """WITH a AS (
-        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS w
-        |  FROM events WHERE event_type = 'purchase'),
-        |f AS (SELECT user_id, min(w) AS c FROM a GROUP BY 1)
-        |SELECT f.c AS cohort,
-        |  date_diff('day', f.c, a.w)::BIGINT AS period_offset,
-        |  COUNT(DISTINCT a.user_id) AS n_users
-        |FROM a JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort, period_offset"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.retentionCohorts(
-          Tables.events(s, d).filter(col("event_type") === "purchase"),
-          "user_id", "ts", period = "day")
-        .orderBy("cohort", "period_offset")
-    },
-
-    // Corpus-overlap matrix via KMV sketches: estimated 3-gram Jaccard
-    // between every SOURCE pair from k=128-minimum-value signatures —
-    // the sketch that decides which source pairs deserve a full
-    // cross-dedup pass. The sketch is a deterministic function of the
-    // shingle SET (insertion/merge order free) on the portable md5-60
-    // hash, so the oracle rebuilds the identical signatures with a
-    // window rank and replays the union/intersection math on lists;
-    // n_common is an integer and the estimate one IEEE division.
-    q(
-      "q146_corpus_overlap",
-      """WITH t AS (SELECT source AS g,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT DISTINCT g,
-        |    unnest(list_transform(generate_series(1, len(toks)-2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |      AS s FROM t),
-        |hv AS (SELECT DISTINCT g,
-        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
-        |r AS (SELECT g, h,
-        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hv),
-        |sig AS (SELECT g, list(h ORDER BY h) AS sa
-        |    FROM r WHERE rn <= 128 GROUP BY g),
-        |p AS (SELECT a.g AS ga, b.g AS gb, a.sa AS sa, b.sa AS sb
-        |    FROM sig a JOIN sig b ON a.g < b.g),
-        |c AS (SELECT ga, gb, sa, sb,
-        |    list_sort(list_distinct(list_concat(sa, sb))) AS u FROM p),
-        |c2 AS (SELECT ga, gb,
-        |    len(list_intersect(list_intersect(u[1:LEAST(128, len(u))], sa),
-        |      sb))::BIGINT AS n_common,
-        |    LEAST(128, len(u)) AS kk FROM c)
-        |SELECT ga AS group_a, gb AS group_b, n_common,
-        |  n_common::DOUBLE / kk::DOUBLE AS jaccard_est
-        |FROM c2 ORDER BY group_a, group_b"""
-    ) { (s, d) =>
-      graft.pipeline.Dedup.corpusOverlapKmv(
-          Tables.spread(s, Tables.documents(s, d)),
-          "source", "text", n = 3, k = 128)
-        .orderBy("group_a", "group_b")
-    },
-
-    // DSIR-style importance scoring (Xie et al. NeurIPS'23, unigram
-    // features): per raw doc (src0-9), the average token log-likelihood
-    // ratio under the target corpus' (src10-19) Laplace-smoothed
-    // unigram LM vs the raw corpus' own — the scoring pass of
-    // importance resampling. The oracle replays both count tables, the
-    // union-vocab smoothing and the single-ln ratio with the identical
-    // arithmetic shape; the per-doc AVG rounds to 6 (q100 precedent).
-    q(
-      "q147_dsir_scores",
-      """WITH rawd AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE source IN ('src0','src1','src2','src3','src4',
-        |                   'src5','src6','src7','src8','src9')),
-        |tgt AS (
-        |  SELECT text FROM documents
-        |  WHERE source IN ('src10','src11','src12','src13','src14',
-        |                   'src15','src16','src17','src18','src19')),
-        |rt AS (SELECT doc_id AS id,
-        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |  FROM rawd),
-        |tt AS (SELECT
-        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |  FROM tgt),
-        |rc AS (SELECT tok, COUNT(*) AS cr FROM rt GROUP BY 1),
-        |tc AS (SELECT tok, COUNT(*) AS ct FROM tt GROUP BY 1),
-        |v AS (SELECT COALESCE(rc.tok, tc.tok) AS tok,
-        |    COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
-        |  FROM rc FULL JOIN tc ON rc.tok = tc.tok),
-        |tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
-        |    CAST(SUM(ct) AS DOUBLE) AS nt,
-        |    CAST(COUNT(*) AS DOUBLE) AS vs FROM v),
-        |r AS (SELECT tok,
-        |    ln(((ct::DOUBLE + 1.0::DOUBLE) / (nt + vs))
-        |     / ((cr::DOUBLE + 1.0::DOUBLE) / (nr + vs))) AS lr
-        |  FROM v CROSS JOIN tot)
-        |SELECT rt.id AS id, COUNT(*) AS n_tokens,
-        |  ROUND(AVG(r.lr), 6) AS avg_logratio
-        |FROM rt JOIN r USING (tok) GROUP BY 1 ORDER BY id"""
-    ) { (s, d) =>
-      val docs = Tables.spread(s, Tables.documents(s, d))
-      val trainSrc = (0 to 9).map(i => s"src$i")
-      val tgtSrc = (10 to 19).map(i => s"src$i")
-      graft.pipeline.Sampling.dsirScores(
-          docs.filter(col("source").isin(trainSrc: _*)),
-          docs.filter(col("source").isin(tgtSrc: _*)),
-          "doc_id", "text")
-        .orderBy("id")
-    },
-
-    // Robust per-user outlier detection: purchase rows with
-    // |value − median| > 3·MAD. The oracle surface runs exact=true
-    // (DuckDB median ≡ Spark exact percentile, the q115 split); the
-    // cut is FIXED-POINT (both sides scaled 1e4 and rounded before the
-    // strict >) because the 2-decimal money values put a literal
-    // |dev| = 3·MAD tie in the sf0.1 corpus — in float space that row's
-    // fate would hinge on interpolation-formula ulps.
-    q(
-      "q148_mad_outliers",
-      """WITH e AS (
-        |  SELECT user_id, value FROM events
-        |  WHERE event_type = 'purchase'),
-        |m AS (SELECT user_id, median(value) AS med FROM e GROUP BY 1),
-        |d AS (SELECT e.user_id, e.value,
-        |    abs(e.value - m.med) AS ad, m.med
-        |  FROM e JOIN m USING (user_id)),
-        |md AS (SELECT user_id, median(ad) AS mad FROM d GROUP BY 1)
-        |SELECT d.user_id, d.value,
-        |  ROUND(d.med, 6) AS med, ROUND(md.mad, 6) AS mad
-        |FROM d JOIN md USING (user_id)
-        |WHERE ROUND(d.ad * 10000.0::DOUBLE)
-        |    > ROUND(3.0::DOUBLE * md.mad * 10000.0::DOUBLE)
-        |ORDER BY user_id, value"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.madOutliers(
-          Tables.events(s, d).filter(col("event_type") === "purchase"),
-          "user_id", "value", c = 3.0, exact = true)
-        .orderBy("user_id", "value")
-    },
-
-    // MMR diversity re-ranking (Carbonell & Goldstein SIGIR'98): top-5
-    // of vec 0's 20 nearest neighbors, greedily trading relevance
-    // against similarity to already-picked results (λ=0.5). Every
-    // cosine quantizes to integer micro-units BEFORE any comparison,
-    // so the greedy argmax chain replays exactly — the oracle advances
-    // one pick per recursion carrying the selected set as a list.
-    q(
-      "q149_mmr_rerank",
-      """WITH RECURSIVE
-        |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
-        |       WHERE vec_id = 0),
-        |c0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-        |    ROUND(list_cosine_similarity(embedding::DOUBLE[], qv.v)
-        |      * 1000000)::BIGINT AS relq
-        |  FROM embeddings, qv WHERE vec_id <> 0),
-        |cand AS (SELECT id, v, relq FROM c0
-        |  ORDER BY relq DESC, id LIMIT 20),
-        |sims AS (SELECT a.id AS ia, b.id AS ib,
-        |    ROUND(list_cosine_similarity(a.v, b.v) * 1000000)::BIGINT
-        |      AS simq
-        |  FROM cand a JOIN cand b ON a.id <> b.id),
-        |rec AS (
-        |  SELECT 1 AS rnk, p.id AS id, p.relq AS relq,
-        |      0.5::DOUBLE * p.relq AS mmr_u, [p.id] AS sel
-        |  FROM (SELECT id, relq FROM cand
-        |        ORDER BY relq DESC, id LIMIT 1) p
-        |  UNION ALL
-        |  SELECT r.rnk + 1, p.id, p.relq, p.sc, list_append(r.sel, p.id)
-        |  FROM rec r, LATERAL (
-        |    SELECT c.id, c.relq,
-        |      0.5::DOUBLE * c.relq - (1.0::DOUBLE - 0.5::DOUBLE) * (
-        |        SELECT MAX(s.simq) FROM sims s
-        |        WHERE s.ia = c.id AND list_contains(r.sel, s.ib)) AS sc
-        |    FROM cand c WHERE NOT list_contains(r.sel, c.id)
-        |    ORDER BY sc DESC, c.id LIMIT 1) p
-        |  WHERE r.rnk < 5)
-        |SELECT rnk::BIGINT AS rank, id AS vec_id, relq AS rel_u, mmr_u
-        |FROM rec ORDER BY rank"""
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").cast("long").as("vec_id"),
-          col("embedding").cast("array<double>").as("vec"))
-      val qv = emb.filter(col("vec_id") === 0)
-        .select("vec").head.getSeq[Double](0).toArray
-      graft.pipeline.Similarity.mmrRerank(
-          emb.filter(col("vec_id") =!= 0), qv,
-          lambdaRel = 0.5, topN = 20, k = 5)
-        .orderBy("rank")
-    },
-
-    // Pairwise Pearson correlation matrix in one aggregate pass. The
-    // oracle surface runs exactDecimal=true: every Σx/Σx²/Σxy
-    // accumulates in DECIMAL — exact for the 2-decimal source values,
-    // so the sums are reduction-order-free and the correlation is IEEE
-    // arithmetic on identical numbers in the identical shape, ROUND(6).
-    q(
-      "q150_correlation",
-      """WITH s AS (SELECT
-        |  CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS s_q,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
-        |    * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS ss_q,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS s_p,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-        |    * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS ss_p,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS s_d,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(24,4))
-        |    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS ss_d,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
-        |    * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sp_qp,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
-        |    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sp_qd,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-        |    * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sp_pd
-        |FROM lineitem)
-        |SELECT col_a, col_b, corr FROM (
-        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-        |    ROUND((n * sp_qp - s_q * s_p)
-        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_p - s_p * s_p)), 6)
-        |      AS corr FROM s
-        |  UNION ALL SELECT 'l_quantity', 'l_discount',
-        |    ROUND((n * sp_qd - s_q * s_d)
-        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 6)
-        |    FROM s
-        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
-        |    ROUND((n * sp_pd - s_p * s_d)
-        |      / sqrt((n * ss_p - s_p * s_p) * (n * ss_d - s_d * s_d)), 6)
-        |    FROM s)
-        |ORDER BY col_a, col_b"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.correlationMatrix(
-          Tables.lineitem(s, d),
-          Seq("l_quantity", "l_extendedprice", "l_discount"),
-          exactDecimal = true)
-        .orderBy("col_a", "col_b")
-    },
-
-    // Z-order clustering key: Morton interleave of (user_id,
-    // day-of-month) — the write-side layout key that makes parquet
-    // min/max pruning work on BOTH dimensions. Exact bit arithmetic;
-    // the oracle replays the identical 2·bits shift/and/or terms
-    // (ZOrder.sqlExpr generates them from the same constant).
-    q(
-      "q151_zorder",
-      s"""SELECT event_id,
-         |  ${graft.functions.ZOrder.sqlExpr(
-               "user_id", "date_part('day', ts)", 16)} AS zval
-         |FROM events WHERE user_id < 50
-         |ORDER BY event_id"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .filter(col("user_id") < 50)
-        .select(col("event_id"),
-          graft.functions.ZOrder.zValue(
-            col("user_id"), dayofmonth(col("ts")), 16).as("zval"))
-        .orderBy("event_id")
-    },
-
-    // Item co-occurrence mining on purchase baskets (item = the props
-    // JSON key): pairs bought together by ≥2 users, with support and
-    // lift. Counts are integers; support and lift are fixed shapes of
-    // exact-integer operands in IEEE doubles — no rounding needed. The
-    // pair stage self-joins on the USER (posting-list bounded), never
-    // on items.
-    q(
-      "q152_cooccurrence",
-      """WITH b AS (
-        |  SELECT DISTINCT user_id AS u,
-        |    json_extract(props, '$.k')::BIGINT AS item
-        |  FROM events WHERE event_type = 'purchase'),
-        |n AS (SELECT COUNT(DISTINCT u)::DOUBLE AS nu FROM b),
-        |ic AS (SELECT item, COUNT(*) AS cnt FROM b GROUP BY 1),
-        |p AS (SELECT a.item AS ia, c.item AS ib, COUNT(*) AS co
-        |  FROM b a JOIN b c ON a.u = c.u AND a.item < c.item
-        |  GROUP BY 1, 2)
-        |SELECT ia AS item_a, ib AS item_b, co AS n_both,
-        |  x.cnt AS n_a, y.cnt AS n_b,
-        |  co::DOUBLE / n.nu AS support,
-        |  co::DOUBLE * n.nu / (x.cnt::DOUBLE * y.cnt::DOUBLE) AS lift
-        |FROM p JOIN ic x ON p.ia = x.item JOIN ic y ON p.ib = y.item
-        |CROSS JOIN n
-        |WHERE co >= 2
-        |ORDER BY item_a, item_b"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.coOccurrence(
-          Tables.events(s, d)
-            .filter(col("event_type") === "purchase")
-            .select(col("user_id"),
-              get_json_object(col("props"), "$.k").cast("long").as("item")),
-          "user_id", "item", minCount = 2L)
-        .orderBy("item_a", "item_b")
-    },
-
-    // PageRank over the item co-occurrence graph (q152's ≥2-basket
-    // pairs as undirected edges), 3 power iterations at d=0.85. Each
-    // iteration's ranks ROUND(9) on BOTH sides, so reduction-order ulp
-    // drift in the incoming-mass sums collapses to an identical
-    // fixed-point surface before it can compound; the damping
-    // complement is COMPUTED (1.0−0.85), never the literal 0.15.
-    q(
-      "q153_pagerank",
-      s"""WITH b AS (
-         |  SELECT DISTINCT user_id AS u,
-         |    json_extract(props, '$$.k')::BIGINT AS item
-         |  FROM events WHERE event_type = 'purchase'),
-         |p AS (SELECT a.item AS ia, c.item AS ib, COUNT(*) AS co
-         |  FROM b a JOIN b c ON a.u = c.u AND a.item < c.item
-         |  GROUP BY 1, 2),
-         |e0 AS (SELECT ia, ib FROM p WHERE co >= 2),
-         |sym AS (SELECT ia AS s, ib AS t FROM e0
-         |  UNION SELECT ib, ia FROM e0),
-         |dg AS (SELECT s, COUNT(*)::DOUBLE AS dg FROM sym GROUP BY 1),
-         |nn AS (SELECT COUNT(*)::DOUBLE AS nu FROM dg),
-         |r0 AS (SELECT s AS id, 1.0::DOUBLE / nn.nu AS rank
-         |  FROM dg CROSS JOIN nn),
-         |${pageRankIter("r0", "r1")},
-         |${pageRankIter("r1", "r2")},
-         |${pageRankIter("r2", "r3")}
-         |SELECT id AS item, rank FROM r3 ORDER BY item"""
-    ) { (s, d) =>
-      // served from the GraphArtifacts edge cache (distinct cols →
-      // distinct cache entry from the lineitem co-purchase graph): the
-      // basket build + pair self-join runs once per session, the three
-      // power iterations and repeat invocations read the checkpoint
-      val edges = graft.pipeline.GraphArtifacts.coOccurrenceEdges(
-          Tables.events(s, d)
-            .filter(col("event_type") === "purchase")
-            .select(col("user_id"),
-              get_json_object(col("props"), "$.k").cast("long").as("item")),
-          "user_id", "item", minCount = 2L, corpusKey = d)
-      graft.pipeline.Behavior.pageRank(edges, damping = 0.85, iters = 3)
-        .select(col("id").as("item"), col("rank"))
-        .orderBy("item")
-    },
-
-    // Product-quantization ADC top-5: 64-dim vectors compress to 8
-    // one-byte codes (8 subspaces × 16 first-N codewords, the q40
-    // deterministic-codebook convention); search is per-query distance
-    // TABLES + m lookups per vector, never the raw vectors. Every
-    // float is the same ascending-dim left-assoc fold on both engines
-    // (codeword argmin ties to the lower code; ADC adds the 8 table
-    // entries in subspace order), so ordering and the ROUND(6) surface
-    // replay bit-for-bit.
-    q(
-      "q154_pq_topk",
-      s"""WITH $pqOracleCtes
-         |SELECT qid AS query_id, rnk AS rank, vec_id,
-         |  ROUND(dist, 6) AS adc
-         |FROM (SELECT qid, vec_id, dist, ROW_NUMBER() OVER (
-         |    PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM adc)
-         |WHERE rnk <= 5 ORDER BY query_id, rank"""
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").cast("long").as("vec_id"),
-          col("embedding").cast("array<double>").as("vec"))
-      val cb = graft.pipeline.Similarity.pqCodebooksFirstN(emb, m = 8,
-        ksub = 16)
-      graft.pipeline.Similarity.pqTopK(
-          emb.filter(col("vec_id") < 5)
-            .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
-          emb, cb, k = 5)
-        .orderBy("query_id", "rank")
-    },
-
-    // The PQ production serving shape: ADC winnows to top-50
-    // survivors per query, the exact 64-dim squared-euclidean kernel
-    // re-ranks only those (the quantize-then-rerank pattern at 64×
-    // compression). The oracle extends q154's CTE chain with the
-    // survivor rank and the unrolled exact distance in the identical
-    // ascending-dim fold.
-    q(
-      "q155_pq_rerank",
-      s"""WITH $pqOracleCtes,
-         |surv AS (SELECT qid, vec_id FROM (
-         |  SELECT qid, vec_id, ROW_NUMBER() OVER (
-         |      PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM adc)
-         |  WHERE rnk <= 50),
-         |ex AS (SELECT surv.qid, surv.vec_id,
-         |    ${sqDistN("q_.v", "c_.v", 64)} AS dist
-         |  FROM surv JOIN e q_ ON q_.vec_id = surv.qid
-         |  JOIN e c_ ON c_.vec_id = surv.vec_id)
-         |SELECT qid AS query_id, rnk AS rank, vec_id,
-         |  ROUND(dist, 6) AS dist
-         |FROM (SELECT qid, vec_id, dist, ROW_NUMBER() OVER (
-         |    PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
-         |WHERE rnk <= 5 ORDER BY query_id, rank"""
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").cast("long").as("vec_id"),
-          col("embedding").cast("array<double>").as("vec"))
-      val cb = graft.pipeline.Similarity.pqCodebooksFirstN(emb, m = 8,
-        ksub = 16)
-      graft.pipeline.Similarity.pqRerankTopK(
-          emb.filter(col("vec_id") < 5)
-            .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
-          emb, cb, k = 5, overfetch = 10)
-        .orderBy("query_id", "rank")
-    },
-
-    // Declarative data-quality gate (Deequ/expectations pattern) over
-    // documents: null/range/regex/row-count checks fold into ONE
-    // conditional-sum aggregate, uniqueness adds a keyed count.
-    // Metrics are single IEEE divisions of exact integer counts, the
-    // regex is \A..\z-anchored (end-of-TEXT on both engines — the
-    // rlike '$'-before-trailing-newline trap), and passed = metric ≤
-    // threshold on identical doubles.
-    q(
-      "q156_quality_gate",
-      """WITH t AS (SELECT
-        |  COUNT(*)::DOUBLE AS rows_,
-        |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::DOUBLE AS m0,
-        |  SUM(CASE WHEN n_chars IS NULL OR n_chars < 100
-        |    OR n_chars > 2000 THEN 1 ELSE 0 END)::DOUBLE AS m1,
-        |  SUM(CASE WHEN source IS NULL
-        |    OR NOT regexp_matches(source, '\Asrc[0-9]+\z')
-        |    THEN 1 ELSE 0 END)::DOUBLE AS m2
-        | FROM documents),
-        |u AS (SELECT SUM(n)::DOUBLE AS rows_,
-        |    SUM(CASE WHEN n > 1 THEN n ELSE 0 END)::DOUBLE AS d
-        |  FROM (SELECT doc_id, COUNT(*) AS n FROM documents
-        |        GROUP BY 1))
-        |SELECT * FROM (
-        |  SELECT 'not_null(text)' AS check_name, m0/rows_ AS metric,
-        |    CAST(0.0 AS DOUBLE) AS threshold,
-        |    m0/rows_ <= CAST(0.0 AS DOUBLE) AS passed FROM t
-        |  UNION ALL SELECT 'in_range(n_chars)', m1/rows_,
-        |    CAST(0.5 AS DOUBLE), m1/rows_ <= CAST(0.5 AS DOUBLE) FROM t
-        |  UNION ALL SELECT 'matches(source)', m2/rows_,
-        |    CAST(0.0 AS DOUBLE), m2/rows_ <= CAST(0.0 AS DOUBLE) FROM t
-        |  UNION ALL SELECT 'min_rows', rows_, CAST(100.0 AS DOUBLE),
-        |    rows_ >= CAST(100.0 AS DOUBLE) FROM t
-        |  UNION ALL SELECT 'unique(doc_id)', d/rows_,
-        |    CAST(0.0 AS DOUBLE), d = CAST(0.0 AS DOUBLE) FROM u)
-        |ORDER BY check_name"""
-    ) { (s, d) =>
-      import graft.pipeline.Profiler.Check._
-      graft.pipeline.Profiler.checkConstraints(
-          Tables.documents(s, d),
-          Seq(NotNull("text", 0.0),
-            InRange("n_chars", 100, 2000, 0.5),
-            Matches("source", "\\Asrc[0-9]+\\z", 0.0),
-            MinRows(100L),
-            Unique("doc_id")))
-        .orderBy("check_name")
-    },
-
-    // CDC changelog apply (MERGE semantics): snapshot = each user's
-    // earliest event value; changes = the last ~6 days of events
-    // (errors are deletes, everything else upserts). Per key the
-    // lexicographic-latest (ts, op, value) change wins from ONE
-    // max(struct) aggregate — never a window over the history — and
-    // the oracle replays the same total order with a rank.
-    q(
-      "q157_changelog_apply",
-      """WITH snap AS (
-        |  SELECT user_id, value FROM (
-        |    SELECT user_id, value, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id ORDER BY epoch_us(ts), value) AS rn
-        |    FROM events) WHERE rn = 1),
-        |ch AS (SELECT user_id, epoch_us(ts) AS ts,
-        |    CASE WHEN event_type = 'error' THEN 'delete'
-        |         ELSE 'upsert' END AS op, value
-        |  FROM events WHERE epoch_us(ts) >= 1706140800000000),
-        |w AS (SELECT user_id, op, value FROM (
-        |    SELECT user_id, op, value, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY ts DESC, op DESC, value DESC) AS rn
-        |    FROM ch) WHERE rn = 1)
-        |SELECT COALESCE(s.user_id, w.user_id) AS user_id,
-        |  CASE WHEN w.user_id IS NOT NULL THEN w.value
-        |       ELSE s.value END AS value
-        |FROM snap s FULL JOIN w ON s.user_id = w.user_id
-        |WHERE w.user_id IS NULL OR w.op = 'upsert'
-        |ORDER BY user_id"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-      val snapshot = e
-        .groupBy(col("user_id"))
-        .agg(min(struct(unix_micros(col("ts")).as("ts"),
-          col("value").as("value"))).as("__first"))
-        .select(col("user_id"), col("__first.value").as("value"))
-      val changes = e
-        .filter(unix_micros(col("ts")) >= lit(1706140800000000L))
-        .select(col("user_id"), unix_micros(col("ts")).as("ts"),
-          when(col("event_type") === "error", "delete")
-            .otherwise("upsert").as("op"),
-          col("value"))
-      graft.operators.Changelog.apply(
-          snapshot, changes, "user_id", "ts", "op", Seq("value"))
-        .orderBy("user_id")
-    },
-
-    // Two-sample Kolmogorov–Smirnov drift: purchase values in the
-    // first vs second half of the month. Exact form (the oracle
-    // surface): integer cumulative counts, one IEEE division per CDF
-    // point, argmax tie-broken on the value — every double identical
-    // on both engines. The binned production variant is spec-pinned
-    // against this exact form.
-    q(
-      "q158_ks_drift",
-      """WITH a AS (SELECT value AS v FROM events
-        |  WHERE event_type = 'purchase'
-        |    AND epoch_us(ts) < 1705363200000000),
-        |b AS (SELECT value AS v FROM events
-        |  WHERE event_type = 'purchase'
-        |    AND epoch_us(ts) >= 1705363200000000),
-        |av AS (SELECT v, COUNT(*) AS ca FROM a GROUP BY 1),
-        |bv AS (SELECT v, COUNT(*) AS cb FROM b GROUP BY 1),
-        |m AS (SELECT COALESCE(av.v, bv.v) AS v,
-        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-        |  FROM av FULL JOIN bv ON av.v = bv.v),
-        |t AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
-        |    CAST(SUM(cb) AS DOUBLE) AS nb FROM m),
-        |c AS (SELECT v,
-        |    CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE) AS cua,
-        |    CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE) AS cub FROM m),
-        |d AS (SELECT v, abs(cua / t.na - cub / t.nb) AS dd
-        |  FROM c, t)
-        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
-        |  v AS at_value, dd AS d_stat
-        |FROM d, t ORDER BY dd DESC, v LIMIT 1"""
-    ) { (s, d) =>
-      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
-      graft.pipeline.Profiler.ksTest(
-        p.filter(unix_micros(col("ts")) < lit(1705363200000000L)),
-        p.filter(unix_micros(col("ts")) >= lit(1705363200000000L)),
-        "value")
-    },
-
-    // Sensor gap / availability report: inter-sample gaps > 4 days per
-    // sensor — the silent-sensor downtime audit. One LAG window per
-    // sensor (keyed shuffle + in-partition sort), duplicate timestamps
-    // tie-break on value; pure integer µs arithmetic.
-    q(
-      "q159_gap_report",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |g AS (SELECT sensor_id, t, LAG(t) OVER (
-        |    PARTITION BY sensor_id ORDER BY t, value) AS p FROM s)
-        |SELECT sensor_id, p AS gap_start_us, t AS gap_end_us,
-        |  t - p AS gap_us
-        |FROM g WHERE p IS NOT NULL AND t - p > 345600000000
-        |ORDER BY sensor_id, gap_start_us"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.gapReport(
-          EventsAdapter.samples(s, d), thresholdUs = 345600000000L)
-        .orderBy("sensor_id", "gap_start_us")
-    },
-
-    // M4 downsampling (Jugel et al. VLDB'14): per sensor and 1-day
-    // bucket, the first/last/min/max samples — the pixel-exact chart
-    // reduction, as a PURE aggregate (struct extrema, map-side
-    // combined; no window, no per-series state, unlike LTTB's
-    // sequential chain). Integer bucket arithmetic (t − t % w; a
-    // double floor can round a .999… quotient across the boundary);
-    // struct-lexicographic tie-breaks make the 4-point set exact.
-    q(
-      "q160_m4_downsample",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value AS v FROM events),
-        |sb AS (SELECT sensor_id, t - (t % 86400000000) AS b, t, v
-        |  FROM s),
-        |r AS (SELECT sensor_id, b, t, v,
-        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
-        |    ORDER BY t, v) AS rf,
-        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
-        |    ORDER BY t DESC, v DESC) AS rl,
-        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
-        |    ORDER BY v, t) AS rmin,
-        |  ROW_NUMBER() OVER (PARTITION BY sensor_id, b
-        |    ORDER BY v DESC, t DESC) AS rmax
-        | FROM sb)
-        |SELECT DISTINCT sensor_id, b AS bucket_start_us,
-        |  t AS timestamp_us, v AS value
-        |FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
-        |ORDER BY sensor_id, bucket_start_us, timestamp_us, value"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.m4Downsample(
-          EventsAdapter.samples(s, d), bucketUs = 86400000000L)
-        .orderBy("sensor_id", "bucket_start_us", "timestamp_us", "value")
-    },
-
-    // SCD2 dimension history: per user, the versioned [valid_from,
-    // valid_to) intervals of their event value — consecutive identical
-    // values collapse, the open interval has NULL valid_to. Per-(key,
-    // ts) winner is a max aggregate (map-side combined); the change
-    // scan is one LAG/LEAD window pass per key over distinct
-    // timestamps. Pure integer µs + exact double equality on both
-    // engines.
-    q(
-      "q161_scd2_history",
-      """WITH pt AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
-        |  FROM events GROUP BY 1, 2),
-        |w AS (SELECT user_id, t, v,
-        |    LAG(v) OVER (PARTITION BY user_id ORDER BY t) AS pv
-        |  FROM pt),
-        |cp AS (SELECT user_id, t, v FROM w
-        |  WHERE pv IS NULL OR v <> pv)
-        |SELECT user_id, version, valid_from, valid_to, value
-        |FROM (SELECT user_id, t AS valid_from,
-        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t)
-        |      AS version, v AS value
-        |  FROM cp)
-        |ORDER BY user_id, version"""
-    ) { (s, d) =>
-      graft.operators.Changelog.scd2History(
-          Tables.events(s, d)
-            .select(col("user_id"), unix_micros(col("ts")).as("t"),
-              col("value")),
-          "user_id", "t", Seq("value"))
-        .orderBy("user_id", "version")
-    },
-
-    // Keyed snapshot diff: the per-user latest-value state of the first
-    // 10 days vs the last ~20 days of the month — added / removed /
-    // changed keys only (the 100 TB report is diff-sized, never
-    // snapshot-sized). Latest-wins replays as the q157 total order:
-    // lexicographic max of (ts, value).
-    q(
-      "q162_table_diff",
-      """WITH b AS (SELECT user_id, value FROM (
-        |    SELECT user_id, value, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events WHERE epoch_us(ts) < 1705363200000000)
-        |  WHERE rn = 1),
-        |a AS (SELECT user_id, value FROM (
-        |    SELECT user_id, value, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
-        |    FROM events WHERE epoch_us(ts) >= 1705363200000000)
-        |  WHERE rn = 1)
-        |SELECT user_id, status, old_value, new_value FROM (
-        |  SELECT COALESCE(b.user_id, a.user_id) AS user_id,
-        |    CASE WHEN b.user_id IS NULL THEN 'added'
-        |         WHEN a.user_id IS NULL THEN 'removed'
-        |         WHEN b.value <> a.value THEN 'changed' END AS status,
-        |    b.value AS old_value, a.value AS new_value
-        |  FROM b FULL JOIN a ON b.user_id = a.user_id)
-        |WHERE status IS NOT NULL ORDER BY user_id"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-      def lastState(f: DataFrame): DataFrame = f
-        .groupBy(col("user_id"))
-        .agg(max(struct(unix_micros(col("ts")).as("ts"),
-          col("value").as("value"))).as("__m"))
-        .select(col("user_id"), col("__m.value").as("value"))
-      val cut = lit(1705363200000000L)
-      graft.pipeline.Profiler.tableDiff(
-          lastState(e.filter(unix_micros(col("ts")) < cut)),
-          lastState(e.filter(unix_micros(col("ts")) >= cut)),
-          "user_id", Seq("value"))
-        .orderBy("user_id")
-    },
-
-    // Rolling active users: per day, DAU + trailing-7-day distinct
-    // users. One aggregate to distinct (day, user) pairs (bounded by
-    // calendar × users), then a bounded day-range join for the
-    // windowed distinct — no COUNT DISTINCT window buffer.
-    q(
-      "q163_rolling_dau",
-      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-        |  FROM events),
-        |d AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY 1),
-        |t AS (SELECT d.day AS anchor, COUNT(DISTINCT p.user_id)
-        |    AS trailing
-        |  FROM d JOIN p ON p.day <= d.day AND p.day > d.day - 7
-        |  GROUP BY 1)
-        |SELECT d.day, d.dau, t.trailing
-        |FROM d JOIN t ON d.day = t.anchor ORDER BY day"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.rollingActiveUsers(
-          Tables.events(s, d), "user_id", "ts", windowDays = 7)
-        .orderBy("day")
-    },
-
-    // Per-node triangle count + local clustering coefficient over the
-    // part co-purchase graph (parts sharing an order, in ≥2 baskets).
-    // Triangle {a<b<c} found once via the wedge join at the lowest
-    // corner; clustering = tri / C(deg,2) — exact integers through one
-    // IEEE division. The degree cap (10k) and basket cap never bind on
-    // TPC-H-ish orders (≤7 lines per order), so the oracle replays the
-    // uncapped enumeration.
-    q(
-      "q164_triangles",
-      """WITH pr AS (SELECT DISTINCT a.l_orderkey AS u,
-        |    a.l_partkey AS x, b.l_partkey AS y
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT x AS lo, y AS hi FROM pr
-        |  GROUP BY x, y HAVING COUNT(*) >= 2),
-        |dg AS (SELECT id, COUNT(*) AS degree FROM (
-        |    SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
-        |  GROUP BY 1),
-        |tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
-        |  FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
-        |  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
-        |pn AS (SELECT id, COUNT(*) AS triangles FROM (
-        |    SELECT a AS id FROM tr UNION ALL SELECT b FROM tr
-        |    UNION ALL SELECT c FROM tr)
-        |  GROUP BY 1)
-        |SELECT dg.id, dg.degree,
-        |  COALESCE(pn.triangles, 0) AS triangles,
-        |  CASE WHEN dg.degree >= 2 THEN
-        |    COALESCE(pn.triangles, 0)::DOUBLE /
-        |      ((dg.degree * (dg.degree - 1)) // 2)::DOUBLE
-        |  ELSE 0.0::DOUBLE END AS clustering
-        |FROM dg LEFT JOIN pn ON dg.id = pn.id
-        |ORDER BY dg.id"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.triangles(
-          graft.pipeline.GraphArtifacts.coOccurrenceEdges(
-            Tables.lineitem(s, d), "l_orderkey", "l_partkey",
-            minCount = 2L, corpusKey = d))
-        .orderBy("id")
-    },
-
-    // Heavy hitters over the token stream: Misra-Gries bounded-state
-    // candidate pass + exact broadcast-filtered recount — items in
-    // strictly more than 1/50 of the rows. The sketch only prunes
-    // items provably below threshold, so the output is EXACT and the
-    // oracle is the plain top-frequency SQL.
-    q(
-      "q165_heavy_hitters",
-      """WITH tk AS (SELECT UNNEST(string_split_regex(
-        |    trim(lower(text)), '\s+')) AS item FROM documents),
-        |n AS (SELECT COUNT(*) AS n FROM tk),
-        |c AS (SELECT item, COUNT(*) AS cnt FROM tk GROUP BY 1)
-        |SELECT item, cnt, cnt::DOUBLE / n.n::DOUBLE AS share
-        |FROM c, n WHERE cnt * 50 > n.n
-        |ORDER BY cnt DESC, item"""
-    ) { (s, d) =>
-      graft.pipeline.Frequent.heavyHitters(
-          Tables.spread(s, Tables.documents(s, d))
-            .select(explode(split(trim(lower(col("text"))), "\\s+"))
-              .as("item")),
-          "item", k = 50)
-        .orderBy(col("cnt").desc, col("item"))
-    },
-
-    // Unicode-normalization dedup surface: half the corpus carries the
-    // composed form (U+00E9), half the decomposed (e + U+0301) — raw
-    // fingerprints split 2-ways per source, `unicode_normalize(_,
-    // 'NFC')` (the codegen'd JDK-Normalizer Expression) collapses them
-    // to one. Oracled against DuckDB's nfc_normalize (both are UAX
-    // #15); the accented literals are built from chr() so the SQL
-    // stays ASCII.
-    q(
-      "q166_nfc_dedup",
-      """WITH f AS (SELECT source,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(233)
-        |         ELSE 'cafe' || chr(769) END AS s
-        |  FROM documents),
-        |nf AS (SELECT source, s, nfc_normalize(s) AS ns FROM f)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT s) AS n_raw_forms,
-        |  COUNT(DISTINCT ns) AS n_norm_forms,
-        |  CAST(SUM(CASE WHEN s <> ns THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_changed
-        |FROM nf GROUP BY 1 ORDER BY source"""
-    ) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("source"),
-          when(pmod(col("doc_id"), lit(2)) === 0, lit("caf\u00e9"))
-            .otherwise(lit("cafe\u0301")).as("__s"))
-        .withColumn("__n",
-          call_function("unicode_normalize", col("__s"), lit("NFC")))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("__s")).as("n_raw_forms"),
-          countDistinct(col("__n")).as("n_norm_forms"),
-          sum(when(col("__s") =!= col("__n"), 1L).otherwise(0L))
-            .as("n_changed"))
-        .orderBy("source")
-    },
-
-    // Reciprocal-rank fusion of two retrieval passes (exact cosine +
-    // exact euclidean top-20 — genuinely different rankings on
-    // unnormalized embeddings): score = 1/(60+r_cos) + 1/(60+r_euc) in
-    // explicit ranker order, each term one IEEE division of exact
-    // integers — no rounding needed anywhere.
-    q(
-      "q167_rrf_fusion",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-        |  WHERE vec_id < 10),
-        |rc AS (SELECT query_id, vec_id, rank FROM (
-        |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
-        |      PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
-        |    AS rank
-        |  FROM q, e WHERE e.vec_id <> q.query_id) WHERE rank <= 20),
-        |re AS (SELECT query_id, vec_id, rank FROM (
-        |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
-        |      PARTITION BY q.query_id
-        |      ORDER BY (list_dot_product(q.qv, q.qv)
-        |          + list_dot_product(e.v, e.v))
-        |        - CAST(2 AS DOUBLE) * list_dot_product(q.qv, e.v) ASC,
-        |        e.vec_id)
-        |    AS rank
-        |  FROM q, e WHERE e.vec_id <> q.query_id) WHERE rank <= 20),
-        |f AS (SELECT COALESCE(rc.query_id, re.query_id) AS query_id,
-        |    COALESCE(rc.vec_id, re.vec_id) AS vec_id,
-        |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rc.rank AS DOUBLE),
-        |        CAST(0 AS DOUBLE))
-        |      + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + re.rank AS DOUBLE),
-        |        CAST(0 AS DOUBLE)) AS rrf_score
-        |  FROM rc FULL JOIN re
-        |    ON rc.query_id = re.query_id AND rc.vec_id = re.vec_id)
-        |SELECT query_id, fused_rank, vec_id, rrf_score FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY rrf_score DESC, vec_id) AS fused_rank FROM f)
-        |WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("vec"))
-      val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val rc = Similarity.bruteForceTopK(qs, e, 20)
-        .select("query_id", "vec_id", "rank")
-      val re = Similarity.bruteForceTopKEuclid(qs, e, 20)
-        .select("query_id", "vec_id", "rank")
-      Similarity.rrfFuse(Seq(rc, re), c = 60, topK = 10)
-        .orderBy("query_id", "fused_rank")
-    },
-
-    // Bloom-pruned join: lineitem → nation-3 suppliers, with a
-    // bounded-state Bloom filter of the build keys dropping probe rows
-    // BEFORE the shuffle (the runtime-filter pattern). FPs only waste
-    // shuffle bytes — the join removes them — so the result IS the
-    // plain join, which is exactly what the oracle runs.
-    q(
-      "q168_bloom_join",
-      """SELECT s.s_name, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS revenue
-        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |WHERE s.s_nationkey = 3
-        |GROUP BY 1 ORDER BY 1"""
-    ) { (s, d) =>
-      val build = Tables.supplier(s, d)
-        .filter(col("s_nationkey") === 3)
-        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-      graft.operators.BloomJoin.join(
-          Tables.lineitem(s, d)
-            .select(col("l_suppkey"), col("l_extendedprice")),
-          build, "l_suppkey", numBits = 1 << 16, hashes = 7)
-        .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("n_items"),
-          dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy("s_name")
-    },
-
-    // Equal-frequency binning (QuantileDiscretizer): event values into
-    // 4 rank buckets. The exact=true surface is PURE rank arithmetic
-    // (ntile over the deterministic (value, id) order — no float
-    // interpolation anywhere, unlike quantile-edge assignment); the
-    // production default derives edges from approx_percentile with
-    // bounded state and is ε-pinned against this form in the spec.
-    q(
-      "q169_freq_binning",
-      """WITH r AS (SELECT value AS v, ntile(4) OVER (
-        |    ORDER BY value, event_id) AS bin FROM events)
-        |SELECT bin, COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
-        |FROM r GROUP BY 1 ORDER BY bin"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.equalFrequencyBins(
-          Tables.events(s, d), "value", "event_id", k = 4, exact = true)
-        .orderBy("bin")
-    },
-
-    // Availability islands — the q159 gap report's complement: per
-    // sensor, consecutive samples within 2 days merge into coverage
-    // intervals (gaps-and-islands via one running break-count window,
-    // then one island aggregate). Pure integer µs.
-    q(
-      "q170_availability",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |g AS (SELECT sensor_id, t, value,
-        |    CASE WHEN LAG(t) OVER w IS NULL
-        |         OR t - LAG(t) OVER w > 172800000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, value)),
-        |i AS (SELECT sensor_id, t, SUM(brk) OVER (
-        |    PARTITION BY sensor_id ORDER BY t, value
-        |    ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM g)
-        |SELECT sensor_id, MIN(t) AS start_us, MAX(t) AS end_us,
-        |  COUNT(*) AS n_samples, MAX(t) - MIN(t) AS duration_us
-        |FROM i GROUP BY sensor_id, island
-        |ORDER BY sensor_id, start_us"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.availabilityIntervals(
-          EventsAdapter.samples(s, d), thresholdUs = 172800000000L)
-        .orderBy("sensor_id", "start_us")
-    },
-
-    // Per-group two-sample KS drift: purchase-vs-view value
-    // distributions drift per event_type between the month's halves —
-    // one job, one D statistic per type (never a driver loop of
-    // per-group tests). Same exact integer-CDF construction as q158.
-    q(
-      "q171_grouped_ks",
-      """WITH a AS (SELECT event_type AS k, value AS v FROM events
-        |  WHERE epoch_us(ts) < 1705363200000000),
-        |b AS (SELECT event_type AS k, value AS v FROM events
-        |  WHERE epoch_us(ts) >= 1705363200000000),
-        |av AS (SELECT k, v, COUNT(*) AS ca FROM a GROUP BY 1, 2),
-        |bv AS (SELECT k, v, COUNT(*) AS cb FROM b GROUP BY 1, 2),
-        |m AS (SELECT COALESCE(av.k, bv.k) AS k, COALESCE(av.v, bv.v) AS v,
-        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-        |  FROM av FULL JOIN bv ON av.k = bv.k AND av.v = bv.v),
-        |t AS (SELECT k, CAST(SUM(ca) AS DOUBLE) AS na,
-        |    CAST(SUM(cb) AS DOUBLE) AS nb FROM m GROUP BY 1),
-        |c AS (SELECT k, v,
-        |    CAST(SUM(ca) OVER (PARTITION BY k ORDER BY v) AS DOUBLE)
-        |      AS cua,
-        |    CAST(SUM(cb) OVER (PARTITION BY k ORDER BY v) AS DOUBLE)
-        |      AS cub FROM m),
-        |dd AS (SELECT c.k, v, abs(cua / t.na - cub / t.nb) AS d_,
-        |    t.na, t.nb
-        |  FROM c JOIN t ON c.k = t.k)
-        |SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
-        |  CAST(nb AS BIGINT) AS n_b, v AS at_value, d_ AS d_stat
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
-        |    ORDER BY d_ DESC, v) AS rn FROM dd)
-        |WHERE rn = 1 ORDER BY event_type"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(col("event_type"), unix_micros(col("ts")).as("t"),
-          col("value"))
-      val cut = lit(1705363200000000L)
-      graft.pipeline.Profiler.ksTestGrouped(
-          e.filter(col("t") < cut), e.filter(col("t") >= cut),
-          "event_type", "value")
-        .orderBy("event_type")
-    },
-
-    // Prefix-blocked typo-pair mining over the corpus vocabulary:
-    // same-2-char-prefix token pairs at edit distance exactly ≤1,
-    // ASCII-restricted so Spark's code-point levenshtein and DuckDB's
-    // byte levenshtein agree (q136 lesson). The verify stage is the
-    // banded 3-arg levenshtein.
-    q(
-      "q172_typo_pairs",
-      """WITH tk AS (SELECT UNNEST(string_split_regex(
-        |    trim(lower(text)), '\s+')) AS t FROM documents),
-        |v AS (SELECT t, COUNT(*) AS cnt FROM tk
-        |  WHERE regexp_matches(t, '^[ -~]*$') AND len(t) >= 4
-        |  GROUP BY 1 HAVING COUNT(*) >= 2)
-        |SELECT token_a, token_b, cnt_a, cnt_b, dist FROM (
-        |  SELECT a.t AS token_a, b.t AS token_b, a.cnt AS cnt_a,
-        |    b.cnt AS cnt_b,
-        |    CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
-        |  FROM v a JOIN v b
-        |    ON substr(a.t, 1, 2) = substr(b.t, 1, 2) AND a.t < b.t
-        |    AND abs(len(a.t) - len(b.t)) <= 1)
-        |WHERE dist <= 1 ORDER BY token_a, token_b"""
-    ) { (s, d) =>
-      graft.pipeline.Dedup.typoPairs(
-          Tables.spread(s, Tables.documents(s, d)), "text",
-          minCount = 2L, minLen = 4, maxDist = 1, prefixLen = 2)
-        .orderBy("token_a", "token_b")
-    },
-
-    // BPE subword segmentation of the corpus vocabulary: the codegen'd
-    // bpe_split Expression (greedy lowest-rank LEFTMOST merge, one
-    // merge per step — chosen over the batch sweep exactly so the
-    // recursion replays 1:1 as a recursive CTE) against an oracle that
-    // unrolls the same recurrence over the same vendored merge table
-    // (BpeMerges.sqlList — one source of truth). Kernel runs once per
-    // VOCAB entry, never per token occurrence.
-    q("q173_bpe_vocab", bpeOracleSql) { (s, d) =>
-      TextAnalysis.bpeSegmentVocab(
-          Tables.spread(s, Tables.documents(s, d)), "text", minCount = 2L)
-        .orderBy("word")
-    },
-
-    // Strided context-window chunking: documents into 64-token windows
-    // every 48 tokens — the sequence-prep step between cleaning and
-    // packing. Pure scan-stage sequence+explode (plan-pinned shuffle-
-    // free); tail chunks run short; empty docs yield the one
-    // empty-token chunk both engines' whitespace split produces.
-    q(
-      "q174_context_chunks",
-      """WITH d AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d
-        |  WHERE len(toks) >= 1),
-        |s AS (SELECT doc_id, toks, n,
-        |    UNNEST(range(0, n, 48)) AS chunk_start FROM n)
-        |SELECT doc_id, chunk_start,
-        |  CAST(least(64, n - chunk_start) AS BIGINT) AS n_tokens,
-        |  array_to_string(toks[chunk_start+1 : chunk_start+64], ' ')
-        |    AS chunk_text
-        |FROM s ORDER BY doc_id, chunk_start"""
-    ) { (s, d) =>
-      TextAnalysis.contextChunks(
-          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id",
-          window = 64, stride = 48)
-        .orderBy("doc_id", "chunk_start")
-    },
-
-    // Character-diversity quality scoring on the one-pass char_stats
-    // kernel (codegen'd Expression — no per-character explosion;
-    // the oracle replays the naive exploded form). Simpson diversity
-    // 1 − Σc²/n² spelled as (n² − Σc²)/n²: exact integer numerator and
-    // denominator, ONE IEEE division — bit-identical cross-engine with
-    // no ln and no ordered float sum.
-    q(
-      "q175_char_diversity",
-      """WITH ch AS (SELECT doc_id, UNNEST(list_transform(
-        |    range(1, len(text) + 1), i -> text[i])) AS c FROM documents
-        |  WHERE len(text) >= 1),
-        |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
-        |st AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
-        |    CAST(SUM(k * k) AS BIGINT) AS ss,
-        |    CAST(COUNT(*) AS INTEGER) AS nd FROM cc GROUP BY 1)
-        |SELECT doc_id, n AS n_chars, nd AS distinct_chars,
-        |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-        |    AS char_diversity
-        |FROM st ORDER BY doc_id"""
-    ) { (s, d) =>
-      Tables.spread(s, Tables.documents(s, d))
-        .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), TextAnalysis.charStats(col("text")).as("cs"))
-        .select(col("doc_id"),
-          col("cs.n_chars").as("n_chars"),
-          col("cs.distinct_chars").as("distinct_chars"),
-          ((col("cs.n_chars") * col("cs.n_chars") - col("cs.sum_sq"))
-              .cast("double") /
-            (col("cs.n_chars") * col("cs.n_chars")).cast("double"))
-            .as("char_diversity"))
-        .orderBy("doc_id")
-    },
-
-    // PMI collocation mining: bigram vs unigram corpus counts, one ln
-    // per OUTPUT row on an exactly-computed double argument (integer
-    // products, one division) under ROUND(6) — the q108 ln discipline;
-    // ordering is on the ROUNDED score so both engines cut the same
-    // top-50. Two count shuffles + two keyed token joins + TakeOrdered.
-    q(
-      "q176_pmi_collocations",
-      """WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\s+')
-        |    AS t FROM documents),
-        |uc AS (SELECT w, COUNT(*) AS c FROM (
-        |    SELECT UNNEST(t) AS w FROM tk) GROUP BY 1),
-        |bgi AS (SELECT t, UNNEST(range(1, len(t))) AS i FROM tk),
-        |bc AS (SELECT a, b, COUNT(*) AS c_ab FROM (
-        |    SELECT t[i] AS a, t[i+1] AS b FROM bgi)
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
-        |nb AS (SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT)
-        |    AS n_bi FROM tk)
-        |SELECT a AS token_a, b AS token_b, c_ab, ca.c AS c_a,
-        |  cb.c AS c_b,
-        |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_bi AS DOUBLE)) /
-        |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS pmi
-        |FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w
-        |CROSS JOIN nb
-        |ORDER BY pmi DESC, token_a, token_b LIMIT 50"""
-    ) { (s, d) =>
-      TextAnalysis.pmiCollocations(
-        Tables.spread(s, Tables.documents(s, d)), "text",
-        minCount = 5L, k = 50)
-    },
-
-    // Tokenizer fertility by word-length bucket over the q173 BPE
-    // segmentation — integer sums, one exact division; the merge-table
-    // diagnostic a tokenizer team reads before training.
-    q("q177_bpe_fertility", bpeFertilitySql) { (s, d) =>
-      TextAnalysis.bpeFertility(
-          Tables.spread(s, Tables.documents(s, d)), "text", minCount = 2L)
-        .orderBy("len_bucket")
-    },
-
-    // Entity-resolution candidates by sorted-neighborhood blocking:
-    // customers ranked per nation by (acctbal, custkey), each paired
-    // with its next 3 rank neighbors (BandJoin on the rank — linear
-    // n·w candidates per block, never a per-block cross product), then
-    // integer field-agreement scoring. Doubles only ever SUBTRACTED
-    // and compared (identical IEEE ops both engines), never summed.
-    q(
-      "q178_record_linkage",
-      """WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal,
-        |    c_mktsegment, ROW_NUMBER() OVER (PARTITION BY c_nationkey
-        |      ORDER BY c_acctbal, c_custkey) AS rk FROM customer)
-        |SELECT a_id, b_id, a_segment, b_segment, score FROM (
-        |  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
-        |    a.c_mktsegment AS a_segment, b.c_mktsegment AS b_segment,
-        |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
-        |        THEN 2 ELSE 0 END +
-        |      CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 10.0
-        |        THEN 1 ELSE 0 END AS INTEGER) AS score
-        |  FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
-        |    AND b.rk > a.rk AND b.rk <= a.rk + 3)
-        |WHERE score >= 2 ORDER BY a_id, b_id"""
-    ) { (s, d) =>
-      val pairs = graft.operators.RecordLinkage.sortedNeighborhoodPairs(
-        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
-          col("c_acctbal"), col("c_mktsegment")),
-        "c_nationkey", "c_acctbal", "c_custkey", w = 3)
-      pairs
-        .select(col("a_c_custkey").as("a_id"), col("b_c_custkey").as("b_id"),
-          col("a_c_mktsegment").as("a_segment"),
-          col("b_c_mktsegment").as("b_segment"),
-          (when(col("a_c_mktsegment") === col("b_c_mktsegment"), 2)
-              .otherwise(0) +
-            when(abs(col("a_c_acctbal") - col("b_c_acctbal")) <= 10.0, 1)
-              .otherwise(0)).as("score"))
-        .filter(col("score") >= 2)
-        .orderBy("a_id", "b_id")
-    },
-
-    // Last-touch marketing attribution: each purchase attributed to the
-    // user's most recent preceding touch (click/view/signup) within 7
-    // days, on the AsOfJoin operator. Touches pre-collapse to one per
-    // (user, µs) via max(struct) — lexicographic (event_type,
-    // event_id), replayed in the oracle as ROW_NUMBER DESC — so the
-    // as-of carry is unambiguous at timestamp ties. Revenue in the
-    // exact-decimal sum form.
-    q(
-      "q179_attribution",
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS t, user_id,
-        |    event_type, value FROM events),
-        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
-        |tch AS (SELECT user_id, t, event_type AS touch_type FROM (
-        |    SELECT user_id, t, event_type, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id, t
-        |      ORDER BY event_type DESC, event_id DESC) AS rn
-        |    FROM e WHERE event_type IN ('click', 'view', 'signup'))
-        |  WHERE rn = 1),
-        |a AS (SELECT p.event_id, p.value, p.t, tch.t AS touch_ts,
-        |    tch.touch_type, ROW_NUMBER() OVER (
-        |      PARTITION BY p.event_id ORDER BY tch.t DESC) AS rn
-        |  FROM p JOIN tch ON p.user_id = tch.user_id AND tch.t <= p.t)
-        |SELECT touch_type, COUNT(*) AS n_conversions,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM a WHERE rn = 1 AND t - touch_ts <= 604800000000
-        |GROUP BY 1 ORDER BY touch_type"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d).select(col("event_id"),
-        unix_micros(col("ts")).as("t"), col("user_id"),
-        col("event_type"), col("value"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("t"), col("event_id"), col("value"))
-      val touches = e
-        .filter(col("event_type").isin("click", "view", "signup"))
-        .groupBy(col("user_id"), col("t"))
-        .agg(max(struct(col("event_type"), col("event_id"))).as("m"))
-        .select(col("user_id"), col("t"),
-          col("m.event_type").as("touch_type"))
-      graft.operators.AsOfJoin.asOf(
-          purchases, touches, "user_id", "t", Seq("touch_type"))
-        .filter(col("t") - col("right_ts") <= 604800000000L)
-        .groupBy(col("touch_type"))
-        .agg(count(lit(1)).as("n_conversions"),
-          dsum(col("value")).as("revenue"))
-        .orderBy("touch_type")
-    },
-
-    // Time-weighted average per sensor — irregular-sampling mean with
-    // DECIMAL v·dt accumulation (order-free integer arithmetic).
-    // DECIMAL(18,6)×DECIMAL(19,0) keeps DuckDB's multiply on the int128
-    // path (the q150 same-width int64 overflow gotcha). Compare surface
-    // is INTEGER/STRING ONLY — no doubles AND no decimals. The hard-won
-    // lesson (three red rounds): raw IEEE doubles hash-mismatch at the
-    // driver even when locally bit-identical (r10), and DECIMAL columns
-    // do too even when cell-identical to the oracle (r11 adjudication:
-    // vdt_sum decimal128 was the registry's only decimal surface and
-    // its only persistent red — parquet decimal128 vs DuckDB DECIMAL
-    // canonicalize value-equal cells differently). So the v·dt sum is
-    // published as TWO BIGINTs (vdt_s0 floor + vdt_f6 micro-fraction;
-    // vdt_sum·10⁶ itself can exceed 2⁶³ so one scaled BIGINT is
-    // unsafe), and the mean as twa_micro = floor(vdt_sum·10⁶/span_us),
-    // a BIGINT produced by base-1000 schoolbook division wholly in
-    // BIGINT +,·,DIV,% — no decimal division (engines disagree on its
-    // result scale) and no doubles.
-    q(
-      "q180_time_weighted_avg",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |n AS (SELECT sensor_id, t, value, LEAD(t) OVER (
-        |    PARTITION BY sensor_id ORDER BY t, value) AS nt FROM s),
-        |v AS (SELECT sensor_id, t,
-        |    CAST(value AS DECIMAL(18,6)) * CAST(nt - t AS DECIMAL(19,0))
-        |      AS vdt FROM n),
-        |g AS (SELECT sensor_id, COUNT(*) AS n_samples,
-        |    MAX(t) - MIN(t) AS span_us,
-        |    CAST(COALESCE(SUM(vdt), 0) AS DECIMAL(38,6)) AS vdt_sum
-        |  FROM v GROUP BY 1),
-        |g2 AS (SELECT *, CAST(FLOOR(vdt_sum) AS BIGINT) AS s0,
-        |    CAST(CAST(vdt_sum - FLOOR(vdt_sum) AS DECIMAL(7,6)) * 1000000
-        |      AS BIGINT) AS f6,
-        |    CASE WHEN span_us > 0 THEN span_us ELSE 1 END AS bs
-        |  FROM g),
-        |g3 AS (SELECT *, (s0 // bs) - (CASE WHEN s0 < 0 AND s0 % bs <> 0
-        |    THEN 1 ELSE 0 END) AS q0 FROM g2),
-        |g4 AS (SELECT *, (s0 - q0*bs) * 1000 + f6 // 1000 AS t1 FROM g3),
-        |g5 AS (SELECT *, t1 // bs AS q1 FROM g4),
-        |g6 AS (SELECT *, (t1 - q1*bs) * 1000 + f6 % 1000 AS t2 FROM g5)
-        |SELECT sensor_id, n_samples, span_us, s0 AS vdt_s0,
-        |  f6 AS vdt_f6,
-        |  CASE WHEN span_us > 0 THEN q0*1000000 + q1*1000 + t2 // bs END
-        |    AS twa_micro
-        |FROM g6 ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.timeWeightedAvg(
-          EventsAdapter.samples(s, d))
-        .select("sensor_id", "n_samples", "span_us", "vdt_s0",
-          "vdt_f6", "twa_micro")
-        .orderBy("sensor_id")
-    },
-
-    // Positional phrase search: exact token-sequence match via
-    // positional-postings intersection (pos − term index = implied
-    // phrase start; all 3 distinct indexes present ⇒ match). The
-    // term filter is a scan-stage literal IN-set — the inverted-index
-    // access path without materializing an index.
-    // Chi-square independence contributions: event mix vs weekday. The
-    // 7-value weekday domain is LITERAL, so per-day counts are
-    // conditional sums (pivot discipline — no data-ordered float sum
-    // anywhere) and the χ² row total is an explicit left-associated
-    // 7-term chain, ROUND(6). Spark dayofweek()−1 ≡ DuckDB dow
-    // (0 = Sunday both).
-    q("q182_chi_square", chiSquareSql) { (s, d) =>
-      graft.pipeline.Profiler.chiSquareContrib(
-          Tables.events(s, d).select(col("event_type"),
-            (dayofweek(col("ts")) - 1).as("dw")),
-          "event_type", "dw", (0 to 6).map(Int.box))
-        .orderBy("event_type")
-    },
-
-    // Temporal validity (point-in-time) join: click events enriched
-    // with the SCD2 per-user state version (q161's history) current at
-    // the click's timestamp — equi-join on the key, interval test as a
-    // post-filter (each fact meets version-count rows, never fact²).
-    q(
-      "q183_validity_join",
-      """WITH pt AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
-        |  FROM events GROUP BY 1, 2),
-        |w AS (SELECT user_id, t, v,
-        |    LAG(v) OVER (PARTITION BY user_id ORDER BY t) AS pv
-        |  FROM pt),
-        |cp AS (SELECT user_id, t, v FROM w
-        |  WHERE pv IS NULL OR v <> pv),
-        |h AS (SELECT user_id, t AS valid_from,
-        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t)
-        |      AS version, v AS value
-        |  FROM cp),
-        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ft FROM events
-        |  WHERE event_type = 'click')
-        |SELECT f.event_id, f.user_id, f.ft, h.version, h.value
-        |FROM f JOIN h ON f.user_id = h.user_id
-        |  AND h.valid_from <= f.ft
-        |  AND (h.valid_to IS NULL OR f.ft < h.valid_to)
-        |ORDER BY event_id"""
-    ) { (s, d) =>
-      val hist = graft.operators.Changelog.scd2History(
-        Tables.events(s, d).select(col("user_id"),
-          unix_micros(col("ts")).as("t"), col("value")),
-        "user_id", "t", Seq("value"))
-      val facts = Tables.events(s, d)
-        .filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ft"))
-      graft.operators.Changelog.validityJoin(facts, hist, "user_id", "ft")
-        .select(col("event_id"), col("user_id"), col("ft"),
-          col("version"), col("value"))
-        .orderBy("event_id")
-    },
-
-    // Stream-static enrichment join: the events STREAM broadcast-joined
-    // to the static customer dimension mid-flight (the standard
-    // dimension-lookup topology: per-micro-batch hash lookup, no stream
-    // state), then a running per-segment aggregate. Oracle is the
-    // identical batch join — stream-static inner joins add no
-    // time semantics.
-    q(
-      "q184_stream_enrich",
-      """SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS total_value
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY segment"""
-    ) { (s, d) =>
-      val ss = streamSession(s) // 4 state partitions; same answer
-      val schema = Tables.load(s, d, "events").schema
-      val stream = ss.readStream.schema(schema)
-        .parquet(streamSourceDir(s, d, "events"))
-      // dim loaded through the SAME scoped session — mixing Datasets
-      // across sessions analyzes under one SQLConf and resolves under
-      // another, which Spark only sometimes tolerates
-      val dim = Tables.customer(ss, d)
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val enriched = stream
-        .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_events"),
-          dsum(col("value")).as("total_value"))
-      val name = s"q184_out_${System.nanoTime()}"
-      val query = enriched.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-      boundedResult(s, ss, name, ss.table(name), Seq("segment"))
-    },
-
-    // Join-cardinality estimation without executing the join: per-key
-    // |left|·|right| products over the distinct-key count tables (the
-    // exact inner-join output size), top contributors — the
-    // "will this join explode" pre-flight for a 100 TB shuffle.
-    // Integer-exact everywhere but the final share division.
-    q(
-      "q185_join_cardinality",
-      """WITH l AS (SELECT user_id AS uid, COUNT(*) AS n_left
-        |  FROM events GROUP BY 1),
-        |r AS (SELECT o_custkey AS uid, COUNT(*) AS n_right
-        |  FROM orders GROUP BY 1),
-        |p AS (SELECT uid AS key, n_left, n_right,
-        |    n_left * n_right AS est_pairs FROM l JOIN r USING (uid)),
-        |t AS (SELECT CAST(COALESCE(SUM(est_pairs), 0) AS BIGINT)
-        |    AS total FROM p)
-        |SELECT key, n_left, n_right, est_pairs,
-        |  round(CAST(est_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6)
-        |    AS share
-        |FROM p CROSS JOIN t
-        |ORDER BY est_pairs DESC, key LIMIT 10"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.joinCardinalityEstimate(
-        Tables.events(s, d).select(col("user_id").as("uid")),
-        Tables.orders(s, d).select(col("o_custkey").as("uid")),
-        "uid", k = 10)
-    },
-
-    // Seasonal hour-of-day decomposition: per (event_type, hour),
-    // the seasonal mean (DECIMAL sum, one division) and the residual
-    // envelope after removing it (MIN/MAX — selection, never a float
-    // sum). Spark hour() ≡ DuckDB EXTRACT(hour) under the UTC session.
-    q(
-      "q186_seasonal_profile",
-      """WITH s AS (SELECT event_type AS g, EXTRACT(hour FROM ts) AS hr,
-        |    value AS v FROM events),
-        |m AS (SELECT g, hr, COUNT(*) AS n,
-        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-        |      AS hour_mean
-        |  FROM s GROUP BY 1, 2),
-        |r AS (SELECT s.g, s.hr, MIN(v - hour_mean) AS min_resid,
-        |    MAX(v - hour_mean) AS max_resid
-        |  FROM s JOIN m ON s.g = m.g AND s.hr = m.hr GROUP BY 1, 2)
-        |SELECT m.g AS event_type, CAST(m.hr AS INTEGER) AS hr, n,
-        |  hour_mean, min_resid, max_resid
-        |FROM m JOIN r ON m.g = r.g AND m.hr = r.hr
-        |ORDER BY event_type, hr"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.seasonalHourlyProfile(
-          Tables.events(s, d), "event_type", "ts", "value")
-        .orderBy("event_type", "hr")
-    },
-
-    // Typed JSON property extraction — the semi-structured sidecar
-    // column every event pipeline carries: from_json with an explicit
-    // schema (the Spark-native path — no schema inference at scale),
-    // then integer-exact stats per event type. Oracle extracts with
-    // DuckDB's JSON path functions.
-    q(
-      "q187_json_props",
-      """SELECT event_type,
-        |  COUNT(*) AS n_with_k,
-        |  MIN(k) AS min_k, MAX(k) AS max_k,
-        |  CAST(SUM(k) AS BIGINT) AS sum_k,
-        |  COUNT(DISTINCT k) AS n_distinct_k
-        |FROM (SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |  FROM events)
-        |WHERE k IS NOT NULL
-        |GROUP BY 1 ORDER BY event_type"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"),
-          from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
-        .filter(col("k").isNotNull)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_with_k"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
-          sum(col("k")).as("sum_k"),
-          countDistinct(col("k")).as("n_distinct_k"))
-        .orderBy("event_type")
-    },
-
-    // Benford first-digit conformance over money-scale columns:
-    // digit via exact integer-cents string form (never log10, never
-    // double→string), counts as conditional sums, TVD as an explicit
-    // 9-term chain against inlined Benford literals, ROUND(6).
-    q("q188_benford", benfordSql) { (s, d) =>
-      graft.pipeline.Profiler.benfordTest(
-          Tables.lineitem(s, d),
-          Seq("l_extendedprice", "l_quantity", "l_discount"))
-        .orderBy("col_name")
-    },
-
-    // Functional-dependency profiler: measured determinant→dependent
-    // facts over candidate pairs (holds / violated / worst variant
-    // count), integer-exact; one distinct-pair-collapsed aggregate per
-    // candidate.
-    q(
-      "q189_fd_profile",
-      """SELECT 'o_custkey -> o_orderpriority' AS dependency,
-        |  COUNT(*) AS n_keys,
-        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_violating_keys,
-        |  MAX(nd) AS max_variants
-        |FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
-        |  FROM orders GROUP BY 1)
-        |UNION ALL
-        |SELECT 'o_orderkey -> o_custkey', COUNT(*),
-        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |  MAX(nd)
-        |FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
-        |  FROM orders GROUP BY 1)
-        |UNION ALL
-        |SELECT 'o_orderstatus -> o_orderpriority', COUNT(*),
-        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |  MAX(nd)
-        |FROM (SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS nd
-        |  FROM orders GROUP BY 1)
-        |ORDER BY dependency"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.functionalDependencies(
-          Tables.orders(s, d),
-          Seq("o_custkey" -> "o_orderpriority",
-            "o_orderkey" -> "o_custkey",
-            "o_orderstatus" -> "o_orderpriority"))
-        .orderBy("dependency")
-    },
-
-    // Peak interval concurrency over the q170 availability islands —
-    // the sweep line as a DISTRIBUTED prefix sum (per-day buckets
-    // compute internal running sums in parallel; the cross-bucket
-    // carry is a prefix over bucket TOTALS, a table bounded by the
-    // timespan, not the data). carry + in-bucket ≡ the oracle's one
-    // global window exactly, by associativity.
-    q(
-      "q190_max_concurrency",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |g AS (SELECT sensor_id, t, value,
-        |    CASE WHEN LAG(t) OVER w IS NULL
-        |         OR t - LAG(t) OVER w > 172800000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, value)),
-        |i AS (SELECT sensor_id, t, SUM(brk) OVER (
-        |    PARTITION BY sensor_id ORDER BY t, value
-        |    ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM g),
-        |iv AS (SELECT MIN(t) AS start_us, MAX(t) AS end_us
-        |  FROM i GROUP BY sensor_id, island),
-        |d AS (SELECT start_us AS t, 1 AS delta FROM iv
-        |  UNION ALL SELECT end_us + 1, -1 FROM iv),
-        |r AS (SELECT t, SUM(delta) OVER (
-        |    ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c FROM d),
-        |m AS (SELECT MAX(c) AS mc FROM r)
-        |SELECT CAST(m.mc AS BIGINT) AS max_concurrent,
-        |  MIN(r.t) AS at_us
-        |FROM r, m WHERE r.c = m.mc GROUP BY m.mc"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.maxConcurrency(
-        graft.operators.SensorOps.availabilityIntervals(
-          EventsAdapter.samples(s, d), thresholdUs = 172800000000L),
-        bucketUs = 86400000000L)
-    },
-
-    // Regular-grid forward-fill resample (daily): per sensor, one row
-    // per day of its own span; empty days carry the latest prior
-    // value (max(struct) latest-wins + last ignoreNulls — q157's total
-    // order). Sensors with 2-day gaps in q159/q170 guarantee filled
-    // rows exist.
-    q(
-      "q191_ffill_resample",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |b AS (SELECT sensor_id, t // 86400000000 AS bk, t, value,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id, t // 86400000000
-        |      ORDER BY t DESC, value DESC) AS rn FROM s),
-        |bv AS (SELECT sensor_id, bk, value AS v FROM b WHERE rn = 1),
-        |sp AS (SELECT sensor_id, UNNEST(range(MIN(bk), MAX(bk) + 1))
-        |    AS bk FROM bv GROUP BY sensor_id),
-        |j AS (SELECT sp.sensor_id, sp.bk, bv.v FROM sp
-        |  LEFT JOIN bv ON sp.sensor_id = bv.sensor_id AND sp.bk = bv.bk)
-        |SELECT sensor_id, bk * 86400000000 AS bucket_start_us,
-        |  last_value(v IGNORE NULLS) OVER (PARTITION BY sensor_id
-        |    ORDER BY bk ROWS UNBOUNDED PRECEDING) AS value,
-        |  CAST(v IS NULL AS INTEGER) AS filled
-        |FROM j ORDER BY sensor_id, bucket_start_us"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.resampleForwardFill(
-          EventsAdapter.samples(s, d), bucketUs = 86400000000L)
-        .orderBy("sensor_id", "bucket_start_us")
-    },
-
-    // First-order Markov transitions between consecutive events per
-    // user: integer counts + single-division conditional probabilities
-    // (bit-identical cross-engine, no rounding surface).
-    q(
-      "q192_transition_matrix",
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
-        |    event_type FROM events),
-        |st AS (SELECT event_type AS to_state,
-        |    LAG(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY t, event_id) AS from_state FROM e),
-        |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM st
-        |  WHERE from_state IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot
-        |  FROM c GROUP BY 1)
-        |SELECT c.from_state AS from_state, c.to_state, c.n,
-        |  CAST(c.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS prob
-        |FROM c JOIN tot ON c.from_state = tot.from_state
-        |ORDER BY c.from_state, c.to_state"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.transitionMatrix(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "user_id", "t", "event_id", "event_type")
-        .orderBy("from_state", "to_state")
-    },
-
-    // Grouped quantile profile: per event type, exact percentile array
-    // (oracle surface; the production default is the per-group
-    // bounded-state approx_percentile — q115's split, grouped).
-    q(
-      "q193_grouped_quantiles",
-      """SELECT event_type, COUNT(*) AS n,
-        |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
-        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
-        |  ROUND(quantile_cont(value, 0.75), 6) AS p75,
-        |  ROUND(quantile_cont(value, 0.95), 6) AS p95
-        |FROM events GROUP BY 1 ORDER BY event_type"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.quantileProfileGrouped(
-          Tables.events(s, d), "event_type", "value", exact = true)
-        .orderBy("event_type")
-    },
-
-    // Winsorized/trimmed robust statistics: tails beyond [p05, p95]
-    // clipped or dropped, DECIMAL sums, single divisions, ROUND(6).
-    // Percentile edges replay identically (q115's quantile_cont ≡
-    // exact percentile); boundary comparisons are safe because a
-    // fractional interpolation index lands strictly between samples
-    // and an integer index IS a sample on both engines.
-    q(
-      "q194_winsorized_stats",
-      """WITH e AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
-        |    quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
-        |SELECT COUNT(*) AS n,
-        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_clipped_low,
-        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_clipped_high,
-        |  round(CAST(SUM(CAST(greatest(lo, least(hi, v))
-        |      AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
-        |    AS winsorized_mean,
-        |  round(CAST(SUM(CAST(CASE WHEN v BETWEEN lo AND hi THEN v END
-        |      AS DECIMAL(18,2))) AS DOUBLE) /
-        |    SUM(CASE WHEN v BETWEEN lo AND hi THEN 1 ELSE 0 END), 6)
-        |    AS trimmed_mean
-        |FROM (SELECT l_extendedprice AS v FROM lineitem) CROSS JOIN e"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.winsorizedStats(
-        Tables.lineitem(s, d), "l_extendedprice", exact = true)
-    },
-
-    // 2-D Pareto skyline over (quantity, price): strict dominance,
-    // duplicates survive together; comparisons only — no arithmetic.
-    // The running max runs over the DISTINCT-X table (50 quantities),
-    // never the row count.
-    q(
-      "q195_skyline",
-      """WITH pts AS (SELECT l_quantity AS x, l_extendedprice AS y,
-        |    COUNT(*) AS n_points FROM lineitem GROUP BY 1, 2),
-        |px AS (SELECT x, MAX(y) AS gy FROM pts GROUP BY 1),
-        |f AS (SELECT x, gy, MAX(gy) OVER (ORDER BY x DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS br
-        |  FROM px)
-        |SELECT pts.x AS l_quantity, pts.y AS l_extendedprice,
-        |  pts.n_points
-        |FROM pts JOIN f ON pts.x = f.x AND pts.y = f.gy
-        |WHERE br IS NULL OR gy > br
-        |ORDER BY l_quantity"""
-    ) { (s, d) =>
-      graft.operators.Skyline.skyline2D(
-          Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
-        .orderBy("l_quantity")
-    },
-
-    // One-sided CUSUM change-point chart per sensor: sequential
-    // max(0, s + (x − target − slack)) fold — sharded recurrence (the
-    // Ewma/deadband shape), replayed bit-exactly by a recursive CTE
-    // advancing one row per sensor per step (q82/q143 precedent); no
-    // rounding surface.
-    q("q196_cusum", cusumOracleSql) { (s, d) =>
-      graft.operators.Cusum.detect(
-          EventsAdapter.samples(s, d),
-          target = 50.0, slack = 5.0, threshold = 200.0)
-        .orderBy("sensor_id", "timestamp_us", "value")
-        .withColumnRenamed("timestamp_us", "t")
-    },
-
-    q(
-      "q181_phrase_search",
-      """WITH tk AS (SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |pos AS (SELECT doc_id, t, UNNEST(range(1, len(t) + 1)) AS i
-        |  FROM tk),
-        |pt AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM pos),
-        |ph AS (SELECT * FROM (VALUES ('big', 0), ('order', 1),
-        |    ('scan', 2)) AS v(tok, idx)),
-        |m AS (SELECT doc_id, pos - idx AS base, idx
-        |  FROM pt JOIN ph USING (tok) WHERE pos - idx >= 0),
-        |h AS (SELECT doc_id, base, COUNT(DISTINCT idx) AS nid
-        |  FROM m GROUP BY 1, 2)
-        |SELECT doc_id, COUNT(*) AS n_matches,
-        |  CAST(MIN(base) AS BIGINT) AS first_pos
-        |FROM h WHERE nid = 3 GROUP BY 1 ORDER BY doc_id"""
-    ) { (s, d) =>
-      TextAnalysis.phraseSearch(
-          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id",
-          Seq("big", "order", "scan"))
-        .orderBy("doc_id")
-    },
-
-    // Spearman rank correlation: Pearson over midrank-transformed
-    // columns. Spark ranks via the distributed bucketed prefix count
-    // (never a global single-partition window); the oracle's one
-    // RANK() window produces the IDENTICAL exact half-integer
-    // midranks, then both sides run the q150 exact-DECIMAL Pearson —
-    // reduction-order-free sums, IEEE formula on identical numbers.
-    q(
-      "q197_spearman",
-      """WITH r AS (SELECT
-        |  RANK() OVER (ORDER BY l_quantity)
-        |    + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
-        |  RANK() OVER (ORDER BY l_extendedprice)
-        |    + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
-        |      AS rp,
-        |  RANK() OVER (ORDER BY l_discount)
-        |    + (COUNT(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
-        |FROM lineitem),
-        |s AS (SELECT
-        |  CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(rq AS DECIMAL(18,4))) AS DOUBLE) AS s_q,
-        |  CAST(SUM(CAST(rq AS DECIMAL(24,4))
-        |    * CAST(rq AS DECIMAL(18,4))) AS DOUBLE) AS ss_q,
-        |  CAST(SUM(CAST(rp AS DECIMAL(18,4))) AS DOUBLE) AS s_p,
-        |  CAST(SUM(CAST(rp AS DECIMAL(24,4))
-        |    * CAST(rp AS DECIMAL(18,4))) AS DOUBLE) AS ss_p,
-        |  CAST(SUM(CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS s_d,
-        |  CAST(SUM(CAST(rd AS DECIMAL(24,4))
-        |    * CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS ss_d,
-        |  CAST(SUM(CAST(rq AS DECIMAL(24,4))
-        |    * CAST(rp AS DECIMAL(18,4))) AS DOUBLE) AS sp_qp,
-        |  CAST(SUM(CAST(rq AS DECIMAL(24,4))
-        |    * CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS sp_qd,
-        |  CAST(SUM(CAST(rp AS DECIMAL(24,4))
-        |    * CAST(rd AS DECIMAL(18,4))) AS DOUBLE) AS sp_pd
-        |FROM r)
-        |SELECT col_a, col_b, rho FROM (
-        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-        |    ROUND((n * sp_qp - s_q * s_p)
-        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_p - s_p * s_p)), 6)
-        |      AS rho FROM s
-        |  UNION ALL SELECT 'l_quantity', 'l_discount',
-        |    ROUND((n * sp_qd - s_q * s_d)
-        |      / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 6)
-        |    FROM s
-        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
-        |    ROUND((n * sp_pd - s_p * s_d)
-        |      / sqrt((n * ss_p - s_p * s_p) * (n * ss_d - s_d * s_d)), 6)
-        |    FROM s)
-        |ORDER BY col_a, col_b"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.spearmanMatrix(
-          Tables.lineitem(s, d),
-          Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .orderBy("col_a", "col_b")
-    },
-
-    // Mutual information between two metadata facets (lang × source):
-    // one contingency shuffle, broadcast marginals, per-cell PMI and
-    // MI contribution. Everything feeding ln() is integer-exact cast
-    // to double; the corpus total sums DECIMAL(28,9)-quantized
-    // contributions so it is reduction-order-free.
-    q(
-      "q198_mutual_info",
-      """WITH cells AS (SELECT lang AS val_a, source AS val_b,
-        |    COUNT(*) AS n_ab
-        |  FROM documents GROUP BY 1, 2),
-        |ma AS (SELECT val_a, CAST(SUM(n_ab) AS BIGINT) AS n_a
-        |  FROM cells GROUP BY 1),
-        |mb AS (SELECT val_b, CAST(SUM(n_ab) AS BIGINT) AS n_b
-        |  FROM cells GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells),
-        |j AS (SELECT val_a, val_b, n_ab, n_a, n_b, n,
-        |    (CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE))
-        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS arg
-        |  FROM cells JOIN ma USING (val_a) JOIN mb USING (val_b)
-        |  CROSS JOIN tot),
-        |c AS (SELECT val_a, val_b, n_ab, n_a, n_b,
-        |    ROUND(ln(arg), 6) AS pmi,
-        |    ROUND(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) * ln(arg), 6)
-        |      AS mi_contrib,
-        |    CAST(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) * ln(arg)
-        |      AS DECIMAL(28,9)) AS c9
-        |  FROM j),
-        |t AS (SELECT CAST(SUM(c9) AS DOUBLE) AS mi_total FROM c)
-        |SELECT val_a, val_b, CAST(n_ab AS BIGINT) AS n_ab, n_a, n_b,
-        |  pmi, mi_contrib, mi_total
-        |FROM c CROSS JOIN t ORDER BY val_a, val_b"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.mutualInformation(
-          Tables.documents(s, d), "lang", "source")
-        .orderBy("val_a", "val_b")
-    },
-
-    // Per-series autocorrelation at lags 1..3: one keyed window sort
-    // (high-cardinality sensor key) shared by all lags, one aggregate
-    // of conditional sums. Values are integer µ-units (floor(v·1e6) —
-    // exact on both engines, unlike double→DECIMAL round-half casts),
-    // so every sum is order-free-exact and the acf is IEEE on
-    // identical numbers, ROUND(6).
-    q(
-      "q199_acf",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events),
-        |l AS (SELECT sensor_id, v,
-        |    LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
-        |    LAG(v, 3) OVER w AS l3
-        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
-        |a AS (SELECT sensor_id,
-        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END) AS DOUBLE)
-        |      AS sxx1,
-        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
-        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
-        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1,
-        |    CAST(COUNT(l2) AS DOUBLE) AS n2,
-        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx2,
-        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v * v END) AS DOUBLE)
-        |      AS sxx2,
-        |    CAST(SUM(l2) AS DOUBLE) AS sy2,
-        |    CAST(SUM(l2 * l2) AS DOUBLE) AS syy2,
-        |    CAST(SUM(v * l2) AS DOUBLE) AS sxy2,
-        |    CAST(COUNT(l3) AS DOUBLE) AS n3,
-        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx3,
-        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v * v END) AS DOUBLE)
-        |      AS sxx3,
-        |    CAST(SUM(l3) AS DOUBLE) AS sy3,
-        |    CAST(SUM(l3 * l3) AS DOUBLE) AS syy3,
-        |    CAST(SUM(v * l3) AS DOUBLE) AS sxy3
-        |  FROM l GROUP BY 1)
-        |SELECT sensor_id, lag_k, n_pairs, acf FROM (
-        |  SELECT sensor_id, 1 AS lag_k, CAST(n1 AS BIGINT) AS n_pairs,
-        |    ROUND((n1 * sxy1 - sx1 * sy1)
-        |      / (sqrt(n1 * sxx1 - sx1 * sx1)
-        |         * sqrt(n1 * syy1 - sy1 * sy1)), 6) AS acf FROM a
-        |  UNION ALL
-        |  SELECT sensor_id, 2, CAST(n2 AS BIGINT),
-        |    ROUND((n2 * sxy2 - sx2 * sy2)
-        |      / (sqrt(n2 * sxx2 - sx2 * sx2)
-        |         * sqrt(n2 * syy2 - sy2 * sy2)), 6) FROM a
-        |  UNION ALL
-        |  SELECT sensor_id, 3, CAST(n3 AS BIGINT),
-        |    ROUND((n3 * sxy3 - sx3 * sy3)
-        |      / (sqrt(n3 * sxx3 - sx3 * sx3)
-        |         * sqrt(n3 * syy3 - sy3 * sy3)), 6) FROM a)
-        |ORDER BY sensor_id, lag_k"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.autocorrelation(
-          EventsAdapter.samples(s, d),
-          "sensor_id", "timestamp_us", "value", maxLag = 3)
-        .orderBy("sensor_id", "lag_k")
-    },
-
-    // Welch's unequal-variance t-test between every cohort pair: one
-    // map-side-combined (n, Σv, Σv²) aggregate in integer µ-units,
-    // pair join on the |groups|-bounded stats table. t and the
-    // Welch–Satterthwaite df are fixed IEEE shapes on exact sums.
-    q(
-      "q200_welch_ttest",
-      """WITH g AS (SELECT event_type AS grp,
-        |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
-        |      AS s,
-        |    CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)
-        |      * CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
-        |      AS ss
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
-        |p AS (SELECT a.grp AS group_a, b.grp AS group_b,
-        |    a.n AS na, a.s AS sa, a.ss AS ssa,
-        |    b.n AS nb, b.s AS sb, b.ss AS ssb
-        |  FROM g a JOIN g b ON a.grp < b.grp),
-        |v AS (SELECT *,
-        |    (na * ssa - sa * sa) / (na * (na - 1.0)) AS va,
-        |    (nb * ssb - sb * sb) / (nb * (nb - 1.0)) AS vb
-        |  FROM p),
-        |w AS (SELECT *, va / na AS sea, vb / nb AS seb FROM v)
-        |SELECT group_a, group_b,
-        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |  ROUND(sa / na / 1000000.0, 6) AS mean_a,
-        |  ROUND(sb / nb / 1000000.0, 6) AS mean_b,
-        |  ROUND((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t_stat,
-        |  ROUND((sea + seb) * (sea + seb)
-        |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
-        |    AS df
-        |FROM w ORDER BY group_a, group_b"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.welchTTest(
-          Tables.events(s, d), "event_type", "value")
-        .orderBy("group_a", "group_b")
-    },
-
-    // SAX symbolization: per-series z-normalized PAA quantized through
-    // the Gaussian quartile breakpoints into a letter word. Everything
-    // before the final divisions is exact integer math (µ-units,
-    // integer-division segment assignment), so the breakpoint
-    // comparisons replay bit-for-bit; zero-variance series map to 'b'
-    // (z is NULL via zero-divisor division on both engines).
-    q(
-      "q201_sax",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events),
-        |b AS (SELECT sensor_id, v,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id ORDER BY t, v) - 1
-        |      AS i,
-        |    COUNT(*) OVER (PARTITION BY sensor_id) AS n
-        |  FROM s),
-        |sg AS (SELECT sensor_id, n, (i * 4) // n AS seg,
-        |    COUNT(*) AS c, SUM(v) AS sv, SUM(v * v) AS svv
-        |  FROM b GROUP BY 1, 2, 3),
-        |st AS (SELECT sensor_id, n, seg, c, sv,
-        |    CAST(SUM(sv) OVER (PARTITION BY sensor_id) AS DOUBLE) AS ss,
-        |    CAST(SUM(svv) OVER (PARTITION BY sensor_id) AS DOUBLE)
-        |      AS sss,
-        |    CAST(n AS DOUBLE) AS nd
-        |  FROM sg),
-        |z AS (SELECT sensor_id, n, seg,
-        |    (CAST(sv AS DOUBLE) / c - ss / nd)
-        |      / sqrt((nd * sss - ss * ss) / (nd * (nd - 1.0))) AS zz
-        |  FROM st),
-        |sym AS (SELECT sensor_id, n, seg,
-        |    CASE WHEN zz IS NULL THEN 'b'
-        |         WHEN zz < -0.6745 THEN 'a'
-        |         WHEN zz < 0.0 THEN 'b'
-        |         WHEN zz < 0.6745 THEN 'c'
-        |         ELSE 'd' END AS sym
-        |  FROM z)
-        |SELECT sensor_id, MAX(n) AS n,
-        |  string_agg(sym, '' ORDER BY seg) AS sax
-        |FROM sym GROUP BY 1 ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.operators.Sax.symbolize(
-          EventsAdapter.samples(s, d), segments = 4)
-        .orderBy("sensor_id")
-    },
-
-    // Vocabulary coverage curve without any per-token ordering: group
-    // the vocab by count value (O(√tokens) rows), prefix over THAT,
-    // resolve each threshold inside its crossing group arithmetically.
-    // Pure integer math end to end.
-    q(
-      "q202_vocab_coverage",
-      """WITH tk AS (SELECT UNNEST(string_split_regex(
-        |    trim(lower(text)), '\s+')) AS token FROM documents),
-        |tc AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY 1),
-        |g AS (SELECT c, COUNT(*) AS k FROM tc GROUP BY 1),
-        |r AS (SELECT c, k,
-        |    CAST(SUM(c * k) OVER (ORDER BY c DESC) AS BIGINT) AS cum_mass,
-        |    CAST(SUM(k) OVER (ORDER BY c DESC) AS BIGINT) AS cum_vocab
-        |  FROM g),
-        |tot AS (SELECT CAST(SUM(c * k) AS BIGINT) AS total FROM g),
-        |th AS (SELECT UNNEST([50, 90, 95, 99]) AS pct),
-        |j AS (SELECT r.*, th.pct, tot.total,
-        |    (tot.total * th.pct + 99) // 100 AS target
-        |  FROM r CROSS JOIN tot CROSS JOIN th)
-        |SELECT pct, total AS total_tokens,
-        |  CAST(cum_vocab - k
-        |    + (target - (cum_mass - c * k) + c - 1) // c AS BIGINT)
-        |    AS vocab_size,
-        |  CAST(cum_mass - c * k
-        |    + ((target - (cum_mass - c * k) + c - 1) // c) * c AS BIGINT)
-        |    AS covered_tokens
-        |FROM j WHERE cum_mass >= target AND cum_mass - c * k < target
-        |ORDER BY pct"""
-    ) { (s, d) =>
-      // vocabulary counts from the TextArtifacts warehouse (zero
-      // Exchange up to the O(√tokens) count-of-counts rollup)
-      TextAnalysis.vocabCoverageShared(
-          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-          corpusKey = d)
-        .orderBy("pct")
-    },
-
-    // Gini coefficient of per-customer spend: rank-weighted sum on the
-    // DISTINCT-value table (tie blocks contribute v·(mC + m(m+1)/2),
-    // order-free), integer cents end to end, one IEEE shape at the top.
-    q(
-      "q203_gini",
-      """WITH sp AS (SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
-        |      AS BIGINT) AS v
-        |  FROM orders GROUP BY 1),
-        |vc AS (SELECT v, COUNT(*) AS m FROM sp GROUP BY 1),
-        |r AS (SELECT v, m,
-        |    CAST(COALESCE(SUM(m) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM vc),
-        |agg AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(v AS HUGEINT) * m) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(v AS HUGEINT)
-        |      * (CAST(m AS HUGEINT) * cb
-        |         + (CAST(m AS HUGEINT) * (m + 1)) // 2)) AS DOUBLE)
-        |      AS six
-        |  FROM r)
-        |SELECT n, sx AS units_total,
-        |  ROUND((2.0 * six - (CAST(n AS DOUBLE) + 1.0) * sx)
-        |    / (CAST(n AS DOUBLE) * sx), 6) AS gini
-        |FROM agg"""
-    ) { (s, d) =>
-      val spend = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-          .cast("long").as("spend_cents"))
-      graft.pipeline.Profiler.gini(spend, "spend_cents")
-    },
-
-    // Deterministic label propagation over the q24 near-dup graph,
-    // seeded with each document's source: 3 synchronous rounds of
-    // most-frequent-neighbour-label (count desc, label asc tie-break),
-    // isolated docs keep their seed. Pure integer counts and string
-    // compares — the unrolled-round CTEs replay every step exactly.
-    q("q204_label_prop", lpaOracleSql) { (s, d) =>
-      val docs = Tables.spread(s, Tables.documents(s, d))
-      val sym = graft.pipeline.DedupArtifacts.symEdgeTable(
-        docs, "doc_id", "text", 3, 0.5, corpusKey = d)
-      graft.pipeline.Behavior.labelPropagationSym(
-          Tables.documents(s, d)
-            .select(col("doc_id").as("id"), col("source").as("label")),
-          sym, rounds = 3)
-        .select(col("id").as("doc_id"), col("label"))
-        .orderBy("doc_id")
-    },
-
-    // Entropy rate of the empirical Markov chain (q192's counts): each
-    // −p·ln p term quantizes to DECIMAL(28,12) before the alphabet-
-    // bounded sums, so no float reduction order leaks anywhere.
-    q(
-      "q205_entropy_rate",
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
-        |    event_type FROM events),
-        |st AS (SELECT event_type AS t2,
-        |    LAG(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY t, event_id) AS f FROM e),
-        |c AS (SELECT f, t2, COUNT(*) AS n FROM st
-        |  WHERE f IS NOT NULL GROUP BY 1, 2),
-        |tt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot FROM c
-        |  GROUP BY 1),
-        |terms AS (SELECT c.f, c.n,
-        |    CAST(-(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE))
-        |      * ln(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE))
-        |      AS DECIMAL(28,12)) AS term
-        |  FROM c JOIN tt USING (f)),
-        |ps AS (SELECT f AS from_state, CAST(SUM(n) AS BIGINT)
-        |    AS n_steps, CAST(SUM(term) AS DOUBLE) AS h_state
-        |  FROM terms GROUP BY 1),
-        |al AS (SELECT CAST(SUM(n_steps) AS BIGINT) AS alln FROM ps),
-        |wp AS (SELECT ps.*, CAST(n_steps AS DOUBLE)
-        |    / CAST(alln AS DOUBLE) AS pi FROM ps CROSS JOIN al),
-        |rt AS (SELECT CAST(SUM(CAST(pi * h_state AS DECIMAL(28,12)))
-        |    AS DOUBLE) AS h_rate FROM wp)
-        |SELECT from_state, n_steps, ROUND(pi, 6) AS pi,
-        |  ROUND(h_state, 6) AS h_state,
-        |  ROUND(pi * h_state, 6) AS h_contrib,
-        |  ROUND(h_rate, 6) AS h_rate
-        |FROM wp CROSS JOIN rt ORDER BY from_state"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.entropyRate(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "user_id", "t", "event_id", "event_type")
-        .orderBy("from_state")
-    },
-
-    // Kaplan–Meier survival over user lifetimes (12-hour censor
-    // horizon — the 7-day default censors EVERY user in these draws,
-    // making the gate row-free; 12 h yields a real death/censored mix
-    // at all three SFs): everything after the user-keyed (first, last)
-    // aggregate runs on the span-bounded distinct-duration table; the
-    // log-product prefix accumulates DECIMAL(28,12)-quantized terms.
-    q(
-      "q206_kaplan_meier",
-      """WITH lif AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
-        |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
-        |gm AS (SELECT MAX(l) AS gmax FROM lif),
-        |durs AS (SELECT (l - f) // 86400000000 AS dur,
-        |    CASE WHEN l < gmax - 43200000000 THEN 1 ELSE 0 END
-        |      AS death
-        |  FROM lif CROSS JOIN gm),
-        |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
-        |    AS d FROM durs GROUP BY 1),
-        |tt AS (SELECT COUNT(*) AS n FROM durs),
-        |r AS (SELECT bd.dur, bd.d, tt.n,
-        |    CAST(COALESCE(SUM(bd.c) OVER (ORDER BY bd.dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM bd CROSS JOIN tt),
-        |dth AS (SELECT dur, d, n - cb AS nar,
-        |    CASE WHEN d < n - cb THEN
-        |      CAST(ln(1.0::DOUBLE - CAST(d AS DOUBLE)
-        |        / CAST(n - cb AS DOUBLE)) AS DECIMAL(28,12))
-        |    ELSE CAST(0.0 AS DECIMAL(28,12)) END AS term
-        |  FROM r WHERE d > 0),
-        |fin AS (SELECT dur, nar, d,
-        |    MAX(CASE WHEN d = nar THEN 1 ELSE 0 END) OVER (
-        |      ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND CURRENT ROW) AS z,
-        |    SUM(term) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS cum
-        |  FROM dth)
-        |SELECT dur AS duration_days, nar AS n_at_risk, d AS n_deaths,
-        |  CASE WHEN z = 1 THEN 0.0::DOUBLE
-        |       ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
-        |FROM fin ORDER BY duration_days"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.kaplanMeier(
-          Tables.events(s, d)
-            .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
-          "user_id", "t_us", censorHorizonUs = 43200000000L)
-        .orderBy("duration_days")
-    },
-
-    // Label-centroid cosine matrix: µ-unit quantized per-dimension
-    // sums (exact integers in DECIMAL) stand in for the means —
-    // cosine is scale-invariant — so the geometry replays bit-exactly;
-    // the pair join runs on the |labels|·dim sum table.
-    q(
-      "q207_centroid_sim",
-      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |dx AS (SELECT label, i.i AS dim,
-        |    CAST(floor(v[i.i] * 1000000.0) AS BIGINT) AS q
-        |  FROM e CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i),
-        |s AS (SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq
-        |  FROM dx GROUP BY 1, 2),
-        |p AS (SELECT a.label AS label_a, b.label AS label_b,
-        |    MAX(a.n) AS na, MAX(b.n) AS nb,
-        |    CAST(SUM(CAST(a.sq AS HUGEINT) * b.sq) AS DOUBLE) AS ab,
-        |    CAST(SUM(CAST(a.sq AS HUGEINT) * a.sq) AS DOUBLE) AS aa,
-        |    CAST(SUM(CAST(b.sq AS HUGEINT) * b.sq) AS DOUBLE) AS bb
-        |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
-        |  GROUP BY 1, 2)
-        |SELECT label_a, label_b, CAST(na AS BIGINT) AS n_a,
-        |  CAST(nb AS BIGINT) AS n_b,
-        |  ROUND(ab / (sqrt(aa) * sqrt(bb)), 6) AS cosine
-        |FROM p ORDER BY label_a, label_b"""
-    ) { (s, d) =>
-      graft.pipeline.Similarity.labelCentroidSimilarity(
-          Tables.embeddings(s, d)
-            .select(col("label"), col("embedding").as("vec")))
-        .orderBy("label_a", "label_b")
-    },
-
-    // Per-label RMS dispersion via Σ|x−c|²/n = Σ|x|²/n − |Σx|²/n² —
-    // no second pass over the vectors; same exact integer sum kernel.
-    q(
-      "q208_label_dispersion",
-      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |dx AS (SELECT label, i.i AS dim,
-        |    CAST(floor(v[i.i] * 1000000.0) AS BIGINT) AS q
-        |  FROM e CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i),
-        |s AS (SELECT label, dim, COUNT(*) AS n, SUM(q) AS sq,
-        |    SUM(q * q) AS sqq
-        |  FROM dx GROUP BY 1, 2),
-        |g AS (SELECT label, MAX(n) AS n,
-        |    CAST(SUM(sqq) AS DOUBLE) AS ssq,
-        |    CAST(SUM(CAST(sq AS HUGEINT) * sq) AS DOUBLE) AS s2
-        |  FROM s GROUP BY 1)
-        |SELECT label, CAST(n AS BIGINT) AS n,
-        |  ROUND(sqrt(ssq / CAST(n AS DOUBLE)
-        |    - s2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-        |    / 1000000.0, 6) AS rms_dispersion
-        |FROM g ORDER BY label"""
-    ) { (s, d) =>
-      graft.pipeline.Similarity.labelDispersion(
-          Tables.embeddings(s, d)
-            .select(col("label"), col("embedding").as("vec")))
-        .orderBy("label")
-    },
-
-    // Cross-correlation click↔view at hourly-bucket lags −2..+2: each
-    // side is one exact µ-unit total per hour, lag alignment is an
-    // equi-join on the shifted bucket, Pearson from DECIMAL sums.
-    q(
-      "q209_cross_corr",
-      """WITH base AS (SELECT event_type AS ty,
-        |    epoch_us(ts) // 3600000000 AS b,
-        |    SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS s
-        |  FROM events WHERE event_type IN ('click', 'view')
-        |  GROUP BY 1, 2),
-        |a AS (SELECT b, s AS sa FROM base WHERE ty = 'click'),
-        |bb AS (SELECT b, s AS sb FROM base WHERE ty = 'view'),
-        |lg AS (SELECT UNNEST([-2, -1, 0, 1, 2]) AS lag_k),
-        |p AS (SELECT lg.lag_k, a.sa, bb.sb FROM a CROSS JOIN lg
-        |  JOIN bb ON a.b + lg.lag_k = bb.b),
-        |ag AS (SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(sa) AS DOUBLE) AS sx,
-        |    CAST(SUM(sb) AS DOUBLE) AS sy,
-        |    CAST(SUM(sa * sa) AS DOUBLE) AS sxx,
-        |    CAST(SUM(sb * sb) AS DOUBLE) AS syy,
-        |    CAST(SUM(sa * sb) AS DOUBLE) AS sxy
-        |  FROM p GROUP BY 1)
-        |SELECT lag_k, CAST(n AS BIGINT) AS n_buckets,
-        |  ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
-        |    * sqrt(n * syy - sy * sy)), 6) AS xcorr
-        |FROM ag ORDER BY lag_k"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.crossCorrelation(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "event_type", "t", "value", "click", "view")
-        .orderBy("lag_k")
-    },
-
-    // Lorenz decile table over per-customer spend: value blocks
-    // intersect decile rank windows arithmetically on the
-    // distinct-value table (bounded ×10 fan-out, no per-row decile
-    // assignment); exact DECIMAL masses, single-division shares.
-    q(
-      "q210_lorenz",
-      """WITH sp AS (SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
-        |      AS BIGINT) AS v
-        |  FROM orders GROUP BY 1),
-        |vc AS (SELECT v, COUNT(*) AS m FROM sp GROUP BY 1),
-        |r AS (SELECT v, m,
-        |    CAST(COALESCE(SUM(m) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM vc),
-        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
-        |    SUM(CAST(v AS HUGEINT) * m) AS mass FROM vc),
-        |dec AS (SELECT UNNEST(range(10)) AS decile),
-        |cells AS (SELECT dec.decile, r.v,
-        |    GREATEST(0, LEAST(r.cb + r.m, ((dec.decile + 1) * tot.n)
-        |        // 10) - GREATEST(r.cb, (dec.decile * tot.n) // 10))
-        |      AS cnt,
-        |    tot.mass AS tm
-        |  FROM r CROSS JOIN tot CROSS JOIN dec),
-        |byd AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_rows,
-        |    SUM(CAST(v AS HUGEINT) * cnt) AS dm, MAX(tm) AS tm
-        |  FROM cells WHERE cnt > 0 GROUP BY 1),
-        |fin AS (SELECT decile, n_rows, dm, tm,
-        |    SUM(dm) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS cm
-        |  FROM byd)
-        |SELECT CAST(decile AS INTEGER) AS decile, n_rows,
-        |  CAST(dm AS DOUBLE) AS units_mass,
-        |  ROUND(CAST(dm AS DOUBLE) / CAST(tm AS DOUBLE), 6) AS share,
-        |  ROUND(CAST(cm AS DOUBLE) / CAST(tm AS DOUBLE), 6)
-        |    AS cum_share
-        |FROM fin ORDER BY decile"""
-    ) { (s, d) =>
-      val spend = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-          .cast("long").as("spend_cents"))
-      graft.pipeline.Profiler.lorenzDeciles(spend, "spend_cents")
-        .orderBy("decile")
-    },
-
-    // Fano factor per sensor over hourly buckets: var/mean of bucket
-    // counts folded into one division of exact integer sums; empty
-    // in-span buckets enter arithmetically (H = hi−lo+1), the span
-    // grid is never materialized.
-    q(
-      "q211_fano",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) // 3600000000 AS b FROM events),
-        |c AS (SELECT sensor_id, b, COUNT(*) AS c FROM s GROUP BY 1, 2),
-        |g AS (SELECT sensor_id, MIN(b) AS lo, MAX(b) AS hi,
-        |    CAST(SUM(c) AS BIGINT) AS sc,
-        |    CAST(SUM(c * c) AS DOUBLE) AS scc
-        |  FROM c GROUP BY 1)
-        |SELECT sensor_id, sc AS n_events, hi - lo + 1 AS n_buckets,
-        |  ROUND(CAST(sc AS DOUBLE) / CAST(hi - lo + 1 AS DOUBLE), 6)
-        |    AS mean_rate,
-        |  ROUND((CAST(hi - lo + 1 AS DOUBLE) * scc
-        |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
-        |    / ((CAST(hi - lo + 1 AS DOUBLE) - 1.0)
-        |       * CAST(sc AS DOUBLE)), 6) AS fano
-        |FROM g ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.fanoFactor(
-          EventsAdapter.samples(s, d), "sensor_id", "timestamp_us")
-        .orderBy("sensor_id")
-    },
-
-    // Corpus-hapax density per document: one vocab-count aggregate,
-    // one token-keyed join back, one doc aggregate. Integer counts.
-    q(
-      "q212_hapax_density",
-      """WITH tk AS (SELECT doc_id, UNNEST(string_split_regex(
-        |    trim(lower(text)), '\s+')) AS token FROM documents),
-        |tc AS (SELECT token, COUNT(*) AS cc FROM tk GROUP BY 1),
-        |j AS (SELECT tk.doc_id, tc.cc FROM tk JOIN tc USING (token))
-        |SELECT doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hapax,
-        |  ROUND(CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
-        |FROM j GROUP BY 1 ORDER BY doc_id"""
-    ) { (s, d) =>
-      // served from the TextArtifacts warehouse: corpus counts and the
-      // count join-back both ride the token bucketing (zero Exchange);
-      // the doc aggregate is the only shuffle left
-      TextAnalysis.hapaxDensityShared(
-          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id",
-          corpusKey = d)
-        .orderBy("doc_id")
-    },
-
-    // Audience-overlap Jaccard between event-type user sets: distinct
-    // (type, user) pairs self-join on the user — pair rows bounded by
-    // Σ_u k_u², never |A|·|B|; broadcast marginals; integer counts.
-    q(
-      "q213_audience_overlap",
-      """WITH tu AS (SELECT DISTINCT event_type AS ty, user_id AS u
-        |  FROM events),
-        |sz AS (SELECT ty, COUNT(*) AS n FROM tu GROUP BY 1),
-        |p AS (SELECT a.ty AS type_a, b.ty AS type_b, COUNT(*) AS n_both
-        |  FROM tu a JOIN tu b ON a.u = b.u AND a.ty < b.ty
-        |  GROUP BY 1, 2)
-        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
-        |  ROUND(CAST(n_both AS DOUBLE)
-        |    / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
-        |FROM p JOIN sz sa ON p.type_a = sa.ty
-        |JOIN sz sb ON p.type_b = sb.ty
-        |ORDER BY type_a, type_b"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.audienceOverlap(
-          Tables.events(s, d), "event_type", "user_id")
-        .orderBy("type_a", "type_b")
-    },
-
-    // Per-user behavioural entropy: −p·ln p terms quantized
-    // DECIMAL(28,12) before the alphabet-bounded per-user sum.
-    q(
-      "q214_user_entropy",
-      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT user_id, c,
-        |    CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
-        |  FROM c),
-        |e AS (SELECT user_id, n,
-        |    CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-        |      AS DECIMAL(28,12)) AS term
-        |  FROM t)
-        |SELECT user_id, MAX(n) AS n_events, COUNT(*) AS n_types,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
-        |FROM e GROUP BY 1 ORDER BY user_id"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.userEntropy(
-          Tables.events(s, d), "user_id", "event_type")
-        .orderBy("user_id")
-    },
-
-    // Flesch reading ease: three codegen'd counts in one scan stage;
-    // RE2∩Java-safe run patterns count identically on both engines.
-    q(
-      "q215_readability",
-      """SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  ROUND(206.835::DOUBLE
-        |    - 1.015::DOUBLE * (CAST(n_words AS DOUBLE)
-        |        / CAST(n_sentences AS DOUBLE))
-        |    - 84.6::DOUBLE * (CAST(n_syllables AS DOUBLE)
-        |        / CAST(n_words AS DOUBLE)), 6) AS flesch
-        |FROM (SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS n_words,
-        |    CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
-        |      AS BIGINT) AS n_sentences,
-        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
-        |      AS BIGINT) AS n_syllables
-        |  FROM documents)
-        |ORDER BY doc_id"""
-    ) { (s, d) =>
-      TextAnalysis.readability(
-          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id")
-        .orderBy("doc_id")
-    },
-
-    // Inter-arrival CV per sensor: exact µs gaps (tie-order-invariant
-    // multiset), DECIMAL sums, one fixed IEEE chain.
-    q(
-      "q216_interarrival",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t FROM events),
-        |g AS (SELECT sensor_id, t - LAG(t) OVER (
-        |    PARTITION BY sensor_id ORDER BY t) AS g FROM s),
-        |a AS (SELECT sensor_id, COUNT(*) AS n_gaps,
-        |    CAST(SUM(g) AS DOUBLE) AS sg,
-        |    CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS sgg
-        |  FROM g WHERE g IS NOT NULL GROUP BY 1)
-        |SELECT sensor_id, n_gaps,
-        |  sg / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
-        |  ROUND(sqrt((CAST(n_gaps AS DOUBLE) * sgg - sg * sg)
-        |      / (CAST(n_gaps AS DOUBLE)
-        |         * (CAST(n_gaps AS DOUBLE) - 1.0)))
-        |    / (sg / CAST(n_gaps AS DOUBLE)), 6) AS cv
-        |FROM a ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.interArrival(
-          EventsAdapter.samples(s, d), "sensor_id", "timestamp_us")
-        .orderBy("sensor_id")
-    },
-
-    // CUPED variance-reduced cohort means: pre/post split at the time
-    // midpoint, arm = user parity, θ = cov/var from one pooled
-    // DECIMAL-exact aggregate; adjustment applied at the mean level
-    // (linear), never a second per-user pass.
-    q(
-      "q217_cuped",
-      """WITH sp AS (SELECT MIN(epoch_us(ts)) AS lo,
-        |    MAX(epoch_us(ts)) AS hi FROM events),
-        |pu AS (SELECT user_id AS u,
-        |    CAST(SUM(CASE WHEN epoch_us(ts) < lo + (hi - lo) // 2
-        |      THEN CAST(floor(value * 1000000.0) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS x,
-        |    CAST(SUM(CASE WHEN epoch_us(ts) >= lo + (hi - lo) // 2
-        |      THEN CAST(floor(value * 1000000.0) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS y
-        |  FROM events CROSS JOIN sp GROUP BY 1),
-        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(x) AS DOUBLE) AS sx,
-        |    CAST(SUM(y) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
-        |  FROM pu),
-        |a AS (SELECT u % 2 AS arm, COUNT(*) AS n_users,
-        |    CAST(SUM(x) AS DOUBLE) AS sxa,
-        |    CAST(SUM(y) AS DOUBLE) AS sya
-        |  FROM pu GROUP BY 1),
-        |t AS (SELECT a.arm, a.n_users, a.sxa, a.sya, g.n, g.sx,
-        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
-        |    ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-        |  FROM a CROSS JOIN g)
-        |SELECT arm, n_users,
-        |  ROUND(sya / CAST(n_users AS DOUBLE) / 1000000.0, 6)
-        |    AS mean_y,
-        |  ROUND((sya / CAST(n_users AS DOUBLE)
-        |    - theta * (sxa / CAST(n_users AS DOUBLE) - sx / n))
-        |    / 1000000.0, 6) AS mean_y_adj,
-        |  ROUND(theta, 6) AS theta, ROUND(r2, 6) AS r2
-        |FROM t ORDER BY arm"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.cuped(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "user_id", "t", "value")
-        .orderBy("arm")
-    },
-
-    // Binary-segmentation change point per sensor: candidate SSEs are
-    // fixed IEEE shapes on exact µ-unit prefix sums; (sse, idx)
-    // min-struct argmin replays bit-for-bit; outputs un-rounded.
-    q(
-      "q218_binseg",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
-        |p AS (SELECT sensor_id, t, v,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id ORDER BY t, v)
-        |      AS i,
-        |    SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY sensor_id
-        |      ORDER BY t, v ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |      CURRENT ROW) AS s,
-        |    SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY sensor_id
-        |      ORDER BY t, v ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |      CURRENT ROW) AS ss,
-        |    COUNT(*) OVER (PARTITION BY sensor_id) AS n,
-        |    SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY sensor_id)
-        |      AS sn,
-        |    SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY sensor_id)
-        |      AS ssn
-        |  FROM s),
-        |cand AS (SELECT * FROM p WHERE n >= 2 AND i < n),
-        |sc AS (SELECT sensor_id, t, i, n,
-        |    CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE)
-        |      * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) AS sse_total,
-        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |       / CAST(i AS DOUBLE))
-        |    + ((CAST(ssn AS DOUBLE) - CAST(ss AS DOUBLE))
-        |       - (CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
-        |         * (CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
-        |         / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) AS sse
-        |  FROM cand),
-        |b AS (SELECT sensor_id, t, i, n, sse_total, sse,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id
-        |      ORDER BY sse, i) AS rnk FROM sc)
-        |SELECT sensor_id, CAST(n AS BIGINT) AS n,
-        |  CAST(i AS BIGINT) AS split_idx, t AS t_split,
-        |  sse_total, sse_total - sse AS gain
-        |FROM b WHERE rnk = 1 ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.operators.ChangePoint.binarySegment(
-          EventsAdapter.samples(s, d))
-        .orderBy("sensor_id")
-    },
-
-    // Streaming CUSUM: the q196 fold as a live flatMapGroupsWithState
-    // monitor (one double of state per series). Fold-identical to the
-    // batch operator, so the same recursive-CTE oracle serves both;
-    // cross-batch state carry is pinned in StoreSpec on a controlled
-    // two-batch replay.
-    q("q219_stream_cusum", cusumOracleSql) { (s, d) =>
-      // the normalized sample dump is INPUT SETUP, not query work —
-      // cache it per (session, sfDir) like Tables' relation cache, so
-      // Bench's 4 runs per JVM pay the write once (the dir lives in
-      // /tmp for the JVM lifetime; the OS owns cleanup)
-      val samples = EventsAdapter.samples(s, d)
-        .select(col("sensor_id"), col("timestamp_us"), col("value"))
-      val streamDir = q219SourceDirs.computeIfAbsent((s, d), _ => {
-        val p = graft.TempDirs.create("q219_src")
-        samples.coalesce(1).write.mode("overwrite").parquet(p.toString)
-        p
-      })
-      val ss = streamSession(s) // 4 state partitions; same answer
-      val stream = ss.readStream.schema(samples.schema)
-        .parquet(streamDir.toString)
-      val out = graft.streaming.StreamingCusum.detectStreamDF(
-        stream, target = 50.0, slack = 5.0, threshold = 200.0)
-      val name = s"q219_out_${System.nanoTime()}"
-      val query = out.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-      boundedResult(s, ss, name,
-        ss.table(name).withColumnRenamed("timestamp_us", "t"),
-        Seq("sensor_id", "t", "value"))
-    },
-
-    // Decile lift table: click-count score ranks users, purchase is
-    // the positive label. Distinct-score bucketed prefixes carry
-    // counts AND positives; tie blocks apportion proportionally (the
-    // order-free gains convention).
-    q(
-      "q220_lift_table",
-      """WITH u AS (SELECT user_id,
-        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS score,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS pos
-        |  FROM events GROUP BY 1),
-        |vc AS (SELECT -score AS v, COUNT(*) AS m,
-        |    CAST(SUM(pos) AS BIGINT) AS p FROM u GROUP BY 1),
-        |r AS (SELECT v, m, p,
-        |    CAST(COALESCE(SUM(m) OVER wb, 0) AS BIGINT) AS cb,
-        |    CAST(COALESCE(SUM(p) OVER wb, 0) AS BIGINT) AS pb
-        |  FROM vc WINDOW wb AS (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
-        |    CAST(SUM(p) AS BIGINT) AS np FROM vc),
-        |dec AS (SELECT UNNEST(range(1, 11)) AS decile),
-        |c AS (SELECT dec.decile, r.v, r.m, r.p, r.cb, r.pb, tot.n,
-        |    tot.np, (dec.decile * tot.n) // 10 AS rr
-        |  FROM r CROSS JOIN tot CROSS JOIN dec)
-        |SELECT CAST(decile AS INTEGER) AS decile, rr AS cutoff_rank,
-        |  ROUND(CAST(pb AS DOUBLE) + CAST(rr - cb AS DOUBLE)
-        |    * (CAST(p AS DOUBLE) / CAST(m AS DOUBLE)), 6)
-        |    AS captured_pos,
-        |  ROUND((CAST(pb AS DOUBLE) + CAST(rr - cb AS DOUBLE)
-        |    * (CAST(p AS DOUBLE) / CAST(m AS DOUBLE)))
-        |    / CAST(np AS DOUBLE), 6) AS capture_rate,
-        |  ROUND((CAST(pb AS DOUBLE) + CAST(rr - cb AS DOUBLE)
-        |    * (CAST(p AS DOUBLE) / CAST(m AS DOUBLE)))
-        |    * CAST(n AS DOUBLE)
-        |    / (CAST(np AS DOUBLE) * CAST(rr AS DOUBLE)), 6) AS lift
-        |FROM c WHERE rr >= 1 AND cb < rr AND rr <= cb + m
-        |ORDER BY decile"""
-    ) { (s, d) =>
-      val users = Tables.events(s, d).groupBy(col("user_id"))
-        .agg(sum((col("event_type") === "click").cast("long"))
-          .as("score"),
-          max((col("event_type") === "purchase").cast("int")).as("pos"))
-      graft.pipeline.Profiler.liftTable(users, "score", "pos")
-        .orderBy("decile")
-    },
-
-    // Funnel conversion-delay quantiles (q144's chain, delay edition):
-    // exact percentile on the oracle surface, approx_percentile with
-    // bounded state as the production default (q115/q193 split).
-    // Delays in seconds — never ROUND µs-magnitude doubles.
-    q(
-      "q221_funnel_delays",
-      """WITH e AS (
-        |  SELECT user_id, event_type, ts FROM events
-        |  WHERE epoch_us(ts) < 1704240000000000),
-        |s0 AS (SELECT user_id, min(ts) AS t FROM e
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-        |  JOIN s0 USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-        |  JOIN s1 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
-        |d1 AS (SELECT (epoch_us(s1.t) - epoch_us(s0.t)) / 1000000.0
-        |    AS ds FROM s1 JOIN s0 USING (user_id)),
-        |d2 AS (SELECT (epoch_us(s2.t) - epoch_us(s1.t)) / 1000000.0
-        |    AS ds FROM s2 JOIN s1 USING (user_id))
-        |SELECT 1::BIGINT AS stage_idx, 'view' AS from_stage,
-        |  'click' AS to_stage, COUNT(*) AS n_users,
-        |  ROUND(quantile_cont(ds, 0.5), 6) AS p50_s,
-        |  ROUND(quantile_cont(ds, 0.9), 6) AS p90_s
-        |FROM d1
-        |UNION ALL SELECT 2::BIGINT, 'click', 'purchase', COUNT(*),
-        |  ROUND(quantile_cont(ds, 0.5), 6),
-        |  ROUND(quantile_cont(ds, 0.9), 6)
-        |FROM d2
-        |ORDER BY stage_idx"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.funnelDelays(
-          Tables.events(s, d)
-            .filter(unix_micros(col("ts")) < lit(1704240000000000L)),
-          "user_id", "event_type", "ts",
-          Seq("view", "click", "purchase"), exact = true)
-        .orderBy("stage_idx")
-    },
-
-    // Two-level Haar energy per sensor: exact integer numerators in
-    // DECIMAL sums, dyadic denominators divide once at the end.
-    q(
-      "q222_haar_energy",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
-        |b AS (SELECT sensor_id, v,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id ORDER BY t, v) - 1
-        |      AS i
-        |  FROM s),
-        |l1 AS (SELECT sensor_id, i // 2 AS j,
-        |    MAX(CASE WHEN i % 2 = 0 THEN v END) AS xe,
-        |    MAX(CASE WHEN i % 2 = 1 THEN v END) AS xo,
-        |    COUNT(*) AS c
-        |  FROM b GROUP BY 1, 2),
-        |p1 AS (SELECT sensor_id, j, xe - xo AS d, xe + xo AS sm
-        |  FROM l1 WHERE c = 2),
-        |l2 AS (SELECT sensor_id, j // 2 AS k,
-        |    MAX(CASE WHEN j % 2 = 0 THEN sm END) AS se,
-        |    MAX(CASE WHEN j % 2 = 1 THEN sm END) AS so,
-        |    COUNT(*) AS c
-        |  FROM p1 GROUP BY 1, 2),
-        |p2 AS (SELECT sensor_id, se - so AS d2 FROM l2 WHERE c = 2),
-        |e1 AS (SELECT sensor_id, COUNT(*) AS np1,
-        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE) AS sd1
-        |  FROM p1 GROUP BY 1),
-        |e2 AS (SELECT sensor_id, COUNT(*) AS np2,
-        |    CAST(SUM(CAST(d2 AS HUGEINT) * d2) AS DOUBLE) AS sd2
-        |  FROM p2 GROUP BY 1),
-        |nn AS (SELECT sensor_id, COUNT(*) AS n FROM s GROUP BY 1)
-        |SELECT nn.sensor_id, nn.n,
-        |  COALESCE(np1, 0) AS n_pairs1, COALESCE(np2, 0) AS n_pairs2,
-        |  sd1 / 4.0 / 1000000000000.0 AS e1,
-        |  sd2 / 16.0 / 1000000000000.0 AS e2
-        |FROM nn LEFT JOIN e1 ON nn.sensor_id = e1.sensor_id
-        |LEFT JOIN e2 ON nn.sensor_id = e2.sensor_id
-        |ORDER BY nn.sensor_id"""
-    ) { (s, d) =>
-      graft.operators.Wavelet.haarEnergies(EventsAdapter.samples(s, d))
-        .orderBy("sensor_id")
-    },
-
-    // Classic BI rollup: nation revenue share within region and of the
-    // corpus, dims broadcast, DECIMAL-exact revenue sums.
-    q(
-      "q223_revenue_rollup",
-      """WITH rev AS (SELECT c.c_nationkey AS nk,
-        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  GROUP BY 1),
-        |nr AS (SELECT n.n_regionkey AS rk, n.n_name, rev.r
-        |  FROM rev JOIN nation n ON rev.nk = n.n_nationkey),
-        |rr AS (SELECT rk, CAST(SUM(r) AS DECIMAL(18,2)) AS rr
-        |  FROM nr GROUP BY 1),
-        |tt AS (SELECT CAST(SUM(r) AS DECIMAL(18,2)) AS t FROM nr)
-        |SELECT rg.r_name AS region_name, nr.n_name AS nation_name,
-        |  CAST(nr.r AS DOUBLE) AS revenue,
-        |  ROUND(CAST(nr.r AS DOUBLE) / CAST(rr.rr AS DOUBLE), 6)
-        |    AS share_region,
-        |  ROUND(CAST(nr.r AS DOUBLE) / CAST(tt.t AS DOUBLE), 6)
-        |    AS share_total
-        |FROM nr JOIN rr USING (rk)
-        |JOIN region rg ON nr.rk = rg.r_regionkey
-        |CROSS JOIN tt
-        |ORDER BY region_name, nation_name"""
-    ) { (s, d) =>
-      val rev = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_nationkey").as("nk"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("r"))
-      val nr = rev.join(broadcast(Tables.nation(s, d)),
-          col("nk") === col("n_nationkey"))
-        .select(col("n_regionkey").as("rk"), col("n_name"), col("r"))
-      val rr = nr.groupBy(col("rk"))
-        .agg(sum(col("r")).cast("decimal(18,2)").as("rr"))
-      val tt = broadcast(nr.agg(
-        sum(col("r")).cast("decimal(18,2)").as("t")))
-      nr.join(broadcast(rr), "rk")
-        .join(broadcast(Tables.region(s, d)),
-          col("rk") === col("r_regionkey"))
-        .crossJoin(tt)
-        .select(col("r_name").as("region_name"),
-          col("n_name").as("nation_name"),
-          col("r").cast("double").as("revenue"),
-          round(col("r").cast("double") / col("rr").cast("double"), 6)
-            .as("share_region"),
-          round(col("r").cast("double") / col("t").cast("double"), 6)
-            .as("share_total"))
-        .orderBy("region_name", "nation_name")
-    },
-
-    // Per-series OLS trend: timestamps re-based to each series' start
-    // (epoch-µs squares would overflow AND catastrophically cancel);
-    // five DECIMAL-exact sums, slope/intercept fixed IEEE shapes.
-    q(
-      "q224_trend",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
-        |m AS (SELECT sensor_id, MIN(t) AS t0 FROM s GROUP BY 1),
-        |r AS (SELECT s.sensor_id, s.t - m.t0 AS dt, s.v
-        |  FROM s JOIN m USING (sensor_id)),
-        |g AS (SELECT sensor_id, CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(dt) AS DOUBLE) AS st,
-        |    CAST(SUM(v) AS DOUBLE) AS sv,
-        |    CAST(SUM(CAST(dt AS HUGEINT) * dt) AS DOUBLE) AS stt,
-        |    CAST(SUM(CAST(dt AS HUGEINT) * v) AS DOUBLE) AS stv
-        |  FROM r GROUP BY 1)
-        |SELECT sensor_id, CAST(n AS BIGINT) AS n,
-        |  ROUND((n * stv - st * sv) / (n * stt - st * st)
-        |    * 86400000000.0 / 1000000.0, 6) AS slope_per_day,
-        |  ROUND((sv - (n * stv - st * sv) / (n * stt - st * st) * st)
-        |    / n / 1000000.0, 6) AS intercept
-        |FROM g ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.trendOls(
-          EventsAdapter.samples(s, d),
-          "sensor_id", "timestamp_us", "value")
-        .orderBy("sensor_id")
-    },
-
-    // QQ table click vs view: both cohorts' quantile arrays from ONE
-    // conditional aggregate; exact percentile oracle surface.
-    q(
-      "q225_qq_table",
-      """WITH q AS (SELECT
-        |  quantile_cont(CASE WHEN event_type = 'click' THEN value END,
-        |    [0.1, 0.25, 0.5, 0.75, 0.9]) AS qa,
-        |  quantile_cont(CASE WHEN event_type = 'view' THEN value END,
-        |    [0.1, 0.25, 0.5, 0.75, 0.9]) AS qb
-        |FROM events)
-        |SELECT 0.1::DOUBLE AS p, ROUND(qa[1], 6) AS q_a,
-        |  ROUND(qb[1], 6) AS q_b, ROUND(qa[1] - qb[1], 6) AS diff
-        |FROM q
-        |UNION ALL SELECT 0.25::DOUBLE, ROUND(qa[2], 6),
-        |  ROUND(qb[2], 6), ROUND(qa[2] - qb[2], 6) FROM q
-        |UNION ALL SELECT 0.5::DOUBLE, ROUND(qa[3], 6),
-        |  ROUND(qb[3], 6), ROUND(qa[3] - qb[3], 6) FROM q
-        |UNION ALL SELECT 0.75::DOUBLE, ROUND(qa[4], 6),
-        |  ROUND(qb[4], 6), ROUND(qa[4] - qb[4], 6) FROM q
-        |UNION ALL SELECT 0.9::DOUBLE, ROUND(qa[5], 6),
-        |  ROUND(qb[5], 6), ROUND(qa[5] - qb[5], 6) FROM q
-        |ORDER BY p"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.qqTable(
-          Tables.events(s, d), "event_type", "value",
-          "click", "view", exact = true)
-        .orderBy("p")
-    },
-
-    // Top 3-step event paths: one keyed window shared by both lags,
-    // path-count aggregate, TakeOrderedAndProject top-k.
-    q(
-      "q226_top_paths",
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
-        |    event_type FROM events),
-        |p AS (SELECT LAG(event_type, 2) OVER w AS a,
-        |    LAG(event_type, 1) OVER w AS b, event_type AS c
-        |  FROM e WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY t, event_id))
-        |SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n
-        |FROM p WHERE a IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.topPaths(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "user_id", "t", "event_id", "event_type")
-    },
-
-    // Median-of-means robust mean: deterministic md5 bucketing, exact
-    // bucket means, element-exact median over odd k.
-    q(
-      "q227_median_of_means",
-      """WITH b AS (SELECT
-        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-        |      ::BIGINT % 9 AS bk,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events),
-        |m AS (SELECT bk, COUNT(*) AS n, SUM(v) AS s,
-        |    CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mn
-        |  FROM b GROUP BY 1)
-        |SELECT 9 AS k, CAST(SUM(n) AS BIGINT) AS n,
-        |  ROUND(quantile_cont(mn, 0.5) / 1000000.0, 6) AS mom_mean,
-        |  ROUND(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
-        |    / 1000000.0, 6) AS plain_mean
-        |FROM m"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.medianOfMeans(
-          Tables.events(s, d), "event_id", "value")
-    },
-
-    // Simpson's-paradox screen: per-stratum exact-decimal Pearson vs
-    // the pooled correlation, sign-flip flag per stratum.
-    q(
-      "q228_simpson",
-      """WITH s AS (SELECT l_returnflag AS stratum,
-        |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
-        |      AS sa,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
-        |      * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS saa,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
-        |      AS sb,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
-        |      AS sbb,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
-        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
-        |      AS sab
-        |  FROM lineitem GROUP BY 1
-        |  UNION ALL
-        |  SELECT 'ALL', CAST(COUNT(*) AS DOUBLE),
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE),
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
-        |      * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE),
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE),
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE),
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))
-        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
-        |  FROM lineitem),
-        |c AS (SELECT stratum, CAST(n AS BIGINT) AS n,
-        |    ROUND((n * sab - sa * sb)
-        |      / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6)
-        |      AS corr
-        |  FROM s),
-        |o AS (SELECT corr AS oc FROM c WHERE stratum = 'ALL')
-        |SELECT c.stratum, c.n, c.corr,
-        |  CASE WHEN c.stratum = 'ALL' THEN 0
-        |       WHEN (c.corr >= 0) <> (o.oc >= 0) THEN 1 ELSE 0 END
-        |    AS sign_flip
-        |FROM c CROSS JOIN o ORDER BY stratum"""
-    ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val strat = graft.pipeline.Profiler.correlationByGroup(
-        li, "l_returnflag", "l_quantity", "l_extendedprice",
-        exactDecimal = true)
-        .withColumnRenamed("l_returnflag", "stratum")
-      val overall = graft.pipeline.Profiler.correlationByGroup(
-        li.withColumn("__g", lit("ALL")), "__g",
-        "l_quantity", "l_extendedprice", exactDecimal = true)
-        .withColumnRenamed("__g", "stratum")
-      val both = strat.unionAll(overall)
-      val oc = broadcast(overall.select(col("corr").as("__oc")))
-      both.crossJoin(oc)
-        .select(col("stratum"), col("n"), col("corr"),
-          when(col("stratum") === "ALL", lit(0))
-            .when((col("corr") >= 0) =!= (col("__oc") >= 0), lit(1))
-            .otherwise(lit(0)).as("sign_flip"))
-        .orderBy("stratum")
-    },
-
-    // Source-concentration HHI of token mass: (Σc²)/T² — exact
-    // integer arithmetic with two IEEE ops at the top; token totals
-    // via size() sums, no explode.
-    q(
-      "q229_source_hhi",
-      """WITH ps AS (SELECT source,
-        |    CAST(SUM(len(string_split_regex(trim(lower(text)),
-        |      '\s+'))) AS BIGINT) AS t
-        |  FROM documents GROUP BY 1),
-        |a AS (SELECT COUNT(*) AS n_sources,
-        |    CAST(SUM(t) AS BIGINT) AS total,
-        |    CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS sq
-        |  FROM ps)
-        |SELECT n_sources, total AS total_tokens,
-        |  ROUND(sq / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)),
-        |    6) AS hhi,
-        |  ROUND((CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) / sq,
-        |    6) AS effective_sources
-        |FROM a"""
-    ) { (s, d) =>
-      TextAnalysis.sourceConcentration(
-        Tables.documents(s, d), "text", "source")
-    },
-
-    // MASE forecast baselines per sensor: one keyed window shared by
-    // the naive and seasonal lags; exact µ-unit |Δ| sums in DECIMAL.
-    q(
-      "q230_mase_base",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
-        |l AS (SELECT sensor_id,
-        |    abs(v - LAG(v, 1) OVER w) AS d1,
-        |    abs(v - LAG(v, 7) OVER w) AS dm
-        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
-        |a AS (SELECT sensor_id, COUNT(*) AS n, COUNT(d1) AS n1,
-        |    CAST(SUM(d1) AS DOUBLE) AS s1, COUNT(dm) AS nm,
-        |    CAST(SUM(dm) AS DOUBLE) AS sm
-        |  FROM l GROUP BY 1)
-        |SELECT sensor_id, n,
-        |  s1 / CAST(n1 AS DOUBLE) / 1000000.0 AS mae_naive,
-        |  sm / CAST(nm AS DOUBLE) / 1000000.0 AS mae_seasonal,
-        |  (sm / CAST(nm AS DOUBLE)) / (s1 / CAST(n1 AS DOUBLE))
-        |    AS seasonal_ratio
-        |FROM a ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.maseBaselines(
-          EventsAdapter.samples(s, d),
-          "sensor_id", "timestamp_us", "value")
-        .orderBy("sensor_id")
-    },
-
-    // Cross-sectional fleet outliers: each event z-scored against its
-    // (event-type, day) peers; the |z| cut compares identical doubles
-    // on both engines — no rounding in the predicate.
-    q(
-      "q231_fleet_outliers",
-      """WITH b AS (SELECT event_type AS cohort,
-        |    epoch_us(ts) // 86400000000 AS bucket, event_id, value,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events),
-        |st AS (SELECT cohort, bucket, CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(v) AS DOUBLE) AS s, CAST(SUM(v * v) AS DOUBLE)
-        |      AS ss
-        |  FROM b GROUP BY 1, 2),
-        |w AS (SELECT cohort, bucket, s / n AS m,
-        |    sqrt((n * ss - s * s) / (n * (n - 1.0))) AS sd FROM st),
-        |j AS (SELECT b.cohort, b.bucket, b.event_id, b.value,
-        |    (CAST(b.v AS DOUBLE) - w.m) / w.sd AS z
-        |  FROM b JOIN w USING (cohort, bucket))
-        |SELECT cohort, bucket, event_id, value, ROUND(z, 6) AS z
-        |FROM j WHERE abs(z) > 3.0 ORDER BY cohort, bucket, event_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.fleetOutliers(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "event_type", "t", "event_id", "value",
-          bucketUs = 86400000000L)
-        .orderBy("cohort", "bucket", "event_id")
-    },
-
-    // Longest consecutive-day streak per user: gaps-and-islands on the
-    // distinct active-day set, all integer.
-    q(
-      "q232_streaks",
-      """WITH dy AS (SELECT DISTINCT user_id,
-        |    epoch_us(ts) // 86400000000 AS day FROM events),
-        |i AS (SELECT user_id, day,
-        |    day - ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY day) AS isl
-        |  FROM dy),
-        |g AS (SELECT user_id, isl, COUNT(*) AS len, MIN(day) AS st
-        |  FROM i GROUP BY 1, 2),
-        |b AS (SELECT user_id, len, st,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY len DESC, st) AS rk,
-        |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
-        |      AS tot
-        |  FROM g)
-        |SELECT user_id, tot AS n_active_days,
-        |  CAST(len AS BIGINT) AS longest_streak,
-        |  st AS streak_start_day
-        |FROM b WHERE rk = 1 ORDER BY user_id"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.activityStreaks(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "user_id", "t")
-        .orderBy("user_id")
-    },
-
-    // RFM quintile segmentation: one customer aggregate, one 1-row
-    // cutoff broadcast, strictly-greater scoring on identical doubles.
-    q(
-      "q233_rfm",
-      """WITH per AS (SELECT o_custkey,
-        |    MAX(epoch_us(o_orderdate) // 86400000000) AS rec_day,
-        |    COUNT(*) AS freq,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
-        |      AS BIGINT) AS mon
-        |  FROM orders GROUP BY 1),
-        |c AS (SELECT
-        |    quantile_cont(CAST(rec_day AS DOUBLE),
-        |      [0.2, 0.4, 0.6, 0.8]) AS rc,
-        |    quantile_cont(CAST(freq AS DOUBLE),
-        |      [0.2, 0.4, 0.6, 0.8]) AS fc,
-        |    quantile_cont(CAST(mon AS DOUBLE),
-        |      [0.2, 0.4, 0.6, 0.8]) AS mc
-        |  FROM per),
-        |sc AS (SELECT mon,
-        |    (1 + CAST(CAST(rec_day AS DOUBLE) > rc[1] AS INTEGER)
-        |       + CAST(CAST(rec_day AS DOUBLE) > rc[2] AS INTEGER)
-        |       + CAST(CAST(rec_day AS DOUBLE) > rc[3] AS INTEGER)
-        |       + CAST(CAST(rec_day AS DOUBLE) > rc[4] AS INTEGER))
-        |      * 100
-        |    + (1 + CAST(CAST(freq AS DOUBLE) > fc[1] AS INTEGER)
-        |         + CAST(CAST(freq AS DOUBLE) > fc[2] AS INTEGER)
-        |         + CAST(CAST(freq AS DOUBLE) > fc[3] AS INTEGER)
-        |         + CAST(CAST(freq AS DOUBLE) > fc[4] AS INTEGER)) * 10
-        |    + (1 + CAST(CAST(mon AS DOUBLE) > mc[1] AS INTEGER)
-        |         + CAST(CAST(mon AS DOUBLE) > mc[2] AS INTEGER)
-        |         + CAST(CAST(mon AS DOUBLE) > mc[3] AS INTEGER)
-        |         + CAST(CAST(mon AS DOUBLE) > mc[4] AS INTEGER))
-        |      AS segment
-        |  FROM per CROSS JOIN c)
-        |SELECT segment, COUNT(*) AS n_customers,
-        |  ROUND(CAST(SUM(mon) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        |    / 100.0, 6) AS avg_monetary
-        |FROM sc GROUP BY 1 ORDER BY segment"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.rfmSegments(
-          Tables.orders(s, d)
-            .withColumn("t", unix_micros(col("o_orderdate"))),
-          "o_custkey", "t", "o_totalprice")
-        .orderBy("segment")
-    },
-
-    // Supplier-concentration HHI per part: exact integer cent weights,
-    // top-k by the RAW double (identical both engines), key tie-break.
-    q(
-      "q234_supplier_hhi",
-      """WITH w AS (SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100)
-        |      AS BIGINT) AS w
-        |  FROM lineitem GROUP BY 1, 2),
-        |g AS (SELECT l_partkey, COUNT(*) AS n_subgroups,
-        |    CAST(SUM(w) AS BIGINT) AS total_weight,
-        |    CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) AS sq
-        |  FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
-        |h AS (SELECT l_partkey, n_subgroups, total_weight,
-        |    sq / (CAST(total_weight AS DOUBLE)
-        |      * CAST(total_weight AS DOUBLE)) AS hr
-        |  FROM g)
-        |SELECT l_partkey, n_subgroups, total_weight,
-        |  ROUND(hr, 6) AS hhi
-        |FROM h ORDER BY hr DESC, l_partkey LIMIT 20"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.groupedConcentration(
-        Tables.lineitem(s, d)
-          .withColumn("qc",
-            (col("l_quantity").cast("decimal(18,2)") * 100)
-              .cast("long")),
-        "l_partkey", "l_suppkey", "qc", minSubgroups = 2, k = 20)
-    },
-
-    // Ship lead-time quantiles by order priority: integer day deltas
-    // over the orderkey join; grouped exact/approx percentile split.
-    q(
-      "q235_leadtime",
-      """WITH j AS (SELECT o.o_orderpriority AS prio,
-        |    CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
-        |      // 86400000000 AS DOUBLE) AS lead_days
-        |  FROM lineitem l JOIN orders o
-        |    ON l.l_orderkey = o.o_orderkey)
-        |SELECT prio, COUNT(*) AS n,
-        |  ROUND(quantile_cont(lead_days, 0.5), 6) AS p50,
-        |  ROUND(quantile_cont(lead_days, 0.9), 6) AS p90
-        |FROM j GROUP BY 1 ORDER BY prio"""
-    ) { (s, d) =>
-      val j = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority").as("prio"),
-          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
-            " div 86400000000").as("lead_days"))
-      graft.pipeline.Profiler.quantileProfileGrouped(
-          j, "prio", "lead_days", probs = Seq(0.5, 0.9), exact = true)
-        .orderBy("prio")
-    },
-
-    // Brand price index: per-(brand, month) unit price relative to the
-    // brand's own first month — ratios of ratios of exact cent sums,
-    // part dim broadcast.
-    q(
-      "q236_price_index",
-      """WITH j AS (SELECT p.p_brand AS brand,
-        |    CAST(date_part('year', l.l_shipdate) * 100
-        |      + date_part('month', l.l_shipdate) AS INTEGER) AS yyyymm,
-        |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
-        |      AS BIGINT) AS ext,
-        |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * 100)
-        |      AS BIGINT) AS qty
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |  GROUP BY 1, 2),
-        |b AS (SELECT brand, MIN(yyyymm) AS m0 FROM j GROUP BY 1),
-        |bs AS (SELECT j.brand, j.ext AS ext0, j.qty AS qty0
-        |  FROM j JOIN b ON j.brand = b.brand AND j.yyyymm = b.m0)
-        |SELECT j.brand AS brand, j.yyyymm,
-        |  ROUND((CAST(j.ext AS DOUBLE) / CAST(j.qty AS DOUBLE))
-        |    / (CAST(bs.ext0 AS DOUBLE) / CAST(bs.qty0 AS DOUBLE)), 6)
-        |    AS price_index
-        |FROM j JOIN bs ON j.brand = bs.brand
-        |ORDER BY j.brand, yyyymm"""
-    ) { (s, d) =>
-      val j = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand").as("brand"),
-          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
-            .cast("int").as("yyyymm"))
-        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") * 100))
-          .cast("long").as("ext"),
-          (sum(col("l_quantity").cast("decimal(18,2)") * 100))
-            .cast("long").as("qty"))
-      val base = j.groupBy(col("brand"))
-        .agg(min(col("yyyymm")).as("m0"))
-        .withColumnRenamed("brand", "b0")
-      val bs = j.as("x").join(base,
-          col("x.brand") === col("b0") && col("x.yyyymm") === col("m0"))
-        .select(col("x.brand").as("bbrand"), col("x.ext").as("ext0"),
-          col("x.qty").as("qty0"))
-      j.join(broadcast(bs), col("brand") === col("bbrand"))
-        .select(col("brand"), col("yyyymm"),
-          round((col("ext").cast("double") / col("qty").cast("double"))
-            / (col("ext0").cast("double") / col("qty0").cast("double")),
-            6).as("price_index"))
-        .orderBy("brand", "yyyymm")
-    },
-
-    // Brand markdown: realized vs listed value (Σ ext / Σ qty·retail),
-    // exact DECIMAL sums, part dim broadcast.
-    q(
-      "q237_brand_markdown",
-      """WITH j AS (SELECT p.p_brand AS brand, COUNT(*) AS n_lines,
-        |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
-        |      AS DOUBLE) AS sold,
-        |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))
-        |      * CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
-        |      AS listed
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |  GROUP BY 1)
-        |SELECT brand, n_lines, sold, listed,
-        |  ROUND(sold / listed, 6) AS realized_ratio,
-        |  ROUND(1.0::DOUBLE - sold / listed, 6) AS markdown
-        |FROM j ORDER BY brand"""
-    ) { (s, d) =>
-      Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand").as("brand"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double").as("sold"),
-          sum(col("l_quantity").cast("decimal(18,2)") *
-            col("p_retailprice").cast("decimal(18,2)"))
-            .cast("double").as("listed"))
-        .select(col("brand"), col("n_lines"), col("sold"),
-          col("listed"),
-          round(col("sold") / col("listed"), 6).as("realized_ratio"),
-          round(lit(1.0) - col("sold") / col("listed"), 6)
-            .as("markdown"))
-        .orderBy("brand")
-    },
-
-    // ABC/Pareto classification of parts by revenue: whole computation
-    // on the distinct-revenue table (tie blocks share the
-    // strictly-above mass), cross-multiplied integer class cuts.
-    q(
-      "q238_abc_parts",
-      """WITH pr AS (SELECT l_partkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
-        |      AS BIGINT) AS r
-        |  FROM lineitem GROUP BY 1),
-        |vc AS (SELECT r AS v, COUNT(*) AS m FROM pr GROUP BY 1),
-        |rk AS (SELECT v, m, v * m AS mass,
-        |    CAST(COALESCE(SUM(v * m) OVER (ORDER BY v DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS abv
-        |  FROM vc),
-        |t AS (SELECT CAST(SUM(v * m) AS BIGINT) AS tt FROM vc),
-        |c AS (SELECT CASE
-        |      WHEN (abv + v) * 5 <= tt * 4 THEN 'A'
-        |      WHEN (abv + v) * 20 <= tt * 19 THEN 'B'
-        |      ELSE 'C' END AS abc_class,
-        |    m, mass, tt
-        |  FROM rk CROSS JOIN t)
-        |SELECT abc_class, CAST(SUM(m) AS BIGINT) AS n_entities,
-        |  CAST(SUM(mass) AS BIGINT) AS value_total,
-        |  ROUND(CAST(SUM(mass) AS DOUBLE) / CAST(MAX(tt) AS DOUBLE),
-        |    6) AS share
-        |FROM c GROUP BY 1 ORDER BY abc_class"""
-    ) { (s, d) =>
-      val rev = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey"))
-        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") * 100))
-          .cast("long").as("r"))
-      graft.pipeline.Profiler.abcClassification(rev, "r")
-        .orderBy("abc_class")
-    },
-
-    // Order-gap churn risk: days since last order vs the customer's
-    // OWN median inter-order gap; predicate on identical doubles.
-    q(
-      "q239_churn_risk",
-      """WITH dy AS (SELECT DISTINCT o_custkey,
-        |    epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
-        |g AS (SELECT o_custkey, day,
-        |    day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day)
-        |      AS gp
-        |  FROM dy),
-        |a AS (SELECT o_custkey, COUNT(gp) AS n_gaps,
-        |    quantile_cont(CAST(gp AS DOUBLE), 0.5) AS med,
-        |    MAX(day) AS last FROM g GROUP BY 1),
-        |h AS (SELECT MAX(day) AS horizon FROM dy)
-        |SELECT o_custkey, n_gaps, ROUND(med, 6) AS median_gap_days,
-        |  CAST(horizon - last AS BIGINT) AS days_since_last,
-        |  ROUND(CAST(horizon - last AS DOUBLE) / med, 6) AS risk_ratio
-        |FROM a CROSS JOIN h
-        |WHERE med IS NOT NULL AND med > 0
-        |  AND CAST(horizon - last AS DOUBLE) / med > 2.0
-        |ORDER BY o_custkey"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.orderGapRisk(
-          Tables.orders(s, d)
-            .withColumn("t", unix_micros(col("o_orderdate"))),
-          "o_custkey", "t")
-        .orderBy("o_custkey")
-    },
-
-    // Cohort LTV curve: exact cent revenue per (first-order-month
-    // cohort, month offset), running total over the months-bounded
-    // grid, one division by cohort size.
-    q(
-      "q240_ltv_curve",
-      """WITH b AS (SELECT o_custkey AS cust,
-        |    CAST(date_part('year', o_orderdate) * 12
-        |      + date_part('month', o_orderdate) - 1 AS BIGINT) AS mi,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders),
-        |ch AS (SELECT cust, MIN(mi) AS c0 FROM b GROUP BY 1),
-        |sz AS (SELECT c0 AS cohort_month, COUNT(*) AS n_customers
-        |  FROM ch GROUP BY 1),
-        |cl AS (SELECT ch.c0 AS cohort_month, b.mi - ch.c0
-        |      AS month_offset,
-        |    CAST(SUM(b.cents) AS BIGINT) AS revenue_cents
-        |  FROM b JOIN ch ON b.cust = ch.cust GROUP BY 1, 2),
-        |r AS (SELECT cl.cohort_month, cl.month_offset,
-        |    sz.n_customers, cl.revenue_cents,
-        |    CAST(SUM(cl.revenue_cents) OVER (
-        |      PARTITION BY cl.cohort_month ORDER BY cl.month_offset
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS cum_cents
-        |  FROM cl JOIN sz ON cl.cohort_month = sz.cohort_month)
-        |SELECT cohort_month, month_offset, n_customers, revenue_cents,
-        |  cum_cents,
-        |  ROUND(CAST(cum_cents AS DOUBLE)
-        |    / CAST(n_customers AS DOUBLE) / 100.0, 6) AS avg_ltv
-        |FROM r ORDER BY cohort_month, month_offset"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.ltvCurve(
-          Tables.orders(s, d), "o_custkey", "o_orderdate",
-          "o_totalprice")
-        .orderBy("cohort_month", "month_offset")
-    },
-
-    // New-vs-returning monthly revenue split: "new" = the customer's
-    // first-order month; conditional exact cent sums.
-    q(
-      "q241_new_vs_returning",
-      """WITH b AS (SELECT o_custkey AS cust,
-        |    CAST(date_part('year', o_orderdate) * 12
-        |      + date_part('month', o_orderdate) - 1 AS BIGINT) AS mi,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders),
-        |ch AS (SELECT cust, MIN(mi) AS c0 FROM b GROUP BY 1)
-        |SELECT b.mi AS month_idx, COUNT(*) AS n_orders,
-        |  CAST(SUM(CASE WHEN b.mi = ch.c0 THEN b.cents ELSE 0 END)
-        |    AS BIGINT) AS rev_new_cents,
-        |  CAST(SUM(CASE WHEN b.mi <> ch.c0 THEN b.cents ELSE 0 END)
-        |    AS BIGINT) AS rev_returning_cents,
-        |  ROUND(CAST(SUM(CASE WHEN b.mi = ch.c0 THEN b.cents ELSE 0
-        |      END) AS DOUBLE)
-        |    / CAST(SUM(CASE WHEN b.mi = ch.c0 THEN b.cents ELSE 0 END)
-        |       + SUM(CASE WHEN b.mi <> ch.c0 THEN b.cents ELSE 0 END)
-        |      AS DOUBLE), 6) AS new_share
-        |FROM b JOIN ch ON b.cust = ch.cust
-        |GROUP BY 1 ORDER BY month_idx"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.newVsReturning(
-          Tables.orders(s, d), "o_custkey", "o_orderdate",
-          "o_totalprice")
-        .orderBy("month_idx")
-    },
-
-    // Number-masked template clusters: digit runs collapse to '#',
-    // masked-hash groups with >1 doc and >1 raw variant.
-    q(
-      "q242_templates",
-      """WITH m AS (SELECT doc_id, text,
-        |    md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS h
-        |  FROM documents),
-        |g AS (SELECT h, MIN(doc_id) AS template_id, COUNT(*) AS n_docs,
-        |    COUNT(DISTINCT text) AS n_variants
-        |  FROM m GROUP BY 1)
-        |SELECT template_id, n_docs, n_variants
-        |FROM g WHERE n_docs > 1 AND n_variants > 1
-        |ORDER BY template_id"""
-    ) { (s, d) =>
-      TextAnalysis.templateClusters(
-          Tables.documents(s, d), "text", "doc_id")
-        .orderBy("template_id")
-    },
-
-    // Audience discovery curve per event type: first-seen users per
-    // day + cumulative uniques over the span-bounded day grid.
-    q(
-      "q243_discovery_curve",
-      """WITH fd AS (SELECT event_type, user_id,
-        |    MIN(epoch_us(ts) // 86400000000) AS d0
-        |  FROM events GROUP BY 1, 2),
-        |nd AS (SELECT event_type, d0 AS day, COUNT(*) AS n_new
-        |  FROM fd GROUP BY 1, 2)
-        |SELECT event_type, day, n_new,
-        |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS BIGINT) AS cum_users
-        |FROM nd ORDER BY event_type, day"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.discoveryCurve(
-          Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-          "event_type", "user_id", "t")
-        .orderBy("event_type", "day")
-    },
-
-    // Daily percentile bands — the monitoring chart's data: per-day
-    // p10/p50/p90 of the metric, grouped exact/approx split.
-    q(
-      "q244_percentile_bands",
-      """SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n,
-        |  ROUND(quantile_cont(value, 0.1), 6) AS p10,
-        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
-        |  ROUND(quantile_cont(value, 0.9), 6) AS p90
-        |FROM events GROUP BY 1 ORDER BY day"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.quantileProfileGrouped(
-          Tables.events(s, d)
-            .withColumn("day", expr(
-              "unix_micros(ts) div 86400000000")),
-          "day", "value", probs = Seq(0.1, 0.5, 0.9), exact = true)
-        .orderBy("day")
-    },
-
-    // Week-over-week top movers: per-(type, day) counts, shifted
-    // self-join at −7 days, top 10 by |relative change| on the raw
-    // double with (type, day) tie-break.
-    q(
-      "q245_top_movers",
-      """WITH c AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |j AS (SELECT a.event_type, a.day, a.n, b.n AS n_prev,
-        |    CAST(a.n AS DOUBLE) / CAST(b.n AS DOUBLE) - 1.0::DOUBLE
-        |      AS chg
-        |  FROM c a JOIN c b
-        |    ON a.event_type = b.event_type AND a.day = b.day + 7)
-        |SELECT event_type, day, n, n_prev, ROUND(chg, 6) AS change
-        |FROM j ORDER BY abs(chg) DESC, event_type, day LIMIT 10"""
-    ) { (s, d) =>
-      val c = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(count(lit(1)).as("n"))
-      val prev = c.select(col("event_type"),
-        (col("day") + 7).as("day"), col("n").as("n_prev"))
-      c.join(prev, Seq("event_type", "day"))
-        .withColumn("__chg",
-          col("n").cast("double") / col("n_prev").cast("double") -
-            lit(1.0))
-        .orderBy(abs(col("__chg")).desc, col("event_type"), col("day"))
-        .limit(10)
-        .select(col("event_type"), col("day"), col("n"), col("n_prev"),
-          round(col("__chg"), 6).as("change"))
-    },
-
-    // Length-bucket mix: power-of-two token-length buckets from an
-    // integer CASE chain (float log2 is not power-exact on every
-    // engine); doc and token shares per bucket.
-    q("q246_length_mix", lengthMixOracleSql) { (s, d) =>
-      TextAnalysis.lengthBucketMix(
-          Tables.documents(s, d), "text")
-        .orderBy("len_bucket_lo")
-    },
-
-    // Monthly composition drift: per-month returnflag mix vs the
-    // corpus mix as total variation distance — explicit 3-term chain
-    // over the literal flag domain (the q188 Benford pivot
-    // discipline), integer counts, fixed IEEE shape.
-    q(
-      "q247_mix_drift",
-      """WITH m AS (SELECT CAST(date_part('year', l_shipdate) * 100
-        |      + date_part('month', l_shipdate) AS INTEGER) AS yyyymm,
-        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ca,
-        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS cn,
-        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS cr,
-        |    COUNT(*) AS n
-        |  FROM lineitem GROUP BY 1),
-        |g AS (SELECT CAST(SUM(ca) AS BIGINT) AS ga,
-        |    CAST(SUM(cn) AS BIGINT) AS gn,
-        |    CAST(SUM(cr) AS BIGINT) AS gr,
-        |    CAST(SUM(n) AS BIGINT) AS gt FROM m)
-        |SELECT yyyymm, n,
-        |  ROUND((abs(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - CAST(ga AS DOUBLE) / CAST(gt AS DOUBLE))
-        |    + abs(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - CAST(gn AS DOUBLE) / CAST(gt AS DOUBLE))
-        |    + abs(CAST(cr AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - CAST(gr AS DOUBLE) / CAST(gt AS DOUBLE))) / 2.0, 6)
-        |    AS tvd
-        |FROM m CROSS JOIN g ORDER BY yyyymm"""
-    ) { (s, d) =>
-      val m = Tables.lineitem(s, d)
-        .groupBy((year(col("l_shipdate")) * 100 +
-          month(col("l_shipdate"))).cast("int").as("yyyymm"))
-        .agg(
-          sum((col("l_returnflag") === "A").cast("long")).as("ca"),
-          sum((col("l_returnflag") === "N").cast("long")).as("cn"),
-          sum((col("l_returnflag") === "R").cast("long")).as("cr"),
-          count(lit(1)).as("n"))
-      val g = broadcast(m.agg(sum(col("ca")).as("ga"),
-        sum(col("cn")).as("gn"), sum(col("cr")).as("gr"),
-        sum(col("n")).as("gt")))
-      m.crossJoin(g).selectExpr("yyyymm", "n",
-        "round((abs(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)" +
-          " - CAST(ga AS DOUBLE) / CAST(gt AS DOUBLE))" +
-          " + abs(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)" +
-          " - CAST(gn AS DOUBLE) / CAST(gt AS DOUBLE))" +
-          " + abs(CAST(cr AS DOUBLE) / CAST(n AS DOUBLE)" +
-          " - CAST(gr AS DOUBLE) / CAST(gt AS DOUBLE))) / 2.0, 6)" +
-          " AS tvd")
-        .orderBy("yyyymm")
-    },
-
-    // Supplier balance outliers vs nation peers — fleetOutliers on a
-    // static frame (one bucket), 1e4 units (acctbal magnitudes square
-    // past int64 at 1e6 units).
-    q(
-      "q248_balance_outliers",
-      """WITH b AS (SELECT s_nationkey AS cohort, 0 AS bucket,
-        |    s_suppkey, s_acctbal,
-        |    CAST(floor(s_acctbal * 10000.0) AS BIGINT) AS v
-        |  FROM supplier),
-        |st AS (SELECT cohort, CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(v) AS DOUBLE) AS s,
-        |    CAST(SUM(v * v) AS DOUBLE) AS ss
-        |  FROM b GROUP BY 1),
-        |w AS (SELECT cohort, s / n AS m,
-        |    sqrt((n * ss - s * s) / (n * (n - 1.0))) AS sd FROM st),
-        |j AS (SELECT b.cohort, CAST(b.bucket AS BIGINT) AS bucket,
-        |    b.s_suppkey, b.s_acctbal,
-        |    (CAST(b.v AS DOUBLE) - w.m) / w.sd AS z
-        |  FROM b JOIN w USING (cohort))
-        |SELECT cohort, bucket, s_suppkey, s_acctbal, ROUND(z, 6) AS z
-        |FROM j WHERE abs(z) > 2.0 ORDER BY cohort, s_suppkey"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.fleetOutliers(
-          Tables.supplier(s, d).withColumn("t", lit(0L)),
-          "s_nationkey", "t", "s_suppkey", "s_acctbal",
-          bucketUs = 3600000000L, zThreshold = 2.0,
-          unitsPerValue = 1e4)
-        .orderBy("cohort", "s_suppkey")
-    },
-
-    // Bivariate Mahalanobis outliers on (quantity, extendedprice):
-    // plausible margins, impossible PAIR. Closed-form 2×2 inverse,
-    // exact-sum broadcast, per-row fixed IEEE chain. Cut at d² > 5
-    // (χ²₂ ~92%): bounded uniform margins cap d² near 5.9 at every
-    // SF, so the textbook 99% cut (9.21) made the gate row-free; 5.0
-    // fires 100/909/9218 rows with >= 3.7e-5 boundary clearance.
-    q(
-      "q249_mahalanobis",
-      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
-        |    l_extendedprice,
-        |    CAST(floor(l_quantity * 10000.0) AS BIGINT) AS xq,
-        |    CAST(floor(l_extendedprice * 10000.0) AS BIGINT) AS yq
-        |  FROM lineitem),
-        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(xq) AS DOUBLE) AS sx,
-        |    CAST(SUM(yq) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy
-        |  FROM b),
-        |j AS (SELECT b.l_orderkey, b.l_linenumber, b.l_quantity,
-        |    b.l_extendedprice,
-        |    (sxx - sx * sx / n) / (n - 1.0) AS cxx,
-        |    (syy - sy * sy / n) / (n - 1.0) AS cyy,
-        |    (sxy - sx * sy / n) / (n - 1.0) AS cxy,
-        |    CAST(xq AS DOUBLE) - sx / n AS dx,
-        |    CAST(yq AS DOUBLE) - sy / n AS dy
-        |  FROM b CROSS JOIN g),
-        |k AS (SELECT l_orderkey, l_linenumber, l_quantity,
-        |    l_extendedprice,
-        |    (cyy * dx * dx - 2.0 * cxy * dx * dy + cxx * dy * dy)
-        |      / (cxx * cyy - cxy * cxy) AS d2
-        |  FROM j)
-        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-        |  ROUND(d2, 6) AS d2
-        |FROM k WHERE d2 > 5.0
-        |ORDER BY l_orderkey, l_linenumber"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.mahalanobis2d(
-          Tables.lineitem(s, d), "l_quantity", "l_extendedprice",
-          Seq("l_orderkey", "l_linenumber"), threshold = 5.0)
-        .orderBy("l_orderkey", "l_linenumber")
-    },
-
-    // One-row corpus scorecard: the numbers a pipeline owner reads
-    // first — doc/token volume, exact-dup rate, vocabulary size and
-    // hapax share, mean length. All integer counts, two divisions.
-    q(
-      "q250_corpus_scorecard",
-      """WITH ds AS (SELECT COUNT(*) AS n_docs,
-        |    COUNT(DISTINCT text) AS n_distinct_texts,
-        |    CAST(SUM(len(string_split_regex(trim(lower(text)),
-        |      '\s+'))) AS BIGINT) AS total_tokens
-        |  FROM documents),
-        |tc AS (SELECT token, COUNT(*) AS c FROM (
-        |    SELECT UNNEST(string_split_regex(trim(lower(text)),
-        |      '\s+')) AS token FROM documents) GROUP BY 1),
-        |vs AS (SELECT COUNT(*) AS vocab_size,
-        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS hapax_count
-        |  FROM tc)
-        |SELECT n_docs, total_tokens, n_distinct_texts,
-        |  ROUND(1.0::DOUBLE - CAST(n_distinct_texts AS DOUBLE)
-        |    / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
-        |  vocab_size, hapax_count,
-        |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),
-        |    6) AS avg_tokens
-        |FROM ds CROSS JOIN vs"""
-    ) { (s, d) =>
-      val docs = Tables.spread(s, Tables.documents(s, d))
-      val toks = docs.select(explode(
-        TextAnalysis.whitespaceTokens(lower(col("text")))).as("token"))
-      val ds = docs.agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_distinct_texts"),
-        sum(size(TextAnalysis.whitespaceTokens(lower(col("text"))))
-          .cast("long")).as("total_tokens"))
-      val vs = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)).as("vocab_size"),
-          sum((col("c") === 1L).cast("long")).as("hapax_count"))
-      ds.crossJoin(vs).select(
-        col("n_docs"), col("total_tokens"), col("n_distinct_texts"),
-        round(lit(1.0) - col("n_distinct_texts").cast("double") /
-          col("n_docs").cast("double"), 6).as("exact_dup_rate"),
-        col("vocab_size"), col("hapax_count"),
-        round(col("total_tokens").cast("double") /
-          col("n_docs").cast("double"), 6).as("avg_tokens"))
-    },
-
-    // Per-doc sentence-length stats: explode on [.!?]+ runs, blank
-    // segments drop, integer counts + one division.
-    q(
-      "q251_sentence_stats",
-      """WITH sseg AS (SELECT doc_id,
-        |    UNNEST(string_split_regex(text, '[.!?]+')) AS s
-        |  FROM documents),
-        |f AS (SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT)
-        |      AS w
-        |  FROM sseg WHERE len(trim(s)) > 0)
-        |SELECT doc_id, COUNT(*) AS n_sentences,
-        |  ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-        |    AS avg_words,
-        |  CAST(MAX(w) AS BIGINT) AS max_words
-        |FROM f GROUP BY 1 ORDER BY doc_id"""
-    ) { (s, d) =>
-      TextAnalysis.sentenceStats(
-          Tables.spread(s, Tables.documents(s, d)), "text", "doc_id")
-        .orderBy("doc_id")
-    },
-
-    // Source language-consistency: majority-language share per source
-    // from one contingency aggregate, min-struct argmax.
-    q(
-      "q252_source_lang",
-      """WITH c AS (SELECT source, lang, COUNT(*) AS c FROM documents
-        |  GROUP BY 1, 2),
-        |b AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
-        |    COUNT(*) AS n_langs FROM c GROUP BY 1),
-        |m AS (SELECT source, lang AS majority_lang, c FROM (
-        |    SELECT source, lang, c, ROW_NUMBER() OVER (
-        |      PARTITION BY source ORDER BY c DESC, lang) AS rk
-        |    FROM c) WHERE rk = 1)
-        |SELECT b.source, b.n_docs, b.n_langs, m.majority_lang,
-        |  ROUND(CAST(m.c AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6)
-        |    AS majority_share
-        |FROM b JOIN m USING (source) ORDER BY source"""
-    ) { (s, d) =>
-      TextAnalysis.sourceLangConsistency(
-          Tables.documents(s, d), "source", "lang")
-        .orderBy("source")
-    },
-
-    // Per-sensor drift: Welch t between each sensor's first/second
-    // half of the global span; |t| cut on identical doubles.
-    q(
-      "q253_series_drift",
-      """WITH sp AS (SELECT MIN(epoch_us(ts)) AS lo,
-        |    MAX(epoch_us(ts)) AS hi FROM events),
-        |b AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events),
-        |g AS (SELECT sensor_id,
-        |    CAST(SUM(CASE WHEN t < lo + (hi - lo) // 2 THEN 1
-        |      ELSE 0 END) AS DOUBLE) AS n1,
-        |    CAST(SUM(CASE WHEN t < lo + (hi - lo) // 2 THEN v
-        |      ELSE 0 END) AS DOUBLE) AS s1,
-        |    CAST(SUM(CASE WHEN t < lo + (hi - lo) // 2 THEN v * v
-        |      ELSE 0 END) AS DOUBLE) AS ss1,
-        |    CAST(SUM(CASE WHEN t >= lo + (hi - lo) // 2 THEN 1
-        |      ELSE 0 END) AS DOUBLE) AS n2,
-        |    CAST(SUM(CASE WHEN t >= lo + (hi - lo) // 2 THEN v
-        |      ELSE 0 END) AS DOUBLE) AS s2,
-        |    CAST(SUM(CASE WHEN t >= lo + (hi - lo) // 2 THEN v * v
-        |      ELSE 0 END) AS DOUBLE) AS ss2
-        |  FROM b CROSS JOIN sp GROUP BY 1),
-        |w AS (SELECT sensor_id, n1, n2, s1, s2,
-        |    (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1.0)) AS v1,
-        |    (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1.0)) AS v2
-        |  FROM g),
-        |k AS (SELECT sensor_id, n1, n2, s1, s2,
-        |    (s1 / n1 - s2 / n2) / sqrt(v1 / n1 + v2 / n2) AS t
-        |  FROM w)
-        |SELECT sensor_id, CAST(n1 AS BIGINT) AS n_pre,
-        |  CAST(n2 AS BIGINT) AS n_post,
-        |  ROUND(s1 / n1 / 1000000.0, 6) AS mean_pre,
-        |  ROUND(s2 / n2 / 1000000.0, 6) AS mean_post,
-        |  ROUND(t, 6) AS t_stat
-        |FROM k WHERE abs(t) > 3.0 ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.seriesDrift(
-          EventsAdapter.samples(s, d),
-          "sensor_id", "timestamp_us", "value")
-        .orderBy("sensor_id")
-    },
-
-    // Order-size histogram: lines-per-order distribution, exact
-    // integers + one division.
-    q(
-      "q254_order_size_hist",
-      """WITH lc AS (SELECT l_orderkey, COUNT(*) AS n_lines
-        |  FROM lineitem GROUP BY 1),
-        |h AS (SELECT n_lines, COUNT(*) AS n_orders FROM lc
-        |  GROUP BY 1),
-        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM h)
-        |SELECT n_lines, n_orders,
-        |  ROUND(CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE), 6)
-        |    AS share
-        |FROM h CROSS JOIN t ORDER BY n_lines"""
-    ) { (s, d) =>
-      val h = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
-        .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
-      h.crossJoin(broadcast(h.agg(sum(col("n_orders")).as("tot"))))
-        .select(col("n_lines"), col("n_orders"),
-          round(col("n_orders").cast("double") /
-            col("tot").cast("double"), 6).as("share"))
-        .orderBy("n_lines")
-    },
-
-    // Daily event-type composition (100%-stacked data): explicit
-    // 5-type pivot over the literal domain, integer counts + single
-    // divisions.
-    q(
-      "q255_daily_mix",
-      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
-        |    event_type FROM events),
-        |m AS (SELECT day, COUNT(*) AS n,
-        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
-        |      END) AS BIGINT) AS c_click,
-        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
-        |      END) AS BIGINT) AS c_error,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
-        |      END) AS BIGINT) AS c_purchase,
-        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
-        |      END) AS BIGINT) AS c_signup,
-        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
-        |      END) AS BIGINT) AS c_view
-        |  FROM d GROUP BY 1)
-        |SELECT day, n,
-        |  ROUND(CAST(c_click AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS share_click,
-        |  ROUND(CAST(c_error AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS share_error,
-        |  ROUND(CAST(c_purchase AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS share_purchase,
-        |  ROUND(CAST(c_signup AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS share_signup,
-        |  ROUND(CAST(c_view AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS share_view
-        |FROM m ORDER BY day"""
-    ) { (s, d) =>
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val aggs = count(lit(1)).as("n") +: types.map(t =>
-        sum((col("event_type") === t).cast("long")).as(s"c_$t"))
-      Tables.events(s, d)
-        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("day") +: col("n") +: types.map(t =>
-          round(col(s"c_$t").cast("double") / col("n").cast("double"),
-            6).as(s"share_$t")): _*)
-        .orderBy("day")
-    },
-
-    // Brand co-purchase affinity: coOccurrence reuse over
-    // (order, brand) baskets — support and lift per brand pair.
-    q(
-      "q256_brand_affinity",
-      """WITH b AS (
-        |  SELECT DISTINCT l.l_orderkey AS u, p.p_brand AS item
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-        |n AS (SELECT COUNT(DISTINCT u)::DOUBLE AS nu FROM b),
-        |ic AS (SELECT item, COUNT(*) AS cnt FROM b GROUP BY 1),
-        |p AS (SELECT a.item AS ia, c.item AS ib, COUNT(*) AS co
-        |  FROM b a JOIN b c ON a.u = c.u AND a.item < c.item
-        |  GROUP BY 1, 2)
-        |SELECT ia AS item_a, ib AS item_b, co AS n_both,
-        |  x.cnt AS n_a, y.cnt AS n_b,
-        |  co::DOUBLE / n.nu AS support,
-        |  co::DOUBLE * n.nu / (x.cnt::DOUBLE * y.cnt::DOUBLE) AS lift
-        |FROM p JOIN ic x ON p.ia = x.item JOIN ic y ON p.ib = y.item
-        |CROSS JOIN n
-        |WHERE co >= 2
-        |ORDER BY item_a, item_b"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.coOccurrence(
-          Tables.lineitem(s, d)
-            .join(broadcast(Tables.part(s, d)),
-              col("l_partkey") === col("p_partkey"))
-            .select(col("l_orderkey"), col("p_brand")),
-          "l_orderkey", "p_brand", minCount = 2L)
-        .orderBy("item_a", "item_b")
-    },
-
-    // Conversion by session depth: q105's session windows bucketed by
-    // the power-of-two event-count chain; integer counts + division.
-    q(
-      "q257_session_conversion",
-      """WITH m AS (
-        |  SELECT user_id, ts, event_type,
-        |    CASE WHEN LAG(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT user_id, ts, event_type,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m),
-        |g AS (SELECT user_id, sid, COUNT(*) AS n,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS conv
-        |  FROM s GROUP BY 1, 2),
-        |h AS (SELECT CAST(CASE WHEN n >= 16 THEN 16
-        |      WHEN n >= 8 THEN 8 WHEN n >= 4 THEN 4
-        |      WHEN n >= 2 THEN 2 ELSE 1 END AS BIGINT)
-        |      AS depth_bucket,
-        |    conv FROM g)
-        |SELECT depth_bucket, COUNT(*) AS n_sessions,
-        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
-        |  ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
-        |    6) AS conversion
-        |FROM h GROUP BY 1 ORDER BY depth_bucket"""
-    ) { (s, d) =>
-      val sessions = Tables.events(s, d)
-        .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n"),
-          max((col("event_type") === "purchase").cast("int"))
-            .as("conv"))
-      sessions
-        .withColumn("depth_bucket",
-          expr(TextAnalysis.pow2BucketSql("n", maxExp = 4)))
-        .groupBy(col("depth_bucket"))
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("conv")).as("n_converted"))
-        .select(col("depth_bucket"), col("n_sessions"),
-          col("n_converted"),
-          round(col("n_converted").cast("double") /
-            col("n_sessions").cast("double"), 6).as("conversion"))
-        .orderBy("depth_bucket")
-    },
-
-    // Per-source character-class mix: four regexp class counts (never
-    // a length-derived remainder — engine length semantics stay out of
-    // it); exact integer sums, single-division shares.
-    q(
-      "q258_source_charmix",
-      """WITH c AS (SELECT source,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
-        |      AS a,
-        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
-        |      AS dg,
-        |    CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS sp,
-        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-        |      AS BIGINT) AS ot
-        |  FROM documents),
-        |g AS (SELECT source, CAST(SUM(a) AS BIGINT) AS a,
-        |    CAST(SUM(dg) AS BIGINT) AS dg,
-        |    CAST(SUM(sp) AS BIGINT) AS sp,
-        |    CAST(SUM(ot) AS BIGINT) AS ot
-        |  FROM c GROUP BY 1),
-        |t AS (SELECT source, a, dg, sp, ot, a + dg + sp + ot AS n
-        |  FROM g)
-        |SELECT source, n AS n_chars,
-        |  ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS alpha_share,
-        |  ROUND(CAST(dg AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS digit_share,
-        |  ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS space_share,
-        |  ROUND(CAST(ot AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS other_share
-        |FROM t ORDER BY source"""
-    ) { (s, d) =>
-      val c = Tables.spread(s, Tables.documents(s, d))
-        .select(col("source"),
-          regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
-            .as("a"),
-          regexp_count(col("text"), lit("[0-9]")).cast("long").as("dg"),
-          regexp_count(col("text"), lit("\\s")).cast("long").as("sp"),
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
-            .as("ot"))
-      c.groupBy(col("source"))
-        .agg(sum(col("a")).as("a"), sum(col("dg")).as("dg"),
-          sum(col("sp")).as("sp"), sum(col("ot")).as("ot"))
-        .withColumn("n_chars",
-          col("a") + col("dg") + col("sp") + col("ot"))
-        .select(col("source"), col("n_chars"),
-          round(col("a").cast("double") / col("n_chars").cast("double"),
-            6).as("alpha_share"),
-          round(col("dg").cast("double") /
-            col("n_chars").cast("double"), 6).as("digit_share"),
-          round(col("sp").cast("double") /
-            col("n_chars").cast("double"), 6).as("space_share"),
-          round(col("ot").cast("double") /
-            col("n_chars").cast("double"), 6).as("other_share"))
-        .orderBy("source")
-    },
-
-    // Hourly error-rate breaches: hours whose error share exceeds 2×
-    // the corpus baseline — the predicate is a pure integer
-    // cross-multiplication (q84's ratio discipline), no float cut.
-    q(
-      "q259_error_breaches",
-      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
-        |    COUNT(*) AS n,
-        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS e
-        |  FROM events GROUP BY 1),
-        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
-        |    CAST(SUM(e) AS BIGINT) AS te FROM h)
-        |SELECT hour, n, e,
-        |  ROUND(CAST(e AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS error_rate,
-        |  ROUND(CAST(te AS DOUBLE) / CAST(tn AS DOUBLE), 6)
-        |    AS baseline_rate
-        |FROM h CROSS JOIN t
-        |WHERE e * tn > 2 * te * n
-        |ORDER BY hour"""
-    ) { (s, d) =>
-      val h = Tables.events(s, d)
-        .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
-        .agg(count(lit(1)).as("n"),
-          sum((col("event_type") === "error").cast("long")).as("e"))
-      val t = broadcast(h.agg(sum(col("n")).as("tn"),
-        sum(col("e")).as("te")))
-      h.crossJoin(t)
-        .filter(col("e") * col("tn") > lit(2) * col("te") * col("n"))
-        .select(col("hour"), col("n"), col("e"),
-          round(col("e").cast("double") / col("n").cast("double"), 6)
-            .as("error_rate"),
-          round(col("te").cast("double") / col("tn").cast("double"), 6)
-            .as("baseline_rate"))
-        .orderBy("hour")
-    },
-
-    // Re-engaged users: returned after a ≥3-day silence — per-user
-    // day gaps, all integer. Gap threshold re-anchored r13 (the
-    // q124–q127 precedent): the events table's max per-user day gap is
-    // 4 at sf0.01 and 6 at sf0.1, so the original ≥14-day window
-    // returned 0 rows at EVERY test SF and the driver's hash gate was
-    // vacuously green — ≥3 exercises the same gap kernel with rows at
-    // all three SFs (sf0.001/0.01/0.1 → 7/40/427 qualifying gaps).
-    q(
-      "q260_reengaged",
-      """WITH dy AS (SELECT DISTINCT user_id,
-        |    epoch_us(ts) // 86400000000 AS day FROM events),
-        |g AS (SELECT user_id,
-        |    day - LAG(day) OVER (PARTITION BY user_id ORDER BY day)
-        |      AS gp
-        |  FROM dy),
-        |a AS (SELECT user_id,
-        |    CAST(SUM(CASE WHEN gp >= 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_reengagements,
-        |    CAST(MAX(gp) AS BIGINT) AS max_gap_days
-        |  FROM g WHERE gp IS NOT NULL GROUP BY 1)
-        |SELECT user_id, n_reengagements, max_gap_days
-        |FROM a WHERE n_reengagements >= 1 ORDER BY user_id"""
-    ) { (s, d) =>
-      val dy = Tables.events(s, d)
-        .select(col("user_id"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("day"))
-      dy.withColumn("gp", col("day") - lag(col("day"), 1).over(w))
-        .filter(col("gp").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(sum((col("gp") >= 3).cast("long"))
-          .as("n_reengagements"),
-          max(col("gp")).as("max_gap_days"))
-        .filter(col("n_reengagements") >= 1)
-        .orderBy("user_id")
-    },
-
-    // Cross-source text leakage: the same content fingerprint (first 8
-    // lowercased tokens — a prefix fingerprint, the cheapest stable
-    // leak key) appearing under ≥2 sources — the split-contamination
-    // case exact dedup reports but does not localize to sources.
-    // Key re-anchored r13: the original EXACT-text key returned 0 rows
-    // at sf0.001/0.01 (the corpus has no full-text duplicates below
-    // sf0.1), leaving the driver's hash gate vacuously green; the
-    // 8-token prefix keys 20/22/227 leaks at the three SFs while
-    // keeping the kernel (group on content key, count docs + distinct
-    // sources, keep multi-source keys) intact.
-    q(
-      "q261_cross_source_leak",
-      """WITH keyd AS (SELECT doc_id, source,
-        |    array_to_string(list_slice(string_split_regex(
-        |      trim(lower(text)), '\s+'), 1, 8), ' ') AS leak_key
-        |  FROM documents),
-        |g AS (SELECT leak_key, MIN(doc_id) AS leak_id,
-        |    COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
-        |  FROM keyd GROUP BY 1)
-        |SELECT leak_id, n_docs, n_sources
-        |FROM g WHERE n_sources >= 2 ORDER BY leak_id"""
-    ) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8),
-            " ").as("leak_key"))
-        .groupBy(col("leak_key"))
-        .agg(min(col("doc_id")).as("leak_id"),
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("source")).as("n_sources"))
-        .filter(col("n_sources") >= 2)
-        .select(col("leak_id"), col("n_docs"), col("n_sources"))
-        .orderBy("leak_id")
-    },
-
-    // Per-vector label margin (mislabel screen): d² to own vs nearest
-    // other centroid via the exact-sum expansion Σx² − 2Σx·S/n + ΣS²/n²
-    // — order-free integer aggregates, fixed IEEE shapes.
-    q(
-      "q262_label_margin",
-      """WITH dm AS (SELECT vec_id, label, i.i - 1 AS dim,
-        |    CAST(floor(v[i.i] * 1000000.0) AS BIGINT) AS q
-        |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |        FROM embeddings) e
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i),
-        |cent AS (SELECT label AS cl, dim, COUNT(*) AS n,
-        |    CAST(SUM(q) AS HUGEINT) AS s
-        |  FROM dm GROUP BY 1, 2),
-        |cs AS (SELECT cl, MAX(n) AS nc, CAST(SUM(s * s) AS DOUBLE)
-        |    AS s2 FROM cent GROUP BY 1),
-        |x2 AS (SELECT vec_id, CAST(SUM(CAST(q AS HUGEINT) * q)
-        |    AS DOUBLE) AS x2 FROM dm GROUP BY 1),
-        |inn AS (SELECT dm.vec_id, dm.label, cent.cl,
-        |    CAST(SUM(CAST(dm.q AS HUGEINT) * cent.s) AS DOUBLE) AS a
-        |  FROM dm JOIN cent ON dm.dim = cent.dim GROUP BY 1, 2, 3),
-        |d2 AS (SELECT inn.vec_id, inn.label, inn.cl,
-        |    (x2.x2 - 2.0 * inn.a / CAST(cs.nc AS DOUBLE)
-        |      + cs.s2 / (CAST(cs.nc AS DOUBLE) * CAST(cs.nc
-        |        AS DOUBLE))) / 1e12 AS d2
-        |  FROM inn JOIN cs ON inn.cl = cs.cl
-        |  JOIN x2 ON inn.vec_id = x2.vec_id),
-        |own AS (SELECT vec_id, label, d2 AS down FROM d2
-        |  WHERE cl = label),
-        |oth AS (SELECT vec_id, MIN(d2) AS doth FROM d2
-        |  WHERE cl <> label GROUP BY 1)
-        |SELECT o.vec_id, o.label, ROUND(o.down, 6) AS d2_own,
-        |  ROUND(t.doth, 6) AS d2_other,
-        |  ROUND(t.doth - o.down, 6) AS margin
-        |FROM own o JOIN oth t ON o.vec_id = t.vec_id
-        |ORDER BY o.vec_id"""
-    ) { (s, d) =>
-      graft.pipeline.Similarity.labelMargin(
-          Tables.embeddings(s, d)
-            .select(col("vec_id"), col("label"),
-              col("embedding").as("vec")))
-        .orderBy("vec_id")
-    },
-
-    // Per-source quality correlation: corr(n_tokens, n_hapax) per
-    // source — composition of hapaxDensity and correlationByGroup
-    // (exact-decimal Pearson on integer counts).
-    q(
-      "q263_quality_corr",
-      """WITH tk AS (SELECT doc_id, UNNEST(string_split_regex(
-        |    trim(lower(text)), '\s+')) AS token FROM documents),
-        |tc AS (SELECT token, COUNT(*) AS cc FROM tk GROUP BY 1),
-        |hx AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
-        |    CAST(SUM(CASE WHEN tc.cc = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_hapax
-        |  FROM tk JOIN tc USING (token) GROUP BY 1),
-        |j AS (SELECT d.source, hx.n_tokens, hx.n_hapax
-        |  FROM hx JOIN documents d ON hx.doc_id = d.doc_id),
-        |g AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) AS sa,
-        |    CAST(SUM(CAST(n_tokens AS DECIMAL(24,4))
-        |      * CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) AS saa,
-        |    CAST(SUM(CAST(n_hapax AS DECIMAL(18,4))) AS DOUBLE) AS sb,
-        |    CAST(SUM(CAST(n_hapax AS DECIMAL(24,4))
-        |      * CAST(n_hapax AS DECIMAL(18,4))) AS DOUBLE) AS sbb,
-        |    CAST(SUM(CAST(n_tokens AS DECIMAL(24,4))
-        |      * CAST(n_hapax AS DECIMAL(18,4))) AS DOUBLE) AS sab
-        |  FROM j GROUP BY 1)
-        |SELECT source, CAST(n AS BIGINT) AS n,
-        |  ROUND((n * sab - sa * sb) / sqrt((n * saa - sa * sa)
-        |    * (n * sbb - sb * sb)), 6) AS corr
-        |FROM g ORDER BY source"""
-    ) { (s, d) =>
-      val docs = Tables.spread(s, Tables.documents(s, d))
-      val hx = TextAnalysis.hapaxDensity(docs, "text", "doc_id")
-      val j = hx.join(Tables.documents(s, d)
-          .select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), col("n_tokens"), col("n_hapax"))
-      graft.pipeline.Profiler.correlationByGroup(
-          j, "source", "n_tokens", "n_hapax", exactDecimal = true)
-        .orderBy("source")
-    },
-
-    // Weighted (multiset) Jaccard between source vocabularies:
-    // M/(T_a + T_b − M) with M = Σ shared min — only the inner join
-    // on token is needed (the Σmax identity), all integer, one
-    // division.
-    q(
-      "q264_source_similarity",
-      """WITH tc AS (SELECT source, token, COUNT(*) AS c FROM (
-        |    SELECT source, UNNEST(string_split_regex(
-        |      trim(lower(text)), '\s+')) AS token FROM documents)
-        |  GROUP BY 1, 2),
-        |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tc
-        |  GROUP BY 1),
-        |mshared AS (SELECT a.source AS src_a, b.source AS src_b,
-        |    CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
-        |  FROM tc a JOIN tc b
-        |    ON a.token = b.token AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT src_a, src_b, m, ta.t AS t_a, tb.t AS t_b,
-        |  ROUND(CAST(m AS DOUBLE)
-        |    / CAST(ta.t + tb.t - m AS DOUBLE), 6) AS wjaccard
-        |FROM mshared JOIN tt ta ON mshared.src_a = ta.source
-        |JOIN tt tb ON mshared.src_b = tb.source
-        |ORDER BY src_a, src_b"""
-    ) { (s, d) =>
-      val tc = Tables.spread(s, Tables.documents(s, d))
-        .select(col("source"), explode(
-          TextAnalysis.whitespaceTokens(lower(col("text"))))
-          .as("token"))
-        .groupBy(col("source"), col("token"))
-        .agg(count(lit(1)).as("c"))
-      val tt = tc.groupBy(col("source")).agg(sum(col("c")).as("t"))
-      val m = tc.as("a").join(tc.as("b"),
-          col("a.token") === col("b.token") &&
-            col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"),
-          col("b.source").as("src_b"))
-        .agg(sum(least(col("a.c"), col("b.c"))).as("m"))
-      m.join(broadcast(tt.select(col("source").as("src_a"),
-          col("t").as("t_a"))), "src_a")
-        .join(broadcast(tt.select(col("source").as("src_b"),
-          col("t").as("t_b"))), "src_b")
-        .select(col("src_a"), col("src_b"), col("m"), col("t_a"),
-          col("t_b"),
-          round(col("m").cast("double") /
-            (col("t_a") + col("t_b") - col("m")).cast("double"), 6)
-            .as("wjaccard"))
-        .orderBy("src_a", "src_b")
-    },
-
-    // Price-band × discount interaction grid: power-of-two retail-cent
-    // bands (shared CASE chain) × integer discount points; mean
-    // quantity left as a raw division chain (repeating-decimal ties).
-    q(
-      "q265_price_discount_grid",
-      """WITH j AS (SELECT
-        |    CAST(CASE
-        |      WHEN pc >= 131072 THEN 131072 WHEN pc >= 65536 THEN 65536
-        |      WHEN pc >= 32768 THEN 32768 WHEN pc >= 16384 THEN 16384
-        |      WHEN pc >= 8192 THEN 8192 ELSE 1 END AS BIGINT)
-        |      AS price_band_lo,
-        |    disc_pct, qc FROM (
-        |    SELECT CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
-        |        AS BIGINT) AS pc,
-        |      CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100
-        |        AS BIGINT) AS disc_pct,
-        |      CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
-        |        AS BIGINT) AS qc
-        |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey))
-        |SELECT price_band_lo, disc_pct, COUNT(*) AS n_lines,
-        |  CAST(SUM(qc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
-        |    AS avg_qty
-        |FROM j GROUP BY 1, 2 ORDER BY price_band_lo, disc_pct"""
-    ) { (s, d) =>
-      val bands = Seq(131072L, 65536L, 32768L, 16384L, 8192L)
-      val bandExpr = bands.map(b => s"WHEN pc >= $b THEN ${b}L")
-        .mkString("CAST(CASE ", " ", " ELSE 1L END AS BIGINT)")
-      Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)),
-          col("l_partkey") === col("p_partkey"))
-        .select(
-          (col("p_retailprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("pc"),
-          (col("l_discount").cast("decimal(18,2)") * 100)
-            .cast("long").as("disc_pct"),
-          (col("l_quantity").cast("decimal(18,2)") * 100)
-            .cast("long").as("qc"))
-        .withColumn("price_band_lo", expr(bandExpr))
-        .groupBy(col("price_band_lo"), col("disc_pct"))
-        .agg(count(lit(1)).as("n_lines"),
-          (sum(col("qc")).cast("double") /
-            count(lit(1)).cast("double") / 100.0).as("avg_qty"))
-        .orderBy("price_band_lo", "disc_pct")
-    },
-
-    // Supplier lead-time consistency: mean and CV of ship lead days
-    // per supplier; raw division chains (repeating-decimal ties).
-    q(
-      "q266_supplier_leadtime",
-      """WITH j AS (SELECT l.l_suppkey,
-        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
-        |      // 86400000000 AS ld
-        |  FROM lineitem l JOIN orders o
-        |    ON l.l_orderkey = o.o_orderkey),
-        |g AS (SELECT l_suppkey, COUNT(*) AS n,
-        |    CAST(SUM(ld) AS DOUBLE) AS s,
-        |    CAST(SUM(CAST(ld AS HUGEINT) * ld) AS DOUBLE) AS ss
-        |  FROM j GROUP BY 1)
-        |SELECT l_suppkey, n, s / CAST(n AS DOUBLE) AS mean_lead_days,
-        |  sqrt((CAST(n AS DOUBLE) * ss - s * s)
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
-        |    / (s / CAST(n AS DOUBLE)) AS cv
-        |FROM g ORDER BY l_suppkey"""
-    ) { (s, d) =>
-      val j = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey"),
-          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
-            " div 86400000000").as("ld"))
-      j.groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("ld").cast("decimal(38,0)")).cast("double").as("s"),
-          sum(col("ld").cast("decimal(19,0)") * col("ld"))
-            .cast("double").as("ss"))
-        .selectExpr("l_suppkey", "n",
-          "s / CAST(n AS DOUBLE) AS mean_lead_days",
-          "sqrt((CAST(n AS DOUBLE) * ss - s * s)" +
-            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))" +
-            " / (s / CAST(n AS DOUBLE)) AS cv")
-        .orderBy("l_suppkey")
-    },
-
-    // Effect size of priority on lead time: η² = SS_between/SS_total
-    // from exact integer sums; the 5 between-group terms quantize to
-    // DECIMAL(28,6) before summing (order-free).
-    q(
-      "q267_leadtime_eta",
-      """WITH j AS (SELECT o.o_orderpriority AS g,
-        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
-        |      // 86400000000 AS ld
-        |  FROM lineitem l JOIN orders o
-        |    ON l.l_orderkey = o.o_orderkey),
-        |pg AS (SELECT g, COUNT(*) AS n, CAST(SUM(ld) AS BIGINT) AS s,
-        |    CAST(SUM(CAST(ld AS HUGEINT) * ld) AS HUGEINT) AS ssi
-        |  FROM j GROUP BY 1),
-        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
-        |    CAST(SUM(s) AS BIGINT) AS st,
-        |    CAST(SUM(ssi) AS DOUBLE) AS sst,
-        |    CAST(SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / CAST(n AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS bq
-        |  FROM pg)
-        |SELECT CAST(nn AS BIGINT) AS n, (SELECT COUNT(*) FROM pg)
-        |    AS n_groups,
-        |  ROUND((bq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-        |      / CAST(nn AS DOUBLE))
-        |    / (sst - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-        |      / CAST(nn AS DOUBLE)), 6) AS eta_sq
-        |FROM t"""
-    ) { (s, d) =>
-      val j = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority").as("g"),
-          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
-            " div 86400000000").as("ld"))
-      val pg = j.groupBy(col("g"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("ld").cast("decimal(38,0)")).cast("long").as("s"),
-          sum(col("ld").cast("decimal(19,0)") * col("ld")).as("ssi"))
-      val ng = broadcast(pg.agg(count(lit(1)).as("n_groups")))
-      pg.agg(sum(col("n")).as("nn"), sum(col("s")).as("st"),
-          sum(col("ssi")).cast("double").as("sst"),
-          sum(expr("CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
-            " / CAST(n AS DOUBLE) AS DECIMAL(28,6))")).cast("double")
-            .as("bq"))
-        .crossJoin(ng)
-        .selectExpr("CAST(nn AS BIGINT) AS n", "n_groups",
-          "round((bq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)" +
-            " / CAST(nn AS DOUBLE))" +
-            " / (sst - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)" +
-            " / CAST(nn AS DOUBLE)), 6) AS eta_sq")
-    },
-
-    // Catalog structure chi-square: brand × type contingency
-    // contributions (chiSquareContrib reuse over the literal type
-    // domain).
-    q("q268_catalog_chi", partChiSql) { (s, d) =>
-      graft.pipeline.Profiler.chiSquareContrib(
-          Tables.part(s, d).select(col("p_brand"), col("p_type")),
-          "p_brand", "p_type", partTypeDomain.map(x => x: Any))
-        .orderBy("p_brand")
-    },
-
-    // Market-segment scorecard: customers, orders, exact cent
-    // revenue, per-customer intensity — raw division chains.
-    q(
-      "q269_segment_scorecard",
-      """WITH j AS (SELECT c.c_mktsegment AS segment, c.c_custkey,
-        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT) AS cents
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
-        |SELECT segment, COUNT(DISTINCT c_custkey) AS n_customers,
-        |  COUNT(*) AS n_orders,
-        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
-        |  CAST(COUNT(*) AS DOUBLE)
-        |    / CAST(COUNT(DISTINCT c_custkey) AS DOUBLE)
-        |    AS orders_per_customer,
-        |  CAST(SUM(cents) AS DOUBLE)
-        |    / CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / 100.0
-        |    AS revenue_per_customer
-        |FROM j GROUP BY 1 ORDER BY segment"""
-    ) { (s, d) =>
-      Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-        .groupBy(col("segment"))
-        .agg(countDistinct(col("c_custkey")).as("n_customers"),
-          count(lit(1)).as("n_orders"),
-          sum(col("cents")).as("revenue_cents"))
-        .selectExpr("segment", "n_customers", "n_orders",
-          "revenue_cents",
-          "CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE)" +
-            " AS orders_per_customer",
-          "CAST(revenue_cents AS DOUBLE)" +
-            " / CAST(n_customers AS DOUBLE) / 100.0" +
-            " AS revenue_per_customer")
-        .orderBy("segment")
-    },
-
-    // Nation order seasonality: per-nation monthly counts, peak/trough
-    // months by min-struct argmax, amplitude (max−min)/(max+min) —
-    // all integer until one division.
-    q(
-      "q270_nation_seasonality",
-      """WITH j AS (SELECT n.n_name AS nation,
-        |    CAST(date_part('month', o.o_orderdate) AS INTEGER) AS mon
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
-        |m AS (SELECT nation, mon, COUNT(*) AS n FROM j GROUP BY 1, 2),
-        |agg AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS n_orders,
-        |    MAX(n) AS mx, MIN(n) AS mn
-        |  FROM m GROUP BY 1),
-        |pk AS (SELECT nation, mon AS peak_month FROM (
-        |    SELECT nation, mon, ROW_NUMBER() OVER (PARTITION BY nation
-        |      ORDER BY n DESC, mon) AS rk FROM m) WHERE rk = 1)
-        |SELECT agg.nation, agg.n_orders, pk.peak_month,
-        |  CAST(agg.mx AS BIGINT) AS peak_n,
-        |  ROUND(CAST(agg.mx - agg.mn AS DOUBLE)
-        |    / CAST(agg.mx + agg.mn AS DOUBLE), 6) AS amplitude
-        |FROM agg JOIN pk ON agg.nation = pk.nation
-        |ORDER BY agg.nation"""
-    ) { (s, d) =>
-      val j = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"),
-          month(col("o_orderdate")).cast("int").as("mon"))
-      val m = j.groupBy(col("nation"), col("mon"))
-        .agg(count(lit(1)).as("n"))
-      m.groupBy(col("nation"))
-        .agg(sum(col("n")).as("n_orders"),
-          max(col("n")).as("mx"), min(col("n")).as("mn"),
-          min(struct((-col("n")).as("__nn"), col("mon"))).as("__pk"))
-        .select(col("nation"), col("n_orders"),
-          col("__pk.mon").as("peak_month"),
-          col("mx").as("peak_n"),
-          round((col("mx") - col("mn")).cast("double") /
-            (col("mx") + col("mn")).cast("double"), 6)
-            .as("amplitude"))
-        .orderBy("nation")
-    },
-
-    // HyperLogLog distinct-orderkey estimate per returnflag (Flajolet
-    // et al. 2007): md5-60-bit hashing (engine-portable), b=8 register
-    // index, rank via length(bin(w)) — identical in both engines — and
-    // the harmonic sum kept EXACT as Σ 2^(53-mj) in int64 (empty
-    // registers 2^53 each), so the only IEEE ops are the final fixed
-    // multiply/divide chain. ~11k distinct per flag ≈ 43m — solidly in
-    // the raw-estimator regime (>2.5m) with no correction branch.
-    // Mergeable-union layout: the register table is 3×256 rows no
-    // matter how many lineitems feed it.
-    q(
-      "q271_hll_distinct",
-      """WITH t AS (SELECT l_returnflag AS flag,
-        |    CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
-        |h AS (SELECT flag,
-        |    ('0x'||substr(md5('0:'||k),1,15))::BIGINT AS hv FROM t),
-        |r AS (SELECT flag, hv % 256 AS reg, hv // 256 AS w FROM h),
-        |m AS (SELECT flag, reg,
-        |    MAX(CASE WHEN w = 0 THEN 53
-        |        ELSE 53 - length(bin(w)) END) AS mj
-        |  FROM r GROUP BY 1, 2),
-        |g AS (SELECT flag, COUNT(*) AS registers_observed,
-        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mj AS INT))
-        |      AS BIGINT) AS tobs
-        |  FROM m GROUP BY 1),
-        |e AS (SELECT flag, CAST(COUNT(DISTINCT k) AS BIGINT)
-        |    AS n_exact FROM t GROUP BY 1)
-        |SELECT g.flag, e.n_exact, g.registers_observed,
-        |  g.tobs + (256 - g.registers_observed) *
-        |    (CAST(1 AS BIGINT) << 53) AS t_scaled,
-        |  (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
-        |    * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
-        |    / CAST(g.tobs + (256 - g.registers_observed) *
-        |        (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS hll_estimate
-        |FROM g JOIN e ON g.flag = e.flag ORDER BY g.flag"""
-    ) { (s, d) =>
-      val t = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("flag"),
-          col("l_orderkey").cast("string").as("k"))
-      graft.pipeline.Sketches.hllDistinct(t, "k", Seq("flag"), 8)
-        .join(t.groupBy("flag")
-          .agg(count_distinct(col("k")).as("n_exact")), Seq("flag"))
-        .select(col("flag"), col("n_exact"), col("registers_observed"),
-          col("t_scaled"), col("hll_estimate"))
-        .orderBy("flag")
-    },
-
-    // Bloom-filter cross-snapshot dedup prefilter: the filter built
-    // from the even-doc_id snapshot (k=3 salted md5 bit lanes over
-    // 2^17 bits, packed to 2048 bit_or words — broadcast-sized BY
-    // CONSTRUCTION) probes the odd-doc_id snapshot; only
-    // bloom-positive rows would enter the exact dedup shuffle at
-    // scale. The fingerprint is the first-8-token prefix (the
-    // boilerplate-opening signal that DOES recur across snapshots).
-    // Pure integer/bit arithmetic end to end — negatives are exact,
-    // positives = true dups + counted false positives.
-    q(
-      "q272_bloom_prefilter",
-      """WITH n AS (SELECT doc_id, source,
-        |    array_to_string(list_slice(
-        |      string_split_regex(trim(lower(text)), '\s+'), 1, 8), ' ')
-        |      AS fp
-        |  FROM documents),
-        |old AS (SELECT fp FROM n WHERE doc_id % 2 = 0),
-        |new_ AS (SELECT doc_id, source, fp FROM n WHERE doc_id % 2 = 1),
-        |bits AS (SELECT DISTINCT lane.i AS i, fp,
-        |    ('0x'||substr(md5(lane.i||':'||fp),1,15))::BIGINT % 131072
-        |      AS pos
-        |  FROM old, (SELECT UNNEST(['0','1','2']) AS i) lane),
-        |bloom AS (SELECT pos // 64 AS word,
-        |    bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
-        |  FROM (SELECT DISTINCT pos FROM bits) GROUP BY 1),
-        |probe AS (SELECT w.doc_id, w.source, w.fp,
-        |    (SELECT COUNT(*) FROM (SELECT UNNEST(['0','1','2']) AS i) l
-        |      JOIN bloom b ON b.word =
-        |        (('0x'||substr(md5(l.i||':'||w.fp),1,15))::BIGINT
-        |          % 131072) // 64
-        |      WHERE (b.bits & (CAST(1 AS UBIGINT) <<
-        |        CAST((('0x'||substr(md5(l.i||':'||w.fp),1,15))::BIGINT
-        |          % 131072) % 64 AS INT))) != 0) = 3 AS bloom_positive
-        |  FROM new_ w),
-        |truth AS (SELECT DISTINCT fp FROM old)
-        |SELECT probe.source,
-        |  COUNT(*) AS n_new,
-        |  CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_candidates,
-        |  CAST(SUM(CASE WHEN truth.fp IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_true_dups,
-        |  CAST(SUM(CASE WHEN bloom_positive AND truth.fp IS NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
-        |FROM probe LEFT JOIN truth ON probe.fp = truth.fp
-        |GROUP BY 1 ORDER BY 1"""
-    ) { (s, d) =>
-      val n = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8),
-            " ").as("fp"))
-      val old = n.filter(col("doc_id") % 2 === 0).select("fp")
-      val fresh = n.filter(col("doc_id") % 2 === 1)
-      val bloom = graft.pipeline.Sketches.bloomBuild(old, "fp", 131072, 3)
-      val probed = graft.pipeline.Sketches.bloomProbe(
-        fresh, "fp", bloom, 131072, 3)
-      // scale-honest shape: the exact fingerprint join runs over the
-      // bloom CANDIDATES only — negatives never shuffle (that is the
-      // entire point of the prefilter; true dups are always candidates
-      // because bloom has no false negatives)
-      val counts = fresh.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_new"))
-      val cand = probed.filter(col("bloom_positive"))
-      val truth = old.distinct().withColumn("__dup", lit(1))
-      val candStats = cand
-        .join(truth, cand("fp") === truth("fp"), "left")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(coalesce(col("__dup"), lit(0)).cast("long"))
-            .as("n_true_dups"),
-          sum(col("__dup").isNull.cast("long")).as("n_false_positives"))
-      counts.join(candStats, Seq("source"), "left")
-        .na.fill(0L,
-          Seq("n_candidates", "n_true_dups", "n_false_positives"))
-        .orderBy("source")
-    },
-
-    // Count-Min frequency sketch (Cormode & Muthukrishnan 2005): 3×1024
-    // salted-md5 counter grid over the token stream; per-key estimate =
-    // MIN over the 3 row counters — an overestimate by construction,
-    // verified here against the true counts of the top-20 tokens. All
-    // integer; the grid is 3×1024 rows regardless of corpus size.
-    q(
-      "q273_cms_tokens",
-      """WITH t AS (SELECT
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        |grid AS (SELECT lane.i AS r,
-        |    ('0x'||substr(md5(lane.i||':'||tok),1,15))::BIGINT % 1024
-        |      AS bucket, COUNT(*) AS cnt
-        |  FROM t, (SELECT UNNEST([0,1,2]) AS i) lane GROUP BY 1, 2),
-        |topk AS (SELECT tok, COUNT(*) AS true_count FROM t GROUP BY 1
-        |  ORDER BY true_count DESC, tok LIMIT 20),
-        |est AS (SELECT k.tok, k.true_count,
-        |    MIN(g.cnt) AS cms_estimate
-        |  FROM topk k, (SELECT UNNEST([0,1,2]) AS i) lane
-        |  JOIN grid g ON g.r = lane.i AND g.bucket =
-        |    ('0x'||substr(md5(lane.i||':'||k.tok),1,15))::BIGINT % 1024
-        |  GROUP BY 1, 2)
-        |SELECT tok, true_count, cms_estimate,
-        |  cms_estimate >= true_count AS never_underestimates
-        |FROM est ORDER BY true_count DESC, tok"""
-    ) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(explode(TextAnalysis.whitespaceTokens(lower(col("text"))))
-          .as("tok"))
-      val cms = graft.pipeline.Sketches.cmsBuild(toks, "tok", 1024, 3)
-      val topk = toks.groupBy(col("tok"))
-        .agg(count(lit(1)).as("true_count"))
-        .orderBy(col("true_count").desc, col("tok"))
-        .limit(20)
-      graft.pipeline.Sketches.cmsEstimate(topk, "tok", cms, 1024, 3)
-        .join(topk, Seq("tok"))
-        .select(col("tok"), col("true_count"), col("cms_estimate"),
-          (col("cms_estimate") >= col("true_count"))
-            .as("never_underestimates"))
-        .orderBy(col("true_count").desc, col("tok"))
-    },
-
-    // RAG-prep token-window chunking: 64-token windows, stride 48
-    // (16-token overlap) — the retrieval-index unit cut before
-    // embedding. Chunk count ceil((n−64)/48)+1 via exact integer div
-    // (tail always covered, never duplicated); a pure scan-stage
-    // explode, no shuffle. Oracle replays the identical slice
-    // arithmetic with DuckDB's 1-based inclusive list_slice.
-    q(
-      "q274_token_chunks",
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE trim(text) != ''),
-        |p AS (SELECT doc_id, toks, len(toks) AS n FROM t
-        |  WHERE len(toks) > 0),
-        |k AS (SELECT doc_id, toks, UNNEST(range(0,
-        |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END))
-        |    AS ki FROM p)
-        |SELECT doc_id, CAST(ki AS BIGINT) AS chunk_idx,
-        |  CAST(ki * 48 AS BIGINT) AS start_tok,
-        |  CAST(len(list_slice(toks, ki*48 + 1, ki*48 + 64)) AS BIGINT)
-        |    AS n_tok,
-        |  array_to_string(list_slice(toks, ki*48 + 1, ki*48 + 64), ' ')
-        |    AS chunk_text
-        |FROM k ORDER BY doc_id, chunk_idx"""
-    ) { (s, d) =>
-      TextAnalysis.tokenWindowChunks(
-          Tables.documents(s, d), "doc_id", "text", 64, 48)
-        .orderBy("doc_id", "chunk_idx")
-    },
-
-    // Streaming HLL: the q271 register table built as a STATEFUL
-    // streaming aggregate (groupBy(flag, reg).max — state is 3×256
-    // registers, O(1) per series, the sketch-native streaming shape),
-    // then finalized in batch off the sink. Deterministic hashing ⇒
-    // stream ≡ batch, pinned by sharing q271's oracle arithmetic.
-    q(
-      "q275_stream_hll",
-      """WITH t AS (SELECT l_returnflag AS flag,
-        |    CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
-        |h AS (SELECT flag,
-        |    ('0x'||substr(md5('0:'||k),1,15))::BIGINT AS hv FROM t),
-        |r AS (SELECT flag, hv % 256 AS reg, hv // 256 AS w FROM h),
-        |m AS (SELECT flag, reg,
-        |    MAX(CASE WHEN w = 0 THEN 53
-        |        ELSE 53 - length(bin(w)) END) AS mj
-        |  FROM r GROUP BY 1, 2),
-        |g AS (SELECT flag, COUNT(*) AS registers_observed,
-        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mj AS INT))
-        |      AS BIGINT) AS tobs
-        |  FROM m GROUP BY 1)
-        |SELECT flag, registers_observed,
-        |  tobs + (256 - registers_observed) *
-        |    (CAST(1 AS BIGINT) << 53) AS t_scaled,
-        |  (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
-        |    * 256.0::DOUBLE * 256.0::DOUBLE * 9007199254740992.0::DOUBLE
-        |    / CAST(tobs + (256 - registers_observed) *
-        |        (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS hll_estimate
-        |FROM g ORDER BY flag"""
-    ) { (s, d) =>
-      val ss = streamSession(s)
-      val schema = Tables.load(s, d, "lineitem").schema
-      val stream = ss.readStream.schema(schema)
-        .parquet(streamSourceDir(s, d, "lineitem"))
-        .select(col("l_returnflag").as("flag"),
-          col("l_orderkey").cast("string").as("k"))
-      val regs = graft.pipeline.Sketches.hllRegisters(
-        stream, "k", Seq("flag"), 8)
-      val name = s"q275_out_${System.nanoTime()}"
-      val query = regs.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-      boundedResult(s, ss, name,
-        graft.pipeline.Sketches.hllFinalize(ss.table(name), Seq("flag"), 8),
-        Seq("flag"))
-    },
-
-    // Perceptual-hash (dHash) near-dup pairs over the deterministic
-    // fake media lane (the REAL javax.imageio lane is pixel-pinned in
-    // PipelineSpec): 63-bit difference hash of the 9×8 fake gray grid
-    // (printable-ASCII code points — replayed verbatim by the oracle),
-    // 4×16-bit band bucketing (full recall ≤ radius 3, stated trade
-    // above), exact bit_count(xor) verification. Pure integer end to
-    // end; the only joins key on (band, 16-bit value) — never
-    // all-pairs.
-    q("q276_dhash_neardup", dhashOracleSql) { (s, d) =>
-      import graft.pipeline.Multimodal
-      val hashes = Tables.documents(s, d)
-        .select(col("doc_id").as("media_id"),
-          Multimodal.fakeDHash(col("text")).as("dhash"))
-      Multimodal.dhashNearDupPairs(hashes, radius = 6)
-        .orderBy("id_a", "id_b")
-    },
-
-    // Pivot (wide crosstab): nation × order-priority revenue. The
-    // value list is EXPLICIT, so Spark skips the extra distinct-values
-    // job `pivot(col)` would otherwise run, and the whole crosstab is
-    // ONE hash aggregate shuffled on the groupBy key (pivot columns
-    // are map-side conditional sums — no per-priority pass). Revenue
-    // kept in integer cents end to end.
-    q(
-      "q277_pivot_revenue",
-      """SELECT n.n_name AS nation,
-        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
-        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    END), 0) AS BIGINT) AS urgent_cents,
-        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
-        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    END), 0) AS BIGINT) AS high_cents,
-        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM'
-        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    END), 0) AS BIGINT) AS medium_cents,
-        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED'
-        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    END), 0) AS BIGINT) AS notspec_cents,
-        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '5-LOW'
-        |    THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    END), 0) AS BIGINT) AS low_cents
-        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY 1 ORDER BY nation"""
-    ) { (s, d) =>
-      val j = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"),
-          col("o_orderpriority").as("pri"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-      j.groupBy(col("nation"))
-        .pivot("pri", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
-          "4-NOT SPECIFIED", "5-LOW"))
-        .agg(sum(col("cents")))
-        .select(col("nation"),
-          coalesce(col("`1-URGENT`"), lit(0L)).as("urgent_cents"),
-          coalesce(col("`2-HIGH`"), lit(0L)).as("high_cents"),
-          coalesce(col("`3-MEDIUM`"), lit(0L)).as("medium_cents"),
-          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("notspec_cents"),
-          coalesce(col("`5-LOW`"), lit(0L)).as("low_cents"))
-        .orderBy("nation")
-    },
-
-    // GROUPING SETS (the general form q12 rollup / q113 cube are
-    // special cases of): detail + one subtotal + grand total in ONE
-    // Expand-based aggregate — a single shuffle carrying each row once
-    // per set, vs three scans for three separate aggregates. Absent
-    // levels surface as 'ALL' (the grouping columns are never NULL in
-    // the data, so COALESCE is an unambiguous marker).
-    q(
-      "q278_grouping_sets",
-      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
-        |  COALESCE(l_linestatus, 'ALL') AS status,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-        |  (l_returnflag), ())
-        |ORDER BY flag, status"""
-    ) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupingSets(
-          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
-            Seq(col("l_returnflag")), Seq()),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("double").as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("n"), col("sum_qty"))
-        .orderBy("flag", "status")
-    },
-
-    // Referential-integrity profile over the star schema's FK edges —
-    // the Deequ-style DQ gate a pipeline runs before training-data
-    // publication. Child collapsed to distinct keys first (join at key
-    // cardinality, never rows×rows); one conditional aggregate per
-    // edge. All edges are intact in this data — the zeros ARE the
-    // assertion.
-    q("q279_ri_orphans", riOracleSql) { (s, d) =>
-      graft.pipeline.Profiler.refIntegrity(Seq(
-        ("events.user_id->customer", Tables.events(s, d), "user_id",
-          Tables.customer(s, d), "c_custkey"),
-        ("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
-          "l_orderkey", Tables.orders(s, d), "o_orderkey"),
-        ("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
-          Tables.part(s, d), "p_partkey"),
-        ("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
-          Tables.customer(s, d), "c_custkey"),
-        ("supplier.s_nationkey->nation", Tables.supplier(s, d),
-          "s_nationkey", Tables.nation(s, d), "n_nationkey")))
-    },
-
-    // Int8 affine-quantization calibration: per-dimension min/max and
-    // scale — the PTQ pre-pass for the q75 int8 serving path. One
-    // generate + a d-group map-side-combined aggregate; min/max exact,
-    // scale one IEEE division.
-    q(
-      "q280_quant_calibration",
-      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
-        |x AS (SELECT i, v[i] AS vv
-        |      FROM e, (SELECT unnest(range(1, 65)) AS i))
-        |SELECT CAST(i AS INTEGER) AS dim, MIN(vv) AS vmin, MAX(vv) AS vmax,
-        |  (MAX(vv) - MIN(vv)) / 255.0 AS scale
-        |FROM x GROUP BY 1 ORDER BY dim"""
-    ) { (s, d) =>
-      Similarity.quantCalibration(Tables.embeddings(s, d), "embedding")
-    },
-
-    // Gram matrix XᵀX in µ-unit integer arithmetic via a typed
-    // Aggregator (ONE primitive d(d+1)/2 buffer per task, map-side
-    // combined — the treeAggregate shape; the shuffle carries buffers,
-    // not the N·d²/2 exploded products). Result exact in int64; the
-    // double surface is one long→double conversion + one division.
-    q(
-      "q281_gram_matrix",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |x AS (SELECT vec_id, i,
-        |        CAST(FLOOR(v[i] * 1000000.0) AS BIGINT) AS q
-        |      FROM e, (SELECT unnest(range(1, 65)) AS i)),
-        |p AS (SELECT a.i - 1 AS i, b.i - 1 AS j, a.q * b.q AS prod
-        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
-        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-        |  CAST(SUM(prod) AS BIGINT) AS gram_mu2,
-        |  CAST(CAST(SUM(prod) AS BIGINT) AS DOUBLE) / 1000000000000.0
-        |    AS gram
-        |FROM p GROUP BY 1, 2 ORDER BY i, j"""
-    ) { (s, d) =>
-      Similarity.gramMatrix(Tables.embeddings(s, d), "embedding")
-        .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-          col("gram_mu2"), col("gram"))
-        .orderBy("i", "j")
-    },
-
-    // Hard-negative mining: per anchor, top-3 most-similar vectors of
-    // a DIFFERENT label — q27's broadcast-anchor kernel with the label
-    // exclusion as a scan predicate. ROUND(6) on the cosine surface
-    // (the q27 discipline for list_cosine_similarity parity).
-    q(
-      "q282_hard_negatives",
-      """WITH e AS (SELECT vec_id, label,
-        |    embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
-        |      FROM e WHERE vec_id < 10)
-        |SELECT query_id, rank, vec_id, label, ROUND(cosine, 6) AS cosine
-        |FROM (
-        |  SELECT q.query_id, e.vec_id, e.label,
-        |    list_cosine_similarity(q.qv, e.v) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
-        |        e.vec_id) AS rank
-        |  FROM q, e WHERE e.label <> q.qlabel)
-        |WHERE rank <= 3 ORDER BY query_id, rank"""
-    ) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("vec"))
-      val anchors = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("vec").as("qvec"))
-      Similarity.hardNegatives(anchors, e, 3)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "rank")
-    },
-
-    // Feature hashing (hashing trick): fixed-width signed bag-of-words
-    // with NO vocabulary pass — the corpus-scale featurizer. Sparse
-    // (doc, bucket, fval) surface; md5 bucket/sign replayed verbatim.
-    q(
-      "q283_feature_hash",
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
-        |h AS (SELECT doc_id,
-        |    ('0x' || substr(md5('fh:' || token), 1, 15))::BIGINT AS h
-        |  FROM tok WHERE length(token) > 0)
-        |SELECT doc_id, (h >> 1) % 64 AS bucket,
-        |  CAST(SUM(CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
-        |    AS fval
-        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket"""
-    ) { (s, d) =>
-      graft.pipeline.TextAnalysis.featureHash(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text", 64)
-    },
-
-    // Streaming sessionization: the SAME 30-minute session_window
-    // aggregation as batch q105, run through Structured Streaming
-    // (session-merging state store) in complete mode — bounded-replay
-    // parity against q105's gaps-and-islands oracle; production runs
-    // append mode + watermark for state eviction, which changes WHEN
-    // sessions emit, never their extent.
-    q(
-      "q284_stream_sessions",
-      """WITH m AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN LAG(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id, epoch_us(MIN(ts)) AS start_us,
-        |  epoch_us(MAX(ts)) + 1800000000 AS end_us,
-        |  COUNT(*) AS n
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, start_us"""
-    ) { (s, d) =>
-      val ss = streamSession(s)
-      locally {
-        val schema = Tables.load(s, d, "events").schema
-        val raw = ss.readStream.schema(schema)
-          .parquet(streamSourceDir(s, d, "events"))
-        val stream =
-          if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else raw
-        val sess = stream
-          .groupBy(col("user_id"),
-            session_window(col("ts"), "30 minutes").as("sw"))
-          .agg(count(lit(1)).as("n"))
-        val name = s"q284_out_${System.nanoTime()}"
-        val query = sess.writeStream.outputMode("complete")
-          .format("memory").queryName(name).start()
-        try query.processAllAvailable() finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-        val out = ss.table(name)
-          .select(col("user_id"),
-            unix_micros(col("sw.start")).as("start_us"),
-            unix_micros(col("sw.end")).as("end_us"), col("n"))
-        boundedResult(s, ss, name, out, Seq("user_id", "start_us"))
-      }
-    },
-
-    // Bitmap-index distinct users per day (Roaring/Druid pattern):
-    // 63-bit OR-lanes, Σ popcount — a tiny MERGEABLE partial aggregate
-    // where count(distinct) shuffles every id; the exact count rides
-    // along as the self-check (the two columns matching IS the test).
-    q(
-      "q285_bitmap_distinct",
-      """WITH lanes AS (SELECT CAST(ts AS DATE) AS day,
-        |    user_id // 63 AS lane,
-        |    bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bm
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT day, COUNT(*) AS n_lanes,
-        |    CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap
-        |  FROM lanes GROUP BY 1),
-        |x AS (SELECT CAST(ts AS DATE) AS day,
-        |    COUNT(DISTINCT user_id) AS n_distinct_exact
-        |  FROM events GROUP BY 1)
-        |SELECT b.day, b.n_lanes, b.n_distinct_bitmap, x.n_distinct_exact
-        |FROM b JOIN x USING (day) ORDER BY day"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.bitmapDistinct(
-        Tables.events(s, d).select(to_date(col("ts")).as("day"),
-          col("user_id")),
-        "day", "user_id")
-    },
-
-    // Theil–Sen robust slope of per-nation monthly order counts — the
-    // 29%-breakdown trend line OLS (q224) isn't. Pairs form on the
-    // PRE-AGGREGATED monthly series (bounded n per group); median =
-    // explicit two-middle-rank average, one division per slope.
-    q(
-      "q286_theil_sen",
-      """WITH j AS (SELECT n.n_name AS nation,
-        |    CAST(date_part('year', o.o_orderdate) * 12
-        |      + date_part('month', o.o_orderdate) AS BIGINT) AS t
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
-        |m AS (SELECT nation, t, COUNT(*) AS y FROM j GROUP BY 1, 2),
-        |p AS (SELECT a.nation,
-        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
-        |      AS slope, a.t AS ta, b.t AS tb
-        |  FROM m a JOIN m b ON a.nation = b.nation AND a.t < b.t),
-        |r AS (SELECT nation, slope,
-        |    ROW_NUMBER() OVER (PARTITION BY nation
-        |      ORDER BY slope, ta, tb) AS rn,
-        |    COUNT(*) OVER (PARTITION BY nation) AS np
-        |  FROM p)
-        |SELECT nation, MAX(np) AS n_pairs,
-        |  SUM(slope) / CAST(COUNT(*) AS DOUBLE) AS theil_sen
-        |FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
-        |GROUP BY nation ORDER BY nation"""
-    ) { (s, d) =>
-      val j = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name").as("nation"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .cast("long").as("t"))
-      val m = j.groupBy(col("nation"), col("t"))
-        .agg(count(lit(1)).as("y"))
-      graft.operators.TheilSen.robustSlope(m, "nation", "t", "y")
-    },
-
-    // Boilerplate-prefix detection per source (the CCNet/RefinedWeb
-    // template-cleanup step): shared normalized 10-char prefixes =
-    // template artifacts; two stacked map-side-combined aggregates.
-    q(
-      "q287_boilerplate",
-      """WITH p AS (SELECT source,
-        |    substr(trim(lower(text)), 1, 10) AS pfx
-        |  FROM documents),
-        |g AS (SELECT source, pfx, COUNT(*) AS n FROM p GROUP BY 1, 2)
-        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
-        |  COUNT(CASE WHEN n >= 2 THEN 1 END) AS n_groups,
-        |  CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS BIGINT)
-        |    AS n_boiler_docs,
-        |  CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) AS DOUBLE)
-        |    / CAST(SUM(n) AS DOUBLE) AS boiler_rate
-        |FROM g GROUP BY 1 ORDER BY source"""
-    ) { (s, d) =>
-      graft.pipeline.TextAnalysis.boilerplatePrefixes(
-        Tables.documents(s, d), "text", "source", prefixLen = 10)
-    },
-
-    // Linear-interpolation resample — q191's twin with a straight line
-    // between neighbors instead of a step. Grid spans the sensor's own
-    // samples (both neighbors always exist); interpolation is a FIXED
-    // four-op IEEE shape. Two ignoreNulls window carries over one
-    // sensor partitioning.
-    q(
-      "q288_linear_resample",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |b AS (SELECT sensor_id, t // 86400000000 AS bk, t, value,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id, t // 86400000000
-        |      ORDER BY t DESC, value DESC) AS rn FROM s),
-        |bv AS (SELECT sensor_id, bk, value AS v FROM b WHERE rn = 1),
-        |sp AS (SELECT sensor_id, UNNEST(range(MIN(bk), MAX(bk) + 1))
-        |    AS bk FROM bv GROUP BY sensor_id),
-        |j AS (SELECT sp.sensor_id, sp.bk, bv.v FROM sp
-        |  LEFT JOIN bv ON sp.sensor_id = bv.sensor_id AND sp.bk = bv.bk),
-        |g AS (SELECT sensor_id, bk, v,
-        |    last_value(v IGNORE NULLS) OVER wb AS pv,
-        |    last_value(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
-        |      OVER wb AS pb,
-        |    first_value(v IGNORE NULLS) OVER wf AS nv,
-        |    first_value(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
-        |      OVER wf AS nb
-        |  FROM j
-        |  WINDOW wb AS (PARTITION BY sensor_id ORDER BY bk
-        |      ROWS UNBOUNDED PRECEDING),
-        |    wf AS (PARTITION BY sensor_id ORDER BY bk
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT sensor_id, bk * 86400000000 AS bucket_start_us,
-        |  CASE WHEN v IS NOT NULL THEN v
-        |    ELSE pv + (nv - pv) * (CAST(bk - pb AS DOUBLE)
-        |      / CAST(nb - pb AS DOUBLE)) END AS value,
-        |  CAST(v IS NULL AS INTEGER) AS filled
-        |FROM g ORDER BY sensor_id, bucket_start_us"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.resampleLinear(
-          EventsAdapter.samples(s, d), bucketUs = 86400000000L)
-        .orderBy("sensor_id", "bucket_start_us")
-    },
-
-    // Incremental aggregate maintenance: partial (count, DECIMAL sum,
-    // min, max) summaries computed on two disjoint slices, then MERGED
-    // — summary-sized work standing in for a full rollup recompute.
-    // The oracle aggregates the raw rows directly: merge ≡ recompute
-    // IS the assertion.
-    q(
-      "q289_incremental_agg",
-      """SELECT l_returnflag AS flag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS sum_v,
-        |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
-        |FROM lineitem GROUP BY 1 ORDER BY flag"""
-    ) { (s, d) =>
-      import graft.operators.PartialAggs
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("flag"), col("l_quantity"),
-          col("l_orderkey"))
-      val sliceA = PartialAggs.partial(
-        li.filter(col("l_orderkey") % 2 === 0), Seq("flag"), "l_quantity")
-      val sliceB = PartialAggs.partial(
-        li.filter(col("l_orderkey") % 2 === 1), Seq("flag"), "l_quantity")
-      PartialAggs.merge(Seq(sliceA, sliceB), Seq("flag"))
-        .select(col("flag"), col("n"),
-          col("sum_v").cast("double").as("sum_v"),
-          col("min_v"), col("max_v"))
-        .orderBy("flag")
-    },
-
-    // Embedding centroid drift per label (vec_id parity = snapshot
-    // A/B): delta stays exact-integer until ONE division — L1 chosen
-    // over L2 to keep the surface in the exactly-convertible range
-    // (q180 lesson).
-    q(
-      "q290_centroid_drift",
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |x AS (SELECT vec_id % 2 = 0 AS even, label, i,
-        |    CAST(FLOOR(v[i] * 1000000.0) AS BIGINT) AS q
-        |  FROM e, (SELECT unnest(range(1, 65)) AS i)),
-        |s AS (SELECT label, i,
-        |    CAST(COALESCE(SUM(CASE WHEN even THEN q END), 0) AS BIGINT)
-        |      AS sa,
-        |    COUNT(CASE WHEN even THEN 1 END) AS na,
-        |    CAST(COALESCE(SUM(CASE WHEN NOT even THEN q END), 0)
-        |      AS BIGINT) AS sb,
-        |    COUNT(CASE WHEN NOT even THEN 1 END) AS nb
-        |  FROM x GROUP BY 1, 2)
-        |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
-        |  CAST(SUM(ABS(sa * nb - sb * na)) AS BIGINT) AS l1_mu,
-        |  CAST(CAST(SUM(ABS(sa * nb - sb * na)) AS BIGINT) AS DOUBLE)
-        |    / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
-        |      * 1000000.0) AS l1_drift
-        |FROM s WHERE na > 0 AND nb > 0
-        |GROUP BY label ORDER BY label"""
-    ) { (s, d) =>
-      Similarity.centroidDrift(Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").as("vec")))
-    },
-
-    // Append-mode watermark semantics, pinned end to end: THREE micro
-    // batches (event_id mod-3 split, oldest-first), 30-min watermark,
-    // 10-min tumbling count per event_type. Late-event filtering lags
-    // one batch (SPARK-40925: watermarkForLateEvents = the PREVIOUS
-    // batch's watermark), so batch 2 is the first to drop — its rows
-    // survive iff window.end > max(batch-0 ts) − 30 min (observed
-    // empirically: 3231 of 3333 batch-2 rows dropped at sf0.01, zero
-    // in batches 0/1); windows emit iff window.end ≤ final watermark
-    // (the closing no-data batch handles a batch-2 advance). The
-    // oracle replays BOTH rules in SQL.
-    q("q291_stream_late_data", lateDataOracleSql) { (s, d) =>
-      val ss = streamSession(s)
-      locally {
-        val schema = Tables.load(s, d, "events").schema
-        val raw = ss.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(lateSourceDir(s, d))
-        val stream =
-          if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else raw
-        val agg = stream.withWatermark("ts", "30 minutes")
-          .groupBy(col("event_type"),
-            window(col("ts"), "10 minutes").as("w"))
-          .agg(count(lit(1)).as("n"))
-        val name = s"q291_out_${System.nanoTime()}"
-        val query = agg.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-        try drainWithEviction(ss, query, name, 1800000L) finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-        val out = ss.table(name)
-          .select(col("event_type"),
-            unix_micros(col("w.start")).as("window_start_us"), col("n"))
-        boundedResult(s, ss, name, out,
-          Seq("event_type", "window_start_us"))
-      }
-    },
-
-    // Duplicated-span coverage per document (the suffix-array substring
-    // dedup signal, Lee et al. 2022): fraction of tokens inside an
-    // 8-token span occurring ≥2 times in the corpus. Interval-union via
-    // gaps-and-islands running max; integer until ONE division.
-    q(
-      "q292_dup_span_coverage",
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t
-        |  WHERE len(toks) >= 8),
-        |sh AS (SELECT doc_id, n_tokens, p,
-        |    ('0x' || substr(md5(
-        |      array_to_string(list_slice(toks, p + 1, p + 8), ' ')),
-        |      1, 15))::BIGINT AS h
-        |  FROM n, (SELECT unnest(range(0, 4096)) AS p)
-        |  WHERE p <= n_tokens - 8),
-        |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
-        |hits AS (SELECT sh.doc_id, sh.n_tokens, sh.p FROM sh
-        |  JOIN dup ON sh.h = dup.h),
-        |m AS (SELECT doc_id, n_tokens, p,
-        |    MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS max_end
-        |  FROM hits),
-        |b AS (SELECT doc_id, n_tokens, p,
-        |    CASE WHEN max_end IS NULL OR p > max_end THEN 1 ELSE 0 END
-        |      AS brk FROM m),
-        |isl AS (SELECT doc_id, n_tokens, p,
-        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS UNBOUNDED PRECEDING) AS isl FROM b),
-        |seg AS (SELECT doc_id, MAX(n_tokens) AS n_tokens,
-        |    MAX(p) - MIN(p) + 8 AS len
-        |  FROM isl GROUP BY doc_id, isl)
-        |SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(len) AS BIGINT) AS covered_tokens,
-        |  CAST(SUM(len) AS DOUBLE) / CAST(MAX(n_tokens) AS DOUBLE)
-        |    AS coverage
-        |FROM seg GROUP BY doc_id ORDER BY doc_id"""
-    ) { (s, d) =>
-      Dedup.dupSpanCoverage(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-        k = 8, minCount = 2)
-    },
-
-    // Windowed fake-PCM audio energy + integer silence gate (the
-    // VAD/silence-trim front): scan-stage position explode, one
-    // (media, window) map-side-combined aggregate, exact Σs² energy.
-    // Decode is the documented stub lane (JDK ships no audio codecs).
-    q(
-      "q293_audio_energy",
-      """WITH sx AS (SELECT doc_id AS media_id,
-        |    regexp_replace(text, '[^ -~]', '', 'g') AS s
-        |  FROM documents
-        |  WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0),
-        |p AS (SELECT media_id, s, UNNEST(range(0, length(s))) AS pos
-        |  FROM sx),
-        |a AS (SELECT media_id, pos // 16 AS win,
-        |    ascii(substr(s, CAST(pos + 1 AS INTEGER), 1)) - 79 AS amp
-        |  FROM p)
-        |SELECT media_id, win, COUNT(*) AS n_samples,
-        |  CAST(SUM(amp * amp) AS BIGINT) AS energy,
-        |  CAST(SUM(amp * amp) < COUNT(*) * 100 AS INTEGER) AS silence
-        |FROM a GROUP BY 1, 2 ORDER BY media_id, win"""
-    ) { (s, d) =>
-      Multimodal.fakePcmEnergy(
-        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
-        windowSamples = 16, silencePerSample = 100)
-    },
-
-    // LTTB downsampling (parallel bucket-centroid variant): per day
-    // bucket, the point forming the largest triangle with neighbor
-    // centroids — spike-preserving where M4 (q160) flattens. The area
-    // argmax multiplies through by the common denominator n_A²·n_C so
-    // the whole compare path is exact DECIMAL/HUGEINT integers; edge
-    // buckets keep the series' endpoints.
-    q(
-      "q294_lttb_downsample",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS tus, value FROM events),
-        |p AS (SELECT sensor_id, tus,
-        |    tus - MIN(tus) OVER (PARTITION BY sensor_id) AS t,
-        |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v,
-        |    value AS rawv, tus // 86400000000 AS b
-        |  FROM s),
-        |c AS (SELECT sensor_id, b, COUNT(*) AS n,
-        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(v) AS BIGINT) AS sv
-        |  FROM p GROUP BY 1, 2),
-        |a AS (SELECT sensor_id, b,
-        |    LAG(n) OVER w AS na, LAG(st) OVER w AS sta,
-        |    LAG(sv) OVER w AS sva, LEAD(n) OVER w AS nc,
-        |    LEAD(st) OVER w AS stc, LEAD(sv) OVER w AS svc
-        |  FROM c WINDOW w AS (PARTITION BY sensor_id ORDER BY b)),
-        |j AS (SELECT p.sensor_id, p.b, p.tus, p.rawv, p.t, p.v,
-        |    a.na, a.sta, a.sva, a.nc, a.stc, a.svc
-        |  FROM p JOIN a ON p.sensor_id = a.sensor_id AND p.b = a.b),
-        |r AS (SELECT sensor_id, b, tus, rawv,
-        |    CASE WHEN na IS NOT NULL AND nc IS NOT NULL THEN
-        |      ROW_NUMBER() OVER (PARTITION BY sensor_id, b ORDER BY
-        |        ABS((sta::HUGEINT * nc - stc::HUGEINT * na)
-        |            * (v::HUGEINT * na - sva)
-        |          - (sta::HUGEINT - t::HUGEINT * na)
-        |            * (svc::HUGEINT * na - sva::HUGEINT * nc)) DESC,
-        |        t ASC, v ASC)
-        |    WHEN na IS NULL THEN ROW_NUMBER() OVER (
-        |      PARTITION BY sensor_id, b ORDER BY t ASC, v ASC)
-        |    ELSE ROW_NUMBER() OVER (
-        |      PARTITION BY sensor_id, b ORDER BY t DESC, v DESC)
-        |    END AS rk
-        |  FROM j)
-        |SELECT sensor_id, b AS bucket, tus AS timestamp_us,
-        |  rawv AS value
-        |FROM r WHERE rk = 1 ORDER BY sensor_id, bucket"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.lttbDownsample(
-        EventsAdapter.samples(s, d), bucketUs = 86400000000L)
-    },
-
-    // TPC-H Q5-shape star join: 6 tables, local-supplier condition
-    // (supplier and customer share a nation), one year of orders.
-    // Region/nation broadcast (tiny dims); lineitem⋈orders⋈customer⋈
-    // supplier shuffle on their keys with AQE free to re-plan — the
-    // join-planning breadth headline. Exact integer cents.
-    q(
-      "q297_star_join",
-      """SELECT n.n_name AS nation,
-        |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |    * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
-        |  COUNT(*) AS n_lineitems
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  AND c.c_nationkey = s.s_nationkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY 1 ORDER BY revenue_cents DESC, nation"""
-    ) { (s, d) =>
-      val j = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d)
-            .filter(col("o_orderdate") >= lit("1996-01-01") &&
-              col("o_orderdate") < lit("1997-01-01")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .join(Tables.supplier(s, d),
-          col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)),
-          col("n_regionkey") === col("r_regionkey"))
-      j.select(col("n_name").as("nation"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-        .groupBy(col("nation"))
-        .agg(sum(col("cents")).cast("long").as("revenue_cents"),
-          count(lit(1)).as("n_lineitems"))
-        .orderBy(col("revenue_cents").desc, col("nation"))
-    },
-
-    // Ranking-window suite — ntile/percent_rank/cume_dist over order
-    // totals per priority: all three derive from integer ranks and
-    // counts (percent_rank = (rank−1)/(n−1), cume_dist = peers≤/n),
-    // single divisions each; ties carried on exact cents.
-    q(
-      "q298_window_ranks",
-      """WITH o AS (SELECT o_orderpriority AS pri,
-        |    o_orderkey AS okey,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders),
-        |r AS (SELECT pri, okey, cents,
-        |    NTILE(4) OVER w AS quartile,
-        |    PERCENT_RANK() OVER w AS pct_rank,
-        |    CUME_DIST() OVER w AS cume
-        |  FROM o WINDOW w AS (PARTITION BY pri ORDER BY cents, okey))
-        |SELECT pri, quartile, COUNT(*) AS n,
-        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
-        |  MIN(pct_rank) AS min_pct_rank, MAX(cume) AS max_cume
-        |FROM r GROUP BY 1, 2 ORDER BY pri, quartile"""
-    ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("pri"))
-        .orderBy(col("cents"), col("okey"))
-      Tables.orders(s, d)
-        .select(col("o_orderpriority").as("pri"),
-          col("o_orderkey").as("okey"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
-        .groupBy(col("pri"), col("quartile"))
-        .agg(count(lit(1)).as("n"),
-          min(col("cents")).as("min_cents"),
-          max(col("cents")).as("max_cents"),
-          min(col("pct_rank")).as("min_pct_rank"),
-          max(col("cume")).as("max_cume"))
-        .orderBy("pri", "quartile")
-    },
-
-    // Split-conformal intervals per event type (median predictor,
-    // even/odd calibration split): q̂ = exact ⌈0.9(n+1)⌉-th residual
-    // order statistic by INTEGER rank, empirical coverage on the test
-    // half — the distribution-free serving gate.
-    q(
-      "q295_conformal_interval",
-      """WITH base AS (SELECT event_type AS g, event_id AS id,
-        |    value AS v FROM events),
-        |calib AS (SELECT * FROM base WHERE id % 2 = 0),
-        |tst AS (SELECT * FROM base WHERE id % 2 = 1),
-        |rk AS (SELECT g, id, v,
-        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS rn,
-        |    COUNT(*) OVER (PARTITION BY g) AS n
-        |  FROM calib),
-        |med AS (SELECT g,
-        |    SUM(v) / CAST(COUNT(*) AS DOUBLE) AS med,
-        |    MAX(n) AS n_calib
-        |  FROM rk WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-        |  GROUP BY g HAVING MAX(n) >= 9),
-        |res AS (SELECT c.g, c.id, c.v, m.med, m.n_calib,
-        |    ABS(c.v - m.med) AS r
-        |  FROM calib c JOIN med m ON c.g = m.g),
-        |qh AS (SELECT g, med, n_calib, r AS qhat FROM (
-        |    SELECT g, med, n_calib, r,
-        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, v, id)
-        |        AS rr
-        |    FROM res)
-        |  WHERE rr = (9 * (n_calib + 1) + 9) // 10)
-        |SELECT t.g AS event_type, MAX(q.n_calib) AS n_calib,
-        |  MAX(q.med) AS med, MAX(q.qhat) AS qhat,
-        |  COUNT(*) AS n_test,
-        |  COUNT(CASE WHEN ABS(t.v - q.med) <= q.qhat THEN 1 END)
-        |    AS n_covered,
-        |  CAST(COUNT(CASE WHEN ABS(t.v - q.med) <= q.qhat THEN 1 END)
-        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
-        |FROM tst t JOIN qh q ON t.g = q.g
-        |GROUP BY t.g ORDER BY event_type"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.conformalInterval(
-        Tables.events(s, d), "event_type", "event_id", "value")
-    },
-
-    // Streaming LEFT OUTER interval join — q116's outer twin, pinning
-    // the null-emission rule: matched click-view pairs emit as found;
-    // an unmatched click emits its null row only when the JOINT
-    // watermark (min of both streams' max-event-time − 1 h) passes the
-    // end of its match window (cts + 5 min) — clicks closer to the
-    // stream tail never emit. The oracle replays the batch join plus
-    // exactly that gate.
-    q("q296_stream_outer_join", outerJoinOracleSql) { (s, d) =>
-      val ss = streamSession(s)
-      locally {
-        val schema = Tables.load(s, d, "events").schema
-        val raw = ss.readStream.schema(schema)
-          .parquet(streamSourceDir(s, d, "events"))
-        val stream =
-          if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else raw
-        val clicks = stream.filter(col("event_type") === "click" &&
-            col("user_id") < 10)
-          .select(col("user_id").as("cu"), col("ts").as("cts"))
-          .withWatermark("cts", "1 hour")
-        val views = stream.filter(col("event_type") === "view" &&
-            col("user_id") < 10)
-          .select(col("user_id").as("vu"), col("ts").as("vts"))
-          .withWatermark("vts", "1 hour")
-        val joined = clicks.join(views, expr(
-          """cu = vu AND
-            |vts BETWEEN cts - INTERVAL 5 MINUTES
-            |        AND cts + INTERVAL 5 MINUTES""".stripMargin),
-          "leftOuter")
-        val name = s"q296_out_${System.nanoTime()}"
-        val query = joined.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-        try drainWithEviction(ss, query, name, 3600000L) finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-        val out = ss.table(name)
-          .groupBy(col("cu"), col("cts"))
-          .agg(count(col("vts")).as("n_views"))
-          .select(col("cu").as("user_id"),
-            unix_micros(col("cts")).as("cts_us"), col("n_views"))
-        boundedResult(s, ss, name, out, Seq("user_id", "cts_us"))
-      }
-    },
-
-    // Golden-record survivorship over q57's near-dup clusters (the MDM
-    // merge that turns duplicate clusters into a publishable table):
-    // per cluster, mode-elected lang/source (smallest-value tie-break),
-    // max completeness (n_chars), min-id representative. All-integer
-    // election — counts + rank windows sharing the cluster partitioning.
-    q("q299_golden_record", goldenRecordOracleSql) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val clusters = Dedup.nearDupClustersShared(
-        Tables.spread(s, docs), "doc_id", "text", n = 3, tau = 0.5,
-        corpusKey = d)
-      val members = clusters.join(docs, col("id") === col("doc_id"))
-        .select(col("cluster_id"), col("id"), col("lang"),
-          col("source"), col("n_chars"))
-      Dedup.goldenRecord(members, "cluster_id", "id",
-        modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
-    },
-
-    // Seasonal-residual anomaly detection (S-H-ESD lite): deseasonalize
-    // by (event_type, dow, hour) cell means kept EXACT — residual =
-    // (cents·n − S)/(n·100), one IEEE division of exact integers — then
-    // q148's robust MAD flagging on the residuals (exact medians,
-    // fixed-point cut). Composition: seasonal cells ∘ madOutliers.
-    q(
-      "q300_seasonal_outliers",
-      """WITH e AS (SELECT event_type,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    date_part('dow', ts) AS dow, date_part('hour', ts) AS hh
-        |  FROM events),
-        |cell AS (SELECT event_type, dow, hh,
-        |    CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
-        |  FROM e GROUP BY 1, 2, 3),
-        |r AS (SELECT e.event_type,
-        |    CAST(e.cents * cell.n - cell.s AS DOUBLE)
-        |      / CAST(cell.n * 100 AS DOUBLE) AS resid
-        |  FROM e JOIN cell ON e.event_type = cell.event_type
-        |    AND e.dow = cell.dow AND e.hh = cell.hh),
-        |m AS (SELECT event_type, median(resid) AS med FROM r GROUP BY 1),
-        |d AS (SELECT r.event_type, r.resid,
-        |    abs(r.resid - m.med) AS ad, m.med
-        |  FROM r JOIN m USING (event_type)),
-        |md AS (SELECT event_type, median(ad) AS mad FROM d GROUP BY 1)
-        |SELECT d.event_type, d.resid, ROUND(d.med, 6) AS med,
-        |  ROUND(md.mad, 6) AS mad
-        |FROM d JOIN md USING (event_type)
-        |WHERE ROUND(d.ad * 10000.0::DOUBLE)
-        |    > ROUND(3.0::DOUBLE * md.mad * 10000.0::DOUBLE)
-        |ORDER BY event_type, resid"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(col("event_type"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"),
-          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hh"))
-      val cell = e.groupBy(col("event_type"), col("dow"), col("hh"))
-        .agg(sum(col("cents")).cast("long").as("s"),
-          count(lit(1)).as("n"))
-      val r = e.join(cell, Seq("event_type", "dow", "hh"))
-        .withColumn("resid",
-          (col("cents") * col("n") - col("s")).cast("double") /
-            (col("n") * 100).cast("double"))
-      graft.pipeline.Profiler.madOutliers(
-          r, "event_type", "resid", c = 3.0, exact = true)
-        .orderBy("event_type", "resid")
-    },
-
-    // Native as-of join — q14's semantics through the custom physical
-    // operator (AsOfJoinPlan → GraftStrategies → AsOfJoinExec): one
-    // streaming merge per co-partitioned co-sorted partition pair,
-    // O(1) state, left partitioning preserved. Same DuckDB ASOF
-    // oracle as q14; PropertySpec pins native ≡ composed.
-    q(
-      "q301_asof_native",
-      """SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
-        |  epoch_us(c.ts) AS click_ts_us, c.value AS click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.user_id, ts_us"""
-    ) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("purchase_value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("click_value"))
-      AsOfJoin.asOfNative(
-          purchases, clicks, "user_id", "ts_us", Seq("click_value"))
-        .select(col("user_id"), col("ts_us"), col("purchase_value"),
-          col("right_ts").as("click_ts_us"), col("click_value"))
-        .orderBy("user_id", "ts_us")
-    },
-
-    // As-of with tolerance (merge_asof tolerance=1h): the latest prior
-    // click only counts within the window — a post-filter on the
-    // native as-of (the latest match IS the only candidate within any
-    // backward tolerance), so it rides AsOfJoinExec unchanged.
-    q(
-      "q302_asof_tolerance",
-      """SELECT p.user_id, epoch_us(p.ts) AS ts_us,
-        |  p.value AS purchase_value,
-        |  epoch_us(c.ts) AS click_ts_us, c.value AS click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
-        |ORDER BY p.user_id, ts_us"""
-    ) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("purchase_value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("click_value"))
-      AsOfJoin.asOfNative(
-          purchases, clicks, "user_id", "ts_us", Seq("click_value"))
-        .filter(col("ts_us") - col("right_ts") <= 3600000000L)
-        .select(col("user_id"), col("ts_us"), col("purchase_value"),
-          col("right_ts").as("click_ts_us"), col("click_value"))
-        .orderBy("user_id", "ts_us")
-    },
-
-    // Nearest-match as-of (merge_asof direction='nearest', 1h
-    // tolerance, ties backward): backward + forward ignoreNulls
-    // carries over ONE key partitioning; the chooser is an integer-µs
-    // compare. Oracle replays the same construction.
-    q(
-      "q303_asof_nearest",
-      """WITH p AS (SELECT user_id, epoch_us(ts) AS t, value AS pv
-        |  FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, epoch_us(ts) AS t, value AS cv
-        |  FROM events WHERE event_type = 'click'),
-        |u AS (SELECT user_id, t, 1 AS side, pv, NULL::DOUBLE AS cv
-        |  FROM p
-        |  UNION ALL SELECT user_id, t, 0, NULL, cv FROM c),
-        |w AS (SELECT user_id, t, side, pv,
-        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-        |      OVER wb AS pts,
-        |    last_value(CASE WHEN side = 0 THEN cv END IGNORE NULLS)
-        |      OVER wb AS pvv,
-        |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-        |      OVER wf AS nts,
-        |    first_value(CASE WHEN side = 0 THEN cv END IGNORE NULLS)
-        |      OVER wf AS nvv
-        |  FROM u WINDOW
-        |    wb AS (PARTITION BY user_id ORDER BY t, side
-        |      ROWS UNBOUNDED PRECEDING),
-        |    wf AS (PARTITION BY user_id ORDER BY t, side
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |ch AS (SELECT user_id, t, pv,
-        |    CASE WHEN pts IS NOT NULL
-        |      AND (nts IS NULL OR t - pts <= nts - t)
-        |      THEN pts ELSE nts END AS rts,
-        |    CASE WHEN pts IS NOT NULL
-        |      AND (nts IS NULL OR t - pts <= nts - t)
-        |      THEN pvv ELSE nvv END AS cv
-        |  FROM w WHERE side = 1)
-        |SELECT user_id, t AS ts_us, pv AS purchase_value,
-        |  rts AS click_ts_us, cv AS click_value
-        |FROM ch WHERE rts IS NOT NULL AND ABS(t - rts) <= 3600000000
-        |ORDER BY user_id, ts_us"""
-    ) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("purchase_value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("value").as("click_value"))
-      AsOfJoin.asOfNearest(purchases, clicks, "user_id", "ts_us",
-          "click_value", toleranceUs = 3600000000L)
-        .select(col("user_id"), col("ts_us"), col("purchase_value"),
-          col("right_ts").as("click_ts_us"), col("click_value"))
-        .orderBy("user_id", "ts_us")
-    },
-
-    // UNPIVOT/melt (Dataset.unpivot, the wide→long normalizer): three
-    // per-flag cent measures melt to (flag, measure, cents) — a
-    // zero-shuffle Expand over the one aggregate row set.
-    q(
-      "q304_unpivot",
-      """WITH w AS (SELECT l_returnflag AS flag,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
-        |    AS BIGINT)) AS BIGINT) AS qty_cents,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-        |    AS BIGINT)) AS BIGINT) AS price_cents,
-        |  CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
-        |    AS BIGINT)) AS BIGINT) AS disc_cents
-        |  FROM lineitem GROUP BY 1)
-        |SELECT flag, measure, cents FROM (
-        |  SELECT flag, 'qty_cents' AS measure, qty_cents AS cents FROM w
-        |  UNION ALL
-        |  SELECT flag, 'price_cents', price_cents FROM w
-        |  UNION ALL
-        |  SELECT flag, 'disc_cents', disc_cents FROM w)
-        |ORDER BY flag, measure"""
-    ) { (s, d) =>
-      def cents(c: String) =
-        sum((col(c).cast("decimal(18,2)") * 100).cast("long"))
-          .cast("long")
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag").as("flag"))
-        .agg(cents("l_quantity").as("qty_cents"),
-          cents("l_extendedprice").as("price_cents"),
-          cents("l_discount").as("disc_cents"))
-        .unpivot(Array(col("flag")),
-          Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
-          "measure", "cents")
-        .orderBy("flag", "measure")
-    },
-
-    // Deterministic array aggregation: per user, the SORTED distinct
-    // event-type array (array_sort ∘ collect_set — the only
-    // order-stable way to surface a collected array) + its size.
-    q(
-      "q305_array_agg",
-      """SELECT user_id,
-        |  array_to_string(list_sort(list(DISTINCT event_type)), ',')
-        |    AS types,
-        |  CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
-        |FROM events GROUP BY 1 ORDER BY user_id"""
-    ) { (s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_set(col("event_type"))).as("__types"))
-        // surface the array as its joined form: the driver's
-        // type-sensitive hash canonicalizes scalar kinds only —
-        // parquet list child NAMES differ between engines
-        .select(col("user_id"),
-          array_join(col("__types"), ",").as("types"),
-          size(col("__types")).as("n_types"))
-        .orderBy("user_id")
-    },
-
-    // Exact higher moments: skewness/kurtosis per flag from INTEGER
-    // cent power sums (Σx, Σx², Σx³, Σx⁴ in DECIMAL — order-free),
-    // combined in one fixed float chain (the m₂/m₃/m₄ expansions);
-    // deliberately NOT the engines' built-in skewness(), whose
-    // streaming update order is engine-specific. ROUND(6) absorbs the
-    // final-chain ulps.
-    q(
-      "q306_moments",
-      """WITH x AS (SELECT l_returnflag AS flag,
-        |    CAST(l_quantity AS BIGINT) AS c
-        |  FROM lineitem),
-        |s AS (SELECT flag, COUNT(*) AS n,
-        |    CAST(SUM(c) AS BIGINT) AS s1,
-        |    CAST(SUM(c::HUGEINT * c) AS DOUBLE) AS s2,
-        |    CAST(SUM(c::HUGEINT * c * c) AS DOUBLE) AS s3,
-        |    CAST(SUM(c::HUGEINT * c * c * c) AS DOUBLE) AS s4
-        |  FROM x GROUP BY 1),
-        |m AS (SELECT flag, n,
-        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-        |    s2 / CAST(n AS DOUBLE)
-        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
-        |    s3 / CAST(n AS DOUBLE)
-        |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (s2 / CAST(n AS DOUBLE))
-        |      + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3,
-        |    s4 / CAST(n AS DOUBLE)
-        |      - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (s3 / CAST(n AS DOUBLE))
-        |      + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (s2 / CAST(n AS DOUBLE))
-        |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m4
-        |  FROM s)
-        |SELECT flag, n, ROUND(mu, 6) AS mean,
-        |  ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-        |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
-        |FROM m ORDER BY flag"""
-    ) { (s, d) =>
-      // integral quantities <= 50: every power sum stays < 2^53, so
-      // the DECIMAL->double conversions are exact on both engines (the
-      // q180 rule); at larger magnitudes, quantize coarser first
-      val c = col("l_quantity").cast("long")
-      val sums = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("flag"), c.as("c"))
-        .groupBy(col("flag"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("c")).cast("long").as("s1"),
-          sum(col("c").cast("decimal(19,0)") * col("c"))
-            .cast("double").as("s2"),
-          sum(col("c").cast("decimal(19,0)") * col("c") * col("c"))
-            .cast("double").as("s3"),
-          sum(col("c").cast("decimal(19,0)") * col("c") * col("c") *
-            col("c")).cast("double").as("s4"))
-      val nD = col("n").cast("double")
-      val mu = col("s1").cast("double") / nD
-      val m2 = col("s2") / nD - mu * mu
-      val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
-        lit(2.0) * mu * mu * mu
-      val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
-        lit(6.0) * mu * mu * (col("s2") / nD) -
-        lit(3.0) * mu * mu * mu * mu
-      sums.select(col("flag"), col("n"),
-          round(mu, 6).as("mean"),
-          round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
-          round(m4 / (m2 * m2) - 3.0, 6).as("excess_kurtosis"))
-        .orderBy("flag")
-    },
-
-    // Retrieval-quality NDCG@5 with label-match relevance: the log₂
-    // discount weights and ideal-DCG prefix sums are COMPILE-TIME
-    // constants embedded as full-precision literals in both engines —
-    // zero runtime transcendentals, the whole surface is 0/1·const
-    // chains and one division. The IR-eval gate for the ANN family.
-    q("q307_ndcg", ndcgOracleSql) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("vec"))
-      val anchors = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("vec").as("qvec"))
-      val topk = Similarity.bruteForceTopK(
-        anchors.select(col("query_id"), col("qvec")),
-        e.select(col("vec_id"), col("vec")), 5)
-      val rel = topk
-        .join(e.select(col("vec_id"), col("label")), "vec_id")
-        .join(anchors.select(col("query_id"), col("qlabel")), "query_id")
-        .withColumn("rel",
-          (col("label") === col("qlabel")).cast("int"))
-      val rs = (1 to 5).map(i =>
-        coalesce(sum(when(col("rank") === i, col("rel"))), lit(0))
-          .as(s"__r$i"))
-      val g = rel.groupBy(col("query_id"))
-        .agg(rs.head, rs.tail :+ sum(col("rel")).as("n_relevant"): _*)
-      val dcg = (1 to 5).map(i =>
-        col(s"__r$i").cast("double") * lit(NdcgWeights(i - 1)))
-        .reduce(_ + _)
-      val idcg = (1 to 5).foldRight(lit(0.0): Column)((m, acc) =>
-        when(col("n_relevant") === m, lit(NdcgIdeal(m - 1)))
-          .otherwise(acc))
-      g.select(col("query_id"), col("n_relevant").cast("long")
-            .as("n_relevant"),
-          when(col("n_relevant") === 0, lit(0.0))
-            .otherwise(dcg / idcg).as("ndcg"))
-        .orderBy("query_id")
-    },
-
-    // ANN recall@5: LSH-bucketed (q28 config) against the brute-force
-    // truth (q27 config) — the eval every approximate index ships
-    // with. Membership ordering replays exactly (the q27/q28
-    // surfaces); recall is an integer count over 5.0.
-    q("q308_ann_recall", annRecallOracleSql) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("vec"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val brute = Similarity.bruteForceTopK(queries, e, 5)
-        .select(col("query_id"), col("vec_id"))
-      val lsh = Similarity.lshTopK(queries, e, k = 5, bits = 4,
-          probeHamming = 2)
-        .select(col("query_id"), col("vec_id"))
-        .withColumn("__m", lit(1))
-      brute.join(lsh, Seq("query_id", "vec_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("__m")).as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          (col("n_hit").cast("double") / lit(5.0)).as("recall"))
-        .orderBy("query_id")
-    },
-
-    // Rank-biased overlap (Webber et al. 2010, truncated at depth 20,
-    // p=0.9) between each source's top-20 token ranking and the
-    // corpus ranking — the rank-aware "did the vocabulary shift"
-    // monitor (set overlap ignores order; RBO top-weights it). Per
-    // shared token the contribution Σ_{d≥max(r_a,r_b)} (1−p)p^{d−1}/d
-    // is a CONSTANT looked up by rank and µ-quantized to int64, so
-    // the per-source sum is order-free exact integers + ONE division.
-    q("q310_rbo_tokens", rboOracleSql) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val tok = Tables.spread(s, Tables.documents(s, d))
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-        .filter(length(col("token")) > 0)
-      val perSource = tok.groupBy(col("source"), col("token"))
-        .agg(count(lit(1)).as("__n"))
-        .withColumn("rs", row_number().over(Window
-          .partitionBy(col("source"))
-          .orderBy(col("__n").desc, col("token").asc)))
-        .filter(col("rs") <= 20)
-        .select(col("source"), col("token"), col("rs"))
-      // top-20 via orderBy+limit (TakeOrderedAndProject — distributed
-      // partial top-k, the q56 discipline), THEN rank the 20-row
-      // result; a global row_number window over the full vocabulary
-      // would single-partition the corpus-sized sort
-      val corpus = tok.groupBy(col("token"))
-        .agg(count(lit(1)).as("__n"))
-        .orderBy(col("__n").desc, col("token").asc)
-        .limit(20)
-        .withColumn("rc", row_number().over(Window.partitionBy()
-          .orderBy(col("__n").desc, col("token").asc)))
-        .select(col("token"), col("rc"))
-      val tmu = RboTailMu.zipWithIndex.foldRight(lit(0L): Column) {
-        case ((mu, i), acc) =>
-          when(greatest(col("rs"), col("rc")) === i + 1, lit(mu))
-            .otherwise(acc)
-      }
-      perSource.join(corpus, Seq("token"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_common"),
-          sum(tmu).cast("long").as("rbo_mu"))
-        .select(col("source"), col("n_common"), col("rbo_mu"),
-          (col("rbo_mu").cast("double") / lit(1e12)).as("rbo"))
-        .orderBy("source")
-    },
-
-    // Poisson bootstrap CI of the mean (Chamandy et al., the
-    // resample-at-scale pattern: each row's multiplicity in replicate
-    // b is Poisson(1), drawn DETERMINISTICALLY from md5(b, row) against
-    // µ-quantized inverse-CDF thresholds — no RNG, engine-replayable,
-    // one pass over rows×B with map-side combine). Replicate means are
-    // exact cent-sums / integer counts; the CI bounds are exact order
-    // statistics (drop the 5 lowest / 5 highest of 200). Weights cap
-    // at 5 (Poisson(1) tail mass 3.7e-3 folds into 5 — documented
-    // truncation).
-    q("q311_poisson_bootstrap", bootstrapOracleSql) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.events(s, d)
-        .filter(col("event_type") === "purchase" ||
-          col("event_type") === "view")
-        .select(col("event_type"), col("event_id"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-      val b = e.withColumn("b",
-        explode(sequence(lit(0), lit(BootReps - 1))))
-      val h = graft.pipeline.Sampling.hash60(
-        concat(col("b").cast("string"), lit(":"),
-          col("event_id").cast("string")), "boot:")
-      val w = BootThresholds.zipWithIndex.foldRight(lit(5L): Column) {
-        case ((t, k), acc) => when(h < t, lit(k.toLong)).otherwise(acc)
-      }
-      val reps = b.withColumn("w", w)
-        .groupBy(col("event_type"), col("b"))
-        .agg(sum(col("w") * col("cents")).cast("long").as("s"),
-          sum(col("w")).cast("long").as("n"))
-        .withColumn("mean_b",
-          col("s").cast("double") / col("n").cast("double") / 100.0)
-      val rk = Window.partitionBy(col("event_type"))
-        .orderBy(col("mean_b"), col("b"))
-      val ranked = reps.withColumn("rk", row_number().over(rk))
-      val base = e.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("cents")).cast("long").as("__sc"))
-      ranked.groupBy(col("event_type"))
-        .agg(max(when(col("rk") === 6, col("mean_b"))).as("ci_lo"),
-          max(when(col("rk") === BootReps - 5, col("mean_b")))
-            .as("ci_hi"))
-        .join(base, Seq("event_type"))
-        .select(col("event_type"), col("n_rows"),
-          (col("__sc").cast("double") / col("n_rows").cast("double")
-            / 100.0).as("mean_value"),
-          col("ci_lo"), col("ci_hi"))
-        .orderBy("event_type")
-    },
-
-    // Exact weighted median: per flag, the price at which HALF the
-    // shipped QUANTITY sits below — collapse to the distinct-price
-    // table first (cum weights over value cardinality, not rows),
-    // then the 2·cum ≥ W cross-multiplied selection: all integer, no
-    // division, the selected value is a raw data point.
-    q(
-      "q316_weighted_median",
-      """WITH x AS (SELECT l_returnflag AS flag,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT) AS price_cents,
-        |    CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem),
-        |pv AS (SELECT flag, price_cents, CAST(SUM(qty) AS BIGINT) AS w
-        |  FROM x GROUP BY 1, 2),
-        |c AS (SELECT flag, price_cents, w,
-        |    SUM(w) OVER (PARTITION BY flag ORDER BY price_cents
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    SUM(w) OVER (PARTITION BY flag) AS tot
-        |  FROM pv)
-        |SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_qty,
-        |  MIN(CASE WHEN 2 * cum >= tot THEN price_cents END)
-        |    AS wmedian_cents
-        |FROM c GROUP BY flag ORDER BY flag"""
-    ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val x = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("flag"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("price_cents"),
-          col("l_quantity").cast("long").as("qty"))
-      val pv = x.groupBy(col("flag"), col("price_cents"))
-        .agg(sum(col("qty")).cast("long").as("w"))
-      val cumW = Window.partitionBy(col("flag"))
-        .orderBy(col("price_cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val totW = Window.partitionBy(col("flag"))
-      pv.withColumn("cum", sum(col("w")).over(cumW))
-        .withColumn("tot", sum(col("w")).over(totW))
-        .groupBy(col("flag"))
-        .agg(max(col("tot")).cast("long").as("total_qty"),
-          min(when(lit(2) * col("cum") >= col("tot"),
-            col("price_cents"))).as("wmedian_cents"))
-        .orderBy("flag")
-    },
-
-    // Masked export surface (pseudonymization): 60-bit salted md5
-    // surrogate for the customer key (referential integrity
-    // preserved), partial-masked name, acctbal generalized to
-    // 1000-unit bands — all deterministic scan-stage expressions,
-    // replayed verbatim by the oracle.
-    q(
-      "q314_masked_export",
-      """SELECT ('0x' || substr(md5('mask1:' || CAST(c_custkey AS
-        |    VARCHAR)), 1, 15))::BIGINT AS cust_surrogate,
-        |  substr(c_name, 1, 9) || repeat('*',
-        |    greatest(length(c_name) - 9, 0)) AS name_masked,
-        |  CAST(FLOOR(c_acctbal) AS BIGINT) -
-        |    ((CAST(FLOOR(c_acctbal) AS BIGINT) % 1000 + 1000) % 1000)
-        |    AS acctbal_band,
-        |  c_mktsegment
-        |FROM customer ORDER BY cust_surrogate"""
-    ) { (s, d) =>
-      import graft.pipeline.Governance
-      Tables.customer(s, d)
-        .select(
-          Governance.hashMask(col("c_custkey"), "mask1:")
-            .as("cust_surrogate"),
-          Governance.partialMask(col("c_name"), 9).as("name_masked"),
-          Governance.bandFloor("FLOOR(c_acctbal)", 1000L)
-            .as("acctbal_band"),
-          col("c_mktsegment"))
-        .orderBy("cust_surrogate")
-    },
-
-    // k-anonymity / l-diversity audit before the masked export ships:
-    // QI = (nation, acctbal band), sensitive = market segment;
-    // equivalence-class size distribution + re-identifiable mass +
-    // min l. Two stacked map-side-combined aggregates, one row.
-    q(
-      "q315_k_anonymity",
-      """WITH q AS (SELECT c_nationkey,
-        |    CAST(FLOOR(c_acctbal) AS BIGINT) -
-        |      ((CAST(FLOOR(c_acctbal) AS BIGINT) % 1000 + 1000) % 1000)
-        |      AS band,
-        |    c_mktsegment
-        |  FROM customer),
-        |cls AS (SELECT c_nationkey, band, COUNT(*) AS k,
-        |    COUNT(DISTINCT c_mktsegment) AS l
-        |  FROM q GROUP BY 1, 2)
-        |SELECT COUNT(*) AS n_classes,
-        |  CAST(SUM(k) AS BIGINT) AS n_rows,
-        |  MIN(k) AS min_k, MAX(k) AS max_k,
-        |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
-        |    AS rows_below_k,
-        |  COUNT(CASE WHEN k < 5 THEN 1 END) AS classes_below_k,
-        |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS DOUBLE)
-        |    / CAST(SUM(k) AS DOUBLE) AS reident_rate,
-        |  MIN(l) AS min_l,
-        |  COUNT(CASE WHEN l = 1 THEN 1 END) AS classes_l1
-        |FROM cls"""
-    ) { (s, d) =>
-      import graft.pipeline.Governance
-      graft.pipeline.Governance.kAnonymityAudit(
-        Tables.customer(s, d)
-          .select(col("c_nationkey"),
-            Governance.bandFloor("FLOOR(c_acctbal)", 1000L).as("band"),
-            col("c_mktsegment")),
-        Seq("c_nationkey", "band"), "c_mktsegment", kFloor = 5)
-    },
-
-    // UPDATE-mode emission semantics, pinned: same 3-micro-batch
-    // source and windowed count as q291, but update mode — each batch
-    // re-emits the CUMULATIVE count of every (type, window) it
-    // touched, so the sink holds one row per touch: batch-0 windows
-    // at their b0 counts, batch-1 windows at b0+b1, and batch-2
-    // windows (those surviving the lagged late filter, q291's rule)
-    // at the full count. The oracle reconstructs that multiset.
-    q(
-      "q313_stream_update_mode",
-      """WITH w1 AS (SELECT MAX(epoch_us(ts)) - 1800000000 AS wm
-        |  FROM events WHERE event_id % 3 = 0),
-        |r AS (SELECT event_type, event_id % 3 AS p,
-        |    (epoch_us(ts) // 600000000) * 600000000 AS ws
-        |  FROM events),
-        |b0 AS (SELECT event_type, ws, COUNT(*) AS n FROM r
-        |  WHERE p = 0 GROUP BY 1, 2),
-        |b01 AS (SELECT event_type, ws, COUNT(*) AS n FROM r
-        |  WHERE p <= 1 GROUP BY 1, 2),
-        |ball AS (SELECT r.event_type, r.ws, COUNT(*) AS n
-        |  FROM r, w1
-        |  WHERE p <= 1 OR r.ws + 600000000 > w1.wm
-        |  GROUP BY 1, 2),
-        |p1 AS (SELECT DISTINCT event_type, ws FROM r WHERE p = 1),
-        |p2 AS (SELECT DISTINCT r.event_type, r.ws FROM r, w1
-        |  WHERE p = 2 AND r.ws + 600000000 > w1.wm)
-        |SELECT event_type, ws AS window_start_us, n FROM b0
-        |UNION ALL
-        |SELECT b01.event_type, b01.ws, b01.n FROM b01
-        |  JOIN p1 ON b01.event_type = p1.event_type AND b01.ws = p1.ws
-        |UNION ALL
-        |SELECT ball.event_type, ball.ws, ball.n FROM ball
-        |  JOIN p2 ON ball.event_type = p2.event_type
-        |    AND ball.ws = p2.ws
-        |ORDER BY event_type, window_start_us, n"""
-    ) { (s, d) =>
-      val ss = streamSession(s)
-      locally {
-        val schema = Tables.load(s, d, "events").schema
-        val raw = ss.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(lateSourceDir(s, d))
-        val stream =
-          if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else raw
-        val agg = stream.withWatermark("ts", "30 minutes")
-          .groupBy(col("event_type"),
-            window(col("ts"), "10 minutes").as("w"))
-          .agg(count(lit(1)).as("n"))
-        val name = s"q313_out_${System.nanoTime()}"
-        val query = agg.writeStream.outputMode("update")
-          .format("memory").queryName(name).start()
-        try drainWithEviction(ss, query, name, 1800000L) finally graft.streaming.StreamingIngest.stopAndCleanCheckpoint(query)
-        val out = ss.table(name)
-          .select(col("event_type"),
-            unix_micros(col("w.start")).as("window_start_us"), col("n"))
-        boundedResult(s, ss, name, out,
-          Seq("event_type", "window_start_us", "n"))
-      }
-    },
-
-    // Log-rank test between user-parity cohorts on time-to-first-
-    // purchase (censored at the corpus horizon) — the inference step
-    // after q206's Kaplan–Meier curves. Integer risk sets, per-time
-    // E/V terms DECIMAL(28,6)-quantized before the order-free sum
-    // (q267 discipline).
-    q(
-      "q312_logrank",
-      """WITH u AS (SELECT user_id,
-        |    MIN(epoch_us(ts)) AS first_seen,
-        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
-        |      END) AS fp
-        |  FROM events GROUP BY 1),
-        |h AS (SELECT MAX(epoch_us(ts)) AS horizon FROM events),
-        |subj AS (SELECT user_id % 2 AS g,
-        |    (COALESCE(fp, horizon) - first_seen) // 86400000000 AS d,
-        |    CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS e
-        |  FROM u, h),
-        |durs AS (SELECT d, COUNT(*) AS c,
-        |    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN 1 END), 0)
-        |      AS BIGINT) AS ca,
-        |    CAST(SUM(e) AS BIGINT) AS dd,
-        |    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN e END), 0)
-        |      AS BIGINT) AS da
-        |  FROM subj GROUP BY 1),
-        |risk AS (SELECT d, dd, da,
-        |    SUM(c) OVER wd AS rn, SUM(ca) OVER wd AS ra
-        |  FROM durs WINDOW wd AS (ORDER BY d DESC
-        |    ROWS UNBOUNDED PRECEDING)),
-        |terms AS (SELECT d, da,
-        |    CAST(ra * dd AS DOUBLE) / CAST(rn AS DOUBLE) AS et,
-        |    CASE WHEN rn > 1 THEN
-        |      CAST(dd * ra * (rn - ra) * (rn - dd) AS DOUBLE)
-        |        / (CAST(rn * rn AS DOUBLE) * CAST(rn - 1 AS DOUBLE))
-        |    ELSE 0.0::DOUBLE END AS vt
-        |  FROM risk WHERE dd > 0),
-        |coh AS (SELECT
-        |    CAST(COALESCE(SUM(CASE WHEN g = 0 THEN 1 END), 0)
-        |      AS BIGINT) AS n_a,
-        |    CAST(COALESCE(SUM(CASE WHEN g <> 0 THEN 1 END), 0)
-        |      AS BIGINT) AS n_b
-        |  FROM subj)
-        |SELECT coh.n_a, coh.n_b, COUNT(*) AS n_event_times,
-        |  CAST(SUM(da) AS BIGINT) AS o_a,
-        |  CAST(SUM(CAST(et AS DECIMAL(28,6))) AS DOUBLE) AS e_a,
-        |  CAST(SUM(CAST(vt AS DECIMAL(28,6))) AS DOUBLE) AS v_a,
-        |  (CAST(CAST(SUM(da) AS BIGINT) AS DOUBLE)
-        |      - CAST(SUM(CAST(et AS DECIMAL(28,6))) AS DOUBLE))
-        |    / sqrt(CAST(SUM(CAST(vt AS DECIMAL(28,6))) AS DOUBLE))
-        |    AS z
-        |FROM terms, coh GROUP BY coh.n_a, coh.n_b"""
-    ) { (s, d) =>
-      val ev = Tables.events(s, d)
-      val u = ev.groupBy(col("user_id"))
-        .agg(min(unix_micros(col("ts"))).as("first_seen"),
-          min(when(col("event_type") === "purchase",
-            unix_micros(col("ts")))).as("fp"))
-      val h = broadcast(ev.agg(
-        max(unix_micros(col("ts"))).as("horizon")))
-      val subj = u.crossJoin(h)
-        .select((col("user_id") % 2).as("g"),
-          expr("(COALESCE(fp, horizon) - first_seen)" +
-            " div 86400000000").as("d"),
-          when(col("fp").isNull, lit(0)).otherwise(lit(1)).as("e"))
-      graft.pipeline.Profiler.logRank(subj, "g", "d", "e")
-    },
-
-    // Exact Wasserstein-1 between each source's doc-length
-    // distribution and the corpus: cross-multiplied CDFs on the
-    // distinct-value grid — exact integers, one final division. Sees
-    // WHERE distributions differ (KS: max gap only; PSI: binned).
-    q(
-      "q309_wasserstein",
-      """WITH base AS (SELECT source AS g, n_chars AS v FROM documents),
-        |tot AS (SELECT COUNT(*) AS total FROM base),
-        |pgv AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
-        |vals AS (SELECT v, COUNT(*) AS cg FROM base GROUP BY 1),
-        |grp AS (SELECT g, COUNT(*) AS n_rows FROM base GROUP BY 1),
-        |grid AS (SELECT grp.g, grp.n_rows, vals.v, vals.cg,
-        |    COALESCE(pgv.c, 0) AS c
-        |  FROM grp CROSS JOIN vals
-        |  LEFT JOIN pgv ON pgv.g = grp.g AND pgv.v = vals.v),
-        |cum AS (SELECT g, n_rows, v,
-        |    SUM(c) OVER w AS cums, SUM(cg) OVER w AS cumg,
-        |    LEAD(v) OVER (PARTITION BY g ORDER BY v) - v AS gap
-        |  FROM grid WINDOW w AS (PARTITION BY g ORDER BY v
-        |    ROWS UNBOUNDED PRECEDING))
-        |SELECT g AS source, CAST(MAX(n_rows) AS BIGINT) AS n_rows,
-        |  CAST(SUM(ABS(cums * tot.total - cumg * n_rows) * gap)
-        |    AS BIGINT) AS w1_num,
-        |  CAST(CAST(SUM(ABS(cums * tot.total - cumg * n_rows) * gap)
-        |    AS BIGINT) AS DOUBLE)
-        |    / (CAST(MAX(n_rows) AS DOUBLE) * CAST(tot.total AS DOUBLE))
-        |    AS w1
-        |FROM cum, tot WHERE gap IS NOT NULL
-        |GROUP BY g, tot.total ORDER BY source"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.wassersteinToCorpus(
-        Tables.documents(s, d), "source", "n_chars")
-    },
-
-    // Nelson–Aalen cumulative hazard over the q206 lifetime
-    // construction: H(t) = Σ d/n with the Aalen variance Σ d(n−d)/n³,
-    // each term one fixed-shape division of exact integers,
-    // DECIMAL(28,12)-quantized before the order-free prefix sum.
-    q(
-      "q317_nelson_aalen",
-      """WITH lif AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
-        |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
-        |gm AS (SELECT MAX(l) AS gmax FROM lif),
-        |durs AS (SELECT (l - f) // 86400000000 AS dur,
-        |    CASE WHEN l < gmax - 43200000000 THEN 1 ELSE 0 END
-        |      AS death
-        |  FROM lif CROSS JOIN gm),
-        |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
-        |    AS d FROM durs GROUP BY 1),
-        |tt AS (SELECT COUNT(*) AS n FROM durs),
-        |r AS (SELECT bd.dur, bd.d, tt.n,
-        |    CAST(COALESCE(SUM(bd.c) OVER (ORDER BY bd.dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM bd CROSS JOIN tt),
-        |h AS (SELECT dur, d, n - cb AS nar,
-        |    CAST(CAST(d AS DOUBLE) / CAST(n - cb AS DOUBLE)
-        |      AS DECIMAL(28,12)) AS ht,
-        |    CAST(CAST(d * (n - cb - d) AS DOUBLE)
-        |      / (CAST(n - cb AS DOUBLE) * CAST(n - cb AS DOUBLE)
-        |         * CAST(n - cb AS DOUBLE)) AS DECIMAL(28,12)) AS vt
-        |  FROM r WHERE d > 0)
-        |SELECT dur AS duration_days, nar AS n_at_risk, d AS n_deaths,
-        |  ROUND(CAST(SUM(ht) OVER wc AS DOUBLE), 6) AS cum_hazard,
-        |  ROUND(CAST(SUM(vt) OVER wc AS DOUBLE), 6) AS hazard_var
-        |FROM h WINDOW wc AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
-        |ORDER BY duration_days"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.nelsonAalen(
-          Tables.events(s, d)
-            .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
-          "user_id", "t_us", censorHorizonUs = 43200000000L)
-        .orderBy("duration_days")
-    },
-
-    // One-way ANOVA F across event-type cohorts. Milli-unit
-    // quantization keeps EVERY integer (Σv ~5e12, Σv² ~5e14 at sf0.1)
-    // below 2⁵³, so the wide-int→double casts are exact on both
-    // engines — no HUGEINT double-rounding surface (the q180 lesson);
-    // per-group terms DECIMAL(28,6)-quantized before the order-free
-    // cross-group sum.
-    q(
-      "q318_anova_f",
-      """WITH x AS (SELECT event_type AS g,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |gs AS (SELECT g, COUNT(*) AS n, SUM(v) AS s,
-        |    SUM(CAST(v AS HUGEINT) * v) AS ss FROM x GROUP BY 1),
-        |t AS (SELECT n, s,
-        |    CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / CAST(n AS DOUBLE) AS DECIMAL(28,6)) AS tb,
-        |    CAST(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
-        |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-        |      AS DECIMAL(28,6)) AS tw
-        |  FROM gs),
-        |a0 AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
-        |    CAST(SUM(s) AS DOUBLE) AS stot,
-        |    SUM(tb) AS sbq, SUM(tw) AS swq FROM t),
-        |a AS (SELECT k, n, stot,
-        |    CAST(CAST(FLOOR(sbq) AS BIGINT) AS DOUBLE)
-        |      + CAST(sbq - FLOOR(sbq) AS DOUBLE) AS sb,
-        |    CAST(CAST(FLOOR(swq) AS BIGINT) AS DOUBLE)
-        |      + CAST(swq - FLOOR(swq) AS DOUBLE) AS sw FROM a0)
-        |SELECT k, n,
-        |  sb - stot * stot / CAST(n AS DOUBLE) AS ss_between,
-        |  sw AS ss_within,
-        |  ROUND(((sb - stot * stot / CAST(n AS DOUBLE))
-        |      / (CAST(k AS DOUBLE) - 1.0))
-        |    / (sw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
-        |    AS f_stat
-        |FROM a"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.anovaF(
-        Tables.events(s, d)
-          .select(col("event_type"),
-            floor(col("value") * 1000.0).cast("long").as("vq")),
-        "event_type", "vq")
-    },
-
-    // Mann–Whitney U between user-parity cohorts: doubled rank sums
-    // are pure integers on the distinct-value grid (avg tie rank has
-    // denominator 2), the tie term Σ(c³−c) is exact long arithmetic,
-    // and the z chain is one fixed IEEE shape.
-    q(
-      "q319_mann_whitney",
-      """WITH x AS (SELECT user_id % 2 AS coh,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |bv AS (SELECT v, COUNT(*) AS c,
-        |    CAST(COALESCE(SUM(CASE WHEN coh = 0 THEN 1 END), 0)
-        |      AS BIGINT) AS ca
-        |  FROM x GROUP BY 1),
-        |rk AS (SELECT v, c, ca,
-        |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM bv),
-        |a AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
-        |    CAST(SUM(c) - SUM(ca) AS BIGINT) AS n_b,
-        |    CAST(SUM(ca * (2 * cb + c + 1)) AS BIGINT) AS r2a,
-        |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
-        |  FROM rk)
-        |SELECT n_a, n_b,
-        |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
-        |  ROUND((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
-        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0
-        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
-        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
-        |        - CAST(ties AS DOUBLE)
-        |          / (CAST(n_a + n_b AS DOUBLE)
-        |            * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 6) AS z
-        |FROM a"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.mannWhitneyU(
-        Tables.events(s, d)
-          .select((col("user_id") % 2).as("coh"),
-            floor(col("value") * 1000.0).cast("long").as("vq")),
-        "coh", "vq")
-    },
-
-    // Kruskal–Wallis H across event-type cohorts — rank-based one-way
-    // ANOVA with the standard tie correction; same doubled-integer
-    // rank machinery as q319, per-group R²/n terms quantized before
-    // the order-free cross-group sum.
-    q(
-      "q320_kruskal_wallis",
-      """WITH x AS (SELECT event_type AS g,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |gv AS (SELECT g, v, COUNT(*) AS cg FROM x GROUP BY 1, 2),
-        |bv AS (SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM gv
-        |  GROUP BY 1),
-        |rk AS (SELECT v, c,
-        |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM bv),
-        |pg AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS n,
-        |    CAST(SUM(cg * (2 * cb + c + 1)) AS BIGINT) AS r2
-        |  FROM gv JOIN rk USING (v) GROUP BY 1),
-        |pt AS (SELECT g, n,
-        |    CAST(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
-        |      / (4.0 * CAST(n AS DOUBLE)) AS DECIMAL(28,6)) AS t
-        |  FROM pg),
-        |tie AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS ties
-        |  FROM rk),
-        |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
-        |    CAST(CAST(FLOOR(SUM(t)) AS BIGINT) AS DOUBLE)
-        |      + CAST(SUM(t) - FLOOR(SUM(t)) AS DOUBLE) AS sr FROM pt)
-        |SELECT k, n,
-        |  ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-        |    * sr - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
-        |    AS h_uncorrected,
-        |  ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-        |    * sr - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-        |    / (1.0 - CAST(ties AS DOUBLE)
-        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-        |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS h
-        |FROM a CROSS JOIN tie"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.kruskalWallis(
-        Tables.events(s, d)
-          .select(col("event_type"),
-            floor(col("value") * 1000.0).cast("long").as("vq")),
-        "event_type", "vq")
-    },
-
-    // Partial autocorrelation at lags 1–3: Durbin–Levinson on the
-    // q199 sample correlations. Every intermediate (r1, r2, r3, φ22,
-    // φ21) is named ONCE and reused, so both engines run the identical
-    // fixed IEEE chain on exact integer µ-unit sums; ROUND(6) only at
-    // the output surface.
-    q(
-      "q321_pacf",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events),
-        |l AS (SELECT sensor_id, v,
-        |    LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
-        |    LAG(v, 3) OVER w AS l3
-        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
-        |a AS (SELECT sensor_id,
-        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END) AS DOUBLE)
-        |      AS sxx1,
-        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
-        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
-        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1,
-        |    CAST(COUNT(l2) AS DOUBLE) AS n2,
-        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx2,
-        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v * v END) AS DOUBLE)
-        |      AS sxx2,
-        |    CAST(SUM(l2) AS DOUBLE) AS sy2,
-        |    CAST(SUM(l2 * l2) AS DOUBLE) AS syy2,
-        |    CAST(SUM(v * l2) AS DOUBLE) AS sxy2,
-        |    CAST(COUNT(l3) AS DOUBLE) AS n3,
-        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx3,
-        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v * v END) AS DOUBLE)
-        |      AS sxx3,
-        |    CAST(SUM(l3) AS DOUBLE) AS sy3,
-        |    CAST(SUM(l3 * l3) AS DOUBLE) AS syy3,
-        |    CAST(SUM(v * l3) AS DOUBLE) AS sxy3
-        |  FROM l GROUP BY 1),
-        |r AS (SELECT sensor_id, n1,
-        |    (n1 * sxy1 - sx1 * sy1) / (sqrt(n1 * sxx1 - sx1 * sx1)
-        |      * sqrt(n1 * syy1 - sy1 * sy1)) AS r1,
-        |    (n2 * sxy2 - sx2 * sy2) / (sqrt(n2 * sxx2 - sx2 * sx2)
-        |      * sqrt(n2 * syy2 - sy2 * sy2)) AS r2,
-        |    (n3 * sxy3 - sx3 * sy3) / (sqrt(n3 * sxx3 - sx3 * sx3)
-        |      * sqrt(n3 * syy3 - sy3 * sy3)) AS r3
-        |  FROM a),
-        |f2 AS (SELECT sensor_id, n1, r1, r2, r3,
-        |    (r2 - r1 * r1) / (1.0::DOUBLE - r1 * r1) AS f22 FROM r),
-        |f3 AS (SELECT sensor_id, n1, r1, r2, r3, f22,
-        |    r1 - f22 * r1 AS f21 FROM f2)
-        |SELECT sensor_id, CAST(n1 AS BIGINT) AS n_pairs1,
-        |  ROUND(r1, 6) AS phi1, ROUND(f22, 6) AS phi2,
-        |  ROUND((r3 - f21 * r2 - f22 * r1)
-        |    / (1.0::DOUBLE - f21 * r1 - f22 * r2), 6) AS phi3
-        |FROM f3 ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.pacf3(
-          EventsAdapter.samples(s, d),
-          "sensor_id", "timestamp_us", "value")
-        .orderBy("sensor_id")
-    },
-
-    // Adamic–Adar link prediction over part co-purchase baskets:
-    // common orders weighted 1/ln(basket size), per-basket terms
-    // DECIMAL(28,12)-quantized before the order-free per-pair sum;
-    // top-20 cut on the ROUNDED score with pair-key tie-break.
-    q(
-      "q322_adamic_adar",
-      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey
-        |    AS item FROM lineitem),
-        |b AS (SELECT bk, COUNT(*) AS sz FROM it GROUP BY 1
-        |  HAVING COUNT(*) >= 2),
-        |t AS (SELECT bk, CAST(1.0::DOUBLE / ln(CAST(sz AS DOUBLE))
-        |    AS DECIMAL(28,12)) AS tq FROM b),
-        |p AS (SELECT a.item AS item_a, b2.item AS item_b, t.tq
-        |  FROM it a JOIN it b2 ON a.bk = b2.bk AND a.item < b2.item
-        |  JOIN t ON t.bk = a.bk),
-        |sc AS (SELECT item_a, item_b, COUNT(*) AS n_common,
-        |    ROUND(CAST(SUM(tq) AS DOUBLE), 6) AS aa_score
-        |  FROM p GROUP BY 1, 2)
-        |SELECT item_a, item_b, CAST(n_common AS BIGINT) AS n_common,
-        |  aa_score
-        |FROM sc ORDER BY aa_score DESC, item_a, item_b LIMIT 20"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.adamicAdar(
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey")
-    },
-
-    // 3-core of the ≥2-shared-orders co-purchase graph: 14 fixed
-    // peeling rounds (convergence observed at ≤11 across SFs; extra
-    // rounds are no-ops), replayed as the oracle's unrolled CTE
-    // chain. Output = surviving nodes with their in-core degree.
-    q("q323_k_core", kCoreSql) { (s, d) =>
-      val edges = graft.pipeline.GraphArtifacts.coOccurrenceEdges(
-          Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_partkey")),
-          "l_orderkey", "l_partkey", minCount = 2L, corpusKey = d)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
-      graft.pipeline.Behavior.kCore(edges, k = 3, rounds = 14)
-        .orderBy("node")
-    },
-
-    // Scalar Kalman filter (random-walk + observation noise) per
-    // sensor: q=0.25, r=4.0, P₀=1.0 — all dyadic, so the predict/
-    // gain/update chain replays bit-exactly against the oracle's
-    // recursive CTE (q82 discipline). Final state per series, raw.
-    q(
-      "q324_kalman",
-      """WITH RECURSIVE src AS (
-        |  SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |base AS (SELECT sensor_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id
-        |      ORDER BY t, value) AS rn
-        |  FROM src),
-        |cnt AS (SELECT sensor_id, MAX(rn) AS n FROM base GROUP BY 1),
-        |rec AS (
-        |  SELECT sensor_id, 1 AS i, value AS x, 1.0::DOUBLE AS p
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.sensor_id, r.i + 1,
-        |    r.x + ((r.p + 0.25::DOUBLE)
-        |        / (r.p + 0.25::DOUBLE + 4.0::DOUBLE))
-        |      * (z.value - r.x),
-        |    (1.0::DOUBLE - (r.p + 0.25::DOUBLE)
-        |        / (r.p + 0.25::DOUBLE + 4.0::DOUBLE))
-        |      * (r.p + 0.25::DOUBLE)
-        |  FROM rec r JOIN base z
-        |    ON z.sensor_id = r.sensor_id AND z.rn = r.i + 1)
-        |SELECT r.sensor_id, CAST(cnt.n AS BIGINT) AS n_samples,
-        |  r.x AS level, r.p AS p_var
-        |FROM rec r JOIN cnt ON cnt.sensor_id = r.sensor_id
-        |WHERE r.i = cnt.n ORDER BY r.sensor_id"""
-    ) { (s, d) =>
-      graft.operators.Kalman.filterLast(
-          EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"))
-        .orderBy("sensor_id")
-    },
-
-    // Croston intermittent-demand forecast on per-part daily demand:
-    // coupled size/interval EWMAs advanced only on demand events,
-    // α=0.25 dyadic, p seeded at the first observed gap — the
-    // recursion replays bit-exactly; one raw z/p division at the end.
-    q(
-      "q325_croston",
-      """WITH RECURSIVE dm AS (SELECT l_partkey AS item,
-        |    epoch_us(l_shipdate) // 86400000000 AS day,
-        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qty
-        |  FROM lineitem GROUP BY 1, 2),
-        |base AS (SELECT item, day, qty,
-        |    ROW_NUMBER() OVER (PARTITION BY item ORDER BY day) AS rn
-        |  FROM dm),
-        |cnt AS (SELECT item, MAX(rn) AS n FROM base GROUP BY 1),
-        |rec AS (
-        |  SELECT item, 1 AS i, qty AS z, 0.0::DOUBLE AS p,
-        |    day AS lastd
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.item, r.i + 1,
-        |    r.z + 0.25::DOUBLE * (x.qty - r.z),
-        |    CASE WHEN r.i = 1 THEN CAST(x.day - r.lastd AS DOUBLE)
-        |      ELSE r.p + 0.25::DOUBLE
-        |        * (CAST(x.day - r.lastd AS DOUBLE) - r.p) END,
-        |    x.day
-        |  FROM rec r JOIN base x
-        |    ON x.item = r.item AND x.rn = r.i + 1)
-        |SELECT r.item, CAST(cnt.n AS BIGINT) AS n_demands,
-        |  r.z AS z_size, r.p AS p_interval, r.z / r.p AS rate
-        |FROM rec r JOIN cnt ON cnt.item = r.item
-        |WHERE r.i = cnt.n AND cnt.n >= 3 ORDER BY r.item"""
-    ) { (s, d) =>
-      val dm = Tables.lineitem(s, d)
-        .select(col("l_partkey").as("item"),
-          expr("unix_micros(l_shipdate) div 86400000000").as("period"),
-          col("l_quantity").cast("long").as("__q"))
-        .groupBy(col("item"), col("period"))
-        .agg(sum(col("__q")).cast("double").as("qty"))
-      graft.operators.Croston.forecast(dm).orderBy("item")
-    },
-
-    // Deterministic Laplace noisy-count release (PRF-noise via the
-    // salted 60-bit hash inverse CDF, the q311 discipline): the
-    // governance companion to q314/q315. ln is libm → ROUND(6).
-    q(
-      "q326_noisy_counts",
-      """WITH g AS (SELECT c_mktsegment, COUNT(*) AS n_true
-        |  FROM customer GROUP BY 1),
-        |h AS (SELECT c_mktsegment, n_true,
-        |    (CAST(('0x' || substr(md5('dp1:' || c_mktsegment), 1, 15))
-        |        ::BIGINT AS DOUBLE) + 0.5)
-        |      / 1152921504606846976.0 AS u
-        |  FROM g),
-        |x AS (SELECT c_mktsegment, n_true, u - 0.5 AS d FROM h)
-        |SELECT c_mktsegment, CAST(n_true AS BIGINT) AS n_true,
-        |  ROUND(CAST(n_true AS DOUBLE) + (-1.0::DOUBLE)
-        |    * (CASE WHEN d < 0 THEN -1.0::DOUBLE
-        |        ELSE 1.0::DOUBLE END)
-        |    * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(d)), 6) AS n_noisy,
-        |  1.0::DOUBLE AS epsilon
-        |FROM x ORDER BY c_mktsegment"""
-    ) { (s, d) =>
-      graft.pipeline.Governance.laplaceNoisyCounts(
-          Tables.customer(s, d), "c_mktsegment", "dp1:")
-        .orderBy("c_mktsegment")
-    },
-
-    // Matryoshka truncation fidelity: top-5 cosine neighbors at the
-    // full 64 dims vs the first 16 dims, per query — the q308 recall
-    // construction with the truncated ranking as the candidate.
-    q(
-      "q327_matryoshka_recall",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-        |  WHERE vec_id < 10),
-        |brute AS (SELECT query_id, vec_id FROM (
-        |    SELECT q.query_id, e.vec_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
-        |          e.vec_id) AS rank
-        |    FROM q, e WHERE e.vec_id <> q.query_id)
-        |  WHERE rank <= 5),
-        |trunc AS (SELECT query_id, vec_id FROM (
-        |    SELECT q.query_id, e.vec_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |        ORDER BY list_cosine_similarity(q.qv[1:16],
-        |          e.v[1:16]) DESC, e.vec_id) AS rank
-        |    FROM q, e WHERE e.vec_id <> q.query_id)
-        |  WHERE rank <= 5)
-        |SELECT b.query_id, COUNT(t.vec_id) AS n_hit,
-        |  CAST(COUNT(t.vec_id) AS DOUBLE) / 5.0 AS overlap
-        |FROM brute b LEFT JOIN trunc t
-        |  ON b.query_id = t.query_id AND b.vec_id = t.vec_id
-        |GROUP BY 1 ORDER BY b.query_id"""
-    ) { (s, d) =>
-      import graft.pipeline.Similarity
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("vec"))
-      val queries = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val full = Similarity.bruteForceTopK(queries, e, 5)
-        .select(col("query_id"), col("vec_id"))
-      val eT = e.select(col("vec_id"), slice(col("vec"), 1, 16)
-        .as("vec"))
-      val qT = queries.select(col("query_id"),
-        slice(col("qvec"), 1, 16).as("qvec"))
-      val trunc = Similarity.bruteForceTopK(qT, eT, 5)
-        .select(col("query_id"), col("vec_id"))
-        .withColumn("__m", lit(1))
-      full.join(trunc, Seq("query_id", "vec_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("__m")).as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          (col("n_hit").cast("double") / lit(5.0)).as("overlap"))
-        .orderBy("query_id")
-    },
-
-    // Histogram-overlap coefficient between source pairs on 100-char
-    // doc-length buckets: Σ min(p_a, p_b) computed CROSS-MULTIPLIED
-    // (min of exact integer products), one division, ROUND(6).
-    q(
-      "q328_dist_overlap",
-      """WITH x AS (SELECT source AS g, n_chars // 100 AS b
-        |  FROM documents),
-        |h AS (SELECT g, b, COUNT(*) AS c FROM x GROUP BY 1, 2),
-        |n AS (SELECT g, COUNT(*) AS n FROM x GROUP BY 1),
-        |j AS (SELECT ha.g AS g_a, hb.g AS g_b, na.n AS na, nb.n AS nb,
-        |    CAST(SUM(LEAST(ha.c * nb.n, hb.c * na.n)) AS BIGINT)
-        |      AS num
-        |  FROM h ha JOIN h hb ON ha.b = hb.b AND ha.g < hb.g
-        |  JOIN n na ON na.g = ha.g JOIN n nb ON nb.g = hb.g
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT g_a, g_b, CAST(na AS BIGINT) AS n_a,
-        |  CAST(nb AS BIGINT) AS n_b,
-        |  ROUND(CAST(num AS DOUBLE)
-        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS overlap
-        |FROM j ORDER BY g_a, g_b"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.distributionOverlap(
-          Tables.documents(s, d)
-            .select(col("source"), expr("n_chars div 100").as("bk")),
-          "source", "bk")
-        .orderBy("g_a", "g_b")
-    },
-
-    // Chao1 unseen-vocabulary richness per source: V + F1²/(2F2)
-    // (bias-corrected when F2 = 0) off one token-frequency aggregate;
-    // exact integer counts, one fixed IEEE shape, ROUND(6).
-    q(
-      "q329_chao1",
-      """WITH tok AS (SELECT source,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |      AS token
-        |  FROM documents),
-        |tf AS (SELECT source, token, COUNT(*) AS c FROM tok
-        |  WHERE length(token) > 0 GROUP BY 1, 2),
-        |f AS (SELECT source, COUNT(*) AS vocab,
-        |    COUNT(*) FILTER (c = 1) AS f1,
-        |    COUNT(*) FILTER (c = 2) AS f2
-        |  FROM tf GROUP BY 1)
-        |SELECT source, CAST(vocab AS BIGINT) AS vocab,
-        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
-        |  ROUND(CASE WHEN f2 > 0 THEN CAST(vocab AS DOUBLE)
-        |      + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
-        |        / (2.0::DOUBLE * CAST(f2 AS DOUBLE))
-        |    ELSE CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE)
-        |      * (CAST(f1 AS DOUBLE) - 1.0::DOUBLE) / 2.0::DOUBLE
-        |    END, 6) AS chao1
-        |FROM f ORDER BY source"""
-    ) { (s, d) =>
-      // INLINE on purpose (measured, not assumed): chao1 groups by a
-      // corpus DIM (source), which the token-bucketed artifact cannot
-      // serve without an id-keyed join back to the documents — at gate
-      // SF that join costs more than the explode it saves (bench:
-      // 0.21 s inline vs 0.48 s via chao1RichnessShared), because the
-      // inline map-side combine collapses the token stream to
-      // |sources|×|vocab| before any shuffle. The Shared variant stays
-      // in the library for corpora where the raw scan dominates
-      // (long documents ⇒ tf table ≪ token stream).
-      graft.pipeline.TextAnalysis.chao1Richness(
-          Tables.documents(s, d), "source", "text")
-        .orderBy("source")
-    },
-
-    // Cohen's kappa between two deterministic quality raters
-    // (length rule vs token-count rule): chance-corrected agreement
-    // from one conditional-sum 2×2 aggregate, fixed IEEE shapes.
-    q(
-      "q330_cohen_kappa",
-      """WITH r AS (SELECT n_chars >= 300 AS a,
-        |    len(string_split_regex(trim(text), '\s+')) >= 50 AS b
-        |  FROM documents),
-        |t AS (SELECT COUNT(*) AS n,
-        |    COUNT(*) FILTER (a AND b) AS n11,
-        |    COUNT(*) FILTER (a AND NOT b) AS n10,
-        |    COUNT(*) FILTER (NOT a AND b) AS n01,
-        |    COUNT(*) FILTER (NOT a AND NOT b) AS n00
-        |  FROM r)
-        |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
-        |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
-        |  CAST(n00 AS BIGINT) AS n00,
-        |  ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS p_observed,
-        |  ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
-        |      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
-        |    AS p_expected,
-        |  ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
-        |        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-        |    / (1.0::DOUBLE
-        |      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
-        |        + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
-        |    AS kappa
-        |FROM t"""
-    ) { (s, d) =>
-      import graft.pipeline.TextAnalysis
-      graft.pipeline.Profiler.cohenKappa(
-        Tables.documents(s, d),
-        col("n_chars") >= 300,
-        TextAnalysis.tokenCount(col("text")) >= 50)
-    },
-
-    // Grubbs max studentized deviation per event type: max|v−mean|/s
-    // with the max computed CROSS-MULTIPLIED (max|v·n − S| in exact
-    // integers — no float max ordering), milli-unit quantization
-    // keeps every sum in the 2⁵³ exact-double window.
-    q(
-      "q331_grubbs",
-      """WITH x AS (SELECT event_type AS g,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |s AS (SELECT g, COUNT(*) AS n, SUM(v) AS sv,
-        |    SUM(CAST(v AS HUGEINT) * v) AS ss FROM x GROUP BY 1),
-        |d AS (SELECT x.g, MAX(ABS(x.v * s.n - s.sv)) AS maxdev,
-        |    MAX(s.n) AS n, MAX(s.sv) AS sv, MAX(s.ss) AS ss
-        |  FROM x JOIN s ON x.g = s.g GROUP BY 1)
-        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
-        |  ROUND((CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / sqrt((CAST(ss AS DOUBLE) - CAST(sv AS DOUBLE)
-        |        * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-        |      / (CAST(n AS DOUBLE) - 1.0::DOUBLE)), 6) AS g_stat
-        |FROM d WHERE n >= 3 ORDER BY event_type"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.grubbsMax(
-        Tables.events(s, d)
-          .select(col("event_type"),
-            floor(col("value") * 1000.0).cast("long").as("vq")),
-        "event_type", "vq")
-        .orderBy("event_type")
-    },
-
-    // Jensen–Shannon divergence between source pairs' token
-    // distributions: per-token contribution terms quantized to
-    // DECIMAL(28,12) before the order-free per-pair sum (ln is
-    // libm), one-sided tokens via explicit complements — never a
-    // token-only cross join. ROUND(6).
-    q(
-      "q332_jsd_sources",
-      """WITH tok AS (SELECT source AS g,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |      AS token
-        |  FROM documents),
-        |tf AS (SELECT g, token, COUNT(*) AS c FROM tok
-        |  WHERE length(token) > 0 GROUP BY 1, 2),
-        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM tf
-        |  GROUP BY 1),
-        |a AS (SELECT tf.g AS g_a, token, c AS ca, n.n AS na
-        |  FROM tf JOIN n ON n.g = tf.g),
-        |b AS (SELECT tf.g AS g_b, token, c AS cb, n.n AS nb
-        |  FROM tf JOIN n ON n.g = tf.g),
-        |wb AS (SELECT a.g_a, gb.g_b, a.token, a.ca, a.na,
-        |    COALESCE(b.cb, 0) AS cb, nn.n AS nb
-        |  FROM a CROSS JOIN (SELECT DISTINCT g AS g_b FROM n) gb
-        |  LEFT JOIN b ON b.g_b = gb.g_b AND b.token = a.token
-        |  JOIN n nn ON nn.g = gb.g_b
-        |  WHERE a.g_a < gb.g_b),
-        |ob AS (SELECT ga.g_a, b.g_b, b.token, 0 AS ca, nn.n AS na,
-        |    b.cb, b.nb
-        |  FROM b CROSS JOIN (SELECT DISTINCT g AS g_a FROM n) ga
-        |  LEFT JOIN a ON a.g_a = ga.g_a AND a.token = b.token
-        |  JOIN n nn ON nn.g = ga.g_a
-        |  WHERE ga.g_a < b.g_b AND a.token IS NULL),
-        |rws AS (SELECT * FROM wb UNION ALL SELECT * FROM ob),
-        |t1 AS (SELECT g_a, g_b, ca, cb,
-        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
-        |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb FROM rws),
-        |t2 AS (SELECT g_a, g_b, ca, cb, pa, pb,
-        |    (pa + pb) / 2.0::DOUBLE AS m FROM t1),
-        |t3 AS (SELECT g_a, g_b,
-        |    CAST(CASE WHEN ca > 0 THEN pa * ln(pa / m)
-        |      ELSE 0.0::DOUBLE END AS DECIMAL(28,12)) AS ta,
-        |    CAST(CASE WHEN cb > 0 THEN pb * ln(pb / m)
-        |      ELSE 0.0::DOUBLE END AS DECIMAL(28,12)) AS tb
-        |  FROM t2)
-        |SELECT g_a, g_b, COUNT(*) AS n_tokens,
-        |  ROUND((CAST(SUM(ta) AS DOUBLE) + CAST(SUM(tb) AS DOUBLE))
-        |    / 2.0::DOUBLE, 6) AS jsd
-        |FROM t3 GROUP BY 1, 2 ORDER BY g_a, g_b"""
-    ) { (s, d) =>
-      graft.pipeline.TextAnalysis.jsdBetweenGroups(
-          Tables.documents(s, d), "source", "text")
-        .orderBy("g_a", "g_b")
-    },
-
-    // Burstiness memory coefficient (Goh & Barabási): lag-1
-    // autocorrelation of each sensor's inter-arrival gaps — M > 0
-    // means long gaps follow long gaps. Reuses the q199 correlation
-    // kernel on the second-order (gap) series, row-number keyed so
-    // both engines share the total order.
-    q(
-      "q333_gap_memory",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |g AS (SELECT sensor_id,
-        |    (t - LAG(t) OVER w) // 1000000 AS v,
-        |    ROW_NUMBER() OVER w AS rn
-        |  FROM s WINDOW w AS (PARTITION BY sensor_id
-        |    ORDER BY t, value)),
-        |gg AS (SELECT sensor_id, rn, v FROM g WHERE v IS NOT NULL),
-        |l AS (SELECT sensor_id, v, LAG(v, 1) OVER (
-        |    PARTITION BY sensor_id ORDER BY rn) AS l1 FROM gg),
-        |a AS (SELECT sensor_id,
-        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END)
-        |      AS DOUBLE) AS sxx1,
-        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
-        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
-        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1
-        |  FROM l GROUP BY 1)
-        |SELECT sensor_id, 1 AS lag_k, CAST(n1 AS BIGINT) AS n_pairs,
-        |  ROUND((n1 * sxy1 - sx1 * sy1)
-        |    / (sqrt(n1 * sxx1 - sx1 * sx1)
-        |       * sqrt(n1 * syy1 - sy1 * sy1)), 6) AS acf
-        |FROM a ORDER BY sensor_id"""
-    ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("sensor_id"))
-        .orderBy(col("timestamp_us"), col("value"))
-      val gaps = EventsAdapter.samples(s, d)
-        .select(col("sensor_id"), col("timestamp_us"), col("value"))
-        .withColumn("v", expr(
-          "(timestamp_us - lag(timestamp_us, 1) over (partition by" +
-            " sensor_id order by timestamp_us, value))" +
-            " div 1000000"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("v").isNotNull)
-        .select(col("sensor_id"), col("rn"), col("v"))
-      graft.pipeline.Profiler.autocorrelation(
-          gaps, "sensor_id", "rn", "v", maxLag = 1,
-          unitsPerValue = 1.0)
-        .orderBy("sensor_id")
-    },
-
-    // Page–Hinkley mean-shift detector per sensor: running-mean
-    // deviation cusum with drift δ=0.5, threshold λ=5 (dyadic); the
-    // /t incremental-mean division is the only non-dyadic step — one
-    // correctly-rounded IEEE op both engines, raw replay.
-    q(
-      "q334_page_hinkley",
-      """WITH RECURSIVE src AS (
-        |  SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t, value FROM events),
-        |base AS (SELECT sensor_id, value,
-        |    ROW_NUMBER() OVER (PARTITION BY sensor_id
-        |      ORDER BY t, value) AS rn
-        |  FROM src),
-        |cnt AS (SELECT sensor_id, MAX(rn) AS n FROM base GROUP BY 1),
-        |rec AS (
-        |  SELECT sensor_id, 1 AS i, value AS mean,
-        |    -0.5::DOUBLE AS m, -0.5::DOUBLE AS mn, 0.0::DOUBLE AS exc
-        |  FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.sensor_id, r.i + 1,
-        |    r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE),
-        |    r.m + (z.value
-        |      - (r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE))
-        |      - 0.5::DOUBLE),
-        |    LEAST(r.mn, r.m + (z.value
-        |      - (r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE))
-        |      - 0.5::DOUBLE)),
-        |    GREATEST(r.exc, r.m + (z.value
-        |      - (r.mean + (z.value - r.mean) / CAST(r.i + 1 AS DOUBLE))
-        |      - 0.5::DOUBLE)
-        |      - LEAST(r.mn, r.m + (z.value
-        |        - (r.mean + (z.value - r.mean)
-        |          / CAST(r.i + 1 AS DOUBLE))
-        |        - 0.5::DOUBLE)))
-        |  FROM rec r JOIN base z
-        |    ON z.sensor_id = r.sensor_id AND z.rn = r.i + 1)
-        |SELECT r.sensor_id, CAST(cnt.n AS BIGINT) AS n_samples,
-        |  r.m AS ph_m, r.mn AS ph_min, r.exc AS max_excess,
-        |  r.exc > 5.0::DOUBLE AS alarm
-        |FROM rec r JOIN cnt ON cnt.sensor_id = r.sensor_id
-        |WHERE r.i = cnt.n ORDER BY r.sensor_id"""
-    ) { (s, d) =>
-      graft.operators.PageHinkley.detect(
-          EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"))
-        .orderBy("sensor_id")
-    },
-
-    // Restricted mean survival time off the q206 KM curve: exact
-    // piecewise integral Σ S(tₖ)·Δtₖ with per-piece DECIMAL(28,6)
-    // quantization; "expected days retained within the window".
-    q(
-      "q335_rmst",
-      """WITH lif AS (SELECT user_id, MIN(epoch_us(ts)) AS f,
-        |    MAX(epoch_us(ts)) AS l FROM events GROUP BY 1),
-        |gm AS (SELECT MAX(l) AS gmax FROM lif),
-        |durs AS (SELECT (l - f) // 86400000000 AS dur,
-        |    CASE WHEN l < gmax - 43200000000 THEN 1 ELSE 0 END
-        |      AS death
-        |  FROM lif CROSS JOIN gm),
-        |bd AS (SELECT dur, COUNT(*) AS c, CAST(SUM(death) AS BIGINT)
-        |    AS d FROM durs GROUP BY 1),
-        |tt AS (SELECT COUNT(*) AS n, MAX(dur) AS tau FROM durs),
-        |r AS (SELECT bd.dur, bd.d, tt.n, tt.tau,
-        |    CAST(COALESCE(SUM(bd.c) OVER (ORDER BY bd.dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM bd CROSS JOIN tt),
-        |dth AS (SELECT dur, d, n - cb AS nar, tau,
-        |    CASE WHEN d < n - cb THEN
-        |      CAST(ln(1.0::DOUBLE - CAST(d AS DOUBLE)
-        |        / CAST(n - cb AS DOUBLE)) AS DECIMAL(28,12))
-        |    ELSE CAST(0.0 AS DECIMAL(28,12)) END AS term
-        |  FROM r WHERE d > 0),
-        |fin AS (SELECT dur, tau,
-        |    MAX(CASE WHEN d = nar THEN 1 ELSE 0 END) OVER wc AS z,
-        |    SUM(term) OVER wc AS cum,
-        |    COALESCE(LEAD(dur) OVER (ORDER BY dur), tau) AS nxt
-        |  FROM dth WINDOW wc AS (ORDER BY dur ROWS BETWEEN UNBOUNDED
-        |    PRECEDING AND CURRENT ROW)),
-        |pc AS (SELECT tau,
-        |    CAST((CASE WHEN z = 1 THEN 0.0::DOUBLE
-        |        ELSE exp(CAST(cum AS DOUBLE)) END)
-        |      * CAST(nxt - dur AS DOUBLE) AS DECIMAL(28,6)) AS piece
-        |  FROM fin),
-        |hd AS (SELECT CAST(MIN(dur) AS DOUBLE) AS head FROM dth)
-        |SELECT CAST(MAX(tau) AS BIGINT) AS tau_days,
-        |  COUNT(*) AS n_death_times,
-        |  ROUND(hd.head + CAST(SUM(piece) AS DOUBLE), 6) AS rmst_days
-        |FROM pc CROSS JOIN hd GROUP BY hd.head"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.rmstDays(
-        Tables.events(s, d)
-          .select(col("user_id"), unix_micros(col("ts")).as("t_us")),
-        "user_id", "t_us", censorHorizonUs = 43200000000L)
-    },
-
-    // U-shaped multi-touch attribution: 40/20/40 position-based
-    // credit per conversion path (1.0 / 0.5-0.5 on degenerate
-    // paths); per-touch credits DECIMAL(18,12)-quantized before the
-    // order-free channel sum.
-    q(
-      "q336_ushape_attribution",
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS t, user_id,
-        |    event_type FROM events),
-        |cv AS (SELECT user_id, MIN(t) AS ct FROM e
-        |  WHERE event_type = 'purchase' GROUP BY 1),
-        |tch AS (SELECT user_id, t, event_type AS channel FROM (
-        |    SELECT user_id, t, event_type, ROW_NUMBER() OVER (
-        |      PARTITION BY user_id, t
-        |      ORDER BY event_type DESC, event_id DESC) AS rn
-        |    FROM e WHERE event_type IN ('click', 'view', 'signup'))
-        |  WHERE rn = 1),
-        |pre AS (SELECT tch.user_id, tch.t, tch.channel
-        |  FROM tch JOIN cv ON cv.user_id = tch.user_id
-        |  WHERE tch.t <= cv.ct),
-        |rk AS (SELECT user_id, channel,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY t, channel) AS rn,
-        |    COUNT(*) OVER (PARTITION BY user_id) AS m
-        |  FROM pre),
-        |cr AS (SELECT channel,
-        |    CAST(CASE WHEN m = 1 THEN 1.0::DOUBLE
-        |      WHEN m = 2 THEN 0.5::DOUBLE
-        |      WHEN rn = 1 OR rn = m THEN 0.4::DOUBLE
-        |      ELSE 0.2::DOUBLE / CAST(m - 2 AS DOUBLE) END
-        |      AS DECIMAL(18,12)) AS c
-        |  FROM rk)
-        |SELECT channel, COUNT(*) AS n_touches,
-        |  ROUND(CAST(SUM(c) AS DOUBLE), 6) AS credit
-        |FROM cr GROUP BY 1 ORDER BY channel"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d).select(col("event_id"),
-        unix_micros(col("ts")).as("t"), col("user_id"),
-        col("event_type"))
-      val conv = e.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("user"), col("t").as("conv_t_us"))
-      val touches = e
-        .filter(col("event_type").isin("click", "view", "signup"))
-        .groupBy(col("user_id"), col("t"))
-        .agg(max(struct(col("event_type"), col("event_id"))).as("m"))
-        .select(col("user_id").as("user"), col("t").as("t_us"),
-          col("m.event_type").as("channel"))
-      graft.pipeline.Behavior.uShapedAttribution(touches, conv)
-        .orderBy("channel")
-    },
-
-    // DTW distance from each view-sensor's 24-hour profile to the
-    // fleet profile: ALL-INTEGER dynamic programming (floor-division
-    // bucket means, |a−b| costs, 2⁶² border sentinels) — exact on any
-    // engine with no quantization discipline; the oracle unrolls the
-    // same DP cell-by-cell in a recursive CTE carrying the previous
-    // DP row as a list. user_id < 500 bounds the cohort at every SF.
-    q(
-      "q337_dtw_profile",
-      """WITH RECURSIVE s AS (SELECT event_type || ' ' || user_id
-        |    AS sensor_id,
-        |    (epoch_us(ts) // 3600000000) % 24 AS h,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events
-        |  WHERE event_type = 'view' AND user_id < 500),
-        |hs AS (SELECT sensor_id, h, SUM(q) // COUNT(*) AS v
-        |  FROM s GROUP BY 1, 2),
-        |grid AS (SELECT p.sensor_id, g.h
-        |  FROM (SELECT DISTINCT sensor_id FROM hs) p
-        |  CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) g),
-        |dense AS (SELECT grid.sensor_id, grid.h, COALESCE(hs.v, 0)
-        |    AS v
-        |  FROM grid LEFT JOIN hs USING (sensor_id, h)),
-        |prof AS (SELECT sensor_id, list(v ORDER BY h) AS a
-        |  FROM dense GROUP BY 1),
-        |nh AS (SELECT sensor_id, COUNT(*) AS nh FROM hs GROUP BY 1),
-        |f0 AS (SELECT h, SUM(q) // COUNT(*) AS v FROM s GROUP BY 1),
-        |fd AS (SELECT g.h, COALESCE(f0.v, 0) AS v
-        |  FROM (SELECT UNNEST(range(0, 24)) AS h) g
-        |  LEFT JOIN f0 USING (h)),
-        |fleet AS (SELECT list(v ORDER BY h) AS b FROM fd),
-        |rec AS (
-        |  SELECT sensor_id, a, b, 0 AS t,
-        |    list_concat([0::BIGINT], list_transform(range(0, 24),
-        |      x -> 4611686018427387904::BIGINT)) AS p,
-        |    [4611686018427387904::BIGINT] AS c
-        |  FROM prof CROSS JOIN fleet
-        |  UNION ALL
-        |  SELECT sensor_id, a, b, t + 1,
-        |    CASE WHEN t % 24 = 23 THEN
-        |      list_append(c, abs(a[t // 24 + 1] - b[t % 24 + 1])
-        |        + LEAST(p[t % 24 + 2], p[t % 24 + 1],
-        |            c[t % 24 + 1]))
-        |    ELSE p END,
-        |    CASE WHEN t % 24 = 23 THEN [4611686018427387904::BIGINT]
-        |    ELSE list_append(c, abs(a[t // 24 + 1] - b[t % 24 + 1])
-        |      + LEAST(p[t % 24 + 2], p[t % 24 + 1], c[t % 24 + 1]))
-        |    END
-        |  FROM rec WHERE t < 576)
-        |SELECT r.sensor_id, CAST(nh.nh AS BIGINT)
-        |    AS n_hours_present,
-        |  p[25] AS dtw_cost
-        |FROM rec r JOIN nh ON nh.sensor_id = r.sensor_id
-        |WHERE t = 576 ORDER BY r.sensor_id"""
-    ) { (s, d) =>
-      graft.operators.Dtw.dtwToFleet(
-          EventsAdapter.samples(s, d)
-            .filter(col("sensor_id").startsWith("view ") &&
-              element_at(split(col("sensor_id"), " "), 2)
-                .cast("long") < 500)
-            .select("sensor_id", "timestamp_us", "value"))
-        .orderBy("sensor_id")
-    },
-
-    // One-vs-rest KS per event type with Benjamini–Hochberg FDR:
-    // exact cross-multiplied integer D, 3-term Kolmogorov p, BH
-    // step-up on the ROUNDED p surface (ranking over identical
-    // values cross-engine).
-    q(
-      "q338_ks_bh_fdr",
-      """WITH x AS (SELECT event_type AS g,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |gv AS (SELECT g, v, COUNT(*) AS c FROM x GROUP BY 1, 2),
-        |va AS (SELECT v, COUNT(*) AS ct FROM x GROUP BY 1),
-        |np AS (SELECT g, COUNT(*) AS na FROM x GROUP BY 1),
-        |tt AS (SELECT COUNT(*) AS nt FROM x),
-        |grid AS (SELECT np.g, np.na, va.v, va.ct,
-        |    COALESCE(gv.c, 0) AS c
-        |  FROM np CROSS JOIN va
-        |  LEFT JOIN gv ON gv.g = np.g AND gv.v = va.v),
-        |cums AS (SELECT g, na, v,
-        |    SUM(c) OVER w AS cuma, SUM(ct) OVER w AS cumt
-        |  FROM grid WINDOW w AS (PARTITION BY g ORDER BY v
-        |    ROWS UNBOUNDED PRECEDING)),
-        |d AS (SELECT g, MAX(na) AS n_a,
-        |    MAX(tt.nt) - MAX(na) AS n_b,
-        |    CAST(MAX(ABS(cuma * (tt.nt - na)
-        |      - (cumt - cuma) * na)) AS BIGINT) AS d_num
-        |  FROM cums CROSS JOIN tt GROUP BY g),
-        |lamt AS (SELECT g, n_a, n_b, d_num,
-        |    CAST(d_num AS DOUBLE)
-        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-        |      * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-        |      AS lam
-        |  FROM d),
-        |pt AS (SELECT g, n_a, n_b, d_num,
-        |    ROUND(LEAST(1.0::DOUBLE,
-        |      2.0::DOUBLE * exp(-2.0::DOUBLE * lam * lam)
-        |      - 2.0::DOUBLE * exp(-8.0::DOUBLE * lam * lam)
-        |      + 2.0::DOUBLE * exp(-18.0::DOUBLE * lam * lam)), 6)
-        |      AS p_raw
-        |  FROM lamt),
-        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p_raw, g)
-        |      AS rkn, COUNT(*) OVER () AS m
-        |  FROM pt),
-        |adj AS (SELECT *, MIN(p_raw * CAST(m AS DOUBLE)
-        |      / CAST(rkn AS DOUBLE)) OVER (ORDER BY rkn DESC
-        |      ROWS UNBOUNDED PRECEDING) AS padj
-        |  FROM rk)
-        |SELECT g AS event_type, CAST(n_a AS BIGINT) AS n_a,
-        |  CAST(n_b AS BIGINT) AS n_b, d_num, p_raw,
-        |  ROUND(LEAST(1.0::DOUBLE, padj), 6) AS p_adj
-        |FROM adj ORDER BY event_type"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.ksBhFdr(
-        Tables.events(s, d)
-          .select(col("event_type"),
-            floor(col("value") * 1000.0).cast("long").as("vq")),
-        "event_type", "vq")
-        .orderBy("event_type")
-    },
-
-    // Difference-in-differences on user-parity treatment and a
-    // midpoint time split: one conditional-sum 2×2 aggregate (pivot
-    // discipline), exact milli sums, fixed IEEE shapes, ROUND(6).
-    q(
-      "q339_diff_in_diff",
-      """WITH e AS (SELECT user_id % 2 AS tr, epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |mm AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM e),
-        |x AS (SELECT tr, CASE WHEN t * 2 >= mn + mx THEN 1 ELSE 0
-        |      END AS post, v
-        |  FROM e CROSS JOIN mm),
-        |a AS (SELECT
-        |    COUNT(*) FILTER (tr = 1 AND post = 1) AS n11,
-        |    CAST(SUM(v) FILTER (tr = 1 AND post = 1) AS BIGINT)
-        |      AS s11,
-        |    COUNT(*) FILTER (tr = 1 AND post = 0) AS n10,
-        |    CAST(SUM(v) FILTER (tr = 1 AND post = 0) AS BIGINT)
-        |      AS s10,
-        |    COUNT(*) FILTER (tr = 0 AND post = 1) AS n01,
-        |    CAST(SUM(v) FILTER (tr = 0 AND post = 1) AS BIGINT)
-        |      AS s01,
-        |    COUNT(*) FILTER (tr = 0 AND post = 0) AS n00,
-        |    CAST(SUM(v) FILTER (tr = 0 AND post = 0) AS BIGINT)
-        |      AS s00
-        |  FROM x)
-        |SELECT n11, n10, n01, n00,
-        |  ROUND(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE), 6)
-        |    AS mean_treat_post,
-        |  ROUND(CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE), 6)
-        |    AS mean_treat_pre,
-        |  ROUND(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE), 6)
-        |    AS mean_ctrl_post,
-        |  ROUND(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE), 6)
-        |    AS mean_ctrl_pre,
-        |  ROUND((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
-        |      - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
-        |    - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
-        |      - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)), 6)
-        |    AS did
-        |FROM a"""
-    ) { (s, d) =>
-      val e = Tables.events(s, d).select(
-        (col("user_id") % 2).as("tr"),
-        unix_micros(col("ts")).as("t"),
-        floor(col("value") * 1000.0).cast("long").as("vq"))
-      val mm = broadcast(e.agg(min(col("t")).as("__mn"),
-        max(col("t")).as("__mx")))
-      val x = e.crossJoin(mm)
-        .select(col("tr"),
-          when(col("t") * 2 >= col("__mn") + col("__mx"), lit(1))
-            .otherwise(lit(0)).as("post"),
-          col("vq"))
-      graft.pipeline.Profiler.diffInDiff(x, "tr", "post", "vq")
-    },
-
-    // Pooled two-proportion z on per-user purchase conversion by
-    // parity cohort: exact conditional counts, one IEEE chain.
-    q(
-      "q340_two_prop_z",
-      """WITH u AS (SELECT user_id % 2 AS g,
-        |    CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
-        |      THEN 1 END) >= 10 THEN 1 ELSE 0 END AS s
-        |  FROM events GROUP BY user_id),
-        |a AS (SELECT
-        |    COUNT(*) FILTER (g = 1) AS n1,
-        |    COUNT(*) FILTER (g = 1 AND s = 1) AS x1,
-        |    COUNT(*) FILTER (g <> 1) AS n0,
-        |    COUNT(*) FILTER (g <> 1 AND s = 1) AS x0
-        |  FROM u)
-        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
-        |  CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
-        |  ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
-        |    AS p_treat,
-        |  ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
-        |    AS p_ctrl,
-        |  ROUND((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-        |      - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-        |    / sqrt(CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
-        |      * (1.0::DOUBLE - CAST(x1 + x0 AS DOUBLE)
-        |        / CAST(n1 + n0 AS DOUBLE))
-        |      * (1.0::DOUBLE / CAST(n1 AS DOUBLE)
-        |        + 1.0::DOUBLE / CAST(n0 AS DOUBLE))), 6) AS z
-        |FROM a"""
-    ) { (s, d) =>
-      // success = a HEAVY purchaser (≥10): all-user conversion is
-      // saturated at every SF, which would zero the pooled variance
-      val u = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(when(count(when(col("event_type") === "purchase",
-          lit(1))) >= 10, lit(1)).otherwise(lit(0)).as("succ"))
-        .select((col("user_id") % 2).as("grp"), col("succ"))
-      graft.pipeline.Profiler.twoProportionZ(u, "grp", "succ")
-    },
-
-    // Stationary distribution of the q192 event-type Markov chain:
-    // 25 fixed power-iteration rounds, per-state incoming mass
-    // DECIMAL(28,15)-quantized and each iterate ROUND(9) — the
-    // pageRank per-iteration-rounding discipline, unrolled in the
-    // oracle.
-    q("q341_markov_stationary", markovStationarySql) { (s, d) =>
-      val tm = graft.pipeline.Behavior.transitionMatrix(
-        Tables.events(s, d).withColumn("t", unix_micros(col("ts"))),
-        "user_id", "t", "event_id", "event_type")
-        .select(col("from_state"), col("to_state"), col("n"))
-      graft.pipeline.Behavior.markovStationary(tm)
-        .orderBy("state")
-    },
-
-    // Wald SPRT over the user-ordered heavy-purchaser stream
-    // (H₁ p=0.7 vs H₀ p=0.5, α=β=0.05): the four ln constants are
-    // driver-computed and inlined full-precision into the oracle
-    // (benford discipline); the LLR walk replays bit-exactly in the
-    // recursive CTE, frozen at the decision.
-    q("q342_sprt", sprtSql) { (s, d) =>
-      val obs = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(when(count(when(col("event_type") === "purchase",
-          lit(1))) >= 10, lit(1)).otherwise(lit(0)).as("success"))
-        .select(lit("all").as("trial"), col("user_id").as("seq"),
-          col("success"))
-      graft.operators.Sprt.test(obs)
-    },
-
-    // Matched-cohort ATT: treated (odd custkey) matched to the
-    // nearest even-custkey control on acctbal cents within nation,
-    // matching with replacement via the asOfNearest merge; controls
-    // pre-collapse per (nation, balance) to the smallest-id rep so
-    // the merge never sees tied keys. Outcome = lifetime order value
-    // in exact cents.
-    q(
-      "q343_matched_att",
-      """WITH ot AS (SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
-        |      AS BIGINT) AS tot
-        |  FROM orders GROUP BY 1),
-        |base AS (SELECT c_nationkey AS k,
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS x,
-        |    COALESCE(ot.tot, 0) AS o, c_custkey AS id
-        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
-        |tr AS (SELECT k, x, o FROM base WHERE id % 2 = 1),
-        |ct AS (SELECT k, x, o FROM (SELECT k, x, o,
-        |    ROW_NUMBER() OVER (PARTITION BY k, x ORDER BY id) AS rn
-        |  FROM base WHERE id % 2 = 0) WHERE rn = 1),
-        |u AS (SELECT k, x, 1 AS side, o AS t_o, NULL::BIGINT AS c_o
-        |  FROM tr
-        |  UNION ALL SELECT k, x, 0, NULL, o FROM ct),
-        |w AS (SELECT k, x, side, t_o,
-        |    last_value(CASE WHEN side = 0 THEN x END IGNORE NULLS)
-        |      OVER wb AS pts,
-        |    last_value(CASE WHEN side = 0 THEN c_o END IGNORE NULLS)
-        |      OVER wb AS pv,
-        |    first_value(CASE WHEN side = 0 THEN x END IGNORE NULLS)
-        |      OVER wf AS nts,
-        |    first_value(CASE WHEN side = 0 THEN c_o END IGNORE NULLS)
-        |      OVER wf AS nv
-        |  FROM u WINDOW
-        |    wb AS (PARTITION BY k ORDER BY x, side
-        |      ROWS UNBOUNDED PRECEDING),
-        |    wf AS (PARTITION BY k ORDER BY x, side
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |ch AS (SELECT k, x, t_o,
-        |    CASE WHEN pts IS NOT NULL
-        |      AND (nts IS NULL OR x - pts <= nts - x)
-        |      THEN pts ELSE nts END AS rts,
-        |    CASE WHEN pts IS NOT NULL
-        |      AND (nts IS NULL OR x - pts <= nts - x)
-        |      THEN pv ELSE nv END AS c_o
-        |  FROM w WHERE side = 1),
-        |mt AS (SELECT * FROM ch WHERE rts IS NOT NULL
-        |  AND ABS(x - rts) <= 100000),
-        |ntr AS (SELECT COUNT(*) AS n_treated FROM tr)
-        |SELECT CAST(ntr.n_treated AS BIGINT) AS n_treated,
-        |  COUNT(*) AS n_matched,
-        |  ROUND(CAST(SUM(t_o - c_o) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 6) AS att,
-        |  ROUND(CAST(SUM(ABS(x - rts)) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_x_dist
-        |FROM mt CROSS JOIN ntr GROUP BY ntr.n_treated"""
-    ) { (s, d) =>
-      val ot = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("tot"))
-      val base = Tables.customer(s, d)
-        .join(ot, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_nationkey").as("key"),
-          (col("c_acctbal").cast("decimal(18,2)") * 100)
-            .cast("long").as("x"),
-          coalesce(col("tot"), lit(0L)).as("outcome"),
-          col("c_custkey").as("id"))
-      val treated = base.filter(col("id") % 2 === 1)
-        .select(col("key"), col("x"), col("outcome"))
-      val controls = base.filter(col("id") % 2 === 0)
-      graft.pipeline.Behavior.matchedAtt(treated, controls,
-        tolerance = 100000L)
-    },
-
-    // Calibration table + per-bin Brier for a DYADIC score
-    // ((acctbal cents + 100000)/2²¹): exact integer numerators mean
-    // NO float surface anywhere — bins, means, and the
-    // cross-multiplied Brier numerator all replay as integers.
-    q(
-      "q344_calibration_bins",
-      """WITH ot AS (SELECT o_custkey, COUNT(*) AS c FROM orders
-        |  GROUP BY 1),
-        |base AS (SELECT
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      + 100000 AS num,
-        |    CASE WHEN COALESCE(ot.c, 0) >= 5 THEN 1 ELSE 0 END AS y
-        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
-        |b AS (SELECT num * 10 // 2097152 AS bin, num, y,
-        |    num - y * 2097152 AS e FROM base),
-        |a AS (SELECT bin, COUNT(*) AS n,
-        |    CAST(SUM(num) AS BIGINT) AS sn,
-        |    CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) AS sq
-        |  FROM b GROUP BY 1)
-        |SELECT bin, CAST(n AS BIGINT) AS n, sy AS n_pos,
-        |  CAST(sn AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * 2097152.0) AS mean_pred,
-        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
-        |  ROUND(sq / (CAST(n AS DOUBLE) * 2097152.0 * 2097152.0), 6)
-        |    AS brier
-        |FROM a ORDER BY bin"""
-    ) { (s, d) =>
-      val ot = Tables.orders(s, d)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
-      val base = Tables.customer(s, d)
-        .join(ot, col("c_custkey") === col("o_custkey"), "left")
-        .select(
-          ((col("c_acctbal").cast("decimal(18,2)") * 100)
-            .cast("long") + 100000L).as("num"),
-          when(coalesce(col("c"), lit(0L)) >= 5, lit(1))
-            .otherwise(lit(0)).as("y"))
-      graft.pipeline.Profiler.calibrationBins(base, "num", "y", 21)
-        .orderBy("bin")
-    },
-
-    // Isotonic regression of the hourly profile per event type via
-    // the CLOSED FORM ŷᵢ = max_{k≤i} min_{j≥i} mean(k..j) — an
-    // O(B³)-per-group join over the 24-bucket table (never
-    // row-sized), no PAVA stack, no recursion. Integer bucket means
-    // (q337 floor-division discipline); interval means are one
-    // exact-integer division each, identical doubles both engines.
-    q(
-      "q345_isotonic",
-      """WITH s AS (SELECT event_type AS g,
-        |    (epoch_us(ts) // 3600000000) % 24 AS i,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
-        |hs AS (SELECT g, i, CAST(SUM(q) // COUNT(*) AS BIGINT) AS v
-        |  FROM s GROUP BY 1, 2),
-        |grid AS (SELECT gg.g, hh.i
-        |  FROM (SELECT DISTINCT g FROM hs) gg
-        |  CROSS JOIN (SELECT UNNEST(range(0, 24)) AS i) hh),
-        |dense AS (SELECT grid.g, grid.i, COALESCE(hs.v, 0) AS v
-        |  FROM grid LEFT JOIN hs USING (g, i)),
-        |pre AS (SELECT g, i, v, SUM(v) OVER (PARTITION BY g
-        |    ORDER BY i ROWS UNBOUNDED PRECEDING) AS p FROM dense),
-        |kj AS (SELECT a.g, a.i AS k, b.i AS j,
-        |    CAST(b.p - (a.p - a.v) AS DOUBLE)
-        |      / CAST(b.i - a.i + 1 AS DOUBLE) AS m
-        |  FROM pre a JOIN pre b ON a.g = b.g AND a.i <= b.i),
-        |im AS (SELECT kj.g, x.i, kj.k, MIN(kj.m) AS mn
-        |  FROM kj JOIN pre x ON x.g = kj.g AND kj.k <= x.i
-        |    AND kj.j >= x.i
-        |  GROUP BY 1, 2, 3),
-        |fit AS (SELECT g, i, MAX(mn) AS f FROM im GROUP BY 1, 2)
-        |SELECT dense.g AS event_type, dense.i AS hour, dense.v AS v,
-        |  ROUND(fit.f, 6) AS iso_fit
-        |FROM dense JOIN fit USING (g, i)
-        |ORDER BY event_type, hour"""
-    ) { (s, d) =>
-      val base = Tables.events(s, d).select(
-        col("event_type").as("g"),
-        (expr("unix_micros(ts) div 3600000000") % 24).as("i"),
-        floor(col("value") * 1000.0).cast("long").as("q"))
-      val hs = base.groupBy(col("g"), col("i"))
-        .agg(sum(col("q")).as("__s"), count(lit(1)).as("__c"))
-        .select(col("g"), col("i"), expr("__s div __c").as("v"))
-      val dense = hs.select(col("g")).distinct()
-        .select(col("g"), explode(sequence(lit(0L), lit(23L)))
-          .as("i"))
-        .join(hs, Seq("g", "i"), "left")
-        .na.fill(0L, Seq("v"))
-      graft.operators.Isotonic.fit(dense)
-        .select(col("g").as("event_type"), col("i").as("hour"),
-          col("v"), col("iso_fit"))
-        .orderBy("event_type", "hour")
-    },
-
-    // Exact ROC AUC via the tied-rank statistic on the dyadic score:
-    // AUC = (2R⁺ − n⁺(n⁺+1))/(2n⁺n⁻), exact integers into one
-    // division — no sorting of floats, no trapezoids.
-    q(
-      "q346_auc",
-      """WITH ot AS (SELECT o_custkey, COUNT(*) AS c FROM orders
-        |  GROUP BY 1),
-        |base AS (SELECT
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      + 100000 AS num,
-        |    CASE WHEN COALESCE(ot.c, 0) >= 5 THEN 1 ELSE 0 END AS y
-        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
-        |bv AS (SELECT num AS v, COUNT(*) AS c,
-        |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0)
-        |      AS BIGINT) AS cp
-        |  FROM base GROUP BY 1),
-        |rk AS (SELECT v, c, cp,
-        |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb
-        |  FROM bv),
-        |a AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
-        |    CAST(SUM(c) - SUM(cp) AS BIGINT) AS nn,
-        |    CAST(SUM(cp * (2 * cb + c + 1)) AS BIGINT) AS r2p
-        |  FROM rk)
-        |SELECT np AS n_pos, nn AS n_neg,
-        |  CAST(r2p - np * (np + 1) AS DOUBLE)
-        |    / (2.0::DOUBLE * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
-        |    AS auc
-        |FROM a"""
-    ) { (s, d) =>
-      val ot = Tables.orders(s, d)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
-      val base = Tables.customer(s, d)
-        .join(ot, col("c_custkey") === col("o_custkey"), "left")
-        .select(
-          ((col("c_acctbal").cast("decimal(18,2)") * 100)
-            .cast("long") + 100000L).as("num"),
-          when(coalesce(col("c"), lit(0L)) >= 5, lit(1))
-            .otherwise(lit(0)).as("y"))
-      graft.pipeline.Profiler.aucExact(base, "num", "y")
-    },
-
-    // Exact average precision over the (score desc, id asc) total
-    // order: per-positive precision terms quantized DECIMAL(28,12)
-    // before the order-free sum. Eval-set-bounded global ranking.
-    q(
-      "q347_avg_precision",
-      """WITH ot AS (SELECT o_custkey, COUNT(*) AS c FROM orders
-        |  GROUP BY 1),
-        |base AS (SELECT c_custkey AS id,
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      + 100000 AS num,
-        |    CASE WHEN COALESCE(ot.c, 0) >= 5 THEN 1 ELSE 0 END AS y
-        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
-        |rk AS (SELECT y,
-        |    ROW_NUMBER() OVER (ORDER BY num DESC, id ASC) AS k,
-        |    SUM(y) OVER (ORDER BY num DESC, id ASC
-        |      ROWS UNBOUNDED PRECEDING) AS cp
-        |  FROM base),
-        |t AS (SELECT CAST(CAST(cp AS DOUBLE) / CAST(k AS DOUBLE)
-        |    AS DECIMAL(28,12)) AS t
-        |  FROM rk WHERE y = 1)
-        |SELECT COUNT(*) AS n_pos,
-        |  ROUND(CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-        |    AS avg_precision
-        |FROM t"""
-    ) { (s, d) =>
-      val ot = Tables.orders(s, d)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
-      val base = Tables.customer(s, d)
-        .join(ot, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_custkey").as("id"),
-          ((col("c_acctbal").cast("decimal(18,2)") * 100)
-            .cast("long") + 100000L).as("num"),
-          when(coalesce(col("c"), lit(0L)) >= 5, lit(1))
-            .otherwise(lit(0)).as("y"))
-      graft.pipeline.Profiler.averagePrecision(base, "num", "y", "id")
-    },
-
-    // Exponential (log₂) histogram per event type: the bucket is the
-    // BIT LENGTH of the milli value — an exact integer bucket
-    // function via base-2 string length (conv ↔ printf('%b')), no
-    // float log to misbucket exact powers of two.
-    q(
-      "q348_log2_histogram",
-      """WITH x AS (SELECT event_type AS g,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |b AS (SELECT g, CASE WHEN v >= 1
-        |    THEN CAST(length(printf('%b', v)) AS INTEGER)
-        |    ELSE 0 END AS bucket FROM x),
-        |a AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
-        |SELECT g AS event_type, bucket, cnt,
-        |  CASE WHEN bucket >= 1 THEN (1::BIGINT << (bucket - 1))
-        |    ELSE 0::BIGINT END AS lo,
-        |  CASE WHEN bucket >= 1 THEN (1::BIGINT << bucket) - 1
-        |    ELSE 0::BIGINT END AS hi
-        |FROM a ORDER BY event_type, bucket"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.log2Histogram(
-          Tables.events(s, d)
-            .select(col("event_type"),
-              floor(col("value") * 1000.0).cast("long").as("vq")),
-          "event_type", "vq")
-        .orderBy("event_type", "bucket")
-    },
-
-    // Deterministic negative sampling for (customer, part) training
-    // pairs: salted-hash residues over the dense part domain,
-    // overdraw ×4, anti-join the positives, first 3 per user by draw
-    // index — replayable contrastive negatives, no RNG.
-    q(
-      "q349_negative_sample",
-      """WITH pos AS (SELECT DISTINCT o.o_custkey AS u,
-        |    l.l_partkey AS it
-        |  FROM orders o JOIN lineitem l
-        |    ON l.l_orderkey = o.o_orderkey),
-        |pc AS (SELECT COUNT(*) AS p FROM part),
-        |us AS (SELECT DISTINCT u FROM pos),
-        |cand AS (SELECT us.u, i.i,
-        |    ('0x' || substr(md5('neg:' || CAST(us.u AS VARCHAR)
-        |      || ':' || CAST(i.i AS VARCHAR)), 1, 15))::BIGINT
-        |      % pc.p AS it
-        |  FROM us CROSS JOIN (SELECT UNNEST(range(0, 12)) AS i) i
-        |  CROSS JOIN pc),
-        |neg AS (SELECT c.u, c.it, c.i FROM cand c
-        |  LEFT JOIN pos ON pos.u = c.u AND pos.it = c.it
-        |  WHERE pos.u IS NULL),
-        |dd AS (SELECT u, it, MIN(i) AS i FROM neg GROUP BY 1, 2),
-        |rk AS (SELECT u, it, i, ROW_NUMBER() OVER (
-        |    PARTITION BY u ORDER BY i) AS rn FROM dd)
-        |SELECT u AS user_id, it AS item_id, CAST(i AS BIGINT)
-        |    AS draw_idx
-        |FROM rk WHERE rn <= 3 ORDER BY user_id, draw_idx"""
-    ) { (s, d) =>
-      val pos = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("user"),
-          col("l_partkey").as("item"))
-        .distinct()
-      val itemCount = Tables.part(s, d).count()
-      graft.pipeline.Sampling.negativeSample(pos, itemCount)
-        .select(col("user").as("user_id"), col("item").as("item_id"),
-          col("draw_idx").cast("long"))
-        .orderBy("user_id", "draw_idx")
-    },
-
-    // Covariate-shift importance weights: purchase-vs-view value
-    // distribution ratio per unit bucket, cross-multiplied exact
-    // integers into one division.
-    q(
-      "q350_importance_weights",
-      """WITH x AS (SELECT CASE WHEN event_type = 'purchase' THEN 1
-        |      ELSE 0 END AS t,
-        |    CAST(floor(value * 1000.0) AS BIGINT) // 1000 AS bucket
-        |  FROM events WHERE event_type IN ('purchase', 'view')),
-        |h AS (SELECT bucket,
-        |    COUNT(CASE WHEN t = 1 THEN 1 END) AS c_t,
-        |    COUNT(CASE WHEN t = 0 THEN 1 END) AS c_s
-        |  FROM x GROUP BY 1),
-        |n AS (SELECT COUNT(CASE WHEN t = 1 THEN 1 END) AS nt,
-        |    COUNT(CASE WHEN t = 0 THEN 1 END) AS ns FROM x)
-        |SELECT bucket, CAST(c_t AS BIGINT) AS c_t,
-        |  CAST(c_s AS BIGINT) AS c_s,
-        |  ROUND(CAST(c_t * n.ns AS DOUBLE)
-        |    / CAST(c_s * n.nt AS DOUBLE), 6) AS weight
-        |FROM h CROSS JOIN n WHERE c_s > 0 ORDER BY bucket"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.importanceWeights(
-          Tables.events(s, d)
-            .filter(col("event_type").isin("purchase", "view"))
-            .select(when(col("event_type") === "purchase", lit(1))
-              .otherwise(lit(0)).as("is_t"),
-              expr("CAST(floor(value * 1000.0) AS BIGINT)" +
-                " div 1000").as("bk")),
-          "is_t", "bk")
-        .orderBy("bucket")
-    },
-
-    // Theil T inequality of customer lifetime value per nation:
-    // x·n/S exact integers into one division, per-row r·ln(r) terms
-    // DECIMAL(28,12)-quantized before the order-free sum.
-    q(
-      "q351_theil_index",
-      """WITH ot AS (SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
-        |      AS BIGINT) AS tot
-        |  FROM orders GROUP BY 1),
-        |base AS (SELECT c_nationkey AS g, COALESCE(ot.tot, 0) AS x
-        |  FROM customer LEFT JOIN ot ON ot.o_custkey = c_custkey),
-        |pos AS (SELECT g, x FROM base WHERE x > 0),
-        |st AS (SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
-        |  FROM pos GROUP BY 1),
-        |tm AS (SELECT pos.g, st.n, st.s,
-        |    CAST(pos.x * st.n AS DOUBLE) / CAST(st.s AS DOUBLE) AS r
-        |  FROM pos JOIN st ON st.g = pos.g),
-        |t2 AS (SELECT g, n, s,
-        |    CAST(r * ln(r) AS DECIMAL(28,12)) AS t FROM tm)
-        |SELECT g AS nation, CAST(MAX(n) AS BIGINT) AS n,
-        |  CAST(MAX(s) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean,
-        |  ROUND(CAST(SUM(t) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
-        |    AS theil
-        |FROM t2 GROUP BY g ORDER BY nation"""
-    ) { (s, d) =>
-      val ot = Tables.orders(s, d)
-        .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("tot"))
-      val base = Tables.customer(s, d)
-        .join(ot, col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_nationkey").as("nation"),
-          coalesce(col("tot"), lit(0L)).as("x"))
-      graft.pipeline.Profiler.theilIndex(base, "nation", "x")
-        .orderBy("nation")
-    },
-
-    // Source→corpus decile alignment (the quantile-normalization
-    // mapping table): exact lower-order-statistic quantiles via the
-    // q316 cross-multiplied selection — pure integers, no
-    // interpolation, no division.
-    q(
-      "q352_quantile_align",
-      """WITH base AS (SELECT source AS g, n_chars AS v
-        |  FROM documents),
-        |gv AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
-        |np AS (SELECT g, COUNT(*) AS n FROM base GROUP BY 1),
-        |tt AS (SELECT COUNT(*) AS nt FROM base),
-        |cums AS (SELECT gv.g, gv.v, np.n,
-        |    SUM(gv.c) OVER (PARTITION BY gv.g ORDER BY gv.v
-        |      ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM gv JOIN np ON np.g = gv.g),
-        |dec AS (SELECT CAST(UNNEST(range(1, 10)) AS INTEGER)
-        |    AS decile),
-        |pg AS (SELECT g, decile, MIN(v) AS v_group
-        |  FROM cums CROSS JOIN dec
-        |  WHERE cum * 10 >= decile * n GROUP BY 1, 2),
-        |cv AS (SELECT v, COUNT(*) AS c FROM base GROUP BY 1),
-        |cc AS (SELECT v, SUM(c) OVER (ORDER BY v
-        |    ROWS UNBOUNDED PRECEDING) AS cum FROM cv),
-        |pc AS (SELECT decile, MIN(v) AS v_corpus
-        |  FROM cc CROSS JOIN tt CROSS JOIN dec
-        |  WHERE cum * 10 >= decile * nt GROUP BY 1)
-        |SELECT pg.g AS source, pg.decile, pg.v_group, pc.v_corpus,
-        |  pc.v_corpus - pg.v_group AS shift
-        |FROM pg JOIN pc USING (decile) ORDER BY source, decile"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.quantileAlign(
-          Tables.documents(s, d).select(col("source"),
-            col("n_chars")),
-          "source", "n_chars")
-        .orderBy("source", "decile")
-    },
-
-    // Per-sensor peak detection on hourly totals: strict local maxima
-    // with the drop above the higher neighbor — all-integer lag/lead
-    // arithmetic (q337 replay class).
-    q(
-      "q353_peaks",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) // 3600000000 AS b,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
-        |bb AS (SELECT sensor_id, b, CAST(SUM(q) AS BIGINT) AS sv
-        |  FROM s GROUP BY 1, 2),
-        |f AS (SELECT sensor_id, b, sv,
-        |    LAG(sv) OVER w AS pv, LEAD(sv) OVER w AS nx
-        |  FROM bb WINDOW w AS (PARTITION BY sensor_id ORDER BY b)),
-        |g AS (SELECT sensor_id, b, sv,
-        |    (pv IS NOT NULL AND nx IS NOT NULL AND sv > pv
-        |      AND sv > nx) AS pk,
-        |    CASE WHEN pv IS NOT NULL AND nx IS NOT NULL AND sv > pv
-        |      AND sv > nx THEN sv - GREATEST(pv, nx) END AS drp
-        |  FROM f),
-        |m AS (SELECT sensor_id, MAX(drp) AS md FROM g GROUP BY 1)
-        |SELECT g.sensor_id, COUNT(*) AS n_buckets,
-        |  CAST(COUNT(CASE WHEN pk THEN 1 END) AS BIGINT) AS n_peaks,
-        |  MAX(drp) AS max_drop,
-        |  MIN(CASE WHEN drp = m.md THEN b END) AS peak_bucket
-        |FROM g JOIN m ON m.sensor_id = g.sensor_id
-        |GROUP BY g.sensor_id ORDER BY g.sensor_id"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.peaks(
-          EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"))
-        .orderBy("sensor_id")
-    },
-
-    // RAKE keyphrase extraction: degree/frequency word scores over
-    // stopword-delimited candidate phrases, per-word scores
-    // DECIMAL(28,12)-quantized, top-20 on the rounded score with a
-    // phrase tie-break.
-    q("q354_rake_keyphrases", rakeSql) { (s, d) =>
-      graft.pipeline.TextAnalysis.rakeKeyphrases(
-        Tables.documents(s, d), "doc_id", "text")
-    },
-
-    // Johnson–Lindenstrauss distortion audit: 64→16 dims via seeded
-    // µ-quantized Gaussian planes — exact-integer projections and
-    // distances (cast-first decimal squares), one IEEE ratio per
-    // pair, quantized before the min/max/mean.
-    q("q355_jl_distortion", jlSql) { (s, d) =>
-      graft.pipeline.Similarity.jlDistortion(
-        Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("vec")))
-    },
-
-    // Class-based TF-IDF (BERTopic c-TF-IDF): which tokens
-    // characterize each SOURCE; exact integer counts into one fixed
-    // IEEE score shape, per-class top-10 on (rounded score, token).
-    q(
-      "q356_class_tfidf",
-      """WITH tok AS (SELECT source AS g,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |      AS token
-        |  FROM documents),
-        |tf AS (SELECT g, token, COUNT(*) AS c FROM tok
-        |  WHERE length(token) > 0 GROUP BY 1, 2),
-        |pc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM tf
-        |  GROUP BY 1),
-        |corpus AS (SELECT token, CAST(SUM(c) AS BIGINT) AS f FROM tf
-        |  GROUP BY 1),
-        |av AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS k
-        |  FROM pc),
-        |sc AS (SELECT g, token, c,
-        |    ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-        |      * ln(1.0::DOUBLE + (CAST(tot AS DOUBLE)
-        |        / CAST(k AS DOUBLE)) / CAST(f AS DOUBLE)), 6)
-        |      AS score
-        |  FROM tf JOIN pc USING (g) JOIN corpus USING (token)
-        |  CROSS JOIN av),
-        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY g
-        |    ORDER BY score DESC, token) AS INTEGER) AS rank
-        |  FROM sc)
-        |SELECT g AS source, token, CAST(c AS BIGINT) AS tf, score,
-        |  rank
-        |FROM rk WHERE rank <= 10 ORDER BY source, rank"""
-    ) { (s, d) =>
-      graft.pipeline.TextAnalysis.classTfIdf(
-          Tables.documents(s, d), "source", "text")
-        .select(col("source"), col("token"), col("tf"), col("score"),
-          col("rank"))
-        .orderBy("source", "rank")
-    },
-
-    // Burrows' Delta stylometric distance between source pairs:
-    // z-scored relative frequencies of the corpus top-50 tokens,
-    // quantized at every cross-class sum; zero-variance tokens
-    // dropped on both engines.
-    q(
-      "q357_burrows_delta",
-      """WITH tok AS (SELECT source AS g,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+'))
-        |      AS token
-        |  FROM documents),
-        |tf AS (SELECT g, token, COUNT(*) AS c FROM tok
-        |  WHERE length(token) > 0 GROUP BY 1, 2),
-        |pc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM tf
-        |  GROUP BY 1),
-        |top AS (SELECT token FROM (SELECT token,
-        |    CAST(SUM(c) AS BIGINT) AS f FROM tf GROUP BY 1)
-        |  ORDER BY f DESC, token LIMIT 50),
-        |grid AS (SELECT pc.g, top.token,
-        |    CAST(CAST(COALESCE(tf.c, 0) AS DOUBLE)
-        |      / CAST(pc.n AS DOUBLE) AS DECIMAL(28,12)) AS r
-        |  FROM pc CROSS JOIN top
-        |  LEFT JOIN tf ON tf.g = pc.g AND tf.token = top.token),
-        |st AS (SELECT token, COUNT(*) AS s, SUM(r) AS sr,
-        |    SUM(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
-        |      AS DECIMAL(28,12))) AS srr
-        |  FROM grid GROUP BY 1),
-        |z AS (SELECT grid.g, grid.token,
-        |    (CAST(r AS DOUBLE) - CAST(sr AS DOUBLE)
-        |        / CAST(s AS DOUBLE))
-        |      / sqrt(CAST(srr AS DOUBLE) / CAST(s AS DOUBLE)
-        |        - (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE))
-        |          * (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE))) AS z
-        |  FROM grid JOIN st USING (token)
-        |  WHERE CAST(srr AS DOUBLE) / CAST(s AS DOUBLE)
-        |    - (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE))
-        |      * (CAST(sr AS DOUBLE) / CAST(s AS DOUBLE)) > 0),
-        |pr AS (SELECT a.g AS g_a, b.g AS g_b,
-        |    CAST(ABS(a.z - b.z) AS DECIMAL(28,12)) AS dd
-        |  FROM z a JOIN z b ON a.token = b.token AND a.g < b.g)
-        |SELECT g_a, g_b, COUNT(*) AS n_tokens,
-        |  ROUND(CAST(SUM(dd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
-        |    6) AS delta
-        |FROM pr GROUP BY 1, 2 ORDER BY g_a, g_b"""
-    ) { (s, d) =>
-      graft.pipeline.TextAnalysis.burrowsDelta(
-          Tables.documents(s, d), "source", "text")
-        .orderBy("g_a", "g_b")
-    },
-
-    // Lincoln–Petersen (Chapman) capture–recapture corpus-size
-    // estimate from the even/odd doc crawl halves — recapture =
-    // identical normalized text (the q23 equivalence).
-    q(
-      "q358_lincoln_petersen",
-      """WITH fa AS (SELECT DISTINCT lower(regexp_replace(trim(text),
-        |    '\s+', ' ', 'g')) AS fp
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |fb AS (SELECT DISTINCT lower(regexp_replace(trim(text),
-        |    '\s+', ' ', 'g')) AS fp
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |a AS (SELECT (SELECT COUNT(*) FROM fa) AS n_a,
-        |    (SELECT COUNT(*) FROM fb) AS n_b,
-        |    (SELECT COUNT(*) FROM fa JOIN fb USING (fp)) AS m)
-        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT)
-        |    AS n_b, CAST(m AS BIGINT) AS m,
-        |  ROUND(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
-        |    / CAST(m + 1 AS DOUBLE) - 1.0::DOUBLE, 6) AS n_estimate
-        |FROM a"""
-    ) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      graft.pipeline.Dedup.lincolnPetersen(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1), "text")
-    },
-
-    // Leave-one-out source ablation on doc length: corpus mean
-    // without each source and the delta — exact integer sums, fixed
-    // IEEE shapes.
-    q(
-      "q359_loo_ablation",
-      """WITH per AS (SELECT source, COUNT(*) AS n,
-        |    CAST(SUM(n_chars) AS BIGINT) AS s
-        |  FROM documents GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
-        |    CAST(SUM(s) AS BIGINT) AS st FROM per)
-        |SELECT source, CAST(n AS BIGINT) AS n,
-        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    AS group_mean,
-        |  ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6)
-        |    AS corpus_mean,
-        |  ROUND(CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE), 6)
-        |    AS loo_mean,
-        |  ROUND(CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE)
-        |    - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6)
-        |    AS loo_delta
-        |FROM per CROSS JOIN tot ORDER BY source"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.looAblation(
-          Tables.documents(s, d).select(col("source"),
-            col("n_chars")),
-          "source", "n_chars")
-        .orderBy("source")
-    },
-
-    // Trailing-window z anomalies: each sample scored against its own
-    // series' previous 8 samples (exact integer window sums, one IEEE
-    // z shape); zero-variance windows dropped on both engines. Window
-    // and cut are sized to the draw: series cap at 24-29 rows, so a
-    // 24-sample window never fills, and |z| >= 2.4 fires at every SF
-    // (29/297/3045 rows) with >= 2.4e-4 boundary clearance.
-    q(
-      "q360_rolling_z",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
-        |w AS (SELECT sensor_id, t, q,
-        |    COUNT(q) OVER wt AS cnt,
-        |    CAST(SUM(q) OVER wt AS BIGINT) AS s,
-        |    CAST(SUM(CAST(q AS HUGEINT) * q) OVER wt AS DOUBLE)
-        |      AS ss
-        |  FROM s WINDOW wt AS (PARTITION BY sensor_id ORDER BY t, q
-        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
-        |v AS (SELECT sensor_id, t, q, cnt, s, ss,
-        |    (ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
-        |      AS var
-        |  FROM w WHERE cnt = 8),
-        |f AS (SELECT sensor_id, t, q,
-        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
-        |      / CAST(cnt AS DOUBLE)) / sqrt(var) AS z
-        |  FROM v WHERE var > 0)
-        |SELECT sensor_id, t AS timestamp_us, q AS vq,
-        |  ROUND(z, 6) AS z
-        |FROM f WHERE ABS(z) >= 2.4::DOUBLE
-        |ORDER BY sensor_id, timestamp_us, vq"""
-    ) { (s, d) =>
-      graft.operators.SensorOps.rollingZAnomalies(
-          EventsAdapter.samples(s, d)
-            .select("sensor_id", "timestamp_us", "value"),
-          window = 8, zCut = 2.4)
-        .orderBy("sensor_id", "timestamp_us", "vq")
-    },
-
-    // Top-5 brands by exact integer revenue micros + OTHER rollup —
-    // the reporting collapse with a deterministic (revenue, brand)
-    // cut.
-    q(
-      "q361_topn_other",
-      """WITH x AS (SELECT p.p_brand AS k,
-        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)
-        |      * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
-        |        AS BIGINT)) AS rev
-        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-        |per AS (SELECT k, CAST(SUM(rev) AS BIGINT) AS s,
-        |    COUNT(*) AS n FROM x GROUP BY 1),
-        |win AS (SELECT k FROM per ORDER BY s DESC, k LIMIT 5)
-        |SELECT CASE WHEN win.k IS NOT NULL THEN per.k
-        |    ELSE 'OTHER' END AS brand,
-        |  CAST(SUM(per.s) AS BIGINT) AS total,
-        |  CAST(SUM(per.n) AS BIGINT) AS n_rows,
-        |  COUNT(*) AS n_keys
-        |FROM per LEFT JOIN win ON win.k = per.k
-        |GROUP BY 1 ORDER BY brand"""
-    ) { (s, d) =>
-      val x = Tables.lineitem(s, d)
-        .join(Tables.part(s, d),
-          col("p_partkey") === col("l_partkey"))
-        .select(col("p_brand").as("k"),
-          ((col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long") *
-            (lit(100L) - (col("l_discount").cast("decimal(4,2)") *
-              100).cast("long"))).as("rev"))
-      graft.pipeline.Profiler.topNOtherRollup(x, "k", "rev")
-        .withColumnRenamed("k", "brand")
-        .orderBy("brand")
-    },
-
-    // Mix/rate decomposition of the parity-cohort value gap across
-    // event-type segments (Oaxaca-style bridge): per-segment terms
-    // quantized DECIMAL(28,12); mix + rate = delta bit-exactly.
-    q(
-      "q362_mix_rate_decomp",
-      """WITH x AS (SELECT user_id % 2 AS coh, event_type AS seg,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS v FROM events),
-        |cell AS (SELECT seg,
-        |    COUNT(CASE WHEN coh = 1 THEN 1 END) AS na,
-        |    CAST(COALESCE(SUM(CASE WHEN coh = 1 THEN v END), 0)
-        |      AS BIGINT) AS sa,
-        |    COUNT(CASE WHEN coh <> 1 THEN 1 END) AS nb,
-        |    CAST(COALESCE(SUM(CASE WHEN coh <> 1 THEN v END), 0)
-        |      AS BIGINT) AS sb
-        |  FROM x GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
-        |    CAST(SUM(nb) AS BIGINT) AS tb FROM cell),
-        |t AS (SELECT
-        |    CAST((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
-        |        - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
-        |      * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-        |      AS DECIMAL(28,12)) AS mx,
-        |    CAST(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
-        |      * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-        |        - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-        |      AS DECIMAL(28,12)) AS rt,
-        |    CAST(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
-        |      * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
-        |      AS DECIMAL(28,12)) AS ma,
-        |    CAST(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)
-        |      * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-        |      AS DECIMAL(28,12)) AS mb
-        |  FROM cell CROSS JOIN tot WHERE na > 0 AND nb > 0)
-        |SELECT COUNT(*) AS n_segments,
-        |  ROUND(CAST(SUM(ma) - SUM(mb) AS DOUBLE), 6)
-        |    AS delta_total,
-        |  ROUND(CAST(SUM(mx) AS DOUBLE), 6) AS mix_effect,
-        |  ROUND(CAST(SUM(rt) AS DOUBLE), 6) AS rate_effect
-        |FROM t"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.mixRateDecomposition(
-        Tables.events(s, d)
-          .select((col("user_id") % 2).as("coh"), col("event_type"),
-            floor(col("value") * 1000.0).cast("long").as("vq")),
-        "coh", "event_type", "vq")
-    },
-
-    // Data-contract audit over documents: five named rules evaluated
-    // in ONE conditional-count pass; NULL rule results count as
-    // violations.
-    q(
-      "q363_contract_audit",
-      """WITH r AS (SELECT COUNT(*) AS n,
-        |    COUNT(CASE WHEN NOT COALESCE(text IS NOT NULL, FALSE)
-        |      THEN 1 END) AS v0,
-        |    COUNT(CASE WHEN NOT COALESCE(length(text) = n_chars,
-        |      FALSE) THEN 1 END) AS v1,
-        |    COUNT(CASE WHEN NOT COALESCE(lang IN ('en', 'fr', 'de',
-        |      'es', 'zh'), FALSE) THEN 1 END) AS v2,
-        |    COUNT(CASE WHEN NOT COALESCE(regexp_matches(source,
-        |      '^src[0-9]+$'), FALSE) THEN 1 END) AS v3,
-        |    COUNT(CASE WHEN NOT COALESCE(n_chars >= 0, FALSE)
-        |      THEN 1 END) AS v4
-        |  FROM documents)
-        |SELECT rule, n_checked, n_violations FROM (
-        |  SELECT 'text_not_null' AS rule, CAST(n AS BIGINT)
-        |      AS n_checked, CAST(v0 AS BIGINT) AS n_violations
-        |    FROM r
-        |  UNION ALL SELECT 'n_chars_matches_text',
-        |    CAST(n AS BIGINT), CAST(v1 AS BIGINT) FROM r
-        |  UNION ALL SELECT 'lang_known', CAST(n AS BIGINT),
-        |    CAST(v2 AS BIGINT) FROM r
-        |  UNION ALL SELECT 'source_format', CAST(n AS BIGINT),
-        |    CAST(v3 AS BIGINT) FROM r
-        |  UNION ALL SELECT 'n_chars_nonneg', CAST(n AS BIGINT),
-        |    CAST(v4 AS BIGINT) FROM r)
-        |ORDER BY rule"""
-    ) { (s, d) =>
-      graft.pipeline.Governance.contractAudit(
-          Tables.documents(s, d),
-          Seq(
-            "text_not_null" -> col("text").isNotNull,
-            "n_chars_matches_text" ->
-              (length(col("text")) === col("n_chars")),
-            "lang_known" ->
-              col("lang").isin("en", "fr", "de", "es", "zh"),
-            "source_format" ->
-              col("source").rlike("^src[0-9]+$"),
-            "n_chars_nonneg" -> (col("n_chars") >= 0)))
-        .orderBy("rule")
-    },
-
-    // Generalization-ladder anonymity audit: the q315 k-anonymity
-    // summary at band widths 100/1000/10000 in one table — the
-    // utility-privacy dial.
-    q("q364_anon_ladder", anonLadderSql) { (s, d) =>
-      graft.pipeline.Governance.anonymityLadder(
-          Tables.customer(s, d)
-            .select(col("c_nationkey"), col("c_acctbal"),
-              col("c_mktsegment")),
-          "c_nationkey", "FLOOR(c_acctbal)", "c_mktsegment",
-          Seq(100L, 1000L, 10000L))
-        .orderBy("band")
-    },
-
-    // Linear CKA between successive-id embedding pairs: exact-integer
-    // cross-covariance entries, cast-first decimal Frobenius sums,
-    // one IEEE ratio — "do the even and odd snapshots share
-    // geometry".
-    q(
-      "q365_linear_cka",
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vq
-        |  FROM embeddings WHERE vec_id < 200),
-        |a AS (SELECT vec_id AS pid, vq AS va FROM e
-        |  WHERE vec_id % 2 = 0),
-        |b AS (SELECT vec_id - 1 AS pid, vq AS vb FROM e
-        |  WHERE vec_id % 2 = 1),
-        |pr AS (SELECT a.pid, a.va, b.vb FROM a JOIN b USING (pid)),
-        |ent AS (SELECT i.i, j.j,
-        |    CAST(SUM(pr.va[i.i] * pr.vb[j.j]) AS BIGINT) AS c
-        |  FROM pr
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) j
-        |  GROUP BY 1, 2),
-        |c2 AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
-        |    AS c2 FROM ent),
-        |ga AS (SELECT i.i, j.j,
-        |    CAST(SUM(pr.va[i.i] * pr.va[j.j]) AS BIGINT) AS g
-        |  FROM pr
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) j
-        |  GROUP BY 1, 2),
-        |a2 AS (SELECT CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE)
-        |    AS a2 FROM ga),
-        |gb AS (SELECT i.i, j.j,
-        |    CAST(SUM(pr.vb[i.i] * pr.vb[j.j]) AS BIGINT) AS g
-        |  FROM pr
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
-        |  CROSS JOIN (SELECT UNNEST(range(1, 65)) AS j) j
-        |  GROUP BY 1, 2),
-        |b2 AS (SELECT CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE)
-        |    AS b2 FROM gb),
-        |np AS (SELECT COUNT(*) AS n_pairs FROM pr)
-        |SELECT np.n_pairs,
-        |  ROUND(c2.c2 / (sqrt(a2.a2) * sqrt(b2.b2)), 6) AS cka
-        |FROM np CROSS JOIN c2 CROSS JOIN a2 CROSS JOIN b2"""
-    ) { (s, d) =>
-      graft.pipeline.Similarity.linearCka(
-        Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("vec")))
-    },
-
-    // Character-level Shannon entropy (bits/char) per source — the
-    // compressibility proxy; per-char −p·log2 p terms quantized
-    // before the order-free sum.
-    q(
-      "q366_char_entropy",
-      """WITH ch AS (SELECT source AS g, UNNEST(list_transform(
-        |    range(1, len(text) + 1), i -> text[i])) AS c
-        |  FROM documents WHERE len(text) >= 1),
-        |cc AS (SELECT g, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
-        |tt AS (SELECT g, CAST(SUM(k) AS BIGINT) AS n,
-        |    COUNT(*) AS nd FROM cc GROUP BY 1),
-        |h AS (SELECT cc.g, tt.n, tt.nd,
-        |    CAST(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-        |      * log2(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-        |      AS DECIMAL(28,12)) AS t
-        |  FROM cc JOIN tt ON tt.g = cc.g)
-        |SELECT g AS source, CAST(MAX(n) AS BIGINT) AS n_chars,
-        |  CAST(MAX(nd) AS BIGINT) AS distinct_chars,
-        |  ROUND(CAST(SUM(t) AS DOUBLE), 6) AS entropy_bits
-        |FROM h GROUP BY g ORDER BY source"""
-    ) { (s, d) =>
-      graft.pipeline.TextAnalysis.charEntropy(
-          Tables.documents(s, d), "source", "text")
-        .orderBy("source")
-    },
-
-    // Entry/exit/bounce report per page over 30-minute gap sessions:
-    // (t, event_id)-ordered endpoints via min/max(struct), exact
-    // counts, guarded bounce rate.
-    q(
-      "q367_entry_exit",
-      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id
-        |    AS id, event_type AS p FROM events),
-        |m AS (SELECT u, t, id, p,
-        |    CASE WHEN LAG(t) OVER w IS NULL
-        |      OR t - LAG(t) OVER w >= 1800000000 THEN 1 ELSE 0 END
-        |      AS brk
-        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
-        |s AS (SELECT u, t, id, p,
-        |    SUM(brk) OVER (PARTITION BY u ORDER BY t, id
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m),
-        |s2 AS (SELECT u, sid, p,
-        |    ROW_NUMBER() OVER (PARTITION BY u, sid
-        |      ORDER BY t, id) AS ra,
-        |    ROW_NUMBER() OVER (PARTITION BY u, sid
-        |      ORDER BY t DESC, id DESC) AS rd
-        |  FROM s),
-        |ses AS (SELECT u, sid, COUNT(*) AS n,
-        |    MAX(CASE WHEN ra = 1 THEN p END) AS entry,
-        |    MAX(CASE WHEN rd = 1 THEN p END) AS exitp
-        |  FROM s2 GROUP BY 1, 2),
-        |en AS (SELECT entry AS page, COUNT(*) AS entries,
-        |    COUNT(CASE WHEN n = 1 THEN 1 END) AS bounces
-        |  FROM ses GROUP BY 1),
-        |ex AS (SELECT exitp AS page, COUNT(*) AS exits FROM ses
-        |  GROUP BY 1)
-        |SELECT COALESCE(en.page, ex.page) AS page,
-        |  CAST(COALESCE(en.entries, 0) AS BIGINT) AS entries,
-        |  CAST(COALESCE(ex.exits, 0) AS BIGINT) AS exits,
-        |  CAST(COALESCE(en.bounces, 0) AS BIGINT) AS bounces,
-        |  CASE WHEN COALESCE(en.entries, 0) > 0 THEN
-        |    ROUND(CAST(en.bounces AS DOUBLE)
-        |      / CAST(en.entries AS DOUBLE), 6) END AS bounce_rate
-        |FROM en FULL JOIN ex ON ex.page = en.page
-        |ORDER BY page"""
-    ) { (s, d) =>
-      graft.pipeline.Behavior.entryExitPages(
-          Tables.events(s, d)
-            .select(col("user_id"), unix_micros(col("ts")).as("t"),
-              col("event_id"), col("event_type")),
-          "user_id", "t", "event_id", "event_type")
-        .orderBy("page")
-    },
-
-    // Catalog coverage report: share of parts/customers/suppliers
-    // that actually appear in sales — the cold-start surface a
-    // recommender audit starts from. Exact distinct counts, one row.
-    q(
-      "q368_catalog_coverage",
-      """WITH p AS (SELECT COUNT(*) AS n_parts FROM part),
-        |ps AS (SELECT COUNT(DISTINCT l_partkey) AS parts_sold
-        |  FROM lineitem),
-        |c AS (SELECT COUNT(*) AS n_customers FROM customer),
-        |co AS (SELECT COUNT(DISTINCT o_custkey) AS customers_active
-        |  FROM orders),
-        |su AS (SELECT COUNT(*) AS n_suppliers FROM supplier),
-        |ss AS (SELECT COUNT(DISTINCT l_suppkey) AS suppliers_active
-        |  FROM lineitem)
-        |SELECT CAST(n_parts AS BIGINT) AS n_parts,
-        |  CAST(parts_sold AS BIGINT) AS parts_sold,
-        |  ROUND(CAST(parts_sold AS DOUBLE)
-        |    / CAST(n_parts AS DOUBLE), 6) AS part_coverage,
-        |  CAST(n_customers AS BIGINT) AS n_customers,
-        |  CAST(customers_active AS BIGINT) AS customers_active,
-        |  ROUND(CAST(customers_active AS DOUBLE)
-        |    / CAST(n_customers AS DOUBLE), 6) AS customer_coverage,
-        |  CAST(n_suppliers AS BIGINT) AS n_suppliers,
-        |  CAST(suppliers_active AS BIGINT) AS suppliers_active,
-        |  ROUND(CAST(suppliers_active AS DOUBLE)
-        |    / CAST(n_suppliers AS DOUBLE), 6) AS supplier_coverage
-        |FROM p, ps, c, co, su, ss"""
-    ) { (s, d) =>
-      val p = broadcast(Tables.part(s, d)
-        .agg(count(lit(1)).as("n_parts")))
-      val ps = broadcast(Tables.lineitem(s, d)
-        .agg(countDistinct(col("l_partkey")).as("parts_sold")))
-      val c = broadcast(Tables.customer(s, d)
-        .agg(count(lit(1)).as("n_customers")))
-      val co = broadcast(Tables.orders(s, d)
-        .agg(countDistinct(col("o_custkey")).as("customers_active")))
-      val su = broadcast(Tables.supplier(s, d)
-        .agg(count(lit(1)).as("n_suppliers")))
-      val ss = broadcast(Tables.lineitem(s, d)
-        .agg(countDistinct(col("l_suppkey")).as("suppliers_active")))
-      p.crossJoin(ps).crossJoin(c).crossJoin(co).crossJoin(su)
-        .crossJoin(ss)
-        .select(col("n_parts"), col("parts_sold"),
-          round(col("parts_sold").cast("double") /
-            col("n_parts").cast("double"), 6).as("part_coverage"),
-          col("n_customers"), col("customers_active"),
-          round(col("customers_active").cast("double") /
-            col("n_customers").cast("double"), 6)
-            .as("customer_coverage"),
-          col("n_suppliers"), col("suppliers_active"),
-          round(col("suppliers_active").cast("double") /
-            col("n_suppliers").cast("double"), 6)
-            .as("supplier_coverage"))
-    },
-
-    // Mann–Kendall monotone-trend test per sensor over DAILY totals
-    // (the 30-day events span yields at most 5 weekly buckets — below
-    // the n >= 8 normal-approximation floor, so a weekly grid made the
-    // gate row-free; days give 8-21 buckets per series at every SF).
-    // The O(B²) pair join runs on day cardinality, never rows:
-    // integer S, exact tie correction, ±1 continuity in a shared
-    // CASE.
-    q(
-      "q369_mann_kendall",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) // 86400000000 AS wk,
-        |    CAST(floor(value * 1000.0) AS BIGINT) AS q FROM events),
-        |b AS (SELECT sensor_id, wk, CAST(SUM(q) AS BIGINT) AS v
-        |  FROM s GROUP BY 1, 2),
-        |sp AS (SELECT a.sensor_id,
-        |    CAST(SUM(CASE WHEN b2.v > a.v THEN 1
-        |      WHEN b2.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
-        |      AS s_stat
-        |  FROM b a JOIN b b2 ON a.sensor_id = b2.sensor_id
-        |    AND a.wk < b2.wk
-        |  GROUP BY 1),
-        |tt AS (SELECT sensor_id, v, COUNT(*) AS t FROM b
-        |  GROUP BY 1, 2),
-        |tz AS (SELECT sensor_id, CAST(SUM(t) AS BIGINT) AS nb,
-        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tp
-        |  FROM tt GROUP BY 1),
-        |j AS (SELECT sp.sensor_id, tz.nb, sp.s_stat,
-        |    (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)
-        |      * (2.0::DOUBLE * CAST(nb AS DOUBLE) + 5.0)
-        |      - CAST(tp AS DOUBLE)) / 18.0::DOUBLE AS vs
-        |  FROM sp JOIN tz ON tz.sensor_id = sp.sensor_id)
-        |SELECT sensor_id, nb AS n_buckets, s_stat,
-        |  ROUND(CASE WHEN s_stat > 0
-        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(vs)
-        |    WHEN s_stat < 0
-        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(vs)
-        |    ELSE 0.0::DOUBLE END, 6) AS z
-        |FROM j WHERE nb >= 8 AND vs > 0 ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.mannKendall(
-          EventsAdapter.samples(s, d)
-            .select(col("sensor_id"),
-              expr("timestamp_us div 86400000000").as("wk"),
-              floor(col("value") * 1000.0).cast("long").as("vq")),
-          "sensor_id", "wk", "vq")
-        .orderBy("sensor_id")
-    },
-
-    // Autocorrelation-adjusted effective sample size per sensor:
-    // ESS = n/(1 + 2(ρ₁+ρ₂+ρ₃)) on the q199 correlation chains —
-    // the honest-n behind any confidence band on telemetry.
-    q(
-      "q370_ess",
-      """WITH s AS (SELECT event_type || ' ' || user_id AS sensor_id,
-        |    epoch_us(ts) AS t,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
-        |  FROM events),
-        |l AS (SELECT sensor_id, v,
-        |    LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
-        |    LAG(v, 3) OVER w AS l3
-        |  FROM s WINDOW w AS (PARTITION BY sensor_id ORDER BY t, v)),
-        |a AS (SELECT sensor_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(COUNT(l1) AS DOUBLE) AS n1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx1,
-        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN v * v END)
-        |      AS DOUBLE) AS sxx1,
-        |    CAST(SUM(l1) AS DOUBLE) AS sy1,
-        |    CAST(SUM(l1 * l1) AS DOUBLE) AS syy1,
-        |    CAST(SUM(v * l1) AS DOUBLE) AS sxy1,
-        |    CAST(COUNT(l2) AS DOUBLE) AS n2,
-        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx2,
-        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN v * v END)
-        |      AS DOUBLE) AS sxx2,
-        |    CAST(SUM(l2) AS DOUBLE) AS sy2,
-        |    CAST(SUM(l2 * l2) AS DOUBLE) AS syy2,
-        |    CAST(SUM(v * l2) AS DOUBLE) AS sxy2,
-        |    CAST(COUNT(l3) AS DOUBLE) AS n3,
-        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v END) AS DOUBLE)
-        |      AS sx3,
-        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN v * v END)
-        |      AS DOUBLE) AS sxx3,
-        |    CAST(SUM(l3) AS DOUBLE) AS sy3,
-        |    CAST(SUM(l3 * l3) AS DOUBLE) AS syy3,
-        |    CAST(SUM(v * l3) AS DOUBLE) AS sxy3
-        |  FROM l GROUP BY 1),
-        |r AS (SELECT sensor_id, n,
-        |    (n1 * sxy1 - sx1 * sy1) / (sqrt(n1 * sxx1 - sx1 * sx1)
-        |      * sqrt(n1 * syy1 - sy1 * sy1)) AS r1,
-        |    (n2 * sxy2 - sx2 * sy2) / (sqrt(n2 * sxx2 - sx2 * sx2)
-        |      * sqrt(n2 * syy2 - sy2 * sy2)) AS r2,
-        |    (n3 * sxy3 - sx3 * sy3) / (sqrt(n3 * sxx3 - sx3 * sx3)
-        |      * sqrt(n3 * syy3 - sy3 * sy3)) AS r3
-        |  FROM a)
-        |SELECT sensor_id, n, ROUND(r1, 6) AS rho1,
-        |  ROUND(r2, 6) AS rho2, ROUND(r3, 6) AS rho3,
-        |  ROUND(CAST(n AS DOUBLE)
-        |    / (1.0::DOUBLE + 2.0::DOUBLE * (r1 + r2 + r3)), 6)
-        |    AS ess
-        |FROM r ORDER BY sensor_id"""
-    ) { (s, d) =>
-      graft.pipeline.Profiler.effectiveSampleSize(
-          EventsAdapter.samples(s, d),
-          "sensor_id", "timestamp_us", "value")
-        .orderBy("sensor_id")
-    }
-  )
-
-  /** Poisson(1) inverse-CDF thresholds on the 60-bit hash scale:
-    * t_k = ⌊CDF(k)·2⁶⁰⌋ for k = 0..4 — weight = first k with
-    * h < t_k, else 5. Exact integers, shared by engine and oracle.
-    */
-  // `final val` Int literal = compile-time constant, inlined at use
-  // sites — immune to the object-init ordering the lazy-val comment
-  // below documents (a plain val here reads as 0 from the registry)
-  private final val BootReps = 200
-  private lazy val BootThresholds: IndexedSeq[Long] = {
-    val pmf = (0 to 4).map(k =>
-      math.exp(-1.0) / (1 to k).product.max(1))
-    val cdf = pmf.scanLeft(0.0)(_ + _).tail
-    cdf.map(c => (c * (1L << 60).toDouble).toLong)
-  }
-
-  private lazy val bootstrapOracleSql: String = {
-    val wcase = BootThresholds.zipWithIndex
-      .map { case (t, k) => s"WHEN h < $t THEN $k" }
-      .mkString(" ")
-    s"""WITH e AS (SELECT event_type, event_id,
-       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-       |  FROM events WHERE event_type IN ('purchase', 'view')),
-       |b AS (SELECT e.*, bb.b FROM e,
-       |  (SELECT unnest(range(0, $BootReps)) AS b) bb),
-       |hw AS (SELECT event_type, b, cents,
-       |    CASE $wcase ELSE 5 END AS w
-       |  FROM (SELECT *, ('0x' || substr(md5('boot:'
-       |      || CAST(b AS VARCHAR) || ':'
-       |      || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
-       |    FROM b)),
-       |reps AS (SELECT event_type, b,
-       |    CAST(SUM(w * cents) AS BIGINT) AS s,
-       |    CAST(SUM(w) AS BIGINT) AS n
-       |  FROM hw GROUP BY 1, 2),
-       |rk AS (SELECT event_type, b,
-       |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_b,
-       |    ROW_NUMBER() OVER (PARTITION BY event_type
-       |      ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0,
-       |        b) AS rk
-       |  FROM reps),
-       |ci AS (SELECT event_type,
-       |    MAX(CASE WHEN rk = 6 THEN mean_b END) AS ci_lo,
-       |    MAX(CASE WHEN rk = ${BootReps - 5} THEN mean_b END) AS ci_hi
-       |  FROM rk GROUP BY 1),
-       |base AS (SELECT event_type, COUNT(*) AS n_rows,
-       |    CAST(SUM(cents) AS BIGINT) AS sc
-       |  FROM e GROUP BY 1)
-       |SELECT base.event_type, base.n_rows,
-       |  CAST(base.sc AS DOUBLE) / CAST(base.n_rows AS DOUBLE) / 100.0
-       |    AS mean_value,
-       |  ci.ci_lo, ci.ci_hi
-       |FROM base JOIN ci ON base.event_type = ci.event_type
-       |ORDER BY base.event_type"""
-    // NO .stripMargin here: the q() helper strips margins once, and a
-    // second strip would eat the leading pipe of a continuation line
-    // that begins with `||`
-  }
-
-  /** RBO tail weights: Tµ(r) = round(10¹² · Σ_{d=r..20} (1−p)p^{d−1}/d)
-    * at p=0.9 — the per-token contribution by worst rank, µ-quantized
-    * so both engines sum exact integers.
-    */
-  private lazy val RboTailMu: IndexedSeq[Long] = {
-    val p = 0.9
-    val w = (1 to 20).map(dd => (1 - p) * math.pow(p, dd - 1) / dd)
-    (1 to 20).map(r => math.round(w.drop(r - 1).sum * 1e12))
-  }
-
-  private lazy val rboOracleSql: String = {
-    val tcase = RboTailMu.zipWithIndex
-      .map { case (mu, i) => s"WHEN ${i + 1} THEN ${mu}" }
-      .mkString(" ")
-    s"""WITH tok AS (SELECT source,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
-       |      AS token
-       |  FROM documents WHERE length(trim(text)) > 0),
-       |t2 AS (SELECT source, token FROM tok WHERE length(token) > 0),
-       |ps AS (SELECT source, token, rs FROM (
-       |    SELECT source, token, ROW_NUMBER() OVER (PARTITION BY source
-       |      ORDER BY COUNT(*) DESC, token ASC) AS rs
-       |    FROM t2 GROUP BY source, token)
-       |  WHERE rs <= 20),
-       |co AS (SELECT token, rc FROM (
-       |    SELECT token, ROW_NUMBER() OVER (
-       |      ORDER BY COUNT(*) DESC, token ASC) AS rc
-       |    FROM t2 GROUP BY token)
-       |  WHERE rc <= 20)
-       |SELECT ps.source, COUNT(*) AS n_common,
-       |  CAST(SUM(CASE GREATEST(ps.rs, co.rc) $tcase ELSE 0 END)
-       |    AS BIGINT) AS rbo_mu,
-       |  CAST(CAST(SUM(CASE GREATEST(ps.rs, co.rc) $tcase ELSE 0 END)
-       |    AS BIGINT) AS DOUBLE) / 1000000000000.0 AS rbo
-       |FROM ps JOIN co ON ps.token = co.token
-       |GROUP BY ps.source ORDER BY ps.source""".stripMargin
-  }
-
-  /** NDCG@5 discount weights 1/log₂(i+1), and their prefix sums (the
-    * ideal DCG for m relevant results) — computed once here and
-    * embedded as full-precision literals in BOTH engines' surfaces,
-    * so no engine evaluates a logarithm at query time.
-    */
-  private lazy val NdcgWeights: IndexedSeq[Double] =
-    (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
-  private lazy val NdcgIdeal: IndexedSeq[Double] =
-    NdcgWeights.scanLeft(0.0)(_ + _).tail
-
-  private lazy val ndcgOracleSql: String = {
-    // VARCHAR-cast literals: DuckDB types a bare decimal literal as
-    // DECIMAL, and `<literal>::DOUBLE` converts decimal→double with a
-    // double-rounding (the int128 lesson) — but CAST('…' AS DOUBLE)
-    // goes through the correctly-rounded string parser and lands on
-    // the exact shortest-repr double Scala emitted.
-    def lit(d: Double) =
-      s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
-    val dcgTerms = (1 to 5)
-      .map(i => s"r$i * ${lit(NdcgWeights(i - 1))}")
-      .mkString(" + ")
-    val idealCase = (1 to 5)
-      .map(m => s"WHEN m = $m THEN ${lit(NdcgIdeal(m - 1))}")
-      .mkString(" ")
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
-       |  FROM e WHERE vec_id < 10),
-       |tk AS (SELECT query_id, vec_id, qlabel, rank FROM (
-       |    SELECT q.query_id, e.vec_id, q.qlabel,
-       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
-       |          e.vec_id) AS rank
-       |    FROM q, e WHERE e.vec_id <> q.query_id)
-       |  WHERE rank <= 5),
-       |r AS (SELECT tk.query_id, tk.rank,
-       |    CASE WHEN e.label = tk.qlabel THEN 1 ELSE 0 END AS rel
-       |  FROM tk JOIN e ON tk.vec_id = e.vec_id),
-       |g AS (SELECT query_id,
-       |    ${(1 to 5).map(i =>
-            s"COALESCE(SUM(CASE WHEN rank = $i THEN rel END), 0)" +
-              s" AS r$i").mkString(", ")},
-       |    CAST(SUM(rel) AS BIGINT) AS m
-       |  FROM r GROUP BY 1)
-       |SELECT query_id, m AS n_relevant,
-       |  CASE WHEN m = 0 THEN 0.0
-       |    ELSE ($dcgTerms) / (CASE $idealCase ELSE 0.0 END)
-       |  END AS ndcg
-       |FROM g ORDER BY query_id""".stripMargin
-  }
-
-  private lazy val annRecallOracleSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-       |  WHERE vec_id < 10),
-       |brute AS (SELECT query_id, vec_id FROM (
-       |    SELECT q.query_id, e.vec_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
-       |          e.vec_id) AS rank
-       |    FROM q, e WHERE e.vec_id <> q.query_id)
-       |  WHERE rank <= 5),
-       |lsh AS (SELECT query_id, vec_id FROM ($lshOracleSql))
-       |SELECT b.query_id, COUNT(l.vec_id) AS n_hit,
-       |  CAST(COUNT(l.vec_id) AS DOUBLE) / 5.0 AS recall
-       |FROM brute b LEFT JOIN lsh l
-       |  ON b.query_id = l.query_id AND b.vec_id = l.vec_id
-       |GROUP BY 1 ORDER BY b.query_id""".stripMargin
-
-  /** q299's oracle: q57's reachability-closure clustering CTE extended
-    * with the survivorship election — mode via ROW_NUMBER over
-    * (count DESC, value ASC), max completeness, min-id representative.
-    */
-  private lazy val goldenRecordOracleSql: String =
-    """WITH RECURSIVE t AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      |  FROM documents),
-      |g AS (SELECT DISTINCT doc_id,
-      |        unnest(list_transform(generate_series(1, len(toks)-2),
-      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |      FROM t),
-      |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
-      |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
-      |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT da AS id_a, db AS id_b
-      |  FROM p JOIN sizes sa ON p.da = sa.doc_id
-      |         JOIN sizes sb ON p.db = sb.doc_id
-      |  WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-      |          UNION SELECT id_b, id_a FROM pairs),
-      |reach AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |comp AS (SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a),
-      |cl AS (SELECT d.doc_id AS id,
-      |    COALESCE(LEAST(c.id, c.mn), d.doc_id) AS cluster_id,
-      |    d.lang, d.source, d.n_chars
-      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-      |base AS (SELECT cluster_id, MIN(id) AS rep_id,
-      |    COUNT(*) AS n_members, MAX(n_chars) AS n_chars_max
-      |  FROM cl GROUP BY 1),
-      |lm AS (SELECT cluster_id, lang AS lang_mode FROM (
-      |    SELECT cluster_id, lang, ROW_NUMBER() OVER (
-      |      PARTITION BY cluster_id
-      |      ORDER BY COUNT(*) DESC, lang ASC) AS rk
-      |    FROM cl GROUP BY cluster_id, lang) WHERE rk = 1),
-      |sm AS (SELECT cluster_id, source AS source_mode FROM (
-      |    SELECT cluster_id, source, ROW_NUMBER() OVER (
-      |      PARTITION BY cluster_id
-      |      ORDER BY COUNT(*) DESC, source ASC) AS rk
-      |    FROM cl GROUP BY cluster_id, source) WHERE rk = 1)
-      |SELECT b.cluster_id, b.rep_id, b.n_members, b.n_chars_max,
-      |  lm.lang_mode, sm.source_mode
-      |FROM base b JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)
-      |ORDER BY cluster_id"""
-
-  /** q296's oracle: the batch interval join, plus unmatched clicks
-    * gated by the joint watermark rule (boundary form pinned against
-    * the engine empirically at sf0.01).
-    */
-  private lazy val outerJoinOracleSql: String =
-    """WITH c AS (SELECT user_id AS cu, epoch_us(ts) AS cts
-      |  FROM events WHERE event_type = 'click' AND user_id < 10),
-      |v AS (SELECT user_id AS vu, epoch_us(ts) AS vts
-      |  FROM events WHERE event_type = 'view' AND user_id < 10),
-      |wm AS (SELECT LEAST(
-      |    (SELECT MAX(cts) FROM c), (SELECT MAX(vts) FROM v))
-      |    - 3600000000 AS w),
-      |m AS (SELECT c.cu, c.cts, COUNT(v.vts) AS n_views
-      |  FROM c LEFT JOIN v ON c.cu = v.vu
-      |    AND v.vts BETWEEN c.cts - 300000000 AND c.cts + 300000000
-      |  GROUP BY c.cu, c.cts)
-      |SELECT cu AS user_id, cts AS cts_us, n_views
-      |FROM m, wm
-      |WHERE n_views > 0 OR cts + 300000000 < wm.w
-      |ORDER BY user_id, cts_us"""
-
-  /** q291's oracle: batch 2's late filter uses the watermark current
-    * DURING batch 1 — computed from batch-0 data only (max parity-0 ts
-    * − 30 min; SPARK-40925's one-batch lag means batch 1 itself filters
-    * with the initial zero watermark and drops nothing) — keeping rows
-    * whose window END is strictly past it; emission keeps windows whose
-    * end is ≤ the final watermark (max ts over ALL parities − 30 min —
-    * if the global max arrives in batch 2, the closing no-data batch
-    * applies it). Both rules verified against the engine output
-    * empirically at sf0.01.
-    */
-  private lazy val lateDataOracleSql: String =
-    """WITH w1 AS (SELECT MAX(epoch_us(ts)) - 1800000000 AS wm
-      |  FROM events WHERE event_id % 3 = 0),
-      |wf AS (SELECT MAX(epoch_us(ts)) - 1800000000 AS wm FROM events),
-      |acc AS (SELECT event_type,
-      |    (epoch_us(ts) // 600000000) * 600000000 AS ws
-      |  FROM events, w1
-      |  WHERE event_id % 3 <> 2
-      |    OR (epoch_us(ts) // 600000000) * 600000000 + 600000000
-      |      > w1.wm)
-      |SELECT event_type, ws AS window_start_us, COUNT(*) AS n
-      |FROM acc, wf
-      |WHERE ws + 600000000 <= wf.wm
-      |GROUP BY event_type, ws
-      |ORDER BY event_type, window_start_us"""
-
-  /** q279's oracle: the same distinct-key left-join conditional
-    * aggregate, one block per FK edge, generated from a shared edge
-    * list so engine and oracle cannot drift.
-    */
-  private lazy val riOracleSql: String = {
-    val edges = Seq(
-      ("events.user_id->customer", "events", "user_id",
-        "customer", "c_custkey"),
-      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
-        "orders", "o_orderkey"),
-      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
-        "part", "p_partkey"),
-      ("orders.o_custkey->customer", "orders", "o_custkey",
-        "customer", "c_custkey"),
-      ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
-        "nation", "n_nationkey"))
-    val blocks = edges.map { case (label, child, ck, parent, pk) =>
-      s"""SELECT '$label' AS relation,
-         |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_child,
-         |  COUNT(*) AS n_keys,
-         |  CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN n END), 0)
-         |    AS BIGINT) AS n_orphan_rows,
-         |  COUNT(CASE WHEN p IS NULL THEN 1 END) AS n_orphan_keys,
-         |  CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN n END), 0)
-         |    AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS orphan_rate
-         |FROM (
-         |  SELECT ckt.n, pkt.p FROM
-         |    (SELECT $ck AS k, COUNT(*) AS n FROM $child
-         |     WHERE $ck IS NOT NULL GROUP BY 1) ckt
-         |  LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS p FROM $parent) pkt
-         |    ON ckt.k = pkt.k)""".stripMargin
-    }
-    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
-  }
-
-  /** q276's oracle: the fake dHash replayed as 63 generated CASE terms
-    * (one per grid comparison, bit weights as int64 literals) plus the
-    * same band-bucket join and exact hamming verification.
-    */
-  private lazy val dhashOracleSql: String = {
-    val terms = (for {
-      y <- 0 until 8
-      x <- 0 until 8
-      bit = y * 8 + x
-      if bit < 63
-    } yield
-      s"CASE WHEN ascii(substr(s,${y * 9 + x + 1},1)) < " +
-        s"ascii(substr(s,${y * 9 + x + 2},1)) THEN ${1L << bit} " +
-        "ELSE 0 END").mkString(" + ")
-    s"""WITH sx AS (SELECT doc_id,
-       |    rpad(regexp_replace(lower(text), '[^ -~]', '', 'g'), 72, ' ')
-       |      AS s FROM documents),
-       |h AS (SELECT doc_id, ($terms)::BIGINT AS dhash FROM sx),
-       |b AS (SELECT doc_id, dhash, UNNEST([0,1,2,3]) AS band FROM h),
-       |bb AS (SELECT doc_id, dhash, band,
-       |    (dhash >> (16*band)) & 65535 AS bv FROM b),
-       |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-       |    bit_count(xor(a.dhash, b2.dhash)) AS hamming
-       |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bv = b2.bv
-       |    AND a.doc_id < b2.doc_id)
-       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
-       |ORDER BY id_a, id_b""".stripMargin
-  }
-
-  // lazy: referenced from the registry (via partChiSql) during object
-  // init, which runs before later plain vals are assigned
-  private lazy val partTypeDomain: Seq[String] =
-    Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
-
-  /** q268's oracle: the q182 chi-square shape over the literal part
-    * type domain (string values).
-    */
-  private lazy val partChiSql: String = {
-    val ds = partTypeDomain.indices
-    val oCells = ds.map(i =>
-      s"SUM(CASE WHEN p_type = '${partTypeDomain(i)}' THEN 1 ELSE 0" +
-        s" END) AS o$i").mkString(", ")
-    val cCells = ds.map(i =>
-      s"SUM(CASE WHEN p_type = '${partTypeDomain(i)}' THEN 1 ELSE 0" +
-        s" END) AS c$i").mkString(", ")
-    val rt = ds.map(i => s"o$i").mkString(" + ")
-    val eCols = ds.map(i =>
-      s"CAST(rt AS DOUBLE) * CAST(c$i AS DOUBLE)" +
-        s" / CAST(grand AS DOUBLE) AS e$i").mkString(", ")
-    val terms = ds.map(i =>
-      s"(CAST(o$i AS DOUBLE) - e$i) * (CAST(o$i AS DOUBLE) - e$i)" +
-        s" / e$i").mkString(" + ")
-    s"""WITH src AS (SELECT p_brand, p_type FROM part),
-       |rows_ AS (SELECT p_brand, $oCells FROM src GROUP BY 1),
-       |tot AS (SELECT $cCells, COUNT(*) AS grand FROM src),
-       |x AS (SELECT *, $rt AS rt FROM rows_ CROSS JOIN tot),
-       |e AS (SELECT *, $eCols FROM x)
-       |SELECT p_brand, CAST(rt AS BIGINT) AS n_row,
-       |  round($terms, 6) AS chi2_contrib
-       |FROM e ORDER BY p_brand"""
-  }
-
-  /** Oracle for q246: the same descending power-of-two CASE chain as
-    * [[TextAnalysis.pow2BucketSql]], generated from the same exponent
-    * range so the two surfaces cannot drift.
-    */
-  private lazy val lengthMixOracleSql: String = {
-    val cases = (30 to 1 by -1)
-      .map(k => s"WHEN n >= ${1L << k} THEN ${1L << k}")
-      .mkString("CASE ", " ", " ELSE 1 END")
-    s"""WITH t AS (SELECT CAST(len(string_split_regex(
-       |    trim(lower(text)), '\\s+')) AS BIGINT) AS n FROM documents),
-       |f AS (SELECT n FROM t WHERE n > 0),
-       |b AS (SELECT CAST($cases AS BIGINT) AS len_bucket_lo, n FROM f),
-       |g AS (SELECT len_bucket_lo, COUNT(*) AS n_docs,
-       |    CAST(SUM(n) AS BIGINT) AS total_tokens
-       |  FROM b GROUP BY 1),
-       |tot AS (SELECT COUNT(*) AS td, CAST(SUM(n) AS BIGINT) AS tt
-       |  FROM f)
-       |SELECT len_bucket_lo, n_docs, total_tokens,
-       |  ROUND(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6)
-       |    AS doc_share,
-       |  ROUND(CAST(total_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6)
-       |    AS token_share
-       |FROM g CROSS JOIN tot ORDER BY len_bucket_lo""".stripMargin
-  }
-
-  /** Drain a bounded streaming query INCLUDING its trailing
-    * watermark-eviction no-data batch. `processAllAvailable` waits only
-    * for DATA batches; when the final data batch advances the
-    * watermark, the append-mode window finalization / outer-join null
-    * emission / state eviction runs in ONE more no-data batch. Whether
-    * that batch is due is decidable from the last progress entry:
-    * due iff maxEventTime − delay > current watermark. Three exits:
-    *  - last progress has numInputRows == 0 → the no-data batch has
-    *    committed; quiescent (zero extra cost);
-    *  - not due (the q291/q313 late-file sources, whose final batch by
-    *    DESIGN does not advance the watermark; or no watermark at all)
-    *    → quiescent immediately (zero extra cost);
-    *  - due but not yet visible → poll recentProgress (in-memory, no
-    *    Spark jobs) until it lands; 1 s grace, then one count-stability
-    *    settle as a correctness backstop (multi-watermark queries can
-    *    make the due-estimate conservative), 5 s liveness bound.
-    */
-  private def drainWithEviction(
-      ss: SparkSession, query: org.apache.spark.sql.streaming.StreamingQuery,
-      name: String, delayMs: Long): Unit = {
-    query.processAllAvailable()
-    def lastProgress = query.recentProgress.lastOption
-    def quiescent: Boolean = lastProgress match {
-      case None => true
-      case Some(p) if p.numInputRows == 0 => true
-      case Some(p) =>
-        val et = p.eventTime
-        val mx = Option(et.get("max")).map(java.time.Instant.parse)
-        val wm = Option(et.get("watermark")).map(java.time.Instant.parse)
-        (mx, wm) match {
-          case (Some(m), Some(w)) =>
-            // no-data batch due only if the watermark would advance
-            !m.minusMillis(delayMs).isAfter(w)
-          case _ => true // no watermark machinery -> nothing trailing
-        }
-    }
-    val grace = System.nanoTime() + 1L * 1000 * 1000 * 1000
-    var done = quiescent
-    while (!done && System.nanoTime() < grace) {
-      Thread.sleep(5)
-      done = quiescent
-    }
-    if (!done) {
-      // backstop: settle on three equal sink counts ~50 ms apart
-      val deadline = System.nanoTime() + 4L * 1000 * 1000 * 1000
-      var prev = -1L
-      var stable = 0
-      while (stable < 2 && System.nanoTime() < deadline) {
-        val cur = ss.table(name).count()
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-        if (stable < 2) Thread.sleep(50)
-      }
-    }
-  }
-
-  /** Per-(session, sfDir) streaming-source dumps for q219 (bounded:
-    * one small parquet per scale factor per JVM).
-    */
-  private val q219SourceDirs = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.nio.file.Path]()
-
-  /** Per-(session, sfDir, table) symlink dirs exposing one parquet file
-    * as a file-stream source directory — INPUT plumbing cached like
-    * Tables' relation cache (bounded: one tiny dir per table per SF per
-    * JVM; the OS owns /tmp cleanup), so Bench's 4 runs per query pay the
-    * mkdir+symlink once instead of per invocation.
-    */
-  private val streamLinkDirs = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), java.nio.file.Path]()
-  private def streamSourceDir(
-      s: SparkSession, d: String, table: String): String =
-    streamLinkDirs.computeIfAbsent((s, d, table), _ => {
-      val p = graft.TempDirs.create(s"graft_stream_$table")
-      java.nio.file.Files.createSymbolicLink(
-        p.resolve(s"$table.parquet"),
-        java.nio.file.Paths.get(s"$d/$table.parquet"))
-      p
-    }).toString
-
-  /** Two-micro-batch event source for the q291 watermark-semantics pin:
-    * events split by event_id parity into TWO parquet files whose
-    * modification times force FileStreamSource's oldest-first order
-    * (even file first), so with maxFilesPerTrigger=1 batch 1 = even
-    * rows, batch 2 = odd rows — and because both halves span the full
-    * time range, batch 2 carries genuinely late data. Built once per
-    * (session, sf) in /tmp; the OS owns cleanup.
-    */
-  private val lateSplitDirs = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
-  private def lateSourceDir(s: SparkSession, d: String): String =
-    lateSplitDirs.computeIfAbsent((s, d), _ => {
-      val root = graft.TempDirs.create("graft_stream_late")
-      val ev = Tables.load(s, d, "events")
-      def dump(parity: Int, name: String, mtimeMs: Long): Unit = {
-        val tmp = root.resolve(s"${name}_tmp")
-        ev.filter(col("event_id") % 3 === parity)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        java.nio.file.Files.move(part, root.resolve(name))
-        java.nio.file.Files.setLastModifiedTime(root.resolve(name),
-          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      }
-      dump(0, "0.parquet", 1000000000000L)
-      dump(1, "1.parquet", 1000000060000L)
-      dump(2, "2.parquet", 1000000120000L)
-      root.toString
-    })
-
-  /** One scoped streaming session (4 state partitions) per root session —
-    * the q116 state-store scoping applied to EVERY bounded streaming
-    * demo: a stateful op opens a state store per shuffle partition, so
-    * at the session default of 32 the fixed micro-batch overhead is 8×
-    * the data work for these bounded corpora. Partition count never
-    * changes an answer (the streaming≡batch pins hold); it only sheds
-    * fixed state machinery. Cached so repeated Bench runs share one
-    * SQLConf + its plan caches.
-    */
-  private val scopedStreamSessions = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, SparkSession]()
-  /** GRAFT_STREAM_STATE_PARTITIONS, validated ONCE at first use: a
-    * malformed value fails with a configuration error naming the env
-    * var, not a bare NumberFormatException thrown from inside the
-    * first streaming query's computeIfAbsent.
-    */
-  private lazy val streamStatePartitions: Int = {
-    val raw = sys.env.getOrElse("GRAFT_STREAM_STATE_PARTITIONS", "4")
-    val parsed = scala.util.Try(raw.trim.toInt).toOption
-    require(parsed.exists(_ >= 1),
-      s"GRAFT_STREAM_STATE_PARTITIONS must be a positive integer, got '$raw'")
-    parsed.get
-  }
-  private def streamSession(s: SparkSession): SparkSession =
-    scopedStreamSessions.computeIfAbsent(s,
-      _ => graft.streaming.StreamingIngest.stateScopedSession(s,
-        streamStatePartitions))
-
-  /** Materialize a bounded memory-sink result (`out`, a view over the
-    * scoped session's sink table, transforms applied but UNSORTED) as a
-    * driver-local single-partition DataFrame on the caller's session,
-    * sorted on `sortCols`, and drop the sink view so Bench's 4
-    * runs-per-query don't accumulate result tables in driver memory.
-    *
-    * Sort discipline: `coalesce(1).sortWithinPartitions` on BOTH sides
-    * instead of `orderBy` — a global orderBy range-partitions, which
-    * costs an extra range-SAMPLING Spark job plus an exchange on every
-    * action; for a bounded (≤ ~100 k rows by construction: these are
-    * aggregated streaming answers) result a one-task sort is the same
-    * total order with neither. Profiling (r11) showed the two orderBys
-    * here were ~0.5 s of each streaming query's ~2 s warm time. The
-    * returned local relation re-sorts lazily per action, so callers see
-    * the declared order no matter how the optimizer rewrites the scan.
-    */
-  private def boundedResult(
-      s: SparkSession, ss: SparkSession, name: String,
-      out: DataFrame, sortCols: Seq[String]): DataFrame = {
-    val rows = java.util.Arrays.asList(
-      out.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
-        .collect(): _*)
-    ss.catalog.dropTempView(name)
-    s.createDataFrame(rows, out.schema)
-      .sortWithinPartitions(sortCols.map(col): _*)
-  }
-
-  /** Shared CUSUM oracle (q196 batch, q219 streaming — the operators
-    * are fold-identical by construction, so one recursive-CTE replay
-    * serves both): advance one row per sensor per step, with the exact
-    * `greatest(0, s + ((x − target) − slack))` arithmetic order.
-    */
-  private lazy val cusumOracleSql: String =
-    """WITH RECURSIVE base AS (SELECT event_type || ' ' || user_id
-      |    AS sensor_id, epoch_us(ts) AS t, value,
-      |    ROW_NUMBER() OVER (PARTITION BY event_type || ' ' || user_id
-      |      ORDER BY epoch_us(ts), value) AS rn
-      |  FROM events),
-      |c AS (
-      |  SELECT sensor_id, t, value, rn,
-      |    greatest(0.0::DOUBLE, (value - 50.0) - 5.0) AS cs
-      |  FROM base WHERE rn = 1
-      |  UNION ALL
-      |  SELECT b.sensor_id, b.t, b.value, b.rn,
-      |    greatest(0.0::DOUBLE, c.cs + ((b.value - 50.0) - 5.0)) AS cs
-      |  FROM c JOIN base b ON b.sensor_id = c.sensor_id
-      |    AND b.rn = c.rn + 1)
-      |SELECT sensor_id, t, value, cs AS s_cusum,
-      |  CAST(cs > 200.0 AS INTEGER) AS alarm
-      |FROM c ORDER BY sensor_id, t, value""".stripMargin
-
-  /** One unrolled label-propagation round for the q204 oracle: deliver
-    * labels over the symmetric edge list, count per (node, label),
-    * argmax by (count desc, label asc), keep the previous label where
-    * no neighbour exists — the same rule
-    * [[graft.pipeline.Behavior.labelPropagation]] applies, generated so
-    * the rounds cannot drift apart.
-    */
-  private def lpaIter(prev: String, cur: String): String =
-    s"""${cur}b AS (SELECT id, lbl FROM (
-       |    SELECT e.t2 AS id, $prev.lbl, COUNT(*) AS c,
-       |      ROW_NUMBER() OVER (PARTITION BY e.t2
-       |        ORDER BY COUNT(*) DESC, $prev.lbl) AS rnk
-       |    FROM esym e JOIN $prev ON $prev.id = e.s GROUP BY 1, 2)
-       |  WHERE rnk = 1),
-       |$cur AS (SELECT $prev.id,
-       |    COALESCE(${cur}b.lbl, $prev.lbl) AS lbl
-       |  FROM $prev LEFT JOIN ${cur}b ON ${cur}b.id = $prev.id)"""
-
-  private lazy val lpaOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
-       |    AS toks FROM documents),
-       |g AS (SELECT DISTINCT doc_id,
-       |        unnest(list_transform(generate_series(1, len(toks)-2),
-       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-       |          AS sh
-       |      FROM t),
-       |sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
-       |p AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM g a
-       |      JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2),
-       |e0 AS (SELECT da AS s, db AS t2 FROM p
-       |      JOIN sizes sa ON p.da = sa.doc_id
-       |      JOIN sizes sb ON p.db = sb.doc_id
-       |      WHERE c::DOUBLE/(sa.n + sb.n - c) >= 0.5),
-       |esym AS (SELECT s, t2 FROM e0 UNION ALL SELECT t2, s FROM e0),
-       |l0 AS (SELECT doc_id AS id, source AS lbl FROM documents),
-       |${lpaIter("l0", "l1").stripMargin},
-       |${lpaIter("l1", "l2").stripMargin},
-       |${lpaIter("l2", "l3").stripMargin}
-       |SELECT id AS doc_id, lbl AS label FROM l3 ORDER BY doc_id"""
-
-  /** Unrolled ascending-dimension left-assoc squared euclidean over
-    * list slices — the exact fold shape of
-    * [[graft.pipeline.Similarity.nearestCentroid]]'s kernel, for the
-    * q154/q155 PQ oracles.
-    */
-  private def sqDistN(a: String, b: String, n: Int): String =
-    (1 to n).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
-      .mkString(" + ")
-
-  /** Shared CTE chain of the PQ oracles (q154 ADC ranks, q155
-    * overfetch + exact rerank): rebuild the first-16 codebooks per
-    * 8-dim subspace with a window rank, encode the corpus by
-    * per-subspace argmin (ties to the lower code), compute each
-    * query's distance table, and assemble ADC distances by adding the
-    * 8 table entries in subspace order.
-    */
-  private lazy val pqOracleCtes: String = {
-    val sq8 = sqDistN(_: String, _: String, 8)
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-       |  FROM embeddings),
-       |cbsrc AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-       |    AS j FROM e ORDER BY vec_id LIMIT 16),
-       |ss AS (SELECT UNNEST(range(8)) AS s),
-       |cb AS (SELECT ss.s, cbsrc.j,
-       |    list_slice(cbsrc.v, 8*ss.s + 1, 8*ss.s + 8) AS cv
-       |  FROM cbsrc, ss),
-       |sub AS (SELECT e.vec_id, ss.s,
-       |    list_slice(e.v, 8*ss.s + 1, 8*ss.s + 8) AS sv
-       |  FROM e, ss),
-       |enc AS (SELECT vec_id, s, j AS code FROM (
-       |  SELECT sub.vec_id, sub.s, cb.j, ROW_NUMBER() OVER (
-       |      PARTITION BY sub.vec_id, sub.s
-       |      ORDER BY ${sq8("sub.sv", "cb.cv")}, cb.j) AS rnk
-       |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rnk = 1),
-       |qsub AS (SELECT vec_id AS qid, s, sv AS qv FROM sub
-       |  WHERE vec_id < 5),
-       |qtab AS (SELECT qsub.qid, cb.s, cb.j,
-       |    ${sq8("qsub.qv", "cb.cv")} AS d
-       |  FROM qsub JOIN cb ON qsub.s = cb.s),
-       |terms AS (SELECT qtab.qid, enc.vec_id, qtab.s, qtab.d
-       |  FROM qtab JOIN enc ON qtab.s = enc.s AND qtab.j = enc.code
-       |  WHERE qtab.qid <> enc.vec_id),
-       |lists AS (SELECT qid, vec_id, list(d ORDER BY s) AS l
-       |  FROM terms GROUP BY 1, 2),
-       |adc AS (SELECT qid, vec_id,
-       |    l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]+l[8] AS dist FROM lists)"""
-  }
-
-  /** One unrolled PageRank iteration for the q153 oracle: the incoming
-    * mass join/sum and the damped update, ROUND(9) — the same
-    * expression shape as [[graft.pipeline.Behavior.pageRank]]'s loop
-    * body, generated so the three iterations cannot drift apart.
-    */
-  private def pageRankIter(prev: String, cur: String): String =
-    s"""$cur AS (SELECT d_.s AS id,
-       |    ROUND((1.0::DOUBLE - 0.85::DOUBLE) / nn.nu
-       |      + 0.85::DOUBLE * COALESCE(m_.inn, 0.0::DOUBLE), 9) AS rank
-       |  FROM dg d_ CROSS JOIN nn LEFT JOIN (
-       |    SELECT sym.t AS id, SUM($prev.rank / dg.dg) AS inn
-       |    FROM sym JOIN dg ON sym.s = dg.s
-       |    JOIN $prev ON $prev.id = sym.s GROUP BY 1) m_
-       |  ON m_.id = d_.s)"""
-
-  /** Deterministic multilingual fixture for q140/q141: append the
-    * ground-truth label's phrase (the first 10 words of that label's
-    * stopword profile) to each document's text. The synthetic corpus is
-    * uniformly English-vocabulary regardless of its `lang` label, so
-    * without this no non-English profile ever scores a hit; with it the
-    * argmax is a genuine five-way competition (the original text keeps
-    * its English hits). Phrases come from the SAME
-    * [[TextAnalysis.stopwordProfiles]] constant the classifier uses, and
-    * [[langidOracleCtes]] inlines them from it too — the three surfaces
-    * cannot drift.
-    */
-  private def langidFixture(docs: DataFrame): DataFrame = {
-    val entries = TextAnalysis.stopwordProfiles.flatMap { case (l, ws) =>
-      Seq(lit(l), lit(ws.take(10).mkString(" ")))
-    }
-    docs.withColumn("ftext",
-      concat(col("text"), lit(" "), element_at(map(entries: _*), col("lang"))))
-  }
-
-  /** Oracle CTEs replaying [[TextAnalysis.languageId]]'s full
-    * multi-profile argmax in DuckDB over the [[langidFixture]] text:
-    * per profile, the whole-token stopword membership count on the
-    * lowered token list (list_filter/list_contains ≡ the Spark side's
-    * whole-token regex — both count repeats, both match entire tokens),
-    * the hit/token ratio, then the argmax with profile-priority
-    * tie-break (CASE arm order = profile list order = priority order).
-    * Every score is an integer hit count through one correctly-rounded
-    * IEEE division by the same integer token count, so score
-    * comparisons replay bit-exactly; no rounding needed anywhere.
-    * Generated from [[TextAnalysis.stopwordProfiles]] — word lists,
-    * phrases, and priorities share one source of truth with the
-    * classifier.
-    */
-  private lazy val langidOracleCtes: String = {
-    val profiles = TextAnalysis.stopwordProfiles
-    val phraseCase = profiles.map { case (l, ws) =>
-      s"WHEN lang = '$l' THEN '${ws.take(10).mkString(" ")}'"
-    }.mkString("CASE ", " ", " END")
-    val scores = profiles.map { case (l, ws) =>
-      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(toks, x -> list_contains($lst, x)))::DOUBLE" +
-        s" / ntoks AS s_$l"
-    }.mkString(",\n    ")
-    val best = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
-    val argmax = profiles.map { case (l, _) =>
-      s"WHEN s_$l = best THEN '$l'"
-    }.mkString(" ")
-    s"""d AS (
-       |  SELECT doc_id, lang, text || ' ' || $phraseCase AS ftext
-       |  FROM documents),
-       |tk AS (SELECT doc_id, lang,
-       |    string_split_regex(lower(trim(ftext)), '\\s+') AS toks,
-       |    greatest(len(string_split_regex(trim(ftext), '\\s+')), 1)
-       |      AS ntoks
-       |  FROM d),
-       |sc AS (SELECT doc_id, lang,
-       |    $scores
-       |  FROM tk),
-       |sb AS (SELECT *, $best AS best FROM sc),
-       |pr AS (SELECT doc_id, lang AS actual,
-       |    CASE WHEN best = 0 THEN 'und' $argmax END AS predicted
-       |  FROM sb)"""
-  }
-
-  /** q173's oracle: the bpe_split recurrence as a recursive CTE. Per
-    * vocabulary word, state = the symbol list; one step merges the
-    * leftmost occurrence of the lowest-rank adjacent pair (rank =
-    * 1-based list_position into the merges literal — relative order is
-    * all the argmin uses, so 1-based vs the kernel's 0-based is
-    * irrelevant); absent pairs map to 999999 = "no merge". ENGINE
-    * GOTCHA: DuckDB 1.0 `list_position` returns 0 — not NULL — for an
-    * absent element, so the sentinel needs `nullif(·, 0)` before the
-    * coalesce (a bare coalesce would rank every unknown pair 0 = best
-    * and merge the whole word). The final state per word is the deepest
-    * iteration. ASCII-only words make DuckDB's character indexing ≡ the
-    * kernel's char indexing.
-    */
-  private lazy val bpeCtes: String = {
-    val m = graft.pipeline.BpeMerges.sqlList
-    s"""WITH RECURSIVE vocab AS (
-       |  SELECT t AS word, COUNT(*) AS cnt FROM (
-       |    SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+'))
-       |      AS t FROM documents)
-       |  WHERE regexp_matches(t, '^[ -~]+$$')
-       |  GROUP BY 1 HAVING COUNT(*) >= 2),
-       |bpe AS (
-       |  SELECT word, cnt,
-       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS l,
-       |    0 AS it
-       |  FROM vocab
-       |  UNION ALL
-       |  SELECT word, cnt,
-       |    l[1:j-1] || [l[j] || l[j+1]] || l[j+2:len(l)] AS l,
-       |    it + 1
-       |  FROM (SELECT word, cnt, l, it,
-       |      list_position(rk, list_min(rk)) AS j, list_min(rk) AS m
-       |    FROM (SELECT word, cnt, l, it,
-       |        list_transform(range(1, len(l)), i ->
-       |          coalesce(nullif(list_position($m,
-       |            l[i] || '|' || l[i+1]), 0), 999999)) AS rk
-       |      FROM bpe WHERE len(l) > 1))
-       |  WHERE m < 999999),
-       |seg AS (
-       |  SELECT word, cnt, l AS fl
-       |  FROM (SELECT word, cnt, l, ROW_NUMBER() OVER (
-       |      PARTITION BY word ORDER BY it DESC) AS rn FROM bpe)
-       |  WHERE rn = 1)"""
-  }
-
-  private lazy val bpeOracleSql: String =
-    bpeCtes + s"""
-       |SELECT word, array_to_string(fl, ' ') AS segmentation,
-       |  CAST(len(fl) AS BIGINT) AS n_subwords, cnt
-       |FROM seg ORDER BY word"""
-
-  /** q177's oracle: tokenizer fertility (subwords per word, corpus
-    * weighted) per word-length bucket over the q173 segmentation —
-    * integer sums only, then ONE IEEE division (exact ints well under
-    * 2^53 ⇒ bit-identical cross-engine).
-    */
-  private lazy val bpeFertilitySql: String =
-    bpeCtes + s"""
-       |SELECT CASE WHEN len(word) <= 3 THEN 'short'
-       |    WHEN len(word) <= 6 THEN 'mid' ELSE 'long' END AS len_bucket,
-       |  COUNT(*) AS n_vocab, CAST(SUM(cnt) AS BIGINT) AS total_words,
-       |  CAST(SUM(cnt * len(fl)) AS BIGINT) AS total_subwords,
-       |  CAST(SUM(cnt * len(fl)) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
-       |    AS fertility
-       |FROM seg GROUP BY 1 ORDER BY len_bucket"""
-
-  /** q182's oracle: χ² contributions with the exact arithmetic shape of
-    * [[graft.pipeline.Profiler.chiSquareContrib]] — conditional sums
-    * per literal weekday (never a data-ordered float SUM), expected
-    * counts named once per day, the 7 terms added left-associated,
-    * ROUND(6). Generated so the term order is the single source of
-    * truth with the Spark `reduce(_ + _)` fold.
-    */
-  private lazy val chiSquareSql: String = {
-    val ds = 0 to 6
-    val oCells = ds.map(d =>
-      s"SUM(CASE WHEN dw = $d THEN 1 ELSE 0 END) AS o$d").mkString(", ")
-    val cCells = ds.map(d =>
-      s"SUM(CASE WHEN dw = $d THEN 1 ELSE 0 END) AS c$d").mkString(", ")
-    val rt = ds.map(d => s"o$d").mkString(" + ")
-    val eCols = ds.map(d =>
-      s"CAST(rt AS DOUBLE) * CAST(c$d AS DOUBLE) / CAST(grand AS DOUBLE)" +
-        s" AS e$d").mkString(", ")
-    val terms = ds.map(d =>
-      s"(CAST(o$d AS DOUBLE) - e$d) * (CAST(o$d AS DOUBLE) - e$d) / e$d")
-      .mkString(" + ")
-    s"""WITH src AS (SELECT event_type, EXTRACT(dow FROM ts) AS dw
-       |    FROM events),
-       |rows_ AS (SELECT event_type, $oCells FROM src GROUP BY 1),
-       |tot AS (SELECT $cCells, COUNT(*) AS grand FROM src),
-       |x AS (SELECT *, $rt AS rt FROM rows_ CROSS JOIN tot),
-       |e AS (SELECT *, $eCols FROM x)
-       |SELECT event_type, CAST(rt AS BIGINT) AS n_row,
-       |  round($terms, 6) AS chi2_contrib
-       |FROM e ORDER BY event_type"""
-  }
-
-  /** q188's oracle: Benford TVD with the exact arithmetic shape of
-    * [[graft.pipeline.Profiler.benfordTest]] — integer-cents digit
-    * extraction off the integer's VARCHAR form, conditional-sum digit
-    * counts, the 9 |share − benford_d| terms added left-associated with
-    * the SAME `math.log10` constants inlined as full-precision literals
-    * (`Double.toString` round-trips through DuckDB's parser), ROUND(6).
-    */
-  private lazy val benfordSql: String = {
-    def colSql(c: String): String = {
-      val counts = (1 to 9).map(d =>
-        s"SUM(CASE WHEN d = $d THEN 1 ELSE 0 END) AS c$d").mkString(", ")
-      val n = (1 to 9).map(d => s"c$d").mkString(" + ")
-      val terms = (1 to 9).map { d =>
-        val e = java.lang.Double.toString(math.log10(1.0 + 1.0 / d))
-        s"abs(CAST(c$d AS DOUBLE) / CAST(n AS DOUBLE) - $e)"
-      }.mkString(" + ")
-      s"""SELECT '$c' AS col_name, CAST(n AS BIGINT) AS n,
-         |  round(($terms) / 2.0, 6) AS tvd
-         |FROM (SELECT *, $n AS n FROM (
-         |  SELECT $counts FROM (
-         |    SELECT CAST(substr(CAST(CAST(CAST(abs($c) AS DECIMAL(18,2))
-         |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
-         |    FROM lineitem) WHERE d >= 1))"""
-    }
-    Seq("l_extendedprice", "l_quantity", "l_discount")
-      .map(colSql).mkString("\n|UNION ALL\n|") + "\n|ORDER BY col_name"
-  }
-
-  /** q323 oracle: the engine's 14 fixed k-core peeling rounds
-    * unrolled as chained (non-recursive) CTEs — the pageRankIter
-    * discipline. A recursive CTE cannot express peeling (its working
-    * table accumulates rows; the peel SHRINKS a set), so each round
-    * is one degree-filter + two-sided edge semi-join, literally.
-    */
-  private lazy val kCoreSql: String = {
-    val k = 3
-    val rounds = 14
-    val iters = (1 to rounds).map { i =>
-      // MATERIALIZED: DuckDB inlines plain CTEs, and each round
-      // references the previous one three times — unchecked, the
-      // 14-round chain expands to ~3^14 scans of lineitem.
-      s"""n$i AS MATERIALIZED (SELECT a FROM l${i - 1} GROUP BY a
-         |  HAVING COUNT(*) >= $k),
-         |l$i AS MATERIALIZED (SELECT l.a, l.b FROM l${i - 1} l
-         |  JOIN n$i x ON l.a = x.a JOIN n$i y ON l.b = y.a)"""
-    }.mkString(",\n|")
-    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk,
-       |    l_partkey AS item FROM lineitem),
-       |pr AS (SELECT a.item AS ia, b2.item AS ib
-       |  FROM it a JOIN it b2 ON a.bk = b2.bk AND a.item < b2.item),
-       |ed AS (SELECT ia, ib FROM pr GROUP BY 1, 2
-       |  HAVING COUNT(*) >= 2),
-       |l0 AS MATERIALIZED (SELECT ia AS a, ib AS b FROM ed
-       |  UNION ALL SELECT ib, ia FROM ed),
-       |$iters
-       |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
-       |FROM l$rounds GROUP BY a HAVING COUNT(*) >= $k
-       |ORDER BY node"""
-  }
-
-  /** q341 oracle: 25 power-iteration rounds unrolled as chained CTEs
-    * (the pageRankIter discipline). Per-state incoming mass is
-    * quantized DECIMAL(28,15) before the order-free sum; each iterate
-    * rounds to 9 decimals so drift cannot compound.
-    */
-  private lazy val markovStationarySql: String = {
-    val iters = 25
-    // MATERIALIZED throughout: DuckDB's plain-CTE inlining makes the
-    // 25-step chain exponential to plan (the q323 lesson — hangs
-    // without it)
-    val steps = (1 to iters).map { i =>
-      s"""p$i AS MATERIALIZED (SELECT t.to_state AS s,
-         |    ROUND(CAST(SUM(CAST(p.pi * t.prob AS DECIMAL(28,15)))
-         |      AS DOUBLE), 9) AS pi
-         |  FROM p${i - 1} p JOIN tr t ON t.from_state = p.s
-         |  GROUP BY 1)"""
-    }.mkString(",\n|")
-    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
-       |    event_type FROM events),
-       |st AS (SELECT event_type AS to_state,
-       |    LAG(event_type) OVER (PARTITION BY user_id
-       |      ORDER BY t, event_id) AS from_state FROM e),
-       |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM st
-       |  WHERE from_state IS NOT NULL GROUP BY 1, 2),
-       |ss AS (SELECT DISTINCT from_state AS s FROM c),
-       |kept AS (SELECT c.* FROM c JOIN ss ON c.to_state = ss.s),
-       |tt AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS t
-       |  FROM kept GROUP BY 1),
-       |tr AS MATERIALIZED (SELECT k.from_state, k.to_state,
-       |    CAST(k.n AS DOUBLE) / CAST(tt.t AS DOUBLE) AS prob
-       |  FROM kept k JOIN tt USING (from_state)),
-       |kk AS (SELECT COUNT(*) AS k FROM ss),
-       |p0 AS MATERIALIZED (SELECT s,
-       |    1.0::DOUBLE / CAST(kk.k AS DOUBLE) AS pi
-       |  FROM ss CROSS JOIN kk),
-       |$steps
-       |SELECT s AS state, pi AS stationary_p FROM p$iters
-       |ORDER BY s"""
-  }
-
-  /** q342 oracle: the SPRT LLR walk as a recursive CTE over the
-    * user-ordered Bernoulli stream. The step/barrier constants are
-    * the ENGINE's own (Sprt.logStep/barriers), inlined full-precision
-    * — so both sides add literally identical doubles each step. The
-    * frozen-after-decision state is CASE-guarded; the step expression
-    * repeats inline (SQL has no step-local bindings) but repetition
-    * of a deterministic expression is still one value.
-    */
-  private lazy val sprtSql: String = {
-    import graft.operators.Sprt
-    val (ls, lf) = Sprt.logStep(0.5, 0.7)
-    val (a, b) = Sprt.barriers(0.05, 0.05)
-    def lit(d: Double) = java.lang.Double.toString(d)
-    val step = s"r.llr + (CASE WHEN x.s = 1 THEN ${lit(ls)}" +
-      s" ELSE ${lit(lf)} END)"
-    s"""WITH RECURSIVE u AS (SELECT user_id,
-       |    CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
-       |      THEN 1 END) >= 10 THEN 1 ELSE 0 END AS s
-       |  FROM events GROUP BY user_id),
-       |base AS (SELECT s, ROW_NUMBER() OVER (ORDER BY user_id)
-       |    AS rn FROM u),
-       |cnt AS (SELECT MAX(rn) AS n FROM base),
-       |rec AS (
-       |  SELECT 0 AS i, 0.0::DOUBLE AS llr, 0 AS dec,
-       |    0::BIGINT AS nstop
-       |  UNION ALL
-       |  SELECT r.i + 1,
-       |    CASE WHEN r.dec <> 0 THEN r.llr ELSE $step END,
-       |    CASE WHEN r.dec <> 0 THEN r.dec
-       |      WHEN ($step) >= ${lit(a)} THEN 1
-       |      WHEN ($step) <= ${lit(b)} THEN -1 ELSE 0 END,
-       |    CASE WHEN r.dec <> 0 THEN r.nstop
-       |      WHEN ($step) >= ${lit(a)} OR ($step) <= ${lit(b)}
-       |        THEN CAST(r.i + 1 AS BIGINT)
-       |      ELSE 0::BIGINT END
-       |  FROM rec r JOIN base x ON x.rn = r.i + 1)
-       |SELECT 'all' AS trial, CAST(cnt.n AS BIGINT) AS n_obs,
-       |  r.llr, r.dec AS decision, r.nstop AS n_at_decision
-       |FROM rec r CROSS JOIN cnt WHERE r.i = cnt.n"""
-  }
-
-  /** q354 oracle: RAKE replayed in DuckDB — the stopword literal is
-    * the engine's own list; positions come from the (x, i) indexed
-    * list lambda; phrases reassemble with ordered string_agg.
-    */
-  private lazy val rakeSql: String = {
-    val stops = graft.pipeline.TextAnalysis.RakeStopwords
-      .map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id AS d,
-       |    string_split_regex(lower(text), '[^a-z0-9]+') AS ws
-       |  FROM documents),
-       |tok AS (SELECT d, s.pos AS pos, s.w AS w
-       |  FROM t, UNNEST(list_transform(ws,
-       |    (x, i) -> {'pos': i, 'w': x})) AS u(s)
-       |  WHERE length(s.w) > 0),
-       |fl AS (SELECT d, pos, w,
-       |    CASE WHEN w IN ($stops) THEN 1 ELSE 0 END AS stop
-       |  FROM tok),
-       |pid AS (SELECT d, pos, w, stop,
-       |    SUM(stop) OVER (PARTITION BY d ORDER BY pos
-       |      ROWS UNBOUNDED PRECEDING) AS pid
-       |  FROM fl),
-       |mem AS (SELECT d, pid, pos, w FROM pid WHERE stop = 0),
-       |ph AS (SELECT d, pid, COUNT(*) AS len,
-       |    string_agg(w, ' ' ORDER BY pos) AS phrase
-       |  FROM mem GROUP BY 1, 2 HAVING COUNT(*) <= 4),
-       |ws2 AS (SELECT mem.w, COUNT(*) AS freq,
-       |    CAST(SUM(ph.len) AS BIGINT) AS deg
-       |  FROM mem JOIN ph ON ph.d = mem.d AND ph.pid = mem.pid
-       |  GROUP BY 1),
-       |sc AS (SELECT w, CAST(CAST(deg AS DOUBLE)
-       |      / CAST(freq AS DOUBLE) AS DECIMAL(28,12)) AS score
-       |  FROM ws2),
-       |pc AS (SELECT phrase, COUNT(*) AS n_occurrences FROM ph
-       |  GROUP BY 1),
-       |px AS (SELECT pc.phrase, pc.n_occurrences, u.w
-       |  FROM pc, UNNEST(string_split(pc.phrase, ' ')) AS u(w))
-       |SELECT px.phrase, px.n_occurrences,
-       |  ROUND(CAST(SUM(sc.score) AS DOUBLE), 6) AS score
-       |FROM px JOIN sc ON sc.w = px.w
-       |GROUP BY 1, 2 ORDER BY score DESC, phrase LIMIT 20"""
-  }
-
-  /** q355 oracle: the engine's OWN µ-quantized JL planes
-    * (Similarity.hyperplanes(64, 16, 7) floored at 1e6) inlined as
-    * BIGINT list literals; projections/distances replay as exact
-    * integers, so only the final ratio meets IEEE.
-    */
-  private lazy val jlSql: String = {
-    val planes = graft.pipeline.Similarity.hyperplanes(64, 16, 7L)
-      .map(_.map(x => math.floor(x * 1e6).toLong))
-    val yCols = planes.zipWithIndex.map { case (p, i) =>
-      val lst = p.mkString("[", ", ", "]")
-      s"CAST(list_sum(list_transform(vq, (x, j) -> x * ($lst)[j]))" +
-        s" AS BIGINT) AS y$i"
-    }.mkString(",\n|    ")
-    val sqY = (0 until 16).map(i =>
-      s"CAST(a.y$i - b.y$i AS HUGEINT) * (a.y$i - b.y$i)")
-      .mkString("\n|      + ")
-    s"""WITH e AS (SELECT vec_id,
-       |    list_transform(embedding::DOUBLE[],
-       |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vq
-       |  FROM embeddings WHERE vec_id < 30),
-       |p AS (SELECT vec_id, vq,
-       |    $yCols
-       |  FROM e),
-       |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-       |    ($sqY) AS sqy,
-       |    CAST(list_sum(list_transform(a.vq,
-       |      (x, j) -> (x - b.vq[j]) * (x - b.vq[j]))) AS BIGINT)
-       |      AS sqx
-       |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
-       |r AS (SELECT CAST(CAST(sqy AS DOUBLE)
-       |    / (1.6E13::DOUBLE * CAST(sqx AS DOUBLE))
-       |    AS DECIMAL(28,12)) AS r FROM pr)
-       |SELECT COUNT(*) AS n_pairs,
-       |  ROUND(CAST(MIN(r) AS DOUBLE), 6) AS min_distortion,
-       |  ROUND(CAST(MAX(r) AS DOUBLE), 6) AS max_distortion,
-       |  ROUND(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-       |    AS mean_distortion
-       |FROM r"""
-  }
-
-  /** q364 oracle: the q315 k-anonymity summary replayed at each band
-    * width (posmod floor bands — the bandFloor contract) and stacked.
-    */
-  private lazy val anonLadderSql: String = {
-    // the inner GROUP BY builds the equivalence classes
-    val blocks = Seq(100L, 1000L, 10000L).map { b =>
-      s"""SELECT $b AS band, COUNT(*) AS n_classes,
-         |  CAST(SUM(k) AS BIGINT) AS n_rows,
-         |  MIN(k) AS min_k, MAX(k) AS max_k,
-         |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
-         |    AS BIGINT) AS rows_below_k,
-         |  COUNT(CASE WHEN k < 5 THEN 1 END) AS classes_below_k,
-         |  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0)
-         |    AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS reident_rate,
-         |  MIN(l) AS min_l,
-         |  COUNT(CASE WHEN l = 1 THEN 1 END) AS classes_l1
-         |FROM (SELECT c_nationkey, bnd, COUNT(*) AS k,
-         |    COUNT(DISTINCT c_mktsegment) AS l
-         |  FROM (SELECT c_nationkey,
-         |      CAST(FLOOR(c_acctbal) AS BIGINT) -
-         |        ((CAST(FLOOR(c_acctbal) AS BIGINT) % $b + $b) % $b)
-         |        AS bnd,
-         |      c_mktsegment
-         |    FROM customer)
-         |  GROUP BY 1, 2)"""
-    }
-    blocks.mkString("\n|UNION ALL\n|") + "\n|ORDER BY band"
-  }
+  private val registry: Seq[Q] =
+    SensorQueries.registry ++
+    PromqlQueries.registry ++
+    DedupQueries.registry ++
+    SimilarityQueries.registry ++
+    MultimodalQueries.registry ++
+    TextQueries.registry ++
+    SamplingQueries.registry ++
+    GraphQueries.registry ++
+    SketchQueries.registry ++
+    ProfilingQueries.registry ++
+    StreamingQueries.registry ++
+    BehaviorQueries.registry ++
+    StatsQueries.registry
+
+  require(registry.map(_.name).distinct.length == registry.length,
+    "duplicate query ids across family registries")
 
   lazy val all: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(x => x.name -> x.fn).toMap

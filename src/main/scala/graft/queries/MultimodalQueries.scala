@@ -1,0 +1,137 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.adapters.EventsAdapter
+import graft.exporters.Exporters
+import graft.operators.{AsOfJoin, LabelMatcher, Matchers, SensorOps}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.prometheus.{PrometheusRemote, XorChunk}
+import graft.promql.SimplePromQL
+import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
+import QueryHelpers._
+
+/** Multimodal lanes: image decode/resize/dHash, audio energy, frame sampling (binary columns + typed metadata).
+  *
+  * One of the family registries composed into [[graft.Queries]];
+  * oracle/alias conventions are documented there.
+  */
+private[graft] object MultimodalQueries {
+
+  val registry: Seq[Q] = Seq(
+
+    // Multimodal plumbing: documents' bytes as opaque media, batch decode
+    // via mapPartitions (decode step stubbed — see Multimodal.FakeDecoder).
+    q(
+      "q31_multimodal",
+      """SELECT doc_id AS media_id, length(text) AS n_bytes,
+        |  length(text) // 1000 + 1 AS n_frames
+        |FROM documents ORDER BY media_id"""
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      Multimodal.decode(media)
+        .select(col("media_id"), col("n_bytes"), col("n_frames"))
+        .orderBy("media_id")
+    },
+
+    // Multimodal frame sampling: every 3rd frame of each media payload
+    // (frame count follows the stub decoder's bytes/1000+1 heuristic, so
+    // the oracle derives the same counts from octet lengths).
+    q(
+      "q47_frame_sample",
+      """SELECT doc_id AS media_id,
+        |  (octet_length(encode(text)) // 1000) // 3 + 1 AS n_sampled,
+        |  ((octet_length(encode(text)) // 1000) // 3) * 3 AS last_frame
+        |FROM documents ORDER BY media_id"""
+    ) { (s, d) =>
+      import graft.pipeline.Multimodal
+      Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), every = 3)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_index")).cast("long").as("last_frame"))
+        .orderBy("media_id")
+    },
+
+    // Multimodal resize plumbing: the stub resizer's byte-level transform
+    // (truncate/zero-pad to w*h octets + metadata update) is replayed in
+    // DuckDB with octet arithmetic, so the batch contract, 1:1 row
+    // mapping, payload BYTES and metadata all hash-match — the same
+    // full-content check q31/q47 pin for decode/frame-sample. Documents
+    // are pure ASCII (verified: octet_length == length for every row),
+    // so VARCHAR truncation == byte truncation on the oracle side.
+    // Spark's base64 is the MIME encoder (76-char CRLF lines); the
+    // regexp strips the line breaks to match DuckDB's to_base64.
+    q(
+      "q69_media_resize",
+      """SELECT media_id, octet_length(resized) AS n_bytes,
+        |  24 AS meta_width, 10 AS meta_height,
+        |  to_base64(resized) AS payload_b64
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN length(text) >= 240
+        |      THEN encode(substring(text, 1, 240))
+        |      ELSE encode(text)
+        |        || repeat('\x00'::BLOB, 240 - length(text)) END AS resized
+        |  FROM documents)
+        |ORDER BY media_id"""
+    ) { (s, d) =>
+      import graft.pipeline.Multimodal
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)),
+        w = 24, h = 10)
+        .toDF()
+        .select(col("media_id"),
+          length(col("media")).cast("long").as("n_bytes"),
+          col("meta_width"), col("meta_height"),
+          regexp_replace(base64(col("media")), "[\\r\\n]", "")
+            .as("payload_b64"))
+        .orderBy("media_id")
+    },
+
+    // Perceptual-hash (dHash) near-dup pairs over the deterministic
+    // fake media lane (the REAL javax.imageio lane is pixel-pinned in
+    // PipelineSpec): 63-bit difference hash of the 9×8 fake gray grid
+    // (printable-ASCII code points — replayed verbatim by the oracle),
+    // 4×16-bit band bucketing (full recall ≤ radius 3, stated trade
+    // above), exact bit_count(xor) verification. Pure integer end to
+    // end; the only joins key on (band, 16-bit value) — never
+    // all-pairs.
+    q("q276_dhash_neardup", dhashOracleSql) { (s, d) =>
+      import graft.pipeline.Multimodal
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.fakeDHash(col("text")).as("dhash"))
+      Multimodal.dhashNearDupPairs(hashes, radius = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Windowed fake-PCM audio energy + integer silence gate (the
+    // VAD/silence-trim front): scan-stage position explode, one
+    // (media, window) map-side-combined aggregate, exact Σs² energy.
+    // Decode is the documented stub lane (JDK ships no audio codecs).
+    q(
+      "q293_audio_energy",
+      """WITH sx AS (SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0),
+        |p AS (SELECT media_id, s, UNNEST(range(0, length(s))) AS pos
+        |  FROM sx),
+        |a AS (SELECT media_id, pos // 16 AS win,
+        |    ascii(substr(s, CAST(pos + 1 AS INTEGER), 1)) - 79 AS amp
+        |  FROM p)
+        |SELECT media_id, win, COUNT(*) AS n_samples,
+        |  CAST(SUM(amp * amp) AS BIGINT) AS energy,
+        |  CAST(SUM(amp * amp) < COUNT(*) * 100 AS INTEGER) AS silence
+        |FROM a GROUP BY 1, 2 ORDER BY media_id, win"""
+    ) { (s, d) =>
+      Multimodal.fakePcmEnergy(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+        windowSamples = 16, silencePerSample = 100)
+    }
+  )
+}
