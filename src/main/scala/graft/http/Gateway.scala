@@ -203,18 +203,32 @@ final class Gateway(
     * responded-guard), growing the cached pool by one parked thread
     * per timed-out slow export. A contended tryLock means a response
     * is already being written, so the 408 is moot either way.
+    *
+    * The lock lives in an identity-keyed side map, NOT in
+    * `HttpExchange.setAttribute`: the JDK stores exchange attributes in
+    * the shared HttpCONTEXT attribute map (verified on JDK 17 —
+    * request N sees request N-1's attributes), so an attribute-held
+    * lock would be one lock per ROUTE and a streaming export would
+    * serialize every concurrent response on its route. Entries are
+    * removed in the route's finally; a watchdog firing after that
+    * reads null and skips (the responded-guard has already closed the
+    * exchange).
     */
-  private val lockAttr = "graft.responseLock"
-  private def lockOf(x: HttpExchange): java.util.concurrent.locks.ReentrantLock =
-    x.getAttribute(lockAttr)
-      .asInstanceOf[java.util.concurrent.locks.ReentrantLock]
+  private val exchangeLocks = new java.util.concurrent.ConcurrentHashMap[
+    HttpExchange, java.util.concurrent.locks.ReentrantLock]()
+  private[http] def lockOf(x: HttpExchange): java.util.concurrent.locks.ReentrantLock =
+    exchangeLocks.computeIfAbsent(x,
+      _ => new java.util.concurrent.locks.ReentrantLock())
 
   private def route(path: String, h: (HttpExchange, Map[String, String]) => Unit): Unit =
     server.createContext(path, new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val t0 = System.nanoTime()
-        x.setAttribute(lockAttr,
-          new java.util.concurrent.locks.ReentrantLock())
+        // create the exchange's lock EAGERLY: the watchdog task only
+        // `get`s (a null there must mean finalized-and-removed, never
+        // not-yet-created — a lazily created lock would let a 408 fire
+        // into nothing and the timeout silently not happen)
+        lockOf(x)
         // server timeout (reference: TimeoutLayer with REQUEST_TIMEOUT,
         // src/ingestors/http/server.rs:74-77): a watchdog answers 408 at
         // the deadline if the handler hasn't responded; the
@@ -225,11 +239,13 @@ final class Gateway(
         val deadline = watchdog.schedule(new Runnable {
           override def run(): Unit = watchdogIo.execute(new Runnable {
             override def run(): Unit = {
-              val l = lockOf(x)
-              // tryLock, never park (see lockAttr scaladoc): contended
-              // means a response is in flight — completing handler or
-              // streaming export — and the timeout answer is moot
-              if (l.tryLock()) {
+              // tryLock, never park (see exchangeLocks scaladoc):
+              // contended means a response is in flight — completing
+              // handler or streaming export — and the timeout answer
+              // is moot; a null lock means the exchange was already
+              // finalized and removed
+              val l = exchangeLocks.get(x)
+              if (l != null && l.tryLock()) {
                 try respondError(x, 408, "request timed out")
                 finally l.unlock()
               }
@@ -295,7 +311,10 @@ final class Gateway(
             logRequest(x.getRequestMethod, path,
               status, (System.nanoTime() - t0) / 1000L)
             x.close()
-          } finally l.unlock()
+          } finally {
+            l.unlock()
+            exchangeLocks.remove(x) // after close: no leak per exchange
+          }
         }
       }
     })
@@ -323,7 +342,7 @@ final class Gateway(
     // 408 and a completing handler race on the same exchange; whichever
     // sends first wins and the loser is a silent no-op (getResponseCode
     // is -1 until headers are sent). Guarded by the per-exchange
-    // ReentrantLock (see lockAttr) — reentrant, so the watchdog's
+    // ReentrantLock (see exchangeLocks) — reentrant, so the watchdog's
     // tryLock-then-respondError path nests safely.
     {
       val l = lockOf(x)

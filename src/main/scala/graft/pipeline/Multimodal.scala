@@ -408,4 +408,55 @@ object Multimodal {
           .cast("int").as("silence"))
       .orderBy("media_id", "win")
   }
+
+  // ------------------------------------------------------- codec discovery
+
+  /** Codec SPI seam: resolve the Decoder/Resizer/FrameSampler to use at
+    * runtime WITHOUT touching operator call sites — a real audio/video
+    * codec drops in as a jar, no code change. Resolution order:
+    *
+    *  1. system property `graft.multimodal.<kind>` (kind ∈ decoder,
+    *     resizer, frameSampler) naming a class — a Scala `object`
+    *     (MODULE$ singleton) or a class with a public no-arg
+    *     constructor; deployments pin their codec explicitly;
+    *  2. `java.util.ServiceLoader`: the first provider registered under
+    *     `META-INF/services/<trait binary name>` on the classpath
+    *     (e.g. `graft.pipeline.Multimodal$Decoder`);
+    *  3. the deterministic fake — the documented stub lane.
+    *
+    * Instances must be Serializable (they ship inside mapPartitions
+    * closures to every executor). The ORACLED queries keep passing the
+    * fakes explicitly: their answers are pinned to the stub lane by
+    * design; discovery is the production wiring
+    * (`Multimodal.decode(media, Multimodal.loadDecoder())`).
+    */
+  def loadDecoder(): Decoder = loadCodec[Decoder]("decoder", FakeDecoder)
+
+  /** See [[loadDecoder]]. */
+  def loadResizer(): Resizer = loadCodec[Resizer]("resizer", FakeResizer)
+
+  /** See [[loadDecoder]]. */
+  def loadFrameSampler(): FrameSampler =
+    loadCodec[FrameSampler]("frameSampler", FakeFrameSampler)
+
+  private def loadCodec[T](kind: String, fallback: T)(
+      implicit ct: scala.reflect.ClassTag[T]): T = {
+    val cls = ct.runtimeClass.asInstanceOf[Class[T]]
+    sys.props.get(s"graft.multimodal.$kind") match {
+      case Some(name) =>
+        val c = Class.forName(name)
+        require(cls.isAssignableFrom(c),
+          s"graft.multimodal.$kind=$name does not implement ${cls.getName}")
+        val instance =
+          try c.getField("MODULE$").get(null) // Scala object singleton
+          catch { case _: NoSuchFieldException =>
+            c.getDeclaredConstructor().newInstance()
+          }
+        cls.cast(instance)
+      case None =>
+        import scala.jdk.CollectionConverters._
+        java.util.ServiceLoader.load(cls).iterator().asScala
+          .nextOption().getOrElse(fallback)
+    }
+  }
 }
