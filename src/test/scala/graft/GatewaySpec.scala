@@ -584,6 +584,56 @@ class GatewaySpec extends SparkSpec {
         .statusCode() == 200)
   }
 
+  test("GET queries racing a vacuum never surface a vanished-file 500 " +
+      "(router retry, store contract)") {
+    // own store+gateway: the race needs multi-file months to compact
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val r2 = graft.TempDirs.createPath("graft_gateway_race")
+    val s2 = new SensorStore(spark, r2)
+    val g2 = new Gateway(spark, s2, "race-gateway")
+    val p2 = g2.start(0)
+    try {
+      val name = "race_metric"
+      val uuid = "00000000-dead-beef-0000-000000000001"
+      s2.publishSensors(Seq((uuid, name, "Float"))
+        .toDF("uuid", "name", "type")
+        .withColumn("unit", org.apache.spark.sql.functions.lit(null)
+          .cast("struct<name:string,description:string>"))
+        .withColumn("labels", org.apache.spark.sql.functions.lit(null)
+          .cast("map<string,string>")))
+      def batch(i: Int) = Seq(
+        (uuid, 1704067200000000L + i, i.toDouble),
+        (uuid, 1706745600000000L + i, i.toDouble))
+        .toDF("sensor_id", "timestamp_us", "value")
+      (1 to 4).foreach(i => s2.publishSamples(SensorType.Float, batch(i)))
+      @volatile var stop = false
+      val vacuumer = new Thread(() => {
+        while (!stop) {
+          s2.vacuum(SensorType.Float)
+          // re-fragment so every loop iteration has something to swap
+          s2.publishSamples(SensorType.Float, batch(100))
+          s2.publishSamples(SensorType.Float, batch(101))
+        }
+      })
+      vacuumer.start()
+      try {
+        val rounds = sys.env.getOrElse("GRAFT_RACE_REPEATS", "20").toInt
+        (1 to rounds).foreach { i =>
+          val r = client.send(HttpRequest.newBuilder(new URI(
+            s"http://127.0.0.1:$p2/api/v1/query?query=$name")).GET()
+            .build(), HttpResponse.BodyHandlers.ofString())
+          // the contract: vanished-file faults are retried inside the
+          // router (ReadFaults classification) — a reader NEVER sees a
+          // 5xx from the listed-then-compacted race
+          assert(r.statusCode() == 200,
+            s"round $i: ${r.statusCode()} ${r.body().take(200)}")
+        }
+      } finally { stop = true; vacuumer.join() }
+    } finally g2.stop()
+  }
+
   test("resample stream jobs: start, list, stop lifecycle") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
