@@ -124,4 +124,24 @@ class Round13PlanSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.matched).toList.distinct
     assert(rowShuffles == List("Exchange hashpartitioning(c"), plan)
   }
+
+  test("q261 cross-source leak (r13 re-key): ONE shuffle on the leak " +
+    "key, aggregates map-side combined, scan prunes to 3 columns") {
+    val q = Queries.all("q261_cross_source_leak")(spark, sf)
+    val plan = planOf(q)
+    // the prefix-fingerprint key is computed at the scan stage and the
+    // group-by shuffles on it once; countDistinct(source) plans as the
+    // standard two-phase expand-aggregate over the SAME key — no
+    // second row shuffle keyed differently, never a doc-pair join
+    val rowShuffles = "Exchange hashpartitioning\\(\\w+".r
+      .findAllMatchIn(plan).map(_.matched).toList.distinct
+    assert(rowShuffles == List("Exchange hashpartitioning(leak_key"), plan)
+    assert(plan.contains("partial_"), plan) // map-side combine
+    assert(!plan.contains("Join"), plan)
+    // column pruning reaches the parquet scan: only the 3 used columns
+    val m = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    val cols = m.get.group(1).split(",").map(_.takeWhile(_ != ':')).toSet
+    assert(cols == Set("doc_id", "source", "text"), plan)
+  }
 }
