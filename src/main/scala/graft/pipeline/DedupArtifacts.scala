@@ -49,6 +49,8 @@ object DedupArtifacts {
       n: Int, tau: Double, corpusKey: String,
       buckets: Int = DefaultBuckets): DataFrame = {
     val spark = docs.sparkSession
+    // purge stopped-session entries (PipelineCache.pinsFor doctrine)
+    symTables.keySet.removeIf(_._1.sparkContext.isStopped)
     symTables.computeIfAbsent(
       (spark, s"$corpusKey|$idCol|$textCol|$n|$tau|$buckets"), _ => {
         val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, tau)

@@ -25,6 +25,8 @@ object GraphArtifacts {
       events: DataFrame, userCol: String, itemCol: String,
       minCount: Long, corpusKey: String): DataFrame = {
     val spark = events.sparkSession
+    // purge stopped-session entries (PipelineCache.pinsFor doctrine)
+    edgeTables.keySet.removeIf(_._1.sparkContext.isStopped)
     edgeTables.computeIfAbsent(
       (spark, s"$corpusKey|$userCol|$itemCol|$minCount"),
       _ => PipelineCache.pin(

@@ -33,6 +33,8 @@ object SimilarityArtifacts {
       corpus: DataFrame, k: Int, iters: Int,
       corpusKey: String): DataFrame = {
     val spark = corpus.sparkSession
+    // purge stopped-session entries (PipelineCache.pinsFor doctrine)
+    assignTables.keySet.removeIf(_._1.sparkContext.isStopped)
     assignTables.computeIfAbsent(
       (spark, s"$corpusKey|$k|$iters"),
       _ => PipelineCache.pin(

@@ -59,6 +59,10 @@ object TextArtifacts {
       docs: DataFrame, idCol: String, textCol: String,
       corpusKey: String, buckets: Int): Arts = {
     val spark = docs.sparkSession
+    // same hygiene as PipelineCache.pinsFor: entries of stopped
+    // sessions would otherwise strongly retain the dead context's plan
+    // graphs (and suppress nothing useful) for the JVM's lifetime
+    tables.keySet.removeIf(_._1.sparkContext.isStopped)
     tables.computeIfAbsent(
       (spark, s"$corpusKey|$idCol|$textCol|$buckets"), _ => {
         val n = ctr.incrementAndGet()
