@@ -31,6 +31,16 @@ object Config {
     n
   }
 
+  /** Cap on the DECOMPRESSED size of a request body (gzip influx writes,
+    * snappy remote-write/read) — the wire cap alone doesn't stop a
+    * compression bomb (no reference env; graft hardening knob). Default
+    * 32× the wire cap: line protocol and protobuf compress well under
+    * that in practice, while a deflate bomb's ~1000× never materializes.
+    */
+  def decodedBodyLimit: Long =
+    get("GRAFT_HTTP_DECODED_BODY_LIMIT").map(parseByteSize)
+      .getOrElse(32L * httpBodyLimit)
+
   /** Handler time budget; expiry returns 408 REQUEST_TIMEOUT, matching
     * the reference's TimeoutLayer (src/ingestors/http/server.rs:74-77).
     */

@@ -283,6 +283,8 @@ final class Gateway(
           }
         } catch {
           case e: PayloadTooLarge => respondError(x, 413, e.getMessage)
+          case e: graft.sources.DecodedBodyTooLarge =>
+            respondError(x, 413, e.getMessage)
           case e: SimplePromQL.PromQLError => respondError(x, 400, e.getMessage)
           case e: IllegalArgumentException => respondError(x, 400, e.getMessage)
           case e: NoSuchElementException => respondError(x, 404, e.getMessage)
@@ -790,7 +792,8 @@ final class Gateway(
 
   private def handleInfluxWrite(x: HttpExchange, p: Map[String, String]): Unit = withIngestSlot(x) {
     import spark.implicits._
-    val text = BodyCodec.decodeBody(body(x), header(x, "content-encoding"))
+    val text = BodyCodec.decodeBody(body(x), header(x, "content-encoding"),
+      graft.Config.decodedBodyLimit)
     val bucket = p.getOrElse("bucket", "")
     val org = p.getOrElse("org", p.getOrElse("orgID", ""))
     val precision = p.getOrElse("precision", "ns")
@@ -838,7 +841,8 @@ final class Gateway(
   // ---------------------------------------------------------- prometheus
 
   private def handleRemoteWrite(x: HttpExchange, p: Map[String, String]): Unit = withIngestSlot(x) {
-    val decompressed = PrometheusRemote.snappyDecompress(body(x))
+    val decompressed =
+      PrometheusRemote.snappyDecompress(body(x), graft.Config.decodedBodyLimit)
     val wr = PrometheusRemote.parseWriteRequest(decompressed)
     if (wr.timeseries.isEmpty) {
       respondBytes(x, 204, "text/plain", Array.emptyByteArray)
@@ -876,7 +880,8 @@ final class Gateway(
       case None => throw new IllegalArgumentException(
         "Missing x-prometheus-remote-read-version header")
     }
-    val decompressed = PrometheusRemote.snappyDecompress(body(x))
+    val decompressed =
+      PrometheusRemote.snappyDecompress(body(x), graft.Config.decodedBodyLimit)
     val (queries, accepted) = PrometheusRemote.parseReadRequest(decompressed)
     val rq = queries.map { q =>
       RemoteRead.Query(q.startMs, q.endMs, q.matchers.map(m => m.mtype match {

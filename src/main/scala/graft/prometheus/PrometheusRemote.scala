@@ -295,8 +295,30 @@ object PrometheusRemote {
   /** Raw snappy block decompression (public format:
     * google/snappy format_description.txt). Remote-write bodies are
     * snappy-block compressed.
+    *
+    * `maxLen` bounds the DECLARED uncompressed length — the length
+    * varint is attacker-controlled and the output array is allocated
+    * up front, so without a cap a 20-byte request declaring 2 GB
+    * allocates 2 GB before any validation. Over-cap →
+    * [[graft.sources.DecodedBodyTooLarge]] (413 at the Gateway);
+    * malformed streams (truncated varint/elements, out-of-range copy
+    * offsets) → IllegalArgumentException (400), never a raw
+    * ArrayIndexOutOfBounds surfacing as a 500.
     */
-  def snappyDecompress(input: Array[Byte]): Array[Byte] = {
+  def snappyDecompress(
+      input: Array[Byte], maxLen: Long = Long.MaxValue): Array[Byte] =
+    try snappyDecompressUnsafe(input, maxLen)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(
+          s"malformed snappy body: ${e.getMessage}")
+      case e: NegativeArraySizeException =>
+        throw new IllegalArgumentException(
+          s"malformed snappy body: negative length ${e.getMessage}")
+    }
+
+  private def snappyDecompressUnsafe(
+      input: Array[Byte], maxLen: Long): Array[Byte] = {
     var pos = 0
     var uncompressedLen = 0L
     var shift = 0
@@ -305,6 +327,11 @@ object PrometheusRemote {
       uncompressedLen |= (b & 0x7fL) << shift; shift += 7
     }
     uncompressedLen |= b.toLong << shift
+    if (uncompressedLen > maxLen)
+      throw new graft.sources.DecodedBodyTooLarge(
+        s"snappy declared uncompressed length $uncompressedLen exceeds limit $maxLen")
+    require(uncompressedLen >= 0 && uncompressedLen <= Int.MaxValue - 8,
+      s"snappy: unsupported uncompressed length $uncompressedLen")
     val out = new Array[Byte](uncompressedLen.toInt)
     var opos = 0
     while (pos < input.length) {

@@ -169,10 +169,16 @@ object CsvImporter {
 
     // sensor identities: first unit per sensor name (reference keeps the
     // unit seen at first occurrence); tiny catalog — collect is bounded by
-    // the number of distinct sensors, not rows
+    // the number of distinct sensors, not rows. min_by over a scan-order
+    // id, not first(): first() in a groupBy is whichever PARTITION merges
+    // first, which is nondeterministic on a multi-partition read, while
+    // monotonically_increasing_id orders by (partition, row) = file order;
+    // the null ordering key makes min_by skip unit-less rows.
     val sensorRows = normalized
+      .withColumn("__ord", monotonically_increasing_id())
       .groupBy(col("sensor_name"))
-      .agg(first(col("unit_name"), ignoreNulls = true).as("unit_name"))
+      .agg(min_by(col("unit_name"),
+        when(col("unit_name").isNotNull, col("__ord"))).as("unit_name"))
       .collect()
       .map(r => (r.getString(0), sType,
         Option(r.getString(1)).filter(_.nonEmpty)))
@@ -202,17 +208,21 @@ object CsvImporter {
     val uuidByName = perSensor.map { case (n, t, u) =>
       n -> Sensor.deriveUuid(n, t, None, Nil)
     }.toMap
-    // one narrow select per sensor column, grouped by sensor type and
-    // unioned — each stays a single scan branch over the same file
+    // one stack() generator per sensor TYPE, not one union branch per
+    // sensor COLUMN: CSV scans parse whole lines, so k union branches
+    // would parse the file k times — the generator unpivots every column
+    // of the type group in a single scan
     val byType = sensorCols.groupBy(i => valueSensorType(colTypes(i))).map {
       case (st, idxs) =>
-        val frames = idxs.map { i =>
-          base.select(
-            lit(uuidByName(names(i))).as("sensor_id"),
-            tsCol.as("timestamp_us"),
-            castValue(col(names(i)), colTypes(i)).as("value"))
+        val pairs = idxs.flatMap { i =>
+          Seq(lit(uuidByName(names(i))),
+            castValue(col(names(i)), colTypes(i)))
         }
-        st -> frames.reduce(_ unionByName _)
+        st -> base
+          .select(tsCol.as("timestamp_us"),
+            stack((lit(idxs.size) +: pairs): _*)
+              .as(Seq("sensor_id", "value")))
+          .select(col("sensor_id"), col("timestamp_us"), col("value"))
     }
     IngestBatch(sensors, byType)
   }

@@ -184,6 +184,10 @@ object StreamingIngest {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
+    // resolved on the driver so the task closure ships a plain Long —
+    // a frame declaring an absurd uncompressed length is poison, not
+    // a licence to allocate gigabytes inside the task
+    val decodedCap = graft.Config.decodedBodyLimit
     spark.readStream
       .format("binaryFile")
       .schema(binarySchema)
@@ -199,7 +203,7 @@ object StreamingIngest {
         // writeRequestRows, so both paths derive identical identity.
         try PrometheusRemote.writeRequestRows(
           PrometheusRemote.parseWriteRequest(
-            PrometheusRemote.snappyDecompress(bytes)))
+            PrometheusRemote.snappyDecompress(bytes, decodedCap)))
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[remote-write-stream] skipping undecodable frame $path: $e")

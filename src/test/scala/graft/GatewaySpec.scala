@@ -712,6 +712,26 @@ class GatewaySpec extends SparkSpec {
       Map("content-type" -> "text/csv")).statusCode() == 200)
   }
 
+  test("compression bombs are rejected with 413 at the decoded cap " +
+      "(GRAFT_HTTP_DECODED_BODY_LIMIT)") {
+    withProp("GRAFT_HTTP_DECODED_BODY_LIMIT", "64kb") {
+      // gzip bomb on the influx path: ~1 KB wire, 1 MB decompressed
+      val bomb = graft.sources.BodyCodec.gzip(
+        "cpu usage=1.0 1590488773254420000\n" * 30000)
+      assert(bomb.length < Config.httpBodyLimit) // passes the wire cap
+      val r = post("/api/v2/write?bucket=b&org=o", bomb,
+        Map("content-encoding" -> "gzip"))
+      assert(r.statusCode() == 413)
+      assert(new String(r.body(), "UTF-8").contains("exceeds limit"))
+      // snappy bomb header on remote write: 6 bytes declaring ~2 GB
+      val snappyBomb = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+        0xff.toByte, 0x07, 0x00)
+      val r2 = post("/api/v1/prometheus_remote_write", snappyBomb, Map.empty)
+      assert(r2.statusCode() == 413)
+      assert(new String(r2.body(), "UTF-8").contains("exceeds limit"))
+    }
+  }
+
   test("handler over the server timeout answers 408 (TimeoutLayer parity)") {
     // timeout 0 s: the watchdog fires immediately; any Spark-backed
     // handler takes well over the scheduling latency, so the client

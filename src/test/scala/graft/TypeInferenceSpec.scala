@@ -162,4 +162,20 @@ class BodyCodecSpec extends AnyFunSuite {
       BodyCodec.decodeBody(s.getBytes("UTF-8"), Some("br"))
     }
   }
+
+  test("gunzip stops at the decoded cap (gzip bomb never buffers)") {
+    val bomb = "0" * 1000000 // 1 MB of zeros gzips to ~1 KB
+    val wire = BodyCodec.gzip(bomb)
+    assert(wire.length < 10000)
+    intercept[graft.sources.DecodedBodyTooLarge] {
+      BodyCodec.decodeBody(wire, Some("gzip"), maxDecoded = 64 * 1024)
+    }
+    // generous cap admits the same payload unchanged
+    assert(BodyCodec.decodeBody(wire, Some("gzip"),
+      maxDecoded = 2000000) == bomb)
+    // plain bodies are capped too (the wire cap normally fires first)
+    intercept[graft.sources.DecodedBodyTooLarge] {
+      BodyCodec.decodeBody(bomb.getBytes("UTF-8"), None, maxDecoded = 1024)
+    }
+  }
 }

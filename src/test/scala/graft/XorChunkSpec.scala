@@ -102,6 +102,42 @@ class XorChunkSpec extends AnyFunSuite {
     assert(new String(PrometheusRemote.snappyDecompress(input)) == "abababab")
   }
 
+  test("snappy declared-length cap rejects a bomb header BEFORE allocating") {
+    // 5-byte varint declaring ~2 GB with no element data: without the
+    // cap this allocates the full array up front from attacker bytes
+    val bomb = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0x07, 0x00)
+    intercept[graft.sources.DecodedBodyTooLarge] {
+      PrometheusRemote.snappyDecompress(bomb, maxLen = 1024 * 1024)
+    }
+    // declared length over Int range is malformed, not a 500-class fault
+    val huge = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0x01, 0x00)
+    intercept[IllegalArgumentException] {
+      PrometheusRemote.snappyDecompress(huge)
+    }
+  }
+
+  test("malformed snappy surfaces IllegalArgumentException, never a raw " +
+      "ArrayIndexOutOfBounds") {
+    // truncated: declares 8 bytes, literal element runs past the input
+    val truncated = Array[Byte](8, (7 << 2).toByte, 'a'.toByte)
+    intercept[IllegalArgumentException] {
+      PrometheusRemote.snappyDecompress(truncated)
+    }
+    // copy element whose offset reaches before the output start
+    val badOffset = Array[Byte](4, (1 << 2).toByte, 'a'.toByte, 'b'.toByte,
+      (((4 - 4) << 2) | 1).toByte, 9)
+    intercept[IllegalArgumentException] {
+      PrometheusRemote.snappyDecompress(badOffset)
+    }
+    // empty input: varint read has no bytes
+    intercept[IllegalArgumentException] {
+      PrometheusRemote.snappyDecompress(Array.emptyByteArray)
+    }
+  }
+
   test("WriteRequest protobuf roundtrip through our writer/reader") {
     import PrometheusRemote._
     // build a WriteRequest using the ProtoWriter (mirrors prompb schema)
