@@ -47,6 +47,27 @@ class ImportersSpec extends SparkSpec {
       .select(sum("value")).as[Long].head() == 129)
   }
 
+  test("CSV wide format: a multi-column type group unpivots every column " +
+      "in one stack() scan") {
+    val path = writeTemp("wide2", """datetime,temp_a,temp_b,count
+      |2024-01-01T00:00:00Z,20.5,30.5,7
+      |2024-01-01T00:01:00Z,21.0,31.0,8
+      |""".stripMargin)
+    val batch = CsvImporter.importCsv(spark, path)
+    val floats = batch.samples(SensorType.Float)
+    // 2 float columns × 2 rows = 4 samples, each row keeps its own value
+    assert(floats.count() == 4)
+    assert(floats.select(sum("value")).as[Double].head() == 103.0)
+    assert(floats.select("sensor_id").distinct().count() == 2)
+    // one CSV scan feeds the whole float group (the per-column union
+    // would show one FileScan per column)
+    val scans = floats.queryExecution.executedPlan.collect {
+      case s if s.nodeName.contains("Scan") => s
+    }
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+    assert(batch.samples(SensorType.Integer).count() == 2)
+  }
+
   test("SenML import resolves bases and types (RFC 8428)") {
     val doc = """[
       {"bn":"urn:dev:temp1:","bt":1700000000.0,"bu":"Cel","n":"t","v":22.5},
