@@ -704,9 +704,13 @@ final class Gateway(
     SenML.importJson(docs).foreach { case (t, df) =>
       val named = df.cache()
       if (named.limit(1).count() > 0) {
+        // min_by over document order, not first(): first() is
+        // partition-merge-order nondeterministic; the reference keeps
+        // the unit of the series' first record
         val sensors = named
           .groupBy(col("sensor_id").as("name"))
-          .agg(first(col("unit"), ignoreNulls = true).as("unit_name"))
+          .agg(min_by(col("unit"), when(col("unit").isNotNull,
+            struct(col("doc_id"), col("pos")))).as("unit_name"))
           .select(
             call_function("sensor_uuid", col("name"), lit(t.displayName), col("unit_name"),
               lit(null).cast(MapType(StringType, StringType))).as("uuid"),

@@ -57,9 +57,15 @@ object SenML {
         col("v"), col("vs"), col("vb"), col("vd"), col("doc_id"), col("pos"))
   }
 
-  /** Series-level type resolution + per-type sample frames. */
+  /** Series-level type resolution + per-type sample frames. Each frame
+    * carries `(doc_id, pos)` so callers can make document-order picks
+    * (e.g. "unit of the first record") deterministically. No cache: the
+    * branches a caller materializes re-run the parse, which is bounded
+    * by the request body — a cache here would register one CacheManager
+    * entry per publish on a long-lived gateway with no unpersist point.
+    */
   def importJson(docs: Dataset[String]): Map[SensorType, DataFrame] = {
-    val resolved = parse(docs).cache()
+    val resolved = parse(docs)
     val w = Window.partitionBy(col("name")).orderBy(col("doc_id"), col("pos"))
     val withType = resolved
       .withColumn("__rn", row_number().over(w))
@@ -72,23 +78,18 @@ object SenML {
             .otherwise(SensorType.Float.displayName))
           .over(Window.partitionBy(col("name")).orderBy(col("doc_id"), col("pos"))
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def branch(t: SensorType, value: org.apache.spark.sql.Column): DataFrame =
+      withType
+        .filter(col("first_type") === t.displayName)
+        .select(col("name").as("sensor_id"), col("timestamp_us"),
+          value.as("value"), col("unit"), col("doc_id"), col("pos"))
     Map(
-      SensorType.Float -> withType
-        .filter(col("first_type") === SensorType.Float.displayName)
-        .select(col("name").as("sensor_id"), col("timestamp_us"),
-          coalesce(col("v"), lit(0.0)).as("value"), col("unit")),
-      SensorType.Str -> withType
-        .filter(col("first_type") === SensorType.Str.displayName)
-        .select(col("name").as("sensor_id"), col("timestamp_us"),
-          coalesce(col("vs"), lit("")).as("value"), col("unit")),
-      SensorType.Boolean -> withType
-        .filter(col("first_type") === SensorType.Boolean.displayName)
-        .select(col("name").as("sensor_id"), col("timestamp_us"),
-          coalesce(col("vb"), lit(false)).as("value"), col("unit")),
-      SensorType.Blob -> withType
-        .filter(col("first_type") === SensorType.Blob.displayName)
-        .select(col("name").as("sensor_id"), col("timestamp_us"),
-          unbase64(coalesce(col("vd"), lit(""))).as("value"), col("unit")))
+      SensorType.Float -> branch(SensorType.Float, coalesce(col("v"), lit(0.0))),
+      SensorType.Str -> branch(SensorType.Str, coalesce(col("vs"), lit(""))),
+      SensorType.Boolean ->
+        branch(SensorType.Boolean, coalesce(col("vb"), lit(false))),
+      SensorType.Blob ->
+        branch(SensorType.Blob, unbase64(coalesce(col("vd"), lit("")))))
   }
 
   /** Multi-series SenML export as ONE plan (reference
