@@ -32,6 +32,26 @@ object ArrowIO {
 
   private lazy val allocator = new RootAllocator()
 
+  /** Decode faults from attacker-controlled IPC bytes — bad magic
+    * (InvalidArrowFileException), truncation (IOException), a timestamp
+    * in the wrong unit (ClassCastException on the vector cast), or
+    * nulls in a required column (NPE/IllegalState from `get`) — are
+    * malformed input, not engine faults: reclassify to
+    * IllegalArgumentException so the HTTP edge answers 400, never a
+    * raw 500. Our own IllegalArgumentExceptions pass through.
+    */
+  private def decodeGuard[T](f: => T): T =
+    try f
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: java.io.IOException | _: NullPointerException |
+          _: IllegalStateException | _: ClassCastException |
+          _: IndexOutOfBoundsException |
+          _: org.apache.arrow.vector.ipc.InvalidArrowFileException) =>
+        throw new IllegalArgumentException(
+          s"malformed Arrow IPC body: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
   final case class LongRow(
       timestampUs: Long, sensorId: String, sensorName: String,
       value: String, valueType: String, labelsJson: String)
@@ -100,7 +120,7 @@ object ArrowIO {
   }
 
   /** Decode a Float-series IPC file; requires timestamp+value columns. */
-  def decodeFloatSeries(bytes: Array[Byte]): Seq[(Long, Double)] = {
+  def decodeFloatSeries(bytes: Array[Byte]): Seq[(Long, Double)] = decodeGuard {
     val reader = new ArrowFileReader(
       new ByteArrayReadableSeekableByteChannel(bytes), allocator)
     try {
@@ -285,7 +305,7 @@ object ArrowIO {
     * Struct{latitude,longitude}→Location, Binary→Blob. Anything else is
     * rejected.
     */
-  def decodeTypedSeries(bytes: Array[Byte]): TypedSeries = {
+  def decodeTypedSeries(bytes: Array[Byte]): TypedSeries = decodeGuard {
     val reader = new ArrowFileReader(
       new ByteArrayReadableSeekableByteChannel(bytes), allocator)
     try {
@@ -358,7 +378,7 @@ object ArrowIO {
     * to route between the typed single-series layout and the long
     * multi-series layout before committing to a decode.
     */
-  def ipcFieldNames(bytes: Array[Byte]): Set[String] = {
+  def ipcFieldNames(bytes: Array[Byte]): Set[String] = decodeGuard {
     val reader = new ArrowFileReader(
       new ByteArrayReadableSeekableByteChannel(bytes), allocator)
     try reader.getVectorSchemaRoot.getSchema.getFields.asScala
@@ -481,7 +501,7 @@ object ArrowIO {
     } finally root.close()
   }
 
-  def decodeLongFormat(bytes: Array[Byte]): Seq[LongRow] = {
+  def decodeLongFormat(bytes: Array[Byte]): Seq[LongRow] = decodeGuard {
     val reader = new ArrowFileReader(
       new ByteArrayReadableSeekableByteChannel(bytes), allocator)
     try {

@@ -151,6 +151,22 @@ class ArrowCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](ArrowIO.decodeFloatSeries(bad))
   }
 
+  test("malformed Arrow bytes surface IllegalArgumentException (400), " +
+      "never a raw decoder fault (500)") {
+    // garbage: no Arrow magic
+    val garbage = Array.fill[Byte](64)(0x5a)
+    intercept[IllegalArgumentException](ArrowIO.ipcFieldNames(garbage))
+    intercept[IllegalArgumentException](ArrowIO.decodeTypedSeries(garbage))
+    intercept[IllegalArgumentException](ArrowIO.decodeLongFormat(garbage))
+    // truncated: a valid file cut mid-body (footer gone)
+    val good = ArrowIO.encodeFloatSeries(Seq((1L, 1.0), (2L, 2.0)))
+    val truncated = good.take(good.length / 2)
+    intercept[IllegalArgumentException](ArrowIO.decodeFloatSeries(truncated))
+    // empty body
+    intercept[IllegalArgumentException](
+      ArrowIO.decodeTypedSeries(Array.emptyByteArray))
+  }
+
   test("metric filters: substring, regex, type (P3)") {
     val metrics = SensorOps.metricsSummary(EventsAdapter.sensors(spark, sf))
     assert(Catalog.filterMetrics(metrics, nameSubstring = Some("CLICK"))
