@@ -553,6 +553,10 @@ final class Gateway(
     val labels = Option(row.getMap[String, String](4))
       .map(_.toMap.asInstanceOf[Map[String, String]]).getOrElse(Map.empty)
     val limit = p.get("limit").map(_.toInt).getOrElse(SensorOps.DefaultQueryLimit)
+    // a negative limit would reach DataFrame.limit() and fault as an
+    // AnalysisException (500); it's a caller error (400)
+    if (limit < 0)
+      throw new IllegalArgumentException(s"limit must be non-negative: $limit")
     val (startUs, endUs) = (parseTime(p, "start"), parseTime(p, "end"))
     // Export bodies STREAM (chunked transfer + toLocalIterator): the
     // default query limit is 10M rows (reference:
