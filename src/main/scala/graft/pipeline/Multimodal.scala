@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGES are fully real: [[ImageIODecoder]]/[[ImageIOResizer]] decode,
   * scale and re-encode PNG/JPEG/BMP/GIF through plain-JDK
-  * `javax.imageio` — no external codecs needed. AUDIO/VIDEO decode
-  * remains environment-blocked (the JDK ships no codecs):
+  * `javax.imageio` — no external codecs needed. UNCOMPRESSED AUDIO is
+  * real too: [[WavPcm]]/[[WavAudioDecoder]]/[[wavEnergy]] decode PCM
+  * WAV/AIFF/AU through plain-JDK `javax.sound.sampled`. Only
+  * COMPRESSED audio (mp3/ogg/aac) and VIDEO remain environment-blocked
+  * (the JDK ships no codecs for those):
   * [[FakeDecoder]]/[[FakeFrameSampler]] are deterministic placeholders
-  * with the exact signature a real decoder plugs into, and the oracled
-  * byte-level queries (q31/q69/q47) pin their batch contracts.
+  * with the exact signature a real decoder plugs into (via the SPI
+  * seam below), and the oracled byte-level queries (q31/q69/q47) pin
+  * their batch contracts.
   * Everything Spark-side — schema, partitioning, batch iteration shape,
   * output contract — is real and tested. On a Python-capable cluster the
   * same batch contract maps 1:1 onto `mapInPandas`/`mapInArrow` with the
@@ -243,6 +247,147 @@ object Multimodal {
       it.grouped(DecodeBatchSize).flatMap(batch =>
         sampler.sampleBatch(batch.toSeq, every))
     }
+  }
+
+  // ------------------------------------------------------- audio (PCM)
+
+  /** REAL audio lane over plain-JDK `javax.sound.sampled`: the JDK
+    * ships PCM WAV/AIFF/AU parsers (no external codecs needed), so
+    * uncompressed audio decodes for real — only COMPRESSED audio
+    * (mp3/ogg/aac) remains behind the codec SPI seam, the same split as
+    * images (imageio formats real) vs video (stub).
+    */
+  object WavPcm {
+
+    /** Decode a PCM WAV/AIFF/AU payload to mono integer samples
+      * (channels averaged with truncation toward zero — deterministic),
+      * in the native signed range of the sample width. Supports 8- and
+      * 16-bit PCM, signed or unsigned, either endianness; anything else
+      * — or an undecodable payload — fails LOUDLY as
+      * IllegalArgumentException (the 1:1 batch contract; a silent skip
+      * would corrupt downstream joins).
+      *
+      * @return (sample rate in Hz, mono samples)
+      */
+    def decodeMono(bytes: Array[Byte]): (Float, Array[Int]) = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+      val ais =
+        try AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"payload is not a decodable PCM audio file: ${e.getMessage}")
+        }
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        require(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+          s"unsupported audio encoding $enc — PCM only; plug a " +
+            "compressed-format codec through the SPI seam")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"unsupported PCM sample width: $bits bits (8/16 supported)")
+        val ch = fmt.getChannels
+        require(ch >= 1, "audio payload declares zero channels")
+        val data = ais.readAllBytes()
+        val bps = bits / 8
+        val frameSize = bps * ch
+        val n = data.length / frameSize
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var sum = 0
+          var c = 0
+          while (c < ch) {
+            val off = i * frameSize + c * bps
+            val s =
+              if (bits == 8) {
+                if (signed) data(off).toInt else (data(off) & 0xff) - 128
+              } else {
+                val (b0, b1) =
+                  if (fmt.isBigEndian) (data(off), data(off + 1))
+                  else (data(off + 1), data(off))
+                val raw = ((b0 & 0xff) << 8) | (b1 & 0xff)
+                if (signed) raw.toShort.toInt else raw - 32768
+              }
+            sum += s
+            c += 1
+          }
+          out(i) = sum / ch
+          i += 1
+        }
+        (fmt.getSampleRate, out)
+      } finally ais.close()
+    }
+  }
+
+  /** REAL audio decoder for the SPI seam: per PCM payload, n_frames =
+    * mono sample count, a rolling-hash checksum over the decoded
+    * samples (byte-layout-independent: the same sound at the same rate
+    * hashes equal from WAV or AIFF), and an 8-segment normalized energy
+    * envelope as `feature` — the duration-independent loudness
+    * signature downstream dedup/ANN stages consume, the audio analog of
+    * [[ImageIODecoder]]'s luminance histogram.
+    */
+  object WavAudioDecoder extends Decoder {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val (rate, samples) = WavPcm.decodeMono(r.media)
+      var crc = 17L
+      var i = 0
+      while (i < samples.length) { crc = crc * 31 + samples(i); i += 1 }
+      crc = (crc * 31 + samples.length) * 31 + rate.toInt
+      val seg = new Array[Double](8)
+      if (samples.length > 0) {
+        i = 0
+        while (i < samples.length) {
+          val s = samples(i).toDouble
+          // segment index by exact integer math — no length/8 rounding
+          seg(((i.toLong * 8) / samples.length).toInt) += s * s
+          i += 1
+        }
+      }
+      val tot = seg.sum
+      val env =
+        if (tot > 0) seg.map(e => (e / tot).toFloat)
+        else new Array[Float](8)
+      MediaFeatures(r.media_id, r.media.length.toLong, samples.length,
+        crc, env)
+    }
+  }
+
+  /** Windowed audio energy + silence gating over REAL decoded PCM —
+    * [[fakePcmEnergy]]'s production twin (same output contract:
+    * media_id, win, n_samples, energy, silence). The decode runs in the
+    * [[DecodeBatchSize]] batch shape and the per-window Σs² folds
+    * SEQUENTIALLY inside the partition sweep — windows of one payload
+    * are contiguous samples, so no explode, no shuffle, O(1) state per
+    * window: a pure scan-stage operator. Energy is an exact integer sum
+    * (16-bit samples ⇒ window sums ≪ int64); the silence gate scales by
+    * the window's own sample count so tail windows gate fairly.
+    */
+  def wavEnergy(
+      media: Dataset[MediaRow],
+      windowSamples: Int = 1024,
+      silencePerSample: Long = 100L): DataFrame = {
+    require(windowSamples >= 1 && silencePerSample >= 0,
+      "need windowSamples >= 1 and silencePerSample >= 0")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val samples = WavPcm.decodeMono(r.media)._2
+          samples.iterator.grouped(windowSamples).zipWithIndex.map {
+            case (win, wi) =>
+              var energy = 0L
+              win.foreach { s => energy += s.toLong * s }
+              (r.media_id, wi.toLong, win.length.toLong, energy,
+                if (energy < win.length * silencePerSample) 1 else 0)
+          }
+        }
+      }
+    }.toDF("media_id", "win", "n_samples", "energy", "silence")
   }
 
   // ------------------------------------------------------- perceptual hash

@@ -1445,6 +1445,68 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) && !pairs.exists(p => p._2 == 2L))
   }
 
+  test("WAV PCM decode: real samples, channel averaging, windowed " +
+      "energy + silence gate") {
+    import graft.pipeline.Multimodal
+    import Multimodal.MediaRow
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // hand-generated PCM → WAV via the JDK writer: every sample value is
+    // known exactly, so energies compare as exact integers
+    def wav16(samples: Array[Int], rate: Float = 8000f,
+        channels: Int = 1): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length / channels), AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 64 loud samples (alternating ±1000), then 64 zeros
+    val loud = Array.tabulate(64)(i => if (i % 2 == 0) 1000 else -1000)
+    val mono = wav16(loud ++ Array.fill(64)(0))
+    val (rate, decoded) = Multimodal.WavPcm.decodeMono(mono)
+    assert(rate == 8000f && decoded.length == 128)
+    assert(decoded.take(64).toSeq == loud.toSeq &&
+      decoded.drop(64).forall(_ == 0))
+    // stereo averaging: L=+500, R=-300 → (500-300)/2 = 100 per frame
+    val stereo = wav16(Array.tabulate(32)(i =>
+      if (i % 2 == 0) 500 else -300), channels = 2)
+    assert(Multimodal.WavPcm.decodeMono(stereo)._2.forall(_ == 100))
+    // windowed energy on executors: exact integer Σs², silence gated
+    val rows = Seq(MediaRow(1L, mono, "audio/wav", 0, 0)).toDS()
+    val wins = Multimodal.wavEnergy(rows, windowSamples = 64,
+        silencePerSample = 100L)
+      .as[(Long, Long, Long, Long, Int)].collect().sortBy(_._2)
+    assert(wins.length == 2)
+    assert(wins(0) == ((1L, 0L, 64L, 64L * 1000L * 1000L, 0)))
+    assert(wins(1) == ((1L, 1L, 64L, 0L, 1))) // all-zero window = silence
+    // the real decoder: envelope concentrates in the loud half,
+    // n_frames = sample count, byte-level determinism
+    val feat = Multimodal.decode(rows, Multimodal.WavAudioDecoder)
+      .collect().head
+    assert(feat.n_frames == 128)
+    assert(math.abs(feat.feature.take(4).sum - 1.0f) < 1e-6)
+    assert(feat.feature.drop(4).forall(_ == 0f))
+    assert(Multimodal.WavAudioDecoder.decodeBatch(
+      Seq(MediaRow(1L, mono, "audio/wav", 0, 0))).head.checksum ==
+      feat.checksum)
+    // the SPI seam resolves the real audio decoder like any codec
+    sys.props("graft.multimodal.decoder") =
+      "graft.pipeline.Multimodal$WavAudioDecoder$"
+    try assert(Multimodal.loadDecoder() eq Multimodal.WavAudioDecoder)
+    finally sys.props -= "graft.multimodal.decoder"
+    // junk and compressed payloads fail loudly (batch contract)
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcm.decodeMono(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("multimodal decode: batch shape, determinism, feature contract") {
     val media = Multimodal.mediaFromDocuments(
       spark, Tables.documents(spark, sf))
