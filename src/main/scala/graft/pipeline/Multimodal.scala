@@ -357,6 +357,44 @@ object Multimodal {
     }
   }
 
+  /** Deterministic WAV synthesis from text — the fixture generator
+    * feeding [[wavEnergy]]'s REAL decode in the oracled roundtrip gate
+    * (q371): one 16-bit mono PCM sample per printable-ASCII character,
+    * amp = codepoint − 79 (the [[fakePcmEnergy]] lane's amplitude
+    * formula, so the oracle replays it as ascii() math), rendered as a
+    * true RIFF/WAVE payload via `javax.sound.sampled` on the
+    * executors. The gate equality holds iff WAV encode→decode is
+    * sample-exact — which 16-bit PCM guarantees.
+    */
+  def textToWav(
+      docs: DataFrame, idCol: String, textCol: String,
+      rate: Float = 8000f): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, length, regexp_replace}
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        regexp_replace(col(textCol), "[^ -~]", "").as("s"))
+      .filter(length(col("s")) > 0)
+      .as[(Long, String)]
+      .map { case (id, s) =>
+        val bytes = new Array[Byte](s.length * 2)
+        var i = 0
+        while (i < s.length) {
+          val amp = s.charAt(i).toInt - 79
+          bytes(2 * i) = (amp & 0xff).toByte
+          bytes(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, s.length.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray, "audio/wav", 0, 0)
+      }
+  }
+
   /** Windowed audio energy + silence gating over REAL decoded PCM —
     * [[fakePcmEnergy]]'s production twin (same output contract:
     * media_id, win, n_samples, energy, silence). The decode runs in the

@@ -132,6 +132,37 @@ private[graft] object MultimodalQueries {
       Multimodal.fakePcmEnergy(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
         windowSamples = 16, silencePerSample = 100)
+    },
+
+    // REAL WAV roundtrip energy: text → deterministic 16-bit PCM → a
+    // true RIFF/WAVE payload (javax.sound.sampled, on the executors) →
+    // REAL decode (WavPcm) → windowed Σs² energy + silence gate. The
+    // oracle derives the identical energies straight from the ascii()
+    // amplitude formula, so the gate holds iff WAV encode→decode is
+    // sample-exact — the end-to-end pin on the real audio lane. Decode
+    // and windowing fold sequentially inside the partition sweep (no
+    // explode, no shuffle); exact integer arithmetic end to end.
+    q(
+      "q371_wav_energy",
+      """WITH sx AS (SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0),
+        |p AS (SELECT media_id, s, UNNEST(range(0, length(s))) AS pos
+        |  FROM sx),
+        |a AS (SELECT media_id, pos // 16 AS win,
+        |    ascii(substr(s, CAST(pos + 1 AS INTEGER), 1)) - 79 AS amp
+        |  FROM p)
+        |SELECT media_id, win, COUNT(*) AS n_samples,
+        |  CAST(SUM(amp * amp) AS BIGINT) AS energy,
+        |  CAST(SUM(amp * amp) < COUNT(*) * 100 AS INTEGER) AS silence
+        |FROM a GROUP BY 1, 2 ORDER BY media_id, win"""
+    ) { (s, d) =>
+      Multimodal.wavEnergy(
+        Multimodal.textToWav(
+          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text"),
+        windowSamples = 16, silencePerSample = 100L)
+        .orderBy("media_id", "win")
     }
   )
 }
