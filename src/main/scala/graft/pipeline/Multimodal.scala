@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * scale and re-encode PNG/JPEG/BMP/GIF through plain-JDK
   * `javax.imageio` — no external codecs needed. UNCOMPRESSED AUDIO is
   * real too: [[WavPcm]]/[[WavAudioDecoder]]/[[wavEnergy]] decode PCM
-  * WAV/AIFF/AU through plain-JDK `javax.sound.sampled`. Only
-  * COMPRESSED audio (mp3/ogg/aac) and VIDEO remain environment-blocked
-  * (the JDK ships no codecs for those):
+  * WAV/AIFF/AU through plain-JDK `javax.sound.sampled`, and
+  * [[GifFrameSampler]] samples real frames from the one multi-frame
+  * container the JDK decodes (animated GIF). Only COMPRESSED audio
+  * (mp3/ogg/aac) and VIDEO remain environment-blocked (the JDK ships
+  * no codecs for those):
   * [[FakeDecoder]]/[[FakeFrameSampler]] are deterministic placeholders
   * with the exact signature a real decoder plugs into (via the SPI
   * seam below), and the oracled byte-level queries (q31/q69/q47) pin
@@ -228,6 +230,40 @@ object Multimodal {
           val until = math.min(from + 1000, r.media.length)
           FrameRow(r.media_id, f,
             java.util.Arrays.copyOfRange(r.media, from, until))
+        }
+      }
+  }
+
+  /** REAL frame sampler for multi-frame images (animated GIF — the one
+    * multi-frame container the JDK decodes without external codecs):
+    * per payload, read every `every`-th frame through the ImageIO
+    * sequence reader and re-encode it as PNG (deterministic bytes, the
+    * [[ImageIOResizer]] discipline). Frames come back as the reader's
+    * RAW rasters — GIF delta frames are NOT composited onto their
+    * predecessors (compositing is a codec policy; a production video
+    * decoder behind the SPI seam owns it). Undecodable payloads fail
+    * LOUDLY, preserving the batch contract.
+    */
+  object GifFrameSampler extends FrameSampler {
+    def sampleBatch(rows: Seq[MediaRow], every: Int): Seq[FrameRow] =
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"media_id ${r.media_id}: payload is not a decodable image stream")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by every).map { f =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(reader.read(f), "png", bos)
+            FrameRow(r.media_id, f, bos.toByteArray)
+          }
+        } finally {
+          reader.dispose()
+          iis.close()
         }
       }
   }

@@ -1507,6 +1507,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("GIF frame sampling: real multi-frame decode through the batch " +
+      "contract") {
+    import graft.pipeline.Multimodal
+    import Multimodal.MediaRow
+    import spark.implicits._
+    import javax.imageio.ImageIO
+    // 5-frame animated GIF, one solid primary color per frame — solid
+    // colors survive GIF palettization exactly
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, c)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+    // every 2nd frame of 5 → indices 0, 2, 4; distributed via the
+    // batch-shaped mapPartitions
+    val frames = Multimodal.frameSample(
+        Seq(MediaRow(1L, gif, "image/gif", 0, 0)).toDS(), every = 2,
+        Multimodal.GifFrameSampler)
+      .collect().sortBy(_.frame_index)
+    assert(frames.map(_.frame_index).toSeq == Seq(0, 2, 4))
+    frames.foreach { f =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img.getWidth == 6 && img.getHeight == 4)
+      assert((img.getRGB(3, 2) & 0xffffff) == colors(f.frame_index))
+    }
+    // junk payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.GifFrameSampler.sampleBatch(
+        Seq(MediaRow(7L, Array[Byte](9, 9, 9), "image/gif", 0, 0)), 1)
+    }
+    // the SPI seam resolves it like any codec
+    sys.props("graft.multimodal.frameSampler") =
+      "graft.pipeline.Multimodal$GifFrameSampler$"
+    try assert(Multimodal.loadFrameSampler() eq Multimodal.GifFrameSampler)
+    finally sys.props -= "graft.multimodal.frameSampler"
+  }
+
   test("multimodal decode: batch shape, determinism, feature contract") {
     val media = Multimodal.mediaFromDocuments(
       spark, Tables.documents(spark, sf))
