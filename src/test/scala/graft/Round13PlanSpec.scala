@@ -24,6 +24,19 @@ class Round13PlanSpec extends SparkSpec {
     s2
   }
 
+  test("wavEnergy (q371) is a pure scan-stage operator: windows fold " +
+    "inside the partition sweep, ZERO Exchange before the sort") {
+    import graft.pipeline.Multimodal
+    val wins = Multimodal.wavEnergy(
+      Multimodal.textToWav(Tables.documents(spark, sf), "doc_id", "text"),
+      windowSamples = 16, silencePerSample = 100L)
+    val plan = planOf(wins)
+    // decode + windowed energy emit directly from mapPartitions — no
+    // explode, no hash aggregate, no shuffle anywhere in the operator
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan) // no posexplode stage
+  }
+
   test("vocabulary count rollup (q119/q202 head) rides the token " +
     "bucketing: bucketed scan, ZERO Exchange") {
     val docs = Tables.documents(spark, sf)
