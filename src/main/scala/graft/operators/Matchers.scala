@@ -17,6 +17,16 @@ import graft.model.SensorType
   * Regexes are unanchored-search (Java regex `find()` via `rlike`), the
   * same tested surface as the reference's Rust-regex SQLite path
   * (reference: tests/query_sensors_by_labels.rs:812-884).
+  *
+  * KNOWN DEVIATION (engine, not semantics): the reference's Rust regex
+  * crate is linear-time; Java's regex engine BACKTRACKS, so a
+  * pathological user pattern (nested quantifiers like `(a+)+b`) can
+  * cost time exponential in the matched VALUE's length. Catalog label
+  * values are short (bounding the blowup) and the gateway's handler
+  * timeout answers the client regardless, but a linear-time engine
+  * dropped in behind this predicate would remove the class entirely —
+  * the patterns the reference's own tests exercise (RE2 ∩ Java, no
+  * backrefs/lookarounds) replay identically on both.
   */
 sealed trait LabelMatcher {
   def key: String
