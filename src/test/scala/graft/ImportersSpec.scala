@@ -94,6 +94,62 @@ class ImportersSpec extends SparkSpec {
     assert(unit.toSeq == Seq("Cel"))
   }
 
+  test("SenML randomized differential: window resolver == sequential " +
+      "RFC 8428 fold on 40 random documents") {
+    // the distributed resolver carries bn/bt/bu with last(_, ignoreNulls)
+    // windows; this pins it against an INDEPENDENT sequential fold of
+    // the carry-forward rules (the influx-differential discipline)
+    val rnd = new scala.util.Random(20260815L)
+    val bns = Seq("urn:a:", "urn:b:", "urn:c:")
+    val bus = Seq("Cel", "%RH", "V")
+    val ns = Seq("t", "h", "x", "")
+    case class Exp(name: String, unit: String, us: Long, v: Double)
+    val docs = Seq.newBuilder[String]
+    val expected = Seq.newBuilder[Exp]
+    for (_ <- 1 to 40) {
+      var bn = ""; var bt = 0.0; var bu: Option[String] = None
+      val recs = Seq.newBuilder[String]
+      for (_ <- 1 to (1 + rnd.nextInt(8))) {
+        val fields = Seq.newBuilder[String]
+        if (rnd.nextInt(3) == 0) {
+          bn = bns(rnd.nextInt(bns.length))
+          fields += s""""bn":"$bn""""
+        }
+        if (rnd.nextInt(3) == 0) {
+          bt = 1700000000.0 + rnd.nextInt(100000) + rnd.nextInt(1000) / 1000.0
+          fields += s""""bt":$bt"""
+        }
+        if (rnd.nextInt(4) == 0) {
+          bu = Some(bus(rnd.nextInt(bus.length)))
+          fields += s""""bu":"${bu.get}""""
+        }
+        val n = ns(rnd.nextInt(ns.length))
+        if (n.nonEmpty) fields += s""""n":"$n""""
+        val u = if (rnd.nextInt(4) == 0) Some(bus(rnd.nextInt(bus.length)))
+          else None
+        u.foreach(x => fields += s""""u":"$x"""")
+        val t = if (rnd.nextInt(2) == 0)
+          Some(rnd.nextInt(3600) + rnd.nextInt(1000) / 1000.0) else None
+        t.foreach(x => fields += s""""t":$x""")
+        val v = rnd.nextInt(1000) / 10.0
+        fields += s""""v":$v"""
+        recs += fields.result().mkString("{", ",", "}")
+        // sequential RFC 8428 resolution: bases apply to their own record
+        expected += Exp(bn + n, u.orElse(bu).orNull,
+          math.round((bt + t.getOrElse(0.0)) * 1e6), v)
+      }
+      docs += recs.result().mkString("[", ",", "]")
+    }
+    val got = SenML.parse(docs.result().toDS())
+      .select("name", "unit", "timestamp_us", "v")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => Exp(r._1, r._2, r._3, r._4))
+    def key(e: Exp) = (e.name, Option(e.unit), e.us, e.v)
+    assert(got.length == expected.result().length)
+    assert(got.map(key).sorted.toSeq ==
+      expected.result().map(key).sorted.toSeq)
+  }
+
   test("SenML export: first record carries base fields, rest relative t") {
     val samples = Seq(
       (1700000000000000L, 1.5), (1700000001500000L, 2.5))
