@@ -68,6 +68,42 @@ class ImportersSpec extends SparkSpec {
     assert(batch.samples(SensorType.Integer).count() == 2)
   }
 
+  test("CSV wide/long randomized differential: the stack unpivot equals " +
+      "the independent long-format import on melted rows") {
+    // same sensor name + type + no unit ⇒ same derived uuid on both
+    // paths, so the wide import of a float matrix must equal the long
+    // import of its melt — pins the stack() unpivot against the
+    // independent long-format code path on random data. (No empty
+    // cells: an empty string infers as String — the reference lattice —
+    // which would type wide columns INDIVIDUALLY but the long value
+    // column GLOBALLY, making the two paths legitimately diverge.)
+    val rnd = new scala.util.Random(13L)
+    for (round <- 1 to 5) {
+      val nCols = 2 + rnd.nextInt(4)
+      val nRows = 5 + rnd.nextInt(20)
+      val names = (1 to nCols).map(i => s"m$i")
+      val cells = Array.tabulate(nRows, nCols) { (_, _) =>
+        (rnd.nextInt(10000) / 100.0).toString
+      }
+      val ts = (0 until nRows).map(r => f"2024-01-01T00:${r / 60}%02d:${r % 60}%02dZ")
+      val wide = (s"datetime,${names.mkString(",")}" +:
+        (0 until nRows).map(r => s"${ts(r)},${cells(r).mkString(",")}"))
+        .mkString("\n")
+      val long = ("datetime,sensor_name,value" +:
+        (for (r <- 0 until nRows; c <- 0 until nCols)
+          yield s"${ts(r)},${names(c)},${cells(r)(c)}")).mkString("\n")
+      def dump(batch: graft.sources.IngestBatch) = batch
+        .samples(SensorType.Float)
+        .select(col("sensor_id"), col("timestamp_us"),
+          col("value").cast("string"))
+        .as[(String, Long, String)].collect().toSeq.sorted
+      val w = dump(CsvImporter.importCsv(spark, writeTemp(s"w$round", wide + "\n")))
+      val l = dump(CsvImporter.importCsv(spark, writeTemp(s"l$round", long + "\n")))
+      assert(w == l, s"round $round: wide != melted long")
+      assert(w.length == nRows * nCols)
+    }
+  }
+
   test("SenML import resolves bases and types (RFC 8428)") {
     val doc = """[
       {"bn":"urn:dev:temp1:","bt":1700000000.0,"bu":"Cel","n":"t","v":22.5},
