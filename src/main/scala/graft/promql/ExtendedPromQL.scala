@@ -186,13 +186,15 @@ object ExtendedPromQL {
       matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
   /** `topk(k, sel)` / `bottomk(k, sel)` — the k series with the
     * largest/smallest latest sample in the lookback window, ranked
-    * deterministically ((value desc|asc), sensor_id). Global (no `by`
-    * clause); the ranking input is one row per SERIES, so the final
-    * top-k is `TakeOrderedAndProject`, never a full sort.
+    * deterministically ((value desc|asc), sensor_id). Without a clause
+    * the ranking is global and the input is one row per SERIES, so the
+    * final top-k is `TakeOrderedAndProject`, never a full sort; a
+    * `by (labels)` / `without (labels)` clause ranks per group
+    * (Prometheus grouped topk) via the WindowGroupLimit shape.
     */
   final case class TopKQ(
-      op: String, k: Int, by: Seq[String], matchers: Seq[LabelMatcher],
-      startUs: Long, endUs: Long) extends Query
+      op: String, k: Int, by: Seq[String], without: Boolean,
+      matchers: Seq[LabelMatcher], startUs: Long, endUs: Long) extends Query
   /** `limitk(k, vec)` — the k series with the smallest deterministic
     * label-hash draws (Prometheus 3's experimental deterministic
     * sampling aggregation: membership depends only on the label set,
@@ -242,8 +244,10 @@ object ExtendedPromQL {
     * the name), restricted to `on` labels or the complement of
     * `ignoring` labels when a modifier is present. Output labels are the
     * matching labels (Prometheus one-to-one semantics). Operands are
-    * selectors or per-series functions (`rate(a[5m]) / rate(b[5m])`);
-    * aggregations as operands are rejected. Duplicate match-label sets
+    * arbitrary vector expressions — selectors, per-series functions
+    * (`rate(a[5m]) / rate(b[5m])`), and aggregations (`sum(a) / sum(b)`,
+    * whose group-label maps match exactly like Prometheus's
+    * name-stripped label sets). Duplicate match-label sets
     * on a side produce a many-to-many join — callers needing
     * Prometheus's hard error should validate cardinality beforehand.
     * Evaluate via [[evalWith]] (two independent matcher sets need two
@@ -422,7 +426,7 @@ object ExtendedPromQL {
       case AtRe(inner, ts) =>
         parseSelector(inner.trim, (ts.toDouble * 1e6).toLong)
       case OffsetRe(inner, dur) =>
-        val shiftUs = SimplePromQL.parseDurationMs(dur) * 1000L
+        val shiftUs = SimplePromQL.msToUs(SimplePromQL.parseDurationMs(dur))
         val sel = parseSelector(inner.trim, nowUs)
         sel.copy(startUs = sel.startUs - shiftUs, endUs = sel.endUs - shiftUs)
       case other => SimplePromQL.parse(other, nowUs)
@@ -507,11 +511,14 @@ object ExtendedPromQL {
   private def isNameChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == ':'
 
-  /** First top-level comparison operator (> >= < <= == !=) outside
-    * quotes/brackets; returns (index, operator).
+  /** LAST top-level comparison operator (> >= < <= == !=) outside
+    * quotes/brackets — comparisons are left-associative in Prometheus,
+    * so a chain like `a > 1 < 2` splits at the final operator and the
+    * left side recurses (`(a > 1) < 2`). Returns (index, operator).
     */
   private def topLevelCmpOp(s: String): Option[(Int, String)] = {
     var par = 0; var br = 0; var brace = 0; var inStr = false
+    var found: Option[(Int, String)] = None
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -527,23 +534,35 @@ object ExtendedPromQL {
         case '{' => brace += 1
         case '}' => brace -= 1
         case '>' | '<' if par == 0 && br == 0 && brace == 0 =>
-          return Some((i, if (next == '=') s"$c=" else c.toString))
+          val op = if (next == '=') s"$c=" else c.toString
+          found = Some((i, op))
+          i += op.length - 1
         case '=' if next == '=' && par == 0 && br == 0 && brace == 0 =>
-          return Some((i, "=="))
+          found = Some((i, "=="))
+          i += 1
         case '!' if next == '=' && par == 0 && br == 0 && brace == 0 =>
-          return Some((i, "!="))
+          found = Some((i, "!="))
+          i += 1
         case _ => ()
       }
       i += 1
     }
-    None
+    found
   }
 
-  /** First top-level set operator (`and` / `or` / `unless` as whole
-    * words outside quotes/brackets); returns (opIndex, opLength).
+  /** The set-operator SPLIT POINT (`and` / `or` / `unless` as whole
+    * words outside quotes/brackets). Prometheus precedence: `or` binds
+    * loosest, `and`/`unless` one tier tighter, all left-associative —
+    * so the expression divides at the LAST `or` when one exists
+    * (`a and b or c` = `(a and b) or c`), otherwise at the LAST
+    * `and`/`unless` (`a unless b unless c` = `(a unless b) unless c`;
+    * a first-occurrence split would evaluate the right-associative
+    * grouping, a semantically different set). Returns (opIndex, opLength).
     */
   private def topLevelSetOp(s: String): Option[(Int, Int)] = {
     var par = 0; var br = 0; var brace = 0; var inStr = false
+    var lastOr: Option[(Int, Int)] = None
+    var lastAndUnless: Option[(Int, Int)] = None
     var i = 0
     def wordAt(i: Int, w: String): Boolean =
       s.regionMatches(i, w, 0, w.length) &&
@@ -562,19 +581,16 @@ object ExtendedPromQL {
         case '{' => brace += 1
         case '}' => brace -= 1
         case _ if par == 0 && br == 0 && brace == 0 && i > 0 =>
-          for (w <- Seq("and", "or", "unless"))
-            if (wordAt(i, w)) return Some((i, w.length))
+          if (wordAt(i, "or")) lastOr = Some((i, 2))
+          else if (wordAt(i, "and")) lastAndUnless = Some((i, 3))
+          else if (wordAt(i, "unless")) lastAndUnless = Some((i, 6))
         case _ => ()
       }
       i += 1
     }
-    None
+    lastOr.orElse(lastAndUnless)
   }
 
-  /** Operand kinds that evaluate to one row per series (scalar-op'd and
-    * comparison-filtered vectors keep their series identity, so they
-    * qualify too — `(a * 2) + b` is valid PromQL).
-    */
   /** A query string that can only have been MEANT as a plain selector:
     * no function-call head (`name(`) and no top-level binary operator,
     * so the full-parse fallback has nothing to recurse into and its
@@ -587,14 +603,18 @@ object ExtendedPromQL {
     !isCall && !t.startsWith("(") && topLevelOp(t).isEmpty
   }
 
+  /** Every query shape evaluates to an instant vector except `scalar()`
+    * — Prometheus composes aggregations, ranked vectors, and binary
+    * results as operands freely (`sum(a) / sum(b)`, `sum(x) or
+    * vector(0)`, `abs(a - b)`), and [[operandVec]] normalizes each
+    * operand to the (sensor_id, labels, value) vector shape, so the only
+    * rejection left is the genuinely non-vector operand.
+    */
   private def requireVectorOperand(q: Query, side: String): Query = q match {
-    case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ |
-        _: MadOverTimeQ | _: LabelReplaceQ | _: LabelJoinQ | _: MathFnQ |
-        _: BinScalarQ | _: BinCmpQ | _: PredictLinearQ | _: TimestampQ |
-        _: VectorLitQ | _: BinDynScalarQ => q
-    case _ => throw PromQLError(
-      s"$side operand must be a selector or per-series " +
-        "function (aggregations are not matchable operands)")
+    case _: ScalarQ => throw PromQLError(
+      s"$side operand must be an instant vector — scalar() produces a " +
+        "scalar (use it directly as the scalar side of an arithmetic op)")
+    case _ => q
   }
 
   /** `[range:step]` at the tail of an expression — the subquery form. The
@@ -619,8 +639,8 @@ object ExtendedPromQL {
       op: String, phi: Option[Double], body: String,
       nowUs: Long): Option[Query] = body.trim match {
     case SubqueryRe(innerStr, rangeD, stepD) =>
-      val rangeUs = SimplePromQL.parseDurationMs(rangeD) * 1000L
-      val stepUs = SimplePromQL.parseDurationMs(stepD) * 1000L
+      val rangeUs = SimplePromQL.msToUs(SimplePromQL.parseDurationMs(rangeD))
+      val stepUs = SimplePromQL.msToUs(SimplePromQL.parseDurationMs(stepD))
       if (rangeUs <= 0 || stepUs <= 0)
         throw PromQLError("Subquery range and step must be positive")
       if (rangeUs / stepUs > 100000L)
@@ -883,21 +903,27 @@ object ExtendedPromQL {
           val sel = parseSelector(selStr, nowUs)
           HistogramQuantileQ(phi, sel.matchers, sel.startUs, sel.endUs)
         } else if (head == "topk" || head == "bottomk") {
-          // optional `by (labels)` clause before or after the body:
-          // per-group ranking instead of a global one
+          // optional `by (labels)` / `without (labels)` clause before or
+          // after the body: per-group ranking instead of a global one
           var t = after.trim
           var by = Seq.empty[String]
+          var without = false
           var haveClause = false
-          if (t.startsWith("by")) {
+          if (t.startsWith("by") || t.startsWith("without")) {
+            without = t.startsWith("without")
             haveClause = true
-            val (ls, rest) = parenGroup(t.stripPrefix("by").trim, s)
+            val (ls, rest) = parenGroup(
+              t.stripPrefix(if (without) "without" else "by").trim, s)
             by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             t = rest.trim
           }
           val (inner, rest0) = parenGroup(t, s)
           var restC = rest0.trim
-          if (!haveClause && restC.startsWith("by")) {
-            val (ls, r2) = parenGroup(restC.stripPrefix("by").trim, s)
+          if (!haveClause &&
+              (restC.startsWith("by") || restC.startsWith("without"))) {
+            without = restC.startsWith("without")
+            val (ls, r2) = parenGroup(
+              restC.stripPrefix(if (without) "without" else "by").trim, s)
             by = ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             restC = r2.trim
           }
@@ -918,7 +944,8 @@ object ExtendedPromQL {
             throw PromQLError(
               s"$head ranks an instant vector, not a range selector")
           val sel = parseSelector(selStr, nowUs)
-          TopKQ(head, k, by, sel.matchers, sel.startUs, sel.endUs)
+          TopKQ(head, k, by, without, sel.matchers, sel.startUs,
+            sel.endUs)
         } else if (head == "limitk" || head == "limit_ratio") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
@@ -1342,10 +1369,10 @@ object ExtendedPromQL {
           }
         array_sort(kept)
       }
-      val lv = sideVectorWith(left, selectFor, samples)
+      val lv = operandVec(left, selectFor, samples)
         .select(matched(col("labels")).as("__k"),
           col("labels").as("__ll"), col("value").as("__lv"))
-      val rv = sideVectorWith(right, selectFor, samples)
+      val rv = operandVec(right, selectFor, samples)
         .select(matched(col("labels")).as("__k"),
           col("labels").as("__rl"), col("value").as("__rv"))
       val outLabels = grouping match {
@@ -1359,9 +1386,9 @@ object ExtendedPromQL {
     case BinSetQ(op, left, right) =>
       val canon = (c: Column) => array_sort(map_entries(
         coalesce(c, map().cast("map<string,string>"))))
-      val lv = sideVectorWith(left, selectFor, samples)
+      val lv = operandVec(left, selectFor, samples)
         .withColumn("__k", canon(col("labels")))
-      val rv = sideVectorWith(right, selectFor, samples)
+      val rv = operandVec(right, selectFor, samples)
         .withColumn("__k", canon(col("labels")))
       val out = op match {
         case "and" =>
@@ -1379,22 +1406,83 @@ object ExtendedPromQL {
       // constant-cost nested-loop broadcast regardless of vector size
       val sc = broadcast(evalWith(b.scalarQ, selectFor, samples)
         .select(col("value").as("__s")))
-      val v = sideVectorWith(b.inner, selectFor, samples)
+      val v = operandVec(b.inner, selectFor, samples)
       val expr =
         if (b.scalarOnLeft) binCol(b.op, col("__s"), col("value"))
         else binCol(b.op, col("value"), col("__s"))
       v.crossJoin(sc).withColumn("value", expr).drop("__s")
     case sq: ScalarQ =>
-      // sideVectorWith gives the INSTANT vector for a plain selector
-      // (latest per series); multi-operand inners keep their
-      // independent per-operand selection
-      scalarValueFrame(sq.inner match {
-        case multi @ (_: BinVectorQ | _: BinSetQ | _: BinDynScalarQ) =>
-          evalWith(multi, selectFor, samples)
-        case other => sideVectorWith(other, selectFor, samples)
-      })
+      scalarValueFrame(operandVec(sq.inner, selectFor, samples))
     case v: VectorLitQ => vectorLitFrame(samples.sparkSession, v.value)
+    // wrapper nodes recurse STRUCTURALLY so a multi-matcher subtree
+    // anywhere underneath (sum(a / b), abs(a - b) > 0.1) still selects
+    // each operand's series independently; the per-node column
+    // transforms are shared with the single-selection eval path
+    case b: BinScalarQ =>
+      applyBinScalar(b, operandVec(b.inner, selectFor, samples))
+    case m: MathFnQ =>
+      applyMathFn(m, operandVec(m.inner, selectFor, samples))
+    case b: BinCmpQ =>
+      applyBinCmp(b, operandVec(b.inner, selectFor, samples))
+    case s: SortQ =>
+      applySort(s.desc, operandVec(s.inner, selectFor, samples))
+    case s: SortByLabelQ =>
+      applySortByLabel(s, operandVec(s.inner, selectFor, samples))
+    case a: InstantAggVecQ =>
+      applyGroupAgg(aggCol(a.op, col("value")), a.by, a.without,
+        operandVec(a.inner, selectFor, samples))
+    case qa: QuantileAggQ =>
+      applyGroupAgg(percentile(col("value"), lit(qa.phi)), qa.by,
+        qa.without, operandVec(qa.inner, selectFor, samples))
+    case lr: LabelReplaceQ =>
+      applyLabelReplace(lr, operandVec(lr.inner, selectFor, samples))
+    case lj: LabelJoinQ =>
+      applyLabelJoin(lj, operandVec(lj.inner, selectFor, samples))
     case other => eval(other, selectFor(other.matchers), samples)
+  }
+
+  /** Evaluate an operand to the NORMALIZED instant-vector shape
+    * (sensor_id, labels, value: double): selectors contribute their
+    * latest sample per series; everything else evaluates through
+    * [[evalWith]] (so nested multi-matcher subtrees keep per-operand
+    * selection) and is then reshaped — aggregation results surface
+    * their group-label map as the label set with a canonical rendering
+    * minted as the series id (deterministic, used only for ordering
+    * tie-breaks), ranked vectors drop their rank column.
+    */
+  private def operandVec(
+      q: Query,
+      selectFor: Seq[LabelMatcher] => DataFrame,
+      samples: DataFrame): DataFrame = q match {
+    case v: VectorLitQ => vectorLitFrame(samples.sparkSession, v.value)
+    case s: SelectorQ =>
+      normalizeVec(sideVector(s, selectFor(s.matchers), samples))
+    case other => normalizeVec(evalWith(other, selectFor, samples))
+  }
+
+  /** Canonical series id of a label set: the sorted `k=v` rendering —
+    * deterministic and injective per label set, so synthetic vectors
+    * (aggregation groups) order and tie-break stably.
+    */
+  private def canonicalSeriesId(labels: Column): Column =
+    concat_ws(",", transform(
+      array_sort(map_entries(coalesce(labels,
+        map().cast("map<string,string>")))),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))))
+
+  /** Reshape any evaluated vector frame to (sensor_id, labels, value:
+    * double): aggregations rename group_labels → labels and mint a
+    * canonical sensor_id; extra columns (rank) drop.
+    */
+  private def normalizeVec(df: DataFrame): DataFrame = {
+    val labeled =
+      if (df.columns.contains("labels")) df
+      else df.withColumnRenamed("group_labels", "labels")
+    val withId =
+      if (labeled.columns.contains("sensor_id")) labeled
+      else labeled.withColumn("sensor_id", canonicalSeriesId(col("labels")))
+    withId.select(col("sensor_id"), col("labels"),
+      col("value").cast("double").as("value"))
   }
 
   /** One-row/one-series literal vector: empty label set, constant
@@ -1419,18 +1507,6 @@ object ExtendedPromQL {
       .select(lit("").as("sensor_id"),
         map().cast("map<string,string>").as("labels"),
         col("value").cast("double").as("value"))
-
-  /** A binary/set operand frame under per-operand selection: literal
-    * vectors need no catalog selection at all (their matcher set is
-    * empty, which a selector backend may reject or over-select).
-    */
-  private def sideVectorWith(
-      q: Query,
-      selectFor: Seq[LabelMatcher] => DataFrame,
-      samples: DataFrame): DataFrame = q match {
-    case v: VectorLitQ => vectorLitFrame(samples.sparkSession, v.value)
-    case other => sideVector(other, selectFor(other.matchers), samples)
-  }
 
   private def binCol(op: Char, l: Column, r: Column): Column = op match {
     case '+' => l + r
@@ -1545,6 +1621,72 @@ object ExtendedPromQL {
     case other => throw PromQLError(s"Unsupported comparison: $other")
   }
 
+  // ---- per-node column transforms over an evaluated vector frame,
+  // ---- shared between eval (single selection) and evalWith (structural
+  // ---- recursion with per-operand selection)
+
+  private def applyBinScalar(b: BinScalarQ, v: DataFrame): DataFrame = {
+    val expr =
+      if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
+      else binCol(b.op, col("value"), lit(b.scalar))
+    v.withColumn("value", expr)
+  }
+
+  private def applyMathFn(m: MathFnQ, v: DataFrame): DataFrame =
+    v.withColumn("value", mathCol(m.fn, m.args, col("value")))
+
+  private def applyBinCmp(b: BinCmpQ, v: DataFrame): DataFrame = {
+    val (l, r) =
+      if (b.scalarOnLeft) (lit(b.scalar), col("value"))
+      else (col("value"), lit(b.scalar))
+    val pred = cmpPred(b.op, l, r)
+    if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
+    else v.filter(pred)
+  }
+
+  private def applySort(desc: Boolean, v: DataFrame): DataFrame = {
+    val ord =
+      if (desc) Seq(col("value").desc, col("sensor_id").asc)
+      else Seq(col("value").asc, col("sensor_id").asc)
+    // global rank over the per-SERIES vector: catalog-bounded rows
+    // (one per series), the TopKQ shape — never a sample-level sort
+    v.withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .select("rank", "sensor_id", "labels", "value")
+  }
+
+  private def applySortByLabel(q: SortByLabelQ, v: DataFrame): DataFrame = {
+    val keys = q.labels.map { l =>
+      val k = coalesce(element_at(col("labels"), l), lit(""))
+      if (q.desc) k.desc else k.asc
+    } :+ (if (q.desc) col("sensor_id").desc else col("sensor_id").asc)
+    v.withColumn("rank", row_number().over(Window.orderBy(keys: _*)))
+      .select("rank", "sensor_id", "labels", "value")
+  }
+
+  private def applyGroupAgg(
+      agg: Column, by: Seq[String], without: Boolean,
+      v: DataFrame): DataFrame =
+    v.withColumn("group_labels", groupLabelsCol(by, without))
+      .groupBy(col("group_labels"))
+      .agg(agg.as("value"))
+
+  private def applyLabelReplace(lr: LabelReplaceQ, v: DataFrame): DataFrame = {
+    // Prometheus: regex must match the WHOLE src value; non-matching
+    // series pass through; an empty expansion drops dst
+    val anchored = "^(?:" + lr.regex + ")$"
+    val srcVal = coalesce(element_at(col("labels"), lr.src), lit(""))
+    val expanded = regexp_replace(srcVal, anchored, lr.replacement)
+    v.withColumn("labels",
+      when(srcVal.rlike(anchored),
+        labelsWith(lr.dst, expanded)).otherwise(col("labels")))
+  }
+
+  private def applyLabelJoin(lj: LabelJoinQ, v: DataFrame): DataFrame = {
+    val joined = concat_ws(lj.sep, lj.srcs.map(sl =>
+      coalesce(element_at(col("labels"), sl), lit(""))): _*)
+    v.withColumn("labels", labelsWith(lj.dst, joined))
+  }
+
   /** Prometheus subquery step alignment: evaluation timestamps are the
     * multiples of `step` (since the Unix epoch) inside
     * `[end − range, end]`.
@@ -1579,22 +1721,12 @@ object ExtendedPromQL {
       .join(broadcast(selected), "sensor_id")
     q match {
       case b: BinScalarQ =>
-        val v = sideVector(b.inner, selected, samples)
-        val expr =
-          if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
-          else binCol(b.op, col("value"), lit(b.scalar))
-        v.withColumn("value", expr)
+        applyBinScalar(b,
+          normalizeVec(sideVector(b.inner, selected, samples)))
       case m: MathFnQ =>
-        sideVector(m.inner, selected, samples)
-          .withColumn("value", mathCol(m.fn, m.args, col("value")))
+        applyMathFn(m, normalizeVec(sideVector(m.inner, selected, samples)))
       case b: BinCmpQ =>
-        val v = sideVector(b.inner, selected, samples)
-        val (l, r) =
-          if (b.scalarOnLeft) (lit(b.scalar), col("value"))
-          else (col("value"), lit(b.scalar))
-        val pred = cmpPred(b.op, l, r)
-        if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
-        else v.filter(pred)
+        applyBinCmp(b, normalizeVec(sideVector(b.inner, selected, samples)))
       case LimitKQ(k, _, _, _) =>
         lastInWindow(inWindow)
           .withColumn("__d", labelDraw(col("labels")))
@@ -1612,12 +1744,12 @@ object ExtendedPromQL {
           else if (r >= 0) col("__d") < lit(r)
           else col("__d") >= lit(1.0 + r)
         latest.filter(kept).select("sensor_id", "labels", "value")
-      case TopKQ(op, k, by, _, _, _) =>
+      case TopKQ(op, k, by, without, _, _, _) =>
         val latest = lastInWindow(inWindow)
         val ord = Seq(
           if (op == "topk") col("value").desc else col("value").asc,
           col("sensor_id").asc)
-        if (by.isEmpty) {
+        if (by.isEmpty && !without) {
           // limit first: TakeOrderedAndProject bounds the sort to k
           // rows; the rank window then runs over k rows, not the full
           // vector
@@ -1631,7 +1763,7 @@ object ExtendedPromQL {
           // sorted-entries canonical key of the group labels
           val w = Window.partitionBy(col("__gk")).orderBy(ord: _*)
           latest.withColumn("__gk",
-              array_sort(map_entries(groupLabelsCol(by, without = false))))
+              array_sort(map_entries(groupLabelsCol(by, without))))
             .withColumn("rank", row_number().over(w))
             .filter(col("rank") <= k)
             .select("rank", "sensor_id", "labels", "value")
@@ -1672,24 +1804,11 @@ object ExtendedPromQL {
         lastInWindow(inWindow)
           .select(col("sensor_id"), col("labels"),
             (col("timestamp_us").cast("double") / lit(1e6)).as("value"))
-      case SortByLabelQ(desc, labelNames, inner) =>
-        val v = sideVector(inner, selected, samples)
-        val keys = labelNames.map { l =>
-          val k = coalesce(element_at(col("labels"), l), lit(""))
-          if (desc) k.desc else k.asc
-        } :+ (if (desc) col("sensor_id").desc else col("sensor_id").asc)
-        v.withColumn("rank", row_number().over(Window.orderBy(keys: _*)))
-          .select("rank", "sensor_id", "labels", "value")
+      case s: SortByLabelQ =>
+        applySortByLabel(s,
+          normalizeVec(sideVector(s.inner, selected, samples)))
       case SortQ(desc, inner) =>
-        val v = sideVector(inner, selected, samples)
-        val ord =
-          if (desc) Seq(col("value").desc, col("sensor_id").asc)
-          else Seq(col("value").asc, col("sensor_id").asc)
-        // global rank over the per-SERIES vector: catalog-bounded rows
-        // (one per series), the TopKQ shape — never a sample-level sort
-        val w = Window.orderBy(ord: _*)
-        v.withColumn("rank", row_number().over(w))
-          .select("rank", "sensor_id", "labels", "value")
+        applySort(desc, normalizeVec(sideVector(inner, selected, samples)))
       case v: VectorLitQ => vectorLitFrame(samples.sparkSession, v.value)
       case sq: ScalarQ =>
         // sideVector gives the INSTANT vector for a plain selector
@@ -1946,30 +2065,17 @@ object ExtendedPromQL {
           .groupBy(col("group_labels"))
           .agg(aggCol(op, col("value")).as("value"))
       case a: InstantAggVecQ =>
-        sideVector(a.inner, selected, samples)
-          .withColumn("group_labels", groupLabelsCol(a.by, a.without))
-          .groupBy(col("group_labels"))
-          .agg(aggCol(a.op, col("value")).as("value"))
+        applyGroupAgg(aggCol(a.op, col("value")), a.by, a.without,
+          normalizeVec(sideVector(a.inner, selected, samples)))
       case qa: QuantileAggQ =>
-        sideVector(qa.inner, selected, samples)
-          .withColumn("group_labels", groupLabelsCol(qa.by, qa.without))
-          .groupBy(col("group_labels"))
-          .agg(percentile(col("value"), lit(qa.phi)).as("value"))
+        applyGroupAgg(percentile(col("value"), lit(qa.phi)), qa.by,
+          qa.without, normalizeVec(sideVector(qa.inner, selected, samples)))
       case lr: LabelReplaceQ =>
-        val v = sideVector(lr.inner, selected, samples)
-        // Prometheus: regex must match the WHOLE src value; non-matching
-        // series pass through; an empty expansion drops dst
-        val anchored = "^(?:" + lr.regex + ")$"
-        val srcVal = coalesce(element_at(col("labels"), lr.src), lit(""))
-        val expanded = regexp_replace(srcVal, anchored, lr.replacement)
-        v.withColumn("labels",
-          when(srcVal.rlike(anchored),
-            labelsWith(lr.dst, expanded)).otherwise(col("labels")))
+        applyLabelReplace(lr,
+          normalizeVec(sideVector(lr.inner, selected, samples)))
       case lj: LabelJoinQ =>
-        val v = sideVector(lj.inner, selected, samples)
-        val joined = concat_ws(lj.sep, lj.srcs.map(sl =>
-          coalesce(element_at(col("labels"), sl), lit(""))): _*)
-        v.withColumn("labels", labelsWith(lj.dst, joined))
+        applyLabelJoin(lj,
+          normalizeVec(sideVector(lj.inner, selected, samples)))
       case HistogramQuantileQ(phi, _, _, _) =>
         // buckets per group = labels minus `le`; arrays are tiny (one
         // entry per bucket boundary), so the interpolation runs as a

@@ -47,7 +47,7 @@ object SimplePromQL {
         ParsedQuery(matchers, nowUs - DefaultLookbackMs * 1000L, nowUs)
       case Selector(matchers, Some(rangeMs)) =>
         requireMatchers(matchers)
-        ParsedQuery(matchers, nowUs - rangeMs * 1000L, nowUs, hadRange = true)
+        ParsedQuery(matchers, nowUs - msToUs(rangeMs), nowUs, hadRange = true)
     }
   }
 
@@ -217,7 +217,8 @@ object SimplePromQL {
   }
 
   /** Prometheus duration: concatenated `<n><unit>` terms
-    * (ms, s, m, h, d, w, y).
+    * (ms, s, m, h, d, w, y). Values past Long range (as ms) are a parse
+    * error, never a silent wraparound into a negative window.
     */
   def parseDurationMs(d: String): Long = {
     val re = """(\d+)(ms|s|m|h|d|w|y)""".r
@@ -225,17 +226,35 @@ object SimplePromQL {
     val consumed = parts.map(_.matched.length).sum
     if (parts.isEmpty || consumed != d.length)
       throw PromQLError(s"Failed to parse PromQL query: bad duration '$d'")
-    parts.map { m =>
-      val n = m.group(1).toLong
-      m.group(2) match {
-        case "ms" => n
-        case "s" => n * 1000L
-        case "m" => n * 60000L
-        case "h" => n * 3600000L
-        case "d" => n * 86400000L
-        case "w" => n * 604800000L
-        case "y" => n * 31536000000L
-      }
-    }.sum
+    try {
+      parts.map { m =>
+        val n = m.group(1).toLong
+        val unitMs = m.group(2) match {
+          case "ms" => 1L
+          case "s" => 1000L
+          case "m" => 60000L
+          case "h" => 3600000L
+          case "d" => 86400000L
+          case "w" => 604800000L
+          case "y" => 31536000000L
+        }
+        Math.multiplyExact(n, unitMs)
+      }.reduce(Math.addExact(_, _))
+    } catch {
+      case _: NumberFormatException | _: ArithmeticException =>
+        throw PromQLError(
+          s"Failed to parse PromQL query: duration '$d' out of range")
+    }
   }
+
+  /** Milliseconds → microseconds with the same out-of-range contract as
+    * [[parseDurationMs]] (callers convert parsed durations to the µs
+    * timeline; 2^63 µs is ~292k years, so only absurd inputs hit this).
+    */
+  def msToUs(ms: Long): Long =
+    try Math.multiplyExact(ms, 1000L)
+    catch {
+      case _: ArithmeticException =>
+        throw PromQLError(s"Duration out of range: ${ms}ms")
+    }
 }

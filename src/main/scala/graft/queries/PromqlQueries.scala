@@ -1343,6 +1343,114 @@ private[graft] object PromqlQueries {
         .select(col("rank"),
           element_at(col("labels"), "user").as("user_tag"), col("value"))
         .orderBy("rank")
+    },
+
+    // ------------------------------------------------------------------
+    // Operand composability (round 13): aggregations, binary-vector
+    // results, and set chains as first-class operands — the canonical
+    // Prometheus patterns the evaluator previously rejected at parse.
+
+    // sum(count_over_time(a)) / sum(count_over_time(b)): a cross-series
+    // aggregation on EACH side of a vector division (empty group-label
+    // maps match one-to-one). Per-series counts are exact integers, the
+    // double sum of integers is order-free below 2^53, and the single
+    // IEEE division replays in DuckDB; the compare surface is the
+    // µ-quantized ratio (the one engine-portable double→int cut).
+    q(
+      "q372_promql_agg_ratio",
+      """WITH v AS (SELECT count(*) AS n FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000),
+        |c AS (SELECT count(*) AS n FROM events
+        |  WHERE event_type = 'click'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000)
+        |SELECT CAST(FLOOR(CAST(v.n AS DOUBLE) / CAST(c.n AS DOUBLE) * 1e6)
+        |  AS BIGINT) AS ratio_micro
+        |FROM v, c"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "sum(count_over_time(view[31d])) / sum(count_over_time(click[31d]))",
+        1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(floor(col("value") * lit(1e6)).cast("long").as("ratio_micro"))
+    },
+
+    // abs(count_over_time(a) - count_over_time(b)): a math function over
+    // a binary-vector result, matched one-to-one on the full {user}
+    // label set. Counts are integers, so |nv − nc| is an exact
+    // integer-valued double on both engines.
+    q(
+      "q373_promql_abs_diff",
+      """SELECT CAST(user_id AS VARCHAR) AS user_tag,
+        |  CAST(abs(nv - nc) AS BIGINT) AS diff
+        |FROM (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
+        |  GROUP BY 1)
+        |WHERE nv > 0 AND nc > 0
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "abs(count_over_time(view[31d]) - count_over_time(click[31d]))",
+        1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value").cast("long").as("diff"))
+        .orderBy("user_tag")
+    },
+
+    // a unless b unless c — the LEFT-ASSOCIATIVE set chain: month-long
+    // viewers with no click AND no purchase in the trailing 48h window
+    // ((v − c) − p ≡ v − (c ∪ p)). The right-associative reading
+    // (v − (c − p)) keeps 12/117/1176 users instead of 5/64/599 at the
+    // three SFs, so this gate goes red if the parser's associativity
+    // ever regresses. Values ride from the left operand (view counts).
+    q(
+      "q374_promql_unless_chain",
+      """WITH v AS (
+        |  SELECT user_id, count(*) AS n FROM events
+        |  WHERE event_type = 'view'
+        |    AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745600000000
+        |  GROUP BY 1),
+        |c AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click'
+        |    AND epoch_us(ts) BETWEEN 1706572800000000 AND 1706745600000000),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND epoch_us(ts) BETWEEN 1706572800000000 AND 1706745600000000)
+        |SELECT CAST(v.user_id AS VARCHAR) AS user_tag, v.n AS views
+        |FROM v
+        |WHERE v.user_id NOT IN (SELECT user_id FROM c)
+        |  AND v.user_id NOT IN (SELECT user_id FROM p)
+        |ORDER BY user_tag"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "count_over_time(view[31d]) unless count_over_time(click[48h]) " +
+          "unless count_over_time(purchase[48h])",
+        1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("value").cast("long").as("views"))
+        .orderBy("user_tag")
     }
   )
 }

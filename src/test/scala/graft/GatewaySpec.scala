@@ -551,9 +551,14 @@ class GatewaySpec extends SparkSpec {
       "rate(http_requests[31d]) / rate(http_requests[31d])", "UTF-8")
     assert(get(s"/api/v1/query_extended?query=$binQ").statusCode() == 200)
     assert(get(s"/api/v1/query?query=$binQ").statusCode() == 400)
-    // aggregations are rejected as binary operands even on the extension
+    // aggregations compose as binary operands on the extension (the
+    // canonical Prometheus ratio; empty result here — no a/b metrics —
+    // but the endpoint parses and evaluates it)
     assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
-      "sum(a) / sum(b)", "UTF-8")).statusCode() == 400)
+      "sum(a) / sum(b)", "UTF-8")).statusCode() == 200)
+    // a genuinely non-vector operand still rejects with a 400
+    assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
+      "a and scalar(b)", "UTF-8")).statusCode() == 400)
   }
 
   test("bulk export: per-series IPC files + manifest, no data on driver path") {

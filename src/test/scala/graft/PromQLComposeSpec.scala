@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.LabelMatcher
+import graft.promql.ExtendedPromQL
+import graft.promql.ExtendedPromQL._
+import graft.promql.SimplePromQL.PromQLError
+
+/** PromQL operator precedence/associativity and operand composability.
+  *
+  * Prometheus grammar facts pinned here (promql/parser in the upstream
+  * grammar): set operators are left-associative with `or` binding
+  * loosest; comparisons are left-associative; aggregations, ranked
+  * vectors, and binary results are first-class vector operands
+  * (`sum(a) / sum(b)`, `sum(x) or vector(0)`, `abs(a - b)`). The
+  * randomized differential at the end checks the evaluator's set
+  * algebra against an in-memory reference fold with the same
+  * precedence rules — left- vs right-associative `unless` chains
+  * produce different sets, so associativity is semantics, not style.
+  */
+class PromQLComposeSpec extends SparkSpec {
+
+  private val now = 1706745600000000L
+
+  // ---------------------------------------------------------- parse pins
+
+  test("set operators: or binds loosest, all left-associative") {
+    ExtendedPromQL.parse("a and b or c", now) match {
+      case BinSetQ("or", BinSetQ("and", _: SelectorQ, _: SelectorQ),
+          _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("a or b and c", now) match {
+      case BinSetQ("or", _: SelectorQ,
+          BinSetQ("and", _: SelectorQ, _: SelectorQ)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("a unless b unless c", now) match {
+      case BinSetQ("unless", BinSetQ("unless", _: SelectorQ, _: SelectorQ),
+          _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("a or b or c", now) match {
+      case BinSetQ("or", BinSetQ("or", _, _), _: SelectorQ) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // parens override the default grouping
+    ExtendedPromQL.parse("a unless (b unless c)", now) match {
+      case BinSetQ("unless", _: SelectorQ, BinSetQ("unless", _, _)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("comparison chains are left-associative") {
+    ExtendedPromQL.parse("view > 1 < 2", now) match {
+      case BinCmpQ("<", 2.0, false, false,
+          BinCmpQ(">", 1.0, false, false, _: SelectorQ)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("view >= 1 == bool 0", now) match {
+      case BinCmpQ("==", 0.0, false, true,
+          BinCmpQ(">=", 1.0, false, false, _: SelectorQ)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("aggregations compose as vector operands") {
+    ExtendedPromQL.parse("sum(view) > 5", now) match {
+      case BinCmpQ(">", 5.0, false, false,
+          InstantAggQ("sum", _, _, _, _, _)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("sum(view) or vector(0)", now) match {
+      case BinSetQ("or", InstantAggQ("sum", _, _, _, _, _),
+          VectorLitQ(0.0)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("abs(a - b)", now) match {
+      case MathFnQ("abs", Nil, BinVectorQ('-', _, _, _, _, _)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("sum(rate(a[5m]) / rate(b[5m]))", now) match {
+      case InstantAggVecQ("sum", _, _, BinVectorQ('/',
+          RangeFnQ("rate", _, _, _), RangeFnQ("rate", _, _, _), _, _, _)) =>
+        ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("topk(2, view) * 10", now) match {
+      case BinScalarQ('*', 10.0, false, TopKQ("topk", 2, _, _, _, _, _)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse(
+      "sum by (user) (view) / sum by (user) (click)", now) match {
+      case BinVectorQ('/', InstantAggQ("sum", Seq("user"), false, _, _, _),
+          InstantAggQ("sum", Seq("user"), false, _, _, _), _, _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("topk/bottomk accept a without clause (grouped ranking)") {
+    ExtendedPromQL.parse("topk without (env) (1, view)", now) match {
+      case TopKQ("topk", 1, Seq("env"), true, _, _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    ExtendedPromQL.parse("bottomk(2, view) without (user)", now) match {
+      case TopKQ("bottomk", 2, Seq("user"), true, _, _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // without(user) collapses the fixture's only label: one global
+    // group, whose top-1 is a's largest latest sample (user 3, 8.0)
+    assert(runQuery("topk without (user) (1, a)") == Set(("a 3", 8.0)))
+  }
+
+  test("absurd durations are a parse error, not a wrapped window") {
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("view[99999999999999999999ms]", now)
+    }
+    intercept[PromQLError] { // 1e10 years * 31536000000 ms/y overflows
+      ExtendedPromQL.parse("view[9999999999y]", now)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("view offset 9999999999y", now)
+    }
+  }
+
+  // ------------------------------------------------------- eval fixtures
+
+  // three metrics a/b/c over a shared user-label universe; values are
+  // distinct per (metric, user) so the contributing side is observable
+  private val userValues: Map[(String, String), Double] = Map(
+    ("a", "1") -> 2.0, ("a", "2") -> 4.0, ("a", "3") -> 8.0,
+    ("b", "1") -> 3.0, ("b", "2") -> 9.0,
+    ("c", "2") -> 5.0, ("c", "3") -> 7.0, ("c", "4") -> 11.0)
+
+  private def fixture(present: Map[(String, String), Double])
+      : (Seq[LabelMatcher] => DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cat = present.keys.toSeq.sortBy(identity).map { case (m, u) =>
+      (s"$m $u", m, Map("user" -> u))
+    }.toDF("sensor_id", "metric", "labels")
+    val samples = present.toSeq.sortBy(_._1).map { case ((m, u), v) =>
+      (s"$m $u", 1000000L, v)
+    }.toDF("sensor_id", "timestamp_us", "value")
+    val selectFor = (ms: Seq[LabelMatcher]) => {
+      val name = ms.collectFirst {
+        case LabelMatcher.Eq(LabelMatcher.NameLabel, n) => n
+      }
+      name match {
+        case Some(n) => cat.filter(col("metric") === n)
+          .select("sensor_id", "labels")
+        case None => cat.select("sensor_id", "labels")
+      }
+    }
+    (selectFor, samples)
+  }
+
+  private def runQuery(q: String,
+      present: Map[(String, String), Double] = userValues)
+      : Set[(String, Double)] = {
+    import spark.implicits._
+    val (selectFor, samples) = fixture(present)
+    val parsed = ExtendedPromQL.parse(q, 2000000L)
+    val out = ExtendedPromQL.evalWith(parsed, selectFor, samples)
+    // aggregations surface (group_labels, value) at top level; derive
+    // the same canonical id the operand normalization mints so every
+    // query shape compares uniformly
+    val idCol =
+      if (out.columns.contains("sensor_id")) col("sensor_id")
+      else {
+        val lb =
+          if (out.columns.contains("labels")) col("labels")
+          else col("group_labels")
+        concat_ws(",", transform(array_sort(map_entries(lb)),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))))
+      }
+    out.select(idCol.cast("string"), col("value").cast("double"))
+      .as[(String, Double)].collect().toSet
+  }
+
+  // ----------------------------------------------------------- eval pins
+
+  test("unless chains evaluate left-associatively") {
+    // (a unless b) unless c: a's users {1,2,3} minus b's {1,2} minus
+    // c's {2,3,4} = {} — the right-associative reading would keep
+    // {1, 2} (b unless c = {1}, a unless {1} = {2, 3} ... any nonempty
+    // set), so an empty result pins the grouping
+    assert(runQuery("a unless b unless c").isEmpty)
+    // explicit parens select the right-associative set: b unless c =
+    // user 1, a unless {1} = users 2 and 3
+    assert(runQuery("a unless (b unless c)") ==
+      Set(("a 2", 4.0), ("a 3", 8.0)))
+    // or binds looser than and: a or (b and c) — b∧c is b's user 2,
+    // whose label set {user=2} already exists on the left, so `or`
+    // keeps a's row; a first-split reading ((a or b) and c) would
+    // instead drop user 1 (absent from c)
+    assert(runQuery("a or b and c") ==
+      Set(("a 1", 2.0), ("a 2", 4.0), ("a 3", 8.0)))
+  }
+
+  test("aggregation ratio: sum(a) / sum(b)") {
+    // sum(a) = 14, sum(b) = 12; empty group-label maps match
+    assert(runQuery("sum(a) / sum(b)") == Set(("", 14.0 / 12.0)))
+    // per-user grouping matches on the user label: 2/3 and 4/9
+    assert(runQuery("sum by (user) (a) / sum by (user) (b)") ==
+      Set(("user=1", 2.0 / 3.0), ("user=2", 4.0 / 9.0)))
+  }
+
+  test("aggregation comparison and or-fallback") {
+    // sum(a) = 14 > 5 survives with its value
+    assert(runQuery("sum(a) > 5") == Set(("", 14.0)))
+    // filtered-out aggregate falls back to the vector(0) literal
+    assert(runQuery("sum(a) > 100 or vector(0)") == Set(("", 0.0)))
+    // surviving aggregate wins over the fallback (same empty label set)
+    assert(runQuery("sum(a) > 5 or vector(0)") == Set(("", 14.0)))
+  }
+
+  test("math over a binary vector result: abs(a - b)") {
+    // users 1 and 2 exist on both sides: |2-3| = 1, |4-9| = 5
+    val got = runQuery("abs(a - b)")
+    assert(got == Set(("user=1", 1.0), ("user=2", 5.0)))
+  }
+
+  test("aggregation over a binary vector result: sum(a * b)") {
+    // per-user products 2*3=6, 4*9=36 — cross-series sum = 42
+    assert(runQuery("sum(a * b)") == Set(("", 42.0)))
+  }
+
+  test("ranked vector as operand: topk(2, a) * 10") {
+    // top-2 of a by latest value: users 3 (8.0) and 2 (4.0)
+    assert(runQuery("topk(2, a) * 10") ==
+      Set(("a 3", 80.0), ("a 2", 40.0)))
+  }
+
+  test("count aggregate normalizes to float as an operand") {
+    // count(a) = 3 series; arithmetic over the long count works
+    assert(runQuery("count(a) * 2") == Set(("", 6.0)))
+  }
+
+  // --------------------------------------- randomized differential: sets
+
+  /** Reference evaluator for set-operator chains over user→value maps,
+    * implementing the Prometheus precedence directly: maximal
+    * `and`/`unless` runs reduce left-to-right first, `or` folds the
+    * results left-to-right.
+    */
+  private def referenceSetChain(
+      operands: Seq[Map[String, (String, Double)]],
+      ops: Seq[String]): Map[String, (String, Double)] = {
+    def tight(l: Map[String, (String, Double)], op: String,
+        r: Map[String, (String, Double)]) = op match {
+      case "and" => l.filter { case (k, _) => r.contains(k) }
+      case "unless" => l.filter { case (k, _) => !r.contains(k) }
+      case other => fail(s"not a tight op: $other")
+    }
+    // split the chain at `or` boundaries into and/unless runs
+    val runs = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(operands.head))
+    val runOps = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    ops.zip(operands.tail).foreach { case (op, operand) =>
+      if (op == "or") {
+        runs += scala.collection.mutable.ArrayBuffer(operand)
+        runOps += scala.collection.mutable.ArrayBuffer.empty[String]
+      } else {
+        runs.last += operand
+        runOps.last += op
+      }
+    }
+    val reduced = runs.zip(runOps).map { case (rs, os) =>
+      os.zip(rs.tail).foldLeft(rs.head) { case (acc, (op, r)) =>
+        tight(acc, op, r)
+      }
+    }
+    reduced.reduceLeft((l, r) =>
+      l ++ r.filter { case (k, _) => !l.contains(k) })
+  }
+
+  test("randomized differential: set-op chains match the reference fold") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val users = Seq("1", "2", "3", "4")
+    val names = Seq("a", "b", "c")
+    for (trial <- 0 until 12) {
+      // random presence per (metric, user), random 3-4 operand chain
+      val present = (for {
+        n <- names; u <- users if rnd.nextBoolean()
+      } yield (n, u) -> (rnd.nextInt(90) + 10).toDouble).toMap
+      val nOps = 2 + rnd.nextInt(2)
+      val chainNames = Seq.fill(nOps + 1)(names(rnd.nextInt(names.length)))
+      val chainOps = Seq.fill(nOps)(
+        Seq("and", "or", "unless")(rnd.nextInt(3)))
+      val query = chainNames.head + chainOps.zip(chainNames.tail)
+        .map { case (op, n) => s" $op $n" }.mkString
+      val vecs = chainNames.map(n => users.flatMap(u =>
+        present.get((n, u)).map(v => u -> (s"$n $u", v))).toMap)
+      val expect = referenceSetChain(vecs, chainOps)
+        .values.toSet
+      val got = runQuery(query, present)
+      assert(got == expect,
+        s"trial $trial: '$query' over $present — got $got, want $expect")
+    }
+  }
+}

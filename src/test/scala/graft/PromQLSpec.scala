@@ -804,7 +804,7 @@ class ExtendedPromQLSpec extends SparkSpec {
 
   test("parses topk/bottomk and binary expressions") {
     ExtendedPromQL.parse("topk(3, view)", now) match {
-      case TopKQ("topk", 3, Nil, ms, _, e) =>
+      case TopKQ("topk", 3, Nil, false, ms, _, e) =>
         assert(ms == Seq(LabelMatcher.Eq("__name__", "view")))
         assert(e == now)
       case other => fail(s"unexpected: $other")
@@ -854,8 +854,16 @@ class ExtendedPromQLSpec extends SparkSpec {
         assert(ms.contains(LabelMatcher.Eq("note", "a+b")))
       case other => fail(s"unexpected: $other")
     }
-    intercept[PromQLError] { // aggregations are not matchable operands
-      ExtendedPromQL.parse("sum(view) / sum(click)", now)
+    // aggregations ARE matchable operands (the canonical PromQL ratio):
+    // both sides evaluate to group-labeled vectors and match one-to-one
+    ExtendedPromQL.parse("sum(view) / sum(click)", now) match {
+      case BinVectorQ('/', InstantAggQ("sum", _, _, _, _, _),
+          InstantAggQ("sum", _, _, _, _, _), _, _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // the genuinely non-vector operand still rejects
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("view and scalar(click)", now)
     }
   }
 
@@ -871,12 +879,12 @@ class ExtendedPromQLSpec extends SparkSpec {
       ("a 3", 1500000L, 4.0) // latest = 4.0
     ).toDF("sensor_id", "timestamp_us", "value")
     val top2 = ExtendedPromQL.eval(
-      TopKQ("topk", 2, Nil, Nil, 0L, 3000000L), selected, samples)
+      TopKQ("topk", 2, Nil, false, Nil, 0L, 3000000L), selected, samples)
       .select("rank", "sensor_id", "value")
       .as[(Int, String, Double)].collect().toSeq
     assert(top2 == Seq((1, "a 2", 7.0), (2, "a 3", 4.0)))
     val bottom1 = ExtendedPromQL.eval(
-      TopKQ("bottomk", 1, Nil, Nil, 0L, 3000000L), selected, samples)
+      TopKQ("bottomk", 1, Nil, false, Nil, 0L, 3000000L), selected, samples)
       .select("rank", "sensor_id", "value")
       .as[(Int, String, Double)].collect().toSeq
     assert(bottom1 == Seq((1, "a 1", 1.0)))
