@@ -277,6 +277,106 @@ class PromQLComposeSpec extends SparkSpec {
       l ++ r.filter { case (k, _) => !l.contains(k) })
   }
 
+  test("randomized differential: arithmetic chains match a precedence " +
+      "climber") {
+    // the engine splits text at the last operator of the lowest tier
+    // present (first for right-assoc ^); the reference here is an
+    // INDEPENDENT formulation — standard precedence climbing over the
+    // token chain — so agreement pins tiering, associativity, sign
+    // context ("m * -3"), scientific notation ("5e-1"), and the atan2
+    // word operator at once. One single-series metric keeps the value
+    // observable; chains whose climb would apply an operator to two
+    // scalars are skipped (the engine rejects scalar-scalar arithmetic
+    // by design), as are zero divisors and non-finite results.
+    val rnd = new scala.util.Random(0xBEEF)
+    val scalarLits = Seq("3" -> 3.0, "0.5" -> 0.5, "-2" -> -2.0,
+      "1.5" -> 1.5, "5e-1" -> 0.5, "2e1" -> 20.0, "7" -> 7.0)
+    val opChars = Seq('+', '-', '*', '/', '%', '^', 'A')
+    val present = Map(("a", "1") -> 7.0)
+    def prec(op: Char): Int = op match {
+      case '+' | '-' => 1
+      case '*' | '/' | '%' | 'A' => 2
+      case '^' => 3
+    }
+    // returns (value, containsMetric), or None when the chain is one
+    // the engine rejects or a degenerate float case
+    def reference(vals: Vector[(Double, Boolean)], chOps: Vector[Char])
+        : Option[Double] = {
+      var ok = true
+      def apply(op: Char, l: (Double, Boolean), r: (Double, Boolean))
+          : (Double, Boolean) = {
+        if (!l._2 && !r._2) ok = false // scalar-scalar: engine rejects
+        val v = op match {
+          case '+' => l._1 + r._1
+          case '-' => l._1 - r._1
+          case '*' => l._1 * r._1
+          case '/' =>
+            if (math.abs(r._1) < 1e-9) { ok = false; 0.0 } else l._1 / r._1
+          case '%' =>
+            if (math.abs(r._1) < 1e-9) { ok = false; 0.0 } else l._1 % r._1
+          case '^' => math.pow(l._1, r._1)
+          case 'A' => math.atan2(l._1, r._1)
+        }
+        (v, l._2 || r._2)
+      }
+      var i = 0
+      def climb(minPrec: Int): (Double, Boolean) = {
+        var lhs = vals(i)
+        i += 1
+        while (i - 1 < chOps.length && prec(chOps(i - 1)) >= minPrec) {
+          val op = chOps(i - 1)
+          val p = prec(op)
+          val rhs = climb(if (op == '^') p else p + 1)
+          lhs = apply(op, lhs, rhs)
+        }
+        lhs
+      }
+      val (v, _) = climb(1)
+      if (ok && java.lang.Double.isFinite(v)) Some(v) else None
+    }
+    var done = 0
+    var attempts = 0
+    while (done < 20 && attempts < 500) {
+      attempts += 1
+      val n = 2 + rnd.nextInt(3)
+      val operands = Vector.fill(n)(rnd.nextInt(scalarLits.length + 1))
+      if (operands.contains(scalarLits.length)) { // at least one metric
+        val chOps = Vector.fill(n - 1)(opChars(rnd.nextInt(opChars.length)))
+        val vals = operands.map(ix =>
+          if (ix == scalarLits.length) (7.0, true)
+          else (scalarLits(ix)._2, false))
+        reference(vals, chOps) match {
+          case Some(expect) =>
+            val rendered = operands.map(ix =>
+              if (ix == scalarLits.length) "a" else scalarLits(ix)._1)
+            val query = rendered.head + chOps.zip(rendered.tail).map {
+              case ('A', t) => s" atan2 $t"
+              case (op, t) => s" $op $t"
+            }.mkString
+            val got = runQuery(query, present).map(_._2)
+            assert(got.size == 1, s"'$query' — got $got")
+            // + - * / % are correctly rounded (bit-exact across call
+            // sites); pow/atan2 are libm, only FAITHFULLY rounded — the
+            // JIT's intrinsic and non-intrinsic paths observably differ
+            // by 1 ULP on the same JVM (seen: 7 * 20^(-2^7)), so chains
+            // containing them compare within a tight relative band. A
+            // wrong split/association changes the value by orders of
+            // magnitude, so the band loses no discriminating power.
+            val v = got.head
+            if (chOps.exists(c => c == '^' || c == 'A'))
+              assert(math.abs(v - expect) <=
+                math.abs(expect) * 1e-12 + java.lang.Double.MIN_VALUE,
+                s"'$query' — got $v, want $expect")
+            else
+              assert(v == expect, s"'$query' — got $v, want $expect")
+            done += 1
+          case None => ()
+        }
+      }
+    }
+    assert(done == 20, s"only $done valid chains in $attempts attempts")
+  }
+
   test("randomized differential: set-op chains match the reference fold") {
     val rnd = new scala.util.Random(0xC0FFEE)
     val users = Seq("1", "2", "3", "4")
