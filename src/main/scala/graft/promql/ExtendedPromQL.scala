@@ -385,7 +385,11 @@ object ExtendedPromQL {
     * An inner `offset` shifts every step window back uniformly
     * (`innerShiftUs`); `innerSpanUs` is the inner window length (the
     * lookback for plain selectors, the bracketed range otherwise).
-    * Cross-series aggregations inside a subquery are rejected.
+    * Cross-series aggregations evaluate per step over that step's
+    * vector (`max_over_time(sum(rate(x[5m]))[1h:5m])`, the canonical
+    * alerting shape); the aggregate's group labels become the series
+    * identity the outer fold groups on. Binary vector expressions
+    * (two matcher sets) remain rejected inside subqueries.
     *
     * Boundary convention: each step window is CLOSED ON BOTH ENDS
     * (`timestamp_us >= lo && <= hi`), matching this engine's pervasive
@@ -629,6 +633,13 @@ object ExtendedPromQL {
     case b: BinScalarQ => validSubqueryInner(b.inner)
     case b: BinCmpQ => validSubqueryInner(b.inner)
     case m: MathFnQ => validSubqueryInner(m.inner)
+    // cross-series aggregations evaluate per step over the step's
+    // instant/range vector — max_over_time(sum(rate(x[5m]))[1h:5m]) is
+    // the canonical alerting shape; the aggregate's GROUP labels become
+    // the series identity the outer fold groups on
+    case _: InstantAggQ => true
+    case a: InstantAggVecQ => validSubqueryInner(a.inner)
+    case qa: QuantileAggQ => validSubqueryInner(qa.inner)
     case _ => false
   }
 
@@ -2020,6 +2031,14 @@ object ExtendedPromQL {
               if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
               else binCol(b.op, col("value"), lit(b.scalar))
             v.withColumn("value", e)
+          case a: InstantAggQ =>
+            stepAgg(lastAtStep, aggCol(a.op, col("value")), a.by, a.without)
+          case a: InstantAggVecQ =>
+            stepAgg(stepValues(a.inner), aggCol(a.op, col("value")),
+              a.by, a.without)
+          case qa: QuantileAggQ =>
+            stepAgg(stepValues(qa.inner),
+              percentile(col("value"), lit(qa.phi)), qa.by, qa.without)
           case m: MathFnQ =>
             stepValues(m.inner)
               .withColumn("value", mathCol(m.fn, m.args, col("value")))
@@ -2034,6 +2053,17 @@ object ExtendedPromQL {
           case _ =>
             throw PromQLError("Unsupported subquery inner expression")
         }
+        // cross-series aggregation at each step: the per-step vector
+        // groups by its kept labels, and the group becomes the series
+        // the outer *_over_time fold keys on (canonical-rendered id)
+        def stepAgg(sv: DataFrame, agg: Column, by: Seq[String],
+            without: Boolean): DataFrame =
+          sv.withColumn("group_labels", groupLabelsCol(by, without))
+            .groupBy(col("__t"), col("group_labels"))
+            .agg(agg.as("value"))
+            .select(canonicalSeriesId(col("group_labels")).as("sensor_id"),
+              col("__t"), col("group_labels").as("labels"),
+              col("value").cast("double").as("value"))
         val sv = stepValues(sq.inner)
         val folded = (sq.op, sq.phi) match {
           case ("quantile", Some(phi)) =>

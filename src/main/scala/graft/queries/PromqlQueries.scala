@@ -1451,6 +1451,41 @@ private[graft] object PromqlQueries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           col("value").cast("long").as("views"))
         .orderBy("user_tag")
+    },
+
+    // Aggregation INSIDE a subquery — the canonical alerting shape
+    // (peak of a cross-series aggregate over a step grid):
+    // max_over_time(sum(count_over_time(view[1d]))[31d:1d]) = the
+    // busiest day-aligned 1d window's total view count. Counts are
+    // integers, the cross-series sum of integers is exact and
+    // order-free, and the max fold is selection — no rounding crutch
+    // anywhere on the surface. Steps are the day-aligned multiples in
+    // [Jan 1, Feb 1] (q67's grid); both window ends inclusive.
+    q(
+      "q375_promql_subquery_agg",
+      """WITH steps AS (
+        |  SELECT t AS step_us FROM generate_series(
+        |    1704067200000000, 1706745600000000, 86400000000) s(t)),
+        |c AS (
+        |  SELECT st.step_us, count(*) AS n
+        |  FROM events e JOIN steps st
+        |    ON epoch_us(e.ts)
+        |      BETWEEN st.step_us - 86400000000 AND st.step_us
+        |  WHERE e.event_type = 'view'
+        |  GROUP BY st.step_us)
+        |SELECT CAST(MAX(n) AS BIGINT) AS max_views FROM c"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "max_over_time(sum(count_over_time(view[1d]))[31d:1d])",
+        1706745600000000L)
+      val selected = Matchers.sensorsByLabels(
+        EventsAdapter.sensors(s, d), parsed.matchers)
+        .select(concat(col("name"), lit(" "),
+          col("labels").getItem("user")).as("sensor_id"), col("labels"))
+      graft.promql.ExtendedPromQL.eval(parsed, selected,
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(col("value").cast("long").as("max_views"))
     }
   )
 }

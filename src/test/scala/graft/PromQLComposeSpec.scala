@@ -238,6 +238,30 @@ class PromQLComposeSpec extends SparkSpec {
     assert(runQuery("count(a) * 2") == Set(("", 6.0)))
   }
 
+  test("aggregation inside a subquery: max_over_time(sum(a)[2s:1s])") {
+    // steps at 0s/1s/2s; the fixture's samples sit at t=1s, so the 1h
+    // lookback covers them from the 1s and 2s steps; sum(a) = 14 at
+    // both → the outer max folds to 14 over the empty group-label
+    // series
+    ExtendedPromQL.parse("max_over_time(sum(a)[2s:1s])", now) match {
+      case SubqueryOverTimeQ("max", None,
+          InstantAggQ("sum", _, _, _, _, _), _, _, _, _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    assert(runQuery("max_over_time(sum(a)[2s:1s])") == Set(("", 14.0)))
+    // grouped: per-user sums are single series; avg over steps is the
+    // value itself
+    assert(runQuery("avg_over_time(sum by (user) (a)[2s:1s])") ==
+      Set(("user=1", 2.0), ("user=2", 4.0), ("user=3", 8.0)))
+    // aggregation over a per-series range function inside the subquery
+    assert(runQuery("max_over_time(sum(count_over_time(a[1s]))[2s:1s])") ==
+      Set(("", 3.0)))
+    // binary vector expressions still reject inside subqueries
+    intercept[PromQLError] {
+      ExtendedPromQL.parse("max_over_time((a / b)[2s:1s])", now)
+    }
+  }
+
   // --------------------------------------- randomized differential: sets
 
   /** Reference evaluator for set-operator chains over user→value maps,

@@ -736,9 +736,16 @@ class ExtendedPromQLSpec extends SparkSpec {
         assert(sh == 3600000000L && sp == 3600000000L)
       case other => fail(s"unexpected: $other")
     }
-    // cross-series aggregations are not per-series subquery operands
+    // cross-series aggregations ARE subquery operands (evaluated per
+    // step; PromQLComposeSpec pins the semantics) — binary vector
+    // expressions with two matcher sets remain rejected
+    ExtendedPromQL.parse("max_over_time(sum(view)[1h:5m])", now) match {
+      case SubqueryOverTimeQ("max", None,
+          InstantAggQ("sum", _, _, _, _, _), _, _, _, _, _) => ()
+      case other => fail(s"unexpected: $other")
+    }
     intercept[PromQLError] {
-      ExtendedPromQL.parse("max_over_time(sum(view)[1h:5m])", now)
+      ExtendedPromQL.parse("max_over_time((view / click)[1h:5m])", now)
     }
     // a bare subquery is still not a selector (reference parity)
     intercept[PromQLError] { ExtendedPromQL.parse("view[1h:5m]", now) }
