@@ -256,8 +256,10 @@ object ExtendedPromQL {
   final case class BinVectorQ(
       op: Char, left: Query, right: Query,
       matchOn: Seq[String] = Nil, ignoring: Boolean = false,
-      grouping: Option[String] = None) // Some("left") | Some("right")
-      extends Query {
+      grouping: Option[String] = None, // Some("left") | Some("right")
+      groupCopy: Seq[String] = Nil) // group_left(l1,...) labels copied
+      extends Query {                 // from the "one" side
+
     def matchers: Seq[LabelMatcher] = left.matchers
     def startUs: Long = math.min(left.startUs, right.startUs)
     def endUs: Long = math.max(left.endUs, right.endUs)
@@ -793,10 +795,17 @@ object ExtendedPromQL {
                   kind == "ignoring", rest)
               case _ => (Seq.empty[String], false, rs)
             }
+            // bare `group_left expr`, or `group_left(l1, l2) expr`
+            // with labels to copy from the "one" side onto the output
+            val GroupParenRe =
+              """(?s)^group_(left|right)\s*\(([^)]*)\)\s*(.*)$""".r
             val GroupRe = """(?s)^group_(left|right)\s+(.*)$""".r
-            val (grouping, rs2) = rs1 match {
-              case GroupRe(side, rest) => (Some(side), rest)
-              case _ => (None, rs1)
+            val (grouping, groupCopy, rs2) = rs1 match {
+              case GroupParenRe(side, ls0, rest) =>
+                (Some(side),
+                  ls0.split(",").map(_.trim).filter(_.nonEmpty).toSeq, rest)
+              case GroupRe(side, rest) => (Some(side), Seq.empty[String], rest)
+              case _ => (None, Seq.empty[String], rs1)
             }
             if (rs2.isEmpty)
               throw PromQLError(s"Binary operator '$op' is missing an operand")
@@ -818,7 +827,7 @@ object ExtendedPromQL {
                 BinVectorQ(op,
                   requireVectorOperand(lq, "left"),
                   requireVectorOperand(rq, "right"),
-                  matchOn, ignoring, grouping)
+                  matchOn, ignoring, grouping, groupCopy)
             }
         }
       case None => ()
@@ -1360,7 +1369,8 @@ object ExtendedPromQL {
       q: Query,
       selectFor: Seq[LabelMatcher] => DataFrame,
       samples: DataFrame): DataFrame = q match {
-    case BinVectorQ(op, left, right, matchOn, ignoring, grouping) =>
+    case BinVectorQ(op, left, right, matchOn, ignoring, grouping,
+        groupCopy) =>
       // the join key is the canonical (sorted-entries) form of the
       // MATCHING labels: all of them, the on() subset, or everything
       // but the ignoring() subset. Output labels: the matching labels
@@ -1386,9 +1396,24 @@ object ExtendedPromQL {
       val rv = operandVec(right, selectFor, samples)
         .select(matched(col("labels")).as("__k"),
           col("labels").as("__rl"), col("value").as("__rv"))
+      // many-to-one output labels: the many side's full labels, plus
+      // any group_left/right(l1,...) labels copied from the "one" side
+      // (copied keys replace same-named keys on the many side, the
+      // Prometheus contract); built entry-wise so no duplicate keys
+      // ever reach map_from_entries
+      def withCopied(many: Column, one: Column): Column =
+        if (groupCopy.isEmpty) many
+        else {
+          val keys = array(groupCopy.map(lit): _*)
+          val kept = filter(map_entries(many),
+            e => !array_contains(keys, e.getField("key")))
+          val copied = filter(map_entries(one),
+            e => array_contains(keys, e.getField("key")))
+          map_from_entries(concat(kept, copied))
+        }
       val outLabels = grouping match {
-        case Some("left") => col("__ll")
-        case Some("right") => col("__rl")
+        case Some("left") => withCopied(col("__ll"), col("__rl"))
+        case Some("right") => withCopied(col("__rl"), col("__ll"))
         case _ => map_from_entries(col("__k"))
       }
       lv.join(rv, "__k")

@@ -78,12 +78,13 @@ class PromQLComposeSpec extends SparkSpec {
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("abs(a - b)", now) match {
-      case MathFnQ("abs", Nil, BinVectorQ('-', _, _, _, _, _)) => ()
+      case MathFnQ("abs", Nil, BinVectorQ('-', _, _, _, _, _, _)) => ()
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("sum(rate(a[5m]) / rate(b[5m]))", now) match {
       case InstantAggVecQ("sum", _, _, BinVectorQ('/',
-          RangeFnQ("rate", _, _, _), RangeFnQ("rate", _, _, _), _, _, _)) =>
+          RangeFnQ("rate", _, _, _), RangeFnQ("rate", _, _, _),
+          _, _, _, _)) =>
         ()
       case other => fail(s"unexpected: $other")
     }
@@ -94,9 +95,45 @@ class PromQLComposeSpec extends SparkSpec {
     ExtendedPromQL.parse(
       "sum by (user) (view) / sum by (user) (click)", now) match {
       case BinVectorQ('/', InstantAggQ("sum", Seq("user"), false, _, _, _),
-          InstantAggQ("sum", Seq("user"), false, _, _, _), _, _, _) => ()
+          InstantAggQ("sum", Seq("user"), false, _, _, _), _, _, _, _) => ()
       case other => fail(s"unexpected: $other")
     }
+  }
+
+  test("group_left(labels) copies labels from the one side") {
+    import spark.implicits._
+    ExtendedPromQL.parse("a * on(user) group_left(dc) b", now) match {
+      case BinVectorQ('*', _, _, Seq("user"), false, Some("left"),
+          Seq("dc")) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    // many side (left) keeps its full labels; `dc` rides over from the
+    // one side; a same-named key on the many side is replaced
+    val selL = Seq(
+      ("a 1", Map("user" -> "1", "env" -> "prod")),
+      ("a 2", Map("user" -> "2", "dc" -> "old")))
+      .toDF("sensor_id", "labels")
+    val selR = Seq(
+      ("b 1", Map("user" -> "1", "dc" -> "x")),
+      ("b 2", Map("user" -> "2", "dc" -> "y")))
+      .toDF("sensor_id", "labels")
+    val samples = Seq(
+      ("a 1", 1L, 10.0), ("a 2", 1L, 4.0),
+      ("b 1", 1L, 2.0), ("b 2", 1L, 5.0))
+      .toDF("sensor_id", "timestamp_us", "value")
+    val q = BinVectorQ('*',
+      SelectorQ(Seq(LabelMatcher.Eq(LabelMatcher.NameLabel, "a")), 0L, 10L),
+      SelectorQ(Seq(LabelMatcher.Eq(LabelMatcher.NameLabel, "b")), 0L, 10L),
+      Seq("user"), ignoring = false, Some("left"), Seq("dc"))
+    val got = ExtendedPromQL.evalWith(q,
+      ms => if (ms.contains(LabelMatcher.Eq(LabelMatcher.NameLabel, "a")))
+        selL else selR,
+      samples)
+      .select(col("labels"), col("value"))
+      .as[(Map[String, String], Double)].collect().toSet
+    assert(got == Set(
+      (Map("user" -> "1", "env" -> "prod", "dc" -> "x"), 20.0),
+      (Map("user" -> "2", "dc" -> "y"), 20.0)))
   }
 
   test("topk/bottomk accept a without clause (grouped ranking)") {

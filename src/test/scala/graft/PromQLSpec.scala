@@ -253,7 +253,7 @@ class ExtendedPromQLSpec extends SparkSpec {
     }
     // vec-vec form parses to the binary-vector query with the 'A' tag
     ExtendedPromQL.parse("view atan2 click", now) match {
-      case BinVectorQ('A', _, _, Nil, false, None) => ()
+      case BinVectorQ('A', _, _, Nil, false, None, Nil) => ()
       case other => fail(s"unexpected: $other")
     }
     // precedence and associativity: lowest tier splits last, so
@@ -821,17 +821,17 @@ class ExtendedPromQLSpec extends SparkSpec {
     intercept[PromQLError] { ExtendedPromQL.parse("topk(3, view[5m])", now) }
     ExtendedPromQL.parse("rate(a[5m]) / rate(b[5m])", now) match {
       case BinVectorQ('/', RangeFnQ("rate", lm, _, _),
-          RangeFnQ("rate", rm, _, _), Nil, false, None) =>
+          RangeFnQ("rate", rm, _, _), Nil, false, None, Nil) =>
         assert(lm == Seq(LabelMatcher.Eq("__name__", "a")))
         assert(rm == Seq(LabelMatcher.Eq("__name__", "b")))
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("rate(a[5m]) / on(user) rate(b[5m])", now) match {
-      case BinVectorQ('/', _, _, Seq("user"), false, None) => ()
+      case BinVectorQ('/', _, _, Seq("user"), false, None, Nil) => ()
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("a * ignoring(env, zone) b", now) match {
-      case BinVectorQ('*', _, _, Seq("env", "zone"), true, None) => ()
+      case BinVectorQ('*', _, _, Seq("env", "zone"), true, None, Nil) => ()
       case other => fail(s"unexpected: $other")
     }
     ExtendedPromQL.parse("""count_values("v", view)""", now) match {
@@ -865,7 +865,7 @@ class ExtendedPromQLSpec extends SparkSpec {
     // both sides evaluate to group-labeled vectors and match one-to-one
     ExtendedPromQL.parse("sum(view) / sum(click)", now) match {
       case BinVectorQ('/', InstantAggQ("sum", _, _, _, _, _),
-          InstantAggQ("sum", _, _, _, _, _), _, _, _) => ()
+          InstantAggQ("sum", _, _, _, _, _), _, _, _, _) => ()
       case other => fail(s"unexpected: $other")
     }
     // the genuinely non-vector operand still rejects
@@ -959,7 +959,7 @@ class ExtendedPromQLSpec extends SparkSpec {
     // is unique per match key
     ExtendedPromQL.parse(
       "a / on(user) group_left b", now) match {
-      case BinVectorQ('/', _, _, Seq("user"), false, Some("left")) => ()
+      case BinVectorQ('/', _, _, Seq("user"), false, Some("left"), Nil) => ()
       case other => fail(s"unexpected: $other")
     }
     val gl = ExtendedPromQL.evalWith(
