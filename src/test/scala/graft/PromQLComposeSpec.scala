@@ -162,6 +162,36 @@ class PromQLComposeSpec extends SparkSpec {
     }
   }
 
+  test("parser fuzz: random near-PromQL strings only ever throw " +
+      "PromQLError") {
+    // the gateway maps PromQLError to a 400; anything else escaping the
+    // parser (NumberFormatException from a bare .toInt/.toLong,
+    // StringIndexOutOfBounds from a substring, StackOverflowError from
+    // runaway recursion) would surface as a 500 — this fuzz pins the
+    // whole exception surface, the class the duration-overflow bug
+    // (silent Long wrap / raw NFE) belonged to
+    val rnd = new scala.util.Random(0xFADE)
+    val atoms = Seq("view", "sum", "rate", "topk", "by", "or", "and",
+      "unless", "offset", "bool", "atan2", "scalar", "vector",
+      "count_over_time", "label_replace", "quantile", "(", ")", "[", "]",
+      "{", "}", "\"", ",", "=", "!=", "=~", "!~", "+", "-", "*", "/",
+      "%", "^", "<", ">", "==", ":", "@", " ", "5m", "1h", "0.5", "3",
+      "99999999999999999999", "9999999999y", "e", "_", "user")
+    var parsed = 0
+    for (_ <- 0 until 3000) {
+      val n = 1 + rnd.nextInt(12)
+      val q = Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString("")
+      try { ExtendedPromQL.parse(q, now); parsed += 1 }
+      catch {
+        case _: PromQLError => () // the one legal failure mode
+        case e: Throwable =>
+          fail(s"'$q' escaped the parser with ${e.getClass.getName}: " +
+            s"${e.getMessage}")
+      }
+    }
+    assert(parsed > 0) // the generator does produce some valid queries
+  }
+
   // ------------------------------------------------------- eval fixtures
 
   // three metrics a/b/c over a shared user-label universe; values are
