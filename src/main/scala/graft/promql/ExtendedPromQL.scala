@@ -284,8 +284,13 @@ object ExtendedPromQL {
     */
   final case class VectorLitQ(value: Double) extends Query {
     def matchers: Seq[LabelMatcher] = Seq.empty
-    def startUs: Long = 0L
-    def endUs: Long = 0L
+    // a literal consumes NO samples: report a neutral (inverted) window
+    // so a binary/set parent's min/max window derivation collapses to
+    // the other operand's — a [0, 0] window here made `x or vector(0)`
+    // widen the caller's scan bound to [epoch, now], a full-history
+    // scan at scale for the most idiomatic fallback query
+    def startUs: Long = Long.MaxValue
+    def endUs: Long = Long.MinValue
   }
   /** `scalar(vec)` — vector→scalar conversion: the single series' value
     * when the inner vector has exactly one element, NaN otherwise

@@ -162,6 +162,19 @@ class PromQLComposeSpec extends SparkSpec {
     }
   }
 
+  test("vector(0) does not widen the parent's scan window") {
+    // the fallback literal consumes no samples; a [0, 0] literal window
+    // previously made `x or vector(0)` report startUs = 0, turning the
+    // caller's bounded scan into a full-history one
+    val q = ExtendedPromQL.parse("view or vector(0)", now)
+    assert(q.startUs == now - 3600L * 1000000L && q.endUs == now)
+    val v = ExtendedPromQL.parse("vector(5)", now)
+    assert(v.startUs > v.endUs) // inverted = neutral, selects nothing
+    // the fallback still evaluates: empty left → the literal row
+    assert(runQuery("nope or vector(0)",
+      Map(("a", "1") -> 7.0)) == Set(("", 0.0)))
+  }
+
   test("parser fuzz: random near-PromQL strings only ever throw " +
       "PromQLError") {
     // the gateway maps PromQLError to a 400; anything else escaping the
