@@ -430,7 +430,12 @@ object ExtendedPromQL {
     * followed by `"}`) never match.
     */
   private val OffsetRe = """(?s)^(.*)\s+offset\s+([0-9a-z]+)\s*$""".r
-  private val AtRe = """(?s)^(.*)\s@\s*([0-9]+(?:\.[0-9]+)?)\s*$""".r
+  // whitespace around `@` is optional (Prometheus tokenizes, so
+  // `metric@1706745600` is legal); the greedy prefix still splits at
+  // the LAST `@`, and a quoted label value can never end the query in
+  // bare digits (it is always followed by `"}`), so values containing
+  // `@` stay inert
+  private val AtRe = """(?s)^(.*)@\s*([0-9]+(?:\.[0-9]+)?)\s*$""".r
 
   private def parseSelector(s: String, nowUs: Long): SimplePromQL.ParsedQuery =
     s.trim match {

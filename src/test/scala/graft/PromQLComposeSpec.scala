@@ -162,6 +162,21 @@ class PromQLComposeSpec extends SparkSpec {
     }
   }
 
+  test("@ modifier binds without surrounding whitespace") {
+    val t = 1700000000L
+    for (q <- Seq(s"view @ $t", s"view @$t", s"view@$t")) {
+      ExtendedPromQL.parse(q, now) match {
+        case s: SelectorQ => assert(s.endUs == t * 1000000L, q)
+        case other => fail(s"'$q' unexpected: $other")
+      }
+    }
+    // an @ inside a quoted label value stays inert
+    ExtendedPromQL.parse("""view{a="x@5"}""", now) match {
+      case s: SelectorQ => assert(s.endUs == now)
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
   test("vector(0) does not widen the parent's scan window") {
     // the fallback literal consumes no samples; a [0, 0] literal window
     // previously made `x or vector(0)` report startUs = 0, turning the
