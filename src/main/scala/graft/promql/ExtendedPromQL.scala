@@ -31,6 +31,14 @@ import graft.operators.LabelMatcher
   * handled here by shifting the evaluation window. [[SimplePromQL]]
   * itself keeps the reference's strict rejection behavior; this
   * evaluator is the opt-in extension.
+  *
+  * Documented deviations from upstream Prometheus (beyond the
+  * inclusive-bounds convention noted on [[SubqueryOverTimeQ]]):
+  * NESTED subqueries (`max_over_time(min_over_time(x[5m:1m])[1h:5m])`)
+  * and binary vector expressions inside subqueries reject with a clean
+  * PromQLError instead of evaluating; the duration grammar accepts
+  * unit terms in any order with repeats (`1h30m` ≡ `30m1h`), a strict
+  * superset of Prometheus's descending-unique order.
   */
 object ExtendedPromQL {
 

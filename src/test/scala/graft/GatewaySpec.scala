@@ -559,6 +559,11 @@ class GatewaySpec extends SparkSpec {
     // a genuinely non-vector operand still rejects with a 400
     assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
       "a and scalar(b)", "UTF-8")).statusCode() == 400)
+    // aggregation inside a subquery — the canonical alerting shape —
+    // parses and evaluates end-to-end through the serving path
+    assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
+      "max_over_time(sum(rate(http_requests[1d]))[31d:1d])", "UTF-8"))
+      .statusCode() == 200)
   }
 
   test("bulk export: per-series IPC files + manifest, no data on driver path") {
