@@ -108,7 +108,13 @@ object Config {
           case u => throw new IllegalArgumentException(
             s"Unrecognized byte unit '$u' in '$s'")
         }
-        (BigDecimal(num) * mult).toLong
+        val v = BigDecimal(num) * mult
+        // BigDecimal.toLong keeps the LOW 64 BITS on overflow — an
+        // absurd size would wrap (possibly negative) and sail past the
+        // 128 GB ceiling check instead of failing loudly
+        if (v > Long.MaxValue) throw new IllegalArgumentException(
+          s"Byte size out of range '$s'")
+        v.toLong
       case _ => throw new IllegalArgumentException(
         s"Unparseable byte size '$s'")
     }

@@ -40,6 +40,11 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.parseByteSize("2GiB") == 2L * 1024 * 1024 * 1024)
     intercept[IllegalArgumentException](Config.parseByteSize("10 parsecs"))
     intercept[IllegalArgumentException](Config.parseByteSize("mb"))
+    // overflow fails loudly — BigDecimal.toLong would keep the low 64
+    // bits and a wrapped (possibly negative) cap would sail past the
+    // 128 GB ceiling check
+    intercept[IllegalArgumentException](
+      Config.parseByteSize("99999999999tb"))
     // the reference's 128 GB ceiling (src/config/mod.rs:60-63)
     withProp("SENSAPP_HTTP_BODY_LIMIT", "1tib") {
       intercept[IllegalArgumentException](Config.httpBodyLimit)
