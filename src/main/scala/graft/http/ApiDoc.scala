@@ -80,6 +80,14 @@ object ApiDoc {
       "Extended PromQL query surface",
       Seq(Param("query", "query", "PromQL expression", required = true),
         Param("time", "query", "evaluation time (RFC3339)"))),
+    Route("/api/v1/query_range", "get", "Extensions",
+      "PromQL range query: expression evaluated at every step",
+      Seq(Param("query", "query", "PromQL expression", required = true),
+        Param("start", "query", "range start (unix seconds)",
+          required = true),
+        Param("end", "query", "range end (unix seconds)", required = true),
+        Param("step", "query", "step (seconds or duration like 30s)",
+          required = true))),
     Route("/api/v1/admin/export_bulk", "post", "Extensions",
       "Bulk export all series to a directory",
       Seq(Param("dir", "query", "output directory", required = true),

@@ -151,6 +151,7 @@ final class Gateway(
     route("/api/v1/prometheus_remote_read", handleRemoteRead)
     route("/api/v1/query", handlePromql)
     route("/api/v1/query_extended", handlePromqlExtended)
+    route("/api/v1/query_range", handlePromqlRange)
     route("/api/v1/admin/vacuum", handleVacuum)
     route("/api/v1/admin/metrics", (x, _) =>
       respond(x, 200, "text/plain; version=0.0.4", metricsExposition()))
@@ -1070,6 +1071,52 @@ final class Gateway(
       numericFloatView(Some(parsed.startUs), Some(parsed.endUs)))
     // a matcher can select arbitrarily many series — stream the JSONL
     // like every other export edge instead of collecting it
+    import scala.jdk.CollectionConverters._
+    val lines = result.toJSON.toLocalIterator().asScala
+    respondTextStream(x, 200, "application/x-ndjson",
+      lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
+  }
+
+  /** Prometheus range-query API (`query_range` — the endpoint dashboards
+    * poll): the expression evaluated at every step in [start, end]
+    * anchored at start, one JSONL row per (series, step). Supported
+    * expressions are the per-series shapes plus cross-series
+    * aggregations over them (the subquery-valid set); `step` accepts
+    * Prometheus's float seconds or a duration string ("30s", "1h").
+    */
+  private def handlePromqlRange(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    import graft.promql.{ExtendedPromQL, SimplePromQL}
+    val query = p.getOrElse("query",
+      throw new IllegalArgumentException("missing query parameter"))
+    def tParam(name: String): Long =
+      (p.getOrElse(name, throw new IllegalArgumentException(
+        s"missing $name parameter")).toDouble * 1e6).toLong
+    val startUs = tParam("start")
+    val endUs = tParam("end")
+    val stepStr = p.getOrElse("step",
+      throw new IllegalArgumentException("missing step parameter"))
+    // seconds only for PURE numeric strings: Java's parseDouble accepts
+    // the float-suffix spelling ("1d" = 1.0, "2f" = 2.0), which would
+    // silently read the duration "1d" as one SECOND
+    val stepUs =
+      if (stepStr.matches("""[0-9]+(\.[0-9]+)?""")) {
+        val d = stepStr.toDouble
+        (d * 1e6).toLong
+      } else SimplePromQL.msToUs(SimplePromQL.parseDurationMs(stepStr))
+    // parse at the range end so selector windows / offset resolve
+    // against it; @ start()/end() anchors resolve to the range bounds
+    val parsed = ExtendedPromQL.parse(query, endUs,
+      Some(startUs), Some(endUs))
+    // scan bound: earliest window start of the first step through the
+    // latest window end of the last step (offset shifts both)
+    val shiftUs = endUs - parsed.endUs
+    val spanUs = parsed.endUs - parsed.startUs
+    val result = ExtendedPromQL.evalRange(parsed, startUs, endUs, stepUs,
+      ms => Matchers.sensorsByLabels(store.sensors, ms, numericOnly = true)
+        .select(col("uuid").as("sensor_id"), col("labels")),
+      numericFloatView(Some(startUs - shiftUs - spanUs),
+        Some(endUs - shiftUs)))
     import scala.jdk.CollectionConverters._
     val lines = result.toJSON.toLocalIterator().asScala
     respondTextStream(x, 200, "application/x-ndjson",

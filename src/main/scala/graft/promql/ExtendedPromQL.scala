@@ -1769,6 +1769,160 @@ object ExtendedPromQL {
       case other => eval(other, selected, samples)
     }
 
+  /** The per-step vector of `inner` over a step grid: one row per
+    * (series, step) — (sensor_id, __t, labels, value). ONE pass over
+    * the scan: the (tiny) step frame broadcasts into a range join that
+    * lands each sample in every step window holding it (≤ span/step + 1
+    * steps), then the inner evaluates per (series, step) group — never
+    * a per-step job loop. Shared by the subquery *_over_time fold and
+    * the query_range API ([[evalRange]]).
+    */
+  private def perStepVector(
+      inner: Query, steps: Seq[Long],
+      innerShiftUs: Long, innerSpanUs: Long,
+      selected: DataFrame, samples: DataFrame): DataFrame = {
+    import samples.sparkSession.implicits._
+    val inWindow = samples
+      .filter(col("timestamp_us").between(
+        steps.min - innerShiftUs - innerSpanUs, steps.max - innerShiftUs))
+      .join(broadcast(selected), "sensor_id")
+    val stepsDf = steps.toDF("__t")
+    val lo = col("__t") - lit(innerShiftUs + innerSpanUs)
+    val hi = col("__t") - lit(innerShiftUs)
+    val j = inWindow.join(broadcast(stepsDf),
+      col("timestamp_us") >= lo && col("timestamp_us") <= hi)
+    def grouped = j.groupBy(col("sensor_id"), col("__t"))
+    // latest sample in the step window, ties on timestamp resolved by
+    // value like lastInWindow's (ts desc, value desc) ordering
+    def lastAtStep: DataFrame = grouped
+      .agg(first(col("labels")).as("labels"),
+        max(struct(col("timestamp_us"), col("value")))
+          .getField("value").as("value"))
+    // cross-series aggregation at each step: the per-step vector groups
+    // by its kept labels, and the group becomes the series the caller
+    // keys on (canonical-rendered id)
+    def stepAgg(sv: DataFrame, agg: Column, by: Seq[String],
+        without: Boolean): DataFrame =
+      sv.withColumn("group_labels", groupLabelsCol(by, without))
+        .groupBy(col("__t"), col("group_labels"))
+        .agg(agg.as("value"))
+        .select(canonicalSeriesId(col("group_labels")).as("sensor_id"),
+          col("__t"), col("group_labels").as("labels"),
+          col("value").cast("double").as("value"))
+    def stepValues(q0: Query): DataFrame = q0 match {
+      case _: SelectorQ => lastAtStep
+      case OverTimeQ("last", _, _, _) => lastAtStep
+      case OverTimeQ(op2, _, _, _) =>
+        grouped.agg(first(col("labels")).as("labels"),
+          aggCol(op2, col("value")).as("value"))
+      case QuantileOverTimeQ(phi, _, _, _) =>
+        grouped.agg(first(col("labels")).as("labels"),
+          percentile(col("value"), lit(phi)).as("value"))
+      case RangeFnQ("delta", _, _, _) =>
+        grouped.agg(first(col("labels")).as("labels"),
+          (max(struct(col("timestamp_us"), col("value")))
+            .getField("value") -
+            min(struct(col("timestamp_us"), col("value")))
+              .getField("value")).as("value"),
+          count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2)
+          .select(col("sensor_id"), col("__t"), col("labels"),
+            col("value"))
+      case RangeFnQ(op2 @ ("resets" | "changes"), _, _, _) =>
+        val ord = Window.partitionBy(col("sensor_id"), col("__t"))
+          .orderBy(col("timestamp_us"), col("value"))
+        val withPrev =
+          j.withColumn("__prev", lag(col("value"), 1).over(ord))
+        val ind =
+          if (op2 == "resets") col("value") < col("__prev")
+          else col("value") =!= col("__prev")
+        withPrev.groupBy(col("sensor_id"), col("__t"))
+          .agg(first(col("labels")).as("labels"),
+            sum(when(col("__prev").isNotNull && ind, 1L)
+              .otherwise(0L)).cast("double").as("value"))
+      case RangeFnQ(op2 @ ("increase" | "rate"), _, _, _) =>
+        val ord = Window.partitionBy(col("sensor_id"), col("__t"))
+          .orderBy(col("timestamp_us"), col("value"))
+        val d = j.withColumn("__prev", lag(col("value"), 1).over(ord))
+          .withColumn("__d",
+            when(col("__prev").isNull, lit(null).cast("double"))
+              .when(col("value") >= col("__prev"),
+                col("value") - col("__prev"))
+              .otherwise(col("value")))
+        val agg = d.groupBy(col("sensor_id"), col("__t"))
+          .agg(first(col("labels")).as("labels"),
+            sum(col("__d")).as("value"))
+          .filter(col("value").isNotNull)
+        if (op2 == "rate")
+          agg.withColumn("value",
+            col("value") / lit(innerSpanUs / 1e6))
+        else agg
+      case b: BinScalarQ =>
+        val v = stepValues(b.inner)
+        val e =
+          if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
+          else binCol(b.op, col("value"), lit(b.scalar))
+        v.withColumn("value", e)
+      case a: InstantAggQ =>
+        stepAgg(lastAtStep, aggCol(a.op, col("value")), a.by, a.without)
+      case a: InstantAggVecQ =>
+        stepAgg(stepValues(a.inner), aggCol(a.op, col("value")),
+          a.by, a.without)
+      case qa: QuantileAggQ =>
+        stepAgg(stepValues(qa.inner),
+          percentile(col("value"), lit(qa.phi)), qa.by, qa.without)
+      case m: MathFnQ =>
+        stepValues(m.inner)
+          .withColumn("value", mathCol(m.fn, m.args, col("value")))
+      case b: BinCmpQ =>
+        val v = stepValues(b.inner)
+        val (l, r) =
+          if (b.scalarOnLeft) (lit(b.scalar), col("value"))
+          else (col("value"), lit(b.scalar))
+        val pred = cmpPred(b.op, l, r)
+        if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
+        else v.filter(pred)
+      case _ =>
+        throw PromQLError("Unsupported subquery inner expression")
+    }
+    stepValues(inner)
+  }
+
+  /** Prometheus range-query evaluation (`query_range`): the expression
+    * at every step in `[startUs, endUs]` anchored at `startUs` (start,
+    * start+step, …, ≤ end — the Prometheus API grid, unlike subquery
+    * steps which align to epoch multiples), one row per (series, step):
+    * (sensor_id, labels, t_us, value). Supported expressions are the
+    * subquery-valid shapes — selectors (latest sample in the lookback
+    * ending at the step), per-series range functions over their
+    * bracketed window, scalar arithmetic/comparison/math wrappers, and
+    * cross-series aggregations over any of them. Parse the query with
+    * `nowUs = endUs` so selector windows and `offset` resolve against
+    * the range end (the 3-arg [[parse]] overload also resolves
+    * `@ start()` / `@ end()` anchors).
+    */
+  def evalRange(
+      q: Query, startUs: Long, endUs: Long, stepUs: Long,
+      selectFor: Seq[LabelMatcher] => DataFrame,
+      samples: DataFrame): DataFrame = {
+    if (stepUs <= 0) throw PromQLError("query_range step must be positive")
+    if (endUs < startUs)
+      throw PromQLError("query_range end precedes start")
+    if ((endUs - startUs) / stepUs > 100000L)
+      throw PromQLError("query_range resolves to more than 100000 steps")
+    if (!validSubqueryInner(q))
+      throw PromQLError(
+        "query_range supports selectors, per-series functions, scalar " +
+          "wrappers, and cross-series aggregations over them")
+    val steps = (startUs to endUs by stepUs).toList
+    val innerShiftUs = endUs - q.endUs
+    val innerSpanUs = q.endUs - q.startUs
+    perStepVector(q, steps, innerShiftUs, innerSpanUs,
+      selectFor(q.matchers), samples)
+      .select(col("sensor_id"), col("labels"), col("__t").as("t_us"),
+        col("value").cast("double").as("value"))
+  }
+
   def eval(q: Query, selected: DataFrame, samples: DataFrame): DataFrame = {
     val inWindow = samples
       .filter(col("timestamp_us").between(q.startUs, q.endUs))
@@ -2000,114 +2154,11 @@ object ExtendedPromQL {
             else agg.select("sensor_id", "labels", "value")
         }
       case sq: SubqueryOverTimeQ =>
-        import samples.sparkSession.implicits._
         val steps = stepTimestamps(sq.rangeUs, sq.stepUs, sq.evalEndUs)
         if (steps.isEmpty)
           throw PromQLError("Subquery range contains no step timestamps")
-        // ONE pass over the scan: the (tiny) step frame broadcasts into a
-        // range join that lands each sample in every step window holding
-        // it (≤ span/step + 1 steps), then the inner evaluates per
-        // (series, step) group — never a per-step job loop
-        val stepsDf = steps.toDF("__t")
-        val lo = col("__t") - lit(sq.innerShiftUs + sq.innerSpanUs)
-        val hi = col("__t") - lit(sq.innerShiftUs)
-        val j = inWindow.join(broadcast(stepsDf),
-          col("timestamp_us") >= lo && col("timestamp_us") <= hi)
-        def grouped = j.groupBy(col("sensor_id"), col("__t"))
-        // latest sample in the step window, ties on timestamp resolved by
-        // value like lastInWindow's (ts desc, value desc) ordering
-        def lastAtStep: DataFrame = grouped
-          .agg(first(col("labels")).as("labels"),
-            max(struct(col("timestamp_us"), col("value")))
-              .getField("value").as("value"))
-        def stepValues(q0: Query): DataFrame = q0 match {
-          case _: SelectorQ => lastAtStep
-          case OverTimeQ("last", _, _, _) => lastAtStep
-          case OverTimeQ(op2, _, _, _) =>
-            grouped.agg(first(col("labels")).as("labels"),
-              aggCol(op2, col("value")).as("value"))
-          case QuantileOverTimeQ(phi, _, _, _) =>
-            grouped.agg(first(col("labels")).as("labels"),
-              percentile(col("value"), lit(phi)).as("value"))
-          case RangeFnQ("delta", _, _, _) =>
-            grouped.agg(first(col("labels")).as("labels"),
-              (max(struct(col("timestamp_us"), col("value")))
-                .getField("value") -
-                min(struct(col("timestamp_us"), col("value")))
-                  .getField("value")).as("value"),
-              count(lit(1)).as("__n"))
-              .filter(col("__n") >= 2)
-              .select(col("sensor_id"), col("__t"), col("labels"),
-                col("value"))
-          case RangeFnQ(op2 @ ("resets" | "changes"), _, _, _) =>
-            val ord = Window.partitionBy(col("sensor_id"), col("__t"))
-              .orderBy(col("timestamp_us"), col("value"))
-            val withPrev =
-              j.withColumn("__prev", lag(col("value"), 1).over(ord))
-            val ind =
-              if (op2 == "resets") col("value") < col("__prev")
-              else col("value") =!= col("__prev")
-            withPrev.groupBy(col("sensor_id"), col("__t"))
-              .agg(first(col("labels")).as("labels"),
-                sum(when(col("__prev").isNotNull && ind, 1L)
-                  .otherwise(0L)).cast("double").as("value"))
-          case RangeFnQ(op2 @ ("increase" | "rate"), _, _, _) =>
-            val ord = Window.partitionBy(col("sensor_id"), col("__t"))
-              .orderBy(col("timestamp_us"), col("value"))
-            val d = j.withColumn("__prev", lag(col("value"), 1).over(ord))
-              .withColumn("__d",
-                when(col("__prev").isNull, lit(null).cast("double"))
-                  .when(col("value") >= col("__prev"),
-                    col("value") - col("__prev"))
-                  .otherwise(col("value")))
-            val agg = d.groupBy(col("sensor_id"), col("__t"))
-              .agg(first(col("labels")).as("labels"),
-                sum(col("__d")).as("value"))
-              .filter(col("value").isNotNull)
-            if (op2 == "rate")
-              agg.withColumn("value",
-                col("value") / lit(sq.innerSpanUs / 1e6))
-            else agg
-          case b: BinScalarQ =>
-            val v = stepValues(b.inner)
-            val e =
-              if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
-              else binCol(b.op, col("value"), lit(b.scalar))
-            v.withColumn("value", e)
-          case a: InstantAggQ =>
-            stepAgg(lastAtStep, aggCol(a.op, col("value")), a.by, a.without)
-          case a: InstantAggVecQ =>
-            stepAgg(stepValues(a.inner), aggCol(a.op, col("value")),
-              a.by, a.without)
-          case qa: QuantileAggQ =>
-            stepAgg(stepValues(qa.inner),
-              percentile(col("value"), lit(qa.phi)), qa.by, qa.without)
-          case m: MathFnQ =>
-            stepValues(m.inner)
-              .withColumn("value", mathCol(m.fn, m.args, col("value")))
-          case b: BinCmpQ =>
-            val v = stepValues(b.inner)
-            val (l, r) =
-              if (b.scalarOnLeft) (lit(b.scalar), col("value"))
-              else (col("value"), lit(b.scalar))
-            val pred = cmpPred(b.op, l, r)
-            if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
-            else v.filter(pred)
-          case _ =>
-            throw PromQLError("Unsupported subquery inner expression")
-        }
-        // cross-series aggregation at each step: the per-step vector
-        // groups by its kept labels, and the group becomes the series
-        // the outer *_over_time fold keys on (canonical-rendered id)
-        def stepAgg(sv: DataFrame, agg: Column, by: Seq[String],
-            without: Boolean): DataFrame =
-          sv.withColumn("group_labels", groupLabelsCol(by, without))
-            .groupBy(col("__t"), col("group_labels"))
-            .agg(agg.as("value"))
-            .select(canonicalSeriesId(col("group_labels")).as("sensor_id"),
-              col("__t"), col("group_labels").as("labels"),
-              col("value").cast("double").as("value"))
-        val sv = stepValues(sq.inner)
+        val sv = perStepVector(sq.inner, steps, sq.innerShiftUs,
+          sq.innerSpanUs, selected, samples)
         val folded = (sq.op, sq.phi) match {
           case ("quantile", Some(phi)) =>
             sv.groupBy(col("sensor_id"))

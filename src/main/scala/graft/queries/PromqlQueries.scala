@@ -1486,6 +1486,38 @@ private[graft] object PromqlQueries {
         EventsAdapter.samples(s, d)
           .select("sensor_id", "timestamp_us", "value"))
         .select(col("value").cast("long").as("max_views"))
+    },
+
+    // Prometheus range-query API (the endpoint dashboards poll):
+    // count_over_time(view[1d]) evaluated at every day step across
+    // January — one row per (user series, step), all-integer surface.
+    // The oracle replays the start-anchored step grid with
+    // generate_series and the same inclusive 1d windows.
+    q(
+      "q376_promql_query_range",
+      """WITH steps AS (
+        |  SELECT t AS step_us FROM generate_series(
+        |    1704067200000000, 1706745600000000, 86400000000) s(t))
+        |SELECT CAST(e.user_id AS VARCHAR) AS user_tag,
+        |  st.step_us AS t_us, count(*) AS n
+        |FROM events e JOIN steps st
+        |  ON epoch_us(e.ts)
+        |    BETWEEN st.step_us - 86400000000 AND st.step_us
+        |WHERE e.event_type = 'view'
+        |GROUP BY 1, 2 ORDER BY 1, 2"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "count_over_time(view[1d])", 1706745600000000L)
+      graft.promql.ExtendedPromQL.evalRange(parsed,
+        1704067200000000L, 1706745600000000L, 86400000000L,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(element_at(col("labels"), "user").as("user_tag"),
+          col("t_us"), col("value").cast("long").as("n"))
+        .orderBy("user_tag", "t_us")
     }
   )
 }

@@ -566,6 +566,29 @@ class GatewaySpec extends SparkSpec {
       .statusCode() == 200)
   }
 
+  test("query_range: per-step JSONL rows over the fixture month") {
+    // http_requests samples live at 2024-01 (remote-write fixture);
+    // sum the counter at day steps across January
+    val q = java.net.URLEncoder.encode("sum(http_requests)", "UTF-8")
+    val resp = get(s"/api/v1/query_range?query=$q" +
+      "&start=1704067200&end=1706745600&step=1d")
+    assert(resp.statusCode() == 200, resp.body())
+    val lines = resp.body().linesIterator.filter(_.nonEmpty).toSeq
+    assert(lines.nonEmpty)
+    assert(lines.head.contains("\"t_us\"") &&
+      lines.head.contains("\"value\""), lines.head)
+    // float-second steps work too (the Prometheus API's other spelling)
+    assert(get(s"/api/v1/query_range?query=$q" +
+      "&start=1704067200&end=1704240000&step=86400").statusCode() == 200)
+    // missing step is a 400, not a 500
+    assert(get(s"/api/v1/query_range?query=$q" +
+      "&start=1704067200&end=1706745600").statusCode() == 400)
+    // vector-vector operands reject cleanly
+    val bad = java.net.URLEncoder.encode("a / b", "UTF-8")
+    assert(get(s"/api/v1/query_range?query=$bad" +
+      "&start=1704067200&end=1706745600&step=1d").statusCode() == 400)
+  }
+
   test("bulk export: per-series IPC files + manifest, no data on driver path") {
     val dir = graft.TempDirs.createPath("gw_bulk")
     // http_requests samples live at 2024-01 (remote-write fixture) —

@@ -357,6 +357,36 @@ class PromQLComposeSpec extends SparkSpec {
     }
   }
 
+  test("evalRange: per-step vectors anchored at start, aggregations too") {
+    import spark.implicits._
+    val (selectFor, samples) = fixture(userValues)
+    // samples sit at t=1s; the 1h lookback covers them from every step
+    // at or after 1s — and NOT from the step at 0
+    val q = ExtendedPromQL.parse("a", 3000000L)
+    val out = ExtendedPromQL
+      .evalRange(q, 0L, 3000000L, 1000000L, selectFor, samples)
+      .select(col("sensor_id"), col("t_us"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == (for {
+      (u, v) <- Seq(("1", 2.0), ("2", 4.0), ("3", 8.0))
+      t <- Seq(1000000L, 2000000L, 3000000L)
+    } yield (s"a $u", t, v)).toSet)
+    // a non-aligned start anchors the grid at start (Prometheus API
+    // semantics), unlike subquery steps which align to epoch multiples
+    val q2 = ExtendedPromQL.parse("sum(a)", 2500000L)
+    val out2 = ExtendedPromQL
+      .evalRange(q2, 500000L, 2500000L, 1000000L, selectFor, samples)
+      .select(col("t_us"), col("value")).as[(Long, Double)].collect().toSet
+    assert(out2 == Set((1500000L, 14.0), (2500000L, 14.0)))
+    intercept[PromQLError] { // zero step
+      ExtendedPromQL.evalRange(q, 0L, 3000000L, 0L, selectFor, samples)
+    }
+    intercept[PromQLError] { // vector-vector operands stay rejected
+      ExtendedPromQL.evalRange(ExtendedPromQL.parse("a / b", now),
+        0L, 3000000L, 1000000L, selectFor, samples)
+    }
+  }
+
   // --------------------------------------- randomized differential: sets
 
   /** Reference evaluator for set-operator chains over user→value maps,
