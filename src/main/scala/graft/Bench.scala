@@ -110,8 +110,16 @@ object Bench {
     val subsetJson = only
       .map(p => s""","subset":true,"bench_only":"${p.mkString(",")}"""")
       .getOrElse("")
+    // The FINAL line must fit the driver's ~1900-char tail capture AND
+    // parse as JSON: totals and counts only (BENCH_r13 recorded
+    // `parsed: null` when the per-query map pushed it past the window).
+    // The medians map rides an earlier line; the complete breakdown is
+    // in bench_full.json / bench_full_r{N}.json.
+    val medLine = s"""{"warm_medians":${json(med)}}"""
     val summary = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec",""" +
-      s""""queries":${json(med)},"cold_total":${r3(coldTotal)},""" +
+      s""""n_queries":${names.length},""" +
+      s""""sec_per_query":${r3(warmTotal / math.max(1, names.length))},""" +
+      s""""cold_total":${r3(coldTotal)},""" +
       s""""warm_rounds":$warmRounds,"stat":"median",""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd""" +
       s"""$subsetJson,"sf":"$sfDir"}"""
@@ -169,6 +177,7 @@ object Bench {
     println(namesLine)
     println(coldLine)
     println(samplesLine)
+    println(medLine)
     println(summary)
   }
 }

@@ -25,7 +25,8 @@ object Catalog {
     var df = metrics
     nameSubstring.foreach(s =>
       df = df.filter(lower(col("name")).contains(s.toLowerCase)))
-    nameRegex.foreach(re => df = df.filter(col("name").rlike(re)))
+    nameRegex.foreach(re =>
+      df = df.filter(Matchers.linearRlike(col("name"), re)))
     sensorType.flatMap(SensorType.fromString).foreach(t =>
       df = df.filter(col("type") === t.displayName))
     df

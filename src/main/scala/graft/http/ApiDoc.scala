@@ -81,12 +81,20 @@ object ApiDoc {
       Seq(Param("query", "query", "PromQL expression", required = true),
         Param("time", "query", "evaluation time (RFC3339)"))),
     Route("/api/v1/query_range", "get", "Extensions",
-      "PromQL range query: expression evaluated at every step",
+      "PromQL-style range query: expression evaluated at every step. " +
+        "Response is x-ndjson rows (sensor_id, labels, t_us, value), " +
+        "NOT the Prometheus JSON matrix envelope — Prometheus/Grafana " +
+        "clients cannot consume it directly. start/end accept unix " +
+        "seconds only (no RFC3339). A whole-expression `@` pin " +
+        "evaluates once and replicates across steps; `@` on a " +
+        "sub-expression is rejected.",
       Seq(Param("query", "query", "PromQL expression", required = true),
-        Param("start", "query", "range start (unix seconds)",
+        Param("start", "query", "range start (unix seconds only)",
           required = true),
-        Param("end", "query", "range end (unix seconds)", required = true),
-        Param("step", "query", "step (seconds or duration like 30s)",
+        Param("end", "query", "range end (unix seconds only)",
+          required = true),
+        Param("step", "query",
+          "step (float seconds like 0.5/1e3, or duration like 30s)",
           required = true))),
     Route("/api/v1/admin/export_bulk", "post", "Extensions",
       "Bulk export all series to a directory",

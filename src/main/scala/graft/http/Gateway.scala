@@ -1096,27 +1096,25 @@ final class Gateway(
     val endUs = tParam("end")
     val stepStr = p.getOrElse("step",
       throw new IllegalArgumentException("missing step parameter"))
-    // seconds only for PURE numeric strings: Java's parseDouble accepts
-    // the float-suffix spelling ("1d" = 1.0, "2f" = 2.0), which would
-    // silently read the duration "1d" as one SECOND
+    // seconds only for PURE float strings (Prometheus spellings incl.
+    // "0.5", ".5", "5.", "1e3"): Java's parseDouble would ALSO accept
+    // the float-suffix spelling ("1d" = 1.0, "2f" = 2.0), silently
+    // reading the duration "1d" as one second — those must fall through
+    // to the duration parser
     val stepUs =
-      if (stepStr.matches("""[0-9]+(\.[0-9]+)?""")) {
+      if (stepStr.matches(
+          """([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?""")) {
         val d = stepStr.toDouble
         (d * 1e6).toLong
       } else SimplePromQL.msToUs(SimplePromQL.parseDurationMs(stepStr))
-    // parse at the range end so selector windows / offset resolve
-    // against it; @ start()/end() anchors resolve to the range bounds
-    val parsed = ExtendedPromQL.parse(query, endUs,
-      Some(startUs), Some(endUs))
-    // scan bound: earliest window start of the first step through the
-    // latest window end of the last step (offset shifts both)
-    val shiftUs = endUs - parsed.endUs
-    val spanUs = parsed.endUs - parsed.startUs
-    val result = ExtendedPromQL.evalRange(parsed, startUs, endUs, stepUs,
+    // evalRangeApi parses at the range end (selector windows / offset
+    // resolve against it), resolves @ start()/end() anchors, pins
+    // whole-expression `@` queries to a constant series, and computes
+    // the sample-scan bounds itself
+    val result = ExtendedPromQL.evalRangeApi(query, startUs, endUs, stepUs,
       ms => Matchers.sensorsByLabels(store.sensors, ms, numericOnly = true)
         .select(col("uuid").as("sensor_id"), col("labels")),
-      numericFloatView(Some(startUs - shiftUs - spanUs),
-        Some(endUs - shiftUs)))
+      (lo, hi) => numericFloatView(Some(lo), Some(hi)))
     import scala.jdk.CollectionConverters._
     val lines = result.toJSON.toLocalIterator().asScala
     respondTextStream(x, 200, "application/x-ndjson",

@@ -14,19 +14,16 @@ import graft.model.SensorType
   *  - an empty matcher set selects nothing
   *    (reference: src/storage/sqlite/storage.rs:437-440).
   *
-  * Regexes are unanchored-search (Java regex `find()` via `rlike`), the
-  * same tested surface as the reference's Rust-regex SQLite path
-  * (reference: tests/query_sensors_by_labels.rs:812-884).
-  *
-  * KNOWN DEVIATION (engine, not semantics): the reference's Rust regex
-  * crate is linear-time; Java's regex engine BACKTRACKS, so a
-  * pathological user pattern (nested quantifiers like `(a+)+b`) can
-  * cost time exponential in the matched VALUE's length. Catalog label
-  * values are short (bounding the blowup) and the gateway's handler
-  * timeout answers the client regardless, but a linear-time engine
-  * dropped in behind this predicate would remove the class entirely —
-  * the patterns the reference's own tests exercise (RE2 ∩ Java, no
-  * backrefs/lookarounds) replay identically on both.
+  * Regexes are unanchored-search (`find()` semantics), the same tested
+  * surface as the reference's Rust-regex SQLite path
+  * (reference: tests/query_sensors_by_labels.rs:812-884), and run on
+  * [[graft.functions.LinearRegex]] — a linear-time Thompson-NFA engine,
+  * NOT Java's backtracking `java.util.regex` — so a hostile pattern
+  * (`(a+)+b` against a long label value) cannot pin executor CPU. This
+  * matches the reference's robustness class: its Rust regex crate is
+  * linear-time by construction (src/storage/sqlite/storage.rs:46-48).
+  * Constructs neither engine supports (backrefs, lookarounds) reject at
+  * query build with IllegalArgumentException → HTTP 400.
   */
 sealed trait LabelMatcher {
   def key: String
@@ -49,6 +46,15 @@ object LabelMatcher {
 object Matchers {
   import LabelMatcher._
 
+  /** Linear-time unanchored regex search as a Column (codegen'd
+    * Expression over the compiled NFA). Pattern errors throw HERE, at
+    * query build on the driver — the gateway maps them to 400.
+    */
+  def linearRlike(v: Column, pattern: String): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.LinearRegexMatchExpression(
+        org.apache.spark.sql.GraftSqlShim.expression(v), pattern))
+
   /** Compile one matcher into a Column predicate over a sensors DataFrame
     * with `name: String` and `labels: Map[String, String]` columns.
     */
@@ -58,8 +64,8 @@ object Matchers {
     m match {
       case Eq(_, x)    => coalesce(v === x, lit(false))
       case NotEq(_, x) => coalesce(v =!= x, lit(true))
-      case Re(_, p)    => coalesce(v.rlike(p), lit(false))
-      case NotRe(_, p) => coalesce(!v.rlike(p), lit(true))
+      case Re(_, p)    => coalesce(linearRlike(v, p), lit(false))
+      case NotRe(_, p) => coalesce(!linearRlike(v, p), lit(true))
     }
   }
 
@@ -86,7 +92,8 @@ object Matchers {
   }
 
   /** Plain-Scala evaluation of the same truth table, for edge-side checks
-    * (reference: src/ingestors/http/crud.rs:145-182).
+    * (reference: src/ingestors/http/crud.rs:145-182). Same linear-time
+    * engine as the Column path.
     */
   def matches(
       name: String,
@@ -98,8 +105,12 @@ object Matchers {
       m match {
         case Eq(_, x)    => v.contains(x)
         case NotEq(_, x) => !v.contains(x)
-        case Re(_, p)    => v.exists(s => p.r.findFirstIn(s).isDefined)
-        case NotRe(_, p) => !v.exists(s => p.r.findFirstIn(s).isDefined)
+        case Re(_, p)    =>
+          val re = graft.functions.LinearRegex.compile(p)
+          v.exists(re.find)
+        case NotRe(_, p) =>
+          val re = graft.functions.LinearRegex.compile(p)
+          !v.exists(re.find)
       }
     }
 }

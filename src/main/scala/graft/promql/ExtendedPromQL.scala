@@ -33,12 +33,18 @@ import graft.operators.LabelMatcher
   * evaluator is the opt-in extension.
   *
   * Documented deviations from upstream Prometheus (beyond the
-  * inclusive-bounds convention noted on [[SubqueryOverTimeQ]]):
-  * NESTED subqueries (`max_over_time(min_over_time(x[5m:1m])[1h:5m])`)
-  * and binary vector expressions inside subqueries reject with a clean
-  * PromQLError instead of evaluating; the duration grammar accepts
-  * unit terms in any order with repeats (`1h30m` ≡ `30m1h`), a strict
-  * superset of Prometheus's descending-unique order.
+  * inclusive-bounds convention noted on [[SubqueryOverTimeQ]]): the
+  * duration grammar accepts unit terms in any order with repeats
+  * (`1h30m` ≡ `30m1h`), a strict superset of Prometheus's
+  * descending-unique order; `@` on a sub-expression of a range query
+  * rejects (whole-expression pins evaluate once and replicate — see
+  * [[evalRangeApi]]). NESTED subqueries
+  * (`max_over_time(min_over_time(x[5m:1m])[1h:5m])`) and binary
+  * vector/set/dynamic-scalar operands inside subqueries — the SLO
+  * burn-rate shape `max_over_time((errors/requests)[1h:5m])` — now
+  * EVALUATE (r14) through [[perStepAny]]: one scan pass per leaf
+  * operand with the broadcast step grid, operands joined per
+  * (matching-labels, step), nested grids shared across outer steps.
   */
 object ExtendedPromQL {
 
@@ -403,8 +409,8 @@ object ExtendedPromQL {
     * Cross-series aggregations evaluate per step over that step's
     * vector (`max_over_time(sum(rate(x[5m]))[1h:5m])`, the canonical
     * alerting shape); the aggregate's group labels become the series
-    * identity the outer fold groups on. Binary vector expressions
-    * (two matcher sets) remain rejected inside subqueries.
+    * identity the outer fold groups on. Binary vector/set operands and
+    * nested subqueries evaluate through [[perStepAny]] (r14).
     *
     * Boundary convention: each step window is CLOSED ON BOTH ENDS
     * (`timestamp_us >= lo && <= hi`), matching this engine's pervasive
@@ -660,6 +666,46 @@ object ExtendedPromQL {
     case _: InstantAggQ => true
     case a: InstantAggVecQ => validSubqueryInner(a.inner)
     case qa: QuantileAggQ => validSubqueryInner(qa.inner)
+    // binary vector/set/dynamic-scalar operands and NESTED subqueries
+    // evaluate per step through perStepAny (each leaf keeps its own
+    // one-scan perStepVector pass; operands join on (key, step))
+    case b: BinVectorQ =>
+      validSubqueryInner(b.left) && validSubqueryInner(b.right)
+    case b: BinSetQ =>
+      validSubqueryInner(b.left) && validSubqueryInner(b.right)
+    case b: BinDynScalarQ =>
+      validSubqueryInner(b.inner) && validSubqueryInner(b.scalarQ.inner)
+    case sq: SubqueryOverTimeQ => validSubqueryInner(sq.inner)
+    case _: VectorLitQ => true
+    case _ => false
+  }
+
+  /** Shapes [[perStepVector]] cannot one-scan: they route through
+    * [[perStepAny]], which recursively gives each leaf operand its own
+    * perStepVector pass and composes the results per (series, step).
+    */
+  private def needsPerStepAny(q: Query): Boolean = q match {
+    case _: BinVectorQ | _: BinSetQ | _: BinDynScalarQ |
+         _: SubqueryOverTimeQ | _: VectorLitQ => true
+    case b: BinScalarQ => needsPerStepAny(b.inner)
+    case b: BinCmpQ => needsPerStepAny(b.inner)
+    case m: MathFnQ => needsPerStepAny(m.inner)
+    case a: InstantAggVecQ => needsPerStepAny(a.inner)
+    case qa: QuantileAggQ => needsPerStepAny(qa.inner)
+    case _ => false
+  }
+
+  /** Whether the subtree contains an operand with its OWN matcher set
+    * (so a caller holding one pre-selected frame cannot evaluate it).
+    */
+  private def hasOwnSelection(q: Query): Boolean = q match {
+    case _: BinVectorQ | _: BinSetQ | _: BinDynScalarQ => true
+    case b: BinScalarQ => hasOwnSelection(b.inner)
+    case b: BinCmpQ => hasOwnSelection(b.inner)
+    case m: MathFnQ => hasOwnSelection(m.inner)
+    case a: InstantAggVecQ => hasOwnSelection(a.inner)
+    case qa: QuantileAggQ => hasOwnSelection(qa.inner)
+    case sq: SubqueryOverTimeQ => hasOwnSelection(sq.inner)
     case _ => false
   }
 
@@ -1395,19 +1441,8 @@ object ExtendedPromQL {
       // (one-to-one), or the MANY side's full labels under
       // group_left/group_right (many-to-one matching — the "one" side's
       // uniqueness per key is the caller's contract, as in Prometheus)
-      val matched = (c: Column) => {
-        val entries = map_entries(coalesce(c, map().cast("map<string,string>")))
-        val kept =
-          if (matchOn.isEmpty && !ignoring) entries
-          else {
-            val keys = array(matchOn.map(lit): _*)
-            if (ignoring)
-              filter(entries, e => !array_contains(keys, e.getField("key")))
-            else
-              filter(entries, e => array_contains(keys, e.getField("key")))
-          }
-        array_sort(kept)
-      }
+      val matched =
+        (c: Column) => matchingEntries(c, matchOn, ignoring)
       val lv = operandVec(left, selectFor, samples)
         .select(matched(col("labels")).as("__k"),
           col("labels").as("__ll"), col("value").as("__lv"))
@@ -1420,15 +1455,7 @@ object ExtendedPromQL {
       // Prometheus contract); built entry-wise so no duplicate keys
       // ever reach map_from_entries
       def withCopied(many: Column, one: Column): Column =
-        if (groupCopy.isEmpty) many
-        else {
-          val keys = array(groupCopy.map(lit): _*)
-          val kept = filter(map_entries(many),
-            e => !array_contains(keys, e.getField("key")))
-          val copied = filter(map_entries(one),
-            e => array_contains(keys, e.getField("key")))
-          map_from_entries(concat(kept, copied))
-        }
+        copiedLabels(many, one, groupCopy)
       val outLabels = grouping match {
         case Some("left") => withCopied(col("__ll"), col("__rl"))
         case Some("right") => withCopied(col("__rl"), col("__ll"))
@@ -1454,6 +1481,18 @@ object ExtendedPromQL {
             rv.join(lv.select(col("__k")).distinct(), Seq("__k"), "left_anti"))
       }
       out.select("sensor_id", "labels", "value")
+    case sq: SubqueryOverTimeQ if hasOwnSelection(sq.inner) =>
+      // binary vector/set/dynamic-scalar operands inside the subquery:
+      // each leaf selects its own series through selectFor, evaluates
+      // per step (one scan pass per operand, broadcast step grid), and
+      // the sides compose per (matching-labels, step)
+      val steps = stepTimestamps(sq.rangeUs, sq.stepUs, sq.evalEndUs)
+      if (steps.isEmpty)
+        throw PromQLError("Subquery range contains no step timestamps")
+      foldSubquery(
+        perStepAny(sq.inner, steps, sq.evalEndUs, selectFor, samples),
+        sq.op, sq.phi, Seq("sensor_id"))
+        .select("sensor_id", "labels", "value")
     case b: BinDynScalarQ =>
       // the scalar side resolves its own matcher set; its one-row frame
       // broadcasts into a cross join against the vector side — a
@@ -1494,6 +1533,42 @@ object ExtendedPromQL {
       applyLabelJoin(lj, operandVec(lj.inner, selectFor, samples))
     case other => eval(other, selectFor(other.matchers), samples)
   }
+
+  /** The sorted entry array of the MATCHING labels of a binary vector
+    * op: all of them, the on() subset, or everything but the ignoring()
+    * subset — the join key both sides share.
+    */
+  private def matchingEntries(
+      c: Column, matchOn: Seq[String], ignoring: Boolean): Column = {
+    val entries = map_entries(coalesce(c, map().cast("map<string,string>")))
+    val kept =
+      if (matchOn.isEmpty && !ignoring) entries
+      else {
+        val keys = array(matchOn.map(lit): _*)
+        if (ignoring)
+          filter(entries, e => !array_contains(keys, e.getField("key")))
+        else
+          filter(entries, e => array_contains(keys, e.getField("key")))
+      }
+    array_sort(kept)
+  }
+
+  /** Many-to-one output labels: the many side's full labels with the
+    * group_left/right(l1,...) labels copied from the "one" side (copied
+    * keys replace same-named keys, the Prometheus contract); built
+    * entry-wise so no duplicate keys reach map_from_entries.
+    */
+  private def copiedLabels(
+      many: Column, one: Column, groupCopy: Seq[String]): Column =
+    if (groupCopy.isEmpty) many
+    else {
+      val keys = array(groupCopy.map(lit): _*)
+      val kept = filter(map_entries(many),
+        e => !array_contains(keys, e.getField("key")))
+      val copied = filter(map_entries(one),
+        e => array_contains(keys, e.getField("key")))
+      map_from_entries(concat(kept, copied))
+    }
 
   /** Evaluate an operand to the NORMALIZED instant-vector shape
     * (sensor_id, labels, value: double): selectors contribute their
@@ -1726,12 +1801,17 @@ object ExtendedPromQL {
 
   private def applyLabelReplace(lr: LabelReplaceQ, v: DataFrame): DataFrame = {
     // Prometheus: regex must match the WHOLE src value; non-matching
-    // series pass through; an empty expansion drops dst
-    val anchored = "^(?:" + lr.regex + ")$"
+    // series pass through; an empty expansion drops dst. Anchored match
+    // + capture expansion run on the linear-time engine
+    // (graft.functions.LinearRegex) — user regexes never reach Java's
+    // backtracking matcher (ReDoS class; see Matchers.scala scaladoc).
     val srcVal = coalesce(element_at(col("labels"), lr.src), lit(""))
-    val expanded = regexp_replace(srcVal, anchored, lr.replacement)
+    val expanded = org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.LinearRegexReplaceFullExpression(
+        org.apache.spark.sql.GraftSqlShim.expression(srcVal),
+        lr.regex, lr.replacement))
     v.withColumn("labels",
-      when(srcVal.rlike(anchored),
+      when(expanded.isNotNull,
         labelsWith(lr.dst, expanded)).otherwise(col("labels")))
   }
 
@@ -1888,6 +1968,177 @@ object ExtendedPromQL {
     stepValues(inner)
   }
 
+  /** The subquery OUTER fold: `<op>_over_time` across the per-step
+    * vector, grouped by `keys` (the series id, plus the outer step for
+    * nested subqueries). Shared by the single-selection eval path and
+    * [[perStepAny]].
+    */
+  private def foldSubquery(
+      sv: DataFrame, op: String, phi: Option[Double],
+      keys: Seq[String]): DataFrame = {
+    val ks = keys.map(col)
+    (op, phi) match {
+      case ("quantile", Some(p)) =>
+        sv.groupBy(ks: _*).agg(first(col("labels")).as("labels"),
+          percentile(col("value"), lit(p)).as("value"))
+      case ("mad", _) =>
+        val med = sv.groupBy(ks: _*)
+          .agg(percentile(col("value"), lit(0.5)).as("__med"))
+        sv.join(med, keys)
+          .groupBy(ks: _*)
+          .agg(first(col("labels")).as("labels"),
+            percentile(abs(col("value") - col("__med")), lit(0.5))
+              .as("value"))
+      case ("last", _) =>
+        sv.groupBy(ks: _*).agg(first(col("labels")).as("labels"),
+          max(struct(col("__t"), col("value")))
+            .getField("value").as("value"))
+      case (op2, _) =>
+        sv.groupBy(ks: _*).agg(first(col("labels")).as("labels"),
+          aggCol(op2, col("value")).as("value"))
+    }
+  }
+
+  /** [[perStepVector]] generalized over catalog selection and operand
+    * shape: binary vector/set operands evaluate each side independently
+    * (each leaf keeps its own ONE-SCAN perStepVector pass with the
+    * broadcast step grid) and join per (matching-labels, step); nested
+    * subqueries share one epoch-aligned inner grid across all outer
+    * steps (inner step timestamps are epoch multiples, so they repeat
+    * across outer steps — one inner pass total, joined to the small
+    * (outer, inner) pair frame); dynamic scalars resolve per step.
+    * Single-selection subtrees delegate to [[perStepVector]] unchanged.
+    * Output: (sensor_id, __t, labels, value), one row per (series, step).
+    *
+    * `refUs` is the parse-time evaluation reference (every node's
+    * offset shift is measured against it).
+    */
+  private def perStepAny(
+      q: Query, steps: Seq[Long], refUs: Long,
+      selectFor: Seq[LabelMatcher] => DataFrame,
+      samples: DataFrame): DataFrame =
+    if (!needsPerStepAny(q))
+      perStepVector(q, steps, refUs - q.endUs, q.endUs - q.startUs,
+        selectFor(q.matchers), samples)
+    else q match {
+      case b: BinVectorQ =>
+        val lv = perStepAny(b.left, steps, refUs, selectFor, samples)
+          .select(
+            matchingEntries(col("labels"), b.matchOn, b.ignoring).as("__k"),
+            col("__t"), col("labels").as("__ll"), col("value").as("__lv"))
+        val rv = perStepAny(b.right, steps, refUs, selectFor, samples)
+          .select(
+            matchingEntries(col("labels"), b.matchOn, b.ignoring).as("__k"),
+            col("__t"), col("labels").as("__rl"), col("value").as("__rv"))
+        val outLabels = b.grouping match {
+          case Some("left") => copiedLabels(col("__ll"), col("__rl"), b.groupCopy)
+          case Some("right") => copiedLabels(col("__rl"), col("__ll"), b.groupCopy)
+          case _ => map_from_entries(col("__k"))
+        }
+        lv.join(rv, Seq("__k", "__t"))
+          .select(canonicalSeriesId(outLabels).as("sensor_id"), col("__t"),
+            outLabels.as("labels"),
+            binCol(b.op, col("__lv"), col("__rv")).as("value"))
+      case b: BinSetQ =>
+        val canon = (c: Column) => array_sort(map_entries(
+          coalesce(c, map().cast("map<string,string>"))))
+        val lv = perStepAny(b.left, steps, refUs, selectFor, samples)
+          .withColumn("__k", canon(col("labels")))
+        val rv = perStepAny(b.right, steps, refUs, selectFor, samples)
+          .withColumn("__k", canon(col("labels")))
+        val out = b.op match {
+          case "and" =>
+            lv.join(rv.select(col("__k"), col("__t")).distinct(),
+              Seq("__k", "__t"), "left_semi")
+          case "unless" =>
+            lv.join(rv.select(col("__k"), col("__t")).distinct(),
+              Seq("__k", "__t"), "left_anti")
+          case _ => // or
+            lv.unionByName(rv.join(
+              lv.select(col("__k"), col("__t")).distinct(),
+              Seq("__k", "__t"), "left_anti"))
+        }
+        out.select("sensor_id", "__t", "labels", "value")
+      case b: BinDynScalarQ =>
+        // scalar(x) per step: the single series' value when the step's
+        // vector has exactly one element, NaN otherwise (Prometheus);
+        // steps with an EMPTY vector surface NaN via the left join
+        val scv = perStepAny(b.scalarQ.inner, steps, refUs, selectFor,
+          samples)
+        val sc = scv.groupBy(col("__t"))
+          .agg(when(count(lit(1)) === 1, min(col("value")))
+            .otherwise(lit(Double.NaN)).as("__s"))
+        val v = perStepAny(b.inner, steps, refUs, selectFor, samples)
+        val s = coalesce(col("__s"), lit(Double.NaN))
+        val e =
+          if (b.scalarOnLeft) binCol(b.op, s, col("value"))
+          else binCol(b.op, col("value"), s)
+        v.join(broadcast(sc), Seq("__t"), "left")
+          .withColumn("value", e).drop("__s")
+      case v: VectorLitQ =>
+        import samples.sparkSession.implicits._
+        val empty = map().cast("map<string,string>")
+        steps.toDF("__t").select(
+          canonicalSeriesId(empty).as("sensor_id"), col("__t"),
+          empty.as("labels"), lit(v.value).as("value"))
+      case sq: SubqueryOverTimeQ =>
+        // nested subquery: for each outer step t the inner evaluates on
+        // its own grid ending at t — but inner steps are epoch-aligned
+        // multiples, so the DISTINCT inner timestamps across all outer
+        // steps form ONE shared grid: a single inner pass, fanned out
+        // to (outer, inner) pairs by a broadcast join, folded per
+        // (series, outer step)
+        val pairs = steps.flatMap(t =>
+          stepTimestamps(sq.rangeUs, sq.stepUs, t).map(it => (t, it)))
+        if (pairs.isEmpty)
+          throw PromQLError("Subquery range contains no step timestamps")
+        val innerTs = pairs.map(_._2).distinct.sorted
+        val sv = perStepAny(sq.inner, innerTs, refUs, selectFor, samples)
+        import samples.sparkSession.implicits._
+        val pairDf = broadcast(pairs.toDF("__ot", "__t"))
+        foldSubquery(sv.join(pairDf, "__t"), sq.op, sq.phi,
+          Seq("sensor_id", "__ot"))
+          .select(col("sensor_id"), col("__ot").as("__t"), col("labels"),
+            col("value"))
+      case b: BinScalarQ =>
+        val v = perStepAny(b.inner, steps, refUs, selectFor, samples)
+        val e =
+          if (b.scalarOnLeft) binCol(b.op, lit(b.scalar), col("value"))
+          else binCol(b.op, col("value"), lit(b.scalar))
+        v.withColumn("value", e)
+      case m: MathFnQ =>
+        perStepAny(m.inner, steps, refUs, selectFor, samples)
+          .withColumn("value", mathCol(m.fn, m.args, col("value")))
+      case b: BinCmpQ =>
+        val v = perStepAny(b.inner, steps, refUs, selectFor, samples)
+        val (l, r) =
+          if (b.scalarOnLeft) (lit(b.scalar), col("value"))
+          else (col("value"), lit(b.scalar))
+        val pred = cmpPred(b.op, l, r)
+        if (b.bool) v.withColumn("value", when(pred, 1.0).otherwise(0.0))
+        else v.filter(pred)
+      case a: InstantAggVecQ =>
+        stepAggVec(perStepAny(a.inner, steps, refUs, selectFor, samples),
+          aggCol(a.op, col("value")), a.by, a.without)
+      case qa: QuantileAggQ =>
+        stepAggVec(perStepAny(qa.inner, steps, refUs, selectFor, samples),
+          percentile(col("value"), lit(qa.phi)), qa.by, qa.without)
+      case other =>
+        throw PromQLError("Unsupported subquery inner expression")
+    }
+
+  /** Cross-series aggregation of a per-step vector at each step: the
+    * aggregate's group labels become the series identity.
+    */
+  private def stepAggVec(sv: DataFrame, agg: Column, by: Seq[String],
+      without: Boolean): DataFrame =
+    sv.withColumn("group_labels", groupLabelsCol(by, without))
+      .groupBy(col("__t"), col("group_labels"))
+      .agg(agg.as("value"))
+      .select(canonicalSeriesId(col("group_labels")).as("sensor_id"),
+        col("__t"), col("group_labels").as("labels"),
+        col("value").cast("double").as("value"))
+
   /** Prometheus range-query evaluation (`query_range`): the expression
     * at every step in `[startUs, endUs]` anchored at `startUs` (start,
     * start+step, …, ≤ end — the Prometheus API grid, unlike subquery
@@ -1905,6 +2156,18 @@ object ExtendedPromQL {
       q: Query, startUs: Long, endUs: Long, stepUs: Long,
       selectFor: Seq[LabelMatcher] => DataFrame,
       samples: DataFrame): DataFrame = {
+    rangeChecks(q, startUs, endUs, stepUs)
+    val steps = (startUs to endUs by stepUs).toList
+    val innerShiftUs = endUs - q.endUs
+    val innerSpanUs = q.endUs - q.startUs
+    perStepVector(q, steps, innerShiftUs, innerSpanUs,
+      selectFor(q.matchers), samples)
+      .select(col("sensor_id"), col("labels"), col("__t").as("t_us"),
+        col("value").cast("double").as("value"))
+  }
+
+  private def rangeChecks(
+      q: Query, startUs: Long, endUs: Long, stepUs: Long): Unit = {
     if (stepUs <= 0) throw PromQLError("query_range step must be positive")
     if (endUs < startUs)
       throw PromQLError("query_range end precedes start")
@@ -1914,13 +2177,78 @@ object ExtendedPromQL {
       throw PromQLError(
         "query_range supports selectors, per-series functions, scalar " +
           "wrappers, and cross-series aggregations over them")
-    val steps = (startUs to endUs by stepUs).toList
-    val innerShiftUs = endUs - q.endUs
-    val innerSpanUs = q.endUs - q.startUs
-    perStepVector(q, steps, innerShiftUs, innerSpanUs,
-      selectFor(q.matchers), samples)
-      .select(col("sensor_id"), col("labels"), col("__t").as("t_us"),
-        col("value").cast("double").as("value"))
+  }
+
+  /** `@` anywhere outside quoted label values? */
+  private def containsAt(s: String): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == '"') inStr = false
+      } else if (c == '"') inStr = true
+      else if (c == '@') return true
+      i += 1
+    }
+    false
+  }
+
+  /** The query_range API entry: parses `query`, resolves `@ start()` /
+    * `@ end()` anchors against the range bounds, and dispatches:
+    *
+    *  - no `@` modifier → the per-step path ([[evalRange]]): each step's
+    *    window ends at that step (shifted by `offset` if present);
+    *  - a trailing top-level `@ T` pinning the WHOLE expression →
+    *    Prometheus semantics: evaluate ONCE at the pinned time and
+    *    replicate the value across every step (a constant series) —
+    *    `metric @ start()` reads the window ending at the range start
+    *    at every step, it does NOT drift with the grid;
+    *  - `@` on a sub-expression (e.g. `a @ 100 + b`) → clean
+    *    PromQLError (documented deviation: per-operand pinning inside a
+    *    range grid is not supported).
+    *
+    * `samplesFor(loUs, hiUs)` supplies the sample scan bounded to the
+    * widest window any step (or the pinned instant) reads — bounds
+    * computed HERE so callers can't under-scan.
+    */
+  def evalRangeApi(
+      query: String, startUs: Long, endUs: Long, stepUs: Long,
+      selectFor: Seq[LabelMatcher] => DataFrame,
+      samplesFor: (Long, Long) => DataFrame): DataFrame = {
+    val resolved = resolveAtAnchors(query, startUs, endUs)
+    if (!containsAt(resolved)) {
+      val q = parse(resolved, endUs)
+      val shiftUs = endUs - q.endUs
+      val spanUs = q.endUs - q.startUs
+      return evalRange(q, startUs, endUs, stepUs, selectFor,
+        samplesFor(startUs - shiftUs - spanUs, endUs - shiftUs))
+    }
+    resolved.trim match {
+      case AtRe(inner, ts) if !containsAt(inner) =>
+        val pinUs = (ts.toDouble * 1e6).toLong
+        val q = parse(inner.trim, pinUs)
+        rangeChecks(q, startUs, endUs, stepUs)
+        val samples = samplesFor(q.startUs, q.endUs)
+        // one evaluation at the pinned instant (a single-step grid at
+        // the pinned window's end, zero shift)...
+        val once = perStepVector(q, List(q.endUs), 0L,
+          q.endUs - q.startUs, selectFor(q.matchers), samples)
+          .select(col("sensor_id"), col("labels"),
+            col("value").cast("double").as("value"))
+        // ...replicated across the step grid (tiny grid broadcasts)
+        import samples.sparkSession.implicits._
+        val steps = (startUs to endUs by stepUs).toList
+        once.crossJoin(broadcast(steps.toDF("t_us")))
+          .select(col("sensor_id"), col("labels"), col("t_us"),
+            col("value"))
+      case _ =>
+        throw PromQLError(
+          "@ modifiers on sub-expressions are not supported in " +
+            "query_range; pin the whole expression with a trailing @ " +
+            "(e.g. `sum(metric) @ end()`)")
+    }
   }
 
   def eval(q: Query, selected: DataFrame, samples: DataFrame): DataFrame = {
@@ -2154,35 +2482,23 @@ object ExtendedPromQL {
             else agg.select("sensor_id", "labels", "value")
         }
       case sq: SubqueryOverTimeQ =>
+        if (hasOwnSelection(sq.inner))
+          throw PromQLError(
+            "subquery operands with their own matcher sets carry " +
+              "multiple selections — evaluate via evalWith")
         val steps = stepTimestamps(sq.rangeUs, sq.stepUs, sq.evalEndUs)
         if (steps.isEmpty)
           throw PromQLError("Subquery range contains no step timestamps")
-        val sv = perStepVector(sq.inner, steps, sq.innerShiftUs,
-          sq.innerSpanUs, selected, samples)
-        val folded = (sq.op, sq.phi) match {
-          case ("quantile", Some(phi)) =>
-            sv.groupBy(col("sensor_id"))
-              .agg(first(col("labels")).as("labels"),
-                percentile(col("value"), lit(phi)).as("value"))
-          case ("mad", _) =>
-            val med = sv.groupBy(col("sensor_id"))
-              .agg(percentile(col("value"), lit(0.5)).as("__med"))
-            sv.join(med, "sensor_id")
-              .groupBy(col("sensor_id"))
-              .agg(first(col("labels")).as("labels"),
-                percentile(abs(col("value") - col("__med")), lit(0.5))
-                  .as("value"))
-          case ("last", _) =>
-            sv.groupBy(col("sensor_id"))
-              .agg(first(col("labels")).as("labels"),
-                max(struct(col("__t"), col("value")))
-                  .getField("value").as("value"))
-          case (op2, _) =>
-            sv.groupBy(col("sensor_id"))
-              .agg(first(col("labels")).as("labels"),
-                aggCol(op2, col("value")).as("value"))
-        }
-        folded.select("sensor_id", "labels", "value")
+        // single-matcher subtrees (incl. NESTED subqueries) can reuse
+        // the caller's pre-selected frame for every leaf
+        val sv =
+          if (needsPerStepAny(sq.inner))
+            perStepAny(sq.inner, steps, sq.evalEndUs, _ => selected,
+              samples)
+          else perStepVector(sq.inner, steps, sq.innerShiftUs,
+            sq.innerSpanUs, selected, samples)
+        foldSubquery(sv, sq.op, sq.phi, Seq("sensor_id"))
+          .select("sensor_id", "labels", "value")
       case InstantAggQ(op, by, without, _, _, _) =>
         lastInWindow(inWindow)
           .withColumn("group_labels", groupLabelsCol(by, without))

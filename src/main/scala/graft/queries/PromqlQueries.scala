@@ -1518,6 +1518,86 @@ private[graft] object PromqlQueries {
         .select(element_at(col("labels"), "user").as("user_tag"),
           col("t_us"), col("value").cast("long").as("n"))
         .orderBy("user_tag", "t_us")
+    },
+
+    // The canonical SLO burn-rate alerting shape — a binary vector
+    // expression INSIDE a subquery (r13 rejected this; r14 evaluates
+    // through perStepAny): daily error/view ratio, maxed over January.
+    // Each aggregation side is one scan pass with the broadcast day
+    // grid; the sides join per (empty-group-key, step); division and
+    // max are exact-integer-derived doubles, bit-identical in DuckDB.
+    q(
+      "q377_promql_burn_rate",
+      """WITH steps AS (
+        |  SELECT t AS step_us FROM generate_series(
+        |    1704067200000000, 1706745600000000, 86400000000) s(t)),
+        |e AS (
+        |  SELECT st.step_us, count(*) AS n FROM events ev JOIN steps st
+        |    ON epoch_us(ev.ts)
+        |      BETWEEN st.step_us - 86400000000 AND st.step_us
+        |  WHERE ev.event_type = 'error' GROUP BY 1),
+        |v AS (
+        |  SELECT st.step_us, count(*) AS n FROM events ev JOIN steps st
+        |    ON epoch_us(ev.ts)
+        |      BETWEEN st.step_us - 86400000000 AND st.step_us
+        |  WHERE ev.event_type = 'view' GROUP BY 1)
+        |SELECT CAST(FLOOR(MAX(CAST(e.n AS DOUBLE) / CAST(v.n AS DOUBLE))
+        |  * 1e9) AS BIGINT) AS burn_rate_nano
+        |FROM e JOIN v USING (step_us)"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "max_over_time((sum(count_over_time(error[1d])) / " +
+          "sum(count_over_time(view[1d])))[31d:1d])",
+        1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        // integer compare surface (floor-scaled nanos): the one value
+        // class that has never failed the driver hash
+        .select(floor(col("value") * 1e9).cast("long")
+          .as("burn_rate_nano"))
+    },
+
+    // NESTED subqueries (r13 rejected; r14 evaluates on a SHARED
+    // epoch-aligned inner grid — inner step timestamps repeat across
+    // outer steps, so the inner pass runs ONCE and fans out through a
+    // broadcast (outer, inner) pair join): 7-day moving average of the
+    // daily view total, maxed over January.
+    q(
+      "q378_promql_nested_subquery",
+      """WITH osteps AS (
+        |  SELECT t AS ot FROM generate_series(
+        |    1704067200000000, 1706745600000000, 86400000000) s(t)),
+        |isteps AS (
+        |  SELECT DISTINCT ot - d * 86400000000 AS it
+        |  FROM osteps, generate_series(0, 7) g(d)),
+        |c AS (
+        |  SELECT i.it, count(*) AS n
+        |  FROM isteps i JOIN events ev
+        |    ON epoch_us(ev.ts) BETWEEN i.it - 86400000000 AND i.it
+        |  WHERE ev.event_type = 'view' GROUP BY 1),
+        |a AS (
+        |  SELECT o.ot, avg(CAST(c.n AS DOUBLE)) AS ma
+        |  FROM osteps o JOIN c
+        |    ON c.it BETWEEN o.ot - 7 * 86400000000 AND o.ot
+        |  GROUP BY 1)
+        |SELECT CAST(FLOOR(MAX(ma) * 1e9) AS BIGINT) AS max_ma_nano
+        |FROM a"""
+    ) { (s, d) =>
+      val parsed = graft.promql.ExtendedPromQL.parse(
+        "max_over_time(avg_over_time(" +
+          "sum(count_over_time(view[1d]))[7d:1d])[31d:1d])",
+        1706745600000000L)
+      graft.promql.ExtendedPromQL.evalWith(parsed,
+        ms => Matchers.sensorsByLabels(EventsAdapter.sensors(s, d), ms)
+          .select(concat(col("name"), lit(" "),
+            col("labels").getItem("user")).as("sensor_id"), col("labels")),
+        EventsAdapter.samples(s, d)
+          .select("sensor_id", "timestamp_us", "value"))
+        .select(floor(col("value") * 1e9).cast("long").as("max_ma_nano"))
     }
   )
 }

@@ -580,6 +580,24 @@ class GatewaySpec extends SparkSpec {
     // float-second steps work too (the Prometheus API's other spelling)
     assert(get(s"/api/v1/query_range?query=$q" +
       "&start=1704067200&end=1704240000&step=86400").statusCode() == 200)
+    // every Prometheus float spelling of step parses as seconds
+    for (step <- Seq("86400.0", "86400.", "8.64e4", ".5e9"))
+      assert(get(s"/api/v1/query_range?query=$q" +
+        s"&start=1704067200&end=1704240000&step=$step").statusCode() == 200,
+        step)
+    // a whole-expression @ pin answers (constant series), a
+    // sub-expression @ is a clean 400
+    // samples live at the range start (1704067200/+60s): pin there
+    val pinned = get(s"/api/v1/query_range?query=" +
+      java.net.URLEncoder.encode("sum(http_requests) @ start()", "UTF-8") +
+      "&start=1704067200&end=1704240000&step=1d")
+    assert(pinned.statusCode() == 200, pinned.body())
+    val pinnedVals = pinned.body().linesIterator.filter(_.nonEmpty).toSeq
+    assert(pinnedVals.size == 3) // 3 steps, one constant series
+    assert(get(s"/api/v1/query_range?query=" +
+      java.net.URLEncoder.encode("abs(http_requests @ 1704240000)",
+        "UTF-8") +
+      "&start=1704067200&end=1704240000&step=1d").statusCode() == 400)
     // missing step is a 400, not a 500
     assert(get(s"/api/v1/query_range?query=$q" +
       "&start=1704067200&end=1706745600").statusCode() == 400)
@@ -799,5 +817,53 @@ class GatewaySpec extends SparkSpec {
           HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
       } finally g2.stop()
     }
+  }
+
+  test("adversarial regex on the public query path answers fast, not " +
+      "exponentially (ReDoS gate)") {
+    // the attack the reference is immune to by construction (linear-time
+    // Rust regex, src/storage/sqlite/storage.rs:46-48): publish a LONG
+    // label value, then query a nested-quantifier pattern. On a
+    // backtracking engine (`rlike` = java.util.regex) this pins a core
+    // for time exponential in the value length; the LinearRegex engine
+    // answers in O(pattern x value).
+    val longVal = "a" * 5000
+    val line = s"redos,env=$longVal v=1 1704067200000000000\n"
+    val r = post("/api/v2/write?bucket=rb&org=ro",
+      line.getBytes(StandardCharsets.UTF_8), Map.empty)
+    assert(r.statusCode() == 204)
+
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+    val hostiles = Seq("(a+)+b", "(a|a)+b", "(a*)*b", "([a-z]+)*b")
+    for (p <- hostiles) {
+      val t0 = System.nanoTime()
+      val resp = get("/series?selector=" + enc(s"""{env=~"$p"}"""))
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(resp.statusCode() == 200, resp.body())
+      // no match: the 5000-a value has no trailing b
+      assert(!resp.body().contains("redos v"), p)
+      assert(ms < 15000, s"`$p` took ${ms}ms — backtracking leak")
+    }
+    // a matching hostile-shaped pattern still matches correctly
+    val hit = get("/series?selector=" + enc("""{env=~"(a+)+a"}"""))
+    assert(hit.statusCode() == 200)
+    assert(hit.body().contains("redos v"))
+
+    // constructs neither engine supports (backrefs/lookarounds) reject
+    // as a caller error, exactly like the reference's regex-crate parse.
+    // PromQL string escaping eats one backslash level: `\\1` on the wire
+    // reaches the regex compiler as the backreference `\1`
+    assert(get("/series?selector=" +
+      enc("""{env=~"(a)\\1"}""")).statusCode() == 400)
+    assert(get("/series?selector=" +
+      enc("""{env=~"(?=a)b"}""")).statusCode() == 400)
+    // same gate on the catalog name_regex filter
+    val t0 = System.nanoTime()
+    assert(get("/metrics?name_regex=" +
+      enc("(x+)+y")).statusCode() == 200)
+    assert((System.nanoTime() - t0) / 1e6 < 15000)
+    assert(get("/metrics?name_regex=" + enc("(?<=a)b")).statusCode() == 400)
   }
 }

@@ -351,10 +351,50 @@ class PromQLComposeSpec extends SparkSpec {
     // aggregation over a per-series range function inside the subquery
     assert(runQuery("max_over_time(sum(count_over_time(a[1s]))[2s:1s])") ==
       Set(("", 3.0)))
-    // binary vector expressions still reject inside subqueries
-    intercept[PromQLError] {
-      ExtendedPromQL.parse("max_over_time((a / b)[2s:1s])", now)
-    }
+  }
+
+  test("binary vector operands inside subqueries: the SLO burn-rate " +
+      "shape evaluates") {
+    // steps at 0s/1s/2s; samples at 1s ⇒ steps 1s and 2s carry the
+    // vector {user=1: 2/3, user=2: 4/9} (user=3 has no b side); the
+    // outer fold runs over those per-series step values
+    assert(runQuery("max_over_time((a / b)[2s:1s])") ==
+      Set(("user=1", 2.0 / 3.0), ("user=2", 4.0 / 9.0)))
+    assert(runQuery("avg_over_time((a / b)[2s:1s])") ==
+      Set(("user=1", 2.0 / 3.0), ("user=2", 4.0 / 9.0)))
+    // aggregation over the binary vector per step: sum{2/3, 4/9} = 10/9
+    assert(runQuery("max_over_time(sum(a / b)[2s:1s])") ==
+      Set(("", 2.0 / 3.0 + 4.0 / 9.0)))
+    // on()/group_left survive the subquery route
+    assert(runQuery(
+      "min_over_time((a * on(user) b)[2s:1s])") ==
+      Set(("user=1", 6.0), ("user=2", 36.0)))
+    // set operands: a and b keeps the left values where b exists
+    assert(runQuery("avg_over_time((a and b)[2s:1s])") ==
+      Set(("a 1", 2.0), ("a 2", 4.0)))
+    assert(runQuery("avg_over_time((a unless b)[2s:1s])") ==
+      Set(("a 3", 8.0)))
+    // dynamic scalar operand: scalar(sum(b)) = 12 at each covered step
+    assert(runQuery("max_over_time((a * scalar(sum(b)))[2s:1s])") ==
+      Set(("a 1", 24.0), ("a 2", 48.0), ("a 3", 96.0)))
+  }
+
+  test("nested subqueries evaluate on a shared epoch-aligned grid") {
+    // inner avg_over_time(a[2s:1s]) at covered steps is just the value
+    // (one sample); the outer max over outer steps preserves it
+    assert(runQuery("max_over_time(avg_over_time(a[2s:1s])[2s:1s])") ==
+      Set(("a 1", 2.0), ("a 2", 4.0), ("a 3", 8.0)))
+    // count_over_time counts COVERED inner steps per outer window:
+    // outer steps 0/1/2s contribute inner grids {-2..0}/{-1..1}/{0..2};
+    // data exists at inner steps 1s and 2s ⇒ per-series counts 1 and 2
+    // at outer 1s and 2s; the outer max_over_time of the inner count
+    assert(runQuery(
+      "max_over_time(count_over_time(a[2s:1s])[2s:1s])") ==
+      Set(("a 1", 2.0), ("a 2", 2.0), ("a 3", 2.0)))
+    // nested + binary: the full composition
+    assert(runQuery(
+      "max_over_time(avg_over_time((a / b)[2s:1s])[2s:1s])") ==
+      Set(("user=1", 2.0 / 3.0), ("user=2", 4.0 / 9.0)))
   }
 
   test("evalRange: per-step vectors anchored at start, aggregations too") {
@@ -385,6 +425,53 @@ class PromQLComposeSpec extends SparkSpec {
       ExtendedPromQL.evalRange(ExtendedPromQL.parse("a / b", now),
         0L, 3000000L, 1000000L, selectFor, samples)
     }
+  }
+
+  test("evalRangeApi: whole-expression @ pins to a constant series; " +
+      "sub-expression @ rejects") {
+    import spark.implicits._
+    val (selectFor, samples) = fixture(userValues)
+    val samplesFor = (lo: Long, hi: Long) =>
+      samples.filter(col("timestamp_us").between(lo, hi))
+    // `a @ 3`: pinned at 3s — the 1h lookback window [3s-1h, 3s] covers
+    // the t=1s fixture samples, so EVERY step carries the same value,
+    // including the step at 0 (which unpinned evaluation would miss:
+    // its window ends before the samples exist)
+    val out = ExtendedPromQL
+      .evalRangeApi("a @ 3", 0L, 3000000L, 1000000L, selectFor, samplesFor)
+      .select(col("sensor_id"), col("t_us"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == (for {
+      (u, v) <- Seq(("1", 2.0), ("2", 4.0), ("3", 8.0))
+      t <- Seq(0L, 1000000L, 2000000L, 3000000L)
+    } yield (s"a $u", t, v)).toSet)
+    // `sum(a) @ end()`: anchor resolves to the range end; one instant
+    // evaluation (14.0) replicated across the grid
+    val out2 = ExtendedPromQL
+      .evalRangeApi("sum(a) @ end()", 500000L, 2500000L, 1000000L,
+        selectFor, samplesFor)
+      .select(col("t_us"), col("value")).as[(Long, Double)].collect().toSet
+    assert(out2 == Set((500000L, 14.0), (1500000L, 14.0),
+      (2500000L, 14.0)))
+    // `@ start()` pins BEFORE the samples exist: empty at every step —
+    // NOT the drifting window the per-step shift would produce
+    assert(ExtendedPromQL
+      .evalRangeApi("a @ start()", 0L, 3000000L, 1000000L,
+        selectFor, samplesFor).isEmpty)
+    // @ on a sub-expression rejects cleanly (documented deviation)
+    intercept[PromQLError] {
+      ExtendedPromQL.evalRangeApi("abs(a @ 3)", 0L, 3000000L, 1000000L,
+        selectFor, samplesFor)
+    }
+    intercept[PromQLError] {
+      ExtendedPromQL.evalRangeApi("a @ 3 + 1", 0L, 3000000L, 1000000L,
+        selectFor, samplesFor)
+    }
+    // the unpinned path through the same entry still anchors per step
+    val plain = ExtendedPromQL
+      .evalRangeApi("a", 0L, 3000000L, 1000000L, selectFor, samplesFor)
+      .select(col("t_us")).distinct().as[Long].collect().toSet
+    assert(plain == Set(1000000L, 2000000L, 3000000L))
   }
 
   // --------------------------------------- randomized differential: sets
