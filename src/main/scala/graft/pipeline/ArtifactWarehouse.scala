@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk-backed artifact warehouse — the persistence tier under
+  * [[DedupArtifacts]]/[[TextArtifacts]]/[[GraphArtifacts]]/
+  * [[SimilarityArtifacts]] (r13 verdict item #5). The artifact caches
+  * were session-keyed JVM maps: a fresh SparkSession repaid every
+  * shingle explosion / token shuffle / Lloyd training even though the
+  * on-disk corpus hadn't changed. SURVEY §2.11's own contract is "on a
+  * real cluster these live in the metastore beside the corpus and
+  * survive the session" — this object is that metastore-lite.
+  *
+  * Layout: `<root>/<kind>/<keyHash>/` holding
+  *   - `manifest.properties` — key column, bucket count, schema DDL,
+  *     and the full fingerprint (written ATOMICALLY last: a directory
+  *     without a manifest is an abandoned build and is rebuilt);
+  *   - `data/` — the parquet files (bucketed layout for [[bucketed]]).
+  *
+  * Keying: the caller passes a FINGERPRINT built by [[fingerprint]]
+  * from the corpus's input files (path + size + mtime) plus the
+  * operator parameters — a changed corpus or parameter set hashes to a
+  * new directory, so stale artifacts are never served (old directories
+  * are garbage, GC'd by age in a deployment).
+  *
+  * Cross-session reuse: bucket metadata lives in the session catalog,
+  * not in parquet, so a bare `read.parquet` would forfeit the
+  * zero-Exchange plans the bucketed artifacts exist for. On a disk hit
+  * the table is RE-REGISTERED from the manifest (`CREATE TABLE …
+  * CLUSTERED BY … LOCATION`), restoring the bucket spec in the new
+  * session. This also retires the stopped-session purge logic the JVM
+  * maps needed: there is no session-keyed state here at all.
+  *
+  * Root resolution: `graft.warehouse.dir` property, then
+  * `GRAFT_WAREHOUSE_DIR` env, else a per-JVM scratch root (TempDirs) —
+  * unset, behavior matches the old JVM-lifetime caches (plus
+  * cross-SparkSession reuse inside the JVM); set, artifacts survive
+  * process restarts.
+  */
+object ArtifactWarehouse {
+
+  def configuredRoot: Option[String] =
+    sys.props.get("graft.warehouse.dir")
+      .orElse(sys.env.get("GRAFT_WAREHOUSE_DIR")).filter(_.nonEmpty)
+
+  private lazy val scratchRoot: String =
+    graft.TempDirs.createPath("graft_warehouse")
+
+  private def root: String = configuredRoot.getOrElse(scratchRoot)
+
+  // one build at a time per artifact key within the JVM (cross-process
+  // races both build; the manifest rename is atomic, last writer wins —
+  // both results are value-identical by construction)
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def sha(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    d.take(12).map("%02x".format(_)).mkString
+  }
+
+  /** Corpus + params fingerprint: the sorted input-file listing with
+    * per-file size and mtime (content proxy — rewritten data changes
+    * both), plus the parameter string. Frames without input files
+    * (in-memory test fixtures) fingerprint on `params` alone — callers
+    * keep the corpus key inside `params` for exactly that case. File
+    * metadata lookups cap at 10k files; beyond that the listing alone
+    * identifies the corpus (documented coarsening, still path-unique).
+    */
+  def fingerprint(df: DataFrame, params: String): String = {
+    val files = df.inputFiles.sorted
+    val sb = new StringBuilder(params)
+    if (files.nonEmpty && files.length <= 10000) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      files.foreach { f =>
+        sb.append('\n').append(f)
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          sb.append('|').append(st.getLen)
+            .append('|').append(st.getModificationTime)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } else files.foreach(f => sb.append('\n').append(f))
+    sb.toString
+  }
+
+  private def manifestPath(dir: String) = Paths.get(dir, "manifest.properties")
+
+  private def loadManifest(dir: String): Option[java.util.Properties] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      Some(props)
+    }
+  }
+
+  private def writeManifest(
+      dir: String, entries: Map[String, String]): Unit = {
+    val props = new java.util.Properties()
+    entries.foreach { case (k, v) => props.setProperty(k, v) }
+    val tmp = Paths.get(dir, s".manifest.${System.nanoTime()}.tmp")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, null) finally out.close()
+    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Serve a BUCKETED artifact table: on a disk miss, run `build`,
+    * write it through [[graft.store.Bucketing]] (hash-bucketed AND
+    * per-bucket sorted on `key`), and manifest it; on a hit, re-register
+    * the bucketed table in this session's catalog if absent. Either
+    * way the caller reads `spark.table(name)` — the SAME plan shape on
+    * first build and on every reuse (the build result itself is never
+    * served directly), so consumers are bit-identical across the two
+    * paths by construction.
+    */
+  def bucketed(
+      spark: SparkSession, kind: String, fingerprint: String,
+      key: String, buckets: Int)(build: => DataFrame): DataFrame = {
+    val keyHash = sha(s"$kind|$fingerprint|$key|$buckets")
+    val name = s"graft_wh_${kind}_$keyHash"
+    val dir = s"$root/$kind/$keyHash"
+    val lock = locks.computeIfAbsent(name, _ => new Object)
+    lock.synchronized {
+      if (spark.catalog.tableExists(name)) spark.table(name)
+      else loadManifest(dir) match {
+        case Some(m) =>
+          // disk hit from a prior session/JVM: restore the bucket spec
+          val schema = m.getProperty("schema")
+          spark.sql(
+            s"CREATE TABLE $name ($schema) USING PARQUET " +
+              s"CLUSTERED BY ($key) SORTED BY ($key) " +
+              s"INTO $buckets BUCKETS LOCATION '$dir/data'")
+          spark.table(name)
+        case None =>
+          Files.createDirectories(Paths.get(dir))
+          val df = build
+          val schemaDdl = df.schema.toDDL
+          graft.store.Bucketing.writeBucketed(
+            df, name, key, buckets, s"$dir/data")
+          // a build may hand back an eager checkpoint (so IT can free
+          // its own temps before returning); its blocks are spent once
+          // the table is written
+          PipelineCache.free(df)
+          writeManifest(dir, Map(
+            "kind" -> kind, "key" -> key, "buckets" -> buckets.toString,
+            "schema" -> schemaDdl, "fingerprint" -> fingerprint))
+          spark.table(name)
+      }
+    }
+  }
+
+  /** Serve a PLAIN (unbucketed) artifact: parquet on disk, read back by
+    * path on every call — first build included, so the served plan is
+    * identical whether this process built the artifact or found it.
+    * For the materialized-frame artifacts (graph edges, k-means
+    * assignments) whose consumers only need the VALUES, not a layout.
+    */
+  def plain(
+      spark: SparkSession, kind: String, fingerprint: String)(
+      build: => DataFrame): DataFrame = {
+    val keyHash = sha(s"$kind|$fingerprint")
+    val dir = s"$root/$kind/$keyHash"
+    val lock = locks.computeIfAbsent(s"$kind/$keyHash", _ => new Object)
+    lock.synchronized {
+      if (loadManifest(dir).isEmpty) {
+        Files.createDirectories(Paths.get(dir))
+        build.write.mode("overwrite").parquet(s"$dir/data")
+        writeManifest(dir, Map(
+          "kind" -> kind, "fingerprint" -> fingerprint))
+      }
+    }
+    spark.read.parquet(s"$dir/data")
+  }
+}

@@ -9,22 +9,17 @@ import org.apache.spark.sql.functions._
   * — the dominant cost of every clustering query) and (b) identical
   * for every consumer at the same (n, tau); clustering, keep-best,
   * survivorship, and audit queries each rebuilt and re-shuffled it per
-  * run. This object computes it ONCE per (session, corpus, params) and
+  * run. This object computes it ONCE per (corpus fingerprint, params) and
   * persists it through [[graft.store.Bucketing]] as a dst-bucketed,
   * bucket-sorted parquet table, so every consumer — and every ROUND of
   * the CC label loop — reads the layout with ZERO Exchange on the edge
   * side (PlanSpec-pinned). This is the pre-shuffle a 100 TB pipeline
-  * pays at artifact-build time instead of on every query: on a real
-  * cluster the table lives in the metastore next to the corpus and
-  * survives the session; here it lives for the JVM like Tables'
-  * relation cache.
+  * pays at artifact-build time instead of on every query: the table
+  * persists through [[ArtifactWarehouse]] (manifest + bucketed
+  * parquet), so a FRESH session — or a fresh JVM with a configured
+  * warehouse root — re-registers and reuses it instead of rebuilding.
   */
 object DedupArtifacts {
-
-  private val symTables =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]()
-  private val ctr = new java.util.concurrent.atomic.AtomicLong()
 
   /** Default bucket count: enough for bucket-parallel reads of a pair
     * graph that is orders of magnitude smaller than its corpus; a real
@@ -41,35 +36,33 @@ object DedupArtifacts {
     * [[Dedup.connectedComponentsPreBucketed]] requires, and the scored
     * pair surface q24-style reports read directly. `corpusKey`
     * identifies the corpus (e.g. its directory); the artifact is built
-    * on first use per (session, corpusKey, n, tau) and served from the
-    * bucketed layout afterwards.
+    * on first use per (corpus fingerprint, corpusKey, n, tau) and
+    * served from the persisted bucketed layout afterwards — across
+    * sessions.
     */
   def symEdgeTable(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, corpusKey: String,
       buckets: Int = DefaultBuckets): DataFrame = {
-    val spark = docs.sparkSession
-    // purge stopped-session entries (PipelineCache.pinsFor doctrine)
-    symTables.keySet.removeIf(_._1.sparkContext.isStopped)
-    symTables.computeIfAbsent(
-      (spark, s"$corpusKey|$idCol|$textCol|$n|$tau|$buckets"), _ => {
-        val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, tau)
-          .select("id_a", "id_b", "jaccard")
-        val symRaw = pairs
-          .select(col("id_a").as("src"), col("id_b").as("dst"),
-            col("jaccard"))
-          .union(pairs.select(col("id_b").as("src"),
-            col("id_a").as("dst"), col("jaccard")))
-        val selfLoops = symRaw.select(col("src")).distinct()
-          .select(col("src"), col("src").as("dst"),
-            lit(null).cast("double").as("jaccard"))
-        val name = s"graft_dedup_sym_${ctr.incrementAndGet()}"
-        val path = graft.TempDirs.createPath("graft_dedup_sym")
-        graft.store.Bucketing.writeBucketed(
-          symRaw.union(selfLoops), name, "dst", buckets, s"$path/$name")
-        PipelineCache.free(pairs)
-        spark.table(name)
-      })
+    val fp = ArtifactWarehouse.fingerprint(docs,
+      s"dedup_sym|$corpusKey|$idCol|$textCol|$n|$tau|$buckets")
+    ArtifactWarehouse.bucketed(
+        docs.sparkSession, "dedup_sym", fp, "dst", buckets) {
+      val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, tau)
+        .select("id_a", "id_b", "jaccard")
+      val symRaw = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("jaccard"))
+        .union(pairs.select(col("id_b").as("src"),
+          col("id_a").as("dst"), col("jaccard")))
+      val selfLoops = symRaw.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"),
+          lit(null).cast("double").as("jaccard"))
+      // the build frame is handed to the warehouse writer; its internal
+      // checkpoint is released here (the warehouse serves the TABLE)
+      try symRaw.union(selfLoops).localCheckpoint(true)
+      finally PipelineCache.free(pairs)
+    }
   }
 
   /** The CANONICAL (id_a < id_b) scored pair view of

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 
 /** Shared embedding-model artifacts — the [[DedupArtifacts]] idea
   * applied to the k-means family: the deterministic Lloyd model over a
@@ -8,20 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (cluster listing, balanced per-cluster sampling, external
   * validation, …), yet each one repaid the full training — `iters`
   * corpus-wide (cluster, position) shuffles with a driver collect each
-  * — plus the assignment scan. Train once per (session, corpus, k,
-  * iters) and serve the MATERIALIZED integer assignment table (eager
-  * localCheckpoint — one int per vector, pinned for the JVM like
-  * Tables' relation cache). On a real cluster this is the persisted
+  * — plus the assignment scan. Train once per (corpus
+  * fingerprint, k, iters) and serve the integer assignment table from
+  * [[ArtifactWarehouse]] parquet (one int per vector) — the persisted
   * cluster-assignment column a vector pipeline maintains next to its
-  * embeddings; the assignment values are layout-independent integers
+  * embeddings, surviving the session; the assignment values are layout-independent integers
   * (argmin over macroscopically-separated distances), so serving the
   * cached table is bit-identical to retraining.
   */
 object SimilarityArtifacts {
-
-  private val assignTables =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]()
 
   /** [[Similarity.kmeansAssign]] of `corpus`, materialized once per
     * (session, corpusKey, k, iters). Output: (vec_id, cluster).
@@ -32,12 +27,10 @@ object SimilarityArtifacts {
   def kmeansAssignments(
       corpus: DataFrame, k: Int, iters: Int,
       corpusKey: String): DataFrame = {
-    val spark = corpus.sparkSession
-    // purge stopped-session entries (PipelineCache.pinsFor doctrine)
-    assignTables.keySet.removeIf(_._1.sparkContext.isStopped)
-    assignTables.computeIfAbsent(
-      (spark, s"$corpusKey|$k|$iters"),
-      _ => PipelineCache.pin(
-        Similarity.kmeansAssign(corpus, k, iters).localCheckpoint(true)))
+    val fp = ArtifactWarehouse.fingerprint(corpus,
+      s"kmeans|$corpusKey|$k|$iters")
+    ArtifactWarehouse.plain(corpus.sparkSession, "kmeans_assign", fp) {
+      Similarity.kmeansAssign(corpus, k, iters)
+    }
   }
 }

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * a full corpus scan, a token explosion (~tokens ≫ rows), and a
   * (doc, token)-keyed shuffle — the dominant cost of each query, and
   * identical across all of them. This object computes that aggregate
-  * ONCE per (session, corpus) and persists it through
-  * [[graft.store.Bucketing]] as a token-bucketed, bucket-sorted parquet
+  * ONCE per (corpus fingerprint, params) and persists it through
+  * [[ArtifactWarehouse]] as a token-bucketed, bucket-sorted parquet
   * table, with the two standard corpus-level derivatives materialized
   * next to it:
   *
@@ -32,19 +32,15 @@ import org.apache.spark.sql.functions._
   * with data-ordered float sums (e.g. avg-NLL) keep their inline shape
   * on purpose.
   *
-  * On a real cluster these live in the metastore beside the corpus and
-  * survive the session (they are the "inverted index-lite" a 100 TB
-  * text pipeline maintains anyway); here they live for the JVM like
-  * Tables' relation cache.
+  * These are the "inverted index-lite" a 100 TB text pipeline
+  * maintains beside the corpus anyway; through [[ArtifactWarehouse]]
+  * they survive the session — a fresh SparkSession (or a fresh JVM
+  * with a configured warehouse root) re-registers the bucketed layout
+  * instead of rebuilding it.
   */
 object TextArtifacts {
 
   private case class Arts(tf: DataFrame, df: DataFrame, lens: DataFrame)
-
-  private val tables =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), Arts]()
-  private val ctr = new java.util.concurrent.atomic.AtomicLong()
 
   /** Default bucket count — sized for the local harness; a deployment
     * sizes it with the vocabulary (buckets ≈ tf rows / target partition
@@ -59,38 +55,26 @@ object TextArtifacts {
       docs: DataFrame, idCol: String, textCol: String,
       corpusKey: String, buckets: Int): Arts = {
     val spark = docs.sparkSession
-    // same hygiene as PipelineCache.pinsFor: entries of stopped
-    // sessions would otherwise strongly retain the dead context's plan
-    // graphs (and suppress nothing useful) for the JVM's lifetime
-    tables.keySet.removeIf(_._1.sparkContext.isStopped)
-    tables.computeIfAbsent(
-      (spark, s"$corpusKey|$idCol|$textCol|$buckets"), _ => {
-        val n = ctr.incrementAndGet()
-        val dir = graft.TempDirs.createPath("graft_text_arts")
-        // the one token explosion + (doc, token) shuffle every consumer
-        // used to repay per query
-        val tfFrame = docs.select(col(idCol).as("id"),
-            explode(TextAnalysis.whitespaceTokens(lower(col(textCol))))
-              .as("token"))
-          .groupBy(col("id"), col("token"))
-          .agg(count(lit(1)).as("tf"))
-        val tfName = s"graft_text_tf_$n"
-        graft.store.Bucketing.writeBucketed(
-          tfFrame, tfName, "token", buckets, s"$dir/$tfName")
-        val tf = spark.table(tfName)
-        // derivatives read the PERSISTED layout: the df aggregate rides
-        // the token bucketing (zero Exchange), doc lengths pay their
-        // id shuffle once here instead of per query
-        val dfName = s"graft_text_df_$n"
-        graft.store.Bucketing.writeBucketed(
-          tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
-          dfName, "token", buckets, s"$dir/$dfName")
-        val lensName = s"graft_text_lens_$n"
-        graft.store.Bucketing.writeBucketed(
-          tf.groupBy(col("id")).agg(sum(col("tf")).as("len")),
-          lensName, "id", buckets, s"$dir/$lensName")
-        Arts(tf, spark.table(dfName), spark.table(lensName))
-      })
+    val fp = ArtifactWarehouse.fingerprint(docs,
+      s"text|$corpusKey|$idCol|$textCol|$buckets")
+    // the one token explosion + (doc, token) shuffle every consumer
+    // used to repay per query
+    val tf = ArtifactWarehouse.bucketed(spark, "text_tf", fp, "token",
+        buckets) {
+      docs.select(col(idCol).as("id"),
+          explode(TextAnalysis.whitespaceTokens(lower(col(textCol))))
+            .as("token"))
+        .groupBy(col("id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+    }
+    // derivatives read the PERSISTED layout: the df aggregate rides
+    // the token bucketing (zero Exchange), doc lengths pay their
+    // id shuffle once here instead of per query
+    val dfT = ArtifactWarehouse.bucketed(spark, "text_df", fp, "token",
+      buckets) { tf.groupBy(col("token")).agg(count(lit(1)).as("df")) }
+    val lens = ArtifactWarehouse.bucketed(spark, "text_lens", fp, "id",
+      buckets) { tf.groupBy(col("id")).agg(sum(col("tf")).as("len")) }
+    Arts(tf, dfT, lens)
   }
 
   /** The corpus term-frequency table (id, token, tf), token-bucketed. */

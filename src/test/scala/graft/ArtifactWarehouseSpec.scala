@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.pipeline.{ArtifactWarehouse, DedupArtifacts, SimilarityArtifacts}
+import org.apache.spark.sql.functions._
+
+/** The persisted artifact warehouse (r13 verdict item #5): artifacts
+  * must survive the building session — a fresh SparkSession (or a
+  * fresh JVM, simulated here by dropping the catalog entry) finds the
+  * manifest, re-registers the bucketed table, and serves the SAME
+  * values with NO rebuild (pinned by data-file mtimes) and the bucket
+  * layout intact (pinned by a zero-Exchange bucket-key aggregate).
+  */
+class ArtifactWarehouseSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def dataFiles(kind: String, whRoot: String): Seq[java.io.File] = {
+    val kd = new java.io.File(s"$whRoot/$kind")
+    val hashes = Option(kd.listFiles()).toSeq.flatten
+    hashes.flatMap(h => Option(new java.io.File(h, "data").listFiles())
+      .toSeq.flatten).filter(_.getName.endsWith(".parquet"))
+  }
+
+  private def withWarehouse[A](f: String => A): A = {
+    val dir = TempDirs.createPath("graft_wh_spec")
+    sys.props("graft.warehouse.dir") = dir
+    try f(dir) finally sys.props.remove("graft.warehouse.dir")
+  }
+
+  test("bucketed dedup artifact survives the session: re-registered " +
+      "from the manifest, same values, no rebuild, bucket spec intact") {
+    withWarehouse { wh =>
+      val key = s"$sf|whspec1"
+      val docs = Tables.documents(spark, sf)
+      val t1 = DedupArtifacts.symEdgeTable(docs, "doc_id", "text",
+        3, 0.4, key)
+      val rows1 = t1.orderBy("src", "dst").collect().toSeq
+      assert(rows1.nonEmpty)
+      val files = dataFiles("dedup_sym", wh)
+      assert(files.nonEmpty, "artifact data not under the warehouse root")
+      val mtimes = files.map(f => f.getPath -> f.lastModified()).toMap
+
+      // simulate a fresh JVM: drop the catalog entry (external table —
+      // the data stays), then ask again from a FRESH SparkSession
+      val name = spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_wh_dedup_sym_"))
+      assert(name.nonEmpty)
+      name.foreach(n => spark.sql(s"DROP TABLE $n"))
+
+      val s2 = spark.newSession()
+      val t2 = DedupArtifacts.symEdgeTable(
+        Tables.documents(s2, sf), "doc_id", "text", 3, 0.4, key)
+      assert(t2.orderBy("src", "dst").collect().toSeq == rows1)
+      // no rebuild: the parquet files were not rewritten
+      val after = dataFiles("dedup_sym", wh)
+        .map(f => f.getPath -> f.lastModified()).toMap
+      assert(after == mtimes, "artifact was rebuilt on reuse")
+      // bucket layout restored through re-registration: an aggregate on
+      // the bucket key plans WITHOUT a shuffle
+      val plan = t2.groupBy(col("dst")).count()
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
+  test("plain artifact (k-means assignments) reuses the parquet: " +
+      "second session reads the same files") {
+    withWarehouse { wh =>
+      val key = s"$sf|whspec2"
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val a1 = SimilarityArtifacts.kmeansAssignments(emb, 4, 3, key)
+      val rows1 = a1.orderBy("vec_id").collect().toSeq
+      assert(rows1.nonEmpty)
+      val mtimes = dataFiles("kmeans_assign", wh)
+        .map(f => f.getPath -> f.lastModified()).toMap
+      assert(mtimes.nonEmpty)
+
+      val s2 = spark.newSession()
+      val emb2 = Tables.embeddings(s2, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val a2 = SimilarityArtifacts.kmeansAssignments(emb2, 4, 3, key)
+      assert(a2.orderBy("vec_id").collect().toSeq == rows1)
+      val after = dataFiles("kmeans_assign", wh)
+        .map(f => f.getPath -> f.lastModified()).toMap
+      assert(after == mtimes, "artifact was rebuilt on reuse")
+    }
+  }
+
+  test("fingerprint keys on corpus AND params: a parameter change " +
+      "builds a separate artifact") {
+    withWarehouse { wh =>
+      val key = s"$sf|whspec3"
+      val docs = Tables.documents(spark, sf)
+      DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.4, key)
+      DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.5, key)
+      val hashes = Option(
+        new java.io.File(s"$wh/dedup_sym").listFiles()).toSeq.flatten
+      assert(hashes.length == 2, hashes.map(_.getName).mkString(","))
+      hashes.foreach(h =>
+        assert(Files.exists(Paths.get(h.getPath, "manifest.properties"))))
+    }
+  }
+
+  test("an abandoned build (data without manifest) is rebuilt, not served") {
+    withWarehouse { wh =>
+      val key = s"$sf|whspec4"
+      val docs = Tables.documents(spark, sf)
+      DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.4, key)
+      val hash = new java.io.File(s"$wh/dedup_sym").listFiles().head
+      val manifest = Paths.get(hash.getPath, "manifest.properties")
+      val expected = spark.table(
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith("graft_wh_dedup_sym_")).head)
+        .count()
+      // crash simulation: manifest never landed
+      Files.delete(manifest)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_wh_dedup_sym_"))
+        .foreach(n => spark.sql(s"DROP TABLE $n"))
+      val s2 = spark.newSession()
+      val t2 = DedupArtifacts.symEdgeTable(
+        Tables.documents(s2, sf), "doc_id", "text", 3, 0.4, key)
+      assert(t2.count() == expected)
+      assert(Files.exists(manifest), "rebuild must re-manifest")
+    }
+  }
+}

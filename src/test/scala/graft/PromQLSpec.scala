@@ -737,15 +737,16 @@ class ExtendedPromQLSpec extends SparkSpec {
       case other => fail(s"unexpected: $other")
     }
     // cross-series aggregations ARE subquery operands (evaluated per
-    // step; PromQLComposeSpec pins the semantics) — binary vector
-    // expressions with two matcher sets remain rejected
+    // step; PromQLComposeSpec pins the semantics) — and since r14,
+    // binary vector operands parse too (evaluated via perStepAny)
     ExtendedPromQL.parse("max_over_time(sum(view)[1h:5m])", now) match {
       case SubqueryOverTimeQ("max", None,
           InstantAggQ("sum", _, _, _, _, _), _, _, _, _, _) => ()
       case other => fail(s"unexpected: $other")
     }
-    intercept[PromQLError] {
-      ExtendedPromQL.parse("max_over_time((view / click)[1h:5m])", now)
+    ExtendedPromQL.parse("max_over_time((view / click)[1h:5m])", now) match {
+      case SubqueryOverTimeQ("max", None, _: BinVectorQ, _, _, _, _, _) => ()
+      case other => fail(s"unexpected: $other")
     }
     // a bare subquery is still not a selector (reference parity)
     intercept[PromQLError] { ExtendedPromQL.parse("view[1h:5m]", now) }

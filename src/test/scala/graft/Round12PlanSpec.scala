@@ -105,10 +105,12 @@ class Round12PlanSpec extends SparkSpec {
     val assigned = graft.pipeline.SimilarityArtifacts
       .kmeansAssignments(e, 8, 2, corpusKey = s"$sf#kmpin")
     val plan = planOf(assigned.groupBy(col("cluster")).count())
-    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
-      plan)
+    // r14: the artifact is a warehouse PARQUET table (survives the
+    // session) — the consumer scans the tiny (vec_id, cluster) table,
+    // never the embeddings corpus, and never retrains
     assert(!plan.contains("posexplode"), plan)
-    assert(!plan.contains("parquet"), plan) // no corpus re-scan either
+    assert(!plan.contains("embeddings"), plan) // no corpus re-scan
+    assert(plan.contains("graft_warehouse"), plan) // the artifact scan
   }
 
   test("bm25TopKShared probes the bucketed term-frequency table with " +

@@ -36,7 +36,12 @@ class Round12Spec extends SparkSpec {
       "l_partkey", minCount = 2L, corpusKey = sf)
     val b = GraphArtifacts.coOccurrenceEdges(li, "l_orderkey",
       "l_partkey", minCount = 2L, corpusKey = sf)
-    assert(a eq b) // one materialization per (session, corpus, params)
+    // one materialization per (corpus fingerprint, params): both calls
+    // serve the SAME persisted files (r14: warehouse tier, no longer a
+    // same-instance JVM cache — cross-session reuse is pinned in
+    // ArtifactWarehouseSpec)
+    assert(a.inputFiles.sorted.toSeq == b.inputFiles.sorted.toSeq &&
+      a.inputFiles.nonEmpty)
     val shared = a.orderBy("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(shared.toSeq == direct.toSeq)
@@ -171,8 +176,10 @@ class Round12Spec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val a = DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.5, sf)
     val b = DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.5, sf)
-    // same cached plan object — the construction ran once
-    assert(a eq b)
+    // same persisted table on both calls — the construction ran once
+    // (warehouse tier, see ArtifactWarehouseSpec)
+    assert(a.inputFiles.sorted.toSeq == b.inputFiles.sorted.toSeq &&
+      a.inputFiles.nonEmpty)
     val rows = a.collect().map(r => (r.getLong(0), r.getLong(1)))
     val loops = rows.filter(r => r._1 == r._2).map(_._1).toSet
     val edges = rows.filter(r => r._1 != r._2)
@@ -193,7 +200,10 @@ class Round12Spec extends SparkSpec {
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
     val a = SimilarityArtifacts.kmeansAssignments(e, 8, 2, corpusKey = sf)
     val b = SimilarityArtifacts.kmeansAssignments(e, 8, 2, corpusKey = sf)
-    assert(a eq b) // one training per (session, corpus, k, iters)
+    // one training per (corpus fingerprint, k, iters): same persisted
+    // files on both calls (warehouse tier, see ArtifactWarehouseSpec)
+    assert(a.inputFiles.sorted.toSeq == b.inputFiles.sorted.toSeq &&
+      a.inputFiles.nonEmpty)
     val shared = a.orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(shared.toSeq == direct.toSeq)
@@ -215,7 +225,10 @@ class Round12Spec extends SparkSpec {
     assert(shared.nonEmpty)
     val a = TextArtifacts.termFreq(docs, "doc_id", "text", sf)
     val b = TextArtifacts.termFreq(docs, "doc_id", "text", sf)
-    assert(a eq b) // one materialization per (session, corpus)
+    // one materialization per (corpus fingerprint, params): same
+    // persisted table files (warehouse tier, see ArtifactWarehouseSpec)
+    assert(a.inputFiles.sorted.toSeq == b.inputFiles.sorted.toSeq &&
+      a.inputFiles.nonEmpty)
   }
 
   test("bm25TopKShared ≡ bm25TopK on the documents corpus") {
