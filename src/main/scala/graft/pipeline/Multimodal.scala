@@ -370,26 +370,52 @@ object Multimodal {
   object WavAudioDecoder extends Decoder {
     def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
       val (rate, samples) = WavPcm.decodeMono(r.media)
-      var crc = 17L
-      var i = 0
-      while (i < samples.length) { crc = crc * 31 + samples(i); i += 1 }
-      crc = (crc * 31 + samples.length) * 31 + rate.toInt
-      val seg = new Array[Double](8)
-      if (samples.length > 0) {
-        i = 0
-        while (i < samples.length) {
-          val s = samples(i).toDouble
-          // segment index by exact integer math — no length/8 rounding
-          seg(((i.toLong * 8) / samples.length).toInt) += s * s
-          i += 1
-        }
+      audioFeatures(r.media_id, r.media.length.toLong, rate.toInt, samples)
+    }
+  }
+
+  /** The shared audio feature fold (checksum + 8-segment energy
+    * envelope) over decoded mono samples — identical math for every
+    * audio lane, so the same sound at the same rate features equal
+    * regardless of its container/codec path.
+    */
+  private def audioFeatures(
+      id: Long, payloadLen: Long, rateInt: Int,
+      samples: Array[Int]): MediaFeatures = {
+    var crc = 17L
+    var i = 0
+    while (i < samples.length) { crc = crc * 31 + samples(i); i += 1 }
+    crc = (crc * 31 + samples.length) * 31 + rateInt
+    val seg = new Array[Double](8)
+    if (samples.length > 0) {
+      i = 0
+      while (i < samples.length) {
+        val s = samples(i).toDouble
+        // segment index by exact integer math — no length/8 rounding
+        seg(((i.toLong * 8) / samples.length).toInt) += s * s
+        i += 1
       }
-      val tot = seg.sum
-      val env =
-        if (tot > 0) seg.map(e => (e / tot).toFloat)
-        else new Array[Float](8)
-      MediaFeatures(r.media_id, r.media.length.toLong, samples.length,
-        crc, env)
+    }
+    val tot = seg.sum
+    val env =
+      if (tot > 0) seg.map(e => (e / tot).toFloat)
+      else new Array[Float](8)
+    MediaFeatures(id, payloadLen, samples.length, crc, env)
+  }
+
+  /** REAL COMPRESSED-audio decoder for the SPI seam: IMA/DVI ADPCM in
+    * its standard WAV container (fmt tag 0x11, ~4:1 over 16-bit PCM)
+    * through [[ImaAdpcm]] — the first genuinely compressed format the
+    * audio lane decodes natively (the JDK ships no ADPCM codec; other
+    * compressed formats still arrive through the SPI seam). Features
+    * are the SAME fold as [[WavAudioDecoder]], so ADPCM-compressed and
+    * PCM copies of one sound land adjacent in downstream dedup/ANN up
+    * to quantization error.
+    */
+  object AdpcmAudioDecoder extends Decoder {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val (rate, samples) = ImaAdpcm.decodeWavMono(r.media)
+      audioFeatures(r.media_id, r.media.length.toLong, rate, samples)
     }
   }
 

@@ -63,4 +63,44 @@ class MultimodalSeamSpec extends SparkSpec {
     try assert(Multimodal.loadDecoder() eq Multimodal.ImageIODecoder)
     finally sys.props -= prop
   }
+
+  test("a codec jar drives the seam: ServiceLoader discovers the " +
+      "provider from the JAR's META-INF/services registration and the " +
+      "codec runs inside the distributed decode") {
+    import spark.implicits._
+    // the genuine drop-a-jar-in flow: the application classpath carries
+    // NO services registration for the Decoder trait (pinned below) —
+    // discovery must come from the jar. (Zero-egress harness: the jar
+    // is assembled here rather than downloaded; its services entry is
+    // exactly what a third-party codec jar ships.)
+    val traitName = "graft.pipeline.Multimodal$Decoder"
+    assert(getClass.getClassLoader
+      .getResource(s"META-INF/services/$traitName") == null,
+      "test classpath must not pre-register a decoder")
+    val jar = java.nio.file.Paths.get(
+      TempDirs.createPath("graft_codec_jar"), "tone-codec.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    try {
+      jos.putNextEntry(new java.util.zip.ZipEntry(
+        s"META-INF/services/$traitName"))
+      jos.write(s"${classOf[ToneDecoder].getName}\n".getBytes("UTF-8"))
+      jos.closeEntry()
+    } finally jos.close()
+    val loader = new java.net.URLClassLoader(
+      Array(jar.toUri.toURL), getClass.getClassLoader)
+    val prev = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(loader)
+    try {
+      assert(sys.props.get(prop).isEmpty)
+      val decoder = Multimodal.loadDecoder()
+      assert(decoder.isInstanceOf[ToneDecoder],
+        s"jar-registered codec not discovered: ${decoder.getClass}")
+      // and it decodes distributed, like any built-in lane
+      val media = Seq(MediaRow(9L, Array[Byte](1, 2), "audio/ogg", 0, 0))
+        .toDS()
+      val out = Multimodal.decode(media, decoder).collect()
+      assert(out.map(_.n_frames).toSeq == Seq(7))
+    } finally Thread.currentThread().setContextClassLoader(prev)
+  }
 }
