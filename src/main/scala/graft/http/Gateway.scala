@@ -221,6 +221,13 @@ final class Gateway(
     exchangeLocks.computeIfAbsent(x,
       _ => new java.util.concurrent.locks.ReentrantLock())
 
+  /** Soak-test observability: live per-exchange lock entries — MUST
+    * return to zero when the gateway is idle (an entry that survives
+    * its route's finally is the leak class the r13 review fixed by
+    * hand; the soak asserts it stays fixed under sustained load).
+    */
+  private[graft] def liveExchangeLocks: Int = exchangeLocks.size()
+
   private def route(path: String, h: (HttpExchange, Map[String, String]) => Unit): Unit =
     server.createContext(path, new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
