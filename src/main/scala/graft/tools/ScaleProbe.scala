@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe over a [[ScaleGen]] dataset (r13 verdict item #4): run
+  * the headline pipeline families at ~sf1 and report seconds + shuffle
+  * read/write bytes per query — the empirical backing for the
+  * linear-in-rows claims the plan pins argue structurally. Compare
+  * against the same probe at sf0.1: a family whose time or shuffle
+  * volume grows super-linearly in rows (beyond the 10× data) is a
+  * scale bug.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.ScaleProbe <dataDir> [q24_ngram_jaccard,...]"
+  * Output: one JSON line per query + a summary line.
+  */
+object ScaleProbe {
+
+  private final class ShuffleMeter extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val write = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  val DefaultQueries: Seq[String] = Seq(
+    "q24_ngram_jaccard", "q25_minhash_lsh", "q57_dedup_clusters",
+    "q134_semdedup", "q154_pq_topk", "q116_stream_interval_join",
+    "q197_spearman")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleProbe <dataDir> [q1,q2,...]")
+    val dir = args(0)
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local(cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = names.map { n =>
+      val meter = new ShuffleMeter
+      spark.sparkContext.addSparkListener(meter)
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async: a short drain before reading meters
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(meter)
+      val line = f"""{"query":"$n","sec":$sec%.2f,"rows":$rows,""" +
+        s""""shuffle_read_mb":${meter.read.get() / 1048576},""" +
+        s""""shuffle_write_mb":${meter.write.get() / 1048576}}"""
+      println(line)
+      (n, sec, rows, meter.read.get(), meter.write.get())
+    }
+    val total = results.map(_._2).sum
+    println(f"""{"probe_dir":"$dir","queries":${names.length},""" +
+      f""""total_sec":$total%.1f}""")
+    spark.stop()
+  }
+}
