@@ -439,28 +439,65 @@ object ExtendedPromQL {
     * client can replay historical instants against the serving
     * endpoint, whose default reference is wall-clock now). `@` binds
     * the reference time first; an `offset` inside then shifts relative
-    * to it. The greedy prefix regexes require the query to END with the
-    * modifier, so the keywords inside quoted label values (always
-    * followed by `"}`) never match.
+    * to it. The modifiers are recognized as the final TOKENS of the
+    * query ([[PromQLLexer]]), so keywords inside quoted label values
+    * never match by construction.
     */
-  private val OffsetRe = """(?s)^(.*)\s+offset\s+([0-9a-z]+)\s*$""".r
-  // whitespace around `@` is optional (Prometheus tokenizes, so
-  // `metric@1706745600` is legal); the greedy prefix still splits at
-  // the LAST `@`, and a quoted label value can never end the query in
-  // bare digits (it is always followed by `"}`), so values containing
-  // `@` stay inert
-  private val AtRe = """(?s)^(.*)@\s*([0-9]+(?:\.[0-9]+)?)\s*$""".r
+  import PromQLLexer.{Tok, lex}
 
-  private def parseSelector(s: String, nowUs: Long): SimplePromQL.ParsedQuery =
-    s.trim match {
-      case AtRe(inner, ts) =>
-        parseSelector(inner.trim, (ts.toDouble * 1e6).toLong)
-      case OffsetRe(inner, dur) =>
-        val shiftUs = SimplePromQL.msToUs(SimplePromQL.parseDurationMs(dur))
-        val sel = parseSelector(inner.trim, nowUs)
-        sel.copy(startUs = sel.startUs - shiftUs, endUs = sel.endUs - shiftUs)
-      case other => SimplePromQL.parse(other, nowUs)
+  /** Trailing `@ <unix_seconds>` modifier: Some((inner, seconds)) when
+    * the query ENDS with `@ number` (whitespace around `@` optional —
+    * Prometheus tokenizes). Token-tail matching replaces the old greedy
+    * prefix regex: a quoted label value can never BE the final two
+    * tokens, so values containing `@` stay inert by construction.
+    */
+  private def trailingAt(s: String): Option[(String, String)] = {
+    val toks = lex(s)
+    if (toks.length < 2) None
+    else {
+      val at = toks(toks.length - 2)
+      val num = toks.last
+      if (at.kind == PromQLLexer.Op && at.text == "@" &&
+          num.kind == PromQLLexer.Num &&
+          num.text.matches("[0-9]+(\\.[0-9]+)?"))
+        Some((s.substring(0, at.start), num.text))
+      else None
     }
+  }
+
+  /** Trailing `offset <dur>` modifier (whitespace-preceded, like the
+    * reference grammar): Some((inner, duration)).
+    */
+  private def trailingOffset(s: String): Option[(String, String)] = {
+    val toks = lex(s)
+    if (toks.length < 2) None
+    else {
+      val kw = toks(toks.length - 2)
+      val d = toks.last
+      val durShaped = (d.kind == PromQLLexer.Dur ||
+        d.kind == PromQLLexer.Num || d.kind == PromQLLexer.Ident) &&
+        d.text.matches("[0-9a-z]+")
+      if (kw.kind == PromQLLexer.Ident && kw.text == "offset" &&
+          kw.start > 0 && s.charAt(kw.start - 1).isWhitespace && durShaped)
+        Some((s.substring(0, kw.start), d.text))
+      else None
+    }
+  }
+
+  private def parseSelector(s: String, nowUs: Long): SimplePromQL.ParsedQuery = {
+    val t = s.trim
+    trailingAt(t) match {
+      case Some((inner, ts)) =>
+        parseSelector(inner.trim, (ts.toDouble * 1e6).toLong)
+      case None => trailingOffset(t) match {
+        case Some((inner, dur)) =>
+          val shiftUs = SimplePromQL.msToUs(SimplePromQL.parseDurationMs(dur))
+          val sel = parseSelector(inner.trim, nowUs)
+          sel.copy(startUs = sel.startUs - shiftUs, endUs = sel.endUs - shiftUs)
+        case None => SimplePromQL.parse(t, nowUs)
+      }
+    }
+  }
 
   /** The binary-operator SPLIT POINT (+ - * / % ^, or the word operator
     * `atan2`) at top level — outside quotes and all bracket kinds.
@@ -478,59 +515,42 @@ object ExtendedPromQL {
     * operator tag — the symbol itself, or 'A' for atan2).
     */
   private def topLevelOp(s: String): Option[(Int, Int, Char)] = {
-    var addSub = List.empty[(Int, Int, Char)] // tier 0: + -
-    var mulDiv = List.empty[(Int, Int, Char)] // tier 1: * / % atan2
-    var pow = List.empty[(Int, Int, Char)]    // tier 2: ^
-    var par = 0; var br = 0; var brace = 0; var inStr = false
-    var prev = ' ' // previous non-space char outside strings
-    val signCtx = "+-*/%^(,"
+    val toks = lex(s)
+    var addSub: Option[(Int, Int, Char)] = None // tier 0: + - (last)
+    var mulDiv: Option[(Int, Int, Char)] = None // tier 1: * / % atan2 (last)
+    var pow: Option[(Int, Int, Char)] = None    // tier 2: ^ (FIRST: right-assoc)
+    // a +/- is a scalar SIGN, not an operator, when nothing or another
+    // operator/open-paren/comma precedes it (`x * -3`, `f(, -2)`,
+    // `x atan2 -3`); exponent signs never reach here — the lexer folds
+    // `1e-3` into one number token
+    def signContext(prev: Option[Tok]): Boolean = prev match {
+      case None => true
+      case Some(p) =>
+        (p.kind == PromQLLexer.Op && "+-*/%^".contains(p.text)) ||
+        (p.kind == PromQLLexer.Punct && (p.text == "(" || p.text == ",")) ||
+        (p.kind == PromQLLexer.Ident && p.text == "atan2" && p.depth == 0)
+    }
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) {
-        if (c == '\\') i += 1 else if (c == '"') inStr = false
-      } else if (par == 0 && br == 0 && brace == 0 && c == 'a' && i > 0 &&
-          s.startsWith("atan2", i) && !isNameChar(s.charAt(i - 1)) &&
-          (i + 5 >= s.length || !isNameChar(s.charAt(i + 5)))) {
-        mulDiv ::= ((i, 5, 'A'))
-        // the word operator puts the parser in sign context: a signed
-        // scalar may follow (`x atan2 -3`), so prev must be a signCtx
-        // char — '2' (the word's last char) would read the '-' as a
-        // binary operator and fail with a missing operand
-        prev = '*'
-        i += 4 // loop increment covers the 5th char
-      } else {
-        c match {
-          case '"' => inStr = true
-          case '(' => par += 1
-          case ')' => par -= 1
-          case '[' => br += 1
-          case ']' => br -= 1
-          case '{' => brace += 1
-          case '}' => brace -= 1
-          case '+' | '-' if par == 0 && br == 0 && brace == 0 && i > 0 &&
-              (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E') &&
-              i > 1 && (s.charAt(i - 2).isDigit || s.charAt(i - 2) == '.') =>
-            () // exponent sign inside a scientific-notation scalar (1e-3)
-          case '+' | '-' if par == 0 && br == 0 && brace == 0 &&
-              (prev == ' ' || signCtx.indexOf(prev) >= 0) =>
-            () // leading sign of the following scalar, not an operator
-          case '+' | '-' if par == 0 && br == 0 && brace == 0 =>
-            addSub ::= ((i, 1, c))
-          case '*' | '/' | '%' if par == 0 && br == 0 && brace == 0 =>
-            mulDiv ::= ((i, 1, c))
-          case '^' if par == 0 && br == 0 && brace == 0 =>
-            pow ::= ((i, 1, c))
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.depth == 0) {
+        val prev = if (i > 0) Some(toks(i - 1)) else None
+        t.kind match {
+          case PromQLLexer.Ident if t.text == "atan2" && i > 0 =>
+            mulDiv = Some((t.start, 5, 'A'))
+          case PromQLLexer.Op => t.text match {
+            case "+" | "-" if signContext(prev) => ()
+            case "+" | "-" => addSub = Some((t.start, 1, t.text.head))
+            case "*" | "/" | "%" => mulDiv = Some((t.start, 1, t.text.head))
+            case "^" => if (pow.isEmpty) pow = Some((t.start, 1, '^'))
+            case _ => ()
+          }
           case _ => ()
         }
-        if (!inStr && !c.isWhitespace) prev = c
       }
       i += 1
     }
-    // lists are built head-first, so head = LAST occurrence
-    addSub.headOption
-      .orElse(mulDiv.headOption)
-      .orElse(pow.lastOption) // right-associative: first occurrence
+    addSub.orElse(mulDiv).orElse(pow)
   }
 
   private def parseScalar(s: String): Option[Double] =
@@ -547,37 +567,10 @@ object ExtendedPromQL {
     * left side recurses (`(a > 1) < 2`). Returns (index, operator).
     */
   private def topLevelCmpOp(s: String): Option[(Int, String)] = {
-    var par = 0; var br = 0; var brace = 0; var inStr = false
-    var found: Option[(Int, String)] = None
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      val next = if (i + 1 < s.length) s.charAt(i + 1) else '\u0000'
-      if (inStr) {
-        if (c == '\\') i += 1 else if (c == '"') inStr = false
-      } else c match {
-        case '"' => inStr = true
-        case '(' => par += 1
-        case ')' => par -= 1
-        case '[' => br += 1
-        case ']' => br -= 1
-        case '{' => brace += 1
-        case '}' => brace -= 1
-        case '>' | '<' if par == 0 && br == 0 && brace == 0 =>
-          val op = if (next == '=') s"$c=" else c.toString
-          found = Some((i, op))
-          i += op.length - 1
-        case '=' if next == '=' && par == 0 && br == 0 && brace == 0 =>
-          found = Some((i, "=="))
-          i += 1
-        case '!' if next == '=' && par == 0 && br == 0 && brace == 0 =>
-          found = Some((i, "!="))
-          i += 1
-        case _ => ()
-      }
-      i += 1
-    }
-    found
+    val cmps = Set(">", ">=", "<", "<=", "==", "!=")
+    lex(s).filter(t => t.depth == 0 && t.kind == PromQLLexer.Op &&
+        cmps.contains(t.text))
+      .lastOption.map(t => (t.start, t.text))
   }
 
   /** The set-operator SPLIT POINT (`and` / `or` / `unless` as whole
@@ -590,33 +583,16 @@ object ExtendedPromQL {
     * grouping, a semantically different set). Returns (opIndex, opLength).
     */
   private def topLevelSetOp(s: String): Option[(Int, Int)] = {
-    var par = 0; var br = 0; var brace = 0; var inStr = false
     var lastOr: Option[(Int, Int)] = None
     var lastAndUnless: Option[(Int, Int)] = None
-    var i = 0
-    def wordAt(i: Int, w: String): Boolean =
-      s.regionMatches(i, w, 0, w.length) &&
-        (i == 0 || !isNameChar(s.charAt(i - 1))) &&
-        (i + w.length >= s.length || !isNameChar(s.charAt(i + w.length)))
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) {
-        if (c == '\\') i += 1 else if (c == '"') inStr = false
-      } else c match {
-        case '"' => inStr = true
-        case '(' => par += 1
-        case ')' => par -= 1
-        case '[' => br += 1
-        case ']' => br -= 1
-        case '{' => brace += 1
-        case '}' => brace -= 1
-        case _ if par == 0 && br == 0 && brace == 0 && i > 0 =>
-          if (wordAt(i, "or")) lastOr = Some((i, 2))
-          else if (wordAt(i, "and")) lastAndUnless = Some((i, 3))
-          else if (wordAt(i, "unless")) lastAndUnless = Some((i, 6))
-        case _ => ()
-      }
-      i += 1
+    lex(s).foreach { t =>
+      if (t.depth == 0 && t.kind == PromQLLexer.Ident && t.start > 0)
+        t.text match {
+          case "or" => lastOr = Some((t.start, 2))
+          case "and" => lastAndUnless = Some((t.start, 3))
+          case "unless" => lastAndUnless = Some((t.start, 6))
+          case _ => ()
+        }
     }
     lastOr.orElse(lastAndUnless)
   }
@@ -647,11 +623,26 @@ object ExtendedPromQL {
     case _ => q
   }
 
-  /** `[range:step]` at the tail of an expression — the subquery form. The
-    * greedy prefix keeps the LAST bracket group, so an inner selector
-    * range (`rate(x[5m])[1h:5m]`) splits at the subquery brackets.
+  /** `[range:step]` at the tail of an expression — the subquery form,
+    * recognized as the final five TOKENS, so an inner selector range
+    * (`rate(x[5m])[1h:5m]`) naturally splits at the LAST bracket group.
     */
-  private val SubqueryRe = """(?s)^(.*)\[([0-9a-z]+):([0-9a-z]+)\]\s*$""".r
+  private def trailingSubquery(s: String): Option[(String, String, String)] = {
+    val toks = lex(s)
+    if (toks.length < 5) None
+    else {
+      val Seq(lb, r, colon, st, rb) = toks.takeRight(5)
+      def durTok(t: Tok): Boolean =
+        (t.kind == PromQLLexer.Dur || t.kind == PromQLLexer.Num) &&
+          t.text.matches("[0-9a-z]+")
+      if (lb.kind == PromQLLexer.Punct && lb.text == "[" &&
+          colon.kind == PromQLLexer.Punct && colon.text == ":" &&
+          rb.kind == PromQLLexer.Punct && rb.text == "]" &&
+          durTok(r) && durTok(st))
+        Some((s.substring(0, lb.start), r.text, st.text))
+      else None
+    }
+  }
 
   private def validSubqueryInner(q: Query): Boolean = q match {
     case _: SelectorQ | _: OverTimeQ | _: RangeFnQ | _: QuantileOverTimeQ =>
@@ -714,8 +705,8 @@ object ExtendedPromQL {
     */
   private def parseSubquery(
       op: String, phi: Option[Double], body: String,
-      nowUs: Long): Option[Query] = body.trim match {
-    case SubqueryRe(innerStr, rangeD, stepD) =>
+      nowUs: Long): Option[Query] = trailingSubquery(body.trim) match {
+    case Some((innerStr, rangeD, stepD)) =>
       val rangeUs = SimplePromQL.msToUs(SimplePromQL.parseDurationMs(rangeD))
       val stepUs = SimplePromQL.msToUs(SimplePromQL.parseDurationMs(stepD))
       if (rangeUs <= 0 || stepUs <= 0)
@@ -1377,25 +1368,15 @@ object ExtendedPromQL {
   private def parenGroup(t: String, whole: String): (String, String) = {
     if (!t.startsWith("("))
       throw PromQLError(s"Failed to parse PromQL query at: '$t'")
-    var depth = 0
-    var i = 0
-    var inStr = false
-    while (i < t.length) {
-      val c = t.charAt(i)
-      if (inStr) {
-        if (c == '\\') i += 1
-        else if (c == '"') inStr = false
-      } else c match {
-        case '"' => inStr = true
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return (t.substring(1, i), t.substring(i + 1))
-        case _ => ()
-      }
-      i += 1
+    // the closer matching the leading opener is the first depth-0 `)`
+    lex(t).find(tok => tok.depth == 0 && tok.kind == PromQLLexer.Punct &&
+        tok.text == ")") match {
+      case Some(close) =>
+        (t.substring(1, close.start), t.substring(close.end))
+      case None =>
+        throw PromQLError(
+          "Failed to parse PromQL query: unbalanced parentheses")
     }
-    throw PromQLError("Failed to parse PromQL query: unbalanced parentheses")
   }
 
   // -------------------------------------------------------------- evaluate
@@ -2180,20 +2161,8 @@ object ExtendedPromQL {
   }
 
   /** `@` anywhere outside quoted label values? */
-  private def containsAt(s: String): Boolean = {
-    var inStr = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) {
-        if (c == '\\' && i + 1 < s.length) i += 1
-        else if (c == '"') inStr = false
-      } else if (c == '"') inStr = true
-      else if (c == '@') return true
-      i += 1
-    }
-    false
-  }
+  private def containsAt(s: String): Boolean =
+    lex(s).exists(t => t.kind == PromQLLexer.Op && t.text == "@")
 
   /** The query_range API entry: parses `query`, resolves `@ start()` /
     * `@ end()` anchors against the range bounds, and dispatches:
@@ -2225,8 +2194,8 @@ object ExtendedPromQL {
       return evalRange(q, startUs, endUs, stepUs, selectFor,
         samplesFor(startUs - shiftUs - spanUs, endUs - shiftUs))
     }
-    resolved.trim match {
-      case AtRe(inner, ts) if !containsAt(inner) =>
+    trailingAt(resolved.trim) match {
+      case Some((inner, ts)) if !containsAt(inner) =>
         val pinUs = (ts.toDouble * 1e6).toLong
         val q = parse(inner.trim, pinUs)
         rangeChecks(q, startUs, endUs, stepUs)
