@@ -2139,11 +2139,15 @@ object ExtendedPromQL {
       samples: DataFrame): DataFrame = {
     rangeChecks(q, startUs, endUs, stepUs)
     val steps = (startUs to endUs by stepUs).toList
-    val innerShiftUs = endUs - q.endUs
-    val innerSpanUs = q.endUs - q.startUs
-    perStepVector(q, steps, innerShiftUs, innerSpanUs,
-      selectFor(q.matchers), samples)
-      .select(col("sensor_id"), col("labels"), col("__t").as("t_us"),
+    // binary vector/set/dynamic-scalar expressions and subqueries route
+    // through perStepAny (each leaf one scan pass; sides joined per
+    // (matching-labels, step)) — `errors / requests` charted at every
+    // step is the dashboard ratio panel
+    val sv =
+      if (needsPerStepAny(q)) perStepAny(q, steps, endUs, selectFor, samples)
+      else perStepVector(q, steps, endUs - q.endUs, q.endUs - q.startUs,
+        selectFor(q.matchers), samples)
+    sv.select(col("sensor_id"), col("labels"), col("__t").as("t_us"),
         col("value").cast("double").as("value"))
   }
 

@@ -601,8 +601,15 @@ class GatewaySpec extends SparkSpec {
     // missing step is a 400, not a 500
     assert(get(s"/api/v1/query_range?query=$q" +
       "&start=1704067200&end=1706745600").statusCode() == 400)
-    // vector-vector operands reject cleanly
-    val bad = java.net.URLEncoder.encode("a / b", "UTF-8")
+    // vector-vector operands evaluate per step (r14: the dashboard
+    // ratio panel) — one scan pass per side
+    val ratio = java.net.URLEncoder.encode(
+      "http_requests / sum(http_requests)", "UTF-8")
+    val rresp = get(s"/api/v1/query_range?query=$ratio" +
+      "&start=1704067200&end=1704240000&step=1d")
+    assert(rresp.statusCode() == 200, rresp.body())
+    // genuinely unsupported range shapes still 400 (ranked vectors)
+    val bad = java.net.URLEncoder.encode("topk(2, http_requests)", "UTF-8")
     assert(get(s"/api/v1/query_range?query=$bad" +
       "&start=1704067200&end=1706745600&step=1d").statusCode() == 400)
   }

@@ -421,10 +421,16 @@ class PromQLComposeSpec extends SparkSpec {
     intercept[PromQLError] { // zero step
       ExtendedPromQL.evalRange(q, 0L, 3000000L, 0L, selectFor, samples)
     }
-    intercept[PromQLError] { // vector-vector operands stay rejected
-      ExtendedPromQL.evalRange(ExtendedPromQL.parse("a / b", now),
+    // vector-vector operands evaluate per step (r14): the ratio panel
+    val ratio = ExtendedPromQL
+      .evalRange(ExtendedPromQL.parse("a / b", 3000000L),
         0L, 3000000L, 1000000L, selectFor, samples)
-    }
+      .select(col("labels"), col("t_us"), col("value"))
+      .as[(Map[String, String], Long, Double)].collect().toSet
+    assert(ratio == (for {
+      (u, v) <- Seq(("1", 2.0 / 3.0), ("2", 4.0 / 9.0))
+      t <- Seq(1000000L, 2000000L, 3000000L)
+    } yield (Map("user" -> u), t, v)).toSet)
   }
 
   test("evalRangeApi: whole-expression @ pins to a constant series; " +

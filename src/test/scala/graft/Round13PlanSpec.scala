@@ -105,7 +105,7 @@ class Round13PlanSpec extends SparkSpec {
     // the id-keyed dim attach can't use the token bucketing (that is
     // fine — what matters is the scan reads the persisted aggregate,
     // not a re-tokenization of the corpus)
-    assert(plan.contains("graft_text_tf"), plan)
+    assert(plan.contains("text_tf"), plan) // the persisted artifact scan
     assert(!plan.contains("explode"), plan)
     // dim attach by id + the (group, token) rollup — both move the
     // aggregated tf rows, never the raw token stream
