@@ -268,6 +268,31 @@ object Multimodal {
       }
   }
 
+  /** REAL VIDEO frame sampler: Motion-JPEG in its standard AVI
+    * container through [[MjpegAvi]] — demux the `movi` frame chunks,
+    * decode every `every`-th one with the JDK's own JPEG codec, and
+    * re-encode as deterministic PNG (the [[GifFrameSampler]] payload
+    * policy, so downstream image dedup/feature stages consume both
+    * identically). MJPEG is intra-frame-only, so raw per-frame decode
+    * IS the full decode — no compositing policy left to a production
+    * codec. Undecodable payloads fail LOUDLY (batch contract).
+    */
+  object MjpegAviFrameSampler extends FrameSampler {
+    def sampleBatch(rows: Seq[MediaRow], every: Int): Seq[FrameRow] =
+      rows.flatMap { r =>
+        val jpegs = MjpegAvi.frames(r.media)
+        (0 until jpegs.length by every).map { f =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpegs(f)))
+          require(img != null,
+            s"media_id ${r.media_id}: frame $f is not a decodable JPEG")
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          FrameRow(r.media_id, f, bos.toByteArray)
+        }
+      }
+  }
+
   /** Distributed frame sampling: every `every`-th frame of each media row,
     * batch-iterated like [[decode]]. Output grows 1:N — partition counts
     * carry over from the input, so upstream partitioning bounds the fan-out

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.adapters.EventsAdapter
 import graft.exporters.Exporters
 import graft.operators.{AsOfJoin, LabelMatcher, Matchers, SensorOps}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, MjpegAvi, Multimodal, Similarity, TextAnalysis}
 import graft.prometheus.{PrometheusRemote, XorChunk}
 import graft.promql.SimplePromQL
 import graft.sources.{CsvImporter, InfluxLineProtocol, SenML}
@@ -163,6 +163,49 @@ private[graft] object MultimodalQueries {
           Tables.spread(s, Tables.documents(s, d)), "doc_id", "text"),
         windowSamples = 16, silencePerSample = 100L)
         .orderBy("media_id", "win")
+    },
+
+    // REAL VIDEO roundtrip (r14): per document, (n_chars % 7) + 1
+    // solid-color JPEG frames muxed into a standard MJPEG AVI on the
+    // executors, then frame-sampled every 2nd frame through the REAL
+    // lane (AVI demux + the JDK's JPEG decode + PNG re-encode). JPEG
+    // bytes are lossy/codec-specific, so the exact oracle surface is
+    // the CONTAINER arithmetic the lane must reproduce: sampled-frame
+    // count and index sum per document — rows exist only if every
+    // demuxed frame actually DECODES (the sampler fails loudly).
+    q(
+      "q379_mjpeg_frame_sample",
+      """SELECT doc_id AS media_id,
+        |  ((n_chars % 7) + 2) // 2 AS frames_sampled,
+        |  (((n_chars % 7) // 2) * (((n_chars % 7) // 2) + 1))
+        |    AS idx_sum
+        |FROM documents ORDER BY media_id"""
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val n = (nChars % 7).toInt + 1
+          val frames = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color((f * 40) % 256, 32, 64))
+            g.fillRect(0, 0, 16, 16); g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          Multimodal.MediaRow(id, MjpegAvi.encode(frames, 16, 16),
+            "video/x-msvideo", 0, 0)
+        }
+      Multimodal.frameSample(media, every = 2,
+          Multimodal.MjpegAviFrameSampler)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("frames_sampled"),
+          sum(col("frame_index")).as("idx_sum"))
+        .orderBy("media_id")
     }
   )
 }
