@@ -82,12 +82,12 @@ object ApiDoc {
         Param("time", "query", "evaluation time (RFC3339)"))),
     Route("/api/v1/query_range", "get", "Extensions",
       "PromQL-style range query: expression evaluated at every step. " +
-        "Response is x-ndjson rows (sensor_id, labels, t_us, value), " +
-        "NOT the Prometheus JSON matrix envelope — Prometheus/Grafana " +
-        "clients cannot consume it directly. start/end accept unix " +
-        "seconds only (no RFC3339). A whole-expression `@` pin " +
-        "evaluates once and replicates across steps; `@` on a " +
-        "sub-expression is rejected.",
+        "Default response is x-ndjson rows (sensor_id, labels, t_us, " +
+        "value); format=prometheus returns the Prometheus HTTP-API " +
+        "matrix envelope ({status,data:{resultType:matrix,result}}) " +
+        "that Grafana consumes. start/end accept unix seconds only " +
+        "(no RFC3339). A whole-expression `@` pin evaluates once and " +
+        "replicates across steps; `@` on a sub-expression is rejected.",
       Seq(Param("query", "query", "PromQL expression", required = true),
         Param("start", "query", "range start (unix seconds only)",
           required = true),
@@ -95,7 +95,9 @@ object ApiDoc {
           required = true),
         Param("step", "query",
           "step (float seconds like 0.5/1e3, or duration like 30s)",
-          required = true))),
+          required = true),
+        Param("format", "query",
+          "jsonl (default) | prometheus (matrix envelope)"))),
     Route("/api/v1/admin/export_bulk", "post", "Extensions",
       "Bulk export all series to a directory",
       Seq(Param("dir", "query", "output directory", required = true),

@@ -1079,9 +1079,63 @@ final class Gateway(
     // a matcher can select arbitrarily many series — stream the JSONL
     // like every other export edge instead of collecting it
     import scala.jdk.CollectionConverters._
-    val lines = result.toJSON.toLocalIterator().asScala
-    respondTextStream(x, 200, "application/x-ndjson",
-      lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
+    p.getOrElse("format", "jsonl") match {
+      case "prometheus" =>
+        // the Prometheus HTTP-API matrix envelope — what Grafana
+        // consumes: {"status":"success","data":{"resultType":"matrix",
+        // "result":[{"metric":{...},"values":[[sec,"v"],...]},...]}}.
+        // Streamed: rows arrive (series, step)-sorted and consecutive
+        // runs fold into one series object — the driver never holds
+        // more than one row.
+        val sorted = result.orderBy(col("sensor_id"), col("t_us"))
+          .select(col("sensor_id"),
+            to_json(coalesce(col("labels"),
+              map().cast("map<string,string>"))).as("metric"),
+            col("t_us"), col("value"))
+        val rows = sorted.toLocalIterator().asScala
+        def secs(tUs: Long): String =
+          java.math.BigDecimal.valueOf(tUs).movePointLeft(6)
+            .stripTrailingZeros.toPlainString
+        def num(v: Double): String =
+          if (v.isNaN) "\"NaN\""
+          else if (v.isInfinite) if (v > 0) "\"+Inf\"" else "\"-Inf\""
+          else if (v == math.rint(v) && math.abs(v) < 1e15)
+            "\"" + v.toLong.toString + "\""
+          else "\"" + v.toString + "\""
+        val body: Iterator[String] = new Iterator[String] {
+          private var cur: Option[(String, String)] = None // (id, metric)
+          private var opened = false
+          def hasNext: Boolean = rows.hasNext || opened
+          def next(): String = {
+            (if (rows.hasNext) Some(rows.next()) else None) match {
+              case Some(r) =>
+                val id = r.getString(0)
+                val sample = s"[${secs(r.getLong(2))},${num(r.getDouble(3))}]"
+                cur match {
+                  case Some((cid, _)) if cid == id => "," + sample
+                  case Some(_) =>
+                    cur = Some((id, r.getString(1)))
+                    s"]},{\"metric\":${r.getString(1)},\"values\":[" +
+                      sample
+                  case None =>
+                    cur = Some((id, r.getString(1)))
+                    opened = true
+                    s"{\"metric\":${r.getString(1)},\"values\":[" + sample
+                }
+              case None =>
+                opened = false
+                "]}"
+            }
+          }
+        }
+        respondTextStream(x, 200, "application/json",
+          Iterator("""{"status":"success","data":{"resultType":"matrix","result":[""") ++
+            body ++ Iterator("]}}"))
+      case _ =>
+        val lines = result.toJSON.toLocalIterator().asScala
+        respondTextStream(x, 200, "application/x-ndjson",
+          lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
+    }
   }
 
   /** Prometheus range-query API (`query_range` — the endpoint dashboards
@@ -1123,9 +1177,63 @@ final class Gateway(
         .select(col("uuid").as("sensor_id"), col("labels")),
       (lo, hi) => numericFloatView(Some(lo), Some(hi)))
     import scala.jdk.CollectionConverters._
-    val lines = result.toJSON.toLocalIterator().asScala
-    respondTextStream(x, 200, "application/x-ndjson",
-      lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
+    p.getOrElse("format", "jsonl") match {
+      case "prometheus" =>
+        // the Prometheus HTTP-API matrix envelope — what Grafana
+        // consumes: {"status":"success","data":{"resultType":"matrix",
+        // "result":[{"metric":{...},"values":[[sec,"v"],...]},...]}}.
+        // Streamed: rows arrive (series, step)-sorted and consecutive
+        // runs fold into one series object — the driver never holds
+        // more than one row.
+        val sorted = result.orderBy(col("sensor_id"), col("t_us"))
+          .select(col("sensor_id"),
+            to_json(coalesce(col("labels"),
+              map().cast("map<string,string>"))).as("metric"),
+            col("t_us"), col("value"))
+        val rows = sorted.toLocalIterator().asScala
+        def secs(tUs: Long): String =
+          java.math.BigDecimal.valueOf(tUs).movePointLeft(6)
+            .stripTrailingZeros.toPlainString
+        def num(v: Double): String =
+          if (v.isNaN) "\"NaN\""
+          else if (v.isInfinite) if (v > 0) "\"+Inf\"" else "\"-Inf\""
+          else if (v == math.rint(v) && math.abs(v) < 1e15)
+            "\"" + v.toLong.toString + "\""
+          else "\"" + v.toString + "\""
+        val body: Iterator[String] = new Iterator[String] {
+          private var cur: Option[(String, String)] = None // (id, metric)
+          private var opened = false
+          def hasNext: Boolean = rows.hasNext || opened
+          def next(): String = {
+            (if (rows.hasNext) Some(rows.next()) else None) match {
+              case Some(r) =>
+                val id = r.getString(0)
+                val sample = s"[${secs(r.getLong(2))},${num(r.getDouble(3))}]"
+                cur match {
+                  case Some((cid, _)) if cid == id => "," + sample
+                  case Some(_) =>
+                    cur = Some((id, r.getString(1)))
+                    s"]},{\"metric\":${r.getString(1)},\"values\":[" +
+                      sample
+                  case None =>
+                    cur = Some((id, r.getString(1)))
+                    opened = true
+                    s"{\"metric\":${r.getString(1)},\"values\":[" + sample
+                }
+              case None =>
+                opened = false
+                "]}"
+            }
+          }
+        }
+        respondTextStream(x, 200, "application/json",
+          Iterator("""{"status":"success","data":{"resultType":"matrix","result":[""") ++
+            body ++ Iterator("]}}"))
+      case _ =>
+        val lines = result.toJSON.toLocalIterator().asScala
+        respondTextStream(x, 200, "application/x-ndjson",
+          lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
+    }
   }
 
   /** SenML-typed long view: like [[longView]] but the value is routed to

@@ -612,6 +612,20 @@ class GatewaySpec extends SparkSpec {
     val bad = java.net.URLEncoder.encode("topk(2, http_requests)", "UTF-8")
     assert(get(s"/api/v1/query_range?query=$bad" +
       "&start=1704067200&end=1706745600&step=1d").statusCode() == 400)
+    // format=prometheus: the HTTP-API matrix envelope Grafana consumes,
+    // valid JSON end to end with string-rendered sample values
+    val prom = get(s"/api/v1/query_range?query=$q" +
+      "&start=1704067200&end=1704240000&step=1d&format=prometheus")
+    assert(prom.statusCode() == 200, prom.body())
+    assert(prom.headers().firstValue("content-type").orElse("")
+      .contains("application/json"))
+    val pb = prom.body()
+    assert(pb.startsWith(
+      """{"status":"success","data":{"resultType":"matrix","result":["""), pb)
+    assert(pb.endsWith("]}}"), pb.takeRight(40))
+    // the 5m default lookback catches only the sample AT the range
+    // start (sum = 1); values render as strings (Prometheus wire shape)
+    assert(pb.contains(""""values":[[1704067200,"1"]]"""), pb)
   }
 
   test("bulk export: per-series IPC files + manifest, no data on driver path") {
