@@ -156,26 +156,51 @@ object ArtifactWarehouse {
     }
   }
 
-  /** Serve a PLAIN (unbucketed) artifact: parquet on disk, read back by
-    * path on every call — first build included, so the served plan is
-    * identical whether this process built the artifact or found it.
-    * For the materialized-frame artifacts (graph edges, k-means
-    * assignments) whose consumers only need the VALUES, not a layout.
+  /** Serve a PLAIN (unbucketed) artifact: parquet on disk, registered
+    * as a catalog table — first build included, so the served plan is
+    * identical whether this process built the artifact or found it,
+    * AND repeat consumers hit the catalog's cached relation instead of
+    * paying a fresh file listing + schema inference per call (a bare
+    * `read.parquet` per query measured ~100 ms of pure metadata on a
+    * millisecond scan). For the materialized-frame artifacts (graph
+    * edges, k-means assignments) whose consumers only need the VALUES,
+    * not a layout.
     */
   def plain(
       spark: SparkSession, kind: String, fingerprint: String)(
       build: => DataFrame): DataFrame = {
     val keyHash = sha(s"$kind|$fingerprint")
+    val name = s"graft_wh_${kind}_$keyHash"
     val dir = s"$root/$kind/$keyHash"
-    val lock = locks.computeIfAbsent(s"$kind/$keyHash", _ => new Object)
+    // serving tier: Spark's OWN cache manager holds the (small,
+    // corpus-orders-smaller) artifact in memory for repeat consumers —
+    // session-scoped, LRU-evictable, owned by Spark, so no bespoke
+    // session-keyed state returns; the parquet below remains the
+    // cross-session source of truth. Lazy: the first scan populates.
+    def serve(): DataFrame = {
+      if (!spark.catalog.isCached(name)) spark.catalog.cacheTable(name)
+      spark.table(name)
+    }
+    val lock = locks.computeIfAbsent(name, _ => new Object)
     lock.synchronized {
-      if (loadManifest(dir).isEmpty) {
-        Files.createDirectories(Paths.get(dir))
-        build.write.mode("overwrite").parquet(s"$dir/data")
-        writeManifest(dir, Map(
-          "kind" -> kind, "fingerprint" -> fingerprint))
+      if (spark.catalog.tableExists(name)) serve()
+      else loadManifest(dir) match {
+        case Some(m) =>
+          spark.sql(s"CREATE TABLE $name (${m.getProperty("schema")}) " +
+            s"USING PARQUET LOCATION '$dir/data'")
+          serve()
+        case None =>
+          Files.createDirectories(Paths.get(dir))
+          val df = build
+          df.write.mode("overwrite").parquet(s"$dir/data")
+          PipelineCache.free(df)
+          writeManifest(dir, Map(
+            "kind" -> kind, "fingerprint" -> fingerprint,
+            "schema" -> df.schema.toDDL))
+          spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) " +
+            s"USING PARQUET LOCATION '$dir/data'")
+          serve()
       }
     }
-    spark.read.parquet(s"$dir/data")
   }
 }
