@@ -110,6 +110,12 @@ object ApiDoc {
       Seq(Param("bucket_us", "query", "grid step in microseconds"))),
     Route("/api/v1/admin/metrics", "get", "Extensions",
       "Prometheus-exposition gateway + Spark scheduler metrics"),
+    Route("/api/v1/admin/warehouse_gc", "post", "Extensions",
+      "Age-based artifact-warehouse GC: removes artifact directories " +
+        "older than max_age_hours (default 168). Run with an age far " +
+        "longer than any live session.",
+      Seq(Param("max_age_hours", "query",
+        "age threshold in hours (default 168)"))),
     Route("/docs", "get", "SensApp", "This OpenAPI document"))
 
   /** Paths covered by the document (for the Gateway's self-check). */

@@ -155,6 +155,17 @@ final class Gateway(
     route("/api/v1/admin/vacuum", handleVacuum)
     route("/api/v1/admin/metrics", (x, _) =>
       respond(x, 200, "text/plain; version=0.0.4", metricsExposition()))
+    route("/api/v1/admin/warehouse_gc", (x, p) => {
+      // age-based artifact-warehouse GC; default one week — far longer
+      // than any session, per the ArtifactWarehouse.gc contract
+      val hours = p.get("max_age_hours").map(_.toDouble).getOrElse(168.0)
+      if (hours < 0)
+        throw new IllegalArgumentException(
+          s"max_age_hours must be non-negative: $hours")
+      val removed = graft.pipeline.ArtifactWarehouse.gc(
+        (hours * 3600 * 1000).toLong)
+      respond(x, 200, "application/json", s"""{"removed":$removed}""")
+    })
     route("/api/v1/admin/export_bulk", handleExportBulk)
     route("/api/v1/admin/resample", handleResample)
     route("/api/v1/admin/resample_stream", handleResampleStream)

@@ -22,7 +22,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * from the corpus's input files (path + size + mtime) plus the
   * operator parameters — a changed corpus or parameter set hashes to a
   * new directory, so stale artifacts are never served (old directories
-  * are garbage, GC'd by age in a deployment).
+  * are garbage — [[gc]] removes them by age; the gateway exposes it
+  * at `/api/v1/admin/warehouse_gc`).
   *
   * Cross-session reuse: bucket metadata lives in the session catalog,
   * not in parquet, so a bare `read.parquet` would forfeit the
@@ -109,6 +110,33 @@ object ArtifactWarehouse {
     try props.store(out, null) finally out.close()
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Age-based garbage collection: delete artifact directories whose
+    * manifest (or, for manifest-less ABANDONED builds, the directory
+    * itself) is older than `maxAgeMs`. Returns the number of artifact
+    * directories removed. Deployment contract: run with an age far
+    * longer than any live session — a reader registered against a
+    * GC'd artifact would fault on its next scan (the same contract as
+    * any external-table DROP), and the next request simply rebuilds.
+    */
+  def gc(maxAgeMs: Long): Int = {
+    require(maxAgeMs >= 0, "maxAgeMs must be non-negative")
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val rootDir = new java.io.File(root)
+    val kinds = Option(rootDir.listFiles()).toSeq.flatten.filter(_.isDirectory)
+    var removed = 0
+    for (kind <- kinds; art <- Option(kind.listFiles()).toSeq.flatten
+           if art.isDirectory) {
+      val manifest = new java.io.File(art, "manifest.properties")
+      val stamp =
+        if (manifest.exists()) manifest.lastModified() else art.lastModified()
+      if (stamp < cutoff) {
+        graft.TempDirs.deleteRecursively(art)
+        removed += 1
+      }
+    }
+    removed
   }
 
   /** Serve a BUCKETED artifact table: on a disk miss, run `build`,

@@ -103,6 +103,39 @@ class ArtifactWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("gc removes artifacts older than the age and keeps younger " +
+      "ones; abandoned (manifest-less) builds age out too") {
+    withWarehouse { wh =>
+      val key = s"$sf|whspecgc"
+      val docs = Tables.documents(spark, sf)
+      DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.4, key)
+      DedupArtifacts.symEdgeTable(docs, "doc_id", "text", 3, 0.5, key)
+      val hashes = new java.io.File(s"$wh/dedup_sym").listFiles().sorted
+      assert(hashes.length == 2)
+      // age ONE artifact past the cutoff; the other stays young
+      val old = hashes.head
+      val manifest = new java.io.File(old, "manifest.properties")
+      assert(manifest.setLastModified(
+        System.currentTimeMillis() - 10 * 3600 * 1000))
+      // an abandoned dir (no manifest) older than the age goes too
+      val abandoned = new java.io.File(s"$wh/dedup_sym/deadbeef")
+      new java.io.File(abandoned, "data").mkdirs()
+      assert(abandoned.setLastModified(
+        System.currentTimeMillis() - 10 * 3600 * 1000))
+      val removed = ArtifactWarehouse.gc(3600 * 1000L)
+      assert(removed == 2, s"removed $removed")
+      assert(!old.exists() && !abandoned.exists())
+      assert(hashes.last.exists(), "young artifact must survive")
+      // the next request simply rebuilds the GC'd artifact
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_wh_dedup_sym_"))
+        .foreach(n => spark.sql(s"DROP TABLE $n"))
+      assert(DedupArtifacts.symEdgeTable(
+        Tables.documents(spark.newSession(), sf),
+        "doc_id", "text", 3, 0.4, key).count() > 0)
+    }
+  }
+
   test("an abandoned build (data without manifest) is rebuilt, not served") {
     withWarehouse { wh =>
       val key = s"$sf|whspec4"

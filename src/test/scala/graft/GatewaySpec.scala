@@ -840,6 +840,27 @@ class GatewaySpec extends SparkSpec {
     }
   }
 
+  test("warehouse GC endpoint removes aged artifacts and reports the " +
+      "count; negative age is a 400") {
+    val wh = TempDirs.createPath("graft_gw_whgc")
+    sys.props("graft.warehouse.dir") = wh
+    try {
+      graft.pipeline.DedupArtifacts.symEdgeTable(
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        "doc_id", "text", 3, 0.4, "gwgc")
+      val hash = new java.io.File(s"$wh/dedup_sym").listFiles().head
+      assert(new java.io.File(hash, "manifest.properties").setLastModified(
+        System.currentTimeMillis() - 10 * 3600 * 1000))
+      val r = post("/api/v1/admin/warehouse_gc?max_age_hours=1",
+        Array.emptyByteArray, Map.empty)
+      assert(r.statusCode() == 200)
+      assert(new String(r.body(), "UTF-8") == """{"removed":1}""")
+      assert(!hash.exists())
+      assert(post("/api/v1/admin/warehouse_gc?max_age_hours=-1",
+        Array.emptyByteArray, Map.empty).statusCode() == 400)
+    } finally sys.props.remove("graft.warehouse.dir")
+  }
+
   test("adversarial regex on the public query path answers fast, not " +
       "exponentially (ReDoS gate)") {
     // the attack the reference is immune to by construction (linear-time
