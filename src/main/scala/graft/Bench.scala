@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   * JIT-warmup exclusion is standard practice, e.g. JMH). Medians rather
   * than single samples: past rounds showed single warm samples swinging
   * >3x on untouched queries under host load, which a median of three
-  * absorbs. `queries`/`value` report the medians; the cold run and the
-  * raw warm samples are published on EARLIER lines (`cold_queries`,
-  * `warm_samples`) for transparency — the driver parses only the final
-  * line, so the verbose lines are safely truncated first.
+  * absorbs. The FINAL line carries totals/counts only (it must fit the
+  * driver's ~1900-char tail capture and parse as JSON); the per-query
+  * medians, cold run, and raw warm samples ride EARLIER lines
+  * (`warm_medians`, `cold_queries`, `warm_samples`) and the complete
+  * breakdown lands in bench_full.json / bench_full_r{N}.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
