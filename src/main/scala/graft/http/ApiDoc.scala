@@ -77,9 +77,13 @@ object ApiDoc {
     Route("/health/ready", "get", "Health", "Readiness probe"),
     // ------- beyond-reference extensions
     Route("/api/v1/query_extended", "get", "Extensions",
-      "Extended PromQL query surface",
+      "Extended PromQL query surface. Default response is x-ndjson; " +
+        "format=prometheus returns the Prometheus HTTP-API instant " +
+        "VECTOR envelope ({status,data:{resultType:vector,result}}).",
       Seq(Param("query", "query", "PromQL expression", required = true),
-        Param("time", "query", "evaluation time (RFC3339)"))),
+        Param("time", "query", "evaluation time (RFC3339)"),
+        Param("format", "query",
+          "jsonl (default) | prometheus (vector envelope)"))),
     Route("/api/v1/query_range", "get", "Extensions",
       "PromQL-style range query: expression evaluated at every step. " +
         "Default response is x-ndjson rows (sensor_id, labels, t_us, " +

@@ -1092,55 +1092,30 @@ final class Gateway(
     import scala.jdk.CollectionConverters._
     p.getOrElse("format", "jsonl") match {
       case "prometheus" =>
-        // the Prometheus HTTP-API matrix envelope — what Grafana
-        // consumes: {"status":"success","data":{"resultType":"matrix",
-        // "result":[{"metric":{...},"values":[[sec,"v"],...]},...]}}.
-        // Streamed: rows arrive (series, step)-sorted and consecutive
-        // runs fold into one series object — the driver never holds
-        // more than one row.
-        val sorted = result.orderBy(col("sensor_id"), col("t_us"))
-          .select(col("sensor_id"),
-            to_json(coalesce(col("labels"),
+        // the Prometheus HTTP-API instant-query VECTOR envelope:
+        // {"status":"success","data":{"resultType":"vector","result":
+        // [{"metric":{...},"value":[sec,"v"]},...]}} — one sample per
+        // series at the evaluation time. Streamed row by row;
+        // aggregation shapes surface their group labels as the metric.
+        val labelsCol =
+          if (result.columns.contains("labels")) col("labels")
+          else if (result.columns.contains("group_labels"))
+            col("group_labels")
+          else map().cast("map<string,string>") // scalar shapes: {} metric
+        val vec = result
+          .select(to_json(coalesce(labelsCol,
               map().cast("map<string,string>"))).as("metric"),
-            col("t_us"), col("value"))
-        val rows = sorted.toLocalIterator().asScala
-        def secs(tUs: Long): String =
-          java.math.BigDecimal.valueOf(tUs).movePointLeft(6)
-            .stripTrailingZeros.toPlainString
-        def num(v: Double): String =
-          if (v.isNaN) "\"NaN\""
-          else if (v.isInfinite) if (v > 0) "\"+Inf\"" else "\"-Inf\""
-          else if (v == math.rint(v) && math.abs(v) < 1e15)
-            "\"" + v.toLong.toString + "\""
-          else "\"" + v.toString + "\""
-        val body: Iterator[String] = new Iterator[String] {
-          private var cur: Option[(String, String)] = None // (id, metric)
-          private var opened = false
-          def hasNext: Boolean = rows.hasNext || opened
-          def next(): String = {
-            (if (rows.hasNext) Some(rows.next()) else None) match {
-              case Some(r) =>
-                val id = r.getString(0)
-                val sample = s"[${secs(r.getLong(2))},${num(r.getDouble(3))}]"
-                cur match {
-                  case Some((cid, _)) if cid == id => "," + sample
-                  case Some(_) =>
-                    cur = Some((id, r.getString(1)))
-                    s"]},{\"metric\":${r.getString(1)},\"values\":[" +
-                      sample
-                  case None =>
-                    cur = Some((id, r.getString(1)))
-                    opened = true
-                    s"{\"metric\":${r.getString(1)},\"values\":[" + sample
-                }
-              case None =>
-                opened = false
-                "]}"
-            }
-          }
+            col("value").cast("double").as("value"))
+          .orderBy("metric")
+        val rows = vec.toLocalIterator().asScala
+        val ts = promSecs(nowUs)
+        val body = rows.zipWithIndex.map { case (r, i) =>
+          (if (i == 0) "" else ",") +
+            s"""{"metric":${r.getString(0)},"value":[$ts,${promNum(
+              r.getDouble(1))}]}"""
         }
         respondTextStream(x, 200, "application/json",
-          Iterator("""{"status":"success","data":{"resultType":"matrix","result":[""") ++
+          Iterator("""{"status":"success","data":{"resultType":"vector","result":[""") ++
             body ++ Iterator("]}}"))
       case _ =>
         val lines = result.toJSON.toLocalIterator().asScala
@@ -1202,15 +1177,6 @@ final class Gateway(
               map().cast("map<string,string>"))).as("metric"),
             col("t_us"), col("value"))
         val rows = sorted.toLocalIterator().asScala
-        def secs(tUs: Long): String =
-          java.math.BigDecimal.valueOf(tUs).movePointLeft(6)
-            .stripTrailingZeros.toPlainString
-        def num(v: Double): String =
-          if (v.isNaN) "\"NaN\""
-          else if (v.isInfinite) if (v > 0) "\"+Inf\"" else "\"-Inf\""
-          else if (v == math.rint(v) && math.abs(v) < 1e15)
-            "\"" + v.toLong.toString + "\""
-          else "\"" + v.toString + "\""
         val body: Iterator[String] = new Iterator[String] {
           private var cur: Option[(String, String)] = None // (id, metric)
           private var opened = false
@@ -1219,7 +1185,7 @@ final class Gateway(
             (if (rows.hasNext) Some(rows.next()) else None) match {
               case Some(r) =>
                 val id = r.getString(0)
-                val sample = s"[${secs(r.getLong(2))},${num(r.getDouble(3))}]"
+                val sample = s"[${promSecs(r.getLong(2))},${promNum(r.getDouble(3))}]"
                 cur match {
                   case Some((cid, _)) if cid == id => "," + sample
                   case Some(_) =>
@@ -1246,6 +1212,19 @@ final class Gateway(
           lines.map(_ + "\n"), errorMarker = JsonlErrorMarker)
     }
   }
+
+  /** Prometheus wire formatting: seconds with exact µs fraction, and
+    * sample values as strings (the HTTP-API shape).
+    */
+  private def promSecs(tUs: Long): String =
+    java.math.BigDecimal.valueOf(tUs).movePointLeft(6)
+      .stripTrailingZeros.toPlainString
+  private def promNum(v: Double): String =
+    if (v.isNaN) "\"NaN\""
+    else if (v.isInfinite) { if (v > 0) "\"+Inf\"" else "\"-Inf\"" }
+    else if (v == math.rint(v) && math.abs(v) < 1e15)
+      "\"" + v.toLong.toString + "\""
+    else "\"" + v.toString + "\""
 
   /** SenML-typed long view: like [[longView]] but the value is routed to
     * its SenML field (`v` numeric, `vb` boolean, `vd` base64 blob, `vs`

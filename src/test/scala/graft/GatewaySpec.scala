@@ -564,6 +564,18 @@ class GatewaySpec extends SparkSpec {
     assert(get("/api/v1/query_extended?query=" + java.net.URLEncoder.encode(
       "max_over_time(sum(rate(http_requests[1d]))[31d:1d])", "UTF-8"))
       .statusCode() == 200)
+    // format=prometheus: the instant-query VECTOR envelope — evaluated
+    // at time=1704067260, the series' latest sample is 2.0 and sum(...)
+    // groups to the empty metric
+    val vec = get("/api/v1/query_extended?query=" +
+      java.net.URLEncoder.encode("sum(http_requests)", "UTF-8") +
+      "&time=1704067260&format=prometheus")
+    assert(vec.statusCode() == 200, vec.body())
+    assert(vec.body().startsWith(
+      """{"status":"success","data":{"resultType":"vector","result":["""),
+      vec.body())
+    assert(vec.body().contains(""""value":[1704067260,"2"]"""), vec.body())
+    assert(vec.body().endsWith("]}}"), vec.body().takeRight(30))
   }
 
   test("query_range: per-step JSONL rows over the fixture month") {
