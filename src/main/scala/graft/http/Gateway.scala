@@ -159,9 +159,11 @@ final class Gateway(
       // age-based artifact-warehouse GC; default one week — far longer
       // than any session, per the ArtifactWarehouse.gc contract
       val hours = p.get("max_age_hours").map(_.toDouble).getOrElse(168.0)
-      if (hours < 0)
+      // `!(hours >= 0)` also rejects NaN, which `hours < 0` lets through —
+      // and (NaN*3600*1000).toLong is 0, i.e. gc(0) deleting EVERY artifact.
+      if (!(hours >= 0) || hours.isInfinite)
         throw new IllegalArgumentException(
-          s"max_age_hours must be non-negative: $hours")
+          s"max_age_hours must be a finite non-negative number: $hours")
       val removed = graft.pipeline.ArtifactWarehouse.gc(
         (hours * 3600 * 1000).toLong)
       respond(x, 200, "application/json", s"""{"removed":$removed}""")

@@ -180,6 +180,9 @@ object ImaAdpcm {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val len = rd32(bytes, off + 4)
+      // A negative 32-bit length (corrupt/crafted payload) would make the
+      // offset advance non-positive and spin the walk forever — fail loudly.
+      require(len >= 0, s"corrupt RIFF chunk '$id': negative length $len")
       id match {
         case "fmt " =>
           val tag = rd16(bytes, off + 8)

@@ -125,6 +125,9 @@ object MjpegAvi {
     while (off + 8 <= avi.length) {
       val id = tag(avi, off)
       val len = rd32(avi, off + 4)
+      // A negative 32-bit length (corrupt/crafted payload) would make the
+      // offset advance non-positive and spin the walk forever — fail loudly.
+      require(len >= 0, s"corrupt RIFF chunk '$id': negative length $len")
       if (id == "LIST" && off + 12 <= avi.length &&
           tag(avi, off + 8) == "movi") {
         var p = off + 12
@@ -132,6 +135,8 @@ object MjpegAvi {
         while (p + 8 <= end) {
           val cid = tag(avi, p)
           val clen = rd32(avi, p + 4)
+          require(clen >= 0,
+            s"corrupt movi chunk '$cid': negative length $clen")
           if (cid.length == 4 && (cid.endsWith("dc") || cid.endsWith("db")) &&
               p + 8 + clen <= end)
             out += java.util.Arrays.copyOfRange(avi, p + 8, p + 8 + clen)

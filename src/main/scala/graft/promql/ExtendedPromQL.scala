@@ -2205,9 +2205,11 @@ object ExtendedPromQL {
         rangeChecks(q, startUs, endUs, stepUs)
         val samples = samplesFor(q.startUs, q.endUs)
         // one evaluation at the pinned instant (a single-step grid at
-        // the pinned window's end, zero shift)...
-        val once = perStepVector(q, List(q.endUs), 0L,
-          q.endUs - q.startUs, selectFor(q.matchers), samples)
+        // the pinned window's end, zero shift) — through perStepAny, so
+        // every shape rangeChecks admits (binary-vector operands, nested
+        // subqueries, dynamic scalars) pins too, not just the
+        // single-selection subtrees perStepVector can one-scan
+        val once = perStepAny(q, List(pinUs), pinUs, selectFor, samples)
           .select(col("sensor_id"), col("labels"),
             col("value").cast("double").as("value"))
         // ...replicated across the step grid (tiny grid broadcasts)

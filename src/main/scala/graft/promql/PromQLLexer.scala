@@ -94,7 +94,10 @@ object PromQLLexer {
             out += Tok(Punct, c.toString, i, i + 1, depth)
             depth += 1; i += 1
           case ')' | ']' | '}' =>
-            depth -= 1
+            // clamp at 0: a stray closing bracket must not drive depth
+            // negative, or every later genuinely-top-level token would
+            // carry depth -1 and the top-level splitters would skip it
+            depth = math.max(0, depth - 1)
             out += Tok(Punct, c.toString, i, i + 1, depth)
             i += 1
           case ',' | ':' =>

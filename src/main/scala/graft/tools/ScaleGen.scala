@@ -31,6 +31,10 @@ object ScaleGen {
     x ^ (x >>> 31)
   }
   private def h(id: Long, field: Long): Long = mix(mix(id) ^ field)
+  // floorMod, not .abs % — the truncated Int can be Int.MinValue, whose
+  // .abs stays negative and would yield a negative array index (~1% odds
+  // per 5e7 draws at mult=10)
+  private def idx(v: Long, k: Int): Int = Math.floorMod((v >>> 8).toInt, k)
   private def u01(id: Long, field: Long): Double =
     (h(id, field) >>> 11).toDouble / (1L << 53).toDouble
 
@@ -52,9 +56,9 @@ object ScaleGen {
       math.cbrt(27500.0 * mult) / Vocab.length).toInt)
     val n = 40 + (h(id, 1) % 21).toInt.abs // 40..60 words
     Array.tabulate(n) { i =>
-      val base = Vocab((h(id, 100 + i) >>> 8).toInt.abs % Vocab.length)
+      val base = Vocab(idx(h(id, 100 + i), Vocab.length))
       if (suffixes == 1) base
-      else base + ((h(id, 1000 + i) >>> 8).toInt.abs % suffixes)
+      else base + (idx(h(id, 1000 + i), suffixes))
     }
   }
 
@@ -78,11 +82,11 @@ object ScaleGen {
     spark.range(nDocs).map { id =>
       val isDup = id > 0 && u01(id, 2) < 0.02
       val words = docWords(if (isDup) id - 1 else id, mult)
-      if (isDup) words((h(id, 3) >>> 8).toInt.abs % words.length) = "dupmark"
+      if (isDup) words(idx(h(id, 3), words.length)) = "dupmark"
       val text = words.mkString(" ")
       val langs = Array("en", "en", "en", "de", "fr", "zh", "es")
-      val lang = langs((h(id, 4) >>> 8).toInt.abs % 7)
-      val source = s"src${(h(id, 5) >>> 8).toInt.abs % 20}"
+      val lang = langs(idx(h(id, 4), 7))
+      val source = s"src${idx(h(id, 5), 20)}"
       (id, text, lang, source, text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -90,7 +94,7 @@ object ScaleGen {
     // embeddings: 64-dim, 10 label clusters (centroid + noise) — the
     // geometry the ANN/k-means families expect
     spark.range(nEmb).map { id =>
-      val label = (h(id, 6) >>> 8).toInt.abs % 10
+      val label = idx(h(id, 6), 10)
       val emb = Array.tabulate(64) { d =>
         val centroid = ((h(label.toLong, 200 + d) % 1000) / 500.0).toFloat
         val noise = ((u01(id, 300 + d) - 0.5) * 0.6).toFloat
@@ -109,7 +113,7 @@ object ScaleGen {
         (baseUs + (u01(id, 7) * spanUs).toLong) / 1000)
       val user = (h(id, 8) >>> 8) % nUsers
       val types = Array("view", "click", "purchase", "signup", "error")
-      val et = types((h(id, 9) >>> 8).toInt.abs % 5)
+      val et = types(idx(h(id, 9), 5))
       val value = math.rint(u01(id, 10) * 10000) / 100.0
       (id, ts, user, et, value, s"""{"k":${(h(id, 11) >>> 8) % 100}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -126,8 +130,8 @@ object ScaleGen {
       (id / 4, 1 + (h(id, 17) >>> 8) % (20000L * mult),
         1 + (h(id, 18) >>> 8) % (1000L * mult), (id % 4).toInt + 1,
         qty, price, disc, tax,
-        Seq("A", "N", "R")((h(id, 19) >>> 8).toInt.abs % 3),
-        Seq("O", "F")((h(id, 20) >>> 8).toInt.abs % 2), ship)
+        Seq("A", "N", "R")(idx(h(id, 19), 3)),
+        Seq("O", "F")(idx(h(id, 20), 2)), ship)
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")

@@ -84,6 +84,12 @@ class AdpcmSpec extends AnyFunSuite {
     }
     val e2 = intercept[IllegalArgumentException](ImaAdpcm.decodeWavMono(pcm))
     assert(e2.getMessage.contains("not IMA ADPCM"))
+    // a corrupt negative chunk length fails loudly instead of spinning
+    // the RIFF walk forever (r15): poison the fmt chunk's length
+    val bad = wav.clone()
+    bad(16) = -8; bad(17) = -1; bad(18) = -1; bad(19) = -1
+    val e3 = intercept[IllegalArgumentException](ImaAdpcm.decodeWavMono(bad))
+    assert(e3.getMessage.contains("negative length"))
   }
 
   test("bit determinism: fixed input encodes to pinned bytes") {

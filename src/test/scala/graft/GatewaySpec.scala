@@ -870,6 +870,12 @@ class GatewaySpec extends SparkSpec {
       assert(!hash.exists())
       assert(post("/api/v1/admin/warehouse_gc?max_age_hours=-1",
         Array.emptyByteArray, Map.empty).statusCode() == 400)
+      // NaN slips past a bare `< 0` guard (NaN comparisons are false)
+      // and (NaN*3600*1000).toLong is 0 — i.e. gc(0), deleting EVERY
+      // artifact including live ones. Must 400, as must Infinity. (r15)
+      for (bad <- Seq("NaN", "Infinity", "-Infinity"))
+        assert(post(s"/api/v1/admin/warehouse_gc?max_age_hours=$bad",
+          Array.emptyByteArray, Map.empty).statusCode() == 400, bad)
     } finally sys.props.remove("graft.warehouse.dir")
   }
 

@@ -48,6 +48,25 @@ class MjpegAviSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MjpegAvi.encode(Nil, 8, 8))
   }
 
+  test("corrupt negative chunk lengths fail loudly instead of spinning " +
+      "the walker (r15)") {
+    val avi = MjpegAvi.encode(Seq(jpegFrame(0)), 32, 24)
+    // outer walk: first chunk after the RIFF header is LIST hdrl at
+    // offset 12 — poison its 32-bit length to -8 (top bit set)
+    val outer = avi.clone()
+    outer(16) = -8; outer(17) = -1; outer(18) = -1; outer(19) = -1
+    val e1 = intercept[IllegalArgumentException](MjpegAvi.frames(outer))
+    assert(e1.getMessage.contains("negative length"))
+    // inner movi walk: poison the first 00dc chunk's length
+    val inner = avi.clone()
+    val moviAt = (12 until avi.length - 12).find(i =>
+      new String(avi, i, 4, "US-ASCII") == "movi").get
+    inner(moviAt + 8) = -8; inner(moviAt + 9) = -1
+    inner(moviAt + 10) = -1; inner(moviAt + 11) = -1
+    val e2 = intercept[IllegalArgumentException](MjpegAvi.frames(inner))
+    assert(e2.getMessage.contains("negative length"))
+  }
+
   test("frame sampler decodes every Nth frame via the real JPEG codec " +
       "and re-encodes as PNG") {
     val frames = (0 until 10).map(jpegFrame(_))

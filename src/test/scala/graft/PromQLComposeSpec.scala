@@ -480,6 +480,34 @@ class PromQLComposeSpec extends SparkSpec {
     assert(plain == Set(1000000L, 2000000L, 3000000L))
   }
 
+  test("evalRangeApi: whole-expression @ pins composite shapes too " +
+      "(binary-vector operands, nested subqueries) — r15") {
+    import spark.implicits._
+    val (selectFor, samples) = fixture(userValues)
+    val samplesFor = (lo: Long, hi: Long) =>
+      samples.filter(col("timestamp_us").between(lo, hi))
+    // `(sum(a)/sum(b)) @ 3`: rangeChecks admits the binary-vector shape
+    // since r14, so the pinned path must evaluate it (through
+    // perStepAny), not die with 'Unsupported subquery inner expression'
+    val ratio = ExtendedPromQL
+      .evalRangeApi("(sum(a)/sum(b)) @ 3", 0L, 3000000L, 1000000L,
+        selectFor, samplesFor)
+      .select(col("t_us"), col("value")).as[(Long, Double)].collect().toSet
+    assert(ratio == Set(0L, 1000000L, 2000000L, 3000000L)
+      .map(t => (t, 14.0 / 12.0)))
+    // pinned subquery: inner grid ends at the PIN, every output step
+    // replicates the one evaluation
+    val sq = ExtendedPromQL
+      .evalRangeApi("max_over_time(a[2s:1s]) @ 3", 0L, 3000000L, 1000000L,
+        selectFor, samplesFor)
+      .select(col("sensor_id"), col("t_us"), col("value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(sq == (for {
+      (u, v) <- Seq(("1", 2.0), ("2", 4.0), ("3", 8.0))
+      t <- Seq(0L, 1000000L, 2000000L, 3000000L)
+    } yield (s"a $u", t, v)).toSet)
+  }
+
   // --------------------------------------- randomized differential: sets
 
   /** Reference evaluator for set-operator chains over user→value maps,

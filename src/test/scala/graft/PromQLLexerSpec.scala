@@ -76,4 +76,14 @@ class PromQLLexerSpec extends AnyFunSuite {
     val s = """ sum( x{l="v"} ) by (k) """
     lex(s).foreach(t => assert(s.substring(t.start, t.end) == t.text, t))
   }
+
+  test("depth clamps at 0 after stray closers — top-level tokens after " +
+      "an unbalanced ')' still read as top-level (r15)") {
+    val toks = lex(") a or b")
+    assert(toks.forall(_.depth >= 0))
+    val or = toks.find(t => t.kind == Ident && t.text == "or").get
+    assert(or.depth == 0)
+    // balanced input unchanged by the clamp
+    assert(lex("sum(a) or b").find(_.text == "or").get.depth == 0)
+  }
 }
