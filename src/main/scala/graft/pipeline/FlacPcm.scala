@@ -67,14 +67,14 @@ object FlacPcm {
     c
   }
 
-  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+  private[pipeline] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
     var c = 0
     var i = from
     while (i < until) { c = Crc8Table((c ^ b(i)) & 0xff); i += 1 }
     c
   }
 
-  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+  private[pipeline] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
     var c = 0
     var i = from
     while (i < until) {
@@ -87,7 +87,7 @@ object FlacPcm {
   // ------------------------------------------------------ bit plumbing
 
   /** MSB-first bit packer (FLAC is big-endian at the bit level). */
-  private final class BitWriter {
+  private[pipeline] final class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream()
     private var acc = 0L
     private var nacc = 0
@@ -112,7 +112,7 @@ object FlacPcm {
   }
 
   /** MSB-first bit reader; throws on overrun (truncated stream). */
-  private final class BitReader(bytes: Array[Byte], startByte: Int) {
+  private[pipeline] final class BitReader(bytes: Array[Byte], startByte: Int) {
     var pos: Int = startByte // byte position
     private var bit = 0 // bits consumed of bytes(pos)
     def readBits(n: Int): Long = {
@@ -144,7 +144,7 @@ object FlacPcm {
 
   // ----------------------------------------------- extended UTF-8 number
 
-  private def writeUtf8Number(bw: BitWriter, v: Long): Unit = {
+  private[pipeline] def writeUtf8Number(bw: BitWriter, v: Long): Unit = {
     require(v >= 0 && v < (1L << 36), s"coded number out of range: $v")
     if (v < 0x80) bw.writeBits(v, 8)
     else {
@@ -506,9 +506,15 @@ object FlacPcm {
 
   // ------------------------------------------------------------- decoder
 
-  /** Decoded stream: per-channel sample planes. */
+  /** Decoded stream: per-channel sample planes. `subframeTypes` lists
+    * the raw 6-bit subframe type of every decoded subframe in stream
+    * order (0 constant, 1 verbatim, 8+o fixed order o, 31+o LPC order
+    * o) — a decode diagnostic the spec pins to prove which predictor
+    * paths a stream actually exercised.
+    */
   final case class Stream(
-      rate: Int, channels: Int, bps: Int, samples: Array[Array[Int]])
+      rate: Int, channels: Int, bps: Int, samples: Array[Array[Int]],
+      subframeTypes: Seq[Int])
 
   /** Decode a FLAC stream (the general format: fixed/LPC subframes,
     * both Rice methods, partitioned residuals, stereo decorrelation,
@@ -554,17 +560,19 @@ object FlacPcm {
     require(rate > 0, s"FLAC: invalid sample rate $rate")
     require(bps >= 4 && bps <= 32, s"FLAC: unsupported bits/sample $bps")
 
-    val chans = Array.fill(channels)(Array.newBuilder[Int])
+    val chans: Array[scala.collection.mutable.Builder[Int, Array[Int]]] =
+      Array.fill(channels)(Array.newBuilder[Int])
     var decoded = 0L
+    val stypes = Vector.newBuilder[Int]
     while (br.pos < bytes.length) {
-      decoded += decodeFrame(bytes, br, rate, channels, bps, chans)
+      decoded += decodeFrame(bytes, br, rate, channels, bps, chans, stypes)
     }
     if (total > 0)
       require(decoded == total,
         s"FLAC: decoded $decoded samples, STREAMINFO declares $total")
     val planes = chans.map(_.result())
     if (md5 != null && md5.exists(_ != 0)) verifyMd5(planes, bps, md5)
-    Stream(rate, channels, bps, planes)
+    Stream(rate, channels, bps, planes, stypes.result())
   }
 
   private def verifyMd5(
@@ -596,7 +604,8 @@ object FlacPcm {
   private def decodeFrame(
       bytes: Array[Byte], br: BitReader, siRate: Int, siChannels: Int,
       siBps: Int, out: Array[scala.collection.mutable.Builder[Int,
-        Array[Int]]]): Int = {
+        Array[Int]]],
+      stypes: scala.collection.mutable.Builder[Int, Vector[Int]]): Int = {
     require(br.atByteBoundary)
     val headStart = br.pos
     val sync = br.readBits(14)
@@ -658,7 +667,7 @@ object FlacPcm {
         case 10 => if (c == 1) 1 else 0 // mid/side
         case _ => 0
       }
-      planes(c) = decodeSubframe(br, blockSize, bps + extra)
+      planes(c) = decodeSubframe(br, blockSize, bps + extra, stypes)
       c += 1
     }
     // undo stereo decorrelation
@@ -692,10 +701,13 @@ object FlacPcm {
   }
 
   private def decodeSubframe(
-      br: BitReader, n: Int, bps: Int): Array[Int] = {
+      br: BitReader, n: Int, bps: Int,
+      stypes: scala.collection.mutable.Builder[Int, Vector[Int]])
+      : Array[Int] = {
     require(bps <= 32, s"FLAC: unsupported subframe width $bps")
     require(br.readBits(1) == 0L, "FLAC: reserved subframe-header bit set")
     val stype = br.readBits(6).toInt
+    stypes += stype
     val wasted =
       if (br.readBits(1) == 1L) br.readUnary().toInt + 1 else 0
     require(wasted < bps, s"FLAC: wasted bits $wasted >= width $bps")

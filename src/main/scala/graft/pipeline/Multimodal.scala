@@ -444,6 +444,19 @@ object Multimodal {
     }
   }
 
+  /** REAL LOSSLESS-compressed audio decoder for the SPI seam: FLAC
+    * through [[FlacPcm]] (fixed/LPC prediction + Rice residuals — the
+    * format speech corpora like LibriSpeech ship in). Same feature
+    * fold, and since FLAC is lossless a FLAC copy of a PCM sound
+    * features EXACTLY equal (not merely adjacent like ADPCM).
+    */
+  object FlacAudioDecoder extends Decoder {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val (rate, samples) = FlacPcm.decodeMono(r.media)
+      audioFeatures(r.media_id, r.media.length.toLong, rate, samples)
+    }
+  }
+
   /** Deterministic WAV synthesis from text — the fixture generator
     * feeding [[wavEnergy]]'s REAL decode in the oracled roundtrip gate
     * (q371): one 16-bit mono PCM sample per printable-ASCII character,
@@ -482,6 +495,29 @@ object Multimodal {
       }
   }
 
+  /** [[textToWav]]'s FLAC twin: the same deterministic amplitude
+    * formula (codepoint − 79), compressed through the real [[FlacPcm]]
+    * encoder on the executors. Feeds the q380 gate: the oracle replays
+    * the amplitude formula exactly like q371's, so the gate holds iff
+    * FLAC encode→decode is SAMPLE-EXACT — which losslessness
+    * guarantees and the decoder's CRC-16 + MD5 checks enforce.
+    */
+  def textToFlac(
+      docs: DataFrame, idCol: String, textCol: String,
+      rate: Int = 8000): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, length, regexp_replace}
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        regexp_replace(col(textCol), "[^ -~]", "").as("s"))
+      .filter(length(col("s")) > 0)
+      .as[(Long, String)]
+      .map { case (id, s) =>
+        val samples = Array.tabulate(s.length)(i => s.charAt(i).toInt - 79)
+        MediaRow(id, FlacPcm.encode(samples, rate), "audio/flac", 0, 0)
+      }
+  }
+
   /** Windowed audio energy + silence gating over REAL decoded PCM —
     * [[fakePcmEnergy]]'s production twin (same output contract:
     * media_id, win, n_samples, energy, silence). The decode runs in the
@@ -495,14 +531,38 @@ object Multimodal {
   def wavEnergy(
       media: Dataset[MediaRow],
       windowSamples: Int = 1024,
-      silencePerSample: Long = 100L): DataFrame = {
+      silencePerSample: Long = 100L): DataFrame =
+    windowedEnergy(media, WavDecodeFn, windowSamples, silencePerSample)
+
+  /** [[wavEnergy]] over FLAC payloads ([[FlacPcm]] decode) — identical
+    * windowed fold, so FLAC- and WAV-encoded copies of one sound
+    * produce IDENTICAL rows (FLAC is lossless).
+    */
+  def flacEnergy(
+      media: Dataset[MediaRow],
+      windowSamples: Int = 1024,
+      silencePerSample: Long = 100L): DataFrame =
+    windowedEnergy(media, FlacDecodeFn, windowSamples, silencePerSample)
+
+  // top-level serializable decode fns: the closures below ship to
+  // executors, and a lambda-in-method would drag the enclosing scope in
+  private val WavDecodeFn: Array[Byte] => Array[Int] =
+    b => WavPcm.decodeMono(b)._2
+  private val FlacDecodeFn: Array[Byte] => Array[Int] =
+    b => FlacPcm.decodeMono(b)._2
+
+  private def windowedEnergy(
+      media: Dataset[MediaRow],
+      decodeFn: Array[Byte] => Array[Int],
+      windowSamples: Int,
+      silencePerSample: Long): DataFrame = {
     require(windowSamples >= 1 && silencePerSample >= 0,
       "need windowSamples >= 1 and silencePerSample >= 0")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
         batch.flatMap { r =>
-          val samples = WavPcm.decodeMono(r.media)._2
+          val samples = decodeFn(r.media)
           samples.iterator.grouped(windowSamples).zipWithIndex.map {
             case (win, wi) =>
               var energy = 0L

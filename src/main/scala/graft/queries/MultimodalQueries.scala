@@ -206,6 +206,38 @@ private[graft] object MultimodalQueries {
         .agg(count(lit(1)).as("frames_sampled"),
           sum(col("frame_index")).as("idx_sum"))
         .orderBy("media_id")
+    },
+
+    // REAL FLAC roundtrip (r15): q371's pipeline with the WAV container
+    // swapped for the real FLAC codec (FlacPcm: fixed/LPC prediction +
+    // Rice residuals, CRC-8/16 + stream-MD5 guarded) — text →
+    // deterministic 16-bit PCM → FLAC encode on executors → REAL FLAC
+    // decode → windowed Σs² energy. The oracle replays the amplitude
+    // formula, so the gate holds iff FLAC encode→decode is
+    // sample-exact; identical oracle SQL to q371 because FLAC is
+    // LOSSLESS. Same scan-stage shape: decode + windowing fold
+    // sequentially inside the partition sweep, no explode, no shuffle.
+    q(
+      "q380_flac_energy",
+      """WITH sx AS (SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0),
+        |p AS (SELECT media_id, s, UNNEST(range(0, length(s))) AS pos
+        |  FROM sx),
+        |a AS (SELECT media_id, pos // 16 AS win,
+        |    ascii(substr(s, CAST(pos + 1 AS INTEGER), 1)) - 79 AS amp
+        |  FROM p)
+        |SELECT media_id, win, COUNT(*) AS n_samples,
+        |  CAST(SUM(amp * amp) AS BIGINT) AS energy,
+        |  CAST(SUM(amp * amp) < COUNT(*) * 100 AS INTEGER) AS silence
+        |FROM a GROUP BY 1, 2 ORDER BY media_id, win"""
+    ) { (s, d) =>
+      Multimodal.flacEnergy(
+        Multimodal.textToFlac(
+          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text"),
+        windowSamples = 16, silencePerSample = 100L)
+        .orderBy("media_id", "win")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{ImaAdpcm, Multimodal}
+import graft.pipeline.{FlacPcm, ImaAdpcm, Multimodal}
 import graft.pipeline.Multimodal.MediaRow
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -134,5 +134,41 @@ class AdpcmSparkSpec extends SparkSpec {
     assert(env.length == 8)
     assert(math.abs(env.sum - 1f) < 1e-3)
     assert(env.forall(e => e > 0.10f && e < 0.15f), env.mkString(","))
+  }
+
+  test("FlacAudioDecoder decodes FLAC payloads on executors; features " +
+      "are EXACTLY the PCM lane's (lossless) — r15") {
+    val samples = Array.tabulate(4096)(i =>
+      (7000 * math.sin(2 * math.Pi * i / 80)).toInt)
+    val flac = FlacPcm.encode(samples, 8000)
+    assert(flac.length < samples.length * 2, "FLAC should compress a sine")
+    val wav = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt,
+          samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val fOut = Multimodal.decode(
+      Seq(MediaRow(1L, flac, "audio/flac", 0, 0)).toDS(),
+      Multimodal.FlacAudioDecoder).collect()
+    val wOut = Multimodal.decode(
+      Seq(MediaRow(1L, wav, "audio/wav", 0, 0)).toDS(),
+      Multimodal.WavAudioDecoder).collect()
+    assert(fOut.length == 1 && wOut.length == 1)
+    assert(fOut(0).n_frames == 4096)
+    // lossless: checksum and envelope EXACTLY equal, not just adjacent
+    assert(fOut(0).checksum == wOut(0).checksum)
+    assert(fOut(0).feature.toSeq == wOut(0).feature.toSeq)
   }
 }
