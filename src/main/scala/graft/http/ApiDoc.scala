@@ -102,6 +102,26 @@ object ApiDoc {
           required = true),
         Param("format", "query",
           "jsonl (default) | prometheus (matrix envelope)"))),
+    Route("/api/v1/labels", "get", "Extensions",
+      "Prometheus discovery: distinct label names (sorted, __name__ " +
+        "included when any series matches). Repeatable match[] series " +
+        "selectors union-filter the catalog; start/end are accepted " +
+        "and ignored (the catalog is not time-bucketed). Envelope: " +
+        "{status:success,data:[names]}.",
+      Seq(Param("match[]", "query", "series selector (repeatable, union)"),
+        Param("limit", "query", "max entries (0 = unlimited)"))),
+    Route("/api/v1/label/{name}/values", "get", "Extensions",
+      "Prometheus discovery: distinct values of one label, sorted; " +
+        "__name__ maps to sensor names. match[] union-filters first.",
+      Seq(Param("match[]", "query", "series selector (repeatable, union)"),
+        Param("limit", "query", "max entries (0 = unlimited)"))),
+    Route("/api/v1/series", "get", "Extensions",
+      "Prometheus discovery: label sets of every series matching at " +
+        "least one match[] selector (required). Each entry renders " +
+        "__name__ first, labels sorted by key; rows ordered by uuid.",
+      Seq(Param("match[]", "query",
+        "series selector (repeatable, union)", required = true),
+        Param("limit", "query", "max entries (0 = unlimited)"))),
     Route("/api/v1/admin/export_bulk", "post", "Extensions",
       "Bulk export all series to a directory",
       Seq(Param("dir", "query", "output directory", required = true),

@@ -152,6 +152,14 @@ final class Gateway(
     route("/api/v1/query", handlePromql)
     route("/api/v1/query_extended", handlePromqlExtended)
     route("/api/v1/query_range", handlePromqlRange)
+    // Prometheus discovery/metadata API — what Grafana browses. Absent
+    // from the reference (server.rs:83-112 has no such routes) but the
+    // catalog holds all the data one aggregation away; with the
+    // format=prometheus query envelopes this makes the gateway a
+    // Grafana-usable datasource end to end.
+    route("/api/v1/labels", handleLabelNames)
+    route("/api/v1/label", handleLabelValues) // /api/v1/label/{name}/values
+    route("/api/v1/series", handleSeriesDiscovery)
     route("/api/v1/admin/vacuum", handleVacuum)
     route("/api/v1/admin/metrics", (x, _) =>
       respond(x, 200, "text/plain; version=0.0.4", metricsExposition()))
@@ -839,13 +847,18 @@ final class Gateway(
       .map(_.getString(0)).toSeq
     val sensors = parsed
       .select(col("sensor_name"), col("type"), col("labels"))
-      .dropDuplicates("sensor_name", "type")
       .select(
         call_function("sensor_uuid", col("sensor_name"), col("type"),
           lit(null).cast(StringType), col("labels")).as("uuid"),
         col("sensor_name").as("name"), col("type"),
         lit(null).cast(graft.model.Schemas.sensors("unit").dataType).as("unit"),
         col("labels"))
+      // dedup on the DERIVED uuid, which hashes the labels too: the same
+      // measurement+field under different tag sets is DIFFERENT series,
+      // and a (name, type) dedup would register only one of them,
+      // orphaning the others' samples from every catalog/matcher path
+      // (MapType can't join/dedup directly, the uuid can)
+      .dropDuplicates("uuid")
     store.publishSensors(sensors)
     present.foreach { tn =>
       val t = SensorType.fromString(tn).get
@@ -1000,6 +1013,127 @@ final class Gateway(
       .reduce(_ unionByName _)
 
   // -------------------------------------------------------------- promql
+
+  // ---------------------------------------- Prometheus discovery API
+
+  /** Every value of the repeatable `match[]` parameter — [[queryParams]]
+    * collapses repeated keys into one map entry, and Prometheus
+    * discovery semantics are the UNION over all given selectors.
+    */
+  private def matchParams(x: HttpExchange): Seq[String] = {
+    val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.nonEmpty).toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if dec(k) == "match[]" => Some(dec(v))
+        case _ => None
+      }
+    }
+  }
+
+  /** Catalog rows matching the union of the given series selectors
+    * (each a bare selector — a range like `up[5m]` is a 400, matching
+    * Prometheus). Empty selector list = the whole catalog.
+    */
+  private def matchedCatalog(selectors: Seq[String]): DataFrame =
+    if (selectors.isEmpty) store.sensors
+    else {
+      val nowUs = System.currentTimeMillis() * 1000L
+      val preds = selectors.map { s =>
+        val parsed = SimplePromQL.parse(s, nowUs)
+        if (parsed.hadRange)
+          throw new IllegalArgumentException(
+            s"match[] must be a series selector without a range: $s")
+        Matchers.predicate(parsed.matchers)
+      }
+      store.sensors.filter(preds.reduce(_ || _))
+    }
+
+  /** `limit` parameter shared by the three discovery endpoints
+    * (0 / absent = unlimited, Prometheus semantics).
+    */
+  private def discoveryLimit(p: Map[String, String]): Int = {
+    val n = p.get("limit").map(_.toInt).getOrElse(0)
+    if (n < 0) throw new IllegalArgumentException(
+      s"limit must be non-negative: $n")
+    n
+  }
+
+  private def successArray(items: Seq[String]): String =
+    items.mkString("""{"status":"success","data":[""", ",", "]}")
+
+  /** `GET /api/v1/labels` — distinct label names across the (optionally
+    * match[]-filtered) catalog, sorted, `__name__` included whenever any
+    * series matches. One distinct over the exploded label keys of the
+    * always-broadcastable catalog; `start`/`end` are accepted and
+    * ignored (the catalog is not time-bucketed — same answer for every
+    * window, which Prometheus permits).
+    */
+  private def handleLabelNames(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    import spark.implicits._
+    val cat = matchedCatalog(matchParams(x))
+    val keys = cat
+      .select(explode(map_keys(coalesce(col("labels"),
+        map().cast(MapType(StringType, StringType))))).as("k"))
+      .distinct().as[String].collect().toSeq
+    val any = keys.nonEmpty || !cat.limit(1).isEmpty
+    val names = if (any) ("__name__" +: keys).distinct.sorted else Seq.empty
+    val lim = discoveryLimit(p)
+    val out = if (lim > 0) names.take(lim) else names
+    respond(x, 200, "application/json", successArray(out.map(jsonStr)))
+  }
+
+  /** `GET /api/v1/label/{name}/values` — distinct values of one label
+    * (with `__name__` mapping to sensor names), sorted; match[] filters
+    * first. The plan prunes to one column before the distinct.
+    */
+  private def handleLabelValues(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    import spark.implicits._
+    val parts = x.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    // expected: api / v1 / label / {name} / values
+    if (parts.length != 5 || parts(4) != "values")
+      throw new NoSuchElementException(
+        "expected /api/v1/label/{name}/values")
+    val label = parts(3)
+    val cat = matchedCatalog(matchParams(x))
+    val valueCol =
+      if (label == LabelMatcher.NameLabel) col("name")
+      else coalesce(col("labels"),
+        map().cast(MapType(StringType, StringType))).getItem(label)
+    val values = cat.select(valueCol.as("v")).filter(col("v").isNotNull)
+      .distinct().as[String].collect().toSeq.sorted
+    val lim = discoveryLimit(p)
+    val out = if (lim > 0) values.take(lim) else values
+    respond(x, 200, "application/json", successArray(out.map(jsonStr)))
+  }
+
+  /** `GET /api/v1/series` — the label sets of every series matching at
+    * least one match[] selector (required, as in Prometheus). Each
+    * entry renders `__name__` first then the labels sorted by key; rows
+    * ordered by uuid (the catalog convention) so the answer is
+    * deterministic.
+    */
+  private def handleSeriesDiscovery(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    import spark.implicits._
+    val selectors = matchParams(x)
+    if (selectors.isEmpty)
+      throw new IllegalArgumentException(
+        "series discovery requires at least one match[] selector")
+    val lim = discoveryLimit(p)
+    val base = matchedCatalog(selectors).orderBy("uuid")
+      .select(col("name"), coalesce(col("labels"),
+        map().cast(MapType(StringType, StringType))).as("labels"))
+    val limited = if (lim > 0) base.limit(lim) else base
+    val rows = limited.as[(String, Map[String, String])].collect().toSeq
+    val objs = rows.map { case (nm, labels) =>
+      (("__name__" -> nm) +: labels.toSeq.sortBy(_._1))
+        .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString("{", ",", "}")
+    }
+    respond(x, 200, "application/json", successArray(objs))
+  }
 
   private def handlePromql(x: HttpExchange, p: Map[String, String]): Unit = {
     val query = p.getOrElse("query",

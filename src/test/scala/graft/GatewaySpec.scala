@@ -395,6 +395,69 @@ class GatewaySpec extends SparkSpec {
       headers + ("x-prometheus-remote-read-version" -> "9.9")).statusCode() == 400)
   }
 
+  test("Prometheus discovery API: /labels, /label/{name}/values, " +
+      "/series with match[] union, limit, and rejections (r15)") {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    val m = "match%5B%5D" // match[]
+    // three labeled series under a unique prefix (the store is shared
+    // across this spec's tests)
+    val lines =
+      "disco_cpu,host=a,dc=eu usage=1 1704067200000000000\n" +
+        "disco_cpu,host=b,dc=us usage=2 1704067200000000000\n" +
+        "disco_mem,host=a free=3 1704067200000000000\n"
+    assert(post("/api/v2/write?bucket=db&org=do",
+      lines.getBytes(StandardCharsets.UTF_8), Map.empty).statusCode() == 204)
+    val sel = enc("""{__name__=~"disco_.*"}""")
+
+    // /api/v1/labels filtered to the fixture: exactly its label names,
+    // sorted, __name__ first
+    val ls = get(s"/api/v1/labels?$m=$sel")
+    assert(ls.statusCode() == 200)
+    assert(ls.body() == """{"status":"success","data":[""" +
+      """"__name__","dc","host","influxdb_bucket","influxdb_org"]}""",
+      ls.body())
+    // unfiltered: a superset including the fixture's labels
+    val all = get("/api/v1/labels")
+    assert(all.statusCode() == 200 && all.body().contains("\"host\""))
+
+    // /api/v1/label/{name}/values, match[]-filtered and limited
+    val hosts = get(s"/api/v1/label/host/values?$m=$sel")
+    assert(hosts.body() ==
+      """{"status":"success","data":["a","b"]}""", hosts.body())
+    val one = get(s"/api/v1/label/host/values?$m=$sel&limit=1")
+    assert(one.body() == """{"status":"success","data":["a"]}""")
+    val names = get(s"/api/v1/label/__name__/values?$m=$sel")
+    assert(names.body() == """{"status":"success","data":[""" +
+      """"disco_cpu usage","disco_mem free"]}""", names.body())
+    // a label nothing carries: empty data, not an error
+    assert(get(s"/api/v1/label/absent_label/values?$m=$sel").body() ==
+      """{"status":"success","data":[]}""")
+
+    // /api/v1/series: label sets with __name__ first, keys sorted;
+    // two match[] params union
+    val dcEu = enc("""{__name__=~"disco_.*",dc="eu"}""")
+    val mem = enc("""{__name__="disco_mem free"}""")
+    val series = get(s"/api/v1/series?$m=$dcEu&$m=$mem")
+    assert(series.statusCode() == 200)
+    val sBody = series.body()
+    assert(sBody.startsWith("""{"status":"success","data":["""))
+    assert(sBody.contains("""{"__name__":"disco_cpu usage","dc":"eu",""" +
+      """"host":"a","influxdb_bucket":"db","influxdb_org":"do"}"""), sBody)
+    assert(sBody.contains("""{"__name__":"disco_mem free","dc":null""")
+      == false, sBody) // absent labels are OMITTED, not null
+    assert(sBody.contains("""{"__name__":"disco_mem free","host":"a",""" +
+      """"influxdb_bucket":"db","influxdb_org":"do"}"""), sBody)
+    assert(!sBody.contains("\"dc\":\"us\""), sBody) // host b not matched
+
+    // rejections: series without match[], a RANGE selector, bad limit
+    assert(get("/api/v1/series").statusCode() == 400)
+    assert(get(s"/api/v1/series?$m=${enc("""{dc="eu"}[5m]""")}")
+      .statusCode() == 400)
+    assert(get(s"/api/v1/labels?limit=-1").statusCode() == 400)
+    assert(get("/api/v1/label/host/notvalues").statusCode() == 404)
+  }
+
   test("simple PromQL endpoint with formats and rejection") {
     // data from the CSV test (sensor temp) has no labels; query by name.
     // instant query would use now-lookback; our data is in 2024, so use a
