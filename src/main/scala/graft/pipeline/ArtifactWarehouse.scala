@@ -117,14 +117,24 @@ object ArtifactWarehouse {
     * itself) is older than `maxAgeMs`. Returns the number of artifact
     * directories removed. Deployment contract: run with an age far
     * longer than any live session — a reader registered against a
-    * GC'd artifact would fault on its next scan (the same contract as
-    * any external-table DROP), and the next request simply rebuilds.
+    * GC'd artifact normally faults LOUDLY on its next scan (the same
+    * contract as any external-table DROP; [[bucketed]]/[[plain]]
+    * self-heal and rebuild on re-entry), with ONE documented silent
+    * window: a table whose root directory vanishes exactly at file-
+    * LISTING time lists zero files (Spark logs "Was it deleted very
+    * recently?" and plans an empty scan) — indistinguishable from a
+    * legitimately empty artifact at this layer, which is why the age
+    * contract, not gc-time coordination, is the production guard
+    * (race-soaked in ArtifactWarehouseSpec). In-flight builds are
+    * never at risk: they live under [[newStagingDir]] until one
+    * atomic promotion.
     */
   def gc(maxAgeMs: Long): Int = {
     require(maxAgeMs >= 0, "maxAgeMs must be non-negative")
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val rootDir = new java.io.File(root)
-    val kinds = Option(rootDir.listFiles()).toSeq.flatten.filter(_.isDirectory)
+    val kinds = Option(rootDir.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName != StagingDirName)
     var removed = 0
     for (kind <- kinds; art <- Option(kind.listFiles()).toSeq.flatten
            if art.isDirectory) {
@@ -136,7 +146,74 @@ object ArtifactWarehouse {
         removed += 1
       }
     }
+    // staging sweep: in-flight builds live here (see [[promoteStaging]])
+    // and MUST NOT be reaped by an aggressive age — a live build is
+    // indistinguishable from a crashed one by mtime alone, so staging
+    // dirs age against a fixed horizon via their NAME-EMBEDDED stamp
+    // (the store's vacuum-janitor discipline), never against maxAgeMs.
+    val stagingCutoff = System.currentTimeMillis() - StagingHorizonMs
+    val staging = new java.io.File(rootDir, StagingDirName)
+    for (s <- Option(staging.listFiles()).toSeq.flatten if s.isDirectory) {
+      val stamp = s.getName.takeWhile(_.isDigit)
+      if (stamp.nonEmpty && stamp.toLong < stagingCutoff) {
+        graft.TempDirs.deleteRecursively(s)
+        removed += 1
+      }
+    }
     removed
+  }
+
+  private val StagingDirName = ".staging"
+
+  /** Crashed in-flight builds older than this are swept by [[gc]];
+    * far longer than any real artifact build.
+    */
+  private val StagingHorizonMs: Long = 6 * 3600 * 1000L
+
+  /** New stamped staging directory for an in-flight build — invisible
+    * to readers (no manifest path points here) and protected from
+    * [[gc]] until [[StagingHorizonMs]].
+    */
+  private def newStagingDir(): String = {
+    val d = s"$root/$StagingDirName/" +
+      s"${System.currentTimeMillis()}_${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  /** Atomically promote a completed staging build into its artifact
+    * slot. Returns true when OUR build now serves at `dir`; false when
+    * a concurrent COMPLETED build (manifest present) won the race — the
+    * results are value-identical by construction, so ours is discarded.
+    * An abandoned target (data, no manifest) is replaced.
+    */
+  private def promoteStaging(staging: String, dir: String): Boolean = {
+    val target = Paths.get(dir)
+    Files.createDirectories(target.getParent)
+    var tries = 0
+    while (true) {
+      if (Files.exists(manifestPath(dir))) {
+        graft.TempDirs.deleteRecursively(new java.io.File(staging))
+        return false
+      }
+      if (Files.exists(target))
+        graft.TempDirs.deleteRecursively(target.toFile)
+      try {
+        Files.move(Paths.get(staging), target,
+          StandardCopyOption.ATOMIC_MOVE)
+        return true
+      } catch {
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.NoSuchFileException) =>
+          // target re-appeared (concurrent winner) or a racing gc swept
+          // the empty parent — re-examine, bounded
+          tries += 1
+          if (tries > 5) throw e
+          Files.createDirectories(target.getParent)
+      }
+    }
+    false
   }
 
   /** Serve a BUCKETED artifact table: on a disk miss, run `build`,
@@ -155,7 +232,16 @@ object ArtifactWarehouse {
     val name = s"graft_wh_${kind}_$keyHash"
     val dir = s"$root/$kind/$keyHash"
     val lock = locks.computeIfAbsent(name, _ => new Object)
-    lock.synchronized {
+    def serveOrBuild(): DataFrame = {
+      // self-heal the GC-vs-live-session race: an artifact GC'd under a
+      // registered session leaves a catalog entry over vanished files —
+      // detect it here (manifest gone) and fall through to a rebuild
+      // instead of serving a scan that can only fault. A reader holding
+      // a DataFrame ACROSS the GC still faults mid-scan (the documented
+      // external-table-DROP contract); its retry lands here and heals.
+      if (spark.catalog.tableExists(name) &&
+          !Files.exists(manifestPath(dir)))
+        spark.sql(s"DROP TABLE IF EXISTS $name")
       if (spark.catalog.tableExists(name)) spark.table(name)
       else loadManifest(dir) match {
         case Some(m) =>
@@ -167,20 +253,51 @@ object ArtifactWarehouse {
               s"INTO $buckets BUCKETS LOCATION '$dir/data'")
           spark.table(name)
         case None =>
-          Files.createDirectories(Paths.get(dir))
+          // build into a STAGED directory (invisible to readers and to
+          // gc's artifact sweep — an in-flight build must not look like
+          // an abandoned one), manifest it there, then ONE atomic
+          // rename into the artifact slot
+          val staging = newStagingDir()
           val df = build
           val schemaDdl = df.schema.toDDL
           graft.store.Bucketing.writeBucketed(
-            df, name, key, buckets, s"$dir/data")
+            df, name, key, buckets, s"$staging/data")
           // a build may hand back an eager checkpoint (so IT can free
           // its own temps before returning); its blocks are spent once
           // the table is written
           PipelineCache.free(df)
-          writeManifest(dir, Map(
+          writeManifest(staging, Map(
             "kind" -> kind, "key" -> key, "buckets" -> buckets.toString,
             "schema" -> schemaDdl, "fingerprint" -> fingerprint))
+          // writeBucketed registered the table at the staging location;
+          // re-register at the artifact slot either way
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          promoteStaging(staging, dir)
+          spark.sql(
+            s"CREATE TABLE $name ($schemaDdl) USING PARQUET " +
+              s"CLUSTERED BY ($key) SORTED BY ($key) " +
+              s"INTO $buckets BUCKETS LOCATION '$dir/data'")
           spark.table(name)
       }
+    }
+    lock.synchronized {
+      // bounded retry on vanished files: an adversarial concurrent
+      // gc(0) can delete the directory BETWEEN the manifest check and
+      // the serve/build (or yank a mid-build staging dir). The fault
+      // class is exactly the store's listed-then-deleted race; a fresh
+      // attempt re-lists, drops the stale entry, and rebuilds.
+      var attempt = 0
+      var out: DataFrame = null
+      while (out == null) {
+        try out = serveOrBuild()
+        catch {
+          case e: Throwable
+              if attempt < 3 && graft.store.ReadFaults.isVanishedFile(e) =>
+            attempt += 1
+            spark.sql(s"DROP TABLE IF EXISTS $name")
+        }
+      }
+      out
     }
   }
 
@@ -210,7 +327,16 @@ object ArtifactWarehouse {
       spark.table(name)
     }
     val lock = locks.computeIfAbsent(name, _ => new Object)
-    lock.synchronized {
+    def dropStale(): Unit = {
+      if (spark.catalog.isCached(name)) spark.catalog.uncacheTable(name)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+    def serveOrBuild(): DataFrame = {
+      // same GC-vs-live-session self-heal as [[bucketed]] (also drops
+      // the cache entry pinning vanished files)
+      if (spark.catalog.tableExists(name) &&
+          !Files.exists(manifestPath(dir)))
+        dropStale()
       if (spark.catalog.tableExists(name)) serve()
       else loadManifest(dir) match {
         case Some(m) =>
@@ -218,17 +344,35 @@ object ArtifactWarehouse {
             s"USING PARQUET LOCATION '$dir/data'")
           serve()
         case None =>
-          Files.createDirectories(Paths.get(dir))
+          // staged build + atomic promote — see [[bucketed]]
+          val staging = newStagingDir()
           val df = build
-          df.write.mode("overwrite").parquet(s"$dir/data")
+          val schemaDdl = df.schema.toDDL
+          df.write.mode("overwrite").parquet(s"$staging/data")
           PipelineCache.free(df)
-          writeManifest(dir, Map(
+          writeManifest(staging, Map(
             "kind" -> kind, "fingerprint" -> fingerprint,
-            "schema" -> df.schema.toDDL))
-          spark.sql(s"CREATE TABLE $name (${df.schema.toDDL}) " +
+            "schema" -> schemaDdl))
+          promoteStaging(staging, dir)
+          spark.sql(s"CREATE TABLE $name ($schemaDdl) " +
             s"USING PARQUET LOCATION '$dir/data'")
           serve()
       }
+    }
+    lock.synchronized {
+      // bounded vanished-file retry — see [[bucketed]]
+      var attempt = 0
+      var out: DataFrame = null
+      while (out == null) {
+        try out = serveOrBuild()
+        catch {
+          case e: Throwable
+              if attempt < 3 && graft.store.ReadFaults.isVanishedFile(e) =>
+            attempt += 1
+            dropStale()
+        }
+      }
+      out
     }
   }
 }

@@ -20,12 +20,28 @@ object ScaleProbe {
   private final class ShuffleMeter extends SparkListener {
     val read = new java.util.concurrent.atomic.AtomicLong()
     val write = new java.util.concurrent.atomic.AtomicLong()
+    // memory-pressure evidence (r15): spill totals say whether the
+    // working set exceeded execution memory; peakTaskMemory (the MAX
+    // single-task execution-memory peak) is the number that must stay
+    // bounded for the 1000-executor story — a task whose peak grows
+    // with total data size is the cliff
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong()
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong()
+    val peakTaskMemory = new java.util.concurrent.atomic.AtomicLong()
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       val m = s.stageInfo.taskMetrics
       if (m != null) {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
       }
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null)
+        peakTaskMemory.getAndAccumulate(m.peakExecutionMemory, Math.max)
     }
   }
 
@@ -54,7 +70,10 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(meter)
       val line = f"""{"query":"$n","sec":$sec%.2f,"rows":$rows,""" +
         s""""shuffle_read_mb":${meter.read.get() / 1048576},""" +
-        s""""shuffle_write_mb":${meter.write.get() / 1048576}}"""
+        s""""shuffle_write_mb":${meter.write.get() / 1048576},""" +
+        s""""mem_spilled_mb":${meter.memSpilled.get() / 1048576},""" +
+        s""""disk_spilled_mb":${meter.diskSpilled.get() / 1048576},""" +
+        s""""peak_task_mem_mb":${meter.peakTaskMemory.get() / 1048576}}"""
       println(line)
       (n, sec, rows, meter.read.get(), meter.write.get())
     }

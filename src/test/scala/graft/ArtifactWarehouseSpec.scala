@@ -159,4 +159,81 @@ class ArtifactWarehouseSpec extends SparkSpec {
       assert(Files.exists(manifest), "rebuild must re-manifest")
     }
   }
+
+  test("race soak: concurrent bucketed builders x readers x gc(0) — " +
+      "builds never corrupted, faults always retryable, every reader " +
+      "converges to exact values once the storm ends (r15)") {
+    withWarehouse { wh =>
+      val repeats = sys.env.getOrElse("GRAFT_RACE_REPEATS", "4").toInt
+      val docs = Tables.documents(spark, sf)
+      // ground truth from an undisturbed solo build (values are
+      // key-independent: the fingerprint keys the STORAGE, not the math)
+      val expected = DedupArtifacts.symEdgeTable(
+        docs, "doc_id", "text", 3, 0.4, s"$sf|whrace_solo")
+        .orderBy("src", "dst").collect().toSeq
+      assert(expected.nonEmpty)
+      for (round <- 0 until repeats) {
+        val errors =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // adversarial GC: age 0 deletes EVERY completed artifact it
+        // sees — far outside the deployment contract (age >> session).
+        // While it storms, a reader can observe a DOCUMENTED empty
+        // (root vanishing at listing time lists no files — the one
+        // silent window, see the gc scaladoc); what it must NEVER see
+        // is a wrong NONEMPTY result, an unretryable fault, or a
+        // half-promoted build (staging makes promotion atomic).
+        val gcThread = new Thread(() => {
+          while (!stop.get()) {
+            try ArtifactWarehouse.gc(0)
+            catch { case t: Throwable => errors.add(t) }
+            Thread.sleep(15)
+          }
+        }, s"wh-race-gc-$round")
+        // readers/builders: two distinct artifact keys to also exercise
+        // the per-key lock map under contention; each loops until it
+        // reads the EXACT expected values (the storm is finite)
+        val readers = (0 until 4).map { i =>
+          new Thread(() => {
+            try {
+              val key = s"$sf|whrace$round-${i % 2}"
+              var exact = false
+              while (!exact) {
+                val got = graft.store.ReadFaults.retryOnVanishedFiles() {
+                  DedupArtifacts.symEdgeTable(
+                    docs, "doc_id", "text", 3, 0.4, key)
+                    .orderBy("src", "dst").collect().toSeq
+                }
+                if (got == expected) exact = true
+                else if (got.nonEmpty)
+                  throw new AssertionError(
+                    s"reader $i round $round: WRONG NONEMPTY result " +
+                      s"(${got.length} rows vs ${expected.length}) — " +
+                      "a corrupted or half-promoted artifact")
+                // else: documented listing-race empty — re-enter, the
+                // self-heal rebuilds
+              }
+            } catch { case t: Throwable => errors.add(t) }
+          }, s"wh-race-reader-$round-$i")
+        }
+        readers.foreach(_.start())
+        gcThread.start()
+        Thread.sleep(1500) // let the storm overlap builds and reads
+        stop.set(true)
+        gcThread.join(10000)
+        readers.foreach(_.join(180000))
+        assert(readers.forall(!_.isAlive), s"round $round: reader hung")
+        if (!errors.isEmpty) {
+          val e = errors.peek()
+          fail(s"round $round: ${errors.size} failures, first: $e " +
+            s"caused by ${e.getCause}")
+        }
+      }
+      // no leaked staging dirs: every in-flight build either promoted
+      // or self-cleaned (the horizon protects only CRASHED builds)
+      val staging = new java.io.File(s"$wh/.staging")
+      assert(Option(staging.listFiles()).toSeq.flatten.isEmpty,
+        "staging directories leaked past the soak")
+    }
+  }
 }
