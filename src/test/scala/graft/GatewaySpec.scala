@@ -641,6 +641,60 @@ class GatewaySpec extends SparkSpec {
     assert(vec.body().endsWith("]}}"), vec.body().takeRight(30))
   }
 
+  test("Grafana dashboard shape: query_range burn-rate panel at 241 " +
+      "steps — matrix envelope, stage count invariant in steps (r15)") {
+    // the SLO burn-rate ratio (q377's panel shape) over fresh fixtures:
+    // errors every minute, views twice a minute, so every step's 2m
+    // window across the whole 4-minute range has both operands
+    val csv = "datetime,sensor_name,value\n" + (0 to 4).map { m =>
+      f"2024-01-01T00:0$m%d:00Z,panel_err,1\n" +
+        f"2024-01-01T00:0$m%d:00Z,panel_view,1\n" +
+        f"2024-01-01T00:0$m%d:01Z,panel_view,1\n"
+    }.mkString
+    assert(post("/publish", csv.getBytes(StandardCharsets.UTF_8),
+      Map("content-type" -> "text/csv")).statusCode() == 200)
+    val q = java.net.URLEncoder.encode(
+      "sum(count_over_time(panel_err[2m])) / " +
+        "sum(count_over_time(panel_view[2m]))", "UTF-8")
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def run(endOff: Int): (Int, String) = {
+        Thread.sleep(400) // drain stragglers from prior work
+        stages.set(0)
+        val r = get(s"/api/v1/query_range?query=$q&start=1704067200" +
+          s"&end=${1704067200L + endOff}&step=1&format=prometheus")
+        assert(r.statusCode() == 200, r.body())
+        Thread.sleep(500) // listener events are async
+        (stages.get(), r.body())
+      }
+      val (s60, _) = run(60)
+      val (s240, body) = run(240)
+      // the Prometheus matrix envelope Grafana consumes
+      assert(body.startsWith("""{"status":"success","data":""" +
+        """{"resultType":"matrix","result":["""), body.take(120))
+      assert(body.endsWith("]}}"), body.takeRight(30))
+      // one series (sum groups to the empty metric), one [ts,"v"] pair
+      // per step: 241 steps at 1s over [start, end]
+      val pairs = """\[1704067\d{3},"""".r.findAllIn(body).size
+      assert(pairs == 241, s"expected 241 step values, got $pairs")
+      // at the range end the 2m window holds 3 errs (t0+120/180/240)
+      // and 5 views (:00+:01 pairs at 120/180, :00 at 240) → 0.6
+      assert(body.contains("""[1704067440,"0.6"]"""), body.takeRight(120))
+      // THE SCALE PIN: 4x the steps must not grow the number of Spark
+      // stages — each operand side is ONE scan pass with a broadcast
+      // step grid, never a per-step loop (the q378 plan pin generalized
+      // to the API path)
+      assert(s240 <= s60 + 2,
+        s"stage count grew with step count: $s60 -> $s240")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("query_range: per-step JSONL rows over the fixture month") {
     // http_requests samples live at 2024-01 (remote-write fixture);
     // sum the counter at day steps across January
