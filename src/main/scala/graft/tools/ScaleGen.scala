@@ -57,8 +57,11 @@ object ScaleGen {
     val n = 40 + (h(id, 1) % 21).toInt.abs // 40..60 words
     Array.tabulate(n) { i =>
       val base = Vocab(idx(h(id, 100 + i), Vocab.length))
-      if (suffixes == 1) base
-      else base + (idx(h(id, 1000 + i), suffixes))
+      val s = idx(h(id, 1000 + i), suffixes)
+      // suffix 0 stays the BARE word: the base vocabulary must exist at
+      // every scale (fixed-term queries like q135's BM25 keywords match
+      // real corpora, where scaling up never deletes common words)
+      if (s == 0) base else base + s
     }
   }
 
