@@ -238,6 +238,42 @@ private[graft] object MultimodalQueries {
           Tables.spread(s, Tables.documents(s, d)), "doc_id", "text"),
         windowSamples = 16, silencePerSample = 100L)
         .orderBy("media_id", "win")
+    },
+
+    // Cross-codec audio dedup (r15): the SAME sound rendered through
+    // two REAL containers/codecs — 16-bit PCM WAV and compressed FLAC
+    // — decodes through each lane's SPI decoder to the SAME
+    // byte-layout-independent content checksum, so copies of one
+    // recording dedup together regardless of how they were encoded
+    // (the audio analog of NFC text dedup). codec_match is computed,
+    // not assumed: the gate holds iff BOTH decode lanes are
+    // sample-exact AND the feature fold is container-independent.
+    // One broadcast-joinable features frame per lane; decode on
+    // executors, join keyed on media_id.
+    q(
+      "q381_cross_codec_audio_dedup",
+      """SELECT doc_id AS media_id,
+        |  length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_frames,
+        |  1 AS codec_match
+        |FROM documents
+        |WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0
+        |ORDER BY media_id"""
+    ) { (s, d) =>
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val wav = Multimodal.decode(
+        Multimodal.textToWav(docs, "doc_id", "text"),
+        Multimodal.WavAudioDecoder)
+        .select(col("media_id"), col("n_frames"),
+          col("checksum").as("wav_checksum"))
+      val flac = Multimodal.decode(
+        Multimodal.textToFlac(docs, "doc_id", "text"),
+        Multimodal.FlacAudioDecoder)
+        .select(col("media_id"), col("checksum").as("flac_checksum"))
+      wav.join(flac, "media_id")
+        .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          (col("wav_checksum") === col("flac_checksum"))
+            .cast("int").as("codec_match"))
+        .orderBy("media_id")
     }
   )
 }
