@@ -88,6 +88,41 @@ object ArtifactWarehouse {
     sb.toString
   }
 
+  /** Census-driven bucket count for corpus-derived artifacts: the
+    * fingerprint pass already stats every input file, so size buckets
+    * from the same listing — one bucket per ~2 MB of compressed corpus
+    * input (term/edge artifacts explode ~10–30× over parquet bytes),
+    * clamped to [8, 4096], rounded UP to a power of two. Deterministic
+    * in the same inputs that key the artifact, so the chosen count is
+    * stable across sessions; frames without input files (in-memory
+    * test fixtures) get the floor. A FIXED bucket count makes each
+    * bucket (= one write task, one file) grow linearly with the corpus
+    * — the probe measured q108's peak task memory 32→280 MB from sf1
+    * to sf10 under buckets=8, which extrapolates to an impossible
+    * multi-TB task at crawl scale.
+    */
+  def bucketsFor(df: DataFrame, floor: Int = 8): Int = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    var bytes = 0L
+    df.inputFiles.take(10000).foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        bytes += p.getFileSystem(conf).getFileStatus(p).getLen
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    bucketsForBytes(bytes, floor)
+  }
+
+  /** The [[bucketsFor]] arithmetic: one bucket per ~2 MB of input,
+    * rounded UP to a power of two, clamped to [floor, 4096].
+    */
+  def bucketsForBytes(bytes: Long, floor: Int = 8): Int = {
+    val target = math.min(4096L, math.max(1L, bytes / (2L << 20)))
+    var p2 = 1
+    while (p2 < target) p2 <<= 1
+    math.min(4096, math.max(floor, p2))
+  }
+
   private def manifestPath(dir: String) = Paths.get(dir, "manifest.properties")
 
   private def loadManifest(dir: String): Option[java.util.Properties] = {

@@ -43,11 +43,17 @@ object DedupArtifacts {
   def symEdgeTable(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, corpusKey: String,
-      buckets: Int = DefaultBuckets): DataFrame = {
+      buckets: Int = 0): DataFrame = {
+    // buckets <= 0 = census-sized from the corpus input bytes (see
+    // ArtifactWarehouse.bucketsFor) — fixed counts make per-bucket
+    // write tasks grow linearly with the corpus
+    val b =
+      if (buckets > 0) buckets
+      else ArtifactWarehouse.bucketsFor(docs, DefaultBuckets)
     val fp = ArtifactWarehouse.fingerprint(docs,
-      s"dedup_sym|$corpusKey|$idCol|$textCol|$n|$tau|$buckets")
+      s"dedup_sym|$corpusKey|$idCol|$textCol|$n|$tau|$b")
     ArtifactWarehouse.bucketed(
-        docs.sparkSession, "dedup_sym", fp, "dst", buckets) {
+        docs.sparkSession, "dedup_sym", fp, "dst", b) {
       val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, tau)
         .select("id_a", "id_b", "jaccard")
       val symRaw = pairs

@@ -53,8 +53,14 @@ object TextArtifacts {
   // are served the artifact of whichever frame arrived first.
   private def build(
       docs: DataFrame, idCol: String, textCol: String,
-      corpusKey: String, buckets: Int): Arts = {
+      corpusKey: String, buckets0: Int): Arts = {
     val spark = docs.sparkSession
+    // buckets0 <= 0 = census-sized from the corpus input bytes (see
+    // ArtifactWarehouse.bucketsFor) — fixed counts make per-bucket
+    // write tasks grow linearly with the corpus
+    val buckets =
+      if (buckets0 > 0) buckets0
+      else ArtifactWarehouse.bucketsFor(docs, DefaultBuckets)
     val fp = ArtifactWarehouse.fingerprint(docs,
       s"text|$corpusKey|$idCol|$textCol|$buckets")
     // the one token explosion + (doc, token) shuffle every consumer
@@ -80,7 +86,7 @@ object TextArtifacts {
   /** The corpus term-frequency table (id, token, tf), token-bucketed. */
   def termFreq(
       docs: DataFrame, idCol: String, textCol: String,
-      corpusKey: String, buckets: Int = DefaultBuckets): DataFrame =
+      corpusKey: String, buckets: Int = 0): DataFrame =
     build(docs, idCol, textCol, corpusKey, buckets).tf
 
   /** Document frequency per token (token, df), co-bucketed with
@@ -88,7 +94,7 @@ object TextArtifacts {
     */
   def docFreq(
       docs: DataFrame, idCol: String, textCol: String,
-      corpusKey: String, buckets: Int = DefaultBuckets): DataFrame =
+      corpusKey: String, buckets: Int = 0): DataFrame =
     build(docs, idCol, textCol, corpusKey, buckets).df
 
   /** Token count per document (id, len), id-bucketed. Row count =
@@ -97,6 +103,6 @@ object TextArtifacts {
     */
   def docLengths(
       docs: DataFrame, idCol: String, textCol: String,
-      corpusKey: String, buckets: Int = DefaultBuckets): DataFrame =
+      corpusKey: String, buckets: Int = 0): DataFrame =
     build(docs, idCol, textCol, corpusKey, buckets).lens
 }

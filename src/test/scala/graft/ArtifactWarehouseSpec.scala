@@ -160,6 +160,25 @@ class ArtifactWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("census-driven bucket counts: floor on small corpora, " +
+      "pow2 scaling with input bytes, 4096 cap (r15)") {
+    import spark.implicits._
+    // in-memory fixture: no input files → the floor
+    assert(ArtifactWarehouse.bucketsFor(
+      Seq((1L, "a")).toDF("id", "t")) == 8)
+    // driver testdata: sub-2MB corpus stays at the floor, so every
+    // existing artifact fingerprint and plan is unchanged at test SFs
+    assert(ArtifactWarehouse.bucketsFor(Tables.documents(spark, sf)) == 8)
+    // the arithmetic: ~2 MB per bucket, rounded UP to a power of two
+    assert(ArtifactWarehouse.bucketsForBytes(0L) == 8)
+    assert(ArtifactWarehouse.bucketsForBytes(16L << 20) == 8)
+    assert(ArtifactWarehouse.bucketsForBytes(62L << 20) == 32)
+    assert(ArtifactWarehouse.bucketsForBytes(100L << 20) == 64)
+    assert(ArtifactWarehouse.bucketsForBytes(1L << 40) == 4096) // 1 TB cap
+    assert(ArtifactWarehouse.bucketsForBytes(100L << 20, floor = 128)
+      == 128)
+  }
+
   test("race soak: concurrent bucketed builders x readers x gc(0) — " +
       "builds never corrupted, faults always retryable, every reader " +
       "converges to exact values once the storm ends (r15)") {
