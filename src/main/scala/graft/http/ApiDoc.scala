@@ -122,6 +122,12 @@ object ApiDoc {
       Seq(Param("match[]", "query",
         "series selector (repeatable, union)", required = true),
         Param("limit", "query", "max entries (0 = unlimited)"))),
+    Route("/api/v1/metadata", "get", "Extensions",
+      "Prometheus discovery: per-metric metadata from the catalog — " +
+        "numeric sensor types surface as gauge, others unknown; unit " +
+        "name included, help empty (the catalog stores none).",
+      Seq(Param("metric", "query", "restrict to one metric name"),
+        Param("limit", "query", "max metrics (0 = unlimited)"))),
     Route("/api/v1/admin/export_bulk", "post", "Extensions",
       "Bulk export all series to a directory",
       Seq(Param("dir", "query", "output directory", required = true),

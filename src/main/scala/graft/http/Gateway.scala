@@ -160,6 +160,7 @@ final class Gateway(
     route("/api/v1/labels", handleLabelNames)
     route("/api/v1/label", handleLabelValues) // /api/v1/label/{name}/values
     route("/api/v1/series", handleSeriesDiscovery)
+    route("/api/v1/metadata", handleMetricMetadata)
     route("/api/v1/admin/vacuum", handleVacuum)
     route("/api/v1/admin/metrics", (x, _) =>
       respond(x, 200, "text/plain; version=0.0.4", metricsExposition()))
@@ -1133,6 +1134,39 @@ final class Gateway(
         .mkString("{", ",", "}")
     }
     respond(x, 200, "application/json", successArray(objs))
+  }
+
+  /** `GET /api/v1/metadata` — per-metric metadata from the catalog
+    * (the last Prometheus browse call Grafana issues): numeric sensor
+    * types surface as `gauge`, everything else `unknown`; the unit
+    * name rides along; `help` is empty (the catalog stores none —
+    * reference parity, its sensors table has no help text either).
+    * `metric` filters to one name; `limit` caps the metric count.
+    */
+  private def handleMetricMetadata(
+      x: HttpExchange, p: Map[String, String]): Unit = {
+    import spark.implicits._
+    val numeric = SensorType.numericTypes.map(_.displayName).toSet
+    val base = store.sensors.select(col("name"), col("type"),
+      col("unit").getField("name").as("unit_name"))
+    val filtered = p.get("metric") match {
+      case Some(m) => base.filter(col("name") === m)
+      case None => base
+    }
+    val rows = filtered.distinct().as[(String, String, Option[String])]
+      .collect().toSeq.sortBy(r => (r._1, r._2, r._3))
+    val lim = discoveryLimit(p)
+    val byName = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val limited = if (lim > 0) byName.take(lim) else byName
+    val body = limited.map { case (nm, entries) =>
+      val objs = entries.map { case (_, t, unit) =>
+        val promType = if (numeric.contains(t)) "gauge" else "unknown"
+        s"""{"type":"$promType","help":"",""" +
+          s""""unit":${jsonStr(unit.getOrElse(""))}}"""
+      }
+      s"${jsonStr(nm)}:${objs.mkString("[", ",", "]")}"
+    }.mkString("""{"status":"success","data":{""", ",", "}}")
+    respond(x, 200, "application/json", body)
   }
 
   private def handlePromql(x: HttpExchange, p: Map[String, String]): Unit = {

@@ -456,6 +456,16 @@ class GatewaySpec extends SparkSpec {
       .statusCode() == 400)
     assert(get(s"/api/v1/labels?limit=-1").statusCode() == 400)
     assert(get("/api/v1/label/host/notvalues").statusCode() == 404)
+
+    // /api/v1/metadata: per-metric entries, numeric types as gauge
+    val meta = get("/api/v1/metadata?metric=" + enc("disco_cpu usage"))
+    assert(meta.statusCode() == 200)
+    assert(meta.body() == """{"status":"success","data":{""" +
+      """"disco_cpu usage":[{"type":"gauge","help":"","unit":""}]}}""",
+      meta.body())
+    val metaAll = get("/api/v1/metadata?limit=1")
+    assert(metaAll.statusCode() == 200 &&
+      metaAll.body().startsWith("""{"status":"success","data":{"""))
   }
 
   test("simple PromQL endpoint with formats and rejection") {
