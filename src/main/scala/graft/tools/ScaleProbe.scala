@@ -59,26 +59,40 @@ object ScaleProbe {
     val spark = graft.GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = names.map { n =>
+    val results = names.flatMap { n =>
       val meter = new ShuffleMeter
       spark.sparkContext.addSparkListener(meter)
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async: a short drain before reading meters
-      Thread.sleep(300)
-      spark.sparkContext.removeSparkListener(meter)
-      val line = f"""{"query":"$n","sec":$sec%.2f,"rows":$rows,""" +
-        s""""shuffle_read_mb":${meter.read.get() / 1048576},""" +
-        s""""shuffle_write_mb":${meter.write.get() / 1048576},""" +
-        s""""mem_spilled_mb":${meter.memSpilled.get() / 1048576},""" +
-        s""""disk_spilled_mb":${meter.diskSpilled.get() / 1048576},""" +
-        s""""peak_task_mem_mb":${meter.peakTaskMemory.get() / 1048576}}"""
-      println(line)
-      (n, sec, rows, meter.read.get(), meter.write.get())
+      // per-query fault isolation: a query whose tables the probe draw
+      // lacks (ScaleGen generates documents/embeddings/events/lineitem
+      // only) reports and moves on instead of killing the whole probe
+      val rowsOpt =
+        try Some(graft.SparkEntry.queries(n)(spark, dir).count())
+        catch {
+          case e: Throwable =>
+            println(s"""{"query":"$n","error":${"\"" +
+              String.valueOf(e.getMessage).replace("\\", "\\\\")
+                .replace("\"", "\\\"").takeWhile(_ != '\n') + "\""}}""")
+            spark.sparkContext.removeSparkListener(meter)
+            None
+        }
+      rowsOpt.map { rows =>
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events are async: a short drain before reading meters
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(meter)
+        val line = f"""{"query":"$n","sec":$sec%.2f,"rows":$rows,""" +
+          s""""shuffle_read_mb":${meter.read.get() / 1048576},""" +
+          s""""shuffle_write_mb":${meter.write.get() / 1048576},""" +
+          s""""mem_spilled_mb":${meter.memSpilled.get() / 1048576},""" +
+          s""""disk_spilled_mb":${meter.diskSpilled.get() / 1048576},""" +
+          s""""peak_task_mem_mb":${meter.peakTaskMemory.get() / 1048576}}"""
+        println(line)
+        (n, sec, rows, meter.read.get(), meter.write.get())
+      }
     }
     val total = results.map(_._2).sum
-    println(f"""{"probe_dir":"$dir","queries":${names.length},""" +
+    println(f"""{"probe_dir":"$dir","queries":${results.length},""" +
       f""""total_sec":$total%.1f}""")
     spark.stop()
   }
