@@ -457,6 +457,47 @@ object Multimodal {
     }
   }
 
+  /** MAGIC-BYTE auto-dispatching audio decoder: a crawl corpus never
+    * labels its payloads reliably, so dispatch on the container bytes
+    * themselves, not a content-type string — `fLaC` → [[FlacPcm]],
+    * RIFF/WAVE with fmt tag 0x11 → [[ImaAdpcm]], RIFF/WAVE (PCM tags) /
+    * AIFF (`FORM…AIFF`) / AU (`.snd`) → [[WavPcm]]. Unknown magic
+    * fails LOUDLY (the 1:1 batch contract). All lanes share
+    * [[audioFeatures]], so the SAME sound under any LOSSLESS
+    * container/codec yields the same content checksum — the dedup key
+    * mixed-codec corpora group on (q382).
+    */
+  object AutoAudioDecoder extends Decoder {
+    /** The RIFF/WAVE fmt-chunk wFormatTag, or -1 when absent/not WAVE. */
+    private def waveFormatTag(b: Array[Byte]): Int = {
+      if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return -1
+      var off = 12
+      while (off + 8 <= b.length) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val len = (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8) |
+          ((b(off + 6) & 0xff) << 16) | ((b(off + 7) & 0xff) << 24)
+        if (len < 0) return -1 // corrupt — let the lane decoder reject
+        if (id == "fmt " && off + 10 <= b.length)
+          return (b(off + 8) & 0xff) | ((b(off + 9) & 0xff) << 8)
+        off += 8 + len + (len & 1)
+      }
+      -1
+    }
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val b = r.media
+      def tag4 = if (b.length >= 4) new String(b, 0, 4, "US-ASCII") else ""
+      val (rate, samples): (Int, Array[Int]) =
+        if (tag4 == "fLaC") FlacPcm.decodeMono(b)
+        else if (waveFormatTag(b) == 0x11) ImaAdpcm.decodeWavMono(b)
+        else if (waveFormatTag(b) >= 0 || tag4 == "FORM" || tag4 == ".snd") {
+          val (rf, s) = WavPcm.decodeMono(b); (rf.toInt, s)
+        } else throw new IllegalArgumentException(
+          s"unrecognized audio container (magic ${tag4.take(4)})")
+      audioFeatures(r.media_id, b.length.toLong, rate, samples)
+    }
+  }
+
   /** Deterministic WAV synthesis from text — the fixture generator
     * feeding [[wavEnergy]]'s REAL decode in the oracled roundtrip gate
     * (q371): one 16-bit mono PCM sample per printable-ASCII character,

@@ -274,6 +274,44 @@ private[graft] object MultimodalQueries {
           (col("wav_checksum") === col("flac_checksum"))
             .cast("int").as("codec_match"))
         .orderBy("media_id")
+    },
+
+    // Mixed-codec corpus dedup with MAGIC-BYTE auto-dispatch (r15):
+    // a heterogeneous media corpus (one WAV copy + one FLAC copy of
+    // every document's sound, under distinct media ids, NO
+    // content-type labels) decodes through AutoAudioDecoder — the
+    // container bytes route each payload to its codec — and dedups by
+    // the shared content checksum. Every group must be exactly the
+    // {WAV, FLAC} pair of one document: the oracle predicts (doc_id,
+    // 2) rows, which hold iff dispatch picks the right codec per
+    // payload AND both lanes decode sample-exactly. One decode scan,
+    // one hash-shuffle on the 64-bit checksum — the dedup shape at
+    // any scale.
+    q(
+      "q382_mixed_codec_dedup",
+      """WITH p AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS t
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0)
+        |SELECT min(doc_id) AS media_group, 2 * count(*) AS n_copies
+        |FROM p GROUP BY t ORDER BY media_group"""
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.spread(s, Tables.documents(s, d))
+      val wav = Multimodal.textToWav(docs, "doc_id", "text")
+        .map(r => r.copy(media_id = r.media_id * 2))
+      val flac = Multimodal.textToFlac(docs, "doc_id", "text")
+        .map(r => r.copy(media_id = r.media_id * 2 + 1))
+      Multimodal.decode(wav.unionAll(flac), Multimodal.AutoAudioDecoder)
+        .groupBy(col("checksum"))
+        .agg(min(col("media_id")).as("min_id"),
+          count(lit(1)).as("n_copies"))
+        // a group is the {WAV, FLAC} pairs of every doc sharing one
+        // printable text (the corpus carries a few exact-dup texts at
+        // sf0.1); min media id = 2·(min doc id) → /2 recovers it
+        .select((col("min_id") / 2).cast("long").as("media_group"),
+          col("n_copies"))
+        .orderBy("media_group")
     }
   )
 }

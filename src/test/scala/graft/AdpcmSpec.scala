@@ -171,4 +171,53 @@ class AdpcmSparkSpec extends SparkSpec {
     assert(fOut(0).checksum == wOut(0).checksum)
     assert(fOut(0).feature.toSeq == wOut(0).feature.toSeq)
   }
+
+  test("AutoAudioDecoder dispatches on container magic: FLAC, PCM WAV, " +
+      "IMA ADPCM each route to their codec; unknown magic is loud (r15)") {
+    val samples = Array.tabulate(2048)(i =>
+      (5000 * math.sin(2 * math.Pi * i / 64)).toInt)
+    val wav = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt,
+          samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, FlacPcm.encode(samples, 8000), "application/octet-stream",
+        0, 0),
+      MediaRow(2L, wav, "application/octet-stream", 0, 0),
+      MediaRow(3L, ImaAdpcm.encodeWav(samples, 8000),
+        "application/octet-stream", 0, 0))
+    val out = Multimodal.decode(rows.toDS(),
+      Multimodal.AutoAudioDecoder).collect().sortBy(_.media_id)
+    assert(out.map(_.n_frames).toSeq == Seq(2048, 2048, 2048))
+    // the two LOSSLESS lanes agree exactly; ADPCM is adjacent, not equal
+    assert(out(0).checksum == out(1).checksum)
+    assert(out(2).checksum != out(0).checksum)
+    // same sound: the normalized energy envelopes are close even for
+    // the lossy lane
+    out(2).feature.zip(out(0).feature).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.01f)
+    }
+    // unknown magic fails loudly through the batch contract
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(
+        Seq(MediaRow(9L, "OggS garbage".getBytes("US-ASCII"), "?", 0, 0))
+          .toDS(), Multimodal.AutoAudioDecoder).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("unrecognized") ||
+      Option(e.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("unrecognized")))
+  }
 }
