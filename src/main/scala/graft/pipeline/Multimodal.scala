@@ -268,6 +268,25 @@ object Multimodal {
       }
   }
 
+  /** REAL ANIMATED-PNG frame sampler: every `every`-th FULLY-COMPOSITED
+    * frame through [[Apng]] (dispose/blend ops applied, so delta-frame
+    * animations sample their true rendered frames, unlike a naive
+    * region decode), re-encoded as deterministic PNG — the shared
+    * payload policy, so downstream image stages consume GIF, APNG and
+    * MJPEG frames identically.
+    */
+  object ApngFrameSampler extends FrameSampler {
+    def sampleBatch(rows: Seq[MediaRow], every: Int): Seq[FrameRow] =
+      rows.flatMap { r =>
+        val all = Apng.frames(r.media)
+        all.zipWithIndex.collect { case (f, i) if i % every == 0 =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(f.image, "png", bos)
+          FrameRow(r.media_id, i, bos.toByteArray)
+        }
+      }
+  }
+
   /** REAL VIDEO frame sampler: Motion-JPEG in its standard AVI
     * container through [[MjpegAvi]] — demux the `movi` frame chunks,
     * decode every `every`-th one with the JDK's own JPEG codec, and

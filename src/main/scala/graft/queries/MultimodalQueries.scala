@@ -276,6 +276,48 @@ private[graft] object MultimodalQueries {
         .orderBy("media_id")
     },
 
+    // REAL ANIMATED-PNG roundtrip (r15): per document, (n_chars % 5)+1
+    // solid-color frames assembled into an APNG (standard acTL/fcTL/
+    // fdAT chunk layout, CRC-sealed) on the executors, then
+    // frame-sampled every 2nd frame through the REAL lane (chunk walk,
+    // per-frame PNG reconstruction, dispose/blend compositing, the
+    // JDK's PNG codec, PNG re-encode). Like q379 the exact oracle
+    // surface is the container arithmetic the lane must reproduce —
+    // and rows exist only if every reconstructed frame actually
+    // DECODES and every chunk CRC verifies (the sampler fails loudly).
+    q(
+      "q383_apng_frame_sample",
+      """SELECT doc_id AS media_id,
+        |  ((n_chars % 5) + 2) // 2 AS frames_sampled,
+        |  (((n_chars % 5) // 2) * (((n_chars % 5) // 2) + 1))
+        |    AS idx_sum
+        |FROM documents ORDER BY media_id"""
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val n = (nChars % 5).toInt + 1
+          val frames = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              12, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(16, (f * 40) % 256, 96))
+            g.fillRect(0, 0, 12, 12); g.dispose()
+            graft.pipeline.Apng.Frame(img)
+          }
+          Multimodal.MediaRow(id, graft.pipeline.Apng.encode(frames),
+            "image/apng", 0, 0)
+        }
+      Multimodal.frameSample(media, every = 2,
+          Multimodal.ApngFrameSampler)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("frames_sampled"),
+          sum(col("frame_index")).as("idx_sum"))
+        .orderBy("media_id")
+    },
+
     // Mixed-codec corpus dedup with MAGIC-BYTE auto-dispatch (r15):
     // a heterogeneous media corpus (one WAV copy + one FLAC copy of
     // every document's sound, under distinct media ids, NO
