@@ -287,6 +287,33 @@ object Multimodal {
       }
   }
 
+  /** MAGIC-BYTE auto-dispatching frame sampler — [[AutoAudioDecoder]]'s
+    * animation twin: `GIF8` → [[GifFrameSampler]], the PNG signature →
+    * [[ApngFrameSampler]], `RIFF…AVI ` → [[MjpegAviFrameSampler]];
+    * unknown magic fails loudly. A heterogeneous crawl corpus
+    * frame-samples through ONE operator with no content-type labels,
+    * and every lane emits the same PNG payload policy, so downstream
+    * image dedup/feature stages are container-blind.
+    */
+  object AutoFrameSampler extends FrameSampler {
+    def sampleBatch(rows: Seq[MediaRow], every: Int): Seq[FrameRow] =
+      rows.flatMap { r =>
+        val b = r.media
+        def str(off: Int, n: Int) =
+          if (b.length >= off + n) new String(b, off, n, "US-ASCII") else ""
+        val sampler: FrameSampler =
+          if (str(0, 4) == "GIF8") GifFrameSampler
+          else if (b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+            str(1, 3) == "PNG") ApngFrameSampler
+          else if (str(0, 4) == "RIFF" && str(8, 4) == "AVI ")
+            MjpegAviFrameSampler
+          else throw new IllegalArgumentException(
+            s"media_id ${r.media_id}: unrecognized animation container " +
+              s"(magic ${str(0, 4)})")
+        sampler.sampleBatch(Seq(r), every)
+      }
+  }
+
   /** REAL VIDEO frame sampler: Motion-JPEG in its standard AVI
     * container through [[MjpegAvi]] — demux the `movi` frame chunks,
     * decode every `every`-th one with the JDK's own JPEG codec, and

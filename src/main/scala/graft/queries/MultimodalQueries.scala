@@ -318,6 +318,71 @@ private[graft] object MultimodalQueries {
         .orderBy("media_id")
     },
 
+    // Heterogeneous-container frame sampling with MAGIC-BYTE
+    // auto-dispatch (r15): each document's animation arrives in a
+    // DIFFERENT real container by doc_id % 3 — animated GIF (the JDK's
+    // GIF sequence writer), APNG (Apng.encode), or MJPEG-in-AVI
+    // (MjpegAvi.encode) — with NO content-type labels, and
+    // AutoFrameSampler routes each payload by its container bytes.
+    // The oracle is the SAME container arithmetic for all three (the
+    // q379/q383 discipline), so the gate holds iff dispatch picks the
+    // right demuxer for every payload and all three lanes decode —
+    // a GIF routed to the APNG walker fails loudly, not approximately.
+    q(
+      "q384_mixed_container_frames",
+      """SELECT doc_id AS media_id,
+        |  ((n_chars % 5) + 2) // 2 AS frames_sampled,
+        |  (((n_chars % 5) // 2) * (((n_chars % 5) // 2) + 1))
+        |    AS idx_sum
+        |FROM documents ORDER BY media_id"""
+    ) { (s, d) =>
+      import s.implicits._
+      val media = Tables.spread(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val n = (nChars % 5).toInt + 1
+          def rgbFrame(f: Int): java.awt.image.BufferedImage = {
+            val img = new java.awt.image.BufferedImage(
+              12, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(32, (f * 40) % 256, 80))
+            g.fillRect(0, 0, 12, 12); g.dispose()
+            img
+          }
+          val payload: Array[Byte] = (id % 3) match {
+            case 0 => // animated GIF via the JDK's sequence writer
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              val w = javax.imageio.ImageIO
+                .getImageWritersByFormatName("gif").next()
+              w.setOutput(ios)
+              w.prepareWriteSequence(null)
+              (0 until n).foreach(f => w.writeToSequence(
+                new javax.imageio.IIOImage(rgbFrame(f), null, null), null))
+              w.endWriteSequence(); w.dispose(); ios.close()
+              bos.toByteArray
+            case 1 =>
+              graft.pipeline.Apng.encode(
+                (0 until n).map(f => graft.pipeline.Apng.Frame(rgbFrame(f))))
+            case _ =>
+              val frames = (0 until n).map { f =>
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(rgbFrame(f), "jpg", bos)
+                bos.toByteArray
+              }
+              MjpegAvi.encode(frames, 12, 12)
+          }
+          Multimodal.MediaRow(id, payload, "application/octet-stream", 0, 0)
+        }
+      Multimodal.frameSample(media, every = 2,
+          Multimodal.AutoFrameSampler)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("frames_sampled"),
+          sum(col("frame_index")).as("idx_sum"))
+        .orderBy("media_id")
+    },
+
     // Mixed-codec corpus dedup with MAGIC-BYTE auto-dispatch (r15):
     // a heterogeneous media corpus (one WAV copy + one FLAC copy of
     // every document's sound, under distinct media ids, NO

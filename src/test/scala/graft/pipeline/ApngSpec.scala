@@ -203,4 +203,36 @@ class ApngSparkSpec extends graft.SparkSpec {
       assert((i.getRGB(5, 5) & 0xffffff) == f.frame_index * 25 * 2)
     }
   }
+
+  test("AutoFrameSampler dispatches on container magic and rejects " +
+      "unknown payloads loudly (r15)") {
+    def img(c: Int) = {
+      val i = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val g = i.createGraphics()
+      g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, 8, 8)
+      g.dispose(); i
+    }
+    val apng = Apng.encode((0 until 3).map(i => Apng.Frame(img(i * 80))))
+    val avi = {
+      val frames = (0 until 3).map { _ =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img(128), "jpg", bos)
+        bos.toByteArray
+      }
+      MjpegAvi.encode(frames, 8, 8)
+    }
+    val out = Multimodal.frameSample(
+      Seq(MediaRow(1L, apng, "?", 0, 0), MediaRow(2L, avi, "?", 0, 0))
+        .toDS(), every = 2, Multimodal.AutoFrameSampler).collect()
+    assert(out.map(f => (f.media_id, f.frame_index)).toSet ==
+      Set((1L, 0), (1L, 2), (2L, 0), (2L, 2)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.frameSample(
+        Seq(MediaRow(3L, "MKV?trash".getBytes("US-ASCII"), "?", 0, 0))
+          .toDS(), every = 1, Multimodal.AutoFrameSampler).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("unrecognized") ||
+      Option(e.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("unrecognized")))
+  }
 }
