@@ -32,6 +32,10 @@ import java.util.zip.CRC32
   */
 object Apng {
 
+  // in-memory ImageIO stream cache — see the Multimodal object note
+  // (Apng is usable standalone, so set it here too)
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val Signature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 

@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every
+  // ImageIO.read/write on a byte-array stream creates (and deletes) a
+  // temp FILE. Per-payload codec work over a corpus turns that into
+  // millions of tiny filesystem round-trips — measured as q383's 34x
+  // wall at 10x rows in the r15 sf10 probe (tiny PNG frames, so the
+  // temp-file overhead dominated). All our payloads are in-memory byte
+  // arrays; cache in memory. Object init runs once per JVM/executor on
+  // first touch of any lane.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(
       media_id: Long,
       media: Array[Byte],
