@@ -114,10 +114,34 @@ object Apng {
       f.image.getWidth == w && f.image.getHeight == h,
       "encode emits full-canvas frames only"))
     // PNG-encode each frame via the JDK, then lift its chunks
-    val pngs = frames.map { f =>
+    def pngEncode(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(f.image, "png", bos)
+      javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+    var pngs = frames.map(f => pngEncode(f.image))
+    // The container writes ONE IHDR (and PLTE/tRNS set) — the head
+    // frame's — while later frames contribute raw IDAT payloads as
+    // fdAT. Frames whose BufferedImage types differ (RGB head + ARGB
+    // tail, indexed images with differing palettes) would decode
+    // against the wrong IHDR/palette: undecodable at best, silently
+    // wrong colors in the indexed case. Guard: if any frame's
+    // IHDR/PLTE/tRNS bytes differ from the head's, redraw EVERY frame
+    // into TYPE_INT_ARGB and re-encode — one uniform IHDR, no palette.
+    // Matching-type input (the common path) is untouched byte-for-byte.
+    def headerBytes(png: Array[Byte]): Seq[(String, Seq[Byte])] =
+      chunks(png).filter(c =>
+        c.ctype == "IHDR" || c.ctype == "PLTE" || c.ctype == "tRNS")
+        .map(c => (c.ctype, c.data.toSeq))
+    val headHdr = headerBytes(pngs.head)
+    if (pngs.exists(p => headerBytes(p) != headHdr)) {
+      pngs = frames.map { f =>
+        val norm = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+        val g = norm.createGraphics()
+        g.drawImage(f.image, 0, 0, null)
+        g.dispose()
+        pngEncode(norm)
+      }
     }
     val headChunks = chunks(pngs.head)
     val ihdr = headChunks.find(_.ctype == "IHDR").get

@@ -104,7 +104,12 @@ object ArtifactWarehouse {
   def bucketsFor(df: DataFrame, floor: Int = 8): Int = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     var bytes = 0L
-    df.inputFiles.take(10000).foreach { f =>
+    // Sum EVERY input file: `inputFiles` has already materialized the
+    // listing, so the per-file stat is the only cost, and a truncated
+    // census would both undercount and depend on listing order —
+    // yielding different bucket counts (hence different artifact
+    // fingerprints) for the same corpus across sessions.
+    df.inputFiles.foreach { f =>
       try {
         val p = new org.apache.hadoop.fs.Path(f)
         bytes += p.getFileSystem(conf).getFileStatus(p).getLen

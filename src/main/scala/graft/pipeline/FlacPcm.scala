@@ -162,7 +162,7 @@ object FlacPcm {
     }
   }
 
-  private def readUtf8Number(br: BitReader): Long = {
+  private[pipeline] def readUtf8Number(br: BitReader): Long = {
     val b0 = br.readBits(8).toInt
     if ((b0 & 0x80) == 0) return b0.toLong
     var k = 0
@@ -559,6 +559,16 @@ object FlacPcm {
     require(sawStreamInfo, "FLAC: stream carries no STREAMINFO block")
     require(rate > 0, s"FLAC: invalid sample rate $rate")
     require(bps >= 4 && bps <= 32, s"FLAC: unsupported bits/sample $bps")
+    // Stated contract (RFC 9639 §9.2.2): the side subframe of a
+    // decorrelated stereo frame is bps+1 bits wide, so a 32-bit
+    // multi-channel stream may carry 33-bit subframes that this
+    // decoder's 32-bit Int sample planes cannot represent. Reject the
+    // whole stream HERE rather than fail mid-frame on the first
+    // left/side frame; 31-bit stereo and 32-bit mono both fit.
+    require(!(bps == 32 && channels >= 2),
+      "FLAC: 32-bit multi-channel streams may carry 33-bit side " +
+        "subframes beyond this decoder's 32-bit sample planes; " +
+        "re-encode at <= 31 bits/sample or as mono")
 
     val chans: Array[scala.collection.mutable.Builder[Int, Array[Int]]] =
       Array.fill(channels)(Array.newBuilder[Int])

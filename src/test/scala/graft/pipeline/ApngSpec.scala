@@ -173,6 +173,41 @@ class ApngSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Apng.frames(java.util.Arrays.copyOf(apng, apng.length - 6)))
   }
+
+  test("heterogeneous frame image types encode to a decodable APNG " +
+      "(r16 ADVICE pin): RGB head + ARGB + indexed tail are " +
+      "normalized to one IHDR instead of fdAT-ing mismatched IDATs") {
+    def filled(typ: Int, rgb: Int): BufferedImage = {
+      val img = new BufferedImage(10, 6, typ)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 10, 6)
+      g.dispose(); img
+    }
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val types = Seq(BufferedImage.TYPE_INT_RGB,
+      BufferedImage.TYPE_INT_ARGB, BufferedImage.TYPE_BYTE_INDEXED)
+    val apng = Apng.encode(colors.zip(types).map { case (c, t) =>
+      Apng.Frame(filled(t, c))
+    })
+    val out = Apng.frames(apng)
+    assert(out.length == 3)
+    out.zip(colors).zipWithIndex.foreach { case ((f, c), i) =>
+      for (x <- 0 until 10; y <- 0 until 6)
+        assert((f.image.getRGB(x, y) & 0xffffff) == c,
+          f"frame $i ($x,$y): got 0x${f.image.getRGB(x, y)}%08x")
+    }
+    // every frame decodes against the ONE written IHDR: a standalone
+    // PNG reader must also accept frame 0 (degradation contract holds
+    // through normalization)
+    val still = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(apng))
+    assert(still != null && (still.getRGB(2, 2) & 0xffffff) == 0xff0000)
+    // and the uniform-type path stays byte-identical to a direct
+    // encode (no normalization when nothing mismatches)
+    val uni = colors.map(c =>
+      Apng.Frame(filled(BufferedImage.TYPE_INT_RGB, c)))
+    assert(java.util.Arrays.equals(Apng.encode(uni), Apng.encode(uni)))
+  }
 }
 
 /** Distributed sampler — spark-backed suite. */

@@ -335,6 +335,42 @@ class FlacSpec extends AnyFunSuite {
     val s = decode(out.toByteArray)
     assert(s.samples(0).sameElements(x))
   }
+
+  test("stated contract (r16): 32-bit MULTI-channel streams are " +
+      "rejected at STREAMINFO (33-bit side subframes exceed Int " +
+      "planes); 32-bit MONO still decodes") {
+    // stereo 32-bit: rejected loudly BEFORE any frame is touched
+    val stereo = craft(8, 8000, 2, 32, chCode = 1, total = 8) { bw =>
+      // body never reached — decode must fail at the header
+      verbatim(bw, Array.fill(8)(0), 32)
+      verbatim(bw, Array.fill(8)(0), 32)
+    }
+    val e = intercept[IllegalArgumentException](decode(stereo))
+    assert(e.getMessage.contains("32-bit multi-channel"), e.getMessage)
+    // mono 32-bit: full-range samples fit Int planes and decode
+    val x = Array(Int.MaxValue, Int.MinValue, 0, -1, 123456789,
+      -987654321, 42, -42)
+    val mono = craft(8, 8000, 1, 32, chCode = 0, total = 8) { bw =>
+      verbatim(bw, x, 32)
+    }
+    val s = decode(mono)
+    assert(s.bps == 32 && s.samples(0).sameElements(x))
+  }
+
+  test("coded-number lead byte 0xFF is rejected loudly (r16 ADVICE " +
+      "pin): all seven flag bits set is invalid per RFC 9639, not a " +
+      "lenient 6-continuation read") {
+    for (lead <- Seq(0xff, 0x80, 0xbf)) { // 0x80/0xbf: k=0 also invalid
+      val br = new BitReader(
+        Array(lead.toByte) ++ Array.fill(7)(0x80.toByte), 0)
+      val e = intercept[IllegalArgumentException](readUtf8Number(br))
+      assert(e.getMessage.contains("lead byte"), f"0x$lead%02x")
+    }
+    // the valid extremes still read: 0xFE + six continuations (36-bit)
+    val br = new BitReader(
+      Array(0xfe.toByte) ++ Array.fill(6)(0xbf.toByte), 0)
+    assert(readUtf8Number(br) == (1L << 36) - 1)
+  }
 }
 
 /** Byte-level pins recorded on the first green run. */
