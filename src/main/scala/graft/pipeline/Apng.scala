@@ -72,7 +72,9 @@ object Apng {
     while (off + 8 <= png.length) {
       val len = rd32(png, off)
       require(len >= 0, s"corrupt PNG chunk: negative length $len")
-      require(off + 12 + len <= png.length,
+      // Long arithmetic: a len near Int.MaxValue must not wrap the
+      // bound check positive and index past the array (fuzz-pinned)
+      require(off.toLong + 12 + len <= png.length,
         "corrupt PNG chunk: length past end of stream")
       val ctype = new String(png, off + 4, 4, "US-ASCII")
       val data = java.util.Arrays.copyOfRange(png, off + 8, off + 8 + len)
@@ -195,12 +197,25 @@ object Apng {
     val cs = chunks(apng)
     val ihdr = cs.find(_.ctype == "IHDR").getOrElse(
       throw new IllegalArgumentException("PNG stream carries no IHDR"))
-    require(cs.exists(_.ctype == "acTL"),
-      "PNG stream is not animated (no acTL chunk)")
+    require(ihdr.data.length == 13,
+      s"corrupt IHDR: ${ihdr.data.length} bytes (13 expected)")
+    val actl = cs.find(_.ctype == "acTL").getOrElse(
+      throw new IllegalArgumentException(
+        "PNG stream is not animated (no acTL chunk)"))
+    require(actl.data.length >= 8,
+      s"corrupt acTL: ${actl.data.length} bytes (8 expected)")
     val canvasW = rd32(ihdr.data, 0)
     val canvasH = rd32(ihdr.data, 4)
+    require(canvasW > 0 && canvasH > 0,
+      s"corrupt IHDR: non-positive canvas ${canvasW}x$canvasH")
+    // ARGB compositing allocates two canvas-sized int planes; a crafted
+    // IHDR must not turn that into a multi-GB allocation (CRC-valid
+    // dimension bombs are cheap to mint — fuzz-pinned)
+    require(canvasW.toLong * canvasH <= (1L << 26),
+      s"canvas ${canvasW}x$canvasH exceeds this decoder's " +
+        s"${1L << 26}-pixel bound")
     val carried = cs.filter(c => c.ctype == "PLTE" || c.ctype == "tRNS")
-    val declared = rd32(cs.find(_.ctype == "acTL").get.data, 0)
+    val declared = rd32(actl.data, 0)
 
     // gather (fcTL, payload) pairs in stream order, verifying the
     // sequence numbers interleave exactly as the spec requires
@@ -219,6 +234,8 @@ object Apng {
       c.ctype match {
         case "fcTL" =>
           flush()
+          require(c.data.length >= 26,
+            s"corrupt fcTL: ${c.data.length} bytes (26 expected)")
           require(rd32(c.data, 0) == expectSeq,
             s"APNG sequence number ${rd32(c.data, 0)} out of order " +
               s"(expected $expectSeq)")
@@ -234,6 +251,8 @@ object Apng {
         case "fdAT" =>
           require(sawIdat, "fdAT before IDAT")
           require(cur.isDefined, "fdAT without a preceding fcTL")
+          require(c.data.length >= 4,
+            s"corrupt fdAT: ${c.data.length} bytes carry no sequence number")
           require(rd32(c.data, 0) == expectSeq,
             s"APNG sequence number ${rd32(c.data, 0)} out of order " +
               s"(expected $expectSeq)")
@@ -253,8 +272,10 @@ object Apng {
       canvasW, canvasH, BufferedImage.TYPE_INT_ARGB)
     val out = Vector.newBuilder[DecodedFrame]
     frameList.zipWithIndex.foreach { case ((f, payload), idx) =>
+      // Long sums: crafted x+w near Int.MaxValue must not wrap negative
+      // and pass the canvas bound (fuzz-pinned)
       require(f.w > 0 && f.h > 0 && f.x >= 0 && f.y >= 0 &&
-        f.x + f.w <= canvasW && f.y + f.h <= canvasH,
+        f.x.toLong + f.w <= canvasW && f.y.toLong + f.h <= canvasH,
         s"frame seq ${f.seq}: region outside the canvas")
       require(f.dispose <= 2 && f.blend <= 1,
         s"frame seq ${f.seq}: reserved dispose/blend op")

@@ -170,7 +170,9 @@ object ImaAdpcm {
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
       new String(bytes, 8, 4, "US-ASCII") == "WAVE",
       "payload is not a RIFF/WAVE file")
-    var off = 12
+    // offsets advance in Long: a crafted len near Int.MaxValue must not
+    // wrap the cursor negative and re-enter the walk (fuzz-pinned)
+    var off = 12L
     var rate = -1
     var blockAlign = -1
     var spb = -1
@@ -178,31 +180,43 @@ object ImaAdpcm {
     var dataOff = -1
     var dataLen = -1
     while (off + 8 <= bytes.length) {
-      val id = new String(bytes, off, 4, "US-ASCII")
-      val len = rd32(bytes, off + 4)
+      val o = off.toInt
+      val id = new String(bytes, o, 4, "US-ASCII")
+      val len = rd32(bytes, o + 4)
       // A negative 32-bit length (corrupt/crafted payload) would make the
       // offset advance non-positive and spin the walk forever — fail loudly.
       require(len >= 0, s"corrupt RIFF chunk '$id': negative length $len")
+      require(off + 8 + len <= bytes.length,
+        s"corrupt RIFF chunk '$id': length $len past end of payload")
       id match {
         case "fmt " =>
-          val tag = rd16(bytes, off + 8)
+          require(len >= 16, s"corrupt fmt chunk: length $len < 16")
+          val tag = rd16(bytes, o + 8)
           require(tag == 0x11,
             f"not IMA ADPCM (wFormatTag 0x$tag%x; 0x11 expected)")
-          require(rd16(bytes, off + 10) == 1, "mono IMA ADPCM only")
-          rate = rd32(bytes, off + 12)
-          blockAlign = rd16(bytes, off + 20)
-          require(rd16(bytes, off + 22) == 4, "4-bit IMA ADPCM only")
+          require(rd16(bytes, o + 10) == 1, "mono IMA ADPCM only")
+          rate = rd32(bytes, o + 12)
+          blockAlign = rd16(bytes, o + 20)
+          require(rd16(bytes, o + 22) == 4, "4-bit IMA ADPCM only")
           spb =
-            if (len >= 20) rd16(bytes, off + 26)
+            if (len >= 20) rd16(bytes, o + 26)
             else samplesPerBlock(blockAlign)
-        case "fact" => factSamples = rd32(bytes, off + 8)
-        case "data" => dataOff = off + 8; dataLen = len
+        case "fact" =>
+          require(len >= 4, s"corrupt fact chunk: length $len < 4")
+          factSamples = rd32(bytes, o + 8)
+        case "data" => dataOff = o + 8; dataLen = len
         case _ => ()
       }
       off += 8 + len + (len & 1) // chunks are word-aligned
     }
     require(rate > 0 && blockAlign > 0 && dataOff >= 0,
       "WAV is missing fmt or data chunk")
+    // the block loop reads dataLen bytes from dataOff and the header
+    // reads 4 bytes per block — both bounded by these two checks
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      s"blockAlign must be a multiple of 4, >= 8: $blockAlign")
+    require(dataOff.toLong + dataLen <= bytes.length,
+      s"data chunk length $dataLen past end of payload")
     require(spb == samplesPerBlock(blockAlign),
       s"inconsistent samplesPerBlock $spb for blockAlign $blockAlign")
     val nBlocks = dataLen / blockAlign

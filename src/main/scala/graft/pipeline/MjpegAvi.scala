@@ -121,29 +121,32 @@ object MjpegAvi {
     require(avi.length >= 12 && tag(avi, 0) == "RIFF" &&
       tag(avi, 8) == "AVI ", "payload is not a RIFF AVI file")
     val out = Vector.newBuilder[Array[Byte]]
-    var off = 12
+    // offsets advance in Long: a crafted len near Int.MaxValue must not
+    // wrap the cursor negative and re-enter the walk (fuzz-pinned)
+    var off = 12L
     while (off + 8 <= avi.length) {
-      val id = tag(avi, off)
-      val len = rd32(avi, off + 4)
+      val id = tag(avi, off.toInt)
+      val len = rd32(avi, off.toInt + 4)
       // A negative 32-bit length (corrupt/crafted payload) would make the
       // offset advance non-positive and spin the walk forever — fail loudly.
       require(len >= 0, s"corrupt RIFF chunk '$id': negative length $len")
       if (id == "LIST" && off + 12 <= avi.length &&
-          tag(avi, off + 8) == "movi") {
+          tag(avi, off.toInt + 8) == "movi") {
         var p = off + 12
-        val end = math.min(off + 8 + len, avi.length)
+        val end = math.min(off + 8 + len, avi.length.toLong)
         while (p + 8 <= end) {
-          val cid = tag(avi, p)
-          val clen = rd32(avi, p + 4)
+          val cid = tag(avi, p.toInt)
+          val clen = rd32(avi, p.toInt + 4)
           require(clen >= 0,
             s"corrupt movi chunk '$cid': negative length $clen")
           if (cid.length == 4 && (cid.endsWith("dc") || cid.endsWith("db")) &&
               p + 8 + clen <= end)
-            out += java.util.Arrays.copyOfRange(avi, p + 8, p + 8 + clen)
-          p += 8 + clen + (clen & 1)
+            out += java.util.Arrays.copyOfRange(
+              avi, p.toInt + 8, p.toInt + 8 + clen)
+          p += 8L + clen + (clen & 1)
         }
       }
-      off += 8 + len + (len & 1)
+      off += 8L + len + (len & 1)
     }
     val fs = out.result()
     require(fs.nonEmpty, "AVI carries no video frame chunks")

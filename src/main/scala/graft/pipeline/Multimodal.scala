@@ -408,7 +408,21 @@ object Multimodal {
           s"unsupported PCM sample width: $bits bits (8/16 supported)")
         val ch = fmt.getChannels
         require(ch >= 1, "audio payload declares zero channels")
-        val data = ais.readAllBytes()
+        // NOT readAllBytes: AudioInputStream.read returns 0 (not -1)
+        // when the buffer holds less than one frame, and a crafted fmt
+        // chunk can declare a frame size above readNBytes' internal
+        // 16 KiB buffer — InputStream.readAllBytes then spins forever
+        // on the 0-byte reads (fuzz-pinned hang). Read frame-aligned
+        // buffers ourselves and fail loudly if the stream stalls.
+        val afs = math.max(1, fmt.getFrameSize)
+        require(afs <= (1 << 20), s"unsupported audio frame size: $afs bytes")
+        val dbuf = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](math.max(afs, (64 * 1024 / afs) * afs))
+        var got = ais.read(buf)
+        while (got > 0) { dbuf.write(buf, 0, got); got = ais.read(buf) }
+        require(got == -1,
+          "audio stream stalled mid-read — corrupt frame geometry")
+        val data = dbuf.toByteArray
         val bps = bits / 8
         val frameSize = bps * ch
         val n = data.length / frameSize

@@ -59,9 +59,20 @@ object PrometheusRemote {
   final class ProtoReader(bytes: Array[Byte], from: Int, to: Int) {
     private var pos = from
     def hasMore: Boolean = pos < to
+    // Every read is bounds-checked against the enclosing message's end
+    // (`to`, not the array end): a truncated or crafted length must
+    // fail LOUDLY here, never AIOOBE or silently read a sibling
+    // field's bytes (fuzz-pinned by FuzzSpec writereq/readreq).
+    private def need(n: Int): Unit =
+      if (n < 0 || pos > to - n)
+        throw new IllegalArgumentException(
+          s"truncated protobuf: need $n bytes at offset $pos, field ends at $to")
     def uvarint(): Long = {
       var x = 0L; var shift = 0; var b = 0L
-      while ({ b = bytes(pos) & 0xffL; pos += 1; (b & 0x80) != 0 }) {
+      while ({ need(1); b = bytes(pos) & 0xffL; pos += 1; (b & 0x80) != 0 }) {
+        if (shift > 63)
+          throw new IllegalArgumentException(
+            "malformed protobuf: varint longer than 10 bytes")
         x |= (b & 0x7f) << shift; shift += 7
       }
       x | (b << shift)
@@ -72,21 +83,26 @@ object PrometheusRemote {
       ((k >>> 3).toInt, (k & 7).toInt)
     }
     def fixed64(): Long = {
+      need(8)
       var v = 0L; var i = 0
       while (i < 8) { v |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def lenDelimited(): (Int, Int) = {
-      val len = uvarint().toInt
-      val r = (pos, pos + len)
-      pos += len
+      val len = uvarint()
+      if (len < 0 || len > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"malformed protobuf: field length $len")
+      need(len.toInt)
+      val r = (pos, pos + len.toInt)
+      pos += len.toInt
       r
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => uvarint()
-      case 1 => pos += 8
-      case 2 => val len = uvarint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => lenDelimited()
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
     def slice(f: Int, t: Int): Array[Byte] = bytes.slice(f, t)

@@ -64,6 +64,9 @@ object XorChunk {
     private var bitPos = 0
 
     def readBit(): Boolean = {
+      if (pos >= bytes.length)
+        throw new IllegalArgumentException(
+          "XOR chunk: truncated stream (bit read past end)")
       val b = ((bytes(pos) >> (7 - bitPos)) & 1) == 1
       bitPos += 1
       if (bitPos == 8) { bitPos = 0; pos += 1 }
@@ -82,6 +85,9 @@ object XorChunk {
       var shift = 0
       var b = 0L
       while ({ b = readBits(8); (b & 0x80) != 0 }) {
+        if (shift > 63)
+          throw new IllegalArgumentException(
+            "XOR chunk: malformed varint longer than 10 bytes")
         x |= (b & 0x7f) << shift
         shift += 7
       }
@@ -167,6 +173,8 @@ object XorChunk {
   }
 
   def decode(bytes: Array[Byte]): Seq[Sample] = {
+    require(bytes.length >= 2,
+      s"XOR chunk: ${bytes.length}-byte payload has no sample-count header")
     val count = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
     val r = new BitReader(bytes, 2)
     val out = new ArrayBuffer[Sample](count)
@@ -221,6 +229,10 @@ object XorChunk {
       var mbits = r.readBits(6).toInt
       if (mbits == 0) mbits = 64
       val newTrailing = 64 - newLeading - mbits
+      // encode always satisfies leading + sigbits + trailing == 64; a
+      // stream where they exceed 64 is corrupt, not just imprecise
+      require(newTrailing >= 0,
+        s"XOR chunk: leading $newLeading + significant $mbits bits exceed 64")
       val bits = r.readBits(mbits)
       (prevV ^ (bits << newTrailing), newLeading, newTrailing)
     }
