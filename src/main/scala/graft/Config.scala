@@ -13,6 +13,125 @@ object Config {
 
   private def get(key: String): Option[String] =
     sys.props.get(key).orElse(sys.env.get(key)).filter(_.nonEmpty)
+      .orElse(fileSettings.get(fileKey(key)))
+
+  /** Settings-file key for an env key: the reference's file carries the
+    * confique FIELD names (`port`, `http_body_limit`, …), i.e. the env
+    * name minus its `SENSAPP_` prefix, lowercased
+    * (reference: src/config/mod.rs:9-46). Graft-extension knobs keep
+    * their lowercased `graft_` prefix so the two namespaces can't
+    * collide in one file.
+    */
+  private def fileKey(key: String): String =
+    key.stripPrefix("SENSAPP_").toLowerCase
+
+  /** Path of the settings file: `SENSAPP_SETTINGS_FILE` (itself
+    * property-then-env resolved), default `settings.toml`
+    * (reference: src/config/mod.rs:50-53). A MISSING file is graceful —
+    * env + defaults serve, the reference's documented behavior
+    * (config/mod.rs:185-198 test_custom_settings_file) — while a
+    * PRESENT-but-malformed file fails loudly like confique's load.
+    */
+  private[graft] def settingsFilePath: String =
+    sys.props.get("SENSAPP_SETTINGS_FILE")
+      .orElse(sys.env.get("SENSAPP_SETTINGS_FILE"))
+      .filter(_.nonEmpty).getOrElse("settings.toml")
+
+  // parsed-file cache keyed by (path, mtime): re-read only when the
+  // file changes, so per-access resolution stays cheap and a long-lived
+  // Gateway picks up edits without a restart (same contract as the
+  // property overrides above)
+  @volatile private var fileCache: (String, Long, Map[String, String]) =
+    ("", -2L, Map.empty)
+
+  private def fileSettings: Map[String, String] = {
+    val path = settingsFilePath
+    val f = new java.io.File(path)
+    val stamp = if (f.isFile) f.lastModified() else -1L
+    val cached = fileCache
+    if (cached._1 == path && cached._2 == stamp) cached._3
+    else {
+      val parsed =
+        if (stamp == -1L) Map.empty[String, String]
+        else parseToml(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      fileCache = (path, stamp, parsed)
+      parsed
+    }
+  }
+
+  /** Minimal TOML subset covering the reference's flat settings struct:
+    * `key = value` with quoted strings (`\\ \" \n \t` escapes), bare
+    * integers/floats/booleans, full-line and trailing comments, and
+    * `[section]` headers (sectioned keys are namespaced and therefore
+    * never match a top-level field — same effect as confique ignoring
+    * unknown keys). Malformed lines fail LOUDLY with their line number.
+    */
+  private[graft] def parseToml(text: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var section = ""
+    val kv = """^([A-Za-z0-9_.-]+)\s*=\s*(.+)$""".r
+    text.linesIterator.zipWithIndex.foreach { case (raw, idx) =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          section = line.substring(1, line.length - 1).trim + "."
+        } else line match {
+          case kv(k, v) =>
+            out += ((section + k.toLowerCase, parseTomlValue(v, idx + 1)))
+          case _ => throw new IllegalArgumentException(
+            s"settings file line ${idx + 1}: not a `key = value` pair: $line")
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def parseTomlValue(v0: String, lineNo: Int): String = {
+    val v = v0.trim
+    if (v.startsWith("\"")) {
+      val sb = new StringBuilder
+      var i = 1
+      var closed = false
+      while (i < v.length && !closed) {
+        v.charAt(i) match {
+          case '"' => closed = true
+          case '\\' =>
+            if (i + 1 >= v.length) throw new IllegalArgumentException(
+              s"settings file line $lineNo: dangling escape")
+            v.charAt(i + 1) match {
+              case '"' => sb.append('"')
+              case '\\' => sb.append('\\')
+              case 'n' => sb.append('\n')
+              case 't' => sb.append('\t')
+              case c => throw new IllegalArgumentException(
+                s"settings file line $lineNo: unsupported escape \\$c")
+            }
+            i += 1
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      if (!closed) throw new IllegalArgumentException(
+        s"settings file line $lineNo: unterminated string")
+      val rest = v.substring(i).trim
+      if (rest.nonEmpty && !rest.startsWith("#"))
+        throw new IllegalArgumentException(
+          s"settings file line $lineNo: trailing content after string: $rest")
+      sb.toString
+    } else {
+      val bare = v.indexOf('#') match {
+        case -1 => v
+        case h => v.substring(0, h).trim
+      }
+      val ok = bare == "true" || bare == "false" ||
+        bare.matches("""[+-]?[0-9]+(\.[0-9]+)?""")
+      if (!ok) throw new IllegalArgumentException(
+        s"settings file line $lineNo: unquoted value must be a number " +
+          s"or boolean: $bare")
+      bare
+    }
+  }
 
   def instanceId: Int =
     get("SENSAPP_INSTANCE_ID").map(_.toInt).getOrElse(0)

@@ -76,4 +76,83 @@ class ConfigSpec extends AnyFunSuite {
     }
     assert(Sensor.deriveUuid("temp", SensorType.Float, None, Nil) == base)
   }
+
+  // ---- settings file (SENSAPP_SETTINGS_FILE; reference src/config/mod.rs:50-53)
+
+  private def withSettingsFile[A](content: String)(f: => A): A = {
+    val file = java.io.File.createTempFile("graft_settings", ".toml")
+    java.nio.file.Files.write(file.toPath, content.getBytes("UTF-8"))
+    try withProp("SENSAPP_SETTINGS_FILE", file.getPath)(f)
+    finally file.delete()
+  }
+
+  test("settings file serves values below env and above defaults " +
+    "(reference: confique builder().env().file() order)") {
+    withSettingsFile(
+      """# graft settings
+        |port = 8080
+        |http_body_limit = "12345" # wire cap
+        |sensor_salt = "file-salt"
+        |influxdb_with_numeric = true
+        |graft_default_query_limit = 77
+        |""".stripMargin) {
+      assert(Config.port == 8080)
+      assert(Config.httpBodyLimit == 12345L)
+      assert(Config.sensorSalt == "file-salt")
+      assert(Config.influxdbWithNumeric)
+      assert(Config.defaultQueryLimit == 77)
+      // defaults still serve for keys the file doesn't carry
+      assert(Config.batchSize == 8192)
+      // a property (the env tier's test hook) beats the file
+      withProp("SENSAPP_PORT", "9090")(assert(Config.port == 9090))
+      assert(Config.port == 8080)
+    }
+    assert(Config.port == 3000)
+  }
+
+  test("missing settings file is graceful; defaults serve " +
+    "(reference: config/mod.rs:185-198)") {
+    withProp("SENSAPP_SETTINGS_FILE", "/nonexistent/never.toml") {
+      assert(Config.port == 3000)
+      assert(Config.sensorSalt == "sensapp")
+    }
+  }
+
+  test("malformed settings file fails loudly with a line number") {
+    withSettingsFile("port = 8080\nthis is not toml\n") {
+      val e = intercept[IllegalArgumentException](Config.port)
+      assert(e.getMessage.contains("line 2"))
+    }
+    withSettingsFile("s = \"unterminated\n") {
+      assert(intercept[IllegalArgumentException](Config.port)
+        .getMessage.contains("unterminated"))
+    }
+    withSettingsFile("port = not_a_number\n") {
+      assert(intercept[IllegalArgumentException](Config.port)
+        .getMessage.contains("number or boolean"))
+    }
+  }
+
+  test("sectioned keys are namespaced away from top-level fields; " +
+    "edits are picked up via mtime") {
+    withSettingsFile("[storage]\nport = 1111\n") {
+      // [storage].port must NOT shadow the top-level port field
+      assert(Config.port == 3000)
+      val path = Config.settingsFilePath
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), "port = 2222\n".getBytes("UTF-8"))
+      // ensure a distinct mtime even on coarse-grained filesystems
+      new java.io.File(path).setLastModified(
+        System.currentTimeMillis() + 1500)
+      assert(Config.port == 2222)
+    }
+  }
+
+  test("string escapes and comments parse the confique way") {
+    val m = Config.parseToml(
+      "a = \"x\\\"y\\\\z\"\n\n# comment\nb = 1.5 # trailing\nc = \"t\\tn\\n\"")
+    assert(m("a") == "x\"y\\z")
+    assert(m("b") == "1.5")
+    assert(m("c") == "t\tn\n")
+  }
 }
