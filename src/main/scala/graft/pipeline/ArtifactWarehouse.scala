@@ -159,15 +159,18 @@ object ArtifactWarehouse {
     * longer than any live session — a reader registered against a
     * GC'd artifact normally faults LOUDLY on its next scan (the same
     * contract as any external-table DROP; [[bucketed]]/[[plain]]
-    * self-heal and rebuild on re-entry), with ONE documented silent
-    * window: a table whose root directory vanishes exactly at file-
-    * LISTING time lists zero files (Spark logs "Was it deleted very
-    * recently?" and plans an empty scan) — indistinguishable from a
-    * legitimately empty artifact at this layer, which is why the age
-    * contract, not gc-time coordination, is the production guard
-    * (race-soaked in ArtifactWarehouseSpec). In-flight builds are
-    * never at risk: they live under [[newStagingDir]] until one
-    * atomic promotion.
+    * self-heal and rebuild on re-entry). The historical silent window —
+    * a root vanishing exactly at file-LISTING time lists zero files and
+    * plans an empty scan — is closed at the serve layer: [[bucketed]]/
+    * [[plain]] perform the first listing INSIDE the guarded serve and
+    * retry when it comes back empty with the manifest gone
+    * (deterministically exercised via [[gcRaceProbe]]); afterwards the
+    * session's cached file index makes a mid-scan deletion a loud
+    * vanished-file fault, not an empty result. The age≫session
+    * deployment contract remains the production guard against ever
+    * entering these retries (race-soaked in ArtifactWarehouseSpec).
+    * In-flight builds are never at risk: they live under
+    * [[newStagingDir]] until one atomic promotion.
     */
   def gc(maxAgeMs: Long): Int = {
     require(maxAgeMs >= 0, "maxAgeMs must be non-negative")
@@ -329,17 +332,52 @@ object ArtifactWarehouse {
       var attempt = 0
       var out: DataFrame = null
       while (out == null) {
-        try out = serveOrBuild()
-        catch {
+        try {
+          val cand = serveOrBuild()
+          gcRaceProbe()
+          // listing validation: perform the first file listing HERE,
+          // inside the guarded serve — a root gc'd between the manifest
+          // check and listing time would otherwise plan a silent empty
+          // scan (the window the gc scaladoc documents). Empty listing
+          // + vanished manifest is unambiguous: retry and rebuild. The
+          // listing itself can also throw a raw IOException ("Invalid
+          // directory") when the dir vanishes mid-list — same verdict.
+          if (servedSlotVanished(dir)) {
+            if (attempt >= 3) throw new IllegalStateException(
+              s"artifact $dir vanished at listing time on every retry — " +
+                "a concurrent gc is running with an age shorter than " +
+                "live sessions, violating the deployment contract")
+            attempt += 1
+            spark.sql(s"DROP TABLE IF EXISTS $name")
+            spark.catalog.refreshByPath(dir)
+          } else out = cand
+        } catch {
           case e: Throwable
               if attempt < 3 && graft.store.ReadFaults.isVanishedFile(e) =>
             attempt += 1
             spark.sql(s"DROP TABLE IF EXISTS $name")
+            spark.catalog.refreshByPath(dir)
         }
       }
       out
     }
   }
+
+  /** Post-serve generation check: the manifest doubles as the
+    * artifact's liveness marker (gc deletes the whole slot, manifest
+    * included, and every publish path lands it atomically last). A
+    * serve that found the manifest present but finds it GONE afterwards
+    * was raced by a gc — whatever Spark listed (or cached) for the
+    * slot is condemned, so retry. One stat call on the happy path; no
+    * Spark-cache interplay (an `inputFiles` probe here would validate
+    * against a listing cached BEFORE the deletion and pass). The
+    * residual window — gc landing between this stat and Spark's first
+    * listing — is micro-seconds wide and still ends loud-or-healed:
+    * once listed, the cached index turns later deletions into
+    * vanished-file faults, whose consumer retry re-enters here.
+    */
+  private def servedSlotVanished(dir: String): Boolean =
+    !Files.exists(manifestPath(dir))
 
   /** Serve a PLAIN (unbucketed) artifact: parquet on disk, registered
     * as a catalog table — first build included, so the served plan is
@@ -400,19 +438,39 @@ object ArtifactWarehouse {
       }
     }
     lock.synchronized {
-      // bounded vanished-file retry — see [[bucketed]]
+      // bounded vanished-file retry + listing validation — see [[bucketed]]
       var attempt = 0
       var out: DataFrame = null
       while (out == null) {
-        try out = serveOrBuild()
-        catch {
+        try {
+          val cand = serveOrBuild()
+          gcRaceProbe()
+          if (servedSlotVanished(dir)) {
+            if (attempt >= 3) throw new IllegalStateException(
+              s"artifact $dir vanished at listing time on every retry — " +
+                "a concurrent gc is running with an age shorter than " +
+                "live sessions, violating the deployment contract")
+            attempt += 1
+            dropStale()
+            spark.catalog.refreshByPath(dir)
+          } else out = cand
+        } catch {
           case e: Throwable
               if attempt < 3 && graft.store.ReadFaults.isVanishedFile(e) =>
             attempt += 1
             dropStale()
+            spark.catalog.refreshByPath(dir)
         }
       }
       out
     }
   }
+
+  /** Fault-injection seam for the vanished-at-listing-time window:
+    * invoked between a successful serve and its listing validation,
+    * nowhere else. ArtifactWarehouseSpec swaps in a one-shot
+    * dir-deleter to exercise the retry deterministically; production
+    * leaves the no-op.
+    */
+  private[graft] var gcRaceProbe: () => Unit = () => ()
 }

@@ -255,4 +255,61 @@ class ArtifactWarehouseSpec extends SparkSpec {
         "staging directories leaked past the soak")
     }
   }
+
+  test("vanished-at-listing-time window: a root gc'd between serve and " +
+      "listing triggers a retry+rebuild, never a silent empty scan") {
+    withWarehouse { wh =>
+      def build() = ArtifactWarehouse.bucketed(
+        spark, "gcwindow", "fp1", "id", 8) {
+        spark.range(0, 500).selectExpr("id", "id * 3 as v")
+      }
+      // seed the artifact, then drop the catalog entry so the next call
+      // takes the serve-from-manifest path (the window's entry point)
+      build()
+      val keyDir = Option(new java.io.File(s"$wh/gcwindow").listFiles())
+        .toSeq.flatten.head
+      spark.sql(s"DROP TABLE IF EXISTS graft_wh_gcwindow_${keyDir.getName}")
+      // one-shot injection: delete the artifact root AFTER the serve
+      // succeeds but BEFORE its listing validation — exactly the gc
+      // race the scaladoc documents
+      var fired = 0
+      ArtifactWarehouse.gcRaceProbe = () => {
+        if (fired == 0) { fired += 1; TempDirs.deleteRecursively(keyDir) }
+      }
+      try {
+        val df = build()
+        // the retry must have REBUILT the artifact: correct values, and
+        // the manifest is back on disk
+        assert(df.agg(sum("v")).first().getLong(0) == 500L * 499 * 3 / 2)
+        assert(fired >= 1, "injection never fired")
+        val arts = Option(new java.io.File(s"$wh/gcwindow").listFiles())
+          .toSeq.flatten.filter(_.isDirectory)
+        assert(arts.exists(a =>
+          new java.io.File(a, "manifest.properties").exists()))
+      } finally ArtifactWarehouse.gcRaceProbe = () => ()
+    }
+  }
+
+  test("vanished-at-listing-time window on the plain path: retry+rebuild") {
+    withWarehouse { wh =>
+      def build() = ArtifactWarehouse.plain(spark, "gcwindowp", "fp2") {
+        spark.range(0, 100).selectExpr("id", "id + 7 as v")
+      }
+      build()
+      val keyDir = Option(new java.io.File(s"$wh/gcwindowp").listFiles())
+        .toSeq.flatten.head
+      val name = s"graft_wh_gcwindowp_${keyDir.getName}"
+      if (spark.catalog.isCached(name)) spark.catalog.uncacheTable(name)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      var fired = 0
+      ArtifactWarehouse.gcRaceProbe = () => {
+        if (fired == 0) { fired += 1; TempDirs.deleteRecursively(keyDir) }
+      }
+      try {
+        val df = build()
+        assert(df.agg(sum("v")).first().getLong(0) == 100L * 99 / 2 + 700)
+        assert(fired >= 1, "injection never fired")
+      } finally ArtifactWarehouse.gcRaceProbe = () => ()
+    }
+  }
 }
