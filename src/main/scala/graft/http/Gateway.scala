@@ -126,6 +126,10 @@ final class Gateway(
         respond(x, 200, "text/html", ApiDoc.docsHtml(name))
       else
         respond(x, 200, "application/json", ApiDoc.openApiJson(name)))
+    // PromQL-vs-Prometheus-3 delta page, generated from the engine's
+    // own rejection map so it cannot drift from behavior
+    route("/docs/promql_delta", (x, _) =>
+      respond(x, 200, "text/markdown; charset=utf-8", ApiDoc.promqlDelta))
     // health (reference: src/ingestors/http/health.rs:30-72): liveness
     // is unconditional; readiness probes the STORE (a load balancer
     // must stop routing to an instance whose store root is gone) and
@@ -177,6 +181,7 @@ final class Gateway(
         (hours * 3600 * 1000).toLong)
       respond(x, 200, "application/json", s"""{"removed":$removed}""")
     })
+    route("/api/v1/admin/lineage", handleLineage)
     route("/api/v1/admin/export_bulk", handleExportBulk)
     route("/api/v1/admin/resample", handleResample)
     route("/api/v1/admin/resample_stream", handleResampleStream)
@@ -1466,6 +1471,48 @@ final class Gateway(
   private def handleVacuum(x: HttpExchange, p: Map[String, String]): Unit = {
     SensorType.all.foreach(t => store.vacuum(t))
     respond(x, 200, "text/plain", "ok")
+  }
+
+  /** Column-level lineage as a governance surface (r15 verdict item 6):
+    * `GET /api/v1/admin/lineage?view=<catalog view/table>` or
+    * `?query=<registry id>&dir=<tables dir>` answers, per output
+    * column, the SOURCE columns it transitively depends on
+    * ([[graft.plans.Lineage]] over the analyzed plan) — the audit
+    * trail behind the masking/k-anonymity entries (q314/q315): which
+    * raw columns reach a masked export, which outputs move if a source
+    * column changes. Plain views cost no Spark job (plan walk only);
+    * registry entries that train or checkpoint AT CONSTRUCTION pay
+    * that build once, and any blocks they pin are freed before the
+    * response goes out.
+    */
+  private def handleLineage(x: HttpExchange, p: Map[String, String]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val df = (p.get("view"), p.get("query")) match {
+      case (Some(v), None) =>
+        require(v.matches("[A-Za-z0-9_.]+"), s"invalid view name: $v")
+        if (!spark.catalog.tableExists(v))
+          throw new NoSuchElementException(s"unknown view/table: $v")
+        spark.table(v)
+      case (None, Some(q)) =>
+        val dir = p.getOrElse("dir", throw new IllegalArgumentException(
+          "query lineage needs dir=<tables dir>"))
+        val fn = graft.Queries.all.getOrElse(q,
+          throw new NoSuchElementException(s"unknown query id: $q"))
+        fn(spark, dir)
+      case _ => throw new IllegalArgumentException(
+        "exactly one of view=<name> or query=<id> is required")
+    }
+    try {
+      val lin = graft.plans.Lineage.columnLineage(df)
+      val cols = df.schema.fieldNames.map { c =>
+        val srcs = lin.getOrElse(c, Set.empty).toSeq.sorted
+          .map(s => s""""${esc(s)}"""").mkString(",")
+        s""""${esc(c)}":[$srcs]"""
+      }.mkString(",")
+      val target = p.get("view").orElse(p.get("query")).get
+      respond(x, 200, "application/json",
+        s"""{"target":"${esc(target)}","columns":{$cols}}""")
+    } finally graft.pipeline.PipelineCache.free(df)
   }
 
   /** Batch resample over the store: window the numeric samples of the

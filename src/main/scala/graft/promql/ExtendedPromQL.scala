@@ -77,8 +77,35 @@ object ExtendedPromQL {
     // time functions over vector VALUES (epoch seconds, UTC) -- the
     // Prometheus family; pair with timestamp(sel) for sample times
     "minute" -> (0 to 0), "hour" -> (0 to 0), "day_of_week" -> (0 to 0),
-    "day_of_month" -> (0 to 0), "days_in_month" -> (0 to 0),
+    "day_of_month" -> (0 to 0), "day_of_year" -> (0 to 0),
+    "days_in_month" -> (0 to 0),
     "month" -> (0 to 0), "year" -> (0 to 0))
+
+  /** The documented Prometheus-3 delta (served at /docs/promql_delta):
+    * functions that exist in Prometheus 3.x but are structurally or
+    * deliberately absent HERE — each name rejects with its reason
+    * instead of mis-parsing as a metric selector. Everything else in
+    * the Prometheus 3 function list evaluates (incl. the experimental
+    * limitk/limit_ratio/sort_by_label family and
+    * double_exponential_smoothing).
+    */
+  val UnsupportedFns: Map[String, String] = {
+    val histo = "native-histogram sample types do not exist in this " +
+      "data model (float/integer/numeric/string/boolean/location/json/" +
+      "blob — reference src/datamodel); classic bucket histograms are " +
+      "served by histogram_quantile"
+    val tsOf = "experimental (Prometheus 3.5 feature flag); pair " +
+      "timestamp() with the base selector instead"
+    Map(
+      "histogram_count" -> histo, "histogram_sum" -> histo,
+      "histogram_avg" -> histo, "histogram_fraction" -> histo,
+      "histogram_stddev" -> histo, "histogram_stdvar" -> histo,
+      "info" -> ("experimental OTel target_info metadata join; the " +
+        "catalog API (/series, /api/v1/metadata) serves sensor " +
+        "metadata instead"),
+      "ts_of_last_over_time" -> tsOf, "ts_of_max_over_time" -> tsOf,
+      "ts_of_min_over_time" -> tsOf)
+  }
 
   sealed trait Query {
     def matchers: Seq[LabelMatcher]
@@ -777,8 +804,45 @@ object ExtendedPromQL {
     out.toString
   }
 
+  /** Rewrite the zero-arg scalar functions `time()` (evaluation time in
+    * float epoch seconds — Prometheus promql/functions.go funcTime) and
+    * `pi()` to literal scalars, outside quoted label values and only at
+    * name boundaries (`uptime()` is untouched). Substitution makes them
+    * compose with every scalar-vector context for free and is
+    * idempotent, so the recursive parse re-scanning substrings is
+    * harmless.
+    */
+  private def resolveZeroArgFns(query: String, nowUs: Long): String = {
+    if (!query.contains("time()") && !query.contains("pi()")) return query
+    val timeLit = (nowUs / 1000000L).toString + "." +
+      "%06d".format(nowUs % 1000000L)
+    val piLit = math.Pi.toString
+    val out = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\\' && i + 1 < query.length) {
+          out.append(query.charAt(i + 1)); i += 1
+        } else if (c == '"') inStr = false
+        i += 1
+      } else if (c == '"') { inStr = true; out.append(c); i += 1 }
+      else {
+        val atBoundary = i == 0 || !isNameChar(query.charAt(i - 1))
+        if (atBoundary && query.startsWith("time()", i)) {
+          out.append(timeLit); i += 6
+        } else if (atBoundary && query.startsWith("pi()", i)) {
+          out.append(piLit); i += 4
+        } else { out.append(c); i += 1 }
+      }
+    }
+    out.toString
+  }
+
   def parse(query: String, nowUs: Long): Query = {
-    val s = query.trim
+    val s = resolveZeroArgFns(query.trim, nowUs)
     // a paren group spanning the whole expression unwraps structurally
     // (`(view % 7) ^ 2` recurses into `view % 7`); selector-level parens
     // are still handled by the selector parser unchanged
@@ -892,6 +956,9 @@ object ExtendedPromQL {
       case Some(m) =>
         val head = m.matched
         val after = s.substring(head.length)
+        if (UnsupportedFns.contains(head) && after.trim.startsWith("("))
+          throw PromQLError(
+            s"$head is not supported: ${UnsupportedFns(head)}")
         if (head == "label_replace" || head == "label_join") {
           val (inner, rest) = parenGroup(after.trim, s)
           if (rest.trim.nonEmpty)
@@ -1674,6 +1741,7 @@ object ExtendedPromQL {
       case "hour" => hour(tsOf(v)).cast("double")
       case "day_of_week" => (dayofweek(tsOf(v)) - 1).cast("double")
       case "day_of_month" => dayofmonth(tsOf(v)).cast("double")
+      case "day_of_year" => dayofyear(tsOf(v)).cast("double")
       case "days_in_month" => dayofmonth(last_day(tsOf(v))).cast("double")
       case "month" => month(tsOf(v)).cast("double")
       case "year" => year(tsOf(v)).cast("double")

@@ -110,6 +110,50 @@ class GatewaySpec extends SparkSpec {
     assert(html.body().contains("<!doctype html>"))
   }
 
+  test("/docs/promql_delta serves the Prometheus-3 delta generated " +
+    "from the engine's rejection map") {
+    val r = get("/docs/promql_delta")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("content-type").orElse("")
+      .contains("text/markdown"))
+    val page = r.body()
+    assert(page.contains("# PromQL coverage vs Prometheus 3"))
+    // every engine-rejected function appears on the page with its reason
+    graft.promql.ExtendedPromQL.UnsupportedFns.foreach { case (fn, why) =>
+      assert(page.contains(s"`$fn`"), fn)
+      assert(page.contains(why.take(40)), fn)
+    }
+    assert(page.contains("histogram_quantile")) // the supported contrast
+  }
+
+  test("admin lineage endpoint: per-column source sets for views and " +
+    "registry queries; bad targets answer 400/404") {
+    // view lineage: register the store views, ask for the sensors view
+    store.registerViews("glin")
+    val r = get("/api/v1/admin/lineage?view=glin_sensors")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().startsWith("""{"target":"glin_sensors","columns":{"""))
+    // every column traces to at least itself in some source relation
+    assert(r.body().contains("\"uuid\":["))
+    // registry-query lineage: the q314 masked export's audit trail —
+    // masked output columns must trace back to raw source columns
+    val q = get("/api/v1/admin/lineage?query=q314_masked_export" +
+      "&dir=/root/testdata/sf0.001")
+    assert(q.statusCode() == 200, q.body().take(300))
+    assert(q.body().contains("\"target\":\"q314_masked_export\""))
+    // envelope is parseable JSON with a columns object
+    assert(q.body().contains("\"columns\":{") && q.body().endsWith("}}"))
+    // error paths: unknown view -> 404, unknown query -> 404,
+    // neither/both -> 400, query without dir -> 400
+    assert(get("/api/v1/admin/lineage?view=no_such_view_x")
+      .statusCode() == 404)
+    assert(get("/api/v1/admin/lineage?query=q999_nope&dir=/tmp")
+      .statusCode() == 404)
+    assert(get("/api/v1/admin/lineage").statusCode() == 400)
+    assert(get("/api/v1/admin/lineage?query=q314_masked_export")
+      .statusCode() == 400)
+  }
+
   test("admin metrics endpoint: Prometheus exposition with request " +
     "counters, latency sums, and gauges") {
     assert(get("/health/live").statusCode() == 200)

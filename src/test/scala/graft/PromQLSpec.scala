@@ -1296,4 +1296,58 @@ class ExtendedPromQLSpec extends SparkSpec {
       Map(Map("dc" -> "a") -> 2.0, Map("dc" -> "b") -> 1.0))
     assert(run("max(abs(view * -1))") == Map(Map.empty -> 15.0))
   }
+
+  test("Prometheus-3 delta: every documented absence rejects with its " +
+    "reason; the absence map drives /docs/promql_delta") {
+    // one rejection per documented absence — the verdict's checkable
+    // form of the claim "complete for the data model"
+    ExtendedPromQL.UnsupportedFns.foreach { case (fn, why) =>
+      val e = intercept[SimplePromQL.PromQLError](
+        ExtendedPromQL.parse(s"$fn(view)", now))
+      assert(e.getMessage.contains(fn) && e.getMessage.contains(
+        why.take(30)), s"$fn: ${e.getMessage}")
+    }
+    // the native-histogram family and info() are the delta's core
+    assert(ExtendedPromQL.UnsupportedFns.keySet == Set(
+      "histogram_count", "histogram_sum", "histogram_avg",
+      "histogram_fraction", "histogram_stddev", "histogram_stdvar",
+      "info", "ts_of_last_over_time", "ts_of_max_over_time",
+      "ts_of_min_over_time"))
+    // a metric whose NAME collides with an absent function still
+    // selects (rejection requires call syntax)
+    ExtendedPromQL.parse("info", now) match {
+      case q: ExtendedPromQL.SelectorQ => ()
+      case other => fail(s"bare name parsed as $other")
+    }
+  }
+
+  test("time(), pi(), day_of_year evaluate (Prometheus 3 parity)") {
+    import spark.implicits._
+    val selected = Seq(("m 1", Map("user" -> "1")))
+      .toDF("sensor_id", "labels")
+    def run(q: String, v: Double): Map[String, Double] =
+      ExtendedPromQL.eval(ExtendedPromQL.parse(q, now),
+        selected,
+        Seq(("m 1", now - 1000L, v))
+          .toDF("sensor_id", "timestamp_us", "value"))
+        .select("sensor_id", "value").as[(String, Double)].collect().toMap
+    // time() - value: scalar-vector arithmetic on the evaluation time
+    val nowSecs = now / 1e6
+    assert(run("time() - m", 600.0) == Map("m 1" -> (nowSecs - 600.0)))
+    // pi() composes as a scalar
+    assert(run("m * pi()", 2.0) == Map("m 1" -> 2.0 * math.Pi))
+    // boundary: uptime() must NOT be rewritten into up<time-literal>
+    intercept[SimplePromQL.PromQLError](
+      ExtendedPromQL.parse("uptime()", now))
+    // time() inside a quoted label value is untouched
+    ExtendedPromQL.parse("""view{note="time()"}""", now) match {
+      case q: ExtendedPromQL.SelectorQ =>
+        assert(q.matchers.exists(_.value == "time()"))
+      case other => fail(s"parsed as $other")
+    }
+    // day_of_year over epoch-seconds values: 2024-02-01 is day 32
+    assert(run("day_of_year(m)", nowSecs) == Map("m 1" -> 32.0))
+    // leap-year tail: 2024-12-31 is day 366
+    assert(run("day_of_year(m)", 1735603200.0) == Map("m 1" -> 366.0))
+  }
 }
