@@ -140,8 +140,64 @@ object ScaleGen {
         "l_returnflag", "l_linestatus", "l_shipdate")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // TPC-H-ish dims + orders (r15 verdict item 5: the WHOLE registry
+    // must probe at scale, not a hand-picked subset) — same schemas,
+    // key ranges and value shapes as the driver tables; keys 0-based
+    // like the driver's, sized so every lineitem foreign key resolves
+    val nOrders = nLineitem / 4
+    val nCustomers = 15000L * mult
+    spark.range(nOrders).map { id =>
+      val total = math.rint((1000.0 + u01(id, 21) * 499000.0) * 100) / 100.0
+      val od = new java.sql.Timestamp(
+        788918400000L + ((h(id, 22) >>> 8) % (2400L * 86400)) * 1000)
+      (id, (h(id, 23) >>> 8) % nCustomers,
+        Seq("O", "F", "P")(idx(h(id, 24), 3)), total, od,
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")(idx(h(id, 25), 5)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    spark.range(nCustomers).map { id =>
+      (id, f"Customer#$id%09d", idx(h(id, 26), 25),
+        math.rint((u01(id, 27) * 11000.0 - 1000.0) * 100) / 100.0,
+        Seq("MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "AUTOMOBILE")(idx(h(id, 28), 5)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // +1 so lineitem's 1-based `1 + h % (1000*mult)` keys all resolve
+    spark.range(1000L * mult + 1).map { id =>
+      (id, f"Supplier#$id%09d", idx(h(id, 29), 25),
+        math.rint(u01(id, 30) * 10000.0 * 100) / 100.0)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    spark.range(20000L * mult + 1).map { id =>
+      val adjs = Array("small", "red", "blue", "hot", "old", "big")
+      val nouns = Array("ring", "widget", "bolt", "gear", "gizmo")
+      (id, s"${adjs(idx(h(id, 31), 6))} ${nouns(idx(h(id, 32), 5))}",
+        s"Brand#${idx(h(id, 33), 25)}",
+        Seq("ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL",
+          "PROMO")(idx(h(id, 34), 6)),
+        1 + idx(h(id, 35), 50),
+        math.rint((900.0 + u01(id, 36) * 100.0) * 100) / 100.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+      (4, "MIDDLE EAST"))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
+    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+
     println(s"""{"generated":"$out","mult":$mult,"documents":$nDocs,""" +
-      s""""embeddings":$nEmb,"events":$nEvents,"lineitem":$nLineitem}""")
+      s""""embeddings":$nEmb,"events":$nEvents,"lineitem":$nLineitem,""" +
+      s""""orders":$nOrders,"customers":$nCustomers}""")
     spark.stop()
   }
 }

@@ -51,10 +51,24 @@ object ScaleProbe {
     "q197_spearman")
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleProbe <dataDir> [q1,q2,...]")
+    require(args.nonEmpty,
+      "usage: ScaleProbe <dataDir> [q1,q2,...|--all] [--out <file>]")
     val dir = args(0)
+    val outFile = args.sliding(2).collectFirst {
+      case Array("--out", f) => f }
+    val rest = args.drop(1).filterNot(_ == "--out")
+      .filterNot(a => outFile.contains(a))
     val names =
-      if (args.length > 1) args(1).split(",").toSeq else DefaultQueries
+      if (rest.contains("--all"))
+        // the derived worklist (r15 verdict item 5): EVERY registry
+        // query, not a hand-picked family subset
+        graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (rest.nonEmpty) rest.head.split(",").toSeq
+      else DefaultQueries
+    val sink = outFile.map(f => new java.io.PrintWriter(
+      new java.io.FileWriter(f, /*append=*/ false)))
+    def emit(line: String): Unit = { println(line); sink.foreach { s =>
+      s.println(line); s.flush() } }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -66,14 +80,21 @@ object ScaleProbe {
       // per-query fault isolation: a query whose tables the probe draw
       // lacks (ScaleGen generates documents/embeddings/events/lineitem
       // only) reports and moves on instead of killing the whole probe
+      // keep the frame so its checkpoint blocks (dedup/ANN entries
+      // materialize eagerly) are FREED after the count — an --all sweep
+      // would otherwise pin hundreds of checkpoints for the JVM's life
+      var built: org.apache.spark.sql.DataFrame = null
       val rowsOpt =
-        try Some(graft.SparkEntry.queries(n)(spark, dir).count())
-        catch {
+        try {
+          built = graft.SparkEntry.queries(n)(spark, dir)
+          Some(built.count())
+        } catch {
           case e: Throwable =>
-            println(s"""{"query":"$n","error":${"\"" +
+            emit(s"""{"query":"$n","error":${"\"" +
               String.valueOf(e.getMessage).replace("\\", "\\\\")
                 .replace("\"", "\\\"").takeWhile(_ != '\n') + "\""}}""")
             spark.sparkContext.removeSparkListener(meter)
+            if (built != null) graft.pipeline.PipelineCache.free(built)
             None
         }
       rowsOpt.map { rows =>
@@ -81,19 +102,25 @@ object ScaleProbe {
         // listener events are async: a short drain before reading meters
         Thread.sleep(300)
         spark.sparkContext.removeSparkListener(meter)
+        graft.pipeline.PipelineCache.free(built)
+        // raw byte counts too: MB truncation hides the growth ratio of
+        // small-shuffle queries, which is exactly what ScaleGate diffs
         val line = f"""{"query":"$n","sec":$sec%.2f,"rows":$rows,""" +
           s""""shuffle_read_mb":${meter.read.get() / 1048576},""" +
           s""""shuffle_write_mb":${meter.write.get() / 1048576},""" +
+          s""""shuffle_read_b":${meter.read.get()},""" +
+          s""""shuffle_write_b":${meter.write.get()},""" +
           s""""mem_spilled_mb":${meter.memSpilled.get() / 1048576},""" +
           s""""disk_spilled_mb":${meter.diskSpilled.get() / 1048576},""" +
           s""""peak_task_mem_mb":${meter.peakTaskMemory.get() / 1048576}}"""
-        println(line)
+        emit(line)
         (n, sec, rows, meter.read.get(), meter.write.get())
       }
     }
     val total = results.map(_._2).sum
-    println(f"""{"probe_dir":"$dir","queries":${results.length},""" +
+    emit(f"""{"probe_dir":"$dir","queries":${results.length},""" +
       f""""total_sec":$total%.1f}""")
+    sink.foreach(_.close())
     spark.stop()
   }
 }
