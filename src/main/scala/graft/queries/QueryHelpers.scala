@@ -622,6 +622,25 @@ private[graft] object QueryHelpers {
   def boundedResult(
       s: SparkSession, ss: SparkSession, name: String,
       out: DataFrame, sortCols: Seq[String]): DataFrame = {
+    // ENFORCED bound (r15 verdict residual (b), proven live by the r16
+    // sf10 probe): the memory-sink rows live on the driver, and the
+    // collect job EMBEDS them in its serialized tasks — past a few
+    // million rows that serialization alone exceeds the driver heap
+    // (observed: scheduler-thread OOM at sf10). Probe the count with a
+    // limit-pushdown take (never ships the full set) and fail LOUDLY
+    // with remediation instead of dying in the scheduler.
+    val cap = sys.env.get("GRAFT_STREAM_RESULT_CAP").map(_.toLong)
+      .getOrElse(2000000L)
+    val probeN =
+      out.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    if (probeN > cap) {
+      ss.catalog.dropTempView(name)
+      throw new IllegalStateException(
+        s"streaming result exceeds the $cap-row driver-local " +
+          "memory-sink contract — route this stream to a file sink " +
+          "(StreamingIngest file/store sinks) or raise " +
+          "GRAFT_STREAM_RESULT_CAP if the driver heap is sized for it")
+    }
     val rows = java.util.Arrays.asList(
       out.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
         .collect(): _*)
