@@ -17,6 +17,16 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
 
+  /** ONE meter for the JVM's lifetime, read as before/after snapshots
+    * with a listener-bus DRAIN BARRIER around each query
+    * ([[org.apache.spark.graft.ListenerBarrier]]). The previous
+    * per-query add/remove scheme mis-attributed under event-flood:
+    * `AsyncEventQueue` delivers backlogged events (posted before
+    * registration) to newly-added listeners, so a heavy query's late
+    * stage completions landed in the NEXT query's meter (measured: a
+    * 1-row audit query "inheriting" 700 MB of shuffle reads).
+    * peakTaskMemory is reset between queries (single-threaded probe).
+    */
   private final class ShuffleMeter extends SparkListener {
     val read = new java.util.concurrent.atomic.AtomicLong()
     val write = new java.util.concurrent.atomic.AtomicLong()
@@ -44,6 +54,12 @@ object ScaleProbe {
         peakTaskMemory.getAndAccumulate(m.peakExecutionMemory, Math.max)
     }
   }
+
+  private final case class Snap(
+      read: Long, write: Long, mem: Long, disk: Long)
+  private def snap(m: ShuffleMeter): Snap =
+    Snap(m.read.get(), m.write.get(), m.memSpilled.get(),
+      m.diskSpilled.get())
 
   val DefaultQueries: Seq[String] = Seq(
     "q24_ngram_jaccard", "q25_minhash_lsh", "q57_dedup_clusters",
@@ -73,13 +89,18 @@ object ScaleProbe {
     val spark = graft.GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    def barrier(): Unit =
+      org.apache.spark.graft.ListenerBarrier.drain(spark.sparkContext)
+
     val results = names.flatMap { n =>
-      val meter = new ShuffleMeter
-      spark.sparkContext.addSparkListener(meter)
+      barrier()
+      val before = snap(meter)
+      meter.peakTaskMemory.set(0L)
       val t0 = System.nanoTime()
       // per-query fault isolation: a query whose tables the probe draw
-      // lacks (ScaleGen generates documents/embeddings/events/lineitem
-      // only) reports and moves on instead of killing the whole probe
+      // lacks reports and moves on instead of killing the whole probe.
       // keep the frame so its checkpoint blocks (dedup/ANN entries
       // materialize eagerly) are FREED after the count — an --all sweep
       // would otherwise pin hundreds of checkpoints for the JVM's life
@@ -93,28 +114,27 @@ object ScaleProbe {
             emit(s"""{"query":"$n","error":${"\"" +
               String.valueOf(e.getMessage).replace("\\", "\\\\")
                 .replace("\"", "\\\"").takeWhile(_ != '\n') + "\""}}""")
-            spark.sparkContext.removeSparkListener(meter)
             if (built != null) graft.pipeline.PipelineCache.free(built)
             None
         }
       rowsOpt.map { rows =>
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener events are async: a short drain before reading meters
-        Thread.sleep(300)
-        spark.sparkContext.removeSparkListener(meter)
+        barrier()
+        val after = snap(meter)
         graft.pipeline.PipelineCache.free(built)
+        val (rd, wr) = (after.read - before.read, after.write - before.write)
         // raw byte counts too: MB truncation hides the growth ratio of
         // small-shuffle queries, which is exactly what ScaleGate diffs
         val line = f"""{"query":"$n","sec":$sec%.2f,"rows":$rows,""" +
-          s""""shuffle_read_mb":${meter.read.get() / 1048576},""" +
-          s""""shuffle_write_mb":${meter.write.get() / 1048576},""" +
-          s""""shuffle_read_b":${meter.read.get()},""" +
-          s""""shuffle_write_b":${meter.write.get()},""" +
-          s""""mem_spilled_mb":${meter.memSpilled.get() / 1048576},""" +
-          s""""disk_spilled_mb":${meter.diskSpilled.get() / 1048576},""" +
+          s""""shuffle_read_mb":${rd / 1048576},""" +
+          s""""shuffle_write_mb":${wr / 1048576},""" +
+          s""""shuffle_read_b":$rd,""" +
+          s""""shuffle_write_b":$wr,""" +
+          s""""mem_spilled_mb":${(after.mem - before.mem) / 1048576},""" +
+          s""""disk_spilled_mb":${(after.disk - before.disk) / 1048576},""" +
           s""""peak_task_mem_mb":${meter.peakTaskMemory.get() / 1048576}}"""
         emit(line)
-        (n, sec, rows, meter.read.get(), meter.write.get())
+        (n, sec, rows, rd, wr)
       }
     }
     val total = results.map(_._2).sum
