@@ -299,11 +299,15 @@ object Apng {
         new java.io.ByteArrayInputStream(png.toByteArray))
       require(region != null, s"frame seq ${f.seq}: undecodable pixels")
 
-      // snapshot for dispose PREVIOUS
+      // snapshot for dispose PREVIOUS — a raster copy, not a
+      // getRGB/setRGB round trip: both canvases are TYPE_INT_ARGB, so
+      // the per-pixel color-model conversion is an identity and the
+      // raster copy is bit-identical at arraycopy speed (the per-pixel
+      // loop was a fuzz-found hang: a CRC-valid near-2^26-pixel canvas
+      // made each frame snapshot tens of millions of colorModel calls)
       val before =
         if (f.dispose == 2)
-          canvas.getSubimage(f.x, f.y, f.w, f.h)
-            .getRGB(0, 0, f.w, f.h, null, 0, f.w)
+          canvas.getData(new java.awt.Rectangle(f.x, f.y, f.w, f.h))
         else null
       val g = canvas.createGraphics()
       try {
@@ -314,19 +318,21 @@ object Apng {
           g.setComposite(comp)
         } else g.drawImage(region, f.x, f.y, null) // OVER
       } finally g.dispose()
-      // the OUTPUT frame is the canvas as rendered
+      // the OUTPUT frame is the canvas as rendered (raster copy — see
+      // the dispose-PREVIOUS note above)
       val shot = new BufferedImage(
         canvasW, canvasH, BufferedImage.TYPE_INT_ARGB)
-      shot.setRGB(0, 0, canvasW, canvasH,
-        canvas.getRGB(0, 0, canvasW, canvasH, null, 0, canvasW),
-        0, canvasW)
+      canvas.copyData(shot.getRaster)
       out += DecodedFrame(idx, shot, f.delayNum, f.delayDen)
       // dispose for the NEXT frame
       f.dispose match {
         case 1 => // BACKGROUND: clear the region to transparent
-          val zeros = new Array[Int](f.w * f.h)
-          canvas.setRGB(f.x, f.y, f.w, f.h, zeros, 0, f.w)
-        case 2 => canvas.setRGB(f.x, f.y, f.w, f.h, before, 0, f.w)
+          val gc = canvas.createGraphics()
+          try {
+            gc.setComposite(java.awt.AlphaComposite.Clear)
+            gc.fillRect(f.x, f.y, f.w, f.h)
+          } finally gc.dispose()
+        case 2 => canvas.getRaster.setRect(before)
         case _ => ()
       }
     }
