@@ -805,9 +805,14 @@ object Behavior {
       monthIdx.as("__mi"),
       (col(amountCol).cast("decimal(18,2)") * 100).cast("long")
         .as("__cents"))
-    val cohort = base.groupBy(col("cust"))
-      .agg(min(col("__mi")).as("__c0"))
-    base.join(cohort, "cust")
+    // cohort month = min month over a customer-keyed window — ONE
+    // exchange of the order rows, where the former groupBy-cohort +
+    // join-back paid a second full exchange and a join whose strategy
+    // flipped broadcast→SMJ across scales (r16 scale gate). Identical
+    // integers per row, so the month aggregate is unchanged.
+    val wCust = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cust"))
+    base.withColumn("__c0", min(col("__mi")).over(wCust))
       .groupBy(col("__mi").as("month_idx"))
       .agg(count(lit(1)).as("n_orders"),
         sum(when(col("__mi") === col("__c0"), col("__cents"))

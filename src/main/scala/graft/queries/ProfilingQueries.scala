@@ -845,16 +845,25 @@ private[graft] object ProfilingQueries {
         |    AS revenue_per_customer
         |FROM j GROUP BY 1 ORDER BY segment"""
     ) { (s, d) =>
+      // r16: pre-aggregate orders per customer BEFORE the join — the
+      // join side shrinks from order-scale to customer-scale, and the
+      // per-segment countDistinct (a two-exchange expand at order
+      // scale) becomes a plain count over the per-customer rows.
+      // Identical integers: every joined customer has ≥1 order, so
+      // count(per-cust rows) ≡ countDistinct(custkey) and the integer
+      // sums re-associate freely.
       Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+        .select(col("o_custkey"),
           (col("o_totalprice").cast("decimal(18,2)") * 100)
             .cast("long").as("cents"))
-        .groupBy(col("segment"))
-        .agg(countDistinct(col("c_custkey")).as("n_customers"),
-          count(lit(1)).as("n_orders"),
-          sum(col("cents")).as("revenue_cents"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__n"), sum(col("cents")).as("__cents"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("__n")).as("n_orders"),
+          sum(col("__cents")).as("revenue_cents"))
         .selectExpr("segment", "n_customers", "n_orders",
           "revenue_cents",
           "CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE)" +
