@@ -562,7 +562,11 @@ object SensorOps {
       coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
     val peak = broadcast(carried.agg(
       max(col("__carry") + col("__in_max")).as("max_concurrent")))
-    run.join(carried.select(col("__bucket"), col("__carry")), "__bucket")
+    run
+      // the carry table is ≤ bucket-count rows — broadcast, so the
+      // delta stream is never re-shuffled for the join-back
+      .join(broadcast(carried.select(col("__bucket"), col("__carry"))),
+        "__bucket")
       .crossJoin(peak)
       .filter(col("__carry") + col("__c_in") === col("max_concurrent"))
       .groupBy(col("max_concurrent"))
