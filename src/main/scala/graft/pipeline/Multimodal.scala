@@ -804,8 +804,12 @@ object Multimodal {
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
         bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
           .as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup exchange: hamming is a function of the
+      // pair, so the distinct set is unchanged — but the radius cut is
+      // selective, and uncut the shuffle carried every multi-band
+      // candidate collision (r16, guide §2.3)
       .filter(col("hamming") <= radius)
+      .distinct()
   }
 
   /** Windowed audio energy + silence gating over the deterministic

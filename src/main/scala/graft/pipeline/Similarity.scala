@@ -146,7 +146,10 @@ object Similarity {
     require(k >= 1 && overfetch >= 1, "k and overfetch must be >= 1")
     val survivors = quantizedTopK(queries, corpus, k * overfetch)
       .select("query_id", "vec_id")
-    val cand = corpus.join(survivors, "vec_id")
+    // survivors = k·overfetch·|queries| rows — query-set-bounded, so
+    // broadcast: the SMJ alternative shuffles the whole corpus by
+    // vec_id to pick out a handful of candidates (r16 scale gate)
+    val cand = corpus.join(broadcast(survivors), "vec_id")
       .join(broadcast(queries), "query_id")
       .withColumn("cosine", cosinePrenormed(
         col("qvec"), col("vec"), norm(col("qvec")), norm(col("vec"))))
@@ -201,7 +204,12 @@ object Similarity {
           col("qbucket").bitwiseXOR(p)): _*))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    corpusB.join(queriesB, "bucket")
+    // the probe side is |queries|·|probe masks| rows — bounded by the
+    // query set, never the corpus. Say so: the auto-broadcast estimate
+    // derives from the filtered corpus scan and is arbitrarily wrong,
+    // so at scale the planner otherwise shuffles the whole bucketed
+    // corpus into an SMJ (r16 scale gate, measured at the 100× probe)
+    corpusB.join(broadcast(queriesB), "bucket")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", cosinePrenormed(
         col("qvec"), col("vec"), col("__nq"), col("__nv")))
@@ -474,7 +482,10 @@ object Similarity {
         explode(probeCentroids(col("qvec"), centroids, nprobe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    corpusA.join(queriesA, "cid")
+    // probe side = |queries|·nprobe rows, bounded by the query set —
+    // broadcast for the same reason as lshTopK (the estimate from the
+    // filtered scan otherwise flips this to a corpus-wide SMJ at scale)
+    corpusA.join(broadcast(queriesA), "cid")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", cosinePrenormed(
         col("qvec"), col("vec"), col("__nq"), col("__nv")))
@@ -614,7 +625,7 @@ object Similarity {
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("vec_id").asc)
-    corpus.join(survivors, "vec_id")
+    corpus.join(broadcast(survivors), "vec_id")
       .join(broadcast(queries), "query_id")
       .withColumn("dist", sqdist)
       .withColumn("rank", row_number().over(w))
@@ -1240,7 +1251,11 @@ object Similarity {
       df.withColumnRenamed(c, s"a_$c"))
     val b = proj.columns.foldLeft(proj)((df, c) =>
       df.withColumnRenamed(c, s"b_$c"))
-    val pairs = a.crossJoin(b)
+    // broadcast the right side: both sides are ≤ maxId rows, but they
+    // ride the full scan's partitioning, so a plain cartesian planned
+    // |parts|² tasks (1025 at the 100× probe) each re-reading a scan
+    // block — the broadcast nested-loop streams the left side once
+    val pairs = a.crossJoin(broadcast(b))
       .filter(col("a_vec_id") < col("b_vec_id"))
     val sqY = (0 until k).map { i =>
       val d = col(s"a___y$i") - col(s"b___y$i")
