@@ -880,91 +880,51 @@ object Profiler {
           col("__total").cast("double"), 6).as("share"))
   }
 
-  /** Average (fractional) midrank for every ROW of one numeric column,
-    * appended as `outCol`, computed as a DISTRIBUTED prefix count:
-    * rows bucket by value range, each bucket counts its internal
-    * prefix (two in-bucket window counts — rows ≤ v and ties of v) in
-    * parallel, and the cross-bucket carry-in is a prefix over the
-    * BUCKET TOTALS — a table bounded by `buckets`, not by the data
-    * (the [[graft.operators.SensorOps.maxConcurrency]] shape; the
-    * textbook single global rank window would collapse the whole
-    * column onto one partition at 100 TB). carry + in-bucket count ≡
-    * the global prefix count exactly, by associativity — bucket-width
-    * invariance is property-tested in the spec.
+  /** Average (fractional) ranks for every distinct value of one numeric
+    * column, computed as a DISTRIBUTED prefix sum: distinct-value
+    * counts bucket by value range, each bucket computes its internal
+    * running count in parallel, and the cross-bucket carry-in is a
+    * prefix over the BUCKET TOTALS — a table bounded by `buckets`, not
+    * by the data (the [[graft.operators.SensorOps.maxConcurrency]]
+    * shape; the textbook single global rank window would collapse the
+    * whole column onto one partition at 100 TB). carry + in-bucket
+    * count ≡ the global prefix count exactly, by associativity —
+    * bucket-width invariance is property-tested in the spec.
     *
     * rank_avg(v) = #\{x < v\} + (cnt(v) + 1) / 2 — the midrank ties
     * convention. The value is exact: integer counts plus a dyadic
     * half, so an external engine's `RANK() + (cnt − 1) / 2.0` replays
     * it bit-for-bit.
     *
-    * r16: this replaced the distinct-value rank-map variant (avgRanks)
-    * whose per-column join-back shuffled and SORTED the full row frame
-    * by the column VALUE — for near-unique columns (l_extendedprice)
-    * that rank map is row-sized, so q197 paid three row-scale SMJs.
-    * Here a row never leaves its bucket partition: one Exchange per
-    * column, and the only joins are 1-row bounds and ≤`buckets`-row
-    * carry broadcasts. The midrank arithmetic (integer counts, one
-    * dyadic half) is expression-identical, so results are bit-equal.
+    * Returns (value DOUBLE, rank_avg DOUBLE) keyed by distinct value.
     */
-  /** The value-range bucket id for [[rowRanks]]: equal-width buckets
-    * over [lo, hi], degenerate single bucket when the column is
-    * constant. `lo`/`hi` ride in as columns (broadcast 1-row bounds).
-    */
-  private def bucketOf(
-      v: Column, lo: Column, hi: Column, buckets: Int): Column =
-    when(hi === lo, lit(0L)).otherwise(
-      least(lit(buckets - 1L),
-        floor((v - lo) / ((hi - lo) / buckets)).cast("long")))
-
-  /** Exclusive prefix over the bucket totals of `bucketed` — the
-    * ≤`buckets`-row broadcast carry table (__bucket, __carry).
-    */
-  private def bucketCarry(
-      bucketed: DataFrame, bucketCol: String): DataFrame = {
-    val totals = bucketed.groupBy(col(bucketCol))
-      .agg(count(lit(1)).as("__tot"))
-    val wCarry = org.apache.spark.sql.expressions.Window
-      .orderBy(col(bucketCol)).rowsBetween(Long.MinValue, -1)
-    broadcast(totals.withColumn("__carry",
-      coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
-      .select(col(bucketCol), col("__carry")))
-  }
-
-  /** In-bucket midrank attach: two window counts (rows ≤ v, ties of v)
-    * inside the bucket partition plus the broadcast carry give every
-    * row its global midrank — no row ever leaves its bucket partition.
-    */
-  private def attachRank(
-      acc: DataFrame, v: Column, bucketCol: String,
-      carried: DataFrame, outCol: String): DataFrame = {
-    val wLE = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(bucketCol)).orderBy(v)
-      .rangeBetween(Long.MinValue, 0)
-    val wTie = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(bucketCol)).orderBy(v)
-      .rangeBetween(0, 0)
-    acc.join(carried, bucketCol)
-      .withColumn("__cum", count(lit(1)).over(wLE))
-      .withColumn("__cnt", count(lit(1)).over(wTie))
-      .withColumn(outCol,
-        (col("__carry") + col("__cum") - col("__cnt")).cast("double") +
-          (col("__cnt") + 1L).cast("double") / 2.0)
-      .drop(bucketCol, "__carry", "__cum", "__cnt")
-  }
-
-  private[graft] def rowRanks(
-      rows: DataFrame, valueCol: String, outCol: String,
-      buckets: Int): DataFrame = {
+  private[graft] def avgRanks(
+      values: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, "need at least one bucket")
-    val v = col(valueCol)
-    val bounds = broadcast(rows.agg(
-      min(v).as("__lo"), max(v).as("__hi")))
-    val bucketed = rows.crossJoin(bounds)
-      .withColumn("__bucket",
-        bucketOf(v, col("__lo"), col("__hi"), buckets))
-      .drop("__lo", "__hi")
-    attachRank(bucketed, v, "__bucket",
-      bucketCarry(bucketed, "__bucket"), outCol)
+    val vc = values.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val bounds = broadcast(vc.agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi")))
+    val bucketed = vc.crossJoin(bounds).withColumn("__bucket",
+      when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+        least(lit(buckets - 1L), floor((col("__v") - col("__lo")) /
+          ((col("__hi") - col("__lo")) / buckets)).cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("__v"))
+      .rowsBetween(Long.MinValue, 0)
+    val run = bucketed.withColumn("__cum", sum(col("__cnt")).over(wIn))
+    val totals = run.groupBy(col("__bucket"))
+      .agg(sum(col("__cnt")).as("__tot"))
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bucket")).rowsBetween(Long.MinValue, -1)
+    val carried = totals.withColumn("__carry",
+      coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+    run.join(broadcast(carried.select(col("__bucket"), col("__carry"))),
+        "__bucket")
+      .select(col("__v").as("value"),
+        ((col("__carry") + col("__cum") - col("__cnt")).cast("double") +
+          (col("__cnt") + 1L).cast("double") / 2.0).as("rank_avg"))
   }
 
   /** Gini coefficient of a non-negative integer-unit value column —
@@ -977,7 +937,7 @@ object Profiler {
     * tie block of value v (m rows, C rows strictly below), Σi·x =
     * v·(m·C + m(m+1)/2) regardless of order — so the whole computation
     * runs on the DISTINCT-value table with the same bucketed prefix
-    * count [[rowRanks]] uses (never a global single-partition window).
+    * count [[avgRanks]] uses (never a global single-partition window).
     * All sums accumulate in DECIMAL(38,0) from exact integers; callers
     * quantize (cents, µ-units) before calling. G is one fixed IEEE
     * shape on the exact sums, ROUND(6).
@@ -1007,7 +967,7 @@ object Profiler {
     * per distinct value with its multiplicity and the exact count of
     * rows strictly below it, from the bucketed DISTRIBUTED prefix
     * count (per-bucket running counts + carry over ≤`buckets` totals —
-    * the [[rowRanks]] shape; never a global single-partition window).
+    * the [[avgRanks]] shape; never a global single-partition window).
     * Shared by [[gini]] and [[lorenzDeciles]].
     */
   private def valueRanks(
@@ -1166,18 +1126,14 @@ object Profiler {
     * columns — the monotonic-association screen that catches what the
     * linear [[correlationMatrix]] misses (and is robust to outliers).
     *
-    * Ranks come from [[rowRanks]] (distributed bucketed prefix count —
-    * never a global single-partition window), computed directly ON the
-    * rows: one in-bucket window pass per column, no rank-map join-back
-    * (r16 — the former per-column value-keyed joins shuffled and
-    * sorted the full frame three times; for near-unique columns the
-    * rank map itself was row-sized, so nothing about it was
-    * broadcastable at scale). The rank columns then feed
-    * [[correlationMatrix]] with `exactDecimal = true`: midranks are
-    * half-integers, so DECIMAL sums are exact and the final ρ is IEEE
-    * arithmetic on exact sums — bit-replayable by an external engine,
-    * reduction-order-free (which is also why this restructure is
-    * hash-safe: identical midranks, order-free sums).
+    * Ranks come from [[avgRanks]] (distributed bucketed prefix count —
+    * never a global single-partition window), joined back to the rows
+    * through one broadcast-able rank map per column (distinct values ≪
+    * rows for measurement data; the join key is the value itself). The
+    * rank columns then feed [[correlationMatrix]] with
+    * `exactDecimal = true`: midranks are half-integers, so DECIMAL
+    * sums are exact and the final ρ is IEEE arithmetic on exact sums —
+    * bit-replayable by an external engine, reduction-order-free.
     *
     * Output: (col_a, col_b, rho) for the upper triangle.
     */
@@ -1187,33 +1143,17 @@ object Profiler {
     require(cols.size >= 2, "correlate at least two columns")
     val base = df.na.drop(cols).select(
       cols.map(c => col(c).cast("double").as(c)): _*)
-    // every column's bounds in ONE broadcast aggregate, every bucket
-    // id in one projection, every carry from the same `bucketed` frame
-    // — NOT chained through the rank fold: a carry branch hanging off
-    // the accumulated frame would re-execute all previous columns'
-    // window subtrees once per column (measured: a 266-Exchange plan)
-    val bounds = broadcast(base.agg(
-      min(col(cols.head)).as(s"__lo__${cols.head}"),
-      (cols.tail.flatMap(c => Seq(
-        min(col(c)).as(s"__lo__$c"), max(col(c)).as(s"__hi__$c"))) :+
-        max(col(cols.head)).as(s"__hi__${cols.head}")): _*))
-    // cached: the main rank chain plus one carry branch per column all
-    // read this frame — uncached, each branch re-scanned the (single
-    // row group, so single-task) source serially. Released by
-    // materialize() once the (k²-row) answer checkpoints.
-    val bucketed = base.crossJoin(bounds).select(
-      cols.map(col) ++ cols.map(c => bucketOf(col(c),
-        col(s"__lo__$c"), col(s"__hi__$c"), buckets)
-        .as(s"__bucket__$c")): _*)
-      .cache()
-    val ranked = cols.foldLeft(bucketed) { (acc, c) =>
-      attachRank(acc, col(c), s"__bucket__$c",
-        bucketCarry(bucketed, s"__bucket__$c"), s"__r__$c")
+    val ranked = cols.foldLeft(base) { (acc, c) =>
+      val ranks = avgRanks(base, c, buckets)
+        .withColumnRenamed("value", s"__v__$c")
+        .withColumnRenamed("rank_avg", s"__r__$c")
+      acc.join(ranks, acc(c) === ranks(s"__v__$c"))
+        .drop(s"__v__$c")
     }
-    PipelineCache.materialize(bucketed)(correlationMatrix(
+    correlationMatrix(
         ranked.select(cols.map(c => col(s"__r__$c").as(c)): _*),
         cols, exactDecimal = true)
-      .withColumnRenamed("corr", "rho"))
+      .withColumnRenamed("corr", "rho")
   }
 
   /** Mutual information between two categorical columns — the
@@ -1590,16 +1530,9 @@ object Profiler {
     val base = df.select(col(seriesCol),
       col(tsCol).cast("long").as("__t"),
       microUnits(col(valCol), unitsPerValue).as("__vq"))
-    // per-series start = min over a series-keyed window: ONE exchange,
-    // which the following series-keyed aggregate reuses — the former
-    // groupBy-min + join-back paid a second exchange and a join whose
-    // strategy flipped broadcast→SMJ across scales (r16 scale gate).
-    // __dt is the identical integer per row, so the DECIMAL sums are
-    // unchanged.
-    val wSeries = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(seriesCol))
-    val reb = base
-      .withColumn("__t0", min(col("__t")).over(wSeries))
+    val mins = base.groupBy(col(seriesCol).as("__k"))
+      .agg(min(col("__t")).as("__t0"))
+    val reb = base.join(mins, base(seriesCol) === col("__k"))
       .select(col(seriesCol), (col("__t") - col("__t0")).as("__dt"),
         col("__vq"))
     val td = col("__dt").cast("decimal(38,0)")

@@ -2767,16 +2767,14 @@ class PipelineSpec extends SparkSpec {
       ("thing", "th ing", 2L, 2L)))
   }
 
-  test("rowRanks: midrank ties, bucket-width invariance") {
+  test("avgRanks: midrank ties, bucket-width invariance") {
     import graft.pipeline.Profiler
     val df = Seq(3.0, 1.0, 2.0, 2.0, 2.0, 5.0).toDF("v")
-    // ranks: 1 → 1; 2,2,2 → (2+3+4)/3 = 3; 3 → 5; 5 → 6 — and every
-    // ROW carries its value's midrank (tied rows share one rank)
-    val want = Seq((1.0, 1.0), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0),
-      (3.0, 5.0), (5.0, 6.0))
+    // ranks: 1 → 1; 2,2,2 → (2+3+4)/3 = 3; 3 → 5; 5 → 6
+    val want = Set((1.0, 1.0), (2.0, 3.0), (3.0, 5.0), (5.0, 6.0))
     Seq(1, 2, 7, 64).foreach { b =>
-      val got = Profiler.rowRanks(df, "v", "rank_avg", b)
-        .as[(Double, Double)].collect().toSeq.sorted
+      val got = Profiler.avgRanks(df, "v", b)
+        .as[(Double, Double)].collect().toSet
       assert(got == want, s"buckets=$b: $got")
     }
   }

@@ -751,20 +751,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("charstatsexpression"), plan)
   }
 
-  test("rowRanks: the data-scale window is bucket-partitioned, " +
-    "no row-scale join-back") {
+  test("avgRanks: the data-scale window is bucket-partitioned") {
     val li = graft.Tables.lineitem(spark, sf)
-      .select(col("l_extendedprice").cast("double").as("p"))
-    val plan = planOf(graft.pipeline.Profiler.rowRanks(
-      li, "p", "__r", 1024))
-    // the per-row prefix counts partition by __bucket — the only
-    // unpartitioned window is the carry over ≤1024 bucket totals
-    // (bounded by the bucket count, not the data)
+    val plan = planOf(graft.pipeline.Profiler.avgRanks(
+      li, "l_extendedprice", 1024))
+    // the running count over distinct values partitions by __bucket —
+    // the only unpartitioned window is the carry over ≤1024 bucket
+    // totals (bounded by the bucket count, not the data)
     assert(plan.contains("windowspecdefinition(__bucket"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan) // carry joins small
-    // r16: the rank attaches in place — no value-keyed sort-merge join
-    // of the row frame may reappear
-    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("sax: every window keys on the series id, no global sort") {
