@@ -168,8 +168,17 @@ object Bench {
           if (seen.isEmpty) None else Some(seen.max + 1)
         }
       round.foreach { n =>
+        // Non-primary core counts (the driver re-runs the bench at a
+        // lower SPARK_GRAFT_CPUS to measure scaling) archive under a
+        // _c{cpus} suffix: the r16 8-core run inferred round max+1 and
+        // landed as bench_full_r17.json, masquerading as the next
+        // round's primary archive. Primary = all physical cores.
+        val suffix =
+          if (cpus != Runtime.getRuntime.availableProcessors.toString)
+            s"_c$cpus"
+          else ""
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(f"bench_full_r$n%02d.json"),
+          java.nio.file.Paths.get(f"bench_full_r$n%02d$suffix.json"),
           fullJson + "\n")
       }
     } catch { case e: Throwable =>

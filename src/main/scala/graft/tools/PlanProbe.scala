@@ -37,6 +37,18 @@ object PlanProbe {
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       tasks.incrementAndGet()
   }
+  /** Minimal JSON string escape: backslash, quote, and all control
+    * characters (a raw tab/newline in an exception message previously
+    * produced an invalid JSONL line).
+    */
+  private[tools] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private final case class Snap(
       jobs: Long, stages: Long, tasks: Long, read: Long, write: Long)
   private def snap(m: Meter): Snap =
@@ -50,10 +62,20 @@ object PlanProbe {
     val dir = args(0)
     val planDir = new java.io.File(args(1))
     planDir.mkdirs()
-    val outFile = args.sliding(2).collectFirst {
-      case Array("--out", f) => f }
-    val rest = args.drop(2).filterNot(_ == "--out")
-      .filterNot(a => outFile.contains(a))
+    // index-based flag parsing: '--out' consumes exactly its following
+    // token by POSITION (the previous string-equality filter dropped any
+    // positional arg that happened to equal the --out value)
+    val (outFile, rest) = {
+      var out: Option[String] = None
+      val pos = Seq.newBuilder[String]
+      var i = 2
+      while (i < args.length) {
+        if (args(i) == "--out" && i + 1 < args.length) {
+          out = Some(args(i + 1)); i += 2
+        } else { pos += args(i); i += 1 }
+      }
+      (out, pos.result())
+    }
     val names =
       if (rest.contains("--all")) graft.SparkEntry.queries.keys.toSeq.sorted
       else rest.headOption.map(_.split(",").toSeq)
@@ -88,12 +110,19 @@ object PlanProbe {
         val sec = (System.nanoTime() - t1) / 1e9
         barrier()
         val after = snap(meter)
-        // plan AFTER the action: AQE final plans; write per-query file
+        // Execute THIS DataFrame's own QueryExecution before explaining:
+        // the timed count() above runs a SEPARATE grouped QueryExecution,
+        // leaving df.queryExecution un-executed — its explain would print
+        // the initial AdaptiveSparkPlan (isFinalPlan=false) and could miss
+        // AQE runtime join-strategy switches. One extra untimed pass per
+        // query buys the final plan.
         val plan =
-          try df.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString(
-              "formatted"))
-          catch { case e: Throwable => s"explain failed: $e" }
+          try {
+            df.queryExecution.toRdd.foreach(_ => ())
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+          } catch { case e: Throwable => s"explain failed: $e" }
         graft.pipeline.PipelineCache.free(df)
         java.nio.file.Files.writeString(
           new java.io.File(planDir, s"$n.txt").toPath, plan)
@@ -108,8 +137,7 @@ object PlanProbe {
       } catch {
         case e: Throwable =>
           emit(s"""{"query":"$n","error":"${
-            String.valueOf(e.getMessage).replace("\\", "\\\\")
-              .replace("\"", "\\\"").takeWhile(_ != '\n')}"}""")
+            jsonEscape(String.valueOf(e.getMessage))}"}""")
       }
     }
     sink.foreach(_.close())

@@ -70,10 +70,20 @@ object ScaleProbe {
     require(args.nonEmpty,
       "usage: ScaleProbe <dataDir> [q1,q2,...|--all] [--out <file>]")
     val dir = args(0)
-    val outFile = args.sliding(2).collectFirst {
-      case Array("--out", f) => f }
-    val rest = args.drop(1).filterNot(_ == "--out")
-      .filterNot(a => outFile.contains(a))
+    // index-based flag parsing ('--out' consumes its following token by
+    // position) — same fix as PlanProbe: string-equality filtering
+    // dropped positional args that equalled the --out value
+    val (outFile, rest) = {
+      var out: Option[String] = None
+      val pos = Seq.newBuilder[String]
+      var i = 1
+      while (i < args.length) {
+        if (args(i) == "--out" && i + 1 < args.length) {
+          out = Some(args(i + 1)); i += 2
+        } else { pos += args(i); i += 1 }
+      }
+      (out, pos.result())
+    }
     val names =
       if (rest.contains("--all"))
         // the derived worklist (r15 verdict item 5): EVERY registry
@@ -111,9 +121,8 @@ object ScaleProbe {
           Some(built.count())
         } catch {
           case e: Throwable =>
-            emit(s"""{"query":"$n","error":${"\"" +
-              String.valueOf(e.getMessage).replace("\\", "\\\\")
-                .replace("\"", "\\\"").takeWhile(_ != '\n') + "\""}}""")
+            emit(s"""{"query":"$n","error":"${
+              PlanProbe.jsonEscape(String.valueOf(e.getMessage))}"}""")
             if (built != null) graft.pipeline.PipelineCache.free(built)
             None
         }
