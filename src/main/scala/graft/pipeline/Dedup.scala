@@ -496,16 +496,29 @@ object Dedup {
       census.getLong(2) >= 0L && census.getLong(3) < (1L << 32)
     val side: String => DataFrame = alias =>
       (if (sizeFilterPrunes) g else g.drop("ns")).as(alias)
-    // SHUFFLE_HASH for the posting-list self-join: both sides are the
-    // same mid-sized table, and hashing one side skips the two
-    // UnsafeExternalSorter passes SMJ would spill (sf10 probe: mem
-    // spill 24.6 → 21.5 GB, disk 4.0 → 3.6 GB, peak task memory
-    // 199–263 → 152 MB deterministic, wall within noise). Build-side
-    // partitions stay bounded because this operator's contract already
-    // excludes df-skewed posting lists (census'd max-df stays O(10);
-    // hot-boilerplate corpora route to [[ngramJaccardPairsPrefix]]),
-    // and AQE's skew split covers residual imbalance.
-    val joined = side("a").hint("shuffle_hash").join(side("b"),
+    // Join strategy for the posting-list self-join, gated on the
+    // MATERIALIZED cache size (the census .first() above has already
+    // filled the cache, so InMemoryRelation stats are exact — the same
+    // test the planner's own broadcast selection runs):
+    //  - under the auto-broadcast threshold, leave the planner alone:
+    //    it broadcasts g and never shuffles it (the r16 unconditional
+    //    SHUFFLE_HASH forced a 2×g shuffle + one extra job at sf0.1 —
+    //    10.4 MB of pointless exchange, ~0.3 s — for data that fits a
+    //    broadcast);
+    //  - past the threshold, force SHUFFLE_HASH: hashing one side skips
+    //    the two UnsafeExternalSorter passes SMJ would spill (100×
+    //    probe, deterministic: mem spill 24.6 → 21.5 GB, disk 4.0 →
+    //    3.6 GB, peak task memory 199 → 152 MB; wall within noise).
+    //    Build-side partitions stay bounded because this operator's
+    //    contract already excludes df-skewed posting lists (census'd
+    //    max-df stays O(10); hot-boilerplate corpora route to
+    //    [[ngramJaccardPairsPrefix]]), and AQE's skew split covers
+    //    residual imbalance.
+    val canBroadcast = g.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val hinted =
+      if (canBroadcast) side("a") else side("a").hint("shuffle_hash")
+    val joined = hinted.join(side("b"),
       col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
         (if (sizeFilterPrunes)
           least(col("a.ns"), col("b.ns")).cast("double") /

@@ -76,6 +76,29 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-12)
   }
 
+  test("ngram jaccard: broadcast-gated posting join equal across regimes") {
+    // r17: the posting self-join strategy is gated on the materialized
+    // cache size vs the auto-broadcast threshold — small corpora take
+    // the planner's broadcast, large ones force SHUFFLE_HASH. Disabling
+    // auto-broadcast flips the gate; both regimes must emit identical
+    // pairs (bit-identical jaccard doubles).
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
+      (3L, "w1 w2 w3 w4 w5 q6 q7 q8 q9 q10"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).toDF("doc_id", "text")
+    def run(): Seq[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val viaBroadcast = run()
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(run() == viaBroadcast) // SHUFFLE_HASH branch
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert(viaBroadcast.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+  }
+
   test("assignCanonical: duplicate groups map to their lowest id") {
     val docs = Seq(
       (1L, "same text"), (2L, "same   TEXT"), // dup after normalization
