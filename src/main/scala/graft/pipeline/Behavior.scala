@@ -788,9 +788,10 @@ object Behavior {
   }
 
   /** New-vs-returning revenue split per month: an order counts as
-    * "new" iff it falls in its customer's first-order month. One
-    * customer cohort aggregate joined back (customer-keyed), one
-    * month reduce with conditional exact cent sums; shares are single
+    * "new" iff it falls in its customer's first-order month (orders
+    * with a NULL customer key are excluded). Cohort month via a
+    * min-over-window on one customer-keyed exchange, then one month
+    * reduce with conditional exact cent sums; shares are single
     * divisions, ROUND(6).
     *
     * Output: (month_idx, n_orders, rev_new_cents, rev_returning_cents,
@@ -809,10 +810,14 @@ object Behavior {
     // exchange of the order rows, where the former groupBy-cohort +
     // join-back paid a second full exchange and a join whose strategy
     // flipped broadcast→SMJ across scales (r16 scale gate). Identical
-    // integers per row, so the month aggregate is unchanged.
+    // integers per row, so the month aggregate is unchanged. NULL
+    // customer keys are dropped (isNotNull), matching the former inner
+    // join's semantics — a NULL window partition would otherwise flow
+    // into n_orders/revenue.
     val wCust = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cust"))
-    base.withColumn("__c0", min(col("__mi")).over(wCust))
+    base.filter(col("cust").isNotNull)
+      .withColumn("__c0", min(col("__mi")).over(wCust))
       .groupBy(col("__mi").as("month_idx"))
       .agg(count(lit(1)).as("n_orders"),
         sum(when(col("__mi") === col("__c0"), col("__cents"))

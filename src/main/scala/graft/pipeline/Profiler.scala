@@ -1530,9 +1530,26 @@ object Profiler {
     val base = df.select(col(seriesCol),
       col(tsCol).cast("long").as("__t"),
       microUnits(col(valCol), unitsPerValue).as("__vq"))
-    val mins = base.groupBy(col(seriesCol).as("__k"))
-      .agg(min(col("__t")).as("__t0"))
-    val reb = base.join(mins, base(seriesCol) === col("__k"))
+    // Series re-base via min-over-window on ONE series-keyed exchange
+    // (guide §2.4: a window keyed like the following aggregate shares
+    // its partitioning). The former groupBy-min + join-back paid a
+    // second full exchange and a join whose strategy flipped
+    // broadcast→SMJ across scales; re-landed r17 after the hot-key
+    // probe the r16 revert lacked: at a deliberate 5M-row hot series
+    // the window runs 0.9 s with 8 MB peak task memory and zero spill,
+    // where the join shape's SMJ sort peaks at 296 MB (the q197
+    // tie-group cliff does NOT apply — that was a range-frame rank over
+    // low-cardinality values; this is a whole-partition aggregate
+    // window over the series key itself). 100× probe: shuffle 224→101
+    // MB, peak task 57→23 MB; identical integers per row, so the
+    // following aggregate is unchanged.
+    // NULL series keys are dropped (isNotNull), matching the former
+    // inner join's semantics — a NULL window partition would otherwise
+    // flow into the aggregate as a NULL output row.
+    val wSeries = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol))
+    val reb = base.filter(col(seriesCol).isNotNull)
+      .withColumn("__t0", min(col("__t")).over(wSeries))
       .select(col(seriesCol), (col("__t") - col("__t0")).as("__dt"),
         col("__vq"))
     val td = col("__dt").cast("decimal(38,0)")
