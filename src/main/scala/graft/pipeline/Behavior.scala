@@ -153,8 +153,9 @@ object Behavior {
     * stage is a double explode of the basket array (bounded by cap²
     * per user, never |items|²; the df-cap lesson from the shingle
     * index: one 10⁶-item power-user would otherwise mint 10¹²
-    * pairs). The basket table is cached across its three consumers
-    * (user total, item counts, pairs) so the events scan runs once.
+    * pairs). The three consumers (user total, item counts, pairs)
+    * share the basket aggregation's one user-keyed exchange via
+    * ReuseExchange — no cache (measured slower at both probe scales).
     */
   def coOccurrence(
       events: DataFrame,
@@ -164,7 +165,15 @@ object Behavior {
       maxBasketSize: Int = 10000): DataFrame = {
     require(minCount >= 1, "minCount must be at least 1")
     require(maxBasketSize >= 2, "maxBasketSize must allow pairs")
-    val b = basketTable(events, userCol, itemCol, maxBasketSize).cache()
+    // The basket table is NOT cached: its three consumers share the one
+    // user-keyed exchange via ReuseExchange, so only the (cheap) final
+    // collect_set phase re-runs per consumer — measured r17 at sf0.1
+    // (~2.2 → ~1.4 s warm) and the 100× probe (24.1 → 20.5 s, identical
+    // spill/peak; shuffle WRITE unchanged, reads 3× a local fetch). A
+    // cache paid its fill pass + storage pressure for less than it
+    // saved — the same trade the r16 gini/lorenz/abc cache rejections
+    // measured.
+    val b = basketTable(events, userCol, itemCol, maxBasketSize)
     val n = broadcast(b.agg(count(lit(1)).cast("double").as("__n")))
     val ic = b.select(explode(col("__items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
@@ -184,7 +193,7 @@ object Behavior {
         (col("n_both").cast("double") * col("__n")
           / (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("lift"))
-    PipelineCache.materialize(b)(result)
+    PipelineCache.materialize()(result)
   }
 
   /** Distinct item baskets as (user, __items array), capped: the one
