@@ -604,10 +604,15 @@ object Dedup {
       n: Int, tau: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // one hash-keyed shingle table feeds both signatures and verification;
-    // sigs is one row per doc (with n_sh riding along) — cached because
-    // banding and Jaccard denominators both read it
-    val g = hashedShingleTable(docs, idCol, textCol, n).cache()
+    // The shingle table is NOT cached (r17): its consumers (signature
+    // aggregate, verification join) each fold it into their own
+    // exchange, so the cache only pinned a posting-scale table in
+    // executor storage — the 100× probe runs at identical wall and
+    // 289 MB LESS shuffle write without it, and sf0.1 is unchanged.
+    // sigs (one row per doc) stays cached: banding and the Jaccard
+    // denominators both read it, and dropping it measured slower
+    // locally ("none" variant, OPTIMIZATION_r17.md).
+    val g = hashedShingleTable(docs, idCol, textCol, n)
     val sigs = signaturesFromShingles(g, numHashes).cache()
     // band hashes sliced straight out of the signature array; xxhash64
     // hashes the long-array slice directly (codegen'd, no string concat)
@@ -624,7 +629,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
       .cache()
-    PipelineCache.materialize(g, sigs, candidates)(
+    PipelineCache.materialize(sigs, candidates)(
       verifiedJaccard(g, sigs.select(col("id"), col("n_sh")), candidates, tau))
   }
 
