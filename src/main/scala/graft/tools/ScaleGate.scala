@@ -98,7 +98,12 @@ object ScaleGate {
       }
     }
     val flagged = entries.collect { case (q, "super_linear", _) => q }
-    val exempt = prevExempt.filter { case (q, _) => flagged.contains(q) }
+    // fixed queries lose their exemption on regen (q78/q100/q224 r17),
+    // but STANDING CLASS entries (e.g. the streaming family's
+    // data-size-invariance record, r17 verdict item 9) survive even
+    // while unflagged so future rounds stop re-litigating them
+    val exempt = prevExempt.filter { case (q, r) =>
+      flagged.contains(q) || r.startsWith("STANDING CLASS") }
     val json = new StringBuilder
     json.append(s"""{"data_ratio":$ratio,"slack":$slack,""")
       .append(s""""floor_mb":${floorB / 1048576},\n"queries":[\n""")
